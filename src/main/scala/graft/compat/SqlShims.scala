@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Spark 4.x bridge: `Column` wraps a `ColumnNode` rather than a Catalyst
+  * `Expression`, and the converters live behind `private[sql]`. This shim
+  * (compiled into the spark.sql package namespace) exposes the two
+  * conversions graft's custom expressions need.
+  */
+object graftshim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hash-based dedup primitives: MinHash signatures + LSH band keys, and a
+  * single-pass 64-bit SimHash. Built for the scale path — signatures are
+  * computed once per document in a map-only stage; candidate generation is
+  * an equi-join on band keys (shuffle on small keys, never all-pairs).
+  */
+object Hashing {
+
+  /** FNV-1a 64-bit over UTF-8 bytes, with a seed mix. Self-contained and
+    * deterministic across JVMs (no dependence on engine hash internals).
+    */
+  def fnv1a64(s: UTF8String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)
+    val bytes = s.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = fnv1a64(tokens.getUTF8String(i), 0L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** SimHash over an `array<string>` token column → 64-bit signature. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    Hashing.simhash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.simhash64($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** MinHash over an `array<string>` shingle column → `array<long>` of k
+  * per-seed minima (one FNV-1a family member per seed).
+  */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var j = 0
+        while (j < k) {
+          val h = Hashing.fnv1a64(s, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MinHash {
+
+  /** k-element MinHash signature of a shingle set. */
+  def signature(shingles: Column, k: Int = 64): Column =
+    graftshim.column(MinHashSignature(graftshim.expression(shingles), k))
+
+  /** LSH band keys: split the signature into `bands` slices of `rowsPerBand`
+    * and hash each slice; docs sharing any band key are candidate pairs.
+    */
+  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), hash(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
+
+  /** Estimated Jaccard similarity from two signatures. */
+  def estJaccard(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), p => p)).cast("double") / size(a)
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  def simHash(tokens: Column): Column =
+    graftshim.column(SimHash64(graftshim.expression(tokens)))
+}

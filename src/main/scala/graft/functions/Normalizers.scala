@@ -1,0 +1,157 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Field-value normalizers (SURVEY §2.8 C1–C10, C22).
+  *
+  * Semantics mirror the reference's normalizer behavior
+  * (`src/extraction/normalizers.py:16-355`,
+  * `src/services/effective_rent.py:49-67`,
+  * `src/entities/canonicalize.py:6-18`, `src/entities/matching.py:45-48`)
+  * re-expressed as codegen-friendly Catalyst column expressions — no UDFs,
+  * so every normalizer stays inside whole-stage codegen and can be pushed
+  * around freely by the optimizer.
+  */
+object Normalizers {
+
+  /** Words treated as explicit nulls by the reference normalizers. */
+  private val NullWords = Seq("null", "none", "n/a")
+
+  private def nullWordGuard(t: Column): Column =
+    (t === "") || lower(t).isin(NullWords: _*)
+
+  /** C1 `normalize_date` (`normalizers.py:16-76`): try 5 formats in order,
+    * emit `yyyy-MM-dd` or NULL. Patterns are prefix-matched; the
+    * reconstructed y-m-d candidate must be a real calendar date, otherwise
+    * the next pattern is tried (null-skipping `coalesce` = the reference's
+    * try/continue loop).
+    */
+  def normalizeDate(c: Column): Column = {
+    val t = trim(c)
+    // A prefix-matched pattern whose groups rebuild to an invalid date
+    // falls through to the next pattern (null-skipping coalesce below).
+    def ymd(y: Column, m: Column, d: Column): Column =
+      date_format(try_to_date(concat_ws("-", y, m, d), "yyyy-M-d"), "yyyy-MM-dd")
+    def grp(pattern: String, i: Int): Column = regexp_extract(t, pattern, i)
+
+    // p1: full-string yyyy-MM-dd (strptime sees the whole value here)
+    val p1 = "^(\\d{4})-(\\d{2})-(\\d{2})$"
+    val a1 = when(t.rlike(p1), ymd(grp(p1, 1), grp(p1, 2), grp(p1, 3)))
+    // p2: MM/DD/YYYY prefix; trailing text ignored (groups-only rebuild)
+    val p2 = "^(\\d{2})/(\\d{2})/(\\d{4})"
+    val a2 = when(t.rlike(p2), ymd(grp(p2, 3), grp(p2, 1), grp(p2, 2)))
+    // p3: MM-DD-YYYY prefix
+    val p3 = "^(\\d{2})-(\\d{2})-(\\d{4})"
+    val a3 = when(t.rlike(p3), ymd(grp(p3, 3), grp(p3, 1), grp(p3, 2)))
+    // p4: M/D/YYYY prefix (1-2 digit month/day)
+    val p4 = "^(\\d{1,2})/(\\d{1,2})/(\\d{4})"
+    val a4 = when(t.rlike(p4), ymd(grp(p4, 3), grp(p4, 1), grp(p4, 2)))
+    // p5: YYYY/MM/DD prefix
+    val p5 = "^(\\d{4})/(\\d{2})/(\\d{2})"
+    val a5 = when(t.rlike(p5), ymd(grp(p5, 1), grp(p5, 2), grp(p5, 3)))
+
+    when(c.isNull || nullWordGuard(t), lit(null: String))
+      .otherwise(coalesce(a1, a2, a3, a4, a5))
+  }
+
+  /** C2 `normalize_currency` (`normalizers.py:79-118`): strip `$ , <ws>`,
+    * `(x)` → `-x`, cast to double, NULL on failure.
+    */
+  def normalizeCurrency(c: Column): Column = {
+    val t = trim(c)
+    val cleaned = regexp_replace(t, "[$,\\s]", "")
+    val inner = cleaned.substr(lit(2), length(cleaned) - 2)
+    val signed = when(
+      cleaned.startsWith("(") && cleaned.endsWith(")") && length(cleaned) >= 2,
+      concat(lit("-"), inner)).otherwise(cleaned)
+    when(c.isNull || nullWordGuard(t), lit(null: java.lang.Double))
+      .otherwise(signed.try_cast("double"))
+  }
+
+  /** C3 `normalize_integer` (`normalizers.py:121-159`): strip `, <ws>`,
+    * `long(double(x))` truncating toward zero, NULL on failure (incl. NaN).
+    */
+  def normalizeInteger(c: Column): Column = {
+    val t = trim(c)
+    val cleaned = regexp_replace(t, "[,\\s]", "")
+    val d = cleaned.try_cast("double")
+    when(c.isNull || nullWordGuard(t) || d.isNull || isnan(d), lit(null: java.lang.Long))
+      .otherwise(d.cast("long"))
+  }
+
+  /** C4 `normalize_percent` (`normalizers.py:162-209`): "7%" → 0.07;
+    * values > 1 divided by 100; outside [0, 5] → NULL.
+    */
+  def normalizePercent(c: Column): Column = {
+    val cleaned = regexp_replace(regexp_replace(trim(c), ",", ""), "%", "")
+    val d = cleaned.try_cast("double")
+    val scaled = when(d > 1d, d / 100d).otherwise(d)
+    when(c.isNull || d.isNull, lit(null: java.lang.Double))
+      .when(scaled < 0d || scaled > 5d, lit(null: java.lang.Double))
+      .otherwise(scaled)
+  }
+
+  /** C5 `normalize_boolean` (`normalizers.py:270-309`). */
+  def normalizeBoolean(c: Column): Column = {
+    val t = lower(trim(c))
+    val truthy = Seq("true", "yes", "y", "1", "on", "enabled", "required")
+    val falsy = Seq("false", "no", "n", "0", "off", "disabled", "not required")
+    when(t.isin(truthy: _*), lit(true))
+      .when(t.isin(falsy: _*), lit(false))
+      .otherwise(lit(null: java.lang.Boolean))
+  }
+
+  /** C6 `normalize_enum` (`normalizers.py:229-267`): case-insensitive exact
+    * match first, then substring containment either direction, in
+    * allowed-list order.
+    */
+  def normalizeEnum(c: Column, allowed: Seq[String]): Column = {
+    val t = lower(trim(c))
+    val exact = allowed.foldLeft(lit(null: String)) { (acc, a) =>
+      coalesce(acc, when(t === a.toLowerCase, lit(a)))
+    }
+    val partial = allowed.foldLeft(lit(null: String)) { (acc, a) =>
+      val al = a.toLowerCase
+      coalesce(acc, when(t.contains(al) || lit(al).contains(t), lit(a)))
+    }
+    when(c.isNull || t === "", lit(null: String)).otherwise(coalesce(exact, partial))
+  }
+
+  /** C7 `normalize_list_of_strings` (`normalizers.py:212-226`): split on
+    * newline/semicolon, strip bullets and whitespace, drop empties.
+    */
+  def normalizeListOfStrings(c: Column): Column = {
+    val items = split(c, "[\\n;]")
+    val stripped = transform(items, x =>
+      trim(regexp_replace(regexp_replace(x, "^[\\s\\-•]+", ""), "[\\s\\-•]+$", "")))
+    when(c.isNull, lit(null).cast("array<string>"))
+      .otherwise(filter(stripped, _ =!= ""))
+  }
+
+  /** C8 `_extract_numeric` (`effective_rent.py:49-67`): strip everything
+    * but digits and dots; unparseable or empty → 0.0 (not NULL).
+    */
+  def extractNumeric(c: Column): Column = {
+    val cleaned = regexp_replace(c.cast("string"), "[^0-9.]", "")
+    coalesce(cleaned.try_cast("double"), lit(0.0))
+  }
+
+  /** C9 `canonicalize` (`canonicalize.py:6-18`): lower → drop non-alnum →
+    * collapse ws → drop org suffixes (word-boundary, anywhere) → collapse.
+    */
+  def canonicalizeName(c: Column): Column = {
+    val lowered = lower(c)
+    val alnum = regexp_replace(lowered, "[^a-z0-9\\s]", "")
+    val collapsed = trim(regexp_replace(alnum, "\\s+", " "))
+    val noSuffix = regexp_replace(collapsed, "\\b(llc|inc|corp|ltd|lp)\\b", "")
+    trim(regexp_replace(noSuffix, "\\s+", " "))
+  }
+
+  /** C10 `normalize_text` (`matching.py:45-48`). */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "), "\\s+", " "))
+
+  /** C22 JSONB value access: `field_value->>'value'`. */
+  def jsonValue(c: Column): Column = get_json_object(c, "$.value")
+}

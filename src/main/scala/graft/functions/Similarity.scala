@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Ratcliff–Obershelp similarity (SURVEY §2.8 C11), matching Python
+  * difflib's `SequenceMatcher(None, a, b).ratio()` (reference
+  * `src/entities/matching.py:51-57`) with no junk/autojunk — inputs are
+  * short normalized names, far below difflib's 200-char autojunk cutoff.
+  *
+  * ratio = 2·M / (|a| + |b|), M = total size of recursively-found longest
+  * matching blocks. Implemented as a static method so whole-stage codegen
+  * emits a direct call instead of falling back to interpretation.
+  */
+object RatcliffObershelp {
+
+  def ratio(sa: String, sb: String): Double = {
+    val la = sa.length; val lb = sb.length
+    if (la + lb == 0) return 1.0
+    2.0 * totalMatches(sa, sb) / (la + lb)
+  }
+
+  /** Sum of matching-block sizes, difflib get_matching_blocks semantics:
+    * find the longest block (earliest a-index, then earliest b-index wins
+    * ties), recurse left and right of it.
+    */
+  private def totalMatches(a: String, b: String): Int = {
+    // b2j: char -> ascending positions in b
+    val b2j = new java.util.HashMap[Char, java.util.ArrayList[Int]]()
+    var j = 0
+    while (j < b.length) {
+      val c = b.charAt(j)
+      var l = b2j.get(c)
+      if (l == null) { l = new java.util.ArrayList[Int](); b2j.put(c, l) }
+      l.add(j)
+      j += 1
+    }
+    var total = 0
+    val stack = new java.util.ArrayDeque[(Int, Int, Int, Int)]()
+    stack.push((0, a.length, 0, b.length))
+    while (!stack.isEmpty) {
+      val (alo, ahi, blo, bhi) = stack.pop()
+      if (alo < ahi && blo < bhi) {
+        var besti = alo; var bestj = blo; var bestsize = 0
+        // j2len over b-positions, rolled per a-index (difflib's DP)
+        var j2len = new java.util.HashMap[Int, Int]()
+        var i = alo
+        while (i < ahi) {
+          val newj2len = new java.util.HashMap[Int, Int]()
+          val positions = b2j.get(a.charAt(i))
+          if (positions != null) {
+            val it = positions.iterator()
+            var done = false
+            while (it.hasNext && !done) {
+              val jj = it.next()
+              if (jj >= bhi) done = true
+              else if (jj >= blo) {
+                val k = j2len.getOrDefault(jj - 1, 0) + 1
+                newj2len.put(jj, k)
+                if (k > bestsize) { besti = i - k + 1; bestj = jj - k + 1; bestsize = k }
+              }
+            }
+          }
+          j2len = newj2len
+          i += 1
+        }
+        if (bestsize > 0) {
+          total += bestsize
+          stack.push((alo, besti, blo, bestj))
+          stack.push((besti + bestsize, ahi, bestj + bestsize, bhi))
+        }
+      }
+    }
+    total
+  }
+}
+
+case class RatcliffSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    RatcliffObershelp.ratio(
+      a.asInstanceOf[UTF8String].toString, b.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.RatcliffObershelp.ratio($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Entity match scoring (SURVEY §2.8 C12; `matching.py:67-110`). */
+object Matching {
+
+  /** difflib-compatible similarity as a Column. */
+  def ratcliffSim(a: Column, b: Column): Column =
+    graftshim.column(RatcliffSimilarity(
+      graftshim.expression(a), graftshim.expression(b)))
+
+  /** `calculate_similarity` (`matching.py:51-57`): both empty → 1.0, one
+    * empty → 0.0, else Ratcliff–Obershelp ratio.
+    */
+  def calcSimilarity(a: Column, b: Column): Column =
+    when(a === "" && b === "", 1.0)
+      .when(a === "" || b === "", 0.0)
+      .otherwise(ratcliffSim(a, b))
+
+  /** `calculate_match_score` (`matching.py:67-103`): name .5 / address .3 /
+    * external_id .2, renormalized by the weights actually present.
+    */
+  def matchScore(name1: Column, name2: Column, addr1: Column, addr2: Column,
+                 ext1: Column, ext2: Column): Column = {
+    val nameSim = calcSimilarity(Normalizers.normalizeText(name1),
+      Normalizers.normalizeText(name2))
+    val addrPresent = addr1.isNotNull && addr2.isNotNull
+    val addrSim = calcSimilarity(Normalizers.normalizeText(addr1),
+      Normalizers.normalizeText(addr2))
+    val extPresent = ext1.isNotNull && ext2.isNotNull
+    val score = nameSim * 0.5 +
+      when(addrPresent, addrSim * 0.3).otherwise(0.0) +
+      when(extPresent && ext1 === ext2, 0.2).otherwise(0.0)
+    val maxScore = lit(0.5) +
+      when(addrPresent, 0.3).otherwise(0.0) +
+      when(extPresent, 0.2).otherwise(0.0)
+    least(score / maxScore, lit(1.0))
+  }
+
+  /** `classify_match_score` (`matching.py:105-110`). */
+  def classifyMatch(score: Column): Column =
+    when(score >= 0.95, "auto_merge")
+      .when(score >= 0.80, "suggest_merge")
+      .otherwise("different")
+}

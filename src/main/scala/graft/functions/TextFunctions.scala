@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline surface:
+  * tokenization, language ID, quality scoring, n-gram shingling and
+  * document fingerprinting. All are pure Catalyst expressions (no UDFs) so
+  * they stay inside whole-stage codegen and are mirrorable in ANSI SQL for
+  * the DuckDB oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), _ =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword proxy: word pieces plus punctuation as single tokens
+    * (deterministic stand-in for a real tokenizer — SURVEY §7.4 risk 7).
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Distinct lowercased token set (for Jaccard similarity). */
+  def tokenSet(c: Column): Column = array_distinct(tokens(c))
+
+  /** Word-level n-gram shingles (space-joined), for MinHash / Jaccard. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val ts = tokens(c)
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(n)))))
+  }
+
+  /** Small per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Public common-word lists; deliberately tiny (the heuristic,
+    * not the list, is the operator).
+    */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val StopwordsEs: Seq[String] =
+    Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por")
+  val StopwordsFr: Seq[String] =
+    Seq("le", "la", "de", "et", "un", "les", "des", "en", "du", "que")
+  val StopwordsDe: Seq[String] =
+    Seq("der", "die", "das", "und", "ein", "zu", "den", "von", "mit", "ist")
+
+  def stopwordCount(c: Column, stops: Seq[String]): Column =
+    size(filter(tokens(c), t => t.isin(stops.map(lit): _*)))
+
+  def stopwordRatio(c: Column, stops: Seq[String] = StopwordsEn): Column = {
+    val n = tokenCount(c)
+    when(n === 0, lit(0.0)).otherwise(stopwordCount(c, stops).cast("double") / n)
+  }
+
+  /** Language-ID heuristic: CJK character presence → zh; otherwise argmax
+    * stopword hit-count among {en,es,fr,de} with ≥1 hit; ties broken by
+    * the fixed language order; no hits → "und".
+    */
+  def langId(c: Column): Column = {
+    val cjk = size(regexp_extract_all(c, lit("[\\u4e00-\\u9fff]"), lit(0)))
+    val scored = Seq(
+      "en" -> stopwordCount(c, StopwordsEn), "es" -> stopwordCount(c, StopwordsEs),
+      "fr" -> stopwordCount(c, StopwordsFr), "de" -> stopwordCount(c, StopwordsDe))
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldLeft(lit(null: String)) { case (acc, (l, s)) =>
+      coalesce(acc, when(s === best && s > 0, lit(l)))
+    }
+    when(cjk > 0, lit("zh")).otherwise(coalesce(pick, lit("und")))
+  }
+
+  /** Quality-score components (length / punctuation / stopword ratios),
+    * mirroring reference-style heuristic document quality scoring.
+    */
+  def punctRatio(c: Column): Column = {
+    val n = length(c)
+    when(n === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(c, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double") / n)
+  }
+
+  def digitRatio(c: Column): Column = {
+    val n = length(c)
+    when(n === 0, lit(0.0)).otherwise(
+      size(regexp_extract_all(c, lit("[0-9]"), lit(0))).cast("double") / n)
+  }
+
+  def meanTokenLen(c: Column): Column = {
+    val ts = tokens(c)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-length docs with low
+    * punctuation/digit noise and a sane mean token length.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / 50d, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(c) * 5d)
+    val digitPenalty = greatest(lit(0.0), lit(1.0) - digitRatio(c) * 5d)
+    val tokLen = meanTokenLen(c)
+    val tokLenScore = when(tokLen >= 3d && tokLen <= 10d, lit(1.0))
+      .when(tokLen === 0d, lit(0.0)).otherwise(lit(0.5))
+    round(lenScore * 0.4 + punctPenalty * 0.2 + digitPenalty * 0.2 + tokLenScore * 0.2, 6)
+  }
+
+  /** Document fingerprint: order-sensitive 64-bit polynomial rolling hash
+    * over tokens (31-base, same recurrence as java.lang.String.hashCode
+    * widened to 64 bits). Identical token sequences collide by design.
+    */
+  def fingerprint(c: Column): Column =
+    aggregate(tokens(c), lit(1125899906842597L),
+      (acc, t) => acc * 31L + crc32(t).cast("long"))
+}

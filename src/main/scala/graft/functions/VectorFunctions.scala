@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
+
+/** Vector similarity (SURVEY §2.8 C21; reference
+  * `supabase/migrations/042_match_function.sql:38` — pgvector `<=>` cosine
+  * distance, exposed as `1 - distance` similarity).
+  *
+  * Two implementations:
+  *  - [[CosineSimilarity]]: a native Catalyst expression with whole-stage
+  *    codegen over the float array storage — the hot path for top-k scans
+  *    (no per-element lambda interpretation, no boxing).
+  *  - [[VectorFunctions.cosineSimHof]]: the same semantics composed from
+  *    `zip_with`/`aggregate` higher-order functions — kept as a reference
+  *    and for the DuckDB oracle mirror.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny"); val denom = ctx.freshName("denom")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $x.getFloat($i);
+         |  double $yi = (double) $y.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** Codegen'd cosine similarity over two `array<float>` columns. */
+  def cosineSim(a: Column, b: Column): Column =
+    graftshim.column(CosineSimilarity(
+      graftshim.expression(a), graftshim.expression(b)))
+
+  /** HOF-composed cosine similarity (semantically identical; used as the
+    * oracle-mirrorable formulation). Sums run left-to-right.
+    */
+  def cosineSimHof(a: Column, b: Column): Column = {
+    val af = a.cast("array<double>")
+    val bf = b.cast("array<double>")
+    val dot = aggregate(zip_with(af, bf, (x, y) => x * y), lit(0.0), _ + _)
+    val na = sqrt(aggregate(transform(af, x => x * x), lit(0.0), _ + _))
+    val nb = sqrt(aggregate(transform(bf, x => x * x), lit(0.0), _ + _))
+    when(na * nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Dot product (codegen path shared with cosineSim is overkill here;
+    * HOF keeps the plan simple where similarity ordering is all we need).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a.cast("array<double>"), b.cast("array<double>"),
+      (x, y) => x * y), lit(0.0), _ + _)
+
+  /** L2 norm of a float/double array column. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a.cast("array<double>"), x => x * x), lit(0.0), _ + _))
+}

@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.functions.{Hashing, MinHash, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline surface: exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant is
+  *   map-only signature stage → equi-join on small candidate keys → verify,
+  * never an all-pairs comparison. Candidate joins shuffle on band/bucket
+  * keys whose cardinality grows with data size, so the plan parallelizes
+  * uniformly at 1000 executors; skew on hot buckets is bounded by the band
+  * construction (signatures are near-uniform hashes).
+  */
+object Dedup {
+
+  /** Exact dedup: keep one deterministic winner per key group (lowest
+    * tie-break value). Equivalent to the reference's
+    * `UNIQUE(tenant_id, file_hash)` ingest guard (J4/U5,
+    * `020_documents.sql:31`) expressed as an operator.
+    */
+  def exact(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Pairs of ids whose word-`n`-gram shingle sets reach `threshold`
+    * (exact) Jaccard similarity. Shingles are exploded and equi-joined, so
+    * the intersection count is a shuffle on shingle strings; per-doc set
+    * sizes come from a map-side aggregate.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val shingled = df.select(col(idCol).as("id"),
+      array_distinct(TextFunctions.wordNgrams(col(textCol), n)).as("sh"))
+    val sizes = shingled.select(col("id"), size(col("sh")).as("sz"))
+    val ex = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val inter = ex.as("a").join(ex.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash + LSH near-dup candidates: k-wide signatures, banded into
+    * `bands`×`rowsPerBand`; docs sharing any band bucket become candidate
+    * pairs, then verified with the signature-estimated Jaccard.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    val sigs = df.select(col(idCol).as("id"),
+      MinHash.signature(
+        array_distinct(TextFunctions.wordNgrams(col(textCol), shingleN)), k).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(MinHash.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("id1", "id2")
+    pairs.withColumn("est_jaccard", MinHash.estJaccard(col("sig1"), col("sig2")))
+      .where(col("est_jaccard") >= threshold)
+      .select("id1", "id2", "est_jaccard")
+  }
+
+  /** SimHash near-dup: 64-bit signature; candidates share one of four
+    * 16-bit chunks (guarantees recall for Hamming distance ≤ 3), verified
+    * by exact Hamming distance.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      MinHash.simHash(TextFunctions.tokens(col(textCol))).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("sig"), i * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("ck"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.ck") === col("b.ck") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("hamming", MinHash.hammingDist(col("sig1"), col("sig2")))
+      .where(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Embedding-cosine near-dup via random-hyperplane LSH: `planes`-bit sign
+    * signature buckets candidates; exact cosine verifies. Deterministic
+    * seeded hyperplanes (no RNG at plan time).
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, planes: Int = 16,
+                           threshold: Double = 0.95): DataFrame = {
+    val planeLits = (0 until planes).map { p =>
+      array((0 until dim).map { d =>
+        // deterministic pseudo-random in [-1, 1): splitmix64-style mix
+        val x = java.lang.Long.rotateLeft((p * 1009L + d) * 0x9e3779b97f4a7c15L, 31)
+        lit((x.toDouble / Long.MaxValue.toDouble))
+      }: _*)
+    }
+    val sign = (v: Column) => planeLits.zipWithIndex.map { case (pl, i) =>
+      when(VectorFunctions.dot(v, pl) >= 0, lit(1L << i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      sign(col(vecCol)).as("bucket"))
+    sigs.as("a").join(sigs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("a.v"), col("b.v")))
+      .where(col("cos") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
+  }
+}

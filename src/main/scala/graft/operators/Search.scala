@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Search-plane operators (SURVEY §2.3 J8, §2.4 A7, §2.5 W1, §2.6 K1–K6):
+  * exact vector top-k, keyword scoring, Reciprocal Rank Fusion, and the
+  * hybrid pipeline. Mirrors the reference's
+  * `src/search/hybrid.py` / `042_match_function.sql` semantics.
+  *
+  * Scale notes: top-k is Spark's `TakeOrderedAndProject` (per-partition
+  * heap + single driver merge of k rows — no global sort shuffle). RRF
+  * joins two k-row lists: trivially broadcast. The scan side is a columnar
+  * parquet read with the tenant/document filters pushed down.
+  */
+object Search {
+
+  /** K1: exact cosine top-k over an embedding column. Reference orders by
+    * pgvector `<=>` distance (`042_match_function.sql:32-44`); we order by
+    * descending similarity with a deterministic id tie-break.
+    */
+  def vectorTopK(chunks: DataFrame, idCol: String, vecCol: String,
+                 query: Column, k: Int): DataFrame =
+    chunks.where(col(vecCol).isNotNull)
+      .withColumn("score", VectorFunctions.cosineSim(col(vecCol), query))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+
+  /** K2-lite: keyword top-k by overlap score between query terms and the
+    * document token set (Postgres ts_rank parity lands with the FTS
+    * expression family; the operator shape — score, order, limit — is
+    * identical).
+    */
+  def keywordTopK(docs: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], k: Int): DataFrame = {
+    val terms = array(queryTerms.map(t => lit(t.toLowerCase)): _*)
+    val score = size(array_intersect(TextFunctions.tokenSet(col(textCol)), terms))
+    docs.withColumn("score", score.cast("double"))
+      .where(col("score") > 0)
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** A7/J8/W1: Reciprocal Rank Fusion of two ranked lists, k=60
+    * (`hybrid.py:223-261`): score = Σ 1/(k + rank), rank starting at 1,
+    * full-outer merge keyed by id.
+    */
+  def rrfFuse(left: DataFrame, right: DataFrame, idCol: String,
+              leftOrder: Seq[Column], rightOrder: Seq[Column],
+              k: Int = 60): DataFrame = {
+    val lRanked = left.withColumn("rrf_rank",
+      row_number().over(Window.orderBy(leftOrder: _*)))
+      .select(col(idCol), (lit(1.0) / (lit(k) + col("rrf_rank"))).as("l_score"))
+    val rRanked = right.withColumn("rrf_rank",
+      row_number().over(Window.orderBy(rightOrder: _*)))
+      .select(col(idCol), (lit(1.0) / (lit(k) + col("rrf_rank"))).as("r_score"))
+    lRanked.join(rRanked, Seq(idCol), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(col("l_score"), lit(0.0)) + coalesce(col("r_score"), lit(0.0)))
+      .select(col(idCol), col("rrf_score"))
+  }
+
+  /** Full hybrid search (§3.2): both legs fetch 2×limit (K6,
+    * `hybrid.py:205-211`), RRF-fused, top `limit` returned.
+    */
+  def hybrid(chunks: DataFrame, idCol: String, vecCol: String, textCol: String,
+             queryVec: Column, queryTerms: Seq[String], limit: Int): DataFrame = {
+    val vec = vectorTopK(chunks, idCol, vecCol, queryVec, 2 * limit)
+      .select(col(idCol), col("score"))
+    val kw = keywordTopK(chunks, idCol, textCol, queryTerms, 2 * limit)
+      .select(col(idCol), col("score"))
+    rrfFuse(vec, kw, idCol,
+      Seq(desc("score"), col(idCol)), Seq(desc("score"), col(idCol)))
+      .orderBy(desc("rrf_score"), col(idCol))
+      .limit(limit)
+  }
+}
+
+/** A8/A10: EAV → wide pivot (reference `effective_rent.py:69-91`; EAV table
+  * `031_extraction_fields.sql`). Explicit field-name list keeps the pivot a
+  * single shuffle with a fixed output schema — never a dynamic two-pass
+  * pivot at scale.
+  */
+object EavPivot {
+
+  def pivot(eav: DataFrame, groupCols: Seq[String], nameCol: String,
+            valueCol: String, fields: Seq[String]): DataFrame =
+    eav.groupBy(groupCols.map(col): _*)
+      .pivot(nameCol, fields)
+      .agg(first(col(valueCol), ignoreNulls = true))
+
+  /** Pivot without the Spark `pivot` API: one conditional aggregate per
+    * field — exactly mirrorable as ANSI `MAX(CASE WHEN ...)` for oracles.
+    */
+  def pivotSql(eav: DataFrame, groupCols: Seq[String], nameCol: String,
+               valueCol: String, fields: Seq[String]): DataFrame = {
+    val aggs = fields.map(f =>
+      max(when(col(nameCol) === f, col(valueCol))).as(f))
+    eav.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

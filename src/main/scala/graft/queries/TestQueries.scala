@@ -1,0 +1,609 @@
+package graft.queries
+
+import graft.functions.{Matching, Normalizers, TextFunctions, VectorFunctions}
+import graft.operators.{Dedup, EavPivot, Search}
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One oracle-checked query per SURVEY §2 operator (the driver's t2
+  * correctness gate). Every case pairs a Spark DataFrame builder with an
+  * equivalent DuckDB SQL string over the same parquet tables.
+  *
+  * Determinism rules (SURVEY §7.4 risk 5):
+  *  - Double aggregation goes through exact decimal arithmetic and is cast
+  *    back to double only at the end (testdata values are ≤2/≤6 dp, so the
+  *    decimal representation is exact and sums are associative).
+  *  - Every result has a total deterministic ORDER BY; ranked operators
+  *    always carry an id tie-break.
+  */
+final case class QueryCase(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object TestQueries {
+
+  /** Exact decimal sum of a ≤2dp double column, surfaced as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  // ---------------------------------------------------------------- scans/aggs
+
+  /** A1/A3/A4 + F4: TPC-H Q1-flavor pricing summary. */
+  val q01PricingSummary: QueryCase = QueryCase(
+    "q01_pricing_summary",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+      val dec2 = (c: String) => col(c).cast("decimal(18,2)")
+      li.groupBy("l_returnflag", "l_linestatus").agg(
+          sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+          sum(dec2("l_extendedprice")).cast("double").as("sum_base_price"),
+          sum(dec2("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec2("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS sum_disc_price,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** F3/F4/F6: filter + projection pushdown. */
+  val q02FilterProject: QueryCase = QueryCase(
+    "q02_filter_project",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .where(col("o_orderstatus") === "O" &&
+          col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"))
+        .orderBy("o_orderkey"),
+    Some("""
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+      FROM orders
+      WHERE o_orderstatus = 'O' AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      ORDER BY o_orderkey"""))
+
+  /** J1: order→customer→nation join with grouped revenue. */
+  val q03JoinAgg: QueryCase = QueryCase(
+    "q03_join_agg",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy("n_name")
+    },
+    Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
+  /** J3/F2: existence semi-join. */
+  val q04SemiJoin: QueryCase = QueryCase(
+    "q04_semi_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val f = t(s, dir, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(f, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      ORDER BY c_custkey"""))
+
+  /** J4/U5: anti-join (ingest dedup shape). */
+  val q05AntiJoin: QueryCase = QueryCase(
+    "q05_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "P")
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      ORDER BY c_custkey"""))
+
+  /** K1/K3: top-k with deterministic tie-break (TakeOrderedAndProject). */
+  val q06TopK: QueryCase = QueryCase(
+    "q06_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(10),
+    Some("""
+      SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** W2: latest-per-group (is_current flavor). */
+  val q07LatestPerGroup: QueryCase = QueryCase(
+    "q07_latest_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+      WHERE rn = 1
+      ORDER BY o_custkey"""))
+
+  /** W3/W4: cumulative revenue share (concentration curve). */
+  val q08CumShare: QueryCase = QueryCase(
+    "q08_cum_share",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val rev = o.groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+      val total = o.agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_rev"))
+      val w = Window.orderBy(desc("rev_dec"), col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.crossJoin(total)
+        .withColumn("cum_rev", sum(col("rev_dec")).over(w).cast("double"))
+        .select(col("o_custkey"), col("rev_dec").cast("double").as("rev"),
+          col("cum_rev"), round(col("cum_rev") / col("total_rev"), 6).as("cum_share"))
+        .orderBy(desc("rev"), col("o_custkey"))
+        .limit(20)
+    },
+    Some("""
+      WITH r AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+                 FROM orders GROUP BY o_custkey),
+           tot AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+                   FROM orders)
+      SELECT o_custkey, CAST(rev_dec AS DOUBLE) AS rev,
+             CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_rev,
+             ROUND(CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / total_rev, 6)
+               AS cum_share
+      FROM r, tot
+      ORDER BY rev DESC, o_custkey LIMIT 20"""))
+
+  /** A8 (generic pivot shape): events wide by type, SQL-mirrorable. */
+  val q09Pivot: QueryCase = QueryCase(
+    "q09_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val e = Tables.events(s, dir)
+      val aggs = types.map(ty =>
+        sum(when(col("event_type") === ty, col("value").cast("decimal(18,6)")))
+          .cast("double").as(s"${ty}_value")) :+ count(lit(1)).as("n_events")
+      e.groupBy("user_id").agg(aggs.head, aggs.tail: _*).orderBy("user_id")
+    },
+    Some {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(ty =>
+        s"CAST(SUM(CASE WHEN event_type = '$ty' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS ${ty}_value")
+        .mkString(",\n             ")
+      s"""
+      SELECT user_id, $cols, COUNT(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id"""
+    })
+
+  /** A6: exact distinct counts. */
+  val q10CountDistinct: QueryCase = QueryCase(
+    "q10_count_distinct",
+    (s, dir) =>
+      t(s, dir, "orders").groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+    Some("""
+      SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** A5: weighted average (Σxw/Σw) with the reference's 0.99 cap. */
+  val q11WeightedAvg: QueryCase = QueryCase(
+    "q11_weighted_avg",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dec2 = (c: String) => col(c).cast("decimal(18,2)")
+      li.groupBy("l_returnflag")
+        .agg(least(lit(0.99),
+          sum(dec2("l_discount") * dec2("l_quantity")).cast("double") /
+            sum(dec2("l_quantity")).cast("double")).as("wavg_discount"))
+        .orderBy("l_returnflag")
+    },
+    Some("""
+      SELECT l_returnflag,
+             LEAST(0.99,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) /
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)) AS wavg_discount
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** U1: union of two selections. */
+  val q12Union: QueryCase = QueryCase(
+    "q12_union",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.where(col("o_orderstatus") === "P")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val b = o.where(col("o_totalprice") > 400000.0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      a.unionByName(b).orderBy("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'P'
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+      ORDER BY o_orderkey, o_orderstatus, o_totalprice"""))
+
+  /** U4: distinct projection. */
+  val q13Distinct: QueryCase = QueryCase(
+    "q13_distinct",
+    (s, dir) =>
+      t(s, dir, "customer").select("c_mktsegment", "c_nationkey")
+        .distinct().orderBy("c_mktsegment", "c_nationkey"),
+    Some("""
+      SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      ORDER BY c_mktsegment, c_nationkey"""))
+
+  /** A7/J8/W1/U2: Reciprocal Rank Fusion of two top-100 ranked lists. */
+  val q14Rrf: QueryCase = QueryCase(
+    "q14_rrf",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val byPrice = o.orderBy(desc("o_totalprice"), col("o_orderkey")).limit(100)
+        .select("o_orderkey")
+      val byDate = o.orderBy(desc("o_orderdate"), col("o_orderkey")).limit(100)
+        .select("o_orderkey")
+      // rank again inside rrfFuse; the pre-limit matches the reference's
+      // fetch-2x-then-fuse shape (K6)
+      Search.rrfFuse(
+          byPrice.join(o, "o_orderkey"), byDate.join(o, "o_orderkey"),
+          "o_orderkey",
+          Seq(desc("o_totalprice"), col("o_orderkey")),
+          Seq(desc("o_orderdate"), col("o_orderkey")))
+        .select(col("o_orderkey"), round(col("rrf_score"), 9).as("rrf_score"))
+        .orderBy(desc("rrf_score"), col("o_orderkey"))
+    },
+    Some("""
+      WITH a AS (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS r
+                 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100),
+           b AS (SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderdate DESC, o_orderkey) AS r
+                 FROM orders ORDER BY o_orderdate DESC, o_orderkey LIMIT 100),
+           u AS (SELECT o_orderkey, CAST(1.0 AS DOUBLE)/(60 + r) AS s FROM a
+                 UNION ALL
+                 SELECT o_orderkey, CAST(1.0 AS DOUBLE)/(60 + r) AS s FROM b)
+      SELECT o_orderkey, ROUND(SUM(s), 9) AS rrf_score
+      FROM u GROUP BY o_orderkey
+      ORDER BY rrf_score DESC, o_orderkey"""))
+
+  /** Aggregation with ROLLUP (portfolio → property superset shape). */
+  val q15Rollup: QueryCase = QueryCase(
+    "q15_rollup",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "region").createOrReplaceTempView("region")
+      s.sql("""
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+               COUNT(*) AS n_cust
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""")
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+             COUNT(*) AS n_cust
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""))
+
+  // ------------------------------------------------------------- normalizers
+
+  private def valuesDf(s: SparkSession, rows: Seq[String]): DataFrame = {
+    import s.implicits._
+    rows.zipWithIndex.map { case (v, i) => (i.toLong, Option(v)) }
+      .toDF("id", "s")
+  }
+
+  private def valuesSql(rows: Seq[String]): String =
+    rows.zipWithIndex.map { case (v, i) =>
+      val lit = if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
+      s"($i, $lit)"
+    }.mkString(", ")
+
+  private val dateSamples = Seq(
+    "2024-01-15", "01/15/2024", "1/5/2024", "2024/01/15", "12-31-2023",
+    "02/29/2024", "02/29/2023", "2024-02-30", "13/45/2024", "01/15/2024 extra",
+    "2024-01-15T00:00", "N/A", "null", "NONE", "", "  2024-03-07  ",
+    "Jan 5, 2024", "7/4/1999", "12/31/2023", "00/10/2024", null)
+
+  /** C1 `normalize_date`. */
+  val q16NormalizeDate: QueryCase = QueryCase(
+    "q16_normalize_date",
+    (s, dir) => valuesDf(s, dateSamples)
+      .select(col("id"), Normalizers.normalizeDate(col("s")).as("norm"))
+      .orderBy("id"),
+    Some {
+      def cand(y: String, m: String, d: String): String =
+        s"CAST(TRY_CAST($y || '-' || $m || '-' || $d AS DATE) AS VARCHAR)"
+      def grp(p: String, i: Int) = s"regexp_extract(ts, '$p', $i)"
+      val p1 = "^(\\d{4})-(\\d{2})-(\\d{2})$"
+      val p2 = "^(\\d{2})/(\\d{2})/(\\d{4})"
+      val p3 = "^(\\d{2})-(\\d{2})-(\\d{4})"
+      val p4 = "^(\\d{1,2})/(\\d{1,2})/(\\d{4})"
+      val p5 = "^(\\d{4})/(\\d{2})/(\\d{2})"
+      s"""
+      WITH t(id, s) AS (VALUES ${valuesSql(dateSamples)}),
+           tt AS (SELECT id, s, TRIM(s) AS ts FROM t)
+      SELECT id,
+        CASE WHEN s IS NULL OR ts = '' OR LOWER(ts) IN ('null','none','n/a') THEN NULL
+        ELSE COALESCE(
+          CASE WHEN regexp_matches(ts, '$p1') THEN ${cand(grp(p1, 1), grp(p1, 2), grp(p1, 3))} END,
+          CASE WHEN regexp_matches(ts, '$p2') THEN ${cand(grp(p2, 3), grp(p2, 1), grp(p2, 2))} END,
+          CASE WHEN regexp_matches(ts, '$p3') THEN ${cand(grp(p3, 3), grp(p3, 1), grp(p3, 2))} END,
+          CASE WHEN regexp_matches(ts, '$p4') THEN ${cand(grp(p4, 3), grp(p4, 1), grp(p4, 2))} END,
+          CASE WHEN regexp_matches(ts, '$p5') THEN ${cand(grp(p5, 1), grp(p5, 2), grp(p5, 3))} END)
+        END AS norm
+      FROM tt ORDER BY id"""
+    })
+
+  private val currencySamples = Seq(
+    "$5,000.00", "(1,000)", "($2,500.50)", "1234.5", "12 345", "$ 99.99",
+    "-42", "+42", ".5", "5.", "5e3", "abc", "N/A", "null", "", "()", "(abc)",
+    "$1,234,567.89", "0", null)
+
+  /** C2 `normalize_currency`. */
+  val q17NormalizeCurrency: QueryCase = QueryCase(
+    "q17_normalize_currency",
+    (s, dir) => valuesDf(s, currencySamples)
+      .select(col("id"), Normalizers.normalizeCurrency(col("s")).as("norm"))
+      .orderBy("id"),
+    Some(s"""
+      WITH t(id, s) AS (VALUES ${valuesSql(currencySamples)}),
+           c1 AS (SELECT id, s, TRIM(s) AS ts FROM t),
+           c2 AS (SELECT id, s, ts, regexp_replace(ts, '[$$,\\s]', '', 'g') AS cl FROM c1),
+           c3 AS (SELECT id, s, ts,
+                    CASE WHEN cl LIKE '(%' AND cl LIKE '%)' AND LENGTH(cl) >= 2
+                         THEN '-' || SUBSTR(cl, 2, LENGTH(cl) - 2) ELSE cl END AS sg
+                  FROM c2)
+      SELECT id,
+        CASE WHEN s IS NULL OR ts = '' OR LOWER(ts) IN ('null','none','n/a') THEN NULL
+             ELSE TRY_CAST(sg AS DOUBLE) END AS norm
+      FROM c3 ORDER BY id"""))
+
+  private val intSamples = Seq(
+    "1,234", "42", "3.99", "-7", "1e3", " 12 345 ", "abc", "N/A", "", "0.0",
+    "-3.7", "nan", null)
+  private val pctSamples = Seq(
+    "7%", "0.07", "7", "1", "1.5", "150%", "505%", "-3%", "0", "abc", "", null)
+  private val boolSamples = Seq(
+    "true", "Yes", "Y", "1", "ON", "enabled", "Required", "false", "No", "n",
+    "0", "off", "DISABLED", "not required", "maybe", "", null)
+
+  /** C3/C4/C5: integer / percent / boolean normalizers in one relation. */
+  val q18NormalizeNumbers: QueryCase = QueryCase(
+    "q18_normalize_numbers",
+    (s, dir) => {
+      val ints = valuesDf(s, intSamples)
+        .select(lit("int").as("kind"), col("id"),
+          Normalizers.normalizeInteger(col("s")).cast("string").as("norm"))
+      val pcts = valuesDf(s, pctSamples)
+        .select(lit("pct").as("kind"), col("id"),
+          Normalizers.normalizePercent(col("s")).cast("string").as("norm"))
+      val bools = valuesDf(s, boolSamples)
+        .select(lit("bool").as("kind"), col("id"),
+          Normalizers.normalizeBoolean(col("s")).cast("string").as("norm"))
+      ints.unionByName(pcts).unionByName(bools).orderBy("kind", "id")
+    },
+    Some(s"""
+      WITH ti(id, s) AS (VALUES ${valuesSql(intSamples)}),
+           tp(id, s) AS (VALUES ${valuesSql(pctSamples)}),
+           tb(id, s) AS (VALUES ${valuesSql(boolSamples)}),
+           i AS (SELECT 'int' AS kind, id,
+                   CAST(CASE WHEN s IS NULL OR TRIM(s) = '' OR LOWER(TRIM(s)) IN ('null','none','n/a')
+                          OR TRY_CAST(regexp_replace(TRIM(s), '[,\\s]', '', 'g') AS DOUBLE) IS NULL
+                          OR isnan(TRY_CAST(regexp_replace(TRIM(s), '[,\\s]', '', 'g') AS DOUBLE))
+                        THEN NULL
+                        ELSE TRUNC(TRY_CAST(regexp_replace(TRIM(s), '[,\\s]', '', 'g') AS DOUBLE))
+                        END AS BIGINT) AS norm_v
+                 FROM ti),
+           p AS (SELECT 'pct' AS kind, id,
+                   CASE WHEN d IS NULL THEN NULL
+                        WHEN sc < 0 OR sc > 5 THEN NULL
+                        ELSE sc END AS norm_v
+                 FROM (SELECT id,
+                         TRY_CAST(regexp_replace(regexp_replace(TRIM(s), ',', '', 'g'), '%', '', 'g') AS DOUBLE) AS d,
+                         CASE WHEN TRY_CAST(regexp_replace(regexp_replace(TRIM(s), ',', '', 'g'), '%', '', 'g') AS DOUBLE) > 1
+                              THEN TRY_CAST(regexp_replace(regexp_replace(TRIM(s), ',', '', 'g'), '%', '', 'g') AS DOUBLE) / 100.0
+                              ELSE TRY_CAST(regexp_replace(regexp_replace(TRIM(s), ',', '', 'g'), '%', '', 'g') AS DOUBLE) END AS sc
+                       FROM tp)),
+           b AS (SELECT 'bool' AS kind, id,
+                   CASE WHEN LOWER(TRIM(s)) IN ('true','yes','y','1','on','enabled','required') THEN true
+                        WHEN LOWER(TRIM(s)) IN ('false','no','n','0','off','disabled','not required') THEN false
+                        ELSE NULL END AS norm_v
+                 FROM tb)
+      SELECT kind, id, CAST(norm_v AS VARCHAR) AS norm FROM i
+      UNION ALL SELECT kind, id, CAST(norm_v AS VARCHAR) FROM p
+      UNION ALL SELECT kind, id, CAST(norm_v AS VARCHAR) FROM b
+      ORDER BY kind, id"""))
+
+  private val nameSamples = Seq(
+    "Acme Corp LLC", "ACME CORP", "Acme, Corp.", "Main Street Plaza, L.P.",
+    "Beta Inc", "beta  inc.", "Gamma Holdings Ltd", "LLC", "Über Straße GmbH",
+    "  spaced   out  co  ", null)
+
+  /** C9/C10: canonicalize + normalize_text. */
+  val q19Canonicalize: QueryCase = QueryCase(
+    "q19_canonicalize",
+    (s, dir) => valuesDf(s, nameSamples)
+      .select(col("id"), Normalizers.canonicalizeName(col("s")).as("canonical"),
+        Normalizers.normalizeText(col("s")).as("norm_text"))
+      .orderBy("id"),
+    Some(s"""
+      WITH t(id, s) AS (VALUES ${valuesSql(nameSamples)})
+      SELECT id,
+        TRIM(regexp_replace(
+          regexp_replace(
+            TRIM(regexp_replace(regexp_replace(LOWER(s), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')),
+            '\\b(llc|inc|corp|ltd|lp)\\b', '', 'g'),
+          '\\s+', ' ', 'g')) AS canonical,
+        TRIM(regexp_replace(regexp_replace(LOWER(s), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_text
+      FROM t ORDER BY id"""))
+
+  // --------------------------------------------------------- text / documents
+
+  /** C13: content hashing (ingest dedup key). */
+  val q20Sha256: QueryCase = QueryCase(
+    "q20_sha256",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, sha256(text) AS content_hash FROM documents ORDER BY doc_id"""))
+
+  /** Exact dedup over content hash (J4 as an operator). */
+  val q21ExactDedup: QueryCase = QueryCase(
+    "q21_exact_dedup",
+    (s, dir) => t(s, dir, "documents")
+      .groupBy(sha2(col("text"), 256).as("content_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("content_hash"),
+    Some("""
+      SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY sha256(text) ORDER BY content_hash"""))
+
+  /** Text stats: token counts, ratios (quality-scoring components). */
+  val q22TextStats: QueryCase = QueryCase(
+    "q22_text_stats",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(TextFunctions.tokenSet(col("text"))).as("n_distinct_tokens"),
+        round(TextFunctions.meanTokenLen(col("text")), 6).as("mean_token_len"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> '') AS tk
+        FROM documents)
+      SELECT doc_id,
+             LENGTH(text) AS n_chars,
+             LEN(tk) AS n_tokens,
+             LEN(list_distinct(tk)) AS n_distinct_tokens,
+             ROUND(CASE WHEN LEN(tk) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE) / LEN(tk) END, 6)
+               AS mean_token_len,
+             ROUND(CASE WHEN LEN(tk) = 0 THEN 0.0
+               ELSE CAST(LEN(list_filter(tk, x -> list_contains(
+                 ['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) / LEN(tk) END, 6)
+               AS stopword_ratio
+      FROM toks ORDER BY doc_id"""))
+
+  /** 3-gram-shingle Jaccard near-dup pairs (exact variant of MinHash). */
+  val q23JaccardPairs: QueryCase = QueryCase(
+    "q23_jaccard_pairs",
+    (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", 3, 0.35)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 3
+                 THEN [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] for i in range(1, LEN(tk) - 1)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      sz AS (SELECT doc_id, LEN(s) AS sz FROM sh),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, ROUND(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jaccard
+      FROM inter
+      JOIN sz s1 ON s1.doc_id = id1
+      JOIN sz s2 ON s2.doc_id = id2
+      WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.35
+      ORDER BY id1, id2"""))
+
+  // ------------------------------------------------------------------ vectors
+
+  /** K1/C21: brute-force cosine top-k against a stored query vector. */
+  val q24CosineTopK: QueryCase = QueryCase(
+    "q24_cosine_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("q_embedding"))
+      e.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(VectorFunctions.cosineSim(col("embedding"), col("q_embedding")), 6)
+            .as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label,
+             ROUND(
+               list_reduce(list_transform(range(1, len(embedding)+1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (x,y) -> x+y) /
+               (SQRT(list_reduce(list_transform(range(1, len(embedding)+1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x,y) -> x+y)) *
+                SQRT(list_reduce(list_transform(range(1, len(qv)+1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), (x,y) -> x+y))), 6) AS cos_sim
+      FROM embeddings, q
+      WHERE vec_id <> 0
+      ORDER BY cos_sim DESC, vec_id LIMIT 20"""))
+
+  val all: Seq[QueryCase] = Seq(
+    q01PricingSummary, q02FilterProject, q03JoinAgg, q04SemiJoin, q05AntiJoin,
+    q06TopK, q07LatestPerGroup, q08CumShare, q09Pivot, q10CountDistinct,
+    q11WeightedAvg, q12Union, q13Distinct, q14Rrf, q15Rollup,
+    q16NormalizeDate, q17NormalizeCurrency, q18NormalizeNumbers,
+    q19Canonicalize, q20Sha256, q21ExactDedup, q22TextStats, q23JaccardPairs,
+    q24CosineTopK)
+}

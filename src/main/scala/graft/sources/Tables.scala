@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's TPC-H-ish testdata directory layout
+  * (`TESTDATA.md`): one parquet file per table under an `sf*` dir.
+  *
+  * All engine queries take the sf directory as a parameter so the same
+  * code runs at any scale factor. At cluster scale the same loaders
+  * point at partitioned table roots instead of single files; the
+  * DataFrame-level code is unchanged.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark has no
+    * timestamp type for ([PARQUET_TYPE_ILLEGAL]). We read it with
+    * `nanosAsLong` and surface both the raw nanos (`ts_ns`) and a
+    * microsecond-truncated TimestampType `ts` (oracle mirror:
+    * `date_trunc('microseconds', ts)`).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts_ns div 1000)"))
+  }
+
+  /** Register all tables as temp views for spark.sql use. */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    names.foreach(n => table(s, d, n).createOrReplaceTempView(n))
+  }
+}
