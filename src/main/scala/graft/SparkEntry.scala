@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.TestQueries
+import graft.queries.{TestQueries, TestQueries2}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,13 +17,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     TestQueries.q01PricingSummary.build(spark, "/root/testdata/sf0.001")
 
+  private def allCases = TestQueries.all ++ TestQueries2.all
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TestQueries.all.map(q => q.name -> q.build).toMap
+    allCases.map(q => q.name -> q.build).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    TestQueries.all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+    allCases.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
 }

@@ -26,13 +26,23 @@ object TextFunctions {
   /** Distinct lowercased token set (for Jaccard similarity). */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
-  /** Word-level n-gram shingles (space-joined), for MinHash / Jaccard. */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val ts = tokens(c)
-    when(size(ts) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", slice(ts, i, lit(n)))))
-  }
+  /** Word-level n-gram shingles (space-joined), for MinHash / Jaccard.
+    *
+    * IMPORTANT: `tk` must be a bound attribute (a real column produced by a
+    * prior projection), not a derived expression. Catalyst HOF lambdas are
+    * interpreted and re-evaluate every captured subexpression per element —
+    * passing `tokens(text)` directly here makes shingling O(len²)
+    * tokenizations per row.
+    */
+  def ngramsOfTokens(tk: Column, n: Int): Column =
+    when(size(tk) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", slice(tk, i, lit(n)))))
+
+  /** Convenience composition for small inputs / tests; see [[ngramsOfTokens]]
+    * for the form to use inside operators.
+    */
+  def wordNgrams(c: Column, n: Int): Column = ngramsOfTokens(tokens(c), n)
 
   /** Small per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Public common-word lists; deliberately tiny (the heuristic,
@@ -112,4 +122,12 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     aggregate(tokens(c), lit(1125899906842597L),
       (acc, t) => acc * 31L + crc32(t).cast("long"))
+
+  /** Whitespace-normalization-invariant fingerprint: sha256 of the
+    * space-rejoined token stream. Two docs differing only in whitespace or
+    * case share a fingerprint (portable across engines, unlike the rolling
+    * hash above).
+    */
+  def normFingerprint(c: Column): Column =
+    sha2(concat_ws(" ", tokens(c)), 256)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Hashing, MinHash, TextFunctions, VectorFunctions}
+import graft.functions.{MinHash, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -8,14 +8,44 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for the training-data pipeline surface: exact,
   * MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
   *
-  * Scale design: every variant is
-  *   map-only signature stage → equi-join on small candidate keys → verify,
-  * never an all-pairs comparison. Candidate joins shuffle on band/bucket
-  * keys whose cardinality grows with data size, so the plan parallelizes
-  * uniformly at 1000 executors; skew on hot buckets is bounded by the band
-  * construction (signatures are near-uniform hashes).
+  * Scale design: every variant is a single map-only signature pass →
+  * groupBy on bucket keys → in-bucket pair expansion → verify. No
+  * self-joins (which would compute the signature subtree once per side —
+  * Spark's ReuseExchange does not fire when one side is broadcast), and
+  * no all-pairs comparison: candidate volume is Σ|bucket|², bounded by the
+  * hash construction. Payload (id + signature/size) rides along with each
+  * bucket row so no back-join against the source is needed.
   */
 object Dedup {
+
+  /** Spread a narrow input across the cluster before CPU-heavy signature
+    * stages. Single-file bench inputs arrive as one partition — one task —
+    * so tokenize/shingle/hash would run on one core. At real scale inputs
+    * are already many-partitioned and this is a no-op.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /** Expand each bucket's member list into ordered pairs (i < j over the
+    * sorted member array). `m` must be a bound attribute of array<struct>
+    * whose first struct field is the id (sort_array makes pair order — and
+    * thus id1 < id2 — deterministic).
+    */
+  private def pairExpand(m: Column): Column =
+    flatten(transform(sequence(lit(1), size(m) - 1), i =>
+      transform(sequence(i + 1, size(m)), j =>
+        struct(element_at(m, i).as("p1"), element_at(m, j).as("p2")))))
+
+  /** groupBy bucket key → emit all in-bucket (p1, p2) payload pairs. */
+  private def pairsWithinBuckets(df: DataFrame, keyCols: Seq[Column],
+                                 payload: Column): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(payload)).as("m"))
+      .where(size(col("m")) >= 2)
+      .select(explode(pairExpand(col("m"))).as("p"))
+      .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
 
   /** Exact dedup: keep one deterministic winner per key group (lowest
     * tie-break value). Equivalent to the reference's
@@ -29,22 +59,26 @@ object Dedup {
   }
 
   /** Pairs of ids whose word-`n`-gram shingle sets reach `threshold`
-    * (exact) Jaccard similarity. Shingles are exploded and equi-joined, so
-    * the intersection count is a shuffle on shingle strings; per-doc set
-    * sizes come from a map-side aggregate.
+    * (exact) Jaccard similarity. Each exploded shingle row carries the
+    * owner's set size, so the intersection count and Jaccard come out of
+    * the bucket aggregation directly — one pass over the corpus.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val shingled = df.select(col(idCol).as("id"),
-      array_distinct(TextFunctions.wordNgrams(col(textCol), n)).as("sh"))
-    val sizes = shingled.select(col("id"), size(col("sh")).as("sz"))
-    val ex = shingled.select(col("id"), explode(col("sh")).as("s"))
-    val inter = ex.as("a").join(ex.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+    // Two-step projection: tokens bound to an attribute before the ngram
+    // lambda (interpreted HOF lambdas re-evaluate captured expressions
+    // per element — see TextFunctions.ngramsOfTokens).
+    val toks = spread(df).select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val shingled = toks.select(col("id"),
+      array_distinct(TextFunctions.ngramsOfTokens(col("tk"), n)).as("sh"))
+    val ex = shingled.select(col("id"), size(col("sh")).as("sz"),
+      explode(col("sh")).as("s"))
+    val pairs = pairsWithinBuckets(ex, Seq(col("s")),
+      struct(col("id"), col("sz")))
+    pairs.groupBy(col("p1.id").as("id1"), col("p1.sz").as("sz1"),
+        col("p2.id").as("id2"), col("p2.sz").as("sz2"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("sz", "sz1"), "id1")
-      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("sz", "sz2"), "id2")
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sz1") + col("sz2") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -60,17 +94,19 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPerBand = k / bands
-    val sigs = df.select(col(idCol).as("id"),
+    val toks = spread(df).select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val sigs = toks.select(col("id"),
       MinHash.signature(
-        array_distinct(TextFunctions.wordNgrams(col(textCol), shingleN)), k).as("sig"))
+        array_distinct(TextFunctions.ngramsOfTokens(col("tk"), shingleN)), k).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(MinHash.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-    val pairs = banded.as("a").join(banded.as("b"),
-        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+    val pairs = pairsWithinBuckets(banded, Seq(col("bk")),
+      struct(col("id"), col("sig")))
+    pairs.select(col("p1.id").as("id1"), col("p2.id").as("id2"),
+        col("p1.sig").as("sig1"), col("p2.sig").as("sig2"))
       .dropDuplicates("id1", "id2")
-    pairs.withColumn("est_jaccard", MinHash.estJaccard(col("sig1"), col("sig2")))
+      .withColumn("est_jaccard", MinHash.estJaccard(col("sig1"), col("sig2")))
       .where(col("est_jaccard") >= threshold)
       .select("id1", "id2", "est_jaccard")
   }
@@ -81,16 +117,16 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = spread(df).select(col(idCol).as("id"),
       MinHash.simHash(TextFunctions.tokens(col(textCol))).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
           shiftright(col("sig"), i * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("ck"))
-    chunked.as("a").join(chunked.as("b"),
-        col("a.ck") === col("b.ck") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+    val pairs = pairsWithinBuckets(chunked, Seq(col("ck")),
+      struct(col("id"), col("sig")))
+    pairs.select(col("p1.id").as("id1"), col("p2.id").as("id2"),
+        col("p1.sig").as("sig1"), col("p2.sig").as("sig2"))
       .dropDuplicates("id1", "id2")
       .withColumn("hamming", MinHash.hammingDist(col("sig1"), col("sig2")))
       .where(col("hamming") <= maxHamming)
@@ -114,12 +150,13 @@ object Dedup {
     val sign = (v: Column) => planeLits.zipWithIndex.map { case (pl, i) =>
       when(VectorFunctions.dot(v, pl) >= 0, lit(1L << i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val sigs = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"),
       sign(col(vecCol)).as("bucket"))
-    sigs.as("a").join(sigs.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos", VectorFunctions.cosineSim(col("a.v"), col("b.v")))
+    val pairs = pairsWithinBuckets(sigs, Seq(col("bucket")),
+      struct(col("id"), col("v")))
+    pairs.withColumn("cos",
+        VectorFunctions.cosineSim(col("p1.v"), col("p2.v")))
       .where(col("cos") >= threshold)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("cos"))
+      .select(col("p1.id").as("id1"), col("p2.id").as("id2"), col("cos"))
   }
 }

@@ -1,0 +1,487 @@
+package graft.queries
+
+import graft.functions.{Matching, Normalizers, TextFunctions}
+import graft.operators.{Dedup, EavPivot}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second query batch: text-analysis operators, streaming-plane batch
+  * shapes, scalar-function families and the effective-rent domain pipeline
+  * over an inline EAV fixture. Same determinism rules as [[TestQueries]].
+  */
+object TestQueries2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private val stopListSql =
+    "['the','a','of','and','to','in','is','it','that','for']"
+
+  /** Language-ID heuristic over documents (text analysis). Staged
+    * projections keep each codegen unit small: tokens → per-language hit
+    * counts → argmax (a single flat expression would repeat the tokenize
+    * chain once per language per branch).
+    */
+  val q25LangId: QueryCase = QueryCase(
+    "q25_lang_id",
+    (s, dir) => {
+      val toks = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("text"), TextFunctions.tokens(col("text")).as("tk"))
+      def cnt(stops: Seq[String]) =
+        size(filter(col("tk"), x => x.isin(stops.map(lit): _*)))
+      val counted = toks.select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0))).as("cjk"),
+        cnt(TextFunctions.StopwordsEn).as("s_en"),
+        cnt(TextFunctions.StopwordsEs).as("s_es"),
+        cnt(TextFunctions.StopwordsFr).as("s_fr"),
+        cnt(TextFunctions.StopwordsDe).as("s_de"))
+      val best = greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_de"))
+      val pick = Seq("en" -> col("s_en"), "es" -> col("s_es"),
+          "fr" -> col("s_fr"), "de" -> col("s_de"))
+        .foldLeft(lit(null: String)) { case (acc, (l, c)) =>
+          coalesce(acc, when(c === best && c > 0, lit(l)))
+        }
+      counted
+        .withColumn("lang_pred",
+          when(col("cjk") > 0, lit("zh")).otherwise(coalesce(pick, lit("und"))))
+        .select(col("doc_id"), col("lang"), col("lang_pred"),
+          (col("lang") === col("lang_pred")).as("agrees"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '') AS tk
+        FROM documents),
+      sc AS (
+        SELECT doc_id, lang,
+          LEN(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk,
+          LEN(list_filter(tk, x -> list_contains($stopListSql, x))) AS s_en,
+          LEN(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','los','se','por'], x))) AS s_es,
+          LEN(list_filter(tk, x -> list_contains(['le','la','de','et','un','les','des','en','du','que'], x))) AS s_fr,
+          LEN(list_filter(tk, x -> list_contains(['der','die','das','und','ein','zu','den','von','mit','ist'], x))) AS s_de
+        FROM toks)
+      SELECT doc_id, lang,
+        CASE WHEN cjk > 0 THEN 'zh'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+             WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+             WHEN s_de > 0 THEN 'de'
+             ELSE 'und' END AS lang_pred,
+        lang = (CASE WHEN cjk > 0 THEN 'zh'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+             WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+             WHEN s_de > 0 THEN 'de'
+             ELSE 'und' END) AS agrees
+      FROM sc ORDER BY doc_id"""))
+
+  /** Composite quality score over documents (text analysis). */
+  val q26Quality: QueryCase = QueryCase(
+    "q26_quality",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> '') AS tk
+        FROM documents),
+      c AS (
+        SELECT doc_id,
+          LEAST(CAST(LEN(tk) AS DOUBLE) / 50, 1.0) AS len_score,
+          GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+            ELSE CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / LENGTH(text) END) * 5) AS punct_pen,
+          GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+            ELSE CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / LENGTH(text) END) * 5) AS digit_pen,
+          CASE WHEN LEN(tk) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE) / LEN(tk) END AS mtl
+        FROM toks)
+      SELECT doc_id,
+        ROUND(len_score * 0.4 + punct_pen * 0.2 + digit_pen * 0.2 +
+          (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0
+                WHEN mtl = 0 THEN 0.0 ELSE 0.5 END) * 0.2, 6) AS quality
+      FROM c ORDER BY doc_id"""))
+
+  /** Normalized-text document fingerprint (dedup key, text analysis). */
+  val q27Fingerprint: QueryCase = QueryCase(
+    "q27_fingerprint",
+    (s, dir) => t(s, dir, "documents")
+      .groupBy(TextFunctions.normFingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("fp"),
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               sha256(array_to_string(
+                 list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> ''),
+                 ' ')) AS fp
+        FROM documents)
+      SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+      FROM f GROUP BY fp ORDER BY fp"""))
+
+  /** MinHash+LSH near-dup pairs — not ANSI-SQL-expressible (custom hash
+    * family); driver records the weaker rows-only check.
+    */
+  val q28MinhashPairs: QueryCase = QueryCase(
+    "q28_minhash_pairs",
+    (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 5, k = 64, bands = 16, threshold = 0.2)
+        .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id1", "id2"),
+    None)
+
+  /** SimHash near-dup pairs — rows-only for the same reason. */
+  val q29SimhashPairs: QueryCase = QueryCase(
+    "q29_simhash_pairs",
+    (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .orderBy("id1", "id2"),
+    None)
+
+  /** J9/T9 shape: per-key sliding event-time window (1h preceding) counts
+    * and sums — the rate-limit window as a batch query.
+    */
+  val q30RangeWindow: QueryCase = QueryCase(
+    "q30_range_window",
+    (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS cnt_1h,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+        FROM events_v
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""")
+    },
+    Some("""
+      SELECT event_id, user_id,
+             COUNT(*) OVER w AS cnt_1h,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+      FROM (SELECT event_id, user_id, value,
+                   date_trunc('microseconds', ts) AS ts FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  /** A2/W5: version assignment — insert-order sequence per parent. */
+  val q31VersionSeq: QueryCase = QueryCase(
+    "q31_version_seq",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("version", row_number().over(w))
+        .withColumn("is_current",
+          col("version") === max(col("version")).over(Window.partitionBy("o_custkey")))
+        .select("o_custkey", "o_orderkey", "version", "is_current")
+        .orderBy("o_custkey", "version")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS version,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               = COUNT(*) OVER (PARTITION BY o_custkey) AS is_current
+      FROM orders
+      ORDER BY o_custkey, version"""))
+
+  /** W6/T1: priority-ordered queue fetch — top-5 pending per worker slot
+    * group (events modeled as the queue; value = priority).
+    */
+  val q32QueueRanking: QueryCase = QueryCase(
+    "q32_queue_ranking",
+    (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""
+        SELECT user_id, event_id, rk FROM (
+          SELECT user_id, event_id,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY value DESC, ts ASC, event_id) AS rk
+          FROM events_v WHERE event_type = 'click')
+        WHERE rk <= 5
+        ORDER BY user_id, rk""")
+    },
+    Some("""
+      SELECT user_id, event_id, rk FROM (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY value DESC, date_trunc('microseconds', ts) ASC, event_id) AS rk
+        FROM events WHERE event_type = 'click')
+      WHERE rk <= 5
+      ORDER BY user_id, rk"""))
+
+  /** T3/T4: retry / dead-letter classification as a batch rule. */
+  val q33RetryClassify: QueryCase = QueryCase(
+    "q33_retry_classify",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      e.withColumn("disposition",
+          when(col("event_type") =!= "error", "ok")
+            .when(col("value") < 3.0, "retry")
+            .otherwise("dead_letter"))
+        .groupBy("disposition").agg(count(lit(1)).as("n"))
+        .orderBy("disposition")
+    },
+    Some("""
+      SELECT CASE WHEN event_type <> 'error' THEN 'ok'
+                  WHEN value < 3.0 THEN 'retry'
+                  ELSE 'dead_letter' END AS disposition,
+             COUNT(*) AS n
+      FROM events GROUP BY 1 ORDER BY disposition"""))
+
+  private val fileSamples = Seq(
+    "lease.pdf", "RentRoll.XLSX", "photo.jpeg", "scan.PNG", "contract.docx",
+    "notes.txt", "data.csv", "report.doc", "archive.zip", "noext",
+    "weird.name.pdf", null)
+
+  /** C14: MIME-from-extension map (`bulk_upload.py:399-421`). */
+  val q34MimeMap: QueryCase = QueryCase(
+    "q34_mime_map",
+    (s, dir) => {
+      import s.implicits._
+      val df = fileSamples.zipWithIndex
+        .map { case (v, i) => (i.toLong, Option(v)) }.toDF("id", "filename")
+      val ext = lower(regexp_extract(col("filename"), "\\.([A-Za-z0-9]+)$", 1))
+      val mime = Map(
+        "pdf" -> "application/pdf",
+        "doc" -> "application/msword",
+        "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+        "xls" -> "application/vnd.ms-excel",
+        "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+        "png" -> "image/png",
+        "jpg" -> "image/jpeg",
+        "jpeg" -> "image/jpeg",
+        "txt" -> "text/plain",
+        "csv" -> "text/csv")
+      val mimeCol = mime.foldLeft(lit(null: String)) { case (acc, (k, v)) =>
+        coalesce(acc, when(ext === k, lit(v)))
+      }
+      df.select(col("id"), col("filename"),
+          coalesce(mimeCol, lit("application/octet-stream")).as("mime_type"))
+        .orderBy("id")
+    },
+    Some {
+      val vals = fileSamples.zipWithIndex.map { case (v, i) =>
+        val l = if (v == null) "NULL" else s"'$v'"
+        s"($i, $l)"
+      }.mkString(", ")
+      s"""
+      WITH t(id, filename) AS (VALUES $vals),
+      e AS (SELECT id, filename,
+              LOWER(regexp_extract(filename, '\\.([A-Za-z0-9]+)$$', 1)) AS ext FROM t)
+      SELECT id, filename,
+        CASE ext
+          WHEN 'pdf' THEN 'application/pdf'
+          WHEN 'doc' THEN 'application/msword'
+          WHEN 'docx' THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+          WHEN 'xls' THEN 'application/vnd.ms-excel'
+          WHEN 'xlsx' THEN 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet'
+          WHEN 'png' THEN 'image/png'
+          WHEN 'jpg' THEN 'image/jpeg'
+          WHEN 'jpeg' THEN 'image/jpeg'
+          WHEN 'txt' THEN 'text/plain'
+          WHEN 'csv' THEN 'text/csv'
+          ELSE 'application/octet-stream' END AS mime_type
+      FROM e ORDER BY id"""
+    })
+
+  /** C16: greedy context assembly under a token budget — running sum +
+    * cutoff (RAG context builder, `rag/context_builder.py:22-50`).
+    */
+  val q35ContextBudget: QueryCase = QueryCase(
+    "q35_context_budget",
+    (s, dir) => {
+      val budget = 6000
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum_tokens", sum("n_tokens").over(w))
+        .where(col("cum_tokens") <= budget)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               LEN(list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> ''))
+                 AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM d)
+      SELECT doc_id, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= 6000 ORDER BY doc_id"""))
+
+  private val citationSamples = Seq(
+    "Rent is $5,000 [DOC:11:PAGE:2] and CAM is $750 [DOC:12:PAGE:5].",
+    "No citations here.",
+    "Multiple [DOC:11:PAGE:2][DOC:11:PAGE:3] adjacent.",
+    "Unknown doc [DOC:99:PAGE:1].",
+    "Malformed [DOC:abc:PAGE:1] ignored.",
+    null)
+
+  /** C17: citation extraction + validation against a known chunk set. */
+  val q36Citations: QueryCase = QueryCase(
+    "q36_citations",
+    (s, dir) => {
+      import s.implicits._
+      val answers = citationSamples.zipWithIndex
+        .map { case (v, i) => (i.toLong, Option(v)) }.toDF("answer_id", "answer")
+      val chunks = Seq((11L, 2), (11L, 3), (12L, 5))
+        .toDF("c_doc_id", "c_page")
+      val cites = answers.select(col("answer_id"),
+          explode(regexp_extract_all(col("answer"),
+            lit("\\[DOC:(\\d+):PAGE:(\\d+)\\]"), lit(0))).as("cite"))
+        .withColumn("doc_id",
+          regexp_extract(col("cite"), "\\[DOC:(\\d+):PAGE:(\\d+)\\]", 1).cast("long"))
+        .withColumn("page",
+          regexp_extract(col("cite"), "\\[DOC:(\\d+):PAGE:(\\d+)\\]", 2).cast("int"))
+      cites.join(chunks,
+          cites("doc_id") === chunks("c_doc_id") && cites("page") === chunks("c_page"),
+          "left")
+        .select(col("answer_id"), col("doc_id"), col("page"),
+          col("c_doc_id").isNotNull.as("valid"))
+        .orderBy("answer_id", "doc_id", "page")
+    },
+    Some {
+      val vals = citationSamples.zipWithIndex.map { case (v, i) =>
+        val l = if (v == null) "NULL" else "'" + v.replace("'", "''") + "'"
+        s"($i, $l)"
+      }.mkString(", ")
+      s"""
+      WITH t(answer_id, answer) AS (VALUES $vals),
+      chunks(c_doc_id, c_page) AS (VALUES (11, 2), (11, 3), (12, 5)),
+      cites AS (
+        SELECT answer_id,
+               UNNEST(regexp_extract_all(answer, '\\[DOC:(\\d+):PAGE:(\\d+)\\]')) AS cite
+        FROM t),
+      parsed AS (
+        SELECT answer_id,
+               CAST(regexp_extract(cite, '\\[DOC:(\\d+):PAGE:(\\d+)\\]', 1) AS BIGINT) AS doc_id,
+               CAST(regexp_extract(cite, '\\[DOC:(\\d+):PAGE:(\\d+)\\]', 2) AS INT) AS page
+        FROM cites)
+      SELECT answer_id, doc_id, page, c_doc_id IS NOT NULL AS valid
+      FROM parsed LEFT JOIN chunks
+        ON doc_id = c_doc_id AND page = c_page
+      ORDER BY answer_id, doc_id, page"""
+    })
+
+  /** The effective-rent EAV fixture: (extraction_id, field_name,
+    * field_value-as-JSON). Mirrors FIXTURES.md / reference
+    * `tests/test_effective_rent.py:86-148` value shapes, including
+    * coalesce fallbacks, zero-rent and missing-tenant skip rows.
+    */
+  private val eavRows: Seq[(Int, String, String)] = Seq(
+    // e1: full lease
+    (1, "tenant_name", """{"value":"Acme Corp LLC"}"""),
+    (1, "base_rent", """{"value":"$5,000.00"}"""),
+    (1, "cam_charges", """{"value":"$750.50"}"""),
+    (1, "tax_reimbursement", """{"value":"$125"}"""),
+    (1, "insurance_reimbursement", """{"value":"$85.25"}"""),
+    (1, "parking_fee", """{"value":"$150"}"""),
+    (1, "storage_rent", """{"value":"$50"}"""),
+    (1, "property_name", """{"value":"Main Street Plaza"}"""),
+    (1, "square_footage", """{"value":"2,500"}"""),
+    // e2: monthly_rent fallback, parking_rent fallback
+    (2, "tenant_name", """{"value":"Beta Inc"}"""),
+    (2, "monthly_rent", """{"value":"4800"}"""),
+    (2, "parking_rent", """{"value":"$100"}"""),
+    (2, "property_name", """{"value":"Main Street Plaza"}"""),
+    (2, "square_footage", """{"value":"1,200"}"""),
+    // e3: zero rent -> skipped
+    (3, "tenant_name", """{"value":"Zero Co"}"""),
+    (3, "base_rent", """{"value":"0"}"""),
+    (3, "property_name", """{"value":"Elm Annex"}"""),
+    // e4: missing tenant_name -> skipped
+    (4, "base_rent", """{"value":"$9,999"}"""),
+    (4, "property_name", """{"value":"Elm Annex"}"""),
+    // e5: base_rent zero but monthly_rent present -> fallback applies
+    (5, "tenant_name", """{"value":"Gamma Holdings Ltd"}"""),
+    (5, "base_rent", """{"value":"0"}"""),
+    (5, "monthly_rent", """{"value":"$3,250.75"}"""),
+    (5, "cam_charges", """{"value":"N/A"}"""),
+    (5, "property_name", """{"value":"Elm Annex"}"""),
+    (5, "square_footage", """{"value":"900"}"""))
+
+  private val rentFields = Seq("tenant_name", "base_rent", "monthly_rent",
+    "cam_charges", "tax_reimbursement", "insurance_reimbursement",
+    "parking_fee", "parking_rent", "storage_rent", "property_name",
+    "square_footage")
+
+  /** §3.3 effective-rent pipeline: EAV pivot (A8) → json value access
+    * (C22) → numeric extraction (C8) → coalesce fallbacks (A10) → skip
+    * rules (F7) → effective rent + sort (K3).
+    */
+  val q37EffectiveRent: QueryCase = QueryCase(
+    "q37_effective_rent",
+    (s, dir) => {
+      import s.implicits._
+      val eav = eavRows.toDF("extraction_id", "field_name", "field_value")
+      val wide = EavPivot.pivotSql(eav, Seq("extraction_id"), "field_name",
+        "field_value", rentFields)
+      val num = (f: String) =>
+        Normalizers.extractNumeric(Normalizers.jsonValue(col(f)))
+      val str = (f: String) => Normalizers.jsonValue(col(f))
+      val baseRent = when(num("base_rent") > 0, num("base_rent"))
+        .otherwise(num("monthly_rent"))
+      val parking = when(num("parking_fee") > 0, num("parking_fee"))
+        .otherwise(num("parking_rent"))
+      val monthly = baseRent + num("cam_charges") + num("tax_reimbursement") +
+        num("insurance_reimbursement") + parking + num("storage_rent")
+      wide
+        .select(col("extraction_id"), str("tenant_name").as("tenant_name"),
+          str("property_name").as("property_name"),
+          round(monthly, 2).as("effective_monthly_rent"),
+          round(monthly * 12, 2).as("effective_annual_rent"),
+          num("square_footage").as("square_footage"))
+        .where(col("tenant_name").isNotNull && col("effective_monthly_rent") > 0)
+        .orderBy(desc("effective_monthly_rent"), col("extraction_id"))
+    },
+    Some {
+      val vals = eavRows.map { case (id, f, v) =>
+        s"($id, '$f', '${v.replace("'", "''")}')"
+      }.mkString(", ")
+      def mx(f: String) =
+        s"MAX(CASE WHEN field_name = '$f' THEN field_value END)"
+      def num(f: String) =
+        s"COALESCE(TRY_CAST(regexp_replace(COALESCE(json_extract_string($f, '$$.value'), ''), '[^0-9.]', '', 'g') AS DOUBLE), 0.0)"
+      s"""
+      WITH eav(extraction_id, field_name, field_value) AS (VALUES $vals),
+      wide AS (
+        SELECT extraction_id,
+               ${rentFields.map(f => s"${mx(f)} AS $f").mkString(",\n               ")}
+        FROM eav GROUP BY extraction_id),
+      calc AS (
+        SELECT extraction_id,
+               json_extract_string(tenant_name, '$$.value') AS tenant_name,
+               json_extract_string(property_name, '$$.value') AS property_name,
+               (CASE WHEN ${num("base_rent")} > 0 THEN ${num("base_rent")}
+                     ELSE ${num("monthly_rent")} END)
+               + ${num("cam_charges")} + ${num("tax_reimbursement")}
+               + ${num("insurance_reimbursement")}
+               + (CASE WHEN ${num("parking_fee")} > 0 THEN ${num("parking_fee")}
+                       ELSE ${num("parking_rent")} END)
+               + ${num("storage_rent")} AS monthly,
+               ${num("square_footage")} AS square_footage
+        FROM wide)
+      SELECT extraction_id, tenant_name, property_name,
+             ROUND(monthly, 2) AS effective_monthly_rent,
+             ROUND(monthly * 12, 2) AS effective_annual_rent,
+             square_footage
+      FROM calc
+      WHERE tenant_name IS NOT NULL AND ROUND(monthly, 2) > 0
+      ORDER BY effective_monthly_rent DESC, extraction_id"""
+    })
+
+  val all: Seq[QueryCase] = Seq(
+    q25LangId, q26Quality, q27Fingerprint, q28MinhashPairs, q29SimhashPairs,
+    q30RangeWindow, q31VersionSeq, q32QueueRanking, q33RetryClassify,
+    q34MimeMap, q35ContextBudget, q36Citations, q37EffectiveRent)
+}

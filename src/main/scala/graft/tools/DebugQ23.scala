@@ -1,0 +1,23 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+object DebugQ23 {
+  def main(args: Array[String]): Unit = {
+    val wscg = args.headOption.getOrElse("true")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.codegen.wholeStage", wscg)
+      .config("spark.sql.codegen.factoryMode",
+        if (wscg == "true") "FORTIFY_DEFAULT" else "NO_CODEGEN")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (q <- Seq("q23_jaccard_pairs", "q28_minhash_pairs", "q16_normalize_date")) {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").queryExecution.toRdd.count()
+      println(f"[dbg] wscg=$wscg $q: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n)")
+    }
+    spark.stop()
+  }
+}
