@@ -115,13 +115,17 @@ object TextFunctions {
     round(lenScore * 0.4 + punctPenalty * 0.2 + digitPenalty * 0.2 + tokLenScore * 0.2, 6)
   }
 
-  /** Document fingerprint: order-sensitive 64-bit polynomial rolling hash
-    * over tokens (31-base, same recurrence as java.lang.String.hashCode
-    * widened to 64 bits). Identical token sequences collide by design.
+  /** Document fingerprint: order-sensitive 64-bit rolling hash over tokens
+    * (rotate-left 5 then XOR with the token hash — pure bit ops, so it
+    * cannot hit ANSI-mode arithmetic overflow). Identical token sequences
+    * collide by design.
     */
-  def fingerprint(c: Column): Column =
+  def fingerprint(c: Column): Column = {
+    def rotl5(x: Column): Column =
+      shiftleft(x, 5).bitwiseOR(shiftrightunsigned(x, 59))
     aggregate(tokens(c), lit(1125899906842597L),
-      (acc, t) => acc * 31L + crc32(t).cast("long"))
+      (acc, t) => rotl5(acc).bitwiseXOR(xxhash64(t)))
+  }
 
   /** Whitespace-normalization-invariant fingerprint: sha256 of the
     * space-rejoined token stream. Two docs differing only in whitespace or

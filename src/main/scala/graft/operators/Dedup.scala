@@ -133,30 +133,39 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
-  /** Embedding-cosine near-dup via random-hyperplane LSH: `planes`-bit sign
-    * signature buckets candidates; exact cosine verifies. Deterministic
-    * seeded hyperplanes (no RNG at plan time).
+  /** Embedding-cosine near-dup via banded random-hyperplane LSH:
+    * `bands` independent sign-signatures of `planesPerBand` hyperplanes
+    * each; vectors sharing ANY band bucket become candidates (a single
+    * concatenated signature would drop a near-dup pair on one disagreeing
+    * plane), then exact cosine verifies. Deterministic seeded hyperplanes
+    * (no RNG at plan time).
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                           dim: Int, planes: Int = 16,
+                           dim: Int, bands: Int = 4, planesPerBand: Int = 8,
                            threshold: Double = 0.95): DataFrame = {
-    val planeLits = (0 until planes).map { p =>
-      array((0 until dim).map { d =>
-        // deterministic pseudo-random in [-1, 1): splitmix64-style mix
-        val x = java.lang.Long.rotateLeft((p * 1009L + d) * 0x9e3779b97f4a7c15L, 31)
-        lit((x.toDouble / Long.MaxValue.toDouble))
-      }: _*)
-    }
-    val sign = (v: Column) => planeLits.zipWithIndex.map { case (pl, i) =>
-      when(VectorFunctions.dot(v, pl) >= 0, lit(1L << i)).otherwise(0L)
-    }.reduce((a, b) => a.bitwiseOR(b))
-    val sigs = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"),
-      sign(col(vecCol)).as("bucket"))
-    val pairs = pairsWithinBuckets(sigs, Seq(col("bucket")),
+    def planeLit(p: Int): Column = array((0 until dim).map { d =>
+      // deterministic pseudo-random in [-1, 1): splitmix64-style mix
+      val x = java.lang.Long.rotateLeft(
+        (p * 1009L + d * 31L + 7L) * 0x9e3779b97f4a7c15L, 31)
+      lit(x.toDouble / Long.MaxValue.toDouble)
+    }: _*)
+    val bandKey = (v: Column, b: Int) =>
+      (0 until planesPerBand).map { i =>
+        when(VectorFunctions.dot(v, planeLit(b * planesPerBand + i)) >= 0,
+          lit(1L << i)).otherwise(0L)
+      }.reduce((a, c) => a.bitwiseOR(c))
+    val sigs = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = sigs.select(col("id"), col("v"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), bandKey(col("v"), b).as("key"))): _*)).as("bk"))
+    val pairs = pairsWithinBuckets(banded, Seq(col("bk")),
       struct(col("id"), col("v")))
-    pairs.withColumn("cos",
-        VectorFunctions.cosineSim(col("p1.v"), col("p2.v")))
+    pairs
+      .select(col("p1.id").as("id1"), col("p2.id").as("id2"),
+        col("p1.v").as("v1"), col("p2.v").as("v2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("cos", VectorFunctions.cosineSim(col("v1"), col("v2")))
       .where(col("cos") >= threshold)
-      .select(col("p1.id").as("id1"), col("p2.id").as("id2"), col("cos"))
+      .select("id1", "id2", "cos")
   }
 }

@@ -1,0 +1,30 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** S10: buffered micro-batch audit sink (reference `src/audit/logger.py:
+  * 20-90` — buffer of 10 events, batch insert, flush on shutdown). In
+  * Structured Streaming the buffer IS the micro-batch: foreachBatch
+  * appends each batch atomically per epoch, and `query.stop()` drains the
+  * in-flight batch (T10 graceful-drain parity). Append-only parquet
+  * partitioned by date mirrors the immutable `audit_logs` table
+  * (`012_audit_logs.sql:5-17`, insert-only grants `:42-44`).
+  */
+object AuditSink {
+
+  def start(events: DataFrame, outDir: String, checkpointDir: String,
+            triggerMs: Long = 1000L): StreamingQuery =
+    events.writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          batch.withColumn("audit_date",
+              org.apache.spark.sql.functions.to_date(
+                org.apache.spark.sql.functions.col("created_at")))
+            .write.mode("append").partitionBy("audit_date").parquet(outDir)
+        }
+      }
+      .start()
+}

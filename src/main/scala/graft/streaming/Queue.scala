@@ -1,0 +1,173 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Queue-plane semantics (SURVEY §2.10; reference
+  * `src/workers/extraction_worker.py` + `021_processing_queue.sql`).
+  *
+  * Two layers:
+  *  - Pure batch transition operators over a queue-state DataFrame —
+  *    deterministic (injected clock), MERGE-shaped, unit-testable, and the
+  *    body of any foreachBatch deployment.
+  *  - A `flatMapGroupsWithState` state machine keyed by document id for the
+  *    continuous deployment (claim / retry / dead-letter / idempotency).
+  *
+  * Defaults mirror the reference: concurrency 5, poll 5 s, max 3 attempts,
+  * 60 s retry delay, 1 h stale timeout (`extraction_worker.py:33-38`).
+  */
+object Queue {
+
+  val DefaultMaxAttempts = 3
+  val DefaultRetryDelaySec = 60L
+  val DefaultStaleAfterSec = 3600L
+
+  /** T1/W6/U1/K6: next batch to claim — pending items plus retryable
+    * failures (attempts < max, failed ≥ retryDelay ago), priority DESC then
+    * created_at ASC, capped at `slots`
+    * (`extraction_worker.py:268-323`; index `021:21-22`).
+    */
+  def fetchPending(queue: DataFrame, slots: Int, now: Timestamp,
+                   retryDelaySec: Long = DefaultRetryDelaySec): DataFrame = {
+    val retryCutoff = lit(now).cast("timestamp") -
+      expr(s"INTERVAL $retryDelaySec SECONDS")
+    val pending = queue.where(col("status") === "pending")
+    val retryable = queue.where(col("status") === "failed" &&
+      col("attempts") < col("max_attempts") &&
+      col("completed_at") <= retryCutoff)
+    pending.unionByName(retryable)
+      .orderBy(desc("priority"), asc("created_at"), asc("id"))
+      .limit(slots)
+  }
+
+  /** T5: startup repair — processing items started over `staleAfterSec`
+    * ago reset to pending (`extraction_worker.py:169-203`).
+    */
+  def recoverStale(queue: DataFrame, now: Timestamp,
+                   staleAfterSec: Long = DefaultStaleAfterSec): DataFrame = {
+    val cutoff = lit(now).cast("timestamp") -
+      expr(s"INTERVAL $staleAfterSec SECONDS")
+    val isStale = col("status") === "processing" && col("started_at") < cutoff
+    // both columns must be computed against the ORIGINAL row — chained
+    // withColumn would re-evaluate the predicate on the updated status
+    queue.withColumns(Map(
+      "status" -> when(isStale, "pending").otherwise(col("status")),
+      "started_at" ->
+        when(isStale, lit(null).cast("timestamp")).otherwise(col("started_at"))))
+  }
+
+  /** T2/A12: claim — pending→processing with attempts+1 and started_at,
+    * MERGE-shaped over the id set (`extraction_worker.py:386-392,505-515`).
+    */
+  def claim(queue: DataFrame, claimedIds: DataFrame, now: Timestamp): DataFrame = {
+    val hit = claimedIds.select(col("id"), lit(true).as("__claim"))
+    queue.join(hit, Seq("id"), "left")
+      .withColumn("attempts",
+        when(col("__claim"), col("attempts") + 1).otherwise(col("attempts")))
+      .withColumn("started_at",
+        when(col("__claim"), lit(now).cast("timestamp")).otherwise(col("started_at")))
+      .withColumn("status",
+        when(col("__claim"), "processing").otherwise(col("status")))
+      .drop("__claim")
+  }
+
+  /** T3/T4: apply worker outcomes — success → completed; failure →
+    * failed, and terminal once attempts ≥ max (dead letter;
+    * `extraction_worker.py:398-445,542-571`). `results` columns:
+    * (id, success: boolean, error: string).
+    */
+  def applyResults(queue: DataFrame, results: DataFrame, now: Timestamp): DataFrame = {
+    val r = results.select(col("id"), col("success").as("__ok"),
+      col("error").as("__err"))
+    queue.join(r, Seq("id"), "left")
+      .withColumn("status",
+        when(col("__ok").isNull, col("status"))
+          .when(col("__ok"), "completed")
+          .when(col("attempts") >= col("max_attempts"), "dead_letter")
+          .otherwise("failed"))
+      .withColumn("completed_at",
+        when(col("__ok").isNotNull, lit(now).cast("timestamp"))
+          .otherwise(col("completed_at")))
+      .withColumn("last_error",
+        when(col("__ok").isNotNull && !col("__ok"), col("__err"))
+          .otherwise(col("last_error")))
+      .drop("__ok", "__err")
+  }
+
+  /** T6: idempotency — drop queue items whose document already has a
+    * completed extraction, and collapse duplicate queue rows per document
+    * to the earliest (`idempotency.py:258-322`).
+    */
+  def idempotencyGuard(queue: DataFrame, completedDocs: DataFrame): DataFrame = {
+    val done = completedDocs.select(col("document_id")).distinct()
+    val w = Window.partitionBy("document_id").orderBy("created_at", "id")
+    queue.join(done, Seq("document_id"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------- streaming
+
+  case class DocEvent(documentId: String, tenantId: String, kind: String,
+                      priority: Int, error: String, eventTimeMs: Long)
+
+  case class DocState(status: String, attempts: Int, priority: Int,
+                      tenantId: String, lastError: String, updatedMs: Long)
+
+  case class QueueUpdate(documentId: String, tenantId: String, status: String,
+                         attempts: Int, lastError: String, updatedMs: Long)
+
+  /** T2–T6 as a keyed state machine for Structured Streaming: events are
+    * `enqueue` / `success` / `failure`; emits one row per transition.
+    * Retry/dead-letter decisions follow the batch semantics above; stale
+    * recovery maps to the state timeout. Event-order within a key follows
+    * stream order (at-least-once upstream is made effectively-once by the
+    * completed/terminal guard).
+    */
+  def transition(maxAttempts: Int = DefaultMaxAttempts)(
+      documentId: String, events: Iterator[DocEvent],
+      state: GroupState[DocState]): Iterator[QueueUpdate] = {
+    var st = state.getOption.getOrElse(DocState("none", 0, 0, "", null, 0L))
+    val out = Seq.newBuilder[QueueUpdate]
+    events.toSeq.sortBy(_.eventTimeMs).foreach { ev =>
+      val terminal = st.status == "completed" || st.status == "dead_letter"
+      val next = ev.kind match {
+        case "enqueue" if st.status == "none" =>
+          Some(st.copy(status = "pending", priority = ev.priority,
+            tenantId = ev.tenantId, updatedMs = ev.eventTimeMs))
+        case "enqueue" => None // duplicate enqueue (T6): idempotent no-op
+        case "claim" if st.status == "pending" || st.status == "failed" =>
+          Some(st.copy(status = "processing", attempts = st.attempts + 1,
+            updatedMs = ev.eventTimeMs))
+        case "success" if !terminal =>
+          Some(st.copy(status = "completed", updatedMs = ev.eventTimeMs))
+        case "failure" if !terminal =>
+          val dead = st.attempts >= maxAttempts
+          Some(st.copy(status = if (dead) "dead_letter" else "failed",
+            lastError = ev.error, updatedMs = ev.eventTimeMs))
+        case _ => None
+      }
+      next.foreach { n =>
+        st = n
+        out += QueueUpdate(documentId, n.tenantId, n.status, n.attempts,
+          n.lastError, n.updatedMs)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Wire the state machine over a document-event stream. */
+  def updates(events: Dataset[DocEvent],
+              maxAttempts: Int = DefaultMaxAttempts): Dataset[QueueUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.documentId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(transition(maxAttempts))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** T9: sliding-window rate limiting (reference `src/auth/rate_limit.py:
+  * 27-97,152-172` — per-IP attempt counts within a window, 429 with
+  * retry_after, reset on success).
+  *
+  * Two modes per SURVEY §2.10: a processing-time-parity stateful stream
+  * (flatMapGroupsWithState) and an event-time batch/streaming variant
+  * using `window()` — the 100 TB design, where the shuffle is on (key,
+  * window) and state is bounded by the watermark.
+  */
+object RateLimit {
+
+  case class Attempt(key: String, timeMs: Long, success: Boolean)
+
+  case class Verdict(key: String, timeMs: Long, allowed: Boolean,
+                     attemptsInWindow: Int, retryAfterSec: Long)
+
+  case class WindowState(times: List[Long])
+
+  /** Stateful per-key limiter: allow while < `maxAttempts` within
+    * `windowSec`; a success resets the window (parity with the reference's
+    * reset-on-success).
+    */
+  def limit(attempts: Dataset[Attempt], maxAttempts: Int = 5,
+            windowSec: Long = 900): Dataset[Verdict] = {
+    val spark = attempts.sparkSession
+    import spark.implicits._
+    val windowMs = windowSec * 1000
+    attempts.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, evs: Iterator[Attempt], state: GroupState[WindowState]) =>
+          var times = state.getOption.map(_.times).getOrElse(Nil)
+          val out = Seq.newBuilder[Verdict]
+          evs.toSeq.sortBy(_.timeMs).foreach { a =>
+            val cutoff = a.timeMs - windowMs
+            times = times.filter(_ > cutoff)
+            if (a.success) {
+              // success clears the window (rate_limit.py:152-172)
+              times = Nil
+              out += Verdict(key, a.timeMs, allowed = true, 0, 0L)
+            } else if (times.size < maxAttempts) {
+              times = a.timeMs :: times
+              out += Verdict(key, a.timeMs, allowed = true, times.size, 0L)
+            } else {
+              val oldest = times.min
+              val retryAfter = math.max(0L, (oldest + windowMs - a.timeMs) / 1000)
+              out += Verdict(key, a.timeMs, allowed = false, times.size, retryAfter)
+            }
+          }
+          state.update(WindowState(times))
+          out.result().iterator
+      }
+  }
+
+  /** Event-time variant: attempts per (key, sliding window) via the
+    * built-in window function — bounded state with a watermark when run
+    * on a stream.
+    */
+  def windowedCounts(attempts: DataFrame, keyCol: String, tsCol: String,
+                     windowSec: Long = 900, slideSec: Long = 60): DataFrame =
+    attempts.groupBy(col(keyCol),
+        window(col(tsCol), s"$windowSec seconds", s"$slideSec seconds"))
+      .agg(count(lit(1)).as("attempts"))
+}

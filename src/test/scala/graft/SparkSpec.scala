@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (one JVM-wide session; specs
+  * run sequentially under sbt's single test JVM).
+  */
+object SparkSpec {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpec.spark
+  import org.apache.spark.sql.{Column, DataFrame, Row}
+
+  /** Evaluate a single-column expression over one string input. */
+  def evalStr(expr: Column, input: String): Any = {
+    import spark.implicits._
+    Seq(Option(input)).toDF("s").select(expr.as("r")).head().get(0)
+  }
+
+  /** Same, for array-typed results (Row returns mutable ArraySeq). */
+  def evalStrSeq(expr: Column, input: String): Seq[String] =
+    evalStr(expr, input).asInstanceOf[scala.collection.Seq[String]].toSeq
+
+  def rows(df: DataFrame): Seq[Row] = df.collect().toSeq
+}

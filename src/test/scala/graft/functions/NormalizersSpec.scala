@@ -1,0 +1,122 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Mirrors the reference normalizer behavior
+  * (`/root/reference/src/extraction/normalizers.py`) case by case,
+  * including the fall-through and failure paths.
+  */
+class NormalizersSpec extends SparkSpec {
+
+  private def date(s: String) = evalStr(Normalizers.normalizeDate(col("s")), s)
+  private def cur(s: String) = evalStr(Normalizers.normalizeCurrency(col("s")), s)
+  private def int(s: String) = evalStr(Normalizers.normalizeInteger(col("s")), s)
+  private def pct(s: String) = evalStr(Normalizers.normalizePercent(col("s")), s)
+  private def bool(s: String) = evalStr(Normalizers.normalizeBoolean(col("s")), s)
+
+  test("normalize_date: iso, us, dashes, slashes") {
+    assert(date("2024-01-15") == "2024-01-15")
+    assert(date("01/15/2024") == "2024-01-15")
+    assert(date("1/5/2024") == "2024-01-05")
+    assert(date("2024/01/15") == "2024-01-15")
+    assert(date("12-31-2023") == "2023-12-31")
+  }
+
+  test("normalize_date: validity fall-through and failures") {
+    // prefix-matched pattern with invalid date falls to the next pattern
+    assert(date("02/29/2024") == "2024-02-29") // leap
+    assert(date("02/29/2023") == null)         // not a leap year
+    assert(date("2024-02-30") == null)
+    assert(date("13/45/2024") == null)
+    // trailing text: iso form requires full match, US form rebuilds groups
+    assert(date("2024-01-15T00:00") == null)
+    assert(date("01/15/2024 extra") == "2024-01-15")
+    assert(date("Jan 5, 2024") == null)
+  }
+
+  test("normalize_date: null words") {
+    assert(date("N/A") == null)
+    assert(date("null") == null)
+    assert(date("NONE") == null)
+    assert(date("") == null)
+    assert(date(null) == null)
+    assert(date("  2024-03-07  ") == "2024-03-07")
+  }
+
+  test("normalize_currency") {
+    assert(cur("$5,000.00") == 5000.0)
+    assert(cur("(1,000)") == -1000.0)
+    assert(cur("($2,500.50)") == -2500.5)
+    assert(cur("$ 99.99") == 99.99)
+    assert(cur(".5") == 0.5)
+    assert(cur("abc") == null)
+    assert(cur("N/A") == null)
+    assert(cur("()") == null)
+    assert(cur(null) == null)
+  }
+
+  test("normalize_integer: truncation toward zero, NaN rejected") {
+    assert(int("1,234") == 1234L)
+    assert(int("3.99") == 3L)
+    assert(int("-3.7") == -3L)
+    assert(int("1e3") == 1000L)
+    assert(int(" 12 345 ") == 12345L)
+    assert(int("nan") == null)
+    assert(int("abc") == null)
+  }
+
+  test("normalize_percent: scaling and bounds") {
+    assert(pct("7%") == 0.07)
+    assert(pct("0.07") == 0.07)
+    assert(pct("7") == 0.07)
+    assert(pct("1") == 1.0)     // exactly 1 is not rescaled
+    assert(pct("1.5") == 0.015) // >1 → /100
+    assert(pct("150%") == 1.5)
+    assert(pct("505%") == null) // >5 after scaling
+    assert(pct("-3%") == null)
+    assert(pct("abc") == null)
+  }
+
+  test("normalize_boolean word lists") {
+    assert(bool("true") == true)
+    assert(bool("Required") == true)
+    assert(bool("not required") == false)
+    assert(bool("OFF") == false)
+    assert(bool("maybe") == null)
+  }
+
+  test("normalize_enum: exact then substring, allowed order") {
+    val allowed = Seq("Monthly", "Annual", "One-Time")
+    def enum_(s: String) =
+      evalStr(Normalizers.normalizeEnum(col("s"), allowed), s)
+    assert(enum_("monthly") == "Monthly")
+    assert(enum_("ANNUAL") == "Annual")
+    assert(enum_("paid monthly in advance") == "Monthly") // substring
+    assert(enum_("month") == "Monthly")                   // value ⊂ allowed
+    assert(enum_("weekly") == null)
+  }
+
+  test("normalize_list_of_strings: bullets and separators") {
+    val r = evalStrSeq(Normalizers.normalizeListOfStrings(col("s")),
+      "- option one\n• option two; option three\n\n")
+    assert(r == Seq("option one", "option two", "option three"))
+  }
+
+  test("extract_numeric: zero on failure, strips currency noise") {
+    def en(s: String) = evalStr(Normalizers.extractNumeric(col("s")), s)
+    assert(en("$5,000.00") == 5000.0)
+    assert(en("abc") == 0.0)
+    assert(en("1.2.3") == 0.0) // double-dot unparseable → 0.0
+    assert(en(null) == 0.0)
+  }
+
+  test("canonicalize and normalize_text") {
+    def canon(s: String) = evalStr(Normalizers.canonicalizeName(col("s")), s)
+    assert(canon("Acme Corp LLC") == "acme")
+    assert(canon("Beta, Inc.") == "beta")
+    assert(canon("  spaced   out  co  ") == "spaced out co")
+    def nt(s: String) = evalStr(Normalizers.normalizeText(col("s")), s)
+    assert(nt("Main-Street  Plaza, L.P.") == "main street plaza l p")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** C11 parity: RatcliffObershelp.ratio must match Python difflib's
+  * `SequenceMatcher(None, a, b).ratio()`. Golden values below generated
+  * with CPython 3.11 difflib.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val goldens = Seq(
+    ("acme corp", "acme corporation", 0.72),
+    ("main street plaza", "main st plaza", 0.8666666666666667),
+    ("abc", "abc", 1.0),
+    ("abc", "xyz", 0.0),
+    ("", "", 1.0),
+    ("a", "", 0.0),
+    ("kitten", "sitting", 0.6153846153846154),
+    ("the quick brown fox", "the quick brown dog", 0.8947368421052632),
+    ("aaabbb", "bbbaaa", 0.5),
+    ("acme corp llc", "acme corp", 0.8181818181818182),
+    ("xxxxxxxxxxyyyyyyyyyy", "yyyyyyyyyyxxxxxxxxxx", 0.5),
+    ("beta inc", "beta incorporated", 0.64),
+    ("12345", "123", 0.75),
+    ("ab", "ba", 0.5))
+
+  test("difflib golden values") {
+    goldens.foreach { case (a, b, expected) =>
+      assert(RatcliffObershelp.ratio(a, b) === expected,
+        s"ratio('$a','$b')")
+    }
+  }
+
+  test("as a Catalyst expression (codegen path)") {
+    import spark.implicits._
+    val df = goldens.toSeq.toDF("a", "b", "expected")
+    val got = df.select(Matching.ratcliffSim(col("a"), col("b")).as("r"),
+      col("expected")).collect()
+    got.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("bounds and identity properties (seeded random strings)") {
+    val rng = new scala.util.Random(42)
+    def randStr() = {
+      val n = rng.nextInt(40)
+      (0 until n).map(_ => ('a' + rng.nextInt(6)).toChar).mkString
+    }
+    (1 to 500).foreach { _ =>
+      val a = randStr(); val b = randStr()
+      val r = RatcliffObershelp.ratio(a, b)
+      assert(r >= 0.0 && r <= 1.0, s"bounds for '$a' vs '$b'")
+      assert(RatcliffObershelp.ratio(a, a) == 1.0)
+    }
+  }
+
+  test("match score weighting and renormalization") {
+    import spark.implicits._
+    val df = Seq(
+      ("Acme Corp", "Acme Corp", Some("1 Main St"), Some("1 Main St"),
+        Some("X1"), Some("X1")),
+      ("Acme Corp", "Acme Corp", None, None, None, Option.empty[String]),
+      ("Acme Corp", "Acme Corp", None, None, Some("X1"), Some("X2")))
+      .toDF("n1", "n2", "a1", "a2", "e1", "e2")
+    val scores = df.select(Matching.matchScore(col("n1"), col("n2"),
+      col("a1"), col("a2"), col("e1"), col("e2")).as("s")).collect().map(_.getDouble(0))
+    assert(scores(0) === 1.0)  // all components perfect
+    assert(scores(1) === 1.0)  // name only, renormalized by 0.5
+    // name perfect (0.5) + ext mismatch (0) over max 0.7
+    assert(math.abs(scores(2) - 0.5 / 0.7) < 1e-12)
+  }
+
+  test("classification thresholds") {
+    import spark.implicits._
+    val df = Seq(0.96, 0.95, 0.94, 0.80, 0.79).toDF("s")
+    val out = df.select(Matching.classifyMatch(col("s"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("auto_merge", "auto_merge", "suggest_merge",
+      "suggest_merge", "different"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+
+  test("tokens: lowercased, whitespace-split, empties dropped") {
+    val r = evalStrSeq(TextFunctions.tokens(col("s")), "  Hello   WORLD\tfoo\n")
+    assert(r == Seq("hello", "world", "foo"))
+  }
+
+  test("ngrams: sliding windows, short input empty") {
+    val r = evalStrSeq(TextFunctions.wordNgrams(col("s"), 3), "a b c d")
+    assert(r == Seq("a b c", "b c d"))
+    assert(evalStrSeq(TextFunctions.wordNgrams(col("s"), 3), "a b").isEmpty)
+  }
+
+  test("lang id: stopword argmax with cjk override") {
+    assert(evalStr(TextFunctions.langId(col("s")),
+      "the cat sat on the mat and it is happy") == "en")
+    assert(evalStr(TextFunctions.langId(col("s")),
+      "el perro y la casa en un pueblo") == "es")
+    assert(evalStr(TextFunctions.langId(col("s")),
+      "der hund und die katze ist da") == "de")
+    assert(evalStr(TextFunctions.langId(col("s")), "你好 世界") == "zh")
+    assert(evalStr(TextFunctions.langId(col("s")), "zzz qqq www") == "und")
+  }
+
+  test("quality score in [0,1], higher for clean mid-length text") {
+    val clean = evalStr(TextFunctions.qualityScore(col("s")),
+      ("the quick brown fox jumps over the lazy dog " * 6).trim)
+      .asInstanceOf[Double]
+    val noisy = evalStr(TextFunctions.qualityScore(col("s")),
+      "@@!! ## 12 34 ?? !! %% ^^ && ** (( ))").asInstanceOf[Double]
+    assert(clean > 0.8 && clean <= 1.0)
+    assert(noisy < 0.5)
+  }
+
+  test("fingerprints: whitespace/case invariant, content sensitive") {
+    def fp(s: String) = evalStr(TextFunctions.normFingerprint(col("s")), s)
+    assert(fp("Hello  World") == fp("hello world"))
+    assert(fp("hello world") != fp("hello worlds"))
+    def rfp(s: String) = evalStr(TextFunctions.fingerprint(col("s")), s)
+    assert(rfp("a b c") == rfp("A  B  C"))
+    assert(rfp("a b c") != rfp("c b a")) // rolling hash is order-sensitive
+  }
+
+  test("token counting: whitespace and bpe-ish") {
+    assert(evalStr(TextFunctions.tokenCount(col("s")), "one two three") == 3)
+    // "extraordinary" → 4-char pieces: extr aord inar y
+    assert(evalStr(TextFunctions.bpeishTokenCount(col("s")), "extraordinary") == 4)
+    assert(evalStr(TextFunctions.bpeishTokenCount(col("s")), "a b, c!") == 5)
+  }
+}

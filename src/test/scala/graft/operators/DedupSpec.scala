@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{MinHash, TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+/** Dedup family over a small planted corpus: exact copies, near-copies
+  * (one token changed), and unrelated docs.
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    Seq(
+      (1L, base),
+      (2L, base),                                 // exact copy of 1
+      (3L, base.replace("theta", "THETA-X")),     // near-copy of 1
+      (4L, "completely different text about unrelated subject matter entirely"),
+      (5L, "short doc"),
+      (6L, base + " extra trailing words here")   // superset of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest tie-break per group") {
+    val d = Dedup.exact(
+      docs.withColumn("h", sha2(col("text"), 256)), Seq("h"), "doc_id")
+    val kept = d.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(2L))
+    assert(kept == Set(1L, 3L, 4L, 5L, 6L))
+  }
+
+  test("ngram jaccard finds exact and near pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 1.0)
+    assert(keys.contains((1L, 3L)))
+    assert(keys.contains((1L, 6L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash lsh finds the same planted pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash estimated jaccard is exact for identical docs") {
+    val est = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.3)
+      .where(col("id1") === 1 && col("id2") === 2)
+      .head().getDouble(2)
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs at distance 0, near docs close") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("embedding cosine pairs find planted near-duplicate vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.0f)),   // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),     // orthogonal
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))     // opposite
+    ).toDF("id", "vec")
+    val pairs = Dedup.embeddingCosinePairs(vecs, "id", "vec", dim = 4,
+        bands = 4, planesPerBand = 4, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash signature is deterministic and order-sensitive") {
+    import spark.implicits._
+    val df = Seq("a b c", "a b c", "c b a").toDF("t")
+      .select(MinHash.simHash(TextFunctions.tokens(col("t"))).as("s"))
+    val sigs = df.collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1))
+    // simhash is bag-of-words: token order must NOT matter
+    assert(sigs(0) == sigs(2))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** Search plane: RRF math (reference `hybrid.py:223-261`), vector top-k,
+  * hybrid composition, EAV pivot.
+  */
+class SearchSpec extends SparkSpec {
+
+  test("rrf: score is sum of 1/(60+rank), rank from 1") {
+    import spark.implicits._
+    // doc A ranks 1st in both lists; B only in left (2nd); C only right (2nd)
+    val left = Seq(("A", 10.0), ("B", 5.0)).toDF("id", "score")
+    val right = Seq(("A", 9.0), ("C", 4.0)).toDF("id", "score")
+    val fused = Search.rrfFuse(left, right, "id",
+        Seq(desc("score"), col("id")), Seq(desc("score"), col("id")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fused("A") == 1.0 / 61 + 1.0 / 61)
+    assert(fused("B") == 1.0 / 62)
+    assert(fused("C") == 1.0 / 62)
+  }
+
+  test("rrf: item in both lists outranks single-list items") {
+    import spark.implicits._
+    val left = Seq(("A", 1.0), ("B", 9.0)).toDF("id", "score")
+    val right = Seq(("A", 1.0), ("C", 9.0)).toDF("id", "score")
+    val top = Search.rrfFuse(left, right, "id",
+        Seq(desc("score"), col("id")), Seq(desc("score"), col("id")))
+      .orderBy(desc("rrf_score")).head().getString(0)
+    // A is 2nd in both (2/62) > B or C (1/61)
+    assert(top == "A")
+  }
+
+  test("vector top-k returns k nearest by cosine with tie-break") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f)))
+      .toDF("id", "emb")
+    val q = array(lit(1.0f), lit(0.0f))
+    val top = Search.vectorTopK(chunks, "id", "emb", q, 2)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("keyword top-k scores by query-term overlap") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark window join"), (2L, "spark only"), (3L, "nothing relevant"))
+      .toDF("id", "text")
+    val top = Search.keywordTopK(docs, "id", "text",
+        Seq("spark", "join"), 5)
+      .select("id", "score").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.toSeq == Seq((1L, 2.0), (2L, 1.0)))
+  }
+
+  test("hybrid: fetch 2x then fuse, top limit returned") {
+    import spark.implicits._
+    val chunks = Seq(
+      (1L, Array(1.0f, 0.0f), "alpha beta"),
+      (2L, Array(0.8f, 0.2f), "alpha gamma"),
+      (3L, Array(0.0f, 1.0f), "beta gamma"),
+      (4L, Array(0.5f, 0.5f), "unrelated"))
+      .toDF("id", "emb", "text")
+    val out = Search.hybrid(chunks, "id", "emb", "text",
+      array(lit(1.0f), lit(0.0f)), Seq("alpha"), 2)
+    assert(out.count() == 2)
+    assert(out.columns.toSeq == Seq("id", "rrf_score"))
+  }
+
+  test("eav pivot: first non-null per field, sql-mirrorable variant") {
+    import spark.implicits._
+    val eav = Seq(
+      (1, "rent", "100"), (1, "name", "acme"), (2, "rent", "200"))
+      .toDF("eid", "f", "v")
+    val wide = EavPivot.pivotSql(eav, Seq("eid"), "f", "v", Seq("rent", "name"))
+      .orderBy("eid").collect()
+    assert(wide(0).getString(1) == "100" && wide(0).getString(2) == "acme")
+    assert(wide(1).getString(1) == "200" && wide(1).isNullAt(2))
+    val wide2 = EavPivot.pivot(eav, Seq("eid"), "f", "v", Seq("rent", "name"))
+      .orderBy("eid").collect()
+    assert(wide2(0).getString(1) == "100" && wide2(1).getString(1) == "200")
+  }
+
+  test("cosine expression agrees with HOF formulation") {
+    import spark.implicits._
+    val df = Seq((Array(0.3f, -0.7f, 0.64f), Array(0.11f, 0.2f, -0.9f)))
+      .toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.cosineSim(col("a"), col("b")).as("expr"),
+      VectorFunctions.cosineSimHof(col("a"), col("b")).as("hof")).head()
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-15)
+  }
+
+  test("cosine handles zero vectors and null") {
+    import spark.implicits._
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosineSim(col("a"), col("b"))).head().getDouble(0) == 0.0)
+    val withNull = df.select(
+      VectorFunctions.cosineSim(lit(null).cast("array<float>"), col("b")).as("c"))
+    assert(withNull.head().isNullAt(0))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Queue plane (T1–T6) batch transitions + the streaming state machine. */
+class QueueSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val queue = {
+    import spark.implicits._
+    Seq(
+      // id, tenant, doc, status, priority, attempts, max, err, started, completed, created
+      ("q1", "t1", "d1", "pending", 5, 0, 3, null, null, null, "2024-01-01 10:00:00"),
+      ("q2", "t1", "d2", "pending", 9, 0, 3, null, null, null, "2024-01-01 10:01:00"),
+      ("q3", "t1", "d3", "failed", 1, 1, 3, "boom", null, "2024-01-01 09:58:00", "2024-01-01 09:58:00"),
+      ("q4", "t1", "d4", "failed", 1, 3, 3, "dead", null, "2024-01-01 09:00:00", "2024-01-01 09:00:00"),
+      ("q5", "t1", "d5", "failed", 8, 1, 3, "fresh", null, "2024-01-01 09:59:55", "2024-01-01 09:59:55"),
+      ("q6", "t1", "d6", "processing", 5, 1, 3, null, "2024-01-01 08:30:00", null, "2024-01-01 08:29:00"),
+      ("q7", "t1", "d7", "completed", 5, 1, 3, null, "2024-01-01 09:00:00", "2024-01-01 09:01:00", "2024-01-01 08:59:00"))
+      .toDF("id", "tenant_id", "document_id", "status", "priority", "attempts",
+        "max_attempts", "last_error", "started_at", "completed_at", "created_at")
+      .withColumn("started_at", col("started_at").cast("timestamp"))
+      .withColumn("completed_at", col("completed_at").cast("timestamp"))
+      .withColumn("created_at", col("created_at").cast("timestamp"))
+  }
+
+  private val now = ts("2024-01-01 10:00:30")
+
+  test("fetchPending: pending + retryable failed, priority order, limit") {
+    val got = Queue.fetchPending(queue, 3, now, retryDelaySec = 30)
+      .select("id").collect().map(_.getString(0)).toSeq
+    // q2 (prio 9), then q3 (failed 32s ago, retryable); q5 failed 35s... wait:
+    // q5 completed 09:59:55 → 35s before now → retryable at 30s delay, prio 8.
+    // Order: q2 (9), q5 (8), q1 (5). q4 exhausted attempts; q3 prio 1 cut by limit.
+    assert(got == Seq("q2", "q5", "q1"))
+  }
+
+  test("fetchPending excludes exhausted and fresh failures") {
+    val got = Queue.fetchPending(queue, 10, now, retryDelaySec = 60)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(!got.contains("q4")) // attempts == max
+    assert(!got.contains("q5")) // failed 35s ago < 60s delay
+    assert(got.contains("q3"))  // failed 150s ago
+  }
+
+  test("recoverStale resets old processing items") {
+    val out = Queue.recoverStale(queue, now, staleAfterSec = 3600)
+    val q6 = out.where(col("id") === "q6").head()
+    assert(q6.getAs[String]("status") == "pending")
+    assert(q6.getAs[Timestamp]("started_at") == null)
+    // a processing item younger than the cutoff would stay; completed rows untouched
+    assert(out.where(col("id") === "q7").head().getAs[String]("status") == "completed")
+  }
+
+  test("claim: status flip + attempts increment") {
+    import spark.implicits._
+    val out = Queue.claim(queue, Seq("q1", "q2").toDF("id"), now)
+    val q1 = out.where(col("id") === "q1").head()
+    assert(q1.getAs[String]("status") == "processing")
+    assert(q1.getAs[Int]("attempts") == 1)
+    assert(q1.getAs[Timestamp]("started_at") == now)
+    assert(out.where(col("id") === "q3").head().getAs[Int]("attempts") == 1)
+  }
+
+  test("applyResults: success, retryable failure, dead letter") {
+    import spark.implicits._
+    val results = Seq(
+      ("q1", true, null.asInstanceOf[String]),
+      ("q3", false, "again"),
+      ("q4", false, "final")).toDF("id", "success", "error")
+    val out = Queue.applyResults(queue, results, now)
+    assert(out.where(col("id") === "q1").head().getAs[String]("status") == "completed")
+    val q3 = out.where(col("id") === "q3").head()
+    assert(q3.getAs[String]("status") == "failed" && q3.getAs[String]("last_error") == "again")
+    assert(out.where(col("id") === "q4").head().getAs[String]("status") == "dead_letter")
+  }
+
+  test("idempotencyGuard: completed docs and duplicate rows dropped") {
+    import spark.implicits._
+    val dup = Seq(("q8", "t1", "d1", "pending", 5, 0, 3, null.asInstanceOf[String],
+        null.asInstanceOf[String], null.asInstanceOf[String], "2024-01-01 10:05:00"))
+      .toDF("id", "tenant_id", "document_id", "status", "priority", "attempts",
+        "max_attempts", "last_error", "started_at", "completed_at", "created_at")
+      .withColumn("started_at", col("started_at").cast("timestamp"))
+      .withColumn("completed_at", col("completed_at").cast("timestamp"))
+      .withColumn("created_at", col("created_at").cast("timestamp"))
+    val completed = Seq("d7").toDF("document_id")
+    val out = Queue.idempotencyGuard(queue.unionByName(dup), completed)
+    val ids = out.select("id").collect().map(_.getString(0)).toSet
+    assert(!ids.contains("q7")) // doc already completed
+    assert(ids.contains("q1") && !ids.contains("q8")) // duplicate collapsed to earliest
+  }
+
+  test("streaming state machine: claim → failure → retry → dead letter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Queue.DocEvent]
+    val query = Queue.updates(input.toDS(), maxAttempts = 2)
+      .writeStream.format("memory").queryName("queue_updates")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Queue.DocEvent("d1", "t1", "enqueue", 5, null, 1000),
+        Queue.DocEvent("d1", "t1", "enqueue", 5, null, 1500), // dup: no-op
+        Queue.DocEvent("d1", "t1", "claim", 0, null, 2000),
+        Queue.DocEvent("d1", "t1", "failure", 0, "e1", 3000))
+      query.processAllAvailable()
+      input.addData(
+        Queue.DocEvent("d1", "t1", "claim", 0, null, 4000),
+        Queue.DocEvent("d1", "t1", "failure", 0, "e2", 5000),
+        Queue.DocEvent("d2", "t1", "enqueue", 1, null, 1000),
+        Queue.DocEvent("d2", "t1", "claim", 0, null, 2000),
+        Queue.DocEvent("d2", "t1", "success", 0, null, 3000))
+      query.processAllAvailable()
+      val rows = spark.table("queue_updates")
+        .orderBy("documentId", "updatedMs")
+        .collect().map(r => (r.getString(0), r.getString(2), r.getInt(3)))
+      val d1 = rows.filter(_._1 == "d1").map(t => (t._2, t._3)).toSeq
+      assert(d1 == Seq(("pending", 0), ("processing", 1), ("failed", 1),
+        ("processing", 2), ("dead_letter", 2)))
+      val d2 = rows.filter(_._1 == "d2").map(t => (t._2, t._3)).toSeq
+      assert(d2 == Seq(("pending", 0), ("processing", 1), ("completed", 1)))
+    } finally {
+      query.stop()
+    }
+  }
+}

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class RateLimitSpec extends SparkSpec {
+
+  test("stateful limiter: deny over limit, retry_after, reset on success") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[RateLimit.Attempt]
+    val query = RateLimit.limit(input.toDS(), maxAttempts = 3, windowSec = 60)
+      .writeStream.format("memory").queryName("verdicts")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        RateLimit.Attempt("ip1", 1000, success = false),
+        RateLimit.Attempt("ip1", 2000, success = false),
+        RateLimit.Attempt("ip1", 3000, success = false),
+        RateLimit.Attempt("ip1", 4000, success = false),  // 4th → denied
+        RateLimit.Attempt("ip2", 1000, success = false))
+      query.processAllAvailable()
+      input.addData(
+        RateLimit.Attempt("ip1", 70000, success = false), // window expired → allowed
+        RateLimit.Attempt("ip2", 2000, success = true),   // success resets
+        RateLimit.Attempt("ip2", 3000, success = false))
+      query.processAllAvailable()
+      val v = spark.table("verdicts").orderBy("key", "timeMs")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+          r.getInt(3), r.getLong(4)))
+      val ip1 = v.filter(_._1 == "ip1")
+      assert(ip1.map(_._3).toSeq == Seq(true, true, true, false, true))
+      val denied = ip1(3)
+      assert(denied._4 == 3)
+      assert(denied._5 == (1000 + 60000 - 4000) / 1000) // retry_after from oldest
+      val ip2 = v.filter(_._1 == "ip2")
+      assert(ip2.map(_._3).toSeq == Seq(true, true, true))
+      assert(ip2(2)._4 == 1) // count restarted after success reset
+    } finally {
+      query.stop()
+    }
+  }
+
+  test("event-time windowed counts (batch parity)") {
+    import spark.implicits._
+    val df = Seq(
+      ("ip1", "2024-01-01 10:00:10"), ("ip1", "2024-01-01 10:00:50"),
+      ("ip1", "2024-01-01 10:16:00"))
+      .toDF("ip", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val counts = RateLimit.windowedCounts(df, "ip", "ts",
+        windowSec = 900, slideSec = 300)
+      .where(col("attempts") >= 2).count()
+    assert(counts >= 1) // both early attempts co-occur in at least one window
+  }
+}
