@@ -1,0 +1,139 @@
+package graft.analytics
+
+import graft.functions.Normalizers
+import graft.operators.EavPivot
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Portfolio analytics — the effective-rent family (SURVEY §3.3; reference
+  * `src/services/effective_rent.py`). Operates on the domain tables
+  * (FIXTURES.md): `extractions` (versioned, `is_current` flag) and the
+  * `extraction_fields` EAV.
+  *
+  * The reference's per-extraction N+1 field fetch (`effective_rent.py:
+  * 126-138`) collapses into one join + pivot; everything downstream is
+  * pure aggregation. All money sums go through decimal for determinism.
+  */
+object EffectiveRent {
+
+  val RentFields: Seq[String] = Seq("tenant_name", "base_rent", "monthly_rent",
+    "cam_charges", "tax_reimbursement", "insurance_reimbursement",
+    "parking_fee", "parking_rent", "storage_rent", "property_name",
+    "square_footage")
+
+  private def num(f: String): Column =
+    Normalizers.extractNumeric(Normalizers.jsonValue(col(f)))
+
+  private def str(f: String): Column = Normalizers.jsonValue(col(f))
+
+  /** Per-tenant effective rent (`calculate_all_effective_rents`,
+    * `effective_rent.py:93-242`): current extractions only, EAV pivot,
+    * coalesce fallbacks (A10), component sum, zero-rent/unnamed skip (F7),
+    * sort desc (K3).
+    */
+  def calculateAll(extractions: DataFrame, fields: DataFrame,
+                   limit: Option[Int] = None): DataFrame = {
+    val current = extractions.where(col("is_current"))
+      .select(col("id").as("extraction_id"), col("tenant_id"),
+        col("document_id"))
+    val eav = fields.select(col("extraction_id"), col("field_name"),
+      col("field_value"))
+    val wide = EavPivot.pivotSql(
+      current.join(eav, "extraction_id"),
+      Seq("extraction_id", "tenant_id", "document_id"),
+      "field_name", "field_value", RentFields)
+    // base_rent OR monthly_rent; parking_fee OR parking_rent (A10,
+    // effective_rent.py:151-158)
+    val baseRent = when(num("base_rent") > 0, num("base_rent"))
+      .otherwise(num("monthly_rent"))
+    val parking = when(num("parking_fee") > 0, num("parking_fee"))
+      .otherwise(num("parking_rent"))
+    val monthly = baseRent + num("cam_charges") + num("tax_reimbursement") +
+      num("insurance_reimbursement") + parking + num("storage_rent")
+    val out = wide.select(
+        col("extraction_id"), col("tenant_id"), col("document_id"),
+        str("tenant_name").as("tenant_name"),
+        str("property_name").as("property_name"),
+        round(monthly, 2).as("effective_monthly_rent"),
+        round(monthly * 12, 2).as("effective_annual_rent"),
+        num("square_footage").as("square_footage"))
+      .where(col("tenant_name").isNotNull &&
+        col("effective_monthly_rent") > 0)
+      .orderBy(desc("effective_monthly_rent"), col("extraction_id"))
+    limit.fold(out)(out.limit)
+  }
+
+  /** Portfolio totals (`:214-226`): Σ monthly, Σ annual, tenant count. */
+  def totals(rents: DataFrame): DataFrame =
+    rents.agg(
+      sum(col("effective_monthly_rent").cast("decimal(18,2)"))
+        .cast("double").as("total_monthly_rent"),
+      sum(col("effective_annual_rent").cast("decimal(18,2)"))
+        .cast("double").as("total_annual_rent"),
+      count(lit(1)).as("tenant_count"))
+
+  /** A9: rent by property with tenant lists (`:291-369`). */
+  def byProperty(rents: DataFrame): DataFrame =
+    rents.groupBy("property_name")
+      .agg(
+        sum(col("effective_monthly_rent").cast("decimal(18,2)"))
+          .cast("double").as("total_monthly_rent"),
+        count(lit(1)).as("tenant_count"),
+        sort_array(collect_list("tenant_name")).as("tenants"))
+      .orderBy(desc("total_monthly_rent"), col("property_name"))
+
+  /** W3/W4: tenant concentration — rent share and cumulative share over
+    * tenants sorted by rent desc (`:371-428`).
+    */
+  def concentration(rents: DataFrame): DataFrame = {
+    val total = rents.agg(
+      sum(col("effective_monthly_rent").cast("decimal(18,2)"))
+        .cast("double").as("__total"))
+    val w = Window.orderBy(desc("effective_monthly_rent"), col("extraction_id"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rents.crossJoin(total)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("rent_pct",
+        round(col("effective_monthly_rent") / col("__total") * 100, 6))
+      .withColumn("cumulative_pct",
+        round(sum(col("effective_monthly_rent").cast("decimal(18,2)")).over(cumW)
+          .cast("double") / col("__total") * 100, 6))
+      .drop("__total")
+  }
+
+  /** Top-N rent share of portfolio (`:412-414, 577-584`). */
+  def topNShare(rents: DataFrame, n: Int): DataFrame = {
+    val conc = concentration(rents)
+    conc.where(col("rank") <= n)
+      .agg(round(sum(col("rent_pct")), 6).as(s"top_${n}_pct"))
+  }
+
+  /** A4 ratio-of-sums: rent per square foot, excluding missing-SF tenants
+    * (`:430-513` — the reference divides totals, NOT mean-of-ratios).
+    */
+  def perSquareFoot(rents: DataFrame): DataFrame = {
+    val withSf = rents.where(col("square_footage") > 0)
+    withSf.agg(
+        sum(col("effective_monthly_rent").cast("decimal(18,2)"))
+          .cast("double").as("total_rent"),
+        sum(col("square_footage").cast("decimal(18,2)"))
+          .cast("double").as("total_sf"),
+        count(lit(1)).as("tenant_count"))
+      .withColumn("avg_rent_per_sf",
+        round(col("total_rent") / col("total_sf"), 6))
+  }
+
+  /** A6/A3/A4/W4: portfolio metrics (`:515-616`). */
+  def portfolioMetrics(rents: DataFrame, extractions: DataFrame): DataFrame = {
+    val conf = extractions.where(col("is_current"))
+      .agg((sum(col("overall_confidence").cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("avg_confidence"))
+    val base = rents.agg(
+      sum(col("effective_monthly_rent").cast("decimal(18,2)"))
+        .cast("double").as("total_monthly_rent"),
+      countDistinct("property_name").as("unique_properties"),
+      count(lit(1)).as("tenant_count"))
+    base.crossJoin(conf)
+  }
+}

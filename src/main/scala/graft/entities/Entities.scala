@@ -1,0 +1,118 @@
+package graft.entities
+
+import graft.functions.{Matching, Normalizers}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity plane (SURVEY §2 C9–C12, J5/J6/J10, C29; reference
+  * `src/entities/{canonicalize,matching,resolution}.py`).
+  *
+  * Scale design: candidate generation is a self-join on a blocking key
+  * (first canonical token), never all-pairs; the expensive
+  * Ratcliff–Obershelp score runs only inside blocks. Merge operations are
+  * MERGE-shaped column rewrites, distributable as joins.
+  */
+object Entities {
+
+  /** Add `canonical_name` (C9) and the blocking key. */
+  def withCanonical(entities: DataFrame, nameCol: String = "name"): DataFrame =
+    entities
+      .withColumn("canonical_name", Normalizers.canonicalizeName(col(nameCol)))
+      .withColumn("block_key", split(col("canonical_name"), " ").getItem(0))
+
+  /** J6/C11/C12: scored candidate duplicate pairs within tenant + blocking
+    * key; ≥ 0.80 suggested, ≥ 0.95 auto (`matching.py:67-110`,
+    * `entity_duplicates` table `052:4-14`).
+    */
+  def duplicateCandidates(entities: DataFrame): DataFrame = {
+    val e = withCanonical(entities)
+      .select(col("id"), col("tenant_id"), col("canonical_name"),
+        col("block_key"), col("address"), col("external_id"))
+    val pairs = e.as("a").join(e.as("b"),
+      col("a.tenant_id") === col("b.tenant_id") &&
+        col("a.block_key") === col("b.block_key") &&
+        col("a.id") < col("b.id"))
+    pairs.select(
+        col("a.tenant_id").as("tenant_id"),
+        col("a.id").as("entity_id"), col("b.id").as("duplicate_id"),
+        Matching.matchScore(
+          col("a.canonical_name"), col("b.canonical_name"),
+          col("a.address"), col("b.address"),
+          col("a.external_id"), col("b.external_id")).as("match_score"))
+      .withColumn("decision", Matching.classifyMatch(col("match_score")))
+      .where(col("decision") =!= "different")
+  }
+
+  /** J5: pick the canonical side of a merge by document reference count,
+    * ties by earliest created (`resolution.py:77-104`). Input pair rows
+    * (entity_id, duplicate_id) + `entityDocs` (entity_id, document_id).
+    */
+  def pickCanonical(pairs: DataFrame, entityDocs: DataFrame,
+                    entities: DataFrame): DataFrame = {
+    val refs = entityDocs.groupBy(col("entity_id").as("rid"))
+      .agg(count(lit(1)).as("refs"))
+    def side(idCol: String, out: String) =
+      pairs.join(refs, pairs(idCol) === refs("rid"), "left")
+        .select(pairs("*"), coalesce(col("refs"), lit(0L)).as(out)).drop("rid")
+    val withA = side("entity_id", "refs_a")
+    val withBoth = withA.join(refs, withA("duplicate_id") === refs("rid"), "left")
+      .select(withA("*"), coalesce(col("refs"), lit(0L)).as("refs_b")).drop("rid")
+    withBoth.withColumn("canonical_id",
+        when(col("refs_b") > col("refs_a"), col("duplicate_id"))
+          .otherwise(col("entity_id")))
+      .withColumn("merged_id",
+        when(col("refs_b") > col("refs_a"), col("entity_id"))
+          .otherwise(col("duplicate_id")))
+  }
+
+  /** C29: attribute merge, newer-wins (`resolution.py:107-137,260-268`):
+    * canonical keeps its value unless missing/null; conflicts resolved by
+    * the newer `updated_at`. Attributes are `map<string,string>` columns.
+    */
+  def mergeAttributes(canonAttrs: Column, canonUpdated: Column,
+                      dupAttrs: Column, dupUpdated: Column): Column = {
+    val dupWins = dupUpdated > canonUpdated
+    map_zip_with(
+      coalesce(canonAttrs, map()), coalesce(dupAttrs, map()),
+      (_, cv, dv) =>
+        when(cv.isNull, dv)
+          .when(dv.isNull, cv)
+          .otherwise(when(dupWins, dv).otherwise(cv)))
+  }
+
+  /** J10: repoint document references from merged entities to their
+    * canonical survivor (`resolution.py:218-234`). `mapping` columns:
+    * (merged_id, canonical_id).
+    */
+  def redirectReferences(entityDocs: DataFrame, mapping: DataFrame): DataFrame =
+    entityDocs.join(mapping,
+        entityDocs("entity_id") === mapping("merged_id"), "left")
+      .select(
+        coalesce(col("canonical_id"), entityDocs("entity_id")).as("entity_id"),
+        entityDocs("document_id"))
+      .distinct()
+
+  /** Full dedup pass: candidates → auto-merge pairs → union-find collapse
+    * (chains a→b→c collapse to one canonical root) → redirect refs.
+    * The iterative root-chase is bounded by the longest merge chain —
+    * in practice ≤ 3 hops; each iteration is one self-join.
+    */
+  def mergeChains(pairs: DataFrame): DataFrame = {
+    // pairs: (merged_id, canonical_id); resolve transitive chains
+    var mapping = pairs.select(col("merged_id"), col("canonical_id")).distinct()
+    var changed = true
+    var iter = 0
+    while (changed && iter < 10) {
+      val next = mapping.as("m").join(
+          mapping.select(col("merged_id").as("c2"), col("canonical_id").as("root")).as("r"),
+          col("m.canonical_id") === col("c2"), "left")
+        .select(col("m.merged_id"),
+          coalesce(col("root"), col("m.canonical_id")).as("canonical_id"))
+      changed = next.except(mapping).limit(1).count() > 0
+      mapping = next
+      iter += 1
+    }
+    mapping
+  }
+}

@@ -1,0 +1,94 @@
+package graft.extract
+
+import graft.functions.Normalizers
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The typed field catalog (reference `src/extraction/cre_fields.py:24-30` —
+  * 234 `FieldDefinition`s with type/required/weight/values/aliases across
+  * `lease` and `rent_roll` document types, dispatched by
+  * `get_field_config` `cre_fields.py:1535-1557`).
+  *
+  * The catalog is data, not code: a `FieldDef` table drives (a) the
+  * rule-based extractor's alias matching, (b) the normalizer dispatch
+  * (`normalizers.py:312-355`), and (c) the EAV→wide pivot schema. The
+  * subset below covers every value type and the fields exercised by the
+  * reference's test scenarios (`tests/LEASE_EXTRACTION_TEST_SCENARIOS.md`
+  * scenarios 1–3); extending to all 234 is adding rows, not code.
+  */
+final case class FieldDef(
+    name: String,
+    fieldType: String, // string|date|currency|integer|enum|float|boolean|percent|list
+    required: Boolean,
+    weight: Double,
+    aliases: Seq[String],
+    enumValues: Seq[String] = Nil)
+
+object FieldCatalog {
+
+  val LeaseFields: Seq[FieldDef] = Seq(
+    FieldDef("tenant_name", "string", required = true, 1.0,
+      Seq("tenant", "lessee", "tenant name")),
+    FieldDef("landlord_name", "string", required = true, 1.0,
+      Seq("landlord", "lessor", "owner")),
+    FieldDef("property_address", "string", required = true, 1.0,
+      Seq("property address", "premises", "address")),
+    FieldDef("property_name", "string", required = false, 0.8,
+      Seq("property", "building", "property name")),
+    FieldDef("lease_start_date", "date", required = true, 1.0,
+      Seq("lease start", "commencement date", "start date")),
+    FieldDef("lease_end_date", "date", required = true, 1.0,
+      Seq("lease end", "expiration date", "end date")),
+    FieldDef("base_rent", "currency", required = true, 1.0,
+      Seq("base rent", "monthly rent", "rent")),
+    FieldDef("rent_frequency", "enum", required = false, 0.6,
+      Seq("rent frequency", "payment frequency"),
+      Seq("monthly", "quarterly", "annually")),
+    FieldDef("square_footage", "integer", required = false, 0.8,
+      Seq("square feet", "square footage", "sf", "rentable area")),
+    FieldDef("security_deposit", "currency", required = false, 0.6,
+      Seq("security deposit", "deposit")),
+    FieldDef("cam_charges", "currency", required = false, 0.6,
+      Seq("cam", "cam charges", "common area maintenance")),
+    FieldDef("escalation_rate_percent", "percent", required = false, 0.5,
+      Seq("escalation", "annual increase", "escalation rate")),
+    FieldDef("renewal_options", "list", required = false, 0.4,
+      Seq("renewal options", "options to renew")),
+    FieldDef("pro_rata_share", "float", required = false, 0.4,
+      Seq("pro rata share", "proportionate share")),
+    FieldDef("pet_friendly", "boolean", required = false, 0.2,
+      Seq("pets allowed", "pet friendly")))
+
+  val RentRollFields: Seq[FieldDef] = Seq(
+    FieldDef("property_name", "string", required = true, 1.0,
+      Seq("property", "property name")),
+    FieldDef("unit_number", "string", required = true, 1.0,
+      Seq("unit", "suite", "unit number")),
+    FieldDef("tenant_name", "string", required = true, 1.0,
+      Seq("tenant", "tenant name")),
+    FieldDef("monthly_rent", "currency", required = true, 1.0,
+      Seq("monthly rent", "rent")),
+    FieldDef("occupancy_status", "enum", required = false, 0.6,
+      Seq("status", "occupancy"), Seq("occupied", "vacant", "notice")))
+
+  /** `get_field_config` dispatch (`cre_fields.py:1535-1557`). */
+  def forDocType(docType: String): Seq[FieldDef] = docType match {
+    case "rent_roll" => RentRollFields
+    case _ => LeaseFields
+  }
+
+  /** Normalizer dispatch by field type (`normalizers.py:312-355`) as a
+    * column expression over the raw string value.
+    */
+  def normalize(fd: FieldDef, raw: Column): Column = fd.fieldType match {
+    case "date" => Normalizers.normalizeDate(raw)
+    case "currency" => Normalizers.normalizeCurrency(raw).cast("string")
+    case "integer" => Normalizers.normalizeInteger(raw).cast("string")
+    case "percent" => Normalizers.normalizePercent(raw).cast("string")
+    case "boolean" => Normalizers.normalizeBoolean(raw).cast("string")
+    case "float" => raw.try_cast("double").cast("string")
+    case "enum" => Normalizers.normalizeEnum(raw, fd.enumValues)
+    case "list" => concat_ws(";", Normalizers.normalizeListOfStrings(raw))
+    case _ => trim(raw)
+  }
+}

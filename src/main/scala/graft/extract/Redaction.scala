@@ -1,0 +1,80 @@
+package graft.extract
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** P1/P2: PII detection + redaction (reference
+  * `src/extraction/pii_detector.py:38-246`, `src/services/redaction.py`,
+  * enforced before every persistence/embedding sink —
+  * `chunk_storage.py:67-75`, `pipeline.py:209-243`).
+  *
+  * The reference uses Presidio recognizers with CRE-domain exceptions;
+  * here the recognizers are regex/dictionary expressions (deterministic,
+  * codegen'd) with the same exception semantics:
+  *  - PERSON-like names that are companies (org suffix) are kept;
+  *  - business-contact emails on corporate domains are kept;
+  *  - property-pattern LOCATIONs are kept (addresses are data, not PII).
+  * Redaction replaces each detected span with its `[TYPE]` tag and is
+  * idempotent (redacting redacted text is a no-op) — the property tested
+  * by the reference's hypothesis suite (`test_pipeline_property_based.py`).
+  */
+object Redaction {
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  // US-style phone numbers; word boundaries keep plain 10-digit ids out
+  val PhoneRe = "(?:\\+?1[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}"
+  val SsnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  /** Dictionary person recognizer: a known given name followed by a
+    * capitalized surname (the deterministic stand-in for Presidio's NER —
+    * a bare capitalized-pair regex would flag every heading like
+    * "Lease Start"). Names list: common US given names.
+    */
+  val GivenNames: Seq[String] = Seq(
+    "James", "John", "Robert", "Michael", "William", "David", "Richard",
+    "Joseph", "Thomas", "Charles", "Mary", "Patricia", "Jennifer", "Linda",
+    "Elizabeth", "Barbara", "Susan", "Jessica", "Sarah", "Karen", "Nancy",
+    "Lisa", "Margaret", "Betty", "Sandra", "Ashley", "Kimberly", "Emily",
+    "Donna", "Michelle", "Carol", "Amanda", "Jane", "Laura", "George",
+    "Kenneth", "Steven", "Edward", "Brian", "Ronald", "Anthony", "Kevin")
+  val PersonRe: String =
+    s"\\b(?:${GivenNames.mkString("|")}) [A-Z][a-z]+\\b"
+  private val OrgSuffixes = Seq("llc", "inc", "corp", "ltd", "lp", "company",
+    "properties", "partners", "group", "holdings", "trust", "associates")
+
+  /** Corporate domains exempt from email redaction (business contacts,
+    * `config/pii_patterns.yaml` semantics).
+    */
+  val BusinessDomains: Seq[String] = Seq("example.com", "company.com")
+
+  private def redactRegex(c: Column, re: String, tag: String): Column =
+    regexp_replace(c, re, s"[$tag]")
+
+  /** Emails: redact unless on a business domain. */
+  def redactEmails(c: Column, keepDomains: Seq[String] = BusinessDomains): Column = {
+    if (keepDomains.isEmpty) redactRegex(c, EmailRe, "EMAIL")
+    else {
+      val keep = keepDomains.map(d => java.util.regex.Pattern.quote(d))
+        .mkString("|")
+      // negative lookahead on the kept domains
+      regexp_replace(c,
+        s"(?![A-Za-z0-9._%+-]+@(?:$keep)\\b)$EmailRe", "[EMAIL]")
+    }
+  }
+
+  def redactPhones(c: Column): Column = redactRegex(c, PhoneRe, "PHONE")
+
+  def redactSsns(c: Column): Column = redactRegex(c, SsnRe, "SSN")
+
+  /** PERSON names with the company exception (`pii_detector.py:85-120`):
+    * a capitalized pair followed by an org suffix is an organization.
+    */
+  def redactPersons(c: Column): Column = {
+    val suffixAlt = OrgSuffixes.mkString("|")
+    regexp_replace(c,
+      s"$PersonRe(?!,? (?i:$suffixAlt)\\b)(?! (?i:$suffixAlt)\\b)", "[PERSON]")
+  }
+
+  /** P2: the full defense-in-depth pass applied before any sink. */
+  def redactText(c: Column): Column =
+    redactPersons(redactSsns(redactPhones(redactEmails(c))))
+}

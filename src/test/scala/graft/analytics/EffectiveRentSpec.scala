@@ -1,0 +1,102 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Effective-rent family over FIXTURES.md-shaped domain tables, values
+  * mirroring reference `tests/test_effective_rent.py:86-314`.
+  */
+class EffectiveRentSpec extends SparkSpec {
+
+  private lazy val extractions = {
+    import spark.implicits._
+    Seq(
+      ("e1", "t1", "d1", 1, true, 0.92),
+      ("e2", "t1", "d2", 1, true, 0.88),
+      ("e2old", "t1", "d2", 0, false, 0.50), // superseded version
+      ("e3", "t1", "d3", 1, true, 0.90),  // zero rent -> skipped
+      ("e4", "t1", "d4", 1, true, 0.70))  // no tenant name -> skipped
+      .toDF("id", "tenant_id", "document_id", "version", "is_current",
+        "overall_confidence")
+  }
+
+  private lazy val fields = {
+    import spark.implicits._
+    def f(e: String, n: String, v: String) = (e, n, s"""{"value":"$v"}""")
+    Seq(
+      f("e1", "tenant_name", "Acme Corp"),
+      f("e1", "base_rent", "$5,000.00"),
+      f("e1", "cam_charges", "$750.50"),
+      f("e1", "parking_fee", "$150"),
+      f("e1", "property_name", "Main Street Plaza"),
+      f("e1", "square_footage", "2,500"),
+      f("e2", "tenant_name", "Beta Inc"),
+      f("e2", "monthly_rent", "4800"),
+      f("e2", "parking_rent", "$100"),
+      f("e2", "property_name", "Main Street Plaza"),
+      f("e2", "square_footage", "1,200"),
+      f("e2old", "tenant_name", "Beta Old"),
+      f("e2old", "base_rent", "$9,999"),
+      f("e3", "tenant_name", "Zero Co"),
+      f("e3", "base_rent", "0"),
+      f("e4", "base_rent", "$1,000"))
+      .toDF("extraction_id", "field_name", "field_value")
+  }
+
+  private lazy val rents = EffectiveRent.calculateAll(extractions, fields)
+
+  test("calculateAll: components, fallbacks, skip rules, ordering") {
+    val got = rents.select("extraction_id", "tenant_name",
+        "effective_monthly_rent", "square_footage")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("e1", "Acme Corp", 5900.5, 2500.0),
+      ("e2", "Beta Inc", 4900.0, 1200.0)))
+    // superseded version e2old excluded by is_current; e3 zero rent and
+    // e4 unnamed skipped
+  }
+
+  test("totals") {
+    val t = EffectiveRent.totals(rents).head()
+    assert(t.getDouble(0) == 5900.5 + 4900.0)
+    assert(t.getDouble(1) == (5900.5 + 4900.0) * 12)
+    assert(t.getLong(2) == 2)
+  }
+
+  test("byProperty aggregates with tenant lists") {
+    val p = EffectiveRent.byProperty(rents).head()
+    assert(p.getString(0) == "Main Street Plaza")
+    assert(p.getDouble(1) == 10800.5)
+    assert(p.getSeq[String](3) == Seq("Acme Corp", "Beta Inc"))
+  }
+
+  test("concentration: pct and cumulative pct") {
+    val c = EffectiveRent.concentration(rents)
+      .select("extraction_id", "rank", "rent_pct", "cumulative_pct")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    val total = 5900.5 + 4900.0
+    assert(c(0) == ("e1", 1,
+      math.rint(5900.5 / total * 100 * 1e6) / 1e6,
+      math.rint(5900.5 / total * 100 * 1e6) / 1e6))
+    assert(c(1)._4 == 100.0)
+  }
+
+  test("top-1 share") {
+    val s = EffectiveRent.topNShare(rents, 1).head().getDouble(0)
+    assert(math.abs(s - 5900.5 / 10800.5 * 100) < 1e-4)
+  }
+
+  test("perSquareFoot is ratio of sums") {
+    val p = EffectiveRent.perSquareFoot(rents).head()
+    assert(p.getAs[Double]("avg_rent_per_sf") ==
+      math.rint(10800.5 / 3700.0 * 1e6) / 1e6)
+  }
+
+  test("portfolioMetrics") {
+    val m = EffectiveRent.portfolioMetrics(rents, extractions).head()
+    assert(m.getAs[Long]("unique_properties") == 1L)
+    assert(m.getAs[Long]("tenant_count") == 2L)
+    // avg confidence over current extractions: (.92+.88+.90+.70)/4
+    assert(math.abs(m.getAs[Double]("avg_confidence") - 0.85) < 1e-12)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.entities
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EntitiesSpec extends SparkSpec {
+
+  private lazy val entities = {
+    import spark.implicits._
+    Seq(
+      ("a1", "t1", "Acme Corp LLC", "1 Main St", "X1", "2024-01-01 10:00:00"),
+      ("a2", "t1", "ACME CORP", "1 Main St", "X1", "2024-02-01 10:00:00"),
+      ("a3", "t1", "Acme Holdings", null, null, "2024-01-15 10:00:00"),
+      ("b1", "t1", "Beta Properties", "2 Oak Ave", null, "2024-01-01 10:00:00"),
+      ("a4", "t2", "Acme Corp", "1 Main St", "X1", "2024-01-01 10:00:00")) // other tenant
+      .toDF("id", "tenant_id", "name", "address", "external_id", "updated_at")
+      .withColumn("updated_at", col("updated_at").cast("timestamp"))
+  }
+
+  test("candidates: blocked by tenant + first token, scored and classified") {
+    val cands = Entities.duplicateCandidates(entities)
+      .collect().map(r => ((r.getString(1), r.getString(2)), (r.getDouble(3), r.getString(4)))).toMap
+    // a1/a2 identical canonical names + same address + same external id
+    assert(cands(("a1", "a2"))._1 == 1.0)
+    assert(cands(("a1", "a2"))._2 == "auto_merge")
+    // cross-tenant pair a1/a4 must NOT appear
+    assert(!cands.keySet.exists { case (x, y) => Set(x, y).contains("a4") })
+  }
+
+  test("pickCanonical by reference count") {
+    import spark.implicits._
+    val pairs = Seq(("a1", "a2")).toDF("entity_id", "duplicate_id")
+    val docs = Seq(("a2", "d1"), ("a2", "d2"), ("a1", "d3"))
+      .toDF("entity_id", "document_id")
+    val picked = Entities.pickCanonical(pairs, docs, entities).head()
+    assert(picked.getAs[String]("canonical_id") == "a2") // 2 refs beats 1
+    assert(picked.getAs[String]("merged_id") == "a1")
+  }
+
+  test("attribute merge: fill missing, conflict to newer") {
+    import spark.implicits._
+    val df = Seq((
+      Map("city" -> "Springfield", "zip" -> "11111"),
+      "2024-01-01 00:00:00",
+      Map("zip" -> "22222", "phone" -> "555"),
+      "2024-02-01 00:00:00"))
+      .toDF("ca", "cu", "da", "du")
+      .withColumn("cu", col("cu").cast("timestamp"))
+      .withColumn("du", col("du").cast("timestamp"))
+    val merged = df.select(Entities.mergeAttributes(
+        col("ca"), col("cu"), col("da"), col("du")).as("m"))
+      .head().getMap[String, String](0)
+    assert(merged("city") == "Springfield") // only canon has it
+    assert(merged("phone") == "555")        // only dup has it
+    assert(merged("zip") == "22222")        // conflict: dup newer
+  }
+
+  test("redirect references and collapse merge chains") {
+    import spark.implicits._
+    val mapping0 = Seq(("a1", "a2"), ("a2", "a3")).toDF("merged_id", "canonical_id")
+    val mapping = Entities.mergeChains(mapping0)
+    val m = mapping.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("a1") == "a3" && m("a2") == "a3") // chain collapsed
+    val docs = Seq(("a1", "d1"), ("a2", "d2"), ("b1", "d3"))
+      .toDF("entity_id", "document_id")
+    val redirected = Entities.redirectReferences(docs, mapping)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(redirected == Set(("a3", "d1"), ("a3", "d2"), ("b1", "d3")))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.extract
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Extraction plane: rule extractor, confidence, versioning, redaction. */
+class ExtractSpec extends SparkSpec {
+
+  private val leaseText =
+    """COMMERCIAL LEASE AGREEMENT
+      |Tenant: Acme Corp LLC
+      |Landlord: Main Street Holdings
+      |Property Address: 123 Main St, Springfield
+      |Lease Start: 01/15/2024
+      |Lease End: 2027-01-14
+      |Base Rent: $5,000.00
+      |Square Footage: 2,500
+      |Security Deposit: (1,000)
+      |Escalation Rate: 3%
+      |Pets Allowed: yes
+      |Contact John Smith at john.smith@gmail.com or (555) 123-4567.
+      |SSN 123-45-6789 should never appear.
+      |""".stripMargin
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(("d1", leaseText)).toDF("document_id", "text")
+  }
+
+  test("doc type detection") {
+    import spark.implicits._
+    val t = docs.select(RuleExtractor.detectDocType(col("text"))).head().getString(0)
+    assert(t == "lease")
+    val rr = Seq(("d2", "RENT ROLL\nUnit: 101\nOccupancy: occupied"))
+      .toDF("document_id", "text")
+    assert(rr.select(RuleExtractor.detectDocType(col("text"))).head().getString(0)
+      == "rent_roll")
+  }
+
+  test("rule extraction: aliases matched, values normalized by type") {
+    val fields = RuleExtractor.extractFields(docs, FieldCatalog.LeaseFields)
+    val byName = fields.collect()
+      .map(r => r.getAs[String]("field_name") ->
+        (r.getAs[String]("raw_value"), r.getAs[String]("field_value"),
+          r.getAs[Double]("confidence"))).toMap
+    assert(byName("tenant_name")._1 == "Acme Corp LLC")
+    assert(byName("lease_start_date")._2 == """{"value":"2024-01-15"}""")
+    assert(byName("base_rent")._2 == """{"value":"5000.0"}""")
+    assert(byName("square_footage")._2 == """{"value":"2500"}""")
+    assert(byName("security_deposit")._2 == """{"value":"-1000.0"}""")
+    assert(byName("escalation_rate_percent")._2 == """{"value":"0.03"}""")
+    assert(byName("pet_friendly")._2 == """{"value":"true"}""")
+    assert(byName("tenant_name")._3 == 0.9)
+  }
+
+  test("weighted overall confidence capped at 0.99") {
+    val fields = RuleExtractor.extractFields(docs, FieldCatalog.LeaseFields)
+    val conf = RuleExtractor.overallConfidence(fields).head().getDouble(1)
+    assert(conf > 0.0 && conf <= 0.99)
+  }
+
+  test("version assignment and is_current") {
+    import spark.implicits._
+    val ex = Seq(
+      ("x1", "d1", "2024-01-01 10:00:00"),
+      ("x2", "d1", "2024-01-02 10:00:00"),
+      ("x3", "d2", "2024-01-01 10:00:00"))
+      .toDF("id", "document_id", "created_at")
+      .withColumn("created_at", col("created_at").cast("timestamp"))
+    val v = RuleExtractor.assignVersions(ex)
+      .select("id", "version", "is_current")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(v == Set(("x1", 1, false), ("x2", 2, true), ("x3", 1, true)))
+  }
+
+  test("redaction: emails/phones/ssn/persons, company exception, idempotent") {
+    import spark.implicits._
+    val df = Seq(leaseText).toDF("s")
+    val red = df.select(Redaction.redactText(col("s")).as("r")).head().getString(0)
+    assert(!red.contains("john.smith@gmail.com"))
+    assert(!red.contains("123-45-6789"))
+    assert(!red.contains("(555) 123-4567"))
+    assert(!red.contains("John Smith"))
+    assert(red.contains("[EMAIL]") && red.contains("[SSN]") &&
+      red.contains("[PHONE]") && red.contains("[PERSON]"))
+    // company names with org suffixes survive
+    assert(red.contains("Acme Corp LLC"))
+    assert(red.contains("Main Street Holdings"))
+    // idempotent: redacting redacted text is a no-op
+    val twice = Seq(red).toDF("s")
+      .select(Redaction.redactText(col("s"))).head().getString(0)
+    assert(twice == red)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Porter stemmer against the published algorithm examples (M. F. Porter,
+  * "An algorithm for suffix stripping", 1980 — the worked examples from
+  * the paper's step definitions), plus the FTS surface.
+  */
+class FtsSpec extends SparkSpec {
+
+  private val goldens = Seq(
+    // step 1a
+    "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+    "caress" -> "caress", "cats" -> "cat",
+    // step 1b
+    "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+    "bled" -> "bled", "motoring" -> "motor", "sing" -> "sing",
+    "conflated" -> "conflat", "troubled" -> "troubl", "sized" -> "size",
+    "hopping" -> "hop", "tanned" -> "tan", "falling" -> "fall",
+    "hissing" -> "hiss", "fizzed" -> "fizz", "failing" -> "fail",
+    "filing" -> "file",
+    // step 1c
+    "happy" -> "happi", "sky" -> "sky",
+    // step 2
+    "relational" -> "relat", "conditional" -> "condit",
+    "rational" -> "ration", "valenci" -> "valenc", "hesitanci" -> "hesit",
+    "digitizer" -> "digit", "conformabli" -> "conform",
+    "radicalli" -> "radic", "differentli" -> "differ", "vileli" -> "vile",
+    "analogousli" -> "analog", "vietnamization" -> "vietnam",
+    "predication" -> "predic", "operator" -> "oper",
+    "feudalism" -> "feudal", "decisiveness" -> "decis",
+    "hopefulness" -> "hope", "callousness" -> "callous",
+    "formaliti" -> "formal", "sensitiviti" -> "sensit",
+    "sensibiliti" -> "sensibl",
+    // step 3
+    "triplicate" -> "triplic", "formative" -> "form", "formalize" -> "formal",
+    "electriciti" -> "electr", "electrical" -> "electr",
+    "hopeful" -> "hope", "goodness" -> "good",
+    // step 4
+    "revival" -> "reviv", "allowance" -> "allow", "inference" -> "infer",
+    "airliner" -> "airlin", "gyroscopic" -> "gyroscop",
+    "adjustable" -> "adjust", "defensible" -> "defens",
+    "irritant" -> "irrit", "replacement" -> "replac",
+    "adjustment" -> "adjust", "dependent" -> "depend",
+    "adoption" -> "adopt", "homologou" -> "homolog",
+    "communism" -> "commun", "activate" -> "activ",
+    "angulariti" -> "angular", "homologous" -> "homolog",
+    "effective" -> "effect", "bowdlerize" -> "bowdler",
+    // step 5
+    "probate" -> "probat", "rate" -> "rate", "cease" -> "ceas",
+    "controll" -> "control", "roll" -> "roll")
+
+  test("porter stemmer golden vocabulary") {
+    val failures = goldens.collect {
+      case (in, want) if PorterStemmer.stem(in) != want =>
+        s"$in: got ${PorterStemmer.stem(in)}, want $want"
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+
+  test("stemmer as expression over token arrays") {
+    import spark.implicits._
+    val df = Seq("Running quickly toward the ponies").toDF("t")
+      .select(TextFunctions.tokens(col("t")).as("tk"))
+      .select(Fts.stemTokens(col("tk")).as("lex"))
+    val lex = df.head().getSeq[String](0)
+    assert(lex == Seq("run", "quickli", "toward", "the", "poni"))
+  }
+
+  test("tsvector + ts_rank: A weight dominates B weight") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "lease agreement rent", "summary"),
+      (2L, "nothing here", "rent schedule"),
+      (3L, "unrelated", "also unrelated"))
+      .toDF("id", "content", "header")
+      .select(col("id"), TextFunctions.tokens(col("content")).as("ct"),
+        TextFunctions.tokens(col("header")).as("ht"))
+      .select(col("id"), Fts.tsVector(col("ct"), col("ht")).as("tsv"))
+    val q = Fts.plainQueryLexemes("rent")
+    val scored = df.select(col("id"), Fts.tsRank(col("tsv"), q).as("score"),
+        Fts.tsMatch(col("tsv"), q).as("m"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSeq
+    assert(scored.find(_._1 == 1L).get._2 == 1.0) // content hit, weight A
+    assert(scored.find(_._1 == 2L).get._2 == 0.4) // header hit, weight B
+    assert(scored.find(_._1 == 3L).get._2 == 0.0)
+    assert(scored.map(_._3).toSeq == Seq(true, true, false))
+  }
+
+  test("plain query parsing: stopwords dropped, lexemes stemmed") {
+    assert(Fts.plainQueryLexemes("the running dogs") == Seq("run", "dog"))
+  }
+
+  test("ts_match requires all lexemes (AND semantics)") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta", "x")).toDF("id", "content", "header")
+      .select(col("id"), TextFunctions.tokens(col("content")).as("ct"),
+        TextFunctions.tokens(col("header")).as("ht"))
+      .select(col("id"), Fts.tsVector(col("ct"), col("ht")).as("tsv"))
+    assert(df.select(Fts.tsMatch(col("tsv"), Seq("alpha", "beta"))).head().getBoolean(0))
+    assert(!df.select(Fts.tsMatch(col("tsv"), Seq("alpha", "gamma"))).head().getBoolean(0))
+  }
+}

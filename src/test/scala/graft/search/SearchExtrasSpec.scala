@@ -1,0 +1,42 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SearchExtrasSpec extends SparkSpec {
+
+  test("highlighter: word-boundary marks, max 3 snippets, ellipses") {
+    import spark.implicits._
+    val text = ("filler " * 30) + "the rent is due. " + ("pad " * 60) +
+      "rent escalates yearly. " + ("tail " * 60) + "final rental mention rent."
+    val df = Seq(text).toDF("text")
+    val snips = df.select(Highlighter.snippets(col("text"),
+        Highlighter.highlightTerms("rent payment")).as("s"))
+      .head().getSeq[String](0)
+    assert(snips.nonEmpty && snips.size <= Highlighter.MaxSnippets)
+    assert(snips.forall(_.contains("<mark>")))
+    assert(snips.forall(s => s.startsWith("…") && s.endsWith("…")))
+    // word boundary: "rental" must not be marked inside
+    assert(!snips.exists(_.contains("<mark>rental</mark>")))
+  }
+
+  test("highlight terms drop stopwords") {
+    assert(Highlighter.highlightTerms("the rent of it") == Seq("rent"))
+  }
+
+  test("reranker: top-k rescored, tail preserved in original order") {
+    import spark.implicits._
+    val ranked = Seq(
+      (1L, 0.9, "nothing relevant"),
+      (2L, 0.8, "query match here"),
+      (3L, 0.7, "also nothing"),
+      (4L, 0.6, "tail row one"),
+      (5L, 0.5, "tail row two"))
+      .toDF("id", "score", "text")
+    val out = Reranker.rerankTopK(ranked, "id", "score",
+        Reranker.lexicalScore(col("text"), Seq("query", "match")), k = 3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    // head (1,2,3) reranked: 2 has both terms -> first; 1,3 tie at 0 -> id order
+    assert(out == Seq(2L, 1L, 3L, 4L, 5L))
+  }
+}
