@@ -1,0 +1,108 @@
+package graft.analytics
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** OM (offering-memorandum) confidence + validation family (SURVEY §2.8
+  * C23–C26; reference `src/extraction/om_confidence.py`,
+  * `pro_forma_validator.py`, `om_calibration.py`).
+  *
+  * Pure column arithmetic — multiplicative confidence with source /
+  * value-type / skepticism factors, consistency-check penalty rules,
+  * benchmark warnings, and calibration variance with zero-guards.
+  */
+object OmConfidence {
+
+  /** C24 factor tables (`om_confidence.py:25-42`). */
+  val SourceFactors: Map[String, Double] = Map(
+    "document_text" -> 1.0, "table" -> 0.95, "footnote" -> 0.85,
+    "inferred" -> 0.7)
+  val ValueTypeFactors: Map[String, Double] = Map(
+    "number" -> 1.0, "currency" -> 1.0, "percent" -> 0.95, "date" -> 0.95,
+    "text" -> 0.9, "derived" -> 0.8)
+
+  private def lookup(m: Map[String, Double], c: Column, default: Double): Column =
+    m.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(c === k, lit(v)).otherwise(acc)
+    }
+
+  /** C24: field confidence = base × source × value_type × skepticism ×
+    * penalty, clamped to [0, 1] (`om_confidence.py:88-116`).
+    */
+  def fieldConfidence(base: Column, source: Column, valueType: Column,
+                      skepticism: Column, penalty: Column): Column = {
+    val raw = base * lookup(SourceFactors, source, 0.7) *
+      lookup(ValueTypeFactors, valueType, 0.9) *
+      coalesce(skepticism, lit(1.0)) * coalesce(penalty, lit(1.0))
+    least(lit(1.0), greatest(lit(0.0), raw))
+  }
+
+  /** C23: consistency checks → penalty multipliers
+    * (`om_confidence.py:45-85`): cap rate vs NOI/price (tolerance .005),
+    * price-per-SF vs price/SF (2%), occupancy ∈ [0,1], NOI growth bands.
+    */
+  def consistencyPenalty(capRate: Column, noi: Column, price: Column,
+                         pricePerSf: Column, sf: Column,
+                         occupancy: Column): Column = {
+    val impliedCap = when(price > 0, noi / price)
+    val capPenalty = when(
+      capRate.isNotNull && impliedCap.isNotNull &&
+        abs(capRate - impliedCap) > 0.005, 0.8).otherwise(1.0)
+    val impliedPsf = when(sf > 0, price / sf)
+    val psfPenalty = when(
+      pricePerSf.isNotNull && impliedPsf.isNotNull &&
+        abs(pricePerSf - impliedPsf) / impliedPsf > 0.02, 0.85).otherwise(1.0)
+    val occPenalty = when(
+      occupancy.isNotNull && (occupancy < 0 || occupancy > 1), 0.7)
+      .otherwise(1.0)
+    capPenalty * psfPenalty * occPenalty
+  }
+
+  /** A5-variant: doc-level confidence with critical-field coverage penalty
+    * (`om_confidence.py:119-146`): weighted average × coverage, coverage =
+    * present critical fields / total critical fields.
+    */
+  def docConfidence(weightedAvg: Column, presentCritical: Column,
+                    totalCritical: Column): Column = {
+    val coverage = when(totalCritical > 0,
+      presentCritical.cast("double") / totalCritical).otherwise(1.0)
+    least(lit(0.99), weightedAvg * (lit(0.5) + lit(0.5) * coverage))
+  }
+
+  /** C25: pro-forma benchmark validation → array of warning structs
+    * (`pro_forma_validator.py:20-68`). Benchmarks as (metric, lo, hi,
+    * severity) literals.
+    */
+  case class Benchmark(metric: String, lo: Double, hi: Double, severity: String)
+
+  val MarketBenchmarks: Seq[Benchmark] = Seq(
+    Benchmark("cap_rate", 0.03, 0.12, "high"),
+    Benchmark("vacancy_rate", 0.0, 0.30, "medium"),
+    Benchmark("expense_ratio", 0.20, 0.60, "medium"),
+    Benchmark("rent_growth", -0.05, 0.15, "low"))
+
+  def benchmarkWarnings(values: Map[String, Column]): Column = {
+    val warnings = MarketBenchmarks.flatMap { b =>
+      values.get(b.metric).map { v =>
+        when(v.isNotNull && (v < b.lo || v > b.hi),
+          struct(lit(b.metric).as("metric"), v.as("value"),
+            lit(b.severity).as("severity")))
+      }
+    }
+    array_compact(array(warnings: _*))
+  }
+
+  /** C26: calibration variance (`om_calibration.py:20-65,79-126`):
+    * relative (actual−baseline)/baseline with zero/missing guards;
+    * absolute difference for cap-rate-style metrics.
+    */
+  def relativeVariance(actual: Column, baseline: Column): Column =
+    when(actual.isNull || baseline.isNull, lit(null: java.lang.Double))
+      .when(baseline === 0,
+        when(actual === 0, 0.0).otherwise(lit(null: java.lang.Double)))
+      .otherwise((actual - baseline) / baseline)
+
+  def absoluteVariance(actual: Column, baseline: Column): Column =
+    when(actual.isNull || baseline.isNull, lit(null: java.lang.Double))
+      .otherwise(actual - baseline)
+}

@@ -1,0 +1,67 @@
+package graft.api
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, EqualTo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.functions._
+
+/** F1: tenant isolation as an engine invariant (reference RLS policies —
+  * `tenant_id = public.tenant_id()` on every tenant-owned table, e.g.
+  * `020_documents.sql:51-54`).
+  *
+  * The facade injects the tenant predicate on every table access, and
+  * `assertTenantScoped` is the analyzer-style safety check (SURVEY §4.2c):
+  * it walks the logical plan and fails any query over a tenant-owned
+  * relation that lacks an equality filter on `tenant_id` — the parity of
+  * Postgres refusing to serve un-scoped rows.
+  *
+  * At scale the predicate is also the partition key: tables are written
+  * partitioned by `tenant_id`, so this filter prunes whole directories
+  * before any IO (see [[graft.sources.PartitionedWriter]]).
+  */
+final class TenantContext(val spark: SparkSession, val tenantId: String) {
+
+  /** Scoped table read: predicate injected, pruning-friendly. */
+  def table(path: String): DataFrame =
+    spark.read.parquet(path).where(col("tenant_id") === tenantId)
+
+  def scope(df: DataFrame): DataFrame =
+    df.where(col("tenant_id") === tenantId)
+}
+
+object TenantContext {
+
+  /** Plan-level check: every relation producing a `tenant_id` attribute
+    * must sit under a Filter constraining that attribute by equality.
+    */
+  def assertTenantScoped(df: DataFrame): Unit = {
+    val plan = df.queryExecution.analyzed
+    val unscoped = findUnscopedTenantRelations(plan, scopedAbove = Set.empty)
+    if (unscoped.nonEmpty)
+      throw new IllegalStateException(
+        s"tenant-unscoped access to relations with tenant_id: " +
+          unscoped.mkString(", "))
+  }
+
+  private def tenantEqualities(cond: org.apache.spark.sql.catalyst.expressions.Expression): Set[Long] =
+    cond.collect {
+      case EqualTo(a: Attribute, _: Literal) if a.name == "tenant_id" => a.exprId.id
+      case EqualTo(_: Literal, a: Attribute) if a.name == "tenant_id" => a.exprId.id
+    }.toSet
+
+  private def findUnscopedTenantRelations(plan: LogicalPlan,
+                                          scopedAbove: Set[Long]): Seq[String] =
+    plan match {
+      case f: Filter =>
+        val newlyScoped = tenantEqualities(f.condition)
+        findUnscopedTenantRelations(f.child, scopedAbove ++ newlyScoped)
+      case leaf if leaf.children.isEmpty =>
+        val tenantAttrs = leaf.output.filter(_.name == "tenant_id")
+        if (tenantAttrs.nonEmpty && !tenantAttrs.exists(a => scopedAbove.contains(a.exprId.id)))
+          Seq(leaf.nodeName + leaf.output.map(_.name).mkString("(", ",", ")"))
+        else Nil
+      case other =>
+        other.children.flatMap(findUnscopedTenantRelations(_, scopedAbove))
+    }
+}

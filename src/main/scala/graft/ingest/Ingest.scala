@@ -1,0 +1,158 @@
+package graft.ingest
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingestion-plane operators (SURVEY §2.1 S1–S9, §2.2 F8, §2.3 J4).
+  *
+  * External fetch (object store, email provider, drive APIs) is a
+  * source boundary; everything after the bytes arrive is DataFrame
+  * transformation. Parsers/decoders are pluggable per-partition functions
+  * with deterministic defaults (SURVEY §7.4 risk 6).
+  */
+object Ingest {
+
+  /** S2: blob-store read — Spark's binaryFile source. */
+  def binaryFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+
+  /** F8: file validation predicate (reference
+    * `src/services/file_validator.py` via `bulk_upload.py:334-349`):
+    * magic-bytes sniff + extension agreement + size bounds, emitted as a
+    * (valid, errors) struct so callers filter or route invalid rows.
+    */
+  def validate(df: DataFrame, contentCol: String, nameCol: String,
+               maxSizeBytes: Long = 500L * 1024 * 1024): DataFrame = {
+    val magic = substring(hex(col(contentCol)), 1, 8)
+    val sniffed = when(magic.startsWith("25504446"), "pdf")       // %PDF
+      .when(magic.startsWith("504B0304"), "zip_or_office")        // PK..
+      .when(magic.startsWith("89504E47"), "png")
+      .when(magic.startsWith("FFD8FF"), "jpeg")
+      .otherwise("unknown")
+    val ext = lower(regexp_extract(col(nameCol), "\\.([A-Za-z0-9]+)$", 1))
+    val extFamily = when(ext === "pdf", "pdf")
+      .when(ext.isin("zip", "docx", "xlsx"), "zip_or_office")
+      .when(ext === "png", "png")
+      .when(ext.isin("jpg", "jpeg"), "jpeg")
+      .otherwise("unknown")
+    val errs = array_compact(array(
+      when(length(col(contentCol)) === 0, "empty_file"),
+      when(length(col(contentCol)) > maxSizeBytes, "too_large"),
+      when(sniffed =!= "unknown" && extFamily =!= "unknown" &&
+        sniffed =!= extFamily, "magic_extension_mismatch")))
+    df.withColumn("validation",
+      struct((size(errs) === 0).as("valid"), errs.as("errors"),
+        sniffed.as("sniffed_type")))
+  }
+
+  /** C13/J4: content-hash dedup on ingest — new files whose
+    * (tenant_id, file_hash) already exists are rejected
+    * (`020_documents.sql:31`; hash at `api/routes/documents.py:221`).
+    */
+  def hashDedup(incoming: DataFrame, existing: DataFrame,
+                contentCol: String): DataFrame = {
+    val hashed = incoming.withColumn("file_hash", sha2(col(contentCol), 256))
+    hashed.join(existing.select("tenant_id", "file_hash").distinct(),
+      Seq("tenant_id", "file_hash"), "left_anti")
+  }
+
+  /** S5: ZIP bulk-ingest expansion. ZIP member extraction happens
+    * per-partition on the binary column (the container cannot be split);
+    * limits mirror `bulk_upload.py:22-29` (≤1000 members, bomb-ratio
+    * guard). The entry decoder is pluggable; default reads real ZIP
+    * directories via java.util.zip.
+    */
+  def expandZips(files: DataFrame, contentCol: String,
+                 maxMembers: Int = 1000,
+                 maxRatio: Double = 100.0): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val withPath = files.select(col("path").cast("string").as("zip_path"),
+      col(contentCol).as("bytes"))
+    withPath.as[(String, Array[Byte])].flatMap { case (zipPath, bytes) =>
+      val zis = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = scala.collection.mutable.ListBuffer.empty[(String, String, Array[Byte])]
+      var entry = zis.getNextEntry
+      var n = 0
+      val compressedTotal = math.max(1L, bytes.length.toLong)
+      var extractedTotal = 0L
+      while (entry != null && n < maxMembers &&
+        extractedTotal / compressedTotal < maxRatio) {
+        if (!entry.isDirectory) {
+          val content = zis.readAllBytes()
+          extractedTotal += content.length
+          out += ((zipPath, entry.getName, content))
+          n += 1
+        }
+        entry = zis.getNextEntry
+      }
+      zis.close()
+      out.toList
+    }.toDF("zip_path", "member_name", "content")
+  }
+
+  /** S6/C27: email-payload source — JSON payload → body text + exploded
+    * base64 attachments (`email_parser.py:38-166`,
+    * `email_ingestion.py:40-134`).
+    */
+  def parseEmailPayloads(payloads: DataFrame, jsonCol: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "from STRING, to STRING, subject STRING, text STRING, " +
+        "html STRING, attachments ARRAY<STRUCT<filename: STRING, content: STRING>>")
+    val parsed = payloads.withColumn("e", from_json(col(jsonCol), schema))
+    val stripHtml = (c: Column) =>
+      trim(regexp_replace(regexp_replace(c, "<[^>]+>", " "), "\\s+", " "))
+    parsed.select(
+      col("e.from").as("from_addr"), col("e.to").as("to_addr"),
+      col("e.subject").as("subject"),
+      coalesce(col("e.text"), stripHtml(col("e.html"))).as("body_text"),
+      coalesce(size(col("e.attachments")), lit(0)).as("attachment_count"),
+      col("e.attachments").as("attachments"))
+  }
+
+  /** Explode attachments into document rows (base64-decoded). */
+  def attachmentDocs(emails: DataFrame): DataFrame =
+    emails.select(col("from_addr"), col("subject"),
+        explode(col("attachments")).as("a"))
+      .select(col("from_addr"), col("subject"),
+        col("a.filename").as("filename"),
+        unbase64(col("a.content")).as("content"))
+
+  /** Chunking (understanding plane; `document_chunks` table
+    * `040_document_chunks.sql:12-26`, UNIQUE(document_id, chunk_index)):
+    * token-window chunks with overlap, deterministic indexes.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int = 100, overlap: Int = 20): DataFrame = {
+    require(overlap < chunkTokens)
+    val step = chunkTokens - overlap
+    val toks = docs.select(col(idCol).as("document_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val starts = toks.withColumn("starts",
+      sequence(lit(1), greatest(size(col("tk")), lit(1)), lit(step)))
+    starts.select(col("document_id"), col("tk"),
+        posexplode(col("starts")).as(Seq("chunk_index", "start")))
+      .where(col("start") === 1 || col("start") + overlap <= size(col("tk")))
+      .select(col("document_id"), col("chunk_index"),
+        concat_ws(" ", slice(col("tk"), col("start"), lit(chunkTokens)))
+          .as("content"),
+        col("start"))
+  }
+
+  /** S7/S8 checkpointed incremental connector state: given the previous
+    * token table and this sync's results, produce the next token table —
+    * the offsets commit of a custom streaming source, expressed as MERGE
+    * (`google_drive/sync.py:234-341`; `sharepoint/sync.py:67-94`).
+    */
+  def advanceSyncTokens(prev: DataFrame, results: DataFrame): DataFrame = {
+    // results: (tenant_id, connector_id, drive_id, new_token)
+    val merged = prev.as("p").join(results.as("r"),
+        Seq("tenant_id", "connector_id", "drive_id"), "full_outer")
+      .select(col("tenant_id"), col("connector_id"), col("drive_id"),
+        coalesce(col("r.new_token"), col("p.token")).as("token"))
+    merged
+  }
+}

@@ -1,0 +1,104 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for the training-data pipeline: image/audio/video
+  * as opaque `binary` columns with typed metadata, processed by
+  * per-partition batch operators (the Scala analogue of `mapInPandas` —
+  * partition-at-a-time, batch-shaped, pluggable backend).
+  *
+  * The decode backends are STUBS by design (no image/audio libraries in
+  * this environment): `DecodeBackend` is the seam where a real decoder
+  * (JavaCV, TwelveMonkeys, ffmpeg pipe) plugs in; the default
+  * `HeaderProbe` backend parses only container headers (PNG/JPEG
+  * dimensions, WAV sample rate) from the bytes — real parsing, no native
+  * deps — so the Spark-side plumbing (schema, batching, partitioning) is
+  * fully exercised.
+  */
+object Multimodal {
+
+  /** Typed metadata emitted per asset. */
+  val MediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_bytes", LongType)))
+
+  /** Decoder seam: bytes → (media_type, width, height, sample_rate). */
+  trait DecodeBackend extends Serializable {
+    def probe(bytes: Array[Byte]): (String, Int, Int, Int)
+  }
+
+  /** Header-only probe: PNG IHDR, JPEG SOF0/2 scan, WAV fmt chunk. */
+  object HeaderProbe extends DecodeBackend {
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+        ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+    def probe(b: Array[Byte]): (String, Int, Int, Int) = {
+      if (b.length >= 24 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N'
+        && b(3) == 'G')
+        ("image/png", be32(b, 16), be32(b, 20), 0)
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        // walk JPEG segments to the first SOF marker
+        var i = 2
+        var dims = (0, 0)
+        while (i + 9 < b.length && dims == (0, 0)) {
+          if ((b(i) & 0xff) == 0xff) {
+            val marker = b(i + 1) & 0xff
+            val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+            if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
+              marker != 0xc8 && marker != 0xcc)
+              dims = (((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff),
+                ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff))
+            else i += 2 + len
+          } else i += 1
+        }
+        ("image/jpeg", dims._1, dims._2, 0)
+      } else if (b.length >= 28 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F'
+        && b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V')
+        ("audio/wav", 0, 0, le32(b, 24))
+      else ("application/octet-stream", 0, 0, 0)
+    }
+  }
+
+  /** Decode/feature-extract stage: per-partition batches over the binary
+    * column. Output keeps the id and adds the metadata struct.
+    */
+  def probeMedia(df: DataFrame, idCol: String, bytesCol: String,
+                 backend: DecodeBackend = HeaderProbe): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("media_type", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_bytes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.select(col(idCol).cast("string").as("id"), col(bytesCol).as("b"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("b")
+          val (mt, w, h, sr) = backend.probe(bytes)
+          Row(r.getAs[String]("id"), mt, w, h, sr, bytes.length.toLong)
+        }
+      }(enc)
+  }
+
+  /** Frame-sample / resize stage STUB: the real kernel is `???` by
+    * design; the deterministic fake emits one "frame" row per asset per
+    * sampled offset so downstream schema/partitioning is testable.
+    */
+  def sampleFrames(media: DataFrame, idCol: String, nFrames: Int): DataFrame =
+    media.select(col(idCol).as("id"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_index"))
+      .withColumn("frame_stub",
+        sha2(concat(col("id"), lit(":"), col("frame_index")), 256))
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.analytics.OmConfidence
+import graft.ingest.Ingest
+import graft.multimodal.Multimodal
+import graft.rag.Rag
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Fourth query batch: OM confidence arithmetic, chunking, email-payload
+  * parsing, RAG context assembly, and the binary/multimodal plumbing.
+  */
+object TestQueries4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private val omRows: Seq[(String, Double, Double, Double, Double, Double, Double, String, String, Double)] = Seq(
+    // id, cap, noi, price, psf, sf, occ, source, vtype, base
+    ("om1", 0.05, 100000.0, 2000000.0, 100.0, 20000.0, 0.93, "document_text", "percent", 0.9),
+    ("om2", 0.07, 100000.0, 2000000.0, 100.0, 20000.0, 0.95, "table", "number", 0.85),
+    ("om3", 0.05, 100000.0, 2000000.0, 150.0, 20000.0, 1.20, "footnote", "derived", 0.8),
+    ("om4", 0.05, 0.0, 0.0, 0.0, 0.0, 0.5, "inferred", "text", 0.6))
+
+  /** C23/C24/C26: OM consistency penalties, multiplicative field
+    * confidence, and calibration variance — pure arithmetic, fully
+    * oracle-checked.
+    */
+  val q48OmChecks: QueryCase = QueryCase(
+    "q48_om_checks",
+    (s, dir) => {
+      import s.implicits._
+      val df = omRows.toDF("id", "cap_rate", "noi", "price", "price_per_sf",
+        "sf", "occupancy", "source", "vtype", "base_conf")
+      val penalty = OmConfidence.consistencyPenalty(col("cap_rate"), col("noi"),
+        col("price"), col("price_per_sf"), col("sf"), col("occupancy"))
+      df.select(col("id"),
+          round(penalty, 6).as("penalty"),
+          round(OmConfidence.fieldConfidence(col("base_conf"), col("source"),
+            col("vtype"), lit(0.9), penalty), 6).as("confidence"),
+          round(OmConfidence.relativeVariance(col("cap_rate"), lit(0.055)), 6)
+            .as("cap_variance"))
+        .orderBy("id")
+    },
+    Some {
+      val vals = omRows.map { r =>
+        s"('${r._1}', ${r._2}, ${r._3}, ${r._4}, ${r._5}, ${r._6}, ${r._7}, '${r._8}', '${r._9}', ${r._10})"
+      }.mkString(", ")
+      s"""
+      WITH t(id, cap_rate, noi, price, price_per_sf, sf, occupancy, source, vtype, base_conf)
+        AS (VALUES $vals),
+      p AS (
+        SELECT *,
+          (CASE WHEN cap_rate IS NOT NULL AND price > 0
+                 AND ABS(cap_rate - noi/price) > 0.005 THEN 0.8 ELSE 1.0 END) *
+          (CASE WHEN price_per_sf IS NOT NULL AND sf > 0
+                 AND ABS(price_per_sf - price/sf) / (price/sf) > 0.02 THEN 0.85 ELSE 1.0 END) *
+          (CASE WHEN occupancy IS NOT NULL AND (occupancy < 0 OR occupancy > 1) THEN 0.7 ELSE 1.0 END)
+            AS penalty,
+          (CASE source WHEN 'document_text' THEN 1.0 WHEN 'table' THEN 0.95
+                WHEN 'footnote' THEN 0.85 WHEN 'inferred' THEN 0.7 ELSE 0.7 END) AS sf_f,
+          (CASE vtype WHEN 'number' THEN 1.0 WHEN 'currency' THEN 1.0
+                WHEN 'percent' THEN 0.95 WHEN 'date' THEN 0.95
+                WHEN 'text' THEN 0.9 WHEN 'derived' THEN 0.8 ELSE 0.9 END) AS vt_f
+        FROM t)
+      SELECT id, ROUND(CAST(penalty AS DOUBLE), 6) AS penalty,
+             ROUND(CAST(LEAST(1.0, GREATEST(0.0,
+               CAST(base_conf AS DOUBLE) * sf_f * vt_f * 0.9 * penalty)) AS DOUBLE), 6)
+               AS confidence,
+             ROUND(CAST((CAST(cap_rate AS DOUBLE) - 0.055) / 0.055 AS DOUBLE), 6)
+               AS cap_variance
+      FROM p ORDER BY id"""
+    })
+
+  /** Understanding-plane chunking over the documents table. */
+  val q49Chunking: QueryCase = QueryCase(
+    "q49_chunking",
+    (s, dir) =>
+      Ingest.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          chunkTokens = 40, overlap = 10)
+        .select(col("document_id"), col("chunk_index"), col("content"))
+        .orderBy("document_id", "chunk_index"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id AS document_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> '') AS tk
+        FROM documents),
+      st AS (
+        SELECT document_id, tk,
+               range(1, GREATEST(LEN(tk), 1) + 1, 30) AS starts
+        FROM toks),
+      ex AS (
+        SELECT document_id, tk,
+               UNNEST(starts) AS start,
+               generate_subscripts(starts, 1) - 1 AS chunk_index
+        FROM st)
+      SELECT document_id, chunk_index,
+             array_to_string(tk[start:start+39], ' ') AS content
+      FROM ex
+      WHERE start = 1 OR start + 10 <= LEN(tk)
+      ORDER BY document_id, chunk_index"""))
+
+  private val emailPayloads: Seq[String] = Seq(
+    """{"from":"a@x.com","to":"inbox@y.com","subject":"lease docs","text":null,"html":"<p>See <b>attached</b> lease</p>","attachments":[{"filename":"lease.pdf","content":"JVBERg=="}]}""",
+    """{"from":"b@x.com","to":"inbox@y.com","subject":"plain","text":"body text here","html":null,"attachments":[]}""",
+    """{"from":"c@x.com","to":"inbox@y.com","subject":"two files","text":"see files","html":null,"attachments":[{"filename":"a.txt","content":"YWJj"},{"filename":"b.txt","content":"ZGVm"}]}""")
+
+  /** S6/C27: email-payload parsing (body precedence, attachment counts). */
+  val q50EmailParse: QueryCase = QueryCase(
+    "q50_email_parse",
+    (s, dir) => {
+      import s.implicits._
+      Ingest.parseEmailPayloads(
+          emailPayloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+            .toDF("id", "payload"), "payload")
+        .select(col("from_addr"), col("subject"), col("body_text"),
+          col("attachment_count"))
+        .orderBy("from_addr")
+    },
+    Some {
+      val vals = emailPayloads.zipWithIndex.map { case (p, i) =>
+        s"($i, '${p.replace("'", "''")}')"
+      }.mkString(", ")
+      s"""
+      WITH t(id, payload) AS (VALUES $vals)
+      SELECT json_extract_string(payload, '$$.from') AS from_addr,
+             json_extract_string(payload, '$$.subject') AS subject,
+             COALESCE(json_extract_string(payload, '$$.text'),
+               TRIM(regexp_replace(regexp_replace(
+                 json_extract_string(payload, '$$.html'), '<[^>]+>', ' ', 'g'),
+                 '\\s+', ' ', 'g'))) AS body_text,
+             COALESCE(json_array_length(payload, '$$.attachments'), 0)
+               AS attachment_count
+      FROM t ORDER BY from_addr"""
+    })
+
+  /** K5/C16: RAG retrieval + context packing over documents (score =
+    * n_chars as the deterministic relevance proxy).
+    */
+  val q51RagContext: QueryCase = QueryCase(
+    "q51_rag_context",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("doc"), lit(1).as("page"),
+          col("text").as("content"), col("n_chars").cast("double").as("score"))
+        .orderBy(desc("score"), col("doc")).limit(20)
+      val packed = Rag.buildContext(docs, "doc", "page", "content",
+        budget = 600)
+      Rag.contextString(packed)
+    },
+    Some("""
+      WITH top AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc, 1 AS page, text AS content,
+               CAST(n_chars AS DOUBLE) AS score
+        FROM documents ORDER BY score DESC, doc LIMIT 20),
+      toks AS (
+        SELECT *, LEN(list_filter(string_split_regex(LOWER(TRIM(content)), '\s+'),
+               x -> x <> '')) AS n_tokens
+        FROM top),
+      packed AS (
+        SELECT *, SUM(n_tokens) OVER (ORDER BY score DESC, doc, page
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM toks)
+      SELECT array_to_string(
+               list(('[DOC:' || doc || ':PAGE:' || page || '] ' || content)
+                 ORDER BY score DESC, doc, page), chr(10) || chr(10)) AS context,
+             SUM(n_tokens) AS context_tokens
+      FROM packed WHERE cum_tokens <= 600"""))
+
+  /** S2 + multimodal: binary source → header probe → typed metadata.
+    * Rows-only (the oracle engine cannot read arbitrary binary files).
+    */
+  val q52BinaryProbe: QueryCase = QueryCase(
+    "q52_binary_probe",
+    (s, dir) => {
+      val files = Ingest.binaryFiles(s, s"$dir/region.parquet")
+        .withColumn("id", regexp_extract(col("path"), "([^/]+)$", 1))
+      Multimodal.probeMedia(files, "id", "content")
+        .orderBy("id")
+    },
+    None)
+
+  /** F8 validation over synthesized binary content — rows-only. */
+  val q53Validation: QueryCase = QueryCase(
+    "q53_validation",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Seq(
+        ("doc.pdf", "%PDF-1.7 content"),
+        ("image.png", "%PDF-1.7 mismatched"),
+        ("empty.pdf", ""),
+        ("notes.txt", "plain text"))
+      rows.toDF("name", "text")
+        .select(col("name"), col("text").cast("binary").as("content"))
+        .transform(df => Ingest.validate(df, "content", "name"))
+        .select(col("name"), col("validation.valid").as("valid"),
+          concat_ws(",", col("validation.errors")).as("errors"))
+        .orderBy("name")
+    },
+    None)
+
+  val all: Seq[QueryCase] = Seq(
+    q48OmChecks, q49Chunking, q50EmailParse, q51RagContext, q52BinaryProbe,
+    q53Validation)
+}

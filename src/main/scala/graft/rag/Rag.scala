@@ -1,0 +1,86 @@
+package graft.rag
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.operators.Search
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** RAG assembly (SURVEY §3.3 secondary; reference `src/rag/{retriever,
+  * context_builder,citations}.py`): retrieve top-k chunks, greedily pack
+  * a token-budgeted context tagged `[DOC:id:PAGE:p]`, validate citations
+  * in generated answers against the retrieved set. Generation itself is a
+  * pluggable backend boundary.
+  */
+object Rag {
+
+  val DefaultTokenBudget = 6000
+  val DefaultTopK = 20
+  val CitationRe = "\\[DOC:([0-9a-fA-F-]+):PAGE:(\\d+)\\]"
+
+  /** K5: retrieval — exact cosine top-k, then rerank-slice semantics live
+    * in Search/Reranker (`retriever.py:123-139`).
+    */
+  def retrieve(chunks: DataFrame, idCol: String, vecCol: String,
+               queryVec: Column, topK: Int = DefaultTopK): DataFrame =
+    Search.vectorTopK(chunks, idCol, vecCol, queryVec, topK)
+
+  /** C16: greedy context packing under the token budget
+    * (`context_builder.py:22-50`): chunks in similarity order until the
+    * running token total exceeds the budget; each kept chunk contributes a
+    * `[DOC:doc:PAGE:page] content` block.
+    */
+  def buildContext(retrieved: DataFrame, docCol: String, pageCol: String,
+                   contentCol: String,
+                   budget: Int = DefaultTokenBudget): DataFrame = {
+    val w = Window.orderBy(desc("score"), col(docCol), col(pageCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    retrieved
+      .withColumn("n_tokens", TextFunctions.tokenCount(col(contentCol)))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .where(col("cum_tokens") <= budget)
+      .withColumn("block",
+        concat(lit("[DOC:"), col(docCol), lit(":PAGE:"), col(pageCol),
+          lit("] "), col(contentCol)))
+  }
+
+  /** Collapse packed blocks into the single prompt context string. */
+  def contextString(packed: DataFrame): DataFrame =
+    packed.agg(concat_ws("\n\n", collect_list("block")).as("context"),
+      sum("n_tokens").as("context_tokens"))
+
+  /** C17: citation extraction + validation (`citations.py:8-61`): every
+    * `[DOC:x:PAGE:p]` in the answer must reference a retrieved (doc,page);
+    * an answer with no valid citations must contain a no-information
+    * phrase.
+    */
+  def validateCitations(answers: DataFrame, answerCol: String,
+                        retrieved: DataFrame, docCol: String,
+                        pageCol: String): DataFrame = {
+    val chunkSet = retrieved.select(col(docCol).cast("string").as("c_doc"),
+      col(pageCol).cast("int").as("c_page")).distinct()
+    val cites = answers.select(col("*"),
+        explode_outer(regexp_extract_all(col(answerCol), lit(CitationRe), lit(0)))
+          .as("cite"))
+      .withColumn("cite_doc", regexp_extract(col("cite"), CitationRe, 1))
+      .withColumn("cite_page",
+        regexp_extract(col("cite"), CitationRe, 2).try_cast("int"))
+    val joined = cites.join(chunkSet,
+      cites("cite_doc") === chunkSet("c_doc") &&
+        cites("cite_page") === chunkSet("c_page"), "left")
+    val noInfo = lower(col(answerCol)).contains("no information") ||
+      lower(col(answerCol)).contains("not found in the documents")
+    joined
+      .withColumn("cite_valid",
+        when(col("cite").isNull, lit(null: java.lang.Boolean))
+          .otherwise(col("c_doc").isNotNull))
+      .groupBy(answers.columns.map(col): _*)
+      .agg(
+        count(col("cite")).as("n_citations"),
+        coalesce(sum(when(col("cite_valid"), 1).otherwise(0)), lit(0))
+          .as("n_valid_citations"))
+      .withColumn("answer_ok",
+        (col("n_citations") > 0 && col("n_citations") === col("n_valid_citations")) ||
+          (col("n_citations") === 0 && noInfo))
+  }
+}

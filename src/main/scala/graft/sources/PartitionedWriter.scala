@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** 100 TB layout helpers (SURVEY §7.2 step 8 + §4.1 physical-layout
+  * notes): every tenant-owned table is written partitioned by `tenant_id`
+  * (RLS predicate → partition pruning), time-series tables additionally
+  * by date, and hot access paths are sorted within partitions to match
+  * their dominant ordering (the reference's composite/partial indexes,
+  * e.g. `idx_queue_pending (status, priority DESC, created_at)`
+  * `021:21-22`).
+  */
+object PartitionedWriter {
+
+  /** Tenant-partitioned append (documents, extractions, entities, …). */
+  def writeTenantTable(df: DataFrame, path: String,
+                       sortCols: Seq[String] = Nil): DataFrame = {
+    val prepared =
+      if (sortCols.nonEmpty)
+        df.repartition(col("tenant_id"))
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df
+    prepared.write.mode("append").partitionBy("tenant_id").parquet(path)
+    df
+  }
+
+  /** Append-only log tables partitioned by (tenant_id, date) — audit
+    * logs, email ingestions, source deletions (`012_audit_logs.sql`).
+    */
+  def writeLogTable(df: DataFrame, path: String, tsCol: String): DataFrame = {
+    df.withColumn("log_date", to_date(col(tsCol)))
+      .write.mode("append").partitionBy("tenant_id", "log_date").parquet(path)
+    df
+  }
+
+  /** Queue-table layout: partition by status (the partial-index analogue:
+    * the worker's pending scan reads one directory), sorted by
+    * (priority DESC, created_at) inside.
+    */
+  def writeQueueTable(df: DataFrame, path: String): DataFrame = {
+    df.repartition(col("status"))
+      .sortWithinPartitions(desc("priority"), asc("created_at"))
+      .write.mode("append").partitionBy("status").parquet(path)
+    df
+  }
+}

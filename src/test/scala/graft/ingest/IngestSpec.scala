@@ -1,0 +1,110 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IngestSpec extends SparkSpec {
+
+  private def zipBytes(entries: (String, Array[Byte])*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, content) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  test("zip expansion: members extracted with limits") {
+    import spark.implicits._
+    val z = zipBytes(
+      "a.txt" -> "alpha".getBytes, "dir/b.txt" -> "beta".getBytes)
+    val df = Seq(("file:/z1.zip", z)).toDF("path", "content")
+    val out = Ingest.expandZips(df, "content")
+      .collect().map(r => (r.getString(1), new String(r.getAs[Array[Byte]](2))))
+    assert(out.toSet == Set(("a.txt", "alpha"), ("dir/b.txt", "beta")))
+  }
+
+  test("zip expansion honors member cap") {
+    import spark.implicits._
+    val many = (1 to 20).map(i => s"f$i.txt" -> s"c$i".getBytes)
+    val df = Seq(("file:/z2.zip", zipBytes(many: _*))).toDF("path", "content")
+    assert(Ingest.expandZips(df, "content", maxMembers = 5).count() == 5)
+  }
+
+  test("validation: magic bytes vs extension, size, empty") {
+    import spark.implicits._
+    val pdf = "%PDF-1.4 fake".getBytes
+    val df = Seq(
+      ("doc.pdf", pdf),
+      ("doc.png", pdf),              // mismatch
+      ("empty.pdf", Array.empty[Byte]),
+      ("data.bin", "random".getBytes)) // unknown both sides: ok
+      .toDF("name", "content")
+    val v = Ingest.validate(df, "content", "name")
+      .select(col("name"), col("validation.valid"), col("validation.errors"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getSeq[String](2))))
+      .toMap
+    assert(v("doc.pdf")._1)
+    assert(v("doc.png")._2.contains("magic_extension_mismatch"))
+    assert(v("empty.pdf")._2.contains("empty_file"))
+    assert(v("data.bin")._1)
+  }
+
+  test("hash dedup rejects existing (tenant, hash) pairs") {
+    import spark.implicits._
+    val incoming = Seq(("t1", "same"), ("t1", "new"), ("t2", "same"))
+      .toDF("tenant_id", "content")
+    val existing = incoming.where(col("content") === "same" && col("tenant_id") === "t1")
+      .withColumn("file_hash", sha2(col("content"), 256))
+    val out = Ingest.hashDedup(incoming, existing, "content")
+      .select("tenant_id", "content").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("t1", "new"), ("t2", "same")))
+  }
+
+  test("email payload parsing: body precedence and attachments") {
+    import spark.implicits._
+    val payload =
+      """{"from":"a@x.com","to":"inbox@y.com","subject":"lease docs",
+        |"text":null,"html":"<p>See <b>attached</b></p>",
+        |"attachments":[{"filename":"lease.pdf","content":"JVBERg=="}]}"""
+        .stripMargin.replace("\n", "")
+    val out = Ingest.parseEmailPayloads(Seq(payload).toDF("payload"), "payload")
+    val r = out.head()
+    assert(r.getAs[String]("body_text") == "See attached")
+    assert(r.getAs[Int]("attachment_count") == 1)
+    val docs = Ingest.attachmentDocs(out).head()
+    assert(docs.getAs[String]("filename") == "lease.pdf")
+    assert(new String(docs.getAs[Array[Byte]]("content")) == "%PDF")
+  }
+
+  test("chunking: overlapping windows, unique (doc, chunk_index)") {
+    import spark.implicits._
+    val text = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(("d1", text)).toDF("doc_id", "text")
+    val chunks = Ingest.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 10, overlap = 2)
+    val rows = chunks.orderBy("chunk_index")
+      .collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(rows.length == chunks.select("chunk_index").distinct().count())
+    assert(rows(0)._2.startsWith("w1 w2"))
+    // second chunk starts at token 9 (step = 8): overlap of 2 tokens
+    assert(rows(1)._2.startsWith("w9 w10"))
+    assert(rows.last._2.endsWith("w25"))
+  }
+
+  test("connector sync tokens advance via merge") {
+    import spark.implicits._
+    val prev = Seq(("t1", "c1", "drv1", "tokA"), ("t1", "c1", "drv2", "tokB"))
+      .toDF("tenant_id", "connector_id", "drive_id", "token")
+    val results = Seq(("t1", "c1", "drv2", "tokB2"), ("t1", "c1", "drv3", "tokC"))
+      .toDF("tenant_id", "connector_id", "drive_id", "new_token")
+    val next = Ingest.advanceSyncTokens(prev, results)
+      .collect().map(r => (r.getString(2), r.getString(3))).toMap
+    assert(next == Map("drv1" -> "tokA", "drv2" -> "tokB2", "drv3" -> "tokC"))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.misc
+
+import graft.SparkSpec
+import graft.analytics.OmConfidence
+import graft.api.TenantContext
+import graft.multimodal.Multimodal
+import graft.rag.Rag
+import org.apache.spark.sql.functions._
+
+class MiscSpec extends SparkSpec {
+
+  // -------------------------------------------------------------- multimodal
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("multimodal header probe: png dims, unknown fallback, batching") {
+    import spark.implicits._
+    val df = Seq(
+      ("m1", pngBytes(17, 9)),
+      ("m2", "not an image".getBytes))
+      .toDF("id", "bytes")
+    val out = Multimodal.probeMedia(df, "id", "bytes")
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3))).toMap
+    assert(out("m1") == ("image/png", 17, 9))
+    assert(out("m2")._1 == "application/octet-stream")
+  }
+
+  test("frame sampling stub emits deterministic frame rows") {
+    import spark.implicits._
+    val df = Seq("m1", "m2").toDF("id")
+    val frames = Multimodal.sampleFrames(df, "id", 3)
+    assert(frames.count() == 6)
+    val again = Multimodal.sampleFrames(df, "id", 3)
+    assert(frames.collect().toSet == again.collect().toSet)
+  }
+
+  // --------------------------------------------------------------------- rag
+
+  private lazy val retrieved = {
+    import spark.implicits._
+    Seq(
+      ("c1", "11", 2, 0.9, "alpha beta gamma"),
+      ("c2", "12", 5, 0.8, "delta epsilon"),
+      ("c3", "13", 1, 0.7, "zeta eta theta iota"))
+      .toDF("id", "doc", "page", "score", "content")
+  }
+
+  test("context packing respects budget in similarity order") {
+    val packed = Rag.buildContext(retrieved, "doc", "page", "content", budget = 5)
+    val blocks = packed.select("block").collect().map(_.getString(0))
+    assert(blocks.length == 2) // 3 + 2 tokens fit; next chunk would exceed
+    assert(blocks(0).startsWith("[DOC:11:PAGE:2]"))
+    val ctx = Rag.contextString(packed).head()
+    assert(ctx.getAs[Long]("context_tokens") == 5L)
+  }
+
+  test("citation validation: valid, invalid, and no-info answers") {
+    import spark.implicits._
+    val answers = Seq(
+      ("a1", "Rent is X [DOC:11:PAGE:2]."),
+      ("a2", "Made up [DOC:99:PAGE:9]."),
+      ("a3", "There is no information in the documents."),
+      ("a4", "Unsupported claim with no citation."))
+      .toDF("answer_id", "answer")
+    val out = Rag.validateCitations(answers, "answer", retrieved, "doc", "page")
+      .select("answer_id", "answer_ok")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map("a1" -> true, "a2" -> false, "a3" -> true, "a4" -> false))
+  }
+
+  // -------------------------------------------------------------- om family
+
+  test("om field confidence factors and clamp") {
+    import spark.implicits._
+    val df = Seq((0.9, "table", "percent", 0.9)).toDF("b", "s", "t", "k")
+    val c = df.select(OmConfidence.fieldConfidence(col("b"), col("s"),
+      col("t"), col("k"), lit(1.0))).head().getDouble(0)
+    assert(math.abs(c - 0.9 * 0.95 * 0.95 * 0.9) < 1e-12)
+  }
+
+  test("consistency penalties multiply") {
+    import spark.implicits._
+    // cap rate off by >.005 AND occupancy out of range
+    val df = Seq((0.07, 100000.0, 2000000.0, 100.0, 20000.0, 1.2))
+      .toDF("cap", "noi", "price", "psf", "sf", "occ")
+    val p = df.select(OmConfidence.consistencyPenalty(col("cap"), col("noi"),
+      col("price"), col("psf"), col("sf"), col("occ"))).head().getDouble(0)
+    // implied cap = .05 (diff .02 > .005) -> .8; psf matches; occ 1.2 -> .7
+    assert(math.abs(p - 0.8 * 0.7) < 1e-12)
+  }
+
+  test("benchmark warnings emitted only out of band") {
+    import spark.implicits._
+    val df = Seq((0.15, 0.1)).toDF("cap_rate", "vacancy_rate")
+    val w = df.select(OmConfidence.benchmarkWarnings(Map(
+      "cap_rate" -> col("cap_rate"), "vacancy_rate" -> col("vacancy_rate")))
+      .as("w")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(w.length == 1 && w.head.getString(0) == "cap_rate")
+  }
+
+  test("calibration variance zero-guards") {
+    import spark.implicits._
+    val df = Seq((110.0, 100.0), (5.0, 0.0), (0.0, 0.0))
+      .toDF("a", "b")
+    val got = df.select(OmConfidence.relativeVariance(col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getDouble(0))
+    assert(got(0) == 0.10000000000000009 || math.abs(got(0).asInstanceOf[Double] - 0.1) < 1e-12)
+    assert(got(1) == null) // nonzero vs zero baseline undefined
+    assert(got(2) == 0.0)
+  }
+
+  // ------------------------------------------------------------- tenant api
+
+  test("tenant scope enforced; unscoped plans rejected") {
+    import spark.implicits._
+    val df = Seq(("t1", "a"), ("t2", "b")).toDF("tenant_id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("tenants").toString
+    df.write.mode("overwrite").parquet(dir)
+    val ctx = new TenantContext(spark, "t1")
+    val scoped = ctx.table(dir)
+    assert(scoped.collect().map(_.getString(1)).toSeq == Seq("a"))
+    TenantContext.assertTenantScoped(scoped) // must not throw
+    val unscoped = spark.read.parquet(dir)
+    intercept[IllegalStateException] {
+      TenantContext.assertTenantScoped(unscoped)
+    }
+    // scoped + joined with a non-tenant table stays fine
+    val dims = Seq(("a", 1)).toDF("v", "n")
+    TenantContext.assertTenantScoped(scoped.join(dims, "v"))
+  }
+}
