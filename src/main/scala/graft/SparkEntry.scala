@@ -1,6 +1,7 @@
 package graft
 
-import graft.queries.{TestQueries, TestQueries2, TestQueries3, TestQueries4}
+import graft.queries.{TestQueries, TestQueries2, TestQueries3, TestQueries4,
+  TestQueries5}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -18,7 +19,8 @@ object SparkEntry {
     TestQueries.q01PricingSummary.build(spark, "/root/testdata/sf0.001")
 
   private def allCases =
-    TestQueries.all ++ TestQueries2.all ++ TestQueries3.all ++ TestQueries4.all
+    TestQueries.all ++ TestQueries2.all ++ TestQueries3.all ++
+      TestQueries4.all ++ TestQueries5.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

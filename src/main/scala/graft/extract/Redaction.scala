@@ -77,4 +77,21 @@ object Redaction {
   /** P2: the full defense-in-depth pass applied before any sink. */
   def redactText(c: Column): Column =
     redactPersons(redactSsns(redactPhones(redactEmails(c))))
+
+  /** C28: error-message sanitization (reference
+    * `src/services/error_sanitizer.py`): strip secrets (bearer tokens,
+    * api keys, connection-string passwords, AWS-style key ids) and PII
+    * from error strings before they are persisted to `last_error` /
+    * audit logs.
+    */
+  def sanitizeError(c: Column): Column = {
+    val noBearer = regexp_replace(c,
+      "(?i)bearer\\s+[A-Za-z0-9._\\-]+", "bearer [REDACTED]")
+    val noKeyParam = regexp_replace(noBearer,
+      "(?i)((?:api[_-]?key|token|secret|password|pwd)\\s*[=:]\\s*)\\S+",
+      "$1[REDACTED]")
+    val noAwsKey = regexp_replace(noKeyParam, "\\bAKIA[0-9A-Z]{16}\\b",
+      "[REDACTED]")
+    redactSsns(redactEmails(noAwsKey, keepDomains = Nil))
+  }
 }

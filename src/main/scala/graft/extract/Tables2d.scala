@@ -1,0 +1,35 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S3 / extraction_tables: tabular-blob extraction (reference spreadsheet
+  * parsers `src/extraction/parsers/{pandas,openpyxl}.py` routed by
+  * `config/parser_routes.yaml:17-19`; storage shape
+  * `032_extraction_tables.sql:5-14` — headers + rows as nested arrays).
+  *
+  * The engine-side representation is `headers: array<string>,
+  * rows: array<array<string>>`; this extractor parses delimited tabular
+  * text (CSV/TSV/pipe) out of document text — the deterministic stand-in
+  * for the spreadsheet parsers, producing the same storage shape.
+  */
+object Tables2d {
+
+  /** Parse a delimited block: first line = headers, rest = rows. The text
+    * column must be a bound attribute (HOF lambda rule).
+    */
+  def parseDelimited(text: Column, delim: String = ","): Column = {
+    val lines = filter(split(text, "\\r?\\n"), l => trim(l) =!= "")
+    val cells = transform(lines, l => transform(split(l, java.util.regex.Pattern.quote(delim)), c => trim(c)))
+    struct(
+      element_at(cells, 1).as("headers"),
+      slice(cells, lit(2), greatest(size(cells) - 1, lit(0))).as("rows"))
+  }
+
+  /** Explode a parsed table into one row per cell row (the queryable child
+    * form of `extraction_tables`).
+    */
+  def explodeRows(df: DataFrame, idCol: String, tableCol: String): DataFrame =
+    df.select(col(idCol), col(s"$tableCol.headers").as("headers"),
+        posexplode(col(s"$tableCol.rows")).as(Seq("row_index", "cells")))
+}

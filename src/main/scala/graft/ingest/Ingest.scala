@@ -142,6 +142,16 @@ object Ingest {
         col("start"))
   }
 
+  /** S11: soft-delete semantics — documents are immutable
+    * (`pipeline.py:404-410`); source deletions land in a log table and
+    * the active set is an anti-join
+    * (`043_document_source_deletions.sql:5-16`).
+    */
+  def activeDocuments(documents: DataFrame, deletions: DataFrame): DataFrame =
+    documents.join(
+      deletions.select(col("document_id").as("id")).distinct(),
+      Seq("id"), "left_anti")
+
   /** S7/S8 checkpointed incremental connector state: given the previous
     * token table and this sync's results, produce the next token table —
     * the offsets commit of a custom streaming source, expressed as MERGE
