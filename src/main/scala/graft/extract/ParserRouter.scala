@@ -1,0 +1,74 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** S4: conditional parser routing with probe + fallback (reference
+  * `src/extraction/router.py:103-154` probe, `:189-240` route/fallback;
+  * routes configured in `config/parser_routes.yaml`).
+  *
+  * Routing is a `when/otherwise` chain over mime type and probed document
+  * characteristics; parse-with-fallback is try-primary / recover-fallback
+  * per row. Parser backends are pluggable column functions — the engine
+  * ships deterministic text-based defaults.
+  */
+object ParserRouter {
+
+  /** Probe characteristics from raw text (the reference probes bytes;
+    * content heuristics are equivalent at the routing level):
+    * has_tables (delimiter density), simple_text (short + delimiter-free),
+    * scanned (no extractable text at all).
+    */
+  def probe(text: Column): Column = {
+    val lineCount = size(split(text, "\\n"))
+    val delimLines = size(filter(split(text, "\\n"),
+      l => size(split(l, "[,|\\t]")) >= 3))
+    val hasTables = delimLines * 2 > lineCount
+    val simpleText = length(text) < 2000 && !hasTables
+    val scanned = length(trim(text)) === 0
+    struct(hasTables.as("has_tables"), simpleText.as("simple_text"),
+      scanned.as("scanned"))
+  }
+
+  /** Route: mime + probe → (parser, fallback) — `parser_routes.yaml`
+    * semantics: spreadsheets → table parser; scanned docs → ocr; tabular
+    * pdf → structure parser; plain short text → fast text parser.
+    */
+  def route(mime: Column, probed: Column): Column = {
+    val parser =
+      when(mime.isin("application/vnd.ms-excel",
+        "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+        "text/csv"), "table")
+        .when(probed("scanned"), "ocr")
+        .when(probed("has_tables"), "structure")
+        .when(probed("simple_text"), "fast_text")
+        .otherwise("full_text")
+    val fallback =
+      when(parser === "structure", "full_text")
+        .when(parser === "ocr", "full_text")
+        .when(parser === "table", "full_text")
+        .otherwise(lit(null: String))
+    struct(parser.as("parser"), fallback.as("fallback"))
+  }
+
+  /** Parse with per-row fallback: apply the routed parser; a null result
+    * (parse failure) falls back to the designated fallback parser
+    * (`router.py:189-240` try/recover).
+    */
+  def parseWithFallback(df: DataFrame, textCol: String, routeCol: String,
+                        parsers: Map[String, Column => Column]): DataFrame = {
+    def applyParser(name: String): Column =
+      parsers.get(name).map(_(col(textCol))).getOrElse(lit(null: String))
+    val primary = parsers.keys.foldLeft(lit(null: String)) { (acc, p) =>
+      when(col(s"$routeCol.parser") === p, applyParser(p)).otherwise(acc)
+    }
+    val fallback = parsers.keys.foldLeft(lit(null: String)) { (acc, p) =>
+      when(col(s"$routeCol.fallback") === p, applyParser(p)).otherwise(acc)
+    }
+    df.withColumn("parsed", coalesce(primary, fallback))
+      .withColumn("parser_used",
+        when(primary.isNotNull, col(s"$routeCol.parser"))
+          .when(fallback.isNotNull, col(s"$routeCol.fallback"))
+          .otherwise(lit(null: String)))
+  }
+}

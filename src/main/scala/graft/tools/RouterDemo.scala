@@ -1,0 +1,33 @@
+package graft.tools
+
+import graft.extract.ParserRouter
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object RouterDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val docs = Seq(
+      ("tabular.pdf", "application/pdf", "unit,tenant,sf\n101,Acme,1200\n102,Beta,900"),
+      ("scan.pdf", "application/pdf", "   "),
+      ("note.txt", "text/plain", "short note"),
+      ("sheet.csv", "text/csv", "a,b\n1,2"))
+      .toDF("name", "mime", "text")
+      .withColumn("probed", ParserRouter.probe(col("text")))
+      .withColumn("route", ParserRouter.route(col("mime"), col("probed")))
+    val parsers = Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      "table" -> (c => concat(lit("TBL:"), substring(c, 1, 10))),
+      "structure" -> (_ => lit(null: String)),   // simulate failure
+      "full_text" -> (c => concat(lit("TXT:"), substring(c, 1, 10))),
+      "fast_text" -> (c => concat(lit("FAST:"), substring(c, 1, 10))),
+      "ocr" -> (_ => lit(null: String)))         // simulate failure
+    println("[router]")
+    ParserRouter.parseWithFallback(docs, "text", "route", parsers)
+      .select("name", "route.parser", "route.fallback", "parser_used", "parsed")
+      .show(false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,40 @@
+package graft.extract
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ParserRouterSpec extends SparkSpec {
+
+  test("probe + route: tables, scanned, simple, spreadsheet mime") {
+    import spark.implicits._
+    val df = Seq(
+      ("csvish", "text/plain", "a,b,c\n1,2,3\n4,5,6"),
+      ("scanned", "application/pdf", "   "),
+      ("simple", "text/plain", "short note"),
+      ("sheet", "text/csv", "whatever"))
+      .toDF("id", "mime", "text")
+      .withColumn("probed", ParserRouter.probe(col("text")))
+      .withColumn("route", ParserRouter.route(col("mime"), col("probed")))
+    val routes = df.select(col("id"), col("route.parser"), col("route.fallback"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(routes("csvish")._1 == "structure" && routes("csvish")._2 == "full_text")
+    assert(routes("scanned")._1 == "ocr")
+    assert(routes("simple")._1 == "fast_text" && routes("simple")._2 == null)
+    assert(routes("sheet")._1 == "table")
+  }
+
+  test("parse with fallback recovers failed primary") {
+    import spark.implicits._
+    val df = Seq(("d1", "a,b,c\n1,2,3\n4,5,6"))
+      .toDF("id", "text")
+      .withColumn("probed", ParserRouter.probe(col("text")))
+      .withColumn("route", ParserRouter.route(lit("application/pdf"), col("probed")))
+    // structure parser "fails" (returns null); full_text succeeds
+    val parsers = Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      "structure" -> (_ => lit(null: String)),
+      "full_text" -> (c => upper(c)))
+    val out = ParserRouter.parseWithFallback(df, "text", "route", parsers).head()
+    assert(out.getAs[String]("parser_used") == "full_text")
+    assert(out.getAs[String]("parsed").startsWith("A,B"))
+  }
+}
