@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-handling primitives for the 100 TB tier (SURVEY §7.2 step 8:
+  * "salting for skewed tenants" — a handful of giant tenants dominate a
+  * multi-tenant corpus, so tenant-keyed aggregations and joins hot-spot
+  * one task without intervention; AQE skew-join handles sort-merge joins,
+  * salting handles aggregations and broadcast-ineligible skew).
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: partial aggregate on (keys, salt) —
+    * spreading a hot key over `saltBuckets` tasks — then final aggregate
+    * on the keys. `partialAggs` must be decomposable (sum/count/min/max);
+    * the caller provides both phases explicitly so the decomposition is
+    * visible and type-checked.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+                partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
+  /** Salted sum: the common case packaged — exact decimal sum of a
+    * money-scale column under key skew.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+                saltBuckets: Int = 16, outCol: String = "total"): DataFrame =
+    saltedAgg(df, keys, saltBuckets,
+      partialAggs = Seq(
+        sum(col(valueCol).cast("decimal(18,2)")).as("__partial")),
+      finalAggs = Seq(sum(col("__partial")).cast("double").as(outCol)))
+
+  /** Skewed-join salting: replicate the small side `saltBuckets` times
+    * and salt the big side, so a hot join key spreads across tasks.
+    * Exact same join result, `saltBuckets`× small-side duplication cost.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBuckets: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()),
+        lit(saltBuckets)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -44,4 +44,16 @@ object PartitionedWriter {
       .write.mode("append").partitionBy("status").parquet(path)
     df
   }
+
+  /** Bucketed table for co-located joins (big-big joins on a stable key —
+    * chunks⋈documents, fields⋈extractions — shuffle-free once both sides
+    * are bucketed on the join key with the same bucket count).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int = 64): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -1,0 +1,24 @@
+package graft.tools
+
+import graft.operators.Skew
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object SkewDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedSum(li, Seq("l_returnflag"), "l_quantity", 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    println(s"[skew] plain=$plain")
+    println(s"[skew] salted=$salted")
+    println(s"[skew] equal=${plain == salted}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.PartitionedWriter
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+
+  test("salted sum equals plain sum under a hot key") {
+    import spark.implicits._
+    val hot = (1 to 5000).map(i => ("hot", 1.25))
+    val cold = (1 to 50).map(i => (s"k$i", 2.5))
+    val df = (hot ++ cold).toDF("k", "v")
+    val salted = Skew.saltedSum(df, Seq("k"), "v", saltBuckets = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted("hot") == 5000 * 1.25)
+    assert(salted("k1") == 2.5)
+    assert(salted.size == 51)
+  }
+
+  test("salted join equals plain join") {
+    import spark.implicits._
+    val big = ((1 to 1000).map(_ => ("hot", "x")) ++ Seq(("a", "y"), ("b", "z")))
+      .toDF("k", "payload")
+    val small = Seq(("hot", 1), ("a", 2), ("c", 3)).toDF("k", "dim")
+    val plain = big.join(small, "k")
+    val salted = Skew.saltedJoin(big, small, "k", saltBuckets = 4)
+    assert(salted.count() == plain.count())
+    assert(salted.groupBy("k").count().collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap ==
+      plain.groupBy("k").count().collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  test("bucketed write produces a shuffle-free co-located join") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS bspec_left")
+    spark.sql("DROP TABLE IF EXISTS bspec_right")
+    val left = (1L to 500L).map(i => (i, s"l$i")).toDF("id", "lv")
+    val right = (1L to 500L).map(i => (i, s"r$i")).toDF("id", "rv")
+    PartitionedWriter.writeBucketed(left, "bspec_left", "id", buckets = 8)
+    PartitionedWriter.writeBucketed(right, "bspec_right", "id", buckets = 8)
+    val joined = spark.table("bspec_left").join(spark.table("bspec_right"), "id")
+    assert(joined.count() == 500)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed join, got:\n$plan")
+  }
+}
