@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.SparkSpec
+import graft.SparkEntry
+
+/** Physical-plan quality gates (SURVEY §4: "the plan you'd want, not the
+  * first one that passed"). These assert the optimizations that matter at
+  * 100 TB keep holding: filter/column pushdown into the parquet scans,
+  * broadcast for dimension joins, heap-based top-k instead of global
+  * sorts.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: predicate and projection reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), IsNotNull(o_orderdate), EqualTo(o_orderstatus,O)")
+      || p.contains("EqualTo(o_orderstatus,O)"), p)
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_orderstatus:string,o_totalprice:double,o_orderdate"),
+      "projection should prune to the 5 referenced columns")
+  }
+
+  test("q03: dimension joins broadcast, no sort-merge for small dims") {
+    val p = plan("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "small dims must broadcast")
+  }
+
+  test("q06: top-k is a heap (TakeOrderedAndProject), not a global sort") {
+    val p = plan("q06_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "limit+order must not become a global range sort")
+  }
+
+  test("q24: cosine top-k scans once with a broadcast query vector") {
+    val p = plan("q24_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    // two HashAggregate nodes around one exchange = partial aggregation
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+}
