@@ -57,7 +57,42 @@ object FieldCatalog {
     FieldDef("pro_rata_share", "float", required = false, 0.4,
       Seq("pro rata share", "proportionate share")),
     FieldDef("pet_friendly", "boolean", required = false, 0.2,
-      Seq("pets allowed", "pet friendly")))
+      Seq("pets allowed", "pet friendly")),
+    // effective-rent components (scenario 2, office: escalations + CAM/
+    // tax/insurance recoveries — `effective_rent.py:150-169`)
+    FieldDef("monthly_rent", "currency", required = false, 0.8,
+      Seq("monthly rent")),
+    FieldDef("tax_reimbursement", "currency", required = false, 0.5,
+      Seq("tax reimbursement", "real estate taxes", "tax recovery")),
+    FieldDef("insurance_reimbursement", "currency", required = false, 0.5,
+      Seq("insurance reimbursement", "insurance recovery")),
+    FieldDef("parking_fee", "currency", required = false, 0.4,
+      Seq("parking fee")),
+    FieldDef("parking_rent", "currency", required = false, 0.4,
+      Seq("parking rent")),
+    FieldDef("storage_rent", "currency", required = false, 0.4,
+      Seq("storage rent", "storage fee")),
+    FieldDef("tenant_improvement_allowance", "currency", required = false, 0.5,
+      Seq("tenant improvement allowance", "ti allowance", "improvement allowance")),
+    FieldDef("operating_expense_stop", "currency", required = false, 0.4,
+      Seq("expense stop", "operating expense stop")),
+    // scenario 3, retail: percentage rent, co-tenancy, marketing
+    FieldDef("percentage_rent_rate", "percent", required = false, 0.5,
+      Seq("percentage rent", "percentage rent rate", "overage rate")),
+    FieldDef("percentage_rent_breakpoint", "currency", required = false, 0.5,
+      Seq("breakpoint", "natural breakpoint", "sales breakpoint")),
+    FieldDef("co_tenancy_clause", "boolean", required = false, 0.3,
+      Seq("co-tenancy", "co tenancy clause")),
+    FieldDef("marketing_fee", "currency", required = false, 0.3,
+      Seq("marketing fee", "promotional fee")),
+    FieldDef("parking_spaces", "integer", required = false, 0.3,
+      Seq("parking spaces", "number of parking spaces")),
+    FieldDef("guarantor_name", "string", required = false, 0.4,
+      Seq("guarantor", "guaranteed by")),
+    FieldDef("late_fee_percent", "percent", required = false, 0.3,
+      Seq("late fee", "late charge")),
+    FieldDef("option_to_purchase", "boolean", required = false, 0.2,
+      Seq("option to purchase", "purchase option")))
 
   val RentRollFields: Seq[FieldDef] = Seq(
     FieldDef("property_name", "string", required = true, 1.0,

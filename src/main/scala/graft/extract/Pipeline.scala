@@ -1,0 +1,77 @@
+package graft.extract
+
+import graft.functions.TextFunctions
+import graft.ingest.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The §3.1 ETL spine as one composed batch/micro-batch transformation
+  * (reference `src/extraction/pipeline.py:638-697` — download, route,
+  * redact, extract, normalize, confidence, versioned save; here every
+  * stage is a DataFrame transform and the whole spine is the foreachBatch
+  * body of the streaming deployment).
+  *
+  * Input: documents (document_id, text, mime_type, created_at).
+  * Output: (extractions, extraction_fields) — the versioned +
+  * EAV storage shape of `030_extractions.sql` / `031_extraction_fields.sql`.
+  */
+object Pipeline {
+
+  final case class Result(extractions: DataFrame, fields: DataFrame)
+
+  def run(docs: DataFrame,
+          priorExtractions: Option[DataFrame] = None): Result = {
+    // 1. route (S4) — parser characteristics inform parser_used metadata
+    val routed = docs
+      .withColumn("probed", ParserRouter.probe(col("text")))
+      .withColumn("route", ParserRouter.route(col("mime_type"), col("probed")))
+
+    // 2. redact before ANY downstream consumer (P2 defense in depth)
+    val redacted = routed.withColumn("clean_text",
+      Redaction.redactText(col("text")))
+
+    // 3. doc-type detection + rule-based field extraction (deterministic
+    //    backend of the LLM extractor)
+    val typed = redacted.withColumn("document_type",
+      RuleExtractor.detectDocType(col("clean_text")))
+    val leaseDocs = typed.where(col("document_type") === "lease")
+      .select(col("document_id"), col("clean_text").as("text"))
+    val rentRollDocs = typed.where(col("document_type") === "rent_roll")
+      .select(col("document_id"), col("clean_text").as("text"))
+    val fields =
+      RuleExtractor.extractFields(leaseDocs, FieldCatalog.LeaseFields)
+        .unionByName(
+          RuleExtractor.extractFields(rentRollDocs, FieldCatalog.RentRollFields))
+
+    // 4. overall confidence (A5)
+    val conf = RuleExtractor.overallConfidence(fields)
+
+    // 5. extraction rows + versioning (W2/W5) against any prior versions
+    val newExtractions = typed
+      .join(conf, Seq("document_id"), "left")
+      .select(
+        concat(col("document_id"), lit("-"),
+          date_format(col("created_at"), "yyyyMMddHHmmss")).as("id"),
+        col("document_id"),
+        col("document_type"),
+        col("route.parser").as("parser_used"),
+        coalesce(col("overall_confidence"), lit(0.0)).as("overall_confidence"),
+        col("created_at"))
+    val allExtractions = priorExtractions.fold(newExtractions) { prior =>
+      prior.select(newExtractions.columns.map(col): _*)
+        .unionByName(newExtractions)
+    }
+    val versioned = RuleExtractor.assignVersions(allExtractions)
+
+    // 6. EAV rows keyed by extraction id
+    val eav = fields.join(
+        newExtractions.select(col("id").as("extraction_id"), col("document_id")),
+        Seq("document_id"))
+      .select(col("extraction_id"), col("document_id"), col("field_name"),
+        col("raw_value"), col("norm_value"), col("field_value"),
+        col("confidence"))
+
+    Result(versioned, eav)
+  }
+}

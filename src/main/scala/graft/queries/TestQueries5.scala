@@ -173,6 +173,38 @@ object TestQueries5 {
     },
     None)
 
+  /** §3.1 spine end to end (route → redact → extract → normalize →
+    * version → EAV) — rows-only (redaction lookaheads are beyond the
+    * oracle regex engine; stage-level oracles exist via q44, and the
+    * integration is pinned by PipelineSpec).
+    */
+  val q59Pipeline: QueryCase = QueryCase(
+    "q59_pipeline",
+    (s, dir) => {
+      import s.implicits._
+      val docs = Seq(
+        ("p1", "LEASE\nTenant: Acme Corp LLC\nLease Start: 01/15/2024\n" +
+          "Base Rent: $5,000.00\nCAM Charges: $750.50\nSquare Footage: 2,500\n" +
+          "Contact Jane Doe at jd@gmail.com", "application/pdf",
+          "2024-01-20 10:00:00"),
+        ("p2", "RENT ROLL\nProperty: Main Street Plaza\nUnit: 101\n" +
+          "Tenant: Beta Inc\nMonthly Rent: $1,800\nOccupancy: occupied",
+          "application/pdf", "2024-02-01 10:00:00"))
+        .toDF("document_id", "text", "mime_type", "created_at")
+        .withColumn("created_at", col("created_at").cast("timestamp"))
+      val r = graft.extract.Pipeline.run(docs)
+      r.fields
+        .join(r.extractions.select(col("id").as("extraction_id"),
+          col("document_type"), col("version"), col("is_current")),
+          "extraction_id")
+        .select(col("document_id"), col("document_type"), col("field_name"),
+          col("norm_value"), col("confidence"), col("version"),
+          col("is_current"))
+        .orderBy("document_id", "field_name")
+    },
+    None)
+
   val all: Seq[QueryCase] = Seq(
-    q54Hybrid, q55TableExtract, q56ActiveDocs, q57ErrorSanitize, q58HashEmbed)
+    q54Hybrid, q55TableExtract, q56ActiveDocs, q57ErrorSanitize, q58HashEmbed,
+    q59Pipeline)
 }

@@ -1,0 +1,94 @@
+package graft.extract
+
+import graft.SparkSpec
+import graft.analytics.EffectiveRent
+import org.apache.spark.sql.functions._
+
+/** End-to-end spine: raw documents → route → redact → extract →
+  * normalize → version → EAV → effective-rent analytics. The integration
+  * counterpart of the reference's full-workflow e2e suite
+  * (`tests/test_e2e_full_workflow.py:382-394`).
+  */
+class PipelineSpec extends SparkSpec {
+
+  private val lease1 =
+    """COMMERCIAL LEASE AGREEMENT
+      |Tenant: Acme Corp LLC
+      |Landlord: Main Street Holdings
+      |Property: Main Street Plaza
+      |Property Address: 123 Main St, Springfield
+      |Lease Start: 01/15/2024
+      |Lease End: 2027-01-14
+      |Base Rent: $5,000.00
+      |CAM Charges: $750.50
+      |Square Footage: 2,500
+      |Contact John Smith at js@gmail.com
+      |""".stripMargin
+
+  private val lease2 =
+    """LEASE
+      |Lessee: Beta Inc
+      |Landlord: Main Street Holdings
+      |Property: Main Street Plaza
+      |Premises: 125 Main St
+      |Commencement Date: 2024-03-01
+      |Expiration Date: 2029-02-28
+      |Monthly Rent: 4800
+      |Square Feet: 1,200
+      |""".stripMargin
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      ("d1", lease1, "application/pdf", "2024-01-20 10:00:00"),
+      ("d2", lease2, "application/pdf", "2024-03-05 10:00:00"))
+      .toDF("document_id", "text", "mime_type", "created_at")
+      .withColumn("created_at", col("created_at").cast("timestamp"))
+  }
+
+  private lazy val result = Pipeline.run(docs)
+
+  test("spine: versioned extractions with confidence and parser metadata") {
+    val ex = result.extractions.orderBy("document_id").collect()
+    assert(ex.length == 2)
+    assert(ex.forall(_.getAs[Boolean]("is_current")))
+    assert(ex.forall(_.getAs[Int]("version") == 1))
+    assert(ex.forall(_.getAs[String]("document_type") == "lease"))
+    assert(ex.forall(_.getAs[Double]("overall_confidence") > 0.5))
+  }
+
+  test("spine: PII never reaches the EAV plane") {
+    val values = result.fields.agg(
+      concat_ws(" ", collect_list("raw_value"))).head().getString(0)
+    assert(!values.contains("js@gmail.com"))
+    assert(!values.contains("John Smith"))
+  }
+
+  test("spine: re-running over prior extractions bumps versions") {
+    val rerun = Pipeline.run(
+      docs.withColumn("created_at",
+        col("created_at") + expr("INTERVAL 1 DAY")),
+      priorExtractions = Some(result.extractions
+        .select("id", "document_id", "document_type", "parser_used",
+          "overall_confidence", "created_at")))
+    val d1 = rerun.extractions.where(col("document_id") === "d1")
+      .orderBy("version").collect()
+    assert(d1.map(_.getAs[Int]("version")).toSeq == Seq(1, 2))
+    assert(d1.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, true))
+  }
+
+  test("spine feeds effective-rent analytics end to end") {
+    val extractions = result.extractions
+      .select(col("id"), lit("t1").as("tenant_id"), col("document_id"),
+        col("version"), col("is_current"), col("overall_confidence"))
+    val fields = result.fields
+      .select(col("extraction_id"), col("field_name"), col("field_value"))
+    val rents = EffectiveRent.calculateAll(extractions, fields)
+    val got = rents.select("tenant_name", "effective_monthly_rent",
+        "property_name")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("Acme Corp LLC", 5750.5, "Main Street Plaza"),
+      ("Beta Inc", 4800.0, "Main Street Plaza")))
+  }
+}
