@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.extract.Pipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Continuous deployment of the §3.1 ETL spine: a file-watching document
+  * stream feeds `Pipeline.run` per micro-batch via foreachBatch, with
+  * version maintenance against the already-written extractions table
+  * (the reference's polling worker loop, T1/T7, as Structured Streaming;
+  * checkpointed offsets replace the processing_queue claim protocol for
+  * the source side — claim/retry semantics for downstream failures live
+  * in `streaming.Queue`).
+  */
+object StreamingSpine {
+
+  val DocSchema: StructType = StructType.fromDDL(
+    "document_id STRING, text STRING, mime_type STRING, created_at TIMESTAMP")
+
+  /** Watch `inDir` for JSON-lines document files; append versioned
+    * extractions + EAV fields under `outDir`.
+    */
+  def start(spark: SparkSession, inDir: String, outDir: String,
+            checkpointDir: String, triggerMs: Long = 500L): StreamingQuery = {
+    val docs = spark.readStream.schema(DocSchema).json(inDir)
+    docs.writeStream
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        if (!batch.isEmpty) {
+          val sp = batch.sparkSession
+          val extDir = s"$outDir/extractions"
+          val fieldsDir = s"$outDir/fields"
+          val prior =
+            try Some(sp.read.parquet(extDir))
+            catch { case _: Exception => None }
+          val result = Pipeline.run(batch, prior)
+          // rewrite the extractions table (is_current flips on re-extraction)
+          result.extractions.write.mode("overwrite")
+            .parquet(s"$outDir/extractions_tmp_$epochId")
+          sp.read.parquet(s"$outDir/extractions_tmp_$epochId")
+            .write.mode("overwrite").parquet(extDir)
+          result.fields.write.mode("append").parquet(fieldsDir)
+        }
+      }
+      .start()
+  }
+}

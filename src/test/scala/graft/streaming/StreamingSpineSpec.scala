@@ -1,0 +1,40 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class StreamingSpineSpec extends SparkSpec {
+
+  private def docJson(id: String, text: String, ts: String): String = {
+    val t = text.replace("\n", "\\n")
+    s"""{"document_id":"$id","text":"$t","mime_type":"application/pdf","created_at":"$ts"}"""
+  }
+
+  test("file stream → pipeline → versioned tables, re-extraction bumps version") {
+    val base = java.nio.file.Files.createTempDirectory("spine-spec").toString
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    val q = StreamingSpine.start(spark, inDir, s"$base/out", s"$base/ckpt", 100)
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$inDir/b1.json"),
+        docJson("s1", "LEASE\nTenant: Acme Corp LLC\nBase Rent: $5,000.00",
+          "2024-01-01T10:00:00.000Z"))
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$inDir/b2.json"),
+        docJson("s1", "LEASE\nTenant: Acme Corp LLC\nBase Rent: $5,250.00",
+          "2024-02-01T10:00:00.000Z"))
+      q.processAllAvailable()
+      val ex = spark.read.parquet(s"$base/out/extractions")
+        .where(col("document_id") === "s1")
+        .orderBy("version")
+        .collect().map(r => (r.getAs[Int]("version"), r.getAs[Boolean]("is_current")))
+      assert(ex.toSeq == Seq((1, false), (2, true)))
+      val rents = spark.read.parquet(s"$base/out/fields")
+        .where(col("field_name") === "base_rent")
+        .select("norm_value").collect().map(_.getString(0)).toSet
+      assert(rents == Set("5000.0", "5250.0"))
+    } finally {
+      q.stop()
+    }
+  }
+}
