@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expressions for the hottest text kernels. The HOF formulations
+  * (split+filter+transform) are semantically identical but carry two
+  * costs at scale: interpreted per-element lambda evaluation, and fresh
+  * lambda-variable ids per plan construction that defeat the generated-
+  * code cache (every run recompiles a large wholestage method). These
+  * expressions generate a single static call — tiny codegen, cache-stable,
+  * and a tight loop at runtime.
+  */
+object TextKernels {
+
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Semantics of TextFunctions.tokens: lowercase, split on \s+, drop
+    * empties.
+    */
+  def tokenize(s: UTF8String): ArrayData = {
+    // UTF8String.toLowerCase is locale-independent, matching Spark's
+    // lower() (String.toLowerCase would apply the JVM default locale)
+    val str = s.toLowerCase.toString
+    val parts = Whitespace.split(str)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (parts(i).nonEmpty) out += UTF8String.fromString(parts(i))
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Semantics of TextFunctions.ngramsOfTokens: space-joined sliding
+    * windows of width n; fewer than n tokens → empty.
+    */
+  def ngrams(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val words = new Array[String](len)
+    var i = 0
+    while (i < len) {
+      words(i) = if (tokens.isNullAt(i)) "" else tokens.getUTF8String(i).toString
+      i += 1
+    }
+    val out = new Array[Any](len - n + 1)
+    val sb = new java.lang.StringBuilder()
+    i = 0
+    while (i <= len - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct preserving first occurrence (array_distinct semantics). */
+  def distinct(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) seen.add(arr.getUTF8String(i))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
+  }
+}
+
+/** text → lowercase whitespace tokens. */
+case class Tokenize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.tokenize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenize($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** token array → distinct space-joined n-gram shingles. */
+case class NgramShingles(child: Expression, n: Int, dedup: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val grams = TextKernels.ngrams(v.asInstanceOf[ArrayData], n)
+    if (dedup) TextKernels.distinct(grams) else grams
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      if (dedup) s"graft.functions.TextKernels.distinct(graft.functions.TextKernels.ngrams($c, $n))"
+      else s"graft.functions.TextKernels.ngrams($c, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

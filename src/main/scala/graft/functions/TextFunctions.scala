@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens, lowercased, empties dropped. */
+  /** Whitespace tokens, lowercased, empties dropped. Implemented as a
+    * native expression ([[Tokenize]]) — the split+filter HOF form is
+    * semantically identical but interpreted per element and cache-busting
+    * per plan (see TextExprs).
+    */
   def tokens(c: Column): Column =
-    filter(split(lower(trim(c)), "\\s+"), _ =!= "")
+    org.apache.spark.sql.graftshim.column(
+      Tokenize(org.apache.spark.sql.graftshim.expression(c)))
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -35,9 +40,15 @@ object TextFunctions {
     * tokenizations per row.
     */
   def ngramsOfTokens(tk: Column, n: Int): Column =
-    when(size(tk) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", slice(tk, i, lit(n)))))
+    org.apache.spark.sql.graftshim.column(
+      NgramShingles(org.apache.spark.sql.graftshim.expression(tk), n,
+        dedup = false))
+
+  /** Distinct shingles in one native pass (array_distinct ∘ ngrams). */
+  def distinctNgramsOfTokens(tk: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.column(
+      NgramShingles(org.apache.spark.sql.graftshim.expression(tk), n,
+        dedup = true))
 
   /** Convenience composition for small inputs / tests; see [[ngramsOfTokens]]
     * for the form to use inside operators.

@@ -71,7 +71,7 @@ object Dedup {
     val toks = spread(df).select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("tk"))
     val shingled = toks.select(col("id"),
-      array_distinct(TextFunctions.ngramsOfTokens(col("tk"), n)).as("sh"))
+      TextFunctions.distinctNgramsOfTokens(col("tk"), n).as("sh"))
     val ex = shingled.select(col("id"), size(col("sh")).as("sz"),
       explode(col("sh")).as("s"))
     val pairs = pairsWithinBuckets(ex, Seq(col("s")),
@@ -98,7 +98,7 @@ object Dedup {
       TextFunctions.tokens(col(textCol)).as("tk"))
     val sigs = toks.select(col("id"),
       MinHash.signature(
-        array_distinct(TextFunctions.ngramsOfTokens(col("tk"), shingleN)), k).as("sig"))
+        TextFunctions.distinctNgramsOfTokens(col("tk"), shingleN), k).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(MinHash.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     val pairs = pairsWithinBuckets(banded, Seq(col("bk")),

@@ -5,19 +5,27 @@ import org.apache.spark.sql.SparkSession
 
 object DebugQ23 {
   def main(args: Array[String]): Unit = {
-    val wscg = args.headOption.getOrElse("true")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.codegen.wholeStage", wscg)
-      .config("spark.sql.codegen.factoryMode",
-        if (wscg == "true") "FORTIFY_DEFAULT" else "NO_CODEGEN")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (q <- Seq("q23_jaccard_pairs", "q28_minhash_pairs", "q16_normalize_date")) {
+    val fn = SparkEntry.queries("q23_jaccard_pairs")
+    def run(label: String): Unit = {
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, "/root/testdata/sf0.1").queryExecution.toRdd.count()
-      println(f"[dbg] wscg=$wscg $q: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n)")
+      val n = fn(spark, "/root/testdata/sf0.1").queryExecution.toRdd.count()
+      println(f"[dbg] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n)")
     }
+    run("warmup")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    run("aqe-off")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    run("wscg-off")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    run("wscg+expr-off")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    run("default-again")
     spark.stop()
   }
 }
