@@ -204,7 +204,51 @@ object TestQueries5 {
     },
     None)
 
+  /** Event-time sessionization (beyond-reference streaming operator;
+    * Structured Streaming `session_window` — the batch shape here, the
+    * same expression works on a stream with a watermark). Oracle:
+    * classic gaps-and-islands. Session end = last event + gap (Spark
+    * session_window semantics).
+    */
+  val q60Sessionize: QueryCase = QueryCase(
+    "q60_sessionize",
+    (s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      s.sql("""
+        SELECT user_id,
+               session_window.start AS session_start,
+               session_window.end AS session_end,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events_v
+        GROUP BY user_id, session_window(ts, '30 minutes')
+        ORDER BY user_id, session_start""")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, date_trunc('microseconds', ts) AS ts, value FROM events),
+      o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                    ELSE 0 END AS brk
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (
+        SELECT user_id, ts, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        FROM o)
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM s
+      GROUP BY user_id, sess
+      ORDER BY user_id, session_start"""))
+
   val all: Seq[QueryCase] = Seq(
     q54Hybrid, q55TableExtract, q56ActiveDocs, q57ErrorSanitize, q58HashEmbed,
-    q59Pipeline)
+    q59Pipeline, q60Sessionize)
 }

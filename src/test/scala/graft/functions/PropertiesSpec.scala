@@ -1,0 +1,126 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Arbitrary, Gen, Prop}
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants, mirroring the reference's hypothesis suite
+  * (`tests/test_pipeline_property_based.py` — required by its repo
+  * policy): redaction idempotency/type/length bounds, normalizer ranges,
+  * similarity bounds, fingerprint invariances. Runs generators directly
+  * (seeded, 200 cases each) inside ScalaTest to stay within the two
+  * available test deps.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int = 200): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val anyText: Gen[String] = Gen.oneOf(
+    Gen.asciiPrintableStr.map(_.take(200)),
+    Gen.listOf(Gen.oneOf("the", "rent", "John Smith", "a@b.com", "$1,000",
+      "123-45-6789", "(555) 123-4567", "Acme LLC", "7%", "\n", " "))
+      .map(_.mkString(" ")))
+
+  test("redaction is idempotent and always yields a string") {
+    import spark.implicits._
+    val inputs = samples(anyText).distinct
+    val df = inputs.toDF("s")
+    val once = df.select(Redact.once(col("s")).as("r1"))
+      .withColumn("r2", Redact.once(col("r1")))
+      .collect()
+    once.foreach { r =>
+      assert(!r.isNullAt(0))
+      assert(r.getString(0) == r.getString(1), "redaction must be idempotent")
+    }
+  }
+
+  private object Redact {
+    def once(c: org.apache.spark.sql.Column) =
+      graft.extract.Redaction.redactText(c)
+  }
+
+  test("normalize_percent lands in [0,5] or null; currency parses or null") {
+    import spark.implicits._
+    val numericish: Gen[String] = Gen.oneOf(
+      Gen.choose(-1000.0, 1000.0).map(d => f"$d%.3f"),
+      Gen.choose(0, 500).map(i => s"$i%"),
+      Gen.alphaStr.map(_.take(10)),
+      Gen.const(""), Gen.const("N/A"))
+    val df = samples(numericish).distinct.toDF("s")
+    val out = df.select(
+      Normalizers.normalizePercent(col("s")).as("p"),
+      Normalizers.normalizeCurrency(col("s")).as("c")).collect()
+    out.foreach { r =>
+      if (!r.isNullAt(0)) {
+        val p = r.getDouble(0)
+        assert(p >= 0.0 && p <= 5.0, s"percent $p out of range")
+      }
+      if (!r.isNullAt(1)) assert(!r.getDouble(1).isNaN)
+    }
+  }
+
+  test("canonicalize is idempotent and produces lowercase alnum+space") {
+    import spark.implicits._
+    val df = samples(anyText).distinct.toDF("s")
+    val out = df.select(
+        Normalizers.canonicalizeName(col("s")).as("c1"))
+      .withColumn("c2", Normalizers.canonicalizeName(col("c1")))
+      .collect()
+    out.foreach { r =>
+      val c1 = r.getString(0)
+      assert(c1 == r.getString(1), "canonicalize must be idempotent")
+      assert(c1.matches("[a-z0-9 ]*"), s"'$c1' has non-canonical chars")
+    }
+  }
+
+  test("ratcliff similarity is bounded, reflexive, and empty-safe") {
+    val strs = samples(Gen.asciiPrintableStr.map(_.take(60)))
+    strs.zip(strs.reverse).foreach { case (a, b) =>
+      val r = RatcliffObershelp.ratio(a, b)
+      assert(r >= 0.0 && r <= 1.0)
+      assert(RatcliffObershelp.ratio(a, a) == 1.0)
+    }
+  }
+
+  test("confidence stays in (0, 0.99] for any weighted inputs") {
+    import spark.implicits._
+    val gen = for {
+      c <- Gen.choose(0.0, 1.0)
+      w <- Gen.choose(0.01, 1.0)
+    } yield (c, w)
+    val df = samples(gen).toDF("confidence", "weight")
+      .withColumn("document_id", lit("d"))
+    val out = graft.extract.RuleExtractor.overallConfidence(df).head()
+    val v = out.getDouble(1)
+    assert(v >= 0.0 && v <= 0.99)
+  }
+
+  test("rrf score is monotone in rank and bounded by 2/(k+1)") {
+    // direct formula property: adding a leg never decreases the score;
+    // best possible = rank 1 in both legs
+    val k = 60
+    def s(rank: Int) = 1.0 / (k + rank)
+    (1 until 100).foreach { r =>
+      assert(s(r) > s(r + 1))
+      assert(s(r) + s(1) <= 2.0 / (k + 1) + 1e-15)
+    }
+  }
+
+  test("fingerprint is whitespace/case invariant, sensitive to token order") {
+    import spark.implicits._
+    val words = samples(Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "beta", "gamma", "delta")).map(_.take(8)), 100)
+    words.foreach { ws =>
+      val base = ws.mkString(" ")
+      val spaced = ws.mkString("  ").toUpperCase
+      val df = Seq((base, spaced)).toDF("a", "b")
+      val r = df.select(
+        TextFunctions.fingerprint(col("a")).as("fa"),
+        TextFunctions.fingerprint(col("b")).as("fb")).head()
+      assert(r.getLong(0) == r.getLong(1), s"ws/case variance for $ws")
+    }
+  }
+}
