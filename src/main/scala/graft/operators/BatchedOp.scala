@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.StructType
+
+/** §2.11 batched model-operator contract (reference embedding client
+  * batches 100 texts per call — `embeddings.py:17,75-76`; cross-encoder
+  * scoring batches similarly): a `mapPartitions` stage that groups rows
+  * into fixed-size batches and hands each batch to a pluggable backend
+  * in one call. The backend boundary is where a real model client (HTTP,
+  * JNI, ONNX) plugs in; backends must be deterministic in the test path.
+  */
+object BatchedOp {
+
+  trait Backend extends Serializable {
+    /** Process one batch of input rows into output rows (1:1). */
+    def process(batch: Seq[Row]): Seq[Row]
+  }
+
+  def apply(df: DataFrame, outSchema: StructType, batchSize: Int,
+            backend: Backend): DataFrame = {
+    require(batchSize > 0)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val out = backend.process(batch.toSeq)
+        require(out.length == batch.length,
+          s"backend must be 1:1 (got ${out.length} for ${batch.length})")
+        out
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.search
+
+import graft.functions.{Fts, HashingEmbedder, TextFunctions}
+import graft.ingest.Ingest
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Understanding-plane chunk storage (reference `document_chunks`
+  * `040_document_chunks.sql:12-26`: UNIQUE(document_id, chunk_index),
+  * embedding vector, generated tsvector columns; written by
+  * `chunk_storage.py` after mandatory redaction).
+  *
+  * Builds the full search substrate in one pass per chunk: token-window
+  * content, hashing-embedder vector (pluggable for a real model), and
+  * A/B-weighted lexemes — so the vector leg, keyword leg and hybrid all
+  * run over one table. At scale this table is written partitioned by
+  * tenant and is the only thing search ever scans.
+  */
+object ChunkStore {
+
+  /** docs: (document_id, text [, title]). Emits one row per chunk with
+    * embedding + lexeme columns.
+    */
+  def build(docs: DataFrame, chunkTokens: Int = 100, overlap: Int = 20,
+            embedDim: Int = 256, titleCol: Option[String] = None): DataFrame = {
+    val chunks = Ingest.chunkDocuments(docs, "document_id", "text",
+      chunkTokens, overlap)
+    val withTitle = titleCol match {
+      case Some(t) => chunks.join(
+        docs.select(col("document_id"), col(t).as("__title")), "document_id")
+      case None => chunks.withColumn("__title", lit(""))
+    }
+    withTitle
+      .withColumn("tk", TextFunctions.tokens(col("content")))
+      .withColumn("title_tk", TextFunctions.tokens(col("__title")))
+      .select(
+        col("document_id"), col("chunk_index"), col("content"),
+        HashingEmbedder.embedTokens(col("tk"), embedDim).as("embedding"),
+        Fts.tsVector(col("tk"), col("title_tk")).as("tsv"),
+        TextFunctions.tokenCount(col("content")).as("n_tokens"))
+  }
+
+  /** Hybrid search over a built chunk table: cosine leg + ts_rank leg,
+    * RRF-fused (§3.2 on the real substrate).
+    */
+  def hybridSearch(chunkTable: DataFrame, queryText: String,
+                   queryVec: Column, limit: Int = 10): DataFrame = {
+    val qLex = Fts.plainQueryLexemes(queryText)
+    val vec = chunkTable
+      .withColumn("score",
+        graft.functions.VectorFunctions.cosineSim(col("embedding"), queryVec))
+      .select(col("document_id"), col("chunk_index"), col("score"))
+      .withColumn("id", concat_ws(":", col("document_id"), col("chunk_index")))
+      .orderBy(desc("score"), col("id")).limit(2 * limit)
+      .select("id", "score")
+    val kw = chunkTable
+      .where(Fts.tsMatch(col("tsv"), qLex))
+      .withColumn("score", Fts.tsRank(col("tsv"), qLex))
+      .withColumn("id", concat_ws(":", col("document_id"), col("chunk_index")))
+      .orderBy(desc("score"), col("id")).limit(2 * limit)
+      .select("id", "score")
+    graft.operators.Search.rrfFuse(vec, kw, "id",
+        Seq(desc("score"), col("id")), Seq(desc("score"), col("id")))
+      .orderBy(desc("rrf_score"), col("id")).limit(limit)
+  }
+}

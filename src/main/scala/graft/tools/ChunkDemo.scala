@@ -1,0 +1,25 @@
+package graft.tools
+
+import graft.search.ChunkStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+object ChunkDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id").cast("string").as("document_id"), col("text"))
+    val store = ChunkStore.build(docs, chunkTokens = 40, overlap = 10).cache()
+    println(s"[chunk] chunks=${store.count()} docs=${docs.count()}")
+    val qVec = store.where(col("document_id") === "7" && col("chunk_index") === 0)
+      .select("embedding").head().getAs[scala.collection.Seq[Float]](0)
+    val out = ChunkStore.hybridSearch(store, "spark merge window",
+      typedLit(qVec.toArray), limit = 5)
+    println("[chunk] hybrid results:")
+    out.show(false)
+    spark.stop()
+  }
+}

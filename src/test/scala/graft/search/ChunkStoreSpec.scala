@@ -1,0 +1,59 @@
+package graft.search
+
+import graft.SparkSpec
+import graft.operators.BatchedOp
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class ChunkStoreSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      ("d1", "the lease agreement covers rent and common area maintenance " +
+        ("filler words here " * 30) + "escalation clauses apply annually"),
+      ("d2", "unrelated document about parking garages " + ("pad " * 40)),
+      ("d3", "rent rent rent escalation " + ("noise " * 40)))
+      .toDF("document_id", "text")
+  }
+
+  test("chunk store: one row per chunk with embedding + lexemes") {
+    val store = ChunkStore.build(docs, chunkTokens = 30, overlap = 5)
+    assert(store.count() > 3) // docs long enough to split
+    val r = store.head()
+    assert(r.getAs[scala.collection.Seq[Float]]("embedding").length == 256)
+    val norm = math.sqrt(r.getAs[scala.collection.Seq[Float]]("embedding").map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    // unique (document_id, chunk_index)
+    assert(store.select("document_id", "chunk_index").distinct().count() ==
+      store.count())
+  }
+
+  test("hybrid search over the store surfaces rent-heavy chunks") {
+    val store = ChunkStore.build(docs, chunkTokens = 30, overlap = 5).cache()
+    val qVec = store // embed query via same embedder: reuse a rent chunk
+      .where(col("document_id") === "d3" && col("chunk_index") === 0)
+      .select(col("embedding")).head().getAs[scala.collection.Seq[Float]](0)
+    val qCol = typedLit(qVec.toArray)
+    val out = ChunkStore.hybridSearch(store, "rent escalation", qCol, limit = 3)
+      .collect()
+    assert(out.nonEmpty)
+    // the top result should come from a rent-bearing document, not d2
+    assert(!out.head.getString(0).startsWith("d2:"))
+  }
+
+  test("batched op: batch boundaries respected, 1:1 output") {
+    import spark.implicits._
+    val df = (1 to 23).map(i => (i, s"t$i")).toDF("id", "t").repartition(2)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("batch_size", IntegerType)))
+    val sizes = BatchedOp(df, schema, batchSize = 10, new BatchedOp.Backend {
+      def process(batch: Seq[Row]): Seq[Row] =
+        batch.map(r => Row(r.getInt(0), batch.length))
+    })
+    assert(sizes.count() == 23)
+    // no batch exceeds the cap
+    assert(sizes.agg(max("batch_size")).head().getInt(0) <= 10)
+  }
+}
