@@ -248,7 +248,25 @@ object TestQueries5 {
       GROUP BY user_id, sess
       ORDER BY user_id, session_start"""))
 
+  /** Embedding-cosine near-dup over the embeddings table via banded
+    * hyperplane LSH + exact verify — rows-only (the bucketing hash family
+    * is engine-specific; pair quality is pinned by DedupSpec).
+    */
+  val q61EmbeddingDedup: QueryCase = QueryCase(
+    "q61_embedding_dedup",
+    (s, dir) =>
+      // testdata embeddings have no true near-dups (max pairwise cosine
+      // ≈ 0.51), so the query targets the weak-similarity regime: short
+      // band signatures (4 planes) keep per-band recall usable at
+      // cos ≈ 0.35 and 16 bands OR them together
+      graft.operators.Dedup.embeddingCosinePairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
+          bands = 16, planesPerBand = 4, threshold = 0.35)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2"),
+    None)
+
   val all: Seq[QueryCase] = Seq(
     q54Hybrid, q55TableExtract, q56ActiveDocs, q57ErrorSanitize, q58HashEmbed,
-    q59Pipeline, q60Sessionize)
+    q59Pipeline, q60Sessionize, q61EmbeddingDedup)
 }

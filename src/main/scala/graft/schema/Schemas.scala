@@ -1,0 +1,170 @@
+package graft.schema
+
+import org.apache.spark.sql.types.StructType
+
+/** StructType DDL mirrors for the reference's table inventory (SURVEY
+  * §1.4 — all four planes; DDL under `supabase/migrations/`), with the
+  * type mapping of SURVEY §1.2: UUID→STRING, TIMESTAMPTZ→TIMESTAMP (UTC
+  * session), JSONB→STRING (JSON) or typed struct per use, vector→
+  * ARRAY<FLOAT>, tsvector→derived lexeme arrays (built by the engine,
+  * not stored raw).
+  */
+object Schemas {
+
+  private def ddl(s: String): StructType = StructType.fromDDL(s)
+
+  // ---- control plane -------------------------------------------------
+
+  /** `003_tenants.sql:4-15` */
+  val tenants: StructType = ddl(
+    "id STRING, slug STRING, name STRING, settings STRING, " +
+      "created_at TIMESTAMP, updated_at TIMESTAMP")
+
+  /** `004_tenant_users.sql` */
+  val tenantUsers: StructType = ddl(
+    "id STRING, tenant_id STRING, user_id STRING, role STRING, " +
+      "created_at TIMESTAMP")
+
+  /** `002_feature_flags.sql:6-24` */
+  val featureFlags: StructType = ddl(
+    "id STRING, flag_key STRING, description STRING, default_enabled BOOLEAN, " +
+      "created_at TIMESTAMP")
+  val tenantFeatureFlags: StructType = ddl(
+    "id STRING, tenant_id STRING, flag_id STRING, enabled BOOLEAN, " +
+      "created_at TIMESTAMP")
+
+  /** `012_audit_logs.sql:5-17` (immutable, insert-only) */
+  val auditLogs: StructType = ddl(
+    "id STRING, tenant_id STRING, user_id STRING, action STRING, " +
+      "resource_type STRING, resource_id STRING, details STRING, " +
+      "ip_address STRING, created_at TIMESTAMP")
+
+  /** `025_connectors.sql:5-14` */
+  val connectors: StructType = ddl(
+    "id STRING, tenant_id STRING, type STRING, config STRING, " +
+      "enabled BOOLEAN, created_at TIMESTAMP, updated_at TIMESTAMP")
+
+  /** `src/auth/rate_limit.py:42-49` */
+  val authRateLimits: StructType = ddl(
+    "id STRING, ip_address STRING, window_start TIMESTAMP, attempt_count INT")
+
+  // ---- ingestion plane ----------------------------------------------
+
+  /** `020_documents.sql:5-32` — UNIQUE(tenant_id, file_hash), immutable */
+  val documents: StructType = ddl(
+    "id STRING, tenant_id STRING, file_hash STRING, storage_path STRING, " +
+      "original_filename STRING, mime_type STRING, file_size_bytes BIGINT, " +
+      "source_type STRING, source_path STRING, parent_id STRING, " +
+      "uploaded_by STRING, status STRING, error_message STRING, " +
+      "created_at TIMESTAMP, updated_at TIMESTAMP")
+
+  /** `021_processing_queue.sql:5-18` */
+  val processingQueue: StructType = ddl(
+    "id STRING, tenant_id STRING, document_id STRING, status STRING, " +
+      "priority INT, attempts INT, max_attempts INT, last_error STRING, " +
+      "started_at TIMESTAMP, completed_at TIMESTAMP, created_at TIMESTAMP")
+
+  /** `024_email_ingestions.sql:4-15` */
+  val emailIngestions: StructType = ddl(
+    "id STRING, tenant_id STRING, from_address STRING, to_address STRING, " +
+      "subject STRING, body_document_id STRING, attachment_count INT, " +
+      "created_at TIMESTAMP")
+
+  /** `043_document_source_deletions.sql:5-16` — UNIQUE(document_id, source_type) */
+  val documentSourceDeletions: StructType = ddl(
+    "id STRING, tenant_id STRING, document_id STRING, source_type STRING, " +
+      "deleted_at TIMESTAMP, created_at TIMESTAMP")
+
+  // ---- understanding plane ------------------------------------------
+
+  /** `030_extractions.sql:5-20` — UNIQUE(document_id, version) */
+  val extractions: StructType = ddl(
+    "id STRING, tenant_id STRING, document_id STRING, version INT, " +
+      "status STRING, overall_confidence DOUBLE, document_type STRING, " +
+      "parser_used STRING, is_current BOOLEAN, error_message STRING, " +
+      "extracted_at TIMESTAMP, created_at TIMESTAMP")
+
+  /** `031_extraction_fields.sql:5-19` — the EAV table */
+  val extractionFields: StructType = ddl(
+    "id STRING, extraction_id STRING, field_name STRING, " +
+      "field_value STRING, raw_value STRING, confidence DOUBLE, " +
+      "source STRING, page_number INT, bounding_box STRING, " +
+      "is_override BOOLEAN, overridden_by STRING, " +
+      "overridden_at TIMESTAMP, created_at TIMESTAMP")
+
+  /** `031:14` bounding_box JSONB → typed struct for per-use parsing */
+  val boundingBox: StructType = ddl(
+    "x DOUBLE, y DOUBLE, width DOUBLE, height DOUBLE")
+
+  /** `032_extraction_tables.sql:5-14` */
+  val extractionTables: StructType = ddl(
+    "id STRING, extraction_id STRING, table_name STRING, " +
+      "headers ARRAY<STRING>, rows ARRAY<ARRAY<STRING>>, page_number INT, " +
+      "confidence DOUBLE, created_at TIMESTAMP")
+
+  /** `040_document_chunks.sql:12-26` — UNIQUE(document_id, chunk_index);
+    * tsvector columns become engine-derived lexeme arrays
+    */
+  val documentChunks: StructType = ddl(
+    "id STRING, tenant_id STRING, document_id STRING, chunk_index INT, " +
+      "content STRING, embedding ARRAY<FLOAT>, page_numbers ARRAY<INT>, " +
+      "metadata STRING, n_tokens INT, " +
+      "lexemes_a ARRAY<STRING>, lexemes_b ARRAY<STRING>, " +
+      "created_at TIMESTAMP")
+
+  // ---- data plane ----------------------------------------------------
+
+  /** `050_entities.sql:5-21` */
+  val entities: StructType = ddl(
+    "id STRING, tenant_id STRING, entity_type STRING, name STRING, " +
+      "canonical_name STRING, parent_id STRING, external_id STRING, " +
+      "attributes MAP<STRING,STRING>, created_at TIMESTAMP, " +
+      "updated_at TIMESTAMP")
+
+  /** `051_entity_relationships.sql:5-27` */
+  val entityRelationships: StructType = ddl(
+    "id STRING, tenant_id STRING, from_entity_id STRING, " +
+      "to_entity_id STRING, relationship_type STRING, start_date DATE, " +
+      "end_date DATE, created_at TIMESTAMP")
+
+  /** `052_entity_duplicates.sql:4-14` */
+  val entityDuplicates: StructType = ddl(
+    "id STRING, tenant_id STRING, entity_id STRING, duplicate_id STRING, " +
+      "match_score DOUBLE, status STRING, created_at TIMESTAMP")
+
+  /** referenced from `resolution.py:84-90,227-234` */
+  val entityDocuments: StructType = ddl(
+    "id STRING, tenant_id STRING, entity_id STRING, document_id STRING, " +
+      "created_at TIMESTAMP")
+
+  /** Every tenant-owned table (the F1/RLS partition-key invariant). */
+  val tenantOwned: Map[String, StructType] = Map(
+    "audit_logs" -> auditLogs, "connectors" -> connectors,
+    "documents" -> documents, "processing_queue" -> processingQueue,
+    "email_ingestions" -> emailIngestions,
+    "document_source_deletions" -> documentSourceDeletions,
+    "extractions" -> extractions, "extraction_fields" -> extractionFields,
+    "extraction_tables" -> extractionTables,
+    "document_chunks" -> documentChunks, "entities" -> entities,
+    "entity_relationships" -> entityRelationships,
+    "entity_duplicates" -> entityDuplicates,
+    "entity_documents" -> entityDocuments)
+}
+
+/** Typed models for the hot paths (SURVEY §1.3: Dataset[T] where the row
+  * shape is stable and compile-time field checks pay off).
+  */
+object Models {
+  final case class ExtractionField(
+      extractionId: String, fieldName: String, fieldValue: String,
+      rawValue: String, confidence: Double)
+
+  final case class Chunk(
+      documentId: String, chunkIndex: Int, content: String,
+      embedding: Array[Float], nTokens: Int)
+
+  final case class Entity(
+      id: String, tenantId: String, entityType: String, name: String,
+      canonicalName: String, externalId: Option[String],
+      attributes: Map[String, String])
+}
