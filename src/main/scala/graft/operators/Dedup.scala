@@ -147,23 +147,29 @@ object Dedup {
       // deterministic pseudo-random in [-1, 1): splitmix64-style mix
       val x = java.lang.Long.rotateLeft(
         (p * 1009L + d * 31L + 7L) * 0x9e3779b97f4a7c15L, 31)
-      lit(x.toDouble / Long.MaxValue.toDouble)
+      lit((x.toDouble / Long.MaxValue.toDouble).toFloat)
     }: _*)
     val bandKey = (v: Column, b: Int) =>
       (0 until planesPerBand).map { i =>
-        when(VectorFunctions.dot(v, planeLit(b * planesPerBand + i)) >= 0,
+        when(VectorFunctions.dotF(v,
+          planeLit(b * planesPerBand + i).cast("array<float>")) >= 0,
           lit(1L << i)).otherwise(0L)
       }.reduce((a, c) => a.bitwiseOR(c))
     val sigs = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = sigs.select(col("id"), col("v"),
+    val banded = sigs.select(col("id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"), bandKey(col("v"), b).as("key"))): _*)).as("bk"))
+    // carry only ids through the bucket expansion (vectors are wide —
+    // dragging them through interpreted pair expansion dominates cost);
+    // verification joins the vector table back on both sides
     val pairs = pairsWithinBuckets(banded, Seq(col("bk")),
-      struct(col("id"), col("v")))
-    pairs
-      .select(col("p1.id").as("id1"), col("p2.id").as("id2"),
-        col("p1.v").as("v1"), col("p2.v").as("v2"))
+      struct(col("id")))
+      .select(col("p1.id").as("id1"), col("p2.id").as("id2"))
       .dropDuplicates("id1", "id2")
+    val vecs = sigs
+    pairs
+      .join(vecs.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(vecs.select(col("id").as("id2"), col("v").as("v2")), "id2")
       .withColumn("cos", VectorFunctions.cosineSim(col("v1"), col("v2")))
       .where(col("cos") >= threshold)
       .select("id1", "id2", "cos")
