@@ -313,8 +313,8 @@ object TestQueries2 {
         FROM documents),
       c AS (
         SELECT doc_id, n_tokens,
-               SUM(n_tokens) OVER (ORDER BY doc_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         FROM d)
       SELECT doc_id, n_tokens, cum_tokens FROM c
       WHERE cum_tokens <= 6000 ORDER BY doc_id"""))

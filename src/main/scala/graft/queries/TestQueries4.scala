@@ -165,7 +165,7 @@ object TestQueries4 {
       SELECT array_to_string(
                list(('[DOC:' || doc || ':PAGE:' || page || '] ' || content)
                  ORDER BY score DESC, doc, page), chr(10) || chr(10)) AS context,
-             SUM(n_tokens) AS context_tokens
+             CAST(SUM(n_tokens) AS BIGINT) AS context_tokens
       FROM packed WHERE cum_tokens <= 600"""))
 
   /** S2 + multimodal: binary source → header probe → typed metadata.

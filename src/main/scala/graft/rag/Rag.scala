@@ -44,10 +44,24 @@ object Rag {
           lit("] "), col(contentCol)))
   }
 
-  /** Collapse packed blocks into the single prompt context string. */
-  def contextString(packed: DataFrame): DataFrame =
-    packed.agg(concat_ws("\n\n", collect_list("block")).as("context"),
-      sum("n_tokens").as("context_tokens"))
+  /** Collapse packed blocks into the single prompt context string.
+    *
+    * Ordering is contractual (similarity desc, then doc/page) — a bare
+    * `collect_list` after a shuffle has no guaranteed order, so the blocks
+    * are gathered as structs and `array_sort`ed before concatenation.
+    */
+  def contextString(packed: DataFrame, docCol: String = "doc",
+                    pageCol: String = "page"): DataFrame =
+    packed
+      .agg(
+        array_sort(collect_list(struct((-col("score")).as("neg_score"),
+          col(docCol).as("o_doc"), col(pageCol).as("o_page"),
+          col("block").as("block")))).as("ordered"),
+        sum("n_tokens").as("context_tokens"))
+      .select(
+        concat_ws("\n\n", transform(col("ordered"), x => x("block")))
+          .as("context"),
+        col("context_tokens"))
 
   /** C17: citation extraction + validation (`citations.py:8-61`): every
     * `[DOC:x:PAGE:p]` in the answer must reference a retrieved (doc,page);

@@ -46,12 +46,17 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            # Read via pandas (.df()) like the driver: DuckDB HUGEINT (e.g.
+            # bare SUM(int)) becomes float64 there, so "5123.0" != "5123" —
+            # fetchall() would hide that class of mismatch.
             spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             spark_cols = [c.lower() for c in spark_rel.columns]
-            spark_rows = spark_rel.fetchall()
+            spark_rows = spark_rel.df().itertuples(index=False, name=None)
+            spark_rows = [tuple(r) for r in spark_rows]
             duck_rel = con.sql(sql)
             duck_cols = [c.lower() for c in duck_rel.columns]
-            duck_rows = duck_rel.fetchall()
+            duck_rows = [tuple(r) for r in
+                         duck_rel.df().itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
