@@ -179,11 +179,13 @@ object Fts {
     graftshim.column(EnStemTokens(graftshim.expression(tokens)))
 
   /** Lexemes of a text column: tokenize → drop stopwords → stem. The
-    * token array must be a bound attribute for the filter lambda (same
-    * HOF rule as TextFunctions.ngramsOfTokens).
+    * stopword filter is the native [[TokensNotInSet]] kernel — the
+    * filter+isin HOF form was the q39 bench hotspot (interpreted lambda
+    * per token, code-cache-busting per plan).
     */
   def lexemesOfTokens(tk: Column): Column =
-    stemTokens(filter(tk, t => !t.isin(Stopwords.toSeq.map(lit): _*)))
+    stemTokens(graftshim.column(TokensNotInSet(
+      graftshim.expression(tk), Stopwords.toSeq.sorted)))
 
   /** C19: weighted tsvector as a struct of A/B lexeme arrays
     * (`setweight(to_tsvector(content),'A') ||
@@ -200,9 +202,8 @@ object Fts {
     * matches.
     */
   def tsRank(tsvec: Column, queryLexemes: Seq[String]): Column = {
-    val q = queryLexemes.map(lit)
-    def cnt(arr: Column): Column =
-      size(filter(arr, t => t.isin(q: _*)))
+    def cnt(arr: Column): Column = graftshim.column(TokensInSetCount(
+      graftshim.expression(arr), queryLexemes))
     cnt(tsvec("a")).cast("double") * 1.0 + cnt(tsvec("b")).cast("double") * 0.4
   }
 

@@ -1,18 +1,21 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Hash-based dedup primitives: MinHash signatures + LSH band keys, and a
-  * single-pass 64-bit SimHash. Built for the scale path — signatures are
-  * computed once per document in a map-only stage; candidate generation is
-  * an equi-join on band keys (shuffle on small keys, never all-pairs).
+/** Hash-based dedup primitives: MinHash signatures + LSH band keys, a
+  * single-pass 64-bit SimHash, and random-hyperplane band keys for
+  * embedding LSH. Built for the scale path — signatures are computed once
+  * per document in a map-only stage; candidate generation is an equi-join
+  * on band keys (shuffle on small keys, never all-pairs). Every expression
+  * here participates in whole-stage codegen (a single static call — tiny
+  * generated code, cache-stable across plan constructions).
   */
 object Hashing {
 
@@ -54,6 +57,111 @@ object Hashing {
     }
     out
   }
+
+  /** k-minimum signature. Each shingle is hashed ONCE (two FNV passes),
+    * then the k family members come from the affine family
+    * h_j = h1 + j·h2 (h2 forced odd so the family is a bijection on Z/2^64)
+    * — the standard "one hash + k mixes" construction, k× cheaper than k
+    * independent full-string hashes.
+    */
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val h1 = fnv1a64(s, 0L)
+        val h2 = fnv1a64(s, 1L) | 1L
+        var h = h1
+        var j = 0
+        while (j < k) {
+          if (h < mins(j)) mins(j) = h
+          h += h2
+          j += 1
+        }
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** Count of positions where two long arrays agree (over the shorter
+    * length — equal-length for signatures by construction).
+    */
+  def eqCountLong(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  // ---------------------------------------------------- hyperplane LSH
+
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Double]]()
+
+  /** Deterministic pseudo-random plane component in [-1, 1) — splitmix64
+    * finalizer over (plane, dim, seed). Same on every JVM; no RNG state.
+    */
+  private def planeComponent(p: Int, d: Int, seed: Long): Double = {
+    var z = seed + p.toLong * 0x9E3779B97F4A7C15L + (d.toLong + 1L) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    z.toDouble / Long.MaxValue.toDouble
+  }
+
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Double] =
+    planeCache.computeIfAbsent((nPlanes, dim, seed), _ => {
+      val out = new Array[Double](nPlanes * dim)
+      var p = 0
+      while (p < nPlanes) {
+        var d = 0
+        while (d < dim) {
+          out(p * dim + d) = planeComponent(p, d, seed)
+          d += 1
+        }
+        p += 1
+      }
+      out
+    })
+
+  /** `bands` sign-signature keys of `ppb` hyperplanes each (bit i of band
+    * b's key = sign of the dot product with plane b·ppb+i). Works for both
+    * float and double vectors (`isFloat`).
+    */
+  def hyperplaneBandKeys(v: ArrayData, isFloat: Boolean, bands: Int,
+                         ppb: Int, seed: Long): ArrayData = {
+    val dim = v.numElements()
+    val pl = planes(bands * ppb, dim, seed)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var p = 0
+      while (p < ppb) {
+        val base = (b * ppb + p) * dim
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+          dot += x * pl(base + d)
+          d += 1
+        }
+        if (dot >= 0.0) key |= (1L << p)
+        p += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 /** SimHash over an `array<string>` token column → 64-bit signature. */
@@ -70,32 +178,67 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /** MinHash over an `array<string>` shingle column → `array<long>` of k
-  * per-seed minima (one FNV-1a family member per seed).
+  * per-family-member minima. Fully codegen'd (CodegenFallback here was a
+  * round-1 bench hotspot: interpreted eval + boxing per row).
   */
-case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  override def dataType: DataType =
-    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val mins = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val s = arr.getUTF8String(i)
-        var j = 0
-        while (j < k) {
-          val h = Hashing.fnv1a64(s, j.toLong)
-          if (h < mins(j)) mins(j) = h
-          j += 1
-        }
-      }
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  override def nullSafeEval(v: Any): Any =
+    Hashing.minhashSig(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.minhashSig($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Position-wise agreement count of two `array<long>` columns (MinHash
+  * signature similarity estimator numerator).
+  */
+case class LongArrayEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.eqCountLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Hashing.eqCountLong($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane LSH band keys over a float/double vector column →
+  * `array<long>` of `bands` keys (array position = band index). One
+  * native pass computes all bands·planesPerBand sign bits with a cached
+  * deterministic plane matrix — the composed form (one dot-product
+  * expression per plane) builds a plan-sized expression tree that defeats
+  * the codegen cache.
+  */
+case class HyperplaneBandKeysExpr(child: Expression, bands: Int,
+                                  planesPerBand: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(
+      s"HyperplaneBandKeysExpr expects array<float|double>, got $t")
   }
+
+  override def nullSafeEval(v: Any): Any =
+    Hashing.hyperplaneBandKeys(v.asInstanceOf[ArrayData], isFloat, bands,
+      planesPerBand, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Hashing.hyperplaneBandKeys($c, $isFloat, $bands, $planesPerBand, ${seed}L)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
@@ -114,13 +257,25 @@ object MinHash {
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"), hash(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
 
-  /** Estimated Jaccard similarity from two signatures. */
+  /** Estimated Jaccard similarity from two signatures (native
+    * agreement-count kernel — the zip_with/filter HOF form was interpreted
+    * per element on the q28 verification path).
+    */
   def estJaccard(a: Column, b: Column): Column =
-    size(filter(zip_with(a, b, (x, y) => x === y), p => p)).cast("double") / size(a)
+    graftshim.column(LongArrayEqCount(
+      graftshim.expression(a), graftshim.expression(b))).cast("double") / size(a)
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   def simHash(tokens: Column): Column =
     graftshim.column(SimHash64(graftshim.expression(tokens)))
+
+  /** Random-hyperplane band keys for embedding LSH (array position =
+    * band index; use posexplode to recover it).
+    */
+  def hyperplaneBands(vec: Column, bands: Int, planesPerBand: Int,
+                      seed: Long = 42L): Column =
+    graftshim.column(HyperplaneBandKeysExpr(graftshim.expression(vec),
+      bands, planesPerBand, seed))
 }

@@ -75,6 +75,80 @@ object TextKernels {
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]].asInstanceOf[Array[Any]])
   }
+
+  /** Count of non-null elements present in `set` (semantics of
+    * `size(filter(arr, t => t.isin(set)))`).
+    */
+  def countIn(arr: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Elements NOT in `set` (semantics of
+    * `filter(arr, t => !t.isin(set))`; null elements are dropped, matching
+    * the HOF form where `!null.isin(...)` is null → filtered out).
+    */
+  def filterOut(arr: ArrayData, set: java.util.HashSet[UTF8String]): ArrayData = {
+    val n = arr.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (!set.contains(s)) out += s
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def toSet(words: Seq[String]): java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+}
+
+/** Count of tokens that are members of a fixed word set. Native stand-in
+  * for `size(filter(tk, t => t.isin(words)))` — the interpreted HOF form
+  * evaluates a lambda per element and its fresh lambda-variable ids defeat
+  * the generated-code cache (a full recompile per plan construction).
+  */
+case class TokensInSetCount(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val set = TextKernels.toSet(words)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.countIn(v.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.countIn($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Tokens with members of a fixed word set removed (stopword filter).
+  * Native stand-in for `filter(tk, t => !t.isin(words))`.
+  */
+case class TokensNotInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val set = TextKernels.toSet(words)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.filterOut(v.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.filterOut($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** text → lowercase whitespace tokens. */

@@ -68,8 +68,16 @@ object TextFunctions {
   val StopwordsDe: Seq[String] =
     Seq("der", "die", "das", "und", "ein", "zu", "den", "von", "mit", "ist")
 
+  /** Count of tokens present in `stops` — native set-membership kernel
+    * (the filter+isin HOF form was a round-1 bench hotspot: interpreted
+    * per-element lambdas, 4× per row in langId).
+    */
+  def tokensInSetCount(tk: Column, stops: Seq[String]): Column =
+    org.apache.spark.sql.graftshim.column(
+      TokensInSetCount(org.apache.spark.sql.graftshim.expression(tk), stops))
+
   def stopwordCount(c: Column, stops: Seq[String]): Column =
-    size(filter(tokens(c), t => t.isin(stops.map(lit): _*)))
+    tokensInSetCount(tokens(c), stops)
 
   def stopwordRatio(c: Column, stops: Seq[String] = StopwordsEn): Column = {
     val n = tokenCount(c)

@@ -1,40 +1,24 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim
-import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Vector similarity (SURVEY §2.8 C21; reference
-  * `supabase/migrations/042_match_function.sql:38` — pgvector `<=>` cosine
-  * distance, exposed as `1 - distance` similarity).
-  *
-  * Two implementations:
-  *  - [[CosineSimilarity]]: a native Catalyst expression with whole-stage
-  *    codegen over the float array storage — the hot path for top-k scans
-  *    (no per-element lambda interpretation, no boxing).
-  *  - [[VectorFunctions.cosineSimHof]]: the same semantics composed from
-  *    `zip_with`/`aggregate` higher-order functions — kept as a reference
-  *    and for the DuckDB oracle mirror.
-  */
-case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+/** Static kernels for the vector expressions (called from generated code). */
+object VectorKernels {
 
-  override def dataType: DataType = DoubleType
-
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  def cosine(x: ArrayData, xf: Boolean, y: ArrayData, yf: Boolean): Double = {
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
       i += 1
     }
@@ -42,76 +26,115 @@ case class CosineSimilarity(left: Expression, right: Expression)
     if (denom == 0.0) 0.0 else dot / denom
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val i = ctx.freshName("i"); val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx")
-      val ny = ctx.freshName("ny"); val denom = ctx.freshName("denom")
-      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
-      s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.getFloat($i);
-         |  double $yi = (double) $y.getFloat($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
-         |}
-         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+  def dot(x: ArrayData, xf: Boolean, y: ArrayData, yf: Boolean): Double = {
+    val n = x.numElements()
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      d += xi * yi
+      i += 1
+    }
+    d
+  }
 }
 
-/** Codegen'd dot product over two float-array columns (no norms). */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression {
+/** Base for binary vector expressions over `array<float>`/`array<double>`
+  * columns: validates input types at analysis (an `array<double>` embedding
+  * would otherwise read garbage bytes through `getFloat`), reads each side
+  * with its own element width, and returns NULL on dimension mismatch
+  * (pgvector raises; in a distributed scan a null that the similarity
+  * threshold then drops is the job-friendly equivalent — documented).
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  protected def leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  protected def rightIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${getClass.getSimpleName} expects array<float|double> inputs, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  /** Kernel entry point, e.g. "graft.functions.VectorKernels.cosine". */
+  protected def kernel: String
+  protected def eval2(x: ArrayData, y: ArrayData): Double
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) {
-      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
-    }
-    dot
+    if (x.numElements() != y.numElements()) null else eval2(x, y)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val i = ctx.freshName("i"); val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $x.getFloat($i) * (double) $y.getFloat($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $kernel($x, $leftIsFloat, $y, $rightIsFloat);
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
+}
 
+/** Cosine similarity with whole-stage codegen over the array storage —
+  * the hot path for top-k scans (no per-element lambda interpretation,
+  * no boxing).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override protected def kernel: String = "graft.functions.VectorKernels.cosine"
+  override protected def eval2(x: ArrayData, y: ArrayData): Double =
+    VectorKernels.cosine(x, leftIsFloat, y, rightIsFloat)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd dot product over two vector columns (no norms). */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+  override protected def kernel: String = "graft.functions.VectorKernels.dot"
+  override protected def eval2(x: ArrayData, y: ArrayData): Double =
+    VectorKernels.dot(x, leftIsFloat, y, rightIsFloat)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Vector similarity (SURVEY §2.8 C21; reference
+  * `supabase/migrations/042_match_function.sql:38` — pgvector `<=>` cosine
+  * distance, exposed as `1 - distance` similarity).
+  */
 object VectorFunctions {
 
-  /** Codegen'd cosine similarity over two `array<float>` columns. */
+  /** Codegen'd cosine similarity over two `array<float|double>` columns.
+    * NULL on dimension mismatch.
+    */
   def cosineSim(a: Column, b: Column): Column =
     graftshim.column(CosineSimilarity(
       graftshim.expression(a), graftshim.expression(b)))
 
-  /** Codegen'd float-array dot product (for hyperplane sign tests). */
+  /** Codegen'd dot product (for hyperplane sign tests). NULL on dimension
+    * mismatch.
+    */
   def dotF(a: Column, b: Column): Column =
     graftshim.column(DotProduct(
       graftshim.expression(a), graftshim.expression(b)))

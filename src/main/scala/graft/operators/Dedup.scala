@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   * groupBy on bucket keys → in-bucket pair expansion → verify. No
   * self-joins (which would compute the signature subtree once per side —
   * Spark's ReuseExchange does not fire when one side is broadcast), and
-  * no all-pairs comparison: candidate volume is Σ|bucket|², bounded by the
-  * hash construction. Payload (id + signature/size) rides along with each
-  * bucket row so no back-join against the source is needed.
+  * no all-pairs comparison: candidate volume is Σ|bucket|², bounded by
+  * `maxBucket` — buckets larger than that are dropped before their member
+  * arrays are ever materialized (a hot bucket expanded in one task was the
+  * round-1 straggler and is an OOM at 100 TB). Dropping an over-cap bucket
+  * is the standard document-frequency cutoff from the dedup literature: a
+  * key shared by thousands of documents carries no discriminative signal.
+  * Use [[Dedup.overflowBuckets]] to observe what a cap drops.
   */
 object Dedup {
 
@@ -38,14 +42,37 @@ object Dedup {
       transform(sequence(i + 1, size(m)), j =>
         struct(element_at(m, i).as("p1"), element_at(m, j).as("p2")))))
 
-  /** groupBy bucket key → emit all in-bucket (p1, p2) payload pairs. */
+  /** groupBy bucket key → emit all in-bucket (p1, p2) payload pairs for
+    * buckets of size 2..maxBucket.
+    *
+    * The size gate runs as a window count BEFORE the member arrays are
+    * collected, so an over-cap bucket never materializes as one giant row
+    * (the window and the groupBy hash-partition on the same keys — one
+    * shuffle, the gate costs only the window sort). Per-bucket expansion
+    * work is then bounded by maxBucket²/2.
+    */
   private def pairsWithinBuckets(df: DataFrame, keyCols: Seq[Column],
-                                 payload: Column): DataFrame =
-    df.groupBy(keyCols: _*)
-      .agg(sort_array(collect_list(payload)).as("m"))
-      .where(size(col("m")) >= 2)
+                                 payload: Column, maxBucket: Int): DataFrame = {
+    val keyed = df.select(
+      keyCols.zipWithIndex.map { case (c, i) => c.as(s"__k$i") } :+
+        payload.as("__p"): _*)
+    val keyNames = keyCols.indices.map(i => col(s"__k$i"))
+    keyed
+      .withColumn("__bs", count(lit(1)).over(Window.partitionBy(keyNames: _*)))
+      .where(col("__bs").between(2, maxBucket))
+      .groupBy(keyNames: _*)
+      .agg(sort_array(collect_list(col("__p"))).as("m"))
       .select(explode(pairExpand(col("m"))).as("p"))
       .select(col("p.p1").as("p1"), col("p.p2").as("p2"))
+  }
+
+  /** Buckets a `maxBucket` cap would drop — (bucket key, size) per over-cap
+    * key. Run this alongside a capped dedup to log/audit the cutoff.
+    */
+  def overflowBuckets(df: DataFrame, keyCols: Seq[Column],
+                      maxBucket: Int): DataFrame =
+    df.groupBy(keyCols: _*).agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucket)
 
   /** Exact dedup: keep one deterministic winner per key group (lowest
     * tie-break value). Equivalent to the reference's
@@ -59,12 +86,17 @@ object Dedup {
   }
 
   /** Pairs of ids whose word-`n`-gram shingle sets reach `threshold`
-    * (exact) Jaccard similarity. Each exploded shingle row carries the
-    * owner's set size, so the intersection count and Jaccard come out of
-    * the bucket aggregation directly — one pass over the corpus.
+    * Jaccard similarity in the document-frequency-filtered shingle space:
+    * shingles appearing in more than `dfCutoff` documents are dropped
+    * before any pairing (both from intersections AND from set sizes, so
+    * the measure stays a true Jaccard over the kept space). A stop-shingle
+    * ("of the lease term shall") is no evidence of duplication, and its
+    * bucket is quadratic — at 100× corpus a single common shingle would
+    * otherwise kill the job.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double): DataFrame = {
+                        n: Int, threshold: Double,
+                        dfCutoff: Int = 128): DataFrame = {
     // Two-step projection: tokens bound to an attribute before the ngram
     // lambda (interpreted HOF lambdas re-evaluate captured expressions
     // per element — see TextFunctions.ngramsOfTokens).
@@ -72,10 +104,15 @@ object Dedup {
       TextFunctions.tokens(col(textCol)).as("tk"))
     val shingled = toks.select(col("id"),
       TextFunctions.distinctNgramsOfTokens(col("tk"), n).as("sh"))
-    val ex = shingled.select(col("id"), size(col("sh")).as("sz"),
-      explode(col("sh")).as("s"))
-    val pairs = pairsWithinBuckets(ex, Seq(col("s")),
-      struct(col("id"), col("sz")))
+    val ex = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val kept = ex
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+      .where(col("__df") <= dfCutoff)
+    // set size in the SAME df-filtered space as the intersection counts
+    val sized = kept
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+    val pairs = pairsWithinBuckets(sized.where(col("__df") >= 2),
+      Seq(col("s")), struct(col("id"), col("sz")), maxBucket = dfCutoff)
     pairs.groupBy(col("p1.id").as("id1"), col("p1.sz").as("sz1"),
         col("p2.id").as("id2"), col("p2.sz").as("sz2"))
       .agg(count(lit(1)).as("inter"))
@@ -87,11 +124,13 @@ object Dedup {
 
   /** MinHash + LSH near-dup candidates: k-wide signatures, banded into
     * `bands`×`rowsPerBand`; docs sharing any band bucket become candidate
-    * pairs, then verified with the signature-estimated Jaccard.
+    * pairs, then verified with the signature-estimated Jaccard. Band
+    * buckets larger than `maxBucket` are dropped (df-cutoff; see class
+    * doc).
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5, maxBucket: Int = 256): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPerBand = k / bands
     val toks = spread(df).select(col(idCol).as("id"),
@@ -102,7 +141,7 @@ object Dedup {
     val banded = sigs.select(col("id"), col("sig"),
       explode(MinHash.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     val pairs = pairsWithinBuckets(banded, Seq(col("bk")),
-      struct(col("id"), col("sig")))
+      struct(col("id"), col("sig")), maxBucket)
     pairs.select(col("p1.id").as("id1"), col("p2.id").as("id2"),
         col("p1.sig").as("sig1"), col("p2.sig").as("sig2"))
       .dropDuplicates("id1", "id2")
@@ -113,10 +152,11 @@ object Dedup {
 
   /** SimHash near-dup: 64-bit signature; candidates share one of four
     * 16-bit chunks (guarantees recall for Hamming distance ≤ 3), verified
-    * by exact Hamming distance.
+    * by exact Hamming distance. Chunk buckets larger than `maxBucket` are
+    * dropped (df-cutoff; see class doc).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     val sigs = spread(df).select(col(idCol).as("id"),
       MinHash.simHash(TextFunctions.tokens(col(textCol))).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
@@ -124,7 +164,7 @@ object Dedup {
         struct(lit(i).as("chunk"),
           shiftright(col("sig"), i * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("ck"))
     val pairs = pairsWithinBuckets(chunked, Seq(col("ck")),
-      struct(col("id"), col("sig")))
+      struct(col("id"), col("sig")), maxBucket)
     pairs.select(col("p1.id").as("id1"), col("p2.id").as("id2"),
         col("p1.sig").as("sig1"), col("p2.sig").as("sig2"))
       .dropDuplicates("id1", "id2")
@@ -133,45 +173,78 @@ object Dedup {
       .select("id1", "id2", "hamming")
   }
 
+  /** The cosine threshold below which hyperplane LSH stops being an index:
+    * at cos ≈ 0.8 a 16-plane band already matches with probability only
+    * (1 − acos(0.8)/π)^16 ≈ 0.03, so candidate volume approaches all-pairs
+    * and the banding is pure overhead. Below this, use
+    * [[bruteForceCosinePairs]] (deliberate, bounded) — [[embeddingNearDupPairs]]
+    * switches automatically.
+    */
+  val LshCrossoverThreshold = 0.8
+
   /** Embedding-cosine near-dup via banded random-hyperplane LSH:
     * `bands` independent sign-signatures of `planesPerBand` hyperplanes
     * each; vectors sharing ANY band bucket become candidates (a single
     * concatenated signature would drop a near-dup pair on one disagreeing
     * plane), then exact cosine verifies. Deterministic seeded hyperplanes
-    * (no RNG at plan time).
+    * (no RNG at plan time); one native kernel computes all band keys per
+    * row (the per-plane expression form was a round-1 plan-size hotspot).
+    *
+    * Parameterization matters: this is an index for the HIGH-similarity
+    * regime (threshold ≥ ~[[LshCrossoverThreshold]]). Defaults (12 bands ×
+    * 16 planes) give ≈ 0.98+ recall at cos 0.995 while keeping random
+    * collisions (cos ≤ 0.5) per band below 2e-3.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-                           dim: Int, bands: Int = 4, planesPerBand: Int = 8,
-                           threshold: Double = 0.95): DataFrame = {
-    def planeLit(p: Int): Column = array((0 until dim).map { d =>
-      // deterministic pseudo-random in [-1, 1): splitmix64-style mix
-      val x = java.lang.Long.rotateLeft(
-        (p * 1009L + d * 31L + 7L) * 0x9e3779b97f4a7c15L, 31)
-      lit((x.toDouble / Long.MaxValue.toDouble).toFloat)
-    }: _*)
-    val bandKey = (v: Column, b: Int) =>
-      (0 until planesPerBand).map { i =>
-        when(VectorFunctions.dotF(v,
-          planeLit(b * planesPerBand + i).cast("array<float>")) >= 0,
-          lit(1L << i)).otherwise(0L)
-      }.reduce((a, c) => a.bitwiseOR(c))
+                           bands: Int = 12, planesPerBand: Int = 16,
+                           threshold: Double = 0.9, maxBucket: Int = 512,
+                           seed: Long = 42L): DataFrame = {
+    require(planesPerBand <= 63, "planesPerBand must fit in a long key")
     val sigs = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = sigs.select(col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), bandKey(col("v"), b).as("key"))): _*)).as("bk"))
     // carry only ids through the bucket expansion (vectors are wide —
-    // dragging them through interpreted pair expansion dominates cost);
-    // verification joins the vector table back on both sides
-    val pairs = pairsWithinBuckets(banded, Seq(col("bk")),
-      struct(col("id")))
+    // dragging them through pair expansion dominates cost); verification
+    // joins the vector table back on both sides
+    val banded = sigs.select(col("id"),
+      posexplode(MinHash.hyperplaneBands(col("v"), bands, planesPerBand, seed)))
+      .toDF("id", "band", "key")
+    val pairs = pairsWithinBuckets(banded, Seq(col("band"), col("key")),
+      struct(col("id")), maxBucket)
       .select(col("p1.id").as("id1"), col("p2.id").as("id2"))
       .dropDuplicates("id1", "id2")
-    val vecs = sigs
     pairs
-      .join(vecs.select(col("id").as("id1"), col("v").as("v1")), "id1")
-      .join(vecs.select(col("id").as("id2"), col("v").as("v2")), "id2")
+      .join(sigs.select(col("id").as("id1"), col("v").as("v1")), "id1")
+      .join(sigs.select(col("id").as("id2"), col("v").as("v2")), "id2")
       .withColumn("cos", VectorFunctions.cosineSim(col("v1"), col("v2")))
       .where(col("cos") >= threshold)
       .select("id1", "id2", "cos")
   }
+
+  /** All-pairs exact cosine — O(n²) BY DESIGN, the documented fallback for
+    * thresholds below [[LshCrossoverThreshold]] where no LSH parameterization
+    * beats it. Distributed as a nested-loop/cartesian join over partition
+    * pairs (no single-task stage), but total work is quadratic: bound the
+    * input (a per-tenant slice, a time window) before calling at scale.
+    */
+  def bruteForceCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val a = spread(df).select(col(idCol).as("id1"), col(vecCol).as("v1"))
+    val b = df.select(col(idCol).as("id2"), col(vecCol).as("v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", VectorFunctions.cosineSim(col("v1"), col("v2")))
+      .where(col("cos") >= threshold)
+      .select("id1", "id2", "cos")
+  }
+
+  /** Embedding near-dup pairs with the index/fallback decision made by
+    * threshold: hyperplane LSH in the high-similarity regime, blocked
+    * brute force below the crossover (see [[LshCrossoverThreshold]]).
+    */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, bands: Int = 12,
+                            planesPerBand: Int = 16, maxBucket: Int = 512,
+                            seed: Long = 42L): DataFrame =
+    if (threshold >= LshCrossoverThreshold)
+      embeddingCosinePairs(df, idCol, vecCol, bands, planesPerBand,
+        threshold, maxBucket, seed)
+    else bruteForceCosinePairs(df, idCol, vecCol, threshold)
 }

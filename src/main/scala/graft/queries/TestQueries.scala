@@ -558,11 +558,13 @@ object TestQueries {
                  THEN [array_to_string(tk[i:i+4], ' ') for i in range(1, LEN(tk) - 3)]
                  ELSE CAST([] AS VARCHAR[]) END) AS s
         FROM toks),
-      sz AS (SELECT doc_id, LEN(s) AS sz FROM sh),
       ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 128),
+      kx AS (SELECT e.doc_id, e.g FROM ex e JOIN keep USING (g)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM kx GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
-        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        FROM kx a JOIN kx b ON a.g = b.g AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT id1, id2, ROUND(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jaccard
       FROM inter

@@ -30,7 +30,7 @@ object TestQueries2 {
       val toks = t(s, dir, "documents").select(col("doc_id"), col("lang"),
         col("text"), TextFunctions.tokens(col("text")).as("tk"))
       def cnt(stops: Seq[String]) =
-        size(filter(col("tk"), x => x.isin(stops.map(lit): _*)))
+        TextFunctions.tokensInSetCount(col("tk"), stops)
       val counted = toks.select(col("doc_id"), col("lang"),
         size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0))).as("cjk"),
         cnt(TextFunctions.StopwordsEn).as("s_en"),

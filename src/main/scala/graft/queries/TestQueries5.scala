@@ -248,25 +248,80 @@ object TestQueries5 {
       GROUP BY user_id, sess
       ORDER BY user_id, session_start"""))
 
-  /** Embedding-cosine near-dup over the embeddings table via banded
-    * hyperplane LSH + exact verify — rows-only (the bucketing hash family
-    * is engine-specific; pair quality is pinned by DedupSpec).
+  /** Embedding-cosine near-dup via banded hyperplane LSH + exact verify,
+    * run in the regime LSH is FOR: high similarity. The raw testdata
+    * embeddings have no near-dups (max pairwise cosine ≈ 0.51), so the
+    * query plants them — each vector gets a deterministically perturbed
+    * copy at cosine ≈ 0.995 (exact integer-mod noise, so the DuckDB oracle
+    * reproduces it bit-for-bit) — and the oracle brute-forces all pairs at
+    * the same threshold. Green = the LSH index has 100% recall on the
+    * planted set AND the cosine verify is exact. (Round 1 ran this at
+    * threshold 0.35 / 4 planes per band, which degenerates to all-pairs —
+    * the low-similarity regime now routes to bruteForceCosinePairs, q62.)
     */
   val q61EmbeddingDedup: QueryCase = QueryCase(
     "q61_embedding_dedup",
-    (s, dir) =>
-      // testdata embeddings have no true near-dups (max pairwise cosine
-      // ≈ 0.51), so the query targets the weak-similarity regime: short
-      // band signatures (4 planes) keep per-band recall usable at
-      // cos ≈ 0.35 and 16 bands OR them together
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val orig = e.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      val pert = e.select((col("vec_id") + 1000000L).as("id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") +
+            lit(0.02) * ((col("vec_id") * 31 + i * 7) % 97 - 48).cast("double")
+              / lit(48.0)).as("v"))
       graft.operators.Dedup.embeddingCosinePairs(
-          t(s, dir, "embeddings"), "vec_id", "embedding", dim = 64,
-          bands = 16, planesPerBand = 4, threshold = 0.35)
+          orig.unionByName(pert), "id", "v",
+          bands = 12, planesPerBand = 16, threshold = 0.9)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+        .orderBy("id1", "id2")
+    },
+    Some("""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      corpus AS (
+        SELECT vec_id AS id, v FROM base
+        UNION ALL
+        SELECT vec_id + 1000000 AS id,
+               list_transform(v, (x, i) -> x +
+                 0.02 * CAST(((vec_id*31 + (i-1)*7) % 97) - 48 AS DOUBLE) / 48.0) AS v
+        FROM base),
+      pairs AS (
+        SELECT a.id AS id1, b.id AS id2,
+          list_reduce(list_transform(a.v, (x, i) -> x * b.v[i]), (s, t) -> s + t) /
+          (sqrt(list_reduce(list_transform(a.v, x -> x * x), (s, t) -> s + t)) *
+           sqrt(list_reduce(list_transform(b.v, x -> x * x), (s, t) -> s + t))) AS cos
+        FROM corpus a JOIN corpus b ON a.id < b.id)
+      SELECT id1, id2, ROUND(cos, 6) AS cos
+      FROM pairs WHERE cos >= 0.9 ORDER BY id1, id2"""))
+
+  /** Low-similarity pair mining (the round-1 q61 regime, threshold 0.35):
+    * below the LSH crossover no banding beats all-pairs, so
+    * embeddingNearDupPairs routes to the documented brute-force path —
+    * distributed nested-loop, exact, oracle-checked.
+    */
+  val q62EmbeddingBruteforce: QueryCase = QueryCase(
+    "q62_embedding_bruteforce",
+    (s, dir) =>
+      graft.operators.Dedup.embeddingNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.35)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy("id1", "id2"),
-    None)
+    Some("""
+      WITH base AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+          list_reduce(list_transform(a.v, (x, i) -> x * b.v[i]), (s, t) -> s + t) /
+          (sqrt(list_reduce(list_transform(a.v, x -> x * x), (s, t) -> s + t)) *
+           sqrt(list_reduce(list_transform(b.v, x -> x * x), (s, t) -> s + t))) AS cos
+        FROM base a JOIN base b ON a.vec_id < b.vec_id)
+      SELECT id1, id2, ROUND(cos, 6) AS cos
+      FROM pairs WHERE cos >= 0.35 ORDER BY id1, id2"""))
 
   val all: Seq[QueryCase] = Seq(
     q54Hybrid, q55TableExtract, q56ActiveDocs, q57ErrorSanitize, q58HashEmbed,
-    q59Pipeline, q60Sessionize, q61EmbeddingDedup)
+    q59Pipeline, q60Sessionize, q61EmbeddingDedup, q62EmbeddingBruteforce)
 }

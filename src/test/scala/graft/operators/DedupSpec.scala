@@ -73,7 +73,7 @@ class DedupSpec extends SparkSpec {
       (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),     // orthogonal
       (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))     // opposite
     ).toDF("id", "vec")
-    val pairs = Dedup.embeddingCosinePairs(vecs, "id", "vec", dim = 4,
+    val pairs = Dedup.embeddingCosinePairs(vecs, "id", "vec",
         bands = 4, planesPerBand = 4, threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
