@@ -7,19 +7,36 @@ import org.apache.spark.sql.functions._
   * C23–C26; reference `src/extraction/om_confidence.py`,
   * `pro_forma_validator.py`, `om_calibration.py`).
   *
-  * Pure column arithmetic — multiplicative confidence with source /
-  * value-type / skepticism factors, consistency-check penalty rules,
-  * benchmark warnings, and calibration variance with zero-guards.
+  * Pure column arithmetic, mirroring the reference's constants and
+  * branch structure exactly (factor tables, defaults, penalty
+  * magnitudes, truthiness guards) so confidence numbers line up.
   */
 object OmConfidence {
 
-  /** C24 factor tables (`om_confidence.py:25-42`). */
-  val SourceFactors: Map[String, Double] = Map(
-    "document_text" -> 1.0, "table" -> 0.95, "footnote" -> 0.85,
-    "inferred" -> 0.7)
+  /** `om_confidence.py:27-35` SOURCE_RELIABILITY — reliability by the OM
+    * section a value was read from. Unknown/missing section → 0.85.
+    */
+  val SourceReliability: Map[String, Double] = Map(
+    "executive_summary" -> 0.95,
+    "financial_summary_page" -> 0.92,
+    "detailed_exhibits" -> 0.98,
+    "investment_highlights" -> 0.75,
+    "market_overview" -> 0.80,
+    "pro_forma_projections" -> 0.70,
+    "broker_assumptions" -> 0.65)
+  val SourceDefault = 0.85
+
+  /** `om_confidence.py:37-44` VALUE_TYPE_FACTORS — actual/trailing vs
+    * projected/broker-claimed values. Unknown/missing type → 0.85.
+    */
   val ValueTypeFactors: Map[String, Double] = Map(
-    "number" -> 1.0, "currency" -> 1.0, "percent" -> 0.95, "date" -> 0.95,
-    "text" -> 0.9, "derived" -> 0.8)
+    "actual" -> 1.0,
+    "trailing_12" -> 0.98,
+    "annualized" -> 0.92,
+    "pro_forma" -> 0.80,
+    "stabilized" -> 0.75,
+    "broker_estimate" -> 0.70)
+  val ValueTypeDefault = 0.85
 
   private def lookup(m: Map[String, Double], c: Column, default: Double): Column =
     m.foldLeft(lit(default)) { case (acc, (k, v)) =>
@@ -27,69 +44,114 @@ object OmConfidence {
     }
 
   /** C24: field confidence = base × source × value_type × skepticism ×
-    * penalty, clamped to [0, 1] (`om_confidence.py:88-116`).
+    * penalty, clamped to [0, 1] (`om_confidence.py:90-117`,
+    * `calculate_om_field_confidence`). `skepticism` comes from the OM
+    * field catalog ([[graft.extract.OmFieldCatalog]]); `penalty` is the
+    * field's entry from [[consistencyPenalties]] (1.0 when clean).
     */
   def fieldConfidence(base: Column, source: Column, valueType: Column,
                       skepticism: Column, penalty: Column): Column = {
-    val raw = base * lookup(SourceFactors, source, 0.7) *
-      lookup(ValueTypeFactors, valueType, 0.9) *
+    val raw = base * lookup(SourceReliability, source, SourceDefault) *
+      lookup(ValueTypeFactors, valueType, ValueTypeDefault) *
       coalesce(skepticism, lit(1.0)) * coalesce(penalty, lit(1.0))
     least(lit(1.0), greatest(lit(0.0), raw))
   }
 
-  /** C23: consistency checks → penalty multipliers
-    * (`om_confidence.py:45-85`): cap rate vs NOI/price (tolerance .005),
-    * price-per-SF vs price/SF (2%), occupancy ∈ [0,1], NOI growth bands.
+  /** C23: internal-consistency checks → PER-FIELD penalty multipliers
+    * (`om_confidence.py:47-87` `check_om_consistency` — the reference
+    * penalizes only the inconsistent field, not the whole row):
+    *
+    *  - `cap_rate_in_place` ×0.85 when |noi/price − stated cap| > 0.005
+    *  - `price_psf`         ×0.90 when |price/sf − stated psf|/psf > 2%
+    *  - `occupancy_current` ×0.50 outside [0,1]; ×0.85 above 0.98
+    *    (a 99%+ occupancy claim is marketing)
+    *  - `noi_pro_forma`     ×0.70 when pro-forma/in-place > 1.5;
+    *                        ×0.80 when > 1.3
+    *
+    * Zero guards mirror Python truthiness (`if asking:` etc.).
     */
-  def consistencyPenalty(capRate: Column, noi: Column, price: Column,
-                         pricePerSf: Column, sf: Column,
-                         occupancy: Column): Column = {
-    val impliedCap = when(price > 0, noi / price)
+  def consistencyPenalties(capRate: Column, noi: Column, price: Column,
+                           pricePsf: Column, sf: Column, occupancy: Column,
+                           noiProForma: Column): Column = {
     val capPenalty = when(
-      capRate.isNotNull && impliedCap.isNotNull &&
-        abs(capRate - impliedCap) > 0.005, 0.8).otherwise(1.0)
-    val impliedPsf = when(sf > 0, price / sf)
+      capRate.isNotNull && noi.isNotNull && price.isNotNull && price =!= 0 &&
+        abs(noi / price - capRate) > 0.005, 0.85).otherwise(1.0)
     val psfPenalty = when(
-      pricePerSf.isNotNull && impliedPsf.isNotNull &&
-        abs(pricePerSf - impliedPsf) / impliedPsf > 0.02, 0.85).otherwise(1.0)
-    val occPenalty = when(
-      occupancy.isNotNull && (occupancy < 0 || occupancy > 1), 0.7)
+      pricePsf.isNotNull && pricePsf =!= 0 && price.isNotNull &&
+        sf.isNotNull && sf =!= 0 &&
+        abs(price / sf - pricePsf) / pricePsf > 0.02, 0.90).otherwise(1.0)
+    val occPenalty = when(occupancy.isNull, 1.0)
+      .when(occupancy > 1.0 || occupancy < 0, 0.50)
+      .when(occupancy > 0.98, 0.85)
       .otherwise(1.0)
-    capPenalty * psfPenalty * occPenalty
+    val noiPenalty = when(
+      noi.isNotNull && noi =!= 0 && noiProForma.isNotNull && noiProForma =!= 0,
+      when(noiProForma / noi > 1.5, 0.70)
+        .when(noiProForma / noi > 1.3, 0.80)
+        .otherwise(1.0)).otherwise(1.0)
+    struct(
+      capPenalty.as("cap_rate_in_place"),
+      psfPenalty.as("price_psf"),
+      occPenalty.as("occupancy_current"),
+      noiPenalty.as("noi_pro_forma"))
   }
 
-  /** A5-variant: doc-level confidence with critical-field coverage penalty
-    * (`om_confidence.py:119-146`): weighted average × coverage, coverage =
-    * present critical fields / total critical fields.
+  /** The six critical fields whose presence drives doc-level coverage
+    * (`om_confidence.py:126`).
+    */
+  val CriticalFields: Set[String] = Set(
+    "asking_price", "cap_rate_in_place", "noi_in_place", "total_sf",
+    "property_type", "occupancy_current")
+
+  /** C24 doc-level: weighted-average field confidence, with the coverage
+    * penalty applied ONLY when critical-field coverage < 0.8, clamped to
+    * [0, 1] (`om_confidence.py:120-146`
+    * `calculate_om_document_confidence`).
     */
   def docConfidence(weightedAvg: Column, presentCritical: Column,
                     totalCritical: Column): Column = {
-    val coverage = when(totalCritical > 0,
-      presentCritical.cast("double") / totalCritical).otherwise(1.0)
-    least(lit(0.99), weightedAvg * (lit(0.5) + lit(0.5) * coverage))
+    val coverage = presentCritical.cast("double") / totalCritical
+    val penalized = when(coverage < 0.8,
+      weightedAvg * (lit(0.5) + lit(0.5) * coverage)).otherwise(weightedAvg)
+    least(lit(1.0), greatest(lit(0.0), penalized))
   }
 
-  /** C25: pro-forma benchmark validation → array of warning structs
-    * (`pro_forma_validator.py:20-68`). Benchmarks as (metric, lo, hi,
-    * severity) literals.
+  /** C25 market benchmarks (`pro_forma_validator.py:21-27`), kept as data
+    * for catalogs/UI even though `validate` hard-codes its three rules.
     */
-  case class Benchmark(metric: String, lo: Double, hi: Double, severity: String)
+  case class Benchmark(metric: String, lo: Double, hi: Double, typical: Double)
 
   val MarketBenchmarks: Seq[Benchmark] = Seq(
-    Benchmark("cap_rate", 0.03, 0.12, "high"),
-    Benchmark("vacancy_rate", 0.0, 0.30, "medium"),
-    Benchmark("expense_ratio", 0.20, 0.60, "medium"),
-    Benchmark("rent_growth", -0.05, 0.15, "low"))
+    Benchmark("rent_growth_annual", 0.0, 0.05, 0.03),
+    Benchmark("expense_growth_annual", 0.02, 0.04, 0.025),
+    Benchmark("cap_rate_compression", 0.0, 0.0075, 0.0025),
+    Benchmark("occupancy_stabilized", 0.90, 0.97, 0.94),
+    Benchmark("lease_up_months", 6, 36, 18))
 
-  def benchmarkWarnings(values: Map[String, Column]): Column = {
-    val warnings = MarketBenchmarks.flatMap { b =>
-      values.get(b.metric).map { v =>
-        when(v.isNotNull && (v < b.lo || v > b.hi),
-          struct(lit(b.metric).as("metric"), v.as("value"),
-            lit(b.severity).as("severity")))
-      }
-    }
-    array_compact(array(warnings: _*))
+  /** C25: pro-forma reasonableness warnings
+    * (`pro_forma_validator.py:29-68` `ProFormaValidator.validate`):
+    * array of (field, issue, severity) structs —
+    *
+    *  - rent_growth_assumption > 5%      → aggressive / high
+    *  - pro-forma NOI > 30% above in-place → aggressive / high
+    *  - stabilized occupancy > 97%       → optimistic / medium
+    */
+  def benchmarkWarnings(rentGrowth: Column, noiInPlace: Column,
+                        noiProForma: Column,
+                        occupancyProForma: Column): Column = {
+    def warning(field: String, issue: String, severity: String): Column =
+      struct(lit(field).as("field"), lit(issue).as("issue"),
+        lit(severity).as("severity"))
+    val rent = when(rentGrowth.isNotNull && rentGrowth > 0.05,
+      warning("rent_growth_assumption", "aggressive", "high"))
+    val noi = when(
+      noiInPlace.isNotNull && noiInPlace =!= 0 &&
+        noiProForma.isNotNull && noiProForma =!= 0 &&
+        noiProForma / noiInPlace - 1 > 0.30,
+      warning("noi_pro_forma", "aggressive", "high"))
+    val occ = when(occupancyProForma.isNotNull && occupancyProForma > 0.97,
+      warning("occupancy_pro_forma", "optimistic", "medium"))
+    array_compact(array(rent, noi, occ))
   }
 
   /** C26: calibration variance (`om_calibration.py:20-65,79-126`):

@@ -44,11 +44,24 @@ object TenantContext {
           unscoped.mkString(", "))
   }
 
-  private def tenantEqualities(cond: org.apache.spark.sql.catalyst.expressions.Expression): Set[Long] =
-    cond.collect {
+  /** tenant_id equalities that actually CONSTRAIN the filter output: only
+    * top-level And conjuncts count. A `tenant_id = 'a' OR amount > 5`
+    * condition returns other tenants' rows, so an equality found under
+    * Or/Not/Coalesce must NOT mark the relation scoped (collecting over
+    * the whole condition tree failed open here — round-1 ADVICE).
+    */
+  private def tenantEqualities(cond: org.apache.spark.sql.catalyst.expressions.Expression): Set[Long] = {
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+    conjuncts(cond).collect {
       case EqualTo(a: Attribute, _: Literal) if a.name == "tenant_id" => a.exprId.id
       case EqualTo(_: Literal, a: Attribute) if a.name == "tenant_id" => a.exprId.id
     }.toSet
+  }
 
   private def findUnscopedTenantRelations(plan: LogicalPlan,
                                           scopedAbove: Set[Long]): Seq[String] =

@@ -1,0 +1,127 @@
+package graft.extract
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** OM (offering-memorandum) field catalog — the full field inventory with
+  * extraction weights and marketing-skepticism factors (reference
+  * `src/extraction/om_fields.py:41-247` `get_om_fields`, 61 definitions).
+  * Catalog entries are data: [[graft.analytics.OmConfidence.fieldConfidence]]
+  * multiplies by `skepticism`, doc-level scoring weights by `weight`, and
+  * the prompt/UI surface lists type/required/values.
+  */
+object OmFieldCatalog {
+
+  /** Mirror of `OMFieldDefinition` (`om_fields.py:26-38`). */
+  case class OmFieldDef(
+      name: String,
+      ftype: String,
+      required: Boolean,
+      weight: Double,
+      skepticism: Double = 1.0,
+      values: Seq[String] = Nil,
+      appliesTo: Seq[String] = Nil,
+      maxItems: Option[Int] = None)
+
+  private def f(name: String, ftype: String, required: Boolean, weight: Double,
+                skepticism: Double = 1.0, values: Seq[String] = Nil,
+                appliesTo: Seq[String] = Nil, maxItems: Option[Int] = None) =
+    OmFieldDef(name, ftype, required, weight, skepticism, values, appliesTo,
+      maxItems)
+
+  val Fields: Seq[OmFieldDef] = Seq(
+    // property identification
+    f("property_name", "string", required = true, 1.0),
+    f("property_address", "address", required = true, 1.2),
+    f("city", "string", required = true, 1.0),
+    f("state", "string", required = true, 1.0),
+    f("zip_code", "string", required = true, 0.8),
+    f("county", "string", required = false, 0.6),
+    f("submarket", "string", required = false, 0.8),
+    // property characteristics
+    f("property_type", "enum", required = true, 1.3,
+      values = Seq("office", "retail", "multifamily", "industrial",
+        "hospitality", "mixed_use", "land", "self_storage", "medical_office",
+        "data_center")),
+    f("property_subtype", "string", required = false, 0.7),
+    f("year_built", "integer", required = true, 1.1),
+    f("year_renovated", "integer", required = false, 0.8),
+    f("total_sf", "integer", required = true, 1.4),
+    f("land_area_sf", "integer", required = false, 0.9),
+    f("land_area_acres", "float", required = false, 0.9),
+    f("num_buildings", "integer", required = false, 0.7),
+    f("num_floors", "integer", required = false, 0.7),
+    f("num_units", "integer", required = true, 1.3,
+      appliesTo = Seq("multifamily", "self_storage", "hospitality")),
+    f("parking_spaces", "integer", required = false, 0.6),
+    f("parking_ratio", "float", required = false, 0.6),
+    f("zoning", "string", required = false, 0.7),
+    f("construction_type", "string", required = false, 0.5),
+    // pricing
+    f("asking_price", "currency", required = true, 1.5),
+    f("price_psf", "currency", required = false, 1.2),
+    f("price_per_unit", "currency", required = false, 1.2,
+      appliesTo = Seq("multifamily", "self_storage", "hospitality")),
+    f("guidance_price_low", "currency", required = false, 1.3),
+    f("guidance_price_high", "currency", required = false, 1.3),
+    // financial metrics — in place
+    f("noi_in_place", "currency", required = true, 1.5),
+    f("cap_rate_in_place", "percent", required = true, 1.5),
+    f("occupancy_current", "percent", required = true, 1.4),
+    f("occupancy_type", "enum", required = false, 0.8,
+      values = Seq("physical", "economic")),
+    f("egr_in_place", "currency", required = false, 1.2),
+    f("operating_expenses", "currency", required = false, 1.1),
+    f("expense_ratio", "percent", required = false, 0.9),
+    // financial metrics — pro forma (skepticism-discounted)
+    f("noi_pro_forma", "currency", required = false, 1.3, skepticism = 0.85),
+    f("cap_rate_pro_forma", "percent", required = false, 1.3, skepticism = 0.85),
+    f("occupancy_pro_forma", "percent", required = false, 1.1, skepticism = 0.85),
+    f("egr_pro_forma", "currency", required = false, 1.1, skepticism = 0.85),
+    f("rent_growth_assumption", "percent", required = false, 0.8,
+      skepticism = 0.80),
+    // rent roll summary
+    f("avg_rent_psf", "currency", required = false, 1.2),
+    f("avg_rent_per_unit", "currency", required = false, 1.2,
+      appliesTo = Seq("multifamily")),
+    f("market_rent_psf", "currency", required = false, 1.0, skepticism = 0.90),
+    f("rent_to_market_ratio", "percent", required = false, 1.1),
+    f("walt_years", "float", required = false, 1.3),
+    f("largest_tenant", "string", required = false, 0.9),
+    f("largest_tenant_sf", "integer", required = false, 0.8),
+    f("largest_tenant_pct", "percent", required = false, 0.9),
+    f("num_tenants", "integer", required = false, 0.7),
+    // debt information
+    f("assumable_debt", "boolean", required = false, 1.2),
+    f("loan_amount", "currency", required = false, 1.1),
+    f("loan_rate", "percent", required = false, 1.0),
+    f("loan_maturity_date", "date", required = false, 1.0),
+    f("loan_type", "string", required = false, 0.7),
+    f("ltv", "percent", required = false, 0.9),
+    // investment narrative
+    f("investment_highlights", "list[string]", required = false, 0.6,
+      maxItems = Some(10)),
+    f("value_add_opportunities", "list[string]", required = false, 0.7,
+      skepticism = 0.80),
+    // transaction info
+    f("listing_broker_company", "string", required = true, 0.8),
+    f("listing_broker_name", "string", required = false, 0.6),
+    f("listing_broker_contact", "string", required = false, 0.5),
+    f("offer_deadline", "date", required = false, 1.0),
+    f("sale_type", "enum", required = false, 0.9,
+      values = Seq("fee_simple", "ground_lease", "leasehold", "portfolio",
+        "note_sale")),
+    f("marketing_start_date", "date", required = false, 0.5))
+
+  lazy val byName: Map[String, OmFieldDef] = Fields.map(d => d.name -> d).toMap
+
+  /** The catalog as a DataFrame — joinable against extracted EAV rows so
+    * weight/skepticism lookups are a broadcast join, not a driver loop.
+    */
+  def toDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Fields.map(d => (d.name, d.ftype, d.required, d.weight, d.skepticism,
+      d.values, d.appliesTo, d.maxItems))
+      .toDF("field", "ftype", "required", "weight", "skepticism", "values",
+        "applies_to", "max_items")
+  }
+}

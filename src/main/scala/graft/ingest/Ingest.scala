@@ -25,7 +25,10 @@ object Ingest {
     */
   def validate(df: DataFrame, contentCol: String, nameCol: String,
                maxSizeBytes: Long = 500L * 1024 * 1024): DataFrame = {
-    val magic = substring(hex(col(contentCol)), 1, 8)
+    // hex only the 4-byte binary prefix — hex() of the whole column would
+    // materialize a 2×-size string per row before substring (round-1
+    // ADVICE: ~1 GB per 500 MB file just to sniff 4 magic bytes)
+    val magic = hex(substring(col(contentCol), 1, 4))
     val sniffed = when(magic.startsWith("25504446"), "pdf")       // %PDF
       .when(magic.startsWith("504B0304"), "zip_or_office")        // PK..
       .when(magic.startsWith("89504E47"), "png")
@@ -61,8 +64,9 @@ object Ingest {
   /** S5: ZIP bulk-ingest expansion. ZIP member extraction happens
     * per-partition on the binary column (the container cannot be split);
     * limits mirror `bulk_upload.py:22-29` (≤1000 members, bomb-ratio
-    * guard). The entry decoder is pluggable; default reads real ZIP
-    * directories via java.util.zip.
+    * guard). The ratio guard is enforced INSIDE the entry read loop in
+    * bounded chunks — a single-entry zip bomb is aborted mid-entry, never
+    * fully decompressed into executor memory (round-1 ADVICE).
     */
   def expandZips(files: DataFrame, contentCol: String,
                  maxMembers: Int = 1000,
@@ -75,19 +79,31 @@ object Ingest {
       val zis = new java.util.zip.ZipInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val out = scala.collection.mutable.ListBuffer.empty[(String, String, Array[Byte])]
+      val compressedTotal = math.max(1L, bytes.length.toLong)
+      val extractedBudget = (compressedTotal * maxRatio).toLong
+      var extractedTotal = 0L
       var entry = zis.getNextEntry
       var n = 0
-      val compressedTotal = math.max(1L, bytes.length.toLong)
-      var extractedTotal = 0L
-      while (entry != null && n < maxMembers &&
-        extractedTotal / compressedTotal < maxRatio) {
+      var aborted = false
+      while (entry != null && n < maxMembers && !aborted) {
         if (!entry.isDirectory) {
-          val content = zis.readAllBytes()
-          extractedTotal += content.length
-          out += ((zipPath, entry.getName, content))
-          n += 1
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](64 * 1024)
+          var read = zis.read(chunk)
+          while (read >= 0 && !aborted) {
+            extractedTotal += read
+            if (extractedTotal > extractedBudget) aborted = true
+            else {
+              buf.write(chunk, 0, read)
+              read = zis.read(chunk)
+            }
+          }
+          if (!aborted) {
+            out += ((zipPath, entry.getName, buf.toByteArray))
+            n += 1
+          }
         }
-        entry = zis.getNextEntry
+        if (!aborted) entry = zis.getNextEntry
       }
       zis.close()
       out.toList

@@ -16,60 +16,111 @@ object TestQueries4 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
-  private val omRows: Seq[(String, Double, Double, Double, Double, Double, Double, String, String, Double)] = Seq(
-    // id, cap, noi, price, psf, sf, occ, source, vtype, base
-    ("om1", 0.05, 100000.0, 2000000.0, 100.0, 20000.0, 0.93, "document_text", "percent", 0.9),
-    ("om2", 0.07, 100000.0, 2000000.0, 100.0, 20000.0, 0.95, "table", "number", 0.85),
-    ("om3", 0.05, 100000.0, 2000000.0, 150.0, 20000.0, 1.20, "footnote", "derived", 0.8),
-    ("om4", 0.05, 0.0, 0.0, 0.0, 0.0, 0.5, "inferred", "text", 0.6))
+  private val omRows: Seq[(String, Double, Double, Double, Double, Double, Double, Double, String, String, Double)] = Seq(
+    // id, cap, noi, price, psf, sf, occ, noi_pf, source_section, value_type, base
+    // om1: fully consistent — no penalties
+    ("om1", 0.05, 100000.0, 2000000.0, 100.0, 20000.0, 0.93, 120000.0,
+      "executive_summary", "actual", 0.9),
+    // om2: stated cap 0.07 vs implied 0.05 → cap ×0.85; NOI growth 1.45 → ×0.80
+    ("om2", 0.07, 100000.0, 2000000.0, 100.0, 20000.0, 0.95, 145000.0,
+      "financial_summary_page", "trailing_12", 0.85),
+    // om3: psf off by 50% → ×0.90; occupancy 1.20 out of range → ×0.50;
+    //      NOI growth 1.6 → ×0.70
+    ("om3", 0.05, 100000.0, 2000000.0, 150.0, 20000.0, 1.20, 160000.0,
+      "pro_forma_projections", "pro_forma", 0.8),
+    // om4: zero guards (Python truthiness) suppress cap/psf/noi checks;
+    //      occupancy 0.99 > 0.98 → marketing-skepticism ×0.85
+    ("om4", 0.05, 0.0, 0.0, 0.0, 0.0, 0.99, 0.0,
+      "broker_assumptions", "broker_estimate", 0.6),
+    // om5: unknown section/value-type fall to the 0.85 defaults;
+    //      NOI growth exactly 1.3 is NOT > 1.3 → no penalty
+    ("om5", 0.05, 100000.0, 2000000.0, 100.0, 20000.0, 0.95, 130000.0,
+      "cover_page", "unknown", 0.7))
 
-  /** C23/C24/C26: OM consistency penalties, multiplicative field
-    * confidence, and calibration variance — pure arithmetic, fully
-    * oracle-checked.
+  /** C23/C24/C26: per-field OM consistency penalties
+    * (`om_confidence.py:47-87`), multiplicative field confidence with the
+    * reference factor tables, and calibration variance — pure arithmetic,
+    * fully oracle-checked. `conf_noi_pf` exercises the catalog skepticism
+    * factor (noi_pro_forma → 0.85, `om_fields.py`).
     */
   val q48OmChecks: QueryCase = QueryCase(
     "q48_om_checks",
     (s, dir) => {
       import s.implicits._
-      val df = omRows.toDF("id", "cap_rate", "noi", "price", "price_per_sf",
-        "sf", "occupancy", "source", "vtype", "base_conf")
-      val penalty = OmConfidence.consistencyPenalty(col("cap_rate"), col("noi"),
-        col("price"), col("price_per_sf"), col("sf"), col("occupancy"))
+      val df = omRows.toDF("id", "cap_rate", "noi", "price", "price_psf",
+        "sf", "occupancy", "noi_pf", "source", "vtype", "base_conf")
+      val pen = OmConfidence.consistencyPenalties(col("cap_rate"), col("noi"),
+        col("price"), col("price_psf"), col("sf"), col("occupancy"),
+        col("noi_pf"))
+      val skepticismNoiPf =
+        lit(graft.extract.OmFieldCatalog.byName("noi_pro_forma").skepticism)
       df.select(col("id"),
-          round(penalty, 6).as("penalty"),
+          round(pen("cap_rate_in_place"), 6).as("p_cap"),
+          round(pen("price_psf"), 6).as("p_psf"),
+          round(pen("occupancy_current"), 6).as("p_occ"),
+          round(pen("noi_pro_forma"), 6).as("p_noi"),
           round(OmConfidence.fieldConfidence(col("base_conf"), col("source"),
-            col("vtype"), lit(0.9), penalty), 6).as("confidence"),
+            col("vtype"), lit(null), pen("cap_rate_in_place")), 6)
+            .as("conf_cap"),
+          round(OmConfidence.fieldConfidence(col("base_conf"), col("source"),
+            col("vtype"), skepticismNoiPf, pen("noi_pro_forma")), 6)
+            .as("conf_noi_pf"),
           round(OmConfidence.relativeVariance(col("cap_rate"), lit(0.055)), 6)
             .as("cap_variance"))
         .orderBy("id")
     },
     Some {
       val vals = omRows.map { r =>
-        s"('${r._1}', ${r._2}, ${r._3}, ${r._4}, ${r._5}, ${r._6}, ${r._7}, '${r._8}', '${r._9}', ${r._10})"
+        s"('${r._1}', ${r._2}, ${r._3}, ${r._4}, ${r._5}, ${r._6}, ${r._7}, ${r._8}, '${r._9}', '${r._10}', ${r._11})"
       }.mkString(", ")
       s"""
-      WITH t(id, cap_rate, noi, price, price_per_sf, sf, occupancy, source, vtype, base_conf)
+      WITH raw(id, cap_rate, noi, price, price_psf, sf, occupancy, noi_pf, source, vtype, base_conf)
         AS (VALUES $vals),
+      t AS (
+        SELECT id, CAST(cap_rate AS DOUBLE) AS cap_rate, CAST(noi AS DOUBLE) AS noi,
+               CAST(price AS DOUBLE) AS price, CAST(price_psf AS DOUBLE) AS price_psf,
+               CAST(sf AS DOUBLE) AS sf, CAST(occupancy AS DOUBLE) AS occupancy,
+               CAST(noi_pf AS DOUBLE) AS noi_pf, source, vtype,
+               CAST(base_conf AS DOUBLE) AS base_conf
+        FROM raw),
       p AS (
         SELECT *,
-          (CASE WHEN cap_rate IS NOT NULL AND price > 0
-                 AND ABS(cap_rate - noi/price) > 0.005 THEN 0.8 ELSE 1.0 END) *
-          (CASE WHEN price_per_sf IS NOT NULL AND sf > 0
-                 AND ABS(price_per_sf - price/sf) / (price/sf) > 0.02 THEN 0.85 ELSE 1.0 END) *
-          (CASE WHEN occupancy IS NOT NULL AND (occupancy < 0 OR occupancy > 1) THEN 0.7 ELSE 1.0 END)
-            AS penalty,
-          (CASE source WHEN 'document_text' THEN 1.0 WHEN 'table' THEN 0.95
-                WHEN 'footnote' THEN 0.85 WHEN 'inferred' THEN 0.7 ELSE 0.7 END) AS sf_f,
-          (CASE vtype WHEN 'number' THEN 1.0 WHEN 'currency' THEN 1.0
-                WHEN 'percent' THEN 0.95 WHEN 'date' THEN 0.95
-                WHEN 'text' THEN 0.9 WHEN 'derived' THEN 0.8 ELSE 0.9 END) AS vt_f
+          CASE WHEN cap_rate IS NOT NULL AND noi IS NOT NULL AND price IS NOT NULL
+                AND price <> 0 AND ABS(noi/price - cap_rate) > 0.005
+               THEN 0.85 ELSE 1.0 END AS p_cap,
+          CASE WHEN price_psf IS NOT NULL AND price_psf <> 0 AND price IS NOT NULL
+                AND sf IS NOT NULL AND sf <> 0
+                AND ABS(price/sf - price_psf) / price_psf > 0.02
+               THEN 0.90 ELSE 1.0 END AS p_psf,
+          CASE WHEN occupancy IS NULL THEN 1.0
+               WHEN occupancy > 1.0 OR occupancy < 0 THEN 0.50
+               WHEN occupancy > 0.98 THEN 0.85
+               ELSE 1.0 END AS p_occ,
+          CASE WHEN noi IS NOT NULL AND noi <> 0 AND noi_pf IS NOT NULL AND noi_pf <> 0
+               THEN CASE WHEN noi_pf / noi > 1.5 THEN 0.70
+                         WHEN noi_pf / noi > 1.3 THEN 0.80
+                         ELSE 1.0 END
+               ELSE 1.0 END AS p_noi,
+          CASE source WHEN 'executive_summary' THEN 0.95
+               WHEN 'financial_summary_page' THEN 0.92
+               WHEN 'detailed_exhibits' THEN 0.98
+               WHEN 'investment_highlights' THEN 0.75
+               WHEN 'market_overview' THEN 0.80
+               WHEN 'pro_forma_projections' THEN 0.70
+               WHEN 'broker_assumptions' THEN 0.65 ELSE 0.85 END AS sf_f,
+          CASE vtype WHEN 'actual' THEN 1.0 WHEN 'trailing_12' THEN 0.98
+               WHEN 'annualized' THEN 0.92 WHEN 'pro_forma' THEN 0.80
+               WHEN 'stabilized' THEN 0.75 WHEN 'broker_estimate' THEN 0.70
+               ELSE 0.85 END AS vt_f
         FROM t)
-      SELECT id, ROUND(CAST(penalty AS DOUBLE), 6) AS penalty,
-             ROUND(CAST(LEAST(1.0, GREATEST(0.0,
-               CAST(base_conf AS DOUBLE) * sf_f * vt_f * 0.9 * penalty)) AS DOUBLE), 6)
-               AS confidence,
-             ROUND(CAST((CAST(cap_rate AS DOUBLE) - 0.055) / 0.055 AS DOUBLE), 6)
-               AS cap_variance
+      SELECT id,
+             ROUND(p_cap, 6) AS p_cap, ROUND(p_psf, 6) AS p_psf,
+             ROUND(p_occ, 6) AS p_occ, ROUND(p_noi, 6) AS p_noi,
+             ROUND(LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+               base_conf * sf_f * vt_f * 1.0 * p_cap)), 6) AS conf_cap,
+             ROUND(LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+               base_conf * sf_f * vt_f * 0.85 * p_noi)), 6) AS conf_noi_pf,
+             ROUND((cap_rate - 0.055) / 0.055, 6) AS cap_variance
       FROM p ORDER BY id"""
     })
 
@@ -200,7 +251,140 @@ object TestQueries4 {
     },
     None)
 
+  private val omFieldRows: Seq[(String, String, Double, Boolean)] = Seq(
+    // doc, field, confidence, has_value
+    // d1: all six critical fields present — full coverage, no penalty
+    ("d1", "asking_price", 0.90, true),
+    ("d1", "cap_rate_in_place", 0.85, true),
+    ("d1", "noi_in_place", 0.90, true),
+    ("d1", "total_sf", 0.95, true),
+    ("d1", "property_type", 0.80, true),
+    ("d1", "occupancy_current", 0.90, true),
+    // d2: 4/6 critical present (coverage 0.667 < 0.8 → penalty); the
+    // valueless cap_rate row still contributes weight to the average
+    ("d2", "asking_price", 0.80, true),
+    ("d2", "noi_in_place", 0.75, true),
+    ("d2", "total_sf", 0.85, true),
+    ("d2", "property_type", 0.70, true),
+    ("d2", "cap_rate_in_place", 0.20, false),
+    ("d2", "submarket", 0.70, true),
+    ("d2", "walt_years", 0.60, true),
+    // d3: 1/6 critical; unknown field falls to weight 1.0
+    ("d3", "asking_price", 0.95, true),
+    ("d3", "mystery_field", 0.50, true))
+
+  /** C24 doc-level confidence over the OM field catalog
+    * (`om_confidence.py:120-146`): weight lookup is a broadcast join
+    * against [[graft.extract.OmFieldCatalog]], coverage counts critical
+    * fields with values, and the (0.5 + 0.5·coverage) penalty applies
+    * only below 0.8 coverage.
+    */
+  val q63OmDocConfidence: QueryCase = QueryCase(
+    "q63_om_doc_confidence",
+    (s, dir) => {
+      import s.implicits._
+      val fields = omFieldRows.toDF("doc", "field", "confidence", "has_value")
+      val catalog = graft.extract.OmFieldCatalog.toDF(s)
+        .select(col("field"), col("weight"))
+      val critical = OmConfidence.CriticalFields.toSeq.sorted
+      val weighted = fields
+        .join(broadcast(catalog), Seq("field"), "left")
+        .withColumn("w", coalesce(col("weight"), lit(1.0)))
+      val agg = weighted.groupBy("doc").agg(
+        (sum(col("confidence") * col("w")) / sum(col("w"))).as("weighted_avg"),
+        sum(when(col("field").isin(critical: _*) && col("has_value"), 1)
+          .otherwise(0)).cast("int").as("present_critical"))
+      agg.select(col("doc"),
+          round(col("weighted_avg"), 6).as("weighted_avg"),
+          col("present_critical"),
+          round(OmConfidence.docConfidence(col("weighted_avg"),
+            col("present_critical"), lit(6)), 6).as("doc_confidence"))
+        .orderBy("doc")
+    },
+    Some {
+      val vals = omFieldRows.map { r =>
+        s"('${r._1}', '${r._2}', ${r._3}, ${r._4})"
+      }.mkString(", ")
+      val weightCase = omFieldRows.map(_._2).distinct.map { f =>
+        val w = graft.extract.OmFieldCatalog.byName.get(f).map(_.weight)
+          .getOrElse(1.0)
+        s"WHEN '$f' THEN $w"
+      }.mkString(" ")
+      s"""
+      WITH raw(doc, field, confidence, has_value) AS (VALUES $vals),
+      t AS (
+        SELECT doc, field, CAST(confidence AS DOUBLE) AS confidence, has_value,
+               CAST(CASE field $weightCase ELSE 1.0 END AS DOUBLE) AS w
+        FROM raw),
+      agg AS (
+        SELECT doc,
+               SUM(confidence * w) / SUM(w) AS weighted_avg,
+               CAST(SUM(CASE WHEN field IN ('asking_price', 'cap_rate_in_place',
+                 'noi_in_place', 'occupancy_current', 'property_type', 'total_sf')
+                 AND has_value THEN 1 ELSE 0 END) AS INT) AS present_critical
+        FROM t GROUP BY doc)
+      SELECT doc, ROUND(weighted_avg, 6) AS weighted_avg, present_critical,
+             ROUND(LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+               CASE WHEN CAST(present_critical AS DOUBLE) / 6 < 0.8
+                    THEN weighted_avg * (0.5 + 0.5 * CAST(present_critical AS DOUBLE) / 6)
+                    ELSE weighted_avg END)), 6) AS doc_confidence
+      FROM agg ORDER BY doc"""
+    })
+
+  private val proFormaRows: Seq[(String, Option[Double], Option[Double], Option[Double], Option[Double])] = Seq(
+    // id, rent_growth, noi_in_place, noi_pro_forma, occupancy_pro_forma
+    ("b1", Some(0.08), Some(100000.0), Some(140000.0), Some(0.98)), // all 3 fire
+    ("b2", Some(0.03), Some(100000.0), Some(120000.0), Some(0.95)), // none
+    // b3: rent fires; growth ratio 1.3 ALSO fires (pf/ip − 1 =
+    // 0.30000000000000004 > 0.3 in IEEE doubles — reference computes the
+    // same); occupancy exactly 0.97 is clean
+    ("b3", Some(0.051), Some(100000.0), Some(130000.0), Some(0.97)),
+    ("b4", None, Some(0.0), Some(150000.0), None)) // zero/missing guards
+
+  /** C25: pro-forma reasonableness warnings
+    * (`pro_forma_validator.py:29-68`) exploded to one row per warning.
+    */
+  val q64OmBenchmarks: QueryCase = QueryCase(
+    "q64_om_benchmarks",
+    (s, dir) => {
+      import s.implicits._
+      val df = proFormaRows.toDF("id", "rent_growth", "noi_in_place",
+        "noi_pro_forma", "occupancy_pro_forma")
+      df.select(col("id"),
+          explode(OmConfidence.benchmarkWarnings(col("rent_growth"),
+            col("noi_in_place"), col("noi_pro_forma"),
+            col("occupancy_pro_forma"))).as("w"))
+        .select(col("id"), col("w.field").as("field"),
+          col("w.issue").as("issue"), col("w.severity").as("severity"))
+        .orderBy("id", "field")
+    },
+    Some {
+      val vals = proFormaRows.map { r =>
+        def v(o: Option[Double]) = o.map(_.toString).getOrElse("NULL")
+        s"('${r._1}', ${v(r._2)}, ${v(r._3)}, ${v(r._4)}, ${v(r._5)})"
+      }.mkString(", ")
+      s"""
+      WITH raw(id, rent_growth, noi_ip, noi_pf, occ_pf) AS (VALUES $vals),
+      t AS (
+        SELECT id, CAST(rent_growth AS DOUBLE) AS rent_growth,
+               CAST(noi_ip AS DOUBLE) AS noi_ip, CAST(noi_pf AS DOUBLE) AS noi_pf,
+               CAST(occ_pf AS DOUBLE) AS occ_pf
+        FROM raw)
+      SELECT id, field, issue, severity FROM (
+        SELECT id, 'rent_growth_assumption' AS field, 'aggressive' AS issue,
+               'high' AS severity
+        FROM t WHERE rent_growth IS NOT NULL AND rent_growth > 0.05
+        UNION ALL
+        SELECT id, 'noi_pro_forma', 'aggressive', 'high'
+        FROM t WHERE noi_ip IS NOT NULL AND noi_ip <> 0
+          AND noi_pf IS NOT NULL AND noi_pf <> 0 AND noi_pf / noi_ip - 1 > 0.30
+        UNION ALL
+        SELECT id, 'occupancy_pro_forma', 'optimistic', 'medium'
+        FROM t WHERE occ_pf IS NOT NULL AND occ_pf > 0.97)
+      ORDER BY id, field"""
+    })
+
   val all: Seq[QueryCase] = Seq(
     q48OmChecks, q49Chunking, q50EmailParse, q51RagContext, q52BinaryProbe,
-    q53Validation)
+    q53Validation, q63OmDocConfidence, q64OmBenchmarks)
 }

@@ -34,6 +34,20 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.expandZips(df, "content", maxMembers = 5).count() == 5)
   }
 
+  test("zip bomb: single huge entry aborted mid-read, never fully buffered") {
+    import spark.implicits._
+    // 8 MB of zeros compresses to ~8 KB — ratio ≈ 1000× against a guard of
+    // 10×, and the bomb is a SINGLE entry (round-1 ADVICE: the old guard
+    // only checked between entries, so this decompressed fully)
+    val bomb = zipBytes("bomb.bin" -> new Array[Byte](8 * 1024 * 1024))
+    val df = Seq(("file:/bomb.zip", bomb)).toDF("path", "content")
+    assert(Ingest.expandZips(df, "content", maxRatio = 10.0).count() == 0)
+    // a benign archive at the same setting still extracts
+    val ok = Seq(("file:/ok.zip", zipBytes("a.txt" -> "alpha".getBytes)))
+      .toDF("path", "content")
+    assert(Ingest.expandZips(ok, "content", maxRatio = 10.0).count() == 1)
+  }
+
   test("validation: magic bytes vs extension, size, empty") {
     import spark.implicits._
     val pdf = "%PDF-1.4 fake".getBytes

@@ -77,32 +77,77 @@ class MiscSpec extends SparkSpec {
 
   // -------------------------------------------------------------- om family
 
-  test("om field confidence factors and clamp") {
+  test("om field confidence factors, defaults, and clamp") {
     import spark.implicits._
-    val df = Seq((0.9, "table", "percent", 0.9)).toDF("b", "s", "t", "k")
+    val df = Seq((0.9, "executive_summary", "trailing_12", 0.85))
+      .toDF("b", "s", "t", "k")
     val c = df.select(OmConfidence.fieldConfidence(col("b"), col("s"),
       col("t"), col("k"), lit(1.0))).head().getDouble(0)
-    assert(math.abs(c - 0.9 * 0.95 * 0.95 * 0.9) < 1e-12)
+    assert(math.abs(c - 0.9 * 0.95 * 0.98 * 0.85) < 1e-12)
+    // unknown section and value type both fall to the reference 0.85 default
+    val d = Seq((1.0, "nope", "nope")).toDF("b", "s", "t")
+      .select(OmConfidence.fieldConfidence(col("b"), col("s"), col("t"),
+        lit(null), lit(null))).head().getDouble(0)
+    assert(math.abs(d - 0.85 * 0.85) < 1e-12)
   }
 
-  test("consistency penalties multiply") {
+  test("consistency penalties are per-field (om_confidence.py:47-87)") {
     import spark.implicits._
-    // cap rate off by >.005 AND occupancy out of range
-    val df = Seq((0.07, 100000.0, 2000000.0, 100.0, 20000.0, 1.2))
-      .toDF("cap", "noi", "price", "psf", "sf", "occ")
-    val p = df.select(OmConfidence.consistencyPenalty(col("cap"), col("noi"),
-      col("price"), col("psf"), col("sf"), col("occ"))).head().getDouble(0)
-    // implied cap = .05 (diff .02 > .005) -> .8; psf matches; occ 1.2 -> .7
-    assert(math.abs(p - 0.8 * 0.7) < 1e-12)
+    // cap rate off by >.005; psf consistent; occupancy out of range;
+    // pro-forma NOI growth 1.6
+    val df = Seq((0.07, 100000.0, 2000000.0, 100.0, 20000.0, 1.2, 160000.0))
+      .toDF("cap", "noi", "price", "psf", "sf", "occ", "noi_pf")
+    val p = df.select(OmConfidence.consistencyPenalties(col("cap"), col("noi"),
+      col("price"), col("psf"), col("sf"), col("occ"), col("noi_pf")).as("p"))
+      .select("p.*").head()
+    assert(p.getDouble(0) == 0.85) // cap_rate_in_place
+    assert(p.getDouble(1) == 1.0)  // price_psf consistent
+    assert(p.getDouble(2) == 0.50) // occupancy out of [0,1]
+    assert(p.getDouble(3) == 0.70) // noi growth > 1.5
+    // occupancy 0.99: legal but suspicious -> 0.85 marketing skepticism
+    val occ = Seq(Tuple1(0.99)).toDF("occ")
+      .select(OmConfidence.consistencyPenalties(lit(null), lit(null),
+        lit(null), lit(null), lit(null), col("occ"), lit(null)).as("p"))
+      .select("p.occupancy_current").head().getDouble(0)
+    assert(occ == 0.85)
   }
 
-  test("benchmark warnings emitted only out of band") {
+  test("pro-forma warnings match ProFormaValidator.validate") {
     import spark.implicits._
-    val df = Seq((0.15, 0.1)).toDF("cap_rate", "vacancy_rate")
-    val w = df.select(OmConfidence.benchmarkWarnings(Map(
-      "cap_rate" -> col("cap_rate"), "vacancy_rate" -> col("vacancy_rate")))
-      .as("w")).head().getSeq[org.apache.spark.sql.Row](0)
-    assert(w.length == 1 && w.head.getString(0) == "cap_rate")
+    val df = Seq((0.08, 100000.0, 140000.0, 0.98)).toDF("rg", "ip", "pf", "occ")
+    val w = df.select(OmConfidence.benchmarkWarnings(col("rg"), col("ip"),
+      col("pf"), col("occ")).as("w")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(w.map(_.getString(0)) ==
+      Seq("rent_growth_assumption", "noi_pro_forma", "occupancy_pro_forma"))
+    assert(w.map(_.getString(2)) == Seq("high", "high", "medium"))
+    // in-band values and occupancy exactly 0.97 are clean (note: a ratio of
+    // exactly 1.3 is NOT clean — pf/ip − 1 = 0.30000000000000004 > 0.3 in
+    // IEEE doubles, and the reference computes the same way)
+    val clean = Seq((0.05, 100000.0, 125000.0, 0.97)).toDF("rg", "ip", "pf", "occ")
+      .select(OmConfidence.benchmarkWarnings(col("rg"), col("ip"),
+        col("pf"), col("occ")).as("w")).head().getSeq[org.apache.spark.sql.Row](0)
+    assert(clean.isEmpty)
+  }
+
+  test("om doc confidence: coverage penalty only below 0.8") {
+    import spark.implicits._
+    val df = Seq((0.9, 6), (0.9, 4), (0.9, 0)).toDF("avg", "crit")
+    val got = df.select(OmConfidence.docConfidence(col("avg"), col("crit"),
+      lit(6))).collect().map(_.getDouble(0))
+    assert(got(0) == 0.9) // full coverage: no penalty
+    assert(math.abs(got(1) - 0.9 * (0.5 + 0.5 * 4.0 / 6)) < 1e-12)
+    assert(math.abs(got(2) - 0.45) < 1e-12)
+  }
+
+  test("om field catalog carries reference weights and skepticism") {
+    val c = graft.extract.OmFieldCatalog.byName
+    assert(c.size == 61)
+    assert(c("noi_pro_forma").skepticism == 0.85)
+    assert(c("rent_growth_assumption").skepticism == 0.80)
+    assert(c("market_rent_psf").skepticism == 0.90)
+    assert(c("asking_price").weight == 1.5 && c("asking_price").required)
+    assert(c("property_type").values.size == 10)
+    assert(OmConfidence.CriticalFields.forall(c.contains))
   }
 
   test("calibration variance zero-guards") {
@@ -134,5 +179,16 @@ class MiscSpec extends SparkSpec {
     // scoped + joined with a non-tenant table stays fine
     val dims = Seq(("a", 1)).toDF("v", "n")
     TenantContext.assertTenantScoped(scoped.join(dims, "v"))
+    // a tenant equality hidden under OR does NOT scope (it returns other
+    // tenants' rows) — the check must fail closed
+    val orFiltered = spark.read.parquet(dir)
+      .where(col("tenant_id") === "t1" || col("v") === "b")
+    intercept[IllegalStateException] {
+      TenantContext.assertTenantScoped(orFiltered)
+    }
+    // ...but AND conjuncts still scope
+    TenantContext.assertTenantScoped(
+      spark.read.parquet(dir)
+        .where(col("tenant_id") === "t1" && col("v") === "a"))
   }
 }
