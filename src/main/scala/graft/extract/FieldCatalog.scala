@@ -26,7 +26,15 @@ final case class FieldDef(
 
 object FieldCatalog {
 
-  val LeaseFields: Seq[FieldDef] = Seq(
+  /** The full reference inventory (178 lease + 55 rent-roll fields),
+    * generated as data by tools/gen_field_catalog.py from
+    * `cre_fields.py:40-1533`.
+    */
+  val LeaseFields: Seq[FieldDef] = FieldCatalogData.LeaseFields
+  val RentRollFields: Seq[FieldDef] = FieldCatalogData.RentRollFields
+
+  /** Round-1 hand-written subset, kept for focused specs/fixtures. */
+  val LegacyLeaseFields: Seq[FieldDef] = Seq(
     FieldDef("tenant_name", "string", required = true, 1.0,
       Seq("tenant", "lessee", "tenant name")),
     FieldDef("landlord_name", "string", required = true, 1.0,
@@ -94,7 +102,7 @@ object FieldCatalog {
     FieldDef("option_to_purchase", "boolean", required = false, 0.2,
       Seq("option to purchase", "purchase option")))
 
-  val RentRollFields: Seq[FieldDef] = Seq(
+  val LegacyRentRollFields: Seq[FieldDef] = Seq(
     FieldDef("property_name", "string", required = true, 1.0,
       Seq("property", "property name")),
     FieldDef("unit_number", "string", required = true, 1.0,

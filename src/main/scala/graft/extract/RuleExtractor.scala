@@ -29,27 +29,69 @@ object RuleExtractor {
     when(rentRollScore > leaseScore, "rent_roll").otherwise("lease")
   }
 
+  /** Match patterns for a field: the field name with spaces, then catalog
+    * aliases (the reference prompt lists both — `cre_fields.py`
+    * `get_field_definitions_for_prompt` emits name and aliases; the
+    * deterministic backend matches either).
+    */
+  def matchAliases(fd: FieldDef): Seq[String] =
+    (fd.name.replace('_', ' ') +: fd.aliases).distinct
+
   /** Extract one field as (field_name, raw_value, field_value JSON,
     * confidence) rows per document. `docs` needs (document_id, text).
     * Output is the EAV shape of `031_extraction_fields.sql`.
+    *
+    * ONE scan regardless of catalog size: a single projection computes
+    * every field's `alias[:\-] value` match into an array of structs,
+    * explodes, then normalizes with a type-dispatch expression over the
+    * exploded rows (round 1 unioned one scan per field — 233 scans with
+    * the full catalog).
     */
   def extractFields(docs: DataFrame, catalog: Seq[FieldDef]): DataFrame = {
-    val perField = catalog.map { fd =>
-      val aliasAlt = fd.aliases.map(java.util.regex.Pattern.quote)
+    val entries = catalog.map { fd =>
+      val aliasAlt = matchAliases(fd).map(java.util.regex.Pattern.quote)
         .mkString("|")
       // first `alias[:\-] value` line wins, case-insensitive
       val re = s"(?i)(?:$aliasAlt)\\s*[:\\-]\\s*([^\\n]+)"
-      val raw = regexp_extract(col("text"), re, 1)
-      val rawOrNull = when(trim(raw) === "", lit(null: String))
-        .otherwise(trim(raw))
-      docs.select(
-        col("document_id"),
+      val raw = trim(regexp_extract(col("text"), re, 1))
+      struct(
         lit(fd.name).as("field_name"),
-        rawOrNull.as("raw_value"),
-        FieldCatalog.normalize(fd, rawOrNull).as("norm_value"),
-        lit(fd.weight).as("weight"))
+        lit(fd.fieldType).as("ftype"),
+        lit(fd.weight).as("weight"),
+        when(raw === "", lit(null: String)).otherwise(raw).as("raw_value"))
     }
-    perField.reduce(_ unionByName _)
+    val exploded = docs
+      .select(col("document_id"), explode(array(entries: _*)).as("e"))
+      .select(col("document_id"), col("e.field_name").as("field_name"),
+        col("e.ftype").as("ftype"), col("e.weight").as("weight"),
+        col("e.raw_value").as("raw_value"))
+      .where(col("raw_value").isNotNull)
+    // type dispatch post-explode: one normalizer expression per TYPE (not
+    // per field); enum fields chain per-field allowed-value lists
+    val raw = col("raw_value")
+    val enumChain = catalog.filter(_.fieldType == "enum")
+      .foldLeft(lit(null: String)) { case (acc, fd) =>
+        when(col("field_name") === fd.name,
+          graft.functions.Normalizers.normalizeEnum(raw, fd.enumValues))
+          .otherwise(acc)
+      }
+    val norm = when(col("ftype") === "date",
+        graft.functions.Normalizers.normalizeDate(raw))
+      .when(col("ftype") === "currency",
+        graft.functions.Normalizers.normalizeCurrency(raw).cast("string"))
+      .when(col("ftype") === "integer",
+        graft.functions.Normalizers.normalizeInteger(raw).cast("string"))
+      .when(col("ftype") === "percent",
+        graft.functions.Normalizers.normalizePercent(raw).cast("string"))
+      .when(col("ftype") === "boolean",
+        graft.functions.Normalizers.normalizeBoolean(raw).cast("string"))
+      .when(col("ftype") === "float", raw.try_cast("double").cast("string"))
+      .when(col("ftype") === "enum", enumChain)
+      .when(col("ftype") === "list",
+        concat_ws(";", graft.functions.Normalizers.normalizeListOfStrings(raw)))
+      .otherwise(trim(raw))
+    exploded
+      .withColumn("norm_value", norm)
       .withColumn("confidence",
         when(col("raw_value").isNull, lit(null).cast("double"))
           .when(col("norm_value").isNotNull, 0.9)
@@ -57,7 +99,7 @@ object RuleExtractor {
       .withColumn("field_value",
         when(col("norm_value").isNotNull,
           to_json(struct(col("norm_value").as("value")))))
-      .where(col("raw_value").isNotNull)
+      .drop("ftype")
   }
 
   /** A5: weighted overall confidence, capped at 0.99

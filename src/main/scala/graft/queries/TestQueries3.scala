@@ -179,7 +179,9 @@ object TestQueries3 {
         s"('$id', '${tx.replace("'", "''").replace("\n", "\\n")}')"
       }.mkString(", ")
       def fieldSql(fd: FieldDef): String = {
-        val aliasAlt = fd.aliases.map(a =>
+        // same pattern list as RuleExtractor.matchAliases: name-with-spaces
+        // first, then catalog aliases
+        val aliasAlt = RuleExtractor.matchAliases(fd).map(a =>
           a.replace("'", "''")).mkString("|")
         val raw = s"NULLIF(TRIM(regexp_extract(text, '(?i)(?:$aliasAlt)\\s*[:\\-]\\s*([^\\n]+)', 1)), '')"
         val norm = fd.fieldType match {

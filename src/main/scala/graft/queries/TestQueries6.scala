@@ -1,0 +1,243 @@
+package graft.queries
+
+import graft.extract.{FieldCatalog, FieldDef, RuleExtractor}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DuckDB mirrors of the rule extractor's per-type normalizers, generated
+  * per catalog field so a FULL-catalog extraction can be oracle-checked.
+  * The templates mirror `graft.functions.Normalizers` (which mirror
+  * reference `normalizers.py`); the alias regex mirrors
+  * [[RuleExtractor.matchAliases]] exactly (name-with-spaces first, RE2
+  * `\Q…\E` quoting like Java's `Pattern.quote`).
+  */
+object ExtractorOracleSql {
+
+  private def sq(s: String): String = s.replace("'", "''")
+
+  def rawSql(fd: FieldDef): String = {
+    val alt = RuleExtractor.matchAliases(fd)
+      .map(a => "\\Q" + sq(a.toLowerCase) + "\\E").mkString("|")
+    s"NULLIF(TRIM(regexp_extract(text, '(?i)(?:$alt)\\s*[:\\-]\\s*([^\\n]+)', 1)), '')"
+  }
+
+  def normSql(fd: FieldDef, raw: String): String = fd.fieldType match {
+    case "date" =>
+      val ts = s"TRIM($raw)"
+      def grp(p: String, i: Int) = s"regexp_extract($ts, '$p', $i)"
+      def cand(y: String, m: String, d: String) =
+        s"CAST(TRY_CAST($y || '-' || $m || '-' || $d AS DATE) AS VARCHAR)"
+      val p1 = "^(\\d{4})-(\\d{2})-(\\d{2})$"
+      val p2 = "^(\\d{2})/(\\d{2})/(\\d{4})"
+      val p3 = "^(\\d{2})-(\\d{2})-(\\d{4})"
+      val p4 = "^(\\d{1,2})/(\\d{1,2})/(\\d{4})"
+      val p5 = "^(\\d{4})/(\\d{2})/(\\d{2})"
+      s"""CASE WHEN $raw IS NULL OR LOWER(TRIM($raw)) IN ('null','none','n/a') THEN NULL
+         | ELSE COALESCE(
+         |  CASE WHEN regexp_matches($ts, '$p1') THEN ${cand(grp(p1, 1), grp(p1, 2), grp(p1, 3))} END,
+         |  CASE WHEN regexp_matches($ts, '$p2') THEN ${cand(grp(p2, 3), grp(p2, 1), grp(p2, 2))} END,
+         |  CASE WHEN regexp_matches($ts, '$p3') THEN ${cand(grp(p3, 3), grp(p3, 1), grp(p3, 2))} END,
+         |  CASE WHEN regexp_matches($ts, '$p4') THEN ${cand(grp(p4, 3), grp(p4, 1), grp(p4, 2))} END,
+         |  CASE WHEN regexp_matches($ts, '$p5') THEN ${cand(grp(p5, 1), grp(p5, 2), grp(p5, 3))} END)
+         | END""".stripMargin
+    case "currency" =>
+      val cleaned = s"regexp_replace(TRIM($raw), '[$$,\\s]', '', 'g')"
+      s"""CAST((CASE WHEN LOWER(TRIM($raw)) IN ('null','none','n/a') THEN NULL
+         | ELSE TRY_CAST(
+         |  (CASE WHEN $cleaned LIKE '(%' AND $cleaned LIKE '%)'
+         |    THEN '-' || SUBSTR($cleaned, 2, LENGTH($cleaned) - 2)
+         |    ELSE $cleaned END) AS DOUBLE)
+         | END) AS VARCHAR)""".stripMargin
+    case "integer" =>
+      val cleaned = s"regexp_replace(TRIM($raw), '[,\\s]', '', 'g')"
+      s"""CAST((CASE WHEN LOWER(TRIM($raw)) IN ('null','none','n/a')
+         |   OR TRY_CAST($cleaned AS DOUBLE) IS NULL
+         |   OR isnan(TRY_CAST($cleaned AS DOUBLE)) THEN NULL
+         | ELSE CAST(TRUNC(TRY_CAST($cleaned AS DOUBLE)) AS BIGINT)
+         | END) AS VARCHAR)""".stripMargin
+    case "boolean" =>
+      s"""CAST((CASE WHEN LOWER(TRIM($raw)) IN ('true','yes','y','1','on','enabled','required') THEN true
+         | WHEN LOWER(TRIM($raw)) IN ('false','no','n','0','off','disabled','not required') THEN false
+         | ELSE NULL END) AS VARCHAR)""".stripMargin
+    case "float" =>
+      s"CAST(TRY_CAST($raw AS DOUBLE) AS VARCHAR)"
+    case "enum" =>
+      val t = s"LOWER(TRIM($raw))"
+      val exact = fd.enumValues.map(v =>
+        s"CASE WHEN $t = '${sq(v.toLowerCase)}' THEN '${sq(v)}' END")
+      val partial = fd.enumValues.map { v =>
+        val al = sq(v.toLowerCase)
+        s"CASE WHEN contains($t, '$al') OR contains('$al', $t) THEN '${sq(v)}' END"
+      }
+      s"""CASE WHEN $raw IS NULL OR $t = '' THEN NULL
+         | ELSE COALESCE(${(exact ++ partial).mkString(",\n  ")})
+         | END""".stripMargin
+    case _ => s"TRIM($raw)"
+  }
+
+  /** Full-catalog oracle: one SELECT per field, UNION ALL'd over a `docs`
+    * CTE — the SQL mirror of the single-scan array-explode extractor.
+    */
+  def fullSql(catalog: Seq[FieldDef], docVals: String): String = {
+    val unions = catalog.map { fd =>
+      val raw = rawSql(fd)
+      s"""SELECT document_id, '${sq(fd.name)}' AS field_name, $raw AS raw_value,
+         |       (${normSql(fd, raw)}) AS norm_value
+         |FROM docs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""
+    WITH docs(document_id, text) AS (
+      SELECT id, replace(tx, '\\n', chr(10)) FROM (VALUES $docVals) AS v(id, tx)),
+    ex AS ($unions)
+    SELECT document_id, field_name, raw_value, norm_value,
+           CAST(CASE WHEN norm_value IS NOT NULL THEN 0.9 ELSE 0.45 END AS DOUBLE) AS confidence
+    FROM ex
+    WHERE raw_value IS NOT NULL
+    ORDER BY document_id, field_name"""
+  }
+}
+
+/** Sixth query batch: FULL-catalog extraction over fixtures shaped after
+  * the reference's lease test scenarios 4–10
+  * (`tests/LEASE_EXTRACTION_TEST_SCENARIOS.md:72-230`): industrial specs,
+  * Class A office with certifications, mixed-use breakdowns, graceful
+  * degradation on a minimal lease, abbreviations, and multi-family
+  * metrics. Fixture text is original; field names/aliases come from the
+  * ported catalog.
+  */
+object TestQueries6 {
+
+  private val scenarioDocs: Seq[(String, String)] = Seq(
+    // scenario 4: industrial warehouse — NNN, dock/power/sprinkler specs
+    ("s04_industrial",
+      "INDUSTRIAL LEASE AGREEMENT\n" +
+        "Tenant: Apex Logistics LLC\n" +
+        "Landlord: Harbor Industrial Trust\n" +
+        "Property Address: 4400 Freight Way, Carson, CA\n" +
+        "Building Type: industrial\n" +
+        "Lease Type: NNN\n" +
+        "Ceiling Height: 32\n" +
+        "Dock Doors: 12\n" +
+        "Grade-Level Doors: 2\n" +
+        "Yard Parking: 40\n" +
+        "Bay Spacing: 52 x 60\n" +
+        "PSF Rating: 250 psf live load\n" +
+        "Amps: 4000A at 480V\n" +
+        "Fire Suppression: ESFR\n" +
+        "Rail Spur: yes\n" +
+        "Through Dock: no\n" +
+        "Square Feet: 85,000\n" +
+        "Base Rent: $18,500.00\n" +
+        "Commencement Date: 2024-02-01\n" +
+        "Expiration Date: 01/31/2031"),
+    // scenario 5: Class A office — certifications, core factor, HVAC
+    ("s05_office_a",
+      "OFFICE LEASE — CLASS A TOWER\n" +
+        "Tenant: Meridian Capital Advisors Inc\n" +
+        "Landlord: Summit Tower Partners\n" +
+        "Building Class: A\n" +
+        "Floor Size: 24,000\n" +
+        "Load Factor: 1.18\n" +
+        "Shared Meeting Rooms: yes\n" +
+        "Overtime HVAC: $65.00\n" +
+        "Green Building: LEED Gold certified\n" +
+        "Pre-Built: no\n" +
+        "Elevator Count: 8 passenger and 2 freight\n" +
+        "Workspace Efficiency: 0.82\n" +
+        "RSF: 12,400\n" +
+        "Base Rent: $45,000\n" +
+        "Commencement Date: 03/01/2024\n" +
+        "Termination Date: 2034-02-28"),
+    // scenario 6: mixed-use — component split, shared facilities
+    ("s06_mixed_use",
+      "MIXED-USE PROPERTY LEASE\n" +
+        "Tenant: Urban Collective LLC\n" +
+        "Landlord: Midtown Junction Owners\n" +
+        "Use Allocation: 40% retail, 35% office, 25% residential\n" +
+        "Ground Floor Retail: 0.40\n" +
+        "Office Portion: 0.35\n" +
+        "Apartment Portion: 0.25\n" +
+        "Common Garage: yes\n" +
+        "Dedicated Lobbies: yes\n" +
+        "Sound Limitations: quiet hours after 10 PM weekdays\n" +
+        "Use Conflicts: no late-night food service\n" +
+        "Zoning: MU-3\n" +
+        "Base Rent: $22,000\n" +
+        "Commencement Date: 2024-06-15"),
+    // scenario 7: long/complex — financial metrics + property history
+    ("s07_complex",
+      "MASTER LEASE AND PROPERTY REPORT\n" +
+        "Tenant: Continental Holdings LLC\n" +
+        "Landlord: Gateway Plaza Investors LP\n" +
+        "Property Address: 100 Gateway Plaza, Chicago, IL\n" +
+        "Capitalization Rate: 0.062\n" +
+        "Construction Year: 1998\n" +
+        "Last Remodel: 2019\n" +
+        "FEMA Zone: X\n" +
+        "Common Area Maintenance: $4.25\n" +
+        "TI Allowance: $55.00\n" +
+        "Security Deposit: $125,000\n" +
+        "Square Feet: 240,000\n" +
+        "Base Rent: $410,000\n" +
+        "Commencement Date: 2024-09-01\n" +
+        "Expiration Date: 2039-08-31"),
+    // scenario 8: minimal lease — graceful degradation, few fields
+    ("s08_minimal",
+      "LEASE\n" +
+        "Tenant: Smallco\n" +
+        "Landlord: Tinyprops\n" +
+        "Base Rent: 1500\n" +
+        "Commencement Date: 2024-01-01"),
+    // scenario 9: abbreviations — RSF, TI, NNN, $K amounts, short dates
+    ("s09_abbrev",
+      "LEASE ABSTRACT\n" +
+        "Tenant: QuickServe Ltd\n" +
+        "RSF: 3,200\n" +
+        "Lease Type: nnn\n" +
+        "TI Allowance: $25.00\n" +
+        "Deposit: $10,000\n" +
+        "Base Rent: 4.8\n" +
+        "Commencement Date: 3/1/2024\n" +
+        "Expiration Date: 2/28/2029"),
+    // scenario 10: multi-family — unit mix, ARPU, concessions, pets
+    ("s10_multifamily",
+      "MULTI-FAMILY PORTFOLIO LEASE\n" +
+        "Tenant: Garden Flats Operator LLC\n" +
+        "Landlord: Sunbelt Residential REIT\n" +
+        "Number of Units: 220\n" +
+        "Bed/Bath Mix: 120x1BR, 80x2BR, 20x3BR\n" +
+        "Leased Percentage: 0.94\n" +
+        "ARPU: $1,850.00\n" +
+        "Rent Specials: one month free on 13-month terms\n" +
+        "Pet Restrictions: cats and dogs under 40 lbs\n" +
+        "Rent Stabilization: no\n" +
+        "Spaces Per Unit: 1.5\n" +
+        "Pool: resort-style pool and spa deck\n" +
+        "Short Term Leases: 6-month terms at 15% premium\n" +
+        "Base Rent: $407,000\n" +
+        "Commencement Date: 07/01/2024"))
+
+  /** §3.1 with the FULL ported 178-field lease catalog in ONE scan: every
+    * field's alias regex runs in a single projection, explodes to EAV, and
+    * normalizes by type — oracle-checked against a per-field SQL mirror
+    * generated from the same catalog data.
+    */
+  val q65FullCatalogExtract: QueryCase = QueryCase(
+    "q65_full_catalog_extract",
+    (s, dir) => {
+      import s.implicits._
+      val docs = scenarioDocs.toDF("document_id", "text")
+      RuleExtractor.extractFields(docs, FieldCatalog.LeaseFields)
+        .select(col("document_id"), col("field_name"), col("raw_value"),
+          col("norm_value"), col("confidence"))
+        .orderBy("document_id", "field_name")
+    },
+    Some {
+      val docVals = scenarioDocs.map { case (id, tx) =>
+        s"('$id', '${tx.replace("'", "''").replace("\n", "\\n")}')"
+      }.mkString(", ")
+      ExtractorOracleSql.fullSql(FieldCatalog.LeaseFields, docVals)
+    })
+
+  val all: Seq[QueryCase] = Seq(q65FullCatalogExtract)
+}

@@ -38,7 +38,7 @@ class ExtractSpec extends SparkSpec {
   }
 
   test("rule extraction: aliases matched, values normalized by type") {
-    val fields = RuleExtractor.extractFields(docs, FieldCatalog.LeaseFields)
+    val fields = RuleExtractor.extractFields(docs, FieldCatalog.LegacyLeaseFields)
     val byName = fields.collect()
       .map(r => r.getAs[String]("field_name") ->
         (r.getAs[String]("raw_value"), r.getAs[String]("field_value"),
@@ -54,9 +54,28 @@ class ExtractSpec extends SparkSpec {
   }
 
   test("weighted overall confidence capped at 0.99") {
-    val fields = RuleExtractor.extractFields(docs, FieldCatalog.LeaseFields)
+    val fields = RuleExtractor.extractFields(docs, FieldCatalog.LegacyLeaseFields)
     val conf = RuleExtractor.overallConfidence(fields).head().getDouble(1)
     assert(conf > 0.0 && conf <= 0.99)
+  }
+
+  test("full 178-field catalog extracts in ONE scan of the docs relation") {
+    val fields = RuleExtractor.extractFields(docs, FieldCatalog.LeaseFields)
+    // round 1 unioned one projection per field — 178 scans; the
+    // array-explode form must reference the input relation exactly once
+    val rels = fields.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(rels.size == 1)
+    val byName = fields.collect()
+      .map(r => r.getAs[String]("field_name") -> r.getAs[String]("norm_value"))
+      .toMap
+    assert(byName("tenant_name") == "Acme Corp LLC")
+    assert(byName("base_rent") == "5000.0")
+    assert(FieldCatalog.LeaseFields.size == 178)
+    assert(FieldCatalog.RentRollFields.size == 55)
+    // reference weights survived the port
+    assert(FieldCatalog.LeaseFields.find(_.name == "base_rent").get.weight == 1.5)
   }
 
   test("version assignment and is_current") {

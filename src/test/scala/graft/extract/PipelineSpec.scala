@@ -15,7 +15,7 @@ class PipelineSpec extends SparkSpec {
     """COMMERCIAL LEASE AGREEMENT
       |Tenant: Acme Corp LLC
       |Landlord: Main Street Holdings
-      |Property: Main Street Plaza
+      |Property Name: Main Street Plaza
       |Property Address: 123 Main St, Springfield
       |Lease Start: 01/15/2024
       |Lease End: 2027-01-14
@@ -29,7 +29,7 @@ class PipelineSpec extends SparkSpec {
     """LEASE
       |Lessee: Beta Inc
       |Landlord: Main Street Holdings
-      |Property: Main Street Plaza
+      |Property Name: Main Street Plaza
       |Premises: 125 Main St
       |Commencement Date: 2024-03-01
       |Expiration Date: 2029-02-28
