@@ -1,0 +1,92 @@
+package graft.extract
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Field override — the PATCH surface of the extraction UI (reference
+  * `src/services/field_override.py:54-146`, `is_override` column
+  * `031_extraction_fields.sql:15`): a user corrects one extracted field;
+  * the EAV row gets the new value + `is_override`/`overridden_by`/
+  * `overridden_at`, and a `field_override` learning event preserves the
+  * original value and confidence for the calibration loop
+  * (`learning/events.py` `emit_field_override_event`).
+  *
+  * Spark-first shape: overrides are a (usually tiny) correction batch, so
+  * the MERGE is a broadcast left join against the EAV table — map-side,
+  * no shuffle of the big side; write-back composes with
+  * [[graft.sources.PartitionedWriter]] dynamic partition overwrite.
+  */
+object FieldOverride {
+
+  private def overrideCols(overrides: DataFrame, keys: Seq[String]) =
+    broadcast(overrides.select(
+      (keys.map(col) :+ col("new_value") :+ col("overridden_by") :+
+        col("overridden_at")): _*))
+
+  /** `_display_value`: a JSON `{"value": …}` payload displays its value
+    * key; a bare payload displays itself (`field_override.py:41-45`).
+    */
+  private def displayValue(fieldValue: org.apache.spark.sql.Column) =
+    coalesce(get_json_object(fieldValue, "$.value"), fieldValue)
+
+  /** Apply a correction batch to the EAV table. Matched rows get
+    * `field_value` rewritten to carry the corrected value
+    * (`_updated_field_value`, `field_override.py:47-52`), `is_override`
+    * true, and the audit columns; unmatched rows pass through with
+    * existing flags preserved (false/null when the table had none).
+    */
+  def applyOverrides(fields: DataFrame, overrides: DataFrame,
+                     keys: Seq[String]): DataFrame = {
+    val hasFlag = fields.columns.contains("is_override")
+    val base =
+      if (hasFlag) fields
+      else fields
+        .withColumn("is_override", lit(false))
+        .withColumn("overridden_by", lit(null: String))
+        .withColumn("overridden_at", lit(null: String)) // ISO string audit stamp
+    val o = overrideCols(overrides, keys)
+      .withColumnRenamed("overridden_by", "__ov_by")
+      .withColumnRenamed("overridden_at", "__ov_at")
+    base.join(o, keys, "left")
+      .withColumn("field_value",
+        when(col("new_value").isNotNull,
+          to_json(struct(col("new_value").as("value"))))
+          .otherwise(col("field_value")))
+      .withColumn("norm_value",
+        when(col("new_value").isNotNull, col("new_value"))
+          .otherwise(col("norm_value")))
+      .withColumn("is_override",
+        col("new_value").isNotNull || col("is_override"))
+      .withColumn("overridden_by",
+        when(col("new_value").isNotNull, col("__ov_by"))
+          .otherwise(col("overridden_by")))
+      .withColumn("overridden_at",
+        when(col("new_value").isNotNull, col("__ov_at"))
+          .otherwise(col("overridden_at")))
+      .drop("new_value", "__ov_by", "__ov_at")
+  }
+
+  /** The `field_override` learning events for a correction batch
+    * (`field_override.py:113-124` event payload): original display value
+    * and confidence preserved alongside the correction.
+    */
+  def overrideEvents(fields: DataFrame, overrides: DataFrame,
+                     keys: Seq[String]): DataFrame =
+    fields.join(overrideCols(overrides, keys), keys)
+      .select(
+        lit("field_override").as("event_type"),
+        col("field_name"),
+        displayValue(col("field_value")).as("original_value"),
+        col("new_value").as("corrected_value"),
+        col("confidence").as("original_confidence"),
+        col("overridden_by"),
+        col("overridden_at"))
+
+  /** Corrections that matched no EAV row — the distributed equivalent of
+    * `FieldOverrideNotFoundError` (callers fail or route these).
+    */
+  def unmatchedOverrides(fields: DataFrame, overrides: DataFrame,
+                         keys: Seq[String]): DataFrame =
+    overrides.join(fields.select(keys.map(col): _*).distinct(), keys,
+      "left_anti")
+}

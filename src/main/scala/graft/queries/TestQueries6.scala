@@ -239,5 +239,81 @@ object TestQueries6 {
       ExtractorOracleSql.fullSql(FieldCatalog.LeaseFields, docVals)
     })
 
-  val all: Seq[QueryCase] = Seq(q65FullCatalogExtract)
+  private val eavRows: Seq[(String, String, String, String, Double)] = Seq(
+    // document_id, field_name, norm_value, field_value, confidence
+    ("d1", "base_rent", "5000.0", """{"value":"5000.0"}""", 0.9),
+    ("d1", "tenant_name", "Acme Corp LLC", """{"value":"Acme Corp LLC"}""", 0.9),
+    ("d1", "square_footage", "2500", """{"value":"2500"}""", 0.9),
+    ("d2", "base_rent", "4800.0", """{"value":"4800.0"}""", 0.45),
+    ("d2", "tenant_name", "Beta Inc", """{"value":"Beta Inc"}""", 0.9))
+
+  private val overrideRows: Seq[(String, String, String, String, String)] = Seq(
+    // document_id, field_name, new_value, overridden_by, overridden_at
+    ("d1", "base_rent", "5250.0", "user-7", "2026-08-12T00:00:00Z"),
+    ("d2", "tenant_name", "Beta Industries Inc", "user-3", "2026-08-12T01:30:00Z"))
+
+  /** Field override (`field_override.py:54-146`): MERGE-shaped point
+    * update of the EAV table via broadcast join — corrected value lands in
+    * field_value/norm_value, is_override + audit columns set, untouched
+    * rows pass through; the field_override learning events (original value
+    * + confidence preserved) ride along UNION'd with a row_kind tag.
+    */
+  val q66FieldOverride: QueryCase = QueryCase(
+    "q66_field_override",
+    (s, dir) => {
+      import s.implicits._
+      val fields = eavRows.toDF("document_id", "field_name", "norm_value",
+        "field_value", "confidence")
+      val overrides = overrideRows.toDF("document_id", "field_name",
+        "new_value", "overridden_by", "overridden_at")
+      val keys = Seq("document_id", "field_name")
+      val after = graft.extract.FieldOverride
+        .applyOverrides(fields, overrides, keys)
+        .select(lit("field").as("row_kind"), col("document_id"),
+          col("field_name"), col("norm_value").as("value"),
+          col("is_override"), col("overridden_by"), col("overridden_at"),
+          col("confidence"))
+      val events = graft.extract.FieldOverride
+        .overrideEvents(fields, overrides, keys)
+        .select(lit("event").as("row_kind"), lit(null: String).as("document_id"),
+          col("field_name"), col("original_value").as("value"),
+          lit(true).as("is_override"), col("overridden_by"),
+          col("overridden_at"), col("original_confidence").as("confidence"))
+      after.unionByName(events)
+        .orderBy("row_kind", "document_id", "field_name")
+    },
+    Some {
+      val eavVals = eavRows.map { r =>
+        s"('${r._1}', '${r._2}', '${r._3}', '${r._4.replace("'", "''")}', ${r._5})"
+      }.mkString(", ")
+      val ovVals = overrideRows.map { r =>
+        s"('${r._1}', '${r._2}', '${r._3}', '${r._4}', '${r._5}')"
+      }.mkString(", ")
+      s"""
+      WITH fields(document_id, field_name, norm_value, field_value, confidence)
+        AS (VALUES $eavVals),
+      ov(document_id, field_name, new_value, overridden_by, overridden_at)
+        AS (VALUES $ovVals),
+      after AS (
+        SELECT 'field' AS row_kind, f.document_id, f.field_name,
+               COALESCE(o.new_value, f.norm_value) AS value,
+               (o.new_value IS NOT NULL) AS is_override,
+               o.overridden_by, o.overridden_at,
+               CAST(f.confidence AS DOUBLE) AS confidence
+        FROM fields f LEFT JOIN ov o USING (document_id, field_name)),
+      events AS (
+        SELECT 'event' AS row_kind, CAST(NULL AS VARCHAR) AS document_id,
+               f.field_name,
+               COALESCE(json_extract_string(f.field_value, '$$.value'),
+                 f.field_value) AS value,
+               true AS is_override, o.overridden_by, o.overridden_at,
+               CAST(f.confidence AS DOUBLE) AS confidence
+        FROM fields f JOIN ov o USING (document_id, field_name))
+      SELECT * FROM after
+      UNION ALL
+      SELECT * FROM events
+      ORDER BY row_kind, document_id, field_name"""
+    })
+
+  val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride)
 }

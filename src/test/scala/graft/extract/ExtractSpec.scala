@@ -92,6 +92,42 @@ class ExtractSpec extends SparkSpec {
     assert(v == Set(("x1", 1, false), ("x2", 2, true), ("x3", 1, true)))
   }
 
+  test("field override: point update, audit, idempotent flags, unmatched") {
+    import spark.implicits._
+    val fields = Seq(
+      ("d1", "base_rent", "5000.0", """{"value":"5000.0"}""", 0.9),
+      ("d1", "tenant_name", "Acme", """{"value":"Acme"}""", 0.9))
+      .toDF("document_id", "field_name", "norm_value", "field_value", "confidence")
+    val ov = Seq(("d1", "base_rent", "5250.0", "u1", "2026-08-12T00:00:00Z"))
+      .toDF("document_id", "field_name", "new_value", "overridden_by", "overridden_at")
+    val keys = Seq("document_id", "field_name")
+    val after = FieldOverride.applyOverrides(fields, ov, keys)
+    val byField = after.collect().map(r =>
+      r.getAs[String]("field_name") ->
+        (r.getAs[String]("norm_value"), r.getAs[Boolean]("is_override"),
+          r.getAs[String]("field_value"))).toMap
+    assert(byField("base_rent") ==
+      (("5250.0", true, """{"value":"5250.0"}""")))
+    assert(byField("tenant_name") == (("Acme", false, """{"value":"Acme"}""")))
+    // second batch must not clear the first batch's flags
+    val ov2 = Seq(("d1", "tenant_name", "Acme Corp", "u2", "2026-08-12T02:00:00Z"))
+      .toDF("document_id", "field_name", "new_value", "overridden_by", "overridden_at")
+    val twice = FieldOverride.applyOverrides(after, ov2, keys)
+    val flags = twice.collect().map(r =>
+      r.getAs[String]("field_name") -> r.getAs[Boolean]("is_override")).toMap
+    assert(flags == Map("base_rent" -> true, "tenant_name" -> true))
+    // events preserve the pre-override display value + confidence
+    val ev = FieldOverride.overrideEvents(fields, ov, keys).head()
+    assert(ev.getAs[String]("original_value") == "5000.0")
+    assert(ev.getAs[String]("corrected_value") == "5250.0")
+    assert(ev.getAs[Double]("original_confidence") == 0.9)
+    // a correction aimed at a missing row surfaces (FieldOverrideNotFoundError)
+    val missing = Seq(("d9", "base_rent", "1.0", "u1", "t"))
+      .toDF("document_id", "field_name", "new_value", "overridden_by", "overridden_at")
+    assert(FieldOverride.unmatchedOverrides(fields, missing, keys).count() == 1)
+    assert(FieldOverride.unmatchedOverrides(fields, ov, keys).count() == 0)
+  }
+
   test("redaction: emails/phones/ssn/persons, company exception, idempotent") {
     import spark.implicits._
     val df = Seq(leaseText).toDF("s")
