@@ -20,8 +20,13 @@ object Pipeline {
 
   final case class Result(extractions: DataFrame, fields: DataFrame)
 
+  /** `epochId`: disambiguates extraction ids across micro-batches — a
+    * same-second re-extraction of a document would otherwise collide
+    * (round-1 ADVICE); streaming callers pass their foreachBatch epoch.
+    */
   def run(docs: DataFrame,
-          priorExtractions: Option[DataFrame] = None): Result = {
+          priorExtractions: Option[DataFrame] = None,
+          epochId: Option[Long] = None): Result = {
     // 1. route (S4) — parser characteristics inform parser_used metadata
     val routed = docs
       .withColumn("probed", ParserRouter.probe(col("text")))
@@ -52,7 +57,10 @@ object Pipeline {
       .join(conf, Seq("document_id"), "left")
       .select(
         concat(col("document_id"), lit("-"),
-          date_format(col("created_at"), "yyyyMMddHHmmss")).as("id"),
+          date_format(col("created_at"), "yyyyMMddHHmmss"),
+          // zero-padded so the (created_at, id) version tie-break stays
+          // monotone across epochs
+          epochId.map(e => lit(f"-e$e%09d")).getOrElse(lit(""))).as("id"),
         col("document_id"),
         col("document_type"),
         col("route.parser").as("parser_used"),

@@ -48,24 +48,29 @@ object RuleExtractor {
     * the full catalog).
     */
   def extractFields(docs: DataFrame, catalog: Seq[FieldDef]): DataFrame = {
-    val entries = catalog.map { fd =>
+    // one native batched-regex pass per document (an array() of 200
+    // regexp_extract calls blows janino's method limits and drops the
+    // stage to interpreted eval — see MultiRegexFirstGroup)
+    val patterns = catalog.map { fd =>
       val aliasAlt = matchAliases(fd).map(java.util.regex.Pattern.quote)
         .mkString("|")
       // first `alias[:\-] value` line wins, case-insensitive
-      val re = s"(?i)(?:$aliasAlt)\\s*[:\\-]\\s*([^\\n]+)"
-      val raw = trim(regexp_extract(col("text"), re, 1))
-      struct(
-        lit(fd.name).as("field_name"),
-        lit(fd.fieldType).as("ftype"),
-        lit(fd.weight).as("weight"),
-        when(raw === "", lit(null: String)).otherwise(raw).as("raw_value"))
+      s"(?i)(?:$aliasAlt)\\s*[:\\-]\\s*([^\\n]+)"
     }
+    val raws = org.apache.spark.sql.graftshim.column(
+      graft.functions.MultiRegexFirstGroup(
+        org.apache.spark.sql.graftshim.expression(col("text")), patterns))
+    // field metadata joins back by array position (broadcast — catalog-sized)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val meta = catalog.zipWithIndex
+      .map { case (fd, i) => (i, fd.name, fd.fieldType, fd.weight) }
+      .toDF("pos", "field_name", "ftype", "weight")
     val exploded = docs
-      .select(col("document_id"), explode(array(entries: _*)).as("e"))
-      .select(col("document_id"), col("e.field_name").as("field_name"),
-        col("e.ftype").as("ftype"), col("e.weight").as("weight"),
-        col("e.raw_value").as("raw_value"))
+      .select(col("document_id"), posexplode(raws).as(Seq("pos", "raw_value")))
       .where(col("raw_value").isNotNull)
+      .join(broadcast(meta), Seq("pos"))
+      .drop("pos")
     // type dispatch post-explode: one normalizer expression per TYPE (not
     // per field); enum fields chain per-field allowed-value lists
     val raw = col("raw_value")

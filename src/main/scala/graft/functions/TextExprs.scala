@@ -113,6 +113,52 @@ object TextKernels {
     words.foreach(w => s.add(UTF8String.fromString(w)))
     s
   }
+
+  /** First capture group (trimmed; empty → null) of each pattern against
+    * `text` — the batched form of `nullif(trim(regexp_extract(…, 1)), '')`
+    * over N patterns.
+    */
+  def multiRegexFirst(text: UTF8String,
+                      patterns: Array[java.util.regex.Pattern]): ArrayData = {
+    val s = text.toString
+    val out = new Array[Any](patterns.length)
+    var i = 0
+    while (i < patterns.length) {
+      val m = patterns(i).matcher(s)
+      if (m.find()) {
+        val g = m.group(1)
+        val t = if (g == null) "" else g.trim
+        if (t.nonEmpty) out(i) = UTF8String.fromString(t)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Batched first-group regex extraction: one expression evaluates N
+  * patterns against a text column → array<string> (null element = no
+  * match). The composed form — N separate `regexp_extract` calls inside
+  * one array() — exceeds janino's method limits near N≈178 (the full
+  * extraction catalog) and silently drops the whole stage to interpreted
+  * eval; this generates a single static call and precompiles the patterns
+  * once per executor.
+  */
+case class MultiRegexFirstGroup(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val compiled: Array[java.util.regex.Pattern] =
+    patterns.map(java.util.regex.Pattern.compile).toArray
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.multiRegexFirst(v.asInstanceOf[UTF8String], compiled)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("patterns", compiled,
+      "java.util.regex.Pattern[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.multiRegexFirst($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Count of tokens that are members of a fixed word set. Native stand-in

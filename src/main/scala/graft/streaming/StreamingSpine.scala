@@ -13,38 +13,72 @@ import org.apache.spark.sql.types.StructType
   * checkpointed offsets replace the processing_queue claim protocol for
   * the source side — claim/retry semantics for downstream failures live
   * in `streaming.Queue`).
+  *
+  * Incremental maintenance (round-1 fix): the extractions table is
+  * partitioned by `doc_bucket = pmod(xxhash64(document_id), buckets)` and
+  * each micro-batch
+  *   1. reads ONLY the prior rows of the batch's documents (semi join —
+  *      partition pruning via the affected-bucket list),
+  *   2. re-versions just those documents through `Pipeline.run`,
+  *   3. rewrites just the affected bucket partitions (dynamic partition
+  *      overwrite: affected-bucket content = untouched docs passthrough ∪
+  *      re-versioned rows).
+  * Work per batch is O(batch + affected buckets), not O(history), and
+  * untouched documents' files are never rewritten.
   */
 object StreamingSpine {
 
   val DocSchema: StructType = StructType.fromDDL(
     "document_id STRING, text STRING, mime_type STRING, created_at TIMESTAMP")
 
-  /** Watch `inDir` for JSON-lines document files; append versioned
-    * extractions + EAV fields under `outDir`.
+  /** Watch `inDir` for JSON-lines document files; maintain the versioned
+    * extractions table + append-only EAV fields under `outDir`.
     */
   def start(spark: SparkSession, inDir: String, outDir: String,
-            checkpointDir: String, triggerMs: Long = 500L): StreamingQuery = {
+            checkpointDir: String, triggerMs: Long = 500L,
+            buckets: Int = 64): StreamingQuery = {
     val docs = spark.readStream.schema(DocSchema).json(inDir)
     docs.writeStream
       .trigger(Trigger.ProcessingTime(triggerMs))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        if (!batch.isEmpty) {
-          val sp = batch.sparkSession
-          val extDir = s"$outDir/extractions"
-          val fieldsDir = s"$outDir/fields"
-          val prior =
-            try Some(sp.read.parquet(extDir))
-            catch { case _: Exception => None }
-          val result = Pipeline.run(batch, prior)
-          // rewrite the extractions table (is_current flips on re-extraction)
-          result.extractions.write.mode("overwrite")
-            .parquet(s"$outDir/extractions_tmp_$epochId")
-          sp.read.parquet(s"$outDir/extractions_tmp_$epochId")
-            .write.mode("overwrite").parquet(extDir)
-          result.fields.write.mode("append").parquet(fieldsDir)
-        }
+        if (!batch.isEmpty) runBatch(batch, epochId, outDir, buckets)
       }
       .start()
+  }
+
+  private[streaming] def runBatch(batch: DataFrame, epochId: Long,
+                                  outDir: String, buckets: Int): Unit = {
+    val sp = batch.sparkSession
+    sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val extDir = s"$outDir/extractions"
+    val fieldsDir = s"$outDir/fields"
+    val b = batch.localCheckpoint(true) // reused by several plans below
+    val docIds = b.select("document_id").distinct()
+    val prior =
+      try Some(sp.read.parquet(extDir))
+      catch { case _: Exception => None }
+    // prior versions of ONLY this batch's documents (localCheckpoint both
+    // to cut the self-overwrite cycle and to avoid re-reading the table)
+    val priorForBatch = prior.map(
+      _.join(docIds, Seq("document_id"), "left_semi").localCheckpoint(true))
+    val result = Pipeline.run(b, priorForBatch, Some(epochId))
+    val bucketed = result.extractions
+      .withColumn("doc_bucket", pmod(xxhash64(col("document_id")), lit(buckets)))
+      .localCheckpoint(true)
+    // affected partitions: collect the bucket ids (≤ `buckets` values) so
+    // the passthrough read prunes to those directories only
+    val affected = bucketed.select("doc_bucket").distinct()
+      .collect().map(_.getLong(0))
+    // untouched documents that happen to share an affected bucket ride
+    // along unchanged (their partition is being replaced wholesale)
+    val passthrough = prior.map(
+      _.where(col("doc_bucket").isin(affected: _*))
+        .join(docIds, Seq("document_id"), "left_anti")
+        .localCheckpoint(true))
+    val toWrite = passthrough.fold(bucketed)(p =>
+      p.select(bucketed.columns.map(col): _*).unionByName(bucketed))
+    toWrite.write.mode("overwrite").partitionBy("doc_bucket").parquet(extDir)
+    result.fields.write.mode("append").parquet(fieldsDir)
   }
 }

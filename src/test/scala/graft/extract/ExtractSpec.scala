@@ -62,9 +62,12 @@ class ExtractSpec extends SparkSpec {
   test("full 178-field catalog extracts in ONE scan of the docs relation") {
     val fields = RuleExtractor.extractFields(docs, FieldCatalog.LeaseFields)
     // round 1 unioned one projection per field — 178 scans; the
-    // array-explode form must reference the input relation exactly once
+    // batched-regex + posexplode form must reference the docs relation
+    // exactly once (the second LocalRelation is the broadcast field-
+    // metadata table)
     val rels = fields.queryExecution.optimizedPlan.collect {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+        if l.output.exists(_.name == "text") => l
     }
     assert(rels.size == 1)
     val byName = fields.collect()

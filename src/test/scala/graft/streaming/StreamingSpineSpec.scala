@@ -37,4 +37,74 @@ class StreamingSpineSpec extends SparkSpec {
       q.stop()
     }
   }
+
+  test("incremental maintenance: untouched documents' files are not rewritten") {
+    val base = java.nio.file.Files.createTempDirectory("spine-inc").toString
+    val inDir = s"$base/in"
+    new java.io.File(inDir).mkdirs()
+    // few buckets so the assertion is about DOCUMENT selectivity, not
+    // bucket sparsity; a/b chosen to land in different buckets
+    val q = StreamingSpine.start(spark, inDir, s"$base/out", s"$base/ckpt",
+      100, buckets = 8)
+    def bucketFiles(): Map[String, Map[String, Long]] = {
+      val root = new java.io.File(s"$base/out/extractions")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("doc_bucket="))
+        .map(d => d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName -> f.lastModified()).toMap).toMap
+    }
+    try {
+      // batch 1: two docs in different buckets
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$inDir/b1.json"),
+        Seq(docJson("inc-a", "LEASE\nTenant: Alpha LLC\nBase Rent: $1,000.00",
+            "2024-01-01T10:00:00.000Z"),
+          docJson("inc-b", "LEASE\nTenant: Beta LLC\nBase Rent: $2,000.00",
+            "2024-01-01T10:00:00.000Z")).mkString("\n"))
+      q.processAllAvailable()
+      val after1 = bucketFiles()
+      val bucketOfA = after1.keys.find { bk =>
+        spark.read.parquet(s"$base/out/extractions/$bk")
+          .where(col("document_id") === "inc-a").count() > 0
+      }.get
+      val bucketOfB = after1.keys.find { bk =>
+        spark.read.parquet(s"$base/out/extractions/$bk")
+          .where(col("document_id") === "inc-b").count() > 0
+      }.get
+      assert(bucketOfA != bucketOfB, "fixture docs must hash to different buckets")
+      // batch 2: re-extract only inc-a — inc-b's partition must be untouched
+      Thread.sleep(1100) // mtime resolution guard
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$inDir/b2.json"),
+        docJson("inc-a", "LEASE\nTenant: Alpha LLC\nBase Rent: $1,100.00",
+          "2024-02-01T10:00:00.000Z"))
+      q.processAllAvailable()
+      val after2 = bucketFiles()
+      assert(after2(bucketOfB) == after1(bucketOfB),
+        "untouched document's bucket files were rewritten")
+      assert(after2(bucketOfA) != after1(bucketOfA))
+      // batch 3: third doc (inc-c happens to share inc-a's bucket — that
+      // partition is legitimately rewritten with inc-a passed through;
+      // inc-b's bucket must again be untouched)
+      Thread.sleep(1100)
+      java.nio.file.Files.writeString(java.nio.file.Path.of(s"$inDir/b3.json"),
+        docJson("inc-c", "LEASE\nTenant: Gamma LLC\nBase Rent: $3,000.00",
+          "2024-03-01T10:00:00.000Z"))
+      q.processAllAvailable()
+      val after3 = bucketFiles()
+      assert(after3(bucketOfB) == after2(bucketOfB))
+      // inc-a's rows survived its bucket's rewrite alongside inc-c
+      val aRows = spark.read.parquet(s"$base/out/extractions/$bucketOfA")
+        .select("document_id").collect().map(_.getString(0)).toSet
+      assert(aRows == Set("inc-a", "inc-c"))
+      // version maintenance still correct through the incremental path
+      val ex = spark.read.parquet(s"$base/out/extractions")
+        .where(col("document_id") === "inc-a").orderBy("version")
+        .collect().map(r => (r.getAs[Int]("version"), r.getAs[Boolean]("is_current")))
+      assert(ex.toSeq == Seq((1, false), (2, true)))
+      assert(spark.read.parquet(s"$base/out/extractions").count() == 4)
+      // no leftover tmp dirs (round-1 double-overwrite artifact)
+      assert(!new java.io.File(s"$base/out").listFiles()
+        .exists(_.getName.startsWith("extractions_tmp")))
+    } finally {
+      q.stop()
+    }
+  }
 }
