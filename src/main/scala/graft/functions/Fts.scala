@@ -178,6 +178,13 @@ object Fts {
   def stemTokens(tokens: Column): Column =
     graftshim.column(EnStemTokens(graftshim.expression(tokens)))
 
+  /** Stopword filter alone (unstemmed lexemes — the `simple`-config
+    * variant used where the oracle must mirror without a stemmer).
+    */
+  def filterStopwords(tk: Column): Column =
+    graftshim.column(TokensNotInSet(
+      graftshim.expression(tk), Stopwords.toSeq.sorted))
+
   /** Lexemes of a text column: tokenize → drop stopwords → stem. The
     * stopword filter is the native [[TokensNotInSet]] kernel — the
     * filter+isin HOF form was the q39 bench hotspot (interpreted lambda
@@ -219,4 +226,93 @@ object Fts {
     queryLexemes.map(l =>
       array_contains(tsvec("a"), l) || array_contains(tsvec("b"), l))
       .reduceOption(_ && _).getOrElse(lit(false))
+
+  // ------------------------------------------------- websearch_to_tsquery
+
+  /** tsquery AST for `websearch_to_tsquery` semantics
+    * (`043_fulltext_search.sql:43`; the reference uses websearch for chunk
+    * search and plainto for keyword search — both surfaces exist here).
+    */
+  sealed trait TsQuery
+  object TsQuery {
+    case class Term(lexeme: String) extends TsQuery
+    case class Phrase(lexemes: Seq[String]) extends TsQuery
+    case class Not(q: TsQuery) extends TsQuery
+    case class AndGroup(qs: Seq[TsQuery]) extends TsQuery
+    case class OrChain(groups: Seq[TsQuery]) extends TsQuery
+  }
+
+  private val SegmentRe = "-?\"[^\"]*\"|\\S+".r
+
+  /** Parse Postgres `websearch_to_tsquery` syntax: bare words AND;
+    * the standalone word `or` is the OR operator (lower precedence than
+    * AND); a `-` prefix negates; `"quoted words"` is a consecutive-phrase
+    * match. Stopwords are dropped and (when `stem`) terms Porter-stemmed,
+    * exactly like [[plainQueryLexemes]]. Divergence (documented): a
+    * stopword inside a phrase closes the gap instead of emitting a
+    * `<N>` distance skip.
+    */
+  def websearchQuery(query: String, stem: Boolean = true): TsQuery.OrChain = {
+    import TsQuery._
+    def lexemesOf(s: String): Seq[String] =
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        .filterNot(Stopwords.contains)
+        .map(w => if (stem) PorterStemmer.stem(w) else w)
+    val segments = SegmentRe.findAllIn(query).toSeq
+    val groups = scala.collection.mutable.ListBuffer(
+      scala.collection.mutable.ListBuffer.empty[TsQuery])
+    segments.foreach { seg =>
+      if (seg.equalsIgnoreCase("or")) {
+        groups += scala.collection.mutable.ListBuffer.empty[TsQuery]
+      } else {
+        val neg = seg.startsWith("-")
+        val body = seg.stripPrefix("-")
+        val quoted = body.startsWith("\"")
+        val lex = lexemesOf(body.stripPrefix("\"").stripSuffix("\""))
+        if (lex.nonEmpty) {
+          val node =
+            if (quoted && lex.size > 1) Phrase(lex)
+            else if (lex.size > 1) AndGroup(lex.map(Term))
+            else Term(lex.head)
+          groups.last += (if (neg) Not(node) else node)
+        }
+      }
+    }
+    OrChain(groups.toSeq.filter(_.nonEmpty).map(g => AndGroup(g.toSeq)))
+  }
+
+  private def containsSlice(arr: Column, lexemes: Seq[String]): Column =
+    graftshim.column(ArrayContainsSlice(graftshim.expression(arr), lexemes))
+
+  /** Boolean `fts @@ query` over the weighted tsvector struct. An empty
+    * query (all stopwords / empty string) matches nothing, like
+    * `websearch_to_tsquery('')`.
+    */
+  def tsMatchQuery(tsvec: Column, q: TsQuery): Column = q match {
+    case TsQuery.Term(l) =>
+      array_contains(tsvec("a"), l) || array_contains(tsvec("b"), l)
+    case TsQuery.Phrase(ls) =>
+      containsSlice(tsvec("a"), ls) || containsSlice(tsvec("b"), ls)
+    case TsQuery.Not(x) => !tsMatchQuery(tsvec, x)
+    case TsQuery.AndGroup(qs) =>
+      qs.map(tsMatchQuery(tsvec, _)).reduceOption(_ && _).getOrElse(lit(false))
+    case TsQuery.OrChain(gs) =>
+      gs.map(tsMatchQuery(tsvec, _)).reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** Positive (non-negated) lexemes of a query — what ts_rank scores. */
+  def positiveLexemes(q: TsQuery): Seq[String] = (q match {
+    case TsQuery.Term(l) => Seq(l)
+    case TsQuery.Phrase(ls) => ls
+    case TsQuery.Not(_) => Nil
+    case TsQuery.AndGroup(qs) => qs.flatMap(positiveLexemes)
+    case TsQuery.OrChain(gs) => gs.flatMap(positiveLexemes)
+  }).distinct
+
+  /** ts_rank for a websearch query: occurrence-count scoring of the
+    * positive lexemes (negation filters, it does not score — matching
+    * Postgres ts_rank over the positive branches).
+    */
+  def tsRankQuery(tsvec: Column, q: TsQuery): Column =
+    tsRank(tsvec, positiveLexemes(q))
 }

@@ -114,6 +114,26 @@ object TextKernels {
     s
   }
 
+  /** Consecutive-subsequence test for tsquery phrase matching. */
+  def containsSlice(arr: ArrayData, slice: Array[UTF8String]): Boolean = {
+    val n = arr.numElements()
+    val k = slice.length
+    if (k == 0) return true
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      var ok = true
+      while (ok && j < k) {
+        if (arr.isNullAt(i + j) || !arr.getUTF8String(i + j).equals(slice(j)))
+          ok = false
+        j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
   /** First capture group (trimmed; empty → null) of each pattern against
     * `text` — the batched form of `nullif(trim(regexp_extract(…, 1)), '')`
     * over N patterns.
@@ -134,6 +154,26 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+}
+
+/** True when `slice` occurs as a CONSECUTIVE run inside the string array
+  * (tsquery phrase-match over position-ordered lexeme arrays).
+  */
+case class ArrayContainsSlice(child: Expression, slice: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val target: Array[UTF8String] =
+    slice.map(UTF8String.fromString).toArray
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.containsSlice(v.asInstanceOf[ArrayData], target)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("slice", target,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.containsSlice($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Batched first-group regex extraction: one expression evaluates N

@@ -1,6 +1,8 @@
 package graft.queries
 
 import graft.extract.{FieldCatalog, FieldDef, RuleExtractor}
+import graft.functions.TextFunctions
+import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -106,6 +108,9 @@ object ExtractorOracleSql {
   * ported catalog.
   */
 object TestQueries6 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
 
   private val scenarioDocs: Seq[(String, String)] = Seq(
     // scenario 4: industrial warehouse — NNN, dock/power/sprinkler specs
@@ -315,5 +320,55 @@ object TestQueries6 {
       ORDER BY row_kind, document_id, field_name"""
     })
 
-  val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride)
+  /** C20 websearch_to_tsquery (`043_fulltext_search.sql:43`): quoted
+    * phrase + negation + OR over the documents corpus, unstemmed so the
+    * oracle can mirror lexeme construction. Query:
+    * `"hash value" -vector or "sort key"` ≡
+    * (phrase(hash,value) ∧ ¬vector) ∨ phrase(sort,key); rank scores the
+    * positive lexemes with A/B weights like q38.
+    */
+  val q67Websearch: QueryCase = QueryCase(
+    "q67_websearch",
+    (s, dir) => {
+      val query = graft.functions.Fts.websearchQuery(
+        "\"hash value\" -vector or \"sort key\"", stem = false)
+      val toks = t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("ct"),
+        TextFunctions.tokens(col("source")).as("ht"))
+      val vec = toks.select(col("doc_id"),
+        struct(graft.functions.Fts.filterStopwords(col("ct")).as("a"),
+          graft.functions.Fts.filterStopwords(col("ht")).as("b")).as("fts"))
+      vec.where(graft.functions.Fts.tsMatchQuery(col("fts"), query))
+        .select(col("doc_id"),
+          round(graft.functions.Fts.tsRankQuery(col("fts"), query), 6)
+            .as("rank"))
+        .orderBy(desc("rank"), col("doc_id"))
+        .limit(50)
+    },
+    Some {
+      val stops = graft.functions.Fts.Stopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      def lex(c: String) =
+        s"list_filter(list_filter(string_split_regex(LOWER(TRIM($c)), '\\s+'), x -> x <> ''), x -> NOT list_contains($stops, x))"
+      def phrase(arr: String, w1: String, w2: String) =
+        s"LEN(list_filter(range(1, LEN($arr)), i -> $arr[i] = '$w1' AND $arr[i+1] = '$w2')) > 0"
+      s"""
+      WITH lx AS (
+        SELECT doc_id, ${lex("text")} AS a, ${lex("source")} AS b
+        FROM documents),
+      m AS (
+        SELECT doc_id, a, b,
+          (${phrase("a", "hash", "value")} OR ${phrase("b", "hash", "value")}) AS ph1,
+          (list_contains(a, 'vector') OR list_contains(b, 'vector')) AS negv,
+          (${phrase("a", "sort", "key")} OR ${phrase("b", "sort", "key")}) AS ph2
+        FROM lx)
+      SELECT doc_id,
+             ROUND(CAST(LEN(list_filter(a, x -> list_contains(['hash','value','sort','key'], x))) AS DOUBLE) * 1.0 +
+                   CAST(LEN(list_filter(b, x -> list_contains(['hash','value','sort','key'], x))) AS DOUBLE) * 0.4, 6) AS rank
+      FROM m WHERE (ph1 AND NOT negv) OR ph2
+      ORDER BY rank DESC, doc_id LIMIT 50"""
+    })
+
+  val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride,
+    q67Websearch)
 }

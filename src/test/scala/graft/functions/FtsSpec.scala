@@ -101,4 +101,43 @@ class FtsSpec extends SparkSpec {
     assert(df.select(Fts.tsMatch(col("tsv"), Seq("alpha", "beta"))).head().getBoolean(0))
     assert(!df.select(Fts.tsMatch(col("tsv"), Seq("alpha", "gamma"))).head().getBoolean(0))
   }
+
+  test("websearch parse: phrase, negation, OR precedence, stemming") {
+    import Fts.TsQuery._
+    val q = Fts.websearchQuery("\"big data\" -legacy or cloud", stem = false)
+    assert(q == OrChain(Seq(
+      AndGroup(Seq(Phrase(Seq("big", "data")), Not(Term("legacy")))),
+      AndGroup(Seq(Term("cloud"))))))
+    // stemming + stopword drop flow through like plainto
+    val s = Fts.websearchQuery("the running \"merging windows\"")
+    assert(s == OrChain(Seq(AndGroup(Seq(
+      Term("run"), Phrase(Seq("merg", "window")))))))
+    // all-stopword query matches nothing
+    assert(Fts.websearchQuery("the a of") == OrChain(Nil))
+  }
+
+  test("websearch match: phrase is positional, negation excludes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "big data pipelines run here", "x"),
+      (2L, "data big reversed order", "x"),
+      (3L, "big data on legacy stack", "x"),
+      (4L, "cloud only doc", "x"))
+      .toDF("id", "content", "header")
+      .select(col("id"), TextFunctions.tokens(col("content")).as("ct"),
+        TextFunctions.tokens(col("header")).as("ht"))
+      .select(col("id"), struct(Fts.filterStopwords(col("ct")).as("a"),
+        Fts.filterStopwords(col("ht")).as("b")).as("tsv"))
+    val q = Fts.websearchQuery("\"big data\" -legacy or cloud", stem = false)
+    val got = df.where(Fts.tsMatchQuery(col("tsv"), q))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // 1: phrase + no legacy ✓; 2: words present but not consecutive ✗;
+    // 3: phrase but legacy ✗; 4: cloud branch ✓
+    assert(got == Set(1L, 4L))
+    // rank scores only positive lexemes
+    assert(Fts.positiveLexemes(q) == Seq("big", "data", "cloud"))
+    // empty query matches nothing
+    assert(df.where(Fts.tsMatchQuery(col("tsv"),
+      Fts.websearchQuery(""))).count() == 0)
+  }
 }
