@@ -1,0 +1,81 @@
+package graft.entities
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Entity graph operators over the polymorphic registry (reference
+  * `050_entities.sql:5-21` — `parent_id` hierarchy across
+  * portfolio→asset→lease — and `051_entity_relationships.sql:5-27` —
+  * typed cross-links like lease→tenant).
+  *
+  * Scale shape: the ancestor closure is iterated bounded-depth BFS — one
+  * shuffle-join per level, localCheckpoint'ed so lineage stays flat, with
+  * an early exit when a frontier empties. CRE hierarchies are 3-4 levels
+  * deep; `maxDepth` bounds the worst case. Typed traversal is plain
+  * equi-joins (broadcast when the relationship side is small).
+  */
+object EntityGraph {
+
+  /** Transitive ancestor closure (entity_id, ancestor_id, distance ≥ 1)
+    * up to `maxDepth` levels. A cycle (data error) is cut by the depth
+    * bound rather than looping forever.
+    */
+  def ancestors(entities: DataFrame, maxDepth: Int = 8): DataFrame = {
+    val edges = entities.where(col("parent_id").isNotNull)
+      .select(col("id").as("entity_id"), col("parent_id").as("ancestor_id"),
+        lit(1).as("distance"))
+      .localCheckpoint(true)
+    val parentOf = edges
+      .select(col("entity_id").as("ancestor_id"), col("ancestor_id").as("next"))
+    var result = edges
+    var frontier = edges
+    var d = 1
+    while (d < maxDepth && !frontier.isEmpty) {
+      frontier = frontier.join(parentOf, Seq("ancestor_id"))
+        .select(col("entity_id"), col("next").as("ancestor_id"),
+          (col("distance") + 1).as("distance"))
+        .localCheckpoint(true)
+      result = result.unionByName(frontier)
+      d += 1
+    }
+    result
+  }
+
+  /** Closure including distance-0 self rows — the join shape for
+    * "aggregate every descendant (and the node itself) to each ancestor".
+    */
+  def closureWithSelf(entities: DataFrame, maxDepth: Int = 8): DataFrame =
+    entities.select(col("id").as("entity_id"), col("id").as("ancestor_id"),
+      lit(0).as("distance"))
+      .unionByName(ancestors(entities, maxDepth))
+
+  /** Hierarchy rollup: per ancestor, the count of nodes in its subtree
+    * (self included) and the sum of `valueExpr` over them.
+    */
+  def hierarchyRollup(entities: DataFrame, valueExpr: Column,
+                      maxDepth: Int = 8): DataFrame = {
+    val values = entities.select(col("id").as("entity_id"),
+      valueExpr.as("__v"))
+    closureWithSelf(entities, maxDepth)
+      .join(values, Seq("entity_id"))
+      .groupBy(col("ancestor_id"))
+      .agg(count(lit(1)).as("subtree_size"), sum(col("__v")).as("subtree_value"))
+  }
+
+  /** Typed 1-hop traversal: relationship rows decorated with both
+    * endpoints' entity payloads (`051` from/to composite keys). Pass
+    * `relationshipType = None` for all types.
+    */
+  def related(entities: DataFrame, relationships: DataFrame,
+              relationshipType: Option[String] = None): DataFrame = {
+    val rels = relationshipType
+      .fold(relationships)(t =>
+        relationships.where(col("relationship_type") === t))
+    val fromSide = entities.select(col("id").as("from_entity_id"),
+      col("name").as("from_name"), col("entity_type").as("from_type"))
+    val toSide = entities.select(col("id").as("to_entity_id"),
+      col("name").as("to_name"), col("entity_type").as("to_type"))
+    rels.join(fromSide, Seq("from_entity_id"))
+      .join(toSide, Seq("to_entity_id"))
+  }
+}

@@ -369,6 +369,99 @@ object TestQueries6 {
       ORDER BY rank DESC, doc_id LIMIT 50"""
     })
 
+  private val entityRows: Seq[(String, String, String, String, String)] = Seq(
+    // id, entity_type, name, parent_id (null = root), attributes JSON
+    ("p1", "portfolio", "Gateway Portfolio", null, """{}"""),
+    ("a1", "asset", "Tower A", "p1", """{"sqft":120000}"""),
+    ("a2", "asset", "Tower B", "p1", """{"sqft":80000}"""),
+    ("l1", "lease", "Lease Acme", "a1", """{"sqft":12000}"""),
+    ("l2", "lease", "Lease Beta", "a1", """{"sqft":8000}"""),
+    ("l3", "lease", "Lease Gamma", "a2", """{"sqft":30000}"""),
+    ("t1", "tenant", "Acme Corp", null, """{}"""),
+    ("t2", "tenant", "Beta Inc", null, """{}"""))
+
+  private val relationshipRows: Seq[(String, String, String)] = Seq(
+    // from_entity_id, to_entity_id, relationship_type
+    ("l1", "t1", "leased_by"),
+    ("l2", "t2", "leased_by"),
+    ("l3", "t1", "leased_by"),
+    ("a1", "t1", "managed_for")) // different type: must be filtered out
+
+  /** Entity graph (`050_entities.sql` parent hierarchy +
+    * `051_entity_relationships.sql` typed links): bounded-depth ancestor
+    * closure → subtree rollup (count + sqft sum from the attributes JSON),
+    * and typed 1-hop traversal, union'd with a row_kind tag. The oracle
+    * computes the closure with a recursive CTE.
+    */
+  val q68EntityGraph: QueryCase = QueryCase(
+    "q68_entity_graph",
+    (s, dir) => {
+      import s.implicits._
+      val entities = entityRows
+        .toDF("id", "entity_type", "name", "parent_id", "attributes")
+      val rels = relationshipRows
+        .toDF("from_entity_id", "to_entity_id", "relationship_type")
+      val names = entities.select(col("id").as("ancestor_id"),
+        col("name").as("k1"))
+      val rollup = graft.entities.EntityGraph
+        .hierarchyRollup(entities,
+          get_json_object(col("attributes"), "$.sqft").cast("double"))
+        .join(names, Seq("ancestor_id"))
+        .select(lit("rollup").as("row_kind"), col("k1"),
+          lit(null: String).as("k2"), lit(null: String).as("k3"),
+          col("subtree_size").cast("long").as("n"),
+          col("subtree_value").as("v"))
+      val hops = graft.entities.EntityGraph
+        .related(entities, rels, Some("leased_by"))
+        .select(lit("hop").as("row_kind"), col("from_name").as("k1"),
+          col("relationship_type").as("k2"), col("to_name").as("k3"),
+          lit(null).cast("long").as("n"), lit(null).cast("double").as("v"))
+      rollup.unionByName(hops).orderBy("row_kind", "k1", "k2", "k3")
+    },
+    Some {
+      val eVals = entityRows.map { r =>
+        val pid = Option(r._4).map(p => s"'$p'").getOrElse("NULL")
+        s"('${r._1}', '${r._2}', '${r._3}', $pid, '${r._5}')"
+      }.mkString(", ")
+      val rVals = relationshipRows.map(r =>
+        s"('${r._1}', '${r._2}', '${r._3}')").mkString(", ")
+      s"""
+      WITH e(id, entity_type, name, parent_id, attributes) AS (VALUES $eVals),
+      rel(from_entity_id, to_entity_id, relationship_type) AS (VALUES $rVals),
+      closure AS (
+        WITH RECURSIVE anc(entity_id, ancestor_id, distance) AS (
+          SELECT id, parent_id, 1 FROM e WHERE parent_id IS NOT NULL
+          UNION ALL
+          SELECT a.entity_id, p.parent_id, a.distance + 1
+          FROM anc a JOIN e p ON p.id = a.ancestor_id
+          WHERE p.parent_id IS NOT NULL)
+        SELECT entity_id, ancestor_id, distance FROM anc
+        UNION ALL
+        SELECT id, id, 0 FROM e),
+      vals AS (
+        SELECT id AS entity_id,
+               TRY_CAST(json_extract_string(attributes, '$$.sqft') AS DOUBLE) AS v
+        FROM e),
+      rollup AS (
+        SELECT 'rollup' AS row_kind, n.name AS k1,
+               CAST(NULL AS VARCHAR) AS k2, CAST(NULL AS VARCHAR) AS k3,
+               CAST(COUNT(*) AS BIGINT) AS n, SUM(vals.v) AS v
+        FROM closure c
+        JOIN vals ON vals.entity_id = c.entity_id
+        JOIN e n ON n.id = c.ancestor_id
+        GROUP BY n.name),
+      hops AS (
+        SELECT 'hop' AS row_kind, f.name AS k1, r.relationship_type AS k2,
+               t.name AS k3, CAST(NULL AS BIGINT) AS n,
+               CAST(NULL AS DOUBLE) AS v
+        FROM rel r
+        JOIN e f ON f.id = r.from_entity_id
+        JOIN e t ON t.id = r.to_entity_id
+        WHERE r.relationship_type = 'leased_by')
+      SELECT * FROM rollup UNION ALL SELECT * FROM hops
+      ORDER BY row_kind, k1, k2, k3"""
+    })
+
   val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride,
-    q67Websearch)
+    q67Websearch, q68EntityGraph)
 }

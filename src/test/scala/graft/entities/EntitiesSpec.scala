@@ -67,4 +67,38 @@ class EntitiesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(redirected == Set(("a3", "d1"), ("a3", "d2"), ("b1", "d3")))
   }
+
+  test("entity graph: ancestor closure, rollup, typed 1-hop, cycle cut") {
+    import spark.implicits._
+    val entities = Seq(
+      ("p1", "portfolio", "P", null, """{}"""),
+      ("a1", "asset", "A1", "p1", """{"sqft":100}"""),
+      ("l1", "lease", "L1", "a1", """{"sqft":10}"""),
+      ("l2", "lease", "L2", "a1", """{"sqft":20}"""),
+      ("t1", "tenant", "T1", null, """{}"""))
+      .toDF("id", "entity_type", "name", "parent_id", "attributes")
+    val anc = EntityGraph.ancestors(entities)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(anc == Set(("a1", "p1", 1), ("l1", "a1", 1), ("l2", "a1", 1),
+      ("l1", "p1", 2), ("l2", "p1", 2)))
+    val roll = EntityGraph.hierarchyRollup(entities,
+        get_json_object(col("attributes"), "$.sqft").cast("double"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(roll("p1") == ((4L, Some(130.0))))
+    assert(roll("a1") == ((3L, Some(130.0))))
+    assert(roll("l1") == ((1L, Some(10.0))))
+    assert(roll("t1") == ((1L, None)))
+    val rels = Seq(("l1", "t1", "leased_by"), ("a1", "t1", "managed_for"))
+      .toDF("from_entity_id", "to_entity_id", "relationship_type")
+    val hop = EntityGraph.related(entities, rels, Some("leased_by"))
+      .select("from_name", "to_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(hop == Set(("L1", "T1")))
+    assert(EntityGraph.related(entities, rels).count() == 2)
+    // a parent cycle (data error) terminates at maxDepth instead of hanging
+    val cyc = Seq(("x", "e", "X", "y", "{}"), ("y", "e", "Y", "x", "{}"))
+      .toDF("id", "entity_type", "name", "parent_id", "attributes")
+    assert(EntityGraph.ancestors(cyc, maxDepth = 4).count() == 8)
+  }
 }
