@@ -1,0 +1,76 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Connector per-change pipeline (reference
+  * `google_drive/sync.py:346-419` `_process_change`): a batch of change
+  * events → routed outcomes — idempotency skip, deletion references
+  * (which feed the S11 soft-delete active set), folder/selection/metadata
+  * filters, and emitted file references. The reference walks changes one
+  * at a time with a `processed_file_ids` set; here the whole batch is one
+  * DataFrame pass — first-seen-wins is a window over `file_id` ordered by
+  * the change sequence.
+  *
+  * Outcomes (`_process_change` branch order preserved):
+  *  - `skipped`: a later change for a file_id already seen this run
+  *  - `deleted`: changeType remove / removed / trashed → deletion ref
+  *  - `ignored`: folder mime, folder-selection miss, missing name/mtime
+  *  - `emitted`: a file reference for downstream fetch (no download here)
+  */
+object Connector {
+
+  val FolderMime = "application/vnd.google-apps.folder"
+
+  /** `_build_source_path` (`sync.py:424-427`). */
+  private def sourcePath = concat(lit("google_drive:"),
+    coalesce(col("drive_id"), lit("my_drive")), lit(":"), col("file_id"))
+
+  /** Route a change batch. `changes` columns: (change_seq, change_type,
+    * removed, trashed, file_id, file_name, mime_type, file_size,
+    * modified_time, parents array<string>, drive_id). `folderIds` empty =
+    * no folder selection (sync everything).
+    */
+  def processChanges(changes: DataFrame,
+                     folderIds: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy("file_id").orderBy("change_seq")
+    val folderMiss =
+      if (folderIds.isEmpty) lit(false)
+      else size(array_intersect(coalesce(col("parents"),
+        array().cast("array<string>")),
+        array(folderIds.map(lit): _*))) === 0
+    changes
+      .where(col("file_id").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("outcome",
+        when(col("__rn") > 1, "skipped")
+          .when(col("change_type") === "remove" ||
+            coalesce(col("removed"), lit(false)) ||
+            coalesce(col("trashed"), lit(false)), "deleted")
+          .when(col("mime_type") === FolderMime, "ignored")
+          .when(folderMiss, "ignored")
+          .when(col("file_name").isNull || col("file_name") === "" ||
+            col("modified_time").isNull || col("modified_time") === "",
+            "ignored")
+          .otherwise("emitted"))
+      .withColumn("source_path", sourcePath)
+      .drop("__rn")
+  }
+
+  /** Emitted file references (downstream fetches content by source_path). */
+  def fileReferences(processed: DataFrame): DataFrame =
+    processed.where(col("outcome") === "emitted")
+      .select(col("file_id"), col("file_name"),
+        coalesce(col("mime_type"), lit("application/octet-stream"))
+          .as("mime_type"),
+        col("file_size"), col("modified_time"), col("drive_id"),
+        col("parents"), col("source_path"))
+
+  /** Deletion references — the S11 soft-delete feed
+    * (`Ingest.activeDocuments` anti-joins these).
+    */
+  def deletionReferences(processed: DataFrame): DataFrame =
+    processed.where(col("outcome") === "deleted")
+      .select(col("file_id"), col("drive_id"), col("source_path"))
+}

@@ -107,7 +107,11 @@ object TestQueries3 {
       WHERE LEN(hs) > 0
       ORDER BY doc_id LIMIT 100"""))
 
-  /** K4: rerank top-20 by deterministic lexical score, tail appended. */
+  /** K4: rerank top-20 by deterministic lexical score, tail appended.
+    * Oracle-checked: the emitted ROW SET (reranked head scores + the first
+    * 40 tail rows as -1) is deterministic even though display order is
+    * rank-sensitive — the driver compare sorts rows canonically.
+    */
   val q41Rerank: QueryCase = QueryCase(
     "q41_rerank",
     (s, dir) => {
@@ -115,12 +119,31 @@ object TestQueries3 {
         .select(col("doc_id"), col("text"), col("n_chars").cast("double").as("score"))
       Reranker.rerankTopK(ranked, "doc_id", "score",
           Reranker.lexicalScore(col("text"), Seq("spark", "merge", "window")), k = 20)
-        .withColumn("pos", monotonically_increasing_id())
         .select(col("doc_id"), round(coalesce(col("rerank_score"), lit(-1.0)), 6)
           .as("rerank_score"))
         .limit(60)
     },
-    None) // ordering-sensitive output; verified by unit spec + rows-only
+    Some("""
+      WITH ranked AS (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id)
+                 AS rnk
+        FROM documents),
+      tk AS (
+        SELECT doc_id, rnk,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> '') AS toks
+        FROM ranked),
+      head AS (
+        SELECT doc_id,
+               ROUND(CAST(LEN(list_filter(['spark','merge','window'],
+                 t -> list_contains(toks, t))) AS DOUBLE) / 3, 6) AS rerank_score
+        FROM tk WHERE rnk <= 20),
+      tail AS (
+        SELECT doc_id, -1.0 AS rerank_score
+        FROM (SELECT doc_id FROM tk WHERE rnk > 20 ORDER BY rnk LIMIT 40))
+      SELECT doc_id, CAST(rerank_score AS DOUBLE) AS rerank_score FROM head
+      UNION ALL
+      SELECT doc_id, CAST(rerank_score AS DOUBLE) AS rerank_score FROM tail"""))
 
   /** J4/U5 as the dedup operator: one winner per (lang, source) group. */
   val q42ExactDedupOp: QueryCase = QueryCase(

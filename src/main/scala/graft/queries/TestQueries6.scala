@@ -462,6 +462,211 @@ object TestQueries6 {
       ORDER BY row_kind, k1, k2, k3"""
     })
 
+  private val entityFixture: Seq[(String, String, String, String, String)] = Seq(
+    ("a1", "t1", "Acme Corp LLC", "1 Main St", "X1"),
+    ("a2", "t1", "ACME CORP", "1 Main St", "X1"),
+    ("a3", "t1", "Acme Holdings Group", null, null),
+    ("a4", "t1", "Acmex Industrial", null, null),
+    ("b1", "t1", "Beta Properties", "2 Oak Ave", null),
+    ("b2", "t1", "Beta Property Mgmt", "2 Oak Ave", null),
+    ("c1", "t2", "Acme Corp", "1 Main St", "X1"))
+
+  /** J6 candidate generation minus the Ratcliff score: canonicalization
+    * (C9), blocking-key self-join within tenant, and the external-id /
+    * address-presence match components are all SQL-expressible and
+    * oracle-checked here (the difflib-parity similarity itself stays
+    * pinned by SimilaritySpec goldens — q45).
+    */
+  val q69EntityBlocking: QueryCase = QueryCase(
+    "q69_entity_blocking",
+    (s, dir) => {
+      import s.implicits._
+      val entities = entityFixture
+        .toDF("id", "tenant_id", "name", "address", "external_id")
+      val e = graft.entities.Entities.withCanonical(entities)
+        .select(col("id"), col("tenant_id"), col("canonical_name"),
+          col("block_key"), col("address"), col("external_id"))
+      e.as("a").join(e.as("b"),
+          col("a.tenant_id") === col("b.tenant_id") &&
+            col("a.block_key") === col("b.block_key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.tenant_id").as("tenant_id"),
+          col("a.id").as("entity_id"), col("b.id").as("duplicate_id"),
+          col("a.canonical_name").as("canon_a"),
+          col("b.canonical_name").as("canon_b"),
+          (coalesce(col("a.external_id") === col("b.external_id"), lit(false)))
+            .as("ext_match"),
+          (col("a.address").isNotNull && col("b.address").isNotNull)
+            .as("both_addr"))
+        .orderBy("entity_id", "duplicate_id")
+    },
+    Some {
+      val vals = entityFixture.map { r =>
+        def v(x: String) = Option(x).map(s => s"'$s'").getOrElse("NULL")
+        s"(${v(r._1)}, ${v(r._2)}, ${v(r._3)}, ${v(r._4)}, ${v(r._5)})"
+      }.mkString(", ")
+      // mirror of Normalizers.canonicalizeName: lower → drop non-alnum →
+      // collapse ws → drop org suffixes (word-boundary) → collapse
+      def canon(c: String) =
+        s"TRIM(regexp_replace(regexp_replace(TRIM(regexp_replace(" +
+          s"regexp_replace(LOWER($c), '[^a-z0-9\\s]', '', 'g'), " +
+          s"'\\s+', ' ', 'g')), '\\b(llc|inc|corp|ltd|lp)\\b', '', 'g'), " +
+          s"'\\s+', ' ', 'g'))"
+      s"""
+      WITH raw(id, tenant_id, name, address, external_id) AS (VALUES $vals),
+      e AS (
+        SELECT id, tenant_id, ${canon("name")} AS canonical_name,
+               string_split(${canon("name")}, ' ')[1] AS block_key,
+               address, external_id
+        FROM raw)
+      SELECT a.tenant_id, a.id AS entity_id, b.id AS duplicate_id,
+             a.canonical_name AS canon_a, b.canonical_name AS canon_b,
+             COALESCE(a.external_id = b.external_id, false) AS ext_match,
+             (a.address IS NOT NULL AND b.address IS NOT NULL) AS both_addr
+      FROM e a JOIN e b
+        ON a.tenant_id = b.tenant_id AND a.block_key = b.block_key
+       AND a.id < b.id
+      ORDER BY entity_id, duplicate_id"""
+    })
+
+  private val changeRows: Seq[(Int, String, Boolean, Boolean, String, String, String, Long, String, Seq[String], String)] = Seq(
+    // seq, change_type, removed, trashed, file_id, name, mime, size, mtime, parents, drive_id
+    (1, "file", false, false, "f1", "lease.pdf", "application/pdf", 1000L,
+      "2026-01-01T00:00:00Z", Seq("folderA"), null),
+    (2, "file", false, false, "f1", "lease-v2.pdf", "application/pdf", 1100L,
+      "2026-01-02T00:00:00Z", Seq("folderA"), null), // idempotency skip
+    (3, "remove", true, false, "f2", null, null, 0L, null, Seq(), null),
+    (4, "file", false, false, "f3", "docs",
+      "application/vnd.google-apps.folder", 0L, "2026-01-01T00:00:00Z",
+      Seq("folderA"), null), // folder mime
+    (5, "file", false, false, "f4", "offplan.xlsx",
+      "application/vnd.ms-excel", 500L, "2026-01-01T00:00:00Z",
+      Seq("elsewhere"), null), // folder-selection miss
+    (6, "file", false, false, "f5", "noname.pdf", "application/pdf", 10L,
+      "", Seq("folderA"), null), // missing modified_time
+    (7, "file", false, true, "f6", "trashed.pdf", "application/pdf", 10L,
+      "2026-01-01T00:00:00Z", Seq("folderA"), null), // trashed → deletion
+    (8, "file", false, false, "f7", "om.pdf", "application/pdf", 2000L,
+      "2026-01-03T00:00:00Z", Seq("folderB"), "drv1"))
+
+  /** Connector per-change pipeline (`google_drive/sync.py:346-419`):
+    * idempotency skip → deletion branch → folder/selection/metadata
+    * filters → emitted file references, with `_build_source_path`
+    * identifiers. Oracle mirrors the branch order with ROW_NUMBER + CASE.
+    */
+  val q70ConnectorChanges: QueryCase = QueryCase(
+    "q70_connector_changes",
+    (s, dir) => {
+      import s.implicits._
+      val changes = changeRows.toDF("change_seq", "change_type", "removed",
+        "trashed", "file_id", "file_name", "mime_type", "file_size",
+        "modified_time", "parents", "drive_id")
+      graft.ingest.Connector
+        .processChanges(changes, folderIds = Seq("folderA", "folderB"))
+        .select(col("change_seq"), col("file_id"), col("outcome"),
+          col("source_path"))
+        .orderBy("change_seq")
+    },
+    Some {
+      val vals = changeRows.map { r =>
+        def v(x: String) = Option(x).map(s => s"'$s'").getOrElse("NULL")
+        val parents = r._10.map(p => s"'$p'").mkString("[", ",", "]")
+        s"(${r._1}, ${v(r._2)}, ${r._3}, ${r._4}, ${v(r._5)}, ${v(r._6)}, " +
+          s"${v(r._7)}, ${r._8}, ${v(r._9)}, $parents, ${v(r._11)})"
+      }.mkString(", ")
+      s"""
+      WITH c(change_seq, change_type, removed, trashed, file_id, file_name,
+             mime_type, file_size, modified_time, parents, drive_id)
+        AS (VALUES $vals),
+      r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY file_id ORDER BY change_seq)
+          AS rn
+        FROM c WHERE file_id IS NOT NULL)
+      SELECT change_seq, file_id,
+             CASE WHEN rn > 1 THEN 'skipped'
+                  WHEN change_type = 'remove' OR COALESCE(removed, false)
+                    OR COALESCE(trashed, false) THEN 'deleted'
+                  WHEN mime_type = 'application/vnd.google-apps.folder'
+                    THEN 'ignored'
+                  WHEN LEN(list_filter(parents,
+                    p -> list_contains(['folderA','folderB'], p))) = 0
+                    THEN 'ignored'
+                  WHEN file_name IS NULL OR file_name = ''
+                    OR modified_time IS NULL OR modified_time = ''
+                    THEN 'ignored'
+                  ELSE 'emitted' END AS outcome,
+             'google_drive:' || COALESCE(drive_id, 'my_drive') || ':' ||
+               file_id AS source_path
+      FROM r ORDER BY change_seq"""
+    })
+
+  /** The composed RAG ask surface (`rag/pipeline.py:49-138`): retrieve
+    * (n_chars relevance proxy) → budgeted context → deterministic
+    * generator citing the top chunk → citation validation → mean-similarity
+    * confidence. One row out, fully oracle-checked.
+    */
+  val q71RagAsk: QueryCase = QueryCase(
+    "q71_rag_ask",
+    (s, dir) => {
+      val retrieved = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("doc"), lit(1).as("page"),
+          col("text").as("content"), col("n_chars").cast("double").as("score"))
+        .orderBy(desc("score"), col("doc")).limit(20)
+      val asked = graft.rag.Rag.ask(retrieved, "doc", "page", "content",
+        ctx => concat(lit("Summary: "),
+          regexp_extract(ctx, "\\[DOC:[^\\]]+\\]", 0)),
+        budget = 600)
+      graft.rag.Rag.validateCitations(asked, "answer", retrieved, "doc", "page")
+        .select(col("answer"), col("context_tokens"), col("chunks_used"),
+          round(col("confidence"), 6).as("confidence"), col("n_citations"),
+          col("n_valid_citations"), col("answer_ok"))
+    },
+    Some("""
+      WITH top AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc, 1 AS page, text AS content,
+               CAST(n_chars AS DOUBLE) AS score
+        FROM documents ORDER BY score DESC, doc LIMIT 20),
+      toks AS (
+        SELECT *, LEN(list_filter(string_split_regex(LOWER(TRIM(content)), '\s+'),
+               x -> x <> '')) AS n_tokens
+        FROM top),
+      packed AS (
+        SELECT *, SUM(n_tokens) OVER (ORDER BY score DESC, doc, page
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM toks),
+      ctx AS (
+        SELECT array_to_string(
+                 list(('[DOC:' || doc || ':PAGE:' || page || '] ' || content)
+                   ORDER BY score DESC, doc, page), chr(10) || chr(10)) AS context,
+               CAST(SUM(n_tokens) AS BIGINT) AS context_tokens,
+               CAST(COUNT(*) AS BIGINT) AS chunks_used,
+               CAST(AVG(score) AS DOUBLE) AS confidence
+        FROM packed WHERE cum_tokens <= 600),
+      ans AS (
+        SELECT *, 'Summary: ' ||
+          regexp_extract(context, '\[DOC:[^\]]+\]', 0) AS answer
+        FROM ctx),
+      cit AS (
+        SELECT a.*,
+          CAST(LEN(regexp_extract_all(answer,
+            '\[DOC:([0-9a-fA-F-]+):PAGE:(\d+)\]', 0)) AS BIGINT) AS n_citations,
+          CAST((SELECT COUNT(*) FROM (
+            SELECT UNNEST(regexp_extract_all(a.answer,
+              '\[DOC:([0-9a-fA-F-]+):PAGE:(\d+)\]', 0)) AS c) u
+            WHERE EXISTS (SELECT 1 FROM top t
+              WHERE '[DOC:' || t.doc || ':PAGE:' || t.page || ']' = u.c))
+            AS BIGINT) AS n_valid_citations
+        FROM ans a)
+      SELECT answer, context_tokens, chunks_used,
+             ROUND(confidence, 6) AS confidence, n_citations,
+             n_valid_citations,
+             ((n_citations > 0 AND n_citations = n_valid_citations)
+              OR (n_citations = 0 AND (contains(LOWER(answer), 'no information')
+                OR contains(LOWER(answer), 'not found in the documents'))))
+               AS answer_ok
+      FROM cit"""))
+
   val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride,
-    q67Websearch, q68EntityGraph)
+    q67Websearch, q68EntityGraph, q69EntityBlocking, q70ConnectorChanges,
+    q71RagAsk)
 }

@@ -63,6 +63,46 @@ object Rag {
           .as("context"),
         col("context_tokens"))
 
+  /** The composed ask surface (`rag/pipeline.py:49-138` `RAGPipeline.ask`):
+    * retrieve → pack a token-budgeted context → generate (pluggable
+    * backend — a Column function over the context, so the deterministic
+    * test backend and a model client swap freely) → confidence as the
+    * mean retained-chunk similarity (`_calculate_confidence:140-155`) →
+    * the no-context response when nothing was retrieved
+    * (`_no_context_response`). Returns ONE row: (answer, context,
+    * context_tokens, chunks_used, confidence).
+    *
+    * Citation validation composes downstream: feed the returned answer to
+    * [[validateCitations]] against the same retrieved set, and route
+    * failures to [[NoContextAnswer]] like the reference's step 6.
+    */
+  val NoContextAnswer =
+    "No information found in the documents to answer this question."
+
+  def ask(retrieved: DataFrame, docCol: String, pageCol: String,
+          contentCol: String, generate: Column => Column,
+          budget: Int = DefaultTokenBudget): DataFrame = {
+    val packed = buildContext(retrieved, docCol, pageCol, contentCol, budget)
+    packed
+      .agg(
+        array_sort(collect_list(struct((-col("score")).as("neg_score"),
+          col(docCol).as("o_doc"), col(pageCol).as("o_page"),
+          col("block").as("block")))).as("ordered"),
+        sum("n_tokens").as("context_tokens"),
+        count(lit(1)).as("chunks_used"),
+        avg(col("score")).as("confidence"))
+      .select(
+        concat_ws("\n\n", transform(col("ordered"), x => x("block")))
+          .as("context"),
+        col("context_tokens"), col("chunks_used"),
+        coalesce(col("confidence"), lit(0.0)).as("confidence"))
+      .withColumn("answer",
+        when(col("chunks_used") === 0, lit(NoContextAnswer))
+          .otherwise(generate(col("context"))))
+      .select("answer", "context", "context_tokens", "chunks_used",
+        "confidence")
+  }
+
   /** C17: citation extraction + validation (`citations.py:8-61`): every
     * `[DOC:x:PAGE:p]` in the answer must reference a retrieved (doc,page);
     * an answer with no valid citations must contain a no-information

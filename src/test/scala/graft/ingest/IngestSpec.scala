@@ -48,6 +48,42 @@ class IngestSpec extends SparkSpec {
     assert(Ingest.expandZips(ok, "content", maxRatio = 10.0).count() == 1)
   }
 
+  test("connector change pipeline feeds soft-delete active set end to end") {
+    import spark.implicits._
+    val changes = Seq(
+      (1, "file", false, false, "f1", "a.pdf", "application/pdf", 10L,
+        "2026-01-01T00:00:00Z", Seq("root"), null: String),
+      (2, "file", false, false, "f2", "b.pdf", "application/pdf", 10L,
+        "2026-01-01T00:00:00Z", Seq("root"), null: String),
+      (3, "remove", true, false, "f2", null: String, null: String, 0L,
+        null: String, Seq.empty[String], null: String),
+      (4, "file", false, false, "f2", "b-again.pdf", "application/pdf", 10L,
+        "2026-01-02T00:00:00Z", Seq("root"), null: String)) // skipped (seen)
+      .toDF("change_seq", "change_type", "removed", "trashed", "file_id",
+        "file_name", "mime_type", "file_size", "modified_time", "parents",
+        "drive_id")
+    val processed = Connector.processChanges(changes)
+    val outcomes = processed.select("change_seq", "outcome").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    // f2's FIRST change this run wins (emit); the remove and re-add are
+    // later changes for an already-processed id → skipped
+    assert(outcomes == Map(1 -> "emitted", 2 -> "emitted", 3 -> "skipped",
+      4 -> "skipped"))
+    // a remove arriving first in a later sync run becomes a deletion ref
+    // that anti-joins the documents table (S11)
+    val nextRun = Seq((1, "remove", true, false, "f2", null: String,
+      null: String, 0L, null: String, Seq.empty[String], null: String))
+      .toDF("change_seq", "change_type", "removed", "trashed", "file_id",
+        "file_name", "mime_type", "file_size", "modified_time", "parents",
+        "drive_id")
+    val dels = Connector.deletionReferences(Connector.processChanges(nextRun))
+    assert(dels.head().getAs[String]("source_path") == "google_drive:my_drive:f2")
+    val docs = Seq(("f1", "doc one"), ("f2", "doc two")).toDF("id", "text")
+    val active = Ingest.activeDocuments(docs,
+      dels.select(col("file_id").as("document_id")))
+    assert(active.select("id").collect().map(_.getString(0)).toSeq == Seq("f1"))
+  }
+
   test("validation: magic bytes vs extension, size, empty") {
     import spark.implicits._
     val pdf = "%PDF-1.4 fake".getBytes

@@ -61,6 +61,22 @@ class MiscSpec extends SparkSpec {
     assert(ctx.getAs[Long]("context_tokens") == 5L)
   }
 
+  test("rag ask facade: composed answer, confidence, no-context response") {
+    val asked = Rag.ask(retrieved, "doc", "page", "content",
+      ctx => concat(lit("Answer cites "),
+        regexp_extract(ctx, "\\[DOC:[^\\]]+\\]", 0)), budget = 5)
+    val row = asked.head()
+    assert(row.getAs[String]("answer") == "Answer cites [DOC:11:PAGE:2]")
+    assert(row.getAs[Long]("chunks_used") == 2) // 3+2 tokens fit budget 5
+    assert(math.abs(row.getAs[Double]("confidence") - (0.9 + 0.8) / 2) < 1e-12)
+    // empty retrieval → the reference's no-context response
+    val noCtx = Rag.ask(retrieved.where(col("score") > 100.0), "doc", "page",
+      "content", ctx => lit("never"), budget = 5).head()
+    assert(noCtx.getAs[String]("answer") == Rag.NoContextAnswer)
+    assert(noCtx.getAs[Long]("chunks_used") == 0)
+    assert(noCtx.getAs[Double]("confidence") == 0.0)
+  }
+
   test("citation validation: valid, invalid, and no-info answers") {
     import spark.implicits._
     val answers = Seq(
