@@ -319,35 +319,55 @@ object TestQueries3 {
     },
     None)
 
-  /** ANN scale path: IVF-style search — rank clusters (label = coarse
-    * centroid id) by centroid distance, scan only the nearest 3 clusters.
-    * Rows-only: recall vs the exact q24 is the observable.
+  /** ANN scale path: IVF index (`search.IvfIndex`) — centroids built ONCE
+    * from the coarse-quantizer label column (persistable as data), search
+    * probes the nearest 3 clusters and exact-scores only their members.
+    * Oracle-checked: double-precision centroid/query math is
+    * engine-exact (left-fold sums), so the probed set and the rounded
+    * cosines both mirror.
     */
   val q47AnnIvf: QueryCase = QueryCase(
     "q47_ann_ivf",
     (s, dir) => {
       val e = t(s, dir, "embeddings")
-      val q = e.where(col("vec_id") === 0).select(col("embedding").as("qv"))
-      // centroids as element-wise mean per label
-      val exploded = e.select(col("label"), posexplode(col("embedding")))
-        .groupBy("label", "pos").agg(avg("col").as("m"))
-      val centroids = exploded.groupBy("label")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("label"),
-          transform(col("pm"), p => p("m").cast("float")).as("centroid"))
-      val nearest = centroids.crossJoin(broadcast(q))
-        .select(col("label"),
-          VectorFunctions.cosineSim(col("centroid"), col("qv")).as("cdist"))
-        .orderBy(desc("cdist"), col("label")).limit(3)
-      e.join(broadcast(nearest.select("label")), "label")
-        .where(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
         .select(col("vec_id"), col("label"),
-          round(VectorFunctions.cosineSim(col("embedding"), col("qv")), 6).as("cos_sim"))
-        .orderBy(desc("cos_sim"), col("vec_id"))
-        .limit(20)
+          col("embedding").cast("array<double>").as("v"))
+      val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val index = graft.search.IvfIndex.build(e, "vec_id", "v", "label")
+      val searchable = index.copy(
+        assignments = index.assignments.where(col("id") =!= 0))
+      graft.search.IvfIndex.search(searchable, q, k = 20, nprobe = 3)
+        .select(col("id").as("vec_id"), col("cluster_id").as("label"),
+          round(col("cos_sim"), 6).as("cos_sim"))
     },
-    None)
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      cent AS (
+        SELECT label, u.pos, AVG(u.x) AS m
+        FROM e, UNNEST(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS t(u)
+        GROUP BY label, u.pos),
+      centroids AS (
+        SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+      nearest AS (
+        SELECT label,
+          list_reduce(list_transform(centroid, (x, i) -> x * q.qv[i]), (s, t) -> s + t) /
+          (sqrt(list_reduce(list_transform(centroid, x -> x * x), (s, t) -> s + t)) *
+           sqrt(list_reduce(list_transform(q.qv, x -> x * x), (s, t) -> s + t))) AS cdist
+        FROM centroids, q
+        ORDER BY cdist DESC, label LIMIT 3)
+      SELECT vec_id, label, ROUND(cos_sim, 6) AS cos_sim FROM (
+        SELECT e.vec_id, e.label,
+               list_reduce(list_transform(e.v, (x, i) -> x * q.qv[i]), (s, t) -> s + t) /
+               (sqrt(list_reduce(list_transform(e.v, x -> x * x), (s, t) -> s + t)) *
+                sqrt(list_reduce(list_transform(q.qv, x -> x * x), (s, t) -> s + t)))
+                 AS cos_sim
+        FROM e JOIN nearest n ON e.label = n.label, q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id LIMIT 20)"""))
 
   val all: Seq[QueryCase] = Seq(
     q38FtsRank, q39StemmedTopK, q40Highlight, q41Rerank, q42ExactDedupOp,
