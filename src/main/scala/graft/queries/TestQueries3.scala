@@ -81,7 +81,7 @@ object TestQueries3 {
       val terms = Seq("spark", "window")
       t(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-        .withColumn("snippets", Highlighter.snippets(col("text"), terms))
+        .withColumn("snippets", Highlighter.windowSnippets(col("text"), terms))
         .where(size(col("snippets")) > 0)
         .select(col("doc_id"), concat_ws("|", col("snippets")).as("snips"))
         .orderBy("doc_id")

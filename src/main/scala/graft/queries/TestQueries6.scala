@@ -666,7 +666,26 @@ object TestQueries6 {
                AS answer_ok
       FROM cit"""))
 
+  /** C18 reference-parity variant: HIT-CENTERED snippets (windows centered
+    * on each match, overlap-suppressed, word-boundary adjusted) — rows-only
+    * (match positions aren't expressible in the oracle engine; semantics
+    * pinned by SearchExtrasSpec; the fixed-window variant stays [O] as
+    * q40).
+    */
+  val q72HighlightCentered: QueryCase = QueryCase(
+    "q72_highlight_centered",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("snippets",
+          graft.search.Highlighter.snippets(col("text"), Seq("spark", "window")))
+        .where(size(col("snippets")) > 0)
+        .select(col("doc_id"), concat_ws("|", col("snippets")).as("snips"))
+        .orderBy("doc_id")
+        .limit(100),
+    None)
+
   val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride,
     q67Websearch, q68EntityGraph, q69EntityBlocking, q70ConnectorChanges,
-    q71RagAsk)
+    q71RagAsk, q72HighlightCentered)
 }

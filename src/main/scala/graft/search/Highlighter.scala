@@ -1,7 +1,92 @@
 package graft.search
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel implementing the reference's hit-centered snippet
+  * algorithm exactly (`highlighter.py:92-244`): all word-boundary matches
+  * sorted by position; each un-covered match opens a window of
+  * half-snippet-length each side, adjusted outward to word boundaries;
+  * overlap is suppressed by the covered-position set; `<mark>` inserted
+  * back-to-front; ellipses when truncated.
+  */
+object HighlightKernel {
+
+  def snippets(text: UTF8String, terms: Array[java.util.regex.Pattern],
+               snippetLength: Int, maxHighlights: Int): ArrayData = {
+    val content = text.toString
+    val matches = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    terms.foreach { p =>
+      val m = p.matcher(content)
+      while (m.find()) matches += ((m.start, m.end))
+    }
+    if (matches.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val sorted = matches.sortBy(_._1)
+    def boundary(pos0: Int, forward: Boolean): Int = {
+      var pos = pos0
+      if (pos <= 0) return 0
+      if (pos >= content.length) return content.length
+      if (forward)
+        while (pos < content.length && Character.isLetterOrDigit(content(pos)))
+          pos += 1
+      else
+        while (pos > 0 && Character.isLetterOrDigit(content(pos - 1)))
+          pos -= 1
+      pos
+    }
+    val covered = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    sorted.foreach { case (start, end) =>
+      if (out.size < maxHighlights &&
+        !covered.exists(c => start >= c._1 && start < c._2)) {
+        val s0 = boundary(math.max(0, start - snippetLength / 2), forward = false)
+        val e0 = boundary(math.min(content.length, end + snippetLength / 2),
+          forward = true)
+        // mark matches inside [s0, e0), back-to-front
+        val inside = sorted.filter(m => m._1 >= s0 && m._2 <= e0)
+          .sortBy(-_._1)
+        var snip = content.substring(s0, e0)
+        inside.foreach { case (ms, me) =>
+          val rs = ms - s0; val re = me - s0
+          snip = snip.substring(0, rs) + "<mark>" + snip.substring(rs, re) +
+            "</mark>" + snip.substring(re)
+        }
+        if (s0 > 0) snip = "..." + snip
+        if (e0 < content.length) snip = snip + "..."
+        out += UTF8String.fromString(snip)
+        covered += ((s0, e0))
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Hit-centered snippets as a codegen-friendly expression. */
+case class HitCenteredSnippets(child: Expression, terms: Seq[String],
+                               snippetLength: Int, maxHighlights: Int)
+    extends UnaryExpression {
+  @transient private lazy val compiled: Array[java.util.regex.Pattern] =
+    terms.map(t => java.util.regex.Pattern.compile(
+      "\\b" + java.util.regex.Pattern.quote(t) + "\\b",
+      java.util.regex.Pattern.CASE_INSENSITIVE)).toArray
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    HighlightKernel.snippets(v.asInstanceOf[UTF8String], compiled,
+      snippetLength, maxHighlights)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("patterns", compiled,
+      "java.util.regex.Pattern[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.search.HighlightKernel.snippets($c, $ref, $snippetLength, $maxHighlights)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
 
 /** C18: snippet/highlight generation (reference
   * `src/search/highlighter.py:35-244` — word-boundary term match,
@@ -27,12 +112,26 @@ object Highlighter {
         "<mark>$1</mark>")
     }
 
-  /** Snippets: split the text into ~SnippetChars windows centered on term
-    * hits, keep the first MaxSnippets, mark terms, add ellipses. Built as
-    * a column pipeline: sentence-ish split → windows containing a term →
-    * slice.
+  /** Reference-parity snippets: HIT-CENTERED windows, word-boundary
+    * adjusted, overlap-suppressed, marks inserted positionally
+    * (`highlighter.py:92-244` via [[HighlightKernel]]). Use this for the
+    * serving surface; [[windowSnippets]] remains the SQL-mirrorable
+    * variant for the oracle gate.
     */
-  def snippets(text: Column, terms: Seq[String]): Column = {
+  def snippets(text: Column, terms: Seq[String],
+               snippetLength: Int = SnippetChars,
+               maxHighlights: Int = MaxSnippets): Column =
+    if (terms.isEmpty) array().cast("array<string>")
+    else org.apache.spark.sql.graftshim.column(
+      HitCenteredSnippets(org.apache.spark.sql.graftshim.expression(text),
+        terms, snippetLength, maxHighlights))
+
+  /** Fixed-window snippet variant (round 1's formulation): ~SnippetChars
+    * character windows that contain a term, first MaxSnippets, marked and
+    * ellipsed. Semantically coarser than [[snippets]] but expressible in
+    * the oracle engine — q40 pins it.
+    */
+  def windowSnippets(text: Column, terms: Seq[String]): Column = {
     if (terms.isEmpty) array().cast("array<string>")
     else {
       val pattern = terms.map(java.util.regex.Pattern.quote).mkString("|")

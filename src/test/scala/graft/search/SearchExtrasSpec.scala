@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 
 class SearchExtrasSpec extends SparkSpec {
 
-  test("highlighter: word-boundary marks, max 3 snippets, ellipses") {
+  test("window highlighter: word-boundary marks, max 3 snippets, ellipses") {
     import spark.implicits._
     val text = ("filler " * 30) + "the rent is due. " + ("pad " * 60) +
       "rent escalates yearly. " + ("tail " * 60) + "final rental mention rent."
     val df = Seq(text).toDF("text")
-    val snips = df.select(Highlighter.snippets(col("text"),
+    val snips = df.select(Highlighter.windowSnippets(col("text"),
         Highlighter.highlightTerms("rent payment")).as("s"))
       .head().getSeq[String](0)
     assert(snips.nonEmpty && snips.size <= Highlighter.MaxSnippets)
@@ -18,6 +18,45 @@ class SearchExtrasSpec extends SparkSpec {
     assert(snips.forall(s => s.startsWith("…") && s.endsWith("…")))
     // word boundary: "rental" must not be marked inside
     assert(!snips.exists(_.contains("<mark>rental</mark>")))
+  }
+
+  test("hit-centered highlighter matches reference semantics") {
+    import spark.implicits._
+    val text = ("aa " * 80) + "the rent is due here" + (" bb" * 80)
+    val df = Seq(text).toDF("text")
+    val snips = df.select(Highlighter.snippets(col("text"), Seq("rent")).as("s"))
+      .head().getSeq[String](0)
+    // one hit → one snippet, centered: content both sides of the mark,
+    // truncated both ends (reference-style "..." ellipses)
+    assert(snips.size == 1)
+    val s = snips.head
+    assert(s.startsWith("...") && s.endsWith("..."))
+    assert(s.contains("<mark>rent</mark>"))
+    val idx = s.indexOf("<mark>")
+    assert(idx > 50 && s.length - idx > 50, s"mark not centered: $idx/${s.length}")
+    // a short doc is not truncated → no ellipses
+    val short = Seq("the rent is due").toDF("text")
+      .select(Highlighter.snippets(col("text"), Seq("rent")).as("s"))
+      .head().getSeq[String](0)
+    assert(short == Seq("the <mark>rent</mark> is due"))
+    // two hits inside one window → ONE snippet with both marked
+    // (overlap suppression via covered positions)
+    val near = Seq("rent and more rent inside one window").toDF("text")
+      .select(Highlighter.snippets(col("text"), Seq("rent")).as("s"))
+      .head().getSeq[String](0)
+    assert(near.size == 1)
+    assert(near.head == "<mark>rent</mark> and more <mark>rent</mark> inside one window")
+    // word boundary: "rental" never matches
+    val wb = Seq("rental only here").toDF("text")
+      .select(Highlighter.snippets(col("text"), Seq("rent")).as("s"))
+      .head().getSeq[String](0)
+    assert(wb.isEmpty)
+    // max 3 snippets over many far-apart hits
+    val many = Seq((0 until 6).map(i => ("x " * 150) + s"rent$i rent").mkString(" "))
+      .toDF("text")
+      .select(Highlighter.snippets(col("text"), Seq("rent")).as("s"))
+      .head().getSeq[String](0)
+    assert(many.size == Highlighter.MaxSnippets)
   }
 
   test("highlight terms drop stopwords") {
