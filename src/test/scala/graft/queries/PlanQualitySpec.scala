@@ -49,4 +49,34 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("q66: field-override MERGE broadcasts the correction batch") {
+    val p = plan("q66_field_override")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "point-update batch must broadcast, never shuffle the EAV side")
+  }
+
+  test("q47: IVF search broadcasts centroids ranking + query vector") {
+    val p = plan("q47_ann_ivf")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q65: full-catalog extraction plans exactly one Generate (explode)") {
+    val p = plan("q65_full_catalog_extract")
+    // single batched-regex pass + posexplode; the round-1 per-field union
+    // would show hundreds of projections and no Generate
+    assert("Generate".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Union"), "one scan, not a per-field union")
+  }
+
+  test("q61: dedup bucket gate runs before the member-array aggregation") {
+    val p = plan("q61_embedding_dedup")
+    // the window count (size gate) must appear; collect_list only after it
+    assert(p.contains("Window"), p)
+    assert(p.contains("collect_list"), p)
+    assert(p.indexOf("Window") > p.indexOf("collect_list"),
+      "executed bottom-up: Window (printed deeper) must feed collect_list")
+  }
 }
