@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** S10 buffered audit sink + T10 graceful drain: every event accepted
+  * before stop() must be on disk after stop() — the foreachBatch epoch is
+  * the buffer, and stop-after-processAllAvailable is the flush-on-shutdown
+  * of the reference audit logger (`audit/logger.py:20-90`).
+  */
+class AuditSinkSpec extends SparkSpec {
+
+  test("audit sink: date-partitioned append; graceful drain loses nothing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("audit-spec").toString
+    val mem = MemoryStream[(String, String)]
+    val events = mem.toDF().toDF("action", "created_at")
+      .withColumn("created_at", col("created_at").cast("timestamp"))
+    val q = AuditSink.start(events, s"$base/out", s"$base/ckpt", triggerMs = 100)
+    try {
+      mem.addData(("doc_upload", "2026-08-11 09:00:00"),
+        ("doc_delete", "2026-08-12 10:00:00"))
+      q.processAllAvailable()
+      mem.addData(("override", "2026-08-12 11:00:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // drain guarantee: all 3 events persisted, date-partitioned
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 3)
+    assert(out.select("action").collect().map(_.getString(0)).toSet ==
+      Set("doc_upload", "doc_delete", "override"))
+    val partitions = new java.io.File(s"$base/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(partitions == Set("audit_date=2026-08-11", "audit_date=2026-08-12"))
+    // append-only: a new sink run (fresh checkpoint) appends, never rewrites
+    val mem2 = MemoryStream[(String, String)]
+    val events2 = mem2.toDF().toDF("action", "created_at")
+      .withColumn("created_at", col("created_at").cast("timestamp"))
+    val q2 = AuditSink.start(events2, s"$base/out", s"$base/ckpt2", triggerMs = 100)
+    try {
+      mem2.addData(("later", "2026-08-12 12:00:00"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$base/out").count() == 4)
+  }
+}
