@@ -139,8 +139,11 @@ object TestQueries5 {
     "user john.doe@gmail.com not found, ssn 123-45-6789",
     "plain disk full error")
 
-  /** C28: error sanitization — rows-only (lookaheads beyond the oracle's
-    * regex engine; behavior pinned in spec).
+  /** C28: error sanitization. Unlike the PERSON/company redaction chain
+    * (q46, which needs lookaheads), the sanitize chain is plain
+    * substitutions — bearer tokens, key=value secrets (with a group-1
+    * backreference), AWS key ids, emails, SSNs — all RE2-expressible, so
+    * this is fully oracle-checked.
     */
   val q57ErrorSanitize: QueryCase = QueryCase(
     "q57_error_sanitize",
@@ -151,7 +154,22 @@ object TestQueries5 {
         .select(col("id"), Redaction.sanitizeError(col("error")).as("sanitized"))
         .orderBy("id")
     },
-    None)
+    Some {
+      val vals = errorSamples.zipWithIndex
+        .map { case (e, i) => s"($i, '${e.replace("'", "''")}')" }
+        .mkString(", ")
+      s"""
+      WITH t(id, error) AS (VALUES $vals)
+      SELECT id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          error,
+          '(?i)bearer\\s+[A-Za-z0-9._\\-]+', 'bearer [REDACTED]', 'g'),
+          '(?i)((?:api[_-]?key|token|secret|password|pwd)\\s*[=:]\\s*)\\S+', '\\1[REDACTED]', 'g'),
+          '\\bAKIA[0-9A-Z]{16}\\b', '[REDACTED]', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+          '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g') AS sanitized
+      FROM t ORDER BY id"""
+    })
 
   /** §2.11 embedding backend: deterministic hashing embedder + cosine
     * self-similarity sanity (near-dup docs embed near each other).
