@@ -53,7 +53,31 @@ object Bench {
     }
     val warmJson = warm.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"sf":"$sfDir"}""")
+    // Indexed serving measurement: a serving stack queries a PRE-BUILT
+    // chunk store (the reference's document_chunks table with embedding +
+    // tsvector columns), not raw text. Build once untimed, then measure
+    // hybrid search over the substrate — this is the number comparable to
+    // the reference's warm search latencies.
+    val indexedHybrid = {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("string").as("document_id"), col("text"))
+      val store = graft.search.ChunkStore.build(docs).persist()
+      store.count() // materialize the index
+      val qv = graft.functions.HashingEmbedder.embedTokens(
+        graft.functions.TextFunctions.tokens(lit("spark merge window")), 256)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.search.ChunkStore.hybridSearch(store, "spark merge window", qv, 10)
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // plan+codegen
+      val t = once()
+      store.unpersist()
+      t
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"indexed_hybrid_sec":$indexedHybrid,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
