@@ -1,0 +1,120 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Parity fuzzing: every native kernel must be EXTENSIONALLY EQUAL to the
+  * composed-HOF/built-in formulation it replaced for performance — the
+  * kernels exist for codegen quality, never for different semantics.
+  * Seeded random corpus, exact comparison (including the double paths —
+  * the kernels accumulate in the same left-to-right order as the HOF
+  * folds, so equality is bit-exact, not approximate).
+  */
+class KernelParitySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(20260812L)
+  private val vocab = Seq("the", "rent", "spark", "merge", "window", "a",
+    "of", "lease", "tenant", "Zeta", "épée", "x1", "42", "", "Rent-Roll")
+  private def randText(): String =
+    Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  private lazy val corpus = {
+    import spark.implicits._
+    (0 until 200).map(i => (i.toLong, randText())).toDF("id", "text")
+  }
+
+  test("Tokenize == lower/split/filter HOF") {
+    import spark.implicits._
+    val df = corpus
+      .withColumn("native", TextFunctions.tokens(col("text")))
+      .withColumn("hof", filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+    assert(df.where(not(col("native") === col("hof"))).count() == 0)
+  }
+
+  test("TokensInSetCount / TokensNotInSet == filter+isin HOFs") {
+    val stops = Seq("the", "a", "of")
+    val df = corpus.select(col("id"), TextFunctions.tokens(col("text")).as("tk"))
+      .withColumn("n_native", TextFunctions.tokensInSetCount(col("tk"), stops))
+      .withColumn("n_hof", size(filter(col("tk"), t => t.isin(stops.map(lit): _*))))
+      .withColumn("f_native", org.apache.spark.sql.graftshim.column(
+        TokensNotInSet(org.apache.spark.sql.graftshim.expression(col("tk")), stops)))
+      .withColumn("f_hof", filter(col("tk"), t => !t.isin(stops.map(lit): _*)))
+    assert(df.where(col("n_native") =!= col("n_hof")).count() == 0)
+    assert(df.where(not(col("f_native") === col("f_hof"))).count() == 0)
+  }
+
+  test("MultiRegexFirstGroup == per-pattern nullif(trim(regexp_extract))") {
+    val patterns = Seq(
+      "(?i)(?:rent|lease)\\s*[:\\-]?\\s*(\\S+)",
+      "(\\d+)",
+      "(?i)tenant (\\w+)",
+      "nomatchanywhere(x)")
+    val native = org.apache.spark.sql.graftshim.column(
+      MultiRegexFirstGroup(
+        org.apache.spark.sql.graftshim.expression(col("text")), patterns))
+    val composed = array(patterns.map { p =>
+      val r = trim(regexp_extract(col("text"), p, 1))
+      when(r === "", lit(null: String)).otherwise(r)
+    }: _*)
+    val df = corpus.withColumn("a", native).withColumn("b", composed)
+    assert(df.where(not(col("a") === col("b"))).count() == 0)
+  }
+
+  test("LongArrayEqCount == zip_with/filter; estJaccard unchanged") {
+    import spark.implicits._
+    val sigs = (0 until 100).map { _ =>
+      (Seq.fill(16)(rnd.nextLong() % 5), Seq.fill(16)(rnd.nextLong() % 5))
+    }.toDF("a", "b")
+    val df = sigs
+      .withColumn("native", org.apache.spark.sql.graftshim.column(
+        LongArrayEqCount(org.apache.spark.sql.graftshim.expression(col("a")),
+          org.apache.spark.sql.graftshim.expression(col("b")))))
+      .withColumn("hof",
+        size(filter(zip_with(col("a"), col("b"), (x, y) => x === y), p => p)))
+    assert(df.where(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("CosineSimilarity kernel == HOF fold formulation, bit-exact") {
+    import spark.implicits._
+    val vecs = (0 until 100).map { _ =>
+      (Seq.fill(24)(rnd.nextFloat() * 2 - 1), Seq.fill(24)(rnd.nextFloat() * 2 - 1))
+    }.toDF("a", "b")
+    val df = vecs
+      .withColumn("native", VectorFunctions.cosineSim(col("a"), col("b")))
+      .withColumn("hof", VectorFunctions.cosineSimHof(col("a"), col("b")))
+    assert(df.where(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("ArrayContainsSlice == brute-force subsequence semantics") {
+    import spark.implicits._
+    val arrs = (0 until 200).map(_ => Seq.fill(rnd.nextInt(8))(
+      vocab(rnd.nextInt(4)).toLowerCase)).toDF("arr")
+    val slice = Seq("the", "rent")
+    val native = org.apache.spark.sql.graftshim.column(
+      graft.functions.ArrayContainsSlice(
+        org.apache.spark.sql.graftshim.expression(col("arr")), slice))
+    val got = arrs.withColumn("n", native).collect()
+      .map(r => (r.getSeq[String](0), r.getBoolean(1)))
+    got.foreach { case (arr, n) =>
+      val expect = arr.sliding(slice.size).exists(_ == slice)
+      assert(n == expect, s"$arr")
+    }
+  }
+
+  test("MinHash signature: deterministic, set-semantics, similarity-monotone") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e f g h", "a b c d e f g h"),   // identical
+      ("a b c d e f g h", "a b c d e f g z"),   // near
+      ("a b c d e f g h", "q r s t u v w x"))   // disjoint
+      .toDF("t1", "t2")
+      .select(
+        MinHash.signature(TextFunctions.tokens(col("t1")), 64).as("s1"),
+        MinHash.signature(TextFunctions.tokens(col("t2")), 64).as("s2"))
+      .select(MinHash.estJaccard(col("s1"), col("s2")).as("est"))
+      .collect().map(_.getDouble(0))
+    assert(df(0) == 1.0)
+    assert(df(1) > df(2))
+    assert(df(2) < 0.3)
+  }
+}
