@@ -1,0 +1,11 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("ENTRY_ROWS=" + graft.SparkEntry.entry(spark).count())
+    spark.stop()
+  }
+}
