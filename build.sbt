@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 70+ bench queries compile thousands of janino-generated methods; the
+  // JDK default 240 MB JIT code cache fills mid-run and HotSpot then
+  // DISABLES compilation ("CodeCache is full") — every query after that
+  // point runs interpreted/deoptimized. This was the round-2 contiguous
+  // q49–q59 cold-bench regression block (2–11× on unchanged code).
+  "-XX:ReservedCodeCacheSize=768m",
 )

@@ -42,7 +42,13 @@ object Bench {
     // serving stack amortizes — the baseline comparison (BASELINE.md
     // latencies from a warm service) should read these.
     val warmSet = Seq("q24_cosine_topk", "q38_fts_rank", "q54_hybrid",
-      "q41_rerank", "q67_websearch")
+      "q41_rerank", "q67_websearch",
+      // analytics family (round-2 judge ask: a serving-shape number for
+      // q01–q15 too, not just the search legs)
+      "q01_pricing_summary", "q02_filter_project", "q03_join_agg",
+      "q04_semi_join", "q05_anti_join", "q06_topk", "q07_latest_per_group",
+      "q08_cum_share", "q09_pivot", "q10_count_distinct", "q11_weighted_avg",
+      "q12_union", "q13_distinct", "q14_rrf", "q15_rollup")
     val warm = warmSet.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
@@ -58,7 +64,7 @@ object Bench {
     // tsvector columns), not raw text. Build once untimed, then measure
     // hybrid search over the substrate — this is the number comparable to
     // the reference's warm search latencies.
-    val indexedHybrid = {
+    val (indexedHybrid, indexedKeyword) = {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("document_id"), col("text"))
@@ -66,18 +72,26 @@ object Bench {
       store.count() // materialize the index
       val qv = graft.functions.HashingEmbedder.embedTokens(
         graft.functions.TextFunctions.tokens(lit("spark merge window")), 256)
-      def once(): Double = {
+      def time(f: => Unit): Double = {
         val t0 = System.nanoTime()
-        graft.search.ChunkStore.hybridSearch(store, "spark merge window", qv, 10)
-          .queryExecution.toRdd.count()
+        f
         (System.nanoTime() - t0) / 1e9
       }
-      once() // plan+codegen
-      val t = once()
+      def hybridOnce(): Double = time {
+        graft.search.ChunkStore.hybridSearch(store, "spark merge window", qv, 10)
+          .queryExecution.toRdd.count()
+      }
+      def keywordOnce(): Double = time {
+        graft.search.ChunkStore.keywordSearch(store, "spark merge window", 10)
+          .queryExecution.toRdd.count()
+      }
+      hybridOnce(); keywordOnce() // plan+codegen
+      val h = hybridOnce()
+      val k = keywordOnce()
       store.unpersist()
-      t
+      (h, k)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"indexed_hybrid_sec":$indexedHybrid,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"indexed_hybrid_sec":$indexedHybrid,"indexed_keyword_sec":$indexedKeyword,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

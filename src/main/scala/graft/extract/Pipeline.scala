@@ -37,9 +37,18 @@ object Pipeline {
       Redaction.redactText(col("text")))
 
     // 3. doc-type detection + rule-based field extraction (deterministic
-    //    backend of the LLM extractor)
+    //    backend of the LLM extractor). `typed` fans out to three
+    //    consumers (both extraction branches + the extraction rows), and
+    //    `fields` to two (confidence + EAV): localCheckpoint truncates the
+    //    lineage so the redaction chain and the 233-pattern
+    //    MultiRegexFirstGroup subtree are each analyzed, codegen'd and
+    //    EXECUTED exactly once per batch — with the raw trees, Catalyst
+    //    re-planned the giant extraction expression per consumer and
+    //    driver-side transform time dominated the whole spine (round-2
+    //    q59 regression: 21s for two documents).
     val typed = redacted.withColumn("document_type",
       RuleExtractor.detectDocType(col("clean_text")))
+      .localCheckpoint(true)
     val leaseDocs = typed.where(col("document_type") === "lease")
       .select(col("document_id"), col("clean_text").as("text"))
     val rentRollDocs = typed.where(col("document_type") === "rent_roll")
@@ -48,6 +57,7 @@ object Pipeline {
       RuleExtractor.extractFields(leaseDocs, FieldCatalog.LeaseFields)
         .unionByName(
           RuleExtractor.extractFields(rentRollDocs, FieldCatalog.RentRollFields))
+        .localCheckpoint(true)
 
     // 4. overall confidence (A5)
     val conf = RuleExtractor.overallConfidence(fields)

@@ -132,6 +132,44 @@ object Hashing {
       out
     })
 
+  /** Feature-hashing text embedding kernel: token 1- and 2-grams hashed
+    * into `dim` sign-hashed buckets, L2-normalized (the classic hashing
+    * trick). Static so [[graft.functions.HashEmbed]] codegen is one call —
+    * the CodegenFallback form was the q58 bench hotspot (interpreted eval
+    * broke the surrounding whole-stage span).
+    */
+  def hashEmbed(tokens: ArrayData, dim: Int): ArrayData = {
+    val vec = new Array[Float](dim)
+    val n = tokens.numElements()
+    var i = 0
+    var prev: UTF8String = null
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        addFeature(vec, dim, fnv1a64(t, 1L))
+        if (prev != null) {
+          val bigram = UTF8String.concat(prev, UTF8String.fromString(" "), t)
+          addFeature(vec, dim, fnv1a64(bigram, 2L))
+        }
+        prev = t
+      }
+      i += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += vec(j) * vec(j); j += 1 }
+    val inv = if (norm == 0.0) 0.0f else (1.0 / math.sqrt(norm)).toFloat
+    j = 0
+    while (j < dim) { vec(j) *= inv; j += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(vec)
+  }
+
+  private def addFeature(vec: Array[Float], dim: Int, h: Long): Unit = {
+    val bucket = java.lang.Long.remainderUnsigned(h, dim.toLong).toInt
+    val sign = if (((h >>> 62) & 1L) == 1L) 1.0f else -1.0f
+    vec(bucket) += sign
+  }
+
   /** `bands` sign-signature keys of `ppb` hyperplanes each (bit i of band
     * b's key = sign of the dot product with plane b·ppb+i). Works for both
     * float and double vectors (`isFloat`).

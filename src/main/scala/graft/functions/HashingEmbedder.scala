@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
@@ -16,45 +16,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
   * sign hash, L2-normalized — the classic hashing-trick text embedding.
   * Same text → same vector, cosine similarity behaves sensibly (shared
   * vocabulary → higher similarity).
+  *
+  * Fully codegen'd via a single static call to [[Hashing.hashEmbed]]
+  * (tiny generated code, cache-stable) — the round-2 CodegenFallback form
+  * forced interpreted eval and broke whole-stage codegen around it.
   */
-case class HashEmbed(child: Expression, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
 
-  override def nullSafeEval(v: Any): Any = {
-    val tokens = v.asInstanceOf[ArrayData]
-    val vec = new Array[Float](dim)
-    val n = tokens.numElements()
-    var i = 0
-    var prev: org.apache.spark.unsafe.types.UTF8String = null
-    while (i < n) {
-      if (!tokens.isNullAt(i)) {
-        val t = tokens.getUTF8String(i)
-        addFeature(vec, Hashing.fnv1a64(t, 1L))
-        if (prev != null) {
-          val bigram = org.apache.spark.unsafe.types.UTF8String
-            .concat(prev, org.apache.spark.unsafe.types.UTF8String.fromString(" "), t)
-          addFeature(vec, Hashing.fnv1a64(bigram, 2L))
-        }
-        prev = t
-      }
-      i += 1
-    }
-    var norm = 0.0
-    var j = 0
-    while (j < dim) { norm += vec(j) * vec(j); j += 1 }
-    val inv = if (norm == 0.0) 0.0f else (1.0 / math.sqrt(norm)).toFloat
-    j = 0
-    while (j < dim) { vec(j) *= inv; j += 1 }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(vec)
-  }
+  override def nullSafeEval(v: Any): Any =
+    Hashing.hashEmbed(v.asInstanceOf[ArrayData], dim)
 
-  private def addFeature(vec: Array[Float], h: Long): Unit = {
-    val bucket = java.lang.Long.remainderUnsigned(h, dim.toLong).toInt
-    val sign = if (((h >>> 62) & 1L) == 1L) 1.0f else -1.0f
-    vec(bucket) += sign
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.hashEmbed($c, $dim)")
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

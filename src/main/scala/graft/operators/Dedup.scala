@@ -24,13 +24,16 @@ object Dedup {
 
   /** Spread a narrow input across the cluster before CPU-heavy signature
     * stages. Single-file bench inputs arrive as one partition — one task —
-    * so tokenize/shingle/hash would run on one core. At real scale inputs
-    * are already many-partitioned and this is a no-op.
+    * so tokenize/shingle/hash would run on one core. Unconditional
+    * round-robin repartition (the round-2 `df.rdd.getNumPartitions` probe
+    * forced physical planning to RDD just to decide, which hid the input
+    * from AQE); callers with pre-partitioned inputs at scale disable it
+    * via `spark.conf.set("graft.dedup.spread", "false")`.
     */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spread(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.get("graft.dedup.spread", "true").toBoolean)
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    else df
 
   /** Expand each bucket's member list into ordered pairs (i < j over the
     * sorted member array). `m` must be a bound attribute of array<struct>

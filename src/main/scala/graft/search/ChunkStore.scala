@@ -40,6 +40,23 @@ object ChunkStore {
         TextFunctions.tokenCount(col("content")).as("n_tokens"))
   }
 
+  /** Keyword-only search over a built chunk table: tsMatch + ts_rank on
+    * the precomputed lexeme column (the reference serves this from the
+    * GIN-indexed generated `content_tsv`, `044_keyword_search.sql:6-11` —
+    * never by re-tokenizing raw text per query, which is what the q38
+    * bench shape measures). This is the serving path for the keyword leg.
+    */
+  def keywordSearch(chunkTable: DataFrame, queryText: String,
+                    limit: Int = 10): DataFrame = {
+    val qLex = Fts.plainQueryLexemes(queryText)
+    chunkTable
+      .where(Fts.tsMatch(col("tsv"), qLex))
+      .withColumn("score", Fts.tsRank(col("tsv"), qLex))
+      .withColumn("id", concat_ws(":", col("document_id"), col("chunk_index")))
+      .orderBy(desc("score"), col("id")).limit(limit)
+      .select("id", "score")
+  }
+
   /** Hybrid search over a built chunk table: cosine leg + ts_rank leg,
     * RRF-fused (§3.2 on the real substrate).
     */
