@@ -191,36 +191,119 @@ object TestQueries5 {
     },
     None)
 
+  /** PII-free spine fixture: redaction is the identity on it, so the
+    * remaining spine (route → detect → full-catalog extract → normalize →
+    * version → EAV) is DuckDB-expressible end to end. PII-bearing
+    * redaction behavior stays pinned by RedactionSpec/PipelineSpec + q46.
+    */
+  private val pipelineDocs: Seq[(String, String, String, String)] = Seq(
+    ("p1", "LEASE AGREEMENT\nTenant: Acme Corp LLC\n" +
+      "Landlord: Harbor Holdings\nCommencement Date: 01/15/2024\n" +
+      "Base Rent: $5,000.00\nCAM Charges: $750.50\nSquare Footage: 2,500",
+      "application/pdf", "2024-01-20 10:00:00"),
+    ("p2", "RENT ROLL\nAs Of: 03/01/2024\nUnit Count: 24\nSuite: 101\n" +
+      "Status: occupied\nScheduled Rent: $1,800\nMarket Rent: $1,950.00\n" +
+      "Economic Occupancy: 0.94\nTerm: 12",
+      "application/pdf", "2024-02-01 10:00:00"))
+
+  /** A prior version-1 extraction for p1 so the W2/W5 versioning leg is
+    * exercised: the new p1 extraction must come out version 2/is_current
+    * and the EAV rows must attach to it, not the prior.
+    */
+  private val priorExtraction =
+    ("p1-20240101000000", "p1", "lease", "fast_text", 0.8,
+      "2024-01-01 00:00:00")
+
   /** §3.1 spine end to end (route → redact → extract → normalize →
-    * version → EAV) — rows-only (redaction lookaheads are beyond the
-    * oracle regex engine; stage-level oracles exist via q44, and the
-    * integration is pinned by PipelineSpec).
+    * version → EAV), oracle-checked: the DuckDB mirror re-derives doc-type
+    * scoring, parser routing, the full 178+55-field catalog extraction
+    * (via [[ExtractorOracleSql]]), per-type normalization, and version
+    * assignment over the same fixture + prior extraction.
     */
   val q59Pipeline: QueryCase = QueryCase(
     "q59_pipeline",
     (s, dir) => {
       import s.implicits._
-      val docs = Seq(
-        ("p1", "LEASE\nTenant: Acme Corp LLC\nLease Start: 01/15/2024\n" +
-          "Base Rent: $5,000.00\nCAM Charges: $750.50\nSquare Footage: 2,500\n" +
-          "Contact Jane Doe at jd@gmail.com", "application/pdf",
-          "2024-01-20 10:00:00"),
-        ("p2", "RENT ROLL\nProperty: Main Street Plaza\nUnit: 101\n" +
-          "Tenant: Beta Inc\nMonthly Rent: $1,800\nOccupancy: occupied",
-          "application/pdf", "2024-02-01 10:00:00"))
+      val docs = pipelineDocs
         .toDF("document_id", "text", "mime_type", "created_at")
         .withColumn("created_at", col("created_at").cast("timestamp"))
-      val r = graft.extract.Pipeline.run(docs)
+      val prior = Seq(priorExtraction)
+        .toDF("id", "document_id", "document_type", "parser_used",
+          "overall_confidence", "created_at")
+        .withColumn("created_at", col("created_at").cast("timestamp"))
+      val r = graft.extract.Pipeline.run(docs, Some(prior))
       r.fields
         .join(r.extractions.select(col("id").as("extraction_id"),
-          col("document_type"), col("version"), col("is_current")),
+          col("document_type"), col("parser_used"), col("version"),
+          col("is_current")),
           "extraction_id")
-        .select(col("document_id"), col("document_type"), col("field_name"),
-          col("norm_value"), col("confidence"), col("version"),
-          col("is_current"))
+        .select(col("document_id"), col("document_type"), col("parser_used"),
+          col("field_name"), col("raw_value"), col("norm_value"),
+          col("confidence"), col("version"), col("is_current"))
         .orderBy("document_id", "field_name")
     },
-    None)
+    Some {
+      val docVals = pipelineDocs.map { case (id, tx, mime, ca) =>
+        s"('$id', '${tx.replace("'", "''").replace("\n", "\\n")}', '$mime', '$ca')"
+      }.mkString(", ")
+      val (pid, pdoc, _, _, _, pca) = priorExtraction
+      def hits(ks: Seq[String]) = ks.map(k =>
+        s"CASE WHEN contains(pfx, '$k') THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+      WITH docs(document_id, text, mime_type, created_at) AS (
+        SELECT id, replace(tx, '\\n', chr(10)), mime, TRY_CAST(ca AS TIMESTAMP)
+        FROM (VALUES $docVals) AS v(id, tx, mime, ca)),
+      typed AS (
+        SELECT document_id, text, mime_type, created_at,
+          CASE WHEN (${hits(Seq("rent roll", "unit", "occupancy"))})
+                 > (${hits(Seq("lease", "landlord", "tenant", "premises"))})
+               THEN 'rent_roll' ELSE 'lease' END AS document_type,
+          CASE WHEN mime_type IN ('application/vnd.ms-excel',
+                 'application/vnd.openxmlformats-officedocument.spreadsheetml.sheet',
+                 'text/csv') THEN 'table'
+               WHEN LENGTH(TRIM(text)) = 0 THEN 'ocr'
+               WHEN 2 * LEN(list_filter(string_split(text, chr(10)),
+                      l -> LEN(string_split_regex(l, '[,|\\t]')) >= 3))
+                    > LEN(string_split(text, chr(10))) THEN 'structure'
+               WHEN LENGTH(text) < 2000 THEN 'fast_text'
+               ELSE 'full_text' END AS parser_used
+        FROM (SELECT *, LOWER(SUBSTR(text, 1, 2000)) AS pfx FROM docs)),
+      ldocs AS (SELECT document_id, text FROM typed WHERE document_type = 'lease'),
+      rdocs AS (SELECT document_id, text FROM typed WHERE document_type = 'rent_roll'),
+      ex AS (
+        ${ExtractorOracleSql.unionsSql(graft.extract.FieldCatalog.LeaseFields, "ldocs")}
+        UNION ALL
+        ${ExtractorOracleSql.unionsSql(graft.extract.FieldCatalog.RentRollFields, "rdocs")}),
+      fields AS (
+        SELECT document_id, field_name, raw_value, norm_value,
+               CAST(CASE WHEN norm_value IS NOT NULL THEN 0.9 ELSE 0.45 END
+                 AS DOUBLE) AS confidence
+        FROM ex WHERE raw_value IS NOT NULL),
+      newex AS (
+        SELECT document_id || '-' || strftime(created_at, '%Y%m%d%H%M%S') AS id,
+               document_id, document_type, parser_used, created_at
+        FROM typed),
+      allex AS (
+        SELECT id, document_id, created_at FROM newex
+        UNION ALL
+        SELECT '$pid', '$pdoc', TIMESTAMP '$pca'),
+      versioned AS (
+        SELECT id, document_id,
+               ROW_NUMBER() OVER (PARTITION BY document_id
+                 ORDER BY created_at, id) AS version
+        FROM allex),
+      cur AS (
+        SELECT id, version,
+               version = MAX(version) OVER (PARTITION BY document_id)
+                 AS is_current
+        FROM versioned)
+      SELECT f.document_id, n.document_type, n.parser_used, f.field_name,
+             f.raw_value, f.norm_value, f.confidence, c.version, c.is_current
+      FROM fields f
+      JOIN newex n USING (document_id)
+      JOIN cur c ON c.id = n.id
+      ORDER BY f.document_id, f.field_name"""
+    })
 
   /** Event-time sessionization (beyond-reference streaming operator;
     * Structured Streaming `session_window` — the batch shape here, the

@@ -63,6 +63,20 @@ object ExtractorOracleSql {
          | ELSE NULL END) AS VARCHAR)""".stripMargin
     case "float" =>
       s"CAST(TRY_CAST($raw AS DOUBLE) AS VARCHAR)"
+    case "percent" =>
+      val cleaned =
+        s"regexp_replace(regexp_replace(TRIM($raw), ',', '', 'g'), '%', '', 'g')"
+      val d = s"TRY_CAST($cleaned AS DOUBLE)"
+      s"""CAST((CASE WHEN $raw IS NULL OR $d IS NULL THEN NULL
+         | WHEN (CASE WHEN $d > 1 THEN $d / 100 ELSE $d END) < 0
+         |   OR (CASE WHEN $d > 1 THEN $d / 100 ELSE $d END) > 5 THEN NULL
+         | ELSE (CASE WHEN $d > 1 THEN $d / 100 ELSE $d END)
+         | END) AS VARCHAR)""".stripMargin
+    case "list" =>
+      val stripped = s"list_transform(string_split_regex($raw, '[\\n;]'), " +
+        "x -> TRIM(regexp_replace(regexp_replace(x, '^[\\s\\-•]+', ''), " +
+        "'[\\s\\-•]+$$', '')))"
+      s"array_to_string(list_filter($stripped, x -> x <> ''), ';')"
     case "enum" =>
       val t = s"LOWER(TRIM($raw))"
       val exact = fd.enumValues.map(v =>
@@ -77,16 +91,24 @@ object ExtractorOracleSql {
     case _ => s"TRIM($raw)"
   }
 
+  /** One SELECT per catalog field UNION ALL'd over `from` (a relation with
+    * document_id, text) — the SQL mirror of the single-scan array-explode
+    * extractor, reusable against any doc subset (q59 routes lease and
+    * rent-roll docs to their own catalogs).
+    */
+  def unionsSql(catalog: Seq[FieldDef], from: String): String =
+    catalog.map { fd =>
+      val raw = rawSql(fd)
+      s"""SELECT document_id, '${sq(fd.name)}' AS field_name, $raw AS raw_value,
+         |       (${normSql(fd, raw)}) AS norm_value
+         |FROM $from""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Full-catalog oracle: one SELECT per field, UNION ALL'd over a `docs`
     * CTE — the SQL mirror of the single-scan array-explode extractor.
     */
   def fullSql(catalog: Seq[FieldDef], docVals: String): String = {
-    val unions = catalog.map { fd =>
-      val raw = rawSql(fd)
-      s"""SELECT document_id, '${sq(fd.name)}' AS field_name, $raw AS raw_value,
-         |       (${normSql(fd, raw)}) AS norm_value
-         |FROM docs""".stripMargin
-    }.mkString("\nUNION ALL\n")
+    val unions = unionsSql(catalog, "docs")
     s"""
     WITH docs(document_id, text) AS (
       SELECT id, replace(tx, '\\n', chr(10)) FROM (VALUES $docVals) AS v(id, tx)),
