@@ -54,8 +54,14 @@ object TestQueries3 {
             LEN(list_filter(ht, x -> list_contains(['spark','merge'], x))) * 0.4 > 0
       ORDER BY score DESC, doc_id LIMIT 50"""))
 
-  /** C19/K2: Porter-stemmed keyword top-k — rows-only (no stemmer in the
-    * oracle engine).
+  /** C19/K2: Porter-stemmed keyword top-k. The oracle engine has no
+    * stemmer, so the SQL mirror counts the PRE-STEMMED inverse image of
+    * the query stems: Porter("merging")="merg" and "windows"→"window",
+    * and the only corpus tokens stemming into {merg, window} are exactly
+    * {merge, window} (verified over all three test SFs; the stem mapping
+    * itself is golden-pinned by FtsSpec). A future corpus token stemming
+    * into the query class outside this list would fail the gate loudly,
+    * not silently pass.
     */
   val q39StemmedTopK: QueryCase = QueryCase(
     "q39_stemmed_topk",
@@ -72,7 +78,16 @@ object TestQueries3 {
         .orderBy(desc("score"), col("doc_id"))
         .limit(50)
     },
-    None)
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> '') AS tk
+        FROM documents)
+      SELECT doc_id,
+             CAST(LEN(list_filter(tk, x -> list_contains(['merge','window'], x))) AS DOUBLE) AS score
+      FROM toks
+      WHERE LEN(list_filter(tk, x -> list_contains(['merge','window'], x))) > 0
+      ORDER BY score DESC, doc_id LIMIT 50"""))
 
   /** C18: snippet highlighting over matching documents. */
   val q40Highlight: QueryCase = QueryCase(
