@@ -73,4 +73,93 @@ object Connector {
   def deletionReferences(processed: DataFrame): DataFrame =
     processed.where(col("outcome") === "deleted")
       .select(col("file_id"), col("drive_id"), col("source_path"))
+
+  // ---------------------------------------------- expired-token full resync
+
+  /** Classify token-rejection events and tag each drive's sync mode
+    * (`google_drive/sync.py:234-338` 410-handling; SharePoint delta reset
+    * is the same shape): a saved token rejected as invalid/expired routes
+    * the drive to a FULL RESYNC (re-list everything, re-baseline the
+    * token); any other rejection reason is surfaced as `error` — the
+    * reference re-raises those (auth revocation, rate limits), it never
+    * silently resyncs on them.
+    *
+    * `tokens`: (tenant_id, connector_id, drive_id, token);
+    * `rejections`: (tenant_id, connector_id, drive_id, error) — one row
+    * per drive whose token the source refused this sync.
+    */
+  def planSync(tokens: DataFrame, rejections: DataFrame): DataFrame = {
+    val keys = Seq("tenant_id", "connector_id", "drive_id")
+    val err = lower(coalesce(col("error"), lit("")))
+    tokens.join(rejections, keys, "left")
+      .withColumn("mode",
+        when(col("error").isNull, "incremental")
+          .when(err.contains("invalid") || err.contains("expired"),
+            "full_resync")
+          .otherwise("error"))
+      .select((keys.map(col) :+ col("token") :+ col("mode")): _*)
+  }
+
+  /** Shape a full drive listing as a synthetic change batch so the resync
+    * path reuses the exact `processChanges` routing (idempotency window,
+    * folder selection, metadata guards). The reference's full resync walks
+    * the listing through the same `_process_change` code path; deletions
+    * are NOT derivable from a listing (absence is not an event), so none
+    * are synthesized — downstream hash-dedup (J4) keeps re-emitted
+    * unchanged files from duplicating documents.
+    *
+    * `listing`: (tenant_id, connector_id, file_id, file_name, mime_type,
+    * file_size, modified_time, parents, drive_id).
+    */
+  def listingAsChanges(listing: DataFrame): DataFrame =
+    listing
+      .withColumn("change_seq",
+        row_number().over(Window.partitionBy("drive_id").orderBy("file_id"))
+          .cast("long"))
+      .withColumn("change_type", lit("file"))
+      .withColumn("removed", lit(false))
+      .withColumn("trashed", lit(false))
+
+  /** One sync pass with the resync fallback: incremental drives route
+    * their change feed, full-resync drives route their listing, both
+    * through [[processChanges]]; the plan's `error` drives contribute
+    * nothing (callers surface them). Returns the routed union tagged with
+    * `sync_mode`.
+    */
+  def syncWithResync(plan: DataFrame, changes: DataFrame, listing: DataFrame,
+                     folderIds: Seq[String] = Nil): DataFrame = {
+    val keys = Seq("tenant_id", "connector_id", "drive_id")
+    def drivesIn(mode: String) =
+      plan.where(col("mode") === mode).select(keys.map(col): _*)
+    val incremental = changes
+      .join(drivesIn("incremental"), keys, "left_semi")
+    val resync = listingAsChanges(listing)
+      .join(drivesIn("full_resync"), keys, "left_semi")
+    processChanges(incremental, folderIds)
+      .withColumn("sync_mode", lit("incremental"))
+      .unionByName(processChanges(resync, folderIds)
+        .withColumn("sync_mode", lit("full_resync")))
+  }
+
+  /** Token re-baseline after a sync pass: incremental drives advance to
+    * their result token (MERGE semantics of `Ingest.advanceSyncTokens`),
+    * full-resync drives take the FRESH start token fetched after the
+    * re-list (`sync.py:255-258` — save the new start token, not the
+    * rejected one), error drives keep their token untouched so the next
+    * run retries.
+    *
+    * `freshTokens`: (tenant_id, connector_id, drive_id, fresh_token).
+    */
+  def rebaselineTokens(plan: DataFrame, results: DataFrame,
+                       freshTokens: DataFrame): DataFrame = {
+    val keys = Seq("tenant_id", "connector_id", "drive_id")
+    Ingest.advanceSyncTokens(
+        plan.select((keys.map(col) :+ col("token")): _*), results)
+      .join(plan.select((keys.map(col) :+ col("mode")): _*), keys)
+      .join(freshTokens, keys, "left")
+      .select((keys.map(col) :+
+        when(col("mode") === "full_resync",
+          coalesce(col("fresh_token"), col("token")))
+          .otherwise(col("token")).as("token")): _*)
+  }
 }

@@ -707,7 +707,157 @@ object TestQueries6 {
         .limit(100),
     None)
 
+  // q73 fixture: drv_a syncs incrementally, drv_b's saved token is
+  // rejected as expired (→ full resync from the listing; its stale change
+  // feed must contribute nothing), drv_c's rejection is a rate limit
+  // (→ error: no routing, token untouched).
+  private val resyncTokens = Seq(
+    ("t1", "c1", "drv_a", "tokA"),
+    ("t1", "c1", "drv_b", "tokB"),
+    ("t1", "c1", "drv_c", "tokC"))
+  private val resyncRejections = Seq(
+    ("t1", "c1", "drv_b", "Invalid Value: start page token expired"),
+    ("t1", "c1", "drv_c", "rate limit exceeded"))
+  private val resyncChangeRows: Seq[(String, String, Long, String, Boolean,
+      Boolean, String, String, String, Long, String, String)] = Seq(
+    ("t1", "c1", 1L, "file", false, false, "f1", "a1.pdf", "application/pdf",
+      100L, "2026-01-01T00:00:00Z", "drv_a"),
+    ("t1", "c1", 2L, "remove", true, false, "f2", null, null, 0L, null,
+      "drv_a"),
+    ("t1", "c1", 3L, "file", false, false, "f9", "stale.pdf",
+      "application/pdf", 10L, "2026-01-01T00:00:00Z", "drv_b"))
+  private val resyncListingRows: Seq[(String, String, String, String, String,
+      Long, String, String)] = Seq(
+    ("t1", "c1", "f10", "b1.pdf", "application/pdf", 200L,
+      "2026-01-02T00:00:00Z", "drv_b"),
+    ("t1", "c1", "f11", "b2.xlsx", "application/vnd.ms-excel", 300L,
+      "2026-01-02T00:00:00Z", "drv_b"),
+    ("t1", "c1", "fz", "junk.pdf", "application/pdf", 1L,
+      "2026-01-02T00:00:00Z", "drv_c"))
+
+  /** S7/S8 expired-token full-resync fallback
+    * (`google_drive/sync.py:234-338`; SharePoint delta reset is the same
+    * shape): invalid/expired token → re-list the drive through the same
+    * change routing → re-baseline to the fresh start token; other
+    * rejections surface as errors and keep their token. Output = routed
+    * changes (tagged with sync_mode) ∪ the re-baselined token table.
+    */
+  val q73ConnectorResync: QueryCase = QueryCase(
+    "q73_connector_resync",
+    (s, dir) => {
+      import s.implicits._
+      val tokens = resyncTokens.toDF("tenant_id", "connector_id", "drive_id",
+        "token")
+      val rejections = resyncRejections.toDF("tenant_id", "connector_id",
+        "drive_id", "error")
+      val changes = resyncChangeRows.toDF("tenant_id", "connector_id",
+        "change_seq", "change_type", "removed", "trashed", "file_id",
+        "file_name", "mime_type", "file_size", "modified_time", "drive_id")
+      val listing = resyncListingRows.toDF("tenant_id", "connector_id",
+        "file_id", "file_name", "mime_type", "file_size", "modified_time",
+        "drive_id")
+      val results = Seq(("t1", "c1", "drv_a", "tokA2"))
+        .toDF("tenant_id", "connector_id", "drive_id", "new_token")
+      val fresh = Seq(("t1", "c1", "drv_b", "startB9"))
+        .toDF("tenant_id", "connector_id", "drive_id", "fresh_token")
+      val plan = graft.ingest.Connector.planSync(tokens, rejections)
+      val processed = graft.ingest.Connector
+        .syncWithResync(plan, changes, listing)
+      val next = graft.ingest.Connector
+        .rebaselineTokens(plan, results, fresh)
+      processed.select(lit("change").as("row_kind"), col("drive_id"),
+          col("change_seq").cast("long").as("seq"), col("file_id"),
+          col("outcome"), col("source_path"), lit(null: String).as("token"),
+          col("sync_mode"))
+        .unionByName(next.select(lit("token").as("row_kind"), col("drive_id"),
+          lit(null: java.lang.Long).as("seq"), lit(null: String).as("file_id"),
+          lit(null: String).as("outcome"), lit(null: String).as("source_path"),
+          col("token"), lit(null: String).as("sync_mode")))
+        .orderBy("row_kind", "drive_id", "seq", "file_id")
+    },
+    Some {
+      def v(x: String) = Option(x).map(s => s"'$s'").getOrElse("NULL")
+      val tokVals = resyncTokens.map(r =>
+        s"('${r._1}', '${r._2}', '${r._3}', '${r._4}')").mkString(", ")
+      val rejVals = resyncRejections.map(r =>
+        s"('${r._1}', '${r._2}', '${r._3}', '${r._4}')").mkString(", ")
+      val chVals = resyncChangeRows.map(r =>
+        s"('${r._1}', '${r._2}', ${r._3}, '${r._4}', ${r._5}, ${r._6}, " +
+          s"'${r._7}', ${v(r._8)}, ${v(r._9)}, ${r._10}, ${v(r._11)}, " +
+          s"'${r._12}')").mkString(", ")
+      val lsVals = resyncListingRows.map(r =>
+        s"('${r._1}', '${r._2}', '${r._3}', '${r._4}', '${r._5}', ${r._6}, " +
+          s"'${r._7}', '${r._8}')").mkString(", ")
+      val route = """CASE WHEN rn > 1 THEN 'skipped'
+               WHEN change_type = 'remove' OR COALESCE(removed, false)
+                 OR COALESCE(trashed, false) THEN 'deleted'
+               WHEN mime_type = 'application/vnd.google-apps.folder'
+                 THEN 'ignored'
+               WHEN file_name IS NULL OR file_name = ''
+                 OR modified_time IS NULL OR modified_time = ''
+                 THEN 'ignored'
+               ELSE 'emitted' END"""
+      s"""
+      WITH tokens(tenant_id, connector_id, drive_id, token) AS (VALUES $tokVals),
+      rej(tenant_id, connector_id, drive_id, error) AS (VALUES $rejVals),
+      plan AS (
+        SELECT t.*, CASE WHEN r.error IS NULL THEN 'incremental'
+                         WHEN contains(LOWER(r.error), 'invalid')
+                           OR contains(LOWER(r.error), 'expired')
+                           THEN 'full_resync'
+                         ELSE 'error' END AS mode
+        FROM tokens t LEFT JOIN rej r USING (tenant_id, connector_id, drive_id)),
+      ch(tenant_id, connector_id, change_seq, change_type, removed, trashed,
+         file_id, file_name, mime_type, file_size, modified_time, drive_id)
+        AS (VALUES $chVals),
+      ls(tenant_id, connector_id, file_id, file_name, mime_type, file_size,
+         modified_time, drive_id) AS (VALUES $lsVals),
+      inc AS (
+        SELECT c.*, ROW_NUMBER() OVER (PARTITION BY c.file_id
+          ORDER BY c.change_seq) AS rn
+        FROM ch c JOIN plan p USING (tenant_id, connector_id, drive_id)
+        WHERE p.mode = 'incremental' AND c.file_id IS NOT NULL),
+      lst AS (
+        SELECT l.*, CAST(ROW_NUMBER() OVER (PARTITION BY l.drive_id
+            ORDER BY l.file_id) AS BIGINT) AS change_seq,
+          'file' AS change_type, false AS removed, false AS trashed, 1 AS rn
+        FROM ls l JOIN plan p USING (tenant_id, connector_id, drive_id)
+        WHERE p.mode = 'full_resync'),
+      routed AS (
+        SELECT drive_id, change_seq, file_id, $route AS outcome,
+               'google_drive:' || COALESCE(drive_id, 'my_drive') || ':' ||
+                 file_id AS source_path,
+               'incremental' AS sync_mode
+        FROM inc
+        UNION ALL
+        SELECT drive_id, change_seq, file_id, $route AS outcome,
+               'google_drive:' || COALESCE(drive_id, 'my_drive') || ':' ||
+                 file_id AS source_path,
+               'full_resync' AS sync_mode
+        FROM lst),
+      res(tenant_id, connector_id, drive_id, new_token)
+        AS (VALUES ('t1', 'c1', 'drv_a', 'tokA2')),
+      fresh(tenant_id, connector_id, drive_id, fresh_token)
+        AS (VALUES ('t1', 'c1', 'drv_b', 'startB9')),
+      nexttok AS (
+        SELECT p.drive_id,
+               CASE WHEN p.mode = 'full_resync'
+                    THEN COALESCE(f.fresh_token, COALESCE(r.new_token, p.token))
+                    ELSE COALESCE(r.new_token, p.token) END AS token
+        FROM plan p
+        LEFT JOIN res r USING (tenant_id, connector_id, drive_id)
+        LEFT JOIN fresh f USING (tenant_id, connector_id, drive_id))
+      SELECT 'change' AS row_kind, drive_id, change_seq AS seq, file_id,
+             outcome, source_path, CAST(NULL AS VARCHAR) AS token, sync_mode
+      FROM routed
+      UNION ALL
+      SELECT 'token', drive_id, CAST(NULL AS BIGINT), NULL, NULL, NULL,
+             token, NULL
+      FROM nexttok
+      ORDER BY row_kind, drive_id, seq, file_id"""
+    })
+
   val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride,
     q67Websearch, q68EntityGraph, q69EntityBlocking, q70ConnectorChanges,
-    q71RagAsk, q72HighlightCentered)
+    q71RagAsk, q72HighlightCentered, q73ConnectorResync)
 }

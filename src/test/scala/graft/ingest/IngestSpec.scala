@@ -84,6 +84,55 @@ class IngestSpec extends SparkSpec {
     assert(active.select("id").collect().map(_.getString(0)).toSeq == Seq("f1"))
   }
 
+  test("expired token mid-stream: full resync loses nothing, duplicates nothing") {
+    import spark.implicits._
+    // drive's live truth: f1 (already ingested), f2 (new since the lost
+    // token), f3 (new). The incremental feed for this drive is unusable —
+    // its token expired mid-stream — and must contribute nothing.
+    val tokens = Seq(("t1", "c1", "d1", "expiredTok"))
+      .toDF("tenant_id", "connector_id", "drive_id", "token")
+    val rejections = Seq(("t1", "c1", "d1", "Invalid Value: page token expired"))
+      .toDF("tenant_id", "connector_id", "drive_id", "error")
+    val staleChanges = Seq(("t1", "c1", 1L, "file", false, false, "f2",
+      "b.pdf", "application/pdf", 10L, "2026-01-01T00:00:00Z", "d1"))
+      .toDF("tenant_id", "connector_id", "change_seq", "change_type",
+        "removed", "trashed", "file_id", "file_name", "mime_type",
+        "file_size", "modified_time", "drive_id")
+    val listing = Seq(
+      ("t1", "c1", "f1", "a.pdf", "application/pdf", 10L,
+        "2026-01-01T00:00:00Z", "d1"),
+      ("t1", "c1", "f2", "b.pdf", "application/pdf", 10L,
+        "2026-01-01T00:00:00Z", "d1"),
+      ("t1", "c1", "f3", "c.pdf", "application/pdf", 10L,
+        "2026-01-02T00:00:00Z", "d1"))
+      .toDF("tenant_id", "connector_id", "file_id", "file_name", "mime_type",
+        "file_size", "modified_time", "drive_id")
+    val plan = Connector.planSync(tokens, rejections)
+    assert(plan.head().getAs[String]("mode") == "full_resync")
+    val processed = Connector.syncWithResync(plan, staleChanges, listing)
+    // every live file re-emitted exactly once — nothing lost
+    val emitted = processed.where(col("outcome") === "emitted")
+      .select("file_id").collect().map(_.getString(0)).toSeq
+    assert(emitted.sorted == Seq("f1", "f2", "f3"))
+    assert(processed.count() == 3) // the stale incremental row went nowhere
+    // nothing duplicated: the already-ingested doc is dropped by hash dedup
+    val incoming = processed.where(col("outcome") === "emitted")
+      .select(col("tenant_id"), col("file_id"),
+        concat(lit("content-"), col("file_id")).as("content"))
+    val existing = Seq(("t1", "content-f1")).toDF("tenant_id", "content")
+      .withColumn("file_hash", sha2(col("content"), 256))
+    val landed = Ingest.hashDedup(incoming, existing, "content")
+      .select("file_id").collect().map(_.getString(0)).toSeq
+    assert(landed.sorted == Seq("f2", "f3"))
+    // and the token is re-baselined to the fresh start token
+    val next = Connector.rebaselineTokens(plan,
+      Seq.empty[(String, String, String, String)]
+        .toDF("tenant_id", "connector_id", "drive_id", "new_token"),
+      Seq(("t1", "c1", "d1", "freshTok"))
+        .toDF("tenant_id", "connector_id", "drive_id", "fresh_token"))
+    assert(next.head().getAs[String]("token") == "freshTok")
+  }
+
   test("validation: magic bytes vs extension, size, empty") {
     import spark.implicits._
     val pdf = "%PDF-1.4 fake".getBytes
