@@ -92,13 +92,129 @@ object Multimodal {
       }(enc)
   }
 
-  /** Frame-sample / resize stage STUB: the real kernel is `???` by
-    * design; the deterministic fake emits one "frame" row per asset per
-    * sampled offset so downstream schema/partitioning is testable.
+  /** Frame-sample stage over ID-only inputs (kept for schema/partitioning
+    * tests and as the shape for compressed formats whose decode plugs in
+    * via [[DecodeBackend]]): one deterministic row per asset per frame.
     */
   def sampleFrames(media: DataFrame, idCol: String, nFrames: Int): DataFrame =
     media.select(col(idCol).as("id"),
         explode(sequence(lit(0), lit(nFrames - 1))).as("frame_index"))
       .withColumn("frame_stub",
         sha2(concat(col("id"), lit(":"), col("frame_index")), 256))
+
+  /** Encode 16-bit PCM as a minimal WAV container — fixture utility and
+    * the encode inverse of [[parseWavPcm16]].
+    */
+  def wavPcm16Bytes(samples: Array[Short], sampleRate: Int,
+                    channels: Int = 1): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parsed 16-bit PCM payload: sample rate, channels, interleaved
+    * samples. None for non-WAV / non-PCM-16 bytes.
+    */
+  private[graft] def parseWavPcm16(
+      b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    def le32(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+    def le16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+      b(11) != 'E') return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, rate)
+    var bits = 0
+    var data: Option[(Int, Int)] = None // (offset, length)
+    while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val size = le32(i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12)))
+        bits = le16(i + 22)
+      } else if (id == "data") {
+        data = Some((i + 8, math.min(size, b.length - i - 8)))
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size + (size & 1)
+    }
+    for {
+      (audioFormat, channels, rate) <- fmt
+      (off, len) <- data
+      if audioFormat == 1 && bits == 16 && len >= 2
+    } yield {
+      val n = len / 2
+      val samples = new Array[Short](n)
+      var j = 0
+      while (j < n) {
+        samples(j) = ((b(off + 2 * j) & 0xff) |
+          (b(off + 2 * j + 1) << 8)).toShort
+        j += 1
+      }
+      (rate, channels, samples)
+    }
+  }
+
+  /** The real frame-sample kernel over an uncompressed format (WAV 16-bit
+    * PCM): the payload is cut into `nFrames` contiguous windows
+    * (`start = f·n/nFrames` integer boundaries, interleaved samples) and
+    * each frame emits deterministic window stats — sample count, peak
+    * |amplitude|, mean, RMS (sums accumulated exactly in Long, one double
+    * division at the end, so results are bit-reproducible). Non-WAV /
+    * non-PCM-16 assets emit no frame rows; compressed media decode stays
+    * behind [[DecodeBackend]].
+    */
+  def sampleWavFrames(media: DataFrame, idCol: String, bytesCol: String,
+                      nFrames: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("frame_index", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("start_sample", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("peak", IntegerType),
+      StructField("mean", DoubleType),
+      StructField("rms", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col(idCol).cast("string").as("id"), col(bytesCol).as("b"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[String]("id")
+          parseWavPcm16(r.getAs[Array[Byte]]("b")).toSeq.flatMap {
+            case (rate, channels, samples) =>
+              val n = samples.length
+              (0 until nFrames).flatMap { f =>
+                val start = (f.toLong * n / nFrames).toInt
+                val end = ((f + 1).toLong * n / nFrames).toInt
+                if (end <= start) None
+                else {
+                  var sum = 0L; var sumSq = 0L; var peak = 0
+                  var j = start
+                  while (j < end) {
+                    val s = samples(j).toInt
+                    sum += s; sumSq += s.toLong * s
+                    val a = math.abs(s)
+                    if (a > peak) peak = a
+                    j += 1
+                  }
+                  val cnt = end - start
+                  Some(Row(id, f, rate, channels, start, cnt, peak,
+                    sum.toDouble / cnt, math.sqrt(sumSq.toDouble / cnt)))
+                }
+              }
+          }
+        }
+      }(enc)
+  }
 }

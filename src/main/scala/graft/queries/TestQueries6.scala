@@ -857,7 +857,61 @@ object TestQueries6 {
       ORDER BY row_kind, drive_id, seq, file_id"""
     })
 
+  // q74 fixture: PCM samples are pure integer arithmetic so the oracle can
+  // regenerate them without parsing bytes: s(i) = ((i·7919 + seed·104729)
+  // mod 20001) − 10000 ∈ [−10000, 10000] ⊂ Int16.
+  private val wavAssets: Seq[(String, Int, Int, Int)] = Seq(
+    ("a1", 1000, 8000, 1), ("a2", 777, 16000, 2))
+  private val wavNFrames = 4
+
+  /** Multimodal frame sampling over a REAL uncompressed container (WAV
+    * 16-bit PCM): Spark parses the actual RIFF/fmt/data bytes and emits
+    * per-frame window stats; the oracle regenerates the same samples from
+    * the integer-arithmetic definition and aggregates — frame boundaries
+    * (`start = f·n/N` integer division), peak, exact-Long mean and RMS all
+    * mirror bit-exactly. A non-WAV asset rides along and must emit no
+    * rows.
+    */
+  val q74WavFrames: QueryCase = QueryCase(
+    "q74_wav_frames",
+    (s, dir) => {
+      import s.implicits._
+      val rows = wavAssets.map { case (id, n, rate, seed) =>
+        val samples = Array.tabulate(n)(i =>
+          (((i * 7919 + seed * 104729) % 20001) - 10000).toShort)
+        (id, graft.multimodal.Multimodal.wavPcm16Bytes(samples, rate))
+      } :+ (("a3", "not a wav".getBytes))
+      graft.multimodal.Multimodal
+        .sampleWavFrames(rows.toDF("id", "bytes"), "id", "bytes", wavNFrames)
+        .orderBy("id", "frame_index")
+    },
+    Some {
+      val vals = wavAssets.map(a =>
+        s"('${a._1}', ${a._2}, ${a._3}, ${a._4})").mkString(", ")
+      s"""
+      WITH assets(id, n, rate, seed) AS (VALUES $vals),
+      samples AS (
+        SELECT id, n, rate, seed, UNNEST(range(0, n)) AS i
+        FROM assets),
+      vals AS (
+        SELECT id, n, rate, i,
+               ((i * 7919 + seed * 104729) % 20001) - 10000 AS s
+        FROM samples),
+      framed AS (
+        SELECT *, CAST(((i + 1) * $wavNFrames + n - 1) // n - 1 AS INT) AS f
+        FROM vals)
+      SELECT id, f AS frame_index, rate AS sample_rate, 1 AS channels,
+             CAST(MIN(i) AS INT) AS start_sample,
+             CAST(COUNT(*) AS INT) AS n_samples,
+             CAST(MAX(ABS(s)) AS INT) AS peak,
+             CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean,
+             sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+      FROM framed
+      GROUP BY id, f, rate
+      ORDER BY id, frame_index"""
+    })
+
   val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride,
     q67Websearch, q68EntityGraph, q69EntityBlocking, q70ConnectorChanges,
-    q71RagAsk, q72HighlightCentered, q73ConnectorResync)
+    q71RagAsk, q72HighlightCentered, q73ConnectorResync, q74WavFrames)
 }

@@ -32,13 +32,38 @@ class MiscSpec extends SparkSpec {
     assert(out("m2")._1 == "application/octet-stream")
   }
 
-  test("frame sampling stub emits deterministic frame rows") {
+  test("frame sampling (id-only shape) emits deterministic frame rows") {
     import spark.implicits._
     val df = Seq("m1", "m2").toDF("id")
     val frames = Multimodal.sampleFrames(df, "id", 3)
     assert(frames.count() == 6)
     val again = Multimodal.sampleFrames(df, "id", 3)
     assert(frames.collect().toSet == again.collect().toSet)
+  }
+
+  test("wav pcm16: encode/parse roundtrip, frame stats, non-wav emits nothing") {
+    import spark.implicits._
+    val samples = Array[Short](1, 2, 3, 4)
+    val bytes = Multimodal.wavPcm16Bytes(samples, 8000)
+    val parsed = Multimodal.parseWavPcm16(bytes)
+    assert(parsed.contains((8000, 1, samples)) ||
+      parsed.exists { case (r, c, s) => r == 8000 && c == 1 &&
+        s.sameElements(samples) })
+    assert(Multimodal.parseWavPcm16("nope".getBytes).isEmpty)
+    val df = Seq(("w1", bytes), ("junk", "xx".getBytes)).toDF("id", "bytes")
+    val out = Multimodal.sampleWavFrames(df, "id", "bytes", 2)
+      .orderBy("frame_index").collect()
+    assert(out.length == 2) // junk contributed nothing
+    val f0 = out(0); val f1 = out(1)
+    // frame 0 = [1,2]: mean 1.5, rms sqrt(2.5), peak 2
+    assert(f0.getAs[Int]("peak") == 2)
+    assert(f0.getAs[Double]("mean") == 1.5)
+    assert(f0.getAs[Double]("rms") == math.sqrt(2.5))
+    // frame 1 = [3,4]: mean 3.5, rms sqrt(12.5), peak 4
+    assert(f1.getAs[Int]("peak") == 4)
+    assert(f1.getAs[Double]("mean") == 3.5)
+    assert(f1.getAs[Double]("rms") == math.sqrt(12.5))
+    assert(f1.getAs[Int]("start_sample") == 2)
   }
 
   // --------------------------------------------------------------------- rag
