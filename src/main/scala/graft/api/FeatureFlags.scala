@@ -1,0 +1,46 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Feature-flag resolution (reference `002_feature_flags.sql:6-24` +
+  * `src/features/service.py:67-129`): a global flag table with
+  * `enabled_default` and a per-tenant override table with
+  * `UNIQUE(tenant_id, flag_id)`; a tenant's effective value is
+  * COALESCE(override.enabled, flag.enabled_default), and an undefined
+  * flag resolves false (`is_enabled` fails closed).
+  *
+  * Control-plane tables are tiny → both sides broadcast; the resolved
+  * view is (tenant × flag)-shaped, suitable for a broadcast join against
+  * any data-plane frame that branches on a flag.
+  */
+object FeatureFlags {
+
+  /** Effective (tenant_id, flag name, enabled) for every tenant × defined
+    * flag — `get_all_flags` (`service.py:131-178`) as one pass.
+    *
+    * `flags`: (flag_id, name, enabled_default);
+    * `overrides`: (tenant_id, flag_id, enabled);
+    * `tenants`: (tenant_id).
+    */
+  def resolve(flags: DataFrame, overrides: DataFrame,
+              tenants: DataFrame): DataFrame =
+    tenants.select(col("tenant_id"))
+      .crossJoin(broadcast(flags.select(col("flag_id"), col("name"),
+        col("enabled_default"))))
+      .join(broadcast(overrides.select(col("tenant_id"), col("flag_id"),
+        col("enabled").as("override_enabled"))),
+        Seq("tenant_id", "flag_id"), "left")
+      .select(col("tenant_id"), col("name"),
+        coalesce(col("override_enabled"), col("enabled_default"))
+          .as("enabled"),
+        col("override_enabled").isNotNull.as("is_override"))
+
+  /** `is_enabled` for one (tenant, flag) against a resolved view: fails
+    * closed — an undefined flag is disabled (`service.py:93-99`).
+    */
+  def isEnabled(resolved: DataFrame, tenantId: String,
+                flagName: String): Boolean =
+    !resolved.where(col("tenant_id") === tenantId &&
+      col("name") === flagName && col("enabled")).isEmpty
+}

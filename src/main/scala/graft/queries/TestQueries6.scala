@@ -911,7 +911,51 @@ object TestQueries6 {
       ORDER BY id, frame_index"""
     })
 
+  private val flagRows = Seq(
+    ("fl1", "advanced_extraction", true),
+    ("fl2", "websearch_syntax", false),
+    ("fl3", "om_benchmarks", false))
+  private val flagOverrideRows = Seq(
+    ("t1", "fl2", true),   // t1 turns websearch on
+    ("t2", "fl1", false))  // t2 turns advanced extraction off
+  private val flagTenants = Seq("t1", "t2", "t3")
+
+  /** Feature-flag resolution (`002_feature_flags.sql:6-24`,
+    * `features/service.py:67-178`): per-tenant override ∪ global default
+    * as one coalesce-join; every tenant × defined flag resolves, override
+    * provenance tagged.
+    */
+  val q75FeatureFlags: QueryCase = QueryCase(
+    "q75_feature_flags",
+    (s, dir) => {
+      import s.implicits._
+      val flags = flagRows.toDF("flag_id", "name", "enabled_default")
+      val overrides = flagOverrideRows.toDF("tenant_id", "flag_id", "enabled")
+      val tenants = flagTenants.toDF("tenant_id")
+      graft.api.FeatureFlags.resolve(flags, overrides, tenants)
+        .orderBy("tenant_id", "name")
+    },
+    Some {
+      val fv = flagRows.map(r => s"('${r._1}', '${r._2}', ${r._3})")
+        .mkString(", ")
+      val ov = flagOverrideRows.map(r => s"('${r._1}', '${r._2}', ${r._3})")
+        .mkString(", ")
+      val tv = flagTenants.map(t => s"('$t')").mkString(", ")
+      s"""
+      WITH flags(flag_id, name, enabled_default) AS (VALUES $fv),
+      ov(tenant_id, flag_id, enabled) AS (VALUES $ov),
+      tenants(tenant_id) AS (VALUES $tv)
+      SELECT t.tenant_id, f.name,
+             COALESCE(o.enabled, f.enabled_default) AS enabled,
+             (o.enabled IS NOT NULL) AS is_override
+      FROM tenants t
+      CROSS JOIN flags f
+      LEFT JOIN ov o ON o.tenant_id = t.tenant_id AND o.flag_id = f.flag_id
+      ORDER BY t.tenant_id, f.name"""
+    })
+
   val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride,
     q67Websearch, q68EntityGraph, q69EntityBlocking, q70ConnectorChanges,
-    q71RagAsk, q72HighlightCentered, q73ConnectorResync, q74WavFrames)
+    q71RagAsk, q72HighlightCentered, q73ConnectorResync, q74WavFrames,
+    q75FeatureFlags)
 }

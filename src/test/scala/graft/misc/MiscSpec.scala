@@ -41,6 +41,19 @@ class MiscSpec extends SparkSpec {
     assert(frames.collect().toSet == again.collect().toSet)
   }
 
+  test("feature flags: isEnabled fails closed on undefined flags") {
+    import spark.implicits._
+    val flags = Seq(("fl1", "x", true)).toDF("flag_id", "name",
+      "enabled_default")
+    val overrides = Seq(("t1", "fl1", false)).toDF("tenant_id", "flag_id",
+      "enabled")
+    val tenants = Seq("t1", "t2").toDF("tenant_id")
+    val resolved = graft.api.FeatureFlags.resolve(flags, overrides, tenants)
+    assert(!graft.api.FeatureFlags.isEnabled(resolved, "t1", "x")) // override wins
+    assert(graft.api.FeatureFlags.isEnabled(resolved, "t2", "x"))  // default
+    assert(!graft.api.FeatureFlags.isEnabled(resolved, "t1", "nope")) // closed
+  }
+
   test("wav pcm16: encode/parse roundtrip, frame stats, non-wav emits nothing") {
     import spark.implicits._
     val samples = Array[Short](1, 2, 3, 4)
