@@ -232,24 +232,73 @@ object TestQueries4 {
     },
     None)
 
-  /** F8 validation over synthesized binary content — rows-only. */
+  // ASCII-only so the UTF-8 bytes of the VARCHAR fixture ARE the binary
+  // content byte-for-byte in both engines ("PK" stays
+  // single-byte); the non-ASCII magics (PNG 0x89..., JPEG 0xFFD8) can't
+  // ride a string cast and stay spec-pinned in IngestSpec.
+  private val validationRows: Seq[(String, String)] = Seq(
+    ("doc.pdf", "%PDF-1.7 content"),
+    ("image.png", "%PDF-1.7 mismatched"),
+    ("empty.pdf", ""),
+    ("notes.txt", "plain text"),
+    ("archive.zip", "PK\u0003\u0004payload"),
+    ("report.docx", "%PDF-1.7 not office"))
+
+  /** F8 validation (magic-bytes sniff + extension agreement + size
+    * bounds): the oracle mirrors the prefix sniff on the same ASCII
+    * fixture, the extension-family map, and the error assembly.
+    */
   val q53Validation: QueryCase = QueryCase(
     "q53_validation",
     (s, dir) => {
       import s.implicits._
-      val rows = Seq(
-        ("doc.pdf", "%PDF-1.7 content"),
-        ("image.png", "%PDF-1.7 mismatched"),
-        ("empty.pdf", ""),
-        ("notes.txt", "plain text"))
-      rows.toDF("name", "text")
+      validationRows.toDF("name", "text")
         .select(col("name"), col("text").cast("binary").as("content"))
         .transform(df => Ingest.validate(df, "content", "name"))
         .select(col("name"), col("validation.valid").as("valid"),
-          concat_ws(",", col("validation.errors")).as("errors"))
+          concat_ws(",", col("validation.errors")).as("errors"),
+          col("validation.sniffed_type").as("sniffed_type"))
         .orderBy("name")
     },
-    None)
+    Some {
+      val vals = validationRows.map { case (n, t) =>
+        val lit = t.replace("'", "''")
+          .replace("\u0003", "' || chr(3) || '")
+          .replace("\u0004", "' || chr(4) || '")
+        s"('$n', '$lit')"
+      }.mkString(", ")
+      s"""
+      WITH t(name, txt) AS (VALUES $vals),
+      s AS (
+        SELECT name, txt,
+          CASE WHEN starts_with(txt, '%PDF') THEN 'pdf'
+               WHEN starts_with(txt, 'PK' || chr(3) || chr(4))
+                 THEN 'zip_or_office'
+               ELSE 'unknown' END AS sniffed_type,
+          CASE lower(regexp_extract(name, '\\.([A-Za-z0-9]+)$$', 1))
+               WHEN 'pdf' THEN 'pdf'
+               WHEN 'zip' THEN 'zip_or_office'
+               WHEN 'docx' THEN 'zip_or_office'
+               WHEN 'xlsx' THEN 'zip_or_office'
+               WHEN 'png' THEN 'png'
+               WHEN 'jpg' THEN 'jpeg'
+               WHEN 'jpeg' THEN 'jpeg'
+               ELSE 'unknown' END AS ext_family
+        FROM t),
+      e AS (
+        SELECT name, sniffed_type,
+          list_filter([
+            CASE WHEN LENGTH(txt) = 0 THEN 'empty_file' END,
+            CASE WHEN sniffed_type <> 'unknown' AND ext_family <> 'unknown'
+                  AND sniffed_type <> ext_family
+                 THEN 'magic_extension_mismatch' END],
+            x -> x IS NOT NULL) AS errors
+        FROM s)
+      SELECT name, LEN(errors) = 0 AS valid,
+             COALESCE(array_to_string(errors, ','), '') AS errors,
+             sniffed_type
+      FROM e ORDER BY name"""
+    })
 
   private val omFieldRows: Seq[(String, String, Double, Boolean)] = Seq(
     // doc, field, confidence, has_value
