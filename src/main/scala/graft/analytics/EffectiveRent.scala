@@ -85,6 +85,13 @@ object EffectiveRent {
 
   /** W3/W4: tenant concentration — rent share and cumulative share over
     * tenants sorted by rent desc (`:371-428`).
+    *
+    * Scale contract: input is ONE portfolio's tenant roster (the
+    * reference computes concentration per portfolio — bounded at
+    * thousands), so the total-order window is cheap. Cross-portfolio use
+    * at scale should partition by portfolio first (wrap the window) —
+    * a global cumulative share over an unbounded table single-partitions
+    * the sort by construction.
     */
   def concentration(rents: DataFrame): DataFrame = {
     val total = rents.agg(

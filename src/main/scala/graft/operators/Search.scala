@@ -46,6 +46,11 @@ object Search {
   /** A7/J8/W1: Reciprocal Rank Fusion of two ranked lists, k=60
     * (`hybrid.py:223-261`): score = Σ 1/(k + rank), rank starting at 1,
     * full-outer merge keyed by id.
+    *
+    * Scale contract: inputs are RANKED LISTS — already top-k-limited by
+    * the retrieval legs (as [[hybrid]] does with 2×limit) — so the global
+    * rank window runs over ≤ hundreds of rows. Feeding an unbounded
+    * table here would single-partition the sort; bound it first.
     */
   def rrfFuse(left: DataFrame, right: DataFrame, idCol: String,
               leftOrder: Seq[Column], rightOrder: Seq[Column],
