@@ -1,0 +1,71 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+import scala.concurrent.duration._
+import scala.util.{Failure, Success, Try}
+
+/** Health / dependency probes (reference
+  * `src/services/health_checker.py:52-240`): every component check runs
+  * concurrently and is timed; an exception or timeout marks the component
+  * `down` with the error captured; overall status is `healthy` iff every
+  * component is `up` (all components are critical — `:226-240`).
+  *
+  * Spark-first split: probe EXECUTION is a driver-side utility (probes
+  * are side-effecting IO — a parquet-path read, a sink append, a
+  * streaming-query state poll), while the status ROLLUP is a DataFrame
+  * aggregation so health history can be stored/queried like any other
+  * table. Error strings pass through `Redaction.sanitizeError` before
+  * they land anywhere (C28 — the reference sanitizes `last_error`
+  * persistence the same way).
+  */
+object Health {
+
+  final case class CheckRow(component: String, status: String,
+                            latency_ms: Long, error: String)
+
+  /** Run all probes concurrently with a per-probe timeout; a probe is
+    * `up` if it returns, `down` with the (raw) message on exception, and
+    * `down`/"Timeout" past the deadline (`health_checker.py:76-85`).
+    */
+  def checkAll(spark: SparkSession, probes: Seq[(String, () => Unit)],
+               timeoutMs: Long = 5000): DataFrame = {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val started = probes.map { case (name, probe) =>
+      val t0 = System.nanoTime()
+      (name, t0, Future(probe()))
+    }
+    val rows = started.map { case (name, t0, fut) =>
+      def elapsedMs = (System.nanoTime() - t0) / 1000000L
+      Try(Await.result(fut, timeoutMs.millis)) match {
+        case Success(_) => CheckRow(name, "up", elapsedMs, null)
+        case Failure(_: TimeoutException) =>
+          CheckRow(name, "down", elapsedMs, "Timeout")
+        case Failure(e) =>
+          CheckRow(name, "down", elapsedMs,
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+      }
+    }
+    import spark.implicits._
+    rows.toDF()
+      .withColumn("error",
+        when(col("error").isNotNull,
+          graft.extract.Redaction.sanitizeError(col("error"))))
+  }
+
+  /** Status rollup over check rows: per-component pass-through plus the
+    * overall verdict — `healthy` iff every component is `up`
+    * (`get_overall_status`, all components critical).
+    */
+  def rollup(checks: DataFrame): DataFrame =
+    checks.agg(
+      count(lit(1)).as("n_components"),
+      sum(when(col("status") === "up", 1).otherwise(0)).cast("long")
+        .as("n_up"),
+      sum(when(col("status") =!= "up", 1).otherwise(0)).cast("long")
+        .as("n_down"),
+      when(min(col("status") === "up"), "healthy").otherwise("unhealthy")
+        .as("overall"))
+}

@@ -954,8 +954,56 @@ object TestQueries6 {
       ORDER BY t.tenant_id, f.name"""
     })
 
+  private val healthRows: Seq[(String, String, Long, String)] = Seq(
+    ("database", "up", 12L, null),
+    ("storage", "up", 40L, null),
+    ("auth", "down", 5003L, "Timeout"),
+    ("redaction", "down", 2L, "init failed: token=[REDACTED]"))
+
+  /** Health rollup (`health_checker.py:226-240`): per-component check
+    * rows plus the overall verdict — healthy iff every component is up
+    * (all components critical). Probe execution (timing, timeout,
+    * exception sanitization) is pinned by HealthSpec; the rollup is the
+    * queryable surface.
+    */
+  val q76HealthRollup: QueryCase = QueryCase(
+    "q76_health_rollup",
+    (s, dir) => {
+      import s.implicits._
+      val checks = healthRows.toDF("component", "status", "latency_ms",
+        "error")
+      val per = checks.select(lit("check").as("row_kind"), col("component"),
+        col("status"), col("error"), lit(null: java.lang.Long).as("n_up"),
+        lit(null: java.lang.Long).as("n_down"))
+      val overall = graft.api.Health.rollup(checks)
+        .select(lit("overall").as("row_kind"),
+          lit(null: String).as("component"), col("overall").as("status"),
+          lit(null: String).as("error"), col("n_up"), col("n_down"))
+      per.unionByName(overall).orderBy("row_kind", "component")
+    },
+    Some {
+      def v(x: String) = Option(x).map(s => s"'${s.replace("'", "''")}'")
+        .getOrElse("NULL")
+      val vals = healthRows.map(r =>
+        s"('${r._1}', '${r._2}', ${r._3}, ${v(r._4)})").mkString(", ")
+      s"""
+      WITH c(component, status, latency_ms, error) AS (VALUES $vals)
+      SELECT 'check' AS row_kind, component, status, error,
+             CAST(NULL AS BIGINT) AS n_up, CAST(NULL AS BIGINT) AS n_down
+      FROM c
+      UNION ALL
+      SELECT 'overall', NULL,
+             CASE WHEN COUNT(*) FILTER (status <> 'up') = 0
+                  THEN 'healthy' ELSE 'unhealthy' END,
+             NULL,
+             COUNT(*) FILTER (status = 'up'),
+             COUNT(*) FILTER (status <> 'up')
+      FROM c
+      ORDER BY row_kind, component"""
+    })
+
   val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride,
     q67Websearch, q68EntityGraph, q69EntityBlocking, q70ConnectorChanges,
     q71RagAsk, q72HighlightCentered, q73ConnectorResync, q74WavFrames,
-    q75FeatureFlags)
+    q75FeatureFlags, q76HealthRollup)
 }

@@ -41,6 +41,31 @@ class MiscSpec extends SparkSpec {
     assert(frames.collect().toSet == again.collect().toSet)
   }
 
+  test("health probes: concurrent checks, timeout, sanitized errors, rollup") {
+    val checks = graft.api.Health.checkAll(spark, Seq(
+      "ok" -> (() => ()),
+      "boom" -> (() => throw new RuntimeException(
+        "connect failed password=hunter2 for ops@internal.example.org")),
+      "slow" -> (() => Thread.sleep(60000))), timeoutMs = 300)
+    val rows = checks.collect()
+      .map(r => r.getAs[String]("component") ->
+        ((r.getAs[String]("status"), r.getAs[String]("error")))).toMap
+    assert(rows("ok") == (("up", null)))
+    assert(rows("boom")._1 == "down")
+    // C28 sanitization applied before the error lands anywhere
+    assert(rows("boom")._2.contains("password=[REDACTED]"))
+    assert(rows("boom")._2.contains("[EMAIL]"))
+    assert(!rows("boom")._2.contains("hunter2"))
+    assert(rows("slow") == (("down", "Timeout")))
+    val overall = graft.api.Health.rollup(checks).head()
+    assert(overall.getAs[String]("overall") == "unhealthy")
+    assert(overall.getAs[Long]("n_up") == 1L)
+    // all-up rolls healthy
+    val healthy = graft.api.Health.rollup(
+      graft.api.Health.checkAll(spark, Seq("a" -> (() => ())))).head()
+    assert(healthy.getAs[String]("overall") == "healthy")
+  }
+
   test("feature flags: isEnabled fails closed on undefined flags") {
     import spark.implicits._
     val flags = Seq(("fl1", "x", true)).toDF("flag_id", "name",
