@@ -79,4 +79,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.indexOf("Window") > p.indexOf("collect_list"),
       "executed bottom-up: Window (printed deeper) must feed collect_list")
   }
+
+  test("dedup plans stay AQE-visible: no RDD materialization from spread") {
+    // round-2 spread() probed df.rdd.getNumPartitions, which materialized
+    // the plan to an RDD scan just to decide whether to repartition; the
+    // conf-gated unconditional repartition keeps the parquet scan visible
+    for (q <- Seq("q23_jaccard_pairs", "q28_minhash_pairs",
+        "q29_simhash_pairs", "q61_embedding_dedup")) {
+      val p = plan(q)
+      assert(!p.contains("ExistingRDD") && !p.contains("Scan rdd"),
+        s"$q plans an RDD scan — spread() is materializing again:\n$p")
+      assert(p.contains("FileScan parquet") || p.contains("Scan parquet"),
+        s"$q should scan parquet directly:\n$p")
+    }
+  }
+
+  test("q75: feature-flag resolution broadcasts both control-plane sides") {
+    val p = plan("q75_feature_flags")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "control-plane tables must broadcast, never shuffle")
+  }
+
+  test("q73: resync routing is semi-join + union, no cartesian product") {
+    val p = plan("q73_connector_resync")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Union"), p)
+  }
 }
