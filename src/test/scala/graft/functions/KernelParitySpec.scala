@@ -101,6 +101,35 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("HashEmbed: codegen == interpreted eval, unit-norm, vocab-sensitive") {
+    import spark.implicits._
+    val df = corpus.select(col("id"),
+      TextFunctions.tokens(col("text")).as("tk"))
+    // codegen path (whole-stage) vs the interpreted nullSafeEval path —
+    // both must route through the same static kernel bit-for-bit
+    val viaCodegen = df
+      .select(col("id"), HashingEmbedder.embedTokens(col("tk"), 64).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val expr = HashEmbed(
+      org.apache.spark.sql.graftshim.expression(col("tk")), 64)
+    val viaEval = df.collect().map { r =>
+      val tk = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        r.getSeq[String](1).map(
+          org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      r.getLong(0) -> expr.nullSafeEval(tk)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toFloatArray().toSeq
+    }.toMap
+    assert(viaCodegen.keySet == viaEval.keySet)
+    viaCodegen.foreach { case (id, v) =>
+      assert(v == viaEval(id), s"doc $id codegen != eval") }
+    // non-empty token lists embed to unit vectors
+    viaCodegen.values.filter(_.exists(_ != 0f)).foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(n - 1.0) < 1e-5, s"norm $n")
+    }
+  }
+
   test("MinHash signature: deterministic, set-semantics, similarity-monotone") {
     import spark.implicits._
     val df = Seq(
