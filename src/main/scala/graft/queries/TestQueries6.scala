@@ -1002,8 +1002,51 @@ object TestQueries6 {
       ORDER BY row_kind, component"""
     })
 
+  // q77 fixture: PII-bearing but EXCEPTION-FREE — no kept-domain emails,
+  // no org-suffixed person pairs — so the negative-lookahead exception
+  // clauses are vacuous and redactText equals the plain RE2-expressible
+  // replaces. The exception semantics themselves stay pinned by q46 +
+  // ExtractSpec ("Acme Corp LLC" rides along untouched: "Acme" is not a
+  // given name, proving the person recognizer is dictionary-gated).
+  private val redactionRows: Seq[(String, String)] = Seq(
+    ("r1", "Contact John Smith at js@gmail.com or (555) 123-4567."),
+    ("r2", "Wire from Mary Johnson, SSN 123-45-6789, phone 555-987-6543."),
+    ("r3", "Acme Corp LLC remits to landlord@rentco.io each month."),
+    ("r4", "No pii here at all."))
+
+  /** P1/P2 redaction, oracle-checked on the exception-free fixture: the
+    * SQL mirror applies the same four recognizers in the same order
+    * (emails → phones → SSNs → persons) with the exception lookaheads
+    * dropped — vacuous on this fixture by construction.
+    */
+  val q77RedactionCore: QueryCase = QueryCase(
+    "q77_redaction_core",
+    (s, dir) => {
+      import s.implicits._
+      redactionRows.toDF("id", "text")
+        .select(col("id"),
+          graft.extract.Redaction.redactText(col("text")).as("redacted"))
+        .orderBy("id")
+    },
+    Some {
+      import graft.extract.Redaction
+      val vals = redactionRows.map { case (id, t) =>
+        s"('$id', '${t.replace("'", "''")}')"
+      }.mkString(", ")
+      s"""
+      WITH t(id, text) AS (VALUES $vals)
+      SELECT id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          text,
+          '${Redaction.EmailRe}', '[EMAIL]', 'g'),
+          '${Redaction.PhoneRe}', '[PHONE]', 'g'),
+          '${Redaction.SsnRe}', '[SSN]', 'g'),
+          '${Redaction.PersonRe}', '[PERSON]', 'g') AS redacted
+      FROM t ORDER BY id"""
+    })
+
   val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride,
     q67Websearch, q68EntityGraph, q69EntityBlocking, q70ConnectorChanges,
     q71RagAsk, q72HighlightCentered, q73ConnectorResync, q74WavFrames,
-    q75FeatureFlags, q76HealthRollup)
+    q75FeatureFlags, q76HealthRollup, q77RedactionCore)
 }
