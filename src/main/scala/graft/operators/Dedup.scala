@@ -153,6 +153,48 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** MinHash-LSH candidates verified with the EXACT shingle Jaccard —
+    * the production near-dup shape (candidate generation cheap and
+    * sublinear, verification exact) and the oracle-checkable one: the
+    * output is a pure function of the data once LSH recall is total,
+    * which at high thresholds it is by calibration (catch probability
+    * 1−(1−s^r)^b ≈ 1−5e−7 at s=0.88 with 16×4 bands), so a brute-force
+    * all-pairs mirror gates it — the same planted-recall discipline as
+    * the embedding-LSH gate (q61).
+    */
+  def minhashLshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                              shingleN: Int = 5, k: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.5,
+                              maxBucket: Int = 256): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val toks = spread(df).select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val shingled = toks.select(col("id"),
+        TextFunctions.distinctNgramsOfTokens(col("tk"), shingleN).as("sh"))
+      // shingle-less docs band identically (empty-set signature) and
+      // verify to 0/0 = NaN, which Spark orders ABOVE the threshold —
+      // they carry no dedup evidence, drop them before banding
+      .where(size(col("sh")) > 0)
+    val banded = shingled.select(col("id"),
+      explode(MinHash.bandKeys(MinHash.signature(col("sh"), k), bands,
+        k / bands)).as("bk"))
+    val cand = pairsWithinBuckets(banded, Seq(col("bk")),
+        struct(col("id")), maxBucket)
+      .select(col("p1.id").as("id1"), col("p2.id").as("id2"))
+      .dropDuplicates("id1", "id2")
+    // ids-only through bucket expansion; shingle sets join back for the
+    // exact verify (the q61 pattern)
+    val sets = shingled
+    cand
+      .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   /** SimHash near-dup: 64-bit signature; candidates share one of four
     * 16-bit chunks (guarantees recall for Hamming distance ≤ 3), verified
     * by exact Hamming distance. Chunk buckets larger than `maxBucket` are

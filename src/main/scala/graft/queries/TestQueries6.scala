@@ -1045,8 +1045,48 @@ object TestQueries6 {
       FROM t ORDER BY id"""
     })
 
+  /** MinHash-LSH near-dup with EXACT-Jaccard verification, oracle-checked
+    * against brute-force all-pairs (the q61 discipline applied to the
+    * MinHash family): at threshold 0.5 every true pair in the corpus sits
+    * at s ≥ 0.88 where the 16×4-band catch probability is 1−≈5e−7, and
+    * the fixed hash family makes the outcome deterministic. q28 keeps the
+    * estimate-based candidate shape spec-pinned.
+    */
+  val q78MinhashVerified: QueryCase = QueryCase(
+    "q78_minhash_verified",
+    (s, dir) =>
+      graft.operators.Dedup
+        .minhashLshVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 5, k = 64, bands = 16, threshold = 0.5)
+        .select(col("id1"), col("id2"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id1", "id2"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ') for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id1, id2, ROUND(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jaccard
+      FROM inter
+      JOIN sz s1 ON s1.doc_id = id1
+      JOIN sz s2 ON s2.doc_id = id2
+      WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5
+      ORDER BY id1, id2"""))
+
   val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride,
     q67Websearch, q68EntityGraph, q69EntityBlocking, q70ConnectorChanges,
     q71RagAsk, q72HighlightCentered, q73ConnectorResync, q74WavFrames,
-    q75FeatureFlags, q76HealthRollup, q77RedactionCore)
+    q75FeatureFlags, q76HealthRollup, q77RedactionCore, q78MinhashVerified)
 }
