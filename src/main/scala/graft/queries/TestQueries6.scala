@@ -1085,8 +1085,62 @@ object TestQueries6 {
       WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5
       ORDER BY id1, id2"""))
 
+  // q79 fixture: every word exactly 4 chars + single space (5-char
+  // stride), term "mark" appears once per doc, snippetLength 30
+  // (half = 15 = 3 strides) — window edges land exactly on word
+  // boundaries, so the kernel's boundary scan is the identity and the
+  // whole computation mirrors as position arithmetic in SQL.
+  private def fwWords(tag: Char, n: Int): Seq[String] =
+    (0 until n).map(i => f"$tag${i}%03d")
+  private val highlightDocs: Seq[(String, String)] = Seq(
+    ("h1", (fwWords('a', 10) ++ Seq("mark") ++ fwWords('b', 9))
+      .mkString(" ")),                                   // mid: both ellipses
+    ("h2", (Seq("mark") ++ fwWords('c', 9)).mkString(" ")), // start: right only
+    ("h3", (fwWords('d', 7) ++ Seq("mark")).mkString(" ")), // end: left only
+    ("h4", fwWords('e', 8).mkString(" ")))                  // no match: no row
+
+  /** C18 hit-centered snippets, oracle-checked on the stride-aligned
+    * fixture: one match per doc, window edges on word boundaries — the
+    * mirror computes the same window, mark insertion and ellipses from
+    * `position()` arithmetic. The general shape (multi-match, overlap
+    * suppression, boundary scan) stays pinned by q72 + SearchExtrasSpec.
+    */
+  val q79HighlightOracle: QueryCase = QueryCase(
+    "q79_highlight_oracle",
+    (s, dir) => {
+      import s.implicits._
+      highlightDocs.toDF("id", "text")
+        .select(col("id"),
+          graft.search.Highlighter.snippets(col("text"), Seq("mark"),
+            snippetLength = 30).as("sn"))
+        .where(size(col("sn")) > 0)
+        .select(col("id"), concat_ws("|", col("sn")).as("snips"))
+        .orderBy("id")
+    },
+    Some {
+      val vals = highlightDocs.map { case (id, t) => s"('$id', '$t')" }
+        .mkString(", ")
+      s"""
+      WITH t(id, text) AS (VALUES $vals),
+      m AS (
+        SELECT id, text, position('mark' IN text) - 1 AS s
+        FROM t WHERE position('mark' IN text) > 0),
+      w AS (
+        SELECT id, text, s, s + 4 AS e,
+               GREATEST(s - 15, 0) AS s0,
+               LEAST(LENGTH(text), s + 4 + 15) AS e0
+        FROM m)
+      SELECT id,
+             (CASE WHEN s0 > 0 THEN '...' ELSE '' END) ||
+             substr(text, s0 + 1, s - s0) || '<mark>mark</mark>' ||
+             substr(text, e + 1, e0 - e) ||
+             (CASE WHEN e0 < LENGTH(text) THEN '...' ELSE '' END) AS snips
+      FROM w ORDER BY id"""
+    })
+
   val all: Seq[QueryCase] = Seq(q65FullCatalogExtract, q66FieldOverride,
     q67Websearch, q68EntityGraph, q69EntityBlocking, q70ConnectorChanges,
     q71RagAsk, q72HighlightCentered, q73ConnectorResync, q74WavFrames,
-    q75FeatureFlags, q76HealthRollup, q77RedactionCore, q78MinhashVerified)
+    q75FeatureFlags, q76HealthRollup, q77RedactionCore, q78MinhashVerified,
+    q79HighlightOracle)
 }
