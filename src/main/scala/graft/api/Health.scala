@@ -29,25 +29,44 @@ object Health {
   /** Run all probes concurrently with a per-probe timeout; a probe is
     * `up` if it returns, `down` with the (raw) message on exception, and
     * `down`/"Timeout" past the deadline (`health_checker.py:76-85`).
+    *
+    * Concurrency contract (matches the reference's `asyncio.gather` with
+    * independent `wait_for` deadlines): every probe starts immediately on
+    * a dedicated pool sized to the probe count — blocking probes can't
+    * starve later ones out of threads — and each probe's deadline is
+    * `timeoutMs` from launch. The sequential Awaits collect results with
+    * the REMAINING time to that shared launch deadline, so a slow early
+    * probe never extends a later probe's budget.
     */
   def checkAll(spark: SparkSession, probes: Seq[(String, () => Unit)],
                timeoutMs: Long = 5000): DataFrame = {
-    implicit val ec: ExecutionContext = ExecutionContext.global
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.max(probes.size, 1))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    val t0 = System.nanoTime()
     val started = probes.map { case (name, probe) =>
-      val t0 = System.nanoTime()
-      (name, t0, Future(probe()))
+      (name, Future {
+        val s = System.nanoTime()
+        val r = Try(probe())
+        (r, (System.nanoTime() - s) / 1000000L)
+      })
     }
-    val rows = started.map { case (name, t0, fut) =>
-      def elapsedMs = (System.nanoTime() - t0) / 1000000L
-      Try(Await.result(fut, timeoutMs.millis)) match {
-        case Success(_) => CheckRow(name, "up", elapsedMs, null)
-        case Failure(_: TimeoutException) =>
-          CheckRow(name, "down", elapsedMs, "Timeout")
-        case Failure(e) =>
-          CheckRow(name, "down", elapsedMs,
-            Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    val rows = try {
+      started.map { case (name, fut) =>
+        val remainingMs =
+          math.max(0L, timeoutMs - (System.nanoTime() - t0) / 1000000L)
+        Try(Await.result(fut, remainingMs.millis)) match {
+          case Success((Success(_), latency)) =>
+            CheckRow(name, "up", latency, null)
+          case Success((Failure(e), latency)) =>
+            CheckRow(name, "down", latency,
+              Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          case Failure(_) =>
+            CheckRow(name, "down", timeoutMs, "Timeout")
+        }
       }
-    }
+    } finally pool.shutdownNow()
     import spark.implicits._
     rows.toDF()
       .withColumn("error",

@@ -20,6 +20,27 @@ object Pipeline {
 
   final case class Result(extractions: DataFrame, fields: DataFrame)
 
+  /** Materialize a fan-out intermediate once, per
+    * `graft.pipeline.checkpoint`:
+    *  - `local` (default): eager `localCheckpoint` — fastest, but blocks
+    *    are stored UNREPLICATED on executors and lineage is truncated, so
+    *    an executor loss after the checkpoint makes the batch
+    *    unrecoverable (re-run the batch). The right trade for bench /
+    *    interactive use.
+    *  - `reliable`: eager `checkpoint` to `spark.checkpoint.dir`
+    *    (`SparkContext.setCheckpointDir`) — survives executor loss; the
+    *    choice for fault-tolerant deployments.
+    *  - `none`: no materialization — callers that consume only one output
+    *    skip the write entirely, but re-planning the 233-pattern
+    *    extraction subtree per consumer returns (the round-2 q59 cost).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("graft.pipeline.checkpoint", "local") match {
+      case "reliable" => df.checkpoint(true)
+      case "none" => df
+      case _ => df.localCheckpoint(true)
+    }
+
   /** `epochId`: disambiguates extraction ids across micro-batches — a
     * same-second re-extraction of a document would otherwise collide
     * (round-1 ADVICE); streaming callers pass their foreachBatch epoch.
@@ -46,18 +67,16 @@ object Pipeline {
     //    re-planned the giant extraction expression per consumer and
     //    driver-side transform time dominated the whole spine (round-2
     //    q59 regression: 21s for two documents).
-    val typed = redacted.withColumn("document_type",
-      RuleExtractor.detectDocType(col("clean_text")))
-      .localCheckpoint(true)
+    val typed = materialize(redacted.withColumn("document_type",
+      RuleExtractor.detectDocType(col("clean_text"))))
     val leaseDocs = typed.where(col("document_type") === "lease")
       .select(col("document_id"), col("clean_text").as("text"))
     val rentRollDocs = typed.where(col("document_type") === "rent_roll")
       .select(col("document_id"), col("clean_text").as("text"))
-    val fields =
+    val fields = materialize(
       RuleExtractor.extractFields(leaseDocs, FieldCatalog.LeaseFields)
         .unionByName(
-          RuleExtractor.extractFields(rentRollDocs, FieldCatalog.RentRollFields))
-        .localCheckpoint(true)
+          RuleExtractor.extractFields(rentRollDocs, FieldCatalog.RentRollFields)))
 
     // 4. overall confidence (A5)
     val conf = RuleExtractor.overallConfidence(fields)

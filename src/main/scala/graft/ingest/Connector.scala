@@ -86,16 +86,32 @@ object Connector {
     *
     * `tokens`: (tenant_id, connector_id, drive_id, token);
     * `rejections`: (tenant_id, connector_id, drive_id, error) — one row
-    * per drive whose token the source refused this sync.
+    * per drive whose token the source refused this sync. If the caller
+    * can classify rejections, an optional `error_class` column takes
+    * precedence over message sniffing: `invalid_token` / `expired_token`
+    * route to full_resync, every other class (token_revoked, rate_limit,
+    * …) to `error` — mirroring the reference, where typed
+    * TokenRevokedError/RateLimitError are re-raised BEFORE the string
+    * check ever runs.
+    *
+    * The string fallback requires token-specific phrasing — 'token' plus
+    * 'invalid'/'expired' (`sync.py:286-292` checks both words) — so auth
+    * revocations like "invalid_grant" or "invalid credentials" surface as
+    * errors instead of silently triggering a resync.
     */
   def planSync(tokens: DataFrame, rejections: DataFrame): DataFrame = {
     val keys = Seq("tenant_id", "connector_id", "drive_id")
     val err = lower(coalesce(col("error"), lit("")))
+    val tokenRejected = err.contains("token") &&
+      (err.contains("invalid") || err.contains("expired"))
+    val resync =
+      if (rejections.columns.contains("error_class"))
+        col("error_class").isin("invalid_token", "expired_token")
+      else tokenRejected
     tokens.join(rejections, keys, "left")
       .withColumn("mode",
         when(col("error").isNull, "incremental")
-          .when(err.contains("invalid") || err.contains("expired"),
-            "full_resync")
+          .when(resync, "full_resync")
           .otherwise("error"))
       .select((keys.map(col) :+ col("token") :+ col("mode")): _*)
   }

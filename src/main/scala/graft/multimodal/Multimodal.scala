@@ -139,14 +139,19 @@ object Multimodal {
     while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
       val id = new String(b, i, 4, "US-ASCII")
       val size = le32(i + 4)
+      // chunk sizes are unsigned on disk; a negative le32 (corrupt or
+      // >2 GiB declared) would stall or reverse the cursor — malformed
+      if (size < 0) return None
       if (id == "fmt " && i + 24 <= b.length) {
         fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12)))
         bits = le16(i + 22)
       } else if (id == "data") {
         data = Some((i + 8, math.min(size, b.length - i - 8)))
       }
-      // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size + (size & 1)
+      // chunks are word-aligned (odd sizes carry a pad byte); advance in
+      // Long so a near-Int.MaxValue declared size can't overflow the cursor
+      val next = i.toLong + 8L + size.toLong + (size & 1)
+      i = if (next > b.length) b.length else next.toInt
     }
     for {
       (audioFormat, channels, rate) <- fmt

@@ -24,16 +24,42 @@ object Dedup {
 
   /** Spread a narrow input across the cluster before CPU-heavy signature
     * stages. Single-file bench inputs arrive as one partition — one task —
-    * so tokenize/shingle/hash would run on one core. Unconditional
-    * round-robin repartition (the round-2 `df.rdd.getNumPartitions` probe
-    * forced physical planning to RDD just to decide, which hid the input
-    * from AQE); callers with pre-partitioned inputs at scale disable it
-    * via `spark.conf.set("graft.dedup.spread", "false")`.
+    * so tokenize/shingle/hash would run on one core; conversely a
+    * well-partitioned 100 TB input must NOT pay a gratuitous full shuffle.
+    *
+    * The default (`graft.dedup.spread=auto`) decides from the LOGICAL
+    * plan's leaf file listing — no physical planning or RDD
+    * materialization (the round-2 `df.rdd` probe), so AQE stays in
+    * charge of the plan either way: file-backed inputs already listing
+    * ≥ numShufflePartitions files are left alone; narrow listings and
+    * driver-local fixtures are round-robined. `true`/`false` force
+    * either behavior.
     */
-  private def spread(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.get("graft.dedup.spread", "true").toBoolean)
-      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
-    else df
+  private def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sessionState.conf.numShufflePartitions
+    def narrowInput: Boolean = {
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      var files = 0L
+      var unknown = false
+      df.queryExecution.optimizedPlan.foreach {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation => files += fs.location.inputFiles.length
+          case _ => unknown = true
+        }
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+        case _ => ()
+      }
+      // unknown (non-file) relations: assume the source chose its own
+      // partitioning and leave it alone
+      !unknown && files < target
+    }
+    spark.conf.get("graft.dedup.spread", "auto") match {
+      case "false" => df
+      case "true" => df.repartition(target)
+      case _ => if (narrowInput) df.repartition(target) else df
+    }
+  }
 
   /** Expand each bucket's member list into ordered pairs (i < j over the
     * sorted member array). `m` must be a bound attribute of array<struct>

@@ -802,8 +802,9 @@ object TestQueries6 {
       rej(tenant_id, connector_id, drive_id, error) AS (VALUES $rejVals),
       plan AS (
         SELECT t.*, CASE WHEN r.error IS NULL THEN 'incremental'
-                         WHEN contains(LOWER(r.error), 'invalid')
-                           OR contains(LOWER(r.error), 'expired')
+                         WHEN contains(LOWER(r.error), 'token')
+                           AND (contains(LOWER(r.error), 'invalid')
+                             OR contains(LOWER(r.error), 'expired'))
                            THEN 'full_resync'
                          ELSE 'error' END AS mode
         FROM tokens t LEFT JOIN rej r USING (tenant_id, connector_id, drive_id)),

@@ -77,6 +77,24 @@ class PipelineSpec extends SparkSpec {
     assert(d1.map(_.getAs[Boolean]("is_current")).toSeq == Seq(false, true))
   }
 
+  test("spine: checkpoint modes produce identical results") {
+    // `none` (no materialization — the caller pays re-planning instead)
+    // and `reliable` (replicated checkpoint for fault-tolerant deploys)
+    // must be pure config: same rows as the default `local`
+    val baseline = result.fields
+      .select("document_id", "field_name", "raw_value").collect().toSet
+    def withMode(mode: String) = {
+      spark.conf.set("graft.pipeline.checkpoint", mode)
+      try Pipeline.run(docs).fields
+        .select("document_id", "field_name", "raw_value").collect().toSet
+      finally spark.conf.unset("graft.pipeline.checkpoint")
+    }
+    assert(withMode("none") == baseline)
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    assert(withMode("reliable") == baseline)
+  }
+
   test("spine feeds effective-rent analytics end to end") {
     val extractions = result.extractions
       .select(col("id"), lit("t1").as("tenant_id"), col("document_id"),

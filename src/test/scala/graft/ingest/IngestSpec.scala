@@ -133,6 +133,33 @@ class IngestSpec extends SparkSpec {
     assert(next.head().getAs[String]("token") == "freshTok")
   }
 
+  test("planSync: auth revocations and rate limits never trigger a resync") {
+    import spark.implicits._
+    val tokens = Seq(("t1", "c1", "d1", "tok1"), ("t1", "c1", "d2", "tok2"),
+      ("t1", "c1", "d3", "tok3"))
+      .toDF("tenant_id", "connector_id", "drive_id", "token")
+    // message sniffing requires token-specific phrasing: 'invalid_grant'
+    // (credentials revoked) must surface as error, not silently resync
+    val rejections = Seq(
+      ("t1", "c1", "d1", "invalid_grant: account credentials revoked"),
+      ("t1", "c1", "d2", "Invalid Value: start page token expired"))
+      .toDF("tenant_id", "connector_id", "drive_id", "error")
+    val modes = Connector.planSync(tokens, rejections).collect()
+      .map(r => r.getAs[String]("drive_id") -> r.getAs[String]("mode")).toMap
+    assert(modes == Map("d1" -> "error", "d2" -> "full_resync",
+      "d3" -> "incremental"))
+    // a typed error_class column takes precedence over the message: a
+    // revocation whose message happens to say 'invalid token' still errors
+    val classed = Seq(
+      ("t1", "c1", "d1", "invalid token", "token_revoked"),
+      ("t1", "c1", "d2", "410 gone", "expired_token"))
+      .toDF("tenant_id", "connector_id", "drive_id", "error", "error_class")
+    val classedModes = Connector.planSync(tokens, classed).collect()
+      .map(r => r.getAs[String]("drive_id") -> r.getAs[String]("mode")).toMap
+    assert(classedModes == Map("d1" -> "error", "d2" -> "full_resync",
+      "d3" -> "incremental"))
+  }
+
   test("validation: magic bytes vs extension, size, empty") {
     import spark.implicits._
     val pdf = "%PDF-1.4 fake".getBytes

@@ -66,6 +66,44 @@ class MiscSpec extends SparkSpec {
     assert(healthy.getAs[String]("overall") == "healthy")
   }
 
+  test("health probes: deadlines are independent, not sequential budgets") {
+    // four probes that never return, one shared 400ms launch deadline:
+    // per-Await budgets would serialize to ~1.6s of wall; the fix awaits
+    // each with the REMAINING time to the common deadline
+    val t0 = System.nanoTime()
+    val checks = graft.api.Health.checkAll(spark,
+      (1 to 4).map(i => s"slow$i" -> (() => Thread.sleep(60000))),
+      timeoutMs = 400)
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    assert(checks.collect().forall(r =>
+      r.getAs[String]("status") == "down" &&
+        r.getAs[String]("error") == "Timeout"))
+    assert(wallMs < 1300, s"probe timeouts serialized: ${wallMs}ms")
+    // and the pool is sized to the probe count, so more probes than
+    // cores all genuinely run (none report Timeout without executing)
+    val many = graft.api.Health.checkAll(spark,
+      (1 to 12).map(i => s"p$i" -> (() => Thread.sleep(150))),
+      timeoutMs = 5000)
+    assert(many.collect().forall(_.getAs[String]("status") == "up"))
+  }
+
+  test("wav parser: corrupt chunk sizes terminate as malformed, never stall") {
+    def riff(chunkId: String, chunkSize: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(16)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put(chunkId.getBytes("US-ASCII")).putInt(chunkSize).putInt(0)
+      buf.array()
+    }
+    // negative declared size: the cursor would stall (size = -8) or walk
+    // backwards — must return None, not loop
+    assert(Multimodal.parseWavPcm16(riff("JUNK", -8)).isEmpty)
+    assert(Multimodal.parseWavPcm16(riff("JUNK", -1)).isEmpty)
+    // a declared size near Int.MaxValue must not overflow the cursor
+    assert(Multimodal.parseWavPcm16(riff("JUNK", Int.MaxValue - 4)).isEmpty)
+  }
+
   test("feature flags: isEnabled fails closed on undefined flags") {
     import spark.implicits._
     val flags = Seq(("fl1", "x", true)).toDF("flag_id", "name",

@@ -94,6 +94,29 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("spread auto: pre-partitioned file inputs keep their layout, narrow ones spread") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("spread-auto").toString
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    docs.repartition(8).write.mode("overwrite").parquet(s"$tmp/wide")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/narrow")
+    def dedupPlan(path: String): String =
+      graft.operators.Dedup.simhashPairs(
+        spark.read.parquet(path), "doc_id", "text")
+        .queryExecution.optimizedPlan.toString
+    // 8 files ≥ the 4 shuffle partitions: already parallel, no extra shuffle
+    val wide = dedupPlan(s"$tmp/wide")
+    assert(!wide.contains("Repartition") &&
+      !wide.contains("RoundRobinPartitioning"),
+      s"well-partitioned input paid a gratuitous round-robin shuffle:\n$wide")
+    // a single file would run the signature stage on one core: spread it
+    val narrow = dedupPlan(s"$tmp/narrow")
+    assert(narrow.contains("Repartition") ||
+      narrow.contains("RoundRobinPartitioning"),
+      s"single-file input must be spread before CPU-heavy stages:\n$narrow")
+  }
+
   test("q75: feature-flag resolution broadcasts both control-plane sides") {
     val p = plan("q75_feature_flags")
     assert(p.contains("BroadcastNestedLoopJoin") ||
