@@ -74,12 +74,15 @@ object RuleExtractor {
     // type dispatch post-explode: one normalizer expression per TYPE (not
     // per field); enum fields chain per-field allowed-value lists
     val raw = col("raw_value")
-    val enumChain = catalog.filter(_.fieldType == "enum")
-      .foldLeft(lit(null: String)) { case (acc, fd) =>
-        when(col("field_name") === fd.name,
-          graft.functions.Normalizers.normalizeEnum(raw, fd.enumValues))
-          .otherwise(acc)
-      }
+    // enum dispatch is a native lookup-table expression: the equivalent
+    // nested when(field_name === f, normalizeEnum(...)) chain expands to
+    // ~2·Σ|values| conditions and dominated this stage's codegen compile
+    val enumChain = org.apache.spark.sql.graftshim.column(
+      graft.functions.EnumResolve(
+        org.apache.spark.sql.graftshim.expression(col("field_name")),
+        org.apache.spark.sql.graftshim.expression(raw),
+        catalog.filter(_.fieldType == "enum")
+          .map(fd => fd.name -> fd.enumValues)))
     val norm = when(col("ftype") === "date",
         graft.functions.Normalizers.normalizeDate(raw))
       .when(col("ftype") === "currency",

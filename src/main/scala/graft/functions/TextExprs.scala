@@ -114,6 +114,47 @@ object TextKernels {
     s
   }
 
+  /** Per-field enum table for [[enumResolve]]: original-case values plus
+    * their precomputed lowercase forms.
+    */
+  final class EnumDefs(val originals: Array[UTF8String],
+                       val lowers: Array[String]) extends Serializable
+
+  /** Semantics of `Normalizers.normalizeEnum` dispatched by field name:
+    * trim spaces + lowercase, exact match first (catalog order), then
+    * bidirectional substring match; null when the field has no enum
+    * definition, the value is empty, or nothing matches.
+    */
+  def enumResolve(field: UTF8String, raw: UTF8String,
+                  table: java.util.HashMap[String, EnumDefs]): UTF8String = {
+    val d = table.get(field.toString)
+    if (d == null) return null
+    // lower via UTF8String (locale-independent, = Spark's lower()); trim
+    // spaces only (= Spark's trim())
+    val t = trimSpaces(raw.toLowerCase.toString)
+    if (t.isEmpty) return null
+    var i = 0
+    while (i < d.lowers.length) {
+      if (d.lowers(i) == t) return d.originals(i)
+      i += 1
+    }
+    i = 0
+    while (i < d.lowers.length) {
+      val al = d.lowers(i)
+      if (t.contains(al) || al.contains(t)) return d.originals(i)
+      i += 1
+    }
+    null
+  }
+
+  private def trimSpaces(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
   /** Consecutive-subsequence test for tsquery phrase matching. */
   def containsSlice(arr: ArrayData, slice: Array[UTF8String]): Boolean = {
     val n = arr.numElements()
@@ -174,6 +215,40 @@ case class ArrayContainsSlice(child: Expression, slice: Seq[String])
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Enum normalization dispatched by field name: one expression replaces a
+  * catalog-sized nested `when(field_name === f, normalizeEnum(...))` chain
+  * (24 enum fields × ~2·|values| conditions each) whose generated code
+  * dominated the extraction stage's janino compile time. Codegen is a
+  * single static call over a reference-object lookup table; semantics are
+  * exactly `Normalizers.normalizeEnum` per field (exact match in catalog
+  * order, then bidirectional substring).
+  */
+case class EnumResolve(left: Expression, right: Expression,
+                       defs: Seq[(String, Seq[String])])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  @transient private lazy val table: java.util.HashMap[String, TextKernels.EnumDefs] = {
+    val m = new java.util.HashMap[String, TextKernels.EnumDefs](defs.size * 2)
+    defs.foreach { case (name, values) =>
+      m.put(name, new TextKernels.EnumDefs(
+        values.map(UTF8String.fromString).toArray,
+        values.map(v => UTF8String.fromString(v).toLowerCase.toString).toArray))
+    }
+    m
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(f: Any, r: Any): Any =
+    TextKernels.enumResolve(f.asInstanceOf[UTF8String],
+      r.asInstanceOf[UTF8String], table)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("enumDefs", table, "java.util.HashMap")
+    defineCodeGen(ctx, ev, (f, r) =>
+      s"graft.functions.TextKernels.enumResolve($f, $r, $ref)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Batched first-group regex extraction: one expression evaluates N

@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiler: stage-by-stage cost of one gate query, with janino
+  * compile attribution from CodegenMetrics. Usage:
+  *
+  *   runMain graft.tools.ProfQuery <queryName> [sfDir] [warmQueryName]
+  *
+  * Pass a warm query to measure the incremental cost in a primed JVM
+  * (the bench runs queries name-sorted, so later queries see a warm
+  * generated-code cache — a query whose code text is input-independent
+  * should show ZERO new janino units after a same-family warm query).
+  */
+object ProfQuery {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q65_full_catalog_extract")
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def compileStats(): (Long, Long) = {
+      val m = org.apache.spark.metrics.source.CodegenMetrics
+      (m.METRIC_COMPILATION_TIME.getCount,
+        m.METRIC_COMPILATION_TIME.getSnapshot.getValues.sum)
+    }
+    def time[A](tag: String)(f: => A): A = {
+      val (c0, s0) = compileStats()
+      val t0 = System.nanoTime(); val r = f
+      val (c1, s1) = compileStats()
+      println(f"[prof] $tag%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s" +
+        f"  (janino: ${c1 - c0} units, ~${s1 - s0} ms)"); r
+    }
+    if (args.length > 2)
+      time(s"warm: ${args(2)}")(
+        graft.SparkEntry.queries(args(2))(spark, dir).collect())
+    val q = graft.SparkEntry.queries(name)
+    val df = time("build")(q(spark, dir))
+    time("optimize")(df.queryExecution.optimizedPlan)
+    time("physical")(df.queryExecution.executedPlan)
+    time("execute1")(df.collect())
+    time("execute2")(df.collect())
+    time("rebuild+execute")(q(spark, dir).collect())
+    spark.stop()
+  }
+}
