@@ -170,6 +170,110 @@ object Multimodal {
     }
   }
 
+  /** Encode an RGB pixel buffer (row-major, 3 bytes/px) as a binary PPM
+    * (P6) container — fixture utility and the encode inverse of
+    * [[parsePpmP6]].
+    */
+  def ppmP6Bytes(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * width * height, "rgb must be 3*w*h bytes")
+    val header = s"P6\n$width $height\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parsed P6 header: (width, height, pixel-data offset). None for
+    * non-PPM bytes, non-255 maxval, `#` comments aside, absurd or
+    * truncated dimensions — same malformed-input contract as
+    * [[parseWavPcm16]] (production kernels never stall or throw on
+    * corrupt assets).
+    */
+  private[graft] def parsePpmP6(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) != '6') return None
+    var i = 2
+    // read 3 whitespace-separated ASCII ints, skipping '#' comments
+    def nextInt(): Long = {
+      var inComment = false
+      while (i < b.length && (inComment || b(i) <= ' ' || b(i) == '#')) {
+        if (b(i) == '#') inComment = true
+        else if (b(i) == '\n') inComment = false
+        i += 1
+      }
+      var v = -1L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9' && v < Int.MaxValue) {
+        v = (if (v < 0) 0L else v) * 10 + (b(i) - '0')
+        i += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+    // exactly one whitespace byte separates the header from pixel data
+    i += 1
+    if (w <= 0 || h <= 0 || maxval != 255 || w * h > 16777216L ||
+      i + 3L * w * h > b.length) None
+    else Some((w.toInt, h.toInt, i))
+  }
+
+  /** Tile-sample kernel over an uncompressed image format (binary PPM):
+    * the pixel grid is cut into `grid`×`grid` tiles on the same integer
+    * boundaries as [[sampleWavFrames]] (`start = t·extent/grid`) and each
+    * tile emits deterministic stats — pixel count, per-channel exact-Long
+    * means, peak r+g+b. Non-PPM assets emit no rows; compressed formats
+    * (JPEG/PNG) stay behind [[DecodeBackend]].
+    */
+  def samplePpmTiles(media: DataFrame, idCol: String, bytesCol: String,
+                     grid: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("tile_x", IntegerType),
+      StructField("tile_y", IntegerType),
+      StructField("n_px", IntegerType),
+      StructField("mean_r", DoubleType),
+      StructField("mean_g", DoubleType),
+      StructField("mean_b", DoubleType),
+      StructField("peak_sum", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col(idCol).cast("string").as("id"), col(bytesCol).as("b"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[String]("id")
+          val bytes = r.getAs[Array[Byte]]("b")
+          parsePpmP6(bytes).toSeq.flatMap { case (w, h, off) =>
+            for {
+              ty <- 0 until grid
+              tx <- 0 until grid
+              y0 = (ty.toLong * h / grid).toInt
+              y1 = ((ty + 1).toLong * h / grid).toInt
+              x0 = (tx.toLong * w / grid).toInt
+              x1 = ((tx + 1).toLong * w / grid).toInt
+              if y1 > y0 && x1 > x0
+            } yield {
+              var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val p = off + 3 * (y * w + x)
+                  val pr = bytes(p) & 0xff
+                  val pg = bytes(p + 1) & 0xff
+                  val pb = bytes(p + 2) & 0xff
+                  sr += pr; sg += pg; sb += pb
+                  val s = pr + pg + pb
+                  if (s > peak) peak = s
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (y1 - y0) * (x1 - x0)
+              Row(id, tx, ty, n, sr.toDouble / n, sg.toDouble / n,
+                sb.toDouble / n, peak)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** The real frame-sample kernel over an uncompressed format (WAV 16-bit
     * PCM): the payload is cut into `nFrames` contiguous windows
     * (`start = f·n/nFrames` integer boundaries, interleaved samples) and

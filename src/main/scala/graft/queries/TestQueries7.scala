@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 gate queries: LSH-bucketed ANN search and PPM tile sampling. */
+object TestQueries7 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private val annBits = 6
+  private val annDim = 64
+  private val annK = 10
+
+  /** LSH-bucketed ANN (the scale path beside IVF q47): signatures bucket
+    * the corpus at build time, a query exact-scores only its bucket plus
+    * the Hamming-1 multiprobe set. The hyperplane family is an integer
+    * formula, so the oracle reproduces every signature bit-for-bit and
+    * the whole index→probe→score→top-k path is hash-checked.
+    */
+  val q80AnnLsh: QueryCase = QueryCase(
+    "q80_ann_lsh",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val index = graft.search.LshAnn
+        .build(e, "vec_id", "embedding", annBits, annDim)
+        .where(col("id") =!= 0)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      graft.search.LshAnn.search(index, q, annK, annBits, annDim)
+        .select(col("id").as("vec_id"), col("bucket"),
+          round(col("cos_sim"), 6).as("cos_sim"))
+    },
+    Some {
+      def dotSql(plane: Seq[Double]): String = {
+        val lst = plane.map(_.toInt).mkString("[", ", ", "]")
+        s"list_reduce(list_transform(v, (x, i) -> x * ($lst)[i]), (s, t) -> s + t)"
+      }
+      val sigSql = graft.search.LshAnn.planeValues(annBits, annDim)
+        .zipWithIndex.map { case (p, j) =>
+          s"(CASE WHEN ${dotSql(p)} >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString(" + ")
+      val flips = (0 until annBits).map(j => 1L << j).mkString(", ")
+      s"""
+      WITH e AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      sig AS (
+        SELECT vec_id, v, CAST($sigSql AS BIGINT) AS bucket FROM e),
+      q AS (SELECT v AS qv, bucket AS qsig FROM sig WHERE vec_id = 0),
+      probes AS (
+        SELECT xor(qsig, CAST(f AS BIGINT)) AS bucket, qv
+        FROM q, UNNEST([0, $flips]) AS t(f))
+      SELECT vec_id, bucket, ROUND(cos_sim, 6) AS cos_sim FROM (
+        SELECT s.vec_id, s.bucket,
+               list_reduce(list_transform(s.v, (x, i) -> x * p.qv[i]), (a, b) -> a + b) /
+               (sqrt(list_reduce(list_transform(s.v, x -> x * x), (a, b) -> a + b)) *
+                sqrt(list_reduce(list_transform(p.qv, x -> x * x), (a, b) -> a + b)))
+                 AS cos_sim
+        FROM sig s JOIN probes p ON s.bucket = p.bucket
+        WHERE s.vec_id <> 0
+        ORDER BY cos_sim DESC, s.vec_id
+        LIMIT $annK)"""
+    })
+
+  // q81 fixture: pixels are pure integer arithmetic so the oracle can
+  // regenerate them without parsing bytes — r=(7x+13y+s)%256,
+  // g=(3x+5y+2s)%256, b=(11x+17y+3s)%256. Non-divisible dims exercise the
+  // integer tile-boundary arithmetic; a non-PPM asset must emit nothing.
+  private val ppmAssets: Seq[(String, Int, Int, Int)] = Seq(
+    ("m1", 24, 16, 1), ("m2", 17, 9, 2))
+  private val ppmGrid = 4
+
+  /** Multimodal tile sampling over a REAL uncompressed image container
+    * (binary PPM): Spark parses the actual P6 header + pixel bytes and
+    * emits per-tile channel stats; the oracle regenerates the same pixels
+    * from the integer-arithmetic definition and aggregates — tile
+    * boundaries (`start = t·extent/grid`), exact-Long channel means and
+    * the r+g+b peak all mirror bit-exactly (the image analogue of q74).
+    */
+  val q81PpmTiles: QueryCase = QueryCase(
+    "q81_ppm_tiles",
+    (s, dir) => {
+      import s.implicits._
+      val rows = ppmAssets.map { case (id, w, h, seed) =>
+        val rgb = new Array[Byte](3 * w * h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val p = 3 * (y * w + x)
+          rgb(p) = ((x * 7 + y * 13 + seed) % 256).toByte
+          rgb(p + 1) = ((x * 3 + y * 5 + 2 * seed) % 256).toByte
+          rgb(p + 2) = ((x * 11 + y * 17 + 3 * seed) % 256).toByte
+        }
+        (id, graft.multimodal.Multimodal.ppmP6Bytes(w, h, rgb))
+      } :+ (("m3", "P5 not a p6 ppm".getBytes))
+      graft.multimodal.Multimodal
+        .samplePpmTiles(rows.toDF("id", "bytes"), "id", "bytes", ppmGrid)
+        .orderBy("id", "tile_y", "tile_x")
+    },
+    Some {
+      val vals = ppmAssets.map(a =>
+        s"('${a._1}', ${a._2}, ${a._3}, ${a._4})").mkString(", ")
+      s"""
+      WITH assets(id, w, h, seed) AS (VALUES $vals),
+      px AS (
+        SELECT id, w, h, seed, xs.x AS x, ys.y AS y
+        FROM assets, UNNEST(range(0, w)) AS xs(x), UNNEST(range(0, h)) AS ys(y)),
+      vals AS (
+        SELECT id, w, h, x, y,
+               (x * 7 + y * 13 + seed) % 256 AS r,
+               (x * 3 + y * 5 + 2 * seed) % 256 AS g,
+               (x * 11 + y * 17 + 3 * seed) % 256 AS b
+        FROM px),
+      tiled AS (
+        SELECT *,
+               CAST(((x + 1) * $ppmGrid + w - 1) // w - 1 AS INT) AS tx,
+               CAST(((y + 1) * $ppmGrid + h - 1) // h - 1 AS INT) AS ty
+        FROM vals)
+      SELECT id, tx AS tile_x, ty AS tile_y,
+             CAST(COUNT(*) AS INT) AS n_px,
+             CAST(SUM(r) AS DOUBLE) / COUNT(*) AS mean_r,
+             CAST(SUM(g) AS DOUBLE) / COUNT(*) AS mean_g,
+             CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_b,
+             CAST(MAX(r + g + b) AS INT) AS peak_sum
+      FROM tiled
+      GROUP BY id, tx, ty
+      ORDER BY id, tile_y, tile_x"""
+    })
+
+  val all: Seq[QueryCase] = Seq(q80AnnLsh, q81PpmTiles)
+}

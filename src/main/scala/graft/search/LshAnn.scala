@@ -1,0 +1,68 @@
+package graft.search
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** LSH-bucketed ANN over an embedding column — the second scale path next
+  * to [[IvfIndex]] (SURVEY training-data additions): random-hyperplane
+  * signatures bucket the corpus once at build time; a query exact-scores
+  * only its own bucket plus the `nBits` Hamming-1 neighbors (multiprobe),
+  * so per-query work is ~(1+nBits)/2^nBits of the corpus instead of a
+  * full scan. Like the IVF index, the bucket id is a COLUMN on the vector
+  * table — persist it partitioned/bucketed by `bucket` and the probe join
+  * becomes partition pruning.
+  *
+  * The hyperplane family here is deliberately integer-valued and
+  * formula-generated ([[planeValues]]) so signatures are an exact pure
+  * function of the data, reproducible in any engine (the oracle mirrors
+  * them bit-for-bit — same discipline as the q61 planted-recall gate).
+  * The production alternative for higher recall at a given bit budget is
+  * the calibrated float family in `functions.Hashing` (used by
+  * `Dedup.embeddingNearDupPairs`); the operator shape is identical.
+  */
+object LshAnn {
+
+  /** Deterministic integer-valued hyperplanes: plane j, component i =
+    * ((j·131 + i·37) mod 19) − 9 ∈ [−9, 9]. Zero-mean over any 19
+    * consecutive components; exact in IEEE double arithmetic.
+    */
+  def planeValues(nBits: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nBits).map(j => (0 until dim).map(i =>
+      (((j * 131 + i * 37) % 19) - 9).toDouble))
+
+  /** Bucket signature: bit j = sign(v · plane_j). One codegen'd dot
+    * product per bit, no shuffle — the signature rides the scan.
+    */
+  def signature(v: Column, nBits: Int, dim: Int): Column =
+    planeValues(nBits, dim).zipWithIndex.map { case (p, j) =>
+      when(VectorFunctions.dotF(v, typedLit(p)) >= 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Index = the vector table with its bucket column: (id, v, bucket). */
+  def build(vecs: DataFrame, idCol: String, vecCol: String,
+            nBits: Int, dim: Int): DataFrame =
+    vecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signature(col(vecCol), nBits, dim).as("bucket"))
+
+  /** Top-`k` by exact cosine among the probed buckets: the query's own
+    * bucket plus each single-bit flip (Hamming-1 multiprobe — recovers
+    * near-duplicates that fall just across one hyperplane). `query` is a
+    * one-row DataFrame with the query vector as `qv`; the probe set is
+    * tiny and broadcast.
+    */
+  def search(index: DataFrame, query: DataFrame, k: Int,
+             nBits: Int, dim: Int): DataFrame = {
+    val probes = query
+      .select(col("qv"), signature(col("qv"), nBits, dim).as("qsig"))
+      .select(col("qv"), explode(array(
+        (col("qsig") +: (0 until nBits).map(j =>
+          col("qsig").bitwiseXOR(lit(1L << j)))): _*)).as("bucket"))
+    index.join(broadcast(probes), Seq("bucket"))
+      .select(col("id"), col("bucket"),
+        VectorFunctions.cosineSim(col("v"), col("qv")).as("cos_sim"))
+      .orderBy(desc("cos_sim"), col("id"))
+      .limit(k)
+  }
+}

@@ -104,6 +104,44 @@ class MiscSpec extends SparkSpec {
     assert(Multimodal.parseWavPcm16(riff("JUNK", Int.MaxValue - 4)).isEmpty)
   }
 
+  test("ppm p6: roundtrip, comments, malformed headers terminate as None") {
+    val rgb = Array.tabulate(3 * 4 * 2)(i => (i * 5 % 256).toByte)
+    val bytes = Multimodal.ppmP6Bytes(4, 2, rgb)
+    assert(Multimodal.parsePpmP6(bytes).contains((4, 2, 11)))
+    // comments between header tokens are legal PPM
+    val commented = "P6\n# a comment\n4 2\n255\n".getBytes ++ rgb
+    val parsed = Multimodal.parsePpmP6(commented)
+    assert(parsed.exists { case (w, h, _) => w == 4 && h == 2 })
+    // malformed: wrong magic, truncated data, absurd dims, non-255 maxval
+    assert(Multimodal.parsePpmP6("P5\n4 2\n255\n".getBytes ++ rgb).isEmpty)
+    assert(Multimodal.parsePpmP6(bytes.dropRight(1)).isEmpty)
+    assert(Multimodal.parsePpmP6("P6\n99999999 99999999\n255\n".getBytes).isEmpty)
+    assert(Multimodal.parsePpmP6("P6\n4 2\n65535\n".getBytes ++ rgb).isEmpty)
+  }
+
+  test("ppm tile sampling: hand-checked stats, non-ppm emits nothing") {
+    import spark.implicits._
+    // 2x2 image, grid 2 => one pixel per tile; stats are the pixel itself
+    val rgb = Array[Byte](
+      10, 20, 30,   40, 50, 60,
+      70, 80, 90,  100, 110, 120)
+    val df = Seq(
+      ("p1", Multimodal.ppmP6Bytes(2, 2, rgb)),
+      ("junk", "nope".getBytes)).toDF("id", "bytes")
+    val out = Multimodal.samplePpmTiles(df, "id", "bytes", 2)
+      .orderBy("tile_y", "tile_x").collect()
+    assert(out.length == 4) // junk contributed nothing
+    val t00 = out(0)
+    assert(t00.getAs[Int]("n_px") == 1)
+    assert(t00.getAs[Double]("mean_r") == 10.0)
+    assert(t00.getAs[Double]("mean_g") == 20.0)
+    assert(t00.getAs[Double]("mean_b") == 30.0)
+    assert(t00.getAs[Int]("peak_sum") == 60)
+    val t11 = out(3)
+    assert(t11.getAs[Double]("mean_r") == 100.0)
+    assert(t11.getAs[Int]("peak_sum") == 330)
+  }
+
   test("feature flags: isEnabled fails closed on undefined flags") {
     import spark.implicits._
     val flags = Seq(("fl1", "x", true)).toDF("flag_id", "name",

@@ -1,0 +1,71 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LshAnnSpec extends SparkSpec {
+
+  private val dim = 8
+  private val bits = 4
+
+  private def vecs = {
+    import spark.implicits._
+    // deterministic spread of vectors + a planted near-duplicate of id 0
+    // (v < 21 keeps the mod-21 formula collision-free: only id 99 is
+    // colinear with id 0)
+    val base = (0 until 20).map { v =>
+      (v.toLong, Array.tabulate(dim)(i =>
+        (((v * 31 + i * 17) % 21) - 10).toFloat))
+    }
+    val dup = (99L, base.head._2.map(x => x * 2.0f)) // colinear: cos = 1
+    (base :+ dup).toDF("vec_id", "embedding")
+  }
+
+  test("signature is deterministic and buckets within [0, 2^bits)") {
+    val idx = LshAnn.build(vecs, "vec_id", "embedding", bits, dim)
+    val sigs = idx.select("bucket").collect().map(_.getLong(0))
+    assert(sigs.forall(s => s >= 0 && s < (1L << bits)))
+    val again = LshAnn.build(vecs, "vec_id", "embedding", bits, dim)
+      .select("bucket").collect().map(_.getLong(0))
+    assert(sigs.sameElements(again))
+  }
+
+  test("planted colinear duplicate shares the query bucket and ranks first") {
+    val idx = LshAnn.build(vecs, "vec_id", "embedding", bits, dim)
+      .where(col("id") =!= 0)
+    val q = vecs.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val top = LshAnn.search(idx, q, k = 5, bits, dim).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getAs[Long]("id") == 99L)
+    assert(math.abs(top.head.getAs[Double]("cos_sim") - 1.0) < 1e-12)
+  }
+
+  test("probe set is the Hamming<=1 ball — returned buckets stay inside it") {
+    val idx = LshAnn.build(vecs, "vec_id", "embedding", bits, dim)
+    val q = vecs.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qsig = q.select(LshAnn.signature(col("qv"), bits, dim)).head().getLong(0)
+    val got = LshAnn.search(idx.where(col("id") =!= 0), q, k = 50, bits, dim)
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    assert(got.forall(b => java.lang.Long.bitCount(b ^ qsig) <= 1))
+    // and the probe genuinely prunes: not every corpus bucket is scored
+    val allBuckets = idx.select("bucket").distinct().count()
+    assert(got.size < allBuckets)
+  }
+
+  test("top-k agrees with brute force restricted to the probed buckets") {
+    val idx = LshAnn.build(vecs, "vec_id", "embedding", bits, dim)
+      .where(col("id") =!= 0)
+    val q = vecs.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val qsig = q.select(LshAnn.signature(col("qv"), bits, dim)).head().getLong(0)
+    val brute = idx.crossJoin(broadcast(q))
+      .select(col("id"), col("bucket"),
+        graft.functions.VectorFunctions.cosineSim(col("v"), col("qv")).as("c"))
+      .collect()
+      .filter(r => java.lang.Long.bitCount(r.getAs[Long]("bucket") ^ qsig) <= 1)
+      .sortBy(r => (-r.getAs[Double]("c"), r.getAs[Long]("id")))
+      .take(5).map(_.getAs[Long]("id")).toSeq
+    val got = LshAnn.search(idx, q, k = 5, bits, dim)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got == brute)
+  }
+}
