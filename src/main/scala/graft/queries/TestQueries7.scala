@@ -128,5 +128,27 @@ object TestQueries7 {
       ORDER BY id, tile_y, tile_x"""
     })
 
-  val all: Seq[QueryCase] = Seq(q80AnnLsh, q81PpmTiles)
+  /** Event-time tumbling-window aggregation — the batch shape of the
+    * watermarked streaming deployment (`streaming.WindowedAgg`: one
+    * transform, batch backfill ≡ streaming append; the watermark/late-
+    * data/state-eviction semantics are pinned by WindowedAggSpec). Oracle
+    * mirrors Spark's epoch-aligned tumbling windows with `time_bucket`.
+    */
+  val q82WindowedAgg: QueryCase = QueryCase(
+    "q82_windowed_agg",
+    (s, dir) =>
+      graft.streaming.WindowedAgg
+        .tumbling(Tables.events(s, dir), "1 hour")
+        .orderBy("window_start", "event_type"),
+    Some("""
+      SELECT time_bucket(INTERVAL '1 hour', date_trunc('microseconds', ts))
+               AS window_start,
+             event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start, event_type"""))
+
+  val all: Seq[QueryCase] = Seq(q80AnnLsh, q81PpmTiles, q82WindowedAgg)
 }

@@ -1,0 +1,33 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table co-location: the shuffle-elimination lever for the
+  * joins and aggregations that repeat on the same key at 100 TB. Writing
+  * both sides of a recurring join `bucketBy(n, key)` (+ in-file
+  * `sortBy`) pays ONE shuffle at write time; every subsequent join or
+  * groupBy on that key plans with ZERO Exchange on either side — the
+  * scan's output partitioning already satisfies the join's distribution
+  * requirement (PlanQualitySpec pins this).
+  *
+  * Cluster notes: both sides must use the same bucket count (or an
+  * integer multiple); bucket pruning applies equality filters on the
+  * bucket key to skip whole buckets at scan time. This is the Spark
+  * equivalent of the reference's clustered/partitioned Postgres tables —
+  * co-location is declared at write time, not re-established per query.
+  */
+object Bucketing {
+
+  /** One-shuffle bucketed write; readers get co-located, sorted files. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key).saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — plans with no
+    * Exchange when both were written with [[writeBucketed]] on `key`.
+    */
+  def coLocatedJoin(spark: SparkSession, leftTable: String,
+                    rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time tumbling-window aggregation — ONE transform for both the
+  * batch backfill and the watermarked Structured Streaming deployment
+  * (the lambda-architecture collapse Spark is built for: same code, a
+  * `readStream` source and a watermark are the only deltas).
+  *
+  * Batch shape: `tumbling(events, "1 hour")` → per-(window, event_type)
+  * counts and exact-decimal value sums. Streaming shape:
+  * `tumbling(stream, "1 hour", watermark = Some("10 minutes"))` with an
+  * append-mode sink — the watermark bounds state (windows close and are
+  * evicted once event time passes end + delay) and drops late data past
+  * the delay, which is what makes the aggregation runnable forever at
+  * 100 TB/day: state is O(open windows × groups), not O(stream).
+  */
+object WindowedAgg {
+
+  /** `events` needs (ts timestamp, event_type string, value double ≤2dp).
+    * Watermark only applies to streaming inputs (a batch DataFrame
+    * ignores it by Spark semantics — same plan either way).
+    */
+  def tumbling(events: DataFrame, windowDur: String,
+               watermark: Option[String] = None): DataFrame = {
+    val in = watermark.fold(events)(w => events.withWatermark("ts", w))
+    in.groupBy(window(col("ts"), windowDur).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+}

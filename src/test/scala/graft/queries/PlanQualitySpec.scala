@@ -117,6 +117,40 @@ class PlanQualitySpec extends SparkSpec {
       s"single-file input must be spread before CPU-heavy stages:\n$narrow")
   }
 
+  test("bucketed tables co-locate: join and groupBy plan with zero Exchange") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey", "c_name")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    graft.sources.Bucketing.writeBucketed(orders, "b_orders", "o_custkey", 4)
+    graft.sources.Bucketing.writeBucketed(customer, "b_customer", "o_custkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = graft.sources.Bucketing
+        .coLocatedJoin(spark, "b_orders", "b_customer", "o_custkey")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      // aggregation on the bucket key reuses the same co-location
+      val agg = spark.table("b_orders").groupBy("o_custkey")
+        .agg(sum(col("o_totalprice")))
+      val ap = agg.queryExecution.executedPlan.toString
+      assert(!ap.contains("Exchange hashpartitioning"),
+        s"groupBy on the bucket key must not shuffle:\n$ap")
+      // correctness unchanged vs the unbucketed join
+      assert(joined.count() ==
+        orders.join(customer, "o_custkey").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("q75: feature-flag resolution broadcasts both control-plane sides") {
     val p = plan("q75_feature_flags")
     assert(p.contains("BroadcastNestedLoopJoin") ||

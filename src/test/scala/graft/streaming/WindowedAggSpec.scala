@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Watermarked tumbling-window aggregation: the streaming semantics the
+  * q82 batch gate can't pin — append-mode emission only after the
+  * watermark closes a window, late-past-watermark data dropped, and
+  * batch ≡ streaming for the on-time subset (one transform, two
+  * deployments).
+  */
+object WindowedAggSpec {
+  final case class Ev(ts: Timestamp, event_type: String, value: Double)
+}
+
+class WindowedAggSpec extends SparkSpec {
+  import WindowedAggSpec.Ev
+
+  private def ev(s: String, t: String, v: Double) =
+    Ev(Timestamp.valueOf(s), t, v)
+
+  test("append mode: windows emit when the watermark passes, late rows drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = WindowedAgg
+      .tumbling(input.toDS().toDF(), "1 hour", watermark = Some("10 minutes"))
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode("append").start()
+    try {
+      // two windows' worth of on-time events; watermark still inside 10:00
+      input.addData(
+        ev("2024-01-01 10:05:00", "click", 1.50),
+        ev("2024-01-01 10:20:00", "click", 2.25),
+        ev("2024-01-01 10:40:00", "view", 4.00))
+      query.processAllAvailable()
+      assert(spark.table("win_agg").count() == 0,
+        "no window may emit before the watermark passes its end")
+      // event time advances past 11:00 + 10min => the 10:00 window closes
+      input.addData(ev("2024-01-01 11:15:00", "click", 8.00))
+      query.processAllAvailable()
+      val closed = spark.table("win_agg").orderBy("window_start", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(closed.toSeq == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.75),
+        ("2024-01-01 10:00:00.0", "view", 1L, 4.0)))
+      // a row older than the watermark (now ≥ 11:05) must be dropped, not
+      // re-open the closed 10:00 window
+      input.addData(ev("2024-01-01 10:30:00", "click", 100.0))
+      // and the 11:00 window closes once event time passes 12:10
+      input.addData(ev("2024-01-01 12:30:00", "view", 1.0))
+      query.processAllAvailable()
+      val after = spark.table("win_agg").orderBy("window_start", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3)))
+      assert(after.toSeq == Seq(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.75), // unchanged: late row dropped
+        ("2024-01-01 10:00:00.0", "view", 1L, 4.0),
+        ("2024-01-01 11:00:00.0", "click", 1L, 8.0)))
+    } finally query.stop()
+  }
+
+  test("batch and streaming agree on the on-time subset") {
+    import spark.implicits._
+    val rows = Seq(
+      ev("2024-01-01 10:05:00", "click", 1.50),
+      ev("2024-01-01 10:20:00", "click", 2.25),
+      ev("2024-01-01 10:40:00", "view", 4.00),
+      ev("2024-01-01 11:15:00", "click", 8.00))
+    val batch = WindowedAgg.tumbling(rows.toDF(), "1 hour")
+      .where(col("window_start") === "2024-01-01 10:00:00")
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(batch.toSeq == Seq(("click", 2L, 3.75), ("view", 1L, 4.0)))
+  }
+}
