@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit key-salting for skew (SURVEY §4 scale levers). AQE's skew
+  * handling splits oversized sort-merge partitions automatically, so
+  * reach for salting only where AQE can't re-plan: shuffled hash joins
+  * with one pathological key, streaming stateful joins (no AQE), or
+  * engines/configs without adaptive execution. The transform is pure
+  * routing — results are byte-identical to the unsalted operation, which
+  * is what the q83 oracle checks.
+  */
+object Salting {
+
+  /** Skew-safe equi-join: the large side's hot keys are spread across
+    * `nSalts` shuffle partitions by a deterministic salt from `saltBy`
+    * (a high-cardinality column of the LARGE side, e.g. its primary
+    * key — the salt must NOT be a function of the join key, or the hot
+    * key still lands in one partition); the small side is replicated
+    * once per salt. Output = the plain equi-join, exactly.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltBy: Column, nSalts: Int): DataFrame = {
+    val salted = large.withColumn("__salt", pmod(hash(saltBy), lit(nSalts)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
+  /** Two-phase re-associable aggregation: partial per (key, salt), final
+    * per key. Spark's map-side partial aggregation already covers
+    * sum/count skew in batch plans — use this shape where partials can't
+    * combine map-side: size-bounded state per task, or streaming
+    * aggregations whose per-key state would hot-spot one task.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: Column,
+                saltBy: Column, nSalts: Int, as: String): DataFrame =
+    df.withColumn("__salt", pmod(hash(saltBy), lit(nSalts)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(valueCol).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(as))
+}

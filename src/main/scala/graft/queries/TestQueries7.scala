@@ -150,5 +150,35 @@ object TestQueries7 {
       GROUP BY 1, 2
       ORDER BY window_start, event_type"""))
 
-  val all: Seq[QueryCase] = Seq(q80AnnLsh, q81PpmTiles, q82WindowedAgg)
+  /** Skew salting is pure routing: the salted join + salted two-phase
+    * sum must be byte-identical to their unsalted forms — the oracle IS
+    * the unsalted SQL. Exact-decimal sums keep the re-association
+    * lossless (§7.4 risk 5 discipline).
+    */
+  val q83SaltedSkew: QueryCase = QueryCase(
+    "q83_salted_skew",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+      val customer = t(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      val joined = graft.operators.Salting.saltedJoin(
+        orders, customer, Seq("o_custkey"), col("o_orderkey"), nSalts = 8)
+      graft.operators.Salting.saltedSum(
+          joined, Seq("o_custkey", "c_name"), col("p"),
+          col("o_orderkey"), nSalts = 8, as = "total")
+        .select(col("o_custkey"), col("c_name"),
+          col("total").cast("double").as("total"))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey, c_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY o_custkey, c_name
+      ORDER BY o_custkey"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q80AnnLsh, q81PpmTiles, q82WindowedAgg, q83SaltedSkew)
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SaltingSpec extends SparkSpec {
+
+  private def skewed = {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    (0 until 200).map(i =>
+      (i.toLong, if (i < 180) "hot" else s"k${i % 7}", i * 1.5))
+      .toDF("row_id", "key", "v")
+  }
+
+  private def dim = {
+    import spark.implicits._
+    (Seq("hot") ++ (0 until 7).map(i => s"k$i")).map(k => (k, s"name-$k"))
+      .toDF("key", "name")
+  }
+
+  test("salted join: results identical to the plain join, dim replicated") {
+    val plain = skewed.join(dim, "key")
+      .select("row_id", "key", "name").collect().toSet
+    val salted = Salting.saltedJoin(skewed, dim, Seq("key"),
+        col("row_id"), nSalts = 4)
+      .select("row_id", "key", "name").collect().toSet
+    assert(salted == plain)
+    val p = Salting.saltedJoin(skewed, dim, Seq("key"), col("row_id"), 4)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), s"small side must replicate per salt:\n$p")
+  }
+
+  test("salt spreads the hot key across partitions") {
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(col("row_id")), lit(4)))
+    val spread = salted.where(col("key") === "hot")
+      .groupBy("__salt").count().collect()
+    assert(spread.length == 4, "hot key must land in every salt bucket")
+    assert(spread.map(_.getAs[Long]("count")).max < 180,
+      "no single salt bucket may hold the whole hot key")
+  }
+
+  test("salted two-phase sum equals the direct aggregation exactly") {
+    import spark.implicits._
+    val df = skewed.withColumn("p", col("v").cast("decimal(18,2)"))
+    val direct = df.groupBy("key").agg(sum("p").as("t"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val salted = Salting.saltedSum(df, Seq("key"), col("p"),
+        col("row_id"), nSalts = 4, as = "t")
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(salted == direct)
+  }
+}
