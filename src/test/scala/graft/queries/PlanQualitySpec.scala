@@ -164,4 +164,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("Union"), p)
   }
+
+  test("q80: ANN probe set broadcasts; top-k is a heap over probed buckets") {
+    val p = plan("q80_ann_lsh")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"the tiny probe set must broadcast, never shuffle the index:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q82: windowed aggregation is partial+final around one exchange") {
+    val p = plan("q82_windowed_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q83: salted join replicates the dim side, no cartesian product") {
+    val p = plan("q83_salted_skew")
+    assert(p.contains("Generate"), s"dim side must replicate per salt:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
