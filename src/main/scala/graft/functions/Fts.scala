@@ -160,6 +160,115 @@ case class EnStemTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
+/** Kernels for positional lexemes (tsvector-with-positions parity). */
+object PosLexKernels {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** tokens → array<struct<lex,pos>>: stopwords dropped, ORIGINAL token
+    * index kept (Postgres tsvector position semantics).
+    */
+  def posLexemes(tokens: ArrayData, stemmed: Boolean,
+                 stop: java.util.HashSet[UTF8String]): ArrayData = {
+    val n = tokens.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        if (!stop.contains(t)) {
+          val lex = if (stemmed)
+            UTF8String.fromString(PorterStemmer.stem(t.toString))
+          else t
+          out += new GenericInternalRow(Array[Any](lex, i))
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** True when some anchor position p0 has every query term k at exactly
+    * p0 + offset(k) (Postgres `<N>` phrase semantics; a single term with
+    * offset 0 degenerates to containment).
+    */
+  def phraseAt(arr: ArrayData, lexs: Array[UTF8String],
+               offs: Array[Int]): Boolean = {
+    val n = arr.numElements()
+    def hasAt(lex: UTF8String, pos: Int): Boolean = {
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(j)) {
+          val e = arr.getStruct(j, 2)
+          if (e.getInt(1) == pos && e.getUTF8String(0).equals(lex)) return true
+        }
+        j += 1
+      }
+      false
+    }
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val e = arr.getStruct(i, 2)
+        if (e.getUTF8String(0).equals(lexs(0))) {
+          val p0 = e.getInt(1) - offs(0)
+          var k = 1
+          var ok = true
+          while (ok && k < lexs.length) {
+            ok = hasAt(lexs(k), p0 + offs(k))
+            k += 1
+          }
+          if (ok) return true
+        }
+      }
+      i += 1
+    }
+    false
+  }
+}
+
+/** tokens → positional lexemes (see [[PosLexKernels.posLexemes]]). */
+case class PosLexemes(child: Expression, stemmed: Boolean,
+                      stopwords: Seq[String]) extends UnaryExpression {
+  @transient private lazy val stopSet = TextKernels.toSet(stopwords)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lex", StringType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType))), containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    PosLexKernels.posLexemes(v.asInstanceOf[ArrayData], stemmed, stopSet)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PosLexKernels.posLexemes($c, $stemmed, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Positional phrase containment over array<struct<lex,pos>>. */
+case class PhraseAtOffsets(child: Expression, lexemes: Seq[String],
+                           offsets: Seq[Int]) extends UnaryExpression {
+  require(lexemes.nonEmpty && lexemes.size == offsets.size)
+  @transient private lazy val lexs: Array[UTF8String] =
+    lexemes.map(UTF8String.fromString).toArray
+  @transient private lazy val offs: Array[Int] = offsets.toArray
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def nullSafeEval(v: Any): Any =
+    PosLexKernels.phraseAt(v.asInstanceOf[ArrayData], lexs, offs)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lref = ctx.addReferenceObj("lexs", lexs,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val oref = ctx.addReferenceObj("offs", offs, "int[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PosLexKernels.phraseAt($c, $lref, $oref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Postgres-style text-search surface (SURVEY §2.8 C19/C20): weighted
   * lexeme "tsvector" construction and a ts_rank-style scorer using the
   * Postgres default weight vector {D:0.1, C:0.2, B:0.4, A:1.0}
@@ -232,11 +341,28 @@ object Fts {
   /** tsquery AST for `websearch_to_tsquery` semantics
     * (`043_fulltext_search.sql:43`; the reference uses websearch for chunk
     * search and plainto for keyword search — both surfaces exist here).
+    *
+    * A [[TsQuery.Phrase]] carries each kept lexeme's POSITIONAL OFFSET
+    * from the phrase's first kept lexeme (original token positions, so a
+    * dropped in-phrase stopword leaves a distance skip — Postgres
+    * `out <3> box` for "out of the box"). The compact lexeme-array
+    * matcher ([[tsMatchQuery]]) can only honor adjacency in the kept
+    * space (gap-closing, documented); the positional matcher
+    * ([[tsMatchQueryPos]] over [[posLexemesOfTokens]]) honors the exact
+    * distances like Postgres `@@`.
     */
   sealed trait TsQuery
   object TsQuery {
+    final case class PhraseTerm(lexeme: String, offset: Int)
     case class Term(lexeme: String) extends TsQuery
-    case class Phrase(lexemes: Seq[String]) extends TsQuery
+    case class Phrase(items: Seq[PhraseTerm]) extends TsQuery {
+      def lexemes: Seq[String] = items.map(_.lexeme)
+    }
+    object Phrase {
+      /** Adjacent-terms phrase (offsets 0,1,2,…). */
+      def adjacent(lexemes: Seq[String]): Phrase =
+        Phrase(lexemes.zipWithIndex.map { case (l, i) => PhraseTerm(l, i) })
+    }
     case class Not(q: TsQuery) extends TsQuery
     case class AndGroup(qs: Seq[TsQuery]) extends TsQuery
     case class OrChain(groups: Seq[TsQuery]) extends TsQuery
@@ -246,11 +372,11 @@ object Fts {
 
   /** Parse Postgres `websearch_to_tsquery` syntax: bare words AND;
     * the standalone word `or` is the OR operator (lower precedence than
-    * AND); a `-` prefix negates; `"quoted words"` is a consecutive-phrase
-    * match. Stopwords are dropped and (when `stem`) terms Porter-stemmed,
-    * exactly like [[plainQueryLexemes]]. Divergence (documented): a
-    * stopword inside a phrase closes the gap instead of emitting a
-    * `<N>` distance skip.
+    * AND); a `-` prefix negates; `"quoted words"` is a phrase match whose
+    * terms carry original-position offsets (an in-phrase stopword emits a
+    * `<N>` distance skip, Postgres-style). Stopwords are dropped and
+    * (when `stem`) terms Porter-stemmed, exactly like
+    * [[plainQueryLexemes]].
     */
   def websearchQuery(query: String, stem: Boolean = true): TsQuery.OrChain = {
     import TsQuery._
@@ -258,6 +384,15 @@ object Fts {
       s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
         .filterNot(Stopwords.contains)
         .map(w => if (stem) PorterStemmer.stem(w) else w)
+    // kept lexemes WITH original token positions (for phrase offsets)
+    def posLexemesOf(s: String): Seq[PhraseTerm] = {
+      val kept = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        .zipWithIndex.filterNot { case (w, _) => Stopwords.contains(w) }
+        .map { case (w, i) => (if (stem) PorterStemmer.stem(w) else w, i) }
+      kept.headOption.fold(Seq.empty[PhraseTerm]) { case (_, i0) =>
+        kept.map { case (l, i) => PhraseTerm(l, i - i0) }
+      }
+    }
     val segments = SegmentRe.findAllIn(query).toSeq
     val groups = scala.collection.mutable.ListBuffer(
       scala.collection.mutable.ListBuffer.empty[TsQuery])
@@ -268,10 +403,11 @@ object Fts {
         val neg = seg.startsWith("-")
         val body = seg.stripPrefix("-")
         val quoted = body.startsWith("\"")
-        val lex = lexemesOf(body.stripPrefix("\"").stripSuffix("\""))
+        val inner = body.stripPrefix("\"").stripSuffix("\"")
+        val lex = lexemesOf(inner)
         if (lex.nonEmpty) {
           val node =
-            if (quoted && lex.size > 1) Phrase(lex)
+            if (quoted && lex.size > 1) Phrase(posLexemesOf(inner))
             else if (lex.size > 1) AndGroup(lex.map(Term))
             else Term(lex.head)
           groups.last += (if (neg) Not(node) else node)
@@ -291,8 +427,8 @@ object Fts {
   def tsMatchQuery(tsvec: Column, q: TsQuery): Column = q match {
     case TsQuery.Term(l) =>
       array_contains(tsvec("a"), l) || array_contains(tsvec("b"), l)
-    case TsQuery.Phrase(ls) =>
-      containsSlice(tsvec("a"), ls) || containsSlice(tsvec("b"), ls)
+    case p: TsQuery.Phrase =>
+      containsSlice(tsvec("a"), p.lexemes) || containsSlice(tsvec("b"), p.lexemes)
     case TsQuery.Not(x) => !tsMatchQuery(tsvec, x)
     case TsQuery.AndGroup(qs) =>
       qs.map(tsMatchQuery(tsvec, _)).reduceOption(_ && _).getOrElse(lit(false))
@@ -303,11 +439,43 @@ object Fts {
   /** Positive (non-negated) lexemes of a query — what ts_rank scores. */
   def positiveLexemes(q: TsQuery): Seq[String] = (q match {
     case TsQuery.Term(l) => Seq(l)
-    case TsQuery.Phrase(ls) => ls
+    case p: TsQuery.Phrase => p.lexemes
     case TsQuery.Not(_) => Nil
     case TsQuery.AndGroup(qs) => qs.flatMap(positiveLexemes)
     case TsQuery.OrChain(gs) => gs.flatMap(positiveLexemes)
   }).distinct
+
+  // ------------------------------------- positional lexemes + phrase match
+
+  /** Lexemes WITH original token positions: array<struct<lex,pos>> where
+    * `pos` is the token's index BEFORE stopword removal — the analogue of
+    * Postgres tsvector positions, which is what makes `<N>` distance
+    * phrases checkable. Stored next to the compact arrays in a chunk
+    * store, this is the serving form for exact phrase search.
+    */
+  def posLexemesOfTokens(tk: Column, stem: Boolean = true): Column =
+    graftshim.column(PosLexemes(graftshim.expression(tk), stem,
+      Stopwords.toSeq.sorted))
+
+  /** `fts @@ query` over positional lexemes: phrases require their exact
+    * positional offsets (`out <3> box` does NOT match "out box"), terms
+    * and boolean structure as in [[tsMatchQuery]].
+    */
+  def tsMatchQueryPos(posLex: Column, q: TsQuery): Column = q match {
+    case TsQuery.Term(l) =>
+      graftshim.column(PhraseAtOffsets(graftshim.expression(posLex),
+        Seq(l), Seq(0)))
+    case p: TsQuery.Phrase =>
+      graftshim.column(PhraseAtOffsets(graftshim.expression(posLex),
+        p.items.map(_.lexeme), p.items.map(_.offset)))
+    case TsQuery.Not(x) => !tsMatchQueryPos(posLex, x)
+    case TsQuery.AndGroup(qs) =>
+      qs.map(tsMatchQueryPos(posLex, _)).reduceOption(_ && _)
+        .getOrElse(lit(false))
+    case TsQuery.OrChain(gs) =>
+      gs.map(tsMatchQueryPos(posLex, _)).reduceOption(_ || _)
+        .getOrElse(lit(false))
+  }
 
   /** ts_rank for a websearch query: occurrence-count scoring of the
     * positive lexemes (negation filters, it does not score — matching

@@ -179,6 +179,68 @@ object TestQueries7 {
       GROUP BY o_custkey, c_name
       ORDER BY o_custkey"""))
 
+  // q84 fixture: positional phrase semantics — websearch
+  // '"out of the box" -returns or unboxed' = ('out <3> box' & !returns)
+  // | unboxed. Unstemmed so the oracle mirrors token-for-token.
+  private val phraseDocs = Seq(
+    ("d1", "ships out of the box ready"),       // distance 3 → phrase ✓
+    ("d2", "out box immediately"),              // adjacent → <3> ✗
+    ("d3", "thinking out of a cardboard box"),  // distance 4 ✗
+    ("d4", "works out of the box but returns often"), // phrase ✓, negated ✗
+    ("d5", "totally unboxed experience"))       // OR branch ✓
+
+  /** C20 upgrade: Postgres-parity positional phrase match — in-phrase
+    * stopwords emit `<N>` distance skips, and matching requires the
+    * EXACT original-position offsets over the positional lexeme form
+    * (`Fts.posLexemesOfTokens` — tsvector positions). The oracle
+    * re-derives token positions, applies the stopword filter keeping
+    * indices, and joins on the exact distance.
+    */
+  val q84PositionalPhrase: QueryCase = QueryCase(
+    "q84_positional_phrase",
+    (s, dir) => {
+      import s.implicits._
+      val q = graft.functions.Fts.websearchQuery(
+        "\"out of the box\" -returns or unboxed", stem = false)
+      phraseDocs.toDF("id", "text")
+        .select(col("id"), graft.functions.Fts.posLexemesOfTokens(
+          graft.functions.TextFunctions.tokens(col("text")),
+          stem = false).as("pl"))
+        .select(col("id"),
+          graft.functions.Fts.tsMatchQueryPos(col("pl"), q).as("matched"))
+        .orderBy("id")
+    },
+    Some {
+      val vals = phraseDocs.map { case (id, tx) => s"('$id', '$tx')" }
+        .mkString(", ")
+      val stop = graft.functions.Fts.Stopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH docs(id, text) AS (VALUES $vals),
+      toks AS (
+        SELECT id, u.tok AS tok, u.i AS i
+        FROM docs, UNNEST(list_transform(
+          regexp_split_to_array(lower(text), '\\s+'),
+          (x, j) -> struct_pack(tok := x, i := j))) AS t(u)
+        WHERE u.tok <> ''),
+      kept AS (SELECT id, tok, i FROM toks WHERE tok NOT IN ($stop)),
+      phrase AS (
+        SELECT DISTINCT a.id
+        FROM kept a JOIN kept b ON a.id = b.id
+        WHERE a.tok = 'out' AND b.tok = 'box' AND b.i = a.i + 3),
+      neg AS (SELECT DISTINCT id FROM kept WHERE tok = 'returns'),
+      alt AS (SELECT DISTINCT id FROM kept WHERE tok = 'unboxed')
+      SELECT d.id,
+             ((p.id IS NOT NULL AND r.id IS NULL) OR u.id IS NOT NULL)
+               AS matched
+      FROM docs d
+      LEFT JOIN phrase p ON d.id = p.id
+      LEFT JOIN neg r ON d.id = r.id
+      LEFT JOIN alt u ON d.id = u.id
+      ORDER BY d.id"""
+    })
+
   val all: Seq[QueryCase] =
-    Seq(q80AnnLsh, q81PpmTiles, q82WindowedAgg, q83SaltedSkew)
+    Seq(q80AnnLsh, q81PpmTiles, q82WindowedAgg, q83SaltedSkew,
+      q84PositionalPhrase)
 }

@@ -106,12 +106,12 @@ class FtsSpec extends SparkSpec {
     import Fts.TsQuery._
     val q = Fts.websearchQuery("\"big data\" -legacy or cloud", stem = false)
     assert(q == OrChain(Seq(
-      AndGroup(Seq(Phrase(Seq("big", "data")), Not(Term("legacy")))),
+      AndGroup(Seq(Phrase.adjacent(Seq("big", "data")), Not(Term("legacy")))),
       AndGroup(Seq(Term("cloud"))))))
     // stemming + stopword drop flow through like plainto
     val s = Fts.websearchQuery("the running \"merging windows\"")
     assert(s == OrChain(Seq(AndGroup(Seq(
-      Term("run"), Phrase(Seq("merg", "window")))))))
+      Term("run"), Phrase.adjacent(Seq("merg", "window")))))))
     // all-stopword query matches nothing
     assert(Fts.websearchQuery("the a of") == OrChain(Nil))
   }
@@ -139,5 +139,45 @@ class FtsSpec extends SparkSpec {
     // empty query matches nothing
     assert(df.where(Fts.tsMatchQuery(col("tsv"),
       Fts.websearchQuery(""))).count() == 0)
+  }
+
+  test("positional phrases: in-phrase stopwords are distance skips") {
+    import spark.implicits._
+    import Fts.TsQuery._
+    // websearch_to_tsquery('"out of the box"') = 'out <3> box'
+    val q = Fts.websearchQuery("\"out of the box\"", stem = false)
+    q match {
+      case OrChain(Seq(AndGroup(Seq(p: Phrase)))) =>
+        assert(p.items == Seq(PhraseTerm("out", 0), PhraseTerm("box", 3)))
+      case other => fail(s"unexpected parse: $other")
+    }
+    val df = Seq(
+      (1L, "ships out of the box ready"),      // out@1 box@4: distance 3 ✓
+      (2L, "out box immediately"),             // adjacent: <3> must NOT match
+      (3L, "thinking out of a cardboard box")) // distance 4 ✗
+      .toDF("id", "content")
+      .select(col("id"), Fts.posLexemesOfTokens(
+        TextFunctions.tokens(col("content")), stem = false).as("pl"))
+    val posGot = df.where(Fts.tsMatchQueryPos(col("pl"), q))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(posGot == Set(1L))
+    // the compact kept-space matcher closes the gap (documented): it
+    // also accepts the adjacent form — the positional form is stricter
+    val compact = Seq((1L, "ships out of the box ready"),
+      (2L, "out box immediately"))
+      .toDF("id", "content")
+      .select(col("id"), struct(
+        Fts.filterStopwords(TextFunctions.tokens(col("content"))).as("a"),
+        array().cast("array<string>").as("b")).as("tsv"))
+    val compactGot = compact.where(Fts.tsMatchQuery(col("tsv"), q))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(compactGot == Set(1L, 2L))
+    // positions survive stemming: "running" stems but keeps its slot
+    val s = Fts.websearchQuery("\"running of the mill\"")
+    s match {
+      case OrChain(Seq(AndGroup(Seq(p: Phrase)))) =>
+        assert(p.items == Seq(PhraseTerm("run", 0), PhraseTerm("mill", 3)))
+      case other => fail(s"unexpected parse: $other")
+    }
   }
 }
