@@ -64,7 +64,7 @@ object Bench {
     // tsvector columns), not raw text. Build once untimed, then measure
     // hybrid search over the substrate — this is the number comparable to
     // the reference's warm search latencies.
-    val (indexedHybrid, indexedKeyword) = {
+    val (indexedHybrid, indexedKeyword, indexedPhrase) = {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("document_id"), col("text"))
@@ -85,13 +85,19 @@ object Bench {
         graft.search.ChunkStore.keywordSearch(store, "spark merge window", 10)
           .queryExecution.toRdd.count()
       }
-      hybridOnce(); keywordOnce() // plan+codegen
+      def phraseOnce(): Double = time {
+        graft.search.ChunkStore
+          .phraseSearch(store, "\"merge the window\"", 10)
+          .queryExecution.toRdd.count()
+      }
+      hybridOnce(); keywordOnce(); phraseOnce() // plan+codegen
       val h = hybridOnce()
       val k = keywordOnce()
+      val p = phraseOnce()
       store.unpersist()
-      (h, k)
+      (h, k, p)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"indexed_hybrid_sec":$indexedHybrid,"indexed_keyword_sec":$indexedKeyword,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"indexed_hybrid_sec":$indexedHybrid,"indexed_keyword_sec":$indexedKeyword,"indexed_phrase_sec":$indexedPhrase,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,7 +37,26 @@ object ChunkStore {
         col("document_id"), col("chunk_index"), col("content"),
         HashingEmbedder.embedTokens(col("tk"), embedDim).as("embedding"),
         Fts.tsVector(col("tk"), col("title_tk")).as("tsv"),
+        // positional lexemes (tsvector positions) — the exact-phrase
+        // serving column; same one-pass build, rides the same table
+        Fts.posLexemesOfTokens(col("tk")).as("pos_lex"),
         TextFunctions.tokenCount(col("content")).as("n_tokens"))
+  }
+
+  /** Exact-phrase (websearch) search over the store's positional lexeme
+    * column: `<N>` distance skips honored, ranked by ts_rank of the
+    * positive lexemes. The phrase filter runs on the precomputed
+    * `pos_lex` — no per-query re-tokenization.
+    */
+  def phraseSearch(chunkTable: DataFrame, queryText: String,
+                   limit: Int = 10): DataFrame = {
+    val q = Fts.websearchQuery(queryText)
+    chunkTable
+      .where(Fts.tsMatchQueryPos(col("pos_lex"), q))
+      .withColumn("score", Fts.tsRankQuery(col("tsv"), q))
+      .withColumn("id", concat_ws(":", col("document_id"), col("chunk_index")))
+      .orderBy(desc("score"), col("id")).limit(limit)
+      .select("id", "score")
   }
 
   /** Keyword-only search over a built chunk table: tsMatch + ts_rank on

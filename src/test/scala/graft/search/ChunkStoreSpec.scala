@@ -43,6 +43,19 @@ class ChunkStoreSpec extends SparkSpec {
     assert(!out.head.getString(0).startsWith("d2:"))
   }
 
+  test("phrase search over the store honors positional distance") {
+    import spark.implicits._
+    val pdocs = Seq(
+      ("p1", "benefits accrue out of the box for tenants"), // out <3> box ✓
+      ("p2", "moved out box quickly today"),                // adjacent ✗
+      ("p3", "no relevant phrase at all here"))
+      .toDF("document_id", "text")
+    val store = ChunkStore.build(pdocs, chunkTokens = 30, overlap = 5).cache()
+    val got = ChunkStore.phraseSearch(store, "\"out of the box\"", 5)
+      .collect().map(_.getString(0))
+    assert(got.nonEmpty && got.forall(_.startsWith("p1:")))
+  }
+
   test("batched op: batch boundaries respected, 1:1 output") {
     import spark.implicits._
     val df = (1 to 23).map(i => (i, s"t$i")).toDF("id", "t").repartition(2)
