@@ -191,36 +191,41 @@ object PosLexKernels {
 
   /** True when some anchor position p0 has every query term k at exactly
     * p0 + offset(k) (Postgres `<N>` phrase semantics; a single term with
-    * offset 0 degenerates to containment).
+    * offset 0 degenerates to containment). Positions are strictly
+    * increasing by construction ([[posLexemes]] emits one entry per
+    * original token index), so each lookup is a binary search —
+    * O(anchors · terms · log n) per row on the phrase serving path.
     */
   def phraseAt(arr: ArrayData, lexs: Array[UTF8String],
                offs: Array[Int]): Boolean = {
     val n = arr.numElements()
-    def hasAt(lex: UTF8String, pos: Int): Boolean = {
-      var j = 0
-      while (j < n) {
-        if (!arr.isNullAt(j)) {
-          val e = arr.getStruct(j, 2)
-          if (e.getInt(1) == pos && e.getUTF8String(0).equals(lex)) return true
-        }
-        j += 1
+    // lexeme at exact position `pos`, null if no entry there
+    def at(pos: Int): UTF8String = {
+      var lo = 0
+      var hi = n - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val e = arr.getStruct(mid, 2)
+        val p = e.getInt(1)
+        if (p == pos) return e.getUTF8String(0)
+        else if (p < pos) lo = mid + 1
+        else hi = mid - 1
       }
-      false
+      null
     }
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) {
-        val e = arr.getStruct(i, 2)
-        if (e.getUTF8String(0).equals(lexs(0))) {
-          val p0 = e.getInt(1) - offs(0)
-          var k = 1
-          var ok = true
-          while (ok && k < lexs.length) {
-            ok = hasAt(lexs(k), p0 + offs(k))
-            k += 1
-          }
-          if (ok) return true
+      val e = arr.getStruct(i, 2)
+      if (e.getUTF8String(0).equals(lexs(0))) {
+        val p0 = e.getInt(1) - offs(0)
+        var k = 1
+        var ok = true
+        while (ok && k < lexs.length) {
+          val l = at(p0 + offs(k))
+          ok = l != null && l.equals(lexs(k))
+          k += 1
         }
+        if (ok) return true
       }
       i += 1
     }
@@ -380,11 +385,9 @@ object Fts {
     */
   def websearchQuery(query: String, stem: Boolean = true): TsQuery.OrChain = {
     import TsQuery._
-    def lexemesOf(s: String): Seq[String] =
-      s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-        .filterNot(Stopwords.contains)
-        .map(w => if (stem) PorterStemmer.stem(w) else w)
-    // kept lexemes WITH original token positions (for phrase offsets)
+    // kept lexemes WITH offsets from the first kept token's original
+    // position — one tokenize/filter/stem pass serves both phrase and
+    // bare-word nodes
     def posLexemesOf(s: String): Seq[PhraseTerm] = {
       val kept = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
         .zipWithIndex.filterNot { case (w, _) => Stopwords.contains(w) }
@@ -403,13 +406,12 @@ object Fts {
         val neg = seg.startsWith("-")
         val body = seg.stripPrefix("-")
         val quoted = body.startsWith("\"")
-        val inner = body.stripPrefix("\"").stripSuffix("\"")
-        val lex = lexemesOf(inner)
-        if (lex.nonEmpty) {
+        val items = posLexemesOf(body.stripPrefix("\"").stripSuffix("\""))
+        if (items.nonEmpty) {
           val node =
-            if (quoted && lex.size > 1) Phrase(posLexemesOf(inner))
-            else if (lex.size > 1) AndGroup(lex.map(Term))
-            else Term(lex.head)
+            if (quoted && items.size > 1) Phrase(items)
+            else if (items.size > 1) AndGroup(items.map(i => Term(i.lexeme)))
+            else Term(items.head.lexeme)
           groups.last += (if (neg) Not(node) else node)
         }
       }

@@ -238,13 +238,20 @@ case class EnumResolve(left: Expression, right: Expression,
     m
   }
   override def dataType: DataType = StringType
+  override def nullable: Boolean = true
   override def nullSafeEval(f: Any, r: Any): Any =
     TextKernels.enumResolve(f.asInstanceOf[UTF8String],
       r.asInstanceOf[UTF8String], table)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("enumDefs", table, "java.util.HashMap")
-    defineCodeGen(ctx, ev, (f, r) =>
-      s"graft.functions.TextKernels.enumResolve($f, $r, $ref)")
+    // the kernel returns null for no-match / no-definition: isNull must
+    // track the result (defineCodeGen would hand a null UTF8String with
+    // isNull=false to the unsafe-row writer -> NPE)
+    nullSafeCodeGen(ctx, ev, (f, r) =>
+      s"""
+         |${ev.value} = graft.functions.TextKernels.enumResolve($f, $r, $ref);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -104,9 +104,15 @@ object Connector {
     val err = lower(coalesce(col("error"), lit("")))
     val tokenRejected = err.contains("token") &&
       (err.contains("invalid") || err.contains("expired"))
+    // per-row precedence: a typed class decides where present; an
+    // unclassified (null) row still gets the string fallback — matching
+    // the reference, where the string check runs exactly when no typed
+    // error was raised
     val resync =
       if (rejections.columns.contains("error_class"))
-        col("error_class").isin("invalid_token", "expired_token")
+        when(col("error_class").isNotNull,
+          col("error_class").isin("invalid_token", "expired_token"))
+          .otherwise(tokenRejected)
       else tokenRejected
     tokens.join(rejections, keys, "left")
       .withColumn("mode",

@@ -208,9 +208,13 @@ object Multimodal {
       v
     }
     val w = nextInt(); val h = nextInt(); val maxval = nextInt()
-    // exactly one whitespace byte separates the header from pixel data
+    // exactly one whitespace byte separates the header from pixel data —
+    // and it must BE whitespace, or the offset would silently shift and
+    // every tile stat would be read one byte displaced (corrupt, not None)
+    val sepOk = i < b.length &&
+      (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')
     i += 1
-    if (w <= 0 || h <= 0 || maxval != 255 || w * h > 16777216L ||
+    if (!sepOk || w <= 0 || h <= 0 || maxval != 255 || w * h > 16777216L ||
       i + 3L * w * h > b.length) None
     else Some((w.toInt, h.toInt, i))
   }

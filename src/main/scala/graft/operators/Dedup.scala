@@ -40,19 +40,28 @@ object Dedup {
     val target = spark.sessionState.conf.numShufflePartitions
     def narrowInput: Boolean = {
       import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-      var files = 0L
+      // scan parallelism proxy: parquet is splittable, so a few huge
+      // files still scan as many partitions — count
+      // max(files, bytes/maxPartitionBytes), not raw file count
+      val maxPart = math.max(1L,
+        spark.sessionState.conf.filesMaxPartitionBytes)
+      var scanParts = 0L
       var unknown = false
-      df.queryExecution.optimizedPlan.foreach {
+      df.queryExecution.optimizedPlan.collectLeaves().foreach {
         case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation => files += fs.location.inputFiles.length
+          case fs: HadoopFsRelation =>
+            scanParts += math.max(fs.location.inputFiles.length.toLong,
+              fs.location.sizeInBytes / maxPart)
           case _ => unknown = true
         }
-        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
-        case _ => ()
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          () // driver-local fixture rows: contributes 0 — spread it
+        case _ =>
+          // DSv2 relations, cached InMemoryRelations, RDD-backed plans:
+          // the source chose its own partitioning — leave it alone
+          unknown = true
       }
-      // unknown (non-file) relations: assume the source chose its own
-      // partitioning and leave it alone
-      !unknown && files < target
+      !unknown && scanParts < target
     }
     spark.conf.get("graft.dedup.spread", "auto") match {
       case "false" => df

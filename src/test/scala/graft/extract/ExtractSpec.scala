@@ -53,6 +53,24 @@ class ExtractSpec extends SparkSpec {
     assert(byName("tenant_name")._3 == 0.9)
   }
 
+  test("enum no-match yields null norm under codegen (no NPE)") {
+    import spark.implicits._
+    // repartition defeats ConvertToLocalRelation so the projection runs
+    // through whole-stage codegen — the EnumResolve null path must set
+    // isNull instead of handing a null UTF8String to the row writer
+    val doc = Seq(("d9",
+      "LEASE\nTenant Entity Type: zzz-no-such-kind\nBuilding Type: office"))
+      .toDF("document_id", "text").repartition(2)
+    val rows = RuleExtractor.extractFields(doc, FieldCatalog.LeaseFields)
+      .where(col("field_name").isin("tenant_entity_type", "building_type"))
+      .collect()
+      .map(r => r.getAs[String]("field_name") ->
+        ((r.getAs[String]("norm_value"), r.getAs[Double]("confidence"))))
+      .toMap
+    assert(rows("tenant_entity_type") == ((null, 0.45)))
+    assert(rows("building_type") == (("office", 0.9)))
+  }
+
   test("weighted overall confidence capped at 0.99") {
     val fields = RuleExtractor.extractFields(docs, FieldCatalog.LegacyLeaseFields)
     val conf = RuleExtractor.overallConfidence(fields).head().getDouble(1)

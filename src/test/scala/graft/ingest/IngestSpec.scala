@@ -150,14 +150,20 @@ class IngestSpec extends SparkSpec {
       "d3" -> "incremental"))
     // a typed error_class column takes precedence over the message: a
     // revocation whose message happens to say 'invalid token' still errors
+    // — but an UNCLASSIFIED (null-class) row keeps the string fallback,
+    // so a mixed-source batch can't strand a drive in 'error'
+    val mixedTokens = tokens.unionByName(
+      Seq(("t1", "c1", "d4", "tok4"))
+        .toDF("tenant_id", "connector_id", "drive_id", "token"))
     val classed = Seq(
       ("t1", "c1", "d1", "invalid token", "token_revoked"),
-      ("t1", "c1", "d2", "410 gone", "expired_token"))
+      ("t1", "c1", "d2", "410 gone", "expired_token"),
+      ("t1", "c1", "d4", "Invalid Value: start page token expired", null))
       .toDF("tenant_id", "connector_id", "drive_id", "error", "error_class")
-    val classedModes = Connector.planSync(tokens, classed).collect()
+    val classedModes = Connector.planSync(mixedTokens, classed).collect()
       .map(r => r.getAs[String]("drive_id") -> r.getAs[String]("mode")).toMap
     assert(classedModes == Map("d1" -> "error", "d2" -> "full_resync",
-      "d3" -> "incremental"))
+      "d3" -> "incremental", "d4" -> "full_resync"))
   }
 
   test("validation: magic bytes vs extension, size, empty") {

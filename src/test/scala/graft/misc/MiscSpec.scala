@@ -117,6 +117,9 @@ class MiscSpec extends SparkSpec {
     assert(Multimodal.parsePpmP6(bytes.dropRight(1)).isEmpty)
     assert(Multimodal.parsePpmP6("P6\n99999999 99999999\n255\n".getBytes).isEmpty)
     assert(Multimodal.parsePpmP6("P6\n4 2\n65535\n".getBytes ++ rgb).isEmpty)
+    // the single header/data separator must BE whitespace — a shifted
+    // offset would silently displace every pixel read
+    assert(Multimodal.parsePpmP6("P6\n4 2\n255X".getBytes ++ rgb).isEmpty)
   }
 
   test("ppm tile sampling: hand-checked stats, non-ppm emits nothing") {

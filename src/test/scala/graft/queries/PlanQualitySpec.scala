@@ -115,6 +115,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(narrow.contains("Repartition") ||
       narrow.contains("RoundRobinPartitioning"),
       s"single-file input must be spread before CPU-heavy stages:\n$narrow")
+    // a cached input (InMemoryRelation) chose its own partitioning —
+    // auto mode must leave it alone, not force a round-robin shuffle
+    val cached = spark.read.parquet(s"$tmp/wide").cache()
+    try {
+      cached.count()
+      val p = graft.operators.Dedup.simhashPairs(cached, "doc_id", "text")
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("Repartition") && !p.contains("RoundRobinPartitioning"),
+        s"cached input must not be re-shuffled by spread auto:\n$p")
+    } finally cached.unpersist()
   }
 
   test("bucketed tables co-locate: join and groupBy plan with zero Exchange") {
