@@ -130,6 +130,94 @@ class KernelParitySpec extends SparkSpec {
     }
   }
 
+  test("EnumResolve == per-field normalizeEnum when-chain, incl. no-match null") {
+    import spark.implicits._
+    val defs = Seq(
+      "kind" -> Seq("LLC", "Corp", "Partnership"),
+      "status" -> Seq("active", "inactive"))
+    val values = Seq("llc", " Corp ", "partner", "ACTIVE", "zzz", "", null,
+      "corporate", "in", "active now", "LLC and more")
+    val df = (for (f <- defs.map(_._1) :+ "unknown_field"; v <- values)
+        yield (f, v)).toDF("field_name", "raw")
+      .repartition(3) // force codegen (no local-relation folding)
+    val native = org.apache.spark.sql.graftshim.column(EnumResolve(
+      org.apache.spark.sql.graftshim.expression(col("field_name")),
+      org.apache.spark.sql.graftshim.expression(col("raw")), defs))
+    val chain = defs.foldLeft(lit(null: String)) { case (acc, (name, allowed)) =>
+      when(col("field_name") === name,
+        Normalizers.normalizeEnum(col("raw"), allowed)).otherwise(acc)
+    }
+    val out = df.withColumn("a", native).withColumn("b", chain)
+    assert(out.where(not(col("a") <=> col("b"))).count() == 0)
+  }
+
+  test("posLexemes == zip-index/filter/stem HOF formulation") {
+    import spark.implicits._
+    val df = corpus.select(col("id"), TextFunctions.tokens(col("text")).as("tk"))
+    val native = Fts.posLexemesOfTokens(col("tk"))
+    // HOF mirror: index tokens, drop stopwords, stem, keep positions
+    val stop = Fts.Stopwords.toSeq.sorted
+    val hof = filter(
+      zip_with(col("tk"), sequence(lit(0), size(col("tk")) - 1),
+        (t, i) => struct(t.as("lex"), i.cast("int").as("pos"))),
+      e => !e("lex").isin(stop.map(lit): _*))
+    val hofStemmed = transform(hof, e => struct(
+      org.apache.spark.sql.graftshim.column(EnStemTokens(
+        org.apache.spark.sql.graftshim.expression(array(e("lex")))))(0).as("lex"),
+      e("pos").as("pos")))
+    val out = df.withColumn("a", native).withColumn("b", hofStemmed)
+    assert(out.where(not(col("a") === col("b"))).count() == 0)
+  }
+
+  test("phraseAt == naive all-anchors scan on random positional arrays") {
+    val rnd2 = new scala.util.Random(42L)
+    val lexPool = Array("out", "box", "rent", "lease", "spark")
+    (0 until 300).foreach { _ =>
+      val n = rnd2.nextInt(12)
+      // strictly increasing positions, random lexemes
+      var p = 0
+      val entries = (0 until n).map { _ =>
+        p += 1 + rnd2.nextInt(3)
+        (lexPool(rnd2.nextInt(lexPool.length)), p)
+      }
+      val terms = (0 until 1 + rnd2.nextInt(3)).map { k =>
+        (lexPool(rnd2.nextInt(lexPool.length)), if (k == 0) 0 else rnd2.nextInt(5))
+      }
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        entries.map { case (l, pos) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(l), pos))
+        }.toArray[Any])
+      val lexs = terms.map(t =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(t._1)).toArray
+      val offs = terms.map(_._2).toArray
+      val naive = entries.exists { case (l0, p0base) =>
+        l0 == terms.head._1 && {
+          val p0 = p0base - offs(0)
+          terms.forall { case (l, o) => entries.contains((l, p0 + o)) }
+        }
+      }
+      assert(PosLexKernels.phraseAt(arr, lexs, offs) == naive,
+        s"mismatch entries=$entries terms=$terms")
+    }
+  }
+
+  test("media parsers never throw on arbitrary bytes") {
+    val rnd2 = new scala.util.Random(7L)
+    (0 until 500).foreach { _ =>
+      val len = rnd2.nextInt(64)
+      val b = new Array[Byte](len)
+      rnd2.nextBytes(b)
+      // bias some toward valid-looking magics to reach deeper branches
+      if (len >= 2 && rnd2.nextBoolean()) { b(0) = 'P'; b(1) = '6' }
+      if (len >= 12 && rnd2.nextInt(4) == 0) {
+        "RIFF".getBytes.copyToArray(b, 0); "WAVE".getBytes.copyToArray(b, 8)
+      }
+      graft.multimodal.Multimodal.parsePpmP6(b)
+      graft.multimodal.Multimodal.parseWavPcm16(b)
+    }
+  }
+
   test("MinHash signature: deterministic, set-semantics, similarity-monotone") {
     import spark.implicits._
     val df = Seq(
