@@ -154,6 +154,19 @@ class PlanQualitySpec extends SparkSpec {
       // correctness unchanged vs the unbucketed join
       assert(joined.count() ==
         orders.join(customer, "o_custkey").count())
+      // equality filters on the bucket key prune whole buckets at scan
+      // (auto-bucketed-scan turns bucketed reading off for filter-only
+      // plans since no operator needs the distribution — force it on to
+      // observe the pruning itself)
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      val pruned =
+        try spark.table("b_orders").where(col("o_custkey") === 7L)
+          .queryExecution.executedPlan.toString
+        finally spark.conf
+          .unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      assert(pruned.contains("SelectedBucketsCount: 1 out of 4"),
+        s"bucket-key equality filter must scan one bucket:\n$pruned")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS b_orders")
