@@ -174,6 +174,36 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("AQE splits skewed sort-merge partitions (the default skew path)") {
+    // operators.Salting documents 'let AQE split skewed SMJ partitions'
+    // as the default — pin that it actually happens at our conf shape
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val pad = "x" * 200
+      val left = ((0 until 20000).map(i => ("hot", i, pad)) ++
+        (0 until 40).map(i => (s"k${i % 8}", i, pad)))
+        .toDF("key", "v", "pad").repartition(4)
+      val right = (Seq("hot") ++ (0 until 8).map(i => s"k$i"))
+        .map(k => (k, s"name-$k")).toDF("key", "name")
+      val joined = left.join(right, "key")
+      joined.queryExecution.toRdd.count() // AQE finalizes after execution
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must mark the hot partition's join as skew-split:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q75: feature-flag resolution broadcasts both control-plane sides") {
     val p = plan("q75_feature_flags")
     assert(p.contains("BroadcastNestedLoopJoin") ||
