@@ -4,7 +4,10 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-4 gate queries: LSH-bucketed ANN search and PPM tile sampling. */
+/** Round-4 gate queries: LSH-bucketed ANN, PPM tile sampling, windowed
+  * aggregation, skew salting, positional phrases, and the oracle-exact
+  * MinHash estimator.
+  */
 object TestQueries7 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -240,7 +243,79 @@ object TestQueries7 {
       ORDER BY d.id"""
     })
 
+  private val mhK = 16
+  private val mhPrime = 4294967311L // smallest prime > 2^32
+  private def mhA(j: Int): Long = 1000003L + 2L * j
+  private def mhB(j: Int): Long = 777L + 104729L * j
+
+  /** MinHash ESTIMATOR semantics, oracle-exact: the q28/q78 family's
+    * codegen hash is oracle-inexpressible, but the estimator math
+    * (signature = min of affine permutations over a base hash;
+    * est-Jaccard = matching-component fraction) is hash-agnostic — so
+    * this gate drives it through md5-derived 32-bit base hashes, which
+    * BOTH engines compute identically, and hash-checks the estimate
+    * end to end. Affine products stay < 2^63 (a < 2^31, h < 2^32), so
+    * ANSI arithmetic can't overflow. The performance path remains the
+    * codegen family (`MinHash.signature`).
+    */
+  val q85MinhashEstimator: QueryCase = QueryCase(
+    "q85_minhash_estimator",
+    (s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") < 500)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), graft.functions.TextFunctions
+          .distinctNgramsOfTokens(col("tk"), 5).as("sh"))
+        .where(size(col("sh")) > 0)
+        .withColumn("h", transform(col("sh"), x =>
+          conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long")))
+      val sigCols = (0 until mhK).map { j =>
+        array_min(transform(col("h"), x =>
+          pmod(lit(mhA(j)) * x + lit(mhB(j)), lit(mhPrime)))).as(s"s$j")
+      }
+      val sigs = base.select((col("doc_id") +: sigCols): _*)
+      val matches = (0 until mhK).map(j =>
+        when(col(s"x.s$j") === col(s"y.s$j"), 1).otherwise(0))
+        .reduce(_ + _)
+      sigs.as("x").join(sigs.as("y"),
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+          (matches.cast("double") / mhK).as("est"))
+        .where(col("est") >= 0.25)
+        .orderBy("id1", "id2")
+    },
+    Some {
+      val sigList = (0 until mhK).map(j =>
+        s"list_min(list_transform(h, x -> (${mhA(j)} * x + ${mhB(j)}) % $mhPrime))")
+        .mkString("[", ", ", "]")
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                 x -> x <> '') AS tk
+        FROM documents WHERE doc_id < 500),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ') for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      hx AS (
+        SELECT doc_id,
+               list_transform(s, g ->
+                 CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)) AS h
+        FROM sh WHERE LEN(s) > 0),
+      sigs AS (SELECT doc_id, $sigList AS sig FROM hx)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(LEN(list_filter(range(1, ${mhK + 1}),
+               i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $mhK AS est
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE CAST(LEN(list_filter(range(1, ${mhK + 1}),
+        i -> a.sig[i] = b.sig[i])) AS DOUBLE) / $mhK >= 0.25
+      ORDER BY id1, id2"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q80AnnLsh, q81PpmTiles, q82WindowedAgg, q83SaltedSkew,
-      q84PositionalPhrase)
+      q84PositionalPhrase, q85MinhashEstimator)
 }
