@@ -315,7 +315,81 @@ object TestQueries7 {
       ORDER BY id1, id2"""
     })
 
+  // q86 fixture: entity-name pairs exercising the Ratcliff recursion —
+  // multi-block matches, tie-breaks ("abab"/"baba" has three maximal
+  // 2-blocks; difflib picks earliest-in-a then earliest-in-b), disjoint,
+  // identical, and empty-vs-nonempty. All < 200 chars (no autojunk).
+  private val ratcliffPairs = Seq(
+    (0, "acme corp", "acme corporation"),
+    (1, "main street plaza", "main st plaza"),
+    (2, "abc", "xyz"),
+    (3, "same", "same"),
+    (4, "", "x"),
+    (5, "abab", "baba"),
+    (6, "hello world", "help hold"),
+    (7, "beta industries inc", "beta inc"),
+    (8, "first capital property group", "first capital properties"),
+    (9, "lakeside 12 llc", "lakeside twelve llc"))
+
+  /** C11/C12 core oracle-checked: the codegen [[RatcliffSimilarity]]
+    * kernel vs a recursive-CTE mirror of difflib's get_matching_blocks —
+    * per window, the longest match (ties: earliest in a, then in b) is
+    * found over a precomputed matching-substring table, then the
+    * recursion emits left/right windows; ratio = 2·M/(|a|+|b|). This
+    * pins the metric the q45 candidate flow ([R]) scores with.
+    */
+  val q86Ratcliff: QueryCase = QueryCase(
+    "q86_ratcliff",
+    (s, dir) => {
+      import s.implicits._
+      ratcliffPairs.toDF("id", "s1", "s2")
+        .select(col("id"), round(graft.functions.Matching
+          .ratcliffSim(col("s1"), col("s2")), 6).as("sim"))
+        .orderBy("id")
+    },
+    Some {
+      val vals = ratcliffPairs.map { case (i, a, b) => s"($i, '$a', '$b')" }
+        .mkString(", ")
+      s"""
+      WITH RECURSIVE p(id, s1, s2) AS (VALUES $vals),
+      cand AS (
+        SELECT id, CAST(ii.i AS INT) AS i, CAST(jj.j AS INT) AS j,
+               CAST(ll.l AS INT) AS l
+        FROM p,
+             UNNEST(range(1, LEN(s1)+1)) AS ii(i),
+             UNNEST(range(1, LEN(s2)+1)) AS jj(j),
+             UNNEST(range(1, least(LEN(s1), LEN(s2))+1)) AS ll(l)
+        WHERE ii.i + ll.l <= LEN(s1)+1 AND jj.j + ll.l <= LEN(s2)+1
+          AND substr(s1, CAST(ii.i AS INT), CAST(ll.l AS INT)) =
+              substr(s2, CAST(jj.j AS INT), CAST(ll.l AS INT))),
+      win AS (
+        SELECT id, 1 AS alo, CAST(LEN(s1)+1 AS INT) AS ahi, 1 AS blo,
+               CAST(LEN(s2)+1 AS INT) AS bhi, 0 AS m
+        FROM p
+        UNION ALL
+        SELECT w.id, u.alo, u.ahi, u.blo, u.bhi, u.m
+        FROM win w JOIN LATERAL (
+          WITH best AS (
+            SELECT c.i, c.j, c.l FROM cand c
+            WHERE c.id = w.id AND c.i >= w.alo AND c.i + c.l <= w.ahi
+              AND c.j >= w.blo AND c.j + c.l <= w.bhi
+            ORDER BY c.l DESC, c.i ASC, c.j ASC LIMIT 1)
+          SELECT w.alo AS alo, b.i AS ahi, w.blo AS blo, b.j AS bhi, 0 AS m
+          FROM best b
+          UNION ALL SELECT b.i + b.l, w.ahi, b.j + b.l, w.bhi, 0 FROM best b
+          UNION ALL SELECT 1, 0, 1, 0, b.l FROM best b
+        ) u ON true
+        WHERE w.m = 0 AND w.ahi > w.alo AND w.bhi > w.blo)
+      SELECT p.id,
+             ROUND(CASE WHEN LEN(p.s1) + LEN(p.s2) = 0 THEN 1.0
+               ELSE 2.0 * COALESCE(SUM(w.m), 0) / (LEN(p.s1) + LEN(p.s2))
+               END, 6) AS sim
+      FROM p LEFT JOIN win w ON w.id = p.id
+      GROUP BY p.id, p.s1, p.s2
+      ORDER BY p.id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q80AnnLsh, q81PpmTiles, q82WindowedAgg, q83SaltedSkew,
-      q84PositionalPhrase, q85MinhashEstimator)
+      q84PositionalPhrase, q85MinhashEstimator, q86Ratcliff)
 }
