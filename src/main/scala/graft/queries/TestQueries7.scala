@@ -389,7 +389,140 @@ object TestQueries7 {
       ORDER BY p.id"""
     })
 
+  private val shBits = 32
+
+  /** SimHash SEMANTICS, oracle-exact (the q85 discipline applied to the
+    * q29 family): per-token bit votes (+1/−1), sign → signature bit,
+    * pairwise Hamming distance — hash-agnostic math driven through
+    * md5-derived 32-bit token hashes that both engines compute
+    * identically. Pins everything about SimHash except the production
+    * 64-bit hash function itself (q29 [R] + KernelParitySpec cover that).
+    */
+  val q87SimhashSemantics: QueryCase = QueryCase(
+    "q87_simhash_semantics",
+    (s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") < 500)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 0)
+        .withColumn("h", transform(col("tk"), x =>
+          conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long")))
+      val sig = (0 until shBits).map { b =>
+        val vote = aggregate(col("h"), lit(0L), (acc, x) =>
+          acc + (shiftright(x, b).bitwiseAND(lit(1L)) * 2 - 1))
+        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = base.select(col("doc_id"), sig.as("sig"))
+      sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+        .where(col("hamming") <= 2)
+        .orderBy("id1", "id2")
+    },
+    Some {
+      val votes = (0 until shBits).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(", ")
+      val sig = (0 until shBits).map(b =>
+        s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, u.t AS t
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                  x -> x <> '') AS tk
+              FROM documents WHERE doc_id < 500),
+             UNNEST(tk) AS u(t)),
+      h AS (SELECT doc_id,
+              CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h
+            FROM toks),
+      v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+      sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM v)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 2
+      ORDER BY id1, id2"""
+    })
+
+  private val embDim = 16
+
+  /** Hashing-embedder SEMANTICS, oracle-exact (q58's family): unigram +
+    * bigram features, signed bucket votes, L2 normalization — the
+    * production kernel's exact shape (`Hashing.hashEmbed`) driven
+    * through md5-derived hashes in the double domain so DuckDB
+    * reproduces every vector component. Integer vote sums commute
+    * exactly; the one double division per component is IEEE-identical.
+    */
+  val q88EmbedSemantics: QueryCase = QueryCase(
+    "q88_embed_semantics",
+    (s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") < 50)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 0)
+        .withColumn("grams", concat(col("tk"),
+          zip_with(slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => concat(a, lit(" "), b))))
+        .withColumn("h", transform(col("grams"), g =>
+          conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long")))
+      val accs = (0 until embDim).map { j =>
+        aggregate(col("h"), lit(0L), (acc, x) =>
+          acc + when(pmod(x, lit(embDim.toLong)) === j,
+            when(shiftright(x, 8).bitwiseAND(lit(1L)) === 1L, 1L)
+              .otherwise(-1L)).otherwise(0L)).as(s"a$j")
+      }
+      val withAcc = base.select((col("doc_id") +: accs): _*)
+      val norm = sqrt((0 until embDim).map(j =>
+        (col(s"a$j") * col(s"a$j")).cast("double")).reduce(_ + _))
+      withAcc.withColumn("n", norm)
+        .select(col("doc_id"), posexplode(array((0 until embDim).map(j =>
+          round(when(col("n") === 0d, 0d)
+            .otherwise(col(s"a$j").cast("double") / col("n")), 6)): _*))
+          .as(Seq("pos", "val")))
+        .orderBy("doc_id", "pos")
+    },
+    Some {
+      s"""
+      WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                 x -> x <> '') AS tk
+        FROM documents WHERE doc_id < 50),
+      grams AS (
+        SELECT doc_id,
+               tk || CASE WHEN LEN(tk) >= 2
+                 THEN [tk[i] || ' ' || tk[i+1] for i in range(1, LEN(tk))]
+                 ELSE CAST([] AS VARCHAR[]) END AS g
+        FROM base WHERE LEN(tk) > 0),
+      h AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(u.g), 1, 8)) AS BIGINT) AS h
+        FROM grams, UNNEST(g) AS u(g)),
+      votes AS (
+        SELECT doc_id, h % $embDim AS pos,
+               SUM(CASE WHEN (h >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+        FROM h GROUP BY doc_id, h % $embDim),
+      positions AS (
+        SELECT CAST(u.p AS INT) AS pos FROM UNNEST(range(0, $embDim)) AS u(p)),
+      full_grid AS (
+        SELECT dg.doc_id, dg.pos, COALESCE(v.acc, 0) AS acc
+        FROM (SELECT d.doc_id, p.pos
+              FROM (SELECT DISTINCT doc_id FROM votes) d CROSS JOIN positions p) dg
+        LEFT JOIN votes v ON v.doc_id = dg.doc_id AND v.pos = dg.pos),
+      norms AS (
+        SELECT doc_id, sqrt(SUM(CAST(acc AS DOUBLE) * CAST(acc AS DOUBLE)))
+          AS n
+        FROM full_grid GROUP BY doc_id)
+      SELECT g.doc_id, g.pos,
+             ROUND(CASE WHEN n.n = 0 THEN 0.0
+               ELSE CAST(g.acc AS DOUBLE) / n.n END, 6) AS val
+      FROM full_grid g JOIN norms n ON g.doc_id = n.doc_id
+      ORDER BY g.doc_id, g.pos"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q80AnnLsh, q81PpmTiles, q82WindowedAgg, q83SaltedSkew,
-      q84PositionalPhrase, q85MinhashEstimator, q86Ratcliff)
+      q84PositionalPhrase, q85MinhashEstimator, q86Ratcliff,
+      q87SimhashSemantics, q88EmbedSemantics)
 }
