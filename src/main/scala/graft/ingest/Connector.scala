@@ -101,22 +101,29 @@ object Connector {
     */
   def planSync(tokens: DataFrame, rejections: DataFrame): DataFrame = {
     val keys = Seq("tenant_id", "connector_id", "drive_id")
+    val hasClass = rejections.columns.contains("error_class")
     val err = lower(coalesce(col("error"), lit("")))
     val tokenRejected = err.contains("token") &&
       (err.contains("invalid") || err.contains("expired"))
     // per-row precedence: a typed class decides where present; an
-    // unclassified (null) row still gets the string fallback — matching
-    // the reference, where the string check runs exactly when no typed
-    // error was raised
+    // unclassified (null-class) row still gets the string fallback —
+    // matching the reference, where the string check runs exactly when
+    // no typed error was raised
     val resync =
-      if (rejections.columns.contains("error_class"))
+      if (hasClass)
         when(col("error_class").isNotNull,
           col("error_class").isin("invalid_token", "expired_token"))
           .otherwise(tokenRejected)
       else tokenRejected
+    // a row is a rejection when EITHER signal is present — a typed-class
+    // source may leave the message null, and that must not read as a
+    // clean incremental sync
+    val rejectedRow =
+      if (hasClass) col("error").isNotNull || col("error_class").isNotNull
+      else col("error").isNotNull
     tokens.join(rejections, keys, "left")
       .withColumn("mode",
-        when(col("error").isNull, "incremental")
+        when(!rejectedRow, "incremental")
           .when(resync, "full_resync")
           .otherwise("error"))
       .select((keys.map(col) :+ col("token") :+ col("mode")): _*)

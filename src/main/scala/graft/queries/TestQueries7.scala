@@ -243,6 +243,19 @@ object TestQueries7 {
       ORDER BY d.id"""
     })
 
+  /** md5-derived 32-bit base hash — the exchangeable hash the
+    * semantic-oracle family (q85/q87/q88) drives its hash-agnostic math
+    * through: Spark's conv(hex) and DuckDB's '0x' cast compute it
+    * identically, so signature/vote/bucket arithmetic hash-checks across
+    * engines.
+    */
+  private def md5Hash32(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+  private def md5Hash32Sql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
   private val mhK = 16
   private val mhPrime = 4294967311L // smallest prime > 2^32
   private def mhA(j: Int): Long = 1000003L + 2L * j
@@ -267,8 +280,7 @@ object TestQueries7 {
         .select(col("doc_id"), graft.functions.TextFunctions
           .distinctNgramsOfTokens(col("tk"), 5).as("sh"))
         .where(size(col("sh")) > 0)
-        .withColumn("h", transform(col("sh"), x =>
-          conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long")))
+        .withColumn("h", transform(col("sh"), md5Hash32 _))
       val sigCols = (0 until mhK).map { j =>
         array_min(transform(col("h"), x =>
           pmod(lit(mhA(j)) * x + lit(mhB(j)), lit(mhPrime)))).as(s"s$j")
@@ -291,8 +303,7 @@ object TestQueries7 {
       s"""
       WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
-                 x -> x <> '') AS tk
+               $TokensSql AS tk
         FROM documents WHERE doc_id < 500),
       sh AS (
         SELECT doc_id,
@@ -302,8 +313,7 @@ object TestQueries7 {
         FROM toks),
       hx AS (
         SELECT doc_id,
-               list_transform(s, g ->
-                 CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)) AS h
+               list_transform(s, g -> ${md5Hash32Sql("g")}) AS h
         FROM sh WHERE LEN(s) > 0),
       sigs AS (SELECT doc_id, $sigList AS sig FROM hx)
       SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -405,8 +415,7 @@ object TestQueries7 {
         .select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("tk"))
         .where(size(col("tk")) > 0)
-        .withColumn("h", transform(col("tk"), x =>
-          conv(substring(md5(x.cast("binary")), 1, 8), 16, 10).cast("long")))
+        .withColumn("h", transform(col("tk"), md5Hash32 _))
       val sig = (0 until shBits).map { b =>
         val vote = aggregate(col("h"), lit(0L), (acc, x) =>
           acc + (shiftright(x, b).bitwiseAND(lit(1L)) * 2 - 1))
@@ -429,13 +438,10 @@ object TestQueries7 {
       WITH toks AS (
         SELECT doc_id, u.t AS t
         FROM (SELECT doc_id,
-                list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
-                  x -> x <> '') AS tk
+                $TokensSql AS tk
               FROM documents WHERE doc_id < 500),
              UNNEST(tk) AS u(t)),
-      h AS (SELECT doc_id,
-              CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h
-            FROM toks),
+      h AS (SELECT doc_id, ${md5Hash32Sql("t")} AS h FROM toks),
       v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
       sigs AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM v)
       SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -465,8 +471,7 @@ object TestQueries7 {
           zip_with(slice(col("tk"), lit(1), size(col("tk")) - 1),
             slice(col("tk"), lit(2), size(col("tk")) - 1),
             (a, b) => concat(a, lit(" "), b))))
-        .withColumn("h", transform(col("grams"), g =>
-          conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long")))
+        .withColumn("h", transform(col("grams"), md5Hash32 _))
       val accs = (0 until embDim).map { j =>
         aggregate(col("h"), lit(0L), (acc, x) =>
           acc + when(pmod(x, lit(embDim.toLong)) === j,
@@ -487,8 +492,7 @@ object TestQueries7 {
       s"""
       WITH base AS (
         SELECT doc_id,
-               list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
-                 x -> x <> '') AS tk
+               $TokensSql AS tk
         FROM documents WHERE doc_id < 50),
       grams AS (
         SELECT doc_id,
@@ -497,7 +501,7 @@ object TestQueries7 {
                  ELSE CAST([] AS VARCHAR[]) END AS g
         FROM base WHERE LEN(tk) > 0),
       h AS (
-        SELECT doc_id, CAST(('0x' || substr(md5(u.g), 1, 8)) AS BIGINT) AS h
+        SELECT doc_id, ${md5Hash32Sql("u.g")} AS h
         FROM grams, UNNEST(g) AS u(g)),
       votes AS (
         SELECT doc_id, h % $embDim AS pos,

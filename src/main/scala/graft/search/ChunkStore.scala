@@ -33,15 +33,27 @@ object ChunkStore {
     withTitle
       .withColumn("tk", TextFunctions.tokens(col("content")))
       .withColumn("title_tk", TextFunctions.tokens(col("__title")))
+      // positional lexemes (tsvector positions) — the exact-phrase
+      // serving column; the compact A-weight lexeme array is a pure
+      // projection of it (same stopword filter + stem, positions
+      // dropped), so the stem pass runs ONCE per chunk
+      .withColumn("pos_lex", Fts.posLexemesOfTokens(col("tk")))
       .select(
         col("document_id"), col("chunk_index"), col("content"),
         HashingEmbedder.embedTokens(col("tk"), embedDim).as("embedding"),
-        Fts.tsVector(col("tk"), col("title_tk")).as("tsv"),
-        // positional lexemes (tsvector positions) — the exact-phrase
-        // serving column; same one-pass build, rides the same table
-        Fts.posLexemesOfTokens(col("tk")).as("pos_lex"),
-        TextFunctions.tokenCount(col("content")).as("n_tokens"))
+        struct(
+          transform(col("pos_lex"), e => e("lex")).as("a"),
+          Fts.lexemesOfTokens(col("title_tk")).as("b")).as("tsv"),
+        col("pos_lex"),
+        size(col("tk")).as("n_tokens"))
   }
+
+  /** Shared serving tail: score, stable chunk id, ranked top-`limit`. */
+  private def ranked(scored: DataFrame, limit: Int): DataFrame =
+    scored
+      .withColumn("id", concat_ws(":", col("document_id"), col("chunk_index")))
+      .orderBy(desc("score"), col("id")).limit(limit)
+      .select("id", "score")
 
   /** Exact-phrase (websearch) search over the store's positional lexeme
     * column: `<N>` distance skips honored, ranked by ts_rank of the
@@ -51,12 +63,9 @@ object ChunkStore {
   def phraseSearch(chunkTable: DataFrame, queryText: String,
                    limit: Int = 10): DataFrame = {
     val q = Fts.websearchQuery(queryText)
-    chunkTable
+    ranked(chunkTable
       .where(Fts.tsMatchQueryPos(col("pos_lex"), q))
-      .withColumn("score", Fts.tsRankQuery(col("tsv"), q))
-      .withColumn("id", concat_ws(":", col("document_id"), col("chunk_index")))
-      .orderBy(desc("score"), col("id")).limit(limit)
-      .select("id", "score")
+      .withColumn("score", Fts.tsRankQuery(col("tsv"), q)), limit)
   }
 
   /** Keyword-only search over a built chunk table: tsMatch + ts_rank on
@@ -68,12 +77,9 @@ object ChunkStore {
   def keywordSearch(chunkTable: DataFrame, queryText: String,
                     limit: Int = 10): DataFrame = {
     val qLex = Fts.plainQueryLexemes(queryText)
-    chunkTable
+    ranked(chunkTable
       .where(Fts.tsMatch(col("tsv"), qLex))
-      .withColumn("score", Fts.tsRank(col("tsv"), qLex))
-      .withColumn("id", concat_ws(":", col("document_id"), col("chunk_index")))
-      .orderBy(desc("score"), col("id")).limit(limit)
-      .select("id", "score")
+      .withColumn("score", Fts.tsRank(col("tsv"), qLex)), limit)
   }
 
   /** Hybrid search over a built chunk table: cosine leg + ts_rank leg,
@@ -82,19 +88,13 @@ object ChunkStore {
   def hybridSearch(chunkTable: DataFrame, queryText: String,
                    queryVec: Column, limit: Int = 10): DataFrame = {
     val qLex = Fts.plainQueryLexemes(queryText)
-    val vec = chunkTable
+    val vec = ranked(chunkTable
       .withColumn("score",
-        graft.functions.VectorFunctions.cosineSim(col("embedding"), queryVec))
-      .select(col("document_id"), col("chunk_index"), col("score"))
-      .withColumn("id", concat_ws(":", col("document_id"), col("chunk_index")))
-      .orderBy(desc("score"), col("id")).limit(2 * limit)
-      .select("id", "score")
-    val kw = chunkTable
+        graft.functions.VectorFunctions.cosineSim(col("embedding"), queryVec)),
+      2 * limit)
+    val kw = ranked(chunkTable
       .where(Fts.tsMatch(col("tsv"), qLex))
-      .withColumn("score", Fts.tsRank(col("tsv"), qLex))
-      .withColumn("id", concat_ws(":", col("document_id"), col("chunk_index")))
-      .orderBy(desc("score"), col("id")).limit(2 * limit)
-      .select("id", "score")
+      .withColumn("score", Fts.tsRank(col("tsv"), qLex)), 2 * limit)
     graft.operators.Search.rrfFuse(vec, kw, "id",
         Seq(desc("score"), col("id")), Seq(desc("score"), col("id")))
       .orderBy(desc("rrf_score"), col("id")).limit(limit)

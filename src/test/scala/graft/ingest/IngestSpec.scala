@@ -153,17 +153,23 @@ class IngestSpec extends SparkSpec {
     // — but an UNCLASSIFIED (null-class) row keeps the string fallback,
     // so a mixed-source batch can't strand a drive in 'error'
     val mixedTokens = tokens.unionByName(
-      Seq(("t1", "c1", "d4", "tok4"))
+      Seq(("t1", "c1", "d4", "tok4"), ("t1", "c1", "d5", "tok5"),
+        ("t1", "c1", "d6", "tok6"))
         .toDF("tenant_id", "connector_id", "drive_id", "token"))
     val classed = Seq(
       ("t1", "c1", "d1", "invalid token", "token_revoked"),
       ("t1", "c1", "d2", "410 gone", "expired_token"),
-      ("t1", "c1", "d4", "Invalid Value: start page token expired", null))
+      ("t1", "c1", "d4", "Invalid Value: start page token expired", null),
+      // typed-class sources may leave the message null entirely: the
+      // class alone must classify (never read as a clean incremental)
+      ("t1", "c1", "d5", null, "expired_token"),
+      ("t1", "c1", "d6", null, "token_revoked"))
       .toDF("tenant_id", "connector_id", "drive_id", "error", "error_class")
     val classedModes = Connector.planSync(mixedTokens, classed).collect()
       .map(r => r.getAs[String]("drive_id") -> r.getAs[String]("mode")).toMap
     assert(classedModes == Map("d1" -> "error", "d2" -> "full_resync",
-      "d3" -> "incremental", "d4" -> "full_resync"))
+      "d3" -> "incremental", "d4" -> "full_resync",
+      "d5" -> "full_resync", "d6" -> "error"))
   }
 
   test("validation: magic bytes vs extension, size, empty") {
