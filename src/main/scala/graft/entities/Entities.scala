@@ -52,18 +52,31 @@ object Entities {
                     entities: DataFrame): DataFrame = {
     val refs = entityDocs.groupBy(col("entity_id").as("rid"))
       .agg(count(lit(1)).as("refs"))
+    // reference-count tie-break: the EARLIER-created entity survives
+    // (`resolution.py:77-104`); entity frames here carry created_at or,
+    // for the candidate shape, updated_at — use whichever exists
+    val tsCol =
+      if (entities.columns.contains("created_at")) "created_at"
+      else "updated_at"
+    val created = entities.select(col("id").as("cid"), col(tsCol).as("cts"))
     def side(idCol: String, out: String) =
       pairs.join(refs, pairs(idCol) === refs("rid"), "left")
         .select(pairs("*"), coalesce(col("refs"), lit(0L)).as(out)).drop("rid")
     val withA = side("entity_id", "refs_a")
     val withBoth = withA.join(refs, withA("duplicate_id") === refs("rid"), "left")
       .select(withA("*"), coalesce(col("refs"), lit(0L)).as("refs_b")).drop("rid")
-    withBoth.withColumn("canonical_id",
-        when(col("refs_b") > col("refs_a"), col("duplicate_id"))
-          .otherwise(col("entity_id")))
+    val withTs = withBoth
+      .join(created, withBoth("entity_id") === created("cid"), "left")
+      .select(withBoth("*"), col("cts").as("ts_a")).drop("cid")
+      .join(created, col("duplicate_id") === created("cid"), "left")
+      .select(col("*"), col("cts").as("ts_b")).drop("cid", "cts")
+    val dupWins = (col("refs_b") > col("refs_a")) ||
+      (col("refs_b") === col("refs_a") && col("ts_b") < col("ts_a"))
+    withTs.withColumn("canonical_id",
+        when(dupWins, col("duplicate_id")).otherwise(col("entity_id")))
       .withColumn("merged_id",
-        when(col("refs_b") > col("refs_a"), col("entity_id"))
-          .otherwise(col("duplicate_id")))
+        when(dupWins, col("entity_id")).otherwise(col("duplicate_id")))
+      .drop("ts_a", "ts_b")
   }
 
   /** C29: attribute merge, newer-wins (`resolution.py:107-137,260-268`):
@@ -108,11 +121,26 @@ object Entities {
     var changed = true
     var iter = 0
     while (changed && iter < 10) {
-      val next = mapping.as("m").join(
+      val chased = mapping.as("m").join(
           mapping.select(col("merged_id").as("c2"), col("canonical_id").as("root")).as("r"),
           col("m.canonical_id") === col("c2"), "left")
         .select(col("m.merged_id"),
           coalesce(col("root"), col("m.canonical_id")).as("canonical_id"))
+      // union-find collapse: an entity merged toward TWO roots means the
+      // roots are transitively the same entity — keep the min root for
+      // the row and redirect the losing roots to it, so their own
+      // documents follow on the next chase (a diamond a→b, a→c yields
+      // a→min(b,c) AND max(b,c)→min(b,c), never two survivors)
+      val minRoot = chased.groupBy("merged_id")
+        .agg(min(col("canonical_id")).as("mr"))
+      val collapsed = chased.join(minRoot, "merged_id")
+      val rootEdges = collapsed.where(col("canonical_id") =!= col("mr"))
+        .select(col("canonical_id").as("merged_id"), col("mr").as("canonical_id"))
+      val next = collapsed
+        .select(col("merged_id"), col("mr").as("canonical_id"))
+        .unionByName(rootEdges)
+        .where(col("merged_id") =!= col("canonical_id"))
+        .distinct()
         .localCheckpoint(true)
       changed = next.except(mapping).limit(1).count() > 0
       mapping = next

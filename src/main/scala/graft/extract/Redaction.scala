@@ -55,9 +55,14 @@ object Redaction {
     else {
       val keep = keepDomains.map(d => java.util.regex.Pattern.quote(d))
         .mkString("|")
-      // negative lookahead on the kept domains
+      // negative lookahead on the kept domains; the kept domain must END
+      // at the match — a following label character (or dot/dash + alnum,
+      // i.e. a longer domain like example.com.evil.net) means this is NOT
+      // the kept domain and the address must redact. A bare trailing
+      // period (sentence end) still counts as kept.
       regexp_replace(c,
-        s"(?![A-Za-z0-9._%+-]+@(?:$keep)\\b)$EmailRe", "[EMAIL]")
+        s"(?![A-Za-z0-9._%+-]+@(?:$keep)(?![A-Za-z0-9]|[.-][A-Za-z0-9]))$EmailRe",
+        "[EMAIL]")
     }
   }
 

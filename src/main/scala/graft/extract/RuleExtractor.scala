@@ -95,8 +95,12 @@ object RuleExtractor {
         graft.functions.Normalizers.normalizeBoolean(raw).cast("string"))
       .when(col("ftype") === "float", raw.try_cast("double").cast("string"))
       .when(col("ftype") === "enum", enumChain)
+      // an empty normalized list is a parse FAILURE (nullif: concat_ws of
+      // an empty array is '' — non-null — which would score 0.9 instead
+      // of 0.45; the DuckDB mirror's array_to_string([]) is already NULL)
       .when(col("ftype") === "list",
-        concat_ws(";", graft.functions.Normalizers.normalizeListOfStrings(raw)))
+        nullif(concat_ws(";",
+          graft.functions.Normalizers.normalizeListOfStrings(raw)), lit("")))
       .otherwise(trim(raw))
     exploded
       .withColumn("norm_value", norm)

@@ -76,8 +76,10 @@ object Normalizers {
     val t = trim(c)
     val cleaned = regexp_replace(t, "[,\\s]", "")
     val d = cleaned.try_cast("double")
+    // try_cast keeps the NULL-on-failure contract under ANSI mode: a
+    // value past Long range (or ±Inf) must yield NULL, not kill the batch
     when(c.isNull || nullWordGuard(t) || d.isNull || isnan(d), lit(null: java.lang.Long))
-      .otherwise(d.cast("long"))
+      .otherwise(d.try_cast("long"))
   }
 
   /** C4 `normalize_percent` (`normalizers.py:162-209`): "7%" → 0.07;

@@ -173,9 +173,15 @@ object Dedup {
     val rowsPerBand = k / bands
     val toks = spread(df).select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("tk"))
-    val sigs = toks.select(col("id"),
-      MinHash.signature(
-        TextFunctions.distinctNgramsOfTokens(col("tk"), shingleN), k).as("sig"))
+    // shingle-less docs (shorter than shingleN tokens) produce the empty
+    // signature, which would band identically and report unrelated short
+    // docs as est=1.0 duplicates — drop them, same guard as the verified
+    // variant; the shingle array is bound before the signature HOF
+    val shingled = toks.select(col("id"),
+        TextFunctions.distinctNgramsOfTokens(col("tk"), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sigs = shingled.select(col("id"),
+      MinHash.signature(col("sh"), k).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(MinHash.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     val pairs = pairsWithinBuckets(banded, Seq(col("bk")),
@@ -210,9 +216,13 @@ object Dedup {
       // verify to 0/0 = NaN, which Spark orders ABOVE the threshold —
       // they carry no dedup evidence, drop them before banding
       .where(size(col("sh")) > 0)
-    val banded = shingled.select(col("id"),
-      explode(MinHash.bandKeys(MinHash.signature(col("sh"), k), bands,
-        k / bands)).as("bk"))
+    // bind the signature to an attribute before the bandKeys HOF —
+    // an interpreted lambda re-evaluates captured subtrees per band,
+    // which would recompute the full k-hash signature bands times
+    val withSig = shingled.select(col("id"),
+      MinHash.signature(col("sh"), k).as("sig"))
+    val banded = withSig.select(col("id"),
+      explode(MinHash.bandKeys(col("sig"), bands, k / bands)).as("bk"))
     val cand = pairsWithinBuckets(banded, Seq(col("bk")),
         struct(col("id")), maxBucket)
       .select(col("p1.id").as("id1"), col("p2.id").as("id2"))

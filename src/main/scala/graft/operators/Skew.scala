@@ -11,6 +11,21 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic salt from a high-cardinality column of the salted
+    * side (its primary key, never the join key — the salt must spread a
+    * hot key, not follow it). Deterministic salts keep salted plans
+    * reproducible run-to-run (the q83 oracle relies on it; routing never
+    * changes results either way).
+    */
+  private def saltOf(saltBy: Column, n: Int): Column =
+    pmod(hash(saltBy), lit(n))
+
+  /** Row-position salt for callers without a stable column: fine for
+    * routing, not reproducible across runs.
+    */
+  private def positionSalt(n: Int): Column =
+    pmod(spark_partition_id() + monotonically_increasing_id(), lit(n))
+
   /** Two-phase salted aggregation: partial aggregate on (keys, salt) —
     * spreading a hot key over `saltBuckets` tasks — then final aggregate
     * on the keys. `partialAggs` must be decomposable (sum/count/min/max);
@@ -18,9 +33,10 @@ object Skew {
     * visible and type-checked.
     */
   def saltedAgg(df: DataFrame, keys: Seq[String], saltBuckets: Int,
-                partialAggs: Seq[Column], finalAggs: Seq[Column]): DataFrame = {
+                partialAggs: Seq[Column], finalAggs: Seq[Column],
+                saltBy: Option[Column] = None): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      saltBy.map(saltOf(_, saltBuckets)).getOrElse(positionSalt(saltBuckets)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -38,17 +54,33 @@ object Skew {
         sum(col(valueCol).cast("decimal(18,2)")).as("__partial")),
       finalAggs = Seq(sum(col("__partial")).cast("double").as(outCol)))
 
-  /** Skewed-join salting: replicate the small side `saltBuckets` times
-    * and salt the big side, so a hot join key spreads across tasks.
-    * Exact same join result, `saltBuckets`× small-side duplication cost.
+  /** Deterministic-salt two-phase sum of an already-exact column (the
+    * q83 gate shape: re-association is lossless, the oracle is the
+    * unsalted SQL).
     */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 saltBuckets: Int = 16): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()),
-        lit(saltBuckets)))
-    val replicatedSmall = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(saltBuckets - 1))))
-    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: Column,
+                saltBy: Column, nSalts: Int, as: String): DataFrame =
+    saltedAgg(df, keys, nSalts,
+      partialAggs = Seq(sum(valueCol).as("__partial")),
+      finalAggs = Seq(sum(col("__partial")).as(as)),
+      saltBy = Some(saltBy))
+
+  /** Skew-safe equi-join: the large side's hot keys spread across
+    * `nSalts` shuffle partitions by a deterministic salt from `saltBy`;
+    * the small side is replicated once per salt. Output = the plain
+    * equi-join, exactly.
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltBy: Column, nSalts: Int): DataFrame = {
+    val salted = large.withColumn("__salt", saltOf(saltBy, nSalts))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
+
+  /** Convenience overload with a row-position salt. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltBuckets: Int = 16): DataFrame =
+    saltedJoin(big, small, Seq(key),
+      spark_partition_id() + monotonically_increasing_id(), saltBuckets)
 }

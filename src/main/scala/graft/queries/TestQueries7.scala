@@ -166,9 +166,9 @@ object TestQueries7 {
           col("o_totalprice").cast("decimal(18,2)").as("p"))
       val customer = t(s, dir, "customer")
         .select(col("c_custkey").as("o_custkey"), col("c_name"))
-      val joined = graft.operators.Salting.saltedJoin(
+      val joined = graft.operators.Skew.saltedJoin(
         orders, customer, Seq("o_custkey"), col("o_orderkey"), nSalts = 8)
-      graft.operators.Salting.saltedSum(
+      graft.operators.Skew.saltedSum(
           joined, Seq("o_custkey", "c_name"), col("p"),
           col("o_orderkey"), nSalts = 8, as = "total")
         .select(col("o_custkey"), col("c_name"),

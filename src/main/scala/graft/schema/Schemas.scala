@@ -27,8 +27,8 @@ object Schemas {
 
   /** `002_feature_flags.sql:6-24` */
   val featureFlags: StructType = ddl(
-    "id STRING, flag_key STRING, description STRING, default_enabled BOOLEAN, " +
-      "created_at TIMESTAMP")
+    "id STRING, name STRING, description STRING, enabled_default BOOLEAN, " +
+      "created_at TIMESTAMP, updated_at TIMESTAMP")
   val tenantFeatureFlags: StructType = ddl(
     "id STRING, tenant_id STRING, flag_id STRING, enabled BOOLEAN, " +
       "created_at TIMESTAMP")

@@ -36,23 +36,21 @@ object Reranker {
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy(desc(orderCol), col(idCol))
     val withRank = ranked.withColumn("__rank", row_number().over(w))
+    // per-section ordinal instead of a cast-to-double tiebreak struct:
+    // the id column keeps its NATIVE type in the head's ordering (a
+    // string chunk id would throw under ANSI on a double cast; numeric
+    // ids order identically either way), and the tail reuses its rank
     val head = withRank.where(col("__rank") <= k)
       .withColumn("rerank_score", scorer)
       .withColumn("__section", lit(0))
-      .withColumn("__order", desc_order(col("rerank_score"), col(idCol)))
+      .withColumn("__order", row_number().over(Window.orderBy(
+        coalesce(col("rerank_score"), lit(0.0)).desc, col(idCol))))
     val tail = withRank.where(col("__rank") > k)
       .withColumn("rerank_score", lit(null).cast("double"))
       .withColumn("__section", lit(1))
-      .withColumn("__order",
-        struct(lit(0.0).as("s"), col("__rank").cast("double").as("t")))
+      .withColumn("__order", col("__rank"))
     head.unionByName(tail)
       .orderBy(col("__section"), col("__order"))
       .drop("__rank", "__section", "__order")
   }
-
-  // sortable struct: (negated score, tiebreak) so ascending struct order
-  // equals descending score order
-  private def desc_order(score: Column, tie: Column): Column =
-    struct((lit(0.0) - coalesce(score, lit(0.0))).as("s"),
-      tie.cast("double").as("t"))
 }

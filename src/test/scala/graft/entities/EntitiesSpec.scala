@@ -68,6 +68,36 @@ class EntitiesSpec extends SparkSpec {
     assert(redirected == Set(("a3", "d1"), ("a3", "d2"), ("b1", "d3")))
   }
 
+  test("pickCanonical tie-break: equal refs -> earlier-created survives") {
+    import spark.implicits._
+    val pairs = Seq(("e_new", "e_old")).toDF("entity_id", "duplicate_id")
+    val docs = Seq(("e_new", "d1"), ("e_old", "d2"))
+      .toDF("entity_id", "document_id")
+    val ents = Seq(
+      ("e_new", "2024-06-01 00:00:00"),
+      ("e_old", "2024-01-01 00:00:00"))
+      .toDF("id", "created_at")
+      .withColumn("created_at", col("created_at").cast("timestamp"))
+    val picked = Entities.pickCanonical(pairs, docs, ents).head()
+    assert(picked.getAs[String]("canonical_id") == "e_old")
+    assert(picked.getAs[String]("merged_id") == "e_new")
+  }
+
+  test("mergeChains diamond: one merged into two roots yields ONE survivor") {
+    import spark.implicits._
+    // a merged toward both b and c: b and c are transitively the same
+    // entity — the min root must win and the losing root must redirect
+    val mapping = Entities.mergeChains(
+      Seq(("a", "b"), ("a", "c")).toDF("merged_id", "canonical_id"))
+    val m = mapping.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m == Map("a" -> "b", "c" -> "b"))
+    val docs = Seq(("a", "d1"), ("b", "d2"), ("c", "d3"))
+      .toDF("entity_id", "document_id")
+    val redirected = Entities.redirectReferences(docs, mapping)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(redirected == Set(("b", "d1"), ("b", "d2"), ("b", "d3")))
+  }
+
   test("entity graph: ancestor closure, rollup, typed 1-hop, cycle cut") {
     import spark.implicits._
     val entities = Seq(

@@ -167,4 +167,17 @@ class ExtractSpec extends SparkSpec {
       .select(Redaction.redactText(col("s"))).head().getString(0)
     assert(twice == red)
   }
+
+  test("kept-domain exception requires the WHOLE domain, not a prefix") {
+    import spark.implicits._
+    def redact(s: String): String = Seq(s).toDF("s")
+      .select(Redaction.redactEmails(col("s"))).head().getString(0)
+    // a domain that merely STARTS with a kept domain must still redact
+    assert(redact("mail a@example.com.evil.net now") ==
+      "mail [EMAIL] now")
+    assert(redact("mail a@example.community now") == "mail [EMAIL] now")
+    // the genuine kept domain survives, including at sentence end
+    assert(redact("mail ceo@example.com now") == "mail ceo@example.com now")
+    assert(redact("mail ceo@example.com. Next") == "mail ceo@example.com. Next")
+  }
 }

@@ -3,6 +3,8 @@ package graft.operators
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+/** Deterministic-salt variants (the q83 gate shape); the position-salt
+  * forms are covered by SkewSpec. */
 class SaltingSpec extends SparkSpec {
 
   private def skewed = {
@@ -22,11 +24,11 @@ class SaltingSpec extends SparkSpec {
   test("salted join: results identical to the plain join, dim replicated") {
     val plain = skewed.join(dim, "key")
       .select("row_id", "key", "name").collect().toSet
-    val salted = Salting.saltedJoin(skewed, dim, Seq("key"),
+    val salted = Skew.saltedJoin(skewed, dim, Seq("key"),
         col("row_id"), nSalts = 4)
       .select("row_id", "key", "name").collect().toSet
     assert(salted == plain)
-    val p = Salting.saltedJoin(skewed, dim, Seq("key"), col("row_id"), 4)
+    val p = Skew.saltedJoin(skewed, dim, Seq("key"), col("row_id"), 4)
       .queryExecution.executedPlan.toString
     assert(p.contains("Generate"), s"small side must replicate per salt:\n$p")
   }
@@ -46,7 +48,7 @@ class SaltingSpec extends SparkSpec {
     val df = skewed.withColumn("p", col("v").cast("decimal(18,2)"))
     val direct = df.groupBy("key").agg(sum("p").as("t"))
       .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
-    val salted = Salting.saltedSum(df, Seq("key"), col("p"),
+    val salted = Skew.saltedSum(df, Seq("key"), col("p"),
         col("row_id"), nSalts = 4, as = "t")
       .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
     assert(salted == direct)

@@ -134,13 +134,13 @@ class PlanQualitySpec extends SparkSpec {
     val customer = spark.read.parquet(s"$dir/customer.parquet")
       .select("c_custkey", "c_name")
       .withColumnRenamed("c_custkey", "o_custkey")
-    graft.sources.Bucketing.writeBucketed(orders, "b_orders", "o_custkey", 4)
-    graft.sources.Bucketing.writeBucketed(customer, "b_customer", "o_custkey", 4)
+    graft.sources.PartitionedWriter.writeBucketed(orders, "b_orders", "o_custkey", 4)
+    graft.sources.PartitionedWriter.writeBucketed(customer, "b_customer", "o_custkey", 4)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = graft.sources.Bucketing
-        .coLocatedJoin(spark, "b_orders", "b_customer", "o_custkey")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), "o_custkey")
       val p = joined.queryExecution.executedPlan.toString
       assert(!p.contains("Exchange hashpartitioning"),
         s"bucketed join must not shuffle either side:\n$p")
