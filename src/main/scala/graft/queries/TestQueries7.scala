@@ -274,18 +274,23 @@ object TestQueries7 {
   val q85MinhashEstimator: QueryCase = QueryCase(
     "q85_minhash_estimator",
     (s, dir) => {
-      val base = t(s, dir, "documents").where(col("doc_id") < 500)
+      // explode → hash-aggregate min: stays in whole-stage codegen (the
+      // HOF fold form ran 16 interpreted passes per row); min over the
+      // exploded group ≡ array_min over the transformed array.
+      val exploded = t(s, dir, "documents").where(col("doc_id") < 500)
         .select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("tk"))
         .select(col("doc_id"), graft.functions.TextFunctions
           .distinctNgramsOfTokens(col("tk"), 5).as("sh"))
         .where(size(col("sh")) > 0)
-        .withColumn("h", transform(col("sh"), md5Hash32 _))
+        .select(col("doc_id"), explode(col("sh")).as("g"))
+        .select(col("doc_id"), md5Hash32(col("g")).as("h"))
       val sigCols = (0 until mhK).map { j =>
-        array_min(transform(col("h"), x =>
-          pmod(lit(mhA(j)) * x + lit(mhB(j)), lit(mhPrime)))).as(s"s$j")
+        min(pmod(lit(mhA(j)) * col("h") + lit(mhB(j)), lit(mhPrime)))
+          .as(s"s$j")
       }
-      val sigs = base.select((col("doc_id") +: sigCols): _*)
+      val sigs = exploded.groupBy("doc_id")
+        .agg(sigCols.head, sigCols.tail: _*)
       val matches = (0 until mhK).map(j =>
         when(col(s"x.s$j") === col(s"y.s$j"), 1).otherwise(0))
         .reduce(_ + _)
@@ -411,17 +416,24 @@ object TestQueries7 {
   val q87SimhashSemantics: QueryCase = QueryCase(
     "q87_simhash_semantics",
     (s, dir) => {
-      val base = t(s, dir, "documents").where(col("doc_id") < 500)
+      // explode → hash-aggregate votes: 32 codegen'd conditional sums in
+      // one pass (the HOF form ran 32 interpreted folds per row); integer
+      // vote sums commute, so the signature is bit-identical.
+      val exploded = t(s, dir, "documents").where(col("doc_id") < 500)
         .select(col("doc_id"),
           graft.functions.TextFunctions.tokens(col("text")).as("tk"))
         .where(size(col("tk")) > 0)
-        .withColumn("h", transform(col("tk"), md5Hash32 _))
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
+        .select(col("doc_id"), md5Hash32(col("tok")).as("h"))
+      val voteCols = (0 until shBits).map { b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$b")
+      }
+      val votes = exploded.groupBy("doc_id")
+        .agg(voteCols.head, voteCols.tail: _*)
       val sig = (0 until shBits).map { b =>
-        val vote = aggregate(col("h"), lit(0L), (acc, x) =>
-          acc + (shiftright(x, b).bitwiseAND(lit(1L)) * 2 - 1))
-        when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
-      val sigs = base.select(col("doc_id"), sig.as("sig"))
+      val sigs = votes.select(col("doc_id"), sig.as("sig"))
       sigs.as("x").join(sigs.as("y"), col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
           bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
@@ -471,14 +483,17 @@ object TestQueries7 {
           zip_with(slice(col("tk"), lit(1), size(col("tk")) - 1),
             slice(col("tk"), lit(2), size(col("tk")) - 1),
             (a, b) => concat(a, lit(" "), b))))
-        .withColumn("h", transform(col("grams"), md5Hash32 _))
+      // explode → hash-aggregate bucket votes (one codegen'd pass; the
+      // HOF form ran 16 interpreted folds per row). Integer sums commute.
+      val exploded = base
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+        .select(col("doc_id"), md5Hash32(col("g")).as("h"))
       val accs = (0 until embDim).map { j =>
-        aggregate(col("h"), lit(0L), (acc, x) =>
-          acc + when(pmod(x, lit(embDim.toLong)) === j,
-            when(shiftright(x, 8).bitwiseAND(lit(1L)) === 1L, 1L)
-              .otherwise(-1L)).otherwise(0L)).as(s"a$j")
+        sum(when(pmod(col("h"), lit(embDim.toLong)) === j,
+          when(shiftright(col("h"), 8).bitwiseAND(lit(1L)) === 1L, 1L)
+            .otherwise(-1L)).otherwise(0L)).as(s"a$j")
       }
-      val withAcc = base.select((col("doc_id") +: accs): _*)
+      val withAcc = exploded.groupBy("doc_id").agg(accs.head, accs.tail: _*)
       val norm = sqrt((0 until embDim).map(j =>
         (col(s"a$j") * col(s"a$j")).cast("double")).reduce(_ + _))
       withAcc.withColumn("n", norm)
