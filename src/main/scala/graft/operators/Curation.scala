@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic split assignment,
+  * per-domain caps, benchmark decontamination, and token-budget sequence
+  * packing. These are the corpus-preparation steps a large-scale training
+  * pipeline runs after dedup/quality scoring (none exist in the reference —
+  * they extend the engine's surface per the brief's LLM-pipeline mandate).
+  *
+  * Scale posture, 100 TB: every operator here is a pure declarative plan —
+  * split assignment is a stateless hash projection (no shuffle);
+  * per-key caps are one window over a hash-partitioned shuffle;
+  * decontamination joins HASHED n-grams (8-byte keys, not strings) and the
+  * eval side of the join is benchmark-sized → broadcast; packing folds
+  * per-shard sorted arrays, so memory is bounded by the largest shard, not
+  * the corpus (choose shards accordingly — e.g. source × date).
+  */
+object Curation {
+
+  /** 32-bit md5-derived bucket in [0, m) of a column's string form —
+    * deterministic across engines (DuckDB computes the identical value via
+    * `CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % m`), stable across
+    * runs/partitionings, and uniform enough for split assignment.
+    */
+  def hashBucket(c: Column, m: Int): Column =
+    pmod(conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long"), lit(m.toLong))
+
+  /** Deterministic train/val/test assignment by id hash. `weights` are
+    * integer percentages summing to ≤100 (any remainder falls into the
+    * last split). A doc's split never changes as the corpus grows —
+    * the property that keeps eval sets stable across pipeline re-runs.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum <= 100,
+      "weights must be percentages summing to <= 100")
+    val b = hashBucket(col(idCol), 100)
+    val cuts = weights.scanLeft(0)(_ + _._2).tail
+    val expr = weights.zip(cuts).init.foldRight(
+      lit(weights.last._1): Column) { case (((name, _), cut), acc) =>
+      when(b < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Keep at most `n` rows per key, ordered by `order` (callers must make
+    * the ordering total — include an id tie-break). The per-domain cap of
+    * a crawl-curation pipeline: one hash shuffle on the key, one window.
+    */
+  def perKeyCap(df: DataFrame, keyCol: String, order: Seq[Column],
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= n)
+  }
+
+  /** Distinct word n-gram shingles of a text column, hashed to 32-bit
+    * md5-derived longs — the join currency of [[contamination]].
+    */
+  private def hashedGrams(textCol: Column, n: Int): Column =
+    transform(
+      graft.functions.TextFunctions.distinctNgramsOfTokens(
+        graft.functions.TextFunctions.tokens(textCol), n),
+      g => conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long"))
+
+  /** Benchmark decontamination: for each training doc, count the distinct
+    * n-gram shingles (and distinct eval docs) it shares with the eval
+    * corpus. Downstream drops or flags any doc with n_shared > 0.
+    *
+    * The join runs on 8-byte hashes, not gram strings (shuffle bytes), and
+    * the eval side is benchmark-sized → broadcast it; the train side then
+    * never shuffles. 32-bit hashes admit ~1/2^32 per-pair false positives —
+    * acceptable for a drop-list; verify exact grams afterwards if not.
+    */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def explodeGrams(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out),
+          explode(hashedGrams(col(textCol), n)).as("h"))
+    val t = explodeGrams(train, "doc_id")
+    val e = explodeGrams(eval, "eval_id")
+    t.join(broadcast(e), "h")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** Greedy token-budget sequence packing, per shard: docs are taken in
+    * ascending `idCol` order; a doc opens a new sequence when adding it
+    * would exceed `budget` (a doc alone over budget still gets placed —
+    * sequence boundaries never split a doc). Returns (shard, id, tokens,
+    * seq) with seq numbered from 1 per shard.
+    *
+    * The fold is per-shard sequential by nature (each placement depends on
+    * the running total), so the operator collects each shard into one
+    * sorted array and folds it once — distributed ACROSS shards, memory
+    * bounded by the largest shard. That is the standard packing shape in
+    * training pipelines (pack within a shard/file, never globally).
+    */
+  def packSequences(df: DataFrame, shardCol: String, idCol: String,
+      tokensCol: Column, budget: Int): DataFrame = {
+    val docs = df.select(col(shardCol).as("shard"),
+      col(idCol).cast("long").as("id"), tokensCol.cast("long").as("tok"))
+    val packed = docs
+      .groupBy("shard")
+      .agg(array_sort(collect_list(struct(col("id"), col("tok")))).as("ds"))
+      .withColumn("st",
+        aggregate(col("ds"),
+          struct(lit(0L).as("acc"), lit(1L).as("seq"),
+            array().cast("array<struct<id:long,tok:long,seq:long>>").as("out")),
+          (st, x) => {
+            val tok = x.getField("tok")
+            val over = st.getField("acc") > 0 &&
+              st.getField("acc") + tok > budget
+            val seq = when(over, st.getField("seq") + 1)
+              .otherwise(st.getField("seq"))
+            val acc = when(over, tok).otherwise(st.getField("acc") + tok)
+            struct(acc.as("acc"), seq.as("seq"),
+              concat(st.getField("out"), array(struct(
+                x.getField("id").as("id"), tok.as("tok"),
+                seq.as("seq")))).as("out"))
+          }))
+      .select(col("shard"), explode(col("st.out")).as("d"))
+    packed.select(col("shard"), col("d.id").as("id"),
+      col("d.tok").as("tok"), col("d.seq").as("seq"))
+  }
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.operators.Curation
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-5 gate queries: the training-data curation surface — deterministic
+  * split assignment, per-domain caps, benchmark decontamination, and
+  * token-budget sequence packing (`operators.Curation`). All four are
+  * DuckDB-oracle-exact: the split/contamination hashes are md5-derived (the
+  * q85-family discipline), packing is mirrored by a recursive CTE.
+  */
+object TestQueries8 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+  private def bucketSql(expr: String): String =
+    s"CAST(('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+  /** Deterministic stratified split accounting: 80/10/10 train/val/test by
+    * id hash, counted per language. Pins that a doc's assignment is a pure
+    * function of its id (stable across runs and corpus growth).
+    */
+  val q89SplitAssign: QueryCase = QueryCase(
+    "q89_split_assign",
+    (s, dir) => {
+      val d = Curation.assignSplit(t(s, dir, "documents"), "doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      d.groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .withColumn("share", round(
+          col("n") / sum(col("n")).over(Window.partitionBy("lang")), 6))
+        .orderBy("lang", "split")
+    },
+    Some(s"""
+      WITH b AS (
+        SELECT lang,
+               CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+                    WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+      SELECT lang, split, COUNT(*) AS n,
+             ROUND(CAST(COUNT(*) AS DOUBLE) /
+               SUM(COUNT(*)) OVER (PARTITION BY lang), 6) AS share
+      FROM b GROUP BY lang, split ORDER BY lang, split"""))
+
+  /** Per-domain curation cap: keep the top 3 docs per source by length
+    * (id tie-break) — the crawl-pipeline guard against any one domain
+    * dominating the corpus.
+    */
+  val q90DomainCap: QueryCase = QueryCase(
+    "q90_domain_cap",
+    (s, dir) => {
+      Curation.perKeyCap(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", Seq(col("n_chars").desc, col("doc_id").asc), 3)
+        .orderBy("source", "rk")
+    },
+    Some("""
+      SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 3 ORDER BY source, rk"""))
+
+  /** Benchmark decontamination: eval set = doc_id % 11 = 0; flag every
+    * training doc sharing a distinct 4-gram shingle with it, with shared-
+    * shingle and eval-doc counts. The join runs on md5-derived 32-bit gram
+    * hashes (8-byte shuffle keys; identical in both engines).
+    */
+  val q91Decontaminate: QueryCase = QueryCase(
+    "q91_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.contamination(
+          docs.where(col("doc_id") % 11 =!= 0),
+          docs.where(col("doc_id") % 11 === 0),
+          "doc_id", "text", 4)
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      g AS (
+        SELECT doc_id, list_distinct(CASE WHEN LEN(tk) >= 4
+          THEN [array_to_string(tk[i:i+3], ' ') for i in range(1, LEN(tk)-2)]
+          ELSE CAST([] AS VARCHAR[]) END) AS gs
+        FROM tk),
+      h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(u.g), 1, 8)) AS BIGINT) AS h
+        FROM g, UNNEST(gs) AS u(g))
+      SELECT t.doc_id, COUNT(DISTINCT t.h) AS n_shared,
+             COUNT(DISTINCT e.doc_id) AS n_eval_docs
+      FROM (SELECT * FROM h WHERE doc_id % 11 <> 0) t
+      JOIN (SELECT doc_id, h FROM h WHERE doc_id % 11 = 0) e USING (h)
+      GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
+  /** Token-budget sequence packing (budget 256, per-source shards): greedy
+    * in doc_id order, never splitting a doc. The oracle walks the same
+    * recurrence with a recursive CTE, so every (doc → sequence) assignment
+    * is hash-checked.
+    */
+  val q92PackSequences: QueryCase = QueryCase(
+    "q92_pack_sequences",
+    (s, dir) => {
+      Curation.packSequences(t(s, dir, "documents"), "source", "doc_id",
+          graft.functions.TextFunctions.tokenCount(col("text")), 256)
+        .orderBy("shard", "id")
+    },
+    Some(s"""
+      WITH RECURSIVE d AS (
+        SELECT source AS shard, doc_id AS id,
+               CAST(LEN($TokensSql) AS BIGINT) AS tok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS ord
+        FROM documents),
+      rec AS (
+        SELECT shard, id, ord, tok, CAST(1 AS BIGINT) AS seq, tok AS acc
+        FROM d WHERE ord = 1
+        UNION ALL
+        SELECT d.shard, d.id, d.ord, d.tok,
+               CASE WHEN r.acc > 0 AND r.acc + d.tok > 256
+                 THEN r.seq + 1 ELSE r.seq END,
+               CASE WHEN r.acc > 0 AND r.acc + d.tok > 256
+                 THEN d.tok ELSE r.acc + d.tok END
+        FROM rec r JOIN d ON d.shard = r.shard AND d.ord = r.ord + 1)
+      SELECT shard, id, tok, seq FROM rec ORDER BY shard, id"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q89SplitAssign, q90DomainCap, q91Decontaminate, q92PackSequences)
+}

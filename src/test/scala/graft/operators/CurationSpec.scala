@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("assignSplit is a pure function of the id and respects weights") {
+    val df = (1 to 2000).toDF("id")
+    val s1 = Curation.assignSplit(df, "id",
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // hash buckets are uniform-ish; 80/10/10 over 2000 ids stays well
+    // inside loose bounds
+    assert(counts("train") > 1400 && counts("train") < 1800)
+    assert(counts("val") > 100 && counts("val") < 320)
+
+    // stability: a doc's split never depends on what else is in the corpus
+    val sub = Curation.assignSplit(df.where($"id" % 3 === 0), "id",
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+    val full = s1.where($"id" % 3 === 0).select("id", "split")
+    assert(sub.select("id", "split").except(full).isEmpty)
+  }
+
+  test("assignSplit rejects weights over 100") {
+    intercept[IllegalArgumentException] {
+      Curation.assignSplit(Seq(1).toDF("id"), "id",
+        Seq(("a", 90), ("b", 20)))
+    }
+  }
+
+  test("perKeyCap keeps top-n per key in the given order") {
+    val df = Seq(("a", 1, 30), ("a", 2, 20), ("a", 3, 20), ("a", 4, 10),
+      ("b", 5, 5)).toDF("k", "id", "score")
+    val out = Curation.perKeyCap(df, "k",
+      Seq($"score".desc, $"id".asc), 2)
+      .select("k", "id", "rk").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSet
+    // tie at score=20 broken by id: id=2 wins the second slot
+    assert(out == Set(("a", 1, 1), ("a", 2, 2), ("b", 5, 1)))
+  }
+
+  test("contamination flags exactly the docs sharing an n-gram") {
+    val evalDf = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "x alpha beta gamma delta y"),       // shares "alpha beta gamma delta"
+      (2L, "beta gamma delta epsilon tail"),    // shares "beta gamma delta epsilon"
+      (3L, "completely different words here")). // clean
+      toDF("doc_id", "text")
+    val out = Curation.contamination(train, evalDf, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("packSequences: greedy fill, no doc split, oversized doc placed alone") {
+    val df = Seq(
+      // shard a, budget 10: [4,5] -> seq1 (9), [3] -> seq2... walk:
+      // 4 (acc 4), 5 (acc 9), 3 would make 12 -> seq2 (acc 3), 12 over
+      // budget alone -> seq3 (acc 12), 2 -> 14 > 10 -> seq4
+      ("a", 1, 4), ("a", 2, 5), ("a", 3, 3), ("a", 4, 12), ("a", 5, 2),
+      ("b", 6, 7)).toDF("src", "id", "tok")
+    val out = Curation.packSequences(df, "src", "id", $"tok", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+    assert(out == Set(("a", 1L, 1L), ("a", 2L, 1L), ("a", 3L, 2L),
+      ("a", 4L, 3L), ("a", 5L, 4L), ("b", 6L, 1L)))
+  }
+
+  test("packSequences respects id order within shard regardless of input order") {
+    val df = Seq(("a", 3, 6), ("a", 1, 6), ("a", 2, 6)).toDF("s", "id", "tok")
+    val out = Curation.packSequences(df, "s", "id", $"tok", 12)
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getLong(3)))
+    // ids 1,2 fill seq1 (12 tokens exactly), id 3 opens seq2
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+}
