@@ -89,6 +89,30 @@ object Curation {
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
+  /** Per-key percentile cut: keep rows whose `valueCol` is at or above the
+    * key's p-quantile (exact linear-interpolation percentile — the same
+    * formula as DuckDB's quantile_cont, bit-for-bit on integer inputs).
+    * The per-key thresholds are tiny (one row per key) → broadcast back,
+    * so the data side never shuffles. At 100 TB swap the exact percentile
+    * for percentile_approx with the same join shape if keys are huge.
+    */
+  def percentileCut(df: DataFrame, keyCol: String, valueCol: String,
+      p: Double): DataFrame = {
+    val cuts = df.groupBy(col(keyCol))
+      .agg(percentile(col(valueCol), lit(p)).as("p_cut"))
+    df.join(broadcast(cuts), keyCol)
+      .where(col(valueCol) >= col("p_cut"))
+  }
+
+  /** Curriculum / ordered-output sharding: globally range-partition by
+    * `order` into `numShards` sorted shards (Spark samples range bounds —
+    * no single-node global sort). Each output shard is internally sorted
+    * and shard i precedes shard i+1 in the global order — the layout a
+    * sequential training reader wants.
+    */
+  def orderedShards(df: DataFrame, order: Column, numShards: Int): DataFrame =
+    df.repartitionByRange(numShards, order).sortWithinPartitions(order)
+
   /** Greedy token-budget sequence packing, per shard: docs are taken in
     * ascending `idCol` order; a doc opens a new sequence when adding it
     * would exceed `budget` (a doc alone over budget still gets placed —

@@ -130,6 +130,32 @@ object TestQueries8 {
         FROM rec r JOIN d ON d.shard = r.shard AND d.ord = r.ord + 1)
       SELECT shard, id, tok, seq FROM rec ORDER BY shard, id"""))
 
+  /** Per-language quality-percentile cut: keep docs at/above their
+    * language's p90 length, report survivors and the thresholds. Exact
+    * interpolated percentile ≡ DuckDB quantile_cont bit-for-bit.
+    */
+  val q93PercentileCut: QueryCase = QueryCase(
+    "q93_percentile_cut",
+    (s, dir) => {
+      val kept = Curation.percentileCut(
+        t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+        "lang", "n_chars", 0.9)
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), min("n_chars").as("min_kept"),
+          max("p_cut").as("p90"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH cuts AS (
+        SELECT lang, quantile_cont(n_chars, 0.9) AS p_cut
+        FROM documents GROUP BY lang)
+      SELECT d.lang, COUNT(*) AS n_kept, MIN(n_chars) AS min_kept,
+             MAX(p_cut) AS p90
+      FROM documents d JOIN cuts c ON d.lang = c.lang
+      WHERE d.n_chars >= c.p_cut
+      GROUP BY d.lang ORDER BY d.lang"""))
+
   val all: Seq[QueryCase] =
-    Seq(q89SplitAssign, q90DomainCap, q91Decontaminate, q92PackSequences)
+    Seq(q89SplitAssign, q90DomainCap, q91Decontaminate, q92PackSequences,
+      q93PercentileCut)
 }

@@ -68,6 +68,36 @@ class CurationSpec extends SparkSpec {
       ("a", 4L, 3L), ("a", 5L, 4L), ("b", 6L, 1L)))
   }
 
+  test("percentileCut keeps exactly the rows at/above the per-key quantile") {
+    val df = Seq(("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("a", 4, 40),
+      ("a", 5, 50), ("b", 6, 5), ("b", 7, 100)).toDF("k", "id", "v")
+    // a: p50 of (10,20,30,40,50) = 30 -> keep ids 3,4,5
+    // b: p50 of (5,100) = 52.5 -> keep id 7
+    val kept = Curation.percentileCut(df, "k", "v", 0.5)
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(kept == Set(3, 4, 5, 7))
+  }
+
+  test("orderedShards yields contiguous, internally-sorted range shards") {
+    val df = (1 to 1000).map(i => (i * 37) % 997).toDF("v")
+    val out = Curation.orderedShards(df, $"v".asc, 4)
+    assert(out.queryExecution.executedPlan.toString
+      .toLowerCase.contains("rangepartitioning"))
+    val parts = out.select(spark_partition_id().as("p"), $"v")
+      .groupBy("p").agg(min("v").as("mn"), max("v").as("mx"), count("*").as("n"))
+      .orderBy("p").collect()
+    assert(parts.map(_.getLong(3)).sum == 1000)
+    parts.sliding(2).foreach {
+      case Array(a, b) => assert(a.getInt(2) <= b.getInt(1))
+      case _ =>
+    }
+    // within-shard sortedness
+    out.select("v").rdd.mapPartitions { it =>
+      val vs = it.map(_.getInt(0)).toSeq
+      Iterator(vs == vs.sorted)
+    }.collect().foreach(assert(_))
+  }
+
   test("packSequences respects id order within shard regardless of input order") {
     val df = Seq(("a", 3, 6), ("a", 1, 6), ("a", 2, 6)).toDF("s", "id", "tok")
     val out = Curation.packSequences(df, "s", "id", $"tok", 12)
