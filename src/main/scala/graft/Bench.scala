@@ -104,12 +104,16 @@ object Bench {
     // mid-line). This short line keeps the headline numbers — total,
     // worst offenders, warm serving legs, indexed serving — inside any
     // tail window, and is itself a parseable {"metric":...} JSON line.
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would make this line invalid JSON.
+    def fmt(v: Double, places: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(6)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
     val warmServing = warm.filter(kv => Set("q24_cosine_topk", "q38_fts_rank",
         "q54_hybrid", "q41_rerank", "q67_websearch").contains(kv._1))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.1f"},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"warm_serving":$warmServing,"indexed_hybrid_sec":${f"$indexedHybrid%.3f"},"indexed_keyword_sec":${f"$indexedKeyword%.3f"},"indexed_phrase_sec":${f"$indexedPhrase%.3f"},"sf":"$sfDir"}""")
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"warm_serving":$warmServing,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

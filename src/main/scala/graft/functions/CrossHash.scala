@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The cross-engine hash contract of the semantic-oracle family (q85–q92):
+  * a 32-bit hash derived from the md5 hex prefix, which Spark and DuckDB
+  * compute identically — so signature/vote/bucket/split arithmetic driven
+  * through it hash-checks exactly across engines. One definition here;
+  * every operator and oracle mirror must use it (three private copies of
+  * this formula previously risked silent divergence).
+  */
+object CrossHash {
+
+  /** md5-derived 32-bit hash (as a non-negative long) of a column's bytes.
+    * Pass a string/binary column; cast ids to string first so DuckDB's
+    * VARCHAR md5 sees the same bytes.
+    */
+  def md5Hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** DuckDB mirror of [[md5Hash32]] over a SQL expression string. */
+  def md5Hash32Sql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
+}

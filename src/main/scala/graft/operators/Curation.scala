@@ -26,25 +26,30 @@ object Curation {
     * runs/partitionings, and uniform enough for split assignment.
     */
   def hashBucket(c: Column, m: Int): Column =
-    pmod(conv(substring(md5(c.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long"), lit(m.toLong))
+    pmod(graft.functions.CrossHash.md5Hash32(c.cast("string")),
+      lit(m.toLong))
 
   /** Deterministic train/val/test assignment by id hash. `weights` are
     * integer percentages summing to ≤100 (any remainder falls into the
     * last split). A doc's split never changes as the corpus grows —
     * the property that keeps eval sets stable across pipeline re-runs.
+    * A NULL id yields a NULL split (never silently pooled into a named
+    * split — quarantine or drop those rows explicitly).
     */
   def assignSplit(df: DataFrame, idCol: String,
       weights: Seq[(String, Int)]): DataFrame = {
     require(weights.nonEmpty && weights.map(_._2).sum <= 100,
       "weights must be percentages summing to <= 100")
+    require(!df.columns.contains("split"),
+      "input already has a 'split' column — drop or rename it first")
     val b = hashBucket(col(idCol), 100)
     val cuts = weights.scanLeft(0)(_ + _._2).tail
-    val expr = weights.zip(cuts).init.foldRight(
+    val chain = weights.zip(cuts).init.foldRight(
       lit(weights.last._1): Column) { case (((name, _), cut), acc) =>
       when(b < cut, lit(name)).otherwise(acc)
     }
-    df.withColumn("split", expr)
+    df.withColumn("split",
+      when(col(idCol).isNull, lit(null).cast("string")).otherwise(chain))
   }
 
   /** Keep at most `n` rows per key, ordered by `order` (callers must make
@@ -53,45 +58,49 @@ object Curation {
     */
   def perKeyCap(df: DataFrame, keyCol: String, order: Seq[Column],
       n: Int): DataFrame = {
+    require(!df.columns.contains("rk"),
+      "input already has a 'rk' column — drop or rename it first")
     val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
     df.withColumn("rk", row_number().over(w))
       .where(col("rk") <= n)
   }
 
-  /** Distinct word n-gram shingles of a text column, hashed to 32-bit
-    * md5-derived longs — the join currency of [[contamination]].
-    */
-  private def hashedGrams(textCol: Column, n: Int): Column =
-    transform(
-      graft.functions.TextFunctions.distinctNgramsOfTokens(
-        graft.functions.TextFunctions.tokens(textCol), n),
-      g => conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long"))
-
   /** Benchmark decontamination: for each training doc, count the distinct
     * n-gram shingles (and distinct eval docs) it shares with the eval
     * corpus. Downstream drops or flags any doc with n_shared > 0.
     *
-    * The join runs on 8-byte hashes, not gram strings (shuffle bytes), and
-    * the eval side is benchmark-sized → broadcast it; the train side then
-    * never shuffles. 32-bit hashes admit ~1/2^32 per-pair false positives —
-    * acceptable for a drop-list; verify exact grams afterwards if not.
+    * The join runs on 8-byte md5-derived hashes, not gram strings (shuffle
+    * bytes), exploded BEFORE hashing so the md5 chain stays in whole-stage
+    * codegen (no interpreted array transform). With `broadcastEval` (the
+    * default — correct when the eval side is a benchmark suite, i.e. tiny)
+    * the train side never shuffles; pass false when the eval side scales
+    * with the corpus. 32-bit hashes admit ~1/2^32 per-pair false
+    * positives — acceptable for a drop-list; verify exact grams if not.
     */
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
-      textCol: String, n: Int): DataFrame = {
+      textCol: String, n: Int, broadcastEval: Boolean = true): DataFrame = {
     def explodeGrams(df: DataFrame, out: String) =
       df.select(col(idCol).as(out),
-          explode(hashedGrams(col(textCol), n)).as("h"))
+          explode(graft.functions.TextFunctions.distinctNgramsOfTokens(
+            graft.functions.TextFunctions.tokens(col(textCol)), n)).as("g"))
+        .select(col(out),
+          graft.functions.CrossHash.md5Hash32(col("g")).as("h"))
     val t = explodeGrams(train, "doc_id")
-    val e = explodeGrams(eval, "eval_id")
-    t.join(broadcast(e), "h")
+    val e0 = explodeGrams(eval, "eval_id")
+    val e = if (broadcastEval) broadcast(e0) else e0
+    t.join(e, "h")
       .groupBy("doc_id")
       .agg(countDistinct(col("h")).as("n_shared"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
   }
 
   /** Per-key percentile cut: keep rows whose `valueCol` is at or above the
-    * key's p-quantile (exact linear-interpolation percentile — the same
-    * formula as DuckDB's quantile_cont, bit-for-bit on integer inputs).
+    * key's p-quantile (exact linear-interpolation percentile). Note Spark
+    * interpolates as (1-f)·lo + f·hi while DuckDB's quantile_cont computes
+    * lo + f·(hi-lo) — equal in exact arithmetic but up to 1 ulp apart in
+    * doubles, so oracle mirrors must ROUND any surfaced threshold (the
+    * integer-vs-threshold FILTER is ulp-safe: a 1-ulp-perturbed threshold
+    * is integral only when f=0 or lo=hi, where both formulas are exact).
     * The per-key thresholds are tiny (one row per key) → broadcast back,
     * so the data side never shuffles. At 100 TB swap the exact percentile
     * for percentile_approx with the same join shape if keys are huge.
@@ -116,40 +125,38 @@ object Curation {
   /** Greedy token-budget sequence packing, per shard: docs are taken in
     * ascending `idCol` order; a doc opens a new sequence when adding it
     * would exceed `budget` (a doc alone over budget still gets placed —
-    * sequence boundaries never split a doc). Returns (shard, id, tokens,
-    * seq) with seq numbered from 1 per shard.
+    * sequence boundaries never split a doc). Returns (shard, id, tok,
+    * seq) with seq numbered from 1 per shard; the shard key is surfaced
+    * as its string form.
     *
-    * The fold is per-shard sequential by nature (each placement depends on
-    * the running total), so the operator collects each shard into one
-    * sorted array and folds it once — distributed ACROSS shards, memory
-    * bounded by the largest shard. That is the standard packing shape in
-    * training pipelines (pack within a shard/file, never globally).
+    * The walk is per-shard sequential by nature (each placement depends on
+    * the running total), so this is genuine per-group imperative logic:
+    * a typed flatMapGroups sorts each shard's (id, tok) array and walks it
+    * once — linear time (an earlier Catalyst aggregate() fold rebuilt the
+    * output array per element: O(n²) per shard), distributed ACROSS
+    * shards, memory bounded by the largest shard. That is the standard
+    * packing shape in training pipelines (pack within a shard/file, never
+    * globally).
     */
   def packSequences(df: DataFrame, shardCol: String, idCol: String,
       tokensCol: Column, budget: Int): DataFrame = {
-    val docs = df.select(col(shardCol).as("shard"),
-      col(idCol).cast("long").as("id"), tokensCol.cast("long").as("tok"))
-    val packed = docs
-      .groupBy("shard")
-      .agg(array_sort(collect_list(struct(col("id"), col("tok")))).as("ds"))
-      .withColumn("st",
-        aggregate(col("ds"),
-          struct(lit(0L).as("acc"), lit(1L).as("seq"),
-            array().cast("array<struct<id:long,tok:long,seq:long>>").as("out")),
-          (st, x) => {
-            val tok = x.getField("tok")
-            val over = st.getField("acc") > 0 &&
-              st.getField("acc") + tok > budget
-            val seq = when(over, st.getField("seq") + 1)
-              .otherwise(st.getField("seq"))
-            val acc = when(over, tok).otherwise(st.getField("acc") + tok)
-            struct(acc.as("acc"), seq.as("seq"),
-              concat(st.getField("out"), array(struct(
-                x.getField("id").as("id"), tok.as("tok"),
-                seq.as("seq")))).as("out"))
-          }))
-      .select(col("shard"), explode(col("st.out")).as("d"))
-    packed.select(col("shard"), col("d.id").as("id"),
-      col("d.tok").as("tok"), col("d.seq").as("seq"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("id"), tokensCol.cast("long").as("tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val docs = it.map { case (_, id, tok) => (id, tok) }.toArray
+        java.util.Arrays.sort(docs, Ordering.by((d: (Long, Long)) => d._1))
+        var acc = 0L
+        var seq = 1L
+        docs.iterator.map { case (id, tok) =>
+          if (acc > 0 && acc + tok > budget) { seq += 1; acc = tok }
+          else acc += tok
+          (shard, id, tok, seq)
+        }
+      }
+      .toDF("shard", "id", "tok", "seq")
   }
 }

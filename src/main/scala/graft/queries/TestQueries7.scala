@@ -243,16 +243,12 @@ object TestQueries7 {
       ORDER BY d.id"""
     })
 
-  /** md5-derived 32-bit base hash — the exchangeable hash the
-    * semantic-oracle family (q85/q87/q88) drives its hash-agnostic math
-    * through: Spark's conv(hex) and DuckDB's '0x' cast compute it
-    * identically, so signature/vote/bucket arithmetic hash-checks across
-    * engines.
-    */
+  // Shared cross-engine hash contract — single definition in
+  // [[graft.functions.CrossHash]].
   private def md5Hash32(c: org.apache.spark.sql.Column) =
-    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+    graft.functions.CrossHash.md5Hash32(c)
   private def md5Hash32Sql(expr: String): String =
-    s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
+    graft.functions.CrossHash.md5Hash32Sql(expr)
   private val TokensSql =
     "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
 

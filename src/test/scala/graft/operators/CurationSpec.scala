@@ -25,6 +25,14 @@ class CurationSpec extends SparkSpec {
     assert(sub.select("id", "split").except(full).isEmpty)
   }
 
+  test("assignSplit gives null split for null ids (never pooled into a named split)") {
+    val df = Seq(Some(1), None).toDF("id")
+    val out = Curation.assignSplit(df, "id",
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+    assert(out.where($"id".isNull).select("split").head().isNullAt(0))
+    assert(out.where($"id".isNotNull).select("split").head().getString(0) != null)
+  }
+
   test("assignSplit rejects weights over 100") {
     intercept[IllegalArgumentException] {
       Curation.assignSplit(Seq(1).toDF("id"), "id",
