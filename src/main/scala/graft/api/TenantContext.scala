@@ -37,12 +37,27 @@ object TenantContext {
     */
   def assertTenantScoped(df: DataFrame): Unit = {
     val plan = df.queryExecution.analyzed
-    val unscoped = findUnscopedTenantRelations(plan, scopedAbove = Set.empty)
+    val unscoped = unscopedTenantLeaves(plan)
+      .map(l => l.nodeName + l.output.map(_.name).mkString("(", ",", ")"))
     if (unscoped.nonEmpty)
       throw new IllegalStateException(
         s"tenant-unscoped access to relations with tenant_id: " +
           unscoped.mkString(", "))
   }
+
+  /** The leaf relations producing a `tenant_id` attribute that no
+    * enclosing Filter constrains by an equality whose literal `litOk`
+    * accepts — shared by [[assertTenantScoped]] (any literal: the
+    * cooperative check only cares that SOME tenant scope exists) and the
+    * planner-injected [[graft.plans.RlsEnforcementRule]] (which accepts
+    * ONLY the current session tenant's literal: a user-supplied equality
+    * to a different tenant must not bypass enforcement, so the rule still
+    * wraps such leaves and the predicates AND to empty — Postgres RLS
+    * semantics).
+    */
+  private[graft] def unscopedTenantLeaves(plan: LogicalPlan,
+      litOk: Literal => Boolean = _ => true): Seq[LogicalPlan] =
+    collectUnscoped(plan, scopedAbove = Set.empty, litOk)
 
   /** tenant_id equalities that actually CONSTRAIN the filter output: only
     * top-level And conjuncts count. A `tenant_id = 'a' OR amount > 5`
@@ -50,7 +65,9 @@ object TenantContext {
     * Or/Not/Coalesce must NOT mark the relation scoped (collecting over
     * the whole condition tree failed open here — round-1 ADVICE).
     */
-  private def tenantEqualities(cond: org.apache.spark.sql.catalyst.expressions.Expression): Set[Long] = {
+  private def tenantEqualities(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      litOk: Literal => Boolean): Set[Long] = {
     def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
       e match {
         case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
@@ -58,23 +75,25 @@ object TenantContext {
         case other => Seq(other)
       }
     conjuncts(cond).collect {
-      case EqualTo(a: Attribute, _: Literal) if a.name == "tenant_id" => a.exprId.id
-      case EqualTo(_: Literal, a: Attribute) if a.name == "tenant_id" => a.exprId.id
+      case EqualTo(a: Attribute, l: Literal)
+          if a.name == "tenant_id" && litOk(l) => a.exprId.id
+      case EqualTo(l: Literal, a: Attribute)
+          if a.name == "tenant_id" && litOk(l) => a.exprId.id
     }.toSet
   }
 
-  private def findUnscopedTenantRelations(plan: LogicalPlan,
-                                          scopedAbove: Set[Long]): Seq[String] =
+  private def collectUnscoped(plan: LogicalPlan, scopedAbove: Set[Long],
+                              litOk: Literal => Boolean): Seq[LogicalPlan] =
     plan match {
       case f: Filter =>
-        val newlyScoped = tenantEqualities(f.condition)
-        findUnscopedTenantRelations(f.child, scopedAbove ++ newlyScoped)
+        val newlyScoped = tenantEqualities(f.condition, litOk)
+        collectUnscoped(f.child, scopedAbove ++ newlyScoped, litOk)
       case leaf if leaf.children.isEmpty =>
         val tenantAttrs = leaf.output.filter(_.name == "tenant_id")
         if (tenantAttrs.nonEmpty && !tenantAttrs.exists(a => scopedAbove.contains(a.exprId.id)))
-          Seq(leaf.nodeName + leaf.output.map(_.name).mkString("(", ",", ")"))
+          Seq(leaf)
         else Nil
       case other =>
-        other.children.flatMap(findUnscopedTenantRelations(_, scopedAbove))
+        other.children.flatMap(collectUnscoped(_, scopedAbove, litOk))
     }
 }

@@ -1,0 +1,112 @@
+package graft.plans
+
+import graft.api.TenantContext
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+
+/** Planner-enforced row-level security — the Spark analogue of the
+  * reference's Postgres RLS policies (`tenant_id = public.tenant_id()`
+  * created on every tenant-owned table, e.g. reference
+  * `supabase/migrations/020_documents.sql:51-54`): isolation the QUERY
+  * AUTHOR cannot forget, because the planner injects it.
+  *
+  * [[graft.api.TenantContext]] is the cooperative API (scoped reads +
+  * an assertion); this rule is the enforcement backstop. Once registered,
+  * every scan of a relation exposing a `tenant_id` column that no
+  * enclosing Filter already constrains gets `tenant_id = <current>`
+  * injected directly above it — and with NO tenant configured the
+  * injected predicate is `tenant_id = NULL` (never true): fail closed,
+  * exactly like Postgres serving zero rows without a JWT claim.
+  *
+  * Plan quality: the injected equality sits directly above the leaf, so
+  * V1 parquet scans receive it as a pushed data filter (PushedFilters)
+  * and tenant-partitioned layouts ([[graft.sources.PartitionedWriter]])
+  * prune whole directories — scoping costs no extra pass over data.
+  * Idempotence (required: optimizer batches run to fixpoint) comes from
+  * detecting unscoped leaves with the SAME conjunct-aware walk that
+  * [[TenantContext.assertTenantScoped]] checks, so one injection
+  * satisfies the detector and the plan is stable.
+  */
+object RlsEnforcement {
+
+  /** Session conf holding the current tenant id (string). Absent ⇒ every
+    * tenant-owned relation scans empty (fail closed).
+    */
+  val TenantConfKey = "spark.graft.rls.tenantId"
+
+  /** Install the rule into a live session (runtime path — the config
+    * path is `spark.sql.extensions=graft.plans.GraftExtensions` at
+    * session build). Idempotent.
+    */
+  def install(spark: SparkSession): Unit = {
+    val already = spark.experimental.extraOptimizations
+      .exists(_.isInstanceOf[RlsEnforcementRule])
+    if (!already)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RlsEnforcementRule(spark)
+  }
+
+  def setTenant(spark: SparkSession, tenantId: String): Unit =
+    spark.conf.set(TenantConfKey, tenantId)
+
+  def clearTenant(spark: SparkSession): Unit =
+    spark.conf.unset(TenantConfKey)
+}
+
+case class RlsEnforcementRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = rewrite(plan)
+
+  /** Only an equality to the CURRENT tenant's literal (or the fail-closed
+    * null literal) counts as "already scoped": a user-supplied filter on a
+    * different tenant must not bypass enforcement — the rule wraps the
+    * leaf anyway and the two predicates AND to empty, exactly Postgres
+    * RLS composing policy with query predicates.
+    */
+  private def litOk(l: Literal): Boolean =
+    session.conf.getOption(RlsEnforcement.TenantConfKey) match {
+      case Some(t) =>
+        l.dataType == StringType &&
+          l.value == org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      case None => l.value == null
+    }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = {
+    val unscoped = TenantContext.unscopedTenantLeaves(plan, litOk)
+    val wrapped =
+      if (unscoped.isEmpty) plan
+      else plan.transformUp {
+        case leaf if leaf.children.isEmpty && unscoped.exists(_ eq leaf) =>
+          scope(leaf)
+      }
+    // subquery plans (EXISTS / IN / scalar) are separate trees — scope
+    // them too, or a correlated probe could read other tenants' rows
+    wrapped.transformAllExpressions {
+      case s: SubqueryExpression => s.withNewPlan(rewrite(s.plan))
+    }
+  }
+
+  private def scope(leaf: LogicalPlan): LogicalPlan = {
+    val attr = leaf.output.find(_.name == "tenant_id").get
+    val lit = session.conf.getOption(RlsEnforcement.TenantConfKey) match {
+      case Some(t) if attr.dataType == StringType => Literal.create(t, StringType)
+      // no tenant set, or a non-string tenant_id we can't compare
+      // reliably: `= NULL` is never true — fail closed, and it still
+      // reads as a tenant equality to the unscoped-leaf detector
+      case _ => Literal.create(null, attr.dataType)
+    }
+    Filter(EqualTo(attr, lit), leaf)
+  }
+}
+
+/** `spark.sql.extensions` entry point: registers RLS enforcement in the
+  * operator-optimization batch at session build.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(RlsEnforcementRule)
+}
