@@ -83,8 +83,8 @@ object TenantContext {
   }
 
   private def collectUnscoped(plan: LogicalPlan, scopedAbove: Set[Long],
-                              litOk: Literal => Boolean): Seq[LogicalPlan] =
-    plan match {
+                              litOk: Literal => Boolean): Seq[LogicalPlan] = {
+    val here = plan match {
       case f: Filter =>
         val newlyScoped = tenantEqualities(f.condition, litOk)
         collectUnscoped(f.child, scopedAbove ++ newlyScoped, litOk)
@@ -96,4 +96,15 @@ object TenantContext {
       case other =>
         other.children.flatMap(collectUnscoped(_, scopedAbove, litOk))
     }
+    // subquery plans (EXISTS / IN / scalar) are separate trees the
+    // children walk never reaches — an unscoped relation inside a
+    // correlated probe would otherwise pass the check (fail open). Their
+    // scope must come from filters INSIDE the subquery (fresh exprIds,
+    // so the outer scope set cannot apply anyway).
+    val inSubqueries = plan.expressions.flatMap(_.collect {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        collectUnscoped(s.plan, Set.empty, litOk)
+    }.flatten)
+    here ++ inSubqueries
+  }
 }

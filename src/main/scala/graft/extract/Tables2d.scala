@@ -22,7 +22,11 @@ object Tables2d {
     val lines = filter(split(text, "\\r?\\n"), l => trim(l) =!= "")
     val cells = transform(lines, l => transform(split(l, java.util.regex.Pattern.quote(delim)), c => trim(c)))
     struct(
-      element_at(cells, 1).as("headers"),
+      // try_element_at: an empty/blank-only text yields an empty line
+      // array, and ANSI-mode element_at would throw INVALID_ARRAY_INDEX
+      // (one blank doc killing the extraction stage); null headers
+      // instead
+      try_element_at(cells, lit(1)).as("headers"),
       slice(cells, lit(2), greatest(size(cells) - 1, lit(0))).as("rows"))
   }
 

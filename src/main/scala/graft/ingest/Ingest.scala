@@ -76,37 +76,59 @@ object Ingest {
     val withPath = files.select(col("path").cast("string").as("zip_path"),
       col(contentCol).as("bytes"))
     withPath.as[(String, Array[Byte])].flatMap { case (zipPath, bytes) =>
-      val zis = new java.util.zip.ZipInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val out = scala.collection.mutable.ListBuffer.empty[(String, String, Array[Byte])]
-      val compressedTotal = math.max(1L, bytes.length.toLong)
-      val extractedBudget = (compressedTotal * maxRatio).toLong
-      var extractedTotal = 0L
-      var entry = zis.getNextEntry
-      var n = 0
-      var aborted = false
-      while (entry != null && n < maxMembers && !aborted) {
-        if (!entry.isDirectory) {
-          val buf = new java.io.ByteArrayOutputStream()
-          val chunk = new Array[Byte](64 * 1024)
-          var read = zis.read(chunk)
-          while (read >= 0 && !aborted) {
-            extractedTotal += read
-            if (extractedTotal > extractedBudget) aborted = true
-            else {
-              buf.write(chunk, 0, read)
-              read = zis.read(chunk)
+      // LAZY member iterator: one decompressed member in memory at a
+      // time. The previous ListBuffer materialized every member before
+      // emitting any — up to compressed×maxRatio (50 GB for a legitimate
+      // 500 MB zip) on the executor heap.
+      new Iterator[(String, String, Array[Byte])] {
+        private val zis = new java.util.zip.ZipInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        private val extractedBudget =
+          (math.max(1L, bytes.length.toLong) * maxRatio).toLong
+        private var extractedTotal = 0L
+        private var n = 0
+        private var pending: (String, String, Array[Byte]) = null
+        private var done = false
+
+        private def advance(): Unit = {
+          while (pending == null && !done) {
+            val entry = zis.getNextEntry
+            if (entry == null || n >= maxMembers) {
+              done = true
+              zis.close()
+            } else if (!entry.isDirectory) {
+              val buf = new java.io.ByteArrayOutputStream()
+              val chunk = new Array[Byte](64 * 1024)
+              var aborted = false
+              var read = zis.read(chunk)
+              while (read >= 0 && !aborted) {
+                extractedTotal += read
+                if (extractedTotal > extractedBudget) aborted = true
+                else {
+                  buf.write(chunk, 0, read)
+                  read = zis.read(chunk)
+                }
+              }
+              if (aborted) { // bomb-ratio guard: stop mid-entry
+                done = true
+                zis.close()
+              } else {
+                pending = (zipPath, entry.getName, buf.toByteArray)
+                n += 1
+              }
             }
           }
-          if (!aborted) {
-            out += ((zipPath, entry.getName, buf.toByteArray))
-            n += 1
-          }
         }
-        if (!aborted) entry = zis.getNextEntry
+
+        override def hasNext: Boolean = { advance(); pending != null }
+        override def next(): (String, String, Array[Byte]) = {
+          advance()
+          if (pending == null) throw new NoSuchElementException("empty zip iterator")
+          val r = pending
+          pending = null
+          r
+        }
       }
-      zis.close()
-      out.toList
     }.toDF("zip_path", "member_name", "content")
   }
 

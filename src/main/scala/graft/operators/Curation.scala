@@ -101,15 +101,18 @@ object Curation {
     * doubles, so oracle mirrors must ROUND any surfaced threshold (the
     * integer-vs-threshold FILTER is ulp-safe: a 1-ulp-perturbed threshold
     * is integral only when f=0 or lo=hi, where both formulas are exact).
-    * The per-key thresholds are tiny (one row per key) → broadcast back,
-    * so the data side never shuffles. At 100 TB swap the exact percentile
-    * for percentile_approx with the same join shape if keys are huge.
+    * With `broadcastCuts` (default — right when keys are languages/
+    * sources, i.e. few) the data side never shuffles; pass false when key
+    * cardinality scales with the corpus (millions of domains): the
+    * forced broadcast hint would bypass size estimation and OOM the
+    * driver, and exact percentile() buffers all values per key — swap in
+    * percentile_approx with the same join shape there too.
     */
   def percentileCut(df: DataFrame, keyCol: String, valueCol: String,
-      p: Double): DataFrame = {
+      p: Double, broadcastCuts: Boolean = true): DataFrame = {
     val cuts = df.groupBy(col(keyCol))
       .agg(percentile(col(valueCol), lit(p)).as("p_cut"))
-    df.join(broadcast(cuts), keyCol)
+    df.join(if (broadcastCuts) broadcast(cuts) else cuts, keyCol)
       .where(col(valueCol) >= col("p_cut"))
   }
 

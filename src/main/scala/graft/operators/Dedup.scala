@@ -22,6 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize a subtree consumed by several downstream branches (the
+    * candidate-generation AND both verify-join sides): without it the
+    * most expensive stage — tokenize + shingle every document — executes
+    * once per consumer (3× in the verified-pairs operators; the two
+    * verify joins shuffle on different keys, so ReuseExchange cannot
+    * fire). Same conf gate as the extraction pipeline:
+    * `graft.dedup.checkpoint` = `local` (default; eager localCheckpoint),
+    * `reliable` (survives executor loss), or `none` (recompute — only
+    * right when the input is trivially cheap).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("graft.dedup.checkpoint", "local") match {
+      case "reliable" => df.checkpoint(true)
+      case "none" => df
+      case _ => df.localCheckpoint(true)
+    }
+
   /** Spread a narrow input across the cluster before CPU-heavy signature
     * stages. Single-file bench inputs arrive as one partition — one task —
     * so tokenize/shingle/hash would run on one core; conversely a
@@ -210,12 +227,13 @@ object Dedup {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val toks = spread(df).select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("tk"))
-    val shingled = toks.select(col("id"),
+    // materialized: consumed by banding AND both verify-join sides
+    val shingled = materialize(toks.select(col("id"),
         TextFunctions.distinctNgramsOfTokens(col("tk"), shingleN).as("sh"))
       // shingle-less docs band identically (empty-set signature) and
       // verify to 0/0 = NaN, which Spark orders ABOVE the threshold —
       // they carry no dedup evidence, drop them before banding
-      .where(size(col("sh")) > 0)
+      .where(size(col("sh")) > 0))
     // bind the signature to an attribute before the bandKeys HOF —
     // an interpreted lambda re-evaluates captured subtrees per band,
     // which would recompute the full k-hash signature bands times
@@ -290,7 +308,10 @@ object Dedup {
                            threshold: Double = 0.9, maxBucket: Int = 512,
                            seed: Long = 42L): DataFrame = {
     require(planesPerBand <= 63, "planesPerBand must fit in a long key")
-    val sigs = spread(df).select(col(idCol).as("id"), col(vecCol).as("v"))
+    // materialized: consumed by banding and both verify-join sides (at
+    // scale that is three source scans otherwise)
+    val sigs = materialize(
+      spread(df).select(col(idCol).as("id"), col(vecCol).as("v")))
     // carry only ids through the bucket expansion (vectors are wide —
     // dragging them through pair expansion dominates cost); verification
     // joins the vector table back on both sides

@@ -20,11 +20,18 @@ object Skew {
   private def saltOf(saltBy: Column, n: Int): Column =
     pmod(hash(saltBy), lit(n))
 
-  /** Row-position salt for callers without a stable column: fine for
-    * routing, not reproducible across runs.
+  /** Content-derived salt for callers without a designated salt column:
+    * xxhash64 over the whole row. MUST be deterministic — a position salt
+    * (spark_partition_id + monotonically_increasing_id) is an
+    * indeterminate shuffle key: when a fetch failure recomputes a subset
+    * of map tasks, re-run rows get different salts and route to different
+    * (key, salt) reducers than the copies already consumed, so two-phase
+    * aggregates double-count or drop rows (the SPARK-23207 class).
+    * Identical rows share a salt, so spreading is bounded by distinct-row
+    * cardinality — fine for the aggregation use.
     */
-  private def positionSalt(n: Int): Column =
-    pmod(spark_partition_id() + monotonically_increasing_id(), lit(n))
+  private def contentSalt(df: DataFrame, n: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(n))
 
   /** Two-phase salted aggregation: partial aggregate on (keys, salt) —
     * spreading a hot key over `saltBuckets` tasks — then final aggregate
@@ -36,7 +43,7 @@ object Skew {
                 partialAggs: Seq[Column], finalAggs: Seq[Column],
                 saltBy: Option[Column] = None): DataFrame = {
     val salted = df.withColumn("__salt",
-      saltBy.map(saltOf(_, saltBuckets)).getOrElse(positionSalt(saltBuckets)))
+      saltBy.map(saltOf(_, saltBuckets)).getOrElse(contentSalt(df, saltBuckets)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(partialAggs.head, partialAggs.tail: _*)
@@ -78,9 +85,11 @@ object Skew {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
-  /** Convenience overload with a row-position salt. */
+  /** Convenience overload salting by the large side's row content
+    * (deterministic — see [[contentSalt]]).
+    */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltBuckets: Int = 16): DataFrame =
     saltedJoin(big, small, Seq(key),
-      spark_partition_id() + monotonically_increasing_id(), saltBuckets)
+      xxhash64(big.columns.map(col): _*), saltBuckets)
 }

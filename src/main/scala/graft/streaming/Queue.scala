@@ -23,6 +23,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Queue {
 
   val DefaultMaxAttempts = 3
+
+  /** Recommended streaming state TTL (24 h) for deployments: bounds the
+    * state store AND the duplicate-event idempotency window — see
+    * [[transition]].
+    */
+  val DefaultStateTtlMs: Long = 24L * 3600 * 1000
   val DefaultRetryDelaySec = 60L
   val DefaultStaleAfterSec = 3600L
 
@@ -127,10 +133,26 @@ object Queue {
     * recovery maps to the state timeout. Event-order within a key follows
     * stream order (at-least-once upstream is made effectively-once by the
     * completed/terminal guard).
+    *
+    * State bounding: with `stateTtlMs > 0` every update arms a
+    * processing-time timeout, after which the key's state is removed —
+    * without a TTL the store grows O(every document ever seen), terminal
+    * states included. The TTL is also the idempotency window: a duplicate
+    * event arriving later than `stateTtlMs` after the last transition
+    * re-creates the document (at-least-once tradeoff; size it to the
+    * upstream's redelivery horizon). Deployments SHOULD set a TTL; the
+    * default leaves it off because a ProcessingTimeTimeout query
+    * schedules continuous timeout-evaluation batches, which test
+    * harnesses driving `processAllAvailable` cannot quiesce.
     */
-  def transition(maxAttempts: Int = DefaultMaxAttempts)(
+  def transition(maxAttempts: Int = DefaultMaxAttempts,
+                 stateTtlMs: Long = 0L)(
       documentId: String, events: Iterator[DocEvent],
       state: GroupState[DocState]): Iterator[QueueUpdate] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     var st = state.getOption.getOrElse(DocState("none", 0, 0, "", null, 0L))
     val out = Seq.newBuilder[QueueUpdate]
     events.toSeq.sortBy(_.eventTimeMs).foreach { ev =>
@@ -158,16 +180,24 @@ object Queue {
       }
     }
     state.update(st)
+    if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
     out.result().iterator
   }
 
-  /** Wire the state machine over a document-event stream. */
+  /** Wire the state machine over a document-event stream. Pass
+    * `stateTtlMs` (e.g. [[DefaultStateTtlMs]]) in deployments to bound
+    * the state store — see [[transition]].
+    */
   def updates(events: Dataset[DocEvent],
-              maxAttempts: Int = DefaultMaxAttempts): Dataset[QueueUpdate] = {
+              maxAttempts: Int = DefaultMaxAttempts,
+              stateTtlMs: Long = 0L): Dataset[QueueUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.documentId)
-      .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(transition(maxAttempts))
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        transition(maxAttempts, stateTtlMs))
   }
 }

@@ -26,14 +26,29 @@ object RateLimit {
     * `windowSec`; a success resets the window (parity with the reference's
     * reset-on-success).
     */
+  /** `expireIdleKeys`: arm a processing-time timeout of one window per
+    * key so keys idle past their window are removed from the state store
+    * (otherwise it grows O(keys ever seen)). Deployments SHOULD enable
+    * it; default off because timeout-bearing queries schedule continuous
+    * evaluation batches that `processAllAvailable` harnesses cannot
+    * quiesce. Empty windows are removed eagerly either way.
+    */
   def limit(attempts: Dataset[Attempt], maxAttempts: Int = 5,
-            windowSec: Long = 900): Dataset[Verdict] = {
+            windowSec: Long = 900,
+            expireIdleKeys: Boolean = false): Dataset[Verdict] = {
     val spark = attempts.sparkSession
     import spark.implicits._
     val windowMs = windowSec * 1000
+    val timeoutConf =
+      if (expireIdleKeys) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     attempts.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (key: String, evs: Iterator[Attempt], state: GroupState[WindowState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
           var times = state.getOption.map(_.times).getOrElse(Nil)
           val out = Seq.newBuilder[Verdict]
           evs.toSeq.sortBy(_.timeMs).foreach { a =>
@@ -52,8 +67,13 @@ object RateLimit {
               out += Verdict(key, a.timeMs, allowed = false, times.size, retryAfter)
             }
           }
-          state.update(WindowState(times))
+          if (times.isEmpty) state.remove()
+          else {
+            state.update(WindowState(times))
+            if (expireIdleKeys) state.setTimeoutDuration(windowMs)
+          }
           out.result().iterator
+          }
       }
   }
 

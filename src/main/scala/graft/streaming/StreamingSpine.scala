@@ -55,9 +55,17 @@ object StreamingSpine {
     val fieldsDir = s"$outDir/fields"
     val b = batch.localCheckpoint(true) // reused by several plans below
     val docIds = b.select("document_id").distinct()
+    // ONLY a missing table means "first batch". A transient read failure
+    // (FS hiccup, permission blip) must FAIL the batch: swallowing it
+    // would drop the passthrough rows and dynamic-overwrite would erase
+    // every untouched document in the affected buckets.
     val prior =
       try Some(sp.read.parquet(extDir))
-      catch { case _: Exception => None }
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("PATH_NOT_FOUND") ||
+              e.getMessage.contains("Path does not exist") => None
+      }
     // prior versions of ONLY this batch's documents (localCheckpoint both
     // to cut the self-overwrite cycle and to avoid re-reading the table)
     val priorForBatch = prior.map(
@@ -79,6 +87,11 @@ object StreamingSpine {
     val toWrite = passthrough.fold(bucketed)(p =>
       p.select(bucketed.columns.map(col): _*).unionByName(bucketed))
     toWrite.write.mode("overwrite").partitionBy("doc_bucket").parquet(extDir)
-    result.fields.write.mode("append").parquet(fieldsDir)
+    // epoch-partitioned dynamic overwrite: foreachBatch is at-least-once,
+    // and a plain append would duplicate EAV rows when a committed epoch
+    // re-runs after a driver crash; re-running epoch N replaces exactly
+    // partition epoch_id=N (idempotent, like the extractions side)
+    result.fields.withColumn("epoch_id", lit(epochId))
+      .write.mode("overwrite").partitionBy("epoch_id").parquet(fieldsDir)
   }
 }

@@ -112,6 +112,21 @@ class RlsSpec extends SparkSpec {
     }
   }
 
+  test("assertTenantScoped flags unscoped relations inside subqueries") {
+    // cooperative check only — no rule installed
+    spark.read.parquet(tenantDir).createOrReplaceTempView("rls_assert_v")
+    val leaky = spark.sql(
+      "SELECT * FROM rls_assert_v WHERE tenant_id = 't1' " +
+        "AND id IN (SELECT id FROM rls_assert_v)")
+    intercept[IllegalStateException] {
+      TenantContext.assertTenantScoped(leaky)
+    }
+    val sealed_ = spark.sql(
+      "SELECT * FROM rls_assert_v WHERE tenant_id = 't1' AND id IN " +
+        "(SELECT id FROM rls_assert_v WHERE tenant_id = 't1')")
+    TenantContext.assertTenantScoped(sealed_) // must not throw
+  }
+
   test("GraftExtensions wires the rule into SparkSessionExtensions") {
     // smoke: the config-path entry point installs without error
     new GraftExtensions().apply(new SparkSessionExtensions)

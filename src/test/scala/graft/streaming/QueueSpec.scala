@@ -129,4 +129,30 @@ class QueueSpec extends SparkSpec {
       query.stop()
     }
   }
+
+  test("state TTL: a timed-out key is removed and emits nothing") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val timedOut = TestGroupState.create[Queue.DocState](
+      Optional.of(Queue.DocState("completed", 1, 0, "t1", null, 0L)),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[Long](), hasTimedOut = true)
+    val out = Queue.transition(maxAttempts = 3, stateTtlMs = 60000L)(
+      "d1", Iterator.empty, timedOut)
+    assert(out.isEmpty)
+    assert(timedOut.isRemoved)
+  }
+
+  test("state TTL: a live update arms the timeout") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val st = TestGroupState.create[Queue.DocState](
+      Optional.empty[Queue.DocState](),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+      Optional.empty[Long](), hasTimedOut = false)
+    val out = Queue.transition(maxAttempts = 3, stateTtlMs = 60000L)(
+      "d1", Iterator(Queue.DocEvent("d1", "t1", "enqueue", 1, null, 100L)), st)
+    assert(out.toSeq.map(_.status) == Seq("pending"))
+    assert(st.getTimeoutTimestampMs.isPresent)
+  }
 }
