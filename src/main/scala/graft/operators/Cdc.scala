@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Changelog application — MERGE-style snapshot maintenance. The batch
+  * primitive behind every "apply a CDC feed to a table" deployment: fold a
+  * keyed change stream (upserts + deletes, ordered by a sequence column)
+  * into a base snapshot, producing the next snapshot.
+  *
+  * Scale posture, 100 TB: the changelog pays one hash shuffle (the
+  * latest-per-key window) and the base pays one anti-join on the same key —
+  * co-located (zero Exchange on the base side) when the base is bucketed by
+  * the key ([[graft.sources.PartitionedWriter.writeBucketed]]). The output
+  * never rewrites untouched data when paired with dynamic partition
+  * overwrite (the [[graft.streaming.StreamingSpine]] pattern): partition the
+  * snapshot by a stable function of the key and only partitions containing
+  * changed keys are replaced. For continuous feeds, run this per micro-batch
+  * in `foreachBatch` — the semantics are identical because the window is
+  * keyed, not global.
+  */
+object Cdc {
+
+  /** Apply a keyed changelog to a base snapshot.
+    *
+    * `changes` must carry the base's value columns plus `opCol` — 'I'/'U'
+    * (both upsert: replace-or-create the row) or 'D' (delete) — and
+    * `seqCol`. Per key, the change with the highest (`seqCol`, `tieBreak`)
+    * wins; keys the changelog never touches keep their base row. Callers
+    * must make the per-key ordering total (pass `tieBreak` when one
+    * sequence value can hold several changes for a key — a seq tie between
+    * a delete and an upsert is otherwise nondeterministic, and this
+    * operator will not silently pick one).
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String, tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(!base.columns.contains("_cdc_rn") && !changes.columns.contains("_cdc_rn"),
+      "inputs already have a '_cdc_rn' column — drop or rename it first")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc +: tieBreak: _*)
+    val latest = changes.withColumn("_cdc_rn", row_number().over(w))
+      .where(col("_cdc_rn") === 1).drop("_cdc_rn")
+    val untouched = base.join(
+      latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+    untouched.unionByName(
+      latest.where(upper(col(opCol)) =!= "D").drop(opCol, seqCol))
+  }
+}

@@ -358,4 +358,31 @@ object Dedup {
       embeddingCosinePairs(df, idCol, vecCol, bands, planesPerBand,
         threshold, maxBucket, seed)
     else bruteForceCosinePairs(df, idCol, vecCol, threshold)
+
+  /** Collapse near-dup PAIRS into CLUSTERS: connected components over the
+    * pair graph, labeling every member with its component's minimum id —
+    * the canonical survivor a dedup pass keeps. Composes with any pair
+    * generator above (Jaccard / MinHash-verified / SimHash / embedding).
+    *
+    * Each pair becomes a directed edge max→min, then
+    * [[graft.entities.Entities.mergeChains]] pointer-jumps to the fixpoint
+    * (log-diameter rounds, per-round localCheckpoint, early exit) — near-dup
+    * components are shallow (transitive chains of a similarity threshold),
+    * so convergence is 2–3 rounds in practice. Output: (id, cluster_id) for
+    * every id appearing in a pair; docs in no pair are their own cluster
+    * and are not emitted — left-join the corpus and coalesce to the id for
+    * the full labeling.
+    */
+  def nearDupClusters(pairs: DataFrame, id1Col: String,
+                      id2Col: String): DataFrame = {
+    val a = col(id1Col)
+    val b = col(id2Col)
+    val edges = pairs.where(a =!= b)
+      .select(greatest(a, b).as("merged_id"), least(a, b).as("canonical_id"))
+    val mapping = graft.entities.Entities.mergeChains(edges)
+    val nodes =
+      pairs.select(a.as("id")).unionByName(pairs.select(b.as("id"))).distinct()
+    nodes.join(mapping, nodes("id") === mapping("merged_id"), "left")
+      .select(col("id"), coalesce(col("canonical_id"), col("id")).as("cluster_id"))
+  }
 }

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.operators.{Cdc, Dedup}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 gate queries, part 2: snapshot maintenance and cluster-level
+  * dedup — the two corpus-management steps between ingestion and curation.
+  * q94 pins MERGE-style changelog application (latest-change-wins upsert +
+  * delete + untouched-key passthrough, `operators.Cdc`); q95 pins the
+  * pairs→clusters collapse (connected components over near-dup pairs with
+  * min-id canonical labeling, `Dedup.nearDupClusters`) — its oracle runs
+  * the same Jaccard pair generation as q23 and then a recursive-CTE
+  * transitive closure, so every cluster assignment is hash-checked.
+  */
+object TestQueries9 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** MERGE-style snapshot apply: a deterministic changelog derived from
+    * `orders` — seq-1 upserts (key%3: +10 price), seq-2 upserts (key%5:
+    * doubled price, re-prioritized), seq-3 deletes (key%6), and inserts
+    * under new keys (key%1000 → key+10M) — folded into the base snapshot.
+    * Keys hit by several changes take the highest-seq one (key%15 → the
+    * seq-2 upsert; key%6 → deleted no matter what came before).
+    */
+  val q94CdcApply: QueryCase = QueryCase(
+    "q94_cdc_apply",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val upd1 = o.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val upd2 = o.where(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        .withColumn("o_orderpriority", lit("9-RECURATED"))
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val del = o.where(col("o_orderkey") % 6 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      val ins = o.where(col("o_orderkey") % 1000 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      val changes = upd1.unionByName(upd2).unionByName(del).unionByName(ins)
+      Cdc.applyChanges(o, changes, Seq("o_orderkey"), "seq", "op")
+        .orderBy("o_orderkey")
+    },
+    Some("""
+      WITH changes AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + CAST(10.0 AS DOUBLE) AS o_totalprice,
+               o_orderdate, o_orderpriority, 'U' AS op, 1 AS seq
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice * CAST(2.0 AS DOUBLE),
+               o_orderdate, '9-RECURATED', 'U', 2
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, 'D', 3
+        FROM orders WHERE o_orderkey % 6 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+               o_orderdate, o_orderpriority, 'I', 1
+        FROM orders WHERE o_orderkey % 1000 = 0),
+      latest AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                       ORDER BY seq DESC) AS rn
+          FROM changes) WHERE rn = 1)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM latest WHERE op <> 'D'
+      ORDER BY o_orderkey"""))
+
+  /** Near-dup clusters: q23's 5-gram Jaccard pairs collapsed to connected
+    * components, every member labeled with the component-min canonical id.
+    * The oracle recomputes the pairs (q23's SQL) and closes them with a
+    * recursive CTE.
+    */
+  val q95DedupClusters: QueryCase = QueryCase(
+    "q95_dedup_clusters",
+    (s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(
+        t(s, dir, "documents"), "doc_id", "text", 5, 0.2)
+      Dedup.nearDupClusters(pairs, "id1", "id2")
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).cast("int").as("is_canonical"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ') for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 128),
+      kx AS (SELECT e.doc_id, e.g FROM ex e JOIN keep USING (g)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM kx GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM kx a JOIN kx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2 FROM inter
+        JOIN sz s1 ON s1.doc_id = id1
+        JOIN sz s2 ON s2.doc_id = id2
+        WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2),
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION ALL SELECT id2, id1 FROM pairs),
+      reach AS (
+        SELECT DISTINCT a AS id, a AS peer FROM edges
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.peer)
+      SELECT id AS doc_id, MIN(peer) AS cluster_id,
+             CAST(CASE WHEN id = MIN(peer) THEN 1 ELSE 0 END AS INT)
+               AS is_canonical
+      FROM reach GROUP BY id ORDER BY doc_id"""))
+
+  val all: Seq[QueryCase] = Seq(q94CdcApply, q95DedupClusters)
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `Cdc.applyChanges` — MERGE-style changelog application. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "name", "price")
+
+  test("upsert replaces, insert creates, delete removes, untouched passes through") {
+    val changes = Seq(
+      (2L, "b2", 21.0, "U", 1L), // update key 2
+      (4L, "d", 40.0, "I", 1L),  // insert new key 4
+      (3L, "c", 30.0, "D", 1L)   // delete key 3
+    ).toDF("k", "name", "price", "op", "seq")
+    val out = Cdc.applyChanges(base, changes, Seq("k"), "seq", "op")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "a", 10.0), (2L, "b2", 21.0), (4L, "d", 40.0)))
+  }
+
+  test("latest change per key wins by seq; delete after upsert deletes") {
+    val changes = Seq(
+      (1L, "a1", 11.0, "U", 1L),
+      (1L, "a2", 12.0, "U", 2L), // latest upsert for key 1 wins
+      (2L, "b1", 21.0, "U", 1L),
+      (2L, "b1", 21.0, "D", 2L), // delete supersedes the upsert
+      (4L, "d", 40.0, "D", 1L),
+      (4L, "d2", 41.0, "U", 2L)  // re-insert after delete
+    ).toDF("k", "name", "price", "op", "seq")
+    val out = Cdc.applyChanges(base, changes, Seq("k"), "seq", "op")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "a2", 12.0), (3L, "c", 30.0), (4L, "d2", 41.0)))
+  }
+
+  test("seq ties are broken by the caller's tieBreak columns") {
+    val changes = Seq(
+      (1L, "del", 0.0, "D", 1L),
+      (1L, "upd", 99.0, "U", 1L)
+    ).toDF("k", "name", "price", "op", "seq")
+    // tie-break: deletes win over upserts at the same seq
+    val delWins = Cdc.applyChanges(base, changes, Seq("k"), "seq", "op",
+      tieBreak = Seq(col("op").asc)).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(delWins === Seq((2L, "b", 20.0), (3L, "c", 30.0)))
+    val updWins = Cdc.applyChanges(base, changes, Seq("k"), "seq", "op",
+      tieBreak = Seq(col("op").desc)).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(updWins.head === ((1L, "upd", 99.0)))
+  }
+
+  test("empty changelog returns the base unchanged") {
+    val changes = Seq.empty[(Long, String, Double, String, Long)]
+      .toDF("k", "name", "price", "op", "seq")
+    val out = Cdc.applyChanges(base, changes, Seq("k"), "seq", "op")
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)))
+  }
+
+  test("composite keys route changes to the exact (k1,k2) row") {
+    val b = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("k1", "k2", "v")
+    val changes = Seq((1L, "y", 9.0, "U", 1L))
+      .toDF("k1", "k2", "v", "op", "seq")
+    val out = Cdc.applyChanges(b, changes, Seq("k1", "k2"), "seq", "op")
+      .orderBy("k1", "k2").as[(Long, String, Double)].collect().toSeq
+    assert(out === Seq((1L, "x", 1.0), (1L, "y", 9.0)))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** `Dedup.nearDupClusters` — connected components over near-dup pairs. */
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustersOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.nearDupClusters(pairs.toDF("id1", "id2"), "id1", "id2")
+      .as[(Long, Long)].collect().toMap
+
+  test("a transitive chain collapses to the minimum id") {
+    // 7-6-5-4-3: pairwise-similar neighbors, one cluster rooted at 3
+    val c = clustersOf(Seq((7L, 6L), (6L, 5L), (5L, 4L), (4L, 3L)))
+    assert(c === Map(3L -> 3L, 4L -> 3L, 5L -> 3L, 6L -> 3L, 7L -> 3L))
+  }
+
+  test("disjoint components keep separate canonical ids") {
+    val c = clustersOf(Seq((1L, 2L), (10L, 11L), (11L, 12L)))
+    assert(c === Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("a diamond (two pairs sharing no direct edge to the min) unifies") {
+    // 6-5, 6-1: 5 and 1 never directly paired, same component via 6
+    val c = clustersOf(Seq((5L, 6L), (1L, 6L)))
+    assert(c === Map(1L -> 1L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("agrees with a reference union-find on a dense random graph") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    // reference: classic union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    // canonical = min id of the component
+    val expected = nodes
+      .groupBy(find).flatMap { case (_, ns) => ns.map(_ -> ns.min) }.toMap
+    assert(clustersOf(pairs) === expected)
+  }
+
+  test("self-pairs are ignored; duplicate pairs are harmless") {
+    val c = clustersOf(Seq((2L, 2L), (2L, 1L), (1L, 2L), (2L, 1L)))
+    assert(c === Map(1L -> 1L, 2L -> 1L))
+  }
+}
