@@ -116,6 +116,30 @@ object Curation {
       .where(col(valueCol) >= col("p_cut"))
   }
 
+  /** Deterministic per-stratum Bernoulli sample: keep a row iff its id's
+    * 32-bit md5 hash falls below `fraction(stratum)`·2^32. Like
+    * [[assignSplit]], membership is a pure function of the id — re-runs,
+    * repartitioning, and corpus growth never change a kept row's fate, and
+    * sampling a filtered subset keeps exactly the subset of the full
+    * sample (the property random() sampling breaks). Map-only: no shuffle,
+    * no state. Strata absent from `fractions` fall back to `default`
+    * (0 = drop — fail closed on unknown strata); rows with a NULL id are
+    * dropped (hash of NULL is NULL — quarantine them upstream if they
+    * matter).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      fractions: Map[String, Double], default: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    def cut(f: Double): Long = math.round(f * 4294967296.0)
+    val cutoff = fractions.foldLeft(lit(cut(default)): Column) {
+      case (acc, (k, f)) =>
+        when(col(strataCol) === k, lit(cut(f))).otherwise(acc)
+    }
+    df.where(
+      graft.functions.CrossHash.md5Hash32(col(idCol).cast("string")) < cutoff)
+  }
+
   /** Curriculum / ordered-output sharding: globally range-partition by
     * `order` into `numShards` sorted shards (Spark samples range bounds —
     * no single-node global sort). Each output shard is internally sorted

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.CrossHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketches. The production path at 100 TB is Spark's
+  * built-in `approx_count_distinct` (HyperLogLog++, codegen'd, mergeable
+  * partials — use it whenever a ±2–5% answer is acceptable, it removes the
+  * count-distinct shuffle's width entirely). This operator is the
+  * q85-family semantic twin: classic HyperLogLog over the cross-engine
+  * md5-derived hash ([[CrossHash.md5Hash32]]), every step integer-or-
+  * power-of-two exact, so a DuckDB oracle reproduces the ESTIMATE
+  * bit-for-bit — the sketch math itself is gate-checked, which no
+  * engine-private HLL implementation allows.
+  *
+  * Register sums stay exact across engines because every term is a power
+  * of two (2^-r, r ≤ 25): partial sums span < 53 mantissa bits, so
+  * addition never rounds and accumulation order cannot matter.
+  */
+object Sketches {
+
+  /** HLL registers for `2^p` buckets: the value hashes to 32 bits; the top
+    * `p` bits pick a register, the rank of the highest set bit in the
+    * remaining `32-p` bits (counted from the top, 1-based; all-zeros →
+    * `32-p+1`) max-aggregates per register. One map pass + one partial-agg
+    * shuffle of at most `2^p` rows per key — mergeable across any
+    * partitioning.
+    */
+  def hllRegisters(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val wBits = 32 - p
+    val h = CrossHash.md5Hash32(valueCol.cast("string"))
+    val idx = shiftright(h, wBits).cast("int")
+    val w = h.bitwiseAND(lit((1L << wBits) - 1))
+    // rank of the leading 1-bit in the low wBits bits (1-based from the
+    // top); bin() has no leading zeros in either engine, so the bit length
+    // is just LENGTH(bin(w))
+    val rho = when(w === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(w)))
+    df.select(keyCols.map(col) :+ idx.as("idx") :+ rho.as("rho"): _*)
+      .groupBy(keyCols.head, keyCols.tail :+ "idx": _*)
+      .agg(max(col("rho")).as("r"))
+  }
+
+  /** HLL distinct estimate per key: the classic raw estimator
+    * `alpha_m·m²/Σ 2^-M_j` with the small-range linear-counting
+    * correction (`m·ln(m/zeros)` when raw ≤ 2.5m and empty registers
+    * exist). Returns (keys, regs_set, zeros, sum_inv, raw_est, est).
+    * `raw_est` is cross-engine exact; `est` equals it outside the
+    * correction regime (inside it, `ln` may differ by 1 ulp between
+    * libm implementations — round before hash-comparing).
+    */
+  def hllEstimate(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+      p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val regs = hllRegisters(df, keyCols, valueCol, p)
+      .withColumn("inv_r",
+        lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), r) AS DOUBLE)"))
+    val agg = regs.groupBy(keyCols.head, keyCols.tail: _*)
+      .agg(count(lit(1)).as("regs_set"),
+        sum(col("inv_r")).as("present_inv"))
+      .withColumn("zeros", lit(m.toLong) - col("regs_set"))
+      .withColumn("sum_inv",
+        col("zeros").cast("double") + col("present_inv"))
+      .withColumn("raw_est", lit(alpha * m * m) / col("sum_inv"))
+    agg.withColumn("est",
+        when(col("raw_est") <= lit(2.5 * m) && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros").cast("double")))
+          .otherwise(col("raw_est")))
+      .drop("present_inv")
+  }
+}

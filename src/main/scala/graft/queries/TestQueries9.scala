@@ -130,5 +130,99 @@ object TestQueries9 {
                AS is_canonical
       FROM reach GROUP BY id ORDER BY doc_id"""))
 
-  val all: Seq[QueryCase] = Seq(q94CdcApply, q95DedupClusters)
+  /** HyperLogLog distinct-count semantics (q85-family): classic HLL with
+    * p=8 over the cross-engine md5 hash, estimating distinct event_ids per
+    * event_type next to the exact count and the relative error. Every
+    * register, the power-of-two-exact inverse sum, and the raw estimator
+    * hash-match DuckDB running the identical integer/double math. The
+    * production path for approximate distincts is Spark's built-in
+    * approx_count_distinct (HLL++, mergeable partials) — SketchesSpec pins
+    * its error against exact; this gate pins the sketch MATH itself.
+    */
+  val q96HllSemantics: QueryCase = QueryCase(
+    "q96_hll_semantics",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+      val est = graft.operators.Sketches.hllEstimate(
+        e, Seq("event_type"), col("event_id"), 8)
+      val exact = e.groupBy("event_type")
+        .agg(countDistinct(col("event_id")).as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_exact"), col("regs_set"),
+          col("zeros"), round(col("sum_inv"), 6).as("sum_inv"),
+          round(col("raw_est"), 4).as("raw_est"),
+          round(abs(col("est") - col("n_exact")) / col("n_exact"), 4)
+            .as("rel_err"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM events),
+      r AS (
+        SELECT event_type, h >> 24 AS idx,
+               MAX(CASE WHEN (h & 16777215) = 0 THEN 25
+                        ELSE 25 - LENGTH(bin(h & 16777215)) END) AS r
+        FROM h GROUP BY 1, 2),
+      a AS (
+        SELECT event_type, COUNT(*) AS regs_set,
+               SUM(CAST(1.0 AS DOUBLE) /
+                   CAST((CAST(1 AS BIGINT) << r) AS DOUBLE)) AS present_inv
+        FROM r GROUP BY 1),
+      e AS (
+        SELECT event_type, regs_set, 256 - regs_set AS zeros,
+               CAST(256 - regs_set AS DOUBLE) + present_inv AS sum_inv
+        FROM a),
+      est AS (
+        SELECT event_type, regs_set, zeros, sum_inv,
+               (CAST(0.7213 AS DOUBLE) /
+                  (CAST(1.0 AS DOUBLE) +
+                   CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+                 * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE) / sum_inv
+                 AS raw_est
+        FROM e),
+      fin AS (
+        SELECT event_type, regs_set, zeros, sum_inv, raw_est,
+               CASE WHEN raw_est <= CAST(640.0 AS DOUBLE) AND zeros > 0
+                 THEN CAST(256.0 AS DOUBLE) *
+                      ln(CAST(256.0 AS DOUBLE) / CAST(zeros AS DOUBLE))
+                 ELSE raw_est END AS est
+        FROM est),
+      x AS (
+        SELECT event_type, COUNT(DISTINCT event_id) AS n_exact
+        FROM events GROUP BY 1)
+      SELECT f.event_type, x.n_exact, f.regs_set, f.zeros,
+             ROUND(f.sum_inv, 6) AS sum_inv, ROUND(f.raw_est, 4) AS raw_est,
+             ROUND(ABS(f.est - x.n_exact) / x.n_exact, 4) AS rel_err
+      FROM fin f JOIN x USING (event_type)
+      ORDER BY f.event_type"""))
+
+  /** Deterministic stratified sampling: per-language keep fractions
+    * (en 20%, de 50%, es 10%, fr 100%, zh 0%, unknown→0) via the id-hash
+    * threshold — the exact kept set hash-checks because membership is a
+    * pure function of doc_id.
+    */
+  val q97StratifiedSample: QueryCase = QueryCase(
+    "q97_stratified_sample",
+    (s, dir) => {
+      graft.operators.Curation.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "lang", "source"),
+          "lang", "doc_id",
+          Map("en" -> 0.2, "de" -> 0.5, "es" -> 0.1, "fr" -> 1.0, "zh" -> 0.0))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang, source FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            < CASE lang WHEN 'en' THEN 858993459
+                        WHEN 'de' THEN 2147483648
+                        WHEN 'es' THEN 429496730
+                        WHEN 'fr' THEN 4294967296
+                        WHEN 'zh' THEN 0
+                        ELSE 0 END
+      ORDER BY doc_id"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q94CdcApply, q95DedupClusters, q96HllSemantics, q97StratifiedSample)
 }

@@ -113,4 +113,30 @@ class CurationSpec extends SparkSpec {
     // ids 1,2 fill seq1 (12 tokens exactly), id 3 opens seq2
     assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 2L)))
   }
+
+  test("stratifiedSample: subset invariance, edge fractions, unknown strata") {
+    val df = (1 to 4000).map(i => (i.toLong, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "lang")
+    val fr = Map("a" -> 0.3, "b" -> 1.0)
+    val full = Curation.stratifiedSample(df, "lang", "id", fr)
+    val counts = full.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("b") === 2000) // fraction 1.0 keeps everything
+    assert(counts("a") > 450 && counts("a") < 750) // ~600 ± noise
+
+    // sampling a filtered corpus = filtering the full sample
+    val sub = Curation.stratifiedSample(df.where($"id" <= 1000), "lang", "id", fr)
+    assert(sub.except(full.where($"id" <= 1000)).isEmpty)
+    assert(full.where($"id" <= 1000).except(sub).isEmpty)
+
+    // fraction 0 and unknown strata (default 0) drop everything
+    assert(Curation.stratifiedSample(df, "lang", "id", Map("a" -> 0.0))
+      .count() === 0)
+
+    // null ids are dropped, not sampled
+    val withNull = df.unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "b")).toDF("id", "lang"))
+    assert(Curation.stratifiedSample(withNull, "lang", "id", fr)
+      .where($"id".isNull).count() === 0)
+  }
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `Sketches.hllEstimate` (cross-engine HLL) and the production
+  * `approx_count_distinct` path.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hll estimate lands within the expected error band") {
+    // m=256 → standard error 1.04/sqrt(256) = 6.5%; assert a loose 3-sigma
+    val df = (1 to 5000).map(i => ("g", s"user-$i")).toDF("g", "v")
+    val est = Sketches.hllEstimate(df, Seq("g"), col("v"))
+      .select("est").as[Double].head()
+    assert(math.abs(est - 5000) / 5000.0 < 0.20, s"est=$est")
+  }
+
+  test("hll is insensitive to duplicates and partitioning") {
+    val base = (1 to 1000).map(i => ("g", s"id-$i"))
+    val dup = base ++ base ++ base
+    val e1 = Sketches.hllEstimate(base.toDF("g", "v"), Seq("g"), col("v"))
+      .select("est").as[Double].head()
+    val e2 = Sketches.hllEstimate(
+      dup.toDF("g", "v").repartition(7), Seq("g"), col("v"))
+      .select("est").as[Double].head()
+    assert(e1 === e2) // registers are max-merged: exact same sketch
+  }
+
+  test("small-range correction engages for tiny cardinalities") {
+    val df = (1 to 30).map(i => ("g", s"k-$i")).toDF("g", "v")
+    val row = Sketches.hllEstimate(df, Seq("g"), col("v"))
+      .select("zeros", "est").head()
+    assert(row.getLong(0) > 0) // most registers empty
+    val est = row.getDouble(1)
+    assert(math.abs(est - 30) / 30.0 < 0.25, s"est=$est")
+  }
+
+  test("registers carry ranks in [1, 25] for p=8") {
+    val df = (1 to 2000).map(i => ("g", s"x-$i")).toDF("g", "v")
+    val bad = Sketches.hllRegisters(df, Seq("g"), col("v"))
+      .where(col("r") < 1 || col("r") > 25).count()
+    assert(bad === 0)
+  }
+
+  test("production path: approx_count_distinct tracks exact within rsd") {
+    val df = (1 to 20000).map(i => (i % 5, s"u-${i % 7919}")).toDF("g", "v")
+    val rows = df.groupBy("g")
+      .agg(countDistinct(col("v")).as("exact"),
+        approx_count_distinct(col("v"), 0.02).as("approx"))
+      .select("exact", "approx").as[(Long, Long)].collect()
+    rows.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact).toDouble / exact < 0.06,
+        s"exact=$exact approx=$approx")
+    }
+  }
+}
