@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering — the data-layout lever for MULTI-dimensional
+  * data skipping. A single-column sort gives perfect file-level min/max
+  * pruning on that column and none on any other; sorting by the interleaved
+  * z-value gives every interleaved dimension locality, so a predicate on
+  * ANY of them prunes most files' stats ranges (the layout Delta/Iceberg
+  * expose as `OPTIMIZE ZORDER BY`, built here from plain column math +
+  * range partitioning).
+  *
+  * At 100 TB this runs once per table/partition as a layout job: one range
+  * shuffle on the z-value (Spark samples the bounds), each output file
+  * internally sorted — parquet row-group stats then carry tight per-file
+  * boxes in every clustered dimension. ZorderSpec proves the skipping
+  * arithmetic: a y-only box query intersects every file of an x-sorted
+  * layout and a small corner of the z-ordered one.
+  *
+  * All bit math is plain integer ops (whole-stage codegen; mirrored
+  * exactly by DuckDB via [[zvalue2Sql]]).
+  */
+object Zorder {
+
+  /** Spread the low 16 bits of a non-negative value across 32 bits (a zero
+    * between consecutive bits) — the classic mask-doubling ladder.
+    */
+  def spread16(c: Column): Column = {
+    val v0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    val v1 = v0.bitwiseOR(shiftleft(v0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val v2 = v1.bitwiseOR(shiftleft(v1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val v3 = v2.bitwiseOR(shiftleft(v2, 2)).bitwiseAND(lit(0x33333333L))
+    v3.bitwiseOR(shiftleft(v3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton z-value of two 16-bit dimensions (x in the even bits,
+    * y in the odd). Callers normalize each dimension into [0, 2^16) first
+    * (modulo, bucketing, or rank).
+    */
+  def zvalue2(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** DuckDB mirror of [[spread16]] over a SQL expression string. */
+  def spread16Sql(e: String): String = {
+    val v0 = s"(($e) & 65535)"
+    val v1 = s"(($v0 | ($v0 << 8)) & 16711935)"
+    val v2 = s"(($v1 | ($v1 << 4)) & 252645135)"
+    val v3 = s"(($v2 | ($v2 << 2)) & 858993459)"
+    s"(($v3 | ($v3 << 1)) & 1431655765)"
+  }
+
+  /** DuckDB mirror of [[zvalue2]]. */
+  def zvalue2Sql(x: String, y: String): String =
+    s"(${spread16Sql(x)} | (${spread16Sql(y)} << 1))"
+
+  /** Cluster a dataset by the z-value of two dimensions: one range shuffle
+    * (sampled bounds — no single-node sort) into `numPartitions` sorted
+    * output files.
+    */
+  def cluster2(df: DataFrame, x: Column, y: Column,
+      numPartitions: Int): DataFrame = {
+    val z = zvalue2(x, y)
+    df.repartitionByRange(numPartitions, z).sortWithinPartitions(z)
+  }
+}

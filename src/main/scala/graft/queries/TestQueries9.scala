@@ -223,6 +223,32 @@ object TestQueries9 {
                         ELSE 0 END
       ORDER BY doc_id"""))
 
+  /** Z-order (Morton) interleaving: the exact bit-spread ladder and
+    * two-dimension z-value over (user_id, event_id) buckets, top 200 by
+    * z — every interleaved bit hash-checked against DuckDB running the
+    * identical mask arithmetic ([[graft.operators.Zorder.zvalue2Sql]]).
+    * The layout operator itself (`Zorder.cluster2`) is spec-proven:
+    * ZorderSpec shows a y-only box query touches every file of an
+    * x-sorted layout and ≤ a quarter of the z-ordered one.
+    */
+  val q98Zorder: QueryCase = QueryCase(
+    "q98_zorder",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"),
+          (col("user_id") % 4096).as("x"), (col("event_id") % 4096).as("y"))
+      e.withColumn("z", graft.operators.Zorder.zvalue2(col("x"), col("y")))
+        .orderBy("z", "event_id")
+        .limit(200)
+    },
+    Some(s"""
+      SELECT event_id, x, y,
+             ${graft.operators.Zorder.zvalue2Sql("x", "y")} AS z
+      FROM (SELECT event_id, user_id % 4096 AS x, event_id % 4096 AS y
+            FROM events)
+      ORDER BY z, event_id LIMIT 200"""))
+
   val all: Seq[QueryCase] =
-    Seq(q94CdcApply, q95DedupClusters, q96HllSemantics, q97StratifiedSample)
+    Seq(q94CdcApply, q95DedupClusters, q96HllSemantics, q97StratifiedSample,
+      q98Zorder)
 }

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** `Zorder` — Morton interleaving math and the data-skipping layout claim. */
+class ZorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refZ(x: Int, y: Int): Long = {
+    var z = 0L
+    for (i <- 0 until 16)
+      z |= ((x >> i) & 1).toLong << (2 * i) | ((y >> i) & 1).toLong << (2 * i + 1)
+    z
+  }
+
+  test("zvalue2 matches a reference bit-interleave, including 16-bit max") {
+    val cases = Seq((0, 0), (1, 0), (0, 1), (3, 5), (255, 254), (4095, 17),
+      (65535, 65535), (65535, 0), (12345, 54321))
+    val out = cases.toDF("x", "y")
+      .select(Zorder.zvalue2($"x", $"y")).as[Long].collect()
+    assert(out.toSeq === cases.map { case (x, y) => refZ(x, y) })
+  }
+
+  test("values above 16 bits are masked, not corrupted") {
+    val z = Seq((65536 + 7, 2)).toDF("x", "y")
+      .select(Zorder.zvalue2($"x", $"y")).as[Long].head()
+    assert(z === refZ(7, 2))
+  }
+
+  /** Per-partition bounding boxes — the min/max stats parquet would carry
+    * per file after `cluster2` writes this layout.
+    */
+  private def boxes(d: DataFrame): Seq[(Int, Int, Int, Int)] =
+    d.select("x", "y").rdd.mapPartitions { it =>
+      val l = it.map(r => (r.getInt(0), r.getInt(1))).toArray
+      if (l.isEmpty) Iterator.empty
+      else Iterator((l.map(_._1).min, l.map(_._1).max,
+        l.map(_._2).min, l.map(_._2).max))
+    }.collect().toSeq
+
+  test("z-order layout prunes a y-only box query; an x-sort cannot") {
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
+    val df = grid.toDF("x", "y")
+    val nFiles = 64
+    val zBoxes = boxes(Zorder.cluster2(df, $"x", $"y", nFiles))
+    val xBoxes = boxes(
+      df.repartitionByRange(nFiles, $"x").sortWithinPartitions("x", "y"))
+    assert(zBoxes.size === nFiles && xBoxes.size === nFiles)
+
+    // query: y BETWEEN 0 AND 7 (selective in y only)
+    def yHits(bs: Seq[(Int, Int, Int, Int)]) =
+      bs.count { case (_, _, yMin, yMax) => yMin <= 7 && yMax >= 0 }
+    assert(yHits(xBoxes) === nFiles) // x-sort: every file spans all y
+    assert(yHits(zBoxes) <= nFiles / 4,
+      s"z layout should bound y per file, hit ${yHits(zBoxes)}")
+
+    // and the x dimension keeps (coarser) pruning too
+    def xHits(bs: Seq[(Int, Int, Int, Int)]) =
+      bs.count { case (xMin, xMax, _, _) => xMin <= 7 && xMax >= 0 }
+    assert(xHits(zBoxes) <= nFiles / 2)
+  }
+}
