@@ -1,7 +1,8 @@
 package graft
 
 import graft.queries.{TestQueries, TestQueries2, TestQueries3, TestQueries4,
-  TestQueries5, TestQueries6, TestQueries7, TestQueries8, TestQueries9}
+  TestQueries5, TestQueries6, TestQueries7, TestQueries8, TestQueries9,
+  TestQueries10}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +22,8 @@ object SparkEntry {
   private def allCases =
     TestQueries.all ++ TestQueries2.all ++ TestQueries3.all ++
       TestQueries4.all ++ TestQueries5.all ++ TestQueries6.all ++
-      TestQueries7.all ++ TestQueries8.all ++ TestQueries9.all
+      TestQueries7.all ++ TestQueries8.all ++ TestQueries9.all ++
+      TestQueries10.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations — the validation pass a pipeline runs before
+  * promoting a batch (dbt-test / Deequ shape, expressed as plain Spark
+  * plans). Row-level rules evaluate in ONE scan regardless of rule count
+  * (each rule is a conditional-sum aggregate, unpivoted to a report row);
+  * uniqueness and referential integrity are their natural one-shuffle
+  * groupBy/anti-join shapes. Nothing here collects to the driver — at
+  * 100 TB the report stays a DataFrame to sink next to the batch.
+  */
+object Expectations {
+
+  /** Evaluate row-level boolean rules in one scan. Returns one row per
+    * rule: (rule, n_rows, n_violations, pass). A rule evaluating to NULL
+    * on a row counts as a violation (fail closed — an unparseable value
+    * is not evidence of health).
+    */
+  def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.map { case (name, c) =>
+      sum(when(coalesce(c, lit(false)), lit(0L)).otherwise(lit(1L))).as(name)
+    }
+    val wide = df.agg(count(lit(1)).as("_n_rows"), aggs: _*)
+    val stackArgs = rules.map { case (name, _) =>
+      s"'${name.replace("'", "''")}', `$name`"
+    }.mkString(", ")
+    wide.select(col("_n_rows"),
+        expr(s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)"))
+      .select(col("rule"), col("_n_rows").as("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
+
+  /** Key groups that break a uniqueness expectation: (keys..., n_dupes)
+    * for every key appearing more than once.
+    */
+  def duplicateKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_dupes"))
+      .where(col("n_dupes") > 1)
+
+  /** Child rows whose key has no match in the parent (referential
+    * integrity violations). NULL child keys are reported too — a null
+    * foreign key can't prove membership (pre-filter them if nullable-FK
+    * is part of the contract).
+    */
+  def orphans(child: DataFrame, parent: DataFrame,
+      childKey: String, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).where(col(childKey).isNotNull).distinct(),
+      Seq(childKey), "left_anti")
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Column statistics profile — the ANALYZE-style snapshot a pipeline
+  * records per batch (and the input CBO-style decisions want): null count,
+  * distinct count, and type-appropriate min/max per column, one report row
+  * per column.
+  *
+  * Everything computes in a single aggregate over one scan. With
+  * `exactNdv` (the oracle-checkable default) the multi-column distinct
+  * counts plan through Catalyst's Expand — one extra pass per distinct
+  * column; at 100 TB set `exactNdv = false` to use approx_count_distinct
+  * (HLL++ partials, no Expand, one true scan).
+  */
+object Profile {
+
+  def profile(df: DataFrame, cols: Seq[String],
+      exactNdv: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val schema = df.schema
+    val aggs = cols.flatMap { c =>
+      val dt = schema(c).dataType
+      val (minN, maxN) = dt match {
+        case _: NumericType =>
+          (min(col(c)).cast("double"), max(col(c)).cast("double"))
+        case _ => (lit(null).cast("double"), lit(null).cast("double"))
+      }
+      val (minS, maxS) = dt match {
+        case StringType => (min(col(c)), max(col(c)))
+        case _ => (lit(null).cast("string"), lit(null).cast("string"))
+      }
+      val ndv = if (exactNdv) countDistinct(col(c))
+        else approx_count_distinct(col(c))
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        ndv.as(s"${c}__ndv"),
+        minN.as(s"${c}__min_num"), maxN.as(s"${c}__max_num"),
+        minS.as(s"${c}__min_str"), maxS.as(s"${c}__max_str"))
+    }
+    val wide = df.agg(count(lit(1)).as("_n_rows"), aggs: _*)
+    val stackArgs = cols.map { c =>
+      s"'${c.replace("'", "''")}', `${c}__nulls`, `${c}__ndv`, " +
+        s"`${c}__min_num`, `${c}__max_num`, `${c}__min_str`, `${c}__max_str`"
+    }.mkString(", ")
+    wide.select(col("_n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS " +
+          "(column, n_nulls, ndv, min_num, max_num, min_str, max_str)"))
+      .select(col("column"), col("_n_rows").as("n_rows"), col("n_nulls"),
+        col("ndv"), col("min_num"), col("max_num"), col("min_str"),
+        col("max_str"))
+  }
+}

@@ -72,4 +72,41 @@ object Sketches {
           .otherwise(col("raw_est")))
       .drop("present_inv")
   }
+
+  /** Count-min sketch counters: `d` hash rows × `w` buckets over the
+    * cross-engine hash (row i's hash = md5Hash32("i|value") mod w). One
+    * map pass + one partial-agg shuffle of ≤ d·w rows — a fixed-size
+    * frequency summary of an unbounded stream/corpus. Estimates from
+    * [[cmsEstimate]] NEVER underestimate; collisions only inflate (by
+    * ≤ 2e/w·N with probability 1−(1/2)^d — the classic bound).
+    */
+  def cmsCounters(df: DataFrame, valueCol: Column, d: Int = 4,
+      w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, "need d >= 1 hash rows and w >= 2 buckets")
+    df.select(valueCol.cast("string").as("v"))
+      .select(col("v"), explode(lit((0 until d).toArray)).as("r"))
+      .select(col("r"),
+        pmod(CrossHash.md5Hash32(
+          concat_ws("|", col("r").cast("string"), col("v"))), lit(w.toLong))
+          .as("b"))
+      .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query a count-min sketch: per probe value, the minimum counter
+    * across the `d` rows (an absent bucket reads 0). The counter table is
+    * ≤ d·w rows, so the lookup join broadcasts — probing is map-only at
+    * any probe volume.
+    */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, valueCol: Column,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    val expanded = probes.select(valueCol.cast("string").as("v"))
+      .select(col("v"), explode(lit((0 until d).toArray)).as("r"))
+      .select(col("v"), col("r"),
+        pmod(CrossHash.md5Hash32(
+          concat_ws("|", col("r").cast("string"), col("v"))), lit(w.toLong))
+          .as("b"))
+    expanded.join(broadcast(counters), Seq("r", "b"), "left")
+      .groupBy("v")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

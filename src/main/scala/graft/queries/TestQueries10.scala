@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.operators.{Expectations, Profile, Sketches}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 gate queries, part 3: pipeline observability — data-quality
+  * expectations (q99), the ANALYZE-style column profile (q100), and the
+  * count-min-sketch frequency summary (q101, q85-family cross-engine
+  * hashes).
+  */
+object TestQueries10 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+  /** One-scan rule evaluation over orders (domain, range, null, format
+    * rules — the 300k price cap is deliberately violated by the data) plus
+    * the uniqueness and referential shapes, unioned into one report. The
+    * referential check runs against the %7 != 0 subset of customers so the
+    * orphan path is exercised with a deterministic nonzero count.
+    */
+  val q99Expectations: QueryCase = QueryCase(
+    "q99_expectations",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val cust = t(s, dir, "customer").where(col("c_custkey") % 7 =!= 0)
+      val rowRules = Expectations.check(o, Seq(
+        "totalprice_positive" -> (col("o_totalprice") > 0),
+        "totalprice_under_300k" -> (col("o_totalprice") <= 300000),
+        "status_in_domain" -> col("o_orderstatus").isin("O", "F", "P"),
+        "orderdate_not_null" -> col("o_orderdate").isNotNull,
+        "priority_format" -> col("o_orderpriority").rlike("^[0-9]-")))
+      val total = o.agg(count(lit(1)).as("n_rows"))
+      val dupRow = Expectations.duplicateKeys(o, Seq("o_orderkey"))
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(total)
+        .select(lit("orderkey_unique").as("rule"), col("n_rows"),
+          col("n_violations"), (col("n_violations") === 0L).as("pass"))
+      val orphanRow = Expectations.orphans(o, cust, "o_custkey", "c_custkey")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(total)
+        .select(lit("custkey_referential").as("rule"), col("n_rows"),
+          col("n_violations"), (col("n_violations") === 0L).as("pass"))
+      rowRules.unionByName(dupRow).unionByName(orphanRow)
+        .withColumn("pass", col("pass").cast("int"))
+        .orderBy("rule")
+    },
+    Some("""
+      WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+      rules AS (
+        SELECT 'totalprice_positive' AS rule,
+               CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+                 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations FROM orders
+        UNION ALL
+        SELECT 'totalprice_under_300k',
+               CAST(SUM(CASE WHEN COALESCE(o_totalprice <= 300000, FALSE)
+                 THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'status_in_domain',
+               CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                 THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'orderdate_not_null',
+               CAST(SUM(CASE WHEN o_orderdate IS NOT NULL
+                 THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'priority_format',
+               CAST(SUM(CASE WHEN COALESCE(
+                 regexp_matches(o_orderpriority, '^[0-9]-'), FALSE)
+                 THEN 0 ELSE 1 END) AS BIGINT) FROM orders
+        UNION ALL
+        SELECT 'orderkey_unique',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+                 SELECT o_orderkey FROM orders
+                 GROUP BY o_orderkey HAVING COUNT(*) > 1))
+        UNION ALL
+        SELECT 'custkey_referential',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE NOT EXISTS (
+                  SELECT 1 FROM customer c
+                  WHERE c.c_custkey % 7 <> 0
+                    AND c.c_custkey = o.o_custkey)))
+      SELECT rule, n.n_rows, r.n_violations,
+             CAST(CASE WHEN r.n_violations = 0 THEN 1 ELSE 0 END AS INT)
+               AS pass
+      FROM rules r CROSS JOIN n ORDER BY rule"""))
+
+  /** ANALYZE-style column profile of orders: null count, exact NDV, and
+    * numeric/string min-max per column in one aggregate (the timestamp
+    * column exercises the inapplicable-stats → NULL branch).
+    */
+  val q100Profile: QueryCase = QueryCase(
+    "q100_profile",
+    (s, dir) => {
+      Profile.profile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority", "o_orderdate"))
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")
+    },
+    Some("""
+      WITH p AS (
+        SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS ndv,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', COUNT(*),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_custkey),
+               CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderstatus),
+               NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_totalprice),
+               CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderpriority),
+               NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', COUNT(*),
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderdate),
+               NULL, NULL, NULL, NULL
+        FROM orders)
+      SELECT * FROM p ORDER BY col_name"""))
+
+  /** Count-min-sketch frequency summary (4×1024) over document tokens:
+    * per probe token, the exact count next to the sketch estimate and the
+    * collision inflation (always ≥ 0 — CMS never underestimates). The
+    * absent probe pins the missing-value path. Every counter and estimate
+    * hash-checks: the row hashes are md5-derived in both engines.
+    */
+  val q101CmsFrequency: QueryCase = QueryCase(
+    "q101_cms_frequency",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val counters = Sketches.cmsCounters(toks, col("tok"))
+      val probes = s.createDataFrame(
+        Seq("join", "hash", "row", "batch", "scan", "column", "customer",
+          "filter", "zzz-absent").map(Tuple1(_)))
+        .toDF("tok")
+      val est = Sketches.cmsEstimate(counters, probes, col("tok"))
+        .withColumnRenamed("v", "tok")
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      est.join(exact, Seq("tok"), "left")
+        .select(col("tok"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("est"),
+          (col("est") - coalesce(col("n_exact"), lit(0L))).as("inflation"))
+        .orderBy("tok")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT UNNEST($TokensSql) AS tok FROM documents),
+      rws AS (SELECT UNNEST(range(0, 4)) AS r),
+      h AS (
+        SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 8)) AS BIGINT) % 1024 AS b
+        FROM toks CROSS JOIN rws),
+      counters AS (SELECT r, b, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
+      probes AS (
+        SELECT UNNEST(['join','hash','row','batch','scan','column',
+                       'customer','filter','zzz-absent']) AS tok),
+      ph AS (
+        SELECT tok, r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 8)) AS BIGINT) % 1024 AS b
+        FROM probes CROSS JOIN rws),
+      est AS (
+        SELECT tok, MIN(COALESCE(cnt, 0)) AS est
+        FROM ph LEFT JOIN counters USING (r, b) GROUP BY tok),
+      ex AS (
+        SELECT p.tok, CAST(COUNT(t.tok) AS BIGINT) AS n_exact
+        FROM probes p LEFT JOIN toks t ON t.tok = p.tok GROUP BY 1)
+      SELECT tok, n_exact, est, est - n_exact AS inflation
+      FROM est JOIN ex USING (tok) ORDER BY tok"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q99Expectations, q100Profile, q101CmsFrequency)
+}

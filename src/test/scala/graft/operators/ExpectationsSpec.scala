@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `Expectations` (data-quality rules) and `Profile` (column stats). */
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Some(10.0), "A"), (2L, Some(-5.0), "B"),
+    (3L, None, "A"), (4L, Some(7.5), "ZZ")
+  ).toDF("id", "amount", "code")
+
+  test("check evaluates all rules in one pass; null counts as violation") {
+    val out = Expectations.check(df, Seq(
+        "amount_positive" -> (col("amount") > 0),
+        "code_in_domain" -> col("code").isin("A", "B"),
+        "id_not_null" -> col("id").isNotNull))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      // -5 violates; the NULL amount is a violation too (fail closed)
+      ("amount_positive", 4L, 2L, false),
+      ("code_in_domain", 4L, 1L, false),
+      ("id_not_null", 4L, 0L, true)))
+  }
+
+  test("check plans a single scan of the input") {
+    val out = Expectations.check(df, Seq(
+      "a" -> (col("amount") > 0), "b" -> col("code").isin("A")))
+    val scans = out.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LeafNode => l
+    }
+    assert(scans.size === 1)
+  }
+
+  test("duplicateKeys reports only keys appearing more than once") {
+    val d = Seq((1L, "x"), (1L, "y"), (2L, "z"), (3L, "w"), (3L, "v"), (3L, "u"))
+      .toDF("k", "v")
+    val out = Expectations.duplicateKeys(d, Seq("k"))
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L), (3L, 3L)))
+  }
+
+  test("orphans finds unmatched children and reports null FKs") {
+    val child = Seq(Some(1L), Some(2L), Some(9L), None)
+      .toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Expectations.orphans(child, parent, "fk", "pk")
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+    assert(out.toSet === Set(Some(9L), None))
+  }
+
+  test("profile: nulls, exact ndv, numeric vs string stats, inapplicable → null") {
+    val d = Seq(
+      (1L, Some(2.0), "b", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, None, "a", java.sql.Timestamp.valueOf("2024-01-02 00:00:00")),
+      (3L, Some(8.0), "a", java.sql.Timestamp.valueOf("2024-01-03 00:00:00"))
+    ).toDF("id", "x", "s", "ts")
+    val out = Profile.profile(d, Seq("id", "x", "s", "ts"))
+      .orderBy("column").collect()
+    val byCol = out.map(r => r.getString(0) -> r).toMap
+    assert(out.forall(_.getLong(1) == 3L)) // n_rows
+    assert(byCol("x").getLong(2) === 1L) // one null
+    assert(byCol("x").getLong(3) === 2L) // ndv ignores null
+    assert(byCol("x").getDouble(4) === 2.0 && byCol("x").getDouble(5) === 8.0)
+    assert(byCol("x").isNullAt(6) && byCol("x").isNullAt(7)) // no string stats
+    assert(byCol("s").getString(6) === "a" && byCol("s").getString(7) === "b")
+    assert(byCol("s").isNullAt(4) && byCol("s").isNullAt(5)) // no numeric stats
+    assert(byCol("ts").isNullAt(4) && byCol("ts").isNullAt(6)) // inapplicable
+    assert(byCol("ts").getLong(3) === 3L) // but ndv still counts
+  }
+
+  test("profile approx mode stays close to exact ndv") {
+    val d = (1 to 5000).map(i => i.toLong).toDF("id")
+    val approx = Profile.profile(d, Seq("id"), exactNdv = false)
+      .select("ndv").as[Long].head()
+    assert(math.abs(approx - 5000).toDouble / 5000 < 0.10, s"ndv=$approx")
+  }
+}

@@ -44,6 +44,31 @@ class SketchesSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("cms never underestimates and is exact without collisions") {
+    val vals = (1 to 100).flatMap(i => Seq.fill(i % 7 + 1)(s"t-$i"))
+    val df = vals.toDF("v")
+    val counters = Sketches.cmsCounters(df, col("v"), d = 4, w = 2048)
+    val probes = (1 to 100).map(i => s"t-$i").toDF("v")
+    val est = Sketches.cmsEstimate(counters, probes, col("v"), d = 4, w = 2048)
+      .as[(String, Long)].collect().toMap
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (v, n) =>
+      assert(est(v) >= n, s"$v underestimated: ${est(v)} < $n")
+    }
+    // 107 distinct values into 4×2048 buckets: collisions are overwhelmingly
+    // unlikely, so the sketch should be exact here
+    assert(exact.forall { case (v, n) => est(v) == n })
+  }
+
+  test("cms absent value reads 0 (or collision inflation only)") {
+    val df = (1 to 50).map(i => s"x-$i").toDF("v")
+    val counters = Sketches.cmsCounters(df, col("v"), d = 4, w = 4096)
+    val est = Sketches.cmsEstimate(counters,
+      Seq("never-seen").toDF("v"), col("v"), d = 4, w = 4096)
+      .as[(String, Long)].head()
+    assert(est._2 === 0L)
+  }
+
   test("production path: approx_count_distinct tracks exact within rsd") {
     val df = (1 to 20000).map(i => (i % 5, s"u-${i % 7919}")).toDF("g", "v")
     val rows = df.groupBy("g")
