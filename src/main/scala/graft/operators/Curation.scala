@@ -140,6 +140,67 @@ object Curation {
       graft.functions.CrossHash.md5Hash32(col(idCol).cast("string")) < cutoff)
   }
 
+  /** Fixed-size uniform sample per key: rank rows by the id hash within
+    * each key (id tie-break makes the order total) and keep the first `k`.
+    * The complement to [[stratifiedSample]]'s fractions — use this when
+    * every stratum needs exactly k exemplars (eval panels, per-domain
+    * spot-check sets). Deterministic for the same corpus; one window
+    * shuffle on the key.
+    */
+  def perKeySample(df: DataFrame, keyCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(!df.columns.contains("_srk"),
+      "input already has a '_srk' column — drop or rename it first")
+    val w = Window.partitionBy(col(keyCol)).orderBy(
+      graft.functions.CrossHash.md5Hash32(col(idCol).cast("string")).asc,
+      col(idCol).asc)
+    df.withColumn("_srk", row_number().over(w))
+      .where(col("_srk") <= k).drop("_srk")
+  }
+
+  /** Deterministic mixture resampling toward target domain shares (the
+    * data-mixing step of a training pipeline): each domain's rows are
+    * replicated by `factor = target_share·N / n_domain` — whole copies for
+    * every row plus one extra for the id-hash fraction of rows — so the
+    * output hits the target mix at (almost exactly) the input's total
+    * size. Which rows get the fractional extra copy is a pure function of
+    * the id (re-run-stable, like [[assignSplit]]). Domains absent from
+    * `targets` (and NULL-id rows) are dropped. Output = input columns +
+    * `copy` (0-based replica index, so downstream shuffles can keep
+    * replicas apart).
+    *
+    * Scale: the factor table is one tiny aggregate broadcast back; the
+    * data pays no shuffle — replication happens in the scan projection
+    * via explode. Up-sampling multiplies bytes: cap factors upstream if a
+    * rare domain would explode (factor > ~20 usually means the target mix
+    * is wrong, not the data).
+    */
+  def remixDomains(df: DataFrame, domainCol: String, idCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ >= 0.0),
+      "targets must be non-negative shares")
+    require(math.abs(targets.values.sum - 1.0) < 1e-9,
+      "target shares must sum to 1")
+    val share = targets.foldLeft(lit(0.0): Column) { case (acc, (k, v)) =>
+      when(col(domainCol) === k, lit(v)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n_dom"))
+      .withColumn("_n_total",
+        sum(col("_n_dom")).over(Window.partitionBy(lit(1))))
+    val factors = counts.select(col(domainCol),
+      (share * col("_n_total").cast("double") / col("_n_dom").cast("double"))
+        .as("_factor"))
+    val joined = df.join(broadcast(factors), Seq(domainCol))
+    val frac = col("_factor") - floor(col("_factor"))
+    val extra = (graft.functions.CrossHash.md5Hash32(col(idCol).cast("string"))
+      < floor(frac * lit(4294967296.0))).cast("long")
+    joined
+      .withColumn("_copies", floor(col("_factor")).cast("long") + extra)
+      .where(col("_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("_copies") - 1)))
+      .drop("_copies", "_factor")
+  }
+
   /** Curriculum / ordered-output sharding: globally range-partition by
     * `order` into `numShards` sorted shards (Spark samples range bounds —
     * no single-node global sort). Each output shard is internally sorted

@@ -377,11 +377,15 @@ object Dedup {
                       id2Col: String): DataFrame = {
     val a = col(id1Col)
     val b = col(id2Col)
-    val edges = pairs.where(a =!= b)
+    // pairs (small: the verified near-dup set) feed three consumers —
+    // the edge list and both node-side selects — so materialize once or
+    // the generation subtree (shingle + join + verify) executes 3×
+    val p = materialize(pairs)
+    val edges = p.where(a =!= b)
       .select(greatest(a, b).as("merged_id"), least(a, b).as("canonical_id"))
     val mapping = graft.entities.Entities.mergeChains(edges)
     val nodes =
-      pairs.select(a.as("id")).unionByName(pairs.select(b.as("id"))).distinct()
+      p.select(a.as("id")).unionByName(p.select(b.as("id"))).distinct()
     nodes.join(mapping, nodes("id") === mapping("merged_id"), "left")
       .select(col("id"), coalesce(col("canonical_id"), col("id")).as("cluster_id"))
   }

@@ -73,22 +73,32 @@ object Sketches {
       .drop("present_inv")
   }
 
-  /** Count-min sketch counters: `d` hash rows × `w` buckets over the
-    * cross-engine hash (row i's hash = md5Hash32("i|value") mod w). One
-    * map pass + one partial-agg shuffle of ≤ d·w rows — a fixed-size
-    * frequency summary of an unbounded stream/corpus. Estimates from
-    * [[cmsEstimate]] NEVER underestimate; collisions only inflate (by
-    * ≤ 2e/w·N with probability 1−(1/2)^d — the classic bound).
+  /** All `d` bucket indexes of one value: row i's 32-bit hash is the i-th
+    * disjoint 8-hex-char slice of ONE md5 (128 bits = 4 independent rows
+    * for the price of a single digest — the "one hash + k derivations"
+    * discipline of the MinHash family, with slice independence coming
+    * from the digest instead of an affine mix, so the cross-engine mirror
+    * stays a substr). The md5 is bound to a real column first so it
+    * computes once per value, not once per row.
+    */
+  private def cmsBuckets(md5Hex: Column, d: Int, w: Int): Column =
+    array((0 until d).map(i =>
+      pmod(conv(substring(md5Hex, i * 8 + 1, 8), 16, 10).cast("long"),
+        lit(w.toLong))): _*)
+
+  /** Count-min sketch counters: `d` hash rows × `w` buckets. One map pass
+    * + one partial-agg shuffle of ≤ d·w rows — a fixed-size frequency
+    * summary of an unbounded stream/corpus. Estimates from [[cmsEstimate]]
+    * NEVER underestimate; collisions only inflate (by ≤ 2e/w·N with
+    * probability 1−(1/2)^d — the classic bound). `d` ≤ 4: rows are
+    * disjoint 32-bit slices of one md5.
     */
   def cmsCounters(df: DataFrame, valueCol: Column, d: Int = 4,
       w: Int = 1024): DataFrame = {
-    require(d >= 1 && w >= 2, "need d >= 1 hash rows and w >= 2 buckets")
-    df.select(valueCol.cast("string").as("v"))
-      .select(col("v"), explode(lit((0 until d).toArray)).as("r"))
-      .select(col("r"),
-        pmod(CrossHash.md5Hash32(
-          concat_ws("|", col("r").cast("string"), col("v"))), lit(w.toLong))
-          .as("b"))
+    require(d >= 1 && d <= 4, "1 <= d <= 4 (rows slice one 128-bit md5)")
+    require(w >= 2, "need w >= 2 buckets")
+    df.select(md5(valueCol.cast("string").cast("binary")).as("_h"))
+      .select(posexplode(cmsBuckets(col("_h"), d, w)).as(Seq("r", "b")))
       .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
   }
 
@@ -99,12 +109,11 @@ object Sketches {
     */
   def cmsEstimate(counters: DataFrame, probes: DataFrame, valueCol: Column,
       d: Int = 4, w: Int = 1024): DataFrame = {
-    val expanded = probes.select(valueCol.cast("string").as("v"))
-      .select(col("v"), explode(lit((0 until d).toArray)).as("r"))
-      .select(col("v"), col("r"),
-        pmod(CrossHash.md5Hash32(
-          concat_ws("|", col("r").cast("string"), col("v"))), lit(w.toLong))
-          .as("b"))
+    require(d >= 1 && d <= 4, "1 <= d <= 4 (rows slice one 128-bit md5)")
+    val expanded = probes
+      .select(valueCol.cast("string").as("v"),
+        md5(valueCol.cast("string").cast("binary")).as("_h"))
+      .select(col("v"), posexplode(cmsBuckets(col("_h"), d, w)).as(Seq("r", "b")))
     expanded.join(broadcast(counters), Seq("r", "b"), "left")
       .groupBy("v")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))

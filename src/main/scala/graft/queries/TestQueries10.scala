@@ -177,14 +177,14 @@ object TestQueries10 {
         SELECT UNNEST($TokensSql) AS tok FROM documents),
       rws AS (SELECT UNNEST(range(0, 4)) AS r),
       h AS (
-        SELECT r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 8)) AS BIGINT) % 1024 AS b
+        SELECT r, CAST(('0x' || substr(md5(tok), 1 + 8 * r, 8)) AS BIGINT) % 1024 AS b
         FROM toks CROSS JOIN rws),
       counters AS (SELECT r, b, COUNT(*) AS cnt FROM h GROUP BY 1, 2),
       probes AS (
         SELECT UNNEST(['join','hash','row','batch','scan','column',
                        'customer','filter','zzz-absent']) AS tok),
       ph AS (
-        SELECT tok, r, CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || tok), 1, 8)) AS BIGINT) % 1024 AS b
+        SELECT tok, r, CAST(('0x' || substr(md5(tok), 1 + 8 * r, 8)) AS BIGINT) % 1024 AS b
         FROM probes CROSS JOIN rws),
       est AS (
         SELECT tok, MIN(COALESCE(cnt, 0)) AS est
@@ -195,6 +195,132 @@ object TestQueries10 {
       SELECT tok, n_exact, est, est - n_exact AS inflation
       FROM est JOIN ex USING (tok) ORDER BY tok"""))
 
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a)+1), " +
+      s"i -> ($a)[i] * ($b)[i]), (x,y) -> x+y)"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})))"
+
+  /** Int8 embedding quantization: per-vector scale, the first four
+    * quantized components, and the cosine drift of the dequantized vector
+    * against the stored query — the exact quantized values hash-check
+    * cross-engine (floor-based half-up rounding; ROUND tie semantics
+    * differ between engines, FLOOR never does).
+    */
+  val q102QuantizeInt8: QueryCase = QueryCase(
+    "q102_quantize_int8",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val quant = graft.operators.Quantize.withInt8(e, "embedding")
+      val qv = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qe"))
+      quant.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"), round(col("q_scale"), 6).as("q_scale"),
+          element_at(col("q"), 1).as("q1"), element_at(col("q"), 2).as("q2"),
+          element_at(col("q"), 3).as("q3"), element_at(col("q"), 4).as("q4"),
+          round(abs(
+            graft.functions.VectorFunctions.cosineSim(col("embedding"), col("qe")) -
+            graft.functions.VectorFunctions.cosineSim(
+              graft.operators.Quantize.dequantize(col("q"), col("q_scale")),
+              col("qe"))), 6).as("cos_err"))
+        .orderBy("vec_id").limit(50)
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      qq AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+      sc AS (
+        SELECT vec_id, v,
+               CASE WHEN LEN(v) = 0 THEN CAST(0.0 AS DOUBLE)
+                 ELSE list_aggregate(list_transform(v, x -> ABS(x)), 'max')
+                      / CAST(127.0 AS DOUBLE) END AS s
+        FROM ev WHERE vec_id <> 0),
+      z AS (
+        SELECT vec_id, v, s,
+               list_transform(v, x -> CAST(CASE WHEN s = 0 THEN 0
+                 ELSE GREATEST(-127, LEAST(127,
+                   CAST(FLOOR(x / s + 0.5) AS BIGINT))) END AS INT)) AS q
+        FROM sc),
+      d AS (
+        SELECT vec_id, v, s, q,
+               list_transform(q, e -> CAST(e AS DOUBLE) * s) AS dq
+        FROM z)
+      SELECT vec_id, ROUND(s, 6) AS q_scale,
+             q[1] AS q1, q[2] AS q2, q[3] AS q3, q[4] AS q4,
+             ROUND(ABS(${cosSql("v", "qv")} - ${cosSql("dq", "qv")}), 6)
+               AS cos_err
+      FROM d, qq ORDER BY vec_id LIMIT 50"""))
+
+  /** Deterministic domain-mixture resampling: documents re-weighted to a
+    * 40/20/20/10/10 language mix at constant corpus size — whole-copy
+    * replication plus an id-hash fractional epoch, aggregated to per-lang
+    * achieved counts and shares.
+    */
+  val q103RemixDomains: QueryCase = QueryCase(
+    "q103_remix_domains",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val out = graft.operators.Curation.remixDomains(
+        t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1))
+      out.groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_out"))
+        .withColumn("share_out", round(
+          col("n_out") / sum(col("n_out")).over(Window.partitionBy(lit(1))),
+          6))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH tgt AS (
+        SELECT * FROM (VALUES ('en', 0.4), ('de', 0.2), ('es', 0.2),
+                              ('fr', 0.1), ('zh', 0.1)) t(lang, share)),
+      c AS (SELECT lang, COUNT(*) AS n_dom FROM documents GROUP BY 1),
+      f AS (
+        SELECT c.lang,
+               COALESCE(CAST(share AS DOUBLE), 0.0)
+                 * CAST((SELECT SUM(n_dom) FROM c) AS DOUBLE)
+                 / CAST(n_dom AS DOUBLE) AS factor
+        FROM c LEFT JOIN tgt USING (lang)),
+      j AS (
+        SELECT d.doc_id, d.lang,
+               CAST(FLOOR(f.factor) AS BIGINT)
+               + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      < FLOOR((f.factor - FLOOR(f.factor)) * 4294967296.0)
+                 THEN 1 ELSE 0 END AS copies
+        FROM documents d JOIN f USING (lang)),
+      o AS (
+        SELECT doc_id, lang, UNNEST(range(0, copies)) AS copy
+        FROM j WHERE copies > 0)
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_out,
+             ROUND(CAST(COUNT(*) AS DOUBLE)
+               / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6) AS share_out
+      FROM o GROUP BY lang ORDER BY lang"""))
+
+  /** Fixed-k per-stratum sampling: exactly 10 docs per language by id-hash
+    * rank — the deterministic eval-panel picker.
+    */
+  val q104PerKeySample: QueryCase = QueryCase(
+    "q104_per_key_sample",
+    (s, dir) => {
+      graft.operators.Curation.perKeySample(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", 10)
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                 doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 10 ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
-    Seq(q99Expectations, q100Profile, q101CmsFrequency)
+    Seq(q99Expectations, q100Profile, q101CmsFrequency, q102QuantizeInt8,
+      q103RemixDomains, q104PerKeySample)
 }

@@ -139,4 +139,47 @@ class CurationSpec extends SparkSpec {
     assert(Curation.stratifiedSample(withNull, "lang", "id", fr)
       .where($"id".isNull).count() === 0)
   }
+
+  test("remixDomains hits target shares at constant size; replicas indexed") {
+    val df = ((1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 200).map(i => (i.toLong, "b"))).toDF("id", "lang")
+    val out = Curation.remixDomains(df, "lang", "id",
+      Map("a" -> 0.75, "b" -> 0.25))
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // factors: a=1.5 (100 whole + ~50 extra), b=0.5 (~50 kept)
+    assert(counts("a") >= 130 && counts("a") <= 170, s"a=${counts("a")}")
+    assert(counts("b") >= 30 && counts("b") <= 70, s"b=${counts("b")}")
+    // deterministic: the exact same multiset on re-run
+    val again = Curation.remixDomains(df, "lang", "id",
+      Map("a" -> 0.75, "b" -> 0.25))
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    // every doc's replicas carry distinct 0-based contiguous copy indices
+    val bad = out.groupBy("id")
+      .agg(count(lit(1)).as("n"), min("copy").as("lo"), max("copy").as("hi"))
+      .where(col("lo") =!= 0 || col("hi") =!= col("n") - 1).count()
+    assert(bad === 0)
+  }
+
+  test("remixDomains drops unknown domains and validates shares") {
+    val df = Seq((1L, "a"), (2L, "mystery")).toDF("id", "lang")
+    val out = Curation.remixDomains(df, "lang", "id", Map("a" -> 1.0))
+    assert(out.select("lang").distinct().collect().map(_.getString(0)).toSeq
+      === Seq("a"))
+    intercept[IllegalArgumentException] {
+      Curation.remixDomains(df, "lang", "id", Map("a" -> 0.4))
+    }
+  }
+
+  test("perKeySample keeps exactly k per key (all rows when fewer)") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 103).map(i => (i.toLong, "small"))).toDF("id", "lang")
+    val out = Curation.perKeySample(df, "lang", "id", 10)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("big" -> 10L, "small" -> 3L))
+    // deterministic pick
+    val again = Curation.perKeySample(df, "lang", "id", 10)
+    assert(out.except(again).isEmpty && again.except(out).isEmpty)
+  }
 }

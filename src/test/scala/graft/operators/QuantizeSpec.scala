@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `Quantize` — symmetric int8 embedding quantization. */
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quant(v: Seq[Float]): (Double, Seq[Int]) = {
+    val row = Quantize.withInt8(Seq(Tuple1(v)).toDF("embedding"), "embedding")
+      .select("q_scale", "q").head()
+    (row.getDouble(0),
+      row.getSeq[Int](1).toSeq)
+  }
+
+  test("known vector quantizes to the hand-computed codes") {
+    // scale = 1/127; q_i = floor(127·x + 0.5)
+    val (scale, q) = quant(Seq(1.0f, -0.5f, 0.25f, 0.0f))
+    assert(math.abs(scale - 1.0 / 127) < 1e-12)
+    assert(q === Seq(127, -63, 32, 0))
+  }
+
+  test("extremes clamp to ±127") {
+    val (_, q) = quant(Seq(-2.0f, 1.0f))
+    assert(q === Seq(-127, 64))
+  }
+
+  test("zero and empty vectors quantize safely") {
+    val (s0, q0) = quant(Seq(0.0f, 0.0f))
+    assert(s0 === 0.0 && q0 === Seq(0, 0))
+    val (se, qe) = quant(Seq.empty[Float])
+    assert(se === 0.0 && qe === Seq.empty)
+  }
+
+  test("dequantized cosine stays within 1% on random unit vectors") {
+    val rnd = new scala.util.Random(11)
+    def unit(): Seq[Float] = {
+      val v = Seq.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val df = (1 to 50).map(i => (i, unit(), unit())).toDF("id", "a", "b")
+    val qd = Quantize.withInt8(df, "a")
+    val errs = qd.select(
+        abs(graft.functions.VectorFunctions.cosineSim(col("a"), col("b")) -
+          graft.functions.VectorFunctions.cosineSim(
+            Quantize.dequantize(col("q"), col("q_scale")), col("b"))))
+      .as[Double].collect()
+    assert(errs.max < 0.01, s"max cosine drift ${errs.max}")
+  }
+}
