@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (temporal) join: attach to each left row the latest right row —
+  * per key — whose time is at or before the left row's time. The join that
+  * backs point-in-time feature lookup, price-at-event enrichment, and
+  * SCD-2 snapshot reads.
+  *
+  * Spark has no ASOF JOIN operator; the naive encodings don't scale — a
+  * non-equi range join explodes each key's candidate set to |L|·|R| pairs,
+  * and "join then keep latest" pays that blowup plus a window. This is the
+  * scalable formulation: tag the two inputs, UNION them, and run ONE
+  * window over (key, time) carrying the last-seen right row forward —
+  * |L|+|R| rows through one shuffle+sort, a running O(1) state per key,
+  * and AQE-splittable like any other window. (AsOfSpec pins the plan: no
+  * nested-loop/cartesian join anywhere.)
+  *
+  * Semantics match DuckDB/kdb `ASOF LEFT JOIN` on `l.t >= r.t`: ties take
+  * the right row AT the left time; left rows with no prior right row get
+  * nulls. `right` must be unique per (key, time) — pre-aggregate ties
+  * upstream, because "which same-instant row wins" is undefined in every
+  * engine's asof. A NULL left time matches nothing; NULL-time right rows
+  * are dropped.
+  */
+object AsOf {
+
+  def joinAsOf(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String,
+      rightVals: Seq[String]): DataFrame = {
+    require(rightVals.nonEmpty, "need at least one right value column")
+    require(rightVals.forall(!left.columns.contains(_)),
+      "right value columns collide with left columns — rename them first")
+    val reserved = Seq("_t", "_side", "_r", "asof_ts")
+    require((left.columns ++ right.columns).forall(!reserved.contains(_)),
+      s"inputs may not use reserved columns ${reserved.mkString(", ")}")
+
+    // the matched right row rides as ONE struct so a right row with null
+    // values still supersedes an older non-null one (last(ignoreNulls)
+    // must skip left rows only, never "see through" a real right row)
+    val r = right.where(col(rightTimeCol).isNotNull)
+      .select(col(keyCol), col(rightTimeCol).as("_t"),
+        struct(col(rightTimeCol).as("asof_ts") +: rightVals.map(col): _*)
+          .as("_r"))
+      .withColumn("_side", lit(0))
+    val rType = r.schema("_r").dataType
+    val lSide = left
+      .withColumn("_t", col(leftTimeCol))
+      .withColumn("_r", lit(null).cast(rType))
+      .withColumn("_side", lit(1))
+    val rSide = left.columns.foldLeft(r) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+
+    // right sorts before left at the same instant → ties match (>= asof)
+    val w = Window.partitionBy(keyCol).orderBy(col("_t").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.unionByName(rSide)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select((left.columns.map(col) :+ col("_m.asof_ts")) ++
+        rightVals.map(c => col(s"_m.$c")): _*)
+  }
+}

@@ -320,7 +320,40 @@ object TestQueries10 {
         FROM documents)
       WHERE rk <= 10 ORDER BY doc_id"""))
 
+  /** As-of join: every click event enriched with the user's latest
+    * purchase price at or before the click. The oracle is DuckDB's NATIVE
+    * `ASOF LEFT JOIN` — our union+window formulation must reproduce a
+    * first-class engine implementation of the operator row for row,
+    * including same-instant ties and no-prior-match nulls.
+    */
+  val q105AsofJoin: QueryCase = QueryCase(
+    "q105_asof_join",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("px"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsOf.joinAsOf(
+          clicks, purchases, "user_id", "ts", "ts", Seq("px"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+               value, event_type
+        FROM events),
+      p AS (
+        SELECT user_id, ts, MAX(value) AS px
+        FROM e WHERE event_type = 'purchase' GROUP BY 1, 2),
+      c AS (
+        SELECT event_id, user_id, ts FROM e WHERE event_type = 'click')
+      SELECT c.event_id, c.user_id, c.ts, p.ts AS asof_ts, p.px
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.event_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q99Expectations, q100Profile, q101CmsFrequency, q102QuantizeInt8,
-      q103RemixDomains, q104PerKeySample)
+      q103RemixDomains, q104PerKeySample, q105AsofJoin)
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `AsOf.joinAsOf` — temporal point-in-time join. */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("latest-at-or-before semantics, ties, and no-prior-match nulls") {
+    val left = Seq(
+      (1L, "k1", ts("2024-01-01 10:00:00")), // before any right row
+      (2L, "k1", ts("2024-01-01 12:00:00")), // exactly at a right row (tie)
+      (3L, "k1", ts("2024-01-01 13:30:00")), // between right rows
+      (4L, "k1", ts("2024-01-01 15:00:00")), // after the last right row
+      (5L, "k2", ts("2024-01-01 12:00:00"))  // key with no right rows
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("k1", ts("2024-01-01 12:00:00"), 1.0),
+      ("k1", ts("2024-01-01 13:00:00"), 2.0),
+      ("k1", ts("2024-01-01 14:00:00"), 3.0)
+    ).toDF("k", "rt", "px")
+    val out = AsOf.joinAsOf(left, right, "k", "t", "rt", Seq("px"))
+      .orderBy("id")
+      .select("id", "px").as[(Long, Option[Double])].collect().toSeq
+    assert(out === Seq((1L, None), (2L, Some(1.0)), (3L, Some(2.0)),
+      (4L, Some(3.0)), (5L, None)))
+  }
+
+  test("a newer right row with a NULL value supersedes an older non-null one") {
+    val left = Seq((1L, "k", ts("2024-01-01 13:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      ("k", ts("2024-01-01 11:00:00"), Some(5.0)),
+      ("k", ts("2024-01-01 12:00:00"), None) // the row that matches
+    ).toDF("k", "rt", "px")
+    val row = AsOf.joinAsOf(left, right, "k", "t", "rt", Seq("px"))
+      .select("asof_ts", "px").head()
+    assert(row.getTimestamp(0) === ts("2024-01-01 12:00:00"))
+    assert(row.isNullAt(1))
+  }
+
+  test("agrees with the naive range-join formulation on random data") {
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(10)}", rnd.nextInt(1000).toLong))
+      .toDF("id", "k", "t")
+    val right = (1 to 200).map { i =>
+      (s"k${rnd.nextInt(12)}", rnd.nextInt(1000).toLong * 7 % 997, i * 0.5)
+    }.toDF("k", "rt", "px").groupBy("k", "rt").agg(max("px").as("px"))
+    val fast = AsOf.joinAsOf(left, right, "k", "t", "rt", Seq("px"))
+      .select("id", "asof_ts", "px")
+    val naive = left.join(right,
+        left("k") === right("k") && left("t") >= right("rt"), "left")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("rt").desc_nulls_last)))
+      .where(col("rn") === 1)
+      .select(col("id"), col("rt").as("asof_ts"), col("px"))
+    assert(fast.except(naive).isEmpty && naive.except(fast).isEmpty)
+  }
+
+  test("plan contains no nested-loop or cartesian join") {
+    val left = (1 to 50).map(i => (i.toLong, s"k${i % 3}", i.toLong))
+      .toDF("id", "k", "t").repartition(4)
+    val right = (1 to 20).map(i => (s"k${i % 3}", i.toLong * 3, i * 1.0))
+      .toDF("k", "rt", "px").repartition(4)
+    val out = AsOf.joinAsOf(left, right, "k", "t", "rt", Seq("px"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+}

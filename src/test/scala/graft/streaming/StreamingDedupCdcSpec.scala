@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.operators.Cdc
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming counterparts of two batch operators: event-time dedup with
+  * bounded state (dropDuplicatesWithinWatermark — the streaming face of
+  * the exact-dedup family), and continuous snapshot maintenance by running
+  * `Cdc.applyChanges` per micro-batch in foreachBatch (the deployment the
+  * Cdc scaladoc promises: same keyed window, so N micro-batches ≡ one
+  * batch apply).
+  */
+object StreamingDedupCdcSpec {
+  final case class Msg(id: Long, ts: Timestamp, payload: String)
+  final case class Chg(k: Long, name: String, price: Double, op: String,
+    seq: Long)
+}
+
+class StreamingDedupCdcSpec extends SparkSpec {
+  import StreamingDedupCdcSpec.{Chg, Msg}
+
+  private def m(id: Long, t: String, p: String) =
+    Msg(id, Timestamp.valueOf(t), p)
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Msg]
+    val query = input.toDS().toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        m(1, "2024-01-01 10:00:00", "a"),
+        m(2, "2024-01-01 10:01:00", "b"))
+      query.processAllAvailable()
+      // same ids again in a LATER micro-batch, inside the watermark window
+      input.addData(
+        m(1, "2024-01-01 10:02:00", "a-dup"),
+        m(3, "2024-01-01 10:03:00", "c"))
+      query.processAllAvailable()
+      val ids = spark.table("stream_dedup").select("id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids === Seq(1L, 2L, 3L),
+        "a re-sent id within the watermark must be dropped")
+      // advance event time far past the watermark: id 1's dedup state may
+      // be evicted, so a fresh id arrives clean while ids stay bounded
+      input.addData(m(4, "2024-01-01 12:00:00", "d"))
+      query.processAllAvailable()
+      assert(spark.table("stream_dedup").count() === 4)
+    } finally query.stop()
+  }
+
+  test("micro-batched foreachBatch CDC apply equals the one-shot batch apply") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "price")
+    val batch1 = Seq(Chg(2L, "b1", 21.0, "U", 1L), Chg(4L, "d", 40.0, "I", 2L))
+    val batch2 = Seq(Chg(4L, "d2", 41.0, "U", 3L), Chg(1L, "a", 10.0, "D", 4L))
+
+    // streaming: fold each micro-batch into the running snapshot
+    var snapshot = base
+    val input = MemoryStream[Chg]
+    val query = input.toDS().toDF().writeStream
+      .foreachBatch { (changes: org.apache.spark.sql.DataFrame, _: Long) =>
+        snapshot = Cdc.applyChanges(snapshot, changes, Seq("k"), "seq", "op")
+          .localCheckpoint(true)
+      }
+      .outputMode("update").start()
+    try {
+      input.addData(batch1: _*); query.processAllAvailable()
+      input.addData(batch2: _*); query.processAllAvailable()
+    } finally query.stop()
+
+    // batch: all changes at once
+    val oneShot = Cdc.applyChanges(base, (batch1 ++ batch2).toDF(),
+      Seq("k"), "seq", "op")
+    assert(snapshot.except(oneShot).isEmpty && oneShot.except(snapshot).isEmpty)
+    val rows = snapshot.orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(rows === Seq((2L, "b1", 21.0), (3L, "c", 30.0), (4L, "d2", 41.0)))
+  }
+}
