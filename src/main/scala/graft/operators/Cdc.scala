@@ -47,4 +47,29 @@ object Cdc {
     untouched.unionByName(
       latest.where(upper(col(opCol)) =!= "D").drop(opCol, seqCol))
   }
+
+  /** Build an SCD-2 (type-2 slowly-changing) dimension from the same
+    * changelog shape [[applyChanges]] consumes: one validity row per
+    * upsert, `valid_from` = its sequence value, `valid_to` = the key's
+    * next change (NULL while current, making `is_current` derivable), and
+    * deletes closing the prior version without opening one. Point-in-time
+    * reads are then a filter (`valid_from <= t AND (valid_to IS NULL OR
+    * t < valid_to)`) — or [[AsOf.joinAsOf]] against the version starts
+    * when enriching an event stream.
+    *
+    * One window over (key, seq) — the changelog's natural shuffle; no
+    * joins. Same total-order requirement as applyChanges.
+    */
+  def scd2(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String, tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).asc +: tieBreak: _*)
+    changes
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .where(upper(col(opCol)) =!= "D")
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(opCol, seqCol)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFunctions
-import graft.operators.{Expectations, Profile, Sketches}
+import graft.operators.{Cdc, Expectations, Profile, Sketches}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -353,7 +353,60 @@ object TestQueries10 {
         ON c.user_id = p.user_id AND c.ts >= p.ts
       ORDER BY c.event_id"""))
 
+  /** SCD-2 dimension build from q94's changelog shape: per-key validity
+    * intervals (valid_from/valid_to/is_current), deletes closing the prior
+    * version without opening one — plus a point-in-time read check (the
+    * state as of seq 2) folded into the output as `at_seq2`.
+    */
+  val q106Scd2: QueryCase = QueryCase(
+    "q106_scd2",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val upd1 = o.where(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val upd2 = o.where(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      val del = o.where(col("o_orderkey") % 6 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L))
+      val changes = upd1.unionByName(upd2).unionByName(del)
+        .select("o_orderkey", "o_totalprice", "op", "seq")
+      Cdc.scd2(changes, Seq("o_orderkey"), "seq", "op")
+        .withColumn("is_current", col("is_current").cast("int"))
+        .withColumn("at_seq2",
+          (col("valid_from") <= 2 &&
+            (col("valid_to").isNull || col("valid_to") > 2)).cast("int"))
+        .orderBy("o_orderkey", "valid_from")
+    },
+    Some("""
+      WITH changes AS (
+        SELECT o_orderkey,
+               o_totalprice + CAST(10.0 AS DOUBLE) AS o_totalprice,
+               'U' AS op, CAST(1 AS BIGINT) AS seq
+        FROM orders WHERE o_orderkey % 3 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * CAST(2.0 AS DOUBLE), 'U',
+               CAST(2 AS BIGINT)
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'D', CAST(3 AS BIGINT)
+        FROM orders WHERE o_orderkey % 6 = 0),
+      v AS (
+        SELECT o_orderkey, o_totalprice, op, seq AS valid_from,
+               LEAD(seq) OVER (PARTITION BY o_orderkey ORDER BY seq)
+                 AS valid_to
+        FROM changes)
+      SELECT o_orderkey, o_totalprice, valid_from, valid_to,
+             CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT)
+               AS is_current,
+             CAST(CASE WHEN valid_from <= 2
+                        AND (valid_to IS NULL OR valid_to > 2)
+                  THEN 1 ELSE 0 END AS INT) AS at_seq2
+      FROM v WHERE op <> 'D'
+      ORDER BY o_orderkey, valid_from"""))
+
   val all: Seq[QueryCase] =
     Seq(q99Expectations, q100Profile, q101CmsFrequency, q102QuantizeInt8,
-      q103RemixDomains, q104PerKeySample, q105AsofJoin)
+      q103RemixDomains, q104PerKeySample, q105AsofJoin, q106Scd2)
 }

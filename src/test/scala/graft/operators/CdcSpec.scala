@@ -68,4 +68,43 @@ class CdcSpec extends SparkSpec {
       .orderBy("k1", "k2").as[(Long, String, Double)].collect().toSeq
     assert(out === Seq((1L, "x", 1.0), (1L, "y", 9.0)))
   }
+
+  test("scd2 builds validity intervals; deletes close without opening") {
+    val changes = Seq(
+      (1L, "v1", "U", 10L), // 1: two versions, still current
+      (1L, "v2", "U", 20L),
+      (2L, "w1", "U", 10L), // 2: created then deleted — no current row
+      (2L, "w1", "D", 30L),
+      (3L, "x1", "U", 15L)  // 3: single current version
+    ).toDF("k", "name", "op", "seq")
+    val out = Cdc.scd2(changes, Seq("k"), "seq", "op")
+      .orderBy("k", "valid_from")
+      .select("k", "name", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, "v1", 10L, Some(20L), false),
+      (1L, "v2", 20L, None, true),
+      (2L, "w1", 10L, Some(30L), false),
+      (3L, "x1", 15L, None, true)))
+  }
+
+  test("scd2 point-in-time filter reconstructs the applyChanges snapshot") {
+    val base = Seq.empty[(Long, String, Double)].toDF("k", "name", "price")
+    val changes = Seq(
+      (1L, "a1", 1.0, "U", 1L), (1L, "a2", 2.0, "U", 3L),
+      (2L, "b1", 5.0, "U", 2L), (2L, "b1", 5.0, "D", 4L),
+      (3L, "c1", 9.0, "U", 5L)
+    ).toDF("k", "name", "price", "op", "seq")
+    // state as of seq <= 3 via the dimension...
+    val dim = Cdc.scd2(changes, Seq("k"), "seq", "op")
+    val atT = dim.where(col("valid_from") <= 3 &&
+        (col("valid_to").isNull || col("valid_to") > 3))
+      .select("k", "name", "price")
+    // ...must equal replaying only the changes up to seq 3
+    val replay = Cdc.applyChanges(base,
+      changes.where(col("seq") <= 3), Seq("k"), "seq", "op")
+    assert(atT.except(replay).isEmpty && replay.except(atT).isEmpty)
+  }
 }
