@@ -246,6 +246,53 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q105: as-of join plans one hash shuffle, no join operator at all") {
+    val p = plan("q105_asof_join")
+    assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      s"asof must be union+window, not a join:\n$p")
+    // the union+window formulation: both sides partition by the key once
+    assert(p.contains("Window"), p)
+  }
+
+  test("q94: CDC apply on a bucketed base adds no Exchange on the base side") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    graft.sources.PartitionedWriter.writeBucketed(orders, "b_cdc_base", "o_orderkey", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val base = spark.table("b_cdc_base")
+      val changes = orders.where(col("o_orderkey") % 5 === 0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val out = graft.operators.Cdc.applyChanges(
+        base, changes, Seq("o_orderkey"), "seq", "op")
+      val p = out.queryExecution.executedPlan.toString
+      // exactly the changelog's shuffles (window + join side); the
+      // bucketed base contributes none
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges <= 2, s"base side must ride its buckets:\n$p")
+      assert(p.contains("SortMergeJoin LeftAnti") ||
+        p.contains("ShuffledHashJoin") || p.contains("LeftAnti"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_cdc_base")
+    }
+  }
+
+  test("q103: remix joins the factor table broadcast; data side never shuffles") {
+    val p = plan("q103_remix_domains")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the per-domain factor table must broadcast:\n$p")
+  }
+
+  test("q101: CMS counter lookup broadcasts the sketch, not the probes") {
+    val p = plan("q101_cms_frequency")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q83: salted join replicates the dim side, no cartesian product") {
     val p = plan("q83_salted_skew")
     assert(p.contains("Generate"), s"dim side must replicate per salt:\n$p")
