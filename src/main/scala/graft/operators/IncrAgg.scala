@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance — the materialized-view refresh
+  * primitive: keep per-key mergeable state (count + exact-decimal sums)
+  * and fold each new batch in with one state-sized join, so a refresh
+  * costs |batch| + |state| and NEVER rescans history. Any sum/count-
+  * decomposable measure reads straight off the state (avg = sum/cnt,
+  * ratio-of-sums, shares); non-decomposable measures (exact distinct,
+  * medians) need the sketch family instead ([[Sketches]]).
+  *
+  * Sums are carried as DECIMAL(28,6), not double: decimal addition is
+  * associative, so state merged in ANY batch order is bit-identical to
+  * the one-shot aggregate — the property that makes incremental ≡ full
+  * provable (q107) and retry/replay safe. Cast to double at read time.
+  */
+object IncrAgg {
+
+  /** Aggregate a batch into state layout: keys, `cnt`, and `sum_<c>`
+    * (DECIMAL) per measure column.
+    */
+  def aggregate(batch: DataFrame, keys: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && measures.nonEmpty, "need keys and measures")
+    val aggs = count(lit(1)).as("cnt") +:
+      measures.map(c => sum(col(c).cast("decimal(28,6)")).as(s"sum_$c"))
+    batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge two states (same layout): full-outer on the keys,
+    * coalesce-add every measure. Keys present in either side survive.
+    */
+  def merge(state: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val measureCols = state.columns.filterNot(keys.contains)
+    require(measureCols.sameElements(delta.columns.filterNot(keys.contains)),
+      "state and delta must share the same aggregate layout")
+    val s = measureCols.foldLeft(state) { (d, c) =>
+      d.withColumnRenamed(c, s"_s_$c")
+    }
+    val d = measureCols.foldLeft(delta) { (df, c) =>
+      df.withColumnRenamed(c, s"_d_$c")
+    }
+    val merged = s.join(d, keys, "full_outer")
+    measureCols.foldLeft(merged) { (df, c) =>
+      // cast back to the state's type: decimal addition widens precision
+      // per merge, and a drifting layout would break the next merge's
+      // same-layout contract (and eventually hit the 38-digit cap)
+      df.withColumn(c,
+        (coalesce(col(s"_s_$c"), lit(0)) + coalesce(col(s"_d_$c"), lit(0)))
+          .cast(state.schema(c).dataType))
+    }.select(keys.map(col) ++ measureCols.map(col): _*)
+  }
+}

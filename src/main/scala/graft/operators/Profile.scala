@@ -60,4 +60,25 @@ object Profile {
         col("ndv"), col("min_num"), col("max_num"), col("min_str"),
         col("max_str"))
   }
+
+  /** Equi-width histogram over explicit `[lo, hi)` bounds: bin =
+    * floor((x − lo)/width) clamped into [0, nBins). Bounds are the
+    * CALLER's, not the data's — data-derived bounds shift as the corpus
+    * grows, making histograms incomparable across batches. Out-of-range
+    * values clamp into the edge bins (a monitoring histogram must never
+    * silently drop rows); NULLs are excluded. Only non-empty bins emit.
+    * One scan + one ≤nBins-row shuffle.
+    */
+  def histogram(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins >= 1 && hi > lo, "need hi > lo and at least one bin")
+    val width = (hi - lo) / nBins
+    val bin = least(lit(nBins - 1L), greatest(lit(0L),
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(width))))
+    df.where(col(valueCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bin") * lit(width))
+      .withColumn("bin_hi", lit(lo) + (col("bin") + 1) * lit(width))
+  }
 }

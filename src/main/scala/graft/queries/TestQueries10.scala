@@ -406,7 +406,65 @@ object TestQueries10 {
       FROM v WHERE op <> 'D'
       ORDER BY o_orderkey, valid_from"""))
 
+  /** Incremental aggregate maintenance: the events table split into three
+    * deterministic "batches" (event_id mod 3), aggregated per batch and
+    * merged pairwise — the merged state must equal the one-shot aggregate
+    * over everything (decimal sums make the merge order-insensitive and
+    * bit-exact). The oracle IS the one-shot aggregate: any drift in the
+    * merge path hash-fails.
+    */
+  val q107IncrAgg: QueryCase = QueryCase(
+    "q107_incr_agg",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      def slice(r: Int) = ev.where(col("event_id") % 3 === r)
+      val merged = graft.operators.IncrAgg.merge(
+        graft.operators.IncrAgg.merge(
+          graft.operators.IncrAgg.aggregate(slice(0), Seq("event_type"), Seq("value")),
+          graft.operators.IncrAgg.aggregate(slice(1), Seq("event_type"), Seq("value")),
+          Seq("event_type")),
+        graft.operators.IncrAgg.aggregate(slice(2), Seq("event_type"), Seq("value")),
+        Seq("event_type"))
+      merged.select(col("event_type"), col("cnt"),
+          col("sum_value").cast("double").as("sum_value"))
+        .withColumn("avg_value",
+          round(col("sum_value") / col("cnt"), 6))
+        .orderBy("event_type")
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_value
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Equi-width histogram of order prices over explicit [0, 600k) bounds,
+    * 12 bins, out-of-range clamped into the edge bins.
+    */
+  val q108Histogram: QueryCase = QueryCase(
+    "q108_histogram",
+    (s, dir) => {
+      graft.operators.Profile.histogram(
+          t(s, dir, "orders"), "o_totalprice", 0.0, 600000.0, 12)
+        .withColumn("bin_lo", round(col("bin_lo"), 6))
+        .withColumn("bin_hi", round(col("bin_hi"), 6))
+        .orderBy("bin")
+    },
+    Some("""
+      WITH b AS (
+        SELECT LEAST(11, GREATEST(0, CAST(FLOOR(
+                 (o_totalprice - CAST(0.0 AS DOUBLE))
+                 / CAST(50000.0 AS DOUBLE)) AS BIGINT))) AS bin
+        FROM orders WHERE o_totalprice IS NOT NULL)
+      SELECT bin, COUNT(*) AS n,
+             ROUND(CAST(0.0 AS DOUBLE) + bin * CAST(50000.0 AS DOUBLE), 6)
+               AS bin_lo,
+             ROUND(CAST(0.0 AS DOUBLE) + (bin + 1) * CAST(50000.0 AS DOUBLE), 6)
+               AS bin_hi
+      FROM b GROUP BY bin ORDER BY bin"""))
+
   val all: Seq[QueryCase] =
     Seq(q99Expectations, q100Profile, q101CmsFrequency, q102QuantizeInt8,
-      q103RemixDomains, q104PerKeySample, q105AsofJoin, q106Scd2)
+      q103RemixDomains, q104PerKeySample, q105AsofJoin, q106Scd2,
+      q107IncrAgg, q108Histogram)
 }

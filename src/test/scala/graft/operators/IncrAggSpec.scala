@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `IncrAgg` (mergeable aggregate state) and `Profile.histogram`. */
+class IncrAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, Double)*) = rows.toDF("k", "v")
+
+  test("merge of per-batch states equals the one-shot aggregate, any order") {
+    val b1 = batch(("a", 1.25), ("a", 2.5), ("b", 10.0))
+    val b2 = batch(("a", 0.125), ("c", 7.75))
+    val b3 = batch(("b", -3.5), ("c", 0.0625))
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      IncrAgg.aggregate(df, Seq("k"), Seq("v"))
+    val oneShot = agg(b1.unionByName(b2).unionByName(b3))
+    val m123 = IncrAgg.merge(IncrAgg.merge(agg(b1), agg(b2), Seq("k")),
+      agg(b3), Seq("k"))
+    val m321 = IncrAgg.merge(IncrAgg.merge(agg(b3), agg(b2), Seq("k")),
+      agg(b1), Seq("k"))
+    assert(m123.except(oneShot).isEmpty && oneShot.except(m123).isEmpty)
+    assert(m321.except(oneShot).isEmpty && oneShot.except(m321).isEmpty)
+  }
+
+  test("merge keeps keys present in only one side; layout stays stable") {
+    val s1 = IncrAgg.aggregate(batch(("a", 1.0)), Seq("k"), Seq("v"))
+    val s2 = IncrAgg.aggregate(batch(("b", 2.0)), Seq("k"), Seq("v"))
+    val m = IncrAgg.merge(s1, s2, Seq("k"))
+    assert(m.count() === 2)
+    assert(m.schema.map(f => (f.name, f.dataType)) ===
+      s1.schema.map(f => (f.name, f.dataType)),
+      "merged layout must equal state layout (names + types)")
+    // and a second-generation merge still works (the cast-back contract)
+    val m2 = IncrAgg.merge(m, s1, Seq("k"))
+    val a = m2.where($"k" === "a").select($"sum_v".cast("double"))
+      .as[Double].head()
+    assert(a === 2.0)
+  }
+
+  test("merge rejects mismatched layouts") {
+    val s1 = IncrAgg.aggregate(batch(("a", 1.0)), Seq("k"), Seq("v"))
+    val s2 = s1.withColumnRenamed("sum_v", "sum_other")
+    intercept[IllegalArgumentException] {
+      IncrAgg.merge(s1, s2, Seq("k"))
+    }
+  }
+
+  test("histogram bins, clamps out-of-range, excludes nulls, skips empty bins") {
+    val df = Seq(Some(-5.0), Some(0.0), Some(9.9), Some(10.0), Some(25.0),
+      Some(99.0), Some(150.0), None)
+      .toDF("v")
+    // [0, 100) in 10 bins of width 10
+    val out = Profile.histogram(df, "v", 0.0, 100.0, 10)
+      .orderBy("bin")
+      .select("bin", "n").as[(Long, Long)].collect().toSeq
+    // -5 clamps into bin 0; 150 clamps into bin 9; null excluded;
+    // bins 3..8 (empty) don't emit
+    assert(out === Seq((0L, 3L), (1L, 1L), (2L, 1L), (9L, 2L)))
+  }
+}
