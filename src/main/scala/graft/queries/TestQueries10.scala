@@ -18,6 +18,8 @@ object TestQueries10 {
 
   private val TokensSql =
     "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+  private def bucketSql(expr: String): String =
+    graft.functions.CrossHash.md5Hash32Sql(s"CAST($expr AS VARCHAR)") + " % 100"
 
   /** One-scan rule evaluation over orders (domain, range, null, format
     * rules — the 300k price cap is deliberately violated by the data) plus
@@ -463,8 +465,113 @@ object TestQueries10 {
                AS bin_hi
       FROM b GROUP BY bin ORDER BY bin"""))
 
+  /** The composed curation pipeline, end to end in ONE plan: near-dup
+    * clusters → keep canonical docs → hold out a benchmark slice →
+    * decontaminate the training side against it (4-gram shingle overlap)
+    * → per-language median length cut → deterministic 80/10/10 split →
+    * per-(lang, split) accounting. Every stage is an operator with its
+    * own [O] gate (q95/q91/q93/q89); this gate pins that they COMPOSE —
+    * the oracle rebuilds the whole pipeline in SQL and hash-checks the
+    * final accounting.
+    */
+  val q109CurationPipeline: QueryCase = QueryCase(
+    "q109_curation_pipeline",
+    (s, dir) => {
+      import graft.operators.{Curation, Dedup}
+      val docs = t(s, dir, "documents")
+      // 1. near-dup clusters: drop every non-canonical member
+      val clusters = Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.2),
+        "id1", "id2")
+      val losers = clusters.where(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      val deduped = docs.join(losers, Seq("doc_id"), "left_anti")
+      // 2. benchmark holdout + decontamination of the training side
+      val eval = deduped.where(col("doc_id") % 11 === 0)
+      val train = deduped.where(col("doc_id") % 11 =!= 0)
+      val contaminated = Curation.contamination(
+          train, eval, "doc_id", "text", 4, broadcastEval = false)
+        .select("doc_id")
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      // 3. per-language median length cut, then the 80/10/10 split
+      val cut = Curation.percentileCut(clean, "lang", "n_chars", 0.5)
+      val split = Curation.assignSplit(cut.drop("p_cut"), "doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+      split.groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang", "split")
+    },
+    Some(s"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ') for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 128),
+      kx AS (SELECT e.doc_id, e.g FROM ex e JOIN keep USING (g)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM kx GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM kx a JOIN kx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      prs AS (
+        SELECT id1, id2 FROM inter
+        JOIN sz s1 ON s1.doc_id = id1
+        JOIN sz s2 ON s2.doc_id = id2
+        WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2),
+      edges AS (SELECT id1 AS a, id2 AS b FROM prs
+                UNION ALL SELECT id2, id1 FROM prs),
+      reach AS (
+        SELECT DISTINCT a AS id, a AS peer FROM edges
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+      losers AS (
+        SELECT id AS doc_id FROM reach GROUP BY id
+        HAVING id <> MIN(peer)),
+      deduped AS (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)),
+      tg AS (
+        SELECT t.doc_id, list_distinct(CASE WHEN LEN(t.tk) >= 4
+                 THEN [array_to_string(t.tk[i:i+3], ' ') for i in range(1, LEN(t.tk) - 2)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS gs
+        FROM toks t JOIN deduped USING (doc_id)),
+      th AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(u.g), 1, 8)) AS BIGINT) AS h
+        FROM tg, UNNEST(gs) AS u(g)),
+      contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT * FROM th WHERE doc_id % 11 <> 0) t
+        JOIN (SELECT h FROM th WHERE doc_id % 11 = 0) e USING (h)),
+      clean AS (
+        SELECT * FROM deduped
+        WHERE doc_id % 11 <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      cuts AS (
+        SELECT lang, quantile_cont(n_chars, 0.5) AS p_cut
+        FROM clean GROUP BY lang),
+      cut AS (
+        SELECT c.* FROM clean c JOIN cuts q ON c.lang = q.lang
+        WHERE c.n_chars >= q.p_cut),
+      sp AS (
+        SELECT lang, n_chars,
+               CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+                    WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM cut)
+      SELECT lang, split, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM sp GROUP BY lang, split ORDER BY lang, split"""))
+
   val all: Seq[QueryCase] =
     Seq(q99Expectations, q100Profile, q101CmsFrequency, q102QuantizeInt8,
       q103RemixDomains, q104PerKeySample, q105AsofJoin, q106Scd2,
-      q107IncrAgg, q108Histogram)
+      q107IncrAgg, q108Histogram, q109CurationPipeline)
 }

@@ -69,6 +69,19 @@ class SketchesSpec extends SparkSpec {
     assert(est._2 === 0L)
   }
 
+  test("production path: percentile_approx tracks exact percentile") {
+    // the scale swap percentileCut documents: exact percentile buffers
+    // every value per key; percentile_approx holds a fixed-size sketch
+    val df = (1 to 50000).map(i => ("g", (i % 1000).toDouble)).toDF("g", "v")
+    val row = df.groupBy("g")
+      .agg(percentile(col("v"), lit(0.9)).as("exact"),
+        percentile_approx(col("v"), lit(0.9), lit(1000)).as("approx"))
+      .select("exact", "approx").head()
+    val (exact, approx) = (row.getDouble(0), row.getDouble(1))
+    assert(math.abs(approx - exact) / (exact + 1) < 0.02,
+      s"exact=$exact approx=$approx")
+  }
+
   test("production path: approx_count_distinct tracks exact within rsd") {
     val df = (1 to 20000).map(i => (i % 5, s"u-${i % 7919}")).toDF("g", "v")
     val rows = df.groupBy("g")
