@@ -39,8 +39,12 @@ object AsOf {
 
     // the matched right row rides as ONE struct so a right row with null
     // values still supersedes an older non-null one (last(ignoreNulls)
-    // must skip left rows only, never "see through" a real right row)
-    val r = right.where(col(rightTimeCol).isNotNull)
+    // must skip left rows only, never "see through" a real right row).
+    // NULL-KEY right rows are dropped: window partitioning would group
+    // them with NULL-key left rows, but asof's equality semantics
+    // (DuckDB/kdb) never match NULL keys — left NULL-key rows stay
+    // unmatched
+    val r = right.where(col(rightTimeCol).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol), col(rightTimeCol).as("_t"),
         struct(col(rightTimeCol).as("asof_ts") +: rightVals.map(col): _*)
           .as("_r"))

@@ -40,12 +40,44 @@ object Cdc {
       "inputs already have a '_cdc_rn' column — drop or rename it first")
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(seqCol).desc +: tieBreak: _*)
-    val latest = changes.withColumn("_cdc_rn", row_number().over(w))
+    val latest = changes
+      .withColumn(opCol, validatedOp(col(opCol)))
+      .transform(validatedKeys(keyCols))
+      .withColumn("_cdc_rn", row_number().over(w))
       .where(col("_cdc_rn") === 1).drop("_cdc_rn")
+    // Plain equi-keyed anti-join ON PURPOSE: it inherits the base's
+    // bucketing (zero base-side Exchange — PlanQualitySpec pins it). A
+    // null-SAFE join would partition on coalesce(key)/isnull(key) and
+    // re-shuffle the base; instead NULL keys are rejected outright —
+    // they're primary keys, and a NULL one is malformed CDC data (with
+    // plain equality it would silently duplicate instead of replace).
+    // Changelog keys are validated above; base keys after the join, so
+    // the check rides the output projection without touching the plan.
     val untouched = base.join(
-      latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+        latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .transform(validatedKeys(keyCols))
     untouched.unionByName(
-      latest.where(upper(col(opCol)) =!= "D").drop(opCol, seqCol))
+      latest.where(col(opCol) =!= "D").drop(opCol, seqCol))
+  }
+
+  /** Fail closed on NULL keys (see applyChanges' join note). */
+  private def validatedKeys(keyCols: Seq[String])(df: DataFrame): DataFrame =
+    keyCols.foldLeft(df) { (d, k) =>
+      d.withColumn(k, when(col(k).isNotNull, col(k)).otherwise(
+        raise_error(lit(s"Cdc: key column '$k' must not be NULL"))
+          .cast(d.schema(k).dataType)))
+    }
+
+  /** Fail closed on malformed changelogs: any op outside I/U/D (or NULL)
+    * aborts the batch instead of silently deleting (a NULL op would drop
+    * out of the upsert filter AFTER its key was anti-joined away) or
+    * silently upserting.
+    */
+  private def validatedOp(op: Column): Column = {
+    val u = upper(op)
+    when(u.isin("I", "U", "D"), u).otherwise(raise_error(concat(
+      lit("Cdc: changelog op must be I/U/D, got '"),
+      coalesce(op.cast("string"), lit("NULL")), lit("'"))))
   }
 
   /** Build an SCD-2 (type-2 slowly-changing) dimension from the same
@@ -66,9 +98,11 @@ object Cdc {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(seqCol).asc +: tieBreak: _*)
     changes
+      .withColumn(opCol, validatedOp(col(opCol)))
+      .transform(validatedKeys(keyCols))
       .withColumn("valid_from", col(seqCol))
       .withColumn("valid_to", lead(col(seqCol), 1).over(w))
-      .where(upper(col(opCol)) =!= "D")
+      .where(col(opCol) =!= "D")
       .withColumn("is_current", col("valid_to").isNull)
       .drop(opCol, seqCol)
   }

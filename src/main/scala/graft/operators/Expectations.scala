@@ -20,12 +20,20 @@ object Expectations {
     */
   def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    require(rules.forall(_._1 != "_n_rows"), "'_n_rows' is reserved")
     val aggs = rules.map { case (name, c) =>
-      sum(when(coalesce(c, lit(false)), lit(0L)).otherwise(lit(1L))).as(name)
+      // coalesce the sum: over an EMPTY batch sum is NULL, which would
+      // make n_violations/pass NULL — an undefined verdict; an empty
+      // batch vacuously passes every row rule
+      coalesce(
+        sum(when(coalesce(c, lit(false)), lit(0L)).otherwise(lit(1L))),
+        lit(0L)).as(name)
     }
     val wide = df.agg(count(lit(1)).as("_n_rows"), aggs: _*)
     val stackArgs = rules.map { case (name, _) =>
-      s"'${name.replace("'", "''")}', `$name`"
+      s"'${name.replace("'", "''")}', `${name.replace("`", "``")}`"
     }.mkString(", ")
     wide.select(col("_n_rows"),
         expr(s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)"))

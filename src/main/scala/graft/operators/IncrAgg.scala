@@ -43,14 +43,27 @@ object IncrAgg {
     val d = measureCols.foldLeft(delta) { (df, c) =>
       df.withColumnRenamed(c, s"_d_$c")
     }
-    val merged = s.join(d, keys, "full_outer")
-    measureCols.foldLeft(merged) { (df, c) =>
+    // null-SAFE key equality: GROUP BY makes NULL a real group, so the
+    // NULL-key state row must merge with the NULL-key delta row — plain
+    // equality would let both survive unmatched and every refresh would
+    // multiply (and double-count) NULL-key rows. Alias both sides: state
+    // and delta often share lineage (a merged state re-merged with one of
+    // its inputs) and unaliased refs trip DetectAmbiguousSelfJoin.
+    val sa = s.alias("_ia_s")
+    val da = d.alias("_ia_d")
+    val joinCond = keys.map(k => col(s"_ia_s.$k") <=> col(s"_ia_d.$k"))
+      .reduce(_ && _)
+    val merged = sa.join(da, joinCond, "full_outer")
+    val withKeys = keys.foldLeft(merged) { (df, k) =>
+      df.withColumn(s"_k_$k", coalesce(col(s"_ia_s.$k"), col(s"_ia_d.$k")))
+    }
+    measureCols.foldLeft(withKeys) { (df, c) =>
       // cast back to the state's type: decimal addition widens precision
       // per merge, and a drifting layout would break the next merge's
       // same-layout contract (and eventually hit the 38-digit cap)
       df.withColumn(c,
         (coalesce(col(s"_s_$c"), lit(0)) + coalesce(col(s"_d_$c"), lit(0)))
           .cast(state.schema(c).dataType))
-    }.select(keys.map(col) ++ measureCols.map(col): _*)
+    }.select(keys.map(k => col(s"_k_$k").as(k)) ++ measureCols.map(col): _*)
   }
 }

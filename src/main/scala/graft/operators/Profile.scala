@@ -50,8 +50,9 @@ object Profile {
     val wide = df.agg(count(lit(1)).as("_n_rows"), plainAggs: _*)
       .crossJoin(df.agg(ndvAggs.head, ndvAggs.tail: _*))
     val stackArgs = cols.map { c =>
-      s"'${c.replace("'", "''")}', `${c}__nulls`, `${c}__ndv`, " +
-        s"`${c}__min_num`, `${c}__max_num`, `${c}__min_str`, `${c}__max_str`"
+      val b = c.replace("`", "``")
+      s"'${c.replace("'", "''")}', `${b}__nulls`, `${b}__ndv`, " +
+        s"`${b}__min_num`, `${b}__max_num`, `${b}__min_str`, `${b}__max_str`"
     }.mkString(", ")
     wide.select(col("_n_rows"), expr(
         s"stack(${cols.size}, $stackArgs) AS " +

@@ -29,6 +29,8 @@ object Sketches {
     */
   def hllRegisters(df: DataFrame, keyCols: Seq[String], valueCol: Column,
       p: Int = 8): DataFrame = {
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty — for a global estimate, group by a literal")
     require(p >= 4 && p <= 16, "p must be in [4, 16]")
     val wBits = 32 - p
     val h = CrossHash.md5Hash32(valueCol.cast("string"))

@@ -36,7 +36,9 @@ object Zorder {
 
   /** 32-bit Morton z-value of two 16-bit dimensions (x in the even bits,
     * y in the odd). Callers normalize each dimension into [0, 2^16) first
-    * (modulo, bucketing, or rank).
+    * — with `pmod`, bucketing, or rank, NOT `%`: Spark's `%` returns
+    * negative remainders for negative inputs, and the 16-bit mask would
+    * silently wrap them to the LARGEST values, scrambling locality.
     */
   def zvalue2(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))

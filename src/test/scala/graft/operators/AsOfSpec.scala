@@ -41,6 +41,22 @@ class AsOfSpec extends SparkSpec {
     assert(row.isNullAt(1))
   }
 
+  test("NULL keys never match (asof equality semantics), left rows survive") {
+    val left = Seq(
+      (1L, Option("k"), ts("2024-01-01 12:00:00")),
+      (2L, Option.empty[String], ts("2024-01-01 12:00:00"))
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (Option("k"), ts("2024-01-01 11:00:00"), 1.0),
+      (Option.empty[String], ts("2024-01-01 11:00:00"), 9.0)
+    ).toDF("k", "rt", "px")
+    val out = AsOf.joinAsOf(left, right, "k", "t", "rt", Seq("px"))
+      .orderBy("id").select("id", "px")
+      .as[(Long, Option[Double])].collect().toSeq
+    assert(out === Seq((1L, Some(1.0)), (2L, None)),
+      "a NULL-key left row must stay unmatched, not join the NULL-key right row")
+  }
+
   test("agrees with the naive range-join formulation on random data") {
     val rnd = new scala.util.Random(13)
     val left = (1 to 300).map(i =>

@@ -69,6 +69,40 @@ class CdcSpec extends SparkSpec {
     assert(out === Seq((1L, "x", 1.0), (1L, "y", 9.0)))
   }
 
+  test("NULL keys fail the batch (a NULL PK would silently duplicate)") {
+    // in the changelog: rejected before the window
+    val upsert = Seq((Option.empty[Long], "nk2", 100.0, "U", 1L))
+      .toDF("k", "name", "price", "op", "seq")
+    val ex = intercept[Exception] {
+      Cdc.applyChanges(base, upsert, Seq("k"), "seq", "op").collect()
+    }
+    assert(ex.getMessage.contains("must not be NULL"), ex.getMessage)
+    // in the base: rejected in the output projection (the equi anti-join
+    // would otherwise pass the row through untouched forever)
+    val b = Seq((Option(1L), "a", 10.0), (Option.empty[Long], "nk", 99.0))
+      .toDF("k", "name", "price")
+    val okChange = Seq((Option(1L), "a2", 11.0, "U", 1L))
+      .toDF("k", "name", "price", "op", "seq")
+    intercept[Exception] {
+      Cdc.applyChanges(b, okChange, Seq("k"), "seq", "op").collect()
+    }
+  }
+
+  test("malformed ops fail the batch instead of silently deleting/upserting") {
+    val changes = Seq(
+      (1L, "a", 1.0, "X", 1L) // not I/U/D
+    ).toDF("k", "name", "price", "op", "seq")
+    val ex = intercept[Exception] {
+      Cdc.applyChanges(base, changes, Seq("k"), "seq", "op").collect()
+    }
+    assert(ex.getMessage.contains("changelog op"), ex.getMessage)
+    val nullOp = Seq((1L, "a", 1.0, null.asInstanceOf[String], 1L))
+      .toDF("k", "name", "price", "op", "seq")
+    intercept[Exception] {
+      Cdc.applyChanges(base, nullOp, Seq("k"), "seq", "op").collect()
+    }
+  }
+
   test("scd2 builds validity intervals; deletes close without opening") {
     val changes = Seq(
       (1L, "v1", "U", 10L), // 1: two versions, still current

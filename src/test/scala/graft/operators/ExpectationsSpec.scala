@@ -26,6 +26,15 @@ class ExpectationsSpec extends SparkSpec {
       ("id_not_null", 4L, 0L, true)))
   }
 
+  test("an empty batch vacuously passes every rule (no NULL verdicts)") {
+    val empty = df.where(col("id") < 0)
+    val out = Expectations.check(empty, Seq(
+        "amount_positive" -> (col("amount") > 0)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq((0L, 0L, true)),
+      "empty batch must report 0 violations / pass, never NULL")
+  }
+
   test("check plans a single scan of the input") {
     val out = Expectations.check(df, Seq(
       "a" -> (col("amount") > 0), "b" -> col("code").isin("A")))

@@ -39,6 +39,18 @@ class IncrAggSpec extends SparkSpec {
     assert(a === 2.0)
   }
 
+  test("NULL key groups merge into one row (null-safe join)") {
+    val b1 = Seq((Some("a"), 1.0), (None, 2.0)).toDF("k", "v")
+    val b2 = Seq((None, 3.0), (Some("a"), 4.0)).toDF("k", "v")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      IncrAgg.aggregate(df, Seq("k"), Seq("v"))
+    val m = IncrAgg.merge(agg(b1), agg(b2), Seq("k"))
+    assert(m.count() === 2, "NULL-key state rows must merge, not multiply")
+    val nullRow = m.where($"k".isNull)
+      .select($"cnt", $"sum_v".cast("double")).head()
+    assert(nullRow.getLong(0) === 2L && nullRow.getDouble(1) === 5.0)
+  }
+
   test("merge rejects mismatched layouts") {
     val s1 = IncrAgg.aggregate(batch(("a", 1.0)), Seq("k"), Seq("v"))
     val s2 = s1.withColumnRenamed("sum_v", "sum_other")
