@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch-health monitoring on top of the profile/expectations plane:
+  * z-score outlier flagging and two-sample distribution drift. Both are
+  * pure arithmetic over counts/sums — no ln/erf whose libm rounding could
+  * diverge across engines — so both gate-check exactly.
+  */
+object Monitor {
+
+  /** Per-key z-scores for a measure: each row gains the key's mean,
+    * stddev, and its own z. Moments come from ONE pass of exact DECIMAL
+    * sums — `var = (n·Σx² − (Σx)²) / n²` stays in decimal until a single
+    * double division, so the result is independent of partitioning and
+    * accumulation order (the property that makes the anomaly verdict
+    * reproducible). The stats table is |keys| rows and broadcasts back.
+    * Exactness is bit-level for integer-valued measures (counts, scaled
+    * rates); fractional measures round at the decimal(18,6) cast. Keep
+    * n·Σx² under 38 digits — rescale astronomically-valued measures.
+    */
+  def zscores(df: DataFrame, keyCols: Seq[String], valueCol: String,
+      outPrefix: String = ""): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val x = col(valueCol).cast("decimal(18,6)")
+    val stats = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"), sum(x).as("_s"), sum(x * x).as("_ss"))
+      .select(keyCols.map(col) :+
+        (col("_s").cast("double") / col("_n")).as(s"${outPrefix}mean") :+
+        sqrt(
+          (col("_n") * col("_ss") - col("_s") * col("_s")).cast("double") /
+            (col("_n") * col("_n")).cast("double")).as(s"${outPrefix}std"): _*)
+    df.join(broadcast(stats), keyCols)
+      .withColumn(s"${outPrefix}z",
+        when(col(s"${outPrefix}std") === 0.0, lit(0.0)).otherwise(
+          (col(valueCol).cast("double") - col(s"${outPrefix}mean")) /
+            col(s"${outPrefix}std")))
+  }
+
+  /** Two-sample chi-square drift between a current and a reference
+    * categorical distribution: per key, observed counts on both sides and
+    * the key's χ² contribution (expected counts proportional to the
+    * pooled distribution). Keys absent from one side count 0 there —
+    * that's exactly the drift worth flagging. Thresholding the summed
+    * statistic is the caller's policy (df = |keys|−1); the per-key
+    * contributions are the diagnostic. Two aggregates + one tiny join.
+    */
+  def chiSquareDrift(cur: DataFrame, ref: DataFrame,
+      keyCol: String): DataFrame = {
+    def side(df: DataFrame, out: String) =
+      df.groupBy(col(keyCol)).agg(count(lit(1)).as(out))
+    val joined = side(cur, "n_cur")
+      .join(side(ref, "n_ref"), Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"))
+    val totals = joined.agg(
+      sum(col("n_cur")).as("_tc"), sum(col("n_ref")).as("_tr"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("_p",
+        (col("n_cur") + col("n_ref")).cast("double") /
+          (col("_tc") + col("_tr")).cast("double"))
+      .withColumn("_ec", col("_tc").cast("double") * col("_p"))
+      .withColumn("_er", col("_tr").cast("double") * col("_p"))
+      .withColumn("chi2",
+        when(col("_p") === 0.0, lit(0.0)).otherwise(
+          (col("n_cur").cast("double") - col("_ec")) *
+            (col("n_cur").cast("double") - col("_ec")) / col("_ec") +
+          (col("n_ref").cast("double") - col("_er")) *
+            (col("n_ref").cast("double") - col("_er")) / col("_er")))
+      .select(keyCol, "n_cur", "n_ref", "chi2")
+  }
+}

@@ -570,8 +570,95 @@ object TestQueries10 {
              CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       FROM sp GROUP BY lang, split ORDER BY lang, split"""))
 
+  /** Z-score anomaly flagging over hourly event counts: per event_type,
+    * the hours whose volume deviates ≥2σ. Moments are exact decimal sums
+    * (n·Σx² − (Σx)² stays integral), so mean/std/z reproduce bit-for-bit
+    * in the oracle's HUGEINT mirror — the anomaly verdict is
+    * partitioning-independent.
+    */
+  val q110ZscoreAnomaly: QueryCase = QueryCase(
+    "q110_zscore_anomaly",
+    (s, dir) => {
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Monitor.zscores(hourly, Seq("event_type"), "n")
+        .where(abs(col("z")) >= 2.0)
+        .select(col("event_type"), col("hour"), col("n"),
+          round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_type", "hour")
+    },
+    Some("""
+      WITH h AS (
+        SELECT event_type,
+               date_trunc('hour', date_trunc('microseconds', ts)) AS hour,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      st AS (
+        SELECT event_type,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean,
+               SQRT(CAST(COUNT(*) * SUM(n*n) - SUM(n) * SUM(n) AS DOUBLE)
+                    / CAST(COUNT(*) * COUNT(*) AS DOUBLE)) AS std
+        FROM h GROUP BY 1),
+      z AS (
+        SELECT h.event_type, h.hour, h.n, mean, std,
+               CASE WHEN std = 0 THEN 0.0
+                 ELSE (CAST(n AS DOUBLE) - mean) / std END AS z
+        FROM h JOIN st USING (event_type))
+      SELECT event_type, hour, n, ROUND(mean, 6) AS mean,
+             ROUND(std, 6) AS std, ROUND(z, 4) AS z
+      FROM z WHERE ABS(z) >= 2.0
+      ORDER BY event_type, hour"""))
+
+  /** Two-sample chi-square drift between the even/odd event_id halves of
+    * the corpus: per-event_type observed counts and χ² contributions
+    * (pooled-expected formulation, keys absent from one side count 0).
+    */
+  val q111ChiSquareDrift: QueryCase = QueryCase(
+    "q111_chi2_drift",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Monitor.chiSquareDrift(
+          ev.where(col("event_id") % 2 === 0).select("event_type"),
+          ev.where(col("event_id") % 2 =!= 0).select("event_type"),
+          "event_type")
+        .withColumn("chi2", round(col("chi2"), 6))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH c AS (
+        SELECT event_type, COUNT(*) AS n_cur FROM events
+        WHERE event_id % 2 = 0 GROUP BY 1),
+      r AS (
+        SELECT event_type, COUNT(*) AS n_ref FROM events
+        WHERE event_id % 2 <> 0 GROUP BY 1),
+      j AS (
+        SELECT event_type, COALESCE(n_cur, 0) AS n_cur,
+               COALESCE(n_ref, 0) AS n_ref
+        FROM c FULL OUTER JOIN r USING (event_type)),
+      t AS (
+        SELECT CAST(SUM(n_cur) AS BIGINT) AS tc,
+               CAST(SUM(n_ref) AS BIGINT) AS tr
+        FROM j),
+      x AS (
+        SELECT event_type, n_cur, n_ref,
+               CAST(n_cur + n_ref AS DOUBLE) / CAST(tc + tr AS DOUBLE) AS p,
+               CAST(tc AS DOUBLE) AS tcd, CAST(tr AS DOUBLE) AS trd
+        FROM j CROSS JOIN t)
+      SELECT event_type, n_cur, n_ref,
+             ROUND(CASE WHEN p = 0 THEN 0.0 ELSE
+               (CAST(n_cur AS DOUBLE) - tcd * p) *
+               (CAST(n_cur AS DOUBLE) - tcd * p) / (tcd * p) +
+               (CAST(n_ref AS DOUBLE) - trd * p) *
+               (CAST(n_ref AS DOUBLE) - trd * p) / (trd * p)
+             END, 6) AS chi2
+      FROM x ORDER BY event_type"""))
+
   val all: Seq[QueryCase] =
     Seq(q99Expectations, q100Profile, q101CmsFrequency, q102QuantizeInt8,
       q103RemixDomains, q104PerKeySample, q105AsofJoin, q106Scd2,
-      q107IncrAgg, q108Histogram, q109CurationPipeline)
+      q107IncrAgg, q108Histogram, q109CurationPipeline, q110ZscoreAnomaly,
+      q111ChiSquareDrift)
 }

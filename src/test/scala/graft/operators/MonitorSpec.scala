@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `Monitor` — z-score outliers and chi-square drift. */
+class MonitorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscores match hand-computed moments; constant series gets z=0") {
+    // key "a": values 2,4,6 → mean 4, var (4+0+4)/3, std = sqrt(8/3)
+    // key "b": constant → std 0, z defined as 0
+    val df = Seq(("a", 2L), ("a", 4L), ("a", 6L), ("b", 5L), ("b", 5L))
+      .toDF("k", "v")
+    val out = Monitor.zscores(df, Seq("k"), "v")
+      .orderBy("k", "v").select("k", "v", "mean", "std", "z").collect()
+    val std = math.sqrt(8.0 / 3.0)
+    val a = out.filter(_.getString(0) == "a")
+    assert(a.map(_.getDouble(2)).forall(_ === 4.0))
+    assert(a.map(_.getDouble(3)).forall(s => math.abs(s - std) < 1e-12))
+    assert(math.abs(a.head.getDouble(4) - (2.0 - 4.0) / std) < 1e-12)
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.map(_.getDouble(4)).forall(_ === 0.0))
+  }
+
+  test("zscores are partitioning-independent (exact moments)") {
+    val rows = (1 to 2000).map(i => ("k", (i % 37).toLong))
+    val z1 = Monitor.zscores(rows.toDF("k", "v"), Seq("k"), "v")
+    val z2 = Monitor.zscores(rows.toDF("k", "v").repartition(13), Seq("k"), "v")
+    assert(z1.except(z2).isEmpty && z2.except(z1).isEmpty)
+  }
+
+  test("an outlier stands out; flagging at 3 sigma finds exactly it") {
+    val df = (Seq.fill(50)(10L) :+ 100L).map(("k", _)).toDF("k", "v")
+    val flagged = Monitor.zscores(df, Seq("k"), "v")
+      .where(abs(col("z")) >= 3.0).select("v").distinct()
+      .as[Long].collect().toSeq
+    assert(flagged === Seq(100L))
+  }
+
+  test("chi2 drift: identical distributions score 0, a planted shift doesn't") {
+    val ref = (1 to 900).map(i => Tuple1(s"t${i % 3}")).toDF("k")
+    val same = Monitor.chiSquareDrift(ref, ref, "k")
+      .agg(sum("chi2")).as[Double].head()
+    assert(same === 0.0)
+    // current batch: one category triples, another vanishes
+    val cur = ((1 to 600).map(_ => "t0") ++ (1 to 300).map(_ => "t1"))
+      .map(Tuple1(_)).toDF("k")
+    val drift = Monitor.chiSquareDrift(cur, ref, "k")
+    val total = drift.agg(sum("chi2")).as[Double].head()
+    assert(total > 10.0, s"chi2=$total") // df=2, p<<0.001
+    // the vanished key is reported with n_cur=0, not dropped
+    val t2 = drift.where(col("k") === "t2")
+      .select("n_cur", "n_ref").as[(Long, Long)].head()
+    assert(t2 === ((0L, 300L)))
+  }
+}
