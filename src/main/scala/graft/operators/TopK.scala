@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase per-key top-k — map-side combine for rankings. The standard
+  * `row_number().over(partitionBy(key))` shuffles EVERY row to sort most
+  * of them straight into the discard pile; at 100 TB the shuffle is the
+  * job. Phase 1 keeps each input partition's own top-k per key with
+  * bounded heaps (a typed mapPartitions — genuine per-partition
+  * imperative logic), so at most `partitions × keys-in-partition × k`
+  * rows reach the exchange; phase 2 is the exact window over the
+  * survivors. Result row-identical to the one-phase window (TopKSpec +
+  * gate q112 pin it): a key's global top-k is a subset of the union of
+  * its per-partition top-k's.
+  *
+  * Ordering is (value DESC, tie ASC) and total by construction — callers
+  * pass a numeric value and a unique tie column. NULL values sort last
+  * (dropped whenever k real values exist in the partition, matching the
+  * window's desc_nulls_last).
+  */
+object TopK {
+
+  def perKeyTopK(df: DataFrame, keyCol: String, valueCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val valIdx = schema.fieldIndex(valueCol)
+    val tieIdx = schema.fieldIndex(tieCol)
+    // (value desc, tie asc); nulls last on value
+    val rowOrd: Ordering[Row] = (a: Row, b: Row) => {
+      val (an, bn) = (a.isNullAt(valIdx), b.isNullAt(valIdx))
+      val c =
+        if (an && bn) 0
+        else if (an) 1
+        else if (bn) -1
+        else java.lang.Double.compare(
+          b.getAs[Number](valIdx).doubleValue(),
+          a.getAs[Number](valIdx).doubleValue())
+      if (c != 0) c
+      else a.getAs[Number](tieIdx).longValue()
+        .compareTo(b.getAs[Number](tieIdx).longValue())
+    }
+    val pruned = df.mapPartitions { it =>
+      // per-key bounded heap: worst element on top so offer/poll is O(log k)
+      val heaps = scala.collection.mutable.Map.empty[Any, java.util.PriorityQueue[Row]]
+      it.foreach { row =>
+        val h = heaps.getOrElseUpdate(row.get(keyIdx),
+          new java.util.PriorityQueue[Row](k + 1, rowOrd.reverse))
+        h.offer(row)
+        if (h.size > k) h.poll()
+      }
+      heaps.valuesIterator.flatMap(h =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(h.iterator).asScala)
+    }(Encoders.row(schema))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(valueCol).desc_nulls_last, col(tieCol).asc)
+    pruned.withColumn("_tk_rn", row_number().over(w))
+      .where(col("_tk_rn") <= k)
+      .withColumnRenamed("_tk_rn", "rk")
+  }
+}

@@ -485,7 +485,11 @@ object TestQueries10 {
         "id1", "id2")
       val losers = clusters.where(col("id") =!= col("cluster_id"))
         .select(col("id").as("doc_id"))
+      // deduped feeds three consumers (eval, train→contamination, clean);
+      // without materialization the cluster/anti-join subtree re-executes
+      // per consumer (the Pipeline/Dedup checkpoint discipline)
       val deduped = docs.join(losers, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
       // 2. benchmark holdout + decontamination of the training side
       val eval = deduped.where(col("doc_id") % 11 === 0)
       val train = deduped.where(col("doc_id") % 11 =!= 0)
@@ -656,9 +660,34 @@ object TestQueries10 {
              END, 6) AS chi2
       FROM x ORDER BY event_type"""))
 
+  /** Two-phase per-key top-k: each customer's 3 priciest orders through
+    * the partial-top-k path (bounded per-partition heaps → exact window
+    * over survivors). The oracle is the plain one-phase SQL window — the
+    * map-side pruning must be invisible in the result.
+    */
+  val q112TopKPerKey: QueryCase = QueryCase(
+    "q112_topk_per_key",
+    (s, dir) => {
+      graft.operators.TopK.perKeyTopK(
+          t(s, dir, "orders")
+            .select("o_custkey", "o_orderkey", "o_totalprice"),
+          "o_custkey", "o_totalprice", "o_orderkey", 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rk").cast("int").as("rk"))
+        .orderBy("o_custkey", "rk")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders)
+      WHERE rk <= 3 ORDER BY o_custkey, rk"""))
+
   val all: Seq[QueryCase] =
     Seq(q99Expectations, q100Profile, q101CmsFrequency, q102QuantizeInt8,
       q103RemixDomains, q104PerKeySample, q105AsofJoin, q106Scd2,
       q107IncrAgg, q108Histogram, q109CurationPipeline, q110ZscoreAnomaly,
-      q111ChiSquareDrift)
+      q111ChiSquareDrift, q112TopKPerKey)
 }
