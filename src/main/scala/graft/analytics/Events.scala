@@ -1,0 +1,116 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics: the gap-filling / smoothing / funnel / cohort
+  * operators a product- or pipeline-monitoring workload runs over the
+  * events table. All declarative except EWMA, whose recurrence is genuine
+  * per-group sequential logic (the packSequences discipline: typed
+  * flatMapGroups, sorted walk, distributed ACROSS keys).
+  */
+object Events {
+
+  /** Zero-fill the time dimension: one row per (key, bucket) over the
+    * data's full bucket span, absent buckets carrying 0. Without this, a
+    * "no events at all" hour — the most alarming anomaly — is invisible
+    * to downstream stats ([[graft.operators.Monitor.zscores]] never sees
+    * an absent row). The spine is keys × buckets built from one tiny
+    * min/max aggregate, broadcast against the counted buckets.
+    */
+  def fillTimeGaps(df: DataFrame, keyCol: String, tsCol: String,
+      bucket: String = "hour"): DataFrame = {
+    val bucketed = df.select(col(keyCol),
+      date_trunc(bucket, col(tsCol)).as("bucket"))
+    val counts = bucketed.groupBy(keyCol, "bucket")
+      .agg(count(lit(1)).as("n"))
+    val bounds = bucketed.agg(min(col("bucket")).as("_lo"),
+      max(col("bucket")).as("_hi"))
+    val spine = bucketed.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol), explode(expr(
+        s"sequence(_lo, _hi, interval 1 $bucket)")).as("bucket"))
+    spine.join(counts, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Per-key exponential moving average in `orderCol` order:
+    * e_1 = x_1, e_t = α·x_t + (1−α)·e_(t−1). The recurrence is inherently
+    * sequential per key, so it walks each key's sorted array once in a
+    * typed flatMapGroups — linear, memory bounded by the largest key
+    * group. `orderCol` must be unique per key (a seq/event id).
+    */
+  def ewma(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(valueCol).cast("double").as("x"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.map { case (_, ord, x) => (ord, x) }.toArray
+        java.util.Arrays.sort(rows, Ordering.by((r: (Long, Double)) => r._1))
+        var e = 0.0
+        var first = true
+        rows.iterator.map { case (ord, x) =>
+          e = if (first) { first = false; x } else alpha * x + (1 - alpha) * e
+          (k, ord, x, e)
+        }
+      }
+      .toDF(keyCol, orderCol, valueCol, "ewma")
+  }
+
+  /** Ordered funnel: for each user, the earliest time of step 1, then the
+    * earliest step-2 event strictly after it, and so on — the standard
+    * "did A, then B, then C" analysis where step order matters. Returns
+    * one row per step with the surviving-user count (monotone
+    * non-increasing). N small aggregates, one per step, each a semi-join
+    * against the previous step's reach.
+    */
+  def funnel(df: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "need at least one step")
+    val reach = steps.zipWithIndex.scanLeft(
+      Option.empty[(DataFrame, Int, String)]) {
+      case (prev, (step, i)) =>
+        val events = df.where(col(typeCol) === step)
+        val scoped = prev match {
+          case None => events
+          case Some((r, _, _)) =>
+            events.join(r.select(col(userCol), col("_t").as("_prev")), userCol)
+              .where(col(tsCol) > col("_prev"))
+        }
+        Some((scoped.groupBy(col(userCol)).agg(min(col(tsCol)).as("_t")),
+          i + 1, step))
+    }.flatten
+    // one lazy plan: each step's survivor count, unioned — no driver loop
+    reach.map { case (r, i, step) =>
+      r.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step"), lit(step).as("event_type"),
+          col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Weekly cohort retention: users bucketed by first-activity week, then
+    * (cohort, week-offset) distinct-user counts — the classic retention
+    * triangle. Week starts are Mondays in both Spark and DuckDB, and both
+    * sides of the offset are week-truncated so the day difference is an
+    * exact multiple of 7.
+    */
+  def cohortRetention(df: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val weekly = df.select(col(userCol),
+      date_trunc("week", col(tsCol)).as("week")).distinct()
+    val cohorts = weekly.groupBy(col(userCol))
+      .agg(min(col("week")).as("cohort"))
+    weekly.join(cohorts, userCol)
+      .groupBy(col("cohort"),
+        (datediff(col("week"), col("cohort")) / 7).cast("int")
+          .as("offset_weeks"))
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
+}

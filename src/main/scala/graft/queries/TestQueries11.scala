@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.analytics.Events
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 gate queries, part 4: event-stream analytics — zero-filled
+  * time spines, EWMA smoothing, ordered funnels, cohort retention
+  * (`analytics.Events`).
+  */
+object TestQueries11 {
+
+  /** Zero-filled hourly spine per event_type: absent hours emit n=0, so
+    * the silent-pipeline case is a visible row, not a missing one. The
+    * oracle builds the same spine with generate_series.
+    */
+  val q113TimeSpine: QueryCase = QueryCase(
+    "q113_time_spine",
+    (s, dir) => {
+      Events.fillTimeGaps(Tables.events(s, dir), "event_type", "ts")
+        .orderBy("event_type", "bucket")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+               date_trunc('hour', date_trunc('microseconds', ts)) AS bucket
+        FROM events),
+      c AS (SELECT event_type, bucket, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM e),
+      spine AS (
+        SELECT k.event_type, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT DISTINCT event_type FROM e) k CROSS JOIN bounds)
+      SELECT s.event_type, s.bucket, COALESCE(c.n, 0) AS n
+      FROM spine s LEFT JOIN c USING (event_type, bucket)
+      ORDER BY event_type, bucket"""))
+
+  /** Per-user EWMA (α=0.25) over event values in event_id order: the
+    * sequential recurrence walks each user's history once; the oracle
+    * runs the identical recurrence as a recursive CTE, so every smoothed
+    * value hash-checks (same IEEE operation sequence in both engines).
+    */
+  val q114Ewma: QueryCase = QueryCase(
+    "q114_ewma",
+    (s, dir) => {
+      Events.ewma(
+          Tables.events(s, dir).where(col("user_id") < 20),
+          "user_id", "event_id", "value", 0.25)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("event_id"), col("value"), round(col("ewma"), 6).as("ewma"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS ord
+        FROM events WHERE user_id < 20),
+      rec AS (
+        SELECT user_id, event_id, value, ord, value AS e
+        FROM d WHERE ord = 1
+        UNION ALL
+        SELECT d.user_id, d.event_id, d.value, d.ord,
+               CAST(0.25 AS DOUBLE) * d.value
+                 + CAST(0.75 AS DOUBLE) * r.e
+        FROM rec r JOIN d ON d.user_id = r.user_id AND d.ord = r.ord + 1)
+      SELECT user_id, event_id, value, ROUND(e, 6) AS ewma
+      FROM rec ORDER BY user_id, event_id"""))
+
+  /** Ordered funnel signup → view → purchase: earliest step-1 time, then
+    * the earliest later step-2 event, then step-3 — surviving users per
+    * step, strictly ordered in time.
+    */
+  val q115Funnel: QueryCase = QueryCase(
+    "q115_funnel",
+    (s, dir) => {
+      Events.funnel(Tables.events(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "purchase"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type,
+               date_trunc('microseconds', ts) AS ts
+        FROM events),
+      s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM e
+        WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+      SELECT 1 AS step, 'signup' AS event_type,
+             (SELECT COUNT(*) FROM s1) AS n_users
+      UNION ALL
+      SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)"""))
+
+  /** Weekly cohort retention triangle: users by first-activity week,
+    * distinct actives per (cohort, week offset).
+    */
+  val q116CohortRetention: QueryCase = QueryCase(
+    "q116_cohort_retention",
+    (s, dir) => {
+      Events.cohortRetention(Tables.events(s, dir), "user_id", "ts")
+        .orderBy("cohort", "offset_weeks")
+    },
+    Some("""
+      WITH w AS (
+        SELECT DISTINCT user_id,
+               date_trunc('week', date_trunc('microseconds', ts)) AS week
+        FROM events),
+      c AS (SELECT user_id, MIN(week) AS cohort FROM w GROUP BY 1)
+      SELECT c.cohort,
+             CAST(date_diff('day', c.cohort, w.week) // 7 AS INT)
+               AS offset_weeks,
+             COUNT(DISTINCT w.user_id) AS n_users
+      FROM w JOIN c USING (user_id)
+      GROUP BY 1, 2 ORDER BY cohort, offset_weeks"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q113TimeSpine, q114Ewma, q115Funnel, q116CohortRetention)
+}

@@ -1,0 +1,74 @@
+package graft.analytics
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** `analytics.Events` — spine fill, EWMA, funnel, cohort retention. */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("fillTimeGaps emits zero rows for silent hours, per key") {
+    val df = Seq(
+      ("a", ts("2024-01-01 10:10:00")),
+      ("a", ts("2024-01-01 13:40:00")), // 11:00 and 12:00 silent
+      ("b", ts("2024-01-01 11:05:00"))
+    ).toDF("k", "t")
+    val out = Events.fillTimeGaps(df, "k", "t")
+      .orderBy("k", "bucket")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2)))
+    // spine spans the GLOBAL [10:00, 13:00] for both keys
+    assert(out.count(_._1 == "a") === 4 && out.count(_._1 == "b") === 4)
+    assert(out.filter(_._1 == "a").map(_._3).toSeq === Seq(1L, 0L, 0L, 1L))
+    assert(out.filter(_._1 == "b").map(_._3).toSeq === Seq(0L, 1L, 0L, 0L))
+  }
+
+  test("ewma matches the hand recurrence and sorts by the order column") {
+    // e1=2; e2=.5*6+.5*2=4; e3=.5*0+.5*4=2 — fed out of order
+    val df = Seq(("u", 3L, 0.0), ("u", 1L, 2.0), ("u", 2L, 6.0))
+      .toDF("k", "ord", "v")
+    val out = Events.ewma(df, "k", "ord", "v", 0.5)
+      .orderBy("ord").select("ewma").as[Double].collect().toSeq
+    assert(out === Seq(2.0, 4.0, 2.0))
+  }
+
+  test("funnel requires strict temporal order, not mere presence") {
+    val df = Seq(
+      // u1: A then B then C — full funnel
+      ("u1", "A", ts("2024-01-01 10:00:00")),
+      ("u1", "B", ts("2024-01-01 11:00:00")),
+      ("u1", "C", ts("2024-01-01 12:00:00")),
+      // u2: B BEFORE A — must not count past step 1
+      ("u2", "B", ts("2024-01-01 09:00:00")),
+      ("u2", "A", ts("2024-01-01 10:00:00")),
+      // u3: A and B simultaneous — strict > excludes the B
+      ("u3", "A", ts("2024-01-01 10:00:00")),
+      ("u3", "B", ts("2024-01-01 10:00:00"))
+    ).toDF("u", "et", "t")
+    val out = Events.funnel(df, "u", "t", "et", Seq("A", "B", "C"))
+      .orderBy("step").select("n_users").as[Long].collect().toSeq
+    assert(out === Seq(3L, 1L, 1L))
+  }
+
+  test("cohort retention counts distinct users per week offset") {
+    val df = Seq(
+      ("u1", ts("2024-01-01 10:00:00")), // Monday, cohort W1
+      ("u1", ts("2024-01-09 10:00:00")), // W2 → offset 1
+      ("u1", ts("2024-01-10 11:00:00")), // same week, still one row
+      ("u2", ts("2024-01-02 10:00:00")), // cohort W1, never returns
+      ("u3", ts("2024-01-08 10:00:00"))  // cohort W2
+    ).toDF("u", "t")
+    val out = Events.cohortRetention(df, "u", "t")
+      .orderBy("cohort", "offset_weeks")
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getInt(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0, 2L), // u1, u2 in week-1 cohort
+      ("2024-01-01", 1, 1L), // u1 retained
+      ("2024-01-08", 0, 1L)  // u3's own cohort
+    ))
+  }
+}
