@@ -359,6 +359,34 @@ object Dedup {
         threshold, maxBucket, seed)
     else bruteForceCosinePairs(df, idCol, vecCol, threshold)
 
+  /** Edit-distance (typo-level) near-dup pairs: every (id1, id2, dist)
+    * with levenshtein ≤ `maxDist`. Blocking is length-band REPLICATION —
+    * each string lands in bands [len−maxDist, len], so any pair within
+    * maxDist shares at least one band: complete blocking, zero recall
+    * loss (unlike first-char/prefix blocks), with the usual window-gated
+    * `maxBucket` cap bounding the per-band quadratic (observe drops via
+    * [[overflowBuckets]] on the banded input). Length alone is a coarse
+    * key — at corpus scale compose with a content signature (shingle or
+    * SimHash candidates) and use this as the verifier on short fields
+    * (names, titles, codes), where the DP cost is trivial.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int, maxBucket: Int = 512): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val banded = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col(strCol).isNotNull)
+      .select(col("id"), col("s"),
+        explode(sequence(length(col("s")) - maxDist, length(col("s"))))
+          .as("band"))
+    pairsWithinBuckets(spread(banded), Seq(col("band")),
+        struct(col("id"), col("s")), maxBucket)
+      .select(col("p1.id").as("id1"), col("p1.s").as("s1"),
+        col("p2.id").as("id2"), col("p2.s").as("s2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .where(col("dist") <= maxDist && col("id1") =!= col("id2"))
+  }
+
   /** Collapse near-dup PAIRS into CLUSTERS: connected components over the
     * pair graph, labeling every member with its component's minimum id —
     * the canonical survivor a dedup pass keeps. Composes with any pair

@@ -122,6 +122,35 @@ object TestQueries11 {
       FROM w JOIN c USING (user_id)
       GROUP BY 1, 2 ORDER BY cohort, offset_weeks"""))
 
+  /** Edit-distance near-dup pairs over the corpus vocabulary: every token
+    * pair within levenshtein 2, through the complete length-band blocking
+    * (`Dedup.editDistancePairs`). The oracle brute-forces the same pairs —
+    * identical because the length filter is implied by dist ≤ 2 and no
+    * band hits the cap at this scale.
+    */
+  val q117EditDistance: QueryCase = QueryCase(
+    "q117_edit_distance",
+    (s, dir) => {
+      val vocab = Tables.documents(s, dir)
+        .select(explode(graft.functions.TextFunctions.tokens(col("text")))
+          .as("tok"))
+        .distinct()
+      graft.operators.Dedup.editDistancePairs(vocab, "tok", "tok", 2)
+        .select(col("s1"), col("s2"), col("dist"))
+        .orderBy("s1", "s2")
+    },
+    Some("""
+      WITH t AS (
+        SELECT DISTINCT UNNEST(list_filter(
+          string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> '')) AS tok
+        FROM documents)
+      SELECT a.tok AS s1, b.tok AS s2,
+             CAST(levenshtein(a.tok, b.tok) AS INT) AS dist
+      FROM t a JOIN t b ON a.tok < b.tok
+      WHERE levenshtein(a.tok, b.tok) <= 2
+      ORDER BY s1, s2"""))
+
   val all: Seq[QueryCase] =
-    Seq(q113TimeSpine, q114Ewma, q115Funnel, q116CohortRetention)
+    Seq(q113TimeSpine, q114Ewma, q115Funnel, q116CohortRetention,
+      q117EditDistance)
 }

@@ -52,4 +52,34 @@ class ClustersSpec extends SparkSpec {
     val c = clustersOf(Seq((2L, 2L), (2L, 1L), (1L, 2L), (2L, 1L)))
     assert(c === Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("editDistancePairs: complete recall vs brute force, incl. cross-length") {
+    val words = Seq("table", "tables", "tible", "chair", "chairs", "stool",
+      "stools", "spoon", "spool", "xy", "x")
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "s").repartition(4)
+    val got = Dedup.editDistancePairs(df, "id", "s", 2)
+      .select("s1", "s2").as[(String, String)].collect().toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val ids = words.zipWithIndex.map { case (w, i) => w -> i }.toMap
+    val expected = (for {
+      a <- words; b <- words
+      if ids(a) < ids(b) && lev(a, b) <= 2
+    } yield {
+      // operator orders pairs by (id, s) struct sort — normalize ours
+      if (ids(a) < ids(b)) (a, b) else (b, a)
+    }).toSet
+    assert(got === expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // sanity: cross-length pairs survived the banding ("xy"/"x", plurals)
+    assert(got.contains(("xy", "x")))
+    assert(got.contains(("table", "tables")))
+  }
 }
