@@ -20,19 +20,29 @@ object Events {
     */
   def fillTimeGaps(df: DataFrame, keyCol: String, tsCol: String,
       bucket: String = "hour"): DataFrame = {
-    val bucketed = df.select(col(keyCol),
-      date_trunc(bucket, col(tsCol)).as("bucket"))
-    val counts = bucketed.groupBy(keyCol, "bucket")
+    // everything derives from the ONE shuffled aggregate — bounds and the
+    // key list come from the (keys × buckets)-sized counts, not from two
+    // extra scans of the raw input
+    val counts = df.select(col(keyCol),
+        date_trunc(bucket, col(tsCol)).as("bucket"))
+      .groupBy(keyCol, "bucket")
       .agg(count(lit(1)).as("n"))
-    val bounds = bucketed.agg(min(col("bucket")).as("_lo"),
+    val bounds = counts.agg(min(col("bucket")).as("_lo"),
       max(col("bucket")).as("_hi"))
-    val spine = bucketed.select(col(keyCol)).distinct()
+    val spine = counts.select(col(keyCol)).distinct()
       .crossJoin(broadcast(bounds))
       .select(col(keyCol), explode(expr(
         s"sequence(_lo, _hi, interval 1 $bucket)")).as("bucket"))
-    spine.join(counts, Seq(keyCol, "bucket"), "left")
-      .select(col(keyCol), col("bucket"),
-        coalesce(col("n"), lit(0L)).as("n"))
+      .alias("_sp")
+    // null-safe join: a NULL key is a real category (distinct() keeps it
+    // in the spine) — a plain equi-join would zero out its every bucket
+    // while discarding the true counts
+    val c = counts.alias("_ct")
+    spine.join(c,
+        col(s"_sp.$keyCol") <=> col(s"_ct.$keyCol") &&
+          col("_sp.bucket") === col("_ct.bucket"), "left")
+      .select(col(s"_sp.$keyCol").as(keyCol), col("_sp.bucket").as("bucket"),
+        coalesce(col("_ct.n"), lit(0L)).as("n"))
   }
 
   /** Per-key exponential moving average in `orderCol` order:

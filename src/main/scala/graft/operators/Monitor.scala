@@ -31,7 +31,16 @@ object Monitor {
         sqrt(
           (col("_n") * col("_ss") - col("_s") * col("_s")).cast("double") /
             (col("_n") * col("_n")).cast("double")).as(s"${outPrefix}std"): _*)
-    df.join(broadcast(stats), keyCols)
+    // null-safe join back: NULL is a real GROUP BY key and its series
+    // deserves anomaly flagging too — a plain equi-join would silently
+    // drop every NULL-key row (fail-open for exactly the oddest data)
+    val d = df.alias("_mz_d")
+    val st = broadcast(stats).alias("_mz_s")
+    val cond = keyCols.map(k => col(s"_mz_d.$k") <=> col(s"_mz_s.$k"))
+      .reduce(_ && _)
+    d.join(st, cond)
+      .select((df.columns.map(c => col(s"_mz_d.$c")) :+
+        col(s"_mz_s.${outPrefix}mean") :+ col(s"_mz_s.${outPrefix}std")): _*)
       .withColumn(s"${outPrefix}z",
         when(col(s"${outPrefix}std") === 0.0, lit(0.0)).otherwise(
           (col(valueCol).cast("double") - col(s"${outPrefix}mean")) /
@@ -50,9 +59,15 @@ object Monitor {
       keyCol: String): DataFrame = {
     def side(df: DataFrame, out: String) =
       df.groupBy(col(keyCol)).agg(count(lit(1)).as(out))
-    val joined = side(cur, "n_cur")
-      .join(side(ref, "n_ref"), Seq(keyCol), "full_outer")
-      .select(col(keyCol),
+    // null-safe full-outer: a NULL category present on BOTH sides must be
+    // one row — split in two it reads as simultaneously vanished and
+    // appeared, manufacturing drift out of nothing
+    val a = side(cur, "n_cur").alias("_cd_a")
+    val b = side(ref, "n_ref").alias("_cd_b")
+    val joined = a
+      .join(b, col(s"_cd_a.$keyCol") <=> col(s"_cd_b.$keyCol"), "full_outer")
+      .select(
+        coalesce(col(s"_cd_a.$keyCol"), col(s"_cd_b.$keyCol")).as(keyCol),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"))
     val totals = joined.agg(
@@ -64,9 +79,15 @@ object Monitor {
       .withColumn("_ec", col("_tc").cast("double") * col("_p"))
       .withColumn("_er", col("_tr").cast("double") * col("_p"))
       .withColumn("chi2",
-        when(col("_p") === 0.0, lit(0.0)).otherwise(
+        // per-term zero-expected guards: with an empty side the whole
+        // side's expected counts are 0 and 0/0 would be NaN on every key
+        // (a _p === 0 guard can never fire — p ≥ 1/(tc+tr) on joined
+        // rows); a zero-expected cell's observed is necessarily 0 too,
+        // so its contribution is defined as 0
+        when(col("_ec") === 0.0, lit(0.0)).otherwise(
           (col("n_cur").cast("double") - col("_ec")) *
-            (col("n_cur").cast("double") - col("_ec")) / col("_ec") +
+            (col("n_cur").cast("double") - col("_ec")) / col("_ec")) +
+        when(col("_er") === 0.0, lit(0.0)).otherwise(
           (col("n_ref").cast("double") - col("_er")) *
             (col("n_ref").cast("double") - col("_er")) / col("_er")))
       .select(keyCol, "n_cur", "n_ref", "chi2")

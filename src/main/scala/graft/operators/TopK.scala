@@ -15,10 +15,10 @@ import org.apache.spark.sql.functions._
   * gate q112 pin it): a key's global top-k is a subset of the union of
   * its per-partition top-k's.
   *
-  * Ordering is (value DESC, tie ASC) and total by construction — callers
-  * pass a numeric value and a unique tie column. NULL values sort last
-  * (dropped whenever k real values exist in the partition, matching the
-  * window's desc_nulls_last).
+  * Ordering is (value DESC NULLS LAST, tie ASC NULLS FIRST) — exactly the
+  * phase-2 window's — and total when callers pass a unique tie column.
+  * Values compare in their own numeric type (long/decimal never collapse
+  * through double).
   */
 object TopK {
 
@@ -29,19 +29,41 @@ object TopK {
     val keyIdx = schema.fieldIndex(keyCol)
     val valIdx = schema.fieldIndex(valueCol)
     val tieIdx = schema.fieldIndex(tieCol)
-    // (value desc, tie asc); nulls last on value
+    // compare in the column's OWN type: collapsing longs/decimals to
+    // double would merge values whose difference is below double ULP
+    // (2^53+1 vs 2^53) and evict the true top row in phase 1
+    import org.apache.spark.sql.types._
+    def typedCmp(dt: DataType, i: Int): (Row, Row) => Int = dt match {
+      case _: DecimalType => (a, b) =>
+        a.getDecimal(i).compareTo(b.getDecimal(i))
+      case LongType | IntegerType | ShortType | ByteType => (a, b) =>
+        java.lang.Long.compare(a.getAs[Number](i).longValue(),
+          b.getAs[Number](i).longValue())
+      case FloatType | DoubleType => (a, b) =>
+        java.lang.Double.compare(a.getAs[Number](i).doubleValue(),
+          b.getAs[Number](i).doubleValue())
+      case other => throw new IllegalArgumentException(
+        s"perKeyTopK needs a numeric value/tie column, got $other")
+    }
+    val valCmp = typedCmp(schema(valIdx).dataType, valIdx)
+    val tieCmp = typedCmp(schema(tieIdx).dataType, tieIdx)
+    // (value desc nulls last, tie asc nulls first) — the exact phase-2
+    // window order, so pruning can never disagree with it
     val rowOrd: Ordering[Row] = (a: Row, b: Row) => {
       val (an, bn) = (a.isNullAt(valIdx), b.isNullAt(valIdx))
       val c =
         if (an && bn) 0
         else if (an) 1
         else if (bn) -1
-        else java.lang.Double.compare(
-          b.getAs[Number](valIdx).doubleValue(),
-          a.getAs[Number](valIdx).doubleValue())
+        else valCmp(b, a)
       if (c != 0) c
-      else a.getAs[Number](tieIdx).longValue()
-        .compareTo(b.getAs[Number](tieIdx).longValue())
+      else {
+        val (tn, un) = (a.isNullAt(tieIdx), b.isNullAt(tieIdx))
+        if (tn && un) 0
+        else if (tn) -1 // nulls first, matching orderBy(tie.asc)
+        else if (un) 1
+        else tieCmp(a, b)
+      }
     }
     val pruned = df.mapPartitions { it =>
       // per-key bounded heap: worst element on top so offer/poll is O(log k)

@@ -26,6 +26,19 @@ class EventsSpec extends SparkSpec {
     assert(out.filter(_._1 == "b").map(_._3).toSeq === Seq(0L, 1L, 0L, 0L))
   }
 
+  test("fillTimeGaps keeps a NULL key as a real category with true counts") {
+    val df = Seq(
+      (Option("a"), ts("2024-01-01 10:00:00")),
+      (Option.empty[String], ts("2024-01-01 10:30:00")),
+      (Option.empty[String], ts("2024-01-01 12:00:00"))
+    ).toDF("k", "t")
+    val out = Events.fillTimeGaps(df, "k", "t")
+      .where($"k".isNull).orderBy("bucket")
+      .select("n").as[Long].collect().toSeq
+    // NULL key spans 10:00–12:00: counts 1, 0, 1 — never zeroed out
+    assert(out === Seq(1L, 0L, 1L))
+  }
+
   test("ewma matches the hand recurrence and sorts by the order column") {
     // e1=2; e2=.5*6+.5*2=4; e3=.5*0+.5*4=2 — fed out of order
     val df = Seq(("u", 3L, 0.0), ("u", 1L, 2.0), ("u", 2L, 6.0))

@@ -38,6 +38,29 @@ class MonitorSpec extends SparkSpec {
     assert(flagged === Seq(100L))
   }
 
+  test("NULL keys flow through zscores and merge in chi2 drift") {
+    val df = Seq((Option("a"), 1L), (Option("a"), 3L),
+      (Option.empty[String], 10L), (Option.empty[String], 20L))
+      .toDF("k", "v")
+    val z = Monitor.zscores(df, Seq("k"), "v")
+    assert(z.count() === 4, "NULL-key rows must not be dropped")
+    assert(z.where($"k".isNull).count() === 2)
+
+    val cur = Seq(Option("a"), Option.empty[String]).toDF("k")
+    val ref = Seq(Option("a"), Option.empty[String]).toDF("k")
+    val drift = Monitor.chiSquareDrift(cur, ref, "k")
+    assert(drift.count() === 2, "NULL category must be ONE row, not two")
+    assert(drift.agg(sum("chi2")).as[Double].head() === 0.0)
+  }
+
+  test("an empty side yields finite zero-expected contributions, not NaN") {
+    val ref = Seq("a", "a", "b").map(Tuple1(_)).toDF("k")
+    val empty = ref.where(col("k") === "never")
+    val out = Monitor.chiSquareDrift(empty, ref, "k")
+      .select("chi2").as[Double].collect()
+    assert(out.forall(v => !v.isNaN && !v.isInfinite), out.toSeq.toString)
+  }
+
   test("chi2 drift: identical distributions score 0, a planted shift doesn't") {
     val ref = (1 to 900).map(i => Tuple1(s"t${i % 3}")).toDF("k")
     val same = Monitor.chiSquareDrift(ref, ref, "k")

@@ -39,6 +39,27 @@ class TopKSpec extends SparkSpec {
     assert(out === Seq(1L, 2L, 3L)) // tie-broken by id, null never makes it
   }
 
+  test("long values beyond double precision never collapse in phase 1") {
+    val big = 1L << 53
+    // both values collapse to the same double; the true top-1 is big+1
+    val df = Seq(("k", big, 1L), ("k", big + 1, 2L))
+      .toDF("k", "v", "id").repartition(1)
+    val top = TopK.perKeyTopK(df, "k", "v", "id", 1)
+      .select("id").as[Long].head()
+    assert(top === 2L, "2^53+1 must beat 2^53 — no double collapse")
+  }
+
+  test("NULL tie values sort first (window parity), no NPE") {
+    val df = Seq(
+      ("k", 5.0, Option.empty[Long]), ("k", 5.0, Option(1L)),
+      ("k", 5.0, Option(2L))
+    ).toDF("k", "v", "id").repartition(2)
+    val out = TopK.perKeyTopK(df, "k", "v", "id", 2)
+      .orderBy("rk").select("id")
+      .as[Option[Long]].collect().toSeq
+    assert(out === Seq(None, Some(1L))) // nulls-first, same as orderBy asc
+  }
+
   test("keys with fewer than k rows keep them all") {
     val df = Seq(("a", 1.0, 1L), ("b", 2.0, 2L), ("b", 3.0, 3L))
       .toDF("k", "v", "id")
