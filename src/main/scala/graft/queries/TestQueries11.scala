@@ -150,7 +150,53 @@ object TestQueries11 {
       WHERE levenshtein(a.tok, b.tok) <= 2
       ORDER BY s1, s2"""))
 
+  /** The monitoring composition q113+q110 exist for: the zero-filled
+    * hourly spine feeds the z-score stats, so SILENT hours (n=0, absent
+    * from any raw aggregate) are flagged as the anomalies they are. The
+    * oracle rebuilds spine→moments→z in SQL.
+    */
+  val q118SilentHours: QueryCase = QueryCase(
+    "q118_silent_hours",
+    (s, dir) => {
+      val spine = Events.fillTimeGaps(Tables.events(s, dir), "event_type", "ts")
+      graft.operators.Monitor.zscores(spine, Seq("event_type"), "n")
+        .where(col("n") === 0 || abs(col("z")) >= 2.0)
+        .select(col("event_type"), col("bucket"), col("n"),
+          round(col("mean"), 6).as("mean"), round(col("std"), 6).as("std"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_type", "bucket")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_type,
+               date_trunc('hour', date_trunc('microseconds', ts)) AS bucket
+        FROM events),
+      c AS (SELECT event_type, bucket, COUNT(*) AS n FROM e GROUP BY 1, 2),
+      bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM c),
+      spine AS (
+        SELECT k.event_type,
+               UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT DISTINCT event_type FROM c) k CROSS JOIN bounds),
+      f AS (
+        SELECT s.event_type, s.bucket, COALESCE(c.n, 0) AS n
+        FROM spine s LEFT JOIN c USING (event_type, bucket)),
+      st AS (
+        SELECT event_type,
+               CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean,
+               SQRT(CAST(COUNT(*) * SUM(n*n) - SUM(n) * SUM(n) AS DOUBLE)
+                    / CAST(COUNT(*) * COUNT(*) AS DOUBLE)) AS std
+        FROM f GROUP BY 1),
+      z AS (
+        SELECT f.event_type, f.bucket, f.n, mean, std,
+               CASE WHEN std = 0 THEN 0.0
+                 ELSE (CAST(n AS DOUBLE) - mean) / std END AS z
+        FROM f JOIN st USING (event_type))
+      SELECT event_type, bucket, n, ROUND(mean, 6) AS mean,
+             ROUND(std, 6) AS std, ROUND(z, 4) AS z
+      FROM z WHERE n = 0 OR ABS(z) >= 2.0
+      ORDER BY event_type, bucket"""))
+
   val all: Seq[QueryCase] =
     Seq(q113TimeSpine, q114Ewma, q115Funnel, q116CohortRetention,
-      q117EditDistance)
+      q117EditDistance, q118SilentHours)
 }
