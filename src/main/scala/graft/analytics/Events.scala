@@ -17,13 +17,20 @@ object Events {
     * to downstream stats ([[graft.operators.Monitor.zscores]] never sees
     * an absent row). The spine is keys × buckets built from one tiny
     * min/max aggregate, broadcast against the counted buckets.
+    *
+    * NULL-timestamp events are EXCLUDED, explicitly: they have no bucket
+    * on the time axis, and letting them aggregate into a NULL bucket
+    * would silently vanish their counts in the spine join. An operator
+    * whose job is making absences visible must not create one — callers
+    * who care about unstamped events should count them separately.
     */
   def fillTimeGaps(df: DataFrame, keyCol: String, tsCol: String,
       bucket: String = "hour"): DataFrame = {
     // everything derives from the ONE shuffled aggregate — bounds and the
     // key list come from the (keys × buckets)-sized counts, not from two
     // extra scans of the raw input
-    val counts = df.select(col(keyCol),
+    val counts = df.filter(col(tsCol).isNotNull)
+      .select(col(keyCol),
         date_trunc(bucket, col(tsCol)).as("bucket"))
       .groupBy(keyCol, "bucket")
       .agg(count(lit(1)).as("n"))

@@ -33,7 +33,7 @@ object AsOf {
     require(rightVals.nonEmpty, "need at least one right value column")
     require(rightVals.forall(!left.columns.contains(_)),
       "right value columns collide with left columns — rename them first")
-    val reserved = Seq("_t", "_side", "_r", "asof_ts")
+    val reserved = Seq("_t", "_side", "_r", "_m", "asof_ts")
     require((left.columns ++ right.columns).forall(!reserved.contains(_)),
       s"inputs may not use reserved columns ${reserved.mkString(", ")}")
 

@@ -28,10 +28,12 @@ object Cdc {
     * (both upsert: replace-or-create the row) or 'D' (delete) — and
     * `seqCol`. Per key, the change with the highest (`seqCol`, `tieBreak`)
     * wins; keys the changelog never touches keep their base row. Callers
-    * must make the per-key ordering total (pass `tieBreak` when one
-    * sequence value can hold several changes for a key — a seq tie between
-    * a delete and an upsert is otherwise nondeterministic, and this
-    * operator will not silently pick one).
+    * must make the per-key ordering total: results are NONDETERMINISTIC
+    * when one sequence value holds several changes for a key and
+    * `tieBreak` doesn't separate them — row_number over a non-total order
+    * silently picks one of the tied changes, and which one can vary run
+    * to run. Pass `tieBreak` (e.g. an ingest offset) whenever seq values
+    * can collide within a key.
     */
   def applyChanges(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
       seqCol: String, opCol: String, tieBreak: Seq[Column] = Nil): DataFrame = {

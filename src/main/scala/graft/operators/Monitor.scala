@@ -19,13 +19,18 @@ object Monitor {
     * Exactness is bit-level for integer-valued measures (counts, scaled
     * rates); fractional measures round at the decimal(18,6) cast. Keep
     * n·Σx² under 38 digits — rescale astronomically-valued measures.
+    *
+    * NULL measure values carry no evidence: n counts non-NULL x only
+    * (standard avg/stddev semantics — `count(x)`, matching the NULL-skip
+    * of `sum(x)`), so a NULL can't drag the mean toward zero. NULL-value
+    * rows still come back with their key's mean/std and a NULL z.
     */
   def zscores(df: DataFrame, keyCols: Seq[String], valueCol: String,
       outPrefix: String = ""): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val x = col(valueCol).cast("decimal(18,6)")
     val stats = df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_n"), sum(x).as("_s"), sum(x * x).as("_ss"))
+      .agg(count(x).as("_n"), sum(x).as("_s"), sum(x * x).as("_ss"))
       .select(keyCols.map(col) :+
         (col("_s").cast("double") / col("_n")).as(s"${outPrefix}mean") :+
         sqrt(

@@ -25,7 +25,9 @@ object Sketches {
     * remaining `32-p` bits (counted from the top, 1-based; all-zeros →
     * `32-p+1`) max-aggregates per register. One map pass + one partial-agg
     * shuffle of at most `2^p` rows per key — mergeable across any
-    * partitioning.
+    * partitioning. NULL values are dropped first (count-distinct
+    * semantics ignore NULLs — a NULL would otherwise hash to a NULL
+    * register index and poison both `zeros` and the inverse-rank sum).
     */
   def hllRegisters(df: DataFrame, keyCols: Seq[String], valueCol: Column,
       p: Int = 8): DataFrame = {
@@ -33,6 +35,7 @@ object Sketches {
       "keyCols must be non-empty — for a global estimate, group by a literal")
     require(p >= 4 && p <= 16, "p must be in [4, 16]")
     val wBits = 32 - p
+    val nonNull = df.filter(valueCol.isNotNull)
     val h = CrossHash.md5Hash32(valueCol.cast("string"))
     val idx = shiftright(h, wBits).cast("int")
     val w = h.bitwiseAND(lit((1L << wBits) - 1))
@@ -41,7 +44,7 @@ object Sketches {
     // is just LENGTH(bin(w))
     val rho = when(w === 0, lit(wBits + 1))
       .otherwise(lit(wBits + 1) - length(bin(w)))
-    df.select(keyCols.map(col) :+ idx.as("idx") :+ rho.as("rho"): _*)
+    nonNull.select(keyCols.map(col) :+ idx.as("idx") :+ rho.as("rho"): _*)
       .groupBy(keyCols.head, keyCols.tail :+ "idx": _*)
       .agg(max(col("rho")).as("r"))
   }
@@ -99,7 +102,9 @@ object Sketches {
       w: Int = 1024): DataFrame = {
     require(d >= 1 && d <= 4, "1 <= d <= 4 (rows slice one 128-bit md5)")
     require(w >= 2, "need w >= 2 buckets")
-    df.select(md5(valueCol.cast("string").cast("binary")).as("_h"))
+    // same NULL discipline as hllRegisters: a NULL value has no frequency
+    df.filter(valueCol.isNotNull)
+      .select(md5(valueCol.cast("string").cast("binary")).as("_h"))
       .select(posexplode(cmsBuckets(col("_h"), d, w)).as(Seq("r", "b")))
       .groupBy("r", "b").agg(count(lit(1)).as("cnt"))
   }

@@ -39,6 +39,21 @@ class EventsSpec extends SparkSpec {
     assert(out === Seq(1L, 0L, 1L))
   }
 
+  test("fillTimeGaps excludes NULL-timestamp events without corrupting the spine") {
+    val df = Seq(
+      ("a", Option(ts("2024-01-01 10:00:00"))),
+      ("a", Option.empty[Timestamp]), // no bucket on the time axis
+      ("a", Option(ts("2024-01-01 12:00:00")))
+    ).toDF("k", "t")
+    val out = Events.fillTimeGaps(df, "k", "t")
+      .orderBy("bucket")
+      .select("bucket", "n").collect()
+    // span is [10:00, 12:00] from the stamped events only; no NULL bucket row
+    assert(out.length === 3)
+    assert(out.forall(_.get(0) != null), "no NULL spine bucket")
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 0L, 1L))
+  }
+
   test("ewma matches the hand recurrence and sorts by the order column") {
     // e1=2; e2=.5*6+.5*2=4; e3=.5*0+.5*4=2 — fed out of order
     val df = Seq(("u", 3L, 0.0), ("u", 1L, 2.0), ("u", 2L, 6.0))

@@ -29,6 +29,16 @@ class AsOfSpec extends SparkSpec {
       (4L, Some(3.0)), (5L, None)))
   }
 
+  test("a left input already carrying '_m' is rejected, not overwritten") {
+    val left = Seq((1L, "k", ts("2024-01-01 10:00:00"), "caller-data"))
+      .toDF("id", "k", "t", "_m")
+    val right = Seq(("k", ts("2024-01-01 09:00:00"), 1.0)).toDF("k", "rt", "px")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.joinAsOf(left, right, "k", "t", "rt", Seq("px"))
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   test("a newer right row with a NULL value supersedes an older non-null one") {
     val left = Seq((1L, "k", ts("2024-01-01 13:00:00"))).toDF("id", "k", "t")
     val right = Seq(

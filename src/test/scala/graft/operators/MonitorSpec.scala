@@ -53,6 +53,22 @@ class MonitorSpec extends SparkSpec {
     assert(drift.agg(sum("chi2")).as[Double].head() === 0.0)
   }
 
+  test("NULL measure values don't bias the moments (count skips NULLs)") {
+    // "a": values 2,4,6 plus two NULLs — moments must equal the NULL-free
+    // series exactly (n=3, not 5); the NULL rows come back with NULL z
+    val df = Seq(("a", Option(2L)), ("a", Option(4L)), ("a", Option(6L)),
+      ("a", Option.empty[Long]), ("a", Option.empty[Long])).toDF("k", "v")
+    val out = Monitor.zscores(df, Seq("k"), "v")
+    assert(out.count() === 5, "NULL-value rows must not be dropped")
+    val m = out.select("mean").distinct().as[Double].collect()
+    assert(m.toSeq === Seq(4.0), s"mean=$m — NULLs dragged the mean")
+    val std = math.sqrt(8.0 / 3.0)
+    val s = out.select("std").distinct().as[Double].head()
+    assert(math.abs(s - std) < 1e-12, s"std=$s expected $std")
+    assert(out.where($"v".isNull && $"z".isNotNull).count() === 0,
+      "a NULL measure has no z")
+  }
+
   test("an empty side yields finite zero-expected contributions, not NaN") {
     val ref = Seq("a", "a", "b").map(Tuple1(_)).toDF("k")
     val empty = ref.where(col("k") === "never")

@@ -44,6 +44,24 @@ class SketchesSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("NULL values are ignored — count-distinct semantics") {
+    val base = (1 to 500).map(i => ("g", Option(s"n-$i")))
+    val withNulls = base ++ Seq.fill(50)(("g", Option.empty[String]))
+    val clean = Sketches.hllEstimate(base.toDF("g", "v"), Seq("g"), col("v"))
+      .select("zeros", "sum_inv", "est").head()
+    val dirty = Sketches.hllEstimate(
+      withNulls.toDF("g", "v"), Seq("g"), col("v"))
+      .select("zeros", "sum_inv", "est").head()
+    assert(clean === dirty,
+      "NULLs must not touch the sketch: no NULL-idx register, no zeros skew")
+    // cms: NULL rows add no counters
+    val c1 = Sketches.cmsCounters(base.map(_._2).toDF("v"), col("v"))
+      .agg(sum("cnt")).as[Long].head()
+    val c2 = Sketches.cmsCounters(withNulls.map(_._2).toDF("v"), col("v"))
+      .agg(sum("cnt")).as[Long].head()
+    assert(c1 === c2)
+  }
+
   test("cms never underestimates and is exact without collisions") {
     val vals = (1 to 100).flatMap(i => Seq.fill(i % 7 + 1)(s"t-$i"))
     val df = vals.toDF("v")
