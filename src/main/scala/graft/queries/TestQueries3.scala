@@ -291,29 +291,162 @@ object TestQueries3 {
       ORDER BY document_id, field_name"""
     })
 
-  /** J6/C11/C12: entity duplicate candidates — rows-only (difflib-parity
-    * Ratcliff–Obershelp is not expressible in the oracle engine; scores
-    * are pinned by SimilaritySpec golden values instead).
+  // q45 fixture — shared between the Spark query and its SQL oracle so
+  // the two can never drift. Exercises every weight-renormalization
+  // branch of `matching.py:67-103`: all three signals present+equal
+  // (a1/a2), name-only (a3/a4 families), address-only (b1/b2),
+  // external-id equal without address (e1/e2), external-id PRESENT BUT
+  // UNEQUAL with identical name+address (d1/d2 — the renormalized
+  // ceiling is (0.5+0.3)/1.0, which in IEEE doubles is EXACTLY 0.8
+  // (round-to-even), so the pair sits on the suggest_merge threshold —
+  // a boundary both engines must classify identically), and
+  // cross-tenant / cross-block isolation (c1, a4).
+  private val entityFixture = Seq(
+    ("a1", "t1", "Acme Corp LLC", Some("1 Main St"), Some("X1")),
+    ("a2", "t1", "ACME CORP", Some("1 Main St"), Some("X1")),
+    ("a3", "t1", "Acme Holdings Group", None, None),
+    ("a4", "t1", "Acmex Industrial", None, None),
+    ("b1", "t1", "Beta Properties", Some("2 Oak Ave"), None),
+    ("b2", "t1", "Beta Property Mgmt", Some("2 Oak Ave"), None),
+    ("c1", "t2", "Acme Corp", Some("1 Main St"), Some("X1")),
+    ("d1", "t1", "Delta Realty Group", Some("500 Pine St"), Some("EXT-9")),
+    ("d2", "t1", "Delta Realty Group", Some("500 Pine St"), Some("EXT-7")),
+    ("e1", "t1", "Evergreen Partners", None, Some("Z5")),
+    ("e2", "t1", "Evergreen Partner Co", None, Some("Z5")),
+    ("f1", "t1", "Gamma Logistics Holdings", None, None),
+    ("f2", "t1", "Gamma Logistics Holding", None, None))
+
+  /** J6/C11/C12 ORACLE-CHECKED end to end: blocking self-join + the full
+    * weighted name/address/external_id composite with weight
+    * renormalization and the .95/.80 classify thresholds
+    * (`matching.py:67-110`). The oracle mirrors difflib's
+    * get_matching_blocks with the q86 recursive-CTE technique, run over
+    * BOTH the name pair and the address pair of every blocked candidate,
+    * then recombines: score = Σ present-signal terms / Σ present-signal
+    * weights — double arithmetic in the same order as the Spark
+    * expression, so the rounded scores and the threshold decisions
+    * hash-match exactly.
     */
   val q45EntityCandidates: QueryCase = QueryCase(
     "q45_entity_candidates",
     (s, dir) => {
       import s.implicits._
-      val entities = Seq(
-        ("a1", "t1", "Acme Corp LLC", "1 Main St", "X1"),
-        ("a2", "t1", "ACME CORP", "1 Main St", "X1"),
-        ("a3", "t1", "Acme Holdings Group", null, null),
-        ("a4", "t1", "Acmex Industrial", null, null),
-        ("b1", "t1", "Beta Properties", "2 Oak Ave", null),
-        ("b2", "t1", "Beta Property Mgmt", "2 Oak Ave", null),
-        ("c1", "t2", "Acme Corp", "1 Main St", "X1"))
+      val entities = entityFixture
         .toDF("id", "tenant_id", "name", "address", "external_id")
       Entities.duplicateCandidates(entities)
         .select(col("tenant_id"), col("entity_id"), col("duplicate_id"),
           round(col("match_score"), 6).as("match_score"), col("decision"))
         .orderBy("entity_id", "duplicate_id")
     },
-    None)
+    Some {
+      val vals = entityFixture.map { case (id, tn, nm, ad, ex) =>
+        def q(o: Option[String]) = o.map(v => s"'$v'").getOrElse("NULL")
+        s"('$id', '$tn', '$nm', ${q(ad)}, ${q(ex)})"
+      }.mkString(", ")
+      // normalize_text (matching.py:45-48) as an inline DuckDB expression
+      def norm(e: String) =
+        s"trim(regexp_replace(regexp_replace(lower($e), " +
+          s"'[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+      s"""
+      WITH RECURSIVE ent(id, tenant_id, name, address, external_id) AS (
+        VALUES $vals),
+      canon AS (
+        SELECT id, tenant_id, address, external_id,
+               trim(regexp_replace(regexp_replace(
+                 trim(regexp_replace(regexp_replace(lower(name),
+                   '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')),
+                 '\\b(llc|inc|corp|ltd|lp)\\b', '', 'g'),
+                 '\\s+', ' ', 'g')) AS cname
+        FROM ent),
+      blocked AS (
+        SELECT *, split_part(cname, ' ', 1) AS bk FROM canon),
+      pairs AS (
+        SELECT a.tenant_id AS tenant_id, a.id AS entity_id,
+               b.id AS duplicate_id,
+               ${norm("a.cname")} AS n1, ${norm("b.cname")} AS n2,
+               ${norm("a.address")} AS ad1, ${norm("b.address")} AS ad2,
+               (a.address IS NOT NULL AND b.address IS NOT NULL)
+                 AS addr_present,
+               (a.external_id IS NOT NULL AND b.external_id IS NOT NULL)
+                 AS ext_present,
+               (a.external_id IS NOT NULL AND b.external_id IS NOT NULL
+                 AND a.external_id = b.external_id) AS ext_equal
+        FROM blocked a JOIN blocked b
+          ON a.tenant_id = b.tenant_id AND a.bk = b.bk AND a.id < b.id),
+      simin AS (
+        SELECT entity_id || '|' || duplicate_id || '|n' AS key,
+               n1 AS s1, n2 AS s2 FROM pairs
+        UNION ALL
+        SELECT entity_id || '|' || duplicate_id || '|a', ad1, ad2
+        FROM pairs WHERE addr_present),
+      cand AS (
+        SELECT key, CAST(ii.i AS INT) AS i, CAST(jj.j AS INT) AS j,
+               CAST(ll.l AS INT) AS l
+        FROM simin,
+             UNNEST(range(1, LEN(s1)+1)) AS ii(i),
+             UNNEST(range(1, LEN(s2)+1)) AS jj(j),
+             UNNEST(range(1, least(LEN(s1), LEN(s2))+1)) AS ll(l)
+        WHERE ii.i + ll.l <= LEN(s1)+1 AND jj.j + ll.l <= LEN(s2)+1
+          AND substr(s1, CAST(ii.i AS INT), CAST(ll.l AS INT)) =
+              substr(s2, CAST(jj.j AS INT), CAST(ll.l AS INT))),
+      win AS (
+        SELECT key, 1 AS alo, CAST(LEN(s1)+1 AS INT) AS ahi, 1 AS blo,
+               CAST(LEN(s2)+1 AS INT) AS bhi, 0 AS m
+        FROM simin
+        UNION ALL
+        SELECT w.key, u.alo, u.ahi, u.blo, u.bhi, u.m
+        FROM win w JOIN LATERAL (
+          WITH best AS (
+            SELECT c.i, c.j, c.l FROM cand c
+            WHERE c.key = w.key AND c.i >= w.alo AND c.i + c.l <= w.ahi
+              AND c.j >= w.blo AND c.j + c.l <= w.bhi
+            ORDER BY c.l DESC, c.i ASC, c.j ASC LIMIT 1)
+          SELECT w.alo AS alo, b.i AS ahi, w.blo AS blo, b.j AS bhi, 0 AS m
+          FROM best b
+          UNION ALL SELECT b.i + b.l, w.ahi, b.j + b.l, w.bhi, 0 FROM best b
+          UNION ALL SELECT 1, 0, 1, 0, b.l FROM best b
+        ) u ON true
+        WHERE w.m = 0 AND w.ahi > w.alo AND w.bhi > w.blo),
+      sims AS (
+        SELECT si.key,
+               CASE WHEN LEN(si.s1) = 0 AND LEN(si.s2) = 0
+                      THEN CAST(1.0 AS DOUBLE)
+                    WHEN LEN(si.s1) = 0 OR LEN(si.s2) = 0
+                      THEN CAST(0.0 AS DOUBLE)
+                    ELSE 2.0 * COALESCE(SUM(w.m), 0) /
+                         (LEN(si.s1) + LEN(si.s2)) END AS sim
+        FROM simin si LEFT JOIN win w ON w.key = si.key
+        GROUP BY si.key, si.s1, si.s2),
+      scored AS (
+        SELECT p.tenant_id, p.entity_id, p.duplicate_id,
+               LEAST(
+                 (ns.sim * CAST(0.5 AS DOUBLE)
+                  + CASE WHEN p.addr_present
+                      THEN asim.sim * CAST(0.3 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN p.ext_equal THEN CAST(0.2 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END)
+                 /
+                 (CAST(0.5 AS DOUBLE)
+                  + CASE WHEN p.addr_present THEN CAST(0.3 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END
+                  + CASE WHEN p.ext_present THEN CAST(0.2 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END),
+                 CAST(1.0 AS DOUBLE)) AS match_score
+        FROM pairs p
+        JOIN sims ns
+          ON ns.key = p.entity_id || '|' || p.duplicate_id || '|n'
+        LEFT JOIN sims asim
+          ON asim.key = p.entity_id || '|' || p.duplicate_id || '|a')
+      SELECT tenant_id, entity_id, duplicate_id,
+             ROUND(match_score, 6) AS match_score,
+             CASE WHEN match_score >= 0.95 THEN 'auto_merge'
+                  WHEN match_score >= 0.80 THEN 'suggest_merge'
+                  ELSE 'different' END AS decision
+      FROM scored
+      WHERE match_score >= 0.80
+      ORDER BY entity_id, duplicate_id"""
+    })
 
   /** P1/P2: PII redaction — rows-only (negative-lookahead exceptions are
     * beyond the oracle's RE2 engine; behavior pinned by ExtractSpec).
