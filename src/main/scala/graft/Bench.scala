@@ -108,12 +108,27 @@ object Bench {
     // comma-decimal locale would make this line invalid JSON.
     def fmt(v: Double, places: Int): String =
       String.format(java.util.Locale.ROOT, s"%.${places}f", Double.box(v))
-    val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(6)
+    val worstPairs = results.filter(_._2 >= 0).sortBy(-_._2).take(6)
+    val worst = worstPairs
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
+    // Steady-state second run of the worst offenders: their cold numbers
+    // above include one-off plan + codegen compile, so a cold regression
+    // is ambiguous between host variance and a real plan change. The
+    // (cold, steady) pair disambiguates: steady moved → real; only cold
+    // moved → compile-time or host noise (round-5 q61 lesson).
+    val worstSteady = worstPairs.map { case (name, _) =>
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val worstSteadyJson = worstSteady
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
     val warmServing = warm.filter(kv => Set("q24_cosine_topk", "q38_fts_rank",
         "q54_hybrid", "q41_rerank", "q67_websearch").contains(kv._1))
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"warm_serving":$warmServing,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"warm_serving":$warmServing,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
