@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   * per-partition batch operators (the Scala analogue of `mapInPandas` —
   * partition-at-a-time, batch-shaped, pluggable backend).
   *
-  * The decode backends are STUBS by design (no image/audio libraries in
-  * this environment): `DecodeBackend` is the seam where a real decoder
-  * (JavaCV, TwelveMonkeys, ffmpeg pipe) plugs in; the default
-  * `HeaderProbe` backend parses only container headers (PNG/JPEG
-  * dimensions, WAV sample rate) from the bytes — real parsing, no native
-  * deps — so the Spark-side plumbing (schema, batching, partitioning) is
-  * fully exercised.
+  * Decode coverage: uncompressed containers (PPM P6, WAV PCM-16) are
+  * parsed by hand-written kernels; compressed IMAGES (JPEG/PNG/GIF/BMP)
+  * decode for real through `ImageIoDecode` (JDK `javax.imageio`, no
+  * native deps) into the same tile kernel. Compressed AUDIO/VIDEO decode
+  * remains a declared seam — `DecodeBackend`/`ImageDecode` is where a
+  * JavaCV/ffmpeg-pipe backend plugs in; the default `HeaderProbe`
+  * backend parses only container headers (PNG/JPEG dimensions, WAV
+  * sample rate), so metadata probing never needs a full decode.
   */
 object Multimodal {
 
@@ -219,63 +220,157 @@ object Multimodal {
     else Some((w.toInt, h.toInt, i))
   }
 
+  private val TileSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("tile_x", IntegerType),
+    StructField("tile_y", IntegerType),
+    StructField("n_px", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType),
+    StructField("peak_sum", IntegerType)))
+
+  /** The shared tile kernel: `grid`×`grid` tiles on integer boundaries
+    * (`start = t·extent/grid`, matching [[sampleWavFrames]]) over a
+    * row-major RGB buffer starting at `off`; each tile emits pixel count,
+    * per-channel exact-Long means, and peak r+g+b. Every image path —
+    * PPM-parsed or backend-decoded — funnels through this one loop, so
+    * "decode then tile" is definitionally the same math as the PPM gate.
+    */
+  private def tileRows(id: String, w: Int, h: Int, rgb: Array[Byte],
+                       off: Int, grid: Int): Seq[Row] =
+    for {
+      ty <- 0 until grid
+      tx <- 0 until grid
+      y0 = (ty.toLong * h / grid).toInt
+      y1 = ((ty + 1).toLong * h / grid).toInt
+      x0 = (tx.toLong * w / grid).toInt
+      x1 = ((tx + 1).toLong * w / grid).toInt
+      if y1 > y0 && x1 > x0
+    } yield {
+      var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val p = off + 3 * (y * w + x)
+          val pr = rgb(p) & 0xff
+          val pg = rgb(p + 1) & 0xff
+          val pb = rgb(p + 2) & 0xff
+          sr += pr; sg += pg; sb += pb
+          val s = pr + pg + pb
+          if (s > peak) peak = s
+          x += 1
+        }
+        y += 1
+      }
+      val n = (y1 - y0) * (x1 - x0)
+      Row(id, tx, ty, n, sr.toDouble / n, sg.toDouble / n,
+        sb.toDouble / n, peak)
+    }
+
   /** Tile-sample kernel over an uncompressed image format (binary PPM):
-    * the pixel grid is cut into `grid`×`grid` tiles on the same integer
-    * boundaries as [[sampleWavFrames]] (`start = t·extent/grid`) and each
-    * tile emits deterministic stats — pixel count, per-channel exact-Long
-    * means, peak r+g+b. Non-PPM assets emit no rows; compressed formats
-    * (JPEG/PNG) stay behind [[DecodeBackend]].
+    * parses the P6 header + pixel bytes and runs [[tileRows]] zero-copy
+    * over the container's own buffer. Non-PPM assets emit no rows;
+    * compressed images go through [[sampleImageTiles]].
     */
   def samplePpmTiles(media: DataFrame, idCol: String, bytesCol: String,
                      grid: Int): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("id", StringType),
-      StructField("tile_x", IntegerType),
-      StructField("tile_y", IntegerType),
-      StructField("n_px", IntegerType),
-      StructField("mean_r", DoubleType),
-      StructField("mean_g", DoubleType),
-      StructField("mean_b", DoubleType),
-      StructField("peak_sum", IntegerType)))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val enc = org.apache.spark.sql.Encoders.row(TileSchema)
     media.select(col(idCol).cast("string").as("id"), col(bytesCol).as("b"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getAs[String]("id")
           val bytes = r.getAs[Array[Byte]]("b")
           parsePpmP6(bytes).toSeq.flatMap { case (w, h, off) =>
-            for {
-              ty <- 0 until grid
-              tx <- 0 until grid
-              y0 = (ty.toLong * h / grid).toInt
-              y1 = ((ty + 1).toLong * h / grid).toInt
-              x0 = (tx.toLong * w / grid).toInt
-              x1 = ((tx + 1).toLong * w / grid).toInt
-              if y1 > y0 && x1 > x0
-            } yield {
-              var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0
-              var y = y0
-              while (y < y1) {
-                var x = x0
-                while (x < x1) {
-                  val p = off + 3 * (y * w + x)
-                  val pr = bytes(p) & 0xff
-                  val pg = bytes(p + 1) & 0xff
-                  val pb = bytes(p + 2) & 0xff
-                  sr += pr; sg += pg; sb += pb
-                  val s = pr + pg + pb
-                  if (s > peak) peak = s
-                  x += 1
-                }
-                y += 1
-              }
-              val n = (y1 - y0) * (x1 - x0)
-              Row(id, tx, ty, n, sr.toDouble / n, sg.toDouble / n,
-                sb.toDouble / n, peak)
-            }
+            tileRows(id, w, h, bytes, off, grid)
           }
         }
       }(enc)
+  }
+
+  /** Image decode seam: compressed bytes → row-major RGB. */
+  trait ImageDecode extends Serializable {
+    /** None for undecodable/malformed bytes — decode never throws. */
+    def decodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])]
+  }
+
+  /** Real compressed-image decode through the JDK's `javax.imageio`
+    * (JPEG, PNG, GIF, BMP — no native deps, headless-safe). Pixels are
+    * normalized to row-major 8-bit RGB via the default sRGB conversion;
+    * grayscale and paletted images widen to three equal/looked-up
+    * channels. Guards mirror [[parsePpmP6]]: malformed bytes → None
+    * (never throw), absurd dimensions (> 16 Mpx) rejected before the
+    * pixel buffer allocates.
+    */
+  object ImageIoDecode extends ImageDecode {
+    def decodeRgb(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          if (w <= 0 || h <= 0 || w.toLong * h > 16777216L) None
+          else {
+            val argb = img.getRGB(0, 0, w, h, null, 0, w)
+            val rgb = new Array[Byte](3 * w * h)
+            var i = 0
+            while (i < argb.length) {
+              val v = argb(i)
+              rgb(3 * i) = ((v >> 16) & 0xff).toByte
+              rgb(3 * i + 1) = ((v >> 8) & 0xff).toByte
+              rgb(3 * i + 2) = (v & 0xff).toByte
+              i += 1
+            }
+            Some((w, h, rgb))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Tile-sample kernel over COMPRESSED images: decode through the
+    * backend, then the exact [[tileRows]] loop the PPM gate runs — so a
+    * losslessly-encoded asset (PNG) produces bit-identical tile stats to
+    * its uncompressed PPM twin (q119 pins this against the oracle).
+    * Undecodable assets emit no rows, like every other media kernel.
+    */
+  def sampleImageTiles(media: DataFrame, idCol: String, bytesCol: String,
+                       grid: Int,
+                       decoder: ImageDecode = ImageIoDecode): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(TileSchema)
+    media.select(col(idCol).cast("string").as("id"), col(bytesCol).as("b"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[String]("id")
+          decoder.decodeRgb(r.getAs[Array[Byte]]("b")).toSeq.flatMap {
+            case (w, h, rgb) => tileRows(id, w, h, rgb, 0, grid)
+          }
+        }
+      }(enc)
+  }
+
+  /** Encode an RGB pixel buffer via `javax.imageio` — fixture utility
+    * (PNG is lossless, so `decodeRgb(pngBytes(w,h,rgb)) == rgb`; JPEG is
+    * lossy and only round-trips through decode-then-compare).
+    */
+  def imageBytes(format: String, width: Int, height: Int,
+                 rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == 3 * width * height, "rgb must be 3*w*h bytes")
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val argb = new Array[Int](width * height)
+    var i = 0
+    while (i < argb.length) {
+      argb(i) = ((rgb(3 * i) & 0xff) << 16) | ((rgb(3 * i + 1) & 0xff) << 8) |
+        (rgb(3 * i + 2) & 0xff)
+      i += 1
+    }
+    img.setRGB(0, 0, width, height, argb, 0, width)
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out),
+      s"no imageio writer for format '$format'")
+    out.toByteArray
   }
 
   /** The real frame-sample kernel over an uncompressed format (WAV 16-bit

@@ -196,7 +196,100 @@ object TestQueries11 {
       FROM z WHERE n = 0 OR ABS(z) >= 2.0
       ORDER BY event_type, bucket"""))
 
+  // q119 fixture: same integer-arithmetic pixel formulas as q81 (so the
+  // oracle regenerates them without decoding anything), but the bytes
+  // reaching Spark are REAL PNG containers — zlib/deflate-compressed by
+  // javax.imageio — and the query decodes them for real. PNG is lossless,
+  // so decode(encode(formula)) == formula and the oracle stays exact.
+  // Dimensions deliberately non-divisible by the grid; a JPEG of the same
+  // pixels ("j1") must decode but is EXCLUDED from the compare (lossy —
+  // its tiles are spec-gated by self-consistency in MultimodalSpec), and
+  // a truncated PNG must emit nothing.
+  private val pngAssets: Seq[(String, Int, Int, Int)] = Seq(
+    ("p1", 23, 14, 4), ("p2", 31, 19, 9))
+  private val pngGrid = 4
+
+  private def formulaRgb(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = 3 * (y * w + x)
+      rgb(p) = ((x * 7 + y * 13 + seed) % 256).toByte
+      rgb(p + 1) = ((x * 3 + y * 5 + 2 * seed) % 256).toByte
+      rgb(p + 2) = ((x * 11 + y * 17 + 3 * seed) % 256).toByte
+    }
+    rgb
+  }
+
+  /** Compressed-image decode, oracle-checked end to end: the assets are
+    * real PNG bytes, Spark inflates them through `ImageIoDecode`
+    * (javax.imageio) and runs the SAME tile kernel as the PPM gate
+    * (q81); the oracle regenerates the pixels from their integer
+    * formulas and aggregates. Lossless coding means the decoded tile
+    * stats — exact-Long channel sums, peak r+g+b, integer tile
+    * boundaries — mirror bit-exactly. This closes the DecodeBackend
+    * seam for images (compressed audio/video decode remains declared).
+    */
+  val q119PngDecodeTiles: QueryCase = QueryCase(
+    "q119_png_decode_tiles",
+    (s, dir) => {
+      import s.implicits._
+      val mm = graft.multimodal.Multimodal
+      val rows = pngAssets.map { case (id, w, h, seed) =>
+        (id, mm.imageBytes("png", w, h, formulaRgb(w, h, seed)))
+      } ++ Seq(
+        ("j1", mm.imageBytes("jpg", 23, 14, formulaRgb(23, 14, 4))),
+        ("x1", mm.imageBytes("png", 8, 8, formulaRgb(8, 8, 1)).take(20)))
+      val tiles = mm.sampleImageTiles(
+        rows.toDF("id", "bytes"), "id", "bytes", pngGrid)
+      // j1 (lossy) is excluded from the hash compare but MUST have
+      // decoded: the id column routes through a raise_error gate on the
+      // broadcast j1 tile count, so a silently-dead JPEG path fails the
+      // whole gate instead of shrinking the output by zero rows
+      val j1Count = tiles.where(col("id") === "j1")
+        .agg(count(lit(1)).as("_j1n"))
+      tiles.where(col("id").isin(pngAssets.map(_._1): _*))
+        .crossJoin(broadcast(j1Count))
+        .select(
+          when(col("_j1n") > 0, col("id"))
+            .otherwise(raise_error(lit("q119: JPEG decode emitted no tiles"))
+              .cast("string")).as("id"),
+          col("tile_x"), col("tile_y"), col("n_px"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"), col("peak_sum"))
+        .orderBy("id", "tile_y", "tile_x")
+    },
+    Some {
+      val vals = pngAssets.map(a =>
+        s"('${a._1}', ${a._2}, ${a._3}, ${a._4})").mkString(", ")
+      s"""
+      WITH assets(id, w, h, seed) AS (VALUES $vals),
+      px AS (
+        SELECT id, w, h, seed, xs.x AS x, ys.y AS y
+        FROM assets, UNNEST(range(0, w)) AS xs(x), UNNEST(range(0, h)) AS ys(y)),
+      vals AS (
+        SELECT id, w, h, x, y,
+               (x * 7 + y * 13 + seed) % 256 AS r,
+               (x * 3 + y * 5 + 2 * seed) % 256 AS g,
+               (x * 11 + y * 17 + 3 * seed) % 256 AS b
+        FROM px),
+      tiled AS (
+        SELECT *,
+               CAST(((x + 1) * $pngGrid + w - 1) // w - 1 AS INT) AS tx,
+               CAST(((y + 1) * $pngGrid + h - 1) // h - 1 AS INT) AS ty
+        FROM vals)
+      SELECT id, tx AS tile_x, ty AS tile_y,
+             CAST(COUNT(*) AS INT) AS n_px,
+             ROUND(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mean_r,
+             ROUND(CAST(SUM(g) AS DOUBLE) / COUNT(*), 6) AS mean_g,
+             ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS mean_b,
+             CAST(MAX(r + g + b) AS INT) AS peak_sum
+      FROM tiled
+      GROUP BY id, tx, ty
+      ORDER BY id, tile_y, tile_x"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q113TimeSpine, q114Ewma, q115Funnel, q116CohortRetention,
-      q117EditDistance, q118SilentHours)
+      q117EditDistance, q118SilentHours, q119PngDecodeTiles)
 }

@@ -145,6 +145,62 @@ class MiscSpec extends SparkSpec {
     assert(t11.getAs[Int]("peak_sum") == 330)
   }
 
+  test("png decode: lossless roundtrip makes decode-tiles == ppm-tiles") {
+    import spark.implicits._
+    val (w, h) = (13, 7) // non-divisible by the grid
+    val rgb = Array.tabulate(3 * w * h)(i => ((i * 31 + 5) % 256).toByte)
+    val df = Seq(
+      ("a", Multimodal.imageBytes("png", w, h, rgb)),
+      ("junk", "not an image".getBytes)).toDF("id", "bytes")
+    val decoded = Multimodal.sampleImageTiles(df, "id", "bytes", 3)
+      .orderBy("tile_y", "tile_x").collect()
+    val ppm = Multimodal.samplePpmTiles(
+        Seq(("a", Multimodal.ppmP6Bytes(w, h, rgb))).toDF("id", "bytes"),
+        "id", "bytes", 3)
+      .orderBy("tile_y", "tile_x").collect()
+    assert(decoded.length == 9 && ppm.length == 9) // junk emitted nothing
+    assert(decoded.map(_.toSeq).toSeq == ppm.map(_.toSeq).toSeq)
+  }
+
+  test("jpeg decode: self-consistent with the ppm kernel on decoded pixels") {
+    import spark.implicits._
+    val (w, h) = (16, 16)
+    val rgb = Array.tabulate(3 * w * h)(i => ((i / 3 * 2) % 256).toByte)
+    val jpeg = Multimodal.imageBytes("jpg", w, h, rgb)
+    // decode once, re-encode the DECODED pixels as PPM: tile stats from
+    // the jpeg path and from the ppm path over those pixels must agree
+    // bit-for-bit (pins the decode->tile plumbing without assuming the
+    // lossy codec reproduces the source)
+    val Some((dw, dh, decoded)) = Multimodal.ImageIoDecode.decodeRgb(jpeg)
+    assert(dw == w && dh == h)
+    val viaJpeg = Multimodal.sampleImageTiles(
+        Seq(("j", jpeg)).toDF("id", "bytes"), "id", "bytes", 4)
+      .orderBy("tile_y", "tile_x").collect()
+    val viaPpm = Multimodal.samplePpmTiles(
+        Seq(("j", Multimodal.ppmP6Bytes(dw, dh, decoded)))
+          .toDF("id", "bytes"), "id", "bytes", 4)
+      .orderBy("tile_y", "tile_x").collect()
+    assert(viaJpeg.length == 16)
+    assert(viaJpeg.map(_.toSeq).toSeq == viaPpm.map(_.toSeq).toSeq)
+  }
+
+  test("image decode: grayscale widens to equal channels; malformed -> None") {
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.getRaster.setSample(x, y, 0, (x * 16 + y) % 256)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val Some((w, h, rgb)) = Multimodal.ImageIoDecode.decodeRgb(out.toByteArray)
+    assert(w == 4 && h == 4)
+    assert(rgb.grouped(3).forall(px => px(0) == px(1) && px(1) == px(2)))
+    // malformed inputs: never throw, always None
+    assert(Multimodal.ImageIoDecode.decodeRgb("garbage".getBytes).isEmpty)
+    assert(Multimodal.ImageIoDecode.decodeRgb(
+      Multimodal.imageBytes("png", 4, 4, new Array[Byte](48)).take(20)).isEmpty)
+    assert(Multimodal.ImageIoDecode.decodeRgb(Array.empty[Byte]).isEmpty)
+  }
+
   test("feature flags: isEnabled fails closed on undefined flags") {
     import spark.implicits._
     val flags = Seq(("fl1", "x", true)).toDF("flag_id", "name",
