@@ -318,14 +318,49 @@ object Fts {
 
   /** C20 (documented simplification of ts_rank): score = Σ over query
     * lexemes of occurrence-count × weight, weights {A:1.0, B:0.4}. The
-    * positional/normalization refinements of Postgres ts_rank are out of
-    * scope (SURVEY §7.4 risk 2); ordering behavior on the tested corpus
-    * matches.
+    * positional refinements of Postgres ts_rank (per-occurrence 1/j²
+    * damping, AND-pair proximity) are out of scope (SURVEY §7.4 risk 2);
+    * ordering behavior on the tested corpus matches.
+    *
+    * `normalization` is Postgres's ts_rank bitmask, applied in the same
+    * order with the same formulas (document length = total lexeme
+    * occurrences, i.e. positions; unique count = distinct lexemes across
+    * both weight classes):
+    *   1  → rank / log2(length + 1)      (0-length docs rank 0)
+    *   2  → rank / length
+    *   8  → rank / uniqueCount
+    *   16 → rank / log2(uniqueCount + 1)
+    *   32 → rank / (rank + 1)
+    * Bit 4 (extent distance) is ts_rank_cd-only and unsupported. The
+    * reference's search functions call ts_rank with the DEFAULT (0 — no
+    * normalization, `044_keyword_search.sql:89`), so 0 is the default
+    * here; the bitmask exists for length-skewed corpora where
+    * unnormalized TF lets long documents dominate.
     */
-  def tsRank(tsvec: Column, queryLexemes: Seq[String]): Column = {
+  def tsRank(tsvec: Column, queryLexemes: Seq[String],
+             normalization: Int = 0): Column = {
+    require((normalization & ~(1 | 2 | 8 | 16 | 32)) == 0,
+      s"unsupported ts_rank normalization bits in $normalization " +
+        "(supported: 1|2|8|16|32; 4 is ts_rank_cd-only)")
     def cnt(arr: Column): Column = graftshim.column(TokensInSetCount(
       graftshim.expression(arr), queryLexemes))
-    cnt(tsvec("a")).cast("double") * 1.0 + cnt(tsvec("b")).cast("double") * 0.4
+    val raw = cnt(tsvec("a")).cast("double") * 1.0 +
+      cnt(tsvec("b")).cast("double") * 0.4
+    if (normalization == 0) raw
+    else {
+      val len = (size(tsvec("a")) + size(tsvec("b"))).cast("double")
+      val uniq = size(array_distinct(
+        concat(tsvec("a"), tsvec("b")))).cast("double")
+      var r = raw
+      def guarded(d: Column): Column =
+        when(d > 0.0, r / d).otherwise(lit(0.0))
+      if ((normalization & 1) != 0) r = guarded(log2(len + 1.0))
+      if ((normalization & 2) != 0) r = guarded(len)
+      if ((normalization & 8) != 0) r = guarded(uniq)
+      if ((normalization & 16) != 0) r = guarded(log2(uniq + 1.0))
+      if ((normalization & 32) != 0) r = r / (r + 1.0)
+      r
+    }
   }
 
   /** `plainto_tsquery` analogue: query text → AND'ed lexemes. */

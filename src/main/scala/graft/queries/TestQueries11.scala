@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.analytics.Events
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-5 gate queries, part 4: event-stream analytics — zero-filled
@@ -289,7 +289,80 @@ object TestQueries11 {
       ORDER BY id, tile_y, tile_x"""
     })
 
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(%s)), '\\s+'), x -> x <> '')"
+
+  /** C20 ts_rank NORMALIZATION bitmask, oracle-checked bit by bit over
+    * the naturally length-skewed documents corpus: every supported
+    * Postgres normalization (1 log-length, 2 length, 8 unique count,
+    * 16 log-unique, 32 r/(r+1)) plus a combined mask, computed on
+    * unstemmed stopword-filtered lexemes so the oracle can mirror the
+    * whole pipeline — tokenize → stop-filter → weighted TF → normalize.
+    * log2 may differ by 1 ulp across libm implementations (the
+    * hllEstimate caveat), so every surfaced rank rounds to 6 before the
+    * hash compare; ORDER BY is on doc_id, not the rounded ranks.
+    */
+  val q120RankNormalized: QueryCase = QueryCase(
+    "q120_rank_normalized",
+    (s, dir) => {
+      import graft.functions.{Fts, TextFunctions}
+      val terms = Seq("spark", "merge")
+      val tsv = Tables.documents(s, dir).select(col("doc_id"),
+          struct(
+            Fts.filterStopwords(TextFunctions.tokens(col("text"))).as("a"),
+            Fts.filterStopwords(TextFunctions.tokens(col("source"))).as("b"))
+            .as("tsv"))
+      def r(bits: Int): Column = round(Fts.tsRank(col("tsv"), terms, bits), 6)
+      tsv.select(col("doc_id"), r(0).as("rank_raw"),
+          r(1).as("rank_loglen"), r(2).as("rank_len"), r(8).as("rank_uniq"),
+          r(16).as("rank_loguniq"), r(32).as("rank_rdiv"),
+          r(1 | 32).as("rank_loglen_rdiv"))
+        .where(col("rank_raw") > 0)
+        .orderBy("doc_id")
+    },
+    Some {
+      val stop = graft.functions.Fts.Stopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(${TokensSql.format("text")},
+                 t -> NOT list_contains($stop, t)) AS a,
+               list_filter(${TokensSql.format("source")},
+                 t -> NOT list_contains($stop, t)) AS b
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(LEN(list_filter(a, x -> list_contains(['spark','merge'], x))) AS DOUBLE) * 1.0
+               + CAST(LEN(list_filter(b, x -> list_contains(['spark','merge'], x))) AS DOUBLE) * 0.4
+                 AS raw,
+               CAST(LEN(a) + LEN(b) AS DOUBLE) AS len,
+               CAST(LEN(list_distinct(list_concat(a, b))) AS DOUBLE) AS uniq
+        FROM toks),
+      n AS (
+        SELECT doc_id, raw,
+               CASE WHEN log2(len + 1) > 0 THEN raw / log2(len + 1)
+                 ELSE 0.0 END AS loglen,
+               CASE WHEN len > 0 THEN raw / len ELSE 0.0 END AS bylen,
+               CASE WHEN uniq > 0 THEN raw / uniq ELSE 0.0 END AS byuniq,
+               CASE WHEN log2(uniq + 1) > 0 THEN raw / log2(uniq + 1)
+                 ELSE 0.0 END AS loguniq
+        FROM m)
+      SELECT doc_id,
+             ROUND(raw, 6) AS rank_raw,
+             ROUND(loglen, 6) AS rank_loglen,
+             ROUND(bylen, 6) AS rank_len,
+             ROUND(byuniq, 6) AS rank_uniq,
+             ROUND(loguniq, 6) AS rank_loguniq,
+             ROUND(raw / (raw + 1), 6) AS rank_rdiv,
+             ROUND(loglen / (loglen + 1), 6) AS rank_loglen_rdiv
+      FROM n
+      WHERE raw > 0
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q113TimeSpine, q114Ewma, q115Funnel, q116CohortRetention,
-      q117EditDistance, q118SilentHours, q119PngDecodeTiles)
+      q117EditDistance, q118SilentHours, q119PngDecodeTiles,
+      q120RankNormalized)
 }

@@ -88,6 +88,38 @@ class FtsSpec extends SparkSpec {
     assert(scored.map(_._3).toSeq == Seq(true, true, false))
   }
 
+  test("ts_rank normalization bitmask: hand-checked formulas, pg order") {
+    import spark.implicits._
+    // tsvector: a = [rent, rent, lease], b = [rent] → raw = 2 + 0.4 = 2.4,
+    // length = 4 positions, unique = {rent, lease} = 2
+    val df = Seq((1L, Seq("rent", "rent", "lease"), Seq("rent")))
+      .toDF("id", "a", "b")
+      .select(col("id"), struct(col("a"), col("b")).as("tsv"))
+    val q = Seq("rent")
+    def rank(bits: Int): Double =
+      df.select(Fts.tsRank(col("tsv"), q, bits)).head().getDouble(0)
+    val raw = 2.4
+    assert(rank(0) === raw)
+    assert(math.abs(rank(1) - raw / (math.log(5.0) / math.log(2.0))) < 1e-12)
+    assert(rank(2) === raw / 4.0)
+    assert(rank(8) === raw / 2.0)
+    assert(math.abs(rank(16) - raw / (math.log(3.0) / math.log(2.0))) < 1e-12)
+    assert(rank(32) === raw / (raw + 1.0))
+    // bits compose sequentially, postgres order: loglen first, then rdiv
+    val ll = raw / (math.log(5.0) / math.log(2.0))
+    assert(math.abs(rank(1 | 32) - ll / (ll + 1.0)) < 1e-12)
+    // empty tsvector ranks 0 under the division bits, never NaN/inf
+    val empty = Seq((1L, Seq.empty[String], Seq.empty[String]))
+      .toDF("id", "a", "b")
+      .select(struct(col("a"), col("b")).as("tsv"))
+    Seq(1, 2, 8, 16).foreach { bits =>
+      val v = empty.select(Fts.tsRank(col("tsv"), q, bits)).head().getDouble(0)
+      assert(v === 0.0, s"bits=$bits")
+    }
+    // ts_rank_cd-only bit 4 is rejected loudly
+    intercept[IllegalArgumentException](Fts.tsRank(col("tsv"), q, 4))
+  }
+
   test("plain query parsing: stopwords dropped, lexemes stemmed") {
     assert(Fts.plainQueryLexemes("the running dogs") == Seq("run", "dog"))
   }
