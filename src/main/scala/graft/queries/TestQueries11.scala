@@ -361,8 +361,121 @@ object TestQueries11 {
       ORDER BY doc_id"""
     })
 
+  // q121 fixture: a queue event log covering every T2–T6 transition
+  // class, 8 scripts × 6 documents each. Event times are strictly
+  // increasing within a document (the machine folds in time order; equal
+  // stamps would make both engines' "order" meaningless).
+  //   0 ok:        enqueue → claim → success
+  //   1 retry:     enqueue → claim → failure → claim → success
+  //   2 dead:      enqueue → 3×(claim → failure) → dead_letter at 3rd
+  //   3 dup:       duplicate enqueues + post-terminal events, all no-ops
+  //   4 orphan-ok: success with no enqueue (completes from 'none')
+  //   5 orphan-ko: failure with no enqueue (fails with attempts 0)
+  //   6 claim-only: claim before enqueue — NO transition ever applies
+  //   7 late-enq:  claim (no-op) → enqueue → claim → failure → claim
+  //                → success (recovery after an out-of-order start)
+  private val queueEvents: Seq[(String, String, String, Int, String, Long)] = {
+    val base = 1700000000000L
+    (0 until 48).flatMap { i =>
+      val doc = f"d$i%02d"
+      val tn = s"t${i % 3}"
+      def ev(step: Int, kind: String, err: String = null) =
+        (doc, tn, kind, i % 5, err, base + i * 100000L + step * 1000L)
+      i % 8 match {
+        case 0 => Seq(ev(0, "enqueue"), ev(1, "claim"), ev(2, "success"))
+        case 1 => Seq(ev(0, "enqueue"), ev(1, "claim"), ev(2, "failure", "e1"),
+          ev(3, "claim"), ev(4, "success"))
+        case 2 => Seq(ev(0, "enqueue"), ev(1, "claim"), ev(2, "failure", "e1"),
+          ev(3, "claim"), ev(4, "failure", "e2"),
+          ev(5, "claim"), ev(6, "failure", "e3"))
+        case 3 => Seq(ev(0, "enqueue"), ev(1, "enqueue"), ev(2, "claim"),
+          ev(3, "success"), ev(4, "success"), ev(5, "enqueue"),
+          ev(6, "failure", "late"))
+        case 4 => Seq(ev(0, "success"))
+        case 5 => Seq(ev(0, "failure", "orphan"))
+        case 6 => Seq(ev(0, "claim"))
+        case 7 => Seq(ev(0, "claim"), ev(1, "enqueue"), ev(2, "claim"),
+          ev(3, "failure", "e1"), ev(4, "claim"), ev(5, "success"))
+      }
+    }
+  }
+
+  /** T2–T6 queue state machine, oracle-checked by EVENT-LOG REPLAY: the
+    * full transition log (every applied claim/retry/dead-letter/complete,
+    * no-ops emitting nothing) from `Queue.replay` — the same fold the
+    * `flatMapGroupsWithState` deployment runs — against a recursive-CTE
+    * state simulation stepping the identical transition table per
+    * document in event-time order (the q114-EWMA discipline applied to a
+    * state machine). Closes the round-5 gap where T2–T6 were
+    * MemoryStream-spec'd only.
+    */
+  val q121QueueReplay: QueryCase = QueryCase(
+    "q121_queue_replay",
+    (s, dir) => {
+      import s.implicits._
+      val events = s.createDataset(queueEvents.map {
+        case (doc, tn, kind, pri, err, t) =>
+          graft.streaming.Queue.DocEvent(doc, tn, kind, pri, err, t)
+      })
+      graft.streaming.Queue.replay(events, maxAttempts = 3).toDF()
+        .select(col("documentId").as("document_id"),
+          col("tenantId").as("tenant_id"), col("status"), col("attempts"),
+          coalesce(col("lastError"), lit("")).as("last_error"),
+          col("updatedMs").as("updated_ms"))
+        .orderBy("document_id", "updated_ms")
+    },
+    Some {
+      val vals = queueEvents.map { case (doc, tn, kind, pri, err, t) =>
+        val e = if (err == null) "NULL" else s"'$err'"
+        s"('$doc', '$tn', '$kind', $e, $t)"
+      }.mkString(", ")
+      s"""
+      WITH RECURSIVE ev AS (
+        SELECT doc, tenant, kind, err, t,
+               ROW_NUMBER() OVER (PARTITION BY doc ORDER BY t) AS rn
+        FROM (VALUES $vals) AS v(doc, tenant, kind, err, t)),
+      step(doc, rn, status, attempts, tenant, last_error, upd, applied) AS (
+        SELECT doc, 0, 'none', 0, '', CAST(NULL AS VARCHAR),
+               CAST(0 AS BIGINT), false
+        FROM (SELECT DISTINCT doc FROM ev)
+        UNION ALL
+        SELECT s.doc, e.rn,
+               CASE WHEN e.kind = 'enqueue' AND s.status = 'none'
+                      THEN 'pending'
+                    WHEN e.kind = 'claim'
+                      AND s.status IN ('pending', 'failed')
+                      THEN 'processing'
+                    WHEN e.kind = 'success'
+                      AND s.status NOT IN ('completed', 'dead_letter')
+                      THEN 'completed'
+                    WHEN e.kind = 'failure'
+                      AND s.status NOT IN ('completed', 'dead_letter')
+                      THEN CASE WHEN s.attempts >= 3 THEN 'dead_letter'
+                                ELSE 'failed' END
+                    ELSE s.status END,
+               CASE WHEN e.kind = 'claim'
+                      AND s.status IN ('pending', 'failed')
+                      THEN s.attempts + 1 ELSE s.attempts END,
+               CASE WHEN e.kind = 'enqueue' AND s.status = 'none'
+                      THEN e.tenant ELSE s.tenant END,
+               CASE WHEN e.kind = 'failure'
+                      AND s.status NOT IN ('completed', 'dead_letter')
+                      THEN e.err ELSE s.last_error END,
+               e.t,
+               (e.kind = 'enqueue' AND s.status = 'none') OR
+               (e.kind = 'claim' AND s.status IN ('pending', 'failed')) OR
+               (e.kind IN ('success', 'failure')
+                 AND s.status NOT IN ('completed', 'dead_letter'))
+        FROM step s JOIN ev e ON e.doc = s.doc AND e.rn = s.rn + 1)
+      SELECT doc AS document_id, tenant AS tenant_id, status, attempts,
+             COALESCE(last_error, '') AS last_error, upd AS updated_ms
+      FROM step
+      WHERE applied
+      ORDER BY document_id, updated_ms"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q113TimeSpine, q114Ewma, q115Funnel, q116CohortRetention,
       q117EditDistance, q118SilentHours, q119PngDecodeTiles,
-      q120RankNormalized)
+      q120RankNormalized, q121QueueReplay)
 }

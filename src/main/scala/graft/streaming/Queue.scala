@@ -145,17 +145,18 @@ object Queue {
     * schedules continuous timeout-evaluation batches, which test
     * harnesses driving `processAllAvailable` cannot quiesce.
     */
-  def transition(maxAttempts: Int = DefaultMaxAttempts,
-                 stateTtlMs: Long = 0L)(
-      documentId: String, events: Iterator[DocEvent],
-      state: GroupState[DocState]): Iterator[QueueUpdate] = {
-    if (state.hasTimedOut) {
-      state.remove()
-      return Iterator.empty
-    }
-    var st = state.getOption.getOrElse(DocState("none", 0, 0, "", null, 0L))
+  val InitialState: DocState = DocState("none", 0, 0, "", null, 0L)
+
+  /** The PURE per-key fold both deployments share: [[transition]] wraps
+    * it with GroupState plumbing for the continuous stream, [[replay]]
+    * runs it over a batch event log. One body means the replay oracle
+    * (q121) gates the exact math the streaming path executes.
+    */
+  private[graft] def applyEvents(documentId: String, init: DocState,
+      events: Seq[DocEvent], maxAttempts: Int): (DocState, Seq[QueueUpdate]) = {
+    var st = init
     val out = Seq.newBuilder[QueueUpdate]
-    events.toSeq.sortBy(_.eventTimeMs).foreach { ev =>
+    events.sortBy(_.eventTimeMs).foreach { ev =>
       val terminal = st.status == "completed" || st.status == "dead_letter"
       val next = ev.kind match {
         case "enqueue" if st.status == "none" =>
@@ -179,9 +180,39 @@ object Queue {
           n.lastError, n.updatedMs)
       }
     }
+    (st, out.result())
+  }
+
+  def transition(maxAttempts: Int = DefaultMaxAttempts,
+                 stateTtlMs: Long = 0L)(
+      documentId: String, events: Iterator[DocEvent],
+      state: GroupState[DocState]): Iterator[QueueUpdate] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
+    val (st, out) = applyEvents(documentId,
+      state.getOption.getOrElse(InitialState), events.toSeq, maxAttempts)
     state.update(st)
     if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
-    out.result().iterator
+    out.iterator
+  }
+
+  /** Batch replay of a complete event log through the SAME fold the
+    * streaming state machine runs: per document, events sort by time and
+    * fold from the initial state; the output is the full transition log
+    * (one row per APPLIED transition — no-op events emit nothing, exactly
+    * like the stream). Distributed across keys via flatMapGroups, linear
+    * per key. This is the audit/backfill form — rebuild any queue
+    * snapshot from an event archive — and the oracle surface for T2–T6.
+    */
+  def replay(events: Dataset[DocEvent],
+             maxAttempts: Int = DefaultMaxAttempts): Dataset[QueueUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.documentId).flatMapGroups { (id, it) =>
+      applyEvents(id, InitialState, it.toSeq, maxAttempts)._2.iterator
+    }
   }
 
   /** Wire the state machine over a document-event stream. Pass
