@@ -146,18 +146,235 @@ object PorterStemmer {
   }
 }
 
-/** `en_stem_tokens`: array<string> tokens → Porter-stemmed lexemes. */
-case class EnStemTokens(child: Expression) extends UnaryExpression {
+/** Snowball "english" stemmer (porter2) — the algorithm behind Postgres's
+  * `english` FTS configuration, implemented from the published Snowball
+  * specification. Differs from classic Porter (1980) in: exceptional
+  * forms (dying→die, news→news, exceed→exceed, …), the R1/R2 region
+  * conditions replacing bare measure counts, Y-marking (say→say, not
+  * sai), the guarded s-deletion (gas→gas, not ga), ies→ie on short stems
+  * (ties→tie), li-deletion, and step-5 short-syllable handling.
+  * FtsSpec's divergence golden enumerates the classes.
+  */
+object Porter2Stemmer {
+
+  private def isV(c: Char): Boolean = c match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' | 'y' => true
+    case _ => false
+  }
+
+  private val Exception1: Map[String, String] = Map(
+    "skis" -> "ski", "skies" -> "sky", "dying" -> "die", "lying" -> "lie",
+    "tying" -> "tie", "idly" -> "idl", "gently" -> "gentl", "ugly" -> "ugli",
+    "early" -> "earli", "only" -> "onli", "singly" -> "singl",
+    "sky" -> "sky", "news" -> "news", "howe" -> "howe", "atlas" -> "atlas",
+    "cosmos" -> "cosmos", "bias" -> "bias", "andes" -> "andes")
+
+  private val Exception2: Set[String] = Set(
+    "inning", "outing", "canning", "herring", "earring",
+    "proceed", "exceed", "succeed")
+
+  private val Doubles =
+    Set("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+
+  private val LiEnding = "cdeghkmnrt"
+
+  /** Region start: index after the first non-vowel following a vowel,
+    * scanning from `from`; length (null region) if none.
+    */
+  private def regionAfter(w: Array[Char], from: Int): Int = {
+    var i = from
+    val n = w.length
+    while (i < n && !(isV(w(i)) && w(i) != 'Y')) i += 1
+    while (i < n && isV(w(i)) && w(i) != 'Y') i += 1
+    if (i < n) i + 1 else n
+  }
+
+  /** Short syllable ending at `end` (exclusive): vowel + non-vowel
+    * (not w/x/Y) preceded by non-vowel, or word-initial vowel + non-vowel.
+    */
+  private def endsShortSyllable(w: Array[Char], end: Int): Boolean = {
+    def v(i: Int) = isV(w(i)) && w(i) != 'Y'
+    if (end == 2) v(0) && !v(1)
+    else if (end >= 3) {
+      val c = w(end - 1)
+      !v(end - 3) && v(end - 2) && !v(end - 1) &&
+        c != 'w' && c != 'x' && c != 'Y'
+    } else false
+  }
+
+  def stem(word: String): String = {
+    var s = word.toLowerCase
+    if (s.length <= 2) return s
+    if (s.charAt(0) == '\'') s = s.substring(1)
+    Exception1.get(s) match {
+      case Some(r) => return r
+      case None =>
+    }
+    if (s.length <= 2) return s
+
+    // mark consonant-y as Y: initial y, or y after a vowel (sequential,
+    // so a marked Y blocks the next y's "after a vowel" test)
+    val buf = s.toCharArray
+    var i = 0
+    while (i < buf.length) {
+      if (buf(i) == 'y' &&
+        (i == 0 || (isV(buf(i - 1)) && buf(i - 1) != 'Y'))) buf(i) = 'Y'
+      i += 1
+    }
+    var w = new String(buf)
+    def chars = w.toCharArray
+
+    // regions, fixed for the whole run (the word only shrinks rightward)
+    val r1 =
+      if (w.startsWith("gener")) 5
+      else if (w.startsWith("commun")) 6
+      else if (w.startsWith("arsen")) 5
+      else regionAfter(chars, 0)
+    val r2 = regionAfter(chars, r1)
+    def inR1(suffixLen: Int) = w.length - suffixLen >= r1
+    def inR2(suffixLen: Int) = w.length - suffixLen >= r2
+    def hasVowel(upTo: Int): Boolean = {
+      var j = 0; var found = false
+      while (j < upTo && !found) {
+        val c = w.charAt(j); if (isV(c) && c != 'Y') found = true; j += 1
+      }
+      found
+    }
+
+    // step 0: ' / 's / 's'
+    if (w.endsWith("'s'")) w = w.dropRight(3)
+    else if (w.endsWith("'s")) w = w.dropRight(2)
+    else if (w.endsWith("'")) w = w.dropRight(1)
+
+    // step 1a
+    if (w.endsWith("sses")) w = w.dropRight(2)
+    else if (w.endsWith("ied") || w.endsWith("ies"))
+      w = w.dropRight(if (w.length > 4) 2 else 1)
+    else if (w.endsWith("us") || w.endsWith("ss")) ()
+    else if (w.endsWith("s") && hasVowel(w.length - 2)) w = w.dropRight(1)
+
+    if (Exception2.contains(w)) return w
+
+    // step 1b
+    if (w.endsWith("eedly")) { if (inR1(5)) w = w.dropRight(3) }
+    else if (w.endsWith("eed")) { if (inR1(3)) w = w.dropRight(1) }
+    else {
+      val suf =
+        if (w.endsWith("ingly")) 5
+        else if (w.endsWith("edly")) 4
+        else if (w.endsWith("ing")) 3
+        else if (w.endsWith("ed")) 2
+        else 0
+      if (suf > 0 && hasVowel(w.length - suf)) {
+        w = w.dropRight(suf)
+        if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz"))
+          w = w + "e"
+        else if (w.length >= 2 && Doubles.contains(w.takeRight(2)))
+          w = w.dropRight(1)
+        else if (w.length <= r1 && endsShortSyllable(chars, w.length))
+          w = w + "e" // short word: R1 null and ends in a short syllable
+      }
+    }
+
+    // step 1c: y/Y → i after a non-vowel that isn't the first letter
+    if (w.length > 2 && (w.last == 'y' || w.last == 'Y')) {
+      val p = w.charAt(w.length - 2)
+      if (!(isV(p) && p != 'Y')) w = w.dropRight(1) + "i"
+    }
+
+    // step 2 (longest suffix, in R1)
+    val step2: Seq[(String, String)] = Seq(
+      "ization" -> "ize", "ational" -> "ate", "fulness" -> "ful",
+      "ousness" -> "ous", "iveness" -> "ive", "tional" -> "tion",
+      "biliti" -> "ble", "lessli" -> "less", "entli" -> "ent",
+      "ation" -> "ate", "alism" -> "al", "aliti" -> "al", "ousli" -> "ous",
+      "iviti" -> "ive", "fulli" -> "ful", "enci" -> "ence",
+      "anci" -> "ance", "abli" -> "able", "izer" -> "ize", "ator" -> "ate",
+      "alli" -> "al", "bli" -> "ble", "ogi" -> "og", "li" -> "")
+    step2.find { case (suf, _) => w.endsWith(suf) } match {
+      case Some((suf, rep)) if inR1(suf.length) =>
+        val ok = suf match {
+          case "ogi" => w.length > 3 && w.charAt(w.length - 4) == 'l'
+          case "li" =>
+            w.length > 2 && LiEnding.indexOf(w.charAt(w.length - 3)) >= 0
+          case _ => true
+        }
+        if (ok) w = w.dropRight(suf.length) + rep
+      case _ =>
+    }
+
+    // step 3 (longest suffix, in R1; ative additionally in R2)
+    val step3: Seq[(String, String)] = Seq(
+      "ational" -> "ate", "tional" -> "tion", "alize" -> "al",
+      "icate" -> "ic", "iciti" -> "ic", "ative" -> "", "ical" -> "ic",
+      "ness" -> "", "ful" -> "")
+    step3.find { case (suf, _) => w.endsWith(suf) } match {
+      case Some((suf, rep)) if inR1(suf.length) =>
+        if (suf != "ative" || inR2(5)) w = w.dropRight(suf.length) + rep
+      case _ =>
+    }
+
+    // step 4 (longest suffix, in R2; ion needs preceding s/t)
+    val step4: Seq[String] = Seq(
+      "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+      "ism", "ate", "iti", "ous", "ive", "ize", "ion", "al", "er", "ic")
+    step4.find(w.endsWith) match {
+      case Some(suf) if inR2(suf.length) =>
+        val ok = suf != "ion" || {
+          val p = w.length - 4
+          p >= 0 && (w.charAt(p) == 's' || w.charAt(p) == 't')
+        }
+        if (ok) w = w.dropRight(suf.length)
+      case _ =>
+    }
+
+    // step 5
+    if (w.endsWith("e") &&
+      (inR2(1) || (inR1(1) && !endsShortSyllable(chars, w.length - 1))))
+      w = w.dropRight(1)
+    else if (w.endsWith("l") && inR2(1) && w.length >= 2 &&
+      w.charAt(w.length - 2) == 'l')
+      w = w.dropRight(1)
+
+    w.replace('Y', 'y')
+  }
+
+  /** Stem an array of tokens (skips nulls, keeps order). */
+  def stemAll(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i))
+        out(i) = UTF8String.fromString(stem(tokens.getUTF8String(i).toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `en_stem_tokens`: array<string> tokens → stemmed lexemes. `porter2`
+  * selects the Snowball english algorithm (Postgres `english` config
+  * parity) over classic Porter 1980; both kernels are static methods so
+  * whole-stage codegen emits a direct call.
+  */
+case class EnStemTokens(child: Expression, porter2: Boolean = false)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
 
   override def nullSafeEval(v: Any): Any =
-    PorterStemmer.stemAll(v.asInstanceOf[ArrayData])
+    if (porter2) Porter2Stemmer.stemAll(v.asInstanceOf[ArrayData])
+    else PorterStemmer.stemAll(v.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.PorterStemmer.stemAll($c)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel =
+      if (porter2) "graft.functions.Porter2Stemmer"
+      else "graft.functions.PorterStemmer"
+    defineCodeGen(ctx, ev, c => s"$kernel.stemAll($c)")
+  }
 
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** Kernels for positional lexemes (tsvector-with-positions parity). */
@@ -289,8 +506,24 @@ object Fts {
       "has", "he", "in", "is", "it", "its", "of", "on", "that", "the", "to",
       "was", "were", "will", "with")
 
-  def stemTokens(tokens: Column): Column =
-    graftshim.column(EnStemTokens(graftshim.expression(tokens)))
+  /** Stemmer selection — conf key `spark.graft.fts.stemmer`:
+    * `porter` (default; classic 1980, matches every existing oracle) or
+    * `porter2` (Snowball english — Postgres `english` config parity).
+    * Resolved once at plan-build time; see FtsSpec's divergence golden
+    * for the word classes that change.
+    */
+  val StemmerConfKey = "spark.graft.fts.stemmer"
+
+  def configuredPorter2(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(StemmerConfKey, "porter") match {
+      case "porter" => false
+      case "porter2" => true
+      case other => throw new IllegalArgumentException(
+        s"$StemmerConfKey must be porter|porter2, got '$other'")
+    }
+
+  def stemTokens(tokens: Column, porter2: Boolean = false): Column =
+    graftshim.column(EnStemTokens(graftshim.expression(tokens), porter2))
 
   /** Stopword filter alone (unstemmed lexemes — the `simple`-config
     * variant used where the oracle must mirror without a stemmer).
@@ -304,9 +537,9 @@ object Fts {
     * filter+isin HOF form was the q39 bench hotspot (interpreted lambda
     * per token, code-cache-busting per plan).
     */
-  def lexemesOfTokens(tk: Column): Column =
+  def lexemesOfTokens(tk: Column, porter2: Boolean = false): Column =
     stemTokens(graftshim.column(TokensNotInSet(
-      graftshim.expression(tk), Stopwords.toSeq.sorted)))
+      graftshim.expression(tk), Stopwords.toSeq.sorted)), porter2)
 
   /** C19: weighted tsvector as a struct of A/B lexeme arrays
     * (`setweight(to_tsvector(content),'A') ||
@@ -364,9 +597,10 @@ object Fts {
   }
 
   /** `plainto_tsquery` analogue: query text → AND'ed lexemes. */
-  def plainQueryLexemes(query: String): Seq[String] =
+  def plainQueryLexemes(query: String, porter2: Boolean = false): Seq[String] =
     query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-      .filterNot(Fts.Stopwords.contains).map(PorterStemmer.stem)
+      .filterNot(Fts.Stopwords.contains)
+      .map(if (porter2) Porter2Stemmer.stem else PorterStemmer.stem)
 
   /** Boolean match: every query lexeme present in A or B
     * (`plainto_tsquery` AND semantics, `043:43-47`).

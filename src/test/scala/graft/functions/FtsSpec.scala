@@ -88,6 +88,101 @@ class FtsSpec extends SparkSpec {
     assert(scored.map(_._3).toSeq == Seq(true, true, false))
   }
 
+  test("porter2: snowball spec examples, exception tables, region logic") {
+    val cases = Seq(
+      // exception tables (spec-explicit)
+      ("skis", "ski"), ("skies", "sky"), ("dying", "die"), ("lying", "lie"),
+      ("tying", "tie"), ("idly", "idl"), ("gently", "gentl"),
+      ("ugly", "ugli"), ("early", "earli"), ("only", "onli"),
+      ("singly", "singl"), ("sky", "sky"), ("news", "news"),
+      ("atlas", "atlas"), ("cosmos", "cosmos"), ("bias", "bias"),
+      ("andes", "andes"), ("inning", "inning"), ("outing", "outing"),
+      ("canning", "canning"), ("herring", "herring"), ("earring", "earring"),
+      ("proceed", "proceed"), ("exceed", "exceed"), ("succeed", "succeed"),
+      // step 1a: guarded s / ies on short stems
+      ("ties", "tie"), ("cries", "cri"), ("gas", "gas"), ("this", "this"),
+      ("gaps", "gap"), ("kiwis", "kiwi"), ("abyss", "abyss"),
+      // step 1b: R1-gated eed, vowel-gated ed/ing, undouble, short→e
+      ("feed", "feed"), ("agreed", "agre"), ("plastered", "plaster"),
+      ("bled", "bled"), ("motoring", "motor"), ("sing", "sing"),
+      ("hoping", "hope"), ("hopping", "hop"), ("exceeding", "exceed"),
+      // step 1c: y→i only after a mid-word consonant
+      ("cry", "cri"), ("crying", "cri"), ("by", "by"), ("say", "say"),
+      ("enjoy", "enjoy"),
+      // steps 2–4: R1/R2 region conditions
+      ("conditional", "condit"), ("valenci", "valenc"),
+      ("rational", "ration"), ("digitizer", "digit"),
+      ("duplicate", "duplic"), ("electrical", "electr"),
+      ("hopeful", "hope"), ("goodness", "good"), ("revival", "reviv"),
+      ("allowance", "allow"), ("inference", "infer"), ("adoption", "adopt"),
+      ("generation", "generat"), ("generous", "generous"),
+      ("generic", "generic"), ("communism", "communism"),
+      // step 5
+      ("cease", "ceas"), ("controlled", "control"),
+      // the q39 query class is stemmer-stable
+      ("merging", "merg"), ("windows", "window"), ("merge", "merg"),
+      ("window", "window"))
+    val bad = cases.filter { case (w, want) => Porter2Stemmer.stem(w) != want }
+      .map { case (w, want) => s"$w: got ${Porter2Stemmer.stem(w)} want $want" }
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
+
+  test("porter vs porter2 divergence golden: the word classes that change") {
+    // every known-divergent class, so a stemmer swap is a visible diff
+    val divergent = Seq(
+      // (word, porter1, porter2)
+      ("dying", "dy", "die"), ("lying", "ly", "lie"), ("tying", "ty", "tie"),
+      ("skies", "ski", "sky"), ("news", "new", "news"),
+      ("gas", "ga", "gas"), ("this", "thi", "this"), ("say", "sai", "say"),
+      ("crying", "cry", "cri"), ("ties", "ti", "tie"),
+      ("exceed", "exce", "exceed"), ("herring", "her", "herring"),
+      ("generous", "gener", "generous"), ("generic", "gener", "generic"),
+      ("communism", "commun", "communism"))
+    val bad = divergent.flatMap { case (w, p1, p2) =>
+      val g1 = PorterStemmer.stem(w); val g2 = Porter2Stemmer.stem(w)
+      (if (g1 != p1) Seq(s"$w porter1: got $g1 want $p1") else Nil) ++
+        (if (g2 != p2) Seq(s"$w porter2: got $g2 want $p2") else Nil)
+    }
+    assert(bad.isEmpty, bad.mkString("; "))
+    // and words where the two agree (the q39 class among them)
+    Seq("merging", "windows", "hopping", "flies", "lease", "rent")
+      .foreach { w =>
+        assert(PorterStemmer.stem(w) == Porter2Stemmer.stem(w), w)
+      }
+  }
+
+  test("q39 shape is stemmer-stable: porter and porter2 agree on the gate") {
+    // the q39 oracle counts the pre-stemmed inverse image of the query
+    // stems; it stays valid under porter2 iff both variants produce the
+    // same matches and counts over the corpus — assert exactly that
+    val run = (p2: Boolean) => {
+      val qLex = Fts.plainQueryLexemes("merging windows", p2)
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"),
+          Fts.lexemesOfTokens(
+            TextFunctions.tokens(col("text")), p2).as("lex"))
+        .select(col("doc_id"),
+          size(filter(col("lex"), x => x.isin(qLex.map(lit): _*)))
+            .as("score"))
+        .where(col("score") > 0)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    }
+    val classic = run(false)
+    val snowball = run(true)
+    assert(classic.nonEmpty)
+    assert(classic == snowball)
+  }
+
+  test("stemmer conf flag resolves porter|porter2 and rejects unknowns") {
+    assert(!Fts.configuredPorter2(spark))
+    spark.conf.set(Fts.StemmerConfKey, "porter2")
+    try assert(Fts.configuredPorter2(spark))
+    finally spark.conf.unset(Fts.StemmerConfKey)
+    spark.conf.set(Fts.StemmerConfKey, "lancaster")
+    try intercept[IllegalArgumentException](Fts.configuredPorter2(spark))
+    finally spark.conf.unset(Fts.StemmerConfKey)
+  }
+
   test("ts_rank normalization bitmask: hand-checked formulas, pg order") {
     import spark.implicits._
     // tsvector: a = [rent, rent, lease], b = [rent] → raw = 2 + 0.4 = 2.4,
