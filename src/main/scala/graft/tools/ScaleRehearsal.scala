@@ -1,0 +1,129 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal (PERF.md §scaling): how do the expensive queries grow
+  * with input size?
+  *
+  * Two modes, because the two questions differ:
+  *
+  *  - `ladder` — run a query set across the driver's three scale factors
+  *    (sf0.001 → sf0.01 → sf0.1, a 100× span with STATIONARY data
+  *    composition: the generator keeps duplicate rates, text lengths and
+  *    key distributions fixed) and report per-decade steady-state scaling
+  *    exponents (slope of log t over log sf). This is the right surface
+  *    for the dedup/ANN family, whose output size depends on corpus
+  *    duplicate structure.
+  *
+  *  - `stress` — build a 10×-replicated, KEY-REMAPPED copy of sf0.1
+  *    (≈ sf1.0 row counts) under /tmp and run the linear/join/window
+  *    family against it. Key remapping (shifted o_orderkey/doc_id per
+  *    copy) grows rows 10× without manufacturing artificial duplicate
+  *    pairs — replicated documents with identical text would be REAL
+  *    near-dups and would turn any pair-emitting operator quadratic by
+  *    data composition, not plan shape, so the dedup family is measured
+  *    on the ladder instead. Customers are NOT remapped: each keeps 10×
+  *    the orders, so join skew grows the way a real corpus grows.
+  *
+  * Each (query, scale) runs twice; the second, steady-state time is the
+  * scaling signal (cold includes one-off codegen that amortizes across
+  * scales — the ladder runs ascending, so larger SFs are always
+  * code-warm).
+  */
+object ScaleRehearsal {
+
+  private val LadderQueries = Seq(
+    // dedup family
+    "q21_exact_dedup", "q23_jaccard_pairs", "q28_minhash_pairs",
+    "q29_simhash_pairs", "q61_embedding_dedup", "q95_dedup_clusters",
+    "q117_edit_distance",
+    // ANN + heavy analytics from the worst-10
+    "q47_ann_ivf", "q80_ann_lsh", "q109_curation_pipeline",
+    "q91_decontaminate", "q94_cdc_apply", "q106_scd2",
+    "q01_pricing_summary", "q83_salted_skew")
+
+  private val StressQueries = Seq(
+    "q01_pricing_summary", "q94_cdc_apply", "q106_scd2", "q83_salted_skew",
+    "q91_decontaminate", "q92_pack_sequences", "q22_text_stats")
+
+  private val KeyShift = 100000000L
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("ladder")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect() // bootstrap
+
+    def steady(name: String, dir: String): (Double, Double) = {
+      val fn = graft.SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, dir).queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = once(); val warm = once()
+      (cold, warm)
+    }
+
+    mode match {
+      case "ladder" =>
+        val sfs = Seq("0.001", "0.01", "0.1")
+        val names =
+          if (args.length > 1) args(1).split(",").toSeq else LadderQueries
+        names.foreach { name =>
+          val times = sfs.map { sf =>
+            val (c, w) = steady(name, s"/root/testdata/sf$sf")
+            sf -> (c, w)
+          }
+          val w = times.map(_._2._2)
+          // per-decade exponents: t ~ sf^e → e = log10(t2/t1) per decade
+          val e1 = math.log10(w(1) / w(0))
+          val e2 = math.log10(w(2) / w(1))
+          val cs = times.map { case (sf, (c, _)) => f"$c%.2f" }.mkString("/")
+          val ws = w.map(t => f"$t%.2f").mkString("/")
+          println(f"[ladder] $name%-24s cold=$cs steady=$ws " +
+            f"exp(0.001→0.01)=$e1%.2f exp(0.01→0.1)=$e2%.2f")
+        }
+
+      case "build" =>
+        val src = "/root/testdata/sf0.1"
+        val out = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+        val copies = args.lift(2).map(_.toInt).getOrElse(10)
+        def replicate(name: String, keyCol: String): Unit = {
+          val base = graft.sources.Tables.table(spark, src, name)
+          val reps = (0 until copies).map(k =>
+            base.withColumn(keyCol, col(keyCol) + lit(k * KeyShift)))
+            .reduce(_ unionByName _)
+          reps.write.mode("overwrite").parquet(s"$out/$name.parquet")
+          println(s"[build] $name x$copies -> $out")
+        }
+        replicate("lineitem", "l_orderkey")
+        replicate("orders", "o_orderkey")
+        replicate("documents", "doc_id")
+        // dimensions stay single-copy: each customer now holds `copies`×
+        // the orders — organic fan-out growth, not key dilution
+        Seq("customer", "nation", "region", "supplier", "part").foreach { n =>
+          graft.sources.Tables.table(spark, src, n)
+            .write.mode("overwrite").parquet(s"$out/$n.parquet")
+          println(s"[build] $n x1 -> $out")
+        }
+
+      case "stress" =>
+        val dir = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+        val baseline = "/root/testdata/sf0.1"
+        StressQueries.foreach { name =>
+          val (bc, bw) = steady(name, baseline)
+          val (c, w) = steady(name, dir)
+          println(f"[stress] $name%-24s sf0.1 cold=$bc%.2f steady=$bw%.2f | " +
+            f"x10 cold=$c%.2f steady=$w%.2f | steady_ratio=${w / bw}%.1f")
+        }
+    }
+    spark.stop()
+  }
+}
