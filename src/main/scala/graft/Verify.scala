@@ -39,7 +39,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SF_DIR__ resolves to the run's data directory at dump time — for
+    // oracles that read FILES (read_blob) rather than the table views
     val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+      .map { case (k, v) => k -> v.replace("__SF_DIR__", sfDir) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

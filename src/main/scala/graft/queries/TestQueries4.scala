@@ -219,18 +219,84 @@ object TestQueries4 {
              CAST(SUM(n_tokens) AS BIGINT) AS context_tokens
       FROM packed WHERE cum_tokens <= 600"""))
 
-  /** S2 + multimodal: binary source → header probe → typed metadata.
-    * Rows-only (the oracle engine cannot read arbitrary binary files).
+  // q52 fixture assets, written to a deterministic /tmp directory by the
+  // builder and read back through the REAL binaryFile source — the
+  // oracle reads the same files with read_blob and re-derives every
+  // probe field from raw bytes (hex arithmetic: PNG IHDR big-endian
+  // dims, WAV fmt little-endian sample rate, magic dispatch). JPEG's
+  // SOF segment walk is a loop, not byte arithmetic — that branch stays
+  // spec-pinned (MiscSpec/IngestSpec); all other probe branches are
+  // oracle-hard here.
+  private val q52Dir = "/tmp/graft_q52"
+
+  private def writeQ52Fixtures(): Unit = {
+    val d = new java.io.File(q52Dir)
+    d.mkdirs()
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val f = new java.io.File(d, name)
+      val out = new java.io.FileOutputStream(f)
+      try out.write(bytes) finally out.close()
+    }
+    val rgb = Array.tabulate(3 * 19 * 11)(i => ((i * 17 + 3) % 256).toByte)
+    put("asset1.png", Multimodal.imageBytes("png", 19, 11, rgb))
+    put("asset2.wav", Multimodal.wavPcm16Bytes(
+      Array.tabulate[Short](400)(i => (((i * 37) % 4096) - 2048).toShort),
+      22050))
+    put("asset3.bin", "not any known container format".getBytes("US-ASCII"))
+  }
+
+  /** S2 + multimodal: binary source → header probe → typed metadata,
+    * ORACLE-CHECKED end to end: the driver's own parquet file plus real
+    * PNG/WAV/junk assets flow through `binaryFile` → `probeMedia`, and
+    * the oracle reads the identical bytes with `read_blob` and recomputes
+    * the magic dispatch, the PNG big-endian dimensions and the WAV
+    * little-endian sample rate as hex arithmetic.
     */
   val q52BinaryProbe: QueryCase = QueryCase(
     "q52_binary_probe",
     (s, dir) => {
+      writeQ52Fixtures()
       val files = Ingest.binaryFiles(s, s"$dir/region.parquet")
+        .unionByName(Ingest.binaryFiles(s, s"$q52Dir/*"))
         .withColumn("id", regexp_extract(col("path"), "([^/]+)$", 1))
       Multimodal.probeMedia(files, "id", "content")
         .orderBy("id")
     },
-    None)
+    Some {
+      def be32(hexStart: Int) = // 1-based hex offset of a big-endian u32
+        s"CAST(CAST(concat('0x', substr(h, $hexStart, 8)) AS BIGINT) AS INT)"
+      def le32(hexStart: Int) = // little-endian: reverse the four bytes
+        s"""CAST(CAST(concat('0x', substr(h, ${hexStart + 6}, 2),
+              substr(h, ${hexStart + 4}, 2), substr(h, ${hexStart + 2}, 2),
+              substr(h, $hexStart, 2)) AS BIGINT) AS INT)"""
+      s"""
+      WITH raw AS (
+        SELECT regexp_extract(filename, '([^/]+)$$', 1) AS id,
+               hex(content) AS h, size
+        FROM read_blob(['__SF_DIR__/region.parquet', '$q52Dir/*'])),
+      typed AS (
+        SELECT id, size,
+               CASE WHEN LEN(h) >= 48 AND substr(h, 1, 8) = '89504E47'
+                      THEN 'image/png'
+                    WHEN LEN(h) >= 8 AND substr(h, 1, 4) = 'FFD8'
+                      THEN 'image/jpeg'
+                    WHEN LEN(h) >= 56 AND substr(h, 1, 8) = '52494646'
+                      AND substr(h, 17, 6) = '574156'
+                      THEN 'audio/wav'
+                    ELSE 'application/octet-stream' END AS media_type,
+               h
+        FROM raw)
+      SELECT id, media_type,
+             CASE WHEN media_type = 'image/png' THEN ${be32(33)}
+                  ELSE 0 END AS width,
+             CASE WHEN media_type = 'image/png' THEN ${be32(41)}
+                  ELSE 0 END AS height,
+             CASE WHEN media_type = 'audio/wav' THEN ${le32(49)}
+                  ELSE 0 END AS sample_rate,
+             CAST(size AS BIGINT) AS n_bytes
+      FROM typed
+      ORDER BY id"""
+    })
 
   // ASCII-only so the UTF-8 bytes of the VARCHAR fixture ARE the binary
   // content byte-for-byte in both engines ("PK" stays
