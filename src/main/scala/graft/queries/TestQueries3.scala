@@ -453,24 +453,94 @@ object TestQueries3 {
       ORDER BY entity_id, duplicate_id"""
     })
 
-  /** P1/P2: PII redaction — rows-only (negative-lookahead exceptions are
-    * beyond the oracle's RE2 engine; behavior pinned by ExtractSpec).
+  // q46 fixture — every exception class: kept business-domain emails, a
+  // longer-domain spoof (example.com.evil.net must REDACT), subdomains
+  // (not the kept domain), org-suffix persons kept (with and without a
+  // comma), the same name redacted without the suffix, trailing-period
+  // kept email, plus plain phone/SSN redaction interleaved.
+  private val redactionRows: Seq[(String, String)] = Seq(
+    ("r1", "Contact John Smith at js@gmail.com or (555) 123-4567."),
+    ("r2", "Acme Corp LLC pays rent to Mary Johnson Trust monthly."),
+    ("r3", "SSN 123-45-6789 and backup email ops@example.com."),
+    ("r4", "No pii here at all."),
+    ("r5", "Email sales@example.com.evil.net and ceo@company.com, then call 555-987-6543."),
+    ("r6", "Mary Johnson, LLC holds title; Mary Johnson signs; David Lee Partners manages."),
+    ("r7", "Reach Emily Carter at emily.carter@example.com or e.carter@sub.example.com today."))
+
+  /** P1/P2: PII redaction WITH the exception semantics, oracle-checked:
+    * the Spark side expresses "redact unless kept" as negative
+    * lookaheads (one regexp_replace pass); the oracle re-derives the
+    * same behavior lookahead-free with the SPLIT-ZIP technique —
+    * `regexp_split_to_array` on the recognizer regex yields the
+    * between-match segments, each match's keep/redact decision reads
+    * the MATCH itself (email domain ∈ kept list) or the HEAD OF THE
+    * NEXT SEGMENT (org suffix after a person name), and the text
+    * reassembles by interleaving. Same recognizer chain order:
+    * emails → phones → SSNs → persons.
     */
   val q46Redaction: QueryCase = QueryCase(
     "q46_redaction",
     (s, dir) => {
       import s.implicits._
-      val samples = Seq(
-        ("r1", "Contact John Smith at js@gmail.com or (555) 123-4567."),
-        ("r2", "Acme Corp LLC pays rent to Mary Johnson Trust monthly."),
-        ("r3", "SSN 123-45-6789 and backup email ops@example.com."),
-        ("r4", "No pii here at all."))
-        .toDF("id", "text")
-      samples.select(col("id"),
+      redactionRows.toDF("id", "text")
+        .select(col("id"),
           Redaction.redactText(col("text")).as("redacted"))
         .orderBy("id")
     },
-    None)
+    Some {
+      val vals = redactionRows.map { case (id, tx) =>
+        s"('$id', '${tx.replace("'", "''")}')"
+      }.mkString(", ")
+      val emailRe = Redaction.EmailRe
+      val phoneRe = Redaction.PhoneRe
+      val ssnRe = Redaction.SsnRe
+      val personRe = Redaction.PersonRe
+      val kept = Redaction.BusinessDomains.map(d => s"'$d'")
+        .mkString("[", ", ", "]")
+      val suffixAlt = Seq("llc", "inc", "corp", "ltd", "lp", "company",
+        "properties", "partners", "group", "holdings", "trust",
+        "associates").mkString("|")
+      // reassemble: seg1 || f(m1) || seg2 || f(m2) || ... || segN+1
+      def zip(matches: String, segs: String, keepWhen: String,
+              tag: String): String =
+        // COALESCE: array_to_string([]) is NULL in DuckDB (zero matches)
+        s"""COALESCE(array_to_string(list_transform(range(1, LEN($matches) + 1),
+              i -> $segs[CAST(i AS INT)] ||
+                CASE WHEN $keepWhen THEN $matches[CAST(i AS INT)]
+                     ELSE '[$tag]' END), ''), '')
+            || $segs[LEN($matches) + 1]"""
+      s"""
+      WITH t(id, text) AS (VALUES $vals),
+      em0 AS (
+        SELECT id, text,
+               regexp_extract_all(text, '$emailRe') AS m,
+               regexp_split_to_array(text, '$emailRe') AS s
+        FROM t),
+      em AS (
+        SELECT id,
+               ${zip("m", "s",
+                 s"list_contains($kept, regexp_extract(m[CAST(i AS INT)], '@(.*)$$', 1))",
+                 "EMAIL")} AS text
+        FROM em0),
+      ph AS (
+        SELECT id, regexp_replace(text, '$phoneRe', '[PHONE]', 'g') AS text
+        FROM em),
+      sn AS (
+        SELECT id, regexp_replace(text, '$ssnRe', '[SSN]', 'g') AS text
+        FROM ph),
+      pe0 AS (
+        SELECT id, text,
+               regexp_extract_all(text, '$personRe') AS m,
+               regexp_split_to_array(text, '$personRe') AS s
+        FROM sn),
+      pe AS (
+        SELECT id,
+               ${zip("m", "s",
+                 s"regexp_matches(s[CAST(i AS INT) + 1], '^,? (?i:$suffixAlt)\\b')",
+                 "PERSON")} AS text
+        FROM pe0)
+      SELECT id, text AS redacted FROM pe ORDER BY id"""
+    })
 
   /** ANN scale path: IVF index (`search.IvfIndex`) — centroids built ONCE
     * from the coarse-quantizer label column (persistable as data), search
