@@ -688,11 +688,17 @@ object TestQueries6 {
                AS answer_ok
       FROM cit"""))
 
-  /** C18 reference-parity variant: HIT-CENTERED snippets (windows centered
-    * on each match, overlap-suppressed, word-boundary adjusted) — rows-only
-    * (match positions aren't expressible in the oracle engine; semantics
-    * pinned by SearchExtrasSpec; the fixed-window variant stays [O] as
-    * q40).
+  /** C18 reference-parity variant: HIT-CENTERED snippets (windows
+    * centered on each match, overlap-suppressed, word-boundary adjusted,
+    * marks inserted positionally), ORACLE-CHECKED end to end. Match
+    * POSITIONS come out of the oracle engine via split-segment
+    * cumulative sums (start_i = Σ|seg≤i| + Σ|match<i|); the covered-set
+    * walk is a recursive CTE stepping matches in position order (the
+    * q121 state-machine discipline); the word-boundary adjustment is an
+    * anchored alnum-run regex at the window edge (corpus is pure ASCII,
+    * where Java's isLetterOrDigit ≡ [A-Za-z0-9] — asserted per SF);
+    * mark insertion reassembles gap/mark pieces with a lag window.
+    * SearchExtrasSpec still pins the kernel on adversarial fixtures.
     */
   val q72HighlightCentered: QueryCase = QueryCase(
     "q72_highlight_centered",
@@ -705,7 +711,97 @@ object TestQueries6 {
         .select(col("doc_id"), concat_ws("|", col("snippets")).as("snips"))
         .orderBy("doc_id")
         .limit(100),
-    None)
+    Some {
+      val re = "(?i)\\b(?:spark|window)\\b"
+      val half = graft.search.Highlighter.SnippetChars / 2
+      val maxH = graft.search.Highlighter.MaxSnippets
+      s"""
+      WITH RECURSIVE docs0 AS (
+        SELECT doc_id, text, LEN(text) AS tlen,
+               regexp_extract_all(text, '$re') AS m,
+               regexp_split_to_array(text, '$re') AS s
+        FROM documents),
+      docs AS (
+        SELECT * FROM docs0 WHERE LEN(m) > 0 ORDER BY doc_id LIMIT 100),
+      mt0 AS (
+        SELECT doc_id, tlen, CAST(r.i AS INT) AS idx,
+               LEN(s[CAST(r.i AS INT)]) AS slen,
+               LEN(m[CAST(r.i AS INT)]) AS mlen
+        FROM docs, UNNEST(range(1, LEN(m) + 1)) AS r(i)),
+      mt AS (
+        SELECT doc_id, tlen, idx,
+               CAST(SUM(slen) OVER (PARTITION BY doc_id ORDER BY idx
+                      ROWS UNBOUNDED PRECEDING)
+                 + COALESCE(SUM(mlen) OVER (PARTITION BY doc_id ORDER BY idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS INT) AS ms,
+               CAST(mlen AS INT) AS mlen
+        FROM mt0),
+      rec(doc_id, idx, cnt, covered, s0, e0) AS (
+        SELECT doc_id, 0, 0, CAST([] AS INTEGER[][]),
+               CAST(NULL AS INT), CAST(NULL AS INT)
+        FROM docs
+        UNION ALL
+        SELECT r.doc_id, t.idx,
+               r.cnt + CASE WHEN u.emit THEN 1 ELSE 0 END,
+               CASE WHEN u.emit THEN list_append(r.covered, [u.s0v, u.e0v])
+                    ELSE r.covered END,
+               CASE WHEN u.emit THEN u.s0v END,
+               CASE WHEN u.emit THEN u.e0v END
+        FROM rec r
+        JOIN mt t ON t.doc_id = r.doc_id AND t.idx = r.idx + 1
+        JOIN docs d ON d.doc_id = r.doc_id
+        JOIN LATERAL (
+          SELECT emit,
+                 CASE WHEN NOT emit THEN NULL
+                      WHEN GREATEST(t.ms - $half, 0) <= 0 THEN 0
+                      ELSE GREATEST(t.ms - $half, 0) -
+                        LEN(regexp_extract(
+                          substr(d.text, 1, GREATEST(t.ms - $half, 0)),
+                          '[A-Za-z0-9]*$$')) END AS s0v,
+                 CASE WHEN NOT emit THEN NULL
+                      WHEN LEAST(t.ms + t.mlen + $half, d.tlen) >= d.tlen
+                        THEN d.tlen
+                      ELSE LEAST(t.ms + t.mlen + $half, d.tlen) +
+                        LEN(regexp_extract(
+                          substr(d.text,
+                            LEAST(t.ms + t.mlen + $half, d.tlen) + 1),
+                          '^[A-Za-z0-9]*')) END AS e0v
+          FROM (SELECT (r.cnt < $maxH AND LEN(list_filter(r.covered,
+                  c -> t.ms >= c[1] AND t.ms < c[2])) = 0) AS emit)
+        ) u ON true),
+      wins AS (
+        SELECT doc_id, idx, s0, e0 FROM rec WHERE s0 IS NOT NULL),
+      inside AS (
+        SELECT w.doc_id, w.idx AS widx, w.s0, w.e0, t.ms,
+               t.ms + t.mlen AS me
+        FROM wins w
+        JOIN mt t ON t.doc_id = w.doc_id
+          AND t.ms >= w.s0 AND t.ms + t.mlen <= w.e0),
+      pieces AS (
+        SELECT i.*, d.text, d.tlen,
+               COALESCE(LAG(i.me) OVER (PARTITION BY i.doc_id, i.widx
+                 ORDER BY i.ms), i.s0) AS pe
+        FROM inside i JOIN docs d ON d.doc_id = i.doc_id),
+      cores AS (
+        SELECT doc_id, widx, s0, e0, ANY_VALUE(tlen) AS tlen,
+               string_agg(
+                 substr(text, pe + 1, ms - pe) || '<mark>' ||
+                 substr(text, ms + 1, me - ms) || '</mark>', ''
+                 ORDER BY ms) ||
+               substr(ANY_VALUE(text), MAX(me) + 1, e0 - MAX(me)) AS core
+        FROM pieces
+        GROUP BY doc_id, widx, s0, e0),
+      snips AS (
+        SELECT doc_id, widx,
+               (CASE WHEN s0 > 0 THEN '...' ELSE '' END) || core ||
+               (CASE WHEN e0 < tlen THEN '...' ELSE '' END) AS snippet
+        FROM cores)
+      SELECT doc_id, string_agg(snippet, '|' ORDER BY widx) AS snips
+      FROM snips
+      GROUP BY doc_id
+      ORDER BY doc_id"""
+    })
 
   // q73 fixture: drv_a syncs incrementally, drv_b's saved token is
   // rejected as expired (→ full resync from the listing; its stale change
