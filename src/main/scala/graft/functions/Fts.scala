@@ -1,12 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Porter stemming algorithm (M. F. Porter, 1980 — public domain
@@ -406,6 +406,52 @@ object PosLexKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Positional ts_rank, calc_rank_or structure (PostgreSQL tsrank.c):
+    * per query lexeme, its posting list of occurrence weights in
+    * document order is damped by occurrence index —
+    * `resj = Σ_j w_j/((j+1)²)` — and combined with the max-weight
+    * correction `(wjm + resj − wjm/((jm+1)²)) / 1.973525572` (wjm = max
+    * weight, jm = its FIRST index); the per-lexeme items sum in query
+    * order and divide by the query size. A-array entries precede
+    * B-array entries in the posting list (Postgres's `setweight(A) ||
+    * setweight(B)` concatenation offsets B positions after A). Missing
+    * lexemes contribute 0. Doubles throughout (Postgres accumulates in
+    * float4 — a documented sub-ulp divergence); the AND-pair proximity
+    * variant (calc_rank_and) remains a documented divergence.
+    */
+  def rankOr(posA: ArrayData, posB: ArrayData, terms: Array[UTF8String],
+             weightA: Double, weightB: Double): Double = {
+    if (terms.length == 0) return 0.0
+    var res = 0.0
+    var t = 0
+    while (t < terms.length) {
+      val term = terms(t)
+      // merged posting weights in document order: A entries (already
+      // position-ordered by construction), then B entries
+      var resj = 0.0; var wjm = -1.0; var jm = 0; var j = 0
+      def scan(arr: ArrayData, w: Double): Unit = {
+        val n = arr.numElements()
+        var i = 0
+        while (i < n) {
+          val row = arr.getStruct(i, 2)
+          if (row.getUTF8String(0).equals(term)) {
+            resj += w / ((j + 1).toDouble * (j + 1).toDouble)
+            if (w > wjm) { wjm = w; jm = j }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      scan(posA, weightA)
+      scan(posB, weightB)
+      if (j > 0)
+        res += (wjm + resj - wjm / ((jm + 1).toDouble * (jm + 1).toDouble)) /
+          1.973525572
+      t += 1
+    }
+    res / terms.length
+  }
+
   /** True when some anchor position p0 has every query term k at exactly
     * p0 + offset(k) (Postgres `<N>` phrase semantics; a single term with
     * offset 0 degenerates to containment). Positions are strictly
@@ -468,6 +514,30 @@ case class PosLexemes(child: Expression, stemmed: Boolean,
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Positional ts_rank (calc_rank_or structure) over two
+  * array<struct<lex,pos>> weight classes — see [[PosLexKernels.rankOr]].
+  */
+case class PosTsRank(left: Expression, right: Expression,
+                     lexemes: Seq[String], weightA: Double, weightB: Double)
+    extends BinaryExpression {
+  require(lexemes.nonEmpty, "need at least one query lexeme")
+  @transient private lazy val lexs: Array[UTF8String] =
+    lexemes.map(UTF8String.fromString).toArray
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PosLexKernels.rankOr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      lexs, weightA, weightB)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lexs", lexs,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PosLexKernels.rankOr($a, $b, $ref, $weightA, $weightB)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Positional phrase containment over array<struct<lex,pos>>. */
@@ -727,6 +797,21 @@ object Fts {
   def posLexemesOfTokens(tk: Column, stem: Boolean = true): Column =
     graftshim.column(PosLexemes(graftshim.expression(tk), stem,
       Stopwords.toSeq.sorted))
+
+  /** Positional ts_rank over two weight classes of positional lexemes
+    * (A content / B header) — the calc_rank_or per-occurrence damping
+    * structure of Postgres ts_rank with the default {A:1.0, B:0.4}
+    * weights; see [[PosLexKernels.rankOr]] for the formula and declared
+    * divergences (float4 accumulation, calc_rank_and proximity).
+    * Composable with [[tsRank]]'s normalization bitmask by the caller
+    * (divide by the same length/uniq terms) if needed.
+    */
+  def tsRankPositional(posA: Column, posB: Column,
+                       queryLexemes: Seq[String],
+                       weightA: Double = 1.0,
+                       weightB: Double = 0.4): Column =
+    graftshim.column(PosTsRank(graftshim.expression(posA),
+      graftshim.expression(posB), queryLexemes, weightA, weightB))
 
   /** `fts @@ query` over positional lexemes: phrases require their exact
     * positional offsets (`out <3> box` does NOT match "out box"), terms

@@ -52,6 +52,10 @@ object Dedup {
     * driver-local fixtures are round-robined. `true`/`false` force
     * either behavior.
     */
+  // NOTE: inspecting queryExecution.optimizedPlan here forces eager
+  // analysis+optimization of the input's plan once per call. Fine at the
+  // intended one-call-per-job cadence; if ever called inside a loop over
+  // many small frames, hoist the spread decision out of the loop.
   private def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sessionState.conf.numShufflePartitions

@@ -474,8 +474,75 @@ object TestQueries11 {
       ORDER BY document_id, updated_ms"""
     })
 
+  /** C20 POSITIONAL ts_rank (calc_rank_or structure: per-occurrence
+    * 1/(j+1)² damping, max-weight correction, the 1.973525572
+    * normalizer, query-size division), oracle-checked over the corpus:
+    * the oracle rebuilds each query lexeme's posting list (A-class
+    * content entries before B-class header entries, position order) as
+    * an ORDERED weight list and replays the exact double arithmetic
+    * with left folds — `list_transform` index j is 1-based, matching
+    * the kernel's (j+1). Ranks round to 6; the filter runs on the raw
+    * rank in both engines.
+    */
+  val q122RankPositional: QueryCase = QueryCase(
+    "q122_rank_positional",
+    (s, dir) => {
+      import graft.functions.{Fts, TextFunctions}
+      val terms = Seq("spark", "merge")
+      Tables.documents(s, dir).select(col("doc_id"),
+          Fts.posLexemesOfTokens(
+            TextFunctions.tokens(col("text")), stem = false).as("pa"),
+          Fts.posLexemesOfTokens(
+            TextFunctions.tokens(col("source")), stem = false).as("pb"))
+        .withColumn("r", Fts.tsRankPositional(col("pa"), col("pb"), terms))
+        .where(col("r") > 0)
+        .select(col("doc_id"), round(col("r"), 6).as("rank"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val stop = graft.functions.Fts.Stopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString(", ")
+      def toks(colName: String, src: Int) =
+        s"""SELECT doc_id, u.tok AS tok, u.i AS i, $src AS src
+            FROM documents, UNNEST(list_transform(
+              regexp_split_to_array(LOWER(TRIM($colName)), '\\s+'),
+              (x, j) -> struct_pack(tok := x, i := j))) AS t(u)
+            WHERE u.tok <> ''"""
+      s"""
+      WITH toks AS (${toks("text", 0)} UNION ALL ${toks("source", 1)}),
+      kept AS (SELECT * FROM toks WHERE tok NOT IN ($stop)),
+      hits AS (
+        SELECT doc_id, src, i,
+               CASE WHEN src = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.4 AS DOUBLE) END AS w,
+               CASE WHEN tok = 'spark' THEN 1 ELSE 2 END AS term_idx
+        FROM kept WHERE tok IN ('spark', 'merge')),
+      lists AS (
+        SELECT doc_id, term_idx, list(w ORDER BY src, i) AS lw
+        FROM hits GROUP BY doc_id, term_idx),
+      items AS (
+        SELECT doc_id, term_idx,
+               list_reduce(list_transform(lw, (w, j) -> w / (j * j)),
+                 (a, b) -> a + b) AS resj,
+               list_reduce(lw,
+                 (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS wjm
+        FROM lists),
+      withjm AS (
+        SELECT i.*, list_position(l.lw, i.wjm) AS jm
+        FROM items i JOIN lists l USING (doc_id, term_idx)),
+      scored AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list((wjm + resj - wjm / (jm * jm)) /
+                      CAST(1.973525572 AS DOUBLE) ORDER BY term_idx)),
+                 (a, b) -> a + b) / 2 AS rank
+        FROM withjm GROUP BY doc_id)
+      SELECT doc_id, ROUND(rank, 6) AS rank
+      FROM scored WHERE rank > 0 ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q113TimeSpine, q114Ewma, q115Funnel, q116CohortRetention,
       q117EditDistance, q118SilentHours, q119PngDecodeTiles,
-      q120RankNormalized, q121QueueReplay)
+      q120RankNormalized, q121QueueReplay, q122RankPositional)
 }

@@ -215,6 +215,35 @@ class FtsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Fts.tsRank(col("tsv"), q, 4))
   }
 
+  test("positional ts_rank: hand-checked damping, merge order, misses") {
+    import spark.implicits._
+    val c = 1.973525572
+    def rank(content: String, header: String, terms: Seq[String]): Double =
+      Seq((content, header)).toDF("c", "h")
+        .select(Fts.tsRankPositional(
+          Fts.posLexemesOfTokens(TextFunctions.tokens(col("c")), stem = false),
+          Fts.posLexemesOfTokens(TextFunctions.tokens(col("h")), stem = false),
+          terms))
+        .head().getDouble(0)
+    // A-only, two occurrences: resj = 1/1 + 1/4, wjm=1 at j=0
+    // item = (1 + 1.25 - 1)/c = 1.25/c
+    assert(math.abs(rank("rent rent lease", "none", Seq("rent")) -
+      1.25 / c) < 1e-12)
+    // A twice + B once (B entries AFTER A): resj = 1 + 1/4 + 0.4/9
+    assert(math.abs(rank("rent rent lease", "rent", Seq("rent")) -
+      (1.0 + 0.25 + 0.4 / 9.0) / c) < 1e-12)
+    // B-only: wjm=0.4 at j=0 → item = (0.4 + 0.4 - 0.4)/c
+    assert(math.abs(rank("lease", "rent", Seq("rent")) - 0.4 / c) < 1e-12)
+    // missing term contributes 0 but still divides: two terms, one found
+    assert(math.abs(rank("rent", "x", Seq("rent", "absent")) -
+      (1.0 / c) / 2.0) < 1e-12)
+    // occurrence damping ranks a focused doc over a diluted one with the
+    // same hit count... and MORE hits still beat fewer
+    val one = rank("rent", "x", Seq("rent"))
+    val two = rank("rent rent", "x", Seq("rent"))
+    assert(two > one)
+  }
+
   test("plain query parsing: stopwords dropped, lexemes stemmed") {
     assert(Fts.plainQueryLexemes("the running dogs") == Seq("run", "dog"))
   }
