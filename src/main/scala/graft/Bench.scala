@@ -64,7 +64,8 @@ object Bench {
     // tsvector columns), not raw text. Build once untimed, then measure
     // hybrid search over the substrate — this is the number comparable to
     // the reference's warm search latencies.
-    val (indexedHybrid, indexedKeyword, indexedPhrase) = {
+    val (indexedHybrid, indexedKeyword, indexedPhrase, indexedSemantic,
+         indexedSemanticAnn) = {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("document_id"), col("text"))
@@ -72,6 +73,15 @@ object Bench {
       store.count() // materialize the index
       val qv = graft.functions.HashingEmbedder.embedTokens(
         graft.functions.TextFunctions.tokens(lit("spark merge window")), 256)
+      // LSH-probed semantic index: built ONCE, untimed (like the store —
+      // the reference's HNSW is also built at ingest, not per query)
+      val annBits = 8
+      val annIndex = graft.search.LshAnn.build(
+        store.select(concat_ws(":", col("document_id"), col("chunk_index"))
+          .as("cid"), col("embedding")), "cid", "embedding", annBits, 256)
+        .persist()
+      annIndex.count()
+      val qdf = spark.range(1).select(qv.as("qv"))
       def time(f: => Unit): Double = {
         val t0 = System.nanoTime()
         f
@@ -90,14 +100,26 @@ object Bench {
           .phraseSearch(store, "\"merge the window\"", 10)
           .queryExecution.toRdd.count()
       }
+      def semanticOnce(): Double = time {
+        graft.search.ChunkStore.semanticSearch(store, qv, 10)
+          .queryExecution.toRdd.count()
+      }
+      def semanticAnnOnce(): Double = time {
+        graft.search.LshAnn.search(annIndex, qdf, 10, annBits, 256)
+          .queryExecution.toRdd.count()
+      }
       hybridOnce(); keywordOnce(); phraseOnce() // plan+codegen
+      semanticOnce(); semanticAnnOnce()
       val h = hybridOnce()
       val k = keywordOnce()
       val p = phraseOnce()
+      val se = semanticOnce()
+      val sa = semanticAnnOnce()
       store.unpersist()
-      (h, k, p)
+      annIndex.unpersist()
+      (h, k, p, se, sa)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"indexed_hybrid_sec":$indexedHybrid,"indexed_keyword_sec":$indexedKeyword,"indexed_phrase_sec":$indexedPhrase,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"indexed_hybrid_sec":$indexedHybrid,"indexed_keyword_sec":$indexedKeyword,"indexed_phrase_sec":$indexedPhrase,"indexed_semantic_sec":$indexedSemantic,"indexed_semantic_ann_sec":$indexedSemanticAnn,"sf":"$sfDir"}""")
     // Compact trailing summary: the harness records only the TAIL of the
     // output, which truncates the front of the full line above (every
     // prior round's BENCH_r{N}.json has parsed:null and a tail starting
@@ -128,7 +150,7 @@ object Bench {
     val warmServing = warm.filter(kv => Set("q24_cosine_topk", "q38_fts_rank",
         "q54_hybrid", "q41_rerank", "q67_websearch").contains(kv._1))
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"warm_serving":$warmServing,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"warm_serving":$warmServing,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

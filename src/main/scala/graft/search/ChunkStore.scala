@@ -82,6 +82,20 @@ object ChunkStore {
       .withColumn("score", Fts.tsRank(col("tsv"), qLex)), limit)
   }
 
+  /** Vector-only (semantic) search over a built chunk table: exact
+    * cosine against the PRECOMPUTED embedding column — the same-substrate
+    * comparison to the reference's HNSW-served `match_document_chunks`
+    * (no per-query re-tokenize/re-embed of the corpus). For sub-linear
+    * serving at corpus scale wrap the store with [[LshAnn]] /
+    * [[IvfIndex]]; the bench measures both this exact leg and the
+    * LSH-probed leg.
+    */
+  def semanticSearch(chunkTable: DataFrame, queryVec: Column,
+                     limit: Int = 10): DataFrame =
+    ranked(chunkTable.withColumn("score",
+      graft.functions.VectorFunctions.cosineSim(col("embedding"), queryVec)),
+      limit)
+
   /** Hybrid search over a built chunk table: cosine leg + ts_rank leg,
     * RRF-fused (§3.2 on the real substrate).
     */
