@@ -79,9 +79,40 @@ object Redaction {
       s"$PersonRe(?!,? (?i:$suffixAlt)\\b)(?! (?i:$suffixAlt)\\b)", "[PERSON]")
   }
 
+  /** Honorific titles that mark the following capitalized words as a
+    * person regardless of the given-name dictionary — the deterministic
+    * recall widener over [[redactPersons]] (free-form names the
+    * dictionary can't know; the reference's NER recognizes these from
+    * context the same way).
+    */
+  val Titles: Seq[String] = Seq("Mrs", "Mr", "Ms", "Dr", "Prof")
+
+  /** Title + one or two capitalized words, greedy. Group 1 = the title
+    * (kept — it isn't PII), group 2 = the name (redacted).
+    */
+  val TitledPersonRe: String =
+    s"\\b((?:${Titles.mkString("|")})\\.?) " +
+      "([A-Z][a-z]+(?: [A-Z][a-z]+)?)\\b"
+
+  /** Titled persons, org-suffix exception via trailing lookahead. The
+    * regex engine's backtracking gives layered semantics the oracle
+    * reproduces case by case (q46): two-word name with a clean tail →
+    * full redaction; tail is an org suffix and the second word is too
+    * ("Ms. Parker Holdings Trust") → organization, kept; tail is a
+    * suffix but the second word isn't ("Prof Jane Keller Group") → the
+    * engine backtracks to the one-word match and redacts just the first
+    * name. Runs BEFORE the dictionary pass so a titled dictionary name
+    * is consumed here.
+    */
+  def redactTitledPersons(c: Column): Column = {
+    val suffixAlt = OrgSuffixes.mkString("|")
+    regexp_replace(c,
+      s"$TitledPersonRe(?!,? (?i:$suffixAlt)\\b)", "$1 [PERSON]")
+  }
+
   /** P2: the full defense-in-depth pass applied before any sink. */
   def redactText(c: Column): Column =
-    redactPersons(redactSsns(redactPhones(redactEmails(c))))
+    redactPersons(redactTitledPersons(redactSsns(redactPhones(redactEmails(c)))))
 
   /** C28: error-message sanitization (reference
     * `src/services/error_sanitizer.py`): strip secrets (bearer tokens,

@@ -465,7 +465,14 @@ object TestQueries3 {
     ("r4", "No pii here at all."),
     ("r5", "Email sales@example.com.evil.net and ceo@company.com, then call 555-987-6543."),
     ("r6", "Mary Johnson, LLC holds title; Mary Johnson signs; David Lee Partners manages."),
-    ("r7", "Reach Emily Carter at emily.carter@example.com or e.carter@sub.example.com today."))
+    ("r7", "Reach Emily Carter at emily.carter@example.com or e.carter@sub.example.com today."),
+    // titled persons: dictionary-free names (r8), org-suffix second word
+    // keeps the whole span while a plain titled name redacts (r9), and
+    // the backtracking partial case — tail is a suffix but the second
+    // word isn't, so only the first name redacts (r10)
+    ("r8", "Mr. Alan Turing met Dr Grace Hopper at the office."),
+    ("r9", "Ms. Parker Holdings Trust retains Mrs. Ada Lovelace as counsel."),
+    ("r10", "Prof Jane Keller Group advises; Mr. Brown signs alone."))
 
   /** P1/P2: PII redaction WITH the exception semantics, oracle-checked:
     * the Spark side expresses "redact unless kept" as negative
@@ -500,6 +507,11 @@ object TestQueries3 {
       val suffixAlt = Seq("llc", "inc", "corp", "ltd", "lp", "company",
         "properties", "partners", "group", "holdings", "trust",
         "associates").mkString("|")
+      // the titled-person base pattern, capture-free (RE2 split/extract
+      // must see the same greedy spans the Java engine matches; the
+      // trailing suffix lookahead becomes the decision CASE below)
+      val titledBase =
+        "\\b(?:Mrs|Mr|Ms|Dr|Prof)\\.? [A-Z][a-z]+(?: [A-Z][a-z]+)?\\b"
       // reassemble: seg1 || f(m1) || seg2 || f(m2) || ... || segN+1
       def zip(matches: String, segs: String, keepWhen: String,
               tag: String): String =
@@ -528,11 +540,43 @@ object TestQueries3 {
       sn AS (
         SELECT id, regexp_replace(text, '$ssnRe', '[SSN]', 'g') AS text
         FROM ph),
+      tp0 AS (
+        SELECT id, text,
+               regexp_extract_all(text, '$titledBase') AS m,
+               regexp_split_to_array(text, '$titledBase') AS s
+        FROM sn),
+      tp AS (
+        SELECT id,
+               COALESCE(array_to_string(list_transform(range(1, LEN(m) + 1),
+                 i -> s[CAST(i AS INT)] || (
+                   CASE
+                     -- clean tail: the greedy (1- or 2-word) match redacts
+                     WHEN NOT regexp_matches(s[CAST(i AS INT) + 1],
+                         '^,? (?i:$suffixAlt)\\b')
+                       THEN regexp_extract(m[CAST(i AS INT)],
+                         '^(?:Mrs|Mr|Ms|Dr|Prof)\\.?') || ' [PERSON]'
+                     -- suffix tail, one-word name: both engine attempts
+                     -- fail -> organization, kept verbatim
+                     WHEN LEN(string_split(m[CAST(i AS INT)], ' ')) < 3
+                       THEN m[CAST(i AS INT)]
+                     -- suffix tail, second word itself a suffix -> kept
+                     WHEN regexp_matches(
+                         string_split(m[CAST(i AS INT)], ' ')[3],
+                         '^(?i:$suffixAlt)$$')
+                       THEN m[CAST(i AS INT)]
+                     -- suffix tail, clean second word: the regex engine
+                     -- backtracks to the one-word match
+                     ELSE regexp_extract(m[CAST(i AS INT)],
+                         '^(?:Mrs|Mr|Ms|Dr|Prof)\\.?') || ' [PERSON] ' ||
+                       string_split(m[CAST(i AS INT)], ' ')[3]
+                   END)), ''), '')
+               || s[LEN(m) + 1] AS text
+        FROM tp0),
       pe0 AS (
         SELECT id, text,
                regexp_extract_all(text, '$personRe') AS m,
                regexp_split_to_array(text, '$personRe') AS s
-        FROM sn),
+        FROM tp),
       pe AS (
         SELECT id,
                ${zip("m", "s",

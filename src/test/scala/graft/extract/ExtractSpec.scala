@@ -168,6 +168,28 @@ class ExtractSpec extends SparkSpec {
     assert(twice == red)
   }
 
+  test("titled persons: dictionary-free recall, org keeps, backtrack partial") {
+    import spark.implicits._
+    def red(s: String): String = Seq(s).toDF("s")
+      .select(Redaction.redactText(col("s"))).head().getString(0)
+    // names NOT in the given-name dictionary still redact after a title
+    assert(red("Mr. Alan Turing attends.") == "Mr. [PERSON] attends.")
+    assert(red("Dr Grace Hopper presents.") == "Dr [PERSON] presents.")
+    // title + word + org suffix word + suffix tail = organization, kept
+    assert(red("Ms. Parker Holdings Trust pays.") ==
+      "Ms. Parker Holdings Trust pays.")
+    // suffix tail with a clean second word: engine backtracks to the
+    // one-word match — only the first name redacts
+    assert(red("Prof Jane Keller Group advises.") ==
+      "Prof [PERSON] Keller Group advises.")
+    // one-word name, clean tail
+    assert(red("Mr. Brown signs.") == "Mr. [PERSON] signs.")
+    // idempotent: '[PERSON]' never rematches after a title
+    val once = red("Mrs. Ada Lovelace reviews.")
+    assert(once == "Mrs. [PERSON] reviews.")
+    assert(red(once) == once)
+  }
+
   test("kept-domain exception requires the WHOLE domain, not a prefix") {
     import spark.implicits._
     def redact(s: String): String = Seq(s).toDF("s")
