@@ -130,6 +130,39 @@ class QueueSpec extends SparkSpec {
     }
   }
 
+  test("batch replay emits the identical transition log to the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the same event set through both deployments of the shared fold:
+    // outputs must be identical row for row (this is what lets the q121
+    // replay oracle stand in for the streaming path)
+    val events = Seq(
+      Queue.DocEvent("d1", "t1", "enqueue", 5, null, 1000),
+      Queue.DocEvent("d1", "t1", "enqueue", 5, null, 1500),
+      Queue.DocEvent("d1", "t1", "claim", 0, null, 2000),
+      Queue.DocEvent("d1", "t1", "failure", 0, "e1", 3000),
+      Queue.DocEvent("d1", "t1", "claim", 0, null, 4000),
+      Queue.DocEvent("d1", "t1", "failure", 0, "e2", 5000),
+      Queue.DocEvent("d2", "t1", "enqueue", 1, null, 1000),
+      Queue.DocEvent("d2", "t1", "claim", 0, null, 2000),
+      Queue.DocEvent("d2", "t1", "success", 0, null, 3000),
+      Queue.DocEvent("d3", "t2", "success", 0, null, 500), // orphan
+      Queue.DocEvent("d4", "t2", "claim", 0, null, 600))   // never applies
+    val input = MemoryStream[Queue.DocEvent]
+    val query = Queue.updates(input.toDS(), maxAttempts = 2)
+      .writeStream.format("memory").queryName("queue_replay_parity")
+      .outputMode("append").start()
+    val streamed = try {
+      input.addData(events: _*)
+      query.processAllAvailable()
+      spark.table("queue_replay_parity").collect().map(_.toSeq).toSet
+    } finally query.stop()
+    val replayed = Queue.replay(events.toDS(), maxAttempts = 2)
+      .toDF().collect().map(_.toSeq).toSet
+    assert(replayed == streamed)
+    assert(replayed.nonEmpty)
+  }
+
   test("state TTL: a timed-out key is removed and emits nothing") {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
