@@ -131,11 +131,17 @@ object EffectiveRent {
         round(col("total_rent") / col("total_sf"), 6))
   }
 
-  /** A6/A3/A4/W4: portfolio metrics (`:515-616`). */
+  /** A6/A3/A4/W4: portfolio metrics (`:515-616`). avg_confidence averages
+    * NON-NULL confidences only (`effective_rent.py:183-189` filters
+    * `c is not None` before dividing; all-NULL → NULL, the reference's
+    * None) — `count(x)` not `count(*)`, the Monitor-zscores NULL
+    * discipline.
+    */
   def portfolioMetrics(rents: DataFrame, extractions: DataFrame): DataFrame = {
+    val confVal = col("overall_confidence").cast("decimal(18,6)")
     val conf = extractions.where(col("is_current"))
-      .agg((sum(col("overall_confidence").cast("decimal(18,6)")).cast("double") /
-        count(lit(1))).as("avg_confidence"))
+      .agg((sum(confVal).cast("double") /
+        count(confVal)).as("avg_confidence"))
     val base = rents.agg(
       sum(col("effective_monthly_rent").cast("decimal(18,2)"))
         .cast("double").as("total_monthly_rent"),

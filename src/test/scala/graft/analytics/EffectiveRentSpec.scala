@@ -99,4 +99,21 @@ class EffectiveRentSpec extends SparkSpec {
     // avg confidence over current extractions: (.92+.88+.90+.70)/4
     assert(math.abs(m.getAs[Double]("avg_confidence") - 0.85) < 1e-12)
   }
+
+  test("portfolioMetrics: NULL confidences don't bias the average") {
+    import spark.implicits._
+    // reference filters `c is not None` before dividing
+    // (effective_rent.py:183-189): two real values + a NULL must average
+    // the two, not sum/3
+    val ex = Seq((true, Option(0.9)), (true, Option(0.7)),
+      (true, Option.empty[Double]), (false, Option(0.1)))
+      .toDF("is_current", "overall_confidence")
+    val m = EffectiveRent.portfolioMetrics(rents, ex).head()
+    assert(math.abs(m.getAs[Double]("avg_confidence") - 0.8) < 1e-12)
+    // all-NULL → NULL (the reference's None), never 0 or NaN
+    val allNull = Seq((true, Option.empty[Double]))
+      .toDF("is_current", "overall_confidence")
+    val m2 = EffectiveRent.portfolioMetrics(rents, allNull).head()
+    assert(m2.isNullAt(m2.fieldIndex("avg_confidence")))
+  }
 }
