@@ -123,6 +123,48 @@ object ScaleRehearsal {
           println(f"[stress] $name%-24s sf0.1 cold=$bc%.2f steady=$bw%.2f | " +
             f"x10 cold=$c%.2f steady=$w%.2f | steady_ratio=${w / bw}%.1f")
         }
+
+      // Serving-path scaling: the exact-vs-ANN crossover. At sf0.1 the
+      // brute cosine leg wins (probe-join overhead > saved scan); this
+      // mode measures both legs on the 10× corpus where the bucket
+      // pruning should pay for itself.
+      case "serving" =>
+        import org.apache.spark.sql.functions._
+        val dirs = Seq("/root/testdata/sf0.1",
+          args.lift(1).getOrElse("/tmp/graft_scale/sf1"))
+        dirs.foreach { d =>
+          val docs = spark.read.parquet(s"$d/documents.parquet")
+            .select(col("doc_id").cast("string").as("document_id"),
+              col("text"))
+          val store = graft.search.ChunkStore.build(docs).persist()
+          val nChunks = store.count()
+          val annBits = 8
+          val ann = graft.search.LshAnn.build(
+            store.select(concat_ws(":", col("document_id"),
+              col("chunk_index")).as("cid"), col("embedding")),
+            "cid", "embedding", annBits, 256).persist()
+          ann.count()
+          val qv = graft.functions.HashingEmbedder.embedTokens(
+            graft.functions.TextFunctions.tokens(
+              lit("spark merge window")), 256)
+          val qdf = spark.range(1).select(qv.as("qv"))
+          def time(f: => Unit): Double = {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }
+          def brute(): Double = time {
+            graft.search.ChunkStore.semanticSearch(store, qv, 10)
+              .queryExecution.toRdd.count()
+          }
+          def probed(): Double = time {
+            graft.search.LshAnn.search(ann, qdf, 10, annBits, 256)
+              .queryExecution.toRdd.count()
+          }
+          brute(); probed() // plan + codegen
+          val b = brute(); val p = probed()
+          println(f"[serving] $d%-28s chunks=$nChunks " +
+            f"brute=$b%.3f ann=$p%.3f")
+          store.unpersist(); ann.unpersist()
+        }
     }
     spark.stop()
   }
