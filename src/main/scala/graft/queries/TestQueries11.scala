@@ -38,7 +38,12 @@ object TestQueries11 {
   /** Per-user EWMA (α=0.25) over event values in event_id order: the
     * sequential recurrence walks each user's history once; the oracle
     * runs the identical recurrence as a recursive CTE, so every smoothed
-    * value hash-checks (same IEEE operation sequence in both engines).
+    * value hash-checks RAW — same IEEE operation sequence in both
+    * engines, no display rounding. (A ROUND(…, 6) here actually BROKE at
+    * sf0.1: a smoothed value landed exactly on …. 9853125, where Spark's
+    * decimal-string HALF_UP and the oracle's binary-double rounding
+    * disagree — bit-exact comparisons are STRICTER and safer than
+    * rounded ones when the math is genuinely identical.)
     */
   val q114Ewma: QueryCase = QueryCase(
     "q114_ewma",
@@ -47,7 +52,7 @@ object TestQueries11 {
           Tables.events(s, dir).where(col("user_id") < 20),
           "user_id", "event_id", "value", 0.25)
         .select(col("user_id").cast("long").as("user_id"),
-          col("event_id"), col("value"), round(col("ewma"), 6).as("ewma"))
+          col("event_id"), col("value"), col("ewma"))
         .orderBy("user_id", "event_id")
     },
     Some("""
@@ -64,7 +69,7 @@ object TestQueries11 {
                CAST(0.25 AS DOUBLE) * d.value
                  + CAST(0.75 AS DOUBLE) * r.e
         FROM rec r JOIN d ON d.user_id = r.user_id AND d.ord = r.ord + 1)
-      SELECT user_id, event_id, value, ROUND(e, 6) AS ewma
+      SELECT user_id, event_id, value, e AS ewma
       FROM rec ORDER BY user_id, event_id"""))
 
   /** Ordered funnel signup → view → purchase: earliest step-1 time, then
