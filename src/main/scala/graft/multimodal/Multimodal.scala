@@ -122,8 +122,25 @@ object Multimodal {
     buf.array()
   }
 
-  /** Parsed 16-bit PCM payload: sample rate, channels, interleaved
-    * samples. None for non-WAV / non-PCM-16 bytes.
+  /** G.711 µ-law expansion: one compressed byte → 16-bit linear PCM.
+    * Pure integer arithmetic (complement, sign/exponent/mantissa fields,
+    * `((mant·8 + 132) << exp) − 132`), so a SQL oracle reproduces decoded
+    * samples bit-for-bit — the compressed-AUDIO analogue of the PNG
+    * decode gate. Canonical extremes: 0x00 → −32124, 0x80 → +32124,
+    * 0xFF/0x7F → ±0.
+    */
+  private[graft] def ulawDecode(b: Byte): Short = {
+    val u = (~b) & 0xff
+    val exp = (u >> 4) & 0x07
+    val mant = u & 0x0f
+    val x = (((mant << 3) + 0x84) << exp) - 0x84
+    (if ((u & 0x80) != 0) -x else x).toShort
+  }
+
+  /** Parsed WAV payload as 16-bit linear samples: PCM-16 (audio format 1,
+    * 16-bit) passes through; G.711 µ-law (format 7, 8-bit — a REAL
+    * compressed telephony codec) decodes through [[ulawDecode]]. Returns
+    * (rate, channels, samples); None for other formats / malformed bytes.
     */
   private[graft] def parseWavPcm16(
       b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
@@ -157,18 +174,45 @@ object Multimodal {
     for {
       (audioFormat, channels, rate) <- fmt
       (off, len) <- data
-      if audioFormat == 1 && bits == 16 && len >= 2
+      if (audioFormat == 1 && bits == 16 && len >= 2) ||
+        (audioFormat == 7 && bits == 8 && len >= 1)
     } yield {
-      val n = len / 2
-      val samples = new Array[Short](n)
-      var j = 0
-      while (j < n) {
-        samples(j) = ((b(off + 2 * j) & 0xff) |
-          (b(off + 2 * j + 1) << 8)).toShort
-        j += 1
+      if (audioFormat == 7) {
+        val samples = new Array[Short](len)
+        var j = 0
+        while (j < len) { samples(j) = ulawDecode(b(off + j)); j += 1 }
+        (rate, channels, samples)
+      } else {
+        val n = len / 2
+        val samples = new Array[Short](n)
+        var j = 0
+        while (j < n) {
+          samples(j) = ((b(off + 2 * j) & 0xff) |
+            (b(off + 2 * j + 1) << 8)).toShort
+          j += 1
+        }
+        (rate, channels, samples)
       }
-      (rate, channels, samples)
     }
+  }
+
+  /** Wrap raw G.711 µ-law bytes in a WAV container (audio format 7,
+    * 8-bit) — fixture utility, the compressed-audio counterpart of
+    * [[wavPcm16Bytes]].
+    */
+  def wavUlawBytes(ulaw: Array[Byte], sampleRate: Int,
+                   channels: Int = 1): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(44 + ulaw.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + ulaw.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels).putShort(channels.toShort)
+      .putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(ulaw.length)
+    buf.put(ulaw)
+    buf.array()
   }
 
   /** Encode an RGB pixel buffer (row-major, 3 bytes/px) as a binary PPM

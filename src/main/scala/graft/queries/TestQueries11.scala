@@ -546,8 +546,101 @@ object TestQueries11 {
       FROM scored WHERE rank > 0 ORDER BY doc_id"""
     })
 
+  // q123 fixture: the µ-law BYTES are formula-generated (the q74/q81
+  // discipline), so the oracle regenerates each compressed byte and runs
+  // the same G.711 expansion as pure integer SQL — decode itself is
+  // gate-checked, not just the framing around it. Byte formula sweeps
+  // the full 0..255 code space including both ±0 codes and both
+  // extremes.
+  private val ulawAssets: Seq[(String, Int, Int, Int)] = Seq(
+    ("u1", 600, 8000, 3), ("u2", 389, 8000, 11))
+  private val ulawNFrames = 4
+
+  /** Compressed-AUDIO decode (G.711 µ-law, WAV audio format 7),
+    * oracle-checked end to end: Spark parses the real RIFF container,
+    * expands each compressed byte through the integer µ-law formula
+    * (`((mant·8+132) << exp) − 132`, complemented input, sign bit) and
+    * emits per-frame stats; the oracle regenerates the compressed bytes
+    * from their formula, decodes with the identical integer arithmetic,
+    * and aggregates — peak/mean/RMS mirror bit-exactly. A PCM-16 asset
+    * rides along (both formats through ONE parser), and a malformed
+    * format-7 16-bit hybrid must emit nothing.
+    */
+  val q123UlawFrames: QueryCase = QueryCase(
+    "q123_ulaw_frames",
+    (s, dir) => {
+      import s.implicits._
+      val mm = graft.multimodal.Multimodal
+      val rows = ulawAssets.map { case (id, n, rate, seed) =>
+        val ulaw = Array.tabulate(n)(i => ((i * 31 + seed * 7) % 256).toByte)
+        (id, mm.wavUlawBytes(ulaw, rate))
+      } ++ Seq(
+        ("p1", mm.wavPcm16Bytes(
+          Array.tabulate[Short](200)(i => ((i * 523) % 30001 - 15000).toShort),
+          16000)),
+        // format 7 declaring 16-bit: contract-violating, must emit nothing
+        ("x1", {
+          val bad = mm.wavUlawBytes(Array.tabulate(50)(_.toByte), 8000)
+          bad(34) = 16; bad // bitsPerSample field
+        }))
+      mm.sampleWavFrames(rows.toDF("id", "bytes"), "id", "bytes", ulawNFrames)
+        .orderBy("id", "frame_index")
+    },
+    Some {
+      val vals = ulawAssets.map(a =>
+        s"('${a._1}', ${a._2}, ${a._3}, ${a._4})").mkString(", ")
+      s"""
+      WITH assets(id, n, rate, seed) AS (VALUES $vals),
+      raw AS (
+        SELECT id, n, rate, UNNEST(range(0, n)) AS i,
+               255 - ((UNNEST(range(0, n)) * 31 + seed * 7) % 256) AS u
+        FROM assets),
+      fields AS (
+        SELECT id, n, rate, i, u,
+               (u // 16) % 8 AS exp, u % 16 AS mant
+        FROM raw),
+      dec AS (
+        SELECT id, n, rate, i,
+               CASE WHEN u >= 128
+                    THEN -(((mant * 8 + 132) << exp) - 132)
+                    ELSE ((mant * 8 + 132) << exp) - 132 END AS s
+        FROM fields),
+      framed AS (
+        SELECT *, CAST(((i + 1) * $ulawNFrames + n - 1) // n - 1 AS INT) AS f
+        FROM dec),
+      ul AS (
+        SELECT id, f AS frame_index, rate AS sample_rate, 1 AS channels,
+               CAST(MIN(i) AS INT) AS start_sample,
+               CAST(COUNT(*) AS INT) AS n_samples,
+               CAST(MAX(ABS(s)) AS INT) AS peak,
+               CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean,
+               sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+        FROM framed
+        GROUP BY id, f, rate),
+      pcm AS (
+        SELECT 'p1' AS id, UNNEST(range(0, 200)) AS i,
+               (UNNEST(range(0, 200)) * 523) % 30001 - 15000 AS s),
+      pcmf AS (
+        SELECT *, CAST(((i + 1) * $ulawNFrames + 200 - 1) // 200 - 1 AS INT)
+          AS f
+        FROM pcm),
+      pl AS (
+        SELECT id, f AS frame_index, 16000 AS sample_rate, 1 AS channels,
+               CAST(MIN(i) AS INT) AS start_sample,
+               CAST(COUNT(*) AS INT) AS n_samples,
+               CAST(MAX(ABS(s)) AS INT) AS peak,
+               CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean,
+               sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+        FROM pcmf GROUP BY id, f)
+      SELECT * FROM ul
+      UNION ALL
+      SELECT * FROM pl
+      ORDER BY id, frame_index"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q113TimeSpine, q114Ewma, q115Funnel, q116CohortRetention,
       q117EditDistance, q118SilentHours, q119PngDecodeTiles,
-      q120RankNormalized, q121QueueReplay, q122RankPositional)
+      q120RankNormalized, q121QueueReplay, q122RankPositional,
+      q123UlawFrames)
 }

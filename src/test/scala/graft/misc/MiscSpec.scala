@@ -184,6 +184,29 @@ class MiscSpec extends SparkSpec {
     assert(viaJpeg.map(_.toSeq).toSeq == viaPpm.map(_.toSeq).toSeq)
   }
 
+  test("g711 ulaw decode: canonical extremes, zero codes, wav roundtrip") {
+    // canonical G.711 values: 0x00 -> -32124, 0x80 -> +32124, both zero
+    // codes (0xFF positive, 0x7F negative) -> 0
+    assert(Multimodal.ulawDecode(0x00.toByte) == -32124)
+    assert(Multimodal.ulawDecode(0x80.toByte) == 32124)
+    assert(Multimodal.ulawDecode(0xFF.toByte) == 0)
+    assert(Multimodal.ulawDecode(0x7F.toByte) == 0)
+    // monotone within the positive half: higher code = smaller magnitude
+    val pos = (0x80 to 0xFF).map(c => Multimodal.ulawDecode(c.toByte).toInt)
+    assert(pos == pos.sorted.reverse)
+    // container roundtrip: format-7 WAV parses to the decoded samples
+    val ulaw = Array.tabulate(100)(i => (i * 37 % 256).toByte)
+    val parsed = Multimodal.parseWavPcm16(Multimodal.wavUlawBytes(ulaw, 8000))
+    assert(parsed.isDefined)
+    val (rate, ch, samples) = parsed.get
+    assert(rate == 8000 && ch == 1 && samples.length == 100)
+    assert(samples.toSeq == ulaw.toSeq.map(Multimodal.ulawDecode))
+    // format 7 with 16 declared bits is malformed, never half-decoded
+    val bad = Multimodal.wavUlawBytes(ulaw, 8000)
+    bad(34) = 16
+    assert(Multimodal.parseWavPcm16(bad).isEmpty)
+  }
+
   test("image decode: grayscale widens to equal channels; malformed -> None") {
     val img = new java.awt.image.BufferedImage(
       4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
