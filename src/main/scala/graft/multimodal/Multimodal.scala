@@ -137,10 +137,26 @@ object Multimodal {
     (if ((u & 0x80) != 0) -x else x).toShort
   }
 
+  /** G.711 A-law expansion (the European telephony sibling): XOR 0x55,
+    * segment/mantissa fields, `(mant·16 + 8)` in segment 0 else
+    * `(mant·16 + 264) << (seg − 1)`; sign bit SET means positive.
+    * Canonical max ±32256 at code 0xAA/0x2A.
+    */
+  private[graft] def alawDecode(b: Byte): Short = {
+    val u = (b & 0xff) ^ 0x55
+    val exp = (u >> 4) & 0x07
+    val mant = u & 0x0f
+    val x =
+      if (exp == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (exp - 1)
+    (if ((u & 0x80) != 0) x else -x).toShort
+  }
+
   /** Parsed WAV payload as 16-bit linear samples: PCM-16 (audio format 1,
-    * 16-bit) passes through; G.711 µ-law (format 7, 8-bit — a REAL
-    * compressed telephony codec) decodes through [[ulawDecode]]. Returns
-    * (rate, channels, samples); None for other formats / malformed bytes.
+    * 16-bit) passes through; G.711 A-law (format 6) and µ-law (format 7)
+    * — REAL compressed telephony codecs, 8-bit — decode through
+    * [[alawDecode]]/[[ulawDecode]]. Returns (rate, channels, samples);
+    * None for other formats / malformed bytes.
     */
   private[graft] def parseWavPcm16(
       b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
@@ -175,12 +191,14 @@ object Multimodal {
       (audioFormat, channels, rate) <- fmt
       (off, len) <- data
       if (audioFormat == 1 && bits == 16 && len >= 2) ||
-        (audioFormat == 7 && bits == 8 && len >= 1)
+        ((audioFormat == 6 || audioFormat == 7) && bits == 8 && len >= 1)
     } yield {
-      if (audioFormat == 7) {
+      if (audioFormat == 6 || audioFormat == 7) {
+        val dec: Byte => Short =
+          if (audioFormat == 7) ulawDecode else alawDecode
         val samples = new Array[Short](len)
         var j = 0
-        while (j < len) { samples(j) = ulawDecode(b(off + j)); j += 1 }
+        while (j < len) { samples(j) = dec(b(off + j)); j += 1 }
         (rate, channels, samples)
       } else {
         val n = len / 2
@@ -196,24 +214,33 @@ object Multimodal {
     }
   }
 
-  /** Wrap raw G.711 µ-law bytes in a WAV container (audio format 7,
-    * 8-bit) — fixture utility, the compressed-audio counterpart of
-    * [[wavPcm16Bytes]].
+  /** Wrap raw G.711 bytes in a WAV container (format 6 = A-law, 7 =
+    * µ-law; 8-bit) — fixture utility, the compressed-audio counterpart
+    * of [[wavPcm16Bytes]].
     */
-  def wavUlawBytes(ulaw: Array[Byte], sampleRate: Int,
+  def wavG711Bytes(g711: Array[Byte], sampleRate: Int, format: Int,
                    channels: Int = 1): Array[Byte] = {
-    val buf = java.nio.ByteBuffer.allocate(44 + ulaw.length)
+    require(format == 6 || format == 7, "format must be 6 (A-law) or 7 (u-law)")
+    val buf = java.nio.ByteBuffer.allocate(44 + g711.length)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + ulaw.length)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + g711.length)
       .put("WAVE".getBytes("US-ASCII"))
       .put("fmt ".getBytes("US-ASCII")).putInt(16)
-      .putShort(7).putShort(channels.toShort).putInt(sampleRate)
+      .putShort(format.toShort).putShort(channels.toShort).putInt(sampleRate)
       .putInt(sampleRate * channels).putShort(channels.toShort)
       .putShort(8)
-      .put("data".getBytes("US-ASCII")).putInt(ulaw.length)
-    buf.put(ulaw)
+      .put("data".getBytes("US-ASCII")).putInt(g711.length)
+    buf.put(g711)
     buf.array()
   }
+
+  def wavUlawBytes(ulaw: Array[Byte], sampleRate: Int,
+                   channels: Int = 1): Array[Byte] =
+    wavG711Bytes(ulaw, sampleRate, 7, channels)
+
+  def wavAlawBytes(alaw: Array[Byte], sampleRate: Int,
+                   channels: Int = 1): Array[Byte] =
+    wavG711Bytes(alaw, sampleRate, 6, channels)
 
   /** Encode an RGB pixel buffer (row-major, 3 bytes/px) as a binary PPM
     * (P6) container — fixture utility and the encode inverse of

@@ -556,15 +556,17 @@ object TestQueries11 {
     ("u1", 600, 8000, 3), ("u2", 389, 8000, 11))
   private val ulawNFrames = 4
 
-  /** Compressed-AUDIO decode (G.711 µ-law, WAV audio format 7),
-    * oracle-checked end to end: Spark parses the real RIFF container,
-    * expands each compressed byte through the integer µ-law formula
-    * (`((mant·8+132) << exp) − 132`, complemented input, sign bit) and
-    * emits per-frame stats; the oracle regenerates the compressed bytes
-    * from their formula, decodes with the identical integer arithmetic,
-    * and aggregates — peak/mean/RMS mirror bit-exactly. A PCM-16 asset
-    * rides along (both formats through ONE parser), and a malformed
-    * format-7 16-bit hybrid must emit nothing.
+  /** Compressed-AUDIO decode (G.711 µ-law format 7 AND A-law format 6),
+    * oracle-checked end to end: Spark parses the real RIFF containers,
+    * expands each compressed byte through the integer G.711 formulas
+    * (µ-law `((mant·8+132) << exp) − 132` on the complemented input;
+    * A-law `(mant·16+8)` / `(mant·16+264) << (seg−1)` on the 0x55-XORed
+    * input, sign-set-positive) and emits per-frame stats; the oracle
+    * regenerates the compressed bytes from their formula, decodes with
+    * the identical integer arithmetic, and aggregates — peak/mean/RMS
+    * mirror bit-exactly. A PCM-16 asset rides along (all formats through
+    * ONE parser), and a malformed format-7 16-bit hybrid must emit
+    * nothing.
     */
   val q123UlawFrames: QueryCase = QueryCase(
     "q123_ulaw_frames",
@@ -575,6 +577,8 @@ object TestQueries11 {
         val ulaw = Array.tabulate(n)(i => ((i * 31 + seed * 7) % 256).toByte)
         (id, mm.wavUlawBytes(ulaw, rate))
       } ++ Seq(
+        ("w1", mm.wavAlawBytes(
+          Array.tabulate(450)(i => ((i * 53 + 5) % 256).toByte), 8000))) ++ Seq(
         ("p1", mm.wavPcm16Bytes(
           Array.tabulate[Short](200)(i => ((i * 523) % 30001 - 15000).toShort),
           16000)),
@@ -617,6 +621,30 @@ object TestQueries11 {
                sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
         FROM framed
         GROUP BY id, f, rate),
+      araw AS (
+        SELECT 'w1' AS id, 450 AS n, 8000 AS rate,
+               UNNEST(range(0, 450)) AS i,
+               xor((UNNEST(range(0, 450)) * 53 + 5) % 256, 85) AS u),
+      afields AS (
+        SELECT id, n, rate, i, u, (u // 16) % 8 AS exp, u % 16 AS mant
+        FROM araw),
+      adec AS (
+        SELECT id, n, rate, i,
+               (CASE WHEN u >= 128 THEN 1 ELSE -1 END) *
+               (CASE WHEN (u // 16) % 8 = 0 THEN mant * 16 + 8
+                     ELSE (mant * 16 + 264) << ((u // 16) % 8 - 1) END) AS s
+        FROM afields),
+      aframed AS (
+        SELECT *, CAST(((i + 1) * $ulawNFrames + n - 1) // n - 1 AS INT) AS f
+        FROM adec),
+      al AS (
+        SELECT id, f AS frame_index, rate AS sample_rate, 1 AS channels,
+               CAST(MIN(i) AS INT) AS start_sample,
+               CAST(COUNT(*) AS INT) AS n_samples,
+               CAST(MAX(ABS(s)) AS INT) AS peak,
+               CAST(SUM(s) AS DOUBLE) / COUNT(*) AS mean,
+               sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
+        FROM aframed GROUP BY id, f, rate),
       pcm AS (
         SELECT 'p1' AS id, UNNEST(range(0, 200)) AS i,
                (UNNEST(range(0, 200)) * 523) % 30001 - 15000 AS s),
@@ -633,6 +661,8 @@ object TestQueries11 {
                sqrt(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)) AS rms
         FROM pcmf GROUP BY id, f)
       SELECT * FROM ul
+      UNION ALL
+      SELECT * FROM al
       UNION ALL
       SELECT * FROM pl
       ORDER BY id, frame_index"""

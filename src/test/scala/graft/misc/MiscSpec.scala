@@ -207,6 +207,20 @@ class MiscSpec extends SparkSpec {
     assert(Multimodal.parseWavPcm16(bad).isEmpty)
   }
 
+  test("g711 alaw decode: canonical extremes, no zero code, wav roundtrip") {
+    // A-law canonical values: 0xAA -> +32256, 0x2A -> -32256; smallest
+    // magnitudes are +-8 (A-law has no zero code): 0xD5 -> +8, 0x55 -> -8
+    assert(Multimodal.alawDecode(0xAA.toByte) == 32256)
+    assert(Multimodal.alawDecode(0x2A.toByte) == -32256)
+    assert(Multimodal.alawDecode(0xD5.toByte) == 8)
+    assert(Multimodal.alawDecode(0x55.toByte) == -8)
+    // format-6 container parses to the decoded samples
+    val alaw = Array.tabulate(80)(i => (i * 29 % 256).toByte)
+    val parsed = Multimodal.parseWavPcm16(Multimodal.wavAlawBytes(alaw, 8000))
+    assert(parsed.isDefined)
+    assert(parsed.get._3.toSeq == alaw.toSeq.map(Multimodal.alawDecode))
+  }
+
   test("image decode: grayscale widens to equal channels; malformed -> None") {
     val img = new java.awt.image.BufferedImage(
       4, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
