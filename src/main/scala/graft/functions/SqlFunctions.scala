@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL registration for the engine's custom Catalyst expressions, so
+  * `spark.sql(...)` users get the same kernels as the Column API — the
+  * "switch from the reference" story includes its SQL surface, not just
+  * DataFrames. Registered through [[graft.plans.GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`), the same entry
+  * point that injects RLS.
+  *
+  * Only kernels with literal-free or literal-argument shapes register;
+  * operators that need whole-DataFrame context (dedup, as-of, pivot)
+  * stay DataFrame-level, as in any engine.
+  */
+object SqlFunctions {
+
+  private def lit(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, _) => v.toString
+    case Literal(null, _) =>
+      throw new IllegalArgumentException(s"$what must not be NULL")
+    case other =>
+      throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", null, name, usage, "")
+
+  /** (name, usage, builder) for every SQL-exposed kernel. */
+  private def entries: Seq[(String, String,
+      Seq[Expression] => Expression)] = Seq(
+    ("ratcliff_sim",
+      "ratcliff_sim(a, b) - difflib-parity Ratcliff-Obershelp ratio",
+      { case Seq(a, b) => RatcliffSimilarity(a, b) }),
+    ("cosine_sim",
+      "cosine_sim(a, b) - cosine similarity over float/double arrays, " +
+        "NULL on dimension mismatch",
+      { case Seq(a, b) => CosineSimilarity(a, b) }),
+    ("en_stem_tokens",
+      "en_stem_tokens(tokens) - classic Porter lexemes",
+      { case Seq(t) => EnStemTokens(t) }),
+    ("en_stem_tokens2",
+      "en_stem_tokens2(tokens) - Snowball english (porter2) lexemes",
+      { case Seq(t) => EnStemTokens(t, porter2 = true) }),
+    ("pos_ts_rank",
+      "pos_ts_rank(posA, posB, query) - positional ts_rank " +
+        "(calc_rank_or), query = space-separated lexeme literal",
+      { case Seq(a, b, q) =>
+        PosTsRank(a, b,
+          lit(q, "pos_ts_rank query").split("\\s+").toSeq.filter(_.nonEmpty),
+          1.0, 0.4) }))
+
+  private def safely(name: String, usage: String,
+      builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args =>
+      try builder(args)
+      catch {
+        case _: MatchError => throw new IllegalArgumentException(
+          s"wrong argument count for $name; usage: $usage")
+      }
+
+  /** Session-build registration (`spark.sql.extensions`). */
+  def register(ext: SparkSessionExtensions): Unit =
+    entries.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage),
+        safely(name, usage, builder)))
+    }
+
+  /** Runtime registration into an existing session (tests, shells). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    entries.foreach { case (name, usage, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name, usage),
+        safely(name, usage, builder))
+    }
+}

@@ -104,9 +104,12 @@ case class RlsEnforcementRule(session: SparkSession)
 }
 
 /** `spark.sql.extensions` entry point: registers RLS enforcement in the
-  * operator-optimization batch at session build.
+  * operator-optimization batch at session build, plus the engine's
+  * custom kernels as SQL functions ([[graft.functions.SqlFunctions]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(RlsEnforcementRule)
+    graft.functions.SqlFunctions.register(ext)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** SQL registration of the custom kernels: the same expressions behind
+  * `spark.sql(...)` as behind the Column API.
+  */
+class SqlFunctionsSpec extends SparkSpec {
+
+  SqlFunctions.install(spark)
+
+  test("ratcliff_sim from SQL equals the kernel") {
+    val got = spark.sql(
+      "SELECT ratcliff_sim('acme corp', 'acme corporation')")
+      .head().getDouble(0)
+    assert(got == RatcliffObershelp.ratio("acme corp", "acme corporation"))
+  }
+
+  test("cosine_sim from SQL: identical vectors, dim mismatch -> NULL") {
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 2.0D), array(1.0D, 2.0D)),
+                cosine_sim(array(1.0D), array(1.0D, 2.0D))""").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.isNullAt(1))
+  }
+
+  test("both stemmer variants from SQL") {
+    val r = spark.sql(
+      """SELECT en_stem_tokens(array('running', 'dogs')),
+                en_stem_tokens2(array('dying', 'news'))""").head()
+    assert(r.getSeq[String](0) == Seq("run", "dog"))
+    assert(r.getSeq[String](1) == Seq("die", "news"))
+  }
+
+  test("pos_ts_rank from SQL over built positional lexemes") {
+    import spark.implicits._
+    Seq(("rent rent lease", "rent"))
+      .toDF("c", "h")
+      .select(
+        Fts.posLexemesOfTokens(TextFunctions.tokens(col("c")),
+          stem = false).as("pa"),
+        Fts.posLexemesOfTokens(TextFunctions.tokens(col("h")),
+          stem = false).as("pb"))
+      .createOrReplaceTempView("pos_rank_fixture")
+    val got = spark.sql(
+      "SELECT pos_ts_rank(pa, pb, 'rent') FROM pos_rank_fixture")
+      .head().getDouble(0)
+    assert(math.abs(got - (1.0 + 0.25 + 0.4 / 9.0) / 1.973525572) < 1e-12)
+  }
+
+  test("wrong arity fails with the usage string, not a MatchError") {
+    val e = intercept[Exception](spark.sql("SELECT ratcliff_sim('a')").head())
+    assert(e.getMessage.contains("ratcliff_sim") ||
+      Option(e.getCause).exists(_.getMessage.contains("ratcliff_sim")))
+  }
+}
