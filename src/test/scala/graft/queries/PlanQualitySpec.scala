@@ -43,6 +43,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("ChunkStore serving legs: heap top-k, no global sort, probe joins broadcast") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("string").as("document_id"), col("text"))
+    val store = graft.search.ChunkStore.build(docs)
+    val qv = graft.functions.HashingEmbedder.embedTokens(
+      graft.functions.TextFunctions.tokens(lit("spark merge")), 256)
+    val sem = graft.search.ChunkStore.semanticSearch(store, qv, 10)
+      .queryExecution.executedPlan.toString
+    assert(sem.contains("TakeOrderedAndProject"), sem)
+    assert(!sem.contains("Exchange rangepartitioning"),
+      "semantic top-k must be a heap, not a global sort")
+    // LSH leg: the tiny probe set must broadcast into the index join
+    val ann = graft.search.LshAnn.build(
+      store.select(col("document_id").as("cid"), col("embedding")),
+      "cid", "embedding", 8, 256)
+    val qdf = spark.range(1).select(qv.as("qv"))
+    val probed = graft.search.LshAnn.search(ann, qdf, 10, 8, 256)
+      .queryExecution.executedPlan.toString
+    assert(probed.contains("TakeOrderedAndProject"), probed)
+    assert(probed.contains("BroadcastExchange"), probed)
+    assert(!probed.contains("SortMergeJoin"),
+      "the probe set is tiny and must broadcast")
+  }
+
   test("q01: aggregation is partial+final (map-side combine)") {
     val p = plan("q01_pricing_summary")
     // two HashAggregate nodes around one exchange = partial aggregation
