@@ -486,8 +486,9 @@ object TestQueries11 {
     * content entries before B-class header entries, position order) as
     * an ORDERED weight list and replays the exact double arithmetic
     * with left folds — `list_transform` index j is 1-based, matching
-    * the kernel's (j+1). Ranks round to 6; the filter runs on the raw
-    * rank in both engines.
+    * the kernel's (j+1). The formula is libm-free (pure divisions in a
+    * fixed order), so ranks compare RAW — no display ROUND to diverge
+    * on a halfway value (the q114 lesson).
     */
   val q122RankPositional: QueryCase = QueryCase(
     "q122_rank_positional",
@@ -501,7 +502,7 @@ object TestQueries11 {
             TextFunctions.tokens(col("source")), stem = false).as("pb"))
         .withColumn("r", Fts.tsRankPositional(col("pa"), col("pb"), terms))
         .where(col("r") > 0)
-        .select(col("doc_id"), round(col("r"), 6).as("rank"))
+        .select(col("doc_id"), col("r").as("rank"))
         .orderBy("doc_id")
     },
     Some {
@@ -542,7 +543,7 @@ object TestQueries11 {
                       CAST(1.973525572 AS DOUBLE) ORDER BY term_idx)),
                  (a, b) -> a + b) / 2 AS rank
         FROM withjm GROUP BY doc_id)
-      SELECT doc_id, ROUND(rank, 6) AS rank
+      SELECT doc_id, rank
       FROM scored WHERE rank > 0 ORDER BY doc_id"""
     })
 
