@@ -252,6 +252,8 @@ object TestQueries11 {
       // whole gate instead of shrinking the output by zero rows
       val j1Count = tiles.where(col("id") === "j1")
         .agg(count(lit(1)).as("_j1n"))
+      // raw means, like q81: exact-Long channel sums / pixel count is
+      // bit-identical across engines — no display ROUND to diverge
       tiles.where(col("id").isin(pngAssets.map(_._1): _*))
         .crossJoin(broadcast(j1Count))
         .select(
@@ -259,9 +261,7 @@ object TestQueries11 {
             .otherwise(raise_error(lit("q119: JPEG decode emitted no tiles"))
               .cast("string")).as("id"),
           col("tile_x"), col("tile_y"), col("n_px"),
-          round(col("mean_r"), 6).as("mean_r"),
-          round(col("mean_g"), 6).as("mean_g"),
-          round(col("mean_b"), 6).as("mean_b"), col("peak_sum"))
+          col("mean_r"), col("mean_g"), col("mean_b"), col("peak_sum"))
         .orderBy("id", "tile_y", "tile_x")
     },
     Some {
@@ -285,9 +285,9 @@ object TestQueries11 {
         FROM vals)
       SELECT id, tx AS tile_x, ty AS tile_y,
              CAST(COUNT(*) AS INT) AS n_px,
-             ROUND(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS mean_r,
-             ROUND(CAST(SUM(g) AS DOUBLE) / COUNT(*), 6) AS mean_g,
-             ROUND(CAST(SUM(b) AS DOUBLE) / COUNT(*), 6) AS mean_b,
+             CAST(SUM(r) AS DOUBLE) / COUNT(*) AS mean_r,
+             CAST(SUM(g) AS DOUBLE) / COUNT(*) AS mean_g,
+             CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_b,
              CAST(MAX(r + g + b) AS INT) AS peak_sum
       FROM tiled
       GROUP BY id, tx, ty
