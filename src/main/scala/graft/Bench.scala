@@ -141,9 +141,13 @@ object Bench {
     val worstSteady = worstPairs.map { case (name, _) =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      // A failed steady run records -1, not its time-to-failure: a fast
+      // crash would otherwise read as a fast steady state and defeat the
+      // cold-vs-steady disambiguation this column exists for.
+      try {
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => name -> -1.0 }
     }
     val worstSteadyJson = worstSteady
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")

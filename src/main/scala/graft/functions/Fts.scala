@@ -410,7 +410,7 @@ object PosLexKernels {
     * per query lexeme, its posting list of occurrence weights in
     * document order is damped by occurrence index —
     * `resj = Σ_j w_j/((j+1)²)` — and combined with the max-weight
-    * correction `(wjm + resj − wjm/((jm+1)²)) / 1.973525572` (wjm = max
+    * correction `(wjm + resj − wjm/((jm+1)²)) / 1.64493406685` (wjm = max
     * weight, jm = its FIRST index); the per-lexeme items sum in query
     * order and divide by the query size. A-array entries precede
     * B-array entries in the posting list (Postgres's `setweight(A) ||
@@ -446,7 +446,8 @@ object PosLexKernels {
       scan(posB, weightB)
       if (j > 0)
         res += (wjm + resj - wjm / ((jm + 1).toDouble * (jm + 1).toDouble)) /
-          1.973525572
+          1.64493406685 // pi^2/6, tsrank.c calc_rank_or; 0.1/1.6449=0.0607927
+          // matches the canonical single-match ts_rank value
       t += 1
     }
     res / terms.length

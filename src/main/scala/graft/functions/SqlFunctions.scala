@@ -30,23 +30,23 @@ object SqlFunctions {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft.functions", null, name, usage, "")
 
-  /** (name, usage, builder) for every SQL-exposed kernel. */
-  private def entries: Seq[(String, String,
+  /** (name, arity, usage, builder) for every SQL-exposed kernel. */
+  private def entries: Seq[(String, Int, String,
       Seq[Expression] => Expression)] = Seq(
-    ("ratcliff_sim",
+    ("ratcliff_sim", 2,
       "ratcliff_sim(a, b) - difflib-parity Ratcliff-Obershelp ratio",
       { case Seq(a, b) => RatcliffSimilarity(a, b) }),
-    ("cosine_sim",
+    ("cosine_sim", 2,
       "cosine_sim(a, b) - cosine similarity over float/double arrays, " +
         "NULL on dimension mismatch",
       { case Seq(a, b) => CosineSimilarity(a, b) }),
-    ("en_stem_tokens",
+    ("en_stem_tokens", 1,
       "en_stem_tokens(tokens) - classic Porter lexemes",
       { case Seq(t) => EnStemTokens(t) }),
-    ("en_stem_tokens2",
+    ("en_stem_tokens2", 1,
       "en_stem_tokens2(tokens) - Snowball english (porter2) lexemes",
       { case Seq(t) => EnStemTokens(t, porter2 = true) }),
-    ("pos_ts_rank",
+    ("pos_ts_rank", 3,
       "pos_ts_rank(posA, posB, query) - positional ts_rank " +
         "(calc_rank_or), query = space-separated lexeme literal",
       { case Seq(a, b, q) =>
@@ -54,27 +54,31 @@ object SqlFunctions {
           lit(q, "pos_ts_rank query").split("\\s+").toSeq.filter(_.nonEmpty),
           1.0, 0.4) }))
 
-  private def safely(name: String, usage: String,
+  // Arity is validated explicitly per entry: catching MatchError here
+  // would also swallow a MatchError raised INSIDE a correctly-dispatched
+  // builder body and misreport it as a wrong argument count.
+  private def safely(name: String, arity: Int, usage: String,
       builder: Seq[Expression] => Expression): Seq[Expression] => Expression =
-    args =>
-      try builder(args)
-      catch {
-        case _: MatchError => throw new IllegalArgumentException(
-          s"wrong argument count for $name; usage: $usage")
-      }
+    args => {
+      if (args.length != arity)
+        throw new IllegalArgumentException(
+          s"wrong argument count for $name " +
+            s"(got ${args.length}, need $arity); usage: $usage")
+      builder(args)
+    }
 
   /** Session-build registration (`spark.sql.extensions`). */
   def register(ext: SparkSessionExtensions): Unit =
-    entries.foreach { case (name, usage, builder) =>
+    entries.foreach { case (name, arity, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name, usage),
-        safely(name, usage, builder)))
+        safely(name, arity, usage, builder)))
     }
 
   /** Runtime registration into an existing session (tests, shells). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
-    entries.foreach { case (name, usage, builder) =>
+    entries.foreach { case (name, arity, usage, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), info(name, usage),
-        safely(name, usage, builder))
+        safely(name, arity, usage, builder))
     }
 }

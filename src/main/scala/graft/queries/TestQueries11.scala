@@ -480,7 +480,7 @@ object TestQueries11 {
     })
 
   /** C20 POSITIONAL ts_rank (calc_rank_or structure: per-occurrence
-    * 1/(j+1)² damping, max-weight correction, the 1.973525572
+    * 1/(j+1)² damping, max-weight correction, the 1.64493406685 (π²/6)
     * normalizer, query-size division), oracle-checked over the corpus:
     * the oracle rebuilds each query lexeme's posting list (A-class
     * content entries before B-class header entries, position order) as
@@ -540,7 +540,7 @@ object TestQueries11 {
         SELECT doc_id,
                list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                  list((wjm + resj - wjm / (jm * jm)) /
-                      CAST(1.973525572 AS DOUBLE) ORDER BY term_idx)),
+                      CAST(1.64493406685 AS DOUBLE) ORDER BY term_idx)),
                  (a, b) -> a + b) / 2 AS rank
         FROM withjm GROUP BY doc_id)
       SELECT doc_id, rank

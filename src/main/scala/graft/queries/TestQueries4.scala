@@ -231,6 +231,11 @@ object TestQueries4 {
 
   private def writeQ52Fixtures(): Unit = {
     val d = new java.io.File(q52Dir)
+    // Recreate from scratch: both engines glob this directory, so a stale
+    // file from an older run (or a renamed future fixture) would silently
+    // join the gated row set on both sides and never trip the compare.
+    if (d.isDirectory)
+      d.listFiles().foreach(f => if (f.isFile) f.delete())
     d.mkdirs()
     def put(name: String, bytes: Array[Byte]): Unit = {
       val f = new java.io.File(d, name)

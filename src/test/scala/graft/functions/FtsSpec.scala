@@ -217,7 +217,7 @@ class FtsSpec extends SparkSpec {
 
   test("positional ts_rank: hand-checked damping, merge order, misses") {
     import spark.implicits._
-    val c = 1.973525572
+    val c = 1.64493406685
     def rank(content: String, header: String, terms: Seq[String]): Double =
       Seq((content, header)).toDF("c", "h")
         .select(Fts.tsRankPositional(

@@ -46,7 +46,7 @@ class SqlFunctionsSpec extends SparkSpec {
     val got = spark.sql(
       "SELECT pos_ts_rank(pa, pb, 'rent') FROM pos_rank_fixture")
       .head().getDouble(0)
-    assert(math.abs(got - (1.0 + 0.25 + 0.4 / 9.0) / 1.973525572) < 1e-12)
+    assert(math.abs(got - (1.0 + 0.25 + 0.4 / 9.0) / 1.64493406685) < 1e-12)
   }
 
   test("wrong arity fails with the usage string, not a MatchError") {
