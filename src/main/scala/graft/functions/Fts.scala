@@ -453,6 +453,101 @@ object PosLexKernels {
     res / terms.length
   }
 
+  /** Postgres tsrank.c word_distance for integer position gaps 1..100:
+    * `1/(1.005 + 0.05·exp(w/1.5 − 2))`; gaps >100 collapse to 1e-30.
+    * Precomputed once — the table is also serialized verbatim into the
+    * q124 oracle SQL, so the cross-engine compare never evaluates exp
+    * (the one libm call whose rounding differs between engines).
+    */
+  val WordDistance: Array[Double] = Array.tabulate(101) { w =>
+    if (w == 0) 0.0
+    else 1.0 / (1.005 + 0.05 * math.exp(w / 1.5 - 2.0))
+  }
+
+  /** Positional ts_rank, calc_rank_and structure (PostgreSQL tsrank.c):
+    * for every query-term pair (i, k<i) and every position pair (l of i,
+    * p of k), a proximity weight `curw = sqrt(w_l · w_p ·
+    * word_distance(|pos_l − pos_k|))` folds into the probabilistic-OR
+    * accumulator `res ← 1 − (1−res)(1−curw)` (first pair seeds res);
+    * same-position pairs are skipped and gaps >100 use the 1e-30 floor,
+    * as in the source. No query-size division and no π²/6 normalizer —
+    * those belong to calc_rank_or only. B-class positions are shifted
+    * past A's maximum kept position (the `setweight(A) || setweight(B)`
+    * concatenation rule). A query with <2 terms dispatches to
+    * [[rankOr]], and no scorable pair yields calc_rank's 1e-20 floor —
+    * both exactly as pg's calc_rank does. Doubles throughout (pg
+    * accumulates in float4 — the same declared divergence as rankOr).
+    */
+  def rankAnd(posA: ArrayData, posB: ArrayData, terms: Array[UTF8String],
+              weightA: Double, weightB: Double): Double = {
+    if (terms.length < 2) return rankOr(posA, posB, terms, weightA, weightB)
+    var maxA = -1
+    var ai = 0
+    val an = posA.numElements()
+    while (ai < an) {
+      val p = posA.getStruct(ai, 2).getInt(1)
+      if (p > maxA) maxA = p
+      ai += 1
+    }
+    val shift = maxA + 1
+    val nT = terms.length
+    val poss = new Array[Array[Int]](nT)
+    val ws = new Array[Array[Double]](nT)
+    var t = 0
+    while (t < nT) {
+      val pBuf = new scala.collection.mutable.ArrayBuffer[Int]
+      val wBuf = new scala.collection.mutable.ArrayBuffer[Double]
+      def scan(arr: ArrayData, w: Double, off: Int): Unit = {
+        val n = arr.numElements()
+        var i = 0
+        while (i < n) {
+          val row = arr.getStruct(i, 2)
+          if (row.getUTF8String(0).equals(terms(t))) {
+            pBuf += row.getInt(1) + off
+            wBuf += w
+          }
+          i += 1
+        }
+      }
+      scan(posA, weightA, 0)
+      scan(posB, weightB, shift)
+      poss(t) = pBuf.toArray
+      ws(t) = wBuf.toArray
+      t += 1
+    }
+    var res = -1.0
+    var i = 0
+    while (i < nT) {
+      val pi = poss(i)
+      if (pi.nonEmpty) {
+        var k = 0
+        while (k < i) {
+          val pk = poss(k)
+          if (pk.nonEmpty) {
+            var l = 0
+            while (l < pi.length) {
+              var p = 0
+              while (p < pk.length) {
+                val dist = math.abs(pi(l) - pk(p))
+                if (dist != 0) {
+                  val wd = if (dist > 100) 1e-30 else WordDistance(dist)
+                  val curw = math.sqrt(ws(i)(l) * ws(k)(p) * wd)
+                  res = if (res < 0) curw
+                        else 1.0 - (1.0 - res) * (1.0 - curw)
+                }
+                p += 1
+              }
+              l += 1
+            }
+          }
+          k += 1
+        }
+      }
+      i += 1
+    }
+    if (res < 0) 1e-20 else res
+  }
+
   /** True when some anchor position p0 has every query term k at exactly
     * p0 + offset(k) (Postgres `<N>` phrase semantics; a single term with
     * offset 0 degenerates to containment). Positions are strictly
@@ -535,6 +630,31 @@ case class PosTsRank(left: Expression, right: Expression,
       "org.apache.spark.unsafe.types.UTF8String[]")
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.PosLexKernels.rankOr($a, $b, $ref, $weightA, $weightB)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Positional ts_rank (calc_rank_and proximity structure) over two
+  * array<struct<lex,pos>> weight classes — see [[PosLexKernels.rankAnd]].
+  */
+case class PosTsRankAnd(left: Expression, right: Expression,
+                        lexemes: Seq[String], weightA: Double,
+                        weightB: Double)
+    extends BinaryExpression {
+  require(lexemes.nonEmpty, "need at least one query lexeme")
+  @transient private lazy val lexs: Array[UTF8String] =
+    lexemes.map(UTF8String.fromString).toArray
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PosLexKernels.rankAnd(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      lexs, weightA, weightB)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lexs", lexs,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PosLexKernels.rankAnd($a, $b, $ref, $weightA, $weightB)")
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -812,6 +932,21 @@ object Fts {
                        weightA: Double = 1.0,
                        weightB: Double = 0.4): Column =
     graftshim.column(PosTsRank(graftshim.expression(posA),
+      graftshim.expression(posB), queryLexemes, weightA, weightB))
+
+  /** Positional ts_rank with the calc_rank_and AND-proximity structure
+    * (pair-distance weighting via word_distance) over two weight classes
+    * of positional lexemes; see [[PosLexKernels.rankAnd]] for the
+    * formula, the pg dispatch rules (<2 terms → calc_rank_or, no pair →
+    * 1e-20) and the declared float4 divergence. This closes the last
+    * structural gap vs the reference's keyword ranking
+    * (044_keyword_search.sql:80-95 ts_rank over AND'ed websearch terms).
+    */
+  def tsRankAndPositional(posA: Column, posB: Column,
+                          queryLexemes: Seq[String],
+                          weightA: Double = 1.0,
+                          weightB: Double = 0.4): Column =
+    graftshim.column(PosTsRankAnd(graftshim.expression(posA),
       graftshim.expression(posB), queryLexemes, weightA, weightB))
 
   /** `fts @@ query` over positional lexemes: phrases require their exact

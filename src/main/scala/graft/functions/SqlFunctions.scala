@@ -52,6 +52,14 @@ object SqlFunctions {
       { case Seq(a, b, q) =>
         PosTsRank(a, b,
           lit(q, "pos_ts_rank query").split("\\s+").toSeq.filter(_.nonEmpty),
+          1.0, 0.4) }),
+    ("pos_ts_rank_and", 3,
+      "pos_ts_rank_and(posA, posB, query) - positional ts_rank " +
+        "(calc_rank_and proximity), query = space-separated lexeme literal",
+      { case Seq(a, b, q) =>
+        PosTsRankAnd(a, b,
+          lit(q, "pos_ts_rank_and query").split("\\s+").toSeq
+            .filter(_.nonEmpty),
           1.0, 0.4) }))
 
   // Arity is validated explicitly per entry: catching MatchError here

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-7 gate queries: calc_rank_and proximity ranking (the last
+  * structural ts_rank gap vs the reference's keyword search,
+  * 044_keyword_search.sql:80-95).
+  */
+object TestQueries12 {
+
+  /** C20 POSITIONAL ts_rank, calc_rank_and structure (PostgreSQL
+    * tsrank.c): every (term-pair, position-pair) contributes
+    * `curw = sqrt(w_l·w_p·word_distance(|Δpos|))` folded through the
+    * probabilistic-OR recurrence `res ← 1−(1−res)(1−curw)`. The oracle
+    * replays the identical arithmetic: word_distance is the ONLY libm
+    * step (exp), and it is a pure function of an INTEGER gap 1..100 —
+    * so the Scala-precomputed table is serialized into this SQL as
+    * string-cast double literals and both engines evaluate only
+    * exact-rounded ops (mul/sub/sqrt) over identical constants, in the
+    * identical fold order (term i asc, term k<i asc, position l, then
+    * p — mirrored by `list(curw ORDER BY ti, tk, l, p)` into a
+    * list_reduce left fold). Ranks therefore compare RAW, no ROUND.
+    * B-class (source) positions shift past A's maximum kept position,
+    * the `setweight(A)||setweight(B)` concatenation rule; docs with no
+    * scorable pair take pg's 1e-20 floor and are filtered, mirroring
+    * `WHERE r > 1e-19` against the oracle's inner-join pair existence.
+    */
+  val q124RankAnd: QueryCase = QueryCase(
+    "q124_rank_and",
+    (s, dir) => {
+      import graft.functions.{Fts, TextFunctions}
+      val terms = Seq("spark", "merge")
+      Tables.documents(s, dir).select(col("doc_id"),
+          Fts.posLexemesOfTokens(
+            TextFunctions.tokens(col("text")), stem = false).as("pa"),
+          Fts.posLexemesOfTokens(
+            TextFunctions.tokens(col("source")), stem = false).as("pb"))
+        .withColumn("r", Fts.tsRankAndPositional(col("pa"), col("pb"), terms))
+        .where(col("r") > 1e-19)
+        .select(col("doc_id"), col("r").as("rank"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val stop = graft.functions.Fts.Stopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString(", ")
+      // the kernel's WordDistance table, round-tripped through
+      // Double.toString + strtod so both engines hold identical bits
+      val wd = (1 to 100)
+        .map(d => s"CAST('${graft.functions.PosLexKernels.WordDistance(d)}' " +
+          "AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      def toks(colName: String, src: Int) =
+        s"""SELECT doc_id, u.tok AS tok, u.i AS i, $src AS src
+            FROM documents, UNNEST(list_transform(
+              regexp_split_to_array(LOWER(TRIM($colName)), '\\s+'),
+              (x, j) -> struct_pack(tok := x, i := j))) AS t(u)
+            WHERE u.tok <> ''"""
+      s"""
+      WITH toks AS (${toks("text", 0)} UNION ALL ${toks("source", 1)}),
+      kept AS (SELECT * FROM toks WHERE tok NOT IN ($stop)),
+      amax AS (
+        SELECT doc_id, MAX(i) AS ma FROM kept WHERE src = 0 GROUP BY doc_id),
+      hits AS (
+        SELECT k.doc_id,
+               CASE WHEN k.tok = 'spark' THEN 1 ELSE 2 END AS term_idx,
+               k.i + CASE WHEN k.src = 1 THEN COALESCE(a.ma, 0)
+                          ELSE 0 END AS pos,
+               CASE WHEN k.src = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.4 AS DOUBLE) END AS w
+        FROM kept k LEFT JOIN amax a USING (doc_id)
+        WHERE k.tok IN ('spark', 'merge')),
+      idx AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, term_idx
+                                     ORDER BY pos) AS li
+        FROM hits),
+      pairs AS (
+        SELECT hi.doc_id,
+               sqrt((hi.w * hk.w) *
+                 CASE WHEN ABS(hi.pos - hk.pos) > 100
+                        THEN CAST('1.0E-30' AS DOUBLE)
+                      ELSE ($wd)[ABS(hi.pos - hk.pos)] END) AS curw,
+               hi.term_idx AS ti, hk.term_idx AS tk, hi.li AS l, hk.li AS p
+        FROM idx hi JOIN idx hk
+          ON hi.doc_id = hk.doc_id AND hi.term_idx > hk.term_idx
+        WHERE hi.pos <> hk.pos),
+      folded AS (
+        SELECT doc_id,
+               list_reduce(list(curw ORDER BY ti, tk, l, p),
+                 (a, b) -> 1 - (1 - a) * (1 - b)) AS rank
+        FROM pairs GROUP BY doc_id)
+      SELECT doc_id, rank FROM folded ORDER BY doc_id"""
+    })
+
+  val all: Seq[QueryCase] = Seq(q124RankAnd)
+}

@@ -244,6 +244,45 @@ class FtsSpec extends SparkSpec {
     assert(two > one)
   }
 
+  test("positional ts_rank AND: word_distance pairs, shift, pg dispatch") {
+    import spark.implicits._
+    import graft.functions.PosLexKernels.WordDistance
+    def rank(content: String, header: String, terms: Seq[String]): Double =
+      Seq((content, header)).toDF("c", "h")
+        .select(Fts.tsRankAndPositional(
+          Fts.posLexemesOfTokens(TextFunctions.tokens(col("c")), stem = false),
+          Fts.posLexemesOfTokens(TextFunctions.tokens(col("h")), stem = false),
+          terms))
+        .head().getDouble(0)
+    // adjacent A-A pair: curw = sqrt(1*1*wd(1))
+    assert(rank("alpha beta", "x", Seq("alpha", "beta")) ===
+      math.sqrt(WordDistance(1)))
+    // wd table matches the pg formula
+    assert(math.abs(WordDistance(1) -
+      1.0 / (1.005 + 0.05 * math.exp(1.0 / 1.5 - 2.0))) < 1e-15)
+    // cross-class pair: header beta shifts past content's max pos
+    // (content "alpha", maxA=0, shift=1 → dist 1), w = sqrt(1*0.4*wd(1))
+    assert(rank("alpha", "beta", Seq("alpha", "beta")) ===
+      math.sqrt(0.4 * WordDistance(1)))
+    // two pairs fold probabilistically: "alpha beta alpha"
+    // i=beta: (beta@1, alpha@0) dist 1, then (beta@1, alpha@2) dist 1
+    val c1 = math.sqrt(WordDistance(1))
+    assert(rank("alpha beta alpha", "x", Seq("alpha", "beta")) ===
+      1.0 - (1.0 - c1) * (1.0 - c1))
+    // gap > 100 takes the 1e-30 floor
+    val far = "alpha " + Seq.fill(150)("pad").mkString(" ") + " beta"
+    assert(rank(far, "x", Seq("alpha", "beta")) === math.sqrt(1e-30))
+    // a term absent → no pair → pg's calc_rank 1e-20 floor
+    assert(rank("alpha", "x", Seq("alpha", "absent")) === 1e-20)
+    // <2 terms dispatches to calc_rank_or: A-only single occurrence,
+    // item = (1 + 1 - 1)/c / 1 term
+    assert(math.abs(rank("alpha", "x", Seq("alpha")) -
+      1.0 / 1.64493406685) < 1e-12)
+    // distance damping: closer pair outranks a farther one
+    assert(rank("alpha beta", "x", Seq("alpha", "beta")) >
+      rank("alpha pad pad pad beta", "x", Seq("alpha", "beta")))
+  }
+
   test("plain query parsing: stopwords dropped, lexemes stemmed") {
     assert(Fts.plainQueryLexemes("the running dogs") == Seq("run", "dog"))
   }
