@@ -22,4 +22,32 @@ object CrossHash {
   /** DuckDB mirror of [[md5Hash32]] over a SQL expression string. */
   def md5Hash32Sql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 8)) AS BIGINT)"
+
+  /** md5-derived FULL-WIDTH 64-bit hash (as a SIGNED long, two's
+    * complement reinterpretation of the first 16 md5 hex chars). This is
+    * the injectable stand-in for the production fnv1a64 family: wide
+    * enough to drive the 64-bit signature kernels (simhash votes, minhash
+    * affine family, embedder buckets) through their REAL code paths while
+    * remaining DuckDB-computable — see [[md5Hash64SqlU]].
+    */
+  def md5Hash64(c: Column): Column = {
+    val d = conv(substring(md5(c.cast("binary")), 1, 16), 16, 10)
+      .cast(org.apache.spark.sql.types.DecimalType(20, 0))
+    when(d >= lit(new java.math.BigDecimal("9223372036854775808")),
+      d - lit(new java.math.BigDecimal("18446744073709551616")))
+      .otherwise(d).cast("long")
+  }
+
+  /** DuckDB mirror of [[md5Hash64]]'s UNSIGNED value as HUGEINT (bit
+    * arithmetic — shifts, buckets, wrap-around affine sums — is cleanest
+    * unsigned; reduce to the signed BIGINT view with [[hugeToSignedSql]]).
+    */
+  def md5Hash64SqlU(expr: String): String =
+    s"CAST(CAST(('0x' || substr(md5($expr), 1, 16)) AS UBIGINT) AS HUGEINT)"
+
+  /** HUGEINT in [0, 2^64) → signed BIGINT (two's complement). */
+  def hugeToSignedSql(expr: String): String =
+    s"""CAST(CASE WHEN ($expr) >= 9223372036854775808
+          THEN ($expr) - 18446744073709551616
+          ELSE ($expr) END AS BIGINT)"""
 }

@@ -34,21 +34,19 @@ object Hashing {
     h
   }
 
-  def simhash64(tokens: ArrayData): Long = {
-    val counts = new Array[Int](64)
-    val n = tokens.numElements()
-    var i = 0
-    while (i < n) {
-      if (!tokens.isNullAt(i)) {
-        val h = fnv1a64(tokens.getUTF8String(i), 0L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-      }
-      i += 1
+  /** The SimHash voting core, shared by the production token path and the
+    * injected-hash path: each 64-bit hash votes +1/−1 per bit position.
+    */
+  private def simhashVote(counts: Array[Int], h: Long): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+      b += 1
     }
+  }
+
+  /** Vote counts → signature: bit b set iff its vote sum is positive. */
+  private def simhashSign(counts: Array[Int]): Long = {
     var out = 0L
     var b = 0
     while (b < 64) {
@@ -58,12 +56,57 @@ object Hashing {
     out
   }
 
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) simhashVote(counts, fnv1a64(tokens.getUTF8String(i), 0L))
+      i += 1
+    }
+    simhashSign(counts)
+  }
+
+  /** SimHash over PRE-COMPUTED per-token 64-bit hashes — the same vote +
+    * sign core as [[simhash64]] with the hash source externalized. Exists
+    * so the q127 gate can drive the production voting/sign code through
+    * md5-derived hashes that DuckDB reproduces bit-for-bit; only
+    * [[fnv1a64]] itself (pinned by published test vectors in
+    * HashFamilyEquivalenceSpec) stays outside the oracle.
+    */
+  def simhash64FromHashes(hs: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) simhashVote(counts, hs.getLong(i))
+      i += 1
+    }
+    simhashSign(counts)
+  }
+
   /** k-minimum signature. Each shingle is hashed ONCE (two FNV passes),
     * then the k family members come from the affine family
     * h_j = h1 + j·h2 (h2 forced odd so the family is a bijection on Z/2^64)
     * — the standard "one hash + k mixes" construction, k× cheaper than k
     * independent full-string hashes.
     */
+  /** The affine-family min-update core, shared by the production shingle
+    * path and the injected-hash path: member j of the family is
+    * h1 + j·h2 (mod 2^64, h2 odd), and each signature slot keeps the
+    * SIGNED minimum seen.
+    */
+  private def affineMinUpdate(mins: Array[Long], h1: Long, h2odd: Long,
+                              k: Int): Unit = {
+    var h = h1
+    var j = 0
+    while (j < k) {
+      if (h < mins(j)) mins(j) = h
+      h += h2odd
+      j += 1
+    }
+  }
+
   def minhashSig(arr: ArrayData, k: Int): ArrayData = {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
@@ -72,16 +115,28 @@ object Hashing {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val s = arr.getUTF8String(i)
-        val h1 = fnv1a64(s, 0L)
-        val h2 = fnv1a64(s, 1L) | 1L
-        var h = h1
-        var j = 0
-        while (j < k) {
-          if (h < mins(j)) mins(j) = h
-          h += h2
-          j += 1
-        }
+        affineMinUpdate(mins, fnv1a64(s, 0L), fnv1a64(s, 1L) | 1L, k)
       }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** MinHash signature over PRE-COMPUTED per-shingle hash pairs — the
+    * same affine min core as [[minhashSig]] (wrap-around sums, SIGNED
+    * minima, forced-odd step) with the hash source externalized; the
+    * q126 signature gate drives it with md5-derived 64-bit hashes whose
+    * affine family DuckDB replays in HUGEINT arithmetic.
+    */
+  def minhashSigFromHashPairs(h1s: ArrayData, h2s: ArrayData,
+                              k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = math.min(h1s.numElements(), h2s.numElements())
+    var i = 0
+    while (i < n) {
+      if (!h1s.isNullAt(i) && !h2s.isNullAt(i))
+        affineMinUpdate(mins, h1s.getLong(i), h2s.getLong(i) | 1L, k)
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(mins)
@@ -155,12 +210,39 @@ object Hashing {
       }
       i += 1
     }
+    l2NormalizeInPlace(vec)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(vec)
+  }
+
+  /** The embedder's normalization core, shared by both entry paths:
+    * double-accumulated norm, float inverse, float scaling — the exact
+    * operation sequence the q128 oracle replays (each step is a single
+    * IEEE rounding, so DuckDB reproduces every output bit).
+    */
+  private def l2NormalizeInPlace(vec: Array[Float]): Unit = {
     var norm = 0.0
     var j = 0
-    while (j < dim) { norm += vec(j) * vec(j); j += 1 }
+    while (j < vec.length) { norm += vec(j) * vec(j); j += 1 }
     val inv = if (norm == 0.0) 0.0f else (1.0 / math.sqrt(norm)).toFloat
     j = 0
-    while (j < dim) { vec(j) *= inv; j += 1 }
+    while (j < vec.length) { vec(j) *= inv; j += 1 }
+  }
+
+  /** Hashing embedder over PRE-COMPUTED feature hashes (the caller builds
+    * the unigram/bigram feature stream) — the same signed-bucket vote +
+    * L2 normalization core as [[hashEmbed]] with the hash source
+    * externalized, so the q128 gate can drive the production numeric
+    * core through md5-derived hashes DuckDB reproduces.
+    */
+  def hashEmbedFromHashes(hs: ArrayData, dim: Int): ArrayData = {
+    val vec = new Array[Float](dim)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) addFeature(vec, dim, hs.getLong(i))
+      i += 1
+    }
+    l2NormalizeInPlace(vec)
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(vec)
   }
 
@@ -213,6 +295,48 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.simhash64($c)")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** SimHash over a pre-computed `array<long>` hash column (q127 gate). */
+case class SimHash64FromHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    Hashing.simhash64FromHashes(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Hashing.simhash64FromHashes($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** MinHash signature over pre-computed `array<long>` hash-pair columns
+  * (q126 signature gate).
+  */
+case class MinHashSigFromHashPairs(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Hashing.minhashSigFromHashPairs(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.Hashing.minhashSigFromHashPairs($a, $b, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Hashing embedder over a pre-computed `array<long>` feature-hash column
+  * (q128 gate).
+  */
+case class HashEmbedFromHashes(child: Expression, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    Hashing.hashEmbedFromHashes(v.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Hashing.hashEmbedFromHashes($c, $dim)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** MinHash over an `array<string>` shingle column → `array<long>` of k
@@ -308,6 +432,17 @@ object MinHash {
 
   def simHash(tokens: Column): Column =
     graftshim.column(SimHash64(graftshim.expression(tokens)))
+
+  /** SimHash from externally-computed per-token hashes (gate path). */
+  def simHashFromHashes(hashes: Column): Column =
+    graftshim.column(SimHash64FromHashes(graftshim.expression(hashes)))
+
+  /** Signature from externally-computed per-shingle hash pairs (gate
+    * path).
+    */
+  def signatureFromHashPairs(h1s: Column, h2s: Column, k: Int): Column =
+    graftshim.column(MinHashSigFromHashPairs(graftshim.expression(h1s),
+      graftshim.expression(h2s), k))
 
   /** Random-hyperplane band keys for embedding LSH (array position =
     * band index; use posexplode to recover it).

@@ -39,4 +39,10 @@ object HashingEmbedder {
   /** Embed a token-array column into a `dim`-wide normalized float vector. */
   def embedTokens(tokens: Column, dim: Int = 256): Column =
     graftshim.column(HashEmbed(graftshim.expression(tokens), dim))
+
+  /** Embed from externally-computed feature hashes (the q128 gate path:
+    * same bucket-vote + normalize core, hash source injected).
+    */
+  def embedFromHashes(hashes: Column, dim: Int): Column =
+    graftshim.column(HashEmbedFromHashes(graftshim.expression(hashes), dim))
 }

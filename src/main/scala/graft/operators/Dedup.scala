@@ -229,22 +229,74 @@ object Dedup {
                               threshold: Double = 0.5,
                               maxBucket: Int = 256): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val toks = spread(df).select(col(idCol).as("id"),
-      TextFunctions.tokens(col(textCol)).as("tk"))
-    // materialized: consumed by banding AND both verify-join sides
-    val shingled = materialize(toks.select(col("id"),
-        TextFunctions.distinctNgramsOfTokens(col("tk"), shingleN).as("sh"))
-      // shingle-less docs band identically (empty-set signature) and
-      // verify to 0/0 = NaN, which Spark orders ABOVE the threshold —
-      // they carry no dedup evidence, drop them before banding
-      .where(size(col("sh")) > 0))
+    val shingled = shingleSets(df, idCol, textCol, shingleN)
     // bind the signature to an attribute before the bandKeys HOF —
     // an interpreted lambda re-evaluates captured subtrees per band,
     // which would recompute the full k-hash signature bands times
     val withSig = shingled.select(col("id"),
       MinHash.signature(col("sh"), k).as("sig"))
-    val banded = withSig.select(col("id"),
-      explode(MinHash.bandKeys(col("sig"), bands, k / bands)).as("bk"))
+    verifiedPairsFromSigs(shingled, withSig, bands, k / bands, threshold,
+      maxBucket)
+  }
+
+  /** The same verified-pair pipeline driven by the md5-derived affine
+    * signature family of the semantic oracles (q85's family widened to
+    * k members) instead of the production 64-bit family. Every stage
+    * downstream of the signature — banding, bucket caps, pair expansion,
+    * exact-Jaccard verification — is the IDENTICAL code via
+    * [[verifiedPairsFromSigs]]. The q126 gate runs both families and the
+    * oracle holds each to the brute-force pair set: at calibrated
+    * thresholds the verified output is a pure function of the data, so
+    * the two families must agree exactly, and do (probe + spec at
+    * sf0.01/sf0.1).
+    */
+  def minhashLshVerifiedPairsMd5Family(df: DataFrame, idCol: String,
+                                       textCol: String, shingleN: Int = 5,
+                                       k: Int = 64, bands: Int = 16,
+                                       threshold: Double = 0.5,
+                                       maxBucket: Int = 256): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val prime = 4294967311L // smallest prime > 2^32 (q85's family)
+    def a(j: Int): Long = 1000003L + 2L * j
+    def b(j: Int): Long = 777L + 104729L * j
+    val shingled = shingleSets(df, idCol, textCol, shingleN)
+    // explode → hash-aggregate min per family member (codegen; the HOF
+    // fold form would run k interpreted passes per row — q85's lesson)
+    val exploded = shingled.select(col("id"), explode(col("sh")).as("g"))
+      .select(col("id"), graft.functions.CrossHash.md5Hash32(col("g")).as("h"))
+    val sigCols = (0 until k).map(j =>
+      min(pmod(lit(a(j)) * col("h") + lit(b(j)), lit(prime))).as(s"s$j"))
+    val sigs = exploded.groupBy("id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("id"), array((0 until k).map(j => col(s"s$j")): _*).as("sig"))
+    verifiedPairsFromSigs(shingled, sigs, bands, k / bands, threshold,
+      maxBucket)
+  }
+
+  /** id + distinct word-shingle sets, shingle-less docs dropped,
+    * materialized (consumed by banding AND both verify-join sides).
+    * Shingle-less docs band identically (empty-set signature) and verify
+    * to 0/0 = NaN, which Spark orders ABOVE the threshold — they carry no
+    * dedup evidence.
+    */
+  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame = {
+    val toks = spread(df).select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    materialize(toks.select(col("id"),
+        TextFunctions.distinctNgramsOfTokens(col("tk"), shingleN).as("sh"))
+      .where(size(col("sh")) > 0))
+  }
+
+  /** Banding → capped bucket pair expansion → exact-Jaccard verification,
+    * shared verbatim by every signature family (the family only decides
+    * `sigs`). `sigs` must be (id, sig: array<long>).
+    */
+  private def verifiedPairsFromSigs(shingled: DataFrame, sigs: DataFrame,
+                                    bands: Int, rowsPerBand: Int,
+                                    threshold: Double,
+                                    maxBucket: Int): DataFrame = {
+    val banded = sigs.select(col("id"),
+      explode(MinHash.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     val cand = pairsWithinBuckets(banded, Seq(col("bk")),
         struct(col("id")), maxBucket)
       .select(col("p1.id").as("id1"), col("p2.id").as("id2"))
@@ -268,9 +320,14 @@ object Dedup {
     * dropped (df-cutoff; see class doc).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 256,
+                   sigOfTokens: Column => Column = MinHash.simHash)
+      : DataFrame = {
+    // tokens bound to an attribute before the signature expression so an
+    // injected HOF-based sigOfTokens can't re-evaluate the tokenizer
     val sigs = spread(df).select(col(idCol).as("id"),
-      MinHash.simHash(TextFunctions.tokens(col(textCol))).as("sig"))
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("id"), sigOfTokens(col("tk")).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),

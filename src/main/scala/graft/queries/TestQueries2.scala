@@ -123,8 +123,14 @@ object TestQueries2 {
       SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
       FROM f GROUP BY fp ORDER BY fp"""))
 
-  /** MinHash+LSH near-dup pairs — not ANSI-SQL-expressible (custom hash
-    * family); driver records the weaker rows-only check.
+  /** MinHash+LSH near-dup pairs. The est_jaccard VALUES are a function
+    * of the 64-bit hash family (not ANSI-SQL-expressible → rows-only
+    * here), but since round 7 everything else about this pipeline is
+    * oracle-hard: q126 holds BOTH hash families' verified outputs to the
+    * brute-force ground truth, HashFamilyEquivalenceSpec proves the
+    * production kernel path ≡ the injected-hash path bit-exactly and
+    * pins fnv1a64 to the published FNV-1a vectors, and q78/q85 cover
+    * verification and estimator semantics.
     */
   val q28MinhashPairs: QueryCase = QueryCase(
     "q28_minhash_pairs",
@@ -135,7 +141,13 @@ object TestQueries2 {
         .orderBy("id1", "id2"),
     None)
 
-  /** SimHash near-dup pairs — rows-only for the same reason. */
+  /** SimHash near-dup pairs — the Hamming VALUES are a function of the
+    * 64-bit hash family (rows-only here), but since round 7 the ENTIRE
+    * pipeline code path — vote/sign kernel core, chunk blocking, bucket
+    * caps, Hamming verify — is oracle-hard via q127 (md5-64-injected
+    * hashes through the same kernel entry), with fnv1a64 itself pinned
+    * to published vectors in HashFamilyEquivalenceSpec.
+    */
   val q29SimhashPairs: QueryCase = QueryCase(
     "q29_simhash_pairs",
     (s, dir) =>

@@ -173,7 +173,13 @@ object TestQueries5 {
 
   /** §2.11 embedding backend: deterministic hashing embedder + cosine
     * self-similarity sanity (near-dup docs embed near each other).
-    * Rows-only (custom hash family).
+    * Rows-only (the vector components are a function of the 64-bit hash
+    * family), but since round 7 the embedder's numeric core —
+    * bucket/sign votes, float accumulation, L2 normalization — is
+    * oracle-hard via q128 (md5-64-injected hashes through the same
+    * kernel core, RAW double compare), the production path ≡ injected
+    * path bit-exactly and the gram stream byte-equal per
+    * HashFamilyEquivalenceSpec, and fnv1a64 is vector-pinned there too.
     */
   val q58HashEmbed: QueryCase = QueryCase(
     "q58_hash_embed",
