@@ -689,13 +689,34 @@ case class PhraseAtOffsets(child: Expression, lexemes: Seq[String],
   */
 object Fts {
 
-  /** Default english stopwords used before stemming (subset of the
-    * Postgres english stop list — documented divergence).
+  /** English stopwords dropped before stemming: the full 127-word
+    * PostgreSQL `english` text-search stop list
+    * (src/backend/snowball/stopwords/english.stop, the public Snowball
+    * list — reference behavior via `to_tsvector('english', ...)`,
+    * 044_keyword_search.sql:14-31). Every FTS oracle parameterizes its
+    * SQL from this value, so query and mirror always agree; rounds 1–6
+    * shipped a 27-word subset as a declared divergence, closed in
+    * round 7.
     */
-  val Stopwords: Set[String] =
-    Set("a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
-      "has", "he", "in", "is", "it", "its", "of", "on", "that", "the", "to",
-      "was", "were", "will", "with")
+  val Stopwords: Set[String] = Set(
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves",
+    "you", "your", "yours", "yourself", "yourselves",
+    "he", "him", "his", "himself", "she", "her", "hers", "herself",
+    "it", "its", "itself", "they", "them", "their", "theirs", "themselves",
+    "what", "which", "who", "whom", "this", "that", "these", "those",
+    "am", "is", "are", "was", "were", "be", "been", "being",
+    "have", "has", "had", "having", "do", "does", "did", "doing",
+    "a", "an", "the", "and", "but", "if", "or", "because", "as",
+    "until", "while",
+    "of", "at", "by", "for", "with", "about", "against", "between",
+    "into", "through", "during", "before", "after", "above", "below",
+    "to", "from", "up", "down", "in", "out", "on", "off", "over", "under",
+    "again", "further", "then", "once", "here", "there", "when", "where",
+    "why", "how",
+    "all", "any", "both", "each", "few", "more", "most", "other", "some",
+    "such", "no", "nor", "not", "only", "own", "same", "so", "than",
+    "too", "very",
+    "s", "t", "can", "will", "just", "don", "should", "now")
 
   /** Stemmer selection — conf key `spark.graft.fts.stemmer`:
     * `porter` (default; classic 1980, matches every existing oracle) or

@@ -339,17 +339,19 @@ class FtsSpec extends SparkSpec {
   test("positional phrases: in-phrase stopwords are distance skips") {
     import spark.implicits._
     import Fts.TsQuery._
-    // websearch_to_tsquery('"out of the box"') = 'out <3> box'
-    val q = Fts.websearchQuery("\"out of the box\"", stem = false)
+    // websearch_to_tsquery('"rent of the lease"') = 'rent <3> lease'
+    // (boundary words must be non-stop under the full english.stop list —
+    // 'out of the box' now collapses to bare 'box', as in Postgres)
+    val q = Fts.websearchQuery("\"rent of the lease\"", stem = false)
     q match {
       case OrChain(Seq(AndGroup(Seq(p: Phrase)))) =>
-        assert(p.items == Seq(PhraseTerm("out", 0), PhraseTerm("box", 3)))
+        assert(p.items == Seq(PhraseTerm("rent", 0), PhraseTerm("lease", 3)))
       case other => fail(s"unexpected parse: $other")
     }
     val df = Seq(
-      (1L, "ships out of the box ready"),      // out@1 box@4: distance 3 ✓
-      (2L, "out box immediately"),             // adjacent: <3> must NOT match
-      (3L, "thinking out of a cardboard box")) // distance 4 ✗
+      (1L, "monthly rent of the lease terms"),   // rent@1 lease@4: dist 3 ✓
+      (2L, "rent lease immediately"),            // adjacent: <3> must NOT match
+      (3L, "rent paid per commercial unit lease")) // distance 5 ✗
       .toDF("id", "content")
       .select(col("id"), Fts.posLexemesOfTokens(
         TextFunctions.tokens(col("content")), stem = false).as("pl"))
@@ -358,8 +360,8 @@ class FtsSpec extends SparkSpec {
     assert(posGot == Set(1L))
     // the compact kept-space matcher closes the gap (documented): it
     // also accepts the adjacent form — the positional form is stricter
-    val compact = Seq((1L, "ships out of the box ready"),
-      (2L, "out box immediately"))
+    val compact = Seq((1L, "monthly rent of the lease terms"),
+      (2L, "rent lease immediately"))
       .toDF("id", "content")
       .select(col("id"), struct(
         Fts.filterStopwords(TextFunctions.tokens(col("content"))).as("a"),

@@ -45,13 +45,15 @@ class ChunkStoreSpec extends SparkSpec {
 
   test("phrase search over the store honors positional distance") {
     import spark.implicits._
+    // boundary words must be non-stop under the full english.stop list
+    // ('out of the box' collapses to bare 'box', as in Postgres)
     val pdocs = Seq(
-      ("p1", "benefits accrue out of the box for tenants"), // out <3> box ✓
-      ("p2", "moved out box quickly today"),                // adjacent ✗
-      ("p3", "no relevant phrase at all here"))
+      ("p1", "benefits accrue rent of the lease for tenants"), // rent <3> lease ✓
+      ("p2", "moved rent lease quickly today"),                // adjacent ✗
+      ("p3", "zero relevant phrase anywhere whatsoever"))
       .toDF("document_id", "text")
     val store = ChunkStore.build(pdocs, chunkTokens = 30, overlap = 5).cache()
-    val got = ChunkStore.phraseSearch(store, "\"out of the box\"", 5)
+    val got = ChunkStore.phraseSearch(store, "\"rent of the lease\"", 5)
       .collect().map(_.getString(0))
     assert(got.nonEmpty && got.forall(_.startsWith("p1:")))
   }
