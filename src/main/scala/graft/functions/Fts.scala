@@ -453,6 +453,48 @@ object PosLexKernels {
     res / terms.length
   }
 
+  /** [[rankOr]] in FLOAT4 accumulation — bit-for-bit what Postgres
+    * computes, including C's promotion rules: per-occurrence damping
+    * `resj += w / ((j+1)²)` is a FLOAT division and FLOAT accumulation
+    * (int divisor converts to float), the max-weight correction is FLOAT
+    * arithmetic, the `/ 1.64493406685` normalizer is a DOUBLE literal so
+    * that one step promotes to double before rounding back into the
+    * float accumulator (`res = res + item` in C assigns double→float),
+    * and the final query-size division is float/int. Behind
+    * `spark.graft.fts.rankPrecision` / the `float4` parameter; the
+    * double path remains the engine default (strictly more precise).
+    */
+  def rankOrF32(posA: ArrayData, posB: ArrayData, terms: Array[UTF8String],
+                weightA: Float, weightB: Float): Double = {
+    if (terms.length == 0) return 0.0
+    var res = 0.0f
+    var t = 0
+    while (t < terms.length) {
+      val term = terms(t)
+      var resj = 0.0f; var wjm = -1.0f; var jm = 0; var j = 0
+      def scan(arr: ArrayData, w: Float): Unit = {
+        val n = arr.numElements()
+        var i = 0
+        while (i < n) {
+          val row = arr.getStruct(i, 2)
+          if (row.getUTF8String(0).equals(term)) {
+            resj = resj + w / ((j + 1) * (j + 1)).toFloat
+            if (w > wjm) { wjm = w; jm = j }
+            j += 1
+          }
+          i += 1
+        }
+      }
+      scan(posA, weightA)
+      scan(posB, weightB)
+      if (j > 0)
+        res = (res + (wjm + resj - wjm / ((jm + 1) * (jm + 1)).toFloat)
+          .toDouble / 1.64493406685).toFloat
+      t += 1
+    }
+    (res / terms.length.toFloat).toDouble
+  }
+
   /** Postgres tsrank.c word_distance for integer position gaps 1..100:
     * `1/(1.005 + 0.05·exp(w/1.5 − 2))`; gaps >100 collapse to 1e-30.
     * Precomputed once — the table is also serialized verbatim into the
@@ -616,20 +658,30 @@ case class PosLexemes(child: Expression, stemmed: Boolean,
   * array<struct<lex,pos>> weight classes — see [[PosLexKernels.rankOr]].
   */
 case class PosTsRank(left: Expression, right: Expression,
-                     lexemes: Seq[String], weightA: Double, weightB: Double)
+                     lexemes: Seq[String], weightA: Double, weightB: Double,
+                     float4: Boolean = false)
     extends BinaryExpression {
   require(lexemes.nonEmpty, "need at least one query lexeme")
   @transient private lazy val lexs: Array[UTF8String] =
     lexemes.map(UTF8String.fromString).toArray
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
-    PosLexKernels.rankOr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      lexs, weightA, weightB)
+    if (float4)
+      PosLexKernels.rankOrF32(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], lexs, weightA.toFloat, weightB.toFloat)
+    else
+      PosLexKernels.rankOr(a.asInstanceOf[ArrayData],
+        b.asInstanceOf[ArrayData], lexs, weightA, weightB)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("lexs", lexs,
       "org.apache.spark.unsafe.types.UTF8String[]")
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.PosLexKernels.rankOr($a, $b, $ref, $weightA, $weightB)")
+    if (float4)
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.PosLexKernels.rankOrF32($a, $b, $ref, " +
+          s"${weightA.toFloat}f, ${weightB.toFloat}f)")
+    else
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.PosLexKernels.rankOr($a, $b, $ref, $weightA, $weightB)")
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -656,6 +708,31 @@ case class PosTsRankAnd(left: Expression, right: Expression,
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.PosLexKernels.rankAnd($a, $b, $ref, $weightA, $weightB)")
   }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Single-precision division: Spark's Divide promotes fractional inputs
+  * to double, but the float4 ts_rank parity mode (q129) needs C's native
+  * `float / float` — one IEEE single rounding, not
+  * double-divide-then-truncate. Both children must already be FloatType.
+  */
+case class FloatDiv(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.FloatType &&
+        right.dataType == org.apache.spark.sql.types.FloatType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"FloatDiv needs float inputs, got ${left.dataType}/${right.dataType}")
+  override def dataType: DataType = org.apache.spark.sql.types.FloatType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    a.asInstanceOf[Float] / b.asInstanceOf[Float]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"($a / $b)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
@@ -783,28 +860,61 @@ object Fts {
     * unnormalized TF lets long documents dominate.
     */
   def tsRank(tsvec: Column, queryLexemes: Seq[String],
-             normalization: Int = 0): Column = {
+             normalization: Int = 0, float4: Boolean = false): Column = {
     require((normalization & ~(1 | 2 | 8 | 16 | 32)) == 0,
       s"unsupported ts_rank normalization bits in $normalization " +
         "(supported: 1|2|8|16|32; 4 is ts_rank_cd-only)")
     def cnt(arr: Column): Column = graftshim.column(TokensInSetCount(
       graftshim.expression(arr), queryLexemes))
-    val raw = cnt(tsvec("a")).cast("double") * 1.0 +
-      cnt(tsvec("b")).cast("double") * 0.4
-    if (normalization == 0) raw
-    else {
-      val len = (size(tsvec("a")) + size(tsvec("b"))).cast("double")
-      val uniq = size(array_distinct(
-        concat(tsvec("a"), tsvec("b")))).cast("double")
-      var r = raw
-      def guarded(d: Column): Column =
-        when(d > 0.0, r / d).otherwise(lit(0.0))
-      if ((normalization & 1) != 0) r = guarded(log2(len + 1.0))
-      if ((normalization & 2) != 0) r = guarded(len)
-      if ((normalization & 8) != 0) r = guarded(uniq)
-      if ((normalization & 16) != 0) r = guarded(log2(uniq + 1.0))
-      if ((normalization & 32) != 0) r = r / (r + 1.0)
-      r
+    if (float4) {
+      // Postgres accumulates in float4; C promotion rules decide which
+      // steps round to float and which run in double: the weighted sum
+      // and the len/uniq/rdiv divisions are pure float ops (`res /=
+      // cnt_length(t)` is float/int), while the log-length divisors are
+      // double expressions, so those steps divide in double and round
+      // back to float on assignment.
+      val raw = cnt(tsvec("a")).cast("float") * lit(1.0f) +
+        cnt(tsvec("b")).cast("float") * lit(0.4f)
+      if (normalization == 0) raw.cast("double")
+      else {
+        val len = (size(tsvec("a")) + size(tsvec("b"))).cast("float")
+        val uniq = size(array_distinct(
+          concat(tsvec("a"), tsvec("b")))).cast("float")
+        var r = raw
+        def fdiv(a: Column, b: Column): Column = graftshim.column(
+          FloatDiv(graftshim.expression(a), graftshim.expression(b)))
+        def dGuard(d: Column): Column = // double divisor → round to float
+          when(d > 0.0, (r.cast("double") / d).cast("float"))
+            .otherwise(lit(0.0f))
+        def fGuard(d: Column): Column = // float divisor → NATIVE float div
+          when(d > 0.0f, fdiv(r, d)).otherwise(lit(0.0f))
+        if ((normalization & 1) != 0)
+          r = dGuard(log2(len.cast("double") + 1.0))
+        if ((normalization & 2) != 0) r = fGuard(len)
+        if ((normalization & 8) != 0) r = fGuard(uniq)
+        if ((normalization & 16) != 0)
+          r = dGuard(log2(uniq.cast("double") + 1.0))
+        if ((normalization & 32) != 0) r = fdiv(r, r + lit(1.0f))
+        r.cast("double")
+      }
+    } else {
+      val raw = cnt(tsvec("a")).cast("double") * 1.0 +
+        cnt(tsvec("b")).cast("double") * 0.4
+      if (normalization == 0) raw
+      else {
+        val len = (size(tsvec("a")) + size(tsvec("b"))).cast("double")
+        val uniq = size(array_distinct(
+          concat(tsvec("a"), tsvec("b")))).cast("double")
+        var r = raw
+        def guarded(d: Column): Column =
+          when(d > 0.0, r / d).otherwise(lit(0.0))
+        if ((normalization & 1) != 0) r = guarded(log2(len + 1.0))
+        if ((normalization & 2) != 0) r = guarded(len)
+        if ((normalization & 8) != 0) r = guarded(uniq)
+        if ((normalization & 16) != 0) r = guarded(log2(uniq + 1.0))
+        if ((normalization & 32) != 0) r = r / (r + 1.0)
+        r
+      }
     }
   }
 
@@ -951,9 +1061,27 @@ object Fts {
   def tsRankPositional(posA: Column, posB: Column,
                        queryLexemes: Seq[String],
                        weightA: Double = 1.0,
-                       weightB: Double = 0.4): Column =
+                       weightB: Double = 0.4,
+                       float4: Boolean = false): Column =
     graftshim.column(PosTsRank(graftshim.expression(posA),
-      graftshim.expression(posB), queryLexemes, weightA, weightB))
+      graftshim.expression(posB), queryLexemes, weightA, weightB, float4))
+
+  /** Rank accumulation precision — conf key
+    * `spark.graft.fts.rankPrecision`: `double` (default; strictly more
+    * precise) or `float4` (bit-for-bit Postgres parity — pg accumulates
+    * ts_rank in float4). Resolved at plan-build time like the stemmer
+    * flag; q129/q130 gate the float4 mode against REAL-arithmetic
+    * oracles.
+    */
+  val RankPrecisionConfKey = "spark.graft.fts.rankPrecision"
+
+  def configuredFloat4Rank(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(RankPrecisionConfKey, "double") match {
+      case "double" => false
+      case "float4" => true
+      case other => throw new IllegalArgumentException(
+        s"$RankPrecisionConfKey must be double|float4, got '$other'")
+    }
 
   /** Positional ts_rank with the calc_rank_and AND-proximity structure
     * (pair-distance weighting via word_distance) over two weight classes

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.sources.Tables
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Round-7 gate queries: calc_rank_and proximity ranking (the last
@@ -297,7 +298,160 @@ object TestQueries12 {
       ORDER BY g.doc_id, g.pos"""
     })
 
+  /** q120's normalization bitmask under FLOAT4 accumulation
+    * (`spark.graft.fts.rankPrecision=float4` / the float4 parameter):
+    * Postgres accumulates ts_rank in float4, and C promotion rules
+    * decide each step's precision — the weighted sum and the
+    * len/uniq/rdiv divisions are float ops (`res /= cnt_length(t)` is
+    * float/int), the log-length steps divide in double and round back
+    * to float on assignment. DuckDB REAL arithmetic is native single
+    * precision (verified against float32 ground truth), so the mirror
+    * replays the chain with REAL casts at exactly the steps C rounds,
+    * and ranks compare RAW as doubles — float rounding absorbs the
+    * 1-ulp libm drift in log2 that forces the double-mode q120 to
+    * ROUND.
+    */
+  val q129RankNormFloat4: QueryCase = QueryCase(
+    "q129_rank_norm_float4",
+    (s, dir) => {
+      import graft.functions.{Fts, TextFunctions}
+      val terms = Seq("spark", "merge")
+      val tsv = Tables.documents(s, dir).select(col("doc_id"),
+          struct(
+            Fts.filterStopwords(TextFunctions.tokens(col("text"))).as("a"),
+            Fts.filterStopwords(TextFunctions.tokens(col("source"))).as("b"))
+            .as("tsv"))
+      def r(bits: Int): Column =
+        Fts.tsRank(col("tsv"), terms, bits, float4 = true)
+      tsv.select(col("doc_id"), r(0).as("rank_raw"),
+          r(1).as("rank_loglen"), r(2).as("rank_len"), r(8).as("rank_uniq"),
+          r(16).as("rank_loguniq"), r(32).as("rank_rdiv"),
+          r(1 | 32).as("rank_loglen_rdiv"))
+        .where(col("rank_raw") > 0)
+        .orderBy("doc_id")
+    },
+    Some {
+      val stop = graft.functions.Fts.Stopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      def toks(c: String) =
+        s"list_filter(list_filter(string_split_regex(LOWER(TRIM($c)), " +
+          s"'\\s+'), x -> x <> ''), t -> NOT list_contains($stop, t))"
+      s"""
+      WITH toks AS (
+        SELECT doc_id, ${toks("text")} AS a, ${toks("source")} AS b
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(LEN(list_filter(a, x -> list_contains(['spark','merge'], x))) AS REAL)
+                 * CAST(1.0 AS REAL)
+               + CAST(LEN(list_filter(b, x -> list_contains(['spark','merge'], x))) AS REAL)
+                 * CAST(0.4 AS REAL) AS raw,
+               LEN(a) + LEN(b) AS len_i,
+               LEN(list_distinct(list_concat(a, b))) AS uniq_i
+        FROM toks),
+      n AS (
+        SELECT doc_id, raw,
+               CASE WHEN log2(CAST(len_i AS DOUBLE) + 1) > 0
+                 THEN CAST(CAST(raw AS DOUBLE) /
+                   log2(CAST(len_i AS DOUBLE) + 1) AS REAL)
+                 ELSE CAST(0.0 AS REAL) END AS loglen,
+               CASE WHEN len_i > 0 THEN raw / CAST(len_i AS REAL)
+                 ELSE CAST(0.0 AS REAL) END AS bylen,
+               CASE WHEN uniq_i > 0 THEN raw / CAST(uniq_i AS REAL)
+                 ELSE CAST(0.0 AS REAL) END AS byuniq,
+               CASE WHEN log2(CAST(uniq_i AS DOUBLE) + 1) > 0
+                 THEN CAST(CAST(raw AS DOUBLE) /
+                   log2(CAST(uniq_i AS DOUBLE) + 1) AS REAL)
+                 ELSE CAST(0.0 AS REAL) END AS loguniq
+        FROM m)
+      SELECT doc_id,
+             CAST(raw AS DOUBLE) AS rank_raw,
+             CAST(loglen AS DOUBLE) AS rank_loglen,
+             CAST(bylen AS DOUBLE) AS rank_len,
+             CAST(byuniq AS DOUBLE) AS rank_uniq,
+             CAST(loguniq AS DOUBLE) AS rank_loguniq,
+             CAST(raw / (raw + CAST(1.0 AS REAL)) AS DOUBLE) AS rank_rdiv,
+             CAST(loglen / (loglen + CAST(1.0 AS REAL)) AS DOUBLE)
+               AS rank_loglen_rdiv
+      FROM n
+      WHERE raw > 0
+      ORDER BY doc_id"""
+    })
+
+  /** q122's positional calc_rank_or under FLOAT4 accumulation — the
+    * exact pg precision chain: float per-occurrence damping and
+    * max-weight correction, ONE double step per lexeme (the
+    * `/ 1.64493406685` normalizer is a double literal in C, so the item
+    * promotes to double and the accumulator rounds back to float on
+    * assignment), float query-size division at the end. The oracle
+    * replays the same chain: REAL lists, a REAL left fold for resj, and
+    * the res fold's `CAST(CAST(a + b AS REAL) AS DOUBLE)` lambda
+    * reproducing C's double-add-then-float-assign per term. RAW double
+    * compare, no ROUND.
+    */
+  val q130RankPositionalFloat4: QueryCase = QueryCase(
+    "q130_rank_positional_float4",
+    (s, dir) => {
+      import graft.functions.{Fts, TextFunctions}
+      val terms = Seq("spark", "merge")
+      Tables.documents(s, dir).select(col("doc_id"),
+          Fts.posLexemesOfTokens(
+            TextFunctions.tokens(col("text")), stem = false).as("pa"),
+          Fts.posLexemesOfTokens(
+            TextFunctions.tokens(col("source")), stem = false).as("pb"))
+        .withColumn("r",
+          Fts.tsRankPositional(col("pa"), col("pb"), terms, float4 = true))
+        .where(col("r") > 0)
+        .select(col("doc_id"), col("r").as("rank"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val stop = graft.functions.Fts.Stopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString(", ")
+      def toks(colName: String, src: Int) =
+        s"""SELECT doc_id, u.tok AS tok, u.i AS i, $src AS src
+            FROM documents, UNNEST(list_transform(
+              regexp_split_to_array(LOWER(TRIM($colName)), '\\s+'),
+              (x, j) -> struct_pack(tok := x, i := j))) AS t(u)
+            WHERE u.tok <> ''"""
+      s"""
+      WITH toks AS (${toks("text", 0)} UNION ALL ${toks("source", 1)}),
+      kept AS (SELECT * FROM toks WHERE tok NOT IN ($stop)),
+      hits AS (
+        SELECT doc_id, src, i,
+               CASE WHEN src = 0 THEN CAST(1.0 AS REAL)
+                    ELSE CAST(0.4 AS REAL) END AS w,
+               CASE WHEN tok = 'spark' THEN 1 ELSE 2 END AS term_idx
+        FROM kept WHERE tok IN ('spark', 'merge')),
+      lists AS (
+        SELECT doc_id, term_idx, list(w ORDER BY src, i) AS lw
+        FROM hits GROUP BY doc_id, term_idx),
+      items AS (
+        SELECT doc_id, term_idx,
+               list_reduce(list_transform(lw,
+                   (w, j) -> w / CAST(j * j AS REAL)),
+                 (a, b) -> a + b) AS resj,
+               list_reduce(lw,
+                 (a, b) -> CASE WHEN b > a THEN b ELSE a END) AS wjm
+        FROM lists),
+      withjm AS (
+        SELECT i.*, list_position(l.lw, i.wjm) AS jm
+        FROM items i JOIN lists l USING (doc_id, term_idx)),
+      scored AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(CAST(wjm + resj - wjm / CAST(jm * jm AS REAL)
+                        AS DOUBLE) / CAST(1.64493406685 AS DOUBLE)
+                      ORDER BY term_idx)),
+                 (a, b) -> CAST(CAST(a + b AS REAL) AS DOUBLE)) AS resf
+        FROM withjm GROUP BY doc_id)
+      SELECT doc_id,
+             CAST(CAST(resf AS REAL) / CAST(2 AS REAL) AS DOUBLE) AS rank
+      FROM scored WHERE CAST(CAST(resf AS REAL) / CAST(2 AS REAL) AS DOUBLE) > 0
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q124RankAnd, q126MinhashFamilies, q127SimhashInjected,
-      q128EmbedInjected)
+      q128EmbedInjected, q129RankNormFloat4, q130RankPositionalFloat4)
 }

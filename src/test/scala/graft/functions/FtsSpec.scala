@@ -244,6 +244,32 @@ class FtsSpec extends SparkSpec {
     assert(two > one)
   }
 
+  test("float4 rank mode: float accumulation, double normalizer step") {
+    import spark.implicits._
+    val df = Seq(("rent rent lease", "rent")).toDF("c", "h")
+      .select(
+        Fts.posLexemesOfTokens(TextFunctions.tokens(col("c")),
+          stem = false).as("pa"),
+        Fts.posLexemesOfTokens(TextFunctions.tokens(col("h")),
+          stem = false).as("pb"))
+    def rank(float4: Boolean): Double =
+      df.select(Fts.tsRankPositional(col("pa"), col("pb"), Seq("rent"),
+        float4 = float4)).head().getDouble(0)
+    // replicate the exact C promotion chain by hand
+    val resj = (0.0f + 1.0f / 1.0f) + 1.0f / 4.0f + 0.4f / 9.0f
+    val item = (1.0f + resj - 1.0f / 1.0f).toDouble / 1.64493406685
+    val expectF4 = (((0.0f + item).toFloat) / 1.0f).toDouble
+    assert(rank(float4 = true) === expectF4)
+    // double mode is the strictly-more-precise default and differs
+    assert(rank(float4 = false) !== expectF4)
+    assert(math.abs(rank(float4 = false) - expectF4) < 1e-7)
+    // conf helper parses both modes and rejects junk
+    assert(!Fts.configuredFloat4Rank(spark))
+    spark.conf.set(Fts.RankPrecisionConfKey, "float4")
+    try assert(Fts.configuredFloat4Rank(spark))
+    finally spark.conf.unset(Fts.RankPrecisionConfKey)
+  }
+
   test("positional ts_rank AND: word_distance pairs, shift, pg dispatch") {
     import spark.implicits._
     import graft.functions.PosLexKernels.WordDistance
