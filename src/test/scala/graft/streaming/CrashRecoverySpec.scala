@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.SparkSpec
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+/** Shared kill switch for the crash test. Top-level (not nested in the
+  * suite) so the task closure serializes cleanly; local-mode executors
+  * share the JVM, so the volatile flags are visible on both sides.
+  */
+object CrashPoison {
+  @volatile var armed = false
+  @volatile var struck = false
+}
+
+/** Crash-recovery proof for the streaming queue plane (round 7, verdict
+  * item 5): q121 proves the transition MATH and the parity spec proves
+  * stream ≡ replay on clean runs; this spec proves RECOVERY — a query
+  * killed mid-batch (after the state operator has started emitting, so
+  * state-store and sink commit machinery is genuinely in flight),
+  * restarted from its checkpoint, must land on exactly the one-shot
+  * batch replay of the full log. That is the exactly-once observable
+  * the reference's idempotency guards promise
+  * (src/extraction/idempotency.py:258-322).
+  *
+  * The detection is not vacuous: batch 2's d1 transitions (claim →
+  * second failure → dead_letter at maxAttempts=2) are only correct if
+  * the attempts/status state from batch 1 survives the crash — a lost
+  * state store would replay d1 from 'none' and emit a different,
+  * wrong transition log. Duplicated batch-1 output would double rows
+  * (compared as a sorted multiset, not a set), and partial output from
+  * the killed attempt is invisible only if the sink's _spark_metadata
+  * manifest is honored — which is exactly what spark.read does.
+  */
+class CrashRecoverySpec extends SparkSpec {
+
+  private def ev(doc: String, kind: String, prio: Int, err: String,
+                 ms: Long): Queue.DocEvent =
+    Queue.DocEvent(doc, "t1", kind, prio, err, ms)
+
+  // batch A: d1 fails once (attempts 1), d2 claimed, d3 pending
+  private val batchA = Seq(
+    ev("d1", "enqueue", 5, null, 1000), ev("d1", "claim", 0, null, 2000),
+    ev("d1", "failure", 0, "e1", 3000),
+    ev("d2", "enqueue", 1, null, 1000), ev("d2", "claim", 0, null, 2000),
+    ev("d3", "enqueue", 2, null, 1500))
+  // batch B: d1 retries and dead-letters (the poison row), others finish
+  private val batchB = Seq(
+    ev("d1", "claim", 0, null, 4000), ev("d1", "failure", 0, "e2", 5000),
+    ev("d2", "success", 0, null, 4000),
+    ev("d3", "claim", 0, null, 4000), ev("d3", "success", 0, null, 5000),
+    ev("d4", "enqueue", 3, null, 4000), ev("d4", "claim", 0, null, 4500),
+    ev("d4", "success", 0, null, 5000))
+
+  private def dropFile(events: Seq[Queue.DocEvent], srcDir: String,
+                       name: String): Unit = {
+    import spark.implicits._
+    val staging = Files.createTempDirectory("graft-crash-staging").toString
+    events.toDS().coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(srcDir, name),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("mid-batch kill + checkpoint restart lands on the one-shot replay") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-crash").toString
+    val (srcDir, outDir, chkDir) = (s"$root/src", s"$root/out", s"$root/chk")
+    Files.createDirectories(Paths.get(srcDir))
+    dropFile(batchA, srcDir, "001.parquet")
+    Thread.sleep(1100) // distinct mod-times → deterministic batch order
+    dropFile(batchB, srcDir, "002.parquet")
+
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema(Encoders.product[Queue.DocEvent].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(srcDir).as[Queue.DocEvent]
+      // the poison sits DOWNSTREAM of flatMapGroupsWithState: it fires
+      // while the state operator's output is being consumed, so the
+      // batch dies with state/sink commits genuinely in flight
+      Queue.updates(stream, maxAttempts = 2)
+        .map { u =>
+          if (CrashPoison.armed && u.status == "dead_letter") {
+            CrashPoison.struck = true
+            throw new RuntimeException("injected mid-batch crash")
+          }
+          u
+        }(Encoders.product[Queue.QueueUpdate])
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chkDir)
+        .outputMode("append").start()
+    }
+
+    // run 1: batch A commits, batch B is killed mid-flight
+    CrashPoison.armed = true
+    CrashPoison.struck = false
+    val run1 = startQuery()
+    val failed =
+      try { run1.awaitTermination(60000); false }
+      catch { case _: StreamingQueryException => true }
+    assert(failed, "the poisoned run must die with a StreamingQueryException")
+    assert(CrashPoison.struck, "the crash must fire inside batch B, " +
+      "after the state operator started emitting")
+
+    // run 2: same checkpoint, poison disarmed — batch B replays
+    CrashPoison.armed = false
+    val run2 = startQuery()
+    try run2.processAllAvailable() finally run2.stop()
+
+    // exactly-once observable: the committed sink (read through its
+    // _spark_metadata manifest) equals the one-shot batch replay of the
+    // complete log — as a sorted MULTISET, so duplicated batch-A rows
+    // or a partial batch-B attempt both fail loudly
+    def key(r: org.apache.spark.sql.Row): (String, Long, String, Int) =
+      (r.getAs[String]("documentId"), r.getAs[Long]("updatedMs"),
+        r.getAs[String]("status"), r.getAs[Int]("attempts"))
+    val recovered = spark.read.parquet(outDir).collect().map(key).sorted
+    val oneShot = Queue.replay((batchA ++ batchB).toDS(), maxAttempts = 2)
+      .toDF().collect().map(key).sorted
+    assert(recovered.nonEmpty)
+    assert(recovered.toSeq == oneShot.toSeq)
+    // and the state survived: d1's batch-B rows must continue from
+    // batch-A attempts (processing at attempts=2, dead_letter at 2) —
+    // a wiped store would replay d1 from 'none' and emit attempts=1
+    val d1 = recovered.filter(_._1 == "d1").sortBy(_._2)
+      .map(t => (t._3, t._4)).toSeq
+    assert(d1 == Seq(("pending", 0), ("processing", 1), ("failed", 1),
+      ("processing", 2), ("dead_letter", 2)))
+  }
+}
