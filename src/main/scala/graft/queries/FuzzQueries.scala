@@ -1,0 +1,241 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Differential query fuzzing (round 7, verdict item 6): a seeded
+  * generator over filter/join/group/distinct/window/top-k compositions
+  * on the TPC-H-ish star schema, where every random plan carries TWO
+  * renderings derived from ONE AST — a typed DataFrame build and an
+  * ANSI SQL string — and reduces to a single (plan_id, cnt, checksum)
+  * row of pure INTEGER math (doubles and timestamps are excluded, so
+  * there is no float or collation drift to round away; string
+  * comparisons are LIKE-prefix and LENGTH only).
+  *
+  * Three-way differential: the q131 gate runs the DataFrame rendering
+  * against DuckDB executing the SQL rendering (cross-ENGINE), and
+  * FuzzSpec runs the DataFrame rendering against spark.sql() parsing
+  * the same SQL text for 200+ plans (cross-FRONTEND — Catalyst's
+  * DataFrame and SQL paths build plans independently). Seeds are fixed
+  * constants; any failure message names the plan id, and
+  * `describe(id)` reproduces the exact SQL for replay.
+  */
+object FuzzQueries {
+
+  private val M = 1000003L
+
+  /** One column expression rendered both ways. */
+  private case class Expr2(col: Column, sql: String)
+
+  private case class TableDef(name: String, intCols: Seq[String],
+                              strCols: Seq[String], uniqueKeySql: String,
+                              joins: Seq[(String, String, String)])
+
+  private val tables = Seq(
+    TableDef("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+      Seq("l_returnflag", "l_linestatus"),
+      "l_orderkey * 8 + l_linenumber",
+      Seq(("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"))),
+    TableDef("orders", Seq("o_orderkey", "o_custkey"),
+      Seq("o_orderstatus", "o_orderpriority"), "o_orderkey",
+      Seq(("o_custkey", "customer", "c_custkey"))),
+    TableDef("customer", Seq("c_custkey", "c_nationkey"),
+      Seq("c_name", "c_mktsegment"), "c_custkey",
+      Seq(("c_nationkey", "nation", "n_nationkey"))),
+    TableDef("supplier", Seq("s_suppkey", "s_nationkey"), Seq("s_name"),
+      "s_suppkey", Seq(("s_nationkey", "nation", "n_nationkey"))),
+    TableDef("part", Seq("p_partkey", "p_size"),
+      Seq("p_name", "p_brand", "p_type"), "p_partkey", Seq.empty),
+    TableDef("nation", Seq("n_nationkey", "n_regionkey"), Seq("n_name"),
+      "n_nationkey", Seq(("n_regionkey", "region", "r_regionkey"))),
+    TableDef("region", Seq("r_regionkey"), Seq("r_name"), "r_regionkey",
+      Seq.empty))
+
+  private val joinTargets: Map[String, TableDef] =
+    tables.map(t => t.name -> t).toMap
+
+  /** A generated plan: base table, optional FK join, predicate, shape. */
+  final case class Plan(id: Int, fromSql: String, whereSql: Option[String],
+                        shapeSql: String,
+                        build: (SparkSession, String) => DataFrame) {
+    def sql: String = {
+      val w = whereSql.map(p => s" WHERE $p").getOrElse("")
+      shapeSql.replace("__REL__", s"$fromSql$w")
+    }
+  }
+
+  /** The fixed fuzz seed — recorded so any failure replays exactly. */
+  val BaseSeed = 20260813L
+
+  def plan(id: Int): Plan = {
+    val rnd = new scala.util.Random(BaseSeed + id)
+    val base = tables(rnd.nextInt(tables.size))
+    val joined = base.joins.nonEmpty && rnd.nextBoolean()
+    val join = if (joined) Some(base.joins(rnd.nextInt(base.joins.size)))
+               else None
+    val dims = join.map(j => joinTargets(j._2))
+    val intCols = base.intCols ++ dims.toSeq.flatMap(_.intCols)
+    val strCols = base.strCols ++ dims.toSeq.flatMap(_.strCols)
+
+    def intPred(): Expr2 = {
+      val c = intCols(rnd.nextInt(intCols.size))
+      rnd.nextInt(3) match {
+        case 0 =>
+          val op = Seq("<", "<=", ">", ">=", "=", "<>")(rnd.nextInt(6))
+          val k = Seq(1L, 3L, 7L, 20L, 100L, 500L, 2000L, 10000L)(rnd.nextInt(8))
+          Expr2(expr(s"$c $op $k"), s"$c $op $k") // comparison: same both ways
+        case 1 =>
+          val k = 2 + rnd.nextInt(6)
+          val r = rnd.nextInt(k)
+          Expr2(col(c) % k === r, s"($c % $k) = $r")
+        case _ =>
+          val lo = Seq(2L, 10L, 50L, 300L)(rnd.nextInt(4))
+          Expr2(col(c) >= lo && col(c) < lo * 7,
+            s"($c >= $lo AND $c < ${lo * 7})")
+      }
+    }
+    def strPred(): Expr2 = {
+      val c = strCols(rnd.nextInt(strCols.size))
+      if (rnd.nextBoolean()) {
+        val ch = ('a' + rnd.nextInt(26)).toChar
+        Expr2(col(c).like(s"$ch%"), s"$c LIKE '$ch%'")
+      } else {
+        val k = 1 + rnd.nextInt(12)
+        val op = Seq("<", ">=", "=")(rnd.nextInt(3))
+        Expr2(expr(s"length($c) $op $k"), s"length($c) $op $k")
+      }
+    }
+    val preds: Seq[Expr2] = (0 until rnd.nextInt(3)).map { _ =>
+      if (strCols.nonEmpty && rnd.nextInt(4) == 0) strPred() else intPred()
+    }
+    val pred: Option[Expr2] = preds match {
+      case Seq() => None
+      case Seq(p) => Some(p)
+      case Seq(p, q) =>
+        if (rnd.nextBoolean()) Some(Expr2(p.col && q.col, s"(${p.sql}) AND (${q.sql})"))
+        else Some(Expr2(p.col || q.col, s"(${p.sql}) OR (${q.sql})"))
+    }
+
+    // integer mix over 1-2 int columns, bounded before the fold
+    def mixExpr(): Expr2 = {
+      val c1 = intCols(rnd.nextInt(intCols.size))
+      val c2 = intCols(rnd.nextInt(intCols.size))
+      val a = 1 + rnd.nextInt(97)
+      Expr2((col(c1) % M) * a + (col(c2) % M),
+        s"($c1 % $M) * $a + ($c2 % $M)")
+    }
+    // low-cardinality group key
+    def groupKey(): Expr2 = {
+      if (strCols.nonEmpty && rnd.nextBoolean()) {
+        val c = strCols(rnd.nextInt(strCols.size))
+        Expr2(length(col(c)).cast("long"), s"CAST(length($c) AS BIGINT)")
+      } else {
+        val c = intCols(rnd.nextInt(intCols.size))
+        val k = Seq(3, 7, 13, 31)(rnd.nextInt(4))
+        Expr2(col(c) % k, s"($c % $k)")
+      }
+    }
+
+    val fromSql = join match {
+      case Some((fk, dim, pk)) => s"${base.name} JOIN $dim ON $fk = $pk"
+      case None => base.name
+    }
+    def rel(s: SparkSession, dir: String): DataFrame = {
+      val b = graft.sources.Tables.table(s, dir, base.name)
+      val j = join.map { case (fk, dim, pk) =>
+        b.join(graft.sources.Tables.table(s, dir, dim), col(fk) === col(pk))
+      }.getOrElse(b)
+      pred.map(p => j.where(p.col)).getOrElse(j)
+    }
+    val ukSql = base.uniqueKeySql
+    def uk: Column = expr(ukSql)
+
+    rnd.nextInt(5) match {
+      case 0 => // global aggregate
+        val m = mixExpr()
+        Plan(id, fromSql, pred.map(_.sql),
+          s"""SELECT $id AS plan_id, COUNT(*) AS cnt,
+              COALESCE(CAST(SUM((${m.sql}) % $M) AS BIGINT), -1) AS checksum
+              FROM (SELECT * FROM __REL__) AS t0""",
+          (s, dir) => rel(s, dir)
+            .agg(count(lit(1)).as("cnt"),
+              coalesce(sum(m.col % M), lit(-1L)).as("checksum"))
+            .select(lit(id).as("plan_id"), col("cnt"), col("checksum")))
+      case 1 => // group-by fold
+        val g = groupKey()
+        Plan(id, fromSql, pred.map(_.sql),
+          s"""SELECT $id AS plan_id, COUNT(*) AS cnt,
+              COALESCE(CAST(SUM((gk * 131 + c) % $M) AS BIGINT), -1) AS checksum
+              FROM (SELECT ${g.sql} AS gk, COUNT(*) AS c
+                    FROM (SELECT * FROM __REL__) AS t0 GROUP BY 1) AS t1""",
+          (s, dir) => rel(s, dir)
+            .groupBy(g.col.as("gk")).agg(count(lit(1)).as("c"))
+            .agg(count(lit(1)).as("cnt"),
+              coalesce(sum((col("gk") * 131 + col("c")) % M), lit(-1L))
+                .as("checksum"))
+            .select(lit(id).as("plan_id"), col("cnt"), col("checksum")))
+      case 2 => // distinct fold
+        val g = groupKey()
+        Plan(id, fromSql, pred.map(_.sql),
+          s"""SELECT $id AS plan_id, COUNT(*) AS cnt,
+              COALESCE(CAST(SUM(v % $M) AS BIGINT), -1) AS checksum
+              FROM (SELECT DISTINCT ${g.sql} AS v
+                    FROM (SELECT * FROM __REL__) AS t0) AS t1""",
+          (s, dir) => rel(s, dir)
+            .select(g.col.as("v")).distinct()
+            .agg(count(lit(1)).as("cnt"),
+              coalesce(sum(col("v") % M), lit(-1L)).as("checksum"))
+            .select(lit(id).as("plan_id"), col("cnt"), col("checksum")))
+      case 3 => // row_number window fold (total order via the unique key)
+        val g = groupKey()
+        Plan(id, fromSql, pred.map(_.sql),
+          s"""SELECT $id AS plan_id, COUNT(*) AS cnt,
+              COALESCE(CAST(SUM((rn * 17 + uk % $M) % $M) AS BIGINT), -1)
+                AS checksum
+              FROM (SELECT $ukSql AS uk,
+                      ROW_NUMBER() OVER (PARTITION BY ${g.sql}
+                                         ORDER BY $ukSql) AS rn
+                    FROM (SELECT * FROM __REL__) AS t0) AS t1""",
+          (s, dir) => rel(s, dir)
+            .select(uk.as("uk"),
+              row_number().over(
+                Window.partitionBy(g.col).orderBy(uk)).cast("long").as("rn"))
+            .agg(count(lit(1)).as("cnt"),
+              coalesce(sum((col("rn") * 17 + col("uk") % M) % M), lit(-1L))
+                .as("checksum"))
+            .select(lit(id).as("plan_id"), col("cnt"), col("checksum")))
+      case _ => // deterministic top-k (total order), fold the kept keys
+        val m = mixExpr()
+        val k = 5 + rnd.nextInt(40)
+        Plan(id, fromSql, pred.map(_.sql),
+          s"""SELECT $id AS plan_id, COUNT(*) AS cnt,
+              COALESCE(CAST(SUM(uk % $M) AS BIGINT), -1) AS checksum
+              FROM (SELECT $ukSql AS uk
+                    FROM (SELECT * FROM __REL__) AS t0
+                    ORDER BY (${m.sql}) % $M, $ukSql LIMIT $k) AS t1""",
+          (s, dir) => rel(s, dir)
+            .select(uk.as("uk"), (m.col % M).as("__o"))
+            .orderBy(col("__o"), col("uk")).limit(k)
+            .agg(count(lit(1)).as("cnt"),
+              coalesce(sum(col("uk") % M), lit(-1L)).as("checksum"))
+            .select(lit(id).as("plan_id"), col("cnt"), col("checksum")))
+    }
+  }
+
+  /** The exact SQL of plan `id` — for replaying a reported failure. */
+  def describe(id: Int): String = plan(id).sql
+
+  /** The DataFrame rendering of plans [0, n) unioned, ordered by id. */
+  def buildAll(s: SparkSession, dir: String, n: Int): DataFrame =
+    (0 until n).map(i => plan(i).build(s, dir))
+      .reduce(_ unionByName _).orderBy("plan_id")
+
+  /** The SQL rendering of plans [0, n) — the DuckDB oracle body. */
+  def sqlAll(n: Int): String =
+    (0 until n).map(i => s"(${plan(i).sql})").mkString("", "\nUNION ALL\n", "") +
+      "\nORDER BY plan_id"
+}

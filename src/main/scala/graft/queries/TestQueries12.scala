@@ -451,7 +451,23 @@ object TestQueries12 {
       ORDER BY doc_id"""
     })
 
+  /** Differential fuzzing gate: 64 seeded random
+    * filter/join/group/distinct/window/top-k plans over the star
+    * schema, each reduced to one integer (plan_id, cnt, checksum) row.
+    * The Spark side is the DataFrame rendering of each AST; the oracle
+    * is the SQL rendering of the SAME ASTs — any cross-engine
+    * interaction bug in the composed surface breaks a checksum.
+    * FuzzSpec extends the same generator to 200+ plans cross-frontend
+    * (DataFrame vs spark.sql) and records the seed; replay any plan
+    * with FuzzQueries.describe(id).
+    */
+  val q131Fuzz: QueryCase = QueryCase(
+    "q131_fuzz",
+    (s, dir) => FuzzQueries.buildAll(s, dir, 64),
+    Some(FuzzQueries.sqlAll(64)))
+
   val all: Seq[QueryCase] =
     Seq(q124RankAnd, q126MinhashFamilies, q127SimhashInjected,
-      q128EmbedInjected, q129RankNormFloat4, q130RankPositionalFloat4)
+      q128EmbedInjected, q129RankNormFloat4, q130RankPositionalFloat4,
+      q131Fuzz)
 }

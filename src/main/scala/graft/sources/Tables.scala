@@ -38,10 +38,14 @@ object Tables {
         "timestamp_micros(ts_ns div 1000)"))
   }
 
-  /** Register all tables as temp views for spark.sql use. */
+  /** Register all tables as temp views for spark.sql use. `events` goes
+    * through [[events]] — the raw file is TIMESTAMP(NANOS), which a
+    * plain read rejects at scan time ([PARQUET_TYPE_ILLEGAL]).
+    */
   def registerAll(s: SparkSession, d: String): Unit = {
     val names = Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
+      "orders", "lineitem", "documents", "embeddings")
     names.foreach(n => table(s, d, n).createOrReplaceTempView(n))
+    events(s, d).createOrReplaceTempView("events")
   }
 }

@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Cross-frontend differential fuzzing: the DataFrame rendering of every
+  * generated plan must agree with spark.sql() executing the SQL
+  * rendering of the same AST — Catalyst's two frontends build the plan
+  * independently, so disagreement means a rendering bug in the
+  * generator or a genuine frontend inconsistency. The q131 gate runs
+  * the first 64 plans cross-ENGINE against DuckDB; this spec pushes the
+  * same generator to 200 plans. Seed is FuzzQueries.BaseSeed; a failure
+  * names the plan id and FuzzQueries.describe(id) reproduces its SQL.
+  */
+class FuzzSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val N = 200
+
+  test(s"$N fuzzed plans: DataFrame rendering == SQL rendering") {
+    graft.sources.Tables.registerAll(spark, dir)
+    val viaDf = FuzzQueries.buildAll(spark, dir, N).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val viaSql = spark.sql(FuzzQueries.sqlAll(N)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(viaDf.length == N && viaSql.length == N)
+    viaDf.zip(viaSql).foreach { case (d, s) =>
+      assert(d == s,
+        s"plan ${d._1} diverged (seed ${FuzzQueries.BaseSeed}):\n" +
+          FuzzQueries.describe(d._1))
+    }
+    // the corpus isn't degenerate: most plans see rows
+    assert(viaDf.count(_._2 > 0) > N / 2)
+  }
+}
