@@ -38,7 +38,7 @@ object Redaction {
     "Kenneth", "Steven", "Edward", "Brian", "Ronald", "Anthony", "Kevin")
   val PersonRe: String =
     s"\\b(?:${GivenNames.mkString("|")}) [A-Z][a-z]+\\b"
-  private val OrgSuffixes = Seq("llc", "inc", "corp", "ltd", "lp", "company",
+  val OrgSuffixes: Seq[String] = Seq("llc", "inc", "corp", "ltd", "lp", "company",
     "properties", "partners", "group", "holdings", "trust", "associates")
 
   /** Corporate domains exempt from email redaction (business contacts,
@@ -114,6 +114,65 @@ object Redaction {
   def redactText(c: Column): Column =
     redactPersons(redactTitledPersons(redactSsns(redactPhones(redactEmails(c)))))
 
+  /** [[redactText]] plus the contextual bare-name recognizer — the
+    * deepest recall tier. Separate entry point: the contextual pass is
+    * a domain-tuned heuristic (window cues + vocabulary guards), and
+    * deployments choose it explicitly, like the reference chooses which
+    * Presidio recognizers to enable.
+    */
+  def redactTextDeep(c: Column): Column =
+    redactContextualPersons(redactText(c))
+
+  // ---------------------------------------------- contextual bare names
+
+  /** Person-context cues (lowercase substring containment, the
+    * reference's context-window technique — `pii_detector.py:38-161`
+    * checks indicator lists inside a ±100-char window around the
+    * entity).
+    */
+  val PersonCues: Seq[String] = Seq(
+    "tenant", "lessee", "guarantor", "attn", "attention", "contact",
+    "c/o", "on behalf of", "signed by", "undersigned", "resident",
+    "applicant", "emergency")
+
+  /** The context window in characters on each side of the candidate. */
+  val PersonCueWindow: Int = 100
+
+  /** Street/location types — a capitalized pair followed by one of
+    * these is an address fragment, not a person
+    * (`property_address_patterns` semantics).
+    */
+  val StreetTypes: Seq[String] = Seq("street", "st", "avenue", "ave",
+    "drive", "dr", "road", "rd", "boulevard", "blvd", "lane", "ln",
+    "court", "ct", "way", "plaza", "suite", "floor")
+
+  /** CRE document vocabulary that disqualifies a capitalized pair —
+    * headings and field labels ("Commencement Date", "Base Rent") are
+    * the dominant capitalized-bigram population in these documents, and
+    * the reference's NER never tags them PERSON. The precision guard
+    * the q125 gate holds to zero false positives.
+    */
+  val NonNameWords: Set[String] = Set(
+    "Date", "Rent", "Lease", "Agreement", "Term", "Suite", "Unit",
+    "Charges", "Square", "Footage", "Base", "Market", "Scheduled",
+    "Economic", "Occupancy", "Commencement", "Landlord", "Tenant",
+    "Start", "End", "Roll", "Count", "Status", "Premises", "Property",
+    "Building", "Floor", "Monthly", "Annual", "Total", "Notice",
+    "Deposit", "Security", "Payment", "Parking", "Insurance",
+    "Maintenance", "Renewal", "Expiration", "Effective", "Section",
+    "Article", "Exhibit", "Schedule", "Page", "Amount", "Balance")
+
+  /** Bare out-of-dictionary person names via context windows: a
+    * capitalized bigram redacts iff a person cue appears within
+    * [[PersonCueWindow]] chars of it AND every precision guard passes.
+    * See [[ContextualPersonKernel.redact]] for the exact decision
+    * procedure; every guard is deliberately RE2-expressible (no
+    * lookarounds), which is what lets the q125 oracle replay it.
+    */
+  def redactContextualPersons(c: Column): Column =
+    org.apache.spark.sql.graftshim.column(ContextualPersonRedact(
+      org.apache.spark.sql.graftshim.expression(c)))
+
   /** C28: error-message sanitization (reference
     * `src/services/error_sanitizer.py`): strip secrets (bearer tokens,
     * api keys, connection-string passwords, AWS-style key ids) and PII
@@ -130,4 +189,87 @@ object Redaction {
       "[REDACTED]")
     redactSsns(redactEmails(noAwsKey, keepDomains = Nil))
   }
+}
+
+/** The contextual-person decision procedure, one place for kernel and
+  * docs (the q125 oracle mirrors each step with the same regexes in
+  * RE2 form — no lookarounds anywhere):
+  *  1. candidates: `[A-Z][a-z]+ [A-Z][a-z]+` with word boundaries;
+  *  2. reject if the preceding text ends with a capitalized word +
+  *     space, or the tail starts with ` [A-Z]` — part of a longer
+  *     capitalized run (org names, headings);
+  *  3. reject if either candidate word is CRE vocabulary
+  *     ([[Redaction.NonNameWords]]);
+  *  4. reject if the candidate's second word or the next word is an org
+  *     suffix, or the next word is a street type;
+  *  5. redact iff any [[Redaction.PersonCues]] cue appears (lowercase
+  *     substring) within ±[[Redaction.PersonCueWindow]] chars of the
+  *     candidate — `pii_detector.py`'s context-window containment,
+  *     verbatim.
+  */
+object ContextualPersonKernel {
+  private val Candidate =
+    java.util.regex.Pattern.compile("\\b[A-Z][a-z]+ [A-Z][a-z]+\\b")
+  private val PrevCap = java.util.regex.Pattern.compile("[A-Z][a-z]+ $")
+  private val NextCap = java.util.regex.Pattern.compile("^ [A-Z]")
+  private val OrgTail = java.util.regex.Pattern.compile(
+    s"^,? (?i:${Redaction.OrgSuffixes.mkString("|")})\\b")
+  private val StreetTail = java.util.regex.Pattern.compile(
+    s"^ (?i:${Redaction.StreetTypes.mkString("|")})\\b")
+
+  def redact(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val text = s.toString
+    val m = Candidate.matcher(text)
+    var sb: java.lang.StringBuilder = null
+    var last = 0
+    while (m.find()) {
+      val start = m.start()
+      val end = m.end()
+      val words = m.group().split(' ')
+      val before = text.substring(0, start)
+      val tail = text.substring(end)
+      val ctxLo = math.max(0, start - Redaction.PersonCueWindow)
+      val ctxHi = math.min(text.length, end + Redaction.PersonCueWindow)
+      val ctx = text.substring(ctxLo, ctxHi).toLowerCase
+      val keep =
+        PrevCap.matcher(before).find() ||
+        NextCap.matcher(tail).find() ||
+        words.exists(Redaction.NonNameWords.contains) ||
+        Redaction.OrgSuffixes.contains(words(1).toLowerCase) ||
+        OrgTail.matcher(tail).find() ||
+        StreetTail.matcher(tail).find() ||
+        !Redaction.PersonCues.exists(ctx.contains)
+      if (!keep) {
+        if (sb == null) sb = new java.lang.StringBuilder(text.length)
+        sb.append(text, last, start).append("[PERSON]")
+        last = end
+      }
+    }
+    if (sb == null) s
+    else org.apache.spark.unsafe.types.UTF8String.fromString(
+      sb.append(text, last, text.length).toString)
+  }
+}
+
+/** Column wrapper for [[ContextualPersonKernel.redact]]; never returns
+  * null for non-null input, so defineCodeGen is safe.
+  */
+case class ContextualPersonRedact(
+    child: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def nullSafeEval(v: Any): Any =
+    ContextualPersonKernel.redact(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.extract.ContextualPersonKernel.redact($c)")
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = copy(child = c)
 }

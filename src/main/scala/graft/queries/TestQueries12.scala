@@ -451,6 +451,97 @@ object TestQueries12 {
       ORDER BY doc_id"""
     })
 
+  // q125 fixture: out-of-dictionary, untitled names near person cues,
+  // plus every precision-guard class. ≤1 ACCEPTED candidate per row and
+  // unique candidate substrings, so the mirror's replace() is exact.
+  private val contextualPiiRows: Seq[(String, String)] = Seq(
+    ("r01", "Tenant: Zorblatt Quixby shall pay rent monthly"),
+    ("r02", "Please contact Mabry Thackeray for access"),
+    ("r03", "Whispering Pines LLC maintains the premises for every tenant"),
+    ("r04", "Unit keys for Maple Grove st are with the tenant"),
+    ("r05", "Lunch with Farnsworth Bixby happened yesterday"),
+    ("r06", "Tenant: the premises shall be maintained in good order and " +
+      "repair throughout the entire period specified herein without " +
+      "exception whatsoever. Quagmire Fenwick arrives today"),
+    ("r07", "Tenant: First Capital Property Group reserves all rights"),
+    ("r08", "Dinwiddie Marlowe, the undersigned tenant, agrees to vacate"),
+    ("r09", "Attn: Pemberton Wexler re: elevator schedule"),
+    ("r10", "Berkshire Holdings owns the building; the tenant list is " +
+      "attached"),
+    ("r11", "Tenant: [PERSON] shall pay rent monthly"))
+
+  /** P1 recall widener, oracle-checked: bare OUT-OF-DICTIONARY person
+    * names via the reference's context-window technique
+    * (pii_detector.py:38-161 — indicator lists inside a ±100-char
+    * window), with precision guards that the fixture holds to ZERO
+    * false redactions of org names ("Whispering Pines LLC", "Berkshire
+    * Holdings", "First Capital Property Group"), address fragments and
+    * cue-less or out-of-window names. Every kernel guard is
+    * RE2-expressible by construction (no lookarounds), so the oracle
+    * replays the decision procedure literally: candidates via
+    * regexp_extract_all, prefix/tail/window arithmetic via
+    * strpos/substr, cue containment via list_filter+contains.
+    */
+  val q125ContextualPii: QueryCase = QueryCase(
+    "q125_contextual_pii",
+    (s, dir) => {
+      import s.implicits._
+      contextualPiiRows.toDF("id", "text")
+        .select(col("id"),
+          graft.extract.Redaction.redactContextualPersons(col("text"))
+            .as("redacted"))
+        .orderBy("id")
+    },
+    Some {
+      import graft.extract.Redaction
+      val vals = contextualPiiRows
+        .map { case (id, t) => s"('$id', '${t.replace("'", "''")}')" }
+        .mkString(", ")
+      def strList(xs: Seq[String]) =
+        xs.map(x => s"'$x'").mkString("[", ", ", "]")
+      val orgAlt = Redaction.OrgSuffixes.mkString("|")
+      val streetAlt = Redaction.StreetTypes.mkString("|")
+      val w = Redaction.PersonCueWindow
+      s"""
+      WITH t(id, text) AS (VALUES $vals),
+      cands AS (
+        SELECT id, UNNEST(regexp_extract_all(text,
+          '\\b[A-Z][a-z]+ [A-Z][a-z]+\\b')) AS cand
+        FROM t),
+      pos AS (
+        SELECT c.id, t.text, c.cand, strpos(t.text, c.cand) AS cp,
+               length(c.cand) AS cl
+        FROM cands c JOIN t USING (id)),
+      dec AS (
+        SELECT id, text, cand,
+               substr(text, 1, cp - 1) AS pre,
+               substr(text, cp + cl) AS tail,
+               lower(substr(text, greatest(1, cp - $w),
+                 least(length(text), cp - 1 + cl + $w)
+                   - greatest(1, cp - $w) + 1)) AS ctx
+        FROM pos),
+      ok AS (
+        SELECT id, text, cand,
+               NOT regexp_matches(pre, '[A-Z][a-z]+ $$')
+               AND NOT regexp_matches(tail, '^ [A-Z]')
+               AND NOT list_has_any(string_split(cand, ' '),
+                 ${strList(Redaction.NonNameWords.toSeq.sorted)})
+               AND NOT list_contains(${strList(Redaction.OrgSuffixes)},
+                 lower(string_split(cand, ' ')[2]))
+               AND NOT regexp_matches(tail, '^,? (?i:$orgAlt)\\b')
+               AND NOT regexp_matches(tail, '^ (?i:$streetAlt)\\b')
+               AND LEN(list_filter(${strList(Redaction.PersonCues)},
+                 c -> contains(ctx, c))) > 0 AS redact
+        FROM dec),
+      red AS (
+        SELECT id, MIN(CASE WHEN redact
+                 THEN replace(text, cand, '[PERSON]') END) AS r
+        FROM ok GROUP BY id)
+      SELECT t.id, COALESCE(red.r, t.text) AS redacted
+      FROM t LEFT JOIN red USING (id)
+      ORDER BY id"""
+    })
+
   /** Differential fuzzing gate: 64 seeded random
     * filter/join/group/distinct/window/top-k plans over the star
     * schema, each reduced to one integer (plan_id, cnt, checksum) row.
@@ -467,7 +558,7 @@ object TestQueries12 {
     Some(FuzzQueries.sqlAll(64)))
 
   val all: Seq[QueryCase] =
-    Seq(q124RankAnd, q126MinhashFamilies, q127SimhashInjected,
-      q128EmbedInjected, q129RankNormFloat4, q130RankPositionalFloat4,
-      q131Fuzz)
+    Seq(q124RankAnd, q125ContextualPii, q126MinhashFamilies,
+      q127SimhashInjected, q128EmbedInjected, q129RankNormFloat4,
+      q130RankPositionalFloat4, q131Fuzz)
 }

@@ -202,4 +202,25 @@ class ExtractSpec extends SparkSpec {
     assert(redact("mail ceo@example.com now") == "mail ceo@example.com now")
     assert(redact("mail ceo@example.com. Next") == "mail ceo@example.com. Next")
   }
+
+  test("contextual persons: multi-candidate rows, idempotency, deep tier") {
+    import spark.implicits._
+    def redact(s: String): String = Seq(s).toDF("s")
+      .select(Redaction.redactContextualPersons(col("s"))).head().getString(0)
+    // two independent names near one cue both redact (the q125 oracle
+    // only carries single-accepted rows; the general case lives here)
+    assert(redact("Tenant: Zorblatt Quixby and later Mabry Thackeray") ==
+      "Tenant: [PERSON] and later [PERSON]")
+    // idempotent: the tag is not a candidate
+    val once = redact("Tenant: Zorblatt Quixby pays")
+    assert(redact(once) == once)
+    // capitalized-run guard rejects ALL bigrams inside the run
+    assert(redact("Tenant: Grand Harbor Marina Office complex") ==
+      "Tenant: Grand Harbor Marina Office complex")
+    // deep tier composes: dictionary name + bare name + email in one text
+    val deep = Seq("Attn: Quimby Vastra. Jane Smith mailed a@b.com")
+      .toDF("s").select(Redaction.redactTextDeep(col("s")))
+      .head().getString(0)
+    assert(deep == "Attn: [PERSON]. [PERSON] mailed [EMAIL]")
+  }
 }
