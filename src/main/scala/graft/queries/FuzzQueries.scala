@@ -71,6 +71,18 @@ object FuzzQueries {
   /** The fixed fuzz seed — recorded so any failure replays exactly. */
   val BaseSeed = 20260813L
 
+  // One parquet read per (session, dir, table) across all generated
+  // plans: 64 independent Tables.table calls each re-list files and
+  // re-read footers eagerly, which made PLAN CONSTRUCTION (not
+  // execution — 0.4 s warm) the dominant cost of the q131 gate.
+  private val tblCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      DataFrame]()
+  private def cachedTable(s: SparkSession, dir: String,
+                          name: String): DataFrame =
+    tblCache.computeIfAbsent((s, dir, name),
+      _ => graft.sources.Tables.table(s, dir, name))
+
   def plan(id: Int): Plan = {
     val rnd = new scala.util.Random(BaseSeed + id)
     val base = tables(rnd.nextInt(tables.size))
@@ -145,9 +157,9 @@ object FuzzQueries {
       case None => base.name
     }
     def rel(s: SparkSession, dir: String): DataFrame = {
-      val b = graft.sources.Tables.table(s, dir, base.name)
+      val b = cachedTable(s, dir, base.name)
       val j = join.map { case (fk, dim, pk) =>
-        b.join(graft.sources.Tables.table(s, dir, dim), col(fk) === col(pk))
+        b.join(cachedTable(s, dir, dim), col(fk) === col(pk))
       }.getOrElse(b)
       pred.map(p => j.where(p.col)).getOrElse(j)
     }

@@ -248,9 +248,18 @@ object TestQueries12 {
         zip_with(slice(col("tk"), lit(1), size(col("tk")) - 1),
           slice(col("tk"), lit(2), size(col("tk")) - 1),
           (a, b) => concat(a, lit(" "), b))))
+      // hash via explode → codegen'd md5 column → reassemble (a
+      // transform() lambda would run the md5/conv chain interpreted per
+      // element); order is restored by sorting on the gram position,
+      // though the kernel's integer votes commute regardless
+      // (HashFamilyEquivalenceSpec pins order-insensitivity)
       grams
-        .select(col("doc_id"),
-          transform(col("grams"), g => CrossHash.md5Hash64(g)).as("hs"))
+        .select(col("doc_id"), posexplode(col("grams")).as(Seq("gpos", "g")))
+        .select(col("doc_id"), col("gpos"),
+          CrossHash.md5Hash64(col("g")).as("h"))
+        .groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("gpos"),
+          col("h")))), e => e("h")).as("hs"))
         .select(col("doc_id"),
           HashingEmbedder.embedFromHashes(col("hs"), dim).as("v"))
         .select(col("doc_id"), posexplode(col("v")).as(Seq("pos", "val")))
@@ -542,7 +551,7 @@ object TestQueries12 {
       ORDER BY id"""
     })
 
-  /** Differential fuzzing gate: 64 seeded random
+  /** Differential fuzzing gate: 32 seeded random
     * filter/join/group/distinct/window/top-k plans over the star
     * schema, each reduced to one integer (plan_id, cnt, checksum) row.
     * The Spark side is the DataFrame rendering of each AST; the oracle
@@ -554,8 +563,8 @@ object TestQueries12 {
     */
   val q131Fuzz: QueryCase = QueryCase(
     "q131_fuzz",
-    (s, dir) => FuzzQueries.buildAll(s, dir, 64),
-    Some(FuzzQueries.sqlAll(64)))
+    (s, dir) => FuzzQueries.buildAll(s, dir, 32),
+    Some(FuzzQueries.sqlAll(32)))
 
   val all: Seq[QueryCase] =
     Seq(q124RankAnd, q125ContextualPii, q126MinhashFamilies,

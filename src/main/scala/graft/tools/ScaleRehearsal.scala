@@ -105,13 +105,64 @@ object ScaleRehearsal {
         }
         replicate("lineitem", "l_orderkey")
         replicate("orders", "o_orderkey")
-        replicate("documents", "doc_id")
+        // documents: per-copy TOKEN REMAP (every token of copy k>0 gets
+        // a `k<k>` prefix) — row count grows 10× while each copy keeps
+        // sf0.1's internal duplicate structure exactly and no cross-copy
+        // near-dup pairs are manufactured. This is the stationary-
+        // composition sf1.0 point the ladder needs for the dedup family
+        // (plain replication would be REAL near-dups and quadratic
+        // output by data composition — the round-6 refusal).
+        locally {
+          val base = graft.sources.Tables.table(spark, src, "documents")
+          val reps = (0 until copies).map { k =>
+            val shifted = base.withColumn("doc_id",
+              col("doc_id") + lit(k * KeyShift))
+            if (k == 0) shifted
+            else shifted.withColumn("text",
+              regexp_replace(col("text"), "(\\S+)", s"k$k$$1"))
+          }.reduce(_ unionByName _)
+          reps.write.mode("overwrite").parquet(s"$out/documents.parquet")
+          println(s"[build] documents x$copies (token-remapped) -> $out")
+        }
+        // embeddings: per-copy dimension ROTATION — norms and in-copy
+        // geometry preserved, cross-copy cosine destroyed, so the
+        // embedding-dedup/ANN family sees 10× rows with the same
+        // neighborhood statistics per copy.
+        locally {
+          val base = graft.sources.Tables.table(spark, src, "embeddings")
+          val dim = base.select(size(col("embedding"))).head().getInt(0)
+          val reps = (0 until copies).map { k =>
+            val shifted = base.withColumn("vec_id",
+              col("vec_id") + lit(k * KeyShift))
+            if (k == 0) shifted
+            else shifted.withColumn("embedding",
+              concat(slice(col("embedding"), k + 1, dim - k),
+                slice(col("embedding"), 1, k)))
+          }.reduce(_ unionByName _)
+          reps.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+          println(s"[build] embeddings x$copies (rotated) -> $out")
+        }
         // dimensions stay single-copy: each customer now holds `copies`×
         // the orders — organic fan-out growth, not key dilution
         Seq("customer", "nation", "region", "supplier", "part").foreach { n =>
           graft.sources.Tables.table(spark, src, n)
             .write.mode("overwrite").parquet(s"$out/$n.parquet")
           println(s"[build] $n x1 -> $out")
+        }
+
+      // One more decade for the ladder: sf0.1 (driver data) → the sf1.0
+      // build above. Prints the 0.1→1.0 steady-state exponent per query.
+      case "ladder10" =>
+        val sf1 = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+        val names =
+          if (args.length > 2) args(2).split(",").toSeq else LadderQueries
+        names.foreach { name =>
+          val (c01, w01) = steady(name, "/root/testdata/sf0.1")
+          val (c1, w1) = steady(name, sf1)
+          val e = math.log10(w1 / w01)
+          println(f"[ladder10] $name%-24s sf0.1 cold=$c01%.2f " +
+            f"steady=$w01%.2f | sf1 cold=$c1%.2f steady=$w1%.2f " +
+            f"exp(0.1→1.0)=$e%.2f")
         }
 
       case "stress" =>
