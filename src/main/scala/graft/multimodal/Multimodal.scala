@@ -12,11 +12,15 @@ import org.apache.spark.sql.types._
   * Decode coverage: uncompressed containers (PPM P6, WAV PCM-16) are
   * parsed by hand-written kernels; compressed IMAGES (JPEG/PNG/GIF/BMP)
   * decode for real through `ImageIoDecode` (JDK `javax.imageio`, no
-  * native deps) into the same tile kernel. Compressed AUDIO/VIDEO decode
-  * remains a declared seam — `DecodeBackend`/`ImageDecode` is where a
-  * JavaCV/ffmpeg-pipe backend plugs in; the default `HeaderProbe`
-  * backend parses only container headers (PNG/JPEG dimensions, WAV
-  * sample rate), so metadata probing never needs a full decode.
+  * native deps) into the same tile kernel; compressed AUDIO decodes for
+  * real for G.711 µ-law/A-law (formats 7/6, q123 [O]) and IMA ADPCM
+  * (format 17, block-predictive step/index state machine, q132 [O]) —
+  * all integer math, oracle-replayable. The remaining seam is
+  * perceptual codecs (MP3/AAC/Opus) and video, where no JDK decoder
+  * exists — `DecodeBackend`/`ImageDecode` is where a JavaCV/ffmpeg-pipe
+  * backend plugs in; the default `HeaderProbe` backend parses only
+  * container headers (PNG/JPEG dimensions, WAV sample rate), so
+  * metadata probing never needs a full decode.
   */
 object Multimodal {
 
@@ -152,11 +156,35 @@ object Multimodal {
     (if ((u & 0x80) != 0) x else -x).toShort
   }
 
+  /** IMA/DVI ADPCM step-size table (89 entries) and index-adjust table —
+    * the public algorithm's constants (IMA "Recommended Practices for
+    * Enhancing Digital Audio Compatibility", also in RFC 3551 §4.5.1
+    * lineage). Serialized into the q132 oracle so both engines hold
+    * identical integers.
+    */
+  private[graft] val AdpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private[graft] val AdpcmIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
   /** Parsed WAV payload as 16-bit linear samples: PCM-16 (audio format 1,
     * 16-bit) passes through; G.711 A-law (format 6) and µ-law (format 7)
     * — REAL compressed telephony codecs, 8-bit — decode through
-    * [[alawDecode]]/[[ulawDecode]]. Returns (rate, channels, samples);
-    * None for other formats / malformed bytes.
+    * [[alawDecode]]/[[ulawDecode]]; IMA ADPCM (format 17, 4-bit, mono) —
+    * a REAL block-predictive codec — decodes through the step/index
+    * state machine (block header carries the seed predictor + index; the
+    * predictor is the block's first output sample; nibbles low-first).
+    * Returns (rate, channels, samples); None for other formats /
+    * malformed bytes.
     */
   private[graft] def parseWavPcm16(
       b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
@@ -167,7 +195,8 @@ object Multimodal {
       b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
       b(11) != 'E') return None
     var i = 12
-    var fmt: Option[(Int, Int, Int)] = None // (audioFormat, channels, rate)
+    // (audioFormat, channels, rate, blockAlign)
+    var fmt: Option[(Int, Int, Int, Int)] = None
     var bits = 0
     var data: Option[(Int, Int)] = None // (offset, length)
     while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
@@ -177,7 +206,7 @@ object Multimodal {
       // >2 GiB declared) would stall or reverse the cursor — malformed
       if (size < 0) return None
       if (id == "fmt " && i + 24 <= b.length) {
-        fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12)))
+        fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12), le16(i + 20)))
         bits = le16(i + 22)
       } else if (id == "data") {
         data = Some((i + 8, math.min(size, b.length - i - 8)))
@@ -188,10 +217,12 @@ object Multimodal {
       i = if (next > b.length) b.length else next.toInt
     }
     for {
-      (audioFormat, channels, rate) <- fmt
+      (audioFormat, channels, rate, blockAlign) <- fmt
       (off, len) <- data
       if (audioFormat == 1 && bits == 16 && len >= 2) ||
-        ((audioFormat == 6 || audioFormat == 7) && bits == 8 && len >= 1)
+        ((audioFormat == 6 || audioFormat == 7) && bits == 8 && len >= 1) ||
+        (audioFormat == 17 && bits == 4 && channels == 1 &&
+          blockAlign >= 5 && len >= blockAlign)
     } yield {
       if (audioFormat == 6 || audioFormat == 7) {
         val dec: Byte => Short =
@@ -199,6 +230,43 @@ object Multimodal {
         val samples = new Array[Short](len)
         var j = 0
         while (j < len) { samples(j) = dec(b(off + j)); j += 1 }
+        (rate, channels, samples)
+      } else if (audioFormat == 17) {
+        val ba = blockAlign
+        val nBlocks = len / ba // full blocks only
+        val perBlock = (ba - 4) * 2 + 1
+        val samples = new Array[Short](nBlocks * perBlock)
+        var blk = 0
+        var w = 0
+        while (blk < nBlocks) {
+          val base = off + blk * ba
+          var pred = ((b(base) & 0xff) | (b(base + 1) << 8)).toShort.toInt
+          var idx = math.min(b(base + 2) & 0xff, 88)
+          samples(w) = pred.toShort; w += 1
+          var j = base + 4
+          while (j < base + ba) {
+            val byte = b(j) & 0xff
+            var k = 0
+            while (k < 2) {
+              val nib = if (k == 0) byte & 0x0f else (byte >> 4) & 0x0f
+              val step = AdpcmStepTable(idx)
+              var diff = step >> 3
+              if ((nib & 1) != 0) diff += step >> 2
+              if ((nib & 2) != 0) diff += step >> 1
+              if ((nib & 4) != 0) diff += step
+              pred = if ((nib & 8) != 0) pred - diff else pred + diff
+              if (pred > 32767) pred = 32767
+              if (pred < -32768) pred = -32768
+              samples(w) = pred.toShort; w += 1
+              idx += AdpcmIndexTable(nib & 7)
+              if (idx < 0) idx = 0
+              if (idx > 88) idx = 88
+              k += 1
+            }
+            j += 1
+          }
+          blk += 1
+        }
         (rate, channels, samples)
       } else {
         val n = len / 2
@@ -241,6 +309,27 @@ object Multimodal {
   def wavAlawBytes(alaw: Array[Byte], sampleRate: Int,
                    channels: Int = 1): Array[Byte] =
     wavG711Bytes(alaw, sampleRate, 6, channels)
+
+  /** Wrap a raw IMA ADPCM block payload in a WAV container (format 17,
+    * mono, 4-bit; fmt carries cbSize=2 + samplesPerBlock as the spec
+    * requires) — fixture utility for the q132 gate.
+    */
+  def wavAdpcmBytes(payload: Array[Byte], sampleRate: Int,
+                    blockAlign: Int): Array[Byte] = {
+    require(blockAlign >= 5, "blockAlign must cover the 4-byte header")
+    val spb = (blockAlign - 4) * 2 + 1
+    val buf = java.nio.ByteBuffer.allocate(48 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(40 + payload.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(1).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / spb).putShort(blockAlign.toShort)
+      .putShort(4).putShort(2).putShort(spb.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(payload.length)
+    buf.put(payload)
+    buf.array()
+  }
 
   /** Encode an RGB pixel buffer (row-major, 3 bytes/px) as a binary PPM
     * (P6) container — fixture utility and the encode inverse of

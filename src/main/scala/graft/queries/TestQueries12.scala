@@ -566,8 +566,124 @@ object TestQueries12 {
     (s, dir) => FuzzQueries.buildAll(s, dir, 32),
     Some(FuzzQueries.sqlAll(32)))
 
+  // q132 fixture: formula-generated ADPCM block payloads (the q123
+  // discipline — the oracle regenerates every byte from the formula).
+  // (id, nBlocks, blockAlign, rate, seed); non-negative seed predictors
+  // keep the header bytes trivially formula-expressible while the
+  // nibble stream still drives the predictor negative (sign nibbles).
+  private val adpcmAssets: Seq[(String, Int, Int, Int, Int)] =
+    Seq(("a1", 3, 12, 8000, 3), ("a2", 2, 16, 16000, 9))
+  private val adpcmNFrames = 4
+
+  private def adpcmPayload(nBlocks: Int, ba: Int, seed: Int): Array[Byte] = {
+    val out = new Array[Byte](nBlocks * ba)
+    for (blk <- 0 until nBlocks) {
+      val base = blk * ba
+      val pred = (seed * 1711 + blk * 997) % 20000
+      out(base) = (pred & 0xff).toByte
+      out(base + 1) = ((pred >> 8) & 0xff).toByte
+      out(base + 2) = ((seed * 11 + blk * 7) % 89).toByte
+      out(base + 3) = 0
+      for (i <- 0 until ba - 4)
+        out(base + 4 + i) = ((i * 37 + seed + blk * 13) % 256).toByte
+    }
+    out
+  }
+
+  /** Compressed-AUDIO decode #2: IMA ADPCM (WAV format 17) — a real
+    * block-PREDICTIVE codec (per-nibble step/index state machine), not
+    * a memoryless table like G.711 — oracle-checked end to end. Spark
+    * parses the real RIFF container and decodes through the production
+    * kernel; the oracle regenerates every payload byte from its
+    * formula and replays the exact integer recurrence (step table
+    * serialized from the kernel's constants, diff accumulation via
+    * CASE'd bit tests, both clamps) as a RECURSIVE CTE — the q114/q121
+    * discipline applied to a codec. All integer → frame peaks/means
+    * mirror bit-exactly; rms carries the one correctly-rounded sqrt.
+    * A malformed asset (format 17 declaring 8-bit) must emit nothing.
+    */
+  val q132AdpcmFrames: QueryCase = QueryCase(
+    "q132_adpcm_frames",
+    (s, dir) => {
+      import s.implicits._
+      val mm = graft.multimodal.Multimodal
+      val rows = adpcmAssets.map { case (id, nb, ba, rate, seed) =>
+        (id, mm.wavAdpcmBytes(adpcmPayload(nb, ba, seed), rate, ba))
+      } ++ Seq(
+        ("x2", {
+          val bad = mm.wavAdpcmBytes(adpcmPayload(1, 12, 5), 8000, 12)
+          bad(34) = 8; bad // bitsPerSample: contract violation → nothing
+        }))
+      mm.sampleWavFrames(rows.toDF("id", "bytes"), "id", "bytes",
+          adpcmNFrames)
+        .orderBy("id", "frame_index")
+    },
+    Some {
+      val mm = graft.multimodal.Multimodal
+      val st = mm.AdpcmStepTable.mkString("[", ", ", "]")
+      val it = mm.AdpcmIndexTable.mkString("[", ", ", "]")
+      val vals = adpcmAssets.map { case (id, nb, ba, rate, seed) =>
+        s"('$id', $nb, $ba, $rate, $seed)"
+      }.mkString(", ")
+      val f = adpcmNFrames
+      s"""
+      WITH RECURSIVE assets(id, nb, ba, rate, seed) AS (VALUES $vals),
+      blocks AS (
+        SELECT id, rate, seed, CAST(u.b AS INT) AS blk,
+               (ba - 4) * 2 AS nnib,
+               (seed * 1711 + CAST(u.b AS INT) * 997) % 20000 AS pred0,
+               (seed * 11 + CAST(u.b AS INT) * 7) % 89 AS idx0
+        FROM assets, UNNEST(range(0, nb)) AS u(b)),
+      dec AS (
+        SELECT id, blk, nnib, seed, 0 AS t, pred0 AS pred, idx0 AS idx,
+               pred0 AS sample
+        FROM blocks
+        UNION ALL
+        SELECT id, blk, nnib, seed, t + 1,
+               LEAST(32767, GREATEST(-32768,
+                 CASE WHEN nib >= 8 THEN pred - diff
+                      ELSE pred + diff END)),
+               LEAST(88, GREATEST(0, idx + ($it)[(nib % 8) + 1])),
+               LEAST(32767, GREATEST(-32768,
+                 CASE WHEN nib >= 8 THEN pred - diff
+                      ELSE pred + diff END))
+        FROM (
+          SELECT *,
+                 step // 8
+                 + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+                 + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+                 + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END
+                   AS diff
+          FROM (
+            SELECT d.*, ($st)[d.idx + 1] AS step,
+                   CASE WHEN d.t % 2 = 0 THEN raw % 16
+                        ELSE raw // 16 END AS nib
+            FROM (SELECT *,
+                    ((t // 2) * 37 + seed + blk * 13) % 256 AS raw
+                  FROM dec WHERE t < nnib) d))),
+      samples AS (
+        SELECT id, blk * (nnib + 1) + t AS g, sample FROM dec),
+      tot AS (
+        SELECT b.id, MAX(b.blk + 1) * (MAX(b.nnib) + 1) AS n
+        FROM blocks b GROUP BY b.id),
+      framed AS (
+        SELECT s.id, s.g, s.sample,
+               CAST(((s.g + 1) * $f + t.n - 1) // t.n - 1 AS INT) AS fr
+        FROM samples s JOIN tot t USING (id))
+      SELECT id, fr AS frame_index, a.rate AS sample_rate,
+             1 AS channels,
+             CAST(MIN(g) AS INT) AS start_sample,
+             CAST(COUNT(*) AS INT) AS n_samples,
+             CAST(MAX(ABS(sample)) AS INT) AS peak,
+             CAST(SUM(sample) AS DOUBLE) / COUNT(*) AS mean,
+             sqrt(CAST(SUM(sample * sample) AS DOUBLE) / COUNT(*)) AS rms
+      FROM framed f JOIN assets a USING (id)
+      GROUP BY id, fr, a.rate
+      ORDER BY id, frame_index"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q124RankAnd, q125ContextualPii, q126MinhashFamilies,
       q127SimhashInjected, q128EmbedInjected, q129RankNormFloat4,
-      q130RankPositionalFloat4, q131Fuzz)
+      q130RankPositionalFloat4, q131Fuzz, q132AdpcmFrames)
 }

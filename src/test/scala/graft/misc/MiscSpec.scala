@@ -184,6 +184,40 @@ class MiscSpec extends SparkSpec {
     assert(viaJpeg.map(_.toSeq).toSeq == viaPpm.map(_.toSeq).toSeq)
   }
 
+  test("ima adpcm decode: hand-traced state machine, clamps, container") {
+    // one block, blockAlign 6: header pred=0 idx=0, payload bytes
+    // 0x70 (nibbles 0 then 7), 0x88 (nibbles 8 then 8).
+    // t1 nib=0: step=7, diff=0 → pred 0, idx max(0,0-1)=0
+    // t2 nib=7: diff=0+1+3+7=11 → pred 11, idx 0+8=8
+    // t3 nib=8: step(8)=16, diff=2, sign → pred 9, idx max(0,8-1)=7
+    // t4 nib=8: step(7)=14, diff=1, sign → pred 8, idx 6
+    val payload = Array[Byte](0, 0, 0, 0, 0x70, 0x88.toByte)
+    val parsed = Multimodal.parseWavPcm16(
+      Multimodal.wavAdpcmBytes(payload, 8000, 6))
+    assert(parsed.isDefined)
+    val (rate, ch, samples) = parsed.get
+    assert(rate == 8000 && ch == 1)
+    assert(samples.toSeq == Seq[Short](0, 0, 11, 9, 8))
+    // saturation clamp: start at max predictor, push up with nibble 7
+    // at a high index (step 32767 → diff 57341 → clamps to 32767)
+    val hot = Array[Byte](0xFF.toByte, 0x7F, 88.toByte, 0, 0x77, 0x77)
+    val (_, _, s2) = Multimodal.parseWavPcm16(
+      Multimodal.wavAdpcmBytes(hot, 8000, 6)).get
+    assert(s2(0) == 32767 && s2.forall(_ == 32767))
+    // descending: nibble 0xF (sign+7) from 0/idx 88 → -57341 → clamp
+    val cold = Array[Byte](0, 0, 88.toByte, 0, 0xFF.toByte, 0xFF.toByte)
+    val (_, _, s3) = Multimodal.parseWavPcm16(
+      Multimodal.wavAdpcmBytes(cold, 8000, 6)).get
+    assert(s3.toSeq.tail.forall(_ == -32768))
+    // partial trailing block is ignored (full blocks only)
+    val two = Multimodal.wavAdpcmBytes(payload ++ payload.take(3), 8000, 6)
+    assert(Multimodal.parseWavPcm16(two).get._3.length == 5)
+    // format 17 declaring 8 bits is malformed, never half-decoded
+    val bad = Multimodal.wavAdpcmBytes(payload, 8000, 6)
+    bad(34) = 8
+    assert(Multimodal.parseWavPcm16(bad).isEmpty)
+  }
+
   test("g711 ulaw decode: canonical extremes, zero codes, wav roundtrip") {
     // canonical G.711 values: 0x00 -> -32124, 0x80 -> +32124, both zero
     // codes (0xFF positive, 0x7F negative) -> 0
