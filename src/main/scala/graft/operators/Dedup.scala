@@ -52,10 +52,11 @@ object Dedup {
     * driver-local fixtures are round-robined. `true`/`false` force
     * either behavior.
     */
-  // NOTE: inspecting queryExecution.optimizedPlan here forces eager
-  // analysis+optimization of the input's plan once per call. Fine at the
-  // intended one-call-per-job cadence; if ever called inside a loop over
-  // many small frames, hoist the spread decision out of the loop.
+  // The leaf walk reads the ANALYZED plan, which Dataset construction
+  // has already produced eagerly — unlike the previous optimizedPlan
+  // probe (round-5 note), no extra per-call optimizer run happens.
+  // File-source leaves are LogicalRelations at analysis time, so the
+  // listing is identical.
   private def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sessionState.conf.numShufflePartitions
@@ -68,7 +69,7 @@ object Dedup {
         spark.sessionState.conf.filesMaxPartitionBytes)
       var scanParts = 0L
       var unknown = false
-      df.queryExecution.optimizedPlan.collectLeaves().foreach {
+      df.queryExecution.analyzed.collectLeaves().foreach {
         case lr: LogicalRelation => lr.relation match {
           case fs: HadoopFsRelation =>
             scanParts += math.max(fs.location.inputFiles.length.toLong,
