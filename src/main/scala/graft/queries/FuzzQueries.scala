@@ -5,8 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Differential query fuzzing (round 7, verdict item 6): a seeded
-  * generator over filter/join/group/distinct/window/top-k compositions
-  * on the TPC-H-ish star schema, where every random plan carries TWO
+  * generator over filter/join/group/distinct/window/top-k/semi/anti
+  * compositions on the TPC-H-ish star schema — the semi/anti shapes
+  * render as correlated [NOT] EXISTS in SQL and leftsemi/leftanti
+  * joins in the DataFrame build — where every random plan carries TWO
   * renderings derived from ONE AST — a typed DataFrame build and an
   * ANSI SQL string — and reduces to a single (plan_id, cnt, checksum)
   * row of pure INTEGER math (doubles and timestamps are excluded, so
@@ -166,7 +168,11 @@ object FuzzQueries {
     val ukSql = base.uniqueKeySql
     def uk: Column = expr(ukSql)
 
-    rnd.nextInt(5) match {
+    val shapeId = {
+      val s = rnd.nextInt(7)
+      if (s >= 5 && base.joins.isEmpty) 0 else s // semi/anti need a dim
+    }
+    shapeId match {
       case 0 => // global aggregate
         val m = mixExpr()
         Plan(id, fromSql, pred.map(_.sql),
@@ -177,6 +183,35 @@ object FuzzQueries {
             .agg(count(lit(1)).as("cnt"),
               coalesce(sum(m.col % M), lit(-1L)).as("checksum"))
             .select(lit(id).as("plan_id"), col("cnt"), col("checksum")))
+      case 5 | 6 => // correlated [NOT] EXISTS — leftsemi / leftanti
+        val semi = shapeId == 5
+        val (fk, dim, pk) = base.joins(rnd.nextInt(base.joins.size))
+        val d = joinTargets(dim)
+        val dc = d.intCols(rnd.nextInt(d.intCols.size))
+        val km = 2 + rnd.nextInt(5)
+        val r = rnd.nextInt(km)
+        // digest over BASE columns only (the semi output schema)
+        val c1 = base.intCols(rnd.nextInt(base.intCols.size))
+        val c2 = base.intCols(rnd.nextInt(base.intCols.size))
+        val a = 1 + rnd.nextInt(97)
+        val mixSql = s"($c1 % $M) * $a + ($c2 % $M)"
+        val mixCol = (col(c1) % M) * a + (col(c2) % M)
+        val kind = if (semi) "EXISTS" else "NOT EXISTS"
+        Plan(id, base.name,
+          Some(s"$kind (SELECT 1 FROM $dim " +
+            s"WHERE $fk = $pk AND ($dc % $km) = $r)"),
+          s"""SELECT $id AS plan_id, COUNT(*) AS cnt,
+              COALESCE(CAST(SUM(($mixSql) % $M) AS BIGINT), -1) AS checksum
+              FROM (SELECT * FROM __REL__) AS t0""",
+          (s, dir) => {
+            val b = cachedTable(s, dir, base.name)
+            val dimF = cachedTable(s, dir, dim).where(col(dc) % km === r)
+            b.join(dimF, col(fk) === col(pk),
+                if (semi) "leftsemi" else "leftanti")
+              .agg(count(lit(1)).as("cnt"),
+                coalesce(sum(mixCol % M), lit(-1L)).as("checksum"))
+              .select(lit(id).as("plan_id"), col("cnt"), col("checksum"))
+          })
       case 1 => // group-by fold
         val g = groupKey()
         Plan(id, fromSql, pred.map(_.sql),
