@@ -323,4 +323,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Generate"), s"dim side must replicate per salt:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q124: rank filter evaluates at the scan, projection prunes") {
+    val p = plan("q124_rank_and")
+    // the custom-expression filter rides the scan's DataFilters (no
+    // separate stage boundary before it) and column pruning reaches
+    // parquet — the two properties that matter at 100 TB
+    assert(p.contains("DataFilters: [(postsrankand"),
+      s"the rank_and predicate must evaluate with the scan:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+      s"q124 must prune the documents scan to its 3 columns:\n$p")
+  }
+
+  test("q126/q131: generated multi-pipeline gates plan no cartesian") {
+    assert(!plan("q126_minhash_families").contains("CartesianProduct"))
+    val fz = plan("q131_fuzz")
+    assert(!fz.contains("CartesianProduct"), fz)
+    // semi/anti fuzz shapes must plan as real semi joins on the FK,
+    // never as nested-loop existence checks
+    assert(!fz.contains("BroadcastNestedLoopJoin"), fz)
+  }
+
+  test("q127: injected simhash keeps the capped window-gate bucket shape") {
+    val p = plan("q127_simhash_injected")
+    assert(p.contains("Window"), s"bucket cap must be a window count:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
