@@ -30,5 +30,10 @@ class FuzzSpec extends SparkSpec {
     }
     // the corpus isn't degenerate: most plans see rows
     assert(viaDf.count(_._2 > 0) > N / 2)
+    // ...and every shape family actually occurs in the seeded corpus
+    val sqls = (0 until N).map(FuzzQueries.describe)
+    for (marker <- Seq("NOT EXISTS", "EXISTS", "ROW_NUMBER", "DISTINCT",
+        "GROUP BY", "LIMIT", "JOIN"))
+      assert(sqls.exists(_.contains(marker)), s"no plan exercises $marker")
   }
 }
