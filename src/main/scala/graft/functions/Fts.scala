@@ -590,6 +590,102 @@ object PosLexKernels {
     if (res < 0) 1e-20 else res
   }
 
+  /** ts_rank_cd cover-density core (PostgreSQL tsrank.c calc_rank_cd /
+    * Cover(), i.e. Clarke et al.'s minimal covers): hits = positions of
+    * query lexemes merged across both weight classes (B shifted past
+    * A's max position, the concat rule); enumerate MINIMAL covers —
+    * from the search start, scan forward until every query term is
+    * seen, then backward from that end to the latest begin still
+    * covering all terms; next search resumes at begin+1. Each cover
+    * contributes `Cpos / (1 + nNoise)` where
+    * `Cpos = members / Σ(1/weight)` (members = query-term hits inside
+    * the cover) and `nNoise = width − members` (non-hit positions
+    * inside). No normalizer constant and no query-size division —
+    * cover-density is its own scale. Doubles throughout; pg casts the
+    * final sum to float4 (same declared divergence as rankOr). Query
+    * lexemes must be distinct.
+    */
+  def rankCd(posA: ArrayData, posB: ArrayData, terms: Array[UTF8String],
+             weightA: Double, weightB: Double): Double = {
+    val need = terms.length
+    if (need == 0) return 0.0
+    var maxA = -1
+    var ai = 0
+    val an = posA.numElements()
+    while (ai < an) {
+      val p = posA.getStruct(ai, 2).getInt(1)
+      if (p > maxA) maxA = p
+      ai += 1
+    }
+    val shift = maxA + 1
+    // merged query-term hits in position order: (pos, termIdx, 1/weight)
+    val poss = new scala.collection.mutable.ArrayBuffer[Int]
+    val tidx = new scala.collection.mutable.ArrayBuffer[Int]
+    val invw = new scala.collection.mutable.ArrayBuffer[Double]
+    def scan(arr: ArrayData, w: Double, off: Int): Unit = {
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val row = arr.getStruct(i, 2)
+        val lex = row.getUTF8String(0)
+        var t = 0
+        var hit = -1
+        while (t < need && hit < 0) {
+          if (lex.equals(terms(t))) hit = t
+          t += 1
+        }
+        if (hit >= 0) {
+          poss += row.getInt(1) + off
+          tidx += hit
+          invw += 1.0 / w
+        }
+        i += 1
+      }
+    }
+    scan(posA, weightA, 0) // position-ascending by construction
+    scan(posB, weightB, shift) // all shifted past A
+    val n = poss.length
+    val count = new Array[Int](need)
+    var wdoc = 0.0
+    var i = 0
+    var done = false
+    while (!done) {
+      java.util.Arrays.fill(count, 0)
+      var covered = 0
+      var e = i
+      var end = -1
+      while (e < n && end < 0) {
+        val t = tidx(e)
+        if (count(t) == 0) covered += 1
+        count(t) += 1
+        if (covered == need) end = e else e += 1
+      }
+      if (end < 0) done = true
+      else {
+        java.util.Arrays.fill(count, 0)
+        var covered2 = 0
+        var b = end
+        var begin = -1
+        while (b >= i && begin < 0) {
+          val t = tidx(b)
+          if (count(t) == 0) covered2 += 1
+          count(t) += 1
+          if (covered2 == need) begin = b else b -= 1
+        }
+        var invSum = 0.0
+        var j = begin
+        while (j <= end) { invSum += invw(j); j += 1 }
+        val members = end - begin + 1
+        val cpos = members.toDouble / invSum
+        var nNoise = (poss(end) - poss(begin)) - (end - begin)
+        if (nNoise < 0) nNoise = 0
+        wdoc += cpos / (1 + nNoise).toDouble
+        i = begin + 1
+      }
+    }
+    wdoc
+  }
+
   /** True when some anchor position p0 has every query term k at exactly
     * p0 + offset(k) (Postgres `<N>` phrase semantics; a single term with
     * offset 0 degenerates to containment). Positions are strictly
@@ -707,6 +803,33 @@ case class PosTsRankAnd(left: Expression, right: Expression,
       "org.apache.spark.unsafe.types.UTF8String[]")
     defineCodeGen(ctx, ev, (a, b) =>
       s"graft.functions.PosLexKernels.rankAnd($a, $b, $ref, $weightA, $weightB)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Positional ts_rank_cd (cover-density) over two array<struct<lex,pos>>
+  * weight classes — see [[PosLexKernels.rankCd]].
+  */
+case class PosTsRankCd(left: Expression, right: Expression,
+                       lexemes: Seq[String], weightA: Double,
+                       weightB: Double)
+    extends BinaryExpression {
+  require(lexemes.nonEmpty, "need at least one query lexeme")
+  require(lexemes.distinct.size == lexemes.size,
+    "ts_rank_cd query lexemes must be distinct")
+  @transient private lazy val lexs: Array[UTF8String] =
+    lexemes.map(UTF8String.fromString).toArray
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PosLexKernels.rankCd(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      lexs, weightA, weightB)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lexs", lexs,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PosLexKernels.rankCd($a, $b, $ref, $weightA, $weightB)")
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -1096,6 +1219,22 @@ object Fts {
                           weightA: Double = 1.0,
                           weightB: Double = 0.4): Column =
     graftshim.column(PosTsRankAnd(graftshim.expression(posA),
+      graftshim.expression(posB), queryLexemes, weightA, weightB))
+
+  /** Positional ts_rank_cd — Postgres's cover-density ranking function
+    * (the OTHER ranking entry point of the pg FTS surface; the
+    * reference's own SQL uses ts_rank, but a user switching engines may
+    * call either). Minimal-cover enumeration per Clarke et al., each
+    * cover scored by inverse-weight harmonic mass over its width; see
+    * [[PosLexKernels.rankCd]]. Gated by q133 [O] (2-term covers are
+    * exactly the consecutive different-term hit pairs, which a LAG
+    * mirror replays bit-exactly) + hand-traced multi-term specs.
+    */
+  def tsRankCdPositional(posA: Column, posB: Column,
+                         queryLexemes: Seq[String],
+                         weightA: Double = 1.0,
+                         weightB: Double = 0.4): Column =
+    graftshim.column(PosTsRankCd(graftshim.expression(posA),
       graftshim.expression(posB), queryLexemes, weightA, weightB))
 
   /** `fts @@ query` over positional lexemes: phrases require their exact

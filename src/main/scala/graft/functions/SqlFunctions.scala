@@ -60,6 +60,14 @@ object SqlFunctions {
         PosTsRankAnd(a, b,
           lit(q, "pos_ts_rank_and query").split("\\s+").toSeq
             .filter(_.nonEmpty),
+          1.0, 0.4) }),
+    ("pos_ts_rank_cd", 3,
+      "pos_ts_rank_cd(posA, posB, query) - cover-density ts_rank_cd, " +
+        "query = space-separated distinct lexeme literal",
+      { case Seq(a, b, q) =>
+        PosTsRankCd(a, b,
+          lit(q, "pos_ts_rank_cd query").split("\\s+").toSeq
+            .filter(_.nonEmpty),
           1.0, 0.4) }))
 
   // Arity is validated explicitly per entry: catching MatchError here

@@ -682,8 +682,79 @@ object TestQueries12 {
       ORDER BY id, frame_index"""
     })
 
+  /** C20 completion: ts_rank_cd cover-density ranking over the corpus,
+    * oracle-checked bit-exactly. For a TWO-term query, Clarke's minimal
+    * covers are exactly the consecutive different-term pairs in the
+    * merged position-ordered hit list (a same-term hit in between would
+    * move the cover's begin forward), so the oracle replays the kernel
+    * with LAG: each qualifying pair contributes
+    * `(2 / (1/w_prev + 1/w_cur)) / (pos − prev_pos)` — the inverse-sum
+    * addition order, the division order and the position-ordered left
+    * fold all mirror the kernel's double arithmetic exactly, and there
+    * is no libm anywhere, so ranks compare RAW. Multi-term covers are
+    * hand-traced in FtsSpec.
+    */
+  val q133RankCd: QueryCase = QueryCase(
+    "q133_rank_cd",
+    (s, dir) => {
+      import graft.functions.{Fts, TextFunctions}
+      val terms = Seq("spark", "merge")
+      Tables.documents(s, dir).select(col("doc_id"),
+          Fts.posLexemesOfTokens(
+            TextFunctions.tokens(col("text")), stem = false).as("pa"),
+          Fts.posLexemesOfTokens(
+            TextFunctions.tokens(col("source")), stem = false).as("pb"))
+        .withColumn("r", Fts.tsRankCdPositional(col("pa"), col("pb"), terms))
+        .where(col("r") > 0)
+        .select(col("doc_id"), col("r").as("rank"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val stop = graft.functions.Fts.Stopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString(", ")
+      def toks(colName: String, src: Int) =
+        s"""SELECT doc_id, u.tok AS tok, u.i AS i, $src AS src
+            FROM documents, UNNEST(list_transform(
+              regexp_split_to_array(LOWER(TRIM($colName)), '\\s+'),
+              (x, j) -> struct_pack(tok := x, i := j))) AS t(u)
+            WHERE u.tok <> ''"""
+      s"""
+      WITH toks AS (${toks("text", 0)} UNION ALL ${toks("source", 1)}),
+      kept AS (SELECT * FROM toks WHERE tok NOT IN ($stop)),
+      amax AS (
+        SELECT doc_id, MAX(i) AS ma FROM kept WHERE src = 0 GROUP BY doc_id),
+      hits AS (
+        SELECT k.doc_id,
+               CASE WHEN k.tok = 'spark' THEN 1 ELSE 2 END AS term_idx,
+               k.i + CASE WHEN k.src = 1 THEN COALESCE(a.ma, 0)
+                          ELSE 0 END AS pos,
+               CASE WHEN k.src = 0 THEN CAST(1.0 AS DOUBLE)
+                    ELSE CAST(0.4 AS DOUBLE) END AS w
+        FROM kept k LEFT JOIN amax a USING (doc_id)
+        WHERE k.tok IN ('spark', 'merge')),
+      ordered AS (
+        SELECT *,
+               LAG(term_idx) OVER win AS pt,
+               LAG(pos) OVER win AS pp,
+               LAG(w) OVER win AS pw
+        FROM hits
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      covers AS (
+        SELECT doc_id, pos,
+               (CAST(2 AS DOUBLE) / (1.0 / pw + 1.0 / w)) /
+                 CAST(pos - pp AS DOUBLE) AS c
+        FROM ordered
+        WHERE pt IS NOT NULL AND pt <> term_idx),
+      folded AS (
+        SELECT doc_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(c ORDER BY pos)), (a, b) -> a + b) AS rank
+        FROM covers GROUP BY doc_id)
+      SELECT doc_id, rank FROM folded ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q124RankAnd, q125ContextualPii, q126MinhashFamilies,
       q127SimhashInjected, q128EmbedInjected, q129RankNormFloat4,
-      q130RankPositionalFloat4, q131Fuzz, q132AdpcmFrames)
+      q130RankPositionalFloat4, q131Fuzz, q132AdpcmFrames, q133RankCd)
 }

@@ -309,6 +309,39 @@ class FtsSpec extends SparkSpec {
       rank("alpha pad pad pad beta", "x", Seq("alpha", "beta")))
   }
 
+  test("ts_rank_cd: minimal covers, noise damping, multi-term, shift") {
+    import spark.implicits._
+    def rank(content: String, header: String, terms: Seq[String]): Double =
+      Seq((content, header)).toDF("c", "h")
+        .select(Fts.tsRankCdPositional(
+          Fts.posLexemesOfTokens(TextFunctions.tokens(col("c")), stem = false),
+          Fts.posLexemesOfTokens(TextFunctions.tokens(col("h")), stem = false),
+          terms))
+        .head().getDouble(0)
+    // adjacent pair: one cover, Cpos = 2/(1+1) = 1, noise 0 → 1.0
+    assert(rank("alpha beta", "x", Seq("alpha", "beta")) === 1.0)
+    // one noise word inside the cover halves it
+    assert(rank("alpha pad beta", "x", Seq("alpha", "beta")) === 0.5)
+    // minimality: the first alpha is NOT a cover begin (alpha alpha beta
+    // has exactly one cover, [alpha@1, beta@2])
+    assert(rank("alpha alpha beta", "x", Seq("alpha", "beta")) === 1.0)
+    // overlapping covers accumulate: A B A = covers (A,B) and (B,A)
+    assert(rank("alpha beta alpha", "x", Seq("alpha", "beta")) === 2.0)
+    // B-class hits carry weight 0.4: cross-class adjacent cover is
+    // 2 / (1/1 + 1/0.4) (content alpha, header beta shifted adjacent)
+    assert(math.abs(rank("alpha", "beta", Seq("alpha", "beta")) -
+      2.0 / (1.0 / 1.0 + 1.0 / 0.4)) < 1e-15)
+    // three terms, hand-traced: "alpha pad beta gamma" — one cover
+    // [alpha@0..gamma@3]: members 3, width 3, noise 1 → (3/3)/2 = 0.5
+    assert(rank("alpha pad beta gamma", "x",
+      Seq("alpha", "beta", "gamma")) === 0.5)
+    // a missing term means no cover at all
+    assert(rank("alpha beta", "x", Seq("alpha", "beta", "absent")) === 0.0)
+    // distinct-lexeme contract is enforced loudly
+    intercept[IllegalArgumentException](
+      Fts.tsRankCdPositional(col("c"), col("h"), Seq("a", "a")))
+  }
+
   test("plain query parsing: stopwords dropped, lexemes stemmed") {
     assert(Fts.plainQueryLexemes("the running dogs") == Seq("run", "dog"))
   }
