@@ -32,5 +32,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // DISABLES compilation ("CodeCache is full") — every query after that
   // point runs interpreted/deoptimized. This was the round-2 contiguous
   // q49–q59 cold-bench regression block (2–11× on unchanged code).
-  "-XX:ReservedCodeCacheSize=768m",
+  // 1g after round 7: ten more gates pushed the suite past 1400 janino
+  // units; peak observed use is logged by Bench's env line per run
+  "-XX:ReservedCodeCacheSize=1g",
 )

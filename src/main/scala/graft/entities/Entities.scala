@@ -130,10 +130,14 @@ object Entities {
       // roots are transitively the same entity — keep the min root for
       // the row and redirect the losing roots to it, so their own
       // documents follow on the next chase (a diamond a→b, a→c yields
-      // a→min(b,c) AND max(b,c)→min(b,c), never two survivors)
-      val minRoot = chased.groupBy("merged_id")
-        .agg(min(col("canonical_id")).as("mr"))
-      val collapsed = chased.join(minRoot, "merged_id")
+      // a→min(b,c) AND max(b,c)→min(b,c), never two survivors).
+      // min-root as a window over the chase's own rows: one exchange
+      // shared with the downstream projections, vs the groupBy+re-join
+      // shape's three (round-8 perf pass — this loop runs inside every
+      // near-dup clustering gate)
+      val collapsed = chased.withColumn("mr",
+        min(col("canonical_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("merged_id")))
       val rootEdges = collapsed.where(col("canonical_id") =!= col("mr"))
         .select(col("canonical_id").as("merged_id"), col("mr").as("canonical_id"))
       val next = collapsed
@@ -142,6 +146,8 @@ object Entities {
         .where(col("merged_id") =!= col("canonical_id"))
         .distinct()
         .localCheckpoint(true)
+      // both sides are checkpointed in-memory rows — the exact set
+      // comparison costs one small exchange, not a recompute
       changed = next.except(mapping).limit(1).count() > 0
       mapping = next
       iter += 1
