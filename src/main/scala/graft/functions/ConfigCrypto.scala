@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column encryption for connector credentials + PII log hashing.
+  *
+  * Reference surface: `src/utils/encryption.py:60-103` encrypts/decrypts
+  * connector `config` values (OAuth tokens, credentials) with a
+  * passphrase-derived symmetric key, and `src/utils/pii_protection.py:
+  * 13-62` hashes emails/strings for log correlation without exposure.
+  *
+  * Spark-first shape: `aes_encrypt`/`aes_decrypt` are codegen'd
+  * built-ins, so encryption runs inside whole-stage codegen on the
+  * executors — no UDF, no driver round-trip, safe at any scale. Fernet
+  * bit-parity is NOT a goal (the reference's token format is an
+  * implementation detail of its Python runtime); the contract is
+  * roundtrip identity, tamper rejection (AEAD), and key rotation, which
+  * AES-256-GCM provides.
+  *
+  * IV discipline: [[encrypt]] lets Spark draw a random 12-byte GCM IV
+  * per value (the production path — IVs must never repeat under one
+  * key). [[encryptDeterministic]] derives the IV from a caller-supplied
+  * unique seed column (e.g. the row's primary key) so ciphertexts are
+  * reproducible for tests and oracle gates; callers MUST pass a seed
+  * unique per (key, row) or GCM's guarantees collapse.
+  */
+object ConfigCrypto {
+
+  /** 32-byte AES-256 key from a passphrase: SHA-256 digest bytes.
+    * (The reference derives its key with PBKDF2 from an env secret —
+    * `encryption.py:50-56`; a KDF hardens low-entropy passphrases
+    * against brute force, which matters for human-chosen secrets. For
+    * machine secrets a single SHA-256 is the same 256-bit keyspace.)
+    */
+  def deriveKey(passphrase: Column): Column =
+    to_binary(sha2(passphrase.cast("string"), 256), lit("hex"))
+
+  /** 12-byte deterministic GCM IV from a per-row unique seed. */
+  private def ivOf(seed: Column): Column =
+    to_binary(substring(sha2(seed.cast("string"), 256), 1, 24), lit("hex"))
+
+  /** Encrypt with a random IV (production path). Output binary:
+    * iv ‖ ciphertext ‖ 16-byte GCM tag.
+    */
+  def encrypt(value: Column, key: Column): Column =
+    aes_encrypt(value.cast("binary"), key, lit("GCM"), lit("DEFAULT"))
+
+  /** Encrypt with an IV derived from `ivSeed` (tests/oracles; seed must
+    * be unique per key — see class doc).
+    */
+  def encryptDeterministic(value: Column, key: Column, ivSeed: Column): Column =
+    aes_encrypt(value.cast("binary"), key, lit("GCM"), lit("DEFAULT"),
+      ivOf(ivSeed))
+
+  /** Decrypt (throws on tamper/wrong key — the reference's
+    * `decrypt_value` raises ValueError, `encryption.py:96-103`).
+    */
+  def decrypt(ciphertext: Column, key: Column): Column =
+    aes_decrypt(ciphertext, key, lit("GCM"), lit("DEFAULT"))
+
+  /** Decrypt to NULL on tamper/wrong key — the filterable form. */
+  def tryDecrypt(ciphertext: Column, key: Column): Column =
+    try_aes_decrypt(ciphertext, key, lit("GCM"), lit("DEFAULT"))
+
+  /** Re-encrypt under a new key (key-rotation pass over a config
+    * column). Deterministic-IV variant for gate reproducibility; the
+    * production rotation uses [[encrypt]]'s random IV.
+    */
+  def rotateDeterministic(ciphertext: Column, oldKey: Column, newKey: Column,
+                          ivSeed: Column): Column =
+    encryptDeterministic(decrypt(ciphertext, oldKey).cast("string"), newKey,
+      ivSeed)
+
+  /** `hash_email` (`pii_protection.py:13-39`): sha256 of the lowercased,
+    * trimmed address, first 16 hex chars — log-correlatable, not
+    * reversible. Empty/null → "empty" (the reference's sentinel).
+    */
+  def hashEmail(email: Column): Column =
+    // `if not email` guards the RAW value — a whitespace-only address is
+    // truthy and hashes its stripped (empty) form, it does not sentinel
+    when(email.isNull || email === "", lit("empty"))
+      .otherwise(substring(sha2(lower(trim(email)), 256), 1, 16))
+
+  /** `hash_string` (`pii_protection.py:42-62`): first `length` hex chars
+    * of sha256 over the lowercased, trimmed value (same normalization as
+    * hash_email), generic PII-safe log token.
+    */
+  def hashString(value: Column, length: Int = 16): Column =
+    when(value.isNull || value === "", lit("empty"))
+      .otherwise(substring(sha2(lower(trim(value)), 256), 1, length))
+  // (both hash the stripped form of a truthy value — `pii_protection.py`
+  // strips AFTER the falsy check in each)
+}

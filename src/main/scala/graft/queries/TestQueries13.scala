@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-8 gate queries: the three remaining reference planes from the
+  * round-7 gap list — connector-config column encryption, email-plane
+  * per-sender rate limiting, and the learning-events feed with
+  * `hash_email` PII hashing.
+  */
+object TestQueries13 {
+
+  /** Column encryption for connector configs (reference
+    * `src/utils/encryption.py:60-103`). AES-256-GCM via Spark's codegen
+    * built-ins; the oracle can't run AES, so the gate surfaces exactly
+    * the properties the plaintext determines: roundtrip identity,
+    * ciphertext length (12-byte IV ‖ payload ‖ 16-byte GCM tag — the
+    * layout Spark emits and the gate pins), AEAD tamper rejection,
+    * wrong-key rejection, and key rotation — each computed by REAL
+    * encrypt/decrypt calls on the Spark side and by plaintext identity
+    * in DuckDB. A wrong decrypt, a non-prepended IV, or a rotation that
+    * loses bytes all hash-mismatch.
+    */
+  val q134ConfigEncryption: QueryCase = QueryCase(
+    "q134_config_encryption",
+    (s, dir) => {
+      import graft.functions.ConfigCrypto._
+      val k1 = deriveKey(lit("round8-rotation-old"))
+      val k2 = deriveKey(lit("round8-rotation-new"))
+      Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("config_id"),
+          concat(lit("oauth:"), col("c_name"), lit("/"), col("c_mktsegment"))
+            .as("pt"))
+        .withColumn("ct", encryptDeterministic(col("pt"), k1, col("config_id")))
+        .select(
+          col("config_id"),
+          decrypt(col("ct"), k1).cast("string").as("roundtrip"),
+          length(col("ct")).as("ct_len"),
+          tryDecrypt(concat(col("ct"), lit(Array[Byte](1))), k1).isNull
+            .as("tamper_rejected"),
+          tryDecrypt(col("ct"), k2).isNull.as("wrong_key_rejected"),
+          decrypt(rotateDeterministic(col("ct"), k1, k2, col("config_id")), k2)
+            .cast("string").as("rotated"))
+        .orderBy("config_id")
+    },
+    Some("""
+      WITH src AS (
+        SELECT c_custkey AS config_id,
+               'oauth:' || c_name || '/' || c_mktsegment AS pt
+        FROM customer)
+      SELECT config_id, pt AS roundtrip,
+             CAST(28 + strlen(pt) AS INT) AS ct_len,
+             true AS tamper_rejected, true AS wrong_key_rejected,
+             pt AS rotated
+      FROM src ORDER BY config_id"""))
+
+  /** Email-plane per-sender rate limiting (reference
+    * `src/services/email_rate_limiter.py:34-113`: ≤100 emails per
+    * sender per sliding hour over `email_ingestions.received_at`,
+    * checked before insert so only ADMITTED emails count; 429 carries
+    * `retry_after = max(1, 3600 − (now − oldest admitted in window))`).
+    * Arrivals are synthesized deterministically from the events table —
+    * 23 senders at one email/second globally gives each sender ~157
+    * arrivals per hour, so admission and rejection both occur and the
+    * window state oscillates around the cap. The oracle replays the
+    * admitted-only window as a per-sender recursive-CTE fold (the q121
+    * state-sim technique). `sender_hash` is `hash_email`
+    * (`pii_protection.py:13-39`) — the reference's 429 log field —
+    * oracle-mirrored with sha256 over the full arrival log.
+    * Input capped at 23k arrivals (1000/sender) at every SF: the gate
+    * pins SEMANTICS; the operator's scale shape is one sender-key
+    * shuffle + a linear sorted pass (see EmailRateLimit scaladoc).
+    */
+  val q135EmailRateLimit: QueryCase = QueryCase(
+    "q135_email_rate_limit",
+    (s, dir) => {
+      val emails = Tables.events(s, dir)
+        .where(col("event_id") < 23000)
+        .select(col("event_id").as("email_id"),
+          concat(lit("s"), (col("event_id") % 23).cast("string"))
+            .as("sender"),
+          (lit(1704067200L) + col("event_id")).as("ts_sec"))
+      graft.streaming.EmailRateLimit
+        .admissionReplay(emails, maxPerWindow = 100, windowSec = 3600)
+        .withColumn("sender_hash", graft.functions.ConfigCrypto.hashEmail(
+          concat(col("sender"), lit("@example.com"))))
+        .orderBy("email_id")
+    },
+    Some("""
+      WITH RECURSIVE em AS (
+        SELECT event_id AS email_id,
+               's' || CAST(event_id % 23 AS VARCHAR) AS sender,
+               1704067200 + event_id AS ts_sec,
+               ROW_NUMBER() OVER (PARTITION BY event_id % 23
+                                  ORDER BY 1704067200 + event_id, event_id)
+                 AS rn
+        FROM events WHERE event_id < 23000),
+      steps AS (
+        SELECT sender, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS win,
+               CAST(NULL AS BIGINT) AS email_id, CAST(NULL AS BIGINT) AS ts_sec,
+               CAST(NULL AS BOOLEAN) AS allowed, CAST(NULL AS INT) AS n,
+               CAST(NULL AS BIGINT) AS retry
+        FROM (SELECT DISTINCT sender FROM em)
+        UNION ALL
+        SELECT e.sender, s.rn + 1,
+               CASE WHEN len(list_filter(s.win, x -> x >= e.ts_sec - 3600)) >= 100
+                    THEN list_filter(s.win, x -> x >= e.ts_sec - 3600)
+                    ELSE list_append(
+                      list_filter(s.win, x -> x >= e.ts_sec - 3600), e.ts_sec)
+               END,
+               e.email_id, e.ts_sec,
+               len(list_filter(s.win, x -> x >= e.ts_sec - 3600)) < 100,
+               CAST(len(list_filter(s.win, x -> x >= e.ts_sec - 3600)) AS INT),
+               CASE WHEN len(list_filter(s.win, x -> x >= e.ts_sec - 3600)) >= 100
+                    THEN greatest(1, 3600 - (e.ts_sec -
+                      list_filter(s.win, x -> x >= e.ts_sec - 3600)[1]))
+                    ELSE CAST(0 AS BIGINT) END
+        FROM steps s JOIN em e ON e.sender = s.sender AND e.rn = s.rn + 1)
+      SELECT email_id, sender, ts_sec, allowed, n AS emails_in_window,
+             retry AS retry_after_sec,
+             substr(sha256(lower(trim(sender || '@example.com'))), 1, 16)
+               AS sender_hash
+      FROM steps WHERE rn > 0 ORDER BY email_id"""))
+
+  // learning-events fixtures: json-wrapped and bare field payloads, a
+  // null confidence, an extraction row with nulls (→ unknown/source
+  // fallback), and a document with NO extraction row at all
+  private val leFields: Seq[(String, String, String, Option[Double], String)] =
+    Seq(
+      ("d1", "rent", """{"value": "2500"}""", Some(0.91), "regex_rule"),
+      ("d1", "term", "36 months", Some(0.55), "llm"),
+      ("d2", "rent", "1800", Some(0.72), "regex_rule"),
+      ("d3", "deposit", """{"value": "900"}""", Option.empty[Double], "manual"))
+
+  private val leOverrides: Seq[(String, String, String, Option[String], String)] =
+    Seq(
+      ("d1", "rent", "2600", Some("typo fix"), "2026-08-10T12:00:00Z"),
+      ("d2", "rent", "1850", Option.empty[String], "2026-08-11T09:30:00Z"),
+      ("d3", "deposit", "1000", Some(""), "2026-08-12T08:15:00Z"))
+
+  private val leExtractions: Seq[(String, Option[String], Option[String])] =
+    Seq(
+      ("d1", Some("lease"), Some("azure_di")),
+      ("d2", Option.empty[String], Option.empty[String]))
+  // d3 intentionally absent
+
+  /** Learning-events feed (reference `src/learning/events.py:13-40` +
+    * the payload assembly `src/services/field_override.py:116-128`):
+    * every accepted override becomes a `field_override` event carrying
+    * the display form of the original value, the correction, the
+    * extraction metadata with the reference's exact fallback chain
+    * (missing extraction → document_type "unknown"; null parser_used →
+    * the field's own source), original confidence, and notes. The sink
+    * append path is spec-pinned (LearningEventsSpec) — this gate pins
+    * the event payload.
+    */
+  val q136LearningEvents: QueryCase = QueryCase(
+    "q136_learning_events",
+    (s, dir) => {
+      import s.implicits._
+      val fields = leFields.toDF("document_id", "field_name", "field_value",
+        "confidence", "source")
+      val overrides = leOverrides.toDF("document_id", "field_name",
+        "new_value", "notes", "overridden_at")
+      val extractions = leExtractions.toDF("document_id", "document_type",
+        "parser_used")
+      graft.streaming.LearningEvents
+        .fieldOverrideEvents(overrides, fields, extractions,
+          Seq("document_id", "field_name"))
+        .orderBy("document_id", "field_name")
+    },
+    Some {
+      def q(v: String) = "'" + v.replace("'", "''") + "'"
+      val f = leFields.map { r =>
+        s"(${q(r._1)}, ${q(r._2)}, ${q(r._3)}, " +
+          s"${r._4.map(_.toString).getOrElse("NULL")}, ${q(r._5)})"
+      }.mkString(", ")
+      val o = leOverrides.map { r =>
+        s"(${q(r._1)}, ${q(r._2)}, ${q(r._3)}, " +
+          s"${r._4.map(q).getOrElse("NULL")}, ${q(r._5)})"
+      }.mkString(", ")
+      val e = leExtractions.map { r =>
+        s"(${q(r._1)}, ${r._2.map(q).getOrElse("NULL")}, " +
+          s"${r._3.map(q).getOrElse("NULL")})"
+      }.mkString(", ")
+      s"""
+      WITH fields(document_id, field_name, field_value, confidence, source)
+        AS (VALUES $f),
+      ov(document_id, field_name, new_value, notes, overridden_at)
+        AS (VALUES $o),
+      ex(document_id, document_type, parser_used) AS (VALUES $e)
+      SELECT o.document_id, o.field_name,
+             'field_override' AS event_type,
+             COALESCE(e.document_type, 'unknown') AS document_type,
+             COALESCE(json_extract_string(f.field_value, '$$.value'),
+               f.field_value) AS original_value,
+             o.new_value AS corrected_value,
+             COALESCE(e.parser_used, f.source) AS extraction_source,
+             CAST(f.confidence AS DOUBLE) AS original_confidence,
+             o.notes,
+             o.overridden_at AS created_at
+      FROM ov o
+      JOIN fields f USING (document_id, field_name)
+      LEFT JOIN ex e ON e.document_id = o.document_id
+      ORDER BY o.document_id, o.field_name"""
+    })
+
+  val all: Seq[QueryCase] =
+    Seq(q134ConfigEncryption, q135EmailRateLimit, q136LearningEvents)
+}

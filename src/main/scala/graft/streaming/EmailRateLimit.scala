@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Email-plane per-sender rate limiting (reference
+  * `src/services/email_rate_limiter.py:34-113`): at most `maxPerWindow`
+  * emails per sender per `windowSec` sliding window, checked BEFORE the
+  * `email_ingestions` insert — so the window counts only ADMITTED
+  * emails (a rejected email never lands in the table,
+  * `webhooks/email.py:247-268` raises 429 before step 8's ingest).
+  * A rejection carries `retry_after = max(1, window − (now − oldest
+  * admitted in window))` seconds (`email_rate_limiter.py:60-79`).
+  *
+  * That admitted-only window makes the batch replay a SEQUENTIAL
+  * per-sender fold, not a window function: each admission depends on
+  * which earlier arrivals were themselves admitted. The scale shape is
+  * one hash shuffle on the sender key, a sort within partitions, and a
+  * single streaming pass holding at most `maxPerWindow` timestamps per
+  * live group — the sessionization discipline, linear at any corpus
+  * size, no collect, no state beyond the window deque.
+  */
+object EmailRateLimit {
+
+  private val outSchema = StructType(Seq(
+    StructField("email_id", LongType, nullable = false),
+    StructField("sender", StringType, nullable = true),
+    StructField("ts_sec", LongType, nullable = false),
+    StructField("allowed", BooleanType, nullable = false),
+    StructField("emails_in_window", IntegerType, nullable = false),
+    StructField("retry_after_sec", LongType, nullable = false)))
+
+  /** Replay admission control over an arrival log.
+    *
+    * `emails` columns: `email_id` long (arrival tie-break), `sender`
+    * string, `ts_sec` long (epoch seconds of `received_at`). Arrival
+    * order per sender is (ts_sec, email_id) ascending. Output: input
+    * keys + `allowed`, `emails_in_window` (admitted count the check
+    * saw — the reference's `email_count`), `retry_after_sec` (0 when
+    * admitted).
+    */
+  def admissionReplay(emails: DataFrame, maxPerWindow: Int = 100,
+                      windowSec: Long = 3600): DataFrame = {
+    val spark = emails.sparkSession
+    val in = emails.select(col("email_id").cast("long"),
+      col("sender").cast("string"), col("ts_sec").cast("long"))
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    in.repartition(col("sender"))
+      .sortWithinPartitions(col("sender"), col("ts_sec"), col("email_id"))
+      .mapPartitions { rows =>
+        var curSender: String = null
+        var started = false
+        // admitted timestamps still inside the window, oldest first;
+        // never grows past maxPerWindow (admission stops there)
+        val window = mutable.Queue.empty[Long]
+        rows.map { r =>
+          val id = r.getLong(0)
+          val sender = r.getString(1)
+          val ts = r.getLong(2)
+          if (!started || sender != curSender) {
+            curSender = sender; started = true; window.clear()
+          }
+          // slide: keep admitted ts with ts >= now − window (the
+          // reference's gte window_start)
+          while (window.nonEmpty && window.head < ts - windowSec)
+            window.dequeue()
+          val n = window.size
+          if (n >= maxPerWindow) {
+            val retry = math.max(1L, windowSec - (ts - window.head))
+            Row(id, sender, ts, false, n, retry)
+          } else {
+            window.enqueue(ts)
+            Row(id, sender, ts, true, n, 0L)
+          }
+        }
+      }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learning-events plane (reference `src/learning/events.py:13-40` +
+  * `src/services/field_override.py:116-128`): every accepted field
+  * override emits a `field_override` event into the append-only
+  * `learning_events` table — the training-data feed for extraction
+  * calibration. Event payload: event_type, document_type, field_name,
+  * original_value (the display form of the pre-override value),
+  * corrected_value, extraction_source (parser used, falling back to the
+  * field's source), original_confidence, notes.
+  *
+  * Spark-first shape: the event assembly is a projection over the
+  * override batch joined to its extraction metadata (broadcast — the
+  * correction batch is tiny next to the corpus), and the sink is the
+  * S10 append-only discipline: date-partitioned parquet appends, no
+  * updates, so event files are immutable and replayable for training.
+  */
+object LearningEvents {
+
+  /** `_display_value` (`field_override.py:41-45`): a JSON
+    * `{"value": …}` payload displays its value key; bare payloads
+    * display themselves.
+    */
+  private def displayValue(fieldValue: Column): Column =
+    coalesce(get_json_object(fieldValue, "$.value"), fieldValue)
+
+  /** Assemble field-override events. `overrides` columns: the join
+    * `keys`, `new_value`, `notes`, `overridden_at`; `fields` carries
+    * `field_name`, `field_value`, `confidence`, `source` per key;
+    * `extractions` carries `document_type`, `parser_used` per
+    * `extractionKeys` (usually the document id alone — extraction
+    * metadata is per document, not per field). Missing extraction
+    * metadata falls back exactly as the reference: document_type →
+    * "unknown", extraction_source → the field's source
+    * (`field_override.py:116-124`, the `(extraction_data or {})` +
+    * `or` chains).
+    */
+  def fieldOverrideEvents(overrides: DataFrame, fields: DataFrame,
+                          extractions: DataFrame, keys: Seq[String],
+                          extractionKeys: Seq[String] = Seq("document_id"))
+      : DataFrame =
+  {
+    // the reference's fallbacks are Python `or` chains — falsy, so an
+    // EMPTY string document_type/parser_used falls through like a null
+    def falsy(c: Column) = c.isNull || c === ""
+    val payload: Seq[(String, Column)] = Seq(
+      "event_type" -> lit("field_override"),
+      "document_type" -> when(falsy(col("document_type")), lit("unknown"))
+        .otherwise(col("document_type")),
+      "field_name" -> col("field_name"),
+      "original_value" -> displayValue(col("field_value")),
+      "corrected_value" -> col("new_value"),
+      "extraction_source" -> when(falsy(col("parser_used")), col("source"))
+        .otherwise(col("parser_used")),
+      "original_confidence" -> col("confidence"),
+      "notes" -> col("notes"),
+      "created_at" -> col("overridden_at"))
+    broadcast(overrides)
+      .join(fields, keys)
+      .join(broadcast(extractions), extractionKeys, "left")
+      .select(keys.map(col) ++
+        payload.collect { case (n, c) if !keys.contains(n) => c.as(n) }: _*)
+  }
+
+  /** Append a (batch) event set to the learning_events store — same
+    * immutable date-partitioned layout as the audit sink
+    * ([[AuditSink]]); `learning_events` is insert-only in the reference
+    * schema, so append mode IS the contract.
+    */
+  def append(events: DataFrame, outDir: String): Unit =
+    events.withColumn("event_date", to_date(col("created_at")))
+      .write.mode("append").partitionBy("event_date").parquet(outDir)
+}

@@ -1,0 +1,101 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Column encryption (encryption.py parity contract: roundtrip, tamper
+  * reject, rotation) + PII hashing (pii_protection.py).
+  */
+class ConfigCryptoSpec extends SparkSpec {
+
+  import ConfigCrypto._
+
+  private val k1 = deriveKey(lit("spec-key-one"))
+  private val k2 = deriveKey(lit("spec-key-two"))
+
+  private def df(values: String*) = {
+    import spark.implicits._
+    values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+  }
+
+  test("roundtrip identity over varied plaintexts (unicode, json, long)") {
+    val vals = Seq("token-abc", "", "päßwörd-ünïcode-日本語",
+      """{"client_id":"x","secret":"y"}""", "a" * 4096)
+    val out = df(vals: _*)
+      .withColumn("ct", encryptDeterministic(col("v"), k1, col("id")))
+      .select(col("v"), decrypt(col("ct"), k1).cast("string").as("rt"))
+      .collect()
+    out.foreach(r => assert(r.getString(1) == r.getString(0)))
+  }
+
+  test("random-IV production path roundtrips and differs per call") {
+    val d = df("same-plaintext")
+      .withColumn("c1", encrypt(col("v"), k1))
+      .withColumn("c2", encrypt(col("v"), k1))
+      .select(decrypt(col("c1"), k1).cast("string").as("r1"),
+        decrypt(col("c2"), k1).cast("string").as("r2"),
+        (col("c1") === col("c2")).as("same"))
+      .head()
+    assert(d.getString(0) == "same-plaintext")
+    assert(d.getString(1) == "same-plaintext")
+    assert(!d.getBoolean(2), "random IVs must not repeat across calls")
+  }
+
+  test("ciphertext layout: 12-byte IV prefix + payload + 16-byte GCM tag") {
+    val r = df("sixteen-byte-pts")
+      .withColumn("ct", encryptDeterministic(col("v"), k1, col("id")))
+      .select(length(col("ct")).as("n"),
+        // IV = first 12 bytes of sha256(seed) hex-decoded (seed "0")
+        (substring(col("ct"), 1, 12) ===
+          to_binary(substring(sha2(lit("0"), 256), 1, 24), lit("hex")))
+          .as("iv_prefix"))
+      .head()
+    assert(r.getInt(0) == 12 + 16 + 16)
+    assert(r.getBoolean(1), "explicit IV must be prepended for decrypt")
+  }
+
+  test("tamper (append, truncate, bit-position) and wrong key reject to null") {
+    val r = df("attack-at-dawn")
+      .withColumn("ct", encryptDeterministic(col("v"), k1, col("id")))
+      .select(
+        tryDecrypt(concat(col("ct"), lit(Array[Byte](1))), k1).isNull
+          .as("appended"),
+        tryDecrypt(substring(col("ct"), 1, 20), k1).isNull.as("truncated"),
+        tryDecrypt(col("ct"), k2).isNull.as("wrong_key"),
+        tryDecrypt(col("ct"), k1).isNotNull.as("intact"))
+      .head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getBoolean(3), "try_decrypt must pass through intact ciphertext")
+  }
+
+  test("key rotation: old ciphertext unreadable under new key, new one reads") {
+    val r = df("rotate-me")
+      .withColumn("ct1", encryptDeterministic(col("v"), k1, col("id")))
+      .withColumn("ct2", rotateDeterministic(col("ct1"), k1, k2, col("id")))
+      .select(
+        decrypt(col("ct2"), k2).cast("string").as("under_new"),
+        tryDecrypt(col("ct2"), k1).isNull.as("old_key_dead"))
+      .head()
+    assert(r.getString(0) == "rotate-me")
+    assert(r.getBoolean(1))
+  }
+
+  test("hashEmail: normalization, 16-hex prefix, empty sentinel") {
+    // sha256("user@example.com") prefix — reference hash_email contract
+    assert(evalStr(hashEmail(col("s")), "  User@Example.COM ")
+      == evalStr(hashEmail(col("s")), "user@example.com"))
+    val h = evalStr(hashEmail(col("s")), "user@example.com").asInstanceOf[String]
+    assert(h.length == 16 && h.matches("[0-9a-f]{16}"))
+    assert(evalStr(hashEmail(col("s")), "") == "empty")
+    assert(evalStr(hashEmail(col("s")), null) == "empty")
+    // whitespace-only is truthy in the reference → hashes its stripped form
+    assert(evalStr(hashEmail(col("s")), "   ") != "empty")
+  }
+
+  test("hashString: configurable length, same normalization") {
+    val h8 = evalStr(hashString(col("s"), 8), "SomeValue").asInstanceOf[String]
+    assert(h8.length == 8)
+    assert(evalStr(hashString(col("s"), 8), "  somevalue  ") == h8)
+    assert(evalStr(hashString(col("s"), 8), "") == "empty")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Email-plane admission control (email_rate_limiter.py parity: admitted-
+  * only window, gte window bound, retry_after arithmetic).
+  */
+class EmailRateLimitSpec extends SparkSpec {
+
+  private def replay(rows: Seq[(Long, String, Long)], max: Int,
+                     window: Long = 3600) = {
+    import spark.implicits._
+    EmailRateLimit
+      .admissionReplay(rows.toDF("email_id", "sender", "ts_sec"), max, window)
+      .orderBy("email_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getInt(4), r.getLong(5)))
+      .toSeq
+  }
+
+  test("admits below the cap, rejects at it, counts admitted only") {
+    // cap 2: a@0, a@10 admitted; a@20, a@30 rejected — and the rejected
+    // arrivals must NOT raise emails_in_window (they were never inserted)
+    val got = replay(Seq((1L, "a", 0L), (2L, "a", 10L), (3L, "a", 20L),
+      (4L, "a", 30L)), max = 2)
+    assert(got == Seq((1L, true, 0, 0L), (2L, true, 1, 0L),
+      (3L, false, 2, 3580L), (4L, false, 2, 3570L)))
+  }
+
+  test("window slides: admission resumes once the oldest admitted expires") {
+    // window 100: a@0, a@50 admitted (cap 2), a@60 rejected; at t=101 the
+    // t=0 email has left the >= t-100 window → admitted again
+    val got = replay(Seq((1L, "a", 0L), (2L, "a", 50L), (3L, "a", 60L),
+      (4L, "a", 101L)), max = 2, window = 100)
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq((1L, true), (2L, true), (3L, false), (4L, true)))
+  }
+
+  test("gte window bound: an admitted email exactly window seconds old still counts") {
+    // reference: received_at >= now - window (inclusive). a@0 vs a@100
+    // with window 100 → the t=0 email is still IN the window → reject
+    val got = replay(Seq((1L, "a", 0L), (2L, "a", 100L)), max = 1,
+      window = 100)
+    assert(got == Seq((1L, true, 0, 0L), (2L, false, 1, 1L)))
+  }
+
+  test("retry_after = max(1, window - (now - oldest admitted in window))") {
+    val got = replay(Seq((1L, "a", 0L), (2L, "a", 3599L)), max = 1)
+    // oldest = 0, elapsed 3599 → retry 1 (the max(1,·) floor)
+    assert(got(1) == (2L, false, 1, 1L))
+    val g2 = replay(Seq((1L, "a", 0L), (2L, "a", 100L)), max = 1)
+    assert(g2(1) == (2L, false, 1, 3500L))
+  }
+
+  test("senders are independent; arrival order ties break by email_id") {
+    val got = replay(Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "a", 0L),
+      (4L, "b", 1L)), max = 1)
+    // per sender: first arrival (lowest id at equal ts) admitted
+    assert(got == Seq((1L, true, 0, 0L), (2L, true, 0, 0L),
+      (3L, false, 1, 3600L), (4L, false, 1, 3599L)))
+  }
+
+  test("distributed path: result is partitioning-invariant") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i, "s" + (i % 3), i * 7))
+    val one = EmailRateLimit.admissionReplay(
+      rows.toDF("email_id", "sender", "ts_sec").repartition(1), 5, 60)
+      .orderBy("email_id").collect().toSeq
+    val many = EmailRateLimit.admissionReplay(
+      rows.toDF("email_id", "sender", "ts_sec").repartition(7), 5, 60)
+      .orderBy("email_id").collect().toSeq
+    assert(one == many)
+  }
+}

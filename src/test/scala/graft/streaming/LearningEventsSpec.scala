@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Learning-events assembly fallbacks + the append-only sink layout. */
+class LearningEventsSpec extends SparkSpec {
+
+  private def fixtures = {
+    import spark.implicits._
+    val fields = Seq(
+      ("d1", "rent", """{"value": "2500"}""", Some(0.9), "regex_rule"),
+      ("d2", "term", "raw-value", Option.empty[Double], "llm"))
+      .toDF("document_id", "field_name", "field_value", "confidence",
+        "source")
+    val overrides = Seq(
+      ("d1", "rent", "2600", Some("note"), "2026-08-10T12:00:00Z"),
+      ("d2", "term", "24 months", Option.empty[String],
+        "2026-08-11T09:00:00Z"))
+      .toDF("document_id", "field_name", "new_value", "notes",
+        "overridden_at")
+    (fields, overrides)
+  }
+
+  test("payload fallbacks: display value, unknown doc type, parser→source") {
+    import spark.implicits._
+    val (fields, overrides) = fixtures
+    // d1 has extraction metadata with EMPTY parser (falsy → source);
+    // d2 has no extraction row at all (→ unknown, source)
+    val extractions = Seq(("d1", "lease", ""))
+      .toDF("document_id", "document_type", "parser_used")
+    val got = LearningEvents.fieldOverrideEvents(overrides, fields,
+        extractions, Seq("document_id", "field_name"))
+      .orderBy("document_id")
+      .select("document_id", "event_type", "document_type",
+        "original_value", "corrected_value", "extraction_source",
+        "notes")
+      .collect().map(r => (0 to 6).map(r.get)).toSeq
+    assert(got == Seq(
+      Seq("d1", "field_override", "lease", "2500", "2600", "regex_rule",
+        "note"),
+      Seq("d2", "field_override", "unknown", "raw-value", "24 months",
+        "llm", null)))
+  }
+
+  test("append sink: immutable date-partitioned parquet, appends accumulate") {
+    val (fields, overrides) = fixtures
+    import spark.implicits._
+    val extractions = Seq.empty[(String, String, String)]
+      .toDF("document_id", "document_type", "parser_used")
+    val events = LearningEvents.fieldOverrideEvents(overrides, fields,
+      extractions, Seq("document_id", "field_name"))
+    val out = java.nio.file.Files.createTempDirectory("learning-events")
+      .toString
+    LearningEvents.append(events, out)
+    LearningEvents.append(events, out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 4, "two appends of two events each")
+    // partition layout: event_date derived from created_at
+    val dates = back.select("event_date").distinct()
+      .collect().map(_.get(0).toString).sorted.toSeq
+    assert(dates == Seq("2026-08-10", "2026-08-11"))
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("event_date=")),
+      "hive-style date partition directories")
+  }
+}
