@@ -419,6 +419,18 @@ object MinHash {
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"), hash(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
 
+  /** Band keys carrying the RAW slice values instead of their murmur
+    * compression: the identical bucket semantics ("docs agreeing on all
+    * `rowsPerBand` slots of a band") with zero hash-collision risk, and
+    * expressible in any engine — the oracle-facing encoding (q28). The
+    * murmur form stays the scale default (4-byte keys through the
+    * shuffle instead of 8·rowsPerBand); DedupSpec pins that both
+    * encodings produce the same pair set.
+    */
+  def bandKeysExact(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)).as("key")))
+
   /** Estimated Jaccard similarity from two signatures (native
     * agreement-count kernel — the zip_with/filter HOF form was interpreted
     * per element on the q28 verification path).

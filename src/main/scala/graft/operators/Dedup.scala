@@ -188,9 +188,15 @@ object Dedup {
     * buckets larger than `maxBucket` are dropped (df-cutoff; see class
     * doc).
     */
+  /** `exactBandKeys`: band on the raw slice values instead of their
+    * murmur compression — same bucket semantics, no collision risk,
+    * engine-mirrorable (the q28 oracle's encoding); see
+    * [[MinHash.bandKeysExact]].
+    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, k: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.5, maxBucket: Int = 256): DataFrame = {
+                      threshold: Double = 0.5, maxBucket: Int = 256,
+                      exactBandKeys: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val rowsPerBand = k / bands
     val toks = spread(df).select(col(idCol).as("id"),
@@ -204,8 +210,10 @@ object Dedup {
       .where(size(col("sh")) > 0)
     val sigs = shingled.select(col("id"),
       MinHash.signature(col("sh"), k).as("sig"))
+    val bandFn =
+      if (exactBandKeys) MinHash.bandKeysExact _ else MinHash.bandKeys _
     val banded = sigs.select(col("id"), col("sig"),
-      explode(MinHash.bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      explode(bandFn(col("sig"), bands, rowsPerBand)).as("bk"))
     val pairs = pairsWithinBuckets(banded, Seq(col("bk")),
       struct(col("id"), col("sig")), maxBucket)
     pairs.select(col("p1.id").as("id1"), col("p2.id").as("id2"),

@@ -132,28 +132,175 @@ object TestQueries2 {
     * pins fnv1a64 to the published FNV-1a vectors, and q78/q85 cover
     * verification and estimator semantics.
     */
+  /** MinHash-LSH ESTIMATE path, fully oracle-hard since round 8: the
+    * DuckDB mirror replays fnv1a64 itself as a per-byte HUGEINT
+    * list_reduce fold — the XOR step only touches the low 8 bits, so
+    * `h ⊕ b = h − h%256 + xor(h%256, b)` stays in unsigned arithmetic
+    * with no 64-bit signed view needed — then the h1 + j·h2odd affine
+    * family (wrap-around mod 2^64, SIGNED minima), 16×4 banding on RAW
+    * slice values (`exactBandKeys` — the murmur band-key compression is
+    * engine-internal and a hash collision could merge buckets
+    * data-dependently; raw slices are the same bucket semantics,
+    * collision-free, and DuckDB-groupable; DedupSpec pins both
+    * encodings emit identical pairs), [2,256] bucket caps, and the
+    * matching-slot estimate (m/64 is dyadic with ≤6 decimals, so the
+    * display round is exact in both engines).
+    */
   val q28MinhashPairs: QueryCase = QueryCase(
     "q28_minhash_pairs",
     (s, dir) =>
       Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 5, k = 64, bands = 16, threshold = 0.2)
+          shingleN = 5, k = 64, bands = 16, threshold = 0.2,
+          exactBandKeys = true)
         .select(col("id1"), col("id2"), round(col("est_jaccard"), 6).as("est_jaccard"))
         .orderBy("id1", "id2"),
-    None)
+    Some {
+      // 2^64, 2^63, the FNV-1a offset bases for seeds 0 and 1
+      // (basis ^ seed·0x9e3779b97f4a7c15), and the FNV prime
+      val m64 = "CAST(18446744073709551616 AS HUGEINT)"
+      val m63 = "CAST(9223372036854775808 AS HUGEINT)"
+      def fnvFold(init: java.math.BigInteger) =
+        s"""list_reduce(list_prepend(CAST($init AS HUGEINT), bs),
+            (h, b) -> ((h - h % 256 +
+              CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+              * 1099511628211) % $m64)"""
+      val init0 = new java.math.BigInteger(java.lang.Long.toUnsignedString(
+        0xcbf29ce484222325L))
+      val init1 = new java.math.BigInteger(java.lang.Long.toUnsignedString(
+        0xcbf29ce484222325L ^ 0x9e3779b97f4a7c15L))
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ') for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh WHERE LEN(s) > 0),
+      dg AS (SELECT DISTINCT g FROM ex),
+      -- UTF-8 bytes of each distinct shingle, hashed once for the corpus
+      db AS (
+        SELECT g, list_transform(range(1, strlen(g) + 1),
+                 i -> CAST(CAST(('0x' || substr(hx, 2*i-1, 2)) AS INT)
+                   AS HUGEINT)) AS bs
+        FROM (SELECT g, hex(encode(g)) AS hx FROM dg)),
+      dh AS (
+        SELECT g, ${fnvFold(init0)} AS h1, ${fnvFold(init1)} AS h2r
+        FROM db),
+      dh2 AS (SELECT g, h1, h2r - h2r % 2 + 1 AS h2 FROM dh),
+      doch AS (
+        SELECT e.doc_id, list(struct_pack(h1 := d.h1, h2 := d.h2)) AS hs
+        FROM ex e JOIN dh2 d USING (g) GROUP BY e.doc_id),
+      sigs AS (
+        SELECT doc_id,
+          list_transform(range(0, 64), j ->
+            list_min(list_transform(hs, p ->
+              CASE WHEN (p.h1 + j * p.h2) % $m64 >= $m63
+                   THEN CAST((p.h1 + j * p.h2) % $m64 - $m64 AS BIGINT)
+                   ELSE CAST((p.h1 + j * p.h2) % $m64 AS BIGINT)
+              END))) AS sig
+        FROM doch),
+      banded AS (
+        SELECT doc_id, b, sig[4*b+1:4*b+4] AS key
+        FROM sigs CROSS JOIN range(0, 16) AS t(b)),
+      sized AS (
+        SELECT doc_id, b, key, COUNT(*) OVER (PARTITION BY b, key) AS n
+        FROM banded),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM sized a JOIN sized b
+          ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE a.n BETWEEN 2 AND 256 AND b.n BETWEEN 2 AND 256)
+      SELECT c.id1, c.id2,
+             CAST(LEN(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i]))
+               AS DOUBLE) / 64 AS est_jaccard
+      FROM cand c
+      JOIN sigs x ON x.doc_id = c.id1
+      JOIN sigs y ON y.doc_id = c.id2
+      WHERE CAST(LEN(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i]))
+              AS DOUBLE) / 64 >= 0.2
+      ORDER BY id1, id2"""
+    })
 
-  /** SimHash near-dup pairs — the Hamming VALUES are a function of the
-    * 64-bit hash family (rows-only here), but since round 7 the ENTIRE
-    * pipeline code path — vote/sign kernel core, chunk blocking, bucket
-    * caps, Hamming verify — is oracle-hard via q127 (md5-64-injected
-    * hashes through the same kernel entry), with fnv1a64 itself pinned
-    * to published vectors in HashFamilyEquivalenceSpec.
+  /** SimHash near-dup pairs, fully oracle-hard since round 8: q127
+    * already mirrored the whole pipeline (vote/sign core, 16-bit chunk
+    * blocking, bucket caps, Hamming verify) over injected md5 hashes;
+    * this oracle swaps the hash source to the PRODUCTION fnv1a64 —
+    * replayed per distinct token as the q28 HUGEINT byte fold — so the
+    * gate now pins the exact production output end to end.
     */
   val q29SimhashPairs: QueryCase = QueryCase(
     "q29_simhash_pairs",
     (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
         .orderBy("id1", "id2"),
-    None)
+    Some {
+      val m64 = "CAST(18446744073709551616 AS HUGEINT)"
+      val m63 = "CAST(9223372036854775808 AS HUGEINT)"
+      def signed(x: String) =
+        s"CASE WHEN $x >= $m63 THEN CAST($x - $m64 AS BIGINT) ELSE CAST($x AS BIGINT) END"
+      val fnv0 = new java.math.BigInteger(java.lang.Long.toUnsignedString(
+        0xcbf29ce484222325L))
+      val votes = (0 until 64).map(b =>
+        s"SUM(CASE WHEN (u // ${java.math.BigInteger.valueOf(2).pow(b)}) % 2 = 1" +
+          s" THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+      val sigU = (0 until 64).map(b =>
+        s"(CASE WHEN v$b > 0 THEN CAST(${java.math.BigInteger.valueOf(2).pow(b)} AS HUGEINT)" +
+          " ELSE CAST(0 AS HUGEINT) END)").mkString(" + ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, u.t AS t
+        FROM (SELECT doc_id,
+                list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                  x -> x <> '') AS tk
+              FROM documents),
+             UNNEST(tk) AS u(t)),
+      dt AS (SELECT DISTINCT t FROM toks),
+      db AS (
+        SELECT t, list_transform(range(1, strlen(t) + 1),
+                 i -> CAST(CAST(('0x' || substr(hx, 2*i-1, 2)) AS INT)
+                   AS HUGEINT)) AS bs
+        FROM (SELECT t, hex(encode(t)) AS hx FROM dt)),
+      dh AS (
+        SELECT t,
+          list_reduce(list_prepend(CAST($fnv0 AS HUGEINT), bs),
+            (h, b) -> ((h - h % 256 +
+              CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+              * 1099511628211) % $m64) AS u
+        FROM db),
+      h AS (SELECT k.doc_id, d.u AS u FROM toks k JOIN dh d USING (t)),
+      v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+      sigs AS (SELECT doc_id, ($sigU) AS su FROM v),
+      allsigs AS (
+        -- token-less docs still get the empty signature (0), as the
+        -- kernel's empty vote table does
+        SELECT d.doc_id, COALESCE(s.su, CAST(0 AS HUGEINT)) AS su,
+               ${signed("COALESCE(s.su, CAST(0 AS HUGEINT))")} AS ss
+        FROM documents d LEFT JOIN sigs s USING (doc_id)),
+      chunked AS (
+        SELECT doc_id, ss, c.i AS chunk,
+               CAST((su // (CASE c.i WHEN 0 THEN 1 WHEN 1 THEN 65536
+                 WHEN 2 THEN 4294967296 ELSE 281474976710656 END)) % 65536
+                 AS BIGINT) AS key
+        FROM allsigs, (VALUES (0), (1), (2), (3)) AS c(i)),
+      buckets AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY chunk, key) AS bs
+        FROM chunked),
+      kept AS (SELECT * FROM buckets WHERE bs BETWEEN 2 AND 256),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+               a.ss AS s1, b.ss AS s2
+        FROM kept a JOIN kept b
+          ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id)
+      SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+      FROM cand
+      WHERE bit_count(xor(s1, s2)) <= 8
+      ORDER BY id1, id2"""
+    })
 
   /** J9/T9 shape: per-key sliding event-time window (1h preceding) counts
     * and sums — the rate-limit window as a batch query.

@@ -51,6 +51,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash lsh: murmur and exact band encodings emit identical pairs") {
+    // the q28 oracle bands on raw slice values; the scale path bands on
+    // their murmur compression — same bucket semantics unless murmur
+    // collides, which this pin would catch on the real corpus
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def pairs(exact: Boolean) =
+      Dedup.minhashLshPairs(real, "doc_id", "text", shingleN = 5, k = 64,
+          bands = 16, threshold = 0.2, exactBandKeys = exact)
+        .select("id1", "id2", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val m = pairs(false)
+    assert(m.nonEmpty)
+    assert(pairs(true) == m)
+  }
+
   test("minhash estimated jaccard is exact for identical docs") {
     val est = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.3)
       .where(col("id1") === 1 && col("id2") === 2)
