@@ -171,15 +171,15 @@ object TestQueries5 {
       FROM t ORDER BY id"""
     })
 
-  /** §2.11 embedding backend: deterministic hashing embedder + cosine
-    * self-similarity sanity (near-dup docs embed near each other).
-    * Rows-only (the vector components are a function of the 64-bit hash
-    * family), but since round 7 the embedder's numeric core —
-    * bucket/sign votes, float accumulation, L2 normalization — is
-    * oracle-hard via q128 (md5-64-injected hashes through the same
-    * kernel core, RAW double compare), the production path ≡ injected
-    * path bit-exactly and the gram stream byte-equal per
-    * HashFamilyEquivalenceSpec, and fnv1a64 is vector-pinned there too.
+  /** §2.11 embedding backend, fully oracle-hard since round 8: the q128
+    * float-discipline mirror (bucket/sign votes as exact integers, the
+    * REAL-cast normalization chain) driven by the PRODUCTION fnv1a64 —
+    * the q28 HUGEINT byte fold with the seed-1 init for unigrams and
+    * seed-2 for bigrams — then the kernel's sequential double cosine as
+    * list_reduce left folds. Every step is a single IEEE rounding
+    * (integer votes; acc² < 2²⁴ so the float norm products are exact;
+    * sqrt/divide are correctly rounded), so sims compare RAW as doubles
+    * and the top-20 selection orders on the identical bits.
     */
   val q58HashEmbed: QueryCase = QueryCase(
     "q58_hash_embed",
@@ -191,11 +191,91 @@ object TestQueries5 {
       val q = emb.where(col("doc_id") === 0).select(col("v").as("qv"))
       emb.where(col("doc_id") =!= 0).crossJoin(broadcast(q))
         .select(col("doc_id"),
-          round(VectorFunctions.cosineSim(col("v"), col("qv")), 6).as("sim"))
+          VectorFunctions.cosineSim(col("v"), col("qv")).as("sim"))
         .orderBy(desc("sim"), col("doc_id"))
         .limit(20)
     },
-    None)
+    Some {
+      val m64 = "CAST(18446744073709551616 AS HUGEINT)"
+      // fnv1a64 init for seed s is basis ^ s·0x9e3779b97f4a7c15 (mod 2^64)
+      def init(seed: Long) = new java.math.BigInteger(
+        java.lang.Long.toUnsignedString(
+          0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)))
+      def fnvFold(seed: Long) =
+        s"""list_reduce(list_prepend(CAST(${init(seed)} AS HUGEINT), bs),
+            (h, b) -> ((h - h % 256 +
+              CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+              * 1099511628211) % $m64)"""
+      def hashed(src: String, seed: Long) =
+        s"""SELECT g, ${fnvFold(seed)} AS u
+            FROM (SELECT g, list_transform(range(1, strlen(g) + 1),
+                    i -> CAST(CAST(('0x' || substr(hx, 2*i-1, 2)) AS INT)
+                      AS HUGEINT)) AS bs
+                  FROM (SELECT g, hex(encode(g)) AS hx FROM $src))"""
+      s"""
+      WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      uni AS (SELECT doc_id, u.t AS g FROM base, UNNEST(tk) AS u(t)),
+      bi AS (
+        SELECT doc_id, u.t AS g
+        FROM (SELECT doc_id, CASE WHEN LEN(tk) >= 2
+                THEN [tk[i] || ' ' || tk[i+1] for i in range(1, LEN(tk))]
+                ELSE CAST([] AS VARCHAR[]) END AS bg FROM base),
+             UNNEST(bg) AS u(t)),
+      du AS (SELECT DISTINCT g FROM uni),
+      dbi AS (SELECT DISTINCT g FROM bi),
+      dhu AS (${hashed("du", 1L)}),
+      dhb AS (${hashed("dbi", 2L)}),
+      h AS (
+        SELECT i.doc_id, d.u FROM uni i JOIN dhu d USING (g)
+        UNION ALL
+        SELECT i.doc_id, d.u FROM bi i JOIN dhb d USING (g)),
+      votes AS (
+        SELECT doc_id, CAST(u % 128 AS INT) AS pos,
+               SUM(CASE WHEN (u // 4611686018427387904) % 2 = 1
+                 THEN 1 ELSE -1 END) AS acc
+        FROM h GROUP BY doc_id, CAST(u % 128 AS INT)),
+      grid AS (
+        SELECT dg.doc_id, dg.pos, CAST(COALESCE(v.acc, 0) AS BIGINT) AS acc
+        FROM (SELECT d.doc_id, CAST(p.p AS INT) AS pos
+              FROM (SELECT doc_id FROM documents) d,
+                   UNNEST(range(0, 128)) AS p(p)) dg
+        LEFT JOIN votes v ON v.doc_id = dg.doc_id AND v.pos = dg.pos),
+      norms AS (
+        SELECT doc_id, CAST(SUM(acc * acc) AS DOUBLE) AS n2
+        FROM grid GROUP BY doc_id),
+      inv AS (
+        SELECT doc_id, CASE WHEN n2 = 0 THEN CAST(0.0 AS REAL)
+               ELSE CAST(1.0 / sqrt(n2) AS REAL) END AS invf
+        FROM norms),
+      vecs AS (
+        SELECT g.doc_id,
+               list(CAST(CAST(CAST(CAST(g.acc AS REAL) AS DOUBLE) *
+                 CAST(i.invf AS DOUBLE) AS REAL) AS DOUBLE)
+                 ORDER BY g.pos) AS v
+        FROM grid g JOIN inv i USING (doc_id) GROUP BY g.doc_id),
+      qv AS (SELECT v AS q FROM vecs WHERE doc_id = 0),
+      sims AS (
+        SELECT vecs.doc_id,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 [vecs.v[i] * q[i] for i in range(1, 129)]),
+                 (a, b) -> a + b) AS dot,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 [vecs.v[i] * vecs.v[i] for i in range(1, 129)]),
+                 (a, b) -> a + b) AS nx,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                 [q[i] * q[i] for i in range(1, 129)]),
+                 (a, b) -> a + b) AS ny
+        FROM vecs, qv WHERE vecs.doc_id <> 0)
+      SELECT doc_id,
+             CASE WHEN sqrt(nx) * sqrt(ny) = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE dot / (sqrt(nx) * sqrt(ny)) END AS sim
+      FROM sims
+      ORDER BY sim DESC, doc_id LIMIT 20"""
+    })
 
   /** PII-free spine fixture: redaction is the identity on it, so the
     * remaining spine (route → detect → full-catalog extract → normalize →
