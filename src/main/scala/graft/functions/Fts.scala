@@ -1234,8 +1234,11 @@ object Fts {
                          queryLexemes: Seq[String],
                          weightA: Double = 1.0,
                          weightB: Double = 0.4): Column =
+    // repeated query lexemes collapse (the cover kernel needs distinct
+    // terms; throwing at plan time on 'rent rent' is not an option —
+    // divergence ledgered in COVERAGE.md)
     graftshim.column(PosTsRankCd(graftshim.expression(posA),
-      graftshim.expression(posB), queryLexemes, weightA, weightB))
+      graftshim.expression(posB), queryLexemes.distinct, weightA, weightB))
 
   /** `fts @@ query` over positional lexemes: phrases require their exact
     * positional offsets (`out <3> box` does NOT match "out box"), terms

@@ -63,11 +63,15 @@ object SqlFunctions {
           1.0, 0.4) }),
     ("pos_ts_rank_cd", 3,
       "pos_ts_rank_cd(posA, posB, query) - cover-density ts_rank_cd, " +
-        "query = space-separated distinct lexeme literal",
+        "query = space-separated lexeme literal (repeats collapse)",
       { case Seq(a, b, q) =>
+        // repeated lexemes collapse to one occurrence (pg accepts
+        // 'rent & rent'; the cover kernel needs distinct terms, and a
+        // plan-time IllegalArgumentException is no answer to a user
+        // query — round-8 ADVICE item, ledgered in COVERAGE.md)
         PosTsRankCd(a, b,
           lit(q, "pos_ts_rank_cd query").split("\\s+").toSeq
-            .filter(_.nonEmpty),
+            .filter(_.nonEmpty).distinct,
           1.0, 0.4) }))
 
   // Arity is validated explicitly per entry: catching MatchError here

@@ -77,15 +77,21 @@ object FuzzQueries {
   // plans: 64 independent Tables.table calls each re-list files and
   // re-read footers eagerly, which made PLAN CONSTRUCTION (not
   // execution — 0.4 s warm) the dominant cost of the q131 gate.
-  private val tblCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
-      DataFrame]()
-  private def cachedTable(s: SparkSession, dir: String,
-                          name: String): DataFrame =
-    tblCache.computeIfAbsent((s, dir, name),
-      _ => graft.sources.Tables.table(s, dir, name))
+  // The memo is scoped to one buildAll invocation (round-8 ADVICE): a
+  // static map would pin DataFrames + their SparkSessions for process
+  // lifetime and serve stale file listings after a directory rewrite.
+  private type TableResolver = (SparkSession, String, String) => DataFrame
 
-  def plan(id: Int): Plan = {
+  private def freshResolver(): TableResolver = {
+    val m = new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String), DataFrame]()
+    (s, dir, name) => m.computeIfAbsent((s, dir, name),
+      _ => graft.sources.Tables.table(s, dir, name))
+  }
+
+  def plan(id: Int): Plan = plan(id, freshResolver())
+
+  private def plan(id: Int, cachedTable: TableResolver): Plan = {
     val rnd = new scala.util.Random(BaseSeed + id)
     val base = tables(rnd.nextInt(tables.size))
     val joined = base.joins.nonEmpty && rnd.nextBoolean()
@@ -276,10 +282,14 @@ object FuzzQueries {
   /** The exact SQL of plan `id` — for replaying a reported failure. */
   def describe(id: Int): String = plan(id).sql
 
-  /** The DataFrame rendering of plans [0, n) unioned, ordered by id. */
-  def buildAll(s: SparkSession, dir: String, n: Int): DataFrame =
-    (0 until n).map(i => plan(i).build(s, dir))
+  /** The DataFrame rendering of plans [0, n) unioned, ordered by id.
+    * All plans share one table memo, scoped to this call.
+    */
+  def buildAll(s: SparkSession, dir: String, n: Int): DataFrame = {
+    val tbl = freshResolver()
+    (0 until n).map(i => plan(i, tbl).build(s, dir))
       .reduce(_ unionByName _).orderBy("plan_id")
+  }
 
   /** The SQL rendering of plans [0, n) — the DuckDB oracle body. */
   def sqlAll(n: Int): String =

@@ -337,9 +337,12 @@ class FtsSpec extends SparkSpec {
       Seq("alpha", "beta", "gamma")) === 0.5)
     // a missing term means no cover at all
     assert(rank("alpha beta", "x", Seq("alpha", "beta", "absent")) === 0.0)
-    // distinct-lexeme contract is enforced loudly
-    intercept[IllegalArgumentException](
-      Fts.tsRankCdPositional(col("c"), col("h"), Seq("a", "a")))
+    // repeated query lexemes collapse instead of throwing (pg accepts
+    // 'rent & rent'; round-8 ADVICE) — same rank as the deduped query
+    assert(rank("alpha beta", "x", Seq("alpha", "alpha")) ===
+      rank("alpha beta", "x", Seq("alpha")))
+    assert(rank("alpha pad beta", "x", Seq("alpha", "beta", "alpha")) ===
+      rank("alpha pad beta", "x", Seq("alpha", "beta")))
   }
 
   test("plain query parsing: stopwords dropped, lexemes stemmed") {

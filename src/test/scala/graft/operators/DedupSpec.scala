@@ -67,6 +67,57 @@ class DedupSpec extends SparkSpec {
     assert(pairs(true) == m)
   }
 
+  test("q126 soundness probe: verified subset-of truth, zero bucket drops") {
+    // round-8 ADVICE: the q126 gate equates each family's verified pairs
+    // with brute-force truth, which bundles two different failure modes.
+    // Split them: verified NOT subset-of truth is ALWAYS a code bug;
+    // truth \ verified is recall loss (band miss or bucket-cap drop),
+    // a data-composition property this probe makes visible separately.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sh = docs.select(col("doc_id").as("id"),
+        TextFunctions.distinctNgramsOfTokens(
+          TextFunctions.tokens(col("text")), 5).as("sh"))
+      .where(size(col("sh")) > 0)
+    val ex = sh.select(col("id"), explode(col("sh")).as("g"))
+    val sz = ex.groupBy("id").agg(count(lit(1)).as("sz"))
+    val truth = ex.as("a")
+      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sz.select(col("id").as("id2"), col("sz").as("sz2")), "id2")
+      .where(col("i").cast("double") /
+        (col("sz1") + col("sz2") - col("i")) >= 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    for ((name, df) <- Seq(
+        "fnv64" -> Dedup.minhashLshVerifiedPairs(docs, "doc_id", "text",
+          shingleN = 5, k = 64, bands = 16, threshold = 0.5),
+        "md5_affine" -> Dedup.minhashLshVerifiedPairsMd5Family(docs,
+          "doc_id", "text", shingleN = 5, k = 64, bands = 16,
+          threshold = 0.5))) {
+      val got = df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val falsePos = got -- truth
+      assert(falsePos.isEmpty,
+        s"$name emitted pairs outside brute-force truth — CODE BUG: $falsePos")
+      val missed = truth -- got
+      assert(missed.isEmpty,
+        s"$name lost true pairs — recall loss (band miss / bucket-cap " +
+          s"drop): data-composition change, not necessarily a code bug: $missed")
+    }
+    // bucket-cap probe: on the current corpus no band bucket exceeds the
+    // cap, so the equality gate is not silently narrowed by drops
+    val sigs = sh.select(col("id"), MinHash.signature(col("sh"), 64).as("sig"))
+    val banded = sigs.select(col("id"),
+      explode(MinHash.bandKeys(col("sig"), 16, 4)).as("bk"))
+    val dropped = Dedup.overflowBuckets(banded, Seq(col("bk")), 256)
+    assert(dropped.count() == 0,
+      "over-cap band buckets exist — q126/q78 equality gates now depend on dropped members")
+  }
+
   test("minhash estimated jaccard is exact for identical docs") {
     val est = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.3)
       .where(col("id1") === 1 && col("id2") === 2)
