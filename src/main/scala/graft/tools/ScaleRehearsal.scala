@@ -210,9 +210,28 @@ object ScaleRehearsal {
             graft.search.LshAnn.search(ann, qdf, 10, annBits, 256)
               .queryExecution.toRdd.count()
           }
-          brute(); probed() // plan + codegen
+          // full serving surface (round-8: the sf1.0 ladder covers every
+          // indexed leg PERF.md publishes, not just the semantic pair)
+          def keyword(): Double = time {
+            graft.search.ChunkStore
+              .keywordSearch(store, "spark merge window", 10)
+              .queryExecution.toRdd.count()
+          }
+          def phrase(): Double = time {
+            graft.search.ChunkStore
+              .phraseSearch(store, "\"merge the window\"", 10)
+              .queryExecution.toRdd.count()
+          }
+          def hybrid(): Double = time {
+            graft.search.ChunkStore
+              .hybridSearch(store, "spark merge window", qv, 10)
+              .queryExecution.toRdd.count()
+          }
+          brute(); probed(); keyword(); phrase(); hybrid() // plan + codegen
           val b = brute(); val p = probed()
+          val kw = keyword(); val ph = phrase(); val hy = hybrid()
           println(f"[serving] $d%-28s chunks=$nChunks " +
+            f"keyword=$kw%.3f phrase=$ph%.3f hybrid=$hy%.3f " +
             f"brute=$b%.3f ann=$p%.3f")
           store.unpersist(); ann.unpersist()
         }
