@@ -236,9 +236,20 @@ object Dedup {
   def minhashLshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                               shingleN: Int = 5, k: Int = 64, bands: Int = 16,
                               threshold: Double = 0.5,
-                              maxBucket: Int = 256): DataFrame = {
+                              maxBucket: Int = 256): DataFrame =
+    minhashLshVerifiedPairsFromShingles(
+      shingleSets(df, idCol, textCol, shingleN), k, bands, threshold,
+      maxBucket)
+
+  /** Same pipeline over precomputed `(id, sh)` shingle sets (see
+    * [[shingleSets]]) — callers running several signature families over
+    * one corpus (the q126 gate) share the tokenize+shingle pass.
+    */
+  def minhashLshVerifiedPairsFromShingles(shingled: DataFrame, k: Int = 64,
+                                          bands: Int = 16,
+                                          threshold: Double = 0.5,
+                                          maxBucket: Int = 256): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val shingled = shingleSets(df, idCol, textCol, shingleN)
     // bind the signature to an attribute before the bandKeys HOF —
     // an interpreted lambda re-evaluates captured subtrees per band,
     // which would recompute the full k-hash signature bands times
@@ -263,12 +274,21 @@ object Dedup {
                                        textCol: String, shingleN: Int = 5,
                                        k: Int = 64, bands: Int = 16,
                                        threshold: Double = 0.5,
-                                       maxBucket: Int = 256): DataFrame = {
+                                       maxBucket: Int = 256): DataFrame =
+    minhashLshVerifiedPairsMd5FamilyFromShingles(
+      shingleSets(df, idCol, textCol, shingleN), k, bands, threshold,
+      maxBucket)
+
+  /** Md5-affine variant over precomputed shingle sets (see
+    * [[minhashLshVerifiedPairsFromShingles]]).
+    */
+  def minhashLshVerifiedPairsMd5FamilyFromShingles(
+      shingled: DataFrame, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.5, maxBucket: Int = 256): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val prime = 4294967311L // smallest prime > 2^32 (q85's family)
     def a(j: Int): Long = 1000003L + 2L * j
     def b(j: Int): Long = 777L + 104729L * j
-    val shingled = shingleSets(df, idCol, textCol, shingleN)
     // explode → hash-aggregate min per family member (codegen; the HOF
     // fold form would run k interpreted passes per row — q85's lesson)
     val exploded = shingled.select(col("id"), explode(col("sh")).as("g"))
@@ -287,8 +307,8 @@ object Dedup {
     * to 0/0 = NaN, which Spark orders ABOVE the threshold — they carry no
     * dedup evidence.
     */
-  private def shingleSets(df: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int): DataFrame = {
+  def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                  shingleN: Int): DataFrame = {
     val toks = spread(df).select(col(idCol).as("id"),
       TextFunctions.tokens(col(textCol)).as("tk"))
     materialize(toks.select(col("id"),

@@ -119,13 +119,16 @@ object TestQueries12 {
     "q126_minhash_families",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
+      // one tokenize+shingle+materialize pass feeds BOTH families
+      // (round-8 perf pass — this was the gate's duplicated stage)
+      val sh = graft.operators.Dedup.shingleSets(docs, "doc_id", "text", 5)
       val prod = graft.operators.Dedup
-        .minhashLshVerifiedPairs(docs, "doc_id", "text",
-          shingleN = 5, k = 64, bands = 16, threshold = 0.5)
+        .minhashLshVerifiedPairsFromShingles(sh, k = 64, bands = 16,
+          threshold = 0.5)
         .withColumn("family", lit("fnv64"))
       val md5f = graft.operators.Dedup
-        .minhashLshVerifiedPairsMd5Family(docs, "doc_id", "text",
-          shingleN = 5, k = 64, bands = 16, threshold = 0.5)
+        .minhashLshVerifiedPairsMd5FamilyFromShingles(sh, k = 64,
+          bands = 16, threshold = 0.5)
         .withColumn("family", lit("md5_affine"))
       prod.unionByName(md5f)
         .select(col("family"), col("id1"), col("id2"),

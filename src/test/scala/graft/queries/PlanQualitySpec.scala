@@ -349,4 +349,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("Window"), s"bucket cap must be a window count:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q134: encryption is projection-only — no shuffle, no join") {
+    val p = plan("q134_config_encryption")
+    // AES roundtrip/tamper/rotation are all per-row expressions; the only
+    // allowed exchange is the final presentation sort's
+    assert(!p.contains("Join"), s"no join belongs in a column cipher:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"per-row crypto must not shuffle data:\n$p")
+  }
+
+  test("q135: admission replay shuffles once, on the sender key") {
+    val p = plan("q135_email_rate_limit")
+    val hashParts = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashParts == 1,
+      s"one sender-key shuffle is the whole scale story, found $hashParts:\n$p")
+    assert(p.contains("hashpartitioning(sender"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q136: learning-event assembly broadcasts both metadata sides") {
+    val p = plan("q136_learning_events")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"override batch + extraction metadata are broadcast-size:\n$p")
+  }
 }
