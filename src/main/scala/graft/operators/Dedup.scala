@@ -491,6 +491,68 @@ object Dedup {
     * and are not emitted — left-join the corpus and coalesce to the id for
     * the full labeling.
     */
+  /** Persistable MinHash signature pass: `(id, sig)` for a corpus. The
+    * expensive stage of every minhash dedup is SIGNING (tokenize +
+    * shingle + k-hash the raw text); sign once at ingest, store the
+    * compact `array<bigint>` column, and incremental batches never touch
+    * corpus text again (see [[incrementalMinhashPairs]]).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 5, k: Int = 64): DataFrame =
+    shingleSets(df, idCol, textCol, shingleN)
+      .select(col("id"), MinHash.signature(col("sh"), k).as("sig"))
+
+  /** Incremental near-dup: estimate-pairs of a NEW batch against an
+    * EXISTING corpus — the streaming-ingest dedup shape. Both sides are
+    * `(id, sig)` signature frames ([[minhashSignatures]]); the corpus'
+    * text is never re-read. Emits every candidate pair with a new-side
+    * member (new×corpus AND new×new — a batch can duplicate itself),
+    * estimate ≥ `threshold`.
+    *
+    * EXACTLY equivalent to running [[minhashLshPairs]] over corpus ∪
+    * batch and keeping pairs that touch the batch (DedupSpec pins the
+    * equivalence): banding and the [2, maxBucket] cap run over the
+    * union, so bucket membership — and therefore the df-cutoff
+    * semantics — cannot drift between the full and incremental paths.
+    * Buckets containing no new member are skipped before their member
+    * arrays materialize (same window, one extra gate), so per-batch
+    * work is proportional to the buckets the batch touches, not the
+    * corpus' bucket count.
+    */
+  def incrementalMinhashPairs(newSigs: DataFrame, corpusSigs: DataFrame,
+                              k: Int = 64, bands: Int = 16,
+                              threshold: Double = 0.5, maxBucket: Int = 256,
+                              exactBandKeys: Boolean = false): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val all = corpusSigs.select(col("id"), col("sig"),
+        lit(false).as("is_new"))
+      .unionByName(newSigs.select(col("id"), col("sig"),
+        lit(true).as("is_new")))
+    val bandFn =
+      if (exactBandKeys) MinHash.bandKeysExact _ else MinHash.bandKeys _
+    val banded = all.select(col("id"), col("sig"), col("is_new"),
+      explode(bandFn(col("sig"), bands, k / bands)).as("bk"))
+    val w = Window.partitionBy("__k0")
+    val pairs = banded
+      .select(col("bk").as("__k0"),
+        struct(col("id"), col("sig"), col("is_new")).as("__p"))
+      .withColumn("__bs", count(lit(1)).over(w))
+      .withColumn("__new", sum(col("__p.is_new").cast("int")).over(w))
+      .where(col("__bs").between(2, maxBucket) && col("__new") > 0)
+      .groupBy("__k0")
+      .agg(sort_array(collect_list(col("__p"))).as("m"))
+      .select(explode(filter(pairExpand(col("m")),
+        p => p.getField("p1").getField("is_new") ||
+          p.getField("p2").getField("is_new"))).as("p"))
+      .select(col("p.p1.id").as("id1"), col("p.p2.id").as("id2"),
+        col("p.p1.sig").as("sig1"), col("p.p2.sig").as("sig2"))
+      .dropDuplicates("id1", "id2")
+    pairs
+      .withColumn("est_jaccard", MinHash.estJaccard(col("sig1"), col("sig2")))
+      .where(col("est_jaccard") >= threshold)
+      .select("id1", "id2", "est_jaccard")
+  }
+
   def nearDupClusters(pairs: DataFrame, id1Col: String,
                       id2Col: String): DataFrame = {
     val a = col(id1Col)

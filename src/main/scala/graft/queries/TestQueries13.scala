@@ -208,6 +208,103 @@ object TestQueries13 {
       ORDER BY o.document_id, o.field_name"""
     })
 
+  /** Incremental near-dup (beyond the reference; the streaming-ingest
+    * dedup shape a 100 TB pipeline actually runs): the corpus is signed
+    * ONCE ([[graft.operators.Dedup.minhashSignatures]], a persistable
+    * `(id, sig)` frame) and each new batch bands against the stored
+    * signatures — corpus text is never re-tokenized. Semantics are
+    * pinned to the full path: banding and bucket caps run over
+    * corpus ∪ batch, so this gate's oracle IS q28's mirror restricted
+    * to pairs touching the batch (doc_id % 5 = 0), and DedupSpec holds
+    * incremental ≡ full-filtered on the real corpus.
+    */
+  val q137IncrementalDedup: QueryCase = QueryCase(
+    "q137_incremental_dedup",
+    (s, dir) => {
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, dir)
+      val corpusSigs = Dedup.minhashSignatures(
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", 5, 64)
+      val batchSigs = Dedup.minhashSignatures(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text", 5, 64)
+      Dedup.incrementalMinhashPairs(batchSigs, corpusSigs, k = 64,
+          bands = 16, threshold = 0.2, maxBucket = 256,
+          exactBandKeys = true)
+        .select(col("id1"), col("id2"),
+          round(col("est_jaccard"), 6).as("est_jaccard"))
+        .orderBy("id1", "id2")
+    },
+    Some {
+      val m64 = "CAST(18446744073709551616 AS HUGEINT)"
+      val m63 = "CAST(9223372036854775808 AS HUGEINT)"
+      def fnvFold(init: java.math.BigInteger) =
+        s"""list_reduce(list_prepend(CAST($init AS HUGEINT), bs),
+            (h, b) -> ((h - h % 256 +
+              CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+              * 1099511628211) % $m64)"""
+      val init0 = new java.math.BigInteger(java.lang.Long.toUnsignedString(
+        0xcbf29ce484222325L))
+      val init1 = new java.math.BigInteger(java.lang.Long.toUnsignedString(
+        0xcbf29ce484222325L ^ 0x9e3779b97f4a7c15L))
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ') for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh WHERE LEN(s) > 0),
+      dg AS (SELECT DISTINCT g FROM ex),
+      db AS (
+        SELECT g, list_transform(range(1, strlen(g) + 1),
+                 i -> CAST(CAST(('0x' || substr(hx, 2*i-1, 2)) AS INT)
+                   AS HUGEINT)) AS bs
+        FROM (SELECT g, hex(encode(g)) AS hx FROM dg)),
+      dh AS (
+        SELECT g, ${fnvFold(init0)} AS h1, ${fnvFold(init1)} AS h2r
+        FROM db),
+      dh2 AS (SELECT g, h1, h2r - h2r % 2 + 1 AS h2 FROM dh),
+      doch AS (
+        SELECT e.doc_id, list(struct_pack(h1 := d.h1, h2 := d.h2)) AS hs
+        FROM ex e JOIN dh2 d USING (g) GROUP BY e.doc_id),
+      sigs AS (
+        SELECT doc_id,
+          list_transform(range(0, 64), j ->
+            list_min(list_transform(hs, p ->
+              CASE WHEN (p.h1 + j * p.h2) % $m64 >= $m63
+                   THEN CAST((p.h1 + j * p.h2) % $m64 - $m64 AS BIGINT)
+                   ELSE CAST((p.h1 + j * p.h2) % $m64 AS BIGINT)
+              END))) AS sig
+        FROM doch),
+      banded AS (
+        SELECT doc_id, b, sig[4*b+1:4*b+4] AS key
+        FROM sigs CROSS JOIN range(0, 16) AS t(b)),
+      sized AS (
+        SELECT doc_id, b, key, COUNT(*) OVER (PARTITION BY b, key) AS n
+        FROM banded),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM sized a JOIN sized b
+          ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE a.n BETWEEN 2 AND 256 AND b.n BETWEEN 2 AND 256
+          AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0))
+      SELECT c.id1, c.id2,
+             CAST(LEN(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i]))
+               AS DOUBLE) / 64 AS est_jaccard
+      FROM cand c
+      JOIN sigs x ON x.doc_id = c.id1
+      JOIN sigs y ON y.doc_id = c.id2
+      WHERE CAST(LEN(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i]))
+              AS DOUBLE) / 64 >= 0.2
+      ORDER BY id1, id2"""
+    })
+
   val all: Seq[QueryCase] =
-    Seq(q134ConfigEncryption, q135EmailRateLimit, q136LearningEvents)
+    Seq(q134ConfigEncryption, q135EmailRateLimit, q136LearningEvents,
+      q137IncrementalDedup)
 }

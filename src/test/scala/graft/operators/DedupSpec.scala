@@ -118,6 +118,31 @@ class DedupSpec extends SparkSpec {
       "over-cap band buckets exist — q126/q78 equality gates now depend on dropped members")
   }
 
+  test("incremental minhash == full pairs restricted to the batch") {
+    val real = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = real.where(col("doc_id") % 5 =!= 0)
+    val batch = real.where(col("doc_id") % 5 === 0)
+    val cs = Dedup.minhashSignatures(corpus, "doc_id", "text", 5, 64)
+    val ns = Dedup.minhashSignatures(batch, "doc_id", "text", 5, 64)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "est_jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inc = toSet(Dedup.incrementalMinhashPairs(ns, cs, 64, 16, 0.2, 256))
+    val full = toSet(Dedup.minhashLshPairs(real, "doc_id", "text", 5, 64,
+        16, 0.2, 256))
+      .filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(full.nonEmpty)
+    assert(inc == full,
+      "incremental must be exactly the full path's batch-touching pairs")
+    // a batch duplicating ITSELF is caught (new-new pairs emitted)
+    assert(inc.exists(p => p._1 % 5 == 0 && p._2 % 5 == 0) ||
+      full.forall(p => !(p._1 % 5 == 0 && p._2 % 5 == 0)))
+    // empty batch -> no pairs, no error
+    val empty = Dedup.incrementalMinhashPairs(ns.limit(0), cs, 64, 16, 0.2, 256)
+    assert(empty.count() == 0)
+  }
+
   test("minhash estimated jaccard is exact for identical docs") {
     val est = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.3)
       .where(col("id1") === 1 && col("id2") === 2)
