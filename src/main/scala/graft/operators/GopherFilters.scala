@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+  * Language Models: Methods, Analysis & Insights from Training Gopher",
+  * table A1 — the standard corpus-quality rules every large
+  * training-data pipeline runs; also the C4/MassiveText lineage).
+  * Complements [[graft.functions.TextFunctions.qualityScore]]'s
+  * length/punct/token-shape signals (q26) with the REPETITION family.
+  *
+  * Definitions (documented variant — the literature has small
+  * per-implementation differences, so the exact arithmetic is fixed
+  * here and mirrored by the q138 oracle):
+  *
+  *  - `top_ngram_frac_n` (n ∈ 2..4): characters of the most frequent
+  *    word n-gram — `(Σ token lengths in the gram) × occurrences` —
+  *    over the document's total character length. "Most frequent"
+  *    ties break to the lexicographically smallest gram so the
+  *    statistic is deterministic.
+  *  - `dup_ngram_frac_n` (n ∈ 5..10): characters covered by ALL
+  *    occurrences of n-grams that occur more than once —
+  *    `Σ_{gram: count ≥ 2} (Σ token lengths) × count` — over total
+  *    length. (The positional union-coverage variant counts each
+  *    character once; this occurrence-sum form is the common
+  *    implementation and is monotone in it.)
+  *  - `gopher_repetition_pass`: the paper's thresholds — top 2/3/4-gram
+  *    fraction ≤ 0.20/0.18/0.16, duplicate 5..10-gram fraction ≤
+  *    0.15/0.14/0.13/0.12/0.11/0.10.
+  *
+  * Scale shape: one tokenize pass, one explode per n over the bound
+  * token array (no HOF folds — grams count via codegen hash
+  * aggregates), one shuffle keyed (id, n, gram), a (id, n) window for
+  * the deterministic top pick, and a final pivot back to one row per
+  * document. Linear in corpus size; no collects, no self-joins.
+  */
+object GopherFilters {
+
+  val TopNs: Seq[Int] = Seq(2, 3, 4)
+  val DupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10)
+
+  /** Paper thresholds, keyed by n. */
+  val TopThresholds: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val DupThresholds: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** Per-document repetition signals + the pass verdict. Output: id,
+    * `top_ngram_frac_{2,3,4}`, `dup_ngram_frac_{5..10}`,
+    * `gopher_repetition_pass`.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .select(col("id"), length(col("text")).as("len"),
+        TextFunctions.tokens(col("text")).as("tk"))
+      .localCheckpoint(true) // consumed by 9 explode branches below
+    val grams = (TopNs ++ DupNs).map { n =>
+      base.select(col("id"), col("len"), lit(n).as("n"),
+        explode(TextFunctions.ngramsOfTokens(col("tk"), n)).as("g"))
+    }.reduce(_ unionByName _)
+    // gram char mass = length minus the n−1 joining spaces
+    val counts = grams.groupBy("id", "len", "n", "g")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", (length(col("g")) - (col("n") - 1)) * col("cnt"))
+    val w = Window.partitionBy("id", "n")
+      .orderBy(col("cnt").desc, col("g").asc)
+    val top = counts.where(col("n").isin(TopNs.map(Int.box): _*))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("id"), col("n"),
+        (col("chars").cast("double") / col("len")).as("frac"))
+    val dup = counts.where(col("n").isin(DupNs.map(Int.box): _*))
+      .where(col("cnt") >= 2)
+      .groupBy("id", "n")
+      .agg((sum(col("chars")).cast("double") / first(col("len")))
+        .as("frac"))
+    val fracs = top.unionByName(dup)
+      .groupBy("id")
+      .pivot("n", TopNs ++ DupNs)
+      .agg(first(col("frac")))
+    val named = (TopNs.map(n => n -> s"top_ngram_frac_$n") ++
+      DupNs.map(n => n -> s"dup_ngram_frac_$n"))
+    val withCols = named.foldLeft(
+        base.select(col("id")).join(fracs, Seq("id"), "left")) {
+      case (acc, (n, name)) =>
+        acc.withColumn(name, coalesce(col(n.toString), lit(0.0)))
+    }.select(col("id") +: named.map(c => col(c._2)): _*)
+    val pass = named.map { case (n, name) =>
+      val thr = TopThresholds.getOrElse(n, DupThresholds(n))
+      col(name) <= thr
+    }.reduce(_ && _)
+    withCols.withColumn("gopher_repetition_pass", pass)
+  }
+
+  /** Duplicate-line signals (the other half of the paper's table; the
+    * gate corpus is single-line, so these are spec-pinned on multi-line
+    * fixtures): fraction of line INSTANCES whose line occurs ≥ 2 times,
+    * and the character-weighted variant. Blank lines are excluded, as
+    * in the common implementations.
+    */
+  def dupLineSignals(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .select(col("id"), length(col("text")).as("len"),
+        explode(split(col("text"), "\n")).as("line"))
+      .where(trim(col("line")) =!= "")
+    val counts = lines.groupBy("id", "len", "line")
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy("id")
+      .agg(
+        (sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).cast("double") /
+          sum(col("cnt"))).as("dup_line_frac"),
+        (sum(when(col("cnt") >= 2, col("cnt") * length(col("line")))
+            .otherwise(0L)).cast("double") /
+          sum(col("cnt") * length(col("line")))).as("dup_line_char_frac"))
+  }
+}

@@ -304,7 +304,80 @@ object TestQueries13 {
       ORDER BY id1, id2"""
     })
 
+  /** Gopher repetition quality filters (Rae et al. 2021 table A1 —
+    * beyond the reference; the standard training-corpus rules): most-
+    * frequent 2/3/4-gram character fractions and duplicated 5..10-gram
+    * character fractions per document, plus the paper-threshold pass
+    * verdict. Pure integer/string arithmetic with one final division —
+    * fractions compare RAW as doubles. The top pick ties break
+    * (count desc, gram asc) so the statistic is deterministic in both
+    * engines. See [[graft.operators.GopherFilters]] for the exact
+    * definitional variant.
+    */
+  val q138GopherRepetition: QueryCase = QueryCase(
+    "q138_gopher_repetition",
+    (s, dir) =>
+      graft.operators.GopherFilters
+        .repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+    Some {
+      val ns = (GopherNs.map(n => s"($n)")).mkString(", ")
+      val fracCases = (graft.operators.GopherFilters.TopNs.map(n =>
+        s"""COALESCE(MAX(CASE WHEN kind = 'top' AND n = $n THEN frac END),
+            CAST(0.0 AS DOUBLE)) AS top_ngram_frac_$n""") ++
+        graft.operators.GopherFilters.DupNs.map(n =>
+          s"""COALESCE(MAX(CASE WHEN kind = 'dup' AND n = $n THEN frac END),
+              CAST(0.0 AS DOUBLE)) AS dup_ngram_frac_$n"""))
+        .mkString(",\n")
+      val passExpr = (graft.operators.GopherFilters.TopNs.map(n =>
+        s"top_ngram_frac_$n <= ${graft.operators.GopherFilters.TopThresholds(n)}") ++
+        graft.operators.GopherFilters.DupNs.map(n =>
+          s"dup_ngram_frac_$n <= ${graft.operators.GopherFilters.DupThresholds(n)}"))
+        .mkString(" AND ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, LENGTH(text) AS len,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id, len, n.n AS n, u.g AS g
+        FROM toks, (VALUES $ns) AS n(n),
+             UNNEST(CASE WHEN LEN(tk) >= n.n
+               THEN [array_to_string(tk[i:i+n.n-1], ' ')
+                     for i in range(1, LEN(tk) - n.n + 2)]
+               ELSE CAST([] AS VARCHAR[]) END) AS u(g)),
+      counts AS (
+        SELECT doc_id, len, n, g, COUNT(*) AS cnt,
+               (LENGTH(g) - (n - 1)) * COUNT(*) AS chars
+        FROM grams GROUP BY doc_id, len, n, g),
+      top AS (
+        SELECT doc_id, n, 'top' AS kind,
+               CAST(chars AS DOUBLE) / len AS frac
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                ORDER BY cnt DESC, g ASC) AS rk
+              FROM counts WHERE n <= 4)
+        WHERE rk = 1),
+      dup AS (
+        SELECT doc_id, n, 'dup' AS kind,
+               CAST(SUM(chars) AS DOUBLE) / MAX(len) AS frac
+        FROM counts WHERE n >= 5 AND cnt >= 2
+        GROUP BY doc_id, n),
+      fracs AS (
+        SELECT d.doc_id, $fracCases
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN (SELECT * FROM top UNION ALL SELECT * FROM dup) f
+          USING (doc_id)
+        GROUP BY d.doc_id)
+      SELECT *, ($passExpr) AS gopher_repetition_pass
+      FROM fracs ORDER BY doc_id"""
+    })
+
+  private def GopherNs: Seq[Int] =
+    graft.operators.GopherFilters.TopNs ++ graft.operators.GopherFilters.DupNs
+
   val all: Seq[QueryCase] =
     Seq(q134ConfigEncryption, q135EmailRateLimit, q136LearningEvents,
-      q137IncrementalDedup)
+      q137IncrementalDedup, q138GopherRepetition)
 }

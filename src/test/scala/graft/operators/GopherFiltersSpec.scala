@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Gopher repetition signals on hand-computable fixtures. */
+class GopherFiltersSpec extends SparkSpec {
+
+  private def signals(texts: (Long, String)*) = {
+    import spark.implicits._
+    GopherFilters.repetitionSignals(texts.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("top 2-gram fraction: hand-traced on a repeated phrase") {
+    // "ab cd ab cd ab" (len 14): 2-grams = [ab cd, cd ab, ab cd, cd ab];
+    // top = "ab cd" (count 2, lexicographically before "cd ab" on the
+    // tie): chars = (5-1)*2 = 8 -> frac = 8/14
+    val r = signals((1L, "ab cd ab cd ab"))(1L)
+    assert(math.abs(r.getDouble(1) - 8.0 / 14) < 1e-15, r)
+  }
+
+  test("dup 5-gram fraction: only grams occurring twice count") {
+    // 7 tokens "a b c d e a b c d e" -> wait: use exact repetition:
+    // "t1 t2 t3 t4 t5 t1 t2 t3 t4 t5 t1 t2 t3 t4 t5" (len 44):
+    // 5-grams: 11 windows; "t1 t2 t3 t4 t5" occurs 3x,
+    // others ("t2 t3 t4 t5 t1" etc.) occur 2x each (4 distinct x2).
+    // chars per 5-gram = 14-4... tokens are len-2 -> gram string len
+    // = 5*2+4 = 14, minus 4 spaces = 10 char mass.
+    // dup sum = 10*3 + 4*(10*2) = 110 -> frac = 110/44 = 2.5
+    val text = Seq.fill(3)(Seq("t1", "t2", "t3", "t4", "t5")).flatten
+      .mkString(" ")
+    val r = signals((1L, text))(1L)
+    val dup5 = r.getDouble(4)
+    assert(math.abs(dup5 - 110.0 / 44) < 1e-12, s"got $dup5")
+    assert(!r.getBoolean(10), "a thrice-repeated phrase must fail the verdict")
+  }
+
+  test("diverse text passes; short/empty text yields zero signals") {
+    val diverse = (1 to 40).map(i => s"w$i").mkString(" ")
+    val m = signals((1L, diverse), (2L, "one"), (3L, ""))
+    assert(m(1L).getBoolean(10), "all-distinct tokens must pass")
+    // top fraction for all-distinct 2-grams is one occurrence's mass
+    assert(m(1L).getDouble(1) > 0)
+    (1 to 9).foreach { i =>
+      assert(m(2L).getDouble(i) == 0.0)
+      assert(m(3L).getDouble(i) == 0.0)
+    }
+    assert(m(2L).getBoolean(10) && m(3L).getBoolean(10))
+  }
+
+  test("dup line signals: instance fractions, blank lines excluded") {
+    import spark.implicits._
+    val text = "alpha beta\n\nalpha beta\ngamma delta\n   \nalpha beta"
+    val got = GopherFilters.dupLineSignals(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    // non-blank lines: 3x "alpha beta" (10 ch), 1x "gamma delta" (11 ch)
+    assert(math.abs(got.getDouble(1) - 3.0 / 4) < 1e-15)
+    assert(math.abs(got.getDouble(2) - 30.0 / 41) < 1e-15)
+  }
+}
