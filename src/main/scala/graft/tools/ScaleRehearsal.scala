@@ -41,7 +41,9 @@ object ScaleRehearsal {
     // ANN + heavy analytics from the worst-10
     "q47_ann_ivf", "q80_ann_lsh", "q109_curation_pipeline",
     "q91_decontaminate", "q94_cdc_apply", "q106_scd2",
-    "q01_pricing_summary", "q83_salted_skew")
+    "q01_pricing_summary", "q83_salted_skew",
+    // round-8 additions: incremental dedup + repetition filters
+    "q137_incremental_dedup", "q138_gopher_repetition")
 
   private val StressQueries = Seq(
     "q01_pricing_summary", "q94_cdc_apply", "q106_scd2", "q83_salted_skew",
