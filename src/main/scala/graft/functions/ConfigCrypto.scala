@@ -72,6 +72,45 @@ object ConfigCrypto {
     encryptDeterministic(decrypt(ciphertext, oldKey).cast("string"), newKey,
       ivSeed)
 
+  /** Encrypt the reference's sensitive connector-config fields inside a
+    * JSON string column (`connectors.py:110-129` `_encrypt_connector_
+    * config`: access_token / refresh_token when present; other keys
+    * pass through untouched). The config is a string→string JSON
+    * object; encrypted values are base64 of the AES-GCM output, IV
+    * derived per (row seed, field) so two fields of one row never share
+    * an IV.
+    */
+  def encryptTokenFields(config: Column, key: Column, ivSeed: Column,
+                         fields: Seq[String] =
+                           Seq("access_token", "refresh_token")): Column = {
+    val m = from_json(config, org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType))
+    to_json(transform_values(m, (k, v) =>
+      when(k.isInCollection(fields) && v.isNotNull,
+        base64(encryptDeterministic(v, key,
+          concat(ivSeed.cast("string"), lit(":"), k))))
+        .otherwise(v)))
+  }
+
+  /** Inverse of [[encryptTokenFields]] (`connectors.py:131-210`
+    * `_decrypt_connector_config`). Fail-CLOSED: a token that does not
+    * decrypt (tampered, wrong key, legacy plaintext) becomes NULL —
+    * downstream sync treats it as a missing credential and routes to
+    * re-auth, never using an undecryptable blob as a bearer token.
+    */
+  def decryptTokenFields(config: Column, key: Column,
+                         fields: Seq[String] =
+                           Seq("access_token", "refresh_token")): Column = {
+    val m = from_json(config, org.apache.spark.sql.types.MapType(
+      org.apache.spark.sql.types.StringType,
+      org.apache.spark.sql.types.StringType))
+    to_json(transform_values(m, (k, v) =>
+      when(k.isInCollection(fields) && v.isNotNull,
+        tryDecrypt(unbase64(v), key).cast("string"))
+        .otherwise(v)))
+  }
+
   /** `hash_email` (`pii_protection.py:13-39`): sha256 of the lowercased,
     * trimmed address, first 16 hex chars — log-correlatable, not
     * reversible. Empty/null → "empty" (the reference's sentinel).

@@ -382,7 +382,80 @@ object TestQueries13 {
   private def GopherNs: Seq[Int] =
     graft.operators.GopherFilters.TopNs ++ graft.operators.GopherFilters.DupNs
 
+  // TIFF assets: (id, w, h, seed), dims non-divisible by the grid; same
+  // integer pixel formula as q119/q81 so the oracle regenerates pixels
+  // without decoding anything
+  private val tiffAssets: Seq[(String, Int, Int, Int)] = Seq(
+    ("t1", 27, 17, 5), ("t2", 33, 21, 11), ("t3", 12, 30, 2))
+  private val tiffGrid = 4
+
+  private def tiffFormulaRgb(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = 3 * (y * w + x)
+      rgb(p) = ((x * 7 + y * 13 + seed) % 256).toByte
+      rgb(p + 1) = ((x * 3 + y * 5 + 2 * seed) % 256).toByte
+      rgb(p + 2) = ((x * 11 + y * 17 + 3 * seed) % 256).toByte
+    }
+    rgb
+  }
+
+  /** TIFF decode-tiles (q119's family — the scanned-document container
+    * a doc-ingest pipeline sees most after PDF): the JDK has shipped a
+    * TIFF imageio plugin since 9, so `ImageIoDecode` covers it with ZERO
+    * new decode code — this gate pins that the plugin really engages
+    * (REAL TIFF containers from javax.imageio's writer, decoded for
+    * real) and that lossless round-trip keeps tile stats bit-exact
+    * against the pixel-formula oracle. A truncated TIFF must emit
+    * nothing.
+    */
+  val q139TiffDecodeTiles: QueryCase = QueryCase(
+    "q139_tiff_decode_tiles",
+    (s, dir) => {
+      import s.implicits._
+      val mm = graft.multimodal.Multimodal
+      val rows = tiffAssets.map { case (id, w, h, seed) =>
+        (id, mm.imageBytes("tiff", w, h, tiffFormulaRgb(w, h, seed)))
+      } ++ Seq(
+        ("x1", mm.imageBytes("tiff", 8, 8, tiffFormulaRgb(8, 8, 1)).take(24)))
+      val tiles = mm.sampleImageTiles(
+        rows.toDF("id", "bytes"), "id", "bytes", tiffGrid)
+      tiles
+        .select(col("id"), col("tile_x"), col("tile_y"), col("n_px"),
+          col("mean_r"), col("mean_g"), col("mean_b"), col("peak_sum"))
+        .orderBy("id", "tile_y", "tile_x")
+    },
+    Some {
+      val vals = tiffAssets.map(a =>
+        s"('${a._1}', ${a._2}, ${a._3}, ${a._4})").mkString(", ")
+      s"""
+      WITH assets(id, w, h, seed) AS (VALUES $vals),
+      px AS (
+        SELECT id, w, h, seed, xs.x AS x, ys.y AS y
+        FROM assets, UNNEST(range(0, w)) AS xs(x), UNNEST(range(0, h)) AS ys(y)),
+      vals AS (
+        SELECT id, w, h, x, y,
+               (x * 7 + y * 13 + seed) % 256 AS r,
+               (x * 3 + y * 5 + 2 * seed) % 256 AS g,
+               (x * 11 + y * 17 + 3 * seed) % 256 AS b
+        FROM px),
+      tiled AS (
+        SELECT *,
+               CAST(((x + 1) * $tiffGrid + w - 1) // w - 1 AS INT) AS tx,
+               CAST(((y + 1) * $tiffGrid + h - 1) // h - 1 AS INT) AS ty
+        FROM vals)
+      SELECT id, tx AS tile_x, ty AS tile_y,
+             CAST(COUNT(*) AS INT) AS n_px,
+             CAST(SUM(r) AS DOUBLE) / COUNT(*) AS mean_r,
+             CAST(SUM(g) AS DOUBLE) / COUNT(*) AS mean_g,
+             CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_b,
+             CAST(MAX(r + g + b) AS INT) AS peak_sum
+      FROM tiled
+      GROUP BY id, tx, ty
+      ORDER BY id, tile_y, tile_x"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q134ConfigEncryption, q135EmailRateLimit, q136LearningEvents,
-      q137IncrementalDedup, q138GopherRepetition)
+      q137IncrementalDedup, q138GopherRepetition, q139TiffDecodeTiles)
 }

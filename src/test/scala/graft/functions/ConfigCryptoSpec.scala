@@ -80,6 +80,37 @@ class ConfigCryptoSpec extends SparkSpec {
     assert(r.getBoolean(1))
   }
 
+  test("token fields: encrypt-in-config roundtrip, passthrough, fail-closed") {
+    import ConfigCrypto._
+    val cfg = """{"provider":"gdrive","access_token":"ya29.secret",""" +
+      """"refresh_token":"1//rt","folder":"root"}"""
+    val noTok = """{"provider":"sharepoint","site":"contoso"}"""
+    val d = df(cfg, noTok)
+      .withColumn("enc", encryptTokenFields(col("v"), k1, col("id")))
+      .withColumn("dec", decryptTokenFields(col("enc"), k1))
+      .withColumn("wrong", decryptTokenFields(col("enc"), k2))
+      .collect()
+    val enc0 = d(0).getAs[String]("enc")
+    // non-sensitive keys stay plaintext; tokens do not
+    assert(enc0.contains("\"provider\":\"gdrive\"") &&
+      enc0.contains("\"folder\":\"root\""))
+    assert(!enc0.contains("ya29.secret") && !enc0.contains("1//rt"))
+    assert(d(0).getAs[String]("dec") == cfg, "roundtrip must be identity")
+    // a config with no token fields passes through both ways unchanged
+    assert(d(1).getAs[String]("enc") == noTok)
+    assert(d(1).getAs[String]("dec") == noTok)
+    // wrong key fails CLOSED: tokens null, rest intact
+    val w = d(0).getAs[String]("wrong")
+    assert(w.contains("\"access_token\":null") ||
+      !w.contains("access_token\":\""), w)
+    assert(w.contains("\"provider\":\"gdrive\""))
+    // the two token fields of one row must not share an IV (the base64
+    // prefix IS the IV, so distinct prefixes prove distinct IVs)
+    val at = enc0.split("\"access_token\":\"")(1).takeWhile(_ != '"').take(16)
+    val rt = enc0.split("\"refresh_token\":\"")(1).takeWhile(_ != '"').take(16)
+    assert(at != rt, "per-field IVs must differ")
+  }
+
   test("hashEmail: normalization, 16-hex prefix, empty sentinel") {
     // sha256("user@example.com") prefix — reference hash_email contract
     assert(evalStr(hashEmail(col("s")), "  User@Example.COM ")

@@ -162,6 +162,24 @@ class MiscSpec extends SparkSpec {
     assert(decoded.map(_.toSeq).toSeq == ppm.map(_.toSeq).toSeq)
   }
 
+  test("tiff decode: JDK imageio plugin engages, lossless vs ppm-tiles") {
+    import spark.implicits._
+    val (w, h) = (14, 9) // non-divisible by the grid
+    val rgb = Array.tabulate(3 * w * h)(i => ((i * 29 + 3) % 256).toByte)
+    val df = Seq(
+      ("t", Multimodal.imageBytes("tiff", w, h, rgb)),
+      ("junk", Multimodal.imageBytes("tiff", w, h, rgb).take(16)))
+      .toDF("id", "bytes")
+    val decoded = Multimodal.sampleImageTiles(df, "id", "bytes", 3)
+      .orderBy("tile_y", "tile_x").collect()
+    val ppm = Multimodal.samplePpmTiles(
+        Seq(("t", Multimodal.ppmP6Bytes(w, h, rgb))).toDF("id", "bytes"),
+        "id", "bytes", 3)
+      .orderBy("tile_y", "tile_x").collect()
+    assert(decoded.length == 9 && ppm.length == 9) // truncated emitted nothing
+    assert(decoded.map(_.toSeq).toSeq == ppm.map(_.toSeq).toSeq)
+  }
+
   test("jpeg decode: self-consistent with the ppm kernel on decoded pixels") {
     import spark.implicits._
     val (w, h) = (16, 16)
