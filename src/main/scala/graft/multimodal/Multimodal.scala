@@ -533,6 +533,127 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Multi-frame decode for animated containers through the JDK's GIF
+    * `ImageReader` (the one multi-frame format javax.imageio decodes —
+    * the real frame-sample seam a video pipeline would plug an ffmpeg
+    * backend into). Frames are decoded AS STORED (each frame's own
+    * raster; no disposal-method compositing — the honest primitive:
+    * compositing policy belongs to the caller, and the fixture writer
+    * emits full-frame rasters). Malformed/truncated bytes → None, never
+    * throw; per-frame 16 Mpx guard and a frame-count cap bound memory
+    * before any pixel buffer allocates.
+    */
+  def decodeGifFrames(bytes: Array[Byte],
+                      maxFrames: Int = 4096)
+      : Option[Seq[(Int, Int, Array[Byte])]] = {
+    var reader: javax.imageio.ImageReader = null
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      reader = readers.next()
+      if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true) // throws on truncated containers
+      if (n <= 0 || n > maxFrames) return None
+      val out = Seq.newBuilder[(Int, Int, Array[Byte])]
+      var f = 0
+      while (f < n) {
+        val img = reader.read(f)
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h > 16777216L) return None
+        val argb = img.getRGB(0, 0, w, h, null, 0, w)
+        val rgb = new Array[Byte](3 * w * h)
+        var i = 0
+        while (i < argb.length) {
+          val v = argb(i)
+          rgb(3 * i) = ((v >> 16) & 0xff).toByte
+          rgb(3 * i + 1) = ((v >> 8) & 0xff).toByte
+          rgb(3 * i + 2) = (v & 0xff).toByte
+          i += 1
+        }
+        out += ((w, h, rgb))
+        f += 1
+      }
+      Some(out.result())
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally if (reader != null) reader.dispose()
+  }
+
+  /** Frame-sample kernel over an animated container: decode all frames
+    * ([[decodeGifFrames]]), pick one frame per slot at the same integer
+    * boundaries every sampler here uses (`slot·N/k`, emitting only
+    * non-empty slots — so k > N degrades to N distinct frames, never
+    * duplicates), and run the sampled frames through the exact
+    * [[tileRows]] loop the still-image gates pin. `frame_index` is the
+    * ORIGINAL index of the sampled frame inside the container.
+    * Undecodable assets emit no rows.
+    */
+  def sampleGifFrames(media: DataFrame, idCol: String, bytesCol: String,
+                      nFrames: Int, grid: Int): DataFrame = {
+    val outSchema = StructType(
+      TileSchema.fields.patch(1,
+        Seq(StructField("frame_index", IntegerType)), 0))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col(idCol).cast("string").as("id"), col(bytesCol).as("b"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[String]("id")
+          decodeGifFrames(r.getAs[Array[Byte]]("b")).toSeq.flatMap { fs =>
+            val n = fs.length
+            (0 until nFrames).flatMap { slot =>
+              val f0 = (slot.toLong * n / nFrames).toInt
+              val f1 = ((slot + 1).toLong * n / nFrames).toInt
+              if (f1 <= f0) Nil
+              else {
+                val (w, h, rgb) = fs(f0)
+                tileRows(id, w, h, rgb, 0, grid).map { t =>
+                  Row(t.get(0), f0, t.get(1), t.get(2), t.get(3), t.get(4),
+                    t.get(5), t.get(6), t.get(7))
+                }
+              }
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Animated-GIF fixture writer: an explicit 256-entry palette plus
+    * per-frame INDEX buffers → one multi-frame container via imageio's
+    * sequence writer. Indexed encode is lossless (the probe and
+    * MiscSpec pin bit-exact round-trip), unlike RGB GIF encode which
+    * would quantize.
+    */
+  def gifAnimBytes(width: Int, height: Int, palette: Array[Int],
+                   frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(palette.length == 256, "palette must have 256 0xRRGGBB entries")
+    val r = new Array[Byte](256); val g = new Array[Byte](256)
+    val b = new Array[Byte](256)
+    for (i <- 0 until 256) {
+      r(i) = ((palette(i) >> 16) & 0xff).toByte
+      g(i) = ((palette(i) >> 8) & 0xff).toByte
+      b(i) = (palette(i) & 0xff).toByte
+    }
+    val icm = new java.awt.image.IndexColorModel(8, 256, r, g, b)
+    val out = new java.io.ByteArrayOutputStream()
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { idx =>
+      require(idx.length == width * height, "frame must be w*h indices")
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      img.getRaster.setDataElements(0, 0, width, height, idx)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    out.toByteArray
+  }
+
   /** The real frame-sample kernel over an uncompressed format (WAV 16-bit
     * PCM): the payload is cut into `nFrames` contiguous windows
     * (`start = f·n/nFrames` integer boundaries, interleaved samples) and

@@ -455,7 +455,90 @@ object TestQueries13 {
       ORDER BY id, tile_y, tile_x"""
     })
 
+  // Animated-GIF assets: (id, w, h, nFrames, seed). Pixels are palette
+  // INDICES by integer formula; the palette maps index -> rgb by another
+  // integer formula, so the oracle regenerates decoded RGB without any
+  // codec. g3 is single-frame (k > N degrades to one slot); dims
+  // non-divisible by the grid.
+  private val gifAssets: Seq[(String, Int, Int, Int, Int)] = Seq(
+    ("g1", 19, 11, 7, 4), ("g2", 9, 14, 3, 9), ("g3", 13, 13, 1, 2))
+  private val gifSlots = 3
+  private val gifGrid = 2
+
+  private def gifPalette: Array[Int] = Array.tabulate(256)(i =>
+    (((i * 7 + 3) % 256) << 16) | (((i * 5 + 11) % 256) << 8) |
+      ((i * 13 + 1) % 256))
+
+  private def gifFrameIdx(w: Int, h: Int, fi: Int, seed: Int): Array[Byte] =
+    Array.tabulate(w * h) { p =>
+      val (x, y) = (p % w, p / w)
+      ((x * 3 + y * 5 + 17 * fi + seed) % 256).toByte
+    }
+
+  /** Animated-GIF frame sampling (the multi-frame container javax.imageio
+    * really decodes — the frame-sample seam a video pipeline would plug
+    * ffmpeg into): indexed-palette frames round-trip losslessly, so
+    * sampled-frame tile stats are bit-exact against the
+    * index→palette→rgb integer formulas replayed in the oracle. Slot
+    * sampling at integer boundaries (one frame per non-empty slot;
+    * single-frame containers degrade to one slot, k never duplicates);
+    * a truncated container must emit nothing.
+    */
+  val q140GifFrameSample: QueryCase = QueryCase(
+    "q140_gif_frame_sample",
+    (s, dir) => {
+      import s.implicits._
+      val mm = graft.multimodal.Multimodal
+      val rows = gifAssets.map { case (id, w, h, n, seed) =>
+        (id, mm.gifAnimBytes(w, h, gifPalette,
+          (0 until n).map(fi => gifFrameIdx(w, h, fi, seed))))
+      } ++ Seq(
+        ("x1", mm.gifAnimBytes(8, 8, gifPalette,
+          Seq(gifFrameIdx(8, 8, 0, 1))).take(20)))
+      mm.sampleGifFrames(
+          rows.toDF("id", "bytes"), "id", "bytes", gifSlots, gifGrid)
+        .select(col("id"), col("frame_index"), col("tile_x"), col("tile_y"),
+          col("n_px"), col("mean_r"), col("mean_g"), col("mean_b"),
+          col("peak_sum"))
+        .orderBy("id", "frame_index", "tile_y", "tile_x")
+    },
+    Some {
+      val vals = gifAssets.map(a =>
+        s"('${a._1}', ${a._2}, ${a._3}, ${a._4}, ${a._5})").mkString(", ")
+      s"""
+      WITH assets(id, w, h, n, seed) AS (VALUES $vals),
+      slots AS (
+        SELECT id, w, h, seed,
+               CAST(ss.s * n // $gifSlots AS INT) AS fi
+        FROM assets, UNNEST(range(0, $gifSlots)) AS ss(s)
+        WHERE (ss.s + 1) * n // $gifSlots > ss.s * n // $gifSlots),
+      px AS (
+        SELECT id, w, h, seed, fi, xs.x AS x, ys.y AS y
+        FROM slots, UNNEST(range(0, w)) AS xs(x), UNNEST(range(0, h)) AS ys(y)),
+      vals AS (
+        SELECT id, w, h, fi, x, y,
+               ((x * 3 + y * 5 + 17 * fi + seed) % 256 * 7 + 3) % 256 AS r,
+               ((x * 3 + y * 5 + 17 * fi + seed) % 256 * 5 + 11) % 256 AS g,
+               ((x * 3 + y * 5 + 17 * fi + seed) % 256 * 13 + 1) % 256 AS b
+        FROM px),
+      tiled AS (
+        SELECT *,
+               CAST(((x + 1) * $gifGrid + w - 1) // w - 1 AS INT) AS tx,
+               CAST(((y + 1) * $gifGrid + h - 1) // h - 1 AS INT) AS ty
+        FROM vals)
+      SELECT id, fi AS frame_index, tx AS tile_x, ty AS tile_y,
+             CAST(COUNT(*) AS INT) AS n_px,
+             CAST(SUM(r) AS DOUBLE) / COUNT(*) AS mean_r,
+             CAST(SUM(g) AS DOUBLE) / COUNT(*) AS mean_g,
+             CAST(SUM(b) AS DOUBLE) / COUNT(*) AS mean_b,
+             CAST(MAX(r + g + b) AS INT) AS peak_sum
+      FROM tiled
+      GROUP BY id, fi, tx, ty
+      ORDER BY id, frame_index, tile_y, tile_x"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q134ConfigEncryption, q135EmailRateLimit, q136LearningEvents,
-      q137IncrementalDedup, q138GopherRepetition, q139TiffDecodeTiles)
+      q137IncrementalDedup, q138GopherRepetition, q139TiffDecodeTiles,
+      q140GifFrameSample)
 }

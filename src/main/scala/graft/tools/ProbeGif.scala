@@ -1,0 +1,79 @@
+package graft.tools
+
+/** Dev probe: can javax.imageio write a MULTI-FRAME GIF whose frames
+  * decode back bit-exactly? GIF is paletted, so the fixture must be
+  * TYPE_BYTE_INDEXED with an explicit IndexColorModel — then encode is
+  * lossless. Verifies: (1) writeToSequence produces one container with
+  * N frames, (2) a GIF ImageReader reports getNumImages == N, (3) each
+  * frame's pixels round-trip exactly, (4) truncated bytes decode to
+  * nothing/fewer frames without throwing.
+  */
+object ProbeGif {
+  def main(args: Array[String]): Unit = {
+    val (w, h, frames) = (11, 7, 4)
+    // 256-entry palette: index i -> rgb formula
+    val r = new Array[Byte](256); val g = new Array[Byte](256)
+    val b = new Array[Byte](256)
+    for (i <- 0 until 256) {
+      r(i) = ((i * 7 + 3) % 256).toByte
+      g(i) = ((i * 5 + 11) % 256).toByte
+      b(i) = ((i * 13 + 1) % 256).toByte
+    }
+    val icm = new java.awt.image.IndexColorModel(8, 256, r, g, b)
+    def frame(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      for (y <- 0 until h; x <- 0 until w)
+        raster.setSample(x, y, 0, (x * 3 + y * 5 + seed * 17) % 256)
+      img
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (f <- 0 until frames)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(frame(f), null, null), null)
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val bytes = out.toByteArray
+    println(s"container bytes: ${bytes.length}")
+
+    // read back
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis)
+    val n = reader.getNumImages(true)
+    println(s"frames read: $n (want $frames)")
+    var exact = true
+    for (f <- 0 until n) {
+      val img = reader.read(f)
+      val expect = frame(f)
+      for (y <- 0 until h; x <- 0 until w) {
+        if (img.getRGB(x, y) != expect.getRGB(x, y)) exact = false
+      }
+    }
+    println(s"bit-exact round-trip: $exact")
+    reader.dispose()
+
+    // truncated: never throw
+    val iis2 = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes.take(bytes.length / 3)))
+    val it2 = javax.imageio.ImageIO.getImageReaders(iis2)
+    if (!it2.hasNext) println("truncated: no reader")
+    else {
+      val r2 = it2.next(); r2.setInput(iis2)
+      val n2 = try r2.getNumImages(true)
+        catch { case e: Throwable => println(s"getNumImages threw: ${e.getClass.getSimpleName}"); -1 }
+      println(s"truncated frames: $n2")
+      if (n2 > 0) {
+        val ok = try { r2.read(0); "read(0) ok" }
+          catch { case e: Throwable => s"read(0) threw ${e.getClass.getSimpleName}" }
+        println(s"truncated $ok")
+      }
+      r2.dispose()
+    }
+  }
+}

@@ -180,6 +180,35 @@ class MiscSpec extends SparkSpec {
     assert(decoded.map(_.toSeq).toSeq == ppm.map(_.toSeq).toSeq)
   }
 
+  test("gif frame-sample: lossless indexed frames, slots, guards") {
+    import spark.implicits._
+    val (w, h) = (10, 6)
+    val pal = Array.tabulate(256)(i => (i << 16) | (((255 - i) & 0xff) << 8) | i)
+    def fr(fi: Int) = Array.tabulate(w * h)(p => ((p * 3 + fi * 11) % 256).toByte)
+    val anim = Multimodal.gifAnimBytes(w, h, pal, (0 until 5).map(fr))
+    // 5 frames, 5 slots, grid 1 → one row per frame; decoded means must
+    // equal the palette formula replayed over the index buffers
+    val rows = Multimodal.sampleGifFrames(
+        Seq(("a", anim)).toDF("id", "bytes"), "id", "bytes", 5, 1)
+      .orderBy("frame_index").collect()
+    assert(rows.map(_.getAs[Int]("frame_index")).toSeq == Seq(0, 1, 2, 3, 4))
+    for (fi <- 0 until 5) {
+      val idx = fr(fi)
+      val expR = idx.map(b => (pal(b & 0xff) >> 16) & 0xff)
+      assert(rows(fi).getAs[Double]("mean_r") ==
+        expR.map(_.toLong).sum.toDouble / (w * h))
+    }
+    // single-frame container with k=3 slots → exactly one row, not three
+    val one = Multimodal.gifAnimBytes(w, h, pal, Seq(fr(0)))
+    assert(Multimodal.sampleGifFrames(
+      Seq(("s", one)).toDF("id", "bytes"), "id", "bytes", 3, 1).count() == 1)
+    // truncated container and a non-GIF image both emit nothing
+    val png = Multimodal.imageBytes("png", 4, 4, new Array[Byte](48))
+    assert(Multimodal.sampleGifFrames(
+      Seq(("t", anim.take(20)), ("p", png)).toDF("id", "bytes"),
+      "id", "bytes", 3, 1).count() == 0)
+  }
+
   test("jpeg decode: self-consistent with the ppm kernel on decoded pixels") {
     import spark.implicits._
     val (w, h) = (16, 16)
