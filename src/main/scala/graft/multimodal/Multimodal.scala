@@ -533,6 +533,70 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** 64-bit perceptual difference-hash (dHash) over a decoded RGB
+    * buffer: 8×9 box-mean luma grid at the same integer boundaries as
+    * [[tileRows]], bit (r,c) set iff box (r,c)'s mean luma exceeds box
+    * (r,c+1)'s. Comparisons are exact-integer cross-multiplications of
+    * Long sums (`sA·nB > sB·nA` — no float ever), and luma is the
+    * BT.601-weight integer `(77r+150g+29b)/256`, so the whole hash is
+    * bit-reproducible and replayable in plain SQL. Invariant to uniform
+    * brightness shift (all comparisons translate). Images smaller than
+    * the 9×8 grid → None.
+    */
+  def dHash64(w: Int, h: Int, rgb: Array[Byte], off: Int = 0)
+      : Option[Long] = {
+    if (w < 9 || h < 8) return None
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    for (r <- 0 until 8; c <- 0 until 9) {
+      val y0 = (r.toLong * h / 8).toInt; val y1 = ((r + 1).toLong * h / 8).toInt
+      val x0 = (c.toLong * w / 9).toInt; val x1 = ((c + 1).toLong * w / 9).toInt
+      var s = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) {
+          val p = off + 3 * (y * w + x)
+          s += (77 * (rgb(p) & 0xff) + 150 * (rgb(p + 1) & 0xff) +
+            29 * (rgb(p + 2) & 0xff)) / 256
+          x += 1
+        }
+        y += 1
+      }
+      sums(r)(c) = s
+      counts(r)(c) = (y1 - y0).toLong * (x1 - x0)
+    }
+    var hash = 0L
+    for (r <- 0 until 8; c <- 0 until 8) {
+      // mean(r,c) > mean(r,c+1) without division: sA*nB > sB*nA
+      if (sums(r)(c) * counts(r)(c + 1) > sums(r)(c + 1) * counts(r)(c))
+        hash |= 1L << (r * 8 + c)
+    }
+    Some(hash)
+  }
+
+  /** `(id, dhash)` per decodable image — the signature half of image
+    * near-dup dedup; feed into `Dedup.hamming64Pairs` for the banded
+    * pair join. Undecodable or sub-grid images emit no row.
+    */
+  def imageDHashes(media: DataFrame, idCol: String, bytesCol: String,
+                   decoder: ImageDecode = ImageIoDecode): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("dhash", org.apache.spark.sql.types.LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col(idCol).cast("string").as("id"), col(bytesCol).as("b"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[String]("id")
+          for {
+            (w, h, rgb) <- decoder.decodeRgb(r.getAs[Array[Byte]]("b"))
+            hash <- dHash64(w, h, rgb)
+          } yield Row(id, hash)
+        }
+      }(enc)
+  }
+
   /** Multi-frame decode for animated containers through the JDK's GIF
     * `ImageReader` (the one multi-frame format javax.imageio decodes —
     * the real frame-sample seam a video pipeline would plug an ffmpeg

@@ -357,7 +357,23 @@ object Dedup {
     val sigs = spread(df).select(col(idCol).as("id"),
         TextFunctions.tokens(col(textCol)).as("tk"))
       .select(col("id"), sigOfTokens(col("tk")).as("sig"))
-    val chunked = sigs.select(col("id"), col("sig"),
+    hamming64Pairs(sigs, "id", "sig", maxHamming, maxBucket)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Near-dup pairs over ANY precomputed 64-bit signature column
+    * (simhash, image dHash, audio fingerprint): candidates share one of
+    * four 16-bit chunks (pigeonhole — recall is EXACT for Hamming
+    * distance ≤ 3; a larger `maxHamming` keeps precision but loses the
+    * recall guarantee), verified by exact Hamming distance. The banding
+    * join shuffles on (chunk, key) — never all-pairs — with the same
+    * df-cutoff bucket cap as every dedup family here.
+    */
+  def hamming64Pairs(sigs: DataFrame, idCol: String = "id",
+                     sigCol: String = "sig", maxHamming: Int = 3,
+                     maxBucket: Int = 256): DataFrame = {
+    val base = sigs.select(col(idCol).as("id"), col(sigCol).as("sig"))
+    val chunked = base.select(col("id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),
           shiftright(col("sig"), i * 16).bitwiseAND(0xffffL).as("key"))): _*)).as("ck"))
@@ -368,7 +384,6 @@ object Dedup {
       .dropDuplicates("id1", "id2")
       .withColumn("hamming", MinHash.hammingDist(col("sig1"), col("sig2")))
       .where(col("hamming") <= maxHamming)
-      .select("id1", "id2", "hamming")
   }
 
   /** The cosine threshold below which hyperplane LSH stops being an index:

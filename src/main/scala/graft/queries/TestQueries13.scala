@@ -537,8 +537,115 @@ object TestQueries13 {
       ORDER BY id, frame_index, tile_y, tile_x"""
     })
 
+  // dHash assets: (id, w, h, seed, pd, px1, py1) — pixels perturbed by
+  // +pd on each channel where x < px1 AND y < py1 (0,0,0 = untouched).
+  // a2 perturbs one dHash box only (hamming ≤ 1 vs a1); b2 perturbs
+  // half the image (far from b1); d1 duplicates c1's formula exactly.
+  private val dhashAssets: Seq[(String, Int, Int, Int, Int, Int, Int)] = Seq(
+    ("a1", 36, 24, 5, 0, 0, 0), ("a2", 36, 24, 5, 120, 4, 3),
+    ("b1", 36, 24, 9, 0, 0, 0), ("b2", 36, 24, 9, 60, 18, 24),
+    ("c1", 45, 32, 77, 0, 0, 0), ("d1", 45, 32, 77, 0, 0, 0))
+
+  private def dhashRgb(w: Int, h: Int, seed: Int, pd: Int, px1: Int,
+                       py1: Int): Array[Byte] = {
+    val rgb = new Array[Byte](3 * w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = 3 * (y * w + x)
+      val d = if (x < px1 && y < py1) pd else 0
+      rgb(p) = ((x * 7 + y * 13 + seed + d) % 256).toByte
+      rgb(p + 1) = ((x * 3 + y * 5 + 2 * seed + d) % 256).toByte
+      rgb(p + 2) = ((x * 11 + y * 17 + 3 * seed + d) % 256).toByte
+    }
+    rgb
+  }
+
+  /** Image near-dup dedup via perceptual dHash (the multimodal↔dedup
+    * bridge a training pipeline runs on scraped images): real PNG
+    * decode → 8×9 box-mean luma grid → 64-bit difference hash (exact
+    * integer cross-multiplied comparisons, no float) → the generic
+    * banded Hamming pair join. Fixture hamming ≤ 3, where 4×16-bit
+    * banding recall is pigeonhole-EXACT and buckets stay under cap, so
+    * the oracle is brute-force all-pairs over hashes replayed from the
+    * pixel formulas — including the packed signed-64 hash values
+    * themselves (chunk-multiplication HUGEINT → signed view).
+    */
+  val q141ImageDhashPairs: QueryCase = QueryCase(
+    "q141_image_dhash_pairs",
+    (s, dir) => {
+      import s.implicits._
+      val mm = graft.multimodal.Multimodal
+      val rows = dhashAssets.map { case (id, w, h, seed, pd, px1, py1) =>
+        (id, mm.imageBytes("png", w, h, dhashRgb(w, h, seed, pd, px1, py1)))
+      }
+      val hashes = mm.imageDHashes(rows.toDF("id", "bytes"), "id", "bytes")
+      graft.operators.Dedup
+        .hamming64Pairs(hashes, "id", "dhash", maxHamming = 3,
+          maxBucket = 1024)
+        .select(col("id1"), col("id2"), col("sig1").as("dhash1"),
+          col("sig2").as("dhash2"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy("id1", "id2")
+    },
+    Some {
+      val vals = dhashAssets.map(a =>
+        s"('${a._1}', ${a._2}, ${a._3}, ${a._4}, ${a._5}, ${a._6}, ${a._7})")
+        .mkString(", ")
+      s"""
+      WITH assets(id, w, h, seed, pd, px1, py1) AS (VALUES $vals),
+      px AS (
+        SELECT id, w, h, seed,
+               CASE WHEN xs.x < px1 AND ys.y < py1 THEN pd ELSE 0 END AS d,
+               xs.x AS x, ys.y AS y
+        FROM assets, UNNEST(range(0, w)) AS xs(x), UNNEST(range(0, h)) AS ys(y)),
+      lum AS (
+        SELECT id, w, h, x, y,
+               (77 * ((x * 7 + y * 13 + seed + d) % 256)
+                + 150 * ((x * 3 + y * 5 + 2 * seed + d) % 256)
+                + 29 * ((x * 11 + y * 17 + 3 * seed + d) % 256)) // 256 AS l
+        FROM px),
+      boxes AS (
+        SELECT id,
+               CAST(((y + 1) * 8 + h - 1) // h - 1 AS INT) AS r,
+               CAST(((x + 1) * 9 + w - 1) // w - 1 AS INT) AS c,
+               SUM(l) AS s, COUNT(*) AS n
+        FROM lum GROUP BY 1, 2, 3),
+      bits AS (
+        SELECT a.id, a.r * 8 + a.c AS k,
+               CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END AS bit
+        FROM boxes a JOIN boxes b
+          ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c < 8),
+      chunkvals AS (
+        SELECT id, k // 16 AS ch,
+               SUM(CASE WHEN bit = 1 THEN 1 << (k % 16) ELSE 0 END) AS cv
+        FROM bits GROUP BY 1, 2),
+      hashes AS (
+        SELECT id, CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN hu - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE hu END AS BIGINT) AS dhash
+        FROM (SELECT id,
+                SUM(CAST(cv AS HUGEINT) *
+                    CASE ch WHEN 0 THEN CAST(1 AS HUGEINT)
+                            WHEN 1 THEN CAST(65536 AS HUGEINT)
+                            WHEN 2 THEN CAST(4294967296 AS HUGEINT)
+                            ELSE CAST(281474976710656 AS HUGEINT) END) AS hu
+              FROM chunkvals GROUP BY id)),
+      ham AS (
+        SELECT b1.id AS id1, b2.id AS id2,
+               SUM(CASE WHEN b1.bit <> b2.bit THEN 1 ELSE 0 END) AS hamming
+        FROM bits b1 JOIN bits b2 ON b1.k = b2.k AND b1.id < b2.id
+        GROUP BY 1, 2)
+      SELECT id1, id2, h1.dhash AS dhash1, h2.dhash AS dhash2,
+             CAST(hamming AS INT) AS hamming
+      FROM ham
+      JOIN hashes h1 ON h1.id = id1
+      JOIN hashes h2 ON h2.id = id2
+      WHERE hamming <= 3
+      ORDER BY id1, id2"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q134ConfigEncryption, q135EmailRateLimit, q136LearningEvents,
       q137IncrementalDedup, q138GopherRepetition, q139TiffDecodeTiles,
-      q140GifFrameSample)
+      q140GifFrameSample, q141ImageDhashPairs)
 }

@@ -209,6 +209,28 @@ class MiscSpec extends SparkSpec {
       "id", "bytes", 3, 1).count() == 0)
   }
 
+  test("dhash: brightness invariance, decode-path identity, guards") {
+    import spark.implicits._
+    val (w, h) = (27, 16)
+    val rgb = Array.tabulate(3 * w * h)(i => ((i * 13 + 7) % 200).toByte)
+    val Some(base) = Multimodal.dHash64(w, h, rgb)
+    // uniform brightness shift (no channel clips: values < 200 + 50)
+    val brighter = rgb.map(b => ((b & 0xff) + 50).toByte)
+    assert(Multimodal.dHash64(w, h, brighter) == Some(base),
+      "dHash must be invariant to uniform brightness shift")
+    // the DataFrame path over a lossless PNG yields the raw-buffer hash
+    val viaDf = Multimodal.imageDHashes(
+        Seq(("a", Multimodal.imageBytes("png", w, h, rgb)))
+          .toDF("id", "bytes"), "id", "bytes")
+      .collect()
+    assert(viaDf.length == 1 && viaDf(0).getAs[Long]("dhash") == base)
+    // sub-grid images and junk bytes emit nothing
+    assert(Multimodal.dHash64(8, 8, new Array[Byte](192)).isEmpty)
+    assert(Multimodal.imageDHashes(
+      Seq(("j", "junk".getBytes)).toDF("id", "bytes"), "id", "bytes")
+      .count() == 0)
+  }
+
   test("jpeg decode: self-consistent with the ppm kernel on decoded pixels") {
     import spark.implicits._
     val (w, h) = (16, 16)
