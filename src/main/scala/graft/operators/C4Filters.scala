@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4-style corpus cleaning (Raffel et al. 2020, "Exploring the Limits
+  * of Transfer Learning with a Unified Text-to-Text Transformer" §2.2 —
+  * the canonical web-corpus line/page filter pass; complements the
+  * Gopher REPETITION family in [[GopherFilters]]).
+  *
+  * Definitions (documented variant — the paper's prose is fixed to
+  * exact arithmetic here and mirrored by the q142 oracle):
+  *
+  * Line level (a line survives iff ALL hold):
+  *  - ends, after right-trim, in terminal punctuation `.`, `!`, `?`,
+  *    or a closing double quote;
+  *  - contains at least [[MinWordsPerLine]] whitespace-separated words;
+  *  - does not contain the word "javascript" (case-insensitive
+  *    substring, the paper's rule).
+  *
+  * Page level (`c4_pass` is true iff ALL hold):
+  *  - no "lorem ipsum" (case-insensitive) anywhere in the page;
+  *  - no curly bracket (`{` or `}`) anywhere in the page;
+  *  - no word from the caller's `blockWords` list (the paper uses a
+  *    public badword list; the list is a parameter here, matched
+  *    against lowercased whitespace tokens);
+  *  - at least [[MinSentences]] sentences among KEPT lines, where the
+  *    sentence count is the number of `.`/`!`/`?` characters in the
+  *    kept text (deterministic proxy for the paper's unspecified
+  *    sentence splitter).
+  *
+  * Scale shape: pure per-row column expressions — no shuffle, no UDF,
+  * no explode; the line array binds to an attribute once and every
+  * signal folds over it with codegen'd higher-order functions. Linear,
+  * embarrassingly parallel, pushdown-transparent.
+  */
+object C4Filters {
+
+  /** Paper: "only retained lines that contained at least 5 words". */
+  val MinWordsPerLine = 5
+
+  /** Paper: "discarded any page with fewer than 3 sentences". */
+  val MinSentences = 3
+
+  private def words(l: Column): Column =
+    filter(split(trim(l), "\\s+"), w => w =!= "")
+
+  private def lineKept(l: Column): Column =
+    size(words(l)) >= MinWordsPerLine &&
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+      !(instr(lower(l), "javascript") > 0)
+
+  /** Per-document C4 filter signals + the page verdict. Output: id,
+    * `n_lines`, `n_kept`, `n_js_lines`, `n_sentences`, `has_lorem`,
+    * `has_brace`, `has_blockword`, `kept_sha` (sha256 hex of the kept
+    * text, newline-joined — pins the exact surviving content without
+    * shipping it), `c4_pass`.
+    */
+  def filterSignals(df: DataFrame, idCol: String, textCol: String,
+                    blockWords: Seq[String] = Nil): DataFrame = {
+    val bound = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .select(col("id"), col("text"),
+        split(col("text"), "\n").as("ls"))
+    val withKept = bound.select(col("id"), col("text"), col("ls"),
+      array_join(filter(col("ls"), lineKept(_)), "\n").as("kept"))
+    val blockArr = array(blockWords.map(w => lit(w.toLowerCase)): _*)
+    withKept.select(
+      col("id"),
+      size(col("ls")).as("n_lines"),
+      size(filter(col("ls"), lineKept(_))).as("n_kept"),
+      size(filter(col("ls"), l => instr(lower(l), "javascript") > 0))
+        .as("n_js_lines"),
+      (length(col("kept")) - length(translate(col("kept"), ".!?", "")))
+        .cast("int").as("n_sentences"),
+      (instr(lower(col("text")), "lorem ipsum") > 0).as("has_lorem"),
+      (instr(col("text"), "{") > 0 || instr(col("text"), "}") > 0)
+        .as("has_brace"),
+      (if (blockWords.isEmpty) lit(false)
+       else arrays_overlap(
+         filter(split(lower(col("text")), "\\s+"), w => w =!= ""),
+         blockArr)).as("has_blockword"),
+      sha2(col("kept"), 256).as("kept_sha"))
+      .withColumn("c4_pass",
+        !col("has_lorem") && !col("has_brace") && !col("has_blockword") &&
+          col("n_sentences") >= MinSentences)
+  }
+}

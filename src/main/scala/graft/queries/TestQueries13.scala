@@ -644,8 +644,106 @@ object TestQueries13 {
       ORDER BY id1, id2"""
     })
 
+  /** C4 line/page quality filters (Raffel et al. 2020 §2.2) over the
+    * documents corpus. The corpus has no line structure, so the gate
+    * first synthesizes it deterministically IN BOTH ENGINES: tokens
+    * chunked 8 per line, terminal char cycling `. ! (none) ?` by
+    * (doc_id + line), a "javascript " prefix every 11th (doc_id+line),
+    * a trailing " {" on line 0 of every 13th doc, and an extra
+    * "lorem ipsum." line on every 17th — exercising every filter rule
+    * on real data. The operator then runs for real; the oracle replays
+    * synthesis + filters in SQL, pinning the exact surviving text via
+    * sha256. Deterministic fifth of the corpus (q138 uses a different
+    * fifth).
+    */
+  val q142C4Filters: QueryCase = QueryCase(
+    "q142_c4_filters",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir).where(col("doc_id") % 5 === 1)
+        .select(col("doc_id"),
+          filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "")
+            .as("tk"))
+      val lined = toks.select(col("doc_id"), col("tk"),
+          expr("(size(tk) + 7) div 8").cast("int").as("nl"))
+        .select(col("doc_id"),
+          concat(
+            when(col("nl") <= 0, array().cast("array<string>"))
+              .otherwise(transform(sequence(lit(0), col("nl") - 1), i =>
+                concat(
+                  when((col("doc_id") + i) % 11 === 0, lit("javascript "))
+                    .otherwise(lit("")),
+                  array_join(slice(col("tk"), i * lit(8) + 1, lit(8)), " "),
+                  element_at(array(lit("."), lit("!"), lit(""), lit("?")),
+                    ((col("doc_id") + i) % 4).cast("int") + 1),
+                  when(col("doc_id") % 13 === 0 && i === 0, lit(" {"))
+                    .otherwise(lit(""))))),
+            when(col("doc_id") % 17 === 0, array(lit("lorem ipsum.")))
+              .otherwise(array().cast("array<string>"))).as("ls"))
+        .select(col("doc_id"), array_join(col("ls"), "\n").as("page"))
+      graft.operators.C4Filters
+        .filterSignals(lined, "doc_id", "page", Seq("verboten"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some {
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                 x -> x <> '') AS tk
+        FROM documents WHERE doc_id % 5 = 1),
+      lined AS (
+        SELECT doc_id, list_concat(
+          CASE WHEN LEN(tk) = 0 THEN CAST([] AS VARCHAR[]) ELSE
+            [ CASE WHEN (doc_id + i - 1) % 11 = 0 THEN 'javascript '
+                   ELSE '' END ||
+              array_to_string(tk[(i-1)*8+1 : (i-1)*8+8], ' ') ||
+              (['.', '!', '', '?'])[CAST((doc_id + i - 1) % 4 AS INT) + 1] ||
+              CASE WHEN doc_id % 13 = 0 AND i = 1 THEN ' {' ELSE '' END
+              for i in range(1, CAST((LEN(tk) + 7) // 8 AS INT) + 1) ]
+          END,
+          CASE WHEN doc_id % 17 = 0 THEN ['lorem ipsum.']
+               ELSE CAST([] AS VARCHAR[]) END) AS ls
+        FROM toks),
+      sig AS (
+        SELECT doc_id, ls,
+               COALESCE(array_to_string(ls, chr(10)), '') AS page,
+               COALESCE(array_to_string(list_filter(ls, l ->
+                 LEN(list_filter(string_split_regex(TRIM(l), '\\s+'),
+                   x -> x <> '')) >= 5
+                 AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
+                 AND NOT contains(LOWER(l), 'javascript')), chr(10)), '')
+                 AS kept
+        FROM lined),
+      c AS (
+        SELECT doc_id,
+               CAST(LEN(ls) AS INT) AS n_lines,
+               CAST(LEN(list_filter(ls, l ->
+                 LEN(list_filter(string_split_regex(TRIM(l), '\\s+'),
+                   x -> x <> '')) >= 5
+                 AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
+                 AND NOT contains(LOWER(l), 'javascript'))) AS INT)
+                 AS n_kept,
+               CAST(LEN(list_filter(ls, l ->
+                 contains(LOWER(l), 'javascript'))) AS INT) AS n_js_lines,
+               CAST(LENGTH(kept)
+                 - LENGTH(replace(replace(replace(kept, '.', ''),
+                     '!', ''), '?', '')) AS INT) AS n_sentences,
+               contains(LOWER(page), 'lorem ipsum') AS has_lorem,
+               (contains(page, '{') OR contains(page, '}')) AS has_brace,
+               list_has_any(list_filter(
+                 string_split_regex(LOWER(page), '\\s+'), x -> x <> ''),
+                 ['verboten']) AS has_blockword,
+               sha256(kept) AS kept_sha
+        FROM sig)
+      SELECT *, (NOT has_lorem AND NOT has_brace AND NOT has_blockword
+                 AND n_sentences >= 3) AS c4_pass
+      FROM c ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q134ConfigEncryption, q135EmailRateLimit, q136LearningEvents,
       q137IncrementalDedup, q138GopherRepetition, q139TiffDecodeTiles,
-      q140GifFrameSample, q141ImageDhashPairs)
+      q140GifFrameSample, q141ImageDhashPairs, q142C4Filters)
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class C4FiltersSpec extends SparkSpec {
+
+  private def run(docs: (Int, String)*): Map[Int, Row] = {
+    import spark.implicits._
+    C4Filters.filterSignals(docs.toDF("id", "text"), "id", "text",
+        blockWords = Seq("verboten"))
+      .collect().map(r => r.getAs[Int]("id") -> r).toMap
+  }
+
+  test("line rules: terminal punct, min words, javascript") {
+    val good = "one two three four five."
+    val out = run(
+      1 -> Seq(
+        good,                        // kept
+        "one two three four five",   // no terminal punct
+        "too short.",                // < 5 words
+        "javascript one two three four five.", // js line
+        "one two three four maybe?", // kept
+        "a b c d e f!"               // kept
+      ).mkString("\n"))(1)
+    assert(out.getAs[Int]("n_lines") == 6)
+    assert(out.getAs[Int]("n_kept") == 3)
+    assert(out.getAs[Int]("n_js_lines") == 1)
+    assert(out.getAs[Int]("n_sentences") == 3)
+    assert(out.getAs[Boolean]("c4_pass"))
+  }
+
+  test("page rules: lorem, brace, blockword, min sentences") {
+    val threeGood =
+      "w1 w2 w3 w4 w5. \nx1 x2 x3 x4 x5! \ny1 y2 y3 y4 y5?"
+    val out = run(
+      1 -> threeGood,
+      2 -> (threeGood + "\nsome Lorem IPSUM here"),
+      3 -> (threeGood + "\ncode { brace"),
+      4 -> (threeGood + "\nhas the verboten word"),
+      5 -> "only one sentence here today.")
+    assert(out(1).getAs[Boolean]("c4_pass"))
+    assert(out(2).getAs[Boolean]("has_lorem") &&
+      !out(2).getAs[Boolean]("c4_pass"))
+    assert(out(3).getAs[Boolean]("has_brace") &&
+      !out(3).getAs[Boolean]("c4_pass"))
+    assert(out(4).getAs[Boolean]("has_blockword") &&
+      !out(4).getAs[Boolean]("c4_pass"))
+    // blockword matches whole TOKENS: "verbotenx" must not trigger
+    assert(!run(6 -> (threeGood + "\nverbotenx"))(6)
+      .getAs[Boolean]("has_blockword"))
+    assert(out(5).getAs[Int]("n_sentences") == 1 &&
+      !out(5).getAs[Boolean]("c4_pass"))
+  }
+
+  test("kept_sha pins the exact surviving text") {
+    val l1 = "alpha beta gamma delta epsilon."
+    val out = run(1 -> (l1 + "\nnope"), 2 -> l1)
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(l1.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1).getAs[String]("kept_sha") == expected)
+    assert(out(2).getAs[String]("kept_sha") == expected)
+  }
+
+  test("closing double quote is terminal punctuation") {
+    val out = run(1 -> "he said one two three \"four.\"\nv w x y z")
+    assert(out(1).getAs[Int]("n_kept") == 1)
+  }
+}
