@@ -533,6 +533,86 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** DFT twiddle tables for [[sampleWavSpectra]]: cos/sin of
+    * `2π·m/64`, m ∈ 0..63 — every angle a 64-point DFT needs, since
+    * `k·j mod 64` indexes them. Public so the q143 oracle serializes
+    * THE SAME doubles into SQL (`Double.toString` round-trips, so both
+    * engines then run only exact-rounded multiply/adds and RAW-compare;
+    * the round-7 precomputed-libm discipline).
+    */
+  val DftSize = 64
+  lazy val dftCosTable: Array[Double] =
+    Array.tabulate(DftSize)(m => Math.cos(2 * Math.PI * m / DftSize))
+  lazy val dftSinTable: Array[Double] =
+    Array.tabulate(DftSize)(m => Math.sin(2 * Math.PI * m / DftSize))
+
+  /** Audio spectral features over WAV PCM-16 frames — the
+    * feature-extract stage of an audio training pipeline (speech/music
+    * screening, silence detection, bandwidth checks). Frames are cut at
+    * [[sampleWavFrames]]'s integer boundaries; each frame's first
+    * `min(64, frameLen)` raw samples (interleaved as stored) feed a
+    * 64-point DFT at `nBins` bins: `re_k = Σ_j s_j·cos(2πkj/64)`,
+    * `im_k = Σ_j s_j·sin(2πkj/64)`, `power = re²+im²`, plus the
+    * spectral centroid `Σ k·p_k / Σ p_k` (NULL for an all-zero
+    * window). Sums are sequential left folds in j (and k for the
+    * centroid), so every double is bit-reproducible and the whole
+    * feature is SQL-replayable. Non-WAV assets emit no rows.
+    */
+  def sampleWavSpectra(media: DataFrame, idCol: String, bytesCol: String,
+                       nFrames: Int, nBins: Int = 8): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("frame_index", IntegerType),
+      StructField("bin", IntegerType),
+      StructField("n_used", IntegerType),
+      StructField("power", DoubleType),
+      StructField("centroid", DoubleType)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val (cosT, sinT) = (dftCosTable, dftSinTable)
+    media.select(col(idCol).cast("string").as("id"), col(bytesCol).as("b"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getAs[String]("id")
+          parseWavPcm16(r.getAs[Array[Byte]]("b")).toSeq.flatMap {
+            case (_, _, samples) =>
+              val n = samples.length
+              (0 until nFrames).flatMap { f =>
+                val start = (f.toLong * n / nFrames).toInt
+                val end = ((f + 1).toLong * n / nFrames).toInt
+                if (end <= start) Nil
+                else {
+                  val w = math.min(DftSize, end - start)
+                  val powers = new Array[Double](nBins)
+                  var k = 0
+                  while (k < nBins) {
+                    var re = 0.0; var im = 0.0
+                    var j = 0
+                    while (j < w) {
+                      val s = samples(start + j).toDouble
+                      val m = (k * j) % DftSize
+                      re += s * cosT(m)
+                      im += s * sinT(m)
+                      j += 1
+                    }
+                    powers(k) = re * re + im * im
+                    k += 1
+                  }
+                  var num = 0.0; var den = 0.0
+                  k = 0
+                  while (k < nBins) {
+                    num += k * powers(k); den += powers(k); k += 1
+                  }
+                  val centroid =
+                    if (den == 0.0) null else java.lang.Double.valueOf(num / den)
+                  (0 until nBins).map(k =>
+                    Row(id, f, k, w, powers(k), centroid))
+                }
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** 64-bit perceptual difference-hash (dHash) over a decoded RGB
     * buffer: 8×9 box-mean luma grid at the same integer boundaries as
     * [[tileRows]], bit (r,c) set iff box (r,c)'s mean luma exceeds box

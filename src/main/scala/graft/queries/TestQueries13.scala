@@ -742,8 +742,90 @@ object TestQueries13 {
       FROM c ORDER BY doc_id"""
     })
 
+  // Spectra assets: (id, seed, nSamples) — int16 samples by integer
+  // formula, frames cut at integer boundaries, w4's frames are all
+  // shorter than the DFT window
+  private val spectraAssets: Seq[(String, Int, Int)] = Seq(
+    ("w1", 3, 500), ("w2", 8, 333), ("w3", 15, 64), ("w4", 2, 10))
+  private val spectraFrames = 4
+  private val spectraBins = 8
+
+  private def spectraSamples(seed: Int, n: Int): Array[Short] =
+    Array.tabulate(n)(j => ((j * 37 + seed * 11) % 4096 - 2048).toShort)
+
+  /** Audio spectral features (windowed 64-point DFT power + spectral
+    * centroid) over real WAV containers. The twiddle tables are
+    * serialized from the kernel's own doubles into the oracle
+    * (`Double.toString` round-trips), and every sum is a sequential
+    * left fold, so Spark and DuckDB produce the identical IEEE doubles
+    * — RAW compare, no rounding. A truncated container emits nothing.
+    */
+  val q143WavSpectra: QueryCase = QueryCase(
+    "q143_wav_spectra",
+    (s, dir) => {
+      import s.implicits._
+      val mm = graft.multimodal.Multimodal
+      val rows = spectraAssets.map { case (id, seed, n) =>
+        (id, mm.wavPcm16Bytes(spectraSamples(seed, n), 8000, 1))
+      } ++ Seq(
+        ("x1", mm.wavPcm16Bytes(spectraSamples(1, 50), 8000, 1).take(30)))
+      mm.sampleWavSpectra(rows.toDF("id", "bytes"), "id", "bytes",
+          spectraFrames, spectraBins)
+        .orderBy("id", "frame_index", "bin")
+    },
+    Some {
+      val mm = graft.multimodal.Multimodal
+      def tab(t: Array[Double]): String =
+        t.map(d => s"CAST('${d.toString}' AS DOUBLE)")
+          .mkString("[", ", ", "]")
+      val vals = spectraAssets.map(a => s"('${a._1}', ${a._2}, ${a._3})")
+        .mkString(", ")
+      s"""
+      WITH ct(c) AS (SELECT ${tab(mm.dftCosTable)}),
+      st(sn) AS (SELECT ${tab(mm.dftSinTable)}),
+      assets(id, seed, n) AS (VALUES $vals),
+      frames AS (
+        SELECT id, seed, ff.f AS f,
+               CAST(ff.f * n // $spectraFrames AS INT) AS sta,
+               CAST(LEAST(64, (ff.f + 1) * n // $spectraFrames
+                 - ff.f * n // $spectraFrames) AS INT) AS w
+        FROM assets, UNNEST(range(0, $spectraFrames)) AS ff(f)
+        WHERE (ff.f + 1) * n // $spectraFrames > ff.f * n // $spectraFrames),
+      ws AS (
+        SELECT id, f, w,
+               [CAST(((sta + j) * 37 + seed * 11) % 4096 - 2048 AS DOUBLE)
+                for j in range(0, w)] AS s
+        FROM frames),
+      spectra AS (
+        SELECT id, f, w, kk.k AS bin,
+               list_reduce(list_prepend(0.0, list_transform(s,
+                 (x, i) -> x * c[(kk.k * (i - 1)) % 64 + 1])),
+                 (a, b) -> a + b) AS re,
+               list_reduce(list_prepend(0.0, list_transform(s,
+                 (x, i) -> x * sn[(kk.k * (i - 1)) % 64 + 1])),
+                 (a, b) -> a + b) AS im
+        FROM ws, UNNEST(range(0, $spectraBins)) AS kk(k), ct, st),
+      pw AS (
+        SELECT id, f, w, bin, re * re + im * im AS power FROM spectra),
+      cent AS (
+        SELECT id, f,
+               list_reduce(list_prepend(0.0, list_transform(
+                 list(power ORDER BY bin), (p, i) -> (i - 1) * p)),
+                 (a, b) -> a + b) AS num,
+               list_reduce(list_prepend(0.0,
+                 list(power ORDER BY bin)), (a, b) -> a + b) AS den
+        FROM pw GROUP BY id, f)
+      SELECT pw.id, CAST(pw.f AS INT) AS frame_index,
+             CAST(pw.bin AS INT) AS bin, pw.w AS n_used, pw.power,
+             CASE WHEN cent.den = 0.0 THEN NULL
+                  ELSE cent.num / cent.den END AS centroid
+      FROM pw JOIN cent ON pw.id = cent.id AND pw.f = cent.f
+      ORDER BY pw.id, frame_index, bin"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q134ConfigEncryption, q135EmailRateLimit, q136LearningEvents,
       q137IncrementalDedup, q138GopherRepetition, q139TiffDecodeTiles,
-      q140GifFrameSample, q141ImageDhashPairs, q142C4Filters)
+      q140GifFrameSample, q141ImageDhashPairs, q142C4Filters,
+      q143WavSpectra)
 }

@@ -231,6 +231,36 @@ class MiscSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("wav spectra: tone concentrates in its bin, dc in bin 0, guards") {
+    import spark.implicits._
+    // one frame of exactly 64 samples: a pure cosine at bin-3 frequency
+    val tone = Array.tabulate(64)(j =>
+      (1000 * Math.cos(2 * Math.PI * 3 * j / 64)).toShort)
+    val dc = Array.fill(64)(500.toShort)
+    val df = Seq(
+      ("tone", Multimodal.wavPcm16Bytes(tone, 8000, 1)),
+      ("dc", Multimodal.wavPcm16Bytes(dc, 8000, 1)),
+      ("junk", "RIFFnope".getBytes)).toDF("id", "bytes")
+    val out = Multimodal.sampleWavSpectra(df, "id", "bytes", 1, 8)
+      .collect().groupBy(_.getAs[String]("id"))
+    assert(!out.contains("junk"))
+    def powers(id: String): Map[Int, Double] =
+      out(id).map(r => r.getAs[Int]("bin") -> r.getAs[Double]("power")).toMap
+    val tp = powers("tone")
+    assert(tp(3) > 100 * (tp.values.sum - tp(3)),
+      s"bin-3 tone must dominate: $tp")
+    val dp = powers("dc")
+    assert(dp(0) > 100 * (dp.values.sum - dp(0)))
+    // centroid of the tone sits at its bin
+    assert(math.abs(out("tone").head.getAs[Double]("centroid") - 3.0) < 0.01)
+    // all-zero window → centroid NULL, powers 0
+    val z = Multimodal.sampleWavSpectra(
+        Seq(("z", Multimodal.wavPcm16Bytes(new Array[Short](64), 8000, 1)))
+          .toDF("id", "bytes"), "id", "bytes", 1, 4).collect()
+    assert(z.length == 4 && z.forall(_.isNullAt(5)) &&
+      z.forall(_.getAs[Double]("power") == 0.0))
+  }
+
   test("jpeg decode: self-consistent with the ppm kernel on decoded pixels") {
     import spark.implicits._
     val (w, h) = (16, 16)
