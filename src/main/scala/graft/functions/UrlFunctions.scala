@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL curation for web-corpus pipelines (the RefinedWeb/C4 lineage:
+  * URL-level dedup keys, per-domain caps, tracking-param stripping).
+  * All pure codegen'd string/array expressions — RE2-safe regexes (no
+  * lookarounds), no UDFs, mirrorable in plain SQL (q144).
+  *
+  * Canonicalization contract (documented variant):
+  *  - scheme and host lowercase; userinfo dropped; default ports
+  *    (http:80, https:443) dropped, others kept;
+  *  - fragment dropped;
+  *  - empty path becomes `/`; a trailing slash is stripped from any
+  *    non-root path;
+  *  - query params with tracking names removed (`utm_*` prefix and the
+  *    exact names in [[TrackingParams]], case-insensitive), the
+  *    survivors SORTED bytewise for order-independence, empty query
+  *    dropped entirely;
+  *  - no percent-encoding normalization (bytes compare as sent).
+  *
+  * `registeredDomain` groups hosts for per-domain caps: last two
+  * labels, or last three when the two-label suffix is in
+  * [[MultiPartSuffixes]] (a documented subset of the public-suffix
+  * list — the full PSL is a data file callers can swap in).
+  */
+object UrlFunctions {
+
+  val TrackingParams: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "ref", "igshid")
+
+  val MultiPartSuffixes: Seq[String] =
+    Seq("co.uk", "org.uk", "ac.uk", "co.jp", "co.in", "com.au",
+      "com.br", "co.nz", "co.za", "com.mx", "com.cn", "com.sg")
+
+  def scheme(url: Column): Column =
+    lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+  private def authority(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+  def host(url: Column): Column =
+    lower(regexp_extract(authority(url), "^(?:[^@]*@)?([^:]*)", 1))
+
+  def port(url: Column): Column =
+    regexp_extract(authority(url), ":([0-9]+)$", 1)
+
+  def path(url: Column): Column =
+    regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  def query(url: Column): Column =
+    regexp_extract(url, "\\?([^#]*)", 1)
+
+  private def isTracking(p: Column): Column = {
+    val name = lower(substring_index(p, "=", 1))
+    name.startsWith("utm_") || name.isInCollection(TrackingParams)
+  }
+
+  /** Query params surviving the tracking filter, bytewise-sorted. */
+  def keptParams(url: Column): Column =
+    array_sort(filter(split(query(url), "&"),
+      p => p =!= "" && !isTracking(p)))
+
+  /** True iff the URL carried at least one tracking param. */
+  def hadTracking(url: Column): Column =
+    exists(filter(split(query(url), "&"), p => p =!= ""), isTracking(_))
+
+  /** The canonical form (see object doc for the contract). Non-URLs
+    * (no `scheme://`) yield NULL.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val s = scheme(url)
+    val h = host(url)
+    val pt = port(url)
+    val keepPort = pt =!= "" &&
+      !(s === "http" && pt === "80") && !(s === "https" && pt === "443")
+    val p0 = path(url)
+    val p1 = when(p0 === "", "/")
+      .when(p0 =!= "/" && p0.endsWith("/"), p0.substr(lit(1), length(p0) - 1))
+      .otherwise(p0)
+    val kp = keptParams(url)
+    when(s === "" || h === "", lit(null).cast("string"))
+      .otherwise(concat(
+        s, lit("://"), h,
+        when(keepPort, concat(lit(":"), pt)).otherwise(lit("")),
+        p1,
+        when(size(kp) > 0, concat(lit("?"), array_join(kp, "&")))
+          .otherwise(lit(""))))
+  }
+
+  /** Grouping key for per-domain caps (see object doc). */
+  def registeredDomain(url: Column): Column = {
+    val h = host(url)
+    val labels = split(h, "\\.")
+    val n = size(labels)
+    val lastTwo = concat(element_at(labels, -2), lit("."),
+      element_at(labels, -1))
+    when(n <= 2, h)
+      .when(lastTwo.isInCollection(MultiPartSuffixes),
+        concat(element_at(labels, -3), lit("."), lastTwo))
+      .otherwise(lastTwo)
+  }
+
+  /** Convenience: id + url → id, url, canonical, host, registered
+    * domain, scheme, kept-param count, tracking flag.
+    */
+  def normalizeUrls(df: DataFrame, idCol: String, urlCol: String)
+      : DataFrame = {
+    val u = col(urlCol)
+    df.select(col(idCol).as("id"), u.as("url"))
+      .select(col("id"), col("url"),
+        canonicalizeUrl(col("url")).as("canonical"),
+        host(col("url")).as("host"),
+        registeredDomain(col("url")).as("registered_domain"),
+        scheme(col("url")).as("scheme"),
+        size(keptParams(col("url"))).as("n_params_kept"),
+        hadTracking(col("url")).as("had_tracking"))
+  }
+}

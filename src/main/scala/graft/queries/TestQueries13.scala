@@ -823,9 +823,145 @@ object TestQueries13 {
       ORDER BY pw.id, frame_index, bin"""
     })
 
+  /** URL curation (q144): canonical form + registered domain +
+    * tracking-param stripping over URLs synthesized deterministically
+    * from the documents corpus in both engines — uppercase schemes and
+    * hosts, userinfo, default and explicit ports, empty/trailing-slash
+    * paths, unordered + tracking params, fragments, multi-part public
+    * suffixes all exercised by doc_id mod rules. Deterministic fifth
+    * (doc_id % 5 = 2).
+    */
+  val q144UrlCuration: QueryCase = QueryCase(
+    "q144_url_curation",
+    (s, dir) => {
+      import s.implicits._
+      val toks = Tables.documents(s, dir).where(col("doc_id") % 5 === 2)
+        .select(col("doc_id"),
+          filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "")
+            .as("tk"))
+        .select(col("doc_id"),
+          coalesce(element_at(col("tk"), 1), lit("doc")).as("t1"),
+          coalesce(element_at(col("tk"), 2), lit("p")).as("t2"))
+      val d = col("doc_id")
+      val urled = toks.select(col("doc_id"), concat(
+        when(d % 3 === 0, "HTTPS").otherwise("http"), lit("://"),
+        when(d % 7 === 0, "user@").otherwise(""),
+        when(d % 4 === 0, "WWW.").when(d % 4 === 1, "blog.").otherwise(""),
+        col("t1"),
+        when(d % 6 === 0, ".co.uk").when(d % 6 === 1, ".com.au")
+          .otherwise(".com"),
+        when(d % 11 === 0, ":8080")
+          .when(d % 11 === 1, when(d % 3 === 0, ":443").otherwise(":80"))
+          .otherwise(""),
+        when(d % 8 === 0, concat(lit("/"), col("t2"), lit("/")))
+          .when(d % 8 === 1, "").otherwise(concat(lit("/"), col("t2"))),
+        lit("?utm_source="), col("t1"),
+        when(d % 2 === 0, concat(lit("&id="), d.cast("string")))
+          .otherwise("&b=2&a=1"),
+        when(d % 3 === 0, "&Ref=1").otherwise(""),
+        when(d % 9 === 0, "#sec").otherwise("")).as("url"))
+      graft.functions.UrlFunctions.normalizeUrls(urled, "doc_id", "url")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+    Some {
+      val suffixes = graft.functions.UrlFunctions.MultiPartSuffixes
+        .map(s => s"'$s'").mkString(", ")
+      val tracking = graft.functions.UrlFunctions.TrackingParams
+        .map(s => s"'$s'").mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+                 x -> x <> '') AS tk
+        FROM documents WHERE doc_id % 5 = 2),
+      urled AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END)
+               || '://'
+               || (CASE WHEN doc_id % 7 = 0 THEN 'user@' ELSE '' END)
+               || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.'
+                        WHEN doc_id % 4 = 1 THEN 'blog.' ELSE '' END)
+               || COALESCE(tk[1], 'doc')
+               || (CASE WHEN doc_id % 6 = 0 THEN '.co.uk'
+                        WHEN doc_id % 6 = 1 THEN '.com.au'
+                        ELSE '.com' END)
+               || (CASE WHEN doc_id % 11 = 0 THEN ':8080'
+                        WHEN doc_id % 11 = 1 THEN
+                          (CASE WHEN doc_id % 3 = 0 THEN ':443'
+                                ELSE ':80' END)
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 8 = 0
+                          THEN '/' || COALESCE(tk[2], 'p') || '/'
+                        WHEN doc_id % 8 = 1 THEN ''
+                        ELSE '/' || COALESCE(tk[2], 'p') END)
+               || '?utm_source=' || COALESCE(tk[1], 'doc')
+               || (CASE WHEN doc_id % 2 = 0 THEN '&id=' || doc_id
+                        ELSE '&b=2&a=1' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN '&Ref=1' ELSE '' END)
+               || (CASE WHEN doc_id % 9 = 0 THEN '#sec' ELSE '' END) AS url
+        FROM toks),
+      parts AS (
+        SELECT doc_id, url,
+               LOWER(regexp_extract(url,
+                 '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+               regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+               regexp_extract(url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+               regexp_extract(url, '\\?([^#]*)', 1) AS q
+        FROM urled),
+      comp AS (
+        SELECT doc_id, url, scheme,
+               LOWER(regexp_extract(auth, '^(?:[^@]*@)?([^:]*)', 1)) AS host,
+               regexp_extract(auth, ':([0-9]+)$$', 1) AS prt,
+               CASE WHEN pth = '' THEN '/'
+                    WHEN pth <> '/' AND pth LIKE '%/'
+                      THEN substring(pth, 1, LENGTH(pth) - 1)
+                    ELSE pth END AS npath,
+               list_sort(list_filter(string_split(q, '&'), p ->
+                 p <> ''
+                 AND NOT starts_with(LOWER(split_part(p, '=', 1)), 'utm_')
+                 AND LOWER(split_part(p, '=', 1)) NOT IN ($tracking)))
+                 AS kept,
+               LEN(list_filter(string_split(q, '&'), p ->
+                 p <> ''
+                 AND (starts_with(LOWER(split_part(p, '=', 1)), 'utm_')
+                   OR LOWER(split_part(p, '=', 1)) IN ($tracking)))) > 0
+                 AS had_tracking
+        FROM parts),
+      dom AS (
+        SELECT *, string_split(host, '.') AS labels,
+               LEN(string_split(host, '.')) AS nl
+        FROM comp)
+      SELECT doc_id, url,
+             CASE WHEN scheme = '' OR host = '' THEN NULL
+                  ELSE scheme || '://' || host
+                    || (CASE WHEN prt <> ''
+                          AND NOT (scheme = 'http' AND prt = '80')
+                          AND NOT (scheme = 'https' AND prt = '443')
+                          THEN ':' || prt ELSE '' END)
+                    || npath
+                    || (CASE WHEN LEN(kept) > 0
+                          THEN '?' || array_to_string(kept, '&')
+                          ELSE '' END)
+             END AS canonical,
+             host,
+             CASE WHEN nl <= 2 THEN host
+                  WHEN labels[nl - 1] || '.' || labels[nl] IN ($suffixes)
+                    THEN labels[nl - 2] || '.' || labels[nl - 1] || '.'
+                      || labels[nl]
+                  ELSE labels[nl - 1] || '.' || labels[nl]
+             END AS registered_domain,
+             scheme,
+             CAST(LEN(kept) AS INT) AS n_params_kept,
+             had_tracking
+      FROM dom ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q134ConfigEncryption, q135EmailRateLimit, q136LearningEvents,
       q137IncrementalDedup, q138GopherRepetition, q139TiffDecodeTiles,
       q140GifFrameSample, q141ImageDhashPairs, q142C4Filters,
-      q143WavSpectra)
+      q143WavSpectra, q144UrlCuration)
 }

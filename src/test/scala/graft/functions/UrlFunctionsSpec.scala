@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+class UrlFunctionsSpec extends SparkSpec {
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    UrlFunctions.normalizeUrls(
+        urls.zipWithIndex.map { case (u, i) => (i, u) }.toDF("id", "url"),
+        "id", "url")
+      .orderBy(col("id")).collect()
+      .map(r => Option(r.getAs[String]("canonical")).orNull).toSeq
+  }
+
+  test("canonical form: case, ports, userinfo, fragment, trailing slash") {
+    assert(canon(
+      "HTTPS://User@WWW.Example.COM:443/A/b/?x=1#frag",
+      "http://example.com:80",
+      "http://example.com:8080/p/",
+      "not a url",
+      "http://example.com/p?") == Seq(
+      "https://www.example.com/A/b?x=1",
+      "http://example.com/",
+      "http://example.com:8080/p",
+      null,
+      "http://example.com/p"))
+  }
+
+  test("tracking params stripped, survivors sorted, empty query dropped") {
+    import spark.implicits._
+    val out = UrlFunctions.normalizeUrls(Seq(
+        (1, "http://h.com/p?utm_source=a&b=2&UTM_medium=c&a=1&gclid=z"),
+        (2, "http://h.com/p?utm_source=only"),
+        (3, "http://h.com/p?b=2&a=1")).toDF("id", "url"), "id", "url")
+      .orderBy(col("id")).collect()
+    assert(out(0).getAs[String]("canonical") == "http://h.com/p?a=1&b=2")
+    assert(out(0).getAs[Boolean]("had_tracking"))
+    assert(out(0).getAs[Int]("n_params_kept") == 2)
+    assert(out(1).getAs[String]("canonical") == "http://h.com/p")
+    assert(out(2).getAs[String]("canonical") == "http://h.com/p?a=1&b=2")
+    assert(!out(2).getAs[Boolean]("had_tracking"))
+  }
+
+  test("registered domain: two-label, multi-part suffix, bare host") {
+    import spark.implicits._
+    val out = UrlFunctions.normalizeUrls(Seq(
+        (1, "http://a.b.example.com/x"),
+        (2, "http://www.example.co.uk/x"),
+        (3, "http://example.com/x"),
+        (4, "http://localhost/x")).toDF("id", "url"), "id", "url")
+      .orderBy(col("id")).collect()
+      .map(_.getAs[String]("registered_domain")).toSeq
+    assert(out == Seq("example.com", "example.co.uk", "example.com",
+      "localhost"))
+  }
+}
