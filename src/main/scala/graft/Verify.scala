@@ -20,11 +20,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must surface as an `err` row in the driver's
+    // CORRECTNESS ledger, never silently vanish from it (round-8 lesson:
+    // 18 queries disappeared without a trace). Two markers per failure:
+    // an ERROR file inside the query's result dir (so a dir exists and
+    // any reader of it fails loudly rather than finding nothing), and an
+    // aggregated _errors.json at top level.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failures(name) = msg
+        val qd = new java.io.File(s"$outDir/$name"); qd.mkdirs()
+        // Remove any partial parquet output so the dir holds only ERROR.
+        Option(qd.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).foreach(_.delete())
+        Files.writeString(Paths.get(s"$outDir/$name/ERROR"), msg)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +59,17 @@ object Verify {
       .map { case (k, v) => k -> v.replace("__SF_DIR__", sfDir) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (failures.nonEmpty) {
+      val errJson = failures
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+      System.err.println(
+        s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
+          failures.keys.mkString(", "))
+    }
+    // Exit 0 even on failures: the successful dumps and the error markers
+    // are all on disk; a nonzero exit could make the driver discard the
+    // entire run, which would be worse than a partial ledger with err rows.
     spark.stop()
   }
 }

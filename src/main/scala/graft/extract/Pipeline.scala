@@ -21,25 +21,21 @@ object Pipeline {
   final case class Result(extractions: DataFrame, fields: DataFrame)
 
   /** Materialize a fan-out intermediate once, per
-    * `graft.pipeline.checkpoint`:
-    *  - `local` (default): eager `localCheckpoint` — fastest, but blocks
-    *    are stored UNREPLICATED on executors and lineage is truncated, so
-    *    an executor loss after the checkpoint makes the batch
-    *    unrecoverable (re-run the batch). The right trade for bench /
-    *    interactive use.
-    *  - `reliable`: eager `checkpoint` to `spark.checkpoint.dir`
-    *    (`SparkContext.setCheckpointDir`) — survives executor loss; the
-    *    choice for fault-tolerant deployments.
+    * `graft.pipeline.checkpoint` ([[graft.plans.Materialize]] policy):
+    *  - `auto` (default): size-aware — `localCheckpoint` below
+    *    `graft.materialize.localMaxBytes`, reliable `checkpoint` above it
+    *    when a checkpoint dir is configured.
+    *  - `local`: eager `localCheckpoint` — fastest, but blocks are stored
+    *    UNREPLICATED on executors, so an executor loss after the
+    *    checkpoint makes the batch unrecoverable (re-run the batch).
+    *  - `reliable`: eager `checkpoint` to the dir from
+    *    `SparkContext.setCheckpointDir` — survives executor loss.
     *  - `none`: no materialization — callers that consume only one output
     *    skip the write entirely, but re-planning the 233-pattern
     *    extraction subtree per consumer returns (the round-2 q59 cost).
     */
   private def materialize(df: DataFrame): DataFrame =
-    df.sparkSession.conf.get("graft.pipeline.checkpoint", "local") match {
-      case "reliable" => df.checkpoint(true)
-      case "none" => df
-      case _ => df.localCheckpoint(true)
-    }
+    graft.plans.Materialize.stage(df, "graft.pipeline.checkpoint")
 
   /** `epochId`: disambiguates extraction ids across micro-batches — a
     * same-second re-extraction of a document would otherwise collide

@@ -817,10 +817,11 @@ case class PosTsRankCd(left: Expression, right: Expression,
                        weightB: Double)
     extends BinaryExpression {
   require(lexemes.nonEmpty, "need at least one query lexeme")
-  require(lexemes.distinct.size == lexemes.size,
-    "ts_rank_cd query lexemes must be distinct")
+  // Repeated query lexemes collapse here, not at the call sites: the cover
+  // kernel needs distinct terms and pg accepts 'rent & rent', so every
+  // construction path (SQL function, Scala API, direct) must be safe.
   @transient private lazy val lexs: Array[UTF8String] =
-    lexemes.map(UTF8String.fromString).toArray
+    lexemes.distinct.map(UTF8String.fromString).toArray
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     PosLexKernels.rankCd(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],

@@ -27,17 +27,14 @@ object Dedup {
     * most expensive stage — tokenize + shingle every document — executes
     * once per consumer (3× in the verified-pairs operators; the two
     * verify joins shuffle on different keys, so ReuseExchange cannot
-    * fire). Same conf gate as the extraction pipeline:
-    * `graft.dedup.checkpoint` = `local` (default; eager localCheckpoint),
-    * `reliable` (survives executor loss), or `none` (recompute — only
-    * right when the input is trivially cheap).
+    * fire). Policy via [[graft.plans.Materialize]]:
+    * `graft.dedup.checkpoint` = `auto` (default; size-aware — local below
+    * `graft.materialize.localMaxBytes`, reliable above it when a
+    * checkpoint dir is set), `local`, `reliable`, or `none` (recompute —
+    * only right when the input is trivially cheap).
     */
   private def materialize(df: DataFrame): DataFrame =
-    df.sparkSession.conf.get("graft.dedup.checkpoint", "local") match {
-      case "reliable" => df.checkpoint(true)
-      case "none" => df
-      case _ => df.localCheckpoint(true)
-    }
+    graft.plans.Materialize.stage(df, "graft.dedup.checkpoint")
 
   /** Spread a narrow input across the cluster before CPU-heavy signature
     * stages. Single-file bench inputs arrive as one partition — one task —

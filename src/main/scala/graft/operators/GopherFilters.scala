@@ -53,10 +53,13 @@ object GopherFilters {
     */
   def repetitionSignals(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .select(col("id"), length(col("text")).as("len"),
-        TextFunctions.tokens(col("text")).as("tk"))
-      .localCheckpoint(true) // consumed by 9 explode branches below
+    val base = graft.plans.Materialize.stage(
+      // consumed by 9 explode branches below; size-aware policy — the
+      // tokenized corpus is NOT executor-memory material at 100 TB
+      df.select(col(idCol).as("id"), col(textCol).as("text"))
+        .select(col("id"), length(col("text")).as("len"),
+          TextFunctions.tokens(col("text")).as("tk")),
+      "graft.dedup.checkpoint")
     val grams = (TopNs ++ DupNs).map { n =>
       base.select(col("id"), col("len"), lit(n).as("n"),
         explode(TextFunctions.ngramsOfTokens(col("tk"), n)).as("g"))

@@ -1,0 +1,65 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Size-aware materialization policy for fan-out intermediates.
+  *
+  * Several operators materialize a subtree consumed by multiple downstream
+  * branches (dedup shingle sets, the extraction pipeline's `typed` fan-out,
+  * the union-find mapping per iteration). Two mechanisms exist:
+  *
+  *  - `localCheckpoint(eager = true)`: blocks stored UNREPLICATED in
+  *    executor storage memory, lineage truncated. Fastest; but an executor
+  *    loss after the checkpoint makes the job unrecoverable, and at
+  *    100 TB-scale inputs the pinned blocks evict the working set.
+  *  - `checkpoint(eager = true)`: written to the reliable checkpoint dir
+  *    (`SparkContext.setCheckpointDir`) — survives executor loss, no
+  *    executor-memory pinning, at the cost of a distributed-FS write.
+  *
+  * The crossover is input size: below a few tens of GB the local variant
+  * wins outright (bench, interactive, per-batch streaming intermediates);
+  * above it the reliable variant is the only one that does not gamble the
+  * job on storage-memory pressure. `auto` (the default) picks per-call from
+  * Catalyst's size estimate:
+  *
+  *  - plan stats ≤ `graft.materialize.localMaxBytes` (default 32 GiB) →
+  *    localCheckpoint;
+  *  - above the threshold AND a reliable checkpoint dir is configured →
+  *    reliable checkpoint;
+  *  - above the threshold but NO checkpoint dir → localCheckpoint (the only
+  *    mechanism available) — cluster deployments should always set a
+  *    checkpoint dir.
+  *
+  * Explicit modes (`local` / `reliable` / `none`) override per conf key, so
+  * existing `graft.dedup.checkpoint=reliable` style pins keep working.
+  */
+object Materialize {
+
+  val SizeThresholdKey = "graft.materialize.localMaxBytes"
+  private val DefaultLocalMaxBytes: Long = 32L << 30
+
+  /** Materialize `df` eagerly per the mode under `confKey`
+    * (`auto` when unset).
+    */
+  def stage(df: DataFrame, confKey: String): DataFrame =
+    df.sparkSession.conf.get(confKey, "auto") match {
+      case "reliable" => df.checkpoint(true)
+      case "none"     => df
+      case "local"    => df.localCheckpoint(true)
+      case _          => auto(df)
+    }
+
+  private def auto(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val threshold =
+      spark.conf.get(SizeThresholdKey, DefaultLocalMaxBytes.toString).toLong
+    // Catalyst's estimate: scan-size-derived, pre-execution, free. An
+    // over-estimate routes to the reliable dir too eagerly (harmless); an
+    // under-estimate keeps the old local behavior — never worse than the
+    // previous unconditional localCheckpoint.
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val hasReliableDir = spark.sparkContext.getCheckpointDir.isDefined
+    if (bytes <= BigInt(threshold) || !hasReliableDir) df.localCheckpoint(true)
+    else df.checkpoint(true)
+  }
+}
