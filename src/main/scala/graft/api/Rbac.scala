@@ -1,0 +1,86 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Role-based access control — the reference's static permission matrix
+  * and `has_permission` check (`src/auth/rbac.py:5-52`), re-expressed as
+  * a broadcast-joinable roles table so permission resolution over
+  * millions of (user, permission) pairs is one broadcast hash join, the
+  * same shape as feature-flag resolution ([[FeatureFlags.resolve]]).
+  *
+  * Semantics mirrored exactly:
+  *  - role comparison is case-insensitive via Python `str.capitalize()`
+  *    (first char upper, REST lower — "ANALYST" → "Analyst") after
+  *    `strip()` (`rbac.py:47`);
+  *  - `Admin` holds the wildcard `"*"` granting everything
+  *    (`rbac.py:6`, `rbac.py:49`);
+  *  - unknown roles grant nothing (`PERMISSIONS.get(role, [])`).
+  */
+object Rbac {
+
+  /** The reference matrix, verbatim (`rbac.py:5-28`). */
+  val Matrix: Seq[(String, String)] = Seq(
+    "Admin" -> "*",
+    "Analyst" -> "documents:read",
+    "Analyst" -> "documents:write",
+    "Analyst" -> "documents:delete",
+    "Analyst" -> "search:read",
+    "Analyst" -> "ask:read",
+    "Analyst" -> "extractions:read",
+    "Analyst" -> "extractions:override",
+    "Analyst" -> "exports:read",
+    "Analyst" -> "exports:write",
+    "Analyst" -> "entities:merge",
+    "Analyst" -> "connectors:read",
+    "Analyst" -> "connectors:write",
+    "Viewer" -> "documents:read",
+    "Viewer" -> "search:read",
+    "Viewer" -> "ask:read",
+    "Viewer" -> "extractions:read",
+    "Viewer" -> "exports:read")
+
+  /** The matrix as a (role, granted) DataFrame — tiny; always broadcast. */
+  def permissionMatrix(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Matrix.toDF("role", "granted")
+  }
+
+  /** Python `role.strip().capitalize()`: first char upper, rest LOWER. */
+  def normalizeRole(role: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val t = trim(role)
+    concat(upper(t.substr(lit(1), lit(1))), lower(t.substr(lit(2), length(t))))
+  }
+
+  /** Driver-side `has_permission` (`rbac.py:31-52`) for single checks. */
+  def hasPermission(roles: Seq[String], permission: String): Boolean = {
+    val byRole = Matrix.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    roles.exists { r =>
+      val perms = byRole.getOrElse(
+        r.trim.toLowerCase.capitalize, Set.empty[String])
+      perms.contains("*") || perms.contains(permission)
+    }
+  }
+
+  /** Distributed resolution: for every (user, permission-to-check) pair,
+    * whether ANY of the user's roles grants it.
+    *
+    * `userRoles`: (user_id, role) — raw role strings, any case;
+    * `checks`: (permission). Both the matrix and the checks list are
+    * broadcast (a deployment has a handful of each); the only shuffle is
+    * the final per-user aggregation, partitioned by user — the shape that
+    * holds at a 100 TB user/audit table.
+    */
+  def resolve(userRoles: DataFrame, checks: DataFrame): DataFrame = {
+    val m = permissionMatrix(userRoles.sparkSession)
+    userRoles
+      .select(col("user_id"), normalizeRole(col("role")).as("role"))
+      .crossJoin(broadcast(checks.select(col("permission"))))
+      .join(broadcast(m), Seq("role"), "left")
+      .groupBy("user_id", "permission")
+      .agg(coalesce(
+        bool_or(col("granted") === "*" || col("granted") === col("permission")),
+        lit(false)).as("allowed"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Webhook signature verification — the ingestion-plane HMAC check the
+  * reference runs on every inbound Resend/Svix webhook
+  * (`src/services/resend_verifier.py:19-88`): secret may carry a
+  * `whsec_` prefix (stripped), the `svix-signature` header is
+  * `"v1,<base64 sig>"`, and the signature is base64(HMAC-SHA256(secret,
+  * raw payload)).
+  *
+  * Spark-first: HMAC-SHA256 is composed from codegen built-ins via RFC
+  * 2104 — `sha2(opad ‖ unhex(sha2(ipad ‖ payload)))` with the K⊕pad
+  * blocks folded to plan-time binary literals (the secret is a constant
+  * per deployment, exactly like the reference's constructor argument).
+  * No UDF, no custom expression; the whole check stays inside
+  * whole-stage codegen. Kernel exactness is pinned to the RFC 4231 test
+  * vectors against `javax.crypto.Mac` in WebhooksSpec; the q146 gate
+  * cross-checks the data-dependent inner digest against a DuckDB mirror
+  * plus the full parse/compare decision per header scenario.
+  */
+object Webhooks {
+
+  private val BlockBytes = 64
+
+  /** Strip the Svix `whsec_` prefix if present
+    * (`resend_verifier.py:28-31`).
+    */
+  def stripSecretPrefix(secret: String): String =
+    if (secret.startsWith("whsec_")) secret.substring(6) else secret
+
+  /** RFC 2104 K⊕pad block. Secrets longer than one SHA-256 block would
+    * first be hashed; Svix secrets are ≤64 bytes so that path is
+    * rejected rather than silently diverging.
+    */
+  private def padBlock(key: Array[Byte], x: Int): Array[Byte] = {
+    require(key.length <= BlockBytes,
+      s"webhook secret exceeds one SHA-256 block (${key.length} bytes)")
+    Array.tabulate(BlockBytes)(i =>
+      ((if (i < key.length) key(i) else 0: Byte) ^ x).toByte)
+  }
+
+  private def pads(secret: String): (Array[Byte], Array[Byte]) = {
+    val key = stripSecretPrefix(secret).getBytes(StandardCharsets.UTF_8)
+    (padBlock(key, 0x36), padBlock(key, 0x5c))
+  }
+
+  /** Hex of the HMAC inner digest `SHA-256((K⊕ipad) ‖ payload)` — the
+    * data-dependent stage, surfaced separately so the q146 oracle can
+    * recompute it byte-exactly (DuckDB `sha256` only accepts VARCHAR, so
+    * the outer stage over raw digest bytes is oracle-inexpressible; the
+    * spec's RFC 4231 pins cover it instead).
+    */
+  def innerDigestHex(payload: Column, secret: String): Column =
+    sha2(concat(lit(pads(secret)._1), payload.cast("binary")), 256)
+
+  /** Full HMAC-SHA256 as hex. */
+  def hmacSha256Hex(payload: Column, secret: String): Column = {
+    val (ipad, opad) = pads(secret)
+    sha2(concat(lit(opad),
+      unhex(sha2(concat(lit(ipad), payload.cast("binary")), 256))), 256)
+  }
+
+  /** `base64(HMAC-SHA256(secret, payload))` — the signature Svix puts
+    * after `"v1,"` in the header (`resend_verifier.py:65-73`).
+    */
+  def expectedSignature(payload: Column, secret: String): Column =
+    base64(unhex(hmacSha256Hex(payload, secret)))
+
+  /** `verify_signature` (`resend_verifier.py:34-88`): header must split
+    * on `,` into exactly `["v1", <sig>]` (sig trimmed) and the sig must
+    * equal the expected base64 HMAC. Missing/NULL header → false; the
+    * reference's constant-time compare is a timing-channel defense with
+    * identical boolean semantics, so a plain equality is the batch
+    * mirror.
+    */
+  def verifySignature(payload: Column, header: Column,
+                      secret: String): Column = {
+    val parts = split(header, ",")
+    coalesce(
+      size(parts) === 2 && parts.getItem(0) === "v1" &&
+        trim(parts.getItem(1)) === expectedSignature(payload, secret),
+      lit(false))
+  }
+
+  /** Oracle-side helpers: the K⊕pad blocks as plain strings, for SQL
+    * mirrors. Only valid when every pad byte is printable ASCII — i.e.
+    * lowercase-letter secrets; enforced so a gate author can't silently
+    * embed control bytes in oracle SQL.
+    */
+  def padStringsForOracle(secret: String): (String, String) = {
+    val (ipad, opad) = pads(secret)
+    def str(b: Array[Byte]): String = {
+      require(b.forall(x => x >= 0x20 && x < 0x7f),
+        "pad bytes not printable ASCII — use a lowercase-only secret")
+      new String(b.map(_.toChar))
+    }
+    (str(ipad), str(opad))
+  }
+}

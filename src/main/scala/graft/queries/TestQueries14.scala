@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-9 gate queries: the two remaining reference control-plane
+  * surfaces from the round-8 verdict's optional list — RBAC permission
+  * resolution and webhook HMAC signature verification.
+  */
+object TestQueries14 {
+
+  /** RBAC permission resolution (reference `src/auth/rbac.py:5-52`) as a
+    * broadcast matrix join — the q75 feature-flag shape. Users get roles
+    * derived from `c_mktsegment` with deliberate case/whitespace noise
+    * ("ANALYST", " viewer ") to exercise the `strip().capitalize()`
+    * normalization, one unknown role ("guest" — grants nothing), a
+    * multi-role user (any-role-grants semantics), and the Admin `*`
+    * wildcard. Output: every (user, checked-permission) pair with the
+    * boolean verdict; the oracle replays the matrix and normalization in
+    * SQL.
+    */
+  val q145Rbac: QueryCase = QueryCase(
+    "q145_rbac",
+    (s, dir) => {
+      import s.implicits._
+      val roles =
+        when(col("c_mktsegment") === "BUILDING", array(lit("admin")))
+          .when(col("c_mktsegment") === "AUTOMOBILE", array(lit("ANALYST")))
+          .when(col("c_mktsegment") === "MACHINERY", array(lit(" viewer ")))
+          .when(col("c_mktsegment") === "HOUSEHOLD",
+            array(lit("Viewer"), lit("analyst")))
+          .otherwise(array(lit("guest")))
+      val userRoles = Tables.table(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), explode(roles).as("role"))
+      val checks = Seq("documents:write", "search:read", "entities:merge")
+        .toDF("permission")
+      graft.api.Rbac.resolve(userRoles, checks)
+        .orderBy("user_id", "permission")
+    },
+    Some {
+      val matrixValues = graft.api.Rbac.Matrix
+        .map { case (r, p) => s"('$r', '$p')" }.mkString(", ")
+      s"""
+      WITH matrix(role, granted) AS (VALUES $matrixValues),
+      users AS (
+        SELECT c_custkey AS user_id,
+               CASE c_mktsegment
+                 WHEN 'BUILDING' THEN ['admin']
+                 WHEN 'AUTOMOBILE' THEN ['ANALYST']
+                 WHEN 'MACHINERY' THEN [' viewer ']
+                 WHEN 'HOUSEHOLD' THEN ['Viewer', 'analyst']
+                 ELSE ['guest'] END AS roles
+        FROM customer),
+      ur AS (
+        SELECT user_id,
+               concat(upper(substr(trim(r), 1, 1)),
+                      lower(substr(trim(r), 2))) AS role
+        FROM users, UNNEST(users.roles) AS u(r)),
+      checks(permission) AS
+        (VALUES ('documents:write'), ('search:read'), ('entities:merge'))
+      SELECT ur.user_id, c.permission,
+             COALESCE(bool_or(m.granted = '*' OR m.granted = c.permission),
+                      FALSE) AS allowed
+      FROM ur CROSS JOIN checks c
+      LEFT JOIN matrix m ON m.role = ur.role
+      GROUP BY ur.user_id, c.permission
+      ORDER BY ur.user_id, c.permission"""
+    })
+
+  /** Webhook secret for q146 — lowercase-only so the RFC 2104 pad bytes
+    * stay printable ASCII and the oracle can embed them as SQL string
+    * literals (DuckDB `sha256` accepts only VARCHAR).
+    */
+  private val WebhookSecret = "whsec_graftroundninewebhook"
+
+  /** Webhook signature verification (reference
+    * `src/services/resend_verifier.py:34-88`). Four header scenarios per
+    * document: valid `v1,<sig>`, wrong version `v0,<sig>`, corrupted
+    * signature, and missing header. The Spark side runs the REAL
+    * parse + HMAC + compare ([[graft.ingest.Webhooks.verifySignature]],
+    * HMAC-SHA256 composed from codegen built-ins); the oracle replays the
+    * verdicts and recomputes the HMAC INNER digest
+    * `sha256((K⊕ipad) ‖ payload)` byte-exactly (DuckDB cannot hash raw
+    * digest bytes, so the outer stage is pinned to the RFC 4231 vectors
+    * in WebhooksSpec instead — the q134 AES-gate pattern). A wrong pad
+    * derivation, secret-prefix handling, or payload byte stream all
+    * hash-mismatch on `inner_hex`; `sig_len` pins the 32-byte digest
+    * width through base64.
+    */
+  val q146WebhookVerify: QueryCase = QueryCase(
+    "q146_webhook_verify",
+    (s, dir) => {
+      import graft.ingest.Webhooks
+      val sig = Webhooks.expectedSignature(col("text"), WebhookSecret)
+      val header = when(col("scenario") === 0, concat(lit("v1,"), col("sig")))
+        .when(col("scenario") === 1, concat(lit("v0,"), col("sig")))
+        .when(col("scenario") === 2, concat(lit("v1,x"), col("sig")))
+        .otherwise(lit(null).cast("string"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 4).as("scenario"), col("text"))
+        .withColumn("sig", sig)
+        .withColumn("header", header)
+        .select(
+          col("doc_id"), col("scenario"),
+          Webhooks.verifySignature(col("text"), col("header"), WebhookSecret)
+            .as("verified"),
+          Webhooks.innerDigestHex(col("text"), WebhookSecret).as("inner_hex"),
+          length(col("sig")).as("sig_len"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val (ipad, _) =
+        graft.ingest.Webhooks.padStringsForOracle(WebhookSecret)
+      s"""
+      SELECT doc_id,
+             doc_id % 4 AS scenario,
+             (doc_id % 4 = 0) AS verified,
+             sha256('$ipad' || text) AS inner_hex,
+             44 AS sig_len
+      FROM documents
+      ORDER BY doc_id"""
+    })
+
+  val all: Seq[QueryCase] = Seq(q145Rbac, q146WebhookVerify)
+}

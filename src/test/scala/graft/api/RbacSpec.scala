@@ -1,0 +1,51 @@
+package graft.api
+
+import graft.SparkSpec
+
+/** [[Rbac]] — parity with the reference's `has_permission`
+  * (`src/auth/rbac.py:31-52`) on both the driver-side check and the
+  * distributed broadcast-join resolution.
+  */
+class RbacSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("has_permission reference parity") {
+    import Rbac.hasPermission
+    assert(hasPermission(Seq("Admin"), "anything:at:all"))        // wildcard
+    assert(hasPermission(Seq("ADMIN"), "documents:delete"))       // case-insensitive
+    assert(hasPermission(Seq(" viewer "), "documents:read"))      // strip()
+    assert(!hasPermission(Seq("Viewer"), "documents:write"))      // not granted
+    assert(hasPermission(Seq("Viewer", "analyst"), "documents:write")) // any role
+    assert(!hasPermission(Seq("guest"), "documents:read"))        // unknown role
+    assert(!hasPermission(Seq.empty, "documents:read"))           // no roles
+    assert(!hasPermission(Seq("Analyst"), "tenants:provision"))   // not in matrix
+  }
+
+  test("distributed resolve matches the driver-side check") {
+    val userRoles = Seq(
+      (1L, "admin"), (2L, "ANALYST"), (3L, " viewer "),
+      (4L, "Viewer"), (4L, "analyst"), (5L, "guest"))
+      .toDF("user_id", "role")
+    val checks = Seq("documents:write", "search:read", "entities:merge")
+      .toDF("permission")
+    val got = Rbac.resolve(userRoles, checks).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    val rolesOf = Map(1L -> Seq("admin"), 2L -> Seq("ANALYST"),
+      3L -> Seq(" viewer "), 4L -> Seq("Viewer", "analyst"),
+      5L -> Seq("guest"))
+    assert(got.size == 15)
+    got.foreach { case ((u, p), allowed) =>
+      assert(allowed == Rbac.hasPermission(rolesOf(u), p), s"user $u perm $p")
+    }
+  }
+
+  test("resolve broadcasts the matrix (no shuffle join on it)") {
+    val userRoles = Seq((1L, "analyst")).toDF("user_id", "role")
+    val checks = Seq("documents:read").toDF("permission")
+    val plan = Rbac.resolve(userRoles, checks)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+}

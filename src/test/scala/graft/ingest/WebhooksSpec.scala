@@ -1,0 +1,100 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Webhooks]] — HMAC-SHA256 built from codegen built-ins must equal
+  * `javax.crypto.Mac` (the JDK's vetted implementation) on the RFC 4231
+  * test vectors and on arbitrary payloads; signature verification must
+  * mirror `resend_verifier.py:34-88` decision-for-decision.
+  */
+class WebhooksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def jdkHmacHex(key: Array[Byte], msg: Array[Byte]): String = {
+    val mac = javax.crypto.Mac.getInstance("HmacSHA256")
+    mac.init(new javax.crypto.spec.SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(msg).map(b => f"$b%02x").mkString
+  }
+
+  private def sparkHmacHex(secret: String, payload: String): String =
+    Seq(payload).toDF("p")
+      .select(Webhooks.hmacSha256Hex(col("p"), secret).as("h"))
+      .head().getString(0)
+
+  test("RFC 4231 case 2 (short ASCII key): matches published vector") {
+    // key = "Jefe", data = "what do ya want for nothing?"
+    assert(sparkHmacHex("Jefe", "what do ya want for nothing?") ==
+      "5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843")
+  }
+
+  test("matches javax.crypto.Mac on arbitrary payloads and keys") {
+    val keys = Seq("graftroundninewebhook", "k", "a" * 64, "mixed-Case_key")
+    val payloads = Seq("", "x", "hello world", "unicode: héllo wörld ✓",
+      "{\"type\":\"email.delivered\",\"data\":{\"id\":42}}", "a" * 10000)
+    for (k <- keys; p <- payloads) {
+      assert(sparkHmacHex(k, p) ==
+        jdkHmacHex(k.getBytes(StandardCharsets.UTF_8),
+          p.getBytes(StandardCharsets.UTF_8)),
+        s"mismatch for key=$k payload=${p.take(30)}")
+    }
+  }
+
+  test("whsec_ prefix is stripped; bare secret is used as-is") {
+    assert(Webhooks.stripSecretPrefix("whsec_abc") == "abc")
+    assert(Webhooks.stripSecretPrefix("abc") == "abc")
+    // prefixed and bare secrets must produce the SAME signature
+    assert(sparkHmacHex("whsec_Jefe", "payload") ==
+      sparkHmacHex("Jefe", "payload"))
+  }
+
+  test("verifySignature: the reference's decision table") {
+    val secret = "whsec_testsecretkey"
+    val sig = Seq("payload-1").toDF("p")
+      .select(Webhooks.expectedSignature(col("p"), secret)).head().getString(0)
+    val cases = Seq(
+      ("payload-1", s"v1,$sig", true),        // valid
+      ("payload-1", s"v1, $sig ", true),      // sig part is trimmed
+      ("payload-1", s"v0,$sig", false),       // wrong version
+      ("payload-1", s"v1,x$sig", false),      // corrupted signature
+      ("payload-1", sig, false),              // no version part
+      ("payload-1", s"v1,$sig,extra", false), // 3 parts
+      ("payload-2", s"v1,$sig", false),       // signature of OTHER payload
+      ("payload-1", null, false))             // missing header
+    val got = cases.map { case (p, h, _) =>
+      Seq((p, Option(h))).toDF("p", "h")
+        .select(Webhooks.verifySignature(col("p"), col("h"), secret))
+        .head().getBoolean(0)
+    }
+    assert(got == cases.map(_._3))
+  }
+
+  test("verify survives codegen over a distributed input (null headers)") {
+    val secret = "whsec_testsecretkey"
+    val df = (1 to 50).map(i => (s"payload-$i", i % 3))
+      .toDF("p", "k").repartition(4)
+      .withColumn("h",
+        when(col("k") === 0,
+          concat(lit("v1,"), Webhooks.expectedSignature(col("p"), secret)))
+          .when(col("k") === 1, lit("v1,bad"))
+          .otherwise(lit(null).cast("string")))
+      .select(col("k"), Webhooks.verifySignature(col("p"), col("h"), secret)
+        .as("v"))
+    val byK = df.groupBy("k").agg(sum(when(col("v"), 1).otherwise(0)).as("n"),
+      count(lit(1)).as("t")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byK(0)._1 == byK(0)._2) // all valid
+    assert(byK(1)._1 == 0L && byK(2)._1 == 0L)
+  }
+
+  test("oracle pad strings reject non-printable pads, accept lowercase") {
+    val (ipad, opad) = Webhooks.padStringsForOracle("whsec_abcxyz")
+    assert(ipad.length == 64 && opad.length == 64)
+    // digits xor 0x36 fall below 0x20 — must be rejected, not embedded
+    intercept[IllegalArgumentException] {
+      Webhooks.padStringsForOracle("secret123")
+    }
+  }
+}
