@@ -18,6 +18,9 @@ object ProfQuery {
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // match Bench: default 100-entry codegen cache evicts mid-profile and
+      // masquerades as text-instability on rebuild
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
