@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.functions.{CrossHash, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Language-model-based corpus quality signals: CCNet-style perplexity
+  * bucketing (Wenzek et al. 2020) and DSIR-style hashed-n-gram importance
+  * weighting (Xie et al. 2023). Both are standard stages of a web-scale
+  * training-data pipeline between cleaning (q138/q142) and dedup/mixing
+  * (q21…q103): perplexity splits a crawl into head/middle/tail quality
+  * terciles; importance weights rank source documents by how target-like
+  * their hashed n-gram profile is.
+  *
+  * CCNet scores against a pretrained KenLM — unavailable offline, and the
+  * published method's VALUE is the bucketing machinery, not the specific
+  * LM. The LM here is a unigram model with add-k smoothing trained on the
+  * corpus itself in the same pass (one extra groupBy), which keeps every
+  * number derivable from the input and therefore oracle-checkable; a real
+  * deployment swaps the `vocab` subplan for a broadcast of external LM
+  * scores and nothing else changes.
+  */
+object CorpusLm {
+
+  /** Per-document cross-entropy (bits/token) under an add-k-smoothed
+    * unigram LM trained on the corpus, with head/middle/tail tercile
+    * buckets.
+    *
+    * Scale shape: tokens are pre-combined to (doc, token, count) before
+    * the vocab join (map-side-combinable groupBys, the dominant data is
+    * never joined row-per-token); corpus totals ride a 1-row broadcast
+    * cross join. The tercile assignment is a global sort over one row per
+    * DOCUMENT — at extreme scale swap `ntile` for approx-percentile
+    * thresholds (the CCNet paper itself buckets from a sampled
+    * histogram); the exact form is kept here because the gate
+    * hash-compares bucket labels.
+    *
+    * Output: (doc_id, n_tokens, ce_bits, ppl, bucket).
+    */
+  def unigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                        k: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val dt = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val vocab = toks.groupBy("t").agg(count(lit(1)).as("cnt"))
+    val tot = vocab.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+    val ce = dt.join(vocab, Seq("t"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        (-sum(col("c") * log2((col("cnt") + k)
+            / (col("n") + lit(k) * (col("v") + 1))))
+          / sum(col("c"))).as("ce"))
+    val terciles = Window.orderBy(round(col("ce"), 6), col("doc_id"))
+    ce.withColumn("b3", ntile(3).over(terciles))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("ce"), 6).as("ce_bits"),
+        round(pow(lit(2.0), col("ce")), 4).as("ppl"),
+        when(col("b3") === 1, "head").when(col("b3") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  /** DSIR importance weights: hash uni+bigram features into `buckets`
+    * buckets, estimate add-k-smoothed bucket distributions over the
+    * target and source corpora, and score every source document by
+    * Σ_grams log p_target(bucket) − log p_source(bucket). Positive ⇒ the
+    * document's feature profile is more target-like than source-like
+    * (`keep` — the resampling acceptance direction; the published method
+    * then Gumbel-samples proportional to the weight).
+    *
+    * `buckets` must be a power of two: the 64-bit hash is reduced with a
+    * low-bits mask, which is identical for the signed (Spark) and
+    * unsigned (oracle HUGEINT) views of the same hash — an arbitrary
+    * modulus would disagree on negative hashes.
+    *
+    * Scale shape: bucket histograms are two map-side-combinable groupBys
+    * over (id, bucket) pre-counts; the per-document score joins each
+    * document's bucket counts against the broadcast 2×`buckets`-row
+    * distribution table. Nothing driver-side, no global sort.
+    *
+    * Output: (doc_id, n_feats, log_w, keep) — source documents only.
+    */
+  def dsirWeights(source: DataFrame, target: DataFrame,
+                  idCol: String, textCol: String,
+                  buckets: Int = 256, k: Double = 0.5): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (low-bits hash masking)")
+
+    // (doc_id, bucket, c): hashed uni+bigram counts per document — the
+    // bigram comes from one lead() over the same (id, pos) window pass.
+    def feats(docs: DataFrame): DataFrame = {
+      val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val withBigram = toks.withColumn("t2", lead(col("t"), 1).over(byDoc))
+      val grams = withBigram.select(col("doc_id"), col("t").as("g"))
+        .unionByName(withBigram.where(col("t2").isNotNull)
+          .select(col("doc_id"),
+            concat_ws(" ", col("t"), col("t2")).as("g")))
+      grams
+        .select(col("doc_id"),
+          (CrossHash.md5Hash64(col("g"))
+            .bitwiseAND(lit(buckets - 1L))).as("bucket"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("c"))
+    }
+
+    def dist(byBucket: DataFrame, pCol: String): DataFrame = {
+      val total = byBucket.agg(sum(col("n")).as("tot"))
+      byBucket.crossJoin(broadcast(total))
+        .select(col("bucket"),
+          ((col("n") + k) / (col("tot") + k * buckets)).as(pCol))
+    }
+
+    // src feeds both its histogram and the per-doc score join — without
+    // materialization the explode+hash subtree executes twice (the Dedup
+    // checkpoint discipline; policy-gated, size-aware)
+    val src = graft.plans.Materialize.stage(feats(source),
+      "graft.dedup.checkpoint")
+    val tgt = feats(target)
+    val pSrc = dist(src.groupBy("bucket").agg(sum(col("c")).as("n")), "p_s")
+    val pTgt = dist(tgt.groupBy("bucket").agg(sum(col("c")).as("n")), "p_t")
+    // left joins + smoothing floor: a bucket absent from one corpus still
+    // has add-k mass there (k / (N + k·buckets)); compute the floor from
+    // the broadcast totals rather than dropping the feature.
+    val sTot = src.agg(sum(col("c")).as("s_tot"))
+    val tTot = tgt.agg(sum(col("c")).as("t_tot"))
+    src.join(pTgt, Seq("bucket"), "left")
+      .join(pSrc, Seq("bucket"), "left")
+      .crossJoin(broadcast(sTot)).crossJoin(broadcast(tTot))
+      .withColumn("p_t2",
+        coalesce(col("p_t"), lit(k) / (col("t_tot") + k * buckets)))
+      .withColumn("p_s2",
+        coalesce(col("p_s"), lit(k) / (col("s_tot") + k * buckets)))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_feats"),
+        round(sum(col("c") * (log(col("p_t2")) - log(col("p_s2")))), 6)
+          .as("log_w"))
+      .withColumn("keep", col("log_w") > 0)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.functions.{CrossHash, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-document duplicate-SPAN detection — the substring-dedup shape of
+  * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+  * Better"): long verbatim spans repeated across documents (boilerplate,
+  * licenses, syndicated text) are what LMs memorize, and document-level
+  * near-dup (q23/q28) cannot see them when the surrounding text differs.
+  *
+  * The exact suffix-array construction is replaced by the standard
+  * distributed approximation: every w-token sliding window (stride 1) is
+  * keyed by a 64-bit hash and a window is a duplicate iff its span also
+  * occurs in a LOWER-id document (first-document-keeps, the q89/q90
+  * id-hash convention). That finds every duplicated span of length ≥ w
+  * tokens — a span of L ≥ w duplicated tokens produces L−w+1 duplicated
+  * windows, so `dup_frac` approximates the duplicated-token fraction.
+  *
+  * Scale shape: one narrow (id, pos, token) pass; windows come from w−1
+  * `LEAD`s over ONE (id, pos) window spec (single sort, codegen'd — NOT a
+  * per-element HOF slice, which evaluates interpreted and O(n·w)); the
+  * span groupBy shuffles 8-byte hash keys, never span text; the per-doc
+  * rollup reuses the (id) partitioning. Collision note: a 64-bit key
+  * collision could mark a false duplicate (P ≈ n²/2⁶⁵); the gate's oracle
+  * recomputes the SAME md5-derived keys so the comparison is exact either
+  * way, and a production deployment can widen to 128-bit by keeping both
+  * md5 halves.
+  */
+object SpanDedup {
+
+  /** Per-document duplicated-window accounting.
+    *
+    * Output: (doc_id, n_windows, n_dup_windows, dup_frac, flagged) — one
+    * row per document with ≥ 1 window (fewer than w tokens → no windows →
+    * no row, mirroring the shingle operators' convention).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int, flagThreshold: Double = 0.3): DataFrame = {
+    require(w >= 2, "window width must be ≥ 2 tokens")
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // w-token window text from one window spec: t ‖ lead(t,1) ‖ … — rows
+    // within w−1 of the document tail have a null lead and are dropped,
+    // leaving exactly n−w+1 windows per doc.
+    val spanCols = (0 until w).map(i =>
+      if (i == 0) col("t") else lead(col("t"), i).over(byDoc))
+    val windows = toks
+      // bind the window expressions first: a window function cannot sit in
+      // WHERE, and the tail check needs the LAST lead as a real column
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", spanCols: _*).as("span"),
+        spanCols.last.isNotNull.as("full"))
+      .where(col("full"))
+      .select(col("doc_id"), col("pos"),
+        CrossHash.md5Hash64(col("span")).as("k"))
+    // first-document-keeps: a window is duplicated iff its span key also
+    // appears in a lower-id document
+    val firstDoc = windows.groupBy("k")
+      .agg(min(col("doc_id")).as("first_doc"))
+    val marked = windows.join(firstDoc, Seq("k"))
+      .withColumn("dup", col("doc_id") > col("first_doc"))
+    marked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+      .withColumn("flagged", col("dup_frac") >= flagThreshold)
+  }
+}

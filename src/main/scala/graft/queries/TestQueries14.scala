@@ -121,5 +121,145 @@ object TestQueries14 {
       ORDER BY doc_id"""
     })
 
-  val all: Seq[QueryCase] = Seq(q145Rbac, q146WebhookVerify)
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020) under a
+    * corpus-trained add-½-smoothed unigram LM — see
+    * [[graft.operators.CorpusLm.unigramPerplexity]]. The oracle replays
+    * token counts, the smoothed log2 model, the per-doc cross-entropy and
+    * the tercile assignment; 6dp/4dp rounding absorbs the 1-ulp libm and
+    * summation-order drift (both engines' orderings are tie-broken on the
+    * ROUNDED value + doc_id, so buckets agree).
+    */
+  val q147Perplexity: QueryCase = QueryCase(
+    "q147_perplexity",
+    (s, dir) => graft.operators.CorpusLm
+      .unigramPerplexity(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, u.t AS t
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(tk) AS u(t)),
+      dt AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      vocab AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t),
+      tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(COUNT(DISTINCT t) AS DOUBLE) AS v FROM toks),
+      ce AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               -SUM(c * log2((cnt + CAST(0.5 AS DOUBLE))
+                             / (n + CAST(0.5 AS DOUBLE) * (v + 1))))
+                 / SUM(c) AS ce
+        FROM dt JOIN vocab USING (t) CROSS JOIN tot GROUP BY doc_id),
+      b AS (
+        SELECT doc_id, n_tokens, ce,
+               ntile(3) OVER (ORDER BY ROUND(ce, 6), doc_id) AS b3
+        FROM ce)
+      SELECT doc_id, n_tokens, ROUND(ce, 6) AS ce_bits,
+             ROUND(POW(CAST(2.0 AS DOUBLE), ce), 4) AS ppl,
+             CASE b3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+      FROM b ORDER BY doc_id"""))
+
+  /** Cross-document duplicate-span detection (Lee et al. 2021 substring-
+    * dedup shape) — see [[graft.operators.SpanDedup.duplicateSpans]]. The
+    * oracle rebuilds every 6-token sliding window, keys it with the SAME
+    * md5-derived 64-bit hash, and replays first-document-keeps; the
+    * injected near-dup documents carry dup fractions up to ~1.0 while
+    * originals sit at 0, so the verdict column separates the corpus
+    * non-trivially (24 flagged at sf0.01).
+    */
+  val q148SpanDedup: QueryCase = QueryCase(
+    "q148_span_dedup",
+    (s, dir) => graft.operators.SpanDedup
+      .duplicateSpans(Tables.documents(s, dir), "doc_id", "text", w = 6)
+      .orderBy("doc_id"),
+    Some {
+      val k = graft.functions.CrossHash.md5Hash64SqlU("span")
+      s"""
+      WITH toks AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      win AS (
+        SELECT doc_id,
+               [array_to_string(tk[i:i+5], ' ')
+                for i in range(1, LEN(tk) - 4)] AS spans
+        FROM toks WHERE LEN(tk) >= 6),
+      ex AS (SELECT doc_id, UNNEST(spans) AS span FROM win),
+      keyed AS (SELECT doc_id, $k AS k FROM ex),
+      fd AS (SELECT k, MIN(doc_id) AS first_doc FROM keyed GROUP BY k),
+      m AS (SELECT keyed.doc_id, (keyed.doc_id > fd.first_doc) AS dup
+            FROM keyed JOIN fd USING (k)),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS nw,
+               SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS nd
+        FROM m GROUP BY doc_id)
+      SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+             CAST(nd AS BIGINT) AS n_dup_windows,
+             ROUND(CAST(nd AS DOUBLE) / nw, 6) AS dup_frac,
+             (ROUND(CAST(nd AS DOUBLE) / nw, 6) >= CAST(0.3 AS DOUBLE))
+               AS flagged
+      FROM agg ORDER BY doc_id"""
+    })
+
+  /** DSIR hashed-n-gram importance weighting (Xie et al. 2023) — see
+    * [[graft.operators.CorpusLm.dsirWeights]]. Target = the doc_id%11
+    * holdout slice (the q109 eval convention), source = the rest; 256
+    * power-of-two buckets so the signed (Spark) and unsigned (HUGEINT
+    * oracle) hash views mask identically. The oracle recomputes both
+    * smoothed bucket distributions and every per-doc Σ c·(ln pₜ − ln pₛ)
+    * including the absent-bucket smoothing floor.
+    */
+  val q149Dsir: QueryCase = QueryCase(
+    "q149_dsir",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusLm.dsirWeights(
+          docs.where(col("doc_id") % 11 =!= 0),
+          docs.where(col("doc_id") % 11 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some {
+      val h = graft.functions.CrossHash.md5Hash64SqlU("g")
+      s"""
+      WITH toks AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      uni AS (SELECT doc_id, UNNEST(tk) AS g FROM toks),
+      bi AS (
+        SELECT doc_id,
+               UNNEST([tk[i] || ' ' || tk[i+1]
+                       for i in range(1, LEN(tk))]) AS g
+        FROM toks WHERE LEN(tk) >= 2),
+      grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+      feats AS (
+        SELECT doc_id, CAST($h % 256 AS BIGINT) AS bucket, COUNT(*) AS c
+        FROM grams GROUP BY 1, 2),
+      sfeats AS (SELECT * FROM feats WHERE doc_id % 11 <> 0),
+      tfeats AS (SELECT * FROM feats WHERE doc_id % 11 = 0),
+      sh AS (SELECT bucket, SUM(c) AS n FROM sfeats GROUP BY bucket),
+      th AS (SELECT bucket, SUM(c) AS n FROM tfeats GROUP BY bucket),
+      stot AS (SELECT CAST(SUM(c) AS DOUBLE) AS s_tot FROM sfeats),
+      ttot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t_tot FROM tfeats),
+      sc AS (
+        SELECT f.doc_id, CAST(SUM(f.c) AS BIGINT) AS n_feats,
+               ROUND(SUM(f.c * (
+                 ln(COALESCE((th.n + CAST(0.5 AS DOUBLE))
+                               / (t_tot + CAST(0.5 AS DOUBLE) * 256),
+                             CAST(0.5 AS DOUBLE)
+                               / (t_tot + CAST(0.5 AS DOUBLE) * 256)))
+                 - ln(COALESCE((sh.n + CAST(0.5 AS DOUBLE))
+                                 / (s_tot + CAST(0.5 AS DOUBLE) * 256),
+                               CAST(0.5 AS DOUBLE)
+                                 / (s_tot + CAST(0.5 AS DOUBLE) * 256))))),
+                 6) AS log_w
+        FROM sfeats f
+        LEFT JOIN th USING (bucket) LEFT JOIN sh USING (bucket)
+        CROSS JOIN stot CROSS JOIN ttot
+        GROUP BY f.doc_id)
+      SELECT doc_id, n_feats, log_w, (log_w > 0) AS keep
+      FROM sc ORDER BY doc_id"""
+    })
+
+  val all: Seq[QueryCase] =
+    Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
+      q149Dsir)
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[SpanDedup.duplicateSpans]] — window construction, first-document-
+  * keeps marking, and the per-doc accounting on hand-traceable corpora.
+  */
+class SpanDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(docs: Seq[(Long, String)], w: Int = 3) =
+    SpanDedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+
+  test("shared interior span is found; unique text is not") {
+    // doc 2 repeats tokens "c d e f" of doc 1 → 3-token windows
+    // "c d e", "d e f" duplicated; its other windows are unique
+    val got = run(Seq(
+      1L -> "a b c d e f g h",
+      2L -> "x y c d e f z"))
+    assert(got(1L) == ((6L, 0L, 0.0, false)))      // first doc keeps all
+    val (nw2, nd2, frac2, _) = got(2L)
+    assert(nw2 == 5L && nd2 == 2L && frac2 == 0.4)
+  }
+
+  test("identical later document is 100% duplicated and flagged") {
+    val got = run(Seq(1L -> "p q r s t", 7L -> "p q r s t"))
+    assert(got(1L) == ((3L, 0L, 0.0, false)))
+    assert(got(7L) == ((3L, 3L, 1.0, true)))
+  }
+
+  test("intra-document repetition alone is NOT cross-doc duplication") {
+    val got = run(Seq(5L -> "m n o m n o m n o"))
+    assert(got(5L)._2 == 0L) // repeated span, same (single) doc → no dup
+  }
+
+  test("documents shorter than w produce no row") {
+    val got = run(Seq(1L -> "a b", 2L -> "a b c d"))
+    assert(!got.contains(1L) && got(2L)._1 == 2L)
+  }
+
+  test("tokenization is lowercased/whitespace-split like the corpus ops") {
+    val got = run(Seq(1L -> "Foo  BAR baz", 3L -> "foo bar BAZ"))
+    assert(got(3L) == ((1L, 1L, 1.0, true)))
+  }
+
+  test("sf0.001 corpus: accounting is internally consistent") {
+    val df = SpanDedup.duplicateSpans(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", w = 6)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // dups ≤ windows
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // plan sanity: no cartesian product anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
