@@ -1,0 +1,84 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Tenant provisioning — the reference's control-plane workflow
+  * (`src/services/tenant_provisioning.py:37-242`) re-expressed as a BULK
+  * plan operator: given a batch of provisioning requests and the current
+  * tenants/users state, emit per-request outcomes plus the rows a
+  * successful request creates. The reference provisions one tenant per
+  * API call with sequential side effects and rollback-on-failure; the
+  * batch mirror keeps exactly its decision semantics:
+  *
+  *  - slug already taken by an existing tenant → rejected
+  *    (`tenant_provisioning.py:64-75`);
+  *  - duplicate slug WITHIN the batch → the first request (lowest
+  *    req_id — the order the sequential service would process) wins,
+  *    later ones are rejected exactly as if the winner had committed
+  *    first;
+  *  - admin email already registered → rejected; the reference creates
+  *    the tenant row, fails on the user step, then ROLLS the tenant back
+  *    (`:129-141`, `:244+`), so the net outcome is identical — no rows;
+  *  - otherwise provisioned: tenant row (status `active`), storage
+  *    bucket `documents-{tenant_id}` (`storage_setup.py:57`), and a
+  *    tenant_users link carrying `["Admin"]` (`:172-188`, the [[Rbac]]
+  *    wildcard role).
+  *
+  * The DB's generated UUID is replaced by a deterministic md5-derived
+  * surrogate of the slug (UUID-shaped), the repo's id-hash convention —
+  * at 100 TB-batch scale everything here is one window over slug plus
+  * two broadcast-or-shuffle left joins; no driver-side loop.
+  */
+object TenantProvisioning {
+
+  /** Deterministic UUID-shaped surrogate id from the slug. */
+  def surrogateTenantId(slug: Column): Column = {
+    val h = md5(slug.cast("binary"))
+    concat_ws("-",
+      substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+      substring(h, 17, 4), substring(h, 21, 12))
+  }
+
+  /** Plan a request batch.
+    *
+    * `requests`: (req_id, name, slug, admin_email, environment);
+    * `existingTenants`: (slug); `existingUsers`: (email).
+    *
+    * Output: (req_id, slug, status, tenant_id, storage_bucket,
+    * admin_roles) — id/bucket/roles are NULL unless provisioned.
+    */
+  def plan(requests: DataFrame, existingTenants: DataFrame,
+           existingUsers: DataFrame): DataFrame = {
+    val bySlug = Window.partitionBy("slug").orderBy("req_id")
+    val ranked = requests.withColumn("batch_rank", row_number().over(bySlug))
+    val joined = ranked
+      .join(existingTenants.select(col("slug"), lit(true).as("slug_taken"))
+        .distinct(), Seq("slug"), "left")
+      .join(existingUsers
+        .select(col("email").as("admin_email"), lit(true).as("user_exists"))
+        .distinct(), Seq("admin_email"), "left")
+    val status = when(col("slug_taken"), lit("error_slug_exists"))
+      .when(col("batch_rank") > 1, lit("error_slug_exists_in_batch"))
+      .when(col("user_exists"), lit("error_user_exists"))
+      .otherwise(lit("provisioned"))
+    val ok = col("status") === "provisioned"
+    joined.withColumn("status", status)
+      .withColumn("tenant_id", when(ok, surrogateTenantId(col("slug"))))
+      .select(col("req_id"), col("slug"), col("status"), col("tenant_id"),
+        when(ok, concat(lit("documents-"), col("tenant_id")))
+          .as("storage_bucket"),
+        when(ok, array(lit("Admin"))).as("admin_roles"))
+  }
+
+  /** The tenants-table rows a planned batch commits (status `active`,
+    * the insert of `tenant_provisioning.py:79-88`).
+    */
+  def tenantRows(planned: DataFrame, requests: DataFrame): DataFrame =
+    planned.where(col("status") === "provisioned")
+      .join(requests.select(col("req_id"), col("name"), col("environment")),
+        Seq("req_id"))
+      .select(col("tenant_id"), col("name"), col("slug"), col("environment"),
+        lit("active").as("status"))
+}

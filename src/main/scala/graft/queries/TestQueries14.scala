@@ -259,7 +259,97 @@ object TestQueries14 {
       FROM sc ORDER BY doc_id"""
     })
 
+  /** Bulk tenant provisioning (reference
+    * `src/services/tenant_provisioning.py:37-242`) — see
+    * [[graft.api.TenantProvisioning.plan]]. Requests derive from the
+    * supplier table with deliberate conflicts: every 7th supplier maps
+    * onto one of five shared slugs (within-batch duplicates → first
+    * req_id wins), two shared slugs plus supplier 13's own slug already
+    * exist as tenants, and every 10th admin email is already registered
+    * (the user-exists rollback path). The oracle replays the ranking,
+    * both existence joins, and the md5 surrogate-UUID/bucket derivation.
+    */
+  val q150TenantProvisioning: QueryCase = QueryCase(
+    "q150_tenant_provisioning",
+    (s, dir) => {
+      val sup = Tables.table(s, dir, "supplier")
+      val requests = sup.select(
+        col("s_suppkey").as("req_id"),
+        col("s_name").as("name"),
+        when(col("s_suppkey") % 7 === 0,
+          concat(lit("shared-"), col("s_suppkey") % 5))
+          .otherwise(lower(regexp_replace(col("s_name"), "[^A-Za-z0-9]+", "-")))
+          .as("slug"),
+        concat(lit("admin"), col("s_suppkey"), lit("@example.com"))
+          .as("admin_email"),
+        when(col("s_suppkey") % 3 === 0, "prod")
+          .when(col("s_suppkey") % 3 === 1, "staging").otherwise("dev")
+          .as("environment"))
+      val existingTenants = Tables.table(s, dir, "nation")
+        .where(col("n_nationkey") < 2)
+        .select(concat(lit("shared-"), col("n_nationkey")).as("slug"))
+        .unionByName(sup.where(col("s_suppkey") === 13)
+          .select(lower(regexp_replace(col("s_name"), "[^A-Za-z0-9]+", "-"))
+            .as("slug")))
+      val existingUsers = Tables.table(s, dir, "customer")
+        .where(col("c_custkey") % 10 === 0)
+        .select(concat(lit("admin"), col("c_custkey"), lit("@example.com"))
+          .as("email"))
+      graft.api.TenantProvisioning
+        .plan(requests, existingTenants, existingUsers)
+        .orderBy("req_id")
+    },
+    Some("""
+      WITH requests AS (
+        SELECT s_suppkey AS req_id, s_name AS name,
+               CASE WHEN s_suppkey % 7 = 0
+                 THEN 'shared-' || CAST(s_suppkey % 5 AS VARCHAR)
+                 ELSE lower(regexp_replace(s_name, '[^A-Za-z0-9]+', '-', 'g'))
+               END AS slug,
+               'admin' || CAST(s_suppkey AS VARCHAR) || '@example.com'
+                 AS admin_email
+        FROM supplier),
+      existing_tenants AS (
+        SELECT 'shared-' || CAST(n_nationkey AS VARCHAR) AS slug
+        FROM nation WHERE n_nationkey < 2
+        UNION ALL
+        SELECT lower(regexp_replace(s_name, '[^A-Za-z0-9]+', '-', 'g'))
+        FROM supplier WHERE s_suppkey = 13),
+      existing_users AS (
+        SELECT 'admin' || CAST(c_custkey AS VARCHAR) || '@example.com'
+          AS email
+        FROM customer WHERE c_custkey % 10 = 0),
+      ranked AS (
+        SELECT r.*,
+               ROW_NUMBER() OVER (PARTITION BY slug ORDER BY req_id)
+                 AS batch_rank,
+               (slug IN (SELECT slug FROM existing_tenants)) AS slug_taken,
+               (admin_email IN (SELECT email FROM existing_users))
+                 AS user_exists
+        FROM requests r),
+      planned AS (
+        SELECT req_id, slug,
+               CASE WHEN slug_taken THEN 'error_slug_exists'
+                    WHEN batch_rank > 1 THEN 'error_slug_exists_in_batch'
+                    WHEN user_exists THEN 'error_user_exists'
+                    ELSE 'provisioned' END AS status
+        FROM ranked),
+      sur AS (
+        SELECT req_id, slug, status,
+               CASE WHEN status = 'provisioned' THEN
+                 substr(md5(slug), 1, 8) || '-' || substr(md5(slug), 9, 4)
+                 || '-' || substr(md5(slug), 13, 4) || '-'
+                 || substr(md5(slug), 17, 4) || '-' || substr(md5(slug), 21, 12)
+               END AS tenant_id
+        FROM planned)
+      SELECT req_id, slug, status, tenant_id,
+             CASE WHEN status = 'provisioned'
+               THEN 'documents-' || tenant_id END AS storage_bucket,
+             CASE WHEN status = 'provisioned'
+               THEN ['Admin'] END AS admin_roles
+      FROM sur ORDER BY req_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
-      q149Dsir)
+      q149Dsir, q150TenantProvisioning)
 }

@@ -1,0 +1,55 @@
+package graft.api
+
+import graft.SparkSpec
+
+/** [[TenantProvisioning]] — the reference workflow's decision table
+  * (`tenant_provisioning.py:37-242`) over a hand-built batch.
+  */
+class TenantProvisioningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val requests = Seq(
+    (1L, "Acme", "acme", "a@x.com", "prod"),
+    (2L, "Acme Again", "acme", "b@x.com", "prod"),     // in-batch dup slug
+    (3L, "Taken", "taken", "c@x.com", "dev"),          // slug exists
+    (4L, "Dupe User", "dupeuser", "known@x.com", "dev"), // email exists
+    (5L, "Fine", "fine", "d@x.com", "staging"))
+    .toDF("req_id", "name", "slug", "admin_email", "environment")
+  private val tenants = Seq("taken").toDF("slug")
+  private val users = Seq("known@x.com").toDF("email")
+
+  test("decision table: per-request statuses") {
+    val got = TenantProvisioning.plan(requests, tenants, users)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(
+      1L -> "provisioned",
+      2L -> "error_slug_exists_in_batch",  // first req_id won 'acme'
+      3L -> "error_slug_exists",
+      4L -> "error_user_exists",
+      5L -> "provisioned"))
+  }
+
+  test("provisioned rows carry surrogate id, bucket, Admin role") {
+    val rows = TenantProvisioning.plan(requests, tenants, users)
+      .where($"status" === "provisioned").collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getString(4),
+        r.getSeq[String](5))).toSeq
+    rows.foreach { case (_, tid, bucket, roles) =>
+      assert(tid.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+      assert(bucket == s"documents-$tid") // storage_setup.py:57
+      assert(roles == Seq("Admin"))       // the Rbac wildcard role
+    }
+    // deterministic: same slug → same surrogate id
+    val again = TenantProvisioning.plan(requests, tenants, users)
+      .where($"req_id" === 1).collect()(0).getString(3)
+    assert(again == rows.find(_._1 == 1L).get._2)
+  }
+
+  test("rejected requests commit NO tenant rows (rollback semantics)") {
+    val planned = TenantProvisioning.plan(requests, tenants, users)
+    val committed = TenantProvisioning.tenantRows(planned, requests)
+      .collect().map(r => (r.getString(2), r.getString(4))).toSeq
+    assert(committed.map(_._1).sorted == Seq("acme", "fine"))
+    assert(committed.forall(_._2 == "active"))
+  }
+}
