@@ -349,7 +349,85 @@ object TestQueries14 {
                THEN ['Admin'] END AS admin_roles
       FROM sur ORDER BY req_id"""))
 
+  /** Lloyd's k-means fit (k=8, 2 iterations) over the embeddings table —
+    * see [[graft.search.KMeans.fit]], the coarse-quantizer trainer for
+    * the IVF path (q47 consumes its output shape). The oracle unrolls
+    * both iterations in SQL: seed centroids from the 8 lowest vec_ids,
+    * assignment argmin (cluster-id tie-break), mean update with the
+    * empty-cluster carry-forward, and the final distances — 500
+    * hash-compared assignment rows.
+    */
+  val q151Kmeans: QueryCase = QueryCase(
+    "q151_kmeans",
+    (s, dir) => graft.search.KMeans
+      .fit(Tables.embeddings(s, dir), "vec_id", "embedding", k = 8)
+      .assignments
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, u.pos, u.x
+        FROM e, UNNEST(list_transform(v,
+               (x, i) -> struct_pack(pos := i, x := x))) AS t(u)),
+      seeds AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id
+        FROM e ORDER BY vec_id LIMIT 8),
+      c0 AS (
+        SELECT s.cluster_id, ex.pos, ex.x AS c
+        FROM seeds s JOIN ex ON ex.vec_id = s.vec_id),
+      d1 AS (
+        SELECT ex.vec_id, c0.cluster_id,
+               SUM((ex.x - c0.c) * (ex.x - c0.c)) AS d
+        FROM ex JOIN c0 USING (pos) GROUP BY 1, 2),
+      a1 AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT vec_id, cluster_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d, cluster_id) AS rn
+          FROM d1) WHERE rn = 1),
+      u1 AS (
+        SELECT a1.cluster_id, ex.pos, AVG(ex.x) AS cn
+        FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      c1 AS (
+        SELECT c0.cluster_id, c0.pos, COALESCE(u1.cn, c0.c) AS c
+        FROM c0 LEFT JOIN u1
+          ON u1.cluster_id = c0.cluster_id AND u1.pos = c0.pos),
+      d2 AS (
+        SELECT ex.vec_id, c1.cluster_id,
+               SUM((ex.x - c1.c) * (ex.x - c1.c)) AS d
+        FROM ex JOIN c1 USING (pos) GROUP BY 1, 2),
+      a2 AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT vec_id, cluster_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d, cluster_id) AS rn
+          FROM d2) WHERE rn = 1),
+      u2 AS (
+        SELECT a2.cluster_id, ex.pos, AVG(ex.x) AS cn
+        FROM ex JOIN a2 USING (vec_id) GROUP BY 1, 2),
+      c2 AS (
+        SELECT c1.cluster_id, c1.pos, COALESCE(u2.cn, c1.c) AS c
+        FROM c1 LEFT JOIN u2
+          ON u2.cluster_id = c1.cluster_id AND u2.pos = c1.pos),
+      d3 AS (
+        SELECT ex.vec_id, c2.cluster_id,
+               SUM((ex.x - c2.c) * (ex.x - c2.c)) AS d
+        FROM ex JOIN c2 USING (pos) GROUP BY 1, 2),
+      fin AS (
+        SELECT vec_id, cluster_id, SQRT(d) AS dist FROM (
+          SELECT vec_id, cluster_id, d,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d, cluster_id) AS rn
+          FROM d3) WHERE rn = 1)
+      SELECT vec_id, cluster_id, ROUND(dist, 6) AS dist
+      FROM fin ORDER BY vec_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
-      q149Dsir, q150TenantProvisioning)
+      q149Dsir, q150TenantProvisioning, q151Kmeans)
 }

@@ -1,0 +1,87 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over an embedding column — the coarse-quantizer
+  * TRAINER for the IVF scale path ([[IvfIndex]] consumes "a precomputed
+  * k-means label"; this is where that label comes from, completing the
+  * build story: fit → assignments as data → partition-pruned search).
+  *
+  * Deterministic by construction so runs and engines agree:
+  * seeds are the k lowest-id vectors (cluster j = seed rank j), the
+  * iteration count is fixed, and argmin ties break on cluster id. All
+  * distance/update arithmetic is double; cross-engine agreement on the
+  * ROUNDED outputs tolerates the ±1-ulp summation drift, and an
+  * assignment flip would need two centroids within ~1e-12 of equidistant
+  * — not a property of real embedding data (the q47 probed-set
+  * precedent).
+  *
+  * Scale shape: assignment is (id, pos, x) ⋈ broadcast(k·d centroid
+  * elements) → groupBy (id, cluster) partial sums — one shuffle of
+  * n·d·k narrow rows per iteration, no driver-side math; the updated
+  * centroids (k·d rows) are materialized per iteration (policy-gated)
+  * so the lineage stays flat. Fit on a SAMPLE at extreme scale — the
+  * quantizer needs representative centroids, not every row (standard
+  * IVF practice), then assign the full corpus with one final pass.
+  */
+object KMeans {
+
+  final case class Model(assignments: DataFrame, centroids: DataFrame)
+
+  /** Fit with fixed `iters` Lloyd iterations.
+    *
+    * Returns `assignments` = (id, cluster_id, dist) — dist is the final
+    * Euclidean distance to the winning centroid — and `centroids` =
+    * (cluster_id, centroid array<double>).
+    */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String,
+          k: Int, iters: Int = 2): Model = {
+    require(k >= 2 && iters >= 1)
+    val v = vecs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // (id, pos, x) — reused by every iteration's assignment AND update
+    val ex = graft.plans.Materialize.stage(
+      v.select(col("id"), posexplode(col("v")).as(Seq("pos", "x"))),
+      "graft.dedup.checkpoint")
+
+    val seedRank = Window.orderBy("id")
+    val seeds = v.orderBy("id").limit(k)
+      .withColumn("cluster_id", row_number().over(seedRank) - 1)
+      .select(col("id"), col("cluster_id"))
+    var cent = ex.join(seeds, Seq("id"))
+      .select(col("cluster_id"), col("pos"), col("x").as("c"))
+
+    val byVec = Window.partitionBy("id").orderBy(col("d"), col("cluster_id"))
+    def assign(c: DataFrame): DataFrame =
+      ex.join(broadcast(c), Seq("pos"))
+        .groupBy("id", "cluster_id")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+        .withColumn("rn", row_number().over(byVec))
+        .where(col("rn") === 1)
+        .select(col("id"), col("cluster_id"), col("d"))
+
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assign(cent)
+      val updated = ex.join(assigned.select("id", "cluster_id"), Seq("id"))
+        .groupBy("cluster_id", "pos").agg(avg(col("x")).as("cn"))
+      // a cluster that lost every member keeps its previous centroid
+      cent = graft.plans.Materialize.stage(
+        cent.join(updated, Seq("cluster_id", "pos"), "left")
+          .select(col("cluster_id"), col("pos"),
+            coalesce(col("cn"), col("c")).as("c")),
+        "graft.dedup.checkpoint")
+    }
+    // final assignment against the final centroids, dist = sqrt
+    val fin = assign(cent)
+      .select(col("id"), col("cluster_id"), sqrt(col("d")).as("dist"))
+    val centroids = cent
+      .groupBy("cluster_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cluster_id"),
+        transform(col("pc"), p => p("c")).as("centroid"))
+    Model(fin, centroids)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** [[KMeans.fit]] — Lloyd's iterations with deterministic seeding. */
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("well-separated groups are recovered and centroids converge") {
+    // two tight groups around (0,0) and (10,10); seeds = ids 1,2 (one in
+    // each group) so one iteration already separates them
+    val vecs = Seq(
+      (1L, Seq(0.1f, 0.0f)), (3L, Seq(0.0f, 0.2f)), (5L, Seq(-0.1f, 0.1f)),
+      (2L, Seq(10.0f, 10.1f)), (4L, Seq(9.9f, 10.0f)), (6L, Seq(10.1f, 9.8f)))
+      .toDF("vec_id", "embedding")
+    val m = KMeans.fit(vecs, "vec_id", "embedding", k = 2)
+    val got = m.assignments.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == got(3L) && got(3L) == got(5L))
+    assert(got(2L) == got(4L) && got(4L) == got(6L))
+    assert(got(1L) != got(2L))
+    val cents = m.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val c0 = cents(got(1L)); val c1 = cents(got(2L))
+    assert(math.abs(c0.head - 0.0) < 0.2 && math.abs(c1.head - 10.0) < 0.2)
+  }
+
+  test("empty cluster keeps its seed centroid (carry-forward)") {
+    // seeds are ids 1,2,3; seed 3 duplicates seed 2's vector, so on the
+    // first assignment every (5,5)-area point prefers the LOWER cluster
+    // id and cluster 2 receives no members — its centroid must carry
+    // forward unchanged while cluster 1's moves to its members' mean.
+    // (On the NEXT assignment the carried centroid legitimately wins the
+    // exact-(5,5) points back — that's Lloyd's, not a bug — so the pin
+    // is on the post-update centroids at iters=1, not on emptiness.)
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(5.0f, 5.0f)), (3L, Seq(5.0f, 5.0f)),
+      (4L, Seq(0.1f, 0.1f)), (5L, Seq(5.1f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val m = KMeans.fit(vecs, "vec_id", "embedding", k = 3, iters = 1)
+    val cents = m.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(cents(2) == Seq(5.0, 5.0)) // no members → carried forward
+    assert(math.abs(cents(1).head - (5.0 + 5.0 + 5.1f.toDouble) / 3) < 1e-9)
+    assert(cents(1)(1) == 5.0)
+  }
+
+  test("assignment is total and distances are non-negative") {
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val m = KMeans.fit(vecs, "vec_id", "embedding", k = 4, iters = 1)
+    val rows = m.assignments.collect()
+    assert(rows.length == vecs.count())
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+    assert(m.centroids.count() == 4)
+  }
+
+  test("fit feeds IvfIndex.build directly (quantizer seam)") {
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val m = KMeans.fit(vecs, "vec_id", "v", k = 4, iters = 1)
+    val labeled = vecs.join(m.assignments.select($"id".as("vec_id"),
+      $"cluster_id"), Seq("vec_id"))
+    val idx = IvfIndex.build(labeled, "vec_id", "v", "cluster_id")
+    val q = vecs.limit(1).select($"v".as("qv"))
+    val hits = IvfIndex.search(idx, q, k = 5, nprobe = 2).collect()
+    assert(hits.length == 5)
+  }
+}
