@@ -31,14 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object SpanDedup {
 
-  /** Per-document duplicated-window accounting.
-    *
-    * Output: (doc_id, n_windows, n_dup_windows, dup_frac, flagged) — one
-    * row per document with ≥ 1 window (fewer than w tokens → no windows →
-    * no row, mirroring the shingle operators' convention).
+  /** Persistable span-key pass: (doc_id, pos, k) — the 64-bit key of
+    * every w-token sliding window. The expensive stage of span dedup is
+    * windowing + hashing the raw text; key once at ingest, store the
+    * compact column, and incremental batches never re-read corpus text
+    * (see [[incrementalDuplicateSpans]], the q137 signature discipline).
     */
-  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     w: Int, flagThreshold: Double = 0.3): DataFrame = {
+  def spanKeys(docs: DataFrame, idCol: String, textCol: String,
+               w: Int): DataFrame = {
     require(w >= 2, "window width must be ≥ 2 tokens")
     val toks = docs
       .select(col(idCol).as("doc_id"),
@@ -49,7 +49,7 @@ object SpanDedup {
     // leaving exactly n−w+1 windows per doc.
     val spanCols = (0 until w).map(i =>
       if (i == 0) col("t") else lead(col("t"), i).over(byDoc))
-    val windows = toks
+    toks
       // bind the window expressions first: a window function cannot sit in
       // WHERE, and the tail check needs the LAST lead as a real column
       .select(col("doc_id"), col("pos"),
@@ -58,17 +58,59 @@ object SpanDedup {
       .where(col("full"))
       .select(col("doc_id"), col("pos"),
         CrossHash.md5Hash64(col("span")).as("k"))
+  }
+
+  /** Per-document duplicated-window accounting.
+    *
+    * Output: (doc_id, n_windows, n_dup_windows, dup_frac, flagged) — one
+    * row per document with ≥ 1 window (fewer than w tokens → no windows →
+    * no row, mirroring the shingle operators' convention).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int, flagThreshold: Double = 0.3): DataFrame = {
+    val windows = spanKeys(docs, idCol, textCol, w)
     // first-document-keeps: a window is duplicated iff its span key also
     // appears in a lower-id document
     val firstDoc = windows.groupBy("k")
       .agg(min(col("doc_id")).as("first_doc"))
     val marked = windows.join(firstDoc, Seq("k"))
       .withColumn("dup", col("doc_id") > col("first_doc"))
+    rollup(marked, flagThreshold)
+  }
+
+  /** Incremental span dedup: a NEW batch's per-doc accounting against a
+    * persisted corpus key set — corpus text is never re-read, and the
+    * corpus side only needs DISTINCT keys (membership, not positions).
+    *
+    * When every corpus doc_id precedes every batch doc_id (ingest-time
+    * ordering — the q137 convention), this is EXACTLY
+    * [[duplicateSpans]] over corpus ∪ batch restricted to batch rows:
+    * a window is duplicated iff its key exists in the corpus (some
+    * earlier doc has it) OR a lower-id batch document has it
+    * (SpanDedupSpec pins the equivalence). Per-batch work is
+    * proportional to the batch's windows; the corpus contributes one
+    * distinct-key semi-join side.
+    */
+  def incrementalDuplicateSpans(batchKeys: DataFrame, corpusKeys: DataFrame,
+                                flagThreshold: Double = 0.3): DataFrame = {
+    val inCorpus = corpusKeys.select(col("k")).distinct()
+      .withColumn("in_corpus", lit(true))
+    val firstInBatch = batchKeys.groupBy("k")
+      .agg(min(col("doc_id")).as("first_doc"))
+    val marked = batchKeys
+      .join(inCorpus, Seq("k"), "left")
+      .join(firstInBatch, Seq("k"))
+      .withColumn("dup",
+        coalesce(col("in_corpus"), lit(false)) ||
+          col("doc_id") > col("first_doc"))
+    rollup(marked, flagThreshold)
+  }
+
+  private def rollup(marked: DataFrame, flagThreshold: Double): DataFrame =
     marked.groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_frac",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
       .withColumn("flagged", col("dup_frac") >= flagThreshold)
-  }
 }

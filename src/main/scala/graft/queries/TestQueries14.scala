@@ -427,7 +427,57 @@ object TestQueries14 {
       SELECT vec_id, cluster_id, ROUND(dist, 6) AS dist
       FROM fin ORDER BY vec_id"""))
 
+  /** Incremental span dedup: batch (doc_id ≥ 300) against the persisted
+    * key set of the corpus (doc_id < 300) — see
+    * [[graft.operators.SpanDedup.incrementalDuplicateSpans]]. The corpus
+    * text is keyed once; the oracle replays batch windows, the corpus
+    * membership semi-join, and batch-internal first-wins.
+    */
+  val q152IncrementalSpanDedup: QueryCase = QueryCase(
+    "q152_incremental_span_dedup",
+    (s, dir) => {
+      import graft.operators.SpanDedup
+      val docs = Tables.documents(s, dir)
+      val corpusKeys = SpanDedup.spanKeys(
+        docs.where(col("doc_id") < 300), "doc_id", "text", w = 6)
+      val batchKeys = SpanDedup.spanKeys(
+        docs.where(col("doc_id") >= 300), "doc_id", "text", w = 6)
+      SpanDedup.incrementalDuplicateSpans(batchKeys, corpusKeys)
+        .orderBy("doc_id")
+    },
+    Some {
+      val k = graft.functions.CrossHash.md5Hash64SqlU("span")
+      s"""
+      WITH toks AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      win AS (
+        SELECT doc_id,
+               [array_to_string(tk[i:i+5], ' ')
+                for i in range(1, LEN(tk) - 4)] AS spans
+        FROM toks WHERE LEN(tk) >= 6),
+      ex AS (SELECT doc_id, UNNEST(spans) AS span FROM win),
+      keyed AS (SELECT doc_id, $k AS kk FROM ex),
+      corpus AS (SELECT DISTINCT kk FROM keyed WHERE doc_id < 300),
+      batch AS (SELECT doc_id, kk FROM keyed WHERE doc_id >= 300),
+      fb AS (SELECT kk, MIN(doc_id) AS first_doc FROM batch GROUP BY kk),
+      m AS (
+        SELECT b.doc_id,
+               ((b.kk IN (SELECT kk FROM corpus))
+                 OR b.doc_id > fb.first_doc) AS dup
+        FROM batch b JOIN fb USING (kk)),
+      agg AS (
+        SELECT doc_id, COUNT(*) AS nw,
+               SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS nd
+        FROM m GROUP BY doc_id)
+      SELECT doc_id, CAST(nw AS BIGINT) AS n_windows,
+             CAST(nd AS BIGINT) AS n_dup_windows,
+             ROUND(CAST(nd AS DOUBLE) / nw, 6) AS dup_frac,
+             (ROUND(CAST(nd AS DOUBLE) / nw, 6) >= CAST(0.3 AS DOUBLE))
+               AS flagged
+      FROM agg ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
-      q149Dsir, q150TenantProvisioning, q151Kmeans)
+      q149Dsir, q150TenantProvisioning, q151Kmeans,
+      q152IncrementalSpanDedup)
 }

@@ -45,6 +45,33 @@ class SpanDedupSpec extends SparkSpec {
     assert(got(3L) == ((1L, 1L, 1.0, true)))
   }
 
+  test("incremental path ≡ full run restricted to the batch") {
+    // corpus ids < batch ids (ingest ordering) — the equivalence contract
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = docs.where($"doc_id" < 30)
+    val batch = docs.where($"doc_id" >= 30)
+    val full = SpanDedup.duplicateSpans(docs, "doc_id", "text", w = 6)
+      .where($"doc_id" >= 30)
+    val incr = SpanDedup.incrementalDuplicateSpans(
+      SpanDedup.spanKeys(batch, "doc_id", "text", w = 6),
+      SpanDedup.spanKeys(corpus, "doc_id", "text", w = 6))
+    assert(full.exceptAll(incr).isEmpty && incr.exceptAll(full).isEmpty)
+    assert(incr.count() > 0)
+  }
+
+  test("incremental: corpus membership alone marks a duplicate") {
+    val corpus = SpanDedup.spanKeys(
+      Seq(1L -> "a b c d").toDF("doc_id", "text"), "doc_id", "text", 3)
+    val batch = SpanDedup.spanKeys(
+      Seq(10L -> "x b c d y", 11L -> "p q r s").toDF("doc_id", "text"),
+      "doc_id", "text", 3)
+    val got = SpanDedup.incrementalDuplicateSpans(batch, corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(10L) == ((3L, 1L))) // "b c d" came from the corpus
+    assert(got(11L) == ((2L, 0L)))
+  }
+
   test("sf0.001 corpus: accounting is internally consistent") {
     val df = SpanDedup.duplicateSpans(
       graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),

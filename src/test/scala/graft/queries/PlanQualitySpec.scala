@@ -374,4 +374,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"override batch + extraction metadata are broadcast-size:\n$p")
   }
+
+  test("q145: RBAC matrix + checks broadcast; only the user agg shuffles") {
+    val p = plan("q145_rbac")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the permission matrix must broadcast, never shuffle:\n$p")
+  }
+
+  test("q146: webhook verification is projection-only — no shuffle/join") {
+    val p = plan("q146_webhook_verify")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"HMAC verify is per-row; only the final ORDER BY may exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q148: span dedup shuffles hash keys, no cartesian, single sort") {
+    val p = plan("q148_span_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    // the span self-join keys on the 8-byte hash, not span text
+    assert(p.contains("hashpartitioning(k#") ||
+      p.contains("hashpartitioning(k "), s"group/join must key on k:\n$p")
+  }
+
+  test("q150: provisioning existence checks broadcast against the batch") {
+    val p = plan("q150_tenant_provisioning")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"existing tenants/users are control-plane size — broadcast:\n$p")
+  }
+
+  test("q151: k-means assignment broadcasts centroids every iteration") {
+    val p = plan("q151_kmeans")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
