@@ -476,8 +476,74 @@ object TestQueries14 {
       FROM agg ORDER BY doc_id"""
     })
 
+  /** Product-quantization encoding (Jégou et al. 2011) — see
+    * [[graft.search.Pq.fit]]: 64-dim embeddings → 4 subspaces × 4-code
+    * codebooks, all trained in ONE subspace-keyed Lloyd pass. The oracle
+    * unrolls the iteration with `sub` in every key (seed → assign →
+    * mean-update-with-carry → final assign) and hash-compares every
+    * vector's integer code array — integer output, so no float rounding
+    * in the gate at all; ADC search is spec-pinned (PqSpec).
+    */
+  val q153PqEncode: QueryCase = QueryCase(
+    "q153_pq_encode",
+    (s, dir) => graft.search.Pq
+      .fit(Tables.embeddings(s, dir), "vec_id", "embedding", m = 4, k = 4)
+      .codes
+      .select(col("id").as("vec_id"), col("codes"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, CAST((u.pos - 1) // 16 AS INT) AS sub,
+               (u.pos - 1) % 16 AS subpos, u.x
+        FROM e, UNNEST(list_transform(v,
+               (x, i) -> struct_pack(pos := i, x := x))) AS t(u)),
+      seeds AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+        FROM e ORDER BY vec_id LIMIT 4),
+      c0 AS (
+        SELECT ex.sub, s.code, ex.subpos, ex.x AS c
+        FROM seeds s JOIN ex ON ex.vec_id = s.vec_id),
+      d1 AS (
+        SELECT ex.vec_id, ex.sub, c0.code,
+               SUM((ex.x - c0.c) * (ex.x - c0.c)) AS d
+        FROM ex JOIN c0 ON c0.sub = ex.sub AND c0.subpos = ex.subpos
+        GROUP BY 1, 2, 3),
+      a1 AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vec_id, sub, code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                   ORDER BY d, code) AS rn
+          FROM d1) WHERE rn = 1),
+      u1 AS (
+        SELECT a1.sub, a1.code, ex.subpos, AVG(ex.x) AS cn
+        FROM ex JOIN a1 ON a1.vec_id = ex.vec_id AND a1.sub = ex.sub
+        GROUP BY 1, 2, 3),
+      c1 AS (
+        SELECT c0.sub, c0.code, c0.subpos, COALESCE(u1.cn, c0.c) AS c
+        FROM c0 LEFT JOIN u1 ON u1.sub = c0.sub AND u1.code = c0.code
+          AND u1.subpos = c0.subpos),
+      d2 AS (
+        SELECT ex.vec_id, ex.sub, c1.code,
+               SUM((ex.x - c1.c) * (ex.x - c1.c)) AS d
+        FROM ex JOIN c1 ON c1.sub = ex.sub AND c1.subpos = ex.subpos
+        GROUP BY 1, 2, 3),
+      a2 AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vec_id, sub, code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                   ORDER BY d, code) AS rn
+          FROM d2) WHERE rn = 1),
+      codes AS (
+        SELECT vec_id, list(CAST(code AS INT) ORDER BY sub) AS codes
+        FROM a2 GROUP BY vec_id)
+      SELECT vec_id, codes FROM codes ORDER BY vec_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
-      q152IncrementalSpanDedup)
+      q152IncrementalSpanDedup, q153PqEncode)
 }

@@ -1,0 +1,106 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the memory-scale path past IVF: vectors
+  * compress to `m` small codes (here m bytes-worth: one codebook id per
+  * subspace) and approximate distances come from table lookups, so a
+  * 100 TB embedding corpus's index fits a fraction of the raw size and
+  * ADC search never touches the original vectors.
+  *
+  * All `m` codebooks train in ONE subspace-keyed Lloyd pass: the
+  * exploded (id, sub, subpos, x) frame runs assignment/update with
+  * `sub` added to every key, so training is a single shuffle per
+  * iteration regardless of `m` (not m sequential k-means fits), and the
+  * complete codebook set (m·k·subDim rows) broadcasts everywhere it is
+  * consumed. Seeding/tie-break determinism matches [[KMeans]]: seeds
+  * are the k lowest-id vectors per subspace (same ids for all
+  * subspaces), argmin ties break on code id, empty codes carry their
+  * previous centroid.
+  */
+object Pq {
+
+  final case class Model(codebooks: DataFrame, codes: DataFrame)
+
+  /** Train and encode: `codebooks` = (sub, code, subpos, c) element rows;
+    * `codes` = (id, codes array<int>) ordered by subspace.
+    */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String,
+          m: Int, k: Int, iters: Int = 1): Model = {
+    require(m >= 1 && k >= 2 && iters >= 1)
+    val v = vecs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val ex = graft.plans.Materialize.stage(
+      v.select(col("id"), posexplode(col("v")).as(Seq("pos", "x"))),
+      "graft.dedup.checkpoint")
+    // dim must split evenly; probe it from the first row's array length
+    val dims = v.select(size(col("v")).as("d")).limit(1)
+    val exSub = ex
+      .crossJoin(broadcast(dims))
+      .where((col("d") % m) === 0) // uneven dims → empty result, loud specs
+      .withColumn("sd", (col("d") / m).cast("int")) // integer subspace width
+      .select(col("id"), (col("pos") / col("sd")).cast("int").as("sub"),
+        (col("pos") % col("sd")).as("subpos"), col("x"))
+
+    val seedRank = Window.orderBy("id")
+    val seeds = v.orderBy("id").limit(k)
+      .withColumn("code", row_number().over(seedRank) - 1)
+      .select(col("id"), col("code"))
+    var cent = exSub.join(broadcast(seeds), Seq("id"))
+      .select(col("sub"), col("code"), col("subpos"), col("x").as("c"))
+
+    val byVecSub = Window.partitionBy("id", "sub")
+      .orderBy(col("d"), col("code"))
+    def assign(c: DataFrame): DataFrame =
+      exSub.join(broadcast(c), Seq("sub", "subpos"))
+        .groupBy("id", "sub", "code")
+        .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d"))
+        .withColumn("rn", row_number().over(byVecSub))
+        .where(col("rn") === 1)
+        .select(col("id"), col("sub"), col("code"))
+
+    for (_ <- 1 to iters) {
+      val a = assign(cent)
+      val u = exSub.join(a, Seq("id", "sub"))
+        .groupBy("sub", "code", "subpos").agg(avg(col("x")).as("cn"))
+      cent = graft.plans.Materialize.stage(
+        cent.join(u, Seq("sub", "code", "subpos"), "left")
+          .select(col("sub"), col("code"), col("subpos"),
+            coalesce(col("cn"), col("c")).as("c")),
+        "graft.dedup.checkpoint")
+    }
+    val codes = assign(cent)
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("id"), transform(col("sc"), p => p("code")).as("codes"))
+    Model(cent, codes)
+  }
+
+  /** Asymmetric distance computation: the query stays exact, every
+    * encoded vector scores as Σ_sub table[sub][code] where the table is
+    * the query-to-codebook squared distances (m·k entries, broadcast).
+    * Returns top-`topK` (id, adc_dist) ascending.
+    */
+  def adcSearch(model: Model, query: DataFrame, topK: Int): DataFrame = {
+    val qex = query.select(posexplode(col("qv").cast("array<double>"))
+      .as(Seq("pos", "qx")))
+    // derive subspace split from the codebook's own shape
+    val shape = model.codebooks
+      .agg((max(col("subpos")) + 1).cast("int").as("subdim"))
+    val table = qex.crossJoin(broadcast(shape))
+      .select((col("pos") / col("subdim")).cast("int").as("sub"),
+        (col("pos") % col("subdim")).as("subpos"), col("qx"))
+      .join(broadcast(model.codebooks), Seq("sub", "subpos"))
+      .groupBy("sub", "code")
+      .agg(sum((col("qx") - col("c")) * (col("qx") - col("c"))).as("td"))
+    model.codes
+      .select(col("id"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(table), Seq("sub", "code"))
+      .groupBy("id").agg(sum(col("td")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(topK)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** [[Pq]] — product-quantization training, encoding, and ADC search. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("subspaces quantize independently") {
+    // 4-dim vectors, m=2: first half clusters at 0/10, second half at
+    // 0/100 — INDEPENDENTLY. Seeds (ids 1,2) cover (0,0) and (10,100),
+    // so codes separate each half on its own axis.
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(10.0f, 10.0f, 100.0f, 100.0f)),
+      (3L, Seq(0.1f, 0.0f, 99.9f, 100.0f)),   // low sub0, high sub1
+      (4L, Seq(10.1f, 10.0f, 0.1f, 0.0f)))    // high sub0, low sub1
+      .toDF("vec_id", "embedding")
+    val m = Pq.fit(vecs, "vec_id", "embedding", m = 2, k = 2)
+    val codes = m.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(3L)(0) == codes(1L)(0)) // sub0 groups with vec 1
+    assert(codes(3L)(1) == codes(2L)(1)) // sub1 groups with vec 2
+    assert(codes(4L)(0) == codes(2L)(0))
+    assert(codes(4L)(1) == codes(1L)(1))
+  }
+
+  test("codes are total, m-long, and in [0, k)") {
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Pq.fit(vecs, "vec_id", "embedding", m = 4, k = 4)
+    val rows = model.codes.collect()
+    assert(rows.length == vecs.count())
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 4))
+    }
+    // codebooks: 4 subs × 4 codes × 16 dims
+    assert(model.codebooks.count() == 4L * 4 * 16)
+  }
+
+  test("ADC search: distances replay from the collected model") {
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = Pq.fit(vecs, "vec_id", "embedding", m = 4, k = 4)
+    val q = vecs.where($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("qv"))
+    val got = Pq.adcSearch(model, q, topK = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+
+    // JVM replay: table[sub][code] = Σ (q_sub − centroid)², adc = Σ table
+    val qv = q.head().getSeq[Double](0)
+    val cb = model.codebooks.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    val codes = model.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val subDim = qv.length / 4
+    def table(sub: Int, code: Int): Double =
+      (0 until subDim).map { sp =>
+        val d = qv(sub * subDim + sp) - cb((sub, code, sp)); d * d
+      }.sum
+    val want = codes.view.mapValues(cs =>
+      cs.zipWithIndex.map { case (c, s) => table(s, c) }.sum).toMap
+    got.foreach { case (id, d) =>
+      assert(math.abs(d - want(id)) < 1e-9, s"adc mismatch for $id")
+    }
+    // the returned ids are the 10 smallest replayed distances
+    val wantTop = want.toSeq.sortBy { case (id, d) => (d, id) }
+      .take(10).map(_._1).toSet
+    assert(got.map(_._1).toSet == wantTop)
+  }
+
+  test("a vector equal to its centroid set has ADC distance ~0 to itself") {
+    // query = vec 0's own reconstruction error bound: its ADC distance
+    // equals the quantization error, which is ≤ brute distance to any
+    // other vector's reconstruction for planted tight clusters
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(8.0f, 8.0f)),
+      (3L, Seq(0.0f, 0.0f)), (4L, Seq(8.0f, 8.0f)))
+      .toDF("vec_id", "embedding")
+    val model = Pq.fit(vecs, "vec_id", "embedding", m = 2, k = 2)
+    val q = Seq(Tuple1(Seq(0.0, 0.0))).toDF("qv")
+    val top = Pq.adcSearch(model, q, topK = 4).collect()
+    // both (0,0) vectors share the zero-distance codes and rank first
+    assert(top.take(2).map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(top.take(2).forall(_.getDouble(1) == 0.0))
+  }
+}
