@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank (Brin & Page 1998; the power-iteration form
+  * with dangling-mass redistribution) — the canonical iterative
+  * join-aggregate workload over an edge table, here sized for entity /
+  * citation / link graphs a corpus pipeline derives (q68's entity graph,
+  * URL link graphs from q144's curation stage).
+  *
+  * PR_{t+1}(v) = (1−d)/N + d·(Σ_{u→v} PR_t(u)/outdeg(u) + dangling/N)
+  *
+  * Scale shape: one (src-keyed) contribution join + one (dst-keyed)
+  * aggregation per iteration — the two shuffles every distributed
+  * PageRank pays; N and the dangling mass ride 1-row broadcast cross
+  * joins (never a driver-side count), out-degrees are computed once, and
+  * each iteration's rank frame is materialized through the policy gate
+  * so lineage stays flat. Iteration count is FIXED (deterministic,
+  * oracle-unrollable); convergence-threshold looping is a caller-side
+  * wrapper at deployment.
+  */
+object PageRank {
+
+  /** `nodes`: (node); `edges`: (src, dst) — directed, deduplicated.
+    * Returns (node, pr) with Σ pr = 1 up to float drift.
+    */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int,
+          damping: Double = 0.85): DataFrame = {
+    require(iters >= 1)
+    val nCount = nodes.agg(count(lit(1)).cast("double").as("n"))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var pr = nodes.crossJoin(broadcast(nCount))
+      .select(col("node"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val withDeg = pr.join(outdeg, pr("node") === outdeg("src"), "left")
+      val dangling = withDeg.where(col("outdeg").isNull)
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dm"))
+      val contrib = edges
+        .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("outdeg")).as("cin"))
+      pr = graft.plans.Materialize.stage(
+        nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+          .crossJoin(broadcast(nCount)).crossJoin(broadcast(dangling))
+          .select(col("node"),
+            (lit((1.0 - damping)) / col("n")
+              + lit(damping) * (coalesce(col("cin"), lit(0.0))
+                + col("dm") / col("n"))).as("pr")),
+        "graft.dedup.checkpoint")
+    }
+    pr
+  }
+}

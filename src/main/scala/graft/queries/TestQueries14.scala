@@ -542,8 +542,79 @@ object TestQueries14 {
         FROM a2 GROUP BY vec_id)
       SELECT vec_id, codes FROM codes ORDER BY vec_id"""))
 
+  /** Fixed-iteration PageRank with dangling-mass redistribution over the
+    * customer↔supplier trade graph (both directions of every distinct
+    * (customer, supplier) order relationship) — see
+    * [[graft.operators.PageRank.run]]. Three iterations, d = 0.85. The
+    * oracle unrolls all three (per-iteration dangling CTE, contribution
+    * join, rank update); ROUND(pr, 9) absorbs summation-order drift
+    * (relative ~1e-15 on values ~1e-3).
+    */
+  val q154PageRank: QueryCase = QueryCase(
+    "q154_pagerank",
+    (s, dir) => {
+      val cust = Tables.table(s, dir, "customer")
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      val supp = Tables.table(s, dir, "supplier")
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      val pairs = Tables.table(s, dir, "orders")
+        .join(Tables.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("sn").as("dst"))
+        .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
+      graft.operators.PageRank
+        .run(cust.unionByName(supp), edges, iters = 3)
+        .select(col("node"), round(col("pr"), 9).as("pr"))
+        .orderBy("node")
+    },
+    Some {
+      def iter(i: Int): String = s"""
+      dang$i AS (
+        SELECT COALESCE(SUM(p.pr), CAST(0.0 AS DOUBLE)) AS dm
+        FROM pr${i - 1} p LEFT JOIN outdeg o ON o.src = p.node
+        WHERE o.src IS NULL),
+      contrib$i AS (
+        SELECT e.dst, SUM(p.pr / o.outdeg) AS cin
+        FROM edges e JOIN pr${i - 1} p ON p.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst),
+      pr$i AS (
+        SELECT n.node,
+               CAST(0.15 AS DOUBLE) / nc.n
+                 + CAST(0.85 AS DOUBLE)
+                   * (COALESCE(c.cin, CAST(0.0 AS DOUBLE)) + d.dm / nc.n)
+                 AS pr
+        FROM nodes n LEFT JOIN contrib$i c ON c.dst = n.node
+        CROSS JOIN ncount nc CROSS JOIN dang$i d)"""
+      s"""
+      WITH nodes AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+        UNION ALL
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+      pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+               's' || CAST(l_suppkey AS VARCHAR) AS sn
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c AS src, sn AS dst FROM pairs
+        UNION ALL
+        SELECT sn AS src, c AS dst FROM pairs),
+      ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      pr0 AS (
+        SELECT node, CAST(1.0 AS DOUBLE) / nc.n AS pr
+        FROM nodes CROSS JOIN ncount nc),
+      ${iter(1)},
+      ${iter(2)},
+      ${iter(3)}
+      SELECT node, ROUND(pr, 9) AS pr FROM pr3 ORDER BY node"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
-      q152IncrementalSpanDedup, q153PqEncode)
+      q152IncrementalSpanDedup, q153PqEncode, q154PageRank)
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[PageRank.run]] — conservation, dangling handling, and a
+  * hand-computed tiny graph.
+  */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed 3-node chain, one iteration") {
+    // a→b, b→c, c dangling. N=3, d=0.85, pr0 = 1/3 each.
+    // dangling mass = pr(c) = 1/3.
+    // pr1(a) = .15/3 + .85·(0 + (1/3)/3)            = .05 + .85/9
+    // pr1(b) = .15/3 + .85·(1/3 + (1/3)/3)
+    // pr1(c) likewise with contribution 1/3 from b
+    val nodes = Seq("a", "b", "c").toDF("node")
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = PageRank.run(nodes, edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val base = 0.15 / 3 + 0.85 * ((1.0 / 3) / 3)
+    assert(math.abs(got("a") - base) < 1e-12)
+    assert(math.abs(got("b") - (base + 0.85 / 3)) < 1e-12)
+    assert(math.abs(got("c") - (base + 0.85 / 3)) < 1e-12)
+  }
+
+  test("rank mass is conserved across iterations") {
+    val nodes = (1 to 50).map(i => s"n$i").toDF("node")
+    val edges = (1 to 50).flatMap(i =>
+      Seq((s"n$i", s"n${i % 50 + 1}"), (s"n$i", s"n${(i * 7) % 50 + 1}")))
+      .toDF("src", "dst")
+    val pr = PageRank.run(nodes, edges, iters = 3)
+      .agg(org.apache.spark.sql.functions.sum("pr")).head().getDouble(0)
+    assert(math.abs(pr - 1.0) < 1e-9)
+  }
+
+  test("all-dangling graph stays uniform") {
+    val nodes = Seq("x", "y").toDF("node")
+    val edges = Seq.empty[(String, String)].toDF("src", "dst")
+    val got = PageRank.run(nodes, edges, iters = 2)
+      .collect().map(_.getDouble(1))
+    got.foreach(p => assert(math.abs(p - 0.5) < 1e-12))
+  }
+
+  test("a heavily linked-to hub outranks leaf nodes") {
+    val nodes = (Seq("hub") ++ (1 to 10).map(i => s"leaf$i")).toDF("node")
+    val edges = (1 to 10).map(i => (s"leaf$i", "hub")).toDF("src", "dst")
+    val got = PageRank.run(nodes, edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert((1 to 10).forall(i => got("hub") > got(s"leaf$i")))
+  }
+}
