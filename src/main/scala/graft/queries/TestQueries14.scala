@@ -613,8 +613,125 @@ object TestQueries14 {
       SELECT node, ROUND(pr, 9) AS pr FROM pr3 ORDER BY node"""
     })
 
+  /** The round-9 corpus-refinery composition, end to end in ONE plan:
+    * cross-doc span dedup (drop flagged docs) → corpus-LM perplexity
+    * terciles over the SURVIVORS (drop the tail bucket) → DSIR
+    * importance weights of the kept non-holdout docs against the kept
+    * holdout → per-(bucket, keep) accounting. Each stage has its own
+    * [O] gate (q148/q147/q149); this pins that they COMPOSE — the
+    * perplexity model retrains on the survivor vocabulary and the DSIR
+    * distributions on the kept slice, so every intermediate feeds the
+    * next exactly as a real pipeline would.
+    */
+  val q155Refinery: QueryCase = QueryCase(
+    "q155_refinery",
+    (s, dir) => {
+      import graft.operators.{CorpusLm, SpanDedup}
+      val docs = Tables.documents(s, dir)
+      val spans = SpanDedup.duplicateSpans(docs, "doc_id", "text", w = 6)
+      val survivors = docs.join(
+        spans.where(!col("flagged")).select("doc_id"), Seq("doc_id"))
+      val ppl = CorpusLm.unigramPerplexity(survivors, "doc_id", "text")
+      val kept = ppl.where(col("bucket") =!= "tail")
+        .select(col("doc_id"), col("bucket"), col("n_tokens"))
+      val keptDocs = survivors.join(kept.select("doc_id"), Seq("doc_id"))
+      val weights = CorpusLm.dsirWeights(
+        keptDocs.where(col("doc_id") % 11 =!= 0),
+        keptDocs.where(col("doc_id") % 11 === 0),
+        "doc_id", "text")
+      weights.join(kept, Seq("doc_id"))
+        .groupBy("bucket", "keep")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy("bucket", "keep")
+    },
+    Some {
+      val k = graft.functions.CrossHash.md5Hash64SqlU("span")
+      val h = graft.functions.CrossHash.md5Hash64SqlU("g")
+      s"""
+      WITH toksall AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      win AS (
+        SELECT doc_id,
+               [array_to_string(tk[i:i+5], ' ')
+                for i in range(1, LEN(tk) - 4)] AS spans
+        FROM toksall WHERE LEN(tk) >= 6),
+      exw AS (SELECT doc_id, UNNEST(spans) AS span FROM win),
+      keyed AS (SELECT doc_id, $k AS kk FROM exw),
+      fd AS (SELECT kk, MIN(doc_id) AS first_doc FROM keyed GROUP BY kk),
+      mrk AS (SELECT keyed.doc_id, (keyed.doc_id > fd.first_doc) AS dup
+              FROM keyed JOIN fd USING (kk)),
+      spanagg AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+        FROM mrk GROUP BY doc_id),
+      survivors AS (
+        SELECT d.doc_id, d.text, t.tk
+        FROM documents d JOIN spanagg a USING (doc_id)
+        JOIN toksall t USING (doc_id)
+        WHERE NOT (a.dup_frac >= CAST(0.3 AS DOUBLE))),
+      toks AS (
+        SELECT doc_id, u.t AS t FROM survivors, UNNEST(tk) AS u(t)),
+      dt AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      vocab AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t),
+      tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(COUNT(DISTINCT t) AS DOUBLE) AS v FROM toks),
+      ce AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               -SUM(c * log2((cnt + CAST(0.5 AS DOUBLE))
+                             / (n + CAST(0.5 AS DOUBLE) * (v + 1))))
+                 / SUM(c) AS ce
+        FROM dt JOIN vocab USING (t) CROSS JOIN tot GROUP BY doc_id),
+      bkt AS (
+        SELECT doc_id, n_tokens,
+               CASE ntile(3) OVER (ORDER BY ROUND(ce, 6), doc_id)
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS bucket
+        FROM ce),
+      kept AS (SELECT * FROM bkt WHERE bucket <> 'tail'),
+      kdocs AS (SELECT s.doc_id, s.tk FROM survivors s
+                JOIN kept USING (doc_id)),
+      uni AS (SELECT doc_id, UNNEST(tk) AS g FROM kdocs),
+      bi AS (
+        SELECT doc_id,
+               UNNEST([tk[i] || ' ' || tk[i+1]
+                       for i in range(1, LEN(tk))]) AS g
+        FROM kdocs WHERE LEN(tk) >= 2),
+      grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+      feats AS (
+        SELECT doc_id, CAST($h % 256 AS BIGINT) AS bucket_h, COUNT(*) AS c
+        FROM grams GROUP BY 1, 2),
+      sfeats AS (SELECT * FROM feats WHERE doc_id % 11 <> 0),
+      tfeats AS (SELECT * FROM feats WHERE doc_id % 11 = 0),
+      sh AS (SELECT bucket_h, SUM(c) AS n FROM sfeats GROUP BY bucket_h),
+      th AS (SELECT bucket_h, SUM(c) AS n FROM tfeats GROUP BY bucket_h),
+      stot AS (SELECT CAST(SUM(c) AS DOUBLE) AS s_tot FROM sfeats),
+      ttot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t_tot FROM tfeats),
+      sc AS (
+        SELECT f.doc_id,
+               ROUND(SUM(f.c * (
+                 ln(COALESCE((th.n + CAST(0.5 AS DOUBLE))
+                               / (t_tot + CAST(0.5 AS DOUBLE) * 256),
+                             CAST(0.5 AS DOUBLE)
+                               / (t_tot + CAST(0.5 AS DOUBLE) * 256)))
+                 - ln(COALESCE((sh.n + CAST(0.5 AS DOUBLE))
+                                 / (s_tot + CAST(0.5 AS DOUBLE) * 256),
+                               CAST(0.5 AS DOUBLE)
+                                 / (s_tot + CAST(0.5 AS DOUBLE) * 256))))),
+                 6) AS log_w
+        FROM sfeats f
+        LEFT JOIN th USING (bucket_h) LEFT JOIN sh USING (bucket_h)
+        CROSS JOIN stot CROSS JOIN ttot
+        GROUP BY f.doc_id)
+      SELECT k.bucket, (sc.log_w > 0) AS keep,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(k.n_tokens) AS BIGINT) AS sum_tokens
+      FROM sc JOIN kept k USING (doc_id)
+      GROUP BY k.bucket, (sc.log_w > 0)
+      ORDER BY k.bucket, keep"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
-      q152IncrementalSpanDedup, q153PqEncode, q154PageRank)
+      q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery)
 }
