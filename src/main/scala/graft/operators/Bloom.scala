@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.functions.CrossHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter build/probe as DATA — the semi-join-reduction sketch: at
+  * 100 TB the cheapest way to avoid shuffling a fact table against a big
+  * dimension is to broadcast a bitmap of the dimension's keys and drop
+  * non-members at the scan. Spark's built-in `buildBloomFilter` uses
+  * engine-internal murmur hashing; this one derives its bit positions
+  * from the md5-based [[CrossHash]] family (Kirsch–Mitzenmacher double
+  * hashing: pos_i = (h1 + i·h2) mod m), so an oracle replays the EXACT
+  * bitmap — false positives included — and the sketch itself is a plain
+  * (word, bits) DataFrame that persists/broadcasts like any table (the
+  * CMS/HLL "sketch as data" convention, `operators.Sketches`).
+  *
+  * `mBits` must be a power of two: the modulus reduces with a low-bits
+  * mask so the signed (Spark) and unsigned (oracle HUGEINT) hash views
+  * agree. Words are 64-bit longs via two's-complement `1L << (pos % 64)`.
+  */
+object Bloom {
+
+  /** Bit positions of one key: (h1 + i·h2) mod m for i < k, where h1/h2
+    * are the two 32-bit halves of the md5-derived 64-bit hash (both
+    * masked non-negative).
+    */
+  private def positions(key: Column, k: Int, mBits: Int): Column = {
+    val h = CrossHash.md5Hash64(key)
+    val h1 = h.bitwiseAND(lit(0x7fffffffL))
+    val h2 = shiftrightunsigned(h, 33)
+    transform(sequence(lit(0), lit(k - 1)),
+      i => ((h1 + i.cast("long") * h2).bitwiseAND(lit(mBits - 1L))))
+  }
+
+  /** Build the bitmap: (word, bits) rows, word = pos / 64. Tiny —
+    * mBits/64 rows max — always broadcastable.
+    */
+  def build(keys: DataFrame, keyCol: String, k: Int, mBits: Int): DataFrame = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      "mBits must be a power of two ≥ 64 (low-bits masking + 64-bit words)")
+    require(k >= 1 && k <= 16)
+    keys.select(explode(positions(col(keyCol), k, mBits)).as("pos"))
+      .distinct()
+      // SQL shiftleft: the Scala `shiftleft` helper only takes a literal
+      // shift amount, the SQL form accepts a column
+      .select((col("pos") / 64).cast("long").as("word"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("bit"))
+      .groupBy("word").agg(bit_or(col("bit")).as("bits"))
+  }
+
+  /** Probe: for every row of `candidates`, whether ALL k bits are set.
+    * The sketch joins broadcast on the word index; a missing word means
+    * an all-zero word (coalesce 0). Output: candidates + `might_contain`.
+    */
+  def probe(candidates: DataFrame, keyCol: String, sketch: DataFrame,
+            k: Int, mBits: Int): DataFrame = {
+    val withPos = candidates
+      .withColumn("__pos", explode(positions(col(keyCol), k, mBits)))
+      .withColumn("__word", (col("__pos") / 64).cast("long"))
+      .withColumn("__bit", expr("shiftleft(1L, cast(__pos % 64 as int))"))
+    val probed = withPos
+      .join(broadcast(sketch.select(col("word").as("__word"),
+        col("bits").as("__bits"))), Seq("__word"), "left")
+      .withColumn("__hit",
+        coalesce(col("__bits"), lit(0L)).bitwiseAND(col("__bit")) =!= 0L)
+    probed
+      .groupBy(candidates.columns.map(col).toSeq: _*)
+      .agg(min(col("__hit")).as("might_contain")) // AND over the k probes
+  }
+}

@@ -730,8 +730,68 @@ object TestQueries14 {
       ORDER BY k.bucket, keep"""
     })
 
+  /** Bloom-filter build + probe (semi-join reduction sketch) — see
+    * [[graft.operators.Bloom]]. The filter is built over the customers
+    * that HAVE orders (4096 bits, k=4 — sized for a visible
+    * false-positive band) and probed with every customer; the oracle
+    * replays the md5 double-hash positions, the HUGEINT bitmap, and the
+    * AND-of-bits probe, so the EXACT false-positive pattern
+    * hash-matches, not just the true memberships.
+    */
+  val q156Bloom: QueryCase = QueryCase(
+    "q156_bloom",
+    (s, dir) => {
+      import graft.operators.Bloom
+      val present = Tables.table(s, dir, "orders")
+        .select(col("o_custkey").cast("string").as("key")).distinct()
+      val sketch = Bloom.build(present, "key", k = 4, mBits = 4096)
+      val cands = Tables.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_custkey").cast("string").as("key"))
+      Bloom.probe(cands, "key", sketch, k = 4, mBits = 4096)
+        .join(present.withColumn("present", lit(true)), Seq("key"), "left")
+        .select(col("c_custkey"), col("might_contain"),
+          coalesce(col("present"), lit(false)).as("present"),
+          (col("might_contain") && !coalesce(col("present"), lit(false)))
+            .as("false_positive"))
+        .orderBy("c_custkey")
+    },
+    Some {
+      def posCte(src: String): String = s"""
+        SELECT key, ((h1 + i * h2) % 4096) AS p FROM (
+          SELECT key,
+                 u % 2147483648 AS h1,
+                 u // 8589934592 AS h2
+          FROM (SELECT key,
+                  ${graft.functions.CrossHash
+                    .md5Hash64SqlU("CAST(key AS VARCHAR)")} AS u
+                FROM $src)),
+          UNNEST([0, 1, 2, 3]) AS t(i)"""
+      s"""
+      WITH pres AS (SELECT DISTINCT o_custkey AS key FROM orders),
+      bpos AS (${posCte("pres")}),
+      sketch AS (
+        SELECT p // 64 AS word,
+               bit_or(CAST(1 AS HUGEINT) << CAST(p % 64 AS INT)) AS bits
+        FROM bpos GROUP BY 1),
+      cand AS (SELECT c_custkey AS key FROM customer),
+      cpos AS (${posCte("cand")}),
+      probed AS (
+        SELECT c.key,
+               bool_and(COALESCE(s.bits, CAST(0 AS HUGEINT))
+                 & (CAST(1 AS HUGEINT) << CAST(c.p % 64 AS INT)) <> 0)
+                 AS might_contain
+        FROM cpos c LEFT JOIN sketch s ON s.word = c.p // 64
+        GROUP BY c.key)
+      SELECT p.key AS c_custkey, p.might_contain,
+             (p.key IN (SELECT key FROM pres)) AS present,
+             (p.might_contain AND p.key NOT IN (SELECT key FROM pres))
+               AS false_positive
+      FROM probed p ORDER BY c_custkey"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
-      q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery)
+      q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery,
+      q156Bloom)
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Bloom]] — no false negatives ever, bounded false positives, and
+  * the broadcast probe plan.
+  */
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("no false negatives: every inserted key probes true") {
+    val keys = (1 to 200).map(i => s"key-$i").toDF("key")
+    val sketch = Bloom.build(keys, "key", k = 4, mBits = 4096)
+    val got = Bloom.probe(keys, "key", sketch, k = 4, mBits = 4096)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got.size == 200 && got.values.forall(identity))
+  }
+
+  test("false-positive rate is in the expected band") {
+    val present = (1 to 500).map(i => s"in-$i").toDF("key")
+    val absent = (1 to 2000).map(i => s"out-$i").toDF("key")
+    val sketch = Bloom.build(present, "key", k = 4, mBits = 4096)
+    val fp = Bloom.probe(absent, "key", sketch, k = 4, mBits = 4096)
+      .where($"might_contain").count()
+    // theoretical fp ≈ (1−e^{−kn/m})^k ≈ 0.024 at n=500,m=4096,k=4;
+    // 2000 trials → expect ~48, allow a generous band
+    assert(fp > 5 && fp < 200, s"fp count $fp outside plausible band")
+  }
+
+  test("empty build probes everything false") {
+    val sketch = Bloom.build(Seq.empty[String].toDF("key"), "key", 4, 4096)
+    val got = Bloom.probe(Seq("a", "b").toDF("key"), "key", sketch, 4, 4096)
+      .collect().map(_.getBoolean(1))
+    assert(got.forall(!_))
+  }
+
+  test("power-of-two bit count is enforced") {
+    intercept[IllegalArgumentException] {
+      Bloom.build(Seq("a").toDF("key"), "key", k = 4, mBits = 1000)
+    }
+  }
+
+  test("probe joins the sketch broadcast — no shuffle of the bitmap") {
+    val keys = (1 to 50).map(i => s"k$i").toDF("key")
+    val sketch = Bloom.build(keys, "key", 4, 4096)
+    val plan = Bloom.probe(keys, "key", sketch, 4, 4096)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
