@@ -789,9 +789,50 @@ object TestQueries14 {
       FROM probed p ORDER BY c_custkey"""
     })
 
+  /** Jaro / Jaro–Winkler similarity (Winkler 1990) — see
+    * [[graft.functions.StringSim]]: a codegen expression whose oracle is
+    * DuckDB's NATIVE `jaro_similarity`/`jaro_winkler_similarity` — two
+    * independent implementations of the published algorithm must agree
+    * to 6dp on every customer name/segment pair (the strongest oracle
+    * form available: nothing shared but the spec).
+    */
+  val q157JaroWinkler: QueryCase = QueryCase(
+    "q157_jaro_winkler",
+    (s, dir) => {
+      import graft.functions.StringSim
+      val c = Tables.table(s, dir, "customer")
+      val a = c.where(col("c_custkey") % 100 === 1)
+        .select(col("c_custkey").as("id1"), col("c_name").as("n1"),
+          col("c_mktsegment").as("p1"))
+      val b = c.where(col("c_custkey") % 97 === 1)
+        .select(col("c_custkey").as("id2"), col("c_name").as("n2"),
+          col("c_mktsegment").as("p2"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(StringSim.jaro(col("n1"), col("n2")), 6).as("name_jaro"),
+          round(StringSim.jaroWinkler(col("n1"), col("n2")), 6)
+            .as("name_jw"),
+          round(StringSim.jaroWinkler(col("p1"), col("p2")), 6)
+            .as("seg_jw"))
+        .orderBy("id1", "id2")
+    },
+    Some("""
+      WITH a AS (
+        SELECT c_custkey AS id1, c_name AS n1, c_mktsegment AS p1
+        FROM customer WHERE c_custkey % 100 = 1),
+      b AS (
+        SELECT c_custkey AS id2, c_name AS n2, c_mktsegment AS p2
+        FROM customer WHERE c_custkey % 97 = 1)
+      SELECT id1, id2,
+             ROUND(jaro_similarity(n1, n2), 6) AS name_jaro,
+             ROUND(jaro_winkler_similarity(n1, n2), 6) AS name_jw,
+             ROUND(jaro_winkler_similarity(p1, p2), 6) AS seg_jw
+      FROM a JOIN b ON id1 < id2
+      ORDER BY id1, id2"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
       q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery,
-      q156Bloom)
+      q156Bloom, q157JaroWinkler)
 }

@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** [[JaroWinklerSim]] — the published Winkler 1990 vectors plus the
+  * RapidFuzz/DuckDB semantics edges (integer-halved transpositions,
+  * either-empty → 0, boost only above 0.7).
+  */
+class StringSimSpec extends SparkSpec {
+
+  private def j(a: String, b: String) = JaroWinklerSim.jaro(a, b)
+  private def jw(a: String, b: String) = JaroWinklerSim.jaroWinkler(a, b)
+  private def close(x: Double, y: Double) = math.abs(x - y) < 1e-9
+
+  test("published vectors") {
+    assert(close(j("MARTHA", "MARHTA"), 17.0 / 18))       // 0.944444…
+    assert(close(jw("MARTHA", "MARHTA"), 0.9611111111111111))
+    assert(close(j("DIXON", "DICKSONX"), 0.7666666666666666))
+    assert(close(jw("DIXON", "DICKSONX"), 0.8133333333333332))
+    assert(close(jw("DWAYNE", "DUANE"), 0.84))
+    assert(close(j("JELLYFISH", "SMELLYFISH"), 0.8962962962962964))
+    assert(close(jw("JELLYFISH", "SMELLYFISH"), 0.8962962962962964))
+  }
+
+  test("edges: empties, no matches, identity, prefix cap") {
+    assert(j("", "") == 0.0 && jw("", "") == 0.0)  // DuckDB convention
+    assert(j("", "abc") == 0.0 && j("abc", "") == 0.0)
+    assert(j("x", "y") == 0.0)
+    assert(j("abc", "abc") == 1.0 && jw("abc", "abc") == 1.0)
+    // prefix boost caps at 4 even with a 6-char common prefix
+    assert(close(jw("prefix", "prefixXXXX"), 0.92))
+  }
+
+  test("boost applies only above 0.7 jaro") {
+    assert(close(jw("abqqqqqq", "abzzzzzz"), j("abqqqqqq", "abzzzzzz")))
+    assert(jw("TANYA", "TONYA") > j("TANYA", "TONYA"))
+  }
+
+  test("odd transposition counts use integer halving (DuckDB parity)") {
+    // Customer#000000601 vs Customer#000001068: 17 matches, 3 pairwise
+    // mismatches → t = 1 (not 1.5); jaro = (17/18·2 + 16/17)/3
+    val a = "Customer#000000601"; val b = "Customer#000001068"
+    assert(close(j(a, b), (17.0 / 18 * 2 + 16.0 / 17) / 3))
+  }
+
+  test("column API runs under codegen over a distributed input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("", ""))
+      .toDF("a", "b").repartition(2)
+      .select(StringSim.jaroWinkler(col("a"), col("b")).as("s"))
+    val got = df.collect().map(_.getDouble(0)).sorted
+    assert(close(got(0), 0.0) && close(got(1), 0.8133333333333332) &&
+      close(got(2), 0.9611111111111111))
+  }
+}
