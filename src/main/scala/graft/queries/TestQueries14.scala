@@ -830,9 +830,49 @@ object TestQueries14 {
       FROM a JOIN b ON id1 < id2
       ORDER BY id1, id2"""))
 
+  /** True (unrestricted) Damerau–Levenshtein distance — see
+    * [[graft.functions.DamerauLev]] (Lowrance–Wagner DP; adjacent
+    * transpositions may span intervening edits — "CA"→"ABC" is 2, not
+    * OSA's 3). Oracle: DuckDB's native `damerau_levenshtein`, again two
+    * independent implementations of the published algorithm.
+    */
+  val q158DamerauLev: QueryCase = QueryCase(
+    "q158_damerau_lev",
+    (s, dir) => {
+      import graft.functions.StringSim
+      val c = Tables.table(s, dir, "customer")
+      val a = c.where(col("c_custkey") % 100 === 1)
+        .select(col("c_custkey").as("id1"), col("c_name").as("n1"),
+          col("c_mktsegment").as("s1"))
+      val b = c.where(col("c_custkey") % 97 === 1)
+        .select(col("c_custkey").as("id2"), col("c_name").as("n2"),
+          col("c_mktsegment").as("s2"))
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          StringSim.damerauLevenshtein(col("n1"), col("n2")).as("name_dl"),
+          StringSim.damerauLevenshtein(col("s1"), col("s2")).as("seg_dl"),
+          StringSim.damerauLevenshtein(col("n1"), reverse(col("n2")))
+            .as("name_rev_dl"))
+        .orderBy("id1", "id2")
+    },
+    Some("""
+      WITH a AS (
+        SELECT c_custkey AS id1, c_name AS n1, c_mktsegment AS s1
+        FROM customer WHERE c_custkey % 100 = 1),
+      b AS (
+        SELECT c_custkey AS id2, c_name AS n2, c_mktsegment AS s2
+        FROM customer WHERE c_custkey % 97 = 1)
+      SELECT id1, id2,
+             CAST(damerau_levenshtein(n1, n2) AS INT) AS name_dl,
+             CAST(damerau_levenshtein(s1, s2) AS INT) AS seg_dl,
+             CAST(damerau_levenshtein(n1, reverse(n2)) AS INT)
+               AS name_rev_dl
+      FROM a JOIN b ON id1 < id2
+      ORDER BY id1, id2"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
       q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery,
-      q156Bloom, q157JaroWinkler)
+      q156Bloom, q157JaroWinkler, q158DamerauLev)
 }

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** [[DamerauLev]] — the UNRESTRICTED variant (Lowrance–Wagner), probed
+  * vectors from DuckDB's native implementation plus the classic
+  * OSA-vs-DL discriminator.
+  */
+class DamerauLevSpec extends SparkSpec {
+
+  private def d(a: String, b: String) = DamerauLev.distance(a, b)
+
+  test("probed vectors match DuckDB's native damerau_levenshtein") {
+    assert(d("CA", "ABC") == 2)        // the OSA discriminator (OSA = 3)
+    assert(d("ab", "ba") == 1)
+    assert(d("abc", "acb") == 1)
+    assert(d("kitten", "sitting") == 3)
+    assert(d("", "abc") == 3 && d("abc", "") == 3)
+    assert(d("abcdef", "abcfed") == 2)
+    assert(d("a cat", "an abct") == 3)
+  }
+
+  test("metric basics: identity, symmetry, triangle spot checks") {
+    assert(d("same", "same") == 0)
+    val pairs = Seq(("abcd", "badc"), ("xy", "yx"), ("edit", "tide"))
+    pairs.foreach { case (a, b) => assert(d(a, b) == d(b, a)) }
+    assert(d("abc", "xbc") <= d("abc", "xyc") + d("xyc", "xbc"))
+  }
+
+  test("transposition beats substitute+substitute") {
+    assert(d("ab", "ba") == 1)       // one transposition, not two subs
+    assert(d("abxycd", "abyxcd") == 1)
+  }
+
+  test("column API under codegen over a distributed input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val got = Seq(("CA", "ABC"), ("kitten", "sitting"), ("x", "x"))
+      .toDF("a", "b").repartition(2)
+      .select(StringSim.damerauLevenshtein(col("a"), col("b")).as("d"))
+      .collect().map(_.getInt(0)).sorted
+    assert(got.toSeq == Seq(0, 2, 3))
+  }
+}
