@@ -68,7 +68,10 @@ object SpanDedup {
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      w: Int, flagThreshold: Double = 0.3): DataFrame = {
-    val windows = spanKeys(docs, idCol, textCol, w)
+    // windows feeds BOTH the first-doc aggregation and the join side —
+    // materialize or the window sort + 2M md5 calls run twice
+    val windows = graft.plans.Materialize.stage(
+      spanKeys(docs, idCol, textCol, w), "graft.dedup.checkpoint")
     // first-document-keeps: a window is duplicated iff its span key also
     // appears in a lower-id document
     val firstDoc = windows.groupBy("k")
@@ -95,9 +98,12 @@ object SpanDedup {
                                 flagThreshold: Double = 0.3): DataFrame = {
     val inCorpus = corpusKeys.select(col("k")).distinct()
       .withColumn("in_corpus", lit(true))
-    val firstInBatch = batchKeys.groupBy("k")
+    // batch keys feed both the first-doc aggregation and the join side
+    val bk = graft.plans.Materialize.stage(batchKeys,
+      "graft.dedup.checkpoint")
+    val firstInBatch = bk.groupBy("k")
       .agg(min(col("doc_id")).as("first_doc"))
-    val marked = batchKeys
+    val marked = bk
       .join(inCorpus, Seq("k"), "left")
       .join(firstInBatch, Seq("k"))
       .withColumn("dup",

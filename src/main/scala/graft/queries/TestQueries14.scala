@@ -629,11 +629,18 @@ object TestQueries14 {
       import graft.operators.{CorpusLm, SpanDedup}
       val docs = Tables.documents(s, dir)
       val spans = SpanDedup.duplicateSpans(docs, "doc_id", "text", w = 6)
-      val survivors = docs.join(
-        spans.where(!col("flagged")).select("doc_id"), Seq("doc_id"))
+      // survivors feeds the perplexity model AND the kept-doc join; kept
+      // feeds the DSIR split and the final accounting — materialize both
+      // (the q109 composed-pipeline discipline)
+      val survivors = graft.plans.Materialize.stage(
+        docs.join(spans.where(!col("flagged")).select("doc_id"),
+          Seq("doc_id")),
+        "graft.dedup.checkpoint")
       val ppl = CorpusLm.unigramPerplexity(survivors, "doc_id", "text")
-      val kept = ppl.where(col("bucket") =!= "tail")
-        .select(col("doc_id"), col("bucket"), col("n_tokens"))
+      val kept = graft.plans.Materialize.stage(
+        ppl.where(col("bucket") =!= "tail")
+          .select(col("doc_id"), col("bucket"), col("n_tokens")),
+        "graft.dedup.checkpoint")
       val keptDocs = survivors.join(kept.select("doc_id"), Seq("doc_id"))
       val weights = CorpusLm.dsirWeights(
         keptDocs.where(col("doc_id") % 11 =!= 0),
