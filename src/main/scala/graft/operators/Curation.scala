@@ -247,4 +247,33 @@ object Curation {
       }
       .toDF("shard", "id", "tok", "seq")
   }
+
+  /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    * algorithm A-ES): each row gets the key ln(u)/w for a deterministic
+    * md5-derived uniform u ∈ (0, 1); the k LARGEST keys are the sample,
+    * which is distributionally identical to sequential weighted draws
+    * without replacement. Deterministic for a given corpus (u is a pure
+    * function of the id), distributed as one TakeOrdered heap — no
+    * sequential draw loop, no global shuffle.
+    *
+    * The uniform is built with the SAME double-arithmetic sequence the
+    * oracle mirror uses (signed-long hash → double, conditional +2^64,
+    * +0.5, /2^64), so both engines see bit-identical u; the ln/division
+    * drift is ±1 ulp on CONTINUOUS keys, so selection flips are
+    * measure-zero (the q47 tolerance class). Rows with NULL or ≤ 0
+    * weight are excluded (zero weight = never sampled).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(!df.columns.contains("_wkey"),
+      "input already has a '_wkey' column — drop or rename it first")
+    val h64 = graft.functions.CrossHash.md5Hash64(col(idCol).cast("string"))
+    val u = (h64.cast("double")
+      + when(h64 < 0, lit(1.8446744073709552e19)).otherwise(lit(0.0))
+      + lit(0.5)) / lit(1.8446744073709552e19)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_wkey", log(u) / col(weightCol))
+      .orderBy(col("_wkey").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.functions.CrossHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Rendezvous (highest-random-weight) shard routing (Thaler & Ravishankar
+  * 1996) — the consistent-assignment primitive behind elastic
+  * partitioning: every key routes to argmax_shard hash(key ‖ shard), so
+  * adding a shard moves only ~1/(n+1) of the keys (each key moves iff
+  * the NEW shard wins its rendezvous), with no ring state to persist —
+  * the property a 100 TB ingest plane needs to grow its bucket count
+  * without a full rewrite.
+  *
+  * Entirely integer argmax over md5-derived hashes: no floats anywhere,
+  * so the oracle replays assignments EXACTLY, and determinism across
+  * engines/runs is unconditional. The shard list rides in the plan (a
+  * deployment has a handful); per key the cost is |shards| hash
+  * evaluations in one projection — zero shuffle.
+  */
+object Sharding {
+
+  /** Append `shard` = the rendezvous winner among `shards` for
+    * `keyCol`. Ties (astronomically unlikely with 64-bit hashes) break
+    * on shard name order.
+    */
+  def rendezvousAssign(df: DataFrame, keyCol: String,
+                       shards: Seq[String]): DataFrame = {
+    require(shards.nonEmpty && shards.distinct.size == shards.size)
+    val scored = shards.map { sh =>
+      struct(
+        CrossHash.md5Hash64(
+          concat(col(keyCol).cast("string"), lit("|"), lit(sh))).as("h"),
+        lit(sh).as("s"))
+    }
+    // array_max over (hash, name) structs = lexicographic argmax: hash
+    // first, shard name as the deterministic tie-break
+    df.withColumn("shard", array_max(array(scored: _*)).getField("s"))
+  }
+
+  /** Elasticity audit: assignments under `shards` vs `shards :+ added`,
+    * plus whether each key moved. Every move must target the NEW shard —
+    * the rendezvous stability guarantee (a key's old winner keeps its
+    * score; only the newcomer can beat it).
+    */
+  def expansionAudit(df: DataFrame, keyCol: String, shards: Seq[String],
+                     added: String): DataFrame = {
+    val before = rendezvousAssign(df, keyCol, shards)
+      .withColumnRenamed("shard", "shard_before")
+    val after = rendezvousAssign(before, keyCol, shards :+ added)
+    after
+      .withColumn("moved", col("shard") =!= col("shard_before"))
+      .withColumnRenamed("shard", "shard_after")
+  }
+}

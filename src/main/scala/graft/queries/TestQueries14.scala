@@ -877,9 +877,94 @@ object TestQueries14 {
       FROM a JOIN b ON id1 < id2
       ORDER BY id1, id2"""))
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES) —
+    * see [[graft.operators.Curation.weightedSample]]: 25 documents drawn
+    * by n_chars weight via deterministic md5 uniforms. The oracle
+    * replays the exact double sequence for u (bit-identical) and the
+    * ln/weight key; the sampled SET and rounded keys hash-compare.
+    */
+  val q159WeightedSample: QueryCase = QueryCase(
+    "q159_weighted_sample",
+    (s, dir) => graft.operators.Curation
+      .weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 25)
+      .select(col("doc_id"), col("n_chars"),
+        round(col("_wkey"), 9).as("wkey"))
+      .orderBy("doc_id"),
+    Some {
+      val u64 = graft.functions.CrossHash
+        .md5Hash64SqlU("CAST(doc_id AS VARCHAR)")
+      val signed = graft.functions.CrossHash.hugeToSignedSql("u64")
+      s"""
+      WITH h AS (
+        SELECT doc_id, n_chars, $u64 AS u64
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      sg AS (SELECT doc_id, n_chars, $signed AS sh FROM h),
+      ky AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(sh AS DOUBLE)
+                   + CASE WHEN sh < 0 THEN 18446744073709551616.0
+                       ELSE 0.0 END + 0.5)
+                  / 18446744073709551616.0) / n_chars AS wk
+        FROM sg)
+      SELECT doc_id, n_chars, ROUND(wk, 9) AS wkey FROM (
+        SELECT * FROM ky ORDER BY wk DESC, doc_id LIMIT 25)
+      ORDER BY doc_id"""
+    })
+
+  /** Rendezvous (HRW) shard routing + elasticity audit — see
+    * [[graft.operators.Sharding]]. Integer argmax over signed 64-bit
+    * hashes (no floats anywhere): assignments under 4 shards, then after
+    * adding a 5th — every move must land on the NEW shard and the moved
+    * fraction sits near 1/5. The oracle replays the signed-hash argmax
+    * exactly.
+    */
+  val q160Rendezvous: QueryCase = QueryCase(
+    "q160_rendezvous",
+    (s, dir) => {
+      val shards = Seq("shard-a", "shard-b", "shard-c", "shard-d")
+      graft.operators.Sharding
+        .expansionAudit(
+          Tables.table(s, dir, "customer")
+            .select(col("c_custkey").as("key")),
+          "key", shards, added = "shard-e")
+        .select(col("key"), col("shard_before"), col("shard_after"),
+          col("moved"))
+        .orderBy("key")
+    },
+    Some {
+      def hSql(expr: String) = graft.functions.CrossHash.hugeToSignedSql(
+        graft.functions.CrossHash.md5Hash64SqlU(expr))
+      s"""
+      WITH keys AS (SELECT c_custkey AS key FROM customer),
+      sc4 AS (
+        SELECT key, sh,
+               ${hSql("CAST(key AS VARCHAR) || '|' || sh")} AS h
+        FROM keys, (VALUES ('shard-a'), ('shard-b'), ('shard-c'),
+                           ('shard-d')) AS t(sh)),
+      b AS (
+        SELECT key, sh AS shard_before FROM (
+          SELECT key, sh, ROW_NUMBER() OVER (PARTITION BY key
+            ORDER BY h DESC, sh DESC) AS rn FROM sc4) WHERE rn = 1),
+      sc5 AS (
+        SELECT key, sh,
+               ${hSql("CAST(key AS VARCHAR) || '|' || sh")} AS h
+        FROM keys, (VALUES ('shard-a'), ('shard-b'), ('shard-c'),
+                           ('shard-d'), ('shard-e')) AS t(sh)),
+      a AS (
+        SELECT key, sh AS shard_after FROM (
+          SELECT key, sh, ROW_NUMBER() OVER (PARTITION BY key
+            ORDER BY h DESC, sh DESC) AS rn FROM sc5) WHERE rn = 1)
+      SELECT b.key, b.shard_before, a.shard_after,
+             (b.shard_before <> a.shard_after) AS moved
+      FROM b JOIN a USING (key) ORDER BY key"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
       q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery,
-      q156Bloom, q157JaroWinkler, q158DamerauLev)
+      q156Bloom, q157JaroWinkler, q158DamerauLev, q159WeightedSample,
+      q160Rendezvous)
 }

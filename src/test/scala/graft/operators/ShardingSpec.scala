@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Sharding]] (rendezvous routing) and
+  * [[Curation.weightedSample]] (A-ES weighted sampling).
+  */
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val shards = Seq("shard-a", "shard-b", "shard-c", "shard-d")
+  private def keys(n: Int) = (1 to n).map(_.toLong).toDF("key")
+
+  test("rendezvous: deterministic, total, reasonably balanced") {
+    val a1 = Sharding.rendezvousAssign(keys(2000), "key", shards)
+    val a2 = Sharding.rendezvousAssign(keys(2000), "key", shards)
+    assert(a1.collect().toSeq == a2.collect().toSeq)
+    val sizes = a1.groupBy("shard").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == shards.toSet)
+    // 2000 keys over 4 shards: expect ~500 each; allow wide tolerance
+    sizes.values.foreach(n => assert(n > 350 && n < 650, sizes.toString))
+  }
+
+  test("expansion moves ONLY to the new shard, at ~1/(n+1) rate") {
+    val audit = Sharding.expansionAudit(keys(2000), "key", shards, "shard-e")
+    val moved = audit.where($"moved").collect()
+    // stability: every moved key lands on the newcomer
+    assert(moved.forall(_.getAs[String]("shard_after") == "shard-e"))
+    // rate: expect ~2000/5 = 400
+    assert(moved.length > 280 && moved.length < 520, moved.length.toString)
+    // non-moved keys keep their assignment verbatim
+    audit.where(!$"moved").collect().foreach { r =>
+      assert(r.getAs[String]("shard_before") == r.getAs[String]("shard_after"))
+    }
+  }
+
+  test("weighted sample: higher weight wins proportionally") {
+    // two weight classes: w=100 vs w=1; in a k=100 sample from 200+200
+    // rows the heavy class must dominate strongly
+    val df = ((1 to 200).map(i => (i.toLong, 100L)) ++
+      (201 to 400).map(i => (i.toLong, 1L))).toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", "w", k = 100)
+      .collect().map(_.getLong(0))
+    val heavy = got.count(_ <= 200)
+    assert(heavy > 85, s"heavy-class count $heavy should dominate")
+    assert(got.length == 100)
+  }
+
+  test("weighted sample: zero/null weights are never drawn; k caps") {
+    val df = Seq((1L, Some(10L)), (2L, Some(0L)), (3L, None),
+      (4L, Some(5L))).toDF("id", "w")
+    val got = Curation.weightedSample(df, "id", "w", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L))
+  }
+
+  test("weighted sample is deterministic across runs") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("id", "w")
+    val a = Curation.weightedSample(df, "id", "w", 50).collect().toSeq
+    val b = Curation.weightedSample(df, "id", "w", 50).collect().toSeq
+    assert(a == b)
+  }
+}
