@@ -961,10 +961,54 @@ object TestQueries14 {
       FROM b JOIN a USING (key) ORDER BY key"""
     })
 
+  /** Okapi BM25 ranking over the documents corpus — see
+    * [[graft.search.Bm25.score]] (Lucene's +1 IDF form, k1=1.2,
+    * b=0.75). The oracle replays term frequencies, document
+    * frequencies, avgdl, the idf/tf saturation arithmetic, and the
+    * per-doc sum; the full matching set is compared (no top-k float
+    * boundary), scores at 6dp.
+    */
+  val q161Bm25: QueryCase = QueryCase(
+    "q161_bm25",
+    (s, dir) => graft.search.Bm25
+      .score(Tables.documents(s, dir), "doc_id", "text",
+        Seq("join", "filter", "shuffle", "broadcast"))
+      .select(col("id").as("doc_id"), round(col("score"), 6).as("score"),
+        col("n_terms"))
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, u.t AS t
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(tk) AS u(t)),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       AVG(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM toks
+        WHERE t IN ('join', 'filter', 'shuffle', 'broadcast')
+        GROUP BY doc_id, t),
+      dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      parts AS (
+        SELECT tf.doc_id,
+               ln((stats.n - dfreq.df + CAST(0.5 AS DOUBLE))
+                    / (dfreq.df + CAST(0.5 AS DOUBLE))
+                  + CAST(1.0 AS DOUBLE))
+                 * (tf.tf * CAST(2.2 AS DOUBLE))
+                 / (tf.tf + CAST(1.2 AS DOUBLE)
+                    * (CAST(0.25 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+                 AS part
+        FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id)
+        CROSS JOIN stats)
+      SELECT doc_id, ROUND(SUM(part), 6) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM parts GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
       q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery,
       q156Bloom, q157JaroWinkler, q158DamerauLev, q159WeightedSample,
-      q160Rendezvous)
+      q160Rendezvous, q161Bm25)
 }

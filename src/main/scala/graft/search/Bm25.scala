@@ -1,0 +1,51 @@
+package graft.search
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 ranking (Robertson et al., TREC-3; the `+1` IDF form
+  * Lucene ships) — the reference-free keyword scorer that complements
+  * the Postgres ts_rank family ([[graft.functions.Fts]]): no positional
+  * index needed, corpus statistics only.
+  *
+  *   score(D,Q) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))
+  *   idf(q)     = ln( (N − df + 0.5)/(df + 0.5) + 1 )
+  *
+  * Scale shape: term frequencies pre-combine to (doc, term, tf) with the
+  * term filter applied BEFORE the shuffle (only query-term postings
+  * move); document length and corpus stats (N, avgdl) ride 1-row
+  * broadcasts; per-term document frequencies are a |Q|-row broadcast.
+  * Emits every document matching ≥ 1 term — top-k is the caller's
+  * `orderBy(desc).limit`, kept outside so the gate compares the full
+  * scored set with no float boundary at the k-th rank.
+  */
+object Bm25 {
+
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            terms: Seq[String], k1: Double = 1.2,
+            b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.map(_.toLowerCase).distinct.size ==
+      terms.size, "query terms must be distinct")
+    val lowered = terms.map(_.toLowerCase)
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks.where(col("t").isin(lowered: _*))
+      .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("t"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("part",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id")
+      .agg(sum(col("part")).as("score"), count(lit(1)).as("n_terms"))
+  }
+}

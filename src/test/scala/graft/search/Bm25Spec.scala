@@ -1,0 +1,52 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** [[Bm25.score]] — hand-computed scores on a tiny corpus plus the
+  * ranking properties BM25 must exhibit.
+  */
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed single-term corpus") {
+    // 3 docs; "cat" appears once in d1 (len 2), twice in d2 (len 4),
+    // never in d3 (len 2). N=3, df=2, avgdl=8/3.
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat dog dog"),
+      (3L, "bird dog")).toDF("doc_id", "text")
+    val got = Bm25.score(docs, "doc_id", "text", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val idf = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    val avgdl = 8.0 / 3
+    def part(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(!got.contains(3L))
+    assert(math.abs(got(1L) - part(1, 2)) < 1e-12)
+    assert(math.abs(got(2L) - part(2, 4)) < 1e-12)
+  }
+
+  test("rarer terms carry more idf mass") {
+    val docs = ((1 to 9).map(i => (i.toLong, "common word")) :+
+      (10L, "common rare")).toDF("doc_id", "text")
+    val got = Bm25.score(docs, "doc_id", "text", Seq("common", "rare"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 10 matches both terms, one of them rare → highest score
+    assert(got(10L) > got.filterKeys(_ != 10L).values.max)
+  }
+
+  test("tf saturates: 10 occurrences is not 10x one occurrence") {
+    val docs = Seq((1L, ("term " * 10).trim), (2L, "term"))
+      .toDF("doc_id", "text")
+    val got = Bm25.score(docs, "doc_id", "text", Seq("term"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L))          // more occurrences score higher...
+    assert(got(1L) < got(2L) * 3)      // ...but saturated, not linear
+  }
+
+  test("length normalization: same tf, shorter doc wins") {
+    val docs = Seq((1L, ("term " + "filler " * 39).trim), (2L, "term x"))
+      .toDF("doc_id", "text")
+    val got = Bm25.score(docs, "doc_id", "text", Seq("term"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) > got(1L))
+  }
+}
