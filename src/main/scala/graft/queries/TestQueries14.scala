@@ -1005,10 +1005,86 @@ object TestQueries14 {
              CAST(COUNT(*) AS BIGINT) AS n_terms
       FROM parts GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** IVFADC residual-PQ encoding (Jégou et al. 2011 §IV) — see
+    * [[graft.search.IvfPq.fit]]: coarse per-label centroids, residuals
+    * v − centroid, then the q153 subspace-keyed PQ chain over the
+    * residuals. The oracle prepends a residual CTE to the q153 unroll;
+    * every vector's (cluster, integer code array) hash-compares.
+    */
+  val q162IvfpqEncode: QueryCase = QueryCase(
+    "q162_ivfpq_encode",
+    (s, dir) => {
+      val m = graft.search.IvfPq.fit(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label",
+        m = 4, k = 4)
+      m.assignments
+        .join(m.pq.codes, Seq("id"))
+        .select(col("id").as("vec_id"), col("cluster_id").as("label"),
+          col("codes"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      exg AS (
+        SELECT vec_id, label, u.pos - 1 AS gpos, u.x
+        FROM e, UNNEST(list_transform(v,
+               (x, i) -> struct_pack(pos := i, x := x))) AS t(u)),
+      coarse AS (
+        SELECT label, gpos, AVG(x) AS c FROM exg GROUP BY label, gpos),
+      ex AS (
+        SELECT exg.vec_id, CAST(exg.gpos // 16 AS INT) AS sub,
+               exg.gpos % 16 AS subpos, (exg.x - coarse.c) AS x
+        FROM exg JOIN coarse
+          ON coarse.label = exg.label AND coarse.gpos = exg.gpos),
+      seeds AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+        FROM e ORDER BY vec_id LIMIT 4),
+      c0 AS (
+        SELECT ex.sub, s.code, ex.subpos, ex.x AS c
+        FROM seeds s JOIN ex ON ex.vec_id = s.vec_id),
+      d1 AS (
+        SELECT ex.vec_id, ex.sub, c0.code,
+               SUM((ex.x - c0.c) * (ex.x - c0.c)) AS d
+        FROM ex JOIN c0 ON c0.sub = ex.sub AND c0.subpos = ex.subpos
+        GROUP BY 1, 2, 3),
+      a1 AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vec_id, sub, code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                   ORDER BY d, code) AS rn
+          FROM d1) WHERE rn = 1),
+      u1 AS (
+        SELECT a1.sub, a1.code, ex.subpos, AVG(ex.x) AS cn
+        FROM ex JOIN a1 ON a1.vec_id = ex.vec_id AND a1.sub = ex.sub
+        GROUP BY 1, 2, 3),
+      c1 AS (
+        SELECT c0.sub, c0.code, c0.subpos, COALESCE(u1.cn, c0.c) AS c
+        FROM c0 LEFT JOIN u1 ON u1.sub = c0.sub AND u1.code = c0.code
+          AND u1.subpos = c0.subpos),
+      d2 AS (
+        SELECT ex.vec_id, ex.sub, c1.code,
+               SUM((ex.x - c1.c) * (ex.x - c1.c)) AS d
+        FROM ex JOIN c1 ON c1.sub = ex.sub AND c1.subpos = ex.subpos
+        GROUP BY 1, 2, 3),
+      a2 AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vec_id, sub, code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                   ORDER BY d, code) AS rn
+          FROM d2) WHERE rn = 1),
+      codes AS (
+        SELECT vec_id, list(CAST(code AS INT) ORDER BY sub) AS codes
+        FROM a2 GROUP BY vec_id)
+      SELECT c.vec_id, e.label, c.codes
+      FROM codes c JOIN e USING (vec_id) ORDER BY c.vec_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
       q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery,
       q156Bloom, q157JaroWinkler, q158DamerauLev, q159WeightedSample,
-      q160Rendezvous, q161Bm25)
+      q160Rendezvous, q161Bm25, q162IvfpqEncode)
 }

@@ -1,0 +1,49 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** IVFADC (Jégou et al. 2011 §IV): product quantization over RESIDUALS
+  * v − centroid(cluster(v)) — the composition that makes billion-vector
+  * ANN practical: the coarse quantizer prunes the search to `nprobe`
+  * cells ([[IvfIndex]]) and the PQ codes approximate the remaining
+  * distance in a few bytes ([[Pq]]); encoding residuals instead of raw
+  * vectors removes the cell's mean from every code, so the codebooks
+  * spend their bits on LOCAL structure.
+  *
+  * Scale shape: coarse centroids are the per-cluster element means
+  * (k·d rows, broadcast); residuals come from one (cluster, pos) join —
+  * never a per-element HOF — and feed the single-pass subspace-keyed
+  * [[Pq.fit]]. Search reconstructs a per-probed-cluster lookup table
+  * (query residual → codebook), all broadcast-sized.
+  */
+object IvfPq {
+
+  final case class Model(coarseCentroids: DataFrame, pq: Pq.Model,
+                         assignments: DataFrame)
+
+  /** Fit over vectors with an existing coarse label (the [[KMeans]] /
+    * [[IvfIndex]] convention). Returns the coarse element centroids
+    * (cluster_id, pos, c), the residual-PQ model, and (id, cluster_id).
+    */
+  def fit(vecs: DataFrame, idCol: String, vecCol: String,
+          clusterCol: String, m: Int, k: Int, iters: Int = 1): Model = {
+    val v = vecs.select(col(idCol).as("id"),
+      col(clusterCol).as("cluster_id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val ex = v.select(col("id"), col("cluster_id"),
+      posexplode(col("v")).as(Seq("pos", "x")))
+    val coarse = graft.plans.Materialize.stage(
+      ex.groupBy("cluster_id", "pos").agg(avg(col("x")).as("c")),
+      "graft.dedup.checkpoint")
+    // residual arrays rebuilt once; Pq.fit re-explodes internally — the
+    // price of keeping Pq's public array contract (one extra shuffle)
+    val residuals = ex.join(broadcast(coarse), Seq("cluster_id", "pos"))
+      .select(col("id"), col("pos"), (col("x") - col("c")).as("r"))
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("r")))).as("pr"))
+      .select(col("id"), transform(col("pr"), p => p("r")).as("rv"))
+    val pq = Pq.fit(residuals, "id", "rv", m, k, iters)
+    Model(coarse, pq, v.select(col("id"), col("cluster_id")))
+  }
+}

@@ -1,0 +1,43 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** [[IvfPq.fit]] — residual correctness and the composition contract. */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("residuals remove the cluster mean (centroid-located vectors → code of zero-residual)") {
+    // two clusters at (0,0,0,0) and (10,10,10,10), tight members; a
+    // vector exactly AT its cluster mean has residual ≈ 0 in every
+    // subspace and must share codes with the other near-mean vectors
+    val vecs = Seq(
+      (1L, 0, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, 0, Seq(0.2f, 0.0f, -0.2f, 0.0f)),
+      (3L, 0, Seq(-0.2f, 0.0f, 0.2f, 0.0f)),
+      (4L, 1, Seq(10.0f, 10.0f, 10.0f, 10.0f)),
+      (5L, 1, Seq(10.2f, 10.0f, 9.8f, 10.0f)),
+      (6L, 1, Seq(9.8f, 10.0f, 10.2f, 10.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val m = IvfPq.fit(vecs, "vec_id", "embedding", "label", m = 2, k = 2)
+    val coarse = m.coarseCentroids.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // coarse centroids are the per-cluster means
+    assert(math.abs(coarse((0, 0)) - 0.0) < 1e-9)
+    assert(math.abs(coarse((1, 0)) - 10.0) < 1e-9)
+    // vectors 1 and 4 sit AT their means: identical (zero) residuals →
+    // identical codes, even though their raw vectors are far apart
+    val codes = m.pq.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(1L) == codes(4L))
+  }
+
+  test("assignments pass the label through; codes are total") {
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val m = IvfPq.fit(vecs, "vec_id", "embedding", "label", m = 4, k = 4)
+    assert(m.assignments.count() == vecs.count())
+    assert(m.pq.codes.count() == vecs.count())
+    val labels = m.assignments.join(
+      vecs.select($"vec_id".as("id"), $"label".as("want")), Seq("id"))
+    assert(labels.where($"cluster_id" =!= $"want").count() == 0)
+  }
+}
