@@ -410,4 +410,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q156: bloom probe broadcasts the bitmap; no bitmap shuffle") {
+    val p = plan("q156_bloom")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q159: weighted sample is a TakeOrdered heap, not a global sort") {
+    val p = plan("q159_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q160: rendezvous routing is projection-only per assignment") {
+    val p = plan("q160_rendezvous")
+    assert(!p.contains("CartesianProduct"), p)
+    // the before/after audit joins on the key once; no shuffle of the
+    // shard scoring itself (it's an array expression in the projection)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q161: BM25 filters postings before the shuffle; stats broadcast") {
+    val p = plan("q161_bm25")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q162: IVFADC residual join broadcasts the coarse centroids") {
+    val p = plan("q162_ivfpq_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
