@@ -55,7 +55,15 @@ object FuzzQueries {
     TableDef("nation", Seq("n_nationkey", "n_regionkey"), Seq("n_name"),
       "n_nationkey", Seq(("n_regionkey", "region", "r_regionkey"))),
     TableDef("region", Seq("r_regionkey"), Seq("r_name"), "r_regionkey",
-      Seq.empty))
+      Seq.empty),
+    // events is the table whose ON-DISK ENCODING the driver has changed
+    // between rounds (ts: TIMESTAMP(NANOS) → plain micros, the round-8
+    // 18-gate break) — fuzzing over it pins the schema-adaptive loader
+    // in every FuzzSpec run, not just in the event-family gates. Only
+    // int/str columns are fuzzed; `ts` itself never enters a plan, so
+    // the DuckDB mirror of q131 is encoding-agnostic.
+    TableDef("events", Seq("event_id", "user_id"), Seq("event_type"),
+      "event_id", Seq.empty))
 
   private val joinTargets: Map[String, TableDef] =
     tables.map(t => t.name -> t).toMap
@@ -85,8 +93,10 @@ object FuzzQueries {
   private def freshResolver(): TableResolver = {
     val m = new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String, String), DataFrame]()
-    (s, dir, name) => m.computeIfAbsent((s, dir, name),
-      _ => graft.sources.Tables.table(s, dir, name))
+    (s, dir, name) => m.computeIfAbsent((s, dir, name), _ =>
+      // events needs its schema-adaptive loader (ts encoding varies)
+      if (name == "events") graft.sources.Tables.events(s, dir)
+      else graft.sources.Tables.table(s, dir, name))
   }
 
   def plan(id: Int): Plan = plan(id, freshResolver())
