@@ -46,4 +46,52 @@ object IvfPq {
     val pq = Pq.fit(residuals, "id", "rv", m, k, iters)
     Model(coarse, pq, v.select(col("id"), col("cluster_id")))
   }
+
+  /** IVFADC search: rank coarse cells by query-to-centroid distance,
+    * probe the best `nprobe`, and ADC-score their members with
+    * PER-CELL lookup tables built from the query's residual in that
+    * cell (q − centroid_cell vs the residual codebooks). Everything
+    * table-sized broadcasts: probed cells (nprobe rows), the
+    * distance tables (nprobe·m·k rows); only the code scan of the
+    * probed members does data-scale work.
+    */
+  def search(model: Model, query: DataFrame, topK: Int,
+             nprobe: Int = 2): DataFrame = {
+    val qex = query.select(posexplode(col("qv").cast("array<double>"))
+      .as(Seq("gpos", "qx")))
+    // nearest coarse cells by squared L2 of (q − centroid)
+    val cellDist = qex.join(broadcast(model.coarseCentroids
+        .select(col("cluster_id"), col("pos").as("gpos"), col("c"))),
+        Seq("gpos"))
+      .groupBy("cluster_id")
+      .agg(sum((col("qx") - col("c")) * (col("qx") - col("c"))).as("cd"))
+    val probed = cellDist.orderBy(col("cd"), col("cluster_id"))
+      .limit(nprobe).select(col("cluster_id"))
+    // per-cell residual query → per-(cell, sub, code) lookup tables
+    val shape = model.pq.codebooks
+      .agg((max(col("subpos")) + 1).cast("int").as("subdim"))
+    val qres = qex.join(broadcast(probed), lit(true))
+      .join(broadcast(model.coarseCentroids
+        .select(col("cluster_id"), col("pos").as("gpos"), col("c"))),
+        Seq("cluster_id", "gpos"))
+      .crossJoin(broadcast(shape))
+      .select(col("cluster_id"),
+        (col("gpos") / col("subdim")).cast("int").as("sub"),
+        (col("gpos") % col("subdim")).as("subpos"),
+        (col("qx") - col("c")).as("rx"))
+    val table = qres.join(broadcast(model.pq.codebooks),
+        Seq("sub", "subpos"))
+      .groupBy("cluster_id", "sub", "code")
+      .agg(sum((col("rx") - col("c")) * (col("rx") - col("c"))).as("td"))
+    model.assignments
+      .join(broadcast(probed), Seq("cluster_id"))
+      .join(model.pq.codes, Seq("id"))
+      .select(col("id"), col("cluster_id"),
+        posexplode(col("codes")).as(Seq("sub", "code")))
+      .join(broadcast(table), Seq("cluster_id", "sub", "code"))
+      .groupBy("id", "cluster_id")
+      .agg(sum(col("td")).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(topK)
+  }
 }

@@ -31,6 +31,48 @@ class IvfPqSpec extends SparkSpec {
     assert(codes(1L) == codes(4L))
   }
 
+  test("IVFADC search: JVM replay of probed cells, tables, and ADC sums") {
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = IvfPq.fit(vecs, "vec_id", "embedding", "label", m = 4, k = 4)
+    val q = vecs.where($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("qv"))
+    val got = IvfPq.search(model, q, topK = 10, nprobe = 2).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+
+    val qv = q.head().getSeq[Double](0)
+    val coarse = model.coarseCentroids.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val cells = coarse.keys.map(_._1).toSet.toSeq
+    def cellDist(cell: Int): Double =
+      qv.indices.map { p => val d = qv(p) - coarse((cell, p)); d * d }.sum
+    val probed = cells.sortBy(c => (cellDist(c), c)).take(2).toSet
+    val cb = model.pq.codebooks.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    val codes = model.pq.codes.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val assigns = model.assignments.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val subDim = qv.length / 4
+    def table(cell: Int, sub: Int, code: Int): Double =
+      (0 until subDim).map { sp =>
+        val g = sub * subDim + sp
+        val rx = qv(g) - coarse((cell, g))
+        val d = rx - cb((sub, code, sp)); d * d
+      }.sum
+    val want = assigns.collect { case (id, cell) if probed(cell) =>
+      id -> codes(id).zipWithIndex.map { case (c, s) => table(cell, s, c) }.sum
+    }
+    got.foreach { case (id, d) =>
+      assert(math.abs(d - want(id)) < 1e-9, s"adc mismatch for $id")
+    }
+    val wantTop = want.toSeq.sortBy { case (id, d) => (d, id) }
+      .take(10).map(_._1).toSet
+    assert(got.map(_._1).toSet == wantTop)
+    // members of unprobed cells never appear
+    assert(got.forall { case (id, _) => probed(assigns(id)) })
+  }
+
   test("assignments pass the label through; codes are total") {
     val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val m = IvfPq.fit(vecs, "vec_id", "embedding", "label", m = 4, k = 4)
