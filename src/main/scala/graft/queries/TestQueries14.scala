@@ -1081,10 +1081,52 @@ object TestQueries14 {
       SELECT c.vec_id, e.label, c.codes
       FROM codes c JOIN e USING (vec_id) ORDER BY c.vec_id"""))
 
+  /** First-match click→purchase attribution over the events table — see
+    * [[graft.streaming.StreamJoin.attributeFirst]] (the batch face of
+    * the watermark-bounded stream-stream interval join; streaming
+    * equivalence + late-row semantics are pinned in StreamJoinSpec).
+    * Output: every attributed click with its earliest purchase within a
+    * 6-hour horizon and the exact microsecond gap.
+    */
+  val q163Attribution: QueryCase = QueryCase(
+    "q163_attribution",
+    (s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id").as("id"),
+          col("event_type"))
+      graft.streaming.StreamJoin.attributeFirst(
+          e.where(col("event_type") === "click"),
+          e.where(col("event_type") === "purchase"),
+          "user_id", horizonSec = 21600)
+        .select(col("l_id").as("click_id"), col("attributed_id"),
+          col("gap_us"))
+        .orderBy("click_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+               event_type
+        FROM events),
+      c AS (SELECT * FROM e WHERE event_type = 'click'),
+      p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      j AS (
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.ts AS cts, p.ts AS pts
+        FROM c JOIN p ON p.user_id = c.user_id
+          AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 21600 SECOND),
+      f AS (
+        SELECT click_id, purchase_id,
+               date_diff('microsecond', cts, pts) AS gap_us,
+               ROW_NUMBER() OVER (PARTITION BY click_id
+                 ORDER BY pts, purchase_id) AS rn
+        FROM j)
+      SELECT click_id, purchase_id AS attributed_id, gap_us
+      FROM f WHERE rn = 1 ORDER BY click_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
       q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery,
       q156Bloom, q157JaroWinkler, q158DamerauLev, q159WeightedSample,
-      q160Rendezvous, q161Bm25, q162IvfpqEncode)
+      q160Rendezvous, q161Bm25, q162IvfpqEncode, q163Attribution)
 }

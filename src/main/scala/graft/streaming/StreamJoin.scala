@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-horizon event joins — ONE transform for batch backfill and
+  * watermarked streams (the [[WindowedAgg]] discipline): the same
+  * interval-join expression tree runs as a plain range join on batch
+  * frames and as a state-bounded stream-stream join when both inputs
+  * carry `withWatermark` (Spark derives the state retention from the
+  * horizon bound in the join condition — the canonical ad-attribution
+  * shape from the Structured Streaming docs).
+  */
+object StreamJoin {
+
+  /** Inner interval join: right rows with the same key in
+    * `(l.ts, l.ts + horizonSec]`. Input columns are taken as
+    * (`keyCol`, `ts`, `id`) on both sides; outputs are prefixed l_/r_.
+    *
+    * Streaming callers: apply `withWatermark("ts", …)` to BOTH inputs
+    * first; the horizon bound keeps the join state finite. Batch: the
+    * identical plan, and Catalyst executes the key equi-part as a hash
+    * join with the time predicates as post-filters.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   horizonSec: Int): DataFrame = {
+    val l = left.select(col(keyCol).as("k"), col("ts").as("l_ts"),
+      col("id").as("l_id"))
+    val r = right.select(col(keyCol).as("k"), col("ts").as("r_ts"),
+      col("id").as("r_id"))
+    l.join(r, Seq("k")).where(
+      col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec seconds"))
+  }
+
+  /** First-match attribution (batch rollup over [[intervalJoin]]): for
+    * every left event, the EARLIEST right event in the horizon —
+    * ties on timestamp break on the right id. The classic
+    * click→conversion credit assignment; one extra aggregation keyed by
+    * the left id, partition-aligned with the join output.
+    */
+  def attributeFirst(left: DataFrame, right: DataFrame, keyCol: String,
+                     horizonSec: Int): DataFrame =
+    intervalJoin(left, right, keyCol, horizonSec)
+      .groupBy(col("l_id"))
+      .agg(min(struct(col("r_ts"), col("r_id"), col("l_ts"))).as("m"))
+      .select(col("l_id"), col("m.r_id").as("attributed_id"),
+        (unix_micros(col("m.r_ts")) - unix_micros(col("m.l_ts")))
+          .as("gap_us"))
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class Ev(k: Long, ts: java.sql.Timestamp, id: Long)
+
+/** [[StreamJoin.intervalJoin]] — the SAME transform must produce the
+  * SAME pairs on batch frames and on watermarked streams, and the
+  * streaming run must bound state (late rows beyond the watermark are
+  * dropped, not joined).
+  */
+class StreamJoinSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val lefts = Seq(
+    Ev(1L, t("2024-01-01 10:00:00"), 100L),
+    Ev(1L, t("2024-01-01 10:05:00"), 101L),
+    Ev(2L, t("2024-01-01 10:00:30"), 102L))
+  private val rights = Seq(
+    Ev(1L, t("2024-01-01 10:00:40"), 200L), // joins 100 (40s gap)
+    Ev(1L, t("2024-01-01 10:06:00"), 201L), // joins 101 (60s gap)
+    Ev(2L, t("2024-01-01 10:03:00"), 202L), // outside 60s horizon of 102
+    Ev(3L, t("2024-01-01 10:00:00"), 203L)) // no left partner
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("l_id", "r_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("batch interval join: horizon and key semantics") {
+    val got = pairs(StreamJoin.intervalJoin(
+      lefts.toDF(), rights.toDF(), "k", horizonSec = 60))
+    assert(got == Set((100L, 200L), (101L, 201L)))
+  }
+
+  test("streaming run with watermarks produces the batch pairs") {
+    val ls = MemoryStream[Ev]
+    val rs = MemoryStream[Ev]
+    val joined = StreamJoin.intervalJoin(
+      ls.toDF().withWatermark("ts", "10 minutes"),
+      rs.toDF().withWatermark("ts", "10 minutes"),
+      "k", horizonSec = 60)
+    val q = joined.writeStream.format("memory")
+      .queryName("sj_equiv").outputMode("append").start()
+    try {
+      ls.addData(lefts: _*); rs.addData(rights: _*)
+      q.processAllAvailable()
+      val got = pairs(spark.table("sj_equiv"))
+      assert(got == Set((100L, 200L), (101L, 201L)))
+    } finally q.stop()
+  }
+
+  test("a right row arriving beyond the watermark is dropped") {
+    val ls = MemoryStream[Ev]
+    val rs = MemoryStream[Ev]
+    val joined = StreamJoin.intervalJoin(
+      ls.toDF().withWatermark("ts", "1 minute"),
+      rs.toDF().withWatermark("ts", "1 minute"),
+      "k", horizonSec = 60)
+    val q = joined.writeStream.format("memory")
+      .queryName("sj_late").outputMode("append").start()
+    try {
+      // batch 1: the left side plus a far-future row on BOTH sides to
+      // advance both watermarks well past the left event + horizon
+      ls.addData(Ev(1L, t("2024-01-01 10:00:00"), 100L),
+        Ev(9L, t("2024-01-01 12:00:00"), 900L))
+      rs.addData(Ev(9L, t("2024-01-01 12:00:00"), 901L))
+      q.processAllAvailable()
+      // batch 2: a right row that WOULD join 100 but is now hours late
+      rs.addData(Ev(1L, t("2024-01-01 10:00:30"), 200L))
+      q.processAllAvailable()
+      val got = pairs(spark.table("sj_late"))
+      assert(!got.contains((100L, 200L)),
+        s"late right row must be dropped, got $got")
+    } finally q.stop()
+  }
+
+  test("attributeFirst picks the earliest match with id tie-break") {
+    val l = Seq(Ev(1L, t("2024-01-01 10:00:00"), 100L)).toDF()
+    val r = Seq(
+      Ev(1L, t("2024-01-01 10:00:30"), 201L),
+      Ev(1L, t("2024-01-01 10:00:30"), 200L), // same ts → lower id wins
+      Ev(1L, t("2024-01-01 10:00:10"), 202L)) // earliest overall
+      .toDF()
+    val got = StreamJoin.attributeFirst(l, r, "k", 60).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(1) == 202L && got(0).getLong(2) == 10000000L)
+  }
+}
