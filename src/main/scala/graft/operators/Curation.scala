@@ -52,6 +52,24 @@ object Curation {
       when(col(idCol).isNull, lit(null).cast("string")).otherwise(chain))
   }
 
+  /** Leakage-safe split: near-duplicate documents must land in the SAME
+    * train/val/test split or the eval set leaks paraphrases of training
+    * rows (the contamination q91 removes ACROSS corpora, applied to the
+    * split boundary WITHIN one corpus). Assignment hashes the dedup
+    * CLUSTER id — every member inherits its cluster's split; docs
+    * outside any cluster are their own group. `clusters` is the
+    * (id, cluster_id) frame of [[Dedup.nearDupClusters]].
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+      weights: Seq[(String, Int)]): DataFrame = {
+    val grouped = df.join(
+        clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col(idCol)))
+      .drop("cluster_id")
+    assignSplit(grouped, "group_id", weights)
+  }
+
   /** Keep at most `n` rows per key, ordered by `order` (callers must make
     * the ordering total — include an id tie-break). The per-domain cap of
     * a crawl-curation pipeline: one hash shuffle on the key, one window.

@@ -1123,10 +1123,76 @@ object TestQueries14 {
       SELECT click_id, purchase_id AS attributed_id, gap_us
       FROM f WHERE rn = 1 ORDER BY click_id"""))
 
+  /** Leakage-safe train/val/test split — see
+    * [[graft.operators.Curation.leakageSafeSplit]]: the split hash runs
+    * over the near-dup CLUSTER id, so paraphrase groups land whole in
+    * one split (eval can't contain a training doc's near-duplicate).
+    * The oracle replays q95's union-find clusters and the q89 split
+    * arithmetic over the group id; a cross-split cluster would
+    * hash-mismatch immediately.
+    */
+  val q164LeakageSafeSplit: QueryCase = QueryCase(
+    "q164_leakage_safe_split",
+    (s, dir) => {
+      import graft.operators.{Curation, Dedup}
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.2),
+        "id1", "id2")
+      Curation.leakageSafeSplit(docs.select(col("doc_id")), "doc_id",
+          clusters, Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select(col("doc_id"), col("group_id"), col("split"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val bucket = graft.functions.CrossHash
+        .md5Hash32Sql("CAST(group_id AS VARCHAR)") + " % 100"
+      s"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, $TokensSql AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ')
+                       for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 128),
+      kx AS (SELECT e.doc_id, e.g FROM ex e JOIN keep USING (g)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM kx GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM kx a JOIN kx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      prs AS (
+        SELECT id1, id2 FROM inter
+        JOIN sz s1 ON s1.doc_id = id1
+        JOIN sz s2 ON s2.doc_id = id2
+        WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2),
+      edges AS (SELECT id1 AS a, id2 AS b FROM prs
+                UNION ALL SELECT id2, id1 FROM prs),
+      reach AS (
+        SELECT DISTINCT a AS id, a AS peer FROM edges
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+      cl AS (SELECT id AS doc_id, MIN(peer) AS cluster_id
+             FROM reach GROUP BY id),
+      grp AS (
+        SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS group_id
+        FROM documents d LEFT JOIN cl USING (doc_id))
+      SELECT doc_id, group_id,
+             CASE WHEN $bucket < 80 THEN 'train'
+                  WHEN $bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM grp ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
       q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery,
       q156Bloom, q157JaroWinkler, q158DamerauLev, q159WeightedSample,
-      q160Rendezvous, q161Bm25, q162IvfpqEncode, q163Attribution)
+      q160Rendezvous, q161Bm25, q162IvfpqEncode, q163Attribution,
+      q164LeakageSafeSplit)
 }

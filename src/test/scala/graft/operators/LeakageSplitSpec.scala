@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Curation.leakageSafeSplit]] — cluster members share a split;
+  * singletons behave like plain assignSplit.
+  */
+class LeakageSplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("every near-dup cluster lands whole in one split (sf0.001)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val clusters = Dedup.nearDupClusters(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.2), "id1", "id2")
+    val split = Curation.leakageSafeSplit(docs.select($"doc_id"), "doc_id",
+      clusters, Seq(("train", 80), ("val", 10), ("test", 10)))
+    // invariant: one distinct split per group
+    val maxSplits = split.groupBy("group_id")
+      .agg(countDistinct("split").as("n")).agg(max("n")).head().getLong(0)
+    assert(maxSplits == 1L)
+    // and clusters genuinely exist in this corpus (non-vacuous)
+    assert(split.groupBy("group_id").count().where($"count" > 1).count() > 0)
+    assert(split.count() == docs.count())
+  }
+
+  test("singletons match plain assignSplit on their own id") {
+    val df = (1L to 200L).toDF("doc_id")
+    val noClusters = Seq.empty[(Long, Long)].toDF("id", "cluster_id")
+    val a = Curation.leakageSafeSplit(df, "doc_id", noClusters,
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select($"doc_id", $"split")
+    val b = Curation.assignSplit(df, "doc_id",
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select($"doc_id", $"split")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
