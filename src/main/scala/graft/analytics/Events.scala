@@ -130,4 +130,33 @@ object Events {
           .as("offset_weeks"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /** Engagement stickiness: per calendar day, DAU (distinct active
+    * users that day), trailing-7-day WAU (distinct users active in
+    * [day−6, day]), and the DAU/WAU ratio — the standard product
+    * engagement metric. Exact, not sketched: activity first dedupes to
+    * (user, day) — the only data-scale shuffle — then each day joins
+    * the 7-day trailing window of that SMALL frame (≤ users×days rows;
+    * a distinct count over a RANGE window cannot be expressed as a
+    * running sum, so the windowed dedup is explicit).
+    */
+  def stickiness(df: DataFrame, userCol: String, tsCol: String)
+      : DataFrame = {
+    val userDays = df
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("day"))
+      .where(col("u").isNotNull && col("day").isNotNull)
+      .distinct()
+    val days = userDays.select(col("day")).distinct()
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = days.as("d")
+      .join(userDays.as("a"),
+        col("a.day") <= col("d.day") &&
+          col("a.day") >= date_sub(col("d.day"), 6))
+      .groupBy(col("d.day").as("day"))
+      .agg(countDistinct(col("a.u")).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
 }

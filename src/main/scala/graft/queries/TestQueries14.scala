@@ -1188,11 +1188,38 @@ object TestQueries14 {
       FROM grp ORDER BY doc_id"""
     })
 
+  /** DAU/WAU stickiness over the events table — see
+    * [[graft.analytics.Events.stickiness]]: per day, exact distinct
+    * active users, trailing-7-day distinct users, and the engagement
+    * ratio. Integer counts + one rounded ratio; the oracle replays the
+    * (user, day) dedup and the trailing-window distinct count.
+    */
+  val q165Stickiness: QueryCase = QueryCase(
+    "q165_stickiness",
+    (s, dir) => graft.analytics.Events
+      .stickiness(Tables.events(s, dir), "user_id", "ts")
+      .orderBy("day"),
+    Some("""
+      WITH ud AS (
+        SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      days AS (SELECT DISTINCT day FROM ud),
+      dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+      wau AS (
+        SELECT d.day, COUNT(DISTINCT a.u) AS wau
+        FROM days d JOIN ud a
+          ON a.day <= d.day AND a.day >= d.day - INTERVAL 6 DAY
+        GROUP BY d.day)
+      SELECT dau.day, CAST(dau.dau AS BIGINT) AS dau,
+             CAST(wau.wau AS BIGINT) AS wau,
+             ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+      FROM dau JOIN wau USING (day) ORDER BY day"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
       q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery,
       q156Bloom, q157JaroWinkler, q158DamerauLev, q159WeightedSample,
       q160Rendezvous, q161Bm25, q162IvfpqEncode, q163Attribution,
-      q164LeakageSafeSplit)
+      q164LeakageSafeSplit, q165Stickiness)
 }

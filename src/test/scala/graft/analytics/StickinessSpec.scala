@@ -1,0 +1,40 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Events.stickiness]] — hand-traced DAU/WAU on a tiny event log. */
+class StickinessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("hand-traced DAU/WAU/ratio") {
+    // u1 active day1+day2, u2 active day1, u3 active day8 only.
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 12:00:00")),
+      (1L, ts("2024-01-02 09:00:00")),
+      (3L, ts("2024-01-08 09:00:00"))).toDF("user_id", "ts")
+    val got = Events.stickiness(events, "user_id", "ts")
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("2024-01-01") == ((2L, 2L, 1.0)))
+    // day2: DAU {u1}=1; WAU (Dec 27–Jan 2) = {u1,u2} = 2
+    assert(got("2024-01-02") == ((1L, 2L, 0.5)))
+    // day8: window Jan 2–8 = {u1 (Jan 2), u3} = 2
+    assert(got("2024-01-08") == ((1L, 2L, 0.5)))
+    assert(got.size == 3) // only days WITH activity get rows
+  }
+
+  test("duplicate events within a day count once; null users drop") {
+    val events = Seq(
+      (Option(5L), ts("2024-02-01 01:00:00")),
+      (Option(5L), ts("2024-02-01 02:00:00")),
+      (Option.empty[Long], ts("2024-02-01 03:00:00")))
+      .toDF("user_id", "ts")
+    val got = Events.stickiness(events, "user_id", "ts").collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1L &&
+      got(0).getLong(2) == 1L)
+  }
+}
