@@ -159,4 +159,34 @@ object Events {
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
   }
 
+
+  /** Hour-of-day seasonal baseline + anomaly flags: hourly counts per
+    * series, the seasonal mean/stddev for each hour-of-day slot, and a
+    * 3σ flag on the residual — the first-line seasonal monitor before
+    * anything model-based (complements the global z-score q110 by
+    * removing the diurnal cycle first). One count aggregation at data
+    * scale; the seasonal profile is 24 rows per series, broadcast back.
+    * Flags compare ROUNDED residual vs ROUNDED threshold so the oracle's
+    * 1-ulp variance drift cannot flip a boundary.
+    */
+  def seasonalAnomalies(df: DataFrame, seriesCol: String, tsCol: String,
+                        sigma: Double = 3.0): DataFrame = {
+    val hourly = df
+      .where(col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val seasonal = hourly
+      .groupBy(col("series"), hour(col("bucket")).as("hod"))
+      .agg(avg(col("n")).as("s_mean"), stddev_samp(col("n")).as("s_std"))
+    hourly.withColumn("hod", hour(col("bucket")))
+      .join(broadcast(seasonal), Seq("series", "hod"))
+      .select(col("series"), col("bucket"), col("n"),
+        round(col("s_mean"), 6).as("s_mean"),
+        round(col("n") - col("s_mean"), 6).as("residual"),
+        (round(abs(col("n") - col("s_mean")), 6) >
+          round(lit(sigma) * coalesce(col("s_std"), lit(0.0)), 6))
+          .as("anomaly"))
+  }
+
 }

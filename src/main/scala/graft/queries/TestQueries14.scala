@@ -1215,11 +1215,42 @@ object TestQueries14 {
              ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
       FROM dau JOIN wau USING (day) ORDER BY day"""))
 
+  /** Hour-of-day seasonal baseline + 3σ anomaly flags over hourly event
+    * counts — see [[graft.analytics.Events.seasonalAnomalies]]. The
+    * oracle replays the hourly counts, the per-slot mean/sample-stddev,
+    * and the rounded-boundary flag rule.
+    */
+  val q166SeasonalAnomaly: QueryCase = QueryCase(
+    "q166_seasonal_anomaly",
+    (s, dir) => graft.analytics.Events
+      .seasonalAnomalies(Tables.events(s, dir), "event_type", "ts")
+      .orderBy("series", "bucket"),
+    Some("""
+      WITH hourly AS (
+        SELECT event_type AS series,
+               date_trunc('hour', date_trunc('microseconds', ts)) AS bucket,
+               COUNT(*) AS n
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2),
+      seasonal AS (
+        SELECT series, EXTRACT(hour FROM bucket) AS hod,
+               AVG(n) AS s_mean, stddev_samp(n) AS s_std
+        FROM hourly GROUP BY 1, 2)
+      SELECT h.series, h.bucket, CAST(h.n AS BIGINT) AS n,
+             ROUND(s.s_mean, 6) AS s_mean,
+             ROUND(h.n - s.s_mean, 6) AS residual,
+             (ROUND(ABS(h.n - s.s_mean), 6) >
+              ROUND(CAST(3.0 AS DOUBLE) * COALESCE(s.s_std,
+                CAST(0.0 AS DOUBLE)), 6)) AS anomaly
+      FROM hourly h JOIN seasonal s
+        ON s.series = h.series AND s.hod = EXTRACT(hour FROM h.bucket)
+      ORDER BY h.series, h.bucket"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
       q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery,
       q156Bloom, q157JaroWinkler, q158DamerauLev, q159WeightedSample,
       q160Rendezvous, q161Bm25, q162IvfpqEncode, q163Attribution,
-      q164LeakageSafeSplit, q165Stickiness)
+      q164LeakageSafeSplit, q165Stickiness, q166SeasonalAnomaly)
 }

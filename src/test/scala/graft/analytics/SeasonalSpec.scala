@@ -1,0 +1,42 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Events.seasonalAnomalies]] — the diurnal baseline must absorb a
+  * regular cycle and flag only genuine departures from it.
+  */
+class SeasonalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("a clean diurnal cycle produces zero anomalies; a spike flags") {
+    // 30 days: hour 9 always has 10 events, hour 21 always has 2 — a
+    // strong cycle, but perfectly regular → no anomalies. One day hour
+    // 9 carries 60 extra events → that bucket must flag. (30 samples
+    // matter: with n observations a single outlier can reach at most
+    // (n−1)/√n σ of the stddev it itself inflates — below 3σ until
+    // n ≥ 11, the classic masking effect.)
+    val regular = for {
+      day <- 1 to 30
+      (h, n) <- Seq((9, 10), (21, 2))
+      i <- 1 to n
+    } yield (s"evt", ts(f"2024-01-$day%02d $h%02d:15:00"), i)
+    val spike = (1 to 60).map(i =>
+      ("evt", ts("2024-01-05 09:30:00"), 100 + i))
+    val df = (regular ++ spike).toDF("event_type", "ts", "x")
+    val got = Events.seasonalAnomalies(df, "event_type", "ts")
+      .collect()
+      .map(r => r.getTimestamp(1).toString -> r.getBoolean(5)).toMap
+    assert(got("2024-01-05 09:00:00.0"), "the spiked bucket must flag")
+    assert(got.count(_._2) == 1, s"only the spike flags: $got")
+  }
+
+  test("single-observation slots (null stddev) never flag") {
+    val df = Seq(("a", ts("2024-03-01 07:00:00"), 1))
+      .toDF("event_type", "ts", "x")
+    val got = Events.seasonalAnomalies(df, "event_type", "ts").collect()
+    assert(got.length == 1 && !got(0).getBoolean(5))
+  }
+}
