@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftshim
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** American Soundex (the archival standard; Knuth TAOCP vol. 3) — the
+  * classic phonetic blocking key for entity resolution: names that sound
+  * alike share a key, so candidate generation blocks on `soundex(name)`
+  * instead of exact prefixes (complements the canonicalization blocking
+  * of q69). Full rule set including the H/W transparency that trips
+  * simplified implementations (Ashcraft → A261, not A226):
+  *
+  *  1. keep letters only, uppercase; empty → ''.
+  *  2. drop H and W from the tail (they do NOT separate code runs);
+  *  3. map letters to codes (BFPV→1 CGJKQSXZ→2 DT→3 L→4 MN→5 R→6,
+  *     vowels+Y→0) and collapse ADJACENT equal codes across the whole
+  *     sequence, first letter included;
+  *  4. drop the first code, drop zeros (vowels DO separate runs), take
+  *     three digits, right-pad with 0; prepend the first letter.
+  */
+object Soundex {
+
+  private def code(c: Char): Char = c match {
+    case 'B' | 'F' | 'P' | 'V' => '1'
+    case 'C' | 'G' | 'J' | 'K' | 'Q' | 'S' | 'X' | 'Z' => '2'
+    case 'D' | 'T' => '3'
+    case 'L' => '4'
+    case 'M' | 'N' => '5'
+    case 'R' => '6'
+    case _ => '0' // A E I O U Y (H/W removed before mapping)
+  }
+
+  def soundex(s: String): String = {
+    val letters = s.toUpperCase.filter(c => c >= 'A' && c <= 'Z')
+    if (letters.isEmpty) return ""
+    val first = letters.head
+    val seq = first +: letters.tail.filter(c => c != 'H' && c != 'W')
+    val codes = seq.map(code)
+    val collapsed = new StringBuilder
+    var i = 0
+    while (i < codes.length) {
+      if (i == 0 || codes(i) != codes(i - 1)) collapsed += codes(i)
+      i += 1
+    }
+    val digits = collapsed.toString.drop(1).filter(_ != '0').take(3)
+    first.toString + (digits + "000").take(3)
+  }
+}
+
+case class SoundexKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      Soundex.soundex(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.Soundex.soundex($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object Phonetic {
+  def soundex(c: Column): Column =
+    graftshim.column(SoundexKey(graftshim.expression(c)))
+}

@@ -1246,11 +1246,75 @@ object TestQueries14 {
         ON s.series = h.series AND s.hod = EXTRACT(hour FROM h.bucket)
       ORDER BY h.series, h.bucket"""))
 
+  /** American Soundex phonetic keys over the corpus vocabulary — see
+    * [[graft.functions.Soundex]] (full rule set incl. H/W transparency
+    * and vowel run-separation). The oracle replays letters → H/W strip →
+    * code map → adjacent collapse → zero-drop/pad via DuckDB list
+    * comprehensions; every distinct alpha token's key plus its
+    * blocking-group size hash-compare.
+    */
+  val q167Soundex: QueryCase = QueryCase(
+    "q167_soundex",
+    (s, dir) => {
+      import graft.functions.{Phonetic, TextFunctions}
+      val vocab = Tables.documents(s, dir)
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .where(length(col("token")) >= 2 && col("token").rlike("^[a-z]+$"))
+        .distinct()
+      val keyed = vocab.withColumn("sdx", Phonetic.soundex(col("token")))
+      val sizes = keyed.groupBy("sdx").agg(count(lit(1)).as("block_size"))
+      keyed.join(sizes, Seq("sdx"))
+        .select(col("token"), col("sdx"), col("block_size"))
+        .orderBy("token")
+    },
+    Some(s"""
+      WITH vocab AS (
+        SELECT DISTINCT u.t AS token
+        FROM (SELECT $TokensSql AS tk FROM documents), UNNEST(tk) AS u(t)
+        WHERE LEN(u.t) >= 2 AND regexp_matches(u.t, '^[a-z]+$$')),
+      st AS (
+        SELECT token,
+               regexp_extract_all(upper(token), '[A-Z]') AS letters
+        FROM vocab),
+      sq AS (
+        SELECT token, letters,
+               list_prepend(letters[1],
+                 list_filter(letters[2:], c -> c NOT IN ('H', 'W')))
+                 AS seq
+        FROM st WHERE LEN(letters) > 0),
+      cd AS (
+        SELECT token, letters,
+               list_transform(seq, c -> CASE
+                 WHEN c IN ('B','F','P','V') THEN '1'
+                 WHEN c IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+                 WHEN c IN ('D','T') THEN '3'
+                 WHEN c = 'L' THEN '4'
+                 WHEN c IN ('M','N') THEN '5'
+                 WHEN c = 'R' THEN '6'
+                 ELSE '0' END) AS codes
+        FROM sq),
+      col1 AS (
+        SELECT token, letters,
+               [codes[i] for i in range(1, LEN(codes) + 1)
+                if i = 1 OR codes[i] <> codes[i - 1]] AS collapsed
+        FROM cd),
+      sdxt AS (
+        SELECT token,
+               letters[1] || rpad(COALESCE(array_to_string(
+                 list_filter(collapsed[2:], c -> c <> '0')[1:3], ''), ''),
+                 3, '0') AS sdx
+        FROM col1),
+      sizes AS (SELECT sdx, COUNT(*) AS block_size FROM sdxt GROUP BY sdx)
+      SELECT t.token, t.sdx, CAST(s.block_size AS BIGINT) AS block_size
+      FROM sdxt t JOIN sizes s USING (sdx)
+      ORDER BY t.token"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
       q152IncrementalSpanDedup, q153PqEncode, q154PageRank, q155Refinery,
       q156Bloom, q157JaroWinkler, q158DamerauLev, q159WeightedSample,
       q160Rendezvous, q161Bm25, q162IvfpqEncode, q163Attribution,
-      q164LeakageSafeSplit, q165Stickiness, q166SeasonalAnomaly)
+      q164LeakageSafeSplit, q165Stickiness, q166SeasonalAnomaly,
+      q167Soundex)
 }

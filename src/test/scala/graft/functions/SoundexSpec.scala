@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** [[Soundex]] — the published archival test vectors, including the
+  * H/W-transparency cases simplified implementations get wrong.
+  */
+class SoundexSpec extends SparkSpec {
+
+  private def s(x: String) = Soundex.soundex(x)
+
+  test("published vectors") {
+    assert(s("Robert") == "R163" && s("Rupert") == "R163")
+    assert(s("Ashcraft") == "A261") // h transparency: s-c collapse
+    assert(s("Ashcroft") == "A261")
+    assert(s("Tymczak") == "T522")  // vowel separates, cz collapses
+    assert(s("Pfister") == "P236")  // first letter's code absorbs 'f'
+    assert(s("Honeyman") == "H555") // vowels keep the three 5s apart
+    assert(s("Jackson") == "J250")
+    assert(s("Washington") == "W252")
+  }
+
+  test("edges: case, punctuation, short names, no letters") {
+    assert(s("robert") == s("ROBERT"))
+    assert(s("O'Brien") == s("OBrien"))
+    assert(s("Lee") == "L000")
+    assert(s("A") == "A000")
+    assert(s("123") == "" && s("") == "")
+  }
+
+  test("column API under codegen groups sound-alikes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val keys = Seq("Smith", "Smyth", "Schmidt", "Jones")
+      .toDF("n").repartition(2)
+      .select(col("n"), Phonetic.soundex(col("n")).as("k")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(keys("Smith") == keys("Smyth"))  // sound-alikes block together
+    // Soundex's famous coarse grouping: Schmidt ≡ Smith (both S530 — the
+    // c's code collapses into the s's); only Jones separates
+    assert(keys("Schmidt") == keys("Smith"))
+    assert(keys.values.toSet.size == 2)
+  }
+}
