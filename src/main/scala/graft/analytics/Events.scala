@@ -189,4 +189,47 @@ object Events {
           .as("anomaly"))
   }
 
+
+  /** Per-series least-squares trend over hourly counts: slope
+    * (events/hour drift), intercept, and r² from the closed-form OLS
+    * sums — the monitoring primitive behind "is this metric drifting"
+    * (complements q110's level z-score and q166's seasonal residuals
+    * with a direction). The time axis is hours since each series' first
+    * bucket, so slopes are comparable across series. One count
+    * aggregation at data scale; the regression itself is a five-sum
+    * rollup per series.
+    */
+  def trend(df: DataFrame, seriesCol: String, tsCol: String): DataFrame = {
+    val hourly = df.where(col(tsCol).isNotNull)
+      .groupBy(col(seriesCol).as("series"),
+        date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val x0 = org.apache.spark.sql.expressions.Window.partitionBy("series")
+    val xy = hourly.withColumn("x",
+      ((unix_timestamp(col("bucket"))
+        - min(unix_timestamp(col("bucket"))).over(x0)) / 3600L)
+        .cast("double"))
+      .withColumn("y", col("n").cast("double"))
+    xy.groupBy("series")
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      // degenerate guards (ANSI mode: x/0 throws): a single-bucket
+      // series has no x variance (slope undefined → NULL); a constant
+      // series has no y variance (r² undefined → NULL — its fit is not
+      // "perfect", it's meaningless)
+      .withColumn("dx", col("k") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("k") * col("syy") - col("sy") * col("sy"))
+      .withColumn("sl", when(col("dx") =!= 0,
+        (col("k") * col("sxy") - col("sx") * col("sy")) / col("dx")))
+      .select(col("series"), col("k"),
+        round(col("sl"), 6).as("slope"),
+        round((col("sy") - col("sl") * col("sx")) / col("k"), 6)
+          .as("intercept"),
+        round(when(col("dx") =!= 0 && col("dy") =!= 0,
+          pow(col("k") * col("sxy") - col("sx") * col("sy"), 2)
+            / (col("dx") * col("dy"))), 6).as("r2"))
+  }
+
 }

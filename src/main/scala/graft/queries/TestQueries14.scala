@@ -1309,6 +1309,46 @@ object TestQueries14 {
       FROM sdxt t JOIN sizes s USING (sdx)
       ORDER BY t.token"""))
 
+  /** Per-series OLS trend over hourly counts — see
+    * [[graft.analytics.Events.trend]]: slope, intercept and r² from the
+    * closed-form five-sum regression, the "is this metric drifting"
+    * monitor. The oracle replays the hour-index construction and the
+    * exact sum arithmetic (integer counts × small integer hour indices
+    * → sums exact; the final divisions round at 6dp).
+    */
+  val q168Trend: QueryCase = QueryCase(
+    "q168_trend",
+    (s, dir) => graft.analytics.Events
+      .trend(Tables.events(s, dir), "event_type", "ts")
+      .orderBy("series"),
+    Some("""
+      WITH hourly AS (
+        SELECT event_type AS series,
+               date_trunc('hour', date_trunc('microseconds', ts)) AS bucket,
+               COUNT(*) AS n
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2),
+      xy AS (
+        SELECT series,
+               CAST((epoch(bucket)
+                 - MIN(epoch(bucket)) OVER (PARTITION BY series)) // 3600
+                 AS DOUBLE) AS x,
+               CAST(n AS DOUBLE) AS y
+        FROM hourly),
+      sums AS (
+        SELECT series, COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM xy GROUP BY series)
+      SELECT series, CAST(k AS BIGINT) AS k,
+             ROUND((k * sxy - sx * sy)
+               / NULLIF(k * sxx - sx * sx, 0), 6) AS slope,
+             ROUND((sy - ((k * sxy - sx * sy)
+               / NULLIF(k * sxx - sx * sx, 0)) * sx) / k, 6) AS intercept,
+             ROUND(POW(k * sxy - sx * sy, 2)
+               / NULLIF((k * sxx - sx * sx) * (k * syy - sy * sy), 0), 6)
+               AS r2
+      FROM sums ORDER BY series"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
@@ -1316,5 +1356,5 @@ object TestQueries14 {
       q156Bloom, q157JaroWinkler, q158DamerauLev, q159WeightedSample,
       q160Rendezvous, q161Bm25, q162IvfpqEncode, q163Attribution,
       q164LeakageSafeSplit, q165Stickiness, q166SeasonalAnomaly,
-      q167Soundex)
+      q167Soundex, q168Trend)
 }

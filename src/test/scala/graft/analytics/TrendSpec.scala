@@ -1,0 +1,53 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** [[Events.trend]] — a planted linear ramp recovers its slope exactly;
+  * constant series have zero slope.
+  */
+class TrendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("planted ramp: n = 2 + 3·hour recovers slope 3, r² = 1") {
+    val events = (0 until 8).flatMap { h =>
+      val n = 2 + 3 * h
+      (1 to n).map(i => ("ramp", ts(f"2024-01-01 $h%02d:10:00"), i))
+    }.toDF("event_type", "ts", "x")
+    val r = Events.trend(events, "event_type", "ts").collect()(0)
+    assert(r.getLong(1) == 8L)
+    assert(r.getDouble(2) == 3.0)   // slope — exact integer arithmetic
+    assert(r.getDouble(3) == 2.0)   // intercept
+    assert(r.getDouble(4) == 1.0)   // perfect fit
+  }
+
+  test("constant series: zero slope, intercept = level") {
+    val events = (0 until 6).flatMap { h =>
+      (1 to 4).map(i => ("flat", ts(f"2024-01-01 $h%02d:00:00"), i))
+    }.toDF("event_type", "ts", "x")
+    val r = Events.trend(events, "event_type", "ts").collect()(0)
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 4.0)
+    assert(r.isNullAt(4)) // no y variance → r² undefined, not 1.0
+  }
+
+  test("single-bucket series yields NULL slope, not a crash (ANSI)") {
+    val events = Seq(("one", ts("2024-01-01 05:00:00"), 1),
+      ("one", ts("2024-01-01 05:30:00"), 2)).toDF("event_type", "ts", "x")
+    val r = Events.trend(events, "event_type", "ts").collect()(0)
+    assert(r.isNullAt(2) && r.isNullAt(4))
+  }
+
+  test("series are independent (per-series hour origin)") {
+    // second series starts a week later but has the same shape — the
+    // per-series origin makes its slope identical
+    val a = (0 until 5).flatMap(h =>
+      (1 to (1 + 2 * h)).map(i => ("a", ts(f"2024-01-01 $h%02d:00:00"), i)))
+    val b = (0 until 5).flatMap(h =>
+      (1 to (1 + 2 * h)).map(i => ("b", ts(f"2024-01-08 $h%02d:00:00"), i)))
+    val got = Events.trend((a ++ b).toDF("event_type", "ts", "x"),
+      "event_type", "ts").collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("a") == got("b") && got("a") == 2.0)
+  }
+}
