@@ -1,0 +1,57 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Schema-drift tolerance at the source layer — the generalization of
+  * the round-9 events-loader lesson (a driver-side encoding change must
+  * degrade gracefully, never break analysis): additive columns merge,
+  * absent columns read as NULL, and the adaptive events loader serves
+  * both of its historical encodings through one call site.
+  */
+class SchemaDriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("additive column drift: mergeSchema unifies generations") {
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    // generation 1: (id, a); generation 2 adds column b
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.parquet(s"$dir/g=1")
+    Seq((3L, "z", 30L), (4L, "w", 40L)).toDF("id", "a", "b")
+      .write.parquet(s"$dir/g=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.sorted.toSeq == Seq("a", "b", "g", "id"))
+    val rows = df.collect().map(r =>
+      r.getAs[Long]("id") -> Option(r.getAs[Any]("b"))).toMap
+    assert(rows(1L).isEmpty && rows(3L).contains(30L)) // old rows → NULL b
+    assert(df.count() == 4)
+  }
+
+  test("events loader: the micros encoding round-trips through Tables.events") {
+    // current driver data is plain TIMESTAMP micros; the loader must
+    // yield a session-zone TimestampType ts with intact values
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val n = df.where(col("ts").isNotNull).count()
+    assert(n > 0 && n == df.count())
+  }
+
+  test("events loader: legacy nanos encoding still yields identical semantics") {
+    // synthesize a nanos-generation file (LongType ts, the round ≤7
+    // shape after nanosAsLong): the loader must surface ts_ns and a
+    // microsecond-truncated TimestampType ts
+    val micros = 1704067200123456L // 2024-01-01 00:00:00.123456 UTC
+    val dir = java.nio.file.Files.createTempDirectory("nanos").toString
+    Seq((1L, micros * 1000L + 789L, 7L))
+      .toDF("event_id", "ts", "user_id")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Tables.events(spark, dir)
+    assert(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(got.columns.contains("ts_ns"))
+    val r = got.select(unix_micros(col("ts")), col("ts_ns")).head()
+    assert(r.getLong(0) == micros)           // sub-micro nanos truncated
+    assert(r.getLong(1) == micros * 1000L + 789L)
+  }
+}
