@@ -30,9 +30,28 @@ object Verify {
     // any reader of it fails loudly rather than finding nothing), and an
     // aggregated _errors.json at top level.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    val ran = SparkEntry.queries.filter(kv => keep(kv._1))
+    ran.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sfDir)
+        // Gate outputs must be scalar-typed: the driver's pandas
+        // sort_values factorizes cells, and an Array/Map/Struct cell is
+        // unhashable there — the round-9 q150/q153/q162 failure class.
+        // Serialize (array_join / to_json) in the gate projection instead.
+        val nonScalar = df.schema.fields.filter { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType
+               | _: org.apache.spark.sql.types.MapType
+               | _: org.apache.spark.sql.types.StructType => true
+            case _ => false
+          }
+        }
+        require(nonScalar.isEmpty,
+          s"non-scalar gate output column(s) ${nonScalar.map(_.name).mkString(", ")}" +
+            " — the driver's pandas compare cannot sort them; serialize to" +
+            " a scalar in the gate projection")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name FAILED: $msg")
@@ -66,8 +85,10 @@ object Verify {
       val errJson = failures
         .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+      // Denominator = the keep()-filtered set that actually ran, not the
+      // full registry (they differ under a dev-time name filter).
       System.err.println(
-        s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: " +
+        s"[verify] ${failures.size}/${ran.size} queries FAILED: " +
           failures.keys.mkString(", "))
     }
     // Exit 0 even on failures: the successful dumps and the error markers

@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   *
   *  - slug already taken by an existing tenant → rejected
   *    (`tenant_provisioning.py:64-75`);
-  *  - duplicate slug WITHIN the batch → the first request (lowest
-  *    req_id — the order the sequential service would process) wins,
-  *    later ones are rejected exactly as if the winner had committed
-  *    first;
+  *  - duplicate slug WITHIN the batch → the first request that would
+  *    actually COMMIT wins (lowest req_id not itself doomed by
+  *    slug_taken/user_exists — a user_exists request rolls its tenant
+  *    back, so it never holds the slug against later requests), later
+  *    ones are rejected exactly as if the winner had committed first;
   *  - admin email already registered → rejected; the reference creates
   *    the tenant row, fails on the user step, then ROLLS the tenant back
   *    (`:129-141`, `:244+`), so the net outcome is identical — no rows;
@@ -51,16 +52,25 @@ object TenantProvisioning {
     */
   def plan(requests: DataFrame, existingTenants: DataFrame,
            existingUsers: DataFrame): DataFrame = {
-    val bySlug = Window.partitionBy("slug").orderBy("req_id")
-    val ranked = requests.withColumn("batch_rank", row_number().over(bySlug))
-    val joined = ranked
+    val joined = requests
       .join(existingTenants.select(col("slug"), lit(true).as("slug_taken"))
         .distinct(), Seq("slug"), "left")
       .join(existingUsers
         .select(col("email").as("admin_email"), lit(true).as("user_exists"))
         .distinct(), Seq("admin_email"), "left")
+    // The in-batch winner is the first request the sequential service
+    // would COMMIT: the lowest req_id not doomed by either existence
+    // check. A doomed earlier request (slug pre-taken, or user_exists →
+    // tenant rolled back) never holds the slug, so it must not shadow a
+    // later viable request. Requests after a committed winner fail the
+    // slug check first (the reference checks slug before user), so they
+    // get the in-batch rejection even if their admin user also exists.
+    val viable = coalesce(col("slug_taken"), lit(false)) === false &&
+      coalesce(col("user_exists"), lit(false)) === false
+    val winner = min(when(viable, col("req_id")))
+      .over(Window.partitionBy("slug"))
     val status = when(col("slug_taken"), lit("error_slug_exists"))
-      .when(col("batch_rank") > 1, lit("error_slug_exists_in_batch"))
+      .when(col("req_id") > winner, lit("error_slug_exists_in_batch"))
       .when(col("user_exists"), lit("error_user_exists"))
       .otherwise(lit("provisioned"))
     val ok = col("status") === "provisioned"

@@ -51,11 +51,18 @@ object Bloom {
 
   /** Probe: for every row of `candidates`, whether ALL k bits are set.
     * The sketch joins broadcast on the word index; a missing word means
-    * an all-zero word (coalesce 0). Output: candidates + `might_contain`.
+    * an all-zero word (coalesce 0). Output: candidates + `might_contain`,
+    * one output row per INPUT row — duplicate candidate rows survive (a
+    * per-row surrogate key rides the explode/regroup, so the AND over
+    * the k probes folds each physical row separately).
     */
   def probe(candidates: DataFrame, keyCol: String, sketch: DataFrame,
             k: Int, mBits: Int): DataFrame = {
+    val reserved = Seq("__row", "__pos", "__word", "__bit", "__bits", "__hit")
+    require(!candidates.columns.exists(reserved.contains),
+      s"candidates must not contain reserved columns ${reserved.mkString(", ")}")
     val withPos = candidates
+      .withColumn("__row", monotonically_increasing_id())
       .withColumn("__pos", explode(positions(col(keyCol), k, mBits)))
       .withColumn("__word", (col("__pos") / 64).cast("long"))
       .withColumn("__bit", expr("shiftleft(1L, cast(__pos % 64 as int))"))
@@ -65,7 +72,8 @@ object Bloom {
       .withColumn("__hit",
         coalesce(col("__bits"), lit(0L)).bitwiseAND(col("__bit")) =!= 0L)
     probed
-      .groupBy(candidates.columns.map(col).toSeq: _*)
+      .groupBy((col("__row") +: candidates.columns.map(col)).toSeq: _*)
       .agg(min(col("__hit")).as("might_contain")) // AND over the k probes
+      .drop("__row")
   }
 }

@@ -264,10 +264,14 @@ object TestQueries14 {
     * [[graft.api.TenantProvisioning.plan]]. Requests derive from the
     * supplier table with deliberate conflicts: every 7th supplier maps
     * onto one of five shared slugs (within-batch duplicates → first
-    * req_id wins), two shared slugs plus supplier 13's own slug already
-    * exist as tenants, and every 10th admin email is already registered
-    * (the user-exists rollback path). The oracle replays the ranking,
-    * both existence joins, and the md5 surrogate-UUID/bucket derivation.
+    * VIABLE req_id wins: a doomed request never commits its slug), two
+    * shared slugs plus supplier 13's own slug already exist as tenants,
+    * and every 10th admin email is already registered (the user-exists
+    * rollback path). The oracle replays the winner window, both
+    * existence joins, and the md5 surrogate-UUID/bucket derivation.
+    * Gate projection serializes `admin_roles` to its scalar spelling
+    * ('Admin') — the driver's pandas sort can't factorize array cells;
+    * the API keeps the array (the reference's `["Admin"]` role list).
     */
   val q150TenantProvisioning: QueryCase = QueryCase(
     "q150_tenant_provisioning",
@@ -297,6 +301,7 @@ object TestQueries14 {
           .as("email"))
       graft.api.TenantProvisioning
         .plan(requests, existingTenants, existingUsers)
+        .withColumn("admin_roles", array_join(col("admin_roles"), ","))
         .orderBy("req_id")
     },
     Some("""
@@ -321,19 +326,23 @@ object TestQueries14 {
         FROM customer WHERE c_custkey % 10 = 0),
       ranked AS (
         SELECT r.*,
-               ROW_NUMBER() OVER (PARTITION BY slug ORDER BY req_id)
-                 AS batch_rank,
                (slug IN (SELECT slug FROM existing_tenants)) AS slug_taken,
                (admin_email IN (SELECT email FROM existing_users))
                  AS user_exists
         FROM requests r),
+      winners AS (
+        SELECT *,
+               MIN(CASE WHEN NOT slug_taken AND NOT user_exists
+                     THEN req_id END)
+                 OVER (PARTITION BY slug) AS winner
+        FROM ranked),
       planned AS (
         SELECT req_id, slug,
                CASE WHEN slug_taken THEN 'error_slug_exists'
-                    WHEN batch_rank > 1 THEN 'error_slug_exists_in_batch'
+                    WHEN req_id > winner THEN 'error_slug_exists_in_batch'
                     WHEN user_exists THEN 'error_user_exists'
                     ELSE 'provisioned' END AS status
-        FROM ranked),
+        FROM winners),
       sur AS (
         SELECT req_id, slug, status,
                CASE WHEN status = 'provisioned' THEN
@@ -346,7 +355,7 @@ object TestQueries14 {
              CASE WHEN status = 'provisioned'
                THEN 'documents-' || tenant_id END AS storage_bucket,
              CASE WHEN status = 'provisioned'
-               THEN ['Admin'] END AS admin_roles
+               THEN 'Admin' END AS admin_roles
       FROM sur ORDER BY req_id"""))
 
   /** Lloyd's k-means fit (k=8, 2 iterations) over the embeddings table —
@@ -489,7 +498,10 @@ object TestQueries14 {
     (s, dir) => graft.search.Pq
       .fit(Tables.embeddings(s, dir), "vec_id", "embedding", m = 4, k = 4)
       .codes
-      .select(col("id").as("vec_id"), col("codes"))
+      // serialized code array: gate outputs are scalar-typed (the
+      // driver's pandas sort can't factorize array cells)
+      .select(col("id").as("vec_id"),
+        array_join(col("codes").cast("array<string>"), ",").as("codes"))
       .orderBy("vec_id"),
     Some("""
       WITH e AS (
@@ -540,7 +552,8 @@ object TestQueries14 {
       codes AS (
         SELECT vec_id, list(CAST(code AS INT) ORDER BY sub) AS codes
         FROM a2 GROUP BY vec_id)
-      SELECT vec_id, codes FROM codes ORDER BY vec_id"""))
+      SELECT vec_id, array_to_string(codes, ',') AS codes
+      FROM codes ORDER BY vec_id"""))
 
   /** Fixed-iteration PageRank with dangling-mass redistribution over the
     * customer↔supplier trade graph (both directions of every distinct
@@ -1019,8 +1032,10 @@ object TestQueries14 {
         m = 4, k = 4)
       m.assignments
         .join(m.pq.codes, Seq("id"))
+        // serialized code array: gate outputs are scalar-typed (the
+        // driver's pandas sort can't factorize array cells)
         .select(col("id").as("vec_id"), col("cluster_id").as("label"),
-          col("codes"))
+          array_join(col("codes").cast("array<string>"), ",").as("codes"))
         .orderBy("vec_id")
     },
     Some("""
@@ -1078,7 +1093,7 @@ object TestQueries14 {
       codes AS (
         SELECT vec_id, list(CAST(code AS INT) ORDER BY sub) AS codes
         FROM a2 GROUP BY vec_id)
-      SELECT c.vec_id, e.label, c.codes
+      SELECT c.vec_id, e.label, array_to_string(c.codes, ',') AS codes
       FROM codes c JOIN e USING (vec_id) ORDER BY c.vec_id"""))
 
   /** First-match click→purchase attribution over the events table — see

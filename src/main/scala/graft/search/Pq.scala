@@ -36,11 +36,23 @@ object Pq {
     val ex = graft.plans.Materialize.stage(
       v.select(col("id"), posexplode(col("v")).as(Seq("pos", "x"))),
       "graft.dedup.checkpoint")
-    // dim must split evenly; probe it from the first row's array length
-    val dims = v.select(size(col("v")).as("d")).limit(1)
+    // Dimensionality contract, enforced IN the plan (no driver action):
+    // every vector must have the same length and it must split evenly
+    // into m subspaces — ragged arrays would otherwise silently produce
+    // out-of-range subspace indices and wrong codes. raise_error sits
+    // inside the consumed column so the optimizer cannot prune it.
+    val dims = v.agg(min(size(col("v"))).as("dmin"),
+        max(size(col("v"))).as("dmax"))
+      .select(
+        when(col("dmin") === col("dmax") && (col("dmin") % m) === 0,
+          col("dmin"))
+          .otherwise(raise_error(concat(
+            lit(s"Pq.fit: embedding dims must be uniform and divisible by m=$m; got min="),
+            col("dmin").cast("string"), lit(" max="),
+            col("dmax").cast("string"))))
+          .as("d"))
     val exSub = ex
       .crossJoin(broadcast(dims))
-      .where((col("d") % m) === 0) // uneven dims → empty result, loud specs
       .withColumn("sd", (col("d") / m).cast("int")) // integer subspace width
       .select(col("id"), (col("pos") / col("sd")).cast("int").as("sub"),
         (col("pos") % col("sd")).as("subpos"), col("x"))

@@ -29,6 +29,31 @@ class TenantProvisioningSpec extends SparkSpec {
       5L -> "provisioned"))
   }
 
+  test("doomed batch winner does not shadow a later viable request") {
+    // Sequential replay: req 10 ('dup') fails user_exists → its tenant is
+    // ROLLED BACK, so the slug is still free when req 11 arrives → req 11
+    // provisions. Req 12 then finds the slug committed by 11 → in-batch
+    // rejection. A rank over raw req_id order would wrongly reject 11.
+    val batch = Seq(
+      (10L, "First Doomed", "dup", "known@x.com", "dev"),
+      (11L, "Second Fine", "dup", "e@x.com", "dev"),
+      (12L, "Third Late", "dup", "f@x.com", "dev"))
+      .toDF("req_id", "name", "slug", "admin_email", "environment")
+    val got = TenantProvisioning.plan(batch, tenants, users)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(
+      10L -> "error_user_exists",
+      11L -> "provisioned",
+      12L -> "error_slug_exists_in_batch"))
+    // slug pre-taken outranks everything: nobody in the batch can win it,
+    // and the user check never fires behind the slug rejection
+    val gotTaken = TenantProvisioning.plan(
+      batch.withColumn("slug", org.apache.spark.sql.functions.lit("taken")),
+      tenants, users)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(gotTaken.values.toSet == Set("error_slug_exists"))
+  }
+
   test("provisioned rows carry surrogate id, bucket, Admin role") {
     val rows = TenantProvisioning.plan(requests, tenants, users)
       .where($"status" === "provisioned").collect()

@@ -34,6 +34,23 @@ class BloomSpec extends SparkSpec {
     assert(got.forall(!_))
   }
 
+  test("duplicate candidate rows each produce an output row") {
+    val keys = Seq("a", "b").toDF("key")
+    val sketch = Bloom.build(keys, "key", 4, 4096)
+    val dups = Seq("a", "a", "a", "c").toDF("key")
+    val got = Bloom.probe(dups, "key", sketch, 4, 4096).collect()
+    assert(got.length == 4) // 3×'a' survive the regroup, not 1
+    assert(got.count(r => r.getString(0) == "a" && r.getBoolean(1)) == 3)
+  }
+
+  test("reserved __-prefixed candidate columns are rejected") {
+    val sketch = Bloom.build(Seq("a").toDF("key"), "key", 4, 4096)
+    val bad = Seq(("a", 1)).toDF("key", "__pos")
+    intercept[IllegalArgumentException] {
+      Bloom.probe(bad, "key", sketch, 4, 4096)
+    }
+  }
+
   test("power-of-two bit count is enforced") {
     intercept[IllegalArgumentException] {
       Bloom.build(Seq("a").toDF("key"), "key", k = 4, mBits = 1000)

@@ -1,0 +1,36 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+
+/** Gate-output type convention: every `SparkEntry.queries` result must be
+  * scalar-typed at the top level. The driver's DuckDB compare reads both
+  * frames into pandas and `sort_values` them — an Array/Map/Struct cell is
+  * unhashable there and turns a CORRECT query into an `err` row (the
+  * round-9 q150/q153/q162 class). Serialize composite values in the gate
+  * projection (`array_join`, `to_json`, …); the operator APIs themselves
+  * keep their natural types.
+  *
+  * This sweep builds each query's PLAN at sf0.001 and inspects the schema
+  * only — [[graft.Verify]] enforces the same invariant at dump time, so a
+  * violation fails here first (cheap) and there second (loud).
+  */
+class GateSchemaSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every gate output schema is scalar-typed (driver-comparable)") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, dir).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType]
+            || f.dataType.isInstanceOf[MapType]
+            || f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+        bad
+    }
+    assert(offenders.isEmpty,
+      s"non-scalar gate outputs (serialize in the gate projection):\n  " +
+        offenders.mkString("\n  "))
+  }
+}

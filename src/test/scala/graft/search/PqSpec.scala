@@ -69,6 +69,30 @@ class PqSpec extends SparkSpec {
     assert(got.map(_._1).toSet == wantTop)
   }
 
+  test("ragged or indivisible embedding dims fail loudly") {
+    // raise_error surfaces wrapped in task-failure exceptions in local
+    // mode — search the whole cause chain for the contract message
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => String.valueOf(m.getMessage))
+      .mkString("; ")
+    // ragged: one 3-dim vector among 4-dim ones → raise_error in the plan
+    val ragged = Seq(
+      (1L, Seq(0.0f, 1.0f, 2.0f, 3.0f)), (2L, Seq(0.0f, 1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Pq.fit(ragged, "vec_id", "embedding", m = 2, k = 2).codes.collect()
+    }
+    assert(msgs(e1).contains("uniform"), msgs(e1))
+    // uniform but not divisible by m → same loud failure, not empty output
+    val odd = Seq(
+      (1L, Seq(0.0f, 1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] {
+      Pq.fit(odd, "vec_id", "embedding", m = 2, k = 2).codes.collect()
+    }
+    assert(msgs(e2).contains("divisible"), msgs(e2))
+  }
+
   test("a vector equal to its centroid set has ADC distance ~0 to itself") {
     // query = vec 0's own reconstruction error bound: its ADC distance
     // equals the quantization error, which is ≤ brute distance to any
