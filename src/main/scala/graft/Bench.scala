@@ -76,6 +76,31 @@ object Bench {
     def janinoUnits: Long =
       org.apache.spark.metrics.source.CodegenMetrics
         .METRIC_COMPILATION_TIME.getCount
+    // Round-9 driver bench: the steady re-runs of q154/q142/q61 (executed
+    // at the END of the session) came out 3–5× SLOWER than their cold runs.
+    // Prime suspect: `Materialize` localCheckpoint blocks are pinned in
+    // executor storage memory and never released — 167 queries (PageRank
+    // alone checkpoints per iteration) accumulate dead blocks that squeeze
+    // execution memory for everything after them. Release between queries
+    // (each gate query is independent; a localCheckpointed RDD is never
+    // reused across queries) and record the evidence: cumulative released
+    // RDD count + peak pinned MB prove the accumulation existed, the
+    // steady-phase env snapshot shows whether the inversion survives the
+    // fix (if it does, it's host contention, not the engine).
+    var releasedRdds = 0L
+    var peakStorageMb = 0L
+    def releaseCaches(): Unit = {
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val mb = infos.map(_.memSize).sum / (1024 * 1024)
+      if (mb > peakStorageMb) peakStorageMb = mb
+      // serving substrates first, Dataset-level: an RDD-level unpersist
+      // would leave their CacheManager entries live and the re-warm check
+      // blind (Serving.releaseAll scaladoc)
+      graft.search.Serving.releaseAll(spark)
+      val rdds = spark.sparkContext.getPersistentRDDs.values
+      releasedRdds += rdds.size
+      rdds.foreach(_.unpersist(blocking = false))
+    }
     val load0 = loadAvg; val gc0 = gcMs; val jit0 = jitMs; val cpu0 = cpuMs
     val jan0 = janinoUnits
     val wall0 = System.nanoTime()
@@ -86,7 +111,9 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val dt = (System.nanoTime() - t0) / 1e9
+      releaseCaches() // outside the timer: frees this query's checkpoints
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -115,8 +142,14 @@ object Bench {
       "q04_semi_join", "q05_anti_join", "q06_topk", "q07_latest_per_group",
       "q08_cum_share", "q09_pivot", "q10_count_distinct", "q11_weighted_avg",
       "q12_union", "q13_distinct", "q14_rrf", "q15_rollup")
+    // two runs, second timed: the cold loop's per-query cache release
+    // also dropped the serving substrates, so a single re-run would
+    // charge the substrate re-warm (a build the serving stack does at
+    // ingest, not per query) to the warm number
     val warm = warmSet.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => }
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
         catch { case _: Throwable => }
@@ -204,23 +237,41 @@ object Bench {
     // is ambiguous between host variance and a real plan change. The
     // (cold, steady) pair disambiguates: steady moved → real; only cold
     // moved → compile-time or host noise (round-5 q61 lesson).
+    // Steady phase runs last, when the round-9 inversion struck: release
+    // any leftover caches first, then attribute each steady run — janino
+    // units distinguish codegen-cache eviction (q142 hypothesis) from
+    // memory pressure (q154/q61 hypothesis); gc_ms catches heap churn.
+    releaseCaches()
+    val steadyLoad0 = loadAvg; val steadyGc0 = gcMs; val steadyJan0 = janinoUnits
     val worstSteady = worstPairs.map { case (name, _) =>
       val fn = SparkEntry.queries(name)
+      val jan0q = janinoUnits; val gc0q = gcMs
       val t0 = System.nanoTime()
       // A failed steady run records -1, not its time-to-failure: a fast
       // crash would otherwise read as a fast steady state and defeat the
       // cold-vs-steady disambiguation this column exists for.
-      try {
-        fn(spark, sfDir).queryExecution.toRdd.count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => name -> -1.0 }
+      val r =
+        try {
+          fn(spark, sfDir).queryExecution.toRdd.count()
+          name -> (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => name -> -1.0 }
+      System.err.println(s"[bench] steady $name: ${fmt(r._2, 2)}s" +
+        s" janino_delta=${janinoUnits - jan0q} gc_delta_ms=${gcMs - gc0q}")
+      releaseCaches()
+      r
     }
     val worstSteadyJson = worstSteady
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
+    val steadyEnv =
+      s"""{"loadavg_start":$steadyLoad0,"loadavg_end":$loadAvg,""" +
+        s""""gc_ms":${gcMs - steadyGc0},""" +
+        s""""janino_units":${janinoUnits - steadyJan0},""" +
+        s""""released_rdds":$releasedRdds,""" +
+        s""""peak_storage_mb":$peakStorageMb}"""
     val warmServing = warm.filter(kv => Set("q24_cosine_topk", "q38_fts_rank",
         "q54_hybrid", "q41_rerank", "q67_websearch").contains(kv._1))
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"warm_serving":$warmServing,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"steady_env":$steadyEnv,"warm_serving":$warmServing,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

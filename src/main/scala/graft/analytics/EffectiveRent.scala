@@ -89,11 +89,13 @@ object EffectiveRent {
     * Scale contract: input is ONE portfolio's tenant roster (the
     * reference computes concentration per portfolio — bounded at
     * thousands), so the total-order window is cheap. Cross-portfolio use
-    * at scale should partition by portfolio first (wrap the window) —
-    * a global cumulative share over an unbounded table single-partitions
-    * the sort by construction.
+    * at scale should partition by portfolio first (wrap the window).
+    * Enforced by [[graft.plans.Bounded.guard]] — an unbounded roster
+    * fails loudly instead of single-partitioning the sort.
     */
-  def concentration(rents: DataFrame): DataFrame = {
+  def concentration(rents0: DataFrame): DataFrame = {
+    val rents = graft.plans.Bounded.guard(rents0,
+      "EffectiveRent.concentration")
     val total = rents.agg(
       sum(col("effective_monthly_rent").cast("decimal(18,2)"))
         .cast("double").as("__total"))

@@ -807,8 +807,27 @@ object Multimodal {
     * non-PCM-16 assets emit no frame rows; compressed media decode stays
     * behind [[DecodeBackend]].
     */
+  /** Audio decode seam: container bytes → (sample_rate, channels, PCM16
+    * samples). [[WavAudioDecode]] is the default backend (WAV PCM-16,
+    * G.711 µ-law/A-law, IMA ADPCM — everything decodable with JDK-only
+    * code); a perceptual-codec backend (MP3/AAC/Opus via an ffmpeg pipe
+    * or JavaCV — no JDK decoder exists, SURVEY risk) implements this one
+    * method and inherits the whole frame kernel unchanged.
+    * `AudioDecodeContractSpec` pins the contract with an injected fake
+    * codec backend.
+    */
+  trait AudioDecode extends Serializable {
+    def decodePcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Short])]
+  }
+
+  object WavAudioDecode extends AudioDecode {
+    def decodePcm16(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+      parseWavPcm16(bytes)
+  }
+
   def sampleWavFrames(media: DataFrame, idCol: String, bytesCol: String,
-                      nFrames: Int): DataFrame = {
+                      nFrames: Int,
+                      decoder: AudioDecode = WavAudioDecode): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("id", StringType),
       StructField("frame_index", IntegerType),
@@ -824,7 +843,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getAs[String]("id")
-          parseWavPcm16(r.getAs[Array[Byte]]("b")).toSeq.flatMap {
+          decoder.decodePcm16(r.getAs[Array[Byte]]("b")).toSeq.flatMap {
             case (rate, channels, samples) =>
               val n = samples.length
               (0 until nFrames).flatMap { f =>

@@ -30,16 +30,30 @@ object CorpusLm {
     * Scale shape: tokens are pre-combined to (doc, token, count) before
     * the vocab join (map-side-combinable groupBys, the dominant data is
     * never joined row-per-token); corpus totals ride a 1-row broadcast
-    * cross join. The tercile assignment is a global sort over one row per
-    * DOCUMENT — at extreme scale swap `ntile` for approx-percentile
-    * thresholds (the CCNet paper itself buckets from a sampled
-    * histogram); the exact form is kept here because the gate
-    * hash-compares bucket labels.
+    * cross join.
+    *
+    * Tercile assignment has two forms:
+    *
+    *  - DEFAULT (`exactTerciles = false`): approx-percentile thresholds
+    *    + a stateless threshold filter — the CCNet paper's own method
+    *    (it buckets against cutoffs from a sampled histogram, not a
+    *    total order). One 2-value t-digest aggregate rides a 1-row
+    *    broadcast; no window, no global sort, scale-safe at any corpus
+    *    size.
+    *  - `exactTerciles = true`: exact `ntile(3)` over a global
+    *    single-partition window ordered by (rounded ce, doc_id). Only
+    *    for bounded inputs / the hash-compared oracle gates (q147/q155),
+    *    where bit-stable bucket labels matter more than scale.
+    *
+    * The two agree everywhere except ties at the tercile boundaries
+    * (ntile splits equal-ce runs by doc_id; a threshold cannot) —
+    * `CorpusLmSpec` pins the agreement rate on the sf0.1 corpus.
     *
     * Output: (doc_id, n_tokens, ce_bits, ppl, bucket).
     */
   def unigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
-                        k: Double = 0.5): DataFrame = {
+                        k: Double = 0.5,
+                        exactTerciles: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("t"))
     val dt = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
@@ -52,13 +66,27 @@ object CorpusLm {
         (-sum(col("c") * log2((col("cnt") + k)
             / (col("n") + lit(k) * (col("v") + 1))))
           / sum(col("c"))).as("ce"))
-    val terciles = Window.orderBy(round(col("ce"), 6), col("doc_id"))
-    ce.withColumn("b3", ntile(3).over(terciles))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("ce"), 6).as("ce_bits"),
-        round(pow(lit(2.0), col("ce")), 4).as("ppl"),
-        when(col("b3") === 1, "head").when(col("b3") === 2, "middle")
-          .otherwise("tail").as("bucket"))
+    if (exactTerciles) {
+      val terciles = Window.orderBy(round(col("ce"), 6), col("doc_id"))
+      ce.withColumn("b3", ntile(3).over(terciles))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("ce"), 6).as("ce_bits"),
+          round(pow(lit(2.0), col("ce")), 4).as("ppl"),
+          when(col("b3") === 1, "head").when(col("b3") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+    } else {
+      // Thresholds over the ROUNDED ce (the value the exact form orders
+      // by) so the two variants see the same tie classes.
+      val thr = ce.agg(percentile_approx(round(col("ce"), 6),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000)).as("thr"))
+      ce.crossJoin(broadcast(thr))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("ce"), 6).as("ce_bits"),
+          round(pow(lit(2.0), col("ce")), 4).as("ppl"),
+          when(round(col("ce"), 6) <= col("thr").getItem(0), "head")
+            .when(round(col("ce"), 6) <= col("thr").getItem(1), "middle")
+            .otherwise("tail").as("bucket"))
+    }
   }
 
   /** DSIR importance weights: hash uni+bigram features into `buckets`

@@ -49,12 +49,15 @@ object Search {
     *
     * Scale contract: inputs are RANKED LISTS — already top-k-limited by
     * the retrieval legs (as [[hybrid]] does with 2×limit) — so the global
-    * rank window runs over ≤ hundreds of rows. Feeding an unbounded
-    * table here would single-partition the sort; bound it first.
+    * rank window runs over ≤ hundreds of rows. Enforced by
+    * [[graft.plans.Bounded.guard]]: a statically limited input passes for
+    * free, an unbounded one fails loudly instead of single-partitioning.
     */
-  def rrfFuse(left: DataFrame, right: DataFrame, idCol: String,
+  def rrfFuse(left0: DataFrame, right0: DataFrame, idCol: String,
               leftOrder: Seq[Column], rightOrder: Seq[Column],
               k: Int = 60): DataFrame = {
+    val left = graft.plans.Bounded.guard(left0, "Search.rrfFuse(left)")
+    val right = graft.plans.Bounded.guard(right0, "Search.rrfFuse(right)")
     val lRanked = left.withColumn("rrf_rank",
       row_number().over(Window.orderBy(leftOrder: _*)))
       .select(col(idCol), (lit(1.0) / (lit(k) + col("rrf_rank"))).as("l_score"))

@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+
+/** Runtime guard for total-order (unpartitioned) window contracts.
+  *
+  * A handful of operators legitimately use `Window.orderBy(...)` with no
+  * partitioning — RRF rank assignment, rerank head/tail split, context
+  * packing, portfolio concentration. Their shared contract is a SMALL,
+  * already-bounded input (a top-k list, one portfolio's roster); the
+  * single-partition sort Spark warns about is then over tens-to-thousands
+  * of rows and is the cheapest correct plan. The failure mode is silent:
+  * an unbounded caller gets the same plan, and the whole table funnels
+  * through one task.
+  *
+  * `guard` makes that misuse fail loudly instead:
+  *
+  *  - If Catalyst can statically bound the input (`LogicalPlan.maxRows`,
+  *    set by `limit`, scalar aggregates, and anything built over them)
+  *    and the bound is within `graft.window.boundedMaxRows` (default
+  *    1 << 20), the guard is FREE — no job runs. Every top-k-shaped
+  *    caller in this library takes this path.
+  *  - Otherwise it runs one COUNT aggregate over the subtree and refuses
+  *    inputs above the bound. The count is an extra pass, but a partial-
+  *    agg count is strictly cheaper than the single-partition global sort
+  *    it prevents — and the contracts these operators carry mean the
+  *    count is over a small frame whenever the call is legitimate.
+  *
+  * `graft.window.guard=off` disables the runtime count (e.g. for a caller
+  * that has out-of-band knowledge of the bound); streaming frames pass
+  * through untouched (no count is possible — bounding there is the
+  * watermark's job).
+  */
+object Bounded {
+
+  val MaxRowsKey = "graft.window.boundedMaxRows"
+  val ModeKey = "graft.window.guard"
+  private val DefaultMaxRows = 1L << 20
+
+  def guard(df: DataFrame, what: String): DataFrame = {
+    val spark = df.sparkSession
+    if (df.isStreaming || spark.conf.get(ModeKey, "on") == "off") return df
+    val max = spark.conf.get(MaxRowsKey, DefaultMaxRows.toString).toLong
+    df.queryExecution.optimizedPlan.maxRows match {
+      case Some(n) if n <= max => df // statically proven bounded — free
+      case staticBound =>
+        val n = df.count()
+        require(n <= max,
+          s"$what: input has $n rows (static bound $staticBound), over " +
+            s"$MaxRowsKey=$max — the total-order window would move the " +
+            "whole input through one partition; pre-bound it (top-k, " +
+            "per-group) or raise/disable the guard conf")
+        df
+    }
+  }
+}

@@ -135,7 +135,8 @@ object TestQueries14 {
   val q147Perplexity: QueryCase = QueryCase(
     "q147_perplexity",
     (s, dir) => graft.operators.CorpusLm
-      .unigramPerplexity(Tables.documents(s, dir), "doc_id", "text")
+      .unigramPerplexity(Tables.documents(s, dir), "doc_id", "text",
+        exactTerciles = true) // oracle replays ntile(3) bit-for-bit
       .orderBy("doc_id"),
     Some(s"""
       WITH toks AS (
@@ -649,7 +650,8 @@ object TestQueries14 {
         docs.join(spans.where(!col("flagged")).select("doc_id"),
           Seq("doc_id")),
         "graft.dedup.checkpoint")
-      val ppl = CorpusLm.unigramPerplexity(survivors, "doc_id", "text")
+      val ppl = CorpusLm.unigramPerplexity(survivors, "doc_id", "text",
+        exactTerciles = true) // oracle replays ntile(3) bit-for-bit
       val kept = graft.plans.Materialize.stage(
         ppl.where(col("bucket") =!= "tail")
           .select(col("doc_id"), col("bucket"), col("n_tokens")),
@@ -1364,6 +1366,48 @@ object TestQueries14 {
                AS r2
       FROM sums ORDER BY series"""))
 
+  /** The SCALE-SAFE perplexity bucketing path (the round-10 default):
+    * approx-percentile thresholds + a stateless filter instead of a
+    * global ntile window. Oracle-checkable because Spark's
+    * `percentile_approx` with accuracy ≫ n returns exact order
+    * statistics whose rank convention matches DuckDB `quantile_disc`
+    * (probed rank-for-rank at n = 9/10/499/500); thresholds are taken
+    * over the ROUNDED ce so both engines see identical tie classes.
+    * Complements q147 (exact window, gate-only): with BOTH gates green
+    * the two variants are each hash-pinned, not merely
+    * agreement-sampled.
+    */
+  val q169PerplexitySampled: QueryCase = QueryCase(
+    "q169_perplexity_sampled",
+    (s, dir) => graft.operators.CorpusLm
+      .unigramPerplexity(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, u.t AS t
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(tk) AS u(t)),
+      dt AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      vocab AS (SELECT t, COUNT(*) AS cnt FROM toks GROUP BY t),
+      tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(COUNT(DISTINCT t) AS DOUBLE) AS v FROM toks),
+      ce AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               -SUM(c * log2((cnt + CAST(0.5 AS DOUBLE))
+                             / (n + CAST(0.5 AS DOUBLE) * (v + 1))))
+                 / SUM(c) AS ce
+        FROM dt JOIN vocab USING (t) CROSS JOIN tot GROUP BY doc_id),
+      thr AS (
+        SELECT quantile_disc(ROUND(ce, 6), 1.0/3) AS t1,
+               quantile_disc(ROUND(ce, 6), 2.0/3) AS t2
+        FROM ce)
+      SELECT doc_id, n_tokens, ROUND(ce, 6) AS ce_bits,
+             ROUND(POW(CAST(2.0 AS DOUBLE), ce), 4) AS ppl,
+             CASE WHEN ROUND(ce, 6) <= t1 THEN 'head'
+                  WHEN ROUND(ce, 6) <= t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM ce CROSS JOIN thr ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
@@ -1371,5 +1415,5 @@ object TestQueries14 {
       q156Bloom, q157JaroWinkler, q158DamerauLev, q159WeightedSample,
       q160Rendezvous, q161Bm25, q162IvfpqEncode, q163Attribution,
       q164LeakageSafeSplit, q165Stickiness, q166SeasonalAnomaly,
-      q167Soundex, q168Trend)
+      q167Soundex, q168Trend, q169PerplexitySampled)
 }

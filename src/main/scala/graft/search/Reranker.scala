@@ -31,9 +31,12 @@ object Reranker {
     * `scorer`, append the tail in its original order after the reranked
     * head (`reranker.py:99-131`).
     */
-  def rerankTopK(ranked: DataFrame, idCol: String, orderCol: String,
+  def rerankTopK(ranked0: DataFrame, idCol: String, orderCol: String,
                  scorer: Column, k: Int = DefaultTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // ranked-list contract (the reference reranks a retrieval page, not a
+    // table): enforced — see Bounded scaladoc for the static-vs-count path
+    val ranked = graft.plans.Bounded.guard(ranked0, "Reranker.rerankTopK")
     val w = Window.orderBy(desc(orderCol), col(idCol))
     val withRank = ranked.withColumn("__rank", row_number().over(w))
     // per-section ordinal instead of a cast-to-double tiebreak struct:

@@ -1,0 +1,61 @@
+package graft.search
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped serving substrates: pre-built, persisted frames the
+  * serving-path queries search instead of recomputing their index join
+  * per request.
+  *
+  * The reference serves hybrid search from a PRE-BUILT `document_chunks`
+  * table (embedding + tsvector columns, populated at ingest — reference
+  * `src/search/hybrid.py` queries it, never the raw documents). The
+  * analogue here: the first serving call per (session, data dir, name)
+  * builds the substrate, persists it, and every later call searches the
+  * cached frame. Results are identical either way — the substrate is the
+  * same plan, just materialized — so oracle gates can route through it
+  * unconditionally; `graft.serving.useStore=off` restores the
+  * compose-from-raw-tables path (e.g. for plan-shape inspection).
+  *
+  * A substrate whose blocks were dropped by an external cache cleanup
+  * (Bench releases all caches between queries) re-warms itself on next
+  * access: drops must go through [[releaseAll]] — a Dataset-level
+  * `unpersist` — so `storageLevel` reads NONE and the re-persist check
+  * fires.
+  */
+object Serving {
+
+  val UseStoreKey = "graft.serving.useStore"
+
+  private val substrates =
+    TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def useStore(spark: SparkSession): Boolean =
+    spark.conf.get(UseStoreKey, "on") != "off"
+
+  /** Return the persisted substrate for (session, dir, name), building it
+    * from `build` on first use; re-warm if the cache was dropped.
+    */
+  def substrate(spark: SparkSession, dir: String, name: String)
+               (build: => DataFrame): DataFrame = {
+    val df = substrates.getOrElseUpdate((spark, dir, name), build)
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      df.count() // materialize: serving latency must not include the build
+    }
+    df
+  }
+
+  /** Drop every substrate's cached data for `spark` (keeps the plans —
+    * next access re-warms). Cache cleanups must call this rather than
+    * unpersisting the underlying RDDs directly, or the dropped state is
+    * invisible to `storageLevel` and the substrate silently degrades to
+    * recompute-per-action.
+    */
+  def releaseAll(spark: SparkSession): Unit =
+    substrates.foreach { case ((s, _, _), df) =>
+      if (s eq spark) df.unpersist(blocking = false)
+    }
+}

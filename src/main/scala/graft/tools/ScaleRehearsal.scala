@@ -43,7 +43,11 @@ object ScaleRehearsal {
     "q91_decontaminate", "q94_cdc_apply", "q106_scd2",
     "q01_pricing_summary", "q83_salted_skew",
     // round-8 additions: incremental dedup + repetition filters
-    "q137_incremental_dedup", "q138_gopher_repetition")
+    "q137_incremental_dedup", "q138_gopher_repetition",
+    // round-9 heavyweights (round-9 verdict ask: their 100× claim was
+    // design-argument only — measure the exponents)
+    "q147_perplexity", "q148_span_dedup", "q151_kmeans", "q153_pq_encode",
+    "q154_pagerank", "q155_refinery", "q161_bm25", "q162_ivfpq_encode")
 
   private val StressQueries = Seq(
     "q01_pricing_summary", "q94_cdc_apply", "q106_scd2", "q83_salted_skew",

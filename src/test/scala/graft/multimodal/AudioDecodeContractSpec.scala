@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal.AudioDecode
+
+/** The [[Multimodal.AudioDecode]] seam as a tested INTERFACE, not a
+  * comment: a fake perceptual-codec backend (stand-in for the MP3/AAC/
+  * Opus decoders no JDK ships) is injected into `sampleWavFrames` and
+  * the frame kernel's stats are replayed against a plain-Scala reference
+  * over the fake codec's deterministic PCM. This pins the contract an
+  * ffmpeg-pipe backend must meet: return (rate, channels, samples) and
+  * the whole frame pipeline — boundaries, exact Long accumulation,
+  * per-frame stats — composes unchanged.
+  */
+class AudioDecodeContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Fake codec: 4-byte magic "FMP3", then rate (1 byte, kHz), then a
+    * payload whose bytes seed a deterministic PCM ramp — "decoding"
+    * expands each payload byte into 4 samples. Rejects other bytes, like
+    * a real codec backend rejects containers it does not own.
+    */
+  private object FakeMp3Decode extends AudioDecode {
+    def decodePcm16(b: Array[Byte]): Option[(Int, Int, Array[Short])] =
+      if (b.length < 6 || new String(b.take(4), "US-ASCII") != "FMP3") None
+      else {
+        val rate = (b(4) & 0xff) * 1000
+        val payload = b.drop(5)
+        val samples = new Array[Short](payload.length * 4)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = (((payload(i / 4) & 0xff) - 128) * (i % 4 + 1)).toShort
+          i += 1
+        }
+        Some((rate, 1, samples))
+      }
+  }
+
+  private def fakeAsset(id: Byte, n: Int): Array[Byte] =
+    "FMP3".getBytes("US-ASCII") ++ Array(16.toByte) ++
+      Array.tabulate(n)(i => ((i * 37 + id) % 256).toByte)
+
+  test("injected codec backend composes with the frame kernel") {
+    val assets = Seq(("a", fakeAsset(1, 40)), ("b", fakeAsset(9, 25)))
+    val df = assets.toDF("id", "bytes").repartition(2)
+    val nFrames = 3
+    val got = Multimodal
+      .sampleWavFrames(df, "id", "bytes", nFrames, FakeMp3Decode)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6),
+          r.getDouble(7), r.getDouble(8))))
+      .toMap
+
+    // plain-Scala replay of the SAME contract: decode via the backend,
+    // window with the kernel's integer boundaries, fold stats exactly
+    val want = assets.flatMap { case (id, bytes) =>
+      val Some((rate, ch, samples)) = FakeMp3Decode.decodePcm16(bytes)
+      val n = samples.length
+      (0 until nFrames).flatMap { f =>
+        val start = (f.toLong * n / nFrames).toInt
+        val end = ((f + 1).toLong * n / nFrames).toInt
+        if (end <= start) None
+        else {
+          val w = samples.slice(start, end).map(_.toInt)
+          val cnt = end - start
+          val sum = w.map(_.toLong).sum
+          val sumSq = w.map(s => s.toLong * s).sum
+          Some((id, f) -> ((rate, ch, start, cnt, w.map(math.abs).max,
+            sum.toDouble / cnt, math.sqrt(sumSq.toDouble / cnt))))
+        }
+      }
+    }.toMap
+
+    assert(got == want)
+    assert(got.size == 2 * nFrames)
+    assert(got(("a", 0))._1 == 16000) // backend-reported rate surfaces
+  }
+
+  test("backend rejection yields no frame rows (non-owned container)") {
+    val wav = Multimodal.wavPcm16Bytes(Array[Short](1, 2, 3, 4), 8000)
+    val df = Seq(("w", wav)).toDF("id", "bytes")
+    // the fake codec must not claim a real WAV...
+    assert(Multimodal.sampleWavFrames(df, "id", "bytes", 2, FakeMp3Decode)
+      .count() == 0)
+    // ...and the default backend must not claim the fake container
+    val fake = Seq(("f", fakeAsset(1, 16))).toDF("id", "bytes")
+    assert(Multimodal.sampleWavFrames(fake, "id", "bytes", 2).count() == 0)
+  }
+}

@@ -40,6 +40,42 @@ class CorpusLmSpec extends SparkSpec {
     assert(byDoc(1L) < byDoc(2L)) // all-common-token doc has lower ppl
   }
 
+  test("sampled terciles agree with exact ntile on the sf0.1 corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val sampled = CorpusLm.unigramPerplexity(docs, "doc_id", "text")
+      .select("doc_id", "bucket").withColumnRenamed("bucket", "b_sampled")
+    val exact = CorpusLm.unigramPerplexity(docs, "doc_id", "text",
+        exactTerciles = true)
+      .select("doc_id", "bucket").withColumnRenamed("bucket", "b_exact")
+    val joined = sampled.join(exact, "doc_id").cache()
+    val n = joined.count()
+    val agree = joined.where($"b_sampled" === $"b_exact").count()
+    // the only legitimate divergence is equal-ce ties AT a tercile
+    // boundary (ntile splits a tie run by doc_id; a threshold cannot)
+    assert(n > 0)
+    assert(agree.toDouble / n >= 0.95,
+      s"sampled/exact tercile agreement $agree/$n below 95%")
+    // every bucket must be populated in the sampled form (a degenerate
+    // threshold pair would collapse a tercile)
+    val buckets = sampled.select("b_sampled").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(buckets == Set("head", "middle", "tail"))
+    joined.unpersist()
+  }
+
+  test("sampled tercile plan has no window and no global sort") {
+    val docs = Seq((1L, "a b c"), (2L, "b c d"), (3L, "c d e"))
+      .toDF("doc_id", "text")
+    val plan = CorpusLm.unigramPerplexity(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window in sampled plan:\n$plan")
+    assert(!plan.contains("Sort "), s"global sort in sampled plan:\n$plan")
+    // the exact form (gate-only) is the one allowed to carry the window
+    val exactPlan = CorpusLm.unigramPerplexity(docs, "doc_id", "text",
+      exactTerciles = true).queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Window"))
+  }
+
   test("dsir weights: JVM reference replay on a small corpus") {
     val source = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
       (3L, "alpha alpha beta")).toDF("doc_id", "text")

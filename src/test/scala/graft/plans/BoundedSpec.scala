@@ -1,0 +1,87 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Bounded]] — the total-order-window input guard: statically limited
+  * inputs pass without running a job, unbounded oversize inputs fail
+  * loudly at every guarded operator instead of single-partitioning.
+  */
+class BoundedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withMax[A](n: Long)(body: => A): A = {
+    spark.conf.set(Bounded.MaxRowsKey, n.toString)
+    try body finally spark.conf.unset(Bounded.MaxRowsKey)
+  }
+
+  test("statically limited input passes without executing the plan") {
+    // poisoned subtree: any execution (including a guard-side count)
+    // would throw — the static maxRows path must not run a job
+    val poisoned = spark.range(10).toDF("id")
+      .where(raise_error(lit("guard must not execute")).isNull)
+      .limit(5)
+    val out = Bounded.guard(poisoned, "spec")
+    assert(out eq poisoned)
+  }
+
+  test("unbounded input under the limit passes via the count path") {
+    // Filter keeps the child's static bound; an aggregate over it does
+    // not produce a small static bound, forcing the count
+    val small = spark.range(100).toDF("id")
+      .groupBy(($"id" % 7).as("k")).count()
+    withMax(10) { Bounded.guard(small, "spec") } // 7 groups ≤ 10
+  }
+
+  test("unbounded oversize input fails loudly") {
+    val big = spark.range(1000).toDF("id")
+      .groupBy(($"id" % 100).as("k")).count()
+    val e = intercept[IllegalArgumentException] {
+      withMax(10)(Bounded.guard(big, "spec-site"))
+    }
+    assert(e.getMessage.contains("spec-site"))
+    assert(e.getMessage.contains("one partition"))
+  }
+
+  test("guard can be disabled by conf") {
+    val big = spark.range(1000).toDF("id")
+      .groupBy(($"id" % 100).as("k")).count()
+    spark.conf.set(Bounded.ModeKey, "off")
+    try withMax(10)(Bounded.guard(big, "spec"))
+    finally spark.conf.unset(Bounded.ModeKey)
+  }
+
+  test("guarded operators reject oversize unbounded inputs") {
+    val docs = spark.range(1000)
+      .select($"id".cast("string").as("id"), lit("alpha beta").as("text"),
+        lit(1.0).as("score"), lit(1).as("page"))
+      .groupBy("id").agg(first("text").as("text"),
+        first("score").as("score"), first("page").as("page"))
+    withMax(10) {
+      intercept[IllegalArgumentException] {
+        graft.search.Reranker.rerankTopK(docs, "id", "score", lit(0.5))
+          .collect()
+      }
+      intercept[IllegalArgumentException] {
+        graft.rag.Rag.buildContext(docs, "id", "page", "text").collect()
+      }
+      intercept[IllegalArgumentException] {
+        graft.operators.Search.rrfFuse(docs, docs.limit(5), "id",
+          Seq(desc("score")), Seq(desc("score"))).collect()
+      }
+    }
+  }
+
+  test("top-k shaped inputs keep working under a tight bound") {
+    val docs = Seq(("a", "alpha beta", 0.9, 1), ("b", "gamma", 0.5, 2))
+      .toDF("id", "text", "score", "page")
+    withMax(10) {
+      // limit() gives the static bound — the operators' own contract shape
+      val ranked = docs.orderBy(desc("score")).limit(10)
+      assert(graft.search.Reranker
+        .rerankTopK(ranked, "id", "score", lit(0.5)).count() == 2)
+      assert(graft.rag.Rag
+        .buildContext(ranked, "id", "page", "text").count() == 2)
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.storage.StorageLevel
+
+/** [[Serving]] — substrate registry: build-once, persisted, re-warm after
+  * an external cache drop, and result-identical to the raw compose path.
+  */
+class ServingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("substrate builds once and is persisted") {
+    var builds = 0
+    def build = { builds += 1; Seq((1, "a"), (2, "b")).toDF("id", "text") }
+    val a = Serving.substrate(spark, "/tmp/sv1", "s")(build)
+    val b = Serving.substrate(spark, "/tmp/sv1", "s")(build)
+    assert(builds == 1)
+    assert(a.storageLevel != StorageLevel.NONE)
+    assert(b.collect().length == 2)
+  }
+
+  test("releaseAll drops the cache and the substrate re-warms") {
+    val df = Serving.substrate(spark, "/tmp/sv2", "s")(
+      Seq((1, "a")).toDF("id", "text"))
+    assert(df.storageLevel != StorageLevel.NONE)
+    Serving.releaseAll(spark)
+    assert(df.storageLevel == StorageLevel.NONE)
+    val again = Serving.substrate(spark, "/tmp/sv2", "s")(
+      sys.error("must not rebuild — the plan is registered"))
+    assert(again.storageLevel != StorageLevel.NONE)
+    assert(again.collect().length == 1)
+  }
+
+  test("q54 gate result is identical with the store on and off") {
+    val dir = "/root/testdata/sf0.001"
+    val fn = graft.SparkEntry.queries("q54_hybrid")
+    def rows() = fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val withStore = rows()
+    spark.conf.set(Serving.UseStoreKey, "off")
+    val without = try rows() finally spark.conf.unset(Serving.UseStoreKey)
+    assert(withStore == without)
+    assert(withStore.nonEmpty)
+  }
+}
