@@ -41,7 +41,10 @@ object Bounded {
     val spark = df.sparkSession
     if (df.isStreaming || spark.conf.get(ModeKey, "on") == "off") return df
     val max = spark.conf.get(MaxRowsKey, DefaultMaxRows.toString).toLong
-    df.queryExecution.optimizedPlan.maxRows match {
+    // ANALYZED plan, not optimized: `limit` sets maxRows at analysis
+    // already, and forcing an optimizer pass per guarded input would tax
+    // every serving-path plan construction (q54 fuses two guarded legs)
+    df.queryExecution.analyzed.maxRows match {
       case Some(n) if n <= max => df // statically proven bounded — free
       case staticBound =>
         val n = df.count()

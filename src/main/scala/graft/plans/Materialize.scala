@@ -32,6 +32,14 @@ import org.apache.spark.sql.DataFrame
   *
   * Explicit modes (`local` / `reliable` / `none`) override per conf key, so
   * existing `graft.dedup.checkpoint=reliable` style pins keep working.
+  *
+  * Lifecycle: localCheckpoint blocks live until the RDD is unpersisted or
+  * GC'd — a session that runs many independent queries accumulates dead
+  * blocks that squeeze execution memory (the round-9 steady-phase bench
+  * inversions). A multi-query driver should release between independent
+  * queries: `sc.getPersistentRDDs.values.foreach(_.unpersist(false))`
+  * once the query's actions are done (`Bench` does exactly this; a
+  * checkpointed frame must NOT be reused after its release).
   */
 object Materialize {
 

@@ -1408,6 +1408,64 @@ object TestQueries14 {
                   ELSE 'tail' END AS bucket
       FROM ce CROSS JOIN thr ORDER BY doc_id"""))
 
+  /** Hard-negative mining for embedding-model training: for each query
+    * vector (a broadcastable sample of the corpus), the top-5 cosine
+    * neighbors excluding self, flagged `is_hard` when similar-but-not-
+    * near-duplicate (rounded cosine < 0.95 — near-dups are leakage, not
+    * negatives; cf. SBERT/DPR-style mining). Scale shape: the query set
+    * rides a broadcast nested-loop join against the partitioned corpus;
+    * ranking is a PARTITIONED window (per query id), never a total
+    * order. The oracle mirrors the cosine with DuckDB `list_reduce`
+    * left-folds (bit-exact — the q24/q54 recipe), orders by the
+    * UNROUNDED score with id tie-break, and rounds after selection.
+    */
+  val q170HardNegatives: QueryCase = QueryCase(
+    "q170_hard_negatives",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = emb.select(col("vec_id").as("cand_id"), col("embedding"))
+        .crossJoin(broadcast(queries))
+        .where(col("cand_id") =!= col("qid"))
+        .withColumn("score",
+          graft.functions.VectorFunctions.cosineSim(col("embedding"),
+            col("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(desc("score"), col("cand_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("qid"), col("cand_id"),
+          round(col("score"), 6).as("score"),
+          (round(col("score"), 6) < 0.95).as("is_hard"), col("rn"))
+        .orderBy("qid", "rn")
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id % 25 = 0),
+      s AS (
+        SELECT qid, vec_id AS cand_id,
+               list_reduce(list_transform(range(1, len(embedding)+1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+                 (x,y) -> x+y) /
+               (SQRT(list_reduce(list_transform(range(1, len(embedding)+1),
+                 i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                 (x,y) -> x+y)) *
+                SQRT(list_reduce(list_transform(range(1, len(qv)+1),
+                 i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+                 (x,y) -> x+y))) AS score
+        FROM embeddings CROSS JOIN q WHERE vec_id <> qid),
+      r AS (
+        SELECT qid, cand_id, score,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY score DESC, cand_id) AS rn
+        FROM s)
+      SELECT qid, cand_id, ROUND(score, 6) AS score,
+             ROUND(score, 6) < CAST(0.95 AS DOUBLE) AS is_hard,
+             CAST(rn AS INT) AS rn
+      FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
@@ -1415,5 +1473,5 @@ object TestQueries14 {
       q156Bloom, q157JaroWinkler, q158DamerauLev, q159WeightedSample,
       q160Rendezvous, q161Bm25, q162IvfpqEncode, q163Attribution,
       q164LeakageSafeSplit, q165Stickiness, q166SeasonalAnomaly,
-      q167Soundex, q168Trend, q169PerplexitySampled)
+      q167Soundex, q168Trend, q169PerplexitySampled, q170HardNegatives)
 }

@@ -354,9 +354,14 @@ object TestQueries6 {
     (s, dir) => {
       val query = graft.functions.Fts.websearchQuery(
         "\"hash value\" -vector or \"sort key\"", stem = false)
-      val toks = t(s, dir, "documents").select(col("doc_id"),
+      // shared tokenized substrate — same frame as q38 (see its comment)
+      def buildToks = t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.tokens(col("text")).as("ct"),
         TextFunctions.tokens(col("source")).as("ht"))
+      val toks =
+        if (graft.search.Serving.useStore(s))
+          graft.search.Serving.substrate(s, dir, "fts_toks")(buildToks)
+        else buildToks
       val vec = toks.select(col("doc_id"),
         struct(graft.functions.Fts.filterStopwords(col("ct")).as("a"),
           graft.functions.Fts.filterStopwords(col("ht")).as("b")).as("fts"))

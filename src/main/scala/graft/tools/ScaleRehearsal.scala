@@ -66,12 +66,24 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // bootstrap
 
+    // Release checkpoint/cache blocks between runs (the Bench discipline):
+    // without this, a checkpoint-heavy query's steady run executes with
+    // the cold run's blocks still pinned — at the sf1 point that's ~10×
+    // the block volume and the "steady" time INVERTS above cold (observed
+    // on q155_refinery: 13.8 cold / 26.0 steady before this release).
+    def release(): Unit = {
+      graft.search.Serving.releaseAll(spark)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     def steady(name: String, dir: String): (Double, Double) = {
       val fn = graft.SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, dir).queryExecution.toRdd.count()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        release()
+        dt
       }
       val cold = once(); val warm = once()
       (cold, warm)
