@@ -179,6 +179,69 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** PPJoin-style prefix-filtered set-similarity self-join (the
+    * SSJoin/PPJoin family, Xiao et al., WWW'08): COMPLETE pair recall at
+    * `threshold` token-set Jaccard — unlike [[ngramJaccardPairs]]'s
+    * df-cutoff (which trades recall on stop-shingles for a bucket-size
+    * bound), the prefix filter is exact by pigeonhole: order every
+    * document's distinct tokens by ascending document frequency (ties on
+    * the token), keep only the first `sz − ⌈τ·sz⌉ + 1` as its PREFIX;
+    * two sets with Jaccard ≥ τ must share at least one prefix token, so
+    * blocking on prefix tokens loses nothing. Rare-first ordering is
+    * what makes it scale: prefixes are made of LOW-df tokens, so the
+    * inverted lists driving pair expansion are short — stop words land
+    * at the tail of every document and never form a bucket. Candidates
+    * are pruned with the size condition (τ·max(sz) ≤ min(sz)) before the
+    * exact `array_intersect` verify.
+    *
+    * Scale shape: signature pass → df join → per-doc rank window
+    * (partitioned by doc) → prefix-token buckets → verify join of the
+    * candidate ids back to the materialized token sets. No global sort,
+    * no cap, no recall loss; worst-case candidate volume is inherent to
+    * the data (identical-corpus inputs are quadratic in OUTPUT, which no
+    * exact algorithm avoids).
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, n: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "threshold must be in (0, 1]")
+    // set elements: distinct word n-grams (n = 1 → plain token sets).
+    // n-grams are the standard PPJoin element — order-sensitive, so
+    // templated corpora with a shared vocabulary don't collapse to
+    // near-identical sets the way unigram token sets do.
+    val toks0 = spread(df).select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("tk0"))
+    val toks = materialize(toks0.select(col("id"),
+      (if (n <= 1) array_distinct(col("tk0"))
+       else TextFunctions.distinctNgramsOfTokens(col("tk0"), n)).as("tk")))
+    val ex = toks.select(col("id"), explode(col("tk")).as("t"))
+    val dfreq = ex.groupBy("t").agg(count(lit(1)).as("tdf"))
+    val byDoc = Window.partitionBy("id")
+    val pos = ex.join(dfreq, Seq("t"))
+      .withColumn("pos",
+        row_number().over(byDoc.orderBy(col("tdf"), col("t"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+    val prefix = pos.where(col("pos") <=
+      col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    val cand = pairsWithinBuckets(prefix, Seq(col("t")),
+        struct(col("id"), col("sz")), maxBucket = Int.MaxValue)
+      .select(col("p1.id").as("id1"), col("p1.sz").as("sz1"),
+        col("p2.id").as("id2"), col("p2.sz").as("sz2"))
+      .distinct()
+      .where(greatest(col("sz1"), col("sz2")) * threshold <=
+        least(col("sz1"), col("sz2")))
+    cand
+      .join(toks.select(col("id").as("id1"), col("tk").as("tk1")), Seq("id1"))
+      .join(toks.select(col("id").as("id2"), col("tk").as("tk2")), Seq("id2"))
+      .withColumn("inter", size(array_intersect(col("tk1"), col("tk2"))))
+      // one division of exact integers — bit-identical across engines,
+      // so the value is compared RAW (no ROUND liability)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz1") + col("sz2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   /** MinHash + LSH near-dup candidates: k-wide signatures, banded into
     * `bands`×`rowsPerBand`; docs sharing any band bucket become candidate
     * pairs, then verified with the signature-estimated Jaccard. Band

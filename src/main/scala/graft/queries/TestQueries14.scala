@@ -1466,6 +1466,60 @@ object TestQueries14 {
              CAST(rn AS INT) AS rn
       FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
 
+  /** PPJoin-style prefix-filtered set-similarity join — see
+    * [[graft.operators.Dedup.prefixJaccardPairs]]. The oracle replays the
+    * whole pipeline: df-ranked token order, the ⌈τ·sz⌉ prefix, the
+    * prefix-token block join, the size filter, and the exact intersect
+    * verify. Set elements are distinct word TRIGRAMS (n = 3): unigram
+    * token sets collapse on this templated corpus (τ = 0.5 over token
+    * sets produced 92k pairs from 500 docs — an answer-size property of
+    * the element choice, not of the plan). τ = 0.8 targets true
+    * near-dups. Cross-engine safety: both engines evaluate τ·sz on the
+    * SAME nearest-double of 0.8, and the final Jaccard is ONE division
+    * of exact integers, compared raw.
+    */
+  val q171PrefixJaccard: QueryCase = QueryCase(
+    "q171_prefix_jaccard",
+    (s, dir) => graft.operators.Dedup
+      .prefixJaccardPairs(Tables.documents(s, dir), "doc_id", "text", 0.8,
+        n = 3)
+      .orderBy("id1", "id2"),
+    Some(s"""
+      WITH t0 AS (SELECT doc_id AS id, $TokensSql AS tk0 FROM documents),
+      toks AS (
+        SELECT id, list_distinct(CASE WHEN LEN(tk0) >= 3
+          THEN [array_to_string(tk0[i:i+2], ' ')
+                for i in range(1, LEN(tk0) - 1)]
+          ELSE CAST([] AS VARCHAR[]) END) AS tk
+        FROM t0),
+      ex AS (SELECT id, u.t AS t FROM toks, UNNEST(tk) AS u(t)),
+      dfq AS (SELECT t, COUNT(*) AS tdf FROM ex GROUP BY t),
+      pos AS (
+        SELECT id, t,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY tdf, t) AS pos,
+               COUNT(*) OVER (PARTITION BY id) AS sz
+        FROM ex JOIN dfq USING (t)),
+      pref AS (
+        SELECT id, t, sz FROM pos
+        WHERE pos <= sz - CEIL(CAST(0.8 AS DOUBLE) * sz) + 1),
+      cand AS (
+        SELECT DISTINCT a.id AS id1, a.sz AS sz1, b.id AS id2, b.sz AS sz2
+        FROM pref a JOIN pref b ON a.t = b.t AND a.id < b.id),
+      sized AS (
+        SELECT * FROM cand
+        WHERE GREATEST(sz1, sz2) * CAST(0.8 AS DOUBLE) <= LEAST(sz1, sz2)),
+      v AS (
+        SELECT id1, id2, sz1, sz2,
+               LEN(list_intersect(t1.tk, t2.tk)) AS inter
+        FROM sized JOIN toks t1 ON t1.id = sized.id1
+                   JOIN toks t2 ON t2.id = sized.id2)
+      SELECT id1, id2,
+             CAST(inter AS DOUBLE) / (sz1 + sz2 - inter) AS jaccard
+      FROM v
+      WHERE CAST(inter AS DOUBLE) / (sz1 + sz2 - inter)
+              >= CAST(0.8 AS DOUBLE)
+      ORDER BY id1, id2"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
@@ -1473,5 +1527,6 @@ object TestQueries14 {
       q156Bloom, q157JaroWinkler, q158DamerauLev, q159WeightedSample,
       q160Rendezvous, q161Bm25, q162IvfpqEncode, q163Attribution,
       q164LeakageSafeSplit, q165Stickiness, q166SeasonalAnomaly,
-      q167Soundex, q168Trend, q169PerplexitySampled, q170HardNegatives)
+      q167Soundex, q168Trend, q169PerplexitySampled, q170HardNegatives,
+      q171PrefixJaccard)
 }

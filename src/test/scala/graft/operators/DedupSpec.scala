@@ -198,4 +198,47 @@ class DedupSpec extends SparkSpec {
     // simhash is bag-of-words: token order must NOT matter
     assert(sigs(0) == sigs(2))
   }
+
+  test("prefix-filter jaccard join is COMPLETE vs brute force") {
+    import spark.implicits._
+    // real corpus slice: the completeness claim (no df-cutoff recall
+    // loss) must hold on data with genuine stop-word structure
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val got = Dedup.prefixJaccardPairs(real, "doc_id", "text", 0.5, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // brute force over all pairs, same trigram-set elements
+    val toks = real
+      .select($"doc_id".as("id"), TextFunctions.tokens($"text").as("tk0"))
+      .select($"id", TextFunctions.distinctNgramsOfTokens($"tk0", 3).as("tk"))
+    val brute = toks.as("a").join(toks.as("b"), $"a.id" < $"b.id")
+      .select($"a.id".as("id1"), $"b.id".as("id2"),
+        size(array_intersect($"a.tk", $"b.tk")).cast("double")
+          ./(size($"a.tk") + size($"b.tk") -
+             size(array_intersect($"a.tk", $"b.tk"))).as("j"))
+      .where($"j" >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got == brute)
+    assert(brute.nonEmpty) // the corpus carries real near-dups
+  }
+
+  test("prefix filter keeps pairs that share only a universal stop word") {
+    import spark.implicits._
+    // every doc shares "the" (df = 4 → it sorts LAST and never enters a
+    // prefix); docs 1/2 are true near-dups, 3/4 unrelated — a df-cutoff
+    // bucketing could only pair 1/2 via rarer shingles, but the claim
+    // here is exactness: output must be exactly the brute-force answer
+    val docs = Seq(
+      (1L, "the apple banana cherry date"),
+      (2L, "the apple banana cherry elderberry"),
+      (3L, "the zebra yak xerus walrus"),
+      (4L, "the quokka pangolin numbat lorikeet")).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.5, n = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // J(1,2) = 4/6 ≈ 0.667; every other pair shares only "the" (1/9)
+    assert(got == Set((1L, 2L, 4.0 / 6.0)))
+  }
 }
