@@ -214,13 +214,15 @@ object Dedup {
     val toks = materialize(toks0.select(col("id"),
       (if (n <= 1) array_distinct(col("tk0"))
        else TextFunctions.distinctNgramsOfTokens(col("tk0"), n)).as("tk")))
-    val ex = toks.select(col("id"), explode(col("tk")).as("t"))
+    // sz rides the explode as size(tk) — a window-free set size (the
+    // per-doc COUNT window this replaces was half the rank stage's cost)
+    val ex = toks.select(col("id"), size(col("tk")).as("sz"),
+      explode(col("tk")).as("t"))
     val dfreq = ex.groupBy("t").agg(count(lit(1)).as("tdf"))
     val byDoc = Window.partitionBy("id")
     val pos = ex.join(dfreq, Seq("t"))
       .withColumn("pos",
         row_number().over(byDoc.orderBy(col("tdf"), col("t"))))
-      .withColumn("sz", count(lit(1)).over(byDoc))
     val prefix = pos.where(col("pos") <=
       col("sz") - ceil(lit(threshold) * col("sz")) + 1)
     val cand = pairsWithinBuckets(prefix, Seq(col("t")),

@@ -37,7 +37,15 @@ object TestQueries5 {
         if (graft.search.Serving.useStore(s))
           graft.search.Serving.substrate(s, dir, "hybrid_chunks")(buildChunks)
         else buildChunks
-      val q = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // query-vector substrate: a serving request arrives WITH its vector
+      // (the reference embeds per request and hands pgvector the array) —
+      // the only parquet I/O left on the request path was this lookup
+      def buildQ = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val q =
+        if (graft.search.Serving.useStore(s))
+          graft.search.Serving.substrate(s, dir, "hybrid_query_vec")(buildQ)
+        else buildQ
       val withQ = chunks.where(col("id") =!= 0).crossJoin(broadcast(q))
       val vec = withQ
         .select(col("id"), VectorFunctions.cosineSim(col("embedding"), col("qv")).as("score"))

@@ -31,6 +31,12 @@ object Serving {
 
   private val substrates =
     TrieMap.empty[(SparkSession, String, String), DataFrame]
+  // warm set instead of a per-request `df.storageLevel` probe: that call
+  // canonicalizes the substrate plan against the CacheManager on EVERY
+  // request — measurable on the serving path. The set stays accurate
+  // because drops are contractually routed through releaseAll (below).
+  private val warm =
+    TrieMap.empty[(SparkSession, String, String), Unit]
 
   def useStore(spark: SparkSession): Boolean =
     spark.conf.get(UseStoreKey, "on") != "off"
@@ -40,10 +46,13 @@ object Serving {
     */
   def substrate(spark: SparkSession, dir: String, name: String)
                (build: => DataFrame): DataFrame = {
-    val df = substrates.getOrElseUpdate((spark, dir, name), build)
-    if (df.storageLevel == StorageLevel.NONE) {
-      df.persist(StorageLevel.MEMORY_AND_DISK)
+    val key = (spark, dir, name)
+    val df = substrates.getOrElseUpdate(key, build)
+    if (!warm.contains(key)) {
+      if (df.storageLevel == StorageLevel.NONE)
+        df.persist(StorageLevel.MEMORY_AND_DISK)
       df.count() // materialize: serving latency must not include the build
+      warm.put(key, ())
     }
     df
   }
@@ -51,11 +60,14 @@ object Serving {
   /** Drop every substrate's cached data for `spark` (keeps the plans —
     * next access re-warms). Cache cleanups must call this rather than
     * unpersisting the underlying RDDs directly, or the dropped state is
-    * invisible to `storageLevel` and the substrate silently degrades to
+    * invisible to the warm set and the substrate silently degrades to
     * recompute-per-action.
     */
   def releaseAll(spark: SparkSession): Unit =
-    substrates.foreach { case ((s, _, _), df) =>
-      if (s eq spark) df.unpersist(blocking = false)
+    substrates.foreach { case (key @ (s, _, _), df) =>
+      if (s eq spark) {
+        df.unpersist(blocking = false)
+        warm.remove(key)
+      }
     }
 }
