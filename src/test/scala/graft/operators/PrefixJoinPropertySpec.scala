@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property pin for [[Dedup.prefixJaccardPairs]]: on randomly generated
+  * corpora (small shared vocabulary to force heavy overlap, plus empty /
+  * single-token / identical-doc degenerates) the operator's output must
+  * EQUAL the plain-Scala brute force over all pairs — same pairs, same
+  * Jaccard values — across element sizes and thresholds. The fixed-
+  * corpus DedupSpec cases prove the interesting structure; this sweep
+  * proves there is no boundary case (prefix length at ⌈τ·sz⌉ edges,
+  * ties in the df order, equal sets) where the filter loses a pair.
+  */
+class PrefixJoinPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+
+  private def corpusGen: Gen[Seq[(Long, String)]] =
+    Gen.chooseNum(4, 12).flatMap { nDocs =>
+      Gen.sequence[Seq[Seq[String]], Seq[String]]((1 to nDocs).map { _ =>
+        Gen.chooseNum(0, 8).flatMap(len =>
+          Gen.listOfN(len, Gen.oneOf(vocab)).map(_.toSeq))
+      }).map(_.zipWithIndex.map { case (ts, i) =>
+        (i + 1L, ts.mkString(" "))
+      })
+    }
+
+  private def corpora(n: Int): Seq[Seq[(Long, String)]] =
+    (0 until n).flatMap(i =>
+      corpusGen.apply(Gen.Parameters.default, Seed(4242L + i))) :+
+      // hand-placed degenerates: duplicates, empties, single tokens
+      Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, ""),
+        (4L, "alpha"), (5L, "alpha"), (6L, "beta beta beta"))
+
+  private def elements(text: String, n: Int): Set[String] = {
+    val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    if (n <= 1) tk.toSet
+    else tk.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSet
+  }
+
+  private def brute(corpus: Seq[(Long, String)], n: Int,
+                    tau: Double): Map[(Long, Long), Double] = {
+    val sets = corpus.map { case (id, t) => id -> elements(t, n) }
+    (for {
+      (id1, s1) <- sets; (id2, s2) <- sets
+      if id1 < id2 && s1.nonEmpty && s2.nonEmpty
+      inter = (s1 & s2).size
+      j = inter.toDouble / (s1.size + s2.size - inter)
+      if j >= tau
+    } yield (id1, id2) -> j).toMap
+  }
+
+  test("operator equals brute force over random corpora") {
+    for {
+      corpus <- corpora(5)
+      n <- Seq(1, 2)
+      tau <- Seq(0.5, 0.8)
+    } {
+      val got = Dedup
+        .prefixJaccardPairs(corpus.toDF("doc_id", "text"), "doc_id",
+          "text", tau, n)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val want = brute(corpus, n, tau)
+      assert(got == want,
+        s"n=$n tau=$tau corpus=${corpus.take(3)}...: got ${got.size} " +
+          s"pairs, want ${want.size}")
+    }
+  }
+}
