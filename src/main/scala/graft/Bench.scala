@@ -18,11 +18,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // 132 gate queries compile ~1500 distinct codegen texts; the default
+      // 170 gate queries compile ~2400 distinct codegen texts; the default
       // 100-entry generated-class cache thrashes (q131 alone unions 32
       // subplans ≈ a full cache of stage texts), forcing janino recompiles
-      // of shapes the suite reuses (scan/agg/exchange stages)
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // of shapes the suite reuses (scan/agg/exchange stages). 2000 was
+      // enough for 132 queries; at 2400+ units the steady phase re-ran
+      // into evictions (q131's steady janino_delta ≈ its full 190 units
+      // every round-10 run) — 5000 keeps the whole suite resident
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session bootstrap (executor spin-up, first parquet footer
@@ -242,6 +245,11 @@ object Bench {
     // units distinguish codegen-cache eviction (q142 hypothesis) from
     // memory pressure (q154/q61 hypothesis); gc_ms catches heap churn.
     releaseCaches()
+    // broadcasts/accumulators from the cold loop are only reaped by
+    // ContextCleaner when their refs are GC'd — nudge once so ~170
+    // queries of dead broadcast blocks don't ride into the steady phase
+    System.gc()
+    Thread.sleep(200)
     val steadyLoad0 = loadAvg; val steadyGc0 = gcMs; val steadyJan0 = janinoUnits
     val worstSteady = worstPairs.map { case (name, _) =>
       val fn = SparkEntry.queries(name)
