@@ -31,15 +31,16 @@ class ServingSpec extends SparkSpec {
     assert(again.collect().length == 1)
   }
 
-  test("q54 gate result is identical with the store on and off") {
+  test("substrate-routed gates are identical with the store on and off") {
     val dir = "/root/testdata/sf0.001"
-    val fn = graft.SparkEntry.queries("q54_hybrid")
-    def rows() = fn(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val withStore = rows()
-    spark.conf.set(Serving.UseStoreKey, "off")
-    val without = try rows() finally spark.conf.unset(Serving.UseStoreKey)
-    assert(withStore == without)
-    assert(withStore.nonEmpty)
+    for (name <- Seq("q54_hybrid", "q38_fts_rank", "q67_websearch")) {
+      val fn = graft.SparkEntry.queries(name)
+      def rows() = fn(spark, dir).collect().map(_.toSeq).toSeq
+      val withStore = rows()
+      spark.conf.set(Serving.UseStoreKey, "off")
+      val without = try rows() finally spark.conf.unset(Serving.UseStoreKey)
+      assert(withStore == without, name)
+      assert(withStore.nonEmpty, name)
+    }
   }
 }
