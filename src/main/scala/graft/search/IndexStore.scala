@@ -1,0 +1,62 @@
+package graft.search
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Durable index lifecycle: every ANN structure in this library is a
+  * bundle of DataFrames, so "persist the index" is parquet on the data
+  * lake — built once at ingest by a batch job, loaded by any number of
+  * serving jobs later (the reference's analogue is the pgvector HNSW
+  * index living in Postgres; at 100 TB the lake IS the store). Layout is
+  * one subdirectory per component frame under the caller's path.
+  *
+  * The IVF assignments are written PARTITIONED BY cluster id:
+  * `IvfIndex.search` filters assignments to the probed clusters, and on
+  * a partitioned layout that filter is partition PRUNING — a serving
+  * job reads only nprobe/k-th of the index from disk.
+  *
+  * Roundtrip identity (save → load → search ≡ fresh search) is pinned by
+  * `IndexStoreSpec`.
+  */
+object IndexStore {
+
+  def saveIvf(index: IvfIndex.Index, path: String): Unit = {
+    index.assignments.write.mode("overwrite")
+      .partitionBy("cluster_id").parquet(s"$path/assignments")
+    index.centroids.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def loadIvf(spark: SparkSession, path: String): IvfIndex.Index =
+    IvfIndex.Index(
+      spark.read.parquet(s"$path/assignments")
+        // partition column comes back last; restore the build order
+        .select(col("id"), col("cluster_id"), col("v")),
+      spark.read.parquet(s"$path/centroids"))
+
+  def savePq(model: Pq.Model, path: String): Unit = {
+    model.codebooks.write.mode("overwrite").parquet(s"$path/codebooks")
+    model.codes.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  def loadPq(spark: SparkSession, path: String): Pq.Model =
+    Pq.Model(
+      spark.read.parquet(s"$path/codebooks"),
+      spark.read.parquet(s"$path/codes"))
+
+  def saveIvfPq(model: IvfPq.Model, path: String): Unit = {
+    model.coarseCentroids.write.mode("overwrite")
+      .parquet(s"$path/coarse_centroids")
+    savePq(model.pq, s"$path/pq")
+    model.assignments.write.mode("overwrite")
+      .partitionBy("cluster_id").parquet(s"$path/assignments")
+  }
+
+  def loadIvfPq(spark: SparkSession, path: String): IvfPq.Model =
+    IvfPq.Model(
+      spark.read.parquet(s"$path/coarse_centroids"),
+      loadPq(spark, s"$path/pq"),
+      spark.read.parquet(s"$path/assignments")
+        // partitionBy moved the column to the directory level; restore
+        // the original column order for schema-stable callers
+        .select(col("id"), col("cluster_id")))
+}

@@ -1,0 +1,63 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[IndexStore]] — the durable index lifecycle: build → save to parquet
+  * → load in a "different job" → search must equal the fresh-index
+  * search bit for bit. Also pins the partition-pruning layout: the IVF
+  * assignments directory is laid out by cluster id.
+  */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def searchRows(index: IvfIndex.Index) = {
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+    val q = vecs.where($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("qv"))
+    IvfIndex.search(index, q, k = 10, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+  }
+
+  test("IVF index: save/load/search roundtrip identity") {
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+    val fresh = IvfIndex.build(vecs, "vec_id", "embedding", "label")
+    val path = "/tmp/graft_indexstore/ivf"
+    IndexStore.saveIvf(fresh, path)
+    val loaded = IndexStore.loadIvf(spark, path)
+    assert(searchRows(loaded) == searchRows(fresh))
+    // layout: assignments are partitioned by cluster id → the probe
+    // filter prunes directories, not rows
+    val parts = new java.io.File(s"$path/assignments").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cluster_id="))
+    assert(parts.nonEmpty)
+  }
+
+  test("PQ model: save/load/adc-search roundtrip identity") {
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+    val fresh = Pq.fit(vecs, "vec_id", "embedding", m = 4, k = 4)
+    val path = "/tmp/graft_indexstore/pq"
+    IndexStore.savePq(fresh, path)
+    val loaded = IndexStore.loadPq(spark, path)
+    val q = vecs.where($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("qv"))
+    def adc(m: Pq.Model) = Pq.adcSearch(m, q, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(adc(loaded) == adc(fresh))
+  }
+
+  test("IVFADC model: save/load/search roundtrip identity") {
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+    val fresh = IvfPq.fit(vecs, "vec_id", "embedding", "label", m = 4, k = 4)
+    val path = "/tmp/graft_indexstore/ivfpq"
+    IndexStore.saveIvfPq(fresh, path)
+    val loaded = IndexStore.loadIvfPq(spark, path)
+    val q = vecs.where($"vec_id" === 0)
+      .select($"embedding".cast("array<double>").as("qv"))
+    def run(m: IvfPq.Model) = IvfPq.search(m, q, topK = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(run(loaded) == run(fresh))
+  }
+}
