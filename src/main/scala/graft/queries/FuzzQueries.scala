@@ -185,8 +185,8 @@ object FuzzQueries {
     def uk: Column = expr(ukSql)
 
     val shapeId = {
-      val s = rnd.nextInt(7)
-      if (s >= 5 && base.joins.isEmpty) 0 else s // semi/anti need a dim
+      val s = rnd.nextInt(9)
+      if ((s == 5 || s == 6) && base.joins.isEmpty) 0 else s // semi/anti need a dim
     }
     shapeId match {
       case 0 => // global aggregate
@@ -269,6 +269,44 @@ object FuzzQueries {
                 Window.partitionBy(g.col).orderBy(uk)).cast("long").as("rn"))
             .agg(count(lit(1)).as("cnt"),
               coalesce(sum((col("rn") * 17 + col("uk") % M) % M), lit(-1L))
+                .as("checksum"))
+            .select(lit(id).as("plan_id"), col("cnt"), col("checksum")))
+      case 7 => // partitioned cumulative-sum window fold (round 10: the
+        // running-total frame semantics — explicit ROWS frame both ways;
+        // uk is unique per row so RANGE-vs-ROWS ambiguity cannot hide)
+        val g = groupKey()
+        Plan(id, fromSql, pred.map(_.sql),
+          s"""SELECT $id AS plan_id, COUNT(*) AS cnt,
+              COALESCE(CAST(SUM(cs % $M) AS BIGINT), -1) AS checksum
+              FROM (SELECT SUM($ukSql % $M) OVER (PARTITION BY ${g.sql}
+                      ORDER BY $ukSql
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS cs
+                    FROM (SELECT * FROM __REL__) AS t0) AS t1""",
+          (s, dir) => rel(s, dir)
+            .select(sum(uk % M).over(
+              Window.partitionBy(g.col).orderBy(uk)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("cs"))
+            .agg(count(lit(1)).as("cnt"),
+              coalesce(sum(col("cs") % M), lit(-1L)).as("checksum"))
+            .select(lit(id).as("plan_id"), col("cnt"), col("checksum")))
+      case 8 => // lag-delta window fold (offset function + default value)
+        val g = groupKey()
+        Plan(id, fromSql, pred.map(_.sql),
+          s"""SELECT $id AS plan_id, COUNT(*) AS cnt,
+              COALESCE(CAST(SUM((u * 13 + p) % $M) AS BIGINT), -1)
+                AS checksum
+              FROM (SELECT $ukSql % $M AS u,
+                      LAG($ukSql % $M, 1, -1) OVER (PARTITION BY ${g.sql}
+                        ORDER BY $ukSql) AS p
+                    FROM (SELECT * FROM __REL__) AS t0) AS t1""",
+          (s, dir) => rel(s, dir)
+            .select((uk % M).as("u"),
+              lag(uk % M, 1, -1L).over(
+                Window.partitionBy(g.col).orderBy(uk)).as("p"))
+            .agg(count(lit(1)).as("cnt"),
+              coalesce(sum((col("u") * 13 + col("p")) % M), lit(-1L))
                 .as("checksum"))
             .select(lit(id).as("plan_id"), col("cnt"), col("checksum")))
       case _ => // deterministic top-k (total order), fold the kept keys
