@@ -33,6 +33,13 @@ class IndexStoreSpec extends SparkSpec {
     val parts = new java.io.File(s"$path/assignments").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cluster_id="))
     assert(parts.nonEmpty)
+    // and the plan proves it: the cluster filter lands in the scan's
+    // PartitionFilters, not a post-scan Filter
+    val scan = loaded.assignments.where($"cluster_id" === parts.head
+        .stripPrefix("cluster_id=").toInt)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("cluster_id"), scan)
   }
 
   test("PQ model: save/load/adc-search roundtrip identity") {
