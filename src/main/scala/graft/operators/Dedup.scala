@@ -218,11 +218,13 @@ object Dedup {
     // per-doc COUNT window this replaces was half the rank stage's cost)
     val ex = toks.select(col("id"), size(col("tk")).as("sz"),
       explode(col("tk")).as("t"))
-    val dfreq = ex.groupBy("t").agg(count(lit(1)).as("tdf"))
-    val byDoc = Window.partitionBy("id")
-    val pos = ex.join(dfreq, Seq("t"))
-      .withColumn("pos",
-        row_number().over(byDoc.orderBy(col("tdf"), col("t"))))
+    // document frequency as a count window over the SAME exploded frame:
+    // one shuffle on the token, where a groupBy + join-back costs the
+    // groupBy shuffle AND a second shuffle of the big frame for the join
+    val pos = ex
+      .withColumn("tdf", count(lit(1)).over(Window.partitionBy("t")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("id").orderBy(col("tdf"), col("t"))))
     val prefix = pos.where(col("pos") <=
       col("sz") - ceil(lit(threshold) * col("sz")) + 1)
     val cand = pairsWithinBuckets(prefix, Seq(col("t")),
