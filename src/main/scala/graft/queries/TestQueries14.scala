@@ -1520,6 +1520,54 @@ object TestQueries14 {
               >= CAST(0.8 AS DOUBLE)
       ORDER BY id1, id2"""))
 
+  /** IVF index maintenance — [[graft.search.IvfIndex.add]]: a held-out
+    * batch (vec_id ≡ 0 mod 7) is assigned to the FIXED centroids built
+    * from the rest of the corpus (argmax cosine, cluster-id tie-break —
+    * the FAISS `add` analogue; no recluster). The oracle rebuilds the
+    * base-slice centroids and replays the argmax with the list_reduce
+    * cosine mirror.
+    */
+  val q172IvfAdd: QueryCase = QueryCase(
+    "q172_ivf_add",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val base = e.where(col("vec_id") % 7 =!= 0)
+      val batch = e.where(col("vec_id") % 7 === 0)
+      val index = graft.search.IvfIndex.build(base, "vec_id", "v", "label")
+      graft.search.IvfIndex.add(index, batch, "vec_id", "v")
+        .assignments.where(col("id") % 7 === 0)
+        .select(col("id").as("vec_id"), col("cluster_id"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      base AS (SELECT * FROM e WHERE vec_id % 7 <> 0),
+      batch AS (SELECT * FROM e WHERE vec_id % 7 = 0),
+      cent AS (
+        SELECT label, u.pos, AVG(u.x) AS m
+        FROM base, UNNEST(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS t(u)
+        GROUP BY label, u.pos),
+      centroids AS (
+        SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+      scored AS (
+        SELECT b.vec_id, c.label,
+          list_reduce(list_transform(b.v, (x, i) -> x * c.centroid[i]), (s, t) -> s + t) /
+          (sqrt(list_reduce(list_transform(b.v, x -> x * x), (s, t) -> s + t)) *
+           sqrt(list_reduce(list_transform(c.centroid, x -> x * x), (s, t) -> s + t))) AS csim
+        FROM batch b CROSS JOIN centroids c),
+      best AS (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY csim DESC, label) AS rn
+        FROM scored)
+      SELECT vec_id, label AS cluster_id FROM best
+      WHERE rn = 1 ORDER BY vec_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q145Rbac, q146WebhookVerify, q147Perplexity, q148SpanDedup,
       q149Dsir, q150TenantProvisioning, q151Kmeans,
@@ -1528,5 +1576,5 @@ object TestQueries14 {
       q160Rendezvous, q161Bm25, q162IvfpqEncode, q163Attribution,
       q164LeakageSafeSplit, q165Stickiness, q166SeasonalAnomaly,
       q167Soundex, q168Trend, q169PerplexitySampled, q170HardNegatives,
-      q171PrefixJaccard)
+      q171PrefixJaccard, q172IvfAdd)
 }

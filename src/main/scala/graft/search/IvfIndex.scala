@@ -59,4 +59,32 @@ object IvfIndex {
       .orderBy(desc("cos_sim"), col("id"))
       .limit(k)
   }
+
+  /** Index maintenance — the FAISS `add` analogue: assign NEW vectors to
+    * the EXISTING centroids (no recluster; centroids stay fixed so every
+    * already-served cell keeps its identity) and append them to the
+    * assignments. Nearest centroid by COSINE with a cluster-id tie-break
+    * — the same metric `search` probes with, so an added vector lands in
+    * exactly the cell a query for it would probe first.
+    *
+    * Scale shape: centroids are broadcast (k rows); the argmax is a
+    * per-id window over k candidate rows — no shuffle of the corpus, and
+    * the append is a union (or a parquet append onto the
+    * [[IndexStore]]'s cluster-partitioned layout).
+    */
+  def add(index: Index, vecs: DataFrame, idCol: String,
+          vecCol: String): Index = {
+    val cand = vecs
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(index.centroids))
+      .select(col("id"), col("v"), col("cluster_id"),
+        VectorFunctions.cosineSim(col("v"), col("centroid")).as("csim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(desc("csim"), col("cluster_id"))
+    val assigned = cand
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("id"), col("cluster_id"), col("v"))
+    Index(index.assignments.unionByName(assigned), index.centroids)
+  }
 }

@@ -1,0 +1,62 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[IvfIndex.add]] — incremental index maintenance: new vectors join the
+  * argmax-cosine cell of the FIXED centroids (JVM replay), centroids are
+  * untouched, and a search for an added vector finds it through the
+  * normal probe path.
+  */
+class IvfAddSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = graft.sources.Tables.embeddings(spark, dir)
+    .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+
+  test("added vectors are assigned to the argmax-cosine centroid") {
+    val base = emb.where($"vec_id" % 7 =!= 0)
+    val batch = emb.where($"vec_id" % 7 === 0)
+    val index = IvfIndex.build(base, "vec_id", "v", "label")
+    val updated = IvfIndex.add(index, batch, "vec_id", "v")
+
+    val got = updated.assignments.where($"id" % 7 === 0)
+      .select("id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // JVM replay: centroid per cluster from the base slice, argmax cosine
+    val cents = index.centroids.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val batchVecs = batch.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    assert(got.keySet == batchVecs.keySet)
+    batchVecs.foreach { case (id, v) =>
+      val want = cents.toSeq
+        .map { case (c, cent) => (c, cos(v, cent)) }
+        .sortBy { case (c, s) => (-s, c) }.head._1
+      assert(got(id) == want, s"vec $id")
+    }
+    // centroids must be untouched by maintenance
+    assert(updated.centroids.collect().toSeq ==
+      index.centroids.collect().toSeq)
+  }
+
+  test("an added vector is findable through the probe path") {
+    val base = emb.where($"vec_id" % 7 =!= 0)
+    val batch = emb.where($"vec_id" % 7 === 0 && $"vec_id" =!= 0)
+    val index = IvfIndex.build(base, "vec_id", "v", "label")
+    val updated = IvfIndex.add(index, batch, "vec_id", "v")
+    // query WITH an added vector: it is its own nearest neighbor
+    val someAdded = batch.select($"vec_id").head().getLong(0)
+    val q = emb.where($"vec_id" === someAdded).select($"v".as("qv"))
+    val top = IvfIndex.search(updated, q, k = 1).collect()
+    assert(top.head.getLong(0) == someAdded)
+    assert(math.abs(top.head.getDouble(2) - 1.0) < 1e-9)
+  }
+}
