@@ -1,0 +1,64 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.search.IvfIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The deployment loop [[IvfIndex.add]] exists for: an embedding stream,
+  * each micro-batch assigned to the FIXED centroids and appended to the
+  * durable assignments (the parquet layout [[graft.search.IndexStore]]
+  * writes) — centroids never move between refits, so the streamed index
+  * must equal the one-shot `add` of all batches: same (id, cluster_id)
+  * set, batch boundaries invisible.
+  */
+class IvfAddStreamSpec extends SparkSpec {
+
+  test("foreachBatch adds accumulate to the one-shot result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val base = emb.where($"vec_id" % 7 =!= 0)
+    val index = IvfIndex.build(base, "vec_id", "v", "label")
+
+    val batchRows = emb.where($"vec_id" % 7 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](2)))
+    val outDir = java.nio.file.Files
+      .createTempDirectory("ivf-add-stream").toString
+
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val query = stream.toDS().toDF("vec_id", "v").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        IvfIndex.add(index, batch, "vec_id", "v")
+          .assignments
+          .join(batch.select($"vec_id".as("id")), Seq("id"), "left_semi")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .start()
+    // three uneven micro-batches
+    val (b1, rest) = batchRows.splitAt(2)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    Seq(b1, b2, b3).filter(_.nonEmpty).foreach { b =>
+      stream.addData(b.toSeq: _*); query.processAllAvailable()
+    }
+    query.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSorted
+    val oneShot = IvfIndex
+      .add(index, emb.where($"vec_id" % 7 === 0), "vec_id", "v")
+      .assignments.where($"id" % 7 === 0)
+      .select("id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toSorted
+    assert(streamed.nonEmpty)
+    assert(streamed == oneShot)
+  }
+
+  private implicit class SortOps(a: Array[(Long, Int)]) {
+    def toSorted: Seq[(Long, Int)] = a.toSeq.sorted
+  }
+}
