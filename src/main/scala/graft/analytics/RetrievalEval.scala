@@ -1,0 +1,118 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Retrieval-quality metrics over a ranked-results table — the evaluation
+  * stage every retrieval pipeline (and the reference's hybrid-search tuning
+  * loop, `src/search/hybrid.py` weights) needs before a ranker change
+  * ships: Recall@k, MRR@k and nDCG@k per query, plus a macro summary.
+  *
+  * Determinism discipline (the round-7 precomputed-libm rule): the only
+  * transcendental inputs are the nDCG rank discounts `1/log2(r+1)`. They
+  * are precomputed once on the driver ([[discounts]] / [[cumDiscounts]])
+  * and joined in as literal doubles, so an oracle can serialize THE SAME
+  * doubles (`Double.toString` round-trips) and both engines run only
+  * IEEE-exact multiply/add/divide. DCG sums fold left-to-right over the
+  * rank-sorted hit list (`aggregate` over `array_sort`), never a
+  * shuffle-order-dependent `sum(double)`.
+  *
+  * Scale shape: `ranked` is (#queries × k) rows by construction; the
+  * relevance join shuffles on (query, doc) — both sides hash-partitioned,
+  * no window, no driver state. The discount lookups are k-row broadcasts.
+  * Per-query aggregation is one shuffle on the query id; the macro
+  * [[summary]] reduces #queries rows to one.
+  */
+object RetrievalEval {
+
+  /** `1/log2(r+1)` for ranks 1..k — the standard nDCG discount. */
+  def discounts(k: Int): Array[Double] =
+    Array.tabulate(k)(i => 1.0 / (Math.log(i + 2.0) / Math.log(2.0)))
+
+  /** Left-fold prefix sums of [[discounts]]: `cumDiscounts(k)(n-1)` is the
+    * ideal DCG of a query with `n` relevant documents (n ≤ k).
+    */
+  def cumDiscounts(k: Int): Array[Double] = {
+    val d = discounts(k)
+    val out = new Array[Double](k)
+    var acc = 0.0
+    var i = 0
+    while (i < k) { acc += d(i); out(i) = acc; i += 1 }
+    out
+  }
+
+  /** Per-query metrics.
+    *
+    * @param ranked   one row per (query, retrieved doc) with a dense 1-based
+    *                 rank ≤ k per query (the retriever's top-k output)
+    * @param relevant one row per (query, relevant doc) — the judgment set
+    * @return one row per query: `n_rel`, `hits`, `recall` (= hits/n_rel),
+    *         `mrr` (1/first-hit-rank, 0.0 when no hit), `ndcg`
+    *         (DCG / IDCG with binary gains; NULL when n_rel = 0)
+    */
+  def metrics(ranked: DataFrame, relevant: DataFrame,
+              queryCol: String, docCol: String, rankCol: String,
+              k: Int): DataFrame = {
+    val spark = ranked.sparkSession
+    import spark.implicits._
+
+    val disc = discounts(k).zipWithIndex
+      .map { case (d, i) => (i + 1, d) }.toSeq
+      .toDF(rankCol, "__disc")
+    val cum = cumDiscounts(k).zipWithIndex
+      .map { case (c, i) => (i + 1, c) }.toSeq
+      .toDF("__n_ideal", "__idcg")
+
+    val rel = relevant
+      .select(col(queryCol), col(docCol), lit(true).as("__hit"))
+    val nRel = relevant.groupBy(queryCol)
+      .agg(count(lit(1)).as("n_rel"))
+
+    val joined = ranked
+      .select(col(queryCol), col(docCol), col(rankCol))
+      .join(rel, Seq(queryCol, docCol), "left")
+      .join(broadcast(disc), Seq(rankCol))
+      .withColumn("__hit", coalesce(col("__hit"), lit(false)))
+
+    // DCG as a deterministic left fold over the rank-sorted (rank, gain)
+    // list — identical association order to the oracle's ORDER BY rank
+    // list_reduce, so the double is bit-equal in both engines.
+    val dcgFold = aggregate(
+      array_sort(collect_list(struct(col(rankCol).as("r"),
+        when(col("__hit"), col("__disc")).otherwise(lit(0.0)).as("g")))),
+      lit(0.0), (acc: Column, s: Column) => acc + s.getField("g"))
+
+    val perQuery = joined.groupBy(queryCol).agg(
+      count(when(col("__hit"), lit(1))).as("hits"),
+      min(when(col("__hit"), col(rankCol))).as("__first_hit"),
+      dcgFold.as("__dcg"))
+
+    perQuery
+      .join(nRel, Seq(queryCol), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .join(broadcast(cum),
+        least(col("n_rel"), lit(k.toLong)).cast("int") === col("__n_ideal"),
+        "left")
+      .select(
+        col(queryCol),
+        col("n_rel"),
+        col("hits"),
+        when(col("n_rel") > 0,
+          round(col("hits").cast("double") / col("n_rel"), 6))
+          .as("recall"),
+        round(coalesce(lit(1.0) / col("__first_hit"), lit(0.0)), 6)
+          .as("mrr"),
+        when(col("n_rel") > 0, round(col("__dcg") / col("__idcg"), 6))
+          .as("ndcg"))
+  }
+
+  /** Macro average of [[metrics]] over all queries (equal query weight —
+    * the convention of every IR eval harness). One output row.
+    */
+  def summary(perQuery: DataFrame): DataFrame =
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg("recall"), 6).as("macro_recall"),
+      round(avg("mrr"), 6).as("macro_mrr"),
+      round(avg("ndcg"), 6).as("macro_ndcg"))
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+  * of an embedding corpus — cluster with k-means, then within each cluster
+  * drop all but one member of every high-cosine pair, keeping the member
+  * FARTHEST from its centroid (the paper's diversity-preserving keep rule:
+  * low centroid-similarity examples carry more information).
+  *
+  * Composes [[graft.search.KMeans]] (the q151 trainer — deterministic
+  * seeds, fixed Lloyd iterations) with a cluster-bucketed pair join, so
+  * the pair blowup is bounded per cluster — the paper's own scale
+  * argument: k grows with the corpus (they use ~11k clusters for LAION),
+  * keeping Σ n_c² tractable where an all-pairs join is not. No global
+  * window, no driver state; pairs shuffle on the cluster id.
+  *
+  * Keep rule, spelled deterministically: x is dropped iff some same-cluster
+  * y has cosine(x,y) ≥ tau and y wins the keeper comparison — centroid
+  * cosine strictly lower, or equal with the lower id. Centroid cosines are
+  * double folds over deterministic arrays; a keeper flip would need two
+  * members' centroid similarities within summation-drift distance (~1e-15
+  * relative) — the accepted q151/q47 precedent.
+  */
+object SemDedup {
+
+  /** @return one row per vector: (id, cluster_id, cent_sim, keep) with
+    *         cent_sim = round(cosine(v, centroid), 6).
+    */
+  def dedup(vecs: DataFrame, idCol: String, vecCol: String,
+            k: Int, tau: Double, iters: Int = 2): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val model = graft.search.KMeans.fit(v, "id", "v", k, iters)
+
+    val members = v.join(model.assignments.select("id", "cluster_id"),
+      Seq("id"))
+    val withCent = members
+      .join(broadcast(model.centroids), Seq("cluster_id"))
+      .select(col("cluster_id"), col("id"), col("v"),
+        VectorFunctions.cosineSimHof(col("v"), col("centroid"))
+          .as("cent_sim"))
+
+    val a = withCent.select(col("cluster_id"), col("id"), col("v"),
+      col("cent_sim"))
+    val b = withCent.select(col("cluster_id").as("cluster_id2"),
+      col("id").as("id2"), col("v").as("v2"),
+      col("cent_sim").as("cent_sim2"))
+    // y beats x: farther from the centroid, id tie-break
+    val beaten = a.join(b,
+        col("cluster_id") === col("cluster_id2") && col("id") =!= col("id2"))
+      .where(VectorFunctions.cosineSimHof(col("v"), col("v2")) >= tau)
+      .where(col("cent_sim2") < col("cent_sim") ||
+        (col("cent_sim2") === col("cent_sim") && col("id2") < col("id")))
+      .select(col("id")).distinct()
+
+    withCent
+      .join(beaten.withColumn("__beaten", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster_id"),
+        round(col("cent_sim"), 6).as("cent_sim"),
+        col("__beaten").isNull.as("keep"))
+  }
+}

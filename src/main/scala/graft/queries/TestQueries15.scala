@@ -1,0 +1,235 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-10 additions, continued: retrieval-quality evaluation and the
+  * remaining training-data curation operators. Same gate discipline as
+  * every other file — a Spark builder plus a DuckDB oracle that replays
+  * the full computation, sharing any precomputed doubles verbatim.
+  */
+object TestQueries15 {
+
+  /** Retrieval eval harness — [[graft.analytics.RetrievalEval.metrics]]:
+    * Recall@10 / MRR@10 / nDCG@10 per query over a brute-force cosine
+    * retriever (every 25th vector is a held-out query; relevance = same
+    * generator label). The nDCG discounts `1/log2(r+1)` and their prefix
+    * sums are precomputed on the driver and serialized into the oracle as
+    * `Double.toString` literals, so both engines run only IEEE-exact
+    * arithmetic; DCG folds left-to-right over the rank-sorted hit list in
+    * both (aggregate-over-array_sort ↔ list_reduce-over-ordered-list).
+    * Mirrors the evaluation loop a ranker change in the reference's
+    * hybrid search (`src/search/hybrid.py`) needs before shipping.
+    */
+  val q173RetrievalEval: QueryCase = {
+    val k = 10
+    val disc = graft.analytics.RetrievalEval.discounts(k)
+    val cum = graft.analytics.RetrievalEval.cumDiscounts(k)
+    val discValues = disc.zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, CAST(${d} AS DOUBLE))" }
+      .mkString(", ")
+    val cumValues = cum.zipWithIndex
+      .map { case (c, i) => s"(${i + 1}, CAST(${c} AS DOUBLE))" }
+      .mkString(", ")
+    QueryCase(
+      "q173_retrieval_eval",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(
+          col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        val queries = e.where(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+            col("v").as("qv"))
+        val corpus = e.where(col("vec_id") % 25 =!= 0)
+        val scored = queries.crossJoin(corpus)
+          .withColumn("csim",
+            graft.functions.VectorFunctions.cosineSimHof(col("qv"), col("v")))
+        val ranked = scored
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+              .orderBy(desc("csim"), col("vec_id"))))
+          .where(col("rank") <= k)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+        val relevant = queries.select(col("query_id"), col("q_label"))
+          .join(corpus.select(col("vec_id"), col("label").as("q_label")),
+            Seq("q_label"))
+          .select(col("query_id"), col("vec_id"))
+        graft.analytics.RetrievalEval
+          .metrics(ranked, relevant, "query_id", "vec_id", "rank", k)
+          .orderBy("query_id")
+      },
+      Some(s"""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        queries AS (
+          SELECT vec_id AS query_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id % 25 = 0),
+        corpus AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+        disc(rank, d) AS (VALUES ${discValues}),
+        cum(n_ideal, idcg) AS (VALUES ${cumValues}),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+            list_reduce(list_transform(q.qv, (x, i) -> x * c.v[i]),
+                        (s, t) -> s + t) /
+            (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                              (s, t) -> s + t)) *
+             sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                              (s, t) -> s + t))) AS csim
+          FROM queries q CROSS JOIN corpus c),
+        ranked AS (
+          SELECT query_id, vec_id, rank FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY csim DESC, vec_id) AS rank
+            FROM scored) WHERE rank <= ${k}),
+        relevant AS (
+          SELECT q.query_id, c.vec_id
+          FROM queries q JOIN corpus c ON c.label = q.q_label),
+        n_rel AS (
+          SELECT query_id, COUNT(*) AS n_rel FROM relevant GROUP BY 1),
+        hitrows AS (
+          SELECT r.query_id, r.rank, d.d,
+                 (rel.vec_id IS NOT NULL) AS hit
+          FROM ranked r
+          JOIN disc d USING (rank)
+          LEFT JOIN relevant rel
+            ON rel.query_id = r.query_id AND rel.vec_id = r.vec_id),
+        per_q AS (
+          SELECT query_id,
+                 COUNT(CASE WHEN hit THEN 1 END) AS hits,
+                 MIN(CASE WHEN hit THEN rank END) AS first_hit,
+                 list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list(CASE WHEN hit THEN d ELSE CAST(0.0 AS DOUBLE) END
+                          ORDER BY rank)),
+                   (s, t) -> s + t) AS dcg
+          FROM hitrows GROUP BY query_id)
+        SELECT p.query_id,
+               COALESCE(n.n_rel, 0) AS n_rel,
+               p.hits,
+               CASE WHEN COALESCE(n.n_rel, 0) > 0
+                 THEN ROUND(CAST(p.hits AS DOUBLE) / n.n_rel, 6) END
+                 AS recall,
+               ROUND(COALESCE(1.0 / p.first_hit, CAST(0.0 AS DOUBLE)), 6)
+                 AS mrr,
+               CASE WHEN COALESCE(n.n_rel, 0) > 0
+                 THEN ROUND(p.dcg / c.idcg, 6) END AS ndcg
+        FROM per_q p
+        LEFT JOIN n_rel n USING (query_id)
+        LEFT JOIN cum c ON c.n_ideal = LEAST(COALESCE(n.n_rel, 0), ${k})
+        ORDER BY p.query_id"""))
+  }
+
+  /** SemDeDup — [[graft.operators.SemDedup.dedup]]: k-means cluster the
+    * embedding corpus (the q151 trainer verbatim: lowest-id seeds, 2 Lloyd
+    * iterations), then within each cluster drop all but the
+    * farthest-from-centroid member of every cosine-≥τ pair (Abbas et al.
+    * 2023's diversity-keep rule). τ=0.25 sits at the ~99th percentile of
+    * this corpus's within-cluster cosine distribution, so the drop path
+    * genuinely fires. The oracle replays the full composition: the
+    * unrolled Lloyd CTE chain from q151, final centroids as lists, the
+    * centroid-cosine keeper ranking, and the pair EXISTS.
+    */
+  val q174SemDedup: QueryCase = QueryCase(
+    "q174_semdedup",
+    (s, dir) => graft.operators.SemDedup
+      .dedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        k = 8, tau = 0.25)
+      .select(col("id").as("vec_id"), col("cluster_id"),
+        col("cent_sim"), col("keep"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, u.pos, u.x
+        FROM e, UNNEST(list_transform(v,
+               (x, i) -> struct_pack(pos := i, x := x))) AS t(u)),
+      seeds AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id
+        FROM e ORDER BY vec_id LIMIT 8),
+      c0 AS (
+        SELECT s.cluster_id, ex.pos, ex.x AS c
+        FROM seeds s JOIN ex ON ex.vec_id = s.vec_id),
+      d1 AS (
+        SELECT ex.vec_id, c0.cluster_id,
+               SUM((ex.x - c0.c) * (ex.x - c0.c)) AS d
+        FROM ex JOIN c0 USING (pos) GROUP BY 1, 2),
+      a1 AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT vec_id, cluster_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d, cluster_id) AS rn
+          FROM d1) WHERE rn = 1),
+      u1 AS (
+        SELECT a1.cluster_id, ex.pos, AVG(ex.x) AS cn
+        FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      c1 AS (
+        SELECT c0.cluster_id, c0.pos, COALESCE(u1.cn, c0.c) AS c
+        FROM c0 LEFT JOIN u1
+          ON u1.cluster_id = c0.cluster_id AND u1.pos = c0.pos),
+      d2 AS (
+        SELECT ex.vec_id, c1.cluster_id,
+               SUM((ex.x - c1.c) * (ex.x - c1.c)) AS d
+        FROM ex JOIN c1 USING (pos) GROUP BY 1, 2),
+      a2 AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT vec_id, cluster_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d, cluster_id) AS rn
+          FROM d2) WHERE rn = 1),
+      u2 AS (
+        SELECT a2.cluster_id, ex.pos, AVG(ex.x) AS cn
+        FROM ex JOIN a2 USING (vec_id) GROUP BY 1, 2),
+      c2 AS (
+        SELECT c1.cluster_id, c1.pos, COALESCE(u2.cn, c1.c) AS c
+        FROM c1 LEFT JOIN u2
+          ON u2.cluster_id = c1.cluster_id AND u2.pos = c1.pos),
+      d3 AS (
+        SELECT ex.vec_id, c2.cluster_id,
+               SUM((ex.x - c2.c) * (ex.x - c2.c)) AS d
+        FROM ex JOIN c2 USING (pos) GROUP BY 1, 2),
+      fin AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT vec_id, cluster_id,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY d, cluster_id) AS rn
+          FROM d3) WHERE rn = 1),
+      cents AS (
+        SELECT cluster_id, list(c ORDER BY pos) AS centroid
+        FROM c2 GROUP BY cluster_id),
+      members AS (
+        SELECT f.vec_id, f.cluster_id, e.v,
+          list_reduce(list_transform(e.v, (x, i) -> x * ct.centroid[i]),
+                      (s, t) -> s + t) /
+          (sqrt(list_reduce(list_transform(e.v, x -> x * x),
+                            (s, t) -> s + t)) *
+           sqrt(list_reduce(list_transform(ct.centroid, x -> x * x),
+                            (s, t) -> s + t))) AS cent_sim
+        FROM fin f JOIN e USING (vec_id)
+        JOIN cents ct ON ct.cluster_id = f.cluster_id),
+      beaten AS (
+        SELECT DISTINCT a.vec_id
+        FROM members a JOIN members b
+          ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+        WHERE list_reduce(list_transform(a.v, (x, i) -> x * b.v[i]),
+                          (s, t) -> s + t) /
+              (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                                (s, t) -> s + t)) *
+               sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                                (s, t) -> s + t)))
+                >= CAST(0.25 AS DOUBLE)
+          AND (b.cent_sim < a.cent_sim OR
+               (b.cent_sim = a.cent_sim AND b.vec_id < a.vec_id)))
+      SELECT m.vec_id, m.cluster_id,
+             ROUND(m.cent_sim, 6) AS cent_sim,
+             (bt.vec_id IS NULL) AS keep
+      FROM members m LEFT JOIN beaten bt ON bt.vec_id = m.vec_id
+      ORDER BY m.vec_id"""))
+
+  val all: Seq[QueryCase] = Seq(q173RetrievalEval, q174SemDedup)
+}

@@ -1,0 +1,90 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Pins [[RetrievalEval]] against hand-computed metrics on a 3-query
+  * fixture, the perfect-ranking nDCG=1 invariant, and the zero-judgment
+  * edge (null recall/ndcg, mrr 0).
+  */
+class RetrievalEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 3
+  // Independent spellings of the discount math (not via RetrievalEval).
+  private def d(r: Int): Double = 1.0 / (Math.log(r + 1.0) / Math.log(2.0))
+
+  private val ranked = Seq(
+    // query A: top-3 = d1, d2, d3
+    ("qa", "d1", 1), ("qa", "d2", 2), ("qa", "d3", 3),
+    // query B: no relevant retrieved
+    ("qb", "d1", 1), ("qb", "d2", 2), ("qb", "d3", 3),
+    // query C: perfect ranking, n_rel = k
+    ("qc", "d7", 1), ("qc", "d8", 2), ("qc", "d9", 3),
+    // query D: retrieved rows exist but the query has no judgments
+    ("qd", "d1", 1), ("qd", "d2", 2), ("qd", "d3", 3)
+  ).toDF("q", "doc", "rank")
+
+  private val relevant = Seq(
+    ("qa", "d2"), ("qa", "d8"), ("qa", "d9"),
+    ("qb", "d9"),
+    ("qc", "d7"), ("qc", "d8"), ("qc", "d9")
+  ).toDF("q", "doc")
+
+  private lazy val out = RetrievalEval
+    .metrics(ranked, relevant, "q", "doc", "rank", k)
+    .orderBy("q").collect()
+
+  private def row(q: String): Row = out.find(_.getString(0) == q).get
+
+  test("query A: one hit at rank 2") {
+    val r = row("qa")
+    assert(r.getLong(1) == 3L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == BigDecimal(1.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(4) == 0.5)
+    val expected = BigDecimal(d(2) / (d(1) + d(2) + d(3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(5) == expected)
+  }
+
+  test("query B: no hits → recall 0, mrr 0, ndcg 0") {
+    val r = row("qb")
+    assert(r.getLong(1) == 1L && r.getLong(2) == 0L)
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0 &&
+      r.getDouble(5) == 0.0)
+  }
+
+  test("query C: perfect ranking → recall 1, mrr 1, ndcg exactly 1.0") {
+    val r = row("qc")
+    assert(r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0 &&
+      r.getDouble(5) == 1.0)
+  }
+
+  test("query D: zero judgments → n_rel 0, null recall/ndcg, mrr 0") {
+    val r = row("qd")
+    assert(r.getLong(1) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(5))
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  test("summary macro-averages over all queries") {
+    val s = RetrievalEval.summary(
+      RetrievalEval.metrics(ranked, relevant, "q", "doc", "rank", k))
+      .collect().head
+    assert(s.getLong(0) == 4L)
+    // avg(recall) over the 3 non-null rows: (1/3 rounded + 0 + 1) / 3
+    val recalls = Seq(row("qa").getDouble(3), 0.0, 1.0)
+    assert(math.abs(s.getDouble(1) - recalls.sum / 3) < 1e-6)
+    assert(math.abs(s.getDouble(2) - (0.5 + 0.0 + 1.0 + 0.0) / 4) < 1e-6)
+  }
+
+  test("idcg tables: prefix sums of discounts, left-fold order") {
+    val disc = RetrievalEval.discounts(5)
+    val cum = RetrievalEval.cumDiscounts(5)
+    assert(disc(0) == 1.0)
+    (1 to 4).foreach(i => assert(cum(i) == cum(i - 1) + disc(i)))
+    assert((1 to 5).forall(r => disc(r - 1) == d(r)))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[SemDedup]]'s keep rule on a geometric 2-D fixture where every
+  * pair relation is known by construction: a 3-chain (non-transitive
+  * similarity) in one cluster and a true dup pair in the other.
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v(deg: Double, len: Double = 1.0): Array[Double] = {
+    val r = math.toRadians(deg)
+    Array(len * math.cos(r), len * math.sin(r))
+  }
+
+  // ids 1,2 are the k-means seeds (lowest ids) — one per cluster.
+  private val vecs = Seq(
+    (1L, v(0)), (2L, v(90)),          // seeds: cluster 0 at 0°, cluster 1 at 90°
+    (3L, v(1)), (4L, v(2)),           // chain with id1: sim(1,3), sim(3,4) ≥ τ
+    (5L, v(89.424, 0.995))            // near-dup of id2
+  ).toDF("id", "vec")
+
+  private val tau = math.cos(math.toRadians(1.5)) // between cos(1°) and cos(2°)
+
+  private lazy val out = SemDedup.dedup(vecs, "id", "vec", k = 2, tau = tau)
+    .collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getDouble(2), r.getBoolean(3))).toMap
+
+  test("all vectors appear exactly once with their cluster") {
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(Set(out(1L)._1, out(3L)._1, out(4L)._1).size == 1)
+    assert(out(2L)._1 == out(5L)._1 && out(2L)._1 != out(1L)._1)
+  }
+
+  test("non-transitive chain: middle member dropped, endpoints kept") {
+    // sim(1,3) = cos 1° ≥ τ, sim(3,4) = cos 1° ≥ τ, sim(1,4) = cos 2° < τ.
+    // id3 is nearest the cluster centroid (~1°), so both neighbors beat it;
+    // ids 1 and 4 have no ≥τ partner that beats them.
+    assert(!out(3L)._3)
+    assert(out(1L)._3 && out(4L)._3)
+  }
+
+  test("dup pair: exactly one survivor") {
+    assert(Seq(out(2L)._3, out(5L)._3).count(identity) == 1)
+  }
+
+  test("tau above every similarity keeps everything") {
+    val all = SemDedup.dedup(vecs, "id", "vec", k = 2, tau = 1.1)
+      .collect()
+    assert(all.forall(_.getBoolean(3)))
+  }
+
+  test("cent_sim is a valid cosine, higher for the centroid-nearest member") {
+    assert(out.values.forall { case (_, cs, _) => cs >= -1.0 && cs <= 1.0 })
+    assert(out(3L)._2 > out(1L)._2 && out(3L)._2 > out(4L)._2)
+  }
+}
