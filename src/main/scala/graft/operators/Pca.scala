@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PCA over an embedding column — the whitening / dimensionality-reduction
+  * stage an embedding-heavy training pipeline runs before indexing or
+  * clustering (and the standard pre-rotation for PQ-style quantizers).
+  *
+  * Scale shape: the covariance pass generates the d² position pairs
+  * per row with two nested `posexplode`s — NARROW operations, no join, no
+  * per-id shuffle — and reduces them with one hash aggregation on (i, j),
+  * which partial-aggregates map-side to at most d²·partitions records on
+  * the wire. The d×d matrix (d = embedding dim, a few thousand doubles)
+  * is the ONLY thing collected to the driver; the eigensolve runs on that
+  * bounded matrix (cyclic Jacobi — data-size-independent), and projection
+  * broadcasts the p×d component matrix back as literals. No driver loop
+  * ever touches row-count-sized data, so the same plan runs at 100 TB.
+  *
+  * Determinism: covariance sums are shuffle-order partial aggregates
+  * (±1-ulp drift, surfaced ROUNDed like every drifting aggregate); the
+  * Jacobi solve and projection are deterministic given the matrix. Sign
+  * convention: each component is normalized so its largest-|coordinate|
+  * entry is positive — eigenvectors are otherwise sign-ambiguous.
+  */
+object Pca {
+
+  final case class Model(dim: Int, mean: Array[Double],
+                         eigenvalues: Array[Double],
+                         components: Array[Array[Double]])
+
+  /** Upper-triangle population covariance entries (i ≤ j, 0-based), via
+    * sums: cov = (S_ij − S_i·S_j/n) / n.
+    */
+  def covariance(vecs: DataFrame, vecCol: String): DataFrame = {
+    val v = vecs.select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+    val pairs = v
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .where(col("j") >= col("i"))
+    val sums = pairs.groupBy("i", "j").agg(
+      count(lit(1)).as("n"),
+      sum(col("xi")).as("si"),
+      sum(col("xj")).as("sj"),
+      sum(col("xi") * col("xj")).as("sij"))
+    sums.select(col("i"), col("j"),
+      ((col("sij") - col("si") * col("sj") / col("n")) / col("n"))
+        .as("cov"))
+  }
+
+  /** Cyclic Jacobi eigensolver for a symmetric matrix; returns
+    * (eigenvalues desc, row-major eigenvectors) with the sign convention
+    * above. Driver-side on the bounded d×d input only.
+    */
+  private[operators] def jacobiEigen(a0: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = Array.tabulate(d, d)((i, j) => a0(i)(j))
+    val vmat = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = vmat(k)(p); val vkq = vmat(k)(q)
+              vmat(k)(p) = c * vkp - s * vkq
+              vmat(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { off += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val evals = order.map(i => a(i)(i)).toArray
+    val evecs = order.map { ci =>
+      val v = Array.tabulate(d)(r => vmat(r)(ci))
+      val m = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(m) < 0) v.map(x => -x) else v
+    }.toArray
+    (evals, evecs)
+  }
+
+  /** Fit: one covariance pass, driver eigensolve, top-p components. */
+  def fit(vecs: DataFrame, vecCol: String, p: Int): Model = {
+    val v = vecs.select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+    val meanRow = v
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(avg("x").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val d = meanRow.size
+    require(d > 0, "Pca.fit: empty input")
+    require(p >= 1 && p <= d, s"Pca.fit: p must be in [1, $d]")
+    val mean = Array.tabulate(d)(meanRow)
+    val covRows = covariance(vecs, vecCol).collect()
+    val cov = Array.ofDim[Double](d, d)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (evals, evecs) = jacobiEigen(cov)
+    Model(d, mean, evals.take(p), evecs.take(p))
+  }
+
+  /** Project each vector onto the model's components: one output row per
+    * input id with `scores` = array of p dot products of the mean-centered
+    * vector with each component. The component matrix rides into the plan
+    * as literals (broadcast by value); the projection is a per-row fold —
+    * no shuffle at all.
+    */
+  def project(vecs: DataFrame, idCol: String, vecCol: String,
+              model: Model): DataFrame = {
+    val meanLit = array(model.mean.map(lit(_)).toIndexedSeq: _*)
+    val centered = vecs.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .select(col("id"),
+        zip_with(col("v"), meanLit, (x, m) => x - m).as("c"))
+    val scores = model.components.map { comp =>
+      val compLit = array(comp.map(lit(_)).toIndexedSeq: _*)
+      aggregate(zip_with(col("c"), compLit, (x, w) => x * w),
+        lit(0.0), _ + _)
+    }
+    centered.select(col("id"), array(scores.toIndexedSeq: _*).as("scores"))
+  }
+}

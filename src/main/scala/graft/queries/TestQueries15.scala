@@ -231,5 +231,42 @@ object TestQueries15 {
       FROM members m LEFT JOIN beaten bt ON bt.vec_id = m.vec_id
       ORDER BY m.vec_id"""))
 
-  val all: Seq[QueryCase] = Seq(q173RetrievalEval, q174SemDedup)
+  /** PCA covariance pass — [[graft.operators.Pca.covariance]]: the
+    * upper-triangle population covariance of the embedding corpus,
+    * computed with nested posexplodes + one (i,j) hash aggregation (the
+    * d×d matrix the driver-side eigensolve consumes; `PcaSpec` pins the
+    * eigen/projection stages, which are not SQL-replayable). Sums drift
+    * ±1 ulp with shuffle order, so entries surface ROUNDed — the q151
+    * discipline.
+    */
+  val q175PcaCovariance: QueryCase = QueryCase(
+    "q175_pca_covariance",
+    (s, dir) => graft.operators.Pca
+      .covariance(Tables.embeddings(s, dir), "embedding")
+      // + 0.0 collapses IEEE −0.0 (a rounded tiny negative) to 0.0 so the
+      // stringified compare can't split on the zero sign
+      .select(col("i"), col("j"), (round(col("cov"), 6) + 0.0).as("cov"))
+      .orderBy("i", "j"),
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      ex AS (
+        SELECT vec_id, u.pos - 1 AS i, u.x
+        FROM e, UNNEST(list_transform(v,
+               (x, i) -> struct_pack(pos := i, x := x))) AS t(u)),
+      pairs AS (
+        SELECT a.i, b.i AS j, a.x AS xi, b.x AS xj
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.i >= a.i),
+      sums AS (
+        SELECT i, j, COUNT(*) AS n, SUM(xi) AS si, SUM(xj) AS sj,
+               SUM(xi * xj) AS sij
+        FROM pairs GROUP BY i, j)
+      SELECT i, j,
+             ROUND((sij - si * sj / n) / n, 6) + CAST(0.0 AS DOUBLE) AS cov
+      FROM sums ORDER BY i, j"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance)
 }

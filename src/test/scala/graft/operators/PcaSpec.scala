@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[Pca]]'s eigensolve and projection stages (the parts the q175
+  * covariance oracle can't replay): analytic eigenpairs, orthonormality,
+  * variance preservation, the recovered dominant direction, and the
+  * shuffle-free projection plan.
+  */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jacobi: analytic 2x2 eigenpairs with the sign convention") {
+    val (evals, evecs) = Pca.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(math.abs(evals(0) - 3.0) < 1e-12)
+    assert(math.abs(evals(1) - 1.0) < 1e-12)
+    val s = 1.0 / math.sqrt(2.0)
+    assert(evecs(0).zip(Array(s, s)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-12 })
+    // second vector is (s, -s) up to sign; convention makes max-|coord|
+    // entry positive, and ties break to the earliest index
+    assert(math.abs(math.abs(evecs(1)(0)) - s) < 1e-12)
+    assert(evecs(1)(0) * evecs(1)(1) < 0)
+  }
+
+  private def mkData(n: Int): Seq[(Long, Array[Double])] = {
+    // points spread along (3,1,0)/√10 with small off-axis noise — the
+    // dominant direction PCA must recover
+    val dir = Array(3.0, 1.0, 0.0).map(_ / math.sqrt(10.0))
+    (0 until n).map { i =>
+      val t = (i % 17) - 8.0            // main-axis coordinate, mean 0
+      val e1 = ((i * 7) % 5 - 2.0) * 0.05
+      val e2 = ((i * 11) % 3 - 1.0) * 0.05
+      (i.toLong, Array(
+        t * dir(0) + e1 * dir(1), t * dir(1) - e1 * dir(0), e2))
+    }
+  }
+
+  private lazy val df = mkData(170).toDF("id", "v")
+  private lazy val model = Pca.fit(df, "v", p = 3)
+
+  test("components are orthonormal") {
+    val c = model.components
+    for (i <- c.indices; j <- c.indices) {
+      val dot = c(i).zip(c(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-10)
+    }
+  }
+
+  test("top component recovers the planted direction") {
+    val dir = Array(3.0, 1.0, 0.0).map(_ / math.sqrt(10.0))
+    val dot = model.components(0).zip(dir).map { case (a, b) => a * b }.sum
+    assert(math.abs(math.abs(dot) - 1.0) < 1e-3)
+  }
+
+  test("eigenvalue sum equals covariance trace (variance preserved)") {
+    val trace = Pca.covariance(df, "v")
+      .where($"i" === $"j").collect().map(_.getDouble(2)).sum
+    assert(math.abs(model.eigenvalues.sum - trace) < 1e-9)
+  }
+
+  test("projected scores have per-component variance = eigenvalue") {
+    val scores = Pca.project(df, "id", "v", model).collect()
+      .map(_.getSeq[Double](1).toArray)
+    for (k <- 0 until 3) {
+      val xs = scores.map(_(k))
+      val mean = xs.sum / xs.length
+      val varK = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      assert(math.abs(varK - model.eigenvalues(k)) < 1e-9)
+    }
+  }
+
+  test("projection plan is shuffle-free") {
+    val plan = Pca.project(df, "id", "v", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("fit validates p") {
+    intercept[IllegalArgumentException] { Pca.fit(df, "v", p = 0) }
+    intercept[IllegalArgumentException] { Pca.fit(df, "v", p = 4) }
+  }
+}
