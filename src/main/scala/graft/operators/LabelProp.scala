@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Raghavan et al. 2007) — community
+  * detection over the same entity/link graphs [[PageRank]] ranks; a
+  * corpus pipeline uses the communities for domain grouping and
+  * leakage-safe splitting coarser than connected components (q95's
+  * union-find gives connectivity; LPA splits dense regions within it).
+  *
+  * Deterministic by construction so a SQL oracle can unroll it: every
+  * node starts labeled with its own id, and each synchronous round
+  * relabels node v to the argmax neighbor label by (count DESC, label
+  * ASC) — ties never flip with shuffle order because the comparison is
+  * exact (counts are longs, labels strings). Isolated nodes keep their
+  * label. Iteration count is FIXED (the PageRank discipline; synchronous
+  * LPA on bipartite graphs oscillates rather than converging, so a
+  * convergence loop would be data-dependent and non-replayable).
+  *
+  * Scale shape: per iteration, one src-keyed join to bring labels onto
+  * edges and one (dst, label) hash aggregation, then a dst-partitioned
+  * row_number — all key-partitioned shuffles, no global window, no
+  * driver state. Edges and each round's label frame are materialized
+  * through the policy gate (iterative-lineage discipline, q154's fix).
+  */
+object LabelProp {
+
+  /** `nodes`: (node); `edges`: (src, dst) — directed as given; pass both
+    * directions for undirected semantics. Returns (node, label).
+    */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = graft.plans.Materialize.stage(edges, "graft.dedup.checkpoint")
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    val byDst = Window.partitionBy("dst")
+      .orderBy(desc("cnt"), col("label"))
+    for (_ <- 1 to iters) {
+      val counts = e
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy("dst", "label")
+        .agg(count(lit(1)).as("cnt"))
+      val picked = counts
+        .withColumn("rn", row_number().over(byDst))
+        .where(col("rn") === 1)
+        .select(col("dst"), col("label").as("new_label"))
+      labels = graft.plans.Materialize.stage(
+        nodes.join(picked, nodes("node") === picked("dst"), "left")
+          .select(col("node"),
+            coalesce(col("new_label"), col("node")).as("label")),
+        "graft.dedup.checkpoint")
+    }
+    labels
+  }
+
+  /** Community rollup: one row per surviving label with its member count
+    * — the summary a curation stage consumes for split/cap decisions.
+    */
+  def communities(labels: DataFrame): DataFrame =
+    labels.groupBy("label").agg(count(lit(1)).as("size"))
+}

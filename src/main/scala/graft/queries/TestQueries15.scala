@@ -267,6 +267,66 @@ object TestQueries15 {
              ROUND((sij - si * sj / n) / n, 6) + CAST(0.0 AS DOUBLE) AS cov
       FROM sums ORDER BY i, j"""))
 
+  /** Label propagation — [[graft.operators.LabelProp.run]]: 3 synchronous
+    * rounds over the q154 customer↔supplier graph (same node/edge CTEs),
+    * every node seeded with its own id, argmax by (count DESC, label ASC).
+    * All-integer/string math — the oracle unrolls the rounds and matches
+    * RAW, no rounding anywhere.
+    */
+  val q176LabelProp: QueryCase = QueryCase(
+    "q176_label_prop",
+    (s, dir) => {
+      val cust = Tables.table(s, dir, "customer")
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      val supp = Tables.table(s, dir, "supplier")
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      val pairs = Tables.table(s, dir, "orders")
+        .join(Tables.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("sn"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("sn").as("dst"))
+        .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
+      graft.operators.LabelProp
+        .run(cust.unionByName(supp), edges, iters = 3)
+        .orderBy("node")
+    },
+    Some {
+      def iter(i: Int): String = s"""
+      cnt$i AS (
+        SELECT e.dst, l.label, COUNT(*) AS cnt
+        FROM edges e JOIN lab${i - 1} l ON l.node = e.src
+        GROUP BY e.dst, l.label),
+      pick$i AS (
+        SELECT dst, label FROM (
+          SELECT dst, label,
+                 ROW_NUMBER() OVER (PARTITION BY dst
+                   ORDER BY cnt DESC, label) AS rn
+          FROM cnt$i) WHERE rn = 1),
+      lab$i AS (
+        SELECT n.node, COALESCE(p.label, n.node) AS label
+        FROM nodes n LEFT JOIN pick$i p ON p.dst = n.node)"""
+      s"""
+      WITH nodes AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+        UNION ALL
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+      pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+               's' || CAST(l_suppkey AS VARCHAR) AS sn
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c AS src, sn AS dst FROM pairs
+        UNION ALL
+        SELECT sn AS src, c AS dst FROM pairs),
+      lab0 AS (SELECT node, node AS label FROM nodes),
+      ${iter(1)},
+      ${iter(2)},
+      ${iter(3)}
+      SELECT node, label FROM lab3 ORDER BY node"""
+    })
+
   val all: Seq[QueryCase] =
-    Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance)
+    Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp)
 }

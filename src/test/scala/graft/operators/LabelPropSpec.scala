@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-traced synchronous LPA on two triangles joined by a bridge, plus
+  * the isolated-node and determinism contracts.
+  */
+class LabelPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nodes =
+    Seq("a1", "a2", "a3", "b1", "b2", "b3", "iso").toDF("node")
+  private val undirected = Seq(
+    ("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+    ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+    ("a3", "b1"))
+  private val edges = (undirected ++ undirected.map(_.swap))
+    .toDF("src", "dst")
+
+  test("three rounds: each triangle converges to one label") {
+    // Trace (argmax by count desc, label asc, all nodes update in sync):
+    // r1: a1→a2 a2→a1 a3→a1 b1→a3 b2→b1 b3→b1
+    // r2: a1→a1 a2→a1 a3→a1 b1→b1 b2→a3 b3→a3
+    // r3: a1→a1 a2→a1 a3→a1 b1→a3 b2→a3 b3→a3
+    val out = LabelProp.run(nodes, edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a1", "a2", "a3").forall(out(_) == "a1"))
+    assert(Seq("b1", "b2", "b3").forall(out(_) == "a3"))
+    assert(out("iso") == "iso")
+  }
+
+  test("communities rollup counts members per label") {
+    val sizes = LabelProp.communities(LabelProp.run(nodes, edges, 3))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("a1" -> 3L, "a3" -> 3L, "iso" -> 1L))
+  }
+
+  test("single round matches the hand trace exactly") {
+    val out = LabelProp.run(nodes, edges, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a1" -> "a2", "a2" -> "a1", "a3" -> "a1",
+      "b1" -> "a3", "b2" -> "b1", "b3" -> "b1", "iso" -> "iso"))
+  }
+
+  test("deterministic across runs") {
+    val a = LabelProp.run(nodes, edges, 3).collect().toSet
+    val b = LabelProp.run(nodes, edges, 3).collect().toSet
+    assert(a == b)
+  }
+}
