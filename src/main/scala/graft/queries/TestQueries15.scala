@@ -327,6 +327,62 @@ object TestQueries15 {
       SELECT node, label FROM lab3 ORDER BY node"""
     })
 
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+  /** Incremental BM25 index maintenance — [[graft.search.Bm25.merge]]:
+    * the corpus is indexed in two increments (doc_id % 5 splits), the
+    * integer stats (df / N / Σdl) merged, and the full corpus scored
+    * through [[graft.search.Bm25.scoreWith]] against the MERGED stats.
+    * The oracle is the q161 monolithic recompute verbatim — equality
+    * proves the incremental path can never drift from a rebuild (stats
+    * merge is exact integer algebra; avgdl = Σdl/N reproduces AVG(dl)'s
+    * double bit-for-bit).
+    */
+  val q177Bm25Incremental: QueryCase = QueryCase(
+    "q177_bm25_incremental",
+    (s, dir) => {
+      import graft.search.Bm25
+      val docs = Tables.documents(s, dir)
+      val st = Bm25.merge(
+        Bm25.stats(docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text"),
+        Bm25.stats(docs.where(col("doc_id") % 5 === 0), "doc_id", "text"))
+      Bm25.scoreWith(st, docs, "doc_id", "text",
+          Seq("join", "filter", "shuffle", "broadcast"))
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"),
+          col("n_terms"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, u.t AS t
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(tk) AS u(t)),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       AVG(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM toks
+        WHERE t IN ('join', 'filter', 'shuffle', 'broadcast')
+        GROUP BY doc_id, t),
+      dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      parts AS (
+        SELECT tf.doc_id,
+               ln((stats.n - dfreq.df + CAST(0.5 AS DOUBLE))
+                    / (dfreq.df + CAST(0.5 AS DOUBLE))
+                  + CAST(1.0 AS DOUBLE))
+                 * (tf.tf * CAST(2.2 AS DOUBLE))
+                 / (tf.tf + CAST(1.2 AS DOUBLE)
+                    * (CAST(0.25 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+                 AS part
+        FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id)
+        CROSS JOIN stats)
+      SELECT doc_id, ROUND(SUM(part), 6) AS score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM parts GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
-    Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp)
+    Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
+      q177Bm25Incremental)
 }

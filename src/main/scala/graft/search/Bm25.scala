@@ -48,4 +48,71 @@ object Bm25 {
       .groupBy("id")
       .agg(sum(col("part")).as("score"), count(lit(1)).as("n_terms"))
   }
+
+  /** Mergeable corpus statistics — the serving-side BM25 index state.
+    * `termDf`: (t, df) over the FULL vocabulary (so any later query's
+    * terms are covered); `corpus`: 1 row (n, sumdl). All counts are
+    * integers, so [[merge]] is exact and order-independent — the
+    * incremental path can never drift from a full rebuild
+    * (q177 pins this cross-engine; `Bm25StatsSpec` pins merge algebra).
+    * A document with zero tokens contributes to neither n nor df —
+    * matching [[score]]'s derivation of N from the token table.
+    */
+  final case class Stats(termDf: DataFrame, corpus: DataFrame)
+
+  /** One pass over a document set → its mergeable stats. Scale shape:
+    * df is a distinct-(doc,term) count — vocabulary-sized output; the
+    * corpus row is a 1-row aggregate.
+    */
+  def stats(docs: DataFrame, idCol: String, textCol: String): Stats = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    Stats(
+      toks.select("id", "t").distinct()
+        .groupBy("t").agg(count(lit(1)).as("df")),
+      dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")))
+  }
+
+  /** Exact integer merge: df/n/sumdl add. The incremental-index update —
+    * no rescan of the already-indexed corpus.
+    */
+  def merge(a: Stats, b: Stats): Stats = Stats(
+    a.termDf.unionByName(b.termDf)
+      .groupBy("t").agg(sum(col("df")).as("df")),
+    a.corpus.unionByName(b.corpus)
+      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+      .select(col("n"), col("sumdl")))
+
+  /** Score `docs` for `terms` using EXTERNAL stats (typically
+    * [[merge]]d increments) instead of rescanning: identical formula to
+    * [[score]], with idf/avgdl read from `st`. `avgdl` is derived as
+    * sumdl/n — the same double AVG(dl) produces, so scoring with merged
+    * stats is bit-equal to a monolithic rebuild.
+    */
+  def scoreWith(st: Stats, docs: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.map(_.toLowerCase).distinct.size ==
+      terms.size, "query terms must be distinct")
+    val lowered = terms.map(_.toLowerCase)
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val tf = toks.where(col("t").isin(lowered: _*))
+      .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val corpus = st.corpus.select(col("n").cast("double").as("n"),
+      (col("sumdl").cast("double") / col("n")).as("avgdl"))
+    tf.join(broadcast(st.termDf.where(col("t").isin(lowered: _*))), Seq("t"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("part",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("id")
+      .agg(sum(col("part")).as("score"), count(lit(1)).as("n_terms"))
+  }
 }

@@ -1,0 +1,59 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** Pins the incremental-BM25 stats algebra: merge is exact and
+  * order-independent, merged stats reproduce a full rebuild, and scoring
+  * through merged stats is bit-equal to the monolithic scorer.
+  */
+class Bm25StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark join shuffle join"),
+    (2L, "filter scan filter broadcast"),
+    (3L, "join broadcast broadcast exchange"),
+    (4L, "sort merge join shuffle"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  private val terms = Seq("join", "filter", "broadcast")
+
+  private def statsRows(s: Bm25.Stats) = (
+    s.termDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+    s.corpus.collect().head)
+
+  test("merged increments equal the full rebuild, both orders") {
+    val a = Bm25.stats(docs.where($"doc_id" <= 2), "doc_id", "text")
+    val b = Bm25.stats(docs.where($"doc_id" > 2), "doc_id", "text")
+    val full = statsRows(Bm25.stats(docs, "doc_id", "text"))
+    assert(statsRows(Bm25.merge(a, b)) == full)
+    assert(statsRows(Bm25.merge(b, a)) == full)
+  }
+
+  test("empty-text documents count for neither n nor df") {
+    val (df, corpus) = statsRows(Bm25.stats(docs, "doc_id", "text"))
+    assert(corpus.getLong(0) == 4L)           // doc 5 has no tokens
+    assert(corpus.getLong(1) == 16L)          // total tokens
+    assert(df("join") == 3L && df("broadcast") == 2L && df("scan") == 1L)
+  }
+
+  test("empty increment merges as identity") {
+    val a = Bm25.stats(docs, "doc_id", "text")
+    val e = Bm25.stats(docs.where($"doc_id" < 0), "doc_id", "text")
+    assert(statsRows(Bm25.merge(a, e)) == statsRows(a))
+  }
+
+  test("scoreWith(merged) is bit-equal to the monolithic score") {
+    val st = Bm25.merge(
+      Bm25.stats(docs.where($"doc_id" % 2 === 0), "doc_id", "text"),
+      Bm25.stats(docs.where($"doc_id" % 2 =!= 0), "doc_id", "text"))
+    val inc = Bm25.scoreWith(st, docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    val mono = Bm25.score(docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(inc.sameElements(mono))   // raw doubles, no rounding
+  }
+}
