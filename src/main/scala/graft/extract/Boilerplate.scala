@@ -1,0 +1,97 @@
+package graft.extract
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** jusText-style HTML boilerplate classification (Pomikálek 2011) — the
+  * extraction stage a web-crawl training pipeline runs before any quality
+  * filter sees the text: split markup into block-level segments, score
+  * each block by link density, stopword density and length, and classify
+  * content vs boilerplate.
+  *
+  * Deliberately RE2-safe (no lookarounds, no backrefs) so a SQL oracle
+  * replays the same splits/extractions; tag vocabulary and thresholds are
+  * the classifier's parameters, not hidden constants. Everything is
+  * per-row narrow work — no shuffle, no window, scale-free by
+  * construction; the regexes are plan literals, codegen'd once.
+  *
+  * Classification, in order (simplified jusText):
+  *   no words after tag-stripping      → dropped (no output row)
+  *   link_density > maxLinkDensity     → boilerplate
+  *   words < minWords                  → short
+  *   stopword density < minStopDensity → low-stopword (foreign/code/list)
+  *   otherwise                         → content
+  */
+object Boilerplate {
+
+  /** Block-level split pattern: any open/close tag of a structural
+    * element ends the current block.
+    */
+  val BlockTagRegex: String =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|blockquote|br|section|article|header|footer|nav|aside)[^>]*>"
+
+  /** Anchor-content pattern (single-level, greedy-safe). */
+  val AnchorRegex: String = "(?i)<a[^>]*>([^<]*)</a>"
+
+  /** Default English stopword sample — enough signal for the density
+    * test; callers supply their own list per language.
+    */
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that", "be",
+    "from", "has", "have", "not", "but", "its", "their", "they", "we")
+
+  /** @return one row per non-empty block: (id, block_index, n_words,
+    *         link_density, stop_density, block_class) — `text` of the
+    *         block is included for downstream assembly.
+    */
+  def classify(docs: DataFrame, idCol: String, htmlCol: String,
+               stopwords: Seq[String] = DefaultStopwords,
+               maxLinkDensity: Double = 0.4,
+               minWords: Int = 8,
+               minStopDensity: Double = 0.2): DataFrame = {
+    val stoplist = array(stopwords.map(s => lit(s.toLowerCase)): _*)
+    val blocks = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(htmlCol), BlockTagRegex))
+          .as(Seq("block_index", "raw")))
+    val cleaned = blocks
+      .withColumn("anchor_text",
+        concat_ws(" ", regexp_extract_all(col("raw"), lit(AnchorRegex),
+          lit(1))))
+      .withColumn("text",
+        trim(regexp_replace(regexp_replace(col("raw"), "<[^>]+>", " "),
+          "\\s+", " ")))
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .withColumn("n_words", size(col("toks")))
+      .where(col("n_words") > 0)
+    val scored = cleaned
+      .withColumn("link_density",
+        least(lit(1.0), length(trim(regexp_replace(col("anchor_text"),
+            "\\s+", " "))).cast("double") /
+          length(col("text")).cast("double")))
+      .withColumn("stop_density",
+        size(filter(col("toks"),
+          (t: Column) => array_contains(stoplist, t))).cast("double") /
+          col("n_words").cast("double"))
+    scored.select(col("id"), col("block_index"), col("text"),
+      col("n_words"),
+      col("link_density"), col("stop_density"),
+      when(col("link_density") > maxLinkDensity, "boilerplate")
+        .when(col("n_words") < minWords, "short")
+        .when(col("stop_density") < minStopDensity, "low-stopword")
+        .otherwise("content").as("block_class"))
+  }
+
+  /** Assemble the retained content: blocks classified `content`, joined
+    * in block order per document — the cleaned text downstream filters
+    * consume.
+    */
+  def extractContent(classified: DataFrame): DataFrame =
+    classified.where(col("block_class") === "content")
+      .groupBy("id")
+      .agg(concat_ws("\n",
+        transform(array_sort(collect_list(struct(col("block_index"),
+          col("text")))), s => s.getField("text"))).as("content"))
+}

@@ -382,7 +382,79 @@ object TestQueries15 {
              CAST(COUNT(*) AS BIGINT) AS n_terms
       FROM parts GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** HTML boilerplate classification — [[graft.extract.Boilerplate]]:
+    * documents are wrapped into deterministic HTML (heading, body
+    * paragraph, per-3rd-doc link list, link-heavy footer) by BOTH
+    * engines, then block-split, tag-stripped and scored by
+    * link/stopword density. Pins the full RE2-safe regex pipeline
+    * (split, anchor group extraction, tag strip, whitespace collapse)
+    * and the jusText-style classification cascade cross-engine.
+    */
+  val q178Boilerplate: QueryCase = {
+    val navHtml = "<ul><li><a href=\"#\">home</a></li>" +
+      "<li><a href=\"#\">about us</a></li></ul>"
+    val footHtml = "<footer><a href=\"#\">terms</a> " +
+      "<a href=\"#\">privacy</a> copyright</footer>"
+    val stopSql = graft.extract.Boilerplate.DefaultStopwords
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    QueryCase(
+      "q178_boilerplate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("<div><h1>"), col("source"), lit("</h1><p>"),
+            col("text"), lit("</p>"),
+            when(col("doc_id") % 3 === 0, navHtml).otherwise(""),
+            lit(footHtml), lit("</div>")).as("html"))
+        graft.extract.Boilerplate.classify(docs, "doc_id", "html")
+          // densities are single integer divisions — bit-identical across
+          // engines, compared RAW (round-6 halfway liability avoided)
+          .select(col("id").as("doc_id"), col("block_index"), col("text"),
+            col("n_words"), col("link_density"), col("stop_density"),
+            col("block_class"))
+          .orderBy("doc_id", "block_index")
+      },
+      Some(s"""
+        WITH docs AS (
+          SELECT doc_id,
+            '<div><h1>' || source || '</h1><p>' || text || '</p>' ||
+            CASE WHEN doc_id % 3 = 0 THEN '$navHtml' ELSE '' END ||
+            '$footHtml' || '</div>' AS html
+          FROM documents),
+        blocks AS (
+          SELECT doc_id, u.pos - 1 AS block_index, u.raw
+          FROM docs, UNNEST(list_transform(regexp_split_to_array(html,
+            '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|blockquote|br|section|article|header|footer|nav|aside)[^>]*>'),
+            (x, i) -> struct_pack(pos := i, raw := x))) AS t(u)),
+        cleaned AS (
+          SELECT doc_id, block_index,
+            TRIM(regexp_replace(regexp_replace(raw, '<[^>]+>', ' ', 'g'),
+              '\\s+', ' ', 'g')) AS text,
+            COALESCE(array_to_string(
+              regexp_extract_all(raw, '(?i)<a[^>]*>([^<]*)</a>', 1), ' '),
+              '') AS anchor_text
+          FROM blocks),
+        toks AS (
+          SELECT *, $TokensSql AS tk FROM cleaned),
+        scored AS (
+          SELECT doc_id, block_index, text, LEN(tk) AS n_words,
+            LEAST(CAST(1.0 AS DOUBLE),
+              CAST(LENGTH(TRIM(regexp_replace(anchor_text, '\\s+', ' ', 'g')))
+                   AS DOUBLE) / LENGTH(text)) AS link_density,
+            CAST(LEN(list_filter(tk, t -> list_contains($stopSql, t)))
+                 AS DOUBLE) / LEN(tk) AS stop_density
+          FROM toks WHERE LEN(tk) > 0)
+        SELECT doc_id, block_index, text, n_words,
+               link_density, stop_density,
+               CASE WHEN link_density > CAST(0.4 AS DOUBLE)
+                      THEN 'boilerplate'
+                    WHEN n_words < 8 THEN 'short'
+                    WHEN stop_density < CAST(0.2 AS DOUBLE)
+                      THEN 'low-stopword'
+                    ELSE 'content' END AS block_class
+        FROM scored ORDER BY doc_id, block_index"""))
+  }
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
-      q177Bm25Incremental)
+      q177Bm25Incremental, q178Boilerplate)
 }

@@ -1,0 +1,66 @@
+package graft.extract
+
+import graft.SparkSpec
+
+/** Pins [[Boilerplate]] on hand-built HTML: block splitting, tag
+  * stripping, anchor extraction, the classification cascade, and content
+  * assembly order.
+  */
+class BoilerplateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goodText = "the quick brown fox jumps over the lazy dog " +
+    "and it was a very good day for all of them"
+  private val html =
+    s"""<div><h1>Page Title</h1>
+       |<p>$goodText</p>
+       |<p>fn main let mut vec push pop iter collect map filter fold</p>
+       |<nav><a href="/">home</a> <a href="/a">about</a></nav>
+       |<footer>tiny</footer></div>""".stripMargin.replace("\n", "")
+
+  private lazy val out = Boilerplate
+    .classify(Seq((1L, html)).toDF("id", "html"), "id", "html")
+    .orderBy("block_index").collect()
+
+  test("non-empty blocks only, in document order") {
+    assert(out.map(_.getString(2)).toSeq == Seq(
+      "Page Title", goodText,
+      "fn main let mut vec push pop iter collect map filter fold",
+      "home about", "tiny"))
+  }
+
+  test("classification cascade") {
+    assert(out.map(_.getString(6)).toSeq == Seq(
+      "short",          // 2 words, no links
+      "content",        // long, stopword-rich
+      "low-stopword",   // long enough but code-like
+      "boilerplate",    // pure links
+      "short"))         // 1 word
+  }
+
+  test("link density: all-anchor block is 1.0, plain text 0.0") {
+    val byText = out.map(r => r.getString(2) -> r.getDouble(4)).toMap
+    assert(byText("home about") == 1.0)
+    assert(byText(goodText) == 0.0)
+  }
+
+  test("stopword density of the content block") {
+    val r = out.find(_.getString(2) == goodText).get
+    val toks = goodText.split("\\s+")
+    val stops = toks.count(Boilerplate.DefaultStopwords.contains)
+    assert(r.getInt(3) == toks.length)
+    assert(r.getDouble(5) == stops.toDouble / toks.length)
+  }
+
+  test("extractContent keeps only content blocks in order") {
+    val two = Seq(
+      (1L, html),
+      (2L, s"<p>$goodText</p><p>$goodText again and again it was</p>"))
+      .toDF("id", "html")
+    val content = Boilerplate.extractContent(
+      Boilerplate.classify(two, "id", "html"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(content(1L) == goodText)
+    assert(content(2L) == s"$goodText\n$goodText again and again it was")
+  }
+}
