@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training (Sennrich et al. 2016) over a
+  * word-frequency vocabulary — the tokenizer-fitting step of a training
+  * corpus pipeline. Classic formulation: words start as character
+  * sequences; each round counts adjacent symbol pairs weighted by word
+  * frequency, merges the most frequent pair (ties lexicographic on the
+  * pair), and rewrites every sequence left-to-right greedily.
+  *
+  * Deterministic and oracle-unrollable: the round count is FIXED, the
+  * argmax tie-break is total, counts are exact longs, and the rewrite is
+  * a per-word left fold. No end-of-word marker (documented divergence
+  * from tokenizers that append `</w>`; the merge algebra is identical).
+  *
+  * Scale shape: training runs over the VOCABULARY (distinct word +
+  * freq), not the corpus — the standard implementation trick that makes
+  * BPE tractable: pair counting is a narrow explode + map-side-combined
+  * (a,b) aggregation; the winning pair is a 1-row TakeOrdered broadcast
+  * back via crossJoin (never a driver collect); the rewrite is per-row.
+  * Each round's vocab is materialized through the policy gate (iterative
+  * lineage discipline).
+  */
+object Bpe {
+
+  /** Word-frequency vocabulary from a document corpus. */
+  def vocabulary(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Train `nMerges` rounds. Returns the vocab with its final
+    * segmentation: (word, freq, seq array<string>).
+    */
+  def train(vocab: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges >= 1)
+    var v = graft.plans.Materialize.stage(
+      vocab.select(col("word"), col("freq"),
+        regexp_extract_all(col("word"), lit("."), lit(0)).as("seq")),
+      "graft.dedup.checkpoint")
+    for (_ <- 1 to nMerges) {
+      val pairs = v
+        .select(col("freq"), posexplode(slice(col("seq"), lit(1),
+          greatest(size(col("seq")) - 1, lit(0)))).as(Seq("i", "a")),
+          col("seq"))
+        .select(col("freq"), col("a"),
+          element_at(col("seq"), col("i") + 2).as("b"))
+      val best = pairs.groupBy("a", "b")
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(1)
+      val merged = concat(col("a"), col("b"))
+      v = graft.plans.Materialize.stage(
+        v.crossJoin(broadcast(best))
+          .select(col("word"), col("freq"),
+            aggregate(col("seq"),
+              array().cast("array<string>"),
+              (acc: Column, x: Column) =>
+                when(size(acc) > 0 &&
+                    element_at(acc, -1) === col("a") && x === col("b"),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+                  .otherwise(concat(acc, array(x)))).as("seq")),
+        "graft.dedup.checkpoint")
+    }
+    v
+  }
+
+  /** Segment NEW words with a learned segmentation's merge table is the
+    * tokenizer-apply step; here the trained vocab itself is the corpus
+    * artifact (fixed-round training), and apply-time segmentation reuses
+    * [[train]]'s rewrite against stored merges downstream.
+    */
+  def segmentation(trained: DataFrame): DataFrame =
+    trained.select(col("word"), col("freq"),
+      concat_ws(" ", col("seq")).as("segments"),
+      size(col("seq")).as("n_segments"))
+}

@@ -454,7 +454,55 @@ object TestQueries15 {
         FROM scored ORDER BY doc_id, block_index"""))
   }
 
+  /** BPE tokenizer training — [[graft.operators.Bpe.train]]: 3 merge
+    * rounds over the corpus word-frequency vocabulary, argmax pair by
+    * (count DESC, pair ASC), greedy left-to-right rewrite. The oracle
+    * unrolls the rounds: pair explosion via a sliced struct-transform,
+    * the 1-row argmax, and the same list fold (init = first symbol's
+    * singleton list). Exact integer/string math throughout — RAW compare.
+    */
+  val q179BpeTrain: QueryCase = QueryCase(
+    "q179_bpe_train",
+    (s, dir) => {
+      import graft.operators.Bpe
+      Bpe.segmentation(
+        Bpe.train(Bpe.vocabulary(Tables.documents(s, dir), "text"),
+          nMerges = 3))
+        .orderBy("word")
+    },
+    Some {
+      def round(i: Int): String = s"""
+      p$i AS (
+        SELECT v.freq, u.a AS a, u.b AS b
+        FROM v${i - 1} v, UNNEST(list_transform(
+          list_slice(seq, 1, len(seq) - 1),
+          (x, k) -> struct_pack(a := x, b := seq[k + 1]))) AS t(u)),
+      c$i AS (SELECT a, b, SUM(freq) AS cnt FROM p$i GROUP BY a, b),
+      b$i AS (SELECT a, b FROM c$i ORDER BY cnt DESC, a, b LIMIT 1),
+      v$i AS (
+        SELECT word, freq,
+          list_reduce(list_transform(seq, x -> [x]),
+            (acc, x) -> CASE WHEN acc[-1] = bb.a AND x[1] = bb.b
+              THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                               bb.a || bb.b)
+              ELSE list_concat(acc, x) END) AS seq
+        FROM v${i - 1} CROSS JOIN b$i bb)"""
+      s"""
+      WITH toks AS (
+        SELECT u.t AS word
+        FROM (SELECT $TokensSql AS tk FROM documents), UNNEST(tk) AS u(t)),
+      v0 AS (
+        SELECT word, COUNT(*) AS freq, regexp_extract_all(word, '.') AS seq
+        FROM toks GROUP BY word),
+      ${round(1)},
+      ${round(2)},
+      ${round(3)}
+      SELECT word, freq, array_to_string(seq, ' ') AS segments,
+             LEN(seq) AS n_segments
+      FROM v3 ORDER BY word"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
-      q177Bm25Incremental, q178Boilerplate)
+      q177Bm25Incremental, q178Boilerplate, q179BpeTrain)
 }

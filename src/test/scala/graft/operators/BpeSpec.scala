@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-traced BPE on Sennrich et al.'s classic vocabulary (sans the
+  * end-of-word marker): merges go es → est → lo.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Seq(
+    ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)
+  ).toDF("word", "freq")
+
+  test("three merges match the hand trace") {
+    // r1: es(9) beats st(9) on pair order; r2: (es,t)=9; r3: (l,o)=7
+    // beats (o,w)=7 on pair order
+    val out = Bpe.segmentation(Bpe.train(vocab, 3))
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getInt(3)))
+      .toMap
+    assert(out("low") == ("lo w", 2))
+    assert(out("lower") == ("lo w e r", 4))
+    assert(out("newest") == ("n e w est", 4))
+    assert(out("widest") == ("w i d est", 4))
+  }
+
+  test("one merge: the es pair only") {
+    val out = Bpe.segmentation(Bpe.train(vocab, 1))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("low" -> "l o w", "lower" -> "l o w e r",
+      "newest" -> "n e w es t", "widest" -> "w i d es t"))
+  }
+
+  test("greedy left-to-right rewrite on runs") {
+    // aaaa with merge (a,a) → (aa)(aa), not overlapping
+    val runs = Seq(("aaaa", 10L), ("aaa", 1L)).toDF("word", "freq")
+    val out = Bpe.segmentation(Bpe.train(runs, 1))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out("aaaa") == "aa aa")
+    assert(out("aaa") == "aa a")
+  }
+
+  test("single-character words survive training unchanged") {
+    val v = Seq(("a", 3L), ("bb", 2L)).toDF("word", "freq")
+    val out = Bpe.segmentation(Bpe.train(v, 1))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out == Map("a" -> "a", "bb" -> "bb"))
+  }
+
+  test("vocabulary counts words across documents") {
+    val docs = Seq((1L, "to be or not"), (2L, "to be")).toDF("id", "text")
+    val v = Bpe.vocabulary(docs, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("to" -> 2L, "be" -> 2L, "or" -> 1L, "not" -> 1L))
+  }
+}
