@@ -159,4 +159,18 @@ object Pca {
     }
     centered.select(col("id"), array(scores.toIndexedSeq: _*).as("scores"))
   }
+
+  /** Whitening: [[project]] with each score scaled by 1/√(λ+eps), so the
+    * output has (near-)identity covariance — the standard embedding
+    * preprocessing before cosine quantizers (and PQ's OPQ-lite cousin).
+    * Same shuffle-free per-row shape as project.
+    */
+  def whiten(vecs: DataFrame, idCol: String, vecCol: String,
+             model: Model, eps: Double = 1e-9): DataFrame = {
+    val scales = model.eigenvalues.map(ev => 1.0 / math.sqrt(ev + eps))
+    val scaleLit = array(scales.map(lit(_)).toIndexedSeq: _*)
+    project(vecs, idCol, vecCol, model)
+      .select(col("id"),
+        zip_with(col("scores"), scaleLit, (s, w) => s * w).as("scores"))
+  }
 }

@@ -77,6 +77,21 @@ class PcaSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("whitened scores have identity covariance") {
+    val w = Pca.whiten(df, "id", "v", model, eps = 0.0).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val n = w.length
+    for (i <- 0 until 3; j <- 0 until 3) {
+      val mi = w.map(_(i)).sum / n
+      val mj = w.map(_(j)).sum / n
+      val cov = w.map(r => (r(i) - mi) * (r(j) - mj)).sum / n
+      // 1/√λ scaling amplifies eigensolve residuals for the small noise
+      // eigenvalue — tolerance reflects that, not a looser contract
+      assert(math.abs(cov - (if (i == j) 1.0 else 0.0)) < 1e-6,
+        s"cov($i,$j) = $cov")
+    }
+  }
+
   test("fit validates p") {
     intercept[IllegalArgumentException] { Pca.fit(df, "v", p = 0) }
     intercept[IllegalArgumentException] { Pca.fit(df, "v", p = 4) }
