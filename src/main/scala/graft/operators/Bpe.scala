@@ -31,41 +31,79 @@ object Bpe {
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Train `nMerges` rounds. Returns the vocab with its final
-    * segmentation: (word, freq, seq array<string>).
+  /** Greedy left-to-right rewrite of one merge (a,b) → ab over a symbol
+    * sequence column — shared by training and apply.
     */
-  def train(vocab: DataFrame, nMerges: Int): DataFrame = {
+  private def rewrite(seq: Column, a: Column, b: Column): Column =
+    aggregate(seq, array().cast("array<string>"),
+      (acc: Column, x: Column) =>
+        when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(a, b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `nMerges` rounds. Returns the vocab with its final
+    * segmentation (word, freq, seq array<string>) and the learned merge
+    * table (step, a, b) — the tokenizer model [[applyMerges]] consumes.
+    */
+  def trainWithMerges(vocab: DataFrame, nMerges: Int)
+      : (DataFrame, DataFrame) = {
     require(nMerges >= 1)
     var v = graft.plans.Materialize.stage(
       vocab.select(col("word"), col("freq"),
         regexp_extract_all(col("word"), lit("."), lit(0)).as("seq")),
       "graft.dedup.checkpoint")
-    for (_ <- 1 to nMerges) {
+    var merges: DataFrame = null
+    for (step <- 1 to nMerges) {
       val pairs = v
         .select(col("freq"), posexplode(slice(col("seq"), lit(1),
           greatest(size(col("seq")) - 1, lit(0)))).as(Seq("i", "a")),
           col("seq"))
         .select(col("freq"), col("a"),
           element_at(col("seq"), col("i") + 2).as("b"))
-      val best = pairs.groupBy("a", "b")
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(desc("cnt"), col("a"), col("b"))
-        .limit(1)
-      val merged = concat(col("a"), col("b"))
+      val best = graft.plans.Materialize.stage(
+        pairs.groupBy("a", "b")
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(desc("cnt"), col("a"), col("b"))
+          .limit(1)
+          .select(col("a"), col("b")),
+        "graft.dedup.checkpoint")
+      val stepRow = best.select(lit(step).as("step"), col("a"), col("b"))
+      merges = if (merges == null) stepRow else merges.unionByName(stepRow)
       v = graft.plans.Materialize.stage(
         v.crossJoin(broadcast(best))
           .select(col("word"), col("freq"),
-            aggregate(col("seq"),
-              array().cast("array<string>"),
-              (acc: Column, x: Column) =>
-                when(size(acc) > 0 &&
-                    element_at(acc, -1) === col("a") && x === col("b"),
-                  concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
-                  .otherwise(concat(acc, array(x)))).as("seq")),
+            rewrite(col("seq"), col("a"), col("b")).as("seq")),
         "graft.dedup.checkpoint")
     }
-    v
+    (v, merges)
   }
+
+  /** [[trainWithMerges]], vocab half only. */
+  def train(vocab: DataFrame, nMerges: Int): DataFrame =
+    trainWithMerges(vocab, nMerges)._1
+
+  /** Tokenizer apply: segment NEW words with a learned merge table —
+    * merges applied in training order, same greedy rewrite. The merge
+    * table is model state (vocabulary-bounded, like PCA components) and
+    * rides into the plan as literals.
+    */
+  def applyMerges(words: DataFrame, wordCol: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    var out = words.select(col(wordCol).as("word"),
+      regexp_extract_all(col(wordCol), lit("."), lit(0)).as("seq"))
+    merges.foreach { case (a, b) =>
+      out = out.select(col("word"),
+        rewrite(col("seq"), lit(a), lit(b)).as("seq"))
+    }
+    out.select(col("word"), concat_ws(" ", col("seq")).as("segments"),
+      size(col("seq")).as("n_segments"))
+  }
+
+  /** Collect a merge table to the driver (k rows — model-sized). */
+  def collectMerges(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy("step").collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
 
   /** Segment NEW words with a learned segmentation's merge table is the
     * tokenizer-apply step; here the trained vocab itself is the corpus

@@ -47,7 +47,11 @@ object ScaleRehearsal {
     // round-9 heavyweights (round-9 verdict ask: their 100× claim was
     // design-argument only — measure the exponents)
     "q147_perplexity", "q148_span_dedup", "q151_kmeans", "q153_pq_encode",
-    "q154_pagerank", "q155_refinery", "q161_bm25", "q162_ivfpq_encode")
+    "q154_pagerank", "q155_refinery", "q161_bm25", "q162_ivfpq_encode",
+    // round-10 session-2 additions
+    "q173_retrieval_eval", "q174_semdedup", "q175_pca_covariance",
+    "q176_label_prop", "q177_bm25_incremental", "q178_boilerplate",
+    "q179_bpe_train")
 
   private val StressQueries = Seq(
     "q01_pricing_summary", "q94_cdc_apply", "q106_scd2", "q83_salted_skew",

@@ -47,6 +47,26 @@ class BpeSpec extends SparkSpec {
     assert(out == Map("a" -> "a", "bb" -> "bb"))
   }
 
+  test("merge table records the trained merges in order") {
+    val (_, merges) = Bpe.trainWithMerges(vocab, 3)
+    assert(Bpe.collectMerges(merges) ==
+      Seq(("e", "s"), ("es", "t"), ("l", "o")))
+  }
+
+  test("applyMerges segments unseen words consistently with training") {
+    val (trained, merges) = Bpe.trainWithMerges(vocab, 3)
+    val m = Bpe.collectMerges(merges)
+    // unseen word through the learned merges: l,o,w,e,s,t → lo w est
+    val newWords = Seq("lowest", "low", "widest").toDF("w")
+    val out = Bpe.applyMerges(newWords, "w", m)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("lowest") == "lo w est")
+    // seen words segment exactly as training left them
+    val seen = Bpe.segmentation(trained)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out("low") == seen("low") && out("widest") == seen("widest"))
+  }
+
   test("vocabulary counts words across documents") {
     val docs = Seq((1L, "to be or not"), (2L, "to be")).toDF("id", "text")
     val v = Bpe.vocabulary(docs, "text")

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.search.Bm25
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The deployment loop [[Bm25.merge]] exists for: a document stream,
+  * each micro-batch's stats folded into the durable index state. Stats
+  * are exact integer algebra, so the streamed fold must equal the
+  * one-shot stats of the full corpus — batch boundaries invisible, and
+  * scoring through the folded stats bit-equal to a monolithic rebuild.
+  */
+class Bm25StatsStreamSpec extends SparkSpec {
+
+  test("foreachBatch stats fold equals the one-shot stats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.sources.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"text")
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+
+    var acc: Option[Bm25.Stats] = None
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // materialize the batch: stats lazily reference it, and the
+        // micro-batch frame is only valid inside this callback
+        val snap = batch.collect()
+        val local = spark.createDataFrame(
+          spark.sparkContext.parallelize(snap.toSeq), batch.schema)
+        val s = Bm25.stats(local, "doc_id", "text")
+        acc = Some(acc.fold(s)(Bm25.merge(_, s)))
+        ()
+      }
+      .start()
+    val (b1, rest) = rows.splitAt(rows.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    Seq(b1, b2, b3).filter(_.nonEmpty).foreach { b =>
+      stream.addData(b.toSeq: _*); query.processAllAvailable()
+    }
+    query.stop()
+
+    val streamed = acc.get
+    val oneShot = Bm25.stats(docs, "doc_id", "text")
+    assert(streamed.termDf.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap ==
+      oneShot.termDf.collect().map(r =>
+        r.getString(0) -> r.getLong(1)).toMap)
+    assert(streamed.corpus.collect().head ==
+      oneShot.corpus.collect().head)
+
+    // scoring through the streamed stats = monolithic scorer, raw doubles
+    val terms = Seq("join", "filter", "broadcast")
+    val viaStream = Bm25.scoreWith(streamed, docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val mono = Bm25.score(docs, "doc_id", "text", terms)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    assert(viaStream.sameElements(mono))
+  }
+}
