@@ -1,0 +1,94 @@
+package graft.analytics
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine quality-classifier training — the fastText-style linear
+  * scorer a corpus pipeline trains to triage documents (CCNet/ RefinedWeb
+  * use exactly this shape: cheap lexical features → logistic score →
+  * keep/drop threshold). No MLlib: training is fixed-iteration batch
+  * gradient descent expressed as aggregations, so it runs anywhere the
+  * engine runs and a SQL oracle can unroll it.
+  *
+  *   w ← w − lr · (1/n) Σ_docs (σ(w·x) − y) · x,   w₀ = 0
+  *
+  * Scale shape: each iteration is ONE full-scan aggregation producing a
+  * 1-row weight frame (feature-count columns), broadcast back into the
+  * next iteration via crossJoin — no driver-side math, no per-doc state,
+  * weights materialized per round (iterative-lineage discipline).
+  * Feature extraction is per-row narrow work.
+  *
+  * Determinism: w₀ = 0 makes the first round's σ exactly 0.5 (no libm at
+  * all); later rounds use exp(), whose last-bit drift is the accepted
+  * ln/exp class — gradient means drift ±ulp with shuffle order and
+  * outputs surface ROUNDed.
+  */
+object QualityClassifier {
+
+  /** Feature column names, bias first. */
+  val FeatureCols: Seq[String] = Seq("x0", "x1", "x2", "x3")
+
+  /** Lexical features: bias, stopword density, mean token length, text
+    * length scaled by 1/100. All exact arithmetic (integer counts and
+    * single divisions).
+    */
+  def features(docs: DataFrame, idCol: String, textCol: String,
+               stopwords: Seq[String] =
+                 graft.extract.Boilerplate.DefaultStopwords): DataFrame = {
+    val stoplist = array(stopwords.map(s => lit(s.toLowerCase)): _*)
+    docs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("toks", TextFunctions.tokens(col("text")))
+      .where(size(col("toks")) > 0)
+      .select(col("id"),
+        lit(1.0).as("x0"),
+        (size(filter(col("toks"),
+          (t: Column) => array_contains(stoplist, t))).cast("double") /
+          size(col("toks")).cast("double")).as("x1"),
+        (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(col("toks")).cast("double")).as("x2"),
+        (length(col("text")).cast("double") / 100.0).as("x3"))
+  }
+
+  /** Train `iters` rounds of batch GD; returns the 1-row weight frame
+    * (columns w0..w3).
+    */
+  def train(feats: DataFrame, labelCol: String, iters: Int,
+            lr: Double = 1.0): DataFrame = {
+    require(iters >= 1)
+    // every iteration full-scans the features — materialize the caller's
+    // derivation once (iterative-lineage discipline)
+    val f = graft.plans.Materialize.stage(feats, "graft.dedup.checkpoint")
+    val wCols = FeatureCols.map("w" + _.drop(1))
+    var w = feats.sparkSession.range(1)
+      .select(wCols.map(c => lit(0.0).as(c)): _*)
+    for (_ <- 1 to iters) {
+      val z = FeatureCols.zip(wCols)
+        .map { case (x, wc) => col(x) * col(wc) }
+        .reduce(_ + _)
+      val sigma = lit(1.0) / (lit(1.0) + exp(-z))
+      val joined = f.crossJoin(broadcast(w))
+        .withColumn("__err", sigma - col(labelCol).cast("double"))
+      val grads = FeatureCols.map(x =>
+        avg(col("__err") * col(x)).as("g" + x.drop(1)))
+      w = graft.plans.Materialize.stage(
+        joined.agg(grads.head, grads.tail: _*)
+          .crossJoin(broadcast(w))
+          .select(FeatureCols.map { x =>
+            val i = x.drop(1)
+            (col(s"w$i") - lit(lr) * col(s"g$i")).as(s"w$i")
+          }: _*),
+        "graft.dedup.checkpoint")
+    }
+    w
+  }
+
+  /** Score: σ(w·x) per document, plus the ≥0.5 keep decision. */
+  def score(feats: DataFrame, weights: DataFrame): DataFrame = {
+    val z = FeatureCols.map(x => col(x) * col("w" + x.drop(1)))
+      .reduce(_ + _)
+    feats.crossJoin(broadcast(weights))
+      .select(col("id"), (lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+  }
+}

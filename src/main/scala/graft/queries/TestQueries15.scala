@@ -502,7 +502,77 @@ object TestQueries15 {
       FROM v3 ORDER BY word"""
     })
 
+  /** In-engine quality-classifier training —
+    * [[graft.analytics.QualityClassifier]]: logistic regression on exact
+    * lexical features (bias, stopword density, mean token length, scaled
+    * length), 2 batch-GD rounds from w=0 (round 1's σ is exactly 0.5 —
+    * no libm), labels = (lang = 'en'). The oracle unrolls both gradient
+    * rounds; gradient AVGes drift ±ulp (shuffle order) and exp() is the
+    * accepted ln/exp class, so scores surface ROUNDed.
+    */
+  val q180QualityClassifier: QueryCase = {
+    val stopSql = graft.extract.Boilerplate.DefaultStopwords
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    QueryCase(
+      "q180_quality_classifier",
+      (s, dir) => {
+        import graft.analytics.QualityClassifier
+        val docs = Tables.documents(s, dir)
+        val feats = QualityClassifier.features(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id").as("id"),
+            (col("lang") === "en").cast("double").as("y")), Seq("id"))
+        val w = QualityClassifier.train(feats, "y", iters = 2)
+        QualityClassifier.score(feats, w)
+          .join(feats.select(col("id"), col("y")), Seq("id"))
+          .select(col("id").as("doc_id"), col("y").cast("int").as("y"),
+            round(col("score"), 6).as("score"), col("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH feats AS (
+          SELECT doc_id, CAST(lang = 'en' AS INT) AS y,
+                 CAST(1.0 AS DOUBLE) AS x0,
+                 CAST(LEN(list_filter(tk, t -> list_contains($stopSql, t)))
+                      AS DOUBLE) / LEN(tk) AS x1,
+                 CAST(list_reduce(list_transform(tk, t -> LENGTH(t)),
+                      (s, u) -> s + u) AS DOUBLE) / LEN(tk) AS x2,
+                 CAST(LENGTH(text) AS DOUBLE) / 100.0 AS x3
+          FROM (SELECT doc_id, lang, text, $TokensSql AS tk FROM documents)
+          WHERE LEN(tk) > 0),
+        g1 AS (
+          SELECT AVG((CAST(0.5 AS DOUBLE) - y) * x0) AS g0,
+                 AVG((CAST(0.5 AS DOUBLE) - y) * x1) AS g1,
+                 AVG((CAST(0.5 AS DOUBLE) - y) * x2) AS g2,
+                 AVG((CAST(0.5 AS DOUBLE) - y) * x3) AS g3
+          FROM feats),
+        w1 AS (SELECT -g0 AS w0, -g1 AS w1, -g2 AS w2, -g3 AS w3 FROM g1),
+        s2 AS (
+          SELECT f.*,
+                 CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                   + exp(-(w.w0 * f.x0 + w.w1 * f.x1
+                           + w.w2 * f.x2 + w.w3 * f.x3))) AS sg
+          FROM feats f CROSS JOIN w1 w),
+        g2 AS (
+          SELECT AVG((sg - y) * x0) AS g0, AVG((sg - y) * x1) AS g1,
+                 AVG((sg - y) * x2) AS g2, AVG((sg - y) * x3) AS g3
+          FROM s2),
+        w2 AS (
+          SELECT w.w0 - g.g0 AS w0, w.w1 - g.g1 AS w1,
+                 w.w2 - g.g2 AS w2, w.w3 - g.g3 AS w3
+          FROM w1 w CROSS JOIN g2 g),
+        fin AS (
+          SELECT f.doc_id, f.y,
+                 CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                   + exp(-(w.w0 * f.x0 + w.w1 * f.x1
+                           + w.w2 * f.x2 + w.w3 * f.x3))) AS sg
+          FROM feats f CROSS JOIN w2 w)
+        SELECT doc_id, y, ROUND(sg, 6) AS score,
+               (sg >= CAST(0.5 AS DOUBLE)) AS keep
+        FROM fin ORDER BY doc_id"""))
+  }
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
-      q177Bm25Incremental, q178Boilerplate, q179BpeTrain)
+      q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
+      q180QualityClassifier)
 }

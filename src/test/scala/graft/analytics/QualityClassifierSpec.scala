@@ -1,0 +1,64 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[QualityClassifier]]: exact feature math, the closed-form
+  * first GD round (σ = 0.5 exactly at w = 0), and that training actually
+  * separates a cleanly separable fixture.
+  */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goodish = Seq(
+    "the cat and the dog are in the house with a ball",
+    "it was the best of times and it was the worst of times",
+    "we have been to the market and they were not at home")
+  private val badish = Seq(
+    "xs qq zz vv kk jj pp ww mm nn",
+    "lorem ipsum dolor sit amet consectetur adipiscing elit",
+    "foo bar baz qux quux corge grault garply waldo fred")
+
+  private val docs = (goodish.map((_, 1.0)) ++ badish.map((_, 0.0)))
+    .zipWithIndex.map { case ((t, y), i) => (i.toLong, t, y) }
+    .toDF("doc_id", "text", "y")
+
+  private lazy val feats = QualityClassifier
+    .features(docs, "doc_id", "text")
+    .join(docs.select(col("doc_id").as("id"), col("y")), Seq("id"))
+
+  test("features: exact stopword density and mean token length") {
+    val r = feats.where($"id" === 0L).collect().head
+    // "the cat and the dog are in the house with a ball": 12 tokens,
+    // stopwords: the×3, and, are, in, with, a = 8
+    assert(r.getDouble(feats.columns.indexOf("x1")) == 8.0 / 12)
+    val chars = "thecatandthedogareinthehousewithaball".length
+    assert(r.getDouble(feats.columns.indexOf("x2")) == chars.toDouble / 12)
+  }
+
+  test("first round weights equal the closed form (sigma exactly 0.5)") {
+    val w = QualityClassifier.train(feats, "y", iters = 1, lr = 1.0)
+      .collect().head
+    val rows = feats.select("x0", "x1", "x2", "x3", "y").collect()
+    for (j <- 0 until 4) {
+      val grad = rows.map(r => (0.5 - r.getDouble(4)) * r.getDouble(j))
+      val expected = -(grad.sum / grad.length)
+      assert(math.abs(w.getDouble(j) - expected) < 1e-12,
+        s"w$j = ${w.getDouble(j)} vs $expected")
+    }
+  }
+
+  test("training separates the fixture") {
+    val w = QualityClassifier.train(feats, "y", iters = 30, lr = 4.0)
+    val scored = QualityClassifier.score(feats, w)
+      .join(feats.select(col("id"), col("y")), Seq("id"))
+      .collect()
+    assert(scored.forall(r => r.getBoolean(2) == (r.getDouble(3) == 1.0)))
+  }
+
+  test("deterministic across runs") {
+    val a = QualityClassifier.train(feats, "y", 3).collect().head.toSeq
+    val b = QualityClassifier.train(feats, "y", 3).collect().head.toSeq
+    assert(a == b)
+  }
+}
