@@ -109,6 +109,54 @@ object CorpusLm {
     *
     * Output: (doc_id, n_feats, log_w, keep) — source documents only.
     */
+  /** Per-document cross-entropy under an add-k-smoothed BIGRAM LM
+    * trained on the corpus — the KenLM-shaped upgrade of
+    * [[unigramPerplexity]] (CCNet's actual scorer is an n-gram model;
+    * the bigram order keeps every count derivable from the input and
+    * therefore oracle-checkable, and the conditional-probability join
+    * shape is exactly what order-n needs).
+    *
+    *   P(w₂|w₁) = (c(w₁w₂) + k) / (c(w₁·) + k·(V+1))
+    *   ce(doc)  = −Σ c·log₂P / Σ c  over the document's bigrams
+    *
+    * Documents with fewer than two tokens emit no row (no bigrams).
+    *
+    * Scale shape: bigrams pre-combine to (doc, w₁, w₂, c) before any
+    * join (narrow posexplode over the token array — no self-join on
+    * position); the model tables are global (w₁,w₂) / (w₁) counts,
+    * joined by key; V rides a 1-row broadcast. No window, no driver
+    * state.
+    *
+    * Output: (doc_id, n_bigrams, ce_bits, ppl).
+    */
+  def bigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                       k: Double = 0.5): DataFrame = {
+    val seqs = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val bi = seqs
+      .select(col("doc_id"), col("tk"),
+        posexplode(slice(col("tk"), lit(1),
+          greatest(size(col("tk")) - 1, lit(0)))).as(Seq("i", "w1")))
+      .select(col("doc_id"), col("w1"),
+        element_at(col("tk"), col("i") + 2).as("w2"))
+    val db = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val uc = bi.groupBy("w1").agg(count(lit(1)).as("uc"))
+    val vocab = seqs.select(explode(col("tk")).as("t")).distinct()
+      .agg(count(lit(1)).as("v"))
+    db.join(bc, Seq("w1", "w2"))
+      .join(uc, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        (-sum(col("c") * log2((col("bc") + k)
+            / (col("uc") + lit(k) * (col("v") + 1))))
+          / sum(col("c"))).as("ce"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ce"), 6).as("ce_bits"),
+        round(pow(lit(2.0), col("ce")), 4).as("ppl"))
+  }
+
   def dsirWeights(source: DataFrame, target: DataFrame,
                   idCol: String, textCol: String,
                   buckets: Int = 256, k: Double = 0.5): DataFrame = {

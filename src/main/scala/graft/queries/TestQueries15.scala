@@ -571,8 +571,41 @@ object TestQueries15 {
         FROM fin ORDER BY doc_id"""))
   }
 
+  /** Bigram-LM perplexity — [[graft.operators.CorpusLm.bigramPerplexity]]:
+    * add-½-smoothed conditional bigram model trained on the corpus in the
+    * same pass, per-doc cross-entropy in bits. The oracle replays the
+    * bigram explosion (q179's sliced struct-transform), the three count
+    * tables, and the smoothed log2 scoring.
+    */
+  val q181BigramPerplexity: QueryCase = QueryCase(
+    "q181_bigram_perplexity",
+    (s, dir) => graft.operators.CorpusLm
+      .bigramPerplexity(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH seqs AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      bi AS (
+        SELECT doc_id, u.a AS w1, u.b AS w2
+        FROM seqs, UNNEST(list_transform(list_slice(tk, 1, len(tk) - 1),
+          (x, i) -> struct_pack(a := x, b := tk[i + 1]))) AS t(u)),
+      db AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+      bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY 1, 2),
+      uc AS (SELECT w1, COUNT(*) AS uc FROM bi GROUP BY 1),
+      vocab AS (
+        SELECT COUNT(DISTINCT u.t) AS v FROM seqs, UNNEST(tk) AS u(t)),
+      ce AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          -SUM(c * log2((bc + CAST(0.5 AS DOUBLE))
+              / (uc + CAST(0.5 AS DOUBLE) * (v + 1)))) / SUM(c) AS ce
+        FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        CROSS JOIN vocab
+        GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, ROUND(ce, 6) AS ce_bits,
+             ROUND(pow(CAST(2.0 AS DOUBLE), ce), 4) AS ppl
+      FROM ce ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
-      q180QualityClassifier)
+      q180QualityClassifier, q181BigramPerplexity)
 }

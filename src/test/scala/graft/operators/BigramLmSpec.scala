@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[CorpusLm.bigramPerplexity]] against hand-computed smoothed
+  * probabilities on a two-document corpus.
+  */
+class BigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc1 "a b a b": bigrams ab, ba, ab; doc2 "a b": ab; doc3 "x": none.
+  // Corpus: c(ab)=3, c(ba)=1, heads: c(a·)=3, c(b·)=1, V = |{a,b,x}| = 3.
+  private val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
+    .toDF("doc_id", "text")
+
+  private def lg2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  test("hand-computed cross-entropy, add-half smoothing") {
+    val out = CorpusLm.bigramPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val pAB = (3 + 0.5) / (3 + 0.5 * 4)   // P(b|a), V+1 = 4
+    val pBA = (1 + 0.5) / (1 + 0.5 * 4)
+    // doc1: bigrams ab×2, ba×1 → ce = -(2·log2 pAB + log2 pBA)/3
+    val ce1 = -(2 * lg2(pAB) + lg2(pBA)) / 3
+    val r1 = out(1L)
+    assert(r1._1 == 3L)
+    assert(math.abs(r1._2 - ce1) < 1e-6)
+    assert(math.abs(r1._3 - math.pow(2, ce1)) < 1e-3)
+    // doc2: one ab bigram
+    val ce2 = -lg2(pAB)
+    assert(out(2L)._1 == 1L)
+    assert(math.abs(out(2L)._2 - ce2) < 1e-6)
+  }
+
+  test("single-token documents emit no row") {
+    assert(!CorpusLm.bigramPerplexity(docs, "doc_id", "text")
+      .collect().exists(_.getLong(0) == 3L))
+  }
+
+  test("lower perplexity for corpus-typical documents") {
+    val c = Seq(
+      (1L, "the cat sat on the mat"), (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"), (4L, "mat the on sat cat the"))
+      .toDF("doc_id", "text")
+    val out = CorpusLm.bigramPerplexity(c, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < out(4L))
+  }
+}
