@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+  * denoising-objective sample generator: mask token spans, replace each
+  * span with a sentinel in the input, and emit the sentinel-delimited
+  * spans as the target. The batch-prep stage that turns a cleaned corpus
+  * into seq2seq pretraining examples.
+  *
+  * T5 samples spans IID; a distributed generator wants the decision to
+  * be a pure function of (doc, position) so the output is deterministic,
+  * shard-invariant and oracle-replayable — here a positional rule masks
+  * `spanLen` tokens every `period` positions starting at `offset`
+  * (masking ratio spanLen/period; T5's default 15% ≈ 2/13). A production
+  * swap-in replaces the rule with a seeded hash of (doc_id, pos) and
+  * nothing else changes.
+  *
+  * Scale shape: per-row narrow work — tokenize, posexplode, two ordered
+  * list folds per document (collect_list over position-sorted structs,
+  * the contractual array_sort). One shuffle on doc_id, no windows.
+  *
+  * Output: (doc_id, n_tokens, n_spans, input_text, target_text).
+  */
+object SpanCorruption {
+
+  def corrupt(docs: DataFrame, idCol: String, textCol: String,
+              period: Int = 7, offset: Int = 3,
+              spanLen: Int = 2): DataFrame = {
+    require(period >= 2 && offset >= 0 && offset < period &&
+      spanLen >= 1 && offset + spanLen <= period,
+      "span windows must fit inside one period")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
+      .withColumn("ph", col("pos") % period)
+      .withColumn("masked",
+        col("ph") >= offset && col("ph") < offset + spanLen)
+      // span index: how many span starts occur at positions ≤ pos
+      .withColumn("span_id",
+        when(col("masked"),
+          floor((col("pos") - offset) / period).cast("int")))
+      .withColumn("span_start", col("masked") && col("ph") === offset)
+    val sentinel = concat(lit("<extra_id_"), col("span_id"), lit(">"))
+    // input: unmasked tokens + one sentinel at each span start
+    val inputPieces = toks
+      .where(!col("masked") || col("span_start"))
+      .select(col("doc_id"), col("pos"),
+        when(col("masked"), sentinel).otherwise(col("t")).as("piece"))
+    // target: sentinel before each span's tokens
+    val targetPieces = toks.where(col("masked"))
+      .select(col("doc_id"), (col("pos") * 2 + 1).as("pos"),
+        col("t").as("piece"))
+      .unionByName(toks.where(col("span_start"))
+        .select(col("doc_id"), (col("pos") * 2).as("pos"),
+          sentinel.as("piece")))
+    def assemble(pieces: DataFrame, out: String): DataFrame =
+      pieces.groupBy("doc_id")
+        .agg(concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("piece")))),
+          s => s.getField("piece"))).as(out))
+    val stats = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("n_tokens"),
+      count(when(col("span_start"), lit(1))).as("n_spans"))
+    stats
+      .join(assemble(inputPieces, "input_text"), Seq("doc_id"))
+      .join(assemble(targetPieces, "target_text"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+  }
+}

@@ -604,8 +604,66 @@ object TestQueries15 {
              ROUND(pow(CAST(2.0 AS DOUBLE), ce), 4) AS ppl
       FROM ce ORDER BY doc_id"""))
 
+  /** T5 span corruption — [[graft.operators.SpanCorruption.corrupt]]:
+    * positional span masking (2 tokens every 7, offset 3), sentinel
+    * rewriting, sentinel-delimited targets. Pure string/integer math;
+    * the oracle rebuilds both sides with ordered list aggregation and
+    * the same interleaving keys (2·pos for sentinels, 2·pos+1 for
+    * masked tokens). RAW compare.
+    */
+  val q182SpanCorruption: QueryCase = QueryCase(
+    "q182_span_corruption",
+    (s, dir) => graft.operators.SpanCorruption
+      .corrupt(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, u.pos - 1 AS pos, u.t
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(list_transform(tk,
+               (x, i) -> struct_pack(pos := i, t := x))) AS u(u)),
+      marked AS (
+        SELECT doc_id, pos, t,
+               (pos % 7) BETWEEN 3 AND 4 AS masked,
+               (pos - 3) // 7 AS span_id,
+               (pos % 7) = 3 AS span_start
+        FROM toks),
+      input_pieces AS (
+        SELECT doc_id, pos,
+               CASE WHEN masked
+                 THEN '<extra_id_' || CAST(span_id AS VARCHAR) || '>'
+                 ELSE t END AS piece
+        FROM marked WHERE NOT masked OR span_start),
+      target_pieces AS (
+        SELECT doc_id, pos * 2 + 1 AS pos, t AS piece
+        FROM marked WHERE masked
+        UNION ALL
+        SELECT doc_id, pos * 2,
+               '<extra_id_' || CAST(span_id AS VARCHAR) || '>'
+        FROM marked WHERE span_start),
+      inp AS (
+        SELECT doc_id,
+               array_to_string(list(piece ORDER BY pos), ' ')
+                 AS input_text
+        FROM input_pieces GROUP BY doc_id),
+      tgt AS (
+        SELECT doc_id,
+               array_to_string(list(piece ORDER BY pos), ' ')
+                 AS target_text
+        FROM target_pieces GROUP BY doc_id),
+      stats AS (
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               COUNT(CASE WHEN span_start THEN 1 END) AS n_spans
+        FROM marked GROUP BY doc_id)
+      SELECT s.doc_id, s.n_tokens, s.n_spans, i.input_text,
+             COALESCE(t.target_text, '') AS target_text
+      FROM stats s
+      JOIN inp i USING (doc_id)
+      LEFT JOIN tgt t USING (doc_id)
+      ORDER BY s.doc_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
-      q180QualityClassifier, q181BigramPerplexity)
+      q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption)
 }

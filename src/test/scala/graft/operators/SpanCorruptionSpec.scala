@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-traced T5 span corruption on a 17-token document plus the
+  * no-span and short-document edges.
+  */
+class SpanCorruptionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val doc17 = (0 to 16).map("w" + _).mkString(" ")
+  private val docs = Seq(
+    (1L, doc17),
+    (2L, "a b c"),          // 3 tokens — ends before the first span
+    (3L, "a b c d"))        // 4 tokens — span start at pos 3, length 1
+    .toDF("doc_id", "text")
+
+  private lazy val out = SpanCorruption.corrupt(docs, "doc_id", "text")
+    .collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+
+  test("17 tokens: spans at 3-4 and 10-11") {
+    val (n, spans, inp, tgt) = out(1L)
+    assert(n == 17L && spans == 2L)
+    assert(inp == "w0 w1 w2 <extra_id_0> w5 w6 w7 w8 w9 " +
+      "<extra_id_1> w12 w13 w14 w15 w16")
+    assert(tgt == "<extra_id_0> w3 w4 <extra_id_1> w10 w11")
+  }
+
+  test("document shorter than the first span is untouched") {
+    val (n, spans, inp, tgt) = out(2L)
+    assert(n == 3L && spans == 0L && inp == "a b c" && tgt == "")
+  }
+
+  test("span truncated by document end still gets its sentinel") {
+    val (n, spans, inp, tgt) = out(3L)
+    assert(n == 4L && spans == 1L)
+    assert(inp == "a b c <extra_id_0>")
+    assert(tgt == "<extra_id_0> d")
+  }
+
+  test("masking ratio matches spanLen/period on long input") {
+    val long = Seq((1L, (0 until 700).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = SpanCorruption.corrupt(long, "doc_id", "text").collect().head
+    val masked = 700 - (r.getString(3).split(" ")
+      .count(!_.startsWith("<extra_id_")))
+    assert(r.getLong(2) == 100L)          // one span per period
+    assert(masked == 200)                 // 2/7 of 700
+  }
+
+  test("parameter validation") {
+    intercept[IllegalArgumentException] {
+      SpanCorruption.corrupt(docs, "doc_id", "text", period = 4,
+        offset = 3, spanLen = 2)
+    }
+  }
+}
