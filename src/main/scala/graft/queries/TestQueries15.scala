@@ -662,8 +662,162 @@ object TestQueries15 {
       LEFT JOIN tgt t USING (doc_id)
       ORDER BY s.doc_id"""))
 
+  /** ColBERT-style MaxSim late interaction —
+    * [[graft.search.LateInteraction.maxSimTopK]]: score(q,d) = Σ_i max_j
+    * cos(q_i, d_j) over per-token embeddings; the gate drives it with
+    * static subword embeddings (char-trigram HashEmbed, dim 32) so the
+    * whole vocabulary embeds once. The OOV query token "streaming"
+    * matches docs through trigram overlap with "stream" — the
+    * late-interaction property a single-vector cosine can't express.
+    * Oracle: the q58 embedder mirror (FNV-1a HUGEINT byte folds, integer
+    * sign votes, the REAL-cast normalization chain) re-keyed per TOKEN
+    * with trigram features, then the exact cosine/fold sequence —
+    * per-query-token max over the doc's distinct tokens, qpos-ordered
+    * left-fold sum, partitioned row_number top-5. Scores compare RAW.
+    */
+  val q183MaxSim: QueryCase = QueryCase(
+    "q183_maxsim",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.{HashingEmbedder, TextFunctions}
+      import graft.search.LateInteraction
+      val docsTk = Tables.documents(s, dir).select(col("doc_id"),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("t"))
+      val queries = Seq((0L, "fast hash join"), (1L, "streaming window agg"),
+        (2L, "customer query sort")).toDF("query_id", "qtext")
+      val qTok = queries.select(col("query_id"),
+        posexplode(TextFunctions.tokens(col("qtext"))).as(Seq("qpos", "t")))
+      val vocab = docsTk.select("t").union(qTok.select("t")).distinct()
+        .select(col("t"), HashingEmbedder
+          .embedTokens(LateInteraction.charTrigrams(col("t")), 32).as("v"))
+      val docTokens = docsTk.join(broadcast(vocab), Seq("t"))
+        .select(col("doc_id"), col("v"))
+      val queryTokens = qTok.join(broadcast(vocab), Seq("t"))
+        .select(col("query_id"), col("qpos"), col("v"))
+      LateInteraction.maxSimTopK(docTokens, "doc_id",
+          queryTokens, "query_id", "qpos", "v", 5)
+        .orderBy("query_id", "rank")
+    },
+    Some {
+      val m64 = "CAST(18446744073709551616 AS HUGEINT)"
+      def init(seed: Long) = new java.math.BigInteger(
+        java.lang.Long.toUnsignedString(
+          0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)))
+      def fnvFold(seed: Long) =
+        s"""list_reduce(list_prepend(CAST(${init(seed)} AS HUGEINT), bs),
+            (h, b) -> ((h - h % 256 +
+              CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+              * 1099511628211) % $m64)"""
+      def hashed(src: String, seed: Long) =
+        s"""SELECT g, ${fnvFold(seed)} AS u
+            FROM (SELECT g, list_transform(range(1, strlen(g) + 1),
+                    i -> CAST(CAST(('0x' || substr(hx, 2*i-1, 2)) AS INT)
+                      AS HUGEINT)) AS bs
+                  FROM (SELECT g, hex(encode(g)) AS hx FROM $src))"""
+      s"""
+      WITH queries(query_id, qtext) AS (VALUES
+        (0, 'fast hash join'), (1, 'streaming window agg'),
+        (2, 'customer query sort')),
+      dtok AS (
+        SELECT DISTINCT doc_id, u.t
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(tk) AS u(t)),
+      qtok AS (
+        SELECT query_id, u.pos - 1 AS qpos, u.t
+        FROM (SELECT query_id,
+                list_filter(string_split_regex(LOWER(TRIM(qtext)), '\\s+'),
+                  x -> x <> '') AS tk FROM queries),
+             UNNEST(list_transform(tk,
+               (x, i) -> struct_pack(pos := i, t := x))) AS u(u)),
+      vocab AS (
+        SELECT DISTINCT t FROM
+          (SELECT t FROM dtok UNION ALL SELECT t FROM qtok)),
+      grams AS (
+        SELECT t, CASE WHEN strlen(t) <= 3 THEN [t]
+          ELSE [substr(t, i, 3) for i in range(1, strlen(t) - 1)] END AS gs
+        FROM vocab),
+      feats AS (
+        SELECT t, gs, CASE WHEN LEN(gs) >= 2
+          THEN [gs[i] || ' ' || gs[i+1] for i in range(1, LEN(gs))]
+          ELSE CAST([] AS VARCHAR[]) END AS bg
+        FROM grams),
+      du AS (SELECT DISTINCT u.g FROM feats, UNNEST(gs) AS u(g)),
+      dbi AS (SELECT DISTINCT u.g FROM feats, UNNEST(bg) AS u(g)),
+      dhu AS (${hashed("du", 1L)}),
+      dhb AS (${hashed("dbi", 2L)}),
+      h AS (
+        SELECT f.t, d.u FROM feats f, UNNEST(f.gs) AS u(g)
+          JOIN dhu d ON d.g = u.g
+        UNION ALL
+        SELECT f.t, d.u FROM feats f, UNNEST(f.bg) AS u(g)
+          JOIN dhb d ON d.g = u.g),
+      votes AS (
+        SELECT t, CAST(u % 32 AS INT) AS pos,
+               SUM(CASE WHEN (u // 4611686018427387904) % 2 = 1
+                 THEN 1 ELSE -1 END) AS acc
+        FROM h GROUP BY t, CAST(u % 32 AS INT)),
+      grid AS (
+        SELECT tg.t, tg.pos, CAST(COALESCE(v.acc, 0) AS BIGINT) AS acc
+        FROM (SELECT t, CAST(p.p AS INT) AS pos
+              FROM vocab, UNNEST(range(0, 32)) AS p(p)) tg
+        LEFT JOIN votes v ON v.t = tg.t AND v.pos = tg.pos),
+      norms AS (
+        SELECT t, CAST(SUM(acc * acc) AS DOUBLE) AS n2
+        FROM grid GROUP BY t),
+      inv AS (
+        SELECT t, CASE WHEN n2 = 0 THEN CAST(0.0 AS REAL)
+               ELSE CAST(1.0 / sqrt(n2) AS REAL) END AS invf
+        FROM norms),
+      vecs AS (
+        SELECT g.t,
+               list(CAST(CAST(CAST(CAST(g.acc AS REAL) AS DOUBLE) *
+                 CAST(i.invf AS DOUBLE) AS REAL) AS DOUBLE)
+                 ORDER BY g.pos) AS v
+        FROM grid g JOIN inv i USING (t) GROUP BY g.t),
+      cospair AS (
+        SELECT qt, dt,
+          CASE WHEN sqrt(nx) * sqrt(ny) = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE dot / (sqrt(nx) * sqrt(ny)) END AS c
+        FROM (
+          SELECT qv.t AS qt, dv.t AS dt,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              [qv.v[i] * dv.v[i] for i in range(1, 33)]), (x, y) -> x + y)
+              AS dot,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              [qv.v[i] * qv.v[i] for i in range(1, 33)]), (x, y) -> x + y)
+              AS nx,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              [dv.v[i] * dv.v[i] for i in range(1, 33)]), (x, y) -> x + y)
+              AS ny
+          FROM (SELECT vecs.t, vecs.v FROM vecs
+                  JOIN (SELECT DISTINCT t FROM qtok) q1 ON vecs.t = q1.t) qv,
+               (SELECT vecs.t, vecs.v FROM vecs
+                  JOIN (SELECT DISTINCT t FROM dtok) d1 ON vecs.t = d1.t) dv
+        ) p),
+      best AS (
+        SELECT q.query_id, q.qpos, d.doc_id, MAX(cp.c) AS m
+        FROM qtok q
+        JOIN cospair cp ON cp.qt = q.t
+        JOIN dtok d ON d.t = cp.dt
+        GROUP BY q.query_id, q.qpos, d.doc_id),
+      scored AS (
+        SELECT query_id, doc_id,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list(m ORDER BY qpos)), (a, b) -> a + b) AS score
+        FROM best GROUP BY query_id, doc_id),
+      ranked AS (
+        SELECT query_id, doc_id, score,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS rank
+        FROM scored)
+      SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+             doc_id, score
+      FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
-      q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption)
+      q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption,
+      q183MaxSim)
 }

@@ -1,0 +1,86 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** ColBERT-style late-interaction retrieval (Khattab & Zaharia 2020,
+  * SIGIR — "ColBERT: Efficient and Effective Passage Search via
+  * Contextualized Late Interaction"): score(q, d) = Σ_i max_j
+  * cos(q_i, d_j) over per-token embeddings — each query token finds its
+  * best-matching document token and the per-token maxima are summed.
+  * Richer than single-vector cosine (token-level alignment, partial
+  * matches through subword-similar embeddings) while staying a pure
+  * dataflow: no model in the loop, embeddings are input columns.
+  *
+  * The operator is embedding-agnostic: `docTokens` carries one row per
+  * (document, token occurrence) with a vector column, so contextual
+  * per-occurrence embeddings plug in unchanged; the q183 gate drives it
+  * with static subword (char-trigram) hashing embeddings, which lets
+  * the whole vocabulary be embedded ONCE and re-joined (see
+  * [[charTrigrams]]).
+  *
+  * Scale shape: queries are serving-bounded (a handful of tokens each),
+  * so `queryTokens` broadcasts and the interaction join is a broadcast
+  * nested loop over doc-token rows — no shuffle of the corpus. The two
+  * aggregations (per-query-token max, per-document ordered sum) shuffle
+  * on (query, doc) keys only; top-k ranking is a PARTITIONED window
+  * (one partition per query), never a global sort.
+  *
+  * Determinism: the per-document score folds the per-token maxima in
+  * query-token-position order with a sequential left fold (collect →
+  * array_sort on qpos → aggregate), so the double-precision sum is
+  * bit-reproducible and cross-engine mirrorable (DuckDB list_reduce
+  * left fold ≡ the same IEEE sequence).
+  */
+object LateInteraction {
+
+  /** Character trigrams of a (single-word) token column — the subword
+    * feature stream for static token embeddings: tokens sharing word
+    * stems share trigrams, so "streaming" lands near "stream" without
+    * any model. Tokens shorter than 3 chars yield themselves.
+    */
+  def charTrigrams(token: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    transform(sequence(lit(1), greatest(length(token) - 2, lit(1))),
+      i => token.substr(i, lit(3)))
+
+  /** MaxSim scoring + top-k.
+    *
+    * @param docTokens   (docIdCol, vecCol) — one row per document-token
+    *                    occurrence (duplicates allowed; max is
+    *                    duplicate-insensitive)
+    * @param queryTokens (qidCol, qposCol, vecCol) — one row per query
+    *                    token, qpos gives the fold order
+    * @param k           documents returned per query
+    */
+  def maxSimTopK(docTokens: DataFrame, docIdCol: String,
+                 queryTokens: DataFrame, qidCol: String, qposCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val d = docTokens.select(col(docIdCol).as("__doc"),
+      col(vecCol).as("__dv"))
+    val q = queryTokens.select(col(qidCol).as("__qid"),
+      col(qposCol).as("__qpos"), col(vecCol).as("__qv"))
+    // Broadcast the bounded query side; corpus rows never shuffle here.
+    val best = d.join(broadcast(q))
+      .select(col("__qid"), col("__qpos"), col("__doc"),
+        VectorFunctions.cosineSim(col("__qv"), col("__dv")).as("__cos"))
+      .groupBy("__qid", "__qpos", "__doc")
+      .agg(max(col("__cos")).as("__m"))
+    // Ordered sequential fold over qpos → bit-reproducible double sum.
+    val scored = best.groupBy("__qid", "__doc")
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("__qpos"), col("__m")))),
+          s => s.getField("__m")),
+        lit(0.0), (acc, x) => acc + x).as("score"))
+    val w = Window.partitionBy("__qid")
+      .orderBy(desc("score"), col("__doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("rank"),
+        col("__doc").as("doc_id"), col("score"))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-traced MaxSim on basis-vector embeddings (cosine is 0/1 so
+  * scores are exact match counts), plus the duplicate-insensitivity,
+  * fold-order and subword-trigram properties.
+  */
+class LateInteractionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def v(i: Int): Array[Float] = {
+    val a = new Array[Float](4); a(i) = 1.0f; a
+  }
+
+  // doc 10 holds tokens {e0, e1}; doc 20 holds {e1}; doc 30 holds {e2, e3}
+  private val docTokens = Seq(
+    (10L, v(0)), (10L, v(1)),
+    (20L, v(1)), (20L, v(1)),       // duplicate occurrence
+    (30L, v(2)), (30L, v(3)))
+    .toDF("doc_id", "vec")
+
+  // query 0 = [e0, e1]; query 1 = [e3]
+  private val queryTokens = Seq(
+    (0L, 0, v(0)), (0L, 1, v(1)),
+    (1L, 0, v(3)))
+    .toDF("query_id", "qpos", "vec")
+
+  private lazy val out = LateInteraction
+    .maxSimTopK(docTokens, "doc_id", queryTokens, "query_id", "qpos",
+      "vec", 2)
+    .collect()
+    .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+    .toMap
+
+  test("score is the sum of per-query-token best matches") {
+    // query 0 vs doc 10: both tokens match → 2.0; vs doc 20: only e1 → 1.0
+    assert(out((0L, 1)) == ((10L, 2.0)))
+    assert(out((0L, 2)) == ((20L, 1.0)))
+  }
+
+  test("duplicate doc-token occurrences do not inflate the score") {
+    // doc 20 has e1 twice but contributes max(cos)=1.0 once per query token
+    assert(out((0L, 2))._2 == 1.0)
+  }
+
+  test("k bounds each query's result and ranking ties break on doc_id") {
+    // query 1: only doc 30 scores 1.0; docs 10/20 score 0.0 — rank 2 is
+    // the lower doc_id of the 0.0 tie
+    assert(out((1L, 1)) == ((30L, 1.0)))
+    assert(out((1L, 2))._1 == 10L)
+    assert(out.size == 4) // 2 queries × k=2
+  }
+
+  test("charTrigrams: subword overlap makes 'streaming' near 'stream'") {
+    val df = Seq("stream", "streaming", "sort").toDF("t")
+      .select(col("t"), LateInteraction.charTrigrams(col("t")).as("g"))
+    val g = df.collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(g("stream") == Seq("str", "tre", "rea", "eam"))
+    assert(g("streaming").toSet.intersect(g("stream").toSet).size == 4)
+    assert(g("sort").toSet.intersect(g("stream").toSet).isEmpty)
+  }
+
+  test("short tokens yield themselves as the single trigram") {
+    val g = Seq("a", "ab", "abc").toDF("t")
+      .select(LateInteraction.charTrigrams(col("t")))
+      .collect().map(_.getSeq[String](0))
+    assert(g.toSeq == Seq(Seq("a"), Seq("ab"), Seq("abc")))
+  }
+}
