@@ -1,0 +1,98 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Generation-evaluation metrics over (candidate, reference) token pairs:
+  * corpus-style BLEU-4 computed per pair (Papineni et al. 2002 — modified
+  * n-gram precision with per-gram clipping, brevity penalty) and
+  * ROUGE-1/2 precision/recall/F1 (Lin 2004 — clipped n-gram overlap).
+  * The evaluation loop a generation-model change needs before shipping:
+  * score a candidate column against a reference column at corpus scale.
+  *
+  * Shape: n-gram counts via explode + groupBy (codegen'd, map-side
+  * combinable) — one shuffle on (id, n, gram), one on id; no windows, no
+  * driver collection. Clipping joins candidate and reference gram counts
+  * per (id, n, gram) and takes `least` — an inner join, since a gram
+  * absent on either side clips to zero.
+  *
+  * Determinism: every count is an exact integer; precisions/recalls are
+  * single integer divisions (bit-identical cross-engine); F1 uses one
+  * fixed association `2*p*r/(p+r)`. Only the brevity penalty and BLEU
+  * carry a libm `exp` step, so those two columns are rounded for
+  * comparison while everything else compares RAW.
+  *
+  * No smoothing: a pair with zero matched n-grams at any order has
+  * BLEU 0 (the standard unsmoothed definition); callers evaluating very
+  * short candidates should filter or choose a smaller maxN.
+  */
+object GenEval {
+
+  /** Per-pair metrics.
+    *
+    * @param pairs   (idCol, candCol, refCol) with token-ARRAY columns
+    * @param maxN    BLEU n-gram order (fixed 4 here = BLEU-4)
+    * @return one row per id: lengths, p1..p4, bp, bleu, rouge1/2 p/r/f
+    */
+  def scores(pairs: DataFrame, idCol: String, candCol: String,
+             refCol: String): DataFrame = {
+    val maxN = 4
+    val base = pairs.select(col(idCol).as("id"), col(candCol).as("c"),
+      col(refCol).as("r"))
+    // (id, n, gram) counts for one side
+    def gramCounts(side: String, out: String): DataFrame =
+      (1 to maxN).map { n =>
+        base.select(col("id"),
+            explode(TextFunctions.ngramsOfTokens(col(side), n)).as("g"))
+          .groupBy("id", "g").agg(count(lit(1)).as(out))
+          .withColumn("n", lit(n))
+      }.reduce(_ unionByName _)
+    val cc = gramCounts("c", "cc")
+    val rc = gramCounts("r", "rc")
+    val matched = cc.join(rc, Seq("id", "n", "g"))
+      .groupBy("id", "n")
+      .agg(sum(least(col("cc"), col("rc"))).as("m"))
+    val totals = base.select(col("id"), size(col("c")).as("clen"),
+      size(col("r")).as("rlen"))
+    // one row per (id, n) with match count; totals give the denominators
+    val byN = totals.join(matched, Seq("id"), "left")
+      .na.fill(0L, Seq("m"))
+    val mCols = (1 to maxN).map(n =>
+      coalesce(max(when(col("n") === n, col("m"))), lit(0L)).as(s"m$n"))
+    val agg = byN.groupBy("id", "clen", "rlen")
+      .agg(mCols.head, mCols.tail: _*)
+    def prec(n: Int) = {
+      val denom = greatest(col("clen") - (n - 1), lit(0))
+      when(denom === 0, 0.0)
+        .otherwise(col(s"m$n").cast("double") / denom.cast("double"))
+    }
+    def rec(n: Int) = {
+      val denom = greatest(col("rlen") - (n - 1), lit(0))
+      when(denom === 0, 0.0)
+        .otherwise(col(s"m$n").cast("double") / denom.cast("double"))
+    }
+    def f1(p: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+      when(p + r === 0.0, 0.0).otherwise(lit(2.0) * p * r / (p + r))
+    val withP = agg
+      .withColumn("p1", prec(1)).withColumn("p2", prec(2))
+      .withColumn("p3", prec(3)).withColumn("p4", prec(4))
+      .withColumn("rouge1_p", prec(1)).withColumn("rouge1_r", rec(1))
+      .withColumn("rouge2_p", prec(2)).withColumn("rouge2_r", rec(2))
+    withP
+      .withColumn("bp",
+        when(col("clen") >= col("rlen") || col("clen") === 0, 1.0)
+          .otherwise(exp(lit(1.0) -
+            col("rlen").cast("double") / col("clen").cast("double"))))
+      .withColumn("bleu",
+        col("bp") * sqrt(sqrt(col("p1") * col("p2") * col("p3") * col("p4"))))
+      .withColumn("rouge1_f", f1(col("rouge1_p"), col("rouge1_r")))
+      .withColumn("rouge2_f", f1(col("rouge2_p"), col("rouge2_r")))
+      .select(col("id"), col("clen"), col("rlen"),
+        col("p1"), col("p2"), col("p3"), col("p4"),
+        col("bp"), col("bleu"),
+        col("rouge1_p"), col("rouge1_r"), col("rouge1_f"),
+        col("rouge2_p"), col("rouge2_r"), col("rouge2_f"))
+  }
+}

@@ -815,9 +815,100 @@ object TestQueries15 {
       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"""
     })
 
+  /** Generation-eval metrics — [[graft.analytics.GenEval.scores]]:
+    * BLEU-4 (clipped modified precisions, brevity penalty) and ROUGE-1/2
+    * P/R/F1 per (candidate, reference) pair. The pair is synthesized
+    * deterministically: reference = the document's tokens; candidate =
+    * the first ⌊4n/5⌋ tokens with every 5th (0-based) replaced by 'the'
+    * — exercising clipping (injected 'the' repeats), truncation (BP < 1
+    * everywhere) and partial n-gram survival. Every count is an exact
+    * integer and every precision/recall/F1 a fixed-association division
+    * chain (RAW compare); only bp and bleu carry a libm exp and are
+    * ROUND(6)ed in both engines.
+    */
+  val q184GenEval: QueryCase = QueryCase(
+    "q184_gen_eval",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ref"))
+        .select(col("doc_id"), col("ref"),
+          transform(
+            slice(col("ref"), lit(1),
+              floor(size(col("ref")) * 4 / lit(5)).cast("int")),
+            (x, i) => when(i % 5 === 0, lit("the")).otherwise(x)).as("cand"))
+      graft.analytics.GenEval.scores(pairs, "doc_id", "cand", "ref")
+        .select(col("id").as("doc_id"), col("clen"), col("rlen"),
+          col("p1"), col("p2"), col("p3"), col("p4"),
+          round(col("bp"), 6).as("bp"), round(col("bleu"), 6).as("bleu"),
+          col("rouge1_p"), col("rouge1_r"), col("rouge1_f"),
+          col("rouge2_p"), col("rouge2_r"), col("rouge2_f"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def grams(src: String, n: Int) =
+        if (n == 1) s"SELECT id, u.g FROM $src, UNNEST(tk) AS u(g)"
+        else
+          s"""SELECT id, u.g FROM (
+                SELECT id, CASE WHEN LEN(tk) >= $n
+                  THEN [array_to_string(tk[i:i+${n - 1}], ' ')
+                        for i in range(1, LEN(tk) - ${n - 2})]
+                  ELSE CAST([] AS VARCHAR[]) END AS gs FROM $src),
+              UNNEST(gs) AS u(g)"""
+      def side(src: String, n: Int, cnt: String) =
+        s"SELECT id, g, COUNT(*) AS $cnt FROM (${grams(src, n)}) GROUP BY id, g"
+      def matchN(n: Int) =
+        s"""SELECT c.id, $n AS n, SUM(LEAST(c.cc, r.rc)) AS m
+            FROM (${side("cand", n, "cc")}) c
+            JOIN (${side("ref", n, "rc")}) r USING (id, g)
+            GROUP BY c.id"""
+      s"""
+      WITH ref AS (
+        SELECT doc_id AS id, $TokensSql AS tk FROM documents),
+      cand AS (
+        SELECT id, list_transform(tk[1:(4 * LEN(tk)) // 5],
+          (x, i) -> CASE WHEN (i - 1) % 5 = 0 THEN 'the' ELSE x END) AS tk
+        FROM ref),
+      lens AS (
+        SELECT r.id, LEN(c.tk) AS clen, LEN(r.tk) AS rlen
+        FROM ref r JOIN cand c USING (id)),
+      m AS (${(1 to 4).map(matchN).mkString(" UNION ALL ")}),
+      agg AS (
+        SELECT l.id, l.clen, l.rlen,
+          ${(1 to 4).map(n =>
+            s"COALESCE(MAX(CASE WHEN m.n = $n THEN m.m END), 0) AS m$n")
+            .mkString(", ")}
+        FROM lens l LEFT JOIN m ON m.id = l.id
+        GROUP BY l.id, l.clen, l.rlen),
+      calc AS (
+        SELECT id, clen, rlen,
+          ${(1 to 4).map(n =>
+            s"""CASE WHEN GREATEST(clen - ${n - 1}, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(m$n AS DOUBLE) /
+                  CAST(GREATEST(clen - ${n - 1}, 0) AS DOUBLE) END AS p$n,
+                CASE WHEN GREATEST(rlen - ${n - 1}, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(m$n AS DOUBLE) /
+                  CAST(GREATEST(rlen - ${n - 1}, 0) AS DOUBLE) END AS r$n""")
+            .mkString(", ")},
+          CASE WHEN clen >= rlen OR clen = 0 THEN CAST(1.0 AS DOUBLE)
+               ELSE exp(CAST(1.0 AS DOUBLE) -
+                 CAST(rlen AS DOUBLE) / CAST(clen AS DOUBLE)) END AS bp
+        FROM agg)
+      SELECT id AS doc_id, clen, rlen, p1, p2, p3, p4,
+        ROUND(bp, 6) AS bp,
+        ROUND(bp * sqrt(sqrt(p1 * p2 * p3 * p4)), 6) AS bleu,
+        p1 AS rouge1_p, r1 AS rouge1_r,
+        CASE WHEN p1 + r1 = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE 2.0 * p1 * r1 / (p1 + r1) END AS rouge1_f,
+        p2 AS rouge2_p, r2 AS rouge2_r,
+        CASE WHEN p2 + r2 = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE 2.0 * p2 * r2 / (p2 + r2) END AS rouge2_f
+      FROM calc ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
       q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption,
-      q183MaxSim)
+      q183MaxSim, q184GenEval)
 }

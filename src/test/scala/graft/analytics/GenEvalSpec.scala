@@ -1,0 +1,60 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hand-traced BLEU-4 / ROUGE-1/2 on the Papineni clipping example and a
+  * fully worked 5-vs-6-token pair.
+  */
+class GenEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row(id: Long, cand: String, ref: String) =
+    (id, cand.split(" ").toSeq, ref.split(" ").toSeq)
+
+  private lazy val out = GenEval.scores(
+    Seq(
+      row(1L, "the cat sat on mat", "the cat sat on the mat"),
+      row(2L, "the the the", "the cat"),
+      row(3L, "a b c d", "a b c d"))
+      .toDF("id", "cand", "ref"),
+    "id", "cand", "ref")
+    .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("worked example: precisions, brevity penalty, BLEU") {
+    val r = out(1L)
+    assert(r.getAs[Double]("p1") == 1.0)
+    assert(r.getAs[Double]("p2") == 0.75)
+    assert(r.getAs[Double]("p3") == 2.0 / 3.0)
+    assert(r.getAs[Double]("p4") == 0.5)
+    val bp = math.exp(1.0 - 6.0 / 5.0)
+    assert(r.getAs[Double]("bp") == bp)
+    val core = math.sqrt(math.sqrt(1.0 * 0.75 * (2.0 / 3.0) * 0.5))
+    assert(math.abs(r.getAs[Double]("bleu") - bp * core) < 1e-15)
+    assert(r.getAs[Double]("rouge1_r") == 5.0 / 6.0)
+    assert(r.getAs[Double]("rouge2_r") == 0.6)
+  }
+
+  test("clipping: repeated candidate tokens count once per reference copy") {
+    val r = out(2L)
+    assert(r.getAs[Double]("p1") == 1.0 / 3.0)
+    // no bigram matches -> p2 = 0 -> unsmoothed BLEU = 0
+    assert(r.getAs[Double]("p2") == 0.0)
+    assert(r.getAs[Double]("bleu") == 0.0)
+  }
+
+  test("identical pair scores 1.0 everywhere with BP 1") {
+    val r = out(3L)
+    assert(r.getAs[Double]("p4") == 1.0)
+    assert(r.getAs[Double]("bp") == 1.0)
+    assert(r.getAs[Double]("bleu") == 1.0)
+    assert(r.getAs[Double]("rouge1_f") == 1.0)
+    assert(r.getAs[Double]("rouge2_f") == 1.0)
+  }
+
+  test("F1 composes precision and recall with the fixed association") {
+    val r = out(1L)
+    val p = r.getAs[Double]("rouge1_p"); val rc = r.getAs[Double]("rouge1_r")
+    assert(r.getAs[Double]("rouge1_f") == 2.0 * p * rc / (p + rc))
+  }
+}
