@@ -157,6 +157,62 @@ object CorpusLm {
         round(pow(lit(2.0), col("ce")), 4).as("ppl"))
   }
 
+  /** Per-document cross-entropy under an interpolated KNESER-NEY bigram
+    * LM (Chen & Goodman 1999 — the smoothing KenLM actually ships, and
+    * the gap between [[bigramPerplexity]]'s add-k and production corpus
+    * scoring):
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *            + [D·N₁₊(w₁·)/c(w₁·)] · [N₁₊(·w₂)/N₁₊(··)]
+    *
+    * with fixed discount D, N₁₊(w₁·) = distinct continuations of w₁,
+    * N₁₊(·w₂) = distinct histories of w₂ (the continuation probability —
+    * "how many contexts has w₂ completed", KN's signature, not raw
+    * frequency), N₁₊(··) = distinct bigram types. Scored on the training
+    * corpus every bigram has c ≥ 1, so no unseen-history back-off order
+    * is needed — all three count tables come straight from the bigram
+    * type table.
+    *
+    * Scale shape: identical to [[bigramPerplexity]] — pre-combined
+    * (doc, w₁, w₂, c) joined against global count tables by key; the two
+    * continuation tables are groupBys OVER THE TYPE TABLE (row counts,
+    * not countDistinct — `bc` is already one row per type); the scalar
+    * type total rides a 1-row broadcast. No window, no driver state.
+    *
+    * Output: (doc_id, n_bigrams, ce_bits, ppl).
+    */
+  def knBigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                         d: Double = 0.75): DataFrame = {
+    require(d > 0.0 && d < 1.0, "discount must be in (0, 1)")
+    val seqs = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val bi = seqs
+      .select(col("doc_id"), col("tk"),
+        posexplode(slice(col("tk"), lit(1),
+          greatest(size(col("tk")) - 1, lit(0)))).as(Seq("i", "w1")))
+      .select(col("doc_id"), col("w1"),
+        element_at(col("tk"), col("i") + 2).as("w2"))
+    val db = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val uc = bi.groupBy("w1").agg(count(lit(1)).as("uc"))
+    val n1f = bc.groupBy("w1").agg(count(lit(1)).as("n1f"))
+    val n1p = bc.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val nbt = bc.agg(count(lit(1)).as("nbt"))
+    val p = greatest(col("bc").cast("double") - lit(d), lit(0.0)) / col("uc") +
+      (lit(d) * col("n1f") / col("uc")) * (col("n1p") / col("nbt"))
+    db.join(bc, Seq("w1", "w2"))
+      .join(uc, Seq("w1"))
+      .join(n1f, Seq("w1"))
+      .join(n1p, Seq("w2"))
+      .crossJoin(broadcast(nbt))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        (-sum(col("c") * log2(p)) / sum(col("c"))).as("ce"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ce"), 6).as("ce_bits"),
+        round(pow(lit(2.0), col("ce")), 4).as("ppl"))
+  }
+
   def dsirWeights(source: DataFrame, target: DataFrame,
                   idCol: String, textCol: String,
                   buckets: Int = 256, k: Double = 0.5): DataFrame = {

@@ -906,9 +906,50 @@ object TestQueries15 {
       FROM calc ORDER BY doc_id"""
     })
 
+  /** Interpolated Kneser-Ney bigram perplexity —
+    * [[graft.operators.CorpusLm.knBigramPerplexity]]: absolute
+    * discounting + continuation-probability interpolation (the smoothing
+    * KenLM ships), upgrading q181's add-k. All five count tables (doc
+    * bigrams, type counts, history totals, the two N₁₊ continuation
+    * tables, the type total) are exact integers; the per-bigram
+    * probability is a fixed-shape double chain mirrored verbatim, and
+    * the entropy sum reuses q181's ROUND(6)/ROUND(4) display contract.
+    */
+  val q185KnPerplexity: QueryCase = QueryCase(
+    "q185_kn_perplexity",
+    (s, dir) => graft.operators.CorpusLm
+      .knBigramPerplexity(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH seqs AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      bi AS (
+        SELECT doc_id, u.a AS w1, u.b AS w2
+        FROM seqs, UNNEST(list_transform(list_slice(tk, 1, len(tk) - 1),
+          (x, i) -> struct_pack(a := x, b := tk[i + 1]))) AS t(u)),
+      db AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+      bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY 1, 2),
+      uc AS (SELECT w1, COUNT(*) AS uc FROM bi GROUP BY 1),
+      n1f AS (SELECT w1, COUNT(*) AS n1f FROM bc GROUP BY 1),
+      n1p AS (SELECT w2, COUNT(*) AS n1p FROM bc GROUP BY 1),
+      nbt AS (SELECT COUNT(*) AS nbt FROM bc),
+      ce AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          -SUM(c * log2(
+            GREATEST(CAST(bc AS DOUBLE) - CAST(0.75 AS DOUBLE),
+              CAST(0.0 AS DOUBLE)) / uc +
+            (CAST(0.75 AS DOUBLE) * n1f / uc) * (n1p / nbt)))
+            / SUM(c) AS ce
+        FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        JOIN n1f USING (w1) JOIN n1p USING (w2)
+        CROSS JOIN nbt
+        GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, ROUND(ce, 6) AS ce_bits,
+             ROUND(pow(CAST(2.0 AS DOUBLE), ce), 4) AS ppl
+      FROM ce ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
       q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption,
-      q183MaxSim, q184GenEval)
+      q183MaxSim, q184GenEval, q185KnPerplexity)
 }

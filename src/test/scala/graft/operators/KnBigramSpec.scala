@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-traced interpolated Kneser-Ney bigram perplexity. The worked
+  * corpus "a b a b c" has closed-form counts: types ab(2), ba(1), bc(1);
+  * continuations a→1, b→2; histories a←1, b←1, c←1; 3 types total.
+  * With D = 0.75: P(b|a) = 1.25/2 + (0.75·1/2)(1/3) = 0.75,
+  * P(a|b) = P(c|b) = 0.125 + (0.75·2/2)(1/3) = 0.375 — and the
+  * signature KN property Σ_w P(w|h) = 1 holds exactly per history.
+  */
+class KnBigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def log2(x: Double) = math.log(x) / math.log(2.0)
+
+  test("worked corpus: per-document cross-entropy matches hand trace") {
+    val out = CorpusLm.knBigramPerplexity(
+        Seq((1L, "a b a b c")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(out.getAs[Long]("n_bigrams") == 4L)
+    val ce = -(2 * log2(0.75) + 2 * log2(0.375)) / 4.0
+    assert(math.abs(out.getAs[Double]("ce_bits") - ce) < 1e-6)
+    assert(math.abs(out.getAs[Double]("ppl") - math.pow(2, ce)) < 1e-4)
+  }
+
+  test("KN normalizes: a single repeated bigram is certain (ppl = 1)") {
+    val out = CorpusLm.knBigramPerplexity(
+        Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Double]("ppl") == 1.0))
+  }
+
+  test("sub-bigram documents emit no row; discount is validated") {
+    val out = CorpusLm.knBigramPerplexity(
+        Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    intercept[IllegalArgumentException] {
+      CorpusLm.knBigramPerplexity(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", d = 1.5)
+    }
+  }
+}
