@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CrossHash, TextFunctions}
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003,
+  * SIGMOD — the MOSS algorithm): hash every token k-gram, slide a window
+  * of `w` consecutive hashes, and in each window select the MINIMUM hash
+  * (rightmost occurrence on ties). The selected (position, hash) set is
+  * the document's fingerprint: any shared token run of length ≥ w+k−1
+  * between two documents is guaranteed to share at least one
+  * fingerprint, while expected density is only 2/(w+1) of the k-grams —
+  * the local, position-aware complement to MinHash for plagiarism /
+  * contamination detection.
+  *
+  * Selection is one PARTITIONED window pass (per-document frames, never
+  * a global sort): `min(struct(hash, −pos))` over a trailing
+  * `w−1 PRECEDING` frame gives the min-hash-then-rightmost rule in a
+  * single aggregate, and prefix positions (< w−1) contribute their
+  * shorter trailing windows — a deterministic variant that only ever
+  * ADDS early-prefix fingerprints, preserving the guarantee.
+  *
+  * Hashing is [[CrossHash.md5Hash64]] (signed-view comparisons — the
+  * DuckDB mirror reduces its unsigned HUGEINT to the same signed
+  * BIGINT before any min).
+  */
+object Winnowing {
+
+  /** Fingerprint set: one row per selected (doc, pos, hash).
+    *
+    * @param k token k-gram size
+    * @param w winnowing window (consecutive k-gram hashes)
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    val kg = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.ngramsOfTokens(col("tk"), k))
+          .as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos"),
+        CrossHash.md5Hash64(col("g")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    kg.withColumn("sel",
+        min(struct(col("h"), (-col("pos")).as("np"))).over(win))
+      .select(col("doc_id"), (-col("sel.np")).as("pos"),
+        col("sel.h").as("h"))
+      .distinct()
+  }
+
+  /** Cross-document contamination candidates: pairs sharing ≥ `minShared`
+    * fingerprint hashes. Joins on the hash (bucketed by construction —
+    * fingerprints are a sparse sample of the k-gram space), never
+    * all-pairs.
+    */
+  def sharedPairs(fp: DataFrame, minShared: Long = 1L): DataFrame = {
+    val a = fp.select(col("doc_id").as("doc_a"), col("h")).distinct()
+    val b = fp.select(col("doc_id").as("doc_b"), col("h")).distinct()
+    a.join(b, Seq("h"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+}

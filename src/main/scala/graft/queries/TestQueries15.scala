@@ -947,9 +947,92 @@ object TestQueries15 {
              ROUND(pow(CAST(2.0 AS DOUBLE), ce), 4) AS ppl
       FROM ce ORDER BY doc_id"""))
 
+  private val WinnowKgSql =
+    s"""SELECT doc_id, u.pos - 1 AS pos,
+          ${graft.functions.CrossHash.hugeToSignedSql(
+            graft.functions.CrossHash.md5Hash64SqlU("u.g"))} AS h
+        FROM (SELECT doc_id, CASE WHEN LEN(tk) >= 5
+                THEN [array_to_string(tk[i:i+4], ' ')
+                      for i in range(1, LEN(tk) - 3)]
+                ELSE CAST([] AS VARCHAR[]) END AS gs
+              FROM (SELECT doc_id, $TokensSql AS tk FROM documents)),
+             UNNEST(list_transform(gs,
+               (x, i) -> struct_pack(pos := i, g := x))) AS u(u)"""
+
+  private val WinnowFpSql =
+    s"""SELECT DISTINCT doc_id, -(s.np) AS pos, s.h AS h
+        FROM (
+          SELECT doc_id, MIN(struct_pack(h := h, np := -pos))
+            OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS s
+          FROM ($WinnowKgSql) kg)"""
+
+  /** Winnowing fingerprints — [[graft.operators.Winnowing.fingerprints]]
+    * (MOSS, k=5 token-grams, window w=4): per-document fingerprint
+    * stats. The min-hash-rightmost selection is mirrored with the same
+    * `MIN(struct(h, −pos))` trailing-window aggregate over the SIGNED
+    * view of the md5-derived 64-bit hash, so selected positions and
+    * hashes agree bit-for-bit; counts are integers and density one
+    * exact division. Sub-k documents emit no row in both engines.
+    */
+  val q186Winnowing: QueryCase = QueryCase(
+    "q186_winnowing",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, dir)
+      val fp = graft.operators.Winnowing
+        .fingerprints(docs, "doc_id", "text", k = 5, w = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min("h").as("min_h"),
+          max("h").as("max_h"))
+      val kg = docs.select(col("doc_id"),
+          size(TextFunctions.ngramsOfTokens(
+            TextFunctions.tokens(col("text")), 5)).as("n_kgrams"))
+        .where(col("n_kgrams") >= 1)
+      kg.join(fp, Seq("doc_id"))
+        .select(col("doc_id"), col("n_kgrams").cast("long").as("n_kgrams"),
+          col("n_fp"),
+          (col("n_fp").cast("double") / col("n_kgrams")).as("density"),
+          col("min_h"), col("max_h"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH fp AS ($WinnowFpSql),
+      stats AS (
+        SELECT doc_id, COUNT(*) AS n_fp, MIN(h) AS min_h, MAX(h) AS max_h
+        FROM fp GROUP BY doc_id),
+      kg AS (
+        SELECT doc_id, COUNT(*) AS n_kgrams
+        FROM ($WinnowKgSql) GROUP BY doc_id)
+      SELECT k.doc_id, k.n_kgrams, s.n_fp,
+             CAST(s.n_fp AS DOUBLE) / k.n_kgrams AS density,
+             s.min_h, s.max_h
+      FROM kg k JOIN stats s USING (doc_id)
+      ORDER BY k.doc_id"""))
+
+  /** Winnowing contamination pairs — [[graft.operators.Winnowing
+    * .sharedPairs]]: documents sharing fingerprint hashes (the MOSS
+    * match step — a hash-bucket join over the sparse fingerprint
+    * sample, never all-pairs). Pure integer counts, RAW compare.
+    */
+  val q187WinnowPairs: QueryCase = QueryCase(
+    "q187_winnow_pairs",
+    (s, dir) => graft.operators.Winnowing
+      .sharedPairs(graft.operators.Winnowing.fingerprints(
+        Tables.documents(s, dir), "doc_id", "text", k = 5, w = 4))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH fp AS ($WinnowFpSql),
+      d AS (SELECT DISTINCT doc_id, h FROM fp)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
       q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption,
-      q183MaxSim, q184GenEval, q185KnPerplexity)
+      q183MaxSim, q184GenEval, q185KnPerplexity, q186Winnowing,
+      q187WinnowPairs)
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Property pins for winnowing fingerprints (hashes are md5-derived, so
+  * the spec pins the algorithm's guarantees rather than literal values):
+  * window coverage, the shared-substring guarantee, selection
+  * determinism, and the density bound.
+  */
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 5
+  private val W = 4
+
+  private def words(n: Int, tag: String): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+
+  test("every window of w consecutive k-grams contains a fingerprint") {
+    val doc = Seq((1L, words(40, "w"))).toDF("doc_id", "text")
+    val pos = Winnowing.fingerprints(doc, "doc_id", "text", K, W)
+      .select("pos").collect().map(_.getInt(0)).sorted
+    val nKgrams = 40 - K + 1
+    // gaps between consecutive selections never exceed the window
+    val gaps = (0 +: pos.toSeq).zip(pos.toSeq :+ (nKgrams - 1))
+      .map { case (a, b) => b - a }
+    assert(gaps.forall(_ <= W), s"gap too large in ${pos.toSeq}")
+  }
+
+  test("docs sharing a run of w+k-1 tokens share a fingerprint hash") {
+    val shared = words(W + K - 1, "s") // 8 shared tokens
+    val docs = Seq(
+      (1L, words(20, "a") + " " + shared + " " + words(20, "b")),
+      (2L, words(20, "c") + " " + shared + " " + words(20, "d")))
+      .toDF("doc_id", "text")
+    val pairs = Winnowing.sharedPairs(
+      Winnowing.fingerprints(docs, "doc_id", "text", K, W)).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getLong(2) >= 1L)
+  }
+
+  test("disjoint-vocabulary docs share nothing") {
+    val docs = Seq((1L, words(30, "x")), (2L, words(30, "y")))
+      .toDF("doc_id", "text")
+    assert(Winnowing.sharedPairs(
+      Winnowing.fingerprints(docs, "doc_id", "text", K, W)).count() == 0L)
+  }
+
+  test("selection is deterministic and (pos, hash) rows are unique") {
+    val doc = Seq((1L, words(35, "t"))).toDF("doc_id", "text")
+    val a = Winnowing.fingerprints(doc, "doc_id", "text", K, W).collect()
+    val b = Winnowing.fingerprints(doc, "doc_id", "text", K, W).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    assert(a.map(r => (r.getInt(1), r.getLong(2))).distinct.length == a.length)
+  }
+
+  test("density: fingerprints are far fewer than k-grams on long docs") {
+    val doc = Seq((1L, words(200, "v"))).toDF("doc_id", "text")
+    val n = Winnowing.fingerprints(doc, "doc_id", "text", K, W).count()
+    val kgrams = 200 - K + 1
+    // expected density 2/(w+1) = 0.4; allow generous slack both sides
+    assert(n < kgrams * 0.7 && n > kgrams * 0.2)
+  }
+}
