@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CrossHash, TextFunctions}
+
+/** Fill-in-the-middle transformation (Bavarian et al. 2022 — "Efficient
+  * Training of Language Models to Fill in the Middle"): split each
+  * document at two uniform cut points into (prefix, middle, suffix) and
+  * emit both sentinel orderings — PSM `<PRE> p <SUF> s <MID> m` and SPM
+  * `<SUF> s <PRE> p <MID> m` — the autoregressive-compatible infilling
+  * objective's data prep.
+  *
+  * The paper samples the two cuts uniformly; here each cut is a pure
+  * function of the document id (md5-derived 32-bit hash mod n+1, two
+  * salts), so the split is deterministic, shard-invariant and
+  * oracle-replayable while keeping the uniform-marginal shape. Cuts may
+  * collide or touch the ends — empty segments are legal FIM examples
+  * and kept (the paper's degenerate cases).
+  *
+  * Scale shape: zero shuffles — per-row tokenize, two hash mods, three
+  * array slices, two joins of sentinel+segment arrays. Everything
+  * stays in whole-stage codegen.
+  */
+object Fim {
+
+  def transform(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .withColumn("n", size(col("tk")).cast("long"))
+    val cut1 = CrossHash.md5Hash32(concat(col("doc_id").cast("string"),
+      lit(":fim1"))) % (col("n") + 1)
+    val cut2 = CrossHash.md5Hash32(concat(col("doc_id").cast("string"),
+      lit(":fim2"))) % (col("n") + 1)
+    val withCuts = tk.withColumn("lo", least(cut1, cut2).cast("int"))
+      .withColumn("hi", greatest(cut1, cut2).cast("int"))
+    val pre = slice(col("tk"), lit(1), col("lo"))
+    val mid = slice(col("tk"), col("lo") + 1, col("hi") - col("lo"))
+    val suf = slice(col("tk"), col("hi") + 1, col("n").cast("int") - col("hi"))
+    withCuts
+      .withColumn("psm", array_join(concat(
+        array(lit("<PRE>")), pre, array(lit("<SUF>")), suf,
+        array(lit("<MID>")), mid), " "))
+      .withColumn("spm", array_join(concat(
+        array(lit("<SUF>")), suf, array(lit("<PRE>")), pre,
+        array(lit("<MID>")), mid), " "))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("lo").cast("long").as("pre_len"),
+        (col("hi") - col("lo")).cast("long").as("mid_len"),
+        (col("n") - col("hi")).as("suf_len"),
+        col("psm"), col("spm"))
+  }
+}

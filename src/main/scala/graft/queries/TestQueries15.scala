@@ -1029,10 +1029,49 @@ object TestQueries15 {
       GROUP BY a.doc_id, b.doc_id
       ORDER BY doc_a, doc_b"""))
 
+  /** Fill-in-the-middle — [[graft.operators.Fim.transform]]: two
+    * hash-derived uniform cuts split each document into
+    * prefix/middle/suffix; PSM and SPM sentinel orderings emitted. The
+    * md5-mod cut arithmetic, list slices and sentinel-array joins are
+    * mirrored exactly (md5Hash32 is non-negative in both engines so the
+    * mod agrees); RAW string/integer compare.
+    */
+  val q188Fim: QueryCase = QueryCase(
+    "q188_fim",
+    (s, dir) => graft.operators.Fim
+      .transform(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some {
+      def cut(salt: String) =
+        s"""${graft.functions.CrossHash.md5Hash32Sql(
+             s"CAST(doc_id AS VARCHAR) || ':$salt'")} % (n + 1)"""
+      s"""
+      WITH tk AS (
+        SELECT doc_id, $TokensSql AS tk,
+               CAST(LEN($TokensSql) AS BIGINT) AS n
+        FROM documents),
+      cuts AS (
+        SELECT doc_id, tk, n,
+               LEAST(${cut("fim1")}, ${cut("fim2")}) AS lo,
+               GREATEST(${cut("fim1")}, ${cut("fim2")}) AS hi
+        FROM tk),
+      segs AS (
+        SELECT doc_id, n, lo, hi,
+               tk[1:lo] AS pre, tk[lo+1:hi] AS mid, tk[hi+1:n] AS suf
+        FROM cuts)
+      SELECT doc_id, n AS n_tokens, lo AS pre_len, hi - lo AS mid_len,
+             n - hi AS suf_len,
+             array_to_string(['<PRE>'] || pre || ['<SUF>'] || suf ||
+               ['<MID>'] || mid, ' ') AS psm,
+             array_to_string(['<SUF>'] || suf || ['<PRE>'] || pre ||
+               ['<MID>'] || mid, ' ') AS spm
+      FROM segs ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
       q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption,
       q183MaxSim, q184GenEval, q185KnPerplexity, q186Winnowing,
-      q187WinnowPairs)
+      q187WinnowPairs, q188Fim)
 }

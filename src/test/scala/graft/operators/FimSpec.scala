@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** FIM split invariants: segment lengths partition the document, both
+  * orderings carry the same segments, reassembly recovers the original
+  * text, and the hash-derived cuts are deterministic.
+  */
+class FimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, (0 until 20).map("w" + _).mkString(" ")),
+    (2L, "a b c"),
+    (3L, "single"))
+    .toDF("doc_id", "text")
+
+  private lazy val rows = Fim.transform(docs, "doc_id", "text")
+    .collect().map(r => r.getLong(0) -> r).toMap
+
+  test("segment lengths partition the token count") {
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("pre_len") + r.getAs[Long]("mid_len") +
+        r.getAs[Long]("suf_len") == r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Long]("pre_len") >= 0 && r.getAs[Long]("mid_len") >= 0
+        && r.getAs[Long]("suf_len") >= 0)
+    }
+  }
+
+  test("PSM reassembles to the original document") {
+    val r = rows(1L)
+    val psm = r.getAs[String]("psm")
+    val pre = psm.substring(psm.indexOf("<PRE>") + 5,
+      psm.indexOf("<SUF>")).trim
+    val suf = psm.substring(psm.indexOf("<SUF>") + 5,
+      psm.indexOf("<MID>")).trim
+    val mid = psm.substring(psm.indexOf("<MID>") + 5).trim
+    val orig = (0 until 20).map("w" + _).mkString(" ")
+    assert(Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ") == orig)
+  }
+
+  test("SPM carries the same segments in suffix-first order") {
+    val r = rows(1L)
+    val psm = r.getAs[String]("psm"); val spm = r.getAs[String]("spm")
+    def seg(s: String, a: String, b: String) =
+      s.substring(s.indexOf(a) + 5, if (b.isEmpty) s.length
+        else s.indexOf(b)).trim
+    assert(seg(spm, "<PRE>", "<MID>") == seg(psm, "<PRE>", "<SUF>"))
+    assert(seg(spm, "<SUF>", "<PRE>") == seg(psm, "<SUF>", "<MID>"))
+    assert(seg(spm, "<MID>", "") == seg(psm, "<MID>", ""))
+  }
+
+  test("cuts are deterministic across invocations") {
+    val a = Fim.transform(docs, "doc_id", "text").collect().map(_.toString)
+    val b = Fim.transform(docs, "doc_id", "text").collect().map(_.toString)
+    assert(a.sorted.sameElements(b.sorted))
+  }
+
+  test("cut marginals cover the document (many ids hit interior cuts)") {
+    val many = (0 until 200).map(i => (i.toLong, (0 until 10)
+      .map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val out = Fim.transform(many, "doc_id", "text").collect()
+    assert(out.count(_.getAs[Long]("mid_len") > 0) > 100)
+    assert(out.exists(_.getAs[Long]("pre_len") == 0) ||
+      out.exists(_.getAs[Long]("suf_len") == 0))
+  }
+}
