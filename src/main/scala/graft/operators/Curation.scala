@@ -294,4 +294,36 @@ object Curation {
       .orderBy(col("_wkey").desc, col(idCol))
       .limit(k)
   }
+
+  /** Preference-pair construction (DPO/RLHF data prep — Rafailov et al.
+    * 2023 consume exactly this shape): within each group, pair the
+    * highest-scoring member (chosen) against the lowest (rejected),
+    * keeping pairs whose score gap is ≥ `minMargin` — low-margin pairs
+    * teach a preference model nothing and add label noise.
+    *
+    * Deterministic: ties on score resolve to the SMALLER id on both
+    * ends (chosen maximizes (score, −id); rejected minimizes
+    * (score, id)), so the pair set is stable under any row order.
+    *
+    * Scale shape: one map-side-combinable groupBy with two struct
+    * min/max aggregates — no window, no self-join; groups of any size
+    * reduce on the combine side.
+    */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+                      scoreCol: String, minMargin: Double = 0.0)
+      : DataFrame = {
+    require(minMargin >= 0.0, "minMargin must be non-negative")
+    val g = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(scoreCol).as("s"))
+    g.groupBy("grp")
+      .agg(
+        max(struct(col("s"), (-col("id")).as("nid"))).as("hi"),
+        min(struct(col("s"), col("id"))).as("lo"))
+      .select(col("grp").as(groupCol),
+        (-col("hi.nid")).as("chosen_id"), col("lo.id").as("rejected_id"),
+        col("hi.s").as("chosen_score"), col("lo.s").as("rejected_score"),
+        (col("hi.s") - col("lo.s")).as("margin"))
+      .where(col("chosen_id") =!= col("rejected_id") &&
+        col("margin") >= minMargin)
+  }
 }

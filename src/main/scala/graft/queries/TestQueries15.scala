@@ -1068,10 +1068,69 @@ object TestQueries15 {
       FROM segs ORDER BY doc_id"""
     })
 
+  /** Preference pairs — [[graft.operators.Curation.preferencePairs]]:
+    * per (source:lang) group, highest-quality doc (chosen) vs lowest
+    * (rejected) with a 0.01 minimum margin — DPO/RLHF data prep. The
+    * q26 quality score is ROUND(6)ed in both engines before selection,
+    * so argmax/argmin compare identical decimals; tie-breaks are id-
+    * deterministic (mirrored as ORDER BY score DESC/ASC, id ASC window
+    * heads); the margin is one exact double subtraction.
+    */
+  val q189PreferencePairs: QueryCase = QueryCase(
+    "q189_preference_pairs",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val scored = Tables.documents(s, dir).select(
+        concat(col("source"), lit(":"), col("lang")).as("grp"),
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      graft.operators.Curation
+        .preferencePairs(scored, "grp", "doc_id", "q", minMargin = 0.01)
+        .orderBy("grp")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, text, source || ':' || lang AS grp,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      c AS (
+        SELECT doc_id, grp,
+          LEAST(CAST(LEN(tk) AS DOUBLE) / 50, 1.0) AS len_score,
+          GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+            ELSE CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / LENGTH(text) END) * 5) AS punct_pen,
+          GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+            ELSE CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / LENGTH(text) END) * 5) AS digit_pen,
+          CASE WHEN LEN(tk) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE) / LEN(tk) END AS mtl
+        FROM toks),
+      scored AS (
+        SELECT doc_id, grp,
+          ROUND(len_score * 0.4 + punct_pen * 0.2 + digit_pen * 0.2 +
+            (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0
+                  WHEN mtl = 0 THEN 0.0 ELSE 0.5 END) * 0.2, 6) AS q
+        FROM c),
+      ranked AS (
+        SELECT grp, doc_id, q,
+          ROW_NUMBER() OVER (PARTITION BY grp ORDER BY q DESC, doc_id)
+            AS rhi,
+          ROW_NUMBER() OVER (PARTITION BY grp ORDER BY q ASC, doc_id)
+            AS rlo
+        FROM scored),
+      pair AS (
+        SELECT h.grp, h.doc_id AS chosen_id, l.doc_id AS rejected_id,
+               h.q AS chosen_score, l.q AS rejected_score,
+               h.q - l.q AS margin
+        FROM (SELECT * FROM ranked WHERE rhi = 1) h
+        JOIN (SELECT * FROM ranked WHERE rlo = 1) l USING (grp))
+      SELECT * FROM pair
+      WHERE chosen_id <> rejected_id AND margin >= 0.01
+      ORDER BY grp"""))
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
       q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption,
       q183MaxSim, q184GenEval, q185KnPerplexity, q186Winnowing,
-      q187WinnowPairs, q188Fim)
+      q187WinnowPairs, q188Fim, q189PreferencePairs)
 }

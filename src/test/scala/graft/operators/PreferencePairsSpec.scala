@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-traced preference-pair construction: argmax/argmin selection,
+  * deterministic tie-breaks, margin filtering, degenerate groups.
+  */
+class PreferencePairsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    ("g1", 1L, 0.9), ("g1", 2L, 0.3), ("g1", 3L, 0.6),
+    ("g2", 4L, 0.5), ("g2", 5L, 0.5),          // all-tied group
+    ("g3", 6L, 0.8), ("g3", 7L, 0.8), ("g3", 8L, 0.2), // tie on chosen
+    ("g4", 9L, 0.50), ("g4", 10L, 0.49))       // sub-margin gap
+    .toDF("grp", "id", "score")
+
+  test("best vs worst per group with the exact margin") {
+    val out = Curation.preferencePairs(rows, "grp", "id", "score")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getLong(1) == 1L && g1.getLong(2) == 2L)
+    assert(g1.getDouble(3) == 0.9 && g1.getDouble(4) == 0.3)
+    assert(g1.getDouble(5) == 0.9 - 0.3)
+  }
+
+  test("all-tied groups produce no pair (chosen would equal rejected)") {
+    val out = Curation.preferencePairs(rows, "grp", "id", "score")
+      .collect().map(_.getString(0))
+    assert(!out.contains("g2"))
+  }
+
+  test("score ties resolve to the smaller id on both ends") {
+    val out = Curation.preferencePairs(rows, "grp", "id", "score")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g3").getLong(1) == 6L)  // 6 vs 7 tie at 0.8 → smaller id
+    assert(out("g3").getLong(2) == 8L)
+  }
+
+  test("minMargin filters low-gap pairs") {
+    val out = Curation.preferencePairs(rows, "grp", "id", "score",
+      minMargin = 0.05).collect().map(_.getString(0))
+    assert(!out.contains("g4") && out.contains("g1"))
+  }
+}
