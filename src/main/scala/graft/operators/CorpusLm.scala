@@ -213,6 +213,56 @@ object CorpusLm {
         round(pow(lit(2.0), col("ce")), 4).as("ppl"))
   }
 
+  /** DoReMi-flavored domain reweighting (Xie et al. 2023 — "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * one exponentiated-gradient step): domains with EXCESS loss over the
+    * best domain get upweighted,
+    *
+    *   w_i = softmax_i(η · (ce_i − min_j ce_j))
+    *
+    * where ce_i is the domain's mean per-document cross-entropy (feed
+    * [[knBigramPerplexity]]/[[bigramPerplexity]] output in). The full
+    * DoReMi loop alternates proxy-model training with this update; the
+    * in-engine step is the data-side computation that consumes any
+    * per-doc loss column.
+    *
+    * Determinism: per-domain means sum the ROUND(6) loss column in
+    * DECIMAL (exact integer algebra), so the mean is one double
+    * division; the softmax denominator folds e-values in domain order
+    * (sequential left fold over a 1-row collected array — the domain
+    * table is bounded by construction); only exp is libm, so weights
+    * are ROUND(6)ed and everything else compares RAW.
+    *
+    * Scale shape: one groupBy over docs (map-side combinable), then
+    * 1-row broadcast scalars — no window over docs, no driver state.
+    *
+    * Output: (domain, n_docs, mean_ce, excess, weight).
+    */
+  def doremiWeights(docCe: DataFrame, domainCol: String, ceCol: String,
+                    eta: Double = 1.0): DataFrame = {
+    require(eta > 0.0, "eta must be positive")
+    val per = docCe
+      .select(col(domainCol).as("domain"), col(ceCol).as("ce"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ce").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .as("sum_ce"))
+      .select(col("domain"), col("n_docs"),
+        (col("sum_ce").cast("double") / col("n_docs")).as("mean_ce"))
+    val minCe = per.agg(min(col("mean_ce")).as("min_ce"))
+    val withE = per.crossJoin(broadcast(minCe))
+      .withColumn("excess", col("mean_ce") - col("min_ce"))
+      .withColumn("e", exp(lit(eta) * col("excess")))
+    val denom = withE
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("domain"), col("e")))),
+          s => s.getField("e")),
+        lit(0.0), (acc, x) => acc + x).as("denom"))
+    withE.crossJoin(broadcast(denom))
+      .select(col("domain"), col("n_docs"), col("mean_ce"), col("excess"),
+        round(col("e") / col("denom"), 6).as("weight"))
+  }
+
   def dsirWeights(source: DataFrame, target: DataFrame,
                   idCol: String, textCol: String,
                   buckets: Int = 256, k: Double = 0.5): DataFrame = {

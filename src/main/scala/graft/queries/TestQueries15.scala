@@ -1127,10 +1127,72 @@ object TestQueries15 {
       WHERE chosen_id <> rejected_id AND margin >= 0.01
       ORDER BY grp"""))
 
+  /** DoReMi domain reweighting — [[graft.operators.CorpusLm
+    * .doremiWeights]] over q185's Kneser-Ney per-doc loss, grouped by
+    * `source`: one exponentiated-gradient step upweighting
+    * excess-loss domains. Oracle replays the full q185 CTE chain, the
+    * DECIMAL-exact domain means, the broadcast min, and the
+    * domain-ordered softmax fold; weights ROUND(6), the rest RAW.
+    */
+  val q190Doremi: QueryCase = QueryCase(
+    "q190_doremi",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ce = graft.operators.CorpusLm
+        .knBigramPerplexity(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      graft.operators.CorpusLm
+        .doremiWeights(ce, "source", "ce_bits", eta = 1.0)
+        .orderBy("domain")
+    },
+    Some(s"""
+      WITH seqs AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      bi AS (
+        SELECT doc_id, u.a AS w1, u.b AS w2
+        FROM seqs, UNNEST(list_transform(list_slice(tk, 1, len(tk) - 1),
+          (x, i) -> struct_pack(a := x, b := tk[i + 1]))) AS t(u)),
+      db AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+      bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY 1, 2),
+      uc AS (SELECT w1, COUNT(*) AS uc FROM bi GROUP BY 1),
+      n1f AS (SELECT w1, COUNT(*) AS n1f FROM bc GROUP BY 1),
+      n1p AS (SELECT w2, COUNT(*) AS n1p FROM bc GROUP BY 1),
+      nbt AS (SELECT COUNT(*) AS nbt FROM bc),
+      ce AS (
+        SELECT doc_id,
+          -SUM(c * log2(
+            GREATEST(CAST(bc AS DOUBLE) - CAST(0.75 AS DOUBLE),
+              CAST(0.0 AS DOUBLE)) / uc +
+            (CAST(0.75 AS DOUBLE) * n1f / uc) * (n1p / nbt)))
+            / SUM(c) AS ce
+        FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        JOIN n1f USING (w1) JOIN n1p USING (w2)
+        CROSS JOIN nbt
+        GROUP BY doc_id),
+      dom AS (
+        SELECT d.source AS domain, ROUND(p.ce, 6) AS ce_bits
+        FROM ce p JOIN documents d USING (doc_id)),
+      per AS (
+        SELECT domain, COUNT(*) AS n_docs,
+          CAST(SUM(CAST(ce_bits AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(*)
+            AS mean_ce
+        FROM dom GROUP BY domain),
+      mn AS (SELECT MIN(mean_ce) AS min_ce FROM per),
+      we AS (
+        SELECT domain, n_docs, mean_ce, mean_ce - min_ce AS excess,
+               exp(CAST(1.0 AS DOUBLE) * (mean_ce - min_ce)) AS e
+        FROM per CROSS JOIN mn),
+      dn AS (
+        SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(e ORDER BY domain)), (a, b) -> a + b) AS denom
+        FROM we)
+      SELECT domain, n_docs, mean_ce, excess,
+             ROUND(e / denom, 6) AS weight
+      FROM we CROSS JOIN dn ORDER BY domain"""))
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
       q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption,
       q183MaxSim, q184GenEval, q185KnPerplexity, q186Winnowing,
-      q187WinnowPairs, q188Fim, q189PreferencePairs)
+      q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi)
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-traced DoReMi exponentiated-gradient step over a fixed per-doc
+  * loss table.
+  */
+class DoremiSpec extends SparkSpec {
+  import spark.implicits._
+
+  // domain means: a = 1.0, b = 2.0, c = 1.5
+  private val docCe = Seq(
+    ("a", 0.5), ("a", 1.5),
+    ("b", 2.0), ("b", 2.0),
+    ("c", 1.5))
+    .toDF("domain", "ce")
+
+  test("weights are the softmax of excess loss over the best domain") {
+    val out = CorpusLm.doremiWeights(docCe, "domain", "ce", eta = 1.0)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Double]("mean_ce") == 1.0)
+    assert(out("a").getAs[Double]("excess") == 0.0)
+    assert(out("b").getAs[Double]("excess") == 1.0)
+    assert(out("c").getAs[Double]("excess") == 0.5)
+    val z = 1.0 + math.exp(1.0) + math.exp(0.5)
+    assert(math.abs(out("a").getAs[Double]("weight") - 1.0 / z) < 1e-6)
+    assert(math.abs(out("b").getAs[Double]("weight") - math.exp(1.0) / z)
+      < 1e-6)
+    val total = out.values.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(total - 1.0) < 1e-5)
+  }
+
+  test("hardest domain gets the largest weight; eta sharpens the mix") {
+    val soft = CorpusLm.doremiWeights(docCe, "domain", "ce", eta = 0.1)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    val hard = CorpusLm.doremiWeights(docCe, "domain", "ce", eta = 5.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    assert(soft("b") > soft("a") && hard("b") > hard("a"))
+    assert(hard("b") > soft("b")) // sharper at higher eta
+    intercept[IllegalArgumentException] {
+      CorpusLm.doremiWeights(docCe, "domain", "ce", eta = 0.0)
+    }
+  }
+}
