@@ -95,4 +95,31 @@ object GenEval {
         col("rouge1_p"), col("rouge1_r"), col("rouge1_f"),
         col("rouge2_p"), col("rouge2_r"), col("rouge2_f"))
   }
+
+  /** ROUGE-L per pair (Lin 2004 §3.1, sentence-level): LCS-based
+    * precision LCS/m, recall LCS/n, and F1. The LCS length comes from
+    * the codegen'd [[graft.functions.TextFunctions.lcsLen]] DP kernel —
+    * exact integers, so P/R/F are single fixed-association double
+    * chains and compare RAW. Zero shuffles: one per-row expression.
+    */
+  def rougeL(pairs: DataFrame, idCol: String, candCol: String,
+             refCol: String): DataFrame = {
+    val lcs = TextFunctions.lcsLen(col(candCol), col(refCol))
+    val p = when(size(col(candCol)) === 0, 0.0)
+      .otherwise(col("lcs").cast("double") / size(col(candCol)))
+    val r = when(size(col(refCol)) === 0, 0.0)
+      .otherwise(col("lcs").cast("double") / size(col(refCol)))
+    pairs.select(col(idCol).as("id"), col(candCol), col(refCol))
+      .withColumn("lcs", lcs)
+      .withColumn("rougeL_p", p)
+      .withColumn("rougeL_r", r)
+      .withColumn("rougeL_f",
+        when(col("rougeL_p") + col("rougeL_r") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("rougeL_p") * col("rougeL_r")
+            / (col("rougeL_p") + col("rougeL_r"))))
+      .select(col("id"), col("lcs"),
+        size(col(candCol)).cast("long").as("clen"),
+        size(col(refCol)).cast("long").as("rlen"),
+        col("rougeL_p"), col("rougeL_r"), col("rougeL_f"))
+  }
 }

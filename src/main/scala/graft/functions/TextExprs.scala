@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -62,6 +62,39 @@ object TextKernels {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Longest-common-subsequence LENGTH between two token arrays — the
+    * ROUGE-L kernel (Lin 2004). Classic two-row DP, O(m·n) time and
+    * O(n) space; null elements compare as empty strings (consistent
+    * with [[ngrams]]). Exact integer result, so cross-engine mirrors
+    * replay the identical recurrence.
+    */
+  def lcsLength(a: ArrayData, b: ArrayData): Int = {
+    val m = a.numElements(); val n = b.numElements()
+    if (m == 0 || n == 0) return 0
+    val bs = new Array[UTF8String](n)
+    var j = 0
+    while (j < n) {
+      bs(j) = if (b.isNullAt(j)) UTF8String.EMPTY_UTF8 else b.getUTF8String(j)
+      j += 1
+    }
+    var prev = new Array[Int](n + 1)
+    var cur = new Array[Int](n + 1)
+    var i = 0
+    while (i < m) {
+      val ai = if (a.isNullAt(i)) UTF8String.EMPTY_UTF8 else a.getUTF8String(i)
+      j = 0
+      while (j < n) {
+        cur(j + 1) =
+          if (ai.equals(bs(j))) prev(j) + 1
+          else Math.max(cur(j), prev(j + 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(n)
   }
 
   /** Distinct preserving first occurrence (array_distinct semantics). */
@@ -327,6 +360,22 @@ case class Tokenize(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenize($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Longest-common-subsequence length of two token arrays (the ROUGE-L
+  * kernel) — codegen'd via one static call so whole-stage codegen spans
+  * stay intact around it.
+  */
+case class LcsLength(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.lcsLength(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextKernels.lcsLength($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** token array → distinct space-joined n-gram shingles. */

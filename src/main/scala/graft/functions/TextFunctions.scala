@@ -31,6 +31,12 @@ object TextFunctions {
   /** Distinct lowercased token set (for Jaccard similarity). */
   def tokenSet(c: Column): Column = array_distinct(tokens(c))
 
+  /** LCS length between two token-array columns (ROUGE-L kernel). */
+  def lcsLen(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftshim.column(
+      LcsLength(org.apache.spark.sql.graftshim.expression(a),
+        org.apache.spark.sql.graftshim.expression(b)))
+
   /** Word-level n-gram shingles (space-joined), for MinHash / Jaccard.
     *
     * IMPORTANT: `tk` must be a bound attribute (a real column produced by a

@@ -1189,10 +1189,80 @@ object TestQueries15 {
              ROUND(e / denom, 6) AS weight
       FROM we CROSS JOIN dn ORDER BY domain"""))
 
+  /** ROUGE-L — [[graft.analytics.GenEval.rougeL]] over the q184
+    * candidate/reference synthesis, powered by the codegen'd
+    * [[graft.functions.TextKernels.lcsLength]] DP. The oracle replays
+    * the IDENTICAL two-row recurrence as a recursive CTE: documents
+    * advance in lockstep over candidate positions, each step folding
+    * the new DP row left-to-right with a struct-accumulator
+    * list_reduce. Exact integers throughout; P/R/F fixed-association
+    * divisions, RAW compare.
+    */
+  val q191RougeL: QueryCase = QueryCase(
+    "q191_rouge_l",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val pairs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ref"))
+        .select(col("doc_id"), col("ref"),
+          transform(
+            slice(col("ref"), lit(1),
+              floor(size(col("ref")) * 4 / lit(5)).cast("int")),
+            (x, i) => when(i % 5 === 0, lit("the")).otherwise(x)).as("cand"))
+      graft.analytics.GenEval.rougeL(pairs, "doc_id", "cand", "ref")
+        .select(col("id").as("doc_id"), col("lcs"), col("clen"), col("rlen"),
+          col("rougeL_p"), col("rougeL_r"), col("rougeL_f"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE ref0 AS (
+        SELECT doc_id AS id, $TokensSql AS ref FROM documents),
+      p AS (
+        SELECT id, ref,
+               list_transform(ref[1:(4 * LEN(ref)) // 5],
+                 (x, i) -> CASE WHEN (i - 1) % 5 = 0 THEN 'the' ELSE x END)
+                 AS cand,
+               CAST((4 * LEN(ref)) // 5 AS INT) AS m,
+               CAST(LEN(ref) AS INT) AS n
+        FROM ref0),
+      dp AS (
+        SELECT id, 0 AS i, list_transform(range(0, n + 1), x -> 0) AS dprow,
+               m, n, cand, ref
+        FROM p
+        UNION ALL
+        SELECT id, i + 1,
+          (list_reduce(
+            list_prepend(struct_pack(r := CAST([0] AS INTEGER[]), j := 0),
+              list_transform(range(1, n + 1),
+                k -> struct_pack(r := CAST([] AS INTEGER[]),
+                  j := CAST(k AS INT)))),
+            (a, x) -> struct_pack(
+              r := list_append(a.r,
+                CASE WHEN ref[x.j] = cand[i + 1] THEN dprow[x.j] + 1
+                     ELSE GREATEST(a.r[LEN(a.r)], dprow[x.j + 1]) END),
+              j := x.j))).r,
+          m, n, cand, ref
+        FROM dp WHERE i < m),
+      lcs AS (
+        SELECT id, dprow[n + 1] AS lcs, m, n FROM dp WHERE i = m),
+      calc AS (
+        SELECT id, lcs, CAST(m AS BIGINT) AS clen, CAST(n AS BIGINT) AS rlen,
+          CASE WHEN m = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE CAST(lcs AS DOUBLE) / m END AS p,
+          CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE CAST(lcs AS DOUBLE) / n END AS r
+        FROM lcs)
+      SELECT id AS doc_id, lcs, clen, rlen,
+             p AS rougeL_p, r AS rougeL_r,
+             CASE WHEN p + r = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE 2.0 * p * r / (p + r) END AS rougeL_f
+      FROM calc ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
       q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption,
       q183MaxSim, q184GenEval, q185KnPerplexity, q186Winnowing,
-      q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi)
+      q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi,
+      q191RougeL)
 }

@@ -1,0 +1,49 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Hand-traced LCS kernel cases and ROUGE-L composition. */
+class RougeLSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lcsOf(a: Seq[String], b: Seq[String]): Int =
+    Seq((a, b)).toDF("a", "b")
+      // repartition defeats local-relation constant folding so the
+      // codegen path (not driver-side interpreted eval) is exercised
+      .repartition(2)
+      .select(TextFunctions.lcsLen(col("a"), col("b")))
+      .collect().head.getInt(0)
+
+  test("LCS hand cases") {
+    assert(lcsOf(Seq("a", "b", "c", "d"), Seq("b", "d")) == 2)
+    assert(lcsOf(Seq("a", "x", "b", "y", "c"), Seq("a", "b", "c")) == 3)
+    assert(lcsOf(Seq("a", "b", "c"), Seq("a", "b", "c")) == 3)
+    assert(lcsOf(Seq("a", "b"), Seq("x", "y")) == 0)
+    assert(lcsOf(Seq.empty, Seq("a")) == 0)
+    assert(lcsOf(Seq("a", "a", "b"), Seq("a", "b", "a")) == 2)
+  }
+
+  test("ROUGE-L on the worked q184 pair") {
+    val out = GenEval.rougeL(
+      Seq((1L, "the cat sat on mat".split(" ").toSeq,
+        "the cat sat on the mat".split(" ").toSeq))
+        .toDF("id", "cand", "ref"),
+      "id", "cand", "ref").collect().head
+    assert(out.getAs[Int]("lcs") == 5)
+    assert(out.getAs[Double]("rougeL_p") == 1.0)
+    assert(out.getAs[Double]("rougeL_r") == 5.0 / 6.0)
+    val p = 1.0; val r = 5.0 / 6.0
+    assert(out.getAs[Double]("rougeL_f") == 2.0 * p * r / (p + r))
+  }
+
+  test("empty candidate yields zeros, not NaN") {
+    val out = GenEval.rougeL(
+      Seq((1L, Seq.empty[String], Seq("a", "b"))).toDF("id", "cand", "ref"),
+      "id", "cand", "ref").collect().head
+    assert(out.getAs[Double]("rougeL_p") == 0.0)
+    assert(out.getAs[Double]("rougeL_f") == 0.0)
+  }
+}
