@@ -38,6 +38,22 @@ object VectorKernels {
     }
     d
   }
+
+  /** Sign-binarization: bit i set iff element i ≥ 0 (first 64 elements).
+    * The 64-bit binary code for Hamming-space retrieval — exact integer
+    * output, so oracle mirrors rebuild it bit for bit.
+    */
+  def signPack64(x: ArrayData, xf: Boolean): Long = {
+    val n = Math.min(64, x.numElements())
+    var w = 0L
+    var i = 0
+    while (i < n) {
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      if (xi >= 0.0) w |= (1L << i)
+      i += 1
+    }
+    w
+  }
 }
 
 /** Base for binary vector expressions over `array<float>`/`array<double>`
@@ -119,6 +135,32 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sign-binarization of a vector column into a 64-bit code (bit i set
+  * iff element i ≥ 0) — the classic binary-embedding compression: 32×
+  * smaller than float32, Hamming distance via xor+popcount.
+  */
+case class SignPack(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"SignPack expects array<float|double>, got ${t.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    VectorKernels.signPack64(v.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.signPack64($c, $isFloat)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Vector similarity (SURVEY §2.8 C21; reference
   * `supabase/migrations/042_match_function.sql:38` — pgvector `<=>` cosine
   * distance, exposed as `1 - distance` similarity).
@@ -161,4 +203,8 @@ object VectorFunctions {
   /** L2 norm of a float/double array column. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(transform(a.cast("array<double>"), x => x * x), lit(0.0), _ + _))
+
+  /** Codegen'd 64-bit sign-binarization code (bit i = element i ≥ 0). */
+  def signCode64(a: Column): Column =
+    graftshim.column(SignPack(graftshim.expression(a)))
 }

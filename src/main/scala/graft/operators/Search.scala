@@ -28,6 +28,36 @@ object Search {
       .orderBy(desc("score"), col(idCol))
       .limit(k)
 
+  /** Binary-embedding Hamming retrieval: sign-binarize the corpus into
+    * 64-bit codes ([[VectorFunctions.signCode64]] — 32× smaller than
+    * float32) and rank by xor+popcount distance against each query's
+    * code. The memory lever that keeps a 10⁹+-vector index resident;
+    * recall tracks cosine because sign agreement approximates angle
+    * (Charikar 2002 — the SimHash bound). Queries broadcast (bounded
+    * serving side); corpus rows never shuffle before the per-query
+    * top-k, which is a PARTITIONED window.
+    */
+  def binaryHammingTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                        queries: DataFrame, qidCol: String, qvecCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val c = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        VectorFunctions.signCode64(col(vecCol)).as("__code"))
+    val q = queries.where(col(qvecCol).isNotNull)
+      .select(col(qidCol).as("__qid"),
+        VectorFunctions.signCode64(col(qvecCol)).as("__qcode"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__qid")
+      .orderBy(col("hamming"), col("__id"))
+    c.join(broadcast(q))
+      .withColumn("hamming",
+        bit_count(col("__code").bitwiseXOR(col("__qcode"))).cast("int"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__qid").as("query_id"), col("rank"),
+        col("__id").as("id"), col("hamming"))
+  }
+
   /** K2-lite: keyword top-k by overlap score between query terms and the
     * document token set (Postgres ts_rank parity lands with the FTS
     * expression family; the operator shape — score, order, limit — is

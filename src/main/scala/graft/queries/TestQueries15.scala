@@ -1258,11 +1258,52 @@ object TestQueries15 {
                   ELSE 2.0 * p * r / (p + r) END AS rougeL_f
       FROM calc ORDER BY doc_id"""))
 
+  /** Binary-embedding Hamming retrieval —
+    * [[graft.operators.Search.binaryHammingTopK]]: the corpus
+    * sign-binarizes into 64-bit codes (codegen'd
+    * [[graft.functions.SignPack]]), every 25th vector is a held-out
+    * query, ranking is xor+popcount with id tie-breaks. The oracle
+    * rebuilds each code as a HUGEINT bit sum (`1 << i` where
+    * `embedding[i+1] >= 0`), reduces to the signed view, and replays
+    * the partitioned top-10. Pure integers, RAW compare.
+    */
+  val q192BinaryHamming: QueryCase = QueryCase(
+    "q192_binary_hamming",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      graft.operators.Search.binaryHammingTopK(
+          e.where(col("vec_id") % 25 =!= 0), "vec_id", "embedding",
+          e.where(col("vec_id") % 25 === 0), "vec_id", "embedding",
+          k = 10)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""
+      WITH codes AS (
+        SELECT vec_id,
+          ${graft.functions.CrossHash.hugeToSignedSql(
+            """COALESCE((SELECT SUM(CASE WHEN e.embedding[i + 1] >= 0
+                   THEN CAST(1 AS HUGEINT) << CAST(i AS INT)
+                   ELSE CAST(0 AS HUGEINT) END)
+                 FROM UNNEST(range(0, LEAST(LEN(e.embedding), 64))) AS t(i)),
+               CAST(0 AS HUGEINT))""")} AS code
+        FROM embeddings e),
+      q AS (SELECT vec_id AS qid, code AS qcode FROM codes
+            WHERE vec_id % 25 = 0),
+      c AS (SELECT vec_id AS id, code FROM codes WHERE vec_id % 25 <> 0),
+      ranked AS (
+        SELECT q.qid, c.id,
+               CAST(bit_count(xor(c.code, q.qcode)) AS INT) AS hamming,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                 ORDER BY bit_count(xor(c.code, q.qcode)), c.id) AS rank
+        FROM c CROSS JOIN q)
+      SELECT qid AS query_id, CAST(rank AS INT) AS rank, id, hamming
+      FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""))
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
       q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption,
       q183MaxSim, q184GenEval, q185KnPerplexity, q186Winnowing,
       q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi,
-      q191RougeL)
+      q191RougeL, q192BinaryHamming)
 }

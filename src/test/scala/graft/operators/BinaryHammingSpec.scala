@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Sign-binarization code layout and Hamming retrieval ordering. */
+class BinaryHammingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def code(v: Seq[Float]): Long =
+    Seq(Tuple1(v)).toDF("v").repartition(2)
+      .select(VectorFunctions.signCode64(col("v")))
+      .collect().head.getLong(0)
+
+  test("bit i is set iff element i >= 0 (zero counts as non-negative)") {
+    assert(code(Seq(1.0f, -1.0f, 0.0f, -2.5f)) == ((1L << 0) | (1L << 2)))
+    assert(code(Seq(-1.0f, -1.0f)) == 0L)
+    assert(code(Seq.fill(64)(1.0f)) == -1L) // all 64 bits set
+  }
+
+  test("elements beyond 64 are ignored") {
+    assert(code(Seq.fill(70)(1.0f)) == -1L)
+  }
+
+  test("Hamming retrieval ranks by sign disagreement with id tie-break") {
+    val corpus = Seq(
+      (1L, Seq(1f, 1f, 1f, 1f)),     // code 1111
+      (2L, Seq(1f, 1f, 1f, -1f)),    // 1 bit away from q
+      (3L, Seq(-1f, -1f, -1f, -1f)), // 4 bits away
+      (4L, Seq(1f, 1f, 1f, 1f)))     // duplicate of 1
+      .toDF("id", "v")
+    val queries = Seq((10L, Seq(1f, 1f, 1f, 1f))).toDF("qid", "qv")
+    val out = Search.binaryHammingTopK(corpus, "id", "v",
+      queries, "qid", "qv", 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(out.toSeq == Seq((1, 1L, 0), (2, 4L, 0), (3, 2L, 1)))
+  }
+}
