@@ -636,6 +636,39 @@ object Dedup {
       .select("id1", "id2", "est_jaccard")
   }
 
+  /** Cross-document duplication (memorization-risk) score: the fraction
+    * of a document's n-gram WINDOWS whose n-gram also occurs in at least
+    * one OTHER document (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better" — their near-dup motivation measured
+    * per doc; Carlini et al. tie exactly this duplication to verbatim
+    * memorization). Complements [[graft.operators.GopherFilters]]'
+    * WITHIN-doc repetition signals and q148's span-level dedup: this is
+    * the per-doc risk metric a curation policy thresholds on.
+    *
+    * Scale shape: one (doc, gram) distinct pre-combine feeds the gram
+    * document-frequency table; occurrences then join the df table by
+    * gram (standard shuffle join — AQE handles the frequent-gram skew)
+    * and reduce per doc. No windows, no driver state.
+    *
+    * Output: (doc_id, n_windows, dup_windows, dup_frac) — documents
+    * with fewer than n tokens emit no row.
+    */
+  def crossDocDupScore(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 6): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.ngramsOfTokens(
+        graft.functions.TextFunctions.tokens(col(textCol)), n)).as("g"))
+    val gdf = grams.select(col("doc_id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("gdf"))
+    grams.join(gdf, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("gdf") >= 2, 1L).otherwise(0L)).as("dup_windows"))
+      .withColumn("dup_frac",
+        col("dup_windows").cast("double") / col("n_windows"))
+  }
+
   def nearDupClusters(pairs: DataFrame, id1Col: String,
                       id2Col: String): DataFrame = {
     val a = col(id1Col)

@@ -1299,11 +1299,42 @@ object TestQueries15 {
       SELECT qid AS query_id, CAST(rank AS INT) AS rank, id, hamming
       FROM ranked WHERE rank <= 10 ORDER BY query_id, rank"""))
 
+
+  /** Cross-doc duplication (memorization-risk) score —
+    * [[graft.operators.Dedup.crossDocDupScore]] at n=6: fraction of a
+    * doc's 6-gram windows whose gram occurs in ≥2 DISTINCT docs.
+    * Integer counts + one exact division, RAW compare.
+    */
+  val q193CrossDocDup: QueryCase = QueryCase(
+    "q193_crossdoc_dup",
+    (s, dir) => graft.operators.Dedup
+      .crossDocDupScore(Tables.documents(s, dir), "doc_id", "text", n = 6)
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH grams AS (
+        SELECT doc_id, u.g
+        FROM (SELECT doc_id, CASE WHEN LEN(tk) >= 6
+                THEN [array_to_string(tk[i:i+5], ' ')
+                      for i in range(1, LEN(tk) - 4)]
+                ELSE CAST([] AS VARCHAR[]) END AS gs
+              FROM (SELECT doc_id, $TokensSql AS tk FROM documents)),
+             UNNEST(gs) AS u(g)),
+      gdf AS (
+        SELECT g, COUNT(*) AS gdf
+        FROM (SELECT DISTINCT doc_id, g FROM grams) GROUP BY g)
+      SELECT doc_id, COUNT(*) AS n_windows,
+             CAST(SUM(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_windows,
+             CAST(SUM(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_frac
+      FROM grams JOIN gdf USING (g)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
       q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption,
       q183MaxSim, q184GenEval, q185KnPerplexity, q186Winnowing,
       q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi,
-      q191RougeL, q192BinaryHamming)
+      q191RougeL, q192BinaryHamming, q193CrossDocDup)
 }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-traced cross-document duplication scoring (n = 3). */
+class CrossDocDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windows shared with another doc count; within-doc repeats alone do not") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // windows: abc bcd cde
+      (2L, "x y a b c z"),      // windows: xya yab abc bcz — shares abc
+      (3L, "p q r p q r"))      // within-doc repeat of pqr only
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDocDupScore(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    // doc 3: "p q r p q r" windows pqr,qrp,rpq,pqr — none in other docs
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+  }
+
+  test("every window of an exact duplicate pair is flagged") {
+    val docs = Seq((1L, "m n o p q"), (2L, "m n o p q"))
+      .toDF("doc_id", "text")
+    val out = Dedup.crossDocDupScore(docs, "doc_id", "text", n = 3).collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getDouble(3) == 1.0))
+  }
+
+  test("sub-n documents emit no row") {
+    val docs = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Dedup.crossDocDupScore(docs, "doc_id", "text", n = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(2L))
+  }
+}
