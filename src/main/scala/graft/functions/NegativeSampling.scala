@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Alias-method negative sampling (Walker 1977 / Vose 1991) over a
+  * unigram^α distribution — the word2vec/contrastive-training sampler
+  * (Mikolov et al. 2013 use α = 0.75): O(1) draws from an arbitrary
+  * discrete distribution via one table lookup and one threshold test.
+  *
+  * The table builds DRIVER-SIDE from the vocabulary's counts — a
+  * bounded-vocab contract, same as the k-means d×d eigensolve: the
+  * vocabulary is orders of magnitude smaller than the corpus, and the
+  * construction is inherently sequential (two worklists). Sampling is
+  * fully distributed: each (key, draw) derives two bit-exact uniforms
+  * from md5 hashes (the [[graft.operators.Curation.weightedSample]]
+  * double sequence), picks a column, and resolves accept-vs-alias —
+  * a broadcast join against the V-row table, no shuffle of the corpus.
+  *
+  * Determinism: construction iterates worklists in ascending slot
+  * order, so thresholds are a pure function of the (token-sorted)
+  * count list; thresholds serialize into oracles as `Double.toString`
+  * literals (q173 precedent) and every sampling step is single-rounded
+  * IEEE arithmetic both engines replay.
+  */
+object NegativeSampling {
+
+  /** slot → (token, threshold, aliasSlot); tokens sorted for stability */
+  final case class AliasTable(tokens: Array[String], thresh: Array[Double],
+                              alias: Array[Int]) {
+    def size: Int = tokens.length
+  }
+
+  /** Vose's algorithm over counts^power, deterministic worklist order.
+    * Input order does not matter — entries are sorted by token first.
+    */
+  def buildAlias(counts: Seq[(String, Long)],
+                 power: Double = 0.75): AliasTable = {
+    require(counts.nonEmpty, "empty vocabulary")
+    require(counts.forall(_._2 > 0), "counts must be positive")
+    val sorted = counts.sortBy(_._1)
+    val v = sorted.length
+    val w = sorted.map { case (_, c) => math.pow(c.toDouble, power) }
+    val total = w.sum
+    // scaled probabilities q_i = V * p_i
+    val q = w.map(_ * v / total).toArray
+    val thresh = new Array[Double](v)
+    val alias = Array.tabulate(v)(identity) // self-alias default
+    val small = scala.collection.mutable.Queue[Int]()
+    val large = scala.collection.mutable.Queue[Int]()
+    (0 until v).foreach(i => (if (q(i) < 1.0) small else large).enqueue(i))
+    while (small.nonEmpty && large.nonEmpty) {
+      val s = small.dequeue(); val l = large.dequeue()
+      thresh(s) = q(s); alias(s) = l
+      q(l) = (q(l) + q(s)) - 1.0
+      (if (q(l) < 1.0) small else large).enqueue(l)
+    }
+    (small ++ large).foreach { i => thresh(i) = 1.0 }
+    AliasTable(sorted.map(_._1).toArray, thresh, alias)
+  }
+
+  /** Bit-exact uniform in (0,1) from a salted md5 of a string column —
+    * the weightedSample double sequence (signed hash → double,
+    * conditional +2⁶⁴, +0.5, /2⁶⁴), replayable in DuckDB.
+    */
+  def hashUniform(key: org.apache.spark.sql.Column,
+                  salt: String): org.apache.spark.sql.Column = {
+    val h = CrossHash.md5Hash64(concat(key, lit(salt)))
+    (h.cast("double")
+      + when(h < 0, lit(1.8446744073709552e19)).otherwise(lit(0.0))
+      + lit(0.5)) / lit(1.8446744073709552e19)
+  }
+
+  /** k negative draws per input row. Output: one row per (input key,
+    * draw j) with the sampled token.
+    */
+  def sampleNegatives(df: DataFrame, keyCol: String, table: AliasTable,
+                      k: Int, saltPrefix: String = "ns"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = df.sparkSession
+    val tableDf = aliasTableDf(spark, table)
+    val v = table.size
+    val keyed = df.select(col(keyCol).cast("string").as("key"))
+      .withColumn("j", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("skey", concat(col("key"), lit(":"), col("j")))
+    val slot = least(
+      floor(hashUniform(col("skey"), s":$saltPrefix:col") * v).cast("int"),
+      lit(v - 1))
+    keyed.withColumn("slot", slot)
+      .withColumn("u2", hashUniform(col("skey"), s":$saltPrefix:acc"))
+      .join(broadcast(tableDf), Seq("slot"))
+      .select(col("key"), col("j"),
+        when(col("u2") < col("thresh"), col("token"))
+          .otherwise(col("alias_token")).as("neg_token"))
+  }
+
+  /** The alias table as a broadcastable V-row DataFrame. */
+  def aliasTableDf(spark: SparkSession, table: AliasTable): DataFrame = {
+    import spark.implicits._
+    table.tokens.indices.map { i =>
+      (i, table.tokens(i), table.thresh(i), table.tokens(table.alias(i)))
+    }.toDF("slot", "token", "thresh", "alias_token")
+  }
+}

@@ -1330,11 +1330,109 @@ object TestQueries15 {
       FROM grams JOIN gdf USING (g)
       GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Alias-method negative sampling —
+    * [[graft.functions.NegativeSampling]]: the Vose table builds from
+    * the CORPUS unigram counts (driver-side, bounded-vocab contract)
+    * and 3 negatives are drawn per document via bit-exact md5-derived
+    * uniforms. The oracle replays the ENTIRE construction — exact
+    * integer-valued double count sums, the two-worklist state machine
+    * as a single-row recursive CTE (lockstep with the Scala queue
+    * order), remaining-slot thresh=1.0 finalization — then the
+    * slot/accept draw chain. Gate uses power 1.0 so construction
+    * arithmetic is single-rounded (α = 0.75 would put a libm `pow`
+    * inside the threshold bits, which engines round differently — the
+    * operator default stays 0.75, spec-pinned). RAW compare.
+    */
+  val q194NegSampling: QueryCase = QueryCase(
+    "q194_neg_sampling",
+    (s, dir) => {
+      import graft.functions.{NegativeSampling, TextFunctions}
+      val docs = Tables.documents(s, dir)
+      val counts = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val table = NegativeSampling.buildAlias(counts, power = 1.0)
+      NegativeSampling
+        .sampleNegatives(docs.select(col("doc_id")), "doc_id", table, k = 3)
+        .select(col("key").cast("long").as("doc_id"), col("j"),
+          col("neg_token"))
+        .orderBy("doc_id", "j")
+    },
+    Some {
+      def unif(expr: String) = {
+        val sh = graft.functions.CrossHash.hugeToSignedSql(
+          graft.functions.CrossHash.md5Hash64SqlU(expr))
+        s"""((CAST($sh AS DOUBLE)
+             + CASE WHEN $sh < 0 THEN 18446744073709551616.0
+                 ELSE 0.0 END + 0.5) / 18446744073709551616.0)"""
+      }
+      s"""
+      WITH RECURSIVE cnt AS (
+        SELECT u.t AS tok, COUNT(*) AS c
+        FROM (SELECT $TokensSql AS tk FROM documents), UNNEST(tk) AS u(t)
+        GROUP BY u.t),
+      init AS (
+        SELECT list(tok ORDER BY tok) AS toks,
+               list(CAST(c * (SELECT COUNT(*) FROM cnt) AS DOUBLE) /
+                    (SELECT SUM(CAST(c AS DOUBLE)) FROM cnt)
+                    ORDER BY tok) AS q
+        FROM cnt),
+      st AS (
+        SELECT 0 AS it, q,
+          list_transform(q, x -> CAST(0.0 AS DOUBLE)) AS thresh,
+          list_transform(range(1, LEN(q) + 1), i -> CAST(i AS INT)) AS alias,
+          [CAST(i AS INT) for i in range(1, LEN(q) + 1) if q[i] < 1.0]
+            AS small,
+          [CAST(i AS INT) for i in range(1, LEN(q) + 1) if q[i] >= 1.0]
+            AS big
+        FROM init
+        UNION ALL
+        SELECT it + 1,
+          list_transform(q, (x, i) -> CASE WHEN i = big[1]
+            THEN (q[big[1]] + q[small[1]]) - 1.0 ELSE x END),
+          list_transform(thresh, (x, i) -> CASE WHEN i = small[1]
+            THEN q[small[1]] ELSE x END),
+          list_transform(alias, (x, i) -> CASE WHEN i = small[1]
+            THEN big[1] ELSE x END),
+          small[2:] || CASE WHEN (q[big[1]] + q[small[1]]) - 1.0 < 1.0
+            THEN [big[1]] ELSE CAST([] AS INTEGER[]) END,
+          big[2:] || CASE WHEN (q[big[1]] + q[small[1]]) - 1.0 >= 1.0
+            THEN [big[1]] ELSE CAST([] AS INTEGER[]) END
+        FROM st WHERE LEN(small) > 0 AND LEN(big) > 0),
+      fin AS (SELECT * FROM st ORDER BY it DESC LIMIT 1),
+      tbl AS (
+        SELECT s.i - 1 AS slot, i.toks[s.i] AS token,
+          CASE WHEN list_contains(f.small || f.big, s.i)
+            THEN CAST(1.0 AS DOUBLE) ELSE f.thresh[s.i] END AS thresh,
+          i.toks[f.alias[s.i]] AS alias_token
+        FROM fin f, init i,
+             UNNEST(range(1, LEN(f.thresh) + 1)) AS s(i)),
+      draws AS (
+        SELECT d.doc_id, CAST(j.j AS INT) AS j,
+               CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)
+                 AS skey,
+               (SELECT COUNT(*) FROM cnt) AS v
+        FROM (SELECT doc_id FROM documents) d,
+             UNNEST(range(0, 3)) AS j(j)),
+      picked AS (
+        SELECT doc_id, j,
+          LEAST(CAST(FLOOR(${unif("skey || ':ns:col'")} * v) AS INT),
+            CAST(v - 1 AS INT)) AS slot,
+          ${unif("skey || ':ns:acc'")} AS u2
+        FROM draws)
+      SELECT p.doc_id, p.j,
+             CASE WHEN p.u2 < t.thresh THEN t.token
+                  ELSE t.alias_token END AS neg_token
+      FROM picked p JOIN tbl t USING (slot)
+      ORDER BY p.doc_id, p.j"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
       q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption,
       q183MaxSim, q184GenEval, q185KnPerplexity, q186Winnowing,
       q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi,
-      q191RougeL, q192BinaryHamming, q193CrossDocDup)
+      q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling)
 }

@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+
+/** Vose construction hand trace, marginal-distribution sanity, and
+  * determinism of the hash-driven sampler.
+  */
+class NegativeSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Vose hand trace at power 1: {a:1, b:3}") {
+    val t = NegativeSampling.buildAlias(Seq(("b", 3L), ("a", 1L)),
+      power = 1.0)
+    assert(t.tokens.toSeq == Seq("a", "b"))
+    // q = (0.5, 1.5): a gets thresh 0.5 with alias b; b self at 1.0
+    assert(t.thresh(0) == 0.5 && t.tokens(t.alias(0)) == "b")
+    assert(t.thresh(1) == 1.0 && t.alias(1) == 1)
+  }
+
+  test("thresholds conserve mass: per-token alias probability sums to p") {
+    val t = NegativeSampling.buildAlias(
+      Seq(("a", 1L), ("b", 2L), ("c", 7L)), power = 1.0)
+    // P(token) = Σ_slots [slot own thresh if token] + [1-thresh if alias]
+    val v = t.size
+    val p = Array.fill(3)(0.0)
+    (0 until v).foreach { i =>
+      p(i) += t.thresh(i) / v
+      p(t.alias(i)) += (1.0 - t.thresh(i)) / v
+    }
+    assert(math.abs(p(0) - 0.1) < 1e-12)
+    assert(math.abs(p(1) - 0.2) < 1e-12)
+    assert(math.abs(p(2) - 0.7) < 1e-12)
+  }
+
+  test("sampled marginals track the target distribution") {
+    val t = NegativeSampling.buildAlias(
+      Seq(("a", 1L), ("b", 2L), ("c", 7L)), power = 1.0)
+    val keys = (0 until 2000).map(i => Tuple1(i.toLong)).toDF("id")
+    val draws = NegativeSampling.sampleNegatives(keys, "id", t, k = 1)
+      .groupBy("neg_token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = draws.values.sum.toDouble
+    assert(math.abs(draws("c") / n - 0.7) < 0.05)
+    assert(math.abs(draws("a") / n - 0.1) < 0.03)
+  }
+
+  test("sampler is deterministic and emits k rows per key") {
+    val t = NegativeSampling.buildAlias(Seq(("x", 5L), ("y", 5L)))
+    val keys = Seq(Tuple1(1L), Tuple1(2L)).toDF("id")
+    val a = NegativeSampling.sampleNegatives(keys, "id", t, k = 3)
+      .collect().map(_.toString).sorted
+    val b = NegativeSampling.sampleNegatives(keys, "id", t, k = 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.length == 6)
+  }
+
+  test("degenerate single-token vocabulary always returns it") {
+    val t = NegativeSampling.buildAlias(Seq(("only", 9L)))
+    val out = NegativeSampling.sampleNegatives(
+      Seq(Tuple1(1L)).toDF("id"), "id", t, k = 4)
+      .collect().map(_.getString(2))
+    assert(out.forall(_ == "only"))
+  }
+}
