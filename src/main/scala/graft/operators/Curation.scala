@@ -295,6 +295,64 @@ object Curation {
       .limit(k)
   }
 
+  /** Epoch-capped mixture allocation by iterative waterfilling — the
+    * planner that turns mixture WEIGHTS (e.g. [[graft.operators.CorpusLm
+    * .doremiWeights]]) into executable per-domain token budgets: each
+    * round allocates the remaining budget proportionally to the
+    * remaining domains' weights, any domain exceeding its repetition
+    * cap (maxEpochs × its token count — data-repetition limits à la
+    * Muennighoff et al. 2023) is frozen at the cap, and its overflow
+    * re-waterfalls; if every domain caps, the residual budget is the
+    * reported deficit.
+    *
+    * Driver-side over the collected domain table (bounded-vocab
+    * contract — a domain table is orders of magnitude smaller than the
+    * corpus; same contract as the k-means eigensolve and the Vose
+    * alias build). Every fold runs in domain-sorted order so the
+    * double arithmetic is a replayable IEEE sequence (the oracle
+    * replays the loop as a recursive CTE).
+    *
+    * Output: (domain, n_tokens, weight, alloc_tokens, epochs, capped).
+    */
+  def mixturePlan(domains: DataFrame, domainCol: String, tokensCol: String,
+                  weightCol: String, budget: Double,
+                  maxEpochs: Double): DataFrame = {
+    require(budget > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
+    val rows = domains.select(col(domainCol).cast("string").as("d"),
+        col(tokensCol).cast("long").as("n"), col(weightCol).cast("double").as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty && rows.forall(t => t._2 > 0 && t._3 > 0),
+      "domains need positive token counts and weights")
+    val cap = rows.map { case (_, n, _) => maxEpochs * n.toDouble }
+    val alloc = Array.fill(rows.length)(0.0)
+    val capped = Array.fill(rows.length)(false)
+    var active = rows.indices.toVector
+    var remaining = budget
+    var done = false
+    while (!done && active.nonEmpty) {
+      val bigW = active.foldLeft(0.0)((acc, i) => acc + rows(i)._3)
+      val share = active.map(i => i -> remaining * (rows(i)._3 / bigW)).toMap
+      val newlyCapped = active.filter(i => share(i) >= cap(i))
+      if (newlyCapped.isEmpty) {
+        active.foreach(i => alloc(i) = share(i))
+        done = true
+      } else {
+        newlyCapped.foreach { i => alloc(i) = cap(i); capped(i) = true }
+        remaining = remaining -
+          newlyCapped.foldLeft(0.0)((acc, i) => acc + cap(i))
+        active = active.filterNot(newlyCapped.contains)
+      }
+    }
+    val spark = domains.sparkSession
+    import spark.implicits._
+    rows.indices.map { i =>
+      val (d, n, w) = rows(i)
+      (d, n, w, alloc(i), alloc(i) / n.toDouble, capped(i))
+    }.toDF(domainCol, "n_tokens", "weight", "alloc_tokens", "epochs",
+      "capped")
+  }
+
   /** Preference-pair construction (DPO/RLHF data prep — Rafailov et al.
     * 2023 consume exactly this shape): within each group, pair the
     * highest-scoring member (chosen) against the lowest (rejected),

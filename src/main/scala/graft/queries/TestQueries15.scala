@@ -1428,11 +1428,135 @@ object TestQueries15 {
       ORDER BY p.doc_id, p.j"""
     })
 
+  /** Mixture execution plan — [[graft.operators.Curation.mixturePlan]]:
+    * iterative waterfilling of a 2×-corpus token budget over q190's
+    * DoReMi weights (eta = 5.0 for spread) with a 2.25-epoch repetition (an exact binary double)
+    * cap (tight enough that the high-weight domains cap and the loop
+    * re-waterfalls). The oracle replays the q190 weight chain and then the
+    * cap-and-redistribute loop as a single-row recursive CTE in the
+    * same domain-sorted fold order; weights ROUND(6) (libm exp), the
+    * allocation arithmetic RAW.
+    */
+  val q195MixturePlan: QueryCase = QueryCase(
+    "q195_mixture_plan",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, dir)
+      val ce = graft.operators.CorpusLm
+        .knBigramPerplexity(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val w = graft.operators.CorpusLm
+        .doremiWeights(ce, "source", "ce_bits", eta = 5.0)
+      val tok = docs.groupBy(col("source").as("domain"))
+        .agg(sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+      val domains = w.select(col("domain"), col("weight"))
+        .join(tok, Seq("domain"))
+      val total = tok.agg(sum("n_tokens")).collect().head.getLong(0)
+      graft.operators.Curation
+        .mixturePlan(domains, "domain", "n_tokens", "weight",
+          budget = 2.0 * total.toDouble, maxEpochs = 2.25)
+        .orderBy("domain")
+    },
+    Some {
+      val W = """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        [ws[i] for i in range(1, LEN(ws) + 1) if act[i]]),
+        (a, b) -> a + b)"""
+      val newly = s"""list_transform(range(1, LEN(ws) + 1),
+        i -> act[i] AND rem * (ws[i] / $W) >= caps[i])"""
+      s"""
+      WITH RECURSIVE seqs AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      bi AS (
+        SELECT doc_id, u.a AS w1, u.b AS w2
+        FROM seqs, UNNEST(list_transform(list_slice(tk, 1, len(tk) - 1),
+          (x, i) -> struct_pack(a := x, b := tk[i + 1]))) AS t(u)),
+      db AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+      bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY 1, 2),
+      uc AS (SELECT w1, COUNT(*) AS uc FROM bi GROUP BY 1),
+      n1f AS (SELECT w1, COUNT(*) AS n1f FROM bc GROUP BY 1),
+      n1p AS (SELECT w2, COUNT(*) AS n1p FROM bc GROUP BY 1),
+      nbt AS (SELECT COUNT(*) AS nbt FROM bc),
+      ce AS (
+        SELECT doc_id,
+          -SUM(c * log2(
+            GREATEST(CAST(bc AS DOUBLE) - CAST(0.75 AS DOUBLE),
+              CAST(0.0 AS DOUBLE)) / uc +
+            (CAST(0.75 AS DOUBLE) * n1f / uc) * (n1p / nbt)))
+            / SUM(c) AS ce
+        FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        JOIN n1f USING (w1) JOIN n1p USING (w2)
+        CROSS JOIN nbt
+        GROUP BY doc_id),
+      domce AS (
+        SELECT d.source AS domain, ROUND(p.ce, 6) AS ce_bits
+        FROM ce p JOIN documents d USING (doc_id)),
+      per AS (
+        SELECT domain, COUNT(*) AS n_docs,
+          CAST(SUM(CAST(ce_bits AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(*)
+            AS mean_ce
+        FROM domce GROUP BY domain),
+      mn AS (SELECT MIN(mean_ce) AS min_ce FROM per),
+      we AS (
+        SELECT domain, exp(CAST(5.0 AS DOUBLE) * (mean_ce - min_ce)) AS e
+        FROM per CROSS JOIN mn),
+      dn AS (
+        SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(e ORDER BY domain)), (a, b) -> a + b) AS denom
+        FROM we),
+      wts AS (
+        SELECT domain, ROUND(e / denom, 6) AS weight
+        FROM we CROSS JOIN dn),
+      tok AS (
+        SELECT source AS domain, SUM(LEN(tk)) AS n_tokens
+        FROM (SELECT source, $TokensSql AS tk FROM documents)
+        GROUP BY source),
+      init AS (
+        SELECT list(w.domain ORDER BY w.domain) AS ds,
+               list(CAST(t.n_tokens AS BIGINT) ORDER BY w.domain) AS ns,
+               list(w.weight ORDER BY w.domain) AS ws,
+               list(2.25 * CAST(t.n_tokens AS DOUBLE) ORDER BY w.domain)
+                 AS caps,
+               2.0 * CAST((SELECT SUM(n_tokens) FROM tok) AS DOUBLE)
+                 AS budget
+        FROM wts w JOIN tok t USING (domain)),
+      st AS (
+        SELECT 0 AS it, false AS done,
+          list_transform(ws, x -> CAST(0.0 AS DOUBLE)) AS alloc,
+          list_transform(ws, x -> false) AS capped,
+          list_transform(ws, x -> true) AS act,
+          budget AS rem, ds, ns, ws, caps
+        FROM init
+        UNION ALL
+        SELECT it + 1,
+          NOT list_contains($newly, true),
+          CASE WHEN NOT list_contains($newly, true)
+            THEN list_transform(alloc, (x, i) -> CASE WHEN act[i]
+              THEN rem * (ws[i] / $W) ELSE x END)
+            ELSE list_transform(alloc, (x, i) -> CASE WHEN ($newly)[i]
+              THEN caps[i] ELSE x END) END,
+          list_transform(capped, (x, i) -> x OR ($newly)[i]),
+          CASE WHEN NOT list_contains($newly, true)
+            THEN list_transform(act, x -> false)
+            ELSE list_transform(act, (x, i) -> x AND NOT ($newly)[i]) END,
+          rem - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            [caps[i] for i in range(1, LEN(ws) + 1) if ($newly)[i]]),
+            (a, b) -> a + b),
+          ds, ns, ws, caps
+        FROM st WHERE NOT done AND list_contains(act, true)),
+      fin AS (SELECT * FROM st ORDER BY it DESC LIMIT 1)
+      SELECT ds[u.i] AS domain, ns[u.i] AS n_tokens, ws[u.i] AS weight,
+             alloc[u.i] AS alloc_tokens,
+             alloc[u.i] / CAST(ns[u.i] AS DOUBLE) AS epochs,
+             capped[u.i] AS capped
+      FROM fin, UNNEST(range(1, LEN(fin.ds) + 1)) AS u(i)
+      ORDER BY domain"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q173RetrievalEval, q174SemDedup, q175PcaCovariance, q176LabelProp,
       q177Bm25Incremental, q178Boilerplate, q179BpeTrain,
       q180QualityClassifier, q181BigramPerplexity, q182SpanCorruption,
       q183MaxSim, q184GenEval, q185KnPerplexity, q186Winnowing,
       q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi,
-      q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling)
+      q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling,
+      q195MixturePlan)
 }

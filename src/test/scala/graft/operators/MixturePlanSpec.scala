@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-traced waterfilling allocation: cap-and-redistribute rounds,
+  * the all-capped deficit case, and the no-cap proportional case.
+  */
+class MixturePlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def plan(rows: Seq[(String, Long, Double)], budget: Double,
+                   cap: Double) =
+    Curation.mixturePlan(rows.toDF("domain", "n", "w"),
+        "domain", "n", "w", budget, cap)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+
+  test("no caps: pure proportional split") {
+    val out = plan(Seq(("a", 100L, 0.5), ("b", 100L, 0.5)), 100.0, 2.0)
+    assert(out("a") == ((50.0, 0.5, false)))
+    assert(out("b") == ((50.0, 0.5, false)))
+  }
+
+  test("one domain caps and its overflow re-waterfalls") {
+    // weights 0.8/0.2, budget 100, caps: a = 2*10 = 20, b = 2*100 = 200
+    // round 1: a gets 80 >= 20 → capped at 20; round 2: b gets all 80
+    val out = plan(Seq(("a", 10L, 0.8), ("b", 100L, 0.2)), 100.0, 2.0)
+    assert(out("a") == ((20.0, 2.0, true)))
+    assert(out("b")._1 == 80.0 && !out("b")._3)
+  }
+
+  test("cascade: a second domain caps after redistribution") {
+    // caps: a=2, b=40, c=2000. r1: shares 40/40/20 → a capped (2).
+    // r2: remaining 98, shares 49/49 → b capped (40).
+    // r3: c takes the rest (58).
+    val out = plan(
+      Seq(("a", 1L, 0.4), ("b", 20L, 0.4), ("c", 1000L, 0.2)), 100.0, 2.0)
+    assert(out("a") == ((2.0, 2.0, true)))
+    assert(out("b") == ((40.0, 2.0, true)))
+    assert(out("c")._1 == 58.0 && !out("c")._3)
+  }
+
+  test("all-capped leaves a deficit (allocations stay at the caps)") {
+    val out = plan(Seq(("a", 10L, 0.5), ("b", 10L, 0.5)), 1000.0, 2.0)
+    assert(out("a") == ((20.0, 2.0, true)))
+    assert(out("b") == ((20.0, 2.0, true)))
+    assert(out.values.map(_._1).sum == 40.0) // deficit 960 reported upstream
+  }
+
+  test("validation rejects non-positive inputs") {
+    intercept[IllegalArgumentException] {
+      plan(Seq(("a", 0L, 0.5)), 10.0, 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      plan(Seq(("a", 10L, 0.5)), -1.0, 2.0)
+    }
+  }
+}
