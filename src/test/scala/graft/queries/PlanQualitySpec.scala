@@ -442,4 +442,60 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("maxsim: query side broadcasts; top-k window is hash-partitioned") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = (0L until 50L).flatMap(i => Seq((i, Array(1.0f, 0f)),
+      (i, Array(0f, 1.0f)))).toDF("doc_id", "v").repartition(4)
+    val q = Seq((0L, 0, Array(1.0f, 0f))).toDF("qid", "qpos", "v")
+    val p = graft.search.LateInteraction
+      .maxSimTopK(d, "doc_id", q, "qid", "qpos", "v", 5)
+      .queryExecution.executedPlan.toString
+    // the interaction join broadcasts the bounded query side, and the
+    // per-query ranking never plans a global range sort
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("binary Hamming retrieval: query codes broadcast, no range sort") {
+    import spark.implicits._
+    val c = (0L until 100L).map(i => (i, Array.fill(8)(1.0f)))
+      .toDF("id", "v").repartition(4)
+    val q = Seq((0L, Array.fill(8)(1.0f))).toDF("qid", "v")
+    val p = graft.operators.Search
+      .binaryHammingTopK(c, "id", "v", q, "qid", "v", 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("winnowing: selection window partitions by doc, no global sort") {
+    import spark.implicits._
+    val docs = (0L until 20L)
+      .map(i => (i, (0 until 30).map(j => s"w$i$j").mkString(" ")))
+      .toDF("doc_id", "text").repartition(4)
+    val p = graft.operators.Winnowing
+      .fingerprints(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "per-doc window must not globally sort")
+  }
+
+  test("negative sampling: alias table broadcasts; corpus never sorts") {
+    import spark.implicits._
+    val t = graft.functions.NegativeSampling
+      .buildAlias(Seq(("a", 1L), ("b", 3L)))
+    val keys = (0L until 100L).map(Tuple1(_)).toDF("id").repartition(4)
+    val p = graft.functions.NegativeSampling
+      .sampleNegatives(keys, "id", t, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning") &&
+      !p.contains("SortMergeJoin"), p)
+  }
 }
