@@ -54,6 +54,33 @@ object Winnowing {
       .distinct()
   }
 
+  /** Incremental index maintenance (the FAISS-`add`/BM25-merge shape for
+    * fingerprints): winnowing is stateless per document, so a batch's
+    * fingerprints compute in isolation and APPEND to the stored index —
+    * no rebuild, no drift ([[WinnowingSpec]] pins incremental ≡ rebuild;
+    * the q196 gate holds the incremental pair set to the from-scratch
+    * oracle). Returns the new-contamination pairs: batch×index plus
+    * batch×batch — index×index pairs were already reported when those
+    * docs arrived.
+    */
+  def incrementalPairs(index: DataFrame, batchDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int = 5, w: Int = 4,
+                       minShared: Long = 1L): DataFrame = {
+    val batchFp = fingerprints(batchDocs, idCol, textCol, k, w)
+    val all = index.select(col("doc_id"), col("h"))
+      .unionByName(batchFp.select(col("doc_id"), col("h")))
+    val pairs = sharedPairs(all, minShared)
+    val aTag = batchFp.select(col("doc_id").as("doc_a")).distinct()
+      .withColumn("__a_new", lit(true))
+    val bTag = batchFp.select(col("doc_id").as("doc_b")).distinct()
+      .withColumn("__b_new", lit(true))
+    pairs.join(broadcast(aTag), Seq("doc_a"), "left")
+      .join(broadcast(bTag), Seq("doc_b"), "left")
+      .where(col("__a_new").isNotNull || col("__b_new").isNotNull)
+      .select(col("doc_a"), col("doc_b"), col("shared"))
+  }
+
   /** Cross-document contamination candidates: pairs sharing ≥ `minShared`
     * fingerprint hashes. Joins on the hash (bucketed by construction —
     * fingerprints are a sparse sample of the k-gram space), never

@@ -1029,6 +1029,35 @@ object TestQueries15 {
       GROUP BY a.doc_id, b.doc_id
       ORDER BY doc_a, doc_b"""))
 
+  /** Incremental winnowing maintenance —
+    * [[graft.operators.Winnowing.incrementalPairs]]: the corpus splits
+    * doc_id%5 into a stored fingerprint index (4/5) and an arriving
+    * batch (1/5); the batch signs in isolation, appends, and only
+    * batch-touching pairs report. The oracle is the FROM-SCRATCH q187
+    * pair computation filtered to batch-touching pairs — equality
+    * proves the incremental path can never drift from a rebuild
+    * (winnowing is stateless per document).
+    */
+  val q196WinnowIncremental: QueryCase = QueryCase(
+    "q196_winnow_incremental",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val index = graft.operators.Winnowing.fingerprints(
+        docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", k = 5, w = 4)
+      graft.operators.Winnowing
+        .incrementalPairs(index, docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = 5, w = 4)
+        .orderBy("doc_a", "doc_b")
+    },
+    Some(s"""
+      WITH fp AS ($WinnowFpSql),
+      d AS (SELECT DISTINCT doc_id, h FROM fp)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0
+      GROUP BY a.doc_id, b.doc_id
+      ORDER BY doc_a, doc_b"""))
+
   /** Fill-in-the-middle — [[graft.operators.Fim.transform]]: two
     * hash-derived uniform cuts split each document into
     * prefix/middle/suffix; PSM and SPM sentinel orderings emitted. The
@@ -1558,5 +1587,5 @@ object TestQueries15 {
       q183MaxSim, q184GenEval, q185KnPerplexity, q186Winnowing,
       q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi,
       q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling,
-      q195MixturePlan)
+      q195MixturePlan, q196WinnowIncremental)
 }

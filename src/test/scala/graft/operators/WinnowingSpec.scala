@@ -55,6 +55,29 @@ class WinnowingSpec extends SparkSpec {
     assert(a.map(r => (r.getInt(1), r.getLong(2))).distinct.length == a.length)
   }
 
+  test("incremental pairs ≡ rebuild pairs touching the batch; stale index×index pairs excluded") {
+    val shared = words(W + K - 1, "s")
+    val indexDocs = Seq(
+      (1L, words(20, "a") + " " + shared),
+      (2L, words(20, "b") + " " + shared)) // 1-2 is an index×index pair
+      .toDF("doc_id", "text")
+    val batchDocs = Seq(
+      (3L, words(20, "c") + " " + shared),
+      (4L, words(30, "d"))) // no overlap
+      .toDF("doc_id", "text")
+    val index = Winnowing.fingerprints(indexDocs, "doc_id", "text", K, W)
+    val inc = Winnowing
+      .incrementalPairs(index, batchDocs, "doc_id", "text", K, W)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch doc 3 pairs with both index docs; 1-2 must NOT re-report
+    assert(inc == Set((1L, 3L), (2L, 3L)))
+    val rebuild = Winnowing.sharedPairs(Winnowing.fingerprints(
+        indexDocs.unionByName(batchDocs), "doc_id", "text", K, W))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rebuild == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(inc == rebuild.filter(p => p._1 >= 3L || p._2 >= 3L))
+  }
+
   test("density: fingerprints are far fewer than k-grams on long docs") {
     val doc = Seq((1L, words(200, "v"))).toDF("doc_id", "text")
     val n = Winnowing.fingerprints(doc, "doc_id", "text", K, W).count()
