@@ -295,6 +295,44 @@ object Curation {
       .limit(k)
   }
 
+  /** Group-relative advantage normalization (GRPO batch prep — Shao et
+    * al. 2024, DeepSeekMath §4.1: the critic-free advantage is the
+    * group-standardized reward): per group,
+    *
+    *   A_i = (r_i − mean(r)) / (std(r) + ε)
+    *
+    * with population std and a small ε guard for degenerate groups.
+    *
+    * Determinism: rewards are expected to be fixed-decimal scores (the
+    * engine's quality/ROUND(6) family); Σr and Σr² accumulate in
+    * DECIMAL — exact integer algebra at any group size and orientation
+    * — so mean/variance are fixed single-rounded double chains and the
+    * per-row advantage compares RAW cross-engine. One map-side
+    * combinable groupBy + a broadcastable per-group stats join; no
+    * windows.
+    */
+  def groupAdvantage(df: DataFrame, groupCol: String, idCol: String,
+                     rewardCol: String, eps: Double = 1e-4): DataFrame = {
+    require(eps >= 0.0, "eps must be non-negative")
+    val dec = org.apache.spark.sql.types.DecimalType(16, 6)
+    val g = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      col(rewardCol).as("r"))
+    val stats = g.groupBy("grp").agg(
+        count(lit(1)).as("n"),
+        sum(col("r").cast(dec)).as("sr"),
+        sum(col("r").cast(dec) * col("r").cast(dec)).as("sr2"))
+      .select(col("grp"),
+        (col("sr").cast("double") / col("n")).as("mean_r"),
+        (col("sr2").cast("double") / col("n")).as("ex2"))
+      .withColumn("std_r",
+        sqrt(greatest(col("ex2") - col("mean_r") * col("mean_r"), lit(0.0))))
+    g.join(broadcast(stats.select("grp", "mean_r", "std_r")), Seq("grp"))
+      .select(col("grp"), col("id"), col("r").as("reward"),
+        col("mean_r"), col("std_r"),
+        ((col("r") - col("mean_r")) / (col("std_r") + lit(eps)))
+          .as("advantage"))
+  }
+
   /** Epoch-capped mixture allocation by iterative waterfilling — the
     * planner that turns mixture WEIGHTS (e.g. [[graft.operators.CorpusLm
     * .doremiWeights]]) into executable per-domain token budgets: each

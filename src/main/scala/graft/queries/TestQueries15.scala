@@ -1029,6 +1029,65 @@ object TestQueries15 {
       GROUP BY a.doc_id, b.doc_id
       ORDER BY doc_a, doc_b"""))
 
+  /** GRPO group-relative advantage —
+    * [[graft.operators.Curation.groupAdvantage]] over the q26 quality
+    * reward, grouped by (source:lang): A = (r − mean)/(std + ε) with
+    * DECIMAL-exact Σr/Σr², fixed single-rounded mean/variance chains,
+    * and an ε = 1e-4 degenerate-group guard. RAW compare.
+    */
+  val q197GroupAdvantage: QueryCase = QueryCase(
+    "q197_group_advantage",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val scored = Tables.documents(s, dir).select(
+        concat(col("source"), lit(":"), col("lang")).as("grp"),
+        col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("q"))
+      graft.operators.Curation
+        .groupAdvantage(scored, "grp", "doc_id", "q")
+        .select(col("grp"), col("id").as("doc_id"), col("reward"),
+          col("mean_r"), col("std_r"), col("advantage"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, text, source || ':' || lang AS grp,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      c AS (
+        SELECT doc_id, grp,
+          LEAST(CAST(LEN(tk) AS DOUBLE) / 50, 1.0) AS len_score,
+          GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+            ELSE CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / LENGTH(text) END) * 5) AS punct_pen,
+          GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+            ELSE CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / LENGTH(text) END) * 5) AS digit_pen,
+          CASE WHEN LEN(tk) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE) / LEN(tk) END AS mtl
+        FROM toks),
+      scored AS (
+        SELECT doc_id, grp,
+          ROUND(len_score * 0.4 + punct_pen * 0.2 + digit_pen * 0.2 +
+            (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0
+                  WHEN mtl = 0 THEN 0.0 ELSE 0.5 END) * 0.2, 6) AS q
+        FROM c),
+      stats AS (
+        SELECT grp, COUNT(*) AS n,
+          CAST(SUM(CAST(q AS DECIMAL(16, 6))) AS DOUBLE) / COUNT(*)
+            AS mean_r,
+          CAST(SUM(CAST(q AS DECIMAL(16, 6)) * CAST(q AS DECIMAL(16, 6)))
+            AS DOUBLE) / COUNT(*) AS ex2
+        FROM scored GROUP BY grp),
+      std AS (
+        SELECT grp, mean_r,
+          sqrt(GREATEST(ex2 - mean_r * mean_r, CAST(0.0 AS DOUBLE)))
+            AS std_r
+        FROM stats)
+      SELECT s.grp, s.doc_id, s.q AS reward, t.mean_r, t.std_r,
+             (s.q - t.mean_r) / (t.std_r + 0.0001) AS advantage
+      FROM scored s JOIN std t USING (grp)
+      ORDER BY s.doc_id"""))
+
   /** Incremental winnowing maintenance —
     * [[graft.operators.Winnowing.incrementalPairs]]: the corpus splits
     * doc_id%5 into a stored fingerprint index (4/5) and an arriving
@@ -1587,5 +1646,5 @@ object TestQueries15 {
       q183MaxSim, q184GenEval, q185KnPerplexity, q186Winnowing,
       q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi,
       q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling,
-      q195MixturePlan, q196WinnowIncremental)
+      q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage)
 }

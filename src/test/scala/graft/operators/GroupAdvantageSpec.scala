@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-traced GRPO group-relative advantage. */
+class GroupAdvantageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    ("g1", 1L, 1.0), ("g1", 2L, 2.0), ("g1", 3L, 3.0),
+    ("g2", 4L, 0.5), ("g2", 5L, 0.5))   // zero-variance group
+    .toDF("grp", "id", "r")
+
+  private lazy val out = Curation
+    .groupAdvantage(rows, "grp", "id", "r", eps = 1e-4)
+    .collect().map(r => r.getLong(1) -> r).toMap
+
+  test("advantage standardizes within the group") {
+    // g1: mean 2, population std sqrt(2/3)
+    val std = math.sqrt(2.0 / 3.0)
+    assert(out(1L).getAs[Double]("mean_r") == 2.0)
+    assert(math.abs(out(1L).getAs[Double]("std_r") - std) < 1e-12)
+    assert(math.abs(out(1L).getAs[Double]("advantage")
+      - (-1.0 / (std + 1e-4))) < 1e-12)
+    assert(out(2L).getAs[Double]("advantage") == 0.0)
+    assert(out(3L).getAs[Double]("advantage") ==
+      -out(1L).getAs[Double]("advantage"))
+  }
+
+  test("zero-variance group: eps guard keeps advantages finite (zero)") {
+    assert(out(4L).getAs[Double]("std_r") == 0.0)
+    assert(out(4L).getAs[Double]("advantage") == 0.0)
+    assert(!out(5L).getAs[Double]("advantage").isNaN)
+  }
+
+  test("group advantages sum to ~zero") {
+    val g1 = Seq(1L, 2L, 3L).map(out(_).getAs[Double]("advantage")).sum
+    assert(math.abs(g1) < 1e-12)
+  }
+}
