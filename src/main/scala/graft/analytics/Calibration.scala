@@ -1,0 +1,87 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Isotonic (PAV) score calibration — Zadrozny & Elkan 2002's
+  * recommendation for turning ranking scores into probabilities: bin
+  * (score, binary-label) pairs, then pool adjacent violators until the
+  * per-bin positive rate is monotone non-decreasing in score. The
+  * calibration layer between a retrieval/quality scorer and anything
+  * that thresholds on "probability relevant".
+  *
+  * The binning pass is distributed (one map-side-combinable groupBy over
+  * the pairs); PAV itself runs driver-side over the collected BIN table
+  * — a bounded-B contract (B = `bins`, typically ≤ a few hundred), the
+  * same shape as the Vose alias build and the k-means eigensolve.
+  *
+  * Determinism: bin counts are exact integers; the violation test
+  * compares pooled means by integer CROSS-MULTIPLICATION
+  * (p₁·n₂ ≥ p₂·n₁), so pooling decisions never touch floating point;
+  * only the final calibrated value is one double division. The oracle
+  * replays the push/merge loop as a one-action-per-iteration recursive
+  * CTE state machine.
+  */
+object Calibration {
+
+  /** Per-bin PAV table: (bin, n, pos, rate, calibrated), ascending bin.
+    * Empty bins are absent (no evidence — appliers fall back to the
+    * nearest populated bin below via the step-function semantics).
+    */
+  def isotonicBinned(pairs: DataFrame, scoreCol: String, labelCol: String,
+                     bins: Int = 20, lo: Double = -1.0,
+                     hi: Double = 1.0): DataFrame = {
+    require(bins >= 1 && hi > lo, "need at least one bin and hi > lo")
+    val width = (hi - lo) / bins
+    val binned = pairs.select(
+        greatest(lit(0), least(lit(bins - 1),
+          floor((col(scoreCol) - lit(lo)) / lit(width)).cast("int")))
+          .as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // PAV over the present bins: blocks of (startIdx, n, pos); merge while
+    // the previous block's mean >= the top's (integer cross-multiplied)
+    val stack = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    binned.indices.foreach { i =>
+      stack += ((i, binned(i)._2, binned(i)._3))
+      var merging = true
+      while (merging && stack.size >= 2) {
+        val (s2, n2, p2) = stack(stack.size - 2)
+        val (_, n1, p1) = stack(stack.size - 1)
+        if (p2 * n1 >= p1 * n2) {
+          stack.remove(stack.size - 1); stack.remove(stack.size - 1)
+          stack += ((s2, n2 + n1, p2 + p1))
+        } else merging = false
+      }
+    }
+    // expand blocks back to bins
+    val calib = new Array[Double](binned.length)
+    stack.zipWithIndex.foreach { case ((start, n, p), k) =>
+      val end = if (k + 1 < stack.size) stack(k + 1)._1 else binned.length
+      (start until end).foreach(i => calib(i) = p.toDouble / n.toDouble)
+    }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    binned.indices.map { i =>
+      val (b, n, p) = binned(i)
+      (b, n, p, p.toDouble / n.toDouble, calib(i))
+    }.toDF("bin", "n", "pos", "rate", "calibrated")
+  }
+
+  /** Apply a fitted table: map scores to their bin's calibrated value
+    * (broadcast join — the table is B rows).
+    */
+  def applyCalibration(df: DataFrame, scoreCol: String, table: DataFrame,
+                       bins: Int = 20, lo: Double = -1.0,
+                       hi: Double = 1.0): DataFrame = {
+    val width = (hi - lo) / bins
+    df.withColumn("bin",
+        greatest(lit(0), least(lit(bins - 1),
+          floor((col(scoreCol) - lit(lo)) / lit(width)).cast("int"))))
+      .join(broadcast(table.select(col("bin"), col("calibrated"))),
+        Seq("bin"), "left")
+  }
+}

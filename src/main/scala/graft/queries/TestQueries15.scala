@@ -1029,6 +1029,96 @@ object TestQueries15 {
       GROUP BY a.doc_id, b.doc_id
       ORDER BY doc_a, doc_b"""))
 
+  /** Isotonic (PAV) calibration — [[graft.analytics.Calibration
+    * .isotonicBinned]]: cosine scores of (held-out query × corpus)
+    * embedding pairs calibrate against same-label relevance over a
+    * 20-bin [−1, 1] grid. Pooling decisions are INTEGER
+    * cross-multiplications (no float in the merge test); the oracle
+    * replays the push/merge loop as a one-action-per-iteration
+    * recursive-CTE state machine over the bin lists. Only the final
+    * calibrated value is one double division — RAW compare.
+    */
+  val q198Isotonic: QueryCase = QueryCase(
+    "q198_isotonic",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val q = e.where(col("vec_id") % 25 === 0)
+        .select(col("label").as("q_label"), col("v").as("qv"))
+      val pairs = e.where(col("vec_id") % 25 =!= 0)
+        .crossJoin(broadcast(q))
+        .select(VectorFunctions.cosineSimHof(col("qv"), col("v")).as("score"),
+          (col("label") === col("q_label")).cast("long").as("y"))
+      graft.analytics.Calibration
+        .isotonicBinned(pairs, "score", "y", bins = 20, lo = -1.0, hi = 1.0)
+        .orderBy("bin")
+    },
+    Some(s"""
+      WITH RECURSIVE e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT label AS q_label, v AS qv FROM e WHERE vec_id % 25 = 0),
+      c AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+      scored AS (
+        SELECT
+          list_reduce(list_transform(q.qv, (x, i) -> x * c.v[i]),
+                      (s, t) -> s + t) /
+          (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                            (s, t) -> s + t)) *
+           sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                            (s, t) -> s + t))) AS score,
+          CASE WHEN c.label = q.q_label THEN 1 ELSE 0 END AS y
+        FROM c CROSS JOIN q),
+      binned AS (
+        SELECT GREATEST(0, LEAST(19,
+                 CAST(FLOOR((score - CAST(-1.0 AS DOUBLE)) /
+                   CAST(0.1 AS DOUBLE)) AS INT))) AS bin,
+               COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM scored GROUP BY 1),
+      inp AS (
+        SELECT list(bin ORDER BY bin) AS bs,
+               list(n ORDER BY bin) AS nsin,
+               list(pos ORDER BY bin) AS psin
+        FROM binned),
+      st AS (
+        SELECT 1 AS idx, CAST([] AS BIGINT[]) AS ns,
+               CAST([] AS BIGINT[]) AS ps, CAST([] AS INTEGER[]) AS ss,
+               bs, nsin, psin
+        FROM inp
+        UNION ALL
+        SELECT
+          CASE WHEN viol THEN idx ELSE idx + 1 END,
+          CASE WHEN viol THEN ns[1:LEN(ns)-2] || [ns[-2] + ns[-1]]
+               ELSE ns || [nsin[idx]] END,
+          CASE WHEN viol THEN ps[1:LEN(ps)-2] || [ps[-2] + ps[-1]]
+               ELSE ps || [psin[idx]] END,
+          CASE WHEN viol THEN ss[1:LEN(ss)-1]
+               ELSE ss || [CAST(idx AS INT)] END,
+          bs, nsin, psin
+        FROM (SELECT *,
+                LEN(ns) >= 2 AND ps[-2] * ns[-1] >= ps[-1] * ns[-2] AS viol
+              FROM st)
+        WHERE viol OR idx <= LEN(nsin)),
+      fin AS (
+        SELECT * FROM st
+        WHERE idx > LEN(nsin)
+          AND NOT (LEN(ns) >= 2 AND ps[-2] * ns[-1] >= ps[-1] * ns[-2])
+        ORDER BY idx DESC LIMIT 1),
+      blocks AS (
+        SELECT k.k, f.ss[k.k] AS startpos,
+               CASE WHEN k.k < LEN(f.ss) THEN f.ss[k.k + 1]
+                 ELSE LEN(f.nsin) + 1 END AS endpos,
+               CAST(f.ps[k.k] AS DOUBLE) / f.ns[k.k] AS calibrated
+        FROM fin f, UNNEST(range(1, LEN(f.ss) + 1)) AS k(k))
+      SELECT i.bs[p.p] AS bin, i.nsin[p.p] AS n, i.psin[p.p] AS pos,
+             CAST(i.psin[p.p] AS DOUBLE) / i.nsin[p.p] AS rate,
+             b.calibrated
+      FROM inp i, UNNEST(range(1, LEN(i.bs) + 1)) AS p(p)
+      JOIN blocks b ON p.p >= b.startpos AND p.p < b.endpos
+      ORDER BY bin"""))
+
   /** GRPO group-relative advantage —
     * [[graft.operators.Curation.groupAdvantage]] over the q26 quality
     * reward, grouped by (source:lang): A = (r − mean)/(std + ε) with
@@ -1646,5 +1736,6 @@ object TestQueries15 {
       q183MaxSim, q184GenEval, q185KnPerplexity, q186Winnowing,
       q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi,
       q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling,
-      q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage)
+      q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage,
+      q198Isotonic)
 }

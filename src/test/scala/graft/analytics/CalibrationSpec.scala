@@ -1,0 +1,67 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Hand-traced PAV pooling: violation merges, cascades, monotone
+  * output, and mass conservation.
+  */
+class CalibrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // scores land in bins 0..3 of a 4-bin [0,1) grid; rates 1.0, 0.0,
+  // 0.5, 1.0 — bins 0-2 violate monotonicity and must pool
+  private val pairs = Seq(
+    (0.1, 1L), (0.1, 1L),              // bin 0: 2/2
+    (0.3, 0L), (0.3, 0L),              // bin 1: 0/2
+    (0.6, 1L), (0.6, 0L),              // bin 2: 1/2
+    (0.9, 1L), (0.9, 1L))              // bin 3: 2/2
+    .toDF("score", "y")
+
+  private lazy val table = Calibration
+    .isotonicBinned(pairs, "score", "y", bins = 4, lo = 0.0, hi = 1.0)
+    .collect().map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+
+  test("violating bins pool; calibrated output is monotone") {
+    // PAV pools bins 0,1,2 → 3/6 = 0.5; bin 3 stays 1.0
+    assert(table(0)._3 == 0.5 && table(1)._3 == 0.5 && table(2)._3 == 0.5)
+    assert(table(3)._3 == 1.0)
+    val vals = table.toSeq.sortBy(_._1).map(_._2._3)
+    assert(vals == vals.sorted)
+  }
+
+  test("pooled means conserve mass") {
+    val totalPos = table.values.map(_._2).sum
+    val weighted = table.values.map { case (n, _, c) => n * c }.sum
+    assert(math.abs(weighted - totalPos) < 1e-9)
+  }
+
+  test("already-monotone input is untouched") {
+    val mono = Seq((0.1, 0L), (0.4, 0L), (0.4, 1L), (0.9, 1L))
+      .toDF("score", "y")
+    val t = Calibration.isotonicBinned(mono, "score", "y",
+        bins = 4, lo = 0.0, hi = 1.0)
+      .collect().map(r => r.getInt(0) -> r.getDouble(4)).toMap
+    assert(t(0) == 0.0 && t(1) == 0.5 && t(3) == 1.0)
+  }
+
+  test("applyCalibration maps scores through the fitted step function") {
+    val t = Calibration.isotonicBinned(pairs, "score", "y",
+      bins = 4, lo = 0.0, hi = 1.0)
+    val applied = Calibration.applyCalibration(
+        Seq(Tuple1(0.35), Tuple1(0.95)).toDF("score"), "score", t,
+        bins = 4, lo = 0.0, hi = 1.0)
+      .collect().map(r => r.getAs[Double]("calibrated"))
+    assert(applied.toSeq == Seq(0.5, 1.0))
+  }
+
+  test("out-of-range scores clamp to the edge bins") {
+    val t = Calibration.isotonicBinned(pairs, "score", "y",
+      bins = 4, lo = 0.0, hi = 1.0)
+    val applied = Calibration.applyCalibration(
+        Seq(Tuple1(-5.0), Tuple1(5.0)).toDF("score"), "score", t,
+        bins = 4, lo = 0.0, hi = 1.0)
+      .collect().map(r => r.getAs[Double]("calibrated"))
+    assert(applied.toSeq == Seq(0.5, 1.0))
+  }
+}
