@@ -71,6 +71,42 @@ object Calibration {
     }.toDF("bin", "n", "pos", "rate", "calibrated")
   }
 
+  /** Expected / maximum calibration error over the same bin grid
+    * (Naeini et al. 2015), midpoint-confidence variant: each bin's
+    * confidence is its grid midpoint (deterministic — the mean-score
+    * variant would put an order-dependent double sum in the result),
+    * ECE = Σ_b (n_b/N)·|rate_b − mid_b| folded in ascending-bin order,
+    * MCE = max_b |rate_b − mid_b|. Fully in-engine: one groupBy over
+    * the pairs, then a single-row ordered fold over the bounded bin
+    * table. Output: one row (n_bins, n_pairs, ece, mce).
+    */
+  def calibrationError(pairs: DataFrame, scoreCol: String, labelCol: String,
+                       bins: Int = 20, lo: Double = -1.0,
+                       hi: Double = 1.0): DataFrame = {
+    require(bins >= 1 && hi > lo, "need at least one bin and hi > lo")
+    val width = (hi - lo) / bins
+    val b = pairs.select(
+        greatest(lit(0), least(lit(bins - 1),
+          floor((col(scoreCol) - lit(lo)) / lit(width)).cast("int")))
+          .as("bin"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val total = b.agg(sum(col("n")).as("total"))
+    val gap = abs(col("pos").cast("double") / col("n") -
+      (lit(lo) + (col("bin") + lit(0.5)) * lit(width)))
+    b.crossJoin(broadcast(total))
+      .select(col("bin"), col("n"), col("total"),
+        gap.as("gap"),
+        ((col("n").cast("double") / col("total")) * gap).as("contrib"))
+      .agg(count(lit(1)).as("n_bins"), max(col("total")).as("n_pairs"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("bin"),
+            col("contrib")))), s => s.getField("contrib")),
+          lit(0.0), (acc, x) => acc + x).as("ece"),
+        max(col("gap")).as("mce"))
+  }
+
   /** Apply a fitted table: map scores to their bin's calibrated value
     * (broadcast join — the table is B rows).
     */

@@ -1119,6 +1119,68 @@ object TestQueries15 {
       JOIN blocks b ON p.p >= b.startpos AND p.p < b.endpos
       ORDER BY bin"""))
 
+  /** Expected/maximum calibration error —
+    * [[graft.analytics.Calibration.calibrationError]] over the q198
+    * pair/bin chain (midpoint-confidence variant for determinism):
+    * ECE folds bin contributions in ascending-bin order, MCE is an
+    * exact max. RAW compare.
+    */
+  val q199Ece: QueryCase = QueryCase(
+    "q199_ece",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val q = e.where(col("vec_id") % 25 === 0)
+        .select(col("label").as("q_label"), col("v").as("qv"))
+      val pairs = e.where(col("vec_id") % 25 =!= 0)
+        .crossJoin(broadcast(q))
+        .select(VectorFunctions.cosineSimHof(col("qv"), col("v")).as("score"),
+          (col("label") === col("q_label")).cast("long").as("y"))
+      graft.analytics.Calibration
+        .calibrationError(pairs, "score", "y", bins = 20, lo = -1.0,
+          hi = 1.0)
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT label AS q_label, v AS qv FROM e WHERE vec_id % 25 = 0),
+      c AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+      scored AS (
+        SELECT
+          list_reduce(list_transform(q.qv, (x, i) -> x * c.v[i]),
+                      (s, t) -> s + t) /
+          (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                            (s, t) -> s + t)) *
+           sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                            (s, t) -> s + t))) AS score,
+          CASE WHEN c.label = q.q_label THEN 1 ELSE 0 END AS y
+        FROM c CROSS JOIN q),
+      binned AS (
+        SELECT GREATEST(0, LEAST(19,
+                 CAST(FLOOR((score - CAST(-1.0 AS DOUBLE)) /
+                   CAST(0.1 AS DOUBLE)) AS INT))) AS bin,
+               COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        FROM scored GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM binned),
+      contribs AS (
+        SELECT bin, n, total,
+          ABS(CAST(pos AS DOUBLE) / n -
+            (CAST(-1.0 AS DOUBLE) + (bin + 0.5) * CAST(0.1 AS DOUBLE)))
+            AS gap,
+          (CAST(n AS DOUBLE) / total) *
+            ABS(CAST(pos AS DOUBLE) / n -
+              (CAST(-1.0 AS DOUBLE) + (bin + 0.5) * CAST(0.1 AS DOUBLE)))
+            AS contrib
+        FROM binned CROSS JOIN tot)
+      SELECT COUNT(*) AS n_bins, MAX(total) AS n_pairs,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(contrib ORDER BY bin)), (a, b) -> a + b) AS ece,
+             MAX(gap) AS mce
+      FROM contribs"""))
+
   /** GRPO group-relative advantage —
     * [[graft.operators.Curation.groupAdvantage]] over the q26 quality
     * reward, grouped by (source:lang): A = (r − mean)/(std + ε) with
@@ -1737,5 +1799,5 @@ object TestQueries15 {
       q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi,
       q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling,
       q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage,
-      q198Isotonic)
+      q198Isotonic, q199Ece)
 }

@@ -55,6 +55,18 @@ class CalibrationSpec extends SparkSpec {
     assert(applied.toSeq == Seq(0.5, 1.0))
   }
 
+  test("calibration error: hand-computed ECE/MCE on the 4-bin fixture") {
+    val out = Calibration.calibrationError(pairs, "score", "y",
+      bins = 4, lo = 0.0, hi = 1.0).collect().head
+    // bins (rate, mid): 0:(1.0,0.125) 1:(0.0,0.375) 2:(0.5,0.625) 3:(1.0,0.875)
+    val gaps = Seq(1.0 - 0.125, 0.375 - 0.0, 0.625 - 0.5, 1.0 - 0.875)
+    val ece = gaps.map(_ * 2.0 / 8.0).sum
+    assert(out.getAs[Long]("n_bins") == 4L)
+    assert(out.getAs[Long]("n_pairs") == 8L)
+    assert(math.abs(out.getAs[Double]("ece") - ece) < 1e-12)
+    assert(out.getAs[Double]("mce") == 0.875)
+  }
+
   test("out-of-range scores clamp to the edge bins") {
     val t = Calibration.isotonicBinned(pairs, "score", "y",
       bins = 4, lo = 0.0, hi = 1.0)
