@@ -115,4 +115,67 @@ object RetrievalEval {
       round(avg("recall"), 6).as("macro_recall"),
       round(avg("mrr"), 6).as("macro_mrr"),
       round(avg("ndcg"), 6).as("macro_ndcg"))
+
+  /** Percentile-bootstrap confidence interval for a per-query metric
+    * (Efron's nonparametric bootstrap — the error bar every eval
+    * comparison needs before "model A beats model B" means anything):
+    * `b` resamples draw |Q| queries with replacement via bit-exact
+    * md5-hash uniforms, each resample's mean folds in slot order, and
+    * the CI endpoints are EXPLICIT order statistics of the sorted
+    * resample means (ranks ⌊α·b⌋ and b+1−⌊α·b⌋, 1-based; no
+    * interpolation — deterministic and engine-neutral).
+    *
+    * The eval set is bounded by contract ([[graft.plans.Bounded.guard]]
+    * enforces it loudly), so the slot-indexing window and the b-row
+    * means table are small; resampling itself is a (b×|Q|)-row join
+    * against the broadcast slot table — distributed, no driver loop.
+    *
+    * Output: one row (n_queries, n_resamples, mean, ci_lo, ci_hi).
+    */
+  def bootstrapCi(perQuery0: DataFrame, queryCol: String, metricCol: String,
+                  b: Int = 200, alpha: Double = 0.025,
+                  salt: String = "boot"): DataFrame = {
+    require(b >= 2 && alpha > 0 && alpha < 0.5, "need b >= 2, 0 < alpha < 0.5")
+    val loRank = math.max(1, (alpha * b).toInt)
+    val hiRank = b + 1 - loRank
+    val perQuery = graft.plans.Bounded.guard(
+      perQuery0.select(col(queryCol).as("qid"),
+        col(metricCol).cast("double").as("m")),
+      "RetrievalEval.bootstrapCi")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("qid")
+    val idxd = perQuery.withColumn("i", row_number().over(w))
+    val qn = idxd.agg(max(col("i")).as("qn"))
+    val draws = idxd.select(col("i").as("slot"))
+      .crossJoin(broadcast(qn))
+      .select(col("slot"), col("qn"),
+        explode(sequence(lit(1), lit(b))).as("rb"))
+      .withColumn("u", graft.functions.NegativeSampling.hashUniform(
+        concat(lit(salt), lit(":"), col("rb").cast("string"), lit(":"),
+          col("slot").cast("string")), ""))
+      .withColumn("pick",
+        least(floor(col("u") * col("qn")).cast("int") + 1, col("qn")))
+    val sampled = draws.join(broadcast(idxd.select(col("i").as("pick"),
+      col("m"))), Seq("pick"))
+    val means = sampled.groupBy("rb")
+      .agg((aggregate(
+        transform(array_sort(collect_list(struct(col("slot"), col("m")))),
+          s => s.getField("m")),
+        lit(0.0), (acc, x) => acc + x) / max(col("qn"))).as("bmean"))
+    val mw = org.apache.spark.sql.expressions.Window.orderBy("bmean", "rb")
+    val ranked = means.withColumn("rn", row_number().over(mw))
+    val lo = ranked.where(col("rn") === loRank)
+      .select(col("bmean").as("ci_lo"))
+    val hi = ranked.where(col("rn") === hiRank)
+      .select(col("bmean").as("ci_hi"))
+    val full = idxd.agg(
+      count(lit(1)).as("n_queries"),
+      (aggregate(
+        transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          s => s.getField("m")),
+        lit(0.0), (acc, x) => acc + x) / count(lit(1))).as("mean"))
+    full.withColumn("n_resamples", lit(b))
+      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_queries"), col("n_resamples"), col("mean"),
+        col("ci_lo"), col("ci_hi"))
+  }
 }

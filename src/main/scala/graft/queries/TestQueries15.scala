@@ -1181,6 +1181,128 @@ object TestQueries15 {
              MAX(gap) AS mce
       FROM contribs"""))
 
+  /** Percentile-bootstrap CI for Recall@10 —
+    * [[graft.analytics.RetrievalEval.bootstrapCi]] over the q173
+    * retriever's per-query recall: 200 hash-uniform resamples,
+    * slot-ordered mean folds, explicit order-statistic endpoints
+    * (ranks 5/196). The oracle replays the q173 per-query chain and
+    * the full resampling arithmetic. RAW compare.
+    */
+  val q200BootstrapCi: QueryCase = {
+    val k = 10
+    QueryCase(
+      "q200_bootstrap_ci",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(
+          col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        val queries = e.where(col("vec_id") % 25 === 0)
+          .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+            col("v").as("qv"))
+        val corpus = e.where(col("vec_id") % 25 =!= 0)
+        val scored = queries.crossJoin(corpus)
+          .withColumn("csim",
+            graft.functions.VectorFunctions.cosineSimHof(col("qv"), col("v")))
+        val ranked = scored
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+              .orderBy(desc("csim"), col("vec_id"))))
+          .where(col("rank") <= k)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+        val relevant = queries.select(col("query_id"), col("q_label"))
+          .join(corpus.select(col("vec_id"), col("label").as("q_label")),
+            Seq("q_label"))
+          .select(col("query_id"), col("vec_id"))
+        val perQuery = graft.analytics.RetrievalEval
+          .metrics(ranked, relevant, "query_id", "vec_id", "rank", k)
+          .select(col("query_id"), col("recall"))
+        graft.analytics.RetrievalEval
+          .bootstrapCi(perQuery, "query_id", "recall", b = 200)
+      },
+      Some {
+        val unif = {
+          val sh = graft.functions.CrossHash.hugeToSignedSql(
+            graft.functions.CrossHash.md5Hash64SqlU(
+              "'boot:' || CAST(rb AS VARCHAR) || ':' || CAST(slot AS VARCHAR)"))
+          s"""((CAST($sh AS DOUBLE)
+               + CASE WHEN $sh < 0 THEN 18446744073709551616.0
+                   ELSE 0.0 END + 0.5) / 18446744073709551616.0)"""
+        }
+        s"""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        queries AS (
+          SELECT vec_id AS query_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id % 25 = 0),
+        corpus AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+            list_reduce(list_transform(q.qv, (x, i) -> x * c.v[i]),
+                        (s, t) -> s + t) /
+            (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                              (s, t) -> s + t)) *
+             sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                              (s, t) -> s + t))) AS csim
+          FROM queries q CROSS JOIN corpus c),
+        ranked AS (
+          SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY csim DESC, vec_id) AS rank
+            FROM scored) WHERE rank <= $k),
+        relevant AS (
+          SELECT q.query_id, c.vec_id
+          FROM queries q JOIN corpus c ON c.label = q.q_label),
+        n_rel AS (
+          SELECT query_id, COUNT(*) AS n_rel FROM relevant GROUP BY 1),
+        hits AS (
+          SELECT r.query_id, COUNT(rel.vec_id) AS hits
+          FROM ranked r
+          LEFT JOIN relevant rel
+            ON rel.query_id = r.query_id AND rel.vec_id = r.vec_id
+          GROUP BY r.query_id),
+        recall AS (
+          SELECT h.query_id AS qid,
+                 ROUND(CAST(h.hits AS DOUBLE) / n.n_rel, 6) AS m
+          FROM hits h JOIN n_rel n USING (query_id)),
+        idxd AS (
+          SELECT qid, m, CAST(ROW_NUMBER() OVER (ORDER BY qid) AS INT) AS i
+          FROM recall),
+        qn AS (SELECT CAST(MAX(i) AS INT) AS qn FROM idxd),
+        draws AS (
+          SELECT s.i AS slot, CAST(r.rb AS INT) AS rb, q.qn
+          FROM idxd s, UNNEST(range(1, 201)) AS r(rb), qn q),
+        picked AS (
+          SELECT rb, slot, qn,
+            LEAST(CAST(FLOOR($unif * qn) AS INT) + 1, qn) AS pick
+          FROM draws),
+        sampled AS (
+          SELECT p.rb, p.slot, p.qn, x.m
+          FROM picked p JOIN idxd x ON x.i = p.pick),
+        means AS (
+          SELECT rb,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(m ORDER BY slot)), (a, b) -> a + b) / MAX(qn) AS bmean
+          FROM sampled GROUP BY rb),
+        rankedm AS (
+          SELECT bmean,
+                 ROW_NUMBER() OVER (ORDER BY bmean, rb) AS rn
+          FROM means),
+        fullm AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list(m ORDER BY i)), (a, b) -> a + b) / COUNT(*) AS mean
+          FROM idxd)
+        SELECT f.n_queries, CAST(200 AS INT) AS n_resamples, f.mean,
+               lo.bmean AS ci_lo, hi.bmean AS ci_hi
+        FROM fullm f,
+             (SELECT bmean FROM rankedm WHERE rn = 5) lo,
+             (SELECT bmean FROM rankedm WHERE rn = 196) hi"""
+      })
+  }
+
   /** GRPO group-relative advantage —
     * [[graft.operators.Curation.groupAdvantage]] over the q26 quality
     * reward, grouped by (source:lang): A = (r − mean)/(std + ε) with
@@ -1799,5 +1921,5 @@ object TestQueries15 {
       q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi,
       q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling,
       q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage,
-      q198Isotonic, q199Ece)
+      q198Isotonic, q199Ece, q200BootstrapCi)
 }

@@ -1,0 +1,50 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Bootstrap-CI properties (resample picks are md5-derived, so the spec
+  * pins the estimator's invariants rather than literal draws).
+  */
+class BootstrapCiSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val varied = (1L to 20L).map(i => (i, (i % 5).toDouble / 4.0))
+    .toDF("qid", "m")
+
+  test("CI brackets are ordered and the point estimate is the exact mean") {
+    val out = RetrievalEval.bootstrapCi(varied, "qid", "m", b = 200)
+      .collect().head
+    assert(out.getAs[Long]("n_queries") == 20L)
+    assert(out.getAs[Int]("n_resamples") == 200)
+    val mean = (1L to 20L).map(i => (i % 5).toDouble / 4.0).sum / 20.0
+    assert(out.getAs[Double]("mean") == mean)
+    assert(out.getAs[Double]("ci_lo") <= out.getAs[Double]("ci_hi"))
+    assert(out.getAs[Double]("ci_lo") <= mean + 1e-12 &&
+      out.getAs[Double]("ci_hi") >= mean - 1e-12)
+  }
+
+  test("constant metric collapses the interval to the constant") {
+    val const = (1L to 10L).map(i => (i, 0.7)).toDF("qid", "m")
+    val out = RetrievalEval.bootstrapCi(const, "qid", "m", b = 50)
+      .collect().head
+    assert(out.getAs[Double]("ci_lo") == out.getAs[Double]("ci_hi"))
+    assert(out.getAs[Double]("ci_lo") == out.getAs[Double]("mean"))
+  }
+
+  test("resampling is deterministic across invocations") {
+    val a = RetrievalEval.bootstrapCi(varied, "qid", "m", b = 100)
+      .collect().head.toString
+    val c = RetrievalEval.bootstrapCi(varied, "qid", "m", b = 100)
+      .collect().head.toString
+    assert(a == c)
+  }
+
+  test("parameter validation") {
+    intercept[IllegalArgumentException] {
+      RetrievalEval.bootstrapCi(varied, "qid", "m", b = 1)
+    }
+    intercept[IllegalArgumentException] {
+      RetrievalEval.bootstrapCi(varied, "qid", "m", alpha = 0.6)
+    }
+  }
+}
