@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property invariants for the session's new kernels: LCS metric
+  * axioms, sign-pack idempotence under Hamming, winnowing-selection
+  * membership, and PAV monotonicity — seeded generators, same harness
+  * as [[PropertiesSpec]].
+  */
+class KernelPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int = 120): Seq[A] =
+    (0 until n).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(7L + i)))
+
+  private val tokGen: Gen[Seq[String]] =
+    Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d")).map(_.take(12))
+
+  test("LCS: bounded by lengths, identity on self, symmetric") {
+    val pairs = samples(Gen.zip(tokGen, tokGen)).distinct
+    val rows = pairs.toDF("a", "b").repartition(3)
+      .select(col("a"), col("b"),
+        TextFunctions.lcsLen(col("a"), col("b")).as("ab"),
+        TextFunctions.lcsLen(col("b"), col("a")).as("ba"),
+        TextFunctions.lcsLen(col("a"), col("a")).as("aa"))
+      .collect()
+    rows.foreach { r =>
+      val a = r.getSeq[String](0); val b = r.getSeq[String](1)
+      val ab = r.getInt(2)
+      assert(ab <= math.min(a.length, b.length))
+      assert(ab == r.getInt(3), "LCS must be symmetric")
+      assert(r.getInt(4) == a.length, "LCS(x,x) = |x|")
+      // containment: if a is a subsequence prefix of b, lcs >= shared run
+      if (a == b) assert(ab == a.length)
+    }
+  }
+
+  test("sign-pack: Hamming(x,x)=0 and negation flips every live bit") {
+    val vecGen = Gen.listOfN(16,
+      Gen.chooseNum(-5.0f, 5.0f).suchThat(v => math.abs(v) > 1e-3f))
+    val vs = samples(vecGen).distinct.map(_.toArray)
+    val rows = vs.map(v => (v, v.map(x => -x))).toDF("v", "nv")
+      .repartition(3)
+      .select(VectorFunctions.signCode64(col("v")).as("c"),
+        VectorFunctions.signCode64(col("nv")).as("nc"))
+      .collect()
+    rows.foreach { r =>
+      val c = r.getLong(0); val nc = r.getLong(1)
+      assert(java.lang.Long.bitCount(c ^ c) == 0)
+      // strictly-signed elements: negation flips all 16 live bits
+      assert((c ^ nc) == 0xFFFFL, s"c=$c nc=$nc")
+    }
+  }
+
+  test("winnowing selections are a subset of the doc's k-gram hashes") {
+    val docs = samples(Gen.listOfN(30, Gen.oneOf("x", "y", "z", "w")), 30)
+      .distinct.zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val fp = graft.operators.Winnowing
+      .fingerprints(docs, "doc_id", "text", k = 3, w = 3)
+    val kg = docs.select(col("doc_id"),
+        explode(TextFunctions.ngramsOfTokens(
+          TextFunctions.tokens(col("text")), 3)).as("g"))
+      .select(col("doc_id"), CrossHash.md5Hash64(col("g")).as("h"))
+    assert(fp.join(kg, Seq("doc_id", "h"), "left_anti").count() == 0L,
+      "every fingerprint must be one of the doc's own k-gram hashes")
+  }
+
+  test("PAV output is always monotone and mass-conserving") {
+    val labelGen = Gen.listOfN(60, Gen.zip(
+      Gen.chooseNum(0.0, 1.0), Gen.oneOf(0L, 1L)))
+    samples(labelGen, 12).foreach { pts =>
+      val t = graft.analytics.Calibration.isotonicBinned(
+        pts.toDF("score", "y"), "score", "y",
+        bins = 8, lo = 0.0, hi = 1.0).collect()
+      val byBin = t.sortBy(_.getInt(0))
+      val calib = byBin.map(_.getDouble(4))
+      assert(calib.sameElements(calib.sorted), "monotone")
+      val mass = byBin.map(r => r.getLong(1) * r.getDouble(4)).sum
+      val pos = byBin.map(_.getLong(2)).sum
+      assert(math.abs(mass - pos) < 1e-9, "mass conservation")
+    }
+  }
+}
