@@ -1,0 +1,53 @@
+package graft.extract
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Blocklist/lexicon screening with obfuscation folding — the
+  * safety-filter stage every corpus pipeline runs (toxicity, spam,
+  * brand-unsafe terms; the lexicon is caller-provided policy, the
+  * operator is the matching machinery). Evasions like digit/symbol
+  * substitution ("5l0w" for "slow") are folded BEFORE tokenizing with a
+  * fixed leet map, so the lexicon stays small and match behavior is a
+  * pure per-row function.
+  *
+  * Scale shape: zero shuffles — one translate + tokenize + two native
+  * set kernels per row ([[TextFunctions.tokensInSetCount]] and an
+  * array_intersect on the distinct token set), everything codegen'd.
+  *
+  * Flagging: `hit_rate ≥ rateThreshold OR distinct_hits ≥ minDistinct`
+  * — rate catches saturation, distinct catches diverse low-rate use.
+  */
+object LexiconScreen {
+
+  /** The fold map: digits/symbols commonly substituted for letters. */
+  val LeetFrom = "013457@$!"
+  val LeetTo = "oleast" + "asi"
+
+  def fold(text: Column): Column = translate(lower(text), LeetFrom, LeetTo)
+
+  def screen(docs: DataFrame, idCol: String, textCol: String,
+             lexicon: Seq[String], rateThreshold: Double = 0.02,
+             minDistinct: Int = 3): DataFrame = {
+    require(lexicon.nonEmpty, "empty lexicon")
+    require(rateThreshold > 0 && minDistinct >= 1,
+      "thresholds must be positive")
+    val lex = lexicon.map(_.toLowerCase).distinct.sorted
+    val tk = TextFunctions.tokens(fold(col(textCol)))
+    docs.select(col(idCol).as("doc_id"), tk.as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        TextFunctions.tokensInSetCount(col("tk"), lex).cast("long")
+          .as("hits"),
+        size(array_intersect(array_distinct(col("tk")),
+          array(lex.map(lit): _*))).cast("long").as("distinct_hits"))
+      .withColumn("hit_rate",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("hits").cast("double") / col("n_tokens")))
+      .withColumn("flagged",
+        col("hit_rate") >= rateThreshold ||
+          col("distinct_hits") >= minDistinct)
+  }
+}

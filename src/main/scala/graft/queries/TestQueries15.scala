@@ -1181,6 +1181,47 @@ object TestQueries15 {
              MAX(gap) AS mce
       FROM contribs"""))
 
+  /** Blocklist screening — [[graft.extract.LexiconScreen.screen]]:
+    * leet-folded lexicon matching (translate + two native set
+    * kernels), per-doc hit counts, rate, and the rate-or-diversity
+    * flag. The gate lexicon uses corpus vocabulary words so both flag
+    * branches fire on real rows; integer counts + one exact division,
+    * RAW compare.
+    */
+  val q201LexiconScreen: QueryCase = QueryCase(
+    "q201_lexicon_screen",
+    (s, dir) => graft.extract.LexiconScreen
+      .screen(Tables.documents(s, dir), "doc_id", "text",
+        lexicon = Seq("slow", "dup", "big"),
+        rateThreshold = 0.05, minDistinct = 2)
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH folded AS (
+        SELECT doc_id,
+               translate(LOWER(text), '013457@$$!', 'oleastasi') AS f
+        FROM documents),
+      tk AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(f)), '\\s+'),
+                 x -> x <> '') AS tk
+        FROM folded),
+      counts AS (
+        SELECT doc_id,
+          CAST(LEN(tk) AS BIGINT) AS n_tokens,
+          CAST(LEN(list_filter(tk,
+            x -> list_contains(['slow', 'dup', 'big'], x))) AS BIGINT)
+            AS hits,
+          CAST(LEN(list_filter(['big', 'dup', 'slow'],
+            t -> list_contains(tk, t))) AS BIGINT) AS distinct_hits
+        FROM tk)
+      SELECT doc_id, n_tokens, hits, distinct_hits,
+        CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(hits AS DOUBLE) / n_tokens END AS hit_rate,
+        (CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE CAST(hits AS DOUBLE) / n_tokens END) >= 0.05
+          OR distinct_hits >= 2 AS flagged
+      FROM counts ORDER BY doc_id"""))
+
   /** Percentile-bootstrap CI for Recall@10 —
     * [[graft.analytics.RetrievalEval.bootstrapCi]] over the q173
     * retriever's per-query recall: 200 hash-uniform resamples,
@@ -1921,5 +1962,5 @@ object TestQueries15 {
       q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi,
       q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling,
       q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage,
-      q198Isotonic, q199Ece, q200BootstrapCi)
+      q198Isotonic, q199Ece, q200BootstrapCi, q201LexiconScreen)
 }

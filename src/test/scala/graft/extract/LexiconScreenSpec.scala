@@ -1,0 +1,41 @@
+package graft.extract
+
+import graft.SparkSpec
+
+/** Hand-traced lexicon screening: folding, rates, flag logic. */
+class LexiconScreenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val lex = Seq("slow", "spam", "junk")
+
+  private def run(text: String, rate: Double = 0.02, minD: Int = 3) =
+    LexiconScreen.screen(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", lex, rate, minD).collect().head
+
+  test("plain and leet-obfuscated terms both match") {
+    val r = run("this is 5l0w spam and SLOW junk")
+    // folded: "this is slow spam and slow junk" → hits: slow,spam,slow,junk
+    assert(r.getAs[Long]("hits") == 4L)
+    assert(r.getAs[Long]("distinct_hits") == 3L)
+    assert(r.getAs[Boolean]("flagged"))
+  }
+
+  test("rate threshold catches saturation without distinct diversity") {
+    val r = run("spam spam spam spam clean", rate = 0.5, minD = 3)
+    assert(r.getAs[Long]("hits") == 4L && r.getAs[Long]("distinct_hits") == 1L)
+    assert(r.getAs[Double]("hit_rate") == 0.8)
+    assert(r.getAs[Boolean]("flagged")) // rate fires, distinct doesn't
+  }
+
+  test("clean text passes; empty text yields zero rate, no NaN") {
+    assert(!run("perfectly ordinary words here", rate = 0.01).getAs[Boolean]("flagged"))
+    val e = run("", rate = 0.01)
+    assert(e.getAs[Double]("hit_rate") == 0.0 && !e.getAs[Boolean]("flagged"))
+  }
+
+  test("fold map is exactly the documented substitutions") {
+    assert(LexiconScreen.LeetFrom.length == LexiconScreen.LeetTo.length)
+    val folded = run("04T 3A5Y 7e$7 !ce").getAs[Long]("n_tokens")
+    assert(folded == 4L) // structure preserved, only characters fold
+  }
+}
