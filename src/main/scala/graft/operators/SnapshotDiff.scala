@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus snapshot diff — the audit report every corpus refresh ships
+  * before retraining: which documents were added, removed, changed
+  * (normalized content drifted) or unchanged between two versions.
+  * Complements the row-level CDC family ([[Cdc]] consumes a CHANGE
+  * FEED; this derives the change set from two full snapshots when no
+  * feed exists — the common case for scraped/vendored corpora).
+  *
+  * Content identity is the normalized fingerprint
+  * ([[TextFunctions.normFingerprint]] — whitespace/case-insensitive),
+  * so cosmetic rewraps don't count as changes.
+  *
+  * Scale shape: two narrow fingerprint projections and ONE full outer
+  * join on the id — no windows, no driver state; AQE handles any id
+  * skew. Emits one row per doc in either version plus `summary` for
+  * the counts-by-status rollup (map-side combinable).
+  */
+object SnapshotDiff {
+
+  def diff(v1: DataFrame, v2: DataFrame, idCol: String,
+           textCol: String): DataFrame = {
+    def fp(df: DataFrame, out: String) =
+      df.select(col(idCol).as("doc_id"),
+        TextFunctions.normFingerprint(col(textCol)).as(out))
+    fp(v1, "fp_old").join(fp(v2, "fp_new"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce(col("fp_old"), lit("")).as("fp_old"),
+        coalesce(col("fp_new"), lit("")).as("fp_new"))
+  }
+
+  /** Counts by status (one small rollup row per status). */
+  def summary(diffed: DataFrame): DataFrame =
+    diffed.groupBy("status").agg(count(lit(1)).as("n_docs"))
+}

@@ -1222,6 +1222,54 @@ object TestQueries15 {
           OR distinct_hits >= 2 AS flagged
       FROM counts ORDER BY doc_id"""))
 
+  /** Corpus snapshot diff — [[graft.operators.SnapshotDiff.diff]]:
+    * v1 drops doc_id%7 docs, v2 drops doc_id%13 docs and edits every
+    * 11th text, so all four statuses (added/removed/changed/unchanged)
+    * appear on real rows. Fingerprints are normalized sha256 (the q27
+    * mirror); one full-outer join; RAW string compare.
+    */
+  val q202SnapshotDiff: QueryCase = QueryCase(
+    "q202_snapshot_diff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val v2 = docs.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.SnapshotDiff.diff(v1, v2, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH fp AS (
+        SELECT doc_id, text,
+               sha256(array_to_string(
+                 list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                   x -> x <> ''), ' ')) AS f
+        FROM documents),
+      fpe AS (
+        SELECT doc_id,
+               sha256(array_to_string(
+                 list_filter(string_split_regex(
+                   LOWER(TRIM(text || ' edited')), '\s+'),
+                   x -> x <> ''), ' ')) AS f
+        FROM documents),
+      v1 AS (SELECT doc_id, f AS fp_old FROM fp WHERE doc_id % 7 <> 0),
+      v2 AS (
+        SELECT p.doc_id,
+               CASE WHEN p.doc_id % 11 = 0 THEN e.f ELSE p.f END AS fp_new
+        FROM fp p JOIN fpe e USING (doc_id)
+        WHERE p.doc_id % 13 <> 0)
+      SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        CASE WHEN v1.doc_id IS NULL THEN 'added'
+             WHEN v2.doc_id IS NULL THEN 'removed'
+             WHEN fp_old = fp_new THEN 'unchanged'
+             ELSE 'changed' END AS status,
+        COALESCE(fp_old, '') AS fp_old, COALESCE(fp_new, '') AS fp_new
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+      ORDER BY doc_id"""))
+
   /** Percentile-bootstrap CI for Recall@10 —
     * [[graft.analytics.RetrievalEval.bootstrapCi]] over the q173
     * retriever's per-query recall: 200 hash-uniform resamples,
@@ -1962,5 +2010,6 @@ object TestQueries15 {
       q187WinnowPairs, q188Fim, q189PreferencePairs, q190Doremi,
       q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling,
       q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage,
-      q198Isotonic, q199Ece, q200BootstrapCi, q201LexiconScreen)
+      q198Isotonic, q199Ece, q200BootstrapCi, q201LexiconScreen,
+      q202SnapshotDiff)
 }

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Hand-traced snapshot diff statuses and normalization-insensitivity. */
+class SnapshotDiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val v1 = Seq(
+    (1L, "alpha beta"), (2L, "old text"), (3L, "stays the same"))
+    .toDF("doc_id", "text")
+  private val v2 = Seq(
+    (2L, "new text"), (3L, "stays the same"), (4L, "brand new"))
+    .toDF("doc_id", "text")
+
+  test("added / removed / changed / unchanged all classify correctly") {
+    val out = SnapshotDiff.diff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "added"))
+  }
+
+  test("cosmetic whitespace/case rewraps are unchanged") {
+    val a = Seq((1L, "Hello   World")).toDF("doc_id", "text")
+    val b = Seq((1L, "hello world")).toDF("doc_id", "text")
+    val out = SnapshotDiff.diff(a, b, "doc_id", "text").collect().head
+    assert(out.getString(1) == "unchanged")
+  }
+
+  test("summary rolls up counts by status") {
+    val s = SnapshotDiff.summary(SnapshotDiff.diff(v1, v2, "doc_id", "text"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s == Map("added" -> 1L, "removed" -> 1L, "changed" -> 1L,
+      "unchanged" -> 1L))
+  }
+}
