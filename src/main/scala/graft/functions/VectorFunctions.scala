@@ -207,4 +207,20 @@ object VectorFunctions {
   /** Codegen'd 64-bit sign-binarization code (bit i = element i ≥ 0). */
   def signCode64(a: Column): Column =
     graftshim.column(SignPack(graftshim.expression(a)))
+
+  /** L2 norm through the codegen dot kernel — the same IEEE sequence as
+    * [[l2Norm]]'s interpreted HOF fold (sequential 0.0 + x²…), so
+    * hoisting it is value-neutral.
+    */
+  def norm2(a: Column): Column = sqrt(dotF(a, a))
+
+  /** Cosine from a codegen dot and CALLER-HOISTED per-side norms —
+    * bit-identical to [[cosineSimHof]] (same fold order, same zero
+    * guard) but pair loops pay one tight codegen dot instead of three
+    * interpreted HOF folds: compute `norm2` once per row on each side,
+    * then score pairs with this.
+    */
+  def cosineFromParts(a: Column, b: Column, na: Column,
+                      nb: Column): Column =
+    when(na * nb === 0.0, lit(0.0)).otherwise(dotF(a, b) / (na * nb))
 }

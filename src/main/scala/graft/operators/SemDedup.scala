@@ -36,22 +36,29 @@ object SemDedup {
     val model = graft.search.KMeans.fit(v, "id", "v", k, iters)
 
     val members = v.join(model.assignments.select("id", "cluster_id"),
-      Seq("id"))
+        Seq("id"))
+      // norms hoisted once per member/centroid (norm2 ≡ the HOF fold
+      // bit-for-bit) so the within-cluster PAIR loop below pays one
+      // codegen dot per pair instead of three interpreted HOF folds
+      .withColumn("vn", VectorFunctions.norm2(col("v")))
     val withCent = members
-      .join(broadcast(model.centroids), Seq("cluster_id"))
-      .select(col("cluster_id"), col("id"), col("v"),
-        VectorFunctions.cosineSimHof(col("v"), col("centroid"))
-          .as("cent_sim"))
+      .join(broadcast(model.centroids
+        .withColumn("cen", VectorFunctions.norm2(col("centroid")))),
+        Seq("cluster_id"))
+      .select(col("cluster_id"), col("id"), col("v"), col("vn"),
+        VectorFunctions.cosineFromParts(col("v"), col("centroid"),
+          col("vn"), col("cen")).as("cent_sim"))
 
     val a = withCent.select(col("cluster_id"), col("id"), col("v"),
-      col("cent_sim"))
+      col("vn"), col("cent_sim"))
     val b = withCent.select(col("cluster_id").as("cluster_id2"),
-      col("id").as("id2"), col("v").as("v2"),
+      col("id").as("id2"), col("v").as("v2"), col("vn").as("vn2"),
       col("cent_sim").as("cent_sim2"))
     // y beats x: farther from the centroid, id tie-break
     val beaten = a.join(b,
         col("cluster_id") === col("cluster_id2") && col("id") =!= col("id2"))
-      .where(VectorFunctions.cosineSimHof(col("v"), col("v2")) >= tau)
+      .where(VectorFunctions.cosineFromParts(col("v"), col("v2"),
+        col("vn"), col("vn2")) >= tau)
       .where(col("cent_sim2") < col("cent_sim") ||
         (col("cent_sim2") === col("cent_sim") && col("id2") < col("id")))
       .select(col("id")).distinct()

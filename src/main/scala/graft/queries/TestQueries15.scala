@@ -37,13 +37,19 @@ object TestQueries15 {
         val e = Tables.embeddings(s, dir).select(
           col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
+        // per-side norms hoisted (norm2 ≡ the HOF fold bit-for-bit);
+        // pair loop pays one codegen dot, not three interpreted folds
         val queries = e.where(col("vec_id") % 25 === 0)
           .select(col("vec_id").as("query_id"), col("label").as("q_label"),
             col("v").as("qv"))
+          .withColumn("qn",
+            graft.functions.VectorFunctions.norm2(col("qv")))
         val corpus = e.where(col("vec_id") % 25 =!= 0)
+          .withColumn("cn", graft.functions.VectorFunctions.norm2(col("v")))
         val scored = queries.crossJoin(corpus)
           .withColumn("csim",
-            graft.functions.VectorFunctions.cosineSimHof(col("qv"), col("v")))
+            graft.functions.VectorFunctions.cosineFromParts(
+              col("qv"), col("v"), col("qn"), col("cn")))
         val ranked = scored
           .withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("query_id")
@@ -1046,9 +1052,12 @@ object TestQueries15 {
         col("embedding").cast("array<double>").as("v"))
       val q = e.where(col("vec_id") % 25 === 0)
         .select(col("label").as("q_label"), col("v").as("qv"))
+        .withColumn("qn", VectorFunctions.norm2(col("qv")))
       val pairs = e.where(col("vec_id") % 25 =!= 0)
+        .withColumn("cn", VectorFunctions.norm2(col("v")))
         .crossJoin(broadcast(q))
-        .select(VectorFunctions.cosineSimHof(col("qv"), col("v")).as("score"),
+        .select(VectorFunctions.cosineFromParts(col("qv"), col("v"),
+            col("qn"), col("cn")).as("score"),
           (col("label") === col("q_label")).cast("long").as("y"))
       graft.analytics.Calibration
         .isotonicBinned(pairs, "score", "y", bins = 20, lo = -1.0, hi = 1.0)
@@ -1133,9 +1142,12 @@ object TestQueries15 {
         col("embedding").cast("array<double>").as("v"))
       val q = e.where(col("vec_id") % 25 === 0)
         .select(col("label").as("q_label"), col("v").as("qv"))
+        .withColumn("qn", VectorFunctions.norm2(col("qv")))
       val pairs = e.where(col("vec_id") % 25 =!= 0)
+        .withColumn("cn", VectorFunctions.norm2(col("v")))
         .crossJoin(broadcast(q))
-        .select(VectorFunctions.cosineSimHof(col("qv"), col("v")).as("score"),
+        .select(VectorFunctions.cosineFromParts(col("qv"), col("v"),
+            col("qn"), col("cn")).as("score"),
           (col("label") === col("q_label")).cast("long").as("y"))
       graft.analytics.Calibration
         .calibrationError(pairs, "score", "y", bins = 20, lo = -1.0,
@@ -1288,10 +1300,14 @@ object TestQueries15 {
         val queries = e.where(col("vec_id") % 25 === 0)
           .select(col("vec_id").as("query_id"), col("label").as("q_label"),
             col("v").as("qv"))
+          .withColumn("qn",
+            graft.functions.VectorFunctions.norm2(col("qv")))
         val corpus = e.where(col("vec_id") % 25 =!= 0)
+          .withColumn("cn", graft.functions.VectorFunctions.norm2(col("v")))
         val scored = queries.crossJoin(corpus)
           .withColumn("csim",
-            graft.functions.VectorFunctions.cosineSimHof(col("qv"), col("v")))
+            graft.functions.VectorFunctions.cosineFromParts(
+              col("qv"), col("v"), col("qn"), col("cn")))
         val ranked = scored
           .withColumn("rank", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy("query_id")
