@@ -1,0 +1,73 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Winnowing
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming contamination watch — the deployment loop for
+  * [[Winnowing.incrementalPairs]]: documents arrive in micro-batches,
+  * each batch signs in isolation, reports its new pairs against the
+  * accumulating fingerprint index, and appends its fingerprints. The
+  * union of per-batch reports must equal the one-shot rebuild over all
+  * docs ever seen, each pair exactly once (when its LATER member
+  * arrives) — winnowing is stateless per document, so incremental and
+  * rebuild can never drift.
+  */
+class WinnowStreamSpec extends SparkSpec {
+
+  private def words(n: Int, tag: String): String =
+    (0 until n).map(i => s"$tag$i").mkString(" ")
+  private val shared = words(8, "s") // ≥ w+k-1 tokens at (5, 4)
+
+  test("stream loop: per-batch pair reports union to the rebuild pair set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val fpDir = java.nio.file.Files
+      .createTempDirectory("winnow-fp").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("winnow-pairs").toString
+
+    val docs = Seq(
+      1L -> (words(15, "a") + " " + shared),
+      2L -> words(15, "b"),
+      3L -> (words(15, "c") + " " + shared), // pairs with 1
+      4L -> (words(15, "b")),                // exact dup of 2
+      5L -> (words(15, "d") + " " + shared)) // pairs with 1 and 3
+    val batches = Seq(docs.take(2), docs.slice(2, 4), docs.drop(4))
+
+    def emptyFp: DataFrame =
+      Seq.empty[(Long, Int, Long)].toDF("doc_id", "pos", "h")
+
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val index =
+          if (new java.io.File(fpDir).listFiles().exists(
+              _.getName.endsWith(".parquet")))
+            spark.read.parquet(fpDir)
+          else emptyFp
+        Winnowing.incrementalPairs(index, batch, "doc_id", "text")
+          .write.mode("append").parquet(outDir)
+        Winnowing.fingerprints(batch, "doc_id", "text")
+          .write.mode("append").parquet(fpDir)
+        ()
+      }
+      .start()
+    batches.foreach { b => stream.addData(b: _*); query.processAllAvailable() }
+    query.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rebuild = Winnowing.sharedPairs(Winnowing.fingerprints(
+        docs.toDF("doc_id", "text"), "doc_id", "text"))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamed.length == streamed.distinct.length,
+      "every pair reports exactly once")
+    assert(streamed.toSet == rebuild.toSet)
+    assert(rebuild.toSet == Set((1L, 3L), (2L, 4L), (1L, 5L), (3L, 5L)))
+  }
+}
