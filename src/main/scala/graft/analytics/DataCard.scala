@@ -1,0 +1,65 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Per-source corpus data card ("Datasheets for Datasets", Gebru et al.
+  * 2021, §3.2 composition — the per-slice report): one row per source
+  * with volume, quality, screening, duplication and language-mix
+  * facts. The governance artifact that rides along with every corpus
+  * release; each column reuses an already-gated kernel (q26 quality,
+  * q201 screening, q27 fingerprints, q25 lang id is upstream — here
+  * the stored `lang` column) so the card is a pure composition.
+  *
+  * Scale shape: one narrow per-doc projection, two map-side-combinable
+  * groupBys (per-source facts; corpus-wide fingerprint df), one
+  * broadcast-size join of 20-ish source rows with their argmax
+  * language (struct-max, no window). Deterministic: counts are
+  * integers, means go through DECIMAL sums (q197 discipline), language
+  * ties break on the smaller language code.
+  */
+object DataCard {
+
+  def perSource(docs: DataFrame, sourceCol: String, idCol: String,
+                textCol: String, langCol: String,
+                screenLexicon: Seq[String],
+                screenRate: Double = 0.05,
+                screenMinDistinct: Int = 2): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(16, 6)
+    val screened = graft.extract.LexiconScreen.screen(
+        docs, idCol, textCol, screenLexicon, screenRate, screenMinDistinct)
+      .select(col("doc_id").as("__id"), col("flagged"))
+    val perDoc = docs.select(col(sourceCol).as("source"),
+        col(idCol).as("__id"), col(langCol).as("lang"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        TextFunctions.qualityScore(col(textCol)).as("q"),
+        TextFunctions.normFingerprint(col(textCol)).as("fp"))
+      .join(screened, Seq("__id"))
+    val fpDf = perDoc.groupBy("fp").agg(count(lit(1)).as("fdf"))
+    val enriched = perDoc.join(fpDf, Seq("fp"))
+    val facts = enriched.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      sum(col("q").cast(dec)).as("__sq"),
+      sum(when(col("flagged"), 1L).otherwise(0L)).as("__nflag"),
+      sum(when(col("fdf") >= 2, 1L).otherwise(0L)).as("__ndup"))
+    val langTop = perDoc.groupBy("source", "lang")
+      .agg(count(lit(1)).as("lc"))
+      .groupBy("source")
+      // min over (−count, lang) → most-frequent, tie to the
+      // lexicographically smaller language code
+      .agg(min(struct((-col("lc")).as("nlc"), col("lang"))).as("__m"))
+      .select(col("source"), col("__m.lang").as("top_lang"),
+        (-col("__m.nlc")).as("top_lang_docs"))
+    facts.join(langTop, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs"))
+          .as("mean_tokens"),
+        (col("__sq").cast("double") / col("n_docs")).as("mean_quality"),
+        (col("__nflag").cast("double") / col("n_docs")).as("flagged_frac"),
+        (col("__ndup").cast("double") / col("n_docs")).as("dup_frac"),
+        col("top_lang"), col("top_lang_docs"))
+  }
+}

@@ -1234,6 +1234,86 @@ object TestQueries15 {
           OR distinct_hits >= 2 AS flagged
       FROM counts ORDER BY doc_id"""))
 
+  /** Per-source data card — [[graft.analytics.DataCard.perSource]]:
+    * the governance report per corpus slice (volume, DECIMAL-exact
+    * mean quality, q201-screen flag fraction, corpus-wide
+    * fingerprint-duplication fraction, argmax language with
+    * smaller-code ties). Pure composition of gated kernels; every
+    * column is integer counts or a single exact division. RAW compare.
+    */
+  val q203DataCard: QueryCase = QueryCase(
+    "q203_data_card",
+    (s, dir) => graft.analytics.DataCard
+      .perSource(Tables.documents(s, dir), "source", "doc_id", "text",
+        "lang", screenLexicon = Seq("slow", "dup", "big"),
+        screenRate = 0.05, screenMinDistinct = 2)
+      .orderBy("source"),
+    Some("""
+      WITH base AS (
+        SELECT doc_id, source, lang, text,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                 x -> x <> '') AS tk,
+               list_filter(string_split_regex(LOWER(TRIM(
+                 translate(LOWER(text), '013457@$!', 'oleastasi'))), '\s+'),
+                 x -> x <> '') AS ftk
+        FROM documents),
+      q AS (
+        SELECT doc_id,
+          ROUND(
+            LEAST(CAST(LEN(tk) AS DOUBLE) / 50, 1.0) * 0.4 +
+            GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+              ELSE CAST(LEN(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / LENGTH(text) END) * 5) * 0.2 +
+            GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+              ELSE CAST(LEN(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / LENGTH(text) END) * 5) * 0.2 +
+            (CASE WHEN (CASE WHEN LEN(tk) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE) / LEN(tk) END) >= 3
+               AND (CASE WHEN LEN(tk) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE) / LEN(tk) END) <= 10 THEN 1.0
+              WHEN (CASE WHEN LEN(tk) = 0 THEN 0.0
+                 ELSE CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE) / LEN(tk) END) = 0 THEN 0.0
+              ELSE 0.5 END) * 0.2, 6) AS q
+        FROM base),
+      scr AS (
+        SELECT doc_id,
+          (CASE WHEN LEN(ftk) = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(LEN(list_filter(ftk,
+               x -> list_contains(['slow', 'dup', 'big'], x))) AS DOUBLE)
+               / LEN(ftk) END) >= 0.05
+          OR LEN(list_filter(['big', 'dup', 'slow'],
+               t -> list_contains(ftk, t))) >= 2 AS flagged
+        FROM base),
+      perdoc AS (
+        SELECT b.source, b.doc_id, b.lang,
+               CAST(LEN(b.tk) AS BIGINT) AS n_tokens, q.q, s.flagged,
+               sha256(array_to_string(b.tk, ' ')) AS fp
+        FROM base b JOIN q USING (doc_id) JOIN scr s USING (doc_id)),
+      fpdf AS (SELECT fp, COUNT(*) AS fdf FROM perdoc GROUP BY fp),
+      facts AS (
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          CAST(SUM(CAST(p.q AS DECIMAL(16, 6))) AS DOUBLE) AS sq,
+          CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+            AS nflag,
+          CAST(SUM(CASE WHEN f.fdf >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS ndup
+        FROM perdoc p JOIN fpdf f USING (fp)
+        GROUP BY source),
+      langtop AS (
+        SELECT source, lang AS top_lang, lc AS top_lang_docs FROM (
+          SELECT source, lang, COUNT(*) AS lc,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY COUNT(*) DESC, lang) AS rn
+          FROM perdoc GROUP BY source, lang)
+        WHERE rn = 1)
+      SELECT f.source, f.n_docs, f.total_tokens,
+             CAST(f.total_tokens AS DOUBLE) / f.n_docs AS mean_tokens,
+             f.sq / f.n_docs AS mean_quality,
+             CAST(f.nflag AS DOUBLE) / f.n_docs AS flagged_frac,
+             CAST(f.ndup AS DOUBLE) / f.n_docs AS dup_frac,
+             l.top_lang, l.top_lang_docs
+      FROM facts f JOIN langtop l USING (source)
+      ORDER BY f.source"""))
+
   /** Corpus snapshot diff — [[graft.operators.SnapshotDiff.diff]]:
     * v1 drops doc_id%7 docs, v2 drops doc_id%13 docs and edits every
     * 11th text, so all four statuses (added/removed/changed/unchanged)
@@ -2027,5 +2107,5 @@ object TestQueries15 {
       q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling,
       q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage,
       q198Isotonic, q199Ece, q200BootstrapCi, q201LexiconScreen,
-      q202SnapshotDiff)
+      q202SnapshotDiff, q203DataCard)
 }

@@ -1,0 +1,52 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Hand-traced per-source data card on a 5-doc corpus. */
+class DataCardSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "s1", "en", "clean ordinary text here"),
+    (2L, "s1", "en", "spam spam spam spam"),       // flagged by rate
+    (3L, "s1", "de", "clean ordinary text here"),  // dup of 1 (cross-source ok)
+    (4L, "s2", "de", "totally different words"),
+    (5L, "s2", "de", "clean ordinary text here"))  // dup of 1/3
+    .toDF("doc_id", "source", "lang", "text")
+
+  private lazy val card = DataCard.perSource(docs, "source", "doc_id",
+      "text", "lang", screenLexicon = Seq("spam"), screenRate = 0.5,
+      screenMinDistinct = 3)
+    .collect().map(r => r.getString(0) -> r).toMap
+
+  test("volume, duplication and screening facts") {
+    val s1 = card("s1")
+    assert(s1.getAs[Long]("n_docs") == 3L)
+    assert(s1.getAs[Long]("total_tokens") == 12L)
+    assert(s1.getAs[Double]("mean_tokens") == 4.0)
+    assert(s1.getAs[Double]("flagged_frac") == 1.0 / 3.0)
+    // docs 1 and 3 share a corpus-wide fingerprint (with doc 5 too)
+    assert(s1.getAs[Double]("dup_frac") == 2.0 / 3.0)
+    assert(card("s2").getAs[Double]("dup_frac") == 0.5)
+  }
+
+  test("top language is the argmax with smaller-code ties") {
+    assert(card("s2").getAs[String]("top_lang") == "de")
+    // s1 is en:2 de:1
+    assert(card("s1").getAs[String]("top_lang") == "en")
+    assert(card("s1").getAs[Long]("top_lang_docs") == 2L)
+    val tied = Seq((1L, "s", "en", "a"), (2L, "s", "de", "b"))
+      .toDF("doc_id", "source", "lang", "text")
+    val t = DataCard.perSource(tied, "source", "doc_id", "text", "lang",
+      Seq("zz")).collect().head
+    assert(t.getAs[String]("top_lang") == "de") // 1-1 tie → smaller code
+  }
+
+  test("mean quality matches the per-doc scores") {
+    val qs = docs.where($"source" === "s1")
+      .select(graft.functions.TextFunctions.qualityScore($"text"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(card("s1").getAs[Double]("mean_quality")
+      - qs.sum / 3.0) < 1e-9)
+  }
+}
