@@ -213,6 +213,66 @@ object CorpusLm {
         round(pow(lit(2.0), col("ce")), 4).as("ppl"))
   }
 
+  /** Selective language modeling (Lin et al. 2024 — "Rho-1: Not All
+    * Tokens Are What You Need"): score every TOKEN by its excess loss
+    * under the main model vs a reference model and keep the top-ρ per
+    * document — the token-level curation step between cleaning and
+    * training. Here the main model is the add-k BIGRAM LM and the
+    * reference the add-k UNIGRAM LM (both corpus-trained, every count
+    * derivable from the input — the same observability choice as
+    * [[bigramPerplexity]]); a deployment swaps in real model losses and
+    * the selection machinery is unchanged.
+    *
+    * Determinism: the sort key is the ROUNDED(6) excess (round-9 rule:
+    * rank on the rounded key + position, never raw libm bits — log2 is
+    * not correctly-rounded cross-engine), ties break on position, and
+    * the per-doc keep count is exact integer arithmetic
+    * (⌈ρ·n⌉ with ρ = 2/5 → floor((2n+4)/5)).
+    *
+    * Scale shape: per-doc PARTITIONED window over ≤ doc-length rows;
+    * model tables join by key exactly as [[bigramPerplexity]].
+    *
+    * Output: (doc_id, pos, token, main_bits, ref_bits, excess, rank,
+    * selected) — positions 1..n−1 (a bigram needs its predecessor).
+    */
+  def selectiveTokens(docs: DataFrame, idCol: String, textCol: String,
+                      k: Double = 0.5): DataFrame = {
+    val seqs = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val bi = seqs
+      .select(col("doc_id"), col("tk"),
+        posexplode(slice(col("tk"), lit(1),
+          greatest(size(col("tk")) - 1, lit(0)))).as(Seq("i", "w1")))
+      .select(col("doc_id"), (col("i") + 1).as("pos"), col("w1"),
+        element_at(col("tk"), col("i") + 2).as("w2"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val uc = bi.groupBy("w1").agg(count(lit(1)).as("uc"))
+    // unigram model over ALL tokens (not just bigram heads)
+    val tok = seqs.select(explode(col("tk")).as("t"))
+    val tc = tok.groupBy("t").agg(count(lit(1)).as("tc"))
+    val totals = tok.agg(count(lit(1)).as("nn"))
+    val vocab = tc.agg(count(lit(1)).as("v"))
+    val mainBits = round(-log2((col("bc") + k)
+      / (col("uc") + lit(k) * (col("v") + 1))), 6)
+    val refBits = round(-log2((col("tc") + k)
+      / (col("nn") + lit(k) * (col("v") + 1))), 6)
+    val scoredTokens = bi
+      .join(bc, Seq("w1", "w2")).join(uc, Seq("w1"))
+      .join(tc.withColumnRenamed("t", "w2"), Seq("w2"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("pos"), col("w2").as("token"),
+        mainBits.as("main_bits"), refBits.as("ref_bits"))
+      .withColumn("excess", col("main_bits") - col("ref_bits"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("excess"), col("pos"))
+    scoredTokens
+      .withColumn("rank", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("selected",
+        col("rank") <= floor((lit(2) * col("n") + 4) / lit(5)).cast("long"))
+      .drop("n")
+  }
+
   /** DoReMi-flavored domain reweighting (Xie et al. 2023 — "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
     * one exponentiated-gradient step): domains with EXCESS loss over the

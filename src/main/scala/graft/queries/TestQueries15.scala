@@ -1234,6 +1234,50 @@ object TestQueries15 {
           OR distinct_hits >= 2 AS flagged
       FROM counts ORDER BY doc_id"""))
 
+  /** RHO-style selective language modeling —
+    * [[graft.operators.CorpusLm.selectiveTokens]]: per-token excess
+    * loss (add-k bigram main vs add-k unigram reference), ranked per
+    * doc on the ROUNDED(6) excess with position ties (the round-9
+    * rounded-sort-key rule — raw log2 bits are not cross-engine
+    * rankable), top-⌈2n/5⌉ kept via exact integer arithmetic.
+    */
+  val q204SelectiveTokens: QueryCase = QueryCase(
+    "q204_selective_tokens",
+    (s, dir) => graft.operators.CorpusLm
+      .selectiveTokens(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id", "pos"),
+    Some(s"""
+      WITH seqs AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      bi AS (
+        SELECT doc_id, CAST(r.i AS INT) AS pos,
+               tk[r.i] AS w1, tk[r.i + 1] AS w2
+        FROM seqs, UNNEST(range(1, LEN(tk))) AS r(i)),
+      bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY 1, 2),
+      uc AS (SELECT w1, COUNT(*) AS uc FROM bi GROUP BY 1),
+      tok AS (SELECT u.t FROM seqs, UNNEST(tk) AS u(t)),
+      tc AS (SELECT t, COUNT(*) AS tc FROM tok GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS nn FROM tok),
+      vocab AS (SELECT COUNT(*) AS v FROM tc),
+      scored AS (
+        SELECT b.doc_id, b.pos, b.w2 AS token,
+          ROUND(-log2((bc + CAST(0.5 AS DOUBLE))
+            / (uc + CAST(0.5 AS DOUBLE) * (v + 1))), 6) AS main_bits,
+          ROUND(-log2((tc + CAST(0.5 AS DOUBLE))
+            / (nn + CAST(0.5 AS DOUBLE) * (v + 1))), 6) AS ref_bits
+        FROM bi b JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        JOIN tc ON tc.t = b.w2
+        CROSS JOIN nn CROSS JOIN vocab),
+      ranked AS (
+        SELECT doc_id, pos, token, main_bits, ref_bits,
+          main_bits - ref_bits AS excess,
+          CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY main_bits - ref_bits DESC, pos) AS INT) AS rank,
+          COUNT(*) OVER (PARTITION BY doc_id) AS n
+        FROM scored)
+      SELECT doc_id, pos, token, main_bits, ref_bits, excess, rank,
+             rank <= (2 * n + 4) // 5 AS selected
+      FROM ranked ORDER BY doc_id, pos"""))
+
   /** Per-source data card — [[graft.analytics.DataCard.perSource]]:
     * the governance report per corpus slice (volume, DECIMAL-exact
     * mean quality, q201-screen flag fraction, corpus-wide
@@ -2107,5 +2151,5 @@ object TestQueries15 {
       q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling,
       q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage,
       q198Isotonic, q199Ece, q200BootstrapCi, q201LexiconScreen,
-      q202SnapshotDiff, q203DataCard)
+      q202SnapshotDiff, q203DataCard, q204SelectiveTokens)
 }

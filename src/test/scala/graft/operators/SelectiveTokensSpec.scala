@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** RHO-style selective-token invariants on a corpus where one bigram is
+  * maximally predictable: its continuation token must rank LAST (lowest
+  * excess) and fall outside the kept set.
+  */
+class SelectiveTokensSpec extends SparkSpec {
+  import spark.implicits._
+
+  // "a b" occurs 5x (b always follows a → cheap under the bigram model,
+  // expensive-ish under unigram) while the x/y/z tail is unpredictable
+  private val docs = Seq(
+    (1L, "a b x a b y a b z a b q a b"),
+    (2L, "q z y x q"))
+    .toDF("doc_id", "text")
+
+  private lazy val out = CorpusLm.selectiveTokens(docs, "doc_id", "text")
+    .collect()
+
+  test("every scored position appears once with a dense per-doc rank") {
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.length == 13) // 14 tokens → 13 bigram positions
+    assert(d1.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 13))
+    assert(d1.map(_.getAs[Int]("pos")).distinct.length == 13)
+  }
+
+  test("the predictable continuation has the LOWEST excess and is dropped") {
+    val d1 = out.filter(_.getLong(0) == 1L)
+    val bRows = d1.filter(_.getAs[String]("token") == "b")
+    val others = d1.filterNot(_.getAs[String]("token") == "b")
+    assert(bRows.nonEmpty)
+    assert(bRows.map(_.getAs[Double]("excess")).max <
+      others.map(_.getAs[Double]("excess")).min)
+    assert(bRows.forall(!_.getAs[Boolean]("selected")))
+  }
+
+  test("exactly ceil(2n/5) tokens are kept per doc") {
+    def kept(id: Long) = out.filter(r => r.getLong(0) == id &&
+      r.getAs[Boolean]("selected")).length
+    assert(kept(1L) == (2 * 13 + 4) / 5) // ceil(0.4*13) = 6
+    assert(kept(2L) == (2 * 4 + 4) / 5)  // ceil(0.4*4) = 2 (wait: (8+4)/5=2)
+  }
+
+  test("excess is the difference of the rounded per-model bits") {
+    out.foreach { r =>
+      assert(r.getAs[Double]("excess") ==
+        r.getAs[Double]("main_bits") - r.getAs[Double]("ref_bits"))
+    }
+  }
+}
