@@ -1234,6 +1234,96 @@ object TestQueries15 {
           OR distinct_hits >= 2 AS flagged
       FROM counts ORDER BY doc_id"""))
 
+  /** ANN recall evaluation — the index-quality report that justifies a
+    * compression choice: [[graft.operators.Search.binaryHammingTopK]]'s
+    * top-10 graded against brute-force cosine ground truth per held-out
+    * query (recall = |truth ∩ approx| / 10, exact integers). Oracle
+    * composes the q173 brute chain with the q192 code chain and
+    * intersects. RAW compare.
+    */
+  val q205AnnRecall: QueryCase = QueryCase(
+    "q205_ann_recall",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val k = 10
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"),
+        col("embedding").as("vf"))
+      val queries = e.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("vf").as("qvf"))
+        .withColumn("qn", VectorFunctions.norm2(col("qv")))
+      val corpus = e.where(col("vec_id") % 25 =!= 0)
+        .withColumn("cn", VectorFunctions.norm2(col("v")))
+      val truth = queries.crossJoin(corpus)
+        .withColumn("csim", VectorFunctions.cosineFromParts(
+          col("qv"), col("v"), col("qn"), col("cn")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(desc("csim"), col("vec_id"))))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+      val approx = graft.operators.Search.binaryHammingTopK(
+          e.where(col("vec_id") % 25 =!= 0), "vec_id", "vf",
+          e.where(col("vec_id") % 25 === 0), "vec_id", "vf", k)
+        .select(col("query_id"), col("id").as("vec_id"))
+      truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .join(queries.select("query_id"), Seq("query_id"), "right")
+        .na.fill(0L, Seq("hits"))
+        .select(col("query_id"), col("hits"),
+          (col("hits").cast("double") / k).as("recall"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id % 25 = 0),
+      c AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
+      truth AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.query_id, c.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              (list_reduce(list_transform(q.qv, (x, i) -> x * c.v[i]),
+                           (s, t) -> s + t) /
+               (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                                 (s, t) -> s + t)) *
+                sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                                 (s, t) -> s + t)))) DESC, c.vec_id)
+              AS rank
+          FROM q CROSS JOIN c) WHERE rank <= 10),
+      codes AS (
+        SELECT vec_id,
+          ${graft.functions.CrossHash.hugeToSignedSql(
+            """COALESCE((SELECT SUM(CASE WHEN e2.embedding[i + 1] >= 0
+                   THEN CAST(1 AS HUGEINT) << CAST(i AS INT)
+                   ELSE CAST(0 AS HUGEINT) END)
+                 FROM UNNEST(range(0, LEAST(LEN(e2.embedding), 64))) AS t(i)),
+               CAST(0 AS HUGEINT))""")} AS code
+        FROM embeddings e2),
+      qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes
+             WHERE vec_id % 25 = 0),
+      cc AS (SELECT vec_id, code FROM codes WHERE vec_id % 25 <> 0),
+      approx AS (
+        SELECT query_id, vec_id FROM (
+          SELECT qc.query_id, cc.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qc.query_id
+                   ORDER BY bit_count(xor(cc.code, qc.qcode)), cc.vec_id)
+                   AS rank
+          FROM cc CROSS JOIN qc) WHERE rank <= 10),
+      hits AS (
+        SELECT t.query_id, COUNT(*) AS hits
+        FROM truth t JOIN approx a
+          ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        GROUP BY t.query_id)
+      SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+             CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall
+      FROM q LEFT JOIN hits h USING (query_id)
+      ORDER BY q.query_id"""))
+
   /** RHO-style selective language modeling —
     * [[graft.operators.CorpusLm.selectiveTokens]]: per-token excess
     * loss (add-k bigram main vs add-k unigram reference), ranked per
@@ -2151,5 +2241,6 @@ object TestQueries15 {
       q191RougeL, q192BinaryHamming, q193CrossDocDup, q194NegSampling,
       q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage,
       q198Isotonic, q199Ece, q200BootstrapCi, q201LexiconScreen,
-      q202SnapshotDiff, q203DataCard, q204SelectiveTokens)
+      q202SnapshotDiff, q203DataCard, q204SelectiveTokens,
+      q205AnnRecall)
 }
