@@ -1324,6 +1324,110 @@ object TestQueries15 {
       FROM q LEFT JOIN hits h USING (query_id)
       ORDER BY q.query_id"""))
 
+  /** IVF recall evaluation — completes q205's index-quality report for
+    * the STRUCTURED index: [[graft.search.IvfIndex.searchAll]] (the new
+    * batch probe path, spec-pinned ≡ single-query search) top-10 at
+    * nprobe 3/5 graded against brute-cosine truth per held-out query.
+    * The oracle generalizes the q47 chain per query: corpus-only
+    * centroids, partitioned cluster ranking, probed-member scoring,
+    * partitioned top-10, exact integer hits. RAW compare.
+    */
+  val q206IvfRecall: QueryCase = QueryCase(
+    "q206_ivf_recall",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val k = 10
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val queries = e.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .withColumn("qn", VectorFunctions.norm2(col("qv")))
+      val corpus = e.where(col("vec_id") % 25 =!= 0)
+        .withColumn("cn", VectorFunctions.norm2(col("v")))
+      val truth = queries.crossJoin(corpus)
+        .withColumn("csim", VectorFunctions.cosineFromParts(
+          col("qv"), col("v"), col("qn"), col("cn")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(desc("csim"), col("vec_id"))))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+      val index = graft.search.IvfIndex.build(
+        e.where(col("vec_id") % 25 =!= 0), "vec_id", "v", "label")
+      val approx = graft.search.IvfIndex
+        .searchAll(index, queries, "query_id", "qv", k, nprobe = 3)
+        .select(col("query_id"), col("id").as("vec_id"))
+      truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .join(queries.select("query_id"), Seq("query_id"), "right")
+        .na.fill(0L, Seq("hits"))
+        .select(col("query_id"), col("hits"),
+          (col("hits").cast("double") / k).as("recall"))
+        .orderBy("query_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id % 25 = 0),
+      c AS (SELECT vec_id, label, v FROM e WHERE vec_id % 25 <> 0),
+      truth AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.query_id, c.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              (list_reduce(list_transform(q.qv, (x, i) -> x * c.v[i]),
+                           (s, t) -> s + t) /
+               (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                                 (s, t) -> s + t)) *
+                sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                                 (s, t) -> s + t)))) DESC, c.vec_id)
+              AS rank
+          FROM q CROSS JOIN c) WHERE rank <= 10),
+      cent AS (
+        SELECT label, u.pos, AVG(u.x) AS m
+        FROM c, UNNEST(list_transform(v,
+          (x, i) -> struct_pack(pos := i, x := x))) AS t(u)
+        GROUP BY label, u.pos),
+      centroids AS (
+        SELECT label, list(m ORDER BY pos) AS centroid
+        FROM cent GROUP BY label),
+      probed AS (
+        SELECT query_id, label FROM (
+          SELECT q.query_id, ct.label,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              (list_reduce(list_transform(ct.centroid, (x, i) -> x * q.qv[i]),
+                           (s, t) -> s + t) /
+               (sqrt(list_reduce(list_transform(ct.centroid, x -> x * x),
+                                 (s, t) -> s + t)) *
+                sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                                 (s, t) -> s + t)))) DESC, ct.label)
+              AS cr
+          FROM centroids ct CROSS JOIN q) WHERE cr <= 3),
+      approx AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.query_id, c.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              (list_reduce(list_transform(c.v, (x, i) -> x * q.qv[i]),
+                           (s, t) -> s + t) /
+               (sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                                 (s, t) -> s + t)) *
+                sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                                 (s, t) -> s + t)))) DESC, c.vec_id)
+              AS rank
+          FROM c JOIN probed p ON c.label = p.label
+          JOIN q ON q.query_id = p.query_id) WHERE rank <= 10),
+      hits AS (
+        SELECT t.query_id, COUNT(*) AS hits
+        FROM truth t JOIN approx a
+          ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        GROUP BY t.query_id)
+      SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+             CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall
+      FROM q LEFT JOIN hits h USING (query_id)
+      ORDER BY q.query_id"""))
+
   /** RHO-style selective language modeling —
     * [[graft.operators.CorpusLm.selectiveTokens]]: per-token excess
     * loss (add-k bigram main vs add-k unigram reference), ranked per
@@ -2242,5 +2346,5 @@ object TestQueries15 {
       q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage,
       q198Isotonic, q199Ece, q200BootstrapCi, q201LexiconScreen,
       q202SnapshotDiff, q203DataCard, q204SelectiveTokens,
-      q205AnnRecall)
+      q205AnnRecall, q206IvfRecall)
 }

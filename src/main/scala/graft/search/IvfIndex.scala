@@ -60,6 +60,36 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** Batch search — one probe pass for a whole QUERY TABLE (the eval /
+    * offline-scoring path; [[search]] is the single-request serving
+    * shape). Per-query cluster ranking and per-query top-k are
+    * PARTITIONED windows (one partition per query, never a global
+    * sort); the probed (query × nprobe) frame broadcasts. Identical
+    * per-query results to [[search]] — pinned by IvfSearchAllSpec.
+    */
+  def searchAll(index: Index, queries: DataFrame, qidCol: String,
+                qvecCol: String, k: Int, nprobe: Int = 3): DataFrame = {
+    require(k >= 1 && nprobe >= 1, "k and nprobe must be positive")
+    val q = queries.select(col(qidCol).as("qid"), col(qvecCol).as("qv"))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(desc("cdist"), col("cluster_id"))
+    val probed = index.centroids.crossJoin(broadcast(q))
+      .select(col("qid"), col("qv"), col("cluster_id"),
+        VectorFunctions.cosineSim(col("centroid"), col("qv")).as("cdist"))
+      .withColumn("cr", row_number().over(wc))
+      .where(col("cr") <= nprobe)
+      .select("qid", "qv", "cluster_id")
+    val wk = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(desc("cos_sim"), col("id"))
+    index.assignments.join(broadcast(probed), Seq("cluster_id"))
+      .select(col("qid"), col("id"), col("cluster_id"),
+        VectorFunctions.cosineSim(col("v"), col("qv")).as("cos_sim"))
+      .withColumn("rank", row_number().over(wk))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("rank"), col("id"),
+        col("cluster_id"), col("cos_sim"))
+  }
+
   /** Index maintenance — the FAISS `add` analogue: assign NEW vectors to
     * the EXISTING centroids (no recluster; centroids stay fixed so every
     * already-served cell keeps its identity) and append them to the

@@ -1,0 +1,48 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Batch search equivalence: searchAll over a query table returns, per
+  * query, exactly what the single-request search path returns.
+  */
+class IvfSearchAllSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(seed: Int): Seq[Double] =
+    (0 until 8).map(i => math.sin(seed * 13 + i * 7).abs + 0.1)
+
+  private lazy val corpus = (0L until 60L)
+    .map(i => (i, (i % 4).toInt, vec(i.toInt)))
+    .toDF("vec_id", "label", "v")
+
+  private lazy val index = IvfIndex.build(corpus, "vec_id", "v", "label")
+
+  test("searchAll per query == single-query search") {
+    val qs = Seq((100L, vec(71)), (101L, vec(72)), (102L, vec(73)))
+    val batch = IvfIndex.searchAll(index,
+        qs.toDF("qid", "qv"), "qid", "qv", k = 5, nprobe = 2)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getDouble(4))).toSeq).toMap
+    qs.foreach { case (qid, qv) =>
+      val single = IvfIndex.search(index,
+          Seq(Tuple1(qv)).toDF("qv"), k = 5, nprobe = 2)
+        .orderBy(desc("cos_sim"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(batch(qid) == single, s"query $qid diverged")
+    }
+  }
+
+  test("ranks are dense per query and bounded by k") {
+    val out = IvfIndex.searchAll(index,
+        Seq((1L, vec(5)), (2L, vec(6))).toDF("qid", "qv"),
+        "qid", "qv", k = 4, nprobe = 1)
+      .collect().groupBy(_.getLong(0))
+    out.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to rows.length))
+      assert(rows.length <= 4)
+    }
+  }
+}
