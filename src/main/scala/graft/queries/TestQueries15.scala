@@ -1327,7 +1327,7 @@ object TestQueries15 {
   /** IVF recall evaluation — completes q205's index-quality report for
     * the STRUCTURED index: [[graft.search.IvfIndex.searchAll]] (the new
     * batch probe path, spec-pinned ≡ single-query search) top-10 at
-    * nprobe 3/5 graded against brute-cosine truth per held-out query.
+    * nprobe 3 of 10 clusters graded against brute-cosine truth per held-out query.
     * The oracle generalizes the q47 chain per query: corpus-only
     * centroids, partitioned cluster ranking, probed-member scoring,
     * partitioned top-10, exact integer hits. RAW compare.
@@ -1427,6 +1427,128 @@ object TestQueries15 {
              CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall
       FROM q LEFT JOIN hits h USING (query_id)
       ORDER BY q.query_id"""))
+
+  /** IVF tuning grid — the recall@k × nprobe sweep an index deployment
+    * tunes with: [[graft.search.IvfIndex.searchAll]] at nprobe ∈
+    * {1,3,5} against brute truth, hits@k for k ∈ {1,5,10} from ONE
+    * rank-pair join per nprobe (hit@k ⇔ both ranks ≤ k — the prefix
+    * property), and macro recall as the EXACT integer ratio
+    * Σhits/(k·|Q|) — no order-dependent double sums anywhere.
+    */
+  val q207IvfTuningGrid: QueryCase = QueryCase(
+    "q207_ivf_tuning_grid",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val queries = e.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .withColumn("qn", VectorFunctions.norm2(col("qv")))
+      val corpus = e.where(col("vec_id") % 25 =!= 0)
+        .withColumn("cn", VectorFunctions.norm2(col("v")))
+      val truth = queries.crossJoin(corpus)
+        .withColumn("csim", VectorFunctions.cosineFromParts(
+          col("qv"), col("v"), col("qn"), col("cn")))
+        .withColumn("rank_t", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(desc("csim"), col("vec_id"))))
+        .where(col("rank_t") <= 10)
+        .select(col("query_id"), col("vec_id"), col("rank_t"))
+      val index = graft.search.IvfIndex.build(
+        e.where(col("vec_id") % 25 =!= 0), "vec_id", "v", "label")
+      val nq = queries.count()
+      val grids = Seq(1, 3, 5).map { np =>
+        val approx = graft.search.IvfIndex
+          .searchAll(index, queries, "query_id", "qv", 10, nprobe = np)
+          .select(col("query_id"), col("id").as("vec_id"),
+            col("rank").as("rank_a"))
+        val joined = truth.join(approx, Seq("query_id", "vec_id"))
+        val hitCols = Seq(1, 5, 10).map(k =>
+          sum(when(col("rank_t") <= k && col("rank_a") <= k, 1L)
+            .otherwise(0L)).as(s"h$k"))
+        joined.agg(hitCols.head, hitCols.tail: _*)
+          .withColumn("nprobe", lit(np))
+      }
+      val wide = grids.reduce(_ unionByName _)
+      Seq(1, 5, 10).map { k =>
+        wide.select(col("nprobe"), lit(k).as("k"),
+          col(s"h$k").as("total_hits"),
+          (col(s"h$k").cast("double") / lit(k * nq)).as("macro_recall"))
+      }.reduce(_ unionByName _)
+        .orderBy("nprobe", "k")
+    },
+    Some {
+      def grid(np: Int) =
+        s"""SELECT $np AS nprobe, j.k,
+              CAST(SUM(CASE WHEN j.rank_t <= j.k AND j.rank_a <= j.k
+                THEN 1 ELSE 0 END) AS BIGINT) AS total_hits
+            FROM (
+              SELECT t.query_id, t.rank_t, a.rank_a, ks.k
+              FROM truth t
+              JOIN (
+                SELECT query_id, vec_id, rank_a FROM (
+                  SELECT q.query_id, c.vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                      (list_reduce(list_transform(c.v,
+                          (x, i) -> x * q.qv[i]), (s, t) -> s + t) /
+                       (sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                                         (s, t) -> s + t)) *
+                        sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                                         (s, t) -> s + t)))) DESC,
+                      c.vec_id) AS rank_a
+                  FROM c
+                  JOIN (SELECT query_id, label FROM (
+                          SELECT q.query_id, ct.label,
+                            ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY
+                              (list_reduce(list_transform(ct.centroid,
+                                  (x, i) -> x * q.qv[i]), (s, t) -> s + t) /
+                               (sqrt(list_reduce(list_transform(ct.centroid,
+                                   x -> x * x), (s, t) -> s + t)) *
+                                sqrt(list_reduce(list_transform(q.qv,
+                                   x -> x * x), (s, t) -> s + t)))) DESC,
+                              ct.label) AS cr
+                          FROM centroids ct CROSS JOIN q) WHERE cr <= $np)
+                    p ON c.label = p.label
+                  JOIN q ON q.query_id = p.query_id) WHERE rank_a <= 10)
+                a ON a.query_id = t.query_id AND a.vec_id = t.vec_id,
+              (SELECT UNNEST([1, 5, 10]) AS k) ks) j
+            GROUP BY j.k"""
+      s"""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id % 25 = 0),
+      nq AS (SELECT COUNT(*) AS nq FROM q),
+      c AS (SELECT vec_id, label, v FROM e WHERE vec_id % 25 <> 0),
+      truth AS (
+        SELECT query_id, vec_id, rank_t FROM (
+          SELECT q.query_id, c.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              (list_reduce(list_transform(q.qv, (x, i) -> x * c.v[i]),
+                           (s, t) -> s + t) /
+               (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                                 (s, t) -> s + t)) *
+                sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                                 (s, t) -> s + t)))) DESC, c.vec_id)
+              AS rank_t
+          FROM q CROSS JOIN c) WHERE rank_t <= 10),
+      cent AS (
+        SELECT label, u.pos, AVG(u.x) AS m
+        FROM c, UNNEST(list_transform(v,
+          (x, i) -> struct_pack(pos := i, x := x))) AS t(u)
+        GROUP BY label, u.pos),
+      centroids AS (
+        SELECT label, list(m ORDER BY pos) AS centroid
+        FROM cent GROUP BY label),
+      g AS (${Seq(1, 3, 5).map(grid).mkString(" UNION ALL ")})
+      SELECT g.nprobe, CAST(g.k AS INT) AS k, g.total_hits,
+             CAST(g.total_hits AS DOUBLE) / (g.k * nq.nq) AS macro_recall
+      FROM g CROSS JOIN nq
+      ORDER BY g.nprobe, g.k"""
+    })
 
   /** RHO-style selective language modeling —
     * [[graft.operators.CorpusLm.selectiveTokens]]: per-token excess
@@ -2346,5 +2468,5 @@ object TestQueries15 {
       q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage,
       q198Isotonic, q199Ece, q200BootstrapCi, q201LexiconScreen,
       q202SnapshotDiff, q203DataCard, q204SelectiveTokens,
-      q205AnnRecall, q206IvfRecall)
+      q205AnnRecall, q206IvfRecall, q207IvfTuningGrid)
 }
