@@ -1550,6 +1550,103 @@ object TestQueries15 {
       ORDER BY g.nprobe, g.k"""
     })
 
+  /** Binary-Hamming recall grid — q207's sweep for the COMPRESSED
+    * family: recall@{1,5,10} from one rank-pair join (hit@k ⇔ both
+    * ranks ≤ k), macro recall as the exact integer ratio Σhits/(k·|Q|).
+    * Together with q207 this is the complete index-family comparison
+    * table (brute = 1.0 by definition). RAW compare.
+    */
+  val q208HammingGrid: QueryCase = QueryCase(
+    "q208_hamming_grid",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"),
+        col("embedding").as("vf"))
+      val queries = e.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .withColumn("qn", VectorFunctions.norm2(col("qv")))
+      val corpus = e.where(col("vec_id") % 25 =!= 0)
+        .withColumn("cn", VectorFunctions.norm2(col("v")))
+      val truth = queries.crossJoin(corpus)
+        .withColumn("csim", VectorFunctions.cosineFromParts(
+          col("qv"), col("v"), col("qn"), col("cn")))
+        .withColumn("rank_t", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(desc("csim"), col("vec_id"))))
+        .where(col("rank_t") <= 10)
+        .select(col("query_id"), col("vec_id"), col("rank_t"))
+      val approx = graft.operators.Search.binaryHammingTopK(
+          e.where(col("vec_id") % 25 =!= 0), "vec_id", "vf",
+          e.where(col("vec_id") % 25 === 0), "vec_id", "vf", 10)
+        .select(col("query_id"), col("id").as("vec_id"),
+          col("rank").as("rank_a"))
+      val nq = queries.count()
+      val joined = truth.join(approx, Seq("query_id", "vec_id"))
+      val hitCols = Seq(1, 5, 10).map(k =>
+        sum(when(col("rank_t") <= k && col("rank_a") <= k, 1L)
+          .otherwise(0L)).as(s"h$k"))
+      val wide = joined.agg(hitCols.head, hitCols.tail: _*)
+      Seq(1, 5, 10).map { k =>
+        wide.select(lit(k).as("k"), col(s"h$k").as("total_hits"),
+          (col(s"h$k").cast("double") / lit(k * nq)).as("macro_recall"))
+      }.reduce(_ unionByName _).orderBy("k")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label, embedding,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id % 25 = 0),
+      nq AS (SELECT COUNT(*) AS nq FROM q),
+      c AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
+      truth AS (
+        SELECT query_id, vec_id, rank_t FROM (
+          SELECT q.query_id, c.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              (list_reduce(list_transform(q.qv, (x, i) -> x * c.v[i]),
+                           (s, t) -> s + t) /
+               (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                                 (s, t) -> s + t)) *
+                sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                                 (s, t) -> s + t)))) DESC, c.vec_id)
+              AS rank_t
+          FROM q CROSS JOIN c) WHERE rank_t <= 10),
+      codes AS (
+        SELECT vec_id,
+          ${graft.functions.CrossHash.hugeToSignedSql(
+            """COALESCE((SELECT SUM(CASE WHEN e2.embedding[i + 1] >= 0
+                   THEN CAST(1 AS HUGEINT) << CAST(i AS INT)
+                   ELSE CAST(0 AS HUGEINT) END)
+                 FROM UNNEST(range(0, LEAST(LEN(e2.embedding), 64))) AS t(i)),
+               CAST(0 AS HUGEINT))""")} AS code
+        FROM embeddings e2),
+      qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes
+             WHERE vec_id % 25 = 0),
+      cc AS (SELECT vec_id, code FROM codes WHERE vec_id % 25 <> 0),
+      approx AS (
+        SELECT query_id, vec_id, rank_a FROM (
+          SELECT qc.query_id, cc.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY qc.query_id
+                   ORDER BY bit_count(xor(cc.code, qc.qcode)), cc.vec_id)
+                   AS rank_a
+          FROM cc CROSS JOIN qc) WHERE rank_a <= 10),
+      j AS (
+        SELECT t.rank_t, a.rank_a, ks.k
+        FROM truth t
+        JOIN approx a
+          ON a.query_id = t.query_id AND a.vec_id = t.vec_id,
+        (SELECT UNNEST([1, 5, 10]) AS k) ks),
+      g AS (
+        SELECT k, CAST(SUM(CASE WHEN rank_t <= k AND rank_a <= k
+          THEN 1 ELSE 0 END) AS BIGINT) AS total_hits
+        FROM j GROUP BY k)
+      SELECT CAST(g.k AS INT) AS k, g.total_hits,
+             CAST(g.total_hits AS DOUBLE) / (g.k * nq.nq) AS macro_recall
+      FROM g CROSS JOIN nq
+      ORDER BY g.k"""))
+
   /** RHO-style selective language modeling —
     * [[graft.operators.CorpusLm.selectiveTokens]]: per-token excess
     * loss (add-k bigram main vs add-k unigram reference), ranked per
@@ -2468,5 +2565,5 @@ object TestQueries15 {
       q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage,
       q198Isotonic, q199Ece, q200BootstrapCi, q201LexiconScreen,
       q202SnapshotDiff, q203DataCard, q204SelectiveTokens,
-      q205AnnRecall, q206IvfRecall, q207IvfTuningGrid)
+      q205AnnRecall, q206IvfRecall, q207IvfTuningGrid, q208HammingGrid)
 }
