@@ -1,0 +1,43 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Lexical-diversity statistics per document: Shannon entropy of the
+  * token distribution (bits — the information-density signal low-quality
+  * boilerplate scores low on) and type-token ratio. Complements the
+  * Gopher/C4 repetition filters: those flag EXCESS repetition, entropy
+  * measures the whole distribution.
+  *
+  * Determinism: per-token probabilities are exact rationals; the
+  * entropy sum folds terms in TOKEN-SORTED order (collect → array_sort
+  * → sequential fold — bounded by the doc's distinct-token count), so
+  * the only cross-engine wobble is log2's last bit, absorbed by the
+  * ROUND(6) display (the q181 discipline). Scale shape: one
+  * (doc, token) count groupBy and one per-doc fold — no windows.
+  *
+  * Output: (doc_id, n_tokens, n_distinct, ttr, entropy_bits).
+  */
+object TextStats {
+
+  def tokenEntropy(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    terms.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        collect_list(struct(col("t"), col("c"))).as("tc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+        round(
+          aggregate(
+            transform(array_sort(col("tc")), s =>
+              -(s.getField("c").cast("double") / col("n_tokens")) *
+                log2(s.getField("c").cast("double") / col("n_tokens"))),
+            lit(0.0), (acc, x) => acc + x), 6).as("entropy_bits"))
+  }
+}

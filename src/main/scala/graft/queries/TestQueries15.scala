@@ -1647,6 +1647,36 @@ object TestQueries15 {
       FROM g CROSS JOIN nq
       ORDER BY g.k"""))
 
+  /** Lexical diversity — [[graft.analytics.TextStats.tokenEntropy]]:
+    * per-doc Shannon entropy of the token distribution (token-sorted
+    * fold, ROUND(6) for the log2 last bit — q181 discipline) and exact
+    * type-token ratio.
+    */
+  val q209TokenEntropy: QueryCase = QueryCase(
+    "q209_token_entropy",
+    (s, dir) => graft.analytics.TextStats
+      .tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH terms AS (
+        SELECT doc_id, u.t, COUNT(*) AS c
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(tk) AS u(t)
+        GROUP BY doc_id, u.t),
+      agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               list(struct_pack(t := t, c := c) ORDER BY t) AS tc
+        FROM terms GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct,
+             CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+             ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(tc, s ->
+                 -(CAST(s.c AS DOUBLE) / n_tokens) *
+                   log2(CAST(s.c AS DOUBLE) / n_tokens))),
+               (a, b) -> a + b), 6) AS entropy_bits
+      FROM agg ORDER BY doc_id"""))
+
   /** RHO-style selective language modeling —
     * [[graft.operators.CorpusLm.selectiveTokens]]: per-token excess
     * loss (add-k bigram main vs add-k unigram reference), ranked per
@@ -2565,5 +2595,6 @@ object TestQueries15 {
       q195MixturePlan, q196WinnowIncremental, q197GroupAdvantage,
       q198Isotonic, q199Ece, q200BootstrapCi, q201LexiconScreen,
       q202SnapshotDiff, q203DataCard, q204SelectiveTokens,
-      q205AnnRecall, q206IvfRecall, q207IvfTuningGrid, q208HammingGrid)
+      q205AnnRecall, q206IvfRecall, q207IvfTuningGrid, q208HammingGrid,
+      q209TokenEntropy)
 }

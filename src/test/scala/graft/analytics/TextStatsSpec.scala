@@ -1,0 +1,38 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Hand-traced token entropy: uniform, constant, and skewed cases. */
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(text: String) =
+    TextStats.tokenEntropy(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+
+  test("uniform distribution: entropy = log2(V)") {
+    val r = stats("a b c d")
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("n_distinct") == 4L)
+    assert(r.getAs[Double]("ttr") == 1.0)
+    assert(r.getAs[Double]("entropy_bits") == 2.0)
+  }
+
+  test("constant document has zero entropy") {
+    val r = stats("x x x x x")
+    assert(r.getAs[Double]("entropy_bits") == 0.0)
+    assert(r.getAs[Double]("ttr") == 0.2)
+  }
+
+  test("skewed 3/4-1/4 distribution") {
+    val r = stats("a a a b")
+    // H = -(3/4)log2(3/4) - (1/4)log2(1/4)
+    val h = -(0.75 * math.log(0.75) / math.log(2.0)) + 0.25 * 2.0
+    assert(math.abs(r.getAs[Double]("entropy_bits") - h) < 1e-6)
+  }
+
+  test("entropy is order-invariant across token positions") {
+    assert(stats("a b a b c").getAs[Double]("entropy_bits") ==
+      stats("c b a b a").getAs[Double]("entropy_bits"))
+  }
+}
