@@ -1647,6 +1647,55 @@ object TestQueries15 {
       FROM g CROSS JOIN nq
       ORDER BY g.k"""))
 
+  /** Packing-efficiency report — the padding-waste audit for q92's
+    * greedy token-budget packing (wasted capacity = wasted training
+    * FLOPs): per shard, sequences used, capacity at budget 256, and
+    * the exact padding fraction. Valid because no document exceeds the
+    * budget (corpus docs ≤ 100 tokens), so every bin's fill ≤ 256.
+    * Integer counts + one exact division; oracle reuses the q92
+    * recursive packing CTE verbatim and rolls it up.
+    */
+  val q210PackEfficiency: QueryCase = QueryCase(
+    "q210_pack_efficiency",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val packed = graft.operators.Curation.packSequences(
+        Tables.documents(s, dir), "source", "doc_id",
+        TextFunctions.tokenCount(col("text")), 256)
+      packed.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("seq")).as("n_seqs"),
+          sum(col("tok")).as("total_tok"))
+        .select(col("shard"), col("n_docs"), col("n_seqs"),
+          col("total_tok"), (col("n_seqs") * 256).as("capacity"),
+          ((col("n_seqs") * 256 - col("total_tok")).cast("double")
+            / (col("n_seqs") * 256)).as("padding_frac"))
+        .orderBy("shard")
+    },
+    Some(s"""
+      WITH RECURSIVE d AS (
+        SELECT source AS shard, doc_id AS id,
+               CAST(LEN($TokensSql) AS BIGINT) AS tok,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                 AS ord
+        FROM documents),
+      rec AS (
+        SELECT shard, id, ord, tok, CAST(1 AS BIGINT) AS seq, tok AS acc
+        FROM d WHERE ord = 1
+        UNION ALL
+        SELECT d.shard, d.id, d.ord, d.tok,
+               CASE WHEN r.acc > 0 AND r.acc + d.tok > 256
+                 THEN r.seq + 1 ELSE r.seq END,
+               CASE WHEN r.acc > 0 AND r.acc + d.tok > 256
+                 THEN d.tok ELSE r.acc + d.tok END
+        FROM rec r JOIN d ON d.shard = r.shard AND d.ord = r.ord + 1)
+      SELECT shard, COUNT(*) AS n_docs, MAX(seq) AS n_seqs,
+             CAST(SUM(tok) AS BIGINT) AS total_tok,
+             MAX(seq) * 256 AS capacity,
+             CAST(MAX(seq) * 256 - SUM(tok) AS DOUBLE)
+               / (MAX(seq) * 256) AS padding_frac
+      FROM rec GROUP BY shard ORDER BY shard"""))
+
   /** Lexical diversity — [[graft.analytics.TextStats.tokenEntropy]]:
     * per-doc Shannon entropy of the token distribution (token-sorted
     * fold, ROUND(6) for the log2 last bit — q181 discipline) and exact
@@ -2596,5 +2645,5 @@ object TestQueries15 {
       q198Isotonic, q199Ece, q200BootstrapCi, q201LexiconScreen,
       q202SnapshotDiff, q203DataCard, q204SelectiveTokens,
       q205AnnRecall, q206IvfRecall, q207IvfTuningGrid, q208HammingGrid,
-      q209TokenEntropy)
+      q209TokenEntropy, q210PackEfficiency)
 }
