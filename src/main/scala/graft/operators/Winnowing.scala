@@ -62,23 +62,32 @@ object Winnowing {
     * oracle). Returns the new-contamination pairs: batch×index plus
     * batch×batch — index×index pairs were already reported when those
     * docs arrived.
+    *
+    * Cost is batch-proportional: the batch fingerprints PROBE the
+    * combined index on `h` (Σ_h |batch_h|·|all_h| candidates), never a
+    * corpus self-join (Σ_h |all_h|²) — per-batch work stays flat as the
+    * stored index grows ([[graft.ScaleRehearsal]] pins this). Batch×batch
+    * pairs surface from both probe orientations, so candidates dedupe on
+    * (doc_a, doc_b, h) before the shared count.
     */
   def incrementalPairs(index: DataFrame, batchDocs: DataFrame,
                        idCol: String, textCol: String,
                        k: Int = 5, w: Int = 4,
                        minShared: Long = 1L): DataFrame = {
     val batchFp = fingerprints(batchDocs, idCol, textCol, k, w)
+      .select(col("doc_id"), col("h")).distinct()
     val all = index.select(col("doc_id"), col("h"))
-      .unionByName(batchFp.select(col("doc_id"), col("h")))
-    val pairs = sharedPairs(all, minShared)
-    val aTag = batchFp.select(col("doc_id").as("doc_a")).distinct()
-      .withColumn("__a_new", lit(true))
-    val bTag = batchFp.select(col("doc_id").as("doc_b")).distinct()
-      .withColumn("__b_new", lit(true))
-    pairs.join(broadcast(aTag), Seq("doc_a"), "left")
-      .join(broadcast(bTag), Seq("doc_b"), "left")
-      .where(col("__a_new").isNotNull || col("__b_new").isNotNull)
-      .select(col("doc_a"), col("doc_b"), col("shared"))
+      .unionByName(batchFp)
+      .distinct()
+    batchFp.select(col("doc_id").as("bd"), col("h"))
+      .join(all.select(col("doc_id").as("od"), col("h")), Seq("h"))
+      .where(col("bd") =!= col("od"))
+      .select(least(col("bd"), col("od")).as("doc_a"),
+        greatest(col("bd"), col("od")).as("doc_b"), col("h"))
+      .distinct()
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
   }
 
   /** Cross-document contamination candidates: pairs sharing ≥ `minShared`

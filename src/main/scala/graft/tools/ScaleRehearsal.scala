@@ -211,6 +211,40 @@ object ScaleRehearsal {
           println(f"[semdedup] n=$n k=$k%-4d cold=$cold%.2f steady=$warm%.2f")
         }
 
+      // Incremental-winnowing cost pin (round-11): with a FIXED batch,
+      // per-batch incrementalPairs time must stay flat as the stored
+      // index grows 10× — the batch-probe join's work is
+      // Σ_h |batch_h|·|all_h|, and the sf1 build's token remap keeps
+      // cross-copy hash overlap at zero, so |all_h| per batch-touched h
+      // is constant as copies grow. (The pre-round-11 corpus self-join
+      // spelling grew with Σ_h |all_h|² — rebuild-scale every batch.)
+      case "winnow" =>
+        val sf1 = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
+        val docs = spark.read.parquet(s"$sf1/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val batch = docs.where(col("doc_id") < KeyShift &&
+          col("doc_id") % 5 === 0).persist()
+        val nBatch = batch.count()
+        Seq(1, 3, 10).foreach { copies =>
+          val idxDocs = docs.where(col("doc_id") < lit(copies * KeyShift) &&
+            !(col("doc_id") < KeyShift && col("doc_id") % 5 === 0))
+          val index = graft.operators.Winnowing
+            .fingerprints(idxDocs, "doc_id", "text").persist()
+          val nFp = index.count()
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            graft.operators.Winnowing
+              .incrementalPairs(index, batch, "doc_id", "text")
+              .queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          val cold = once(); val warm = once()
+          index.unpersist(blocking = true)
+          println(f"[winnow] batch=$nBatch index_fp=$nFp%-9d " +
+            f"copies=$copies%-2d cold=$cold%.2f steady=$warm%.2f")
+        }
+        batch.unpersist()
+
       case "stress" =>
         val dir = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
         val baseline = "/root/testdata/sf0.1"
