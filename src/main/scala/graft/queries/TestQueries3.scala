@@ -143,13 +143,19 @@ object TestQueries3 {
   val q41Rerank: QueryCase = QueryCase(
     "q41_rerank",
     (s, dir) => {
+      // The reference reranks a retrieval PAGE (`reranker.py:99-131`),
+      // never a table: bound the input to the ranked top-60 first
+      // (TakeOrderedAndProject — distributed top-k, no global sort), so
+      // Bounded.guard proves the contract statically (maxRows=60, no
+      // per-call count job) and the rank window sorts 60 rows.
       val ranked = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("n_chars").cast("double").as("score"))
+        .orderBy(desc("score"), col("doc_id"))
+        .limit(60)
       Reranker.rerankTopK(ranked, "doc_id", "score",
           Reranker.lexicalScore(col("text"), Seq("spark", "merge", "window")), k = 20)
         .select(col("doc_id"), round(coalesce(col("rerank_score"), lit(-1.0)), 6)
           .as("rerank_score"))
-        .limit(60)
     },
     Some("""
       WITH ranked AS (
