@@ -167,7 +167,7 @@ object Bench {
     // hybrid search over the substrate — this is the number comparable to
     // the reference's warm search latencies.
     val (indexedHybrid, indexedKeyword, indexedPhrase, indexedSemantic,
-         indexedSemanticAnn) = {
+         indexedSemanticAnn, indexedWebsearch) = {
       import org.apache.spark.sql.functions._
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("string").as("document_id"), col("text"))
@@ -210,18 +210,26 @@ object Bench {
         graft.search.LshAnn.search(annIndex, qdf, 10, annBits, 256)
           .queryExecution.toRdd.count()
       }
+      // websearch over the shared FTS substrate (stopword-filtered at
+      // index time, TextIndex scaladoc) — the q67 gate body IS the
+      // serving path; first call warms the substrate, untimed
+      def websearchOnce(): Double = time {
+        SparkEntry.queries("q67_websearch")(spark, sfDir)
+          .queryExecution.toRdd.count()
+      }
       hybridOnce(); keywordOnce(); phraseOnce() // plan+codegen
-      semanticOnce(); semanticAnnOnce()
+      semanticOnce(); semanticAnnOnce(); websearchOnce()
       val h = hybridOnce()
       val k = keywordOnce()
       val p = phraseOnce()
       val se = semanticOnce()
       val sa = semanticAnnOnce()
+      val ws = websearchOnce()
       store.unpersist()
       annIndex.unpersist()
-      (h, k, p, se, sa)
+      (h, k, p, se, sa, ws)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"env":$env,"indexed_hybrid_sec":$indexedHybrid,"indexed_keyword_sec":$indexedKeyword,"indexed_phrase_sec":$indexedPhrase,"indexed_semantic_sec":$indexedSemantic,"indexed_semantic_ann_sec":$indexedSemanticAnn,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"env":$env,"indexed_hybrid_sec":$indexedHybrid,"indexed_keyword_sec":$indexedKeyword,"indexed_phrase_sec":$indexedPhrase,"indexed_semantic_sec":$indexedSemantic,"indexed_semantic_ann_sec":$indexedSemanticAnn,"indexed_websearch_sec":$indexedWebsearch,"sf":"$sfDir"}""")
     // Compact trailing summary: the harness records only the TAIL of the
     // output, which truncates the front of the full line above (every
     // prior round's BENCH_r{N}.json has parsed:null and a tail starting
@@ -279,7 +287,7 @@ object Bench {
     val warmServing = warm.filter(kv => Set("q24_cosine_topk", "q38_fts_rank",
         "q54_hybrid", "q41_rerank", "q67_websearch").contains(kv._1))
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"steady_env":$steadyEnv,"warm_serving":$warmServing,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"steady_env":$steadyEnv,"warm_serving":$warmServing,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"indexed_websearch_sec":${fmt(indexedWebsearch, 3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -31,13 +31,7 @@ object TestQueries3 {
       // COLUMN, not raw text): persisted once per (session, dir), shared
       // with q67; identical rows — `graft.serving.useStore=off` restores
       // tokenize-per-query
-      def buildToks = t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.tokens(col("text")).as("ct"),
-        TextFunctions.tokens(col("source")).as("ht"))
-      val toks =
-        if (graft.search.Serving.useStore(s))
-          graft.search.Serving.substrate(s, dir, "fts_toks")(buildToks)
-        else buildToks
+      val toks = graft.search.TextIndex.fts(s, dir)
       val q = terms.map(lit)
       def cnt(c: String) = size(filter(col(c), x => x.isin(q: _*)))
       toks.select(col("doc_id"),

@@ -354,17 +354,12 @@ object TestQueries6 {
     (s, dir) => {
       val query = graft.functions.Fts.websearchQuery(
         "\"hash value\" -vector or \"sort key\"", stem = false)
-      // shared tokenized substrate — same frame as q38 (see its comment)
-      def buildToks = t(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.tokens(col("text")).as("ct"),
-        TextFunctions.tokens(col("source")).as("ht"))
-      val toks =
-        if (graft.search.Serving.useStore(s))
-          graft.search.Serving.substrate(s, dir, "fts_toks")(buildToks)
-        else buildToks
+      // shared tokenized substrate — same frame as q38; the lexeme
+      // columns are stopword-filtered at INDEX time (TextIndex scaladoc),
+      // so the per-query work is match + rank only
+      val toks = graft.search.TextIndex.fts(s, dir)
       val vec = toks.select(col("doc_id"),
-        struct(graft.functions.Fts.filterStopwords(col("ct")).as("a"),
-          graft.functions.Fts.filterStopwords(col("ht")).as("b")).as("fts"))
+        struct(col("ct_lex").as("a"), col("ht_lex").as("b")).as("fts"))
       vec.where(graft.functions.Fts.tsMatchQuery(col("fts"), query))
         .select(col("doc_id"),
           round(graft.functions.Fts.tsRankQuery(col("fts"), query), 6)

@@ -1,0 +1,38 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Fts, TextFunctions}
+
+/** Shared full-text serving substrate (reference `043_fulltext_search
+  * .sql`: the tsvector COLUMN is tokenized AND stopword-filtered at
+  * index time — `to_tsvector` drops stopwords on write, so a query
+  * never re-filters the corpus). One frame per (session, dir) carries
+  * both spellings the FTS gates rank over:
+  *
+  *  - `ct`/`ht`: raw content/source tokens (q38's weighted term counts
+  *    score unfiltered tokens, like ts_rank over an unstemmed config),
+  *  - `ct_lex`/`ht_lex`: stopword-filtered lexemes (q67's websearch
+  *    match + rank — pre-filtering here moves the per-query HOF pass
+  *    over every document's token arrays to index time, which is what
+  *    made the q67 warm leg 4× the q38 leg on the same substrate).
+  *
+  * Tokens are bound to real columns BEFORE the stopword filter lambda
+  * (Catalyst HOF lambdas re-evaluate captured subexpressions per
+  * element).
+  */
+object TextIndex {
+
+  def fts(s: SparkSession, dir: String): DataFrame = {
+    def build = graft.sources.Tables.table(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokens(col("text")).as("ct"),
+        TextFunctions.tokens(col("source")).as("ht"))
+      .select(col("doc_id"), col("ct"), col("ht"),
+        Fts.filterStopwords(col("ct")).as("ct_lex"),
+        Fts.filterStopwords(col("ht")).as("ht_lex"))
+    if (Serving.useStore(s)) Serving.substrate(s, dir, "fts_toks")(build)
+    else build
+  }
+}
