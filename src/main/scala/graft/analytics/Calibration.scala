@@ -40,13 +40,18 @@ object Calibration {
         col(labelCol).cast("long").as("y"))
       .groupBy("bin")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // driver-side PAV sees at most `bins` rows by construction, but a
+    // caller passing a corpus-sized `bins` would collect it all — the
+    // bounded-collect contract fails that loudly instead
+    val binnedRows = graft.plans.Bounded
+      .collectBounded(binned, "Calibration.isotonicBinned")
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
     // PAV over the present bins: blocks of (startIdx, n, pos); merge while
     // the previous block's mean >= the top's (integer cross-multiplied)
     val stack = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
-    binned.indices.foreach { i =>
-      stack += ((i, binned(i)._2, binned(i)._3))
+    binnedRows.indices.foreach { i =>
+      stack += ((i, binnedRows(i)._2, binnedRows(i)._3))
       var merging = true
       while (merging && stack.size >= 2) {
         val (s2, n2, p2) = stack(stack.size - 2)
@@ -58,15 +63,15 @@ object Calibration {
       }
     }
     // expand blocks back to bins
-    val calib = new Array[Double](binned.length)
+    val calib = new Array[Double](binnedRows.length)
     stack.zipWithIndex.foreach { case ((start, n, p), k) =>
-      val end = if (k + 1 < stack.size) stack(k + 1)._1 else binned.length
+      val end = if (k + 1 < stack.size) stack(k + 1)._1 else binnedRows.length
       (start until end).foreach(i => calib(i) = p.toDouble / n.toDouble)
     }
     val spark = pairs.sparkSession
     import spark.implicits._
-    binned.indices.map { i =>
-      val (b, n, p) = binned(i)
+    binnedRows.indices.map { i =>
+      val (b, n, p) = binnedRows(i)
       (b, n, p, p.toDouble / n.toDouble, calib(i))
     }.toDF("bin", "n", "pos", "rate", "calibrated")
   }
@@ -107,17 +112,32 @@ object Calibration {
         max(col("gap")).as("mce"))
   }
 
-  /** Apply a fitted table: map scores to their bin's calibrated value
-    * (broadcast join — the table is B rows).
+  /** A fitted calibration: the PAV table PLUS the grid that produced it.
+    * Apply-time binning derives from the model, so a score can never be
+    * mapped through a different grid than the fit's (the silent-mis-bin
+    * failure mode of passing (bins, lo, hi) twice).
     */
-  def applyCalibration(df: DataFrame, scoreCol: String, table: DataFrame,
-                       bins: Int = 20, lo: Double = -1.0,
-                       hi: Double = 1.0): DataFrame = {
-    val width = (hi - lo) / bins
+  final case class IsotonicModel(table: DataFrame, bins: Int,
+                                 lo: Double, hi: Double)
+
+  /** Fit: [[isotonicBinned]] bundled with its grid. */
+  def fitIsotonic(pairs: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 20, lo: Double = -1.0,
+                  hi: Double = 1.0): IsotonicModel =
+    IsotonicModel(isotonicBinned(pairs, scoreCol, labelCol, bins, lo, hi),
+      bins, lo, hi)
+
+  /** Apply a fitted model: map scores to their bin's calibrated value
+    * (broadcast join — the table is B rows). The bin grid comes from
+    * the MODEL, never from the caller.
+    */
+  def applyCalibration(df: DataFrame, scoreCol: String,
+                       model: IsotonicModel): DataFrame = {
+    val width = (model.hi - model.lo) / model.bins
     df.withColumn("bin",
-        greatest(lit(0), least(lit(bins - 1),
-          floor((col(scoreCol) - lit(lo)) / lit(width)).cast("int"))))
-      .join(broadcast(table.select(col("bin"), col("calibrated"))),
+        greatest(lit(0), least(lit(model.bins - 1),
+          floor((col(scoreCol) - lit(model.lo)) / lit(width)).cast("int"))))
+      .join(broadcast(model.table.select(col("bin"), col("calibrated"))),
         Seq("bin"), "left")
   }
 }

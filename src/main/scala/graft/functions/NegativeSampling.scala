@@ -59,6 +59,28 @@ object NegativeSampling {
     AliasTable(sorted.map(_._1).toArray, thresh, alias)
   }
 
+  /** Build the alias table from a (token, count) DataFrame with the
+    * bounded-vocab contract ENFORCED: the collect goes through
+    * [[graft.plans.Bounded.collectBounded]] (fails loudly one row over
+    * `graft.driver.maxCollectRows` instead of OOMing the driver on a
+    * raw 10⁸-token corpus vocabulary). Pass `topV` to truncate
+    * principled — top-V by count, ties by token (TakeOrdered, a
+    * distributed top-k) — which is word2vec's own vocabulary cap.
+    */
+  def buildAliasFromCounts(counts: DataFrame, tokenCol: String,
+                           countCol: String, power: Double = 0.75,
+                           topV: Option[Int] = None): AliasTable = {
+    val projected = counts.select(
+      col(tokenCol).cast("string").as("t"), col(countCol).cast("long").as("c"))
+    val bounded = topV match {
+      case Some(v) => projected.orderBy(desc("c"), col("t")).limit(v)
+      case None => projected
+    }
+    val rows = graft.plans.Bounded
+      .collectBounded(bounded, "NegativeSampling.buildAliasFromCounts")
+    buildAlias(rows.map(r => r.getString(0) -> r.getLong(1)).toSeq, power)
+  }
+
   /** Bit-exact uniform in (0,1) from a salted md5 of a string column —
     * the weightedSample double sequence (signed hash → double,
     * conditional +2⁶⁴, +0.5, /2⁶⁴), replayable in DuckDB.

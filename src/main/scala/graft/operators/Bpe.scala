@@ -54,7 +54,9 @@ object Bpe {
         regexp_extract_all(col("word"), lit("."), lit(0)).as("seq")),
       "graft.dedup.checkpoint")
     var merges: DataFrame = null
-    for (step <- 1 to nMerges) {
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
       val pairs = v
         .select(col("freq"), posexplode(slice(col("seq"), lit(1),
           greatest(size(col("seq")) - 1, lit(0)))).as(Seq("i", "a")),
@@ -68,14 +70,26 @@ object Bpe {
           .limit(1)
           .select(col("a"), col("b")),
         "graft.dedup.checkpoint")
-      val stepRow = best.select(lit(step).as("step"), col("a"), col("b"))
-      merges = if (merges == null) stepRow else merges.unionByName(stepRow)
-      v = graft.plans.Materialize.stage(
-        v.crossJoin(broadcast(best))
-          .select(col("word"), col("freq"),
-            rewrite(col("seq"), col("a"), col("b")).as("seq")),
-        "graft.dedup.checkpoint")
+      // Merges can exhaust before nMerges rounds (every word fully
+      // merged to one symbol): an empty `best` must STOP the loop —
+      // cross-joining against an empty 1-row frame would silently empty
+      // the vocabulary and every later round. The probe is a take(1)
+      // on the already-materialized 1-row frame.
+      if (best.isEmpty) exhausted = true
+      else {
+        val stepRow = best.select(lit(step).as("step"), col("a"), col("b"))
+        merges = if (merges == null) stepRow else merges.unionByName(stepRow)
+        v = graft.plans.Materialize.stage(
+          v.crossJoin(broadcast(best))
+            .select(col("word"), col("freq"),
+              rewrite(col("seq"), col("a"), col("b")).as("seq")),
+          "graft.dedup.checkpoint")
+        step += 1
+      }
     }
+    require(merges != null,
+      "Bpe.trainWithMerges: no adjacent pairs in the vocabulary at all " +
+        "(every word is a single symbol) — nothing to train")
     (v, merges)
   }
 
@@ -100,9 +114,13 @@ object Bpe {
       size(col("seq")).as("n_segments"))
   }
 
-  /** Collect a merge table to the driver (k rows — model-sized). */
+  /** Collect a merge table to the driver (k rows — model-sized; the
+    * bound is enforced, not assumed: an over-cap table fails loudly
+    * through [[graft.plans.Bounded.collectBounded]]).
+    */
   def collectMerges(merges: DataFrame): Seq[(String, String)] =
-    merges.orderBy("step").collect()
+    graft.plans.Bounded
+      .collectBounded(merges.orderBy("step"), "Bpe.collectMerges")
       .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSeq
 
   /** Segment NEW words with a learned segmentation's merge table is the

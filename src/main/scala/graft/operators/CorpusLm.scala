@@ -298,9 +298,19 @@ object CorpusLm {
     *
     * Output: (domain, n_docs, mean_ce, excess, weight).
     */
+  /** Conf key bounding the DOMAIN cardinality operators that fold the
+    * domain table into one row (softmax denominators, mixture plans)
+    * will accept — the loud-failure backstop for e.g. a doc id passed
+    * as the domain column.
+    */
+  val DomainsMaxKey = "graft.domains.maxRows"
+  private val DefaultDomainsMax = 1L << 16
+
   def doremiWeights(docCe: DataFrame, domainCol: String, ceCol: String,
                     eta: Double = 1.0): DataFrame = {
     require(eta > 0.0, "eta must be positive")
+    val maxD = docCe.sparkSession.conf
+      .get(DomainsMaxKey, DefaultDomainsMax.toString).toLong
     val per = docCe
       .select(col(domainCol).as("domain"), col(ceCol).as("ce"))
       .groupBy("domain")
@@ -309,7 +319,18 @@ object CorpusLm {
           .as("sum_ce"))
       .select(col("domain"), col("n_docs"),
         (col("sum_ce").cast("double") / col("n_docs")).as("mean_ce"))
-    val minCe = per.agg(min(col("mean_ce")).as("min_ce"))
+    // domain-cardinality contract enforced IN-PLAN (no extra job): the
+    // softmax denominator below collect_lists every domain into one
+    // row, so a corpus-cardinality "domain" column must fail loudly,
+    // not OOM an executor — the check rides the existing scalar agg
+    val minCe = per
+      .agg(min(col("mean_ce")).as("min_ce0"), count(lit(1)).as("nd"))
+      .select(when(col("nd") > maxD,
+          raise_error(concat(
+            lit("CorpusLm.doremiWeights: domain cardinality "), col("nd"),
+            lit(s" exceeds $DomainsMaxKey=$maxD — the softmax folds the " +
+              "domain table into ONE row; group coarser or raise the conf"))))
+        .otherwise(col("min_ce0")).as("min_ce"))
     val withE = per.crossJoin(broadcast(minCe))
       .withColumn("excess", col("mean_ce") - col("min_ce"))
       .withColumn("e", exp(lit(eta) * col("excess")))

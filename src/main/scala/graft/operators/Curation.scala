@@ -340,8 +340,9 @@ object Curation {
     * remaining domains' weights, any domain exceeding its repetition
     * cap (maxEpochs × its token count — data-repetition limits à la
     * Muennighoff et al. 2023) is frozen at the cap, and its overflow
-    * re-waterfalls; if every domain caps, the residual budget is the
-    * reported deficit.
+    * re-waterfalls; if every domain caps, the plan under-fills and the
+    * deficit is implicit as budget − Σ alloc_tokens (the output keeps
+    * the per-domain schema — no summary row).
     *
     * Driver-side over the collected domain table (bounded-vocab
     * contract — a domain table is orders of magnitude smaller than the
@@ -356,9 +357,12 @@ object Curation {
                   weightCol: String, budget: Double,
                   maxEpochs: Double): DataFrame = {
     require(budget > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
-    val rows = domains.select(col(domainCol).cast("string").as("d"),
-        col(tokensCol).cast("long").as("n"), col(weightCol).cast("double").as("w"))
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val rows = graft.plans.Bounded.collectBounded(
+        domains.select(col(domainCol).cast("string").as("d"),
+          col(tokensCol).cast("long").as("n"),
+          col(weightCol).cast("double").as("w")),
+        "Curation.mixturePlan")
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .sortBy(_._1)
     require(rows.nonEmpty && rows.forall(t => t._2 > 0 && t._3 > 0),
       "domains need positive token counts and weights")

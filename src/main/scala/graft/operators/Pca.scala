@@ -120,6 +120,16 @@ object Pca {
   def fit(vecs: DataFrame, vecCol: String, p: Int): Model = {
     val v = vecs.select(col(vecCol).cast("array<double>").as("v"))
       .where(col("v").isNotNull)
+    // One cheap aggregate up front: with JAGGED vectors the per-(i,j)
+    // pair counts differ and the covariance is silently wrong (and
+    // non-contiguous dimension indices would throw an opaque
+    // NoSuchElementException from the mean tabulate below).
+    val sz = v.agg(min(size(col("v"))).as("lo"),
+      max(size(col("v"))).as("hi")).head()
+    require(!sz.isNullAt(0), "Pca.fit: empty input")
+    require(sz.getInt(0) == sz.getInt(1),
+      s"Pca.fit: jagged vector column (sizes ${sz.getInt(0)}" +
+        s"..${sz.getInt(1)}) — all vectors must share one dimension")
     val meanRow = v
       .select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("i").agg(avg("x").as("m"))

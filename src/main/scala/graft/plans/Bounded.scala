@@ -37,6 +37,33 @@ object Bounded {
   val ModeKey = "graft.window.guard"
   private val DefaultMaxRows = 1L << 20
 
+  val CollectMaxKey = "graft.driver.maxCollectRows"
+  private val DefaultCollectMax = 1L << 22
+
+  /** Driver-collect contract (the vocab-table / merge-list / bin-grid
+    * discipline): collect `df` to the driver, failing LOUDLY one row
+    * over `graft.driver.maxCollectRows` (default 4M) instead of OOMing
+    * silently at scale. One pass, never the full input: the probe
+    * collects cap+1 rows through a `limit`, so an over-cap corpus
+    * vocabulary costs cap+1 rows of transfer, not 10⁸. Callers with a
+    * principled truncation (top-V by count) should pre-bound with
+    * TakeOrdered and land under the cap; the cap is the misuse
+    * backstop, not the truncation mechanism.
+    */
+  def collectBounded(df: DataFrame, what: String)
+      : Array[org.apache.spark.sql.Row] = {
+    val max = df.sparkSession.conf
+      .get(CollectMaxKey, DefaultCollectMax.toString).toLong
+    val cap = math.min(max, (Int.MaxValue - 1).toLong).toInt
+    val rows = df.limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"$what: driver-side collect exceeds $CollectMaxKey=$max rows — " +
+        "this is a bounded-cardinality contract (vocabulary / model / " +
+        "grid tables only); pre-bound the input (top-V by count) or " +
+        "raise the conf if the table is genuinely model-sized")
+    rows
+  }
+
   def guard(df: DataFrame, what: String): DataFrame = {
     val spark = df.sparkSession
     if (df.isStreaming || spark.conf.get(ModeKey, "on") == "off") return df

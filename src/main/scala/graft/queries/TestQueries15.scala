@@ -2434,8 +2434,10 @@ object TestQueries15 {
       val counts = docs
         .select(explode(TextFunctions.tokens(col("text"))).as("t"))
         .groupBy("t").agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
-      val table = NegativeSampling.buildAlias(counts, power = 1.0)
+      // bounded-vocab contract enforced (collectBounded inside): a raw
+      // 10⁸-token vocabulary fails loudly instead of OOMing the driver
+      val table = NegativeSampling
+        .buildAliasFromCounts(counts, "t", "c", power = 1.0)
       NegativeSampling
         .sampleNegatives(docs.select(col("doc_id")), "doc_id", table, k = 3)
         .select(col("key").cast("long").as("doc_id"), col("j"),

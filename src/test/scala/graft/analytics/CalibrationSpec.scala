@@ -46,11 +46,10 @@ class CalibrationSpec extends SparkSpec {
   }
 
   test("applyCalibration maps scores through the fitted step function") {
-    val t = Calibration.isotonicBinned(pairs, "score", "y",
+    val m = Calibration.fitIsotonic(pairs, "score", "y",
       bins = 4, lo = 0.0, hi = 1.0)
     val applied = Calibration.applyCalibration(
-        Seq(Tuple1(0.35), Tuple1(0.95)).toDF("score"), "score", t,
-        bins = 4, lo = 0.0, hi = 1.0)
+        Seq(Tuple1(0.35), Tuple1(0.95)).toDF("score"), "score", m)
       .collect().map(r => r.getAs[Double]("calibrated"))
     assert(applied.toSeq == Seq(0.5, 1.0))
   }
@@ -68,11 +67,10 @@ class CalibrationSpec extends SparkSpec {
   }
 
   test("out-of-range scores clamp to the edge bins") {
-    val t = Calibration.isotonicBinned(pairs, "score", "y",
+    val m = Calibration.fitIsotonic(pairs, "score", "y",
       bins = 4, lo = 0.0, hi = 1.0)
     val applied = Calibration.applyCalibration(
-        Seq(Tuple1(-5.0), Tuple1(5.0)).toDF("score"), "score", t,
-        bins = 4, lo = 0.0, hi = 1.0)
+        Seq(Tuple1(-5.0), Tuple1(5.0)).toDF("score"), "score", m)
       .collect().map(r => r.getAs[Double]("calibrated"))
     assert(applied.toSeq == Seq(0.5, 1.0))
   }

@@ -1,0 +1,136 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Driver-side bounded-cardinality contracts — every site that pulls a
+  * model-sized table onto the driver (or folds it into one executor
+  * row) must FAIL LOUDLY when the table is corpus-sized, instead of
+  * OOMing silently at scale. One test per enforced site; each proves
+  * the over-cap input throws with the conf key in the message and that
+  * the in-bounds path is unchanged.
+  */
+class DriverContractsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withConf[A](key: String, value: String)(body: => A): A = {
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, value)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("collectBounded: over-cap collect fails loudly, probe stays capped") {
+    val df = spark.range(100).toDF("id")
+    withConf(Bounded.CollectMaxKey, "10") {
+      val e = intercept[IllegalArgumentException] {
+        Bounded.collectBounded(df, "TestSite")
+      }
+      assert(e.getMessage.contains(Bounded.CollectMaxKey))
+      assert(e.getMessage.contains("TestSite"))
+    }
+    withConf(Bounded.CollectMaxKey, "100") {
+      assert(Bounded.collectBounded(df, "TestSite").length == 100)
+    }
+  }
+
+  test("NegativeSampling: over-cap vocabulary fails; topV truncates principled") {
+    import graft.functions.NegativeSampling
+    val counts = Seq(("a", 5L), ("b", 4L), ("c", 3L), ("d", 2L), ("e", 1L))
+      .toDF("t", "c")
+    withConf(Bounded.CollectMaxKey, "3") {
+      val e = intercept[IllegalArgumentException] {
+        NegativeSampling.buildAliasFromCounts(counts, "t", "c")
+      }
+      assert(e.getMessage.contains(Bounded.CollectMaxKey))
+      // top-V by count lands under the cap and keeps the highest counts
+      val t = NegativeSampling
+        .buildAliasFromCounts(counts, "t", "c", topV = Some(3))
+      assert(t.tokens.toSeq == Seq("a", "b", "c"))
+    }
+  }
+
+  test("Bpe.collectMerges: over-cap merge table fails loudly") {
+    import graft.operators.Bpe
+    val merges = (1 to 20)
+      .map(i => (i, s"a$i", s"b$i")).toDF("step", "a", "b")
+    withConf(Bounded.CollectMaxKey, "5") {
+      val e = intercept[IllegalArgumentException] {
+        Bpe.collectMerges(merges)
+      }
+      assert(e.getMessage.contains(Bounded.CollectMaxKey))
+    }
+    assert(Bpe.collectMerges(merges).length == 20)
+  }
+
+  test("Calibration.isotonicBinned: corpus-sized bin grid fails loudly") {
+    import graft.analytics.Calibration
+    val pairs = (1 to 50).map(i => (i / 50.0, (i % 2).toLong))
+      .toDF("score", "y")
+    withConf(Bounded.CollectMaxKey, "8") {
+      val e = intercept[IllegalArgumentException] {
+        Calibration.isotonicBinned(pairs, "score", "y",
+          bins = 50, lo = 0.0, hi = 1.0)
+      }
+      assert(e.getMessage.contains(Bounded.CollectMaxKey))
+      // a model-sized grid is unaffected
+      assert(Calibration.isotonicBinned(pairs, "score", "y",
+        bins = 4, lo = 0.0, hi = 1.0).count() == 4)
+    }
+  }
+
+  test("Curation.mixturePlan: over-cap domain table fails loudly") {
+    import graft.operators.Curation
+    val domains = (1 to 30)
+      .map(i => (s"d$i", 100L, 1.0)).toDF("domain", "n_tokens", "weight")
+    withConf(Bounded.CollectMaxKey, "10") {
+      val e = intercept[IllegalArgumentException] {
+        Curation.mixturePlan(domains, "domain", "n_tokens", "weight",
+          budget = 1000.0, maxEpochs = 2.0)
+      }
+      assert(e.getMessage.contains(Bounded.CollectMaxKey))
+    }
+    assert(Curation.mixturePlan(domains, "domain", "n_tokens", "weight",
+      budget = 1000.0, maxEpochs = 2.0).count() == 30)
+  }
+
+  test("CorpusLm.doremiWeights: corpus-cardinality domain column fails in-plan") {
+    import graft.operators.CorpusLm
+    val docCe = (1 to 10).map(i => (s"dom$i", 1.0 + i)).toDF("domain", "ce")
+    withConf(CorpusLm.DomainsMaxKey, "4") {
+      val e = intercept[Exception] {
+        CorpusLm.doremiWeights(docCe, "domain", "ce").collect()
+      }
+      assert(e.getMessage.contains(CorpusLm.DomainsMaxKey))
+    }
+    // in-bounds: weights sum to ~1
+    val w = CorpusLm.doremiWeights(docCe, "domain", "ce")
+      .agg(sum("weight")).head().getDouble(0)
+    assert(math.abs(w - 1.0) < 1e-4)
+  }
+
+  test("Pca.fit: jagged vector column fails with a clear message") {
+    import graft.operators.Pca
+    val jagged = Seq(Array(1.0, 2.0), Array(1.0, 2.0, 3.0)).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Pca.fit(jagged, "v", 1)
+    }
+    assert(e.getMessage.contains("jagged"))
+  }
+
+  test("Bpe.trainWithMerges: merge exhaustion stops early, vocab survives") {
+    import graft.operators.Bpe
+    // one two-symbol word: exactly ONE merge is learnable; rounds 2+
+    // must stop (pre-fix they cross-joined an empty frame and silently
+    // emptied the vocabulary)
+    val vocab = Seq(("ab", 3L)).toDF("word", "freq")
+    val (v, merges) = Bpe.trainWithMerges(vocab, nMerges = 5)
+    assert(merges.count() == 1)
+    val row = v.select("word", "seq").head()
+    assert(row.getString(0) == "ab")
+    assert(row.getSeq[String](1) == Seq("ab"))
+  }
+}
