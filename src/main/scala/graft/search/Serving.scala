@@ -19,55 +19,102 @@ import org.apache.spark.storage.StorageLevel
   * unconditionally; `graft.serving.useStore=off` restores the
   * compose-from-raw-tables path (e.g. for plan-shape inspection).
   *
+  * FRESHNESS: the reference's Postgres indexes are transactionally
+  * fresh; a cached parquet substrate is not, so each substrate carries a
+  * VERSION — the hash of the data dir's recursive (path, length, mtime)
+  * file listing at build time — and accesses re-check it at most once
+  * per `graft.serving.freshnessMs` (default 5000; 0 = every access,
+  * -1 = never, for callers with out-of-band immutability knowledge).
+  * A changed version drops the cached frame and rebuilds from the
+  * caller's plan, so a mid-session overwrite of the underlying parquet
+  * cannot silently serve stale rows for longer than the freshness
+  * window. The check is one filesystem metadata listing — no data read.
+  *
   * A substrate whose blocks were dropped by an external cache cleanup
   * (Bench releases all caches between queries) re-warms itself on next
   * access: drops must go through [[releaseAll]] — a Dataset-level
-  * `unpersist` — so `storageLevel` reads NONE and the re-persist check
-  * fires.
+  * `unpersist` — so the warm flag resets and the re-persist check fires.
   */
 object Serving {
 
   val UseStoreKey = "graft.serving.useStore"
+  val FreshnessMsKey = "graft.serving.freshnessMs"
+  private val DefaultFreshnessMs = 5000L
+
+  private final class Entry(val df: DataFrame, val version: String) {
+    @volatile var lastChecked: Long = System.nanoTime()
+    // warm flag instead of a per-request `df.storageLevel` probe: that
+    // call canonicalizes the substrate plan against the CacheManager on
+    // EVERY request — measurable on the serving path. It stays accurate
+    // because drops are contractually routed through releaseAll.
+    @volatile var warm: Boolean = false
+  }
 
   private val substrates =
-    TrieMap.empty[(SparkSession, String, String), DataFrame]
-  // warm set instead of a per-request `df.storageLevel` probe: that call
-  // canonicalizes the substrate plan against the CacheManager on EVERY
-  // request — measurable on the serving path. The set stays accurate
-  // because drops are contractually routed through releaseAll (below).
-  private val warm =
-    TrieMap.empty[(SparkSession, String, String), Unit]
+    TrieMap.empty[(SparkSession, String, String), Entry]
 
   def useStore(spark: SparkSession): Boolean =
     spark.conf.get(UseStoreKey, "on") != "off"
 
+  /** Version fingerprint of a data dir: MD5 over the sorted recursive
+    * (path, length, mtime) listing. Metadata only — never reads data.
+    */
+  def dirVersion(spark: SparkSession, dir: String): String = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    if (fs.exists(path)) {
+      val it = fs.listFiles(path, true)
+      val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+      }
+      entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   /** Return the persisted substrate for (session, dir, name), building it
-    * from `build` on first use; re-warm if the cache was dropped.
+    * from `build` on first use; re-warm if the cache was dropped; rebuild
+    * if the data dir's version changed (freshness contract above).
     */
   def substrate(spark: SparkSession, dir: String, name: String)
                (build: => DataFrame): DataFrame = {
     val key = (spark, dir, name)
-    val df = substrates.getOrElseUpdate(key, build)
-    if (!warm.contains(key)) {
-      if (df.storageLevel == StorageLevel.NONE)
-        df.persist(StorageLevel.MEMORY_AND_DISK)
-      df.count() // materialize: serving latency must not include the build
-      warm.put(key, ())
+    val freshMs = spark.conf
+      .get(FreshnessMsKey, DefaultFreshnessMs.toString).toLong
+    var entry = substrates.getOrElseUpdate(key,
+      new Entry(build, dirVersion(spark, dir)))
+    if (freshMs >= 0 &&
+        (System.nanoTime() - entry.lastChecked) / 1000000 >= freshMs) {
+      val now = dirVersion(spark, dir)
+      if (now != entry.version) {
+        entry.df.unpersist(blocking = false)
+        entry = new Entry(build, now)
+        substrates.put(key, entry)
+      } else entry.lastChecked = System.nanoTime()
     }
-    df
+    if (!entry.warm) {
+      if (entry.df.storageLevel == StorageLevel.NONE)
+        entry.df.persist(StorageLevel.MEMORY_AND_DISK)
+      entry.df.count() // materialize: serving latency must not include the build
+      entry.warm = true
+    }
+    entry.df
   }
 
   /** Drop every substrate's cached data for `spark` (keeps the plans —
     * next access re-warms). Cache cleanups must call this rather than
     * unpersisting the underlying RDDs directly, or the dropped state is
-    * invisible to the warm set and the substrate silently degrades to
+    * invisible to the warm flag and the substrate silently degrades to
     * recompute-per-action.
     */
   def releaseAll(spark: SparkSession): Unit =
-    substrates.foreach { case (key @ (s, _, _), df) =>
+    substrates.foreach { case ((s, _, _), entry) =>
       if (s eq spark) {
-        df.unpersist(blocking = false)
-        warm.remove(key)
+        entry.df.unpersist(blocking = false)
+        entry.warm = false
       }
     }
 }

@@ -31,6 +31,47 @@ class ServingSpec extends SparkSpec {
     assert(again.collect().length == 1)
   }
 
+  test("freshness: a changed data dir rebuilds the substrate within the window") {
+    val dir = java.nio.file.Files.createTempDirectory("sv-fresh").toString
+    Seq((1L, "old")).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    def build = spark.read.parquet(s"$dir/t.parquet")
+    spark.conf.set(Serving.FreshnessMsKey, "0") // re-check every access
+    try {
+      val first = Serving.substrate(spark, dir, "fresh")(build)
+        .collect().map(_.getString(1)).toSeq
+      assert(first == Seq("old"))
+      // mid-session overwrite: new files, new listing, new version
+      Seq((1L, "new"), (2L, "new")).toDF("id", "v").write.mode("overwrite")
+        .parquet(s"$dir/t.parquet")
+      val second = Serving.substrate(spark, dir, "fresh")(build)
+        .collect().map(_.getString(1)).toSeq
+      assert(second == Seq("new", "new"),
+        "stale substrate served after the underlying parquet changed")
+    } finally spark.conf.unset(Serving.FreshnessMsKey)
+  }
+
+  test("freshness: -1 disables the check (immutable-dir contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("sv-immut").toString
+    Seq((1L, "old")).toDF("id", "v").write.mode("overwrite")
+      .parquet(s"$dir/t.parquet")
+    var builds = 0
+    def build = { builds += 1; spark.read.parquet(s"$dir/t.parquet") }
+    spark.conf.set(Serving.FreshnessMsKey, "-1")
+    try {
+      Serving.substrate(spark, dir, "immut")(build).collect()
+      // version-changing metadata event (new file in the dir): with the
+      // check disabled the substrate must NOT rebuild
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(dir, "extra.txt"), "x")
+      val served = Serving.substrate(spark, dir, "immut")(build)
+        .collect().map(_.getString(1)).toSeq
+      assert(builds == 1 && served == Seq("old"))
+      // sanity: the same event IS a version change when checked
+      assert(Serving.dirVersion(spark, dir) != "", "fingerprint computes")
+    } finally spark.conf.unset(Serving.FreshnessMsKey)
+  }
+
   test("substrate-routed gates are identical with the store on and off") {
     val dir = "/root/testdata/sf0.001"
     for (name <- Seq("q54_hybrid", "q38_fts_rank", "q67_websearch")) {
