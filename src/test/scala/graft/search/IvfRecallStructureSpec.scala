@@ -1,0 +1,71 @@
+package graft.search
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF recall is a DATA property, not an index defect — the pinned
+  * justification for the q207/ivfgrid numbers: the driver testdata's
+  * embeddings are near-isotropic (no cluster structure), so ANY
+  * partition-pruned ANN's recall is bounded by ≈ the scanned fraction
+  * (the ScaleRehearsal `ivfgrid` sweep measures recall@10 ≈ 1.1–4.7×
+  * scan_frac across (k, nprobe) — the curse of dimensionality on
+  * unstructured vectors). This spec shows the SAME index family
+  * reaching pgvector-HNSW-typical recall (≥ 0.9 @ 10% scan) the moment
+  * the corpus has real cluster structure: 20 well-separated centers
+  * with deterministic jitter, k-means-trained quantizer, nprobe = 2
+  * of 20 cells.
+  */
+class IvfRecallStructureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clustered corpus: recall@10 >= 0.9 at 10% scan fraction") {
+    val dim = 16
+    val nClusters = 20
+    val perCluster = 100
+    // center c = 10 in dims (c%dim, (c*7+3)%dim); members add small
+    // deterministic jitter — integer arithmetic, no RNG
+    def vec(c: Int, m: Int): Array[Double] = {
+      val v = Array.fill(dim)(0.0)
+      v(c % dim) += 10.0
+      v((c * 7 + 3) % dim) += 10.0
+      (0 until dim).foreach { j =>
+        v(j) += ((c * 131 + m * 31 + j * 17) % 7 - 3) * 0.05
+      }
+      v
+    }
+    val rows = for (c <- 0 until nClusters; m <- 0 until perCluster)
+      yield ((c * perCluster + m).toLong, vec(c, m))
+    val all = rows.toDF("vec_id", "v")
+    val queries = all.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val corpus = all.where(col("vec_id") % 25 =!= 0)
+    val nq = queries.count()
+
+    val truth = queries.crossJoin(corpus)
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.cosineSim(col("v"), col("qv")).as("csim"))
+      .withColumn("rank_t", row_number().over(Window
+        .partitionBy("query_id").orderBy(desc("csim"), col("vec_id"))))
+      .where(col("rank_t") <= 10)
+      .select("query_id", "vec_id")
+
+    val km = KMeans.fit(corpus, "vec_id", "v", k = nClusters, iters = 3)
+    val labeled = corpus.join(
+      km.assignments.select(col("id").as("vec_id"), col("cluster_id")),
+      Seq("vec_id"))
+    val index = IvfIndex.Index(
+      IvfIndex.build(labeled, "vec_id", "v", "cluster_id").assignments,
+      km.centroids)
+
+    val approx = IvfIndex
+      .searchAll(index, queries, "query_id", "qv", 10, nprobe = 2)
+      .select(col("query_id"), col("id").as("vec_id"))
+    val hits = truth.join(approx, Seq("query_id", "vec_id")).count()
+    val recall = hits.toDouble / (10.0 * nq)
+    assert(recall >= 0.9,
+      f"recall@10=$recall%.3f at nprobe=2/k=20 (10%% scan) on a " +
+        "clustered corpus — the quantizer should separate these cells")
+  }
+}
