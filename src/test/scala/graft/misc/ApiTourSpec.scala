@@ -1,0 +1,71 @@
+package graft.misc
+
+import graft.SparkSpec
+import graft.operators._
+import graft.search._
+import org.apache.spark.sql.functions._
+
+/** Compile-checks and runs the worked examples in API.md — the curated
+  * public surface a library user programs against. Each test is one
+  * family's example, verbatim modulo fixture wiring; if an entry
+  * point's signature changes, this suite (and the doc) breaks loudly.
+  */
+class ApiTourSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "an entirely different document about spark merge window plans"),
+    (4L, "spark merge window plans are discussed in this other document"))
+    .toDF("doc_id", "text")
+
+  test("dedup sweep: minhash-LSH candidates -> union-find clusters") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text")
+    val clusters = Dedup.nearDupClusters(pairs, "id1", "id2")
+    val byCluster = clusters.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCluster(1L) == byCluster(2L), "exact dups share a cluster")
+  }
+
+  test("serving: build the chunk substrate once, search it many times") {
+    val store = ChunkStore.build(
+      docs.select(col("doc_id").cast("string").as("document_id"),
+        col("text")))
+    val hits = ChunkStore.hybridSearch(store, "spark merge window",
+      graft.functions.HashingEmbedder.embedTokens(
+        graft.functions.TextFunctions.tokens(lit("spark merge window")),
+        256),
+      10)
+    assert(hits.count() > 0)
+  }
+
+  test("IVF at scale: train the quantizer, build, probe cells per query") {
+    val embeddings = (0L until 60L)
+      .map(i => (i, Array.tabulate(8)(j =>
+        if (j == (i % 4).toInt) 5.0 + (i % 3) * 0.1 else 0.1 * j)))
+      .toDF("vec_id", "v")
+    val km = KMeans.fit(embeddings, "vec_id", "v", k = 4, iters = 2)
+    val ivf = IvfIndex.build(
+      embeddings.join(km.assignments.select(col("id").as("vec_id"),
+        col("cluster_id")), Seq("vec_id")), "vec_id", "v", "cluster_id")
+    val queries = embeddings.limit(3)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val topk = IvfIndex.searchAll(ivf, queries, "query_id", "qv", 5,
+      nprobe = 2)
+    assert(topk.groupBy("query_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+  }
+
+  test("calibration: fit once, apply through the model") {
+    val scored = (1 to 40)
+      .map(i => (i / 40.0, if (i > 20) 1L else 0L)).toDF("score", "y")
+    val model = graft.analytics.Calibration
+      .fitIsotonic(scored, "score", "y", bins = 8, lo = 0.0, hi = 1.0)
+    val fresh = Seq(Tuple1(0.1), Tuple1(0.9)).toDF("score")
+    val calibrated = graft.analytics.Calibration
+      .applyCalibration(fresh, "score", model)
+      .orderBy("score").collect().map(_.getAs[Double]("calibrated"))
+    assert(calibrated(0) <= calibrated(1), "calibration is monotone")
+  }
+}
