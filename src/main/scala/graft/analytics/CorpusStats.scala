@@ -1,0 +1,180 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus-level distributional statistics: token-distribution divergence
+  * between two corpora (the drift report a corpus refresh or a
+  * source-mix change ships with) and Zipf/Heaps law fits (the sanity
+  * panel that catches synthetic/degenerate text at a glance — natural
+  * language sits near Zipf slope −1; template spam does not).
+  *
+  * Scale posture: all token work is one groupBy per corpus; the only
+  * bounded structure is the top-V vocabulary (TakeOrdered — a
+  * distributed top-k, with everything below the cut POOLED into an OOV
+  * bucket rather than dropped, so the distributions still sum to 1 and
+  * the divergence is exact over the truncated support — the standard
+  * LM-eval treatment). The final fold runs token-sorted over that
+  * bounded array (the q209/q199 ordered-fold discipline: double sums
+  * must fold in a deterministic order; integer sums stay plain
+  * aggregates).
+  */
+object CorpusStats {
+
+  /** Smoothed KL(A‖B), KL(B‖A) and Jensen–Shannon divergence (bits)
+    * between two corpora's unigram distributions over the top-`topV`
+    * joint-count tokens plus one pooled OOV bucket. Add-k smoothing
+    * (default 0.5) keeps zero-count tokens finite:
+    * p_t = (c_t + k) / (N + k·V).
+    *
+    * Output (one row): n_a, n_b, vocab, oov_a, oov_b,
+    * kl_ab_bits, kl_ba_bits, js_bits (ROUND 6 — log2 is the only libm
+    * step).
+    */
+  def tokenDivergence(a: DataFrame, b: DataFrame, textCol: String,
+                      topV: Int = 1 << 16, k: Double = 0.5): DataFrame = {
+    require(topV >= 1 && topV <= (1 << 20), "topV must be in [1, 2^20]")
+    require(k > 0.0, "smoothing k must be positive")
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as(out))
+    val joint = counts(a, "ca").join(counts(b, "cb"), Seq("t"), "full")
+      .select(col("t"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // TakeOrdered on the joint count keeps the head; ties break on token
+    val head = joint
+      .orderBy((col("ca") + col("cb")).desc, col("t")).limit(topV)
+      .withColumn("is_oov", lit(false))
+    val oov = joint.join(head.select("t"), Seq("t"), "left_anti")
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .select(lit("oov").as("t"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .withColumn("is_oov", lit(true))
+      .where(col("ca") + col("cb") > 0)
+    val rows = head.unionByName(oov)
+    val folded = rows.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      count(lit(1)).as("vocab"),
+      sum(when(col("is_oov"), col("ca")).otherwise(lit(0L))).as("oov_a"),
+      sum(when(col("is_oov"), col("cb")).otherwise(lit(0L))).as("oov_b"),
+      array_sort(collect_list(struct(col("is_oov"), col("t"),
+        col("ca"), col("cb")))).as("tc"))
+    def pExpr(c: org.apache.spark.sql.Column,
+              n: org.apache.spark.sql.Column) =
+      (c.cast("double") + lit(k)) /
+        (n.cast("double") + lit(k) * col("vocab").cast("double"))
+    folded.select(col("n_a"), col("n_b"), col("vocab"),
+        col("oov_a"), col("oov_b"),
+        round(aggregate(transform(col("tc"), s => {
+          val p = pExpr(s.getField("ca"), col("n_a"))
+          val q = pExpr(s.getField("cb"), col("n_b"))
+          p * log2(p / q)
+        }), lit(0.0), (acc, x) => acc + x), 6).as("kl_ab_bits"),
+        round(aggregate(transform(col("tc"), s => {
+          val p = pExpr(s.getField("ca"), col("n_a"))
+          val q = pExpr(s.getField("cb"), col("n_b"))
+          q * log2(q / p)
+        }), lit(0.0), (acc, x) => acc + x), 6).as("kl_ba_bits"),
+        round(aggregate(transform(col("tc"), s => {
+          val p = pExpr(s.getField("ca"), col("n_a"))
+          val q = pExpr(s.getField("cb"), col("n_b"))
+          val m = (p + q) / lit(2.0)
+          (p * log2(p / m) + q * log2(q / m)) / lit(2.0)
+        }), lit(0.0), (acc, x) => acc + x), 6).as("js_bits"))
+  }
+
+  /** Zipf-law least-squares fit over the top-`maxVocab` token counts:
+    * slope and intercept of log10(count) on log10(rank) (rank by count
+    * desc, token asc — the deterministic rank the ordered fold needs).
+    * Natural text sits near slope −1.
+    *
+    * Output (one row): vocab, zipf_slope, zipf_intercept (ROUND 6).
+    */
+  def zipfFit(docs: DataFrame, textCol: String,
+              maxVocab: Int = 1 << 16): DataFrame = {
+    require(maxVocab >= 2 && maxVocab <= (1 << 20),
+      "maxVocab must be in [2, 2^20]")
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("t")).limit(maxVocab)
+    // rank over the statically bounded top-V frame (guard is free)
+    val ranked = graft.plans.Bounded.guard(counts, "CorpusStats.zipfFit")
+      .withColumn("r", row_number().over(Window.orderBy(desc("c"), col("t"))))
+      .select(log10(col("r").cast("double")).as("x"),
+        log10(col("c").cast("double")).as("y"), col("r"))
+    leastSquares(ranked, "vocab", "zipf_slope", "zipf_intercept")
+  }
+
+  /** Heaps-law fit V(n) ≈ K·n^β over GEOMETRIC PREFIX CHECKPOINTS of the
+    * doc-id order: threshold_j = minId − 1 + (span >> (J−j)) — pure
+    * integer halving, so checkpoint selection never touches floating
+    * point and never needs a global sort (the scale-killer a naive
+    * "rank the docs" spelling would hit). At each threshold t: n_t =
+    * Σ tokens of docs with id ≤ t, V_t = count of tokens whose FIRST
+    * doc ≤ t — both broadcast-joined aggregates.
+    *
+    * Output (one row): n_points, heaps_beta (slope), heaps_log10_k
+    * (intercept) (ROUND 6).
+    */
+  def heapsFit(docs: DataFrame, idCol: String, textCol: String,
+               points: Int = 16): DataFrame = {
+    require(points >= 2 && points <= 62, "points must be in [2, 62]")
+    val ids = docs.agg(min(col(idCol).cast("long")).as("lo"),
+      max(col(idCol).cast("long")).as("hi"))
+    val thresholds = ids
+      .select(col("lo"), (col("hi") - col("lo") + 1).as("span"))
+      .select(col("lo"), col("span"),
+        explode(sequence(lit(1), lit(points))).as("j"))
+      .select(col("lo"),
+        (col("lo") - 1 + expr(s"span >> ($points - j)")).as("thr"))
+      .where(col("thr") >= col("lo")) // at least one id admitted
+      .select("thr").distinct()
+    val docTok = docs.select(col(idCol).cast("long").as("id"),
+      TextFunctions.tokenCount(col(textCol)).cast("long").as("ntok"))
+    val nAt = docTok.crossJoin(broadcast(thresholds))
+      .where(col("id") <= col("thr"))
+      .groupBy("thr").agg(sum(col("ntok")).as("n"))
+    val firstDoc = docs.select(col(idCol).cast("long").as("id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy("t").agg(min(col("id")).as("fd"))
+    val vAt = firstDoc.crossJoin(broadcast(thresholds))
+      .where(col("fd") <= col("thr"))
+      .groupBy("thr").agg(count(lit(1)).as("v"))
+    val pts = nAt.join(vAt, Seq("thr"))
+      .where(col("n") >= 1 && col("v") >= 1)
+      .select(log10(col("n").cast("double")).as("x"),
+        log10(col("v").cast("double")).as("y"), col("thr").as("r"))
+    leastSquares(pts, "n_points", "heaps_beta", "heaps_log10_k")
+  }
+
+  /** Least squares of y on x over (x, y, r) points, folded in ascending
+    * `r` order (bounded inputs by contract of the two callers). One row:
+    * (nName, slope, intercept).
+    */
+  private def leastSquares(pts: DataFrame, nName: String,
+                           slopeName: String,
+                           interceptName: String): DataFrame = {
+    val folded = pts.agg(count(lit(1)).as("np"),
+      array_sort(collect_list(struct(col("r"), col("x"), col("y"))))
+        .as("xy"))
+    def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(transform(col("xy"), s => f(s)), lit(0.0),
+        (acc, x) => acc + x)
+    folded.select(col("np"), fold(s => s.getField("x")).as("sx"),
+        fold(s => s.getField("y")).as("sy"),
+        fold(s => s.getField("x") * s.getField("x")).as("sxx"),
+        fold(s => s.getField("x") * s.getField("y")).as("sxy"))
+      .select(col("np").as(nName),
+        round((col("np") * col("sxy") - col("sx") * col("sy")) /
+          (col("np") * col("sxx") - col("sx") * col("sx")), 6)
+          .as(slopeName),
+        round((col("sy") - ((col("np") * col("sxy") - col("sx") * col("sy")) /
+          (col("np") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("np"), 6).as(interceptName))
+  }
+}

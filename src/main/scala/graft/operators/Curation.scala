@@ -426,4 +426,125 @@ object Curation {
       .where(col("chosen_id") =!= col("rejected_id") &&
         col("margin") >= minMargin)
   }
+
+  /** Directional contamination fraction — the GPT-3-appendix "dirtiness"
+    * metric, per EVAL doc (the complement of [[contamination]], which is
+    * per TRAIN doc): the fraction of an eval doc's distinct n-gram
+    * shingles that appear ANYWHERE in the training corpus. An eval item
+    * above a dirtiness threshold cannot measure generalization.
+    *
+    * Join runs on md5-derived 32-bit gram hashes like [[contamination]];
+    * the train side reduces to its DISTINCT gram set before the join
+    * (one dedup shuffle, then a key-partitioned semi join — never
+    * per-train-doc fanout). Docs shorter than n grams emit no row.
+    *
+    * Output: (eval_id, n_grams, n_hit, dirty_frac).
+    */
+  def contaminationFraction(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out),
+          explode(graft.functions.TextFunctions.distinctNgramsOfTokens(
+            graft.functions.TextFunctions.tokens(col(textCol)), n)).as("g"))
+        .select(col(out),
+          graft.functions.CrossHash.md5Hash32(col("g")).as("h"))
+    val trainSet = grams(train, "train_id").select("h").distinct()
+      .withColumn("hit", lit(1L))
+    grams(eval, "eval_id")
+      .join(trainSet, Seq("h"), "left")
+      .groupBy("eval_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("eval_id"), col("n_grams"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_grams")).as("dirty_frac"))
+  }
+
+  /** Token-budget corpus subsetting: greedily keep the highest
+    * quality-density documents (quality per token, ties by id) until the
+    * cumulative token count would exceed `budget` — the exact greedy
+    * knapsack relaxation every "best N-token subset" selection runs.
+    *
+    * Scale shape: the global greedy order is NEVER materialized as a
+    * global sort. Density is bucketed into `buckets` fixed-width cells
+    * (order-preserving: bucket boundaries are pure arithmetic on the
+    * density), per-bucket token totals fold in bucket order (bounded
+    * one-row array), whole buckets above the boundary are kept by a
+    * broadcast filter, and only the BOUNDARY bucket ranks its members
+    * (one partitioned window over that bucket's rows). Selection is
+    * EXACTLY the global greedy's: buckets partition the density order,
+    * and in-bucket order (density desc, id) extends it.
+    *
+    * Output: selected rows as (id, n_tokens, density); density is the
+    * raw double (callers round for display).
+    */
+  def budgetSubset(df: DataFrame, idCol: String, qualityCol: String,
+                   tokensCol: String, budget: Long,
+                   buckets: Int = 1024): DataFrame = {
+    require(budget > 0 && buckets >= 1, "budget and buckets must be positive")
+    val rows = df.select(col(idCol).as("id"),
+        col(tokensCol).cast("long").as("n_tokens"),
+        (col(qualityCol).cast("double") / col(tokensCol).cast("double"))
+          .as("density"))
+      .where(col("n_tokens") > 0)
+    val bounds = rows.agg(min("density").as("lo"), max("density").as("hi"))
+    // bucket 0 = highest density; same IEEE arithmetic both engines
+    val bucketed = rows.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(lit(buckets - 1),
+            floor((col("hi") - col("density")) /
+              ((col("hi") - col("lo")) / buckets)).cast("int"))))
+      .drop("lo", "hi")
+    // per-bucket token totals + cumulative-before, folded in bucket
+    // order over the bounded (≤ buckets) one-row array — no window
+    val cumBefore = bucketed.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("btok"))
+      .agg(array_sort(collect_list(struct(col("bucket"), col("btok"))))
+        .as("bt"))
+      .select(col("bt"), posexplode(col("bt")).as(Seq("i", "s")))
+      .select(col("s.bucket").as("bucket"), col("s.btok").as("btok"),
+        aggregate(slice(col("bt"), lit(1), col("i")), lit(0L),
+          (acc, x) => acc + x.getField("btok")).as("cum_before"))
+    val tagged = bucketed.join(broadcast(cumBefore), Seq("bucket"))
+    // buckets wholly under budget keep every member; exactly one
+    // straddles it and ranks its members (density desc, id)
+    val whole = tagged
+      .where(col("cum_before") + col("btok") <= lit(budget))
+      .select("id", "n_tokens", "density")
+    val wb = Window.partitionBy("bucket")
+      .orderBy(desc("density"), col("id"))
+    val boundarySel = tagged
+      .where(col("cum_before") < lit(budget) &&
+        col("cum_before") + col("btok") > lit(budget))
+      .withColumn("cum_in",
+        sum(col("n_tokens")).over(wb.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .where(col("cum_before") + col("cum_in") <= lit(budget))
+      .select("id", "n_tokens", "density")
+    whole.unionByName(boundarySel)
+  }
+
+  /** Exact-quota stratified sample: within each stratum keep the
+    * `ceil(fraction · n_s)` rows with the smallest id-hash (md5-uniform
+    * order — deterministic, engine-mirrorable, and independent of any
+    * data column, so the sample is unbiased w.r.t. content). The
+    * exact-count complement of [[stratifiedSample]]'s Bernoulli keep:
+    * quotas hold exactly per stratum, membership still never depends on
+    * row order. One partitioned window per stratum — no global sort.
+    *
+    * Output: input columns + (h_rank) of kept rows.
+    */
+  def stratifiedQuota(df: DataFrame, idCol: String, strataCol: String,
+                      fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0, "fraction must be in (0, 1]")
+    require(!df.columns.contains("h_rank"),
+      "input already has an 'h_rank' column — drop or rename it first")
+    val h = graft.functions.CrossHash.md5Hash64(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h.asc, col(idCol))
+    val nw = Window.partitionBy(col(strataCol))
+    df.withColumn("h_rank", row_number().over(w))
+      .withColumn("_ns", count(lit(1)).over(nw))
+      .where(col("h_rank") <= ceil(col("_ns") * lit(fraction)))
+      .drop("_ns")
+  }
 }

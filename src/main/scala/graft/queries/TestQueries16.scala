@@ -1,0 +1,301 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions: corpus-level distributional reports (divergence,
+  * Zipf/Heaps), dedup impact accounting, budget-constrained subsetting,
+  * directional contamination, and exact-quota stratified sampling. Same
+  * gate discipline as every other file — a Spark builder plus a DuckDB
+  * oracle that replays the full computation; double folds run in a
+  * deterministic sorted order on both sides, integer sums stay plain
+  * aggregates, and single-division doubles compare RAW.
+  */
+object TestQueries16 {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String,
+                name: String) = Tables.table(s, dir, name)
+
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+  /** Corpus drift report — [[graft.analytics.CorpusStats.tokenDivergence]]:
+    * smoothed KL(A‖B)/KL(B‖A)/JS divergence (bits) between the even- and
+    * odd-id halves of the corpus over the top-64 joint-count tokens plus
+    * a pooled OOV bucket (the truncated-support treatment that keeps the
+    * distributions summing to 1). The oracle replays the top-V selection
+    * (ties by token), the smoothing, and the token-sorted left folds;
+    * log2 is the only libm step → ROUND(6) on the three divergences,
+    * integer counts exact.
+    */
+  val q211CorpusDivergence: QueryCase = QueryCase(
+    "q211_corpus_divergence",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.analytics.CorpusStats.tokenDivergence(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "text", topV = 64, k = 0.5)
+    },
+    Some {
+      def p(c: String, n: String) =
+        s"((CAST($c AS DOUBLE) + CAST(0.5 AS DOUBLE)) / " +
+          s"(CAST($n AS DOUBLE) + CAST(0.5 AS DOUBLE) * CAST(vocab AS DOUBLE)))"
+      val pa = p("s.ca", "n_a"); val pb = p("s.cb", "n_b")
+      def fold(term: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(tc, s -> $term)), (a, b) -> a + b)"""
+      s"""
+      WITH tk AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      ua AS (SELECT u.t AS t, COUNT(*) AS ca
+             FROM (SELECT tk FROM tk WHERE doc_id % 2 = 0) x,
+                  UNNEST(x.tk) AS u(t) GROUP BY u.t),
+      ub AS (SELECT u.t AS t, COUNT(*) AS cb
+             FROM (SELECT tk FROM tk WHERE doc_id % 2 = 1) x,
+                  UNNEST(x.tk) AS u(t) GROUP BY u.t),
+      joint AS (
+        SELECT COALESCE(ua.t, ub.t) AS t, COALESCE(ca, 0) AS ca,
+               COALESCE(cb, 0) AS cb
+        FROM ua FULL JOIN ub ON ua.t = ub.t),
+      ranked AS (SELECT t, ca, cb,
+                   ROW_NUMBER() OVER (ORDER BY ca + cb DESC, t) AS r
+                 FROM joint),
+      rows0 AS (
+        SELECT false AS is_oov, t, ca, cb FROM ranked WHERE r <= 64
+        UNION ALL
+        SELECT true AS is_oov, 'oov' AS t, SUM(ca) AS ca, SUM(cb) AS cb
+        FROM ranked WHERE r > 64 HAVING SUM(ca) + SUM(cb) > 0),
+      agg AS (
+        SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+               CAST(SUM(cb) AS BIGINT) AS n_b,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(CASE WHEN is_oov THEN ca ELSE 0 END) AS BIGINT)
+                 AS oov_a,
+               CAST(SUM(CASE WHEN is_oov THEN cb ELSE 0 END) AS BIGINT)
+                 AS oov_b,
+               list(struct_pack(ca := ca, cb := cb) ORDER BY is_oov, t)
+                 AS tc
+        FROM rows0)
+      SELECT n_a, n_b, vocab, oov_a, oov_b,
+        ROUND(${fold(s"$pa * log2($pa / $pb)")}, 6) AS kl_ab_bits,
+        ROUND(${fold(s"$pb * log2($pb / $pa)")}, 6) AS kl_ba_bits,
+        ROUND(${fold(s"($pa * log2($pa / (($pa + $pb) / 2.0)) + " +
+          s"$pb * log2($pb / (($pa + $pb) / 2.0))) / 2.0")}, 6) AS js_bits
+      FROM agg"""
+    })
+
+  /** Corpus law fits — [[graft.analytics.CorpusStats.zipfFit]] ×
+    * [[graft.analytics.CorpusStats.heapsFit]]: least-squares Zipf slope
+    * over the top-2048 token counts and Heaps β over 16 geometric
+    * prefix checkpoints of the doc-id order (integer halving — no
+    * global doc sort). Both regressions fold their points in ascending
+    * rank/threshold order; log10 is the libm step → ROUND(6) on the
+    * fitted coefficients.
+    */
+  val q212ZipfHeaps: QueryCase = QueryCase(
+    "q212_zipf_heaps",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.analytics.CorpusStats.zipfFit(docs, "text", maxVocab = 2048)
+        .crossJoin(graft.analytics.CorpusStats
+          .heapsFit(docs, "doc_id", "text", points = 16))
+    },
+    Some {
+      def folds(list: String) = Seq(
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($list, s -> s.x)), (a, b) -> a + b)",
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($list, s -> s.y)), (a, b) -> a + b)",
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($list, s -> s.x * s.x)), (a, b) -> a + b)",
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($list, s -> s.x * s.y)), (a, b) -> a + b)")
+      val Seq(zsx, zsy, zsxx, zsxy) = folds("zpts")
+      val Seq(hsx, hsy, hsxx, hsxy) = folds("hpts")
+      def slope(np: String, sx: String, sy: String, sxx: String,
+                sxy: String) =
+        s"(($np * $sxy - $sx * $sy) / ($np * $sxx - $sx * $sx))"
+      val zslope = slope("CAST(vocab AS DOUBLE)", zsx, zsy, zsxx, zsxy)
+      val hslope = slope("CAST(n_points AS DOUBLE)", hsx, hsy, hsxx, hsxy)
+      s"""
+      WITH tk AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      cnt AS (SELECT u.t AS t, COUNT(*) AS c
+              FROM tk, UNNEST(tk.tk) AS u(t) GROUP BY u.t),
+      zr AS (SELECT * FROM (
+               SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r
+               FROM cnt) WHERE r <= 2048),
+      zagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS vocab,
+                 list(struct_pack(
+                     x := log10(CAST(r AS DOUBLE)),
+                     y := log10(CAST(c AS DOUBLE))) ORDER BY r) AS zpts
+               FROM zr),
+      ids AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+      thr AS (SELECT DISTINCT lo - 1 + (span >> (16 - j)) AS thr
+              FROM (SELECT lo, hi - lo + 1 AS span FROM ids),
+                   range(1, 17) AS g(j)
+              WHERE lo - 1 + (span >> (16 - j)) >= lo),
+      nat AS (SELECT thr, CAST(SUM(LEN(tk)) AS BIGINT) AS n
+              FROM tk, thr WHERE doc_id <= thr GROUP BY thr),
+      fd AS (SELECT u.t AS t, MIN(doc_id) AS fdoc
+             FROM tk, UNNEST(tk.tk) AS u(t) GROUP BY u.t),
+      vat AS (SELECT thr, CAST(COUNT(*) AS BIGINT) AS v
+              FROM fd, thr WHERE fdoc <= thr GROUP BY thr),
+      hp AS (SELECT thr AS r, log10(CAST(n AS DOUBLE)) AS x,
+               log10(CAST(v AS DOUBLE)) AS y
+             FROM nat JOIN vat USING (thr) WHERE n >= 1 AND v >= 1),
+      hagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+                 list(struct_pack(x := x, y := y) ORDER BY r) AS hpts
+               FROM hp)
+      SELECT z.vocab,
+        ROUND($zslope, 6) AS zipf_slope,
+        ROUND(($zsy - $zslope * $zsx) / CAST(vocab AS DOUBLE), 6)
+          AS zipf_intercept,
+        h.n_points,
+        ROUND($hslope, 6) AS heaps_beta,
+        ROUND(($hsy - $hslope * $hsx) / CAST(n_points AS DOUBLE), 6)
+          AS heaps_log10_k
+      FROM zagg z, hagg h"""
+    })
+
+  /** Dedup impact report — the accounting a corpus dedup run ships:
+    * exact-duplicate groups by normalized-text fingerprint, rolled into
+    * a cluster-size histogram with duplicate-document and
+    * duplicate-character mass (chars beyond each group's canonical =
+    * min-id member). Pure composition of gated kernels (the q21/q42
+    * exact-dedup family); all-integer arithmetic, exact.
+    */
+  val q213DedupImpact: QueryCase = QueryCase(
+    "q213_dedup_impact",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val groups = docs
+        .select(col("doc_id"), col("n_chars"),
+          md5(lower(trim(col("text")))).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("group_size"),
+          sum(col("n_chars")).as("chars"),
+          min(struct(col("doc_id"), col("n_chars"))).as("c"))
+      groups.groupBy("group_size")
+        .agg(count(lit(1)).as("n_groups"),
+          (count(lit(1)) * col("group_size")).as("n_docs"),
+          (count(lit(1)) * (col("group_size") - 1)).as("dup_docs"),
+          sum(col("chars") - col("c.n_chars")).as("dup_chars"))
+        .orderBy("group_size")
+    },
+    Some("""
+      WITH g AS (
+        SELECT md5(LOWER(TRIM(text))) AS fp, COUNT(*) AS gs,
+               CAST(SUM(n_chars) AS BIGINT) AS ch,
+               arg_min(n_chars, doc_id) AS cch
+        FROM documents GROUP BY fp)
+      SELECT gs AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(COUNT(*) * gs AS BIGINT) AS n_docs,
+             CAST(COUNT(*) * (gs - 1) AS BIGINT) AS dup_docs,
+             CAST(SUM(ch - cch) AS BIGINT) AS dup_chars
+      FROM g GROUP BY gs ORDER BY gs"""))
+
+  /** Token-budget subsetting — [[graft.operators.Curation.budgetSubset]]:
+    * keep the most lexically diverse documents (distinct-token /
+    * total-token density) until the 50k-token budget fills, greedy in
+    * (density desc, id) order. The engine runs the bucketed two-level
+    * selection (no global sort); the oracle runs the GLOBAL greedy
+    * window directly — equality proves the bucketed plan implements the
+    * global order exactly. Density is one integer division → RAW
+    * compare.
+    */
+  val q214BudgetSubset: QueryCase = QueryCase(
+    "q214_budget_subset",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select(col("doc_id").as("id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .select(col("id"), size(col("tk")).cast("long").as("ntok"),
+          size(array_distinct(col("tk"))).cast("long").as("nd"))
+      graft.operators.Curation
+        .budgetSubset(scored, "id", "nd", "ntok", budget = 50000L)
+        .orderBy("id")
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      d AS (SELECT doc_id AS id, CAST(LEN(tk) AS BIGINT) AS ntok,
+              CAST(LEN(list_distinct(tk)) AS BIGINT) AS nd
+            FROM tk WHERE LEN(tk) > 0),
+      sc AS (SELECT id, ntok,
+               CAST(nd AS DOUBLE) / CAST(ntok AS DOUBLE) AS density
+             FROM d),
+      c AS (SELECT id, ntok, density,
+              SUM(ntok) OVER (ORDER BY density DESC, id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM sc)
+      SELECT id, ntok AS n_tokens, density
+      FROM c WHERE cum <= 50000 ORDER BY id"""))
+
+  /** Directional contamination — [[graft.operators.Curation
+    * .contaminationFraction]]: per EVAL doc (id % 11 = 0), the fraction
+    * of its distinct 4-gram shingles present anywhere in the training
+    * corpus (the GPT-3-appendix dirtiness metric; q91 is the per-TRAIN
+    * complement). Joins on the q91 md5-32 gram hashes, mirrored
+    * verbatim; the fraction is one integer division → RAW compare.
+    */
+  val q215ContaminationFraction: QueryCase = QueryCase(
+    "q215_contamination_fraction",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Curation.contaminationFraction(
+          docs.where(col("doc_id") % 11 =!= 0),
+          docs.where(col("doc_id") % 11 === 0),
+          "doc_id", "text", 4)
+        .orderBy("eval_id")
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      g AS (
+        SELECT doc_id, list_distinct(CASE WHEN LEN(tk) >= 4
+          THEN [array_to_string(tk[i:i+3], ' ') for i in range(1, LEN(tk)-2)]
+          ELSE CAST([] AS VARCHAR[]) END) AS gs
+        FROM tk),
+      h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(u.g), 1, 8)) AS BIGINT) AS h
+        FROM g, UNNEST(gs) AS u(g)),
+      tset AS (SELECT DISTINCT h FROM h WHERE doc_id % 11 <> 0)
+      SELECT e.doc_id AS eval_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit,
+             CAST(SUM(CASE WHEN t.h IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*) AS dirty_frac
+      FROM (SELECT doc_id, h FROM h WHERE doc_id % 11 = 0) e
+      LEFT JOIN tset t USING (h)
+      GROUP BY e.doc_id ORDER BY eval_id"""))
+
+  /** Exact-quota stratified sample — [[graft.operators.Curation
+    * .stratifiedQuota]]: within each language keep the ceil(0.3·n_s)
+    * docs with the smallest id-hash (md5-64 signed order, mirrored
+    * verbatim). One partitioned window per stratum; quota arithmetic is
+    * a single double multiply + ceil on both engines.
+    */
+  val q216StratifiedQuota: QueryCase = QueryCase(
+    "q216_stratified_quota",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "lang")
+      graft.operators.Curation
+        .stratifiedQuota(docs, "doc_id", "lang", 0.3)
+        .select(col("doc_id"), col("lang"), col("h_rank").cast("int")
+          .as("h_rank"))
+        .orderBy("lang", "doc_id")
+    },
+    Some {
+      val h = graft.functions.CrossHash.hugeToSignedSql(
+        graft.functions.CrossHash.md5Hash64SqlU("CAST(doc_id AS VARCHAR)"))
+      s"""
+      WITH h AS (SELECT doc_id, lang, $h AS h FROM documents),
+      r AS (SELECT doc_id, lang,
+              ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id)
+                AS h_rank,
+              COUNT(*) OVER (PARTITION BY lang) AS ns
+            FROM h)
+      SELECT doc_id, lang, CAST(h_rank AS INT) AS h_rank
+      FROM r WHERE h_rank <= CEIL(ns * CAST(0.3 AS DOUBLE))
+      ORDER BY lang, doc_id"""
+    })
+
+  val all: Seq[QueryCase] =
+    Seq(q211CorpusDivergence, q212ZipfHeaps, q213DedupImpact,
+      q214BudgetSubset, q215ContaminationFraction, q216StratifiedQuota)
+}

@@ -1,0 +1,66 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[CorpusStats]] — divergence axioms, OOV pooling, and the law fits on
+  * corpora with known structure.
+  */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("identical corpora diverge by zero; JS is symmetric and bounded") {
+    val a = df("alpha beta gamma", "beta gamma delta")
+    val out = CorpusStats.tokenDivergence(a, a, "text").head()
+    assert(out.getAs[Double]("kl_ab_bits") == 0.0)
+    assert(out.getAs[Double]("kl_ba_bits") == 0.0)
+    assert(out.getAs[Double]("js_bits") == 0.0)
+
+    val b = df("epsilon zeta", "zeta eta")
+    val ab = CorpusStats.tokenDivergence(a, b, "text").head()
+    val ba = CorpusStats.tokenDivergence(b, a, "text").head()
+    assert(ab.getAs[Double]("js_bits") == ba.getAs[Double]("js_bits"))
+    assert(ab.getAs[Double]("kl_ab_bits") == ba.getAs[Double]("kl_ba_bits"))
+    assert(ab.getAs[Double]("js_bits") > 0.0 &&
+      ab.getAs[Double]("js_bits") <= 1.0 + 1e-9) // JS ≤ 1 bit
+  }
+
+  test("OOV pooling conserves token mass under a tiny topV") {
+    val a = df("a a a b c d e f g h")
+    val b = df("a b b x y z")
+    val out = CorpusStats.tokenDivergence(a, b, "text", topV = 2).head()
+    assert(out.getAs[Long]("n_a") == 10L, "all of A's tokens counted")
+    assert(out.getAs[Long]("n_b") == 6L)
+    assert(out.getAs[Long]("vocab") == 3L, "top-2 plus the OOV bucket")
+    assert(out.getAs[Long]("oov_a") + out.getAs[Long]("oov_b") > 0)
+  }
+
+  test("zipfFit recovers the slope of an exact power law") {
+    // counts c_r = floor(1000 / r): slope ≈ −1 by construction
+    val rows = (1 to 50).flatMap { r =>
+      Seq.fill(1000 / r)(s"tok$r")
+    }
+    val corpus = Seq((1L, rows.mkString(" "))).toDF("doc_id", "text")
+    val fit = CorpusStats.zipfFit(corpus, "text").head()
+    val slope = fit.getAs[Double]("zipf_slope")
+    assert(math.abs(slope - (-1.0)) < 0.05, s"slope $slope should be ≈ −1")
+  }
+
+  test("heapsFit: sublinear vocabulary growth yields beta in (0, 1)") {
+    // doc i contributes sqrt-ish new types: repeated shared tokens plus
+    // a few fresh ones
+    val docs = (1 to 64).map { i =>
+      val shared = (1 to 20).map(j => s"c$j")
+      val fresh = (1 to math.max(1, 8 - i / 10)).map(j => s"n${i}_$j")
+      (i.toLong, (shared ++ fresh).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fit = CorpusStats.heapsFit(docs, "doc_id", "text").head()
+    val beta = fit.getAs[Double]("heaps_beta")
+    assert(fit.getAs[Long]("n_points") >= 4)
+    assert(beta > 0.0 && beta < 1.0, s"beta $beta should be sublinear")
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-11 Curation additions: budgetSubset ≡ the global greedy,
+  * stratifiedQuota's exact per-stratum counts, and
+  * contaminationFraction's directional semantics.
+  */
+class CurationExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("budgetSubset equals the global greedy selection (brute windows)") {
+    // deterministic pseudo-random qualities/tokens from index arithmetic
+    val rows = (1 to 300).map { i =>
+      (i.toLong, ((i * 37) % 90 + 10).toLong, ((i * 53) % 97 + 3).toLong)
+    }.toDF("id", "q", "ntok")
+    val got = Curation.budgetSubset(rows, "id", "q", "ntok",
+        budget = 3000L, buckets = 16)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val brute = rows
+      .withColumn("density", col("q").cast("double") / col("ntok"))
+      .withColumn("cum", sum(col("ntok")).over(Window
+        .orderBy(desc("density"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("cum") <= 3000L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == brute)
+    assert(got.nonEmpty && got.size < 300)
+  }
+
+  test("budgetSubset: budget above the corpus keeps everything") {
+    val rows = Seq((1L, 5L, 10L), (2L, 3L, 20L)).toDF("id", "q", "ntok")
+    assert(Curation.budgetSubset(rows, "id", "q", "ntok", 1000L)
+      .count() == 2)
+  }
+
+  test("stratifiedQuota: exactly ceil(frac*n) per stratum, id-pure") {
+    val rows = (1 to 100).map(i => (i.toLong, s"s${i % 3}"))
+      .toDF("doc_id", "stratum")
+    val out = Curation.stratifiedQuota(rows, "doc_id", "stratum", 0.25)
+    val counts = out.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = rows.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (s, n) =>
+      assert(counts(s) == math.ceil(n * 0.25).toLong, s)
+    }
+    // membership is a pure function of the id: sampling a filtered
+    // subset that keeps whole strata keeps the same members
+    val sub = rows.where(col("stratum") =!= "s2")
+    val again = Curation.stratifiedQuota(sub, "doc_id", "stratum", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val full = out.where(col("stratum") =!= "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == full)
+  }
+
+  test("contaminationFraction: clean eval scores 0, copied eval scores 1") {
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta"), // fully contained
+      (20L, "one two three four five six seven"))   // disjoint
+      .toDF("doc_id", "text")
+    val out = Curation.contaminationFraction(train, eval,
+        "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(10L) == 1.0)
+    assert(out(20L) == 0.0)
+  }
+}
