@@ -152,6 +152,43 @@ object CorpusStats {
     leastSquares(pts, "n_points", "heaps_beta", "heaps_log10_k")
   }
 
+  /** PMI collocations (Church & Hanks 1990) — the phrase-mining panel:
+    * pointwise mutual information of adjacent token pairs,
+    * log2(c_xy·N / (c_x·c_y)), over pairs with count ≥ `minCount`,
+    * top-`k` by (pair count desc, tokens). All counts are exact
+    * integers from two groupBys on the SAME exploded bigram frame; the
+    * unigram counts are bigram-POSITION counts (left/right occurrence
+    * counts), so the probability space is exactly the bigram space and
+    * PMI(x,x-following-x) is well-defined. log2 is the only libm step →
+    * ROUND(6).
+    *
+    * Output: (w1, w2, c_xy, pmi_bits), top-k.
+    */
+  def pmiCollocations(docs: DataFrame, idCol: String, textCol: String,
+                      minCount: Long = 2L, k: Int = 50): DataFrame = {
+    require(k >= 1 && minCount >= 1)
+    val bi = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(slice(col("tk"), lit(1),
+          greatest(size(col("tk")) - 1, lit(0)))).as(Seq("i", "w1")))
+      .select(col("w1"), element_at(col("tk"), col("i") + 2).as("w2"))
+    val cxy = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val cx = bi.groupBy("w1").agg(count(lit(1)).as("c_x"))
+    val cy = bi.groupBy("w2").agg(count(lit(1)).as("c_y"))
+    val n = bi.agg(count(lit(1)).as("n"))
+    cxy.where(col("c_xy") >= minCount)
+      .join(cx, Seq("w1")).join(cy, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log2(col("c_xy").cast("double") * col("n").cast("double") /
+          (col("c_x").cast("double") * col("c_y").cast("double"))), 6)
+          .as("pmi_bits"))
+      .orderBy(desc("c_xy"), col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Least squares of y on x over (x, y, r) points, folded in ascending
     * `r` order (bounded inputs by contract of the two callers). One row:
     * (nName, slope, intercept).

@@ -266,6 +266,68 @@ object Curation {
       .toDF("shard", "id", "tok", "seq")
   }
 
+  /** Best-fit-decreasing sequence packing — the offline bin-packing
+    * upgrade over [[packSequences]]'s arrival-order greedy (BFD wastes
+    * ≤ 11/9·OPT + 6/9 bins; greedy-next-fit has no such bound): within
+    * each shard, place items LARGEST FIRST into the open sequence with
+    * the smallest remaining capacity that fits (ties → lowest sequence
+    * id), opening a new sequence when none fits. Items over `budget`
+    * get a singleton sequence. Same distribution shape as
+    * [[packSequences]]: one typed flatMapGroups per shard, sorted walk,
+    * memory bounded by the largest shard; the per-item best-fit scan is
+    * O(open sequences).
+    *
+    * Output: (shard, id, tok, seq) — seq ids are allocation order.
+    */
+  def packSequencesBfd(df: DataFrame, shardCol: String, idCol: String,
+      tokensCol: Column, budget: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(shardCol).cast("string").as("shard"),
+        col(idCol).cast("long").as("id"), tokensCol.cast("long").as("tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val docs = it.map { case (_, id, tok) => (id, tok) }.toArray
+        java.util.Arrays.sort(docs,
+          Ordering.by((d: (Long, Long)) => (-d._2, d._1)))
+        val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.map { case (id, tok) =>
+          var best = -1
+          var i = 0
+          while (i < rem.length) {
+            if (rem(i) >= tok && (best < 0 || rem(i) < rem(best))) best = i
+            i += 1
+          }
+          if (best < 0) { rem += (budget.toLong - tok); best = rem.length - 1 }
+          else rem(best) -= tok
+          (shard, id, tok, (best + 1).toLong)
+        }
+      }
+      .toDF("shard", "id", "tok", "seq")
+  }
+
+  /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    * 1998: a doc's shard is argmax over s of hash(id ‖ s). The property
+    * that matters at scale: growing `shards` from N to N+1 remaps only
+    * ~1/(N+1) of the docs (each doc moves iff the NEW shard's hash wins),
+    * where mod-N bucketing remaps ~half the corpus — this is how a
+    * 100 TB corpus re-shards without a full rewrite. Stateless per-row
+    * projection, no shuffle; hashes are md5-64 compared on the SIGNED
+    * view (the engine-mirrorable argmax order).
+    *
+    * Output: input columns + `shard` in [0, shards).
+    */
+  def rendezvousShard(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    require(shards >= 1 && shards <= 4096, "shards must be in [1, 4096]")
+    val cand = array((0 until shards).map { sId =>
+      struct(graft.functions.CrossHash.md5Hash64(
+          concat(col(idCol).cast("string"), lit(s":$sId"))).as("h"),
+        lit(sId).as("s"))
+    }: _*)
+    df.withColumn("shard", array_max(cand).getField("s"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis & Spirakis 2006,
     * algorithm A-ES): each row gets the key ln(u)/w for a deterministic
     * md5-derived uniform u ∈ (0, 1); the k LARGEST keys are the sample,

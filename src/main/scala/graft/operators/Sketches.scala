@@ -125,4 +125,54 @@ object Sketches {
       .groupBy("v")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Bloom-filter words (Bloom 1970) over a string column: two bit
+    * positions per value from disjoint 14-bit slices of the md5-64
+    * unsigned hash (`u mod m` and `(u div m) mod m`, m = 2^14 — power-
+    * of-two moduli so the signed/unsigned views agree), packed into
+    * 512 32-bit words (`word = pos >> 5`, `mask = 1 << (pos & 31)` —
+    * 32-bit words keep every shift inside BIGINT range in any engine).
+    * Build is one bit_or groupBy — mergeable across partitions and
+    * across increments (bit_or is idempotent ∪), the membership
+    * prefilter a 100 TB decontamination pass broadcasts ahead of the
+    * exact gram join.
+    *
+    * Output: (word, bits) rows — at most m/32 of them.
+    */
+  val BloomBits = 1 << 14
+
+  def bloomWords(df: DataFrame, valueCol: Column): DataFrame = {
+    val m = BloomBits
+    val h = CrossHash.md5Hash64(valueCol.cast("string"))
+    val pos1 = h.bitwiseAND(lit((m - 1).toLong))
+    val pos2 = shiftrightunsigned(h, 14).bitwiseAND(lit((m - 1).toLong))
+    df.select(explode(array(pos1, pos2)).as("pos"))
+      .select(shiftright(col("pos"), 5).as("word"),
+        expr("shiftleft(1L, CAST((pos & 31) AS INT))").as("mask"))
+      .groupBy("word")
+      .agg(bit_or(col("mask")).as("bits"))
+  }
+
+  /** Probe: true iff BOTH of the value's bit positions are set (absent
+    * words read as 0). `words` broadcasts — it is ≤ 512 rows by
+    * construction. Returns the input plus a `bloom_hit` column.
+    */
+  def bloomProbe(df: DataFrame, valueCol: Column,
+                 words: DataFrame): DataFrame = {
+    val m = BloomBits
+    val wmap = words
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("word"), col("bits"))))).as("wm"))
+    val h = CrossHash.md5Hash64(valueCol.cast("string"))
+    def hit(posName: String) =
+      coalesce(element_at(col("wm"), shiftright(col(posName), 5)), lit(0L))
+        .bitwiseAND(expr(s"shiftleft(1L, CAST(($posName & 31) AS INT))"))
+        .=!=(0L)
+    df.crossJoin(broadcast(wmap))
+      .withColumn("_p1", h.bitwiseAND(lit((m - 1).toLong)))
+      .withColumn("_p2",
+        shiftrightunsigned(h, 14).bitwiseAND(lit((m - 1).toLong)))
+      .withColumn("bloom_hit", hit("_p1") && hit("_p2"))
+      .drop("wm", "_p1", "_p2")
+  }
 }

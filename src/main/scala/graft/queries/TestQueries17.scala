@@ -1,0 +1,353 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions, batch 2: best-fit packing, estimator-quality
+  * measurement for MinHash, rendezvous sharding, Bloom prefiltering
+  * with a measured false-positive rate, and PMI collocations.
+  */
+object TestQueries17 {
+
+  private def t(s: org.apache.spark.sql.SparkSession, dir: String,
+                name: String) = Tables.table(s, dir, name)
+
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+  /** Best-fit-decreasing packing — [[graft.operators.Curation
+    * .packSequencesBfd]]: per-source shards, budget 256, items largest
+    * first into the tightest open sequence. The oracle replays the walk
+    * as a recursive CTE carrying the open-sequence remainder list and
+    * picking the best fit with a sorted comprehension — every
+    * (doc → sequence) assignment is hash-checked against the exact
+    * same tie rules (min remainder, then lowest sequence id).
+    */
+  val q217BfdPack: QueryCase = QueryCase(
+    "q217_bfd_pack",
+    (s, dir) =>
+      graft.operators.Curation.packSequencesBfd(
+          t(s, dir, "documents"), "source", "doc_id",
+          graft.functions.TextFunctions.tokenCount(col("text")), 256)
+        .orderBy("shard", "id"),
+    Some {
+      val best = "(list_sort([struct_pack(rm := r.rem[i], ix := i) " +
+        "for i in range(1, LEN(r.rem) + 1) if r.rem[i] >= d.tok]))[1].ix"
+      s"""
+      WITH RECURSIVE d AS (
+        SELECT source AS shard, doc_id AS id,
+               CAST(LEN($TokensSql) AS BIGINT) AS tok,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY LEN($TokensSql) DESC, doc_id) AS ord
+        FROM documents),
+      rec AS (
+        SELECT shard, id, ord, tok, CAST(1 AS BIGINT) AS seq,
+               [CAST(256 AS BIGINT) - tok] AS rem
+        FROM d WHERE ord = 1
+        UNION ALL
+        SELECT d.shard, d.id, d.ord, d.tok,
+          CAST(COALESCE($best, LEN(r.rem) + 1) AS BIGINT) AS seq,
+          CASE WHEN $best IS NULL
+            THEN list_append(r.rem, CAST(256 AS BIGINT) - d.tok)
+            ELSE list_transform(r.rem, (x, j) ->
+              CASE WHEN j = $best THEN x - d.tok ELSE x END)
+          END AS rem
+        FROM rec r JOIN d ON d.shard = r.shard AND d.ord = r.ord + 1)
+      SELECT shard, id, tok, seq FROM rec ORDER BY shard, id"""
+    })
+
+  /** MinHash estimator quality — the q205/q207 "measure the estimator"
+    * panel for the dedup family: every LSH candidate pair's estimated
+    * Jaccard (64-perm signature agreement) against its EXACT shingle
+    * Jaccard, summarized as mean/mean-abs/max error plus EXACT-SELECTION
+    * p50/p90 of |err| (sorted-array indexing — no interpolation, no
+    * cross-engine percentile wobble). Every per-pair value is exact
+    * double arithmetic and the folds run in pair-sorted order → RAW
+    * compare. Gate-only shape (pair-list fold), like q173.
+    */
+  val q218MinhashError: QueryCase = QueryCase(
+    "q218_minhash_error",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = t(s, dir, "documents")
+      val cand = graft.operators.Dedup.minhashLshPairs(docs, "doc_id",
+          "text", shingleN = 5, k = 64, bands = 16, threshold = 0.0,
+          exactBandKeys = true)
+        .select("id1", "id2", "est_jaccard")
+      val sh = docs.select(col("doc_id"),
+          TextFunctions.distinctNgramsOfTokens(
+            TextFunctions.tokens(col("text")), 5).as("sg"))
+        .where(size(col("sg")) > 0)
+      val joined = cand
+        .join(sh.select(col("doc_id").as("id1"), col("sg").as("sa")),
+          Seq("id1"))
+        .join(sh.select(col("doc_id").as("id2"), col("sg").as("sb")),
+          Seq("id2"))
+        .select(col("id1"), col("id2"),
+          (col("est_jaccard") -
+            size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))).cast("double"))
+            .as("err"))
+        .select(col("id1"), col("id2"), col("err"),
+          abs(col("err")).as("abs_err"))
+      val agg = joined.agg(count(lit(1)).as("n_pairs"),
+        array_sort(collect_list(struct(col("id1"), col("id2"),
+          col("err")))).as("pe"),
+        array_sort(collect_list(struct(col("abs_err"), col("id1"),
+          col("id2")))).as("ae"))
+      def meanOf(arr: String, field: String) =
+        aggregate(transform(col(arr), x => x.getField(field)), lit(0.0),
+          (acc, x) => acc + x) / col("n_pairs").cast("double")
+      def sel(q: Double) = element_at(col("ae"),
+        (floor((col("n_pairs") - 1).cast("double") * lit(q)) + 1)
+          .cast("int")).getField("abs_err")
+      agg.select(col("n_pairs"),
+        meanOf("pe", "err").as("mean_err"),
+        meanOf("ae", "abs_err").as("mean_abs_err"),
+        element_at(col("ae"), size(col("ae")).cast("int"))
+          .getField("abs_err").as("max_abs_err"),
+        sel(0.5).as("p50_abs_err"),
+        sel(0.9).as("p90_abs_err"))
+    },
+    Some {
+      // candidate pairs + est replayed exactly as the q28 oracle
+      val m64 = "CAST(18446744073709551616 AS HUGEINT)"
+      val m63 = "CAST(9223372036854775808 AS HUGEINT)"
+      def fnvFold(init: java.math.BigInteger) =
+        s"""list_reduce(list_prepend(CAST($init AS HUGEINT), bs),
+            (h, b) -> ((h - h % 256 +
+              CAST(xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+              * 1099511628211) % $m64)"""
+      val init0 = new java.math.BigInteger(java.lang.Long.toUnsignedString(
+        0xcbf29ce484222325L))
+      val init1 = new java.math.BigInteger(java.lang.Long.toUnsignedString(
+        0xcbf29ce484222325L ^ 0x9e3779b97f4a7c15L))
+      s"""
+      WITH toks AS (
+        SELECT doc_id, $TokensSql AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ') for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh WHERE LEN(s) > 0),
+      dg AS (SELECT DISTINCT g FROM ex),
+      db AS (
+        SELECT g, list_transform(range(1, strlen(g) + 1),
+                 i -> CAST(CAST(('0x' || substr(hx, 2*i-1, 2)) AS INT)
+                   AS HUGEINT)) AS bs
+        FROM (SELECT g, hex(encode(g)) AS hx FROM dg)),
+      dh AS (
+        SELECT g, ${fnvFold(init0)} AS h1, ${fnvFold(init1)} AS h2r
+        FROM db),
+      dh2 AS (SELECT g, h1, h2r - h2r % 2 + 1 AS h2 FROM dh),
+      doch AS (
+        SELECT e.doc_id, list(struct_pack(h1 := d.h1, h2 := d.h2)) AS hs
+        FROM ex e JOIN dh2 d USING (g) GROUP BY e.doc_id),
+      sigs AS (
+        SELECT doc_id,
+          list_transform(range(0, 64), j ->
+            list_min(list_transform(hs, p ->
+              CASE WHEN (p.h1 + j * p.h2) % $m64 >= $m63
+                   THEN CAST((p.h1 + j * p.h2) % $m64 - $m64 AS BIGINT)
+                   ELSE CAST((p.h1 + j * p.h2) % $m64 AS BIGINT)
+              END))) AS sig
+        FROM doch),
+      banded AS (
+        SELECT doc_id, b, sig[4*b+1:4*b+4] AS key
+        FROM sigs CROSS JOIN range(0, 16) AS t(b)),
+      sized AS (
+        SELECT doc_id, b, key, COUNT(*) OVER (PARTITION BY b, key) AS n
+        FROM banded),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM sized a JOIN sized b
+          ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE a.n BETWEEN 2 AND 256 AND b.n BETWEEN 2 AND 256),
+      pairs AS (
+        SELECT c.id1, c.id2,
+          CAST(LEN(list_filter(range(1, 65), i -> x.sig[i] = y.sig[i]))
+            AS DOUBLE) / 64
+          - CAST(LEN(list_filter(sa.s, v -> list_contains(sb.s, v)))
+              AS DOUBLE) /
+            CAST(LEN(sa.s) + LEN(sb.s) -
+              LEN(list_filter(sa.s, v -> list_contains(sb.s, v)))
+              AS DOUBLE) AS err
+        FROM cand c
+        JOIN sigs x ON x.doc_id = c.id1
+        JOIN sigs y ON y.doc_id = c.id2
+        JOIN sh sa ON sa.doc_id = c.id1
+        JOIN sh sb ON sb.doc_id = c.id2),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          list(struct_pack(err := err) ORDER BY id1, id2) AS pe,
+          list(struct_pack(a := abs(err)) ORDER BY abs(err), id1, id2)
+            AS ae
+        FROM pairs)
+      SELECT n_pairs,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(pe, s -> s.err)), (a, b) -> a + b)
+          / CAST(n_pairs AS DOUBLE) AS mean_err,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(ae, s -> s.a)), (a, b) -> a + b)
+          / CAST(n_pairs AS DOUBLE) AS mean_abs_err,
+        ae[CAST(n_pairs AS INT)].a AS max_abs_err,
+        ae[CAST(FLOOR(CAST(n_pairs - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE))
+          AS INT) + 1].a AS p50_abs_err,
+        ae[CAST(FLOOR(CAST(n_pairs - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE))
+          AS INT) + 1].a AS p90_abs_err
+      FROM agg"""
+    })
+
+  /** Rendezvous (HRW) sharding — [[graft.operators.Curation
+    * .rendezvousShard]]: shard = argmax over 8 candidates of the signed
+    * md5-64 of `id:shard` (ties → larger shard id, mirrored by the
+    * DESC/DESC window). The minimal-remap property (N → N+1 moves only
+    * ~1/(N+1) of docs) is spec-pinned; the gate hash-checks the full
+    * assignment.
+    */
+  val q219RendezvousShard: QueryCase = QueryCase(
+    "q219_rendezvous_shard",
+    (s, dir) =>
+      graft.operators.Curation
+        .rendezvousShard(t(s, dir, "documents").select("doc_id"),
+          "doc_id", 8)
+        .select(col("doc_id"), col("shard").cast("int").as("shard"))
+        .orderBy("doc_id"),
+    Some {
+      val h = graft.functions.CrossHash.hugeToSignedSql(
+        graft.functions.CrossHash.md5Hash64SqlU(
+          "CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)"))
+      s"""
+      WITH e AS (
+        SELECT doc_id, k, $h AS h
+        FROM documents, range(0, 8) AS g(k)),
+      r AS (
+        SELECT doc_id, k,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY h DESC, k DESC) AS rn
+        FROM e)
+      SELECT doc_id, CAST(k AS INT) AS shard
+      FROM r WHERE rn = 1 ORDER BY doc_id"""
+    })
+
+  /** Bloom prefilter with a MEASURED false-positive rate —
+    * [[graft.operators.Sketches.bloomWords]]/[[graft.operators.Sketches
+    * .bloomProbe]]: a 2^14-bit, 2-hash Bloom filter built over the
+    * training corpus's distinct 4-gram shingles, probed with the eval
+    * side's distinct shingles, graded against exact membership. Bit
+    * positions are disjoint 14-bit slices of the md5-64 unsigned hash
+    * (power-of-two moduli — signed/unsigned agree); words are 32-bit so
+    * every shift is BIGINT-safe in both engines. Counts exact; fp_rate
+    * is one integer division → RAW.
+    */
+  val q220BloomPrefilter: QueryCase = QueryCase(
+    "q220_bloom_prefilter",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val docs = t(s, dir, "documents")
+      def grams(d: org.apache.spark.sql.DataFrame) =
+        d.select(explode(TextFunctions.distinctNgramsOfTokens(
+          TextFunctions.tokens(col("text")), 4)).as("g")).distinct()
+      val trainG = grams(docs.where(col("doc_id") % 11 =!= 0))
+      val evalG = grams(docs.where(col("doc_id") % 11 === 0))
+      val words = graft.operators.Sketches.bloomWords(trainG, col("g"))
+      val probed = graft.operators.Sketches
+        .bloomProbe(evalG, col("g"), words)
+        .join(trainG.withColumn("in_train", lit(true)), Seq("g"), "left")
+      probed.agg(count(lit(1)).as("n_probes"),
+          sum(when(col("in_train"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_hits"),
+          sum(when(col("bloom_hit") && col("in_train").isNull, 1L)
+            .otherwise(0L)).as("n_false_pos"))
+        .select(col("n_probes"), col("n_exact"), col("n_bloom_hits"),
+          col("n_false_pos"),
+          (col("n_false_pos").cast("double") /
+            (col("n_probes") - col("n_exact")).cast("double"))
+            .as("fp_rate"))
+    },
+    Some {
+      val u = graft.functions.CrossHash.md5Hash64SqlU("g")
+      s"""
+      WITH tk AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      g4 AS (
+        SELECT doc_id, list_distinct(CASE WHEN LEN(tk) >= 4
+          THEN [array_to_string(tk[i:i+3], ' ') for i in range(1, LEN(tk)-2)]
+          ELSE CAST([] AS VARCHAR[]) END) AS gs
+        FROM tk),
+      tg AS (SELECT DISTINCT u.g AS g FROM g4, UNNEST(gs) AS u(g)
+             WHERE doc_id % 11 <> 0),
+      eg AS (SELECT DISTINCT u.g AS g FROM g4, UNNEST(gs) AS u(g)
+             WHERE doc_id % 11 = 0),
+      tpos AS (
+        SELECT CAST(($u) % 16384 AS BIGINT) AS p1,
+               CAST((($u) // 16384) % 16384 AS BIGINT) AS p2
+        FROM tg),
+      words AS (
+        SELECT p >> 5 AS word,
+               bit_or(CAST(1 AS BIGINT) << CAST(p & 31 AS INT)) AS bits
+        FROM (SELECT p1 AS p FROM tpos UNION ALL SELECT p2 FROM tpos)
+        GROUP BY p >> 5),
+      ep AS (
+        SELECT g, CAST(($u) % 16384 AS BIGINT) AS p1,
+               CAST((($u) // 16384) % 16384 AS BIGINT) AS p2
+        FROM eg),
+      probed AS (
+        SELECT e.g,
+          ((COALESCE(w1.bits, 0) &
+            (CAST(1 AS BIGINT) << CAST(e.p1 & 31 AS INT))) <> 0
+           AND
+           (COALESCE(w2.bits, 0) &
+            (CAST(1 AS BIGINT) << CAST(e.p2 & 31 AS INT))) <> 0)
+            AS bloom_hit,
+          (t.g IS NOT NULL) AS in_train
+        FROM ep e
+        LEFT JOIN words w1 ON w1.word = e.p1 >> 5
+        LEFT JOIN words w2 ON w2.word = e.p2 >> 5
+        LEFT JOIN tg t ON t.g = e.g)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+        CAST(SUM(CASE WHEN in_train THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_exact,
+        CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_bloom_hits,
+        CAST(SUM(CASE WHEN bloom_hit AND NOT in_train THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_false_pos,
+        CAST(SUM(CASE WHEN bloom_hit AND NOT in_train THEN 1 ELSE 0 END)
+          AS DOUBLE) /
+        CAST(COUNT(*) - SUM(CASE WHEN in_train THEN 1 ELSE 0 END)
+          AS DOUBLE) AS fp_rate
+      FROM probed"""
+    })
+
+  /** PMI collocations — [[graft.analytics.CorpusStats.pmiCollocations]]:
+    * top-50 adjacent token pairs by count with their pointwise mutual
+    * information over the bigram space. Counts exact; log2 the only
+    * libm step → ROUND(6) on pmi_bits.
+    */
+  val q221PmiCollocations: QueryCase = QueryCase(
+    "q221_pmi_collocations",
+    (s, dir) =>
+      graft.analytics.CorpusStats.pmiCollocations(
+        t(s, dir, "documents"), "doc_id", "text", minCount = 2L, k = 50),
+    Some(s"""
+      WITH tk AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      bi AS (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2
+        FROM tk, UNNEST(range(1, LEN(tk))) AS u(i)),
+      cxy AS (SELECT w1, w2, COUNT(*) AS c_xy FROM bi GROUP BY w1, w2),
+      cx AS (SELECT w1, COUNT(*) AS c_x FROM bi GROUP BY w1),
+      cy AS (SELECT w2, COUNT(*) AS c_y FROM bi GROUP BY w2),
+      n AS (SELECT COUNT(*) AS n FROM bi)
+      SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+             ROUND(log2(CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE) /
+               (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))), 6)
+               AS pmi_bits
+      FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN n
+      WHERE c_xy >= 2
+      ORDER BY c_xy DESC, w1, w2 LIMIT 50"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q217BfdPack, q218MinhashError, q219RendezvousShard,
+      q220BloomPrefilter, q221PmiCollocations)
+}

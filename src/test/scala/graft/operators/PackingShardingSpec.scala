@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-11 batch-2 operators: BFD packing validity + improvement over
+  * the arrival-order greedy, rendezvous sharding's minimal-remap
+  * property, Bloom's no-false-negative guarantee, and PMI sign sanity.
+  */
+class PackingShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BFD packs validly and never uses more sequences than greedy") {
+    val rows = (1 to 200).map { i =>
+      (s"s${i % 3}", i.toLong, ((i * 53) % 200 + 10).toLong)
+    }.toDF("shard", "id", "tok")
+    val bfd = Curation.packSequencesBfd(rows, "shard", "id", col("tok"), 256)
+    // validity: every sequence's total fits the budget (oversize
+    // singletons would exceed it, but no item here is over 256)
+    val over = bfd.groupBy("shard", "seq").agg(sum("tok").as("t"))
+      .where(col("t") > 256).count()
+    assert(over == 0)
+    // every item is assigned exactly once
+    assert(bfd.count() == 200)
+    val bfdBins = bfd.groupBy("shard").agg(max("seq").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val greedy = Curation.packSequences(rows, "shard", "id", col("tok"), 256)
+      .groupBy("shard").agg(max("seq").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    greedy.foreach { case (s, g) => assert(bfdBins(s) <= g, s) }
+    assert(bfdBins.values.sum < greedy.values.sum,
+      "BFD should beat arrival-order greedy on this mix")
+  }
+
+  test("BFD: oversize items get singleton sequences, others still pack") {
+    val rows = Seq(("a", 1L, 500L), ("a", 2L, 100L), ("a", 3L, 100L))
+      .toDF("shard", "id", "tok")
+    val out = Curation.packSequencesBfd(rows, "shard", "id", col("tok"), 256)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(1L) != out(2L), "oversize item is alone")
+    assert(out(2L) == out(3L), "the two small items share a sequence")
+  }
+
+  test("rendezvous sharding: N -> N+1 remaps ~1/(N+1) of the docs") {
+    val docs = (1L to 2000L).toDF("doc_id")
+    val n8 = Curation.rendezvousShard(docs, "doc_id", 8)
+      .select(col("doc_id"), col("shard").as("s8"))
+    val n9 = Curation.rendezvousShard(docs, "doc_id", 9)
+      .select(col("doc_id"), col("shard").as("s9"))
+    val moved = n8.join(n9, "doc_id").where(col("s8") =!= col("s9")).count()
+    val frac = moved.toDouble / 2000
+    assert(frac > 0.05 && frac < 0.18,
+      f"moved fraction $frac%.3f should be ≈ 1/9 (mod-N would be ~0.89)")
+    // balance sanity: every shard gets a reasonable share
+    val counts = Curation.rendezvousShard(docs, "doc_id", 8)
+      .groupBy("shard").count().collect().map(_.getLong(1))
+    assert(counts.length == 8 && counts.min > 150)
+  }
+
+  test("bloom filter: zero false negatives, bounded false positives") {
+    val members = (1 to 500).map(i => s"member$i").toDF("g")
+    val words = Sketches.bloomWords(members, col("g"))
+    // every member must hit
+    val misses = Sketches.bloomProbe(members, col("g"), words)
+      .where(!col("bloom_hit")).count()
+    assert(misses == 0, "bloom filters never have false negatives")
+    // non-members mostly miss: 500 items in 2^14 bits, 2 hashes →
+    // expected fp ≈ (1-e^(-2*500/16384))^2 ≈ 0.3%; assert well under 5%
+    val strangers = (1 to 2000).map(i => s"stranger$i").toDF("g")
+    val fp = Sketches.bloomProbe(strangers, col("g"), words)
+      .where(col("bloom_hit")).count()
+    assert(fp.toDouble / 2000 < 0.05, s"fp=$fp of 2000")
+  }
+
+  test("PMI: an exclusive pair outranks a pair with a promiscuous tail") {
+    // "the" follows three different tokens, so (is, the) shares its
+    // tail's mass with other predecessors; (new, york) is exclusive
+    val docs = (1 to 40).map { i =>
+      (i.toLong, s"new york is the best of the rest w$i the")
+    }.toDF("doc_id", "text")
+    val pmi = graft.analytics.CorpusStats
+      .pmiCollocations(docs, "doc_id", "text", minCount = 2, k = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("pmi_bits")).toMap
+    assert(pmi(("new", "york")) > pmi(("is", "the")),
+      "the exclusive collocation outranks the diluted-tail pair")
+  }
+}
