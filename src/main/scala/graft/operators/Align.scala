@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Orthogonal Procrustes embedding alignment (Schönemann 1966; the
+  * cross-space mapping used to stitch embedding spaces across model
+  * versions or languages — Mikolov et al. 2013's translation matrix,
+  * constrained orthogonal per Xing et al. 2015): given paired vectors
+  * (a, b), find the orthogonal W minimizing ‖AW − B‖_F. Closed form:
+  * W = U Vᵀ where M = AᵀB = U Σ Vᵀ.
+  *
+  * Distribution: M is ONE d×d aggregate over the pairs (the PCA
+  * covariance shape — (i, j, Σ aᵢbⱼ) rows from a self-join of exploded
+  * positions); the SVD runs driver-side on d×d only (σ², V from the
+  * Jacobi eigensolve of MᵀM — the [[Pca]] contract; U = MVΣ⁻¹).
+  * Application is a per-row fold against the W literals — no shuffle.
+  */
+object Align {
+
+  /** Cross-covariance-style moment matrix M = AᵀB over paired vector
+    * columns: one row per (i, j) with m = Σ over pairs of aᵢ·bⱼ.
+    * UNCENTERED (classic Procrustes aligns the raw spaces; center
+    * upstream if translation matters).
+    */
+  def crossMoment(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val exA = pairs.select(monotonically_increasing_id().as("rid"),
+        col(aCol).cast("array<double>").as("a"),
+        col(bCol).cast("array<double>").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    exA.select(col("rid"), posexplode(col("a")).as(Seq("i", "x")), col("b"))
+      .select(col("rid"), col("i"), col("x"),
+        posexplode(col("b")).as(Seq("j", "y")))
+      .groupBy("i", "j")
+      .agg(sum(col("x") * col("y")).as("m"))
+  }
+
+  /** Fit W (d×d, orthogonal). Driver-side work is the d×d SVD only.
+    * Requires full rank: every singular value must exceed
+    * `rankEps`·σ_max, or the rotation is under-determined and the fit
+    * refuses loudly.
+    */
+  def fitProcrustes(pairs: DataFrame, aCol: String, bCol: String,
+                    rankEps: Double = 1e-9): Array[Array[Double]] = {
+    val rows = graft.plans.Bounded.collectBounded(
+      crossMoment(pairs, aCol, bCol), "Align.fitProcrustes")
+    val d = math.sqrt(rows.length.toDouble).round.toInt
+    require(d.toLong * d == rows.length,
+      s"Align.fitProcrustes: moment matrix is not square (${rows.length})")
+    val m = Array.ofDim[Double](d, d)
+    rows.foreach { r => m(r.getInt(0))(r.getInt(1)) = r.getDouble(2) }
+    // MᵀM = V Σ² Vᵀ (symmetric PSD) → Jacobi; U = M V Σ⁻¹; W = U Vᵀ
+    val mtm = Array.tabulate(d, d) { (i, j) =>
+      var s = 0.0; var r = 0
+      while (r < d) { s += m(r)(i) * m(r)(j); r += 1 }
+      s
+    }
+    val (evals, evecs) = Pca.jacobiEigen(mtm)
+    val sigma = evals.map(ev => math.sqrt(math.max(ev, 0.0)))
+    require(sigma.head > 0.0 && sigma.last > rankEps * sigma.head,
+      s"Align.fitProcrustes: rank-deficient moment matrix " +
+        s"(sigma_min/sigma_max = ${sigma.last / math.max(sigma.head, 1e-300)})" +
+        " — the rotation is under-determined")
+    // evecs are ROWS of Vᵀ (component vectors); U columns u_k = M v_k / σ_k
+    val u = Array.tabulate(d, d) { (r, k) =>
+      var s = 0.0; var c = 0
+      while (c < d) { s += m(r)(c) * evecs(k)(c); c += 1 }
+      s / sigma(k)
+    }
+    // W = U Vᵀ: W(r)(c) = Σ_k U(r)(k) · V(c)(k)
+    Array.tabulate(d, d) { (r, c) =>
+      var s = 0.0; var k = 0
+      while (k < d) { s += u(r)(k) * evecs(k)(c); k += 1 }
+      s
+    }
+  }
+
+  /** y = v W, per-row fold against the W literals (no shuffle).
+    * Output: (id, aligned array<double>).
+    */
+  def applyAlign(df: DataFrame, idCol: String, vecCol: String,
+                 w: Array[Array[Double]]): DataFrame = {
+    val cols = w.head.indices.map { j =>
+      val colJ = array(w.indices.map(i => lit(w(i)(j))): _*)
+      aggregate(zip_with(col("v"), colJ, (x, wij) => x * wij),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+      .select(col("id"), array(cols: _*).as("aligned"))
+  }
+}

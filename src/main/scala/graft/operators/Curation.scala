@@ -266,6 +266,48 @@ object Curation {
       .toDF("shard", "id", "tok", "seq")
   }
 
+  /** Temperature-scaled mixture allocation (the T5/mT5 sampling rule —
+    * Raffel et al. 2020 §3.4.3: p_i ∝ n_i^(1/T)): flattens the domain
+    * distribution toward uniform as T grows (T=1 = proportional,
+    * T→∞ = uniform), the standard low-resource-upweighting alternative
+    * to [[mixturePlan]]'s epoch-capped waterfilling. Driver-free: the
+    * softmax-style denominator folds the bounded domain table in
+    * domain-sorted order (one-row array — the doremiWeights shape, with
+    * the same in-plan cardinality check).
+    *
+    * Output: (domain, n_tokens, weight, alloc_tokens); pow is the libm
+    * step → weight/alloc ROUND(6)/(2).
+    */
+  def temperatureMixture(domains: DataFrame, domainCol: String,
+                         tokensCol: String, temperature: Double,
+                         budget: Double): DataFrame = {
+    require(temperature > 0.0 && budget > 0.0,
+      "temperature and budget must be positive")
+    val maxD = domains.sparkSession.conf
+      .get(graft.operators.CorpusLm.DomainsMaxKey, (1L << 16).toString).toLong
+    val alpha = 1.0 / temperature
+    val per = domains.select(col(domainCol).cast("string").as("domain"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .withColumn("e", pow(col("n_tokens").cast("double"), lit(alpha)))
+    val denom = per
+      .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("domain"),
+            col("e")))), s => s.getField("e")),
+          lit(0.0), (acc, x) => acc + x).as("denom0"),
+        count(lit(1)).as("nd"))
+      .select(when(col("nd") > maxD,
+          raise_error(concat(
+            lit("Curation.temperatureMixture: domain cardinality "),
+            col("nd"),
+            lit(s" exceeds ${graft.operators.CorpusLm.DomainsMaxKey}=$maxD"))))
+        .otherwise(col("denom0")).as("denom"))
+    per.crossJoin(broadcast(denom))
+      .select(col("domain"), col("n_tokens"),
+        round(col("e") / col("denom"), 6).as("weight"),
+        round(lit(budget) * (col("e") / col("denom")), 2)
+          .as("alloc_tokens"))
+  }
+
   /** Best-fit-decreasing sequence packing — the offline bin-packing
     * upgrade over [[packSequences]]'s arrival-order greedy (BFD wastes
     * ≤ 11/9·OPT + 6/9 bins; greedy-next-fit has no such bound): within

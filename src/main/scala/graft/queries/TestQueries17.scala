@@ -347,7 +347,171 @@ object TestQueries17 {
       WHERE c_xy >= 2
       ORDER BY c_xy DESC, w1, w2 LIMIT 50"""))
 
+  /** Temperature-scaled mixture — [[graft.operators.Curation
+    * .temperatureMixture]]: T=2 flattening of the per-source token
+    * distribution into a 1M-token plan. pow is the libm step → weight
+    * ROUND(6), alloc ROUND(2); counts exact; denominator folds in
+    * domain-sorted order on both engines.
+    */
+  val q222TemperatureMixture: QueryCase = QueryCase(
+    "q222_temperature_mixture",
+    (s, dir) => {
+      val domains = t(s, dir, "documents")
+        .groupBy(col("source").as("domain"))
+        .agg(sum(graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long")).as("n_tokens"))
+      graft.operators.Curation
+        .temperatureMixture(domains, "domain", "n_tokens",
+          temperature = 2.0, budget = 1000000.0)
+        .orderBy("domain")
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT source AS domain,
+               CAST(SUM(LEN($TokensSql)) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      e AS (SELECT domain, n_tokens,
+              power(CAST(n_tokens AS DOUBLE), CAST(0.5 AS DOUBLE)) AS e
+            FROM d),
+      den AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(list(struct_pack(domain := domain, e := e)
+            ORDER BY domain, e), s -> s.e)), (a, b) -> a + b) AS denom
+        FROM e)
+      SELECT domain, n_tokens,
+             ROUND(e / denom, 6) AS weight,
+             ROUND(CAST(1000000.0 AS DOUBLE) * (e / denom), 2)
+               AS alloc_tokens
+      FROM e, den ORDER BY domain"""))
+
+  /** Exact heavy hitters — [[graft.operators.Sketches.heavyHitters]]:
+    * tokens with corpus frequency > n/100, found by a per-partition
+    * Misra–Gries candidate pass (bounded memory, guaranteed superset by
+    * the mediant inequality) + exact verification of candidates only.
+    * The VERIFIED output is partitioning-independent, so the oracle is
+    * the plain exact GROUP BY … HAVING. Counts exact; share one
+    * division → RAW.
+    */
+  val q223HeavyHitters: QueryCase = QueryCase(
+    "q223_heavy_hitters",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(graft.functions.TextFunctions
+          .tokens(col("text"))).as("tok"))
+      graft.operators.Sketches.heavyHitters(toks, col("tok"), k = 100)
+    },
+    Some(s"""
+      WITH tok AS (
+        SELECT u.t AS v
+        FROM (SELECT $TokensSql AS tk FROM documents), UNNEST(tk) AS u(t)),
+      c AS (SELECT v, COUNT(*) AS cnt FROM tok GROUP BY v),
+      n AS (SELECT COUNT(*) AS n FROM tok)
+      SELECT v, CAST(cnt AS BIGINT) AS cnt, CAST(n AS BIGINT) AS n,
+             CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) AS share
+      FROM c, n WHERE cnt * 100 > n ORDER BY cnt DESC, v"""))
+
+  /** Procrustes moment matrix — [[graft.operators.Align.crossMoment]]:
+    * M = AᵀB over (embedding, reversed embedding) pairs — the one d×d
+    * aggregate the orthogonal-alignment fit consumes (the SVD itself is
+    * d×d driver work, spec-pinned by AlignSpec's known-rotation
+    * recovery; the q175 covariance-gate discipline). ROUND(6)+0.0 like
+    * q175 (unordered double sums, drift ≪ 1e-6).
+    */
+  val q224ProcrustesMoment: QueryCase = QueryCase(
+    "q224_procrustes_moment",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("embedding").cast("array<double>").as("a"))
+        .withColumn("b", reverse(col("a")))
+      graft.operators.Align.crossMoment(e, "a", "b")
+        .select(col("i"), col("j"), (round(col("m"), 6) + 0.0).as("m"))
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH e AS (
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      p AS (SELECT v, list_reverse(v) AS b FROM e),
+      ex AS (
+        SELECT u.pos - 1 AS i, u.x, b
+        FROM p, UNNEST(list_transform(v,
+          (x, i) -> struct_pack(pos := i, x := x))) AS t(u)),
+      ey AS (
+        -- lambda index param must NOT be named i: ex has a column i and
+        -- DuckDB resolves the COLUMN inside the lambda body
+        SELECT i, x, w.pos - 1 AS j, w.y
+        FROM ex, UNNEST(list_transform(b,
+          (y, k) -> struct_pack(pos := k, y := y))) AS s(w))
+      SELECT i, j, ROUND(SUM(x * y), 6) + CAST(0.0 AS DOUBLE) AS m
+      FROM ey GROUP BY i, j ORDER BY i, j"""))
+
+  /** Tokenizer fertility panel — segments-per-token and
+    * chars-per-segment of the trained BPE ([[graft.operators.Bpe]],
+    * 3 merges — the q179 training replayed verbatim by the oracle, then
+    * summarized): the compression report a tokenizer change ships.
+    * Integer sums exact; the two ratios are single divisions → RAW.
+    */
+  val q225BpeFertility: QueryCase = QueryCase(
+    "q225_bpe_fertility",
+    (s, dir) => {
+      import graft.operators.Bpe
+      val seg = Bpe.segmentation(
+        Bpe.train(Bpe.vocabulary(Tables.documents(s, dir), "text"),
+          nMerges = 3))
+      seg.agg(count(lit(1)).as("n_words"),
+          sum(col("freq")).as("total_tokens"),
+          sum(col("freq") * col("n_segments")).as("total_segments"),
+          sum(col("freq") * length(col("word"))).as("total_chars"))
+        .select(col("n_words"), col("total_tokens"), col("total_segments"),
+          col("total_chars"),
+          (col("total_segments").cast("double") /
+            col("total_tokens").cast("double")).as("fertility"),
+          (col("total_chars").cast("double") /
+            col("total_segments").cast("double")).as("chars_per_segment"))
+    },
+    Some {
+      def round(i: Int): String = s"""
+      p$i AS (
+        SELECT v.freq, u.a AS a, u.b AS b
+        FROM v${i - 1} v, UNNEST(list_transform(
+          list_slice(seq, 1, len(seq) - 1),
+          (x, k) -> struct_pack(a := x, b := seq[k + 1]))) AS t(u)),
+      c$i AS (SELECT a, b, SUM(freq) AS cnt FROM p$i GROUP BY a, b),
+      b$i AS (SELECT a, b FROM c$i ORDER BY cnt DESC, a, b LIMIT 1),
+      v$i AS (
+        SELECT word, freq,
+          list_reduce(list_transform(seq, x -> [x]),
+            (acc, x) -> CASE WHEN acc[-1] = bb.a AND x[1] = bb.b
+              THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                               bb.a || bb.b)
+              ELSE list_concat(acc, x) END) AS seq
+        FROM v${i - 1} CROSS JOIN b$i bb)"""
+      s"""
+      WITH toks AS (
+        SELECT u.t AS word
+        FROM (SELECT $TokensSql AS tk FROM documents), UNNEST(tk) AS u(t)),
+      v0 AS (
+        SELECT word, COUNT(*) AS freq, regexp_extract_all(word, '.') AS seq
+        FROM toks GROUP BY word),
+      ${round(1)},
+      ${round(2)},
+      ${round(3)},
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(freq) AS BIGINT) AS total_tokens,
+               CAST(SUM(freq * LEN(seq)) AS BIGINT) AS total_segments,
+               CAST(SUM(freq * LEN(word)) AS BIGINT) AS total_chars
+        FROM v3)
+      SELECT n_words, total_tokens, total_segments, total_chars,
+             CAST(total_segments AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+               AS fertility,
+             CAST(total_chars AS DOUBLE) / CAST(total_segments AS DOUBLE)
+               AS chars_per_segment
+      FROM agg"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q217BfdPack, q218MinhashError, q219RendezvousShard,
-      q220BloomPrefilter, q221PmiCollocations)
+      q220BloomPrefilter, q221PmiCollocations, q222TemperatureMixture,
+      q223HeavyHitters, q224ProcrustesMoment, q225BpeFertility)
 }

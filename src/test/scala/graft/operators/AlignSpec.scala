@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Align]] — orthogonal Procrustes: recovery of a known rotation,
+  * orthogonality of the fitted W, and the rank-deficiency refusal.
+  */
+class AlignSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = 6
+  // deterministic FULL-RANK vectors: a distinct frequency per dimension
+  // (sin(a + j·b) alone spans only 2 dims across j)
+  private def vec(i: Int): Array[Double] =
+    Array.tabulate(d)(j =>
+      math.sin(i * (j + 1) * 0.37) + ((i * 31 + j * 17) % 13) * 0.01)
+
+  // a known rotation: composition of two Givens rotations
+  private val rot: Array[Array[Double]] = {
+    val r = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def givens(p: Int, q: Int, theta: Double): Unit = {
+      val c = math.cos(theta); val s = math.sin(theta)
+      for (k <- 0 until d) {
+        val a = r(k)(p); val b = r(k)(q)
+        r(k)(p) = a * c - b * s; r(k)(q) = a * s + b * c
+      }
+    }
+    givens(0, 3, 0.6); givens(1, 4, -1.1); givens(2, 5, 0.3)
+    r
+  }
+
+  private def mul(v: Array[Double], w: Array[Array[Double]]) =
+    Array.tabulate(d)(j => (0 until d).map(i => v(i) * w(i)(j)).sum)
+
+  test("fitProcrustes recovers a known rotation; W is orthogonal") {
+    val pairs = (1 to 120).map { i =>
+      val a = vec(i); (a, mul(a, rot))
+    }.toDF("a", "b")
+    val w = Align.fitProcrustes(pairs, "a", "b")
+    // recovery
+    var maxDiff = 0.0
+    for (i <- 0 until d; j <- 0 until d)
+      maxDiff = math.max(maxDiff, math.abs(w(i)(j) - rot(i)(j)))
+    assert(maxDiff < 1e-6, s"maxDiff=$maxDiff")
+    // orthogonality: WᵀW = I
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => w(k)(i) * w(k)(j)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8)
+    }
+  }
+
+  test("applyAlign maps A onto B when B = A·R") {
+    val rows = (1 to 60).map { i => (i.toLong, vec(i), mul(vec(i), rot)) }
+    val pairs = rows.map { case (_, a, b) => (a, b) }.toDF("a", "b")
+    val w = Align.fitProcrustes(pairs, "a", "b")
+    val aligned = Align.applyAlign(
+        rows.map { case (id, a, _) => (id, a) }.toDF("id", "v"), "id", "v", w)
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    rows.foreach { case (id, _, b) =>
+      val got = aligned(id)
+      (0 until d).foreach(j => assert(math.abs(got(j) - b(j)) < 1e-6))
+    }
+  }
+
+  test("rank-deficient pairs refuse loudly") {
+    // every vector lies in a 1-D subspace → M has rank 1
+    val pairs = (1 to 50).map { i =>
+      val a = Array.tabulate(d)(j => if (j == 0) i.toDouble else 0.0)
+      (a, a)
+    }.toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Align.fitProcrustes(pairs, "a", "b")
+    }
+    assert(e.getMessage.contains("rank-deficient"))
+  }
+}

@@ -72,6 +72,34 @@ class PackingShardingSpec extends SparkSpec {
     assert(fp.toDouble / 2000 < 0.05, s"fp=$fp of 2000")
   }
 
+  test("heavy hitters: exact set regardless of partitioning") {
+    // 30 values: 'hot' 40%, 'warm' 20%, the rest spread thin
+    val vals = (Seq.fill(400)("hot") ++ Seq.fill(200)("warm") ++
+      (1 to 400).map(i => s"cold${i % 150}")).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    for (parts <- Seq(1, 4, 13)) {
+      val out = Sketches.heavyHitters(
+          vals.repartition(parts), col("v"), k = 10)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.keySet == Set("hot", "warm"), s"parts=$parts: $out")
+      assert(out("hot") == 400 && out("warm") == 200)
+    }
+  }
+
+  test("temperature mixture: T=1 is proportional, large T flattens") {
+    val domains = Seq(("big", 9000L), ("small", 1000L))
+      .toDF("domain", "n_tokens")
+    def w(tp: Double) = Curation
+      .temperatureMixture(domains, "domain", "n_tokens", tp, 100.0)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("weight")).toMap
+    val t1 = w(1.0)
+    assert(math.abs(t1("big") - 0.9) < 1e-6)
+    val t100 = w(100.0)
+    assert(math.abs(t100("big") - 0.5) < 0.01, "large T → near uniform")
+    val t2 = w(2.0)
+    assert(t2("big") < t1("big") && t2("big") > t100("big"))
+  }
+
   test("PMI: an exclusive pair outranks a pair with a promiscuous tail") {
     // "the" follows three different tokens, so (is, the) shares its
     // tail's mass with other predecessors; (new, york) is exclusive
