@@ -1,0 +1,54 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-source quantile normalization — the score-fusion step when
+  * per-source quality scorers have incompatible scales (a 0.7 from
+  * source A ≠ a 0.7 from source B): each row's WITHIN-SOURCE mid-rank
+  * percentile maps through the POOLED score distribution's quantile
+  * function, so every source's scores land on one comparable scale
+  * (microarray-style quantile normalization, grid-interpolated).
+  *
+  * Scale shape: the within-source percentile is one PARTITIONED window
+  * (rank + count per source — never a global sort); the pooled quantile
+  * function is a (buckets+1)-point exact-percentile TABLE from one
+  * aggregate, broadcast; the mapping is per-row linear interpolation
+  * between neighboring grid points. Nothing global materializes.
+  *
+  * Determinism: mid-rank pct = (rank − 0.5)/n_s is exact rational (rank
+  * ties break on the id); the grid quantiles are Spark's exact
+  * interpolated percentile (±1 ulp vs other engines' formula — round
+  * the OUTPUT, the q93 discipline); interpolation is plain arithmetic.
+  *
+  * Output: (id, key, score, pct, normalized).
+  */
+object QuantileNorm {
+
+  def normalize(df: DataFrame, idCol: String, keyCol: String,
+                scoreCol: String, buckets: Int = 100): DataFrame = {
+    require(buckets >= 2 && buckets <= 100000,
+      "buckets must be in [2, 100000]")
+    val rows = df.select(col(idCol).as("id"), col(keyCol).as("key"),
+      col(scoreCol).cast("double").as("score"))
+    val w = Window.partitionBy("key").orderBy(col("score"), col("id"))
+    val nw = Window.partitionBy("key")
+    val ranked = rows
+      .withColumn("pct",
+        (row_number().over(w).cast("double") - lit(0.5)) /
+          count(lit(1)).over(nw).cast("double"))
+    // pooled quantile grid: buckets+1 exact percentiles, one aggregate
+    val grid = rows.agg(percentile(col("score"),
+      array((0 to buckets).map(b => lit(b.toDouble / buckets)): _*))
+      .as("q"))
+    ranked.crossJoin(broadcast(grid))
+      .withColumn("b",
+        least(lit(buckets - 1), floor(col("pct") * buckets).cast("int")))
+      .withColumn("frac", col("pct") * buckets - col("b"))
+      .select(col("id"), col("key"), col("score"), col("pct"),
+        (element_at(col("q"), col("b") + 1) * (lit(1.0) - col("frac")) +
+          element_at(col("q"), col("b") + 2) * col("frac"))
+          .as("normalized"))
+  }
+}

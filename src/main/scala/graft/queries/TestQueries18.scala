@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions, batch 4: matryoshka-truncation recall, cross-
+  * source quantile normalization, and Johnson–Lindenstrauss projection
+  * distortion measurement.
+  */
+object TestQueries18 {
+
+  /** Matryoshka truncation recall grid — the MRL deployment question
+    * (Kusupati et al. 2022: how much recall do the first m dims keep?):
+    * brute cosine top-10 over the FIRST m ∈ {8, 16, 32} dims graded
+    * against full-dim truth, hits@10 from one rank-pair join per m
+    * (the q207 prefix-property discipline), macro recall as the exact
+    * integer ratio.
+    */
+  val q226MatryoshkaRecall: QueryCase = QueryCase(
+    "q226_matryoshka_recall",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val queries = e.where(col("vec_id") % 25 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      val corpus = e.where(col("vec_id") % 25 =!= 0)
+      val nq = queries.count()
+      def ranked(m: Int, rankName: String): DataFrame = {
+        val qs = queries.select(col("query_id"),
+            slice(col("qv"), 1, m).as("qm"))
+          .withColumn("qn", VectorFunctions.norm2(col("qm")))
+        val cs = corpus.select(col("vec_id"),
+            slice(col("v"), 1, m).as("cm"))
+          .withColumn("cn", VectorFunctions.norm2(col("cm")))
+        qs.crossJoin(cs)
+          .withColumn("sim", VectorFunctions.cosineFromParts(
+            col("qm"), col("cm"), col("qn"), col("cn")))
+          .withColumn(rankName, row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+              .orderBy(desc("sim"), col("vec_id"))))
+          .where(col(rankName) <= 10)
+          .select(col("query_id"), col("vec_id"), col(rankName))
+      }
+      val truth = ranked(64, "rank_t")
+      Seq(8, 16, 32).map { m =>
+        truth.join(ranked(m, "rank_a"), Seq("query_id", "vec_id"))
+          .agg(sum(when(col("rank_t") <= 10 && col("rank_a") <= 10, 1L)
+            .otherwise(0L)).as("total_hits"))
+          .select(lit(m).as("m"), col("total_hits"),
+            (col("total_hits").cast("double") / lit(10.0 * nq))
+              .as("macro_recall"))
+      }.reduce(_ unionByName _).orderBy("m")
+    },
+    Some {
+      def ranked(m: Int, rk: String) =
+        s"""SELECT query_id, vec_id, $rk FROM (
+              SELECT q.query_id, c.vec_id,
+                ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                  (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(range(1, ${m + 1}),
+                       i -> q.qv[i] * c.v[i])), (s, t) -> s + t) /
+                   (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, ${m + 1}),
+                        i -> q.qv[i] * q.qv[i])), (s, t) -> s + t)) *
+                    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(1, ${m + 1}),
+                        i -> c.v[i] * c.v[i])), (s, t) -> s + t))))
+                  DESC, c.vec_id) AS $rk
+              FROM q CROSS JOIN c) WHERE $rk <= 10"""
+      def grid(m: Int) =
+        s"""SELECT $m AS m,
+              CAST(SUM(CASE WHEN t.rank_t <= 10 AND a.rank_a <= 10
+                THEN 1 ELSE 0 END) AS BIGINT) AS total_hits
+            FROM truth t JOIN (${ranked(m, "rank_a")}) a
+              ON a.query_id = t.query_id AND a.vec_id = t.vec_id"""
+      s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id % 25 = 0),
+      nq AS (SELECT COUNT(*) AS nq FROM q),
+      c AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
+      truth AS (${ranked(64, "rank_t")}),
+      g AS (${Seq(8, 16, 32).map(grid).mkString(" UNION ALL ")})
+      SELECT g.m, g.total_hits,
+             CAST(g.total_hits AS DOUBLE) /
+               (CAST(10.0 AS DOUBLE) * CAST(nq.nq AS DOUBLE))
+               AS macro_recall
+      FROM g CROSS JOIN nq ORDER BY g.m"""
+    })
+
+  /** Cross-source quantile normalization —
+    * [[graft.analytics.QuantileNorm.normalize]]: per-source mid-rank
+    * percentile of n_chars mapped through the pooled 100-bucket exact
+    * quantile grid. pct is exact rational → RAW; the normalized score
+    * interpolates two exact percentiles (1-ulp interpolation-formula
+    * wobble between engines → ROUND(6), the q93 discipline).
+    */
+  val q227QuantileNorm: QueryCase = QueryCase(
+    "q227_quantile_norm",
+    (s, dir) =>
+      graft.analytics.QuantileNorm
+        .normalize(Tables.documents(s, dir), "doc_id", "source", "n_chars")
+        .select(col("id"), col("key"), col("score"), col("pct"),
+          round(col("normalized"), 6).as("normalized"))
+        .orderBy("id"),
+    Some {
+      val grid = (0 to 100).map(b => (b / 100.0).toString)
+        .mkString("[", ", ", "]")
+      s"""
+      WITH r AS (SELECT doc_id AS id, source AS key,
+                   CAST(n_chars AS DOUBLE) AS score FROM documents),
+      rk AS (
+        SELECT id, key, score,
+          (CAST(ROW_NUMBER() OVER (PARTITION BY key ORDER BY score, id)
+             AS DOUBLE) - CAST(0.5 AS DOUBLE))
+            / CAST(COUNT(*) OVER (PARTITION BY key) AS DOUBLE) AS pct
+        FROM r),
+      g AS (SELECT quantile_cont(score, $grid) AS q FROM r),
+      m AS (
+        SELECT id, key, score, pct,
+          LEAST(99, CAST(FLOOR(pct * 100) AS INT)) AS b,
+          pct * 100 - LEAST(99, CAST(FLOOR(pct * 100) AS INT)) AS frac
+        FROM rk)
+      SELECT id, key, score, pct,
+        ROUND(g.q[b + 1] * (CAST(1.0 AS DOUBLE) - frac)
+          + g.q[b + 2] * frac, 6) AS normalized
+      FROM m, g ORDER BY id"""
+    })
+
+  // deterministic ±1 sign matrix for the JL projection: sign bit of
+  // md5("jl:i:j") — computed HERE and serialized into both plans
+  private val JlIn = 64
+  private val JlOut = 16
+  private lazy val jlSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(JlIn, JlOut) { (i, j) =>
+      md.reset()
+      val hx = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
+      if ((hx(0) & 0x80) != 0) -1 else 1
+    }
+  }
+
+  /** Johnson–Lindenstrauss distortion panel: 64→16 sign projection
+    * (±1/√16 entries — the division is an exact /4, no libm anywhere),
+    * graded on consecutive-id pairs by SQUARED distance ratio
+    * ‖ya−yb‖²/‖xa−xb‖² — exact fold arithmetic end to end → RAW, with
+    * exact-selection p10/p50/p90 (the q218 discipline). The measured
+    * concentration around 1 is the JL lemma in-engine.
+    */
+  val q228JlDistortion: QueryCase = QueryCase(
+    "q228_jl_distortion",
+    (s, dir) => {
+      val w = Array.tabulate(JlIn, JlOut)((i, j) => jlSigns(i)(j) / 4.0)
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val proj = graft.operators.Align.applyAlign(e, "vec_id", "v", w)
+      val both = e.join(proj.withColumnRenamed("id", "vec_id"), "vec_id")
+      val a = both.select(col("vec_id").as("ida"), col("v").as("va"),
+        col("aligned").as("ya"))
+      val b = both.select((col("vec_id") - 1).as("ida"),
+        col("v").as("vb"), col("aligned").as("yb"))
+      def d2(x: String, y: String) =
+        aggregate(zip_with(col(x), col(y), (p, q) => (p - q) * (p - q)),
+          lit(0.0), (acc, t) => acc + t)
+      val pairs = a.join(b, "ida")
+        .select(col("ida"), d2("va", "vb").as("dx"), d2("ya", "yb").as("dy"))
+        .where(col("dx") > 0.0)
+        .select(col("ida"), (col("dy") / col("dx")).as("r2"))
+      val agg = pairs.agg(count(lit(1)).as("n_pairs"),
+        array_sort(collect_list(struct(col("r2"), col("ida")))).as("rs"))
+      def sel(q: Double) = element_at(col("rs"),
+        (floor((col("n_pairs") - 1).cast("double") * lit(q)) + 1)
+          .cast("int")).getField("r2")
+      agg.select(col("n_pairs"),
+        (aggregate(transform(col("rs"), x => x.getField("r2")), lit(0.0),
+          (acc, t) => acc + t) / col("n_pairs").cast("double"))
+          .as("mean_r2"),
+        sel(0.1).as("p10_r2"), sel(0.5).as("p50_r2"), sel(0.9).as("p90_r2"))
+    },
+    Some {
+      val ss = jlSigns.map(_.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")
+      s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      proj AS (
+        SELECT vec_id, v,
+          list_transform(range(1, ${JlOut + 1}), j ->
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, ${JlIn + 1}),
+                i -> v[i] * (CAST(($ss)[i][j] AS DOUBLE)
+                  / CAST(4.0 AS DOUBLE)))),
+              (a, b) -> a + b)) AS y
+        FROM e),
+      pairs AS (
+        SELECT a.vec_id AS ida,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, ${JlIn + 1}),
+              i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))),
+            (s, t) -> s + t) AS dx,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, ${JlOut + 1}),
+              i -> (a.y[i] - b.y[i]) * (a.y[i] - b.y[i]))),
+            (s, t) -> s + t) AS dy
+        FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1),
+      r AS (SELECT ida, dy / dx AS r2 FROM pairs WHERE dx > 0),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          list(struct_pack(r2 := r2) ORDER BY r2, ida) AS rs
+        FROM r)
+      SELECT n_pairs,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(rs, x -> x.r2)), (a, b) -> a + b)
+          / CAST(n_pairs AS DOUBLE) AS mean_r2,
+        rs[CAST(FLOOR(CAST(n_pairs - 1 AS DOUBLE) * CAST(0.1 AS DOUBLE))
+          AS INT) + 1].r2 AS p10_r2,
+        rs[CAST(FLOOR(CAST(n_pairs - 1 AS DOUBLE) * CAST(0.5 AS DOUBLE))
+          AS INT) + 1].r2 AS p50_r2,
+        rs[CAST(FLOOR(CAST(n_pairs - 1 AS DOUBLE) * CAST(0.9 AS DOUBLE))
+          AS INT) + 1].r2 AS p90_r2
+      FROM agg"""
+    })
+
+  val all: Seq[QueryCase] =
+    Seq(q226MatryoshkaRecall, q227QuantileNorm, q228JlDistortion)
+}

@@ -1,0 +1,42 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[QuantileNorm]] — scale invariance: two sources whose scores differ
+  * only by an affine transform land on the same normalized scale at the
+  * same within-source ranks.
+  */
+class QuantileNormSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("affine-shifted sources normalize to matching values by rank") {
+    // source A: 1..50; source B: the same shape scaled x1000 + 7
+    val rows = (1 to 50).flatMap { i =>
+      Seq((i.toLong, "a", i.toDouble),
+        (100L + i, "b", i * 1000.0 + 7.0))
+    }.toDF("id", "src", "score")
+    val out = QuantileNorm.normalize(rows, "id", "src", "score")
+      .collect()
+      .map(r => (r.getString(1), r.getDouble(3)) -> r.getDouble(4))
+      .toMap
+    // same mid-rank pct in both sources → identical normalized value
+    (1 to 50).foreach { i =>
+      val pct = (i - 0.5) / 50.0
+      val na = out(("a", pct)); val nb = out(("b", pct))
+      assert(na == nb, s"rank $i: $na vs $nb")
+    }
+  }
+
+  test("normalized values are monotone in within-source rank") {
+    val rows = (1 to 40).map(i => (i.toLong, s"s${i % 2}",
+      ((i * 37) % 100).toDouble)).toDF("id", "src", "score")
+    val out = QuantileNorm.normalize(rows, "id", "src", "score")
+      .orderBy("key", "pct")
+      .collect().map(r => (r.getString(1), r.getDouble(4)))
+    out.groupBy(_._1).foreach { case (_, vs) =>
+      val ns = vs.map(_._2)
+      assert(ns.zip(ns.tail).forall { case (x, y) => x <= y })
+    }
+  }
+}
