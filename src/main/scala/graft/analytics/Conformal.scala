@@ -1,0 +1,49 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Split-conformal prediction (Vovk et al. 2005; Angelopoulos & Bates
+  * 2023 tutorial form) — the distribution-free threshold layer over any
+  * scorer: the calibration split's nonconformity scores yield
+  * q̂ = the ⌈(n+1)(1−α)⌉-th smallest score, and "score ≤ q̂" then covers
+  * a fresh exchangeable point with probability ≥ 1−α. This is how a
+  * quality/relevance scorer gets a guaranteed-coverage accept set
+  * without distributional assumptions.
+  *
+  * Scale shape: the order statistic is TakeOrdered(k) + one max — a
+  * distributed top-k heap, never a global sort; coverage is one
+  * aggregate over the test split. The only driver value is the scalar
+  * calibration count (one count job).
+  *
+  * Determinism: k is one double multiply + ceil (identical IEEE both
+  * engines); q̂ is an exact data value; coverage is an integer ratio.
+  */
+object Conformal {
+
+  /** One row: (n_cal, k, qhat, n_test, n_covered, coverage). */
+  def coverage(cal: DataFrame, test: DataFrame, scoreCol: String,
+               idCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    val spark = cal.sparkSession
+    val calS = cal.select(col(idCol).as("id"),
+      col(scoreCol).cast("double").as("s"))
+    val n = calS.count()
+    val k = math.ceil((n + 1).toDouble * (1.0 - alpha)).toLong
+    require(k <= n,
+      s"Conformal.coverage: ceil((n+1)(1-alpha)) = $k exceeds n = $n — " +
+        "not enough calibration data for this alpha")
+    val qhat = calS.orderBy(col("s"), col("id")).limit(k.toInt)
+      .agg(max(col("s")).as("qhat"))
+    val t = test.select(col(scoreCol).cast("double").as("s"))
+    t.crossJoin(broadcast(qhat))
+      .agg(first(col("qhat")).as("qhat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("s") <= col("qhat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(lit(n).as("n_cal"), lit(k).as("k"), col("qhat"),
+        col("n_test"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+  }
+}

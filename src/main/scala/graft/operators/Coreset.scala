@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Greedy k-center coreset selection (Gonzalez 1985; the diversity-
+  * sampling backbone — Sener & Savarese 2018 use exactly this loop for
+  * active learning / data-subset selection): seed with the lowest-id
+  * vector, then k−1 times add the point FARTHEST from the selected set
+  * (max over points of min over centers of squared euclidean).
+  * 2-approximation to the optimal k-center cover.
+  *
+  * Scale shape: one distributed argmax pass per round — the selected
+  * centers ride into the plan as literals (k·d doubles, driver-held —
+  * the bounded-k contract of the k-means seed family), the per-row
+  * min-distance is a codegen'd fold, and the argmax is TakeOrdered.
+  * k passes total, no shuffle of the corpus beyond the top-1 heaps.
+  *
+  * Determinism: squared distances are exact left folds; argmax ties
+  * break on the smaller id. Output: (sel_order, id, d2) — d2 is the
+  * point's min-distance² to the PRIOR selection at the moment it was
+  * picked (−1.0 for the seed), the k-center radius sequence.
+  */
+object Coreset {
+
+  def kCenter(vecs: DataFrame, idCol: String, vecCol: String,
+              k: Int): DataFrame = {
+    require(k >= 1 && k <= 4096, "k must be in [1, 4096]")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull)
+    def d2To(center: Array[Double]): Column = {
+      val c = array(center.map(lit(_)).toIndexedSeq: _*)
+      aggregate(zip_with(col("v"), c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, t) => acc + t)
+    }
+    val seedRow = v.orderBy("id").limit(1)
+      .select(col("id"), col("v")).head()
+    var selected = List((seedRow.getLong(0),
+      seedRow.getSeq[Double](1).toArray, -1.0))
+    var rounds = 1
+    while (rounds < k) {
+      val sel = selected.map(_._1).toSet
+      // min distance to the selection IN SELECTION ORDER (a commutative
+      // exact min, but the operand order is pinned for the oracle)
+      val minD2 = selected.reverse.map(s => d2To(s._2))
+        .reduceLeft((a, b) => least(a, b))
+      val next = v.where(!col("id").isin(sel.toSeq: _*))
+        .select(col("id"), col("v"), minD2.as("d2"))
+        .orderBy(desc("d2"), col("id")).limit(1).head()
+      selected = (next.getLong(0), next.getSeq[Double](1).toArray,
+        next.getDouble(2)) :: selected
+      rounds += 1
+    }
+    selected.reverse.zipWithIndex
+      .map { case ((id, _, d2), i) => (i + 1, id, d2) }
+      .toDF("sel_order", "id", "d2")
+  }
+}

@@ -228,6 +228,85 @@ object TestQueries18 {
       FROM agg"""
     })
 
+  /** Greedy k-center coreset — [[graft.operators.Coreset.kCenter]]:
+    * 6 diversity-selected vectors (seed = min id, then farthest-first),
+    * the selection sequence with each pick's min-distance² to the prior
+    * selection (the k-center radius sequence). The oracle unrolls the
+    * 6 rounds as chained CTEs with the same exact-fold distances and
+    * (d2 desc, id) argmax ties — RAW compare.
+    */
+  val q229KCenterCoreset: QueryCase = QueryCase(
+    "q229_kcenter_coreset",
+    (s, dir) =>
+      graft.operators.Coreset.kCenter(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 6),
+    Some {
+      def d2(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65),
+               i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (s, t) -> s + t)"""
+      def round(i: Int): String = {
+        val prior = (1 until i).map(j => s"s$j")
+        val minD2 =
+          prior.map(p => d2("e.v", s"$p.v")).reduceLeft((a, b) =>
+            s"LEAST($a, $b)")
+        val notIn = prior.map(p => s"e.vec_id <> $p.id").mkString(" AND ")
+        s"""s$i AS (
+          SELECT e.vec_id AS id, e.v, $minD2 AS d2
+          FROM e, ${prior.mkString(", ")}
+          WHERE $notIn
+          ORDER BY d2 DESC, e.vec_id LIMIT 1)"""
+      }
+      s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      s1 AS (SELECT vec_id AS id, v, CAST(-1.0 AS DOUBLE) AS d2
+             FROM e ORDER BY vec_id LIMIT 1),
+      ${(2 to 6).map(round).mkString(",\n")}
+      ${(1 to 6).map(i =>
+          s"SELECT CAST($i AS INT) AS sel_order, id, d2 FROM s$i")
+        .mkString("\n      UNION ALL\n      ")}
+      ORDER BY sel_order"""
+    })
+
+  /** Split-conformal coverage — [[graft.analytics.Conformal.coverage]]:
+    * q̂ = the ⌈(n+1)·0.9⌉-th smallest calibration score (even-id docs,
+    * score = n_chars), coverage of "score ≤ q̂" measured on the odd-id
+    * split. The order statistic is exact selection; every output is an
+    * integer, an exact data value, or one division → RAW.
+    */
+  val q230ConformalCoverage: QueryCase = QueryCase(
+    "q230_conformal_coverage",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.analytics.Conformal.coverage(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1),
+        "n_chars", "doc_id", alpha = 0.1)
+    },
+    Some("""
+      WITH calx AS (
+        SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS s
+        FROM documents WHERE doc_id % 2 = 0),
+      nn AS (SELECT COUNT(*) AS n FROM calx),
+      kk AS (SELECT n, CAST(CEIL(CAST(n + 1 AS DOUBLE) *
+               (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE))) AS BIGINT)
+               AS k FROM nn),
+      r AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s, id) AS rn FROM calx),
+      q AS (SELECT MAX(r.s) AS qhat FROM r, kk WHERE r.rn <= kk.k),
+      t AS (SELECT CAST(n_chars AS DOUBLE) AS s
+            FROM documents WHERE doc_id % 2 = 1)
+      SELECT kk.n AS n_cal, kk.k AS k, q.qhat,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN t.s <= q.qhat THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_covered,
+             CAST(SUM(CASE WHEN t.s <= q.qhat THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS coverage
+      FROM t, q, kk GROUP BY kk.n, kk.k, q.qhat"""))
+
   val all: Seq[QueryCase] =
-    Seq(q226MatryoshkaRecall, q227QuantileNorm, q228JlDistortion)
+    Seq(q226MatryoshkaRecall, q227QuantileNorm, q228JlDistortion,
+      q229KCenterCoreset, q230ConformalCoverage)
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[Coreset]] and [[graft.analytics.Conformal]] — the farthest-first
+  * invariants and the conformal coverage guarantee on exchangeable
+  * splits.
+  */
+class CoresetConformalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("k-center: radius sequence is non-increasing; picks hit the clusters") {
+    // 4 well-separated cluster centers + jitter: farthest-first must
+    // visit all 4 clusters within the first 4 picks
+    def vec(c: Int, m: Int): Array[Double] =
+      Array.tabulate(8)(j =>
+        (if (j == 2 * c || j == 2 * c + 1) 10.0 else 0.0) +
+          ((c * 31 + m * 17 + j) % 5) * 0.01)
+    val rows = for (c <- 0 until 4; m <- 0 until 25)
+      yield ((c * 25 + m).toLong, vec(c, m))
+    val out = Coreset.kCenter(rows.toDF("vec_id", "v"), "vec_id", "v", 6)
+      .orderBy("sel_order").collect()
+    assert(out.length == 6)
+    assert(out.map(_.getLong(1)).distinct.length == 6, "distinct picks")
+    val d2s = out.drop(1).map(_.getDouble(2))
+    assert(d2s.zip(d2s.tail).forall { case (a, b) => a >= b },
+      s"radius sequence non-increasing: ${d2s.mkString(",")}")
+    val clustersHit = out.take(4).map(_.getLong(1) / 25).toSet
+    assert(clustersHit.size == 4, s"first 4 picks cover all clusters: " +
+      out.take(4).map(_.getLong(1)).mkString(","))
+  }
+
+  test("conformal: coverage >= 1 - alpha on an exchangeable split") {
+    import graft.analytics.Conformal
+    // deterministic pseudo-random scores, identically distributed in
+    // both splits (score depends only on a hash-ish of the id)
+    val rows = (1 to 2000).map(i => (i.toLong, ((i * 2654435761L) % 997).toDouble))
+      .toDF("id", "s")
+    val out = Conformal.coverage(
+      rows.where(col("id") % 2 === 0), rows.where(col("id") % 2 === 1),
+      "s", "id", alpha = 0.1).head()
+    val cov = out.getAs[Double]("coverage")
+    assert(cov >= 0.88, f"coverage $cov%.3f vs target 0.9 (slack for finite n)")
+    assert(out.getAs[Long]("k") ==
+      math.ceil((out.getAs[Long]("n_cal") + 1) * 0.9).toLong)
+  }
+
+  test("conformal: alpha too small for the calibration size refuses") {
+    import graft.analytics.Conformal
+    val tiny = (1 to 5).map(i => (i.toLong, i.toDouble)).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Conformal.coverage(tiny, tiny, "s", "id", alpha = 0.01)
+    }
+    assert(e.getMessage.contains("not enough calibration data"))
+  }
+}
