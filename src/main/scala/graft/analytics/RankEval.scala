@@ -1,0 +1,106 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank-statistics evaluation for scorer and filter-policy quality —
+  * the measurement layer a data pipeline needs before it trusts a
+  * quality classifier or heuristic screen at scale:
+  *
+  *  - [[auc]] — ROC AUC of a scalar score against a binary label via
+  *    the Mann–Whitney U statistic with mid-rank tie handling
+  *    (AUC = P(score⁺ > score⁻) + ½P(=), the probabilistic reading).
+  *  - [[spearman]] — Spearman rank correlation between two columns:
+  *    Pearson's formula on mid-ranks, with every sum carried in exact
+  *    arithmetic (ranks are integers; the doubled mid-rank 2r = 2·rank
+  *    + ties − 1 stays integral) so the only float ops are the final
+  *    divisions and square roots.
+  *  - [[cohenKappa]] — Cohen's κ agreement between two boolean rater
+  *    columns (e.g. two keep/drop filter policies), chance-corrected
+  *    from the exact confusion counts.
+  *
+  * Scale shape: ranking is one global window per ranked column — these
+  * are GATE/EVAL statistics over a scored sample or an eval split, not
+  * per-row serving transforms; at 100 TB the input is the sampled eval
+  * frame, never the corpus. κ is a single aggregate (no window).
+  *
+  * Determinism: every aggregate is an integer (or exact-decimal) sum;
+  * the returned doubles are single exactly-rounded combinations of
+  * exact values, so oracle comparison needs no rounding.
+  */
+object RankEval {
+
+  /** Doubled mid-rank (an integer): 2·rank + ties − 1. Mid-rank is the
+    * average position of a tie group; doubling keeps it integral.
+    */
+  private def midRank2(orderCol: String): org.apache.spark.sql.Column =
+    lit(2L) * rank().over(Window.orderBy(col(orderCol))) +
+      count(lit(1)).over(Window.partitionBy(col(orderCol))) - lit(1L)
+
+  /** One row: (n_pos, n_neg, sum_r2_pos, auc). AUC via rank-sum:
+    * (Σ_pos r − n₁(n₁+1)/2) / (n₁n₀) on mid-ranks, computed on the
+    * doubled integers as (Σ_pos 2r − n₁(n₁+1)) / (2n₁n₀).
+    */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
+    df.select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("boolean").as("y"))
+      .withColumn("r2", midRank2("s"))
+      .agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("n_neg"),
+        sum(when(col("y"), col("r2")).otherwise(0L)).as("sum_r2_pos"))
+      .select(col("n_pos"), col("n_neg"), col("sum_r2_pos"),
+        ((col("sum_r2_pos") - col("n_pos") * (col("n_pos") + 1))
+          .cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+          .as("auc"))
+
+  /** One row: (n, rho). Spearman ρ = Pearson on doubled mid-ranks; the
+    * five sums are exact decimals, the combination is done in double
+    * (exactly-rounded from exact inputs, identical across engines).
+    */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .withColumn("rx", midRank2("x"))
+      .withColumn("ry", midRank2("y"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx").cast(dec)).as("sx"),
+        sum(col("ry").cast(dec)).as("sy"),
+        sum((col("rx") * col("ry")).cast(dec)).as("sxy"),
+        sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
+        sum((col("ry") * col("ry")).cast(dec)).as("syy"))
+      .select(col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))))
+          .as("rho"))
+  }
+
+  /** One row: (n, n11, n10, n01, n00, po, pe, kappa). κ = (pₒ−pₑ)/(1−pₑ)
+    * with pₒ, pₑ as single divisions of exact integer products.
+    */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.select(col(aCol).cast("boolean").as("a"),
+        col(bCol).cast("boolean").as("b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .withColumn("po",
+        (col("n11") + col("n00")).cast("double") / col("n").cast("double"))
+      .withColumn("pe",
+        ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+         (col("n01") + col("n00")) * (col("n10") + col("n00")))
+          .cast("double") / (col("n") * col("n")).cast("double"))
+      .withColumn("kappa",
+        (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+}

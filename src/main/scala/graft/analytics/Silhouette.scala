@@ -1,0 +1,49 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Centroid (simplified) silhouette — the clustering-validity score for
+  * the engine's grouping layers (k-means clusters, source labels,
+  * dedup clusters as partitions of embedding space): per point,
+  * a = distance to its OWN cluster centroid, b = min distance to any
+  * OTHER centroid, s = (b − a) / max(a, b) ∈ [−1, 1]. The centroid
+  * form (Hruschka et al.'s simplified silhouette) replaces the classic
+  * O(n²) pairwise mean with O(n·k) centroid distances — the only
+  * silhouette that survives scale-up, and the standard proxy at
+  * corpus size.
+  *
+  * Scale shape: one (cluster, dim) mean aggregate (k·d rows), then the
+  * point×centroid join fans each point out k ways — no pairwise join,
+  * no window. k·d is broadcast material.
+  *
+  * Determinism: centroid means and distance folds are float sums with
+  * 1-ulp engine wobble — gate outputs round to 6 (the q151 k-means
+  * discipline).
+  */
+object Silhouette {
+
+  /** Per-point rows: (id, cluster, a, b, sil), one per input point that
+    * has a vector; a/b are Euclidean distances to centroids.
+    */
+  def centroidSilhouette(df: DataFrame, idCol: String, vecCol: String,
+                         clusterCol: String): DataFrame = {
+    val x = df.select(col(idCol).as("id"),
+        col(clusterCol).as("cluster"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("cluster"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = x.groupBy(col("cluster").as("ccl"), col("pos"))
+      .agg(avg(col("x")).as("c"))
+    val d2 = x.join(cent, Seq("pos"))
+      .groupBy("id", "cluster", "ccl")
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("d2"))
+    val own = d2.where(col("cluster") === col("ccl"))
+      .select(col("id"), col("cluster"), sqrt(col("d2")).as("a"))
+    val other = d2.where(col("cluster") =!= col("ccl"))
+      .groupBy("id").agg(sqrt(min(col("d2"))).as("b"))
+    own.join(other, Seq("id"))
+      .select(col("id"), col("cluster"), col("a"), col("b"),
+        ((col("b") - col("a")) / greatest(col("a"), col("b"))).as("sil"))
+  }
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions, batch 6: rank-statistics evaluation (AUC,
+  * Spearman, Cohen's κ) and centroid-silhouette clustering validity —
+  * the measurement layer over the engine's scorers and groupings.
+  */
+object TestQueries19 {
+
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+  /** Per-doc type-token ratio + the inputs the rank gates share. */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextFunctions.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("tk"))).cast("double") /
+          size(col("tk")).cast("double")).as("ttr"))
+
+  private val ScoredSql =
+    s"""sc AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) AS ttr
+        FROM (SELECT doc_id, lang, n_chars, text, $TokensSql AS tk
+              FROM documents)
+        WHERE len(tk) > 0)"""
+
+  /** ROC AUC of the type-token-ratio score against the lang='en' label
+    * — [[graft.analytics.RankEval.auc]], Mann–Whitney with mid-rank
+    * ties. Every output is an integer or one division of exact
+    * integers → RAW compare.
+    */
+  val q231ClassifierAuc: QueryCase = QueryCase(
+    "q231_classifier_auc",
+    (s, dir) => graft.analytics.RankEval.auc(
+      scored(s, dir).select(col("ttr"), (col("lang") === "en").as("y")),
+      "ttr", "y"),
+    Some(s"""
+      WITH $ScoredSql,
+      r AS (
+        SELECT (lang = 'en') AS y,
+               2 * RANK() OVER (ORDER BY ttr)
+                 + COUNT(*) OVER (PARTITION BY ttr) - 1 AS r2
+        FROM sc),
+      agg AS (
+        SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+               CAST(SUM(CASE WHEN y THEN r2 ELSE 0 END) AS BIGINT)
+                 AS sum_r2_pos
+        FROM r)
+      SELECT n_pos, n_neg, sum_r2_pos,
+             CAST(sum_r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+               / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+      FROM agg"""))
+
+  /** Cohen's κ between two keep policies — a length screen
+    * (n_chars ≥ 300) vs a lexical-diversity screen (TTR ≥ 0.46) —
+    * [[graft.analytics.RankEval.cohenKappa]]: exact confusion counts,
+    * pₒ/pₑ as single divisions of exact integers → RAW.
+    */
+  val q232FilterKappa: QueryCase = QueryCase(
+    "q232_filter_kappa",
+    (s, dir) => graft.analytics.RankEval.cohenKappa(
+      scored(s, dir).select(
+        (col("n_chars") >= 300).as("ra"),
+        (col("ttr") >= 0.46).as("rb")),
+      "ra", "rb"),
+    Some(s"""
+      WITH $ScoredSql,
+      rr AS (
+        SELECT (n_chars >= 300) AS a,
+               (ttr >= CAST(0.46 AS DOUBLE)) AS b
+        FROM sc),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+          CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n10,
+          CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n01,
+          CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n00
+        FROM rr),
+      p AS (
+        SELECT n, n11, n10, n01, n00,
+          CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+          CAST((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+            AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe
+        FROM agg)
+      SELECT n, n11, n10, n01, n00, po, pe,
+             (po - pe) / (CAST(1.0 AS DOUBLE) - pe) AS kappa
+      FROM p"""))
+
+  /** Spearman rank correlation between document length (n_chars) and
+    * token count — [[graft.analytics.RankEval.spearman]]: Pearson on
+    * doubled mid-ranks with exact-decimal sums; the only float ops are
+    * the final exactly-rounded divisions/sqrts → RAW.
+    */
+  val q233RankCorrelation: QueryCase = QueryCase(
+    "q233_rank_correlation",
+    (s, dir) => graft.analytics.RankEval.spearman(
+      scored(s, dir).select(col("n_chars"), col("n_tokens")),
+      "n_chars", "n_tokens"),
+    Some(s"""
+      WITH $ScoredSql,
+      r AS (
+        SELECT
+          2 * RANK() OVER (ORDER BY CAST(n_chars AS DOUBLE))
+            + COUNT(*) OVER (PARTITION BY CAST(n_chars AS DOUBLE)) - 1
+            AS rx,
+          2 * RANK() OVER (ORDER BY CAST(n_tokens AS DOUBLE))
+            + COUNT(*) OVER (PARTITION BY CAST(n_tokens AS DOUBLE)) - 1
+            AS ry
+        FROM sc),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+               CAST(SUM(rx * ry) AS DOUBLE) AS sxy,
+               CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+               CAST(SUM(ry * ry) AS DOUBLE) AS syy
+        FROM r)
+      SELECT n,
+        (CAST(n AS DOUBLE) * sxy - sx * sy)
+          / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+             * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) AS rho
+      FROM agg"""))
+
+  /** Centroid silhouette of the source labels over embedding space —
+    * [[graft.analytics.Silhouette.centroidSilhouette]] with
+    * cluster = source (how separable are the corpus sources as regions
+    * of embedding space?). Float mean/fold wobble → ROUND(6), the q151
+    * k-means discipline; sil computed from unrounded a/b.
+    */
+  val q234SourceSilhouette: QueryCase = QueryCase(
+    "q234_source_silhouette",
+    (s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+      graft.analytics.Silhouette.centroidSilhouette(
+          d.join(e, col("doc_id") === col("vec_id")),
+          "doc_id", "embedding", "source")
+        .select(col("id").as("doc_id"), col("cluster").as("source"),
+          round(col("a"), 6).as("a"), round(col("b"), 6).as("b"),
+          round(col("sil"), 6).as("sil"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      j AS (
+        SELECT d.doc_id, d.source, e.v
+        FROM documents d JOIN e ON e.vec_id = d.doc_id),
+      ex AS (
+        SELECT doc_id, source, u.pos, u.x
+        FROM j, UNNEST(list_transform(v,
+               (x, i) -> struct_pack(pos := i, x := x))) AS t(u)),
+      cent AS (
+        SELECT source AS csrc, pos, AVG(x) AS c
+        FROM ex GROUP BY 1, 2),
+      dd AS (
+        SELECT ex.doc_id, ex.source, cent.csrc,
+               SUM((ex.x - cent.c) * (ex.x - cent.c)) AS d2
+        FROM ex JOIN cent USING (pos) GROUP BY 1, 2, 3),
+      own AS (
+        SELECT doc_id, source, SQRT(d2) AS a FROM dd WHERE source = csrc),
+      oth AS (
+        SELECT doc_id, SQRT(MIN(d2)) AS b FROM dd WHERE source <> csrc
+        GROUP BY 1),
+      sil0 AS (
+        SELECT own.doc_id, own.source, own.a, oth.b,
+               (oth.b - own.a) / GREATEST(own.a, oth.b) AS sil
+        FROM own JOIN oth USING (doc_id))
+      SELECT doc_id, source, ROUND(a, 6) AS a, ROUND(b, 6) AS b,
+             ROUND(sil, 6) AS sil
+      FROM sil0 ORDER BY doc_id"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
+      q234SourceSilhouette)
+}

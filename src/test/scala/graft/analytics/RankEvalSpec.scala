@@ -1,0 +1,61 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Hand-computed rank statistics: AUC with and without ties, Spearman
+  * on monotone / reversed / tied data, κ on known confusion tables.
+  */
+class RankEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("auc: perfect separation is 1, reversed is 0") {
+    val perfect = Seq((0.1, false), (0.2, false), (0.8, true), (0.9, true))
+      .toDF("s", "y")
+    val r = RankEval.auc(perfect, "s", "y").collect()(0)
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Double]("auc") == 1.0)
+    val rev = RankEval.auc(
+      perfect.selectExpr("s", "NOT y AS y"), "s", "y").collect()(0)
+    assert(rev.getAs[Double]("auc") == 0.0)
+  }
+
+  test("auc: ties count half") {
+    // pos at {0.5, 0.9}, neg at {0.1, 0.5}: pairs (0.5>0.1)=1,
+    // (0.5=0.5)=.5, (0.9>0.1)=1, (0.9>0.5)=1 → AUC = 3.5/4
+    val df = Seq((0.5, true), (0.9, true), (0.1, false), (0.5, false))
+      .toDF("s", "y")
+    assert(RankEval.auc(df, "s", "y").collect()(0)
+      .getAs[Double]("auc") == 3.5 / 4.0)
+  }
+
+  test("spearman: monotone is 1, reversed is -1, ties shrink |rho|") {
+    // |rho| hits 1 up to sqrt(d)*sqrt(d) != d last-bit wobble
+    val mono = Seq((1, 10), (2, 20), (3, 30), (4, 40)).toDF("x", "y")
+    assert(math.abs(RankEval.spearman(mono, "x", "y").collect()(0)
+      .getAs[Double]("rho") - 1.0) < 1e-12)
+    val rev = Seq((1, 40), (2, 30), (3, 20), (4, 10)).toDF("x", "y")
+    assert(math.abs(RankEval.spearman(rev, "x", "y").collect()(0)
+      .getAs[Double]("rho") + 1.0) < 1e-12)
+    // y ties on the middle pair: mid-ranks 1, 2.5, 2.5, 4 vs 1,2,3,4
+    // → rho = 0.9486832980505138 (scipy spearmanr golden)
+    val tied = Seq((1, 10), (2, 20), (3, 20), (4, 40)).toDF("x", "y")
+    val rho = RankEval.spearman(tied, "x", "y").collect()(0)
+      .getAs[Double]("rho")
+    assert(math.abs(rho - 0.9486832980505138) < 1e-12)
+  }
+
+  test("cohenKappa: perfect agreement 1, chance-level ~0, known mixed") {
+    val perfect = Seq((true, true), (false, false), (true, true))
+      .toDF("a", "b")
+    assert(RankEval.cohenKappa(perfect, "a", "b").collect()(0)
+      .getAs[Double]("kappa") == 1.0)
+    // classic textbook table: n11=20 n10=5 n01=10 n00=15 →
+    // po=0.7, pe=(25*30+25*20)/2500=0.5, kappa=0.4
+    val mixed = (Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false)))
+      .toDF("a", "b")
+    val r = RankEval.cohenKappa(mixed, "a", "b").collect()(0)
+    assert(r.getAs[Double]("po") == 0.7 && r.getAs[Double]("pe") == 0.5)
+    assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-15)
+  }
+}

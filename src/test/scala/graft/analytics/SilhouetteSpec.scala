@@ -1,0 +1,44 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Centroid silhouette on hand-placed 2-d points: well-separated
+  * clusters score high positive, a mislabeled point scores negative,
+  * and a/b are exact centroid distances.
+  */
+class SilhouetteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sil(rows: Seq[(Long, String, Seq[Double])]) =
+    Silhouette.centroidSilhouette(
+        rows.toDF("id", "cluster", "v"), "id", "v", "cluster")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("a"), r.getAs[Double]("b"),
+          r.getAs[Double]("sil"))).toMap
+
+  test("separated clusters: every point scores high positive") {
+    val m = sil(Seq(
+      (1L, "L", Seq(0.0, 0.0)), (2L, "L", Seq(0.0, 2.0)),
+      (3L, "R", Seq(10.0, 0.0)), (4L, "R", Seq(10.0, 2.0))))
+    // own centroids (0,1)/(10,1): a = 1 for every point, b = √101 ≈ 10.05
+    assert(m.values.forall { case (a, b, s) => a == 1.0 && b > 9 && s > 0.85 })
+  }
+
+  test("mislabeled point scores negative") {
+    val m = sil(Seq(
+      (1L, "L", Seq(0.0, 0.0)), (2L, "L", Seq(0.0, 2.0)),
+      (3L, "L", Seq(10.0, 1.0)),                  // actually in R-space
+      (4L, "R", Seq(10.0, 0.0)), (5L, "R", Seq(10.0, 2.0))))
+    assert(m(3L)._3 < 0.0)
+    assert(m(1L)._3 > 0.0 && m(4L)._3 > 0.0)
+  }
+
+  test("a and b are exact centroid distances") {
+    val m = sil(Seq(
+      (1L, "L", Seq(0.0, 0.0)), (2L, "L", Seq(4.0, 0.0)),
+      (3L, "R", Seq(10.0, 0.0)), (4L, "R", Seq(14.0, 0.0))))
+    // L centroid (2,0), R centroid (12,0); point 1: a=2, b=12, sil=10/12
+    assert(m(1L)._1 == 2.0 && m(1L)._2 == 12.0)
+    assert(math.abs(m(1L)._3 - 10.0 / 12.0) < 1e-15)
+  }
+}
