@@ -401,4 +401,93 @@ object CorpusLm {
           .as("log_w"))
       .withColumn("keep", col("log_w") > 0)
   }
+
+  /** Stupid-backoff TRIGRAM scoring (Brants et al. 2007 — the smoothing
+    * web-scale LMs actually use for corpus scoring, because it needs no
+    * discount fitting and every tier is a raw count ratio):
+    *
+    *   S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂)           if the trigram is known
+    *              = α · c(w₂w₃)/c(w₂)           elif the bigram is known
+    *              = α² · (c(w₃)+1)/(N+V)        else (add-1 unigram
+    *                                             floor — keeps OOV
+    *                                             scores positive)
+    *
+    * with α = 0.4 (the paper's constant). Scores a HELD-OUT split
+    * against a model trained on the other split, so the backoff tiers
+    * actually fire (on-train scoring never leaves tier 1 — the
+    * [[knBigramPerplexity]] observation).
+    *
+    * Scale shape: identical to [[bigramPerplexity]] — eval n-grams
+    * pre-combine to (doc, w₁, w₂, w₃, c) before any join; the four
+    * model tables are global count tables joined by key; the (N, V)
+    * scalars ride a 1-row broadcast. No window, no driver state.
+    *
+    * Determinism: tier decisions and counts are exact; S is exact
+    * integer ratios times exact-rounded α products; only Σ c·ln S
+    * carries libm wobble → callers round the mean (the q181 rule).
+    *
+    * Output: (doc_id, n_trigrams, n_tri_hits, n_big_hits,
+    * n_uni_backoffs, mean_log) — docs with < 3 tokens emit no row;
+    * mean_log = Σ c·ln S / Σ c, unrounded.
+    */
+  def stupidBackoffScore(train: DataFrame, eval: DataFrame,
+                         idCol: String, textCol: String,
+                         alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    def seqs(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    def tris(df: DataFrame) = df
+      .select(col("doc_id"), col("tk"),
+        posexplode(slice(col("tk"), lit(1),
+          greatest(size(col("tk")) - 2, lit(0)))).as(Seq("i", "w1")))
+      .select(col("doc_id"), col("w1"),
+        element_at(col("tk"), col("i") + 2).as("w2"),
+        element_at(col("tk"), col("i") + 3).as("w3"))
+    val trainTk = seqs(train)
+    val tri = tris(trainTk).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3g"))
+    val big = trainTk
+      .select(col("tk"),
+        posexplode(slice(col("tk"), lit(1),
+          greatest(size(col("tk")) - 1, lit(0)))).as(Seq("i", "b1")))
+      .select(col("b1"), element_at(col("tk"), col("i") + 2).as("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("bc"))
+    val uni = trainTk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+    val tot = uni.agg(sum(col("uc")).as("n"), count(lit(1)).as("v"))
+    val ec = tris(seqs(eval)).groupBy("doc_id", "w1", "w2", "w3")
+      .agg(count(lit(1)).as("c"))
+    val a = lit(alpha)
+    val scored = ec
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(big.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("bc").as("c12")), Seq("w1", "w2"), "left")
+      .join(big.select(col("b1").as("w2"), col("b2").as("w3"),
+        col("bc").as("c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("uc").as("c2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("uc").as("c3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("c"),
+        when(col("c3g").isNotNull, lit(1))
+          .when(col("c23").isNotNull, lit(2))
+          .otherwise(lit(3)).as("tier"),
+        when(col("c3g").isNotNull,
+            col("c3g").cast("double") / col("c12").cast("double"))
+          .when(col("c23").isNotNull,
+            a * col("c23").cast("double") / col("c2").cast("double"))
+          .otherwise(a * a *
+            (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+            (col("n") + col("v")).cast("double")).as("s"))
+    scored.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_trigrams"),
+        sum(when(col("tier") === 1, col("c")).otherwise(0L))
+          .as("n_tri_hits"),
+        sum(when(col("tier") === 2, col("c")).otherwise(0L))
+          .as("n_big_hits"),
+        sum(when(col("tier") === 3, col("c")).otherwise(0L))
+          .as("n_uni_backoffs"),
+        (sum(col("c") * log(col("s"))) / sum(col("c"))).as("mean_log"))
+  }
 }

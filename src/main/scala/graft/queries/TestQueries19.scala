@@ -187,7 +187,83 @@ object TestQueries19 {
              ROUND(sil, 6) AS sil
       FROM sil0 ORDER BY doc_id"""))
 
+  /** Stupid-backoff trigram scoring of the odd-id held-out split under
+    * a model trained on the even-id split —
+    * [[graft.operators.CorpusLm.stupidBackoffScore]]: tier decisions
+    * and counts are exact integers (RAW); only the mean log score
+    * carries libm wobble → ROUND(6), the q181 rule.
+    */
+  val q235StupidBackoff: QueryCase = QueryCase(
+    "q235_stupid_backoff",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusLm.stupidBackoffScore(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_trigrams"), col("n_tri_hits"),
+          col("n_big_hits"), col("n_uni_backoffs"),
+          round(col("mean_log"), 6).as("mean_log"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH seqs AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      tr AS (SELECT * FROM seqs WHERE doc_id % 2 = 0),
+      ev AS (SELECT * FROM seqs WHERE doc_id % 2 = 1),
+      ttri AS (
+        SELECT u.a AS w1, u.b AS w2, u.c AS w3, COUNT(*) AS c3g
+        FROM tr, UNNEST(list_transform(list_slice(tk, 1, len(tk) - 2),
+          (x, j) -> struct_pack(a := x, b := tk[j + 1], c := tk[j + 2])))
+          AS t(u)
+        GROUP BY 1, 2, 3),
+      tbig AS (
+        SELECT u.a AS b1, u.b AS b2, COUNT(*) AS bc
+        FROM tr, UNNEST(list_transform(list_slice(tk, 1, len(tk) - 1),
+          (x, j) -> struct_pack(a := x, b := tk[j + 1]))) AS t(u)
+        GROUP BY 1, 2),
+      tuni AS (
+        SELECT u.t AS w, COUNT(*) AS uc FROM tr, UNNEST(tk) AS u(t)
+        GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(uc) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+        FROM tuni),
+      ec AS (
+        SELECT doc_id, u.a AS w1, u.b AS w2, u.c AS w3, COUNT(*) AS c
+        FROM ev, UNNEST(list_transform(list_slice(tk, 1, len(tk) - 2),
+          (x, j) -> struct_pack(a := x, b := tk[j + 1], c := tk[j + 2])))
+          AS t(u)
+        GROUP BY 1, 2, 3, 4),
+      scored AS (
+        SELECT ec.doc_id, ec.c,
+          CASE WHEN t3.c3g IS NOT NULL THEN 1
+               WHEN b23.bc IS NOT NULL THEN 2 ELSE 3 END AS tier,
+          CASE WHEN t3.c3g IS NOT NULL
+                 THEN CAST(t3.c3g AS DOUBLE) / CAST(b12.bc AS DOUBLE)
+               WHEN b23.bc IS NOT NULL
+                 THEN CAST(0.4 AS DOUBLE) * CAST(b23.bc AS DOUBLE)
+                      / CAST(u2.uc AS DOUBLE)
+               ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                    * CAST(COALESCE(u3.uc, 0) + 1 AS DOUBLE)
+                    / CAST(tot.n + tot.v AS DOUBLE) END AS s
+        FROM ec
+        LEFT JOIN ttri t3
+          ON t3.w1 = ec.w1 AND t3.w2 = ec.w2 AND t3.w3 = ec.w3
+        LEFT JOIN tbig b12 ON b12.b1 = ec.w1 AND b12.b2 = ec.w2
+        LEFT JOIN tbig b23 ON b23.b1 = ec.w2 AND b23.b2 = ec.w3
+        LEFT JOIN tuni u2 ON u2.w = ec.w2
+        LEFT JOIN tuni u3 ON u3.w = ec.w3
+        CROSS JOIN tot)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+        CAST(SUM(CASE WHEN tier = 1 THEN c ELSE 0 END) AS BIGINT)
+          AS n_tri_hits,
+        CAST(SUM(CASE WHEN tier = 2 THEN c ELSE 0 END) AS BIGINT)
+          AS n_big_hits,
+        CAST(SUM(CASE WHEN tier = 3 THEN c ELSE 0 END) AS BIGINT)
+          AS n_uni_backoffs,
+        ROUND(SUM(c * ln(s)) / SUM(c), 6) AS mean_log
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
-      q234SourceSilhouette)
+      q234SourceSilhouette, q235StupidBackoff)
 }

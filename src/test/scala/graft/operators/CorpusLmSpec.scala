@@ -131,4 +131,32 @@ class CorpusLmSpec extends SparkSpec {
       CorpusLm.dsirWeights(df, df, "doc_id", "text", buckets = 100)
     }
   }
+
+  test("stupid backoff: all three tiers, hand-traced scores") {
+    // train "a b c a b d": trigrams abc,bca,cab,abd; bigrams ab:2,
+    // bc:1, ca:1, bd:1; unigrams a:2 b:2 c:1 d:1, N=6, V=4.
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    // eval "a b c z c a": abc → tier1 1/2; bcz → (c,z) unseen, z
+    // unseen → tier3 0.16·1/10; czc → (z,c) unseen → tier3 0.16·2/10;
+    // zca → (c,a) seen → tier2 0.4·1/1
+    val eval = Seq((1L, "a b c z c a")).toDF("doc_id", "text")
+    val r = CorpusLm.stupidBackoffScore(train, eval, "doc_id", "text")
+      .collect()(0)
+    assert(r.getAs[Long]("n_trigrams") == 4)
+    assert(r.getAs[Long]("n_tri_hits") == 1)
+    assert(r.getAs[Long]("n_big_hits") == 1)
+    assert(r.getAs[Long]("n_uni_backoffs") == 2)
+    val want = (math.log(0.5) + math.log(0.4 * 0.4 * 1 / 10.0) +
+      math.log(0.4 * 0.4 * 2 / 10.0) + math.log(0.4)) / 4.0
+    assert(math.abs(r.getAs[Double]("mean_log") - want) < 1e-12)
+  }
+
+  test("stupid backoff: on-train scoring never leaves tier 1") {
+    val df = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    val r = CorpusLm.stupidBackoffScore(df, df, "doc_id", "text")
+      .collect()(0)
+    assert(r.getAs[Long]("n_tri_hits") == r.getAs[Long]("n_trigrams"))
+    // every trigram is unique, every bigram count is 1 → S = 1, log 0
+    assert(math.abs(r.getAs[Double]("mean_log")) < 1e-15)
+  }
 }
