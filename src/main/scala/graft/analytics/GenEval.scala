@@ -96,6 +96,93 @@ object GenEval {
         col("rouge2_p"), col("rouge2_r"), col("rouge2_f"))
   }
 
+  /** Self-BLEU diversity (Zhu et al. 2018, Texygen): BLEU-4 of every
+    * document against ALL the others as a multi-reference set — high
+    * self-BLEU means the sample is repetitive, the diversity check a
+    * generation- or curation-run ships alongside quality scores.
+    *
+    * Multi-reference clipping without a pairwise join: the reference
+    * max count for gram g seen from doc i is max_{j≠i} c_j(g), which is
+    * the GLOBAL top count unless i is the unique argmax — so one
+    * (n, g)-partitioned top-2 pass (top count, its doc, runner-up
+    * count) answers every per-candidate clip: rmax_i = c₂ if i = d₁
+    * else c₁ (a top-count TIE makes both views c₁, which the rk
+    * tie-break composes correctly). The brevity penalty uses the
+    * NLTK closest-ref-length rule (min |len_j − len_i|, ties to the
+    * shorter reference).
+    *
+    * Scale shape: gram work is explode + groupBy + one partitioned
+    * top-2 window on (n, g) — linear in gram instances. The
+    * closest-length step IS a lengths×lengths pair join: this is an
+    * EVAL-SAMPLE operator (the q173 discipline) — run it on the
+    * sampled diversity panel, not the corpus.
+    *
+    * Determinism: counts and length picks are exact; p₁..p₄ are single
+    * integer divisions (RAW); bp/bleu carry exp/sqrt → callers round.
+    *
+    * Output per id: (clen, rlen, p1..p4, bp, bleu).
+    */
+  def selfBleu(docs: DataFrame, idCol: String,
+               tokensCol: String): DataFrame = {
+    val maxN = 4
+    val base = docs.select(col(idCol).as("id"), col(tokensCol).as("c"))
+    val counts = (1 to maxN).map { n =>
+      base.select(col("id"),
+          explode(TextFunctions.ngramsOfTokens(col("c"), n)).as("g"))
+        .groupBy("id", "g").agg(count(lit(1)).as("cnt"))
+        .withColumn("n", lit(n))
+    }.reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("n", "g").orderBy(col("cnt").desc, col("id"))
+    val top = counts.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 2)
+      .groupBy("n", "g")
+      .agg(max(when(col("rk") === 1, col("cnt"))).as("c1"),
+        max(when(col("rk") === 1, col("id"))).as("d1"),
+        max(when(col("rk") === 2, col("cnt"))).as("c2"))
+    val matched = counts.join(top, Seq("n", "g"))
+      .withColumn("rmax",
+        when(col("id") === col("d1"), coalesce(col("c2"), lit(0L)))
+          .otherwise(col("c1")))
+      .groupBy("id", "n")
+      .agg(sum(least(col("cnt"), col("rmax"))).as("m"))
+    val lens = base.select(col("id"), size(col("c")).as("clen"))
+    val lw = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(abs(col("b_len") - col("a_len")),
+        col("b_len"), col("b_id"))
+    val closest = lens.select(col("id").as("a_id"), col("clen").as("a_len"))
+      .join(lens.select(col("id").as("b_id"), col("clen").as("b_len")),
+        col("a_id") =!= col("b_id"))
+      .withColumn("rk", row_number().over(lw))
+      .where(col("rk") === 1)
+      .select(col("a_id").as("id"), col("b_len").as("rlen"))
+    val mCols = (1 to maxN).map(n =>
+      coalesce(max(when(col("n") === n, col("m"))), lit(0L)).as(s"m$n"))
+    val agg = lens.join(closest, Seq("id"))
+      .join(matched, Seq("id"), "left")
+      .groupBy("id", "clen", "rlen")
+      .agg(mCols.head, mCols.tail: _*)
+    def prec(n: Int) = {
+      val denom = greatest(col("clen") - (n - 1), lit(0))
+      when(denom === 0, 0.0)
+        .otherwise(coalesce(col(s"m$n"), lit(0L)).cast("double")
+          / denom.cast("double"))
+    }
+    agg
+      .withColumn("p1", prec(1)).withColumn("p2", prec(2))
+      .withColumn("p3", prec(3)).withColumn("p4", prec(4))
+      .withColumn("bp",
+        when(col("clen") >= col("rlen") || col("clen") === 0, 1.0)
+          .otherwise(exp(lit(1.0) -
+            col("rlen").cast("double") / col("clen").cast("double"))))
+      .withColumn("bleu",
+        col("bp") * sqrt(sqrt(col("p1") * col("p2") * col("p3") * col("p4"))))
+      .select(col("id"), col("clen").cast("long").as("clen"),
+        col("rlen").cast("long").as("rlen"),
+        col("p1"), col("p2"), col("p3"), col("p4"),
+        col("bp"), col("bleu"))
+  }
+
   /** ROUGE-L per pair (Lin 2004 §3.1, sentence-level): LCS-based
     * precision LCS/m, recall LCS/n, and F1. The LCS length comes from
     * the codegen'd [[graft.functions.TextFunctions.lcsLen]] DP kernel —

@@ -263,7 +263,90 @@ object TestQueries19 {
         ROUND(SUM(c * ln(s)) / SUM(c), 6) AS mean_log
       FROM scored GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Self-BLEU diversity panel over the doc_id % 10 sample —
+    * [[graft.analytics.GenEval.selfBleu]]: each sampled doc scored
+    * BLEU-4 against all the others as a multi-reference set (top-2
+    * per-gram clipping, NLTK closest-length brevity penalty). p₁..p₄
+    * are exact integer ratios (RAW); bp/bleu carry exp/sqrt →
+    * ROUND(6), the q184 rule.
+    */
+  val q236SelfBleu: QueryCase = QueryCase(
+    "q236_self_bleu",
+    (s, dir) => graft.analytics.GenEval.selfBleu(
+        Tables.documents(s, dir).where(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            TextFunctions.tokens(col("text")).as("tk")),
+        "doc_id", "tk")
+      .select(col("id").as("doc_id"), col("clen"), col("rlen"),
+        col("p1"), col("p2"), col("p3"), col("p4"),
+        round(col("bp"), 6).as("bp"), round(col("bleu"), 6).as("bleu"))
+      .orderBy("doc_id"),
+    Some {
+      def grams(n: Int) =
+        if (n == 1) "SELECT id, u.g FROM base, UNNEST(tk) AS u(g)"
+        else
+          s"""SELECT id, u.g FROM (
+                SELECT id, CASE WHEN LEN(tk) >= $n
+                  THEN [array_to_string(tk[i:i+${n - 1}], ' ')
+                        for i in range(1, LEN(tk) - ${n - 2})]
+                  ELSE CAST([] AS VARCHAR[]) END AS gs FROM base),
+              UNNEST(gs) AS u(g)"""
+      def countN(n: Int) =
+        s"""SELECT id, $n AS n, g, COUNT(*) AS cnt
+            FROM (${grams(n)}) GROUP BY 1, 2, 3"""
+      s"""
+      WITH base AS (
+        SELECT doc_id AS id, $TokensSql AS tk FROM documents
+        WHERE doc_id % 10 = 0),
+      counts AS (${(1 to 4).map(countN).mkString(" UNION ALL ")}),
+      top AS (
+        SELECT n, g,
+          MAX(CASE WHEN rk = 1 THEN cnt END) AS c1,
+          MAX(CASE WHEN rk = 1 THEN id END) AS d1,
+          MAX(CASE WHEN rk = 2 THEN cnt END) AS c2
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY n, g
+                ORDER BY cnt DESC, id) AS rk FROM counts)
+        WHERE rk <= 2 GROUP BY n, g),
+      matched AS (
+        SELECT c.id, c.n,
+          SUM(LEAST(c.cnt, CASE WHEN c.id = t.d1
+            THEN COALESCE(t.c2, 0) ELSE t.c1 END)) AS m
+        FROM counts c JOIN top t USING (n, g) GROUP BY 1, 2),
+      lens AS (SELECT id, LEN(tk) AS clen FROM base),
+      closest AS (
+        SELECT a_id AS id, b_len AS rlen FROM (
+          SELECT a.id AS a_id, b.clen AS b_len,
+            ROW_NUMBER() OVER (PARTITION BY a.id
+              ORDER BY ABS(b.clen - a.clen), b.clen, b.id) AS rk
+          FROM lens a JOIN lens b ON a.id <> b.id) WHERE rk = 1),
+      agg AS (
+        SELECT l.id, l.clen, c.rlen,
+          ${(1 to 4).map(n =>
+            s"COALESCE(MAX(CASE WHEN m.n = $n THEN m.m END), 0) AS m$n")
+            .mkString(", ")}
+        FROM lens l JOIN closest c ON c.id = l.id
+        LEFT JOIN matched m ON m.id = l.id
+        GROUP BY 1, 2, 3),
+      calc AS (
+        SELECT id, clen, rlen,
+          ${(1 to 4).map(n =>
+            s"""CASE WHEN GREATEST(clen - ${n - 1}, 0) = 0
+                  THEN CAST(0.0 AS DOUBLE)
+                ELSE CAST(m$n AS DOUBLE) /
+                  CAST(GREATEST(clen - ${n - 1}, 0) AS DOUBLE) END
+                  AS p$n""").mkString(", ")},
+          CASE WHEN clen >= rlen OR clen = 0 THEN CAST(1.0 AS DOUBLE)
+               ELSE exp(CAST(1.0 AS DOUBLE) -
+                 CAST(rlen AS DOUBLE) / CAST(clen AS DOUBLE)) END AS bp
+        FROM agg)
+      SELECT id AS doc_id, CAST(clen AS BIGINT) AS clen,
+        CAST(rlen AS BIGINT) AS rlen, p1, p2, p3, p4,
+        ROUND(bp, 6) AS bp,
+        ROUND(bp * sqrt(sqrt(p1 * p2 * p3 * p4)), 6) AS bleu
+      FROM calc ORDER BY doc_id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
-      q234SourceSilhouette, q235StupidBackoff)
+      q234SourceSilhouette, q235StupidBackoff, q236SelfBleu)
 }

@@ -57,4 +57,36 @@ class GenEvalSpec extends SparkSpec {
     val p = r.getAs[Double]("rouge1_p"); val rc = r.getAs[Double]("rouge1_r")
     assert(r.getAs[Double]("rouge1_f") == 2.0 * p * rc / (p + rc))
   }
+
+  test("selfBleu: hand-traced two-doc panel") {
+    // A="x y z w a", B="x y z w b": mutual refs, equal lengths → bp=1.
+    // For A: p1=4/5 (a unmatched), p2=3/4, p3=2/3, p4=1/2.
+    val docs = Seq(
+      (1L, Seq("x", "y", "z", "w", "a")),
+      (2L, Seq("x", "y", "z", "w", "b"))).toDF("id", "tk")
+    val m = GenEval.selfBleu(docs, "id", "tk").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val a = m(1L)
+    assert(a.getAs[Long]("rlen") == 5 && a.getAs[Double]("bp") == 1.0)
+    assert(a.getAs[Double]("p1") == 0.8 && a.getAs[Double]("p2") == 0.75)
+    assert(a.getAs[Double]("p3") == 2.0 / 3.0 &&
+      a.getAs[Double]("p4") == 0.5)
+    val want = math.sqrt(math.sqrt(0.8 * 0.75 * (2.0 / 3.0) * 0.5))
+    assert(math.abs(a.getAs[Double]("bleu") - want) < 1e-15)
+  }
+
+  test("selfBleu: reference max is the second count when self is argmax") {
+    // A has "t t t" (cnt 3), B has "t" once, C has "t t" (cnt 2).
+    // For A the per-gram ref max must be C's 2 (not its own 3) → m1=2.
+    val docs = Seq(
+      (1L, Seq("t", "t", "t")), (2L, Seq("t", "u", "u")),
+      (3L, Seq("t", "t", "v"))).toDF("id", "tk")
+    val m = GenEval.selfBleu(docs, "id", "tk").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(m(1L).getAs[Double]("p1") == 2.0 / 3.0)
+    // B: t clips to max(3,2)=3 → 1, u only in B → 0 → p1 = 1/3
+    assert(m(2L).getAs[Double]("p1") == 1.0 / 3.0)
+    // a doc whose every 4-gram is unmatched scores unsmoothed BLEU 0
+    assert(m(1L).getAs[Double]("bleu") == 0.0)
+  }
 }
