@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CrossHash, TextFunctions}
+
+/** Content-defined chunking (the rsync/LBFS/gear-hash family — Muthitacharoen
+  * et al. 2001): cut a document into variable-size chunks at positions
+  * where a content hash satisfies a mask test, so chunk boundaries are a
+  * function of CONTENT, not offsets. An insertion or deletion only
+  * perturbs the chunks it touches — every downstream chunk re-aligns —
+  * which is what makes CDC the storage/transfer dedup layer (vs the
+  * similarity layer MinHash/winnowing provide): identical runs between
+  * corpus snapshots dedupe at chunk granularity regardless of where
+  * edits shifted them.
+  *
+  * Token-level variant: a token t ends a chunk when the low `maskBits`
+  * bits of its 64-bit hash are zero (expected chunk length 2^maskBits
+  * tokens). The per-token test makes the boundary decision shift-
+  * invariant by construction ([[CdcChunkSpec]] pins the re-alignment
+  * property).
+  *
+  * Scale shape: one narrow posexplode, one PER-DOCUMENT window cumsum
+  * (partitioned, never global), one (doc, chunk) groupBy with ordered
+  * reassembly (array_sort over collect_list — the order-contract rule).
+  * Chunk sharing joins on the chunk hash — bucketed by construction,
+  * never all-pairs.
+  */
+object CdcChunk {
+
+  /** Chunk inventory: (doc_id, chunk_idx, n_tokens, chunk_hash), one
+    * row per chunk; chunk_hash is the signed-64 md5 of the
+    * space-rejoined token run.
+    */
+  def chunks(docs: DataFrame, idCol: String, textCol: String,
+             maskBits: Int = 3): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 20, "maskBits must be in [1, 20]")
+    val mask = (1L << maskBits) - 1
+    val pos = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pos
+      .withColumn("b",
+        (CrossHash.md5Hash64(col("t")).bitwiseAND(lit(mask)) === 0)
+          .cast("long"))
+      .withColumn("chunk_idx", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_tokens"),
+        CrossHash.md5Hash64(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            s => s.getField("t")), " ")).as("chunk_hash"))
+  }
+
+  /** Cross-document chunk sharing: (doc_a, doc_b, shared) pairs with
+    * ≥ `minShared` distinct common chunk hashes, over chunks of at
+    * least `minChunkTokens` tokens. The length floor is the scale
+    * guard: a 1–2-token chunk (a lone boundary token) is shared by a
+    * large fraction of the corpus and would make the hash join
+    * quadratic in those groups — meaningful storage-dedup runs are the
+    * long chunks, and filtering BEFORE the join keeps per-hash groups
+    * small.
+    */
+  def sharedChunkPairs(chunks: DataFrame, minShared: Long = 2L,
+                       minChunkTokens: Long = 4L): DataFrame = {
+    val d = chunks.where(col("n_tokens") >= minChunkTokens)
+      .select(col("doc_id"), col("chunk_hash")).distinct()
+    d.select(col("doc_id").as("doc_a"), col("chunk_hash"))
+      .join(d.select(col("doc_id").as("doc_b"), col("chunk_hash")),
+        Seq("chunk_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+}

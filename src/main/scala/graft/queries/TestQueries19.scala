@@ -346,7 +346,73 @@ object TestQueries19 {
       FROM calc ORDER BY doc_id"""
     })
 
+  private val CdcChunksSql = {
+    import graft.functions.CrossHash
+    s"""toks AS (
+        SELECT doc_id, u.p - 1 AS pos, u.t
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(list_transform(tk,
+               (x, j) -> struct_pack(p := j, t := x))) AS u(u)),
+      flags AS (
+        SELECT doc_id, pos, t,
+          CASE WHEN (${CrossHash.md5Hash64SqlU("t")}) % 8 = 0
+            THEN 1 ELSE 0 END AS b
+        FROM toks),
+      cid AS (
+        SELECT doc_id, pos, t,
+          COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS chunk_idx
+        FROM flags),
+      ch AS (
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+          CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          ${CrossHash.hugeToSignedSql(CrossHash.md5Hash64SqlU(
+            "array_to_string(list(t ORDER BY pos), ' ')"))} AS chunk_hash
+        FROM cid GROUP BY 1, 2)"""
+  }
+
+  /** Content-defined chunk inventory —
+    * [[graft.operators.CdcChunk.chunks]]: gear-style token-level CDC
+    * (boundary where the token hash's low 3 bits are zero, expected
+    * chunk ≈ 8 tokens), the shift-robust storage-dedup granularity.
+    * Counts and hashes are exact integers → RAW.
+    */
+  val q237CdcChunks: QueryCase = QueryCase(
+    "q237_cdc_chunks",
+    (s, dir) => graft.operators.CdcChunk
+      .chunks(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx"),
+    Some(s"""
+      WITH $CdcChunksSql
+      SELECT * FROM ch ORDER BY doc_id, chunk_idx"""))
+
+  /** Cross-document CDC chunk sharing —
+    * [[graft.operators.CdcChunk.sharedChunkPairs]]: doc pairs with ≥ 2
+    * distinct common chunks of ≥ 4 tokens (the length floor keeps
+    * per-hash join groups small — a lone boundary token is shared
+    * corpus-wide), the chunk-granular dedup ledger (the storage
+    * complement to winnowing's similarity pairs). RAW.
+    */
+  val q238CdcSharedPairs: QueryCase = QueryCase(
+    "q238_cdc_shared_pairs",
+    (s, dir) => graft.operators.CdcChunk
+      .sharedChunkPairs(graft.operators.CdcChunk
+        .chunks(Tables.documents(s, dir), "doc_id", "text"))
+      .orderBy("doc_a", "doc_b"),
+    Some(s"""
+      WITH $CdcChunksSql,
+      d AS (SELECT DISTINCT doc_id, chunk_hash FROM ch
+            WHERE n_tokens >= 4)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM d a JOIN d b
+        ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ORDER BY doc_a, doc_b"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
-      q234SourceSilhouette, q235StupidBackoff, q236SelfBleu)
+      q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
+      q237CdcChunks, q238CdcSharedPairs)
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** CDC chunking contracts: chunks partition the token stream, the
+  * boundary rule is shift-invariant (a prefix insertion re-aligns every
+  * chunk after the first surviving boundary), and chunk sharing
+  * surfaces cross-document runs.
+  */
+class CdcChunkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val words = (0 until 60).map(i => s"w$i")
+  private val text = words.mkString(" ")
+
+  test("chunks partition the document: contiguous ids, token-count sum") {
+    val ch = CdcChunk.chunks(Seq((1L, text)).toDF("id", "text"),
+      "id", "text").collect()
+    val idxs = ch.map(_.getAs[Long]("chunk_idx")).sorted
+    assert(idxs.head == 0L && idxs.last == idxs.length - 1)
+    assert(ch.map(_.getAs[Long]("n_tokens")).sum == words.size)
+    assert(idxs.length > 1, "60 tokens at mask 3 must cut at least once")
+  }
+
+  test("prefix insertion re-aligns every chunk after the first boundary") {
+    val docs = Seq((1L, text), (2L, "zzz qqq " + text)).toDF("id", "text")
+    val ch = CdcChunk.chunks(docs, "id", "text").collect()
+    def hashes(id: Long) = ch.filter(_.getAs[Long]("doc_id") == id)
+      .sortBy(_.getAs[Long]("chunk_idx")).map(_.getAs[Long]("chunk_hash"))
+    val h1 = hashes(1L)
+    val h2 = hashes(2L).toSet
+    // every original chunk except possibly the first (whose content may
+    // absorb the inserted prefix) must reappear verbatim in the edited
+    // doc — fixed-size chunking would shift-break ALL of them
+    assert(h1.drop(1).forall(h2.contains),
+      "suffix chunks must survive a prefix edit byte-identically")
+  }
+
+  test("sharedChunkPairs surfaces docs sharing a run, skips unrelated") {
+    val shared = words.mkString(" ")
+    val docs = Seq(
+      (1L, shared + " aaa bbb"),
+      (2L, "ccc ddd " + shared),
+      (3L, "unrelated tokens only here")).toDF("id", "text")
+    val pairs = CdcChunk.sharedChunkPairs(
+      CdcChunk.chunks(docs, "id", "text")).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Long]("doc_b") == 2L && r.getAs[Long]("shared") >= 2L))
+    assert(!pairs.exists(r => r.getAs[Long]("doc_a") == 3L ||
+      r.getAs[Long]("doc_b") == 3L))
+  }
+}
