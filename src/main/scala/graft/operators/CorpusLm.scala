@@ -430,6 +430,58 @@ object CorpusLm {
     * n_uni_backoffs, mean_log) — docs with < 3 tokens emit no row;
     * mean_log = Σ c·ln S / Σ c, unrounded.
     */
+  /** Nucleus (top-p) panel over the corpus bigram distribution (Holtzman
+    * et al. 2020's truncation, applied as a CORPUS DIAGNOSTIC): for each
+    * context token w₁, the smallest successor set whose cumulative MLE
+    * mass reaches p — how peaked each context's continuation
+    * distribution is, the statistic that separates formulaic from
+    * open contexts (and the in-engine mirror of a sampler's effective
+    * branching factor).
+    *
+    * A successor is in the nucleus iff the cumulative mass BEFORE it
+    * (successors ranked count-desc, token-asc) is < p·total. With
+    * rational p the test is exact integer arithmetic:
+    * den·cum_prev < num·total.
+    *
+    * Scale shape: one bigram groupBy + one PER-CONTEXT window pass
+    * (partitioned by w₁, frames ≤ successor count) — no global sort,
+    * no driver state.
+    *
+    * Output per context: (w1, n_successors, total, nucleus_size,
+    * nucleus_mass) — all exact but the final single division.
+    *
+    * @param pNum/pDen the nucleus threshold as an exact rational
+    *                  (default 9/10 = 0.9)
+    */
+  def nucleusPanel(docs: DataFrame, idCol: String, textCol: String,
+                   pNum: Long = 9L, pDen: Long = 10L): DataFrame = {
+    require(pNum > 0 && pDen > 0 && pNum < pDen,
+      "p must be a rational in (0, 1)")
+    val seqs = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val bi = seqs
+      .select(col("doc_id"), col("tk"),
+        posexplode(slice(col("tk"), lit(1),
+          greatest(size(col("tk")) - 1, lit(0)))).as(Seq("i", "w1")))
+      .select(col("w1"), element_at(col("tk"), col("i") + 2).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+      .orderBy(col("c").desc, col("w2"))
+    val full = org.apache.spark.sql.expressions.Window.partitionBy("w1")
+    bi.withColumn("cum",
+        sum(col("c")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("c")).over(full))
+      .withColumn("in_nucleus",
+        (col("cum") - col("c")) * pDen < col("total") * pNum)
+      .groupBy("w1")
+      .agg(count(lit(1)).as("n_successors"),
+        max(col("total")).as("total"),
+        sum(when(col("in_nucleus"), 1L).otherwise(0L)).as("nucleus_size"),
+        (max(when(col("in_nucleus"), col("cum")).otherwise(0L))
+          .cast("double") / max(col("total")).cast("double"))
+          .as("nucleus_mass"))
+  }
+
   def stupidBackoffScore(train: DataFrame, eval: DataFrame,
                          idCol: String, textCol: String,
                          alpha: Double = 0.4): DataFrame = {

@@ -272,8 +272,13 @@ object TestQueries19 {
     */
   val q236SelfBleu: QueryCase = QueryCase(
     "q236_self_bleu",
+    // BOUNDED panel (doc_id < 2000): selfBleu is an eval-sample
+    // operator — a corpus-growing sample reintroduces the pairwise
+    // closest-length term (measured exp 1.08 on the sf0.1→1 decade
+    // before the bound)
     (s, dir) => graft.analytics.GenEval.selfBleu(
-        Tables.documents(s, dir).where(col("doc_id") % 10 === 0)
+        Tables.documents(s, dir)
+          .where(col("doc_id") % 10 === 0 && col("doc_id") < 2000)
           .select(col("doc_id"),
             TextFunctions.tokens(col("text")).as("tk")),
         "doc_id", "tk")
@@ -297,7 +302,7 @@ object TestQueries19 {
       s"""
       WITH base AS (
         SELECT doc_id AS id, $TokensSql AS tk FROM documents
-        WHERE doc_id % 10 = 0),
+        WHERE doc_id % 10 = 0 AND doc_id < 2000),
       counts AS (${(1 to 4).map(countN).mkString(" UNION ALL ")}),
       top AS (
         SELECT n, g,
@@ -411,8 +416,43 @@ object TestQueries19 {
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
       ORDER BY doc_a, doc_b"""))
 
+  /** Nucleus (top-p) successor panel over the corpus bigram
+    * distribution — [[graft.operators.CorpusLm.nucleusPanel]] at
+    * p = 9/10: per context, the smallest successor set reaching 90%
+    * MLE mass. The membership test is exact integer arithmetic
+    * (den·cum_prev < num·total); nucleus_mass is one exact division
+    * → RAW.
+    */
+  val q239NucleusPanel: QueryCase = QueryCase(
+    "q239_nucleus_panel",
+    (s, dir) => graft.operators.CorpusLm
+      .nucleusPanel(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("w1"),
+    Some(s"""
+      WITH seqs AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      bi AS (
+        SELECT u.a AS w1, u.b AS w2, COUNT(*) AS c
+        FROM seqs, UNNEST(list_transform(list_slice(tk, 1, len(tk) - 1),
+          (x, j) -> struct_pack(a := x, b := tk[j + 1]))) AS t(u)
+        GROUP BY 1, 2),
+      r AS (
+        SELECT w1, w2, c,
+          SUM(c) OVER (PARTITION BY w1 ORDER BY c DESC, w2
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          SUM(c) OVER (PARTITION BY w1) AS total
+        FROM bi),
+      f AS (SELECT w1, w2, c, cum, total,
+              (cum - c) * 10 < total * 9 AS inn FROM r)
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_successors,
+        CAST(MAX(total) AS BIGINT) AS total,
+        CAST(SUM(CASE WHEN inn THEN 1 ELSE 0 END) AS BIGINT)
+          AS nucleus_size,
+        CAST(MAX(CASE WHEN inn THEN cum ELSE 0 END) AS DOUBLE)
+          / CAST(MAX(total) AS DOUBLE) AS nucleus_mass
+      FROM f GROUP BY w1 ORDER BY w1"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
-      q237CdcChunks, q238CdcSharedPairs)
+      q237CdcChunks, q238CdcSharedPairs, q239NucleusPanel)
 }

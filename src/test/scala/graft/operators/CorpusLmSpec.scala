@@ -151,6 +151,29 @@ class CorpusLmSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mean_log") - want) < 1e-12)
   }
 
+  test("nucleus panel: exact rational threshold, strict boundary") {
+    // context a: successors b:9, c:1 → at p=9/10 the boundary is
+    // strict (cum_prev 9 · 10 = total 10 · 9) → c excluded
+    val docs = ((1 to 9).map(i => (i.toLong, "a b")) ++ Seq((10L, "a c")))
+      .toDF("doc_id", "text")
+    val m = CorpusLm.nucleusPanel(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[String]("w1") -> r).toMap
+    val a = m("a")
+    assert(a.getAs[Long]("n_successors") == 2 && a.getAs[Long]("total") == 10)
+    assert(a.getAs[Long]("nucleus_size") == 1)
+    assert(a.getAs[Double]("nucleus_mass") == 0.9)
+  }
+
+  test("nucleus panel: flat distribution needs ~p of the successors") {
+    // 10 equally likely successors at p=9/10 → 9 in the nucleus
+    val docs = (0 until 10).map(i => (i.toLong, s"ctx s$i"))
+      .toDF("doc_id", "text")
+    val r = CorpusLm.nucleusPanel(docs, "doc_id", "text").collect()
+      .filter(_.getAs[String]("w1") == "ctx")(0)
+    assert(r.getAs[Long]("nucleus_size") == 9)
+    assert(r.getAs[Double]("nucleus_mass") == 0.9)
+  }
+
   test("stupid backoff: on-train scoring never leaves tier 1") {
     val df = Seq((0L, "a b c d e")).toDF("doc_id", "text")
     val r = CorpusLm.stupidBackoffScore(df, df, "doc_id", "text")
