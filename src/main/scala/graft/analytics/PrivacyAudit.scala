@@ -1,0 +1,46 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Re-identification-risk audit (Sweeney 2002 k-anonymity; Machanavajjhala
+  * et al. 2007 l-diversity) — the governance accounting a dataset release
+  * ships: group the corpus by its quasi-identifier columns into
+  * equivalence classes and measure, per class, how many records hide in
+  * it (k) and how many distinct sensitive values it carries (l). A class
+  * below the k floor pinpoints which attribute combination re-identifies;
+  * a class with l = 1 leaks its sensitive value to everyone in it even
+  * when k is large (the homogeneity attack).
+  *
+  * Scale shape: one groupBy on the quasi-identifier key (map-side
+  * combinable counts + one distinct-count per class) — no window, no
+  * driver state; the class table is orders of magnitude smaller than
+  * the corpus.
+  *
+  * Determinism: counts are exact integers → RAW.
+  */
+object PrivacyAudit {
+
+  /** Equivalence-class table: one row per distinct quasi-identifier
+    * combination with (class_size, l_distinct, k_anonymous,
+    * l_diverse).
+    */
+  def kAnonymity(df: DataFrame, qidCols: Seq[String],
+                 sensitiveCol: String, k: Long = 5L,
+                 l: Long = 2L): DataFrame = {
+    require(qidCols.nonEmpty, "need at least one quasi-identifier")
+    // two single-purpose aggregations joined on the class key, never
+    // countDistinct mixed into a plain agg (the multi-distinct Expand
+    // rewrite drags every plain aggregate through an N-way blow-up —
+    // the round-5 discipline)
+    val cls = df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val ldist = df.select((qidCols :+ sensitiveCol).map(col): _*)
+      .distinct()
+      .groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("l_distinct"))
+    cls.join(ldist, qidCols)
+      .withColumn("k_anonymous", col("class_size") >= k)
+      .withColumn("l_diverse", col("l_distinct") >= l)
+  }
+}

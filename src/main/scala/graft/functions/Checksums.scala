@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Checksum validators for PII candidate filtering — the precision
+  * layer over pattern detection: a 16-digit run is only a payment-card
+  * number if its Luhn check digit verifies (ISO/IEC 7812), so redaction
+  * can skip the false positives a bare digit-run regex would burn.
+  *
+  * Column-expression implementation (HOF fold over the reversed digit
+  * string) — per-row, no shuffle; exact integer arithmetic end to end,
+  * so oracle mirrors compare RAW.
+  */
+object Checksums {
+
+  /** Luhn (mod-10) validity of a candidate number; separators (spaces,
+    * dashes) are stripped first. True iff the digit count is a
+    * plausible PAN length (13–19) AND the checksum verifies: from the
+    * RIGHTMOST digit, double every second digit (subtracting 9 when
+    * the double exceeds 9) and require the total ≡ 0 (mod 10).
+    */
+  def luhnValid(num: Column): Column = {
+    val ds = reverse(regexp_replace(num, "[^0-9]", ""))
+    val n = length(ds)
+    val digits = filter(split(ds, ""), s => s =!= "")
+    val total = aggregate(
+      transform(digits, (ch, i) => {
+        val d = ch.cast("int")
+        when(i % 2 === 1,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      }),
+      lit(0), (acc, v) => acc + v)
+    n.between(13, 19) && total % 10 === 0
+  }
+}

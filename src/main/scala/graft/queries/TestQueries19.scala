@@ -451,8 +451,78 @@ object TestQueries19 {
           / CAST(MAX(total) AS DOUBLE) AS nucleus_mass
       FROM f GROUP BY w1 ORDER BY w1"""))
 
+  /** Luhn (mod-10) checksum validation —
+    * [[graft.functions.Checksums.luhnValid]], the precision layer over
+    * PAN-shaped digit-run detection: 16-digit candidates synthesized
+    * from doc_id ('4' + 14-digit pad + doc_id%10 as the trial check
+    * digit) so ~10% verify; exact integer fold → RAW.
+    */
+  val q240LuhnValidation: QueryCase = QueryCase(
+    "q240_luhn_validation",
+    (s, dir) => {
+      val cand = concat(lit("4"),
+        lpad(col("doc_id").cast("string"), 14, "0"),
+        (col("doc_id") % 10).cast("string"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), cand.as("candidate"),
+          graft.functions.Checksums.luhnValid(cand).as("luhn_valid"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT doc_id,
+          '4' || lpad(CAST(doc_id AS VARCHAR), 14, '0')
+            || CAST(doc_id % 10 AS VARCHAR) AS candidate
+        FROM documents),
+      v AS (
+        SELECT doc_id, candidate,
+          reverse(regexp_replace(candidate, '[^0-9]', '', 'g')) AS ds
+        FROM c)
+      SELECT doc_id, candidate,
+        (len(ds) BETWEEN 13 AND 19) AND
+        (list_reduce(list_prepend(0, list_transform(range(1, len(ds) + 1),
+           i -> CASE WHEN (i - 1) % 2 = 1
+             THEN CASE WHEN CAST(ds[i] AS INT) * 2 > 9
+               THEN CAST(ds[i] AS INT) * 2 - 9
+               ELSE CAST(ds[i] AS INT) * 2 END
+             ELSE CAST(ds[i] AS INT) END)), (a, b) -> a + b) % 10 = 0)
+          AS luhn_valid
+      FROM v ORDER BY doc_id"""))
+
+  /** k-anonymity / l-diversity audit —
+    * [[graft.analytics.PrivacyAudit.kAnonymity]] over quasi-identifiers
+    * (lang, 100-char length bucket) with source as the sensitive
+    * attribute: per equivalence class, how many records hide in it and
+    * how many sensitive values it carries. Exact counts → RAW.
+    */
+  val q241KAnonymity: QueryCase = QueryCase(
+    "q241_k_anonymity",
+    (s, dir) => graft.analytics.PrivacyAudit.kAnonymity(
+        Tables.documents(s, dir)
+          .withColumn("len_bucket", floor(col("n_chars") / 100)),
+        Seq("lang", "len_bucket"), "source", k = 10L, l = 10L)
+      .orderBy("lang", "len_bucket"),
+    Some("""
+      WITH d AS (
+        SELECT lang, CAST(FLOOR(n_chars / 100) AS BIGINT) AS len_bucket,
+               source
+        FROM documents),
+      cls AS (
+        SELECT lang, len_bucket, CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM d GROUP BY 1, 2),
+      ld AS (
+        SELECT lang, len_bucket, CAST(COUNT(*) AS BIGINT) AS l_distinct
+        FROM (SELECT DISTINCT lang, len_bucket, source FROM d)
+        GROUP BY 1, 2)
+      SELECT cls.lang, cls.len_bucket, cls.class_size, ld.l_distinct,
+             cls.class_size >= 10 AS k_anonymous,
+             ld.l_distinct >= 10 AS l_diverse
+      FROM cls JOIN ld USING (lang, len_bucket)
+      ORDER BY lang, len_bucket"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
-      q237CdcChunks, q238CdcSharedPairs, q239NucleusPanel)
+      q237CdcChunks, q238CdcSharedPairs, q239NucleusPanel,
+      q240LuhnValidation, q241KAnonymity)
 }

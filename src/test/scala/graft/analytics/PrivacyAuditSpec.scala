@@ -1,0 +1,37 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Hand-built equivalence classes: sizes, sensitive-value diversity,
+  * and both flag thresholds.
+  */
+class PrivacyAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = Seq(
+    // class (en, a): 3 records, 2 distinct sensitive values
+    ("en", "a", "s1"), ("en", "a", "s1"), ("en", "a", "s2"),
+    // class (en, b): 1 record — re-identifying
+    ("en", "b", "s1"),
+    // class (fr, a): 5 records, all one sensitive value — homogeneous
+    ("fr", "a", "s3"), ("fr", "a", "s3"), ("fr", "a", "s3"),
+    ("fr", "a", "s3"), ("fr", "a", "s3"))
+    .toDF("lang", "bucket", "sensitive")
+
+  private lazy val classes = PrivacyAudit
+    .kAnonymity(rows, Seq("lang", "bucket"), "sensitive", k = 3, l = 2)
+    .collect()
+    .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket")) ->
+      (r.getAs[Long]("class_size"), r.getAs[Long]("l_distinct"),
+        r.getAs[Boolean]("k_anonymous"), r.getAs[Boolean]("l_diverse")))
+    .toMap
+
+  test("class sizes and distinct sensitive counts are exact") {
+    assert(classes(("en", "a")) == ((3L, 2L, true, true)))
+    assert(classes(("en", "b")) == ((1L, 1L, false, false)))
+  }
+
+  test("homogeneity: large class with one sensitive value fails l") {
+    assert(classes(("fr", "a")) == ((5L, 1L, true, false)))
+  }
+}

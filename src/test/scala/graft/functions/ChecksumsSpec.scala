@@ -1,0 +1,38 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Luhn validation against known vectors: standard test PANs, a
+  * flipped check digit, separators, and length bounds.
+  */
+class ChecksumsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def valid(s: String): Boolean =
+    Seq(s).toDF("num").select(Checksums.luhnValid(col("num")).as("v"))
+      .collect()(0).getBoolean(0)
+
+  test("known-valid test numbers pass") {
+    assert(valid("4539578763621486"))        // Visa test vector
+    assert(valid("4111111111111111"))        // classic Visa test PAN
+    assert(!valid("79927398713"))            // checksum-valid but too short
+    assert(valid("0079927398713"))           // left-padding to 13 keeps parity
+    assert(valid("4111 1111 1111 1111"))     // separators stripped
+    assert(valid("4111-1111-1111-1111"))
+  }
+
+  test("a flipped check digit fails") {
+    assert(!valid("4539578763621487"))
+    assert(!valid("4111111111111112"))
+  }
+
+  test("length bounds: 12 digits too short, 20 too long") {
+    // 12-digit and 20-digit strings whose Luhn sum is 0 mod 10 must
+    // still be rejected on length
+    assert(!valid("000000000000"))
+    assert(!valid("00000000000000000000"))
+    // 13 zeros is in-range and checksum-valid
+    assert(valid("0000000000000"))
+  }
+}
