@@ -1,0 +1,54 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Numeric-column forensics — Benford's-law conformance (Newcomb 1881;
+  * Benford 1938; Nigrini's fraud-audit usage): natural multiplicative
+  * data has first significant digits distributed log10(1 + 1/d), and a
+  * column that departs from it (flat, or spiked at a digit) flags
+  * synthetic, capped, or hand-entered values. The data-quality screen
+  * for amount/measurement columns before they feed models.
+  *
+  * First-digit extraction is EXACT: values scale to integer cents
+  * (2-dp money survives the ×100 round in both engines — never a
+  * halfway case) and the leading character of the integer's decimal
+  * string is the digit; no log10 on data anywhere. The Benford
+  * expectations are precomputed constants serialized into the plan
+  * (the integer-argument-libm discipline), so every output is exact
+  * integers combined with shared literals.
+  *
+  * Scale shape: one map + one 9-group aggregate + a 9-row spine join.
+  */
+object NumericAudit {
+
+  /** log10(1 + 1/d), d = 1..9 — plan-serialized constants. */
+  val BenfordP: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** One row per digit 1..9: (digit, n_obs, exp_p, obs_p, chi2_term);
+    * chi2_term = (n_obs − N·p)² / (N·p). Non-positive values are
+    * excluded (no first significant digit).
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val obs = df
+      .where(col(valueCol) > 0)
+      .select(substring(round(col(valueCol) * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spine = BenfordP.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }.toDF("digit", "exp_p")
+    val total = obs.agg(sum(col("n_obs")).as("n")).select(col("n"))
+    spine.join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n_obs"), col("exp_p"),
+        (col("n_obs").cast("double") / col("n").cast("double"))
+          .as("obs_p"),
+        ((col("n_obs").cast("double") - col("n").cast("double") * col("exp_p"))
+          * (col("n_obs").cast("double") - col("n").cast("double") * col("exp_p"))
+          / (col("n").cast("double") * col("exp_p"))).as("chi2_term"))
+  }
+}

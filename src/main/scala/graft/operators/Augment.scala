@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CrossHash, TextFunctions}
+
+/** Deterministic text augmentation (the EDA/word-dropout family — Wei &
+  * Zou 2019; Iyyer et al. 2015's word dropout): produce a perturbed
+  * copy of each document for regularization or contrastive pairs,
+  * keyed by content so re-runs are reproducible shard-by-shard — the
+  * augmentation a training-data pipeline can re-materialize without a
+  * stored RNG state.
+  *
+  * Drop decisions hash (doc, position, token) through the cross-engine
+  * md5-64 and test the low bits — per-occurrence (the same token
+  * survives at one position and drops at another), seedable, and
+  * exactly mirrorable in the oracle.
+  *
+  * Scale shape: one narrow posexplode + one per-doc groupBy with
+  * ordered reassembly (array_sort over collect_list — the order
+  * contract). Zero joins, zero windows.
+  */
+object Augment {
+
+  /** Per-doc dropout summary: (doc_id, n_tokens, n_dropped, aug_sha) —
+    * aug_sha is the sha256 hex of the space-rejoined surviving tokens
+    * (the C4 kept_sha discipline: pins the exact augmented content
+    * without shipping it).
+    *
+    * @param dropBits drop when the low `dropBits` bits of the
+    *                 occurrence hash are zero → rate 2^-dropBits
+    *                 (default 3 → 1/8)
+    */
+  def tokenDropout(docs: DataFrame, idCol: String, textCol: String,
+                   dropBits: Int = 3, seed: String = "aug"): DataFrame = {
+    require(dropBits >= 1 && dropBits <= 20, "dropBits must be in [1, 20]")
+    val mask = (1L << dropBits) - 1
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .withColumn("drop",
+        CrossHash.md5Hash64(concat(lit(seed), lit(":"),
+          col("doc_id").cast("string"), lit(":"),
+          col("pos").cast("string"), lit(":"), col("t")))
+          .bitwiseAND(lit(mask)) === 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_dropped"),
+        sha2(array_join(
+          transform(
+            filter(array_sort(collect_list(struct(col("pos"), col("t"),
+              col("drop")))), s => !s.getField("drop")),
+            s => s.getField("t")), " "), 256).as("aug_sha"))
+  }
+}

@@ -520,9 +520,81 @@ object TestQueries19 {
       FROM cls JOIN ld USING (lang, len_bucket)
       ORDER BY lang, len_bucket"""))
 
+  /** Deterministic token-dropout augmentation —
+    * [[graft.operators.Augment.tokenDropout]]: per-occurrence drops
+    * keyed by md5-64(seed:doc:pos:token) low bits (rate 1/8),
+    * reproducible without RNG state; aug_sha pins the exact surviving
+    * content (C4 kept_sha discipline). Exact integers + sha → RAW.
+    */
+  val q242TokenDropout: QueryCase = QueryCase(
+    "q242_token_dropout",
+    (s, dir) => graft.operators.Augment
+      .tokenDropout(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some {
+      import graft.functions.CrossHash
+      val h = CrossHash.md5Hash64SqlU(
+        "'aug:' || CAST(doc_id AS VARCHAR) || ':' || " +
+          "CAST(pos AS VARCHAR) || ':' || t")
+      s"""
+      WITH toks AS (
+        SELECT doc_id, u.p - 1 AS pos, u.t
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(list_transform(tk,
+               (x, j) -> struct_pack(p := j, t := x))) AS u(u)),
+      flags AS (
+        SELECT doc_id, pos, t, ($h) % 8 = 0 AS drp
+        FROM toks)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN drp THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropped,
+        sha256(COALESCE(array_to_string(
+          list(CASE WHEN NOT drp THEN t END ORDER BY pos)
+            FILTER (WHERE NOT drp), ' '), '')) AS aug_sha
+      FROM flags GROUP BY doc_id ORDER BY doc_id"""
+    })
+
+  /** Benford first-digit audit over lineitem prices —
+    * [[graft.analytics.NumericAudit.benfordAudit]]: exact integer-cents
+    * digit extraction (no libm on data), Benford expectations as
+    * plan-serialized constants; chi² terms from exact counts + shared
+    * literals → RAW.
+    */
+  val q243BenfordAudit: QueryCase = QueryCase(
+    "q243_benford_audit",
+    (s, dir) => graft.analytics.NumericAudit
+      .benfordAudit(Tables.table(s, dir, "lineitem"), "l_extendedprice")
+      .orderBy("digit"),
+    Some {
+      val spine = graft.analytics.NumericAudit.BenfordP.zipWithIndex
+        .map { case (p, i) =>
+          s"(${i + 1}, CAST('$p' AS DOUBLE))" }
+        .mkString(", ")
+      s"""
+      WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100)
+                 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+               COUNT(*) AS n_obs
+        FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1),
+      spine AS (SELECT * FROM (VALUES $spine) s(digit, exp_p)),
+      tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+      SELECT spine.digit, CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+        spine.exp_p,
+        CAST(COALESCE(obs.n_obs, 0) AS DOUBLE) / CAST(tot.n AS DOUBLE)
+          AS obs_p,
+        (CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)
+           - CAST(tot.n AS DOUBLE) * spine.exp_p)
+          * (CAST(COALESCE(obs.n_obs, 0) AS DOUBLE)
+           - CAST(tot.n AS DOUBLE) * spine.exp_p)
+          / (CAST(tot.n AS DOUBLE) * spine.exp_p) AS chi2_term
+      FROM spine LEFT JOIN obs USING (digit) CROSS JOIN tot
+      ORDER BY spine.digit"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
       q237CdcChunks, q238CdcSharedPairs, q239NucleusPanel,
-      q240LuhnValidation, q241KAnonymity)
+      q240LuhnValidation, q241KAnonymity, q242TokenDropout,
+      q243BenfordAudit)
 }

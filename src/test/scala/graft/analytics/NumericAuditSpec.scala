@@ -1,0 +1,28 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** First-digit extraction edge cases and the Benford constants. */
+class NumericAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("first digits come from the integer-cents string, exactly") {
+    val df = Seq(123.00, 0.52, 999.99, 10.00, 7.07, -5.0, 0.0)
+      .toDF("v")
+    val m = NumericAudit.benfordAudit(df, "v").collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Long]("n_obs")).toMap
+    // digits: 123.00→1, 0.52→5, 999.99→9, 10.00→1, 7.07→7;
+    // -5 and 0 excluded
+    assert(m(1) == 2 && m(5) == 1 && m(9) == 1 && m(7) == 1)
+    assert(m(2) == 0 && m(3) == 0)
+    assert(m.values.sum == 5)
+  }
+
+  test("expected shares are the Benford constants and sum to 1") {
+    assert(math.abs(NumericAudit.BenfordP.sum - 1.0) < 1e-12)
+    assert(math.abs(NumericAudit.BenfordP.head - 0.3010299956639812) < 1e-15)
+    val rows = NumericAudit.benfordAudit(Seq(1.0).toDF("v"), "v")
+      .collect()
+    assert(rows.length == 9)
+  }
+}

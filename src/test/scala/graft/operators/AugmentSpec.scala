@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dropout contracts: determinism across runs, per-occurrence (not
+  * per-type) decisions, seed sensitivity, and the rate's expectation.
+  */
+class AugmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0 until 50)
+    .map(i => (i.toLong, (0 until 40).map(j => s"w${(i + j) % 60}")
+      .mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("re-running produces identical augmented hashes") {
+    val a = Augment.tokenDropout(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[String]("aug_sha"))
+    val b = Augment.tokenDropout(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[String]("aug_sha"))
+    assert(a.sameElements(b))
+  }
+
+  test("decisions are per-occurrence and the rate is near 2^-3") {
+    val r = Augment.tokenDropout(docs, "doc_id", "text")
+      .agg(sum("n_tokens").as("n"), sum("n_dropped").as("d"))
+      .collect()(0)
+    val rate = r.getAs[Long]("d").toDouble / r.getAs[Long]("n")
+    assert(rate > 0.05 && rate < 0.22, s"rate $rate far from 1/8")
+    // a doc made of ONE repeated token still drops only some
+    // occurrences — per-occurrence, not per-type
+    val rep = Seq((1L, Seq.fill(64)("same").mkString(" ")))
+      .toDF("doc_id", "text")
+    val row = Augment.tokenDropout(rep, "doc_id", "text").collect()(0)
+    val d = row.getAs[Long]("n_dropped")
+    assert(d > 0 && d < 64, s"per-type decision suspected (dropped $d/64)")
+  }
+
+  test("the seed changes the augmentation") {
+    val a = Augment.tokenDropout(docs, "doc_id", "text", seed = "aug")
+      .orderBy("doc_id").collect().map(_.getAs[String]("aug_sha"))
+    val b = Augment.tokenDropout(docs, "doc_id", "text", seed = "aug2")
+      .orderBy("doc_id").collect().map(_.getAs[String]("aug_sha"))
+    assert(!a.sameElements(b))
+  }
+}
