@@ -542,4 +542,89 @@ object CorpusLm {
           .as("n_uni_backoffs"),
         (sum(col("c") * log(col("s"))) / sum(col("c"))).as("mean_log"))
   }
+
+  /** Speculative-decoding acceptance estimator (Leviathan et al. 2023;
+    * Chen et al. 2023): when a DRAFT model proposes tokens that a
+    * TARGET model verifies, the per-token acceptance probability is
+    * min(1, p_target/p_draft) — its corpus mean predicts the speedup a
+    * draft/target pairing buys BEFORE anyone deploys it. Here the
+    * draft is the stupid-backoff BIGRAM model and the target the
+    * TRIGRAM model ([[stupidBackoffScore]]'s smoothing), both trained
+    * on `train` and evaluated on the held-out `eval` tokens — the
+    * same observability choice as [[selectiveTokens]]: a deployment
+    * swaps in real model scores, the estimator is unchanged.
+    *
+    *   draft  S_b(w₃|w₂)    = c(w₂w₃)/c(w₂)  | α·(c(w₃)+1)/(N+V)
+    *   target S_t(w₃|w₁w₂)  = the 3-tier backoff of
+    *                          [[stupidBackoffScore]]
+    *
+    * Scale shape: identical to [[stupidBackoffScore]] — pre-combined
+    * eval trigrams joined against broadcast-sized count tables by key.
+    *
+    * Determinism: both scores are exactly-rounded products of exact
+    * ratios, their ratio and the min are deterministic IEEE;
+    * n_accept_sure (S_t ≥ S_b) is an exact comparison. Only the
+    * per-doc mean carries summation-order wobble → callers round it
+    * (the q181 rule).
+    *
+    * Output: (doc_id, n_scored, n_accept_sure, mean_acceptance).
+    */
+  def speculativeAcceptance(train: DataFrame, eval: DataFrame,
+                            idCol: String, textCol: String,
+                            alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha must be in (0, 1)")
+    def seqs(df: DataFrame) = df.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    def tris(df: DataFrame) = df
+      .select(col("doc_id"), col("tk"),
+        posexplode(slice(col("tk"), lit(1),
+          greatest(size(col("tk")) - 2, lit(0)))).as(Seq("i", "w1")))
+      .select(col("doc_id"), col("w1"),
+        element_at(col("tk"), col("i") + 2).as("w2"),
+        element_at(col("tk"), col("i") + 3).as("w3"))
+    val trainTk = seqs(train)
+    val tri = tris(trainTk).groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c3g"))
+    val big = trainTk
+      .select(col("tk"),
+        posexplode(slice(col("tk"), lit(1),
+          greatest(size(col("tk")) - 1, lit(0)))).as(Seq("i", "b1")))
+      .select(col("b1"), element_at(col("tk"), col("i") + 2).as("b2"))
+      .groupBy("b1", "b2").agg(count(lit(1)).as("bc"))
+    val uni = trainTk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+    val tot = uni.agg(sum(col("uc")).as("n"), count(lit(1)).as("v"))
+    val ec = tris(seqs(eval)).groupBy("doc_id", "w1", "w2", "w3")
+      .agg(count(lit(1)).as("c"))
+    val a = lit(alpha)
+    val floorP = (coalesce(col("c3"), lit(0L)) + 1).cast("double") /
+      (col("n") + col("v")).cast("double")
+    val scored = ec
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(big.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("bc").as("c12")), Seq("w1", "w2"), "left")
+      .join(big.select(col("b1").as("w2"), col("b2").as("w3"),
+        col("bc").as("c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w").as("w2"), col("uc").as("c2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w").as("w3"), col("uc").as("c3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("c"),
+        when(col("c3g").isNotNull,
+            col("c3g").cast("double") / col("c12").cast("double"))
+          .when(col("c23").isNotNull,
+            a * col("c23").cast("double") / col("c2").cast("double"))
+          .otherwise(a * a * floorP).as("st"),
+        when(col("c23").isNotNull,
+            col("c23").cast("double") / col("c2").cast("double"))
+          .otherwise(a * floorP).as("sb"))
+      .withColumn("acc", least(lit(1.0), col("st") / col("sb")))
+    scored.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_scored"),
+        sum(when(col("st") >= col("sb"), col("c")).otherwise(0L))
+          .as("n_accept_sure"),
+        (sum(col("c") * col("acc")) / sum(col("c")).cast("double"))
+          .as("mean_acceptance"))
+  }
 }

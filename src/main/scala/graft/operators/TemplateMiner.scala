@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Per-source template-phrase mining — the cross-document complement to
+  * Gopher's WITHIN-document repetition screens: rank each source's
+  * n-grams by DOCUMENT frequency to surface boilerplate templates
+  * (navigation chrome, license footers, generated-page skeletons) that
+  * repeat across a source's pages. A phrase most of a source's docs
+  * share is template, not content — the removal list a crawl-cleaning
+  * pass feeds back into extraction.
+  *
+  * Scale shape: per-doc DISTINCT grams (df semantics) → one
+  * (source, gram) count → one PER-SOURCE top-k window (partitioned,
+  * never global) → broadcast-sized per-source doc counts. No pairwise
+  * joins.
+  *
+  * Determinism: counts are exact; ranking ties break on the gram;
+  * df_share is one exact division → RAW.
+  */
+object TemplateMiner {
+
+  /** Top-k phrases per group: (group, rank, gram, df, n_docs,
+    * df_share); grams below `minDf` never rank.
+    */
+  def topPhrases(docs: DataFrame, idCol: String, textCol: String,
+                 groupCol: String, n: Int = 8, k: Int = 10,
+                 minDf: Long = 2L): DataFrame = {
+    require(n >= 1 && k >= 1, "n and k must be positive")
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(groupCol).as("grp"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val grams = base
+      .select(col("doc_id"), col("grp"),
+        explode(TextFunctions.ngramsOfTokens(col("tk"), n)).as("gram"))
+      .distinct()
+    val df = grams.groupBy("grp", "gram").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    val nDocs = base.select(col("grp"), col("doc_id")).distinct()
+      .groupBy("grp").agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("grp").orderBy(col("df").desc, col("gram"))
+    df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .join(broadcast(nDocs), Seq("grp"))
+      .select(col("grp"), col("rank"), col("gram"), col("df"),
+        col("n_docs"),
+        (col("df").cast("double") / col("n_docs").cast("double"))
+          .as("df_share"))
+  }
+}

@@ -591,10 +591,125 @@ object TestQueries19 {
       ORDER BY spine.digit"""
     })
 
+  /** Speculative-decoding acceptance estimator —
+    * [[graft.operators.CorpusLm.speculativeAcceptance]]: bigram draft
+    * vs trigram target (stupid-backoff smoothing) on the odd-id
+    * held-out split; per-token acceptance min(1, S_t/S_b).
+    * n_scored/n_accept_sure are exact; the mean carries summation
+    * wobble → ROUND(6).
+    */
+  val q244SpecDecode: QueryCase = QueryCase(
+    "q244_spec_decode",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusLm.speculativeAcceptance(
+          docs.where(col("doc_id") % 2 === 0),
+          docs.where(col("doc_id") % 2 === 1),
+          "doc_id", "text")
+        .select(col("doc_id"), col("n_scored"), col("n_accept_sure"),
+          round(col("mean_acceptance"), 6).as("mean_acceptance"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH seqs AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      tr AS (SELECT * FROM seqs WHERE doc_id % 2 = 0),
+      ev AS (SELECT * FROM seqs WHERE doc_id % 2 = 1),
+      ttri AS (
+        SELECT u.a AS w1, u.b AS w2, u.c AS w3, COUNT(*) AS c3g
+        FROM tr, UNNEST(list_transform(list_slice(tk, 1, len(tk) - 2),
+          (x, j) -> struct_pack(a := x, b := tk[j + 1], c := tk[j + 2])))
+          AS t(u)
+        GROUP BY 1, 2, 3),
+      tbig AS (
+        SELECT u.a AS b1, u.b AS b2, COUNT(*) AS bc
+        FROM tr, UNNEST(list_transform(list_slice(tk, 1, len(tk) - 1),
+          (x, j) -> struct_pack(a := x, b := tk[j + 1]))) AS t(u)
+        GROUP BY 1, 2),
+      tuni AS (
+        SELECT u.t AS w, COUNT(*) AS uc FROM tr, UNNEST(tk) AS u(t)
+        GROUP BY 1),
+      tot AS (
+        SELECT CAST(SUM(uc) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+        FROM tuni),
+      ec AS (
+        SELECT doc_id, u.a AS w1, u.b AS w2, u.c AS w3, COUNT(*) AS c
+        FROM ev, UNNEST(list_transform(list_slice(tk, 1, len(tk) - 2),
+          (x, j) -> struct_pack(a := x, b := tk[j + 1], c := tk[j + 2])))
+          AS t(u)
+        GROUP BY 1, 2, 3, 4),
+      scored AS (
+        SELECT ec.doc_id, ec.c,
+          CASE WHEN t3.c3g IS NOT NULL
+                 THEN CAST(t3.c3g AS DOUBLE) / CAST(b12.bc AS DOUBLE)
+               WHEN b23.bc IS NOT NULL
+                 THEN CAST(0.4 AS DOUBLE) * CAST(b23.bc AS DOUBLE)
+                      / CAST(u2.uc AS DOUBLE)
+               ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                    * CAST(COALESCE(u3.uc, 0) + 1 AS DOUBLE)
+                    / CAST(tot.n + tot.v AS DOUBLE) END AS st,
+          CASE WHEN b23.bc IS NOT NULL
+                 THEN CAST(b23.bc AS DOUBLE) / CAST(u2.uc AS DOUBLE)
+               ELSE CAST(0.4 AS DOUBLE)
+                    * CAST(COALESCE(u3.uc, 0) + 1 AS DOUBLE)
+                    / CAST(tot.n + tot.v AS DOUBLE) END AS sb
+        FROM ec
+        LEFT JOIN ttri t3
+          ON t3.w1 = ec.w1 AND t3.w2 = ec.w2 AND t3.w3 = ec.w3
+        LEFT JOIN tbig b12 ON b12.b1 = ec.w1 AND b12.b2 = ec.w2
+        LEFT JOIN tbig b23 ON b23.b1 = ec.w2 AND b23.b2 = ec.w3
+        LEFT JOIN tuni u2 ON u2.w = ec.w2
+        LEFT JOIN tuni u3 ON u3.w = ec.w3
+        CROSS JOIN tot)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_scored,
+        CAST(SUM(CASE WHEN st >= sb THEN c ELSE 0 END) AS BIGINT)
+          AS n_accept_sure,
+        ROUND(SUM(c * LEAST(CAST(1.0 AS DOUBLE), st / sb))
+          / CAST(SUM(c) AS DOUBLE), 6) AS mean_acceptance
+      FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Per-source template-phrase mining —
+    * [[graft.operators.TemplateMiner.topPhrases]]: top-10 8-grams per
+    * source by DOCUMENT frequency (df ≥ 2), the cross-document
+    * boilerplate complement to Gopher's within-doc screens. Exact
+    * counts, gram tie-break, one exact division → RAW.
+    */
+  val q245TemplatePhrases: QueryCase = QueryCase(
+    "q245_template_phrases",
+    (s, dir) => graft.operators.TemplateMiner
+      .topPhrases(Tables.documents(s, dir), "doc_id", "text", "source")
+      .select(col("grp").as("source"), col("rank"), col("gram"),
+        col("df"), col("n_docs"), col("df_share"))
+      .orderBy("source", "rank"),
+    Some(s"""
+      WITH base AS (SELECT doc_id, source, $TokensSql AS tk FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, source, u.g AS gram
+        FROM (SELECT doc_id, source, CASE WHEN LEN(tk) >= 8
+                THEN [array_to_string(tk[i:i+7], ' ')
+                      for i in range(1, LEN(tk) - 6)]
+                ELSE CAST([] AS VARCHAR[]) END AS gs FROM base),
+             UNNEST(gs) AS u(g)),
+      dfc AS (
+        SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS df
+        FROM grams GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      nd AS (
+        SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM base GROUP BY 1),
+      rk AS (
+        SELECT source, gram, df,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY df DESC, gram) AS rank
+        FROM dfc)
+      SELECT rk.source, CAST(rk.rank AS INT) AS rank, rk.gram, rk.df,
+        nd.n_docs,
+        CAST(rk.df AS DOUBLE) / CAST(nd.n_docs AS DOUBLE) AS df_share
+      FROM rk JOIN nd USING (source) WHERE rk.rank <= 10
+      ORDER BY source, rank"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
       q237CdcChunks, q238CdcSharedPairs, q239NucleusPanel,
       q240LuhnValidation, q241KAnonymity, q242TokenDropout,
-      q243BenfordAudit)
+      q243BenfordAudit, q244SpecDecode, q245TemplatePhrases)
 }

@@ -174,6 +174,31 @@ class CorpusLmSpec extends SparkSpec {
     assert(r.getAs[Double]("nucleus_mass") == 0.9)
   }
 
+  test("speculative acceptance: hand-traced draft/target ratios") {
+    // train "a b c a b d", eval "a b c z c a" (the backoff fixture):
+    // (a,b,c): st=1/2, sb=c(bc)/c(b)=1/2 → acc 1 (sure)
+    // (b,c,z): st=0.16·1/10, sb=0.4·1/10 → acc 0.4
+    // (c,z,c): st=0.16·2/10, sb=0.4·2/10 → acc 0.4
+    // (z,c,a): st=0.4·1/1,  sb=1/1      → acc 0.4
+    val train = Seq((0L, "a b c a b d")).toDF("doc_id", "text")
+    val eval = Seq((1L, "a b c z c a")).toDF("doc_id", "text")
+    val r = CorpusLm.speculativeAcceptance(train, eval, "doc_id", "text")
+      .collect()(0)
+    assert(r.getAs[Long]("n_scored") == 4)
+    assert(r.getAs[Long]("n_accept_sure") == 1)
+    assert(math.abs(r.getAs[Double]("mean_acceptance")
+      - (1.0 + 3 * 0.4) / 4.0) < 1e-9)
+  }
+
+  test("speculative acceptance: target = draft model accepts everything") {
+    // trigram-known tokens on a unique corpus: st = 1 = sb ceiling
+    val df = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    val r = CorpusLm.speculativeAcceptance(df, df, "doc_id", "text")
+      .collect()(0)
+    assert(r.getAs[Long]("n_accept_sure") == r.getAs[Long]("n_scored"))
+    assert(math.abs(r.getAs[Double]("mean_acceptance") - 1.0) < 1e-15)
+  }
+
   test("stupid backoff: on-train scoring never leaves tier 1") {
     val df = Seq((0L, "a b c d e")).toDF("doc_id", "text")
     val r = CorpusLm.stupidBackoffScore(df, df, "doc_id", "text")

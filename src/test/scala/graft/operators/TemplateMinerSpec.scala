@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Template mining: a shared phrase ranks first with df semantics
+  * (distinct docs, not occurrences); unique-content sources emit
+  * nothing; ties break on the gram.
+  */
+class TemplateMinerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val phrase = "one two three four five six seven eight"
+
+  test("shared template ranks first with document-frequency counting") {
+    val docs = Seq(
+      // the phrase appears TWICE in doc 1 — df must still count it once
+      (1L, "A", s"$phrase fa1 fb1 $phrase"),
+      (2L, "A", s"fa2 $phrase fb2"),
+      (3L, "A", s"$phrase fa3 fb3"),
+      (4L, "B", "unique content one here padded to eight tokens total x"),
+      (5L, "B", "entirely different words again padded to eight tokens y"))
+      .toDF("doc_id", "source", "text")
+    val rows = TemplateMiner.topPhrases(docs, "doc_id", "text", "source")
+      .collect()
+    val a1 = rows.filter(r => r.getAs[String]("grp") == "A" &&
+      r.getAs[Int]("rank") == 1)(0)
+    assert(a1.getAs[String]("gram") == phrase)
+    assert(a1.getAs[Long]("df") == 3 && a1.getAs[Long]("n_docs") == 3)
+    assert(a1.getAs[Double]("df_share") == 1.0)
+    // B's docs share no 8-gram → df floor keeps B out entirely
+    assert(!rows.exists(_.getAs[String]("grp") == "B"))
+  }
+
+  test("k caps the per-group list") {
+    val docs = Seq(
+      (1L, "A", "a b c d e f g h i j"),
+      (2L, "A", "a b c d e f g h i j"))
+      .toDF("doc_id", "source", "text")
+    // 3 distinct 8-grams, all df=2; k=2 keeps the two lexicographically
+    // smallest at equal df
+    val rows = TemplateMiner.topPhrases(docs, "doc_id", "text", "source",
+      n = 8, k = 2).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("gram")).sorted.sameElements(
+      Array("a b c d e f g h", "b c d e f g h i")))
+  }
+}
