@@ -140,4 +140,58 @@ object Calibration {
       .join(broadcast(model.table.select(col("bin"), col("calibrated"))),
         Seq("bin"), "left")
   }
+
+  /** Murphy (1973) decomposition of the Brier score — the other half of
+    * the calibration story next to [[calibrationError]]: with forecasts
+    * grouped by their EXACT value (callers pre-quantize, so forecasts
+    * are constant within a group and the decomposition identity is
+    * exact),
+    *
+    *   Brier = REL − RES + UNC
+    *   REL = (1/N) Σ_k n_k (f_k − ō_k)²   (reliability — miscalibration)
+    *   RES = (1/N) Σ_k n_k (ō_k − ō)²     (resolution — discrimination)
+    *   UNC = ō (1 − ō)                    (outcome base-rate entropy)
+    *
+    * A scorer improves by LOWERING reliability and RAISING resolution;
+    * uncertainty is the data's floor. The returned identity_gap
+    * (Brier − (REL − RES + UNC)) is the built-in self-check — zero up
+    * to float wobble.
+    *
+    * Scale shape: one per-forecast-value aggregate (map-side
+    * combinable) + one scalar aggregate; no window, no driver state.
+    *
+    * Output, one row: (n, brier, reliability, resolution, uncertainty,
+    * identity_gap) — unrounded; gate callers round (sums of per-group
+    * doubles carry order wobble).
+    */
+  def brierDecomposition(df: DataFrame, forecastCol: String,
+                         outcomeCol: String): DataFrame = {
+    val base = df.select(col(forecastCol).cast("double").as("f"),
+      col(outcomeCol).cast("long").as("o"))
+    val byF = base.groupBy("f")
+      .agg(count(lit(1)).as("nk"), sum(col("o")).as("pk"))
+      .withColumn("ok", col("pk").cast("double") / col("nk").cast("double"))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("o")).as("p"))
+      .withColumn("obar", col("p").cast("double") / col("n").cast("double"))
+    val brier = base
+      .agg((sum((col("f") - col("o").cast("double")) *
+        (col("f") - col("o").cast("double")))).as("sq"))
+    byF.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n")).as("n"),
+        (sum(col("nk").cast("double") *
+          (col("f") - col("ok")) * (col("f") - col("ok"))) /
+          max(col("n")).cast("double")).as("reliability"),
+        (sum(col("nk").cast("double") *
+          (col("ok") - col("obar")) * (col("ok") - col("obar"))) /
+          max(col("n")).cast("double")).as("resolution"),
+        max(col("obar") * (lit(1.0) - col("obar"))).as("uncertainty"))
+      .crossJoin(broadcast(brier))
+      .select(col("n"),
+        (col("sq") / col("n").cast("double")).as("brier"),
+        col("reliability"), col("resolution"), col("uncertainty"),
+        ((col("sq") / col("n").cast("double")) -
+          (col("reliability") - col("resolution") + col("uncertainty")))
+          .as("identity_gap"))
+  }
 }

@@ -189,6 +189,37 @@ object CorpusStats {
       .limit(k)
   }
 
+  /** Per-source n-gram novelty — the marginal-value accounting a source
+    * mix decision needs (which sources contribute content nothing else
+    * has vs re-crawls of shared material): for each source, the share
+    * of its distinct n-grams appearing in NO other source.
+    *
+    * Scale shape: per-source distinct grams → one gram-keyed count of
+    * contributing sources → one per-source aggregate. Key joins only;
+    * the gram space is the working set (the crossDocDupScore shape).
+    *
+    * Output per source: (source, n_grams, n_unique, novelty) — exact
+    * counts + one exact division → RAW.
+    */
+  def sourceNovelty(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col(groupCol).as("source"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("source"),
+        explode(TextFunctions.ngramsOfTokens(col("tk"), n)).as("gram"))
+      .distinct()
+    val spread = grams.groupBy("gram")
+      .agg(count(lit(1)).as("n_sources"))
+    grams.join(spread, Seq("gram"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_sources") === 1, 1L).otherwise(0L))
+          .as("n_unique"))
+      .withColumn("novelty",
+        col("n_unique").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Least squares of y on x over (x, y, r) points, folded in ascending
     * `r` order (bounded inputs by contract of the two callers). One row:
     * (nName, slope, intercept).

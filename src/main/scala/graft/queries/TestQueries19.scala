@@ -706,10 +706,94 @@ object TestQueries19 {
       FROM rk JOIN nd USING (source) WHERE rk.rank <= 10
       ORDER BY source, rank"""))
 
+  /** Per-source n-gram novelty accounting —
+    * [[graft.analytics.CorpusStats.sourceNovelty]]: the share of each
+    * source's distinct 8-grams appearing in no other source (marginal
+    * value of the source to the mix). Exact counts + one exact
+    * division → RAW.
+    */
+  val q246SourceNovelty: QueryCase = QueryCase(
+    "q246_source_novelty",
+    (s, dir) => graft.analytics.CorpusStats
+      .sourceNovelty(Tables.documents(s, dir), "doc_id", "text", "source")
+      .orderBy("source"),
+    Some(s"""
+      WITH grams AS (
+        SELECT DISTINCT source, u.g AS gram
+        FROM (SELECT source, CASE WHEN LEN(tk) >= 8
+                THEN [array_to_string(tk[i:i+7], ' ')
+                      for i in range(1, LEN(tk) - 6)]
+                ELSE CAST([] AS VARCHAR[]) END AS gs
+              FROM (SELECT source, $TokensSql AS tk FROM documents)),
+             UNNEST(gs) AS u(g)),
+      spread AS (SELECT gram, COUNT(*) AS n_sources FROM grams GROUP BY 1)
+      SELECT g.source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        CAST(SUM(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_unique,
+        CAST(SUM(CASE WHEN s.n_sources = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS novelty
+      FROM grams g JOIN spread s USING (gram)
+      GROUP BY 1 ORDER BY source"""))
+
+  /** Murphy decomposition of the Brier score —
+    * [[graft.analytics.Calibration.brierDecomposition]] over a
+    * 10-value quantized forecast (doc_id-keyed) against the lang='en'
+    * outcome: Brier = REL − RES + UNC with the identity gap as the
+    * built-in self-check. Per-group means are exact rationals; the
+    * summed components round to 6 (order wobble); the gap normalizes
+    * −0.0 away with + 0.0.
+    */
+  val q247BrierDecomposition: QueryCase = QueryCase(
+    "q247_brier_decomposition",
+    (s, dir) => graft.analytics.Calibration.brierDecomposition(
+        Tables.documents(s, dir).select(
+          (((col("doc_id") % 10).cast("double") + 0.5) / 10.0).as("f"),
+          (col("lang") === "en").cast("long").as("y")),
+        "f", "y")
+      .select(col("n"), round(col("brier"), 6).as("brier"),
+        round(col("reliability"), 6).as("reliability"),
+        round(col("resolution"), 6).as("resolution"),
+        round(col("uncertainty"), 6).as("uncertainty"),
+        (round(col("identity_gap"), 6) + lit(0.0)).as("identity_gap")),
+    Some("""
+      WITH base AS (
+        SELECT (CAST(doc_id % 10 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                 / CAST(10.0 AS DOUBLE) AS f,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS o
+        FROM documents),
+      byf AS (
+        SELECT f, COUNT(*) AS nk,
+               CAST(SUM(o) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS ok
+        FROM base GROUP BY 1),
+      tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS obar,
+               SUM((f - CAST(o AS DOUBLE)) * (f - CAST(o AS DOUBLE)))
+                 AS sq
+        FROM base),
+      comp AS (
+        SELECT tot.n,
+          tot.sq / CAST(tot.n AS DOUBLE) AS c_brier,
+          SUM(CAST(byf.nk AS DOUBLE) * (byf.f - byf.ok) * (byf.f - byf.ok))
+            / CAST(tot.n AS DOUBLE) AS c_rel,
+          SUM(CAST(byf.nk AS DOUBLE) * (byf.ok - tot.obar)
+            * (byf.ok - tot.obar)) / CAST(tot.n AS DOUBLE) AS c_res,
+          tot.obar * (CAST(1.0 AS DOUBLE) - tot.obar) AS c_unc
+        FROM byf CROSS JOIN tot
+        GROUP BY tot.n, tot.sq, tot.obar)
+      SELECT n, ROUND(c_brier, 6) AS brier,
+        ROUND(c_rel, 6) AS reliability,
+        ROUND(c_res, 6) AS resolution,
+        ROUND(c_unc, 6) AS uncertainty,
+        ROUND(c_brier - (c_rel - c_res + c_unc), 6)
+          + CAST(0.0 AS DOUBLE) AS identity_gap
+      FROM comp"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
       q237CdcChunks, q238CdcSharedPairs, q239NucleusPanel,
       q240LuhnValidation, q241KAnonymity, q242TokenDropout,
-      q243BenfordAudit, q244SpecDecode, q245TemplatePhrases)
+      q243BenfordAudit, q244SpecDecode, q245TemplatePhrases,
+      q246SourceNovelty, q247BrierDecomposition)
 }

@@ -36,6 +36,20 @@ class CalibrationSpec extends SparkSpec {
     assert(math.abs(weighted - totalPos) < 1e-9)
   }
 
+  test("brier decomposition: hand-traced Murphy identity") {
+    // f=0.8: 3 pos, 1 neg; f=0.2: 1 pos, 3 neg. N=8, obar=0.5:
+    // UNC=0.25, REL=0.0025, RES=0.0625, Brier=1.52/8=0.19 = REL−RES+UNC
+    val df = (Seq.fill(3)((0.8, 1L)) ++ Seq((0.8, 0L)) ++
+      Seq((0.2, 1L)) ++ Seq.fill(3)((0.2, 0L))).toDF("f", "y")
+    val r = Calibration.brierDecomposition(df, "f", "y").collect()(0)
+    assert(r.getAs[Long]("n") == 8)
+    assert(math.abs(r.getAs[Double]("brier") - 0.19) < 1e-12)
+    assert(math.abs(r.getAs[Double]("reliability") - 0.0025) < 1e-12)
+    assert(math.abs(r.getAs[Double]("resolution") - 0.0625) < 1e-12)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    assert(math.abs(r.getAs[Double]("identity_gap")) < 1e-12)
+  }
+
   test("already-monotone input is untouched") {
     val mono = Seq((0.1, 0L), (0.4, 0L), (0.4, 1L), (0.9, 1L))
       .toDF("score", "y")

@@ -63,4 +63,20 @@ class CorpusStatsSpec extends SparkSpec {
     assert(fit.getAs[Long]("n_points") >= 4)
     assert(beta > 0.0 && beta < 1.0, s"beta $beta should be sublinear")
   }
+
+  test("sourceNovelty: shared grams drop novelty, unique grams raise it") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"            // one shared 8-gram
+    val docs = Seq(
+      (1L, "A", s"$shared a1 a2 a3 a4 a5 a6 a7"),     // 8 grams: 1 shared + 7 mixed
+      (2L, "B", s"$shared b1 b2 b3 b4 b5 b6 b7"))
+      .toDF("doc_id", "source", "text")
+    val m = CorpusStats.sourceNovelty(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_unique"),
+          r.getAs[Double]("novelty"))).toMap
+    // 15 tokens → 8 distinct 8-grams each; only the pure "s1..s8" gram
+    // is cross-source, the 7 suffix-bearing grams are unique
+    assert(m("A") == ((8L, 7L, 7.0 / 8.0)))
+    assert(m("B") == ((8L, 7L, 7.0 / 8.0)))
+  }
 }
