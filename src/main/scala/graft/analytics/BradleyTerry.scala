@@ -1,0 +1,85 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bradley–Terry strength ratings from pairwise outcomes (Bradley &
+  * Terry 1952; Hunter 2004's MM algorithm) — the arena-style ranking
+  * layer over preference data: given per-pair win counts (model A beat
+  * model B w times in n meetings), estimate a strength s_i per player
+  * such that P(i beats j) = s_i / (s_i + s_j). The batch counterpart
+  * to sequential Elo — order-independent, so it parallelizes: the
+  * match log aggregates to a (i, j, n_ij, w_i) pair table at corpus
+  * scale, and the MM iteration runs over the PLAYER table, which is
+  * bounded by contract (models/sources/policies, not documents).
+  *
+  * MM update: s_i ← W_i / Σ_j n_ij/(s_i + s_j), then rescale so the
+  * mean strength is 1 (the standard identifiability constraint).
+  *
+  * Determinism: every per-player denominator and the normalization
+  * total are SORTED list folds (opponent-id / player-id order), so
+  * both engines run the identical IEEE sequence — no aggregation-order
+  * wobble anywhere; the whole fit is libm-free.
+  *
+  * Scale shape: one symmetrized groupBy to the pair table, then per
+  * iteration one join + one per-player fold over its opponent list.
+  * Players-bounded; match volume only affects the one aggregation.
+  */
+object BradleyTerry {
+
+  /** Fit over a pair table `pairs` with columns (aCol, bCol, winsACol,
+    * winsBCol); returns (player, games, wins, rating) after `iters` MM
+    * rounds from the all-ones start, mean-1 normalized each round.
+    */
+  def fit(pairs: DataFrame, aCol: String, bCol: String,
+          winsACol: String, winsBCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters must be in [1, 10]")
+    val sym = pairs.select(col(aCol).as("i"), col(bCol).as("j"),
+        (col(winsACol) + col(winsBCol)).cast("long").as("nij"),
+        col(winsACol).cast("long").as("wi"))
+      .unionByName(pairs.select(col(bCol).as("i"), col(aCol).as("j"),
+        (col(winsACol) + col(winsBCol)).cast("long").as("nij"),
+        col(winsBCol).cast("long").as("wi")))
+      .groupBy("i", "j")
+      .agg(sum(col("nij")).as("nij"), sum(col("wi")).as("wi"))
+    val totals = graft.plans.Materialize.stage(
+      sym.groupBy("i")
+        .agg(sum(col("nij")).as("games"), sum(col("wi")).as("wins")),
+      "graft.dedup.checkpoint")
+    val nPlayers = totals.agg(count(lit(1)).as("np"))
+
+    def step(s: DataFrame): DataFrame = {
+      // denominator: fold over the opponent list in ascending j order
+      val joined = sym
+        .join(s.select(col("player").as("j"), col("s").as("sj")), Seq("j"))
+        .join(s.select(col("player").as("i"), col("s").as("si")), Seq("i"))
+      val denom = joined.groupBy("i", "si")
+        .agg(array_sort(collect_list(struct(col("j"), col("nij"),
+          col("sj")))).as("ops"))
+        .select(col("i"),
+          aggregate(col("ops"), lit(0.0), (acc, o) =>
+            acc + o.getField("nij").cast("double") /
+              (col("si") + o.getField("sj"))).as("d"))
+      val raw = totals.join(denom, Seq("i"))
+        .select(col("i").as("player"),
+          (col("wins").cast("double") / col("d")).as("s"))
+      // mean-1 rescale via a sorted fold over the bounded player table
+      val tot = raw
+        .agg(array_sort(collect_list(struct(col("player"), col("s"))))
+          .as("ss"))
+        .select(aggregate(col("ss"), lit(0.0),
+          (acc, x) => acc + x.getField("s")).as("total"))
+      raw.crossJoin(broadcast(tot.crossJoin(nPlayers)))
+        .select(col("player"),
+          (col("s") * col("np").cast("double") / col("total")).as("s"))
+    }
+
+    val s0 = totals.select(col("i").as("player"), lit(1.0).as("s"))
+    val fitted = (1 to iters).foldLeft(s0)((s, _) =>
+      graft.plans.Materialize.stage(step(s), "graft.dedup.checkpoint"))
+    totals.select(col("i").as("player"), col("games"), col("wins"))
+      .join(fitted, Seq("player"))
+      .select(col("player"), col("games"), col("wins"),
+        col("s").as("rating"))
+  }
+}

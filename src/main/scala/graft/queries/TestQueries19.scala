@@ -789,11 +789,87 @@ object TestQueries19 {
           + CAST(0.0 AS DOUBLE) AS identity_gap
       FROM comp"""))
 
+  /** Bradley–Terry strength ratings —
+    * [[graft.analytics.BradleyTerry.fit]], 2 MM rounds over
+    * source-vs-source "matches" (consecutive docs, longer text wins):
+    * the arena-style ranking layer over preference data. Every fold is
+    * sorted and libm-free, so the fit is bit-identical cross-engine →
+    * RAW.
+    */
+  val q248BradleyTerry: QueryCase = QueryCase(
+    "q248_bradley_terry",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val nxt = d.select((col("doc_id") - 1).as("doc_id"),
+        col("source").as("source_b"), col("n_chars").as("nc_b"))
+      val matches = d.join(nxt, Seq("doc_id"))
+        .select(col("source").as("a"), col("source_b").as("b"),
+          when(col("n_chars") >= col("nc_b"), 1L).otherwise(0L).as("wa"),
+          when(col("n_chars") >= col("nc_b"), 0L).otherwise(1L).as("wb"))
+      graft.analytics.BradleyTerry.fit(matches, "a", "b", "wa", "wb")
+        .orderBy("player")
+    },
+    Some {
+      def iter(prev: String, k: Int): String =
+        s"""dd$k AS (
+          SELECT sym.i,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(
+                list(struct_pack(jj := sym.j, nij := sym.nij, sj := sj.s)
+                  ORDER BY sym.j),
+                o -> CAST(o.nij AS DOUBLE) / (si.s + o.sj))),
+              (acc, x) -> acc + x) AS d
+          FROM sym
+          JOIN $prev sj ON sj.player = sym.j
+          JOIN $prev si ON si.player = sym.i
+          GROUP BY sym.i, si.s),
+        raw$k AS (
+          SELECT tot.i AS player,
+                 CAST(tot.wins AS DOUBLE) / dd$k.d AS s
+          FROM tot JOIN dd$k ON dd$k.i = tot.i),
+        n$k AS (
+          SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(list(struct_pack(p := player, s := s)
+                ORDER BY player), x -> x.s)), (acc, x) -> acc + x)
+            AS total
+          FROM raw$k),
+        s$k AS (
+          SELECT raw$k.player,
+                 raw$k.s * CAST(np.np AS DOUBLE) / n$k.total AS s
+          FROM raw$k CROSS JOIN n$k CROSS JOIN np)"""
+      s"""
+      WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+      m AS (
+        SELECT a.source AS sa, b.source AS sb,
+          CASE WHEN a.n_chars >= b.n_chars THEN 1 ELSE 0 END AS wa,
+          CASE WHEN a.n_chars >= b.n_chars THEN 0 ELSE 1 END AS wb
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+      sym AS (
+        SELECT i, j, CAST(SUM(nij) AS BIGINT) AS nij,
+               CAST(SUM(wi) AS BIGINT) AS wi
+        FROM (SELECT sa AS i, sb AS j, wa + wb AS nij, wa AS wi FROM m
+              UNION ALL
+              SELECT sb, sa, wa + wb, wb FROM m)
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT i, CAST(SUM(nij) AS BIGINT) AS games,
+               CAST(SUM(wi) AS BIGINT) AS wins
+        FROM sym GROUP BY 1),
+      np AS (SELECT COUNT(*) AS np FROM tot),
+      s0 AS (SELECT i AS player, CAST(1.0 AS DOUBLE) AS s FROM tot),
+      ${iter("s0", 1)},
+      ${iter("s1", 2)}
+      SELECT tot.i AS player, tot.games, tot.wins, s2.s AS rating
+      FROM tot JOIN s2 ON s2.player = tot.i
+      ORDER BY player"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
       q237CdcChunks, q238CdcSharedPairs, q239NucleusPanel,
       q240LuhnValidation, q241KAnonymity, q242TokenDropout,
       q243BenfordAudit, q244SpecDecode, q245TemplatePhrases,
-      q246SourceNovelty, q247BrierDecomposition)
+      q246SourceNovelty, q247BrierDecomposition, q248BradleyTerry)
 }

@@ -1,0 +1,35 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** BT fixed points and ordering: the 2-player fit recovers the exact
+  * win-ratio strengths in one step, ratings are mean-1 normalized, and
+  * more wins against the same field rank higher.
+  */
+class BradleyTerrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two players: exact fixed point s_A/s_B = W_A/W_B") {
+    // A beats B 3 of 4: s0=(1,1) → d_A = 4/2 = 2 → s_A = 3/2, s_B = 1/2
+    // (already mean-1); iteration 2 is the fixed point: d_A = 4/(1.5+0.5)
+    val pairs = Seq(("A", "B", 3L, 1L)).toDF("a", "b", "wa", "wb")
+    val m = BradleyTerry.fit(pairs, "a", "b", "wa", "wb").collect()
+      .map(r => r.getAs[String]("player") ->
+        (r.getAs[Long]("games"), r.getAs[Long]("wins"),
+          r.getAs[Double]("rating"))).toMap
+    assert(m("A") == ((4L, 3L, 1.5)))
+    assert(m("B") == ((4L, 1L, 0.5)))
+  }
+
+  test("ratings are mean-1 normalized and order by strength") {
+    val pairs = Seq(
+      ("A", "B", 8L, 2L), ("B", "C", 8L, 2L), ("A", "C", 9L, 1L))
+      .toDF("a", "b", "wa", "wb")
+    val rows = BradleyTerry.fit(pairs, "a", "b", "wa", "wb").collect()
+    val m = rows.map(r => r.getAs[String]("player") ->
+      r.getAs[Double]("rating")).toMap
+    assert(m("A") > m("B") && m("B") > m("C"))
+    assert(math.abs(rows.map(_.getAs[Double]("rating")).sum / 3 - 1.0)
+      < 1e-12)
+  }
+}
