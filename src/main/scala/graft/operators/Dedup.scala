@@ -179,6 +179,45 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** ASYMMETRIC containment pairs (Broder 1997's containment coefficient
+    * — the quote/subset detector Jaccard structurally misses): for each
+    * ordered pair, C(src→dst) = |sh(src) ∩ sh(dst)| / |sh(src)|. A short
+    * document fully quoted inside a long one has containment ≈ 1 while
+    * its Jaccard stays near |src|/|dst| — so near-dup screens keyed on
+    * Jaccard keep the quote and double-count its content; containment is
+    * the right key for subset dedup and license/boilerplate carriers.
+    *
+    * Same df-filtered shingle space and bucketed pair generation as
+    * [[ngramJaccardPairs]] (one intersection count serves BOTH
+    * directions); emits each direction that clears `threshold`.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double,
+                       dfCutoff: Int = 128): DataFrame = {
+    val toks = spread(df).select(col(idCol).as("id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val shingled = toks.select(col("id"),
+      TextFunctions.distinctNgramsOfTokens(col("tk"), n).as("sh"))
+    val ex = shingled.select(col("id"), explode(col("sh")).as("s"))
+    val kept = ex
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+      .where(col("__df") <= dfCutoff)
+    val sized = kept
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("id")))
+    val pairs = pairsWithinBuckets(sized.where(col("__df") >= 2),
+      Seq(col("s")), struct(col("id"), col("sz")), maxBucket = dfCutoff)
+    val inter = pairs.groupBy(col("p1.id").as("id1"), col("p1.sz").as("sz1"),
+        col("p2.id").as("id2"), col("p2.sz").as("sz2"))
+      .agg(count(lit(1)).as("inter"))
+    inter.select(col("id1").as("src_id"), col("id2").as("dst_id"),
+        col("inter"), col("sz1").as("sz_src"),
+        (col("inter").cast("double") / col("sz1")).as("containment"))
+      .unionByName(inter.select(col("id2").as("src_id"),
+        col("id1").as("dst_id"), col("inter"), col("sz2").as("sz_src"),
+        (col("inter").cast("double") / col("sz2")).as("containment")))
+      .where(col("containment") >= threshold)
+  }
+
   /** PPJoin-style prefix-filtered set-similarity self-join (the
     * SSJoin/PPJoin family, Xiao et al., WWW'08): COMPLETE pair recall at
     * `threshold` token-set Jaccard — unlike [[ngramJaccardPairs]]'s

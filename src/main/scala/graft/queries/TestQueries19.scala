@@ -865,11 +865,59 @@ object TestQueries19 {
       ORDER BY player"""
     })
 
+  /** Asymmetric containment pairs —
+    * [[graft.operators.Dedup.containmentPairs]] (Broder's containment
+    * coefficient): ordered (src, dst) pairs where src's 5-gram shingles
+    * are ≥ 40% contained in dst — the quote/subset detector Jaccard
+    * structurally misses (spec demonstrates the miss). Exact counts +
+    * one division; ROUND(6) on the surfaced ratio.
+    */
+  val q249ContainmentPairs: QueryCase = QueryCase(
+    "q249_containment_pairs",
+    (s, dir) => graft.operators.Dedup
+      .containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 5, threshold = 0.4)
+      .select(col("src_id"), col("dst_id"), col("inter"), col("sz_src"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("src_id", "dst_id"),
+    Some(s"""
+      WITH toks AS (SELECT doc_id, $TokensSql AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ')
+                       for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 128),
+      kx AS (SELECT e.doc_id, e.g FROM ex e JOIN keep USING (g)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM kx GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+               CAST(COUNT(*) AS BIGINT) AS i
+        FROM kx a JOIN kx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      dirs AS (
+        SELECT id1 AS src_id, id2 AS dst_id, i AS inter,
+               CAST(s1.sz AS BIGINT) AS sz_src,
+               CAST(i AS DOUBLE) / CAST(s1.sz AS DOUBLE) AS containment
+        FROM inter JOIN sz s1 ON s1.doc_id = id1
+        UNION ALL
+        SELECT id2, id1, i, CAST(s2.sz AS BIGINT),
+               CAST(i AS DOUBLE) / CAST(s2.sz AS DOUBLE)
+        FROM inter JOIN sz s2 ON s2.doc_id = id2)
+      SELECT src_id, dst_id, inter, sz_src,
+             ROUND(containment, 6) AS containment
+      FROM dirs WHERE containment >= CAST(0.4 AS DOUBLE)
+      ORDER BY src_id, dst_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
       q237CdcChunks, q238CdcSharedPairs, q239NucleusPanel,
       q240LuhnValidation, q241KAnonymity, q242TokenDropout,
       q243BenfordAudit, q244SpecDecode, q245TemplatePhrases,
-      q246SourceNovelty, q247BrierDecomposition, q248BradleyTerry)
+      q246SourceNovelty, q247BrierDecomposition, q248BradleyTerry,
+      q249ContainmentPairs)
 }

@@ -241,4 +241,26 @@ class DedupSpec extends SparkSpec {
     // J(1,2) = 4/6 ≈ 0.667; every other pair shares only "the" (1/9)
     assert(got == Set((1L, 2L, 4.0 / 6.0)))
   }
+
+  test("containment detects a quote Jaccard misses") {
+    import spark.implicits._
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, quote),                       // 4 distinct 3-gram shingles
+      (2L, s"$filler $quote $filler x")) // quote embedded in a long doc
+      .toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Double]("containment")))
+    // every shingle of the quote appears in doc 2 → C(1→2) = 1
+    assert(rows.contains((1L, 2L, 1.0)))
+    // the reverse direction is far below threshold (big doc, small quote)
+    assert(!rows.exists(p => p._1 == 2L))
+    // ...and symmetric Jaccard misses the pair entirely at the same bar
+    val j = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.9)
+      .collect()
+    assert(j.isEmpty)
+  }
 }
