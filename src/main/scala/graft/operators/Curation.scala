@@ -651,4 +651,32 @@ object Curation {
       .where(col("h_rank") <= ceil(col("_ns") * lit(fraction)))
       .drop("_ns")
   }
+
+  /** SOFT deduplication (the down-weight-don't-drop spelling of near-dup
+    * handling — SemDeDup/D4-adjacent practice): instead of keeping one
+    * canonical doc per near-dup cluster, keep every doc with sampling
+    * weight 1/|cluster|, so each duplicated CONTENT unit contributes
+    * exactly one document-equivalent of training mass and borderline
+    * pairs degrade gracefully (a false-positive pair costs half a
+    * document, not a whole one).
+    *
+    * @param ids      the full doc list (docs absent from `clusters` are
+    *                 singletons with weight 1)
+    * @param clusters near-dup membership (id, cluster_id) — e.g.
+    *                 [[Dedup.nearDupClusters]] output
+    * @return per doc: (id, cluster_id, cluster_size, weight)
+    */
+  def softDedupWeights(ids: DataFrame, idCol: String,
+                       clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    ids.select(col(idCol).as("id"))
+      .join(clusters.select(col("id"), col("cluster_id")), Seq("id"),
+        "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .select(col("id"), col("cluster_id"), col("cluster_size"),
+        (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
+  }
 }

@@ -912,6 +912,67 @@ object TestQueries19 {
       FROM dirs WHERE containment >= CAST(0.4 AS DOUBLE)
       ORDER BY src_id, dst_id"""))
 
+  /** Soft dedup weights — [[graft.operators.Curation.softDedupWeights]]
+    * over the q95 near-dup clusters: every doc kept with mass
+    * 1/|cluster| so duplicated content contributes one
+    * document-equivalent; singletons weigh 1. Exact counts + one exact
+    * division → RAW.
+    */
+  val q250SoftDedup: QueryCase = QueryCase(
+    "q250_soft_dedup",
+    (s, dir) => {
+      import graft.operators.{Curation, Dedup}
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.2),
+        "id1", "id2")
+      Curation.softDedupWeights(docs, "doc_id", clusters)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          col("cluster_size"), col("weight"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, $TokensSql AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ')
+                       for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 128),
+      kx AS (SELECT e.doc_id, e.g FROM ex e JOIN keep USING (g)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM kx GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM kx a JOIN kx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2 FROM inter
+        JOIN sz s1 ON s1.doc_id = id1
+        JOIN sz s2 ON s2.doc_id = id2
+        WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2),
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION ALL SELECT id2, id1 FROM pairs),
+      reach AS (
+        SELECT DISTINCT a AS id, a AS peer FROM edges
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+      cl AS (SELECT id, MIN(peer) AS cluster_id FROM reach GROUP BY id),
+      csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+        COALESCE(csz.cluster_size, 1) AS cluster_size,
+        CAST(1.0 AS DOUBLE)
+          / CAST(COALESCE(csz.cluster_size, 1) AS DOUBLE) AS weight
+      FROM documents d
+      LEFT JOIN cl ON cl.id = d.doc_id
+      LEFT JOIN csz ON csz.cluster_id = cl.cluster_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
@@ -919,5 +980,5 @@ object TestQueries19 {
       q240LuhnValidation, q241KAnonymity, q242TokenDropout,
       q243BenfordAudit, q244SpecDecode, q245TemplatePhrases,
       q246SourceNovelty, q247BrierDecomposition, q248BradleyTerry,
-      q249ContainmentPairs)
+      q249ContainmentPairs, q250SoftDedup)
 }

@@ -182,4 +182,20 @@ class CurationSpec extends SparkSpec {
     val again = Curation.perKeySample(df, "lang", "id", 10)
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
+
+  test("softDedupWeights: 1/cluster mass, singletons weigh 1") {
+    import spark.implicits._
+    val ids = (1L to 6L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster_id")
+    val m = Curation.softDedupWeights(ids, "doc_id", clusters)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Double]("weight"))).toMap
+    assert(m(1L) == ((1L, 3L, 1.0 / 3.0)) && m(3L) == ((1L, 3L, 1.0 / 3.0)))
+    assert(m(4L) == ((4L, 2L, 0.5)) && m(5L) == ((4L, 2L, 0.5)))
+    assert(m(6L) == ((6L, 1L, 1.0)))
+    // effective dataset size = one document-equivalent per content unit
+    assert(math.abs(m.values.map(_._3).sum - 3.0) < 1e-12)
+  }
 }
