@@ -83,6 +83,43 @@ object RankEval {
           .as("rho"))
   }
 
+  /** Multi-class classifier evaluation from exact confusion counts —
+    * one row per class (union of true and predicted label sets):
+    * (cls, n_true, n_pred, n_correct, precision, recall, f1). The
+    * per-class companion to [[auc]] for categorical predictors
+    * (language-ID, doc-type detection, routing): precision/recall are
+    * single exact divisions, F1 the fixed 2pr/(p+r) association; a
+    * class never predicted (or never true) scores 0, not null.
+    *
+    * Scale shape: three class-keyed aggregates full-outer-joined on the
+    * class — the result is class-cardinality-sized.
+    */
+  def classifierEval(df: DataFrame, labelCol: String,
+                     predCol: String): DataFrame = {
+    val base = df.select(col(labelCol).as("y"), col(predCol).as("p"))
+    val t = base.groupBy(col("y").as("cls"))
+      .agg(count(lit(1)).as("n_true"))
+    val pr = base.groupBy(col("p").as("cls"))
+      .agg(count(lit(1)).as("n_pred"))
+    val c = base.where(col("y") === col("p"))
+      .groupBy(col("y").as("cls")).agg(count(lit(1)).as("n_correct"))
+    t.join(pr, Seq("cls"), "full")
+      .join(c, Seq("cls"), "left")
+      .na.fill(0L, Seq("n_true", "n_pred", "n_correct"))
+      .withColumn("precision",
+        when(col("n_pred") === 0, 0.0)
+          .otherwise(col("n_correct").cast("double") /
+            col("n_pred").cast("double")))
+      .withColumn("recall",
+        when(col("n_true") === 0, 0.0)
+          .otherwise(col("n_correct").cast("double") /
+            col("n_true").cast("double")))
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0.0, 0.0)
+          .otherwise(lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+  }
+
   /** One row: (n, n11, n10, n01, n00, po, pe, kappa). κ = (pₒ−pₑ)/(1−pₑ)
     * with pₒ, pₑ as single divisions of exact integer products.
     */

@@ -1,0 +1,66 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Outlier-robust location/scale per group — trimmed mean, exact
+  * median, and MAD (median absolute deviation): the aggregation layer
+  * for quality scores and size columns whose tails are garbage (a few
+  * pathological crawls shouldn't move a source's "typical" document).
+  * Mean/stddev move with every outlier; the 10%-trimmed mean ignores
+  * the tails, and MAD is the 50%-breakdown scale estimate.
+  *
+  * Exact-selection semantics: median = mid-rank average of the one or
+  * two central order statistics (rank windows, never interpolation);
+  * MAD repeats the selection on |x − median|; the trimmed mean drops
+  * ⌊n/10⌋ from each side and averages the rest.
+  *
+  * Scale shape: two PER-GROUP rank-window passes (partitioned sorts —
+  * Spark external-sorts big groups; no collect, no driver state) and
+  * one broadcast-sized median join. At corpus scale the approximate
+  * path is approx_percentile; this is the exact gate/eval spelling.
+  *
+  * Determinism: inputs are integers (or exact decimals); every
+  * selected value and half-sum is exact binary → RAW.
+  */
+object RobustStats {
+
+  /** Per group: (group, n, trimmed_mean, median, mad). */
+  def robustStats(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"),
+      col(valueCol).cast("double").as("x"))
+    def midSelect(in: DataFrame, vCol: String,
+                  outCol: String): DataFrame = {
+      val w = Window.partitionBy("grp").orderBy(vCol)
+      val nw = Window.partitionBy("grp")
+      in.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(nw))
+        .withColumn("lo", floor((col("n") + 1) / 2))
+        .withColumn("hi", floor(col("n") / 2) + 1)
+        .where(col("rn") === col("lo") || col("rn") === col("hi"))
+        .groupBy("grp")
+        .agg(((max(when(col("rn") === col("lo"), col(vCol))) +
+          max(when(col("rn") === col("hi"), col(vCol)))) / lit(2.0))
+          .as(outCol))
+    }
+    val med = midSelect(base, "x", "median")
+    val dev = base.join(broadcast(med), Seq("grp"))
+      .withColumn("d", abs(col("x") - col("median")))
+    val mad = midSelect(dev.select(col("grp"), col("d")), "d", "mad")
+    val w = Window.partitionBy("grp").orderBy("x")
+    val nw = Window.partitionBy("grp")
+    val trimmed = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(nw))
+      .withColumn("k", floor(col("n") / 10))
+      .where(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+      .groupBy("grp")
+      .agg(max(col("n")).as("n"),
+        (sum(col("x")) / count(lit(1)).cast("double")).as("trimmed_mean"))
+    trimmed.join(med, Seq("grp")).join(mad, Seq("grp"))
+      .select(col("grp"), col("n"), col("trimmed_mean"), col("median"),
+        col("mad"))
+  }
+}

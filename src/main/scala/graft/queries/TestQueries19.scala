@@ -973,6 +973,141 @@ object TestQueries19 {
       LEFT JOIN csz ON csz.cluster_id = cl.cluster_id
       ORDER BY d.doc_id"""))
 
+  /** Robust per-source stats —
+    * [[graft.analytics.RobustStats.robustStats]] over n_chars: exact
+    * median / MAD by mid-rank selection, 10%-trimmed mean. Integer
+    * inputs make every selected value and half-sum exact binary → RAW.
+    */
+  val q251RobustStats: QueryCase = QueryCase(
+    "q251_robust_stats",
+    (s, dir) => graft.analytics.RobustStats
+      .robustStats(Tables.documents(s, dir), "source", "n_chars")
+      .select(col("grp").as("source"), col("n"), col("trimmed_mean"),
+        col("median"), col("mad"))
+      .orderBy("source"),
+    Some("""
+      WITH b AS (
+        SELECT source AS grp, CAST(n_chars AS DOUBLE) AS x FROM documents),
+      r AS (
+        SELECT grp, x, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM b),
+      med AS (
+        SELECT grp, (MAX(CASE WHEN rn = (n + 1) // 2 THEN x END)
+          + MAX(CASE WHEN rn = n // 2 + 1 THEN x END))
+          / CAST(2.0 AS DOUBLE) AS median
+        FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        GROUP BY grp),
+      dev AS (
+        SELECT b.grp, ABS(b.x - med.median) AS d
+        FROM b JOIN med USING (grp)),
+      rd AS (
+        SELECT grp, d, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d)
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM dev),
+      mad AS (
+        SELECT grp, (MAX(CASE WHEN rn = (n + 1) // 2 THEN d END)
+          + MAX(CASE WHEN rn = n // 2 + 1 THEN d END))
+          / CAST(2.0 AS DOUBLE) AS mad
+        FROM rd WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        GROUP BY grp),
+      tr AS (
+        SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+               SUM(x) / CAST(COUNT(*) AS DOUBLE) AS trimmed_mean
+        FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+        GROUP BY grp)
+      SELECT tr.grp AS source, tr.n, tr.trimmed_mean, med.median, mad.mad
+      FROM tr JOIN med USING (grp) JOIN mad USING (grp)
+      ORDER BY source"""))
+
+  /** Multi-class eval of the in-engine language-ID heuristic against
+    * the labeled lang column —
+    * [[graft.analytics.RankEval.classifierEval]] over q25's
+    * predictions: per-class precision/recall/F1 from exact confusion
+    * counts → RAW (F1 is the fixed association).
+    */
+  val q252LangidEval: QueryCase = QueryCase(
+    "q252_langid_eval",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextFunctions.tokens(col("text")).as("tk"))
+      def cnt(stops: Seq[String]) =
+        TextFunctions.tokensInSetCount(col("tk"), stops)
+      val counted = toks.select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"),
+          lit("[\\u4e00-\\u9fff]"), lit(0))).as("cjk"),
+        cnt(TextFunctions.StopwordsEn).as("s_en"),
+        cnt(TextFunctions.StopwordsEs).as("s_es"),
+        cnt(TextFunctions.StopwordsFr).as("s_fr"),
+        cnt(TextFunctions.StopwordsDe).as("s_de"))
+      val best = greatest(col("s_en"), col("s_es"), col("s_fr"),
+        col("s_de"))
+      val pick = Seq("en" -> col("s_en"), "es" -> col("s_es"),
+          "fr" -> col("s_fr"), "de" -> col("s_de"))
+        .foldLeft(lit(null: String)) { case (acc, (l, c)) =>
+          coalesce(acc, when(c === best && c > 0, lit(l)))
+        }
+      val preds = counted.withColumn("lang_pred",
+        when(col("cjk") > 0, lit("zh"))
+          .otherwise(coalesce(pick, lit("und"))))
+      graft.analytics.RankEval.classifierEval(preds, "lang", "lang_pred")
+        .orderBy("cls")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, text,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      sc AS (
+        SELECT doc_id, lang,
+          LEN(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk,
+          LEN(list_filter(tk, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS s_en,
+          LEN(list_filter(tk, x -> list_contains(['el','la','de','que','y','en','un','los','se','por'], x))) AS s_es,
+          LEN(list_filter(tk, x -> list_contains(['le','la','de','et','un','les','des','en','du','que'], x))) AS s_fr,
+          LEN(list_filter(tk, x -> list_contains(['der','die','das','und','ein','zu','den','von','mit','ist'], x))) AS s_de
+        FROM toks),
+      pred AS (
+        SELECT lang AS y,
+          CASE WHEN cjk > 0 THEN 'zh'
+               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de
+                 AND s_en > 0 THEN 'en'
+               WHEN s_es >= s_fr AND s_es >= s_de AND s_es > 0 THEN 'es'
+               WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+               WHEN s_de > 0 THEN 'de'
+               ELSE 'und' END AS p
+        FROM sc),
+      t AS (SELECT y AS cls, CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM pred GROUP BY 1),
+      pr AS (SELECT p AS cls, CAST(COUNT(*) AS BIGINT) AS n_pred
+             FROM pred GROUP BY 1),
+      c AS (SELECT y AS cls, CAST(COUNT(*) AS BIGINT) AS n_correct
+            FROM pred WHERE y = p GROUP BY 1),
+      m AS (
+        SELECT COALESCE(t.cls, pr.cls) AS cls,
+               COALESCE(t.n_true, 0) AS n_true,
+               COALESCE(pr.n_pred, 0) AS n_pred,
+               COALESCE(c.n_correct, 0) AS n_correct
+        FROM t FULL OUTER JOIN pr ON pr.cls = t.cls
+        LEFT JOIN c ON c.cls = COALESCE(t.cls, pr.cls)),
+      f AS (
+        SELECT cls, n_true, n_pred, n_correct,
+          CASE WHEN n_pred = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE)
+               END AS precision,
+          CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE CAST(n_correct AS DOUBLE) / CAST(n_true AS DOUBLE)
+               END AS recall
+        FROM m)
+      SELECT cls, n_true, n_pred, n_correct, precision, recall,
+        CASE WHEN precision + recall = 0 THEN CAST(0.0 AS DOUBLE)
+             ELSE CAST(2.0 AS DOUBLE) * precision * recall
+               / (precision + recall) END AS f1
+      FROM f ORDER BY cls"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
@@ -980,5 +1115,6 @@ object TestQueries19 {
       q240LuhnValidation, q241KAnonymity, q242TokenDropout,
       q243BenfordAudit, q244SpecDecode, q245TemplatePhrases,
       q246SourceNovelty, q247BrierDecomposition, q248BradleyTerry,
-      q249ContainmentPairs, q250SoftDedup)
+      q249ContainmentPairs, q250SoftDedup, q251RobustStats,
+      q252LangidEval)
 }

@@ -1,0 +1,49 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Exact-selection robust stats on hand lists, incl. outlier immunity. */
+class RobustStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stats(xs: Seq[Int]) = RobustStats
+    .robustStats(xs.map(("g", _)).toDF("grp", "x"), "grp", "x")
+    .collect()(0)
+
+  test("odd list: median is the center, MAD the center deviation") {
+    // 1 2 3 4 100 → median 3; devs |x−3| = 2 1 0 1 97 → sorted
+    // 0 1 1 2 97 → MAD 1; n=5, k=0 → trimmed mean = mean = 22
+    val r = stats(Seq(1, 2, 3, 4, 100))
+    assert(r.getAs[Double]("median") == 3.0)
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Double]("trimmed_mean") == 22.0)
+  }
+
+  test("even list: mid-rank average; trim drops the outlier") {
+    // 1..9 and 1000: median (5+6)/2 = 5.5; k = 1 → trim 1 and 1000 →
+    // mean of 2..9 = 5.5; untrimmed mean would be 104.5
+    val r = stats((1 to 9) :+ 1000)
+    assert(r.getAs[Long]("n") == 10)
+    assert(r.getAs[Double]("median") == 5.5)
+    assert(r.getAs[Double]("trimmed_mean") == 5.5)
+    // devs from 5.5: 4.5 3.5 2.5 1.5 0.5 0.5 1.5 2.5 3.5 994.5 →
+    // sorted mid pair (2.5, 2.5) → MAD 2.5
+    assert(r.getAs[Double]("mad") == 2.5)
+  }
+
+  test("classifierEval: hand confusion table") {
+    val df = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"),   // a: 3 true, 2 correct
+      ("b", "b"),                           // b: 1 true, 1 correct
+      ("c", "a"))                           // c: never predicted
+      .toDF("y", "p")
+    val m = RankEval.classifierEval(df, "y", "p").collect()
+      .map(r => r.getAs[String]("cls") ->
+        (r.getAs[Long]("n_true"), r.getAs[Long]("n_pred"),
+          r.getAs[Long]("n_correct"), r.getAs[Double]("precision"),
+          r.getAs[Double]("recall"))).toMap
+    assert(m("a") == ((3L, 3L, 2L, 2.0 / 3.0, 2.0 / 3.0)))
+    assert(m("b") == ((1L, 2L, 1L, 0.5, 1.0)))
+    assert(m("c") == ((1L, 0L, 0L, 0.0, 0.0)))
+  }
+}
