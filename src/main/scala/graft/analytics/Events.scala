@@ -81,6 +81,46 @@ object Events {
       .toDF(keyCol, orderCol, valueCol, "ewma")
   }
 
+  /** One-sided CUSUM change detection (Page 1954) per key — the
+    * sequential drift monitor a pipeline runs over per-entity metric
+    * streams: S_t = max(0, S_{t−1} + (x_t − target − slack)) accumulates
+    * only sustained upward excess (slack absorbs noise), and S_t
+    * crossing `threshold` raises the alarm far earlier than any
+    * windowed mean for small persistent shifts.
+    *
+    * Same shape as [[ewma]]: a per-key ordered walk inside
+    * `flatMapGroups` (keys partition the work; each group's history
+    * sorts and folds locally — the bounded-per-key contract of every
+    * sequential recurrence here). The recurrence is max/add/subtract
+    * only, so both engines produce the identical IEEE sequence and
+    * outputs compare RAW.
+    *
+    * Output per row: (key, ord, x, s, alarm).
+    */
+  def cusum(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, target: Double, slack: Double,
+      threshold: Double): DataFrame = {
+    require(slack >= 0.0 && threshold > 0.0,
+      "slack must be >= 0 and threshold > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(valueCol).cast("double").as("x"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.map { case (_, ord, x) => (ord, x) }.toArray
+        java.util.Arrays.sort(rows, Ordering.by((r: (Long, Double)) => r._1))
+        var s = 0.0
+        rows.iterator.map { case (ord, x) =>
+          s = math.max(0.0, s + (x - target - slack))
+          (k, ord, x, s, s > threshold)
+        }
+      }
+      .toDF(keyCol, orderCol, valueCol, "s", "alarm")
+  }
+
   /** Ordered funnel: for each user, the earliest time of step 1, then the
     * earliest step-2 event strictly after it, and so on — the standard
     * "did A, then B, then C" analysis where step order matters. Returns

@@ -1108,6 +1108,42 @@ object TestQueries19 {
                / (precision + recall) END AS f1
       FROM f ORDER BY cls"""))
 
+  /** One-sided CUSUM drift monitor — [[graft.analytics.Events.cusum]]
+    * per user over event values (target 50, slack 5, threshold 100):
+    * the sequential change detector, mirrored by the oracle as a
+    * recursive-CTE recurrence. max/add only → identical IEEE walk →
+    * RAW (the q114 EWMA discipline — no display rounding).
+    */
+  val q253Cusum: QueryCase = QueryCase(
+    "q253_cusum",
+    (s, dir) => graft.analytics.Events.cusum(
+        Tables.events(s, dir).where(col("user_id") < 20),
+        "user_id", "event_id", "value",
+        target = 50.0, slack = 5.0, threshold = 100.0)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id"), col("value"), col("s"), col("alarm"))
+      .orderBy("user_id", "event_id"),
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS ord
+        FROM events WHERE user_id < 20),
+      rec AS (
+        SELECT user_id, event_id, value, ord,
+               GREATEST(CAST(0.0 AS DOUBLE),
+                 value - CAST(50.0 AS DOUBLE) - CAST(5.0 AS DOUBLE)) AS s
+        FROM d WHERE ord = 1
+        UNION ALL
+        SELECT d.user_id, d.event_id, d.value, d.ord,
+               GREATEST(CAST(0.0 AS DOUBLE),
+                 r.s + (d.value - CAST(50.0 AS DOUBLE)
+                   - CAST(5.0 AS DOUBLE)))
+        FROM rec r JOIN d ON d.user_id = r.user_id AND d.ord = r.ord + 1)
+      SELECT user_id, event_id, value, s,
+             s > CAST(100.0 AS DOUBLE) AS alarm
+      FROM rec ORDER BY user_id, event_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
@@ -1116,5 +1152,5 @@ object TestQueries19 {
       q243BenfordAudit, q244SpecDecode, q245TemplatePhrases,
       q246SourceNovelty, q247BrierDecomposition, q248BradleyTerry,
       q249ContainmentPairs, q250SoftDedup, q251RobustStats,
-      q252LangidEval)
+      q252LangidEval, q253Cusum)
 }

@@ -99,4 +99,19 @@ class EventsSpec extends SparkSpec {
       ("2024-01-08", 0, 1L)  // u3's own cohort
     ))
   }
+
+  test("cusum: hand-traced walk with reset, slack, and alarm") {
+    import spark.implicits._
+    // target 10, slack 1: excess = x − 11.
+    // x = 12, 8, 15, 15, 5 → S = 1, 0 (clamped), 4, 8, 2; alarm at S>6
+    val df = Seq((1L, 12.0), (2L, 8.0), (3L, 15.0), (4L, 15.0),
+      (5L, 5.0)).map { case (o, x) => ("u", o, x) }
+      .toDF("user_id", "event_id", "value")
+    val out = Events.cusum(df, "user_id", "event_id", "value",
+        target = 10.0, slack = 1.0, threshold = 6.0)
+      .orderBy("event_id").collect()
+      .map(r => (r.getAs[Double]("s"), r.getAs[Boolean]("alarm")))
+    assert(out.toSeq == Seq((1.0, false), (0.0, false), (4.0, false),
+      (8.0, true), (2.0, false)))
+  }
 }
