@@ -1144,6 +1144,83 @@ object TestQueries19 {
              s > CAST(100.0 AS DOUBLE) AS alarm
       FROM rec ORDER BY user_id, event_id"""))
 
+  /** MMR diversified selection — [[graft.search.Mmr.select]] (λ=0.7,
+    * k=6) over the top-20 cosine page for query vector 0: the RAG
+    * diversity re-ranker. Cosines are exact folds + correctly-rounded
+    * sqrt, the score one fixed λ-combination, argmax ties on id — the
+    * oracle replays the pool build and all six greedy rounds → RAW.
+    */
+  val q254Mmr: QueryCase = QueryCase(
+    "q254_mmr",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val withN = e.withColumn("nv", VectorFunctions.norm2(col("v")))
+      val q = withN.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nv").as("nq"))
+      val pool = withN.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"), col("v"),
+          VectorFunctions.cosineFromParts(col("v"), col("qv"),
+            col("nv"), col("nq")).as("rel"))
+        .orderBy(desc("rel"), col("id")).limit(20)
+      graft.search.Mmr.select(pool, "id", "v", "rel",
+        k = 6, lambda = 0.7)
+    },
+    Some {
+      def dot(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), ii -> $a[ii] * $b[ii])),
+             (acc, t) -> acc + t)"""
+      def nrm(a: String) =
+        s"""sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), ii -> $a[ii] * $a[ii])),
+             (acc, t) -> acc + t))"""
+      val lam = "CAST(0.7 AS DOUBLE)"
+      val oneMinus = "(CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))"
+      def round(k: Int): String = {
+        val prior = (1 until k).map(j => s"s$j")
+        val sims = prior.map(p =>
+          s"${dot("p.v", s"$p.v")} / (p.nv * $p.nv)")
+        val ms = if (sims.size == 1) sims.head
+          else s"GREATEST(${sims.mkString(", ")})"
+        val notIn = prior.map(p => s"p.id <> $p.id").mkString(" AND ")
+        s"""s$k AS (
+          SELECT p.id, p.v, p.nv, p.rel, p.ms,
+                 $lam * p.rel - $oneMinus * p.ms AS score
+          FROM (
+            SELECT p.id, p.v, p.nv, p.rel, $ms AS ms
+            FROM pool p, ${prior.mkString(", ")}
+            WHERE $notIn) p
+          ORDER BY score DESC, p.id LIMIT 1)"""
+      }
+      s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      nn AS (SELECT vec_id, v, ${nrm("v")} AS nv FROM e),
+      qv AS (SELECT v AS q, nv AS nq FROM nn WHERE vec_id = 0),
+      scored AS (
+        SELECT n.vec_id AS id, n.v, n.nv,
+               ${dot("n.v", "qv.q")} / (n.nv * qv.nq) AS rel
+        FROM nn n, qv WHERE n.vec_id <> 0),
+      pool AS (
+        SELECT id, v, nv, rel FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, id) AS rk
+          FROM scored) WHERE rk <= 20),
+      s1 AS (
+        SELECT id, v, nv, rel, CAST(-1.0 AS DOUBLE) AS ms, rel AS score
+        FROM pool ORDER BY rel DESC, id LIMIT 1),
+      ${(2 to 6).map(round).mkString(",\n")}
+      ${(1 to 6).map(i =>
+          s"""SELECT CAST($i AS INT) AS sel_order, id, rel,
+              ms AS max_sim_sel, score AS mmr_score FROM s$i""")
+        .mkString("\n      UNION ALL\n      ")}
+      ORDER BY sel_order"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
@@ -1152,5 +1229,5 @@ object TestQueries19 {
       q243BenfordAudit, q244SpecDecode, q245TemplatePhrases,
       q246SourceNovelty, q247BrierDecomposition, q248BradleyTerry,
       q249ContainmentPairs, q250SoftDedup, q251RobustStats,
-      q252LangidEval, q253Cusum)
+      q252LangidEval, q253Cusum, q254Mmr)
 }

@@ -1,0 +1,70 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Maximal Marginal Relevance (Carbonell & Goldstein 1998) — the
+  * diversity re-ranker between retrieval and the context window: pick
+  * the most relevant candidate, then k−1 times the one maximizing
+  * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so near-duplicate hits don't
+  * crowd out coverage. The RAG cousin of [[graft.operators.Coreset]]'s
+  * farthest-first loop (MMR at λ=0 IS k-center on similarities).
+  *
+  * Contract: candidates are a BOUNDED retrieval page (the
+  * [[Reranker]] discipline — rerank a page, never a table); selected
+  * vectors ride into each round's plan as literals and the per-round
+  * argmax is a TakeOrdered top-1, so each of the k rounds is one
+  * narrow distributed pass.
+  *
+  * Determinism: cosines are exact left folds + correctly-rounded
+  * sqrt; the score is one fixed λ-combination; argmax ties break on
+  * id — outputs compare RAW against an oracle replaying the same
+  * rounds.
+  *
+  * Output: (sel_order, id, rel, max_sim_sel, mmr_score) —
+  * max_sim_sel = −1 and mmr_score = rel for the seed pick.
+  */
+object Mmr {
+
+  def select(cands: DataFrame, idCol: String, vecCol: String,
+             relCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && k <= 1024, "k must be in [1, 1024]")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val v = cands.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        col(relCol).cast("double").as("rel"))
+      .where(col("v").isNotNull)
+      .withColumn("nv",
+        sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    def simTo(center: Array[Double]): Column = {
+      val ns = math.sqrt(center.foldLeft(0.0)((a, x) => a + x * x))
+      val c = array(center.map(lit(_)).toIndexedSeq: _*)
+      aggregate(zip_with(col("v"), c, (x, y) => x * y),
+        lit(0.0), (acc, t) => acc + t) / (col("nv") * lit(ns))
+    }
+    val seed = v.orderBy(desc("rel"), col("id")).limit(1).head()
+    var selected = List((seed.getLong(0),
+      seed.getSeq[Double](1).toArray, seed.getDouble(2), -1.0,
+      seed.getDouble(2)))
+    var rounds = 1
+    while (rounds < k) {
+      val sel = selected.map(_._1).toSet
+      val maxSim = selected.reverse.map(s => simTo(s._2))
+        .reduceLeft((a, b) => greatest(a, b))
+      val next = v.where(!col("id").isin(sel.toSeq: _*))
+        .withColumn("ms", maxSim)
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("ms"))
+        .orderBy(desc("score"), col("id")).limit(1).head()
+      selected = (next.getAs[Long]("id"),
+        next.getAs[Seq[Double]]("v").toArray, next.getAs[Double]("rel"),
+        next.getAs[Double]("ms"), next.getAs[Double]("score")) :: selected
+      rounds += 1
+    }
+    selected.reverse.zipWithIndex
+      .map { case ((id, _, rel, ms, sc), i) => (i + 1, id, rel, ms, sc) }
+      .toDF("sel_order", "id", "rel", "max_sim_sel", "mmr_score")
+  }
+}

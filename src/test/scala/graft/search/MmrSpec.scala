@@ -1,0 +1,35 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** MMR selection on hand-placed vectors: the seed is the most
+  * relevant, a near-duplicate of a selected doc is passed over for a
+  * diverse one, and λ=1 degenerates to pure relevance order.
+  */
+class MmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // rel order: 1 > 2 > 3; doc 2 is (nearly) identical to doc 1,
+  // doc 3 is orthogonal to both
+  private val cands = Seq(
+    (1L, Seq(1.0, 0.0), 0.95),
+    (2L, Seq(1.0, 0.001), 0.94),
+    (3L, Seq(0.0, 1.0), 0.50))
+    .toDF("id", "v", "rel")
+
+  test("diversity: the near-duplicate loses to the orthogonal doc") {
+    val out = Mmr.select(cands, "id", "v", "rel", k = 2, lambda = 0.5)
+      .collect().sortBy(_.getAs[Int]("sel_order"))
+    assert(out(0).getAs[Long]("id") == 1L)
+    assert(out(0).getAs[Double]("max_sim_sel") == -1.0)
+    // doc 2: 0.5·0.94 − 0.5·(~1.0) < doc 3: 0.5·0.50 − 0.5·0.0
+    assert(out(1).getAs[Long]("id") == 3L)
+  }
+
+  test("lambda = 1 is pure relevance order") {
+    val out = Mmr.select(cands, "id", "v", "rel", k = 3, lambda = 1.0)
+      .collect().sortBy(_.getAs[Int]("sel_order"))
+      .map(_.getAs[Long]("id"))
+    assert(out.sameElements(Array(1L, 2L, 3L)))
+  }
+}
