@@ -164,6 +164,18 @@ object ScaleRehearsal {
           reps.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
           println(s"[build] embeddings x$copies (rotated) -> $out")
         }
+        // events: per-copy id/user shift — each copy keeps its per-user
+        // sequential structure (EWMA/CUSUM/sessionize walk unchanged
+        // shapes), user count grows 10×
+        locally {
+          val base = graft.sources.Tables.events(spark, src)
+          val reps = (0 until copies).map { k =>
+            base.withColumn("event_id", col("event_id") + lit(k * KeyShift))
+              .withColumn("user_id", col("user_id") + lit(k * KeyShift))
+          }.reduce(_ unionByName _)
+          reps.write.mode("overwrite").parquet(s"$out/events.parquet")
+          println(s"[build] events x$copies (user-shifted) -> $out")
+        }
         // dimensions stay single-copy: each customer now holds `copies`×
         // the orders — organic fan-out growth, not key dilution
         Seq("customer", "nation", "region", "supplier", "part").foreach { n =>
