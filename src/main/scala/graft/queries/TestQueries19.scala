@@ -1221,6 +1221,78 @@ object TestQueries19 {
       ORDER BY sel_order"""
     })
 
+  /** Degree-ordered triangle counting + local clustering —
+    * [[graft.operators.TriangleCount.triangles]] over a deterministic
+    * doc-id graph (ring edges i→i+1, i→i+2 and sparse i→i+5 chords):
+    * the graph-shape audit for similarity graphs; wedge fan-out
+    * bounded by oriented out-degree. Exact integers + one exact
+    * division → RAW. Oracle replays degrees, orientation, wedges, and
+    * closure.
+    */
+  val q255Triangles: QueryCase = QueryCase(
+    "q255_triangles",
+    (s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      val mx = ids.agg(max(col("i")).as("m"))
+      val e = ids.crossJoin(broadcast(mx))
+      val edges = e.where(col("i") + 1 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 1).as("b"))
+        .unionByName(e.where(col("i") + 2 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 2).as("b")))
+        .unionByName(e.where(col("i") % 3 === 0 && col("i") + 5 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 5).as("b")))
+      graft.operators.TriangleCount.triangles(edges, "a", "b")
+        .orderBy("node")
+    },
+    Some("""
+      WITH ids AS (SELECT doc_id AS i FROM documents),
+      mx AS (SELECT MAX(i) AS m FROM ids),
+      edges AS (
+        SELECT i AS u, i + 1 AS v FROM ids, mx WHERE i + 1 <= m
+        UNION ALL
+        SELECT i, i + 2 FROM ids, mx WHERE i + 2 <= m
+        UNION ALL
+        SELECT i, i + 5 FROM ids, mx WHERE i % 3 = 0 AND i + 5 <= m),
+      und AS (
+        SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+        FROM edges WHERE u <> v),
+      deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+          SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+        GROUP BY n),
+      oriented AS (
+        SELECT CASE WHEN du.degree < dv.degree
+                 OR (du.degree = dv.degree AND und.u < und.v)
+               THEN und.u ELSE und.v END AS src,
+               CASE WHEN du.degree < dv.degree
+                 OR (du.degree = dv.degree AND und.u < und.v)
+               THEN und.v ELSE und.u END AS dst
+        FROM und
+        JOIN deg du ON du.n = und.u
+        JOIN deg dv ON dv.n = und.v),
+      wedges AS (
+        SELECT o1.src, o1.dst AS b, o2.dst AS c
+        FROM oriented o1 JOIN oriented o2 ON o2.src = o1.src
+        WHERE o1.dst < o2.dst),
+      tri AS (
+        SELECT w.src, w.b, w.c FROM wedges w
+        JOIN und ON und.u = w.b AND und.v = w.c),
+      pn AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+          SELECT src AS n FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+        GROUP BY n)
+      SELECT deg.n AS node, deg.degree,
+             COALESCE(pn.triangles, 0) AS triangles,
+             CASE WHEN deg.degree < 2 THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST(2.0 AS DOUBLE)
+                    * CAST(COALESCE(pn.triangles, 0) AS DOUBLE)
+                    / CAST(deg.degree * (deg.degree - 1) AS DOUBLE) END
+               AS clustering
+      FROM deg LEFT JOIN pn ON pn.n = deg.n
+      ORDER BY node"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
@@ -1229,5 +1301,5 @@ object TestQueries19 {
       q243BenfordAudit, q244SpecDecode, q245TemplatePhrases,
       q246SourceNovelty, q247BrierDecomposition, q248BradleyTerry,
       q249ContainmentPairs, q250SoftDedup, q251RobustStats,
-      q252LangidEval, q253Cusum, q254Mmr)
+      q252LangidEval, q253Cusum, q254Mmr, q255Triangles)
 }

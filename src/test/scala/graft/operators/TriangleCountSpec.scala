@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Triangle counts on known graphs: K4, a path, and a pendant node. */
+class TriangleCountSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def count(edges: Seq[(Long, Long)]) = TriangleCount
+    .triangles(edges.toDF("a", "b"), "a", "b")
+    .collect().map(r => r.getAs[Long]("node") ->
+      (r.getAs[Long]("degree"), r.getAs[Long]("triangles"),
+        r.getAs[Double]("clustering"))).toMap
+
+  test("K4: every node sits in 3 triangles with clustering 1") {
+    val m = count(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)))
+    (1L to 4L).foreach { n =>
+      assert(m(n) == ((3L, 3L, 1.0)), s"node $n")
+    }
+  }
+
+  test("a path has no triangles; duplicate/reversed edges dedupe") {
+    val m = count(Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L), (1L, 2L)))
+    assert(m.values.forall(_._2 == 0L))
+    assert(m(2L)._1 == 2L)
+  }
+
+  test("pendant on a triangle: clustering reflects the open wedges") {
+    // triangle 1-2-3 plus pendant 4 on node 1: node 1 has degree 3,
+    // one triangle → clustering 2·1/(3·2) = 1/3
+    val m = count(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)))
+    assert(m(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(m(4L) == ((1L, 0L, 0.0)))
+  }
+}
