@@ -1293,6 +1293,59 @@ object TestQueries19 {
       FROM deg LEFT JOIN pn ON pn.n = deg.n
       ORDER BY node"""))
 
+  /** Percolation (reverse search) —
+    * [[graft.search.Percolator.percolate]]: one stored routing query
+    * per source — its top-5 document-frequency tokens, 3-of-5 — probed
+    * by every document's distinct token set ("does this doc speak
+    * source X's vocabulary"), the alerting/routing layer of ingest.
+    * Exact distinct counts → RAW.
+    */
+  val q256Percolate: QueryCase = QueryCase(
+    "q256_percolate",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        col("source"), TextFunctions.tokens(col("text")).as("tk"))
+      val spost = toks.select(col("source"), col("doc_id"),
+        explode(array_distinct(col("tk"))).as("term")).distinct()
+      val dfq = spost.groupBy("source", "term")
+        .agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("df").desc, col("term"))
+      val queries = dfq.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 5)
+        .groupBy(col("source").as("qid"))
+        .agg(collect_list(col("term")).as("terms"))
+        .withColumn("min_match", lit(3L))
+      graft.search.Percolator.percolate(
+          toks.select(col("doc_id"), col("tk")),
+          "doc_id", "tk", queries, "qid", "terms", "min_match")
+        .orderBy("doc_id", "query_id")
+    },
+    Some(s"""
+      WITH toks AS (
+        SELECT doc_id, source, $TokensSql AS tk FROM documents),
+      spost AS (
+        SELECT DISTINCT source, doc_id, u.t AS term
+        FROM toks, UNNEST(list_distinct(tk)) AS u(t)),
+      dfq AS (
+        SELECT source, term, COUNT(*) AS df FROM spost GROUP BY 1, 2),
+      top5 AS (
+        SELECT source, term FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY df DESC, term) AS rk
+          FROM dfq) WHERE rk <= 5),
+      qpost AS (SELECT source AS query_id, term FROM top5),
+      dpost AS (
+        SELECT DISTINCT doc_id, u.t AS term
+        FROM toks, UNNEST(list_distinct(tk)) AS u(t))
+      SELECT d.doc_id, p.query_id,
+             CAST(COUNT(*) AS BIGINT) AS n_matched,
+             CAST(3 AS BIGINT) AS n_required
+      FROM dpost d JOIN qpost p USING (term)
+      GROUP BY d.doc_id, p.query_id
+      HAVING COUNT(*) >= 3
+      ORDER BY doc_id, query_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
@@ -1301,5 +1354,6 @@ object TestQueries19 {
       q243BenfordAudit, q244SpecDecode, q245TemplatePhrases,
       q246SourceNovelty, q247BrierDecomposition, q248BradleyTerry,
       q249ContainmentPairs, q250SoftDedup, q251RobustStats,
-      q252LangidEval, q253Cusum, q254Mmr, q255Triangles)
+      q252LangidEval, q253Cusum, q254Mmr, q255Triangles,
+      q256Percolate)
 }

@@ -1,0 +1,49 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Percolation — reverse search (the Elasticsearch percolator shape):
+  * the QUERIES are indexed and incoming DOCUMENTS probe them, answering
+  * "which stored alerts/routing rules match this doc" in one pass. The
+  * routing/alerting layer of an ingest pipeline: saved searches,
+  * topic taps, compliance watches all run as percolation at ingest
+  * time, not as N search queries per document.
+  *
+  * Match semantics: a stored query is a term SET with a minimum-match
+  * count (minMatch = size → AND, 1 → OR, k-of-n in between). A doc
+  * matches when ≥ minMatch of the query's distinct terms appear in its
+  * distinct token set.
+  *
+  * Scale shape: explode both sides to (term → id) postings and join on
+  * the TERM — work is Σ_term docs(term)·queries(term), the inverted-
+  * index intersection, never docs × queries. The query table is the
+  * small side by construction (alerts, not corpus).
+  *
+  * Determinism: exact distinct counts → RAW.
+  */
+object Percolator {
+
+  /** Matches: (doc_id, query_id, n_matched, n_required) — one row per
+    * (doc, query) reaching the query's minMatch.
+    *
+    * @param queries (queryIdCol, termsCol: array<string>, minMatchCol)
+    */
+  def percolate(docs: DataFrame, docIdCol: String, tokensCol: String,
+                queries: DataFrame, queryIdCol: String,
+                termsCol: String, minMatchCol: String): DataFrame = {
+    val dPost = docs
+      .select(col(docIdCol).as("doc_id"),
+        explode(array_distinct(col(tokensCol))).as("term"))
+    val qPost = queries
+      .select(col(queryIdCol).as("query_id"),
+        col(minMatchCol).cast("long").as("n_required"),
+        explode(array_distinct(col(termsCol))).as("term"))
+    dPost.join(qPost, Seq("term"))
+      .groupBy("doc_id", "query_id", "n_required")
+      .agg(count(lit(1)).as("n_matched"))
+      .where(col("n_matched") >= col("n_required"))
+      .select(col("doc_id"), col("query_id"), col("n_matched"),
+        col("n_required"))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** Percolation semantics: AND/OR/k-of-n thresholds, distinct-term
+  * counting (repeated doc tokens count once), and no cross-matches.
+  */
+class PercolatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, Seq("alpha", "beta", "gamma", "alpha")),  // alpha repeats
+    (2L, Seq("alpha", "delta")),
+    (3L, Seq("zeta")))
+    .toDF("doc_id", "tk")
+
+  private val queries = Seq(
+    (10L, Seq("alpha", "beta"), 2L),   // AND
+    (11L, Seq("alpha", "zeta"), 1L),   // OR
+    (12L, Seq("alpha", "beta", "gamma"), 2L)) // 2-of-3
+    .toDF("qid", "terms", "min_match")
+
+  private lazy val out = Percolator
+    .percolate(docs, "doc_id", "tk", queries, "qid", "terms", "min_match")
+    .collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("query_id")) -> r.getAs[Long]("n_matched")).toMap
+
+  test("AND query needs every term; repeated tokens count once") {
+    assert(out.contains((1L, 10L)) && out((1L, 10L)) == 2L)
+    assert(!out.contains((2L, 10L)))   // has alpha but not beta
+  }
+
+  test("OR query matches on any term, both docs") {
+    assert(out.contains((1L, 11L)) && out((1L, 11L)) == 1L)
+    assert(out.contains((2L, 11L)) && out.contains((3L, 11L)))
+  }
+
+  test("k-of-n threshold") {
+    assert(out.contains((1L, 12L)) && out((1L, 12L)) == 3L)
+    assert(!out.contains((2L, 12L)))   // only alpha matches (1 < 2)
+  }
+}
