@@ -1346,6 +1346,128 @@ object TestQueries19 {
       HAVING COUNT(*) >= 3
       ORDER BY doc_id, query_id"""))
 
+  // shared BM25 SQL for the RM3 pair: q161's query over
+  // join/filter/shuffle/broadcast, rounded per-doc scores
+  private val Rm3BaseSql = s"""
+      toks AS (
+        SELECT doc_id, u.t AS t
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(tk) AS u(t)),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       AVG(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM toks
+        WHERE t IN ('join', 'filter', 'shuffle', 'broadcast')
+        GROUP BY doc_id, t),
+      dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      parts AS (
+        SELECT tf.doc_id, tf.t,
+               ln((stats.n - dfreq.df + CAST(0.5 AS DOUBLE))
+                    / (dfreq.df + CAST(0.5 AS DOUBLE))
+                  + CAST(1.0 AS DOUBLE))
+                 * (tf.tf * CAST(2.2 AS DOUBLE))
+                 / (tf.tf + CAST(1.2 AS DOUBLE)
+                    * (CAST(0.25 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+                 AS part
+        FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id)
+        CROSS JOIN stats),
+      bm AS (
+        SELECT doc_id, SUM(part) AS score,
+               ROUND(SUM(part), 6) AS sc6
+        FROM parts GROUP BY doc_id),
+      fb AS (SELECT doc_id, sc6 FROM bm
+             ORDER BY sc6 DESC, doc_id LIMIT 10),
+      tot AS (SELECT SUM(sc6) AS s FROM fb),
+      wt AS (
+        SELECT cnt.t AS term,
+               ROUND(SUM(CAST(cnt.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE)
+                 * (fb.sc6 / tot.s)), 6) AS weight
+        FROM (SELECT doc_id, t, COUNT(*) AS tf FROM toks
+              WHERE t NOT IN ('join', 'filter', 'shuffle', 'broadcast')
+              GROUP BY doc_id, t) cnt
+        JOIN fb ON fb.doc_id = cnt.doc_id
+        JOIN dl ON dl.doc_id = cnt.doc_id
+        CROSS JOIN tot
+        GROUP BY cnt.t),
+      exp AS (
+        SELECT term, weight,
+               CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, term) AS INT)
+                 AS rank
+        FROM wt
+        ORDER BY weight DESC, term LIMIT 5)"""
+
+  /** RM3 pseudo-relevance-feedback expansion terms —
+    * [[graft.search.Bm25.rm3Terms]] (fb 10 docs / 5 terms) for the
+    * q161 query: the recall lever of the retrieval stack. Feedback-doc
+    * and term ranks both order on ROUNDED(6) keys (the round-9
+    * never-rank-on-raw-libm rule). ROUND(6) weights.
+    */
+  val q257Rm3Terms: QueryCase = QueryCase(
+    "q257_rm3_terms",
+    (s, dir) => graft.search.Bm25
+      .rm3Terms(Tables.documents(s, dir), "doc_id", "text",
+        Seq("join", "filter", "shuffle", "broadcast"))
+      .orderBy("rank"),
+    Some(s"""
+      WITH $Rm3BaseSql
+      SELECT rank, term, weight FROM exp ORDER BY rank"""))
+
+  /** RM3 blended re-scoring — [[graft.search.Bm25.rm3Score]]
+    * (λ = 0.6): λ·BM25(query) + (1−λ)·Σ ŵ_e·part(e) with ŵ the
+    * expansion weights renormalized by their term-ordered fold sum.
+    * Full matching set, no top-k float boundary; all scores ROUND(6).
+    */
+  val q258Rm3Score: QueryCase = QueryCase(
+    "q258_rm3_score",
+    (s, dir) => graft.search.Bm25
+      .rm3Score(Tables.documents(s, dir), "doc_id", "text",
+        Seq("join", "filter", "shuffle", "broadcast"))
+      .select(col("id").as("doc_id"),
+        round(col("orig_score"), 6).as("orig_score"),
+        round(col("exp_score"), 6).as("exp_score"),
+        round(col("score"), 6).as("score"))
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH $Rm3BaseSql,
+      wsum AS (
+        SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list(weight ORDER BY term)), (a, b) -> a + b) AS s
+        FROM exp),
+      tf2 AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM toks
+        WHERE t IN (SELECT term FROM exp)
+        GROUP BY doc_id, t),
+      dfreq2 AS (SELECT t, COUNT(*) AS df FROM tf2 GROUP BY t),
+      parts2 AS (
+        SELECT tf2.doc_id,
+               ln((stats.n - dfreq2.df + CAST(0.5 AS DOUBLE))
+                    / (dfreq2.df + CAST(0.5 AS DOUBLE))
+                  + CAST(1.0 AS DOUBLE))
+                 * (tf2.tf * CAST(2.2 AS DOUBLE))
+                 / (tf2.tf + CAST(1.2 AS DOUBLE)
+                    * (CAST(0.25 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))
+                 * (exp.weight / wsum.s) AS wpart
+        FROM tf2
+        JOIN exp ON exp.term = tf2.t
+        JOIN dfreq2 ON dfreq2.t = tf2.t
+        JOIN dl ON dl.doc_id = tf2.doc_id
+        CROSS JOIN stats CROSS JOIN wsum),
+      es AS (SELECT doc_id, SUM(wpart) AS exp_score FROM parts2
+             GROUP BY doc_id)
+      SELECT COALESCE(bm.doc_id, es.doc_id) AS doc_id,
+        ROUND(COALESCE(bm.score, CAST(0.0 AS DOUBLE)), 6) AS orig_score,
+        ROUND(COALESCE(es.exp_score, CAST(0.0 AS DOUBLE)), 6)
+          AS exp_score,
+        ROUND(CAST(0.6 AS DOUBLE)
+            * COALESCE(bm.score, CAST(0.0 AS DOUBLE))
+          + (CAST(1.0 AS DOUBLE) - CAST(0.6 AS DOUBLE))
+            * COALESCE(es.exp_score, CAST(0.0 AS DOUBLE)), 6) AS score
+      FROM bm FULL OUTER JOIN es ON es.doc_id = bm.doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
@@ -1355,5 +1477,5 @@ object TestQueries19 {
       q246SourceNovelty, q247BrierDecomposition, q248BradleyTerry,
       q249ContainmentPairs, q250SoftDedup, q251RobustStats,
       q252LangidEval, q253Cusum, q254Mmr, q255Triangles,
-      q256Percolate)
+      q256Percolate, q257Rm3Terms, q258Rm3Score)
 }

@@ -115,4 +115,122 @@ object Bm25 {
       .groupBy("id")
       .agg(sum(col("part")).as("score"), count(lit(1)).as("n_terms"))
   }
+
+  /** RM3 pseudo-relevance-feedback expansion terms (Abdul-Jaleel et al.
+    * 2004; the Anserini BM25+RM3 spelling): retrieve top `fbDocs` by
+    * BM25, build the RM1 feedback model
+    * w(t) = Σ_D (tf(t,D)/|D|) · (score_D / Σ score), and keep the top
+    * `fbTerms` NON-query terms — the expansion vocabulary a second
+    * retrieval pass mixes in. The classic recall lever when the
+    * query's own words under-describe the topic.
+    *
+    * Determinism: every ranking key is ROUNDED(6) before ordering
+    * (feedback-doc ranks and term ranks both — the round-9 rule:
+    * never rank on raw libm bits), ties on id/term; tf/dl are exact
+    * rationals and score factors are the rounded doubles, so weights
+    * agree cross-engine to 1 ulp and rank identically on the rounded
+    * key.
+    *
+    * Output: (rank, term, weight) with weight rounded to 6.
+    */
+  def rm3Terms(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], fbDocs: Int = 10,
+               fbTerms: Int = 5, k1: Double = 1.2,
+               b: Double = 0.75): DataFrame = {
+    require(fbDocs >= 1 && fbTerms >= 1, "fbDocs/fbTerms must be positive")
+    val lowered = terms.map(_.toLowerCase)
+    val fb = score(docs, idCol, textCol, terms, k1, b)
+      .select(col("id"), round(col("score"), 6).as("sc6"))
+      .orderBy(desc("sc6"), col("id")).limit(fbDocs)
+    val tot = fb.agg(sum(col("sc6")).as("s"))
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val w = toks.join(fb, Seq("id")).join(dl, Seq("id"))
+      .where(!col("t").isin(lowered: _*))
+      .groupBy("t", "id", "dl", "sc6")
+      .agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(tot))
+      .groupBy("t")
+      .agg(sum(col("tf").cast("double") / col("dl").cast("double") *
+        (col("sc6") / col("s"))).as("weight"))
+      .select(col("t").as("term"), round(col("weight"), 6).as("weight"))
+    w.orderBy(desc("weight"), col("term")).limit(fbTerms)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("weight"), col("term"))))
+      .select(col("rank"), col("term"), col("weight"))
+  }
+
+  /** RM3 re-scoring: λ·BM25(original terms) + (1−λ)·Σ_e ŵ_e·part(e)
+    * with ŵ the [[rm3Terms]] weights renormalized to sum 1 — the
+    * second retrieval pass over the expanded query. Emits the full
+    * matching set (no top-k float boundary); callers round the score.
+    */
+  def rm3Score(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], fbDocs: Int = 10, fbTerms: Int = 5,
+               origWeight: Double = 0.6, k1: Double = 1.2,
+               b: Double = 0.75): DataFrame = {
+    require(origWeight >= 0.0 && origWeight <= 1.0,
+      "origWeight must be in [0, 1]")
+    val exp = rm3Terms(docs, idCol, textCol, terms, fbDocs, fbTerms,
+      k1, b)
+    val expRows = exp.select(col("term"), col("weight"))
+      .orderBy("term").collect()
+    val wsum = expRows.map(_.getAs[Double]("weight")).foldLeft(0.0)(_ + _)
+    val expTerms = expRows.map(_.getAs[String]("term")).toSeq
+    val orig = score(docs, idCol, textCol, terms, k1, b)
+      .select(col("id"), col("score").as("orig_score"))
+    val expanded =
+      if (expTerms.isEmpty || wsum == 0.0) None
+      else {
+        val wMap = expRows.map(r => r.getAs[String]("term") ->
+          r.getAs[Double]("weight") / wsum).toMap
+        val wCol = expTerms.tail.foldLeft(
+          when(col("t") === expTerms.head, lit(wMap(expTerms.head)))) {
+          (acc, t) => acc.when(col("t") === t, lit(wMap(t)))
+        }
+        Some(scorePerTerm(docs, idCol, textCol, expTerms, k1, b)
+          .withColumn("wpart", col("part") * wCol)
+          .groupBy("id").agg(sum(col("wpart")).as("exp_score")))
+      }
+    val joined = expanded match {
+      case Some(e) => orig.join(e, Seq("id"), "full")
+      case None => orig.withColumn("exp_score", lit(null).cast("double"))
+    }
+    joined
+      .select(col("id"),
+        coalesce(col("orig_score"), lit(0.0)).as("orig_score"),
+        coalesce(col("exp_score"), lit(0.0)).as("exp_score"))
+      .withColumn("score",
+        lit(origWeight) * col("orig_score") +
+          lit(1.0 - origWeight) * col("exp_score"))
+  }
+
+  /** Per-(doc, term) BM25 parts (the [[score]] internals without the
+    * per-doc sum) — the building block weighted expansion needs.
+    */
+  private def scorePerTerm(docs: DataFrame, idCol: String,
+                           textCol: String, terms: Seq[String],
+                           k1: Double, b: Double): DataFrame = {
+    val lowered = terms.map(_.toLowerCase)
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks.where(col("t").isin(lowered: _*))
+      .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("t"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("part",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b)
+            + lit(b) * col("dl") / col("avgdl"))))
+      .select(col("id"), col("t"), col("part"))
+  }
 }

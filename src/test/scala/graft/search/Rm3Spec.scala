@@ -1,0 +1,44 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** RM3 contracts: expansion terms come from the feedback docs, never
+  * include the query's own terms, rank by RM1 weight, and the blended
+  * score moves docs that only carry expansion vocabulary.
+  */
+class Rm3Spec extends SparkSpec {
+  import spark.implicits._
+
+  // docs about "spark": feedback docs pair it with "catalyst"; one doc
+  // has ONLY the expansion vocabulary
+  private val docs = Seq(
+    (1L, "spark catalyst optimizer catalyst plans"),
+    (2L, "spark catalyst codegen stage"),
+    (3L, "spark tuning guide memory"),
+    (4L, "catalyst rules only no query term"),
+    (5L, "unrelated text entirely different"))
+    .toDF("doc_id", "text")
+
+  test("expansion excludes query terms and surfaces co-occurring ones") {
+    val terms = Bm25.rm3Terms(docs, "doc_id", "text", Seq("spark"),
+      fbDocs = 3, fbTerms = 3).collect()
+    val words = terms.map(_.getAs[String]("term"))
+    assert(!words.contains("spark"))
+    assert(words.contains("catalyst"),
+      s"catalyst should dominate the feedback model, got ${words.toSeq}")
+    // catalyst appears in 2 feedback docs with high tf → rank 1
+    assert(terms.find(_.getAs[Int]("rank") == 1).get
+      .getAs[String]("term") == "catalyst")
+  }
+
+  test("blended score reaches docs with only expansion vocabulary") {
+    val out = Bm25.rm3Score(docs, "doc_id", "text", Seq("spark"),
+        fbDocs = 3, fbTerms = 3, origWeight = 0.5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Double]("orig_score"), r.getAs[Double]("score"))).toMap
+    // doc 4 has no query term (orig 0) but carries "catalyst"
+    assert(out(4L)._1 == 0.0 && out(4L)._2 > 0.0)
+    // doc 5 matches nothing and is absent
+    assert(!out.contains(5L))
+  }
+}
