@@ -24,6 +24,46 @@ import graft.functions.TextFunctions
   */
 object TemplateMiner {
 
+  /** c-TF-IDF distinctive vocabulary per group (Grootendorst's BERTopic
+    * class-TF-IDF): score(t, g) = tf(t, g) · ln(1 + A/f_t) with A the
+    * average token mass per group and f_t the corpus frequency — the
+    * topic-labeling complement to [[topPhrases]]: topPhrases finds what
+    * a group REPEATS, this finds what a group says that the REST of the
+    * corpus doesn't.
+    *
+    * Scale shape: one (group, term) count + one term-keyed corpus count
+    * + a per-group top-k window. Ranking keys are ROUNDED(6) (the
+    * round-9 rule: ln is libm); ties on the term.
+    *
+    * Output: (grp, rank, term, score) — score rounded to 6.
+    */
+  def distinctiveTerms(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, k: Int = 5): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val toks = docs.select(col(groupCol).as("grp"),
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("grp"), explode(col("tk")).as("t"))
+    val tf = toks.groupBy("grp", "t").agg(count(lit(1)).as("tf"))
+    val cf = toks.groupBy("t").agg(count(lit(1)).as("cf"))
+    // two single-purpose aggregates (never countDistinct mixed into a
+    // plain agg — the round-5 Expand rule)
+    val a = toks.agg(count(lit(1)).cast("double").as("ntok"))
+      .crossJoin(toks.select(col("grp")).distinct()
+        .agg(count(lit(1)).cast("double").as("ng")))
+      .select((col("ntok") / col("ng")).as("a"))
+    val scored = tf.join(cf, Seq("t"))
+      .crossJoin(broadcast(a))
+      .select(col("grp"), col("t").as("term"),
+        round(col("tf").cast("double") *
+          log(lit(1.0) + col("a") / col("cf").cast("double")), 6)
+          .as("score"))
+    val w = Window.partitionBy("grp")
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("grp"), col("rank"), col("term"), col("score"))
+  }
+
   /** Top-k phrases per group: (group, rank, gram, df, n_docs,
     * df_share); grams below `minDf` never rank.
     */

@@ -1468,6 +1468,77 @@ object TestQueries19 {
       FROM bm FULL OUTER JOIN es ON es.doc_id = bm.doc_id
       ORDER BY doc_id"""))
 
+  /** Query-performance prediction: clarity score —
+    * [[graft.search.Bm25.clarityScore]]: KL between the feedback
+    * relevance model and the corpus LM, the pre-retrieval "will this
+    * query work" router signal. Counts exact; clarity carries libm
+    * log₂ → ROUND(6).
+    */
+  val q259Clarity: QueryCase = QueryCase(
+    "q259_clarity",
+    (s, dir) => graft.search.Bm25
+      .clarityScore(Tables.documents(s, dir), "doc_id", "text",
+        Seq("join", "filter", "shuffle", "broadcast"))
+      .select(col("n_fb"), col("n_terms"),
+        round(col("clarity"), 6).as("clarity")),
+    Some(s"""
+      WITH $Rm3BaseSql,
+      tot2 AS (SELECT SUM(sc6) AS s, CAST(COUNT(*) AS BIGINT) AS n_fb
+               FROM fb),
+      rel AS (
+        SELECT cnt.t,
+               SUM(CAST(cnt.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE)
+                 * (fb.sc6 / tot2.s)) AS pr
+        FROM (SELECT doc_id, t, COUNT(*) AS tf FROM toks
+              GROUP BY 1, 2) cnt
+        JOIN fb ON fb.doc_id = cnt.doc_id
+        JOIN dl ON dl.doc_id = cnt.doc_id
+        CROSS JOIN tot2
+        GROUP BY cnt.t),
+      cf AS (SELECT t, COUNT(*) AS cf FROM toks GROUP BY t),
+      nc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nc FROM toks)
+      SELECT tot2.n_fb, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        ROUND(SUM(rel.pr * log2(rel.pr
+          / (CAST(cf.cf AS DOUBLE) / nc.nc))), 6) AS clarity
+      FROM rel JOIN cf USING (t) CROSS JOIN nc CROSS JOIN tot2
+      GROUP BY tot2.n_fb"""))
+
+  /** c-TF-IDF distinctive vocabulary per source —
+    * [[graft.operators.TemplateMiner.distinctiveTerms]] (BERTopic's
+    * class-TF-IDF): what each source says that the rest of the corpus
+    * doesn't — the topic-labeling complement to q245's repeated
+    * phrases. Ranking keys ROUNDED(6) (ln is libm), ties on the term.
+    */
+  val q260Ctfidf: QueryCase = QueryCase(
+    "q260_ctfidf",
+    (s, dir) => graft.operators.TemplateMiner
+      .distinctiveTerms(Tables.documents(s, dir), "doc_id", "text",
+        "source")
+      .select(col("grp").as("source"), col("rank"), col("term"),
+        col("score"))
+      .orderBy("source", "rank"),
+    Some(s"""
+      WITH toks AS (
+        SELECT grp, u.t AS t
+        FROM (SELECT source AS grp, $TokensSql AS tk FROM documents),
+             UNNEST(tk) AS u(t)),
+      tf AS (SELECT grp, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      cf AS (SELECT t, COUNT(*) AS cf FROM toks GROUP BY 1),
+      aa AS (
+        SELECT (SELECT CAST(COUNT(*) AS DOUBLE) FROM toks)
+             / (SELECT CAST(COUNT(DISTINCT grp) AS DOUBLE) FROM toks)
+             AS a),
+      sc AS (
+        SELECT grp, t AS term,
+               ROUND(CAST(tf AS DOUBLE)
+                 * ln(CAST(1.0 AS DOUBLE) + aa.a / CAST(cf AS DOUBLE)),
+                 6) AS score
+        FROM tf JOIN cf USING (t) CROSS JOIN aa)
+      SELECT grp AS source, CAST(rk AS INT) AS rank, term, score
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+              ORDER BY score DESC, term) AS rk FROM sc)
+      WHERE rk <= 5 ORDER BY source, rank"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
@@ -1477,5 +1548,6 @@ object TestQueries19 {
       q246SourceNovelty, q247BrierDecomposition, q248BradleyTerry,
       q249ContainmentPairs, q250SoftDedup, q251RobustStats,
       q252LangidEval, q253Cusum, q254Mmr, q255Triangles,
-      q256Percolate, q257Rm3Terms, q258Rm3Score)
+      q256Percolate, q257Rm3Terms, q258Rm3Score, q259Clarity,
+      q260Ctfidf)
 }

@@ -207,6 +207,52 @@ object Bm25 {
           lit(1.0 - origWeight) * col("exp_score"))
   }
 
+  /** Query-performance prediction: the CLARITY score (Cronen-Townsend
+    * et al. 2002) — KL divergence between the feedback-docs relevance
+    * model and the corpus language model,
+    * Σ_t P(t|R)·log₂(P(t|R)/P(t|C)). A focused query's feedback docs
+    * concentrate on topical vocabulary (high clarity); an ambiguous
+    * query's look like the corpus (≈0) — the pre-retrieval router
+    * signal for "will this query's results be any good".
+    *
+    * P(t|R) is the RM1 model of [[rm3Terms]] over ALL feedback-doc
+    * terms (it sums to 1 by construction: P(D) weights sum to 1 and
+    * each P(·|D) is an MLE); P(t|C) the corpus MLE. Feedback docs rank
+    * on ROUNDED(6) BM25 (the round-9 rule).
+    *
+    * Output, one row: (n_fb, n_terms, clarity) — clarity carries libm
+    * log₂ and summation wobble → callers round.
+    */
+  def clarityScore(docs: DataFrame, idCol: String, textCol: String,
+                   terms: Seq[String], fbDocs: Int = 10,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val fb = score(docs, idCol, textCol, terms, k1, b)
+      .select(col("id"), round(col("score"), 6).as("sc6"))
+      .orderBy(desc("sc6"), col("id")).limit(fbDocs)
+    val tot = fb.agg(sum(col("sc6")).as("s"),
+      count(lit(1)).as("n_fb"))
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val corpus = toks.groupBy("t").agg(count(lit(1)).as("cf"))
+    val corpusN = toks.agg(count(lit(1)).as("nc"))
+    val rel = toks.join(fb, Seq("id")).join(dl, Seq("id"))
+      .groupBy("t", "id", "dl", "sc6")
+      .agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(tot))
+      .groupBy("t")
+      .agg(sum(col("tf").cast("double") / col("dl").cast("double") *
+        (col("sc6") / col("s"))).as("pr"))
+    rel.join(corpus, Seq("t"))
+      .crossJoin(broadcast(corpusN))
+      .crossJoin(broadcast(tot.select(col("n_fb"))))
+      .agg(max(col("n_fb")).as("n_fb"),
+        count(lit(1)).as("n_terms"),
+        sum(col("pr") * log2(col("pr") /
+          (col("cf").cast("double") / col("nc").cast("double"))))
+          .as("clarity"))
+  }
+
   /** Per-(doc, term) BM25 parts (the [[score]] internals without the
     * per-doc sum) — the building block weighted expansion needs.
     */

@@ -31,6 +31,20 @@ class TemplateMinerSpec extends SparkSpec {
     assert(!rows.exists(_.getAs[String]("grp") == "B"))
   }
 
+  test("distinctiveTerms: group-exclusive vocabulary outranks shared") {
+    val docs = Seq(
+      (1L, "A", "alpha alpha alpha shared shared"),
+      (2L, "B", "beta beta beta shared shared"))
+      .toDF("doc_id", "source", "text")
+    val rows = TemplateMiner.distinctiveTerms(docs, "doc_id", "text",
+      "source", k = 2).collect()
+    def top(g: String) = rows.filter(r => r.getAs[String]("grp") == g &&
+      r.getAs[Int]("rank") == 1)(0).getAs[String]("term")
+    // "alpha" is A-exclusive (cf 3, high idf); "shared" has cf 4 and
+    // lower tf within each group
+    assert(top("A") == "alpha" && top("B") == "beta")
+  }
+
   test("k caps the per-group list") {
     val docs = Seq(
       (1L, "A", "a b c d e f g h i j"),

@@ -31,6 +31,15 @@ class Rm3Spec extends SparkSpec {
       .getAs[String]("term") == "catalyst")
   }
 
+  test("clarity: focused feedback scores higher than corpus-like") {
+    // "spark" pulls docs rich in catalyst vocabulary → positive KL;
+    // sanity: P(t|R) sums to ~1
+    val r = Bm25.clarityScore(docs, "doc_id", "text", Seq("spark"),
+      fbDocs = 3).collect()(0)
+    assert(r.getAs[Long]("n_fb") == 3)
+    assert(r.getAs[Double]("clarity") > 0.0)
+  }
+
   test("blended score reaches docs with only expansion vocabulary") {
     val out = Bm25.rm3Score(docs, "doc_id", "text", Seq("spark"),
         fbDocs = 3, fbTerms = 3, origWeight = 0.5)
