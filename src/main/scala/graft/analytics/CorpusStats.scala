@@ -220,6 +220,90 @@ object CorpusStats {
         col("n_unique").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Distribution-shift panel between two numeric samples over a fixed
+    * equal-width bucket grid: PSI (population stability index — the
+    * industry drift threshold metric: <0.1 stable, >0.25 shifted) and
+    * 1-D earth mover's distance (bucket-level Wasserstein via
+    * Σ|CDF_a − CDF_b|) — the two standard spellings of "did this
+    * column's distribution move between snapshots/sources", next to
+    * the KL/JS panel of [[tokenDivergence]].
+    *
+    * PSI uses add-½ smoothed shares (an empty bucket on one side must
+    * not blow up the log); EMD uses the raw exact shares. Scale shape:
+    * two bucket aggregates + one bucket-grid join (grid-sized).
+    *
+    * Output, one row: (n_a, n_b, psi, emd) — psi carries libm ln →
+    * callers round; emd is exact rational sums of exact shares.
+    */
+  def distributionShift(a: DataFrame, b: DataFrame, valueCol: String,
+                        lo: Double, hi: Double,
+                        buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && hi > lo, "need ≥2 buckets and hi > lo")
+    val width = (hi - lo) / buckets
+    def bucketed(df: DataFrame, out: String) = df
+      .select(col(valueCol).cast("double").as("x"))
+      .select(greatest(lit(0), least(lit(buckets - 1),
+        floor((col("x") - lit(lo)) / lit(width)).cast("int")))
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(out))
+    val spark = a.sparkSession
+    import spark.implicits._
+    val grid = (0 until buckets).toDF("bucket")
+    val joined = grid
+      .join(bucketed(a, "ca"), Seq("bucket"), "left")
+      .join(bucketed(b, "cb"), Seq("bucket"), "left")
+      .na.fill(0L, Seq("ca", "cb"))
+    val tot = joined.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    joined.crossJoin(broadcast(tot))
+      .withColumn("pa_s",
+        (col("ca").cast("double") + 0.5) /
+          (col("n_a").cast("double") + lit(0.5 * buckets)))
+      .withColumn("pb_s",
+        (col("cb").cast("double") + 0.5) /
+          (col("n_b").cast("double") + lit(0.5 * buckets)))
+      .withColumn("pa", col("ca").cast("double") / col("n_a").cast("double"))
+      .withColumn("pb", col("cb").cast("double") / col("n_b").cast("double"))
+      .withColumn("cum_d", sum(col("pa") - col("pb")).over(w))
+      .groupBy("n_a", "n_b")
+      .agg(sum((col("pa_s") - col("pb_s")) *
+        log(col("pa_s") / col("pb_s"))).as("psi"),
+        sum(abs(col("cum_d"))).as("emd"))
+      .select(col("n_a"), col("n_b"), col("psi"), col("emd"))
+  }
+
+  /** Gini coefficient of the token-frequency distribution — how
+    * concentrated the corpus vocabulary is (0 = uniform use, →1 = a
+    * few tokens carry all the mass), the inequality diagnostic behind
+    * Zipf fits and mixture decisions. Exact: with frequencies ranked
+    * ascending (ties on the token), G = (2·Σ i·f_i)/(V·Σf) − (V+1)/V —
+    * integer sums, two exact divisions.
+    *
+    * Scale shape: one vocab aggregate + one vocab-sized rank window —
+    * exact-selection semantics; at 10⁸+ vocab the approximate path is
+    * a sampled rank (the RobustStats note).
+    *
+    * Output, one row: (v, total_tokens, gini).
+    */
+  def tokenGini(docs: DataFrame, textCol: String): DataFrame = {
+    val f = docs
+      .select(TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f"), col("t"))
+    f.withColumn("i", row_number().over(w))
+      .agg(count(lit(1)).as("v"), sum(col("f")).as("total_tokens"),
+        sum(col("i") * col("f")).as("sif"))
+      .select(col("v"), col("total_tokens"),
+        ((lit(2.0) * col("sif").cast("double")) /
+          (col("v").cast("double") * col("total_tokens").cast("double")) -
+          (col("v") + 1).cast("double") / col("v").cast("double"))
+          .as("gini"))
+  }
+
   /** Least squares of y on x over (x, y, r) points, folded in ascending
     * `r` order (bounded inputs by contract of the two callers). One row:
     * (nName, slope, intercept).

@@ -1539,6 +1539,87 @@ object TestQueries19 {
               ORDER BY score DESC, term) AS rk FROM sc)
       WHERE rk <= 5 ORDER BY source, rank"""))
 
+  /** Distribution-shift panel — [[graft.analytics.CorpusStats
+    * .distributionShift]]: PSI (add-½ smoothed) + bucket-level 1-D EMD
+    * of n_chars, src0 vs the rest, 10 equal buckets over [0, 600).
+    * PSI carries libm ln → ROUND(6); EMD rounds for the summation
+    * term.
+    */
+  val q261DistShift: QueryCase = QueryCase(
+    "q261_dist_shift",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.analytics.CorpusStats.distributionShift(
+          d.where(col("source") === "src0"),
+          d.where(col("source") =!= "src0"),
+          "n_chars", 0.0, 600.0, 10)
+        .select(col("n_a"), col("n_b"), round(col("psi"), 6).as("psi"),
+          round(col("emd"), 6).as("emd"))
+    },
+    Some("""
+      WITH grid AS (SELECT UNNEST(range(0, 10)) AS bucket),
+      ba AS (
+        SELECT GREATEST(0, LEAST(9,
+                 CAST(FLOOR(CAST(n_chars AS DOUBLE)
+                   / CAST(60.0 AS DOUBLE)) AS INT))) AS bucket,
+               COUNT(*) AS ca
+        FROM documents WHERE source = 'src0' GROUP BY 1),
+      bb AS (
+        SELECT GREATEST(0, LEAST(9,
+                 CAST(FLOOR(CAST(n_chars AS DOUBLE)
+                   / CAST(60.0 AS DOUBLE)) AS INT))) AS bucket,
+               COUNT(*) AS cb
+        FROM documents WHERE source <> 'src0' GROUP BY 1),
+      j AS (
+        SELECT grid.bucket, COALESCE(ba.ca, 0) AS ca,
+               COALESCE(bb.cb, 0) AS cb
+        FROM grid LEFT JOIN ba USING (bucket) LEFT JOIN bb USING (bucket)),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                     CAST(SUM(cb) AS BIGINT) AS n_b FROM j),
+      p AS (
+        SELECT j.bucket,
+          (CAST(j.ca AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / (CAST(tot.n_a AS DOUBLE) + CAST(5.0 AS DOUBLE)) AS pa_s,
+          (CAST(j.cb AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / (CAST(tot.n_b AS DOUBLE) + CAST(5.0 AS DOUBLE)) AS pb_s,
+          CAST(j.ca AS DOUBLE) / CAST(tot.n_a AS DOUBLE) AS pa,
+          CAST(j.cb AS DOUBLE) / CAST(tot.n_b AS DOUBLE) AS pb,
+          tot.n_a, tot.n_b
+        FROM j CROSS JOIN tot),
+      c AS (
+        SELECT *, SUM(pa - pb) OVER (ORDER BY bucket
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d
+        FROM p)
+      SELECT n_a, n_b,
+        ROUND(SUM((pa_s - pb_s) * ln(pa_s / pb_s)), 6) AS psi,
+        ROUND(SUM(ABS(cum_d)), 6) AS emd
+      FROM c GROUP BY n_a, n_b"""))
+
+  /** Vocabulary Gini — [[graft.analytics.CorpusStats.tokenGini]]:
+    * inequality of token mass, G = (2·Σ i·f_i)/(V·Σf) − (V+1)/V on
+    * ascending-frequency ranks. Integer sums + two exact divisions →
+    * RAW.
+    */
+  val q262TokenGini: QueryCase = QueryCase(
+    "q262_token_gini",
+    (s, dir) => graft.analytics.CorpusStats
+      .tokenGini(Tables.documents(s, dir), "text"),
+    Some(s"""
+      WITH f AS (
+        SELECT u.t, COUNT(*) AS f
+        FROM (SELECT $TokensSql AS tk FROM documents),
+             UNNEST(tk) AS u(t)
+        GROUP BY 1),
+      r AS (
+        SELECT f, ROW_NUMBER() OVER (ORDER BY f, t) AS i FROM f)
+      SELECT CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(f) AS BIGINT) AS total_tokens,
+             (CAST(2.0 AS DOUBLE) * CAST(SUM(i * f) AS DOUBLE))
+               / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(f) AS DOUBLE))
+               - CAST(COUNT(*) + 1 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS gini
+      FROM r"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
@@ -1549,5 +1630,5 @@ object TestQueries19 {
       q249ContainmentPairs, q250SoftDedup, q251RobustStats,
       q252LangidEval, q253Cusum, q254Mmr, q255Triangles,
       q256Percolate, q257Rm3Terms, q258Rm3Score, q259Clarity,
-      q260Ctfidf)
+      q260Ctfidf, q261DistShift, q262TokenGini)
 }

@@ -64,6 +64,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(beta > 0.0 && beta < 1.0, s"beta $beta should be sublinear")
   }
 
+  test("distributionShift: identical samples score 0, disjoint max out") {
+    val a = (1 to 50).map(_ => 5.0).toDF("x")     // all bucket 0
+    val b = (1 to 50).map(_ => 95.0).toDF("x")    // all bucket 9
+    val same = CorpusStats.distributionShift(a, a, "x", 0.0, 100.0)
+      .collect()(0)
+    assert(math.abs(same.getAs[Double]("psi")) < 1e-12)
+    assert(math.abs(same.getAs[Double]("emd")) < 1e-12)
+    val far = CorpusStats.distributionShift(a, b, "x", 0.0, 100.0)
+      .collect()(0)
+    // mass must travel 9 buckets: Σ|CDF diff| = 9
+    assert(math.abs(far.getAs[Double]("emd") - 9.0) < 1e-12)
+    assert(far.getAs[Double]("psi") > 1.0, "disjoint → strongly shifted")
+  }
+
+  test("tokenGini: uniform vocabulary scores 0, concentration is high") {
+    val uniform = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val g0 = CorpusStats.tokenGini(uniform, "text").collect()(0)
+    assert(math.abs(g0.getAs[Double]("gini")) < 1e-12)
+    // one token with 97 of 100 occurrences
+    val skew = Seq((1L, (Seq.fill(97)("z") ++ Seq("a", "b", "c"))
+      .mkString(" "))).toDF("doc_id", "text")
+    val g1 = CorpusStats.tokenGini(skew, "text").collect()(0)
+    assert(g1.getAs[Long]("v") == 4 && g1.getAs[Double]("gini") > 0.65)
+  }
+
   test("sourceNovelty: shared grams drop novelty, unique grams raise it") {
     val shared = "s1 s2 s3 s4 s5 s6 s7 s8"            // one shared 8-gram
     val docs = Seq(
