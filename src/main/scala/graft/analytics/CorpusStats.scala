@@ -304,6 +304,36 @@ object CorpusStats {
           .as("gini"))
   }
 
+  /** Unseen-vocabulary panel — Chao1 richness (Chao 1984) and the
+    * Good–Turing unseen-mass estimate: from the frequency-of-
+    * frequencies table alone (f₁ singletons, f₂ doubletons),
+    * Chao1 = V + f₁²/(2f₂) estimates how many token types the corpus
+    * has NOT yet seen, and P₀ = f₁/N is the probability the next token
+    * is novel — the coverage question behind "is this crawl big enough
+    * for its domain", complementing [[heapsFit]]'s growth-curve view.
+    *
+    * Scale shape: one vocab aggregate, one 1-row reduction. Exact
+    * integers + single divisions → RAW.
+    *
+    * Output, one row: (v, n, f1, f2, chao1, good_turing_p0).
+    */
+  def unseenMassPanel(docs: DataFrame, textCol: String): DataFrame = {
+    val f = docs
+      .select(TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("f"))
+    f.agg(count(lit(1)).as("v"), sum(col("f")).as("n"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("f") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("v"), col("n"), col("f1"), col("f2"),
+        (col("v").cast("double") +
+          (col("f1") * col("f1")).cast("double") /
+            (lit(2.0) * greatest(col("f2"), lit(1L)).cast("double")))
+          .as("chao1"),
+        (col("f1").cast("double") / col("n").cast("double"))
+          .as("good_turing_p0"))
+  }
+
   /** Least squares of y on x over (x, y, r) points, folded in ascending
     * `r` order (bounded inputs by contract of the two callers). One row:
     * (nName, slope, intercept).

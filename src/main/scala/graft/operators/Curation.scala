@@ -652,6 +652,30 @@ object Curation {
       .drop("_ns")
   }
 
+  /** Cluster-aware k-fold assignment — the cross-validation spelling of
+    * [[leakageSafeSplit]]: every doc's fold is the md5-64 hash of its
+    * near-dup CLUSTER id (mod k, low-bits power-of-two-safe via pmod on
+    * the signed view), so near-duplicates always land in the same fold
+    * and no fold's held-out set leaks paraphrases of another fold's
+    * training data. Singletons hash their own id.
+    *
+    * Scale shape: one left join against the cluster table + a pure
+    * hash — no shuffle beyond the join.
+    *
+    * Output per doc: (id, cluster_id, fold).
+    */
+  def clusterKFold(ids: DataFrame, idCol: String, clusters: DataFrame,
+                   k: Int): DataFrame = {
+    require(k >= 2 && k <= 1024, "k must be in [2, 1024]")
+    ids.select(col(idCol).as("id"))
+      .join(clusters.select(col("id"), col("cluster_id")), Seq("id"),
+        "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+      .withColumn("fold",
+        pmod(graft.functions.CrossHash.md5Hash64(
+          col("cluster_id").cast("string")), lit(k.toLong)).cast("int"))
+  }
+
   /** SOFT deduplication (the down-weight-don't-drop spelling of near-dup
     * handling — SemDeDup/D4-adjacent practice): instead of keeping one
     * canonical doc per near-dup cluster, keep every doc with sampling

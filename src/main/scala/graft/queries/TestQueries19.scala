@@ -1620,6 +1620,95 @@ object TestQueries19 {
                AS gini
       FROM r"""))
 
+  /** Unseen-vocabulary panel —
+    * [[graft.analytics.CorpusStats.unseenMassPanel]]: Chao1 richness
+    * + Good–Turing unseen mass from the frequency-of-frequencies
+    * table — "is this crawl big enough for its domain". Exact
+    * integers + single divisions → RAW.
+    */
+  val q263UnseenMass: QueryCase = QueryCase(
+    "q263_unseen_mass",
+    (s, dir) => graft.analytics.CorpusStats
+      .unseenMassPanel(Tables.documents(s, dir), "text"),
+    Some(s"""
+      WITH f AS (
+        SELECT u.t, COUNT(*) AS f
+        FROM (SELECT $TokensSql AS tk FROM documents),
+             UNNEST(tk) AS u(t)
+        GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(f) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+             CAST(COUNT(*) AS DOUBLE)
+               + CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                   * SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (CAST(2.0 AS DOUBLE) * CAST(GREATEST(
+                     SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END), 1)
+                     AS DOUBLE)) AS chao1,
+             CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(f) AS DOUBLE) AS good_turing_p0
+      FROM f"""))
+
+  /** Cluster-aware k-fold assignment —
+    * [[graft.operators.Curation.clusterKFold]] (k = 8, power of two so
+    * the signed/unsigned hash views agree) over the q95 near-dup
+    * clusters: the cross-validation spelling of the leakage-safe
+    * split. Exact → RAW.
+    */
+  val q264ClusterKfold: QueryCase = QueryCase(
+    "q264_cluster_kfold",
+    (s, dir) => {
+      import graft.operators.{Curation, Dedup}
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 5, 0.2),
+        "id1", "id2")
+      Curation.clusterKFold(docs, "doc_id", clusters, k = 8)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("fold"))
+        .orderBy("doc_id")
+    },
+    Some {
+      import graft.functions.CrossHash
+      s"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id, $TokensSql AS tk FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ')
+                       for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 128),
+      kx AS (SELECT e.doc_id, e.g FROM ex e JOIN keep USING (g)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM kx GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM kx a JOIN kx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2 FROM inter
+        JOIN sz s1 ON s1.doc_id = id1
+        JOIN sz s2 ON s2.doc_id = id2
+        WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2),
+      edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+                UNION ALL SELECT id2, id1 FROM pairs),
+      reach AS (
+        SELECT DISTINCT a AS id, a AS peer FROM edges
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+      cl AS (SELECT id, MIN(peer) AS cluster_id FROM reach GROUP BY id)
+      SELECT d.doc_id,
+        COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+        CAST((${CrossHash.md5Hash64SqlU(
+          "CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)")}) % 8
+          AS INT) AS fold
+      FROM documents d LEFT JOIN cl ON cl.id = d.doc_id
+      ORDER BY d.doc_id"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
@@ -1630,5 +1719,6 @@ object TestQueries19 {
       q249ContainmentPairs, q250SoftDedup, q251RobustStats,
       q252LangidEval, q253Cusum, q254Mmr, q255Triangles,
       q256Percolate, q257Rm3Terms, q258Rm3Score, q259Clarity,
-      q260Ctfidf, q261DistShift, q262TokenGini)
+      q260Ctfidf, q261DistShift, q262TokenGini, q263UnseenMass,
+      q264ClusterKfold)
 }

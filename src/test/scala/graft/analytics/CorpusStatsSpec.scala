@@ -89,6 +89,17 @@ class CorpusStatsSpec extends SparkSpec {
     assert(g1.getAs[Long]("v") == 4 && g1.getAs[Double]("gini") > 0.65)
   }
 
+  test("unseenMassPanel: hand frequency table") {
+    // tokens: a×3 b×2 c×1 d×1 → V=4, N=7, f1=2, f2=1
+    // chao1 = 4 + 4/2 = 6; P0 = 2/7
+    val docs = Seq((1L, "a a a b b c d")).toDF("doc_id", "text")
+    val r = CorpusStats.unseenMassPanel(docs, "text").collect()(0)
+    assert(r.getAs[Long]("v") == 4 && r.getAs[Long]("n") == 7)
+    assert(r.getAs[Long]("f1") == 2 && r.getAs[Long]("f2") == 1)
+    assert(r.getAs[Double]("chao1") == 6.0)
+    assert(r.getAs[Double]("good_turing_p0") == 2.0 / 7.0)
+  }
+
   test("sourceNovelty: shared grams drop novelty, unique grams raise it") {
     val shared = "s1 s2 s3 s4 s5 s6 s7 s8"            // one shared 8-gram
     val docs = Seq(

@@ -183,6 +183,22 @@ class CurationSpec extends SparkSpec {
     assert(out.except(again).isEmpty && again.except(out).isEmpty)
   }
 
+  test("clusterKFold: near-dups share a fold, folds stay in range") {
+    import spark.implicits._
+    val ids = (1L to 200L).toDF("doc_id")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "cluster_id")
+    val out = Curation.clusterKFold(ids, "doc_id", clusters, k = 8)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("fold"))
+      .toMap
+    assert(out.values.forall(f => f >= 0 && f < 8))
+    assert(out(1L) == out(2L) && out(2L) == out(3L),
+      "cluster members must share a fold")
+    assert(out(4L) == out(5L))
+    // singletons spread: every fold is hit over 200 ids
+    assert(out.values.toSet.size == 8)
+  }
+
   test("softDedupWeights: 1/cluster mass, singletons weigh 1") {
     import spark.implicits._
     val ids = (1L to 6L).toDF("doc_id")
