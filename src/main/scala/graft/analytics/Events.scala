@@ -121,6 +121,60 @@ object Events {
       .toDF(keyCol, orderCol, valueCol, "s", "alarm")
   }
 
+  /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) over per-user
+    * activity lifetimes — retention analytics with CENSORING done
+    * right: a user still active near the observation edge hasn't
+    * churned, they're censored, and the naive "fraction still alive"
+    * curve that ignores this biases churn upward. Lifetime = hours
+    * between a user's first and last event; a user is a DEATH (churn)
+    * when their last event precedes the window edge by more than
+    * `horizonHours`, censored otherwise.
+    *
+    *   S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ),  nᵢ = users with lifetime ≥ tᵢ
+    *
+    * Scale shape: one per-user aggregate, one distinct-lifetime
+    * groupBy, two ordered windows over the BOUNDED distinct-lifetime
+    * axis (hours, not users).
+    *
+    * Determinism: counts exact; the product runs as exp(Σ ln(…)) over
+    * the ordered window → libm → callers round survival.
+    *
+    * Output, one row per death time: (t_hours, n_risk, d, survival).
+    */
+  def kaplanMeier(df: DataFrame, userCol: String, tsCol: String,
+                  horizonHours: Long = 24L): DataFrame = {
+    val spans = df.groupBy(col(userCol).as("u"))
+      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+    val edge = df.agg(max(col(tsCol)).as("edge"))
+    val lives = spans.crossJoin(broadcast(edge))
+      .select(col("u"),
+        floor((unix_timestamp(col("last_ts")) -
+          unix_timestamp(col("first_ts"))) / 3600).as("t"),
+        (unix_timestamp(col("last_ts")) <
+          unix_timestamp(col("edge")) - horizonHours * 3600L).as("death"))
+    val byT = lives.groupBy("t")
+      .agg(count(lit(1)).as("n_at"),
+        sum(when(col("death"), 1L).otherwise(0L)).as("d"))
+    val total = lives.agg(count(lit(1)).as("n"))
+    val wBefore = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val wUpTo = org.apache.spark.sql.expressions.Window.orderBy("t")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n") - coalesce(sum(col("n_at")).over(wBefore), lit(0L)))
+      .withColumn("lnf",
+        when(col("d") > 0,
+          log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("survival", exp(sum(col("lnf")).over(wUpTo)))
+      .where(col("d") > 0)
+      .select(col("t").as("t_hours"), col("n_risk"), col("d"),
+        col("survival"))
+  }
+
   /** Ordered funnel: for each user, the earliest time of step 1, then the
     * earliest step-2 event strictly after it, and so on — the standard
     * "did A, then B, then C" analysis where step order matters. Returns

@@ -1709,6 +1709,149 @@ object TestQueries19 {
       ORDER BY d.doc_id"""
     })
 
+  /** CombSUM/CombMNZ score fusion —
+    * [[graft.search.Fusion.combSumMnz]] over a lexical (BM25, q161
+    * terms) and a semantic (cosine to vector 0) system: the
+    * normalized-score complement to RRF. Inputs are ROUNDED(6)
+    * retrieval scores (the round-9 rule); min/max are exact
+    * selections, the ≤2-term sums commutative-exact → RAW.
+    */
+  val q265CombFusion: QueryCase = QueryCase(
+    "q265_comb_fusion",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val a = graft.search.Bm25
+        .score(Tables.documents(s, dir), "doc_id", "text",
+          Seq("join", "filter", "shuffle", "broadcast"))
+        .select(col("id"), round(col("score"), 6).as("score"))
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val withN = e.withColumn("nv", VectorFunctions.norm2(col("v")))
+      val q = withN.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nv").as("nq"))
+      val b = withN.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"),
+          round(VectorFunctions.cosineFromParts(col("v"), col("qv"),
+            col("nv"), col("nq")), 6).as("score"))
+      graft.search.Fusion.combSumMnz(Seq(a, b), "id", "score")
+        .select(col("id").as("doc_id"), col("n_systems"),
+          col("comb_sum"), col("comb_mnz"))
+        .orderBy("doc_id")
+    },
+    Some {
+      def dot(x: String, y: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), ii -> $x[ii] * $y[ii])),
+             (acc, t) -> acc + t)"""
+      def nrm(x: String) =
+        s"""sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, 65), ii -> $x[ii] * $x[ii])),
+             (acc, t) -> acc + t))"""
+      s"""
+      WITH toks AS (
+        SELECT doc_id, u.t AS t
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(tk) AS u(t)),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       AVG(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM toks
+        WHERE t IN ('join', 'filter', 'shuffle', 'broadcast')
+        GROUP BY doc_id, t),
+      dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      sysa AS (
+        SELECT tf.doc_id AS id,
+          ROUND(SUM(ln((stats.n - dfreq.df + CAST(0.5 AS DOUBLE))
+                 / (dfreq.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+               * (tf.tf * CAST(2.2 AS DOUBLE))
+               / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))), 6)
+            AS s
+        FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id)
+        CROSS JOIN stats GROUP BY tf.doc_id),
+      e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      nn AS (SELECT vec_id, v, ${nrm("v")} AS nv FROM e),
+      qv AS (SELECT v AS q, nv AS nq FROM nn WHERE vec_id = 0),
+      sysb AS (
+        SELECT n.vec_id AS id,
+               ROUND(${dot("n.v", "qv.q")} / (n.nv * qv.nq), 6) AS s
+        FROM nn n, qv WHERE n.vec_id <> 0),
+      tagged AS (
+        SELECT id, s, 0 AS sys FROM sysa
+        UNION ALL SELECT id, s, 1 FROM sysb),
+      ranges AS (
+        SELECT sys, MIN(s) AS lo, MAX(s) AS hi FROM tagged GROUP BY sys),
+      normed AS (
+        SELECT t.id,
+          CASE WHEN r.hi = r.lo THEN CAST(1.0 AS DOUBLE)
+               ELSE (t.s - r.lo) / (r.hi - r.lo) END AS norm
+        FROM tagged t JOIN ranges r USING (sys)),
+      g AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS n_systems,
+               SUM(norm) AS comb_sum
+        FROM normed GROUP BY id)
+      SELECT id AS doc_id, n_systems, comb_sum,
+             comb_sum * CAST(n_systems AS DOUBLE) AS comb_mnz
+      FROM g ORDER BY doc_id"""
+    })
+
+  /** Kaplan–Meier survival over per-user activity lifetimes —
+    * [[graft.analytics.Events.kaplanMeier]] (24h churn horizon):
+    * retention with censoring done right. Counts exact; survival runs
+    * exp(Σ ln) over the ordered window → ROUND(6).
+    */
+  val q266KaplanMeier: QueryCase = QueryCase(
+    "q266_kaplan_meier",
+    (s, dir) => graft.analytics.Events
+      .kaplanMeier(Tables.events(s, dir), "user_id", "ts")
+      .select(col("t_hours"), col("n_risk"), col("d"),
+        round(col("survival"), 6).as("survival"))
+      .orderBy("t_hours"),
+    Some("""
+      WITH e AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(date_trunc('microseconds', ts)))
+                 AS BIGINT) AS sec
+        FROM events),
+      spans AS (
+        SELECT user_id, MIN(sec) AS f, MAX(sec) AS l
+        FROM e GROUP BY 1),
+      edge AS (SELECT MAX(sec) AS edge FROM e),
+      lives AS (
+        SELECT user_id,
+          CAST(FLOOR(CAST(l - f AS DOUBLE) / 3600) AS BIGINT) AS t,
+          (l < edge.edge - 24 * 3600) AS death
+        FROM spans, edge),
+      byt AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+               CAST(SUM(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT)
+                 AS d
+        FROM lives GROUP BY t),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lives),
+      r AS (
+        SELECT byt.t, byt.n_at, byt.d, tot.n,
+          CAST(tot.n - COALESCE(SUM(byt.n_at) OVER (ORDER BY byt.t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS n_risk
+        FROM byt CROSS JOIN tot),
+      sv AS (
+        SELECT t, n_risk, d,
+          exp(SUM(CASE WHEN d > 0
+            THEN ln(CAST(1.0 AS DOUBLE)
+              - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+            ELSE CAST(0.0 AS DOUBLE) END)
+            OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+            AS survival
+        FROM r)
+      SELECT t AS t_hours, n_risk, d, ROUND(survival, 6) AS survival
+      FROM sv WHERE d > 0 ORDER BY t_hours"""))
+
   val all: Seq[QueryCase] =
     Seq(q231ClassifierAuc, q232FilterKappa, q233RankCorrelation,
       q234SourceSilhouette, q235StupidBackoff, q236SelfBleu,
@@ -1720,5 +1863,5 @@ object TestQueries19 {
       q252LangidEval, q253Cusum, q254Mmr, q255Triangles,
       q256Percolate, q257Rm3Terms, q258Rm3Score, q259Clarity,
       q260Ctfidf, q261DistShift, q262TokenGini, q263UnseenMass,
-      q264ClusterKfold)
+      q264ClusterKfold, q265CombFusion, q266KaplanMeier)
 }

@@ -1,0 +1,45 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Score-based rank fusion (Fox & Shaw 1994) — the normalized-score
+  * complement to RRF (which fuses RANKS and ignores score magnitudes):
+  * CombSUM adds min-max-normalized scores across systems; CombMNZ
+  * multiplies by the number of systems that returned the doc,
+  * rewarding cross-system agreement. The fusion to reach for when
+  * score CALIBRATION across systems carries signal RRF throws away.
+  *
+  * Scale shape: one union + per-system min/max aggregates (broadcast)
+  * + one id-keyed groupBy. No windows.
+  *
+  * Determinism: callers pass ROUNDED scores (the round-9 rule — libm
+  * retrieval scores rank on rounded keys); min/max are exact
+  * selections, normalization single divisions, the fused sums are
+  * per-id folds over ≤ #systems values → gate rounds the outputs.
+  */
+object Fusion {
+
+  /** Fuse score lists; each input is (idCol, scoreCol). Output:
+    * (id, n_systems, comb_sum, comb_mnz). A system whose scores are
+    * all equal (max = min) contributes 1.0 for every doc it returned.
+    */
+  def combSumMnz(systems: Seq[DataFrame], idCol: String,
+                 scoreCol: String): DataFrame = {
+    require(systems.nonEmpty, "need at least one system")
+    val tagged = systems.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol).as("id"),
+        col(scoreCol).cast("double").as("s"), lit(i).as("sys"))
+    }.reduce(_ unionByName _)
+    val ranges = tagged.groupBy("sys")
+      .agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    tagged.join(broadcast(ranges), Seq("sys"))
+      .withColumn("norm",
+        when(col("hi") === col("lo"), lit(1.0))
+          .otherwise((col("s") - col("lo")) / (col("hi") - col("lo"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_systems"), sum(col("norm")).as("comb_sum"))
+      .withColumn("comb_mnz",
+        col("comb_sum") * col("n_systems").cast("double"))
+  }
+}

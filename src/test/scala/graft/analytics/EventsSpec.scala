@@ -100,6 +100,33 @@ class EventsSpec extends SparkSpec {
     ))
   }
 
+  test("kaplanMeier: hand-traced curve with censoring") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.from(
+      Timestamp.valueOf("2024-01-01 00:00:00").toInstant
+        .plusSeconds(h * 3600L))
+    // lifetimes: u1 1h (death), u2 2h (death), u3 1h (death),
+    // u4 72h ending at the edge (censored)
+    val df = Seq(
+      ("u1", t(0)), ("u1", t(1)),
+      ("u2", t(0)), ("u2", t(2)),
+      ("u3", t(10)), ("u3", t(11)),
+      ("u4", t(0)), ("u4", t(72)))
+      .toDF("user_id", "ts")
+    val rows = Events.kaplanMeier(df, "user_id", "ts", horizonHours = 24)
+      .collect().map(r => r.getAs[Long]("t_hours") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("d"),
+          r.getAs[Double]("survival"))).toMap
+    // t=1: 2 deaths of 4 at risk → S = 0.5
+    assert(rows(1L)._1 == 4 && rows(1L)._2 == 2)
+    assert(math.abs(rows(1L)._3 - 0.5) < 1e-9)
+    // t=2: 1 death of 2 at risk → S = 0.25; u4 censored, never a death
+    assert(rows(2L)._1 == 2 && rows(2L)._2 == 1)
+    assert(math.abs(rows(2L)._3 - 0.25) < 1e-9)
+    assert(rows.size == 2)
+  }
+
   test("cusum: hand-traced walk with reset, slack, and alarm") {
     import spark.implicits._
     // target 10, slack 1: excess = x − 11.

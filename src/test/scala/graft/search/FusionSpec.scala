@@ -1,0 +1,30 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** CombSUM/MNZ on hand score lists: min-max normalization, agreement
+  * multiplier, and the degenerate equal-scores system.
+  */
+class FusionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalized sums and the MNZ agreement multiplier") {
+    val a = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0)).toDF("id", "score")
+    val b = Seq((2L, 1.0), (4L, 0.5)).toDF("id", "score")
+    val m = Fusion.combSumMnz(Seq(a, b), "id", "score").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_systems"), r.getAs[Double]("comb_sum"),
+          r.getAs[Double]("comb_mnz"))).toMap
+    assert(m(1L) == ((1L, 1.0, 1.0)))
+    assert(m(2L) == ((2L, 1.5, 3.0)))    // 0.5 (A) + 1.0 (B), ×2
+    assert(m(3L) == ((1L, 0.0, 0.0)))
+    assert(m(4L) == ((1L, 0.0, 0.0)))
+  }
+
+  test("an equal-scores system contributes 1.0 per returned doc") {
+    val flat = Seq((1L, 7.0), (2L, 7.0)).toDF("id", "score")
+    val m = Fusion.combSumMnz(Seq(flat), "id", "score").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("comb_sum")).toMap
+    assert(m(1L) == 1.0 && m(2L) == 1.0)
+  }
+}
