@@ -1,0 +1,59 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact two-sample distribution tests between each group and the rest
+  * of the corpus — the hypothesis-test complement to the binned
+  * PSI / EMD drift panel ([[graft.analytics.CorpusStats]] q261): PSI
+  * answers "how far apart", KS answers "could this plausibly be the
+  * same distribution", and its statistic needs no binning choice.
+  *
+  * Everything is integer arithmetic: for group g with n values against
+  * the complement with m values, the KS statistic is
+  * `D = max_t |F_g(t) − F_rest(t)| = d_num / (n·m)` where
+  * `d_num = max_t |m·cumG(t) − n·cumRest(t)|` over the pooled jump
+  * points t — exact BIGINTs, so the gate hash-compares RAW; the final
+  * `ks_d` is one division of exact integers.
+  *
+  * Scale shape: one (group, value) count, one per-value count, a
+  * broadcast (group → n) grid crossed with the distinct values, and a
+  * per-group window cumsum — no pair materialization. The grid is
+  * |groups| × |distinct values|; the operator is for panel use where
+  * both are bounded (sources × integral lengths). Reference analogue:
+  * the source-drift report of /root/reference/src/monitoring/drift.py
+  * (binned); this is the exact-test upgrade.
+  */
+object DistTest {
+
+  /** Per-group exact KS-vs-rest panel over an integral value column.
+    * Output: group, n, m, d_num (all exact) + ks_d = d_num/(n·m).
+    */
+  def ksPanel(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v")).where(col("v").isNotNull)
+    val gv = rows.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val vals = rows.groupBy("v").agg(count(lit(1)).as("ct"))
+    val groups = rows.groupBy("g").agg(count(lit(1)).as("n"))
+    val total = vals.agg(sum(col("ct")).as("tot"))
+    // groups is panel-sized: broadcast it against the distinct values so
+    // the grid needs no shuffle beyond the window's group partitioning
+    val grid = vals.crossJoin(broadcast(groups)).crossJoin(broadcast(total))
+    val w = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(gv, Seq("g", "v"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("g"), col("v"), col("n"), (col("tot") - col("n")).as("m"),
+        sum(col("c")).over(w).as("cum_g"),
+        (sum(col("ct")).over(w)).as("cum_t"))
+      .select(col("g"), col("n"), col("m"),
+        abs(col("m") * col("cum_g") - col("n") * (col("cum_t") - col("cum_g")))
+          .as("gap"))
+      .groupBy("g").agg(max(col("n")).as("n"), max(col("m")).as("m"),
+        max(col("gap")).as("d_num"))
+      .select(col("g"), col("n"), col("m"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n") * col("m")).cast("double")).as("ks_d"))
+  }
+}

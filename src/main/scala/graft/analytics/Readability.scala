@@ -1,0 +1,65 @@
+package graft.analytics
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Classic readability grades over pooled per-group counts — the
+  * curation signal the composite quality score (q26) does not carry:
+  * grade-level formulas with published coefficients, computed from
+  * exact integer counts so the gate hash-compares RAW.
+  *
+  * Counts per document (then summed per group — the formulas are
+  * defined on pooled chars/words/sentences, so aggregation is exact):
+  *  - words: whitespace tokens ([[TextFunctions.tokens]]);
+  *  - letters: `[A-Za-z0-9]` characters (ARI's character definition);
+  *  - sentences: runs of terminal punctuation `[.!?]+`, floored at 1
+  *    per non-empty document;
+  *  - syllables: vowel-group runs `[aeiouy]+` per word, floored at 1
+  *    per word (the standard heuristic syllable counter).
+  *
+  * Grades (fixed IEEE expression trees over single exact divisions —
+  * both engines evaluate them bit-identically):
+  *  - ARI  = 4.71·(letters/words) + 0.5·(words/sentences) − 21.43
+  *  - CLI  = 0.0588·(100·letters/words) − 0.296·(100·sentences/words) − 15.8
+  *  - FK   = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+  *
+  * Reference analogue: the per-document quality screens of
+  * /root/reference/src/extraction/quality.py (length/punct ratios);
+  * this adds the grade-level family a curation pipeline bins on.
+  */
+object Readability {
+
+  /** Per-group pooled readability panel over a text column. */
+  def gradePanel(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tk = df
+      .select(col(groupCol).as("g"), col(textCol).as("txt"),
+        TextFunctions.tokens(col(textCol)).as("tks"))
+      .where(length(trim(col("txt"))) > 0)
+    val perDoc = tk.select(col("g"),
+      size(col("tks")).cast("long").as("words"),
+      length(regexp_replace(col("txt"), "[^A-Za-z0-9]", ""))
+        .cast("long").as("letters"),
+      greatest(lit(1L),
+        regexp_count(col("txt"), lit("[.!?]+")).cast("long")).as("sentences"),
+      // vowel-group runs over the whole text ≡ the per-word sum (runs
+      // cannot span a non-vowel), plus one per vowel-less word (≥1 floor)
+      (regexp_count(lower(col("txt")), lit("[aeiouy]+")).cast("long") +
+        size(filter(col("tks"), t => !t.rlike("[aeiouy]"))).cast("long"))
+        .as("syllables"))
+    val pooled = perDoc.groupBy("g").agg(
+      count(lit(1)).as("n_docs"), sum("words").as("words"),
+      sum("letters").as("letters"), sum("sentences").as("sentences"),
+      sum("syllables").as("syllables"))
+    val cw = col("letters").cast("double") / col("words").cast("double")
+    val ws = col("words").cast("double") / col("sentences").cast("double")
+    val sw = col("sentences").cast("double") / col("words").cast("double")
+    val yw = col("syllables").cast("double") / col("words").cast("double")
+    pooled.select(col("g"), col("n_docs"), col("words"), col("letters"),
+      col("sentences"), col("syllables"),
+      (lit(4.71d) * cw + lit(0.5d) * ws - lit(21.43d)).as("ari"),
+      (lit(0.0588d) * (lit(100.0d) * cw) -
+        lit(0.296d) * (lit(100.0d) * sw) - lit(15.8d)).as("cli"),
+      (lit(0.39d) * ws + lit(11.8d) * yw - lit(15.59d)).as("fk"))
+  }
+}

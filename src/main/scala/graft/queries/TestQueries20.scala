@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-11 additions, batch 9 (session 4): exact distribution testing,
+  * readability grading, keyword extraction, record linkage, event-
+  * sequence modeling, and training-shuffle QA — the remaining corpus-
+  * diagnostics canon.
+  */
+object TestQueries20 {
+
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+  /** Exact two-sample Kolmogorov–Smirnov panel: each source's n_chars
+    * distribution against the rest of the corpus —
+    * [[graft.analytics.DistTest.ksPanel]]. All-integer statistic
+    * (d_num = max |m·cumG − n·cumRest| over pooled jump points); the
+    * only division is the final exact d_num/(n·m) → RAW compare.
+    */
+  val q267KsPanel: QueryCase = QueryCase(
+    "q267_ks_panel",
+    (s, dir) => graft.analytics.DistTest
+      .ksPanel(Tables.documents(s, dir), "source", "n_chars")
+      .select(col("g").as("source"), col("n"), col("m"), col("d_num"),
+        col("ks_d"))
+      .orderBy("source"),
+    Some("""
+      WITH rws AS (
+        SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+        FROM documents WHERE n_chars IS NOT NULL),
+      gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+             FROM rws GROUP BY 1, 2),
+      vals AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ct
+               FROM rws GROUP BY 1),
+      grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+              FROM rws GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM rws),
+      grid AS (SELECT grp.g, grp.n, vals.v, vals.ct, tot.tot
+               FROM grp CROSS JOIN vals CROSS JOIN tot),
+      cum AS (
+        SELECT grid.g, grid.n, grid.tot - grid.n AS m,
+          CAST(SUM(COALESCE(gv.c, 0)) OVER
+            (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS cum_g,
+          CAST(SUM(grid.ct) OVER
+            (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS cum_t
+        FROM grid LEFT JOIN gv ON gv.g = grid.g AND gv.v = grid.v)
+      SELECT g AS source, n, CAST(m AS BIGINT) AS m,
+        CAST(MAX(ABS(m * cum_g - n * (cum_t - cum_g))) AS BIGINT) AS d_num,
+        CAST(MAX(ABS(m * cum_g - n * (cum_t - cum_g))) AS DOUBLE)
+          / CAST(n * m AS DOUBLE) AS ks_d
+      FROM cum GROUP BY g, n, m ORDER BY source"""))
+
+  /** Per-source pooled readability panel (ARI / Coleman–Liau /
+    * Flesch–Kincaid) — [[graft.analytics.Readability.gradePanel]].
+    * Integer counts, single exact divisions, fixed IEEE coefficient
+    * trees evaluated identically by both engines → RAW compare.
+    */
+  val q268Readability: QueryCase = QueryCase(
+    "q268_readability",
+    (s, dir) => graft.analytics.Readability
+      .gradePanel(Tables.documents(s, dir), "source", "text")
+      .select(col("g").as("source"), col("n_docs"), col("words"),
+        col("letters"), col("sentences"), col("syllables"),
+        col("ari"), col("cli"), col("fk"))
+      .orderBy("source"),
+    Some(s"""
+      WITH t AS (
+        SELECT source AS g, text AS txt, $TokensSql AS tks
+        FROM documents WHERE LENGTH(TRIM(text)) > 0),
+      per AS (
+        SELECT g,
+          CAST(len(tks) AS BIGINT) AS words,
+          CAST(LENGTH(regexp_replace(txt, '[^A-Za-z0-9]', '', 'g'))
+            AS BIGINT) AS letters,
+          GREATEST(CAST(1 AS BIGINT),
+            CAST(len(regexp_extract_all(txt, '[.!?]+')) AS BIGINT))
+            AS sentences,
+          CAST(len(regexp_extract_all(LOWER(txt), '[aeiouy]+'))
+              AS BIGINT)
+            + CAST(len(list_filter(tks,
+                x -> NOT regexp_matches(x, '[aeiouy]'))) AS BIGINT)
+            AS syllables
+        FROM t),
+      p AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(words) AS BIGINT) AS words,
+          CAST(SUM(letters) AS BIGINT) AS letters,
+          CAST(SUM(sentences) AS BIGINT) AS sentences,
+          CAST(SUM(syllables) AS BIGINT) AS syllables
+        FROM per GROUP BY g)
+      SELECT g AS source, n_docs, words, letters, sentences, syllables,
+        CAST(4.71 AS DOUBLE)
+            * (CAST(letters AS DOUBLE) / CAST(words AS DOUBLE))
+          + CAST(0.5 AS DOUBLE)
+            * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+          - CAST(21.43 AS DOUBLE) AS ari,
+        CAST(0.0588 AS DOUBLE) * (CAST(100.0 AS DOUBLE)
+            * (CAST(letters AS DOUBLE) / CAST(words AS DOUBLE)))
+          - CAST(0.296 AS DOUBLE) * (CAST(100.0 AS DOUBLE)
+            * (CAST(sentences AS DOUBLE) / CAST(words AS DOUBLE)))
+          - CAST(15.8 AS DOUBLE) AS cli,
+        CAST(0.39 AS DOUBLE)
+            * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+          + CAST(11.8 AS DOUBLE)
+            * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+          - CAST(15.59 AS DOUBLE) AS fk
+      FROM p ORDER BY source"""))
+
+  val all: Seq[QueryCase] = Seq(q267KsPanel, q268Readability)
+}

@@ -1,0 +1,50 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Exact KS-vs-rest panel on hand distributions. */
+class DistTestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def panel(rows: Seq[(String, Long)]) = DistTest
+    .ksPanel(rows.toDF("src", "x"), "src", "x")
+    .collect().map(r => r.getAs[String]("g") ->
+      (r.getAs[Long]("n"), r.getAs[Long]("m"), r.getAs[Long]("d_num"),
+        r.getAs[Double]("ks_d"))).toMap
+
+  test("disjoint supports: D = 1 exactly") {
+    // a = {1,2}, b = {10,11}: at t=2, F_a=1, F_b=0 → D=1
+    val p = panel(Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L)))
+    assert(p("a") == ((2L, 2L, 4L, 1.0)))
+    assert(p("b") == ((2L, 2L, 4L, 1.0)))
+  }
+
+  test("identical distributions: D = 0") {
+    val p = panel(Seq(("a", 5L), ("a", 7L), ("b", 5L), ("b", 7L)))
+    assert(p("a")._3 == 0L && p("a")._4 == 0.0)
+  }
+
+  test("hand-computed interleaved case") {
+    // a = {1,3}, b = {2,4}: jump points 1,2,3,4 with n=m=2.
+    // cumA = 1,1,2,2; cumB = 0,1,1,2 → |2·cumA − 2·cumB| = 2,0,2,0
+    // → d_num 2, D = 2/4 = 0.5
+    val p = panel(Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 4L)))
+    assert(p("a") == ((2L, 2L, 2L, 0.5)))
+  }
+
+  test("rest pools every other group") {
+    // a={1}, b={9}, c={9}: for a, rest = {9,9} → D = 1 (m=2, d_num=2)
+    val p = panel(Seq(("a", 1L), ("b", 9L), ("c", 9L)))
+    assert(p("a") == ((1L, 2L, 2L, 1.0)))
+    // for b, rest = {1,9}: jumps at 1 (cumB=0,cumR=1 → |0−1·1|... n=1,m=2:
+    // |2·0 − 1·1| = 1; at 9: |2·1 − 1·2| = 0 → D = 1/2
+    assert(p("b") == ((1L, 2L, 1L, 0.5)))
+  }
+
+  test("duplicate values collapse to one jump point with full weight") {
+    // a = {5,5}, b = {5, 6}: at 5: cumA=2, cumB=1 → |2·2−2·1| = 2;
+    // at 6: |2·2−2·2| = 0 → d_num 2, D = 0.5
+    val p = panel(Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 6L)))
+    assert(p("a") == ((2L, 2L, 2L, 0.5)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Readability grade panel on hand texts with known counts. */
+class ReadabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row(texts: String*) = Readability
+    .gradePanel(texts.map(("g", _)).toDF("src", "text"), "src", "text")
+    .collect()(0)
+
+  test("counts: words, letters, sentences, syllables") {
+    // "The cat sat." → 3 words, 9 letters, 1 sentence;
+    // vowel groups: the(1) cat(1) sat(1) = 3 syllables
+    val r = row("The cat sat.")
+    assert(r.getAs[Long]("n_docs") == 1L)
+    assert(r.getAs[Long]("words") == 3L)
+    assert(r.getAs[Long]("letters") == 9L)
+    assert(r.getAs[Long]("sentences") == 1L)
+    assert(r.getAs[Long]("syllables") == 3L)
+  }
+
+  test("sentence floor: no terminal punctuation still counts 1") {
+    val r = row("no punctuation here")
+    assert(r.getAs[Long]("sentences") == 1L)
+  }
+
+  test("punctuation runs collapse; multiple sentences counted") {
+    // "Hi!! Go. Now?" → runs: "!!", ".", "?" → 3 sentences
+    assert(row("Hi!! Go. Now?").getAs[Long]("sentences") == 3L)
+  }
+
+  test("vowel-less words get the one-syllable floor") {
+    // "shh grr" → 0 vowel groups + 2 floors = 2 syllables
+    assert(row("shh grr").getAs[Long]("syllables") == 2L)
+  }
+
+  test("y counts as a vowel; groups not letters") {
+    // "rhythm fly" → rhythm: y(1); fly: y(1) → 2
+    assert(row("rhythm fly").getAs[Long]("syllables") == 2L)
+  }
+
+  test("ARI matches the closed form on pooled counts") {
+    // "The cat sat." + "A dog ran." → letters 9+7=16, words 6, sent 2
+    // ARI = 4.71·(16/6) + 0.5·(6/2) − 21.43
+    val r = row("The cat sat.", "A dog ran.")
+    val expect = 4.71 * (16.0 / 6.0) + 0.5 * 3.0 - 21.43
+    assert(r.getAs[Double]("ari") == expect)
+    val fk = 0.39 * 3.0 + 11.8 * (r.getAs[Long]("syllables").toDouble / 6.0) - 15.59
+    assert(r.getAs[Double]("fk") == fk)
+  }
+
+  test("blank documents are excluded entirely") {
+    val df = Seq(("g", "   "), ("g", "word")).toDF("src", "text")
+    val r = Readability.gradePanel(df, "src", "text").collect()(0)
+    assert(r.getAs[Long]("n_docs") == 1L)
+  }
+}
