@@ -1,0 +1,63 @@
+package graft.entities
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fellegi–Sunter probabilistic record linkage (JASA 1969) — the
+  * principled weighting layer over the blocking/similarity machinery
+  * in [[graft.entities.Entities]]: per-field agreement weights
+  * log2(m/u) learned from a linked pair of record views.
+  *
+  * Estimation is fully algebraic — no pair enumeration anywhere:
+  *  - m(f) = P(field agrees | same entity) from the DIAGONAL of the
+  *    id-equijoin (one shuffle on the id), Laplace-smoothed
+  *    (A+1)/(T+2) so a perfectly-agreeing field keeps a finite
+  *    disagreement weight;
+  *  - u(f) = P(field agrees | random cross pair) from the value-count
+  *    product identity Σ_v cntA(v)·cntB(v) / (|A|·|B|) — the all-pairs
+  *    agreement rate without materializing pairs, smoothed the same
+  *    way (the standard tiny-match-fraction approximation).
+  *
+  * m and u are single exact divisions of integer counts (RAW-safe);
+  * the weights log2(m/u) and log2((1−m)/(1−u)) are the only libm
+  * steps. Reference analogue: the fixed field weights of
+  * /root/reference/src/entities/matching.py:67-91 (name 0.5 / address
+  * 0.3 hard-coded) — this learns the per-field weights from data.
+  */
+object RecordLinkage {
+
+  /** Per-field F–S weight panel from two views linked by `idCol`.
+    * Output: field, t_pairs, agree_m, cross_num, na, nb, m, u,
+    * w_agree, w_disagree (weights unrounded — gate rounds).
+    */
+  def fsWeights(a: DataFrame, b: DataFrame, idCol: String,
+      fields: Seq[String]): DataFrame = {
+    val sizes = a.agg(count(lit(1)).as("na"))
+      .crossJoin(b.agg(count(lit(1)).as("nb")))
+    val al = a.alias("A"); val bl = b.alias("B")
+    val diag = al.join(bl, col(s"A.$idCol") === col(s"B.$idCol"))
+      .agg(count(lit(1)).as("t_pairs"),
+        fields.map(f => sum(when(col(s"A.$f") === col(s"B.$f"), 1L)
+          .otherwise(0L)).as(s"agree_$f")): _*)
+    val perField = fields.map { f =>
+      val cross = a.groupBy(f).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(f).agg(count(lit(1)).as("cb")), Seq(f))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("cross_num"))
+      cross
+        .crossJoin(diag.select(col("t_pairs"), col(s"agree_$f").as("agree_m")))
+        .crossJoin(sizes)
+        .select(lit(f).as("field"), col("t_pairs"), col("agree_m"),
+          col("cross_num"), col("na"), col("nb"),
+          ((col("agree_m") + 1).cast("double") /
+            (col("t_pairs") + 2).cast("double")).as("m"),
+          ((col("cross_num") + 1).cast("double") /
+            (col("na") * col("nb") + 2).cast("double")).as("u"))
+    }
+    perField.reduce(_ unionByName _)
+      .select(col("field"), col("t_pairs"), col("agree_m"),
+        col("cross_num"), col("na"), col("nb"), col("m"), col("u"),
+        log2(col("m") / col("u")).as("w_agree"),
+        log2((lit(1.0d) - col("m")) / (lit(1.0d) - col("u")))
+          .as("w_disagree"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.{Fts, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** RAKE keyword extraction (Rose et al. 2010) — unsupervised corpus
+  * keyphrase mining, the degree/frequency complement to the c-TF-IDF
+  * distinctive-vocabulary and PMI collocation miners.
+  *
+  * Candidate phrases are maximal runs of content tokens: a run breaks
+  * AT a stopword or a token with no alphanumeric core, and AFTER a
+  * token carrying trailing phrase punctuation (`[.!?,;:]`), so phrases
+  * never span sentence boundaries. Word scores use the standard
+  * degree/frequency form: freq(w) = occurrences of w in candidate
+  * phrases, deg(w) = Σ over those occurrences of (phrase length − 1),
+  * score(w) = (deg + freq)/freq — one exact division of integers.
+  * A phrase scores the sum of its member word scores, folded in
+  * position order so the double sequence is engine-identical (the
+  * sorted-fold discipline) → the gate hash-compares RAW.
+  *
+  * Scale shape: one positional explode, two window passes per doc,
+  * one word-level aggregate joined back by word — no pair joins, no
+  * driver state. Reference analogue: the keyword side of
+  * /root/reference/src/search/keyword_search.py (tsvector terms);
+  * RAKE adds the multi-word candidate mining layer.
+  */
+object Rake {
+
+  /** Top-K corpus keyphrases by RAKE score (ties broken by phrase
+    * text). Output: phrase, n_words, phrase_freq, score.
+    */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+      stop: Set[String] = Fts.Stopwords, topK: Int = 50): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    val flagged = toks.select(col("id"), col("pos"),
+      regexp_replace(col("tok"), "^[^a-z0-9]+|[^a-z0-9]+$", "").as("norm"),
+      col("tok").rlike("[.!?,;:]$").as("punct_after"))
+      .withColumn("breaker",
+        col("norm") === "" || col("norm").isInCollection(stop))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val members = flagged
+      .withColumn("brk", (col("breaker") ||
+        coalesce(lag(col("punct_after"), 1).over(w), lit(false))).cast("int"))
+      .withColumn("run", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(!col("breaker"))
+      .select(col("id"), col("run"), col("pos"), col("norm"))
+    val withLen = members.join(
+      members.groupBy("id", "run").agg(count(lit(1)).as("plen")),
+      Seq("id", "run"))
+    val wordScore = withLen.groupBy("norm")
+      .agg(count(lit(1)).as("freq"), sum(col("plen") - 1).as("deg"))
+      .select(col("norm"),
+        ((col("deg") + col("freq")).cast("double") /
+          col("freq").cast("double")).as("wscore"))
+    val phrases = withLen.join(wordScore, Seq("norm"))
+      .groupBy("id", "run")
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("norm"), col("wscore")))).as("ms"))
+      .select(
+        concat_ws(" ", transform(col("ms"), m => m("norm"))).as("phrase"),
+        size(col("ms")).cast("long").as("n_words"),
+        aggregate(col("ms"), lit(0.0d),
+          (acc, m) => acc + m("wscore")).as("score"))
+    phrases.groupBy("phrase")
+      .agg(max(col("n_words")).as("n_words"),
+        count(lit(1)).as("phrase_freq"), max(col("score")).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+      .select(col("phrase"), col("n_words"), col("phrase_freq"), col("score"))
+  }
+}

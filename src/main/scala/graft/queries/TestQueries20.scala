@@ -108,5 +108,149 @@ object TestQueries20 {
           - CAST(15.59 AS DOUBLE) AS fk
       FROM p ORDER BY source"""))
 
-  val all: Seq[QueryCase] = Seq(q267KsPanel, q268Readability)
+  /** RAKE corpus keyphrases — [[graft.operators.Rake.keywords]]:
+    * degree/frequency word scores over stopword-delimited candidate
+    * runs, phrase score folded in position order. Word scores are
+    * exact divisions; phrase sums are position-ordered left folds →
+    * RAW compare (ties broken by phrase text before the LIMIT).
+    */
+  val q269Rake: QueryCase = QueryCase(
+    "q269_rake",
+    (s, dir) => graft.operators.Rake
+      .keywords(Tables.documents(s, dir), "doc_id", "text", topK = 50),
+    Some {
+      val stopList = graft.functions.Fts.Stopwords.toSeq.sorted
+        .map(w => s"'$w'").mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT doc_id AS id, u.pos AS pos, u.tok AS tok
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(list_transform(tk,
+               (x, ii) -> struct_pack(pos := ii, tok := x))) AS t(u)),
+      fl AS (
+        SELECT id, pos,
+          regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g') AS norm,
+          regexp_matches(tok, '[.!?,;:]$$') AS punct_after
+        FROM toks),
+      fb AS (SELECT *, (norm = '' OR norm IN ($stopList)) AS breaker
+             FROM fl),
+      rn AS (
+        SELECT *, CAST(breaker OR COALESCE(LAG(punct_after)
+          OVER (PARTITION BY id ORDER BY pos), FALSE) AS INT) AS brk
+        FROM fb),
+      rr AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY id ORDER BY pos) AS run
+        FROM rn),
+      mem AS (SELECT id, run, pos, norm FROM rr WHERE NOT breaker),
+      pl AS (SELECT id, run, COUNT(*) AS plen FROM mem GROUP BY 1, 2),
+      wl AS (SELECT mem.id, mem.run, mem.pos, mem.norm, pl.plen
+             FROM mem JOIN pl USING (id, run)),
+      ws AS (SELECT norm, CAST(COUNT(*) AS BIGINT) AS freq,
+                    CAST(SUM(plen - 1) AS BIGINT) AS deg
+             FROM wl GROUP BY 1),
+      wsc AS (SELECT norm,
+                CAST(deg + freq AS DOUBLE) / CAST(freq AS DOUBLE) AS wscore
+              FROM ws),
+      sm AS (SELECT wl.id, wl.run, wl.pos, wl.norm, wsc.wscore
+             FROM wl JOIN wsc USING (norm)),
+      ph AS (
+        SELECT array_to_string(list(norm ORDER BY pos), ' ') AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(wscore ORDER BY pos)), (a, b) -> a + b) AS score
+        FROM sm GROUP BY id, run),
+      agg AS (
+        SELECT phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS phrase_freq,
+               MAX(score) AS score
+        FROM ph GROUP BY phrase)
+      SELECT phrase, n_words, phrase_freq, score
+      FROM agg ORDER BY score DESC, phrase LIMIT 50"""
+    })
+
+  /** Fellegi–Sunter per-field linkage weights —
+    * [[graft.entities.RecordLinkage.fsWeights]] over two views of the
+    * documents table linked by doc_id, view B deterministically
+    * perturbed (id-modulus field noise) so m < 1 varies by field.
+    * Counts and m/u exact; the log2 weights ROUND(6).
+    */
+  val q270FsWeights: QueryCase = QueryCase(
+    "q270_fs_weights",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(
+        col("doc_id").as("id"), col("lang"), col("source"),
+        expr("n_chars div 100").as("lenb"),
+        substring(lower(col("text")), 1, 8).as("head8"))
+      val viewB = base.select(col("id"),
+        when(pmod(col("id"), lit(5)) === 0, lit("zz"))
+          .otherwise(col("lang")).as("lang"),
+        when(pmod(col("id"), lit(7)) === 0, lit("altsrc"))
+          .otherwise(col("source")).as("source"),
+        (col("lenb") + when(pmod(col("id"), lit(11)) === 0, 1L)
+          .otherwise(0L)).as("lenb"),
+        when(pmod(col("id"), lit(13)) === 0,
+          concat(lit("x"), substring(col("head8"), 2, 7)))
+          .otherwise(col("head8")).as("head8"))
+      graft.entities.RecordLinkage
+        .fsWeights(base, viewB, "id", Seq("lang", "source", "lenb", "head8"))
+        .select(col("field"), col("t_pairs"), col("agree_m"),
+          col("cross_num"), col("na"), col("nb"), col("m"), col("u"),
+          round(col("w_agree"), 6).as("w_agree"),
+          round(col("w_disagree"), 6).as("w_disagree"))
+        .orderBy("field")
+    },
+    Some {
+      val fieldSql = Seq("lang", "source", "lenb", "head8").map { f =>
+        s"""
+        SELECT '$f' AS field, d.t_pairs, d.agree_$f AS agree_m,
+          x.cross_num, sz.na, sz.nb,
+          CAST(d.agree_$f + 1 AS DOUBLE) / CAST(d.t_pairs + 2 AS DOUBLE)
+            AS m,
+          CAST(x.cross_num + 1 AS DOUBLE)
+            / CAST(sz.na * sz.nb + 2 AS DOUBLE) AS u
+        FROM diag d, sz,
+          (SELECT CAST(COALESCE(SUM(ca * cb), 0) AS BIGINT) AS cross_num
+           FROM (SELECT $f, CAST(COUNT(*) AS BIGINT) AS ca
+                 FROM va GROUP BY 1) qa
+           JOIN (SELECT $f, CAST(COUNT(*) AS BIGINT) AS cb
+                 FROM vb GROUP BY 1) qb USING ($f)) x"""
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH base AS (
+        SELECT doc_id AS id, lang, source, n_chars // 100 AS lenb,
+               substr(LOWER(text), 1, 8) AS head8
+        FROM documents),
+      va AS (SELECT * FROM base),
+      vb AS (
+        SELECT id,
+          CASE WHEN id % 5 = 0 THEN 'zz' ELSE lang END AS lang,
+          CASE WHEN id % 7 = 0 THEN 'altsrc' ELSE source END AS source,
+          lenb + CASE WHEN id % 11 = 0 THEN 1 ELSE 0 END AS lenb,
+          CASE WHEN id % 13 = 0 THEN 'x' || substr(head8, 2, 7)
+               ELSE head8 END AS head8
+        FROM base),
+      sz AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM va) AS na,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM vb) AS nb),
+      diag AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t_pairs,
+          CAST(SUM(CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS agree_lang,
+          CAST(SUM(CASE WHEN a.source = b.source THEN 1 ELSE 0 END)
+            AS BIGINT) AS agree_source,
+          CAST(SUM(CASE WHEN a.lenb = b.lenb THEN 1 ELSE 0 END)
+            AS BIGINT) AS agree_lenb,
+          CAST(SUM(CASE WHEN a.head8 = b.head8 THEN 1 ELSE 0 END)
+            AS BIGINT) AS agree_head8
+        FROM va a JOIN vb b ON a.id = b.id),
+      stacked AS ($fieldSql)
+      SELECT field, t_pairs, agree_m, cross_num, na, nb, m, u,
+        ROUND(log2(m / u), 6) AS w_agree,
+        ROUND(log2((CAST(1.0 AS DOUBLE) - m)
+          / (CAST(1.0 AS DOUBLE) - u)), 6) AS w_disagree
+      FROM stacked ORDER BY field"""
+    })
+
+  val all: Seq[QueryCase] =
+    Seq(q267KsPanel, q268Readability, q269Rake, q270FsWeights)
 }

@@ -1,0 +1,55 @@
+package graft.entities
+
+import graft.SparkSpec
+
+/** Fellegi–Sunter weight estimation on a hand-traced linked pair. */
+class RecordLinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand case: m, u, and both weights exact") {
+    // a.f = (x,x,y,z), b.f = (x,y,y,z) on ids 1..4:
+    // diagonal agrees on 1,3,4 → A=3, T=4 → m = 4/6 = 2/3
+    // value products: x 2·1 + y 1·2 + z 1·1 = 5 → u = 6/18 = 1/3
+    // w_agree = log2(2) = 1; w_disagree = log2((1/3)/(2/3)) = −1
+    val a = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("id", "f")
+    val b = Seq((1L, "x"), (2L, "y"), (3L, "y"), (4L, "z")).toDF("id", "f")
+    val r = RecordLinkage.fsWeights(a, b, "id", Seq("f")).collect()(0)
+    assert(r.getAs[Long]("t_pairs") == 4L)
+    assert(r.getAs[Long]("agree_m") == 3L)
+    assert(r.getAs[Long]("cross_num") == 5L)
+    assert(r.getAs[Double]("m") == 2.0 / 3.0)
+    assert(r.getAs[Double]("u") == 1.0 / 3.0)
+    assert(r.getAs[Double]("w_agree") == 1.0)
+    assert(r.getAs[Double]("w_disagree") == -1.0)
+  }
+
+  test("unmatched ids drop from the diagonal but count in u") {
+    val a = Seq((1L, "x"), (2L, "x"), (9L, "x")).toDF("id", "f")
+    val b = Seq((1L, "x"), (2L, "x")).toDF("id", "f")
+    val r = RecordLinkage.fsWeights(a, b, "id", Seq("f")).collect()(0)
+    assert(r.getAs[Long]("t_pairs") == 2L)
+    assert(r.getAs[Long]("na") == 3L && r.getAs[Long]("nb") == 2L)
+    assert(r.getAs[Long]("cross_num") == 6L)
+  }
+
+  test("disjoint value sets: cross_num 0, smoothing keeps u finite") {
+    val a = Seq((1L, "p"), (2L, "q")).toDF("id", "f")
+    val b = Seq((1L, "r"), (2L, "s")).toDF("id", "f")
+    val r = RecordLinkage.fsWeights(a, b, "id", Seq("f")).collect()(0)
+    assert(r.getAs[Long]("cross_num") == 0L)
+    assert(r.getAs[Double]("u") == 1.0 / 6.0)
+    // diagonal never agrees → m = 1/4; weights finite both ways
+    assert(r.getAs[Double]("m") == 0.25)
+    assert(!r.getAs[Double]("w_agree").isInfinite)
+    assert(!r.getAs[Double]("w_disagree").isInfinite)
+  }
+
+  test("multi-field panel keeps fields independent") {
+    val a = Seq((1L, "x", "u"), (2L, "y", "v")).toDF("id", "f1", "f2")
+    val b = Seq((1L, "x", "w"), (2L, "z", "v")).toDF("id", "f1", "f2")
+    val m = RecordLinkage.fsWeights(a, b, "id", Seq("f1", "f2"))
+      .collect().map(r => r.getAs[String]("field") ->
+        r.getAs[Long]("agree_m")).toMap
+    assert(m == Map("f1" -> 1L, "f2" -> 1L))
+  }
+}

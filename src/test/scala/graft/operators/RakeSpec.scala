@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** RAKE candidate-run segmentation and degree/frequency scoring on
+  * hand corpora with fully traced arithmetic.
+  */
+class RakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(texts: String*) = Rake
+    .keywords(texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text"), "doc_id", "text")
+    .collect()
+    .map(r => r.getAs[String]("phrase") ->
+      (r.getAs[Long]("n_words"), r.getAs[Long]("phrase_freq"),
+        r.getAs[Double]("score"))).toMap
+
+  test("stopwords split runs; degree/frequency arithmetic") {
+    // phrases: [deep learning models], [deep models]
+    // freq: deep 2, learning 1, models 2; deg: deep 3, learning 2, models 3
+    // wscore: deep 2.5, learning 3.0, models 2.5 → 8.0 and 5.0
+    val p = run("deep learning models. the deep models")
+    assert(p("deep learning models") == ((3L, 1L, 8.0)))
+    assert(p("deep models") == ((2L, 1L, 5.0)))
+  }
+
+  test("trailing punctuation breaks the run; core is kept") {
+    // "spark jobs. run fast" → [spark jobs], [run fast] (2 phrases),
+    // NOT [spark jobs run fast]
+    val p = run("spark jobs. run fast")
+    assert(p.contains("spark jobs") && p.contains("run fast"))
+    assert(!p.contains("spark jobs run fast"))
+  }
+
+  test("pure-punctuation token is a breaker") {
+    val p = run("alpha beta - gamma delta")
+    assert(p.contains("alpha beta") && p.contains("gamma delta"))
+    assert(!p.keys.exists(_.contains("-")))
+  }
+
+  test("repeated phrase counts phrase_freq; single-word phrase scores 1") {
+    // "red car" twice in separate docs; isolated "car" in a third
+    // phrases: [red car] ×2 and [car]: freq car 3, red 2;
+    // deg car 1+1+0 = 2, red 2 → wscore car 5/3, red 2
+    val p = run("red car", "red car", "a car")
+    assert(p("red car")._2 == 2L)
+    assert(p("red car")._3 == 2.0 + 5.0 / 3.0)
+    assert(p("car") == ((1L, 1L, 5.0 / 3.0)))
+  }
+
+  test("comparison against a direct in-memory RAKE on a mixed corpus") {
+    val docs = Seq("the quick brown fox jumps over the lazy dog.",
+      "a quick brown fox! and the dog sleeps",
+      "machine learning is fun. machine learning scales")
+    val stop = graft.functions.Fts.Stopwords
+    // plain Scala reimplementation of the contract
+    val phrases = docs.flatMap { d =>
+      val toks = d.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val out = scala.collection.mutable.ArrayBuffer[List[String]]()
+      var cur = List.newBuilder[String]; var curN = 0
+      def flush(): Unit = { val l = cur.result(); if (l.nonEmpty) out += l
+        cur = List.newBuilder[String]; curN = 0 }
+      toks.foreach { t =>
+        val norm = t.replaceAll("^[^a-z0-9]+|[^a-z0-9]+$", "")
+        if (norm.isEmpty || stop(norm)) flush()
+        else { cur += norm; curN += 1 }
+        if (t.matches(".*[.!?,;:]$")) flush()
+      }
+      flush(); out.toList
+    }
+    val freq = phrases.flatten.groupBy(identity).view.mapValues(_.size)
+    val deg = phrases.flatMap(p => p.map(_ -> (p.size - 1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    val expect = phrases.groupBy(p => p.mkString(" ")).map { case (ph, occ) =>
+      val score = occ.head.foldLeft(0.0)((acc, w) =>
+        acc + (deg(w) + freq(w)).toDouble / freq(w).toDouble)
+      ph -> (occ.head.size.toLong, occ.size.toLong, score)
+    }
+    val got = run(docs: _*)
+    assert(got == expect)
+  }
+}
