@@ -627,4 +627,43 @@ object CorpusLm {
         (sum(col("c") * col("acc")) / sum(col("c")).cast("double"))
           .as("mean_acceptance"))
   }
+
+  /** Leave-one-source-out ablation panel: for each source, the add-k
+    * unigram perplexity of ITS tokens under a model trained on
+    * everything EXCEPT it — "how well does the rest of the corpus
+    * predict this source" (high ppl = the source contributes novel
+    * mass the corpus can't substitute; the ablation complement to the
+    * DoReMi excess-loss and source-novelty panels).
+    *
+    * The |sources|+1 model trainings are ALGEBRAIC: the complement
+    * counts are global − per-source (one grouped count, one join) — no
+    * per-source passes, which is what makes the ablation affordable at
+    * corpus scale. Smoothing uses the GLOBAL vocabulary size V (the
+    * same support for every ablation, so panels are comparable):
+    * p'(w) = (C(w) − c_s(w) + k) / (T − T_s + k·V). Counts exact;
+    * cross-entropy and perplexity go through ln/exp and plain double
+    * sums → ROUND(6).
+    */
+  def looSourcePerplexity(docs: DataFrame, groupCol: String,
+      textCol: String, k: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(groupCol).as("g"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val gt = toks.groupBy("g", "t").agg(count(lit(1)).as("c"))
+    val glob = gt.groupBy("t").agg(sum(col("c")).as("ct"))
+    val vocab = glob.agg(count(lit(1)).as("v"), sum(col("ct")).as("tt"))
+    val srcTot = gt.groupBy("g")
+      .agg(sum(col("c")).as("ts"), count(lit(1)).as("n_types"))
+    val p = (col("ct") - col("c") + lit(k)) /
+      ((col("tt") - col("ts")).cast("double") + lit(k) * col("v"))
+    gt.join(glob, Seq("t"))
+      .crossJoin(broadcast(vocab))
+      .join(srcTot, Seq("g"))
+      .groupBy("g")
+      .agg(max(col("ts")).as("n_tokens"), max(col("n_types")).as("n_types"),
+        sum(when(col("ct") === col("c"), 1L).otherwise(0L)).as("oov_types"),
+        (-sum(col("c") * log(p)) / max(col("ts")).cast("double"))
+          .as("cross_entropy"))
+      .select(col("g"), col("n_tokens"), col("n_types"), col("oov_types"),
+        col("cross_entropy"), exp(col("cross_entropy")).as("ppl"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.plans.Bounded
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** First-order Markov model over per-key event sequences: transition
+  * matrix + fixed-iteration power-method stationary distribution — the
+  * sequence-model complement to the per-key CUSUM/EWMA monitors (what
+  * usually FOLLOWS what, and where the process spends its time).
+  *
+  * Transition counts come from one lead() pass per key (a single
+  * shuffle on the key); probabilities are exact divisions of counts.
+  * The stationary iteration runs on the DRIVER over the collected
+  * transition matrix — a bounded-cardinality contract enforced via
+  * [[graft.plans.Bounded.collectBounded]] (the state space is the
+  * event-type alphabet, |S|² rows, not data-sized). The fold order is
+  * pinned (ascending src state) so the double sequence is
+  * engine-identical and the gate compares RAW.
+  *
+  * Reference analogue: the event-sequence analytics of
+  * /root/reference/src/learning/events.py (ordered activity feeds);
+  * the chain adds the what-follows-what model over them.
+  */
+object MarkovChain {
+
+  /** Transition matrix + stationary distribution after `iters` power
+    * steps from uniform. Output per observed (src,dst) transition:
+    * src_state, dst_state, c, n_src, p (exact), pi_src (the stationary
+    * mass of src_state after the iterations).
+    */
+  def fit(df: DataFrame, keyCol: String, stateCol: String,
+      orderCols: Seq[String], iters: Int = 3): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    val trans = df
+      .withColumn("_nxt", lead(col(stateCol), 1).over(w))
+      .where(col("_nxt").isNotNull)
+      .groupBy(col(stateCol).as("src_state"), col("_nxt").as("dst_state"))
+      .agg(count(lit(1)).as("c"))
+    val probs = trans
+      .join(trans.groupBy("src_state").agg(sum(col("c")).as("n_src")),
+        Seq("src_state"))
+      .select(col("src_state"), col("dst_state"), col("c"), col("n_src"),
+        (col("c").cast("double") / col("n_src").cast("double")).as("p"))
+
+    // driver-side power iteration over the bounded |S|² matrix
+    val rows = Bounded.collectBounded(
+      probs.select("src_state", "dst_state", "p"), "MarkovChain.fit")
+    val entries = rows.map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val states = entries.map(_._1).distinct.sorted
+    val uniform = 1.0d / states.length
+    var pi: Map[String, Double] = states.map(_ -> uniform).toMap
+    val bySrc = entries.sortBy(e => (e._1, e._2))
+    var i = 0
+    while (i < iters) {
+      val next = scala.collection.mutable.LinkedHashMap[String, Double]()
+      // accumulate in ascending (dst, src) order: for each dst the fold
+      // visits src ascending — the order the oracle's sorted list fold uses
+      bySrc.sortBy(e => (e._2, e._1)).foreach { case (s, d, p) =>
+        val m = pi.getOrElse(s, 0.0d)
+        next(d) = next.getOrElse(d, 0.0d) + m * p
+      }
+      pi = next.toMap
+      i += 1
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val piDf = pi.toSeq.toDF("src_state", "pi_src")
+    probs.join(broadcast(piDf), Seq("src_state"), "left")
+      .na.fill(0.0d, Seq("pi_src"))
+  }
+}

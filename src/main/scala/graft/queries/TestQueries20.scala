@@ -251,6 +251,102 @@ object TestQueries20 {
       FROM stacked ORDER BY field"""
     })
 
+  /** First-order Markov chain over per-user event sequences —
+    * [[graft.operators.MarkovChain.fit]]: transition probabilities
+    * (exact divisions) + 3-step power-method stationary mass, the fold
+    * pinned to ascending src order both sides → RAW compare. The
+    * driver-side iteration runs on the |event types|² matrix under the
+    * collectBounded contract.
+    */
+  val q271Markov: QueryCase = QueryCase(
+    "q271_markov",
+    (s, dir) => graft.operators.MarkovChain
+      .fit(Tables.events(s, dir), "user_id", "event_type",
+        Seq("ts", "event_id"), iters = 3)
+      .orderBy("src_state", "dst_state"),
+    Some {
+      def step(prev: String, out: String) =
+        s"""$out AS (
+          SELECT pr.dst AS stt,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(COALESCE(pv.pi, CAST(0.0 AS DOUBLE)) * pr.p
+                   ORDER BY pr.src)),
+              (a, b) -> a + b) AS pi
+          FROM pr LEFT JOIN $prev pv ON pv.stt = pr.src
+          GROUP BY pr.dst)"""
+      s"""
+      WITH seqd AS (
+        SELECT user_id, event_type AS src,
+          LEAD(event_type) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events),
+      trans AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+        FROM seqd WHERE dst IS NOT NULL GROUP BY 1, 2),
+      rt AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n_src
+             FROM trans GROUP BY 1),
+      pr AS (
+        SELECT t.src, t.dst, t.c, rt.n_src,
+          CAST(t.c AS DOUBLE) / CAST(rt.n_src AS DOUBLE) AS p
+        FROM trans t JOIN rt USING (src)),
+      stt AS (SELECT DISTINCT src FROM pr),
+      ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM stt),
+      pi0 AS (SELECT src AS stt, CAST(1.0 AS DOUBLE) / CAST(ns.n AS DOUBLE)
+                AS pi FROM stt, ns),
+      ${step("pi0", "pi1")},
+      ${step("pi1", "pi2")},
+      ${step("pi2", "pi3")}
+      SELECT pr.src AS src_state, pr.dst AS dst_state, pr.c, pr.n_src,
+        pr.p, COALESCE(pi3.pi, CAST(0.0 AS DOUBLE)) AS pi_src
+      FROM pr LEFT JOIN pi3 ON pi3.stt = pr.src
+      ORDER BY src_state, dst_state"""
+    })
+
+  /** Leave-one-source-out unigram perplexity panel —
+    * [[graft.operators.CorpusLm.looSourcePerplexity]]: each source
+    * scored under the model trained on everything else, via algebraic
+    * complement counts (global − source). Counts exact; ln/exp and
+    * plain double sums → ROUND(6) on cross_entropy and ppl.
+    */
+  val q272LooAblation: QueryCase = QueryCase(
+    "q272_loo_ablation",
+    (s, dir) => graft.operators.CorpusLm
+      .looSourcePerplexity(Tables.documents(s, dir), "source", "text",
+        k = 0.5)
+      .select(col("g").as("source"), col("n_tokens"), col("n_types"),
+        col("oov_types"), round(col("cross_entropy"), 6).as("cross_entropy"),
+        round(col("ppl"), 6).as("ppl"))
+      .orderBy("source"),
+    Some(s"""
+      WITH toks AS (
+        SELECT g, u.t AS t
+        FROM (SELECT source AS g, $TokensSql AS tk FROM documents),
+             UNNEST(tk) AS u(t)),
+      gt AS (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c
+             FROM toks GROUP BY 1, 2),
+      gcnt AS (SELECT t, CAST(SUM(c) AS BIGINT) AS ct
+               FROM gt GROUP BY 1),
+      voc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                     CAST(SUM(ct) AS BIGINT) AS tt FROM gcnt),
+      srct AS (SELECT g, CAST(SUM(c) AS BIGINT) AS tks,
+                      CAST(COUNT(*) AS BIGINT) AS n_types
+               FROM gt GROUP BY 1),
+      j AS (
+        SELECT gt.g, gt.c, gcnt.ct, srct.tks, srct.n_types, voc.v, voc.tt
+        FROM gt JOIN gcnt USING (t) CROSS JOIN voc JOIN srct USING (g)),
+      agg AS (
+        SELECT g, MAX(tks) AS n_tokens, MAX(n_types) AS n_types,
+          CAST(SUM(CASE WHEN ct = c THEN 1 ELSE 0 END) AS BIGINT)
+            AS oov_types,
+          -SUM(c * ln((ct - c + CAST(0.5 AS DOUBLE))
+              / (CAST(tt - tks AS DOUBLE) + CAST(0.5 AS DOUBLE) * v)))
+            / CAST(MAX(tks) AS DOUBLE) AS ce
+        FROM j GROUP BY g)
+      SELECT g AS source, n_tokens, n_types, oov_types,
+        ROUND(ce, 6) AS cross_entropy, ROUND(exp(ce), 6) AS ppl
+      FROM agg ORDER BY source"""))
+
   val all: Seq[QueryCase] =
-    Seq(q267KsPanel, q268Readability, q269Rake, q270FsWeights)
+    Seq(q267KsPanel, q268Readability, q269Rake, q270FsWeights,
+      q271Markov, q272LooAblation)
 }

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Leave-one-source-out perplexity: complement-count arithmetic traced
+  * by hand on a three-type corpus.
+  */
+class LooAblationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // source a: "x x y" ; source b: "x z"
+  // global: x3 y1 z1 → V=3, T=5
+  private lazy val rows = CorpusLm.looSourcePerplexity(
+    Seq(("a", "x x y"), ("b", "x z")).toDF("source", "text"),
+    "source", "text", k = 0.5)
+    .collect().map(r => r.getAs[String]("g") -> r).toMap
+
+  test("counts, types, and oov under the complement model") {
+    val a = rows("a"); val b = rows("b")
+    assert(a.getAs[Long]("n_tokens") == 3L && a.getAs[Long]("n_types") == 2L)
+    assert(b.getAs[Long]("n_tokens") == 2L && b.getAs[Long]("n_types") == 2L)
+    // a's y and b's z exist nowhere else → oov under the complement
+    assert(a.getAs[Long]("oov_types") == 1L)
+    assert(b.getAs[Long]("oov_types") == 1L)
+  }
+
+  test("cross-entropy matches the hand-derived complement formula") {
+    // for a: complement T' = 2, denom = 2 + 0.5·3 = 3.5
+    //   p'(x) = (3−2+0.5)/3.5 = 1.5/3.5 ; p'(y) = 0.5/3.5
+    //   CE = −(2·ln(1.5/3.5) + 1·ln(0.5/3.5)) / 3
+    val ceA = -(2.0 * math.log(1.5 / 3.5) + math.log(0.5 / 3.5)) / 3.0
+    assert(math.abs(rows("a").getAs[Double]("cross_entropy") - ceA) < 1e-12)
+    assert(math.abs(rows("a").getAs[Double]("ppl") - math.exp(ceA)) < 1e-12)
+    // for b: T' = 3, denom = 4.5; p'(x) = 2.5/4.5, p'(z) = 0.5/4.5
+    val ceB = -(math.log(2.5 / 4.5) + math.log(0.5 / 4.5)) / 2.0
+    assert(math.abs(rows("b").getAs[Double]("cross_entropy") - ceB) < 1e-12)
+  }
+
+  test("a source identical to the rest scores lower ppl than a novel one") {
+    val r = CorpusLm.looSourcePerplexity(
+      Seq(("c", "p q r"), ("d", "p q r"), ("e", "zz ww vv")).toDF("source", "text"),
+      "source", "text")
+      .collect().map(x => x.getAs[String]("g") -> x.getAs[Double]("ppl")).toMap
+    assert(r("c") < r("e") && r("d") < r("e"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Markov transition/stationary arithmetic on hand sequences. */
+class MarkovChainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fit(rows: Seq[(Long, Long, String)], iters: Int = 3) =
+    MarkovChain.fit(rows.toDF("uid", "seq", "st"), "uid", "st",
+      Seq("seq"), iters)
+      .collect()
+      .map(r => (r.getAs[String]("src_state"), r.getAs[String]("dst_state")) ->
+        (r.getAs[Long]("c"), r.getAs[Long]("n_src"),
+          r.getAs[Double]("p"), r.getAs[Double]("pi_src"))).toMap
+
+  test("two-state swap chain: uniform is stationary") {
+    // u1: A B A B (A→B, B→A, A→B), u2: B A (B→A)
+    val m = fit(Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"),
+      (1L, 4L, "B"), (2L, 1L, "B"), (2L, 2L, "A")))
+    assert(m(("A", "B")) == ((2L, 2L, 1.0, 0.5)))
+    assert(m(("B", "A")) == ((2L, 2L, 1.0, 0.5)))
+  }
+
+  test("absorbing state takes all mass") {
+    // A→B, B→B: after any iteration π(B)=1, π(A)=0
+    val m = fit(Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "B")))
+    assert(m(("A", "B"))._4 == 0.0)   // pi_src of A
+    assert(m(("B", "B"))._4 == 1.0)
+    assert(m(("A", "B"))._3 == 1.0 && m(("B", "B"))._3 == 1.0)
+  }
+
+  test("dangling successor leaks mass (substochastic, documented)") {
+    // u1: A A B — B never a source; π halves each step: 3 iters → 1/8
+    val m = fit(Seq((1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "B")))
+    assert(m(("A", "A")) == ((1L, 2L, 0.5, 0.125)))
+    assert(m(("A", "B")) == ((1L, 2L, 0.5, 0.125)))
+  }
+
+  test("transition probabilities are per-source exact divisions") {
+    // A→B twice, A→C once
+    val m = fit(Seq((1L, 1L, "A"), (1L, 2L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "B"), (3L, 1L, "A"), (3L, 2L, "C")))
+    assert(m(("A", "B"))._3 == 2.0 / 3.0)
+    assert(m(("A", "C"))._3 == 1.0 / 3.0)
+  }
+
+  test("order columns break timestamp ties deterministically") {
+    // same uid, seq orders the walk: C(1) A(2) B(3) → C→A, A→B
+    val m = fit(Seq((1L, 2L, "A"), (1L, 3L, "B"), (1L, 1L, "C")))
+    assert(m.keySet == Set(("C", "A"), ("A", "B")))
+  }
+}
