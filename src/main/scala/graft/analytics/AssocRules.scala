@@ -1,0 +1,58 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket association rules over per-key item baskets —
+  * support / confidence / lift for every co-occurring item pair, the
+  * classic "users who error also purchase?" diagnostic over the events
+  * stream (and, on corpora, tag/label co-occurrence mining).
+  *
+  * Baskets are the DISTINCT items per key; pair supports come from a
+  * per-key self-join of the deduplicated (key, item) table — per-key
+  * work is |basket|², bounded by the item-alphabet contract (event
+  * types / tags), never by corpus size. Everything is exact integer
+  * counting; confidence and lift are single divisions of exact
+  * integers (lift = n_pair·N / (n_ant·n_cons), numerator and
+  * denominator computed as integers) → the gate compares RAW.
+  *
+  * Reference analogue: the co-occurrence analytics over learning
+  * events (/root/reference/src/learning/events.py feeds); rules are
+  * the directional upgrade of the PMI collocation panel to sets.
+  */
+object AssocRules {
+
+  /** Both-direction rules for every item pair with pair support ≥
+    * `minSupport`. Output: ant, cons, n_pair, n_ant, n_cons, n_keys,
+    * confidence, lift.
+    */
+  def rules(df: DataFrame, keyCol: String, itemCol: String,
+      minSupport: Long = 2L): DataFrame = {
+    val d = df.select(col(keyCol).as("k"), col(itemCol).as("item"))
+      .where(col("item").isNotNull).distinct()
+    val itemSup = d.groupBy("item").agg(count(lit(1)).as("sup"))
+    val nKeys = d.select(col("k")).distinct().agg(count(lit(1)).as("n_keys"))
+    val pairs = d.alias("x")
+      .join(d.alias("y"),
+        col("x.k") === col("y.k") && col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("a"), col("y.item").as("b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minSupport)
+    val directed = pairs.select(col("a").as("ant"), col("b").as("cons"),
+      col("n_pair"))
+      .unionByName(pairs.select(col("b").as("ant"), col("a").as("cons"),
+        col("n_pair")))
+    directed
+      .join(itemSup.select(col("item").as("ant"), col("sup").as("n_ant")),
+        Seq("ant"))
+      .join(itemSup.select(col("item").as("cons"), col("sup").as("n_cons")),
+        Seq("cons"))
+      .crossJoin(broadcast(nKeys))
+      .select(col("ant"), col("cons"), col("n_pair"), col("n_ant"),
+        col("n_cons"), col("n_keys"),
+        (col("n_pair").cast("double") / col("n_ant").cast("double"))
+          .as("confidence"),
+        ((col("n_pair") * col("n_keys")).cast("double") /
+          (col("n_ant") * col("n_cons")).cast("double")).as("lift"))
+  }
+}

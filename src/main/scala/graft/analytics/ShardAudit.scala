@@ -1,0 +1,85 @@
+package graft.analytics
+
+import graft.functions.CrossHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-shuffle QA: is an id-hash sharding actually WELL-MIXED?
+  * Poorly mixed shards feed a trainer long same-source runs —
+  * correlated gradients the global shuffle was supposed to kill. The
+  * audit grades each shard on three axes:
+  *
+  *  - `entropy_bits`: Shannon entropy of the shard's source mix
+  *    (max = log2 of the source count when perfectly mixed);
+  *  - `max_run`: the longest same-source run in the shard's READER
+  *    order (hash, id) — the signal a mean-based mix ratio misses;
+  *  - `chi2`: Pearson χ² of the shard's source counts against the
+  *    global mix (expected = shard size × global share).
+  *
+  * Shards are the low bits of the engine's cross-engine md5 id hash
+  * (power-of-two count, so the signed and unsigned views agree —
+  * the q264 discipline). Counts and runs are exact integers; entropy
+  * and χ² go through libm → the gate rounds them.
+  *
+  * Scale shape: one (shard, source) aggregate + one windowed run pass
+  * per shard — the window orders WITHIN a shard, so parallelism is the
+  * shard count; no driver state. Reference analogue: the batch-order
+  * shuffling contract of /root/reference/src/workers/queue.py (claim
+  * order), generalized to training-shard audit.
+  */
+object ShardAudit {
+
+  /** Per-shard mixing panel over `nShards` (power of two) id-hash
+    * shards. Output: shard, n_docs, n_sources, max_run (exact),
+    * entropy_bits, chi2 (unrounded — gate rounds).
+    */
+  def mixingAudit(df: DataFrame, idCol: String, sourceCol: String,
+      nShards: Int = 8): DataFrame = {
+    require((nShards & (nShards - 1)) == 0 && nShards > 0,
+      s"ShardAudit.mixingAudit: nShards=$nShards must be a power of two " +
+        "(keeps the signed/unsigned hash views identical)")
+    val hashed = df.select(
+      CrossHash.md5Hash64(col(idCol).cast("string")).as("h"),
+      col(idCol).as("id"), col(sourceCol).as("src"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+
+    // reader-order same-source runs within each shard
+    val w = Window.partitionBy("shard").orderBy("h", "id")
+    val runs = hashed
+      .withColumn("chg",
+        when(lag(col("src"), 1).over(w).isNull ||
+          lag(col("src"), 1).over(w) =!= col("src"), 1L).otherwise(0L))
+      .withColumn("run", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("shard", "run").agg(count(lit(1)).as("rlen"))
+      .groupBy("shard").agg(max(col("rlen")).as("max_run"))
+
+    val cell = hashed.groupBy("shard", "src").agg(count(lit(1)).as("c"))
+    val shardTot = cell.groupBy("shard").agg(sum(col("c")).as("n_docs"),
+      count(lit(1)).as("n_sources"))
+    val globalSrc = cell.groupBy("src").agg(sum(col("c")).as("cg"))
+    val total = globalSrc.agg(sum(col("cg")).as("tot"))
+
+    // the full shard × source grid: χ² must charge a shard for sources
+    // it is MISSING (c = 0, e > 0), which the observed cells alone lose
+    val grid = shardTot.crossJoin(broadcast(globalSrc))
+      .join(cell, Seq("shard", "src"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(total))
+
+    val p = col("c").cast("double") / col("n_docs").cast("double")
+    val e = col("n_docs").cast("double") *
+      (col("cg").cast("double") / col("tot").cast("double"))
+    grid.groupBy("shard")
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("n_sources")).as("n_sources"),
+        (-sum(when(col("c") > 0, p * log(2.0d, p))
+          .otherwise(lit(0.0d)))).as("entropy_bits"),
+        sum((col("c").cast("double") - e) * (col("c").cast("double") - e) / e)
+          .as("chi2"))
+      .join(runs, Seq("shard"))
+      .select(col("shard"), col("n_docs"), col("n_sources"), col("max_run"),
+        col("entropy_bits"), col("chi2"))
+  }
+}

@@ -346,7 +346,116 @@ object TestQueries20 {
         ROUND(ce, 6) AS cross_entropy, ROUND(exp(ce), 6) AS ppl
       FROM agg ORDER BY source"""))
 
+  /** Training-shuffle QA — [[graft.analytics.ShardAudit.mixingAudit]]:
+    * per-shard source entropy, longest same-source reader-order run,
+    * and χ² against the global mix over 8 id-hash shards (full
+    * shard×source grid, zero cells charged). Counts/runs exact → RAW;
+    * entropy and χ² ROUND(6).
+    */
+  val q273ShardMixing: QueryCase = QueryCase(
+    "q273_shard_mixing",
+    (s, dir) => graft.analytics.ShardAudit
+      .mixingAudit(Tables.documents(s, dir), "doc_id", "source", nShards = 8)
+      .select(col("shard"), col("n_docs"), col("n_sources"), col("max_run"),
+        round(col("entropy_bits"), 6).as("entropy_bits"),
+        round(col("chi2"), 6).as("chi2"))
+      .orderBy("shard"),
+    Some {
+      val hu = graft.functions.CrossHash
+        .md5Hash64SqlU("CAST(doc_id AS VARCHAR)")
+      val hs = graft.functions.CrossHash.hugeToSignedSql("hu")
+      s"""
+      WITH hashed AS (
+        SELECT doc_id AS id, source AS src, hu, $hs AS h,
+               CAST(hu % 8 AS BIGINT) AS shard
+        FROM (SELECT doc_id, source, $hu AS hu FROM documents)),
+      chg AS (
+        SELECT shard, src,
+          CASE WHEN LAG(src) OVER w IS NULL
+                 OR LAG(src) OVER w <> src THEN 1 ELSE 0 END AS chg,
+          h, id
+        FROM hashed
+        WINDOW w AS (PARTITION BY shard ORDER BY h, id)),
+      rn AS (
+        SELECT shard, src,
+          SUM(chg) OVER (PARTITION BY shard ORDER BY h, id) AS run
+        FROM chg),
+      runs AS (
+        SELECT shard, CAST(MAX(rlen) AS BIGINT) AS max_run
+        FROM (SELECT shard, run, COUNT(*) AS rlen
+              FROM rn GROUP BY 1, 2)
+        GROUP BY shard),
+      cell AS (SELECT shard, src, CAST(COUNT(*) AS BIGINT) AS c
+               FROM hashed GROUP BY 1, 2),
+      stot AS (SELECT shard, CAST(SUM(c) AS BIGINT) AS n_docs,
+                      CAST(COUNT(*) AS BIGINT) AS n_sources
+               FROM cell GROUP BY 1),
+      gsrc AS (SELECT src, CAST(SUM(c) AS BIGINT) AS cg
+               FROM cell GROUP BY 1),
+      tt AS (SELECT CAST(SUM(cg) AS BIGINT) AS tot FROM gsrc),
+      grid AS (
+        SELECT stot.shard, stot.n_docs, stot.n_sources, gsrc.src,
+               gsrc.cg, tt.tot, COALESCE(cell.c, 0) AS c
+        FROM stot CROSS JOIN gsrc CROSS JOIN tt
+        LEFT JOIN cell ON cell.shard = stot.shard AND cell.src = gsrc.src),
+      panel AS (
+        SELECT shard, MAX(n_docs) AS n_docs, MAX(n_sources) AS n_sources,
+          -SUM(CASE WHEN c > 0
+            THEN (CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+              * log2(CAST(c AS DOUBLE) / CAST(n_docs AS DOUBLE))
+            ELSE CAST(0.0 AS DOUBLE) END) AS entropy_bits,
+          SUM((CAST(c AS DOUBLE) - CAST(n_docs AS DOUBLE)
+               * (CAST(cg AS DOUBLE) / CAST(tot AS DOUBLE)))
+            * (CAST(c AS DOUBLE) - CAST(n_docs AS DOUBLE)
+               * (CAST(cg AS DOUBLE) / CAST(tot AS DOUBLE)))
+            / (CAST(n_docs AS DOUBLE)
+               * (CAST(cg AS DOUBLE) / CAST(tot AS DOUBLE)))) AS chi2
+        FROM grid GROUP BY shard)
+      SELECT panel.shard, panel.n_docs, panel.n_sources, runs.max_run,
+        ROUND(panel.entropy_bits, 6) AS entropy_bits,
+        ROUND(panel.chi2, 6) AS chi2
+      FROM panel JOIN runs USING (shard)
+      ORDER BY shard"""
+    })
+
+  /** Association rules over per-user event baskets —
+    * [[graft.analytics.AssocRules.rules]]: support / confidence / lift
+    * for every co-occurring event-type pair, both directions. All
+    * exact integer counts and single exact divisions → RAW.
+    */
+  val q274AssocRules: QueryCase = QueryCase(
+    "q274_assoc_rules",
+    (s, dir) => graft.analytics.AssocRules
+      .rules(Tables.events(s, dir), "user_id", "event_type",
+        minSupport = 2L)
+      .orderBy("ant", "cons"),
+    Some("""
+      WITH d AS (
+        SELECT DISTINCT user_id AS k, event_type AS item
+        FROM events WHERE event_type IS NOT NULL),
+      isup AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS sup
+               FROM d GROUP BY 1),
+      nk AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys FROM d),
+      pairs AS (
+        SELECT x.item AS a, y.item AS b, CAST(COUNT(*) AS BIGINT) AS n_pair
+        FROM d x JOIN d y ON x.k = y.k AND x.item < y.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      dirs AS (
+        SELECT a AS ant, b AS cons, n_pair FROM pairs
+        UNION ALL
+        SELECT b AS ant, a AS cons, n_pair FROM pairs)
+      SELECT ant, cons, n_pair, ia.sup AS n_ant, ic.sup AS n_cons,
+        nk.n_keys,
+        CAST(n_pair AS DOUBLE) / CAST(ia.sup AS DOUBLE) AS confidence,
+        CAST(n_pair * nk.n_keys AS DOUBLE)
+          / CAST(ia.sup * ic.sup AS DOUBLE) AS lift
+      FROM dirs
+      JOIN isup ia ON ia.item = dirs.ant
+      JOIN isup ic ON ic.item = dirs.cons
+      CROSS JOIN nk
+      ORDER BY ant, cons"""))
+
   val all: Seq[QueryCase] =
     Seq(q267KsPanel, q268Readability, q269Rake, q270FsWeights,
-      q271Markov, q272LooAblation)
+      q271Markov, q272LooAblation, q273ShardMixing, q274AssocRules)
 }

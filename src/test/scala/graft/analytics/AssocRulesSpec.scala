@@ -1,0 +1,51 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Association-rule arithmetic on hand baskets. */
+class AssocRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // baskets: u1 {a,b}, u2 {a,b}, u3 {a}, u4 {b,c}
+  private lazy val out = AssocRules.rules(
+    Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (2L, "b"),
+      (3L, "a"), (4L, "b"), (4L, "c")).toDF("u", "item"),
+    "u", "item", minSupport = 2L)
+    .collect()
+    .map(r => (r.getAs[String]("ant"), r.getAs[String]("cons")) -> r).toMap
+
+  test("duplicate events collapse to basket membership") {
+    // u2 logs b twice but the (a,b) pair counts once for u2
+    assert(out(("a", "b")).getAs[Long]("n_pair") == 2L)
+  }
+
+  test("supports, confidence, and lift by hand") {
+    // sup a=3, b=3, ab=2, N=4
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("n_ant") == 3L && ab.getAs[Long]("n_cons") == 3L)
+    assert(ab.getAs[Long]("n_keys") == 4L)
+    assert(ab.getAs[Double]("confidence") == 2.0 / 3.0)
+    assert(ab.getAs[Double]("lift") == 8.0 / 9.0)
+    // symmetric direction: same pair support and lift, same confidence
+    // here because sup(a) = sup(b)
+    val ba = out(("b", "a"))
+    assert(ba.getAs[Double]("lift") == 8.0 / 9.0)
+  }
+
+  test("minSupport prunes singleton pairs; both directions emitted") {
+    // (b,c) occurs once → pruned entirely
+    assert(!out.contains(("b", "c")) && !out.contains(("c", "b")))
+    assert(out.keySet == Set(("a", "b"), ("b", "a")))
+  }
+
+  test("independent items have lift 1 exactly") {
+    // a in all 4 baskets; b in 2 of 4; ab = 2 → lift = 2·4/(4·2) = 1
+    val m = AssocRules.rules(
+      Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"),
+        (3L, "a"), (4L, "a")).toDF("u", "item"), "u", "item")
+      .collect().map(r =>
+        (r.getAs[String]("ant"), r.getAs[String]("cons")) ->
+          r.getAs[Double]("lift")).toMap
+    assert(m(("a", "b")) == 1.0 && m(("b", "a")) == 1.0)
+  }
+}
