@@ -666,4 +666,75 @@ object CorpusLm {
       .select(col("g"), col("n_tokens"), col("n_types"), col("oov_types"),
         col("cross_entropy"), exp(col("cross_entropy")).as("ppl"))
   }
+
+  /** Greedy decoding from the corpus trigram LM: train (one windowed
+    * pass), pick the `nSeeds` most frequent bigram contexts, and walk
+    * `steps` greedy continuations — the end-to-end "the engine
+    * generates" check over the n-gram family, and a cheap corpus
+    * smell test (greedy walks surface the corpus's most-templated
+    * continuations verbatim).
+    *
+    * Fully deterministic: the best continuation per context is the
+    * (count DESC, token ASC) argmax, seeds tie-break on the bigram
+    * text, and a context with no continuation freezes (the walk keeps
+    * probing but never grows). Everything is strings and integer
+    * counts → RAW compare.
+    *
+    * Scale shape: the argmax table is one window pass over the trigram
+    * counts, materialized once ([[graft.plans.Materialize]]) and
+    * probed `steps` times by the seed-sized state — per-step work is
+    * O(|seeds|) against a hashed table, not a rebuild.
+    */
+  def greedyDecode(docs: DataFrame, idCol: String, textCol: String,
+      nSeeds: Int = 10, steps: Int = 10): DataFrame = {
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val toks = docs
+      .select(col(idCol).as("doc"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col("doc"), col("pos"), col("t"),
+        lead(col("t"), 1).over(w).as("t2"),
+        lead(col("t"), 2).over(w).as("t3"))
+    val bigrams = toks.where(col("t2").isNotNull)
+      .groupBy(col("t").as("w1"), col("t2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val trigrams = toks.where(col("t3").isNotNull)
+      .groupBy(col("t").as("w1"), col("t2").as("w2"), col("t3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+    val bw = Window.partitionBy("w1", "w2")
+      .orderBy(col("c").desc, col("w3"))
+    val bestNext = graft.plans.Materialize.stage(
+      trigrams.withColumn("rn", row_number().over(bw))
+        .where(col("rn") === 1).select("w1", "w2", "w3"),
+      "graft.dedup.checkpoint")
+    val seeds = bigrams
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(nSeeds)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w1"), col("w2")))
+        .cast("long").as("seed_rank"),
+        col("w1").as("seed_w1"), col("w2").as("seed_w2"), col("c").as("n_bigram"))
+
+    var state = seeds.select(col("seed_rank"), col("seed_w1"),
+      col("seed_w2"), col("n_bigram"), col("seed_w1").as("w1"),
+      col("seed_w2").as("w2"),
+      array().cast("array<string>").as("gen"))
+    var i = 0
+    while (i < steps) {
+      val hit = broadcast(state).join(bestNext, Seq("w1", "w2"))
+        .select(col("seed_rank"), col("seed_w1"), col("seed_w2"),
+          col("n_bigram"), col("w2").as("w1"), col("w3").as("w2"),
+          concat(col("gen"), array(col("w3"))).as("gen"))
+      val miss = broadcast(state)
+        .join(bestNext.select("w1", "w2"), Seq("w1", "w2"), "left_anti")
+        .select(col("seed_rank"), col("seed_w1"), col("seed_w2"),
+          col("n_bigram"), col("w1"), col("w2"), col("gen"))
+      // state feeds BOTH joins next round — stage it or the lineage
+      // re-executes the whole prefix 2× per step (the LabelProp rule)
+      state = graft.plans.Materialize.stage(hit.unionByName(miss),
+        "graft.dedup.checkpoint")
+      i += 1
+    }
+    state.select(col("seed_rank"), col("seed_w1"), col("seed_w2"),
+      col("n_bigram"), concat_ws(" ", col("gen")).as("generated"),
+      size(col("gen")).cast("long").as("n_generated"))
+  }
 }

@@ -399,6 +399,43 @@ object Curation {
       .limit(k)
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): the
+    * weighted sample that also ESTIMATES — each row gets priority
+    * q = w/u for the same deterministic md5 uniform
+    * [[weightedSample]] uses; the k highest-priority rows are the
+    * sample, τ is the (k+1)-th priority, and ŵ = max(w, τ) is an
+    * unbiased estimator of any subset-sum over the original corpus
+    * (Σ_sample ŵ·[i ∈ S] estimates Σ_corpus w·[i ∈ S]). With k ≥ n,
+    * τ = 0 and the estimates recover the weights exactly.
+    *
+    * Everything is exact or bit-identical cross-engine: w integer, u
+    * the pinned double sequence, q one division, τ a selection, ŵ a
+    * max — the gate compares RAW. One TakeOrdered(k+1) heap; the rank
+    * window runs over k+1 rows only.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h64 = graft.functions.CrossHash.md5Hash64(col(idCol).cast("string"))
+    val u = (h64.cast("double")
+      + when(h64 < 0, lit(1.8446744073709552e19)).otherwise(lit(0.0))
+      + lit(0.5)) / lit(1.8446744073709552e19)
+    val prio = df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(idCol).as("id"), col(weightCol).cast("double").as("w"),
+        (col(weightCol).cast("double") / u).as("priority"))
+      .orderBy(col("priority").desc, col("id"))
+      .limit(k + 1)
+    val w0 = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col("id"))
+    val ranked = prio.withColumn("rn", row_number().over(w0))
+    val tau = ranked.agg(coalesce(
+      max(when(col("rn") === k + 1, col("priority"))), lit(0.0d)).as("tau"))
+    ranked.where(col("rn") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("id"), col("w"), col("priority"), col("tau"),
+        greatest(col("w"), col("tau")).as("est"))
+  }
+
   /** Group-relative advantage normalization (GRPO batch prep — Shao et
     * al. 2024, DeepSeekMath §4.1: the critic-free advantage is the
     * group-standardized reward): per group,

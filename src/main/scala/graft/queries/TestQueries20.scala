@@ -455,7 +455,101 @@ object TestQueries20 {
       CROSS JOIN nk
       ORDER BY ant, cons"""))
 
+  /** Priority sampling with the Duffield–Lund–Thorup subset-sum
+    * estimator — [[graft.operators.Curation.prioritySample]]: priority
+    * w/u on the pinned md5 uniform, τ = (k+1)-th priority, ŵ = max(w,τ).
+    * Exact weights, bit-identical uniforms, one division, a selection,
+    * a max → RAW.
+    */
+  val q275PrioritySample: QueryCase = QueryCase(
+    "q275_priority_sample",
+    (s, dir) => graft.operators.Curation
+      .prioritySample(Tables.documents(s, dir), "doc_id", "n_chars", k = 30)
+      .orderBy("id"),
+    Some {
+      val u64 = graft.functions.CrossHash
+        .md5Hash64SqlU("CAST(doc_id AS VARCHAR)")
+      val signed = graft.functions.CrossHash.hugeToSignedSql("u64")
+      s"""
+      WITH h AS (
+        SELECT doc_id, n_chars, $u64 AS u64
+        FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      sg AS (SELECT doc_id, n_chars, $signed AS sh FROM h),
+      pr AS (
+        SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+          CAST(n_chars AS DOUBLE)
+            / ((CAST(sh AS DOUBLE)
+                + CASE WHEN sh < 0 THEN 18446744073709551616.0
+                    ELSE 0.0 END + 0.5)
+               / 18446744073709551616.0) AS priority
+        FROM sg),
+      rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id)
+               AS rn FROM pr),
+      tv AS (SELECT COALESCE(MAX(CASE WHEN rn = 31 THEN priority END),
+               CAST(0.0 AS DOUBLE)) AS tau
+             FROM rk WHERE rn <= 31)
+      SELECT doc_id AS id, w, priority, tv.tau,
+             GREATEST(w, tv.tau) AS est
+      FROM rk, tv WHERE rn <= 30 ORDER BY id"""
+    })
+
+  /** Greedy trigram decoding — [[graft.operators.CorpusLm.greedyDecode]]:
+    * train the corpus trigram LM, walk 10 greedy continuations from the
+    * 10 most frequent bigram contexts (argmax tie-break (count DESC,
+    * token ASC); stuck contexts freeze). Strings and integer counts
+    * → RAW; the oracle replays the walk as a recursive CTE.
+    */
+  val q276GreedyDecode: QueryCase = QueryCase(
+    "q276_greedy_decode",
+    (s, dir) => graft.operators.CorpusLm
+      .greedyDecode(Tables.documents(s, dir), "doc_id", "text",
+        nSeeds = 10, steps = 10)
+      .orderBy("seed_rank"),
+    Some(s"""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id AS doc, u.pos AS pos, u.tok AS t
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(list_transform(tk,
+               (x, ii) -> struct_pack(pos := ii, tok := x))) AS tt(u)),
+      led AS (
+        SELECT doc, pos, t,
+          LEAD(t, 1) OVER w AS t2, LEAD(t, 2) OVER w AS t3
+        FROM toks WINDOW w AS (PARTITION BY doc ORDER BY pos)),
+      big AS (SELECT t AS w1, t2 AS w2, CAST(COUNT(*) AS BIGINT) AS c
+              FROM led WHERE t2 IS NOT NULL GROUP BY 1, 2),
+      tri AS (SELECT t AS w1, t2 AS w2, t3 AS w3, COUNT(*) AS c
+              FROM led WHERE t3 IS NOT NULL GROUP BY 1, 2, 3),
+      best AS (
+        SELECT w1, w2, w3 FROM (
+          SELECT w1, w2, w3, ROW_NUMBER() OVER
+            (PARTITION BY w1, w2 ORDER BY c DESC, w3) AS rn
+          FROM tri) WHERE rn = 1),
+      seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2) AS seed_rank,
+               w1 AS seed_w1, w2 AS seed_w2, c AS n_bigram
+        FROM big ORDER BY c DESC, w1, w2 LIMIT 10),
+      rec AS (
+        SELECT seed_rank, seed_w1, seed_w2, n_bigram,
+               seed_w1 AS w1, seed_w2 AS w2,
+               CAST([] AS VARCHAR[]) AS gen, 0 AS step
+        FROM seeds
+        UNION ALL
+        SELECT r.seed_rank, r.seed_w1, r.seed_w2, r.n_bigram,
+          CASE WHEN b.w3 IS NULL THEN r.w1 ELSE r.w2 END AS w1,
+          CASE WHEN b.w3 IS NULL THEN r.w2 ELSE b.w3 END AS w2,
+          CASE WHEN b.w3 IS NULL THEN r.gen
+               ELSE list_append(r.gen, b.w3) END AS gen,
+          r.step + 1
+        FROM rec r LEFT JOIN best b ON b.w1 = r.w1 AND b.w2 = r.w2
+        WHERE r.step < 10)
+      SELECT CAST(seed_rank AS BIGINT) AS seed_rank, seed_w1, seed_w2,
+        n_bigram,
+        COALESCE(array_to_string(gen, ' '), '') AS generated,
+        CAST(len(gen) AS BIGINT) AS n_generated
+      FROM rec WHERE step = 10 ORDER BY seed_rank"""))
+
   val all: Seq[QueryCase] =
     Seq(q267KsPanel, q268Readability, q269Rake, q270FsWeights,
-      q271Markov, q272LooAblation, q273ShardMixing, q274AssocRules)
+      q271Markov, q272LooAblation, q273ShardMixing, q274AssocRules,
+      q275PrioritySample, q276GreedyDecode)
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Greedy trigram decoding on hand corpora with traced walks. */
+class GreedyDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def decode(texts: Seq[String], nSeeds: Int, steps: Int) =
+    CorpusLm.greedyDecode(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "doc_id", "text", nSeeds, steps)
+      .collect()
+      .map(r => (r.getAs[String]("seed_w1"), r.getAs[String]("seed_w2")) ->
+        (r.getAs[Long]("seed_rank"), r.getAs[Long]("n_bigram"),
+          r.getAs[String]("generated"), r.getAs[Long]("n_generated"))).toMap
+
+  test("majority continuation wins; walk stops when the context dies") {
+    // (a,b)→c count 2 beats (a,b)→d count 1; (b,c) has no trigram → stuck
+    val m = decode(Seq("a b c", "a b c", "a b d"), nSeeds = 1, steps = 10)
+    assert(m(("a", "b")) == ((1L, 3L, "c", 1L)))
+  }
+
+  test("count ties break to the lexicographically smallest token") {
+    val m = decode(Seq("x y b", "x y a"), nSeeds = 1, steps = 5)
+    assert(m(("x", "y"))._3 == "a")
+  }
+
+  test("cyclic corpus walks the full step budget") {
+    // p q p q p q → (p,q)→p and (q,p)→q forever
+    val m = decode(Seq("p q p q p q"), nSeeds = 1, steps = 10)
+    val (_, _, gen, n) = m(("p", "q"))
+    assert(n == 10L)
+    assert(gen == Seq.tabulate(10)(i => if (i % 2 == 0) "p" else "q")
+      .mkString(" "))
+  }
+
+  test("seeds rank by bigram frequency with text tie-break") {
+    val m = decode(Seq("a b", "a b", "z w"), nSeeds = 2, steps = 3)
+    assert(m(("a", "b"))._1 == 1L && m(("z", "w"))._1 == 2L)
+    // neither bigram has any trigram → both generate nothing
+    assert(m.values.forall(_._4 == 0L))
+    assert(m.values.forall(_._3 == ""))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Priority sampling: estimator identities + an independent uniform
+  * replay.
+  */
+class PrioritySampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scala mirror of the engine's md5 uniform (same double sequence). */
+  private def u01(id: Long): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 16)
+    val signed = java.lang.Long.parseUnsignedLong(hex, 16)
+    (signed.toDouble + (if (signed < 0) 1.8446744073709552e19 else 0.0)
+      + 0.5) / 1.8446744073709552e19
+  }
+
+  private val rows = (1L to 12L).map(i => (i, i * 10L))
+
+  test("k >= n recovers every weight exactly (tau = 0)") {
+    val out = Curation.prioritySample(rows.toDF("id", "w"), "id", "w", k = 50)
+      .collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      assert(r.getAs[Double]("tau") == 0.0)
+      assert(r.getAs[Double]("est") == r.getAs[Double]("w"))
+    }
+  }
+
+  test("sample is the top-k by priority; tau is the (k+1)-th") {
+    val prios = rows.map { case (id, w) => (id, w.toDouble / u01(id)) }
+    val sorted = prios.sortBy { case (id, q) => (-q, id) }
+    val expectIds = sorted.take(5).map(_._1).toSet
+    val expectTau = sorted(5)._2
+    val out = Curation.prioritySample(rows.toDF("id", "w"), "id", "w", k = 5)
+      .collect()
+    assert(out.map(_.getAs[Long]("id")).toSet == expectIds)
+    out.foreach { r =>
+      assert(r.getAs[Double]("tau") == expectTau)
+      assert(r.getAs[Double]("est") ==
+        math.max(r.getAs[Double]("w"), expectTau))
+      assert(r.getAs[Double]("priority") ==
+        r.getAs[Double]("w") / u01(r.getAs[Long]("id")))
+    }
+  }
+
+  test("non-positive weights are excluded") {
+    val df = Seq((1L, 5L), (2L, 0L), (3L, -4L)).toDF("id", "w")
+    val out = Curation.prioritySample(df, "id", "w", k = 10).collect()
+    assert(out.map(_.getAs[Long]("id")).toSet == Set(1L))
+  }
+}
