@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core peeling over an undirected graph: iteratively remove nodes
+  * of degree < k — the density layer of the graph-audit family
+  * (triangles say how CLUSTERED a similarity graph is; the k-core says
+  * which part of it is DENSE enough to trust, e.g. which near-dup
+  * cluster kernels survive when the weak spokes are stripped).
+  *
+  * Peeling runs a FIXED number of rounds (a declared unroll, like the
+  * PageRank/label-prop iteration contracts); each round is one
+  * endpoint-filtered degree count — a key-partitioned aggregate, no
+  * driver state, survivors staged per round
+  * ([[graft.plans.Materialize]], the iterative-operator rule). All
+  * integer arithmetic → gates compare RAW.
+  */
+object KCore {
+
+  /** Peel to the k-core in `rounds` fixed rounds. Output per node:
+    * node, deg0 (initial degree), round_removed (1-based round at
+    * which the node fell out; 0 = still in the core after `rounds`).
+    */
+  def peel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
+    val undM = graft.plans.Materialize.stage(und, "graft.dedup.checkpoint")
+    val deg0 = undM.select(col("u").as("node"))
+      .unionByName(undM.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg0"))
+
+    var active = deg0.select("node")
+    var removed: DataFrame = null
+    var r = 1
+    while (r <= rounds) {
+      val sub = undM
+        .join(active.select(col("node").as("u")), Seq("u"))
+        .join(active.select(col("node").as("v")), Seq("v"))
+      val deg = sub.select(col("u").as("node"))
+        .unionByName(sub.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val survivors = graft.plans.Materialize.stage(
+        deg.where(col("d") >= k).select("node"), "graft.dedup.checkpoint")
+      val fell = active.join(survivors, Seq("node"), "left_anti")
+        .select(col("node"), lit(r.toLong).as("round_removed"))
+      removed = if (removed == null) fell else removed.unionByName(fell)
+      active = survivors
+      r += 1
+    }
+    deg0.join(removed, Seq("node"), "left")
+      .na.fill(0L, Seq("round_removed"))
+      .select(col("node"), col("deg0"), col("round_removed"))
+  }
+}

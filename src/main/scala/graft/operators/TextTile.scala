@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TextTiling-style semantic chunking (Hearst 1997, exact-arithmetic
+  * variant): split a document into topically coherent chunks by
+  * cutting where LEXICAL COHESION between adjacent sentences dips —
+  * the content-aware complement to the fixed-size chunker (q49) and
+  * the byte-level CDC chunker (q237): RAG wants chunks that end where
+  * the topic ends, not at a token count.
+  *
+  * Sentences are `[.!?]+` runs (trimmed, non-empty). Cohesion between
+  * consecutive sentences is the exact Jaccard of their DISTINCT token
+  * sets; a boundary opens when `|A∩B|·tauDen < |A∪B|·tauNum` — an
+  * all-integer test (default τ = 1/10), so the gate hash-compares RAW
+  * with no float anywhere.
+  *
+  * Scale shape: one positional sentence explode, one lag window per
+  * doc, one group-by — per-doc work linear in sentence count.
+  * Reference analogue: the chunking stage of
+  * /root/reference/src/rag/context_builder.py (fixed-window); this is
+  * the cohesion-aware upgrade.
+  */
+object TextTile {
+
+  /** Cohesion chunks per document. Output: doc_id, chunk_id (1-based),
+    * n_sents, n_tokens.
+    */
+  def chunks(df: DataFrame, idCol: String, textCol: String,
+      tauNum: Int = 1, tauDen: Int = 10): DataFrame = {
+    require(tauNum >= 0 && tauDen > 0, "tau must be a valid fraction")
+    val sent = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "[.!?]+")).as(Seq("pos", "raw")))
+      .select(col("doc_id"), col("pos"), trim(col("raw")).as("sent"))
+      .where(length(col("sent")) > 0)
+      .select(col("doc_id"), col("pos"),
+        TextFunctions.tokens(col("sent")).as("tks"))
+      .select(col("doc_id"), col("pos"),
+        size(col("tks")).cast("long").as("n_tok"),
+        array_distinct(col("tks")).as("ts"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    sent
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("boundary",
+        when(col("prev").isNull, 1L)
+          .when(size(array_intersect(col("prev"), col("ts")))
+            * lit(tauDen.toLong) <
+            size(array_union(col("prev"), col("ts"))) * lit(tauNum.toLong),
+            1L)
+          .otherwise(0L))
+      .withColumn("chunk_id", sum(col("boundary"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_sents"), sum(col("n_tok")).as("n_tokens"))
+  }
+}

@@ -548,8 +548,113 @@ object TestQueries20 {
         CAST(len(gen) AS BIGINT) AS n_generated
       FROM rec WHERE step = 10 ORDER BY seed_rank"""))
 
+  /** TextTiling-style cohesion chunking —
+    * [[graft.operators.TextTile.chunks]]: sentence boundaries where
+    * adjacent-sentence token-set Jaccard dips below τ = 1/10, tested
+    * all-integer (|∩|·10 < |∪|) → RAW, no float anywhere.
+    */
+  val q277TextTile: QueryCase = QueryCase(
+    "q277_texttile",
+    (s, dir) => graft.operators.TextTile
+      .chunks(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id", "chunk_id"),
+    Some("""
+      WITH sraw AS (
+        SELECT doc_id, u.pos AS pos, TRIM(u.s) AS sent
+        FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS ss
+              FROM documents),
+             UNNEST(list_transform(ss,
+               (x, ii) -> struct_pack(pos := ii, s := x))) AS t(u)),
+      st AS (
+        SELECT doc_id, pos,
+          list_filter(string_split_regex(LOWER(TRIM(sent)), '\s+'),
+            x -> x <> '') AS tks
+        FROM sraw WHERE LENGTH(sent) > 0),
+      se AS (SELECT doc_id, pos, CAST(len(tks) AS BIGINT) AS n_tok,
+               list_distinct(tks) AS ts FROM st),
+      lg AS (SELECT *, LAG(ts) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS prev FROM se),
+      bd AS (
+        SELECT doc_id, pos, n_tok,
+          CASE WHEN prev IS NULL THEN 1
+               WHEN len(list_intersect(prev, ts)) * 10
+                  < len(list_distinct(list_concat(prev, ts))) * 1 THEN 1
+               ELSE 0 END AS boundary
+        FROM lg),
+      ck AS (
+        SELECT doc_id, n_tok,
+          SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_id
+        FROM bd)
+      SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        CAST(COUNT(*) AS BIGINT) AS n_sents,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM ck GROUP BY doc_id, chunk_id
+      ORDER BY doc_id, chunk_id"""))
+
+  /** k-core peeling — [[graft.operators.KCore.peel]] (k=3, 6 fixed
+    * rounds) over the q255 deterministic ring+chord graph: which part
+    * of the graph stays dense when weak spokes strip away. All integer
+    * → RAW; the oracle unrolls the peel rounds.
+    */
+  val q278KCore: QueryCase = QueryCase(
+    "q278_kcore",
+    (s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      val mx = ids.agg(max(col("i")).as("m"))
+      val e = ids.crossJoin(broadcast(mx))
+      val edges = e.where(col("i") + 1 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 1).as("b"))
+        .unionByName(e.where(col("i") + 2 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 2).as("b")))
+        .unionByName(e.where(col("i") % 3 === 0 && col("i") + 5 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 5).as("b")))
+      graft.operators.KCore.peel(edges, "a", "b", k = 3, rounds = 6)
+        .orderBy("node")
+    },
+    Some {
+      val roundsSql = (1 to 6).map { r =>
+        s"""sub$r AS MATERIALIZED (
+          SELECT und.u, und.v FROM und
+          JOIN a${r - 1} x ON x.node = und.u
+          JOIN a${r - 1} y ON y.node = und.v),
+        d$r AS (
+          SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM sub$r
+            UNION ALL SELECT v FROM sub$r)
+          GROUP BY node),
+        a$r AS MATERIALIZED (SELECT node FROM d$r WHERE d >= 3),
+        f$r AS (
+          SELECT p.node, $r AS rr FROM a${r - 1} p
+          LEFT JOIN a$r s ON s.node = p.node WHERE s.node IS NULL)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ids AS (SELECT doc_id AS i FROM documents),
+      mx AS (SELECT MAX(i) AS m FROM ids),
+      edges AS (
+        SELECT i AS u, i + 1 AS v FROM ids, mx WHERE i + 1 <= m
+        UNION ALL
+        SELECT i, i + 2 FROM ids, mx WHERE i + 2 <= m
+        UNION ALL
+        SELECT i, i + 5 FROM ids, mx WHERE i % 3 = 0 AND i + 5 <= m),
+      und AS MATERIALIZED (
+        SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+        FROM edges WHERE u <> v),
+      deg AS MATERIALIZED (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg0 FROM (
+          SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node),
+      a0 AS MATERIALIZED (SELECT node FROM deg),
+      $roundsSql,
+      fell AS (${(1 to 6).map(r => s"SELECT node, rr FROM f$r")
+          .mkString(" UNION ALL ")})
+      SELECT deg.node AS node, deg.deg0,
+        CAST(COALESCE(fell.rr, 0) AS BIGINT) AS round_removed
+      FROM deg LEFT JOIN fell ON fell.node = deg.node
+      ORDER BY deg.node"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q267KsPanel, q268Readability, q269Rake, q270FsWeights,
       q271Markov, q272LooAblation, q273ShardMixing, q274AssocRules,
-      q275PrioritySample, q276GreedyDecode)
+      q275PrioritySample, q276GreedyDecode, q277TextTile, q278KCore)
 }

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** k-core peeling on hand graphs with traced rounds. */
+class KCoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def peel(edges: Seq[(Long, Long)], k: Int, rounds: Int = 6) =
+    KCore.peel(edges.toDF("a", "b"), "a", "b", k, rounds)
+      .collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("deg0"), r.getAs[Long]("round_removed"))).toMap
+
+  test("triangle with a tail: tail peels in round 1, core survives") {
+    val m = peel(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)), k = 2)
+    assert(m(4L) == ((1L, 1L)))
+    assert(m(1L) == ((2L, 0L)) && m(2L) == ((2L, 0L)))
+    assert(m(3L) == ((3L, 0L)))
+  }
+
+  test("a chain has no 2-core: peels inward round by round") {
+    val m = peel(Seq((1L, 2L), (2L, 3L), (3L, 4L)), k = 2)
+    assert(m(1L)._2 == 1L && m(4L)._2 == 1L)   // endpoints first
+    assert(m(2L)._2 == 2L && m(3L)._2 == 2L)   // then the middle
+  }
+
+  test("k = 1 keeps every non-isolated node") {
+    val m = peel(Seq((1L, 2L), (3L, 4L)), k = 1)
+    assert(m.values.forall(_._2 == 0L))
+  }
+
+  test("orientation and duplicate edges collapse before counting") {
+    val m = peel(Seq((1L, 2L), (2L, 1L), (1L, 2L)), k = 1)
+    assert(m(1L)._1 == 1L && m(2L)._1 == 1L)
+  }
+
+  test("everything below k everywhere: all removed in round 1") {
+    val m = peel(Seq((1L, 2L), (3L, 4L)), k = 3)
+    assert(m.values.forall(_._2 == 1L))
+  }
+}

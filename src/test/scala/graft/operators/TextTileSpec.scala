@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Cohesion-chunking boundary logic on hand documents. */
+class TextTileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def chunks(text: String, tauNum: Int = 1, tauDen: Int = 10) =
+    TextTile.chunks(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", tauNum, tauDen)
+      .collect()
+      .map(r => r.getAs[Long]("chunk_id") ->
+        (r.getAs[Long]("n_sents"), r.getAs[Long]("n_tokens"))).toMap
+
+  test("cohesive sentences merge; a topic break opens a chunk") {
+    // J(s1,s2) = |{cats,purr}|/|{cats,purr,often,loudly}| = 1/2 ≥ 1/10
+    // J(s2,s3) = 0 < 1/10 → boundary before s3
+    val c = chunks(
+      "cats purr often. cats purr loudly. rockets launch fast.")
+    assert(c == Map(1L -> ((2L, 6L)), 2L -> ((1L, 3L))))
+  }
+
+  test("single sentence: one chunk; token count is non-distinct") {
+    val c = chunks("spark spark spark runs.")
+    assert(c == Map(1L -> ((1L, 4L))))
+  }
+
+  test("tau = 1 splits unless token SETS are identical") {
+    // s1 and s2 have the same set {a,b}; s3 differs
+    val c = chunks("a b. b a a. a c.", tauNum = 1, tauDen = 1)
+    assert(c == Map(1L -> ((2L, 5L)), 2L -> ((1L, 2L))))
+  }
+
+  test("empty sentences from punctuation runs are dropped") {
+    val c = chunks("alpha beta!!! ... alpha gamma.")
+    // "..." yields only whitespace between runs; two real sentences,
+    // J = 1/3 ≥ 1/10 → one chunk
+    assert(c == Map(1L -> ((2L, 4L))))
+  }
+
+  test("chunk ids restart per document") {
+    val out = TextTile.chunks(
+      Seq((1L, "x y. z w."), (2L, "p q.")).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("chunk_id"))).toSet
+    assert(out.contains((2L, 1L)))
+  }
+}
