@@ -178,4 +178,47 @@ object RetrievalEval {
       .select(col("n_queries"), col("n_resamples"), col("mean"),
         col("ci_lo"), col("ci_hi"))
   }
+
+  /** Average precision + the 11-point interpolated precision curve per
+    * query — the TREC half of the eval family next to Recall/MRR/nDCG:
+    * AP integrates precision OVER the ranking, the curve shows WHERE
+    * precision dies.
+    *
+    * Inputs: `ranked` carries (queryCol, idCol, rank 1..K ascending =
+    * best first) and a boolean `relCol`; `nRel` the per-query TOTAL
+    * relevant count (the recall denominator, which may exceed K).
+    * AP@K = Σ_{k rel} P@k / n_rel, summed as a rank-ordered fold over
+    * the ≤K per-query terms so the exact-rational doubles add in the
+    * same order both engines (RAW-safe); P_interp(r) = max precision at
+    * recall ≥ r is an exact selection. Output: query, n_rel, hits,
+    * ap, p00 … p100 (11 interpolation points).
+    */
+  def apPanel(ranked: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, nRel: DataFrame, nRelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy("k")
+    val base = ranked.select(col(queryCol).as("q"),
+      col(rankCol).cast("long").as("k"),
+      when(col(relCol), 1L).otherwise(0L).as("rel"))
+      .join(nRel.select(col(queryCol).as("q"),
+        col(nRelCol).cast("long").as("n_rel")), Seq("q"))
+      .withColumn("cum", sum(col("rel")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .withColumn("prec", col("cum").cast("double") / col("k").cast("double"))
+      .withColumn("rec", col("cum").cast("double") / col("n_rel").cast("double"))
+    val interp = (0 to 10).map { i =>
+      max(when(col("rec") >= lit(i.toDouble / 10.0d), col("prec")))
+        .as(f"p${i * 10}%03d")
+    }
+    base.groupBy("q")
+      .agg(max(col("n_rel")).as("n_rel"), sum(col("rel")).as("hits"),
+        (aggregate(
+          array_sort(collect_list(struct(col("k"),
+            when(col("rel") === 1L, col("prec")).otherwise(lit(0.0d))
+              .as("t")))),
+          lit(0.0d), (acc, s) => acc + s.getField("t"))
+          / col("n_rel").cast("double")).as("ap") +: interp: _*)
+  }
 }
