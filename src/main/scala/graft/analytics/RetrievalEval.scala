@@ -209,16 +209,68 @@ object RetrievalEval {
       .withColumn("prec", col("cum").cast("double") / col("k").cast("double"))
       .withColumn("rec", col("cum").cast("double") / col("n_rel").cast("double"))
     val interp = (0 to 10).map { i =>
-      max(when(col("rec") >= lit(i.toDouble / 10.0d), col("prec")))
-        .as(f"p${i * 10}%03d")
+      coalesce(
+        max(when(col("rec") >= lit(i.toDouble / 10.0d), col("prec"))),
+        lit(0.0d)).as(f"p${i * 10}%03d")
     }
+    val ap = (aggregate(
+      array_sort(collect_list(struct(col("k"),
+        when(col("rel") === 1L, col("prec")).otherwise(lit(0.0d))
+          .as("t")))),
+      lit(0.0d), (acc, s) => acc + s.getField("t"))
+      / max(col("n_rel")).cast("double")).as("ap")
     base.groupBy("q")
+      .agg(max(col("n_rel")).as("n_rel"),
+        (sum(col("rel")).as("hits") +: ap +: interp): _*)
+  }
+
+  /** R-precision: precision at rank R = n_rel (the point where precision
+    * equals recall) — hits within the top-R of the ranking, divided by R.
+    * With a top-K retriever and n_rel > K the cutoff truncates to K rows
+    * (the standard truncated-run convention). All-integer counts and one
+    * exact BIGINT→double division → RAW-safe. Input contract as
+    * [[apPanel]]. Output: query, n_rel, hits, rp_hits, r_precision.
+    */
+  def rPrecision(ranked: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, nRel: DataFrame, nRelCol: String): DataFrame =
+    ranked.select(col(queryCol).as("q"),
+      col(rankCol).cast("long").as("k"),
+      when(col(relCol), 1L).otherwise(0L).as("rel"))
+      .join(nRel.select(col(queryCol).as("q"),
+        col(nRelCol).cast("long").as("n_rel")), Seq("q"))
+      .groupBy("q")
       .agg(max(col("n_rel")).as("n_rel"), sum(col("rel")).as("hits"),
-        (aggregate(
-          array_sort(collect_list(struct(col("k"),
-            when(col("rel") === 1L, col("prec")).otherwise(lit(0.0d))
-              .as("t")))),
-          lit(0.0d), (acc, s) => acc + s.getField("t"))
-          / col("n_rel").cast("double")).as("ap") +: interp: _*)
+        sum(when(col("k") <= col("n_rel"), col("rel")).otherwise(0L))
+          .as("rp_hits"),
+        (sum(when(col("k") <= col("n_rel"), col("rel")).otherwise(0L))
+          .cast("double") / max(col("n_rel")).cast("double"))
+          .as("r_precision"))
+
+  /** Expected reciprocal rank (Chapelle et al., CIKM'09) with binary
+    * relevance: each hit satisfies the user with probability 1/2, so the
+    * j-th hit (in rank order) at rank r contributes exactly
+    * `1 / (r · 2^j)` — an exact single division by a small integer, and
+    * the per-query total folds those terms in rank order (ordered list
+    * fold both engines) → RAW-safe. Output: query, hits, err.
+    */
+  def err(ranked: DataFrame, queryCol: String, rankCol: String,
+      relCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    ranked.select(col(queryCol).as("q"),
+      col(rankCol).cast("long").as("k"),
+      when(col(relCol), 1L).otherwise(0L).as("rel"))
+      .withColumn("j", sum(col("rel")).over(w))
+      .withColumn("term", when(col("rel") === 1L,
+        lit(1.0d) / (col("k") * expr("shiftleft(1L, cast(j as int))"))
+          .cast("double")).otherwise(lit(0.0d)))
+      .groupBy("q")
+      .agg(sum(col("rel")).as("hits"),
+        aggregate(
+          array_sort(collect_list(struct(col("k"), col("term").as("t")))),
+          lit(0.0d), (acc, s) => acc + s.getField("t")).as("err"))
   }
 }

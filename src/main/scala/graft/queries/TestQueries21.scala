@@ -1,0 +1,278 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 additions: the TREC half of the retrieval-eval family
+  * (average precision + the 11-point interpolated curve, R-precision,
+  * ERR) over the same brute-force cosine retriever as q173, mirroring
+  * the evaluation loop the reference's hybrid search
+  * (`src/search/hybrid.py`, `docs/HYBRID_SEARCH.md`) needs before a
+  * ranker change ships.
+  */
+object TestQueries21 {
+
+  private val K = 10
+
+  /** The q173 brute-retriever chain: every 25th vector is a held-out
+    * query; relevance = same generator label; rank by cosine with a
+    * vec_id tie-break. Returns (ranked-with-rel-flag, n_rel-per-query).
+    */
+  private def rankedBase(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, dir).select(
+      col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val queries = e.where(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+      .withColumn("qn", graft.functions.VectorFunctions.norm2(col("qv")))
+    val corpus = e.where(col("vec_id") % 25 =!= 0)
+      .withColumn("cn", graft.functions.VectorFunctions.norm2(col("v")))
+    val ranked = queries.crossJoin(corpus)
+      .withColumn("csim", graft.functions.VectorFunctions.cosineFromParts(
+        col("qv"), col("v"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(desc("csim"), col("vec_id"))))
+      .where(col("rank") <= K)
+      .select(col("query_id"), col("vec_id"), col("rank"))
+    val relevant = queries.select(col("query_id"), col("q_label"))
+      .join(corpus.select(col("vec_id"), col("label").as("q_label")),
+        Seq("q_label"))
+      .select(col("query_id"), col("vec_id"))
+    val flagged = ranked
+      .join(relevant.withColumn("rel", lit(true)),
+        Seq("query_id", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(false)))
+    val nRel = relevant.groupBy("query_id")
+      .agg(count(lit(1)).as("n_rel"))
+    (flagged, nRel)
+  }
+
+  /** The same chain in DuckDB, shared by the q279–q281 oracles: yields
+    * CTEs `pr` (query_id, rank, rel, n_rel, prec, rec) with prec/rec as
+    * single exact BIGINT→DOUBLE divisions, deterministic both engines.
+    */
+  private val RankedBaseSql = s"""
+        WITH e AS (
+          SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        queries AS (
+          SELECT vec_id AS query_id, label AS q_label, v AS qv
+          FROM e WHERE vec_id % 25 = 0),
+        corpus AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
+        scored AS (
+          SELECT q.query_id, c.vec_id,
+            list_reduce(list_transform(q.qv, (x, i) -> x * c.v[i]),
+                        (s, t) -> s + t) /
+            (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                              (s, t) -> s + t)) *
+             sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                              (s, t) -> s + t))) AS csim
+          FROM queries q CROSS JOIN corpus c),
+        ranked AS (
+          SELECT query_id, vec_id, rank FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY csim DESC, vec_id) AS rank
+            FROM scored) WHERE rank <= ${K}),
+        relevant AS (
+          SELECT q.query_id, c.vec_id
+          FROM queries q JOIN corpus c ON c.label = q.q_label),
+        nrel AS (
+          SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+          FROM relevant GROUP BY 1),
+        hit AS (
+          SELECT r.query_id, r.rank,
+            CASE WHEN rel.vec_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+          FROM ranked r
+          LEFT JOIN relevant rel
+            ON rel.query_id = r.query_id AND rel.vec_id = r.vec_id),
+        pr AS (
+          SELECT h.query_id, h.rank, h.rel, n.n_rel,
+            CAST(SUM(h.rel) OVER (PARTITION BY h.query_id
+              ORDER BY h.rank) AS DOUBLE) / CAST(h.rank AS DOUBLE) AS prec,
+            CAST(SUM(h.rel) OVER (PARTITION BY h.query_id
+              ORDER BY h.rank) AS DOUBLE) / CAST(n.n_rel AS DOUBLE) AS rec
+          FROM hit h JOIN nrel n USING (query_id))"""
+
+  /** Average precision + 11-point interpolated precision curve —
+    * [[graft.analytics.RetrievalEval.apPanel]]. AP@K folds the ≤K
+    * per-query precision-at-hit terms in rank order (ordered list fold
+    * both engines → bit-identical), then one exact division by n_rel;
+    * each interpolation point is a MAX over deterministic doubles →
+    * RAW compare.
+    */
+  val q279ApPanel: QueryCase = {
+    val pColsSql = (0 to 10).map { i =>
+      val thr = i.toDouble / 10.0d
+      "COALESCE(MAX(CASE WHEN rec >= CAST(%s AS DOUBLE) THEN prec END), CAST(0.0 AS DOUBLE)) AS p%03d"
+        .format(thr.toString, i * 10)
+    }.mkString(",\n            ")
+    QueryCase(
+      "q279_ap_panel",
+      (s, dir) => {
+        val (flagged, nRel) = rankedBase(s, dir)
+        graft.analytics.RetrievalEval
+          .apPanel(flagged, "query_id", "rank", "rel", nRel, "n_rel")
+          .withColumnRenamed("q", "query_id")
+          .orderBy("query_id")
+      },
+      Some(s"""${RankedBaseSql}
+        SELECT query_id, CAST(MAX(n_rel) AS BIGINT) AS n_rel,
+            CAST(SUM(rel) AS BIGINT) AS hits,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(CASE WHEN rel = 1 THEN prec
+                     ELSE CAST(0.0 AS DOUBLE) END ORDER BY rank)),
+              (s, t) -> s + t) / CAST(MAX(n_rel) AS DOUBLE) AS ap,
+            ${pColsSql}
+        FROM pr GROUP BY query_id ORDER BY query_id"""))
+  }
+
+  /** R-precision — [[graft.analytics.RetrievalEval.rPrecision]]:
+    * precision at rank R = n_rel (truncated to the K retrieved). Integer
+    * counts, one exact division → RAW compare.
+    */
+  val q280RPrecision: QueryCase = QueryCase(
+    "q280_r_precision",
+    (s, dir) => {
+      val (flagged, nRel) = rankedBase(s, dir)
+      graft.analytics.RetrievalEval
+        .rPrecision(flagged, "query_id", "rank", "rel", nRel, "n_rel")
+        .withColumnRenamed("q", "query_id")
+        .orderBy("query_id")
+    },
+    Some(s"""${RankedBaseSql}
+        SELECT query_id, CAST(MAX(n_rel) AS BIGINT) AS n_rel,
+            CAST(SUM(rel) AS BIGINT) AS hits,
+            CAST(SUM(CASE WHEN rank <= n_rel THEN rel ELSE 0 END)
+              AS BIGINT) AS rp_hits,
+            CAST(SUM(CASE WHEN rank <= n_rel THEN rel ELSE 0 END)
+              AS DOUBLE) / CAST(MAX(n_rel) AS DOUBLE) AS r_precision
+        FROM pr GROUP BY query_id ORDER BY query_id"""))
+
+  /** Expected reciprocal rank — [[graft.analytics.RetrievalEval.err]]:
+    * binary-relevance ERR where the j-th hit at rank r contributes
+    * exactly 1/(r·2^j); rank-ordered fold both engines → RAW compare.
+    */
+  val q281Err: QueryCase = QueryCase(
+    "q281_err",
+    (s, dir) => {
+      val (flagged, _) = rankedBase(s, dir)
+      graft.analytics.RetrievalEval.err(flagged, "query_id", "rank", "rel")
+        .withColumnRenamed("q", "query_id")
+        .orderBy("query_id")
+    },
+    Some(s"""${RankedBaseSql},
+        terms AS (
+          SELECT query_id, rank, rel,
+            CASE WHEN rel = 1 THEN CAST(1.0 AS DOUBLE) /
+              CAST(rank * (CAST(1 AS BIGINT) << CAST(SUM(rel) OVER
+                (PARTITION BY query_id ORDER BY rank) AS INT))
+                AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS term
+          FROM pr)
+        SELECT query_id, CAST(SUM(rel) AS BIGINT) AS hits,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list(term ORDER BY rank)), (s, t) -> s + t) AS err
+        FROM terms GROUP BY query_id ORDER BY query_id"""))
+
+  /** Event-time streaming parity, end to end —
+    * [[graft.streaming.SessionReplay.sessions]]: a REAL watermarked
+    * `session_window` aggregation through the Structured Streaming
+    * engine (MemoryStream → append-mode memory sink) over a bounded,
+    * deterministic two-batch replay of `events` (user_id < 40 — an
+    * absolute bound since per-user volume is constant across SFs,
+    * spanning the full event-time range; batch = event_id parity),
+    * so batch-2 rows behind the watermark are genuinely
+    * DROPPED by the engine, cross-batch sessions MERGE in state, and
+    * only watermark-closed sessions EMIT. The oracle replays the
+    * probed semantics exactly (SessionReplaySpec): wm_i = ms-floored
+    * max-seen ts − delay; ONE inclusive predicate `session end ≤ wm`
+    * for both the late drop (vs wm1, on the row's initial ts + gap)
+    * and emission (vs wm1/wm2, on the merged end); TWO-PHASE replay
+    * because emission evicts state (a survivor overlapping an emitted
+    * window re-opens as a separate session). Timestamps + integer
+    * counts + exact-decimal sums → RAW compare.
+    */
+  val q282StreamSessions: QueryCase = QueryCase(
+    "q282_stream_sessions",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id") < 40)
+        .withColumn("b", col("event_id") % 2)
+      graft.streaming.SessionReplay
+        .sessions(ev, gapMinutes = 720, delayMinutes = 2880, batchCol = "b")
+        .orderBy("user_id", "session_start")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+               value, event_id % 2 AS b
+        FROM events WHERE user_id < 40),
+      wm1 AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2880 MINUTE
+          AS w FROM ev WHERE b = 0),
+      wm2 AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2880 MINUTE
+          AS w FROM ev),
+      b1 AS (
+        SELECT user_id, ts, value,
+          CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 720 MINUTE THEN 1
+               ELSE 0 END AS brk
+        FROM ev WHERE b = 0
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      p1 AS (
+        SELECT user_id, ts, value,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM b1),
+      s1 AS (
+        SELECT user_id, sid, MIN(ts) AS session_start,
+          MAX(ts) + INTERVAL 720 MINUTE AS session_end,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM p1 GROUP BY user_id, sid),
+      emit1 AS (
+        SELECT user_id, session_start, session_end, n_events, sum_value
+        FROM s1, wm1 WHERE s1.session_end <= wm1.w),
+      phase2_rows AS (
+        -- state rows: members of batch-1 sessions the wm1 left open
+        SELECT p1.user_id, p1.ts, p1.value
+        FROM p1 JOIN s1 USING (user_id, sid), wm1
+        WHERE s1.session_end > wm1.w
+        UNION ALL
+        -- batch-2 survivors: initial session end clears wm1
+        SELECT ev.user_id, ev.ts, ev.value FROM ev, wm1
+        WHERE ev.b = 1 AND ev.ts + INTERVAL 720 MINUTE > wm1.w),
+      b2 AS (
+        SELECT user_id, ts, value,
+          CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 720 MINUTE THEN 1
+               ELSE 0 END AS brk
+        FROM phase2_rows
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      p2 AS (
+        SELECT user_id, ts, value,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM b2),
+      s2 AS (
+        SELECT user_id, MIN(ts) AS session_start,
+          MAX(ts) + INTERVAL 720 MINUTE AS session_end,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM p2 GROUP BY user_id, sid),
+      emit2 AS (
+        SELECT user_id, session_start, session_end, n_events, sum_value
+        FROM s2, wm2 WHERE s2.session_end <= wm2.w)
+      SELECT * FROM emit1 UNION ALL SELECT * FROM emit2
+      ORDER BY user_id, session_start"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions)
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.plans.Bounded
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** End-to-end EVENT-TIME streaming replay: run a watermarked
+  * `session_window` aggregation through the REAL Structured Streaming
+  * engine (MemoryStream source → append-mode memory sink) over a
+  * deterministic micro-batch split of a bounded events frame, and
+  * return the emitted sessions as a batch DataFrame.
+  *
+  * This is the oracle anchor for the streaming plane (the T1–T10
+  * operators are spec-pinned; this one is DuckDB-replayable): the
+  * watermark advances between batches exactly as a deployment's would,
+  * so batch-2 rows behind it are DROPPED (late data), cross-batch
+  * sessions MERGE in state, and only sessions the final watermark has
+  * closed are EMITTED — append-mode semantics end to end, not a batch
+  * re-spelling.
+  *
+  * Replayed semantics (probed EMPIRICALLY — boundary-equal fixtures
+  * plus `recentProgress` watermark/drop-count introspection on the
+  * q282 data — and pinned by SessionReplaySpec; mirrored by the q282
+  * oracle. Spark 4.1's event-time stats collect max event time in
+  * MILLISECONDS, and the session operator applies ONE watermark
+  * predicate on the session end for both the late filter and
+  * emission):
+  *  - watermark after batch i = floor_ms(max ts seen in batches ≤ i)
+  *    − delay; ALL rows update it (even ones later dropped).
+  *  - a batch-2 row is dropped iff its initial session end
+  *    (ts + gap) ≤ watermark — INCLUSIVE, raw µs compare (a row whose
+  *    ts is behind the watermark but whose session end is ahead of it
+  *    is KEPT; a row at exact end == wm equality drops).
+  *  - an emitted session is one whose merged end (last ts + gap) ≤
+  *    the watermark after the batch, same inclusive raw compare (an
+  *    end one ms-fraction past the watermark is held in state).
+  *  - emission EVICTS state: a later survivor that overlaps an
+  *    already-emitted window (its ts inside the emitted span but its
+  *    own end past wm1) starts a SECOND, overlapping session — so the
+  *    batch-wise output is a TWO-PHASE replay (sessionize batch 1,
+  *    emit ≤ wm1; drop late batch-2 rows, sessionize state rows ∪
+  *    survivors, emit ≤ wm2), NOT one global gaps-and-islands pass.
+  *
+  * Scale shape: the replay COLLECTS the bounded frame through
+  * [[Bounded.collectBounded]] (a gate/test harness, capped by
+  * contract — a deployment points the same aggregation at a real
+  * `readStream` source and never collects); the aggregation itself is
+  * the production shape — state is O(open sessions), late data is
+  * dropped at the watermark, emission is append-mode.
+  */
+object SessionReplay {
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+
+  /** Replay `events` (needs user_id, ts, value) in two micro-batches —
+    * batch 1 = rows where `batch1Of(row) == 0`, batch 2 = the rest,
+    * each in deterministic (user_id, ts, value) order — through a
+    * watermarked session-window aggregation.
+    *
+    * @return emitted sessions: (user_id, session_start, session_end,
+    *         n_events, sum_value) — sum exact-decimal, surfaced double
+    */
+  def sessions(events: DataFrame, gapMinutes: Int, delayMinutes: Int,
+               batchCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Bounded.collectBounded(
+      events.select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"), col(batchCol).cast("long").as("b"))
+        .orderBy("user_id", "ts", "value"),
+      "SessionReplay.sessions")
+    val batch1 = rows.filter(_.getLong(3) == 0L)
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    val batch2 = rows.filter(_.getLong(3) != 0L)
+      .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+
+    val input = MemoryStream[Ev]
+    val sinkName = s"session_replay_${System.identityHashCode(input)}"
+    val agg = input.toDS().toDF()
+      .withWatermark("ts", s"$delayMinutes minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double")
+          .as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+    val query = agg.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      if (batch1.nonEmpty) { input.addData(batch1); query.processAllAvailable() }
+      if (batch2.nonEmpty) { input.addData(batch2); query.processAllAvailable() }
+      // materialize off the sink before stopping the query
+      val out = spark.table(sinkName).collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+        spark.table(sinkName).schema)
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView(sinkName)
+    }
+  }
+}

@@ -1,0 +1,64 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Pins [[RetrievalEval.apPanel]] against hand-computed AP and 11-point
+  * interpolated-precision values, the perfect-ranking AP=1 invariant,
+  * and the zero-hit edge (ap 0, all points 0).
+  */
+class ApPanelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ranked = Seq(
+    // query A: 5 retrieved, hits at ranks 2 and 4; n_rel = 3
+    ("qa", "d1", 1, false), ("qa", "d2", 2, true), ("qa", "d3", 3, false),
+    ("qa", "d4", 4, true), ("qa", "d5", 5, false),
+    // query B: perfect ranking, 3 retrieved = 3 relevant
+    ("qb", "d7", 1, true), ("qb", "d8", 2, true), ("qb", "d9", 3, true),
+    // query C: judged relevant exist but none retrieved
+    ("qc", "d1", 1, false), ("qc", "d2", 2, false)
+  ).toDF("q", "doc", "rank", "rel")
+
+  private val nRel = Seq(("qa", 3L), ("qb", 3L), ("qc", 2L))
+    .toDF("q", "n_rel")
+
+  private lazy val out = RetrievalEval
+    .apPanel(ranked, "q", "rank", "rel", nRel, "n_rel")
+    .orderBy("q").collect()
+
+  private def row(q: String): Row = out.find(_.getString(0) == q).get
+  private def p(r: Row, i: Int): Double = r.getDouble(4 + i)
+
+  test("query A: AP = (1/2 + 2/4) / 3, hits/n_rel carried") {
+    val r = row("qa")
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == (0.5 + 0.5) / 3.0)
+  }
+
+  test("query A: interpolated curve steps down at unreachable recall") {
+    val r = row("qa")
+    // prec by rank: 0, 1/2, 1/3, 2/4, 2/5; rec: 0, 1/3, 1/3, 2/3, 2/3.
+    (0 to 6).foreach(i => assert(p(r, i) == 0.5, s"p${i * 10}"))
+    (7 to 10).foreach(i => assert(p(r, i) == 0.0, s"p${i * 10}"))
+  }
+
+  test("query B: perfect ranking → AP 1 and a flat curve at 1") {
+    val r = row("qb")
+    assert(r.getDouble(3) == 1.0)
+    (0 to 10).foreach(i => assert(p(r, i) == 1.0))
+  }
+
+  test("query C: zero hits → AP 0 and all-zero curve") {
+    val r = row("qc")
+    assert(r.getLong(2) == 0L && r.getDouble(3) == 0.0)
+    (0 to 10).foreach(i => assert(p(r, i) == 0.0))
+  }
+
+  test("schema: q, n_rel, hits, ap, p000..p100") {
+    val cols = RetrievalEval
+      .apPanel(ranked, "q", "rank", "rel", nRel, "n_rel").columns.toSeq
+    assert(cols == Seq("q", "n_rel", "hits", "ap") ++
+      (0 to 10).map(i => f"p${i * 10}%03d"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Pins [[RetrievalEval.rPrecision]] and [[RetrievalEval.err]] against
+  * hand-computed values on the [[ApPanelSpec]] fixture.
+  */
+class RPrecisionErrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ranked = Seq(
+    ("qa", "d1", 1, false), ("qa", "d2", 2, true), ("qa", "d3", 3, false),
+    ("qa", "d4", 4, true), ("qa", "d5", 5, false),
+    ("qb", "d7", 1, true), ("qb", "d8", 2, true), ("qb", "d9", 3, true),
+    ("qc", "d1", 1, false), ("qc", "d2", 2, false)
+  ).toDF("q", "doc", "rank", "rel")
+
+  private val nRel = Seq(("qa", 3L), ("qb", 3L), ("qc", 2L))
+    .toDF("q", "n_rel")
+
+  private lazy val rp = RetrievalEval
+    .rPrecision(ranked, "q", "rank", "rel", nRel, "n_rel")
+    .orderBy("q").collect()
+  private lazy val er = RetrievalEval.err(ranked, "q", "rank", "rel")
+    .orderBy("q").collect()
+
+  private def row(rows: Array[Row], q: String): Row =
+    rows.find(_.getString(0) == q).get
+
+  test("R-precision: only the hit inside the top-n_rel counts") {
+    val a = row(rp, "qa") // hits at ranks 2,4; R = 3 → only rank 2 counts
+    assert(a.getLong(1) == 3L && a.getLong(2) == 2L && a.getLong(3) == 1L)
+    assert(a.getDouble(4) == 1.0 / 3.0)
+  }
+
+  test("R-precision: perfect ranking → 1, zero hits → 0") {
+    assert(row(rp, "qb").getDouble(4) == 1.0)
+    assert(row(rp, "qc").getDouble(4) == 0.0)
+  }
+
+  test("ERR: j-th hit at rank r contributes 1/(r·2^j)") {
+    val a = row(er, "qa") // hit 1 at rank 2 → 1/4; hit 2 at rank 4 → 1/16
+    assert(a.getLong(1) == 2L)
+    assert(a.getDouble(2) == 0.25 + 0.0625)
+  }
+
+  test("ERR: perfect ranking folds 1/2 + 1/8 + 1/24 in rank order") {
+    assert(row(er, "qb").getDouble(2) == 0.5 + 0.125 + 1.0 / 24.0)
+  }
+
+  test("ERR: zero hits → 0") {
+    assert(row(er, "qc").getDouble(2) == 0.0)
+  }
+}

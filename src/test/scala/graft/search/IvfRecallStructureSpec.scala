@@ -51,13 +51,9 @@ class IvfRecallStructureSpec extends SparkSpec {
       .where(col("rank_t") <= 10)
       .select("query_id", "vec_id")
 
-    val km = KMeans.fit(corpus, "vec_id", "v", k = nClusters, iters = 3)
-    val labeled = corpus.join(
-      km.assignments.select(col("id").as("vec_id"), col("cluster_id")),
-      Seq("vec_id"))
-    val index = IvfIndex.Index(
-      IvfIndex.build(labeled, "vec_id", "v", "cluster_id").assignments,
-      km.centroids)
+    // the serving default: the index constructs its own trained cells
+    val index = IvfIndex.buildTrained(corpus, "vec_id", "v",
+      k = nClusters, iters = 3)
 
     val approx = IvfIndex
       .searchAll(index, queries, "query_id", "qv", 10, nprobe = 2)
@@ -67,5 +63,10 @@ class IvfRecallStructureSpec extends SparkSpec {
     assert(recall >= 0.9,
       f"recall@10=$recall%.3f at nprobe=2/k=20 (10%% scan) on a " +
         "clustered corpus — the quantizer should separate these cells")
+
+    // the trained index is store-round-trippable like the gate-path one
+    val assignCols = index.assignments.columns.toSeq
+    assert(assignCols == Seq("id", "cluster_id", "v"))
+    assert(index.centroids.columns.toSeq == Seq("cluster_id", "centroid"))
   }
 }

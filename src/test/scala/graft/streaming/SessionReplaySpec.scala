@@ -1,0 +1,126 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Pins the EXACT event-time semantics [[SessionReplay]] replays and the
+  * q282 oracle mirrors, with boundary fixtures probed against the real
+  * engine (including `recentProgress` watermark introspection at the
+  * q282 data, which caught two wrong first guesses — a raw-ts drop rule
+  * and an ms-floored-end rule — before this single rule explained every
+  * observation):
+  *
+  *  - watermark after batch i = floor_ms(max ts seen) − delay
+  *  - ONE predicate for both late-drop and emission: session end ≤
+  *    watermark, INCLUSIVE, raw µs compare (only the watermark itself
+  *    is ms-floored)
+  *  - a batch-2 survivor may OVERLAP a session already emitted at wm1;
+  *    the engine emits a second overlapping session (state was
+  *    evicted), so the oracle needs the two-phase replay, not one
+  *    global gaps-and-islands pass
+  *
+  * Fixture geometry (gap = 10 min, delay = 10 min): batch1 max ts =
+  * 12:05:00 (user 8) → wm1 = 11:55:00.000; batch2 max ts =
+  * 12:40:00.000321 → wm2 = 12:30:00.000.
+  */
+class SessionReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    (1L, t("2024-01-01 10:00:00.0005"), 1.0, 0L),
+    (1L, t("2024-01-01 10:05:00"), 2.0, 0L),
+    (2L, t("2024-01-01 12:00:00.000789"), 4.0, 0L),
+    (8L, t("2024-01-01 12:05:00"), 8.0, 0L), // wm1 driver; merges with b2
+    // end 11:50 ≤ wm1 → emitted at wm1; its batch2 row is LATE (end ==
+    // wm1) and must not resurrect the session
+    (15L, t("2024-01-01 11:40:00"), 32.0, 0L),
+    // end 11:50 ≤ wm1 → emitted at wm1; its batch2 row SURVIVES and
+    // overlaps this emitted window
+    (16L, t("2024-01-01 11:40:00"), 128.0, 0L)
+  )
+  private val batch2 = Seq(
+    // ends 11:50:00.000 … 11:50:00.0005 — all ≤ wm1 → dropped
+    (3L, t("2024-01-01 11:40:00"), 1.0, 1L),
+    (4L, t("2024-01-01 11:39:59.999999"), 1.0, 1L),
+    (5L, t("2024-01-01 11:40:00.000001"), 1.0, 1L),
+    (9L, t("2024-01-01 11:40:00.0005"), 1.0, 1L),
+    (14L, t("2024-01-01 11:40:00.0001"), 1.0, 1L),
+    // end == wm1 EXACTLY: dropped — the late filter is INCLUSIVE ≤
+    (13L, t("2024-01-01 11:45:00"), 1.0, 1L),
+    (15L, t("2024-01-01 11:45:00"), 64.0, 1L), // end == wm1 → dropped
+    // late mid-session row for user 1 (end 10:14 ≤ wm1): dropped, the
+    // emitted session must not grow
+    (1L, t("2024-01-01 10:04:00"), 100.0, 1L),
+    // end 11:57 > wm1: SURVIVES although ts < wm1 — the drop rule is on
+    // the session END, not the raw event time (raw-ts would drop this);
+    // overlaps user 16's emitted [11:40→11:50) window → second session
+    (16L, t("2024-01-01 11:47:00"), 256.0, 1L),
+    // ts == old wm guesses, ends clear wm1 → kept
+    (11L, t("2024-01-01 11:50:00"), 1.0, 1L),
+    (12L, t("2024-01-01 11:50:00.000777"), 1.0, 1L),
+    // merge partner for user 8's batch1 row (end 12:18 > wm1, on-time)
+    (8L, t("2024-01-01 12:08:00"), 16.0, 1L),
+    // session end == wm2 exactly: emitted — emission is INCLUSIVE too
+    (7L, t("2024-01-01 12:20:00"), 1.0, 1L),
+    // end one ms-fraction past wm2 (12:30:00.0001): held in state — the
+    // µs end is compared RAW against the ms-floored watermark
+    (10L, t("2024-01-01 12:20:00.0001"), 1.0, 1L),
+    // new max ts: sets wm2, its own session stays open (never emits)
+    (6L, t("2024-01-01 12:40:00.000321"), 1.0, 1L)
+  )
+
+  private lazy val out = SessionReplay.sessions(
+    (batch1 ++ batch2).toDF("user_id", "ts", "value", "b"),
+    gapMinutes = 10, delayMinutes = 10, batchCol = "b")
+    .orderBy("user_id", "session_start").collect()
+    .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+      r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+
+  private def rows(u: Long) = out.filter(_._1 == u).toSeq
+
+  test("emitted set: on-time sessions closed by the final watermark") {
+    assert(out.map(_._1).toSeq ==
+      Seq(1L, 2L, 7L, 8L, 11L, 12L, 15L, 16L, 16L))
+  }
+
+  test("late mid-session row is dropped, not merged (user 1)") {
+    assert(rows(1L) == Seq((1L, "2024-01-01 10:00:00.0005",
+      "2024-01-01 10:15:00.0", 2L, 3.0)))
+  }
+
+  test("late filter: session end ≤ wm1 INCLUSIVE drops (3/4/5/9/14 " +
+    "below, 13/15b at exact equality); ends past wm1 survive even " +
+    "with ts < wm1 (16b) — end-based, not raw-ts") {
+    assert(!out.exists(r => Set(3L, 4L, 5L, 9L, 13L, 14L).contains(r._1)))
+    assert(rows(15L).size == 1 && rows(15L).head._5 == 32.0)
+    assert(rows(16L).size == 2)
+    assert(out.exists(_._1 == 11L) && out.exists(_._1 == 12L))
+  }
+
+  test("emission: end ≤ wm2 INCLUSIVE raw (user 7 at exact equality " +
+    "emitted; user 10 one ms-fraction past held; user 6 open)") {
+    assert(rows(7L).head._3 == "2024-01-01 12:30:00.0")
+    assert(!out.exists(_._1 == 10L) && !out.exists(_._1 == 6L))
+  }
+
+  test("a survivor overlapping an emitted session becomes a SECOND, " +
+    "overlapping session (user 16) — emitted state is not resurrected") {
+    assert(rows(16L) == Seq(
+      (16L, "2024-01-01 11:40:00.0", "2024-01-01 11:50:00.0", 1L, 128.0),
+      (16L, "2024-01-01 11:47:00.0", "2024-01-01 11:57:00.0", 1L, 256.0)))
+  }
+
+  test("cross-batch session merge (user 8: one event per batch)") {
+    assert(rows(8L) == Seq((8L, "2024-01-01 12:05:00.0",
+      "2024-01-01 12:18:00.0", 2L, 24.0)))
+  }
+
+  test("session window shape: end = last event + gap, µs preserved") {
+    val u2 = rows(2L).head
+    assert(u2._2 == "2024-01-01 12:00:00.000789" &&
+      u2._3 == "2024-01-01 12:10:00.000789")
+  }
+}

@@ -1,0 +1,48 @@
+#!/bin/sh
+# Round-close routine: the ONLY sanctioned way to snapshot at end of round.
+# Refuses to commit unless the tree compiles (main + test); optionally runs
+# the full spec suite and the sf0.01 verify sweep first.
+#
+#   sh tools/close_round.sh "commit message"            # compile gate only
+#   FULL=1 sh tools/close_round.sh "commit message"     # + sbt test + verify
+#
+# Round-11 lesson: the end-of-round snapshot swept up one never-compiled
+# file and zeroed CORRECTNESS_r11/BENCH_r11. The pre-commit hook
+# (tools/pre-commit) enforces the same compile gate on every commit; this
+# script is the belt to that suspender and adds the optional full drive.
+set -e
+cd "$(dirname "$0")/.."
+msg="${1:-end-of-round snapshot}"
+
+echo "[close_round] sbt Test/compile..."
+sbt -batch "Test/compile" >/tmp/close_round_compile.log 2>&1 || {
+  echo "[close_round] REFUSED: compile failed; see /tmp/close_round_compile.log"
+  tail -15 /tmp/close_round_compile.log
+  exit 1
+}
+
+if [ -n "$FULL" ]; then
+  echo "[close_round] sbt test..."
+  sbt -batch test >/tmp/close_round_test.log 2>&1 || {
+    echo "[close_round] REFUSED: specs failed; see /tmp/close_round_test.log"
+    grep -E "TESTS FAILED|\*\*\* FAILED" /tmp/close_round_test.log | tail -10
+    exit 1
+  }
+  echo "[close_round] verify sweep at sf0.01..."
+  rm -rf /tmp/close_round_verify
+  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/close_round_verify" \
+    >/tmp/close_round_verify.log 2>&1 || {
+    echo "[close_round] REFUSED: Verify failed; see /tmp/close_round_verify.log"
+    exit 1
+  }
+  python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/close_round_verify \
+    | tee /tmp/close_round_oracle.log | tail -3
+  if grep -q "FAIL" /tmp/close_round_oracle.log; then
+    echo "[close_round] REFUSED: oracle mismatches above."
+    exit 1
+  fi
+fi
+
+git add -A
+git commit -m "$msg"
+echo "[close_round] snapshot committed."

@@ -1,0 +1,8 @@
+#!/bin/sh
+# Install the repo's git hooks (idempotent). Run once per clone/session:
+#   sh tools/install_hooks.sh
+set -e
+cd "$(dirname "$0")/.."
+cp tools/pre-commit .git/hooks/pre-commit
+chmod +x .git/hooks/pre-commit
+echo "installed .git/hooks/pre-commit (compile guard)"
