@@ -23,6 +23,24 @@ final case class QueryCase(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+object QueryCase {
+  /** Eval-panel query-set bound (the q236 bounded-eval contract applied
+    * to the retrieval-eval family): every recall/metric gate's QUERY
+    * side filters `vec_id % 25 = 0 AND vec_id < QueryBound`. Inert at
+    * every driver SF (vec_ids there are ≤ ~2×10⁵
+    * at sf1-driver scale), but at the ScaleRehearsal decade builds
+    * (copies shifted by 10⁸) it pins the query count to copy 0 — the
+    * corpus side keeps scaling, so the gate measures the per-query
+    * serving cost against a growing index instead of a grader that is
+    * quadratic by construction (#queries × corpus both growing). A
+    * recall ESTIMATE does not improve past a few hundred queries
+    * (CI ~ 1/√Q); growing Q with the corpus was pure grader cost —
+    * the sf10 ladder exposed it (q200 exp 1.49, q208 2.20 at the
+    * second decade before this bound).
+    */
+  val QueryBound = 500000L
+}
+
 object TestQueries {
 
   /** Exact decimal sum of a ≤2dp double column, surfaced as double. */

@@ -1423,7 +1423,7 @@ object TestQueries14 {
     "q170_hard_negatives",
     (s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val queries = emb.where(col("vec_id") % 25 === 0)
+      val queries = emb.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val scored = emb.select(col("vec_id").as("cand_id"), col("embedding"))
         .crossJoin(broadcast(queries))
@@ -1440,10 +1440,10 @@ object TestQueries14 {
           (round(col("score"), 6) < 0.95).as("is_hard"), col("rn"))
         .orderBy("qid", "rn")
     },
-    Some("""
+    Some(s"""
       WITH q AS (
         SELECT vec_id AS qid, embedding AS qv
-        FROM embeddings WHERE vec_id % 25 = 0),
+        FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
       s AS (
         SELECT qid, vec_id AS cand_id,
                list_reduce(list_transform(range(1, len(embedding)+1),

@@ -39,7 +39,7 @@ object TestQueries15 {
           col("embedding").cast("array<double>").as("v"))
         // per-side norms hoisted (norm2 ≡ the HOF fold bit-for-bit);
         // pair loop pays one codegen dot, not three interpreted folds
-        val queries = e.where(col("vec_id") % 25 === 0)
+        val queries = e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound)
           .select(col("vec_id").as("query_id"), col("label").as("q_label"),
             col("v").as("qv"))
           .withColumn("qn",
@@ -71,7 +71,7 @@ object TestQueries15 {
           FROM embeddings),
         queries AS (
           SELECT vec_id AS query_id, label AS q_label, v AS qv
-          FROM e WHERE vec_id % 25 = 0),
+          FROM e WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
         corpus AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
         disc(rank, d) AS (VALUES ${discValues}),
         cum(n_ideal, idcg) AS (VALUES ${cumValues}),
@@ -1050,7 +1050,7 @@ object TestQueries15 {
       import graft.functions.VectorFunctions
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      val q = e.where(col("vec_id") % 25 === 0)
+      val q = e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound)
         .select(col("label").as("q_label"), col("v").as("qv"))
         .withColumn("qn", VectorFunctions.norm2(col("qv")))
       val pairs = e.where(col("vec_id") % 25 =!= 0)
@@ -1068,7 +1068,7 @@ object TestQueries15 {
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
-      q AS (SELECT label AS q_label, v AS qv FROM e WHERE vec_id % 25 = 0),
+      q AS (SELECT label AS q_label, v AS qv FROM e WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
       c AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
       scored AS (
         SELECT
@@ -1140,7 +1140,7 @@ object TestQueries15 {
       import graft.functions.VectorFunctions
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      val q = e.where(col("vec_id") % 25 === 0)
+      val q = e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound)
         .select(col("label").as("q_label"), col("v").as("qv"))
         .withColumn("qn", VectorFunctions.norm2(col("qv")))
       val pairs = e.where(col("vec_id") % 25 =!= 0)
@@ -1158,7 +1158,7 @@ object TestQueries15 {
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
-      q AS (SELECT label AS q_label, v AS qv FROM e WHERE vec_id % 25 = 0),
+      q AS (SELECT label AS q_label, v AS qv FROM e WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
       c AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
       scored AS (
         SELECT
@@ -1249,7 +1249,7 @@ object TestQueries15 {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"),
         col("embedding").as("vf"))
-      val queries = e.where(col("vec_id") % 25 === 0)
+      val queries = e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("vf").as("qvf"))
         .withColumn("qn", VectorFunctions.norm2(col("qv")))
@@ -1265,7 +1265,7 @@ object TestQueries15 {
         .select(col("query_id"), col("vec_id"))
       val approx = graft.operators.Search.binaryHammingTopK(
           e.where(col("vec_id") % 25 =!= 0), "vec_id", "vf",
-          e.where(col("vec_id") % 25 === 0), "vec_id", "vf", k)
+          e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound), "vec_id", "vf", k)
         .select(col("query_id"), col("id").as("vec_id"))
       truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("hits"))
@@ -1281,7 +1281,7 @@ object TestQueries15 {
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e
-            WHERE vec_id % 25 = 0),
+            WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
       c AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
       truth AS (
         SELECT query_id, vec_id FROM (
@@ -1305,7 +1305,7 @@ object TestQueries15 {
                CAST(0 AS HUGEINT))""")} AS code
         FROM embeddings e2),
       qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes
-             WHERE vec_id % 25 = 0),
+             WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
       cc AS (SELECT vec_id, code FROM codes WHERE vec_id % 25 <> 0),
       approx AS (
         SELECT query_id, vec_id FROM (
@@ -1339,7 +1339,7 @@ object TestQueries15 {
       val k = 10
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      val queries = e.where(col("vec_id") % 25 === 0)
+      val queries = e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
         .withColumn("qn", VectorFunctions.norm2(col("qv")))
       val corpus = e.where(col("vec_id") % 25 =!= 0)
@@ -1365,13 +1365,13 @@ object TestQueries15 {
           (col("hits").cast("double") / k).as("recall"))
         .orderBy("query_id")
     },
-    Some("""
+    Some(s"""
       WITH e AS (
         SELECT vec_id, label,
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e
-            WHERE vec_id % 25 = 0),
+            WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
       c AS (SELECT vec_id, label, v FROM e WHERE vec_id % 25 <> 0),
       truth AS (
         SELECT query_id, vec_id FROM (
@@ -1441,7 +1441,7 @@ object TestQueries15 {
       import graft.functions.VectorFunctions
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      val queries = e.where(col("vec_id") % 25 === 0)
+      val queries = e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
         .withColumn("qn", VectorFunctions.norm2(col("qv")))
       val corpus = e.where(col("vec_id") % 25 =!= 0)
@@ -1520,7 +1520,7 @@ object TestQueries15 {
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e
-            WHERE vec_id % 25 = 0),
+            WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
       nq AS (SELECT COUNT(*) AS nq FROM q),
       c AS (SELECT vec_id, label, v FROM e WHERE vec_id % 25 <> 0),
       truth AS (
@@ -1563,7 +1563,7 @@ object TestQueries15 {
       val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"),
         col("embedding").as("vf"))
-      val queries = e.where(col("vec_id") % 25 === 0)
+      val queries = e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
         .withColumn("qn", VectorFunctions.norm2(col("qv")))
       val corpus = e.where(col("vec_id") % 25 =!= 0)
@@ -1578,7 +1578,7 @@ object TestQueries15 {
         .select(col("query_id"), col("vec_id"), col("rank_t"))
       val approx = graft.operators.Search.binaryHammingTopK(
           e.where(col("vec_id") % 25 =!= 0), "vec_id", "vf",
-          e.where(col("vec_id") % 25 === 0), "vec_id", "vf", 10)
+          e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound), "vec_id", "vf", 10)
         .select(col("query_id"), col("id").as("vec_id"),
           col("rank").as("rank_a"))
       val nq = queries.count()
@@ -1598,7 +1598,7 @@ object TestQueries15 {
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e
-            WHERE vec_id % 25 = 0),
+            WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
       nq AS (SELECT COUNT(*) AS nq FROM q),
       c AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
       truth AS (
@@ -1623,7 +1623,7 @@ object TestQueries15 {
                CAST(0 AS HUGEINT))""")} AS code
         FROM embeddings e2),
       qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes
-             WHERE vec_id % 25 = 0),
+             WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
       cc AS (SELECT vec_id, code FROM codes WHERE vec_id % 25 <> 0),
       approx AS (
         SELECT query_id, vec_id, rank_a FROM (
@@ -1913,7 +1913,7 @@ object TestQueries15 {
         val e = Tables.embeddings(s, dir).select(
           col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
-        val queries = e.where(col("vec_id") % 25 === 0)
+        val queries = e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound)
           .select(col("vec_id").as("query_id"), col("label").as("q_label"),
             col("v").as("qv"))
           .withColumn("qn",
@@ -1956,7 +1956,7 @@ object TestQueries15 {
           FROM embeddings),
         queries AS (
           SELECT vec_id AS query_id, label AS q_label, v AS qv
-          FROM e WHERE vec_id % 25 = 0),
+          FROM e WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
         corpus AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
         scored AS (
           SELECT q.query_id, c.vec_id,
@@ -2356,7 +2356,7 @@ object TestQueries15 {
       val e = Tables.embeddings(s, dir)
       graft.operators.Search.binaryHammingTopK(
           e.where(col("vec_id") % 25 =!= 0), "vec_id", "embedding",
-          e.where(col("vec_id") % 25 === 0), "vec_id", "embedding",
+          e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound), "vec_id", "embedding",
           k = 10)
         .orderBy("query_id", "rank")
     },
@@ -2371,7 +2371,7 @@ object TestQueries15 {
                CAST(0 AS HUGEINT))""")} AS code
         FROM embeddings e),
       q AS (SELECT vec_id AS qid, code AS qcode FROM codes
-            WHERE vec_id % 25 = 0),
+            WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
       c AS (SELECT vec_id AS id, code FROM codes WHERE vec_id % 25 <> 0),
       ranked AS (
         SELECT q.qid, c.id,

@@ -23,7 +23,7 @@ object TestQueries18 {
       import graft.functions.VectorFunctions
       val e = Tables.embeddings(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-      val queries = e.where(col("vec_id") % 25 === 0)
+      val queries = e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound)
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       val corpus = e.where(col("vec_id") % 25 =!= 0)
       val nq = queries.count()
@@ -81,7 +81,7 @@ object TestQueries18 {
                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
       q AS (SELECT vec_id AS query_id, v AS qv FROM e
-            WHERE vec_id % 25 = 0),
+            WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
       nq AS (SELECT COUNT(*) AS nq FROM q),
       c AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
       truth AS (${ranked(64, "rank_t")}),

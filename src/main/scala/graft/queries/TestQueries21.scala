@@ -24,7 +24,7 @@ object TestQueries21 {
     val e = Tables.embeddings(s, dir).select(
       col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
-    val queries = e.where(col("vec_id") % 25 === 0)
+    val queries = e.where(col("vec_id") % 25 === 0 && col("vec_id") < QueryCase.QueryBound)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("v").as("qv"))
       .withColumn("qn", graft.functions.VectorFunctions.norm2(col("qv")))
@@ -62,7 +62,7 @@ object TestQueries21 {
           FROM embeddings),
         queries AS (
           SELECT vec_id AS query_id, label AS q_label, v AS qv
-          FROM e WHERE vec_id % 25 = 0),
+          FROM e WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
         corpus AS (SELECT * FROM e WHERE vec_id % 25 <> 0),
         scored AS (
           SELECT q.query_id, c.vec_id,

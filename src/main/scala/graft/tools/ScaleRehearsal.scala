@@ -117,7 +117,12 @@ object ScaleRehearsal {
         val src = "/root/testdata/sf0.1"
         val out = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
         val copies = args.lift(2).map(_.toInt).getOrElse(10)
-        def replicate(name: String, keyCol: String): Unit = {
+        // optional table filter (e.g. "documents,embeddings" for the
+        // sf10 decade point, where only the tail queries' tables are
+        // needed and a 100-copy lineitem would be pure build cost)
+        val only = args.lift(3).map(_.split(",").toSet)
+        def wanted(name: String): Boolean = only.forall(_.contains(name))
+        def replicate(name: String, keyCol: String): Unit = if (wanted(name)) {
           val base = graft.sources.Tables.table(spark, src, name)
           val reps = (0 until copies).map(k =>
             base.withColumn(keyCol, col(keyCol) + lit(k * KeyShift)))
@@ -134,7 +139,7 @@ object ScaleRehearsal {
         // composition sf1.0 point the ladder needs for the dedup family
         // (plain replication would be REAL near-dups and quadratic
         // output by data composition — the round-6 refusal).
-        locally {
+        if (wanted("documents")) {
           val base = graft.sources.Tables.table(spark, src, "documents")
           val reps = (0 until copies).map { k =>
             val shifted = base.withColumn("doc_id",
@@ -150,16 +155,28 @@ object ScaleRehearsal {
         // geometry preserved, cross-copy cosine destroyed, so the
         // embedding-dedup/ANN family sees 10× rows with the same
         // neighborhood statistics per copy.
-        locally {
+        if (wanted("embeddings")) {
           val base = graft.sources.Tables.table(spark, src, "embeddings")
           val dim = base.select(size(col("embedding"))).head().getInt(0)
           val reps = (0 until copies).map { k =>
             val shifted = base.withColumn("vec_id",
               col("vec_id") + lit(k * KeyShift))
+            // rotation wraps past dim; copies ≥ dim additionally NEGATE
+            // the whole vector — in-copy geometry is exactly preserved
+            // (cos(−u,−v)=cos(u,v)), and the k / k+dim copy pair is
+            // anti-correlated (cosine −1, complement sign signatures),
+            // so no cross-copy near-dups or Hamming collisions are
+            // manufactured at 100 copies either
+            val r = k % dim
+            val rotated =
+              if (r == 0) col("embedding")
+              else concat(slice(col("embedding"), r + 1, dim - r),
+                slice(col("embedding"), 1, r))
+            val oriented =
+              if (k < dim) rotated
+              else transform(rotated, x => negate(x))
             if (k == 0) shifted
-            else shifted.withColumn("embedding",
-              concat(slice(col("embedding"), k + 1, dim - k),
-                slice(col("embedding"), 1, k)))
+            else shifted.withColumn("embedding", oriented)
           }.reduce(_ unionByName _)
           reps.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
           println(s"[build] embeddings x$copies (rotated) -> $out")
@@ -167,7 +184,7 @@ object ScaleRehearsal {
         // events: per-copy id/user shift — each copy keeps its per-user
         // sequential structure (EWMA/CUSUM/sessionize walk unchanged
         // shapes), user count grows 10×
-        locally {
+        if (wanted("events")) {
           val base = graft.sources.Tables.events(spark, src)
           val reps = (0 until copies).map { k =>
             base.withColumn("event_id", col("event_id") + lit(k * KeyShift))
@@ -178,7 +195,8 @@ object ScaleRehearsal {
         }
         // dimensions stay single-copy: each customer now holds `copies`×
         // the orders — organic fan-out growth, not key dilution
-        Seq("customer", "nation", "region", "supplier", "part").foreach { n =>
+        Seq("customer", "nation", "region", "supplier", "part")
+          .filter(wanted).foreach { n =>
           graft.sources.Tables.table(spark, src, n)
             .write.mode("overwrite").parquet(s"$out/$n.parquet")
           println(s"[build] $n x1 -> $out")
