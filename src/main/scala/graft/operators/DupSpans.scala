@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-SPAN extraction across documents — the core of
+  * exact-substring training-data dedup (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better"): find
+  * every maximal run of ≥ `minSpan` consecutive tokens shared verbatim
+  * between two documents. The fingerprint families (MinHash/SimHash/
+  * winnowing/CDC) DETECT that documents overlap; this operator says
+  * exactly WHERE and HOW MUCH — the actionable unit for span-level
+  * cutting and for memorization-risk audits.
+  *
+  * Distributed spelling (suffix arrays are a single-machine luxury):
+  * anchor on k-token grams, equi-join equal grams across document
+  * pairs, then merge anchor matches that advance together into maximal
+  * spans — a gaps-and-islands pass per (pair, diagonal): matches on
+  * the same diagonal d = posA − posB with consecutive posA are one
+  * shared span of (run + k − 1) tokens. Maximality holds because a
+  * longer shared run would extend the anchor run on the same diagonal.
+  *
+  * Scale shape: one shuffle on the gram for the document-frequency
+  * guard + the pair join, one (a, b, d)-partitioned window. The
+  * df-guard (`dfCutoff`) is the q238 content-floor lesson applied at
+  * the gram level: a boilerplate k-gram appearing in thousands of
+  * documents would make the pair join quadratic in its df — spans
+  * anchored ONLY on grams with 2 ≤ df ≤ dfCutoff (dropped grams can
+  * split a span that crosses boilerplate; that is the documented
+  * precision/cost trade every production exact-dedup makes). All
+  * arithmetic integer, tokens lowercase-whitespace — oracle-exact.
+  */
+object DupSpans {
+
+  /** Maximal shared spans. Output: doc_a < doc_b, a_start / b_start
+    * (1-based token positions), span_tokens ≥ minSpan.
+    */
+  def maximalSharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, dfCutoff: Int = 20, minSpan: Int = 16): DataFrame = {
+    require(k >= 2 && dfCutoff >= 2 && minSpan >= k,
+      "need k>=2, dfCutoff>=2, minSpan>=k")
+    val grams = kgrams(docs, idCol, textCol, k)
+    val keep = grams.groupBy("gram")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .where(col("df") >= 2 && col("df") <= dfCutoff)
+      .select("gram")
+    val good = grams.join(keep, Seq("gram"))
+    val left = good.select(col("gram"), col("doc_id").as("a"),
+      col("pos").as("pa"))
+    val right = good.select(col("gram"), col("doc_id").as("b"),
+      col("pos").as("pb"))
+    val pairs = left.join(right, Seq("gram"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("d"))
+    val w = Window.partitionBy("a", "b", "d").orderBy("pa")
+    pairs
+      .withColumn("brk",
+        when(lag(col("pa"), 1).over(w) === col("pa") - 1, 0L).otherwise(1L))
+      .withColumn("isl", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("a", "b", "d", "isl")
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .where(col("span_tokens") >= minSpan)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("a_start"), col("b_start"), col("span_tokens"))
+  }
+
+  /** Per-document duplicated-token fraction — the paper's curation
+    * signal: what part of this document exists verbatim elsewhere.
+    * Takes the [[maximalSharedSpans]] output, unions each document's
+    * span intervals from BOTH sides of the pair, merges overlaps
+    * (gaps-and-islands on interval starts vs the running max end), and
+    * divides covered tokens by the document's token count. Only
+    * documents with coverage appear. Output: doc_id, n_tokens,
+    * dup_tokens, dup_fraction (exact single division).
+    */
+  def duplicatedFraction(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val iv = spans
+      .select(col("doc_a").as("doc_id"), col("a_start").as("s"),
+        (col("a_start") + col("span_tokens")).as("e"))
+      .unionByName(spans.select(col("doc_b").as("doc_id"),
+        col("b_start").as("s"),
+        (col("b_start") + col("span_tokens")).as("e")))
+    val merged = mergeIntervals(iv)
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).as("dup_tokens"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(merged, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_fraction"))
+  }
+
+  /** Span CUTTING — the actionable half of exact-substring dedup: remove
+    * every duplicated span from all but one holder. Survivor policy is
+    * pairwise-lowest-id: each span is cut from the HIGHER doc_id of its
+    * pair, so when documents a < b < c all share a span, only a's copy
+    * survives (b cuts vs a, c cuts vs a and b — the df-guard keeps every
+    * pair of the group present). The operator works in token space: the
+    * kept text is the document's lowercase-whitespace tokens outside the
+    * merged cut intervals, rejoined with single spaces — for uncut
+    * documents too, so the output column is uniformly normalized.
+    *
+    * Scale shape: tokens ⋈ merged-intervals is an equi-join on doc_id
+    * with a disjoint-interval filter (≤ 1 match per position), and the
+    * per-doc rebuild is bounded by document length — the same bound the
+    * tokenize stage already pays.
+    *
+    * @return one row per input document: (doc_id, n_tokens, cut_tokens,
+    *         kept_tokens, kept_text)
+    */
+  def cutSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame): DataFrame = {
+    val cut = mergeIntervals(spans.select(col("doc_b").as("doc_id"),
+      col("b_start").as("s"),
+      (col("b_start") + col("span_tokens")).as("e")))
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("token"))
+    val kept = tok
+      .join(cut, tok("doc_id") === cut("doc_id") &&
+        tok("pos") >= cut("s") && tok("pos") < cut("e"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        x => x.getField("token")), " ").as("kept_text"),
+        count(lit(1)).as("kept_tokens"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("cut_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Disjoint per-document interval union of (doc_id, s, e) rows —
+    * gaps-and-islands on starts vs the running max end. The input is
+    * DISTINCT'd first: identical intervals (one doc sharing the same
+    * span with several partners) would tie the (s, e) sort key, and with
+    * ties the islands pass is order-dependent (a copy ordered first gets
+    * brk=1 and double-counts) — both engines resolve tie order
+    * non-deterministically. After distinct the key is total.
+    */
+  private def mergeIntervals(iv: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("s", "e")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.distinct()
+      .withColumn("maxe", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("maxe").isNull || col("s") > col("maxe"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(wRun))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  /** (doc_id, pos 1-based, gram) — k-token grams via one per-doc window
+    * (codegen-friendly; no interpreted HOF fold per the round-5/7
+    * lesson).
+    */
+  private def kgrams(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos0", "token")))
+    val w = Window.partitionBy("doc_id").orderBy("pos0")
+      .rowsBetween(Window.currentRow, k - 1)
+    tok
+      .withColumn("win", collect_list(col("token")).over(w))
+      .where(size(col("win")) === k)
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        array_join(col("win"), " ").as("gram"))
+  }
+}

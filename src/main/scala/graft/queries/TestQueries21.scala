@@ -273,6 +273,263 @@ object TestQueries21 {
       SELECT * FROM emit1 UNION ALL SELECT * FROM emit2
       ORDER BY user_id, session_start"""))
 
+  /** Shared oracle prefix for q283/q284: the full duplicated-span
+    * pipeline (8-gram anchors, df-guard 2..20, diagonal islands,
+    * minSpan 16) in DuckDB. All integer/string → RAW.
+    */
+  private val DupSpanSql = """
+      WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+            x -> x <> '') AS tks
+        FROM documents),
+      g AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(list_slice(tks, i, i + 7), ' ') AS gram
+        FROM tk, UNNEST(range(1, len(tks) - 6)) AS t(i)),
+      keep AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 20),
+      gg AS (SELECT g.* FROM g JOIN keep USING (gram)),
+      p AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb,
+          x.pos - y.pos AS dg
+        FROM gg x JOIN gg y ON x.gram = y.gram AND x.doc_id < y.doc_id),
+      o AS (
+        SELECT *, CASE WHEN LAG(pa) OVER w = pa - 1 THEN 0 ELSE 1 END AS brk
+        FROM p WINDOW w AS (PARTITION BY a, b, dg ORDER BY pa)),
+      si AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY a, b, dg ORDER BY pa
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM o),
+      sp AS (
+        SELECT a AS doc_a, b AS doc_b, CAST(MIN(pa) AS BIGINT) AS a_start,
+          CAST(MIN(pb) AS BIGINT) AS b_start,
+          CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+        FROM si GROUP BY a, b, dg, isl HAVING COUNT(*) + 7 >= 16)"""
+
+  /** Exact duplicated-span extraction —
+    * [[graft.operators.DupSpans.maximalSharedSpans]] (Lee et al. 2022
+    * exact-substring dedup, distributed anchor-run spelling): every
+    * maximal ≥16-token verbatim span shared between two documents,
+    * anchored on 8-grams with the df-guard 2..20. Integer positions,
+    * string grams → RAW compare.
+    */
+  val q283DupSpans: QueryCase = QueryCase(
+    "q283_dup_spans",
+    (s, dir) => graft.operators.DupSpans
+      .maximalSharedSpans(Tables.documents(s, dir), "doc_id", "text",
+        k = 8, dfCutoff = 20, minSpan = 16)
+      .orderBy("doc_a", "doc_b", "a_start", "b_start"),
+    Some(s"""${DupSpanSql}
+      SELECT doc_a, doc_b, a_start, b_start, span_tokens FROM sp
+      ORDER BY doc_a, doc_b, a_start, b_start"""))
+
+  /** Per-document duplicated-token fraction —
+    * [[graft.operators.DupSpans.duplicatedFraction]]: union of the
+    * q283 span intervals per document (interval merge vs the running
+    * max end), covered tokens / token count as one exact division.
+    * RAW compare.
+    */
+  val q284DupFraction: QueryCase = QueryCase(
+    "q284_dup_fraction",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.operators.DupSpans.duplicatedFraction(d, "doc_id", "text",
+        graft.operators.DupSpans.maximalSharedSpans(d, "doc_id", "text",
+          k = 8, dfCutoff = 20, minSpan = 16))
+        .orderBy("doc_id")
+    },
+    Some(s"""${DupSpanSql},
+      iv AS (
+        SELECT DISTINCT doc_id, s, e FROM (
+          SELECT doc_a AS doc_id, a_start AS s,
+            a_start + span_tokens AS e FROM sp
+          UNION ALL
+          SELECT doc_b, b_start, b_start + span_tokens FROM sp)),
+      mo AS (
+        SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        FROM iv),
+      mb AS (
+        SELECT *, CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END
+          AS brk FROM mo),
+      mi AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM mb),
+      mg AS (
+        SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+        FROM mi GROUP BY doc_id, isl),
+      cov AS (
+        SELECT doc_id, CAST(SUM(me - ms) AS BIGINT) AS dup_tokens
+        FROM mg GROUP BY doc_id)
+      SELECT c.doc_id, CAST(len(tk.tks) AS BIGINT) AS n_tokens,
+        c.dup_tokens,
+        CAST(c.dup_tokens AS DOUBLE) / CAST(len(tk.tks) AS DOUBLE)
+          AS dup_fraction
+      FROM cov c JOIN tk USING (doc_id) ORDER BY c.doc_id"""))
+
+  /** Event-time tumbling windows through the real streaming engine —
+    * [[graft.streaming.SessionReplay.tumbling]], the q282 discipline
+    * for the OTHER window type (and the streaming [O] anchor for the
+    * q82/WindowedAgg batch shape): same two-batch replay of `events`,
+    * same probed predicate (TumblingReplaySpec: drop AND emit are both
+    * INCLUSIVE `window end ≤ ms-floored watermark`). Tumbling windows
+    * never merge, so the oracle is single-pass: kept = batch1 ∪
+    * batch2 rows whose window end clears wm1; emitted = windows with
+    * end ≤ wm2. Window alignment = epoch-floor integer µs arithmetic
+    * in both engines. Timestamps/integers/exact-decimal sums → RAW.
+    */
+  val q285StreamTumbling: QueryCase = QueryCase(
+    "q285_stream_tumbling",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id") < 40)
+        .withColumn("b", col("event_id") % 2)
+      graft.streaming.SessionReplay
+        .tumbling(ev, windowMinutes = 360, delayMinutes = 2880,
+          batchCol = "b")
+        .orderBy("user_id", "window_start")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+               value, event_id % 2 AS b,
+          make_timestamp((epoch_us(date_trunc('microseconds', ts))
+            // 21600000000) * 21600000000) AS wstart,
+          make_timestamp((epoch_us(date_trunc('microseconds', ts))
+            // 21600000000) * 21600000000 + 21600000000) AS wend
+        FROM events WHERE user_id < 40),
+      wm1 AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2880 MINUTE
+          AS w FROM ev WHERE b = 0),
+      wm2 AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2880 MINUTE
+          AS w FROM ev),
+      kept AS (
+        SELECT user_id, wstart, wend, value FROM ev WHERE b = 0
+        UNION ALL
+        SELECT ev.user_id, ev.wstart, ev.wend, ev.value FROM ev, wm1
+        WHERE ev.b = 1 AND ev.wend > wm1.w),
+      agg AS (
+        SELECT user_id, wstart AS window_start, wend AS window_end,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM kept GROUP BY user_id, wstart, wend)
+      SELECT user_id, window_start, window_end, n_events, sum_value
+      FROM agg, wm2 WHERE agg.window_end <= wm2.w
+      ORDER BY user_id, window_start"""))
+
+  /** Event-time SLIDING windows through the real streaming engine —
+    * [[graft.streaming.SessionReplay.sliding]] (width 720 min, slide
+    * 360 min: every event in two overlapping windows), completing the
+    * window taxonomy's streaming [O] anchors (tumbling q285, session
+    * q282). Probed semantics (SlidingReplaySpec): the window expansion
+    * happens BEFORE the watermark filter, so each (row, window) copy
+    * drops independently — the oracle explodes the window index range
+    * per row with integer-µs arithmetic and applies the same inclusive
+    * `end ≤ ms-floored watermark` predicate per copy. RAW compare.
+    */
+  val q286StreamSliding: QueryCase = QueryCase(
+    "q286_stream_sliding",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id") < 40)
+        .withColumn("b", col("event_id") % 2)
+      graft.streaming.SessionReplay
+        .sliding(ev, windowMinutes = 720, slideMinutes = 360,
+          delayMinutes = 2880, batchCol = "b")
+        .orderBy("user_id", "window_start")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+               value, event_id % 2 AS b
+        FROM events WHERE user_id < 40),
+      ex AS (
+        SELECT user_id, ts, value, b,
+          make_timestamp(k * 21600000000) AS wstart,
+          make_timestamp(k * 21600000000 + 43200000000) AS wend
+        FROM ev, UNNEST(range(
+          (epoch_us(ts) - 43200000000) // 21600000000 + 1,
+          epoch_us(ts) // 21600000000 + 1)) AS t(k)),
+      wm1 AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2880 MINUTE
+          AS w FROM ev WHERE b = 0),
+      wm2 AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2880 MINUTE
+          AS w FROM ev),
+      kept AS (
+        SELECT user_id, wstart, wend, value FROM ex WHERE b = 0
+        UNION ALL
+        SELECT ex.user_id, ex.wstart, ex.wend, ex.value FROM ex, wm1
+        WHERE ex.b = 1 AND ex.wend > wm1.w),
+      agg AS (
+        SELECT user_id, wstart AS window_start, wend AS window_end,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM kept GROUP BY user_id, wstart, wend)
+      SELECT user_id, window_start, window_end, n_events, sum_value
+      FROM agg, wm2 WHERE agg.window_end <= wm2.w
+      ORDER BY user_id, window_start"""))
+
+  /** Span CUTTING — the actionable half of exact-substring dedup
+    * ([[graft.operators.DupSpans.cutSpans]]): every duplicated span is
+    * removed from the HIGHER doc_id of its pair (pairwise-lowest-id
+    * survivor), documents are rebuilt in token space, and the kept text
+    * is proved content-equal cross-engine via sha256 (the q20 pattern)
+    * instead of dumping full text. Integers + hex strings → RAW.
+    */
+  val q287SpanCut: QueryCase = QueryCase(
+    "q287_span_cut",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.operators.DupSpans.cutSpans(d, "doc_id", "text",
+        graft.operators.DupSpans.maximalSharedSpans(d, "doc_id", "text",
+          k = 8, dfCutoff = 20, minSpan = 16))
+        .select(col("doc_id"), col("n_tokens"), col("cut_tokens"),
+          col("kept_tokens"), sha2(col("kept_text"), 256).as("kept_sha"))
+        .orderBy("doc_id")
+    },
+    Some(s"""${DupSpanSql},
+      iv AS (
+        SELECT DISTINCT doc_b AS doc_id, b_start AS s,
+          b_start + span_tokens AS e FROM sp),
+      mo AS (
+        SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        FROM iv),
+      mb AS (
+        SELECT *, CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END
+          AS brk FROM mo),
+      mi AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM mb),
+      mg AS (
+        SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+        FROM mi GROUP BY doc_id, isl),
+      tok AS (
+        SELECT doc_id, i AS pos, tks[i] AS token
+        FROM tk, UNNEST(range(1, len(tks) + 1)) AS t(i)),
+      kp AS (
+        SELECT t.doc_id, t.pos, t.token FROM tok t
+        WHERE NOT EXISTS (SELECT 1 FROM mg m
+          WHERE m.doc_id = t.doc_id AND t.pos >= m.ms AND t.pos < m.me)),
+      rb AS (
+        SELECT doc_id, COUNT(*) AS kept_tokens,
+          string_agg(token, ' ' ORDER BY pos) AS kept_text
+        FROM kp GROUP BY doc_id)
+      SELECT tk.doc_id, CAST(len(tk.tks) AS BIGINT) AS n_tokens,
+        CAST(len(tk.tks) - COALESCE(rb.kept_tokens, 0) AS BIGINT)
+          AS cut_tokens,
+        CAST(COALESCE(rb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+        sha256(COALESCE(rb.kept_text, '')) AS kept_sha
+      FROM tk LEFT JOIN rb USING (doc_id) ORDER BY tk.doc_id"""))
+
   val all: Seq[QueryCase] =
-    Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions)
+    Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions,
+      q283DupSpans, q284DupFraction, q285StreamTumbling,
+      q286StreamSliding, q287SpanCut)
 }

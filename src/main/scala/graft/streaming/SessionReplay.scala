@@ -64,7 +64,73 @@ object SessionReplay {
     *         n_events, sum_value) — sum exact-decimal, surfaced double
     */
   def sessions(events: DataFrame, gapMinutes: Int, delayMinutes: Int,
-               batchCol: String): DataFrame = {
+               batchCol: String): DataFrame =
+    replay(events, batchCol, delayMinutes) { in =>
+      in.groupBy(col("user_id"),
+          session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"),
+          col("sum_value"))
+    }
+
+  /** The TUMBLING-window sibling of [[sessions]] over the same
+    * two-batch replay: per-(window, user) counts and exact-decimal
+    * sums through the real engine. Tumbling windows never merge, so
+    * the emitted set has no two-phase subtlety: a row is dropped iff
+    * its window end ≤ watermark (the same inclusive ms-floored
+    * predicate), an emitted window cannot be re-opened by a survivor
+    * (any row of an emitted window is itself late by the same
+    * predicate), and the single-pass oracle is exact.
+    *
+    * @return emitted windows: (user_id, window_start, window_end,
+    *         n_events, sum_value)
+    */
+  def tumbling(events: DataFrame, windowMinutes: Int, delayMinutes: Int,
+               batchCol: String): DataFrame =
+    replay(events, batchCol, delayMinutes) { in =>
+      in.groupBy(col("user_id"),
+          window(col("ts"), s"$windowMinutes minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"), col("w.start").as("window_start"),
+          col("w.end").as("window_end"), col("n_events"), col("sum_value"))
+    }
+
+  /** The SLIDING-window member of the replay family (slide < width:
+    * every row lands in width/slide overlapping windows). The window
+    * expansion happens BEFORE the watermark filter, so each
+    * (row, window) copy is dropped independently — a late row can be
+    * dead for its oldest window and alive for its newest (pinned by
+    * SlidingReplaySpec); emission is per window, same inclusive
+    * `end ≤ ms-floored watermark` predicate as tumbling/session.
+    *
+    * @return emitted windows: (user_id, window_start, window_end,
+    *         n_events, sum_value)
+    */
+  def sliding(events: DataFrame, windowMinutes: Int, slideMinutes: Int,
+              delayMinutes: Int, batchCol: String): DataFrame =
+    replay(events, batchCol, delayMinutes) { in =>
+      in.groupBy(col("user_id"),
+          window(col("ts"), s"$windowMinutes minutes",
+            s"$slideMinutes minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"), col("w.start").as("window_start"),
+          col("w.end").as("window_end"), col("n_events"), col("sum_value"))
+    }
+
+  /** Shared two-batch replay harness: bounded collect, deterministic
+    * split on `batchCol` (0 = batch 1), watermarked aggregation through
+    * MemoryStream → append-mode memory sink, result rematerialized as a
+    * batch frame.
+    */
+  private def replay(events: DataFrame, batchCol: String,
+      delayMinutes: Int)(aggOf: DataFrame => DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -73,7 +139,7 @@ object SessionReplay {
       events.select(col("user_id").cast("long"), col("ts"),
         col("value").cast("double"), col(batchCol).cast("long").as("b"))
         .orderBy("user_id", "ts", "value"),
-      "SessionReplay.sessions")
+      "SessionReplay.replay")
     val batch1 = rows.filter(_.getLong(3) == 0L)
       .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
     val batch2 = rows.filter(_.getLong(3) != 0L)
@@ -81,15 +147,8 @@ object SessionReplay {
 
     val input = MemoryStream[Ev]
     val sinkName = s"session_replay_${System.identityHashCode(input)}"
-    val agg = input.toDS().toDF()
-      .withWatermark("ts", s"$delayMinutes minutes")
-      .groupBy(col("user_id"),
-        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).cast("double")
-          .as("sum_value"))
-      .select(col("user_id"), col("sw.start").as("session_start"),
-        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+    val agg = aggOf(input.toDS().toDF()
+      .withWatermark("ts", s"$delayMinutes minutes"))
     val query = agg.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Pins [[DupSpans]]: maximal-span extraction (anchor runs on one
+  * diagonal), the df-cutoff guard, minSpan filtering, and the
+  * interval-union semantics of the duplicated fraction.
+  */
+class DupSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // k=4, dfCutoff=3, minSpan=6
+  private val docs = Seq(
+    // A and B share "p q r s t u v w x y" (10 tokens): A[3..12], B[1..10]
+    (1L, "a1 a2 p q r s t u v w x y a3 a4"),
+    (2L, "p q r s t u v w x y b1 b2 b3"),
+    // C shares a shorter run with A: "s t u v w" (5 < minSpan, filtered)
+    (3L, "c1 c2 s t u v w c3 c4 c5"),
+    // D and E share two DISJOINT spans with each other; D's spans overlap
+    // in D when merged with its span vs F
+    (4L, "m1 m2 m3 m4 m5 m6 zz n1 n2 n3 n4 n5 n6"),
+    (5L, "m1 m2 m3 m4 m5 m6 yy n1 n2 n3 n4 n5 n6"),
+    (6L, "m3 m4 m5 m6 zz n1 n2 n3 ff1 ff2 ff3 ff4")
+  ).toDF("doc_id", "text")
+
+  private lazy val spans = DupSpans
+    .maximalSharedSpans(docs, "doc_id", "text", k = 4, dfCutoff = 3,
+      minSpan = 6)
+    .orderBy("doc_a", "doc_b", "a_start").collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)))
+
+  test("one maximal span per diagonal run, exact positions") {
+    val ab = spans.filter(s => s._1 == 1L && s._2 == 2L)
+    assert(ab.toSeq == Seq((1L, 2L, 3L, 1L, 10L)))
+  }
+
+  test("spans below minSpan are filtered (A~C share only 5 tokens)") {
+    assert(!spans.exists(s => s._1 == 1L && s._2 == 3L))
+  }
+
+  test("disjoint shared runs become separate spans (D~E)") {
+    val de = spans.filter(s => s._1 == 4L && s._2 == 5L).toSeq
+    assert(de == Seq((4L, 5L, 1L, 1L, 6L), (4L, 5L, 8L, 8L, 6L)))
+  }
+
+  test("D~F span crosses the zz gap only where truly shared") {
+    // D[3..10] = "m3 m4 m5 m6 zz n1 n2 n3" ≡ F[1..8] — one 8-token span
+    val df_ = spans.filter(s => s._1 == 4L && s._2 == 6L).toSeq
+    assert(df_ == Seq((4L, 6L, 3L, 1L, 8L)))
+  }
+
+  test("duplicated fraction unions overlapping intervals per doc") {
+    val fr = DupSpans
+      .duplicatedFraction(docs, "doc_id", "text",
+        DupSpans.maximalSharedSpans(docs, "doc_id", "text", 4, 3, 6))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // doc 4: spans [1,7)+[8,14) vs E and [3,11) vs F → union [1,14) = 13
+    assert(fr.find(_._1 == 4L).get == ((4L, 13L, 13L, 1.0)))
+    // doc 1: covered [3,13) of 14 tokens
+    assert(fr.find(_._1 == 1L).get == ((1L, 14L, 10L, 10.0 / 14.0)))
+    // doc 3: no qualifying span → absent
+    assert(!fr.exists(_._1 == 3L))
+  }
+
+  test("identical intervals from several partners count once (the tied " +
+    "sort key is removed, so the merge is order-independent)") {
+    // One text in three docs: each doc holds the SAME interval [1,7)
+    // against both partners — without distinct() the two copies tie on
+    // (s, e) and the islands pass can double-count to fraction 2.0.
+    val tri = Seq((1L, "t1 t2 t3 t4 t5 t6"), (2L, "t1 t2 t3 t4 t5 t6"),
+      (3L, "t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val fr = DupSpans
+      .duplicatedFraction(tri, "doc_id", "text",
+        DupSpans.maximalSharedSpans(tri, "doc_id", "text", 4, 3, 6))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(fr.toSeq == Seq((1L, 6L, 6L, 1.0), (2L, 6L, 6L, 1.0),
+      (3L, 6L, 6L, 1.0)))
+  }
+
+  test("cutSpans: higher doc_id loses the span, lower keeps it; uncut " +
+    "docs pass through normalized") {
+    val fr = DupSpans
+      .cutSpans(docs, "doc_id", "text",
+        DupSpans.maximalSharedSpans(docs, "doc_id", "text", 4, 3, 6))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // doc 1 (lower id of the A~B pair): nothing cut, text normalized
+    assert(fr.find(_._1 == 1L).get ==
+      ((1L, 14L, 0L, 14L, "a1 a2 p q r s t u v w x y a3 a4")))
+    // doc 2: B[1..10] cut → only the b-suffix remains
+    assert(fr.find(_._1 == 2L).get == ((2L, 13L, 10L, 3L, "b1 b2 b3")))
+    // doc 3: no qualifying span → untouched (present, unlike
+    // duplicatedFraction which omits uncovered docs)
+    assert(fr.find(_._1 == 3L).get ==
+      ((3L, 10L, 0L, 10L, "c1 c2 s t u v w c3 c4 c5")))
+    // doc 6 cuts its overlap with doc 4: F[1..8] → ff tail remains
+    assert(fr.find(_._1 == 6L).get == ((6L, 12L, 8L, 4L, "ff1 ff2 ff3 ff4")))
+  }
+
+  test("cutSpans: a fully-duplicated doc empties to the empty string " +
+    "and one group survivor keeps everything") {
+    val tri = Seq((1L, "t1 t2 t3 t4 t5 t6"), (2L, "t1 t2 t3 t4 t5 t6"),
+      (3L, "t1 t2 t3 t4 t5 t6")).toDF("doc_id", "text")
+    val fr = DupSpans
+      .cutSpans(tri, "doc_id", "text",
+        DupSpans.maximalSharedSpans(tri, "doc_id", "text", 4, 3, 6))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(fr.toSeq == Seq((1L, 6L, 0L, 6L, "t1 t2 t3 t4 t5 t6"),
+      (2L, 6L, 6L, 0L, ""), (3L, 6L, 6L, 0L, "")))
+  }
+
+  test("df-cutoff: a gram shared by more than dfCutoff docs anchors " +
+    "nothing") {
+    val many = (10L to 16L).map(i => (i, s"w1 w2 w3 w4 w5 w6 u$i"))
+    val spansMany = DupSpans.maximalSharedSpans(
+      many.toDF("doc_id", "text"), "doc_id", "text", 4, 3, 6)
+    assert(spansMany.count() == 0L) // df=7 > cutoff 3 for every gram
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Pins [[SessionReplay.sliding]]: the window expansion happens before
+  * the watermark filter, so one late row can be dropped for its older
+  * window and kept for its newer one. Geometry (width = 20 min, slide
+  * = 10 min, delay = 10 min): batch1 max = 12:10:00.000789 → wm1 =
+  * 12:00:00.000 (a window boundary); batch2 max = 12:40:00.000321 →
+  * wm2 = 12:30:00.000.
+  */
+class SlidingReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    // batch 1
+    (1L, t("2024-01-01 10:05:00"), 1.0, 0L), // wins [09:50,10:10) [10:00,10:20)
+    (2L, t("2024-01-01 12:10:00.000789"), 2.0, 0L), // wm1 driver
+    // batch 2
+    // wins [11:40,12:00) end == wm1 → that COPY drops; [11:50,12:10)
+    // end > wm1 → kept. The row must appear in exactly one window.
+    (3L, t("2024-01-01 11:52:00"), 4.0, 1L),
+    // both windows late → fully dropped; u1's windows stay n=1
+    (1L, t("2024-01-01 10:07:00"), 100.0, 1L),
+    // wins [12:10,12:30) end == wm2 → emitted (inclusive);
+    // [12:20,12:40) end > wm2 → held
+    (8L, t("2024-01-01 12:22:00"), 64.0, 1L),
+    // wm2 driver; own windows held
+    (6L, t("2024-01-01 12:40:00.000321"), 128.0, 1L)
+  ).toDF("user_id", "ts", "value", "b")
+
+  private lazy val out = SessionReplay
+    .sliding(rows, windowMinutes = 20, slideMinutes = 10,
+      delayMinutes = 10, batchCol = "b")
+    .orderBy("user_id", "window_start").collect()
+    .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+      r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+
+  private def rows4(u: Long) = out.filter(_._1 == u).toSeq
+
+  test("per-copy late filter: one row alive in its newer window only") {
+    assert(rows4(3L) == Seq((3L, "2024-01-01 11:50:00.0",
+      "2024-01-01 12:10:00.0", 1L, 4.0)))
+  }
+
+  test("emission per window: end == wm2 emitted, overlapping later " +
+    "window of the SAME row held") {
+    assert(rows4(8L) == Seq((8L, "2024-01-01 12:10:00.0",
+      "2024-01-01 12:30:00.0", 1L, 64.0)))
+  }
+
+  test("fully-late row drops from all its windows (u1 stays n=1 in both)") {
+    assert(rows4(1L) == Seq(
+      (1L, "2024-01-01 09:50:00.0", "2024-01-01 10:10:00.0", 1L, 1.0),
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0", 1L, 1.0)))
+  }
+
+  test("open windows never emit (u6); both wm2-closed windows of the " +
+    "wm1 driver emit") {
+    assert(rows4(6L).isEmpty)
+    assert(rows4(2L) == Seq(
+      (2L, "2024-01-01 12:00:00.0", "2024-01-01 12:20:00.0", 1L, 2.0),
+      (2L, "2024-01-01 12:10:00.0", "2024-01-01 12:30:00.0", 1L, 2.0)))
+  }
+}

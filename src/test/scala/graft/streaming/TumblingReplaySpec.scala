@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Pins [[SessionReplay.tumbling]]'s event-time boundaries with the
+  * same probed discipline as [[SessionReplaySpec]]. Geometry (window =
+  * 10 min, delay = 10 min): batch1 max ts = 12:10:00.000789 → wm1 =
+  * 12:00:00.000, a WINDOW BOUNDARY so the drop-equality case exists;
+  * batch2 max = 12:40:00.000321 → wm2 = 12:30:00.000.
+  */
+class TumblingReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    // batch 1
+    (1L, t("2024-01-01 10:05:00"), 1.0, 0L),
+    (2L, t("2024-01-01 12:10:00.000789"), 2.0, 0L), // wm1 driver
+    // batch 2
+    // window [11:50,12:00): end == wm1 exactly → inclusive drop probe
+    (3L, t("2024-01-01 11:55:00"), 4.0, 1L),
+    // window end 11:50 < wm1 → always dropped
+    (4L, t("2024-01-01 11:49:59.999999"), 8.0, 1L),
+    // window [12:00,12:10): end > wm1 → kept although ts == wm1
+    (5L, t("2024-01-01 12:00:00"), 16.0, 1L),
+    // late row into user 1's already-closable window → dropped, the
+    // emitted window must stay n=1
+    (1L, t("2024-01-01 10:07:00"), 100.0, 1L),
+    // window [12:10,12:20): emitted at wm2
+    (7L, t("2024-01-01 12:15:00"), 32.0, 1L),
+    // window [12:20,12:30): end == wm2 → inclusive emission probe
+    (8L, t("2024-01-01 12:25:00"), 64.0, 1L),
+    // wm2 driver; own window [12:40,12:50) stays open
+    (6L, t("2024-01-01 12:40:00.000321"), 128.0, 1L)
+  ).toDF("user_id", "ts", "value", "b")
+
+  private lazy val out = SessionReplay
+    .tumbling(rows, windowMinutes = 10, delayMinutes = 10, batchCol = "b")
+    .orderBy("user_id", "window_start").collect()
+    .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+      r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+
+  test("emitted set: windows closed by the final watermark") {
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 5L, 7L, 8L))
+  }
+
+  test("drop is INCLUSIVE window end ≤ wm1 (user 3 at exact equality " +
+    "dropped, user 4 below dropped); ts == wm with end > wm kept (5)") {
+    assert(!out.exists(_._1 == 3L) && !out.exists(_._1 == 4L))
+    assert(out.find(_._1 == 5L).get ==
+      ((5L, "2024-01-01 12:00:00.0", "2024-01-01 12:10:00.0", 1L, 16.0)))
+  }
+
+  test("emission is INCLUSIVE end ≤ wm2 (user 8 at exact equality " +
+    "emitted; user 6's open window held)") {
+    assert(out.find(_._1 == 8L).get._3 == "2024-01-01 12:30:00.0")
+    assert(!out.exists(_._1 == 6L))
+  }
+
+  test("late row cannot reopen an emitted window (user 1 stays n=1)") {
+    assert(out.find(_._1 == 1L).get ==
+      ((1L, "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0", 1L, 1.0)))
+  }
+}
