@@ -146,6 +146,31 @@ object DupSpans {
         coalesce(col("kept_text"), lit("")).as("kept_text"))
   }
 
+  /** Group-level dedup ledger: connected components over the span graph
+    * (documents are linked when they share ANY qualifying span —
+    * transitive: a~b and b~c group a, b, c even if a and c share
+    * nothing), with per-group audit aggregates. The survivor convention
+    * is the component's minimum doc_id ([[graft.operators.Dedup
+    * .nearDupClusters]] labeling), matching the pairwise-lowest-id
+    * policy [[cutSpans]] applies at span granularity.
+    *
+    * @return one row per group: (cluster_id = min doc_id, n_members,
+    *         n_spans, span_tokens = sum over the group's span rows)
+    */
+  def groupLedger(spans: DataFrame): DataFrame = {
+    val clusters = Dedup.nearDupClusters(
+      spans.select(col("doc_a"), col("doc_b")).distinct(), "doc_a", "doc_b")
+    val members = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    val spanAgg = spans
+      .join(clusters.withColumnRenamed("id", "doc_a"), Seq("doc_a"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_tokens")).as("span_tokens"))
+    members.join(spanAgg, Seq("cluster_id"))
+      .select("cluster_id", "n_members", "n_spans", "span_tokens")
+  }
+
   /** Disjoint per-document interval union of (doc_id, s, e) rows —
     * gaps-and-islands on starts vs the running max end. The input is
     * DISTINCT'd first: identical intervals (one doc sharing the same

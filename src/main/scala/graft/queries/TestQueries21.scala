@@ -528,8 +528,43 @@ object TestQueries21 {
         sha256(COALESCE(rb.kept_text, '')) AS kept_sha
       FROM tk LEFT JOIN rb USING (doc_id) ORDER BY tk.doc_id"""))
 
+  /** Group-level span-dedup ledger
+    * ([[graft.operators.DupSpans.groupLedger]]): connected components
+    * over the q283 span graph (transitive — a~b, b~c group all three)
+    * with per-group audit aggregates; survivor = component min doc_id.
+    * Oracle closes the pair graph with a recursive CTE (the q95
+    * pattern) over the shared DupSpanSql span set. All integers → RAW.
+    */
+  val q288SpanLedger: QueryCase = QueryCase(
+    "q288_span_ledger",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      graft.operators.DupSpans.groupLedger(
+        graft.operators.DupSpans.maximalSharedSpans(d, "doc_id", "text",
+          k = 8, dfCutoff = 20, minSpan = 16))
+        .orderBy("cluster_id")
+    },
+    Some(s"""${DupSpanSql.replaceFirst("WITH", "WITH RECURSIVE")},
+      edges AS (
+        SELECT DISTINCT doc_a AS a, doc_b AS b FROM sp
+        UNION ALL SELECT DISTINCT doc_b, doc_a FROM sp),
+      reach AS (
+        SELECT DISTINCT a AS id, a AS peer FROM edges
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.peer),
+      cl AS (SELECT id, MIN(peer) AS cluster_id FROM reach GROUP BY id),
+      mem AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM cl GROUP BY cluster_id),
+      sa AS (
+        SELECT cl.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+          CAST(SUM(sp.span_tokens) AS BIGINT) AS span_tokens
+        FROM sp JOIN cl ON cl.id = sp.doc_a GROUP BY cl.cluster_id)
+      SELECT mem.cluster_id, mem.n_members, sa.n_spans, sa.span_tokens
+      FROM mem JOIN sa USING (cluster_id) ORDER BY cluster_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions,
       q283DupSpans, q284DupFraction, q285StreamTumbling,
-      q286StreamSliding, q287SpanCut)
+      q286StreamSliding, q287SpanCut, q288SpanLedger)
 }

@@ -116,6 +116,23 @@ class DupSpansSpec extends SparkSpec {
       (2L, 6L, 6L, 0L, ""), (3L, 6L, 6L, 0L, "")))
   }
 
+  test("groupLedger: transitive components (a~b, b~c group all three " +
+    "though a and c share nothing)") {
+    val chain = Seq(
+      (1L, "x1 x2 x3 x4 x5 x6 f1 f2"),
+      (2L, "x1 x2 x3 x4 x5 x6 g1 y1 y2 y3 y4 y5 y6"),
+      (3L, "y1 y2 y3 y4 y5 y6 h1 h2"),
+      (9L, "z1 z2 z3 z4 z5 z6 k1"), (10L, "z1 z2 z3 z4 z5 z6 k2")
+    ).toDF("doc_id", "text")
+    val led = DupSpans
+      .groupLedger(DupSpans.maximalSharedSpans(chain, "doc_id", "text",
+        4, 3, 6))
+      .orderBy("cluster_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // {1,2,3} via the x-span (1~2) and y-span (2~3); {9,10} via z
+    assert(led.toSeq == Seq((1L, 3L, 2L, 12L), (9L, 2L, 1L, 6L)))
+  }
+
   test("df-cutoff: a gram shared by more than dfCutoff docs anchors " +
     "nothing") {
     val many = (10L to 16L).map(i => (i, s"w1 w2 w3 w4 w5 w6 u$i"))
