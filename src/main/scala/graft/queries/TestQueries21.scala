@@ -563,8 +563,63 @@ object TestQueries21 {
       SELECT mem.cluster_id, mem.n_members, sa.n_spans, sa.span_tokens
       FROM mem JOIN sa USING (cluster_id) ORDER BY cluster_id"""))
 
+  /** Stream-stream inner interval join through the real engine —
+    * [[graft.streaming.StreamJoin.intervalJoinReplay]], the join
+    * plane's streaming [O] anchor next to the window taxonomy's
+    * (q282/q285/q286). Probed semantics (StreamJoinReplaySpec /
+    * `tools/ProbeStreamJoin`): global watermark = MIN over both inputs'
+    * ms-floored maxima − delay; batch-2 rows on either side drop iff
+    * raw-µs ts ≤ that watermark (inclusive); state retention never
+    * clips a reachable pair. Each side's max-ts row is pinned to
+    * batch 1 so the watermark cannot move between engine sub-batches —
+    * that makes the two-phase oracle exact regardless of micro-batch
+    * interleaving. Integers + µs timestamps → RAW.
+    */
+  val q289StreamJoin: QueryCase = QueryCase(
+    "q289_stream_join",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("side")
+      val base = Tables.events(s, dir).where(col("user_id") < 40)
+        .withColumn("side", col("event_id") % 2)
+        .withColumn("smax", max(col("ts")).over(w))
+        .withColumn("b", when(col("ts") === col("smax"), lit(0L))
+          .otherwise(expr("(event_id div 2) % 2")))
+      val l = base.where(col("side") === 0)
+      val r = base.where(col("side") === 1)
+      graft.streaming.StreamJoin
+        .intervalJoinReplay(l, r, "user_id", "event_id",
+          horizonSec = 86400, delayMinutes = 2880, batchCol = "b")
+        .select(col("k").as("user_id"), col("l_ts"), col("l_id"),
+          col("r_ts"), col("r_id"))
+        .orderBy("l_id", "r_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+               event_id % 2 AS side
+        FROM events WHERE user_id < 40),
+      sm AS (SELECT *, MAX(ts) OVER (PARTITION BY side) AS smax FROM e),
+      eb AS (
+        SELECT *, CASE WHEN ts = smax THEN 0
+                       ELSE (event_id // 2) % 2 END AS b
+        FROM sm),
+      l AS (SELECT user_id AS k, ts, event_id AS l_id, b
+            FROM eb WHERE side = 0),
+      r AS (SELECT user_id AS k, ts, event_id AS r_id, b
+            FROM eb WHERE side = 1),
+      wm AS (
+        SELECT least(
+          (SELECT date_trunc('milliseconds', MAX(ts)) FROM l WHERE b = 0),
+          (SELECT date_trunc('milliseconds', MAX(ts)) FROM r WHERE b = 0))
+          - INTERVAL 2880 MINUTE AS w)
+      SELECT l.k AS user_id, l.ts AS l_ts, l.l_id, r.ts AS r_ts, r.r_id
+      FROM l JOIN r ON l.k = r.k
+        AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 86400 SECOND, wm
+      WHERE (l.b = 0 OR l.ts > wm.w) AND (r.b = 0 OR r.ts > wm.w)
+      ORDER BY l_id, r_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions,
       q283DupSpans, q284DupFraction, q285StreamTumbling,
-      q286StreamSliding, q287SpanCut, q288SpanLedger)
+      q286StreamSliding, q287SpanCut, q288SpanLedger, q289StreamJoin)
 }

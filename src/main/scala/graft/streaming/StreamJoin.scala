@@ -1,6 +1,10 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
+import graft.plans.Bounded
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Time-horizon event joins — ONE transform for batch backfill and
@@ -47,4 +51,97 @@ object StreamJoin {
       .select(col("l_id"), col("m.r_id").as("attributed_id"),
         (unix_micros(col("m.r_ts")) - unix_micros(col("m.l_ts")))
           .as("gap_us"))
+
+  final case class LEv(k: Long, ts: Timestamp, l_id: Long)
+  final case class REv(k: Long, ts: Timestamp, r_id: Long)
+
+  /** [[intervalJoin]] through the REAL streaming engine — the
+    * [[SessionReplay]] discipline for the JOIN plane: both inputs replay
+    * as watermarked MemoryStreams in two micro-batches, the stream-stream
+    * inner join runs append-mode end to end, and the emitted pairs come
+    * back as a batch frame.
+    *
+    * Replayed semantics (probed EMPIRICALLY — `tools/ProbeStreamJoin`
+    * boundary fixtures + `recentProgress` introspection; pinned by
+    * StreamJoinReplaySpec):
+    *  - the GLOBAL watermark is the MIN over both inputs' per-input
+    *    watermarks (Spark's default `multipleWatermarkPolicy`), each
+    *    floor_ms(max ts seen) − delay; it stays at epoch until BOTH
+    *    sides have processed ≥ 1 row.
+    *  - a batch-2 row on EITHER side is dropped iff ts ≤ watermark —
+    *    INCLUSIVE, raw-µs ts against the ms-floored watermark (a row
+    *    500 µs past the watermark survives).
+    *  - state retention never clips a reachable pair: the
+    *    condition-derived eviction frontiers (left l_ts + horizon,
+    *    right r_ts) sit exactly on the late-filter boundary, so a pair
+    *    both of whose rows survive the input filter ALWAYS emits —
+    *    probed at the one reachable boundary (batch-1 left at
+    *    wm − horizon + 1 ms matched by a batch-2 right at wm + 1 ms).
+    *  - inner-join emission is eager (same-batch pairs emit in that
+    *    batch); total output is therefore independent of how the engine
+    *    sub-splits a logical batch — PROVIDED the watermark cannot
+    *    advance between sub-batches. Callers make that structural by
+    *    placing each side's max-ts row in batch 1 (then the watermark
+    *    is pinned after batch 1); the q289 gate does exactly that.
+    *
+    * Scale shape: the replay collects the bounded inputs through
+    * [[Bounded.collectBounded]] (gate/test harness, capped by
+    * contract); the join itself is the production shape — key-hash
+    * partitioned state, late rows dropped at the watermark, state
+    * bounded by the horizon-derived frontiers.
+    *
+    * @return emitted pairs: (k, l_ts, l_id, r_ts, r_id)
+    */
+  def intervalJoinReplay(left: DataFrame, right: DataFrame, keyCol: String,
+      idCol: String, horizonSec: Int, delayMinutes: Int,
+      batchCol: String): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def collect(df: DataFrame) = Bounded.collectBounded(
+      df.select(col(keyCol).cast("long"), col("ts"),
+        col(idCol).cast("long"), col(batchCol).cast("long").as("b"))
+        .orderBy(keyCol, "ts", idCol),
+      "StreamJoin.intervalJoinReplay")
+    val lRows = collect(left)
+    val rRows = collect(right)
+    def lEv(rs: Seq[org.apache.spark.sql.Row], b1: Boolean) = rs
+      .filter(r => (r.getLong(3) == 0L) == b1)
+      .map(r => LEv(r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    def rEv(rs: Seq[org.apache.spark.sql.Row], b1: Boolean) = rs
+      .filter(r => (r.getLong(3) == 0L) == b1)
+      .map(r => REv(r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+
+    val lin = MemoryStream[LEv]
+    val rin = MemoryStream[REv]
+    val l = lin.toDS().toDF().withWatermark("ts", s"$delayMinutes minutes")
+      .select(col("k"), col("ts").as("l_ts"), col("l_id"))
+    val r = rin.toDS().toDF().withWatermark("ts", s"$delayMinutes minutes")
+      .select(col("k").as("rk"), col("ts").as("r_ts"), col("r_id"))
+    val joined = l.join(r, col("k") === col("rk") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec seconds"))
+      .select(col("k"), col("l_ts"), col("l_id"), col("r_ts"), col("r_id"))
+    val sinkName = s"stream_join_replay_${System.identityHashCode(lin)}"
+    val query = joined.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      val (l1, l2) = (lEv(lRows, b1 = true), lEv(lRows, b1 = false))
+      val (r1, r2) = (rEv(rRows, b1 = true), rEv(rRows, b1 = false))
+      if (l1.nonEmpty) lin.addData(l1)
+      if (r1.nonEmpty) rin.addData(r1)
+      query.processAllAvailable()
+      if (l2.nonEmpty) lin.addData(l2)
+      if (r2.nonEmpty) rin.addData(r2)
+      query.processAllAvailable()
+      val out = spark.table(sinkName).collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+        spark.table(sinkName).schema)
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView(sinkName)
+    }
+  }
 }

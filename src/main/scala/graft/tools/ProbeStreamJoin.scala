@@ -1,0 +1,150 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Empirical probe of Spark 4.1 stream-stream INNER interval-join
+  * semantics under watermarks (the q282 discipline: never guess the
+  * engine's late/eviction rules from one fixture — drive the real
+  * engine over boundary-equal fixtures and read `recentProgress`).
+  *
+  * Questions probed, each with exact-boundary rows:
+  *  1. Global watermark with two watermarked inputs: min or max of the
+  *     per-input event-time maxima?
+  *  2. Late-row input filter boundary: ts ≤ wm or ts < wm? ms-floored?
+  *  3. State eviction: can a batch-2 row still match a batch-1 row
+  *     whose ts is at/behind the watermark (join-condition-derived
+  *     retention), and where is the boundary?
+  */
+object ProbeStreamJoin {
+  final case class L(k: Long, ts: Timestamp, l_id: Long)
+  final case class R(k: Long, ts: Timestamp, r_id: Long)
+
+  def ts(min: Int, sec: Int = 0, ms: Int = 0): Timestamp =
+    new Timestamp(java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+      + min * 60000L + sec * 1000L + ms)
+
+  def run(name: String, horizonSec: Int, delayMin: Int,
+          lb1: Seq[L], rb1: Seq[R], lb2: Seq[L], rb2: Seq[R]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false).getOrCreate()
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lin = MemoryStream[L]
+    val rin = MemoryStream[R]
+    val l = lin.toDS().toDF().withWatermark("ts", s"$delayMin minutes")
+      .select(col("k"), col("ts").as("l_ts"), col("l_id"))
+    val r = rin.toDS().toDF().withWatermark("ts", s"$delayMin minutes")
+      .select(col("k").as("rk"), col("ts").as("r_ts"), col("r_id"))
+    val j = l.join(r, col("k") === col("rk") &&
+      col("r_ts") > col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec seconds"))
+    val sink = s"probe_${name}_${System.nanoTime()}"
+    val q = j.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      if (lb1.nonEmpty) lin.addData(lb1)
+      if (rb1.nonEmpty) rin.addData(rb1)
+      q.processAllAvailable()
+      val wm1 = q.recentProgress.lastOption
+        .map(p => p.eventTime.get("watermark")).orNull
+      if (lb2.nonEmpty) lin.addData(lb2)
+      if (rb2.nonEmpty) rin.addData(rb2)
+      q.processAllAvailable()
+      val prog = q.recentProgress
+      println(s"== $name")
+      println(s"   wm after b1: $wm1")
+      prog.foreach { p =>
+        println(f"   batch ${p.batchId} wm=${p.eventTime.get("watermark")} " +
+          s"dropped=${Option(p.stateOperators).map(_.map(_.numRowsDroppedByWatermark).sum)}" +
+          s" inRows=${p.numInputRows}")
+      }
+      spark.table(sink).orderBy("l_id", "r_id").collect().foreach { row =>
+        println(s"   OUT $row")
+      }
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    // Scenario A: global watermark policy. delay 10 min. Left max ts
+    // 12:50, right max 12:20 → min policy wm1 = 12:10, max policy 12:40.
+    // Probe with a batch-2 left row at 12:15 matching r at 12:16(b2):
+    // under min (wm 12:10) both survive → pair emits; under max both
+    // dropped.
+    run("A_wm_policy", 300, 10,
+      lb1 = Seq(L(1, ts(0), 100), L(9, ts(50), 101)),
+      rb1 = Seq(R(1, ts(2), 200), R(9, ts(20), 201)),
+      lb2 = Seq(L(2, ts(15), 110)),
+      rb2 = Seq(R(2, ts(15, 30), 210)))
+
+    // Scenario B: late-filter boundary. wm1 = 12:20 (max 12:30 both
+    // sides, delay 10). Batch-2 left rows at exactly 12:20.000,
+    // 12:20.001, 12:19.999 each with a fresh batch-2 right partner
+    // (12:21) — which pairs emit?
+    run("B_late_boundary", 300, 10,
+      lb1 = Seq(L(1, ts(30), 100)),
+      rb1 = Seq(R(1, ts(30), 200)),
+      lb2 = Seq(L(2, ts(20), 110), L(3, ts(20, 0, 1), 111),
+        L(4, ts(19, 59, 999), 112)),
+      rb2 = Seq(R(2, ts(21), 210), R(3, ts(21), 211), R(4, ts(21), 212)))
+
+    // Scenario C: right-state eviction. wm1 = 12:20. Batch-1 right rows
+    // at 12:19, 12:20, 12:21 (no match yet); batch-2 left partners with
+    // l_ts = r_ts - 60s (>= wm? l 12:18..12:20 — keep l above wm with
+    // fresh wm... use delay large enough that b2 lefts aren't late).
+    run("C_right_evict", 300, 10,
+      lb1 = Seq(L(9, ts(30), 100)),
+      rb1 = Seq(R(9, ts(30), 200), R(1, ts(19), 201), R(2, ts(20), 202),
+        R(3, ts(21), 203)),
+      lb2 = Seq(L(1, ts(18), 110), L(2, ts(19), 111), L(3, ts(20, 30), 112)),
+      rb2 = Seq())
+
+    // Scenario D: left-state eviction. wm1 = 12:20, horizon 300 s. Left
+    // b1 rows whose l_ts + horizon straddles wm1: 12:14 (end 12:19 <
+    // wm), 12:15 (end == wm), 12:16 (end > wm). Batch-2 rights at
+    // l_ts + 60 s... must be ≥ wm to survive the late filter — use
+    // r_ts = 12:20:30 for all three (within (l_ts, l_ts+300]? 12:14 →
+    // (12:14, 12:19] no… r must satisfy the interval: pick r_ts =
+    // l_ts + 240 s: 12:18, 12:19, 12:20 — the first two are behind wm1
+    // and would be late-dropped themselves. So probe left eviction via
+    // rights exactly AT wm1 boundary +: r_ts = 12:20:00.001 with lefts
+    // 12:15:30 (end 12:20:30 ≥ r_ts, interval ok: r-l = 270.001s ≤ 300)
+    // and 12:15:00 (r-l = 300.001 > 300 — fails interval). Use lefts
+    // 12:16 (end 12:21) and 12:15:(55) end 12:20:55 — both intervals
+    // contain r. Contrast with left 12:15:00 end 12:20:00 == wm: pair
+    // r=12:20:00.001 is OUTSIDE its interval anyway. So instead probe
+    // with r_ts = 12:20:00.000 (== wm — is an exactly-at-wm row late?)
+    // against l 12:15:30 (interval (12:15:30,12:20:30] contains it).
+    run("D_left_evict", 300, 10,
+      lb1 = Seq(L(9, ts(30), 100), L(1, ts(15, 30), 101),
+        L(2, ts(16), 102), L(3, ts(14), 103)),
+      rb1 = Seq(R(9, ts(30), 200)),
+      lb2 = Seq(),
+      rb2 = Seq(R(1, ts(20), 210), R(2, ts(20, 30), 211),
+        R(3, ts(18, 30), 212)))
+
+    // Scenario E: the one REACHABLE left-eviction boundary, plus µs
+    // late-filter precision. wm1 = 12:20.
+    //  k1: left b1 at 12:15:00.001 (l+300 = 12:20:00.001, 1 ms past
+    //      wm), right b2 at 12:20:00.001 (r−l = 300 s exactly,
+    //      inclusive end). Emission ⇔ left state retained at the exact
+    //      reachable boundary ⇔ oracle needs NO eviction predicate.
+    //  k3: both rows in b2, left at wm + 500 µs (12:20:00.0005 —
+    //      sub-ms). Emission ⇔ the late filter compares raw µs ts
+    //      against the ms-floored wm (kept), not ms-floored ts (≤ wm,
+    //      dropped).
+    val halfMs = {
+      val t = ts(20); val t2 = new Timestamp(t.getTime)
+      t2.setNanos(500000); t2
+    }
+    run("E_boundaries", 300, 10,
+      lb1 = Seq(L(9, ts(30), 100), L(1, ts(15, 0, 1), 101)),
+      rb1 = Seq(R(9, ts(30), 200)),
+      lb2 = Seq(L(3, halfMs, 103)),
+      rb2 = Seq(R(1, ts(20, 0, 1), 210), R(3, ts(21), 213)))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Pins [[StreamJoin.intervalJoinReplay]]'s probed stream-stream join
+  * semantics (`tools/ProbeStreamJoin` scenarios A–E). Geometry: delay =
+  * 10 min, horizon = 300 s. Left batch-1 max ts 12:50, right batch-1
+  * max 12:30 → the GLOBAL watermark after batch 1 is the MIN policy's
+  * 12:20, not the max policy's 12:40.
+  */
+class StreamJoinReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  // (k, ts, id, b) — left ids 1xx, right ids 2xx
+  private val left = Seq(
+    (9L, t("2024-01-01 12:50:00"), 100L, 0L), // left wm driver (b1 max)
+    (1L, t("2024-01-01 12:00:00"), 101L, 0L), // same-batch pair with 200
+    (2L, t("2024-01-01 12:15:00.001"), 102L, 0L), // retention boundary:
+    //   l + horizon = 12:20:00.001, 1 ms past wm1
+    (3L, t("2024-01-01 12:20:00"), 103L, 1L), // late: ts == wm1 INCLUSIVE
+    (4L, t("2024-01-01 12:20:00.0005"), 104L, 1L), // 500 µs past wm1: kept
+    (5L, t("2024-01-01 12:25:00"), 105L, 1L)  // fresh b2 left
+  ).toDF("user_id", "ts", "event_id", "b")
+
+  private val right = Seq(
+    (9L, t("2024-01-01 12:30:00"), 200L, 0L), // right wm driver (b1 max,
+    //   smaller side → drives the MIN-policy wm1 = 12:20)
+    (1L, t("2024-01-01 12:02:00"), 201L, 0L), // pairs with 101 in batch 1
+    (2L, t("2024-01-01 12:20:00.001"), 202L, 1L), // r − l = 300 s exactly
+    //   (inclusive interval end) against the boundary-retained 102
+    (3L, t("2024-01-01 12:21:00"), 203L, 1L), // partner of late-dropped 103
+    (4L, t("2024-01-01 12:21:00"), 204L, 1L), // partner of kept 104
+    (5L, t("2024-01-01 12:24:00"), 205L, 1L)  // r < l for 105: no pair;
+    //   also probes no spurious emission
+  ).toDF("user_id", "ts", "event_id", "b")
+
+  private lazy val out = StreamJoin
+    .intervalJoinReplay(left, right, "user_id", "event_id",
+      horizonSec = 300, delayMinutes = 10, batchCol = "b")
+    .orderBy("l_id", "r_id").collect()
+    .map(r => (r.getLong(2), r.getLong(4)))
+
+  test("emitted pair set (min-policy watermark, eager inner emission)") {
+    assert(out.toSeq == Seq((101L, 201L), (102L, 202L), (104L, 204L)))
+  }
+
+  test("global watermark is the MIN of the per-input maxima: a left row " +
+    "at 12:20:00.0005 (past min-wm 12:20, far behind max-wm 12:40) " +
+    "survives and pairs") {
+    assert(out.contains((104L, 204L)))
+  }
+
+  test("late filter is INCLUSIVE raw-µs ts ≤ ms-floored wm: 12:20:00.000 " +
+    "dropped (103), 12:20:00.0005 kept (104)") {
+    assert(!out.exists(_._1 == 103L) && out.exists(_._1 == 104L))
+  }
+
+  test("batch-1 left state at the reachable retention boundary " +
+    "(l + horizon = wm + 1 ms) still matches a batch-2 right at " +
+    "wm + 1 ms, at the INCLUSIVE interval end r − l == horizon") {
+    assert(out.contains((102L, 202L)))
+  }
+
+  test("no spurious pair when the interval predicate fails (205 before " +
+    "105)") {
+    assert(!out.exists(p => p._1 == 105L || p._2 == 205L))
+  }
+}
