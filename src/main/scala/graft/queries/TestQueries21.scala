@@ -618,8 +618,76 @@ object TestQueries21 {
       WHERE (l.b = 0 OR l.ts > wm.w) AND (r.b = 0 OR r.ts > wm.w)
       ORDER BY l_id, r_id"""))
 
+  /** LEFT OUTER stream-stream interval join through the real engine —
+    * the q289 replay with the outer emission path: an unmatched alive
+    * left emits one null-right row once `l_ts + horizon < watermark`
+    * (STRICT — probed; held at exact equality), where a left whose only
+    * candidate right was late-dropped counts as unmatched. Same
+    * max-ts-in-batch-1 pin (constant watermark ⇒ interleaving-proof
+    * oracle). Null right columns are coalesced to sentinels in BOTH
+    * engines so the gate stays scalar/NULL-free. RAW.
+    */
+  val q290StreamOuterJoin: QueryCase = QueryCase(
+    "q290_stream_outer_join",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("side")
+      val base = Tables.events(s, dir).where(col("user_id") < 40)
+        .withColumn("side", col("event_id") % 2)
+        .withColumn("smax", max(col("ts")).over(w))
+        .withColumn("b", when(col("ts") === col("smax"), lit(0L))
+          .otherwise(expr("(event_id div 2) % 2")))
+      val l = base.where(col("side") === 0)
+      val r = base.where(col("side") === 1)
+      graft.streaming.StreamJoin
+        .intervalJoinReplay(l, r, "user_id", "event_id",
+          horizonSec = 86400, delayMinutes = 2880, batchCol = "b",
+          joinType = "left_outer")
+        .select(col("k").as("user_id"), col("l_ts"), col("l_id"),
+          coalesce(col("r_ts"), lit("1970-01-01 00:00:00")
+            .cast("timestamp")).as("r_ts"),
+          coalesce(col("r_id"), lit(-1L)).as("r_id"))
+        .orderBy("l_id", "r_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+               event_id % 2 AS side
+        FROM events WHERE user_id < 40),
+      sm AS (SELECT *, MAX(ts) OVER (PARTITION BY side) AS smax FROM e),
+      eb AS (
+        SELECT *, CASE WHEN ts = smax THEN 0
+                       ELSE (event_id // 2) % 2 END AS b
+        FROM sm),
+      l AS (SELECT user_id AS k, ts, event_id AS l_id, b
+            FROM eb WHERE side = 0),
+      r AS (SELECT user_id AS k, ts, event_id AS r_id, b
+            FROM eb WHERE side = 1),
+      wm AS (
+        SELECT least(
+          (SELECT date_trunc('milliseconds', MAX(ts)) FROM l WHERE b = 0),
+          (SELECT date_trunc('milliseconds', MAX(ts)) FROM r WHERE b = 0))
+          - INTERVAL 2880 MINUTE AS w),
+      pairs AS (
+        SELECT l.k, l.ts AS l_ts, l.l_id, r.ts AS r_ts, r.r_id
+        FROM l JOIN r ON l.k = r.k
+          AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 86400 SECOND, wm
+        WHERE (l.b = 0 OR l.ts > wm.w) AND (r.b = 0 OR r.ts > wm.w)),
+      nulls AS (
+        SELECT l.k, l.ts AS l_ts, l.l_id,
+               TIMESTAMP '1970-01-01 00:00:00' AS r_ts,
+               CAST(-1 AS BIGINT) AS r_id
+        FROM l, wm
+        WHERE (l.b = 0 OR l.ts > wm.w)
+          AND l.ts + INTERVAL 86400 SECOND < wm.w
+          AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.l_id = l.l_id))
+      SELECT k AS user_id, l_ts, l_id, r_ts, r_id FROM pairs
+      UNION ALL
+      SELECT k AS user_id, l_ts, l_id, r_ts, r_id FROM nulls
+      ORDER BY l_id, r_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions,
       q283DupSpans, q284DupFraction, q285StreamTumbling,
-      q286StreamSliding, q287SpanCut, q288SpanLedger, q289StreamJoin)
+      q286StreamSliding, q287SpanCut, q288SpanLedger, q289StreamJoin,
+      q290StreamOuterJoin)
 }

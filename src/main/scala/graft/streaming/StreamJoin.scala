@@ -84,17 +84,27 @@ object StreamJoin {
     *    placing each side's max-ts row in batch 1 (then the watermark
     *    is pinned after batch 1); the q289 gate does exactly that.
     *
+    * `joinType = "left_outer"` (probed, same harness): matched pairs
+    * emit exactly as inner; an UNMATCHED alive left emits one
+    * null-right row once `l_ts + horizon < watermark` — STRICT (a left
+    * whose horizon end equals the watermark is held in state), unlike
+    * the inclusive late-drop boundary, raw-µs end against the
+    * ms-floored watermark. A left whose only candidate right was
+    * late-dropped IS unmatched and emits the null row; a matched left
+    * never does.
+    *
     * Scale shape: the replay collects the bounded inputs through
     * [[Bounded.collectBounded]] (gate/test harness, capped by
     * contract); the join itself is the production shape — key-hash
     * partitioned state, late rows dropped at the watermark, state
     * bounded by the horizon-derived frontiers.
     *
-    * @return emitted pairs: (k, l_ts, l_id, r_ts, r_id)
+    * @return emitted rows: (k, l_ts, l_id, r_ts, r_id) — r_ts/r_id
+    *         null on outer null-right rows
     */
   def intervalJoinReplay(left: DataFrame, right: DataFrame, keyCol: String,
       idCol: String, horizonSec: Int, delayMinutes: Int,
-      batchCol: String): DataFrame = {
+      batchCol: String, joinType: String = "inner"): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -121,7 +131,8 @@ object StreamJoin {
       .select(col("k").as("rk"), col("ts").as("r_ts"), col("r_id"))
     val joined = l.join(r, col("k") === col("rk") &&
         col("r_ts") > col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec seconds"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec seconds"),
+        joinType)
       .select(col("k"), col("l_ts"), col("l_id"), col("r_ts"), col("r_id"))
     val sinkName = s"stream_join_replay_${System.identityHashCode(lin)}"
     val query = joined.writeStream.format("memory").queryName(sinkName)

@@ -28,7 +28,8 @@ object ProbeStreamJoin {
       + min * 60000L + sec * 1000L + ms)
 
   def run(name: String, horizonSec: Int, delayMin: Int,
-          lb1: Seq[L], rb1: Seq[R], lb2: Seq[L], rb2: Seq[R]): Unit = {
+          lb1: Seq[L], rb1: Seq[R], lb2: Seq[L], rb2: Seq[R],
+          joinType: String = "inner"): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", false).getOrCreate()
@@ -42,7 +43,8 @@ object ProbeStreamJoin {
       .select(col("k").as("rk"), col("ts").as("r_ts"), col("r_id"))
     val j = l.join(r, col("k") === col("rk") &&
       col("r_ts") > col("l_ts") &&
-      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec seconds"))
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec seconds"),
+      joinType)
     val sink = s"probe_${name}_${System.nanoTime()}"
     val q = j.writeStream.format("memory").queryName(sink)
       .outputMode("append").start()
@@ -146,5 +148,27 @@ object ProbeStreamJoin {
       rb1 = Seq(R(9, ts(30), 200)),
       lb2 = Seq(L(3, halfMs, 103)),
       rb2 = Seq(R(1, ts(20, 0, 1), 210), R(3, ts(21), 213)))
+
+    // LEFT OUTER scenarios — unmatched-left emission makes the left
+    // eviction frontier OBSERVABLE. Geometry: delay 10 min, horizon
+    // 300 s. wm1 = 12:20 (b1 maxima 12:30 both sides); b2 maxima 12:50
+    // both sides → wm2 = 12:40.
+    // O1: unmatched b1 lefts straddling l+300 vs wm2=12:40 —
+    //     12:34:59.999 (end 12:39:59.999 < wm2), 12:35:00.000
+    //     (end == wm2), 12:35:00.001 (end 1 ms past wm2). Which emit
+    //     null rows by the end of batch 2's processAllAvailable?
+    // O2: left 12:16 whose ONLY candidate right (12:18, b2) is
+    //     late-dropped (≤ wm1): does the left emit a null row?
+    // O3: matched left (12:25 ~ right 12:26 b1) must NOT also emit a
+    //     null row.
+    // O4: late b2 left (12:19 ≤ wm1) emits NOTHING.
+    run("O_outer", 300, 10,
+      lb1 = Seq(L(9, ts(30), 100), L(1, ts(34, 59, 999), 101),
+        L(2, ts(35), 102), L(3, ts(35, 0, 1), 103), L(4, ts(16), 104),
+        L(5, ts(25), 105)),
+      rb1 = Seq(R(9, ts(30), 200), R(5, ts(26), 205)),
+      lb2 = Seq(L(6, ts(19), 106), L(9, ts(50), 107)),
+      rb2 = Seq(R(4, ts(18), 204), R(9, ts(50), 209)),
+      joinType = "left_outer")
   }
 }

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Pins [[StreamJoin.intervalJoinReplay]]'s LEFT OUTER semantics
+  * (`tools/ProbeStreamJoin` scenario O). Geometry: delay = 10 min,
+  * horizon = 300 s; wm1 = 12:20 (batch-1 maxima 12:30 both sides),
+  * wm2 = 12:40 (batch-2 maxima 12:50 both sides) — the watermark
+  * ADVANCES here, so the null-row emission boundary is probed against
+  * wm2, not wm1.
+  */
+class OuterJoinReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (9L, t("2024-01-01 12:30:00"), 100L, 0L), // b1 wm driver; unmatched
+    (1L, t("2024-01-01 12:34:59.999"), 101L, 0L), // end < wm2 by 1 ms
+    (2L, t("2024-01-01 12:35:00"), 102L, 0L), // end == wm2 exactly
+    (3L, t("2024-01-01 12:35:00.001"), 103L, 0L), // end 1 ms past wm2
+    (4L, t("2024-01-01 12:16:00"), 104L, 0L), // only right late-dropped
+    (5L, t("2024-01-01 12:25:00"), 105L, 0L), // matched in batch 1
+    (6L, t("2024-01-01 12:19:00"), 106L, 1L), // late b2 left (≤ wm1)
+    (9L, t("2024-01-01 12:50:00"), 107L, 1L)  // b2 wm driver; open
+  ).toDF("user_id", "ts", "event_id", "b")
+
+  private val right = Seq(
+    (9L, t("2024-01-01 12:30:00"), 200L, 0L),
+    (5L, t("2024-01-01 12:26:00"), 205L, 0L),
+    (4L, t("2024-01-01 12:18:00"), 204L, 1L), // late (≤ wm1): dropped
+    (9L, t("2024-01-01 12:50:00"), 209L, 1L)
+  ).toDF("user_id", "ts", "event_id", "b")
+
+  private lazy val out = StreamJoin
+    .intervalJoinReplay(left, right, "user_id", "event_id",
+      horizonSec = 300, delayMinutes = 10, batchCol = "b",
+      joinType = "left_outer")
+    .orderBy("l_id").collect()
+    .map(r => (r.getLong(2), if (r.isNullAt(4)) -1L else r.getLong(4)))
+
+  test("emitted set: pairs eager, null rows only for unmatched lefts " +
+    "whose horizon end cleared the final watermark") {
+    assert(out.toSeq == Seq((100L, -1L), (101L, -1L), (104L, -1L),
+      (105L, 205L)))
+  }
+
+  test("null-row boundary is STRICT l + horizon < wm (end == wm held: " +
+    "102; 1 ms past: 103), unlike the inclusive late-drop boundary") {
+    assert(out.exists(p => p._1 == 101L && p._2 == -1L))
+    assert(!out.exists(_._1 == 102L) && !out.exists(_._1 == 103L))
+  }
+
+  test("a left whose only candidate right was late-dropped is unmatched " +
+    "and emits the null row (104); late b2 left emits nothing (106); " +
+    "open left held (107)") {
+    assert(out.exists(p => p._1 == 104L && p._2 == -1L))
+    assert(!out.exists(_._1 == 106L) && !out.exists(_._1 == 107L))
+  }
+
+  test("a matched left emits its pair and never a null row (105)") {
+    assert(out.count(_._1 == 105L) == 1)
+    assert(out.find(_._1 == 105L).get._2 == 205L)
+  }
+}
