@@ -685,9 +685,70 @@ object TestQueries21 {
       SELECT k AS user_id, l_ts, l_id, r_ts, r_id FROM nulls
       ORDER BY l_id, r_id"""))
 
+  /** UPDATE-MODE tumbling aggregation through the real engine —
+    * [[graft.streaming.SessionReplay.tumblingUpdate]], the dashboard
+    * serving mode next to q285's append mode: every micro-batch emits
+    * the CUMULATIVE aggregate of each window it updated, so the sink
+    * holds a multiset (batch-1 snapshot ∪ batch-2 re-emissions for
+    * windows a surviving batch-2 row touched). Probed
+    * (UpdateReplaySpec): same inclusive `end ≤ ms-floored wm` late
+    * filter as append; watermark-only batches emit nothing; updates
+    * are never retracted. Same window/delay geometry as q285. RAW.
+    */
+  val q291StreamUpdate: QueryCase = QueryCase(
+    "q291_stream_update",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("user_id") < 40)
+        .withColumn("b", col("event_id") % 2)
+      graft.streaming.SessionReplay
+        .tumblingUpdate(ev, windowMinutes = 360, delayMinutes = 2880,
+          batchCol = "b")
+        .orderBy("user_id", "window_start", "n_events")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+               value, event_id % 2 AS b,
+          make_timestamp((epoch_us(date_trunc('microseconds', ts))
+            // 21600000000) * 21600000000) AS wstart,
+          make_timestamp((epoch_us(date_trunc('microseconds', ts))
+            // 21600000000) * 21600000000 + 21600000000) AS wend
+        FROM events WHERE user_id < 40),
+      wm1 AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2880 MINUTE
+          AS w FROM ev WHERE b = 0),
+      b1agg AS (
+        SELECT user_id, wstart AS window_start, wend AS window_end,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM ev WHERE b = 0 GROUP BY user_id, wstart, wend),
+      surv AS (
+        SELECT ev.user_id, ev.wstart, ev.wend, ev.value FROM ev, wm1
+        WHERE ev.b = 1 AND ev.wend > wm1.w),
+      upd AS (SELECT DISTINCT user_id, wstart FROM surv),
+      b2agg AS (
+        SELECT k.user_id, k.wstart AS window_start, k.wend AS window_end,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM (
+          SELECT e.user_id, e.wstart, e.wend, e.value FROM ev e
+          JOIN upd u ON e.user_id = u.user_id AND e.wstart = u.wstart
+          WHERE e.b = 0
+          UNION ALL
+          SELECT s.user_id, s.wstart, s.wend, s.value FROM surv s
+          JOIN upd u ON s.user_id = u.user_id AND s.wstart = u.wstart) k
+        GROUP BY k.user_id, k.wstart, k.wend)
+      SELECT user_id, window_start, window_end, n_events, sum_value
+      FROM b1agg
+      UNION ALL
+      SELECT user_id, window_start, window_end, n_events, sum_value
+      FROM b2agg
+      ORDER BY user_id, window_start, n_events"""))
+
   val all: Seq[QueryCase] =
     Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions,
       q283DupSpans, q284DupFraction, q285StreamTumbling,
       q286StreamSliding, q287SpanCut, q288SpanLedger, q289StreamJoin,
-      q290StreamOuterJoin)
+      q290StreamOuterJoin, q291StreamUpdate)
 }

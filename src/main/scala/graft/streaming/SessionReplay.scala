@@ -100,6 +100,32 @@ object SessionReplay {
           col("w.end").as("window_end"), col("n_events"), col("sum_value"))
     }
 
+  /** UPDATE-MODE tumbling replay — the dashboard serving mode: every
+    * micro-batch emits the CUMULATIVE aggregate of each window it
+    * updated (append mode emits a window once, at close; update mode
+    * re-emits on every change). The sink therefore holds a MULTISET:
+    * batch-1 rows for every batch-1 window, plus batch-2 rows (merged
+    * counts) for windows a surviving batch-2 row touched. Probed
+    * semantics (UpdateReplaySpec): the late filter is the same
+    * inclusive `window end ≤ ms-floored watermark` predicate as
+    * append mode; a watermark advance alone (no data) emits nothing;
+    * emitted updates are never retracted.
+    *
+    * @return one row per (batch, updated window):
+    *         (user_id, window_start, window_end, n_events, sum_value)
+    */
+  def tumblingUpdate(events: DataFrame, windowMinutes: Int,
+                     delayMinutes: Int, batchCol: String): DataFrame =
+    replay(events, batchCol, delayMinutes, outputMode = "update") { in =>
+      in.groupBy(col("user_id"),
+          window(col("ts"), s"$windowMinutes minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"), col("w.start").as("window_start"),
+          col("w.end").as("window_end"), col("n_events"), col("sum_value"))
+    }
+
   /** The SLIDING-window member of the replay family (slide < width:
     * every row lands in width/slide overlapping windows). The window
     * expansion happens BEFORE the watermark filter, so each
@@ -130,7 +156,8 @@ object SessionReplay {
     * batch frame.
     */
   private def replay(events: DataFrame, batchCol: String,
-      delayMinutes: Int)(aggOf: DataFrame => DataFrame): DataFrame = {
+      delayMinutes: Int, outputMode: String = "append")(
+      aggOf: DataFrame => DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -150,7 +177,7 @@ object SessionReplay {
     val agg = aggOf(input.toDS().toDF()
       .withWatermark("ts", s"$delayMinutes minutes"))
     val query = agg.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+      .outputMode(outputMode).start()
     try {
       if (batch1.nonEmpty) { input.addData(batch1); query.processAllAvailable() }
       if (batch2.nonEmpty) { input.addData(batch2); query.processAllAvailable() }

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Pins [[SessionReplay.tumblingUpdate]] — update-mode emission over
+  * the TumblingReplaySpec geometry (window = 10 min, delay = 10 min;
+  * batch-1 max ts 12:10:00.000789 → wm1 = 12:00:00.000).
+  */
+class UpdateReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    // batch 1
+    (1L, t("2024-01-01 10:05:00"), 1.0, 0L),
+    (2L, t("2024-01-01 12:10:00.000789"), 2.0, 0L), // wm1 driver
+    // batch 2
+    // window [11:50,12:00): end == wm1 → inclusive drop, NO emission
+    (3L, t("2024-01-01 11:55:00"), 4.0, 1L),
+    // window [12:00,12:10): end > wm1 → kept, emits n=1
+    (5L, t("2024-01-01 12:00:00"), 16.0, 1L),
+    // late row into user 1's batch-1 window → dropped, no RE-emission
+    (1L, t("2024-01-01 10:07:00"), 100.0, 1L),
+    // second row into user 2's window → CUMULATIVE re-emission n=2
+    (2L, t("2024-01-01 12:12:00"), 32.0, 1L)
+  ).toDF("user_id", "ts", "value", "b")
+
+  private lazy val out = SessionReplay
+    .tumblingUpdate(rows, windowMinutes = 10, delayMinutes = 10,
+      batchCol = "b")
+    .orderBy("user_id", "window_start", "n_events").collect()
+    .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3),
+      r.getDouble(4)))
+
+  test("update-mode multiset: every updated window emits per batch, " +
+    "cumulative values, no retraction") {
+    assert(out.toSeq == Seq(
+      (1L, "2024-01-01 10:00:00.0", 1L, 1.0),
+      (2L, "2024-01-01 12:10:00.0", 1L, 2.0),
+      (2L, "2024-01-01 12:10:00.0", 2L, 34.0),
+      (5L, "2024-01-01 12:00:00.0", 1L, 16.0)))
+  }
+
+  test("late rows use the same inclusive end ≤ wm predicate as append " +
+    "mode: user 3 (end == wm1) and user 1's late row emit nothing") {
+    assert(!out.exists(_._1 == 3L))
+    assert(out.count(_._1 == 1L) == 1)
+  }
+}
