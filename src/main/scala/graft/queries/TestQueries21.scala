@@ -746,9 +746,76 @@ object TestQueries21 {
       FROM b2agg
       ORDER BY user_id, window_start, n_events"""))
 
+  /** Streaming exact dedup with bounded state —
+    * [[graft.streaming.StreamDedup.replayWithinWatermark]]
+    * (`dropDuplicatesWithinWatermark` through the real engine): the
+    * ingest-time dedup primitive; state bounded by the watermark delay,
+    * exact within the horizon, re-admission beyond it. Probed
+    * (StreamDedupReplaySpec): inclusive raw-µs late filter even for
+    * first occurrences; suppression iff emitted-row ts + delay > wm
+    * (STRICT — dead at exact equality); suppressed dups don't refresh
+    * expiry. Planted duplicates live in a DISJOINT key space (+10⁹) so
+    * no two same-key rows share a batch — the emission slot can't race
+    * — and the +3·delay shift puts plants in all three bands
+    * (late-dropped / suppressed / re-emitted) at every SF. Natural
+    * pairs (adjacent event ids) cover suppress/late/no-partner. RAW.
+    */
+  val q292StreamDedup: QueryCase = QueryCase(
+    "q292_stream_dedup",
+    (s, dir) => {
+      val base = Tables.events(s, dir).where(col("user_id") < 40)
+        .select(expr("event_id div 2").as("k"), col("ts"),
+          col("event_id").as("id"), (col("event_id") % 2).as("b"),
+          col("event_id"))
+      val plantState = base.where(col("b") === 0 &&
+          col("event_id") % 10 === 0)
+        .select((col("k") + 1000000000L).as("k"), col("ts"),
+          (col("id") + 1000000000L).as("id"), lit(0L).as("b"))
+      val plantDup = base.where(col("b") === 0 &&
+          col("event_id") % 10 === 0)
+        .select((col("k") + 1000000000L).as("k"),
+          (col("ts") + expr("INTERVAL 8640 minutes")).as("ts"),
+          (col("id") + 2000000000L).as("id"), lit(1L).as("b"))
+      val allRows = base.select("k", "ts", "id", "b")
+        .unionByName(plantState).unionByName(plantDup)
+      graft.streaming.StreamDedup
+        .replayWithinWatermark(allRows, "k", "id", delayMinutes = 2880,
+          batchCol = "b")
+        .orderBy("id")
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_id // 2 AS k, date_trunc('microseconds', ts) AS ts,
+               event_id AS id, event_id % 2 AS b, event_id
+        FROM events WHERE user_id < 40),
+      ps AS (
+        SELECT k + 1000000000 AS k, ts, id + 1000000000 AS id, 0 AS b
+        FROM base WHERE b = 0 AND event_id % 10 = 0),
+      pd AS (
+        SELECT k + 1000000000 AS k, ts + INTERVAL 8640 MINUTE AS ts,
+               id + 2000000000 AS id, 1 AS b
+        FROM base WHERE b = 0 AND event_id % 10 = 0),
+      allr AS (
+        SELECT k, ts, id, b FROM base
+        UNION ALL SELECT k, ts, id, b FROM ps
+        UNION ALL SELECT k, ts, id, b FROM pd),
+      wm1 AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2880 MINUTE
+          AS w FROM allr WHERE b = 0),
+      b1 AS (SELECT * FROM allr WHERE b = 0),
+      b2 AS (SELECT * FROM allr WHERE b = 1)
+      SELECT k, ts, CAST(id AS BIGINT) AS id FROM b1
+      UNION ALL
+      SELECT b2.k, b2.ts, CAST(b2.id AS BIGINT) AS id FROM b2, wm1
+      WHERE b2.ts > wm1.w
+        AND NOT EXISTS (SELECT 1 FROM b1
+          WHERE b1.k = b2.k
+            AND b1.ts + INTERVAL 2880 MINUTE > wm1.w)
+      ORDER BY id"""))
+
   val all: Seq[QueryCase] =
     Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions,
       q283DupSpans, q284DupFraction, q285StreamTumbling,
       q286StreamSliding, q287SpanCut, q288SpanLedger, q289StreamJoin,
-      q290StreamOuterJoin, q291StreamUpdate)
+      q290StreamOuterJoin, q291StreamUpdate, q292StreamDedup)
 }

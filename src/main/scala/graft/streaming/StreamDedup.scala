@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.plans.Bounded
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming EXACT dedup with bounded state —
+  * `dropDuplicatesWithinWatermark` through the real engine, the
+  * ingest-time dedup primitive for an unbounded corpus feed: state is
+  * bounded by the watermark delay (a key's fingerprint is forgotten
+  * once the watermark passes its expiry), which is exactly the
+  * trade a 100 TB ingest makes — exact dedup within the delay
+  * horizon, re-admission beyond it (the batch-side exact/minhash
+  * ledgers catch long-range repeats).
+  *
+  * Replayed semantics (probed EMPIRICALLY — `tools/ProbeStreamDedup`
+  * P1–P4, recentProgress introspection; pinned by
+  * StreamDedupReplaySpec):
+  *  - watermark after batch i = floor_ms(max ts seen) − delay (all
+  *    rows update it).
+  *  - a batch-(i+1) row is dropped iff raw-µs ts ≤ that watermark
+  *    (INCLUSIVE) — even when it is the key's FIRST occurrence.
+  *  - a surviving row is suppressed iff its key holds live state:
+  *    first-emitted ts + delay > watermark (STRICT; at exact equality
+  *    the state is evicted and the row RE-EMITS as a fresh first
+  *    occurrence).
+  *  - suppressed duplicates do NOT refresh the state expiry (P3) —
+  *    the horizon anchors on the EMITTED row.
+  *
+  * Determinism contract for oracle-compared callers: at most ONE row
+  * per (key, batch) — two same-key rows in one batch race for the
+  * emission slot partition-nondeterministically (the q289 lesson,
+  * dedup spelling). The q292 gate builds its planted duplicates in a
+  * disjoint key space to guarantee this structurally.
+  */
+object StreamDedup {
+
+  final case class DEv(k: Long, ts: Timestamp, id: Long)
+
+  /** Two-batch replay of `dropDuplicatesWithinWatermark(key)`.
+    * Input needs (`keyCol`, ts, `idCol`, `batchCol`); emitted rows
+    * come back as (k, ts, id).
+    */
+  def replayWithinWatermark(events: DataFrame, keyCol: String,
+      idCol: String, delayMinutes: Int, batchCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Bounded.collectBounded(
+      events.select(col(keyCol).cast("long"), col("ts"),
+        col(idCol).cast("long"), col(batchCol).cast("long").as("b"))
+        .orderBy(keyCol, "ts", idCol),
+      "StreamDedup.replayWithinWatermark")
+    def ev(b1: Boolean) = rows
+      .filter(r => (r.getLong(3) == 0L) == b1)
+      .map(r => DEv(r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+
+    val input = MemoryStream[DEv]
+    val deduped = input.toDS().toDF()
+      .withWatermark("ts", s"$delayMinutes minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val sinkName = s"stream_dedup_${System.identityHashCode(input)}"
+    val query = deduped.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = (ev(b1 = true), ev(b1 = false))
+      if (b1.nonEmpty) { input.addData(b1); query.processAllAvailable() }
+      if (b2.nonEmpty) { input.addData(b2); query.processAllAvailable() }
+      val out = spark.table(sinkName).collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+        spark.table(sinkName).schema)
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView(sinkName)
+    }
+  }
+}

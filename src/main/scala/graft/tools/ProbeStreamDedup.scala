@@ -1,0 +1,110 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Empirical probe of `dropDuplicatesWithinWatermark` (the
+  * bounded-state streaming exact-dedup) — q282 discipline: boundary
+  * fixtures + recentProgress, never guessed semantics.
+  *
+  * Questions:
+  *  1. Does the FIRST occurrence emit immediately (append) with later
+  *     duplicates suppressed within the delay?
+  *  2. When is a key's state evicted — can a duplicate RE-EMIT after
+  *     the watermark passes (and past what exact boundary: first ts,
+  *     first ts + delay, ms floor, inclusive)?
+  *  3. Are late rows (ts ≤ wm) input-filtered like other stateful ops?
+  */
+object ProbeStreamDedup {
+  final case class E(k: Long, ts: Timestamp, id: Long)
+
+  def ts(min: Int, sec: Int = 0, ms: Int = 0): Timestamp =
+    new Timestamp(java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+      + min * 60000L + sec * 1000L + ms)
+
+  def run(name: String, delayMin: Int, batches: Seq[Seq[E]]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false).getOrCreate()
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[E]
+    val dd = in.toDS().toDF().withWatermark("ts", s"$delayMin minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val sink = s"probe_dd_${name}_${System.nanoTime()}"
+    val q = dd.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) in.addData(b)
+        q.processAllAvailable()
+        println(s"   after batch: wm=${
+          q.recentProgress.lastOption.map(_.eventTime.get("watermark"))}")
+      }
+      println(s"== $name")
+      q.recentProgress.foreach { p =>
+        println(s"   batch ${p.batchId} wm=${p.eventTime.get("watermark")}" +
+          s" in=${p.numInputRows} dropped=${Option(p.stateOperators)
+            .map(_.map(_.numRowsDroppedByWatermark).sum)}" +
+          s" stateRows=${Option(p.stateOperators).map(_.map(_.numRowsTotal).sum)}")
+      }
+      spark.table(sink).orderBy("id").collect()
+        .foreach(r => println(s"   OUT $r"))
+    } finally { q.stop(); spark.catalog.dropTempView(sink) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    // P1: in-batch + cross-batch suppression, then re-admission after
+    // eviction. delay 10 min.
+    //  b1: k1 at 12:00 (id 1), dup k1 at 12:01 (id 2) same batch;
+    //      wm driver k9 at 12:30 → wm1 = 12:20.
+    //  b2: dup k1 at 12:25 (id 3) — k1's state (ts 12:00 + 10 ≤ wm1?):
+    //      evicted by wm1? If so id 3 RE-EMITS; else suppressed.
+    //      fresh k2 at 12:26 (id 4); wm driver k9 2nd row 12:50 (id 9b
+    //      — itself a DUP of k9: suppressed or re-admitted? k9 state
+    //      ts 12:30 + 10 = 12:40 vs wm1 12:20 → retained → suppressed;
+    //      still advances wm to 12:40).
+    //  b3: dup k2 at 12:33 (id 5): k2 state expires 12:26+10=12:36 ≤
+    //      wm2 12:40 → evicted → re-emit? BUT 12:33 ≤ wm2 → late-
+    //      dropped first? probes late filter. dup k1 at 12:41 (id 6):
+    //      above wm2, k1 evicted long ago → re-emits.
+    run("P1", 10, Seq(
+      Seq(E(1, ts(0), 1), E(1, ts(1), 2), E(9, ts(30), 90)),
+      Seq(E(1, ts(25), 3), E(2, ts(26), 4), E(9, ts(50), 91)),
+      Seq(E(2, ts(33), 5), E(1, ts(41), 6))))
+
+    // P2: exact eviction boundary. delay 10. b1: k1 at 12:00 (id 1),
+    // k2 at 12:00 (id 2), wm driver 12:30 → wm1 12:20. k1 expiry =
+    // 12:00 + 10 = 12:10 ≤ wm1; k2 same. b2 dups ABOVE wm1: k1 at
+    // 12:20:00.001 (id 3) → re-emit iff evicted. Also k3 first-seen at
+    // 12:10:00.001 (id 4, ≤ wm1 → late-filter probe on a FIRST
+    // occurrence).
+    run("P2", 10, Seq(
+      Seq(E(1, ts(0), 1), E(2, ts(0), 2), E(9, ts(30), 90)),
+      Seq(E(1, ts(20, 0, 1), 3), E(3, ts(10, 0, 1), 4))))
+
+    // P3: does a SUPPRESSED duplicate REFRESH the state expiry? delay
+    // 10. b1: k1 12:00 (id 1), wm driver 12:05 → wm1 11:55 (k1 state
+    // alive, expiry 12:10). b2: dup k1 12:09 (id 2) — suppressed;
+    // does expiry become 12:09+10=12:19? wm driver 12:25 → wm2 12:15.
+    // b3: dup k1 at 12:16 (id 3): if expiry refreshed (12:19 > wm2)
+    // suppressed; if original (12:10 ≤ wm2, evicted) re-emits.
+    run("P3", 10, Seq(
+      Seq(E(1, ts(0), 1), E(9, ts(5), 90)),
+      Seq(E(1, ts(9), 2), E(9, ts(25), 91)),
+      Seq(E(1, ts(16), 3))))
+
+    // P4: suppression at EXACT expiry == wm. delay 10; wm driver 12:30
+    // → wm1 = 12:20. k1 first at 12:10:00.000 exactly → expiry
+    // 12:20:00.000 == wm1. b2 dup at 12:21 (id 2): emitted (evicted at
+    // equality, ≤) or suppressed (alive, <)? k2 first at 12:10:00.001
+    // (expiry 1 ms past wm1) with dup at 12:21 (id 4): control —
+    // should be suppressed under either rule iff boundary is ≤.
+    run("P4", 10, Seq(
+      Seq(E(1, ts(10), 1), E(2, ts(10, 0, 1), 3), E(9, ts(30), 90)),
+      Seq(E(1, ts(21), 2), E(2, ts(21), 4))))
+  }
+}

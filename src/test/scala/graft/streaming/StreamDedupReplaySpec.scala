@@ -1,0 +1,53 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Pins [[StreamDedup.replayWithinWatermark]]'s probed semantics
+  * (`tools/ProbeStreamDedup` P1–P4) in the two-batch shape. Geometry:
+  * delay = 10 min, batch-1 max ts 12:30 → wm1 = 12:20.
+  */
+class StreamDedupReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    // batch 1 — each key once (determinism contract)
+    (1L, t("2024-01-01 12:00:00"), 1L, 0L),  // expiry 12:10 ≤ wm1: dead
+    (2L, t("2024-01-01 12:10:00"), 2L, 0L),  // expiry == wm1: dead (≤)
+    (3L, t("2024-01-01 12:10:00.001"), 3L, 0L), // expiry 1 ms past: live
+    (9L, t("2024-01-01 12:30:00"), 9L, 0L),  // wm driver; expiry 12:40
+    // batch 2
+    (1L, t("2024-01-01 12:25:00"), 11L, 1L), // dead state → RE-EMITS
+    (2L, t("2024-01-01 12:21:00"), 12L, 1L), // dead at equality → emits
+    (3L, t("2024-01-01 12:21:00"), 13L, 1L), // live state → suppressed
+    (9L, t("2024-01-01 12:50:00"), 19L, 1L), // live (12:40 > wm1) → supp
+    (5L, t("2024-01-01 12:20:00"), 15L, 1L), // FIRST occurrence but ts
+    //   == wm1 → late-dropped (inclusive)
+    (6L, t("2024-01-01 12:20:00.0005"), 16L, 1L) // 500 µs past wm1 →
+    //   kept, first occurrence emits
+  ).toDF("k", "ts", "event_id", "b")
+
+  private lazy val out = StreamDedup
+    .replayWithinWatermark(rows, "k", "event_id", delayMinutes = 10,
+      batchCol = "b")
+    .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+
+  test("emitted set: batch-1 firsts, re-emissions past dead state, " +
+    "fresh firsts above the watermark") {
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L), (9L, 9L),
+      (1L, 11L), (2L, 12L), (6L, 16L)))
+  }
+
+  test("state death is INCLUSIVE expiry ≤ wm (key 2 at exact equality " +
+    "re-emits); 1 ms past is live (key 3 suppressed)") {
+    assert(out.exists(_._2 == 12L) && !out.exists(_._2 == 13L))
+  }
+
+  test("late filter drops even a FIRST occurrence at ts == wm (key 5); " +
+    "500 µs past the ms-floored wm survives (key 6)") {
+    assert(!out.exists(_._1 == 5L) && out.exists(_._2 == 16L))
+  }
+}
