@@ -498,4 +498,38 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning") &&
       !p.contains("SortMergeJoin"), p)
   }
+
+  test("DupSpans: the pair join is a gram equi-join (never a cartesian); " +
+    "span islands window hash-partitions on (pair, diagonal)") {
+    import spark.implicits._
+    val docs = (0L until 12L)
+      .map(i => (i, (0 until 40).map(j => s"t${i % 3}x$j").mkString(" ")))
+      .toDF("doc_id", "text").repartition(4)
+    val p = graft.operators.DupSpans
+      .maximalSharedSpans(docs, "doc_id", "text", k = 4, dfCutoff = 8,
+        minSpan = 6)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "anchor matching must stay a gram equi-join: " + p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "per-(pair, diagonal) islands must not globally sort")
+  }
+
+  test("DupSpans.cutSpans: covered-position marking is a doc_id " +
+    "equi-anti-join, not a nested loop") {
+    import spark.implicits._
+    val docs = (0L until 12L)
+      .map(i => (i, (0 until 40).map(j => s"t${i % 3}x$j").mkString(" ")))
+      .toDF("doc_id", "text").repartition(4)
+    val spans = graft.operators.DupSpans
+      .maximalSharedSpans(docs, "doc_id", "text", 4, 8, 6)
+    val p = graft.operators.DupSpans
+      .cutSpans(docs, "doc_id", "text", spans)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "interval marking must join on doc_id with a range filter: " + p)
+  }
 }
