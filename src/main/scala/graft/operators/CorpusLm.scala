@@ -737,4 +737,98 @@ object CorpusLm {
       col("n_bigram"), concat_ws(" ", col("gen")).as("generated"),
       size(col("gen")).cast("long").as("n_generated"))
   }
+
+  /** BEAM-SEARCH decode over the corpus trigram LM — the classic search
+    * next to [[greedyDecode]] (beam = 1 degenerates to it), completing
+    * the decode family (greedy / nucleus / speculative). Per step each
+    * beam expands to its context's top-`expand` successors by
+    * conditional probability p = c(w1,w2,w3) / c(w1,w2), the pool is
+    * cut to the top-`beam` paths per seed by cumulative score, and a
+    * context with NO successor carries its path forward frozen (it
+    * keeps competing — the standard finished-hypothesis pool).
+    *
+    * Determinism contract (what makes this ORACLE-comparable): the
+    * cumulative score is a fixed IEEE expression tree — one exact
+    * division per step, one sequential multiply — evaluated identically
+    * by both engines, so scores compare RAW; every ranking orders by
+    * (score DESC, generated text ASC), a total order. Scale shape: the
+    * successor table is one window pass over trigram counts,
+    * materialized once; per-step work is a broadcast of the
+    * (seeds × beam)-row state against it — the [[greedyDecode]] shape
+    * with a beam-width factor.
+    *
+    * @return per seed the winning path after `steps` expansions:
+    *         (seed_rank, seed_w1, seed_w2, generated, n_generated,
+    *         score)
+    */
+  def beamDecode(docs: DataFrame, idCol: String, textCol: String,
+      nSeeds: Int = 10, steps: Int = 5, beam: Int = 3,
+      expand: Int = 3): DataFrame = {
+    require(steps >= 1 && beam >= 1 && expand >= 1,
+      "need steps/beam/expand >= 1")
+    val w = Window.partitionBy("doc").orderBy("pos")
+    val toks = docs
+      .select(col(idCol).as("doc"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
+      .select(col("doc"), col("pos"), col("t"),
+        lead(col("t"), 1).over(w).as("t2"),
+        lead(col("t"), 2).over(w).as("t3"))
+    val bigrams = toks.where(col("t2").isNotNull)
+      .groupBy(col("t").as("w1"), col("t2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val trigrams = toks.where(col("t3").isNotNull)
+      .groupBy(col("t").as("w1"), col("t2").as("w2"), col("t3").as("w3"))
+      .agg(count(lit(1)).as("c"))
+    val ctx = trigrams.groupBy("w1", "w2")
+      .agg(sum(col("c")).as("ctx_total"))
+    val sw = Window.partitionBy("w1", "w2")
+      .orderBy(col("c").desc, col("w3"))
+    val succ = graft.plans.Materialize.stage(
+      trigrams.join(ctx, Seq("w1", "w2"))
+        .withColumn("rn", row_number().over(sw))
+        .where(col("rn") <= expand)
+        .select(col("w1"), col("w2"), col("w3"),
+          (col("c").cast("double") / col("ctx_total").cast("double"))
+            .as("p")),
+      "graft.dedup.checkpoint")
+    val seeds = bigrams
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(nSeeds)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("w1"), col("w2")))
+        .cast("long").as("seed_rank"),
+        col("w1").as("seed_w1"), col("w2").as("seed_w2"))
+
+    var state = seeds.select(col("seed_rank"), col("seed_w1"),
+      col("seed_w2"), col("seed_w1").as("w1"), col("seed_w2").as("w2"),
+      array().cast("array<string>").as("gen"), lit(1.0).as("score"))
+    val bw = Window.partitionBy("seed_rank")
+      .orderBy(col("score").desc, concat_ws(" ", col("gen")))
+    var i = 0
+    while (i < steps) {
+      // hit/miss instead of a left join: the state is the tiny side
+      // (seeds × beam rows) and must broadcast — a left-outer build-left
+      // cannot (the greedyDecode shape; miss rows are frozen hypotheses)
+      val hit = broadcast(state).join(succ, Seq("w1", "w2"))
+        .select(col("seed_rank"), col("seed_w1"), col("seed_w2"),
+          col("w2").as("w1"), col("w3").as("w2"),
+          concat(col("gen"), array(col("w3"))).as("gen"),
+          (col("score") * col("p")).as("score"))
+      val miss = broadcast(state)
+        .join(succ.select("w1", "w2").distinct(), Seq("w1", "w2"),
+          "left_anti")
+        .select(col("seed_rank"), col("seed_w1"), col("seed_w2"),
+          col("w1"), col("w2"), col("gen"), col("score"))
+      val expanded = hit.unionByName(miss)
+      state = graft.plans.Materialize.stage(
+        expanded.withColumn("brn", row_number().over(bw))
+          .where(col("brn") <= beam).drop("brn"),
+        "graft.dedup.checkpoint")
+      i += 1
+    }
+    state.withColumn("brn", row_number().over(bw))
+      .where(col("brn") === 1)
+      .select(col("seed_rank"), col("seed_w1"), col("seed_w2"),
+        concat_ws(" ", col("gen")).as("generated"),
+        size(col("gen")).cast("long").as("n_generated"), col("score"))
+  }
 }

@@ -813,9 +813,97 @@ object TestQueries21 {
             AND b1.ts + INTERVAL 2880 MINUTE > wm1.w)
       ORDER BY id"""))
 
+  /** One beam step of the q293 oracle: expand each kept hypothesis with
+    * its context's top-`expand` successors (hits multiply the running
+    * score by p — ONE IEEE multiply, mirroring the Spark loop's
+    * per-step column op exactly), carry dead-end contexts frozen, and
+    * cut back to the top-`beam` per seed by (score DESC, text ASC).
+    */
+  private def beamStepSql(i: Int, beam: Int): String = {
+    val prev = if (i == 1) "s0" else s"s${i - 1}"
+    s"""
+      e$i AS (
+        SELECT p.seed_rank, p.seed_w1, p.seed_w2,
+          p.w2 AS w1, s.w3 AS w2,
+          CASE WHEN p.gen = '' THEN s.w3
+               ELSE p.gen || ' ' || s.w3 END AS gen,
+          p.score * s.p AS score
+        FROM $prev p JOIN succ s ON p.w1 = s.w1 AND p.w2 = s.w2
+        UNION ALL
+        SELECT p.seed_rank, p.seed_w1, p.seed_w2, p.w1, p.w2, p.gen,
+          p.score
+        FROM $prev p
+        WHERE NOT EXISTS (SELECT 1 FROM succ s
+          WHERE s.w1 = p.w1 AND s.w2 = p.w2)),
+      s$i AS (
+        SELECT * FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY seed_rank
+            ORDER BY score DESC, gen) AS brn FROM e$i)
+        WHERE brn <= $beam)"""
+  }
+
+  /** Beam-search decode over the corpus trigram LM —
+    * [[graft.operators.CorpusLm.beamDecode]], completing the decode
+    * family (greedy q276, nucleus q239, speculative q244) with the
+    * classic search. Oracle-comparable because the cumulative score is
+    * a FIXED IEEE tree (one exact division per successor, one
+    * sequential multiply per step) both engines evaluate identically —
+    * RAW double compare — and every ranking is the total order
+    * (score DESC, generated text ASC). The oracle unrolls the `steps`
+    * beam iterations as generated chained CTEs. BeamDecodeSpec pins
+    * beam-beats-greedy, the beam=1 degeneration, and dead-end carry.
+    */
+  val q293BeamDecode: QueryCase = QueryCase(
+    "q293_beam_decode",
+    (s, dir) => graft.operators.CorpusLm
+      .beamDecode(Tables.documents(s, dir), "doc_id", "text",
+        nSeeds = 10, steps = 5, beam = 3, expand = 3)
+      .orderBy("seed_rank"),
+    Some(s"""
+      WITH tk AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'),
+            x -> x <> '') AS tks
+        FROM documents),
+      g AS (
+        SELECT doc_id, tks[i] AS t1, tks[i + 1] AS t2, tks[i + 2] AS t3
+        FROM tk, UNNEST(range(1, len(tks) + 1)) AS u(i)),
+      big AS (
+        SELECT t1 AS w1, t2 AS w2, COUNT(*) AS c FROM g
+        WHERE t2 IS NOT NULL GROUP BY t1, t2),
+      tri AS (
+        SELECT t1 AS w1, t2 AS w2, t3 AS w3, COUNT(*) AS c FROM g
+        WHERE t3 IS NOT NULL GROUP BY t1, t2, t3),
+      ctx AS (SELECT w1, w2, SUM(c) AS total FROM tri GROUP BY w1, w2),
+      succ AS (
+        SELECT w1, w2, w3,
+          CAST(c AS DOUBLE) / CAST(total AS DOUBLE) AS p
+        FROM (
+          SELECT t.*, ctx.total, ROW_NUMBER() OVER (PARTITION BY t.w1,
+            t.w2 ORDER BY t.c DESC, t.w3) AS rn
+          FROM tri t JOIN ctx ON t.w1 = ctx.w1 AND t.w2 = ctx.w2)
+        WHERE rn <= 3),
+      seeds AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY c DESC, w1, w2) AS seed_rank,
+          w1 AS seed_w1, w2 AS seed_w2
+        FROM big ORDER BY c DESC, w1, w2 LIMIT 10),
+      s0 AS (
+        SELECT seed_rank, seed_w1, seed_w2, seed_w1 AS w1,
+          seed_w2 AS w2, '' AS gen, CAST(1.0 AS DOUBLE) AS score
+        FROM seeds),
+      ${(1 to 5).map(i => beamStepSql(i, beam = 3)).mkString(",")}
+      SELECT CAST(seed_rank AS BIGINT) AS seed_rank, seed_w1, seed_w2,
+        gen AS generated,
+        CAST(CASE WHEN gen = '' THEN 0
+             ELSE len(string_split(gen, ' ')) END AS BIGINT)
+          AS n_generated,
+        score
+      FROM s5 WHERE brn = 1 ORDER BY seed_rank"""))
+
   val all: Seq[QueryCase] =
     Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions,
       q283DupSpans, q284DupFraction, q285StreamTumbling,
       q286StreamSliding, q287SpanCut, q288SpanLedger, q289StreamJoin,
-      q290StreamOuterJoin, q291StreamUpdate, q292StreamDedup)
+      q290StreamOuterJoin, q291StreamUpdate, q292StreamDedup,
+      q293BeamDecode)
 }

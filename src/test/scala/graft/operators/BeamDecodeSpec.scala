@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[CorpusLm.beamDecode]]: the classic beam-beats-greedy case,
+  * beam = 1 degenerating to the greedy choice, dead-end carry, and the
+  * deterministic (score DESC, text ASC) tie-break.
+  *
+  * Trigram geometry: context (a,b) → c (3/5) | d (2/5); (b,c) → x1,
+  * x2 (1/2 each); (b,d) → y (5/5). Greedy takes c and lands on 0.3;
+  * the beam keeps d and wins with 0.4. Both continuations dead-end, so
+  * extra steps carry the frozen hypotheses (steps = 3 > path length).
+  */
+class BeamDecodeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (
+    Seq.fill(3)("a b c") ++ Seq.fill(2)("a b d") ++
+      Seq("b c x1", "b c x2") ++ Seq.fill(5)("b d y") ++
+      Seq.fill(5)("a b") // pins (a,b) as the top seed bigram (count 10)
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("beam = 2 recovers the globally better path greedy misses " +
+    "(0.4 via d over 0.3 via c); dead ends carry frozen") {
+    val out = CorpusLm.beamDecode(docs, "doc_id", "text", nSeeds = 1,
+      steps = 3, beam = 2, expand = 2).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(1), r.getString(2)) == (("a", "b")))
+    assert(r.getString(3) == "d y", r)
+    assert(r.getLong(4) == 2L)
+    assert(r.getDouble(5) == 2.0 / 5.0 * 1.0)
+  }
+
+  test("beam = 1 degenerates to greedy: locally-best c, then the text " +
+    "tie-break between the two 0.5 continuations") {
+    val r = CorpusLm.beamDecode(docs, "doc_id", "text", nSeeds = 1,
+      steps = 3, beam = 1, expand = 2).collect().head
+    assert(r.getString(3) == "c x1", r)
+    assert(r.getDouble(5) == 3.0 / 5.0 * 0.5)
+  }
+}
