@@ -98,6 +98,42 @@ object DupSpans {
           .as("dup_fraction"))
   }
 
+  /** INTRA-document maximal repeat spans — the same anchor-run machinery
+    * turned inward: every maximal run of ≥ `minSpan` tokens that appears
+    * at TWO positions within one document (the exact WHERE behind the
+    * Gopher repetition FRACTIONS — boilerplate headers, chorus lines,
+    * copy-paste padding). Anchors are the document's own k-gram
+    * self-matches at distinct positions (pa < pb, diagonal d = pb − pa
+    * ≠ 0); runs merge per (doc, d) exactly like the cross-document
+    * case. No df-guard is needed: the self-join is per-document (gram
+    * equi-join keyed by doc + gram), so its cost is bounded by each
+    * document's own repetition, not the corpus'.
+    *
+    * @return (doc_id, a_start, b_start, span_tokens), a_start < b_start
+    */
+  def selfRepeatSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minSpan: Int = 16): DataFrame = {
+    require(k >= 2 && minSpan >= k, "need k>=2, minSpan>=k")
+    val grams = kgrams(docs, idCol, textCol, k)
+    val left = grams.select(col("doc_id"), col("gram"), col("pos").as("pa"))
+    val right = grams.select(col("doc_id"), col("gram"), col("pos").as("pb"))
+    val pairs = left.join(right, Seq("doc_id", "gram"))
+      .where(col("pa") < col("pb"))
+      .select(col("doc_id"), col("pa"), col("pb"),
+        (col("pb") - col("pa")).as("d"))
+    val w = Window.partitionBy("doc_id", "d").orderBy("pa")
+    pairs
+      .withColumn("brk",
+        when(lag(col("pa"), 1).over(w) === col("pa") - 1, 0L).otherwise(1L))
+      .withColumn("isl", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "d", "isl")
+      .agg(min(col("pa")).as("a_start"), min(col("pb")).as("b_start"),
+        (count(lit(1)) + (k - 1)).as("span_tokens"))
+      .where(col("span_tokens") >= minSpan)
+      .select("doc_id", "a_start", "b_start", "span_tokens")
+  }
+
   /** Span CUTTING — the actionable half of exact-substring dedup: remove
     * every duplicated span from all but one holder. Survivor policy is
     * pairwise-lowest-id: each span is cut from the HIGHER doc_id of its

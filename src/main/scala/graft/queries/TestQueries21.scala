@@ -900,10 +900,76 @@ object TestQueries21 {
         score
       FROM s5 WHERE brn = 1 ORDER BY seed_rank"""))
 
+  /** Intra-document maximal repeat spans —
+    * [[graft.operators.DupSpans.selfRepeatSpans]]: the DupSpans
+    * machinery turned inward (self gram matches at pa < pb, islands
+    * per (doc, diagonal)) — the exact WHERE behind the Gopher
+    * repetition fractions. Per-document self-join (doc + gram key), no
+    * df-guard needed. The synthetic corpus has NO natural ≥16-token
+    * self-repeats (verified at k=3/minSpan=5 too), so the gate PLANTS
+    * them deterministically in both engines: every 25th document gets
+    * its own first 20 tokens appended — a 20-token tail repeat on
+    * diagonal n. Integer positions → RAW.
+    */
+  val q294SelfRepeat: QueryCase = QueryCase(
+    "q294_self_repeat",
+    (s, dir) => {
+      val tks = graft.functions.TextFunctions.tokens(col("text"))
+      val planted = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("doc_id") % 25 === 0 && size(tks) >= 20,
+            concat(col("text"), lit(" "),
+              array_join(slice(tks, 1, 20), " ")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.DupSpans
+        .selfRepeatSpans(planted, "doc_id", "text", k = 8, minSpan = 16)
+        .orderBy("doc_id", "a_start", "b_start")
+    },
+    Some("""
+      WITH raw AS (
+        SELECT doc_id, text,
+          list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+            x -> x <> '') AS tks0
+        FROM documents),
+      pl AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 25 = 0 AND len(tks0) >= 20
+               THEN text || ' ' || array_to_string(tks0[1:20], ' ')
+               ELSE text END AS text
+        FROM raw),
+      tk AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+            x -> x <> '') AS tks
+        FROM pl),
+      g AS (
+        SELECT doc_id, i AS pos,
+          array_to_string(list_slice(tks, i, i + 7), ' ') AS gram
+        FROM tk, UNNEST(range(1, len(tks) - 6)) AS t(i)),
+      p AS (
+        SELECT x.doc_id, x.pos AS pa, y.pos AS pb, y.pos - x.pos AS d
+        FROM g x JOIN g y
+          ON x.doc_id = y.doc_id AND x.gram = y.gram AND x.pos < y.pos),
+      o AS (
+        SELECT *, CASE WHEN LAG(pa) OVER w = pa - 1 THEN 0 ELSE 1 END
+          AS brk
+        FROM p WINDOW w AS (PARTITION BY doc_id, d ORDER BY pa)),
+      si AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY doc_id, d ORDER BY pa
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM o),
+      sp AS (
+        SELECT doc_id, CAST(MIN(pa) AS BIGINT) AS a_start,
+          CAST(MIN(pb) AS BIGINT) AS b_start,
+          CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+        FROM si GROUP BY doc_id, d, isl HAVING COUNT(*) + 7 >= 16)
+      SELECT doc_id, a_start, b_start, span_tokens FROM sp
+      ORDER BY doc_id, a_start, b_start"""))
+
   val all: Seq[QueryCase] =
     Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions,
       q283DupSpans, q284DupFraction, q285StreamTumbling,
       q286StreamSliding, q287SpanCut, q288SpanLedger, q289StreamJoin,
       q290StreamOuterJoin, q291StreamUpdate, q292StreamDedup,
-      q293BeamDecode)
+      q293BeamDecode, q294SelfRepeat)
 }

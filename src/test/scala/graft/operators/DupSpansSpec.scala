@@ -133,6 +133,29 @@ class DupSpansSpec extends SparkSpec {
     assert(led.toSeq == Seq((1L, 3L, 2L, 12L), (9L, 2L, 1L, 6L)))
   }
 
+  test("selfRepeatSpans: a repeated run inside one doc yields one " +
+    "maximal span per diagonal; overlapping periodic repeats keep " +
+    "their distinct diagonals") {
+    val rep = Seq(
+      // "r1 r2 r3 r4 r5 r6" repeated at pos 1 and pos 9 (gap z1 z2)
+      (1L, "r1 r2 r3 r4 r5 r6 z1 z2 r1 r2 r3 r4 r5 r6"),
+      // no internal repeat ≥ 6
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8"),
+      // periodic: "p1 p2 p1 p2 ..." (period 2, 10 tokens): with k=4
+      // grams at pos 1..7, diagonal 2 anchors pa=1..5 → span 5+3=8;
+      // diagonal 4 anchors pa=1..3 → span 6; diagonal 6 → 4, filtered
+      (3L, "p1 p2 p1 p2 p1 p2 p1 p2 p1 p2")
+    ).toDF("doc_id", "text")
+    val out = DupSpans.selfRepeatSpans(rep, "doc_id", "text", k = 4,
+      minSpan = 6)
+      .orderBy("doc_id", "a_start", "b_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 1L, 9L, 6L)))
+    assert(!out.exists(_._1 == 2L))
+    assert(out.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 1L, 3L, 8L), (3L, 1L, 5L, 6L)))
+  }
+
   test("df-cutoff: a gram shared by more than dfCutoff docs anchors " +
     "nothing") {
     val many = (10L to 16L).map(i => (i, s"w1 w2 w3 w4 w5 w6 u$i"))
