@@ -966,10 +966,95 @@ object TestQueries21 {
       SELECT doc_id, a_start, b_start, span_tokens FROM sp
       ORDER BY doc_id, a_start, b_start"""))
 
+  /** CHAINED stateful streaming — dedup → tumbling aggregation in ONE
+    * query ([[graft.streaming.StreamDedup.replayDedupWindow]], Spark's
+    * multi-stateful support): the production ingest shape "dedup the
+    * feed, then window it" with no intermediate sink. Probed
+    * (`tools/ProbeChained` + DedupWindowReplaySpec): the composition is
+    * exactly the q292 emission set feeding the q285 tumbling rules —
+    * a suppressed duplicate's value is absent from the window sum, a
+    * re-emitted key contributes the re-emitted row's value, windows
+    * emit once `end ≤ ms-floored watermark` (inclusive, final
+    * watermark — single-stream batching is deterministic so the
+    * watermark may advance). Same input construction as q292 (planted
+    * duplicates in a disjoint key space, ≤ 1 row per key per batch).
+    * Counts + exact-decimal sums → RAW.
+    */
+  val q295DedupWindow: QueryCase = QueryCase(
+    "q295_dedup_window",
+    (s, dir) => {
+      val base = Tables.events(s, dir).where(col("user_id") < 40)
+        .select(expr("event_id div 2").as("k"), col("ts"),
+          col("event_id").as("id"), col("value"),
+          (col("event_id") % 2).as("b"), col("event_id"))
+      val plantState = base.where(col("b") === 0 &&
+          col("event_id") % 10 === 0)
+        .select((col("k") + 1000000000L).as("k"), col("ts"),
+          (col("id") + 1000000000L).as("id"), col("value"),
+          lit(0L).as("b"))
+      val plantDup = base.where(col("b") === 0 &&
+          col("event_id") % 10 === 0)
+        .select((col("k") + 1000000000L).as("k"),
+          (col("ts") + expr("INTERVAL 8640 minutes")).as("ts"),
+          (col("id") + 2000000000L).as("id"), col("value"),
+          lit(1L).as("b"))
+      val allRows = base.select("k", "ts", "id", "value", "b")
+        .unionByName(plantState).unionByName(plantDup)
+      graft.streaming.StreamDedup
+        .replayDedupWindow(allRows, "k", "id", "value",
+          delayMinutes = 2880, windowMinutes = 360, batchCol = "b")
+        .orderBy("window_start")
+    },
+    Some("""
+      WITH base AS (
+        SELECT event_id // 2 AS k, date_trunc('microseconds', ts) AS ts,
+               event_id AS id, value, event_id % 2 AS b, event_id
+        FROM events WHERE user_id < 40),
+      ps AS (
+        SELECT k + 1000000000 AS k, ts, id + 1000000000 AS id, value,
+          0 AS b
+        FROM base WHERE b = 0 AND event_id % 10 = 0),
+      pd AS (
+        SELECT k + 1000000000 AS k, ts + INTERVAL 8640 MINUTE AS ts,
+               id + 2000000000 AS id, value, 1 AS b
+        FROM base WHERE b = 0 AND event_id % 10 = 0),
+      allr AS (
+        SELECT k, ts, id, value, b FROM base
+        UNION ALL SELECT k, ts, id, value, b FROM ps
+        UNION ALL SELECT k, ts, id, value, b FROM pd),
+      wm1 AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2880 MINUTE
+          AS w FROM allr WHERE b = 0),
+      wm2 AS (
+        SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2880 MINUTE
+          AS w FROM allr),
+      b1 AS (SELECT * FROM allr WHERE b = 0),
+      b2 AS (SELECT * FROM allr WHERE b = 1),
+      em AS (
+        SELECT ts, value FROM b1
+        UNION ALL
+        SELECT b2.ts, b2.value FROM b2, wm1
+        WHERE b2.ts > wm1.w
+          AND NOT EXISTS (SELECT 1 FROM b1
+            WHERE b1.k = b2.k
+              AND b1.ts + INTERVAL 2880 MINUTE > wm1.w)),
+      agg AS (
+        SELECT
+          make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+            AS window_start,
+          make_timestamp((epoch_us(ts) // 21600000000) * 21600000000
+            + 21600000000) AS window_end,
+          CAST(COUNT(*) AS BIGINT) AS n_events,
+          CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM em GROUP BY 1, 2)
+      SELECT window_start, window_end, n_events, sum_value
+      FROM agg, wm2 WHERE agg.window_end <= wm2.w
+      ORDER BY window_start"""))
+
   val all: Seq[QueryCase] =
     Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions,
       q283DupSpans, q284DupFraction, q285StreamTumbling,
       q286StreamSliding, q287SpanCut, q288SpanLedger, q289StreamJoin,
       q290StreamOuterJoin, q291StreamUpdate, q292StreamDedup,
-      q293BeamDecode, q294SelfRepeat)
+      q293BeamDecode, q294SelfRepeat, q295DedupWindow)
 }

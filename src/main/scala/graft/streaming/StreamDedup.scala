@@ -40,6 +40,67 @@ object StreamDedup {
 
   final case class DEv(k: Long, ts: Timestamp, id: Long)
 
+  final case class VEv(k: Long, ts: Timestamp, id: Long, v: Double)
+
+  /** CHAINED stateful pipeline — dedup → tumbling aggregation in ONE
+    * streaming query (Spark's multi-stateful support): the production
+    * ingest shape "dedup the feed, then window it" without an
+    * intermediate sink. Probed (`tools/ProbeChained` + the spec): the
+    * composition is exactly [[replayWithinWatermark]]'s emission set
+    * feeding the q285 tumbling rules batch-wise — a SUPPRESSED
+    * duplicate never reaches the aggregation (its value is absent from
+    * the window sum), a re-emitted key contributes the re-emitted
+    * row's value, and windows emit once `end ≤ ms-floored watermark`
+    * (inclusive). Same ≤ 1 row per (key, batch) determinism contract
+    * as the dedup replay.
+    *
+    * @return emitted windows: (window_start, window_end, n_events,
+    *         sum_value)
+    */
+  def replayDedupWindow(events: DataFrame, keyCol: String, idCol: String,
+      valueCol: String, delayMinutes: Int, windowMinutes: Int,
+      batchCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rows = Bounded.collectBounded(
+      events.select(col(keyCol).cast("long"), col("ts"),
+        col(idCol).cast("long"), col(valueCol).cast("double"),
+        col(batchCol).cast("long").as("b"))
+        .orderBy(keyCol, "ts", idCol),
+      "StreamDedup.replayDedupWindow")
+    def ev(b1: Boolean) = rows
+      .filter(r => (r.getLong(4) == 0L) == b1)
+      .map(r => VEv(r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+
+    val input = MemoryStream[VEv]
+    val out = input.toDS().toDF()
+      .withWatermark("ts", s"$delayMinutes minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .groupBy(window(col("ts"), s"$windowMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"),
+        col("w.end").as("window_end"), col("n_events"), col("sum_value"))
+    val sinkName = s"stream_dedup_window_${System.identityHashCode(input)}"
+    val query = out.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = (ev(b1 = true), ev(b1 = false))
+      if (b1.nonEmpty) { input.addData(b1); query.processAllAvailable() }
+      if (b2.nonEmpty) { input.addData(b2); query.processAllAvailable() }
+      val collected = spark.table(sinkName).collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(collected.toIndexedSeq, 1),
+        spark.table(sinkName).schema)
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView(sinkName)
+    }
+  }
+
   /** Two-batch replay of `dropDuplicatesWithinWatermark(key)`.
     * Input needs (`keyCol`, ts, `idCol`, `batchCol`); emitted rows
     * come back as (k, ts, id).

@@ -1,0 +1,66 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Probe: TWO stateful operators chained in one streaming query —
+  * `dropDuplicatesWithinWatermark(k)` → tumbling window count, append
+  * mode (Spark 3.4+ multi-stateful support). Questions:
+  *  1. Allowed at all in append mode? (no AnalysisException)
+  *  2. Is the composition exactly q292-dedup feeding q285-tumbling
+  *     batch-wise (dedup emissions of batch i enter the window state in
+  *     batch i; window emits once end ≤ wm, inclusive)?
+  *  3. Does a SUPPRESSED duplicate contribute to the window agg? (must
+  *     not — it never leaves the dedup op)
+  */
+object ProbeChained {
+  final case class E(k: Long, ts: Timestamp, v: Double)
+
+  def ts(min: Int, sec: Int = 0, ms: Int = 0): Timestamp =
+    new Timestamp(java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+      + min * 60000L + sec * 1000L + ms)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false).getOrCreate()
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[E]
+    // delay 10 min, window 10 min
+    val q = in.toDS().toDF().withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      .select(col("w.start").as("ws"), col("n"), col("sv"))
+      .writeStream.format("memory").queryName("probe_chain")
+      .outputMode("append").start()
+    try {
+      // b1: k1 at 12:01 v=1, dup k1 at 12:02 v=2 (suppressed — window
+      // [12:00,12:10) must count 1, sum 1), k2 at 12:03 v=4,
+      // wm driver k9 12:30 v=8 → wm1 = 12:20.
+      in.addData(Seq(E(1, ts(1), 1.0), E(1, ts(2), 2.0), E(2, ts(3), 4.0),
+        E(9, ts(30), 8.0)))
+      q.processAllAvailable()
+      println(s"   wm1=${q.recentProgress.lastOption.map(_.eventTime.get("watermark"))}")
+      // b2: k1 re-dup at 12:25 (state dead: 12:01+10 ≤ 12:20) → re-emit
+      // v=16 into window [12:20,12:30); k3 late at 12:15 (≤ wm1)
+      // dropped; wm driver k8 12:50 v=32 → wm2 = 12:40 → windows with
+      // end ≤ 12:40 emit: [12:00,12:10) n=2 sum 5, [12:20,12:30) n=1
+      // sum 16, [12:30,12:40) (k9) n=1 sum 8; k8's [12:50,13:00) held.
+      in.addData(Seq(E(1, ts(25), 16.0), E(3, ts(15), 64.0),
+        E(8, ts(50), 32.0)))
+      q.processAllAvailable()
+      q.recentProgress.foreach { p =>
+        println(s"   batch ${p.batchId} wm=${p.eventTime.get("watermark")}" +
+          s" in=${p.numInputRows} dropped=${Option(p.stateOperators)
+            .map(_.map(_.numRowsDroppedByWatermark).mkString("/"))}")
+      }
+      spark.table("probe_chain").orderBy("ws").collect()
+        .foreach(r => println(s"   OUT $r"))
+    } finally { q.stop() }
+  }
+}

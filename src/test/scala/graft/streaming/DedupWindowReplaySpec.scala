@@ -1,0 +1,44 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Pins [[StreamDedup.replayDedupWindow]] — the `tools/ProbeChained`
+  * fixture: dedup → tumbling count/sum chained in one query, delay =
+  * window = 10 min; wm1 = 12:20, wm2 = 12:40.
+  */
+class DedupWindowReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val rows = Seq(
+    // batch 1
+    (1L, t("2024-01-01 12:01:00"), 1L, 1.0, 0L),
+    (1L, t("2024-01-01 12:02:00"), 2L, 2.0, 0L), // suppressed dup — its
+    //   value must be ABSENT from window [12:00,12:10)'s sum
+    (2L, t("2024-01-01 12:03:00"), 3L, 4.0, 0L),
+    (9L, t("2024-01-01 12:30:00"), 4L, 8.0, 0L), // wm1 driver
+    // batch 2
+    (1L, t("2024-01-01 12:25:00"), 5L, 16.0, 1L), // state dead → re-emit
+    //   into [12:20,12:30)
+    (3L, t("2024-01-01 12:15:00"), 6L, 64.0, 1L), // late (≤ wm1): nothing
+    (8L, t("2024-01-01 12:50:00"), 7L, 32.0, 1L)  // wm2 driver; own
+    //   window [12:50,13:00) held
+  ).toDF("k", "ts", "event_id", "value", "b")
+
+  private lazy val out = StreamDedup
+    .replayDedupWindow(rows, "k", "event_id", "value", delayMinutes = 10,
+      windowMinutes = 10, batchCol = "b")
+    .orderBy("window_start").collect()
+    .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3)))
+
+  test("composition: suppressed dup excluded from the sum, re-emission " +
+    "windowed, late row contributes nothing, open window held") {
+    assert(out.toSeq == Seq(
+      ("2024-01-01 12:00:00.0", 2L, 5.0),
+      ("2024-01-01 12:20:00.0", 1L, 16.0),
+      ("2024-01-01 12:30:00.0", 1L, 8.0)))
+  }
+}
