@@ -68,4 +68,29 @@ class ApiTourSpec extends SparkSpec {
       .orderBy("score").collect().map(_.getAs[Double]("calibrated"))
     assert(calibrated(0) <= calibrated(1), "calibration is monotone")
   }
+
+  test("exact-span dedup: find WHERE documents overlap, then cut the " +
+    "copies") {
+    val spans = DupSpans.maximalSharedSpans(docs, "doc_id", "text",
+      k = 4, dfCutoff = 10, minSpan = 6)
+    val cut = DupSpans.cutSpans(docs, "doc_id", "text", spans)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(cut(1L) > 0L && cut(2L) == 0L,
+      "the lower doc_id keeps the span, the higher one is cut to empty")
+  }
+
+  test("streaming ingest: dedup the feed and window it in one query") {
+    val feed = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:01:00"), 1L, 1.0, 0L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:02:00"), 2L, 2.0, 0L),
+      (9L, java.sql.Timestamp.valueOf("2024-01-01 12:30:00"), 3L, 4.0, 0L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 12:21:00"), 4L, 8.0, 1L))
+      .toDF("k", "ts", "event_id", "value", "b")
+    val windows = graft.streaming.StreamDedup
+      .replayDedupWindow(feed, "k", "event_id", "value",
+        delayMinutes = 10, windowMinutes = 10, batchCol = "b")
+      .orderBy("window_start").collect()
+    assert(windows.head.getLong(2) == 1L,
+      "the suppressed duplicate never reaches the window count")
+  }
 }
