@@ -213,6 +213,48 @@ object CorpusLm {
         round(pow(lit(2.0), col("ce")), 4).as("ppl"))
   }
 
+  /** Jelinek–Mercer interpolated bigram perplexity — the remaining
+    * member of the smoothing family (add-k [[bigramPerplexity]],
+    * Kneser–Ney [[knBigramPerplexity]], stupid backoff
+    * [[stupidBackoffScore]]): fixed-weight linear interpolation of the
+    * bigram MLE with the unigram MLE,
+    * p(w2|w1) = λ·c(w1,w2)/c(w1·) + (1−λ)·c(·w2)/N. All count tables
+    * are exact integers over bigram events; the per-bigram probability
+    * is a fixed-shape double chain (mirrored verbatim by the oracle)
+    * and the entropy sum follows the ROUND(6)/ROUND(4) display
+    * contract. Scale shape: three aggregations over one tokenize pass +
+    * equi-joins back, the [[knBigramPerplexity]] plan minus two tables.
+    */
+  def jmBigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                         lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, "lambda must be in (0, 1)")
+    val seqs = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val bi = seqs
+      .select(col("doc_id"), col("tk"),
+        posexplode(slice(col("tk"), lit(1),
+          greatest(size(col("tk")) - 1, lit(0)))).as(Seq("i", "w1")))
+      .select(col("doc_id"), col("w1"),
+        element_at(col("tk"), col("i") + 2).as("w2"))
+    val db = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    val bc = bi.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val uc = bi.groupBy("w1").agg(count(lit(1)).as("uc"))
+    val u2 = bi.groupBy("w2").agg(count(lit(1)).as("u2"))
+    val nb = bi.agg(count(lit(1)).as("nb"))
+    val p = lit(lambda) * (col("bc").cast("double") / col("uc")) +
+      lit(1.0 - lambda) * (col("u2").cast("double") / col("nb"))
+    db.join(bc, Seq("w1", "w2"))
+      .join(uc, Seq("w1"))
+      .join(u2, Seq("w2"))
+      .crossJoin(broadcast(nb))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_bigrams"),
+        (-sum(col("c") * log2(p)) / sum(col("c"))).as("ce"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("ce"), 6).as("ce_bits"),
+        round(pow(lit(2.0), col("ce")), 4).as("ppl"))
+  }
+
   /** Selective language modeling (Lin et al. 2024 — "Rho-1: Not All
     * Tokens Are What You Need"): score every TOKEN by its excess loss
     * under the main model vs a reference model and keep the top-ρ per

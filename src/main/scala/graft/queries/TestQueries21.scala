@@ -1051,10 +1051,51 @@ object TestQueries21 {
       FROM agg, wm2 WHERE agg.window_end <= wm2.w
       ORDER BY window_start"""))
 
+  /** Jelinek–Mercer interpolated bigram perplexity —
+    * [[graft.operators.CorpusLm.jmBigramPerplexity]], completing the
+    * smoothing family (add-k q181, Kneser–Ney q185, stupid backoff
+    * q235): λ·bigram-MLE + (1−λ)·unigram-MLE over exact integer count
+    * tables, fixed-shape double chain mirrored verbatim, q181's
+    * ROUND(6)/ROUND(4) display contract.
+    */
+  val q296JmPerplexity: QueryCase = QueryCase(
+    "q296_jm_perplexity",
+    (s, dir) => graft.operators.CorpusLm
+      .jmBigramPerplexity(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id"),
+    Some("""
+      WITH seqs AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+            x -> x <> '') AS tk
+        FROM documents),
+      bi AS (
+        SELECT doc_id, u.a AS w1, u.b AS w2
+        FROM seqs, UNNEST(list_transform(list_slice(tk, 1, len(tk) - 1),
+          (x, j) -> struct_pack(a := x, b := tk[j + 1]))) AS t(u)),
+      db AS (SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2, 3),
+      bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bi GROUP BY 1, 2),
+      uc AS (SELECT w1, COUNT(*) AS uc FROM bi GROUP BY 1),
+      u2 AS (SELECT w2, COUNT(*) AS u2 FROM bi GROUP BY 1),
+      nb AS (SELECT COUNT(*) AS nb FROM bi),
+      ce AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+          -SUM(c * log2(
+            CAST(0.7 AS DOUBLE) * (CAST(bc AS DOUBLE) / uc) +
+            (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+              * (CAST(u2 AS DOUBLE) / nb)))
+            / SUM(c) AS ce
+        FROM db JOIN bc USING (w1, w2) JOIN uc USING (w1)
+        JOIN u2 USING (w2) CROSS JOIN nb
+        GROUP BY doc_id)
+      SELECT doc_id, n_bigrams, ROUND(ce, 6) AS ce_bits,
+             ROUND(pow(CAST(2.0 AS DOUBLE), ce), 4) AS ppl
+      FROM ce ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions,
       q283DupSpans, q284DupFraction, q285StreamTumbling,
       q286StreamSliding, q287SpanCut, q288SpanLedger, q289StreamJoin,
       q290StreamOuterJoin, q291StreamUpdate, q292StreamDedup,
-      q293BeamDecode, q294SelfRepeat, q295DedupWindow)
+      q293BeamDecode, q294SelfRepeat, q295DedupWindow, q296JmPerplexity)
 }

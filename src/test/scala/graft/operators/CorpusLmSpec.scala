@@ -30,6 +30,30 @@ class CorpusLmSpec extends SparkSpec {
     assert(math.abs(got(1L)._3 - math.pow(2, ce1)) < 1e-3) // ppl = 2^ce
   }
 
+  test("jelinek-mercer bigram perplexity: hand-computed interpolation") {
+    // corpus bigram events: d1 = "a b a b" → (a,b)×2, (b,a); d2 =
+    // "a b c" → (a,b), (b,c). Totals: bc(a,b)=3, bc(b,a)=1, bc(b,c)=1;
+    // uc(a)=3, uc(b)=2; u2(a)=1, u2(b)=3, u2(c)=1; N=5.
+    val got = CorpusLm.jmBigramPerplexity(
+        Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text"),
+        "doc_id", "text", lambda = 0.7)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val l = 0.7; val m = 1.0 - l
+    val pab = l * (3.0 / 3.0) + m * (3.0 / 5.0)
+    val pba = l * (1.0 / 2.0) + m * (1.0 / 5.0)
+    val pbc = l * (1.0 / 2.0) + m * (1.0 / 5.0)
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ce1 = -(2 * lg2(pab) + lg2(pba)) / 3
+    val ce2 = -(lg2(pab) + lg2(pbc)) / 2
+    assert(got(1L)._1 == 3L && got(2L)._1 == 2L)
+    assert(got(1L)._2 == r6(ce1) && got(2L)._2 == r6(ce2))
+    // the repeated (a,b) path is cheaper than the singleton tail
+    assert(got(1L)._2 < got(2L)._2)
+  }
+
   test("perplexity orders repetitive text below rare-token text") {
     val docs = Seq(
       (1L, "the the the the the the the the"),
