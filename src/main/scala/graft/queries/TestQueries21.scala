@@ -1092,10 +1092,72 @@ object TestQueries21 {
              ROUND(pow(CAST(2.0 AS DOUBLE), ce), 4) AS ppl
       FROM ce ORDER BY doc_id"""))
 
+  /** Dirichlet-smoothed query-likelihood retrieval —
+    * [[graft.search.Bm25.dirichletQl]] (Zhai & Lafferty 2001), the
+    * LM-ranking classic next to BM25 (q161/q177) and tf-idf/ts_rank:
+    * sparse decomposition (broadcast query constant + per-doc length
+    * term + query-term postings only), every document scored. Gate
+    * emits the top-20 by ROUND(6) score with a doc_id tie-break (libm
+    * ln — the round-9 rank-on-rounded rule). The oracle mirrors the
+    * decomposition verbatim.
+    */
+  val q297DirichletQl: QueryCase = QueryCase(
+    "q297_dirichlet_ql",
+    (s, dir) => {
+      val scored = graft.search.Bm25.dirichletQl(
+        Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("join", "vector", "data"), mu = 2000.0)
+        .select(col("doc_id"), col("n_match"),
+          round(col("score"), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 20)
+        .orderBy("rank")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(
+          list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+            x -> x <> '')) AS t
+        FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ct FROM toks),
+      pw AS (
+        SELECT t, CAST(COUNT(*) AS DOUBLE) / MAX(ct) AS pw
+        FROM toks, total WHERE t IN ('join', 'vector', 'data')
+        GROUP BY t),
+      qc AS (
+        SELECT SUM(ln(CAST(2000.0 AS DOUBLE) * pw)) AS qc,
+          CAST(COUNT(*) AS DOUBLE) AS nq FROM pw),
+      tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM toks
+        WHERE t IN ('join', 'vector', 'data') GROUP BY doc_id, t),
+      m AS (
+        SELECT tf.doc_id,
+          SUM(ln(CAST(1.0 AS DOUBLE) + CAST(tf AS DOUBLE)
+            / (CAST(2000.0 AS DOUBLE) * pw.pw))) AS msum,
+          CAST(COUNT(*) AS BIGINT) AS n_match
+        FROM tf JOIN pw USING (t) GROUP BY tf.doc_id),
+      sc AS (
+        SELECT dl.doc_id,
+          CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+          ROUND(qc.qc - qc.nq * ln(CAST(dl.dl AS DOUBLE)
+              + CAST(2000.0 AS DOUBLE))
+            + COALESCE(m.msum, CAST(0.0 AS DOUBLE)), 6) AS score
+        FROM dl LEFT JOIN m ON dl.doc_id = m.doc_id CROSS JOIN qc),
+      rk AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+          AS BIGINT) AS rank
+        FROM sc)
+      SELECT doc_id, n_match, score, rank FROM rk
+      WHERE rank <= 20 ORDER BY rank"""))
+
   val all: Seq[QueryCase] =
     Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions,
       q283DupSpans, q284DupFraction, q285StreamTumbling,
       q286StreamSliding, q287SpanCut, q288SpanLedger, q289StreamJoin,
       q290StreamOuterJoin, q291StreamUpdate, q292StreamDedup,
-      q293BeamDecode, q294SelfRepeat, q295DedupWindow, q296JmPerplexity)
+      q293BeamDecode, q294SelfRepeat, q295DedupWindow, q296JmPerplexity,
+      q297DirichletQl)
 }

@@ -49,6 +49,59 @@ object Bm25 {
       .agg(sum(col("part")).as("score"), count(lit(1)).as("n_terms"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty
+    * 2001) — the language-model ranking classic next to BM25:
+    * score(D,Q) = Σ_{w∈Q} ln((c(w,D) + µ·p(w|C)) / (|D| + µ)), with
+    * p(w|C) the corpus MLE. Implemented via the SPARSE decomposition
+    * the IR literature uses at scale:
+    *
+    *   score = Σ_w ln(µ·p_w)  −  |Q|·ln(|D| + µ)
+    *           + Σ_{w ∈ Q∩D} ln(1 + c(w,D)/(µ·p_w))
+    *
+    * — the first term is one broadcast scalar per query, the second is
+    * per-document arithmetic, and only the THIRD touches postings, so
+    * the join moves query-term postings only (the BM25 shape) instead
+    * of scoring |docs| × |Q| pairs. Every document gets a score (the
+    * model scores non-matching documents too — that is QL's point);
+    * query terms absent from the corpus (p_w = 0) are dropped, the
+    * standard convention. Ranking and the gate compare on ROUND(6)
+    * with a doc_id tie-break (libm ln).
+    *
+    * @return (doc_id, n_match, score) for every document
+    */
+  def dirichletQl(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], mu: Double = 2000.0): DataFrame = {
+    require(terms.nonEmpty && terms.map(_.toLowerCase).distinct.size ==
+      terms.size, "query terms must be distinct")
+    require(mu > 0.0, "mu must be positive")
+    val lowered = terms.map(_.toLowerCase)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val total = toks.agg(count(lit(1)).cast("double").as("ct"))
+    val pw = toks.where(col("t").isin(lowered: _*))
+      .groupBy("t").agg(count(lit(1)).as("ctf"))
+      .crossJoin(broadcast(total))
+      .select(col("t"), (col("ctf").cast("double") / col("ct")).as("pw"))
+    val qconst = pw.agg(sum(log(lit(mu) * col("pw"))).as("qc"),
+      count(lit(1)).cast("double").as("nq"))
+    // term filter BEFORE the shuffle — only query-term postings move
+    val tf = toks.where(col("t").isin(lowered: _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .join(broadcast(pw), Seq("t"))
+    val matched = tf
+      .groupBy("doc_id")
+      .agg(sum(log(lit(1.0) + col("tf").cast("double")
+        / (lit(mu) * col("pw")))).as("msum"),
+        count(lit(1)).as("n_match"))
+    dl.join(matched, Seq("doc_id"), "left")
+      .crossJoin(broadcast(qconst))
+      .select(col("doc_id"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        (col("qc") - col("nq") * log(col("dl").cast("double") + mu)
+          + coalesce(col("msum"), lit(0.0))).as("score"))
+  }
+
   /** Mergeable corpus statistics — the serving-side BM25 index state.
     * `termDf`: (t, df) over the FULL vocabulary (so any later query's
     * terms are covered); `corpus`: 1 row (n, sumdl). All counts are

@@ -1,0 +1,41 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** Pins [[Bm25.dirichletQl]] against the hand-computed closed form on a
+  * three-document corpus, including the properties the decomposition
+  * must preserve: every document scored (zero-match docs too), unseen
+  * query terms dropped, and the sparse form equal to the naive
+  * Σ ln((c + µp)/(|D| + µ)).
+  */
+class DirichletQlSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus: d1 = "a a b", d2 = "b c", d3 = "c c". Totals: a:2 b:2 c:3,
+  // |C| = 7. Query (a, b, zz): zz unseen → dropped; p_a = p_b = 2/7.
+  private val docs = Seq((1L, "a a b"), (2L, "b c"), (3L, "c c"))
+    .toDF("doc_id", "text")
+
+  private def naive(counts: Map[String, Long], dl: Long,
+      mu: Double): Double =
+    Seq("a" -> 2.0 / 7, "b" -> 2.0 / 7).map { case (t, p) =>
+      math.log((counts.getOrElse(t, 0L) + mu * p) / (dl + mu))
+    }.sum
+
+  test("matches the naive closed form; zero-match docs are scored") {
+    val mu = 10.0
+    val got = Bm25.dirichletQl(docs, "doc_id", "text",
+        Seq("a", "b", "zz"), mu)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L)._1 == 2L && got(2L)._1 == 1L && got(3L)._1 == 0L)
+    assert(math.abs(got(1L)._2 -
+      naive(Map("a" -> 2L, "b" -> 1L), 3L, mu)) < 1e-12)
+    assert(math.abs(got(2L)._2 -
+      naive(Map("b" -> 1L), 2L, mu)) < 1e-12)
+    assert(math.abs(got(3L)._2 - naive(Map.empty, 2L, mu)) < 1e-12)
+    // the doc holding both query terms outranks the partial match,
+    // which outranks the no-match doc
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
+  }
+}
