@@ -49,4 +49,23 @@ class UpdateReplaySpec extends SparkSpec {
     assert(!out.exists(_._1 == 3L))
     assert(out.count(_._1 == 1L) == 1)
   }
+
+  test("engine contract: session windows REJECT update mode " +
+    "(STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION) — the window-type × " +
+    "output-mode matrix closes at tumbling/sliding×{append,update} + " +
+    "session×append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionReplay.Ev]
+    val agg = in.toDS().toDF().withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "5 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      agg.writeStream.format("memory").queryName("su_reject")
+        .outputMode("update").start()
+    }
+    assert(ex.getMessage.contains("STREAMING_OUTPUT_MODE"), ex.getMessage)
+  }
 }
