@@ -1153,11 +1153,66 @@ object TestQueries21 {
       SELECT doc_id, n_match, score, rank FROM rk
       WHERE rank <= 20 ORDER BY rank"""))
 
+  /** Classic tf-idf vector-space cosine ranking —
+    * [[graft.search.Bm25.tfidfCosine]], completing the classic ranking
+    * triple (BM25 q161/q177, Dirichlet QL q297, VSM q298): tf·ln(N/df)
+    * weights, honest full-vocabulary document norms, dot product over
+    * query-term postings only. Top-20 by ROUND(6) with a doc_id
+    * tie-break (libm ln/sqrt + double-sum order wobble → the ROUND
+    * class). Oracle mirrors the weighting verbatim.
+    */
+  val q298TfidfCosine: QueryCase = QueryCase(
+    "q298_tfidf_cosine",
+    (s, dir) => {
+      val scored = graft.search.Bm25.tfidfCosine(
+        Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("join", "vector", "data"))
+        .select(col("doc_id"), col("n_match"),
+          round(col("score"), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 20)
+        .orderBy("rank")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(
+          list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+            x -> x <> '')) AS t
+        FROM documents),
+      tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+      wtd AS (
+        SELECT doc_id, t,
+          CAST(tf AS DOUBLE) * ln(nn.n / df) AS w
+        FROM tf JOIN dfreq USING (t) CROSS JOIN nn),
+      norms AS (
+        SELECT doc_id, sqrt(SUM(w * w)) AS dnorm FROM wtd GROUP BY doc_id),
+      qw AS (
+        SELECT t, ln(nn.n / df) AS qw FROM dfreq CROSS JOIN nn
+        WHERE t IN ('join', 'vector', 'data')),
+      qn AS (SELECT sqrt(SUM(qw * qw)) AS qnorm FROM qw),
+      sc AS (
+        SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_match,
+          ROUND(SUM(w.w * qw.qw) / (MAX(norms.dnorm) * MAX(qn.qnorm)), 6)
+            AS score
+        FROM wtd w JOIN qw USING (t)
+        JOIN norms ON norms.doc_id = w.doc_id CROSS JOIN qn
+        GROUP BY w.doc_id),
+      rk AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+          AS BIGINT) AS rank
+        FROM sc)
+      SELECT doc_id, n_match, score, rank FROM rk
+      WHERE rank <= 20 ORDER BY rank"""))
+
   val all: Seq[QueryCase] =
     Seq(q279ApPanel, q280RPrecision, q281Err, q282StreamSessions,
       q283DupSpans, q284DupFraction, q285StreamTumbling,
       q286StreamSliding, q287SpanCut, q288SpanLedger, q289StreamJoin,
       q290StreamOuterJoin, q291StreamUpdate, q292StreamDedup,
       q293BeamDecode, q294SelfRepeat, q295DedupWindow, q296JmPerplexity,
-      q297DirichletQl)
+      q297DirichletQl, q298TfidfCosine)
 }

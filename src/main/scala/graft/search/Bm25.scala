@@ -102,6 +102,53 @@ object Bm25 {
           + coalesce(col("msum"), lit(0.0))).as("score"))
   }
 
+  /** Classic tf-idf vector-space cosine ranking (Salton's SMART
+    * lnc-style weighting) — the third member of the classic ranking
+    * triple next to [[score]] (BM25) and [[dirichletQl]]:
+    * w(t,d) = tf(t,d)·ln(N/df(t)), query weight = idf, score =
+    * (Σ_{t∈Q∩D} w_q·w_d) / (‖q‖·‖d‖). Documents sharing no term score
+    * 0 and are not emitted (cosine against an orthogonal vector).
+    *
+    * Scale shape: the document NORM is the honest full-vocabulary term
+    * — one (doc, term) aggregation joined against the vocabulary-sized
+    * df table (an equi-join, NOT a broadcast: vocabularies outgrow
+    * driver memory at corpus scale) — while the DOT product moves only
+    * query-term postings (filter before the shuffle, the BM25 shape).
+    * Ranking compares on ROUND(6) with an id tie-break (libm ln/sqrt).
+    *
+    * @return (doc_id, n_match, score) for documents matching ≥ 1 term
+    */
+  def tfidfCosine(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.map(_.toLowerCase).distinct.size ==
+      terms.size, "query terms must be distinct")
+    val lowered = terms.map(_.toLowerCase)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val tf = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val n = tf.select("doc_id").distinct()
+      .agg(count(lit(1)).cast("double").as("n"))
+    val weighted = tf.join(dfreq, Seq("t")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("t"),
+        (col("tf").cast("double") * log(col("n") / col("df")))
+          .as("w"))
+    val norms = weighted.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
+    val qw = dfreq.where(col("t").isin(lowered: _*))
+      .crossJoin(broadcast(n))
+      .select(col("t"), log(col("n") / col("df")).as("qw"))
+    val qnorm = qw.agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
+    weighted.join(broadcast(qw), Seq("t"))
+      .groupBy("doc_id")
+      .agg(sum(col("w") * col("qw")).as("dot"),
+        count(lit(1)).as("n_match"))
+      .join(norms, Seq("doc_id"))
+      .crossJoin(broadcast(qnorm))
+      .select(col("doc_id"), col("n_match"),
+        (col("dot") / (col("dnorm") * col("qnorm"))).as("score"))
+  }
+
   /** Mergeable corpus statistics — the serving-side BM25 index state.
     * `termDf`: (t, df) over the FULL vocabulary (so any later query's
     * terms are covered); `corpus`: 1 row (n, sumdl). All counts are

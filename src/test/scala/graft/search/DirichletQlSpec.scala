@@ -38,4 +38,24 @@ class DirichletQlSpec extends SparkSpec {
     // which outranks the no-match doc
     assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2)
   }
+
+  test("tfidfCosine matches the hand-computed SMART weighting; " +
+    "no-match docs are absent") {
+    // d1 = "a a b", d2 = "b c", d3 = "c c"; N = 3.
+    // df: a 1, b 2, c 2. idf_a = ln 3, idf_b = idf_c = ln 1.5.
+    // weights: d1 (a: 2·ln3, b: ln1.5), d2 (b: ln1.5, c: ln1.5),
+    // d3 (c: 2·ln1.5). Query (a, b): qw = (ln3, ln1.5).
+    val l3 = math.log(3.0); val l15 = math.log(1.5)
+    val qn = math.sqrt(l3 * l3 + l15 * l15)
+    val s1 = (2 * l3 * l3 + l15 * l15) /
+      (math.sqrt(4 * l3 * l3 + l15 * l15) * qn)
+    val s2 = (l15 * l15) / (math.sqrt(2 * l15 * l15) * qn)
+    val got = Bm25.tfidfCosine(docs, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L), "doc 3 shares no term → absent")
+    assert(got(1L)._1 == 2L && got(2L)._1 == 1L)
+    assert(math.abs(got(1L)._2 - s1) < 1e-12)
+    assert(math.abs(got(2L)._2 - s2) < 1e-12)
+  }
 }
