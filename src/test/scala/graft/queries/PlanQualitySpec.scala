@@ -517,6 +517,28 @@ class PlanQualitySpec extends SparkSpec {
       "per-(pair, diagonal) islands must not globally sort")
   }
 
+  test("dirichletQl / tfidfCosine: postings filtered before the " +
+    "shuffle, query-side tables broadcast, no cartesian") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, s"join vector data filler$i more${i % 7} pad${i % 3}"))
+      .toDF("doc_id", "text").repartition(4)
+    for (p <- Seq(
+      graft.search.Bm25.dirichletQl(docs, "doc_id", "text",
+        Seq("join", "vector", "data"))
+        .queryExecution.executedPlan.toString,
+      graft.search.Bm25.tfidfCosine(docs, "doc_id", "text",
+        Seq("join", "vector", "data"))
+        .queryExecution.executedPlan.toString)) {
+      assert(!p.contains("CartesianProduct"), p)
+      // the query-term postings filter must sit under the aggregate
+      // exchange (reach the scan side), not above it
+      assert(p.contains("t#") || p.contains("IN ("), p)
+      assert(p.contains("BroadcastExchange"),
+        "query-side stats must broadcast: " + p)
+    }
+  }
+
   test("DupSpans.cutSpans: covered-position marking is a doc_id " +
     "equi-anti-join, not a nested loop") {
     import spark.implicits._
