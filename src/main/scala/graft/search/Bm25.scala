@@ -77,13 +77,24 @@ object Bm25 {
     val lowered = terms.map(_.toLowerCase)
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(TextFunctions.tokens(col(textCol))).as("t"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // Base dl on the DOCUMENT table, not the token table: a document
+    // whose text tokenizes to zero tokens still gets a score row
+    // (dl = 0 is well-defined — log(dl + mu) with mu > 0).
+    val dl = docs.select(col(idCol).as("doc_id"))
+      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("ntok")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("ntok"), lit(0L)).as("dl"))
     val total = toks.agg(count(lit(1)).cast("double").as("ct"))
     val pw = toks.where(col("t").isin(lowered: _*))
       .groupBy("t").agg(count(lit(1)).as("ctf"))
       .crossJoin(broadcast(total))
       .select(col("t"), (col("ctf").cast("double") / col("ct")).as("pw"))
-    val qconst = pw.agg(sum(log(lit(mu) * col("pw"))).as("qc"),
+    // When NO query term occurs in the corpus, pw is empty and a bare
+    // sum() would aggregate to NULL, nulling every document's score;
+    // coalesce to 0.0 so all documents score qc=0, nq=0 (constant,
+    // ties broken by doc_id — the degenerate-query contract).
+    val qconst = pw.agg(coalesce(sum(log(lit(mu) * col("pw"))),
+      lit(0.0)).as("qc"),
       count(lit(1)).cast("double").as("nq"))
     // term filter BEFORE the shuffle — only query-term postings move
     val tf = toks.where(col("t").isin(lowered: _*))
@@ -135,8 +146,13 @@ object Bm25 {
           .as("w"))
     val norms = weighted.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
+    // Query terms present in EVERY document have idf = ln(N/df) = 0:
+    // they carry no discriminating weight, and keeping them can make
+    // qnorm exactly 0 (all-zero query vector → NaN scores). Drop them
+    // — mirrors dirichletQl's p_w = 0 drop convention.
     val qw = dfreq.where(col("t").isin(lowered: _*))
       .crossJoin(broadcast(n))
+      .where(col("df").cast("double") < col("n"))
       .select(col("t"), log(col("n") / col("df")).as("qw"))
     val qnorm = qw.agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
     weighted.join(broadcast(qw), Seq("t"))

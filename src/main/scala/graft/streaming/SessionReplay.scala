@@ -173,7 +173,7 @@ object SessionReplay {
       .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
 
     val input = MemoryStream[Ev]
-    val sinkName = s"session_replay_${System.identityHashCode(input)}"
+    val sinkName = SinkNames.next("session_replay")
     val agg = aggOf(input.toDS().toDF()
       .withWatermark("ts", s"$delayMinutes minutes"))
     val query = agg.writeStream.format("memory").queryName(sinkName)

@@ -1,0 +1,19 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Process-wide unique names for in-memory stream-sink tables.
+  *
+  * Memory-sink query names are registered in the session's shared
+  * catalog; names derived from `System.identityHashCode` can collide
+  * when two replays run concurrently in one JVM (parallel test suites
+  * share the session catalog), cross-reading or dropping each other's
+  * sink view. A monotone process-wide counter can never collide.
+  */
+private[streaming] object SinkNames {
+  private val counter = new AtomicLong(0L)
+
+  /** Returns `prefix_N` for a strictly increasing process-unique N. */
+  def next(prefix: String): String =
+    s"${prefix}_${counter.incrementAndGet()}"
+}

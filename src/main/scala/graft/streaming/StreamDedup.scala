@@ -84,7 +84,7 @@ object StreamDedup {
         sum(col("v").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("w.start").as("window_start"),
         col("w.end").as("window_end"), col("n_events"), col("sum_value"))
-    val sinkName = s"stream_dedup_window_${System.identityHashCode(input)}"
+    val sinkName = SinkNames.next("stream_dedup_window")
     val query = out.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
@@ -124,7 +124,7 @@ object StreamDedup {
     val deduped = input.toDS().toDF()
       .withWatermark("ts", s"$delayMinutes minutes")
       .dropDuplicatesWithinWatermark("k")
-    val sinkName = s"stream_dedup_${System.identityHashCode(input)}"
+    val sinkName = SinkNames.next("stream_dedup")
     val query = deduped.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {

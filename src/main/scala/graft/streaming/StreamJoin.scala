@@ -134,7 +134,7 @@ object StreamJoin {
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec seconds"),
         joinType)
       .select(col("k"), col("l_ts"), col("l_id"), col("r_ts"), col("r_id"))
-    val sinkName = s"stream_join_replay_${System.identityHashCode(lin)}"
+    val sinkName = SinkNames.next("stream_join_replay")
     val query = joined.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {

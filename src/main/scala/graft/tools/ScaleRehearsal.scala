@@ -158,6 +158,15 @@ object ScaleRehearsal {
         if (wanted("embeddings")) {
           val base = graft.sources.Tables.table(spark, src, "embeddings")
           val dim = base.select(size(col("embedding"))).head().getInt(0)
+          // The rotate-then-negate scheme below yields 2·dim distinct
+          // orientations; copy k and copy k + 2·dim would be exact
+          // geometric duplicates, silently manufacturing the cross-copy
+          // near-dups the scheme exists to avoid. Fail loudly if a
+          // larger decade build ever asks for more.
+          require(copies <= 2 * dim,
+            s"embedding replication supports at most 2*dim=${2 * dim} " +
+              s"distinct copies (asked for $copies); add a third " +
+              "orientation scheme before building a larger decade")
           val reps = (0 until copies).map { k =>
             val shifted = base.withColumn("vec_id",
               col("vec_id") + lit(k * KeyShift))

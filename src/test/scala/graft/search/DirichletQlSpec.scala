@@ -58,4 +58,42 @@ class DirichletQlSpec extends SparkSpec {
     assert(math.abs(got(1L)._2 - s1) < 1e-12)
     assert(math.abs(got(2L)._2 - s2) < 1e-12)
   }
+
+  test("dirichletQl degenerate inputs: corpus-absent query, " +
+    "zero-token documents") {
+    // No query term occurs in the corpus → qc aggregates over an empty
+    // pw; every document must still get a (finite, constant-shape)
+    // score, not NULL.
+    val got = Bm25.dirichletQl(docs, "doc_id", "text", Seq("zz"), 10.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall(s => !s.isNaN && s == 0.0),
+      "absent-query scores are qc - 0·ln(dl+mu) + 0 = 0")
+    // A document whose text tokenizes to zero tokens still gets a row
+    // (dl = 0 is well-defined under Dirichlet smoothing).
+    val withEmpty = docs.union(Seq((4L, "   ")).toDF("doc_id", "text"))
+    val got2 = Bm25.dirichletQl(withEmpty, "doc_id", "text",
+        Seq("a"), 10.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got2.keySet == Set(1L, 2L, 3L, 4L))
+    assert(!got2(4L).isNaN && got2(4L) < got2(1L))
+  }
+
+  test("tfidfCosine drops idf-zero query terms instead of emitting " +
+    "NaN") {
+    // 'x' appears in every document → idf = ln(N/df) = 0; a query of
+    // only such terms has a zero-norm vector — the result must be
+    // empty, never NaN.
+    val allX = Seq((1L, "x a"), (2L, "x b"), (3L, "x c"))
+      .toDF("doc_id", "text")
+    assert(Bm25.tfidfCosine(allX, "doc_id", "text", Seq("x")).count()
+      == 0L)
+    // Mixed query: the idf-zero term contributes nothing; scores equal
+    // the query without it.
+    val mixed = Bm25.tfidfCosine(allX, "doc_id", "text", Seq("x", "a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val aOnly = Bm25.tfidfCosine(allX, "doc_id", "text", Seq("a"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(mixed == aOnly)
+  }
 }

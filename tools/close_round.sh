@@ -35,8 +35,18 @@ if [ -n "$FULL" ]; then
     echo "[close_round] REFUSED: Verify failed; see /tmp/close_round_verify.log"
     exit 1
   }
-  python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/close_round_verify \
-    | tee /tmp/close_round_oracle.log | tail -3
+  # POSIX sh has no pipefail: a `check_oracle.py | tee | tail` pipeline takes
+  # tail's exit status, so a crashed checker (missing duckdb, bad path) would
+  # produce a truncated log with no 'FAIL' and the snapshot would commit
+  # anyway — the exact round-11 failure mode this script exists to prevent.
+  # Redirect to the log first and test the checker's own exit status.
+  if ! python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/close_round_verify \
+      >/tmp/close_round_oracle.log 2>&1; then
+    echo "[close_round] REFUSED: check_oracle.py crashed; see /tmp/close_round_oracle.log"
+    tail -10 /tmp/close_round_oracle.log
+    exit 1
+  fi
+  tail -3 /tmp/close_round_oracle.log
   if grep -q "FAIL" /tmp/close_round_oracle.log; then
     echo "[close_round] REFUSED: oracle mismatches above."
     exit 1
