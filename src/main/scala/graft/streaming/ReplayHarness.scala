@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Isolated low-parallelism session for the bounded replay harnesses.
+  *
+  * A streaming query captures `spark.sql.shuffle.partitions` at start
+  * as its state-store partition count — 32 partitions for a
+  * contract-bounded replay input is pure lifecycle overhead (each
+  * stateful operator opens one state store per partition per
+  * micro-batch; q295's two operators × 32 partitions × 2 batches was
+  * ~7 s of init for a fixture-sized input). Running the replay in a
+  * child session pinned to [[StatePartitions]] cuts that fixed cost
+  * ~8× without touching the parent session's configuration (no leak
+  * into concurrently running suites) and without moving semantics:
+  * watermark policy, late filters, and eviction frontiers are
+  * partition-count-independent, and the replay specs re-pin them.
+  *
+  * Production deployments do the opposite — size state partitions to
+  * the key cardinality — which is exactly why the knob must live in
+  * the HARNESS, not the transform: the watermarked plan a production
+  * caller gets from the operator objects is unchanged.
+  */
+private[streaming] object ReplayHarness {
+
+  /** State/shuffle partitions for replay harnesses only. */
+  val StatePartitions = 4
+
+  /** Runs `f` against a fresh child session (shared SparkContext,
+    * private conf + catalog) with shuffle partitions pinned to
+    * [[StatePartitions]]. The child's catalog also isolates the
+    * memory-sink temp view from the parent session.
+    */
+  def withReplaySession[A](parent: SparkSession)(f: SparkSession => A): A = {
+    val child = parent.newSession()
+    child.conf.set("spark.sql.shuffle.partitions",
+      StatePartitions.toString)
+    f(child)
+  }
+}

@@ -160,7 +160,6 @@ object SessionReplay {
       aggOf: DataFrame => DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
 
     val rows = Bounded.collectBounded(
       events.select(col("user_id").cast("long"), col("ts"),
@@ -172,23 +171,27 @@ object SessionReplay {
     val batch2 = rows.filter(_.getLong(3) != 0L)
       .map(r => Ev(r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
 
-    val input = MemoryStream[Ev]
-    val sinkName = SinkNames.next("session_replay")
-    val agg = aggOf(input.toDS().toDF()
-      .withWatermark("ts", s"$delayMinutes minutes"))
-    val query = agg.writeStream.format("memory").queryName(sinkName)
-      .outputMode(outputMode).start()
-    try {
-      if (batch1.nonEmpty) { input.addData(batch1); query.processAllAvailable() }
-      if (batch2.nonEmpty) { input.addData(batch2); query.processAllAvailable() }
-      // materialize off the sink before stopping the query
-      val out = spark.table(sinkName).collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
-        spark.table(sinkName).schema)
-    } finally {
-      query.stop()
-      spark.catalog.dropTempView(sinkName)
+    ReplayHarness.withReplaySession(spark) { child =>
+      implicit val sqlCtx = child.sqlContext
+      val input = MemoryStream[Ev]
+      val sinkName = SinkNames.next("session_replay")
+      val agg = aggOf(input.toDS().toDF()
+        .withWatermark("ts", s"$delayMinutes minutes"))
+      val query = agg.writeStream.format("memory").queryName(sinkName)
+        .outputMode(outputMode).start()
+      try {
+        if (batch1.nonEmpty) { input.addData(batch1); query.processAllAvailable() }
+        if (batch2.nonEmpty) { input.addData(batch2); query.processAllAvailable() }
+        // materialize off the sink before stopping the query; hand the
+        // result back as a frame of the CALLER's session
+        val out = child.table(sinkName).collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+          child.table(sinkName).schema)
+      } finally {
+        query.stop()
+        child.catalog.dropTempView(sinkName)
+      }
     }
   }
 }

@@ -62,7 +62,6 @@ object StreamDedup {
       batchCol: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
 
     val rows = Bounded.collectBounded(
       events.select(col(keyCol).cast("long"), col("ts"),
@@ -75,29 +74,32 @@ object StreamDedup {
       .map(r => VEv(r.getLong(0), r.getTimestamp(1), r.getLong(2),
         r.getDouble(3)))
 
-    val input = MemoryStream[VEv]
-    val out = input.toDS().toDF()
-      .withWatermark("ts", s"$delayMinutes minutes")
-      .dropDuplicatesWithinWatermark("k")
-      .groupBy(window(col("ts"), s"$windowMinutes minutes").as("w"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("v").cast("decimal(18,6)")).cast("double").as("sum_value"))
-      .select(col("w.start").as("window_start"),
-        col("w.end").as("window_end"), col("n_events"), col("sum_value"))
-    val sinkName = SinkNames.next("stream_dedup_window")
-    val query = out.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
-    try {
-      val (b1, b2) = (ev(b1 = true), ev(b1 = false))
-      if (b1.nonEmpty) { input.addData(b1); query.processAllAvailable() }
-      if (b2.nonEmpty) { input.addData(b2); query.processAllAvailable() }
-      val collected = spark.table(sinkName).collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(collected.toIndexedSeq, 1),
-        spark.table(sinkName).schema)
-    } finally {
-      query.stop()
-      spark.catalog.dropTempView(sinkName)
+    ReplayHarness.withReplaySession(spark) { child =>
+      implicit val sqlCtx = child.sqlContext
+      val input = MemoryStream[VEv]
+      val out = input.toDS().toDF()
+        .withWatermark("ts", s"$delayMinutes minutes")
+        .dropDuplicatesWithinWatermark("k")
+        .groupBy(window(col("ts"), s"$windowMinutes minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("v").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("w.start").as("window_start"),
+          col("w.end").as("window_end"), col("n_events"), col("sum_value"))
+      val sinkName = SinkNames.next("stream_dedup_window")
+      val query = out.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = (ev(b1 = true), ev(b1 = false))
+        if (b1.nonEmpty) { input.addData(b1); query.processAllAvailable() }
+        if (b2.nonEmpty) { input.addData(b2); query.processAllAvailable() }
+        val collected = child.table(sinkName).collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(collected.toIndexedSeq, 1),
+          child.table(sinkName).schema)
+      } finally {
+        query.stop()
+        child.catalog.dropTempView(sinkName)
+      }
     }
   }
 
@@ -109,7 +111,6 @@ object StreamDedup {
       idCol: String, delayMinutes: Int, batchCol: String): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
 
     val rows = Bounded.collectBounded(
       events.select(col(keyCol).cast("long"), col("ts"),
@@ -120,24 +121,27 @@ object StreamDedup {
       .filter(r => (r.getLong(3) == 0L) == b1)
       .map(r => DEv(r.getLong(0), r.getTimestamp(1), r.getLong(2)))
 
-    val input = MemoryStream[DEv]
-    val deduped = input.toDS().toDF()
-      .withWatermark("ts", s"$delayMinutes minutes")
-      .dropDuplicatesWithinWatermark("k")
-    val sinkName = SinkNames.next("stream_dedup")
-    val query = deduped.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
-    try {
-      val (b1, b2) = (ev(b1 = true), ev(b1 = false))
-      if (b1.nonEmpty) { input.addData(b1); query.processAllAvailable() }
-      if (b2.nonEmpty) { input.addData(b2); query.processAllAvailable() }
-      val out = spark.table(sinkName).collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
-        spark.table(sinkName).schema)
-    } finally {
-      query.stop()
-      spark.catalog.dropTempView(sinkName)
+    ReplayHarness.withReplaySession(spark) { child =>
+      implicit val sqlCtx = child.sqlContext
+      val input = MemoryStream[DEv]
+      val deduped = input.toDS().toDF()
+        .withWatermark("ts", s"$delayMinutes minutes")
+        .dropDuplicatesWithinWatermark("k")
+      val sinkName = SinkNames.next("stream_dedup")
+      val query = deduped.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        val (b1, b2) = (ev(b1 = true), ev(b1 = false))
+        if (b1.nonEmpty) { input.addData(b1); query.processAllAvailable() }
+        if (b2.nonEmpty) { input.addData(b2); query.processAllAvailable() }
+        val out = child.table(sinkName).collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+          child.table(sinkName).schema)
+      } finally {
+        query.stop()
+        child.catalog.dropTempView(sinkName)
+      }
     }
   }
 }

@@ -107,7 +107,6 @@ object StreamJoin {
       batchCol: String, joinType: String = "inner"): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
 
     def collect(df: DataFrame) = Bounded.collectBounded(
       df.select(col(keyCol).cast("long"), col("ts"),
@@ -123,36 +122,39 @@ object StreamJoin {
       .filter(r => (r.getLong(3) == 0L) == b1)
       .map(r => REv(r.getLong(0), r.getTimestamp(1), r.getLong(2)))
 
-    val lin = MemoryStream[LEv]
-    val rin = MemoryStream[REv]
-    val l = lin.toDS().toDF().withWatermark("ts", s"$delayMinutes minutes")
-      .select(col("k"), col("ts").as("l_ts"), col("l_id"))
-    val r = rin.toDS().toDF().withWatermark("ts", s"$delayMinutes minutes")
-      .select(col("k").as("rk"), col("ts").as("r_ts"), col("r_id"))
-    val joined = l.join(r, col("k") === col("rk") &&
-        col("r_ts") > col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec seconds"),
-        joinType)
-      .select(col("k"), col("l_ts"), col("l_id"), col("r_ts"), col("r_id"))
-    val sinkName = SinkNames.next("stream_join_replay")
-    val query = joined.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
-    try {
-      val (l1, l2) = (lEv(lRows, b1 = true), lEv(lRows, b1 = false))
-      val (r1, r2) = (rEv(rRows, b1 = true), rEv(rRows, b1 = false))
-      if (l1.nonEmpty) lin.addData(l1)
-      if (r1.nonEmpty) rin.addData(r1)
-      query.processAllAvailable()
-      if (l2.nonEmpty) lin.addData(l2)
-      if (r2.nonEmpty) rin.addData(r2)
-      query.processAllAvailable()
-      val out = spark.table(sinkName).collect()
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(out.toIndexedSeq, 1),
-        spark.table(sinkName).schema)
-    } finally {
-      query.stop()
-      spark.catalog.dropTempView(sinkName)
+    ReplayHarness.withReplaySession(spark) { child =>
+      implicit val sqlCtx = child.sqlContext
+      val lin = MemoryStream[LEv]
+      val rin = MemoryStream[REv]
+      val l = lin.toDS().toDF().withWatermark("ts", s"$delayMinutes minutes")
+        .select(col("k"), col("ts").as("l_ts"), col("l_id"))
+      val r = rin.toDS().toDF().withWatermark("ts", s"$delayMinutes minutes")
+        .select(col("k").as("rk"), col("ts").as("r_ts"), col("r_id"))
+      val joined = l.join(r, col("k") === col("rk") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec seconds"),
+          joinType)
+        .select(col("k"), col("l_ts"), col("l_id"), col("r_ts"), col("r_id"))
+      val sinkName = SinkNames.next("stream_join_replay")
+      val query = joined.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        val (l1, l2) = (lEv(lRows, b1 = true), lEv(lRows, b1 = false))
+        val (r1, r2) = (rEv(rRows, b1 = true), rEv(rRows, b1 = false))
+        if (l1.nonEmpty) lin.addData(l1)
+        if (r1.nonEmpty) rin.addData(r1)
+        query.processAllAvailable()
+        if (l2.nonEmpty) lin.addData(l2)
+        if (r2.nonEmpty) rin.addData(r2)
+        query.processAllAvailable()
+        val out = child.table(sinkName).collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+          child.table(sinkName).schema)
+      } finally {
+        query.stop()
+        child.catalog.dropTempView(sinkName)
+      }
     }
   }
 }
