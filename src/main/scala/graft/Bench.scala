@@ -9,9 +9,38 @@ import org.apache.spark.sql.SparkSession
   * nothing. Each query runs once warm-up-free; the total is the headline.
   */
 object Bench {
+  /** 1-minute host loadavg, -1 if unreadable. */
+  private def hostLoad: Double =
+    try {
+      val s = scala.io.Source.fromFile("/proc/loadavg")
+      try s.mkString.split("\\s+")(0).toDouble finally s.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Idle gate (round-12 lesson): the r12 record was taken under
+    // concurrent verify load (loadavg 6→12) and carried a 2.7× steady>cold
+    // inversion plus a 1.23×-baseline warm leg that idle runs put at
+    // 0.76× — sub-second legs only mean something on a quiet host. Wait
+    // for the machine to go idle before measuring; if it never does
+    // within the budget, proceed but annotate LOUDLY (refusing would
+    // zero the round's bench record, the round-11 failure mode).
+    val idleBar = sys.env.getOrElse("SPARK_GRAFT_IDLE_BAR", "2.0").toDouble
+    val idleBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_IDLE_BUDGET_SEC", "600").toInt
+    val loadAtLaunch = hostLoad
+    var idleWaitedSec = 0
+    while (hostLoad > idleBar && idleWaitedSec < idleBudgetSec) {
+      System.err.println(s"[bench] host busy (loadavg ${hostLoad}); " +
+        s"waiting for < $idleBar (${idleWaitedSec}s/${idleBudgetSec}s)")
+      Thread.sleep(15000)
+      idleWaitedSec += 15
+    }
+    val idleGateOk = hostLoad <= idleBar
+    if (!idleGateOk)
+      System.err.println(s"[bench] WARNING: idle budget exhausted at " +
+        s"loadavg ${hostLoad} — numbers below are load-contaminated")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -50,12 +79,7 @@ object Bench {
     // and janino compile totals around the run so a recurrence is
     // attributable to external contention vs JVM-internal churn from the
     // bench's own numbers.
-    def loadAvg: Double = {
-      try {
-        val s = scala.io.Source.fromFile("/proc/loadavg")
-        try s.mkString.split("\\s+")(0).toDouble finally s.close()
-      } catch { case _: Throwable => -1.0 }
-    }
+    def loadAvg: Double = hostLoad
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -127,6 +151,8 @@ object Bench {
     val env = {
       val wallMs = (System.nanoTime() - wall0) / 1000000
       s"""{"loadavg_start":$load0,"loadavg_end":$loadAvg,""" +
+        s""""loadavg_at_launch":$loadAtLaunch,""" +
+        s""""idle_wait_sec":$idleWaitedSec,"idle_gate_ok":$idleGateOk,""" +
         s""""gc_ms":${gcMs - gc0},"jit_ms":${jitMs - jit0},""" +
         s""""janino_units":${janinoUnits - jan0},""" +
         s""""codecache_used_mb":$codeCacheUsedMb,""" +
@@ -259,22 +285,40 @@ object Bench {
     System.gc()
     Thread.sleep(200)
     val steadyLoad0 = loadAvg; val steadyGc0 = gcMs; val steadyJan0 = janinoUnits
-    val worstSteady = worstPairs.map { case (name, _) =>
+    var steadyReruns = 0
+    val worstSteady = worstPairs.map { case (name, cold) =>
       val fn = SparkEntry.queries(name)
-      val jan0q = janinoUnits; val gc0q = gcMs
-      val t0 = System.nanoTime()
-      // A failed steady run records -1, not its time-to-failure: a fast
-      // crash would otherwise read as a fast steady state and defeat the
-      // cold-vs-steady disambiguation this column exists for.
-      val r =
-        try {
-          fn(spark, sfDir).queryExecution.toRdd.count()
-          name -> (System.nanoTime() - t0) / 1e9
-        } catch { case _: Throwable => name -> -1.0 }
-      System.err.println(s"[bench] steady $name: ${fmt(r._2, 2)}s" +
-        s" janino_delta=${janinoUnits - jan0q} gc_delta_ms=${gcMs - gc0q}")
-      releaseCaches()
-      r
+      def once(): Double = {
+        val jan0q = janinoUnits; val gc0q = gcMs
+        val t0 = System.nanoTime()
+        // A failed steady run records -1, not its time-to-failure: a fast
+        // crash would otherwise read as a fast steady state and defeat the
+        // cold-vs-steady disambiguation this column exists for.
+        val dt =
+          try {
+            fn(spark, sfDir).queryExecution.toRdd.count()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => -1.0 }
+        System.err.println(s"[bench] steady $name: ${fmt(dt, 2)}s" +
+          s" janino_delta=${janinoUnits - jan0q} gc_delta_ms=${gcMs - gc0q}")
+        releaseCaches()
+        dt
+      }
+      var dt = once()
+      // A steady run slower than 1.5× its own cold run is physically
+      // suspect (steady excludes the cold run's plan+codegen compile) —
+      // almost always a host-load transient (the r12 q290 19.78s-vs-7.29s
+      // inversion). Re-run once and keep the better-attributed (smaller)
+      // number; the rerun count is recorded so an inversion that SURVIVES
+      // a rerun stands out as real.
+      if (cold > 0 && dt > 1.5 * cold) {
+        steadyReruns += 1
+        System.err.println(s"[bench] steady $name inverted >1.5x over " +
+          s"cold (${fmt(dt, 2)}s vs ${fmt(cold, 2)}s cold) — rerunning")
+        val dt2 = once()
+        if (dt2 >= 0 && dt2 < dt) dt = dt2
+      }
+      name -> dt
     }
     val worstSteadyJson = worstSteady
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
@@ -282,6 +326,7 @@ object Bench {
       s"""{"loadavg_start":$steadyLoad0,"loadavg_end":$loadAvg,""" +
         s""""gc_ms":${gcMs - steadyGc0},""" +
         s""""janino_units":${janinoUnits - steadyJan0},""" +
+        s""""steady_reruns":$steadyReruns,""" +
         s""""released_rdds":$releasedRdds,""" +
         s""""peak_storage_mb":$peakStorageMb}"""
     val warmServing = warm.filter(kv => Set("q24_cosine_topk", "q38_fts_rank",

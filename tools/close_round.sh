@@ -53,6 +53,37 @@ if [ -n "$FULL" ]; then
   fi
 fi
 
+# Ledger counts are TOOL-EMITTED, never hand-written (round-12 drift:
+# the close commit said 825 specs; the suite held 826): parse them from
+# this run's own test log and verify output.
+if [ -n "$FULL" ]; then
+  specs=$(grep -oE "Tests: succeeded [0-9]+" /tmp/close_round_test.log \
+    | tail -1 | grep -oE "[0-9]+")
+  suites=$(grep -oE "Suites: completed [0-9]+" /tmp/close_round_test.log \
+    | tail -1 | grep -oE "[0-9]+")
+  gates=$(find /tmp/close_round_verify -mindepth 1 -maxdepth 1 -type d \
+    | wc -l | tr -d ' ')
+  oracle=$(grep -cE "^PASS " /tmp/close_round_oracle.log || true)
+  msg="$msg
+
+Ledger (tool-emitted by close_round.sh): $gates gates verified,
+$oracle/$gates oracle-PASS at sf0.01, $specs specs green across
+$suites suites."
+  echo "[close_round] ledger: $gates gates, $oracle oracle-PASS, $specs specs / $suites suites"
+fi
+
 git add -A
 git commit -m "$msg"
 echo "[close_round] snapshot committed."
+
+# Serialize the round close against the driver bench (round-12 lesson:
+# BENCH_r12 recorded under the verify sweep's load, inheriting a 2.7x
+# steady>cold inversion): don't return until the host has settled, so a
+# bench launched right after the close starts from an idle machine.
+# graft.Bench has its own idle gate too — this is the belt to it.
+i=0
+while [ "$(awk '{print ($1 > 2.0)}' /proc/loadavg)" = "1" ] && [ $i -lt 24 ]; do
+  echo "[close_round] waiting for host to settle (loadavg $(cut -d' ' -f1 /proc/loadavg))..."
+  sleep 10; i=$((i+1))
+done
+echo "[close_round] done (loadavg $(cut -d' ' -f1 /proc/loadavg))."
