@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions: the stream-stream join mode matrix completed
+  * (right_outer q299, full_outer q300 — q289 inner and q290
+  * left_outer shipped in round 12), mirroring the reference's
+  * queue→document attribution joins (`src/queue/processor.py`) run as
+  * long-lived watermarked streams.
+  */
+object TestQueries22 {
+
+  /** RIGHT OUTER stream-stream interval join through the real engine —
+    * the q290 replay with the mirrored emission path. Probed
+    * (`tools/ProbeOuterJoin`, pinned by OuterJoinMatrixSpec): an
+    * unmatched alive right emits one null-left row once
+    * `r_ts ≤ watermark` — INCLUSIVE, raw-µs against the ms-floored
+    * watermark (a right at exactly the watermark emits; 1 ms past is
+    * held), UNLIKE the left frontier's strict `l_ts + horizon < wm`.
+    * The asymmetry is condition-derived: a future left can only match
+    * rights strictly ahead of the watermark (`l_ts < r_ts` with new
+    * `l_ts > wm`), so the right's no-future-match frontier sits ON the
+    * watermark, while the left's sits at the end of its own horizon. A
+    * right whose only candidate left was late-dropped IS unmatched
+    * (probed). Same max-ts-in-batch-1 pin as q289/q290 (constant
+    * watermark ⇒ interleaving-proof oracle); null left columns
+    * coalesced to sentinels in both engines. RAW.
+    */
+  val q299StreamRightOuter: QueryCase = QueryCase(
+    "q299_stream_right_outer",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("side")
+      val base = Tables.events(s, dir).where(col("user_id") < 40)
+        .withColumn("side", col("event_id") % 2)
+        .withColumn("smax", max(col("ts")).over(w))
+        .withColumn("b", when(col("ts") === col("smax"), lit(0L))
+          .otherwise(expr("(event_id div 2) % 2")))
+      val l = base.where(col("side") === 0)
+      val r = base.where(col("side") === 1)
+      graft.streaming.StreamJoin
+        .intervalJoinReplay(l, r, "user_id", "event_id",
+          horizonSec = 86400, delayMinutes = 2880, batchCol = "b",
+          joinType = "right_outer")
+        .select(col("k").as("user_id"),
+          coalesce(col("l_ts"), lit("1970-01-01 00:00:00")
+            .cast("timestamp")).as("l_ts"),
+          coalesce(col("l_id"), lit(-1L)).as("l_id"),
+          col("r_ts"), col("r_id"))
+        .orderBy("r_id", "l_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+               event_id % 2 AS side
+        FROM events WHERE user_id < 40),
+      sm AS (SELECT *, MAX(ts) OVER (PARTITION BY side) AS smax FROM e),
+      eb AS (
+        SELECT *, CASE WHEN ts = smax THEN 0
+                       ELSE (event_id // 2) % 2 END AS b
+        FROM sm),
+      l AS (SELECT user_id AS k, ts, event_id AS l_id, b
+            FROM eb WHERE side = 0),
+      r AS (SELECT user_id AS k, ts, event_id AS r_id, b
+            FROM eb WHERE side = 1),
+      wm AS (
+        SELECT least(
+          (SELECT date_trunc('milliseconds', MAX(ts)) FROM l WHERE b = 0),
+          (SELECT date_trunc('milliseconds', MAX(ts)) FROM r WHERE b = 0))
+          - INTERVAL 2880 MINUTE AS w),
+      pairs AS (
+        SELECT l.k, l.ts AS l_ts, l.l_id, r.ts AS r_ts, r.r_id
+        FROM l JOIN r ON l.k = r.k
+          AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 86400 SECOND, wm
+        WHERE (l.b = 0 OR l.ts > wm.w) AND (r.b = 0 OR r.ts > wm.w)),
+      nulls AS (
+        SELECT r.k, TIMESTAMP '1970-01-01 00:00:00' AS l_ts,
+               CAST(-1 AS BIGINT) AS l_id, r.ts AS r_ts, r.r_id
+        FROM r, wm
+        WHERE (r.b = 0 OR r.ts > wm.w)
+          AND r.ts <= wm.w
+          AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.r_id = r.r_id))
+      SELECT k AS user_id, l_ts, l_id, r_ts, r_id FROM pairs
+      UNION ALL
+      SELECT k AS user_id, l_ts, l_id, r_ts, r_id FROM nulls
+      ORDER BY r_id, l_id"""))
+
+  /** FULL OUTER stream-stream interval join — the last cell of the
+    * join-mode matrix (the engine ACCEPTS interval-condition
+    * full-outer on Spark 4.1, so it gets a gate, not a rejection pin
+    * like session × update). Probed (`tools/ProbeOuterJoin`): the
+    * emitted set is exactly inner pairs ∪ q290's left null path ∪
+    * q299's right null path, each side KEEPING its own frontier
+    * convention — left nulls STRICT on `l_ts + horizon < wm`, right
+    * nulls INCLUSIVE on `r_ts ≤ wm` — probed side by side in one run
+    * at the exact ±1 ms boundaries. RAW.
+    */
+  val q300StreamFullOuter: QueryCase = QueryCase(
+    "q300_stream_full_outer",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("side")
+      val base = Tables.events(s, dir).where(col("user_id") < 40)
+        .withColumn("side", col("event_id") % 2)
+        .withColumn("smax", max(col("ts")).over(w))
+        .withColumn("b", when(col("ts") === col("smax"), lit(0L))
+          .otherwise(expr("(event_id div 2) % 2")))
+      val l = base.where(col("side") === 0)
+      val r = base.where(col("side") === 1)
+      graft.streaming.StreamJoin
+        .intervalJoinReplay(l, r, "user_id", "event_id",
+          horizonSec = 86400, delayMinutes = 2880, batchCol = "b",
+          joinType = "full_outer")
+        .select(col("k").as("user_id"),
+          coalesce(col("l_ts"), lit("1970-01-01 00:00:00")
+            .cast("timestamp")).as("l_ts"),
+          coalesce(col("l_id"), lit(-1L)).as("l_id"),
+          coalesce(col("r_ts"), lit("1970-01-01 00:00:00")
+            .cast("timestamp")).as("r_ts"),
+          coalesce(col("r_id"), lit(-1L)).as("r_id"))
+        .orderBy("l_id", "r_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+               event_id % 2 AS side
+        FROM events WHERE user_id < 40),
+      sm AS (SELECT *, MAX(ts) OVER (PARTITION BY side) AS smax FROM e),
+      eb AS (
+        SELECT *, CASE WHEN ts = smax THEN 0
+                       ELSE (event_id // 2) % 2 END AS b
+        FROM sm),
+      l AS (SELECT user_id AS k, ts, event_id AS l_id, b
+            FROM eb WHERE side = 0),
+      r AS (SELECT user_id AS k, ts, event_id AS r_id, b
+            FROM eb WHERE side = 1),
+      wm AS (
+        SELECT least(
+          (SELECT date_trunc('milliseconds', MAX(ts)) FROM l WHERE b = 0),
+          (SELECT date_trunc('milliseconds', MAX(ts)) FROM r WHERE b = 0))
+          - INTERVAL 2880 MINUTE AS w),
+      pairs AS (
+        SELECT l.k, l.ts AS l_ts, l.l_id, r.ts AS r_ts, r.r_id
+        FROM l JOIN r ON l.k = r.k
+          AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 86400 SECOND, wm
+        WHERE (l.b = 0 OR l.ts > wm.w) AND (r.b = 0 OR r.ts > wm.w)),
+      lnulls AS (
+        SELECT l.k, l.ts AS l_ts, l.l_id,
+               TIMESTAMP '1970-01-01 00:00:00' AS r_ts,
+               CAST(-1 AS BIGINT) AS r_id
+        FROM l, wm
+        WHERE (l.b = 0 OR l.ts > wm.w)
+          AND l.ts + INTERVAL 86400 SECOND < wm.w
+          AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.l_id = l.l_id)),
+      rnulls AS (
+        SELECT r.k, TIMESTAMP '1970-01-01 00:00:00' AS l_ts,
+               CAST(-1 AS BIGINT) AS l_id, r.ts AS r_ts, r.r_id
+        FROM r, wm
+        WHERE (r.b = 0 OR r.ts > wm.w)
+          AND r.ts <= wm.w
+          AND NOT EXISTS (SELECT 1 FROM pairs p WHERE p.r_id = r.r_id))
+      SELECT k AS user_id, l_ts, l_id, r_ts, r_id FROM pairs
+      UNION ALL SELECT k AS user_id, l_ts, l_id, r_ts, r_id FROM lnulls
+      UNION ALL SELECT k AS user_id, l_ts, l_id, r_ts, r_id FROM rnulls
+      ORDER BY l_id, r_id"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q299StreamRightOuter, q300StreamFullOuter)
+}

@@ -134,7 +134,10 @@ object StreamJoin {
           col("r_ts") > col("l_ts") &&
           col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec seconds"),
           joinType)
-        .select(col("k"), col("l_ts"), col("l_id"), col("r_ts"), col("r_id"))
+        // the key survives on whichever side is present: right_outer /
+        // full_outer null-left rows carry it only in rk
+        .select(coalesce(col("k"), col("rk")).as("k"),
+          col("l_ts"), col("l_id"), col("r_ts"), col("r_id"))
       val sinkName = SinkNames.next("stream_join_replay")
       val query = joined.writeStream.format("memory").queryName(sinkName)
         .outputMode("append").start()

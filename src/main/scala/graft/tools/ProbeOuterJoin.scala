@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.tools.ProbeStreamJoin.{L, R, run, ts}
+
+/** Empirical probe of Spark 4.1 stream-stream RIGHT-OUTER and
+  * FULL-OUTER interval-join semantics — the two cells left open in the
+  * join-mode matrix (q289 inner, q290 left_outer). Never guess: the
+  * left_outer null frontier turned out STRICT (`l_ts + horizon < wm`)
+  * while the late filter is INCLUSIVE; the right side's frontier shape
+  * must be read off the engine the same way.
+  *
+  * Geometry (delay 10 min, horizon 300 s): batch-1 anchors at 12:30 on
+  * both sides pin wm1 = 12:20; unmatched rights straddle 12:20 by
+  * ±1 ms; a lone batch-2 row above the watermark triggers the batch
+  * that applies wm1.
+  */
+object ProbeOuterJoin {
+  def main(args: Array[String]): Unit = {
+    // RO-1: right-outer null-left frontier. Unmatched rights at
+    // 12:19:59.999 / 12:20:00.000 / 12:20:00.001 vs wm1 = 12:20.
+    // Which emit (k, null-l, r) rows in batch 2?
+    run("RO_frontier", 300, 10,
+      lb1 = Seq(L(9, ts(30), 100)),
+      rb1 = Seq(R(9, ts(30), 200), R(1, ts(19, 59, 999), 201),
+        R(2, ts(20), 202), R(3, ts(20, 0, 1), 203)),
+      lb2 = Seq(L(7, ts(25), 110)),
+      rb2 = Seq(),
+      joinType = "right_outer")
+
+    // RO-2: matched rights never emit nulls; matched pairs emit as
+    // inner. k=1 pair fully inside batch 1; k=2 right unmatched (its
+    // only candidate left is late-dropped in batch 2).
+    run("RO_matched", 300, 10,
+      lb1 = Seq(L(9, ts(30), 100), L(1, ts(10), 101)),
+      rb1 = Seq(R(9, ts(30), 200), R(1, ts(11), 201), R(2, ts(12), 202)),
+      lb2 = Seq(L(2, ts(11), 110)), // late: 12:11 <= wm1 12:20
+      rb2 = Seq(),
+      joinType = "right_outer")
+
+    // FO-1: full-outer — both frontiers in one run. Unmatched lefts
+    // with l_ts + horizon straddling wm1 (12:14:59.999 → end
+    // 12:19:59.999 < wm; 12:15:00.000 → end == wm; 12:15:00.001 → end
+    // just past wm) and unmatched rights straddling wm1 directly.
+    run("FO_both", 300, 10,
+      lb1 = Seq(L(9, ts(30), 100), L(1, ts(14, 59, 999), 101),
+        L(2, ts(15), 102), L(3, ts(15, 0, 1), 103)),
+      rb1 = Seq(R(9, ts(30), 200), R(4, ts(19, 59, 999), 204),
+        R(5, ts(20), 205), R(6, ts(20, 0, 1), 206)),
+      lb2 = Seq(L(7, ts(25), 110)),
+      rb2 = Seq(),
+      joinType = "full_outer")
+  }
+}

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Pins [[StreamJoin.intervalJoinReplay]]'s RIGHT OUTER and FULL OUTER
+  * semantics (`tools/ProbeOuterJoin`), completing the join-mode matrix
+  * next to q289 (inner) / OuterJoinReplaySpec (left_outer). Geometry:
+  * delay = 10 min, horizon = 300 s; wm1 = 12:20 (batch-1 maxima 12:30
+  * both sides), wm2 = 12:40 (batch-2 maxima 12:50).
+  *
+  * The probed asymmetry this spec exists to pin: the RIGHT null-row
+  * frontier is INCLUSIVE `r_ts ≤ wm` (raw µs vs the ms-floored
+  * watermark), while the LEFT frontier is STRICT `l_ts + horizon < wm`.
+  * Condition-derived: with `l_ts < r_ts ≤ l_ts + horizon`, a future
+  * left (event time > wm) can only match rights strictly ahead of the
+  * watermark, so a right AT the watermark is already unmatchable; a
+  * left whose horizon end sits AT the watermark can still be matched
+  * by a right exactly there (the inclusive interval end).
+  */
+class OuterJoinMatrixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  // rights probing the INCLUSIVE r_ts ≤ wm2 frontier at ±1 ms, plus the
+  // matched / late-partner / late-input / open cases
+  private val right = Seq(
+    (9L, t("2024-01-01 12:30:00"), 200L, 0L), // b1 wm driver; unmatched
+    (1L, t("2024-01-01 12:39:59.999"), 201L, 0L), // 1 ms below wm2
+    (2L, t("2024-01-01 12:40:00"), 202L, 0L), // exactly AT wm2
+    (3L, t("2024-01-01 12:40:00.001"), 203L, 0L), // 1 ms past wm2
+    (4L, t("2024-01-01 12:19:00"), 204L, 0L), // only left late-dropped
+    (5L, t("2024-01-01 12:26:00"), 205L, 0L), // matched in batch 1
+    (6L, t("2024-01-01 12:19:30"), 206L, 1L), // late b2 right (≤ wm1)
+    (9L, t("2024-01-01 12:50:00"), 209L, 1L)  // b2 wm driver; open
+  ).toDF("user_id", "ts", "event_id", "b")
+
+  private val left = Seq(
+    (9L, t("2024-01-01 12:30:00"), 100L, 0L),
+    (5L, t("2024-01-01 12:25:00"), 105L, 0L),
+    (4L, t("2024-01-01 12:17:00"), 104L, 1L), // late (≤ wm1): dropped
+    (9L, t("2024-01-01 12:50:00"), 109L, 1L)
+  ).toDF("user_id", "ts", "event_id", "b")
+
+  private lazy val ro = StreamJoin
+    .intervalJoinReplay(left, right, "user_id", "event_id",
+      horizonSec = 300, delayMinutes = 10, batchCol = "b",
+      joinType = "right_outer")
+    .orderBy("r_id").collect()
+    .map(r => (if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(4)))
+
+  test("right_outer emitted set: pairs eager, null-left rows only for " +
+    "unmatched rights at or behind the final watermark") {
+    assert(ro.toSeq == Seq((-1L, 200L), (-1L, 201L), (-1L, 202L),
+      (-1L, 204L), (105L, 205L)))
+  }
+
+  test("right null-row frontier is INCLUSIVE r_ts <= wm (at-wm emits: " +
+    "202; 1 ms past held: 203) — the probed asymmetry vs the left's " +
+    "strict l+horizon < wm") {
+    assert(ro.exists(p => p._2 == 202L && p._1 == -1L))
+    assert(!ro.exists(_._2 == 203L))
+  }
+
+  test("a right whose only candidate left was late-dropped is unmatched " +
+    "(204); a late b2 right emits nothing (206); open right held (209)") {
+    assert(ro.exists(p => p._2 == 204L && p._1 == -1L))
+    assert(!ro.exists(_._2 == 206L) && !ro.exists(_._2 == 209L))
+  }
+
+  test("right_outer matched pairs coincide exactly with the inner " +
+    "join's emitted set (outer mode only ADDS null rows)") {
+    val inner = StreamJoin
+      .intervalJoinReplay(left, right, "user_id", "event_id",
+        horizonSec = 300, delayMinutes = 10, batchCol = "b")
+      .collect().map(r => (r.getLong(2), r.getLong(4))).toSet
+    val roPairs = ro.filter(_._1 != -1L).toSet
+    assert(roPairs == inner)
+  }
+
+  private lazy val fo = StreamJoin
+    .intervalJoinReplay(left, right, "user_id", "event_id",
+      horizonSec = 300, delayMinutes = 10, batchCol = "b",
+      joinType = "full_outer")
+    .collect()
+    .map(r => (if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(4)) -1L else r.getLong(4)))
+    .toSet
+
+  test("full_outer is accepted by the engine and emits exactly " +
+    "pairs ∪ left nulls (strict frontier) ∪ right nulls (inclusive " +
+    "frontier)") {
+    val lo = StreamJoin
+      .intervalJoinReplay(left, right, "user_id", "event_id",
+        horizonSec = 300, delayMinutes = 10, batchCol = "b",
+        joinType = "left_outer")
+      .collect()
+      .map(r => (r.getLong(2), if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toSet
+    assert(fo == lo ++ ro.toSet)
+  }
+}
