@@ -26,6 +26,16 @@ private[streaming] object ReplayHarness {
   /** State/shuffle partitions for replay harnesses only. */
   val StatePartitions = 4
 
+  /** System property selecting the child session's state-store
+    * provider (fully-qualified class name). Unset = engine default
+    * (HDFSBackedStateStoreProvider). The production 100 TB shape is
+    * the RocksDB provider (state spills off-heap/disk instead of
+    * living on the executor heap); StateProviderSwapSpec pins that
+    * swapping providers never moves the emitted rows, so the gates'
+    * oracle anchors transfer to the RocksDB deployment verbatim.
+    */
+  val ProviderProp = "graft.replay.stateStoreProvider"
+
   /** Runs `f` against a fresh child session (shared SparkContext,
     * private conf + catalog) with shuffle partitions pinned to
     * [[StatePartitions]]. The child's catalog also isolates the
@@ -35,6 +45,9 @@ private[streaming] object ReplayHarness {
     val child = parent.newSession()
     child.conf.set("spark.sql.shuffle.partitions",
       StatePartitions.toString)
+    sys.props.get(ProviderProp).filter(_.nonEmpty).foreach { cls =>
+      child.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+    }
     f(child)
   }
 }

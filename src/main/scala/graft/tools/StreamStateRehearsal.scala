@@ -1,0 +1,122 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Measured evidence for the streaming plane's 100 TB claim: the
+  * q295-shape chained query (dropDuplicatesWithinWatermark → tumbling
+  * window) run through the REAL engine with the RocksDB state-store
+  * provider on a 37–370× replay of the gate volume (full `events`
+  * table, all users, vs the gate's user_id < 40 slice), with
+  * `recentProgress` state metrics recorded per batch.
+  *
+  * The claim under test: with event-time-ordered arrival and a
+  * watermark, state is bounded by the (delay + window) HORIZON, not by
+  * stream length — `numRowsTotal` per state operator plateaus after
+  * the horizon fills, and stays flat as more batches stream through.
+  * That is the shape a 1000-executor deployment relies on: state per
+  * key-partition is O(keys alive within the horizon), independent of
+  * how many days the query has been running.
+  *
+  *   sbt "runMain graft.tools.StreamStateRehearsal <eventsDir> \
+  *        [batches] [provider]"
+  *   provider: rocksdb (default) | hdfs
+  *
+  * Output: one line per (batch, state operator) with numRowsTotal /
+  * updated / removed / memoryUsedBytes + the batch watermark, then a
+  * flatness summary (max/min numRowsTotal over the steady batches).
+  */
+object StreamStateRehearsal {
+  final case class VEv(k: Long, ts: Timestamp, id: Long, v: Double)
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(16)
+    val provider = args.lift(2).getOrElse("rocksdb") match {
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case _ => RocksDb
+    }
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.streaming.stateStore.providerClass", provider)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Full events table, time-ordered (the production arrival shape a
+    // watermark assumes), planted ~50% duplicate keys so the dedup
+    // operator's suppression path is exercised, not just its inserts.
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("value").cast("double").as("v"))
+      .orderBy("ts", "event_id")
+      .collect()
+      .map(r => VEv(r.getLong(0) / 2, r.getTimestamp(1), r.getLong(0),
+        r.getDouble(3)))
+    println(s"[rehearsal] ${rows.length} events, $nBatches batches, " +
+      s"provider=${provider.split('.').last}")
+
+    val input = MemoryStream[VEv]
+    val out = input.toDS().toDF()
+      .withWatermark("ts", "120 minutes")
+      .dropDuplicatesWithinWatermark("k")
+      .groupBy(window(col("ts"), "60 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("n_events"),
+        col("sum_value"))
+    val sink = s"state_rehearsal_${System.nanoTime()}"
+    val query = out.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long, Long, Long, String)]
+    try {
+      val batchSize = math.max(1, rows.length / nBatches)
+      rows.grouped(batchSize).zipWithIndex.foreach { case (batch, i) =>
+        input.addData(batch.toIndexedSeq)
+        query.processAllAvailable()
+        // the last progress with input rows is this batch's data batch
+        query.recentProgress.filter(_.numInputRows > 0).lastOption
+          .foreach { p =>
+            val wm = Option(p.eventTime.get("watermark")).getOrElse("-")
+            p.stateOperators.foreach { so =>
+              perBatch += ((i, so.operatorName, so.numRowsTotal,
+                so.numRowsUpdated, so.numRowsRemoved,
+                so.memoryUsedBytes, wm))
+              println(f"[rehearsal] batch $i%2d ${so.operatorName}%-28s " +
+                f"rows=${so.numRowsTotal}%8d updated=${so.numRowsUpdated}%7d " +
+                f"removed=${so.numRowsRemoved}%7d mem=${so.memoryUsedBytes}%10d " +
+                s"wm=$wm")
+            }
+          }
+      }
+      val emitted = spark.table(sink).count()
+      println(s"[rehearsal] emitted windows: $emitted")
+      // Flatness: over the steady second half of the run, state must
+      // not trend with stream position. Report max/min per operator.
+      perBatch.groupBy(_._2).foreach { case (op, xs) =>
+        val steady = xs.filter(_._1 >= nBatches / 2).map(_._3)
+        if (steady.nonEmpty) {
+          val ratio = steady.max.toDouble / math.max(1L, steady.min)
+          println(f"[rehearsal] FLATNESS $op%-28s steady rows " +
+            f"[${steady.min}, ${steady.max}] max/min=${ratio}%.2f")
+        }
+      }
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView(sink)
+    }
+    spark.stop()
+  }
+}

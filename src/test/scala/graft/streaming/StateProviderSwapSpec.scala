@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Pins that swapping the state-store provider NEVER moves emitted
+  * rows: the q295-shape chained dedup → tumbling-window replay (the
+  * DedupWindowReplaySpec fixture) and the q299/q300-shape outer join
+  * produce bit-identical output under the default
+  * HDFSBackedStateStoreProvider and under RocksDB — so the gates'
+  * oracle anchors transfer verbatim to the RocksDB deployment, which
+  * is the 100 TB production shape (state off-heap/disk instead of on
+  * the executor heap; `tools/StreamStateRehearsal` measures its
+  * flat-state behavior at 37–370× the gate volume).
+  */
+class StateProviderSwapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private val rows = Seq(
+    (1L, t("2024-01-01 12:01:00"), 1L, 1.0, 0L),
+    (1L, t("2024-01-01 12:02:00"), 2L, 2.0, 0L),
+    (2L, t("2024-01-01 12:03:00"), 3L, 4.0, 0L),
+    (9L, t("2024-01-01 12:30:00"), 4L, 8.0, 0L),
+    (1L, t("2024-01-01 12:25:00"), 5L, 16.0, 1L),
+    (3L, t("2024-01-01 12:15:00"), 6L, 64.0, 1L),
+    (8L, t("2024-01-01 12:50:00"), 7L, 32.0, 1L)
+  ).toDF("k", "ts", "event_id", "value", "b")
+
+  private def dedupWindow(): Seq[(String, Long, Double)] = StreamDedup
+    .replayDedupWindow(rows, "k", "event_id", "value", delayMinutes = 10,
+      windowMinutes = 10, batchCol = "b")
+    .orderBy("window_start").collect()
+    .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getDouble(3)))
+    .toSeq
+
+  private def withProvider[A](cls: String)(f: => A): A = {
+    sys.props(ReplayHarness.ProviderProp) = cls
+    try f finally sys.props.remove(ReplayHarness.ProviderProp)
+  }
+
+  test("chained dedup→window replay emits identically under RocksDB " +
+    "and the default provider") {
+    val default = dedupWindow()
+    val rocks = withProvider(RocksDb)(dedupWindow())
+    assert(rocks == default)
+    // and both match the spec-pinned oracle values, so the swap test
+    // can never pass vacuously on two equally-wrong providers
+    assert(default == Seq(
+      ("2024-01-01 12:00:00.0", 2L, 5.0),
+      ("2024-01-01 12:20:00.0", 1L, 16.0),
+      ("2024-01-01 12:30:00.0", 1L, 8.0)))
+  }
+
+  private val left = Seq(
+    (9L, t("2024-01-01 12:30:00"), 100L, 0L),
+    (5L, t("2024-01-01 12:25:00"), 105L, 0L),
+    (9L, t("2024-01-01 12:50:00"), 109L, 1L)
+  ).toDF("user_id", "ts", "event_id", "b")
+
+  private val right = Seq(
+    (9L, t("2024-01-01 12:30:00"), 200L, 0L),
+    (1L, t("2024-01-01 12:39:00"), 201L, 0L),
+    (5L, t("2024-01-01 12:26:00"), 205L, 0L),
+    (9L, t("2024-01-01 12:50:00"), 209L, 1L)
+  ).toDF("user_id", "ts", "event_id", "b")
+
+  test("full-outer join replay emits identically under RocksDB and " +
+    "the default provider") {
+    def run(): Set[(Long, Long)] = StreamJoin
+      .intervalJoinReplay(left, right, "user_id", "event_id",
+        horizonSec = 300, delayMinutes = 10, batchCol = "b",
+        joinType = "full_outer")
+      .collect()
+      .map(r => (if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))
+      .toSet
+    val default = run()
+    val rocks = withProvider(RocksDb)(run())
+    assert(rocks == default)
+    assert(default.nonEmpty && default.exists(_._1 == -1L) &&
+      default.exists(_._2 == -1L), "fixture exercises both null paths")
+  }
+}
