@@ -277,7 +277,7 @@ object TestQueries21 {
     * pipeline (8-gram anchors, df-guard 2..20, diagonal islands,
     * minSpan 16) in DuckDB. All integer/string → RAW.
     */
-  private val DupSpanSql = """
+  private[queries] val DupSpanSql = """
       WITH tk AS (
         SELECT doc_id,
           list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),

@@ -163,6 +163,175 @@ object TestQueries22 {
       UNION ALL SELECT k AS user_id, l_ts, l_id, r_ts, r_id FROM rnulls
       ORDER BY l_id, r_id"""))
 
+  /** Training-data refinery, END TO END in one oracled gate: exact
+    * duplicated-span detection → span cutting → quality screen →
+    * per-shard sequence packing, with a four-row VOLUME LEDGER output
+    * (stage, n_docs, n_tokens, aux) proving the stages compose without
+    * driver round-trips — the q109 curation-pipeline pattern extended
+    * to SPAN granularity (the round-12 actionable-dedup path,
+    * reference framing: the ETL spine §3.1).
+    *
+    * Stages (every one individually gated — q283 spans, q287 cut, q26
+    * quality, q92 packing — so a ledger mismatch localizes): spans
+    * with the q283 parameters (8-gram anchors, df-guard 2..20,
+    * ≥16-token spans); pairwise-lowest-id span cutting; a Gopher-style
+    * screen (kept ≥ 40 tokens AND composite quality ≥ 0.5 on the CUT
+    * text — the screen sees post-dedup content, the production order);
+    * greedy token-budget packing (budget 512, shard = doc_id % 8).
+    * aux per stage: 0 / tokens cut / docs dropped / sequences created.
+    *
+    * Scale shape: multi-consumer frames are localCheckpointed (the
+    * Pipeline/Dedup discipline), the cut is a df-guarded gram
+    * equi-join + disjoint-interval anti-join, the screen is a map, the
+    * pack is per-shard sequential (flatMapGroups) — no stage collects.
+    * All-integer ledger → RAW.
+    */
+  val q301RefineryE2e: QueryCase = QueryCase(
+    "q301_refinery_e2e",
+    (s, dir) => {
+      import graft.functions.TextFunctions
+      val d = Tables.documents(s, dir)
+      val spans = graft.operators.DupSpans.maximalSharedSpans(
+        d, "doc_id", "text", k = 8, dfCutoff = 20, minSpan = 16)
+      val cut = graft.operators.DupSpans
+        .cutSpans(d, "doc_id", "text", spans).localCheckpoint(true)
+      val screened = cut
+        .withColumn("q", TextFunctions.qualityScore(col("kept_text")))
+        .where(col("kept_tokens") >= 40 && col("q") >= 0.5)
+        .localCheckpoint(true)
+      val packed = graft.operators.Curation.packSequences(
+          screened.withColumn("shard", col("doc_id") % 8),
+          "shard", "doc_id", col("kept_tokens"), 512)
+        .localCheckpoint(true)
+      val st1 = d
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+            .as("n_tokens"))
+        .select(lit("1_input").as("stage"), col("n_docs"),
+          col("n_tokens"), lit(0L).as("aux"))
+      val st2 = cut
+        .agg(sum(when(col("cut_tokens") > 0, 1L).otherwise(0L))
+          .as("n_docs"),
+          sum(col("kept_tokens")).as("n_tokens"),
+          sum(col("cut_tokens")).as("aux"))
+        .select(lit("2_span_cut").as("stage"), col("n_docs"),
+          col("n_tokens"), col("aux"))
+      val totalDocs = cut.agg(count(lit(1)).as("td"))
+      val st3 = screened
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("kept_tokens")).as("n_tokens"))
+        .crossJoin(broadcast(totalDocs))
+        .select(lit("3_quality").as("stage"), col("n_docs"),
+          col("n_tokens"), (col("td") - col("n_docs")).as("aux"))
+      val seqTotals = packed.groupBy("shard")
+        .agg(max(col("seq")).as("mx")).agg(sum(col("mx")).as("aux"))
+      val st4 = packed
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+        .crossJoin(broadcast(seqTotals))
+        .select(lit("4_packed").as("stage"), col("n_docs"),
+          col("n_tokens"), col("aux"))
+      st1.unionByName(st2).unionByName(st3).unionByName(st4)
+        .orderBy("stage")
+    },
+    Some(s"""${TestQueries21.DupSpanSql.replaceFirst("WITH", "WITH RECURSIVE")},
+      iv AS (
+        SELECT DISTINCT doc_b AS doc_id, b_start AS s,
+          b_start + span_tokens AS e FROM sp),
+      mo AS (
+        SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+        FROM iv),
+      mb AS (
+        SELECT *, CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END
+          AS brk FROM mo),
+      mi AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM mb),
+      mg AS (
+        SELECT doc_id, isl, MIN(s) AS ms, MAX(e) AS me
+        FROM mi GROUP BY doc_id, isl),
+      tok AS (
+        SELECT doc_id, i AS pos, tks[i] AS token
+        FROM tk, UNNEST(range(1, len(tks) + 1)) AS t(i)),
+      kp AS (
+        SELECT t.doc_id, t.pos, t.token FROM tok t
+        WHERE NOT EXISTS (SELECT 1 FROM mg m
+          WHERE m.doc_id = t.doc_id AND t.pos >= m.ms AND t.pos < m.me)),
+      rb AS (
+        SELECT doc_id, COUNT(*) AS kept_tokens,
+          string_agg(token, ' ' ORDER BY pos) AS kept_text
+        FROM kp GROUP BY doc_id),
+      cutl AS (
+        SELECT tk.doc_id, CAST(len(tk.tks) AS BIGINT) AS n_tokens,
+          CAST(len(tk.tks) - COALESCE(rb.kept_tokens, 0) AS BIGINT)
+            AS cut_tokens,
+          CAST(COALESCE(rb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+          COALESCE(rb.kept_text, '') AS kept_text
+        FROM tk LEFT JOIN rb USING (doc_id)),
+      qs AS (
+        SELECT doc_id, kept_tokens, kept_text,
+          list_filter(string_split_regex(LOWER(TRIM(kept_text)), '\\s+'),
+            x -> x <> '') AS tk2
+        FROM cutl),
+      qc AS (
+        SELECT doc_id, kept_tokens,
+          LEAST(CAST(LEN(tk2) AS DOUBLE) / 50, 1.0) AS len_score,
+          GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(kept_text) = 0 THEN 0.0
+            ELSE CAST(LEN(regexp_extract_all(kept_text, '[^A-Za-z0-9\\s]'))
+              AS DOUBLE) / LENGTH(kept_text) END) * 5) AS punct_pen,
+          GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(kept_text) = 0 THEN 0.0
+            ELSE CAST(LEN(regexp_extract_all(kept_text, '[0-9]'))
+              AS DOUBLE) / LENGTH(kept_text) END) * 5) AS digit_pen,
+          CASE WHEN LEN(tk2) = 0 THEN 0.0
+               ELSE CAST(list_sum(list_transform(tk2, x -> LENGTH(x)))
+                 AS DOUBLE) / LEN(tk2) END AS mtl
+        FROM qs),
+      scr AS (
+        SELECT doc_id, kept_tokens FROM qc
+        WHERE kept_tokens >= 40
+          AND ROUND(len_score * 0.4 + punct_pen * 0.2 + digit_pen * 0.2 +
+            (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0
+                  WHEN mtl = 0 THEN 0.0 ELSE 0.5 END) * 0.2, 6) >= 0.5),
+      pd AS (
+        SELECT CAST(doc_id % 8 AS VARCHAR) AS shard, doc_id AS id,
+          kept_tokens AS tok,
+          ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+            AS ord
+        FROM scr),
+      rec AS (
+        SELECT shard, id, ord, tok, CAST(1 AS BIGINT) AS seq, tok AS acc
+        FROM pd WHERE ord = 1
+        UNION ALL
+        SELECT p.shard, p.id, p.ord, p.tok,
+          CASE WHEN r.acc > 0 AND r.acc + p.tok > 512
+            THEN r.seq + 1 ELSE r.seq END,
+          CASE WHEN r.acc > 0 AND r.acc + p.tok > 512
+            THEN p.tok ELSE r.acc + p.tok END
+        FROM rec r JOIN pd p ON p.shard = r.shard AND p.ord = r.ord + 1),
+      sq AS (SELECT shard, MAX(seq) AS mx FROM rec GROUP BY shard)
+      SELECT '1_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(tks)) AS BIGINT) AS n_tokens,
+             CAST(0 AS BIGINT) AS aux
+      FROM tk
+      UNION ALL
+      SELECT '2_span_cut',
+             CAST(COUNT(*) FILTER (WHERE cut_tokens > 0) AS BIGINT),
+             CAST(SUM(kept_tokens) AS BIGINT),
+             CAST(SUM(cut_tokens) AS BIGINT)
+      FROM cutl
+      UNION ALL
+      SELECT '3_quality', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(kept_tokens) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM cutl) - COUNT(*) AS BIGINT)
+      FROM scr
+      UNION ALL
+      SELECT '4_packed', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(tok) AS BIGINT),
+             CAST((SELECT SUM(mx) FROM sq) AS BIGINT)
+      FROM rec
+      ORDER BY stage"""))
+
   val all: Seq[QueryCase] =
-    Seq(q299StreamRightOuter, q300StreamFullOuter)
+    Seq(q299StreamRightOuter, q300StreamFullOuter, q301RefineryE2e)
 }
