@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{CrossHash, TextFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -52,6 +52,69 @@ object CorpusLm {
     * Output: (doc_id, n_tokens, ce_bits, ppl, bucket).
     */
   def unigramPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                        k: Double = 0.5,
+                        exactTerciles: Boolean = false): DataFrame =
+    unigramPerplexityImpl(docs, idCol, textCol, k, exactTerciles)
+
+  /** Cross-corpus excess-perplexity selection — the CCNet/DSIR-family
+    * document filter (Wenzek et al. 2020 trains the scorer on the
+    * TARGET domain, not the corpus being filtered): every document is
+    * scored under TWO add-k unigram LMs — one trained on the reference
+    * slice (`refFilter` rows; the "what good data looks like" model)
+    * and one on the full corpus — and kept when its reference
+    * cross-entropy does not exceed its self cross-entropy
+    * (excess ≤ 0 ⇔ the reference model explains the document at least
+    * as well as the corpus average does ⇔ target-like).
+    *
+    * Out-of-reference-vocabulary tokens take the add-k floor
+    * k / (N_ref + k·(V_ref+1)) via a left join (c_ref = 0) — the
+    * standard smoothing treatment, no OOV special-casing.
+    *
+    * Scale shape: two global term-count tables (map-side combinable),
+    * per-doc term counts joined against both by term key, scalar
+    * totals broadcast. The per-document math is one aggregation; no
+    * window, no driver state. The keep verdict compares the ROUND(6)
+    * excess against 0 so both engines decide on the identical value
+    * (libm log2 → the rank-on-rounded rule); `+ 0.0` clears the -0.0
+    * asymmetry on exactly-zero excess.
+    *
+    * Output: (doc_id, n_tokens, ce_ref_bits, ce_self_bits,
+    *          excess_bits, keep).
+    */
+  def crossEntropySelect(docs: DataFrame, idCol: String, textCol: String,
+                         refFilter: Column, k: Double = 0.5): DataFrame = {
+    require(k > 0.0, "add-k smoothing constant must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val dt = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val refToks = docs.where(refFilter)
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val refC = refToks.groupBy("t").agg(count(lit(1)).as("rc"))
+    val refTot = refC.agg(sum(col("rc")).as("rn"), count(lit(1)).as("rv"))
+    val selfC = toks.groupBy("t").agg(count(lit(1)).as("sc"))
+    val selfTot = selfC.agg(sum(col("sc")).as("sn"), count(lit(1)).as("sv"))
+    val scored = dt
+      .join(refC, Seq("t"), "left")
+      .join(selfC, Seq("t"))
+      .crossJoin(broadcast(refTot)).crossJoin(broadcast(selfTot))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        (-sum(col("c") * log2((coalesce(col("rc"), lit(0L)) + k)
+            / (col("rn") + lit(k) * (col("rv") + 1))))
+          / sum(col("c"))).as("ce_ref"),
+        (-sum(col("c") * log2((col("sc") + k)
+            / (col("sn") + lit(k) * (col("sv") + 1))))
+          / sum(col("c"))).as("ce_self"))
+    scored.select(col("doc_id"), col("n_tokens"),
+      round(col("ce_ref"), 6).as("ce_ref_bits"),
+      round(col("ce_self"), 6).as("ce_self_bits"),
+      (round(col("ce_ref") - col("ce_self"), 6) + 0.0).as("excess_bits"),
+      (round(col("ce_ref") - col("ce_self"), 6) <= 0.0).as("keep"))
+  }
+
+  private def unigramPerplexityImpl(
+      docs: DataFrame, idCol: String, textCol: String,
                         k: Double = 0.5,
                         exactTerciles: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),

@@ -332,6 +332,58 @@ object TestQueries22 {
       FROM rec
       ORDER BY stage"""))
 
+  /** Cross-corpus excess-perplexity selection —
+    * [[graft.operators.CorpusLm.crossEntropySelect]] (the CCNet
+    * document filter, Wenzek et al. 2020: score under a TARGET-domain
+    * LM, not the corpus's own): reference slice = the `lang = 'en'`
+    * documents, every document scored under the reference add-k
+    * unigram LM and the full-corpus LM, kept when ROUND(6) excess ≤ 0
+    * (reference explains it at least as well as the corpus average).
+    * OOV-vs-reference tokens take the smoothing floor via a left join.
+    * Integer counts + libm log2 → ROUND(6) with the keep verdict on
+    * the rounded value (identical in both engines); `+ 0.0` clears
+    * -0.0 on exactly-zero excess.
+    */
+  val q302CrossEntropySelect: QueryCase = QueryCase(
+    "q302_cross_entropy_select",
+    (s, dir) => graft.operators.CorpusLm
+      .crossEntropySelect(Tables.documents(s, dir), "doc_id", "text",
+        refFilter = col("lang") === "en", k = 0.5)
+      .orderBy("doc_id"),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(
+          list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+            x -> x <> '')) AS t
+        FROM documents),
+      dt AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+      refc AS (
+        SELECT t, COUNT(*) AS rc FROM toks
+        JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY t),
+      reft AS (SELECT CAST(SUM(rc) AS BIGINT) AS rn,
+                      CAST(COUNT(*) AS BIGINT) AS rv FROM refc),
+      selfc AS (SELECT t, COUNT(*) AS sc FROM toks GROUP BY t),
+      selft AS (SELECT CAST(SUM(sc) AS BIGINT) AS sn,
+                       CAST(COUNT(*) AS BIGINT) AS sv FROM selfc),
+      ce AS (
+        SELECT dt.doc_id, CAST(SUM(dt.c) AS BIGINT) AS n_tokens,
+          -SUM(dt.c * log2((COALESCE(refc.rc, 0) + 0.5)
+            / (reft.rn + 0.5 * (reft.rv + 1)))) / SUM(dt.c) AS ce_ref,
+          -SUM(dt.c * log2((selfc.sc + 0.5)
+            / (selft.sn + 0.5 * (selft.sv + 1)))) / SUM(dt.c) AS ce_self
+        FROM dt
+        LEFT JOIN refc USING (t)
+        JOIN selfc USING (t)
+        CROSS JOIN reft CROSS JOIN selft
+        GROUP BY dt.doc_id)
+      SELECT doc_id, n_tokens,
+        ROUND(ce_ref, 6) AS ce_ref_bits,
+        ROUND(ce_self, 6) AS ce_self_bits,
+        ROUND(ce_ref - ce_self, 6) + 0.0 AS excess_bits,
+        ROUND(ce_ref - ce_self, 6) <= 0.0 AS keep
+      FROM ce ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
-    Seq(q299StreamRightOuter, q300StreamFullOuter, q301RefineryE2e)
+    Seq(q299StreamRightOuter, q300StreamFullOuter, q301RefineryE2e,
+      q302CrossEntropySelect)
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[CorpusLm.crossEntropySelect]] against the hand-computed
+  * closed form on a four-document corpus with a two-document reference
+  * slice, including the properties the decomposition must preserve:
+  * OOV-vs-reference tokens take the add-k floor, reference-like
+  * documents keep (excess ≤ 0), off-reference documents drop.
+  */
+class CrossEntropySelectSpec extends SparkSpec {
+  import spark.implicits._
+
+  // reference slice (good = 1): "a a b" + "a b" → ref counts a:3 b:2,
+  // rn = 5, rv = 2. Full corpus adds "c c c" and "a c":
+  // self counts a:4 b:2 c:4, sn = 10, sv = 3.
+  private val docs = Seq(
+    (1L, "a a b", 1), (2L, "a b", 1), (3L, "c c c", 0), (4L, "a c", 0)
+  ).toDF("doc_id", "text", "good")
+
+  private val k = 0.5
+  private def refP(c: Long) = (c + k) / (5 + k * 3) // rn=5, rv=2
+  private def selfP(c: Long) = (c + k) / (10 + k * 4) // sn=10, sv=3
+  private def lg2(x: Double) = math.log(x) / math.log(2.0)
+
+  private def ce(counts: Map[Long, Long], p: Long => Double): Double = {
+    val n = counts.values.sum
+    -counts.map { case (c, m) => m * lg2(p(c)) }.sum / n
+  }
+
+  private lazy val out = CorpusLm
+    .crossEntropySelect(docs, "doc_id", "text", col("good") === 1, k)
+    .collect()
+    .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3),
+      r.getDouble(4), r.getBoolean(5))))
+    .toMap
+
+  test("matches the hand-computed two-model cross-entropies") {
+    // doc 1 "a a b": ref counts per token — a(rc=3)×2, b(rc=2)×1
+    val ceRef1 = -(2 * lg2(refP(3)) + 1 * lg2(refP(2))) / 3
+    val ceSelf1 = -(2 * lg2(selfP(4)) + 1 * lg2(selfP(2))) / 3
+    assert(math.abs(out(1L)._1 -
+      math.rint(ceRef1 * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(out(1L)._2 -
+      math.rint(ceSelf1 * 1e6) / 1e6) < 1e-9)
+    // doc 3 "c c c": c is OOV vs reference → add-k floor rc = 0
+    val ceRef3 = -lg2(refP(0))
+    assert(math.abs(out(3L)._1 -
+      math.rint(ceRef3 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("reference-like documents keep; off-reference documents drop") {
+    assert(out(1L)._4 && out(2L)._4,
+      "reference members must be kept (ref model fits them best)")
+    assert(!out(3L)._4, "pure-OOV document must drop")
+    assert(out(3L)._3 > 0.0, "its excess is positive")
+  }
+
+  test("every document gets a row and n_tokens is the token count") {
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+  }
+}
