@@ -383,7 +383,80 @@ object TestQueries22 {
         ROUND(ce_ref - ce_self, 6) <= 0.0 AS keep
       FROM ce ORDER BY doc_id"""))
 
+  /** SQ8 scalar-quantized ANN — [[graft.search.Sq8Ann.search]] (the
+    * FAISS SQ8 serving pattern): symmetric-int8 quantization at the
+    * corpus's global scale, integer-dot prefilter to top-50, exact
+    * float-domain cosine rescore to top-10. Held-out query protocol =
+    * the q173 family (every 25th vector, QueryBound-bounded — the eval
+    * contract). The quantized codes are integer-valued doubles, so the
+    * prefilter dot is EXACT in both engines (floor(x/s + 0.5) is
+    * exactly rounded, products/sums ≪ 2⁵³) and compares RAW; the
+    * rescore ranks on the unrounded cosine with an id tie-break and
+    * rounds after selection (q24/q170 recipe). `pre_rank` surfaces how
+    * deep each exact winner sat in the quantized order — the recall
+    * diagnostic.
+    */
+  val q303Sq8Ann: QueryCase = QueryCase(
+    "q303_sq8_ann",
+    (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val queries = emb
+        .where(col("vec_id") % 25 === 0 &&
+          col("vec_id") < QueryCase.QueryBound)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val corpus = emb.where(col("vec_id") % 25 =!= 0)
+      graft.search.Sq8Ann.search(corpus, "vec_id", "embedding",
+          queries, "qid", "qv", k = 10, candidates = 50)
+        .orderBy("qid", "rank")
+    },
+    Some(s"""
+      WITH sc AS (
+        SELECT MAX(list_max(list_transform(embedding,
+          x -> ABS(CAST(x AS DOUBLE))))) / 127.0 AS scale
+        FROM embeddings WHERE vec_id % 25 <> 0),
+      q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
+      c8 AS (
+        SELECT vec_id AS cand_id, embedding AS v,
+          list_transform(embedding, x -> GREATEST(-127.0, LEAST(127.0,
+            FLOOR(CAST(x AS DOUBLE) / sc.scale + 0.5)))) AS v8
+        FROM embeddings, sc WHERE vec_id % 25 <> 0),
+      q8 AS (
+        SELECT qid, qv,
+          list_transform(qv, x -> GREATEST(-127.0, LEAST(127.0,
+            FLOOR(CAST(x AS DOUBLE) / sc.scale + 0.5)))) AS qq8
+        FROM q, sc),
+      pre AS (
+        SELECT qid, cand_id, v, qv,
+          list_reduce(list_transform(range(1, len(v8) + 1),
+            i -> v8[i] * qq8[i]), (x, y) -> x + y) AS idot
+        FROM c8 CROSS JOIN q8),
+      pr AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY idot DESC, cand_id) AS pre_rank
+        FROM pre),
+      rs AS (
+        SELECT qid, cand_id, pre_rank,
+          list_reduce(list_transform(range(1, len(v) + 1),
+            i -> CAST(v[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+            (x, y) -> x + y) /
+          (SQRT(list_reduce(list_transform(range(1, len(v) + 1),
+            i -> CAST(v[i] AS DOUBLE) * CAST(v[i] AS DOUBLE)),
+            (x, y) -> x + y)) *
+           SQRT(list_reduce(list_transform(range(1, len(qv) + 1),
+            i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+            (x, y) -> x + y))) AS score
+        FROM pr WHERE pre_rank <= 50),
+      rk AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+          ORDER BY score DESC, cand_id) AS rank
+        FROM rs)
+      SELECT qid, cand_id, ROUND(score, 6) AS score,
+             CAST(pre_rank AS INT) AS pre_rank, CAST(rank AS INT) AS rank
+      FROM rk WHERE rank <= 10 ORDER BY qid, rank"""))
+
   val all: Seq[QueryCase] =
     Seq(q299StreamRightOuter, q300StreamFullOuter, q301RefineryE2e,
-      q302CrossEntropySelect)
+      q302CrossEntropySelect, q303Sq8Ann)
 }

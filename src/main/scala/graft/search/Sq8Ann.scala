@@ -1,0 +1,84 @@
+package graft.search
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalar-quantized (SQ8) approximate nearest neighbor — the FAISS
+  * `SQ8` serving pattern: embeddings quantized to symmetric int8
+  * (global scale = max|x| / 127), candidates prefiltered by the
+  * INTEGER dot product, winners rescored with the exact float-domain
+  * cosine. At serving scale the quantized index is the memory and
+  * bandwidth lever (4× smaller than float32, 8× than float64 — a
+  * 100 TB embedding corpus scans at a quarter of the bytes), composing
+  * orthogonally with IVF's compute lever (prune-then-scan over cells;
+  * `IvfIndex`).
+  *
+  * Determinism: quantized codes are stored as integer-VALUED doubles —
+  * floor(x/s + 0.5) clamped to [-127, 127] (floor is exactly rounded
+  * in both engines, unlike ROUND whose halfway rule differs) — so the
+  * prefilter dot is exact integer arithmetic inside IEEE doubles
+  * (|products| ≤ 127² and dim·127² ≪ 2⁵³): order-independent,
+  * bit-identical cross-engine, and it runs through the codegen
+  * [[graft.functions.DotProduct]] kernel rather than an interpreted
+  * HOF fold. The rescore follows the q24/q170 recipe: rank on the
+  * UNROUNDED cosine with an id tie-break, round after selection.
+  */
+object Sq8Ann {
+
+  /** 1-row (scale) frame: the corpus's symmetric-int8 step. */
+  def scaleOf(corpus: DataFrame, embCol: String): DataFrame =
+    corpus
+      .select(array_max(transform(col(embCol).cast("array<double>"),
+        x => abs(x))).as("m"))
+      .agg(max(col("m")).as("mab"))
+      .select((col("mab") / 127.0).as("scale"))
+
+  /** Quantize `v` by `s`: integer-valued doubles in [-127, 127]. */
+  private def quant(v: org.apache.spark.sql.Column,
+                    s: org.apache.spark.sql.Column) =
+    transform(v, x => greatest(lit(-127.0),
+      least(lit(127.0), floor(x / s + 0.5))))
+
+  /** Top-`k` by SQ8 prefilter + exact rescore.
+    *
+    * @param corpus      (idCol, embCol) vectors to search
+    * @param queries     (qidCol, qvCol) query vectors — broadcast; the
+    *                    caller bounds this side (the eval contract)
+    * @param candidates  prefilter depth C ≥ k: the int-dot top-C per
+    *                    query proceed to exact rescoring
+    * @return (qid, cand_id, score, pre_rank, rank) — `pre_rank` is the
+    *         candidate's position in the integer-dot order, surfacing
+    *         how deep the exact winner sat in the quantized ranking
+    */
+  def search(corpus: DataFrame, idCol: String, embCol: String,
+             queries: DataFrame, qidCol: String, qvCol: String,
+             k: Int, candidates: Int): DataFrame = {
+    require(k >= 1 && candidates >= k, "need candidates >= k >= 1")
+    val scale = scaleOf(corpus, embCol)
+    val c8 = corpus
+      .select(col(idCol).as("cand_id"),
+        col(embCol).cast("array<double>").as("v"))
+      .crossJoin(broadcast(scale))
+      .select(col("cand_id"), col("v"),
+        quant(col("v"), col("scale")).as("v8"))
+    val q8 = queries
+      .select(col(qidCol).as("qid"), col(qvCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(scale))
+      .select(col("qid"), col("qv"), quant(col("qv"), col("scale")).as("q8"))
+    val pre = c8.crossJoin(broadcast(q8))
+      .withColumn("idot", VectorFunctions.dot(col("v8"), col("q8")))
+    val wPre = Window.partitionBy("qid")
+      .orderBy(desc("idot"), col("cand_id"))
+    val cands = pre.withColumn("pre_rank", row_number().over(wPre))
+      .where(col("pre_rank") <= candidates)
+    val rescored = cands
+      .withColumn("score", VectorFunctions.cosineSim(col("v"), col("qv")))
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("cand_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("cand_id"), round(col("score"), 6).as("score"),
+        col("pre_rank"), col("rank"))
+  }
+}

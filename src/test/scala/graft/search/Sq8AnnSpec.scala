@@ -1,0 +1,70 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[Sq8Ann]]: the quantization arithmetic on hand-computed
+  * values, the prefilter/rescore contract, and that a prefilter deep
+  * enough to hold all candidates reproduces the exact brute-force
+  * ranking (SQ8 can only lose candidates at the prefilter cut, never
+  * reorder the exact rescore).
+  */
+class Sq8AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // max|x| = 12.7 → scale = 0.1; quantized codes are exact integers
+  private val corpus = Seq(
+    (1L, Array(12.7f, 0.0f)),   // q = (127, 0)
+    (2L, Array(0.0f, 12.7f)),   // q = (0, 127)
+    (3L, Array(9.0f, 9.0f)),    // q = (90, 90)
+    (4L, Array(-12.7f, 0.0f))   // q = (-127, 0)
+  ).toDF("vec_id", "embedding")
+
+  private val queries = Seq((100L, Array(10.0f, 1.0f)))
+    .toDF("qid", "qv") // q = (100, 10)
+
+  test("global scale is max|x| / 127") {
+    val s = Sq8Ann.scaleOf(corpus, "embedding").head().getDouble(0)
+    // the fixture literal is a FLOAT 12.7f — compare against its exact
+    // double widening, not the decimal 12.7
+    assert(math.abs(s - 12.7f.toDouble / 127.0) < 1e-15)
+  }
+
+  test("integer-dot prefilter order matches the hand computation and " +
+    "rescore is the exact cosine") {
+    val out = Sq8Ann.search(corpus, "vec_id", "embedding",
+        queries, "qid", "qv", k = 4, candidates = 4)
+      .orderBy("rank").collect()
+    // int dots vs (100, 10): v1 12700, v2 1270, v3 9900, v4 -12700 —
+    // prefilter order 1, 3, 2, 4
+    val preByCand = out.map(r => r.getLong(1) -> r.getInt(3)).toMap
+    assert(preByCand == Map(1L -> 1, 3L -> 2, 2L -> 3, 4L -> 4))
+    // exact cosine rescore keeps the same leader here; spot-check v1:
+    // cos((12.7,0),(10,1)) = 127 / (12.7·sqrt(101))
+    val s1 = out.find(_.getLong(1) == 1L).get.getDouble(2)
+    val expect = 127.0 / (12.7 * math.sqrt(101.0))
+    assert(math.abs(s1 - math.rint(expect * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("with candidates >= corpus size the result IS the brute-force " +
+    "exact top-k (prefilter can only cut, never reorder)") {
+    val sq = Sq8Ann.search(corpus, "vec_id", "embedding",
+        queries, "qid", "qv", k = 4, candidates = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getDouble(2)))
+    val brute = corpus.crossJoin(queries)
+      .withColumn("score", graft.functions.VectorFunctions
+        .cosineSim(col("embedding"), col("qv")))
+      .orderBy(desc("score"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(4) * 1e6) / 1e6))
+    assert(sq.toSeq == brute.toSeq)
+  }
+
+  test("quantization clamps to [-127, 127] for out-of-scale queries") {
+    // query outside the corpus's dynamic range: codes clamp, search
+    // still returns k rows with finite scores
+    val hot = Seq((200L, Array(1000.0f, -1000.0f))).toDF("qid", "qv")
+    val out = Sq8Ann.search(corpus, "vec_id", "embedding",
+      hot, "qid", "qv", k = 2, candidates = 4).collect()
+    assert(out.length == 2 && out.forall(r => !r.getDouble(2).isNaN))
+  }
+}
