@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   * `SQ8` serving pattern: embeddings quantized to symmetric int8
   * (global scale = max|x| / 127), candidates prefiltered by the
   * INTEGER dot product, winners rescored with the exact float-domain
-  * cosine. At serving scale the quantized index is the memory and
+  * cosine. Complements [[graft.operators.Quantize.withInt8]] (PER-ROW
+  * scales — the reconstruction/storage lever): search needs ONE GLOBAL
+  * scale so integer dots are rank-comparable across candidates; with
+  * per-row scales the dot would carry a per-candidate factor and stop
+  * being integer-orderable. At serving scale the quantized index is the memory and
   * bandwidth lever (4× smaller than float32, 8× than float64 — a
   * 100 TB embedding corpus scans at a quarter of the bytes), composing
   * orthogonally with IVF's compute lever (prune-then-scan over cells;
