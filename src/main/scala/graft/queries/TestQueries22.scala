@@ -456,7 +456,128 @@ object TestQueries22 {
              CAST(pre_rank AS INT) AS pre_rank, CAST(rank AS INT) AS rank
       FROM rk WHERE rank <= 10 ORDER BY qid, rank"""))
 
+  /** Sequential dependence model ranking —
+    * [[graft.search.Bm25.sdmScore]] (Metzler & Croft 2005), the
+    * proximity member of the ranking family (BM25 q161, Dirichlet QL
+    * q297, VSM q298): λ_T unigrams + λ_O ordered adjacent bigrams +
+    * λ_U unordered window-8 co-occurrences at the published
+    * 0.85/0.10/0.05 operating point, each family Dirichlet-smoothed
+    * via the q297 sparse decomposition. Position pairs are counted
+    * over query-term postings only (filter before the self-join).
+    * Top-20 by ROUND(6) with a doc_id tie-break; the oracle mirrors
+    * all three families' decompositions verbatim, including the
+    * pinned conventions (|C| = total tokens for every family, length
+    * term dl + µ throughout, zero-cf features dropped).
+    */
+  val q304SdmRanking: QueryCase = QueryCase(
+    "q304_sdm_ranking",
+    (s, dir) => {
+      val scored = graft.search.Bm25.sdmScore(
+        Tables.documents(s, dir), "doc_id", "text",
+        terms = Seq("join", "vector", "data"), mu = 2000.0)
+        .select(col("doc_id"), col("n_t"), col("n_o"), col("n_u"),
+          round(col("score"), 6).as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 20)
+        .orderBy("rank")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+            x -> x <> '') AS tks
+        FROM documents),
+      pos AS (
+        SELECT doc_id, i AS pos, tks[i] AS t
+        FROM toks, UNNEST(range(1, len(tks) + 1)) AS r(i)),
+      dl AS (SELECT doc_id, CAST(len(tks) AS BIGINT) AS dl FROM toks),
+      total AS (SELECT CAST(SUM(len(tks)) AS DOUBLE) AS ct FROM toks),
+      qp AS (SELECT * FROM pos WHERE t IN ('join', 'vector', 'data')),
+      cft AS (
+        SELECT t, CAST(COUNT(*) AS DOUBLE) / MAX(ct) AS p
+        FROM qp, total GROUP BY t),
+      qct AS (
+        SELECT COALESCE(SUM(ln(CAST(2000.0 AS DOUBLE) * p)),
+            CAST(0.0 AS DOUBLE)) AS qc,
+          CAST(COUNT(*) AS DOUBLE) AS nq FROM cft),
+      tft AS (SELECT doc_id, t, COUNT(*) AS tf FROM qp GROUP BY 1, 2),
+      mtt AS (
+        SELECT tft.doc_id,
+          SUM(ln(CAST(1.0 AS DOUBLE) + CAST(tf AS DOUBLE)
+            / (CAST(2000.0 AS DOUBLE) * p))) AS msum,
+          CAST(COUNT(*) AS BIGINT) AS nm
+        FROM tft JOIN cft USING (t) GROUP BY 1),
+      oo AS (
+        SELECT x.doc_id, x.t AS t1, y.t AS t2
+        FROM qp x JOIN qp y
+          ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+        WHERE (x.t, y.t) IN (('join', 'vector'), ('vector', 'data'))),
+      cfo AS (
+        SELECT t1, t2, CAST(COUNT(*) AS DOUBLE) / MAX(ct) AS p
+        FROM oo, total GROUP BY t1, t2),
+      qco AS (
+        SELECT COALESCE(SUM(ln(CAST(2000.0 AS DOUBLE) * p)),
+            CAST(0.0 AS DOUBLE)) AS qc,
+          CAST(COUNT(*) AS DOUBLE) AS nq FROM cfo),
+      tfo AS (
+        SELECT doc_id, t1, t2, COUNT(*) AS tf FROM oo GROUP BY 1, 2, 3),
+      moo AS (
+        SELECT tfo.doc_id,
+          SUM(ln(CAST(1.0 AS DOUBLE) + CAST(tf AS DOUBLE)
+            / (CAST(2000.0 AS DOUBLE) * p))) AS msum,
+          CAST(COUNT(*) AS BIGINT) AS nm
+        FROM tfo JOIN cfo USING (t1, t2) GROUP BY 1),
+      uo AS (
+        SELECT x.doc_id, LEAST(x.t, y.t) AS u1, GREATEST(x.t, y.t) AS u2
+        FROM qp x JOIN qp y
+          ON x.doc_id = y.doc_id AND y.pos > x.pos AND y.pos - x.pos < 8
+        WHERE x.t <> y.t
+          AND (LEAST(x.t, y.t), GREATEST(x.t, y.t))
+            IN (('join', 'vector'), ('data', 'vector'))),
+      cfu AS (
+        SELECT u1, u2, CAST(COUNT(*) AS DOUBLE) / MAX(ct) AS p
+        FROM uo, total GROUP BY u1, u2),
+      qcu AS (
+        SELECT COALESCE(SUM(ln(CAST(2000.0 AS DOUBLE) * p)),
+            CAST(0.0 AS DOUBLE)) AS qc,
+          CAST(COUNT(*) AS DOUBLE) AS nq FROM cfu),
+      tfu AS (
+        SELECT doc_id, u1, u2, COUNT(*) AS tf FROM uo GROUP BY 1, 2, 3),
+      muu AS (
+        SELECT tfu.doc_id,
+          SUM(ln(CAST(1.0 AS DOUBLE) + CAST(tf AS DOUBLE)
+            / (CAST(2000.0 AS DOUBLE) * p))) AS msum,
+          CAST(COUNT(*) AS BIGINT) AS nm
+        FROM tfu JOIN cfu USING (u1, u2) GROUP BY 1),
+      sc AS (
+        SELECT dl.doc_id,
+          CAST(COALESCE(mtt.nm, 0) AS BIGINT) AS n_t,
+          CAST(COALESCE(moo.nm, 0) AS BIGINT) AS n_o,
+          CAST(COALESCE(muu.nm, 0) AS BIGINT) AS n_u,
+          ROUND(CAST(0.85 AS DOUBLE) * (qct.qc
+              - qct.nq * ln(CAST(dl.dl AS DOUBLE) + CAST(2000.0 AS DOUBLE))
+              + COALESCE(mtt.msum, CAST(0.0 AS DOUBLE)))
+            + CAST(0.1 AS DOUBLE) * (qco.qc
+              - qco.nq * ln(CAST(dl.dl AS DOUBLE) + CAST(2000.0 AS DOUBLE))
+              + COALESCE(moo.msum, CAST(0.0 AS DOUBLE)))
+            + CAST(0.05 AS DOUBLE) * (qcu.qc
+              - qcu.nq * ln(CAST(dl.dl AS DOUBLE) + CAST(2000.0 AS DOUBLE))
+              + COALESCE(muu.msum, CAST(0.0 AS DOUBLE))), 6) AS score
+        FROM dl
+        LEFT JOIN mtt USING (doc_id)
+        LEFT JOIN moo USING (doc_id)
+        LEFT JOIN muu USING (doc_id)
+        CROSS JOIN qct CROSS JOIN qco CROSS JOIN qcu),
+      rk AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+          AS BIGINT) AS rank
+        FROM sc)
+      SELECT doc_id, n_t, n_o, n_u, score, rank FROM rk
+      WHERE rank <= 20 ORDER BY rank"""))
+
   val all: Seq[QueryCase] =
     Seq(q299StreamRightOuter, q300StreamFullOuter, q301RefineryE2e,
-      q302CrossEntropySelect, q303Sq8Ann)
+      q302CrossEntropySelect, q303Sq8Ann, q304SdmRanking)
 }

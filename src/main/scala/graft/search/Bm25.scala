@@ -165,6 +165,139 @@ object Bm25 {
         (col("dot") / (col("dnorm") * col("qnorm"))).as("score"))
   }
 
+  /** Sequential dependence model ranking (Metzler & Croft 2005) — the
+    * proximity upgrade over bag-of-words: three Dirichlet-smoothed
+    * feature families combined as
+    * λ_T·unigrams + λ_O·ordered-adjacent-bigrams + λ_U·unordered-
+    * window-co-occurrences (defaults 0.85/0.10/0.05, window 8 — the
+    * published operating point). Each family scores via the
+    * [[dirichletQl]] sparse decomposition (broadcast query constant +
+    * per-doc length term + matching postings only), with the same
+    * conventions: features whose collection frequency is 0 are
+    * dropped, every document gets a score, collection length |C| =
+    * total tokens for ALL families and the length term uses dl + µ
+    * throughout (implementations vary on the bigram-event length;
+    * this operator PINS the convention and the oracle mirrors it).
+    *
+    * Occurrence definitions (exact, order-deterministic): ordered —
+    * query terms adjacent in query order at positions (i, i+1);
+    * unordered — a distinct-term adjacent query pair co-occurring at
+    * positions i < j with j − i < window, counted once per position
+    * pair under the lexicographic canonical key.
+    *
+    * Scale shape: positions are filtered to query terms BEFORE any
+    * self-join, so the pair joins move O(query-term postings), not
+    * O(tokens); the window join is per-document, position-bounded.
+    * Ranking compares on ROUND(6) with a doc_id tie-break (libm ln).
+    *
+    * @return (doc_id, n_t, n_o, n_u, score) for every document
+    */
+  def sdmScore(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], mu: Double = 2000.0,
+               lambdaT: Double = 0.85, lambdaO: Double = 0.1,
+               lambdaU: Double = 0.05, window: Int = 8): DataFrame = {
+    require(terms.nonEmpty && terms.map(_.toLowerCase).distinct.size ==
+      terms.size, "query terms must be distinct")
+    require(mu > 0.0 && window >= 2, "need mu > 0 and window >= 2")
+    val lowered = terms.map(_.toLowerCase)
+    val ordPairs = lowered.sliding(2).filter(_.size == 2)
+      .map(s => (s.head, s(1))).toSeq
+    val uwPairs = ordPairs.map { case (a, b) =>
+      if (a <= b) (a, b) else (b, a)
+    }.distinct
+
+    val pos = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos0", "t")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("t"))
+    val dl = docs.select(col(idCol).as("doc_id"))
+      .join(pos.groupBy("doc_id").agg(count(lit(1)).as("ntok")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("ntok"), lit(0L)).as("dl"))
+    val total = pos.agg(count(lit(1)).cast("double").as("ct"))
+    val qpos = pos.where(col("t").isin(lowered: _*))
+
+    // one (qc, nq, per-doc msum/n) bundle per feature family, all via
+    // the same sparse decomposition
+    def family(occ: DataFrame, keyCols: Seq[String])
+        : (DataFrame, DataFrame) = {
+      val cf = occ.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("cf"))
+        .crossJoin(broadcast(total))
+        .select(keyCols.map(col) :+
+          (col("cf").cast("double") / col("ct")).as("p"): _*)
+      val qc = cf.agg(
+        coalesce(sum(log(lit(mu) * col("p"))), lit(0.0)).as("qc"),
+        count(lit(1)).cast("double").as("nq"))
+      val perDoc = occ.groupBy((Seq("doc_id") ++ keyCols).map(col): _*)
+        .agg(count(lit(1)).as("tf"))
+        .join(broadcast(cf), keyCols)
+        .groupBy("doc_id")
+        .agg(sum(log(lit(1.0) + col("tf").cast("double")
+          / (lit(mu) * col("p")))).as("msum"),
+          count(lit(1)).as("nm"))
+      (qc, perDoc)
+    }
+
+    val (qcT, docT) = family(qpos.select("doc_id", "t"), Seq("t"))
+
+    val a = qpos.select(col("doc_id"), col("pos"), col("t").as("t1"))
+    val b = qpos.select(col("doc_id").as("db"), col("pos").as("pb"),
+      col("t").as("t2"))
+    val ordCond =
+      if (ordPairs.isEmpty) lit(false)
+      else ordPairs.map { case (x, y) =>
+        col("t1") === x && col("t2") === y
+      }.reduce(_ || _)
+    val ordOcc = a.join(b, col("doc_id") === col("db") &&
+        col("pb") === col("pos") + 1)
+      .where(ordCond)
+      .select(col("doc_id"), col("t1"), col("t2"))
+    val (qcO, docO) = family(ordOcc, Seq("t1", "t2"))
+
+    val x = qpos.select(col("doc_id"), col("pos").as("pi"),
+      col("t").as("ti"))
+    val y = qpos.select(col("doc_id").as("dj"), col("pos").as("pj"),
+      col("t").as("tj"))
+    val uwCond =
+      if (uwPairs.isEmpty) lit(false)
+      else uwPairs.map { case (u, v) =>
+        col("u1") === u && col("u2") === v
+      }.reduce(_ || _)
+    val uwOcc = x.join(y, col("doc_id") === col("dj") &&
+        col("pj") > col("pi") && col("pj") - col("pi") < window)
+      .where(col("ti") =!= col("tj"))
+      .select(col("doc_id"), least(col("ti"), col("tj")).as("u1"),
+        greatest(col("ti"), col("tj")).as("u2"))
+      .where(uwCond)
+    val (qcU, docU) = family(uwOcc, Seq("u1", "u2"))
+
+    def part(qc: DataFrame) = broadcast(qc)
+    dl
+      .join(docT.select(col("doc_id"), col("msum").as("mt"),
+        col("nm").as("n_t")), Seq("doc_id"), "left")
+      .join(docO.select(col("doc_id"), col("msum").as("mo"),
+        col("nm").as("n_o")), Seq("doc_id"), "left")
+      .join(docU.select(col("doc_id"), col("msum").as("mu_"),
+        col("nm").as("n_u")), Seq("doc_id"), "left")
+      .crossJoin(part(qcT.select(col("qc").as("qct"), col("nq").as("nqt"))))
+      .crossJoin(part(qcO.select(col("qc").as("qco"), col("nq").as("nqo"))))
+      .crossJoin(part(qcU.select(col("qc").as("qcu"), col("nq").as("nqu"))))
+      .select(col("doc_id"),
+        coalesce(col("n_t"), lit(0L)).as("n_t"),
+        coalesce(col("n_o"), lit(0L)).as("n_o"),
+        coalesce(col("n_u"), lit(0L)).as("n_u"),
+        (lit(lambdaT) * (col("qct")
+            - col("nqt") * log(col("dl").cast("double") + mu)
+            + coalesce(col("mt"), lit(0.0))) +
+          lit(lambdaO) * (col("qco")
+            - col("nqo") * log(col("dl").cast("double") + mu)
+            + coalesce(col("mo"), lit(0.0))) +
+          lit(lambdaU) * (col("qcu")
+            - col("nqu") * log(col("dl").cast("double") + mu)
+            + coalesce(col("mu_"), lit(0.0)))).as("score"))
+  }
+
   /** Mergeable corpus statistics — the serving-side BM25 index state.
     * `termDf`: (t, df) over the FULL vocabulary (so any later query's
     * terms are covered); `corpus`: 1 row (n, sumdl). All counts are

@@ -1,0 +1,88 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** Pins [[Bm25.sdmScore]] against the hand-computed closed form on a
+  * three-document corpus: all three feature families (unigram, ordered
+  * adjacent bigram, unordered window co-occurrence), the
+  * every-document-scored contract, and the proximity property the
+  * model exists for — a document with the query terms ADJACENT IN
+  * ORDER outranks one holding the same bag of terms scattered.
+  */
+class SdmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // |C| = 10 tokens. d1 has both ordered pairs; d2 has the same terms
+  // but no ordered adjacency; d3 matches nothing.
+  private val docs = Seq(
+    (1L, "join vector data"),
+    (2L, "vector join data x"),
+    (3L, "x y z")
+  ).toDF("doc_id", "text")
+
+  private val mu = 10.0
+  private def ln(x: Double) = math.log(x)
+
+  // unigram: cf = 2 each, p = 0.2; qcT = 3·ln(2), nqT = 3
+  private val qcT = 3 * ln(mu * 0.2)
+  // ordered: (join,vector) and (vector,data) occur once each (d1 only):
+  // p = 0.1; qcO = 2·ln(1) = 0, nqO = 2
+  private val qcO = 2 * ln(mu * 0.1)
+  // unordered (window 8): {join,vector} in d1 (1,2) + d2 (1,2) → cf 2;
+  // {data,vector} in d1 (2,3) + d2 (1,3) → cf 2; p = 0.2 each
+  private val qcU = 2 * ln(mu * 0.2)
+
+  private def partScore(qc: Double, nq: Double, msum: Double,
+      dl: Long): Double = qc - nq * ln(dl + mu) + msum
+
+  private def expected(dl: Long, mt: Double, mo: Double,
+      muw: Double): Double =
+    0.85 * partScore(qcT, 3, mt, dl) +
+      0.1 * partScore(qcO, 2, mo, dl) +
+      0.05 * partScore(qcU, 2, muw, dl)
+
+  private lazy val out = Bm25
+    .sdmScore(docs, "doc_id", "text", Seq("join", "vector", "data"),
+      mu = mu, window = 8)
+    .collect()
+    .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4))))
+    .toMap
+
+  test("matches the hand-computed three-family closed form") {
+    // d1: tf 1 everywhere in all families
+    val e1 = expected(3,
+      mt = 3 * ln(1 + 1 / (mu * 0.2)),
+      mo = 2 * ln(1 + 1 / (mu * 0.1)),
+      muw = 2 * ln(1 + 1 / (mu * 0.2)))
+    // d2: unigrams + both unordered pairs, NO ordered pair
+    val e2 = expected(4,
+      mt = 3 * ln(1 + 1 / (mu * 0.2)),
+      mo = 0.0,
+      muw = 2 * ln(1 + 1 / (mu * 0.2)))
+    // d3: nothing matches
+    val e3 = expected(3, 0.0, 0.0, 0.0)
+    assert(out(1L)._1 == 3 && out(1L)._2 == 2 && out(1L)._3 == 2)
+    assert(out(2L)._1 == 3 && out(2L)._2 == 0 && out(2L)._3 == 2)
+    assert(out(3L) == ((0L, 0L, 0L, out(3L)._4)))
+    assert(math.abs(out(1L)._4 - e1) < 1e-9)
+    assert(math.abs(out(2L)._4 - e2) < 1e-9)
+    assert(math.abs(out(3L)._4 - e3) < 1e-9)
+  }
+
+  test("proximity ranks the in-order document above the scattered one, " +
+    "and both above the no-match document") {
+    assert(out(1L)._4 > out(2L)._4 && out(2L)._4 > out(3L)._4)
+  }
+
+  test("window boundary: terms exactly window-1 apart co-occur; at " +
+    "window apart they do not") {
+    val d = Seq((1L, "join a b c d e f vector"), // dist 7 < 8 ✓
+                (2L, "join a b c d e f g vector")) // dist 8 — out
+      .toDF("doc_id", "text")
+    val r = Bm25.sdmScore(d, "doc_id", "text", Seq("join", "vector"),
+        mu = 10.0, window = 8)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r(1L) == 1L && r(2L) == 0L)
+  }
+}
