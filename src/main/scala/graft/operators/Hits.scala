@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration HITS (Kleinberg 1999, the hubs-and-authorities power
+  * iteration) — the second classic link-analysis scorer next to
+  * [[PageRank]]: authorities are pointed AT by good hubs, hubs point TO
+  * good authorities. On the bipartite customer→supplier trade graph the
+  * split is literal: buyers score as hubs, suppliers as authorities.
+  *
+  *   a_{t+1}(v) = Σ_{u→v} h_t(u),   then L1-normalize
+  *   h_{t+1}(u) = Σ_{u→v} a_{t+1}(v), then L1-normalize
+  *
+  * L1 (sum) normalization instead of the textbook L2: same fixpoint
+  * direction, one exact-mirrorable division per iteration instead of a
+  * sqrt, and scores read as probability-like shares. Nodes outside the
+  * edge set hold score 0 (never NULL).
+  *
+  * Scale shape: the [[PageRank]] discipline verbatim — one src-keyed
+  * join + dst-keyed aggregation per half-step (the two shuffles any
+  * distributed HITS pays), normalizers ride 1-row broadcasts, edges and
+  * each iteration's frame are materialized through the policy gate so
+  * lineage stays flat. Iteration count FIXED (deterministic,
+  * oracle-unrollable); eager construction per the fixpoint contract
+  * (API.md).
+  */
+object Hits {
+
+  /** `nodes`: (node); `edges`: (src, dst) — directed, deduplicated.
+    * Returns (node, hub, auth), each column L1-normalized over the
+    * node set (Σ = 1 up to float drift; 0 for edge-less nodes).
+    */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = graft.plans.Materialize.stage(edges, "graft.dedup.checkpoint")
+    var h = nodes.select(col("node"), lit(1.0).as("hub"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ain = e
+        .join(h.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("hub")).as("asum"))
+      val anorm = ain.agg(coalesce(sum(col("asum")), lit(0.0)).as("az"))
+      a = graft.plans.Materialize.stage(
+        nodes.join(ain, nodes("node") === ain("dst"), "left")
+          .crossJoin(broadcast(anorm))
+          .select(col("node"),
+            when(col("az") > 0.0,
+              coalesce(col("asum"), lit(0.0)) / col("az"))
+              .otherwise(lit(0.0)).as("auth")),
+        "graft.dedup.checkpoint")
+      val hin = e
+        .join(a.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("auth")).as("hsum"))
+      val hnorm = hin.agg(coalesce(sum(col("hsum")), lit(0.0)).as("hz"))
+      h = graft.plans.Materialize.stage(
+        nodes.join(hin, nodes("node") === hin("src"), "left")
+          .crossJoin(broadcast(hnorm))
+          .select(col("node"),
+            when(col("hz") > 0.0,
+              coalesce(col("hsum"), lit(0.0)) / col("hz"))
+              .otherwise(lit(0.0)).as("hub")),
+        "graft.dedup.checkpoint")
+    }
+    h.join(a, Seq("node"))
+  }
+}

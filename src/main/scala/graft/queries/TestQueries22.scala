@@ -577,7 +577,78 @@ object TestQueries22 {
       SELECT doc_id, n_t, n_o, n_u, score, rank FROM rk
       WHERE rank <= 20 ORDER BY rank"""))
 
+  /** HITS hubs-and-authorities — [[graft.operators.Hits.run]]
+    * (Kleinberg 1999), completing the classic link-analysis pair next
+    * to PageRank (q154) over the same customer→supplier trade graph,
+    * here kept DIRECTED (buyer → supplier), so the bipartite
+    * hub/authority split is literal: customers score as hubs,
+    * suppliers as authorities. Three iterations, L1 normalization (one
+    * exact division per half-step instead of a sqrt). The oracle
+    * unrolls all three iterations (the q154 pattern); ROUND(9) absorbs
+    * summation-order drift on values ~1e-3.
+    */
+  val q305Hits: QueryCase = QueryCase(
+    "q305_hits",
+    (s, dir) => {
+      val cust = Tables.table(s, dir, "customer")
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      val supp = Tables.table(s, dir, "supplier")
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      val edges = Tables.table(s, dir, "orders")
+        .join(Tables.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.operators.Hits.run(cust.unionByName(supp), edges, iters = 3)
+        .select(col("node"), round(col("hub"), 9).as("hub"),
+          round(col("auth"), 9).as("auth"))
+        .orderBy("node")
+    },
+    Some {
+      def iter(i: Int): String = s"""
+      a$i AS (
+        SELECT e.dst, SUM(h${i - 1}.hub) AS asum
+        FROM edges e JOIN h${i - 1} ON h${i - 1}.node = e.src
+        GROUP BY e.dst),
+      az$i AS (SELECT COALESCE(SUM(asum), CAST(0.0 AS DOUBLE)) AS az
+               FROM a$i),
+      an$i AS (
+        SELECT n.node,
+          CASE WHEN z.az > 0 THEN COALESCE(a.asum, CAST(0.0 AS DOUBLE))
+            / z.az ELSE CAST(0.0 AS DOUBLE) END AS auth
+        FROM nodes n LEFT JOIN a$i a ON a.dst = n.node
+        CROSS JOIN az$i z),
+      hh$i AS (
+        SELECT e.src, SUM(an.auth) AS hsum
+        FROM edges e JOIN an$i an ON an.node = e.dst
+        GROUP BY e.src),
+      hz$i AS (SELECT COALESCE(SUM(hsum), CAST(0.0 AS DOUBLE)) AS hz
+               FROM hh$i),
+      h$i AS (
+        SELECT n.node,
+          CASE WHEN z.hz > 0 THEN COALESCE(hh.hsum, CAST(0.0 AS DOUBLE))
+            / z.hz ELSE CAST(0.0 AS DOUBLE) END AS hub
+        FROM nodes n LEFT JOIN hh$i hh ON hh.src = n.node
+        CROSS JOIN hz$i z)"""
+      s"""
+      WITH nodes AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+        UNION ALL
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+      edges AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+      ${iter(1)},
+      ${iter(2)},
+      ${iter(3)}
+      SELECT h3.node, ROUND(h3.hub, 9) AS hub, ROUND(an3.auth, 9) AS auth
+      FROM h3 JOIN an3 USING (node) ORDER BY node"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q299StreamRightOuter, q300StreamFullOuter, q301RefineryE2e,
-      q302CrossEntropySelect, q303Sq8Ann, q304SdmRanking)
+      q302CrossEntropySelect, q303Sq8Ann, q304SdmRanking, q305Hits)
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[Hits.run]] on a hand-computed bipartite graph: edges 1→3,
+  * 2→3, 2→4. Two iterations traced by hand (L1 normalization):
+  * iter 1 — auth (3: 2/3, 4: 1/3), hub (1: 2/5, 2: 3/5);
+  * iter 2 — auth (3: 5/8, 4: 3/8), hub (1: 5/13, 2: 8/13).
+  */
+class HitsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val nodes = Seq("1", "2", "3", "4", "5").toDF("node")
+  private val edges = Seq(("1", "3"), ("2", "3"), ("2", "4"))
+    .toDF("src", "dst")
+
+  test("two iterations match the hand computation; isolated node " +
+    "scores 0 in both roles") {
+    val got = Hits.run(nodes, edges, iters = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(math.abs(got("1")._1 - 5.0 / 13) < 1e-12)
+    assert(math.abs(got("2")._1 - 8.0 / 13) < 1e-12)
+    assert(math.abs(got("3")._2 - 5.0 / 8) < 1e-12)
+    assert(math.abs(got("4")._2 - 3.0 / 8) < 1e-12)
+    // pure hubs hold no authority, pure authorities no hubness, and
+    // the isolated node 5 scores 0 in both roles
+    assert(got("1")._2 == 0.0 && got("2")._2 == 0.0)
+    assert(got("3")._1 == 0.0 && got("4")._1 == 0.0)
+    assert(got("5") == ((0.0, 0.0)))
+  }
+
+  test("each score column is L1-normalized") {
+    val got = Hits.run(nodes, edges, iters = 3).collect()
+    val hubSum = got.map(_.getDouble(1)).sum
+    val authSum = got.map(_.getDouble(2)).sum
+    assert(math.abs(hubSum - 1.0) < 1e-12)
+    assert(math.abs(authSum - 1.0) < 1e-12)
+  }
+
+  test("the better-connected hub and the more-pointed-at authority " +
+    "lead their rankings") {
+    val got = Hits.run(nodes, edges, iters = 3)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(got("2")._1 > got("1")._1, "node 2 points at both authorities")
+    assert(got("3")._2 > got("4")._2, "node 3 is pointed at by both hubs")
+  }
+}
