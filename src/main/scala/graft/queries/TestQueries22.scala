@@ -648,7 +648,71 @@ object TestQueries22 {
       FROM h3 JOIN an3 USING (node) ORDER BY node"""
     })
 
+  /** Chained stream-stream join → tumbling-window aggregation in ONE
+    * query — [[graft.streaming.StreamJoin.intervalJoinWindowReplay]],
+    * the multi-stateful JOIN-plane sibling of q295's dedup→window (the
+    * attribution-dashboard shape, no intermediate sink). Probed
+    * (`tools/ProbeJoinWindow`): pairs form under exactly the q289
+    * rules, windows stand on the pair's right event time and close by
+    * the q285 inclusive rule. The replay's flush batch (far-future
+    * rows under non-matching keys) closes every data window, so the
+    * oracle is the q289 pair set grouped into epoch-aligned windows
+    * with NO emission predicate. Integer counts/sums + µs window
+    * arithmetic → RAW.
+    */
+  val q306JoinWindow: QueryCase = QueryCase(
+    "q306_join_window",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("side")
+      val base = Tables.events(s, dir).where(col("user_id") < 40)
+        .withColumn("side", col("event_id") % 2)
+        .withColumn("smax", max(col("ts")).over(w))
+        .withColumn("b", when(col("ts") === col("smax"), lit(0L))
+          .otherwise(expr("(event_id div 2) % 2")))
+      val l = base.where(col("side") === 0)
+      val r = base.where(col("side") === 1)
+      graft.streaming.StreamJoin
+        .intervalJoinWindowReplay(l, r, "user_id", "event_id",
+          horizonSec = 86400, delayMinutes = 2880, batchCol = "b",
+          windowMinutes = 360)
+        .orderBy("window_start")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts,
+               event_id % 2 AS side
+        FROM events WHERE user_id < 40),
+      sm AS (SELECT *, MAX(ts) OVER (PARTITION BY side) AS smax FROM e),
+      eb AS (
+        SELECT *, CASE WHEN ts = smax THEN 0
+                       ELSE (event_id // 2) % 2 END AS b
+        FROM sm),
+      l AS (SELECT user_id AS k, ts, event_id AS l_id, b
+            FROM eb WHERE side = 0),
+      r AS (SELECT user_id AS k, ts, event_id AS r_id, b
+            FROM eb WHERE side = 1),
+      wm AS (
+        SELECT least(
+          (SELECT date_trunc('milliseconds', MAX(ts)) FROM l WHERE b = 0),
+          (SELECT date_trunc('milliseconds', MAX(ts)) FROM r WHERE b = 0))
+          - INTERVAL 2880 MINUTE AS w),
+      pairs AS (
+        SELECT l.l_id, r.r_id, r.ts AS r_ts
+        FROM l JOIN r ON l.k = r.k
+          AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 86400 SECOND, wm
+        WHERE (l.b = 0 OR l.ts > wm.w) AND (r.b = 0 OR r.ts > wm.w))
+      SELECT
+        make_timestamp((epoch_us(r_ts) // 21600000000) * 21600000000)
+          AS window_start,
+        make_timestamp((epoch_us(r_ts) // 21600000000) * 21600000000
+          + 21600000000) AS window_end,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(l_id) AS BIGINT) AS sum_l_id,
+        CAST(SUM(r_id) AS BIGINT) AS sum_r_id
+      FROM pairs GROUP BY 1, 2 ORDER BY window_start"""))
+
   val all: Seq[QueryCase] =
     Seq(q299StreamRightOuter, q300StreamFullOuter, q301RefineryE2e,
-      q302CrossEntropySelect, q303Sq8Ann, q304SdmRanking, q305Hits)
+      q302CrossEntropySelect, q303Sq8Ann, q304SdmRanking, q305Hits,
+      q306JoinWindow)
 }

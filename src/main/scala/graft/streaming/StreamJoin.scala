@@ -102,6 +102,103 @@ object StreamJoin {
     * @return emitted rows: (k, l_ts, l_id, r_ts, r_id) — r_ts/r_id
     *         null on outer null-right rows
     */
+  /** Stream-stream interval join CHAINED into a tumbling-window
+    * aggregation in ONE streaming query — the multi-stateful JOIN-plane
+    * sibling of [[StreamDedup.replayDedupWindow]]'s dedup→window (the
+    * production shape "attribute, then window the attributions",
+    * without an intermediate sink). Probed (`tools/ProbeJoinWindow`):
+    * the chain is accepted in append mode with the window standing on
+    * the pair's right event time; pairs form under exactly the
+    * [[intervalJoinReplay]] rules (min-policy watermark, inclusive
+    * raw-µs late drop); windows close by the q285 inclusive
+    * `end ≤ ms-floored watermark` rule as the watermark advances, and
+    * a window's emission includes pairs formed in the same batch (the
+    * cleanup sub-batch drains after the data sub-batch).
+    *
+    * Replay determinism: batches 1–2 follow the q289 max-ts-in-batch-1
+    * pin (constant wm1 ⇒ the two-phase pair filter is
+    * interleaving-proof), then a FLUSH batch — one far-future row per
+    * side under non-matching keys (-1/-2) — advances the watermark
+    * past every data window, closing them all. The oracle therefore
+    * needs NO emission predicate: it is the q289 pair set grouped into
+    * epoch-aligned tumbling windows, complete.
+    *
+    * @return (window_start, window_end, n_pairs, sum_l_id, sum_r_id)
+    */
+  def intervalJoinWindowReplay(left: DataFrame, right: DataFrame,
+      keyCol: String, idCol: String, horizonSec: Int, delayMinutes: Int,
+      batchCol: String, windowMinutes: Int): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+
+    def collect(df: DataFrame) = Bounded.collectBounded(
+      df.select(col(keyCol).cast("long"), col("ts"),
+        col(idCol).cast("long"), col(batchCol).cast("long").as("b"))
+        .orderBy(keyCol, "ts", idCol),
+      "StreamJoin.intervalJoinWindowReplay")
+    val lRows = collect(left)
+    val rRows = collect(right)
+    def lEv(rs: Seq[org.apache.spark.sql.Row], b1: Boolean) = rs
+      .filter(r => (r.getLong(3) == 0L) == b1)
+      .map(r => LEv(r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    def rEv(rs: Seq[org.apache.spark.sql.Row], b1: Boolean) = rs
+      .filter(r => (r.getLong(3) == 0L) == b1)
+      .map(r => REv(r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    val maxTs = (lRows ++ rRows).map(_.getTimestamp(1).getTime).max
+    // Multi-stateful watermark propagation (probed via the q306 gate's
+    // first failing run): the window operator's input watermark is the
+    // JOIN's OUTPUT watermark = global wm − horizon (an emitted pair can
+    // carry an event time up to the interval bound behind the inputs'
+    // frontier), so the flush must clear delay + horizon + the window —
+    // a flush sized only for delay + window leaves the last
+    // horizon-worth of windows open forever.
+    val flushTs = new Timestamp(maxTs + (delayMinutes + windowMinutes)
+      * 60000L + horizonSec * 1000L + 3600000L)
+
+    ReplayHarness.withReplaySession(spark) { child =>
+      implicit val sqlCtx = child.sqlContext
+      val lin = MemoryStream[LEv]
+      val rin = MemoryStream[REv]
+      val l = lin.toDS().toDF().withWatermark("ts", s"$delayMinutes minutes")
+        .select(col("k"), col("ts").as("l_ts"), col("l_id"))
+      val r = rin.toDS().toDF().withWatermark("ts", s"$delayMinutes minutes")
+        .select(col("k").as("rk"), col("ts").as("r_ts"), col("r_id"))
+      val agg = l.join(r, col("k") === col("rk") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizonSec seconds"))
+        .groupBy(window(col("r_ts"), s"$windowMinutes minutes").as("w"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("l_id")).as("sum_l_id"),
+          sum(col("r_id")).as("sum_r_id"))
+        .select(col("w.start").as("window_start"),
+          col("w.end").as("window_end"), col("n_pairs"),
+          col("sum_l_id"), col("sum_r_id"))
+      val sinkName = SinkNames.next("stream_join_window")
+      val query = agg.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      try {
+        val (l1, l2) = (lEv(lRows, b1 = true), lEv(lRows, b1 = false))
+        val (r1, r2) = (rEv(rRows, b1 = true), rEv(rRows, b1 = false))
+        if (l1.nonEmpty) lin.addData(l1)
+        if (r1.nonEmpty) rin.addData(r1)
+        query.processAllAvailable()
+        if (l2.nonEmpty) lin.addData(l2)
+        if (r2.nonEmpty) rin.addData(r2)
+        query.processAllAvailable()
+        // flush: close every data window; keys -1/-2 can never pair
+        lin.addData(Seq(LEv(-1L, flushTs, -1L)))
+        rin.addData(Seq(REv(-2L, flushTs, -1L)))
+        query.processAllAvailable()
+        val out = child.table(sinkName).collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(out.toIndexedSeq, 1),
+          child.table(sinkName).schema)
+      } finally {
+        query.stop()
+        child.catalog.dropTempView(sinkName)
+      }
+    }
+  }
+
   def intervalJoinReplay(left: DataFrame, right: DataFrame, keyCol: String,
       idCol: String, horizonSec: Int, delayMinutes: Int,
       batchCol: String, joinType: String = "inner"): DataFrame = {

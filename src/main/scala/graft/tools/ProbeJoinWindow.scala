@@ -1,0 +1,87 @@
+package graft.tools
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Empirical probe: stream-stream interval join CHAINED into a
+  * tumbling-window aggregation in ONE query (the multi-stateful
+  * join-plane sibling of q295's dedup→window). Questions:
+  *  1. Does Spark 4.1 accept join → window-agg in append mode, and on
+  *     which event-time column may the window stand?
+  *  2. When do windows emit — relative to the (min-policy) global
+  *     watermark, with the q285 inclusive `end ≤ ms-floored wm` rule?
+  *  3. Do join late-drop semantics compose (a late input row never
+  *     reaches the window; a pair emitted in batch N lands in a window
+  *     that closes by watermark as usual)?
+  */
+object ProbeJoinWindow {
+  final case class L(k: Long, ts: Timestamp, l_id: Long)
+  final case class R(k: Long, ts: Timestamp, r_id: Long)
+
+  def ts(min: Int, sec: Int = 0): Timestamp =
+    new Timestamp(java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+      + min * 60000L + sec * 1000L)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", false).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val lin = MemoryStream[L]
+    val rin = MemoryStream[R]
+    val l = lin.toDS().toDF().withWatermark("ts", "10 minutes")
+      .select(col("k"), col("ts").as("l_ts"), col("l_id"))
+    val r = rin.toDS().toDF().withWatermark("ts", "10 minutes")
+      .select(col("k").as("rk"), col("ts").as("r_ts"), col("r_id"))
+    val joined = l.join(r, col("k") === col("rk") &&
+      col("r_ts") > col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr("INTERVAL 300 seconds"))
+    // window on the RIGHT event time (the later of the pair)
+    val agg = joined
+      .groupBy(window(col("r_ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("w.start").as("ws"), col("n_pairs"))
+    val sink = s"probe_jw_${System.nanoTime()}"
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 1: wm drivers at 12:30 both sides (wm1 = 12:20); pairs in
+      // windows [12:00,12:10) (l 12:01 → r 12:02) and [12:25,12:35)
+      // (l 12:25 → r 12:26; the drivers 12:30 pair only if interval
+      // matches — l 12:30, r 12:30 fails r>l, no pair)
+      lin.addData(Seq(L(9, ts(30), 100), L(1, ts(1), 101), L(5, ts(25), 105)))
+      rin.addData(Seq(R(9, ts(30), 200), R(1, ts(2), 201), R(5, ts(26), 205)))
+      q.processAllAvailable()
+      println(s"== after b1: wm=${q.recentProgress.lastOption.map(_.eventTime.get("watermark"))}")
+      spark.table(sink).orderBy("ws").collect().foreach(r => println(s"   OUT1 $r"))
+      // batch 2: late left (12:05 ≤ wm1) with fresh right partner above
+      // wm — pair must NOT form; plus an on-time pair in [12:20,12:30)
+      // (l 12:21 → r 12:22); wm stays 12:20 (no new max)
+      lin.addData(Seq(L(2, ts(5), 102), L(6, ts(21), 106)))
+      rin.addData(Seq(R(2, ts(21), 202), R(6, ts(22), 206)))
+      q.processAllAvailable()
+      println(s"== after b2: wm=${q.recentProgress.lastOption.map(_.eventTime.get("watermark"))}")
+      spark.table(sink).orderBy("ws").collect().foreach(r => println(s"   OUT2 $r"))
+      // batch 3: advance wm to 12:50 (drivers at 13:00) — all windows
+      // with end ≤ 12:50 close: [12:00,12:10) and [12:20,12:30) and
+      // [12:25,12:35)? end 12:35 > 12:50? no 12:35 ≤ 12:50 → closes too
+      lin.addData(Seq(L(8, ts(60), 108)))
+      rin.addData(Seq(R(8, ts(60), 208)))
+      q.processAllAvailable()
+      println(s"== after b3: wm=${q.recentProgress.lastOption.map(_.eventTime.get("watermark"))}")
+      spark.table(sink).orderBy("ws").collect().foreach(r => println(s"   OUT3 $r"))
+    } catch {
+      case e: Throwable =>
+        println(s"== REJECTED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    } finally {
+      q.stop(); spark.catalog.dropTempView(sink)
+    }
+    spark.stop()
+  }
+}

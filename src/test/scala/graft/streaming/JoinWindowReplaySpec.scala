@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Pins [[StreamJoin.intervalJoinWindowReplay]] — join → tumbling
+  * window chained in one query (`tools/ProbeJoinWindow` geometry):
+  * delay = 10 min, horizon = 300 s, window = 10 min, wm1 = 12:20.
+  * The composition contract: a pair forms under exactly the q289
+  * rules (late b2 left 102 is dropped, so pair (102,202) never reaches
+  * the window), every surviving pair lands in its r_ts window, and
+  * the flush batch closes all data windows so the emitted set is the
+  * complete single-pass grouping.
+  */
+class JoinWindowReplaySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  private val left = Seq(
+    (9L, t("2024-01-01 12:30:00"), 100L, 0L), // wm driver; r>l fails
+    (1L, t("2024-01-01 12:01:00"), 101L, 0L),
+    (5L, t("2024-01-01 12:25:00"), 105L, 0L),
+    (2L, t("2024-01-01 12:05:00"), 102L, 1L), // late b2 (≤ wm1): dropped
+    (6L, t("2024-01-01 12:21:00"), 106L, 1L)
+  ).toDF("user_id", "ts", "event_id", "b")
+
+  private val right = Seq(
+    (9L, t("2024-01-01 12:30:00"), 200L, 0L),
+    (1L, t("2024-01-01 12:02:00"), 201L, 0L),
+    (5L, t("2024-01-01 12:26:00"), 205L, 0L),
+    (2L, t("2024-01-01 12:21:00"), 202L, 1L), // alive, but partner late
+    (6L, t("2024-01-01 12:22:00"), 206L, 1L)
+  ).toDF("user_id", "ts", "event_id", "b")
+
+  test("pairs form under q289 rules, land in their r_ts windows, and " +
+    "the flush closes every data window") {
+    val out = StreamJoin.intervalJoinWindowReplay(left, right,
+        "user_id", "event_id", horizonSec = 300, delayMinutes = 10,
+        batchCol = "b", windowMinutes = 10)
+      .orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 12:00:00.0", 1L, 101L, 201L),
+      ("2024-01-01 12:20:00.0", 2L, 105L + 106L, 205L + 206L)))
+  }
+
+  test("multi-stateful watermark propagation: the window sees the " +
+    "JOIN's output watermark (global wm − horizon), so the newest " +
+    "window still closes under a large horizon") {
+    // horizon 2 h ≫ window 10 min: a flush sized only for
+    // delay + window would leave [12:20, 12:30) open forever (the
+    // q306 gate's first failing run); the horizon-aware flush closes it
+    val l2 = Seq((1L, t("2024-01-01 12:20:00"), 101L, 0L))
+      .toDF("user_id", "ts", "event_id", "b")
+    val r2 = Seq((1L, t("2024-01-01 12:21:00"), 201L, 0L))
+      .toDF("user_id", "ts", "event_id", "b")
+    val out = StreamJoin.intervalJoinWindowReplay(l2, r2,
+        "user_id", "event_id", horizonSec = 7200, delayMinutes = 10,
+        batchCol = "b", windowMinutes = 10)
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2)))
+    assert(out.toSeq == Seq(("2024-01-01 12:20:00.0", 1L)))
+  }
+}
