@@ -554,4 +554,74 @@ class PlanQualitySpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       "interval marking must join on doc_id with a range filter: " + p)
   }
+
+  test("crossEntropySelect: term joins are equi-joins, totals " +
+    "broadcast, no cartesian") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, s"join vector data w$i x${i % 7}", if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "text", "lang").repartition(4)
+    val p = graft.operators.CorpusLm
+      .crossEntropySelect(docs, "doc_id", "text",
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"),
+      "corpus totals must broadcast: " + p)
+  }
+
+  test("Sq8Ann: the candidate fan-out is a BROADCAST nested loop " +
+    "(bounded query side), never a CartesianProduct; ranking windows " +
+    "hash-partition per query") {
+    import spark.implicits._
+    val corpus = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(j => (i * j % 13).toFloat)))
+      .toDF("vec_id", "embedding").repartition(4)
+    val queries = Seq((100L, Array.tabulate(8)(_.toFloat)))
+      .toDF("qid", "qv")
+    val p = graft.search.Sq8Ann
+      .search(corpus, "vec_id", "embedding", queries, "qid", "qv",
+        k = 5, candidates = 10)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "query side must broadcast: " + p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      "per-query top-k must not globally sort")
+  }
+
+  test("sdmScore: proximity pair joins are doc_id equi-joins over " +
+    "postings (filter under the join), no cartesian") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, s"join vector data filler$i more${i % 7} pad${i % 3}"))
+      .toDF("doc_id", "text").repartition(4)
+    val p = graft.search.Bm25
+      .sdmScore(docs, "doc_id", "text", Seq("join", "vector", "data"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange"),
+      "per-family query constants must broadcast: " + p)
+  }
+
+  test("Hits: contribution joins are key equi-joins, normalizers " +
+    "broadcast, no cartesian") {
+    import spark.implicits._
+    val nodes = (0L until 20L).map(i => s"n$i").toDF("node")
+    val edges = (0L until 19L).map(i => (s"n$i", s"n${i + 1}"))
+      .toDF("src", "dst").repartition(4)
+    // disable the per-iteration materialization so the iteration's
+    // joins/broadcasts are visible in ONE plan (Materialize otherwise
+    // hides them behind ExistingRDD scans)
+    spark.conf.set("graft.dedup.checkpoint", "none")
+    val p =
+      try graft.operators.Hits.run(nodes, edges, iters = 2)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("graft.dedup.checkpoint")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "L1 normalizers must broadcast: " + p)
+  }
 }
