@@ -120,4 +120,69 @@ object GopherFilters {
             .otherwise(0L)).cast("double") /
           sum(col("cnt") * length(col("line")))).as("dup_line_char_frac"))
   }
+
+  /** The eight Gopher stop words (table A1's "must contain ≥ 2"). */
+  val StopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher DOCUMENT-quality screen — the non-repetition half of
+    * table A1 (word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, alphabetic-word fraction, stop-word
+    * presence), completing the family next to [[repetitionSignals]]
+    * and [[dupLineSignals]].
+    *
+    * Every verdict term is INTEGER arithmetic (cross-multiplied
+    * rational thresholds — `10·symbols ≤ words` instead of a double
+    * ratio), so the pass column is exactly mirrorable with no float
+    * in the decision path; surfaced ratios are display-only.
+    *
+    * Rules (thresholds per the paper): 50 ≤ words ≤ 100 000;
+    * 3 ≤ mean word length ≤ 10 (as 3·wc ≤ chars ≤ 10·wc);
+    * symbol-to-word ratio ≤ 0.1 for `#` and for `...`/`…` (each
+    * counted as occurrences across the raw text); ≥ 80 % of words
+    * contain an alphabetic character (5·alpha ≥ 4·wc); ≥ 2 distinct
+    * stop words of the canonical eight present.
+    *
+    * Output: (id, n_words, n_chars, n_hash, n_ellipsis, n_alpha,
+    * n_stop, gopher_quality_pass). One tokenize-explode aggregation
+    * (map-side combinable; no interpreted HOF folds — the round-5
+    * aggregate() lesson) plus per-row symbol counts; zero-token
+    * documents get a (0-count, fail) row, never a dropped one.
+    */
+  def qualitySignals(df: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val perRow = base.select(col("id"),
+      (size(split(col("text"), "#", -1)) - 1).cast("long").as("n_hash"),
+      ((size(split(col("text"), "\\.\\.\\.", -1)) - 1) +
+        (size(split(col("text"), "…", -1)) - 1)).cast("long")
+        .as("n_ellipsis"))
+    val tok = base.select(col("id"),
+      explode(TextFunctions.tokens(col("text"))).as("t"))
+    // n_stop as eight plain max-flags summed: countDistinct would drag
+    // every other aggregate through the multi-distinct Expand
+    val stopFlags = StopWords
+      .map(w => max(when(col("t") === w, 1L).otherwise(0L)))
+      .reduce(_ + _)
+    val agg = tok.groupBy("id").agg(
+      count(lit(1)).as("n_words"),
+      sum(length(col("t")).cast("long")).as("n_chars"),
+      sum(when(col("t").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
+      stopFlags.as("n_stop"))
+    perRow.join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        col("n_hash"), col("n_ellipsis"),
+        coalesce(col("n_alpha"), lit(0L)).as("n_alpha"),
+        coalesce(col("n_stop"), lit(0L)).as("n_stop"))
+      .withColumn("gopher_quality_pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          lit(3L) * col("n_words") <= col("n_chars") &&
+          col("n_chars") <= lit(10L) * col("n_words") &&
+          lit(10L) * col("n_hash") <= col("n_words") &&
+          lit(10L) * col("n_ellipsis") <= col("n_words") &&
+          lit(5L) * col("n_alpha") >= lit(4L) * col("n_words") &&
+          col("n_stop") >= 2)
+  }
 }

@@ -711,8 +711,70 @@ object TestQueries22 {
         CAST(SUM(r_id) AS BIGINT) AS sum_r_id
       FROM pairs GROUP BY 1, 2 ORDER BY window_start"""))
 
+  /** Gopher DOCUMENT-quality screen —
+    * [[graft.operators.GopherFilters.qualitySignals]], the
+    * non-repetition half of Rae et al. 2021 table A1 (word-count and
+    * mean-word-length bounds, symbol-to-word ratios, alphabetic-word
+    * fraction, stop-word presence), completing the family next to the
+    * repetition screens (q138). Every verdict term is INTEGER
+    * arithmetic (cross-multiplied rational thresholds), so the pass
+    * column mirrors with no float in the decision path. All integers
+    * + boolean → RAW.
+    */
+  val q307GopherQuality: QueryCase = QueryCase(
+    "q307_gopher_quality",
+    (s, dir) => graft.operators.GopherFilters
+      .qualitySignals(Tables.documents(s, dir), "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id"),
+    Some("""
+      WITH base AS (
+        SELECT doc_id, text,
+          list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+            x -> x <> '') AS tk
+        FROM documents),
+      perrow AS (
+        SELECT doc_id,
+          CAST(LEN(string_split(text, '#')) - 1 AS BIGINT) AS n_hash,
+          CAST((LEN(string_split(text, '...')) - 1)
+            + (LEN(string_split(text, '…')) - 1) AS BIGINT) AS n_ellipsis
+        FROM base),
+      tok AS (SELECT doc_id, UNNEST(tk) AS t FROM base),
+      agg AS (
+        SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(LENGTH(t)) AS BIGINT) AS n_chars,
+          CAST(SUM(CASE WHEN regexp_matches(t, '[a-z]') THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alpha,
+          CAST(MAX(CASE WHEN t = 'the' THEN 1 ELSE 0 END)
+            + MAX(CASE WHEN t = 'be' THEN 1 ELSE 0 END)
+            + MAX(CASE WHEN t = 'to' THEN 1 ELSE 0 END)
+            + MAX(CASE WHEN t = 'of' THEN 1 ELSE 0 END)
+            + MAX(CASE WHEN t = 'and' THEN 1 ELSE 0 END)
+            + MAX(CASE WHEN t = 'that' THEN 1 ELSE 0 END)
+            + MAX(CASE WHEN t = 'have' THEN 1 ELSE 0 END)
+            + MAX(CASE WHEN t = 'with' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stop
+        FROM tok GROUP BY doc_id),
+      j AS (
+        SELECT p.doc_id,
+          COALESCE(a.n_words, 0) AS n_words,
+          COALESCE(a.n_chars, 0) AS n_chars,
+          p.n_hash, p.n_ellipsis,
+          COALESCE(a.n_alpha, 0) AS n_alpha,
+          COALESCE(a.n_stop, 0) AS n_stop
+        FROM perrow p LEFT JOIN agg a USING (doc_id))
+      SELECT doc_id, n_words, n_chars, n_hash, n_ellipsis, n_alpha,
+        n_stop,
+        (n_words >= 50 AND n_words <= 100000
+          AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+          AND 10 * n_hash <= n_words AND 10 * n_ellipsis <= n_words
+          AND 5 * n_alpha >= 4 * n_words
+          AND n_stop >= 2) AS gopher_quality_pass
+      FROM j ORDER BY doc_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q299StreamRightOuter, q300StreamFullOuter, q301RefineryE2e,
       q302CrossEntropySelect, q303Sq8Ann, q304SdmRanking, q305Hits,
-      q306JoinWindow)
+      q306JoinWindow, q307GopherQuality)
 }

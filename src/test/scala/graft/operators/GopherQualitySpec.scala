@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[GopherFilters.qualitySignals]] — each table-A1 document rule
+  * trips independently on a targeted fixture, and the all-integer
+  * threshold arithmetic sits exactly ON its boundary.
+  */
+class GopherQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val goodBody = ("the be to of " +
+    (1 to 46).map(i => s"word$i").mkString(" "))
+
+  private def run(rows: Seq[(Long, String)]) =
+    GopherFilters.qualitySignals(rows.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getBoolean(7)))).toMap
+
+  test("a well-formed document passes; each rule fails independently") {
+    val out = run(Seq(
+      (1L, goodBody), // 50 words, stopwords, alpha, no symbols → pass
+      (2L, "the be " + (1 to 47).map(_ => "ok").mkString(" ")), // 49 words
+      (3L, goodBody.replace("word40", "#### #### ####### #")), // hash-heavy
+      (4L, "the be " + (1 to 48).map(i => s"$i").mkString(" ")), // digits:
+      //   only 2 of 50 words alphabetic → alpha rule fails
+      (5L, "the " + (1 to 49).map(i => s"w$i").mkString(" ")) // 1 stopword
+    ))
+    assert(out(1L)._6, s"baseline doc must pass: ${out(1L)}")
+    assert(!out(2L)._6, "49 words is under the 50 floor")
+    assert(!out(3L)._6, "hash symbols over 10% of words")
+    assert(!out(4L)._6, "alphabetic-word fraction under 80%")
+    assert(!out(5L)._6, "only one stop word present")
+  }
+
+  test("integer boundaries: symbol ratio exactly 10% passes (10·sym " +
+    "≤ words), one more symbol fails") {
+    // 50 words incl. 5 bare '#' tokens → 10·5 = 50 ≤ 50 pass
+    // (words long enough that the mean-word-length floor holds)
+    val at = "the be to of " + (1 to 41).map(i => s"word$i").mkString(" ") +
+      " # # # # #"
+    val over = at + " #" // 51 words, 6 hashes → 60 > 51
+    val out = run(Seq((1L, at), (2L, over)))
+    assert(out(1L)._2 == 5L && out(1L)._6, s"exactly at bound: ${out(1L)}")
+    assert(!out(2L)._6)
+  }
+
+  test("ellipsis counting covers both spellings and zero-token docs " +
+    "fail with zero counts") {
+    val out = run(Seq((1L, "a... b… c"), (2L, "   ")))
+    assert(out(1L)._3 == 2L)
+    assert(out(2L)._1 == 0L && !out(2L)._6)
+  }
+}
