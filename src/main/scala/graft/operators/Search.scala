@@ -100,6 +100,46 @@ object Search {
       .select(col(idCol), col("rrf_score"))
   }
 
+  /** CombSUM / CombMNZ score fusion (Fox & Shaw 1994) — the
+    * SCORE-based fusion classics next to [[rrfFuse]]'s rank-based one:
+    * each retrieved list is min-max normalized to [0, 1] (a
+    * constant-score list normalizes to 0.0 — no discriminating
+    * information), then per document CombSUM = Σ norms over the lists
+    * holding it and CombMNZ = CombSUM × (#lists holding it — the
+    * "multiply by non-zero" boost for multi-system agreement).
+    *
+    * Determinism: callers should cut and pass lists with ROUNDED
+    * scores (the rank-on-rounded rule) so the per-list min/max picks
+    * and the norm divisions are bit-identical cross-engine.
+    *
+    * Scale shape: one 1-row broadcast (min, max) per list, a union,
+    * and one id-keyed aggregation — no joins between lists, no window.
+    *
+    * @param lists retrieved lists, each (idCol, scoreCol) — already
+    *              cut to their retrieval depth
+    * @return (id, n_lists, comb_sum, comb_mnz)
+    */
+  def combFuse(lists: Seq[DataFrame], idCol: String,
+               scoreCol: String): DataFrame = {
+    require(lists.nonEmpty, "need at least one list")
+    val normed = lists.map { df =>
+      val mm = df.agg(min(col(scoreCol)).as("mn"),
+        max(col(scoreCol)).as("mx"))
+      df.select(col(idCol).as("id"), col(scoreCol).as("s"))
+        .crossJoin(broadcast(mm))
+        .select(col("id"),
+          when(col("mx") > col("mn"),
+            (col("s") - col("mn")) / (col("mx") - col("mn")))
+            .otherwise(lit(0.0)).as("norm"))
+    }
+    normed.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(sum(col("norm")).as("comb_sum"),
+        count(lit(1)).as("n_lists"))
+      .select(col("id"), col("n_lists"), col("comb_sum"),
+        (col("comb_sum") * col("n_lists")).as("comb_mnz"))
+  }
+
   /** Full hybrid search (§3.2): both legs fetch 2×limit (K6,
     * `hybrid.py:205-211`), RRF-fused, top `limit` returned.
     */

@@ -773,8 +773,125 @@ object TestQueries22 {
           AND n_stop >= 2) AS gopher_quality_pass
       FROM j ORDER BY doc_id"""))
 
+  /** CombSUM / CombMNZ fusion — [[graft.operators.Search.combFuse]]
+    * (Fox & Shaw 1994), the SCORE-based fusion classics next to RRF
+    * (q14/q54): BM25 and Dirichlet-QL top-50 lists (each ranked on its
+    * ROUND(6) score with an id tie-break — the rank-on-rounded rule,
+    * so the list cuts and min-max inputs are bit-identical
+    * cross-engine), min-max normalized, fused. Top-20 by ROUND(6)
+    * CombMNZ with an id tie-break; n_lists surfaces the agreement
+    * boost. The oracle replays both rankers (q161 + q297 CTEs), the
+    * cuts, and the fusion verbatim.
+    */
+  val q308CombFusion: QueryCase = QueryCase(
+    "q308_comb_fusion",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val terms = Seq("join", "vector", "data")
+      def cut(scored: org.apache.spark.sql.DataFrame) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("s").desc, col("doc_id"))
+        scored.withColumn("lr", row_number().over(w))
+          .where(col("lr") <= 50).drop("lr")
+      }
+      val bm = cut(graft.search.Bm25.score(docs, "doc_id", "text", terms)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("s")))
+      val ql = cut(graft.search.Bm25
+        .dirichletQl(docs, "doc_id", "text", terms, mu = 2000.0)
+        .select(col("doc_id"), round(col("score"), 6).as("s")))
+      val fused = graft.operators.Search.combFuse(Seq(bm, ql),
+        "doc_id", "s")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(round(col("comb_mnz"), 6).desc, col("id"))
+      fused.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 20)
+        .select(col("id").as("doc_id"), col("n_lists"),
+          round(col("comb_sum"), 6).as("comb_sum"),
+          round(col("comb_mnz"), 6).as("comb_mnz"), col("rank"))
+        .orderBy("rank")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(
+          list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+            x -> x <> '')) AS t
+        FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       AVG(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM toks
+        WHERE t IN ('join', 'vector', 'data') GROUP BY doc_id, t),
+      dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      bmparts AS (
+        SELECT tf.doc_id,
+          ln((stats.n - dfreq.df + CAST(0.5 AS DOUBLE))
+               / (dfreq.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+            * (tf.tf * CAST(2.2 AS DOUBLE))
+            / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl)) AS part
+        FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id)
+        CROSS JOIN stats),
+      bm AS (
+        SELECT doc_id, ROUND(SUM(part), 6) AS s
+        FROM bmparts GROUP BY doc_id),
+      bmcut AS (
+        SELECT doc_id, s FROM (
+          SELECT doc_id, s,
+            ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS lr FROM bm)
+        WHERE lr <= 50),
+      total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ct FROM toks),
+      pw AS (
+        SELECT t, CAST(COUNT(*) AS DOUBLE) / MAX(ct) AS pw
+        FROM toks, total WHERE t IN ('join', 'vector', 'data')
+        GROUP BY t),
+      qc AS (
+        SELECT SUM(ln(CAST(2000.0 AS DOUBLE) * pw)) AS qc,
+          CAST(COUNT(*) AS DOUBLE) AS nq FROM pw),
+      m AS (
+        SELECT tf.doc_id,
+          SUM(ln(CAST(1.0 AS DOUBLE) + CAST(tf AS DOUBLE)
+            / (CAST(2000.0 AS DOUBLE) * pw.pw))) AS msum
+        FROM tf JOIN pw USING (t) GROUP BY tf.doc_id),
+      ql AS (
+        SELECT dl.doc_id,
+          ROUND(qc.qc - qc.nq * ln(CAST(dl.dl AS DOUBLE)
+              + CAST(2000.0 AS DOUBLE))
+            + COALESCE(m.msum, CAST(0.0 AS DOUBLE)), 6) AS s
+        FROM dl LEFT JOIN m ON dl.doc_id = m.doc_id CROSS JOIN qc),
+      qlcut AS (
+        SELECT doc_id, s FROM (
+          SELECT doc_id, s,
+            ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS lr FROM ql)
+        WHERE lr <= 50),
+      bmm AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM bmcut),
+      qlm AS (SELECT MIN(s) AS mn, MAX(s) AS mx FROM qlcut),
+      normed AS (
+        SELECT doc_id, CASE WHEN bmm.mx > bmm.mn
+          THEN (s - bmm.mn) / (bmm.mx - bmm.mn)
+          ELSE CAST(0.0 AS DOUBLE) END AS norm
+        FROM bmcut, bmm
+        UNION ALL
+        SELECT doc_id, CASE WHEN qlm.mx > qlm.mn
+          THEN (s - qlm.mn) / (qlm.mx - qlm.mn)
+          ELSE CAST(0.0 AS DOUBLE) END AS norm
+        FROM qlcut, qlm),
+      fused AS (
+        SELECT doc_id, SUM(norm) AS comb_sum,
+          CAST(COUNT(*) AS BIGINT) AS n_lists
+        FROM normed GROUP BY doc_id),
+      rk AS (
+        SELECT doc_id, n_lists, comb_sum,
+          comb_sum * n_lists AS comb_mnz,
+          CAST(ROW_NUMBER() OVER (ORDER BY
+            ROUND(comb_sum * n_lists, 6) DESC, doc_id) AS BIGINT) AS rank
+        FROM fused)
+      SELECT doc_id, n_lists, ROUND(comb_sum, 6) AS comb_sum,
+        ROUND(comb_mnz, 6) AS comb_mnz, rank
+      FROM rk WHERE rank <= 20 ORDER BY rank"""))
+
   val all: Seq[QueryCase] =
     Seq(q299StreamRightOuter, q300StreamFullOuter, q301RefineryE2e,
       q302CrossEntropySelect, q303Sq8Ann, q304SdmRanking, q305Hits,
-      q306JoinWindow, q307GopherQuality)
+      q306JoinWindow, q307GopherQuality, q308CombFusion)
 }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[Search.combFuse]] against hand-computed CombSUM/CombMNZ
+  * (Fox & Shaw 1994): min-max normalization per list, the MNZ
+  * agreement boost, and the degenerate constant-score list.
+  */
+class CombFuseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val l1 = Seq((1L, 10.0), (2L, 5.0), (3L, 0.0))
+    .toDF("doc_id", "s") // norms: 1.0, 0.5, 0.0
+  private val l2 = Seq((2L, 4.0), (3L, 2.0), (4L, 0.0))
+    .toDF("doc_id", "s") // norms: 1.0, 0.5, 0.0
+
+  test("CombSUM sums per-list min-max norms; CombMNZ multiplies by " +
+    "list membership") {
+    val got = Search.combFuse(Seq(l1, l2), "doc_id", "s")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got(1L) == ((1L, 1.0, 1.0)))
+    assert(got(2L) == ((2L, 1.5, 3.0)), "0.5 + 1.0, doubled by MNZ")
+    assert(got(3L) == ((2L, 0.5, 1.0)))
+    assert(got(4L) == ((1L, 0.0, 0.0)))
+  }
+
+  test("a constant-score list normalizes to 0.0 (no discriminating " +
+    "information), never NaN") {
+    val flat = Seq((1L, 7.0), (2L, 7.0)).toDF("doc_id", "s")
+    val got = Search.combFuse(Seq(flat, l1), "doc_id", "s")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((2L, 1.0)), "flat contributes 0, l1 contributes 1")
+    assert(got.values.forall(!_._2.isNaN))
+  }
+}
