@@ -81,6 +81,57 @@ object Events {
       .toDF(keyCol, orderCol, valueCol, "ewma")
   }
 
+  /** Holt linear-trend (double exponential) smoothing per key — the
+    * trend-aware member of the sequential-smoother family next to
+    * [[ewma]] (level only) and [[cusum]] (drift alarms):
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   forecast_{t+1} = l_t + b_t
+    *
+    * Initialization is PINNED (implementations vary): l_1 = x_1,
+    * b_1 = 0 — the first row carries no trend information and the
+    * recurrence is total from row one (no two-point special case).
+    *
+    * Same shape and determinism contract as [[ewma]]: a per-key
+    * ordered walk inside `flatMapGroups`, multiply/add only, and the
+    * oracle replays the identical IEEE sequence as a recursive CTE —
+    * outputs compare RAW (callers should pick α, β with exactly
+    * representable 1−α, 1−β, e.g. 0.5/0.25, so literal coefficients
+    * mirror bit-for-bit).
+    *
+    * Output per row: (key, ord, x, level, trend, forecast).
+    */
+  def holtLinear(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0,
+      "need alpha in (0,1] and beta in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(valueCol).cast("double").as("x"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.map { case (_, ord, x) => (ord, x) }.toArray
+        java.util.Arrays.sort(rows, Ordering.by((r: (Long, Double)) => r._1))
+        var l = 0.0
+        var b = 0.0
+        var first = true
+        rows.iterator.map { case (ord, x) =>
+          if (first) { l = x; b = 0.0; first = false }
+          else {
+            val lp = l
+            l = alpha * x + (1 - alpha) * (lp + b)
+            b = beta * (l - lp) + (1 - beta) * b
+          }
+          (k, ord, x, l, b, l + b)
+        }
+      }
+      .toDF(keyCol, orderCol, valueCol, "level", "trend", "forecast")
+  }
+
   /** One-sided CUSUM change detection (Page 1954) per key — the
     * sequential drift monitor a pipeline runs over per-entity metric
     * streams: S_t = max(0, S_{t−1} + (x_t − target − slack)) accumulates

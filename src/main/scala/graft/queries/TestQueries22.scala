@@ -890,8 +890,50 @@ object TestQueries22 {
         ROUND(comb_mnz, 6) AS comb_mnz, rank
       FROM rk WHERE rank <= 20 ORDER BY rank"""))
 
+  /** Holt linear-trend smoothing —
+    * [[graft.analytics.Events.holtLinear]], the trend-aware member of
+    * the sequential-smoother family (EWMA q114, CUSUM q116-family):
+    * per-user level + trend + one-step forecast with the pinned
+    * l₁ = x₁, b₁ = 0 initialization. α = 0.5, β = 0.25 (both 1−α and
+    * 1−β exactly binary-representable), so the oracle's recursive CTE
+    * replays the identical IEEE sequence and every value compares RAW
+    * — the q114 lesson: when the math is bit-identical, rounding is a
+    * LIABILITY, not a safety net.
+    */
+  val q309HoltLinear: QueryCase = QueryCase(
+    "q309_holt_linear",
+    (s, dir) => graft.analytics.Events
+      .holtLinear(Tables.events(s, dir).where(col("user_id") < 20),
+        "user_id", "event_id", "value", alpha = 0.5, beta = 0.25)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id"), col("value"), col("level"), col("trend"),
+        col("forecast"))
+      .orderBy("user_id", "event_id"),
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS ord
+        FROM events WHERE user_id < 20),
+      rec AS (
+        SELECT user_id, event_id, value, ord,
+               CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+        FROM d WHERE ord = 1
+        UNION ALL
+        SELECT d.user_id, d.event_id, d.value, d.ord,
+               CAST(0.5 AS DOUBLE) * d.value
+                 + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+               CAST(0.25 AS DOUBLE)
+                 * ((CAST(0.5 AS DOUBLE) * d.value
+                     + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+                 + CAST(0.75 AS DOUBLE) * r.b
+        FROM rec r JOIN d ON d.user_id = r.user_id AND d.ord = r.ord + 1)
+      SELECT user_id, event_id, value, l AS level, b AS trend,
+             l + b AS forecast
+      FROM rec ORDER BY user_id, event_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q299StreamRightOuter, q300StreamFullOuter, q301RefineryE2e,
       q302CrossEntropySelect, q303Sq8Ann, q304SdmRanking, q305Hits,
-      q306JoinWindow, q307GopherQuality, q308CombFusion)
+      q306JoinWindow, q307GopherQuality, q308CombFusion, q309HoltLinear)
 }

@@ -1,0 +1,40 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Pins [[Events.holtLinear]] against a hand-walked recurrence
+  * (α = 0.5, β = 0.25, l₁ = x₁, b₁ = 0) and the trend property the
+  * smoother exists for: on a perfect linear ramp the trend converges
+  * toward the slope and the forecast leads the level.
+  */
+class HoltLinearSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches the hand-walked recurrence") {
+    // x = 10, 14, 13
+    // t1: l=10, b=0
+    // t2: l = .5·14 + .5·(10+0) = 12; b = .25·(12−10) + .75·0 = 0.5
+    // t3: l = .5·13 + .5·(12.5) = 12.75; b = .25·0.75 + .75·0.5 = 0.5625
+    val out = Events.holtLinear(
+        Seq((1L, 1L, 10.0), (1L, 2L, 14.0), (1L, 3L, 13.0))
+          .toDF("user_id", "event_id", "value"),
+        "user_id", "event_id", "value", 0.5, 0.25)
+      .orderBy("event_id").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(out(0) == ((10.0, 0.0, 10.0)))
+    assert(out(1) == ((12.0, 0.5, 12.5)))
+    assert(out(2) == ((12.75, 0.5625, 13.3125)))
+  }
+
+  test("on a linear ramp the trend converges toward the slope") {
+    val ramp = (1L to 40L).map(i => (1L, i, 3.0 * i))
+      .toDF("user_id", "event_id", "value")
+    val last = Events.holtLinear(ramp, "user_id", "event_id", "value",
+        0.5, 0.25)
+      .orderBy("event_id").collect().last
+    assert(math.abs(last.getDouble(4) - 3.0) < 0.05,
+      s"trend ${last.getDouble(4)} should approach slope 3")
+    assert(last.getDouble(5) > last.getDouble(3),
+      "positive trend: forecast leads level")
+  }
+}
