@@ -73,8 +73,14 @@ $suites suites."
 fi
 
 git add -A
-git commit -m "$msg"
-echo "[close_round] snapshot committed."
+# a clean tree is a legitimate close (all work already committed) —
+# don't let set -e abort before the settle loop below
+if git diff --cached --quiet; then
+  echo "[close_round] tree already committed; nothing to snapshot."
+else
+  git commit -m "$msg"
+  echo "[close_round] snapshot committed."
+fi
 
 # Serialize the round close against the driver bench (round-12 lesson:
 # BENCH_r12 recorded under the verify sweep's load, inheriting a 2.7x
