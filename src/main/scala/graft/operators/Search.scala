@@ -108,6 +108,11 @@ object Search {
     * holding it and CombMNZ = CombSUM × (#lists holding it — the
     * "multiply by non-zero" boost for multi-system agreement).
     *
+    * This is THE comb-fusion implementation:
+    * [[graft.search.Fusion.combSumMnz]] (gate q265) is a delegating
+    * alias of this method (gate q308) that renames n_lists →
+    * n_systems. One implementation, one degenerate convention.
+    *
     * Determinism: callers should cut and pass lists with ROUNDED
     * scores (the rank-on-rounded rule) so the per-list min/max picks
     * and the norm divisions are bit-identical cross-engine.

@@ -1715,6 +1715,9 @@ object TestQueries19 {
     * normalized-score complement to RRF. Inputs are ROUNDED(6)
     * retrieval scores (the round-9 rule); min/max are exact
     * selections, the ≤2-term sums commutative-exact → RAW.
+    * Round 14: combSumMnz now delegates to
+    * [[graft.operators.Search.combFuse]] (q308) — one implementation,
+    * unified constant-score convention (0.0), oracle updated to match.
     */
   val q265CombFusion: QueryCase = QueryCase(
     "q265_comb_fusion",
@@ -1788,8 +1791,8 @@ object TestQueries19 {
         SELECT sys, MIN(s) AS lo, MAX(s) AS hi FROM tagged GROUP BY sys),
       normed AS (
         SELECT t.id,
-          CASE WHEN r.hi = r.lo THEN CAST(1.0 AS DOUBLE)
-               ELSE (t.s - r.lo) / (r.hi - r.lo) END AS norm
+          CASE WHEN r.hi > r.lo THEN (t.s - r.lo) / (r.hi - r.lo)
+               ELSE CAST(0.0 AS DOUBLE) END AS norm
         FROM tagged t JOIN ranges r USING (sys)),
       g AS (
         SELECT id, CAST(COUNT(*) AS BIGINT) AS n_systems,

@@ -1,45 +1,30 @@
 package graft.search
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 
 /** Score-based rank fusion (Fox & Shaw 1994) — the normalized-score
-  * complement to RRF (which fuses RANKS and ignores score magnitudes):
-  * CombSUM adds min-max-normalized scores across systems; CombMNZ
-  * multiplies by the number of systems that returned the doc,
-  * rewarding cross-system agreement. The fusion to reach for when
-  * score CALIBRATION across systems carries signal RRF throws away.
+  * complement to RRF (which fuses RANKS and ignores score magnitudes).
   *
-  * Scale shape: one union + per-system min/max aggregates (broadcast)
-  * + one id-keyed groupBy. No windows.
-  *
-  * Determinism: callers pass ROUNDED scores (the round-9 rule — libm
-  * retrieval scores rank on rounded keys); min/max are exact
-  * selections, normalization single divisions, the fused sums are
-  * per-id folds over ≤ #systems values → gate rounds the outputs.
+  * This object is a compatibility alias: the single implementation is
+  * [[graft.operators.Search.combFuse]] (see it for the algorithm, the
+  * degenerate-list convention, and the scale shape). Round 13 briefly
+  * held two independent implementations with CONTRADICTORY
+  * constant-score semantics (1.0 here vs 0.0 there); round 14
+  * consolidated on combFuse's 0.0 — a constant-score list carries no
+  * discriminating information, so it contributes nothing, exactly as
+  * an empty list would. Gate q265 (this entry point) and gate q308
+  * (combFuse) both pin the unified convention.
   */
 object Fusion {
 
   /** Fuse score lists; each input is (idCol, scoreCol). Output:
-    * (id, n_systems, comb_sum, comb_mnz). A system whose scores are
-    * all equal (max = min) contributes 1.0 for every doc it returned.
+    * (id, n_systems, comb_sum, comb_mnz). Delegates to
+    * [[graft.operators.Search.combFuse]] (which names the count
+    * column n_lists); a system whose scores are all equal
+    * (max = min) contributes 0.0 for every doc it returned.
     */
   def combSumMnz(systems: Seq[DataFrame], idCol: String,
-                 scoreCol: String): DataFrame = {
-    require(systems.nonEmpty, "need at least one system")
-    val tagged = systems.zipWithIndex.map { case (df, i) =>
-      df.select(col(idCol).as("id"),
-        col(scoreCol).cast("double").as("s"), lit(i).as("sys"))
-    }.reduce(_ unionByName _)
-    val ranges = tagged.groupBy("sys")
-      .agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
-    tagged.join(broadcast(ranges), Seq("sys"))
-      .withColumn("norm",
-        when(col("hi") === col("lo"), lit(1.0))
-          .otherwise((col("s") - col("lo")) / (col("hi") - col("lo"))))
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_systems"), sum(col("norm")).as("comb_sum"))
-      .withColumn("comb_mnz",
-        col("comb_sum") * col("n_systems").cast("double"))
-  }
+                 scoreCol: String): DataFrame =
+    graft.operators.Search.combFuse(systems, idCol, scoreCol)
+      .withColumnRenamed("n_lists", "n_systems")
 }

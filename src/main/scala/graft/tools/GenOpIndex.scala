@@ -1,0 +1,77 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Source scanner behind [[graft.OperatorIndex]]: extracts every
+  * public method of every top-level object in the operator packages
+  * (everything under `graft` except the gate files in `queries/`, the
+  * probe mains in `tools/`, and the harness entry points). The
+  * OperatorIndexSpec runs this same scan and fails when the index and
+  * the source disagree — so adding a public operator forces a visit
+  * to the index file, where the existing family members are greppable
+  * BEFORE a re-implementation ships (the round-13 combSumMnz/combFuse
+  * fork is the motivating incident).
+  */
+object OpIndexScan {
+
+  final case class ScannedOp(pkg: String, obj: String, method: String,
+                             file: String)
+
+  private val excludedFiles =
+    Set("SparkEntry.scala", "Verify.scala", "Bench.scala",
+      "OperatorIndex.scala")
+  private val ObjRe = """^(?:case )?object ([A-Za-z0-9_]+).*""".r
+  private val TypeRe =
+    """^(?:final |abstract |sealed |private )*(?:case )?(?:class|trait) .*""".r
+  private val DefRe = """^  def ([A-Za-z0-9_]+).*""".r
+
+  def scan(root: String = "src/main/scala/graft"): Seq[ScannedOp] = {
+    val rootPath = Paths.get(root)
+    val files = Files.walk(rootPath).iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .filterNot(p => p.toString.contains("/queries/") ||
+        p.toString.contains("/tools/"))
+      .filterNot(p => excludedFiles(p.getFileName.toString))
+      .toSeq.sortBy(_.toString)
+    files.flatMap { p =>
+      val pkg = Option(rootPath.relativize(p).getParent)
+        .map(_.toString.replace('/', '.')).getOrElse("")
+      var owner: Option[String] = None
+      Files.readAllLines(p).asScala.toSeq.flatMap { line =>
+        line match {
+          case ObjRe(name) => owner = Some(name); None
+          case l if TypeRe.matches(l) => owner = None; None
+          case DefRe(name) => owner.map(o =>
+            ScannedOp(pkg, o, name, p.toString))
+          case _ => None
+        }
+      }.distinct
+    }
+  }
+}
+
+/** Prints the drift between the scanned source and
+  * [[graft.OperatorIndex.entries]] as paste-ready `Op(...)` lines
+  * (ADD) and entries to delete (STALE). Run after adding/removing a
+  * public operator: `sbt "runMain graft.tools.GenOpIndex"`.
+  */
+object GenOpIndex {
+  def main(args: Array[String]): Unit = {
+    val scanned = OpIndexScan.scan()
+    val indexed = graft.OperatorIndex.entries
+      .map(e => (e.pkg, e.obj, e.method)).toSet
+    val scannedKeys = scanned.map(s => (s.pkg, s.obj, s.method)).toSet
+    val missing = scanned
+      .filter(s => !indexed((s.pkg, s.obj, s.method)))
+      .map(s => (s.pkg, s.obj, s.method)).distinct
+    val stale = graft.OperatorIndex.entries
+      .filterNot(e => scannedKeys((e.pkg, e.obj, e.method)))
+    if (missing.isEmpty && stale.isEmpty)
+      println(s"OperatorIndex is complete: ${indexed.size} entries.")
+    missing.foreach { case (p, o, m) =>
+      println(s"""    Op("$p", "$o", "$m", "$p.$o"),""")
+    }
+    stale.foreach(e => println(s"STALE: ${e.pkg}.${e.obj}.${e.method}"))
+  }
+}

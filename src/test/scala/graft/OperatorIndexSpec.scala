@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.tools.OpIndexScan
+
+/** The anti-fork guard (round 14, after the combSumMnz/combFuse
+  * incident): [[OperatorIndex]] must list every public operator, and
+  * any family shared across objects must be curated with gates and
+  * mutual source cross-references. Adding a public `def` without
+  * touching the index fails here — and the index is where the
+  * existing siblings are greppable.
+  */
+class OperatorIndexSpec extends AnyFunSuite {
+
+  private lazy val scanned = OpIndexScan.scan()
+  private lazy val scannedKeys =
+    scanned.map(s => (s.pkg, s.obj, s.method)).toSet
+  private lazy val indexKeys =
+    OperatorIndex.entries.map(e => (e.pkg, e.obj, e.method))
+
+  test("index is complete and current vs the source scan " +
+    "(run graft.tools.GenOpIndex for the paste-ready diff)") {
+    val missing = scannedKeys -- indexKeys.toSet
+    val stale = indexKeys.toSet -- scannedKeys
+    assert(missing.isEmpty,
+      s"public operators missing from OperatorIndex (grep the index " +
+        s"for an existing sibling BEFORE implementing): $missing")
+    assert(stale.isEmpty, s"stale OperatorIndex entries: $stale")
+  }
+
+  test("no duplicate index entries") {
+    val dups = indexKeys.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate entries: $dups")
+  }
+
+  test("families shared across objects are curated with a canonical " +
+    "member and mutual source cross-references") {
+    val byFamily = OperatorIndex.entries.groupBy(_.family)
+      .filter { case (_, es) => es.map(e => (e.pkg, e.obj)).distinct.size > 1 }
+    val fileOf = scanned.map(s => (s.pkg, s.obj, s.method) -> s.file).toMap
+    byFamily.foreach { case (fam, members) =>
+      assert(OperatorIndex.curatedFamilies.contains(fam),
+        s"family '$fam' spans ${members.map(m => s"${m.obj}.${m.method}")} " +
+          s"but is not in curatedFamilies")
+      val (canonical, _) = OperatorIndex.curatedFamilies(fam)
+      assert(members.exists(m => s"${m.obj}.${m.method}" == canonical),
+        s"canonical '$canonical' of family '$fam' is not a member")
+      members.foreach { m =>
+        val src = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(fileOf((m.pkg, m.obj, m.method)))))
+        val siblings = members.filterNot(s =>
+          (s.pkg, s.obj) == ((m.pkg, m.obj)))
+        siblings.foreach { s =>
+          assert(src.contains(s.method),
+            s"${m.obj}.${m.method}'s source must cross-reference " +
+              s"sibling ${s.obj}.${s.method} (family '$fam')")
+        }
+      }
+    }
+  }
+
+  test("curated family gates exist in SparkEntry.queries") {
+    val gates = SparkEntry.queries.keySet
+    OperatorIndex.curatedFamilies.foreach { case (fam, (_, famGates)) =>
+      famGates.foreach(g => assert(gates.contains(g),
+        s"family '$fam' cites unknown gate '$g'"))
+    }
+  }
+}

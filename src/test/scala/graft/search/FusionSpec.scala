@@ -21,10 +21,11 @@ class FusionSpec extends SparkSpec {
     assert(m(4L) == ((1L, 0.0, 0.0)))
   }
 
-  test("an equal-scores system contributes 1.0 per returned doc") {
+  test("an equal-scores system contributes 0.0 per returned doc " +
+    "(unified with Search.combFuse, round 14)") {
     val flat = Seq((1L, 7.0), (2L, 7.0)).toDF("id", "score")
     val m = Fusion.combSumMnz(Seq(flat), "id", "score").collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Double]("comb_sum")).toMap
-    assert(m(1L) == 1.0 && m(2L) == 1.0)
+    assert(m(1L) == 0.0 && m(2L) == 0.0)
   }
 }
