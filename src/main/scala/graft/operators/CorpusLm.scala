@@ -79,7 +79,10 @@ object CorpusLm {
     * asymmetry on exactly-zero excess.
     *
     * Output: (doc_id, n_tokens, ce_ref_bits, ce_self_bits,
-    *          excess_bits, keep).
+    *          excess_bits, keep) — EVERY input document gets a row:
+    * zero-token documents carry n_tokens = 0, NULL entropies, and
+    * keep = false. An empty reference slice raises in-plan (it would
+    * otherwise NULL every verdict).
     */
   def crossEntropySelect(docs: DataFrame, idCol: String, textCol: String,
                          refFilter: Column, k: Double = 0.5): DataFrame = {
@@ -91,7 +94,17 @@ object CorpusLm {
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
     val refC = refToks.groupBy("t").agg(count(lit(1)).as("rc"))
+    // An empty reference slice (refFilter typo, wrong column value)
+    // would make rn/rv NULL and silently NULL every keep verdict —
+    // a curation pipeline filtering on keep would drop the whole
+    // corpus. Fail loudly in-plan instead (round-14 ADVICE).
     val refTot = refC.agg(sum(col("rc")).as("rn"), count(lit(1)).as("rv"))
+      .select(
+        when(col("rn").isNull || col("rn") <= 0, raise_error(lit(
+          "crossEntropySelect: reference slice (refFilter) matched no " +
+            "tokens — refusing to NULL every keep verdict")))
+          .otherwise(col("rn")).as("rn"),
+        col("rv"))
     val selfC = toks.groupBy("t").agg(count(lit(1)).as("sc"))
     val selfTot = selfC.agg(sum(col("sc")).as("sn"), count(lit(1)).as("sv"))
     val scored = dt
@@ -106,11 +119,19 @@ object CorpusLm {
         (-sum(col("c") * log2((col("sc") + k)
             / (col("sn") + lit(k) * (col("sv") + 1))))
           / sum(col("c"))).as("ce_self"))
-    scored.select(col("doc_id"), col("n_tokens"),
-      round(col("ce_ref"), 6).as("ce_ref_bits"),
-      round(col("ce_self"), 6).as("ce_self_bits"),
-      (round(col("ce_ref") - col("ce_self"), 6) + 0.0).as("excess_bits"),
-      (round(col("ce_ref") - col("ce_self"), 6) <= 0.0).as("keep"))
+    // Zero-token documents have no postings rows and would vanish from
+    // the output; give them an explicit verdict row instead
+    // (n_tokens = 0, NULL entropies, keep = false) — consistent with
+    // dirichletQl's and qualitySignals' zero-token treatment.
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(col("ce_ref"), 6).as("ce_ref_bits"),
+        round(col("ce_self"), 6).as("ce_self_bits"),
+        (round(col("ce_ref") - col("ce_self"), 6) + 0.0).as("excess_bits"),
+        coalesce(round(col("ce_ref") - col("ce_self"), 6) <= 0.0,
+          lit(false)).as("keep"))
   }
 
   private def unigramPerplexityImpl(

@@ -342,7 +342,9 @@ object TestQueries22 {
     * OOV-vs-reference tokens take the smoothing floor via a left join.
     * Integer counts + libm log2 → ROUND(6) with the keep verdict on
     * the rounded value (identical in both engines); `+ 0.0` clears
-    * -0.0 on exactly-zero excess.
+    * -0.0 on exactly-zero excess. Round 14: every input document gets
+    * a verdict row (zero-token docs: n_tokens 0, NULL entropies,
+    * keep false) — oracle left-joins from documents to match.
     */
   val q302CrossEntropySelect: QueryCase = QueryCase(
     "q302_cross_entropy_select",
@@ -376,12 +378,14 @@ object TestQueries22 {
         JOIN selfc USING (t)
         CROSS JOIN reft CROSS JOIN selft
         GROUP BY dt.doc_id)
-      SELECT doc_id, n_tokens,
-        ROUND(ce_ref, 6) AS ce_ref_bits,
-        ROUND(ce_self, 6) AS ce_self_bits,
-        ROUND(ce_ref - ce_self, 6) + 0.0 AS excess_bits,
-        ROUND(ce_ref - ce_self, 6) <= 0.0 AS keep
-      FROM ce ORDER BY doc_id"""))
+      SELECT d.doc_id,
+        COALESCE(ce.n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+        ROUND(ce.ce_ref, 6) AS ce_ref_bits,
+        ROUND(ce.ce_self, 6) AS ce_self_bits,
+        ROUND(ce.ce_ref - ce.ce_self, 6) + 0.0 AS excess_bits,
+        COALESCE(ROUND(ce.ce_ref - ce.ce_self, 6) <= 0.0, false) AS keep
+      FROM documents d LEFT JOIN ce ON ce.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
 
   /** SQ8 scalar-quantized ANN — [[graft.search.Sq8Ann.search]] (the
     * FAISS SQ8 serving pattern): symmetric-int8 quantization at the

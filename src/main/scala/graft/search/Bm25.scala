@@ -127,6 +127,14 @@ object Bm25 {
     * query-term postings (filter before the shuffle, the BM25 shape).
     * Ranking compares on ROUND(6) with an id tie-break (libm ln/sqrt).
     *
+    * Degenerate convention (round 14): query terms present in EVERY
+    * document have idf = 0 and carry no weight in the score — but
+    * they still COUNT as matches. A document matching only such terms
+    * (including the all-terms-ubiquitous query) gets a row with
+    * score 0.0, never NaN and never a silently-empty result — the
+    * same "no discriminating information → 0" convention as
+    * [[graft.operators.Search.combFuse]].
+    *
     * @return (doc_id, n_match, score) for documents matching ≥ 1 term
     */
   def tfidfCosine(docs: DataFrame, idCol: String, textCol: String,
@@ -147,22 +155,29 @@ object Bm25 {
     val norms = weighted.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("dnorm"))
     // Query terms present in EVERY document have idf = ln(N/df) = 0:
-    // they carry no discriminating weight, and keeping them can make
-    // qnorm exactly 0 (all-zero query vector → NaN scores). Drop them
-    // — mirrors dirichletQl's p_w = 0 drop convention.
+    // they carry no discriminating weight, and keeping them in the
+    // query vector can make qnorm exactly 0 (all-zero query vector →
+    // NaN scores). They are dropped from the SCORE (mirrors
+    // dirichletQl's p_w = 0 drop convention) but still count toward
+    // n_match; documents matching only idf-zero terms keep their row
+    // with score 0.0 (see the degenerate-convention scaladoc note).
     val qw = dfreq.where(col("t").isin(lowered: _*))
       .crossJoin(broadcast(n))
       .where(col("df").cast("double") < col("n"))
       .select(col("t"), log(col("n") / col("df")).as("qw"))
     val qnorm = qw.agg(sqrt(sum(col("qw") * col("qw"))).as("qnorm"))
-    weighted.join(broadcast(qw), Seq("t"))
+    val matched = tf.where(col("t").isin(lowered: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_match"))
+    val dots = weighted.join(broadcast(qw), Seq("t"))
       .groupBy("doc_id")
-      .agg(sum(col("w") * col("qw")).as("dot"),
-        count(lit(1)).as("n_match"))
+      .agg(sum(col("w") * col("qw")).as("dot"))
+    matched
+      .join(dots, Seq("doc_id"), "left")
       .join(norms, Seq("doc_id"))
       .crossJoin(broadcast(qnorm))
       .select(col("doc_id"), col("n_match"),
-        (col("dot") / (col("dnorm") * col("qnorm"))).as("score"))
+        coalesce(col("dot") / (col("dnorm") * col("qnorm")), lit(0.0))
+          .as("score"))
   }
 
   /** Sequential dependence model ranking (Metzler & Croft 2005) — the

@@ -31,13 +31,21 @@ import org.apache.spark.sql.functions._
   */
 object Sq8Ann {
 
-  /** 1-row (scale) frame: the corpus's symmetric-int8 step. */
+  /** 1-row (scale) frame: the corpus's symmetric-int8 step. An empty
+    * or all-zero corpus raises in-plan — scale = 0 would turn every
+    * quantized code into NaN and silently garbage the prefilter
+    * ranking (round-14 ADVICE).
+    */
   def scaleOf(corpus: DataFrame, embCol: String): DataFrame =
     corpus
       .select(array_max(transform(col(embCol).cast("array<double>"),
         x => abs(x))).as("m"))
       .agg(max(col("m")).as("mab"))
-      .select((col("mab") / 127.0).as("scale"))
+      .select(
+        when(col("mab").isNull || col("mab") <= 0, raise_error(lit(
+          "Sq8Ann: corpus max |x| must be > 0 — an empty or all-zero " +
+            "corpus cannot be quantized")))
+          .otherwise(col("mab") / 127.0).as("scale"))
 
   /** Quantize `v` by `s`: integer-valued doubles in [-127, 127]. */
   private def quant(v: org.apache.spark.sql.Column,

@@ -60,4 +60,29 @@ class CrossEntropySelectSpec extends SparkSpec {
   test("every document gets a row and n_tokens is the token count") {
     assert(out.keySet == Set(1L, 2L, 3L, 4L))
   }
+
+  test("a zero-token document gets an explicit keep=false verdict " +
+    "row, not a silent drop (round-14 ADVICE)") {
+    val withEmpty = docs.unionByName(
+      Seq((5L, "   ", 0)).toDF("doc_id", "text", "good"))
+    val rows = CorpusLm
+      .crossEntropySelect(withEmpty, "doc_id", "text", col("good") === 1, k)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    val r5 = rows(5L)
+    assert(r5.getLong(1) == 0L, "n_tokens = 0")
+    assert(r5.isNullAt(2) && r5.isNullAt(3) && r5.isNullAt(4),
+      "entropies are NULL for a zero-token doc")
+    assert(!r5.getBoolean(5), "keep = false, never NULL")
+  }
+
+  test("an empty reference slice fails loudly instead of NULLing " +
+    "every keep verdict (round-14 ADVICE)") {
+    val ex = intercept[Exception] {
+      CorpusLm.crossEntropySelect(docs, "doc_id", "text",
+        col("good") === 99, k).collect()
+    }
+    assert(ex.getMessage.contains("reference slice") ||
+      Option(ex.getCause).exists(_.getMessage.contains("reference slice")))
+  }
 }

@@ -79,21 +79,27 @@ class DirichletQlSpec extends SparkSpec {
     assert(!got2(4L).isNaN && got2(4L) < got2(1L))
   }
 
-  test("tfidfCosine drops idf-zero query terms instead of emitting " +
-    "NaN") {
-    // 'x' appears in every document → idf = ln(N/df) = 0; a query of
-    // only such terms has a zero-norm vector — the result must be
-    // empty, never NaN.
+  test("tfidfCosine: idf-zero query terms count as matches but score " +
+    "0.0 — never NaN, never a silently-empty result (round-14 " +
+    "convention)") {
+    // 'x' appears in every document → idf = ln(N/df) = 0: no
+    // discriminating weight. The all-ubiquitous query keeps every
+    // matching document with score exactly 0.0.
     val allX = Seq((1L, "x a"), (2L, "x b"), (3L, "x c"))
       .toDF("doc_id", "text")
-    assert(Bm25.tfidfCosine(allX, "doc_id", "text", Seq("x")).count()
-      == 0L)
-    // Mixed query: the idf-zero term contributes nothing; scores equal
-    // the query without it.
+    val flat = Bm25.tfidfCosine(allX, "doc_id", "text", Seq("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(flat.toSet == Set((1L, 1L, 0.0), (2L, 1L, 0.0), (3L, 1L, 0.0)))
+    // Mixed query: the idf-zero term contributes nothing to the SCORE
+    // (doc 1's score equals the 'a'-only query's) but counts toward
+    // n_match; docs matching only 'x' keep a 0.0 row.
     val mixed = Bm25.tfidfCosine(allX, "doc_id", "text", Seq("x", "a"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
     val aOnly = Bm25.tfidfCosine(allX, "doc_id", "text", Seq("a"))
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    assert(mixed == aOnly)
+    assert(mixed.keySet == Set(1L, 2L, 3L))
+    assert(mixed(1L) == ((2L, aOnly(1L))))
+    assert(mixed(2L) == ((1L, 0.0)) && mixed(3L) == ((1L, 0.0)))
   }
 }

@@ -67,4 +67,18 @@ class Sq8AnnSpec extends SparkSpec {
       hot, "qid", "qv", k = 2, candidates = 4).collect()
     assert(out.length == 2 && out.forall(r => !r.getDouble(2).isNaN))
   }
+
+  test("an all-zero corpus fails loudly instead of producing NaN " +
+    "codes (round-14 ADVICE: scale must be > 0)") {
+    val zeros = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Sq8Ann.search(zeros, "vec_id", "embedding",
+        queries, "qid", "qv", k = 1, candidates = 2).collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+    assert(msg(ex).contains("cannot be quantized"))
+  }
 }

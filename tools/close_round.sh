@@ -57,10 +57,15 @@ fi
 # the close commit said 825 specs; the suite held 826): parse them from
 # this run's own test log and verify output.
 if [ -n "$FULL" ]; then
+  # || true + fallback: under set -e an unmatched grep (scalatest
+  # summary format change) would abort the close AFTER verify but
+  # BEFORE the commit (round-14 ADVICE).
   specs=$(grep -oE "Tests: succeeded [0-9]+" /tmp/close_round_test.log \
-    | tail -1 | grep -oE "[0-9]+")
+    | tail -1 | grep -oE "[0-9]+" || true)
+  specs=${specs:-?}
   suites=$(grep -oE "Suites: completed [0-9]+" /tmp/close_round_test.log \
-    | tail -1 | grep -oE "[0-9]+")
+    | tail -1 | grep -oE "[0-9]+" || true)
+  suites=${suites:-?}
   gates=$(find /tmp/close_round_verify -mindepth 1 -maxdepth 1 -type d \
     | wc -l | tr -d ' ')
   oracle=$(grep -cE "^PASS " /tmp/close_round_oracle.log || true)
