@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-14 additions: the IVF × SQ8 composed serving gate (the FAISS
+  * `IVF,SQ8` shape — round-13 VERDICT ask #4) plus this round's new
+  * operator gates.
+  */
+object TestQueries23 {
+
+  /** IVF × SQ8 recall@10 — [[graft.search.IvfSq8.searchAll]], the
+    * composition of the two serving levers the round-13 PERF analysis
+    * argued orthogonal but never composed: [[graft.search.IvfIndex]]
+    * cell pruning (compute) in front of [[graft.search.Sq8Ann]]'s
+    * int8 integer-dot prefilter + exact rescore (memory/bandwidth).
+    * Same protocol as q206 (label cells, nprobe 3 of 10, brute-cosine
+    * truth per held-out query, hits@10) with the q303 quantization in
+    * the scan stage (global scale, floor(x/s + 0.5) codes — exact in
+    * both engines). Output is integer hits + an exact division →
+    * RAW compare; the centroid AVG carries the same accepted 1-ulp
+    * class as q206.
+    */
+  val q310IvfSq8Recall: QueryCase = QueryCase(
+    "q310_ivf_sq8_recall",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val k = 10
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val queries = e.where(col("vec_id") % 25 === 0 &&
+          col("vec_id") < QueryCase.QueryBound)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        .withColumn("qn", VectorFunctions.norm2(col("qv")))
+      val corpus = e.where(col("vec_id") % 25 =!= 0)
+        .withColumn("cn", VectorFunctions.norm2(col("v")))
+      val truth = queries.crossJoin(corpus)
+        .withColumn("csim", VectorFunctions.cosineFromParts(
+          col("qv"), col("v"), col("qn"), col("cn")))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(desc("csim"), col("vec_id"))))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+      val index = graft.search.IvfIndex.build(
+        e.where(col("vec_id") % 25 =!= 0), "vec_id", "v", "label")
+      val approx = graft.search.IvfSq8
+        .searchAll(index, queries, "query_id", "qv", k,
+          nprobe = 3, candidates = 50)
+        .select(col("query_id"), col("cand_id").as("vec_id"))
+      truth.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .join(queries.select("query_id"), Seq("query_id"), "right")
+        .na.fill(0L, Seq("hits"))
+        .select(col("query_id"), col("hits"),
+          (col("hits").cast("double") / k).as("recall"))
+        .orderBy("query_id")
+    },
+    Some(s"""
+      WITH e AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
+      c AS (SELECT vec_id, label, v FROM e WHERE vec_id % 25 <> 0),
+      truth AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.query_id, c.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              (list_reduce(list_transform(q.qv, (x, i) -> x * c.v[i]),
+                           (s, t) -> s + t) /
+               (sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                                 (s, t) -> s + t)) *
+                sqrt(list_reduce(list_transform(c.v, x -> x * x),
+                                 (s, t) -> s + t)))) DESC, c.vec_id)
+              AS rank
+          FROM q CROSS JOIN c) WHERE rank <= 10),
+      cent AS (
+        SELECT label, u.pos, AVG(u.x) AS m
+        FROM c, UNNEST(list_transform(v,
+          (x, i) -> struct_pack(pos := i, x := x))) AS t(u)
+        GROUP BY label, u.pos),
+      centroids AS (
+        SELECT label, list(m ORDER BY pos) AS centroid
+        FROM cent GROUP BY label),
+      probed AS (
+        SELECT query_id, label FROM (
+          SELECT q.query_id, ct.label,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              (list_reduce(list_transform(ct.centroid, (x, i) -> x * q.qv[i]),
+                           (s, t) -> s + t) /
+               (sqrt(list_reduce(list_transform(ct.centroid, x -> x * x),
+                                 (s, t) -> s + t)) *
+                sqrt(list_reduce(list_transform(q.qv, x -> x * x),
+                                 (s, t) -> s + t)))) DESC, ct.label)
+              AS cr
+          FROM centroids ct CROSS JOIN q) WHERE cr <= 3),
+      sc AS (
+        SELECT MAX(list_max(list_transform(v, x -> ABS(x)))) / 127.0
+          AS scale
+        FROM c),
+      c8 AS (
+        SELECT c.vec_id, c.label, c.v,
+          list_transform(c.v, x -> GREATEST(-127.0,
+            LEAST(127.0, FLOOR(x / sc.scale + 0.5)))) AS v8
+        FROM c, sc),
+      q8 AS (
+        SELECT q.query_id, q.qv,
+          list_transform(q.qv, x -> GREATEST(-127.0,
+            LEAST(127.0, FLOOR(x / sc.scale + 0.5)))) AS qc8
+        FROM q, sc),
+      pre AS (
+        SELECT query_id, vec_id, v, qv FROM (
+          SELECT q8.query_id, c8.vec_id, c8.v, q8.qv,
+            ROW_NUMBER() OVER (PARTITION BY q8.query_id ORDER BY
+              list_reduce(list_transform(q8.qc8, (x, i) -> x * c8.v8[i]),
+                          (s, t) -> s + t) DESC, c8.vec_id) AS pre_rank
+          FROM c8 JOIN probed p ON c8.label = p.label
+          JOIN q8 ON q8.query_id = p.query_id) WHERE pre_rank <= 50),
+      approx AS (
+        SELECT query_id, vec_id FROM (
+          SELECT pre.query_id, pre.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY pre.query_id ORDER BY
+              (list_reduce(list_transform(pre.v, (x, i) -> x * pre.qv[i]),
+                           (s, t) -> s + t) /
+               (sqrt(list_reduce(list_transform(pre.v, x -> x * x),
+                                 (s, t) -> s + t)) *
+                sqrt(list_reduce(list_transform(pre.qv, x -> x * x),
+                                 (s, t) -> s + t)))) DESC, pre.vec_id)
+              AS rank
+          FROM pre) WHERE rank <= 10),
+      hits AS (
+        SELECT t.query_id, COUNT(*) AS hits
+        FROM truth t JOIN approx a
+          ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        GROUP BY t.query_id)
+      SELECT q.query_id, CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+             CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall
+      FROM q LEFT JOIN hits h USING (query_id)
+      ORDER BY q.query_id"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q310IvfSq8Recall)
+}

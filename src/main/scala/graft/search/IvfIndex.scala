@@ -14,6 +14,11 @@ import org.apache.spark.sql.functions._
   *
   * Centroids are element-wise means kept in DOUBLE so search math is
   * engine-exact (oracle-mirrorable) and stable under reordering.
+  *
+  * Compositions over this index: [[IvfPq]] (IVFADC — PQ residual
+  * codes in the probed cells) and [[IvfSq8.searchAll]] (IVF,SQ8 —
+  * int8 scalar-quantized scan of the probed cells, the [[Sq8Ann]]
+  * lever behind this one's cell pruning).
   */
 object IvfIndex {
 

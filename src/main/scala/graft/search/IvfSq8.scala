@@ -1,0 +1,83 @@
+package graft.search
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF × SQ8 — the FAISS `IVF,SQ8` serving composition, joining the
+  * repo's two orthogonal ANN levers: [[IvfIndex]]'s COMPUTE lever
+  * (probe `nprobe` cells instead of scanning the corpus — the
+  * [[IvfIndex.searchAll]] cell-pruning shape) and [[Sq8Ann]]'s MEMORY/
+  * BANDWIDTH lever (scan int8 codes at a quarter of float32's bytes —
+  * the [[Sq8Ann.search]] integer-dot prefilter + exact rescore). At
+  * 100 TB this is the actual production shape: cells bound the compute,
+  * codes bound the scan bytes, and the exact rescore touches only
+  * `candidates` float vectors per query.
+  *
+  * Stage order per query: (1) rank cells by float centroid cosine,
+  * keep `nprobe`; (2) integer-dot the probed cells' stored int8 codes
+  * against the quantized query, keep top-`candidates`; (3) exact
+  * float-domain cosine rescore, keep top-`k`. Determinism follows
+  * [[Sq8Ann]] verbatim: codes are integer-valued doubles from
+  * floor(x/s + 0.5) at the ONE global corpus scale, so the prefilter
+  * is exact integer arithmetic; the rescore ranks on the unrounded
+  * cosine with an id tie-break and rounds after selection.
+  */
+object IvfSq8 {
+
+  /** Batch IVF,SQ8 search over a built [[IvfIndex.Index]].
+    *
+    * @param index      cell assignments + centroids ([[IvfIndex.build]]
+    *                   or [[IvfIndex.buildTrained]]); assignments carry
+    *                   (id, cluster_id, v)
+    * @param queries    (qidCol, qvecCol) — broadcast; the caller bounds
+    *                   this side (the eval contract)
+    * @param candidates prefilter depth C ≥ k within the probed cells
+    * @return (query_id, cand_id, cluster_id, score, pre_rank, rank) —
+    *         `pre_rank` is the candidate's position in the probed-cell
+    *         integer-dot order (the recall diagnostic)
+    */
+  def searchAll(index: IvfIndex.Index, queries: DataFrame,
+                qidCol: String, qvecCol: String, k: Int,
+                nprobe: Int = 3, candidates: Int = 50): DataFrame = {
+    require(k >= 1 && nprobe >= 1 && candidates >= k,
+      "need candidates >= k >= 1 and nprobe >= 1")
+    val scale = Sq8Ann.scaleOf(index.assignments, "v")
+    val c8 = index.assignments
+      .select(col("cluster_id"), col("id").as("cand_id"),
+        col("v").cast("array<double>").as("v"))
+      .crossJoin(broadcast(scale))
+      .select(col("cluster_id"), col("cand_id"), col("v"),
+        Sq8Ann.quant(col("v"), col("scale")).as("v8"))
+    val q = queries
+      .select(col(qidCol).as("qid"),
+        col(qvecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(scale))
+      .select(col("qid"), col("qv"),
+        Sq8Ann.quant(col("qv"), col("scale")).as("q8"))
+    // (1) cell pruning — per-query nprobe nearest centroids by float
+    // cosine (the IvfIndex.searchAll probe, PARTITIONED window)
+    val wc = Window.partitionBy("qid").orderBy(desc("cdist"), col("cluster_id"))
+    val probed = index.centroids.crossJoin(broadcast(q))
+      .select(col("qid"), col("qv"), col("q8"), col("cluster_id"),
+        VectorFunctions.cosineSim(col("centroid"), col("qv")).as("cdist"))
+      .withColumn("cr", row_number().over(wc))
+      .where(col("cr") <= nprobe)
+      .select("qid", "qv", "q8", "cluster_id")
+    // (2) quantized scan of ONLY the probed cells: exact integer dot
+    val wPre = Window.partitionBy("qid").orderBy(desc("idot"), col("cand_id"))
+    val cands = c8.join(broadcast(probed), Seq("cluster_id"))
+      .withColumn("idot", VectorFunctions.dot(col("v8"), col("q8")))
+      .withColumn("pre_rank", row_number().over(wPre))
+      .where(col("pre_rank") <= candidates)
+    // (3) exact float rescore of the surviving candidates
+    val w = Window.partitionBy("qid").orderBy(desc("score"), col("cand_id"))
+    cands
+      .withColumn("score", VectorFunctions.cosineSim(col("v"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("cand_id"), col("cluster_id"),
+        round(col("score"), 6).as("score"), col("pre_rank"), col("rank"))
+  }
+}

@@ -47,8 +47,11 @@ object Sq8Ann {
             "corpus cannot be quantized")))
           .otherwise(col("mab") / 127.0).as("scale"))
 
-  /** Quantize `v` by `s`: integer-valued doubles in [-127, 127]. */
-  private def quant(v: org.apache.spark.sql.Column,
+  /** Quantize `v` by `s`: integer-valued doubles in [-127, 127].
+    * Shared with [[IvfSq8.searchAll]] — the IVF,SQ8 composition that
+    * adds cell pruning in front of this quantized scan.
+    */
+  private[search] def quant(v: org.apache.spark.sql.Column,
                     s: org.apache.spark.sql.Column) =
     transform(v, x => greatest(lit(-127.0),
       least(lit(127.0), floor(x / s + 0.5))))

@@ -1,0 +1,72 @@
+package graft.search
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[IvfSq8.searchAll]] — the IVF,SQ8 composition: with every
+  * cell probed and a full-depth prefilter it reproduces the exact
+  * brute-force top-k (each lever can only CUT candidates, never
+  * reorder the exact rescore); with a restricted probe it scans only
+  * the probed cells (the compute lever); and the quantized prefilter
+  * inside the probed cells matches [[Sq8Ann]]'s hand arithmetic.
+  */
+class IvfSq8Spec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated cells: A near the +x axis, B near the +y axis;
+  // max|x| = 12.7 → scale 0.1, codes exact integers (the Sq8Ann fixture
+  // convention)
+  private val vecs = Seq(
+    (1L, 0L, Array(12.7f, 0.0f)),
+    (2L, 0L, Array(10.0f, 1.0f)),
+    (3L, 0L, Array(9.0f, 2.0f)),
+    (4L, 1L, Array(0.0f, 12.7f)),
+    (5L, 1L, Array(1.0f, 10.0f)),
+    (6L, 1L, Array(2.0f, 9.0f))
+  ).toDF("vec_id", "label", "embedding")
+
+  private lazy val index =
+    IvfIndex.build(vecs, "vec_id", "embedding", "label")
+
+  private val queries = Seq((100L, Array(10.0f, 1.0f)))
+    .toDF("qid", "qv")
+
+  test("full probe + full prefilter depth = exact brute-force top-k") {
+    val got = IvfSq8.searchAll(index, queries, "qid", "qv",
+        k = 6, nprobe = 2, candidates = 6)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    val brute = vecs.crossJoin(queries)
+      .withColumn("score", graft.functions.VectorFunctions
+        .cosineSim(col("embedding").cast("array<double>"),
+          col("qv").cast("array<double>")))
+      .orderBy(desc("score"), col("vec_id"))
+      .collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(5) * 1e6) / 1e6))
+    assert(got.toSeq == brute.toSeq)
+  }
+
+  test("nprobe = 1 scans ONLY the nearest cell: no cross-cell " +
+    "candidate appears, even a cosine-close one") {
+    val got = IvfSq8.searchAll(index, queries, "qid", "qv",
+        k = 6, nprobe = 1, candidates = 6)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getLong(2) == 0L),
+      "query near +x must probe only cell 0")
+    assert(got.map(_.getLong(1)).toSet == Set(1L, 2L, 3L))
+  }
+
+  test("the prefilter inside probed cells is the exact integer dot " +
+    "(pre_rank matches hand arithmetic) and candidates cuts at it") {
+    // codes vs q=(100, 10): v1 = (127,0) → 12700, v2 = (100,10) →
+    // 10100, v3 = (90,20) → 9200; candidates = 2 drops v3 BEFORE the
+    // exact rescore even though its exact cosine may compete
+    val got = IvfSq8.searchAll(index, queries, "qid", "qv",
+        k = 2, nprobe = 1, candidates = 2)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(1)).toSet == Set(1L, 2L))
+    val preByCand = got.map(r => r.getLong(1) -> r.getInt(4)).toMap
+    assert(preByCand == Map(1L -> 1, 2L -> 2))
+  }
+}
