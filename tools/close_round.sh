@@ -75,6 +75,23 @@ Ledger (tool-emitted by close_round.sh): $gates gates verified,
 $oracle/$gates oracle-PASS at sf0.01, $specs specs green across
 $suites suites."
   echo "[close_round] ledger: $gates gates, $oracle oracle-PASS, $specs specs / $suites suites"
+
+  # Doc headers are REGENERATED from the same tool-emitted counts
+  # (round-13 judge: COVERAGE.md's header sat at 297 while the body
+  # held 308 — hand-maintained headers drift; these lines are now
+  # owned by this script). Round number = newest CORRECTNESS file + 1.
+  round=$(ls CORRECTNESS_r*.json 2>/dev/null \
+    | sed -E 's/.*_r0*([0-9]+)\.json/\1/' | sort -n | tail -1 || true)
+  round=$(( ${round:-0} + 1 ))
+  sed -i -E \
+    -e "s/^Round [0-9]+\. \`queries\`/Round $round. \`queries\`/" \
+    -e "s/^\*\*[0-9]+ queries total: [0-9]+ \[O\], [0-9]+ \[R\]\*\*/**$gates queries total: $oracle [O], 0 [R]**/" \
+    COVERAGE.md
+  sed -i -E \
+    -e "s|^(  queries/     )[0-9]+ gate queries|\1$gates gate queries|" \
+    -e "s|[0-9]+/[0-9]+ oracled queries match at sf0.01|$oracle/$gates oracled queries match at sf0.01|" \
+    README.md
+  echo "[close_round] doc headers regenerated: round $round, $gates gates, $oracle [O]"
 fi
 
 git add -A
