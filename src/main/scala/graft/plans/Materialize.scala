@@ -46,14 +46,34 @@ object Materialize {
   val SizeThresholdKey = "graft.materialize.localMaxBytes"
   private val DefaultLocalMaxBytes: Long = 32L << 30
 
-  /** Materialize `df` eagerly per the mode under `confKey`
-    * (`auto` when unset).
+  /** Materialize `df` per the mode under `confKey` (`auto` when
+    * unset). All modes except `lazy` are EAGER (the fixpoint contract,
+    * API.md); `lazy` (round 14) defers ALL execution to the first
+    * ACTION touching the frame — for FIXED-iteration operators with no
+    * convergence reads (HITS q305, fixed-k power iterations) this
+    * moves the cost a profiler sees from "plan build" to "execute"
+    * without changing totals or results (LazyStagingSpec pins emission
+    * identity and the zero-jobs-at-construction property).
+    *
+    * `lazy` is persist-based, not checkpoint-based: a lazy
+    * `localCheckpoint(false)` still EXECUTES every intermediate query
+    * stage at construction under AQE (AdaptiveSparkPlanExec
+    * materializes stages to replan when the RDD is built), so true
+    * deferral needs `persist` — each staged frame caches on first use
+    * and is reused across consumers. The trade: persist does NOT
+    * truncate lineage, so the plan tree nests one level per stage —
+    * fine for fixed small iteration counts (the only intended
+    * consumers), wrong for convergence loops with unbounded depth
+    * (those read counts anyway, executing during construction in any
+    * mode — keep them on the eager default).
     */
   def stage(df: DataFrame, confKey: String): DataFrame =
     df.sparkSession.conf.get(confKey, "auto") match {
       case "reliable" => df.checkpoint(true)
       case "none"     => df
       case "local"    => df.localCheckpoint(true)
+      case "lazy" =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case _          => auto(df)
     }
 

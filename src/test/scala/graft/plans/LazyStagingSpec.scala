@@ -1,0 +1,57 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-14 verdict ask #5: `lazy` staging for fixed-iteration
+  * operators. [[graft.operators.Hits]] is the canonical consumer — a
+  * FIXED iteration count, no convergence reads, so deferring the
+  * first materialization to the first action changes cost ATTRIBUTION
+  * (ProfQuery "build" → "execute") without changing results. This
+  * spec pins emission identity between the default eager staging and
+  * `graft.dedup.checkpoint = lazy` on a hand-sized trade graph.
+  */
+class LazyStagingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nodes = Seq("c1", "c2", "s1", "s2", "s3").toDF("node")
+  private def edges = Seq(
+    ("c1", "s1"), ("c1", "s2"), ("c2", "s2"), ("c2", "s3")
+  ).toDF("src", "dst")
+
+  test("Hits under lazy staging emits exactly the eager result") {
+    val eager = graft.operators.Hits.run(nodes, edges, iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    spark.conf.set("graft.dedup.checkpoint", "lazy")
+    val lazily =
+      try graft.operators.Hits.run(nodes, edges, iters = 3)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      finally spark.conf.unset("graft.dedup.checkpoint")
+    assert(lazily.toSeq == eager.toSeq)
+  }
+
+  test("lazy-staged Hits construction runs no Spark jobs; the eager " +
+    "default runs the fixpoint at construction") {
+    def jobsDuring(body: => Unit): Int = {
+      val tracker = spark.sparkContext.statusTracker
+      val before = tracker.getJobIdsForGroup(null).length
+      body
+      tracker.getJobIdsForGroup(null).length - before
+    }
+    spark.conf.set("graft.dedup.checkpoint", "lazy")
+    val lazyJobs =
+      try jobsDuring {
+        graft.operators.Hits.run(nodes, edges, iters = 3)
+      }
+      finally spark.conf.unset("graft.dedup.checkpoint")
+    assert(lazyJobs == 0,
+      s"lazy construction must not execute (ran $lazyJobs jobs)")
+    val eagerJobs = jobsDuring {
+      graft.operators.Hits.run(nodes, edges, iters = 3)
+    }
+    assert(eagerJobs > 0, "the eager default executes the fixpoint " +
+      "at construction (the documented contract)")
+  }
+}

@@ -54,6 +54,30 @@ class MaterializeSpec extends SparkSpec {
     }
   }
 
+  test("lazy defers execution to the first action; eager modes run " +
+    "at stage time (round 14: graft.materialize lazy mode)") {
+    import org.apache.spark.sql.functions._
+    // a frame that THROWS when executed: eager staging must trip it at
+    // stage(); lazy staging must return quietly and only trip at the
+    // action. repartition keeps it out of ConvertToLocalRelation's
+    // driver-side folding.
+    def bomb = spark.range(3).repartition(2)
+      .select(when(col("id") >= 0,
+        raise_error(lit("boom"))).otherwise(lit(1L)).as("x"))
+    withConf("graft.test.checkpoint" -> "lazy") {
+      val staged = Materialize.stage(bomb, "graft.test.checkpoint")
+      val ex = intercept[Exception] { staged.collect() }
+      def msg(t: Throwable): String = Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(msg).getOrElse("")
+      assert(msg(ex).contains("boom"), "the bomb trips at the ACTION")
+    }
+    withConf("graft.test.checkpoint" -> "local") {
+      assertThrows[Exception] {
+        Materialize.stage(bomb, "graft.test.checkpoint")
+      }
+    }
+  }
+
   test("explicit modes: none is identity, local truncates lineage") {
     withConf("graft.test.checkpoint" -> "none") {
       val in = df.filter($"v" <= 7)
