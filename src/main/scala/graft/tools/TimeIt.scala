@@ -12,7 +12,11 @@ object TimeIt {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // overridable for scale-ladder decomposition runs: a fixed 32 at
+      // 1000× data is the spill regime a real deployment never runs
+      // (partitions scale with data); see PERF.md round-14 third-decade
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTITIONS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
