@@ -56,4 +56,66 @@ object DistTest {
         (col("d_num").cast("double") /
           (col("n") * col("m")).cast("double")).as("ks_d"))
   }
+
+  /** Mann–Kendall trend test per key (Mann 1945; Kendall 1975) — the
+    * nonparametric monotone-trend detector next to the smoothers
+    * ([[graft.analytics.Events.ewma]]/holtLinear report trend
+    * MAGNITUDE; this reports trend SIGNIFICANCE without assuming a
+    * functional form):
+    *
+    *   S = Σ_{i<j} sgn(x_j − x_i)
+    *   Var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18
+    *   z = (S − sgn(S)) / sqrt(Var(S))   (continuity-corrected)
+    *
+    * Scale shape: the pair sum is a per-key self-join on ord_i < ord_j
+    * — DELIBERATELY quadratic per key under the bounded-per-key
+    * contract (the caller bounds keys, q309-family); keys partition
+    * the work, the join is key-co-partitioned, and a 1000-executor
+    * cluster runs each key's pair block locally. Tie groups are one
+    * (key, value) aggregation.
+    *
+    * Determinism: S and 18·Var(S) are exact integers (n ≤ ~2·10⁶
+    * per key keeps n³ < 2⁶³); the z statistic takes one libm sqrt →
+    * gate ROUNDs it, everything else RAW.
+    *
+    * Output per key: (key, n, s, var18, z, trend) — trend ∈
+    * {increasing, decreasing, none} by sign of S.
+    */
+  def mannKendall(df: DataFrame, keyCol: String, orderCol: String,
+                  valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+      col(orderCol).cast("long").as("ord"),
+      col(valueCol).cast("double").as("x"))
+    val a = base.select(col("k"), col("ord").as("oi"), col("x").as("xi"))
+    val b = base.select(col("k"), col("ord").as("oj"), col("x").as("xj"))
+    val s = a.join(b, Seq("k"))
+      .where(col("oi") < col("oj"))
+      .groupBy("k")
+      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s"))
+    val n = base.groupBy("k").agg(count(lit(1)).as("n"))
+    val ties = base.groupBy("k", "x").agg(count(lit(1)).as("t"))
+      .where(col("t") > 1)
+      .groupBy("k")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+        .as("tie18"))
+    n.join(s, Seq("k"), "left")
+      .join(ties, Seq("k"), "left")
+      .select(col("k"), col("n"),
+        coalesce(col("s"), lit(0L)).as("s"),
+        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
+          - coalesce(col("tie18"), lit(0L))).as("var18"))
+      .withColumn("z",
+        when(col("var18") <= 0, lit(0.0))
+          .when(col("s") > 0,
+            (col("s") - 1).cast("double")
+              / sqrt(col("var18").cast("double") / 18.0))
+          .when(col("s") < 0,
+            (col("s") + 1).cast("double")
+              / sqrt(col("var18").cast("double") / 18.0))
+          .otherwise(lit(0.0)))
+      .withColumn("trend",
+        when(col("s") > 0, lit("increasing"))
+          .when(col("s") < 0, lit("decreasing"))
+          .otherwise(lit("none")))
+  }
 }

@@ -172,6 +172,71 @@ object Events {
       .toDF(keyCol, orderCol, valueCol, "s", "alarm")
   }
 
+  /** Holt–Winters additive seasonal (triple exponential) smoothing per
+    * key — completes the exponential-smoothing ladder: [[ewma]]
+    * (level), [[holtLinear]] (level + trend), this (level + trend +
+    * additive season of period `m`):
+    *
+    *   l_t = α·(x_t − s_{t−m}) + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *   s_t = γ·(x_t − l_t) + (1−γ)·s_{t−m}
+    *   forecast_{t+1} = l_t + b_t + s_{t+1−m}
+    *
+    * Initialization is PINNED (textbook implementations differ on the
+    * first-season warm-up): l_1 = x_1, b_1 = 0, and any seasonal
+    * lookback before the series start reads 0 — the recurrence is
+    * total from row one, no first-season special case, and the first
+    * m rows simply learn the season from zero (callers wanting the
+    * classical first-season mean init can pre-seed by differencing).
+    *
+    * Same shape and determinism contract as [[holtLinear]]: per-key
+    * ordered walk inside `flatMapGroups` (bounded-per-key contract),
+    * multiply/add only; with binary-representable α, β, γ (0.5, 0.25,
+    * 0.5) the oracle's recursive CTE — carrying the seasonal history
+    * as a list column — replays the identical IEEE sequence and
+    * outputs compare RAW.
+    *
+    * Output per row: (key, ord, x, level, trend, seasonal, forecast).
+    */
+  def holtWinters(df: DataFrame, keyCol: String, orderCol: String,
+      valueCol: String, alpha: Double, beta: Double, gamma: Double,
+      m: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0 &&
+      gamma >= 0.0 && gamma <= 1.0 && m >= 2,
+      "need alpha in (0,1], beta/gamma in [0,1], season length m >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(valueCol).cast("double").as("x"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.map { case (_, ord, x) => (ord, x) }.toArray
+        java.util.Arrays.sort(rows, Ordering.by((r: (Long, Double)) => r._1))
+        val seas = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var l = 0.0
+        var b = 0.0
+        var t = 0
+        rows.iterator.map { case (ord, x) =>
+          t += 1
+          def sAt(j: Int): Double = if (j >= 1) seas(j - 1) else 0.0
+          val sPrev = sAt(t - m)
+          if (t == 1) { l = x; b = 0.0 }
+          else {
+            val lp = l
+            l = alpha * (x - sPrev) + (1 - alpha) * (lp + b)
+            b = beta * (l - lp) + (1 - beta) * b
+          }
+          val s = gamma * (x - l) + (1 - gamma) * sPrev
+          seas += s
+          (k, ord, x, l, b, s, l + b + sAt(t + 1 - m))
+        }
+      }
+      .toDF(keyCol, orderCol, valueCol, "level", "trend", "seasonal",
+        "forecast")
+  }
+
   /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) over per-user
     * activity lifetimes — retention analytics with CENSORING done
     * right: a user still active near the observation edge hasn't

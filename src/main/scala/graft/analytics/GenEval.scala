@@ -209,4 +209,44 @@ object GenEval {
         size(col(refCol)).cast("long").as("rlen"),
         col("rougeL_p"), col("rougeL_r"), col("rougeL_f"))
   }
+
+  /** Unbiased pass@k estimator (Chen et al. 2021, the HumanEval
+    * codegen-eval statistic): per task with n samples of which c pass,
+    *
+    *   pass@k = 1 − C(n−c, k) / C(n, k)
+    *          = 1 − Π_{i=0}^{k−1} (n−c−i) / (n−i)
+    *
+    * — the expectation of "at least one of k drawn samples passes"
+    * under sampling WITHOUT replacement, which the naive 1−(1−c/n)^k
+    * overestimates. Tasks with n < k get NULL (the estimator is
+    * undefined); n−c < k short-circuits to exactly 1.0 (every k-subset
+    * contains a pass).
+    *
+    * Determinism: each factor is one exactly-rounded division of
+    * integers, the k-factor product is a FIXED left-associated
+    * expression tree (k is a literal), so both engines produce the
+    * identical double → RAW compare.
+    *
+    * Scale shape: one groupBy(task) count/sum, then per-k scalar
+    * expressions — no window, no join. ks are query-time literals;
+    * output is wide, one `pass_at_<k>` column per requested k.
+    */
+  def passAtK(samples: DataFrame, taskCol: String, passCol: String,
+              ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "need ks >= 1")
+    val agg = samples.groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(passCol).cast("int")).cast("long").as("c"))
+    val cols = ks.map { k =>
+      val prod = (0 until k)
+        .map(i => (col("n") - col("c") - i).cast("double")
+          / (col("n") - i).cast("double"))
+        .reduce(_ * _)
+      when(col("n") < k, lit(null).cast("double"))
+        .when(col("n") - col("c") < k, lit(1.0))
+        .otherwise(lit(1.0) - prod)
+        .as(s"pass_at_$k")
+    }
+    agg.select(col("task") +: col("n") +: col("c") +: cols: _*)
+  }
 }

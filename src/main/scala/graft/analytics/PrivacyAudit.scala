@@ -43,4 +43,58 @@ object PrivacyAudit {
       .withColumn("k_anonymous", col("class_size") >= k)
       .withColumn("l_diverse", col("l_distinct") >= l)
   }
+
+  /** t-closeness audit (Li et al. 2007) — the distributional upgrade
+    * over [[kAnonymity]]'s l-diversity: a class can hold l distinct
+    * sensitive values and STILL leak (skewness attack — 99% of the
+    * class shares one value) unless its sensitive-value distribution
+    * stays close to the GLOBAL distribution. For a categorical
+    * sensitive attribute under uniform ground distance, the Earth
+    * Mover's Distance reduces to total variation:
+    *
+    *   t(class) = ½ · Σ_cat | p_class(cat) − p_global(cat) |
+    *
+    * Determinism: computed EXACTLY in integers — the numerator
+    * Σ | a_cat·N − b_cat·n | sums absolute integer products (counts ≤
+    * 2⁶³-safe well past 100 TB row counts at ≤ ~3·10⁹ per side),
+    * order-free; ONE final division by 2·n·N → RAW compare.
+    *
+    * Scale shape: global category counts (map-side combinable,
+    * broadcast — the sensitive-attribute alphabet is bounded), class ×
+    * category counts, one class-keyed aggregation. No window.
+    *
+    * Output: one row per class — (qidCols..., class_size, t_num,
+    * t_closeness, t_close) where t_num is the exact integer numerator
+    * and t_close tests ROUND-free t ≤ tMax via integer cross-multiply:
+    * t_num ≤ 2·n·N·tMax holds exactly when tMax is rational with a
+    * small denominator (pass e.g. 0.15 = 3/20).
+    */
+  def tCloseness(df: DataFrame, qidCols: Seq[String],
+                 sensitiveCol: String, tMaxNum: Long = 3L,
+                 tMaxDen: Long = 20L): DataFrame = {
+    require(qidCols.nonEmpty, "need at least one quasi-identifier")
+    require(tMaxDen > 0 && tMaxNum >= 0, "tMax must be a nonneg rational")
+    val s = col(sensitiveCol)
+    val global = df.groupBy(s.as("cat")).agg(count(lit(1)).as("b"))
+    val total = df.agg(count(lit(1)).as("nn"))
+    val classes = df.groupBy(qidCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+    val classCat = df.groupBy((qidCols.map(col) :+ s.as("cat")): _*)
+      .agg(count(lit(1)).as("a"))
+    // every (class, category) cell, including categories absent in the
+    // class (a = 0 contributes |0 − b·n|)
+    classes.crossJoin(broadcast(global))
+      .join(classCat, qidCols :+ "cat", "left")
+      .crossJoin(broadcast(total))
+      .groupBy((qidCols.map(col) :+ col("class_size") :+ col("nn")): _*)
+      .agg(sum(abs(coalesce(col("a"), lit(0L)) * col("nn")
+        - col("b") * col("class_size"))).as("t_num"))
+      .select((qidCols.map(col) :+ col("class_size") :+ col("t_num") :+
+        (col("t_num").cast("double")
+          / (lit(2L) * col("class_size") * col("nn")).cast("double"))
+          .as("t_closeness") :+
+        (col("t_num") * tMaxDen <=
+          lit(2L) * col("class_size") * col("nn") * tMaxNum)
+          .as("t_close")): _*)
+  }
 }

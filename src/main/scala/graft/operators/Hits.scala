@@ -4,8 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Fixed-iteration HITS (Kleinberg 1999, the hubs-and-authorities power
-  * iteration) — the second classic link-analysis scorer next to
-  * [[PageRank]]: authorities are pointed AT by good hubs, hubs point TO
+  * iteration) — a classic link-analysis scorer next to [[PageRank]]
+  * and [[Salsa]] (which normalizes each contribution by the
+  * contributor's degree, curbing HITS's high-degree TKC capture):
+  * authorities are pointed AT by good hubs, hubs point TO
   * good authorities. On the bipartite customer→supplier trade graph the
   * split is literal: buyers score as hubs, suppliers as authorities.
   *

@@ -19,6 +19,10 @@ import org.apache.spark.sql.functions._
   * so lineage stays flat. Iteration count is FIXED (deterministic,
   * oracle-unrollable); convergence-threshold looping is a caller-side
   * wrapper at deployment.
+  *
+  * Family: the `link-analysis` trio in OperatorIndex with [[Hits]]
+  * (mutual hub/authority reinforcement) and [[Salsa]] (the
+  * degree-normalized bipartite walk between the two).
   */
 object PageRank {
 

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration SALSA (Lempel & Moran 2000, Stochastic Approach
+  * for Link-Structure Analysis) — the third classic link-analysis
+  * scorer next to [[Hits.run]] and [[PageRank.run]]: HITS's
+  * hub/authority mutual reinforcement with PageRank's RANDOM-WALK
+  * normalization. Where HITS sums raw neighbor scores (so one
+  * high-degree hub dominates — the TKC effect), SALSA divides each
+  * contribution by the contributing node's degree:
+  *
+  *   a_{t+1}(v) = Σ_{u→v} h_t(u) / outdeg(u),   then L1-normalize
+  *   h_{t+1}(u) = Σ_{u→v} a_{t+1}(v) / indeg(v), then L1-normalize
+  *
+  * — a forward step of the bipartite random walk, whose stationary
+  * authority weights are degree-proportional within each component
+  * (the known SALSA closed form; the fixed-iteration run surfaces the
+  * pre-mixing transient the closed form hides).
+  *
+  * Scale shape: identical to [[Hits.run]] — degrees computed once
+  * (two aggregations on the edge table), one src-keyed join +
+  * dst-keyed aggregation per half-step, 1-row broadcast normalizers,
+  * every per-iteration frame through the [[graft.plans.Materialize]]
+  * policy gate (`graft.dedup.checkpoint`; `lazy` works here too —
+  * iteration count is fixed, nothing reads counts). Nodes outside the
+  * edge set hold score 0.
+  *
+  * L1 normalization per half-step keeps the scores share-like and the
+  * arithmetic one exact division per step; iteration count FIXED
+  * (deterministic, oracle-unrollable — the q305 HITS recipe).
+  */
+object Salsa {
+
+  /** `nodes`: (node); `edges`: (src, dst) — directed, deduplicated.
+    * Returns (node, hub, auth), L1-normalized (Σ = 1 up to float
+    * drift; 0 for edge-less nodes).
+    */
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val e = graft.plans.Materialize.stage(edges, "graft.dedup.checkpoint")
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val indeg = e.groupBy(col("dst")).agg(count(lit(1)).as("id_"))
+    val ew = graft.plans.Materialize.stage(
+      e.join(outdeg, Seq("src")).join(indeg, Seq("dst"))
+        .select(col("src"), col("dst"), col("od"), col("id_")),
+      "graft.dedup.checkpoint")
+    var h = nodes.select(col("node"), lit(1.0).as("hub"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val ain = ew
+        .join(h.select(col("node").as("src"), col("hub")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("hub") / col("od")).as("asum"))
+      val anorm = ain.agg(coalesce(sum(col("asum")), lit(0.0)).as("az"))
+      a = graft.plans.Materialize.stage(
+        nodes.join(ain, nodes("node") === ain("dst"), "left")
+          .crossJoin(broadcast(anorm))
+          .select(col("node"),
+            when(col("az") > 0.0,
+              coalesce(col("asum"), lit(0.0)) / col("az"))
+              .otherwise(lit(0.0)).as("auth")),
+        "graft.dedup.checkpoint")
+      val hin = ew
+        .join(a.select(col("node").as("dst"), col("auth")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(sum(col("auth") / col("id_")).as("hsum"))
+      val hnorm = hin.agg(coalesce(sum(col("hsum")), lit(0.0)).as("hz"))
+      h = graft.plans.Materialize.stage(
+        nodes.join(hin, nodes("node") === hin("src"), "left")
+          .crossJoin(broadcast(hnorm))
+          .select(col("node"),
+            when(col("hz") > 0.0,
+              coalesce(col("hsum"), lit(0.0)) / col("hz"))
+              .otherwise(lit(0.0)).as("hub")),
+        "graft.dedup.checkpoint")
+    }
+    h.join(a, Seq("node"))
+  }
+}

@@ -140,6 +140,271 @@ object TestQueries23 {
       FROM q LEFT JOIN hits h USING (query_id)
       ORDER BY q.query_id"""))
 
+  /** Holt–Winters additive seasonal smoothing —
+    * [[graft.analytics.Events.holtWinters]], completing the
+    * exponential-smoothing ladder (EWMA q114 → Holt q309 → this):
+    * per-user level + trend + additive season m = 4 with the pinned
+    * zero-seasonal init (l₁ = x₁, b₁ = 0, lookbacks before the start
+    * read 0). α = 0.5, β = 0.25, γ = 0.5 — all coefficients and
+    * complements binary-representable — so the oracle's recursive CTE,
+    * carrying the seasonal HISTORY as a list column, replays the
+    * identical IEEE sequence and every value compares RAW (the q309
+    * discipline; the level expression is re-inlined in the subquery,
+    * never alias-referenced).
+    */
+  val q311HoltWinters: QueryCase = QueryCase(
+    "q311_holt_winters",
+    (s, dir) => graft.analytics.Events
+      .holtWinters(Tables.events(s, dir).where(col("user_id") < 20),
+        "user_id", "event_id", "value",
+        alpha = 0.5, beta = 0.25, gamma = 0.5, m = 4)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id"), col("value"), col("level"), col("trend"),
+        col("seasonal"), col("forecast"))
+      .orderBy("user_id", "event_id"),
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS ord
+        FROM events WHERE user_id < 20),
+      rec AS (
+        SELECT user_id, event_id, value, ord,
+               CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+               [CAST(0.0 AS DOUBLE)] AS slist
+        FROM d WHERE ord = 1
+        UNION ALL
+        SELECT user_id, event_id, value, ord, lnew,
+               CAST(0.25 AS DOUBLE) * (lnew - lp)
+                 + CAST(0.75 AS DOUBLE) * bp,
+               list_append(sl, CAST(0.5 AS DOUBLE) * (value - lnew)
+                 + CAST(0.5 AS DOUBLE) * sprev)
+        FROM (
+          SELECT d.user_id, d.event_id, d.value, d.ord,
+                 r.l AS lp, r.b AS bp, r.slist AS sl,
+                 CASE WHEN d.ord - 4 >= 1 THEN r.slist[d.ord - 4]
+                      ELSE CAST(0.0 AS DOUBLE) END AS sprev,
+                 CAST(0.5 AS DOUBLE) * (d.value
+                   - (CASE WHEN d.ord - 4 >= 1 THEN r.slist[d.ord - 4]
+                           ELSE CAST(0.0 AS DOUBLE) END))
+                   + CAST(0.5 AS DOUBLE) * (r.l + r.b) AS lnew
+          FROM rec r JOIN d ON d.user_id = r.user_id
+            AND d.ord = r.ord + 1))
+      SELECT user_id, event_id, value, l AS level, b AS trend,
+             slist[ord] AS seasonal,
+             l + b + (CASE WHEN ord + 1 - 4 >= 1 THEN slist[ord + 1 - 4]
+                           ELSE CAST(0.0 AS DOUBLE) END) AS forecast
+      FROM rec ORDER BY user_id, event_id"""))
+
+  /** Unbiased pass@k — [[graft.analytics.GenEval.passAtK]] (Chen et
+    * al. 2021, the HumanEval estimator): per task (user) with n
+    * samples and c passes, pass@k = 1 − Π (n−c−i)/(n−i) — the
+    * without-replacement estimator the naive 1−(1−c/n)^k biases. Tasks
+    * = users < 100, pass = value > 10. Each factor is one exact
+    * integer division, the k-factor product a FIXED left-associated
+    * tree → RAW; n < k rows carry NULL (estimator undefined), n−c < k
+    * exactly 1.0.
+    */
+  val q312PassAtK: QueryCase = QueryCase(
+    "q312_pass_at_k",
+    (s, dir) => graft.analytics.GenEval
+      .passAtK(Tables.events(s, dir).where(col("user_id") < 100)
+          .select(col("user_id").as("task"),
+            (col("value") > 10.0).as("pass")),
+        "task", "pass", ks = Seq(1, 5, 10))
+      .select(col("task").cast("long").as("task"), col("n"), col("c"),
+        col("pass_at_1"), col("pass_at_5"), col("pass_at_10"))
+      .orderBy("task"),
+    Some {
+      def est(k: Int): String = {
+        val prod = (0 until k)
+          .map(i => s"(CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+          .mkString(" * ")
+        s"""CASE WHEN n < $k THEN NULL
+                 WHEN n - c < $k THEN CAST(1.0 AS DOUBLE)
+                 ELSE CAST(1.0 AS DOUBLE) - ($prod) END AS pass_at_$k"""
+      }
+      s"""
+      WITH sm AS (
+        SELECT user_id AS task,
+               CASE WHEN value > 10.0 THEN 1 ELSE 0 END AS p
+        FROM events WHERE user_id < 100),
+      a AS (
+        SELECT task, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(p) AS BIGINT) AS c
+        FROM sm GROUP BY task)
+      SELECT task, n, c,
+        ${est(1)},
+        ${est(5)},
+        ${est(10)}
+      FROM a ORDER BY task"""
+    })
+
+  /** SALSA hubs/authorities — [[graft.operators.Salsa.run]] (Lempel &
+    * Moran 2000), the degree-normalized third member of the
+    * link-analysis family (PageRank q154, HITS q305) on the same
+    * directed customer→supplier trade graph: each contribution divides
+    * by the contributor's degree (the bipartite random walk), curbing
+    * HITS's TKC high-degree capture. Three iterations, L1 per
+    * half-step; oracle unrolls all three with degree CTEs (the q305
+    * skeleton); ROUND(9) absorbs summation-order drift.
+    */
+  val q313Salsa: QueryCase = QueryCase(
+    "q313_salsa",
+    (s, dir) => {
+      val cust = Tables.table(s, dir, "customer")
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      val supp = Tables.table(s, dir, "supplier")
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      val edges = Tables.table(s, dir, "orders")
+        .join(Tables.table(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      graft.operators.Salsa.run(cust.unionByName(supp), edges, iters = 3)
+        .select(col("node"), round(col("hub"), 9).as("hub"),
+          round(col("auth"), 9).as("auth"))
+        .orderBy("node")
+    },
+    Some {
+      def iter(i: Int): String = s"""
+      a$i AS (
+        SELECT e.dst, SUM(h${i - 1}.hub / e.od) AS asum
+        FROM ew e JOIN h${i - 1} ON h${i - 1}.node = e.src
+        GROUP BY e.dst),
+      az$i AS (SELECT COALESCE(SUM(asum), CAST(0.0 AS DOUBLE)) AS az
+               FROM a$i),
+      an$i AS (
+        SELECT n.node,
+          CASE WHEN z.az > 0 THEN COALESCE(a.asum, CAST(0.0 AS DOUBLE))
+            / z.az ELSE CAST(0.0 AS DOUBLE) END AS auth
+        FROM nodes n LEFT JOIN a$i a ON a.dst = n.node
+        CROSS JOIN az$i z),
+      hh$i AS (
+        SELECT e.src, SUM(an.auth / e.idg) AS hsum
+        FROM ew e JOIN an$i an ON an.node = e.dst
+        GROUP BY e.src),
+      hz$i AS (SELECT COALESCE(SUM(hsum), CAST(0.0 AS DOUBLE)) AS hz
+               FROM hh$i),
+      h$i AS (
+        SELECT n.node,
+          CASE WHEN z.hz > 0 THEN COALESCE(hh.hsum, CAST(0.0 AS DOUBLE))
+            / z.hz ELSE CAST(0.0 AS DOUBLE) END AS hub
+        FROM nodes n LEFT JOIN hh$i hh ON hh.src = n.node
+        CROSS JOIN hz$i z)"""
+      s"""
+      WITH nodes AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+        UNION ALL
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+      edges AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+               's' || CAST(l_suppkey AS VARCHAR) AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      odeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od
+               FROM edges GROUP BY src),
+      ideg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS idg
+               FROM edges GROUP BY dst),
+      ew AS (
+        SELECT e.src, e.dst, o.od, i.idg
+        FROM edges e JOIN odeg o USING (src) JOIN ideg i USING (dst)),
+      h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+      ${iter(1)},
+      ${iter(2)},
+      ${iter(3)}
+      SELECT h3.node, ROUND(h3.hub, 9) AS hub, ROUND(an3.auth, 9) AS auth
+      FROM h3 JOIN an3 USING (node) ORDER BY node"""
+    })
+
+  /** t-closeness audit — [[graft.analytics.PrivacyAudit.tCloseness]]
+    * (Li et al. 2007), the distributional member of the privacy-audit
+    * family (k-anonymity/l-diversity q-gate): per source class, total
+    * variation between the class's lang distribution and the global
+    * one, computed EXACTLY in integers (Σ|a·N − b·n|, one final
+    * division by 2nN) → RAW; t ≤ 0.15 tested by integer
+    * cross-multiply, no float compare.
+    */
+  val q314TCloseness: QueryCase = QueryCase(
+    "q314_t_closeness",
+    (s, dir) => graft.analytics.PrivacyAudit
+      .tCloseness(Tables.documents(s, dir), Seq("source"), "lang",
+        tMaxNum = 3L, tMaxDen = 20L)
+      .orderBy("source"),
+    Some("""
+      WITH g AS (
+        SELECT lang AS cat, CAST(COUNT(*) AS BIGINT) AS b
+        FROM documents GROUP BY lang),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+      cls AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM documents GROUP BY source),
+      cc AS (
+        SELECT source, lang AS cat, CAST(COUNT(*) AS BIGINT) AS a
+        FROM documents GROUP BY source, lang),
+      x AS (
+        SELECT c.source, c.class_size, tot.nn,
+               CAST(SUM(ABS(COALESCE(cc.a, 0) * tot.nn
+                 - g.b * c.class_size)) AS BIGINT) AS t_num
+        FROM cls c CROSS JOIN g
+        LEFT JOIN cc ON cc.source = c.source AND cc.cat = g.cat
+        CROSS JOIN tot
+        GROUP BY c.source, c.class_size, tot.nn)
+      SELECT source, class_size, t_num,
+        CAST(t_num AS DOUBLE)
+          / CAST(2 * class_size * nn AS DOUBLE) AS t_closeness,
+        t_num * 20 <= 2 * class_size * nn * 3 AS t_close
+      FROM x ORDER BY source"""))
+
+  /** Mann–Kendall trend test — [[graft.analytics.DistTest.mannKendall]]
+    * per user over event values: S = Σ_{i<j} sgn(x_j − x_i) via the
+    * key-co-partitioned pair self-join (bounded-per-key contract,
+    * q309-family user bound), tie-corrected Var(S) in exact integers
+    * (var18 = 18·Var), continuity-corrected z. S/var18 RAW; z takes
+    * one libm sqrt → ROUND(6).
+    */
+  val q315MannKendall: QueryCase = QueryCase(
+    "q315_mann_kendall",
+    (s, dir) => graft.analytics.DistTest
+      .mannKendall(Tables.events(s, dir).where(col("user_id") < 20),
+        "user_id", "event_id", "value")
+      .select(col("k").cast("long").as("user_id"), col("n"), col("s"),
+        col("var18"), round(col("z"), 6).as("z"), col("trend"))
+      .orderBy("user_id"),
+    Some("""
+      WITH d AS (
+        SELECT user_id AS k, event_id AS ord, CAST(value AS DOUBLE) AS x
+        FROM events WHERE user_id < 20),
+      sgn AS (
+        SELECT a.k, CAST(SUM(CAST(SIGN(b.x - a.x) AS BIGINT)) AS BIGINT)
+          AS s
+        FROM d a JOIN d b ON a.k = b.k AND a.ord < b.ord
+        GROUP BY a.k),
+      cnt AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY k),
+      tie AS (
+        SELECT k, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        FROM (SELECT k, x, CAST(COUNT(*) AS BIGINT) AS t
+              FROM d GROUP BY k, x)
+        WHERE t > 1 GROUP BY k),
+      base AS (
+        SELECT cnt.k, cnt.n, COALESCE(sgn.s, 0) AS s,
+               CAST(cnt.n * (cnt.n - 1) * (2 * cnt.n + 5)
+                 - COALESCE(tie.tie18, 0) AS BIGINT) AS var18
+        FROM cnt LEFT JOIN sgn ON sgn.k = cnt.k
+        LEFT JOIN tie ON tie.k = cnt.k)
+      SELECT k AS user_id, n, s, var18,
+        ROUND(CASE WHEN var18 <= 0 THEN CAST(0.0 AS DOUBLE)
+                   WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+                     / sqrt(CAST(var18 AS DOUBLE) / CAST(18.0 AS DOUBLE))
+                   WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+                     / sqrt(CAST(var18 AS DOUBLE) / CAST(18.0 AS DOUBLE))
+                   ELSE CAST(0.0 AS DOUBLE) END, 6) AS z,
+        CASE WHEN s > 0 THEN 'increasing'
+             WHEN s < 0 THEN 'decreasing'
+             ELSE 'none' END AS trend
+      FROM base ORDER BY user_id"""))
+
   val all: Seq[QueryCase] =
-    Seq(q310IvfSq8Recall)
+    Seq(q310IvfSq8Recall, q311HoltWinters, q312PassAtK, q313Salsa,
+      q314TCloseness, q315MannKendall)
 }

@@ -15,22 +15,44 @@ import org.apache.spark.sql.functions._
   * codes bound the scan bytes, and the exact rescore touches only
   * `candidates` float vectors per query.
   *
-  * Stage order per query: (1) rank cells by float centroid cosine,
-  * keep `nprobe`; (2) integer-dot the probed cells' stored int8 codes
-  * against the quantized query, keep top-`candidates`; (3) exact
-  * float-domain cosine rescore, keep top-`k`. Determinism follows
-  * [[Sq8Ann]] verbatim: codes are integer-valued doubles from
+  * The quantized codes are INDEX data (the FAISS contract): [[build]]
+  * computes the global scale and the per-vector int8 codes once;
+  * persist the result and per-query work is (1) rank cells by float
+  * centroid cosine, keep `nprobe`; (2) integer-dot the probed cells'
+  * stored codes against the quantized query, keep top-`candidates`;
+  * (3) exact float-domain cosine rescore, keep top-`k`. Determinism
+  * follows [[Sq8Ann]] verbatim: codes are integer-valued doubles from
   * floor(x/s + 0.5) at the ONE global corpus scale, so the prefilter
   * is exact integer arithmetic; the rescore ranks on the unrounded
   * cosine with an id tie-break and rounds after selection.
   */
 object IvfSq8 {
 
-  /** Batch IVF,SQ8 search over a built [[IvfIndex.Index]].
+  /** Quantized IVF index: `codes` = (cluster_id, cand_id, v, v8);
+    * `centroids` as in [[IvfIndex.Index]]; `scale` = the 1-row global
+    * quantization step (queries quantize against it at search time).
+    */
+  final case class Index(codes: DataFrame, centroids: DataFrame,
+                         scale: DataFrame)
+
+  /** Quantize a built [[IvfIndex.Index]] ONCE — int8 codes and the
+    * global scale are index data, computed at ingest and persisted,
+    * never per query (at corpus scale a per-query quantization pass
+    * would be a full corpus read).
+    */
+  def build(index: IvfIndex.Index): Index = {
+    val scale = Sq8Ann.scaleOf(index.assignments, "v")
+    val codes = index.assignments
+      .select(col("cluster_id"), col("id").as("cand_id"),
+        col("v").cast("array<double>").as("v"))
+      .crossJoin(broadcast(scale))
+      .select(col("cluster_id"), col("cand_id"), col("v"),
+        Sq8Ann.quant(col("v"), col("scale")).as("v8"))
+    Index(codes, index.centroids, scale)
+  }
+
+  /** Batch IVF,SQ8 search over a prebuilt quantized index.
     *
-    * @param index      cell assignments + centroids ([[IvfIndex.build]]
-    *                   or [[IvfIndex.buildTrained]]); assignments carry
-    *                   (id, cluster_id, v)
     * @param queries    (qidCol, qvecCol) — broadcast; the caller bounds
     *                   this side (the eval contract)
     * @param candidates prefilter depth C ≥ k within the probed cells
@@ -38,22 +60,15 @@ object IvfSq8 {
     *         `pre_rank` is the candidate's position in the probed-cell
     *         integer-dot order (the recall diagnostic)
     */
-  def searchAll(index: IvfIndex.Index, queries: DataFrame,
+  def searchAll(index: Index, queries: DataFrame,
                 qidCol: String, qvecCol: String, k: Int,
-                nprobe: Int = 3, candidates: Int = 50): DataFrame = {
+                nprobe: Int, candidates: Int): DataFrame = {
     require(k >= 1 && nprobe >= 1 && candidates >= k,
       "need candidates >= k >= 1 and nprobe >= 1")
-    val scale = Sq8Ann.scaleOf(index.assignments, "v")
-    val c8 = index.assignments
-      .select(col("cluster_id"), col("id").as("cand_id"),
-        col("v").cast("array<double>").as("v"))
-      .crossJoin(broadcast(scale))
-      .select(col("cluster_id"), col("cand_id"), col("v"),
-        Sq8Ann.quant(col("v"), col("scale")).as("v8"))
     val q = queries
       .select(col(qidCol).as("qid"),
         col(qvecCol).cast("array<double>").as("qv"))
-      .crossJoin(broadcast(scale))
+      .crossJoin(broadcast(index.scale))
       .select(col("qid"), col("qv"),
         Sq8Ann.quant(col("qv"), col("scale")).as("q8"))
     // (1) cell pruning — per-query nprobe nearest centroids by float
@@ -67,7 +82,7 @@ object IvfSq8 {
       .select("qid", "qv", "q8", "cluster_id")
     // (2) quantized scan of ONLY the probed cells: exact integer dot
     val wPre = Window.partitionBy("qid").orderBy(desc("idot"), col("cand_id"))
-    val cands = c8.join(broadcast(probed), Seq("cluster_id"))
+    val cands = index.codes.join(broadcast(probed), Seq("cluster_id"))
       .withColumn("idot", VectorFunctions.dot(col("v8"), col("q8")))
       .withColumn("pre_rank", row_number().over(wPre))
       .where(col("pre_rank") <= candidates)
@@ -80,4 +95,13 @@ object IvfSq8 {
       .select(col("qid").as("query_id"), col("cand_id"), col("cluster_id"),
         round(col("score"), 6).as("score"), col("pre_rank"), col("rank"))
   }
+
+  /** Convenience: build-and-search in one call (the eval/gate path —
+    * q310; a serving deployment calls [[build]] once at ingest and
+    * [[searchAll]] on the persisted index instead).
+    */
+  def searchAll(index: IvfIndex.Index, queries: DataFrame,
+                qidCol: String, qvecCol: String, k: Int,
+                nprobe: Int = 3, candidates: Int = 50): DataFrame =
+    searchAll(build(index), queries, qidCol, qvecCol, k, nprobe, candidates)
 }

@@ -48,8 +48,9 @@ object Sq8Ann {
           .otherwise(col("mab") / 127.0).as("scale"))
 
   /** Quantize `v` by `s`: integer-valued doubles in [-127, 127].
-    * Shared with [[IvfSq8.searchAll]] — the IVF,SQ8 composition that
-    * adds cell pruning in front of this quantized scan.
+    * Shared with [[IvfSq8.build]]/[[IvfSq8.searchAll]] — the IVF,SQ8
+    * composition that quantizes at index time and adds cell pruning
+    * in front of this quantized scan.
     */
   private[search] def quant(v: org.apache.spark.sql.Column,
                     s: org.apache.spark.sql.Column) =

@@ -22,15 +22,24 @@ import org.apache.spark.sql.functions._
   * how many days the query has been running.
   *
   *   sbt "runMain graft.tools.StreamStateRehearsal <eventsDir> \
-  *        [batches] [provider]"
+  *        [batches] [provider] [shape]"
   *   provider: rocksdb (default) | hdfs
+  *   shape:    dedup (default — the q295 dedup→window chain) |
+  *             join (round 14, verdict ask #7 — the q306/q289
+  *             stream-stream interval-join plane: two-sided
+  *             symmetricHashJoin state, key = user_id, sides =
+  *             event_id parity, r_ts ∈ (l_ts, l_ts + 30 min],
+  *             120 min watermark delay)
   *
   * Output: one line per (batch, state operator) with numRowsTotal /
   * updated / removed / memoryUsedBytes + the batch watermark, then a
   * flatness summary (max/min numRowsTotal over the steady batches).
+  * The join shape additionally prints the operator's customMetrics so
+  * the left/right state-store split is visible.
   */
 object StreamStateRehearsal {
   final case class VEv(k: Long, ts: Timestamp, id: Long, v: Double)
+  final case class SEv(k: Long, ts: Timestamp, id: Long)
 
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -64,8 +73,11 @@ object StreamStateRehearsal {
       .collect()
       .map(r => VEv(r.getLong(0) / 2, r.getTimestamp(1), r.getLong(0),
         r.getDouble(3)))
+    val shape = args.lift(3).getOrElse("dedup")
     println(s"[rehearsal] ${rows.length} events, $nBatches batches, " +
-      s"provider=${provider.split('.').last}")
+      s"provider=${provider.split('.').last}, shape=$shape")
+
+    if (shape == "join") { runJoin(spark, rows, nBatches); return }
 
     val input = MemoryStream[VEv]
     val out = input.toDS().toDF()
@@ -110,6 +122,85 @@ object StreamStateRehearsal {
         if (steady.nonEmpty) {
           val ratio = steady.max.toDouble / math.max(1L, steady.min)
           println(f"[rehearsal] FLATNESS $op%-28s steady rows " +
+            f"[${steady.min}, ${steady.max}] max/min=${ratio}%.2f")
+        }
+      }
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView(sink)
+    }
+    spark.stop()
+  }
+
+  /** The JOIN-plane rehearsal (q306/q289 shape): a two-sided
+    * stream-stream interval join whose symmetricHashJoin state holds
+    * BOTH sides' rows until the watermark clears them — left rows
+    * until l_ts + horizon < wm, right rows until r_ts ≤ wm. The claim
+    * mirrors the dedup shape's: with time-ordered arrival, join state
+    * is bounded by events within (delay + horizon), independent of
+    * stream length.
+    */
+  private def runJoin(spark: SparkSession, rows: Array[VEv],
+                      nBatches: Int): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // sides by event-id parity, key = event_id / 2 (the VEv.k the main
+    // feed already computes): left id 2k and right id 2k+1 share key k,
+    // so each left has exactly one candidate partner and pairs form iff
+    // the sibling lands inside (l_ts, l_ts + 30 min] — the q306
+    // attribution shape at full-table volume
+    val lin = MemoryStream[SEv]
+    val rin = MemoryStream[SEv]
+    val l = lin.toDS().toDF().withWatermark("ts", "120 minutes")
+      .select(col("k"), col("ts").as("l_ts"), col("id").as("l_id"))
+    val r = rin.toDS().toDF().withWatermark("ts", "120 minutes")
+      .select(col("k").as("rk"), col("ts").as("r_ts"), col("id").as("r_id"))
+    val joined = l.join(r, col("k") === col("rk") &&
+      col("r_ts") > col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr("INTERVAL 1800 seconds"))
+      .select(col("k"), col("l_id"), col("r_id"), col("r_ts"))
+    val sink = s"state_rehearsal_join_${System.nanoTime()}"
+    val query = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val perBatch = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long)]
+    try {
+      val batchSize = math.max(1, rows.length / nBatches)
+      rows.grouped(batchSize).zipWithIndex.foreach { case (batch, i) =>
+        val (lb, rb) = batch.partition(_.id % 2 == 0)
+        if (lb.nonEmpty)
+          lin.addData(lb.toIndexedSeq.map(e => SEv(e.k, e.ts, e.id)))
+        if (rb.nonEmpty)
+          rin.addData(rb.toIndexedSeq.map(e => SEv(e.k, e.ts, e.id)))
+        query.processAllAvailable()
+        query.recentProgress.filter(_.numInputRows > 0).lastOption
+          .foreach { p =>
+            val wm = Option(p.eventTime.get("watermark")).getOrElse("-")
+            p.stateOperators.foreach { so =>
+              perBatch += ((i, so.operatorName, so.numRowsTotal))
+              val custom = Option(so.customMetrics).map { m =>
+                val it = m.entrySet().iterator()
+                val b = new StringBuilder
+                while (it.hasNext) {
+                  val e = it.next()
+                  if (e.getKey.toLowerCase.contains("rows"))
+                    b.append(s" ${e.getKey}=${e.getValue}")
+                }
+                b.toString
+              }.getOrElse("")
+              println(f"[rehearsal] batch $i%2d ${so.operatorName}%-24s " +
+                f"rows=${so.numRowsTotal}%8d updated=${so.numRowsUpdated}%7d " +
+                f"removed=${so.numRowsRemoved}%7d mem=${so.memoryUsedBytes}%10d " +
+                s"wm=$wm$custom")
+            }
+          }
+      }
+      println(s"[rehearsal] emitted pairs: ${spark.table(sink).count()}")
+      perBatch.groupBy(_._2).foreach { case (op, xs) =>
+        val steady = xs.filter(_._1 >= nBatches / 2).map(_._3)
+        if (steady.nonEmpty) {
+          val ratio = steady.max.toDouble / math.max(1L, steady.min)
+          println(f"[rehearsal] FLATNESS $op%-24s steady rows " +
             f"[${steady.min}, ${steady.max}] max/min=${ratio}%.2f")
         }
       }

@@ -1,0 +1,38 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Pins [[Events.holtWinters]] against a fully hand-walked recurrence
+  * (α = β = γ = 0.5, m = 2 — every value an exact binary fraction)
+  * including the pinned init (l₁ = x₁, b₁ = 0, pre-start seasonal
+  * lookbacks = 0) and the seasonal-history indexing.
+  */
+class HoltWintersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-walked recurrence with m = 2") {
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0),
+      (1L, 4L, 4.0)).toDF("k", "ord", "x")
+    val got = Events.holtWinters(df, "k", "ord", "x",
+        alpha = 0.5, beta = 0.5, gamma = 0.5, m = 2)
+      .orderBy("ord").collect()
+      .map(r => (r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))
+    assert(got(0) == ((1.0, 0.0, 0.0, 1.0)))
+    assert(got(1) == ((1.5, 0.25, 0.25, 1.75)))
+    assert(got(2) == ((2.375, 0.5625, 0.3125, 3.1875)))
+    assert(got(3) == ((3.34375, 0.765625, 0.453125, 4.421875)))
+  }
+
+  test("per-key independence and ordering by the order column") {
+    val df = Seq((2L, 10L, 5.0), (1L, 2L, 2.0), (1L, 1L, 1.0))
+      .toDF("k", "ord", "x")
+    val got = Events.holtWinters(df, "k", "ord", "x",
+        0.5, 0.25, 0.5, m = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(got(("2", 10L)) == 5.0, "each key initializes at its own x1")
+    assert(got(("1", 1L)) == 1.0)
+    assert(got(("1", 2L)) == 0.5 * 2.0 + 0.5 * 1.0)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Pins [[DistTest.mannKendall]]: monotone series, the tie
+  * correction, the continuity-corrected z, and the single-row
+  * degenerate.
+  */
+class MannKendallSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("strictly increasing series: S = C(n,2), textbook z") {
+    val df = (1 to 5).map(i => (1L, i.toLong, i.toDouble))
+      .toDF("k", "ord", "x")
+    val r = DistTest.mannKendall(df, "k", "ord", "x").head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 10L)
+    assert(r.getLong(3) == 300L) // 5*4*15, no ties
+    assert(math.abs(r.getDouble(4) - 9.0 / math.sqrt(300.0 / 18.0)) < 1e-12)
+    assert(r.getString(5) == "increasing")
+  }
+
+  test("tie correction and decreasing trend") {
+    val inc = Seq((1L, 1L, 1.0), (1L, 2L, 1.0), (1L, 3L, 2.0))
+      .toDF("k", "ord", "x")
+    val r = DistTest.mannKendall(inc, "k", "ord", "x").head()
+    assert(r.getLong(2) == 2L)
+    // var18 = 3*2*11 - 2*1*9 = 66 - 18 = 48
+    assert(r.getLong(3) == 48L)
+    assert(math.abs(r.getDouble(4) - 1.0 / math.sqrt(48.0 / 18.0)) < 1e-12)
+    val dec = Seq((1L, 1L, 3.0), (1L, 2L, 2.0), (1L, 3L, 1.0))
+      .toDF("k", "ord", "x")
+    val rd = DistTest.mannKendall(dec, "k", "ord", "x").head()
+    assert(rd.getLong(2) == -3L && rd.getString(5) == "decreasing")
+  }
+
+  test("single-row and all-equal keys degrade to z = 0, trend none") {
+    val df = Seq((1L, 1L, 7.0), (2L, 1L, 1.0), (2L, 2L, 1.0))
+      .toDF("k", "ord", "x")
+    val got = DistTest.mannKendall(df, "k", "ord", "x").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(4),
+        r.getString(5)))).toMap
+    assert(got(1L) == ((0L, 0.0, "none")))
+    assert(got(2L) == ((0L, 0.0, "none")))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Pins [[GenEval.passAtK]] against hand-computed unbiased estimates
+  * (Chen et al. 2021), the n < k NULL contract, the n−c < k
+  * short-circuit to exactly 1.0, and the c = 0 zero.
+  */
+class PassAtKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed estimator, degenerate rows") {
+    // task 1: n=4, c=2; task 2: n=4, c=0; task 3: n=2, c=2
+    val samples = Seq(
+      (1L, true), (1L, true), (1L, false), (1L, false),
+      (2L, false), (2L, false), (2L, false), (2L, false),
+      (3L, true), (3L, true)
+    ).toDF("task", "pass")
+    val got = GenEval.passAtK(samples, "task", "pass", Seq(1, 3, 5))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val t1 = got(1L)
+    assert(t1.getDouble(3) == 1.0 - 2.0 / 4.0)          // pass@1
+    assert(t1.getDouble(4) == 1.0)                       // n-c=2 < 3
+    assert(t1.isNullAt(5), "n=4 < 5 -> NULL")
+    val t2 = got(2L)
+    assert(t2.getDouble(3) == 0.0 && t2.getDouble(4) == 0.0,
+      "c=0 -> product telescopes to 1, estimate 0")
+    val t3 = got(3L)
+    assert(t3.getDouble(3) == 1.0)
+    assert(t3.isNullAt(4), "n=2 < 3 -> NULL (estimator undefined)")
+  }
+
+  test("pass@2 equals the closed form 1 - C(n-c,2)/C(n,2)") {
+    val samples = ((1 to 6).map(i => (1L, i <= 2))).toDF("task", "pass")
+    val got = GenEval.passAtK(samples, "task", "pass", Seq(2))
+      .head().getDouble(3)
+    // n=6, c=2: 1 - C(4,2)/C(6,2) = 1 - 6/15 = 0.6
+    assert(math.abs(got - 0.6) < 1e-15)
+  }
+}

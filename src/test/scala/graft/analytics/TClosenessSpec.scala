@@ -1,0 +1,36 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Pins [[PrivacyAudit.tCloseness]]: the integer-exact total-variation
+  * EMD, the absent-category contribution, the cross-multiplied
+  * threshold, and the identical-distribution zero.
+  */
+class TClosenessSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed total variation per class") {
+    // global: en 3, fr 3 (N = 6)
+    val df = Seq(
+      ("A", "en"), ("A", "en"), ("A", "en"), ("A", "fr"),
+      ("B", "fr"), ("B", "fr")
+    ).toDF("source", "lang")
+    val got = PrivacyAudit.tCloseness(df, Seq("source"), "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // A: |3*6-3*4| + |1*6-3*4| = 6 + 6 = 12; t = 12/(2*4*6) = 0.25
+    assert(got("A") == ((4L, 12L, 0.25, false)))
+    // B: |0-3*2| + |2*6-3*2| = 6 + 6 = 12; t = 12/(2*2*6) = 0.5
+    assert(got("B") == ((2L, 12L, 0.5, false)))
+  }
+
+  test("a class mirroring the global distribution has t = 0 and " +
+    "passes any threshold") {
+    val df = Seq(("A", "en"), ("A", "fr"), ("B", "en"), ("B", "fr"))
+      .toDF("source", "lang")
+    val got = PrivacyAudit.tCloseness(df, Seq("source"), "lang")
+      .collect().map(r => (r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(got.forall(_ == ((0L, 0.0, true))))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[Salsa.run]] against a hand-computed iteration and the
+  * degree-normalization property that separates SALSA from
+  * [[Hits.run]] (the TKC curb: contributions divide by the
+  * contributor's degree).
+  */
+class SalsaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nodes = Seq("c1", "c2", "s1", "s2").toDF("node")
+  private def edges = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s2"))
+    .toDF("src", "dst")
+
+  test("one hand-computed iteration (L1-normalized half-steps)") {
+    // od: c1=2, c2=1; id: s1=1, s2=2
+    // auth: s1 = 1/2, s2 = 1/2 + 1 = 3/2; L1 -> 0.25, 0.75
+    // hub:  c1 = 0.25/1 + 0.75/2 = 0.625; c2 = 0.75/2 = 0.375; L1 = 1
+    val got = Salsa.run(nodes, edges, iters = 1).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got("s1") == ((0.0, 0.25)))
+    assert(got("s2") == ((0.0, 0.75)))
+    assert(got("c1") == ((0.625, 0.0)))
+    assert(got("c2") == ((0.375, 0.0)))
+  }
+
+  test("authorities converge toward the indeg-proportional stationary " +
+    "distribution (Lempel-Moran closed form), unlike HITS") {
+    val got = Salsa.run(nodes, edges, iters = 12).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // stationary: auth proportional to indeg within the component:
+    // s1 -> 1/3, s2 -> 2/3
+    assert(math.abs(got("s1") - 1.0 / 3.0) < 1e-6)
+    assert(math.abs(got("s2") - 2.0 / 3.0) < 1e-6)
+  }
+
+  test("edge-less nodes score 0 and L1 sums hold") {
+    val n2 = Seq("c1", "c2", "s1", "s2", "lonely").toDF("node")
+    val got = Salsa.run(n2, edges, iters = 3).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val lonely = got.find(_._1 == "lonely").get
+    assert(lonely._2 == 0.0 && lonely._3 == 0.0)
+    assert(math.abs(got.map(_._2).sum - 1.0) < 1e-12)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-12)
+  }
+}
