@@ -216,6 +216,7 @@ object Bench {
     // tsvector columns), not raw text. Build once untimed, then measure
     // hybrid search over the substrate — this is the number comparable to
     // the reference's warm search latencies.
+    var indexedDist: Seq[(String, (Double, Double))] = Seq.empty
     val (indexedHybrid, indexedKeyword, indexedPhrase, indexedSemantic,
          indexedSemanticAnn, indexedWebsearch, indexedIvfSq8) = {
       import org.apache.spark.sql.functions._
@@ -297,6 +298,18 @@ object Bench {
       val sa = semanticAnnOnce()
       val ws = websearchOnce()
       val is8 = ivfSq8Once()
+      // indexed-leg latency DISTRIBUTIONS (round-14): the baseline's
+      // p95 column comes from a warm server over prebuilt indexes —
+      // these legs are that shape (substrate built at ingest), so
+      // their p95 is the apples-to-apples second column. 20 reps each.
+      def dist(f: () => Double): (Double, Double) = {
+        val ts = (1 to 20).map(_ => f()).sorted
+        (ts(9), ts(18))
+      }
+      val legs = Seq("hybrid" -> hybridOnce _, "keyword" -> keywordOnce _,
+        "semantic" -> semanticOnce _, "semantic_ann" -> semanticAnnOnce _,
+        "websearch" -> websearchOnce _, "ivfsq8" -> ivfSq8Once _)
+      indexedDist = legs.map { case (n, f) => n -> dist(f) }
       store.unpersist()
       annIndex.unpersist()
       ivfSq8Index.codes.unpersist()
@@ -304,7 +317,13 @@ object Bench {
       ivfSq8Index.scale.unpersist()
       (h, k, p, se, sa, ws, is8)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"warm_p50":$warmP50Json,"warm_p95":$warmP95Json,"env":$env,"indexed_hybrid_sec":$indexedHybrid,"indexed_keyword_sec":$indexedKeyword,"indexed_phrase_sec":$indexedPhrase,"indexed_semantic_sec":$indexedSemantic,"indexed_semantic_ann_sec":$indexedSemanticAnn,"indexed_websearch_sec":$indexedWebsearch,"indexed_ivfsq8_sec":$indexedIvfSq8,"sf":"$sfDir"}""")
+    val indexedP50Json = indexedDist
+      .map { case (k, (p50, _)) => "\"" + k + "\":" + p50 }
+      .mkString("{", ",", "}")
+    val indexedP95Json = indexedDist
+      .map { case (k, (_, p95)) => "\"" + k + "\":" + p95 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"warm":$warmJson,"warm_p50":$warmP50Json,"warm_p95":$warmP95Json,"indexed_p50":$indexedP50Json,"indexed_p95":$indexedP95Json,"env":$env,"indexed_hybrid_sec":$indexedHybrid,"indexed_keyword_sec":$indexedKeyword,"indexed_phrase_sec":$indexedPhrase,"indexed_semantic_sec":$indexedSemantic,"indexed_semantic_ann_sec":$indexedSemanticAnn,"indexed_websearch_sec":$indexedWebsearch,"indexed_ivfsq8_sec":$indexedIvfSq8,"sf":"$sfDir"}""")
     // Compact trailing summary: the harness records only the TAIL of the
     // output, which truncates the front of the full line above (every
     // prior round's BENCH_r{N}.json has parsed:null and a tail starting
@@ -384,7 +403,10 @@ object Bench {
     val warmP95Compact = warmDist
       .map { case (k, (_, p95)) => "\"" + k + "\":" + fmt(p95, 3) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"steady_env":$steadyEnv,"warm_serving":$warmServing,"warm_p95":$warmP95Compact,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"indexed_websearch_sec":${fmt(indexedWebsearch, 3)},"indexed_ivfsq8_sec":${fmt(indexedIvfSq8, 3)},"sf":"$sfDir"}""")
+    val indexedP95Compact = indexedDist
+      .map { case (k, (_, p95)) => "\"" + k + "\":" + fmt(p95, 3) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"steady_env":$steadyEnv,"warm_serving":$warmServing,"warm_p95":$warmP95Compact,"indexed_p95":$indexedP95Compact,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"indexed_websearch_sec":${fmt(indexedWebsearch, 3)},"indexed_ivfsq8_sec":${fmt(indexedIvfSq8, 3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
