@@ -34,11 +34,16 @@ class LazyStagingSpec extends SparkSpec {
 
   test("lazy-staged Hits construction runs no Spark jobs; the eager " +
     "default runs the fixpoint at construction") {
+    // count ONLY this thread's jobs via a dedicated job group — the
+    // shared test session runs other suites' jobs concurrently, and a
+    // global job count is racy under parallel execution
     def jobsDuring(body: => Unit): Int = {
-      val tracker = spark.sparkContext.statusTracker
-      val before = tracker.getJobIdsForGroup(null).length
-      body
-      tracker.getJobIdsForGroup(null).length - before
+      val group = s"lazy-staging-probe-${System.nanoTime()}"
+      spark.sparkContext.setJobGroup(group, "lazy-staging probe",
+        interruptOnCancel = false)
+      try body
+      finally spark.sparkContext.clearJobGroup()
+      spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
     }
     spark.conf.set("graft.dedup.checkpoint", "lazy")
     val lazyJobs =
