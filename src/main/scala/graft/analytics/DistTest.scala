@@ -118,4 +118,46 @@ object DistTest {
           .when(col("s") < 0, lit("decreasing"))
           .otherwise(lit("none")))
   }
+
+  /** Theil–Sen robust slope per key (Theil 1950; Sen 1968) — the
+    * MAGNITUDE companion to [[mannKendall]]'s significance: the median
+    * of all pairwise slopes (x_j − x_i)/(ord_j − ord_i), i < j —
+    * outlier-resistant where least squares is not (29.3% breakdown
+    * point).
+    *
+    * Determinism: every slope is ONE exactly-rounded division of
+    * parquet-identical doubles, so the slope multiset is bit-identical
+    * cross-engine; the estimator picks the LOWER median by exact
+    * SELECTION (rank (n_pairs+1)/2 under the total order (slope, oi,
+    * oj)) — no interpolation, no quantile formula mismatch → RAW.
+    *
+    * Scale shape: the same key-co-partitioned pair self-join as
+    * [[mannKendall]] (bounded-per-key contract) + one per-key rank
+    * window over the pair block.
+    *
+    * Output per key: (key, n_pairs, slope).
+    */
+  def theilSen(df: DataFrame, keyCol: String, orderCol: String,
+               valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+      col(orderCol).cast("long").as("ord"),
+      col(valueCol).cast("double").as("x"))
+    val a = base.select(col("k"), col("ord").as("oi"), col("x").as("xi"))
+    val b = base.select(col("k"), col("ord").as("oj"), col("x").as("xj"))
+    val pairs = a.join(b, Seq("k"))
+      .where(col("oi") < col("oj"))
+      .select(col("k"), col("oi"), col("oj"),
+        ((col("xj") - col("xi"))
+          / (col("oj") - col("oi")).cast("double")).as("slope"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy(col("slope"), col("oi"), col("oj"))
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy("k")
+    pairs
+      .withColumn("r", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(cnt))
+      // Spark's Divide always promotes to double (round-7 rule) — the
+      // floor cast recovers the integral (n+1)/2 lower-median rank
+      .where(col("r") === ((col("n_pairs") + 1) / 2).cast("long"))
+      .select(col("k"), col("n_pairs"), col("slope"))
+  }
 }

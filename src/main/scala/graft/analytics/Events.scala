@@ -237,6 +237,67 @@ object Events {
         "forecast")
   }
 
+  /** Forecast-accuracy panel per key (Hyndman & Koehler 2006): grade a
+    * one-step-ahead forecast column (e.g. [[holtLinear]] /
+    * [[holtWinters]] `forecast`, which at row t predicts t+1) against
+    * the actuals:
+    *
+    *   MAE_model = mean |x_{t+1} − f_t|          (t = 1 … n−1)
+    *   MAE_naive = mean |x_t − x_{t−m}|          (t = m+1 … n)
+    *   MASE      = MAE_model / MAE_naive
+    *
+    * — the scale-free skill score: MASE < 1 beats the seasonal-naive
+    * baseline on the same series. Same shape/determinism contract as
+    * [[ewma]]: per-key ordered walk inside `flatMapGroups`
+    * (bounded-per-key), sums accumulate in order position so a DuckDB
+    * `list(… ORDER BY) + list_reduce` left fold replays the identical
+    * IEEE sequence → RAW (the divisions are single and exact).
+    *
+    * Output per key: (key, n, n_eval, mae_model, mae_naive, mase) —
+    * mase NULL when the naive error is exactly 0 (constant seasonal
+    * series) or no evaluable step exists.
+    */
+  def forecastAccuracy(df: DataFrame, keyCol: String, orderCol: String,
+      actualCol: String, forecastCol: String, m: Int): DataFrame = {
+    require(m >= 1, "seasonal naive lag m must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(actualCol).cast("double").as("x"),
+        col(forecastCol).cast("double").as("f"))
+      .as[(String, Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.map { case (_, ord, x, f) => (ord, x, f) }.toArray
+        java.util.Arrays.sort(rows,
+          Ordering.by((r: (Long, Double, Double)) => r._1))
+        val n = rows.length
+        var se = 0.0; var ne = 0L
+        var sn = 0.0; var nn = 0L
+        var i = 1
+        while (i < n) {
+          se += math.abs(rows(i)._2 - rows(i - 1)._3); ne += 1
+          i += 1
+        }
+        i = m
+        while (i < n) {
+          sn += math.abs(rows(i)._2 - rows(i - m)._2); nn += 1
+          i += 1
+        }
+        val maeModel = if (ne > 0) se / ne else Double.NaN
+        val maeNaive = if (nn > 0) sn / nn else Double.NaN
+        val mase: Option[Double] =
+          if (ne > 0 && nn > 0 && maeNaive > 0.0) Some(maeModel / maeNaive)
+          else None
+        Iterator.single((k, n.toLong, ne,
+          if (ne > 0) Some(maeModel) else Option.empty[Double],
+          if (nn > 0) Some(maeNaive) else Option.empty[Double],
+          mase))
+      }
+      .toDF(keyCol, "n", "n_eval", "mae_model", "mae_naive", "mase")
+  }
+
   /** Kaplan–Meier survival estimate (Kaplan & Meier 1958) over per-user
     * activity lifetimes — retention analytics with CENSORING done
     * right: a user still active near the observation edge hasn't

@@ -1,0 +1,120 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experiment analytics (the A/B measurement pair every data platform
+  * ships): CUPED variance reduction (Deng et al., WSDM 2013) and the
+  * Welch two-sample t panel. Both consume one row per experiment UNIT
+  * (user) — aggregate raw events to units first — and carry the
+  * bounded-units contract of [[BradleyTerry.fit]]: moments are
+  * computed as SORTED-list left folds (the q248 discipline), exact
+  * and bit-identical cross-engine, which holds the unit table in one
+  * aggregation row. A deployment measuring millions of units swaps
+  * the folds for map-side-combinable decimal sums; the estimator
+  * algebra is unchanged.
+  */
+object Experiments {
+
+  /** Sorted left-fold moment sums over (x, y) pairs:
+    * (n, Σx, Σy, Σxy, Σx², Σy²) as one struct column — every addition
+    * in unit order, so DuckDB's `list_reduce(list(... ORDER BY unit))`
+    * replays the identical IEEE sequence.
+    */
+  private def momentFold(unit: Column, x: Column, y: Column): Column = {
+    val lst = array_sort(collect_list(struct(unit.as("u"),
+      x.as("x"), y.as("y"))))
+    aggregate(lst,
+      struct(lit(0L).as("n"), lit(0.0).as("sx"), lit(0.0).as("sy"),
+        lit(0.0).as("sxy"), lit(0.0).as("sxx"), lit(0.0).as("syy")),
+      (acc, e) => struct(
+        (acc("n") + 1L).as("n"),
+        (acc("sx") + e("x")).as("sx"),
+        (acc("sy") + e("y")).as("sy"),
+        (acc("sxy") + e("x") * e("y")).as("sxy"),
+        (acc("sxx") + e("x") * e("x")).as("sxx"),
+        (acc("syy") + e("y") * e("y")).as("syy")))
+  }
+
+  /** CUPED (Controlled-experiment Using Pre-Experiment Data): adjust
+    * each unit's outcome y by its pre-period covariate x,
+    *
+    *   θ = Cov(X, Y) / Var(X)   (pooled over ALL units — arms share θ)
+    *   y' = y − θ·(x − mean(X))
+    *
+    * which preserves every arm-mean difference (the subtraction is
+    * mean-zero) while removing the share of outcome variance the
+    * pre-period explains — tighter confidence intervals from the same
+    * sample. Output: one row per arm with n, mean_y, mean_y_adj,
+    * var_y, var_y_adj, and var_reduction = 1 − Var(Y′)/Var(Y)
+    * (population variances; θ and means exact divisions of fold
+    * sums → RAW-comparable).
+    */
+  def cuped(units: DataFrame, unitCol: String, armCol: String,
+            xCol: String, yCol: String): DataFrame = {
+    val pooled = units.agg(momentFold(col(unitCol),
+      col(xCol).cast("double"), col(yCol).cast("double")).as("m"))
+      .select(
+        ((col("m.n") * col("m.sxy") - col("m.sx") * col("m.sy"))
+          / (col("m.n") * col("m.sxx") - col("m.sx") * col("m.sx")))
+          .as("theta"),
+        (col("m.sx") / col("m.n")).as("mean_x"))
+    val adj = units.crossJoin(broadcast(pooled))
+      .select(col(unitCol).as("u"), col(armCol).as("arm"),
+        col(yCol).cast("double").as("y"),
+        (col(yCol).cast("double") - col("theta")
+          * (col(xCol).cast("double") - col("mean_x"))).as("y_adj"),
+        col("theta"), col("mean_x"))
+    adj.groupBy("arm")
+      .agg(momentFold(col("u"), col("y"), col("y_adj")).as("m"),
+        // theta is a broadcast constant on every row; max is the
+        // determinism-clean way to carry it through the groupBy
+        max(col("theta")).as("theta"))
+      .select(col("arm"), col("m.n").as("n"), col("theta"),
+        (col("m.sx") / col("m.n")).as("mean_y"),
+        (col("m.sy") / col("m.n")).as("mean_y_adj"),
+        (col("m.sxx") / col("m.n")
+          - (col("m.sx") / col("m.n")) * (col("m.sx") / col("m.n")))
+          .as("var_y"),
+        (col("m.syy") / col("m.n")
+          - (col("m.sy") / col("m.n")) * (col("m.sy") / col("m.n")))
+          .as("var_y_adj"))
+      .withColumn("var_reduction",
+        lit(1.0) - col("var_y_adj") / col("var_y"))
+  }
+
+  /** Welch two-sample t panel between `armA` and `armB`:
+    *
+    *   t  = (m_A − m_B) / sqrt(s²_A/n_A + s²_B/n_B)
+    *   df = (s²_A/n_A + s²_B/n_B)² /
+    *        [ (s²_A/n_A)²/(n_A−1) + (s²_B/n_B)²/(n_B−1) ]
+    *
+    * with SAMPLE variances from the same sorted fold. t and df take
+    * sqrt/compound divisions — gate-ROUND them; the moments are
+    * fold-exact. Output: one row (n_a, n_b, mean_a, mean_b, diff,
+    * t, df).
+    */
+  def welch(units: DataFrame, unitCol: String, armCol: String,
+            yCol: String, armA: String, armB: String): DataFrame = {
+    def side(a: String) = units.where(col(armCol) === a)
+      .agg(momentFold(col(unitCol), col(yCol).cast("double"),
+        lit(0.0)).as("m"))
+      .select(col("m.n").as("n"), (col("m.sx") / col("m.n")).as("mean"),
+        ((col("m.sxx") - col("m.sx") * col("m.sx") / col("m.n"))
+          / (col("m.n") - 1)).as("s2"))
+    val a = side(armA).select(col("n").as("n_a"), col("mean").as("mean_a"),
+      col("s2").as("s2_a"))
+    val b = side(armB).select(col("n").as("n_b"), col("mean").as("mean_b"),
+      col("s2").as("s2_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("se2", col("s2_a") / col("n_a") + col("s2_b") / col("n_b"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        (col("mean_a") - col("mean_b")).as("diff"),
+        ((col("mean_a") - col("mean_b")) / sqrt(col("se2"))).as("t"),
+        (col("se2") * col("se2")
+          / ((col("s2_a") / col("n_a")) * (col("s2_a") / col("n_a"))
+              / (col("n_a") - 1)
+            + (col("s2_b") / col("n_b")) * (col("s2_b") / col("n_b"))
+              / (col("n_b") - 1))).as("df"))
+  }
+}

@@ -404,7 +404,262 @@ object TestQueries23 {
              ELSE 'none' END AS trend
       FROM base ORDER BY user_id"""))
 
+  /** Per-unit pre/post outcome table shared by q316/q317: decimal-
+    * exact per-user sums (order-free) of `value` before/after the
+    * experiment start, arm = user parity.
+    */
+  private def experimentUnits(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, dir).where(col("user_id") < 100)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < lit("2024-01-15").cast("timestamp"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          .as("pre_x"),
+        sum(when(col("ts") >= lit("2024-01-15").cast("timestamp"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          .as("post_y"))
+      .select(col("user_id").as("unit"),
+        (col("user_id") % 2).as("arm"), col("pre_x"), col("post_y"))
+
+  /** The shared oracle CTE mirroring [[experimentUnits]] plus the six
+    * pooled moment folds (each an independent left fold over the SAME
+    * unit-ordered list — per-component addition order identical to
+    * the Spark struct fold).
+    */
+  private val UnitsSql = """
+      units AS (
+        SELECT user_id AS u, user_id % 2 AS arm,
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+            THEN CAST(value AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS x,
+          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+            THEN CAST(value AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS y
+        FROM events WHERE user_id < 100 GROUP BY user_id)"""
+
+  private def foldSql(lst: String, expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform($lst, e -> $expr)), (a, t) -> a + t)"""
+
+  /** CUPED variance reduction — [[graft.analytics.Experiments.cuped]]
+    * (Deng et al. 2013): per-user pre-period covariate (decimal-exact
+    * sums), pooled θ = Cov(X,Y)/Var(X) from SORTED-list moment folds
+    * (the q248 discipline — DuckDB's ordered-list left folds replay
+    * the identical IEEE sums component-wise), adjusted outcome means
+    * and the variance-reduction share per arm. Exact divisions of
+    * fold-identical sums → RAW.
+    */
+  val q316Cuped: QueryCase = QueryCase(
+    "q316_cuped",
+    (s, dir) => graft.analytics.Experiments
+      .cuped(experimentUnits(s, dir), "unit", "arm", "pre_x", "post_y")
+      .orderBy("arm"),
+    Some {
+      val mom = s"""
+      lst AS (
+        SELECT list(struct_pack(u := u, x := x, y := y) ORDER BY u) AS l
+        FROM units),
+      mom AS (
+        SELECT CAST(len(l) AS BIGINT) AS n,
+          ${foldSql("l", "e.x")} AS sx,
+          ${foldSql("l", "e.y")} AS sy,
+          ${foldSql("l", "e.x * e.y")} AS sxy,
+          ${foldSql("l", "e.x * e.x")} AS sxx
+        FROM lst),
+      pooled AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+               sx / n AS mean_x
+        FROM mom),
+      adj AS (
+        SELECT u.u, u.arm, u.y,
+          u.y - p.theta * (u.x - p.mean_x) AS y_adj, p.theta
+        FROM units u CROSS JOIN pooled p),
+      armlst AS (
+        SELECT arm, MAX(theta) AS theta,
+          list(struct_pack(u := u, x := y, y := y_adj) ORDER BY u) AS l
+        FROM adj GROUP BY arm),
+      armmom AS (
+        SELECT arm, theta, CAST(len(l) AS BIGINT) AS n,
+          ${foldSql("l", "e.x")} AS sx,
+          ${foldSql("l", "e.y")} AS sy,
+          ${foldSql("l", "e.x * e.x")} AS sxx,
+          ${foldSql("l", "e.y * e.y")} AS syy
+        FROM armlst)"""
+      s"""
+      WITH $UnitsSql,$mom
+      SELECT arm, n, theta,
+        sx / n AS mean_y,
+        sy / n AS mean_y_adj,
+        sxx / n - (sx / n) * (sx / n) AS var_y,
+        syy / n - (sy / n) * (sy / n) AS var_y_adj,
+        CAST(1.0 AS DOUBLE) - (syy / n - (sy / n) * (sy / n))
+          / (sxx / n - (sx / n) * (sx / n)) AS var_reduction
+      FROM armmom ORDER BY arm"""
+    })
+
+  /** Welch two-sample t panel — [[graft.analytics.Experiments.welch]]
+    * over the q316 units (post-period outcome, arms = user parity):
+    * fold-exact means/sample variances (RAW), t and the
+    * Welch–Satterthwaite df take sqrt/compound divisions → ROUND(6).
+    */
+  val q317Welch: QueryCase = QueryCase(
+    "q317_welch",
+    (s, dir) => graft.analytics.Experiments
+      .welch(experimentUnits(s, dir)
+          .withColumn("arm", col("arm").cast("string")),
+        "unit", "arm", "post_y", "0", "1")
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("diff"), round(col("t"), 6).as("t"),
+        round(col("df"), 6).as("df")),
+    Some {
+      def side(a: Int, sfx: String) = s"""
+      lst$sfx AS (
+        SELECT list(struct_pack(u := u, x := y) ORDER BY u) AS l
+        FROM units WHERE arm = $a),
+      m$sfx AS (
+        SELECT CAST(len(l) AS BIGINT) AS n,
+          ${foldSql("l", "e.x")} AS sx,
+          ${foldSql("l", "e.x * e.x")} AS sxx
+        FROM lst$sfx),
+      s$sfx AS (
+        SELECT n, sx / n AS mean,
+          (sxx - sx * sx / n) / (n - 1) AS s2
+        FROM m$sfx)"""
+      s"""
+      WITH $UnitsSql,${side(0, "a")},${side(1, "b")}
+      SELECT sa.n AS n_a, sb.n AS n_b, sa.mean AS mean_a,
+        sb.mean AS mean_b, sa.mean - sb.mean AS diff,
+        ROUND((sa.mean - sb.mean)
+          / sqrt(sa.s2 / sa.n + sb.s2 / sb.n), 6) AS t,
+        ROUND((sa.s2 / sa.n + sb.s2 / sb.n)
+            * (sa.s2 / sa.n + sb.s2 / sb.n)
+          / ((sa.s2 / sa.n) * (sa.s2 / sa.n) / (sa.n - 1)
+            + (sb.s2 / sb.n) * (sb.s2 / sb.n) / (sb.n - 1)), 6) AS df
+      FROM sa CROSS JOIN sb"""
+    })
+
+  /** Forecast-accuracy panel (MASE) chained on Holt–Winters —
+    * [[graft.analytics.Events.forecastAccuracy]] grading q311's
+    * one-step forecasts against the actuals, per user: MAE_model over
+    * (x_{t+1}, f_t), seasonal-naive MAE at lag m = 4, MASE ratio
+    * (Hyndman & Koehler 2006). Oracle replays the q311 recursive CTE,
+    * then per-user ordered-list left folds of the absolute errors —
+    * the identical IEEE sum sequence → RAW.
+    */
+  val q318ForecastAccuracy: QueryCase = QueryCase(
+    "q318_forecast_accuracy",
+    (s, dir) => {
+      val hw = graft.analytics.Events
+        .holtWinters(Tables.events(s, dir).where(col("user_id") < 20),
+          "user_id", "event_id", "value",
+          alpha = 0.5, beta = 0.25, gamma = 0.5, m = 4)
+      graft.analytics.Events
+        .forecastAccuracy(hw, "user_id", "event_id", "value",
+          "forecast", m = 4)
+        .select(col("user_id").cast("long").as("user_id"), col("n"),
+          col("n_eval"), col("mae_model"), col("mae_naive"), col("mase"))
+        .orderBy("user_id")
+    },
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT user_id, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS ord
+        FROM events WHERE user_id < 20),
+      rec AS (
+        SELECT user_id, event_id, value, ord,
+               CAST(value AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b,
+               [CAST(0.0 AS DOUBLE)] AS slist
+        FROM d WHERE ord = 1
+        UNION ALL
+        SELECT user_id, event_id, value, ord, lnew,
+               CAST(0.25 AS DOUBLE) * (lnew - lp)
+                 + CAST(0.75 AS DOUBLE) * bp,
+               list_append(sl, CAST(0.5 AS DOUBLE) * (value - lnew)
+                 + CAST(0.5 AS DOUBLE) * sprev)
+        FROM (
+          SELECT d.user_id, d.event_id, d.value, d.ord,
+                 r.l AS lp, r.b AS bp, r.slist AS sl,
+                 CASE WHEN d.ord - 4 >= 1 THEN r.slist[d.ord - 4]
+                      ELSE CAST(0.0 AS DOUBLE) END AS sprev,
+                 CAST(0.5 AS DOUBLE) * (d.value
+                   - (CASE WHEN d.ord - 4 >= 1 THEN r.slist[d.ord - 4]
+                           ELSE CAST(0.0 AS DOUBLE) END))
+                   + CAST(0.5 AS DOUBLE) * (r.l + r.b) AS lnew
+          FROM rec r JOIN d ON d.user_id = r.user_id
+            AND d.ord = r.ord + 1)),
+      hw AS (
+        SELECT user_id, ord, CAST(value AS DOUBLE) AS x,
+               l + b + (CASE WHEN ord + 1 - 4 >= 1
+                             THEN slist[ord + 1 - 4]
+                             ELSE CAST(0.0 AS DOUBLE) END) AS fc
+        FROM rec),
+      lsts AS (
+        SELECT user_id,
+               list(struct_pack(x := x, f := fc) ORDER BY ord) AS l
+        FROM hw GROUP BY user_id),
+      errs AS (
+        SELECT user_id, CAST(len(l) AS BIGINT) AS n,
+          list_filter(list_transform(l, (e, i) ->
+            CASE WHEN i >= 2 THEN ABS(e.x - l[i - 1].f) END),
+            v -> v IS NOT NULL) AS me,
+          list_filter(list_transform(l, (e, i) ->
+            CASE WHEN i >= 5 THEN ABS(e.x - l[i - 4].x) END),
+            v -> v IS NOT NULL) AS ne_
+        FROM lsts),
+      sums AS (
+        SELECT user_id, n,
+          CAST(len(me) AS BIGINT) AS n_eval,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), me),
+            (a, t) -> a + t) AS se,
+          CAST(len(ne_) AS BIGINT) AS nn,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ne_),
+            (a, t) -> a + t) AS sn
+        FROM errs)
+      SELECT user_id, n, n_eval,
+        CASE WHEN n_eval > 0 THEN se / n_eval END AS mae_model,
+        CASE WHEN nn > 0 THEN sn / nn END AS mae_naive,
+        CASE WHEN n_eval > 0 AND nn > 0 AND sn / nn > 0.0
+             THEN (se / n_eval) / (sn / nn) END AS mase
+      FROM sums ORDER BY user_id"""))
+
+  /** Theil–Sen robust slope — [[graft.analytics.DistTest.theilSen]]
+    * per user over event values, the magnitude companion to q315's
+    * Mann–Kendall significance: lower median of all pairwise slopes
+    * picked by exact SELECTION under the total order (slope, oi, oj)
+    * — single exact divisions, no interpolation → RAW.
+    */
+  val q319TheilSen: QueryCase = QueryCase(
+    "q319_theil_sen",
+    (s, dir) => graft.analytics.DistTest
+      .theilSen(Tables.events(s, dir).where(col("user_id") < 20),
+        "user_id", "event_id", "value")
+      .select(col("k").cast("long").as("user_id"), col("n_pairs"),
+        col("slope"))
+      .orderBy("user_id"),
+    Some("""
+      WITH d AS (
+        SELECT user_id AS k, event_id AS ord, CAST(value AS DOUBLE) AS x
+        FROM events WHERE user_id < 20),
+      pairs AS (
+        SELECT a.k, a.ord AS oi, b.ord AS oj,
+          (b.x - a.x) / CAST(b.ord - a.ord AS DOUBLE) AS slope
+        FROM d a JOIN d b ON a.k = b.k AND a.ord < b.ord),
+      rk AS (
+        SELECT k, slope,
+          ROW_NUMBER() OVER (PARTITION BY k
+            ORDER BY slope, oi, oj) AS r,
+          CAST(COUNT(*) OVER (PARTITION BY k) AS BIGINT) AS n_pairs
+        FROM pairs)
+      SELECT k AS user_id, n_pairs, slope
+      FROM rk WHERE r = (n_pairs + 1) // 2
+      ORDER BY user_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q310IvfSq8Recall, q311HoltWinters, q312PassAtK, q313Salsa,
-      q314TCloseness, q315MannKendall)
+      q314TCloseness, q315MannKendall, q316Cuped, q317Welch,
+      q318ForecastAccuracy, q319TheilSen)
 }

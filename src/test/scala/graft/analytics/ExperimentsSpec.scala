@@ -1,0 +1,54 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Pins [[Experiments.cuped]] and [[Experiments.welch]] against hand
+  * computations: the pooled θ, the perfectly-explained-outcome case
+  * (variance reduction exactly 1), and textbook Welch t/df.
+  */
+class ExperimentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CUPED: perfectly pre-explained outcome adjusts to a constant " +
+    "(var_reduction = 1)") {
+    // y = 2x exactly -> theta = 2, y' = 5.0 for every unit
+    val units = Seq((1L, 0L, 1.0, 2.0), (2L, 0L, 2.0, 4.0),
+      (3L, 1L, 3.0, 6.0), (4L, 1L, 4.0, 8.0))
+      .toDF("unit", "arm", "x", "y")
+    val got = Experiments.cuped(units, "unit", "arm", "x", "y")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    got.values.foreach { r =>
+      assert(r.getDouble(2) == 2.0, "theta = Cov/Var = 2")
+      assert(r.getDouble(4) == 5.0, "adjusted mean is the constant")
+      assert(r.getDouble(6) == 0.0, "adjusted variance vanishes")
+      assert(r.getDouble(7) == 1.0, "var_reduction = 1")
+    }
+    assert(got(0L).getDouble(3) == 3.0 && got(1L).getDouble(3) == 7.0,
+      "raw arm means preserved in mean_y")
+  }
+
+  test("CUPED hand case with partial explanation") {
+    // y = 2x + arm: theta = 48/20 = 2.4; mean_x = 2.5
+    val units = Seq((1L, 0L, 1.0, 2.0), (2L, 0L, 2.0, 4.0),
+      (3L, 1L, 3.0, 7.0), (4L, 1L, 4.0, 9.0))
+      .toDF("unit", "arm", "x", "y")
+    val got = Experiments.cuped(units, "unit", "arm", "x", "y")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(got(0L).getDouble(2) - 2.4) < 1e-12)
+    // arm 0 adjusted: 2-2.4(-1.5)=5.6, 4-2.4(-0.5)=5.2 -> mean 5.4
+    assert(math.abs(got(0L).getDouble(4) - 5.4) < 1e-12)
+    assert(math.abs(got(1L).getDouble(4) - 5.6) < 1e-12)
+  }
+
+  test("Welch t and Welch-Satterthwaite df match the textbook values") {
+    val units = Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "A", 3.0),
+      (4L, "B", 2.0), (5L, "B", 4.0), (6L, "B", 6.0))
+      .toDF("unit", "arm", "y")
+    val r = Experiments.welch(units, "unit", "arm", "y", "A", "B").head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == -2.0)
+    assert(math.abs(r.getDouble(5) - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-12)
+    assert(math.abs(r.getDouble(6) - 50.0 / 17.0) < 1e-12)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Pins [[Events.forecastAccuracy]]: hand-computed MAE/MASE, the
+  * one-step forecast alignment (f at row t grades against x at t+1),
+  * and the zero-naive-error NULL.
+  */
+class ForecastAccuracySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed MAE_model / MAE_naive / MASE at m = 1") {
+    val df = Seq((1L, 1L, 1.0, 1.5), (1L, 2L, 2.0, 2.5),
+      (1L, 3L, 3.0, 3.5), (1L, 4L, 4.0, 4.5))
+      .toDF("k", "ord", "x", "f")
+    val r = Events.forecastAccuracy(df, "k", "ord", "x", "f", m = 1)
+      .head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 3L)
+    assert(r.getDouble(3) == 0.5, "|2-1.5|,|3-2.5|,|4-3.5| -> 0.5")
+    assert(r.getDouble(4) == 1.0, "naive lag-1 errors all 1.0")
+    assert(r.getDouble(5) == 0.5, "MASE = 0.5: beats seasonal naive")
+  }
+
+  test("constant series: naive MAE 0 -> MASE NULL, never Inf/NaN") {
+    val df = Seq((1L, 1L, 7.0, 7.0), (1L, 2L, 7.0, 7.0),
+      (1L, 3L, 7.0, 7.0)).toDF("k", "ord", "x", "f")
+    val r = Events.forecastAccuracy(df, "k", "ord", "x", "f", m = 1)
+      .head()
+    assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+    assert(r.isNullAt(5))
+  }
+
+  test("single-row key: no evaluable step, NULL panel") {
+    val df = Seq((1L, 1L, 7.0, 8.0)).toDF("k", "ord", "x", "f")
+    val r = Events.forecastAccuracy(df, "k", "ord", "x", "f", m = 2)
+      .head()
+    assert(r.getLong(1) == 1L && r.getLong(2) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5))
+  }
+}

@@ -1,0 +1,40 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Pins [[DistTest.theilSen]]: the lower-median pair slope by exact
+  * selection, the perfect-line case, and outlier resistance vs the
+  * mean slope.
+  */
+class TheilSenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("lower median of the hand-enumerated slope multiset") {
+    // x = 1,3,2,4 at ord 1..4: slopes -1, 0.5, 0.5, 1, 2, 2
+    // lower median (rank (6+1)/2 = 3 of the (slope, oi, oj) order) = 0.5
+    val df = Seq((1L, 1L, 1.0), (1L, 2L, 3.0), (1L, 3L, 2.0),
+      (1L, 4L, 4.0)).toDF("k", "ord", "x")
+    val r = DistTest.theilSen(df, "k", "ord", "x").head()
+    assert(r.getLong(1) == 6L && r.getDouble(2) == 0.5)
+  }
+
+  test("perfect line recovers the exact slope; an outlier barely moves " +
+    "it") {
+    val line = (1 to 9).map(i => (1L, i.toLong, 3.0 * i))
+      .toDF("k", "ord", "x")
+    assert(DistTest.theilSen(line, "k", "ord", "x").head().getDouble(2)
+      == 3.0)
+    val out = ((1 to 8).map(i => (1L, i.toLong, 3.0 * i)) :+
+      ((1L, 9L, 1000.0))).toDF("k", "ord", "x")
+    val slope = DistTest.theilSen(out, "k", "ord", "x").head().getDouble(2)
+    assert(slope == 3.0, "the median slope ignores one wild point")
+  }
+
+  test("single-point keys emit no row (no pairs to take a slope from)") {
+    val df = Seq((1L, 1L, 5.0), (2L, 1L, 1.0), (2L, 2L, 2.0))
+      .toDF("k", "ord", "x")
+    val got = DistTest.theilSen(df, "k", "ord", "x").collect()
+      .map(r => r.getLong(0)).toSet
+    assert(got == Set(2L))
+  }
+}
