@@ -140,4 +140,52 @@ object RankEval {
           .cast("double") / (col("n") * col("n")).cast("double"))
       .withColumn("kappa",
         (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+
+  /** Kendall τ-b rank correlation between two score columns —
+    * completing the rank-correlation pair next to [[spearman]] (which
+    * correlates RANKS; τ counts pairwise ORDER agreements, the
+    * statistic behind Mann–Kendall's S):
+    *
+    *   τ-b = (C − D) / sqrt((n₀ − n₁)(n₀ − n₂)),
+    *   n₀ = n(n−1)/2, n₁/n₂ = Σ t(t−1)/2 over x/y tie groups
+    *
+    * Scale shape: ONE pair self-join on id (i < j) — deliberately
+    * quadratic under the bounded-input contract (the eval convention:
+    * callers bound the item table, selfBleu-style); tie groups are two
+    * aggregations. C, D, and the tie sums are exact integers; the
+    * final sqrt is the only libm step → gate ROUNDs tau, everything
+    * else RAW.
+    *
+    * Output, one row: (n, concordant, discordant, n1, n2, tau_b).
+    */
+  def kendallTau(df: DataFrame, idCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    val a = base.select(col("id").as("ia"), col("x").as("xa"),
+      col("y").as("ya"))
+    val b = base.select(col("id").as("ib"), col("x").as("xb"),
+      col("y").as("yb"))
+    val pairs = a.join(b, col("ia") < col("ib"))
+      .select(
+        (signum(col("xa") - col("xb"))
+          * signum(col("ya") - col("yb"))).cast("long").as("sgn"))
+      .agg(sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("discordant"))
+    // Spark's `/` promotes to double (round-7 rule): keep the triangular
+    // counts integral via expr-level `div`
+    def tieSum(c: String, out: String) = base.groupBy(col(c))
+      .agg(count(lit(1)).as("t")).where(col("t") > 1)
+      .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as(out))
+    val n = base.agg(count(lit(1)).as("n"))
+    pairs.crossJoin(broadcast(n))
+      .crossJoin(broadcast(tieSum("x", "n1")))
+      .crossJoin(broadcast(tieSum("y", "n2")))
+      .withColumn("n0", expr("n * (n - 1) div 2"))
+      .select(col("n"), col("concordant"), col("discordant"),
+        col("n1"), col("n2"),
+        ((col("concordant") - col("discordant")).cast("double")
+          / sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
+            .cast("double"))).as("tau_b"))
+  }
 }

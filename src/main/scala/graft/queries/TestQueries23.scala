@@ -658,8 +658,177 @@ object TestQueries23 {
       FROM rk WHERE r = (n_pairs + 1) // 2
       ORDER BY user_id"""))
 
+  /** Matryoshka dimension-ablation recall grid —
+    * [[graft.search.DimAblation.recallGrid]] (Kusupati et al. 2022):
+    * prefix-truncated cosine top-10 at d ∈ {8, 16, 32} graded against
+    * the full-64-d brute truth per held-out query (the q206 protocol).
+    * Ranking on raw cosines with id tie-breaks (the q206/q24 fold
+    * mirror class); hits + one exact division → RAW.
+    */
+  val q320DimAblation: QueryCase = QueryCase(
+    "q320_dim_ablation",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val queries = e.where(col("vec_id") % 25 === 0 &&
+          col("vec_id") < QueryCase.QueryBound)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val corpus = e.where(col("vec_id") % 25 =!= 0)
+      graft.search.DimAblation.recallGrid(corpus, "vec_id", "v",
+          queries, "qid", "qv", dims = Seq(8, 16, 32), k = 10)
+        .orderBy("dim", "query_id")
+    },
+    Some {
+      def dot(d: Int, x: String, y: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(1, ${d + 1}), ii -> $x[ii] * $y[ii])),
+             (s, t) -> s + t)"""
+      def cos(d: Int, x: String, y: String) =
+        s"""(${dot(d, x, y)} / (sqrt(${dot(d, x, x)}) *
+             sqrt(${dot(d, y, y)})))"""
+      def approx(d: Int) = s"""
+      ap$d AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.query_id, c.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              ${cos(d, "c.v", "q.qv")} DESC, c.vec_id) AS rank
+          FROM q CROSS JOIN c) WHERE rank <= 10),
+      h$d AS (
+        SELECT t.query_id, COUNT(*) AS hits
+        FROM truth t JOIN ap$d a
+          ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        GROUP BY t.query_id),
+      r$d AS (
+        SELECT $d AS dim, q.query_id,
+          CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+          CAST(COALESCE(h.hits, 0) AS DOUBLE) / 10 AS recall
+        FROM q LEFT JOIN h$d h USING (query_id))"""
+      s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM e
+            WHERE vec_id % 25 = 0 AND vec_id < ${QueryCase.QueryBound}),
+      c AS (SELECT vec_id, v FROM e WHERE vec_id % 25 <> 0),
+      truth AS (
+        SELECT query_id, vec_id FROM (
+          SELECT q.query_id, c.vec_id,
+            ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+              ${cos(64, "c.v", "q.qv")} DESC, c.vec_id) AS rank
+          FROM q CROSS JOIN c) WHERE rank <= 10),
+      ${approx(8)},
+      ${approx(16)},
+      ${approx(32)}
+      SELECT * FROM r8
+      UNION ALL SELECT * FROM r16
+      UNION ALL SELECT * FROM r32
+      ORDER BY dim, query_id"""
+    })
+
+  /** Kendall τ-b between two retrieval systems —
+    * [[graft.analytics.RankEval.kendallTau]] correlating ROUND(6)
+    * BM25 and tf-idf-cosine scores over a bounded document slice
+    * (the eval bounded-input contract): exact integer concordance /
+    * discordance / tie counts from the pair join, one libm sqrt →
+    * tau ROUND(6), counts RAW.
+    */
+  val q321KendallTau: QueryCase = QueryCase(
+    "q321_kendall_tau",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir).where(col("doc_id") < 400)
+      val terms = Seq("join", "vector", "data")
+      val bm = graft.search.Bm25.score(docs, "doc_id", "text", terms)
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("x"))
+      val vsm = graft.search.Bm25
+        .tfidfCosine(docs, "doc_id", "text", terms)
+        .select(col("doc_id"), round(col("score"), 6).as("y"))
+      graft.analytics.RankEval
+        .kendallTau(bm.join(vsm, Seq("doc_id")), "doc_id", "x", "y")
+        .select(col("n"), col("concordant"), col("discordant"),
+          col("n1"), col("n2"), round(col("tau_b"), 6).as("tau_b"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, UNNEST(
+          list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+            x -> x <> '')) AS t
+        FROM documents WHERE doc_id < 400),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                       AVG(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT doc_id, t, COUNT(*) AS tf FROM toks GROUP BY doc_id, t),
+      qtf AS (SELECT doc_id, t, tf FROM tf
+              WHERE t IN ('join', 'vector', 'data')),
+      dfreq AS (SELECT t, COUNT(*) AS df FROM qtf GROUP BY t),
+      bm AS (
+        SELECT qtf.doc_id,
+          ROUND(SUM(ln((stats.n - dfreq.df + CAST(0.5 AS DOUBLE))
+                 / (dfreq.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
+               * (qtf.tf * CAST(2.2 AS DOUBLE))
+               / (qtf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                  + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl))), 6)
+            AS x
+        FROM qtf JOIN dfreq USING (t) JOIN dl USING (doc_id)
+        CROSS JOIN stats GROUP BY qtf.doc_id),
+      adf AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+      nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+      wtd AS (
+        SELECT doc_id, t, CAST(tf AS DOUBLE) * ln(nn.n / adf.df) AS w
+        FROM tf JOIN adf USING (t) CROSS JOIN nn),
+      norms AS (
+        SELECT doc_id, sqrt(SUM(w * w)) AS dnorm FROM wtd GROUP BY doc_id),
+      qw AS (
+        SELECT t, ln(nn.n / df) AS qw FROM adf CROSS JOIN nn
+        WHERE t IN ('join', 'vector', 'data')
+          AND CAST(df AS DOUBLE) < nn.n),
+      qn AS (SELECT sqrt(SUM(qw * qw)) AS qnorm FROM qw),
+      matched AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_match
+        FROM tf WHERE t IN ('join', 'vector', 'data') GROUP BY doc_id),
+      dots AS (
+        SELECT w.doc_id, SUM(w.w * qw.qw) AS dot
+        FROM wtd w JOIN qw USING (t) GROUP BY w.doc_id),
+      vsm AS (
+        SELECT m.doc_id,
+          ROUND(COALESCE(d.dot / (norms.dnorm * qn.qnorm),
+            CAST(0.0 AS DOUBLE)), 6) AS y
+        FROM matched m
+        LEFT JOIN dots d ON d.doc_id = m.doc_id
+        JOIN norms ON norms.doc_id = m.doc_id
+        CROSS JOIN qn),
+      base AS (
+        SELECT bm.doc_id AS id, bm.x, vsm.y
+        FROM bm JOIN vsm ON vsm.doc_id = bm.doc_id),
+      prs AS (
+        SELECT CAST(SIGN(a.x - b.x) * SIGN(a.y - b.y) AS BIGINT) AS sgn
+        FROM base a JOIN base b ON a.id < b.id),
+      cd AS (
+        SELECT CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS concordant,
+          CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS discordant
+        FROM prs),
+      cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+      t1 AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n1
+        FROM (SELECT x, COUNT(*) AS t FROM base GROUP BY x)
+        WHERE t > 1),
+      t2 AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS n2
+        FROM (SELECT y, COUNT(*) AS t FROM base GROUP BY y)
+        WHERE t > 1)
+      SELECT cnt.n, cd.concordant, cd.discordant, t1.n1, t2.n2,
+        ROUND(CAST(cd.concordant - cd.discordant AS DOUBLE)
+          / sqrt(CAST((cnt.n * (cnt.n - 1) // 2 - t1.n1)
+            * (cnt.n * (cnt.n - 1) // 2 - t2.n2) AS DOUBLE)), 6)
+          AS tau_b
+      FROM cd CROSS JOIN cnt CROSS JOIN t1 CROSS JOIN t2"""))
+
   val all: Seq[QueryCase] =
     Seq(q310IvfSq8Recall, q311HoltWinters, q312PassAtK, q313Salsa,
       q314TCloseness, q315MannKendall, q316Cuped, q317Welch,
-      q318ForecastAccuracy, q319TheilSen)
+      q318ForecastAccuracy, q319TheilSen, q320DimAblation,
+      q321KendallTau)
 }

@@ -1,0 +1,62 @@
+package graft.search
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Matryoshka dimension-ablation recall grid (Kusupati et al. 2022,
+  * MRL): grade prefix-truncated embeddings against full-dimension
+  * brute-force truth — the measurement behind the 100 TB serving
+  * question "how many leading dimensions do queries actually need?"
+  * (an MRL-trained model packs information front-loaded; truncation
+  * is a 2–8× scan-byte lever that composes with [[Sq8Ann]]'s int8
+  * and [[IvfIndex]]'s cell pruning).
+  *
+  * For each d in `dims`: cosine top-k per query over `slice(vec, 1,
+  * d)`, hits against the full-dim top-k truth, recall = hits/k.
+  * One plan per dim (a bounded literal list), each the q206 shape:
+  * bounded query side broadcast, per-query PARTITIONED rank windows,
+  * no global sort.
+  *
+  * Determinism: ranking on the raw cosine with an id tie-break — the
+  * q206/q24 mirror class (both engines fold the identical IEEE
+  * sequence); hits/recall are exact integers and one exact division.
+  *
+  * Output: (dim, query_id, hits, recall), one row per (dim, query).
+  */
+object DimAblation {
+
+  def recallGrid(corpus: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, qidCol: String, qvCol: String,
+                 dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1) && k >= 1,
+      "need dims >= 1 and k >= 1")
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = queries.select(col(qidCol).as("qid"),
+      col(qvCol).cast("array<double>").as("qv"))
+    def topk(d: Option[Int]): DataFrame = {
+      def cut(x: org.apache.spark.sql.Column) =
+        d.map(n => slice(x, 1, n)).getOrElse(x)
+      val w = Window.partitionBy("qid").orderBy(desc("csim"), col("id"))
+      c.crossJoin(broadcast(q))
+        .select(col("qid"), col("id"),
+          VectorFunctions.cosineSim(cut(col("v")), cut(col("qv")))
+            .as("csim"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select(col("qid"), col("id"))
+    }
+    val truth = topk(None)
+    dims.map { d =>
+      topk(Some(d))
+        .join(truth, Seq("qid", "id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+        .join(q.select("qid"), Seq("qid"), "right")
+        .na.fill(0L, Seq("hits"))
+        .select(lit(d).as("dim"), col("qid").as("query_id"),
+          col("hits"), (col("hits").cast("double") / k).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Pins [[RankEval.kendallTau]]: hand-enumerated concordance, the
+  * perfect/reversed extremes, and the τ-b tie correction.
+  */
+class KendallTauSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-enumerated pairs: C=5, D=1, tau = 2/3") {
+    val df = Seq((1L, 1.0, 1.0), (2L, 2.0, 3.0), (3L, 3.0, 2.0),
+      (4L, 4.0, 4.0)).toDF("id", "x", "y")
+    val r = RankEval.kendallTau(df, "id", "x", "y").head()
+    assert(r.getLong(1) == 5L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+    assert(math.abs(r.getDouble(5) - 4.0 / 6.0) < 1e-12)
+  }
+
+  test("perfect agreement is 1, perfect reversal is -1") {
+    val up = (1 to 5).map(i => (i.toLong, i.toDouble, i.toDouble))
+      .toDF("id", "x", "y")
+    assert(RankEval.kendallTau(up, "id", "x", "y").head().getDouble(5)
+      == 1.0)
+    val down = (1 to 5).map(i => (i.toLong, i.toDouble, (6 - i).toDouble))
+      .toDF("id", "x", "y")
+    assert(RankEval.kendallTau(down, "id", "x", "y").head().getDouble(5)
+      == -1.0)
+  }
+
+  test("tau-b tie correction: tied x pair leaves the pair neutral and " +
+    "shrinks the denominator") {
+    val df = Seq((1L, 1.0, 1.0), (2L, 1.0, 2.0), (3L, 2.0, 3.0))
+      .toDF("id", "x", "y")
+    val r = RankEval.kendallTau(df, "id", "x", "y").head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 0L)
+    assert(math.abs(r.getDouble(5) - 2.0 / math.sqrt(6.0)) < 1e-12)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** Pins [[DimAblation.recallGrid]]: truncation changes the ranking a
+  * measurable way (1-d cosine degenerates to sign, losing the true
+  * neighbor) while the full-dimension row recovers recall 1, and
+  * every query gets a row per dim.
+  */
+class DimAblationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("1-d prefix loses the true neighbor; full dim recovers it") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 3.0f)))
+      .toDF("vec_id", "v")
+    val queries = Seq((100L, Array(1.0f, 1.0f))).toDF("qid", "qv")
+    // full cosine: v2 (0.880) beats v1 (0.707) -> truth = {2}
+    // 1-d cosine: both exactly 1.0, id tie-break picks v1 -> miss
+    val got = DimAblation.recallGrid(corpus, "vec_id", "v",
+        queries, "qid", "qv", dims = Seq(1, 2), k = 1)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1) == ((0L, 0.0)))
+    assert(got(2) == ((1L, 1.0)))
+  }
+
+  test("queries with no surviving hits still get explicit zero rows") {
+    val corpus = Seq((1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "v")
+    val queries = Seq((100L, Array(0.1f, 0.1f, 1.0f)),
+      (101L, Array(1.0f, 0.1f, 0.1f))).toDF("qid", "qv")
+    val rows = DimAblation.recallGrid(corpus, "vec_id", "v",
+        queries, "qid", "qv", dims = Seq(1, 3), k = 1)
+      .collect()
+    assert(rows.length == 4, "one row per (dim, query)")
+    assert(rows.forall(r => r.getLong(2) == 0L || r.getLong(2) == 1L))
+  }
+}
