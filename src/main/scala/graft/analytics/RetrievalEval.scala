@@ -246,6 +246,52 @@ object RetrievalEval {
           .cast("double") / max(col("n_rel")).cast("double"))
           .as("r_precision"))
 
+  /** bpref (Buckley & Voorhees, SIGIR 2004) — the judgment-robust TREC
+    * measure: each retrieved relevant document is penalized only by the
+    * judged NONRELEVANT documents ranked above it, so unjudged pool
+    * gaps don't read as failures the way they do in MAP. With the
+    * truncated-run convention of [[rPrecision]] (the retrieved
+    * nonrelevant rows ARE the judged-nonrelevant pool, size N):
+    *
+    *   bpref = (1/R) Σ_{rel r} (1 − min(nAbove(r), R) / min(R, N))
+    *         = Σ_{rel r} (min(R, N) − min(nAbove(r), R)) / (R·min(R,N))
+    *
+    * — ONE exact integer division per query (the second spelling);
+    * N = 0 (a perfect run) degenerates to hits/R. Input contract as
+    * [[apPanel]]. All-integer numerators → RAW.
+    *
+    * Output: (q, n_rel, n_nonrel, hits, bpref_num, bpref).
+    */
+  def bpref(ranked: DataFrame, queryCol: String, rankCol: String,
+      relCol: String, nRel: DataFrame, nRelCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy("k")
+    val base = ranked.select(col(queryCol).as("q"),
+      col(rankCol).cast("long").as("k"),
+      when(col(relCol), 1L).otherwise(0L).as("rel"))
+      .join(nRel.select(col(queryCol).as("q"),
+        col(nRelCol).cast("long").as("n_rel")), Seq("q"))
+      .withColumn("na", coalesce(sum(lit(1L) - col("rel")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("nn", sum(lit(1L) - col("rel")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q")))
+    base.groupBy("q")
+      .agg(max(col("n_rel")).as("n_rel"),
+        max(col("nn")).as("n_nonrel"),
+        sum(col("rel")).as("hits"),
+        sum(when(col("rel") === 1L,
+          least(col("nn"), col("n_rel"))
+            - least(col("na"), col("n_rel"))).otherwise(0L))
+          .as("bpref_num"))
+      .withColumn("bpref",
+        when(col("n_nonrel") === 0L,
+          col("hits").cast("double") / col("n_rel").cast("double"))
+          .otherwise(col("bpref_num").cast("double")
+            / (col("n_rel") * least(col("n_rel"), col("n_nonrel")))
+              .cast("double")))
+  }
+
   /** Expected reciprocal rank (Chapelle et al., CIKM'09) with binary
     * relevance: each hit satisfies the user with probability 1/2, so the
     * j-th hit (in rank order) at rank r contributes exactly

@@ -13,13 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object TestQueries21 {
 
-  private val K = 10
+  private[queries] val K = 10
 
   /** The q173 brute-retriever chain: every 25th vector is a held-out
     * query; relevance = same generator label; rank by cosine with a
     * vec_id tie-break. Returns (ranked-with-rel-flag, n_rel-per-query).
     */
-  private def rankedBase(s: SparkSession, dir: String)
+  private[queries] def rankedBase(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val e = Tables.embeddings(s, dir).select(
       col("vec_id"), col("label"),
@@ -55,7 +55,7 @@ object TestQueries21 {
     * CTEs `pr` (query_id, rank, rel, n_rel, prec, rec) with prec/rec as
     * single exact BIGINT→DOUBLE divisions, deterministic both engines.
     */
-  private val RankedBaseSql = s"""
+  private[queries] val RankedBaseSql = s"""
         WITH e AS (
           SELECT vec_id, label,
                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

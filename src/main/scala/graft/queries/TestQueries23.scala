@@ -826,9 +826,50 @@ object TestQueries23 {
           AS tau_b
       FROM cd CROSS JOIN cnt CROSS JOIN t1 CROSS JOIN t2"""))
 
+  /** bpref — [[graft.analytics.RetrievalEval.bpref]] (Buckley &
+    * Voorhees 2004), completing the TREC panel (AP q279, R-precision
+    * q280, ERR q281) on the same q173 brute-retriever fixture: each
+    * relevant penalized only by judged nonrelevant ranked above it,
+    * computed as ONE exact integer division per query
+    * (Σ(min(R,N) − min(nAbove,R)) / (R·min(R,N))) → RAW.
+    */
+  val q322Bpref: QueryCase = QueryCase(
+    "q322_bpref",
+    (s, dir) => {
+      val (flagged, nRel) = TestQueries21.rankedBase(s, dir)
+      graft.analytics.RetrievalEval
+        .bpref(flagged, "query_id", "rank", "rel", nRel, "n_rel")
+        .withColumnRenamed("q", "query_id")
+        .orderBy("query_id")
+    },
+    Some(s"""${TestQueries21.RankedBaseSql},
+        above AS (
+          SELECT query_id, rank, rel, n_rel,
+            COALESCE(SUM(1 - rel) OVER (PARTITION BY query_id
+              ORDER BY rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS na,
+            SUM(1 - rel) OVER (PARTITION BY query_id) AS nn
+          FROM pr)
+        SELECT query_id,
+          CAST(MAX(n_rel) AS BIGINT) AS n_rel,
+          CAST(MAX(nn) AS BIGINT) AS n_nonrel,
+          CAST(SUM(rel) AS BIGINT) AS hits,
+          CAST(SUM(CASE WHEN rel = 1
+            THEN LEAST(nn, n_rel) - LEAST(na, n_rel)
+            ELSE 0 END) AS BIGINT) AS bpref_num,
+          CASE WHEN MAX(nn) = 0
+            THEN CAST(SUM(rel) AS DOUBLE) / CAST(MAX(n_rel) AS DOUBLE)
+            ELSE CAST(SUM(CASE WHEN rel = 1
+                THEN LEAST(nn, n_rel) - LEAST(na, n_rel)
+                ELSE 0 END) AS DOUBLE)
+              / CAST(MAX(n_rel) * LEAST(MAX(n_rel), MAX(nn)) AS DOUBLE)
+          END AS bpref
+        FROM above GROUP BY query_id ORDER BY query_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q310IvfSq8Recall, q311HoltWinters, q312PassAtK, q313Salsa,
       q314TCloseness, q315MannKendall, q316Cuped, q317Welch,
       q318ForecastAccuracy, q319TheilSen, q320DimAblation,
-      q321KendallTau)
+      q321KendallTau, q322Bpref)
 }

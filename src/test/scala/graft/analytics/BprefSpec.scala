@@ -1,0 +1,40 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Pins [[RetrievalEval.bpref]]: the hand-walked penalty per relevant,
+  * the min(R, N) clamps, and the N = 0 perfect-run degenerate.
+  */
+class BprefSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nRel(rows: (Long, Long)*) = rows.toSeq.toDF("q", "n_rel")
+
+  test("hand-walked: each relevant penalized by nonrel above it") {
+    // ranking: rel, nonrel, rel, nonrel, rel; R = 3, N = 2, minRN = 2
+    // contributions: (2-0) + (2-1) + (2-2) = 3; bpref = 3/(3*2) = 0.5
+    val ranked = Seq((1L, 1L, true), (1L, 2L, false), (1L, 3L, true),
+      (1L, 4L, false), (1L, 5L, true)).toDF("q", "rank", "rel")
+    val r = RetrievalEval.bpref(ranked, "q", "rank", "rel",
+      nRel((1L, 3L)), "n_rel").head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 2L && r.getLong(3) == 3L)
+    assert(r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 0.5)
+  }
+
+  test("nAbove clamps at R; a perfect run (N = 0) scores hits/R") {
+    // R = 1, N = 3: the single relevant sits under 3 nonrel ->
+    // min(3,1)=1, minRN=1 -> contribution 0 -> bpref 0
+    val buried = Seq((1L, 1L, false), (1L, 2L, false), (1L, 3L, false),
+      (1L, 4L, true)).toDF("q", "rank", "rel")
+    val rb = RetrievalEval.bpref(buried, "q", "rank", "rel",
+      nRel((1L, 1L)), "n_rel").head()
+    assert(rb.getLong(4) == 0L && rb.getDouble(5) == 0.0)
+    val perfect = Seq((2L, 1L, true), (2L, 2L, true))
+      .toDF("q", "rank", "rel")
+    val rp = RetrievalEval.bpref(perfect, "q", "rank", "rel",
+      nRel((2L, 4L)), "n_rel").head()
+    assert(rp.getLong(2) == 0L)
+    assert(rp.getDouble(5) == 0.5, "N=0 degenerates to hits/R = 2/4")
+  }
+}
