@@ -74,9 +74,12 @@ object DistTest {
     * cluster runs each key's pair block locally. Tie groups are one
     * (key, value) aggregation.
     *
-    * Determinism: S and 18·Var(S) are exact integers (n ≤ ~2·10⁶
-    * per key keeps n³ < 2⁶³); the z statistic takes one libm sqrt →
-    * gate ROUNDs it, everything else RAW.
+    * Determinism: S and 18·Var(S) are exact integers. Safe bound:
+    * var18 = n(n−1)(2n+5) ≈ 2n³ must stay below 2⁶³, so n ≤ 1.6·10⁶
+    * per key (NOT 2·10⁶ — 2·(2·10⁶)³ = 1.6·10¹⁹ > Long.MaxValue;
+    * round-14 ADVICE). Keys above the bound RAISE instead of silently
+    * flipping var18 negative into the z = 0 branch. The z statistic
+    * takes one libm sqrt → gate ROUNDs it, everything else RAW.
     *
     * Output per key: (key, n, s, var18, z, trend) — trend ∈
     * {increasing, decreasing, none} by sign of S.
@@ -105,7 +108,11 @@ object DistTest {
         (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5)
           - coalesce(col("tie18"), lit(0L))).as("var18"))
       .withColumn("z",
-        when(col("var18") <= 0, lit(0.0))
+        when(col("n") > 1600000L,
+          raise_error(concat(lit("mannKendall: n > 1.6e6 for key "),
+            col("k").cast("string"),
+            lit(" — n(n-1)(2n+5) overflows int64; sample the key"))))
+          .when(col("var18") <= 0, lit(0.0))
           .when(col("s") > 0,
             (col("s") - 1).cast("double")
               / sqrt(col("var18").cast("double") / 18.0))

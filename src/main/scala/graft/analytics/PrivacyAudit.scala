@@ -55,9 +55,15 @@ object PrivacyAudit {
     *   t(class) = ½ · Σ_cat | p_class(cat) − p_global(cat) |
     *
     * Determinism: computed EXACTLY in integers — the numerator
-    * Σ | a_cat·N − b_cat·n | sums absolute integer products (counts ≤
-    * 2⁶³-safe well past 100 TB row counts at ≤ ~3·10⁹ per side),
-    * order-free; ONE final division by 2·n·N → RAW compare.
+    * Σ | a_cat·N − b_cat·n | sums absolute integer products,
+    * order-free; ONE final division by 2·n·N → RAW compare. Int64
+    * bound (round-14 ADVICE): each |a·N − b·n| term and their sum are
+    * ≤ 2·n·N, so the int64 `t_num` column is exact only while
+    * 2·n·N < 2⁶³ (N ≤ ~2.1·10⁹ total rows); the t_close VERDICT and
+    * t_closeness ratio do not share that bound — the cross-multiply
+    * t_num·tMaxDen ≤ 2·n·N·tMaxNum is evaluated in DECIMAL(38,0)
+    * (exact to 10³⁸, far past any row count), so pass/fail stays
+    * right even where the diagnostic t_num column would saturate.
     *
     * Scale shape: global category counts (map-side combinable,
     * broadcast — the sensitive-attribute alphabet is bounded), class ×
@@ -87,14 +93,26 @@ object PrivacyAudit {
       .join(classCat, qidCols :+ "cat", "left")
       .crossJoin(broadcast(total))
       .groupBy((qidCols.map(col) :+ col("class_size") :+ col("nn")): _*)
-      .agg(sum(abs(coalesce(col("a"), lit(0L)) * col("nn")
-        - col("b") * col("class_size"))).as("t_num"))
-      .select((qidCols.map(col) :+ col("class_size") :+ col("t_num") :+
-        (col("t_num").cast("double")
-          / (lit(2L) * col("class_size") * col("nn")).cast("double"))
+      // per-term products and the verdict cross-multiply in
+      // DECIMAL(38,0): a·N and 2·n·N·tMax overflow int64 at ~3·10⁹
+      // rows (round-14 ADVICE) — decimal keeps the EMD numerator and
+      // the pass/fail compare exact at any realistic scale, one cast
+      // per operand, still map-side combinable
+      .agg(sum(abs(coalesce(col("a"), lit(0L)).cast("decimal(20,0)")
+        * col("nn").cast("decimal(20,0)")
+        - col("b").cast("decimal(20,0)")
+          * col("class_size").cast("decimal(20,0)"))).as("t_num_d"))
+      .withColumn("den_d", lit(2).cast("decimal(20,0)")
+        * col("class_size").cast("decimal(20,0)")
+        * col("nn").cast("decimal(20,0)"))
+      .select((qidCols.map(col) :+ col("class_size") :+
+        // diagnostic column stays int64 (exact while 2nN < 2⁶³ —
+        // scaladoc bound); the verdict below never relies on it
+        col("t_num_d").cast("long").as("t_num") :+
+        (col("t_num_d").cast("double") / col("den_d").cast("double"))
           .as("t_closeness") :+
-        (col("t_num") * tMaxDen <=
-          lit(2L) * col("class_size") * col("nn") * tMaxNum)
+        (col("t_num_d") * lit(tMaxDen).cast("decimal(20,0)") <=
+          col("den_d") * lit(tMaxNum).cast("decimal(20,0)"))
           .as("t_close")): _*)
   }
 }

@@ -22,9 +22,17 @@ object OpIndexScan {
     Set("SparkEntry.scala", "Verify.scala", "Bench.scala",
       "OperatorIndex.scala")
   private val ObjRe = """^(?:case )?object ([A-Za-z0-9_]+).*""".r
+  // a private/private[pkg] object's defs are NOT public operators —
+  // reset the owner so they aren't attributed to the previous object
+  // (round-14 ADVICE: SinkNames/ReplayHarness-style helper objects)
+  private val PrivateObjRe =
+    """^private(?:\[[A-Za-z0-9_]+\])? (?:case )?object .*""".r
   private val TypeRe =
     """^(?:final |abstract |sealed |private )*(?:case )?(?:class|trait) .*""".r
-  private val DefRe = """^  def ([A-Za-z0-9_]+).*""".r
+  // allow `final`/annotation modifiers before def (round-14 ADVICE);
+  // private/protected defs stay excluded by construction
+  private val DefRe =
+    """^  (?:final |@[A-Za-z0-9_.]+(?:\([^)]*\))? )*def ([A-Za-z0-9_]+).*""".r
 
   def scan(root: String = "src/main/scala/graft"): Seq[ScannedOp] = {
     val rootPath = Paths.get(root)
@@ -40,6 +48,7 @@ object OpIndexScan {
       var owner: Option[String] = None
       Files.readAllLines(p).asScala.toSeq.flatMap { line =>
         line match {
+          case l if PrivateObjRe.matches(l) => owner = None; None
           case ObjRe(name) => owner = Some(name); None
           case l if TypeRe.matches(l) => owner = None; None
           case DefRe(name) => owner.map(o =>

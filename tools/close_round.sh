@@ -85,7 +85,7 @@ $suites suites."
   round=$(( ${round:-0} + 1 ))
   sed -i -E \
     -e "s/^Round [0-9]+\. \`queries\`/Round $round. \`queries\`/" \
-    -e "s/^\*\*[0-9]+ queries total: [0-9]+ \[O\], [0-9]+ \[R\]\*\*/**$gates queries total: $oracle [O], 0 [R]**/" \
+    -e "s/^\*\*[0-9]+ queries total: [0-9]+ \[O\], [0-9]+ \[R\]\*\*/**$gates queries total: $oracle [O], $((gates - oracle)) [R]**/" \
     COVERAGE.md
   sed -i -E \
     -e "s|^(  queries/     )[0-9]+ gate queries|\1$gates gate queries|" \
