@@ -6,24 +6,53 @@ import org.apache.spark.sql.functions._
 /** Experiment analytics (the A/B measurement pair every data platform
   * ships): CUPED variance reduction (Deng et al., WSDM 2013) and the
   * Welch two-sample t panel. Both consume one row per experiment UNIT
-  * (user) — aggregate raw events to units first — and carry the
-  * bounded-units contract of [[BradleyTerry.fit]]: moments are
-  * computed as SORTED-list left folds (the q248 discipline), exact
-  * and bit-identical cross-engine, which holds the unit table in one
-  * aggregation row. A deployment measuring millions of units swaps
-  * the folds for map-side-combinable decimal sums; the estimator
-  * algebra is unchanged.
+  * (user) — aggregate raw events to units first.
+  *
+  * Two variants per estimator, same algebra:
+  *
+  *  - [[cuped]]/[[welch]]: moments as SORTED-list left folds (the
+  *    q248 discipline), bit-identical cross-engine, holding the unit
+  *    table in ONE aggregation row — bounded-units contract
+  *    ([[BradleyTerry.fit]] class), guarded at
+  *    `graft.experiments.maxFoldUnits`.
+  *  - [[cupedSums]]/[[welchSums]] (round-15, the scale-safe DEFAULT
+  *    for real A/B traffic): moments as map-side-combinable EXACT
+  *    DECIMAL sums — order-free, no per-row list, partial aggregation
+  *    does the heavy lifting, so millions of units stream through a
+  *    plain groupBy. Contract: metrics are fixed-decimal scores
+  *    (≤ 6 dp — revenue cents, the engine's ROUND(6) family); the
+  *    decimal cast is then exact and every engine sums the same
+  *    rationals. CUPED's per-arm adjusted moments come from the
+  *    pooled-θ EXPANSION (Σy′ = Σy − θΣx + nθμ, Σy′² likewise), so
+  *    the sums variant is ONE pass over units — it never joins θ
+  *    back to the unit table at all.
   */
 object Experiments {
+
+  /** Fold-variant misuse backstop (the [[graft.plans.Bounded]]
+    * discipline): one aggregation row holding more units than
+    * `graft.experiments.maxFoldUnits` (default 1 << 20) raises
+    * instead of silently OOMing a task. Above it, use
+    * [[cupedSums]]/[[welchSums]].
+    */
+  val MaxFoldUnitsKey = "graft.experiments.maxFoldUnits"
+  val DefaultMaxFoldUnits: Long = 1L << 20
+
+  private val Dec = "decimal(18,6)"
 
   /** Sorted left-fold moment sums over (x, y) pairs:
     * (n, Σx, Σy, Σxy, Σx², Σy²) as one struct column — every addition
     * in unit order, so DuckDB's `list_reduce(list(... ORDER BY unit))`
     * replays the identical IEEE sequence.
     */
-  private def momentFold(unit: Column, x: Column, y: Column): Column = {
-    val lst = array_sort(collect_list(struct(unit.as("u"),
+  private def momentFold(unit: Column, x: Column, y: Column,
+                         maxUnits: Long): Column = {
+    val lst0 = array_sort(collect_list(struct(unit.as("u"),
       x.as("x"), y.as("y"))))
+    val lst = when(size(lst0) > lit(maxUnits),
+      raise_error(lit(s"Experiments moment fold: more than $maxUnits " +
+        s"units in one aggregation row ($MaxFoldUnitsKey) — use " +
+        "cupedSums/welchSums (map-side decimal sums)"))).otherwise(lst0)
     aggregate(lst,
       struct(lit(0L).as("n"), lit(0.0).as("sx"), lit(0.0).as("sy"),
         lit(0.0).as("sxy"), lit(0.0).as("sxx"), lit(0.0).as("syy")),
@@ -52,8 +81,10 @@ object Experiments {
     */
   def cuped(units: DataFrame, unitCol: String, armCol: String,
             xCol: String, yCol: String): DataFrame = {
+    val maxN = units.sparkSession.conf
+      .get(MaxFoldUnitsKey, DefaultMaxFoldUnits.toString).toLong
     val pooled = units.agg(momentFold(col(unitCol),
-      col(xCol).cast("double"), col(yCol).cast("double")).as("m"))
+      col(xCol).cast("double"), col(yCol).cast("double"), maxN).as("m"))
       .select(
         ((col("m.n") * col("m.sxy") - col("m.sx") * col("m.sy"))
           / (col("m.n") * col("m.sxx") - col("m.sx") * col("m.sx")))
@@ -66,7 +97,7 @@ object Experiments {
           * (col(xCol).cast("double") - col("mean_x"))).as("y_adj"),
         col("theta"), col("mean_x"))
     adj.groupBy("arm")
-      .agg(momentFold(col("u"), col("y"), col("y_adj")).as("m"),
+      .agg(momentFold(col("u"), col("y"), col("y_adj"), maxN).as("m"),
         // theta is a broadcast constant on every row; max is the
         // determinism-clean way to carry it through the groupBy
         max(col("theta")).as("theta"))
@@ -96,9 +127,11 @@ object Experiments {
     */
   def welch(units: DataFrame, unitCol: String, armCol: String,
             yCol: String, armA: String, armB: String): DataFrame = {
+    val maxN = units.sparkSession.conf
+      .get(MaxFoldUnitsKey, DefaultMaxFoldUnits.toString).toLong
     def side(a: String) = units.where(col(armCol) === a)
       .agg(momentFold(col(unitCol), col(yCol).cast("double"),
-        lit(0.0)).as("m"))
+        lit(0.0), maxN).as("m"))
       .select(col("m.n").as("n"), (col("m.sx") / col("m.n")).as("mean"),
         ((col("m.sxx") - col("m.sx") * col("m.sx") / col("m.n"))
           / (col("m.n") - 1)).as("s2"))
@@ -106,6 +139,112 @@ object Experiments {
       col("s2").as("s2_a"))
     val b = side(armB).select(col("n").as("n_b"), col("mean").as("mean_b"),
       col("s2").as("s2_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("se2", col("s2_a") / col("n_a") + col("s2_b") / col("n_b"))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        (col("mean_a") - col("mean_b")).as("diff"),
+        ((col("mean_a") - col("mean_b")) / sqrt(col("se2"))).as("t"),
+        (col("se2") * col("se2")
+          / ((col("s2_a") / col("n_a")) * (col("s2_a") / col("n_a"))
+              / (col("n_a") - 1)
+            + (col("s2_b") / col("n_b")) * (col("s2_b") / col("n_b"))
+              / (col("n_b") - 1))).as("df"))
+  }
+
+  /** Per-group exact decimal moment sums cast to double once each:
+    * (n, sx, sy, sxy, sxx, syy). Order-free and map-side combinable —
+    * the scale-safe moment engine behind [[cupedSums]]/[[welchSums]].
+    */
+  private def momentSums(df: DataFrame, groupCol: Option[String],
+                         x: Column, y: Column): DataFrame = {
+    val xd = x.cast(Dec)
+    val yd = y.cast(Dec)
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(xd).cast("double").as("sx"),
+      sum(yd).cast("double").as("sy"),
+      sum(xd * yd).cast("double").as("sxy"),
+      sum(xd * xd).cast("double").as("sxx"),
+      sum(yd * yd).cast("double").as("syy"))
+    groupCol match {
+      case Some(g) => df.groupBy(col(g).as("arm"))
+        .agg(aggs.head, aggs.tail: _*)
+      case None => df.agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** CUPED on map-side-combinable exact decimal sums — same estimator
+    * as [[cuped]], scale-safe shape: ONE groupBy over units computes
+    * per-arm moments, the pooled θ/μ come from a second (tiny) global
+    * aggregation, and each arm's ADJUSTED moments are recovered by
+    * expanding y′ = y − θ(x − μ):
+    *
+    *   Σy′  = Σy − θΣx + nθμ
+    *   Σy′² = Σy² − 2θΣxy + 2θμΣy + θ²Σx² − 2θ²μΣx + nθ²μ²
+    *
+    * so no second pass over units and no unit-side join ever runs.
+    * Fixed-decimal-metric contract (object scaladoc): the decimal
+    * casts are exact, sums are order-free, and every derived double is
+    * a fixed expression tree over identically-rounded sum casts →
+    * RAW-comparable cross-engine. Expansion vs fold differ only in
+    * float rounding order (≤ ~1e-12 relative at fixture scale —
+    * CupedSumsSpec pins the agreement).
+    */
+  def cupedSums(units: DataFrame, unitCol: String, armCol: String,
+                xCol: String, yCol: String): DataFrame = {
+    val arms = momentSums(units, Some(armCol),
+      col(xCol).cast("double"), col(yCol).cast("double"))
+    // pooled θ/μ from the SAME per-unit decimal sums: sums of per-arm
+    // decimal sums would re-round; re-aggregate the units globally
+    // (both aggregations are one shuffle each over partial aggregates)
+    val pooled = momentSums(units, None,
+      col(xCol).cast("double"), col(yCol).cast("double"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"),
+        (col("sx") / col("n")).as("mean_x"))
+    arms.crossJoin(broadcast(pooled))
+      .withColumn("sy_adj",
+        col("sy") - col("theta") * col("sx")
+          + col("n") * col("theta") * col("mean_x"))
+      .withColumn("syy_adj",
+        col("syy") - lit(2.0) * col("theta") * col("sxy")
+          + lit(2.0) * col("theta") * col("mean_x") * col("sy")
+          + col("theta") * col("theta") * col("sxx")
+          - lit(2.0) * col("theta") * col("theta") * col("mean_x") * col("sx")
+          + col("n") * col("theta") * col("theta")
+            * col("mean_x") * col("mean_x"))
+      .select(col("arm"), col("n"), col("theta"),
+        (col("sy") / col("n")).as("mean_y"),
+        (col("sy_adj") / col("n")).as("mean_y_adj"),
+        (col("syy") / col("n")
+          - (col("sy") / col("n")) * (col("sy") / col("n"))).as("var_y"),
+        (col("syy_adj") / col("n")
+          - (col("sy_adj") / col("n")) * (col("sy_adj") / col("n")))
+          .as("var_y_adj"))
+      .withColumn("var_reduction",
+        lit(1.0) - col("var_y_adj") / col("var_y"))
+  }
+
+  /** Welch t panel on map-side-combinable exact decimal sums — same
+    * statistic as [[welch]], scale-safe shape: one groupBy over units,
+    * no collect_list row. Same fixed-decimal-metric contract and
+    * cross-engine RAW story as [[cupedSums]].
+    */
+  def welchSums(units: DataFrame, unitCol: String, armCol: String,
+                yCol: String, armA: String, armB: String): DataFrame = {
+    val sides = momentSums(
+      units.where(col(armCol).isin(armA, armB)), Some(armCol),
+      col(yCol).cast("double"), lit(0.0))
+      .select(col("arm"), col("n"), (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)).as("s2"))
+    val a = sides.where(col("arm") === armA)
+      .select(col("n").as("n_a"), col("mean").as("mean_a"),
+        col("s2").as("s2_a"))
+    val b = sides.where(col("arm") === armB)
+      .select(col("n").as("n_b"), col("mean").as("mean_b"),
+        col("s2").as("s2_b"))
     a.crossJoin(broadcast(b))
       .withColumn("se2", col("s2_a") / col("n_a") + col("s2_b") / col("n_b"))
       .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),

@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-15 additions: the scale-safe Experiments variants (round-14
+  * VERDICT ask #2 — map-side-combinable decimal moment sums next to
+  * the bounded fold) plus this round's new operator gates.
+  */
+object TestQueries24 {
+
+  /** Per-unit pre/post outcome table shared by q323/q324 — the q316
+    * construction (decimal-exact per-user sums of `value` before/after
+    * the experiment start, arm = user parity), kept here verbatim so
+    * the sums-variant gates run on the identical unit table the fold
+    * gates ran on.
+    */
+  private def experimentUnits(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, dir).where(col("user_id") < 100)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < lit("2024-01-15").cast("timestamp"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          .as("pre_x"),
+        sum(when(col("ts") >= lit("2024-01-15").cast("timestamp"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          .as("post_y"))
+      .select(col("user_id").as("unit"),
+        (col("user_id") % 2).as("arm"), col("pre_x"), col("post_y"))
+
+  private val UnitsSql = """
+      units AS (
+        SELECT user_id AS u, user_id % 2 AS arm,
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+            THEN CAST(value AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS x,
+          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+            THEN CAST(value AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS y
+        FROM events WHERE user_id < 100 GROUP BY user_id)"""
+
+  /** The six decimal moment sums as oracle SQL — exact DECIMAL(18,6)
+    * casts (the units' metrics are 2-dp decimals, so the cast is
+    * lossless in both engines), order-free sums, ONE double cast per
+    * sum: the DuckDB mirror of `Experiments.momentSums`.
+    */
+  private def momentSumsSql(from: String, grouped: Boolean): String = {
+    // DECIMAL(19,6), not (18,6): DuckDB multiplies (18,6)×(18,6) in the
+    // operands' int64 storage and overflows; 19 digits forces int128 and
+    // an exact DECIMAL(38,12) product. Values identical to Spark's
+    // DecimalType(18,6) algebra — only the storage width differs.
+    // Double casts go THROUGH VARCHAR: DuckDB's direct decimal→double is
+    // scaled-int/10^scale (two roundings, probe-verified 1-ulp off on
+    // (38,12) sums); the string path is correctly rounded, matching
+    // Spark's BigDecimal→double.
+    val d = "DECIMAL(19,6)"
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"""SELECT ${if (grouped) "arm, " else ""}
+          CAST(COUNT(*) AS BIGINT) AS n,
+          ${dbl(s"SUM(CAST(x AS $d))")} AS sx,
+          ${dbl(s"SUM(CAST(y AS $d))")} AS sy,
+          ${dbl(s"SUM(CAST(x AS $d) * CAST(y AS $d))")} AS sxy,
+          ${dbl(s"SUM(CAST(x AS $d) * CAST(x AS $d))")} AS sxx,
+          ${dbl(s"SUM(CAST(y AS $d) * CAST(y AS $d))")} AS syy
+        FROM $from${if (grouped) " GROUP BY arm" else ""}"""
+  }
+
+  /** CUPED on map-side decimal sums —
+    * [[graft.analytics.Experiments.cupedSums]], the scale-safe default
+    * the round-14 verdict asked for next to the q316 fold: per-arm
+    * EXACT decimal moment sums (order-free, partial-agg combinable),
+    * pooled θ/μ from a second global aggregation over the same units,
+    * adjusted moments recovered by expanding y′ = y − θ(x − μ) — one
+    * pass over units, no unit-side θ join. Every output is a fixed
+    * double expression tree over identically-rounded decimal-sum
+    * casts → RAW compare.
+    */
+  val q323CupedSums: QueryCase = QueryCase(
+    "q323_cuped_sums",
+    (s, dir) => graft.analytics.Experiments
+      .cupedSums(experimentUnits(s, dir), "unit", "arm", "pre_x", "post_y")
+      .orderBy("arm"),
+    Some(s"""
+      WITH $UnitsSql,
+      arms AS (${momentSumsSql("units", grouped = true)}),
+      pooledm AS (${momentSumsSql("units", grouped = false)}),
+      pooled AS (
+        SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+               sx / n AS mean_x
+        FROM pooledm),
+      adj AS (
+        SELECT a.arm, a.n, p.theta,
+          a.sy - p.theta * a.sx + a.n * p.theta * p.mean_x AS sy_adj,
+          a.syy - CAST(2.0 AS DOUBLE) * p.theta * a.sxy
+            + CAST(2.0 AS DOUBLE) * p.theta * p.mean_x * a.sy
+            + p.theta * p.theta * a.sxx
+            - CAST(2.0 AS DOUBLE) * p.theta * p.theta * p.mean_x * a.sx
+            + a.n * p.theta * p.theta * p.mean_x * p.mean_x AS syy_adj,
+          a.sy, a.syy
+        FROM arms a CROSS JOIN pooled p),
+      outp AS (
+        SELECT arm, n, theta,
+          sy / n AS mean_y,
+          sy_adj / n AS mean_y_adj,
+          syy / n - (sy / n) * (sy / n) AS var_y,
+          syy_adj / n - (sy_adj / n) * (sy_adj / n) AS var_y_adj
+        FROM adj)
+      SELECT arm, n, theta, mean_y, mean_y_adj, var_y, var_y_adj,
+        CAST(1.0 AS DOUBLE) - var_y_adj / var_y AS var_reduction
+      FROM outp ORDER BY arm"""))
+
+  /** Welch t panel on map-side decimal sums —
+    * [[graft.analytics.Experiments.welchSums]] over the q317 units
+    * (post-period outcome, arms = user parity): one groupBy, no
+    * collect_list row. Means/diff RAW; t and the Welch–Satterthwaite
+    * df take sqrt/compound divisions → ROUND(6), exactly the q317
+    * discipline.
+    */
+  val q324WelchSums: QueryCase = QueryCase(
+    "q324_welch_sums",
+    (s, dir) => graft.analytics.Experiments
+      .welchSums(experimentUnits(s, dir)
+          .withColumn("arm", col("arm").cast("string")),
+        "unit", "arm", "post_y", "0", "1")
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("diff"), round(col("t"), 6).as("t"),
+        round(col("df"), 6).as("df")),
+    Some(s"""
+      WITH $UnitsSql,
+      ydec AS (
+        SELECT CAST(arm AS VARCHAR) AS arm, y AS x, CAST(0.0 AS DOUBLE) AS y
+        FROM units WHERE CAST(arm AS VARCHAR) IN ('0', '1')),
+      sides AS (${momentSumsSql("ydec", grouped = true)}),
+      stats AS (
+        SELECT arm, n, sx / n AS mean,
+          (sxx - sx * sx / n) / (n - 1) AS s2
+        FROM sides),
+      ab AS (
+        SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+          a.s2 AS s2_a, b.s2 AS s2_b,
+          a.s2 / a.n + b.s2 / b.n AS se2
+        FROM (SELECT * FROM stats WHERE arm = '0') a
+        CROSS JOIN (SELECT * FROM stats WHERE arm = '1') b)
+      SELECT n_a, n_b, mean_a, mean_b,
+        mean_a - mean_b AS diff,
+        ROUND((mean_a - mean_b) / sqrt(se2), 6) AS t,
+        ROUND(se2 * se2
+          / ((s2_a / n_a) * (s2_a / n_a) / (n_a - 1)
+            + (s2_b / n_b) * (s2_b / n_b) / (n_b - 1)), 6) AS df
+      FROM ab"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q323CupedSums, q324WelchSums)
+}

@@ -51,4 +51,56 @@ class ExperimentsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(5) - (-2.0 / math.sqrt(5.0 / 3.0))) < 1e-12)
     assert(math.abs(r.getDouble(6) - 50.0 / 17.0) < 1e-12)
   }
+
+  // q316→q323 equivalence: the sums variant reproduces the fold
+  // variant's estimates on fixed-decimal metrics — the two differ only
+  // in float rounding order (decimal sums are EXACT; the fold
+  // accumulates doubles sequentially), so agreement is near-ulp, not
+  // approximate-statistical.
+  test("cupedSums matches cuped on fixed-decimal metrics") {
+    val units = (1L to 40L).map { u =>
+      (u, u % 2, (u * 7 % 23) + 0.25, 2.5 * ((u * 7 % 23) + 0.25)
+        + (u % 2) * 3.0 + (u % 5) * 0.5)
+    }.toDF("unit", "arm", "x", "y")
+    val fold = Experiments.cuped(units, "unit", "arm", "x", "y")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val sums = Experiments.cupedSums(units, "unit", "arm", "x", "y")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(fold.keySet == sums.keySet)
+    for (arm <- fold.keySet; i <- 2 to 7) {
+      val f = fold(arm).getDouble(i); val s = sums(arm).getDouble(i)
+      assert(math.abs(f - s) <= 1e-9 * math.max(1.0, math.abs(f)),
+        s"arm $arm col $i: fold $f vs sums $s")
+    }
+  }
+
+  test("welchSums matches welch on fixed-decimal metrics") {
+    val units = (1L to 30L).map { u =>
+      (u, if (u % 2 == 0) "A" else "B", (u * 11 % 17) + 0.5)
+    }.toDF("unit", "arm", "y")
+    val f = Experiments.welch(units, "unit", "arm", "y", "A", "B").head()
+    val s = Experiments.welchSums(units, "unit", "arm", "y", "A", "B").head()
+    assert(f.getLong(0) == s.getLong(0) && f.getLong(1) == s.getLong(1))
+    for (i <- 2 to 6)
+      assert(math.abs(f.getDouble(i) - s.getDouble(i))
+        <= 1e-9 * math.max(1.0, math.abs(f.getDouble(i))),
+        s"col $i: fold ${f.getDouble(i)} vs sums ${s.getDouble(i)}")
+  }
+
+  test("the fold path raises LOUDLY above graft.experiments." +
+    "maxFoldUnits instead of silently holding the units in one row") {
+    val units = (1L to 50L).map(u => (u, u % 2, 1.0 * u, 2.0 * u))
+      .toDF("unit", "arm", "x", "y")
+    spark.conf.set(Experiments.MaxFoldUnitsKey, "10")
+    try {
+      val e = intercept[Exception] {
+        Experiments.cuped(units, "unit", "arm", "x", "y").collect()
+      }
+      assert(e.getMessage.contains("maxFoldUnits"),
+        s"expected the guard message, got: ${e.getMessage}")
+      // the scale-safe variant handles the same frame fine
+      assert(Experiments.cupedSums(units, "unit", "arm", "x", "y")
+        .count() == 2L)
+    } finally spark.conf.unset(Experiments.MaxFoldUnitsKey)
+  }
 }
