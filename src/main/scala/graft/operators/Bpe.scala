@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * back via crossJoin (never a driver collect); the rewrite is per-row.
   * Each round's vocab is materialized through the policy gate (iterative
   * lineage discipline).
+  *
+  * Family `tokenizer-training` (OperatorIndex-curated): the merge-GROWN
+  * vocabulary here; the prune-SHRUNK unigram-LM alternative is
+  * [[UnigramLm.train]] (Kudo 2018) — same vocabulary input, same
+  * segmentation output shape, graded by the same q225 fertility panel.
   */
 object Bpe {
 

@@ -1,0 +1,218 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer training (Kudo 2018; the SentencePiece unigram
+  * model) — the OTHER tokenizer a training pipeline actually ships,
+  * next to [[Bpe]]: instead of growing a vocab by merges, START from a
+  * large seed piece inventory and let hard-EM shrink it — per round,
+  * Viterbi-segment the word vocabulary under current piece scores
+  * (E-step), re-estimate piece counts from the segmentations (M-step),
+  * then PRUNE to the target inventory and re-segment.
+  *
+  * Determinism (the design decision): piece scores are FIXED-POINT
+  * log2 surprisals, score(p) = L(cnt_p) − L(Σcnt), where
+  * L(n) = floor(2^16·log2(n)) is computed EXACTLY by integer
+  * shift-and-square ([[fixedLog2]]; Knuth TAOCP §1.2.3-25 construction
+  * — square the 56-bit normalized mantissa, each squaring yields one
+  * fractional bit). No libm anywhere in training or segmentation: the
+  * Viterbi DP maximizes an INTEGER sum, so the argmax can never flip
+  * on a platform's last-ulp log — segmentations are bit-reproducible
+  * across engines, JVMs and C runtimes. Quantization error ≤ 2⁻¹⁶ bits
+  * per piece, far under corpus-count noise. Ties break (higher score,
+  * then smaller backpointer = longer trailing piece) — total order.
+  *
+  * Scale shape (the [[Bpe]] discipline): training runs over the
+  * VOCABULARY (distinct word + freq), never the corpus — the corpus
+  * is touched once to build word frequencies. The piece table is
+  * MODEL-sized: collected through
+  * [[graft.plans.Bounded.collectBounded]] and injected into the plan
+  * as a literal map (no join, no shuffle on the DP path); Viterbi is
+  * a per-word O(len·maxPieceLen) fold (Catalyst HOF — interpreted,
+  * acceptable on a vocab-bounded frame, the `Bpe.rewrite` precedent);
+  * E-step counts are one explode + map-side-combined aggregation.
+  * Unknown single characters at APPLY time score [[UnkScore]] so
+  * segmentation totals stay finite (the SentencePiece `<unk>`
+  * convention).
+  */
+object UnigramLm {
+
+  /** Fractional bits of the fixed-point log2 grid. */
+  val FracBits = 16
+
+  /** Score for a single character absent from the piece inventory
+    * (apply-time only — training inventories always cover their own
+    * corpus characters). Far below any real score: real scores are
+    * ≥ −L(total) ≥ −(56 << 16) ≈ −3.7e6.
+    */
+  val UnkScore: Long = -(1L << 40)
+
+  private val MaxCount: Long = 1L << 55
+
+  /** floor(2^16 · log2(n)) by exact integer shift-and-square: nothing
+    * here can round differently anywhere — normalize n to a 56-bit
+    * mantissa x ∈ [2^55, 2^56), then 16 times square x (exact, fits
+    * 112 bits) and extract one fractional bit (x² ≥ 2^111 → bit 1,
+    * renormalize by 2^56; else bit 0, renormalize by 2^55).
+    */
+  def fixedLog2(n: Long): Long = {
+    require(n >= 1 && n < MaxCount,
+      s"fixedLog2: n must be in [1, 2^55), got $n")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(n)
+    var x = BigInt(n) << (55 - e)
+    var frac = 0L
+    val hi = BigInt(1) << 111
+    var k = 0
+    while (k < FracBits) {
+      x = x * x
+      if (x >= hi) { frac = frac * 2 + 1; x = x >> 56 }
+      else { frac = frac * 2; x = x >> 55 }
+      k += 1
+    }
+    (e.toLong << FracBits) + frac
+  }
+
+  /** Seed piece inventory over a word-frequency vocabulary
+    * ([[Bpe.vocabulary]] shape): every substring of length
+    * 1..maxPieceLen, count = Σ freq(word) · occurrences(piece, word)
+    * (overlaps counted). ALL single characters are kept (coverage);
+    * multi-character pieces keep the top `seedSize` by
+    * (count DESC, piece ASC).
+    */
+  def seedPieces(vocab: DataFrame, maxPieceLen: Int,
+                 seedSize: Int): DataFrame = {
+    require(maxPieceLen >= 2 && seedSize >= 1)
+    val w = col("word")
+    val subs = vocab.select(col("freq"),
+      explode(flatten(transform(sequence(lit(1), length(w)), i =>
+        transform(
+          sequence(lit(1), least(lit(maxPieceLen), length(w) - i + 1)),
+          l => w.substr(i, l))))).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+    val chars = subs.where(length(col("piece")) === 1)
+    val multis = subs.where(length(col("piece")) > 1)
+      .orderBy(desc("cnt"), col("piece")).limit(seedSize)
+    chars.unionByName(multis)
+  }
+
+  /** Integer Viterbi scores for a piece table: (piece,
+    * L(cnt) − L(Σcnt)). Driver-side over the MODEL-sized table
+    * (loud [[graft.plans.Bounded]] cap, the `Bpe.collectMerges`
+    * contract).
+    */
+  def pieceScores(pieces: DataFrame): Seq[(String, Long)] = {
+    val rows = graft.plans.Bounded.collectBounded(
+      pieces.select(col("piece"), col("cnt")), "UnigramLm.pieceScores")
+    val total = rows.map(_.getAs[Long]("cnt")).sum
+    val lTot = fixedLog2(total)
+    rows.map(r => r.getAs[String]("piece") ->
+      (fixedLog2(r.getAs[Long]("cnt")) - lTot)).toSeq.sortBy(_._1)
+  }
+
+  /** Per-word DP table: positions 0..len as array<struct<s,bp>> —
+    * s = best integer score ending at the position, bp = backpointer.
+    * Ties: (s DESC, bp ASC) via max on (s, −i).
+    */
+  private def dpTable(word: Column, scoreMap: Column,
+                      maxPieceLen: Int): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0L).as("s"), lit(-1).as("bp"))),
+      (acc, j) => {
+        val cands = filter(
+          transform(sequence(greatest(j - maxPieceLen, lit(0)), j - 1),
+            i => struct(
+              (element_at(acc, i + 1)("s") +
+                coalesce(element_at(scoreMap, word.substr(i + 1, j - i)),
+                  when(j - i === 1, lit(UnkScore)))).as("s"),
+              (-i).as("nbp"))),
+          c => c("s").isNotNull)
+        val best = array_max(cands)
+        concat(acc, array(struct(best("s").as("s"),
+          (-best("nbp")).as("bp"))))
+      })
+
+  /** Walk the backpointers into the piece sequence. */
+  private def backtrace(word: Column, dp: Column): Column =
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(length(word).as("j"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val j = st("j")
+        val i = element_at(dp, j + 1)("bp")
+        when(j > 0,
+          struct(i.as("j"),
+            concat(array(word.substr(i + 1, j - i)), st("ps")).as("ps")))
+          .otherwise(st)
+      }, st => st("ps"))
+
+  /** Viterbi-segment every vocabulary word under integer piece scores.
+    * Output: (word, freq, seq array<string>, score). The score map
+    * rides into the plan as a literal — model state, like
+    * [[Bpe.applyMerges]]'s merge table.
+    */
+  def viterbi(vocab: DataFrame, scores: Seq[(String, Long)],
+              maxPieceLen: Int): DataFrame = {
+    require(scores.nonEmpty, "UnigramLm.viterbi: empty piece inventory")
+    val m = typedlit(scores.toMap)
+    // bind the DP table to a real column BEFORE the backtrace lambda
+    // consumes it (captured subexpressions re-evaluate per element)
+    vocab.select(col("word"), col("freq"),
+      dpTable(col("word"), m, maxPieceLen).as("dp"))
+      .select(col("word"), col("freq"),
+        backtrace(col("word"), col("dp")).as("seq"),
+        element_at(col("dp"), length(col("word")) + 1)("s").as("score"))
+  }
+
+  /** Hard-EM M-step counts: Σ freq · multiplicity per piece over the
+    * Viterbi segmentations. Map-side combinable.
+    */
+  def emCounts(segmented: DataFrame): DataFrame =
+    segmented.select(col("freq"), explode(col("seq")).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+
+  /** Prune the inventory to `targetSize` multi-character pieces by
+    * (EM count DESC, piece ASC); single characters are NEVER pruned
+    * (coverage invariant) — a character the E-step never used floors
+    * at count 1 (Laplace floor, keeps L defined).
+    */
+  def prune(emCnt: DataFrame, seedChars: DataFrame,
+            targetSize: Int): DataFrame = {
+    require(targetSize >= 1)
+    val chars = seedChars.select(col("piece"))
+      .join(emCnt, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(1L)).as("cnt"))
+    val multis = emCnt.where(length(col("piece")) > 1)
+      .orderBy(desc("cnt"), col("piece")).limit(targetSize)
+    chars.unionByName(multis)
+  }
+
+  /** Full training pipeline: seed → score → Viterbi E-step → M-step
+    * counts → prune → rescore → final segmentation. Returns the final
+    * piece table (piece, cnt) and the segmented vocabulary
+    * (word, freq, seq, score).
+    */
+  def train(vocab: DataFrame, maxPieceLen: Int, seedSize: Int,
+            targetSize: Int): (DataFrame, DataFrame) = {
+    val v = graft.plans.Materialize.stage(
+      vocab.select(col("word"), col("freq")), "graft.dedup.checkpoint")
+    val seed = graft.plans.Materialize.stage(
+      seedPieces(v, maxPieceLen, seedSize), "graft.dedup.checkpoint")
+    val seg1 = viterbi(v, pieceScores(seed), maxPieceLen)
+    val pruned = graft.plans.Materialize.stage(
+      prune(emCounts(seg1), seed.where(length(col("piece")) === 1),
+        targetSize),
+      "graft.dedup.checkpoint")
+    (pruned, viterbi(v, pieceScores(pruned), maxPieceLen))
+  }
+
+  /** Flat view of a segmented vocabulary (the [[Bpe.segmentation]]
+    * shape + the integer Viterbi score).
+    */
+  def segmentation(segmented: DataFrame): DataFrame =
+    segmented.select(col("word"), col("freq"),
+      concat_ws(" ", col("seq")).as("segments"),
+      size(col("seq")).as("n_pieces"), col("score"))
+}

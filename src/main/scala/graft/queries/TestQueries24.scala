@@ -152,6 +152,169 @@ object TestQueries24 {
             + (s2_b / n_b) * (s2_b / n_b) / (n_b - 1)), 6) AS df
       FROM ab"""))
 
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+  /** DuckDB mirror of [[graft.operators.UnigramLm.fixedLog2]]: exact
+    * integer shift-and-square in HUGEINT — e = floor(log2) from the
+    * binary-string length, 16 squarings each extracting one fractional
+    * bit. Pure integer arithmetic, bit-identical to the Scala BigInt
+    * walk by construction.
+    */
+  private def lSql(c: String): String =
+    // accumulator is a PLAIN 2-element HUGEINT list [x, lbits], not a
+    // struct: DuckDB 1.0 list_reduce corrupts struct accumulators
+    // (field reassignment bleeds into same-step reads of other fields)
+    s"""((length(bin($c)) - CAST(1 AS BIGINT)) * 65536 + CAST(list_reduce(
+      list_prepend([CAST($c AS HUGEINT)
+          * (CAST(1 AS HUGEINT) << (55 - (length(bin($c)) - 1))),
+          CAST(0 AS HUGEINT)],
+        list_transform(range(0, 16), qq ->
+          [CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)])),
+      (la, lt) -> CASE WHEN la[1] * la[1] >= (CAST(1 AS HUGEINT) << 111)
+        THEN [(la[1] * la[1]) // (CAST(1 AS HUGEINT) << 56),
+              la[2] * 2 + 1]
+        ELSE [(la[1] * la[1]) // (CAST(1 AS HUGEINT) << 55),
+              la[2] * 2] END)[2] AS BIGINT))"""
+
+  /** One Viterbi pass as oracle CTEs (prefix `$p`): candidate (i, j,
+    * score) per word via LEFT JOIN against `$scoresCte` (single-char
+    * misses fall back to the UNK score), a per-word (i,j)→score map,
+    * the integer DP fold (position j = len(acc); max by (s, −i)), and
+    * the backpointer walk. Mirrors `UnigramLm.viterbi` exactly.
+    */
+  private def viterbiSql(p: String, vocabCte: String, scoresCte: String,
+                         maxL: Int): String = s"""
+      ${p}cand AS (
+        SELECT c.word, c.ci, c.cj,
+          COALESCE(sc.sc, CASE WHEN c.cj - c.ci = 1
+            THEN CAST(${graft.operators.UnigramLm.UnkScore} AS BIGINT)
+            END) AS csc
+        FROM (
+          SELECT v.word, uu.ii AS ci, uu.jj AS cj,
+            substr(v.word, CAST(uu.ii + 1 AS INT),
+              CAST(uu.jj - uu.ii AS INT)) AS cpiece
+          FROM $vocabCte v, UNNEST(flatten(list_transform(
+            range(0, length(v.word)), ii ->
+              list_transform(range(ii + 1,
+                  least(ii + $maxL, length(v.word)) + 1), jj ->
+                {'ii': ii, 'jj': jj})))) AS tt(uu)) c
+        LEFT JOIN $scoresCte sc ON sc.piece = c.cpiece),
+      ${p}map AS (
+        SELECT word,
+          map_from_entries(list({'k': ci * 1048576 + cj, 'v': csc})) AS mm
+        FROM ${p}cand WHERE csc IS NOT NULL GROUP BY word),
+      -- DP and backtrace as RECURSIVE CTE walks carrying the dp list
+      -- (the round-6 state-list pattern): DuckDB 1.0's list_reduce is
+      -- UNRELIABLE for multi-read accumulators — struct accumulators
+      -- see same-step field reassignments, and even plain-list
+      -- accumulators returned different results for the same CTE
+      -- across executions (probe-verified on this very query). The
+      -- recursion reads dp as a regular column — no lambda-accumulator
+      -- semantics involved. The inner candidate max stays a fold but
+      -- selects a WHOLE struct per step (no field mixing), the one
+      -- shape that probed stable.
+      ${p}dpr AS (
+        SELECT v.word, v.freq, length(v.word) AS nn, w.mm,
+          CAST(1 AS BIGINT) AS jj,
+          [{'s': CAST(0 AS BIGINT), 'nbp': CAST(1 AS BIGINT)}] AS dp
+        FROM $vocabCte v JOIN ${p}map w USING (word)
+        UNION ALL
+        SELECT word, freq, nn, mm, jj + 1,
+          list_append(dp, list_reduce(
+            list_filter(
+              list_transform(range(
+                  CASE WHEN jj - $maxL > 0 THEN jj - $maxL
+                    ELSE CAST(0 AS BIGINT) END, jj),
+                kk -> {'s': dp[CAST(kk + 1 AS INT)].s
+                    + mm[kk * 1048576 + jj][1],
+                  'nbp': -kk}),
+              cc -> cc.s IS NOT NULL),
+            (aa, cc) -> CASE WHEN cc.s > aa.s
+                OR (cc.s = aa.s AND cc.nbp > aa.nbp)
+              THEN cc ELSE aa END))
+        FROM ${p}dpr WHERE jj <= nn),
+      ${p}bt AS (
+        SELECT word, freq, nn, dp, CAST(nn AS BIGINT) AS pj,
+          CAST([] AS VARCHAR[]) AS ps
+        FROM ${p}dpr WHERE jj = nn + 1
+        UNION ALL
+        SELECT word, freq, nn, dp,
+          -(dp[CAST(pj + 1 AS INT)].nbp) AS pj,
+          list_prepend(substr(word,
+            CAST(-(dp[CAST(pj + 1 AS INT)].nbp) + 1 AS INT),
+            CAST(pj + dp[CAST(pj + 1 AS INT)].nbp AS INT)), ps) AS ps
+        FROM ${p}bt WHERE pj > 0),
+      ${p}seg AS (
+        SELECT word, freq, ps AS seq, dp[CAST(nn + 1 AS INT)].s AS score
+        FROM ${p}bt WHERE pj = 0)"""
+
+  /** Unigram-LM tokenizer training —
+    * [[graft.operators.UnigramLm.train]] (Kudo 2018), the round-14
+    * verdict's asked-for sibling to q179's BPE: seed substring
+    * inventory (all chars + top-40 multis by weighted count), hard-EM
+    * Viterbi E-step under FIXED-POINT integer log2 scores (L(n) =
+    * floor(2^16·log2 n) by exact shift-and-square — no libm, so the
+    * DP argmax is bit-reproducible cross-engine), M-step counts,
+    * prune to chars + top-20 multis (unused chars floor at count 1),
+    * final re-segmentation. Everything integer/string → RAW.
+    */
+  val q325UnigramLm: QueryCase = QueryCase(
+    "q325_unigram_lm",
+    (s, dir) => {
+      val (_, seg) = graft.operators.UnigramLm.train(
+        graft.operators.Bpe.vocabulary(Tables.documents(s, dir), "text"),
+        maxPieceLen = 3, seedSize = 40, targetSize = 20)
+      graft.operators.UnigramLm.segmentation(seg).orderBy("word")
+    },
+    Some(s"""
+      WITH RECURSIVE toks AS (
+        SELECT tt.t AS word
+        FROM (SELECT $TokensSql AS tk FROM documents), UNNEST(tk) AS tt(t)),
+      v0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM toks GROUP BY word),
+      subcnt AS (
+        SELECT tt.pp AS piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+          SELECT freq, flatten(list_transform(range(1, length(word) + 1),
+            ii -> list_transform(range(1,
+                least(CAST(3 AS BIGINT), length(word) - ii + 1) + 1),
+              ll -> substr(word, CAST(ii AS INT), CAST(ll AS INT))))) AS pcs
+          FROM v0), UNNEST(pcs) AS tt(pp)
+        GROUP BY tt.pp),
+      seed AS (
+        SELECT piece, cnt FROM subcnt WHERE length(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM subcnt WHERE length(piece) > 1
+          ORDER BY cnt DESC, piece LIMIT 40)),
+      s1tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tc FROM seed),
+      scores1 AS (
+        SELECT piece, ${lSql("cnt")} - (SELECT ${lSql("tc")} FROM s1tot)
+          AS sc
+        FROM seed),
+      ${viterbiSql("w1", "v0", "scores1", 3)},
+      em1 AS (
+        SELECT tt.pp AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM w1seg, UNNEST(seq) AS tt(pp) GROUP BY tt.pp),
+      pruned AS (
+        SELECT s.piece, COALESCE(e.cnt, CAST(1 AS BIGINT)) AS cnt
+        FROM (SELECT piece FROM seed WHERE length(piece) = 1) s
+        LEFT JOIN em1 e USING (piece)
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM em1 WHERE length(piece) > 1
+          ORDER BY cnt DESC, piece LIMIT 20)),
+      s2tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tc FROM pruned),
+      scores2 AS (
+        SELECT piece, ${lSql("cnt")} - (SELECT ${lSql("tc")} FROM s2tot)
+          AS sc
+        FROM pruned),
+      ${viterbiSql("w2", "v0", "scores2", 3)}
+      SELECT word, freq, array_to_string(seq, ' ') AS segments,
+        CAST(len(seq) AS INT) AS n_pieces, score
+      FROM w2seg ORDER BY word"""))
+
   val all: Seq[QueryCase] =
-    Seq(q323CupedSums, q324WelchSums)
+    Seq(q323CupedSums, q324WelchSums, q325UnigramLm)
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[UnigramLm]]: the exact fixed-point log2, a fully hand-traced
+  * seed → EM → prune → resegment round, Viterbi tie discipline, and
+  * the apply-time UNK fallback.
+  */
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fixedLog2 is exactly floor(2^16 * log2(n))") {
+    // exact powers
+    assert(UnigramLm.fixedLog2(1L) == 0L)
+    assert(UnigramLm.fixedLog2(2L) == 65536L)
+    assert(UnigramLm.fixedLog2(4L) == 131072L)
+    assert(UnigramLm.fixedLog2(1L << 54) == 54L * 65536L)
+    // log2(3) = 1.5849625007...; * 65536 = 103872.1024... -> 103872
+    assert(UnigramLm.fixedLog2(3L) == 103872L)
+    // against BigDecimal-safe double math on values far from grid points
+    for (n <- Seq(5L, 7L, 25L, 88L, 1000L, 123456789L)) {
+      val exact = math.floor(65536.0 * math.log(n.toDouble) / math.log(2.0))
+      assert(math.abs(UnigramLm.fixedLog2(n) - exact) <= 1,
+        s"n=$n got ${UnigramLm.fixedLog2(n)} vs double $exact")
+    }
+    // monotone
+    assert(UnigramLm.fixedLog2(99L) < UnigramLm.fixedLog2(100L) ||
+      UnigramLm.fixedLog2(99L) == UnigramLm.fixedLog2(100L))
+    intercept[IllegalArgumentException](UnigramLm.fixedLog2(0L))
+  }
+
+  test("hand-traced train round: seed counts, EM counts, prune, " +
+    "final segmentation") {
+    // vocab: abab x10, ab x5, b x3; maxPieceLen 2, seed 3 multis, target 2
+    val vocab = Seq(("abab", 10L), ("ab", 5L), ("b", 3L))
+      .toDF("word", "freq")
+    // seed substrings (overlap-counted, freq-weighted):
+    //   a: 2*10 + 5 = 25; b: 2*10 + 5 + 3 = 28; ab: 2*10 + 5 = 25; ba: 10
+    val seed = UnigramLm.seedPieces(vocab, 2, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seed == Map("a" -> 25L, "b" -> 28L, "ab" -> 25L, "ba" -> 10L))
+    // Viterbi under seed scores: s(ab) = s(a) (both cnt 25), so
+    //   "ab"   -> [ab]      (one negative term beats two)
+    //   "abab" -> [ab, ab]  (2s(ab) beats any 3-piece split)
+    //   "b"    -> [b]
+    // EM counts: ab 25, b 3. Prune(2): chars a (unused -> floor 1),
+    // b 3; multis: ab 25 (ba had zero EM count -> gone).
+    val (pieces, segmented) = UnigramLm.train(vocab, 2, 3, 2)
+    val p = pieces.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(p == Map("a" -> 1L, "b" -> 3L, "ab" -> 25L))
+    val seg = UnigramLm.segmentation(segmented)
+      .collect().map(r => r.getString(0) -> ((r.getString(2),
+        r.getInt(3), r.getLong(4)))).toMap
+    assert(seg("abab")._1 == "ab ab" && seg("abab")._2 == 2)
+    assert(seg("ab")._1 == "ab" && seg("ab")._2 == 1)
+    assert(seg("b")._1 == "b" && seg("b")._2 == 1)
+    // final scores on the pruned inventory (total 29), via the exact L
+    val lt = UnigramLm.fixedLog2(29L)
+    assert(seg("b")._3 == UnigramLm.fixedLog2(3L) - lt)
+    assert(seg("abab")._3 == 2L * (UnigramLm.fixedLog2(25L) - lt))
+  }
+
+  test("Viterbi tie-break prefers the longer trailing piece on exact " +
+    "integer score ties") {
+    // two pieces with identical counts: s(ab) == s(a) == s(b);
+    // "ab" paths: [ab] (score s) vs [a, b] (2s, worse since s < 0) —
+    // now make a TRUE tie: word "aa" with pieces a (cnt 4), aa (cnt 2)?
+    // s(aa) = L(2) - LT, 2 s(a) = 2 L(4) - 2 LT; craft cnt so equal:
+    // L(aa_cnt) - LT == 2 L(a_cnt) - 2 LT  <=>  L(aa) == 2 L(a) - LT.
+    // counts a=4, aa=2, total 8: L(2)=65536, 2L(4)-L(8)=2*131072-196608
+    // = 65536 — EXACT tie; bp rule (smaller i = longer last piece)
+    // picks [aa].
+    val scores = UnigramLm.pieceScores(
+      Seq(("a", 4L), ("aa", 2L), ("b", 2L)).toDF("piece", "cnt"))
+    val got = UnigramLm.viterbi(Seq(("aa", 1L)).toDF("word", "freq"),
+      scores, 2).collect().head
+    assert(got.getSeq[String](2) == Seq("aa"), s"got $got")
+  }
+
+  test("apply-time unknown character takes the UNK score instead of " +
+    "failing") {
+    val scores = UnigramLm.pieceScores(
+      Seq(("a", 3L), ("b", 3L), ("ab", 6L)).toDF("piece", "cnt"))
+    val got = UnigramLm.viterbi(Seq(("axb", 1L)).toDF("word", "freq"),
+      scores, 2).collect().head
+    assert(got.getSeq[String](2) == Seq("a", "x", "b"))
+    assert(got.getLong(3) < UnigramLm.UnkScore / 2,
+      "score carries exactly the one UNK penalty")
+  }
+}
