@@ -44,6 +44,51 @@ object PrivacyAudit {
       .withColumn("l_diverse", col("l_distinct") >= l)
   }
 
+  /** Entropy l-diversity (Machanavajjhala et al. 2007 §3.2) — the
+    * strictness step between distinct-l ([[kAnonymity]]) and
+    * [[tCloseness]]: a class passes when the ENTROPY of its sensitive
+    * distribution reaches log(l), so one dominant value among l−1
+    * token others (which distinct-l accepts) fails.
+    *
+    * Determinism: the test runs entirely in integers on the
+    * fixed-point log2 grid ([[graft.operators.UnigramLm.fixedLog2Col]]
+    * — exact shift-and-square, no libm):
+    *
+    *   H·n·2¹⁶ = Σ_v cnt_v·(L(n) − L(cnt_v)),  pass ⇔ that ≥ n·L(l)
+    *
+    * i.e. entropy and threshold compared at 2⁻¹⁶-bit quantization —
+    * a DEFINED, platform-independent criterion (the quantization
+    * error is ≤ n·2⁻¹⁶ bits, far inside any governance margin).
+    * Output per class: (qidCols..., class_size, h_num = the exact
+    * integer Σ, entropy_bits = h_num/(n·2¹⁶) one fixed double chain,
+    * entropy_l_diverse). All-integer verdict → RAW.
+    *
+    * Scale shape: one (class, value) count + one class aggregation,
+    * map-side combinable; L is a per-row codegen-friendly expression.
+    */
+  def entropyLDiversity(df: DataFrame, qidCols: Seq[String],
+                        sensitiveCol: String, l: Long = 2L): DataFrame = {
+    require(qidCols.nonEmpty, "need at least one quasi-identifier")
+    require(l >= 1L, "l must be >= 1")
+    val lOfL = graft.operators.UnigramLm.fixedLog2(l)
+    val vc = df.groupBy((qidCols.map(col) :+ col(sensitiveCol).as("v")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val cls = vc.groupBy(qidCols.map(col): _*)
+      .agg(sum("cnt").as("class_size"),
+        sum(col("cnt")
+          * graft.operators.UnigramLm.fixedLog2Col(col("cnt")))
+          .as("sum_clc"))
+    cls.select((qidCols.map(col) :+ col("class_size") :+
+      (col("class_size")
+        * graft.operators.UnigramLm.fixedLog2Col(col("class_size"))
+        - col("sum_clc")).as("h_num")): _*)
+      .withColumn("entropy_bits",
+        col("h_num").cast("double")
+          / (col("class_size") * lit(65536L)).cast("double"))
+      .withColumn("entropy_l_diverse",
+        col("h_num") >= col("class_size") * lit(lOfL))
+  }
+
   /** t-closeness audit (Li et al. 2007) — the distributional upgrade
     * over [[kAnonymity]]'s l-diversity: a class can hold l distinct
     * sensitive values and STILL leak (skewness attack — 99% of the

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.functions.{CrossHash, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection with Importance Resampling (Xie et al.,
+  * NeurIPS 2023): select raw-corpus documents whose hashed-n-gram
+  * distribution looks like a TARGET corpus. The public recipe:
+  * featurize each document as a bag of hashed bigrams over B buckets,
+  * fit smoothed bucket unigram distributions p (target) and q (raw),
+  * score each raw document by the importance log-ratio
+  * Σ_b f_b·(log p_b − log q_b), and keep the top slice.
+  *
+  * Determinism (this engine's spelling): bucket log-ratios are
+  * FIXED-POINT integer log2 deltas — Δ_b = (L(p_b) − L(pN)) −
+  * (L(q_b) − L(qN)) with [[UnigramLm.fixedLog2]]'s exact integer L —
+  * so document scores are INTEGER dot products and the top-k selection
+  * can never flip on a platform's last-ulp log (the argmax
+  * discipline). Xie et al. resample with Gumbel noise; the
+  * deterministic engine variant takes the top-k by (weight, doc_id) —
+  * the noiseless limit — which keeps the gate exact and the operator
+  * auditable.
+  *
+  * Scale shape: bucket distributions are MODEL-sized (B buckets,
+  * driver-collected through [[graft.plans.Bounded.collectBounded]] and
+  * injected as a literal map — no join on the scoring path); doc
+  * featurization is one explode + map-side-combined (doc, bucket)
+  * count; selection is a global TakeOrdered. Bucket count B must be a
+  * power of two: the bucket index is the hash's low bits, the one
+  * modulus where the signed (Spark) and unsigned (DuckDB-mirror) hash
+  * views agree.
+  */
+object Dsir {
+
+  private def requirePow2(b: Int): Unit =
+    require(b >= 2 && (b & (b - 1)) == 0,
+      s"buckets must be a power of two (signed/unsigned hash views " +
+        s"only agree on low-bit moduli), got $b")
+
+  /** Hashed-bigram bucket counts per document: (id, bucket, cnt). */
+  def bucketCounts(docs: DataFrame, idCol: String, textCol: String,
+                   buckets: Int): DataFrame = {
+    requirePow2(buckets)
+    val toks = TextFunctions.tokens(col(textCol))
+    docs.select(col(idCol).as("id"), toks.as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("id"), explode(
+        zip_with(slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .select(col("id"),
+        pmod(CrossHash.md5Hash64(col("bigram")), lit(buckets.toLong))
+          .cast("int").as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Smoothed corpus bucket distribution, driver-side (B rows through
+    * the Bounded cap): bucket → cnt + 1 for every bucket 0..B−1
+    * (+1 smoothing keeps L defined on empty buckets).
+    */
+  def bucketDistribution(docs: DataFrame, idCol: String, textCol: String,
+                         buckets: Int): Seq[(Int, Long)] = {
+    requirePow2(buckets)
+    val counted = graft.plans.Bounded.collectBounded(
+      bucketCounts(docs, idCol, textCol, buckets)
+        .groupBy("bucket").agg(sum("cnt").as("cnt")),
+      "Dsir.bucketDistribution")
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("cnt")).toMap
+    (0 until buckets).map(b => b -> (counted.getOrElse(b, 0L) + 1L))
+  }
+
+  /** Integer log-ratio table Δ_b from two smoothed distributions. */
+  def logRatios(target: Seq[(Int, Long)],
+                raw: Seq[(Int, Long)]): Map[Int, Long] = {
+    val pTot = UnigramLm.fixedLog2(target.map(_._2).sum)
+    val qTot = UnigramLm.fixedLog2(raw.map(_._2).sum)
+    val q = raw.toMap
+    target.map { case (b, pc) =>
+      b -> ((UnigramLm.fixedLog2(pc) - pTot)
+        - (UnigramLm.fixedLog2(q(b)) - qTot))
+    }.toMap
+  }
+
+  /** Per-document integer importance weight over the raw corpus:
+    * Σ_b cnt_b·Δ_b. Documents with no bigram score 0 (kept — the
+    * featureless row carries no evidence either way).
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        ratios: Map[Int, Long], buckets: Int): DataFrame = {
+    requirePow2(buckets)
+    require(ratios.nonEmpty, "empty log-ratio table")
+    val m = typedlit(ratios)
+    val scored = bucketCounts(docs, idCol, textCol, buckets)
+      .groupBy("id")
+      .agg(sum(col("cnt") * element_at(m, col("bucket"))).as("weight"))
+    docs.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("weight"), lit(0L)).as("weight"))
+  }
+
+  /** End-to-end selection: fit p on `targetDocs`, q on `rawDocs`,
+    * keep the top-k raw documents by (weight DESC, id ASC).
+    */
+  def select(rawDocs: DataFrame, targetDocs: DataFrame, idCol: String,
+             textCol: String, buckets: Int, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val ratios = logRatios(
+      bucketDistribution(targetDocs, idCol, textCol, buckets),
+      bucketDistribution(rawDocs, idCol, textCol, buckets))
+    importanceWeights(rawDocs, idCol, textCol, ratios, buckets)
+      .orderBy(desc("weight"), col("id")).limit(k)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.functions.{CrossHash, NegativeSampling}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic distributed sampling for training-data curation — the
+  * subsample step every corpus pipeline runs before expensive stages
+  * (embedding, LLM scoring, human eval). Both samplers derive their
+  * randomness from content hashes instead of an RNG, so a sample is a
+  * PURE FUNCTION of (ids, salt): reproducible across runs, engines,
+  * partitionings and cluster sizes, and refreshable by bumping the
+  * salt — the property an auditable 100 TB pipeline needs (a
+  * `df.sample()` changes under AQE re-planning and gives no lineage).
+  *
+  * Scale shape: one shuffle by stratum (the per-stratum top-k window
+  * over a bounded k), no driver state, no collect. Priorities are
+  * md5-derived ([[CrossHash.md5Hash64]]) — uniform to 64 bits and
+  * cross-engine mirrorable.
+  */
+object Sampling {
+
+  /** Uniform stratified sample: per stratum, the k rows with the
+    * smallest hash priority — every row equally likely under the
+    * uniform-hash model, exactly k per stratum (fewer if the stratum
+    * is smaller). Output: input columns + `sample_rank` (1..k).
+    */
+  def stratifiedHashSample(df: DataFrame, stratumCol: String,
+                           idCol: String, k: Int,
+                           salt: String = "strat"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val pr = NegativeSampling.hashUniform(col(idCol).cast("string"),
+      s":$salt")
+    df.withColumn("__pr", pr)
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(col("__pr"), col(idCol))))
+      .where(col("sample_rank") <= k)
+      .drop("__pr")
+  }
+
+  /** Weighted sample without replacement per stratum — Efraimidis &
+    * Spirakis 2006 (A-ES): each row draws u ∈ (0,1) and ranks by
+    * u^(1/w); the top-k are a weighted sample without replacement.
+    * Ordering by u^(1/w) ⇔ ordering by log2(u)/w, and log2(u) is
+    * computed EXACTLY: u = (h48 = 48 low hash bits + 1) / 2⁴⁸, so
+    * log2(u)·2¹⁶ = L(h48) − 48·2¹⁶ with [[UnigramLm.fixedLog2Col]]'s
+    * integer L — the sort key is one exactly-rounded division of an
+    * exact integer by the weight, so the SELECTED SET can never flip
+    * on a platform's last-ulp log (the q114/argmax discipline: discrete
+    * selections stay on exact arithmetic). Weights must be positive —
+    * raises on w ≤ 0. Output: input columns + `sample_rank`.
+    */
+  def weightedHashSample(df: DataFrame, stratumCol: String, idCol: String,
+                         weightCol: String, k: Int,
+                         salt: String = "aes"): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val h = CrossHash.md5Hash64(
+      concat(col(idCol).cast("string"), lit(s":$salt")))
+    val h48 = pmod(h, lit(1L << 48)) + 1
+    val w = col(weightCol).cast("double")
+    val key = when(w <= 0.0, raise_error(concat(
+        lit("weightedHashSample: non-positive weight for id "),
+        col(idCol).cast("string"))))
+      .otherwise(
+        (UnigramLm.fixedLog2Col(col("__h48")) - lit(48L * 65536L))
+          .cast("double") / w)
+    df.withColumn("__h48", h48)
+      .withColumn("__key", key)
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy(stratumCol)
+          .orderBy(desc("__key"), col(idCol))))
+      .where(col("sample_rank") <= k)
+      .drop("__h48", "__key")
+  }
+}

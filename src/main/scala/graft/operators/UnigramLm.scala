@@ -73,6 +73,43 @@ object UnigramLm {
     (e.toLong << FracBits) + frac
   }
 
+  /** [[fixedLog2]] as a COLUMN expression — the same exact
+    * shift-and-square, per row, for operators whose log arguments are
+    * data (per-class counts, per-row hash priorities) rather than a
+    * bounded model table: the 56-bit mantissa squares in
+    * DECIMAL(38,0) (x² < 2¹¹² ≈ 5.2e33, exact), renormalization is an
+    * exact subtract-mod division (never a rounded decimal divide —
+    * decimal division rounds at scale 6 and a quotient within 5e-7 of
+    * an integer would floor wrong). Input contract as [[fixedLog2]]:
+    * 1 ≤ n < 2⁵⁵.
+    */
+  def fixedLog2Col(n: Column): Column = {
+    import org.apache.spark.sql.graftshim
+    import org.apache.spark.sql.catalyst.expressions.ShiftLeft
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = (length(bin(n)) - 1).cast("long")
+    val p2 = graftshim.column(ShiftLeft(
+      graftshim.expression(lit(1L)),
+      graftshim.expression((lit(55L) - e).cast("int"))))
+    val x0 = n.cast(big) * p2.cast(big)
+    def dlit(b: BigInt) = lit(new java.math.BigDecimal(b.bigInteger)).cast(big)
+    val hi = dlit(BigInt(1) << 111)
+    val d56 = dlit(BigInt(1) << 56)
+    val d55 = dlit(BigInt(1) << 55)
+    def exactDiv(xx: Column, d: Column) =
+      ((xx - pmod(xx, d)) / d).cast(big)
+    val folded = aggregate(sequence(lit(1), lit(FracBits)),
+      struct(x0.as("x"), lit(0L).as("l")),
+      (acc, _) => {
+        val xx = acc("x") * acc("x")
+        when(xx >= hi,
+          struct(exactDiv(xx, d56).as("x"), (acc("l") * 2 + 1).as("l")))
+          .otherwise(
+            struct(exactDiv(xx, d55).as("x"), (acc("l") * 2).as("l")))
+      })
+    e * lit(65536L) + folded("l")
+  }
+
   /** Seed piece inventory over a word-frequency vocabulary
     * ([[Bpe.vocabulary]] shape): every substring of length
     * 1..maxPieceLen, count = Σ freq(word) · occurrences(piece, word)

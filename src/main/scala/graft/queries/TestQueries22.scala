@@ -180,29 +180,34 @@ object TestQueries22 {
     * greedy token-budget packing (budget 512, shard = doc_id % 8).
     * aux per stage: 0 / tokens cut / docs dropped / sequences created.
     *
-    * Scale shape: multi-consumer frames are localCheckpointed (the
-    * Pipeline/Dedup discipline), the cut is a df-guarded gram
-    * equi-join + disjoint-interval anti-join, the screen is a map, the
-    * pack is per-shard sequential (flatMapGroups) — no stage collects.
-    * All-integer ledger → RAW.
+    * Scale shape: multi-consumer frames go through the
+    * [[graft.plans.Materialize]] policy gate (`graft.dedup.checkpoint`
+    * — round 15: previously raw localCheckpoint(true), which pinned
+    * every staged frame in single-host storage memory regardless of
+    * size; under `auto` + a configured checkpoint dir the oversized
+    * sf100 intermediates route to the reliable dir instead, the exact
+    * pressure the failed round-14 re-measure diagnosed), the cut is a
+    * df-guarded gram equi-join + disjoint-interval anti-join, the
+    * screen is a map, the pack is per-shard sequential
+    * (flatMapGroups) — no stage collects. All-integer ledger → RAW.
     */
   val q301RefineryE2e: QueryCase = QueryCase(
     "q301_refinery_e2e",
     (s, dir) => {
       import graft.functions.TextFunctions
+      def staged(df: org.apache.spark.sql.DataFrame) =
+        graft.plans.Materialize.stage(df, "graft.dedup.checkpoint")
       val d = Tables.documents(s, dir)
       val spans = graft.operators.DupSpans.maximalSharedSpans(
         d, "doc_id", "text", k = 8, dfCutoff = 20, minSpan = 16)
-      val cut = graft.operators.DupSpans
-        .cutSpans(d, "doc_id", "text", spans).localCheckpoint(true)
-      val screened = cut
+      val cut = staged(graft.operators.DupSpans
+        .cutSpans(d, "doc_id", "text", spans))
+      val screened = staged(cut
         .withColumn("q", TextFunctions.qualityScore(col("kept_text")))
-        .where(col("kept_tokens") >= 40 && col("q") >= 0.5)
-        .localCheckpoint(true)
-      val packed = graft.operators.Curation.packSequences(
+        .where(col("kept_tokens") >= 40 && col("q") >= 0.5))
+      val packed = staged(graft.operators.Curation.packSequences(
           screened.withColumn("shard", col("doc_id") % 8),
-          "shard", "doc_id", col("kept_tokens"), 512)
-        .localCheckpoint(true)
+          "shard", "doc_id", col("kept_tokens"), 512))
       val st1 = d
         .agg(count(lit(1)).as("n_docs"),
           sum(size(TextFunctions.tokens(col("text"))).cast("long"))

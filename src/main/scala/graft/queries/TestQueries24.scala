@@ -315,6 +315,181 @@ object TestQueries24 {
         CAST(len(seq) AS INT) AS n_pieces, score
       FROM w2seg ORDER BY word"""))
 
+  private def u64Sql(e: String) =
+    graft.functions.CrossHash.md5Hash64SqlU(e)
+  private def signedSql(e: String) =
+    graft.functions.CrossHash.hugeToSignedSql(e)
+
+  /** DSIR importance selection — [[graft.operators.Dsir.select]] (Xie
+    * et al. 2023): hashed-bigram bucket features (64 buckets — the
+    * power-of-two modulus where signed/unsigned hash views agree),
+    * +1-smoothed target (lang = 'en') and raw distributions, and
+    * per-doc INTEGER importance weights on the fixed-point log2 grid
+    * (Δ_b = (L(p_b)−L(pN)) − (L(q_b)−L(qN)), the q325 L) — top-50 by
+    * (weight DESC, id). All-integer → RAW.
+    */
+  val q326Dsir: QueryCase = QueryCase(
+    "q326_dsir_select",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.Dsir.select(docs,
+        docs.where(col("lang") === "en"), "doc_id", "text",
+        buckets = 64, k = 50)
+    },
+    Some(s"""
+      WITH tk AS (SELECT doc_id, lang, $TokensSql AS tk FROM documents),
+      bx AS (
+        SELECT doc_id, lang, uu.bg AS bigram
+        FROM (SELECT doc_id, lang,
+                list_transform(range(1, len(tk)),
+                  bi -> tk[CAST(bi AS INT)] || ' '
+                     || tk[CAST(bi + 1 AS INT)]) AS bgs
+              FROM tk WHERE len(tk) >= 2), UNNEST(bgs) AS uu(bg)),
+      dc AS (
+        SELECT doc_id, lang,
+          CAST(${u64Sql("bigram")} % 64 AS INT) AS bucket,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bx GROUP BY doc_id, lang,
+          CAST(${u64Sql("bigram")} % 64 AS INT)),
+      allb AS (SELECT CAST(uu.b AS INT) AS bucket
+               FROM UNNEST(range(0, 64)) AS uu(b)),
+      qs AS (
+        SELECT a.bucket, COALESCE(q.c, 0) + 1 AS cnt
+        FROM allb a LEFT JOIN (
+          SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS c
+          FROM dc GROUP BY bucket) q USING (bucket)),
+      ts AS (
+        SELECT a.bucket, COALESCE(t.c, 0) + 1 AS cnt
+        FROM allb a LEFT JOIN (
+          SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS c
+          FROM dc WHERE lang = 'en' GROUP BY bucket) t USING (bucket)),
+      tot AS (
+        SELECT (SELECT CAST(SUM(cnt) AS BIGINT) FROM ts) AS tt,
+               (SELECT CAST(SUM(cnt) AS BIGINT) FROM qs) AS qt),
+      ratios AS (
+        SELECT t.bucket,
+          (${lSql("t.cnt")} - (SELECT ${lSql("tt")} FROM tot))
+          - (${lSql("q.cnt")} - (SELECT ${lSql("qt")} FROM tot)) AS delta
+        FROM ts t JOIN qs q USING (bucket)),
+      w AS (
+        SELECT d.doc_id AS id,
+          COALESCE(SUM(dc.cnt * r.delta), CAST(0 AS BIGINT)) AS weight
+        FROM documents d
+        LEFT JOIN dc ON dc.doc_id = d.doc_id
+        LEFT JOIN ratios r ON r.bucket = dc.bucket
+        GROUP BY d.doc_id)
+      SELECT id, CAST(weight AS BIGINT) AS weight
+      FROM w ORDER BY weight DESC, id LIMIT 50"""))
+
+  /** Entropy l-diversity —
+    * [[graft.analytics.PrivacyAudit.entropyLDiversity]]
+    * (Machanavajjhala et al. 2007 §3.2): per source class, sensitive
+    * (lang) distribution entropy on the fixed-point log2 grid,
+    * compared against log2(l) entirely in integers
+    * (Σ cnt·(L(n)−L(cnt)) ≥ n·L(l)). Verdict + exact numerator RAW;
+    * entropy_bits is one fixed double division.
+    */
+  val q327EntropyLDiversity: QueryCase = QueryCase(
+    "q327_entropy_l_diversity",
+    (s, dir) => graft.analytics.PrivacyAudit
+      .entropyLDiversity(Tables.documents(s, dir), Seq("source"), "lang",
+        l = 2L)
+      .orderBy("source"),
+    Some(s"""
+      WITH vc AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY source, lang),
+      cls AS (
+        SELECT source, CAST(SUM(cnt) AS BIGINT) AS class_size,
+          CAST(SUM(cnt * ${lSql("cnt")}) AS BIGINT) AS sum_clc
+        FROM vc GROUP BY source),
+      hh AS (
+        SELECT source, class_size,
+          class_size * ${lSql("class_size")} - sum_clc AS h_num
+        FROM cls)
+      SELECT source, class_size, CAST(h_num AS BIGINT) AS h_num,
+        CAST(h_num AS DOUBLE) / CAST(class_size * 65536 AS DOUBLE)
+          AS entropy_bits,
+        h_num >= class_size * ${graft.operators.UnigramLm.fixedLog2(2L)}
+          AS entropy_l_diverse
+      FROM hh ORDER BY source"""))
+
+  private val USql =
+    // hashUniform mirror: signed hash → double with the SAME rounding
+    // sequence both engines (conditional +2^64, +0.5, /2^64)
+    s"""((CAST(SIG AS DOUBLE)
+      + CASE WHEN SIG < 0 THEN 1.8446744073709552e19
+        ELSE CAST(0.0 AS DOUBLE) END + 0.5) / 1.8446744073709552e19)"""
+
+  /** Deterministic stratified uniform sample —
+    * [[graft.operators.Sampling.stratifiedHashSample]]: per source,
+    * the 5 documents with the smallest md5-derived priority — a pure
+    * function of (doc_id, salt), reproducible across engines and
+    * cluster sizes. Integer output → RAW.
+    */
+  val q328StratifiedSample: QueryCase = QueryCase(
+    "q328_stratified_sample",
+    (s, dir) => graft.operators.Sampling
+      .stratifiedHashSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        "source", "doc_id", k = 5)
+      .orderBy("source", "sample_rank"),
+    Some {
+      val sig = signedSql(
+        u64Sql("CAST(doc_id AS VARCHAR) || ':strat'"))
+      val u = USql.replace("SIG", s"($sig)")
+      s"""
+      WITH pr AS (
+        SELECT doc_id, source, $u AS u FROM documents),
+      rk AS (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY u, doc_id)
+            AS sample_rank
+        FROM pr)
+      SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
+      FROM rk WHERE sample_rank <= 5 ORDER BY source, sample_rank"""
+    })
+
+  /** Weighted sample without replacement —
+    * [[graft.operators.Sampling.weightedHashSample]] (Efraimidis &
+    * Spirakis 2006 A-ES): rank by u^(1/w) spelled as the EXACT
+    * fixed-point log2 of a 48-bit hash slice divided by the weight
+    * (one exactly-rounded division — the selection can't flip on a
+    * platform's libm). Weight = length(text) + 1. Integer ids → RAW.
+    */
+  val q329WeightedSample: QueryCase = QueryCase(
+    "q329_weighted_sample",
+    (s, dir) => graft.operators.Sampling
+      .weightedHashSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          (length(col("text")).cast("double") + 1.0).as("w")),
+        "source", "doc_id", "w", k = 5)
+      .select(col("doc_id"), col("source"), col("sample_rank"))
+      .orderBy("source", "sample_rank"),
+    Some {
+      val u64 = u64Sql("CAST(doc_id AS VARCHAR) || ':aes'")
+      s"""
+      WITH h AS (
+        SELECT doc_id, source,
+          CAST(LENGTH(text) AS DOUBLE) + 1.0 AS w,
+          -- low 48 bits of the UNSIGNED view ≡ Spark's pmod(signed,
+          -- 2^48): power-of-two modulus, the views agree
+          CAST(($u64) % 281474976710656 AS BIGINT) + 1 AS h48
+        FROM documents),
+      keyed AS (
+        SELECT doc_id, source,
+          CAST(${lSql("h48")} - 3145728 AS DOUBLE) / w AS k
+        FROM h),
+      rk AS (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY k DESC, doc_id)
+            AS sample_rank
+        FROM keyed)
+      SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
+      FROM rk WHERE sample_rank <= 5 ORDER BY source, sample_rank"""
+    })
+
   val all: Seq[QueryCase] =
-    Seq(q323CupedSums, q324WelchSums, q325UnigramLm)
+    Seq(q323CupedSums, q324WelchSums, q325UnigramLm, q326Dsir,
+      q327EntropyLDiversity, q328StratifiedSample, q329WeightedSample)
 }

@@ -257,6 +257,77 @@ object ScaleRehearsal {
       // cross-copy hash overlap at zero, so |all_h| per batch-touched h
       // is constant as copies grow. (The pre-round-11 corpus self-join
       // spelling grew with Σ_h |all_h|² — rebuild-scale every batch.)
+      // Heaps-realistic documents build (round-15 verdict ask #4): the
+      // `build` mode's per-copy prefix remap manufactures vocab
+      // ×copies (linear — adversarial for the LM family: real corpora
+      // follow Heaps V ~ n^β, β ≈ 0.5). Here copy k draws each
+      // token's replacement from a variant POOL of size
+      // m(k) = floor(√(k+1)) shared across copies —
+      // variant(t, k) = "h" + (hash(t, k) mod m(k)) + "_" + t — so the
+      // cumulative vocabulary grows ~ √n·V₀ (the Heaps curve) while
+      // every copy keeps sf0.1's Zipf shape (variant frequency within
+      // a copy = the source token's frequency) and any two copies
+      // share only ~1/m of their remapped tokens (no manufactured
+      // near-dup documents). Args: out copies.
+      case "buildheaps" =>
+        val src = "/root/testdata/sf0.1"
+        val out = args.lift(1).getOrElse("/tmp/graft_scale/sf1h")
+        val copies = args.lift(2).map(_.toInt).getOrElse(10)
+        val base = graft.sources.Tables.table(spark, src, "documents")
+        val reps = (0 until copies).map { k =>
+          val m = math.max(1, math.sqrt((k + 1).toDouble).toInt)
+          base.withColumn("doc_id", col("doc_id") + lit(k * KeyShift))
+            .withColumn("text",
+              concat_ws(" ", transform(
+                filter(split(col("text"), "\\s+"), t => t =!= ""),
+                t => concat(lit("h"),
+                  pmod(hash(t, lit(k)), lit(m)).cast("string"),
+                  lit("_"), t))))
+        }.reduce(_ unionByName _)
+        reps.write.mode("overwrite").parquet(s"$out/documents.parquet")
+        println(s"[buildheaps] documents x$copies (Heaps √n shared-pool " +
+          s"remap) -> $out")
+
+      // q301 staging-pressure rehearsal (round-15 verdict ask #1): run
+      // the refinery e2e under an explicit Materialize routing and
+      // report PEAK pinned storage memory alongside the time — the
+      // round-14 clean re-measure failed on exactly this (staged
+      // localCheckpoint blocks exceeding the forked block manager at
+      // sf100). Args: dir [mode], mode ∈ auto-reliable (checkpoint dir
+      // + 64 MB local threshold → every big stage routes to disk) |
+      // local (the pre-round-15 behavior, storage-memory-pinned).
+      case "q301stage" =>
+        val dir = args.lift(1).getOrElse("/tmp/graft_scale/sf100")
+        val routing = args.lift(2).getOrElse("auto-reliable")
+        if (routing == "auto-reliable") {
+          spark.sparkContext.setCheckpointDir("/tmp/graft_ckpt")
+          spark.conf.set(graft.plans.Materialize.SizeThresholdKey,
+            (64L << 20).toString)
+        } else spark.conf.set("graft.dedup.checkpoint", "local")
+        val fn = graft.SparkEntry.queries("q301_refinery_e2e")
+        @volatile var peakMb = 0L
+        @volatile var polling = true
+        val poller = new Thread(() => {
+          while (polling) {
+            val mb = spark.sparkContext.getRDDStorageInfo
+              .map(_.memSize).sum / (1024 * 1024)
+            if (mb > peakMb) peakMb = mb
+            Thread.sleep(500)
+          }
+        })
+        poller.setDaemon(true); poller.start()
+        def onceStaged(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, dir).queryExecution.toRdd.count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          release()
+          dt
+        }
+        val cold = onceStaged(); val warm = onceStaged()
+        polling = false
+        println(f"[q301stage] dir=$dir routing=$routing cold=$cold%.2f " +
+          f"steady=$warm%.2f peak_storage_mb=$peakMb")
+
       case "winnow" =>
         val sf1 = args.lift(1).getOrElse("/tmp/graft_scale/sf1")
         val docs = spark.read.parquet(s"$sf1/documents.parquet")

@@ -33,4 +33,27 @@ class TClosenessSpec extends SparkSpec {
       .collect().map(r => (r.getLong(2), r.getDouble(3), r.getBoolean(4)))
     assert(got.forall(_ == ((0L, 0.0, true))))
   }
+
+  test("entropy l-diversity: uniform class sits exactly on the l=2 " +
+    "threshold, skewed class fails where distinct-l passes") {
+    import graft.operators.UnigramLm.fixedLog2
+    val df = Seq(
+      ("U", "en"), ("U", "en"), ("U", "fr"), ("U", "fr"),  // H = 1 bit
+      ("S", "en"), ("S", "en"), ("S", "en"), ("S", "fr")   // H ≈ 0.811
+    ).toDF("source", "lang")
+    val got = PrivacyAudit.entropyLDiversity(df, Seq("source"), "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // U: h_num = 4·L(4) − 4·L(2) = 4·65536 → exactly 1.0 bit, passes
+    assert(got("U") == ((4L, 4L * 65536L, 1.0, true)))
+    // S: h_num = 4·L(4) − (3·L(3) + L(1)); entropy < 1 bit → fails l=2
+    val hS = 4L * fixedLog2(4L) - 3L * fixedLog2(3L)
+    assert(got("S")._2 == hS && !got("S")._4)
+    assert(got("S")._3 < 1.0 && got("S")._3 > 0.8)
+    // distinct-l would PASS S (2 distinct values) — the spec point
+    val kl = PrivacyAudit.kAnonymity(df, Seq("source"), "lang", k = 1L)
+      .where(org.apache.spark.sql.functions.col("source") === "S").head()
+    assert(kl.getAs[Boolean]("l_diverse"))
+  }
 }

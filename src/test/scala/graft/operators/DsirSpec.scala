@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[Dsir]]: smoothing coverage, the integer log-ratio algebra,
+  * end-to-end selection pulling target-like documents, and the
+  * power-of-two bucket guard.
+  */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketDistribution covers every bucket with +1 smoothing") {
+    val docs = Seq((1L, "aa bb cc"), (2L, "aa bb")).toDF("doc_id", "text")
+    val d = Dsir.bucketDistribution(docs, "doc_id", "text", 8)
+    assert(d.map(_._1) == (0 until 8))
+    assert(d.forall(_._2 >= 1L), "smoothed floor")
+    // 2 + 1 = 3 bigrams total, +8 smoothing
+    assert(d.map(_._2).sum == 3L + 8L)
+  }
+
+  test("logRatios is the exact fixed-point log2 delta") {
+    val p = Seq(0 -> 4L, 1 -> 4L)           // total 8
+    val q = Seq(0 -> 2L, 1 -> 14L)          // total 16
+    val r = Dsir.logRatios(p, q)
+    def l(n: Long) = UnigramLm.fixedLog2(n)
+    assert(r(0) == (l(4) - l(8)) - (l(2) - l(16)))
+    assert(r(1) == (l(4) - l(8)) - (l(14) - l(16)))
+    // bucket 0: p=1/2 vs q=1/8 -> log2 ratio exactly +2 bits
+    assert(r(0) == 2L * 65536L)
+  }
+
+  test("select pulls the documents that share the target's bigrams") {
+    val target = (1L to 5L).map(i => (i, "deep learning rocks"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (10L, "deep learning rocks here"),
+      (11L, "weather report sunny today"),
+      (12L, "stock market closed lower"),
+      (13L, "deep learning rocks again and again")
+    ).toDF("doc_id", "text")
+    val top2 = Dsir.select(raw, target, "doc_id", "text", 64, 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(10L, 13L), s"got $top2")
+    // integer weights rank target-like docs above off-target ones; a
+    // doc that is PURELY target bigrams scores positive, while 13's
+    // extra off-target bigrams pull it down (each carries a negative
+    // smoothed log-ratio) yet it still beats the fully off-target docs
+    val w = Dsir.select(raw, target, "doc_id", "text", 64, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(10L) > 0)
+    assert(w(13L) > w(11L) && w(13L) > w(12L))
+  }
+
+  test("bucket count must be a power of two") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Dsir.bucketCounts(docs, "doc_id", "text", 48))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[Sampling]]: exact per-stratum k, run-to-run determinism,
+  * salt sensitivity of the priority, the A-ES weight dominance
+  * property, and the non-positive-weight guard.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("stratifiedHashSample: exactly k per stratum, deterministic " +
+    "across invocations") {
+    val df = (1L to 40L).map(i => (i, i % 4)).toDF("id", "src")
+    val a = Sampling.stratifiedHashSample(df, "src", "id", 3)
+    assert(a.groupBy("src").count().collect()
+      .forall(_.getLong(1) == 3L), "3 per stratum")
+    assert(ids(a) == ids(Sampling.stratifiedHashSample(df, "src", "id", 3)),
+      "pure function of (ids, salt)")
+    // a stratum smaller than k returns whole stratum
+    val tiny = Seq((1L, 0L), (2L, 0L)).toDF("id", "src")
+    assert(Sampling.stratifiedHashSample(tiny, "src", "id", 5).count() == 2)
+  }
+
+  test("weightedHashSample: dominant weights always selected, exact k, " +
+    "deterministic") {
+    val df = (1L to 20L)
+      .map(i => (i, 0L, if (i <= 3) 1e9 else 1e-9))
+      .toDF("id", "src", "w")
+    val got = Sampling.weightedHashSample(df, "src", "id", "w", 3)
+    // key = log2(u)/w: heavy rows sit near 0⁻, light rows hugely
+    // negative — the three heavy rows win regardless of hash draws
+    assert(ids(got) == Set(1L, 2L, 3L))
+    assert(ids(got) ==
+      ids(Sampling.weightedHashSample(df, "src", "id", "w", 3)))
+  }
+
+  test("weightedHashSample raises on non-positive weight") {
+    val df = Seq((1L, 0L, 1.0), (2L, 0L, 0.0)).toDF("id", "src", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedHashSample(df, "src", "id", "w", 1).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight"))
+  }
+}

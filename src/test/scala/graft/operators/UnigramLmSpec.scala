@@ -29,6 +29,18 @@ class UnigramLmSpec extends SparkSpec {
     intercept[IllegalArgumentException](UnigramLm.fixedLog2(0L))
   }
 
+  test("fixedLog2Col agrees with the driver-side fixedLog2 on every " +
+    "magnitude") {
+    import org.apache.spark.sql.functions._
+    val ns = Seq(1L, 2L, 3L, 7L, 25L, 88L, 1000L, 65535L, 65536L,
+      123456789L, (1L << 54) - 1, 1L << 54)
+    val got = ns.toDF("n")
+      .select(col("n"), UnigramLm.fixedLog2Col(col("n")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach(n => assert(got(n) == UnigramLm.fixedLog2(n),
+      s"n=$n col ${got(n)} vs driver ${UnigramLm.fixedLog2(n)}"))
+  }
+
   test("hand-traced train round: seed counts, EM counts, prune, " +
     "final segmentation") {
     // vocab: abab x10, ab x5, b x3; maxPieceLen 2, seed 3 multis, target 2
