@@ -257,6 +257,79 @@ object ScaleRehearsal {
       // cross-copy hash overlap at zero, so |all_h| per batch-touched h
       // is constant as copies grow. (The pre-round-11 corpus self-join
       // spelling grew with Σ_h |all_h|² — rebuild-scale every batch.)
+      // Indexed-serving crossover (round-15 verdict ask #5): brute
+      // cosine vs LSH-ANN vs IVF×SQ8 over a dir's REAL chunk substrate
+      // — per-query latency order stats (plan built once per method,
+      // the serving shape) AND recall@10 vs brute truth at the same
+      // operating point (nprobe 3/16 cells, 50 rescore candidates, the
+      // q310 point). Args: dir [nQueries].
+      case "servingxover" =>
+        val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val nq = args.lift(2).map(_.toInt).getOrElse(10)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").cast("string").as("document_id"),
+            col("text"))
+        val store = graft.search.ChunkStore.build(docs).persist()
+        val nChunks = store.count()
+        val dim = 256; val annBits = 8
+        val withCid = store.select(concat_ws(":", col("document_id"),
+          col("chunk_index")).as("cid"), col("embedding"))
+        val annIndex = graft.search.LshAnn
+          .build(withCid, "cid", "embedding", annBits, dim).persist()
+        annIndex.count()
+        val sq8 = graft.search.IvfSq8.build(graft.search.IvfIndex
+          .buildTrained(withCid, "cid", "embedding", k = 16, iters = 2))
+        val codes = sq8.codes.persist(); codes.count()
+        val cents = sq8.centroids.persist(); cents.count()
+        val scl = sq8.scale.persist(); scl.count()
+        val ivfsq8 = graft.search.IvfSq8.Index(codes, cents, scl)
+        val qvecs = store.where(col("chunk_index") === 0)
+          .orderBy("document_id").limit(nq)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        def timeDist(f: Int => Unit): (Double, Double) = {
+          f(0) // plan + codegen warm, untimed
+          val ts = (0 until 20).map { r =>
+            val t0 = System.nanoTime()
+            f(r % nq)
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          (ts(9), ts(18))
+        }
+        def qlit(i: Int) = array(qvecs(i).map(lit): _*).cast("array<double>")
+        def bruteDf(i: Int) = withCid
+          .select(col("cid"), graft.functions.VectorFunctions
+            .cosineSim(col("embedding"), qlit(i)).as("cs"))
+          .orderBy(desc("cs"), col("cid")).limit(10)
+        def annDf(i: Int) = graft.search.LshAnn.search(annIndex,
+          spark.range(1).select(qlit(i).as("qv")), 10, annBits, dim)
+        def sq8Df(i: Int) = graft.search.IvfSq8.searchAll(ivfsq8,
+          spark.range(1).select(lit(0L).as("qid"), qlit(i).as("qv")),
+          "qid", "qv", 10, 3, 50)
+        val (bp50, bp95) = timeDist(i =>
+          bruteDf(i).queryExecution.toRdd.count())
+        val (ap50, ap95) = timeDist(i =>
+          annDf(i).queryExecution.toRdd.count())
+        val (sp50, sp95) = timeDist(i =>
+          sq8Df(i).queryExecution.toRdd.count())
+        // recall@10 vs brute truth, same queries
+        def ids(df: org.apache.spark.sql.DataFrame, c: String) =
+          df.select(col(c).cast("string")).collect()
+            .map(_.getString(0)).toSet
+        var annHit = 0; var sq8Hit = 0; var denom = 0
+        (0 until nq).foreach { i =>
+          val truth = ids(bruteDf(i), "cid")
+          annHit += (ids(annDf(i), "id") & truth).size
+          sq8Hit += (ids(sq8Df(i), "id") & truth).size
+          denom += truth.size
+        }
+        println(f"[servingxover] dir=$dir chunks=$nChunks " +
+          f"brute_p50=$bp50%.3f p95=$bp95%.3f | " +
+          f"ann_p50=$ap50%.3f p95=$ap95%.3f recall=${annHit.toDouble / denom}%.3f | " +
+          f"ivfsq8_p50=$sp50%.3f p95=$sp95%.3f recall=${sq8Hit.toDouble / denom}%.3f")
+        store.unpersist(); annIndex.unpersist()
+        codes.unpersist(); cents.unpersist(); scl.unpersist()
+
       // Heaps-realistic documents build (round-15 verdict ask #4): the
       // `build` mode's per-copy prefix remap manufactures vocab
       // ×copies (linear — adversarial for the LM family: real corpora
