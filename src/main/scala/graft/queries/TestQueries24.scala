@@ -268,7 +268,15 @@ object TestQueries24 {
       graft.operators.UnigramLm.segmentation(seg).orderBy("word")
     },
     Some(s"""
-      WITH RECURSIVE toks AS (
+      WITH RECURSIVE $UnigramCoreSql
+      SELECT word, freq, array_to_string(seq, ' ') AS segments,
+        CAST(len(seq) AS INT) AS n_pieces, score
+      FROM w2seg ORDER BY word"""))
+
+  /** The q325 training pipeline as shared oracle CTEs ending at
+    * `w2seg` (final segmentations) — reused by the fertility panel.
+    */
+  private lazy val UnigramCoreSql: String = s"""toks AS (
         SELECT tt.t AS word
         FROM (SELECT $TokensSql AS tk FROM documents), UNNEST(tk) AS tt(t)),
       v0 AS (
@@ -310,10 +318,46 @@ object TestQueries24 {
         SELECT piece, ${lSql("cnt")} - (SELECT ${lSql("tc")} FROM s2tot)
           AS sc
         FROM pruned),
-      ${viterbiSql("w2", "v0", "scores2", 3)}
-      SELECT word, freq, array_to_string(seq, ' ') AS segments,
-        CAST(len(seq) AS INT) AS n_pieces, score
-      FROM w2seg ORDER BY word"""))
+      ${viterbiSql("w2", "v0", "scores2", 3)}"""
+
+  /** Unigram-LM fertility panel — the q225 compression report over
+    * [[graft.operators.UnigramLm.train]]'s final segmentation: the
+    * like-for-like grading the tokenizer-training family shares (BPE
+    * q225 vs unigram here, same corpus, same metrics). Integer sums
+    * exact; two single divisions → RAW.
+    */
+  val q330UnigramFertility: QueryCase = QueryCase(
+    "q330_unigram_fertility",
+    (s, dir) => {
+      val (_, seg0) = graft.operators.UnigramLm.train(
+        graft.operators.Bpe.vocabulary(Tables.documents(s, dir), "text"),
+        maxPieceLen = 3, seedSize = 40, targetSize = 20)
+      graft.operators.UnigramLm.segmentation(seg0)
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("freq")).as("total_tokens"),
+          sum(col("freq") * col("n_pieces")).as("total_segments"),
+          sum(col("freq") * length(col("word"))).as("total_chars"))
+        .select(col("n_words"), col("total_tokens"),
+          col("total_segments"), col("total_chars"),
+          (col("total_segments").cast("double") /
+            col("total_tokens").cast("double")).as("fertility"),
+          (col("total_chars").cast("double") /
+            col("total_segments").cast("double")).as("chars_per_segment"))
+    },
+    Some(s"""
+      WITH RECURSIVE $UnigramCoreSql,
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(freq) AS BIGINT) AS total_tokens,
+               CAST(SUM(freq * len(seq)) AS BIGINT) AS total_segments,
+               CAST(SUM(freq * length(word)) AS BIGINT) AS total_chars
+        FROM w2seg)
+      SELECT n_words, total_tokens, total_segments, total_chars,
+             CAST(total_segments AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+               AS fertility,
+             CAST(total_chars AS DOUBLE) / CAST(total_segments AS DOUBLE)
+               AS chars_per_segment
+      FROM agg"""))
 
   private def u64Sql(e: String) =
     graft.functions.CrossHash.md5Hash64SqlU(e)
@@ -491,5 +535,6 @@ object TestQueries24 {
 
   val all: Seq[QueryCase] =
     Seq(q323CupedSums, q324WelchSums, q325UnigramLm, q326Dsir,
-      q327EntropyLDiversity, q328StratifiedSample, q329WeightedSample)
+      q327EntropyLDiversity, q328StratifiedSample, q329WeightedSample,
+      q330UnigramFertility)
 }
