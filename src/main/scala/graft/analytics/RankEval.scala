@@ -188,4 +188,43 @@ object RankEval {
           / sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
             .cast("double"))).as("tau_b"))
   }
+
+  /** Rank-biased overlap at finite depth (Webber, Moffat & Zobel 2010
+    * §4.1, the prefix form): for two top-k rankings of the same item
+    * universe,
+    *
+    *   RBO@k = (1 − p) · Σ_{d=1..k} p^(d−1) · X_d / d
+    *
+    * where X_d is the overlap of the two depth-d prefixes. Spelled as
+    * ONE aggregation: an item with ranks (ra, rb) joins every depth
+    * d ≥ max(ra, rb), so its total contribution is the SUFFIX weight
+    * W(m) = Σ_{d=m..k} p^(d−1)/d at m = max(ra, rb) — the k-entry W
+    * table is computed driver-side by repeated multiplication and
+    * descending summation (an oracle-replayable IEEE sequence) and
+    * rides in as a literal map. Items outside either top-k contribute
+    * nothing. Output per query: (query, overlap_k, rbo). The item sum
+    * is shuffle-order-wobbly → surface rbo ROUNDed in gates.
+    *
+    * Input: one row per (query, item) with both rank columns, ranks
+    * 1-based; rows with either rank NULL or > k are ignored.
+    */
+  def rbo(df: DataFrame, queryCol: String, rankACol: String,
+          rankBCol: String, p: Double = 0.9, k: Int = 10): DataFrame = {
+    require(p > 0.0 && p < 1.0, "p must be in (0, 1)")
+    require(k >= 1, "k must be positive")
+    val pow = new Array[Double](k + 1)
+    pow(1) = 1.0
+    for (d <- 2 to k) pow(d) = pow(d - 1) * p
+    val w = new Array[Double](k + 2)
+    w(k + 1) = 0.0
+    for (m <- k to 1 by -1) w(m) = w(m + 1) + pow(m) / m
+    val wMap = typedlit((1 to k).map(m => m -> w(m)).toMap)
+    val m = greatest(col(rankACol), col(rankBCol))
+    df.where(col(rankACol).isNotNull && col(rankBCol).isNotNull &&
+        col(rankACol) <= k && col(rankBCol) <= k)
+      .groupBy(col(queryCol).as("query"))
+      .agg(count(lit(1)).as("overlap_k"),
+        (sum(element_at(wMap, m.cast("int")))
+          * (lit(1.0) - lit(p))).as("rbo"))
+  }
 }

@@ -740,4 +740,32 @@ object Curation {
       .select(col("id"), col("cluster_id"), col("cluster_size"),
         (lit(1.0) / col("cluster_size").cast("double")).as("weight"))
   }
+
+  /** Truncation-loss panel — the report that picks max_seq_len: for
+    * each candidate token budget, how many documents exceed it and
+    * what share of corpus tokens a hard truncation would discard.
+    * One pass over per-doc token counts, one row per budget;
+    * all-integer counts + one exact division per row → RAW.
+    */
+  def truncationLoss(docs: DataFrame, textCol: String,
+                     budgets: Seq[Int]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1),
+      "budgets must be positive")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val counted = docs.select(size(toks).cast("long").as("tok"))
+    val perBudget = budgets.map(b =>
+      struct(
+        sum(when(col("tok") > b, 1L).otherwise(0L)).as("docs_over"),
+        sum(when(col("tok") > b, col("tok") - b).otherwise(0L))
+          .as("tokens_lost")).as(s"b$b"))
+    val aggCols = Seq(sum(col("tok")).as("tokens_total")) ++ perBudget
+    val aggs = counted.agg(count(lit(1)).as("n_docs"), aggCols: _*)
+    val rows = budgets.map(b => aggs.select(
+      lit(b).as("budget"), col("n_docs"), col("tokens_total"),
+      col(s"b$b")("docs_over").as("docs_over"),
+      col(s"b$b")("tokens_lost").as("tokens_lost"),
+      (col(s"b$b")("tokens_lost").cast("double")
+        / col("tokens_total").cast("double")).as("token_share_lost")))
+    rows.reduce(_ unionByName _)
+  }
 }

@@ -724,4 +724,31 @@ object Dedup {
     nodes.join(mapping, nodes("id") === mapping("merged_id"), "left")
       .select(col("id"), coalesce(col("canonical_id"), col("id")).as("cluster_id"))
   }
+
+  /** Exact-duplicate YIELD report — the corpus-level accounting a
+    * dedup pass ships to its owners: sha-256 content clusters, how
+    * many docs the pass would remove, and how many tokens that saves
+    * (exact duplicates share a token count, so removed tokens are
+    * (cluster_size − 1) · tokens per cluster). One groupBy + one
+    * 1-row aggregation; all-integer → RAW.
+    */
+  def exactYieldReport(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val clusters = docs
+      .select(sha2(col(textCol), 256).as("h"),
+        size(toks).cast("long").as("tok"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("cnt"), max(col("tok")).as("tok"))
+    clusters.agg(
+      sum(col("cnt")).as("n_docs"),
+      count(lit(1)).as("n_clusters"),
+      (sum(col("cnt")) - count(lit(1))).as("dup_docs"),
+      max(col("cnt")).as("max_cluster"),
+      sum((col("cnt") - 1) * col("tok")).as("tokens_removed"),
+      sum(col("cnt") * col("tok")).as("tokens_total"))
+      .withColumn("token_share_removed",
+        col("tokens_removed").cast("double")
+          / col("tokens_total").cast("double"))
+  }
 }

@@ -533,8 +533,116 @@ object TestQueries24 {
       FROM rk WHERE sample_rank <= 5 ORDER BY source, sample_rank"""
     })
 
+  /** Rank-biased overlap — [[graft.analytics.RankEval.rbo]] (Webber,
+    * Moffat & Zobel 2010, finite-depth prefix form): per source, RBO@10
+    * (p = 0.9) between a length ranking and a hash ranking — the
+    * suffix-weight spelling turns the depth sum into one aggregation
+    * over max(rank_a, rank_b). The W table is a driver-computed IEEE
+    * sequence the oracle replays via two tiny recursive CTEs
+    * (ascending powers, descending suffix sums); the per-item sum is
+    * shuffle-order-wobbly → rbo ROUND(6), counts RAW.
+    */
+  val q331Rbo: QueryCase = QueryCase(
+    "q331_rbo",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables.documents(s, dir)
+      val ranked = d.select(col("doc_id"), col("source"),
+        row_number().over(Window.partitionBy("source")
+          .orderBy(length(col("text")).desc, col("doc_id")))
+          .as("rank_len"),
+        row_number().over(Window.partitionBy("source")
+          .orderBy(graft.functions.CrossHash.md5Hash64(
+            concat(col("doc_id").cast("string"), lit(":rbo"))),
+            col("doc_id"))).as("rank_hash"))
+      graft.analytics.RankEval
+        .rbo(ranked, "source", "rank_len", "rank_hash", p = 0.9, k = 10)
+        .select(col("query").as("source"), col("overlap_k"),
+          round(col("rbo"), 6).as("rbo"))
+        .orderBy("source")
+    },
+    Some {
+      val sig = signedSql(u64Sql("CAST(doc_id AS VARCHAR) || ':rbo'"))
+      s"""
+      WITH RECURSIVE pw(d, v) AS (
+        SELECT 1, CAST(1.0 AS DOUBLE)
+        UNION ALL SELECT d + 1, v * CAST(0.9 AS DOUBLE)
+        FROM pw WHERE d < 10),
+      wt(m, w) AS (
+        SELECT 11, CAST(0.0 AS DOUBLE)
+        UNION ALL SELECT wt.m - 1, wt.w + pw.v / (wt.m - 1)
+        FROM wt JOIN pw ON pw.d = wt.m - 1 WHERE wt.m > 1),
+      rk AS (
+        SELECT doc_id, source,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY LENGTH(text) DESC, doc_id) AS rank_len,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY ($sig), doc_id) AS rank_hash
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS overlap_k,
+        ROUND(SUM(wt.w) * (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)), 6)
+          AS rbo
+      FROM rk JOIN wt ON wt.m = GREATEST(rank_len, rank_hash)
+      WHERE rank_len <= 10 AND rank_hash <= 10
+      GROUP BY source ORDER BY source"""
+    })
+
+  /** Exact-duplicate yield report —
+    * [[graft.operators.Dedup.exactYieldReport]]: sha-256 content
+    * clusters, docs a dedup pass removes, tokens saved. All-integer +
+    * one exact division → RAW.
+    */
+  val q332DedupYield: QueryCase = QueryCase(
+    "q332_dedup_yield",
+    (s, dir) => graft.operators.Dedup
+      .exactYieldReport(Tables.documents(s, dir), "doc_id", "text"),
+    Some(s"""
+      WITH cl AS (
+        SELECT sha256(text) AS h, CAST(COUNT(*) AS BIGINT) AS cnt,
+          CAST(MAX(len($TokensSql)) AS BIGINT) AS tok
+        FROM documents GROUP BY sha256(text))
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS dup_docs,
+        CAST(MAX(cnt) AS BIGINT) AS max_cluster,
+        CAST(SUM((cnt - 1) * tok) AS BIGINT) AS tokens_removed,
+        CAST(SUM(cnt * tok) AS BIGINT) AS tokens_total,
+        CAST(SUM((cnt - 1) * tok) AS DOUBLE)
+          / CAST(SUM(cnt * tok) AS DOUBLE) AS token_share_removed
+      FROM cl"""))
+
+  /** Truncation-loss panel — [[graft.operators.Curation.truncationLoss]]:
+    * per candidate max_seq_len budget, docs over it and the corpus
+    * token share a hard truncation discards. Integer counts + one
+    * exact division per row → RAW.
+    */
+  val q333TruncationLoss: QueryCase = QueryCase(
+    "q333_truncation_loss",
+    (s, dir) => graft.operators.Curation
+      .truncationLoss(Tables.documents(s, dir), "text", Seq(64, 128, 256))
+      .orderBy("budget"),
+    Some(s"""
+      WITH t AS (
+        SELECT CAST(len($TokensSql) AS BIGINT) AS tok FROM documents),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(tok) AS BIGINT) AS tokens_total FROM t),
+      b AS (SELECT CAST(uu.b AS INT) AS budget
+            FROM UNNEST([64, 128, 256]) AS uu(b)),
+      sel AS (
+        SELECT b.budget,
+          CAST(SUM(CASE WHEN t.tok > b.budget THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_over,
+          CAST(SUM(CASE WHEN t.tok > b.budget THEN t.tok - b.budget
+            ELSE 0 END) AS BIGINT) AS tokens_lost
+        FROM b CROSS JOIN t GROUP BY b.budget)
+      SELECT s.budget, tot.n_docs, tot.tokens_total, s.docs_over,
+        s.tokens_lost,
+        CAST(s.tokens_lost AS DOUBLE) / CAST(tot.tokens_total AS DOUBLE)
+          AS token_share_lost
+      FROM sel s CROSS JOIN tot ORDER BY budget"""))
+
   val all: Seq[QueryCase] =
     Seq(q323CupedSums, q324WelchSums, q325UnigramLm, q326Dsir,
       q327EntropyLDiversity, q328StratifiedSample, q329WeightedSample,
-      q330UnigramFertility)
+      q330UnigramFertility, q331Rbo, q332DedupYield, q333TruncationLoss)
 }

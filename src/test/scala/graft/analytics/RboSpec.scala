@@ -1,0 +1,29 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Pins [[RankEval.rbo]]: the hand-computed depth sum, the
+  * identical-rankings closed form 1 − p^k, and the outside-top-k
+  * exclusion.
+  */
+class RboSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed RBO@3: X = (0, 2, 3) at p = 0.9 gives 0.171") {
+    val df = Seq(("q", 1, 2), ("q", 2, 1), ("q", 3, 3))
+      .toDF("query", "ra", "rb")
+    val r = RankEval.rbo(df, "query", "ra", "rb", p = 0.9, k = 3).head()
+    assert(r.getLong(1) == 3L)
+    // (1-p)(X1 + p X2/2 + p^2 X3/3) = 0.1 * (0 + 0.9 + 0.81) = 0.171
+    assert(math.abs(r.getDouble(2) - 0.171) < 1e-12, s"got $r")
+  }
+
+  test("identical top-k rankings score 1 - p^k; disjoint score 0") {
+    val same = (1 to 10).map(i => ("q", i, i)).toDF("query", "ra", "rb")
+    val r = RankEval.rbo(same, "query", "ra", "rb", p = 0.9, k = 10).head()
+    assert(math.abs(r.getDouble(2) - (1.0 - math.pow(0.9, 10))) < 1e-9)
+    // ranks beyond k are excluded entirely
+    val far = Seq(("q", 1, 11), ("q", 11, 1)).toDF("query", "ra", "rb")
+    assert(RankEval.rbo(far, "query", "ra", "rb", k = 10).count() == 0)
+  }
+}

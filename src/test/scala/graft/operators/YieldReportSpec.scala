@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins [[Dedup.exactYieldReport]] and [[Curation.truncationLoss]]
+  * against hand counts.
+  */
+class YieldReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact-dup yield: clusters, removals, token savings") {
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a b"),
+      (4L, "c"), (5L, "c"),
+      (6L, "d e f")
+    ).toDF("doc_id", "text")
+    val r = Dedup.exactYieldReport(docs, "doc_id", "text").head()
+    assert(r.getLong(0) == 6L, "n_docs")
+    assert(r.getLong(1) == 3L, "n_clusters")
+    assert(r.getLong(2) == 3L, "dup_docs")
+    assert(r.getLong(3) == 3L, "max_cluster")
+    assert(r.getLong(4) == 5L, "tokens_removed = 2*2 + 1*1")
+    assert(r.getLong(5) == 11L, "tokens_total")
+    assert(r.getDouble(6) == 5.0 / 11.0)
+  }
+
+  test("truncation loss per budget") {
+    val docs = Seq((1L, Seq.fill(3)("t").mkString(" ")),
+      (2L, Seq.fill(5)("t").mkString(" ")),
+      (3L, Seq.fill(10)("t").mkString(" "))).toDF("doc_id", "text")
+    val got = Curation.truncationLoss(docs, "text", Seq(4, 8))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(4) == ((3L, 18L, 2L, 7L)), "budget 4: over 2, lost 1+6")
+    assert(got(8) == ((3L, 18L, 1L, 2L)), "budget 8: over 1, lost 2")
+  }
+}
