@@ -470,6 +470,14 @@ object CorpusLm {
         round(col("e") / col("denom"), 6).as("weight"))
   }
 
+  /** Family `dsir-importance` (OperatorIndex-curated): this is the
+    * CONTINUOUS, paper-faithful DSIR weight surface (uni+bigram
+    * features, add-k smoothing, libm log-ratio — resampling and
+    * diagnostics). The integer-exact SELECTION variant — when the
+    * deliverable is a kept-SET whose membership must be
+    * platform-stable — is [[graft.operators.Dsir.select]] (q326); see
+    * its scaladoc for the split rationale. Do not add a third.
+    */
   def dsirWeights(source: DataFrame, target: DataFrame,
                   idCol: String, textCol: String,
                   buckets: Int = 256, k: Double = 0.5): DataFrame = {

@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions._
   * the noiseless limit — which keeps the gate exact and the operator
   * auditable.
   *
+  * Family `dsir-importance` (OperatorIndex-curated):
+  * [[CorpusLm.dsirWeights]] (q149) is the CONTINUOUS, paper-faithful
+  * weight surface — uni+bigram features, add-k 0.5 smoothing, libm
+  * log-ratio, ROUND(6) — the right output when DSIR weights feed
+  * resampling or diagnostics. THIS object is the SELECTION variant:
+  * bigram features, +1 smoothing, fixed-point integer log-ratios — the
+  * right output when the deliverable is a kept-SET whose membership
+  * must be identical on every platform (integer argmax). Use
+  * `dsirWeights` for weights, `Dsir.select` for sets; do not add a
+  * third.
+  *
   * Scale shape: bucket distributions are MODEL-sized (B buckets,
   * driver-collected through [[graft.plans.Bounded.collectBounded]] and
   * injected as a literal map — no join on the scoring path); doc
