@@ -93,4 +93,18 @@ class ApiTourSpec extends SparkSpec {
     assert(windows.head.getLong(2) == 1L,
       "the suppressed duplicate never reaches the window count")
   }
+
+  test("curation sweep: DSIR selection, stratified sample, " +
+    "truncation budget report") {
+    val target = docs.where(col("doc_id") >= 3)
+    val kept = Dsir.select(docs, target, "doc_id", "text",
+      buckets = 64, k = 2)
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet
+      == Set(3L, 4L), "target-like docs selected")
+    val strat = docs.withColumn("src", col("doc_id") % 2)
+    assert(Sampling.stratifiedHashSample(strat, "src", "doc_id", 1)
+      .count() == 2L, "one per stratum")
+    val loss = Curation.truncationLoss(docs, "text", Seq(8)).head()
+    assert(loss.getLong(3) == 4L, "all four docs exceed an 8-token budget")
+  }
 }
