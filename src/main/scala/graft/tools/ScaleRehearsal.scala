@@ -285,7 +285,7 @@ object ScaleRehearsal {
         val ivfsq8 = graft.search.IvfSq8.Index(codes, cents, scl)
         val qvecs = store.where(col("chunk_index") === 0)
           .orderBy("document_id").limit(nq)
-          .select(col("embedding")).collect()
+          .select(col("embedding").cast("array<double>")).collect()
           .map(_.getSeq[Double](0).toArray)
         def timeDist(f: Int => Unit): (Double, Double) = {
           f(0) // plan + codegen warm, untimed
@@ -320,7 +320,7 @@ object ScaleRehearsal {
         (0 until nq).foreach { i =>
           val truth = ids(bruteDf(i), "cid")
           annHit += (ids(annDf(i), "id") & truth).size
-          sq8Hit += (ids(sq8Df(i), "id") & truth).size
+          sq8Hit += (ids(sq8Df(i), "cand_id") & truth).size
           denom += truth.size
         }
         println(f"[servingxover] dir=$dir chunks=$nChunks " +
