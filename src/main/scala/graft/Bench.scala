@@ -135,10 +135,14 @@ object Bench {
     // (round-15 verdict ask: q305/q313 defined the r14 worst-set via
     // eager per-iteration localCheckpoint executing during PLAN BUILD —
     // `Materialize` `lazy` defers all execution to the timed action,
-    // results pinned identical by LazyStagingSpec). Convergence loops
-    // (PageRank q154, label-prop) read counts per round and stay on the
-    // eager default — lazy persist would nest unbounded lineage there.
-    val lazyStaged = Set("q305_hits", "q313_salsa")
+    // results pinned identical by LazyStagingSpec). PageRank and
+    // label-prop are ALSO fixed-iteration with no convergence reads
+    // (run(nodes, edges, iters)) — same class, spec-pinned identical
+    // under lazy; nothing in the suite is a true unbounded-depth
+    // convergence loop, so the eager default remains only the
+    // general-API safety posture.
+    val lazyStaged = Set("q305_hits", "q313_salsa", "q154_pagerank",
+      "q176_label_prop")
     // Per-query build-vs-execute attribution (emitted as "build" in the
     // JSON): build = DataFrame construction (plan assembly; for eager
     // fixpoint operators this also executes every staged iteration),

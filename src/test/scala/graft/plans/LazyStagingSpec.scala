@@ -32,6 +32,25 @@ class LazyStagingSpec extends SparkSpec {
     assert(lazily.toSeq == eager.toSeq)
   }
 
+  test("PageRank and label propagation (also fixed-iteration, no " +
+    "convergence reads) emit identically under lazy staging") {
+    def collectPr() = graft.operators.PageRank
+      .run(nodes, edges.unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst"))), iters = 3)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1)
+      .toSeq
+    def collectLp() = graft.operators.LabelProp
+      .run(nodes, edges, iters = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      .toSeq
+    val (prE, lpE) = (collectPr(), collectLp())
+    spark.conf.set("graft.dedup.checkpoint", "lazy")
+    try {
+      assert(collectPr() == prE)
+      assert(collectLp() == lpE)
+    } finally spark.conf.unset("graft.dedup.checkpoint")
+  }
+
   test("lazy-staged Hits construction runs no Spark jobs; the eager " +
     "default runs the fixpoint at construction") {
     // count ONLY this thread's jobs via a dedicated job group — the
