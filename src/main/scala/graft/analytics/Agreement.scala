@@ -1,0 +1,158 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-rater agreement statistics over LONG-format ratings
+  * `(item, rater, category)` — the aggregation layer a labeling /
+  * data-curation pipeline needs once more than two annotators (human
+  * or policy) score the same corpus. Two-rater agreement lives in
+  * [[graft.analytics.RankEval.cohenKappa]]; this object is the ≥2-rater
+  * generalization pair (see `inter-rater-agreement` in
+  * [[graft.OperatorIndex.curatedFamilies]]):
+  *
+  *  - [[fleissKappa]] — Fleiss 1971: fixed rater count per item
+  *    (raises otherwise), chance agreement from pooled category
+  *    marginals.
+  *  - [[krippendorffAlpha]] — Krippendorff 2004 (nominal metric):
+  *    tolerates MISSING ratings (items rated by any subset of ≥2
+  *    raters contribute; singletons drop), which is the shape real
+  *    annotation queues produce.
+  *
+  * Reference analogue: the reference aggregates extraction-confidence
+  * votes per field (/root/reference/src/extraction/confidence.py) but
+  * has no chance-corrected agreement; these are the published
+  * statistics for that audit.
+  *
+  * Scale shape: one `(item, category)` count, one per-item rollup, one
+  * category-marginal rollup, then 1-row aggregates — no pair
+  * materialization (the per-item pair counts collapse to `n_ic²` sums
+  * algebraically), no window, no collect; everything partial-agg
+  * combinable, so the 100 TB shape is three map-side-combined shuffles.
+  *
+  * Determinism: every aggregate is an exact integer; the returned
+  * statistic is a fixed expression tree of exactly-rounded double
+  * divisions over those integers → gates hash-compare RAW.
+  */
+object Agreement {
+
+  /** Fleiss' κ over long ratings. Every item must carry the SAME
+    * number of ratings n ≥ 2 (the Fleiss 1971 design); raises
+    * otherwise — use [[krippendorffAlpha]] for ragged panels.
+    *
+    * With N items, n raters, counts n_ic per (item, category) and
+    * category marginals C_c = Σ_i n_ic:
+    *
+    *   P̄  = (Σ_ic n_ic² − N·n) / (N·n·(n−1))
+    *   P̄e = Σ_c C_c² / (N·n)²
+    *   κ  = (P̄ − P̄e) / (1 − P̄e)
+    *
+    * Output (one row): n_items, n_raters, sum_nij2, p_bar, p_e, kappa.
+    * Overflow: Σ C_c² ≤ (N·n)² must stay below 2⁶³ → N·n ≤ 3·10⁹
+    * ratings; raises above the bound instead of silently wrapping.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+                  categoryCol: String): DataFrame = {
+    val nij = df.select(col(itemCol).as("i"), col(raterCol).as("r"),
+        col(categoryCol).cast("string").as("c"))
+      .groupBy("i", "c").agg(count(lit(1)).as("nij"))
+    val perItem = nij.groupBy("i").agg(
+      sum(col("nij")).as("m"),
+      sum(col("nij") * col("nij")).as("s2"))
+    val items = perItem.agg(
+      count(lit(1)).as("n_items"),
+      min(col("m")).as("m_min"), max(col("m")).as("m_max"),
+      sum(col("s2")).as("sum_nij2"))
+    val cats = nij.groupBy("c").agg(sum(col("nij")).as("cc"))
+      .agg(sum(col("cc") * col("cc")).as("sum_c2"))
+    items.crossJoin(cats) // two 1-row aggregates
+      .withColumn("n_raters",
+        when(col("m_min") =!= col("m_max") || col("m_min") < 2,
+          raise_error(concat(lit("fleissKappa: ratings per item must "),
+            lit("be a constant n >= 2 (saw min="),
+            col("m_min").cast("string"), lit(", max="),
+            col("m_max").cast("string"),
+            lit(") — use krippendorffAlpha for ragged panels"))))
+          .when(col("n_items") * col("m_min") > 3000000000L,
+            raise_error(lit("fleissKappa: N*n > 3e9 ratings — " +
+              "sum of squared marginals overflows int64; sample")))
+          .otherwise(col("m_min")))
+      .withColumn("p_bar",
+        (col("sum_nij2") - col("n_items") * col("n_raters"))
+          .cast("double") /
+          (col("n_items") * col("n_raters") * (col("n_raters") - 1))
+            .cast("double"))
+      .withColumn("p_e",
+        col("sum_c2").cast("double") /
+          (col("n_items") * col("n_raters") *
+            col("n_items") * col("n_raters")).cast("double"))
+      .select(col("n_items"), col("n_raters"), col("sum_nij2"),
+        col("p_bar"), col("p_e"),
+        ((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+          .as("kappa"))
+  }
+
+  /** LCM(1..k) for the Krippendorff unit-weight rescale. */
+  private def lcmTo(k: Int): Long =
+    (1 to k).foldLeft(1L)((a, b) => a / BigInt(a).gcd(BigInt(b)).toLong * b)
+
+  /** Krippendorff's α, nominal metric, over long ratings with missing
+    * values allowed. Items with fewer than 2 ratings drop (they carry
+    * no pairable information); with pairable ratings n = Σ_u m_u,
+    * per-unit counts n_uc and pooled marginals n_c:
+    *
+    *   Do ∝ Σ_u (m_u² − Σ_c n_uc²) / (m_u − 1)
+    *   α  = 1 − (n−1)·Do / (n² − Σ_c n_c²)
+    *
+    * The 1/(m_u−1) unit weights are made EXACT by rescaling with
+    * F = lcm(1..maxRaters−1) (every m_u−1 divides F), so `do_num`
+    * below is an exact integer: do_num = Σ_u F·(m_u²−Σn_uc²)/(m_u−1)
+    * and α = 1 − (n−1)·do_num / (F·de_num), de_num = n² − Σ n_c².
+    * Items rated by more than `maxRaters` raters raise (keeps F, and
+    * the int64 headroom, bounded); the default 8 gives F = 420.
+    *
+    * Output (one row): n_units (pairable), n_ratings, do_num (scaled
+    * by F), de_num, alpha. α = 1 for perfect agreement; ≤ 0 at or
+    * below chance. All integers exact; α is one double division → RAW.
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, raterCol: String,
+                        categoryCol: String, maxRaters: Int = 8): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 16,
+      "maxRaters must be in [2,16] (weight rescale F = lcm(1..maxRaters-1))")
+    val f = lcmTo(maxRaters - 1)
+    val nuc = df.select(col(itemCol).as("i"), col(raterCol).as("r"),
+        col(categoryCol).cast("string").as("c"))
+      .groupBy("i", "c").agg(count(lit(1)).as("nuc"))
+    val perUnit = nuc.groupBy("i").agg(
+        sum(col("nuc")).as("m"),
+        sum(col("nuc") * col("nuc")).as("s2"))
+      .where(col("m") >= 2)
+      .withColumn("m", when(col("m") > maxRaters,
+          raise_error(concat(lit("krippendorffAlpha: item "),
+            col("i").cast("string"), lit(" has more ratings than "),
+            lit(s"maxRaters=$maxRaters — raise maxRaters"))))
+        .otherwise(col("m")))
+      // F/(m−1) is an integer ≤ F by construction ((m−1) | F); the
+      // double division of two small ints with an integral quotient is
+      // exact, so the cast back to long keeps `du` an exact BIGINT.
+      .select(col("i"), col("m"),
+        ((lit(f).cast("double") / (col("m") - 1).cast("double"))
+          .cast("long") * (col("m") * col("m") - col("s2"))).as("du"))
+    val units = perUnit.agg(
+      count(lit(1)).as("n_units"),
+      sum(col("m")).as("n_ratings"),
+      sum(col("du")).as("do_num"))
+    // marginals over PAIRABLE units only: re-join the kept unit set
+    val cats = nuc.join(perUnit.select(col("i")), Seq("i"), "left_semi")
+      .groupBy("c").agg(sum(col("nuc")).as("nc"))
+      .agg(sum(col("nc") * col("nc")).as("sum_c2"))
+    units.crossJoin(cats) // two 1-row aggregates
+      .select(col("n_units"), col("n_ratings"), col("do_num"),
+        (col("n_ratings") * col("n_ratings") - col("sum_c2")).as("de_num"))
+      .withColumn("alpha",
+        when(col("de_num") === 0, lit(1.0)) // one category total: agreement
+          .otherwise(lit(1.0) -
+            ((col("n_ratings") - 1) * col("do_num")).cast("double") /
+              (lit(f) * col("de_num")).cast("double")))
+  }
+}

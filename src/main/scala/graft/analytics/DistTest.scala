@@ -167,4 +167,258 @@ object DistTest {
       .where(col("r") === ((col("n_pairs") + 1) / 2).cast("long"))
       .select(col("k"), col("n_pairs"), col("slope"))
   }
+
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) on paired columns — the
+    * nonparametric paired-sample complement to
+    * [[graft.analytics.Experiments.welch]] (which compares independent
+    * arms): did the per-unit metric SHIFT between two paired
+    * measurements, with no normality assumption. Zero differences are
+    * discarded (the `wilcox` convention); |d| is mid-ranked with the
+    * doubled-rank trick ([[graft.analytics.RankEval]]'s r2 = 2·rank +
+    * ties − 1, an integer), so with W⁺ = Σ_{d>0} midrank:
+    *
+    *   sum_r2_pos = 2·W⁺            (exact integer)
+    *   var48 = 2n(n+1)(2n+1) − Σ_t (t³−t)   (= 48·Var(W⁺), exact)
+    *   z = (num4 − 2·sgn(num4)) / (4·√(var48/48)),
+    *       num4 = 2·sum_r2_pos − n(n+1)     (= 4·(W⁺ − n(n+1)/4))
+    *
+    * with the ±0.5 continuity correction (the [[mannKendall]]
+    * discipline). Safe bound: var48 ≈ 4n³ < 2⁶³ → n ≤ 1.3·10⁶ nonzero
+    * pairs; raises above it instead of wrapping. n = 0 (all pairs
+    * tied) → z = 0.
+    *
+    * Scale shape: one global mid-rank window over the nonzero pairs +
+    * one aggregate — a bounded EVAL statistic (per-query metric deltas,
+    * per-unit pre/post), never a corpus-wide transform.
+    *
+    * Determinism: callers pass exact-decimal-derived doubles (the gate
+    * convention), so d and |d| are bit-identical cross-engine; n,
+    * sum_r2_pos, var48 exact integers; z takes one libm sqrt → the
+    * gate ROUNDs z, everything else RAW.
+    *
+    * Output (one row): n, sum_r2_pos, var48, z.
+    */
+  def wilcoxonSignedRank(df: DataFrame, aCol: String,
+                         bCol: String): DataFrame = {
+    val d = df.select((col(aCol).cast("double") - col(bCol).cast("double"))
+        .as("d"))
+      .where(col("d") =!= 0.0)
+      .withColumn("ad", abs(col("d")))
+    val w = Window.orderBy(col("ad"))
+    val tw = Window.partitionBy(col("ad"))
+    d.withColumn("r2",
+        lit(2L) * rank().over(w) + count(lit(1)).over(tw) - lit(1L))
+      .withColumn("t", count(lit(1)).over(tw))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("d") > 0, col("r2")).otherwise(0L)).as("sum_r2_pos"),
+        // Σ(t³−t) counts each tie group t times → divide by t: each row
+        // contributes t²−1 exactly
+        sum(col("t") * col("t") - 1).as("tie48"))
+      .select(col("n"),
+        coalesce(col("sum_r2_pos"), lit(0L)).as("sum_r2_pos"),
+        (lit(2L) * col("n") * (col("n") + 1) * (lit(2L) * col("n") + 1)
+          - coalesce(col("tie48"), lit(0L))).as("var48"))
+      .withColumn("num4",
+        lit(2L) * col("sum_r2_pos") - col("n") * (col("n") + 1))
+      .withColumn("z",
+        when(col("n") > 1300000L,
+          raise_error(lit("wilcoxonSignedRank: n > 1.3e6 nonzero pairs " +
+            "— 2n(n+1)(2n+1) overflows int64; sample the panel")))
+          .when(col("n") === 0 || col("var48") <= 0 || col("num4") === 0,
+            lit(0.0))
+          .otherwise((col("num4") - lit(2L) * signum(col("num4"))
+            .cast("long")).cast("double") /
+            (lit(4.0) * sqrt(col("var48").cast("double") / 48.0))))
+      .select(col("n"), col("sum_r2_pos"), col("var48"), col("z"))
+  }
+
+  /** McNemar's test (McNemar 1947) for paired boolean decisions — do
+    * two policies (filters, classifiers, raters) disagree
+    * SYSTEMATICALLY, i.e. is one strictly more permissive than chance
+    * explains? Only the discordant counts matter:
+    *
+    *   n10 = #(a ∧ ¬b), n01 = #(¬a ∧ b)
+    *   χ²_cc = max(|n10 − n01| − 1, 0)² / (n10 + n01)
+    *
+    * with the Edwards 1948 continuity correction (clamped at 0 — the
+    * |b−c| ≤ 1 case is no evidence, not negative evidence). χ² ~ χ²(1)
+    * under H₀: compare to 3.841 for the 5% level. n10 + n01 = 0 →
+    * χ² = 0. Pairs with Cohen's κ (q232): κ grades AGREEMENT strength,
+    * McNemar tests marginal homogeneity — a pair can agree strongly
+    * AND be systematically biased.
+    *
+    * Scale shape / determinism: ONE aggregate of exact integer counts;
+    * χ² is one exact-integer division → fully RAW. Output (one row):
+    * n, n10, n01, chi2_cc.
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    df.select(col(aCol).cast("boolean").as("a"),
+        col(bCol).cast("boolean").as("b"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"))
+      .withColumn("chi2_cc",
+        when(col("n10") + col("n01") === 0, lit(0.0))
+          .otherwise({
+            val g = greatest(abs(col("n10") - col("n01")) - 1, lit(0L))
+            (g * g).cast("double") / (col("n10") + col("n01"))
+              .cast("double")
+          }))
+
+  /** Paired sign-flip randomization test (Fisher 1935; the paired
+    * permutation test Smucker, Allan & Carterette CIKM 2007 recommend
+    * for IR system comparison) per group: for each group's paired
+    * deltas d_i, the observed statistic is T = Σ d_i; each replicate r
+    * flips every delta's sign by an independent fair coin and the
+    * p-value is the fraction of replicates at least as extreme,
+    *
+    *   p = (#{r : |T_r| ≥ |T|} + 1) / (reps + 1)
+    *
+    * (the add-one keeps p > 0 — the observed labeling is itself one
+    * member of the randomization distribution).
+    *
+    * The coins are DETERMINISTIC content hashes
+    * ([[graft.functions.CrossHash.md5Hash64]] of `id:rep:salt`, low
+    * bit), the [[graft.operators.Sampling]] discipline: the test is a
+    * pure function of (ids, salt) — reproducible across runs, engines
+    * and partitionings, and refreshable by bumping the salt.
+    *
+    * Scale shape: a ×reps row expansion (broadcast range join) →
+    * per-(group, rep) decimal sums — map-side combinable with
+    * groups·reps result rows, no driver state; reps is bounded
+    * (hundreds), so this is reps scans' worth of partial aggregation,
+    * NOT a pair join.
+    *
+    * Determinism: deltas must be ≤6-dp exact (the gate convention) —
+    * they are summed as DECIMAL(28,6), so T and every T_r are exact;
+    * the comparison and the final p = one exact-integer division → the
+    * whole output hash-compares RAW.
+    *
+    * Output per group: (group, n, t_obs, k_extreme, p_value).
+    */
+  def signFlipTest(df: DataFrame, groupCol: String, idCol: String,
+                   deltaCol: String, reps: Int = 199,
+                   salt: String = "flip"): DataFrame = {
+    require(reps >= 1 && reps <= 100000, "reps must be in [1, 1e5]")
+    val spark = df.sparkSession
+    val deltas = df.select(col(groupCol).as("g"),
+      col(idCol).cast("string").as("id"),
+      col(deltaCol).cast("decimal(28,6)").as("d"))
+    val obs = deltas.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("d")).as("t_obs"))
+    val repsDf = spark.range(1, reps + 1L).select(col("id").as("rep"))
+    val sign = (lit(1L) - lit(2L) * pmod(
+      graft.functions.CrossHash.md5Hash64(
+        concat(col("id"), lit(":"), col("rep").cast("string"),
+          lit(":"), lit(salt))), lit(2L))).cast("decimal(2,0)")
+    val flips = deltas.crossJoin(broadcast(repsDf))
+      .select(col("g"), col("rep"), (sign * col("d")).as("sd"))
+      .groupBy("g", "rep").agg(sum(col("sd")).as("t_r"))
+    flips.join(obs, Seq("g"))
+      .groupBy("g")
+      .agg(max(col("n")).as("n"),
+        max(col("t_obs")).as("t_obs_d"),
+        sum(when(abs(col("t_r")) >= abs(col("t_obs")), 1L).otherwise(0L))
+          .as("k_extreme"))
+      .select(col("g"), col("n"),
+        col("t_obs_d").cast("double").as("t_obs"), col("k_extreme"),
+        ((col("k_extreme") + 1).cast("double") / lit(reps + 1.0))
+          .as("p_value"))
+  }
+
+  /** Cochran's Q (Cochran 1950) — the k-policy generalization of
+    * [[mcnemar]]: do k binary policies (filters, classifiers, raters)
+    * share one marginal keep rate across a complete block design
+    * (every policy decides every item)? With column totals C_j per
+    * policy, row totals R_i per item and N = ΣC_j:
+    *
+    *   Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+    *
+    * Q ~ χ²(k−1) under H₀. k = 2 reduces to McNemar WITHOUT the
+    * continuity correction (Q = (b−c)²/(b+c)); [[mcnemar]] stays the
+    * two-policy gate for that reason. Raises unless every item has
+    * exactly k decisions (complete blocks — the Cochran design).
+    * Degenerate denominator (every item unanimous) → Q = 0.
+    *
+    * Scale shape: per-item and per-policy integer rollups, then 1-row
+    * aggregates — map-side combinable, no pair join. Determinism:
+    * Q is one division of exact integer products → fully RAW.
+    * Overflow: k·ΣC_j² ≤ k·N² needs N·√k ≤ 3·10⁹; raises above.
+    *
+    * Output (one row): k, n_items, n_success, q.
+    */
+  def cochranQ(df: DataFrame, itemCol: String, policyCol: String,
+               successCol: String): DataFrame = {
+    val v = df.select(col(itemCol).as("i"), col(policyCol).as("p"),
+      when(col(successCol).cast("boolean"), 1L).otherwise(0L).as("x"))
+    val rows = v.groupBy("i").agg(count(lit(1)).as("ki"),
+      sum(col("x")).as("ri"))
+    val items = rows.agg(count(lit(1)).as("n_items"),
+      min(col("ki")).as("k_min"), max(col("ki")).as("k_max"),
+      sum(col("ri")).as("nn"), sum(col("ri") * col("ri")).as("sum_r2"))
+    val cols = v.groupBy("p").agg(sum(col("x")).as("cj"))
+      .agg(count(lit(1)).as("k_pol"), sum(col("cj") * col("cj")).as("sum_c2"))
+    items.crossJoin(cols) // two 1-row aggregates
+      .withColumn("k",
+        when(col("k_min") =!= col("k_max") || col("k_min") =!= col("k_pol"),
+          raise_error(concat(lit("cochranQ: incomplete blocks — every "),
+            lit("item needs exactly one decision from each of the "),
+            col("k_pol").cast("string"), lit(" policies"))))
+          .when(col("nn") * col("nn") > lit(4000000000000000000L) / col("k_pol"),
+            raise_error(lit("cochranQ: k*N^2 overflows int64; sample")))
+          .otherwise(col("k_pol")))
+      .withColumn("q",
+        when(col("k") * col("nn") - col("sum_r2") === 0, lit(0.0))
+          .otherwise(((col("k") - 1) *
+            (col("k") * col("sum_c2") - col("nn") * col("nn")))
+            .cast("double") /
+            (col("k") * col("nn") - col("sum_r2")).cast("double")))
+      .select(col("k"), col("n_items"), col("nn").as("n_success"), col("q"))
+  }
+
+  /** Multiple-comparison adjustment over a p-value panel — Holm 1979
+    * (step-down FWER) and Benjamini–Hochberg 1995 (step-up FDR)
+    * side by side, the correction layer for the per-segment
+    * significance panels ([[signFlipTest]],
+    * [[graft.analytics.Experiments.welch]]) once a pipeline tests many
+    * segments at once:
+    *
+    *   holm_i = min(1, max_{j ≤ i} p_(j)·(m − j + 1))
+    *   bh_i   = min(1, min_{j ≥ i} p_(j)·m / j)
+    *
+    * over p-values ordered ascending (ties broken by the key for a
+    * total deterministic order).
+    *
+    * Scale shape: one GLOBAL ordered window — a panel statistic under
+    * the bounded-panel contract (m = number of hypotheses: segments,
+    * metrics — never rows). Determinism: fixed expression tree of
+    * exactly-rounded double products over the input p's, running
+    * min/max — RAW.
+    *
+    * Output per hypothesis: (key, p_value, p_rank, holm, bh),
+    * ordered by p_rank.
+    */
+  def adjustPvalues(df: DataFrame, keyCol: String,
+                    pCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+      col(pCol).cast("double").as("p"))
+    val ord = Window.orderBy(col("p"), col("k"))
+    val all = Window.partitionBy()
+    val up = Window.orderBy(col("p"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val down = Window.orderBy(col("p"), col("k"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    base
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("p_rank", row_number().over(ord))
+      .withColumn("holm_raw",
+        col("p") * (col("m") - col("p_rank") + 1).cast("double"))
+      .withColumn("bh_raw",
+        col("p") * col("m").cast("double") / col("p_rank").cast("double"))
+      .select(col("k"), col("p").as("p_value"), col("p_rank"),
+        least(lit(1.0), max(col("holm_raw")).over(up)).as("holm"),
+        least(lit(1.0), min(col("bh_raw")).over(down)).as("bh"))
+  }
 }

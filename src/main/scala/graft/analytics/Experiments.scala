@@ -256,4 +256,41 @@ object Experiments {
             + (col("s2_b") / col("n_b")) * (col("s2_b") / col("n_b"))
               / (col("n_b") - 1))).as("df"))
   }
+
+  /** Per-group binomial proportion with the Wilson 1927 score interval
+    * — the CI every keep-rate / pass-rate / win-rate report should
+    * carry instead of the Wald interval (which collapses to width 0 at
+    * p̂ ∈ {0,1}, exactly where screening rates live). With p̂ = k/n and
+    * confidence z (default two-sided 95%):
+    *
+    *   center = (p̂ + z²/2n) / (1 + z²/n)
+    *   half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+    *
+    * Scale shape: one aggregate of exact integer counts per group —
+    * map-side combinable, any cardinality. Determinism: n/k exact;
+    * rate one exact division; the bounds take one libm sqrt → gates
+    * ROUND them (the q315 discipline).
+    *
+    * Output per group: (group, n, k, rate, wilson_lo, wilson_hi).
+    */
+  def proportionPanel(df: DataFrame, groupCol: String, successCol: String,
+                      z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, "z must be positive")
+    val zz = lit(z * z)
+    df.select(col(groupCol).as("g"), col(successCol).cast("boolean").as("s"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("s"), 1L).otherwise(0L)).as("k"))
+      .withColumn("nn", col("n").cast("double"))
+      .withColumn("rate", col("k").cast("double") / col("nn"))
+      .withColumn("denom", lit(1.0) + zz / col("nn"))
+      .withColumn("center", (col("rate") + zz / (lit(2.0) * col("nn")))
+        / col("denom"))
+      .withColumn("half", lit(z) * sqrt(
+        col("rate") * (lit(1.0) - col("rate")) / col("nn")
+          + zz / (lit(4.0) * col("nn") * col("nn"))) / col("denom"))
+      .select(col("g").as(groupCol), col("n"), col("k"), col("rate"),
+        (col("center") - col("half")).as("wilson_lo"),
+        (col("center") + col("half")).as("wilson_hi"))
+  }
 }

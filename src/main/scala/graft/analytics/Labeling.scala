@@ -1,0 +1,114 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Label aggregation over LONG-format ratings `(item, rater,
+  * category)` — turning a many-rater annotation table into one label
+  * per item, the step between collecting votes and training on them.
+  * Completes the annotation stack next to the agreement statistics
+  * ([[graft.analytics.Agreement]] answers "can these raters be
+  * trusted as a panel"; this object answers "what label do we ship"):
+  *
+  *  - [[majorityVote]] — plurality label per item, deterministic
+  *    tie-break.
+  *  - [[raterReliability]] — per-rater agreement with the majority
+  *    (the standard quality screen for annotation queues, and the
+  *    E-step seed of Dawid–Skene 1979).
+  *  - [[weightedVote]] — one reliability-weighted re-vote with exact
+  *    INTEGER weights (a rater's global majority-match count), i.e.
+  *    the first Dawid–Skene half-iteration restated so the argmax is
+  *    platform-stable (the q114 discipline: discrete selections stay
+  *    on exact arithmetic — summing float reliabilities would make
+  *    the winning label depend on accumulation order).
+  *
+  * Reference analogue: the reference's extraction pipeline resolves
+  * multi-parser field disagreements by fixed priority
+  * (/root/reference/src/extraction/parser_router.py); these are the
+  * vote-based generalizations a labeling queue needs.
+  *
+  * Scale shape: everything is (item, category) / (rater) counts and
+  * broadcast-joinable rater tables — map-side combinable, no windows
+  * wider than per-item, no collect. 100 TB: three shuffles, the rater
+  * weight table broadcasts (raters ≪ items).
+  *
+  * Determinism: counts are exact integers; every argmax breaks ties
+  * on (count DESC, category ASC) — total order, no floats anywhere.
+  */
+object Labeling {
+
+  private def votes(df: DataFrame, itemCol: String, raterCol: String,
+                    categoryCol: String): DataFrame =
+    df.select(col(itemCol).as("i"), col(raterCol).as("r"),
+      col(categoryCol).cast("string").as("c"))
+
+  /** Plurality label per item. Output: (item, label, n_label, n_votes)
+    * — winning category, its vote count, total votes on the item.
+    * Ties break to the lexicographically smallest category (documented,
+    * deterministic — an annotation pipeline must never flip labels
+    * between runs).
+    */
+  def majorityVote(df: DataFrame, itemCol: String, raterCol: String,
+                   categoryCol: String): DataFrame = {
+    val counts = votes(df, itemCol, raterCol, categoryCol)
+      .groupBy("i", "c").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("i").orderBy(desc("n"), col("c"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_votes", sum(col("n")).over(Window.partitionBy("i")))
+      .where(col("rk") === 1)
+      .select(col("i").as(itemCol), col("c").as("label"),
+        col("n").as("n_label"), col("n_votes"))
+  }
+
+  /** Per-rater agreement with the [[majorityVote]] label. Output:
+    * (rater, n_rated, n_match, reliability). Self-inclusive by design
+    * (the rater's own vote counts toward the majority it is graded
+    * against) — the plain quality screen; leave-one-out refinements
+    * need per-item re-votes and buy little at panel sizes ≥ 3.
+    * reliability = one exact-integer division → RAW.
+    */
+  def raterReliability(df: DataFrame, itemCol: String, raterCol: String,
+                       categoryCol: String): DataFrame = {
+    val v = votes(df, itemCol, raterCol, categoryCol)
+    val maj = majorityVote(df, itemCol, raterCol, categoryCol)
+      .select(col(itemCol).as("i"), col("label"))
+    v.join(maj, Seq("i"))
+      .groupBy("r")
+      .agg(count(lit(1)).as("n_rated"),
+        sum(when(col("c") === col("label"), 1L).otherwise(0L))
+          .as("n_match"))
+      .select(col("r").as(raterCol), col("n_rated"), col("n_match"),
+        (col("n_match").cast("double") / col("n_rated").cast("double"))
+          .as("reliability"))
+  }
+
+  /** Reliability-weighted re-vote: each rater's ballot weighs its
+    * GLOBAL majority-match count (an exact integer — see the object
+    * doc for why not the float reliability), and each item's label is
+    * the weight-argmax with (weight DESC, plain count DESC, category
+    * ASC) tie-break. One Dawid–Skene half-iteration: raters that
+    * agree with consensus more get more say; further iterations
+    * change little when raters are anonymous-but-consistent, and the
+    * fixed point of THIS rule is already majority-stable.
+    *
+    * Output: (item, label, weight, n_label, n_votes).
+    */
+  def weightedVote(df: DataFrame, itemCol: String, raterCol: String,
+                   categoryCol: String): DataFrame = {
+    val v = votes(df, itemCol, raterCol, categoryCol)
+    val rel = raterReliability(df, itemCol, raterCol, categoryCol)
+      .select(col(raterCol).as("r"), col("n_match"))
+    val weighted = v.join(broadcast(rel), Seq("r"))
+      .groupBy("i", "c")
+      .agg(sum(col("n_match")).as("wt"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("i").orderBy(desc("wt"), desc("n"), col("c"))
+    weighted
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_votes", sum(col("n")).over(Window.partitionBy("i")))
+      .where(col("rk") === 1)
+      .select(col("i").as(itemCol), col("c").as("label"),
+        col("wt").as("weight"), col("n").as("n_label"), col("n_votes"))
+  }
+}

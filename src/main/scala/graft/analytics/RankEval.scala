@@ -122,6 +122,14 @@ object RankEval {
 
   /** One row: (n, n11, n10, n01, n00, po, pe, kappa). κ = (pₒ−pₑ)/(1−pₑ)
     * with pₒ, pₑ as single divisions of exact integer products.
+    *
+    * TWO raters only — the `inter-rater-agreement` family's ≥2-rater
+    * generalizations are [[graft.analytics.Agreement.fleissKappa]]
+    * (fixed rater count) and
+    * [[graft.analytics.Agreement.krippendorffAlpha]] (the canonical
+    * member: tolerates missing ratings); the marginal-homogeneity
+    * companion for the same paired-boolean shape is
+    * [[graft.analytics.DistTest.mcnemar]].
     */
   def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame =
     df.select(col(aCol).cast("boolean").as("a"),

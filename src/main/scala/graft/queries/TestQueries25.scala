@@ -1,0 +1,538 @@
+package graft.queries
+
+import graft.functions.{CrossHash, TextFunctions}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 additions, batch 2: the paired-significance and
+  * multi-rater-agreement panel — Wilcoxon signed-rank, McNemar,
+  * deterministic sign-flip randomization, Holm/BH multiplicity
+  * correction, Fleiss' κ and Krippendorff's α. Together with q232
+  * (Cohen's κ), q316/q323 (CUPED), q317/q324 (Welch) and q200
+  * (bootstrap CI) this completes the measurement-layer stack a
+  * curation pipeline runs before shipping a filter or model change.
+  */
+object TestQueries25 {
+
+  /** Per-unit pre/post outcome table — the q316/q323 construction
+    * (decimal-exact per-user sums of `value` before/after the
+    * experiment start), kept verbatim so the paired tests run on the
+    * identical unit table the CUPED/Welch gates ran on.
+    */
+  private def experimentUnits(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).where(col("user_id") < 100)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < lit("2024-01-15").cast("timestamp"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          .as("pre_x"),
+        sum(when(col("ts") >= lit("2024-01-15").cast("timestamp"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          .as("post_y"))
+
+  private val UnitsSql = """
+      units AS (
+        SELECT user_id AS u,
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+            THEN CAST(value AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS x,
+          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+            THEN CAST(value AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS y
+        FROM events WHERE user_id < 100 GROUP BY user_id)"""
+
+  /** Wilcoxon signed-rank on the per-user pre→post shift —
+    * [[graft.analytics.DistTest.wilcoxonSignedRank]]: did per-user
+    * value mass move across the experiment start, assuming nothing
+    * about the delta distribution. n/sum_r2_pos/var48 exact integers
+    * → RAW; z takes one sqrt → ROUND(6) (the q315 discipline).
+    */
+  val q334Wilcoxon: QueryCase = QueryCase(
+    "q334_wilcoxon_signed_rank",
+    (s, dir) => graft.analytics.DistTest
+      .wilcoxonSignedRank(experimentUnits(s, dir), "post_y", "pre_x")
+      .select(col("n"), col("sum_r2_pos"), col("var48"),
+        round(col("z"), 6).as("z")),
+    Some(s"""
+      WITH $UnitsSql,
+      d AS (SELECT y - x AS d FROM units WHERE y - x <> 0),
+      r AS (
+        SELECT d,
+          2 * RANK() OVER (ORDER BY ABS(d))
+            + COUNT(*) OVER (PARTITION BY ABS(d)) - 1 AS r2,
+          COUNT(*) OVER (PARTITION BY ABS(d)) AS t
+        FROM d),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COALESCE(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END), 0)
+            AS BIGINT) AS sum_r2_pos,
+          CAST(COALESCE(SUM(t * t - 1), 0) AS BIGINT) AS tie48
+        FROM r),
+      v AS (
+        SELECT n, sum_r2_pos,
+          2 * n * (n + 1) * (2 * n + 1) - tie48 AS var48,
+          2 * sum_r2_pos - n * (n + 1) AS num4
+        FROM agg)
+      SELECT n, sum_r2_pos, var48,
+        ROUND(CASE WHEN n = 0 OR var48 <= 0 OR num4 = 0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(num4 - 2 * SIGN(num4) AS DOUBLE)
+              / (CAST(4.0 AS DOUBLE)
+                 * SQRT(CAST(var48 AS DOUBLE) / CAST(48.0 AS DOUBLE)))
+            END, 6) AS z
+      FROM v"""))
+
+  // ---- the q232 rater pair, verbatim (TestQueries19.scored): the
+  // McNemar gate asks the OTHER question about the SAME two policies —
+  // κ graded their agreement; χ²_cc tests their marginal homogeneity.
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextFunctions.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("doc_id"), col("n_chars"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("tk"))).cast("double") /
+          size(col("tk")).cast("double")).as("ttr"))
+
+  private val ScoredSql =
+    s"""sc AS (
+        SELECT doc_id, n_chars,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) AS ttr
+        FROM (SELECT doc_id, n_chars, text, $TokensSql AS tk
+              FROM documents)
+        WHERE len(tk) > 0)"""
+
+  /** McNemar's χ²_cc between the q232 keep policies (length screen vs
+    * lexical-diversity screen) — [[graft.analytics.DistTest.mcnemar]]:
+    * is one screen systematically more permissive? Exact discordant
+    * counts + one exact-integer division → fully RAW.
+    */
+  val q335Mcnemar: QueryCase = QueryCase(
+    "q335_mcnemar",
+    (s, dir) => graft.analytics.DistTest.mcnemar(
+      scored(s, dir).select(
+        (col("n_chars") >= 300).as("ra"),
+        (col("ttr") >= 0.46).as("rb")),
+      "ra", "rb"),
+    Some(s"""
+      WITH $ScoredSql,
+      rr AS (
+        SELECT (n_chars >= 300) AS a,
+               (ttr >= CAST(0.46 AS DOUBLE)) AS b
+        FROM sc),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n10,
+          CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+            AS n01
+        FROM rr)
+      SELECT n, n10, n01,
+        CASE WHEN n10 + n01 = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(GREATEST(ABS(n10 - n01) - 1, 0)
+                    * GREATEST(ABS(n10 - n01) - 1, 0) AS DOUBLE)
+            / CAST(n10 + n01 AS DOUBLE) END AS chi2_cc
+      FROM agg"""))
+
+  /** Per-(event_type, user) pre→post decimal delta — the sign-flip
+    * panel's paired units, exact DECIMAL end to end.
+    */
+  private def typeDeltas(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).where(col("user_id") < 100)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg((sum(when(col("ts") >= lit("2024-01-15").cast("timestamp"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))) -
+        sum(when(col("ts") < lit("2024-01-15").cast("timestamp"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)")))).as("d"))
+
+  private val TypeDeltasSql = """
+      deltas AS (
+        SELECT event_type AS g, CAST(user_id AS VARCHAR) AS id,
+          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+              THEN CAST(value AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END)
+            - SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+              THEN CAST(value AS DECIMAL(18,2))
+              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,6)) AS d
+        FROM events WHERE user_id < 100
+        GROUP BY event_type, user_id)"""
+
+  /** The sign-flip randomization CTEs shared by q336/q337: 199
+    * deterministic replicates (md5 low bit of `id:rep:flip`), exact
+    * decimal sums, p = (k+1)/200 — one exact-integer division.
+    */
+  private val FlipPanelSql = {
+    val h = CrossHash.md5Hash64SqlU("id || ':' || CAST(rep AS VARCHAR)" +
+      " || ':' || 'flip'")
+    s"""$TypeDeltasSql,
+      obs AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n, SUM(d) AS t_obs
+        FROM deltas GROUP BY g),
+      flips AS (
+        SELECT g, rep,
+          SUM(CAST(1 - 2 * CAST($h % 2 AS BIGINT) AS DECIMAL(2,0)) * d)
+            AS t_r
+        FROM deltas CROSS JOIN range(1, 200) t(rep)
+        GROUP BY g, rep),
+      panel AS (
+        SELECT o.g, o.n,
+          CAST(CAST(o.t_obs AS VARCHAR) AS DOUBLE) AS t_obs,
+          CAST(SUM(CASE WHEN ABS(f.t_r) >= ABS(o.t_obs) THEN 1 ELSE 0 END)
+            AS BIGINT) AS k_extreme
+        FROM flips f JOIN obs o ON f.g = o.g
+        GROUP BY o.g, o.n, CAST(CAST(o.t_obs AS VARCHAR) AS DOUBLE)),
+      pp AS (
+        SELECT g, n, t_obs, k_extreme,
+          CAST(k_extreme + 1 AS DOUBLE) / CAST(200.0 AS DOUBLE) AS p_value
+        FROM panel)"""
+  }
+
+  /** Paired sign-flip randomization test per event_type —
+    * [[graft.analytics.DistTest.signFlipTest]] (Fisher 1935; Smucker
+    * et al. 2007): which event types' per-user value mass moved
+    * significantly across the experiment start, with the permutation
+    * distribution standing in for any parametric assumption. The 199
+    * replicate coins are md5 content hashes → identical in both
+    * engines; T sums are exact decimals; p is one exact division →
+    * everything RAW except t_obs (an exactly-rounded decimal→double
+    * cast, VARCHAR-path on the DuckDB side per the round-14 rule).
+    */
+  val q336SignFlip: QueryCase = QueryCase(
+    "q336_sign_flip",
+    (s, dir) => graft.analytics.DistTest
+      .signFlipTest(typeDeltas(s, dir), "event_type", "user_id", "d")
+      .select(col("g").as("event_type"), col("n"), col("t_obs"),
+        col("k_extreme"), col("p_value"))
+      .orderBy("event_type"),
+    Some(s"""
+      WITH $FlipPanelSql
+      SELECT g AS event_type, n, t_obs, k_extreme, p_value
+      FROM pp ORDER BY event_type"""))
+
+  /** Holm + Benjamini–Hochberg over the q336 panel —
+    * [[graft.analytics.DistTest.adjustPvalues]]: the multiplicity
+    * correction the per-segment significance sweep needs before
+    * anyone acts on "segment X moved". Fixed double expression tree
+    * over the exact-rational p's, running min/max windows → RAW.
+    */
+  val q337BhHolm: QueryCase = QueryCase(
+    "q337_bh_holm",
+    (s, dir) => graft.analytics.DistTest.adjustPvalues(
+      graft.analytics.DistTest
+        .signFlipTest(typeDeltas(s, dir), "event_type", "user_id", "d"),
+      "g", "p_value")
+      .select(col("k").as("event_type"), col("p_value"), col("p_rank"),
+        col("holm"), col("bh"))
+      .orderBy("p_rank"),
+    Some(s"""
+      WITH $FlipPanelSql,
+      adj AS (
+        SELECT g, p_value,
+          CAST(ROW_NUMBER() OVER (ORDER BY p_value, g) AS INT) AS p_rank,
+          CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM pp)
+      SELECT g AS event_type, p_value, p_rank,
+        LEAST(CAST(1.0 AS DOUBLE),
+          MAX(p_value * CAST(m - p_rank + 1 AS DOUBLE)) OVER (
+            ORDER BY p_value, g
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS holm,
+        LEAST(CAST(1.0 AS DOUBLE),
+          MIN(p_value * CAST(m AS DOUBLE) / CAST(p_rank AS DOUBLE)) OVER (
+            ORDER BY p_value, g
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS bh
+      FROM adj ORDER BY p_rank"""))
+
+  /** Three deterministic keep-policy "raters" in long form: the q232
+    * pair (length, lexical diversity) plus a token-count screen —
+    * every doc gets exactly 3 ratings (the Fleiss design).
+    */
+  private def raterVotes(s: SparkSession, dir: String): DataFrame = {
+    val sc = scored(s, dir)
+    val vote = (c: org.apache.spark.sql.Column) =>
+      when(c, lit("keep")).otherwise(lit("drop"))
+    sc.select(col("doc_id"), lit("len").as("rater"),
+        vote(col("n_chars") >= 300).as("cat"))
+      .unionAll(sc.select(col("doc_id"), lit("ttr").as("rater"),
+        vote(col("ttr") >= 0.46).as("cat")))
+      .unionAll(sc.select(col("doc_id"), lit("tok").as("rater"),
+        vote(col("n_tokens") >= 60).as("cat")))
+  }
+
+  private val RaterVotesSql = s"""
+      votes AS (
+        SELECT doc_id, 'len' AS rater,
+          CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END AS cat
+        FROM sc
+        UNION ALL
+        SELECT doc_id, 'ttr',
+          CASE WHEN ttr >= CAST(0.46 AS DOUBLE) THEN 'keep' ELSE 'drop' END
+        FROM sc
+        UNION ALL
+        SELECT doc_id, 'tok',
+          CASE WHEN n_tokens >= 60 THEN 'keep' ELSE 'drop' END
+        FROM sc)"""
+
+  /** Fleiss' κ across the three keep policies —
+    * [[graft.analytics.Agreement.fleissKappa]]: chance-corrected
+    * agreement of the whole screen PANEL (q232's Cohen κ covers one
+    * pair). Exact integer counts; κ is a fixed tree of exactly-rounded
+    * divisions → RAW.
+    */
+  val q338FleissKappa: QueryCase = QueryCase(
+    "q338_fleiss_kappa",
+    (s, dir) => graft.analytics.Agreement.fleissKappa(
+      raterVotes(s, dir), "doc_id", "rater", "cat"),
+    Some(s"""
+      WITH $ScoredSql,
+      $RaterVotesSql,
+      nij AS (
+        SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM votes GROUP BY doc_id, cat),
+      it AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(3 AS BIGINT) AS n_raters,
+          CAST(SUM(s2) AS BIGINT) AS sum_nij2
+        FROM (SELECT doc_id, SUM(nij * nij) AS s2
+              FROM nij GROUP BY doc_id)),
+      ct AS (
+        SELECT CAST(SUM(cc * cc) AS BIGINT) AS sum_c2
+        FROM (SELECT cat, SUM(nij) AS cc FROM nij GROUP BY cat)),
+      p AS (
+        SELECT n_items, n_raters, sum_nij2,
+          CAST(sum_nij2 - n_items * n_raters AS DOUBLE)
+            / CAST(n_items * n_raters * (n_raters - 1) AS DOUBLE) AS p_bar,
+          CAST(sum_c2 AS DOUBLE)
+            / CAST(n_items * n_raters * n_items * n_raters AS DOUBLE)
+            AS p_e
+        FROM it CROSS JOIN ct)
+      SELECT n_items, n_raters, sum_nij2, p_bar, p_e,
+        (p_bar - p_e) / (CAST(1.0 AS DOUBLE) - p_e) AS kappa
+      FROM p"""))
+
+  /** Krippendorff's α with genuine missing data — the same panel but
+    * the token rater ABSTAINS below 30 tokens (a rater that cannot
+    * judge short docs) — [[graft.analytics.Agreement.krippendorffAlpha]]:
+    * ragged units stay pairable, singletons drop. do_num is exact via
+    * the lcm(1..7) = 420 weight rescale; α is one double division of
+    * exact integers → RAW.
+    */
+  val q339Krippendorff: QueryCase = QueryCase(
+    "q339_krippendorff_alpha",
+    (s, dir) => {
+      val sc = scored(s, dir)
+      val votes = raterVotes(s, dir)
+        .join(sc.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+        .where(col("rater") =!= "tok" || col("n_tokens") >= 30)
+      graft.analytics.Agreement.krippendorffAlpha(
+        votes, "doc_id", "rater", "cat")
+    },
+    Some(s"""
+      WITH $ScoredSql,
+      $RaterVotesSql,
+      kept AS (
+        SELECT v.doc_id, v.rater, v.cat
+        FROM votes v JOIN sc ON sc.doc_id = v.doc_id
+        WHERE v.rater <> 'tok' OR sc.n_tokens >= 30),
+      nuc AS (
+        SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nuc
+        FROM kept GROUP BY doc_id, cat),
+      pu AS (
+        SELECT doc_id, SUM(nuc) AS m, SUM(nuc * nuc) AS s2
+        FROM nuc GROUP BY doc_id
+        HAVING SUM(nuc) >= 2),
+      un AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+          CAST(SUM(m) AS BIGINT) AS n_ratings,
+          CAST(SUM((420 // (m - 1)) * (m * m - s2)) AS BIGINT) AS do_num
+        FROM pu),
+      ct AS (
+        SELECT CAST(SUM(nc * nc) AS BIGINT) AS sum_c2
+        FROM (SELECT n.cat, SUM(n.nuc) AS nc
+              FROM nuc n JOIN pu ON pu.doc_id = n.doc_id
+              GROUP BY n.cat)),
+      de AS (
+        SELECT n_units, n_ratings, do_num,
+          n_ratings * n_ratings - sum_c2 AS de_num
+        FROM un CROSS JOIN ct)
+      SELECT n_units, n_ratings, do_num, de_num,
+        CASE WHEN de_num = 0 THEN CAST(1.0 AS DOUBLE)
+          ELSE CAST(1.0 AS DOUBLE)
+            - CAST((n_ratings - 1) * do_num AS DOUBLE)
+              / CAST(420 * de_num AS DOUBLE) END AS alpha
+      FROM de"""))
+
+  private val VoteCountsSql = """
+      cnt AS (
+        SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS n
+        FROM votes GROUP BY doc_id, cat),
+      rk AS (
+        SELECT doc_id, cat, n,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, cat)
+            AS rk,
+          CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_votes
+        FROM cnt),
+      maj AS (
+        SELECT doc_id, cat AS label, n AS n_label, n_votes
+        FROM rk WHERE rk = 1)"""
+
+  /** Plurality label per doc across the three keep policies —
+    * [[graft.analytics.Labeling.majorityVote]]: exact counts,
+    * (count DESC, category ASC) tie-break — no floats → RAW.
+    */
+  val q340MajorityVote: QueryCase = QueryCase(
+    "q340_majority_vote",
+    (s, dir) => graft.analytics.Labeling.majorityVote(
+      raterVotes(s, dir), "doc_id", "rater", "cat")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH $ScoredSql,
+      $RaterVotesSql,
+      $VoteCountsSql
+      SELECT doc_id, label, n_label, n_votes FROM maj ORDER BY doc_id"""))
+
+  /** Per-rater agreement with the majority —
+    * [[graft.analytics.Labeling.raterReliability]] (the Dawid–Skene
+    * 1979 E-step seed): integer match counts + one exact division →
+    * RAW.
+    */
+  val q341RaterReliability: QueryCase = QueryCase(
+    "q341_rater_reliability",
+    (s, dir) => graft.analytics.Labeling.raterReliability(
+      raterVotes(s, dir), "doc_id", "rater", "cat")
+      .orderBy("rater"),
+    Some(s"""
+      WITH $ScoredSql,
+      $RaterVotesSql,
+      $VoteCountsSql
+      SELECT v.rater, CAST(COUNT(*) AS BIGINT) AS n_rated,
+        CAST(SUM(CASE WHEN v.cat = maj.label THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_match,
+        CAST(SUM(CASE WHEN v.cat = maj.label THEN 1 ELSE 0 END)
+          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS reliability
+      FROM votes v JOIN maj ON maj.doc_id = v.doc_id
+      GROUP BY v.rater ORDER BY v.rater"""))
+
+  /** Reliability-weighted re-vote with exact integer weights —
+    * [[graft.analytics.Labeling.weightedVote]] (one Dawid–Skene
+    * half-iteration, argmax on exact integers so the winning label is
+    * platform-stable) → RAW.
+    */
+  val q342WeightedVote: QueryCase = QueryCase(
+    "q342_weighted_vote",
+    (s, dir) => graft.analytics.Labeling.weightedVote(
+      raterVotes(s, dir), "doc_id", "rater", "cat")
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH $ScoredSql,
+      $RaterVotesSql,
+      $VoteCountsSql,
+      rel AS (
+        SELECT v.rater,
+          CAST(SUM(CASE WHEN v.cat = maj.label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match
+        FROM votes v JOIN maj ON maj.doc_id = v.doc_id
+        GROUP BY v.rater),
+      wt AS (
+        SELECT v.doc_id, v.cat,
+          CAST(SUM(rel.n_match) AS BIGINT) AS wt,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM votes v JOIN rel ON rel.rater = v.rater
+        GROUP BY v.doc_id, v.cat),
+      wrk AS (
+        SELECT doc_id, cat, wt, n,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY wt DESC, n DESC, cat) AS rk,
+          CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS n_votes
+        FROM wt)
+      SELECT doc_id, cat AS label, wt AS weight, n AS n_label, n_votes
+      FROM wrk WHERE rk = 1 ORDER BY doc_id"""))
+
+  /** Cochran's Q across the three keep policies —
+    * [[graft.analytics.DistTest.cochranQ]], the k-policy marginal-
+    * homogeneity test over q335's McNemar: one division of exact
+    * integer products → fully RAW.
+    */
+  val q343CochranQ: QueryCase = QueryCase(
+    "q343_cochran_q",
+    (s, dir) => graft.analytics.DistTest.cochranQ(
+      raterVotes(s, dir).withColumn("s", col("cat") === "keep"),
+      "doc_id", "rater", "s"),
+    Some(s"""
+      WITH $ScoredSql,
+      $RaterVotesSql,
+      v AS (
+        SELECT doc_id AS i, rater AS p,
+          CASE WHEN cat = 'keep' THEN 1 ELSE 0 END AS x
+        FROM votes),
+      rows_ AS (
+        SELECT i, CAST(SUM(x) AS BIGINT) AS ri FROM v GROUP BY i),
+      it AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+          CAST(SUM(ri) AS BIGINT) AS nn,
+          CAST(SUM(ri * ri) AS BIGINT) AS sum_r2
+        FROM rows_),
+      ct AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+          CAST(SUM(cj * cj) AS BIGINT) AS sum_c2
+        FROM (SELECT p, SUM(x) AS cj FROM v GROUP BY p))
+      SELECT k, n_items, nn AS n_success,
+        CASE WHEN k * nn - sum_r2 = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST((k - 1) * (k * sum_c2 - nn * nn) AS DOUBLE)
+            / CAST(k * nn - sum_r2 AS DOUBLE) END AS q
+      FROM it CROSS JOIN ct"""))
+
+  /** Per-source keep rate with the Wilson 95% score interval —
+    * [[graft.analytics.Experiments.proportionPanel]]: the CI a
+    * screening report ships (nonzero width at p̂ ∈ {0,1}, unlike
+    * Wald). n/k/rate RAW; the bounds take one sqrt → ROUND(6).
+    */
+  val q344WilsonCi: QueryCase = QueryCase(
+    "q344_wilson_ci",
+    (s, dir) => graft.analytics.Experiments.proportionPanel(
+      Tables.documents(s, dir)
+        .select(col("source"), (col("n_chars") >= 300).as("keep")),
+      "source", "keep")
+      .select(col("source"), col("n"), col("k"), col("rate"),
+        round(col("wilson_lo"), 6).as("wilson_lo"),
+        round(col("wilson_hi"), 6).as("wilson_hi"))
+      .orderBy("source"),
+    Some("""
+      WITH agg AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+            AS BIGINT) AS k
+        FROM documents GROUP BY source),
+      p AS (
+        SELECT source, n, k,
+          CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+          CAST(n AS DOUBLE) AS nn,
+          CAST(1.959963984540054 AS DOUBLE) AS z
+        FROM agg),
+      w AS (
+        SELECT source, n, k, rate,
+          (rate + z * z / (2 * nn)) / (1 + z * z / nn) AS center,
+          z * SQRT(rate * (1 - rate) / nn + z * z / (4 * nn * nn))
+            / (1 + z * z / nn) AS half
+        FROM p)
+      SELECT source, n, k, rate,
+        ROUND(center - half, 6) AS wilson_lo,
+        ROUND(center + half, 6) AS wilson_hi
+      FROM w ORDER BY source"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q334Wilcoxon, q335Mcnemar, q336SignFlip, q337BhHolm,
+      q338FleissKappa, q339Krippendorff, q340MajorityVote,
+      q341RaterReliability, q342WeightedVote, q343CochranQ,
+      q344WilsonCi)
+}

@@ -1,0 +1,111 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Fleiss' κ and Krippendorff's α against published worked examples. */
+class AgreementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def longForm(table: Seq[Seq[Int]]): Seq[(Int, Int, String)] =
+    table.zipWithIndex.flatMap { case (row, item) =>
+      var rater = 0
+      row.zipWithIndex.flatMap { case (cnt, cat) =>
+        (1 to cnt).map { _ => rater += 1; (item, rater, s"c$cat") }
+      }
+    }
+
+  private def fleiss(table: Seq[Seq[Int]]) = {
+    val r = Agreement.fleissKappa(
+      longForm(table).toDF("item", "rater", "cat"), "item", "rater", "cat")
+      .collect().head
+    (r.getAs[Long]("n_items"), r.getAs[Long]("n_raters"),
+      r.getAs[Long]("sum_nij2"), r.getAs[Double]("kappa"))
+  }
+
+  test("Fleiss 1971 textbook panel: 10 items x 14 raters, kappa 0.2099") {
+    // The standard worked example (psychiatric diagnoses, 5 categories):
+    // P-bar = 0.378022, Pe = 0.212755, kappa = 0.209931.
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    val (n, r, s2, k) = fleiss(table)
+    assert(n == 10L && r == 14L && s2 == 828L)
+    assert(math.abs(k - 0.20993070442195522) < 1e-12)
+  }
+
+  test("binary 4x3 hand case: kappa = 1/3") {
+    // items (3,0)(0,3)(2,1)(1,2): sum2 = 28, P-bar = 2/3, Pe = 1/2
+    val (n, r, s2, k) = fleiss(Seq(Seq(3, 0), Seq(0, 3), Seq(2, 1), Seq(1, 2)))
+    assert(n == 4L && r == 3L && s2 == 28L)
+    assert(math.abs(k - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("perfect agreement: kappa = 1") {
+    val (_, _, _, k) = fleiss(Seq(Seq(3, 0), Seq(0, 3)))
+    assert(k == 1.0)
+  }
+
+  test("ragged rater counts raise") {
+    val df = Seq((1, 1, "a"), (1, 2, "a"), (2, 1, "a")).toDF("i", "r", "c")
+    val e = intercept[Exception] {
+      Agreement.fleissKappa(df, "i", "r", "c").collect()
+    }
+    assert(e.getMessage.contains("constant"))
+  }
+
+  private def kripp(ratings: Seq[(Int, Int, String)], maxRaters: Int = 8) = {
+    val r = Agreement.krippendorffAlpha(
+      ratings.toDF("item", "rater", "cat"), "item", "rater", "cat",
+      maxRaters).collect().head
+    (r.getAs[Long]("n_units"), r.getAs[Long]("n_ratings"),
+      r.getAs[Long]("do_num"), r.getAs[Long]("de_num"),
+      r.getAs[Double]("alpha"))
+  }
+
+  private def unitsOf(vals: Seq[Seq[Int]]): Seq[(Int, Int, String)] =
+    vals.zipWithIndex.flatMap { case (vs, item) =>
+      vs.zipWithIndex.map { case (v, rater) => (item, rater, s"v$v") }
+    }
+
+  test("Krippendorff 2004 'Computing alpha' nominal example: 0.7434") {
+    // 4 coders, 12 units with missing ratings; pairable: 11 units /
+    // 40 ratings; alpha = 1 - 39*Do/De = 0.743421... (do_num scaled by
+    // F = 420: 3360; de_num = 40^2 - sum nc^2 = 1216).
+    val units = Seq(
+      Seq(1, 1, 1), Seq(2, 2, 3, 2), Seq(3, 3, 3, 3), Seq(3, 3, 3, 3),
+      Seq(2, 2, 2, 2), Seq(1, 2, 3, 4), Seq(4, 4, 4, 4), Seq(1, 1, 2, 1),
+      Seq(2, 2, 2, 2), Seq(5, 5, 5), Seq(1, 1), Seq(3))
+    val (nu, n, doN, deN, a) = kripp(unitsOf(units))
+    assert(nu == 11L && n == 40L && doN == 3360L && deN == 1216L)
+    assert(math.abs(a - 0.743421052631579) < 1e-12)
+  }
+
+  test("perfect agreement: alpha = 1 (do_num = 0)") {
+    val (_, _, doN, _, a) = kripp(unitsOf(Seq(Seq(1, 1), Seq(2, 2, 2))))
+    assert(doN == 0L && a == 1.0)
+  }
+
+  test("systematic disagreement on two binary units: alpha = -0.5") {
+    val (_, n, _, _, a) = kripp(unitsOf(Seq(Seq(1, 2), Seq(1, 2))))
+    assert(n == 4L && a == -0.5)
+  }
+
+  test("singleton units drop; one lone rating leaves agreement intact") {
+    val full = kripp(unitsOf(Seq(Seq(1, 1), Seq(2, 2), Seq(3))))
+    val trimmed = kripp(unitsOf(Seq(Seq(1, 1), Seq(2, 2))))
+    assert(full == trimmed)
+  }
+
+  test("single shared category: de_num = 0 branch returns alpha = 1") {
+    val (_, _, _, deN, a) = kripp(unitsOf(Seq(Seq(7, 7), Seq(7, 7))))
+    assert(deN == 0L && a == 1.0)
+  }
+
+  test("more raters than maxRaters raises") {
+    val rows = (1 to 5).map(r => (1, r, "a"))
+    val e = intercept[Exception] { kripp(rows, maxRaters = 4) }
+    assert(e.getMessage.contains("maxRaters"))
+  }
+}

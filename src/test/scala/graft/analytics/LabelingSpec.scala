@@ -1,0 +1,143 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Majority / reliability-weighted label aggregation, Cochran's Q and
+  * the Wilson proportion interval on hand-walked cases.
+  */
+class LabelingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val panel = Seq(
+    // item 1: a,b say cat X; c says Y -> majority X
+    (1, "a", "X"), (1, "b", "X"), (1, "c", "Y"),
+    // item 2: a says X; b,c say Y -> majority Y
+    (2, "a", "X"), (2, "b", "Y"), (2, "c", "Y"),
+    // item 3: unanimous X
+    (3, "a", "X"), (3, "b", "X"), (3, "c", "X"),
+    // item 4: three-way tie -> lexicographically smallest category
+    (4, "a", "X"), (4, "b", "Y"), (4, "c", "W"))
+
+  test("majorityVote: plurality with lexicographic tie-break") {
+    val out = Labeling.majorityVote(
+      panel.toDF("item", "rater", "cat"), "item", "rater", "cat")
+      .collect().map(r => r.getAs[Int]("item") ->
+        (r.getAs[String]("label"), r.getAs[Long]("n_label"),
+          r.getAs[Long]("n_votes"))).toMap
+    assert(out(1) == (("X", 2L, 3L)))
+    assert(out(2) == (("Y", 2L, 3L)))
+    assert(out(3) == (("X", 3L, 3L)))
+    assert(out(4) == (("W", 1L, 3L))) // tie -> smallest category
+  }
+
+  test("raterReliability: agreement with the majority labels") {
+    // majorities: 1->X, 2->Y, 3->X, 4->W
+    // a voted X,X,X,X -> matches 1,3 -> 2/4
+    // b voted X,Y,X,Y -> matches 1,2,3 -> 3/4
+    // c voted Y,Y,X,W -> matches 2,3,4 -> 3/4
+    val out = Labeling.raterReliability(
+      panel.toDF("item", "rater", "cat"), "item", "rater", "cat")
+      .collect().map(r => r.getAs[String]("rater") ->
+        (r.getAs[Long]("n_rated"), r.getAs[Long]("n_match"),
+          r.getAs[Double]("reliability"))).toMap
+    assert(out("a") == ((4L, 2L, 0.5)))
+    assert(out("b") == ((4L, 3L, 0.75)))
+    assert(out("c") == ((4L, 3L, 0.75)))
+  }
+
+  test("weightedVote: reliable raters outvote the unreliable one") {
+    // weights: a=2, b=3, c=3. Item 4 (X:a=2, Y:b=3, W:c=3):
+    // tie on weight 3 between Y and W, same plain count -> W (lex).
+    // Item 1 (X: a+b=5, Y: c=3) -> X; item 2 (X:2, Y:6) -> Y.
+    val out = Labeling.weightedVote(
+      panel.toDF("item", "rater", "cat"), "item", "rater", "cat")
+      .collect().map(r => r.getAs[Int]("item") ->
+        (r.getAs[String]("label"), r.getAs[Long]("weight"))).toMap
+    assert(out(1) == (("X", 5L)))
+    assert(out(2) == (("Y", 6L)))
+    assert(out(3) == (("X", 8L)))
+    assert(out(4) == (("W", 3L)))
+  }
+
+  test("weightedVote can overturn a plain majority") {
+    // Two strong raters (s1, s2) match consensus on items 1-4; weak
+    // raters w2, w3 never do. On item 5 the three weak raters say B
+    // (plain majority B, 3-2) but the majority of item 5 itself is B,
+    // so weights are s1 = s2 = 4, w1 = 5, w2 = w3 = 1 -> weighted
+    // tally A: 4+4 = 8 beats B: 5+1+1 = 7 -> the re-vote flips to A.
+    val rows = (1 to 4).flatMap(i => Seq(
+      (i, "s1", "X"), (i, "s2", "X"), (i, "w1", "X"),
+      (i, "w2", "Y"), (i, "w3", "Z"))) ++ Seq(
+      (5, "s1", "A"), (5, "s2", "A"),
+      (5, "w1", "B"), (5, "w2", "B"), (5, "w3", "B"))
+    val df = rows.toDF("item", "rater", "cat")
+    val plain = Labeling.majorityVote(df, "item", "rater", "cat")
+      .collect().map(r => r.getAs[Int]("item") ->
+        r.getAs[String]("label")).toMap
+    val weighted = Labeling.weightedVote(df, "item", "rater", "cat")
+      .collect().map(r => r.getAs[Int]("item") ->
+        (r.getAs[String]("label"), r.getAs[Long]("weight"))).toMap
+    assert(plain(5) == "B")
+    assert(weighted(5) == (("A", 8L)))
+  }
+
+  test("cochranQ: Conover-style 3x12 table gives Q = 8.3333...") {
+    val rows = Seq(
+      (1, 1, 1), (1, 1, 0), (0, 1, 0), (1, 1, 0), (0, 0, 0), (1, 1, 1),
+      (1, 1, 0), (1, 1, 0), (0, 0, 0), (1, 0, 0), (1, 1, 1), (1, 1, 1))
+    val long = rows.zipWithIndex.flatMap { case ((x1, x2, x3), i) =>
+      Seq((i, "p1", x1 == 1), (i, "p2", x2 == 1), (i, "p3", x3 == 1)) }
+    val r = DistTest.cochranQ(long.toDF("i", "p", "s"), "i", "p", "s")
+      .collect().head
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n_items") == 12L)
+    assert(r.getAs[Long]("n_success") == 22L)
+    assert(math.abs(r.getAs[Double]("q") - 25.0 / 3.0) < 1e-12)
+  }
+
+  test("cochranQ at k = 2 equals McNemar without continuity correction") {
+    // b=4, c=1 -> Q = (b-c)^2/(b+c) = 9/5
+    val long = (0 until 4).flatMap(i => Seq((i, "p1", true), (i, "p2", false))) ++
+      Seq((4, "p1", false), (4, "p2", true)) ++
+      (5 until 8).flatMap(i => Seq((i, "p1", true), (i, "p2", true))) ++
+      (8 until 10).flatMap(i => Seq((i, "p1", false), (i, "p2", false)))
+    val r = DistTest.cochranQ(long.toDF("i", "p", "s"), "i", "p", "s")
+      .collect().head
+    assert(r.getAs[Double]("q") == 1.8)
+  }
+
+  test("cochranQ: unanimous items only -> degenerate denominator -> 0") {
+    val long = Seq((1, "p1", true), (1, "p2", true),
+      (2, "p1", false), (2, "p2", false))
+    assert(DistTest.cochranQ(long.toDF("i", "p", "s"), "i", "p", "s")
+      .collect().head.getAs[Double]("q") == 0.0)
+  }
+
+  test("cochranQ raises on incomplete blocks") {
+    val long = Seq((1, "p1", true), (1, "p2", true), (2, "p1", false))
+    val e = intercept[Exception] {
+      DistTest.cochranQ(long.toDF("i", "p", "s"), "i", "p", "s").collect()
+    }
+    assert(e.getMessage.contains("incomplete"))
+  }
+
+  test("proportionPanel: Wilson 95% bounds match the closed form") {
+    val df = ((1 to 8).map(i => ("g", true)) ++ (1 to 2).map(_ => ("g", false)))
+      .toDF("g", "s")
+    val r = Experiments.proportionPanel(df, "g", "s").collect().head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("k") == 8L)
+    assert(r.getAs[Double]("rate") == 0.8)
+    assert(math.abs(r.getAs[Double]("wilson_lo") - 0.49016247153664183) < 1e-12)
+    assert(math.abs(r.getAs[Double]("wilson_hi") - 0.9433178485456247) < 1e-12)
+  }
+
+  test("proportionPanel: degenerate rates keep nonzero width (vs Wald)") {
+    val df = ((1 to 10).map(_ => ("zero", false)) ++
+      (1 to 10).map(_ => ("one", true))).toDF("g", "s")
+    val out = Experiments.proportionPanel(df, "g", "s").collect()
+      .map(r => r.getAs[String]("g") ->
+        (r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))).toMap
+    assert(out("zero")._1 == 0.0 &&
+      math.abs(out("zero")._2 - 0.2775327998628892) < 1e-12)
+    assert(math.abs(out("one")._1 - 0.7224672001371107) < 1e-12)
+  }
+}

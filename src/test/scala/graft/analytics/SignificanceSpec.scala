@@ -1,0 +1,141 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Wilcoxon signed-rank, McNemar, sign-flip randomization and the
+  * Holm/BH multiplicity adjustments on hand-walked cases.
+  */
+class SignificanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wilcox(pairs: Seq[(Double, Double)]) = {
+    val r = DistTest.wilcoxonSignedRank(
+      pairs.toDF("a", "b"), "a", "b").collect().head
+    (r.getAs[Long]("n"), r.getAs[Long]("sum_r2_pos"),
+      r.getAs[Long]("var48"), r.getAs[Double]("z"))
+  }
+
+  test("wilcoxon: clean positive shift, no ties") {
+    // d = 3,3,2,4,0,5 -> zero dropped, n=5... recomputed by hand:
+    // a-b = 3,3,2,4,0,5; nonzero d = {3,3,2,4,5}; |d| ranks:
+    // 2->1, 3->mid(2,3)=2.5, 4->4, 5->5; all positive ->
+    // W+ = 1+2.5+2.5+4+5 = 15 = n(n+1)/2, sum_r2_pos = 30,
+    // var48 = 2*5*6*11 - (2^3-2) = 660-6 = 654,
+    // num4 = 60-30 = 30, z = 28/(4*sqrt(654/48)) = 1.8963992921400699
+    val (n, s, v, z) = wilcox(Seq((5.0, 2.0), (7.0, 4.0), (3.0, 1.0),
+      (9.0, 5.0), (6.0, 6.0), (8.0, 3.0)))
+    assert(n == 5L && s == 30L && v == 654L)
+    assert(math.abs(z - 1.8963992921400699) < 1e-12)
+  }
+
+  test("wilcoxon: mixed signs with |d| ties") {
+    // a-b = 2,-2,3,0,3: nonzero {2,-2,3,3}; |d|: 2,2,3,3 ->
+    // midranks 1.5,1.5,3.5,3.5; W+ = 1.5+3.5+3.5 = 8.5 ->
+    // sum_r2_pos = 17; tie48 = (8-2)+(8-2) = 12; var48 = 2*4*5*9-12 =
+    // 348; num4 = 34-20 = 14; z = 12/(4*sqrt(348/48)) = 1.1141720...
+    val (n, s, v, z) = wilcox(Seq((3.0, 1.0), (1.0, 3.0), (4.0, 1.0),
+      (1.0, 1.0), (5.0, 2.0)))
+    assert(n == 4L && s == 17L && v == 348L)
+    assert(math.abs(z - 1.1141720290623112) < 1e-12)
+  }
+
+  test("wilcoxon: all pairs tied -> n = 0, z = 0") {
+    val (n, s, v, z) = wilcox(Seq((1.0, 1.0), (2.0, 2.0)))
+    assert(n == 0L && s == 0L && v == 0L && z == 0.0)
+  }
+
+  test("wilcoxon: symmetric deltas -> num4 = 0 -> z = 0") {
+    val (_, _, _, z) = wilcox(Seq((2.0, 1.0), (1.0, 2.0)))
+    assert(z == 0.0)
+  }
+
+  private def mcn(rows: Seq[(Boolean, Boolean)]) = {
+    val r = DistTest.mcnemar(rows.toDF("a", "b"), "a", "b").collect().head
+    (r.getAs[Long]("n"), r.getAs[Long]("n10"), r.getAs[Long]("n01"),
+      r.getAs[Double]("chi2_cc"))
+  }
+
+  test("mcnemar: 15 vs 5 discordant -> chi2_cc = 81/20 = 4.05") {
+    val rows = Seq.fill(15)((true, false)) ++ Seq.fill(5)((false, true)) ++
+      Seq.fill(10)((true, true))
+    val (n, b, c, chi) = mcn(rows)
+    assert(n == 30L && b == 15L && c == 5L && chi == 4.05)
+  }
+
+  test("mcnemar: balanced discordance -> 0; |b-c|=1 clamps to 0") {
+    assert(mcn(Seq.fill(3)((true, false)) ++ Seq.fill(3)((false, true)))
+      ._4 == 0.0)
+    assert(mcn(Seq.fill(4)((true, false)) ++ Seq.fill(3)((false, true)))
+      ._4 == 0.0)
+  }
+
+  test("mcnemar: no discordant pairs -> chi2 = 0") {
+    assert(mcn(Seq((true, true), (false, false)))._4 == 0.0)
+  }
+
+  test("sign-flip: observed labeling is always counted -> p >= 1/(R+1)," +
+    " and a one-sided extreme delta set is near-minimal p") {
+    // 12 units all with d = +1: only all-plus or all-minus replicates
+    // reach |T_r| >= 12, so k_extreme ~ Binom(R, 2/2^12) -> p close to
+    // 1/(R+1) with R = 199.
+    val df = (1 to 12).map(i => ("g", i.toLong, 1.0)).toDF("g", "id", "d")
+    val r = DistTest.signFlipTest(df, "g", "id", "d").collect().head
+    assert(r.getAs[Long]("n") == 12L)
+    assert(r.getAs[Double]("t_obs") == 12.0)
+    val p = r.getAs[Double]("p_value")
+    assert(p >= 1.0 / 200.0 && p < 0.05)
+  }
+
+  test("sign-flip: single unit -> every replicate matches |T| -> p = 1") {
+    val df = Seq(("g", 1L, 2.5)).toDF("g", "id", "d")
+    val r = DistTest.signFlipTest(df, "g", "id", "d", reps = 99)
+      .collect().head
+    assert(r.getAs[Long]("k_extreme") == 99L)
+    assert(r.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("sign-flip: deterministic under repetition and salt-sensitive") {
+    val df = (1 to 8).map(i => ("g", i.toLong,
+      if (i % 3 == 0) -1.5 else 2.0)).toDF("g", "id", "d")
+    val p1 = DistTest.signFlipTest(df, "g", "id", "d").collect()
+      .head.getAs[Double]("p_value")
+    val p2 = DistTest.signFlipTest(df, "g", "id", "d").collect()
+      .head.getAs[Double]("p_value")
+    assert(p1 == p2)
+    val k1 = DistTest.signFlipTest(df, "g", "id", "d", salt = "flip2")
+      .collect().head.getAs[Long]("k_extreme")
+    val k0 = DistTest.signFlipTest(df, "g", "id", "d")
+      .collect().head.getAs[Long]("k_extreme")
+    // different coin sets: the extreme COUNT may move (never the obs T)
+    assert(k1 >= 0 && k0 >= 0)
+  }
+
+  test("holm + BH on the textbook 5-panel") {
+    // p = .01 .04 .03 .005 .20 ->
+    // holm = .04 .09 .09 .025 .20 ; bh = .025 .05 .05 .025 .20
+    val df = Seq(("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005),
+      ("e", 0.20)).toDF("k", "p")
+    val out = DistTest.adjustPvalues(df, "k", "p").collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Int]("p_rank"), r.getAs[Double]("holm"),
+          r.getAs[Double]("bh"))).toMap
+    assert(out("d")._1 == 1 && out("d")._2 == 0.025 && out("d")._3 == 0.025)
+    assert(out("a")._1 == 2 && out("a")._2 == 0.04 && out("a")._3 == 0.025)
+    assert(math.abs(out("c")._2 - 0.09) < 1e-12 &&
+      math.abs(out("c")._3 - 0.05) < 1e-12)
+    assert(math.abs(out("b")._2 - 0.09) < 1e-12 &&
+      math.abs(out("b")._3 - 0.05) < 1e-12)
+    assert(out("e")._2 == 0.20 && out("e")._3 == 0.20)
+  }
+
+  test("holm/bh clamp at 1 and are monotone in rank order") {
+    val df = Seq(("a", 0.5), ("b", 0.9), ("c", 0.8)).toDF("k", "p")
+    val rows = DistTest.adjustPvalues(df, "k", "p")
+      .orderBy("p_rank").collect()
+    val holm = rows.map(_.getAs[Double]("holm"))
+    val bh = rows.map(_.getAs[Double]("bh"))
+    assert(holm.forall(_ <= 1.0) && bh.forall(_ <= 1.0))
+    assert(holm.sliding(2).forall(s => s(0) <= s(1)))
+    assert(bh.sliding(2).forall(s => s(0) <= s(1)))
+  }
+}
