@@ -84,6 +84,100 @@ object Labeling {
           .as("reliability"))
   }
 
+  /** Dawid–Skene 1979, hard-EM variant with FIXED iteration count —
+    * the full confusion-matrix upgrade over [[weightedVote]] (which
+    * weighs raters by one global accuracy number): each rater gets a
+    * per-(vote, class) confusion estimate, so a rater that is
+    * systematically INVERTED on one class becomes evidence FOR the
+    * other class instead of noise.
+    *
+    * Init: [[majorityVote]]. Each iteration:
+    *  - M-step (exact integers): confusion counts n[r][v][c] over the
+    *    current labels, per-(r,c) vote totals, class priors — all
+    *    Laplace-smoothed (+1 / +V).
+    *  - E-step (hard): label_i = argmax_c  L(prior_c+1) − L(N+V) +
+    *    Σ_votes [ L(n[r][v][c]+1) − L(rated[r][c]+V) ]
+    *    where L = [[graft.operators.UnigramLm.fixedLog2Col]] — the
+    *    2⁻¹⁶ fixed-point log₂, so the whole score is an exact integer
+    *    and the argmax can never flip on a platform's last-ulp log
+    *    (the q325/q326 discipline; classic soft DS would put float
+    *    posteriors inside an argmax). Ties break to category ASC.
+    *
+    * Hard EM is the deliberate variant (the [[graft.operators
+    * .UnigramLm]] precedent): labels are the SHIPPED artifact, and a
+    * deterministic fixed point beats a soft posterior the pipeline
+    * would threshold anyway.
+    *
+    * Scale shape: votes and the label frame are staged per iteration
+    * ([[graft.plans.Materialize]] — the fixed-iteration contract);
+    * per iteration one (r,v,c) count, a broadcast R·V² confusion
+    * grid, and a votes×V expansion into per-(item, class) integer
+    * sums — map-side combinable. Categories are BOUNDED (raises
+    * above 1000): V is a label-space size, never a corpus dimension.
+    *
+    * Output per item: (item, label, score_l2) — score_l2 the exact
+    * fixed-point log₂ score of the winning class → fully RAW.
+    */
+  def dawidSkene(df: DataFrame, itemCol: String, raterCol: String,
+                 categoryCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 1 && iters <= 8, "iters must be in [1, 8]")
+    val key = "graft.dedup.checkpoint"
+    val l2 = graft.operators.UnigramLm.fixedLog2Col _
+    val v = graft.plans.Materialize.stage(
+      votes(df, itemCol, raterCol, categoryCol), key)
+    val cats = graft.plans.Materialize.stage(
+      v.select(col("c").as("cat")).distinct(), key)
+    val raters = v.select(col("r")).distinct()
+    // 1-row frames: V (category count, with the bounded-label guard)
+    // and N (item count) — broadcast into every smoothing denominator
+    val vv = cats.agg(count(lit(1)).as("vv"))
+      .select(when(col("vv") > 1000,
+        raise_error(lit("dawidSkene: more than 1000 categories — " +
+          "the label space must be bounded"))).otherwise(col("vv"))
+        .as("vv"))
+    var labels = graft.plans.Materialize.stage(
+      majorityVote(df, itemCol, raterCol, categoryCol)
+        .select(col(itemCol).as("i"), col("label")), key)
+    var scored: DataFrame = null
+    for (_ <- 1 to iters) {
+      val nn = labels.agg(count(lit(1)).as("nn"))
+      val joined = v.join(labels, Seq("i"))
+      val conf = joined.groupBy("r", "c", "label")
+        .agg(count(lit(1)).as("n"))
+      val rated = joined.groupBy("r", "label")
+        .agg(count(lit(1)).as("rated"))
+      val grid = raters
+        .crossJoin(cats.select(col("cat").as("c")))
+        .crossJoin(cats.select(col("cat").as("label")))
+        .join(conf, Seq("r", "c", "label"), "left")
+        .na.fill(0L, Seq("n"))
+        .join(rated, Seq("r", "label"), "left")
+        .na.fill(0L, Seq("rated"))
+        .crossJoin(broadcast(vv))
+        .select(col("r"), col("c"), col("label"),
+          (l2(col("n") + 1) - l2(col("rated") + col("vv"))).as("lconf"))
+      val prior = cats.select(col("cat").as("label"))
+        .join(labels.groupBy("label").agg(count(lit(1)).as("pc")),
+          Seq("label"), "left")
+        .na.fill(0L, Seq("pc"))
+        .crossJoin(broadcast(vv)).crossJoin(broadcast(nn))
+        .select(col("label"),
+          (l2(col("pc") + 1) - l2(col("nn") + col("vv"))).as("lprior"))
+      val scores = v.join(broadcast(grid), Seq("r", "c"))
+        .groupBy("i", "label").agg(sum(col("lconf")).as("s"))
+        .join(broadcast(prior), Seq("label"))
+        .select(col("i"), col("label"), (col("s") + col("lprior"))
+          .as("score_l2"))
+      val w = Window.partitionBy("i")
+        .orderBy(desc("score_l2"), col("label"))
+      scored = graft.plans.Materialize.stage(
+        scores.withColumn("rk", row_number().over(w))
+          .where(col("rk") === 1).drop("rk"), key)
+      labels = scored.select(col("i"), col("label"))
+    }
+    scored.select(col("i").as(itemCol), col("label"), col("score_l2"))
+  }
+
   /** Reliability-weighted re-vote: each rater's ballot weighs its
     * GLOBAL majority-match count (an exact integer — see the object
     * doc for why not the float reliability), and each item's label is

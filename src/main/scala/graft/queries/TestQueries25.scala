@@ -530,9 +530,103 @@ object TestQueries25 {
         ROUND(center + half, 6) AS wilson_hi
       FROM w ORDER BY source"""))
 
+  /** DuckDB mirror of [[graft.operators.UnigramLm.fixedLog2]] (copied
+    * from TestQueries24.lSql — the shared oracle idiom): exact integer
+    * shift-and-square in HUGEINT, plain 2-element list accumulator
+    * (DuckDB 1.0 list_reduce corrupts struct accumulators).
+    */
+  private def lSql(c: String): String =
+    s"""((length(bin($c)) - CAST(1 AS BIGINT)) * 65536 + CAST(list_reduce(
+      list_prepend([CAST($c AS HUGEINT)
+          * (CAST(1 AS HUGEINT) << (55 - (length(bin($c)) - 1))),
+          CAST(0 AS HUGEINT)],
+        list_transform(range(0, 16), qq ->
+          [CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)])),
+      (la, lt) -> CASE WHEN la[1] * la[1] >= (CAST(1 AS HUGEINT) << 111)
+        THEN [(la[1] * la[1]) // (CAST(1 AS HUGEINT) << 56),
+              la[2] * 2 + 1]
+        ELSE [(la[1] * la[1]) // (CAST(1 AS HUGEINT) << 55),
+              la[2] * 2] END)[2] AS BIGINT))"""
+
+  /** One hard-EM Dawid–Skene iteration as oracle CTEs (prefix `$p`,
+    * reading labels from CTE `$prev(i, label)`): smoothed confusion
+    * grid + priors in fixed-point log2 ([[lSql]]), votes×V score
+    * expansion, (score DESC, label ASC) argmax — mirrors one loop body
+    * of [[graft.analytics.Labeling.dawidSkene]] exactly.
+    */
+  private def dsIterSql(p: String, prev: String): String = s"""
+      ${p}conf AS (
+        SELECT v.rater AS r, v.cat AS c, l.label,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM votes v JOIN $prev l ON l.i = v.doc_id
+        GROUP BY v.rater, v.cat, l.label),
+      ${p}rated AS (
+        SELECT r, label, CAST(SUM(n) AS BIGINT) AS rated
+        FROM ${p}conf GROUP BY r, label),
+      ${p}nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM $prev),
+      ${p}grid AS (
+        SELECT rts.r, c1.cat AS c, c2.cat AS label,
+          COALESCE(cf.n, 0) AS n, COALESCE(rt.rated, 0) AS rated
+        FROM rts CROSS JOIN cats c1 CROSS JOIN cats c2
+        LEFT JOIN ${p}conf cf
+          ON cf.r = rts.r AND cf.c = c1.cat AND cf.label = c2.cat
+        LEFT JOIN ${p}rated rt
+          ON rt.r = rts.r AND rt.label = c2.cat),
+      ${p}lgrid AS (
+        SELECT r, c, label,
+          ${lSql("n + 1")} - ${lSql("rated + vv")} AS lconf
+        FROM ${p}grid CROSS JOIN vvn),
+      ${p}prior AS (
+        SELECT cat AS label,
+          ${lSql("pc + 1")} - ${lSql("nn + vv")} AS lprior
+        FROM (
+          SELECT cats.cat, COALESCE(pr.pc, 0) AS pc
+          FROM cats LEFT JOIN (
+            SELECT label, CAST(COUNT(*) AS BIGINT) AS pc
+            FROM $prev GROUP BY label) pr ON pr.label = cats.cat)
+        CROSS JOIN ${p}nn CROSS JOIN vvn),
+      ${p}score AS (
+        SELECT v.doc_id AS i, g.label,
+          CAST(SUM(g.lconf) AS BIGINT) AS s
+        FROM votes v JOIN ${p}lgrid g
+          ON g.r = v.rater AND g.c = v.cat
+        GROUP BY v.doc_id, g.label),
+      ${p}lab AS (
+        SELECT i, label, score_l2 FROM (
+          SELECT s.i, s.label, s.s + p2.lprior AS score_l2,
+            ROW_NUMBER() OVER (PARTITION BY s.i
+              ORDER BY s.s + p2.lprior DESC, s.label) AS rk
+          FROM ${p}score s JOIN ${p}prior p2 ON p2.label = s.label)
+        WHERE rk = 1)"""
+
+  /** Hard-EM Dawid–Skene (2 iterations) over the three keep policies —
+    * [[graft.analytics.Labeling.dawidSkene]]: per-rater smoothed
+    * confusion matrices, per-item class scores as exact fixed-point
+    * log2 integers ([[graft.operators.UnigramLm.fixedLog2Col]] ≡ the
+    * oracle's HUGEINT shift-and-square fold), (score DESC, label ASC)
+    * argmax — the full 1979 estimator with a platform-stable E-step.
+    * score_l2 is an exact integer → fully RAW at 3 SFs.
+    */
+  val q345DawidSkene: QueryCase = QueryCase(
+    "q345_dawid_skene",
+    (s, dir) => graft.analytics.Labeling.dawidSkene(
+      raterVotes(s, dir), "doc_id", "rater", "cat", iters = 2)
+      .orderBy("doc_id"),
+    Some(s"""
+      WITH $ScoredSql,
+      $RaterVotesSql,
+      $VoteCountsSql,
+      lab0 AS (SELECT doc_id AS i, label FROM maj),
+      cats AS (SELECT DISTINCT cat FROM votes),
+      vvn AS (SELECT CAST(COUNT(*) AS BIGINT) AS vv FROM cats),
+      rts AS (SELECT DISTINCT rater AS r FROM votes),
+      ${dsIterSql("i1", "lab0")},
+      ${dsIterSql("i2", "i1lab")}
+      SELECT i AS doc_id, label, score_l2 FROM i2lab ORDER BY i"""))
+
   val all: Seq[QueryCase] =
     Seq(q334Wilcoxon, q335Mcnemar, q336SignFlip, q337BhHolm,
       q338FleissKappa, q339Krippendorff, q340MajorityVote,
       q341RaterReliability, q342WeightedVote, q343CochranQ,
-      q344WilsonCi)
+      q344WilsonCi, q345DawidSkene)
 }

@@ -1,0 +1,94 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Hard-EM Dawid–Skene: fixed points, the inverted-rater flip the
+  * confusion matrix exists for, and determinism of the fixed-point
+  * log2 scores.
+  */
+class DawidSkeneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Int, String, String)], iters: Int = 2) =
+    Labeling.dawidSkene(rows.toDF("item", "rater", "cat"),
+      "item", "rater", "cat", iters)
+      .collect().map(r => r.getAs[Int]("item") ->
+        (r.getAs[String]("label"), r.getAs[Long]("score_l2"))).toMap
+
+  test("consistent panel is a fixed point of EM") {
+    // strong raters agree everywhere; weak raters are pure noise the
+    // majority already outvotes -> labels stay at the majority after
+    // 1 and 2 iterations (cross-checked vs a float-log reference)
+    val rows = (1 to 4).flatMap(i => Seq(
+      (i, "s1", "X"), (i, "s2", "X"), (i, "w1", "X"),
+      (i, "w2", "Y"), (i, "w3", "Z"))) ++ Seq(
+      (5, "s1", "A"), (5, "s2", "A"),
+      (5, "w1", "B"), (5, "w2", "B"), (5, "w3", "B"))
+    val m = Labeling.majorityVote(rows.toDF("item", "rater", "cat"),
+      "item", "rater", "cat")
+      .collect().map(r => r.getAs[Int]("item") ->
+        r.getAs[String]("label")).toMap
+    val d1 = run(rows, 1)
+    val d2 = run(rows, 2)
+    (1 to 5).foreach { i =>
+      assert(d1(i)._1 == m(i) && d2(i)._1 == m(i))
+    }
+  }
+
+  test("an anti-correlated rater's lone vote is FLIPPED — the " +
+    "confusion-matrix capability weightedVote cannot express") {
+    // `bad` votes the exact opposite of the g1/g2 consensus on 10
+    // calibration items; on item 11 only `bad` votes (P). Majority
+    // says P; Dawid-Skene learns conf[bad][P][Q] >> conf[bad][P][P]
+    // and labels item 11 Q after one EM step (float-log reference
+    // agrees at both 1 and 2 iterations).
+    val rows = (1 to 10).flatMap { i =>
+      val t = if (i % 2 == 1) "P" else "Q"
+      val o = if (i % 2 == 1) "Q" else "P"
+      Seq((i, "g1", t), (i, "g2", t), (i, "bad", o))
+    } ++ Seq((11, "bad", "P"))
+    val m = Labeling.majorityVote(rows.toDF("item", "rater", "cat"),
+      "item", "rater", "cat")
+      .collect().map(r => r.getAs[Int]("item") ->
+        r.getAs[String]("label")).toMap
+    assert(m(11) == "P")
+    val d1 = run(rows, 1)
+    val d2 = run(rows, 2)
+    assert(d1(11)._1 == "Q" && d2(11)._1 == "Q")
+    // calibration items keep their consensus labels
+    (1 to 10).foreach { i =>
+      val t = if (i % 2 == 1) "P" else "Q"
+      assert(d2(i)._1 == t)
+    }
+  }
+
+  test("scores are exact integers, stable across executions") {
+    val rows = (1 to 6).flatMap(i => Seq(
+      (i, "a", if (i < 4) "k" else "d"),
+      (i, "b", if (i % 2 == 0) "k" else "d"),
+      (i, "c", "k")))
+    val r1 = run(rows)
+    val r2 = run(rows)
+    assert(r1 == r2)
+  }
+
+  test("single rater, single category: prior + diagonal confusion") {
+    // one rater always says 'only': every score is the same fixed
+    // expression; labels are 'only' everywhere
+    val rows = (1 to 3).map(i => (i, "r", "only"))
+    val d = run(rows, 1)
+    assert(d.values.map(_._1).toSet == Set("only"))
+    // V=1: lprior = L(4)-L(4) = 0, lconf = L(4)-L(4) = 0 -> score 0
+    assert(d.values.map(_._2).toSet == Set(0L))
+  }
+
+  test("iters out of range raises") {
+    val df = Seq((1, "r", "x")).toDF("item", "rater", "cat")
+    intercept[IllegalArgumentException] {
+      Labeling.dawidSkene(df, "item", "rater", "cat", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Labeling.dawidSkene(df, "item", "rater", "cat", 9)
+    }
+  }
+}
