@@ -334,9 +334,116 @@ object CorpusStats {
           .as("good_turing_p0"))
   }
 
+  /** Data scaling-law fit: how much does held-out cross-entropy improve
+    * per decade of training data — the "is more data still worth it"
+    * curve (Kaplan et al. 2020 measure the power-law regime this fits;
+    * the unigram LM stands in for the model family, the
+    * [[graft.operators.CorpusLm]] convention — cross-referenced there:
+    * crossEntropySelect/dsirWeights score documents, this scores the
+    * CORPUS SIZE ITSELF).
+    *
+    * Protocol: documents hash into `buckets` deterministic content
+    * buckets ([[graft.functions.CrossHash.md5Hash64]] pmod buckets —
+    * the [[graft.operators.Sampling]] pure-function-of-(ids,salt)
+    * discipline; bucket buckets−1 is the HELD-OUT slice, never
+    * trained on). For each f in `trainBuckets`, an add-k unigram LM
+    * trains on buckets < f (nested subsets — each decade point
+    * CONTAINS the previous, the scaling-law convention) and the
+    * held-out slice's per-token cross-entropy is measured under it;
+    * OOV tokens take the add-k floor (the crossEntropySelect
+    * treatment). The (log₁₀ tokens, log₁₀ ce) points get the
+    * [[leastSquares]] ordered fold; slope < 0 is the data-limited
+    * power-law regime, and `ce_pred_10x` extrapolates the fitted line
+    * one decade past the largest train set — computed FROM the
+    * rounded slope/intercept (deterministic by construction).
+    *
+    * Scale shape: one bucketed token count per train point (map-side
+    * combinable) + one broadcast-total join per point against the
+    * held-out term table; points ≤ 8 by contract — this is ≤ 8 corpus
+    * scans' worth of aggregation, no window wider than the bounded
+    * point list, no collect.
+    *
+    * Determinism: counts exact; ce takes libm log2 inside a float sum
+    * → every surfaced double is ROUND(6) (the crossEntropySelect
+    * discipline). Raises in-plan if the held-out slice or the
+    * smallest train subset is token-empty (a silent NULL would void
+    * the whole fit).
+    *
+    * Output (one row per train point): f, train_tokens, ce_bits,
+    * n_points, scaling_slope, scaling_log10_intercept, ce_pred_10x.
+    */
+  def scalingFit(docs: DataFrame, idCol: String, textCol: String,
+                 trainBuckets: Seq[Int] = Seq(2, 4, 6, 8),
+                 buckets: Int = 10, k: Double = 0.5,
+                 salt: String = "scale"): DataFrame = {
+    require(buckets >= 3 && buckets <= 64, "buckets must be in [3, 64]")
+    require(trainBuckets.nonEmpty && trainBuckets.size <= 8 &&
+      trainBuckets == trainBuckets.sorted.distinct &&
+      trainBuckets.forall(f => f >= 1 && f < buckets),
+      "trainBuckets must be <= 8 ascending distinct values in [1, buckets)")
+    require(k > 0.0, "add-k smoothing constant must be positive")
+    val spark = docs.sparkSession
+    val toks = docs.select(
+      pmod(graft.functions.CrossHash.md5Hash64(
+        concat(col(idCol).cast("string"), lit(s":$salt"))),
+        lit(buckets.toLong)).as("b"),
+      explode(TextFunctions.tokens(col(textCol))).as("t"))
+    val held = toks.where(col("b") === (buckets - 1))
+      .groupBy("t").agg(count(lit(1)).as("hc"))
+    val heldTot = held.agg(sum(col("hc")).as("ht"))
+      .select(when(col("ht").isNull || col("ht") === 0,
+        raise_error(lit("scalingFit: held-out slice has no tokens — " +
+          "corpus too small for this bucket count")))
+        .otherwise(col("ht")).as("ht"))
+    val points = trainBuckets.map { f =>
+      val tc = toks.where(col("b") < f).groupBy("t")
+        .agg(count(lit(1)).as("cnt"))
+      val tot = tc.agg(sum(col("cnt")).as("n"), count(lit(1)).as("v"))
+        .select(
+          when(col("n").isNull || col("n") === 0, raise_error(lit(
+            s"scalingFit: train subset f=$f has no tokens")))
+            .otherwise(col("n")).as("n"),
+          col("v"))
+      held.join(tc, Seq("t"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .crossJoin(broadcast(tot)).crossJoin(broadcast(heldTot))
+        .agg(
+          max(col("n")).as("train_tokens"),
+          (-sum(col("hc") * log2((col("cnt") + lit(k)) /
+            (col("n") + lit(k) * (col("v") + lit(1))))) /
+            max(col("ht")).cast("double")).as("ce"))
+        .select(lit(f).as("f"), col("train_tokens"), col("ce"))
+    }.reduce(_ unionByName _)
+    val pts = points.select(
+      log10(col("train_tokens").cast("double")).as("x"),
+      log10(col("ce")).as("y"), col("f").as("r"))
+    val fit = leastSquares(pts, "n_points", "scaling_slope",
+      "scaling_log10_intercept")
+    val maxN = points.agg(max(col("train_tokens")).as("max_n"))
+    // The in-plan raises above sit behind broadcast joins that
+    // PropagateEmptyRelation can prune when a slice is empty (the
+    // empty LEFT side folds the whole join away without building the
+    // broadcast) — so the load-bearing guard lives HERE, on the output
+    // projection, where a NULL ce/train_tokens from any empty slice
+    // must pass through.
+    points.crossJoin(broadcast(fit)).crossJoin(broadcast(maxN))
+      .select(col("f"),
+        when(col("ce").isNull || col("train_tokens").isNull,
+          raise_error(lit("scalingFit: empty held-out or train slice " +
+            "— corpus too small for this bucket scheme")))
+          .otherwise(col("train_tokens")).as("train_tokens"),
+        round(col("ce"), 6).as("ce_bits"), col("n_points"),
+        col("scaling_slope"), col("scaling_log10_intercept"),
+        round(pow(lit(10.0), col("scaling_log10_intercept") +
+          col("scaling_slope") *
+            log10(lit(10.0) * col("max_n").cast("double"))), 6)
+          .as("ce_pred_10x"))
+      .orderBy("f")
+  }
+
   /** Least squares of y on x over (x, y, r) points, folded in ascending
-    * `r` order (bounded inputs by contract of the two callers). One row:
-    * (nName, slope, intercept).
+    * `r` order (bounded inputs by contract of the three callers). One
+    * row: (nName, slope, intercept).
     */
   private def leastSquares(pts: DataFrame, nName: String,
                            slopeName: String,

@@ -624,9 +624,91 @@ object TestQueries25 {
       ${dsIterSql("i2", "i1lab")}
       SELECT i AS doc_id, label, score_l2 FROM i2lab ORDER BY i"""))
 
+  /** One scaling-fit train point as oracle CTEs: add-0.5 unigram LM on
+    * buckets < `$f`, held-out CE with the OOV floor — mirrors one
+    * element of `CorpusStats.scalingFit`'s points list.
+    */
+  private def scalePointSql(f: Int): String = s"""
+      tc$f AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks WHERE b < $f GROUP BY t),
+      tot$f AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+          CAST(COUNT(*) AS BIGINT) AS v
+        FROM tc$f),
+      pt$f AS (
+        SELECT CAST($f AS INT) AS f, tot.n AS train_tokens,
+          -SUM(held.hc * log2((COALESCE(tc.cnt, 0) + 0.5)
+            / (tot.n + 0.5 * (tot.v + 1)))) / CAST(ht.ht AS DOUBLE) AS ce
+        FROM held LEFT JOIN tc$f tc ON tc.t = held.t
+        CROSS JOIN tot$f tot CROSS JOIN ht
+        GROUP BY tot.n, ht.ht)"""
+
+  /** Data scaling-law fit over the documents corpus —
+    * [[graft.analytics.CorpusStats.scalingFit]]: nested md5-bucket
+    * train subsets (the deterministic-sampling discipline), held-out
+    * add-k unigram cross-entropy per subset, ordered-fold log-log OLS
+    * and the one-decade extrapolation. Counts RAW; every
+    * libm-bearing double ROUND(6); the fit mirrors the leastSquares
+    * fold with DuckDB `list(… ORDER BY f)` + `list_reduce` left folds
+    * (0-init ≡ first-element-init for addition).
+    */
+  val q346ScalingFit: QueryCase = QueryCase(
+    "q346_scaling_fit",
+    (s, dir) => graft.analytics.CorpusStats.scalingFit(
+      Tables.documents(s, dir), "doc_id", "text"),
+    Some {
+      val bucket = "((" + CrossHash.hugeToSignedSql(CrossHash.md5Hash64SqlU(
+        "CAST(doc_id AS VARCHAR) || ':scale'")) + " % 10) + 10) % 10"
+      val slopeRaw = "(np * sxy - sx * sy) / (np * sxx - sx * sx)"
+      s"""
+      WITH toks AS (
+        SELECT b, tt.t
+        FROM (SELECT $bucket AS b, $TokensSql AS tk FROM documents),
+          UNNEST(tk) AS tt(t)),
+      held AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS hc
+        FROM toks WHERE b = 9 GROUP BY t),
+      ht AS (SELECT CAST(SUM(hc) AS BIGINT) AS ht FROM held),
+      ${scalePointSql(2)},
+      ${scalePointSql(4)},
+      ${scalePointSql(6)},
+      ${scalePointSql(8)},
+      points AS (
+        SELECT * FROM pt2 UNION ALL SELECT * FROM pt4
+        UNION ALL SELECT * FROM pt6 UNION ALL SELECT * FROM pt8),
+      lists AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS np,
+          list(log10(CAST(train_tokens AS DOUBLE)) ORDER BY f) AS xs,
+          list(log10(ce) ORDER BY f) AS ys
+        FROM points),
+      sums AS (
+        SELECT np,
+          list_reduce(xs, (aa, bb) -> aa + bb) AS sx,
+          list_reduce(ys, (aa, bb) -> aa + bb) AS sy,
+          list_reduce(list_transform(xs, uu -> uu * uu),
+            (aa, bb) -> aa + bb) AS sxx,
+          list_reduce(list_transform(xs, (uu, kk) -> uu * ys[kk]),
+            (aa, bb) -> aa + bb) AS sxy
+        FROM lists),
+      fit AS (
+        SELECT np AS n_points,
+          ROUND($slopeRaw, 6) AS scaling_slope,
+          ROUND((sy - ($slopeRaw) * sx) / np, 6)
+            AS scaling_log10_intercept
+        FROM sums),
+      mx AS (SELECT MAX(train_tokens) AS max_n FROM points)
+      SELECT p.f, p.train_tokens, ROUND(p.ce, 6) AS ce_bits,
+        fit.n_points, fit.scaling_slope, fit.scaling_log10_intercept,
+        ROUND(POW(10.0, fit.scaling_log10_intercept
+          + fit.scaling_slope
+            * log10(10.0 * CAST(mx.max_n AS DOUBLE))), 6) AS ce_pred_10x
+      FROM points p CROSS JOIN fit CROSS JOIN mx ORDER BY p.f"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q334Wilcoxon, q335Mcnemar, q336SignFlip, q337BhHolm,
       q338FleissKappa, q339Krippendorff, q340MajorityVote,
       q341RaterReliability, q342WeightedVote, q343CochranQ,
-      q344WilsonCi, q345DawidSkene)
+      q344WilsonCi, q345DawidSkene, q346ScalingFit)
 }

@@ -1,0 +1,72 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Data scaling-law fit: nested subsets, held-out CE, log-log fit —
+  * cross-checked against an independent hashlib/math reference walk
+  * of the same protocol (buckets from md5 low-64 pmod 10, add-0.5
+  * unigram CE with the OOV floor, OLS on log10 points).
+  */
+class ScalingFitSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 30 docs, text = "w0 w1 ... w(2+i%5)" over a 7-word vocabulary —
+  // the exact fixture the python reference walked (bucket 9 holds 6
+  // docs / 27 tokens under salt "scale").
+  private def fixture = (0 until 30).map { i =>
+    (i.toLong, (0 until 3 + (i % 5)).map(j => s"w${j % 7}").mkString(" "))
+  }.toDF("doc_id", "text")
+
+  test("matches the independent reference walk on all four points") {
+    val rows = CorpusStats.scalingFit(fixture, "doc_id", "text")
+      .collect().map(r => r.getAs[Int]("f") ->
+        (r.getAs[Long]("train_tokens"), r.getAs[Double]("ce_bits"),
+          r.getAs[Double]("scaling_slope"),
+          r.getAs[Double]("ce_pred_10x"))).toMap
+    assert(rows.keySet == Set(2, 4, 6, 8))
+    assert(rows(2)._1 == 30L && rows(4)._1 == 68L &&
+      rows(6)._1 == 93L && rows(8)._1 == 98L)
+    assert(math.abs(rows(2)._2 - 2.631004) < 2e-6)
+    assert(math.abs(rows(4)._2 - 2.570761) < 2e-6)
+    assert(math.abs(rows(6)._2 - 2.587596) < 2e-6)
+    assert(math.abs(rows(8)._2 - 2.582747) < 2e-6)
+    assert(math.abs(rows(8)._3 - (-0.015632)) < 2e-5)
+    assert(math.abs(rows(8)._4 - 2.485651) < 2e-4)
+  }
+
+  test("nested subsets: train_tokens strictly nondecreasing in f") {
+    val toks = CorpusStats.scalingFit(fixture, "doc_id", "text")
+      .orderBy("f").collect().map(_.getAs[Long]("train_tokens"))
+    assert(toks.sliding(2).forall(s => s(0) <= s(1)))
+  }
+
+  test("deterministic across executions") {
+    val a = CorpusStats.scalingFit(fixture, "doc_id", "text").collect()
+    val b = CorpusStats.scalingFit(fixture, "doc_id", "text").collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("empty held-out slice raises in-plan") {
+    // a 2-doc corpus: overwhelmingly likely no doc lands in bucket 9?
+    // Deterministic instead: salt chosen so neither doc hashes to 9
+    // (doc 0 -> bucket 1, doc 1 -> bucket 8 under salt 'scale' — from
+    // the reference walk); buckets=10 with docs 0 and 1 only.
+    val df = Seq((0L, "a b c"), (1L, "a b")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      CorpusStats.scalingFit(df, "doc_id", "text",
+        trainBuckets = Seq(2)).collect()
+    }
+    assert(e.getMessage.contains("held-out"))
+  }
+
+  test("invalid trainBuckets raise") {
+    intercept[IllegalArgumentException] {
+      CorpusStats.scalingFit(fixture, "doc_id", "text",
+        trainBuckets = Seq(4, 2))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStats.scalingFit(fixture, "doc_id", "text",
+        trainBuckets = Seq(10))
+    }
+  }
+}

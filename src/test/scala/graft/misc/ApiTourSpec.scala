@@ -107,4 +107,28 @@ class ApiTourSpec extends SparkSpec {
     val loss = Curation.truncationLoss(docs, "text", Seq(8)).head()
     assert(loss.getLong(3) == 4L, "all four docs exceed an 8-token budget")
   }
+
+  test("annotation stack: agreement screen -> Dawid-Skene labels -> " +
+    "keep-rate CI") {
+    import graft.analytics.{Agreement, Experiments, Labeling}
+    val votes = Seq(
+      (1L, "a", "keep"), (1L, "b", "keep"), (1L, "c", "drop"),
+      (2L, "a", "keep"), (2L, "b", "keep"), (2L, "c", "drop"),
+      (3L, "a", "drop"), (3L, "b", "drop"), (3L, "c", "keep"),
+      (4L, "a", "keep"), (4L, "b", "keep"), (4L, "c", "drop"))
+      .toDF("item", "rater", "cat")
+    // 1) is the panel coherent enough to aggregate at all?
+    val alpha = Agreement.krippendorffAlpha(votes, "item", "rater", "cat")
+      .head().getAs[Double]("alpha")
+    assert(alpha < 1.0, "rater c systematically disagrees")
+    // 2) confusion-aware labels (c's inversions become evidence)
+    val labels = Labeling.dawidSkene(votes, "item", "rater", "cat")
+    assert(labels.where(col("label") === "keep").count() == 3L)
+    // 3) the shipped keep rate carries a Wilson interval
+    val ci = Experiments.proportionPanel(
+      labels.select(lit("all").as("g"), (col("label") === "keep").as("s")),
+      "g", "s").head()
+    assert(ci.getAs[Double]("wilson_lo") < 0.75 &&
+      ci.getAs[Double]("wilson_hi") > 0.75)
+  }
 }
