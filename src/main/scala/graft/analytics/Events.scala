@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics: the gap-filling / smoothing / funnel / cohort
@@ -503,4 +504,250 @@ object Events {
             / (col("dx") * col("dy"))), 6).as("r2"))
   }
 
+  /** Classical additive seasonal decomposition (the moving-average
+    * method behind `decompose` in every stats package; Kendall &
+    * Stuart lineage) — x = trend + seasonal + residual per key. The
+    * EXPLANATORY complement to [[holtWinters]] (which smooths
+    * forward; this attributes variance after the fact):
+    *
+    *  - trend: centered moving average — period p odd: the p-window
+    *    mean; p even: the standard 2×p MA (half weight on the two
+    *    endpoints). Undefined (null) within p/2 of either edge.
+    *  - seasonal: per-phase mean of the detrended series, re-centered
+    *    so the p seasonal indices sum to zero.
+    *  - residual: x − trend − seasonal.
+    *
+    * Determinism — the whole output hash-compares RAW, no libm, no
+    * rounding: the trick is SCALING by m (= p odd, 2p even) so every
+    * aggregate stays an exact decimal — the window sum Sm, the
+    * detrended value m·x − Sm, and the per-phase numerators; each
+    * surfaced double is then ONE exactly-rounded cast or division,
+    * and the p-value phase re-centering folds a SORTED bounded array
+    * (the leastSquares discipline).
+    *
+    * Scale shape: one per-key ordered window (p bounded ≤ 1000), one
+    * (key, phase) aggregate, one broadcast-sized phase table joined
+    * back; keys partition everything.
+    *
+    * Output per row: (key, ord, x, trend, seasonal, residual),
+    * ordered; trend/residual null at the edges.
+    */
+  def decompose(df: DataFrame, keyCol: String, orderCol: String,
+                valueCol: String, period: Int): DataFrame = {
+    require(period >= 2 && period <= 1000, "period must be in [2, 1000]")
+    val p = period
+    val even = p % 2 == 0
+    val h = if (even) p / 2 else (p - 1) / 2
+    val m = if (even) 2L * p else p.toLong
+    val winSize = if (even) p + 1 else p
+    val base = df.select(col(keyCol).as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(valueCol).cast("decimal(18,6)").as("x"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("k").orderBy("ord")))
+    val wc = Window.partitionBy("k").orderBy("i").rowsBetween(-h, h)
+    val wo = Window.partitionBy("k").orderBy("i")
+    val withTrend = base
+      .withColumn("cw", count(lit(1)).over(wc))
+      .withColumn("sfull", sum(col("x")).over(wc))
+      .withColumn("sm",
+        if (even)
+          lit(2).cast("decimal(18,6)") * col("sfull")
+            - lag(col("x"), h).over(wo) - lead(col("x"), h).over(wo)
+        else col("sfull"))
+      .withColumn("sm", when(col("cw") === winSize, col("sm")))
+      .withColumn("dm", when(col("sm").isNotNull,
+        lit(m).cast("decimal(18,6)") * col("x") - col("sm")))
+      .withColumn("phase", pmod(col("i") - 1, lit(p.toLong)))
+    val phases = withTrend.where(col("dm").isNotNull)
+      .groupBy("k", "phase")
+      .agg(sum(col("dm")).as("dnum"), count(lit(1)).as("dcnt"))
+      .withColumn("s_raw", col("dnum").cast("double")
+        / (lit(m) * col("dcnt")).cast("double"))
+    // re-center: mean of the present phase indices, ordered fold
+    val center = phases.groupBy("k")
+      .agg(count(lit(1)).as("np"),
+        array_sort(collect_list(struct(col("phase"), col("s_raw"))))
+          .as("ps"))
+      .select(col("k"),
+        (aggregate(transform(col("ps"), s => s.getField("s_raw")),
+          lit(0.0), (acc, v) => acc + v) / col("np").cast("double"))
+          .as("g"))
+    val seas = phases.join(center, Seq("k"))
+      .select(col("k"), col("phase"), (col("s_raw") - col("g"))
+        .as("seasonal"))
+    withTrend.join(seas, Seq("k", "phase"), "left")
+      .select(col("k").as(keyCol), col("ord"),
+        col("x").cast("double").as("x"),
+        (col("sm").cast("double") / lit(m.toDouble)).as("trend"),
+        col("seasonal"),
+        (col("x").cast("double") - col("sm").cast("double") / lit(m.toDouble)
+          - col("seasonal")).as("residual"))
+      .orderBy(keyCol, "ord")
+  }
+
+  /** Autocorrelation panel with the Ljung–Box portmanteau statistic —
+    * the serial-dependence diagnostic the smoother family assumes away
+    * ([[ewma]]/[[holtLinear]]/[[holtWinters]] fit structure; this
+    * MEASURES whether structure remains, e.g. in their residuals):
+    *
+    *   r_k = Σᵢ(xᵢ−x̄)(xᵢ₊ₖ−x̄) / Σᵢ(xᵢ−x̄)²
+    *   Q_h = n(n+2) Σ_{k≤h} r_k²/(n−k)   (Ljung & Box 1978; ~χ²(h))
+    *
+    * r_k is computed by the expanded algebra over EXACT decimal sums
+    * (Σxᵢxᵢ₊ₖ per lag from a position self-join, head/tail sums, the
+    * global S/Q/n): every surfaced double is a fixed expression tree
+    * of exactly-rounded casts and divisions — no libm anywhere — and
+    * Q_h accumulates through an ORDERED running window (sequential
+    * per-frame addition in both engines), so the whole panel
+    * hash-compares RAW.
+    *
+    * Scale shape: one per-key position window, one (key, pos+lag)
+    * self-join producing n·maxLag rows (maxLag bounded ≤ 64), and
+    * per-(key, lag) map-combinable decimal sums; keys partition
+    * everything. Constant series (zero variance) carry r = 0 by
+    * convention (guarded — ANSI double division throws on /0).
+    *
+    * Output per (key, lag ≤ min(maxLag, n−1)): (key, lag, n, r, q_lb),
+    * ordered.
+    */
+  def acf(df: DataFrame, keyCol: String, orderCol: String,
+          valueCol: String, maxLag: Int = 10): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, "maxLag must be in [1, 64]")
+    val base = df.select(col(keyCol).as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(valueCol).cast("decimal(18,6)").as("x"))
+      .withColumn("i", row_number().over(
+        Window.partitionBy("k").orderBy("ord")))
+    val tot = base.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).cast("double").as("s"),
+      sum(col("x").cast("decimal(19,6)") * col("x")).cast("double")
+        .as("q"))
+    val a = base.select(col("k"), col("i"), col("x").as("xa"))
+    val b = base.select(col("k"), col("i").as("j"), col("x").as("xb"))
+    val lagged = a
+      .crossJoin(broadcast(a.sparkSession.range(1, maxLag + 1L)
+        .select(col("id").as("lag"))))
+      .withColumn("j", col("i") + col("lag"))
+      .join(b, Seq("k", "j"))
+    val perLag = lagged.groupBy("k", "lag").agg(
+      sum(col("xa").cast("decimal(19,6)") * col("xb")).cast("double")
+        .as("sxy"),
+      sum(col("xa")).cast("double").as("sh"),
+      sum(col("xb")).cast("double").as("st"))
+    val scored = perLag.join(tot, Seq("k"))
+      .withColumn("xbar", col("s") / col("n").cast("double"))
+      .withColumn("den", col("q") - col("s") * col("s")
+        / col("n").cast("double"))
+      .withColumn("r",
+        when(col("den") <= 0.0, lit(0.0))
+          .otherwise((col("sxy") - col("xbar") * (col("sh") + col("st"))
+            + (col("n") - col("lag")).cast("double")
+              * col("xbar") * col("xbar")) / col("den")))
+    val wq = Window.partitionBy("k").orderBy("lag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.select(col("k").as(keyCol), col("lag"), col("n"), col("r"),
+        (col("n").cast("double") * (col("n") + 2).cast("double") *
+          sum(col("r") * col("r") / (col("n") - col("lag")).cast("double"))
+            .over(wq)).as("q_lb"))
+      .orderBy(keyCol, "lag")
+  }
+
+  /** Offline changepoint detection by BINARY SEGMENTATION (Scott &
+    * Knott 1974 lineage; the greedy depth-bounded relative of PELT) —
+    * the retrospective complement to [[cusum]] (which detects drift
+    * ONLINE, one pass, no revision): where did a per-key series
+    * change its mean level, looked at after the fact.
+    *
+    * Each of `rounds` passes splits every current segment at the
+    * point maximizing the within-segment SSE reduction
+    *
+    *   gain(i) = SSE(seg) − SSE(left≤i) − SSE(right>i),
+    *   SSE = Σx² − (Σx)²/n
+    *
+    * subject to both sides having ≥ `minSize` rows and
+    * gain ≥ `minGain`; segments with no admissible split stop
+    * splitting (the greedy tree just stops growing there).
+    *
+    * Scale shape: per round, ONE ordered window per (key, segment)
+    * over exact decimal prefix sums + one per-segment argmax + a
+    * broadcast split join — rounds is a small constant, keys
+    * partition everything; no driver state, no pair join. The
+    * (key, segment) frame is staged per round
+    * ([[graft.plans.Materialize]], the fixed-iteration contract).
+    *
+    * Determinism: prefix sums are exact decimals; gain is a fixed
+    * double tree over their exactly-rounded casts, and the argmax
+    * ranks on ROUND(gain, 6) with the ord tie-break (the q114
+    * rank-on-rounded rule), so the selected split set is
+    * cross-engine identical.
+    *
+    * Output: one row per final segment — (key, seg_start, n, mean
+    * ROUND 6), ordered by (key, seg_start); seg_start of the first
+    * segment is the key's minimum ord, each later seg_start is a
+    * changepoint (first ord of the new regime).
+    */
+  def changepoints(df: DataFrame, keyCol: String, orderCol: String,
+                   valueCol: String, rounds: Int = 2, minSize: Int = 2,
+                   minGain: Double = 1e-6): DataFrame = {
+    require(rounds >= 1 && rounds <= 6, "rounds must be in [1, 6]")
+    require(minSize >= 1, "minSize must be >= 1")
+    require(minGain >= 0, "minGain must be >= 0")
+    val key = "graft.dedup.checkpoint"
+    var cur = graft.plans.Materialize.stage(
+      df.select(col(keyCol).as("k"), col(orderCol).cast("long").as("ord"),
+        col(valueCol).cast("decimal(18,6)").as("x"),
+        lit(0L).as("seg")), key)
+    for (_ <- 1 to rounds) {
+      val w = Window.partitionBy("k", "seg").orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy("k", "seg")
+      val withCum = cur
+        .withColumn("i", count(lit(1)).over(
+          Window.partitionBy("k", "seg").orderBy("ord")))
+        .withColumn("cs", sum(col("x")).over(w).cast("double"))
+        .withColumn("cq", sum(col("x").cast("decimal(19,6)") * col("x"))
+          .over(w).cast("double"))
+        .withColumn("n", count(lit(1)).over(all))
+        .withColumn("ts", sum(col("x")).over(all).cast("double"))
+        .withColumn("tq", sum(col("x").cast("decimal(19,6)") * col("x"))
+          .over(all).cast("double"))
+      // gain at row i (split AFTER this row): SSE(total) − SSE(L) − SSE(R)
+      val scoredRows = withCum
+        .withColumn("gain",
+          when(col("i") < minSize || col("n") - col("i") < minSize,
+            lit(Double.NegativeInfinity))
+            .otherwise(
+              (col("tq") - col("ts") * col("ts") / col("n").cast("double"))
+                - (col("cq") - col("cs") * col("cs")
+                    / col("i").cast("double"))
+                - ((col("tq") - col("cq"))
+                    - (col("ts") - col("cs")) * (col("ts") - col("cs"))
+                      / (col("n") - col("i")).cast("double"))))
+        .withColumn("rgain", round(col("gain"), 6))
+      val splits = scoredRows
+        .withColumn("rk", row_number().over(Window.partitionBy("k", "seg")
+          .orderBy(desc("rgain"), col("ord"))))
+        .where(col("rk") === 1 && col("rgain") >= minGain)
+        .select(col("k"), col("seg"), col("ord").as("split_ord"))
+      // plain (k, seg)-keyed join, NOT broadcast: the split table has
+      // one row per segment, which scales with the key count — it
+      // co-partitions with `cur` instead
+      cur = graft.plans.Materialize.stage(
+        cur.join(splits, Seq("k", "seg"), "left")
+          .select(col("k"), col("ord"), col("x"),
+            when(col("split_ord").isNull, col("seg") * 2)
+              .otherwise(when(col("ord") <= col("split_ord"),
+                col("seg") * 2).otherwise(col("seg") * 2 + 1)).as("seg")),
+        key)
+    }
+    cur.groupBy("k", "seg")
+      .agg(min(col("ord")).as("seg_start"), count(lit(1)).as("n"),
+        (sum(col("x")).cast("double") / count(lit(1)).cast("double"))
+          .as("mean"))
+      .select(col("k").as(keyCol), col("seg_start"), col("n"),
+        round(col("mean"), 6).as("mean"))
+      .orderBy(keyCol, "seg_start")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Experiment analytics (the A/B measurement pair every data platform
@@ -255,6 +256,148 @@ object Experiments {
               / (col("n_a") - 1)
             + (col("s2_b") / col("n_b")) * (col("s2_b") / col("n_b"))
               / (col("n_b") - 1))).as("df"))
+  }
+
+  /** Mixture sequential probability ratio test (mSPRT) — the
+    * always-valid p-value stream of Johari, Koomen, Pekelis & Walsh
+    * (KDD 2017, "Peeking at A/B Tests"): a fixed-horizon t/Welch panel
+    * ([[welch]]/[[welchSums]]) is only valid at ONE preplanned n, but
+    * every real dashboard is watched continuously — this is the
+    * monitor that stays valid under that peeking. Per time bucket
+    * (ascending `bucketCol`), with cumulative per-arm moments, the
+    * two-sample normal mixture likelihood ratio under mixture
+    * variance τ²:
+    *
+    *   θ̂ = mean_a − mean_b,  V = s²_a/n_a + s²_b/n_b
+    *   Λ = √(V/(V+τ²)) · exp(θ̂²τ² / (2V(V+τ²)))
+    *   p = running min of min(1, 1/Λ)   (always-valid by construction)
+    *
+    * Buckets before both arms have ≥ 2 units carry Λ = 1, p = 1.
+    *
+    * Scale shape: one per-(bucket, arm) decimal partial-sum
+    * aggregation (map-side combinable), then ONE ordered cumulative
+    * window over the BUCKET axis — buckets are a time axis (days,
+    * hours), bounded by contract; units never enter a window.
+    *
+    * Determinism: all cumulative moments are exact decimal sums; Λ
+    * takes libm sqrt/exp → 1/Λ is ROUND(6)ed FIRST and the running
+    * min runs on the rounded values (the rank-on-rounded rule), so
+    * the monotone p-path is cross-engine identical.
+    *
+    * Output per bucket (ordered): bucket, n_a, n_b, theta, v,
+    * lambda_inv, p_always_valid.
+    */
+  def msprt(df: DataFrame, bucketCol: String, armCol: String,
+            valueCol: String, tau2: Double = 0.0001): DataFrame = {
+    require(tau2 > 0, "mixture variance tau2 must be positive")
+    val perBucket = df.select(col(bucketCol).as("bk"),
+        (col(armCol).cast("long") === 1L).as("isA"),
+        col(valueCol).cast("decimal(18,6)").as("x"))
+      .groupBy("bk")
+      .agg(
+        sum(when(col("isA"), 1L).otherwise(0L)).as("dna"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("dnb"),
+        sum(when(col("isA"), col("x")).otherwise(lit(0).cast("decimal(18,6)"))).as("dsa"),
+        sum(when(!col("isA"), col("x")).otherwise(lit(0).cast("decimal(18,6)"))).as("dsb"),
+        sum(when(col("isA"), col("x") * col("x")).otherwise(lit(0).cast("decimal(38,12)"))).as("dqa"),
+        sum(when(!col("isA"), col("x") * col("x")).otherwise(lit(0).cast("decimal(38,12)"))).as("dqb"))
+    val w = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perBucket.select(col("bk"),
+      sum(col("dna")).over(w).as("n_a"),
+      sum(col("dnb")).over(w).as("n_b"),
+      sum(col("dsa")).over(w).cast("double").as("sa"),
+      sum(col("dsb")).over(w).cast("double").as("sb"),
+      sum(col("dqa")).over(w).cast("double").as("qa"),
+      sum(col("dqb")).over(w).cast("double").as("qb"))
+    // ANSI mode: double division by zero THROWS — the degenerate
+    // bucket guards must wrap the arithmetic (CaseWhen branches are
+    // lazily evaluated under codegen), not just the output columns
+    val scored = cum
+      .withColumn("theta",
+        when(col("n_a") < 1 || col("n_b") < 1, lit(0.0))
+          .otherwise(col("sa") / col("n_a").cast("double")
+            - col("sb") / col("n_b").cast("double")))
+      .withColumn("v",
+        when(col("n_a") < 2 || col("n_b") < 2, lit(0.0))
+          .otherwise(
+            (col("qa") - col("sa") * col("sa") / col("n_a").cast("double"))
+              / (col("n_a") - 1).cast("double") / col("n_a").cast("double")
+              + (col("qb") - col("sb") * col("sb") / col("n_b").cast("double"))
+                / (col("n_b") - 1).cast("double") / col("n_b").cast("double")))
+      .withColumn("lambda_inv",
+        when(col("n_a") < 2 || col("n_b") < 2 || col("v") <= 0.0, lit(1.0))
+          .otherwise(least(lit(1.0),
+            sqrt((col("v") + lit(tau2)) / col("v")) *
+              exp(-col("theta") * col("theta") * lit(tau2) /
+                (lit(2.0) * col("v") * (col("v") + lit(tau2)))))))
+      .withColumn("lambda_inv", round(col("lambda_inv"), 6))
+    scored.select(col("bk").as(bucketCol),
+        col("n_a"), col("n_b"),
+        round(col("theta"), 6).as("theta"),
+        round(col("v"), 6).as("v"),
+        col("lambda_inv"),
+        min(col("lambda_inv")).over(Window.orderBy("bk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("p_always_valid"))
+      .orderBy(bucketCol)
+  }
+
+  /** Sample-ratio mismatch (SRM) guardrail — the first thing to check
+    * when an experiment reads ANY effect: do the realized arm counts
+    * match the declared allocation? χ² goodness-of-fit against exact
+    * rational expected shares (num_i / den):
+    *
+    *   contrib_i = (O_i·den − N·num_i)² / (N·num_i·den)
+    *
+    * — each an exact-integer division; the total folds in arm order
+    * (sorted bounded list, the leastSquares discipline) so the sum is
+    * bit-identical cross-engine → fully RAW. χ² ~ χ²(k−1); SRM at
+    * p < 0.001 (χ² > 10.83 for 2 arms) means the assignment pipeline
+    * is broken and the experiment's data is void.
+    *
+    * `expected` maps arm value → numerator (denominator = their sum),
+    * e.g. Seq(0 -> 1, 1 -> 1) for 50/50. Arms observed but not
+    * declared raise (an undeclared arm IS a mismatch worth failing
+    * loudly on). Output per arm: (arm, observed, expected_num, chi2)
+    * with the total χ² repeated per row.
+    */
+  def srmCheck(df: DataFrame, armCol: String,
+               expected: Seq[(Long, Long)]): DataFrame = {
+    require(expected.nonEmpty && expected.size <= 64 &&
+      expected.forall(_._2 > 0) &&
+      expected.map(_._1).distinct.size == expected.size,
+      "expected must be <= 64 distinct arms with positive weights")
+    val den = expected.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val exp_ = expected.toDF("arm", "expected_num")
+    val obs = df.select(col(armCol).cast("long").as("arm"))
+      .groupBy("arm").agg(count(lit(1)).as("observed"))
+    val tot = obs.agg(sum(col("observed")).as("nn"))
+    val rows = exp_.join(obs, Seq("arm"), "full_outer")
+      .na.fill(0L, Seq("observed"))
+      .select(
+        when(col("expected_num").isNull,
+          raise_error(concat(lit("srmCheck: undeclared arm "),
+            col("arm").cast("string"), lit(" observed — the "),
+            lit("assignment pipeline emits arms outside the design"))))
+          .otherwise(col("expected_num")).as("expected_num"),
+        col("arm"), col("observed"))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib", {
+        val d = col("observed") * lit(den) - col("nn") * col("expected_num")
+        (d * d).cast("double") /
+          (col("nn") * col("expected_num") * lit(den)).cast("double")
+      })
+    val chi2 = rows.agg(array_sort(collect_list(struct(col("arm"),
+        col("contrib")))).as("cs"))
+      .select(aggregate(transform(col("cs"), s => s.getField("contrib")),
+        lit(0.0), (acc, x) => acc + x).as("chi2"))
+    rows.crossJoin(broadcast(chi2))
+      .select(col("arm"), col("observed"), col("expected_num"),
+        col("chi2"))
+      .orderBy("arm")
   }
 
   /** Per-group binomial proportion with the Wilson 1927 score interval

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg
+  * 2003) over a bipartite edge list — the "which entities are probably
+  * the same / related" scorer for record-linkage blocking and
+  * recommendation candidates, next to the graph-shape audits
+  * ([[TriangleCount]] measures closure that EXISTS; this scores pairs
+  * that DON'T have an edge yet):
+  *
+  *  - common neighbors |N(a) ∩ N(b)| — exact count
+  *  - Jaccard |N∩| / |N∪| — one exact-integer division
+  *  - Adamic–Adar Σ_z 1/ln(deg z) — down-weights promiscuous shared
+  *    neighbors (a rare shared part is strong evidence; a popular one
+  *    is weak)
+  *
+  * Scale shape: the [[TriangleCount]] wedge discipline applied
+  * bipartitely — wedges form only at RIGHT apexes, and apexes with
+  * degree > `maxApexDegree` are EXCLUDED from wedge formation
+  * entirely (the stop-word-node treatment: a right connected to half
+  * the lefts predicts nothing and would cost degree² wedges). Work is
+  * Σ_apex deg², bounded by the cap; everything else is degree
+  * aggregates and key-partitioned joins — no global structure.
+  *
+  * Determinism: counts and Jaccard are exact (RAW); Adamic–Adar sums
+  * libm 1/ln terms per pair → gates ROUND(6) it. Apex degrees in the
+  * AA term are the FULL right degree (cap only excludes the apex from
+  * wedge formation, it never truncates a kept apex's weight).
+  *
+  * Output per candidate pair (a < b, ≥ 1 shared kept neighbor):
+  * (left_a, left_b, common, deg_a, deg_b, jaccard, adamic_adar).
+  */
+object LinkPredict {
+
+  def bipartiteScores(edges: DataFrame, leftCol: String, rightCol: String,
+                      maxApexDegree: Int = 1000): DataFrame = {
+    require(maxApexDegree >= 2, "maxApexDegree must be >= 2")
+    val e = edges.select(col(leftCol).as("l"), col(rightCol).as("r"))
+      .where(col("l").isNotNull && col("r").isNotNull)
+      .distinct()
+    val degL = e.groupBy("l").agg(count(lit(1)).as("dl"))
+    val degR = e.groupBy("r").agg(count(lit(1)).as("dr"))
+    val kept = e.join(degR.where(col("dr") <= maxApexDegree), Seq("r"))
+    val wedges = kept.select(col("r"), col("l").as("a"), col("dr"))
+      .join(kept.select(col("r"), col("l").as("b")), Seq("r"))
+      .where(col("a") < col("b"))
+    val pairs = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("common"),
+        sum(lit(1.0) / log(col("dr").cast("double"))).as("aa"))
+    pairs
+      .join(degL.select(col("l").as("a"), col("dl").as("deg_a")), Seq("a"))
+      .join(degL.select(col("l").as("b"), col("dl").as("deg_b")), Seq("b"))
+      .select(col("a").as("left_a"), col("b").as("left_b"), col("common"),
+        col("deg_a"), col("deg_b"),
+        (col("common").cast("double") /
+          (col("deg_a") + col("deg_b") - col("common")).cast("double"))
+          .as("jaccard"),
+        col("aa").as("adamic_adar"))
+  }
+}

@@ -706,9 +706,357 @@ object TestQueries25 {
       FROM points p CROSS JOIN fit CROSS JOIN mx ORDER BY p.f"""
     })
 
+  /** mSPRT always-valid p-value stream per day —
+    * [[graft.analytics.Experiments.msprt]] (Johari et al. KDD 2017):
+    * the peeking-safe monitor over the q317/q324 fixed-horizon Welch
+    * panel, replayed over the events timeline (arm = user parity,
+    * day buckets). Cumulative moments are exact decimal window sums;
+    * 1/Λ takes sqrt+exp → ROUND(6) BEFORE the running min (the
+    * rank-on-rounded rule), so the monotone p-path is cross-engine
+    * identical; counts RAW.
+    */
+  val q347Msprt: QueryCase = QueryCase(
+    "q347_msprt",
+    (s, dir) => graft.analytics.Experiments.msprt(
+      Tables.events(s, dir).where(col("user_id") < 100)
+        .select(to_date(col("ts")).as("day"),
+          (col("user_id") % 2).as("arm"), col("value")),
+      "day", "arm", "value", tau2 = 0.25),
+    Some("""
+      WITH ev AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+          user_id % 2 = 1 AS is_a,
+          CAST(value AS DECIMAL(18,6)) AS x
+        FROM events WHERE user_id < 100),
+      pb AS (
+        SELECT day,
+          CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS dna,
+          CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS dnb,
+          SUM(CASE WHEN is_a THEN x
+            ELSE CAST(0 AS DECIMAL(18,6)) END) AS dsa,
+          SUM(CASE WHEN NOT is_a THEN x
+            ELSE CAST(0 AS DECIMAL(18,6)) END) AS dsb,
+          SUM(CASE WHEN is_a THEN CAST(x AS DECIMAL(19,6)) * x
+            ELSE CAST(0 AS DECIMAL(38,12)) END) AS dqa,
+          SUM(CASE WHEN NOT is_a THEN CAST(x AS DECIMAL(19,6)) * x
+            ELSE CAST(0 AS DECIMAL(38,12)) END) AS dqb
+        FROM ev GROUP BY day),
+      cum AS (
+        SELECT day,
+          CAST(SUM(dna) OVER w AS BIGINT) AS n_a,
+          CAST(SUM(dnb) OVER w AS BIGINT) AS n_b,
+          CAST(CAST(SUM(dsa) OVER w AS VARCHAR) AS DOUBLE) AS sa,
+          CAST(CAST(SUM(dsb) OVER w AS VARCHAR) AS DOUBLE) AS sb,
+          CAST(CAST(SUM(dqa) OVER w AS VARCHAR) AS DOUBLE) AS qa,
+          CAST(CAST(SUM(dqb) OVER w AS VARCHAR) AS DOUBLE) AS qb
+        FROM pb
+        WINDOW w AS (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      sc AS (
+        SELECT day, n_a, n_b,
+          CASE WHEN n_a < 1 OR n_b < 1 THEN CAST(0.0 AS DOUBLE)
+            ELSE sa / CAST(n_a AS DOUBLE) - sb / CAST(n_b AS DOUBLE)
+            END AS theta,
+          CASE WHEN n_a < 2 OR n_b < 2 THEN CAST(0.0 AS DOUBLE)
+            ELSE (qa - sa * sa / CAST(n_a AS DOUBLE))
+                / CAST(n_a - 1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+              + (qb - sb * sb / CAST(n_b AS DOUBLE))
+                / CAST(n_b - 1 AS DOUBLE) / CAST(n_b AS DOUBLE)
+            END AS v
+        FROM cum),
+      li AS (
+        SELECT day, n_a, n_b, theta, v,
+          ROUND(CASE WHEN n_a < 2 OR n_b < 2 OR v <= 0.0
+              THEN CAST(1.0 AS DOUBLE)
+            ELSE LEAST(CAST(1.0 AS DOUBLE),
+              SQRT((v + 0.25) / v)
+                * EXP(-theta * theta * 0.25
+                  / (CAST(2.0 AS DOUBLE) * v * (v + 0.25))))
+            END, 6) AS lambda_inv
+        FROM sc)
+      SELECT day, n_a, n_b, ROUND(theta, 6) AS theta, ROUND(v, 6) AS v,
+        lambda_inv,
+        MIN(lambda_inv) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS p_always_valid
+      FROM li ORDER BY day"""))
+
+  /** Sample-ratio-mismatch guardrail on the experiment cohort —
+    * [[graft.analytics.Experiments.srmCheck]]: realized parity-arm
+    * counts vs the declared 50/50, exact-integer χ² contributions
+    * folded in arm order → fully RAW.
+    */
+  val q348SrmCheck: QueryCase = QueryCase(
+    "q348_srm_check",
+    (s, dir) => graft.analytics.Experiments.srmCheck(
+      Tables.events(s, dir).where(col("user_id") < 100)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .select((col("user_id") % 2).as("arm")),
+      "arm", Seq(0L -> 1L, 1L -> 1L)),
+    Some("""
+      WITH units AS (
+        SELECT user_id % 2 AS arm
+        FROM events WHERE user_id < 100 GROUP BY user_id),
+      obs AS (
+        SELECT e.arm, e.num AS expected_num,
+          CAST(COALESCE(o.c, 0) AS BIGINT) AS observed
+        FROM (SELECT 0 AS arm, CAST(1 AS BIGINT) AS num
+              UNION ALL SELECT 1, 1) e
+        LEFT JOIN (SELECT arm, COUNT(*) AS c FROM units GROUP BY arm) o
+          ON o.arm = e.arm),
+      tot AS (SELECT CAST(SUM(observed) AS BIGINT) AS nn FROM obs),
+      rows_ AS (
+        SELECT arm, observed, expected_num,
+          CAST((observed * 2 - nn * expected_num)
+            * (observed * 2 - nn * expected_num) AS DOUBLE)
+            / CAST(nn * expected_num * 2 AS DOUBLE) AS contrib
+        FROM obs CROSS JOIN tot),
+      chi AS (
+        SELECT list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list(contrib ORDER BY arm)), (aa, bb) -> aa + bb) AS chi2
+        FROM rows_)
+      SELECT arm, observed, expected_num, chi.chi2
+      FROM rows_ CROSS JOIN chi ORDER BY arm"""))
+
+  /** One binary-segmentation round as oracle CTEs (prefix `$p`,
+    * reading segment labels from `$prev(k, ord, x, seg)`): exact
+    * decimal prefix/total sums per (k, seg) cast to double through
+    * VARCHAR, the SSE-gain expression, rank-on-ROUND(gain,6) argmax
+    * with the ord tie-break, and the split relabel — mirrors one loop
+    * body of [[graft.analytics.Events.changepoints]] (minSize 5,
+    * minGain 1e-6).
+    */
+  private def cpRoundSql(p: String, prev: String): String = {
+    def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+    s"""${p}cum AS (
+        SELECT k, ord, x, seg,
+          CAST(ROW_NUMBER() OVER (PARTITION BY k, seg ORDER BY ord)
+            AS BIGINT) AS i,
+          ${dbl("SUM(x) OVER wcum")} AS cs,
+          ${dbl("SUM(CAST(x AS DECIMAL(19,6)) * x) OVER wcum")} AS cq,
+          CAST(COUNT(*) OVER wall AS BIGINT) AS n,
+          ${dbl("SUM(x) OVER wall")} AS ts,
+          ${dbl("SUM(CAST(x AS DECIMAL(19,6)) * x) OVER wall")} AS tq
+        FROM $prev
+        WINDOW wcum AS (PARTITION BY k, seg ORDER BY ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wall AS (PARTITION BY k, seg)),
+      ${p}gain AS (
+        SELECT k, ord, seg,
+          ROUND(CASE WHEN i < 5 OR n - i < 5
+              THEN CAST('-infinity' AS DOUBLE)
+            ELSE (tq - ts * ts / CAST(n AS DOUBLE))
+              - (cq - cs * cs / CAST(i AS DOUBLE))
+              - ((tq - cq) - (ts - cs) * (ts - cs)
+                  / CAST(n - i AS DOUBLE)) END, 6) AS rg
+        FROM ${p}cum),
+      ${p}split AS (
+        SELECT k, seg, ord AS split_ord FROM (
+          SELECT k, seg, ord,  rg,
+            ROW_NUMBER() OVER (PARTITION BY k, seg
+              ORDER BY rg DESC, ord) AS rk
+          FROM ${p}gain)
+        WHERE rk = 1 AND rg >= CAST(0.000001 AS DOUBLE)),
+      ${p}lab AS (
+        SELECT c.k, c.ord, c.x,
+          CASE WHEN s.split_ord IS NULL THEN c.seg * 2
+            WHEN c.ord <= s.split_ord THEN c.seg * 2
+            ELSE c.seg * 2 + 1 END AS seg
+        FROM $prev c LEFT JOIN ${p}split s
+          ON s.k = c.k AND s.seg = c.seg)"""
+  }
+
+  /** Offline changepoint detection by binary segmentation over each
+    * user's event-value series — [[graft.analytics.Events
+    * .changepoints]] (2 rounds, minSize 5): the retrospective
+    * complement to q130-family CUSUM. Exact decimal prefix sums; the
+    * split argmax ranks on ROUND(gain, 6) with the ord tie-break →
+    * the selected segment tree is cross-engine identical; counts and
+    * seg_start RAW, mean ROUND(6).
+    */
+  val q349Changepoints: QueryCase = QueryCase(
+    "q349_changepoints",
+    (s, dir) => graft.analytics.Events.changepoints(
+      Tables.events(s, dir).where(col("user_id") < 20),
+      "user_id", "event_id", "value", rounds = 2, minSize = 5),
+    Some(s"""
+      WITH lab0 AS (
+        SELECT user_id AS k, event_id AS ord,
+          CAST(value AS DECIMAL(18,6)) AS x, CAST(0 AS BIGINT) AS seg
+        FROM events WHERE user_id < 20),
+      ${cpRoundSql("r1", "lab0")},
+      ${cpRoundSql("r2", "r1lab")}
+      SELECT k AS user_id, CAST(MIN(ord) AS BIGINT) AS seg_start,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        ROUND(CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS mean
+      FROM r2lab GROUP BY k, seg ORDER BY user_id, seg_start"""))
+
+  /** Link prediction over the customer–part purchase graph —
+    * [[graft.operators.LinkPredict.bipartiteScores]] (Liben-Nowell &
+    * Kleinberg 2003): common-neighbors / Jaccard / Adamic–Adar for
+    * customer pairs sharing purchased parts, wedges formed only at
+    * parts with ≤ 20 buyers (the stop-word-node cap). Counts and
+    * Jaccard exact → RAW; Adamic–Adar sums libm 1/ln terms → ROUND(6).
+    */
+  val q350LinkPredict: QueryCase = QueryCase(
+    "q350_link_predict",
+    (s, dir) => {
+      val o = Tables.table(s, dir, "orders").where(col("o_custkey") < 100)
+      val li = Tables.table(s, dir, "lineitem")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      graft.operators.LinkPredict
+        .bipartiteScores(edges, "o_custkey", "l_partkey",
+          maxApexDegree = 20)
+        .select(col("left_a"), col("left_b"), col("common"),
+          col("deg_a"), col("deg_b"), col("jaccard"),
+          round(col("adamic_adar"), 6).as("adamic_adar"))
+        .orderBy("left_a", "left_b")
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT o.o_custkey AS l, li.l_partkey AS r
+        FROM orders o JOIN lineitem li ON li.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey < 100),
+      dl AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS dl FROM e GROUP BY l),
+      dr AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS dr FROM e GROUP BY r),
+      kept AS (
+        SELECT e.r, e.l, dr.dr FROM e JOIN dr ON dr.r = e.r
+        WHERE dr.dr <= 20),
+      w AS (
+        SELECT ka.l AS a, kb.l AS b, ka.dr
+        FROM kept ka JOIN kept kb ON ka.r = kb.r AND ka.l < kb.l),
+      p AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,
+          SUM(CAST(1.0 AS DOUBLE) / ln(CAST(dr AS DOUBLE))) AS aa
+        FROM w GROUP BY a, b)
+      SELECT p.a AS left_a, p.b AS left_b, p.common,
+        da.dl AS deg_a, db.dl AS deg_b,
+        CAST(p.common AS DOUBLE)
+          / CAST(da.dl + db.dl - p.common AS DOUBLE) AS jaccard,
+        ROUND(aa, 6) AS adamic_adar
+      FROM p JOIN dl da ON da.l = p.a JOIN dl db ON db.l = p.b
+      ORDER BY left_a, left_b"""))
+
+  private def dbl2(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+
+  /** Sample autocorrelation + Ljung–Box per user —
+    * [[graft.analytics.Events.acf]]: the expanded-algebra r_k over
+    * exact decimal sums and the ordered running Q window make the
+    * whole panel libm-free, fixed-tree deterministic → fully RAW.
+    */
+  val q351Acf: QueryCase = QueryCase(
+    "q351_acf",
+    (s, dir) => graft.analytics.Events.acf(
+      Tables.events(s, dir).where(col("user_id") < 10),
+      "user_id", "event_id", "value", maxLag = 5),
+    Some(s"""
+      WITH base AS (
+        SELECT user_id AS k, CAST(value AS DECIMAL(18,6)) AS x,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY event_id) AS BIGINT) AS i
+        FROM events WHERE user_id < 10),
+      tot AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+          ${dbl2("SUM(x)")} AS s,
+          ${dbl2("SUM(CAST(x AS DECIMAL(19,6)) * x)")} AS q
+        FROM base GROUP BY k),
+      lagged AS (
+        SELECT a.k, l.lag, a.x AS xa, b.x AS xb
+        FROM base a
+        CROSS JOIN (SELECT CAST(uu.lg AS BIGINT) AS lag
+                    FROM UNNEST([1, 2, 3, 4, 5]) uu(lg)) l
+        JOIN base b ON b.k = a.k AND b.i = a.i + l.lag),
+      per AS (
+        SELECT k, lag,
+          ${dbl2("SUM(CAST(xa AS DECIMAL(19,6)) * xb)")} AS sxy,
+          ${dbl2("SUM(xa)")} AS sh, ${dbl2("SUM(xb)")} AS st
+        FROM lagged GROUP BY k, lag),
+      sc AS (
+        SELECT p.k, p.lag, t.n,
+          CASE WHEN t.q - t.s * t.s / CAST(t.n AS DOUBLE)
+              <= CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+            ELSE (p.sxy
+                - (t.s / CAST(t.n AS DOUBLE)) * (p.sh + p.st)
+                + CAST(t.n - p.lag AS DOUBLE)
+                  * (t.s / CAST(t.n AS DOUBLE))
+                  * (t.s / CAST(t.n AS DOUBLE)))
+              / (t.q - t.s * t.s / CAST(t.n AS DOUBLE)) END AS r
+        FROM per p JOIN tot t ON t.k = p.k)
+      SELECT k AS user_id, lag, n, r,
+        CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+          * SUM(r * r / CAST(n - lag AS DOUBLE)) OVER (
+            PARTITION BY k ORDER BY lag
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_lb
+      FROM sc ORDER BY user_id, lag"""))
+
+  /** Classical additive decomposition (period 7) per user —
+    * [[graft.analytics.Events.decompose]]: the m-scaled exact-decimal
+    * algebra keeps every aggregate exact, so trend/seasonal/residual
+    * are fixed trees of exactly-rounded casts/divisions → fully RAW
+    * (nulls at the MA edges on both sides).
+    */
+  val q352Decompose: QueryCase = QueryCase(
+    "q352_decompose",
+    (s, dir) => graft.analytics.Events.decompose(
+      Tables.events(s, dir).where(col("user_id") < 10),
+      "user_id", "event_id", "value", period = 7),
+    Some(s"""
+      WITH base AS (
+        SELECT user_id AS k, event_id AS ord,
+          CAST(value AS DECIMAL(18,6)) AS x,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY event_id) AS BIGINT) AS i
+        FROM events WHERE user_id < 10),
+      wt AS (
+        SELECT k, ord, x, i,
+          CAST(COUNT(*) OVER wc AS BIGINT) AS cw,
+          SUM(x) OVER wc AS sfull
+        FROM base
+        WINDOW wc AS (PARTITION BY k ORDER BY i
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      smt AS (
+        SELECT k, ord, x, i,
+          CASE WHEN cw = 7 THEN sfull END AS sm,
+          (i - 1) % 7 AS phase
+        FROM wt),
+      dmt AS (
+        SELECT *, CASE WHEN sm IS NOT NULL
+          THEN CAST(7 AS DECIMAL(18,6)) * x - sm END AS dm
+        FROM smt),
+      phases AS (
+        SELECT k, phase, ${dbl2("SUM(dm)")} AS dnum,
+          CAST(COUNT(*) AS BIGINT) AS dcnt
+        FROM dmt WHERE dm IS NOT NULL GROUP BY k, phase),
+      praw AS (
+        SELECT k, phase,
+          dnum / CAST(7 * dcnt AS DOUBLE) AS s_raw
+        FROM phases),
+      center AS (
+        SELECT k,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(s_raw ORDER BY phase)), (aa, bb) -> aa + bb)
+            / CAST(COUNT(*) AS DOUBLE) AS g
+        FROM praw GROUP BY k),
+      seas AS (
+        SELECT praw.k, praw.phase, praw.s_raw - center.g AS seasonal
+        FROM praw JOIN center ON center.k = praw.k)
+      SELECT d.k AS user_id, d.ord, ${dbl2("d.x")} AS x,
+        ${dbl2("d.sm")} / CAST(7.0 AS DOUBLE) AS trend,
+        se.seasonal,
+        ${dbl2("d.x")} - ${dbl2("d.sm")} / CAST(7.0 AS DOUBLE)
+          - se.seasonal AS residual
+      FROM dmt d LEFT JOIN seas se
+        ON se.k = d.k AND se.phase = d.phase
+      ORDER BY user_id, d.ord"""))
+
   val all: Seq[QueryCase] =
     Seq(q334Wilcoxon, q335Mcnemar, q336SignFlip, q337BhHolm,
       q338FleissKappa, q339Krippendorff, q340MajorityVote,
       q341RaterReliability, q342WeightedVote, q343CochranQ,
-      q344WilsonCi, q345DawidSkene, q346ScalingFit)
+      q344WilsonCi, q345DawidSkene, q346ScalingFit, q347Msprt,
+      q348SrmCheck, q349Changepoints, q350LinkPredict, q351Acf,
+      q352Decompose)
 }

@@ -1,0 +1,81 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** ACF/Ljung–Box and classical decomposition vs hand references. */
+class AcfDecomposeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("acf matches the sample-ACF closed form (float reference)") {
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 5.0, 8.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", (i + 1).toLong, x) }
+      .toDF("key", "ord", "x")
+    val out = Events.acf(df, "key", "ord", "x", maxLag = 3)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Double]("r"), r.getAs[Double]("q_lb"))).toMap
+    assert(math.abs(out(1L)._1 - 0.244718309859) < 1e-10)
+    assert(math.abs(out(2L)._1 - 0.411971830986) < 1e-10)
+    assert(math.abs(out(3L)._1 - (-0.181338028169)) < 1e-10)
+    assert(math.abs(out(1L)._2 - 0.684423442061) < 1e-9)
+    assert(math.abs(out(3L)._2 - 3.47350298977) < 1e-9)
+  }
+
+  test("acf: lags stop at n-1; constant series carries r = 0") {
+    val df = (1 to 4).map(i => ("k", i.toLong, 5.0)).toDF("key", "ord", "x")
+    val rows = Events.acf(df, "key", "ord", "x", maxLag = 10).collect()
+    assert(rows.map(_.getAs[Long]("lag")).toSet == Set(1L, 2L, 3L))
+    assert(rows.forall(_.getAs[Double]("r") == 0.0))
+  }
+
+  test("acf: a perfectly alternating series has r_1 near -1") {
+    val df = (1 to 20).map(i => ("k", i.toLong,
+      if (i % 2 == 0) 1.0 else -1.0)).toDF("key", "ord", "x")
+    val r1 = Events.acf(df, "key", "ord", "x", maxLag = 1)
+      .collect().head.getAs[Double]("r")
+    assert(r1 < -0.9)
+  }
+
+  private def runDecomp(xs: Seq[Double], p: Int) =
+    Events.decompose(
+      xs.zipWithIndex.map { case (x, i) => ("k", (i + 1).toLong, x) }
+        .toDF("key", "ord", "x"), "key", "ord", "x", p)
+      .orderBy("ord").collect()
+      .map(r => (r.getAs[Long]("ord"),
+        Option(r.get(r.fieldIndex("trend"))).map(_.asInstanceOf[Double]),
+        r.getAs[Double]("seasonal"),
+        Option(r.get(r.fieldIndex("residual"))).map(_.asInstanceOf[Double])))
+
+  test("even period (2xMA): exact seasonal pattern -> residual 0") {
+    // [10,20,30,40] + 0.5/period trend drift x3 cycles (hand reference)
+    val xs = Seq(10.0, 20.0, 30.0, 40.0, 12.0, 22.0, 32.0, 42.0,
+      14.0, 24.0, 34.0, 44.0)
+    val out = runDecomp(xs, 4)
+    val byOrd = out.map(t => t._1 -> t).toMap
+    assert(byOrd(1L)._2.isEmpty && byOrd(2L)._2.isEmpty)
+    assert(byOrd(3L)._2.contains(25.25))
+    assert(byOrd(10L)._2.contains(28.75))
+    assert(math.abs(byOrd(1L)._3 - (-14.25)) < 1e-12)
+    assert(math.abs(byOrd(4L)._3 - 14.25) < 1e-12)
+    out.filter(_._2.isDefined).foreach { t =>
+      assert(math.abs(t._4.get) < 1e-12, s"residual at ${t._1}")
+    }
+    // seasonal indices sum to ~0 over one period
+    assert(math.abs((1L to 4L).map(o => byOrd(o)._3).sum) < 1e-12)
+  }
+
+  test("odd period: plain centered MA") {
+    val out = runDecomp(Seq(5.0, 7.0, 9.0, 6.0, 8.0, 10.0, 7.0), 3)
+    val byOrd = out.map(t => t._1 -> t).toMap
+    assert(byOrd(2L)._2.contains(7.0))
+    assert(byOrd(6L)._2.contains(8.0 + 1.0 / 3.0))
+    assert(math.abs(byOrd(3L)._3 - 5.0 / 3.0) < 1e-12)
+    out.filter(_._2.isDefined).foreach(t => assert(math.abs(t._4.get) < 1e-12))
+  }
+
+  test("decompose is deterministic across executions") {
+    val xs = (1 to 50).map(i => (i % 7).toDouble * 3 + i * 0.1)
+    val a = runDecomp(xs, 7)
+    val b = runDecomp(xs, 7)
+    assert(a.toSeq == b.toSeq)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Binary-segmentation changepoints on hand-walked series. */
+class ChangepointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(xs: Seq[Double], rounds: Int = 2, minSize: Int = 2) =
+    Events.changepoints(
+      xs.zipWithIndex.map { case (x, i) => ("k", (i + 1).toLong, x) }
+        .toDF("key", "ord", "x"), "key", "ord", "x", rounds, minSize)
+      .orderBy("seg_start").collect()
+      .map(r => (r.getAs[Long]("seg_start"), r.getAs[Long]("n"),
+        r.getAs[Double]("mean")))
+
+  test("two level shifts found in two rounds (tie splits at the " +
+    "earliest ord)") {
+    // [0 x4, 10 x4, 20 x4]: round 1 gains tie at i=4 and i=8 (600.0)
+    // -> ord tie-break picks 4; round 2 splits the right half at its
+    // own shift -> segments (1,4,0.0) (5,4,10.0) (9,4,20.0)
+    val segs = run(Seq.fill(4)(0.0) ++ Seq.fill(4)(10.0) ++
+      Seq.fill(4)(20.0))
+    assert(segs.toSeq == Seq((1L, 4L, 0.0), (5L, 4L, 10.0),
+      (9L, 4L, 20.0)))
+  }
+
+  test("flat series never splits (gain 0 < minGain)") {
+    val segs = run(Seq.fill(10)(7.5))
+    assert(segs.toSeq == Seq((1L, 10L, 7.5)))
+  }
+
+  test("minSize blocks splits on tiny segments") {
+    // n = 3 with minSize = 2: no i satisfies i >= 2 and n - i >= 2
+    val segs = run(Seq(0.0, 100.0, 200.0), rounds = 1)
+    assert(segs.length == 1 && segs.head._2 == 3L)
+  }
+
+  test("keys segment independently") {
+    val df = ((1 to 6).map(i => ("a", i.toLong, if (i <= 3) 0.0 else 9.0))
+      ++ (1 to 6).map(i => ("b", i.toLong, 5.0)))
+      .toDF("key", "ord", "x")
+    val out = Events.changepoints(df, "key", "ord", "x", rounds = 1)
+      .collect().map(r => (r.getAs[String]("key"),
+        r.getAs[Long]("seg_start"))).toSet
+    assert(out == Set(("a", 1L), ("a", 4L), ("b", 1L)))
+  }
+
+  test("deterministic across executions") {
+    val xs = (1 to 40).map(i => (i % 7).toDouble + (if (i > 20) 5.0 else 0.0))
+    val a = run(xs, rounds = 3)
+    val b = run(xs, rounds = 3)
+    assert(a.toSeq == b.toSeq)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** mSPRT always-valid p-path and the SRM guardrail on hand panels. */
+class MsprtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val panel = Seq(
+    (1, 1L, 1.0), (1, 1L, 2.0), (1, 0L, 1.5),
+    (2, 1L, 3.0), (2, 0L, 0.5), (2, 0L, 1.0),
+    (3, 1L, 4.0), (3, 1L, 5.0), (3, 0L, 1.0))
+    .toDF("day", "arm", "x")
+
+  test("hand-walked p-path at tau2 = 0.25 (float reference)") {
+    val rows = Experiments.msprt(panel, "day", "arm", "x", tau2 = 0.25)
+      .collect().map(r => r.getAs[Int]("day") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("theta"), r.getAs[Double]("v"),
+          r.getAs[Double]("lambda_inv"),
+          r.getAs[Double]("p_always_valid"))).toMap
+    // day 1: one arm has < 2 units -> lambda_inv = 1, p = 1
+    assert(rows(1) == ((2L, 1L, 0.0, 0.0, 1.0, 1.0)))
+    // day 2: theta = 1, v = 5/12 -> 1/L = 0.806543
+    assert(rows(2)._1 == 3L && rows(2)._2 == 3L)
+    assert(rows(2)._3 == 1.0)
+    assert(math.abs(rows(2)._4 - 0.416667) < 1e-9)
+    assert(rows(2)._5 == 0.806543 && rows(2)._6 == 0.806543)
+    // day 3: theta = 2, v = 13/24 -> 1/L = 0.376722; p monotone
+    assert(rows(3)._3 == 2.0 && rows(3)._5 == 0.376722)
+    assert(rows(3)._6 == 0.376722)
+  }
+
+  test("p is nonincreasing and a null-effect stream stays near 1") {
+    // arms identical by construction -> theta = 0 every bucket ->
+    // lambda_inv = sqrt((v+t)/v) * exp(0) clipped at 1 -> p stays 1
+    val nullPanel = (1 to 20).flatMap(d =>
+      Seq((d, 1L, (d % 5).toDouble), (d, 0L, (d % 5).toDouble)))
+      .toDF("day", "arm", "x")
+    val ps = Experiments.msprt(nullPanel, "day", "arm", "x", tau2 = 0.25)
+      .orderBy("day").collect().map(_.getAs[Double]("p_always_valid"))
+    assert(ps.sliding(2).forall(s => s(1) <= s(0)), "monotone")
+    assert(ps.last == 1.0, "no effect -> never rejects")
+  }
+
+  test("a persistent true effect drives p toward 0") {
+    val eff = (1 to 30).flatMap(d =>
+      Seq((d, 1L, 10.0 + (d % 3)), (d, 0L, 1.0 + (d % 3))))
+      .toDF("day", "arm", "x")
+    val last = Experiments.msprt(eff, "day", "arm", "x", tau2 = 0.25)
+      .orderBy("day").collect().last.getAs[Double]("p_always_valid")
+    assert(last < 0.01, s"expected strong rejection, got $last")
+  }
+
+  test("srmCheck: 60/40 on a declared 50/50 gives chi2 = 4.0") {
+    val df = ((1 to 60).map(_ => 1L) ++ (1 to 40).map(_ => 0L)).toDF("arm")
+    val rows = Experiments.srmCheck(df, "arm", Seq(0L -> 1L, 1L -> 1L))
+      .collect()
+    assert(rows.map(_.getAs[Double]("chi2")).toSet == Set(4.0))
+    assert(rows.map(r => r.getAs[Long]("arm") ->
+      r.getAs[Long]("observed")).toMap == Map(0L -> 40L, 1L -> 60L))
+  }
+
+  test("srmCheck: 90/10 split declared as 9:1 is clean (chi2 = 0)") {
+    val df = ((1 to 90).map(_ => 0L) ++ (1 to 10).map(_ => 1L)).toDF("arm")
+    val rows = Experiments.srmCheck(df, "arm", Seq(0L -> 9L, 1L -> 1L))
+      .collect()
+    assert(rows.map(_.getAs[Double]("chi2")).toSet == Set(0.0))
+  }
+
+  test("srmCheck: declared-but-empty arm contributes; undeclared raises") {
+    val df = (1 to 10).map(_ => 0L).toDF("arm")
+    val r = Experiments.srmCheck(df, "arm", Seq(0L -> 1L, 1L -> 1L))
+      .collect()
+    // O = (10, 0) vs 5/5 -> chi2 = (10-0)^2/10 = 10
+    assert(r.map(_.getAs[Double]("chi2")).toSet == Set(10.0))
+    val bad = Seq(0L, 2L).toDF("arm")
+    val e = intercept[Exception] {
+      Experiments.srmCheck(bad, "arm", Seq(0L -> 1L, 1L -> 1L)).collect()
+    }
+    assert(e.getMessage.contains("undeclared") ||
+      e.getMessage.contains("srmCheck"))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Common-neighbors / Jaccard / Adamic–Adar on a hand graph. */
+class LinkPredictSpec extends SparkSpec {
+  import spark.implicits._
+
+  // lefts 1,2,3; rights r1 (deg 3, shared by all), r2 (deg 2: 1,2),
+  // r3 (deg 1: only 3)
+  private val edges = Seq(
+    (1L, "r1"), (2L, "r1"), (3L, "r1"),
+    (1L, "r2"), (2L, "r2"),
+    (3L, "r3")).toDF("cust", "part")
+
+  private def run(cap: Int = 1000) = LinkPredict
+    .bipartiteScores(edges, "cust", "part", cap)
+    .collect().map(r => (r.getAs[Long]("left_a"), r.getAs[Long]("left_b")) ->
+      (r.getAs[Long]("common"), r.getAs[Double]("jaccard"),
+        r.getAs[Double]("adamic_adar"))).toMap
+
+  test("hand graph: counts, Jaccard and AA match the closed forms") {
+    val out = run()
+    // (1,2): share r1 (deg 3) + r2 (deg 2); deg_1 = deg_2 = 2
+    //   jaccard = 2/(2+2-2) = 1.0; aa = 1/ln3 + 1/ln2
+    val aa12 = 1.0 / math.log(3.0) + 1.0 / math.log(2.0)
+    assert(out((1L, 2L))._1 == 2L && out((1L, 2L))._2 == 1.0)
+    assert(math.abs(out((1L, 2L))._3 - aa12) < 1e-12)
+    // (1,3): share r1 only; deg_3 = 2 -> jaccard = 1/3; aa = 1/ln3
+    assert(out((1L, 3L))._1 == 1L)
+    assert(math.abs(out((1L, 3L))._2 - 1.0 / 3.0) < 1e-15)
+    assert(math.abs(out((1L, 3L))._3 - 1.0 / math.log(3.0)) < 1e-12)
+    assert(out.contains((2L, 3L)) && out.size == 3)
+  }
+
+  test("hub cap: excluding the popular apex drops pairs it alone " +
+    "connected, but never truncates a kept apex's weight") {
+    val out = run(cap = 2) // r1 (deg 3) is now a stop-word node
+    // (1,3) and (2,3) shared only r1 -> gone; (1,2) keeps r2 with the
+    // FULL r2 degree in AA
+    assert(out.keySet == Set((1L, 2L)))
+    assert(out((1L, 2L))._1 == 1L)
+    assert(math.abs(out((1L, 2L))._3 - 1.0 / math.log(2.0)) < 1e-12)
+    // jaccard still uses full left degrees: 1/(2+2-1) = 1/3
+    assert(math.abs(out((1L, 2L))._2 - 1.0 / 3.0) < 1e-15)
+  }
+
+  test("duplicate edges collapse before anything is counted") {
+    val dup = edges.unionAll(edges)
+    val a = LinkPredict.bipartiteScores(dup, "cust", "part").collect()
+    val b = LinkPredict.bipartiteScores(edges, "cust", "part").collect()
+    assert(a.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+  }
+}
