@@ -504,6 +504,72 @@ object Events {
             / (col("dx") * col("dy"))), 6).as("r2"))
   }
 
+  /** Partial autocorrelation per key via Durbin–Levinson over the
+    * [[acf]] values — the lag-selection companion (ACF says WHICH lags
+    * correlate; PACF says which correlate DIRECTLY, net of shorter
+    * lags — the AR-order diagnostic):
+    *
+    *   φ_{1,1} = r₁
+    *   φ_{m,m} = (r_m − Σⱼ φ_{m−1,j}·r_{m−j}) /
+    *             (1 − Σⱼ φ_{m−1,j}·r_j),     PACF(m) = φ_{m,m}
+    *
+    * Scale shape: the recursion runs per key over the BOUNDED lag
+    * vector (maxLag ≤ 64) inside `flatMapGroups` — the [[cusum]]
+    * bounded-per-key walk discipline; the heavy lifting (the r
+    * values) is [[acf]]'s distributed exact-sum panel.
+    *
+    * Determinism: the walk is multiply/add/subtract/divide on the
+    * bit-identical cross-engine r values, with PINNED accumulation
+    * order (num folds r_m − p₁ − p₂ − …, den folds 1 − q₁ − …, j
+    * ascending) — a recursive-CTE oracle replaying the same order
+    * produces the identical IEEE sequence, so the panel compares RAW
+    * (the EWMA/holtWinters contract). Degenerate den = 0 → φ = 0.
+    *
+    * Output per (key, lag): (key, lag, pacf), ordered.
+    */
+  def pacf(df: DataFrame, keyCol: String, orderCol: String,
+           valueCol: String, maxLag: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    acf(df, keyCol, orderCol, valueCol, maxLag)
+      .select(col(keyCol).cast("string").as("k"), col("lag"), col("r"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rs = it.map { case (_, lag, r) => (lag, r) }.toArray
+        java.util.Arrays.sort(rs, Ordering.by((t: (Long, Double)) => t._1))
+        val r = rs.map(_._2)
+        val h = r.length
+        var phi = new Array[Double](0)
+        val out = new Array[(String, Long, Double)](h)
+        var m = 1
+        while (m <= h) {
+          var num = r(m - 1)
+          var den = 1.0
+          var j = 1
+          while (j <= m - 1) {
+            num -= phi(j - 1) * r(m - 1 - j)
+            den -= phi(j - 1) * r(j - 1)
+            j += 1
+          }
+          val pkk = if (den == 0.0) 0.0 else num / den
+          val nphi = new Array[Double](m)
+          j = 1
+          while (j <= m - 1) {
+            nphi(j - 1) = phi(j - 1) - pkk * phi(m - 1 - j)
+            j += 1
+          }
+          nphi(m - 1) = pkk
+          phi = nphi
+          out(m - 1) = (k, m.toLong, pkk)
+          m += 1
+        }
+        out.iterator
+      }
+      .toDF(keyCol, "lag", "pacf")
+      .orderBy(keyCol, "lag")
+  }
+
   /** Classical additive seasonal decomposition (the moving-average
     * method behind `decompose` in every stats package; Kendall &
     * Stuart lineage) — x = trend + seasonal + residual per key. The

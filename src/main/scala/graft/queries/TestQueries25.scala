@@ -1052,11 +1052,95 @@ object TestQueries25 {
         ON se.k = d.k AND se.phase = d.phase
       ORDER BY user_id, d.ord"""))
 
+  /** The q351 ACF CTE chain (through `sc`), shared by q353. */
+  private val AcfSql = s"""
+      base AS (
+        SELECT user_id AS k, CAST(value AS DECIMAL(18,6)) AS x,
+          CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY event_id) AS BIGINT) AS i
+        FROM events WHERE user_id < 10),
+      tot AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+          ${dbl2("SUM(x)")} AS s,
+          ${dbl2("SUM(CAST(x AS DECIMAL(19,6)) * x)")} AS q
+        FROM base GROUP BY k),
+      lagged AS (
+        SELECT a.k, l.lag, a.x AS xa, b.x AS xb
+        FROM base a
+        CROSS JOIN (SELECT CAST(uu.lg AS BIGINT) AS lag
+                    FROM UNNEST([1, 2, 3, 4, 5]) uu(lg)) l
+        JOIN base b ON b.k = a.k AND b.i = a.i + l.lag),
+      per AS (
+        SELECT k, lag,
+          ${dbl2("SUM(CAST(xa AS DECIMAL(19,6)) * xb)")} AS sxy,
+          ${dbl2("SUM(xa)")} AS sh, ${dbl2("SUM(xb)")} AS st
+        FROM lagged GROUP BY k, lag),
+      sc AS (
+        SELECT p.k, p.lag, t.n,
+          CASE WHEN t.q - t.s * t.s / CAST(t.n AS DOUBLE)
+              <= CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+            ELSE (p.sxy
+                - (t.s / CAST(t.n AS DOUBLE)) * (p.sh + p.st)
+                + CAST(t.n - p.lag AS DOUBLE)
+                  * (t.s / CAST(t.n AS DOUBLE))
+                  * (t.s / CAST(t.n AS DOUBLE)))
+              / (t.q - t.s * t.s / CAST(t.n AS DOUBLE)) END AS r
+        FROM per p JOIN tot t ON t.k = p.k)"""
+
+  /** Partial autocorrelation (Durbin–Levinson over the q351 ACF) —
+    * [[graft.analytics.Events.pacf]]: per-key bounded recursion with
+    * PINNED accumulation order; the oracle replays it as a recursive
+    * CTE carrying the φ vector as a DOUBLE[] state list (scalar
+    * left-folds only — the stable DuckDB fold class), so both engines
+    * produce the identical IEEE sequence → fully RAW.
+    */
+  val q353Pacf: QueryCase = QueryCase(
+    "q353_pacf",
+    (s, dir) => graft.analytics.Events.pacf(
+      Tables.events(s, dir).where(col("user_id") < 10),
+      "user_id", "event_id", "value", maxLag = 5)
+      .select(col("user_id").cast("long").as("user_id"), col("lag"),
+        col("pacf"))
+      .orderBy("user_id", "lag"),
+    Some {
+      val mI = "CAST(d.m + 1 AS INT)"
+      val num = s"""list_reduce(list_prepend(rl.rs[$mI],
+        list_transform(range(1, d.m + 1), jj ->
+          d.phi[jj] * rl.rs[$mI - CAST(jj AS INT)])),
+        (aa, bb) -> aa - bb)"""
+      val den = s"""list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+        list_transform(range(1, d.m + 1), jj ->
+          d.phi[jj] * rl.rs[CAST(jj AS INT)])),
+        (aa, bb) -> aa - bb)"""
+      val pkk = s"CASE WHEN $den = CAST(0.0 AS DOUBLE) " +
+        s"THEN CAST(0.0 AS DOUBLE) ELSE $num / $den END"
+      s"""
+      WITH RECURSIVE $AcfSql,
+      rl AS (
+        SELECT k, list(r ORDER BY lag) AS rs,
+          CAST(COUNT(*) AS BIGINT) AS h
+        FROM sc GROUP BY k),
+      dl AS (
+        SELECT k, CAST(1 AS BIGINT) AS m, [rs[1]] AS phi, rs[1] AS pacf
+        FROM rl
+        UNION ALL
+        SELECT d.k, d.m + 1,
+          list_append(
+            list_transform(range(1, d.m + 1), jj ->
+              d.phi[jj] - ($pkk) * d.phi[$mI - CAST(jj AS INT)]),
+            $pkk),
+          $pkk
+        FROM dl d JOIN rl ON rl.k = d.k
+        WHERE d.m < rl.h)
+      SELECT k AS user_id, m AS lag, pacf FROM dl
+      ORDER BY user_id, lag"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q334Wilcoxon, q335Mcnemar, q336SignFlip, q337BhHolm,
       q338FleissKappa, q339Krippendorff, q340MajorityVote,
       q341RaterReliability, q342WeightedVote, q343CochranQ,
       q344WilsonCi, q345DawidSkene, q346ScalingFit, q347Msprt,
       q348SrmCheck, q349Changepoints, q350LinkPredict, q351Acf,
-      q352Decompose)
+      q352Decompose, q353Pacf)
 }

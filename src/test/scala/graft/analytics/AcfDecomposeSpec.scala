@@ -35,6 +35,31 @@ class AcfDecomposeSpec extends SparkSpec {
     assert(r1 < -0.9)
   }
 
+  test("pacf: Durbin-Levinson matches the hand recursion; " +
+    "pacf(1) == acf(1)") {
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 5.0, 8.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", (i + 1).toLong, x) }
+      .toDF("key", "ord", "x")
+    val out = Events.pacf(df, "key", "ord", "x", maxLag = 3)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        r.getAs[Double]("pacf")).toMap
+    assert(out(1L) == 0.24471830985915494)
+    assert(out(2L) == 0.37451327550337454)
+    assert(out(3L) == -0.4157710618954562)
+  }
+
+  test("pacf of an AR(1)-like ramp: higher lags shrink toward 0 " +
+    "relative to lag 1") {
+    val xs = (1 to 60).scanLeft(0.0)((a, i) => 0.8 * a +
+      (if (i % 3 == 0) 1.0 else -0.4)).tail
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", (i + 1).toLong, x) }
+      .toDF("key", "ord", "x")
+    val out = Events.pacf(df, "key", "ord", "x", maxLag = 6)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        r.getAs[Double]("pacf")).toMap
+    assert(math.abs(out(1L)) > math.abs(out(5L)))
+  }
+
   private def runDecomp(xs: Seq[Double], p: Int) =
     Events.decompose(
       xs.zipWithIndex.map { case (x, i) => ("k", (i + 1).toLong, x) }
