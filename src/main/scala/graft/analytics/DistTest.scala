@@ -378,6 +378,69 @@ object DistTest {
       .select(col("k"), col("n_items"), col("nn").as("n_success"), col("q"))
   }
 
+  /** Dickey–Fuller unit-root test per key (Dickey & Fuller 1979,
+    * constant-included, zero augmentation lags) — the STATIONARITY
+    * diagnostic the trend family assumes answered ([[mannKendall]]
+    * asks "is there a monotone trend"; this asks "does the series
+    * even mean-revert, or is it a random walk"; a forecast from
+    * [[graft.analytics.Events.holtLinear]] on a unit-root series is
+    * fiction):
+    *
+    *   Δx_t = α + β·x_{t−1} + ε_t,   DF = β̂ / SE(β̂)
+    *
+    * via the two-variable OLS closed form over EXACT decimal sums
+    * (z = lagged level, y = first difference — both exact decimals
+    * from one ordered window): β̂, α̂, RSS, SE all fixed double trees;
+    * DF more negative than ≈ −2.9 rejects the unit root at 5%.
+    *
+    * Scale shape: one per-key ordered lag window + one map-combinable
+    * decimal aggregation per key — keys partition everything.
+    * Degenerate keys (n < 3, zero lagged variance, zero residual)
+    * carry DF = 0 inside lazily-evaluated guards (the ANSI
+    * double-division rule).
+    *
+    * Output per key: (key, n, beta, alpha, df_t) — beta/alpha RAW,
+    * df_t takes one sqrt → gates ROUND it.
+    */
+  def dickeyFuller(df: DataFrame, keyCol: String, orderCol: String,
+                   valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+      col(orderCol).cast("long").as("ord"),
+      col(valueCol).cast("decimal(18,6)").as("x"))
+    val w = Window.partitionBy("k").orderBy("ord")
+    val pairs = base
+      .withColumn("z", lag(col("x"), 1).over(w))
+      .where(col("z").isNotNull)
+      .select(col("k"), col("z"), (col("x") - col("z")).as("y"))
+    val sums = pairs.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      sum(col("z")).cast("double").as("sz"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("z").cast("decimal(19,6)") * col("z")).cast("double").as("szz"),
+      sum(col("z").cast("decimal(19,6)") * col("y")).cast("double").as("szy"),
+      sum(col("y").cast("decimal(19,6)") * col("y")).cast("double").as("syy"))
+    sums
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("dz", col("nd") * col("szz") - col("sz") * col("sz"))
+      .withColumn("beta",
+        when(col("n") < 3 || col("dz") <= 0.0, lit(0.0))
+          .otherwise((col("nd") * col("szy") - col("sz") * col("sy"))
+            / col("dz")))
+      .withColumn("alpha",
+        when(col("n") < 3 || col("dz") <= 0.0, lit(0.0))
+          .otherwise((col("sy") - col("beta") * col("sz")) / col("nd")))
+      .withColumn("rss",
+        col("syy") - col("alpha") * col("sy") - col("beta") * col("szy"))
+      .withColumn("df_t",
+        when(col("n") < 3 || col("dz") <= 0.0 || col("rss") <= 0.0,
+          lit(0.0))
+          .otherwise(col("beta") / sqrt(
+            (col("rss") / (col("nd") - 2.0))
+              / (col("szz") - col("sz") * col("sz") / col("nd")))))
+      .select(col("k").as(keyCol), col("n"), col("beta"), col("alpha"),
+        col("df_t"))
+  }
+
   /** Multiple-comparison adjustment over a p-value panel — Holm 1979
     * (step-down FWER) and Benjamini–Hochberg 1995 (step-up FDR)
     * side by side, the correction layer for the per-segment

@@ -1136,11 +1136,68 @@ object TestQueries25 {
       ORDER BY user_id, lag"""
     })
 
+  /** Dickey–Fuller unit-root test per user —
+    * [[graft.analytics.DistTest.dickeyFuller]]: two-variable OLS of
+    * the first difference on the lagged level over exact decimal
+    * sums; beta/alpha fixed double trees → RAW, df_t takes one sqrt →
+    * ROUND(6).
+    */
+  val q354DickeyFuller: QueryCase = QueryCase(
+    "q354_dickey_fuller",
+    (s, dir) => graft.analytics.DistTest.dickeyFuller(
+      Tables.events(s, dir).where(col("user_id") < 10),
+      "user_id", "event_id", "value")
+      .select(col("user_id"), col("n"), col("beta"), col("alpha"),
+        round(col("df_t"), 6).as("df_t"))
+      .orderBy("user_id"),
+    Some(s"""
+      WITH base AS (
+        SELECT user_id AS k, event_id AS ord,
+          CAST(value AS DECIMAL(18,6)) AS x
+        FROM events WHERE user_id < 10),
+      pr AS (
+        SELECT k, z, x - z AS y FROM (
+          SELECT k, x,
+            LAG(x, 1) OVER (PARTITION BY k ORDER BY ord) AS z
+          FROM base)
+        WHERE z IS NOT NULL),
+      sums AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+          ${dbl2("SUM(z)")} AS sz, ${dbl2("SUM(y)")} AS sy,
+          ${dbl2("SUM(CAST(z AS DECIMAL(19,6)) * z)")} AS szz,
+          ${dbl2("SUM(CAST(z AS DECIMAL(19,6)) * y)")} AS szy,
+          ${dbl2("SUM(CAST(y AS DECIMAL(19,6)) * y)")} AS syy
+        FROM pr GROUP BY k),
+      fit AS (
+        SELECT k, n, CAST(n AS DOUBLE) AS nd,
+          CAST(n AS DOUBLE) * szz - sz * sz AS dz,
+          sz, sy, szz, szy, syy
+        FROM sums),
+      ab AS (
+        SELECT k, n, nd, dz, sz, sy, szz, szy, syy,
+          CASE WHEN n < 3 OR dz <= CAST(0.0 AS DOUBLE)
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE (nd * szy - sz * sy) / dz END AS beta
+        FROM fit),
+      al AS (
+        SELECT *, CASE WHEN n < 3 OR dz <= CAST(0.0 AS DOUBLE)
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE (sy - beta * sz) / nd END AS alpha
+        FROM ab),
+      rs AS (
+        SELECT *, syy - alpha * sy - beta * szy AS rss FROM al)
+      SELECT k AS user_id, n, beta, alpha,
+        ROUND(CASE WHEN n < 3 OR dz <= CAST(0.0 AS DOUBLE)
+            OR rss <= CAST(0.0 AS DOUBLE) THEN CAST(0.0 AS DOUBLE)
+          ELSE beta / SQRT((rss / (nd - 2.0))
+            / (szz - sz * sz / nd)) END, 6) AS df_t
+      FROM rs ORDER BY user_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q334Wilcoxon, q335Mcnemar, q336SignFlip, q337BhHolm,
       q338FleissKappa, q339Krippendorff, q340MajorityVote,
       q341RaterReliability, q342WeightedVote, q343CochranQ,
       q344WilsonCi, q345DawidSkene, q346ScalingFit, q347Msprt,
       q348SrmCheck, q349Changepoints, q350LinkPredict, q351Acf,
-      q352Decompose, q353Pacf)
+      q352Decompose, q353Pacf, q354DickeyFuller)
 }

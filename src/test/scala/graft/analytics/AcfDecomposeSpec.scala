@@ -60,6 +60,32 @@ class AcfDecomposeSpec extends SparkSpec {
     assert(math.abs(out(1L)) > math.abs(out(5L)))
   }
 
+  private def runDf(xs: Seq[Double]) = DistTest.dickeyFuller(
+    xs.zipWithIndex.map { case (x, i) => ("k", (i + 1).toLong, x) }
+      .toDF("key", "ord", "x"), "key", "ord", "x")
+    .collect().head
+
+  test("dickeyFuller: strong mean reversion rejects the unit root " +
+    "(hand OLS reference)") {
+    val r = runDf(Seq(10.0, 4.0, 8.0, 5.0, 9.0, 4.0, 7.0, 5.0, 8.0, 6.0))
+    assert(r.getAs[Long]("n") == 9L)
+    assert(math.abs(r.getAs[Double]("beta") - (-1.7333333333333334)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("alpha") - 11.11111111111111) < 1e-11)
+    assert(math.abs(r.getAs[Double]("df_t") - (-11.797308)) < 1e-5)
+  }
+
+  test("dickeyFuller: a drifting near-walk does not reject") {
+    val xs = (1 to 14).map(i => i.toDouble + (if (i % 2 == 1) 0.3 else -0.2))
+    val r = runDf(xs)
+    assert(math.abs(r.getAs[Double]("df_t") - (-0.220945)) < 1e-5)
+    assert(r.getAs[Double]("df_t") > -2.9, "no unit-root rejection")
+  }
+
+  test("dickeyFuller: constant and too-short series carry df_t = 0") {
+    assert(runDf(Seq(5.0, 5.0, 5.0, 5.0)).getAs[Double]("df_t") == 0.0)
+    assert(runDf(Seq(1.0, 2.0, 3.0)).getAs[Double]("df_t") == 0.0)
+  }
+
   private def runDecomp(xs: Seq[Double], p: Int) =
     Events.decompose(
       xs.zipWithIndex.map { case (x, i) => ("k", (i + 1).toLong, x) }
