@@ -441,6 +441,98 @@ object DistTest {
         col("df_t"))
   }
 
+  /** Granger causality screen, lag 1 (Granger 1969) per key — does
+    * series x help predict series y beyond y's own history? The
+    * cross-series companion to [[dickeyFuller]] (same
+    * OLS-from-exact-sums machinery, one more regressor):
+    *
+    *   restricted:    y_t = b₀ + b₁·y_{t−1}
+    *   unrestricted:  y_t = c₀ + c₁·y_{t−1} + c₂·x_{t−1}
+    *   F = (RSS_r − RSS_u) / (RSS_u / (n−3))   ~ F(1, n−3)
+    *
+    * The unrestricted fit solves the 3×3 normal equations by Cramer's
+    * rule — determinants are fixed double expression trees over EXACT
+    * decimal sums (10 map-combinable aggregates per key), so the
+    * whole statistic is +,·,/ on exactly-rounded values → fully RAW.
+    * F is clamped at 0 (RSS_r ≥ RSS_u mathematically; last-ulp
+    * rounding may flip the difference) and degenerate keys (n < 4,
+    * singular normal matrix, zero residual) carry F = 0 inside
+    * lazily-evaluated guards.
+    *
+    * A SCREEN, not an identification: lag-1 only, no stationarity
+    * pretense (run [[dickeyFuller]] first), F > ~4 flags a pair for
+    * real modeling. Output per key: (key, n, c1, c2, rss_r, rss_u, f).
+    */
+  def grangerLag1(df: DataFrame, keyCol: String, orderCol: String,
+                  xCol: String, yCol: String): DataFrame = {
+    val w = Window.partitionBy("k").orderBy("ord")
+    val base = df.select(col(keyCol).as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(xCol).cast("decimal(18,6)").as("x"),
+        col(yCol).cast("decimal(18,6)").as("y"))
+      .select(col("k"), col("y").as("v"),
+        lag(col("y"), 1).over(w).as("a"),
+        lag(col("x"), 1).over(w).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    def d19(c: String) = col(c).cast("decimal(19,6)")
+    val s = base.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      sum(col("a")).cast("double").as("sa"),
+      sum(col("b")).cast("double").as("sb"),
+      sum(col("v")).cast("double").as("sv"),
+      sum(d19("a") * col("a")).cast("double").as("saa"),
+      sum(d19("b") * col("b")).cast("double").as("sbb"),
+      sum(d19("a") * col("b")).cast("double").as("sab"),
+      sum(d19("a") * col("v")).cast("double").as("sav"),
+      sum(d19("b") * col("v")).cast("double").as("sbv"),
+      sum(d19("v") * col("v")).cast("double").as("svv"))
+    s.withColumn("nd", col("n").cast("double"))
+      // Cramer determinants for the 3x3 normal matrix
+      .withColumn("det",
+        col("nd") * (col("saa") * col("sbb") - col("sab") * col("sab"))
+          - col("sa") * (col("sa") * col("sbb") - col("sab") * col("sb"))
+          + col("sb") * (col("sa") * col("sab") - col("saa") * col("sb")))
+      .withColumn("det0",
+        col("sv") * (col("saa") * col("sbb") - col("sab") * col("sab"))
+          - col("sa") * (col("sav") * col("sbb") - col("sab") * col("sbv"))
+          + col("sb") * (col("sav") * col("sab") - col("saa") * col("sbv")))
+      .withColumn("det1",
+        col("nd") * (col("sav") * col("sbb") - col("sab") * col("sbv"))
+          - col("sv") * (col("sa") * col("sbb") - col("sab") * col("sb"))
+          + col("sb") * (col("sa") * col("sbv") - col("sav") * col("sb")))
+      .withColumn("det2",
+        col("nd") * (col("saa") * col("sbv") - col("sav") * col("sab"))
+          - col("sa") * (col("sa") * col("sbv") - col("sav") * col("sb"))
+          + col("sv") * (col("sa") * col("sab") - col("saa") * col("sb")))
+      .withColumn("ok", col("n") >= 4 && col("det") =!= 0.0)
+      .withColumn("c0", when(col("ok"), col("det0") / col("det"))
+        .otherwise(lit(0.0)))
+      .withColumn("c1", when(col("ok"), col("det1") / col("det"))
+        .otherwise(lit(0.0)))
+      .withColumn("c2", when(col("ok"), col("det2") / col("det"))
+        .otherwise(lit(0.0)))
+      .withColumn("rss_u",
+        col("svv") - col("c0") * col("sv") - col("c1") * col("sav")
+          - col("c2") * col("sbv"))
+      // restricted: y on (1, a)
+      .withColumn("dzr", col("nd") * col("saa") - col("sa") * col("sa"))
+      .withColumn("b1", when(col("ok") && col("dzr") =!= 0.0,
+        (col("nd") * col("sav") - col("sa") * col("sv")) / col("dzr"))
+        .otherwise(lit(0.0)))
+      .withColumn("b0", when(col("ok"),
+        (col("sv") - col("b1") * col("sa")) / col("nd"))
+        .otherwise(lit(0.0)))
+      .withColumn("rss_r",
+        col("svv") - col("b0") * col("sv") - col("b1") * col("sav"))
+      .withColumn("f",
+        when(!col("ok") || col("rss_u") <= 0.0, lit(0.0))
+          .otherwise(greatest(lit(0.0),
+            (col("rss_r") - col("rss_u"))
+              / (col("rss_u") / (col("nd") - 3.0)))))
+      .select(col("k").as(keyCol), col("n"), col("c1"), col("c2"),
+        col("rss_r"), col("rss_u"), col("f"))
+  }
+
   /** Multiple-comparison adjustment over a p-value panel — Holm 1979
     * (step-down FWER) and Benjamini–Hochberg 1995 (step-up FDR)
     * side by side, the correction layer for the per-segment

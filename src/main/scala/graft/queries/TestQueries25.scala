@@ -1193,11 +1193,102 @@ object TestQueries25 {
             / (szz - sz * sz / nd)) END, 6) AS df_t
       FROM rs ORDER BY user_id"""))
 
+  /** Granger lag-1 causality screen per user: does yesterday's event
+    * COUNT predict today's value mass beyond yesterday's value —
+    * [[graft.analytics.DistTest.grangerLag1]]: Cramer's rule on the
+    * 3×3 normal equations over exact decimal sums; every output is a
+    * fixed +,·,/ tree → fully RAW.
+    */
+  val q355Granger: QueryCase = QueryCase(
+    "q355_granger",
+    (s, dir) => {
+      val daily = Tables.events(s, dir).where(col("user_id") < 10)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("x"),
+          sum(col("value").cast("decimal(18,2)")).as("y"))
+        .select(col("user_id"),
+          datediff(col("day"), lit("2024-01-01").cast("date")).as("ord"),
+          col("x"), col("y"))
+      graft.analytics.DistTest
+        .grangerLag1(daily, "user_id", "ord", "x", "y")
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH daily AS (
+        SELECT user_id AS k,
+          CAST(date_trunc('day', ts) AS DATE) AS day,
+          CAST(COUNT(*) AS DECIMAL(18,6)) AS x,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,6)) AS y
+        FROM events WHERE user_id < 10 GROUP BY user_id, day),
+      base AS (
+        SELECT k, v, a, b FROM (
+          SELECT k, y AS v,
+            LAG(y, 1) OVER (PARTITION BY k ORDER BY day) AS a,
+            LAG(x, 1) OVER (PARTITION BY k ORDER BY day) AS b
+          FROM daily)
+        WHERE a IS NOT NULL AND b IS NOT NULL),
+      s AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+          ${dbl2("SUM(a)")} AS sa, ${dbl2("SUM(b)")} AS sb,
+          ${dbl2("SUM(v)")} AS sv,
+          ${dbl2("SUM(CAST(a AS DECIMAL(19,6)) * a)")} AS saa,
+          ${dbl2("SUM(CAST(b AS DECIMAL(19,6)) * b)")} AS sbb,
+          ${dbl2("SUM(CAST(a AS DECIMAL(19,6)) * b)")} AS sab,
+          ${dbl2("SUM(CAST(a AS DECIMAL(19,6)) * v)")} AS sav,
+          ${dbl2("SUM(CAST(b AS DECIMAL(19,6)) * v)")} AS sbv,
+          ${dbl2("SUM(CAST(v AS DECIMAL(19,6)) * v)")} AS svv
+        FROM base GROUP BY k),
+      dets AS (
+        SELECT *, CAST(n AS DOUBLE) AS nd,
+          CAST(n AS DOUBLE) * (saa * sbb - sab * sab)
+            - sa * (sa * sbb - sab * sb)
+            + sb * (sa * sab - saa * sb) AS det,
+          sv * (saa * sbb - sab * sab)
+            - sa * (sav * sbb - sab * sbv)
+            + sb * (sav * sab - saa * sbv) AS det0,
+          CAST(n AS DOUBLE) * (sav * sbb - sab * sbv)
+            - sv * (sa * sbb - sab * sb)
+            + sb * (sa * sbv - sav * sb) AS det1,
+          CAST(n AS DOUBLE) * (saa * sbv - sav * sab)
+            - sa * (sa * sbv - sav * sb)
+            + sv * (sa * sab - saa * sb) AS det2
+        FROM s),
+      cs AS (
+        SELECT *, (n >= 4 AND det <> CAST(0.0 AS DOUBLE)) AS ok,
+          CASE WHEN n >= 4 AND det <> CAST(0.0 AS DOUBLE)
+            THEN det0 / det ELSE CAST(0.0 AS DOUBLE) END AS c0,
+          CASE WHEN n >= 4 AND det <> CAST(0.0 AS DOUBLE)
+            THEN det1 / det ELSE CAST(0.0 AS DOUBLE) END AS c1,
+          CASE WHEN n >= 4 AND det <> CAST(0.0 AS DOUBLE)
+            THEN det2 / det ELSE CAST(0.0 AS DOUBLE) END AS c2
+        FROM dets),
+      ru AS (
+        SELECT *, svv - c0 * sv - c1 * sav - c2 * sbv AS rss_u,
+          nd * saa - sa * sa AS dzr
+        FROM cs),
+      rb AS (
+        SELECT *, CASE WHEN ok AND dzr <> CAST(0.0 AS DOUBLE)
+            THEN (nd * sav - sa * sv) / dzr
+            ELSE CAST(0.0 AS DOUBLE) END AS b1
+        FROM ru),
+      rr AS (
+        SELECT *, CASE WHEN ok THEN (sv - b1 * sa) / nd
+            ELSE CAST(0.0 AS DOUBLE) END AS b0
+        FROM rb),
+      fin AS (
+        SELECT *, svv - b0 * sv - b1 * sav AS rss_r FROM rr)
+      SELECT k AS user_id, n, c1, c2, rss_r, rss_u,
+        CASE WHEN NOT ok OR rss_u <= CAST(0.0 AS DOUBLE)
+          THEN CAST(0.0 AS DOUBLE)
+          ELSE GREATEST(CAST(0.0 AS DOUBLE),
+            (rss_r - rss_u) / (rss_u / (nd - 3.0))) END AS f
+      FROM fin ORDER BY user_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q334Wilcoxon, q335Mcnemar, q336SignFlip, q337BhHolm,
       q338FleissKappa, q339Krippendorff, q340MajorityVote,
       q341RaterReliability, q342WeightedVote, q343CochranQ,
       q344WilsonCi, q345DawidSkene, q346ScalingFit, q347Msprt,
       q348SrmCheck, q349Changepoints, q350LinkPredict, q351Acf,
-      q352Decompose, q353Pacf, q354DickeyFuller)
+      q352Decompose, q353Pacf, q354DickeyFuller, q355Granger)
 }

@@ -86,6 +86,39 @@ class AcfDecomposeSpec extends SparkSpec {
     assert(runDf(Seq(1.0, 2.0, 3.0)).getAs[Double]("df_t") == 0.0)
   }
 
+  private def runGranger(xs: Seq[Double], ys: Seq[Double]) =
+    DistTest.grangerLag1(
+      xs.zip(ys).zipWithIndex.map { case ((x, y), i) =>
+        ("k", (i + 1).toLong, x, y) }.toDF("key", "ord", "x", "y"),
+      "key", "ord", "x", "y").collect().head
+
+  test("grangerLag1: a constructed x->y link yields a huge F and " +
+    "recovers the coefficient (hand Cramer reference)") {
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 2.0, 7.0, 3.0, 8.0)
+    val ys = 0.0 +: (0 until 9).map(i => 0.5 * xs(i) + 0.1 * ((i % 3) - 1))
+    val r = runGranger(xs, ys)
+    assert(r.getAs[Long]("n") == 9L)
+    assert(math.abs(r.getAs[Double]("c2") - 0.509634187) < 1e-8)
+    assert(math.abs(r.getAs[Double]("f") - 994.207789407) < 1e-4)
+  }
+
+  test("grangerLag1: an autonomous y yields a modest F") {
+    val xs = Seq(1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 2.0, 7.0, 3.0, 8.0)
+    val ys = Seq(1.0, 2.0, 1.5, 2.5, 2.0, 3.0, 2.5, 3.5, 3.0, 4.0)
+    val r = runGranger(xs, ys)
+    assert(math.abs(r.getAs[Double]("f") - 4.909090909) < 1e-7)
+    assert(math.abs(r.getAs[Double]("rss_r") - 3.75) < 1e-9)
+  }
+
+  test("grangerLag1: degenerate keys carry f = 0") {
+    // constant x makes the normal matrix singular
+    val r = runGranger(Seq.fill(8)(2.0), Seq(1.0, 2.0, 1.0, 3.0, 2.0,
+      4.0, 1.0, 5.0))
+    assert(r.getAs[Double]("f") == 0.0)
+    val short = runGranger(Seq(1.0, 2.0, 3.0), Seq(2.0, 1.0, 2.0))
+    assert(short.getAs[Double]("f") == 0.0)
+  }
+
   private def runDecomp(xs: Seq[Double], p: Int) =
     Events.decompose(
       xs.zipWithIndex.map { case (x, i) => ("k", (i + 1).toLong, x) }
