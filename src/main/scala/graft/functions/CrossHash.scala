@@ -38,6 +38,21 @@ object CrossHash {
       .otherwise(d).cast("long")
   }
 
+  /** JVM-side mirror of [[md5Hash64]] for bounded per-key walks
+    * (flatMapGroups coins): identical value to the Column form —
+    * first 8 md5 bytes big-endian as the signed two's-complement
+    * long — so a driver/executor-side coin and a plan-side coin
+    * agree, and the DuckDB mirror ([[md5Hash64SqlU]]) covers both.
+    */
+  def md5Hash64Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   /** DuckDB mirror of [[md5Hash64]]'s UNSIGNED value as HUGEINT (bit
     * arithmetic — shifts, buckets, wrap-around affine sums — is cleanest
     * unsigned; reduce to the signed BIGINT view with [[hugeToSignedSql]]).

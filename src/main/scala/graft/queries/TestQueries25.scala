@@ -1284,11 +1284,91 @@ object TestQueries25 {
             (rss_r - rss_u) / (rss_u / (nd - 3.0))) END AS f
       FROM fin ORDER BY user_id"""))
 
+  /** Team-draft interleaving of two document rankers per source —
+    * [[graft.search.Interleave.teamDraft]] (Radlinski et al. 2008):
+    * ranker A = length order, ranker B = token-count order (top 8
+    * each), merged to k = 10 with deterministic md5 draft coins. The
+    * oracle replays the draft as a recursive CTE carrying the picked
+    * list as VARCHAR[] state — integer/string state only → RAW.
+    */
+  val q356TeamDraft: QueryCase = QueryCase(
+    "q356_team_draft",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens"))
+      def top8(by: org.apache.spark.sql.Column) = d
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(by, col("doc_id"))))
+        .where(col("rk") <= 8)
+        .select(col("source"), col("doc_id"), col("rk"))
+      graft.search.Interleave.teamDraft(
+        top8(col("n_chars").desc), top8(col("n_tokens").desc),
+        "source", "doc_id", "rk", k = 10)
+    },
+    Some {
+      def next(side: String) =
+        s"list_filter(rl.$side, dd -> NOT list_contains(w.picked, dd))[1]"
+      val coin = "CAST(" + CrossHash.md5Hash64SqlU(
+        "w.q || ':' || CAST(w.pos AS VARCHAR) || ':' || 'draft'") +
+        " % 2 AS BIGINT) = 1"
+      val pickA = s"""CASE WHEN ${next("lb")} IS NULL THEN true
+          WHEN ${next("la")} IS NULL THEN false
+          WHEN w.na < w.nb THEN true
+          WHEN w.na > w.nb THEN false
+          ELSE $coin END"""
+      s"""
+      WITH RECURSIVE d AS (
+        SELECT CAST(doc_id AS VARCHAR) AS doc, source, n_chars,
+          CAST(len($TokensSql) AS BIGINT) AS n_tokens, doc_id
+        FROM documents),
+      ra AS (
+        SELECT source AS q, doc, rk FROM (
+          SELECT source, doc, ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rk FROM d)
+        WHERE rk <= 8),
+      rb AS (
+        SELECT source AS q, doc, rk FROM (
+          SELECT source, doc, ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_tokens DESC, doc_id) AS rk FROM d)
+        WHERE rk <= 8),
+      rl AS (
+        SELECT COALESCE(a.q, b.q) AS q,
+          COALESCE(a.la, CAST([] AS VARCHAR[])) AS la,
+          COALESCE(b.lb, CAST([] AS VARCHAR[])) AS lb
+        FROM (SELECT q, list(doc ORDER BY rk) AS la FROM ra GROUP BY q) a
+        FULL OUTER JOIN
+          (SELECT q, list(doc ORDER BY rk) AS lb FROM rb GROUP BY q) b
+          ON b.q = a.q),
+      walk AS (
+        SELECT q, CAST(0 AS BIGINT) AS pos,
+          CAST([] AS VARCHAR[]) AS picked,
+          CAST(0 AS BIGINT) AS na, CAST(0 AS BIGINT) AS nb,
+          CAST(NULL AS VARCHAR) AS doc, CAST(NULL AS VARCHAR) AS team
+        FROM rl
+        UNION ALL
+        SELECT w.q, w.pos + 1,
+          list_append(w.picked, CASE WHEN $pickA
+            THEN ${next("la")} ELSE ${next("lb")} END),
+          w.na + CASE WHEN $pickA THEN 1 ELSE 0 END,
+          w.nb + CASE WHEN $pickA THEN 0 ELSE 1 END,
+          CASE WHEN $pickA THEN ${next("la")} ELSE ${next("lb")} END,
+          CASE WHEN $pickA THEN 'A' ELSE 'B' END
+        FROM walk w JOIN rl ON rl.q = w.q
+        WHERE w.pos < 10
+          AND (${next("la")} IS NOT NULL OR ${next("lb")} IS NOT NULL))
+      SELECT q AS source, pos, doc, team FROM walk
+      WHERE pos >= 1 ORDER BY source, pos"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q334Wilcoxon, q335Mcnemar, q336SignFlip, q337BhHolm,
       q338FleissKappa, q339Krippendorff, q340MajorityVote,
       q341RaterReliability, q342WeightedVote, q343CochranQ,
       q344WilsonCi, q345DawidSkene, q346ScalingFit, q347Msprt,
       q348SrmCheck, q349Changepoints, q350LinkPredict, q351Acf,
-      q352Decompose, q353Pacf, q354DickeyFuller, q355Granger)
+      q352Decompose, q353Pacf, q354DickeyFuller, q355Granger,
+      q356TeamDraft)
 }

@@ -1,0 +1,98 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Team-draft interleaving (Radlinski, Kurup & Joachims, CIKM 2008) —
+  * the standard ONLINE ranker comparison: two rankings for the same
+  * query are merged by alternating team drafts, the merged list is
+  * shown once, and clicks credit the team whose draft brought the
+  * document. Offline panels ([[graft.analytics.RetrievalEval]]'s
+  * AP/nDCG family) need judgments; interleaving needs only the click
+  * stream — this is the operator that turns serving traffic into a
+  * ranker verdict.
+  *
+  * Draft rule per query: teams A and B pick alternately; at each
+  * round the team with FEWER picks drafts next, ties broken by a
+  * deterministic coin ([[graft.functions.CrossHash.md5Hash64]] of
+  * `query:round:salt`, low bit — the [[graft.operators.Sampling]]
+  * pure-function-of-(ids,salt) discipline, so the interleaved list is
+  * reproducible across runs and engines). The drafting team takes its
+  * highest-ranked not-yet-picked document; the merge stops at `k`
+  * positions or exhaustion.
+  *
+  * Scale shape: one per-query bounded walk inside `flatMapGroups`
+  * (rankings are top-k eval lists by contract — the
+  * [[graft.analytics.Events.cusum]] bounded-per-key discipline);
+  * queries partition the work.
+  *
+  * Determinism: integer ranks, lexicographic doc tie-breaks, hash
+  * coins — no floats anywhere; a recursive-CTE oracle carrying the
+  * picked list as state replays the identical walk → RAW.
+  *
+  * Output per (query, position 1..k): (query, pos, doc, team) with
+  * team ∈ {'A','B'}.
+  */
+object Interleave {
+
+  def teamDraft(a: DataFrame, b: DataFrame, queryCol: String,
+                docCol: String, rankCol: String, k: Int,
+                salt: String = "draft"): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, tag: String) =
+      df.select(col(queryCol).cast("string").as("q"), lit(tag).as("side"),
+        col(docCol).cast("string").as("doc"),
+        col(rankCol).cast("long").as("rank"))
+    side(a, "A").unionByName(side(b, "B"))
+      .as[(String, String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val rows = it.toArray
+        def list(tag: String): Array[String] = rows
+          .filter(_._2 == tag)
+          .sortBy(r => (r._4, r._3))
+          .map(_._3)
+        val la = list("A")
+        val lb = list("B")
+        val picked = scala.collection.mutable.LinkedHashSet[String]()
+        val out = scala.collection.mutable.ArrayBuffer[(String, Long, String, String)]()
+        var (na, nb) = (0, 0)
+        var ia = 0
+        var ib = 0
+        var round = 0L
+        while (out.size < k && (ia < la.length || ib < lb.length)) {
+          // advance each pointer past already-picked docs
+          while (ia < la.length && picked.contains(la(ia))) ia += 1
+          while (ib < lb.length && picked.contains(lb(ib))) ib += 1
+          val aAvail = ia < la.length
+          val bAvail = ib < lb.length
+          if (!aAvail && !bAvail) {
+            round = Long.MaxValue // loop exits via the while condition
+            ia = la.length; ib = lb.length
+          } else {
+            val coin = (graft.functions.CrossHash.md5Hash64Jvm(
+              s"$q:$round:$salt") & 1L) == 1L
+            val pickA =
+              if (!bAvail) true
+              else if (!aAvail) false
+              else if (na < nb) true
+              else if (na > nb) false
+              else coin
+            if (pickA) {
+              picked += la(ia); na += 1
+              out += ((q, out.size + 1L, la(ia), "A"))
+            } else {
+              picked += lb(ib); nb += 1
+              out += ((q, out.size + 1L, lb(ib), "B"))
+            }
+            round += 1
+          }
+        }
+        out.iterator
+      }
+      .toDF(queryCol, "pos", "doc", "team")
+      .orderBy(queryCol, "pos")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** Team-draft interleaving: hand-walked draft, team balance,
+  * dedup across lists, determinism.
+  */
+class InterleaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rankings(q: String, docs: Seq[String]) =
+    docs.zipWithIndex.map { case (d, i) => (q, d, (i + 1).toLong) }
+
+  test("hand-walked draft for query q1 (md5 coins precomputed: " +
+    "rounds 0..5 -> 0,1,0,1,0,1)") {
+    // A = [a,b,c,d], B = [b,e,a,f]: round 0 tie, coin 0 -> B drafts b;
+    // A balances with a; tie coin 0 -> B drafts e; A drafts c (b
+    // taken); tie coin 0 -> B drafts f (a taken); A drafts d.
+    val a = rankings("q1", Seq("a", "b", "c", "d")).toDF("q", "doc", "rk")
+    val b = rankings("q1", Seq("b", "e", "a", "f")).toDF("q", "doc", "rk")
+    val out = Interleave.teamDraft(a, b, "q", "doc", "rk", k = 6)
+      .collect().map(r => (r.getAs[Long]("pos"), r.getAs[String]("doc"),
+        r.getAs[String]("team")))
+    assert(out.toSeq == Seq((1L, "b", "B"), (2L, "a", "A"),
+      (3L, "e", "B"), (4L, "c", "A"), (5L, "f", "B"), (6L, "d", "A")))
+  }
+
+  test("identical rankings: every doc appears once, teams balance") {
+    val a = rankings("q", Seq("x", "y", "z", "w")).toDF("q", "doc", "rk")
+    val out = Interleave.teamDraft(a, a, "q", "doc", "rk", k = 10)
+      .collect()
+    assert(out.map(_.getAs[String]("doc")).toSet == Set("x", "y", "z", "w"))
+    val teams = out.map(_.getAs[String]("team"))
+    assert(math.abs(teams.count(_ == "A") - teams.count(_ == "B")) <= 1)
+  }
+
+  test("k truncates; one-sided exhaustion drains the other list") {
+    val a = rankings("q", Seq("a1")).toDF("q", "doc", "rk")
+    val b = rankings("q", Seq("b1", "b2", "b3")).toDF("q", "doc", "rk")
+    val out = Interleave.teamDraft(a, b, "q", "doc", "rk", k = 3)
+      .collect().map(r => (r.getAs[String]("doc"), r.getAs[String]("team")))
+    assert(out.length == 3)
+    assert(out.count(_._2 == "B") >= 2, "B keeps drafting once A is dry")
+    assert(out.map(_._1).distinct.length == 3)
+  }
+
+  test("deterministic across executions and salt-sensitive structure") {
+    val a = rankings("qz", Seq("a", "b", "c")).toDF("q", "doc", "rk")
+    val b = rankings("qz", Seq("c", "d", "a")).toDF("q", "doc", "rk")
+    val r1 = Interleave.teamDraft(a, b, "q", "doc", "rk", 6).collect()
+    val r2 = Interleave.teamDraft(a, b, "q", "doc", "rk", 6).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    val r3 = Interleave.teamDraft(a, b, "q", "doc", "rk", 6, salt = "s2")
+      .collect()
+    assert(r3.map(_.getAs[String]("doc")).toSet ==
+      r1.map(_.getAs[String]("doc")).toSet, "doc set is coin-invariant")
+  }
+
+  test("queries interleave independently") {
+    val a = (rankings("q1", Seq("a", "b")) ++ rankings("q2", Seq("p")))
+      .toDF("q", "doc", "rk")
+    val b = (rankings("q1", Seq("b", "c")) ++ rankings("q2", Seq("r")))
+      .toDF("q", "doc", "rk")
+    val out = Interleave.teamDraft(a, b, "q", "doc", "rk", 4)
+      .collect().groupBy(_.getAs[String]("q"))
+    assert(out("q1").length == 3 && out("q2").length == 2)
+  }
+}
