@@ -147,8 +147,8 @@ object Labeling {
       val rated = joined.groupBy("r", "label")
         .agg(count(lit(1)).as("rated"))
       val grid = raters
-        .crossJoin(cats.select(col("cat").as("c")))
-        .crossJoin(cats.select(col("cat").as("label")))
+        .crossJoin(broadcast(cats.select(col("cat").as("c"))))
+        .crossJoin(broadcast(cats.select(col("cat").as("label"))))
         .join(conf, Seq("r", "c", "label"), "left")
         .na.fill(0L, Seq("n"))
         .join(rated, Seq("r", "label"), "left")
