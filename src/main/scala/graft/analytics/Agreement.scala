@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
   *    annotation queues produce.
   *
   * Reference analogue: the reference aggregates extraction-confidence
-  * votes per field (/root/reference/src/extraction/confidence.py) but
+  * votes per field (/root/reference/src/extraction/om_confidence.py) but
   * has no chance-corrected agreement; these are the published
   * statistics for that audit.
   *
@@ -88,7 +88,13 @@ object Agreement {
             col("n_items") * col("n_raters")).cast("double"))
       .select(col("n_items"), col("n_raters"), col("sum_nij2"),
         col("p_bar"), col("p_e"),
-        ((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
+        // p_e = 1 ⟺ one single category was ever used ⟹ p_bar = 1 too:
+        // perfect-but-vacuous agreement; κ's 0/0 is defined to 1 (the
+        // krippendorffAlpha degenerate-case convention). The division
+        // must sit INSIDE the otherwise-branch — ANSI double division
+        // by zero throws, and CaseWhen branches are lazily evaluated.
+        when(col("p_e") === 1.0, lit(1.0))
+          .otherwise((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")))
           .as("kappa"))
   }
 

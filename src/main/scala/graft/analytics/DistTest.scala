@@ -213,20 +213,30 @@ object DistTest {
         count(lit(1)).as("n"),
         sum(when(col("d") > 0, col("r2")).otherwise(0L)).as("sum_r2_pos"),
         // Σ(t³−t) counts each tie group t times → divide by t: each row
-        // contributes t²−1 exactly
-        sum(col("t") * col("t") - 1).as("tie48"))
+        // contributes t²−1 exactly. Summed as DECIMAL so a fully-tied
+        // oversized panel cannot overflow the AGGREGATE before the size
+        // guard below ever runs (Σ(t²−1) ≤ n³ wraps int64 past n ≈ 2e6).
+        sum((col("t") * col("t") - 1).cast("decimal(38,0)")).as("tie48"))
+      // the n ≤ 1.3e6 gate must wrap the CUBIC PRODUCT itself (CaseWhen
+      // branches are lazily evaluated): 2n(n+1)(2n+1) overflows int64 at
+      // n ≈ 1.32e6, so guarding only the z output would surface a
+      // generic ANSI arithmetic error instead of this message. Under the
+      // guard the product ≤ 8.8e18 and tie48 ≤ n³ ≈ 2.2e18 — both fit.
       .select(col("n"),
         coalesce(col("sum_r2_pos"), lit(0L)).as("sum_r2_pos"),
-        (lit(2L) * col("n") * (col("n") + 1) * (lit(2L) * col("n") + 1)
-          - coalesce(col("tie48"), lit(0L))).as("var48"))
-      .withColumn("num4",
-        lit(2L) * col("sum_r2_pos") - col("n") * (col("n") + 1))
-      .withColumn("z",
         when(col("n") > 1300000L,
           raise_error(lit("wilcoxonSignedRank: n > 1.3e6 nonzero pairs " +
             "— 2n(n+1)(2n+1) overflows int64; sample the panel")))
-          .when(col("n") === 0 || col("var48") <= 0 || col("num4") === 0,
-            lit(0.0))
+          .otherwise(
+            lit(2L) * col("n") * (col("n") + 1) * (lit(2L) * col("n") + 1)
+              - coalesce(col("tie48"), lit(0).cast("decimal(38,0)"))
+                .cast("long"))
+          .as("var48"))
+      .withColumn("num4",
+        lit(2L) * col("sum_r2_pos") - col("n") * (col("n") + 1))
+      .withColumn("z",
+        when(col("n") === 0 || col("var48") <= 0 || col("num4") === 0,
+          lit(0.0))
           .otherwise((col("num4") - lit(2L) * signum(col("num4"))
             .cast("long")).cast("double") /
             (lit(4.0) * sqrt(col("var48").cast("double") / 48.0))))
@@ -366,7 +376,18 @@ object DistTest {
           raise_error(concat(lit("cochranQ: incomplete blocks — every "),
             lit("item needs exactly one decision from each of the "),
             col("k_pol").cast("string"), lit(" policies"))))
-          .when(col("nn") * col("nn") > lit(4000000000000000000L) / col("k_pol"),
+          // two-stage guard (lazily evaluated in order): the nn ≤ 3e9
+          // gate must fire BEFORE nn² is ever formed — nn² itself
+          // wraps int64 past nn ≈ 3.03e9, so a one-stage squared guard
+          // would surface a generic ANSI overflow instead of this
+          // message. Under the first gate nn² ≤ 9e18 < 2⁶³ and the
+          // k-aware product check is exact. The bound is k²·N² ≤ 4e18
+          // (not k·N²): the χ² numerator (k−1)·(k·sum_c2 − nn²) needs
+          // the extra factor of k since sum_c2 ≤ nn².
+          .when(col("nn") > 3000000000L,
+            raise_error(lit("cochranQ: k*N^2 overflows int64; sample")))
+          .when(col("nn") * col("nn") >
+              lit(4000000000000000000L) / (col("k_pol") * col("k_pol")),
             raise_error(lit("cochranQ: k*N^2 overflows int64; sample")))
           .otherwise(col("k_pol")))
       .withColumn("q",

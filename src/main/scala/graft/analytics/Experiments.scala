@@ -290,8 +290,18 @@ object Experiments {
   def msprt(df: DataFrame, bucketCol: String, armCol: String,
             valueCol: String, tau2: Double = 0.0001): DataFrame = {
     require(tau2 > 0, "mixture variance tau2 must be positive")
+    // arm domain is STRICT {0, 1} — a typo'd arm code (2, 'B') or a
+    // NULL assignment silently landing in one arm (or vanishing from
+    // both counts) would corrupt the monitor without a trace; srmCheck
+    // raises loudly on undeclared arms and this shares that contract.
+    val armL = col(armCol).cast("long")
     val perBucket = df.select(col(bucketCol).as("bk"),
-        (col(armCol).cast("long") === 1L).as("isA"),
+        when(armL === 1L, lit(true)).when(armL === 0L, lit(false))
+          .otherwise(raise_error(concat(
+            lit("msprt: arm must be 0 or 1 (saw "),
+            coalesce(col(armCol).cast("string"), lit("NULL")),
+            lit(")"))))
+          .as("isA"),
         col(valueCol).cast("decimal(18,6)").as("x"))
       .groupBy("bk")
       .agg(

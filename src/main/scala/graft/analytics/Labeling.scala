@@ -25,18 +25,48 @@ import org.apache.spark.sql.functions._
   *
   * Reference analogue: the reference's extraction pipeline resolves
   * multi-parser field disagreements by fixed priority
-  * (/root/reference/src/extraction/parser_router.py); these are the
+  * (/root/reference/src/extraction/router.py); these are the
   * vote-based generalizations a labeling queue needs.
   *
   * Scale shape: everything is (item, category) / (rater) counts and
   * broadcast-joinable rater tables — map-side combinable, no windows
-  * wider than per-item, no collect. 100 TB: three shuffles, the rater
-  * weight table broadcasts (raters ≪ items).
+  * wider than per-item, no collect. 100 TB: three shuffles; rater-sided
+  * tables broadcast only while they are actually small — every
+  * rater-dimension `broadcast()` hint in this object goes through
+  * [[maybeBroadcast]], which counts the staged frame and DROPS the
+  * hint above `graft.labeling.maxBroadcastRows`, letting the keyed
+  * shuffle join carry crowd-scale panels instead of dying on the
+  * 8 GiB broadcast limit mid-flight (the E-step sums are map-side
+  * combinable either way, so only the join strategy changes).
   *
   * Determinism: counts are exact integers; every argmax breaks ties
   * on (count DESC, category ASC) — total order, no floats anywhere.
   */
 object Labeling {
+
+  /** Above this row count a rater-dimension frame is NOT broadcast —
+    * the hint is dropped and the shuffle join carries it (see
+    * [[maybeBroadcast]]). Default 4M rows ≈ a few hundred MB of
+    * (r, c, label, lconf) grid — well under the 8 GiB broadcast limit
+    * with headroom for wide rater ids.
+    */
+  val MaxBroadcastRowsKey = "graft.labeling.maxBroadcastRows"
+  val DefaultMaxBroadcastRows: Long = 4L << 20
+
+  /** Conditional broadcast hint for rater-sided frames: `rows` is the
+    * caller's exact driver-side count of `df` (always a STAGED frame,
+    * so the count is a cheap cached scan). At or under the
+    * [[MaxBroadcastRowsKey]] bound the frame broadcasts (raters ≪
+    * items, the common panel shape); above it the hint is dropped and
+    * Spark's planner shuffles the join on its keys — crowd-scale
+    * panels (10⁵–10⁶ raters × V² grid rows) degrade to a keyed
+    * shuffle instead of a doomed 8 GiB broadcast attempt.
+    */
+  private def maybeBroadcast(df: DataFrame, rows: BigInt): DataFrame = {
+    val maxRows = df.sparkSession.conf
+      .get(MaxBroadcastRowsKey, DefaultMaxBroadcastRows.toString).toLong
+    if (rows <= BigInt(maxRows)) broadcast(df) else df
+  }
 
   private def votes(df: DataFrame, itemCol: String, raterCol: String,
                     categoryCol: String): DataFrame =
@@ -110,13 +140,21 @@ object Labeling {
     *
     * Scale shape: votes and the label frame are staged per iteration
     * ([[graft.plans.Materialize]] — the fixed-iteration contract);
-    * per iteration one (r,v,c) count, a broadcast R·V² confusion
-    * grid, and a votes×V expansion into per-(item, class) integer
-    * sums — map-side combinable. Categories are BOUNDED (raises
-    * above 1000): V is a label-space size, never a corpus dimension.
+    * per iteration one (r,v,c) count, the R·V² confusion grid, and a
+    * votes×V expansion into per-(item, class) integer sums — map-side
+    * combinable. Categories are BOUNDED (raises above 1000): V is a
+    * label-space size, never a corpus dimension. The RATER dimension
+    * is unbounded — the grid goes through [[maybeBroadcast]] (exact
+    * staged counts, `graft.labeling.maxBroadcastRows`): small panels
+    * broadcast, crowd-scale panels fall back to the (r,c)-keyed
+    * shuffle join with identical results.
     *
-    * Output per item: (item, label, score_l2) — score_l2 the exact
-    * fixed-point log₂ score of the winning class → fully RAW.
+    * Output per item: (item, label, score_l2, margin_l2) — score_l2
+    * the exact fixed-point log₂ score of the winning class, margin_l2
+    * the exact gap to the runner-up class (NULL only in the V = 1
+    * degenerate case; 0 on exact ties — the posterior-confidence
+    * signal a relabel queue routes on, see [[relabelQueue]]) → fully
+    * RAW.
     */
   def dawidSkene(df: DataFrame, itemCol: String, raterCol: String,
                  categoryCol: String, iters: Int = 2): DataFrame = {
@@ -126,8 +164,14 @@ object Labeling {
     val v = graft.plans.Materialize.stage(
       votes(df, itemCol, raterCol, categoryCol), key)
     val cats = graft.plans.Materialize.stage(
-      v.select(col("c").as("cat")).distinct(), key)
-    val raters = v.select(col("r")).distinct()
+      v.select(col("c")).distinct().select(col("c").as("cat")), key)
+    val raters = graft.plans.Materialize.stage(
+      v.select(col("r")).distinct(), key)
+    // exact driver-side dimension counts (cheap: both frames staged) —
+    // they size the grid's join strategy, never enter the math
+    val nRaters = raters.count()
+    val nCats = cats.count()
+    val gridRows = BigInt(nRaters) * BigInt(nCats) * BigInt(nCats)
     // 1-row frames: V (category count, with the bounded-label guard)
     // and N (item count) — broadcast into every smoothing denominator
     val vv = cats.agg(count(lit(1)).as("vv"))
@@ -163,7 +207,7 @@ object Labeling {
         .crossJoin(broadcast(vv)).crossJoin(broadcast(nn))
         .select(col("label"),
           (l2(col("pc") + 1) - l2(col("nn") + col("vv"))).as("lprior"))
-      val scores = v.join(broadcast(grid), Seq("r", "c"))
+      val scores = v.join(maybeBroadcast(grid, gridRows), Seq("r", "c"))
         .groupBy("i", "label").agg(sum(col("lconf")).as("s"))
         .join(broadcast(prior), Seq("label"))
         .select(col("i"), col("label"), (col("s") + col("lprior"))
@@ -172,10 +216,42 @@ object Labeling {
         .orderBy(desc("score_l2"), col("label"))
       scored = graft.plans.Materialize.stage(
         scores.withColumn("rk", row_number().over(w))
+          .withColumn("margin_l2",
+            col("score_l2") - lead(col("score_l2"), 1).over(w))
           .where(col("rk") === 1).drop("rk"), key)
       labels = scored.select(col("i"), col("label"))
     }
-    scored.select(col("i").as(itemCol), col("label"), col("score_l2"))
+    scored.select(col("i").as(itemCol), col("label"), col("score_l2"),
+      col("margin_l2"))
+  }
+
+  /** Margin-ranked relabel queue: the `queueSize` LEAST-confident
+    * [[dawidSkene]] items — smallest posterior margin first — the list
+    * an annotation pipeline sends back for another round of human
+    * labels (uncertainty routing: spending rater budget where the
+    * model of the raters is least sure).
+    *
+    * Ordering is (margin_l2 ASC NULLS LAST, item ASC) — exact
+    * fixed-point integers, ties broken by item id, NULL margins
+    * (V = 1: nothing to confuse with) routed last; `queue_rank` is
+    * the 1-based position. Integer-exact end to end → RAW.
+    *
+    * Scale shape: [[dawidSkene]]'s shape plus ONE distributed
+    * sort+limit (`TakeOrderedAndProject` — never a global window over
+    * the corpus); the rank window runs over the already-limited
+    * `queueSize`-row frame (bounded by contract, ≤ 1e6).
+    */
+  def relabelQueue(df: DataFrame, itemCol: String, raterCol: String,
+                   categoryCol: String, queueSize: Int,
+                   iters: Int = 2): DataFrame = {
+    require(queueSize >= 1 && queueSize <= 1000000,
+      "queueSize must be in [1, 1e6]")
+    val scored = dawidSkene(df, itemCol, raterCol, categoryCol, iters)
+    val top = scored
+      .orderBy(col("margin_l2").asc_nulls_last, col(itemCol))
+      .limit(queueSize)
+    top.withColumn("queue_rank", row_number().over(
+      Window.orderBy(col("margin_l2").asc_nulls_last, col(itemCol))))
   }
 
   /** Reliability-weighted re-vote: each rater's ballot weighs its
@@ -187,14 +263,20 @@ object Labeling {
     * change little when raters are anonymous-but-consistent, and the
     * fixed point of THIS rule is already majority-stable.
     *
+    * The R-row weight table is staged and goes through
+    * [[maybeBroadcast]] — crowd-scale panels shuffle-join on the
+    * rater key instead of broadcasting (same guard as [[dawidSkene]]).
+    *
     * Output: (item, label, weight, n_label, n_votes).
     */
   def weightedVote(df: DataFrame, itemCol: String, raterCol: String,
                    categoryCol: String): DataFrame = {
     val v = votes(df, itemCol, raterCol, categoryCol)
-    val rel = raterReliability(df, itemCol, raterCol, categoryCol)
-      .select(col(raterCol).as("r"), col("n_match"))
-    val weighted = v.join(broadcast(rel), Seq("r"))
+    val rel = graft.plans.Materialize.stage(
+      raterReliability(df, itemCol, raterCol, categoryCol)
+        .select(col(raterCol).as("r"), col("n_match")),
+      "graft.dedup.checkpoint")
+    val weighted = v.join(maybeBroadcast(rel, BigInt(rel.count())), Seq("r"))
       .groupBy("i", "c")
       .agg(sum(col("n_match")).as("wt"), count(lit(1)).as("n"))
     val w = Window.partitionBy("i").orderBy(desc("wt"), desc("n"), col("c"))

@@ -592,8 +592,11 @@ object TestQueries25 {
           ON g.r = v.rater AND g.c = v.cat
         GROUP BY v.doc_id, g.label),
       ${p}lab AS (
-        SELECT i, label, score_l2 FROM (
+        SELECT i, label, score_l2, margin_l2 FROM (
           SELECT s.i, s.label, s.s + p2.lprior AS score_l2,
+            (s.s + p2.lprior) - LEAD(s.s + p2.lprior) OVER (
+              PARTITION BY s.i
+              ORDER BY s.s + p2.lprior DESC, s.label) AS margin_l2,
             ROW_NUMBER() OVER (PARTITION BY s.i
               ORDER BY s.s + p2.lprior DESC, s.label) AS rk
           FROM ${p}score s JOIN ${p}prior p2 ON p2.label = s.label)
@@ -605,7 +608,8 @@ object TestQueries25 {
     * log2 integers ([[graft.operators.UnigramLm.fixedLog2Col]] ≡ the
     * oracle's HUGEINT shift-and-square fold), (score DESC, label ASC)
     * argmax — the full 1979 estimator with a platform-stable E-step.
-    * score_l2 is an exact integer → fully RAW at 3 SFs.
+    * score_l2 and the top-2 posterior gap margin_l2 (a LEAD over the
+    * same argmax window) are exact integers → fully RAW at 3 SFs.
     */
   val q345DawidSkene: QueryCase = QueryCase(
     "q345_dawid_skene",
@@ -622,7 +626,8 @@ object TestQueries25 {
       rts AS (SELECT DISTINCT rater AS r FROM votes),
       ${dsIterSql("i1", "lab0")},
       ${dsIterSql("i2", "i1lab")}
-      SELECT i AS doc_id, label, score_l2 FROM i2lab ORDER BY i"""))
+      SELECT i AS doc_id, label, score_l2, margin_l2
+      FROM i2lab ORDER BY i"""))
 
   /** One scaling-fit train point as oracle CTEs: add-0.5 unigram LM on
     * buckets < `$f`, held-out CE with the OOV floor — mirrors one

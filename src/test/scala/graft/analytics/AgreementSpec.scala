@@ -47,6 +47,18 @@ class AgreementSpec extends SparkSpec {
     assert(k == 1.0)
   }
 
+  test("every rating in ONE category: p_e = 1 branch returns kappa = 1 " +
+    "(no ANSI division by zero)") {
+    // one single category ever used -> p_bar = p_e = 1 -> the 0/0 is
+    // defined to 1, mirroring krippendorffAlpha's de_num = 0 case
+    val r = Agreement.fleissKappa(
+      Seq((1, 1, "only"), (1, 2, "only"), (2, 1, "only"), (2, 2, "only"))
+        .toDF("item", "rater", "cat"), "item", "rater", "cat")
+      .collect().head
+    assert(r.getAs[Double]("p_e") == 1.0)
+    assert(r.getAs[Double]("kappa") == 1.0)
+  }
+
   test("ragged rater counts raise") {
     val df = Seq((1, 1, "a"), (1, 2, "a"), (2, 1, "a")).toDF("i", "r", "c")
     val e = intercept[Exception] {

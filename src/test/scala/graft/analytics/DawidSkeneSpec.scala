@@ -82,6 +82,112 @@ class DawidSkeneSpec extends SparkSpec {
     assert(d.values.map(_._2).toSet == Set(0L))
   }
 
+  test("margin_l2 is the exact hand-traced top-2 posterior gap") {
+    // one rater, items 1->a, 2->a, 3->b, one EM iteration. conf[a][a]=2,
+    // conf[b][b]=1, rated[a]=2, rated[b]=1, priors (L3-L5, L2-L5):
+    //   item1: score(a) = (L3-L4) + (L3-L5); score(b) = -L3 + (L2-L5)
+    //   margin = 3*L3 - L4 - L2 = 3*(L3 - L2)   (L4 = 2*L2 exactly)
+    import graft.operators.UnigramLm.fixedLog2
+    val rows = Seq((1, "r", "a"), (2, "r", "a"), (3, "r", "b"))
+    val out = Labeling.dawidSkene(rows.toDF("item", "rater", "cat"),
+      "item", "rater", "cat", iters = 1)
+      .collect().map(r => r.getAs[Int]("item") ->
+        (r.getAs[String]("label"), r.getAs[Long]("margin_l2"))).toMap
+    val expected = 3L * (fixedLog2(3) - fixedLog2(2))
+    assert(out(1) == (("a", expected)))
+    assert(out(2) == (("a", expected)))
+  }
+
+  test("tie-margin-zero: an item with exactly balanced evidence gets " +
+    "margin_l2 = 0 (and the lexicographic label)") {
+    // three 'm' raters pin items 1,2 -> a and 3,4,7,8 -> b; coin-flip
+    // raters r1, r2 vote a,b,a,b on 1-4 (fully symmetric confusion
+    // [a][a]=2 [b][a]=2 [a][b]=1 [b][b]=1 each, after items 5,6 init
+    // to 'a' by the majority tie-break) and SPLIT on items 5 and 6.
+    // Class priors are 4/4, so score(a) = score(b) = -3*L2 exactly on
+    // both split items: margin 0, label 'a' by the tie-break.
+    val m = Seq(1 -> "a", 2 -> "a", 3 -> "b", 4 -> "b", 7 -> "b", 8 -> "b")
+      .flatMap { case (i, c) =>
+        Seq((i, "m1", c), (i, "m2", c), (i, "m3", c)) }
+    val coins = Seq(1 -> "a", 2 -> "b", 3 -> "a", 4 -> "b")
+      .flatMap { case (i, c) => Seq((i, "r1", c), (i, "r2", c)) }
+    val split = Seq((5, "r1", "a"), (5, "r2", "b"),
+      (6, "r1", "b"), (6, "r2", "a"))
+    val out = Labeling.dawidSkene((m ++ coins ++ split)
+      .toDF("item", "rater", "cat"), "item", "rater", "cat", iters = 1)
+      .collect().map(r => r.getAs[Int]("item") ->
+        (r.getAs[String]("label"), r.getAs[Long]("score_l2"),
+          r.getAs[Long]("margin_l2"))).toMap
+    val l2 = graft.operators.UnigramLm.fixedLog2(2)
+    assert(out(5) == (("a", -3L * l2, 0L)))
+    assert(out(6) == (("a", -3L * l2, 0L)))
+    // pinned items keep nonzero margins
+    assert(out(1)._3 > 0L && out(3)._3 > 0L)
+  }
+
+  test("V = 1 degenerate case: margin_l2 is NULL (no runner-up)") {
+    val rows = (1 to 3).map(i => (i, "r", "only"))
+    val out = Labeling.dawidSkene(rows.toDF("item", "rater", "cat"),
+      "item", "rater", "cat", iters = 1).collect()
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("margin_l2"))))
+  }
+
+  test("crowd-scale guard: above graft.labeling.maxBroadcastRows the " +
+    "grid broadcast hint is dropped — identical labels, fewer " +
+    "broadcast exchanges, no 8 GiB broadcast attempt") {
+    val rows = (1 to 10).flatMap { i =>
+      val t = if (i % 2 == 1) "P" else "Q"
+      Seq((i, "g1", t), (i, "g2", t), (i, "bad", if (t == "P") "Q" else "P"))
+    }
+    val df = rows.toDF("item", "rater", "cat")
+    def broadcasts(d: org.apache.spark.sql.DataFrame): Int =
+      "BroadcastExchange".r
+        .findAllIn(d.queryExecution.executedPlan.toString).length
+    // stage mode `none` keeps the full lineage visible so the join
+    // strategies can be counted in ONE final plan (eager staging would
+    // execute the per-iteration joins at construction time)
+    spark.conf.set("graft.dedup.checkpoint", "none")
+    // disable Spark's own size-based broadcast so the dropped hint is
+    // observable as a shuffle join in the executed plan
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val hinted = Labeling.dawidSkene(df, "item", "rater", "cat")
+      val hintedRows = hinted.collect().map(_.toSeq).toSet
+      val hintedBc = broadcasts(hinted)
+      assert(hintedBc > 0, "hinted plan must carry broadcast exchanges")
+      spark.conf.set(Labeling.MaxBroadcastRowsKey, "1")
+      val guarded = Labeling.dawidSkene(df, "item", "rater", "cat")
+      assert(guarded.collect().map(_.toSeq).toSet == hintedRows,
+        "fallback join strategy must not change labels or scores")
+      assert(broadcasts(guarded) < hintedBc,
+        s"expected fewer broadcasts than the hinted plan's $hintedBc")
+    } finally {
+      spark.conf.unset("graft.dedup.checkpoint")
+      spark.conf.unset(Labeling.MaxBroadcastRowsKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("relabelQueue routes the least-confident items first, ties by " +
+    "item id, margin-less (V = 1 style) items last") {
+    // reuse the tie fixture: items 5 and 6 have margin 0 -> queue head
+    val m = Seq(1 -> "a", 2 -> "a", 3 -> "b", 4 -> "b", 7 -> "b", 8 -> "b")
+      .flatMap { case (i, c) =>
+        Seq((i, "m1", c), (i, "m2", c), (i, "m3", c)) }
+    val coins = Seq(1 -> "a", 2 -> "b", 3 -> "a", 4 -> "b")
+      .flatMap { case (i, c) => Seq((i, "r1", c), (i, "r2", c)) }
+    val split = Seq((5, "r1", "a"), (5, "r2", "b"),
+      (6, "r1", "b"), (6, "r2", "a"))
+    val q = Labeling.relabelQueue((m ++ coins ++ split)
+      .toDF("item", "rater", "cat"), "item", "rater", "cat",
+      queueSize = 3, iters = 1)
+      .collect().map(r => r.getAs[Int]("queue_rank") ->
+        r.getAs[Int]("item")).toMap
+    assert(q.keySet == Set(1, 2, 3))
+    // both margin-0 items lead the queue, ordered by item id
+    assert(q(1) == 5 && q(2) == 6)
+  }
+
   test("iters out of range raises") {
     val df = Seq((1, "r", "x")).toDF("item", "rater", "cat")
     intercept[IllegalArgumentException] {

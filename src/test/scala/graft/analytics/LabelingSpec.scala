@@ -59,6 +59,23 @@ class LabelingSpec extends SparkSpec {
     assert(out(4) == (("W", 3L)))
   }
 
+  test("weightedVote: crowd-scale guard drops the weight-table " +
+    "broadcast hint without changing any label or weight") {
+    spark.conf.set(Labeling.MaxBroadcastRowsKey, "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Labeling.weightedVote(
+        panel.toDF("item", "rater", "cat"), "item", "rater", "cat")
+        .collect().map(r => r.getAs[Int]("item") ->
+          (r.getAs[String]("label"), r.getAs[Long]("weight"))).toMap
+      assert(out(1) == (("X", 5L)) && out(2) == (("Y", 6L)) &&
+        out(3) == (("X", 8L)) && out(4) == (("W", 3L)))
+    } finally {
+      spark.conf.unset(Labeling.MaxBroadcastRowsKey)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("weightedVote can overturn a plain majority") {
     // Two strong raters (s1, s2) match consensus on items 1-4; weak
     // raters w2, w3 never do. On item 5 the three weak raters say B

@@ -81,4 +81,21 @@ class MsprtSpec extends SparkSpec {
     assert(e.getMessage.contains("undeclared") ||
       e.getMessage.contains("srmCheck"))
   }
+
+  test("msprt: arm values outside {0, 1} raise; NULL arms raise") {
+    // a typo'd arm code must never silently land in arm B (srmCheck's
+    // loud-on-undeclared contract, shared)
+    val typo = Seq((1, 2L, 1.0), (1, 0L, 1.0), (1, 1L, 1.0))
+      .toDF("day", "arm", "x")
+    val e = intercept[Exception] {
+      Experiments.msprt(typo, "day", "arm", "x").collect()
+    }
+    assert(e.getMessage.contains("msprt: arm must be 0 or 1"))
+    val withNull = Seq((1, Option(1L), 1.0), (1, Option.empty[Long], 2.0))
+      .toDF("day", "arm", "x")
+    val e2 = intercept[Exception] {
+      Experiments.msprt(withNull, "day", "arm", "x").collect()
+    }
+    assert(e2.getMessage.contains("msprt: arm must be 0 or 1"))
+  }
 }

@@ -49,6 +49,19 @@ class SignificanceSpec extends SparkSpec {
     assert(z == 0.0)
   }
 
+  test("wilcoxon: an oversized panel raises the DOCUMENTED bound " +
+    "message, not a generic ANSI overflow") {
+    // the n <= 1.3e6 gate must wrap the cubic 2n(n+1)(2n+1) product
+    // itself (it wraps int64 at n ~ 1.32e6) — a guard only on the z
+    // output would let the product overflow first
+    val big = spark.range(1300001L)
+      .selectExpr("CAST(id + 1 AS DOUBLE) AS a", "CAST(0.0 AS DOUBLE) AS b")
+    val e = intercept[Exception] {
+      DistTest.wilcoxonSignedRank(big, "a", "b").collect()
+    }
+    assert(e.getMessage.contains("n > 1.3e6"), e.getMessage)
+  }
+
   private def mcn(rows: Seq[(Boolean, Boolean)]) = {
     val r = DistTest.mcnemar(rows.toDF("a", "b"), "a", "b").collect().head
     (r.getAs[Long]("n"), r.getAs[Long]("n10"), r.getAs[Long]("n01"),
