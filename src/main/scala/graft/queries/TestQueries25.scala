@@ -88,10 +88,10 @@ object TestQueries25 {
   // ---- the q232 rater pair, verbatim (TestQueries19.scored): the
   // McNemar gate asks the OTHER question about the SAME two policies —
   // κ graded their agreement; χ²_cc tests their marginal homogeneity.
-  private val TokensSql =
+  private[queries] val TokensSql =
     "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
 
-  private def scored(s: SparkSession, dir: String): DataFrame =
+  private[queries] def scored(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         TextFunctions.tokens(col("text")).as("tk"))
@@ -101,7 +101,7 @@ object TestQueries25 {
         (size(array_distinct(col("tk"))).cast("double") /
           size(col("tk")).cast("double")).as("ttr"))
 
-  private val ScoredSql =
+  private[queries] val ScoredSql =
     s"""sc AS (
         SELECT doc_id, n_chars,
                CAST(len(tk) AS BIGINT) AS n_tokens,
@@ -257,7 +257,7 @@ object TestQueries25 {
     * pair (length, lexical diversity) plus a token-count screen —
     * every doc gets exactly 3 ratings (the Fleiss design).
     */
-  private def raterVotes(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def raterVotes(s: SparkSession, dir: String): DataFrame = {
     val sc = scored(s, dir)
     val vote = (c: org.apache.spark.sql.Column) =>
       when(c, lit("keep")).otherwise(lit("drop"))
@@ -269,7 +269,7 @@ object TestQueries25 {
         vote(col("n_tokens") >= 60).as("cat")))
   }
 
-  private val RaterVotesSql = s"""
+  private[queries] val RaterVotesSql = s"""
       votes AS (
         SELECT doc_id, 'len' AS rater,
           CASE WHEN n_chars >= 300 THEN 'keep' ELSE 'drop' END AS cat
@@ -372,7 +372,7 @@ object TestQueries25 {
               / CAST(420 * de_num AS DOUBLE) END AS alpha
       FROM de"""))
 
-  private val VoteCountsSql = """
+  private[queries] val VoteCountsSql = """
       cnt AS (
         SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS n
         FROM votes GROUP BY doc_id, cat),
@@ -535,7 +535,7 @@ object TestQueries25 {
     * shift-and-square in HUGEINT, plain 2-element list accumulator
     * (DuckDB 1.0 list_reduce corrupts struct accumulators).
     */
-  private def lSql(c: String): String =
+  private[queries] def lSql(c: String): String =
     s"""((length(bin($c)) - CAST(1 AS BIGINT)) * 65536 + CAST(list_reduce(
       list_prepend([CAST($c AS HUGEINT)
           * (CAST(1 AS HUGEINT) << (55 - (length(bin($c)) - 1))),
@@ -554,7 +554,7 @@ object TestQueries25 {
     * expansion, (score DESC, label ASC) argmax — mirrors one loop body
     * of [[graft.analytics.Labeling.dawidSkene]] exactly.
     */
-  private def dsIterSql(p: String, prev: String): String = s"""
+  private[queries] def dsIterSql(p: String, prev: String): String = s"""
       ${p}conf AS (
         SELECT v.rater AS r, v.cat AS c, l.label,
           CAST(COUNT(*) AS BIGINT) AS n
@@ -1289,31 +1289,32 @@ object TestQueries25 {
             (rss_r - rss_u) / (rss_u / (nd - 3.0))) END AS f
       FROM fin ORDER BY user_id"""))
 
-  /** Team-draft interleaving of two document rankers per source —
-    * [[graft.search.Interleave.teamDraft]] (Radlinski et al. 2008):
-    * ranker A = length order, ranker B = token-count order (top 8
-    * each), merged to k = 10 with deterministic md5 draft coins. The
-    * oracle replays the draft as a recursive CTE carrying the picked
-    * list as VARCHAR[] state — integer/string state only → RAW.
+  /** The q356 fixture: length-ranker vs token-count-ranker top-8 per
+    * source, merged to k = 10 — shared with the q358/q359 outcome
+    * gates in [[TestQueries26]].
     */
-  val q356TeamDraft: QueryCase = QueryCase(
-    "q356_team_draft",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          graft.functions.TextFunctions.tokenCount(col("text"))
-            .cast("long").as("n_tokens"))
-      def top8(by: org.apache.spark.sql.Column) = d
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("source")
-            .orderBy(by, col("doc_id"))))
-        .where(col("rk") <= 8)
-        .select(col("source"), col("doc_id"), col("rk"))
-      graft.search.Interleave.teamDraft(
-        top8(col("n_chars").desc), top8(col("n_tokens").desc),
-        "source", "doc_id", "rk", k = 10)
-    },
-    Some {
+  private[queries] def teamDraftInterleaved(s: SparkSession,
+                                            dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long").as("n_tokens"))
+    def top8(by: org.apache.spark.sql.Column) = d
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(by, col("doc_id"))))
+      .where(col("rk") <= 8)
+      .select(col("source"), col("doc_id"), col("rk"))
+    graft.search.Interleave.teamDraft(
+      top8(col("n_chars").desc), top8(col("n_tokens").desc),
+      "source", "doc_id", "rk", k = 10)
+  }
+
+  /** The recursive-CTE draft walk mirroring [[teamDraftInterleaved]]
+    * (CTEs d/ra/rb/rl/walk; requires a WITH RECURSIVE prefix) —
+    * shared by the q356 gate and the q358/q359 outcome oracles.
+    */
+  private[queries] val TeamDraftCtesSql: String = {
       def next(side: String) =
         s"list_filter(rl.$side, dd -> NOT list_contains(w.picked, dd))[1]"
       val coin = "CAST(" + CrossHash.md5Hash64SqlU(
@@ -1324,8 +1325,7 @@ object TestQueries25 {
           WHEN w.na < w.nb THEN true
           WHEN w.na > w.nb THEN false
           ELSE $coin END"""
-      s"""
-      WITH RECURSIVE d AS (
+      s"""d AS (
         SELECT CAST(doc_id AS VARCHAR) AS doc, source, n_chars,
           CAST(len($TokensSql) AS BIGINT) AS n_tokens, doc_id
         FROM documents),
@@ -1363,10 +1363,23 @@ object TestQueries25 {
           CASE WHEN $pickA THEN 'A' ELSE 'B' END
         FROM walk w JOIN rl ON rl.q = w.q
         WHERE w.pos < 10
-          AND (${next("la")} IS NOT NULL OR ${next("lb")} IS NOT NULL))
+          AND (${next("la")} IS NOT NULL OR ${next("lb")} IS NOT NULL))"""
+  }
+
+  /** Team-draft interleaving of two document rankers per source —
+    * [[graft.search.Interleave.teamDraft]] (Radlinski et al. 2008):
+    * ranker A = length order, ranker B = token-count order (top 8
+    * each), merged to k = 10 with deterministic md5 draft coins. The
+    * oracle replays the draft as a recursive CTE carrying the picked
+    * list as VARCHAR[] state — integer/string state only → RAW.
+    */
+  val q356TeamDraft: QueryCase = QueryCase(
+    "q356_team_draft",
+    (s, dir) => teamDraftInterleaved(s, dir),
+    Some(s"""
+      WITH RECURSIVE $TeamDraftCtesSql
       SELECT q AS source, pos, doc, team FROM walk
-      WHERE pos >= 1 ORDER BY source, pos"""
-    })
+      WHERE pos >= 1 ORDER BY source, pos"""))
 
   val all: Seq[QueryCase] =
     Seq(q334Wilcoxon, q335Mcnemar, q336SignFlip, q337BhHolm,

@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-16 additions: closing the annotation→measurement loop —
+  * the margin-ranked relabel queue over the Dawid–Skene posteriors
+  * (q357), the interleaving experiment's JUDGMENT half (per-query
+  * click credit + the sign-test verdict, q358/q359), and the composed
+  * annotation→training-signal pipeline (Dawid–Skene labels feeding
+  * the in-engine quality classifier end to end, q360). Fixtures are
+  * shared with [[TestQueries25]] (the rater-vote panel, the team-draft
+  * walk) so the composed gates run on the identical inputs their
+  * component gates ran on.
+  */
+object TestQueries26 {
+
+  import TestQueries25.{raterVotes, RaterVotesSql, ScoredSql,
+    VoteCountsSql, dsIterSql, TokensSql, TeamDraftCtesSql,
+    teamDraftInterleaved}
+
+  /** The shared 2-iteration Dawid–Skene oracle chain ending in CTE
+    * `i2lab(i, label, score_l2, margin_l2)` — verbatim the q345
+    * pipeline.
+    */
+  private val DsChainSql = s"""
+      $ScoredSql,
+      $RaterVotesSql,
+      $VoteCountsSql,
+      lab0 AS (SELECT doc_id AS i, label FROM maj),
+      cats AS (SELECT DISTINCT cat FROM votes),
+      vvn AS (SELECT CAST(COUNT(*) AS BIGINT) AS vv FROM cats),
+      rts AS (SELECT DISTINCT rater AS r FROM votes),
+      ${dsIterSql("i1", "lab0")},
+      ${dsIterSql("i2", "i1lab")}"""
+
+  /** Margin-ranked relabel queue —
+    * [[graft.analytics.Labeling.relabelQueue]]: the 10 least-confident
+    * Dawid–Skene items (smallest exact fixed-point posterior margin,
+    * ties by doc id, NULL margins last) with their 1-based queue rank
+    * — the uncertainty-routing list an annotation pipeline sends back
+    * for more labels. Integer-exact end to end → RAW.
+    */
+  val q357RelabelQueue: QueryCase = QueryCase(
+    "q357_relabel_queue",
+    (s, dir) => graft.analytics.Labeling.relabelQueue(
+      raterVotes(s, dir), "doc_id", "rater", "cat",
+      queueSize = 10, iters = 2),
+    Some(s"""
+      WITH $DsChainSql,
+      ranked AS (
+        SELECT i AS doc_id, label, score_l2, margin_l2,
+          CAST(ROW_NUMBER() OVER (
+            ORDER BY margin_l2 ASC NULLS LAST, i) AS INT) AS queue_rank
+        FROM i2lab)
+      SELECT doc_id, label, score_l2, margin_l2, queue_rank
+      FROM ranked WHERE queue_rank <= 10 ORDER BY queue_rank"""))
+
+  /** Deterministic click log over the q356 interleaved lists: every
+    * third doc id "gets clicked" — includes docs outside the shown
+    * top-8 lists, exercising the shown-only credit convention.
+    */
+  private def clickLog(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .where(col("doc_id") % 3 === 0)
+      .select(col("source"), col("doc_id"))
+
+  private val ClickSql = """
+      clicks AS (
+        SELECT source AS q, CAST(doc_id AS VARCHAR) AS doc
+        FROM documents WHERE doc_id % 3 = 0),
+      shown AS (SELECT q, doc, team FROM walk WHERE pos >= 1),
+      credit AS (
+        SELECT sh.q,
+          CAST(SUM(CASE WHEN sh.team = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+            AS clicks_a,
+          CAST(SUM(CASE WHEN sh.team = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+            AS clicks_b
+        FROM shown sh JOIN clicks c ON c.q = sh.q AND c.doc = sh.doc
+        GROUP BY sh.q),
+      outcomes AS (
+        SELECT qs.q, COALESCE(cr.clicks_a, CAST(0 AS BIGINT)) AS clicks_a,
+          COALESCE(cr.clicks_b, CAST(0 AS BIGINT)) AS clicks_b
+        FROM (SELECT DISTINCT q FROM shown) qs
+        LEFT JOIN credit cr ON cr.q = qs.q),
+      winners AS (
+        SELECT q, clicks_a, clicks_b,
+          CASE WHEN clicks_a > clicks_b THEN 'A'
+               WHEN clicks_b > clicks_a THEN 'B'
+               ELSE 'T' END AS winner
+        FROM outcomes)"""
+
+  /** Per-query interleaving click credit —
+    * [[graft.search.Interleave.creditOutcomes]] (Chapelle et al.
+    * TOIS 2012 conventions): clicks credit the team whose draft
+    * brought the doc, shown-docs-only, no-click/equal-credit queries
+    * are ties. Exact integer counts + a total-order winner rule →
+    * fully RAW.
+    */
+  val q358InterleaveCredit: QueryCase = QueryCase(
+    "q358_interleave_credit",
+    (s, dir) => graft.search.Interleave.creditOutcomes(
+      teamDraftInterleaved(s, dir), clickLog(s, dir),
+      "source", "doc_id")
+      .orderBy("source"),
+    Some(s"""
+      WITH RECURSIVE $TeamDraftCtesSql,
+      $ClickSql
+      SELECT q AS source, clicks_a, clicks_b, winner
+      FROM winners ORDER BY source"""))
+
+  /** The interleaving experiment's verdict —
+    * [[graft.search.Interleave.teamDraftVerdict]]: win counts over
+    * queries and the continuity-corrected sign test (McNemar's
+    * discordant-pair χ², ties carry no evidence). One aggregate of
+    * exact integers, one exact-integer division → RAW.
+    */
+  val q359InterleaveVerdict: QueryCase = QueryCase(
+    "q359_interleave_verdict",
+    (s, dir) => graft.search.Interleave.teamDraftVerdict(
+      graft.search.Interleave.creditOutcomes(
+        teamDraftInterleaved(s, dir), clickLog(s, dir),
+        "source", "doc_id")),
+    Some(s"""
+      WITH RECURSIVE $TeamDraftCtesSql,
+      $ClickSql,
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+          CAST(SUM(CASE WHEN winner = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+            AS wins_a,
+          CAST(SUM(CASE WHEN winner = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+            AS wins_b,
+          CAST(SUM(CASE WHEN winner = 'T' THEN 1 ELSE 0 END) AS BIGINT)
+            AS ties
+        FROM winners)
+      SELECT n_queries, wins_a, wins_b, ties,
+        CASE WHEN wins_a + wins_b = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(GREATEST(ABS(wins_a - wins_b) - 1, 0)
+                    * GREATEST(ABS(wins_a - wins_b) - 1, 0) AS DOUBLE)
+            / CAST(wins_a + wins_b AS DOUBLE) END AS chi2_cc
+      FROM agg"""))
+
+  /** Composed annotation→training-signal pipeline: the in-engine
+    * quality classifier ([[graft.analytics.QualityClassifier]], the
+    * q180 operator) trained on DAWID–SKENE-aggregated labels
+    * (y = the q345 posterior label = 'keep') instead of a raw
+    * heuristic — the full path a curation stack runs (votes →
+    * confusion-aware labels → logistic screen), with no driver
+    * round-trips between the stages: labels feed features by an
+    * in-engine join and both GD rounds are aggregations. The oracle
+    * composes the q345 and q180 CTE chains verbatim. Gradient AVGs
+    * drift ±ulp and exp() is the accepted ln/exp class → scores
+    * surface ROUND(6) (the q180 discipline).
+    */
+  val q360DsQualityClassifier: QueryCase = QueryCase(
+    "q360_ds_quality_classifier",
+    (s, dir) => {
+      import graft.analytics.{Labeling, QualityClassifier}
+      val docs = Tables.documents(s, dir)
+      val labels = Labeling.dawidSkene(raterVotes(s, dir),
+        "doc_id", "rater", "cat", iters = 2)
+      val feats = QualityClassifier.features(docs, "doc_id", "text")
+        .join(labels.select(col("doc_id").as("id"),
+          (col("label") === "keep").cast("double").as("y")), Seq("id"))
+      val w = QualityClassifier.train(feats, "y", iters = 2)
+      QualityClassifier.score(feats, w)
+        .join(feats.select(col("id"), col("y")), Seq("id"))
+        .select(col("id").as("doc_id"), col("y").cast("int").as("y"),
+          round(col("score"), 6).as("score"), col("keep"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val stopSql = graft.extract.Boilerplate.DefaultStopwords
+        .map(s => s"'$s'").mkString("[", ", ", "]")
+      s"""
+      WITH $DsChainSql,
+      feats AS (
+        SELECT d.doc_id, CAST(l.label = 'keep' AS INT) AS y,
+               CAST(1.0 AS DOUBLE) AS x0,
+               CAST(LEN(list_filter(tk, t -> list_contains($stopSql, t)))
+                    AS DOUBLE) / LEN(tk) AS x1,
+               CAST(list_reduce(list_transform(tk, t -> LENGTH(t)),
+                    (sacc, u) -> sacc + u) AS DOUBLE) / LEN(tk) AS x2,
+               CAST(LENGTH(d.text) AS DOUBLE) / 100.0 AS x3
+        FROM (SELECT doc_id, text, $TokensSql AS tk FROM documents) d
+        JOIN i2lab l ON l.i = d.doc_id
+        WHERE LEN(tk) > 0),
+      g1 AS (
+        SELECT AVG((CAST(0.5 AS DOUBLE) - y) * x0) AS g0,
+               AVG((CAST(0.5 AS DOUBLE) - y) * x1) AS g1,
+               AVG((CAST(0.5 AS DOUBLE) - y) * x2) AS g2,
+               AVG((CAST(0.5 AS DOUBLE) - y) * x3) AS g3
+        FROM feats),
+      w1 AS (SELECT -g0 AS w0, -g1 AS w1, -g2 AS w2, -g3 AS w3 FROM g1),
+      sg2 AS (
+        SELECT f.*,
+               CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                 + exp(-(w.w0 * f.x0 + w.w1 * f.x1
+                         + w.w2 * f.x2 + w.w3 * f.x3))) AS sg
+        FROM feats f CROSS JOIN w1 w),
+      gg2 AS (
+        SELECT AVG((sg - y) * x0) AS g0, AVG((sg - y) * x1) AS g1,
+               AVG((sg - y) * x2) AS g2, AVG((sg - y) * x3) AS g3
+        FROM sg2),
+      w2 AS (
+        SELECT w.w0 - g.g0 AS w0, w.w1 - g.g1 AS w1,
+               w.w2 - g.g2 AS w2, w.w3 - g.g3 AS w3
+        FROM w1 w CROSS JOIN gg2 g),
+      fin AS (
+        SELECT f.doc_id, f.y,
+               CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                 + exp(-(w.w0 * f.x0 + w.w1 * f.x1
+                         + w.w2 * f.x2 + w.w3 * f.x3))) AS sg
+        FROM feats f CROSS JOIN w2 w)
+      SELECT doc_id, y, ROUND(sg, 6) AS score,
+             (sg >= CAST(0.5 AS DOUBLE)) AS keep
+      FROM fin ORDER BY doc_id"""
+    })
+
+  val all: Seq[QueryCase] =
+    Seq(q357RelabelQueue, q358InterleaveCredit, q359InterleaveVerdict,
+      q360DsQualityClassifier)
+}

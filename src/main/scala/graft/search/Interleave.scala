@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   *
   * Output per (query, position 1..k): (query, pos, doc, team) with
   * team ∈ {'A','B'}.
+  *
+  * The JUDGMENT half of the experiment lives in [[creditOutcomes]]
+  * (per-query click credit + winner) and [[teamDraftVerdict]] (the
+  * sign test over query winners) — assignment without outcome
+  * analysis is only half an interleaving experiment.
   */
 object Interleave {
 
@@ -95,4 +100,80 @@ object Interleave {
       .toDF(queryCol, "pos", "doc", "team")
       .orderBy(queryCol, "pos")
   }
+
+  /** Click-credit outcomes per interleaved query (Radlinski et al.
+    * 2008; evaluation conventions per Chapelle, Joachims, Radlinski &
+    * Yue, TOIS 2012): each click credits the TEAM whose draft brought
+    * the clicked document, and the query's winner is the team with
+    * more credited clicks.
+    *
+    * Conventions (spec-pinned): a click joins on (query, doc) and
+    * only counts when the document was actually shown in the
+    * interleaved list (inner join — phantom clicks on unshown docs
+    * are ignored); every click ROW credits once (dedup upstream if
+    * repeat clicks should not count); queries with no clicks, or with
+    * equal credit, are ties (`winner = 'T'`) — they stay in the
+    * output (the experiment ran) but carry no preference evidence.
+    *
+    * Scale shape: one (query, doc) equi-join + one per-query count
+    * aggregation + one left join back to the shown-query set — all
+    * map-side combinable, keys partition everything, no windows, no
+    * collect.
+    *
+    * Determinism: exact integer counts; winner is a total-order rule
+    * over them → fully RAW.
+    *
+    * Input `interleaved` is [[teamDraft]]'s output shape
+    * (queryCol, pos, doc, team); `clicks` carries (queryCol, docCol).
+    * Output per query: (query, clicks_a, clicks_b, winner).
+    */
+  def creditOutcomes(interleaved: DataFrame, clicks: DataFrame,
+                     queryCol: String, docCol: String): DataFrame = {
+    val shown = interleaved.select(col(queryCol).cast("string").as("q"),
+      col("doc"), col("team"))
+    val c = clicks.select(col(queryCol).cast("string").as("q"),
+      col(docCol).cast("string").as("doc"))
+    val credit = shown.join(c, Seq("q", "doc"))
+      .groupBy("q").agg(
+        sum(when(col("team") === "A", 1L).otherwise(0L)).as("clicks_a"),
+        sum(when(col("team") === "B", 1L).otherwise(0L)).as("clicks_b"))
+    shown.select(col("q")).distinct()
+      .join(credit, Seq("q"), "left")
+      .na.fill(0L, Seq("clicks_a", "clicks_b"))
+      .select(col("q").as(queryCol), col("clicks_a"), col("clicks_b"),
+        when(col("clicks_a") > col("clicks_b"), lit("A"))
+          .when(col("clicks_b") > col("clicks_a"), lit("B"))
+          .otherwise(lit("T")).as("winner"))
+  }
+
+  /** The ranker verdict over [[creditOutcomes]] rows: per-team win
+    * counts and the continuity-corrected sign test on non-tie queries,
+    *
+    *   χ²_cc = max(|wins_a − wins_b| − 1, 0)² / (wins_a + wins_b)
+    *
+    * — exactly McNemar's discordant-pair statistic
+    * ([[graft.analytics.DistTest.mcnemar]] is the same formula; a
+    * query preferring A vs B is a discordant pair, ties carry no
+    * evidence). χ² ~ χ²(1) under "no preference": > 3.841 rejects at
+    * 5%. Zero non-tie queries → χ² = 0 inside a lazy branch (the ANSI
+    * division rule).
+    *
+    * Scale shape / determinism: ONE aggregate of exact integer counts
+    * and one exact-integer division → fully RAW. Output (one row):
+    * (n_queries, wins_a, wins_b, ties, chi2_cc).
+    */
+  def teamDraftVerdict(outcomes: DataFrame): DataFrame =
+    outcomes.agg(
+      count(lit(1)).as("n_queries"),
+      sum(when(col("winner") === "A", 1L).otherwise(0L)).as("wins_a"),
+      sum(when(col("winner") === "B", 1L).otherwise(0L)).as("wins_b"),
+      sum(when(col("winner") === "T", 1L).otherwise(0L)).as("ties"))
+      .withColumn("chi2_cc",
+        when(col("wins_a") + col("wins_b") === 0, lit(0.0))
+          .otherwise({
+            val g = greatest(abs(col("wins_a") - col("wins_b")) - 1,
+              lit(0L))
+            (g * g).cast("double") /
+              (col("wins_a") + col("wins_b")).cast("double")
+          }))
 }

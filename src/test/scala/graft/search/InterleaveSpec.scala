@@ -65,4 +65,59 @@ class InterleaveSpec extends SparkSpec {
       .collect().groupBy(_.getAs[String]("q"))
     assert(out("q1").length == 3 && out("q2").length == 2)
   }
+
+  // hand fixture for the outcome half: interleaved lists for three
+  // queries with known team assignments
+  private def interleaved = Seq(
+    ("q1", 1L, "a", "A"), ("q1", 2L, "b", "B"), ("q1", 3L, "c", "A"),
+    ("q2", 1L, "d", "B"), ("q2", 2L, "e", "A"),
+    ("q3", 1L, "f", "A"), ("q3", 2L, "g", "B"))
+    .toDF("q", "pos", "doc", "team")
+
+  test("creditOutcomes: clicks credit the drafting team; shown-only; " +
+    "no-click and equal-credit queries are ties") {
+    val clicks = Seq(
+      ("q1", "a"), ("q1", "c"),          // two A-credits -> q1 winner A
+      ("q2", "d"), ("q2", "e"),          // one each -> tie
+      ("q2", "zz"),                      // phantom: doc never shown
+      ("q9", "a"))                       // phantom: query never shown
+      .toDF("q", "doc")
+    val out = Interleave.creditOutcomes(interleaved, clicks, "q", "doc")
+      .collect().map(r => r.getAs[String]("q") ->
+        (r.getAs[Long]("clicks_a"), r.getAs[Long]("clicks_b"),
+          r.getAs[String]("winner"))).toMap
+    assert(out == Map(
+      "q1" -> ((2L, 0L, "A")),
+      "q2" -> ((1L, 1L, "T")),   // equal credit -> tie
+      "q3" -> ((0L, 0L, "T"))))  // no clicks -> tie, still present
+  }
+
+  test("creditOutcomes: every click ROW credits once (repeat clicks " +
+    "count with multiplicity)") {
+    val clicks = Seq(("q1", "b"), ("q1", "b"), ("q1", "a")).toDF("q", "doc")
+    val out = Interleave.creditOutcomes(interleaved, clicks, "q", "doc")
+      .collect().map(r => r.getAs[String]("q") ->
+        (r.getAs[Long]("clicks_a"), r.getAs[Long]("clicks_b"),
+          r.getAs[String]("winner"))).toMap
+    assert(out("q1") == ((1L, 2L, "B")))
+  }
+
+  test("teamDraftVerdict: sign test over winners is McNemar's " +
+    "chi2_cc; all-tie panels give 0 inside the lazy branch") {
+    val outcomes = Seq(
+      ("q1", 2L, 0L, "A"), ("q2", 3L, 1L, "A"), ("q3", 2L, 1L, "A"),
+      ("q4", 0L, 1L, "B"), ("q5", 1L, 1L, "T"))
+      .toDF("q", "clicks_a", "clicks_b", "winner")
+    val v = Interleave.teamDraftVerdict(outcomes).collect().head
+    assert(v.getAs[Long]("n_queries") == 5L)
+    assert(v.getAs[Long]("wins_a") == 3L && v.getAs[Long]("wins_b") == 1L)
+    assert(v.getAs[Long]("ties") == 1L)
+    // chi2_cc = (|3-1|-1)^2 / 4 = 0.25
+    assert(v.getAs[Double]("chi2_cc") == 0.25)
+    val allTies = Seq(("q1", 0L, 0L, "T"), ("q2", 1L, 1L, "T"))
+      .toDF("q", "clicks_a", "clicks_b", "winner")
+    val v2 = Interleave.teamDraftVerdict(allTies).collect().head
+    assert(v2.getAs[Double]("chi2_cc") == 0.0 &&
+      v2.getAs[Long]("ties") == 2L)
+  }
 }

@@ -21,6 +21,17 @@ sbt -batch "Test/compile" >/tmp/close_round_compile.log 2>&1 || {
   exit 1
 }
 
+# Inventory drift guard (round-16 verdict ask #3): the QueryCase
+# registry, SURVEY.md and COVERAGE.md must agree gate-by-gate — round
+# 15 shipped 23 gates documented only in COVERAGE while SURVEY (the
+# table the judge grades) stopped at q333. Cheap (pure grep), runs on
+# EVERY close.
+echo "[close_round] inventory drift guard..."
+python3 tools/check_inventory.py || {
+  echo "[close_round] REFUSED: gate inventories drifted (see above)."
+  exit 1
+}
+
 if [ -n "$FULL" ]; then
   echo "[close_round] sbt test..."
   sbt -batch test >/tmp/close_round_test.log 2>&1 || {
@@ -94,6 +105,10 @@ $suites suites."
   echo "[close_round] doc headers regenerated: round $round, $gates gates, $oracle [O]"
 fi
 
+# Round artifacts travel in the round's OWN ledger commit (round-15
+# verdict ask #5 — BENCH/CORRECTNESS sat untracked two rounds running;
+# -f so a future .gitignore edit can never silently drop them).
+git add -f BENCH_r*.json CORRECTNESS_r*.json 2>/dev/null || true
 git add -A
 # a clean tree is a legitimate close (all work already committed) —
 # don't let set -e abort before the settle loop below
