@@ -28,16 +28,33 @@ object Bench {
     // zero the round's bench record, the round-11 failure mode).
     val idleBar = sys.env.getOrElse("SPARK_GRAFT_IDLE_BAR", "2.0").toDouble
     val idleBudgetSec =
-      sys.env.getOrElse("SPARK_GRAFT_IDLE_BUDGET_SEC", "600").toInt
+      sys.env.getOrElse("SPARK_GRAFT_IDLE_BUDGET_SEC", "1200").toInt
     val loadAtLaunch = hostLoad
     var idleWaitedSec = 0
-    while (hostLoad > idleBar && idleWaitedSec < idleBudgetSec) {
-      System.err.println(s"[bench] host busy (loadavg ${hostLoad}); " +
-        s"waiting for < $idleBar (${idleWaitedSec}s/${idleBudgetSec}s)")
+    // Sustained-idle requirement (round-16 verdict ask #6): the r15
+    // official run launched at loadavg 5.89 and the gate passed on the
+    // FIRST sample under the bar (1.95 after 75 s) — but the 1-minute
+    // loadavg decays slowly, so that sample still reflected real load
+    // and the cold total inflated 1.39 vs the idle rerun's 1.08 s/q.
+    // Now: the bar must hold on 3 consecutive 15 s samples (a genuinely
+    // settling host), the budget is doubled to 20 min, and only a
+    // deep-idle reading (≤ bar/2, nothing left to decay) short-cuts.
+    var idleStreak =
+      if (loadAtLaunch <= idleBar / 2) 3
+      else if (loadAtLaunch <= idleBar) 1
+      else 0
+    while (idleStreak < 3 && idleWaitedSec < idleBudgetSec) {
+      System.err.println(s"[bench] host not sustained-idle (loadavg " +
+        s"${hostLoad}, streak $idleStreak/3); waiting for < $idleBar " +
+        s"(${idleWaitedSec}s/${idleBudgetSec}s)")
       Thread.sleep(15000)
       idleWaitedSec += 15
+      val l = hostLoad
+      if (l <= idleBar / 2) idleStreak = 3
+      else if (l <= idleBar) idleStreak += 1
+      else idleStreak = 0
     }
-    val idleGateOk = hostLoad <= idleBar
+    val idleGateOk = idleStreak >= 3
     if (!idleGateOk)
       System.err.println(s"[bench] WARNING: idle budget exhausted at " +
         s"loadavg ${hostLoad} — numbers below are load-contaminated")
@@ -447,6 +464,15 @@ object Bench {
     }
     val worstSteadyJson = worstSteady
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
+    // build attribution for the worst set IN THE COMPACT LINE (round-16
+    // verdict ask #6): the harness stores only the output tail, which
+    // truncates the full line's per-query "build" object — without it
+    // the driver record can't show cold ≈ build + execute and every
+    // lazy-mode cold number needs the builder's idle reruns to explain.
+    val worstBuildJson = worstPairs
+      .map { case (k, _) =>
+        "\"" + k + "\":" + fmt(buildSecs.getOrElse(k, -1.0), 2) }
+      .mkString("{", ",", "}")
     val steadyEnv =
       s"""{"loadavg_start":$steadyLoad0,"loadavg_end":$loadAvg,""" +
         s""""gc_ms":${gcMs - steadyGc0},""" +
@@ -463,7 +489,7 @@ object Bench {
     val indexedP95Compact = indexedDist
       .map { case (k, (_, p95)) => "\"" + k + "\":" + fmt(p95, 3) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"steady_env":$steadyEnv,"warm_serving":$warmServing,"warm_p95":$warmP95Compact,"indexed_p95":$indexedP95Compact,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"indexed_websearch_sec":${fmt(indexedWebsearch, 3)},"indexed_ivfsq8_sec":${fmt(indexedIvfSq8, 3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"worst_build":$worstBuildJson,"steady_env":$steadyEnv,"warm_serving":$warmServing,"warm_p95":$warmP95Compact,"indexed_p95":$indexedP95Compact,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"indexed_websearch_sec":${fmt(indexedWebsearch, 3)},"indexed_ivfsq8_sec":${fmt(indexedIvfSq8, 3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,90 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Counterfactual (off-policy) policy evaluation over logged bandit
+  * feedback — "what WOULD the new policy have earned on the traffic
+  * the old policy logged": the measurement-stack member that answers
+  * ranking/routing questions WITHOUT an online experiment, next to
+  * the online pair ([[graft.search.Interleave]]) and the A/B stack
+  * ([[Experiments]]).
+  *
+  *  - IPS (inverse-propensity scoring; Horvitz & Thompson 1952, the
+  *    bandit form per Li et al. WSDM 2011):
+  *    V̂ = (1/n) Σ_i 1[π(x_i) = a_i] · w_i · r_i, unbiased but
+  *    high-variance;
+  *  - SNIPS (self-normalized IPS; Swaminathan & Joachims NIPS 2015):
+  *    V̂ = Σ matched w·r / Σ matched w — biased O(1/n), far lower
+  *    variance, invariant to reward shifts;
+  *  - clipped weights (Ionides 2008): w capped at `cap` — the
+  *    standard variance guard; the cap is part of the estimand and is
+  *    reported back.
+  *
+  * Input spelling (the determinism hinge): logs carry the INVERSE
+  * propensity `invPropCol` (the importance weight base w₀ = 1/p₀,
+  * e.g. K for uniform-over-K logging) as an exact value, NOT the
+  * propensity double — a per-row 1/p division would make every
+  * estimate a sum of inexact quotients whose total drifts with
+  * accumulation order. With w₀ exact (cast DECIMAL(18,6); ≤6-dp exact
+  * by the gate convention, like rewards) every sum below is an exact,
+  * order-free, map-side-combinable DECIMAL and each surfaced estimate
+  * is ONE exactly-rounded double division → fully RAW. The target
+  * policy is DETERMINISTIC: a (context, action) table — the common
+  * offline-eval case; stochastic targets need per-row π(a|x) products
+  * and land back in float territory by construction.
+  *
+  * Scale shape: one broadcast-eligible equi-join on the context key
+  * (the target table is policy-sized; Spark's planner sizes it) + ONE
+  * map-combinable aggregate — no windows, no collect; 100 TB logs
+  * stream through.
+  *
+  * Output (one row): n, n_matched, cap, sum_w, sum_wr, v_ips,
+  * v_snips, ess — ess = (Σw)²/Σw² (Kong 1992 effective sample size;
+  * a fixed double tree over the exact decimal sums → RAW), the
+  * health metric that says whether the overlap between logged and
+  * target policies supports the estimate at all.
+  */
+object OffPolicy {
+
+  def ipsSnips(logs: DataFrame, ctxCol: String, actionCol: String,
+               invPropCol: String, rewardCol: String,
+               target: DataFrame, cap: Long = 1000L): DataFrame = {
+    require(cap >= 1, "weight cap must be >= 1")
+    val l = logs.select(col(ctxCol).cast("string").as("ctx"),
+      col(actionCol).cast("string").as("act"),
+      col(invPropCol).cast("decimal(18,6)").as("w0"),
+      col(rewardCol).cast("decimal(18,6)").as("r"))
+    val t = target.select(col(ctxCol).cast("string").as("ctx"),
+      col(actionCol).cast("string").as("tact"))
+    val capped = least(col("w0"), lit(cap).cast("decimal(18,6)"))
+    val joined = l.join(t, Seq("ctx"), "left")
+      .select(col("ctx"), col("r"),
+        when(col("w0") <= 0,
+          raise_error(lit("ipsSnips: inverse propensity must be " +
+            "positive — a non-positive weight means the logging " +
+            "policy could never have taken this action")))
+          .when(col("tact").isNotNull && col("act") === col("tact"),
+            capped)
+          .otherwise(lit(0).cast("decimal(18,6)")).as("w"))
+    joined.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_matched"),
+      sum(col("w")).as("sw"),
+      sum((col("w") * col("r")).cast("decimal(38,12)")).as("swr"),
+      sum((col("w") * col("w")).cast("decimal(38,12)")).as("sw2"))
+      .select(col("n"), col("n_matched"), lit(cap).as("cap"),
+        col("sw").cast("double").as("sum_w"),
+        col("swr").cast("double").as("sum_wr"),
+        when(col("n") === 0, lit(0.0))
+          .otherwise(col("swr").cast("double") / col("n").cast("double"))
+          .as("v_ips"),
+        when(col("sw").isNull || col("sw") <= 0, lit(0.0))
+          .otherwise(col("swr").cast("double") / col("sw").cast("double"))
+          .as("v_snips"),
+        when(col("sw2").isNull || col("sw2") <= 0, lit(0.0))
+          .otherwise(col("sw").cast("double") * col("sw").cast("double")
+            / col("sw2").cast("double"))
+          .as("ess"))
+  }
+}

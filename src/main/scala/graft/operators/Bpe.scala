@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   * lineage discipline).
   *
   * Family `tokenizer-training` (OperatorIndex-curated): the merge-GROWN
-  * vocabulary here; the prune-SHRUNK unigram-LM alternative is
-  * [[UnigramLm.train]] (Kudo 2018) — same vocabulary input, same
-  * segmentation output shape, graded by the same q225 fertility panel.
+  * frequency-argmax vocabulary here; [[WordPiece.train]] (Schuster &
+  * Nakajima 2012) is the LIKELIHOOD-scored merge variant; the
+  * prune-SHRUNK unigram-LM alternative is [[UnigramLm.train]] (Kudo
+  * 2018) — same vocabulary input, same segmentation output shape,
+  * graded by the same q225 fertility panel.
   */
 object Bpe {
 

@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WordPiece tokenizer training (Schuster & Nakajima 2012; the BERT
+  * tokenizer, Devlin et al. 2019) over a word-frequency vocabulary —
+  * the LIKELIHOOD-driven member of the `tokenizer-training` family
+  * (OperatorIndex-curated): [[Bpe.train]] merges the most FREQUENT
+  * adjacent pair; WordPiece merges the pair maximizing the unigram-LM
+  * likelihood gain
+  *
+  *   score(a, b) = count(ab) / (count(a) · count(b))
+  *
+  * (merge what co-occurs more than its parts predict); [[UnigramLm
+  * .train]] is the prune-shrunk third spelling. All three share the
+  * vocabulary input and the (word, freq, segments) output, graded by
+  * the same fertility panel.
+  *
+  * WordPiece's `##` continuation convention is KEPT (unlike the
+  * documented `</w>` omission in [[Bpe]]): a word's first character
+  * and its continuations are DIFFERENT symbols with different counts
+  * ("a" vs "##a"), which is what makes the learned vocab position-
+  * aware. A merge ab strips b's `##` ("pl" + "##ay" → "play";
+  * "##p" + "##l" → "##pl").
+  *
+  * Determinism (the q325/q326 discipline): the argmax ranks on the
+  * EXACT fixed-point log₂ score
+  * L(count_ab) − L(count_a) − L(count_b)
+  * ([[UnigramLm.fixedLog2Col]] — an integer; a float ratio argmax
+  * could flip on a platform's last-ulp division), ties broken (a ASC,
+  * b ASC). Counts are exact longs; the rewrite is [[Bpe]]'s greedy
+  * left fold. Fully oracle-unrollable.
+  *
+  * Scale shape: identical to [[Bpe.trainWithMerges]] — training runs
+  * over the VOCABULARY, pair/symbol counting is a narrow explode +
+  * map-side-combined aggregation, the winning pair is a 1-row
+  * TakeOrdered broadcast via crossJoin (never a driver collect), each
+  * round's vocab is materialized through the policy gate (iterative
+  * lineage discipline).
+  *
+  * Reference analogue: the reference counts tokens with a
+  * tiktoken-style BPE vocabulary
+  * (/root/reference/src/rag/context_builder.py:7-19); WordPiece is
+  * the likelihood-scored alternative a tokenizer-training pipeline
+  * offers beside it.
+  */
+object WordPiece {
+
+  /** Initial WordPiece segmentation of a word: first char bare,
+    * continuations `##`-prefixed.
+    */
+  private def initSeq(word: Column): Column =
+    transform(regexp_extract_all(word, lit("."), lit(0)),
+      (ch, i) => when(i === 0, ch).otherwise(concat(lit("##"), ch)))
+
+  /** The merged symbol for pair (a, b): a ++ b-without-##. */
+  private def merged(a: Column, b: Column): Column =
+    concat(a, regexp_replace(b, lit("^##"), lit("")))
+
+  /** Greedy left-to-right rewrite of one merge (a, b) over a symbol
+    * sequence — [[Bpe]]'s fold with the `##`-stripping concat.
+    */
+  private def rewrite(seq: Column, a: Column, b: Column): Column =
+    aggregate(seq, array().cast("array<string>"),
+      (acc: Column, x: Column) =>
+        when(size(acc) > 0 && element_at(acc, -1) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(merged(a, b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `nMerges` likelihood-scored merge rounds over a
+    * (word, freq) vocabulary ([[Bpe.vocabulary]]'s output shape).
+    * Returns (vocab with final segmentation, merge table
+    * (step, a, b, score_l2)).
+    */
+  def trainWithMerges(vocab: DataFrame, nMerges: Int)
+      : (DataFrame, DataFrame) = {
+    require(nMerges >= 1)
+    val l2 = UnigramLm.fixedLog2Col _
+    var v = graft.plans.Materialize.stage(
+      vocab.select(col("word"), col("freq"),
+        initSeq(col("word")).as("seq")),
+      "graft.dedup.checkpoint")
+    var merges: DataFrame = null
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      // per-symbol corpus counts over the CURRENT segmentation
+      val symCounts = v
+        .select(col("freq"), explode(col("seq")).as("s"))
+        .groupBy("s").agg(sum(col("freq")).as("cs"))
+      val pairs = v
+        .select(col("freq"), posexplode(slice(col("seq"), lit(1),
+          greatest(size(col("seq")) - 1, lit(0)))).as(Seq("i", "a")),
+          col("seq"))
+        .select(col("freq"), col("a"),
+          element_at(col("seq"), col("i") + 2).as("b"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("cab"))
+      val best = graft.plans.Materialize.stage(
+        pairs
+          .join(symCounts.select(col("s").as("a"), col("cs").as("ca")),
+            Seq("a"))
+          .join(symCounts.select(col("s").as("b"), col("cs").as("cb")),
+            Seq("b"))
+          .select(col("a"), col("b"),
+            (l2(col("cab")) - l2(col("ca")) - l2(col("cb")))
+              .as("score_l2"))
+          .orderBy(desc("score_l2"), col("a"), col("b"))
+          .limit(1),
+        "graft.dedup.checkpoint")
+      if (best.isEmpty) exhausted = true
+      else {
+        val stepRow = best.select(lit(step).as("step"), col("a"),
+          col("b"), col("score_l2"))
+        merges = if (merges == null) stepRow else merges.unionByName(stepRow)
+        v = graft.plans.Materialize.stage(
+          v.crossJoin(broadcast(best.select(col("a"), col("b"))))
+            .select(col("word"), col("freq"),
+              rewrite(col("seq"), col("a"), col("b")).as("seq")),
+          "graft.dedup.checkpoint")
+        step += 1
+      }
+    }
+    require(merges != null,
+      "WordPiece.trainWithMerges: no adjacent pairs in the vocabulary " +
+        "at all (every word is a single symbol) — nothing to train")
+    (v, merges)
+  }
+
+  /** [[trainWithMerges]], vocab half only. */
+  def train(vocab: DataFrame, nMerges: Int): DataFrame =
+    trainWithMerges(vocab, nMerges)._1
+
+  /** (word, freq, segments, n_segments) — [[Bpe.segmentation]]'s
+    * output shape for the shared fertility panel.
+    */
+  def segmentation(trained: DataFrame): DataFrame =
+    trained.select(col("word"), col("freq"),
+      concat_ws(" ", col("seq")).as("segments"),
+      size(col("seq")).as("n_segments"))
+}

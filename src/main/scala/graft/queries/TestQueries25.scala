@@ -1293,8 +1293,11 @@ object TestQueries25 {
     * source, merged to k = 10 — shared with the q358/q359 outcome
     * gates in [[TestQueries26]].
     */
-  private[queries] def teamDraftInterleaved(s: SparkSession,
-                                            dir: String): DataFrame = {
+  /** The two rankers behind the interleaving fixtures: A = length
+    * order, B = token-count order, top 8 per source.
+    */
+  private[queries] def rankerPair(s: SparkSession,
+                                  dir: String): (DataFrame, DataFrame) = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("n_chars"),
         graft.functions.TextFunctions.tokenCount(col("text"))
@@ -1305,9 +1308,14 @@ object TestQueries25 {
           .orderBy(by, col("doc_id"))))
       .where(col("rk") <= 8)
       .select(col("source"), col("doc_id"), col("rk"))
-    graft.search.Interleave.teamDraft(
-      top8(col("n_chars").desc), top8(col("n_tokens").desc),
-      "source", "doc_id", "rk", k = 10)
+    (top8(col("n_chars").desc), top8(col("n_tokens").desc))
+  }
+
+  private[queries] def teamDraftInterleaved(s: SparkSession,
+                                            dir: String): DataFrame = {
+    val (a, b) = rankerPair(s, dir)
+    graft.search.Interleave.teamDraft(a, b, "source", "doc_id", "rk",
+      k = 10)
   }
 
   /** The recursive-CTE draft walk mirroring [[teamDraftInterleaved]]

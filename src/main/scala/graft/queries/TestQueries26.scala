@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object TestQueries26 {
 
   import TestQueries25.{raterVotes, RaterVotesSql, ScoredSql,
-    VoteCountsSql, dsIterSql, TokensSql, TeamDraftCtesSql,
+    VoteCountsSql, dsIterSql, lSql, TokensSql, TeamDraftCtesSql,
     teamDraftInterleaved}
 
   /** The shared 2-iteration Dawid–Skene oracle chain ending in CTE
@@ -218,7 +218,405 @@ object TestQueries26 {
       FROM fin ORDER BY doc_id"""
     })
 
+  /** The balanced-interleaving walk as oracle CTEs (reuses
+    * [[TestQueries25.TeamDraftCtesSql]]'s d/ra/rb/rl rankings):
+    * pointer state (ia, ib), single per-query md5 coin, picked-list
+    * dedup — terminal rows in `bfin(q, picked)`.
+    */
+  private val BalancedCtesSql: String = {
+    val af = "CAST(" + graft.functions.CrossHash.md5Hash64SqlU(
+      "rl.q || ':' || 'balanced'") + " % 2 AS BIGINT) = 0"
+    val pickA = """CASE WHEN w.ia >= len(rl.la) THEN false
+          WHEN w.ib >= len(rl.lb) THEN true
+          WHEN w.ia < w.ib THEN true
+          WHEN w.ia > w.ib THEN false
+          ELSE w.af END"""
+    val nd = s"CASE WHEN $pickA THEN rl.la[w.ia + 1] " +
+      "ELSE rl.lb[w.ib + 1] END"
+    s"""
+      bw AS (
+        SELECT q, CAST([] AS VARCHAR[]) AS picked,
+          CAST(0 AS BIGINT) AS ia, CAST(0 AS BIGINT) AS ib,
+          $af AS af
+        FROM rl
+        UNION ALL
+        SELECT w.q,
+          CASE WHEN NOT list_contains(w.picked, $nd)
+            THEN list_append(w.picked, $nd) ELSE w.picked END,
+          w.ia + CASE WHEN $pickA THEN 1 ELSE 0 END,
+          w.ib + CASE WHEN $pickA THEN 0 ELSE 1 END,
+          w.af
+        FROM bw w JOIN rl ON rl.q = w.q
+        WHERE len(w.picked) < 10
+          AND (w.ia < len(rl.la) OR w.ib < len(rl.lb))),
+      bfin AS (
+        SELECT q, picked FROM (
+          SELECT q, picked,
+            ROW_NUMBER() OVER (PARTITION BY q ORDER BY ia + ib DESC)
+              AS rn
+          FROM bw) WHERE rn = 1),
+      bshown AS (
+        SELECT q, CAST(u.pos AS BIGINT) AS pos, u.doc
+        FROM bfin, UNNEST(list_transform(picked,
+          (xx, ii) -> struct_pack(doc := xx, pos := ii))) AS t(u))"""
+  }
+
+  /** Balanced interleaving of the q356 ranker pair —
+    * [[graft.search.Interleave.balanced]] (Joachims 2002): pointer-
+    * balanced merge with ONE deterministic md5 coin per query deciding
+    * which ranking leads; no team column (attribution happens at
+    * evaluation time, q362). The oracle replays the pointer walk as a
+    * recursive CTE carrying (picked, ia, ib) state — integer/string
+    * state only → RAW at 3 SFs.
+    */
+  val q361BalancedInterleave: QueryCase = QueryCase(
+    "q361_balanced_interleave",
+    (s, dir) => {
+      val (a, b) = TestQueries25.rankerPair(s, dir)
+      graft.search.Interleave.balanced(a, b, "source", "doc_id", "rk",
+        k = 10)
+    },
+    Some(s"""
+      WITH RECURSIVE $TeamDraftCtesSql,
+      $BalancedCtesSql
+      SELECT q AS source, pos, doc FROM bshown ORDER BY source, pos"""))
+
+  /** Balanced-interleaving click evaluation —
+    * [[graft.search.Interleave.balancedOutcomes]] (the Joachims 2002
+    * rank-cutoff rule per Chapelle et al. TOIS 2012 §2.2): lowest
+    * shown click sets k = min(rank_A, rank_B); h_a/h_b count distinct
+    * clicked docs inside each top-k; ties on equality/no-click.
+    * Same deterministic click log as q358. Exact integers → RAW.
+    */
+  val q362BalancedOutcomes: QueryCase = QueryCase(
+    "q362_balanced_outcomes",
+    (s, dir) => {
+      val (a, b) = TestQueries25.rankerPair(s, dir)
+      graft.search.Interleave.balancedOutcomes(a, b, clickLog(s, dir),
+        "source", "doc_id", "rk", k = 10)
+        .orderBy("source")
+    },
+    Some(s"""
+      WITH RECURSIVE $TeamDraftCtesSql,
+      $BalancedCtesSql,
+      clicks2 AS (
+        SELECT DISTINCT source AS q, CAST(doc_id AS VARCHAR) AS doc
+        FROM documents WHERE doc_id % 3 = 0),
+      cl AS (
+        SELECT s2.q, s2.doc, s2.pos, ra.rk AS rka, rb.rk AS rkb
+        FROM bshown s2
+        JOIN clicks2 c ON c.q = s2.q AND c.doc = s2.doc
+        LEFT JOIN ra ON ra.q = s2.q AND ra.doc = s2.doc
+        LEFT JOIN rb ON rb.q = s2.q AND rb.doc = s2.doc),
+      low AS (
+        SELECT q,
+          LEAST(COALESCE(rka, 9223372036854775807),
+                COALESCE(rkb, 9223372036854775807)) AS k_cut
+        FROM (
+          SELECT q, rka, rkb,
+            ROW_NUMBER() OVER (PARTITION BY q ORDER BY pos DESC) AS rn
+          FROM cl) WHERE rn = 1),
+      counts AS (
+        SELECT cl.q, CAST(MAX(low.k_cut) AS BIGINT) AS k_cut,
+          CAST(SUM(CASE WHEN COALESCE(cl.rka, 9223372036854775807)
+            <= low.k_cut THEN 1 ELSE 0 END) AS BIGINT) AS h_a,
+          CAST(SUM(CASE WHEN COALESCE(cl.rkb, 9223372036854775807)
+            <= low.k_cut THEN 1 ELSE 0 END) AS BIGINT) AS h_b
+        FROM cl JOIN low ON low.q = cl.q GROUP BY cl.q)
+      SELECT qs.q AS source, counts.k_cut,
+        COALESCE(counts.h_a, CAST(0 AS BIGINT)) AS h_a,
+        COALESCE(counts.h_b, CAST(0 AS BIGINT)) AS h_b,
+        CASE WHEN COALESCE(counts.h_a, 0) > COALESCE(counts.h_b, 0)
+            THEN 'A'
+          WHEN COALESCE(counts.h_b, 0) > COALESCE(counts.h_a, 0)
+            THEN 'B'
+          ELSE 'T' END AS winner
+      FROM (SELECT DISTINCT q FROM bshown) qs
+      LEFT JOIN counts ON counts.q = qs.q
+      ORDER BY source"""))
+
+  /** Off-policy IPS / SNIPS / ESS over the events log —
+    * [[graft.analytics.OffPolicy.ipsSnips]] (Li et al. 2011;
+    * Swaminathan & Joachims 2015): logging = uniform over the global
+    * action set (inverse propensity = the distinct event-type count,
+    * an exact decimal), target = each user's modal event type
+    * (deterministic count-DESC/type-ASC argmax), rewards the exact
+    * DECIMAL(18,2) values, weights CLIPPED at 3 (exercised: K > 3).
+    * All sums exact order-free decimals; each estimate is one
+    * exactly-rounded double division (VARCHAR-path casts in the
+    * oracle — the round-15 decimal→double rule) → fully RAW.
+    */
+  val q363IpsSnips: QueryCase = QueryCase(
+    "q363_ips_snips",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id") < 100)
+        .select(col("user_id").cast("string").as("ctx"),
+          col("event_type").as("act"),
+          col("value").cast("decimal(18,2)").as("r"))
+      val kk = ev.agg(count_distinct(col("act")).as("kk"))
+      val logs = ev.crossJoin(broadcast(kk))
+        .select(col("ctx"), col("act"),
+          col("kk").cast("decimal(18,6)").as("w0"), col("r"))
+      val cnts = ev.groupBy("ctx", "act").agg(count(lit(1)).as("n"))
+      val target = cnts.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("ctx")
+            .orderBy(desc("n"), col("act"))))
+        .where(col("rn") === 1).select(col("ctx"), col("act"))
+      graft.analytics.OffPolicy.ipsSnips(logs, "ctx", "act", "w0", "r",
+        target, cap = 3L)
+    },
+    Some {
+      def v(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      s"""
+      WITH ev AS (
+        SELECT CAST(user_id AS VARCHAR) AS ctx, event_type AS act,
+          CAST(value AS DECIMAL(18,2)) AS r
+        FROM events WHERE user_id < 100),
+      kk AS (SELECT CAST(COUNT(DISTINCT act) AS BIGINT) AS k FROM ev),
+      cnts AS (
+        SELECT ctx, act, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ev GROUP BY ctx, act),
+      tgt AS (
+        SELECT ctx, act FROM (
+          SELECT ctx, act,
+            ROW_NUMBER() OVER (PARTITION BY ctx ORDER BY n DESC, act)
+              AS rn
+          FROM cnts) WHERE rn = 1),
+      j AS (
+        SELECT e.ctx, e.r,
+          CASE WHEN t.act IS NOT NULL AND e.act = t.act
+            THEN LEAST(CAST(kk.k AS DECIMAL(18,6)),
+                       CAST(3 AS DECIMAL(18,6)))
+            ELSE CAST(0 AS DECIMAL(18,6)) END AS w
+        FROM ev e CROSS JOIN kk LEFT JOIN tgt t ON t.ctx = e.ctx),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_matched,
+          SUM(w) AS sw,
+          SUM(CAST(CAST(w AS DECIMAL(19,6)) * CAST(r AS DECIMAL(19,6))
+            AS DECIMAL(38,12))) AS swr,
+          SUM(CAST(CAST(w AS DECIMAL(19,6)) * CAST(w AS DECIMAL(19,6))
+            AS DECIMAL(38,12))) AS sw2
+        FROM j)
+      SELECT n, n_matched, CAST(3 AS BIGINT) AS cap,
+        ${v("sw")} AS sum_w, ${v("swr")} AS sum_wr,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE ${v("swr")} / CAST(n AS DOUBLE) END AS v_ips,
+        CASE WHEN sw IS NULL OR sw <= 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE ${v("swr")} / ${v("sw")} END AS v_snips,
+        CASE WHEN sw2 IS NULL OR sw2 <= 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE ${v("sw")} * ${v("sw")} / ${v("sw2")} END AS ess
+      FROM agg"""
+    })
+
+  /** One WordPiece training round as oracle CTEs: symbol counts over
+    * the current segmentation, pair counts, the fixed-point
+    * log₂-likelihood argmax ([[TestQueries25.lSql]]), the
+    * ##-stripping greedy rewrite fold (q179's pattern).
+    */
+  private def wpRoundSql(i: Int): String = {
+    val prev = s"wv${i - 1}"
+    s"""
+      wsy$i AS (
+        SELECT u.s AS s, CAST(SUM(freq) AS BIGINT) AS cs
+        FROM $prev, UNNEST(seq) AS u(s) GROUP BY u.s),
+      wp$i AS (
+        SELECT v.freq, t.u.a AS a, t.u.b AS b
+        FROM $prev v, UNNEST(list_transform(
+          list_slice(seq, 1, len(seq) - 1),
+          (xx, kk) -> struct_pack(a := xx, b := seq[kk + 1]))) AS t(u)),
+      wc$i AS (
+        SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cab
+        FROM wp$i GROUP BY a, b),
+      wsc$i AS (
+        SELECT c.a, c.b,
+          ${lSql("c.cab")} - ${lSql("sa.cs")} - ${lSql("sb.cs")} AS score
+        FROM wc$i c
+        JOIN wsy$i sa ON sa.s = c.a
+        JOIN wsy$i sb ON sb.s = c.b),
+      wb$i AS (SELECT a, b FROM wsc$i ORDER BY score DESC, a, b LIMIT 1),
+      wv$i AS (
+        SELECT word, freq,
+          list_reduce(list_transform(seq, xx -> [xx]),
+            (acc, xx) -> CASE WHEN acc[-1] = bb.a AND xx[1] = bb.b
+              THEN list_append(list_slice(acc, 1, len(acc) - 1),
+                bb.a || regexp_replace(bb.b, '^##', ''))
+              ELSE list_concat(acc, xx) END) AS seq
+        FROM $prev CROSS JOIN wb$i bb)"""
+  }
+
+  /** WordPiece tokenizer training —
+    * [[graft.operators.WordPiece.train]] (Schuster & Nakajima 2012):
+    * 3 likelihood-scored merge rounds (score = fixed-point
+    * L(c_ab) − L(c_a) − L(c_b), the platform-stable argmax) with the
+    * `##` continuation convention, over the same corpus vocabulary as
+    * BPE q179 — the third member of the curated tokenizer-training
+    * family. Exact integer/string math → RAW.
+    */
+  val q364WordpieceTrain: QueryCase = QueryCase(
+    "q364_wordpiece_train",
+    (s, dir) => graft.operators.WordPiece.segmentation(
+      graft.operators.WordPiece.train(
+        graft.operators.Bpe.vocabulary(Tables.documents(s, dir), "text"),
+        nMerges = 3))
+      .orderBy("word"),
+    Some(s"""
+      WITH toks AS (
+        SELECT u.t AS word
+        FROM (SELECT $TokensSql AS tk FROM documents), UNNEST(tk) AS u(t)),
+      wv0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+          list_transform(regexp_extract_all(word, '.'),
+            (cc, ii) -> CASE WHEN ii = 1 THEN cc ELSE '##' || cc END)
+            AS seq
+        FROM toks GROUP BY word),
+      ${wpRoundSql(1)},
+      ${wpRoundSql(2)},
+      ${wpRoundSql(3)}
+      SELECT word, freq, array_to_string(seq, ' ') AS segments,
+             LEN(seq) AS n_segments
+      FROM wv3 ORDER BY word"""))
+
+  /** α-nDCG@10 of the length ranker with (lang, length-bucket)
+    * subtopics — [[graft.analytics.RetrievalEval.alphaNdcg]] (Clarke
+    * et al. 2008, α = 1/2): gains are exact dyadic sums, DCG
+    * discounts are SERIALIZED literals (the round-7
+    * precompute-libm-of-integers rule), and both the shown walk and
+    * the greedy-ideal walk replay as recursive CTEs — the ideal's
+    * per-step argmax is a whole-struct CASE max-fold (the stable
+    * DuckDB fold class) over the candidate structs, iterated in
+    * doc-ASC order so first-max ≡ the Scala (−gain, doc) minBy. Both
+    * engines fold the identical IEEE sequence → alpha_dcg /
+    * alpha_idcg / alpha_ndcg compare RAW at 3 SFs.
+    */
+  val q365AlphaNdcg: QueryCase = QueryCase(
+    "q365_alpha_ndcg",
+    (s, dir) => {
+      val (a, _) = TestQueries25.rankerPair(s, dir)
+      val judged = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), col("lang"),
+          col("n_chars"),
+          graft.functions.TextFunctions.tokenCount(col("text"))
+            .cast("long").as("n_tokens"))
+        .where(col("n_tokens") >= 60)
+        .select(col("source"), col("doc_id"),
+          explode(array(
+            concat(lit("lang:"), col("lang")),
+            concat(lit("len:"), when(col("n_chars") < 300, lit("short"))
+              .otherwise(lit("long"))))).as("sub"))
+      graft.analytics.RetrievalEval.alphaNdcg(a, judged,
+        "source", "doc_id", "rk", "sub", k = 10)
+        .orderBy("source")
+    },
+    Some {
+      // discounts serialized as VARCHAR-cast literals: a bare numeric
+      // literal lexes as DECIMAL and the decimal→double cast double-
+      // rounds the 17-significant-digit values (1-ulp drift measured
+      // on the dcg walk); the string parse is correctly rounded and
+      // Scala's Double.toString is shortest-round-trip.
+      val disc = graft.analytics.RetrievalEval.discounts(10)
+        .map(d => s"CAST('$d' AS DOUBLE)").mkString("[", ", ", "]")
+      // gain of candidate struct `xx` given covered list `w.covered`
+      def gainOf(x: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform($x.subs, ss -> power(CAST(0.5 AS DOUBLE),
+            CAST(len(list_filter(w.covered, cc -> cc = ss))
+              AS DOUBLE)))), (aa, vv) -> aa + vv)"""
+      s"""
+      WITH RECURSIVE $TeamDraftCtesSql,
+      dsc AS (SELECT $disc AS d),
+      subsj AS (
+        SELECT source AS q, CAST(doc_id AS VARCHAR) AS doc,
+          ['lang:' || lang,
+           'len:' || CASE WHEN n_chars < 300 THEN 'short'
+             ELSE 'long' END] AS subs
+        FROM (SELECT source, doc_id, lang, n_chars,
+                CAST(len($TokensSql) AS BIGINT) AS n_tokens
+              FROM documents)
+        WHERE n_tokens >= 60),
+      rl2 AS (
+        SELECT q, list(struct_pack(doc := doc, subs := subs)
+          ORDER BY rk) AS la
+        FROM (
+          SELECT ra.q, ra.doc, ra.rk,
+            COALESCE(sj.subs, CAST([] AS VARCHAR[])) AS subs
+          FROM ra LEFT JOIN subsj sj
+            ON sj.q = ra.q AND sj.doc = ra.doc)
+        GROUP BY q),
+      ndw AS (
+        SELECT q, CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS dcg,
+          CAST([] AS VARCHAR[]) AS covered
+        FROM rl2
+        UNION ALL
+        SELECT w.q, w.i + 1,
+          w.dcg + ${gainOf("rl2.la[w.i + 1]")}
+            * dsc.d[CAST(w.i + 1 AS INT)],
+          list_concat(w.covered, rl2.la[w.i + 1].subs)
+        FROM ndw w
+        JOIN rl2 ON rl2.q = w.q CROSS JOIN dsc
+        WHERE w.i < len(rl2.la) AND w.i < 10),
+      ndfin AS (
+        SELECT q, dcg FROM (
+          SELECT q, dcg, ROW_NUMBER() OVER (PARTITION BY q
+            ORDER BY i DESC) AS rn FROM ndw) WHERE rn = 1),
+      pool0 AS (
+        SELECT rq.q, COALESCE(p.cands,
+          CAST([] AS STRUCT(doc VARCHAR, subs VARCHAR[])[])) AS cands
+        FROM (SELECT DISTINCT q FROM ra) rq
+        LEFT JOIN (
+          SELECT q, list(struct_pack(doc := doc, subs := subs)
+            ORDER BY doc) AS cands
+          FROM subsj GROUP BY q) p ON p.q = rq.q),
+      idw AS (
+        SELECT q, CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS idcg,
+          CAST([] AS VARCHAR[]) AS covered, cands
+        FROM pool0
+        UNION ALL
+        SELECT w.q, w.i + 1,
+          w.idcg + w.best.g * dsc.d[CAST(w.i + 1 AS INT)],
+          list_concat(w.covered,
+            list_filter(w.cands, xx -> xx.doc = w.best.doc)[1].subs),
+          list_filter(w.cands, xx -> xx.doc <> w.best.doc)
+        FROM (
+          -- per-step argmax via list_sort on (−gain, doc), NOT a
+          -- list_reduce struct-accumulator fold (the round-15 DuckDB
+          -- corruption class — measured nondeterministic here too):
+          -- ascending sort puts the largest gain first, doc ASC on
+          -- ties ≡ the Scala (−gain, doc) minBy; gains are exact
+          -- dyadics so −0.0/0.0 never mix with nonequal values.
+          SELECT w.q, w.i, w.idcg, w.covered, w.cands,
+            struct_pack(
+              doc := list_sort(list_transform(w.cands, yy ->
+                struct_pack(ng := -${gainOf("yy")},
+                  doc := yy.doc)))[1].doc,
+              g := -list_sort(list_transform(w.cands, yy ->
+                struct_pack(ng := -${gainOf("yy")},
+                  doc := yy.doc)))[1].ng) AS best
+          FROM idw w
+          WHERE len(w.cands) > 0 AND w.i < 10) w
+        CROSS JOIN dsc),
+      idfin AS (
+        SELECT q, idcg FROM (
+          SELECT q, idcg, ROW_NUMBER() OVER (PARTITION BY q
+            ORDER BY i DESC) AS rn FROM idw) WHERE rn = 1),
+      nshown AS (SELECT q, CAST(len(la) AS BIGINT) AS n_shown FROM rl2),
+      njudged AS (
+        SELECT q, CAST(len(cands) AS BIGINT) AS n_judged FROM pool0)
+      SELECT ns.q AS source, ns.n_shown, nj.n_judged,
+        nd.dcg AS alpha_dcg, idf.idcg AS alpha_idcg,
+        CASE WHEN idf.idcg > 0 THEN nd.dcg / idf.idcg
+          ELSE CAST(0.0 AS DOUBLE) END AS alpha_ndcg
+      FROM nshown ns
+      JOIN njudged nj ON nj.q = ns.q
+      JOIN ndfin nd ON nd.q = ns.q
+      JOIN idfin idf ON idf.q = ns.q
+      ORDER BY source"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q357RelabelQueue, q358InterleaveCredit, q359InterleaveVerdict,
-      q360DsQualityClassifier)
+      q360DsQualityClassifier, q361BalancedInterleave,
+      q362BalancedOutcomes, q363IpsSnips, q364WordpieceTrain,
+      q365AlphaNdcg)
 }

@@ -1,6 +1,7 @@
 package graft.search
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Team-draft interleaving (Radlinski, Kurup & Joachims, CIKM 2008) —
@@ -99,6 +100,133 @@ object Interleave {
       }
       .toDF(queryCol, "pos", "doc", "team")
       .orderBy(queryCol, "pos")
+  }
+
+  /** Balanced interleaving (Joachims, KDD 2002; evaluation per
+    * Chapelle, Joachims, Radlinski & Yue, TOIS 2012 §2.2) — the OTHER
+    * classic interleaving scheme next to [[teamDraft]]: instead of
+    * team drafts, both rankings are consumed by POINTERS kept in
+    * balance — at each step the ranking whose pointer is SHALLOWER
+    * contributes its next not-yet-shown document (a deterministic md5
+    * coin per query breaks the equal-depth case, deciding which
+    * ranking leads for the whole query — the published algorithm's
+    * single coin, vs teamDraft's per-round coins). No team column:
+    * balanced interleaving attributes clicks at EVALUATION time by
+    * rank cutoffs ([[balancedOutcomes]]), not by draft ownership.
+    *
+    * Scale shape / determinism: identical to [[teamDraft]] — a
+    * bounded per-query walk in `flatMapGroups`, integer ranks,
+    * lexicographic doc tie-breaks, hash coin; recursive-CTE
+    * replayable → RAW.
+    *
+    * Output per (query, position 1..k): (query, pos, doc).
+    */
+  def balanced(a: DataFrame, b: DataFrame, queryCol: String,
+               docCol: String, rankCol: String, k: Int,
+               salt: String = "balanced"): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    val spark = a.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, tag: String) =
+      df.select(col(queryCol).cast("string").as("q"), lit(tag).as("side"),
+        col(docCol).cast("string").as("doc"),
+        col(rankCol).cast("long").as("rank"))
+    side(a, "A").unionByName(side(b, "B"))
+      .as[(String, String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (q, it) =>
+        val rows = it.toArray
+        def list(tag: String): Array[String] = rows
+          .filter(_._2 == tag)
+          .sortBy(r => (r._4, r._3))
+          .map(_._3)
+        val la = list("A")
+        val lb = list("B")
+        val aFirst = (graft.functions.CrossHash.md5Hash64Jvm(
+          s"$q:$salt") & 1L) == 0L
+        val shown = scala.collection.mutable.LinkedHashSet[String]()
+        var ia = 0
+        var ib = 0
+        while (shown.size < k && (ia < la.length || ib < lb.length)) {
+          val pickA =
+            if (ia >= la.length) false
+            else if (ib >= lb.length) true
+            else if (ia < ib) true
+            else if (ia > ib) false
+            else aFirst
+          if (pickA) { shown += la(ia); ia += 1 }
+          else { shown += lb(ib); ib += 1 }
+        }
+        shown.iterator.zipWithIndex.map { case (d, i) =>
+          (q, i + 1L, d)
+        }
+      }
+      .toDF(queryCol, "pos", "doc")
+      .orderBy(queryCol, "pos")
+  }
+
+  /** Balanced-interleaving click evaluation (Joachims 2002 rule, as
+    * stated in Chapelle et al. TOIS 2012 §2.2): for each query, find
+    * the LOWEST-positioned clicked document in the shown list, set the
+    * cutoff k = min(its rank in A, its rank in B) (ranks are 1-based
+    * positions after the (rank, doc) normalization; a list not
+    * containing the doc contributes no cutoff), then
+    *
+    *   h_a = #distinct clicked shown docs in top-k of A,
+    *   h_b = the same for B;  winner = argmax, tie on equality.
+    *
+    * Conventions (spec-pinned): clicks join shown-docs-only (phantom
+    * clicks ignored); clicked docs count ONCE each (h counts
+    * documents, not click events — the published rule; note the
+    * deliberate contrast with [[creditOutcomes]]' per-click credit);
+    * no-click queries are ties with a NULL cutoff.
+    *
+    * Scale shape: the [[balanced]] walk + three (query, doc)
+    * equi-joins and per-query aggregations — map-side combinable,
+    * no windows beyond the per-query max, no collect.
+    *
+    * Output per query: (query, k_cut, h_a, h_b, winner).
+    */
+  def balancedOutcomes(a: DataFrame, b: DataFrame, clicks: DataFrame,
+                       queryCol: String, docCol: String, rankCol: String,
+                       k: Int, salt: String = "balanced"): DataFrame = {
+    val il = balanced(a, b, queryCol, docCol, rankCol, k, salt)
+      .select(col(queryCol).cast("string").as("q"), col("pos"), col("doc"))
+    def ranked(df: DataFrame, out: String) = df
+      .select(col(queryCol).cast("string").as("q"),
+        col(docCol).cast("string").as("doc"),
+        col(rankCol).cast("long").as("rank"))
+      .withColumn(out, row_number().over(
+        Window.partitionBy("q").orderBy(col("rank"), col("doc"))))
+      .select(col("q"), col("doc"), col(out))
+    val ra = ranked(a, "rka")
+    val rb = ranked(b, "rkb")
+    val cl = clicks.select(col(queryCol).cast("string").as("q"),
+        col(docCol).cast("string").as("doc")).distinct()
+      .join(il, Seq("q", "doc"))
+      .join(ra, Seq("q", "doc"), "left")
+      .join(rb, Seq("q", "doc"), "left")
+    val inf = lit(Long.MaxValue)
+    val low = cl.withColumn("rk",
+        row_number().over(Window.partitionBy("q").orderBy(desc("pos"))))
+      .where(col("rk") === 1)
+      .select(col("q"),
+        least(coalesce(col("rka"), inf), coalesce(col("rkb"), inf))
+          .as("k_cut"))
+    val counts = cl.join(low, Seq("q"))
+      .groupBy("q").agg(
+        max(col("k_cut")).as("k_cut"),
+        sum(when(coalesce(col("rka"), inf) <= col("k_cut"), 1L)
+          .otherwise(0L)).as("h_a"),
+        sum(when(coalesce(col("rkb"), inf) <= col("k_cut"), 1L)
+          .otherwise(0L)).as("h_b"))
+    il.select(col("q")).distinct()
+      .join(counts, Seq("q"), "left")
+      .na.fill(0L, Seq("h_a", "h_b"))
+      .select(col("q").as(queryCol), col("k_cut"), col("h_a"), col("h_b"),
+        when(col("h_a") > col("h_b"), lit("A"))
+          .when(col("h_b") > col("h_a"), lit("B"))
+          .otherwise(lit("T")).as("winner"))
   }
 
   /** Click-credit outcomes per interleaved query (Radlinski et al.

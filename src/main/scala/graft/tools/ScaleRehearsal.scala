@@ -61,8 +61,13 @@ object ScaleRehearsal {
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("ladder")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // core count is env-configurable (round-16 verdict ask #2): the
+    // weak-scaling rehearsal holds rows-per-core ≈ constant by pairing
+    // a smaller corpus on fewer cores against a larger one on more —
+    // two JVMs, two SPARK_GRAFT_CPUS values, same mode.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -209,6 +214,25 @@ object ScaleRehearsal {
           graft.sources.Tables.table(spark, src, n)
             .write.mode("overwrite").parquet(s"$out/$n.parquet")
           println(s"[build] $n x1 -> $out")
+        }
+
+      // Cold/steady at ONE directory for a query list — the building
+      // block of the weak-scaling rehearsal (run once per (dir, cpus)
+      // pair; the caller sets SPARK_GRAFT_CPUS). Args: dir queries-csv.
+      case "steadyat" =>
+        // dir may be a CSV of dirs — they run ASCENDING in this one
+        // JVM (code-warm at the later dirs, the ladder10 protocol),
+        // vs separate invocations for the fresh-JVM shape.
+        val dirs = args.lift(1).getOrElse("/root/testdata/sf0.1")
+          .split(",").toSeq
+        val names = args.lift(2).map(_.split(",").toSeq)
+          .getOrElse(Seq("q296_jm_perplexity", "q302_cross_entropy_select"))
+        dirs.foreach { dir =>
+          names.foreach { name =>
+            val (c, w) = steady(name, dir)
+            println(f"[steadyat] cpus=$cpus%-3s dir=$dir $name%-26s " +
+              f"cold=$c%.2f steady=$w%.2f")
+          }
         }
 
       // One more decade for the ladder: sf0.1 (driver data) → the sf1.0

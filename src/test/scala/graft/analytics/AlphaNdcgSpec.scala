@@ -1,0 +1,71 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** α-nDCG (α = 1/2): redundancy decay, the greedy ideal, and exact
+  * hand values built from the same serialized discount table.
+  */
+class AlphaNdcgSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val judgments = Seq(
+    ("q", "d1", "s1"), ("q", "d2", "s1"), ("q", "d3", "s2"))
+    .toDF("q", "doc", "sub")
+
+  private def ranked(docs: Seq[String]) =
+    docs.zipWithIndex.map { case (d, i) => ("q", d, (i + 1).toLong) }
+      .toDF("q", "doc", "rk")
+
+  test("hand walk: redundant second doc earns half gain; greedy ideal " +
+    "reorders d3 before d2") {
+    val disc = RetrievalEval.discounts(3)
+    val r = RetrievalEval.alphaNdcg(ranked(Seq("d1", "d2", "d3")),
+      judgments, "q", "doc", "rk", "sub", k = 3).collect().head
+    // dcg: d1 gain 1 (s1 fresh), d2 gain 0.5 (s1 seen once), d3 gain 1
+    val dcg = 1.0 * disc(0) + 0.5 * disc(1) + 1.0 * disc(2)
+    // ideal: ties at gain 1 break doc ASC -> d1; then d3 (gain 1) beats
+    // d2 (0.5); then d2 at 0.5
+    val idcg = 1.0 * disc(0) + 1.0 * disc(1) + 0.5 * disc(2)
+    assert(r.getAs[Double]("alpha_dcg") == dcg)
+    assert(r.getAs[Double]("alpha_idcg") == idcg)
+    assert(r.getAs[Double]("alpha_ndcg") == dcg / idcg)
+    assert(r.getAs[Long]("n_judged") == 3L)
+  }
+
+  test("the greedy-ideal ordering scores alpha_ndcg = 1 exactly") {
+    val r = RetrievalEval.alphaNdcg(ranked(Seq("d1", "d3", "d2")),
+      judgments, "q", "doc", "rk", "sub", k = 3).collect().head
+    assert(r.getAs[Double]("alpha_ndcg") == 1.0)
+  }
+
+  test("diversity preference at k = 2: covering both subtopics beats " +
+    "repeating one") {
+    def ndcg2(docs: Seq[String]): Double =
+      RetrievalEval.alphaNdcg(ranked(docs), judgments,
+        "q", "doc", "rk", "sub", k = 2).collect().head
+        .getAs[Double]("alpha_ndcg")
+    assert(ndcg2(Seq("d1", "d3")) > ndcg2(Seq("d1", "d2")))
+    assert(ndcg2(Seq("d1", "d3")) == 1.0)
+  }
+
+  test("multi-subtopic docs sum their per-subtopic decayed gains") {
+    val j = Seq(("q", "d1", "s1"), ("q", "d1", "s2"), ("q", "d2", "s1"))
+      .toDF("q", "doc", "sub")
+    val disc = RetrievalEval.discounts(2)
+    val r = RetrievalEval.alphaNdcg(ranked(Seq("d1", "d2")), j,
+      "q", "doc", "rk", "sub", k = 2).collect().head
+    // d1 gain 2 (both fresh); d2 gain 0.5 (s1 covered once)
+    assert(r.getAs[Double]("alpha_dcg") == 2.0 * disc(0) + 0.5 * disc(1))
+    assert(r.getAs[Double]("alpha_ndcg") == 1.0) // greedy picks d1 first too
+  }
+
+  test("no judged subtopics: idcg = 0 -> alpha_ndcg 0 (lazy guard)") {
+    val j = Seq(("other", "d9", "s1")).toDF("q", "doc", "sub")
+    val r = RetrievalEval.alphaNdcg(ranked(Seq("d1")), j,
+      "q", "doc", "rk", "sub", k = 2)
+      .where(org.apache.spark.sql.functions.col("q") === "q")
+      .collect().head
+    assert(r.getAs[Double]("alpha_dcg") == 0.0 &&
+      r.getAs[Double]("alpha_ndcg") == 0.0)
+  }
+}

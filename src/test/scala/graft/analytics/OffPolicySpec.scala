@@ -1,0 +1,66 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** IPS / SNIPS / clipped-weight off-policy estimates on hand panels. */
+class OffPolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  // logged uniform-over-4 policy (w0 = 4): contexts u1..u4, the target
+  // policy matches u1, u2 (rewards 2.0, 1.0) and mismatches u3, u4
+  private val logs = Seq(
+    ("u1", "a", 4.0, 2.0), ("u2", "b", 4.0, 1.0),
+    ("u3", "a", 4.0, 5.0), ("u4", "c", 4.0, 0.5))
+    .toDF("ctx", "act", "w0", "r")
+  private val target = Seq(
+    ("u1", "a"), ("u2", "b"), ("u3", "b"), ("u4", "a"))
+    .toDF("ctx", "act")
+
+  test("hand IPS / SNIPS: matched rows weigh w0, mismatches 0") {
+    val r = OffPolicy.ipsSnips(logs, "ctx", "act", "w0", "r", target)
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_matched") == 2L)
+    // sum_w = 8, sum_wr = 4*2 + 4*1 = 12
+    assert(r.getAs[Double]("sum_w") == 8.0)
+    assert(r.getAs[Double]("sum_wr") == 12.0)
+    assert(r.getAs[Double]("v_ips") == 3.0)   // 12 / 4
+    assert(r.getAs[Double]("v_snips") == 1.5) // 12 / 8
+    // ess = (8)^2 / (16+16) = 2.0 — two equally-weighted effective rows
+    assert(r.getAs[Double]("ess") == 2.0)
+  }
+
+  test("weight cap clips (part of the estimand, reported back)") {
+    val r = OffPolicy.ipsSnips(logs, "ctx", "act", "w0", "r", target,
+      cap = 3L).collect().head
+    assert(r.getAs[Long]("cap") == 3L)
+    // w = 3 on both matches: sum_wr = 9, v_ips = 2.25, v_snips = 1.5
+    assert(r.getAs[Double]("v_ips") == 2.25)
+    assert(r.getAs[Double]("v_snips") == 1.5)
+  }
+
+  test("contexts absent from the target table contribute weight 0 " +
+    "(the target abstains there)") {
+    val t2 = Seq(("u1", "a")).toDF("ctx", "act")
+    val r = OffPolicy.ipsSnips(logs, "ctx", "act", "w0", "r", t2)
+      .collect().head
+    assert(r.getAs[Long]("n_matched") == 1L)
+    assert(r.getAs[Double]("v_ips") == 2.0) // 4*2 / 4
+  }
+
+  test("non-positive inverse propensity raises") {
+    val bad = Seq(("u1", "a", 0.0, 1.0)).toDF("ctx", "act", "w0", "r")
+    val e = intercept[Exception] {
+      OffPolicy.ipsSnips(bad, "ctx", "act", "w0", "r", target).collect()
+    }
+    assert(e.getMessage.contains("inverse propensity"))
+  }
+
+  test("no matches: v_snips guards the 0/0 (ANSI) and reads 0") {
+    val t3 = Seq(("u1", "zzz")).toDF("ctx", "act")
+    val r = OffPolicy.ipsSnips(logs, "ctx", "act", "w0", "r", t3)
+      .collect().head
+    assert(r.getAs[Long]("n_matched") == 0L)
+    assert(r.getAs[Double]("v_ips") == 0.0 &&
+      r.getAs[Double]("v_snips") == 0.0 && r.getAs[Double]("ess") == 0.0)
+  }
+}

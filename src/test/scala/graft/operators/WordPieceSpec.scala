@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** WordPiece likelihood-scored merges: the ##-prefix convention, the
+  * divergence from BPE's frequency argmax, and the exact fixed-point
+  * tie-break.
+  */
+class WordPieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // vocab engineered so round 1's LIKELIHOOD winner differs from the
+  // frequency winner, and round 2 is an EXACT ratio tie:
+  //   pairs r1: (a,##a) cnt 10, (a,##b) 6, (c,##b) 5
+  //   symbols:  a 16, ##a 10, ##b 11, c 5
+  //   scores:   10/160 = .0625 | 6/176 = .0341 | 5/55 = .0909 <- winner
+  //   (BPE would merge (a,##a) on count 10)
+  //   r2: (a,##a) 10/(16*10) vs (a,##b) 6/(16*6) — EXACTLY equal
+  //   (1/16 both; fixed-point: L(10)-L(16)-L(10) = -L(16) = L(6)-L(16)-L(6))
+  //   -> tie-break b ASC picks (a,##a)
+  private val vocab = Seq(("aa", 10L), ("ab", 6L), ("cb", 5L))
+    .toDF("word", "freq")
+
+  test("merge order: likelihood beats frequency in round 1; the exact " +
+    "fixed-point tie in round 2 breaks to pair ASC") {
+    val (_, merges) = WordPiece.trainWithMerges(vocab, 3)
+    val m = merges.orderBy("step").collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("a"),
+        r.getAs[String]("b")))
+    assert(m.toSeq == Seq((1, "c", "##b"), (2, "a", "##a"), (3, "a", "##b")))
+  }
+
+  test("## continuation convention: init segmentation prefixes " +
+    "non-initial chars; merges strip the ## of b") {
+    val seg = WordPiece.segmentation(WordPiece.train(vocab, 1))
+      .collect().map(r => r.getAs[String]("word") ->
+        r.getAs[String]("segments")).toMap
+    // round 1 merged (c, ##b) -> 'cb'; others keep split ## forms
+    assert(seg("cb") == "cb")
+    assert(seg("aa") == "a ##a")
+    assert(seg("ab") == "a ##b")
+  }
+
+  test("3 rounds merge everything single-symbol here; merge scores " +
+    "are exact fixed-point integers") {
+    val (v, merges) = WordPiece.trainWithMerges(vocab, 3)
+    val seg = WordPiece.segmentation(v).collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("n_segments"))
+      .toMap
+    assert(seg.values.toSet == Set(1L))
+    val s1 = merges.where(org.apache.spark.sql.functions.col("step") === 1)
+      .collect().head.getAs[Long]("score_l2")
+    // L(5) - L(5) - L(11) = -L(11)
+    assert(s1 == -UnigramLm.fixedLog2(11))
+  }
+
+  test("merge exhaustion stops the loop early (single-char words)") {
+    val v = Seq(("a", 3L), ("b", 2L)).toDF("word", "freq")
+    val e = intercept[IllegalArgumentException] {
+      WordPiece.trainWithMerges(v, 2)
+    }
+    assert(e.getMessage.contains("nothing to train"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.search
+
+import graft.SparkSpec
+import graft.functions.CrossHash
+
+/** Balanced interleaving: hand-walked merges for both coin branches,
+  * the rank-cutoff click evaluation, and its conventions.
+  */
+class BalancedInterleaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rankings(q: String, docs: Seq[String]) =
+    docs.zipWithIndex.map { case (d, i) => (q, d, (i + 1).toLong) }
+
+  test("hand-walked balanced merge of A=[a,b,c,d], B=[b,e,a,f] " +
+    "(both coin branches derived by hand; the md5 coin selects one)") {
+    val a = rankings("q1", Seq("a", "b", "c", "d")).toDF("q", "doc", "rk")
+    val b = rankings("q1", Seq("b", "e", "a", "f")).toDF("q", "doc", "rk")
+    val aFirst = (CrossHash.md5Hash64Jvm("q1:balanced") & 1L) == 0L
+    // A-first: a | b | (A's b dup) e | c | (B's a dup) | d | f(B after
+    //   A exhausts)... full walk: a,b,e,c,d,f
+    // B-first: b,a,e,(A b dup),(B a dup),c,f,d -> b,a,e,c,f,d
+    val expected =
+      if (aFirst) Seq("a", "b", "e", "c", "d", "f")
+      else Seq("b", "a", "e", "c", "f", "d")
+    val out = Interleave.balanced(a, b, "q", "doc", "rk", k = 10)
+      .collect().sortBy(_.getAs[Long]("pos")).map(_.getAs[String]("doc"))
+    assert(out.toSeq == expected)
+  }
+
+  test("identical rankings interleave to themselves for either coin") {
+    val a = rankings("q", Seq("x", "y", "z")).toDF("q", "doc", "rk")
+    val out = Interleave.balanced(a, a, "q", "doc", "rk", k = 5)
+      .collect().sortBy(_.getAs[Long]("pos")).map(_.getAs[String]("doc"))
+    assert(out.toSeq == Seq("x", "y", "z"))
+  }
+
+  test("k truncates the shown list") {
+    val a = rankings("q", Seq("x", "y", "z")).toDF("q", "doc", "rk")
+    val b = rankings("q", Seq("p", "r", "s")).toDF("q", "doc", "rk")
+    assert(Interleave.balanced(a, b, "q", "doc", "rk", k = 2)
+      .count() == 2L)
+  }
+
+  test("outcomes: the clicked doc's best rank sets the cutoff — " +
+    "B ranking the lone clicked doc first wins") {
+    val a = rankings("q1", Seq("a", "b", "c", "d")).toDF("q", "doc", "rk")
+    val b = rankings("q1", Seq("c", "a", "d", "b")).toDF("q", "doc", "rk")
+    val clicks = Seq(("q1", "c")).toDF("q", "doc")
+    val r = Interleave.balancedOutcomes(a, b, clicks, "q", "doc", "rk",
+      k = 10).collect().head
+    // rank_A(c) = 3, rank_B(c) = 1 -> k_cut = 1;
+    // h_a = |{c} ∩ top1(A)| = 0, h_b = 1 -> B wins
+    assert(r.getAs[Long]("k_cut") == 1L)
+    assert(r.getAs[Long]("h_a") == 0L && r.getAs[Long]("h_b") == 1L)
+    assert(r.getAs[String]("winner") == "B")
+  }
+
+  test("identical rankers always tie; no-click queries tie with a " +
+    "NULL cutoff; phantom clicks are ignored") {
+    val a = (rankings("q1", Seq("a", "b", "c")) ++
+      rankings("q2", Seq("p", "r"))).toDF("q", "doc", "rk")
+    val clicks = Seq(("q1", "b"), ("q1", "zz"), ("q9", "a"))
+      .toDF("q", "doc")
+    val out = Interleave.balancedOutcomes(a, a, clicks, "q", "doc", "rk",
+      k = 10).collect()
+      .map(r => r.getAs[String]("q") ->
+        (Option(r.get(r.fieldIndex("k_cut"))), r.getAs[Long]("h_a"),
+          r.getAs[Long]("h_b"), r.getAs[String]("winner"))).toMap
+    assert(out("q1") == ((Some(2L), 1L, 1L, "T"))) // identical -> tie
+    assert(out("q2") == ((None, 0L, 0L, "T")))     // no clicks
+    assert(out.size == 2)                          // q9 never shown
+  }
+}
