@@ -87,4 +87,99 @@ object OffPolicy {
             / col("sw2").cast("double"))
           .as("ess"))
   }
+
+  /** Doubly-robust off-policy estimate (Dudík, Langford & Li, ICML
+    * 2011): the direct-method baseline plus an importance-weighted
+    * correction —
+    *
+    *   V̂_DR = (1/n) Σ_i [ r̂(x_i, π(x_i)) + w_i · (r_i − r̂(x_i, a_i)) ]
+    *
+    * unbiased if EITHER the reward model r̂ or the propensities are
+    * right, with far lower variance than plain IPS when r̂ is
+    * roughly right. r̂ here is the standard self-fit direct method:
+    * the per-(context, action) mean logged reward.
+    *
+    * Determinism (the quantized-grid trick): each r̂ cell is one
+    * exactly-rounded double quotient, then FLOOR-quantized onto the
+    * 10⁻⁶ grid and cast to exact DECIMAL — floor of an
+    * exactly-rounded double is platform/engine-identical (no ROUND
+    * halfway semantics, the q114 class avoided by construction), and
+    * every sum after the quantization is an exact, order-free,
+    * map-side-combinable decimal. The ≤10⁻⁶ quantization bias is
+    * documented and dwarfed by the estimator's own variance. V̂_DM
+    * and V̂_DR are each ONE exactly-rounded division → fully RAW.
+    *
+    * (context, π(context)) cells never logged carry r̂ = 0 and are
+    * counted in `n_dm_missing` — a large count means the target
+    * policy leaves the logged support and the DM half is
+    * extrapolating.
+    *
+    * Scale shape: one (ctx, action) mean aggregation + two
+    * broadcast-eligible joins + one aggregate — no windows, no
+    * collect. Output (one row): n, n_matched, n_dm_missing, cap,
+    * v_dm, v_dr.
+    */
+  def doublyRobust(logs: DataFrame, ctxCol: String, actionCol: String,
+                   invPropCol: String, rewardCol: String,
+                   target: DataFrame, cap: Long = 1000L): DataFrame = {
+    require(cap >= 1, "weight cap must be >= 1")
+    val l = logs.select(col(ctxCol).cast("string").as("ctx"),
+      col(actionCol).cast("string").as("act"),
+      col(invPropCol).cast("decimal(18,6)").as("w0"),
+      col(rewardCol).cast("decimal(18,6)").as("r"))
+    val t = target.select(col(ctxCol).cast("string").as("ctx"),
+      col(actionCol).cast("string").as("tact"))
+    // self-fit direct-method reward model, floor-quantized to 1e-6.
+    // The micro-unit integer times an exact DECIMAL(7,6) 1e-6 is a
+    // pure decimal MULTIPLICATION — exact in both engines; a decimal
+    // DIVISION here would hit engine-specific result-scale rules.
+    val rhat = l.groupBy("ctx", "act")
+      .agg(sum(col("r")).as("sr"), count(lit(1)).as("cr"))
+      .select(col("ctx"), col("act"),
+        (floor(col("sr").cast("double") / col("cr").cast("double")
+          * lit(1000000.0)).cast("decimal(25,0)")
+          * lit(0.000001).cast("decimal(7,6)"))
+          .cast("decimal(28,6)").as("rhat"))
+    val joined = l.join(t, Seq("ctx"), "left")
+      .join(rhat.select(col("ctx"), col("act"), col("rhat").as("rhat_a")),
+        Seq("ctx", "act"), "left")
+      .join(rhat.select(col("ctx"), col("act").as("tact"),
+        col("rhat").as("rhat_pi")), Seq("ctx", "tact"), "left")
+      .select(col("r"),
+        coalesce(col("rhat_pi"), lit(0).cast("decimal(28,6)"))
+          .as("dm"),
+        col("rhat_pi").isNull.as("dm_missing"),
+        coalesce(col("rhat_a"), lit(0).cast("decimal(28,6)"))
+          .as("rhat_a"),
+        when(col("w0") <= 0,
+          raise_error(lit("doublyRobust: inverse propensity must be " +
+            "positive")))
+          .when(col("tact").isNotNull && col("act") === col("tact"),
+            least(col("w0"), lit(cap).cast("decimal(18,6)")))
+          .otherwise(lit(0).cast("decimal(18,6)")).as("w"))
+    joined.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_matched"),
+      sum(when(col("dm_missing"), 1L).otherwise(0L)).as("n_dm_missing"),
+      sum(col("dm").cast("decimal(38,12)")).as("sdm"),
+      // operand precisions chosen so the decimal product stays EXACT
+      // (≤ precision 38, no scale reduction): w < 10^6 by the cap →
+      // (12,6); the residual fits (25,6) by the metric-scale
+      // contract; (12,6)×(25,6) → (38,12) exact. The DM and residual
+      // halves sum SEPARATELY (their decimal addition would spill
+      // precision 38 and round) and combine once in double.
+      sum((col("w").cast("decimal(12,6)") *
+        (col("r") - col("rhat_a")).cast("decimal(25,6)"))
+        .cast("decimal(38,12)")).as("sres"))
+      .select(col("n"), col("n_matched"), col("n_dm_missing"),
+        lit(cap).as("cap"),
+        when(col("n") === 0, lit(0.0))
+          .otherwise(col("sdm").cast("double") / col("n").cast("double"))
+          .as("v_dm"),
+        when(col("n") === 0, lit(0.0))
+          .otherwise((col("sdm").cast("double") +
+            coalesce(col("sres"), lit(0).cast("decimal(38,12)"))
+              .cast("double")) / col("n").cast("double"))
+          .as("v_dr"))
+  }
 }

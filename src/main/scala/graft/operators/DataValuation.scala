@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data valuation by exact KNN-Shapley (Jia et al., VLDB
+  * 2019, Theorem 1) — "which training points are WORTH their storage":
+  * the Shapley value of each training point under the K-NN utility has
+  * a closed form per test point, so the exponential Shapley sum
+  * collapses to one sorted scan:
+  *
+  *   s_(N)  = 1[y_(N) = y] / N
+  *   s_(i)  = s_(i+1) + (1[y_(i)=y] − 1[y_(i+1)=y]) / K · min(K, i)/i
+  *
+  * over train points ranked by similarity to the test point
+  * (nearest = rank 1); a point's value is its mean s over the test
+  * split. Negative values flag mislabeled/harmful points — the
+  * data-debugging signal a curation pipeline acts on (drop or
+  * re-label, feeding [[graft.analytics.Labeling]]'s queue).
+  *
+  * Ranking metric: cosine similarity DESC
+  * ([[graft.functions.VectorFunctions.cosineSim]] — the codegen
+  * kernel whose left-to-right fold the q24 oracle already mirrors
+  * bit-exactly; IEEE sqrt/division are exactly rounded, so the sort
+  * keys are cross-engine identical), ties by train id ASC.
+  *
+  * Scale shape: test×train similarity join (the brute-eval shape) +
+  * one bounded per-test sorted walk in `flatMapGroups` — BOTH splits
+  * are valuation panels by contract (≤ [[MaxPoints]] train rows per
+  * test point, raises loudly; the published method is itself
+  * O(N log N) per test point — sampling is how it deploys at corpus
+  * scale), then one map-side aggregation per train id.
+  *
+  * Determinism: the recurrence is a fixed IEEE sequence (divisions by
+  * i and K, walked in rank order — the recursive-CTE-replayable
+  * class), the per-train mean folds (test_id, s) structs in sorted
+  * order (the Bradley–Terry discipline), and the final /T is one
+  * exactly-rounded division → fully RAW.
+  *
+  * Output per train point: (train id, n_test, shapley).
+  */
+object DataValuation {
+
+  val MaxPoints = 100000
+
+  def knnShapley(train: DataFrame, test: DataFrame, idCol: String,
+                 embCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "k must be in [1, 1000]")
+    val spark = train.sparkSession
+    import spark.implicits._
+    val tr = train.select(col(idCol).cast("string").as("tid"),
+      col(embCol).as("temb"), col(labelCol).cast("string").as("tlab"))
+    val te = test.select(col(idCol).cast("string").as("qid"),
+      col(embCol).as("qemb"), col(labelCol).cast("string").as("qlab"))
+    val pairs = te.crossJoin(tr)
+      .select(col("qid"), col("tid"),
+        (col("tlab") === col("qlab")).as("m"),
+        graft.functions.VectorFunctions
+          .cosineSim(col("temb"), col("qemb")).as("cos"))
+      .as[(String, String, Boolean, Double)]
+    val perTest = pairs.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val rows = it.toArray
+      require(rows.length <= MaxPoints,
+        s"knnShapley: test point $qid ranks ${rows.length} train " +
+          s"points — valuation panels are bounded at $MaxPoints by " +
+          "contract; sample the train split")
+      // nearest first; ties by train id — a total order
+      val ranked = rows.sortBy(r => (-r._4, r._2))
+      val n = ranked.length
+      val s = new Array[Double](n)
+      if (n > 0) {
+        s(n - 1) = (if (ranked(n - 1)._3) 1.0 else 0.0) / n.toDouble
+        var i = n - 1
+        while (i >= 1) {
+          val mi = if (ranked(i - 1)._3) 1.0 else 0.0
+          val mi1 = if (ranked(i)._3) 1.0 else 0.0
+          s(i - 1) = s(i) +
+            ((mi - mi1) / k.toDouble) *
+              (math.min(k, i).toDouble / i.toDouble)
+          i -= 1
+        }
+      }
+      ranked.iterator.zipWithIndex.map { case (r, idx) =>
+        (qid, r._2, s(idx))
+      }
+    }.toDF("qid", "tid", "s")
+    val tCount = te.agg(count(lit(1)).as("n_test"))
+    perTest.groupBy("tid")
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("qid"), col("s").as("s")))),
+        lit(0.0), (acc, e) => acc + e.getField("s")).as("ssum"))
+      .crossJoin(broadcast(tCount))
+      .select(col("tid").as(idCol), col("n_test"),
+        (col("ssum") / col("n_test").cast("double")).as("shapley"))
+  }
+}

@@ -614,9 +614,176 @@ object TestQueries26 {
       ORDER BY source"""
     })
 
+  /** The q24 cosine fold (left-to-right double products — mirrors the
+    * codegen kernel bit-exactly) between two embedding columns.
+    */
+  private def cosSql(a: String, b: String): String = s"""
+    (list_reduce(list_transform(range(1, len($a)+1),
+       vv -> CAST($a[vv] AS DOUBLE) * CAST($b[vv] AS DOUBLE)),
+       (xx, yy) -> xx + yy) /
+     (SQRT(list_reduce(list_transform(range(1, len($a)+1),
+        vv -> CAST($a[vv] AS DOUBLE) * CAST($a[vv] AS DOUBLE)),
+        (xx, yy) -> xx + yy)) *
+      SQRT(list_reduce(list_transform(range(1, len($b)+1),
+        vv -> CAST($b[vv] AS DOUBLE) * CAST($b[vv] AS DOUBLE)),
+        (xx, yy) -> xx + yy))))"""
+
+  /** Exact KNN-Shapley data valuation —
+    * [[graft.operators.DataValuation.knnShapley]] (Jia et al. VLDB
+    * 2019): the closed-form Shapley value of each train embedding
+    * under the 5-NN-utility over a bounded valuation panel (train =
+    * 144 points, test = every 25th) — which stored points EARN their
+    * keep, negatives flagging mislabeled/harmful rows. The recurrence
+    * is a per-test sorted walk (cosine DESC, id ASC — cross-engine
+    * bit-identical sort keys, the q24 fold) replayed by a recursive
+    * CTE descending the rank axis; per-train means fold (qid, s) in
+    * sorted order → fully RAW.
+    */
+  val q366KnnShapley: QueryCase = QueryCase(
+    "q366_knn_shapley",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val test = e.where(col("vec_id") % 25 === 0)
+      val train = e.where(col("vec_id") % 25 =!= 0 && col("vec_id") < 150)
+      graft.operators.DataValuation.knnShapley(train, test,
+        "vec_id", "embedding", "label", k = 5)
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH RECURSIVE
+      tr AS (
+        SELECT CAST(vec_id AS VARCHAR) AS tid, embedding AS temb,
+          CAST(label AS VARCHAR) AS tlab
+        FROM embeddings WHERE vec_id % 25 <> 0 AND vec_id < 150),
+      te AS (
+        SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qemb,
+          CAST(label AS VARCHAR) AS qlab
+        FROM embeddings WHERE vec_id % 25 = 0),
+      pr AS (
+        SELECT te.qid, tr.tid,
+          CASE WHEN tr.tlab = te.qlab THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS m,
+          ${cosSql("temb", "qemb")} AS cos
+        FROM te CROSS JOIN tr),
+      rk AS (
+        SELECT qid, tid, m,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cos DESC, tid) AS BIGINT) AS i
+        FROM pr),
+      cnt AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n
+        FROM rk GROUP BY qid),
+      wk AS (
+        SELECT r.qid, cnt.n AS i, r.m / CAST(cnt.n AS DOUBLE) AS s
+        FROM rk r JOIN cnt ON cnt.qid = r.qid AND r.i = cnt.n
+        UNION ALL
+        SELECT w.qid, w.i - 1,
+          w.s + ((r1.m - r2.m) / CAST(5 AS DOUBLE))
+            * (CAST(LEAST(5, w.i - 1) AS DOUBLE)
+               / CAST(w.i - 1 AS DOUBLE))
+        FROM wk w
+        JOIN rk r1 ON r1.qid = w.qid AND r1.i = w.i - 1
+        JOIN rk r2 ON r2.qid = w.qid AND r2.i = w.i
+        WHERE w.i > 1),
+      sv AS (
+        SELECT w.qid, r.tid, w.s
+        FROM wk w JOIN rk r ON r.qid = w.qid AND r.i = w.i),
+      tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM te),
+      agg AS (
+        SELECT tid,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(s ORDER BY qid)), (aa, bb) -> aa + bb) AS ssum
+        FROM sv GROUP BY tid)
+      SELECT tid AS vec_id, tc.n_test,
+        ssum / CAST(tc.n_test AS DOUBLE) AS shapley
+      FROM agg CROSS JOIN tc ORDER BY vec_id"""))
+
+  /** Doubly-robust off-policy estimate —
+    * [[graft.analytics.OffPolicy.doublyRobust]] (Dudík, Langford & Li
+    * 2011) on the q363 panel: the self-fit per-(user, action) mean
+    * reward as the DM baseline (floor-quantized onto the 10⁻⁶ decimal
+    * grid — engine-stable, no ROUND halfway semantics), plus the
+    * clipped importance-weighted residual. All post-quantization sums
+    * exact order-free decimals; v_dm/v_dr one division each
+    * (VARCHAR-path casts) → fully RAW.
+    */
+  val q367DoublyRobust: QueryCase = QueryCase(
+    "q367_doubly_robust",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id") < 100)
+        .select(col("user_id").cast("string").as("ctx"),
+          col("event_type").as("act"),
+          col("value").cast("decimal(18,2)").as("r"))
+      val kk = ev.agg(count_distinct(col("act")).as("kk"))
+      val logs = ev.crossJoin(broadcast(kk))
+        .select(col("ctx"), col("act"),
+          col("kk").cast("decimal(18,6)").as("w0"), col("r"))
+      val cnts = ev.groupBy("ctx", "act").agg(count(lit(1)).as("n"))
+      val target = cnts.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("ctx")
+            .orderBy(desc("n"), col("act"))))
+        .where(col("rn") === 1).select(col("ctx"), col("act"))
+      graft.analytics.OffPolicy.doublyRobust(logs, "ctx", "act", "w0",
+        "r", target, cap = 3L)
+    },
+    Some {
+      def v(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      s"""
+      WITH ev AS (
+        SELECT CAST(user_id AS VARCHAR) AS ctx, event_type AS act,
+          CAST(value AS DECIMAL(18,2)) AS r
+        FROM events WHERE user_id < 100),
+      kk AS (SELECT CAST(COUNT(DISTINCT act) AS BIGINT) AS k FROM ev),
+      cnts AS (
+        SELECT ctx, act, CAST(COUNT(*) AS BIGINT) AS n
+        FROM ev GROUP BY ctx, act),
+      tgt AS (
+        SELECT ctx, act FROM (
+          SELECT ctx, act,
+            ROW_NUMBER() OVER (PARTITION BY ctx ORDER BY n DESC, act)
+              AS rn
+          FROM cnts) WHERE rn = 1),
+      rhat AS (
+        SELECT ctx, act,
+          CAST(CAST(FLOOR(${v("SUM(CAST(r AS DECIMAL(18,6)))")}
+              / CAST(COUNT(*) AS DOUBLE) * 1000000.0) AS DECIMAL(25,0))
+            * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(28,6)) AS rhat
+        FROM ev GROUP BY ctx, act),
+      j AS (
+        SELECT e.r,
+          COALESCE(rp.rhat, CAST(0 AS DECIMAL(28,6))) AS dm,
+          (rp.rhat IS NULL) AS dm_missing,
+          COALESCE(ra2.rhat, CAST(0 AS DECIMAL(28,6))) AS rhat_a,
+          CASE WHEN t.act IS NOT NULL AND e.act = t.act
+            THEN LEAST(CAST(kk.k AS DECIMAL(18,6)),
+                       CAST(3 AS DECIMAL(18,6)))
+            ELSE CAST(0 AS DECIMAL(18,6)) END AS w
+        FROM ev e CROSS JOIN kk
+        LEFT JOIN tgt t ON t.ctx = e.ctx
+        LEFT JOIN rhat ra2 ON ra2.ctx = e.ctx AND ra2.act = e.act
+        LEFT JOIN rhat rp ON rp.ctx = e.ctx AND rp.act = t.act),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_matched,
+          CAST(SUM(CASE WHEN dm_missing THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dm_missing,
+          SUM(CAST(dm AS DECIMAL(38,12))) AS sdm,
+          SUM(CAST(CAST(w AS DECIMAL(12,6))
+            * CAST(CAST(r AS DECIMAL(28,6)) - rhat_a AS DECIMAL(25,6))
+            AS DECIMAL(38,12))) AS sres
+        FROM j)
+      SELECT n, n_matched, n_dm_missing, CAST(3 AS BIGINT) AS cap,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE ${v("sdm")} / CAST(n AS DOUBLE) END AS v_dm,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE (${v("sdm")} + ${v("COALESCE(sres, CAST(0 AS DECIMAL(38,12)))")})
+            / CAST(n AS DOUBLE) END AS v_dr
+      FROM agg"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q357RelabelQueue, q358InterleaveCredit, q359InterleaveVerdict,
       q360DsQualityClassifier, q361BalancedInterleave,
       q362BalancedOutcomes, q363IpsSnips, q364WordpieceTrain,
-      q365AlphaNdcg)
+      q365AlphaNdcg, q366KnnShapley, q367DoublyRobust)
 }

@@ -55,6 +55,35 @@ class OffPolicySpec extends SparkSpec {
     assert(e.getMessage.contains("inverse propensity"))
   }
 
+  test("doublyRobust: hand panel — DM baseline plus weighted residual") {
+    // u1 logged: (a, 2), (a, 4), (b, 1) -> rhat(u1,a) = 3, rhat(u1,b) = 1
+    // target u1 -> a: terms 3+4(2-3) = -1; 3+4(4-3) = 7; 3+0 = 3
+    // u2 logged (d, 5), target u2 -> c (never logged): dm 0, missing
+    val logs = Seq(
+      ("u1", "a", 4.0, 2.0), ("u1", "a", 4.0, 4.0), ("u1", "b", 4.0, 1.0),
+      ("u2", "d", 4.0, 5.0))
+      .toDF("ctx", "act", "w0", "r")
+    val t = Seq(("u1", "a"), ("u2", "c")).toDF("ctx", "act")
+    val r = OffPolicy.doublyRobust(logs, "ctx", "act", "w0", "r", t)
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_matched") == 2L)
+    assert(r.getAs[Long]("n_dm_missing") == 1L)
+    assert(r.getAs[Double]("v_dm") == 9.0 / 4.0)
+    assert(r.getAs[Double]("v_dr") == (-1.0 + 7.0 + 3.0 + 0.0) / 4.0)
+  }
+
+  test("doublyRobust: fractional rhat lands on the floor-quantized " +
+    "1e-6 grid (engine-stable, no ROUND halfway semantics)") {
+    // rhat(u3,e) = 1/3 -> floor-quantized 0.333333
+    val logs = Seq(
+      ("u3", "e", 4.0, 0.0), ("u3", "e", 4.0, 0.0), ("u3", "e", 4.0, 1.0))
+      .toDF("ctx", "act", "w0", "r")
+    val t = Seq(("u3", "e")).toDF("ctx", "act")
+    val r = OffPolicy.doublyRobust(logs, "ctx", "act", "w0", "r", t)
+      .collect().head
+    assert(r.getAs[Double]("v_dm") == 0.333333)
+  }
+
   test("no matches: v_snips guards the 0/0 (ANSI) and reads 0") {
     val t3 = Seq(("u1", "zzz")).toDF("ctx", "act")
     val r = OffPolicy.ipsSnips(logs, "ctx", "act", "w0", "r", t3)

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Exact KNN-Shapley closed form on hand geometries: the recurrence,
+  * the negative value of a near-but-mislabeled point, K sensitivity,
+  * and the multi-test mean.
+  */
+class DataValuationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // t1 is the test point's twin (label A), t2 is NEAR but mislabeled
+  // (B), t3 is far with the right label (A)
+  private val train = Seq(
+    ("t1", Seq(1.0, 0.0), "A"),
+    ("t2", Seq(0.9, 0.1), "B"),
+    ("t3", Seq(0.0, 1.0), "A"))
+    .toDF("id", "emb", "lab")
+  private val test1 = Seq(("q1", Seq(1.0, 0.0), "A"))
+    .toDF("id", "emb", "lab")
+
+  private def values(k: Int, test: org.apache.spark.sql.DataFrame =
+      test1): Map[String, Double] =
+    DataValuation.knnShapley(train, test, "id", "emb", "lab", k)
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[Double]("shapley")).toMap
+
+  test("K=1 hand recurrence: s3 = 1/3, s2 = 1/3 - 1/2, s1 = s2 + 1") {
+    val v = values(1)
+    val s3 = 1.0 / 3.0
+    val s2 = s3 + ((0.0 - 1.0) / 1.0) * (1.0 / 2.0)
+    val s1 = s2 + ((1.0 - 0.0) / 1.0) * (1.0 / 1.0)
+    assert(v("t1") == s1 && v("t2") == s2 && v("t3") == s3)
+    // the mislabeled near-neighbor is NEGATIVE value — the
+    // data-debugging signal
+    assert(v("t2") < 0.0 && v("t1") > v("t3"))
+  }
+
+  test("K=2: the same panel redistributes by the min(K,i)/i factor") {
+    val v = values(2)
+    val s3 = 1.0 / 3.0
+    val s2 = s3 + ((0.0 - 1.0) / 2.0) * (2.0 / 2.0)
+    val s1 = s2 + ((1.0 - 0.0) / 2.0) * (1.0 / 1.0)
+    assert(v("t1") == s1 && v("t2") == s2 && v("t3") == s3)
+  }
+
+  test("multi-test value is the mean of per-test s (sorted fold)") {
+    val test2 = Seq(
+      ("q1", Seq(1.0, 0.0), "A"),
+      ("q2", Seq(0.0, 1.0), "A"))
+      .toDF("id", "emb", "lab")
+    val v = values(1, test2)
+    // q2 ranks: t3 (cos 1, A), t2 (cos .1.., B), t1 (cos 0, A):
+    //   s3' = m(t1)/3 = 1/3; s2' = 1/3 - 1/2 (t2 vs t1);
+    //   s1' = s2' + 1 (t3)
+    val s3 = 1.0 / 3.0
+    val s2 = s3 + ((0.0 - 1.0) / 1.0) * (1.0 / 2.0)
+    val s1 = s2 + ((1.0 - 0.0) / 1.0) * (1.0 / 1.0)
+    // per-train means over the two test points (q-sorted fold: q1+q2)
+    assert(v("t1") == (s1 + s3) / 2.0)
+    assert(v("t3") == (s3 + s1) / 2.0)
+    assert(v("t2") == (s2 + s2) / 2.0)
+  }
+
+  test("k out of range raises") {
+    intercept[IllegalArgumentException] {
+      DataValuation.knnShapley(train, test1, "id", "emb", "lab", 0)
+    }
+  }
+}
