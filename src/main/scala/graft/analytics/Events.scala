@@ -816,4 +816,96 @@ object Events {
         round(col("mean"), 6).as("mean"))
       .orderBy(keyCol, "seg_start")
   }
+
+  /** Offline changepoint detection by PELT (Killick, Fearnhead &
+    * Eckley, JASA 2012) — the EXACT-optimal complement to
+    * [[changepoints]]' greedy binary segmentation: minimizes
+    * Σ segment-SSE + β·(#changepoints) globally via the pruned DP
+    *
+    *   F(t) = min_{τ ∈ R_t} [ F(τ) + C(τ+1..t) + β ],   F(0) = −β
+    *
+    * with the PELT prune (τ leaves R when F(τ) + C(τ+1..t) > F(t) —
+    * valid with constant K = 0 for the SSE cost), which keeps the
+    * expected work linear in the series length. Binary segmentation's
+    * greedy splits can miss the optimum; PELT cannot — the spec
+    * verifies exact optimality by brute-force enumeration of every
+    * segmentation of a hand series.
+    *
+    * Scale shape: one per-key bounded walk inside `flatMapGroups`
+    * (the [[cusum]] sequential-recurrence contract; keys partition
+    * the work; series length per key is a rollup axis — days, hours —
+    * bounded by construction).
+    *
+    * Determinism: per-position costs are fixed IEEE trees over
+    * running prefix sums (values cast double from ≤6-dp decimals —
+    * exact), the DP walks positions in order, the argmin breaks ties
+    * on the smaller τ — a recursive-CTE replay produces the identical
+    * sequence, and segment means are one exactly-rounded division →
+    * fully RAW.
+    *
+    * Output: one row per optimal segment — (key, seg_start, seg_end,
+    * n, mean), ordered by (key, seg_start); ord values are the 1-based
+    * POSITIONS in the key's ord-sorted series (the oracle-replayable
+    * axis), with seg_start of the first segment = 1.
+    */
+  def pelt(df: DataFrame, keyCol: String, orderCol: String,
+           valueCol: String, beta: Double): DataFrame = {
+    require(beta > 0.0, "penalty beta must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(valueCol).cast("double").as("x"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.map { case (_, ord, x) => (ord, x) }.toArray
+        java.util.Arrays.sort(rows, Ordering.by((r: (Long, Double)) => r._1))
+        val xs = rows.map(_._2)
+        val tt = xs.length
+        val s = new Array[Double](tt + 1)
+        val sq = new Array[Double](tt + 1)
+        var i = 0
+        while (i < tt) {
+          s(i + 1) = s(i) + xs(i)
+          sq(i + 1) = sq(i) + xs(i) * xs(i)
+          i += 1
+        }
+        // C(τ+1..t): SSE of the segment from the prefix sums — the
+        // association ((Sq_b − Sq_a) − ((d·d)/n)) is load-bearing
+        // (the oracle replays it verbatim)
+        def cost(a: Int, b: Int): Double = {
+          val d = s(b) - s(a)
+          sq(b) - sq(a) - d * d / (b - a).toDouble
+        }
+        val f = new Array[Double](tt + 1)
+        val cp = new Array[Int](tt + 1)
+        f(0) = -beta
+        var cands = List(0)
+        var t = 1
+        while (t <= tt) {
+          var bestV = Double.PositiveInfinity
+          var bestTau = -1
+          // cands kept ascending → first minimum = smallest τ on ties
+          cands.foreach { tau =>
+            val v = f(tau) + cost(tau, t) + beta
+            if (v < bestV) { bestV = v; bestTau = tau }
+          }
+          f(t) = bestV
+          cp(t) = bestTau
+          cands = cands.filter(tau =>
+            f(tau) + cost(tau, t) <= f(t)) :+ t
+          t += 1
+        }
+        val segs = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+        var e = tt
+        while (e > 0) { val st = cp(e); segs += ((st + 1, e)); e = st }
+        segs.reverseIterator.map { case (a, b) =>
+          (k, a.toLong, b.toLong, (b - a + 1).toLong,
+            (s(b) - s(a - 1)) / (b - a + 1).toDouble)
+        }
+      }
+      .toDF(keyCol, "seg_start", "seg_end", "n", "mean")
+      .orderBy(keyCol, "seg_start")
+  }
 }

@@ -139,4 +139,77 @@ object WordPiece {
     trained.select(col("word"), col("freq"),
       concat_ws(" ", col("seq")).as("segments"),
       size(col("seq")).as("n_segments"))
+
+  /** Collect a trained model's piece vocabulary (the distinct symbols
+    * of the final segmentation) to the driver — model-sized, loudly
+    * bounded ([[graft.plans.Bounded]], the `Bpe.collectMerges`
+    * pattern).
+    */
+  def collectVocab(trained: DataFrame): Seq[String] =
+    graft.plans.Bounded.collectBounded(
+      trained.select(explode(col("seq")).as("s")).distinct().orderBy("s"),
+      "WordPiece.collectVocab")
+      .map(_.getString(0)).toSeq
+
+  /** Greedy longest-match-first segmentation with a trained piece
+    * vocabulary — the actual BERT RUNTIME algorithm (Devlin et al.
+    * 2019; `WordpieceTokenizer`): at each position take the LONGEST
+    * vocabulary piece matching (continuations match their `##`-less
+    * content); a position with no match marks the whole word `unk`.
+    * This is the apply half next to [[train]] (greedy-longest can
+    * legitimately differ from the training-time merge segmentation —
+    * the standard deployment trade), completing the tokenizer-runtime
+    * trio with [[Bpe.applyMerges]] and [[UnigramLm]]'s Viterbi.
+    *
+    * Scale shape: the vocab is MODEL state (rides into the closure;
+    * collect it via [[collectVocab]]'s loud bound); per word one
+    * bounded character walk — a narrow typed map, no shuffle at all.
+    *
+    * Determinism: longest-match is unique by construction (one piece
+    * per (content, position-class)); pure string walk → RAW.
+    *
+    * Output: (word, segments, n_segments, unk) — `segments` empty and
+    * n_segments 0 when unk.
+    */
+  def applyVocab(words: DataFrame, wordCol: String,
+                 vocab: Seq[String], maxWordLen: Int = 1000): DataFrame = {
+    require(vocab.nonEmpty, "vocab must be non-empty")
+    require(maxWordLen >= 1, "maxWordLen must be >= 1")
+    val spark = words.sparkSession
+    import spark.implicits._
+    val heads = vocab.filterNot(_.startsWith("##")).toSet
+    val conts = vocab.filter(_.startsWith("##"))
+      .map(_.substring(2)).filter(_.nonEmpty).toSet
+    val maxLen = math.max(
+      if (heads.isEmpty) 0 else heads.map(_.length).max,
+      if (conts.isEmpty) 0 else conts.map(_.length).max)
+    words.select(col(wordCol).cast("string").as("word"))
+      .as[String]
+      .map { word =>
+        if (word.length > maxWordLen) (word, "", 0, true)
+        else {
+          val segs = scala.collection.mutable.ArrayBuffer[String]()
+          var pos = 0
+          var unk = false
+          while (pos < word.length && !unk) {
+            val set = if (pos == 0) heads else conts
+            var len = math.min(maxLen, word.length - pos)
+            var found = -1
+            while (len >= 1 && found < 0) {
+              if (set.contains(word.substring(pos, pos + len))) found = len
+              else len -= 1
+            }
+            if (found < 0) unk = true
+            else {
+              segs += (if (pos == 0) word.substring(pos, pos + found)
+                       else "##" + word.substring(pos, pos + found))
+              pos += found
+            }
+          }
+          if (unk) (word, "", 0, true)
+          else (word, segs.mkString(" "), segs.length, false)
+        }
+      }
+      .toDF("word", "segments", "n_segments", "unk")
+  }
 }

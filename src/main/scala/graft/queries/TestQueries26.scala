@@ -781,9 +781,159 @@ object TestQueries26 {
       FROM agg"""
     })
 
+  /** PELT exact changepoints per user —
+    * [[graft.analytics.Events.pelt]] (Killick et al. 2012) over the
+    * q349 event series (user_id < 10, position axis): the pruned DP
+    * replayed as a recursive CTE carrying (F list, cp list, candidate
+    * list) state, per-step argmin via list_sort on (cost, τ) — the
+    * stable pattern — and prefix sums as left folds (≡ the Scala
+    * running sums bit-for-bit). Segment means one exactly-rounded
+    * division → fully RAW.
+    */
+  val q368Pelt: QueryCase = QueryCase(
+    "q368_pelt",
+    (s, dir) => graft.analytics.Events.pelt(
+      Tables.events(s, dir).where(col("user_id") < 10),
+      "user_id", "event_id", "value", beta = 500.0),
+    Some {
+      def costSql(tau: String, t: String) =
+        s"""(w.sq[CAST($t AS INT)+1] - w.sq[CAST($tau AS INT)+1]
+           - (w.s[CAST($t AS INT)+1] - w.s[CAST($tau AS INT)+1])
+             * (w.s[CAST($t AS INT)+1] - w.s[CAST($tau AS INT)+1])
+             / CAST($t - $tau AS DOUBLE))"""
+      s"""
+      WITH RECURSIVE
+      pre AS (
+        SELECT CAST(user_id AS VARCHAR) AS k,
+          list(CAST(value AS DOUBLE) ORDER BY event_id) AS xs
+        FROM events WHERE user_id < 10 GROUP BY user_id),
+      pfx AS (
+        SELECT k, len(xs) AS tt,
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(xs)+1), ii ->
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs[1:ii]),
+                (aa, bb) -> aa + bb))) AS s,
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(xs)+1), ii ->
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(xs[1:ii], zz -> zz * zz)),
+                (aa, bb) -> aa + bb))) AS sq
+        FROM pre),
+      wk AS (
+        SELECT k, tt, s, sq, CAST(0 AS BIGINT) AS t,
+          [CAST(-500.0 AS DOUBLE)] AS f,
+          CAST([] AS BIGINT[]) AS cp,
+          [CAST(0 AS BIGINT)] AS cands
+        FROM pfx
+        UNION ALL
+        SELECT w.k, w.tt, w.s, w.sq, w.t + 1,
+          list_append(w.f, best.v),
+          list_append(w.cp, best.tau),
+          list_append(list_filter(w.cands, tau ->
+            w.f[CAST(tau AS INT)+1] + ${costSql("tau", "w.t+1")}
+              <= best.v), w.t + 1)
+        FROM (
+          SELECT w.*, list_sort(list_transform(w.cands, tau ->
+            struct_pack(
+              v := w.f[CAST(tau AS INT)+1] + ${costSql("tau", "w.t+1")}
+                + CAST(500.0 AS DOUBLE),
+              tau := tau)))[1] AS best
+          FROM wk w WHERE w.t < w.tt) w),
+      fin AS (SELECT k, s, cp, tt FROM wk WHERE t = tt),
+      bt AS (
+        SELECT k, s, cp, CAST(tt AS BIGINT) AS t FROM fin
+        UNION ALL
+        SELECT k, s, cp, cp[CAST(t AS INT)] FROM bt WHERE t > 0),
+      segs AS (
+        SELECT k, cp[CAST(t AS INT)] + 1 AS seg_start, t AS seg_end,
+          t - cp[CAST(t AS INT)] AS n,
+          (s[CAST(t AS INT)+1] - s[CAST(cp[CAST(t AS INT)] AS INT)+1])
+            / CAST(t - cp[CAST(t AS INT)] AS DOUBLE) AS mean
+        FROM bt WHERE t > 0)
+      SELECT k AS user_id, seg_start, seg_end, n, mean
+      FROM segs ORDER BY user_id, seg_start"""
+    })
+
+  /** WordPiece greedy longest-match-first apply —
+    * [[graft.operators.WordPiece.applyVocab]] (the BERT runtime
+    * algorithm) with the q364-trained 3-merge vocabulary over the
+    * corpus words: greedy heads, ##-content continuations, whole-word
+    * unk on a stranded position. The oracle replays the per-word walk
+    * as a recursive CTE picking the longest matching piece by
+    * list_sort on (−len, piece). Pure string/integer math → RAW.
+    */
+  val q369WordpieceApply: QueryCase = QueryCase(
+    "q369_wordpiece_apply",
+    (s, dir) => {
+      import graft.operators.{Bpe, WordPiece}
+      val docs = Tables.documents(s, dir)
+      val trained = WordPiece.train(Bpe.vocabulary(docs, "text"),
+        nMerges = 3)
+      val vocab = WordPiece.collectVocab(trained)
+      WordPiece.applyVocab(
+        trained.select(col("word")).distinct(), "word", vocab)
+        .orderBy("word")
+    },
+    Some(s"""
+      WITH RECURSIVE toks AS (
+        SELECT u.t AS word
+        FROM (SELECT $TokensSql AS tk FROM documents), UNNEST(tk) AS u(t)),
+      wv0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+          list_transform(regexp_extract_all(word, '.'),
+            (cc, ii) -> CASE WHEN ii = 1 THEN cc ELSE '##' || cc END)
+            AS seq
+        FROM toks GROUP BY word),
+      ${wpRoundSql(1)},
+      ${wpRoundSql(2)},
+      ${wpRoundSql(3)},
+      vs AS (SELECT DISTINCT u.sym AS sym
+        FROM wv3, UNNEST(seq) AS u(sym)),
+      vh AS (
+        SELECT list(sym ORDER BY sym) AS vl
+        FROM vs WHERE sym NOT LIKE '##%'),
+      vc AS (
+        SELECT list(substr(sym, 3) ORDER BY sym) AS vl
+        FROM vs WHERE sym LIKE '##%' AND len(sym) > 2),
+      ww AS (SELECT DISTINCT word FROM wv0),
+      aw AS (
+        SELECT ww.word, CAST(1 AS BIGINT) AS pos,
+          CAST([] AS VARCHAR[]) AS segs, false AS unk
+        FROM ww
+        UNION ALL
+        SELECT w.word,
+          w.pos + CASE WHEN w.best IS NULL THEN 0 ELSE len(w.best) END,
+          CASE WHEN w.best IS NULL THEN w.segs
+            ELSE list_append(w.segs,
+              CASE WHEN w.pos = 1 THEN w.best ELSE '##' || w.best END)
+            END,
+          w.best IS NULL
+        FROM (
+          SELECT w.word, w.pos, w.segs,
+            list_sort(list_transform(
+              list_filter(CASE WHEN w.pos = 1 THEN vh.vl ELSE vc.vl END,
+                pc -> pc = substr(w.word, CAST(w.pos AS INT), len(pc))),
+              pc -> struct_pack(nl := -len(pc), pc := pc)))[1].pc AS best
+          FROM aw w CROSS JOIN vh CROSS JOIN vc
+          WHERE NOT w.unk AND w.pos <= len(w.word)) w),
+      afin AS (
+        SELECT word, segs, unk FROM (
+          SELECT word, segs, unk,
+            ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos DESC,
+              CASE WHEN unk THEN 1 ELSE 0 END DESC) AS rn
+          FROM aw) WHERE rn = 1)
+      SELECT word,
+        CASE WHEN unk THEN '' ELSE array_to_string(segs, ' ') END
+          AS segments,
+        CASE WHEN unk THEN 0 ELSE CAST(len(segs) AS INT) END
+          AS n_segments,
+        unk
+      FROM afin ORDER BY word"""))
+
   val all: Seq[QueryCase] =
     Seq(q357RelabelQueue, q358InterleaveCredit, q359InterleaveVerdict,
       q360DsQualityClassifier, q361BalancedInterleave,
       q362BalancedOutcomes, q363IpsSnips, q364WordpieceTrain,
-      q365AlphaNdcg, q366KnnShapley, q367DoublyRobust)
+      q365AlphaNdcg, q366KnnShapley, q367DoublyRobust, q368Pelt,
+      q369WordpieceApply)
 }

@@ -52,4 +52,72 @@ class ChangepointSpec extends SparkSpec {
     val b = run(xs, rounds = 3)
     assert(a.toSeq == b.toSeq)
   }
+
+  // ---- PELT (exact pruned DP) ----
+
+  private def runPelt(xs: Seq[Double], beta: Double,
+                      key: String = "k") =
+    Events.pelt(
+      xs.zipWithIndex.map { case (x, i) => (key, (i + 1).toLong, x) }
+        .toDF("key", "ord", "x"), "key", "ord", "x", beta)
+      .orderBy("seg_start").collect()
+      .map(r => (r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end"),
+        r.getAs[Double]("mean")))
+
+  test("pelt: hand series [1,1,1,10,10,10] at beta=1 splits at 3") {
+    assert(runPelt(Seq(1.0, 1, 1, 10, 10, 10), 1.0).toSeq ==
+      Seq((1L, 3L, 1.0), (4L, 6L, 10.0)))
+  }
+
+  test("pelt: flat series stays one segment (beta beats any split)") {
+    assert(runPelt(Seq.fill(8)(5.0), 0.5).toSeq ==
+      Seq((1L, 8L, 5.0)))
+  }
+
+  test("pelt is EXACTLY optimal: brute-force enumeration of all 2^(T-1) " +
+    "segmentations agrees on the minimum cost") {
+    val xs = Seq(1.0, 2.0, 1.0, 9.0, 8.0, 1.0, 1.0)
+    val beta = 2.0
+    def sse(seg: Seq[Double]): Double = {
+      val s = seg.sum
+      seg.map(x => x * x).sum - s * s / seg.length
+    }
+    // enumerate all segmentations via bitmask of split points
+    val t = xs.length
+    var best = Double.PositiveInfinity
+    (0 until (1 << (t - 1))).foreach { mask =>
+      var cost = 0.0
+      var start = 0
+      (0 until t).foreach { i =>
+        val isEnd = i == t - 1 || ((mask >> i) & 1) == 1
+        if (isEnd) { cost += sse(xs.slice(start, i + 1)) + beta
+                     start = i + 1 }
+      }
+      if (cost < best) best = cost
+    }
+    val segs = runPelt(xs, beta)
+    val peltCost = segs.map { case (a, b, _) =>
+      sse(xs.slice(a.toInt - 1, b.toInt)) + beta }.sum
+    assert(math.abs(peltCost - best) < 1e-9,
+      s"pelt cost $peltCost vs brute-force optimum $best " +
+        s"(segments ${segs.toSeq})")
+  }
+
+  test("pelt: keys segment independently and tie argmin picks the " +
+    "smaller tau") {
+    val df = ((1 to 6).map(i => ("a", i.toLong, if (i <= 3) 0.0 else 9.0))
+      ++ (1 to 4).map(i => ("b", i.toLong, 5.0)))
+      .toDF("key", "ord", "x")
+    val out = Events.pelt(df, "key", "ord", "x", beta = 1.0)
+      .collect().map(r => (r.getAs[String]("key"),
+        r.getAs[Long]("seg_start"), r.getAs[Long]("seg_end"))).toSet
+    assert(out == Set(("a", 1L, 3L), ("a", 4L, 6L), ("b", 1L, 4L)))
+  }
+
+  test("pelt: beta <= 0 raises") {
+    intercept[IllegalArgumentException] {
+      Events.pelt(Seq(("k", 1L, 1.0)).toDF("key", "ord", "x"),
+        "key", "ord", "x", 0.0)
+    }
+  }
 }

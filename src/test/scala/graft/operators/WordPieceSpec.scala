@@ -54,6 +54,38 @@ class WordPieceSpec extends SparkSpec {
     assert(s1 == -UnigramLm.fixedLog2(11))
   }
 
+  test("applyVocab: greedy longest-match-first with ## continuations; " +
+    "no-match marks the whole word unk; greedy does NOT backtrack") {
+    val vocab = Seq("p", "pl", "play", "##l", "##ay", "##ays", "##ing")
+    val words = Seq("playing", "pl", "play", "lay", "plays")
+      .toDF("word")
+    val out = WordPiece.applyVocab(words, "word", vocab)
+      .collect().map(r => r.getAs[String]("word") ->
+        (r.getAs[String]("segments"), r.getAs[Int]("n_segments"),
+          r.getAs[Boolean]("unk"))).toMap
+    assert(out("playing") == (("play ##ing", 2, false)))
+    assert(out("play") == (("play", 1, false)))
+    // longest head 'pl' wins over 'p'
+    assert(out("pl") == (("pl", 1, false)))
+    // 'l' is not a head piece -> unk
+    assert(out("lay") == (("", 0, true)))
+    // greedy takes the longest head 'play', strands 's' (no ##s), and
+    // does NOT backtrack to the feasible pl + ##ays — the documented
+    // BERT-runtime behavior
+    assert(out("plays") == (("", 0, true)))
+  }
+
+  test("applyVocab round-trips the trained vocabulary over its own " +
+    "corpus words (no unks by construction: single chars remain)") {
+    val trained = WordPiece.train(vocab, 2)
+    val pieces = WordPiece.collectVocab(trained)
+    val out = WordPiece.applyVocab(
+      Seq("aa", "ab", "cb").toDF("word"), "word", pieces)
+      .collect().map(r => r.getAs[String]("word") ->
+        r.getAs[Boolean]("unk")).toMap
+    assert(out.values.forall(_ == false))
+  }
+
   test("merge exhaustion stops the loop early (single-char words)") {
     val v = Seq(("a", 3L), ("b", 2L)).toDF("word", "freq")
     val e = intercept[IllegalArgumentException] {
