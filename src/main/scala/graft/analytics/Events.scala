@@ -908,4 +908,104 @@ object Events {
       .toDF(keyCol, "seg_start", "seg_end", "n", "mean")
       .orderBy(keyCol, "seg_start")
   }
+
+  /** Two-group log-rank test (Mantel 1966; Peto & Peto 1972) — do two
+    * cohorts' survival curves differ, with censoring handled the same
+    * way [[kaplanMeier]] handles it: at each event time t the
+    * hypergeometric expectation and variance of group 1's deaths,
+    *
+    *   E₁ = Σ_t d_t·n₁t/n_t
+    *   V  = Σ_t (d_t·n₁t/n_t)·((n_t−n₁t)/n_t)·((n_t−d_t)/(n_t−1))
+    *   χ² = (O₁ − E₁)² / V   ~ χ²(1) under equal hazards
+    *
+    * where n_t/n₁t are the at-risk counts (duration ≥ t) and
+    * d_t/d₁t the deaths at t. Group 1 is the lexicographically
+    * smaller group label (deterministic). Exactly two groups — raises
+    * otherwise.
+    *
+    * Scale shape: per-(group, duration) exact-integer counts, at-risk
+    * via one cumulative window over the DURATION axis (a rollup axis
+    * — hours, days — bounded by contract like [[kaplanMeier]]'s),
+    * then one sorted bounded fold (the leastSquares discipline; loud
+    * 2²⁰ cap) for the E₁/V sums so both engines add the identical
+    * IEEE sequence. O₁ and every count exact integers; χ² a fixed
+    * tree of exactly-rounded divisions → fully RAW.
+    *
+    * Output (one row): (g1, g2, n1, n2, o1, e1, v, chi2).
+    */
+  def logRank(df: DataFrame, groupCol: String, durationCol: String,
+              eventCol: String): DataFrame = {
+    val v0 = df.select(col(groupCol).cast("string").as("g"),
+      col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("boolean").as("e"))
+    val gs = v0.agg(count_distinct(col("g")).as("ng"),
+      min(col("g")).as("g1"), max(col("g")).as("g2"))
+      .select(
+        when(col("ng") =!= 2,
+          raise_error(concat(lit("logRank: exactly 2 groups required"),
+            lit(" (saw "), col("ng").cast("string"), lit(")"))))
+          .otherwise(col("g1")).as("g1"),
+        col("g2"))
+    val byT = v0.groupBy("g", "t").agg(count(lit(1)).as("n_at"),
+      sum(when(col("e"), 1L).otherwise(0L)).as("d"))
+    val tot = v0.groupBy("g").agg(count(lit(1)).as("n_tot"))
+    // full (group × duration) grid so at-risk counts carry across
+    // times the group has no row at; n_risk(g, t) = n_tot(g) − #(t' < t)
+    val grid = v0.select(col("t")).distinct()
+      .crossJoin(tot.select(col("g"), col("n_tot")))
+      .join(byT, Seq("g", "t"), "left")
+      .na.fill(0L, Seq("n_at", "d"))
+    val wFill = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val filled = grid.withColumn("n_risk",
+      col("n_tot") - coalesce(sum(col("n_at")).over(wFill), lit(0L)))
+    val wide = filled.crossJoin(broadcast(gs))
+      .groupBy("t").agg(
+        sum(when(col("g") === col("g1"), col("d")).otherwise(0L))
+          .as("d1"),
+        sum(when(col("g") === col("g1"), col("n_risk")).otherwise(0L))
+          .as("n1r"),
+        sum(col("d")).as("dt"),
+        sum(col("n_risk")).as("nt"))
+      .where(col("dt") > 0)
+    val maxTimes = 1L << 20
+    val folded = wide.agg(
+      sum(col("d1")).as("o1"),
+      aggregate(
+        {
+          val lst = array_sort(collect_list(struct(col("t"),
+            ((col("dt") * col("n1r")).cast("double") /
+              col("nt").cast("double")).as("e1t"),
+            when(col("nt") > 1,
+              ((col("dt") * col("n1r")).cast("double") /
+                col("nt").cast("double")) *
+                ((col("nt") - col("n1r")).cast("double") /
+                  col("nt").cast("double")) *
+                ((col("nt") - col("dt")).cast("double") /
+                  (col("nt") - 1).cast("double")))
+              .otherwise(lit(0.0)).as("vt"))))
+          when(size(lst) > maxTimes,
+            raise_error(lit("logRank: more than 2^20 event times — " +
+              "the duration axis must be a bounded rollup; coarsen it")))
+            .otherwise(lst)
+        },
+        struct(lit(0.0).as("e1"), lit(0.0).as("v")),
+        (acc, x) => struct(
+          (acc.getField("e1") + x.getField("e1t")).as("e1"),
+          (acc.getField("v") + x.getField("vt")).as("v"))).as("ev"))
+    val ns = tot.crossJoin(broadcast(gs))
+      .agg(
+        sum(when(col("g") === col("g1"), col("n_tot")).otherwise(0L))
+          .as("n1"),
+        sum(when(col("g") === col("g2"), col("n_tot")).otherwise(0L))
+          .as("n2"))
+    folded.crossJoin(broadcast(gs)).crossJoin(broadcast(ns))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        coalesce(col("o1"), lit(0L)).as("o1"),
+        col("ev.e1").as("e1"), col("ev.v").as("v"))
+      .withColumn("chi2",
+        when(col("v") <= 0.0, lit(0.0))
+          .otherwise((col("o1").cast("double") - col("e1")) *
+            (col("o1").cast("double") - col("e1")) / col("v")))
+  }
 }

@@ -930,10 +930,235 @@ object TestQueries26 {
         unk
       FROM afin ORDER BY word"""))
 
+  /** Two-group log-rank test over the q266 Kaplan–Meier lifetimes —
+    * [[graft.analytics.Events.logRank]] (Mantel 1966): do odd- and
+    * even-id users churn at different hazards, censoring handled as
+    * in KM. Exact integer risk tables; E₁/V fold per event time in t
+    * order (two scalar left folds in the oracle ≡ the struct fold's
+    * independent fields); χ² a fixed tree of exactly-rounded
+    * divisions → fully RAW.
+    */
+  val q370LogRank: QueryCase = QueryCase(
+    "q370_log_rank",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val spans = ev.groupBy(col("user_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("f"),
+          max(unix_timestamp(col("ts"))).as("l"))
+      val edge = ev.agg(max(unix_timestamp(col("ts"))).as("edge"))
+      val lives = spans.crossJoin(broadcast(edge))
+        .select(pmod(col("user_id"), lit(2)).cast("string").as("g"),
+          floor((col("l") - col("f")).cast("double") / 3600.0)
+            .cast("long").as("t"),
+          (col("l") < col("edge") - lit(24L * 3600L)).as("death"))
+      graft.analytics.Events.logRank(lives, "g", "t", "death")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(date_trunc('microseconds', ts)))
+                 AS BIGINT) AS sec
+        FROM events),
+      spans AS (
+        SELECT user_id, MIN(sec) AS f, MAX(sec) AS l
+        FROM e GROUP BY 1),
+      edge AS (SELECT MAX(sec) AS edge FROM e),
+      lives AS (
+        SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+          CAST(FLOOR(CAST(l - f AS DOUBLE) / 3600) AS BIGINT) AS t,
+          (l < edge.edge - 24 * 3600) AS death
+        FROM spans, edge),
+      byt AS (
+        SELECT g, t, CAST(COUNT(*) AS BIGINT) AS n_at,
+          CAST(SUM(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM lives GROUP BY g, t),
+      tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_tot
+        FROM lives GROUP BY g),
+      grid AS (
+        SELECT tt.t, tot.g, tot.n_tot,
+          COALESCE(byt.n_at, CAST(0 AS BIGINT)) AS n_at,
+          COALESCE(byt.d, CAST(0 AS BIGINT)) AS d
+        FROM (SELECT DISTINCT t FROM lives) tt
+        CROSS JOIN tot
+        LEFT JOIN byt ON byt.g = tot.g AND byt.t = tt.t),
+      filled AS (
+        SELECT g, t, d,
+          n_tot - CAST(COALESCE(SUM(n_at) OVER (PARTITION BY g
+            ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM grid),
+      wide AS (
+        SELECT t,
+          CAST(SUM(CASE WHEN g = '0' THEN d ELSE 0 END) AS BIGINT)
+            AS d1,
+          CAST(SUM(CASE WHEN g = '0' THEN n_risk ELSE 0 END)
+            AS BIGINT) AS n1r,
+          CAST(SUM(d) AS BIGINT) AS dt,
+          CAST(SUM(n_risk) AS BIGINT) AS nt
+        FROM filled GROUP BY t HAVING SUM(d) > 0),
+      terms AS (
+        SELECT t,
+          CAST(dt * n1r AS DOUBLE) / CAST(nt AS DOUBLE) AS e1t,
+          CASE WHEN nt > 1
+            THEN (CAST(dt * n1r AS DOUBLE) / CAST(nt AS DOUBLE))
+              * (CAST(nt - n1r AS DOUBLE) / CAST(nt AS DOUBLE))
+              * (CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE))
+            ELSE CAST(0.0 AS DOUBLE) END AS vt
+        FROM wide),
+      folded AS (
+        SELECT
+          (SELECT CAST(COALESCE(SUM(d1), 0) AS BIGINT) FROM wide) AS o1,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(e1t ORDER BY t)), (aa, bb) -> aa + bb) AS e1,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(vt ORDER BY t)), (aa, bb) -> aa + bb) AS v
+        FROM terms),
+      ns AS (
+        SELECT CAST(SUM(CASE WHEN g = '0' THEN n_tot ELSE 0 END)
+            AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN g = '1' THEN n_tot ELSE 0 END)
+            AS BIGINT) AS n2
+        FROM tot)
+      SELECT '0' AS g1, '1' AS g2, ns.n1, ns.n2, folded.o1,
+        folded.e1, folded.v,
+        CASE WHEN folded.v <= 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE (CAST(folded.o1 AS DOUBLE) - folded.e1)
+            * (CAST(folded.o1 AS DOUBLE) - folded.e1) / folded.v END
+          AS chi2
+      FROM folded CROSS JOIN ns"""))
+
+  /** Composed data-debugging loop: KNN-Shapley valuation → prune
+    * negative-value train points → measured 5-NN accuracy before vs
+    * after ([[graft.operators.DataValuation.knnShapley]] feeding the
+    * curation decision in-engine — the q360 composition discipline
+    * applied to valuation). Majority vote ranks on (count DESC, label
+    * ASC) exact integers; accuracy one exact division → fully RAW.
+    */
+  val q371ShapleyPrune: QueryCase = QueryCase(
+    "q371_shapley_prune",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val test = e.where(col("vec_id") % 25 === 0)
+      val train = e.where(col("vec_id") % 25 =!= 0 && col("vec_id") < 150)
+      val vals = graft.operators.DataValuation.knnShapley(train, test,
+        "vec_id", "embedding", "label", k = 5)
+      val keep = train.join(
+        vals.where(col("shapley") >= 0.0).select(col("vec_id")),
+        Seq("vec_id"), "left_semi")
+      def acc(tr: DataFrame, tag: String): DataFrame = {
+        val pairs = test.select(col("vec_id").as("qid"),
+            col("embedding").as("qe"), col("label").as("ql"))
+          .crossJoin(tr.select(col("vec_id").as("tid"),
+            col("embedding").as("te2"), col("label").as("tl")))
+          .select(col("qid"), col("ql"), col("tid"), col("tl"),
+            graft.functions.VectorFunctions
+              .cosineSim(col("te2"), col("qe")).as("cos"))
+        val top = pairs.withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(desc("cos"), col("tid"))))
+          .where(col("rk") <= 5)
+        val pred = top.groupBy("qid", "ql", "tl")
+          .agg(count(lit(1)).as("nv"))
+          .withColumn("r2", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("qid")
+              .orderBy(desc("nv"), col("tl"))))
+          .where(col("r2") === 1)
+        pred.agg(count(lit(1)).as("n_test"),
+            sum(when(col("tl") === col("ql"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .crossJoin(broadcast(tr.agg(count(lit(1)).as("n_train"))))
+          .select(lit(tag).as("variant"), col("n_train"), col("n_test"),
+            col("n_correct"),
+            (col("n_correct").cast("double") /
+              col("n_test").cast("double")).as("accuracy"))
+      }
+      acc(train, "full").unionByName(acc(keep, "pruned"))
+        .orderBy("variant")
+    },
+    Some {
+      val shapleyCtes = s"""
+      tr AS (
+        SELECT CAST(vec_id AS VARCHAR) AS tid, vec_id AS tidn,
+          embedding AS temb, label AS tlab
+        FROM embeddings WHERE vec_id % 25 <> 0 AND vec_id < 150),
+      te AS (
+        SELECT vec_id AS qid, embedding AS qemb, label AS qlab
+        FROM embeddings WHERE vec_id % 25 = 0),
+      pr AS (
+        SELECT te.qid, tr.tid, tr.tidn, tr.tlab, te.qlab,
+          CASE WHEN tr.tlab = te.qlab THEN CAST(1.0 AS DOUBLE)
+            ELSE CAST(0.0 AS DOUBLE) END AS m,
+          ${cosSql("temb", "qemb")} AS cos
+        FROM te CROSS JOIN tr),
+      rk AS (
+        SELECT qid, tid, tidn, m,
+          CAST(ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY cos DESC, tid) AS BIGINT) AS i
+        FROM pr),
+      cnt AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n
+        FROM rk GROUP BY qid),
+      wk AS (
+        SELECT r.qid, cnt.n AS i, r.m / CAST(cnt.n AS DOUBLE) AS s
+        FROM rk r JOIN cnt ON cnt.qid = r.qid AND r.i = cnt.n
+        UNION ALL
+        SELECT w.qid, w.i - 1,
+          w.s + ((r1.m - r2.m) / CAST(5 AS DOUBLE))
+            * (CAST(LEAST(5, w.i - 1) AS DOUBLE)
+               / CAST(w.i - 1 AS DOUBLE))
+        FROM wk w
+        JOIN rk r1 ON r1.qid = w.qid AND r1.i = w.i - 1
+        JOIN rk r2 ON r2.qid = w.qid AND r2.i = w.i
+        WHERE w.i > 1),
+      sv AS (
+        SELECT w.qid, r.tidn, w.s
+        FROM wk w JOIN rk r ON r.qid = w.qid AND r.i = w.i),
+      tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test FROM te),
+      shap AS (
+        SELECT tidn,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(s ORDER BY qid)), (aa, bb) -> aa + bb)
+            / CAST(tc.n_test AS DOUBLE) AS shapley
+        FROM sv CROSS JOIN tc GROUP BY tidn, tc.n_test)"""
+      def accSql(trCte: String, tag: String) = s"""
+        SELECT '$tag' AS variant,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM $trCte) AS n_train,
+          CAST(COUNT(*) AS BIGINT) AS n_test,
+          CAST(SUM(CASE WHEN tl = ql THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_correct,
+          CAST(SUM(CASE WHEN tl = ql THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS accuracy
+        FROM (
+          SELECT qid, ql, tl FROM (
+            SELECT qid, ql, tl, COUNT(*) AS nv,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY COUNT(*) DESC, tl) AS r2
+            FROM (
+              SELECT p.qid, p.qlab AS ql, p.tlab AS tl,
+                ROW_NUMBER() OVER (PARTITION BY p.qid
+                  ORDER BY p.cos DESC, p.tidn) AS rkk
+              FROM (
+                SELECT te.qid, te.qlab, t2.tidn, t2.tlab,
+                  ${cosSql("t2.temb", "te.qemb")} AS cos
+                FROM te CROSS JOIN $trCte t2) p)
+            WHERE rkk <= 5
+            GROUP BY qid, ql, tl)
+          WHERE r2 = 1)"""
+      s"""
+      WITH RECURSIVE $shapleyCtes,
+      keep AS (
+        SELECT tr.tidn, tr.temb, tr.tlab FROM tr
+        JOIN shap ON shap.tidn = tr.tidn AND shap.shapley >= 0),
+      full0 AS (SELECT tidn, temb, tlab FROM tr)
+      ${accSql("full0", "full")}
+      UNION ALL
+      ${accSql("keep", "pruned")}
+      ORDER BY variant"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q357RelabelQueue, q358InterleaveCredit, q359InterleaveVerdict,
       q360DsQualityClassifier, q361BalancedInterleave,
       q362BalancedOutcomes, q363IpsSnips, q364WordpieceTrain,
       q365AlphaNdcg, q366KnnShapley, q367DoublyRobust, q368Pelt,
-      q369WordpieceApply)
+      q369WordpieceApply, q370LogRank, q371ShapleyPrune)
 }

@@ -1,0 +1,59 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** Two-group log-rank test on hand-walked risk tables. */
+class LogRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  // A: events at t=1,2, censored at 3; B: censored at 1, two events at 3
+  private val panel = Seq(
+    ("a", 1L, true), ("a", 2L, true), ("a", 3L, false),
+    ("b", 1L, false), ("b", 3L, true), ("b", 3L, true))
+    .toDF("g", "t", "e")
+
+  test("hand risk table: O1=2, E1=5/3, V=13/18, chi2=2/13") {
+    val r = Events.logRank(panel, "g", "t", "e").collect().head
+    assert(r.getAs[String]("g1") == "a" && r.getAs[String]("g2") == "b")
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Long]("o1") == 2L)
+    // fold order t = 1, 2, 3 — replicate the exact IEEE sequence
+    val e1 = 0.0 + (1L * 3L).toDouble / 6.0 + (1L * 2L).toDouble / 4.0 +
+      (2L * 1L).toDouble / 3.0
+    val v = 0.0 +
+      ((1L * 3L).toDouble / 6.0) * (3.0 / 6.0) * (5.0 / 5.0) +
+      ((1L * 2L).toDouble / 4.0) * (2.0 / 4.0) * (3.0 / 3.0) +
+      ((2L * 1L).toDouble / 3.0) * (2.0 / 3.0) * (1.0 / 2.0)
+    assert(r.getAs[Double]("e1") == e1)
+    assert(r.getAs[Double]("v") == v)
+    val o1d = 2.0
+    assert(r.getAs[Double]("chi2") == (o1d - e1) * (o1d - e1) / v)
+  }
+
+  test("identical survival in both groups: O1 tracks E1 (chi2 ~ 0)") {
+    val sym = Seq(
+      ("x", 1L, true), ("x", 2L, true), ("x", 3L, false),
+      ("y", 1L, true), ("y", 2L, true), ("y", 3L, false))
+      .toDF("g", "t", "e")
+    val r = Events.logRank(sym, "g", "t", "e").collect().head
+    assert(r.getAs[Double]("chi2") == 0.0)
+  }
+
+  test("a group with no events still counts toward risk sets") {
+    val p = Seq(("a", 2L, true), ("b", 5L, false), ("b", 5L, false))
+      .toDF("g", "t", "e")
+    val r = Events.logRank(p, "g", "t", "e").collect().head
+    // t=2: n1=1, n2=2, d=1 -> E1 = 1/3
+    assert(r.getAs[Long]("o1") == 1L)
+    assert(r.getAs[Double]("e1") == (1L * 1L).toDouble / 3.0)
+  }
+
+  test("more or fewer than 2 groups raises") {
+    val p3 = Seq(("a", 1L, true), ("b", 1L, true), ("c", 1L, true))
+      .toDF("g", "t", "e")
+    val e = intercept[Exception] {
+      Events.logRank(p3, "g", "t", "e").collect()
+    }
+    assert(e.getMessage.contains("exactly 2 groups"))
+  }
+}
