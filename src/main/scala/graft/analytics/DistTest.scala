@@ -563,17 +563,24 @@ object DistTest {
     *
     *   holm_i = min(1, max_{j ≤ i} p_(j)·(m − j + 1))
     *   bh_i   = min(1, min_{j ≥ i} p_(j)·m / j)
+    *   by_i   = min(1, min_{j ≥ i} p_(j)·m·H(m) / j)
     *
     * over p-values ordered ascending (ties broken by the key for a
-    * total deterministic order).
+    * total deterministic order); the third column is
+    * Benjamini–Yekutieli 2001 — BH's c(m) = H(m) = Σ_{i≤m} 1/i
+    * inflation, the FDR control that stays valid under ARBITRARY
+    * dependence between the tests (BH assumes positive dependence —
+    * overlapping segments violate it).
     *
     * Scale shape: one GLOBAL ordered window — a panel statistic under
     * the bounded-panel contract (m = number of hypotheses: segments,
     * metrics — never rows). Determinism: fixed expression tree of
     * exactly-rounded double products over the input p's, running
-    * min/max — RAW.
+    * min/max; H(m) accumulates through the same ordered running
+    * window (sequential per-frame addition both engines — the q351
+    * Q_h precedent) — RAW.
     *
-    * Output per hypothesis: (key, p_value, p_rank, holm, bh),
+    * Output per hypothesis: (key, p_value, p_rank, holm, bh, by),
     * ordered by p_rank.
     */
   def adjustPvalues(df: DataFrame, keyCol: String,
@@ -589,12 +596,22 @@ object DistTest {
     base
       .withColumn("m", count(lit(1)).over(all))
       .withColumn("p_rank", row_number().over(ord))
+      // H(m): running 1/rank sum in rank order (sequential frame
+      // addition — cross-engine identical), then the LAST value
+      // broadcast to every row via max-over-all (H is nondecreasing)
+      .withColumn("hrun",
+        sum(lit(1.0) / col("p_rank").cast("double")).over(up))
+      .withColumn("hm", max(col("hrun")).over(all))
       .withColumn("holm_raw",
         col("p") * (col("m") - col("p_rank") + 1).cast("double"))
       .withColumn("bh_raw",
         col("p") * col("m").cast("double") / col("p_rank").cast("double"))
+      .withColumn("by_raw",
+        col("p") * col("m").cast("double") * col("hm")
+          / col("p_rank").cast("double"))
       .select(col("k"), col("p").as("p_value"), col("p_rank"),
         least(lit(1.0), max(col("holm_raw")).over(up)).as("holm"),
-        least(lit(1.0), min(col("bh_raw")).over(down)).as("bh"))
+        least(lit(1.0), min(col("bh_raw")).over(down)).as("bh"),
+        least(lit(1.0), min(col("by_raw")).over(down)).as("by"))
   }
 }

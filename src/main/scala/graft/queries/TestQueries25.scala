@@ -233,7 +233,7 @@ object TestQueries25 {
         .signFlipTest(typeDeltas(s, dir), "event_type", "user_id", "d"),
       "g", "p_value")
       .select(col("k").as("event_type"), col("p_value"), col("p_rank"),
-        col("holm"), col("bh"))
+        col("holm"), col("bh"), col("by"))
       .orderBy("p_rank"),
     Some(s"""
       WITH $FlipPanelSql,
@@ -241,7 +241,14 @@ object TestQueries25 {
         SELECT g, p_value,
           CAST(ROW_NUMBER() OVER (ORDER BY p_value, g) AS INT) AS p_rank,
           CAST(COUNT(*) OVER () AS BIGINT) AS m
-        FROM pp)
+        FROM pp),
+      adj2 AS (
+        SELECT *,
+          SUM(CAST(1.0 AS DOUBLE) / CAST(p_rank AS DOUBLE)) OVER (
+            ORDER BY p_value, g
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hrun
+        FROM adj),
+      adj3 AS (SELECT *, MAX(hrun) OVER () AS hm FROM adj2)
       SELECT g AS event_type, p_value, p_rank,
         LEAST(CAST(1.0 AS DOUBLE),
           MAX(p_value * CAST(m - p_rank + 1 AS DOUBLE)) OVER (
@@ -250,8 +257,12 @@ object TestQueries25 {
         LEAST(CAST(1.0 AS DOUBLE),
           MIN(p_value * CAST(m AS DOUBLE) / CAST(p_rank AS DOUBLE)) OVER (
             ORDER BY p_value, g
-            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS bh
-      FROM adj ORDER BY p_rank"""))
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS bh,
+        LEAST(CAST(1.0 AS DOUBLE),
+          MIN(p_value * CAST(m AS DOUBLE) * hm / CAST(p_rank AS DOUBLE))
+            OVER (ORDER BY p_value, g
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS by
+      FROM adj3 ORDER BY p_rank"""))
 
   /** Three deterministic keep-policy "raters" in long form: the q232
     * pair (length, lexical diversity) plus a token-count screen —

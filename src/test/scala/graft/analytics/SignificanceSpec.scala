@@ -141,6 +141,23 @@ class SignificanceSpec extends SparkSpec {
     assert(out("e")._2 == 0.20 && out("e")._3 == 0.20)
   }
 
+  test("BY = BH inflated by H(m), clamped at 1, valid under arbitrary " +
+    "dependence") {
+    // same 5-panel; H(5) = 1 + 1/2 + 1/3 + 1/4 + 1/5
+    val df = Seq(("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005),
+      ("e", 0.20)).toDF("k", "p")
+    val out = DistTest.adjustPvalues(df, "k", "p").collect()
+      .map(r => r.getAs[String]("k") ->
+        (r.getAs[Double]("bh"), r.getAs[Double]("by"))).toMap
+    val h5 = 1.0 + 1.0 / 2.0 + 1.0 / 3.0 + 1.0 / 4.0 + 1.0 / 5.0
+    // by_i = min over j >= i of p_j*m*H/j; for ranks 1,2 the running
+    // min lands on rank-2's 0.025*H; rank 5 clamps toward p*H
+    assert(out.values.forall { case (bh, by) => by >= bh })
+    assert(math.abs(out("d")._2 - 0.025 * h5) < 1e-12)
+    assert(math.abs(out("c")._2 - 0.05 * h5) < 1e-12)
+    assert(math.abs(out("e")._2 - 0.20 * h5) < 1e-12)
+  }
+
   test("holm/bh clamp at 1 and are monotone in rank order") {
     val df = Seq(("a", 0.5), ("b", 0.9), ("c", 0.8)).toDF("k", "p")
     val rows = DistTest.adjustPvalues(df, "k", "p")
