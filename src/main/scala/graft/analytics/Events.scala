@@ -1008,4 +1008,124 @@ object Events {
           .otherwise((col("o1").cast("double") - col("e1")) *
             (col("o1").cast("double") - col("e1")) / col("v")))
   }
+
+  /** Cox proportional-hazards fit for a BINARY covariate (Cox 1972,
+    * Breslow ties) — the effect-SIZE companion to [[logRank]] (which
+    * only tests): the hazard ratio θ = e^β of group 2 (the exposed
+    * class, larger label) vs group 1, over censored lifetimes.
+    *
+    * The estimation trick that keeps the house determinism doctrine:
+    * with a binary covariate the partial-likelihood score is RATIONAL
+    * in the hazard ratio θ — at each event time t (at-risk counts
+    * n₁t/n₂t per group, d_t deaths, d₂ of them exposed):
+    *
+    *   U(θ)  = O₂ − Σ_t d_t·θ·n₂t / (n₁t + θ·n₂t)
+    *   U'(θ) = −Σ_t d_t·n₂t·n₁t / (n₁t + θ·n₂t)²
+    *
+    * so NEWTON IN THE θ DOMAIN (θ ← θ + (O₂ − Σu_t)/Σi_t, θ₀ = 1,
+    * FIXED `iters`) needs no exp/log anywhere in the fit — every
+    * iteration is a fixed tree of exactly-rounded products/divisions
+    * over exact integer risk tables, folded per event time in t
+    * order. β = ln θ appears only as the DISPLAY column (ROUND 6);
+    * θ and the score diagnostic compare RAW. U(1) = O₂ − E₂ is the
+    * [[logRank]] numerator mirrored to the exposed side (the score
+    * test at β = 0 IS the log-rank — spec-pinned up to fold
+    * arithmetic).
+    *
+    * Guards (lazily evaluated, the ANSI rule): Σi_t ≤ 0 leaves θ
+    * unchanged; a non-positive Newton target damps to θ/2. Exactly
+    * two groups raises; the duration axis is a bounded rollup (the
+    * [[logRank]] contract, loud 2²⁰ cap).
+    *
+    * Scale shape: [[logRank]]'s risk-table shape (exact counts, one
+    * cumulative window, Materialize-staged once) + `iters` single-row
+    * aggregates with θ broadcast back IN-ENGINE (the
+    * QualityClassifier staging pattern — no driver round-trips).
+    *
+    * Output (one row): (g1, g2, n_events, o2, score_u1, theta, beta).
+    */
+  def coxBinary(df: DataFrame, groupCol: String, durationCol: String,
+                eventCol: String, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
+    val v0 = df.select(col(groupCol).cast("string").as("g"),
+      col(durationCol).cast("long").as("t"),
+      col(eventCol).cast("boolean").as("e"))
+    val gs = v0.agg(count_distinct(col("g")).as("ng"),
+      min(col("g")).as("g1"), max(col("g")).as("g2"))
+      .select(
+        when(col("ng") =!= 2,
+          raise_error(concat(lit("coxBinary: exactly 2 groups required"),
+            lit(" (saw "), col("ng").cast("string"), lit(")"))))
+          .otherwise(col("g1")).as("g1"),
+        col("g2"))
+    val byT = v0.groupBy("g", "t").agg(count(lit(1)).as("n_at"),
+      sum(when(col("e"), 1L).otherwise(0L)).as("d"))
+    val tot = v0.groupBy("g").agg(count(lit(1)).as("n_tot"))
+    val grid = v0.select(col("t")).distinct()
+      .crossJoin(tot.select(col("g"), col("n_tot")))
+      .join(byT, Seq("g", "t"), "left")
+      .na.fill(0L, Seq("n_at", "d"))
+    val wFill = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val filled = grid.withColumn("n_risk",
+      col("n_tot") - coalesce(sum(col("n_at")).over(wFill), lit(0L)))
+    val wide = graft.plans.Materialize.stage(
+      filled.crossJoin(broadcast(gs))
+        .groupBy("t").agg(
+          sum(when(col("g") === col("g2"), col("d")).otherwise(0L))
+            .as("d2"),
+          sum(when(col("g") === col("g2"), col("n_risk")).otherwise(0L))
+            .as("n2r"),
+          sum(when(col("g") === col("g1"), col("n_risk")).otherwise(0L))
+            .as("n1r"),
+          sum(col("d")).as("dt"))
+        .where(col("dt") > 0),
+      "graft.dedup.checkpoint")
+    val maxTimes = 1L << 20
+    def den = col("n1r").cast("double") +
+      col("theta") * col("n2r").cast("double")
+    def foldUi(theta: DataFrame): DataFrame =
+      wide.crossJoin(broadcast(theta))
+        .agg(
+          sum(col("d2")).as("o2"),
+          sum(col("dt")).as("n_events"),
+          first(col("theta")).as("theta"),
+          aggregate(
+            {
+              val lst = array_sort(collect_list(struct(col("t"),
+                ((col("dt") * col("n2r")).cast("double") * col("theta")
+                  / den).as("ut"),
+                ((col("dt") * col("n2r") * col("n1r")).cast("double")
+                  / (den * den)).as("it"))))
+              when(size(lst) > maxTimes,
+                raise_error(lit("coxBinary: more than 2^20 event " +
+                  "times — coarsen the duration rollup")))
+                .otherwise(lst)
+            },
+            struct(lit(0.0).as("u"), lit(0.0).as("i")),
+            (acc, x) => struct(
+              (acc.getField("u") + x.getField("ut")).as("u"),
+              (acc.getField("i") + x.getField("it")).as("i"))).as("ui"))
+    def step(theta: DataFrame): DataFrame =
+      foldUi(theta).select(
+        when(col("ui.i") <= 0.0, col("theta"))
+          .otherwise({
+            val target = col("theta") +
+              (col("o2").cast("double") - col("ui.u")) / col("ui.i")
+            when(target <= 0.0, col("theta") / 2.0).otherwise(target)
+          }).as("theta"))
+    val spark = df.sparkSession
+    val one = spark.range(1).select(lit(1.0).as("theta"))
+    val score1 = foldUi(one)
+      .select(col("o2"), col("n_events"),
+        (col("o2").cast("double") - col("ui.u")).as("score_u1"))
+    var theta = one
+    for (_ <- 1 to iters)
+      theta = graft.plans.Materialize.stage(step(theta),
+        "graft.dedup.checkpoint")
+    theta.crossJoin(broadcast(score1)).crossJoin(broadcast(gs))
+      .select(col("g1"), col("g2"), col("n_events"), col("o2"),
+        col("score_u1"), col("theta"),
+        round(log(col("theta")), 6).as("beta"))
+  }
 }

@@ -1155,10 +1155,118 @@ object TestQueries26 {
       ORDER BY variant"""
     })
 
+  /** Cox proportional hazards (binary covariate) over the q370
+    * lifetimes — [[graft.analytics.Events.coxBinary]] (Cox 1972,
+    * Breslow ties): the hazard ratio of odd- vs even-id users by
+    * Newton in the θ DOMAIN — the partial-likelihood score is
+    * RATIONAL in θ for a binary covariate, so the whole fit is
+    * exactly-rounded products/divisions over exact integer risk
+    * tables (libm only in the display β = ln θ, ROUND 6). The oracle
+    * unrolls 4 Newton steps with t-ordered list folds. θ, the score
+    * diagnostic and all counts RAW.
+    */
+  val q372CoxBinary: QueryCase = QueryCase(
+    "q372_cox_binary",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val spans = ev.groupBy(col("user_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("f"),
+          max(unix_timestamp(col("ts"))).as("l"))
+      val edge = ev.agg(max(unix_timestamp(col("ts"))).as("edge"))
+      val lives = spans.crossJoin(broadcast(edge))
+        .select(pmod(col("user_id"), lit(2)).cast("string").as("g"),
+          floor((col("l") - col("f")).cast("double") / 3600.0)
+            .cast("long").as("t"),
+          (col("l") < col("edge") - lit(24L * 3600L)).as("death"))
+      graft.analytics.Events.coxBinary(lives, "g", "t", "death",
+        iters = 4)
+    },
+    Some {
+      def denSql = """(CAST(n1r AS DOUBLE)
+        + th.theta * CAST(n2r AS DOUBLE))"""
+      def stepSql(k: Int): String = s"""
+      u$k AS (
+        SELECT th.theta AS theta,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(dt * n2r AS DOUBLE) * th.theta / $denSql
+              ORDER BY t)), (aa, bb) -> aa + bb) AS u,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(CAST(dt * n2r * n1r AS DOUBLE)
+              / ($denSql * $denSql) ORDER BY t)),
+            (aa, bb) -> aa + bb) AS i
+        FROM widec CROSS JOIN th$k th GROUP BY th.theta),
+      th${k + 1} AS (
+        SELECT CASE WHEN u.i <= 0 THEN u.theta
+          ELSE CASE WHEN u.theta
+              + (CAST(o.o2 AS DOUBLE) - u.u) / u.i <= 0
+            THEN u.theta / 2
+            ELSE u.theta + (CAST(o.o2 AS DOUBLE) - u.u) / u.i END
+          END AS theta
+        FROM u$k u CROSS JOIN o2n o)"""
+      s"""
+      WITH e AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(date_trunc('microseconds', ts)))
+                 AS BIGINT) AS sec
+        FROM events),
+      spans AS (
+        SELECT user_id, MIN(sec) AS f, MAX(sec) AS l
+        FROM e GROUP BY 1),
+      edge AS (SELECT MAX(sec) AS edge FROM e),
+      lives AS (
+        SELECT CAST(user_id % 2 AS VARCHAR) AS g,
+          CAST(FLOOR(CAST(l - f AS DOUBLE) / 3600) AS BIGINT) AS t,
+          (l < edge.edge - 24 * 3600) AS death
+        FROM spans, edge),
+      byt AS (
+        SELECT g, t, CAST(COUNT(*) AS BIGINT) AS n_at,
+          CAST(SUM(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM lives GROUP BY g, t),
+      tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_tot
+        FROM lives GROUP BY g),
+      grid AS (
+        SELECT tt.t, tot.g, tot.n_tot,
+          COALESCE(byt.n_at, CAST(0 AS BIGINT)) AS n_at,
+          COALESCE(byt.d, CAST(0 AS BIGINT)) AS d
+        FROM (SELECT DISTINCT t FROM lives) tt
+        CROSS JOIN tot
+        LEFT JOIN byt ON byt.g = tot.g AND byt.t = tt.t),
+      filled AS (
+        SELECT g, t, d,
+          n_tot - CAST(COALESCE(SUM(n_at) OVER (PARTITION BY g
+            ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        FROM grid),
+      widec AS (
+        SELECT t,
+          CAST(SUM(CASE WHEN g = '1' THEN d ELSE 0 END) AS BIGINT)
+            AS d2,
+          CAST(SUM(CASE WHEN g = '1' THEN n_risk ELSE 0 END)
+            AS BIGINT) AS n2r,
+          CAST(SUM(CASE WHEN g = '0' THEN n_risk ELSE 0 END)
+            AS BIGINT) AS n1r,
+          CAST(SUM(d) AS BIGINT) AS dt
+        FROM filled GROUP BY t HAVING SUM(d) > 0),
+      o2n AS (
+        SELECT CAST(COALESCE(SUM(d2), 0) AS BIGINT) AS o2,
+          CAST(COALESCE(SUM(dt), 0) AS BIGINT) AS n_events
+        FROM widec),
+      th0 AS (SELECT CAST(1.0 AS DOUBLE) AS theta),
+      ${stepSql(0)},
+      ${stepSql(1)},
+      ${stepSql(2)},
+      ${stepSql(3)}
+      SELECT '0' AS g1, '1' AS g2, o2n.n_events, o2n.o2,
+        CAST(o2n.o2 AS DOUBLE) - u0.u AS score_u1,
+        th4.theta,
+        ROUND(ln(th4.theta), 6) AS beta
+      FROM o2n CROSS JOIN u0 CROSS JOIN th4"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q357RelabelQueue, q358InterleaveCredit, q359InterleaveVerdict,
       q360DsQualityClassifier, q361BalancedInterleave,
       q362BalancedOutcomes, q363IpsSnips, q364WordpieceTrain,
       q365AlphaNdcg, q366KnnShapley, q367DoublyRobust, q368Pelt,
-      q369WordpieceApply, q370LogRank, q371ShapleyPrune)
+      q369WordpieceApply, q370LogRank, q371ShapleyPrune, q372CoxBinary)
 }

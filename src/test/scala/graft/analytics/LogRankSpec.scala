@@ -48,6 +48,61 @@ class LogRankSpec extends SparkSpec {
     assert(r.getAs[Double]("e1") == (1L * 1L).toDouble / 3.0)
   }
 
+  test("coxBinary: score at theta=1 is the log-rank numerator " +
+    "mirrored to the exposed side; hand risk-table walk replayed") {
+    val r = Events.coxBinary(panel, "g", "t", "e", iters = 4)
+      .collect().head
+    assert(r.getAs[String]("g1") == "a" && r.getAs[String]("g2") == "b")
+    assert(r.getAs[Long]("n_events") == 4L && r.getAs[Long]("o2") == 2L)
+    // E2 = 0.5 + 0.5 + 4/3 (t-ordered fold), U(1) = 2 - E2 = -1/3
+    val u1 = 2.0 - (0.0 + (1L * 3L).toDouble * 1.0 / (3.0 + 1.0 * 3.0)
+      + (1L * 2L).toDouble * 1.0 / (2.0 + 1.0 * 2.0)
+      + (2L * 2L).toDouble * 1.0 / (1.0 + 1.0 * 2.0))
+    assert(r.getAs[Double]("score_u1") == u1)
+    // identity vs logRank: O2 - E2 = -(O1 - E1) up to fold arithmetic
+    val lr = Events.logRank(panel, "g", "t", "e").collect().head
+    val lrNum = lr.getAs[Long]("o1").toDouble - lr.getAs[Double]("e1")
+    assert(math.abs(r.getAs[Double]("score_u1") + lrNum) < 1e-12)
+    // replay the damped Newton recurrence with the same IEEE ops
+    def stepRef(th: Double): Double = {
+      val rows = Seq((0L, 3L, 3L, 1L), (0L, 2L, 2L, 1L), (2L, 2L, 1L, 2L))
+      var u = 0.0; var i = 0.0
+      rows.foreach { case (_, n2, n1, dt) =>
+        val den = n1.toDouble + th * n2.toDouble
+        u += (dt * n2).toDouble * th / den
+        i += (dt * n2 * n1).toDouble / (den * den)
+      }
+      if (i <= 0.0) th
+      else { val tgt = th + (2.0 - u) / i; if (tgt <= 0.0) th / 2.0 else tgt }
+    }
+    var th = 1.0
+    (1 to 4).foreach(_ => th = stepRef(th))
+    assert(r.getAs[Double]("theta") == th)
+    assert(r.getAs[Double]("beta") ==
+      BigDecimal(math.log(th)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("coxBinary: symmetric groups stay at theta = 1, beta = 0") {
+    val sym = Seq(
+      ("x", 1L, true), ("x", 2L, true), ("x", 3L, false),
+      ("y", 1L, true), ("y", 2L, true), ("y", 3L, false))
+      .toDF("g", "t", "e")
+    val r = Events.coxBinary(sym, "g", "t", "e").collect().head
+    assert(r.getAs[Double]("theta") == 1.0)
+    assert(r.getAs[Double]("beta") == 0.0)
+    assert(r.getAs[Double]("score_u1") == 0.0)
+  }
+
+  test("coxBinary: an early-dying exposed group fits theta > 1") {
+    val p = (1 to 5).flatMap(i => Seq(
+      ("ctl", (i + 5).toLong, true), ("exp", i.toLong, true)))
+      .toDF("g", "t", "e")
+    val r = Events.coxBinary(p, "g", "t", "e").collect().head
+    assert(r.getAs[String]("g2") == "exp")
+    assert(r.getAs[Double]("theta") > 1.0)
+  }
+
   test("more or fewer than 2 groups raises") {
     val p3 = Seq(("a", 1L, true), ("b", 1L, true), ("c", 1L, true))
       .toDF("g", "t", "e")
