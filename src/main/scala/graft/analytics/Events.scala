@@ -1128,4 +1128,72 @@ object Events {
         col("score_u1"), col("theta"),
         round(log(col("theta")), 6).as("beta"))
   }
+
+  /** Integer-period periodogram per key — the seasonality DETECTOR
+    * in front of [[decompose]] (which must be TOLD the period): for
+    * each candidate period p ∈ 2..maxPeriod, the squared projection
+    * of the series onto the p-cycle,
+    *
+    *   c_p = Σ_i x_i·cos(2π·((i−1) mod p)/p)
+    *   s_p = Σ_i x_i·sin(2π·((i−1) mod p)/p)
+    *   power_p = (c_p² + s_p²) · 2/n
+    *
+    * over 1-based positions i in ord order (the Schuster 1898
+    * periodogram restricted to integer periods — the grid a rollup
+    * series' seasonality actually lives on). The largest power is
+    * the dominant cycle; compare against the flat-series noise floor.
+    *
+    * Scale shape: one bounded per-key walk inside `flatMapGroups`
+    * (the [[cusum]] contract) accumulating every period's (c, s) in
+    * a single pass — O(T·maxPeriod) per key, keys partition the work.
+    *
+    * Determinism: the trig table cos/sin(2πm/p) is computed ONCE on
+    * the driver and serialized (the round-7 precompute-libm-of-
+    * integers rule — the oracle gets the identical double literals);
+    * each c/s accumulates x·table values in position order, so both
+    * engines fold the identical IEEE sequence → power compares RAW.
+    *
+    * Output per (key, period): (key, period, n, c, s, power).
+    */
+  def periodogram(df: DataFrame, keyCol: String, orderCol: String,
+                  valueCol: String, maxPeriod: Int = 24): DataFrame = {
+    require(maxPeriod >= 2 && maxPeriod <= 1000,
+      "maxPeriod must be in [2, 1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val periods = (2 to maxPeriod).toArray
+    val cosT = periods.map(p =>
+      Array.tabulate(p)(m => math.cos(2.0 * math.Pi * m / p)))
+    val sinT = periods.map(p =>
+      Array.tabulate(p)(m => math.sin(2.0 * math.Pi * m / p)))
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(valueCol).cast("double").as("x"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.map { case (_, ord, x) => (ord, x) }.toArray
+        java.util.Arrays.sort(rows, Ordering.by((r: (Long, Double)) => r._1))
+        val n = rows.length
+        val c = new Array[Double](periods.length)
+        val s = new Array[Double](periods.length)
+        var i = 0
+        while (i < n) {
+          val x = rows(i)._2
+          var j = 0
+          while (j < periods.length) {
+            val m = i % periods(j)
+            c(j) += x * cosT(j)(m)
+            s(j) += x * sinT(j)(m)
+            j += 1
+          }
+          i += 1
+        }
+        periods.iterator.zipWithIndex.map { case (p, j) =>
+          (k, p, n.toLong, c(j), s(j),
+            (c(j) * c(j) + s(j) * s(j)) * 2.0 / n.toDouble)
+        }
+      }
+      .toDF(keyCol, "period", "n", "c", "s", "power")
+  }
 }

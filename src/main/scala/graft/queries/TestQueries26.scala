@@ -1263,10 +1263,59 @@ object TestQueries26 {
       FROM o2n CROSS JOIN u0 CROSS JOIN th4"""
     })
 
+  /** Integer-period periodogram per user —
+    * [[graft.analytics.Events.periodogram]] (Schuster 1898 on the
+    * integer-period grid): the seasonality detector in front of
+    * q352's decompose. The trig table is serialized from the driver
+    * (the round-7 precompute rule), projections fold x·table in
+    * position order → power fully RAW.
+    */
+  val q373Periodogram: QueryCase = QueryCase(
+    "q373_periodogram",
+    (s, dir) => graft.analytics.Events.periodogram(
+      Tables.events(s, dir).where(col("user_id") < 10),
+      "user_id", "event_id", "value", maxPeriod = 12)
+      .orderBy("user_id", "period"),
+    Some {
+      val trigRows = (2 to 12).flatMap { p =>
+        (0 until p).map { m =>
+          val c = math.cos(2.0 * math.Pi * m / p)
+          val sn = math.sin(2.0 * math.Pi * m / p)
+          s"($p, $m, CAST('$c' AS DOUBLE), CAST('$sn' AS DOUBLE))"
+        }
+      }.mkString(",\n          ")
+      s"""
+      WITH trig(p, m, tc, ts) AS (
+        VALUES $trigRows),
+      base AS (
+        SELECT CAST(user_id AS VARCHAR) AS k,
+          CAST(value AS DOUBLE) AS x,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+            AS pos
+        FROM events WHERE user_id < 10),
+      joined AS (
+        SELECT b.k, b.pos, t.p, b.x * t.tc AS xc, b.x * t.ts AS xs
+        FROM base b JOIN trig t
+          ON t.m = CAST((b.pos - 1) % t.p AS INT)),
+      folded AS (
+        SELECT k, p,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(xc ORDER BY pos)), (aa, bb) -> aa + bb) AS c,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(xs ORDER BY pos)), (aa, bb) -> aa + bb) AS s
+        FROM joined GROUP BY k, p)
+      SELECT k AS user_id, CAST(p AS INT) AS period, n, c, s,
+        (c * c + s * s) * CAST(2.0 AS DOUBLE) / CAST(n AS DOUBLE)
+          AS power
+      FROM folded ORDER BY user_id, period"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q357RelabelQueue, q358InterleaveCredit, q359InterleaveVerdict,
       q360DsQualityClassifier, q361BalancedInterleave,
       q362BalancedOutcomes, q363IpsSnips, q364WordpieceTrain,
       q365AlphaNdcg, q366KnnShapley, q367DoublyRobust, q368Pelt,
-      q369WordpieceApply, q370LogRank, q371ShapleyPrune, q372CoxBinary)
+      q369WordpieceApply, q370LogRank, q371ShapleyPrune, q372CoxBinary,
+      q373Periodogram)
 }

@@ -103,6 +103,29 @@ class LogRankSpec extends SparkSpec {
     assert(r.getAs[Double]("theta") > 1.0)
   }
 
+  test("periodogram: a pure period-6 square wave dominates at p=6; " +
+    "hand alternating series pins the p=2 projection") {
+    val xs6 = (1 to 24).map(i => if ((i - 1) % 6 < 3) 1.0 else -1.0)
+    val df6 = xs6.zipWithIndex.map { case (x, i) =>
+      ("k", (i + 1).toLong, x) }.toDF("key", "ord", "x")
+    val out = Events.periodogram(df6, "key", "ord", "x", maxPeriod = 12)
+      .collect().map(r => r.getAs[Int]("period") ->
+        r.getAs[Double]("power")).toMap
+    assert(out(6) == out.values.max)
+    // 24 points is short: off-period leakage is real (p=7 sees partial
+    // cycles) — assert a 1.5x dominance margin over the runner-up
+    val runnerUp = out.filter(_._1 != 6).values.max
+    assert(out(6) > 1.5 * runnerUp)
+    // alternating [1,-1]*2: c_2 folds x*cos(pi*m) = 1,1,1,1 -> c=4
+    val alt = Seq(1.0, -1.0, 1.0, -1.0).zipWithIndex.map { case (x, i) =>
+      ("k", (i + 1).toLong, x) }.toDF("key", "ord", "x")
+    val r2 = Events.periodogram(alt, "key", "ord", "x", maxPeriod = 4)
+      .collect().map(r => r.getAs[Int]("period") ->
+        (r.getAs[Double]("c"), r.getAs[Double]("power"))).toMap
+    assert(r2(2)._1 == 4.0)
+    assert(r2(2)._2 > r2(3)._2 && r2(2)._2 > r2(4)._2)
+  }
+
   test("more or fewer than 2 groups raises") {
     val p3 = Seq(("a", 1L, true), ("b", 1L, true), ("c", 1L, true))
       .toDF("g", "t", "e")
