@@ -1311,11 +1311,60 @@ object TestQueries26 {
       FROM folded ORDER BY user_id, period"""
     })
 
+  /** WordPiece fertility/compression panel — the q225/q330 report over
+    * the q364 segmentation, completing the like-for-like grading of
+    * all THREE tokenizer-training family members (BPE q225, unigram-LM
+    * q330, WordPiece here) on the same corpus and metrics. Exact
+    * integer sums; fertility/chars_per_segment one division each →
+    * RAW.
+    */
+  val q374WordpieceFertility: QueryCase = QueryCase(
+    "q374_wordpiece_fertility",
+    (s, dir) => graft.operators.WordPiece.segmentation(
+      graft.operators.WordPiece.train(
+        graft.operators.Bpe.vocabulary(Tables.documents(s, dir), "text"),
+        nMerges = 3))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("freq")).as("total_tokens"),
+        sum(col("freq") * col("n_segments")).as("total_segments"),
+        sum(col("freq") * length(col("word"))).as("total_chars"))
+      .select(col("n_words"), col("total_tokens"),
+        col("total_segments"), col("total_chars"),
+        (col("total_segments").cast("double") /
+          col("total_tokens").cast("double")).as("fertility"),
+        (col("total_chars").cast("double") /
+          col("total_segments").cast("double")).as("chars_per_segment")),
+    Some(s"""
+      WITH toks AS (
+        SELECT u.t AS word
+        FROM (SELECT $TokensSql AS tk FROM documents), UNNEST(tk) AS u(t)),
+      wv0 AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+          list_transform(regexp_extract_all(word, '.'),
+            (cc, ii) -> CASE WHEN ii = 1 THEN cc ELSE '##' || cc END)
+            AS seq
+        FROM toks GROUP BY word),
+      ${wpRoundSql(1)},
+      ${wpRoundSql(2)},
+      ${wpRoundSql(3)},
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(freq) AS BIGINT) AS total_tokens,
+               CAST(SUM(freq * len(seq)) AS BIGINT) AS total_segments,
+               CAST(SUM(freq * length(word)) AS BIGINT) AS total_chars
+        FROM wv3)
+      SELECT n_words, total_tokens, total_segments, total_chars,
+             CAST(total_segments AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+               AS fertility,
+             CAST(total_chars AS DOUBLE) / CAST(total_segments AS DOUBLE)
+               AS chars_per_segment
+      FROM agg"""))
+
   val all: Seq[QueryCase] =
     Seq(q357RelabelQueue, q358InterleaveCredit, q359InterleaveVerdict,
       q360DsQualityClassifier, q361BalancedInterleave,
       q362BalancedOutcomes, q363IpsSnips, q364WordpieceTrain,
       q365AlphaNdcg, q366KnnShapley, q367DoublyRobust, q368Pelt,
       q369WordpieceApply, q370LogRank, q371ShapleyPrune, q372CoxBinary,
-      q373Periodogram)
+      q373Periodogram, q374WordpieceFertility)
 }
