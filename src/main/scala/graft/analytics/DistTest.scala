@@ -200,10 +200,15 @@ object DistTest {
     */
   def wilcoxonSignedRank(df: DataFrame, aCol: String,
                          bCol: String): DataFrame = {
-    val d = df.select((col(aCol).cast("double") - col(bCol).cast("double"))
-        .as("d"))
-      .where(col("d") =!= 0.0)
-      .withColumn("ad", abs(col("d")))
+    // Paired-eval-panel contract, enforced: the signed-rank sort is a
+    // total-order window, so an over-bound frame raises loudly here
+    // instead of single-tasking (the RankEval.auc discipline)
+    val d = graft.plans.Bounded.guard(
+      df.select((col(aCol).cast("double") - col(bCol).cast("double"))
+          .as("d"))
+        .where(col("d") =!= 0.0)
+        .withColumn("ad", abs(col("d"))),
+      "DistTest.wilcoxonSignedRank")
     val w = Window.orderBy(col("ad"))
     val tw = Window.partitionBy(col("ad"))
     d.withColumn("r2",
@@ -585,8 +590,13 @@ object DistTest {
     */
   def adjustPvalues(df: DataFrame, keyCol: String,
                     pCol: String): DataFrame = {
-    val base = df.select(col(keyCol).as("k"),
-      col(pCol).cast("double").as("p"))
+    // Hypothesis-family contract, enforced: p-value adjustment ranks
+    // the WHOLE family in one total-order window — bounded by the
+    // number of hypotheses, never a corpus (guard raises otherwise)
+    val base = graft.plans.Bounded.guard(
+      df.select(col(keyCol).as("k"),
+        col(pCol).cast("double").as("p")),
+      "DistTest.adjustPvalues")
     val ord = Window.orderBy(col("p"), col("k"))
     val all = Window.partitionBy()
     val up = Window.orderBy(col("p"), col("k"))

@@ -330,9 +330,15 @@ object Events {
           unix_timestamp(col("first_ts"))) / 3600).as("t"),
         (unix_timestamp(col("last_ts")) <
           unix_timestamp(col("edge")) - horizonHours * 3600L).as("death"))
-    val byT = lives.groupBy("t")
-      .agg(count(lit(1)).as("n_at"),
-        sum(when(col("death"), 1L).otherwise(0L)).as("d"))
+    // Time-axis contract, enforced: the cumulative risk-set windows
+    // below are total-order over the DISTINCT lifetime-hours axis —
+    // bounded by the observation span, never the event count (guard
+    // raises on a degenerate axis instead of single-tasking it)
+    val byT = graft.plans.Bounded.guard(
+      lives.groupBy("t")
+        .agg(count(lit(1)).as("n_at"),
+          sum(when(col("death"), 1L).otherwise(0L)).as("d")),
+      "Events.kaplanMeier time axis")
     val total = lives.agg(count(lit(1)).as("n"))
     val wBefore = org.apache.spark.sql.expressions.Window.orderBy("t")
       .rowsBetween(org.apache.spark.sql.expressions.Window
@@ -1123,10 +1129,17 @@ object Events {
     for (_ <- 1 to iters)
       theta = graft.plans.Materialize.stage(step(theta),
         "graft.dedup.checkpoint")
+    // Zero uncensored events (wide empty after the dt > 0 filter):
+    // every aggregate above is NULL — surface the DEFINED degenerate
+    // instead (θ = 1, U(1) = 0, 0 events; the logRank chi2 = 0
+    // precedent), not a silent NULL row
     theta.crossJoin(broadcast(score1)).crossJoin(broadcast(gs))
-      .select(col("g1"), col("g2"), col("n_events"), col("o2"),
-        col("score_u1"), col("theta"),
-        round(log(col("theta")), 6).as("beta"))
+      .select(col("g1"), col("g2"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("o2"), lit(0L)).as("o2"),
+        coalesce(col("score_u1"), lit(0.0)).as("score_u1"),
+        coalesce(col("theta"), lit(1.0)).as("theta"),
+        round(log(coalesce(col("theta"), lit(1.0))), 6).as("beta"))
   }
 
   /** Integer-period periodogram per key — the seasonality DETECTOR

@@ -313,7 +313,12 @@ object Experiments {
         sum(when(!col("isA"), col("x") * col("x")).otherwise(lit(0).cast("decimal(38,12)"))).as("dqb"))
     val w = Window.orderBy("bk")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = perBucket.select(col("bk"),
+    // Analysis-bucket contract, enforced: the always-valid cumulative
+    // scan is total-order over the DISTINCT bucket axis (days/weeks of
+    // peeking), never the unit count — guard raises on a degenerate
+    // bucket column instead of single-tasking the cumsum
+    val cum = graft.plans.Bounded.guard(perBucket,
+        "Experiments.msprt bucket axis").select(col("bk"),
       sum(col("dna")).over(w).as("n_a"),
       sum(col("dnb")).over(w).as("n_b"),
       sum(col("dsa")).over(w).cast("double").as("sa"),

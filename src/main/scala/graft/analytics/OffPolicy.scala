@@ -47,6 +47,39 @@ import org.apache.spark.sql.functions._
   */
 object OffPolicy {
 
+  /** Contract guards shared by both estimators (loud, the msprt/
+    * logRank discipline — silent misuse corrupts every estimate):
+    *
+    *  - rewards must be non-NULL: a NULL r makes w·r NULL, which SUM
+    *    skips while the row still counts in n and feeds w into Σw —
+    *    the IPS numerator would drop the row while the SNIPS
+    *    denominator kept it;
+    *  - the deterministic target must map each context to ONE action:
+    *    a duplicate context silently duplicates log rows through the
+    *    join, inflating n, Σw, Σwr and every estimate.
+    */
+  private def rewardChecked(rewardCol: String, site: String) =
+    when(col(rewardCol).isNull,
+      raise_error(lit(s"$site: NULL reward — rewards must be " +
+        "non-NULL (coalesce upstream if 0 is the intended reading); " +
+        "a NULL would drop the row from the numerator while keeping " +
+        "its weight in the denominator")))
+      .otherwise(col(rewardCol).cast("decimal(18,6)")).as("r")
+
+  private def dedupTarget(target: DataFrame, ctxCol: String,
+                          actionCol: String, site: String): DataFrame =
+    target.select(col(ctxCol).cast("string").as("ctx"),
+        col(actionCol).cast("string").as("tact"))
+      .groupBy("ctx")
+      .agg(count(lit(1)).as("tc"), max(col("tact")).as("ta"))
+      .select(col("ctx"),
+        when(col("tc") > 1, raise_error(concat(
+          lit(s"$site: target policy maps context '"), col("ctx"),
+          lit("' to multiple actions — the deterministic-target " +
+            "contract (one action per context) is violated and the " +
+            "join would duplicate log rows"))))
+          .otherwise(col("ta")).as("tact"))
+
   def ipsSnips(logs: DataFrame, ctxCol: String, actionCol: String,
                invPropCol: String, rewardCol: String,
                target: DataFrame, cap: Long = 1000L): DataFrame = {
@@ -54,9 +87,8 @@ object OffPolicy {
     val l = logs.select(col(ctxCol).cast("string").as("ctx"),
       col(actionCol).cast("string").as("act"),
       col(invPropCol).cast("decimal(18,6)").as("w0"),
-      col(rewardCol).cast("decimal(18,6)").as("r"))
-    val t = target.select(col(ctxCol).cast("string").as("ctx"),
-      col(actionCol).cast("string").as("tact"))
+      rewardChecked(rewardCol, "ipsSnips"))
+    val t = dedupTarget(target, ctxCol, actionCol, "ipsSnips")
     val capped = least(col("w0"), lit(cap).cast("decimal(18,6)"))
     val joined = l.join(t, Seq("ctx"), "left")
       .select(col("ctx"), col("r"),
@@ -126,9 +158,8 @@ object OffPolicy {
     val l = logs.select(col(ctxCol).cast("string").as("ctx"),
       col(actionCol).cast("string").as("act"),
       col(invPropCol).cast("decimal(18,6)").as("w0"),
-      col(rewardCol).cast("decimal(18,6)").as("r"))
-    val t = target.select(col(ctxCol).cast("string").as("ctx"),
-      col(actionCol).cast("string").as("tact"))
+      rewardChecked(rewardCol, "doublyRobust"))
+    val t = dedupTarget(target, ctxCol, actionCol, "doublyRobust")
     // self-fit direct-method reward model, floor-quantized to 1e-6.
     // The micro-unit integer times an exact DECIMAL(7,6) 1e-6 is a
     // pure decimal MULTIPLICATION — exact in both engines; a decimal

@@ -23,7 +23,15 @@ import org.apache.spark.sql.functions._
   * Scale shape: ranking is one global window per ranked column — these
   * are GATE/EVAL statistics over a scored sample or an eval split, not
   * per-row serving transforms; at 100 TB the input is the sampled eval
-  * frame, never the corpus. κ is a single aggregate (no window).
+  * frame, never the corpus. That contract is ENFORCED, not advisory:
+  * [[auc]] and [[spearman]] route their inputs through
+  * [[graft.plans.Bounded.guard]] (the same discipline as
+  * `Rag.buildContext` / `Reranker.rerankTopK` /
+  * `RetrievalEval.bootstrapCi`) and raise loudly on an over-bound
+  * frame instead of funneling it through one window task. For a
+  * corpus-sized scorer audit use [[aucBucketed]] — a fixed score grid
+  * turns the global sort into one groupBy, so it scales without a
+  * bound. κ is a single aggregate (no window).
   *
   * Determinism: every aggregate is an integer (or exact-decimal) sum;
   * the returned doubles are single exactly-rounded combinations of
@@ -43,8 +51,10 @@ object RankEval {
     * doubled integers as (Σ_pos 2r − n₁(n₁+1)) / (2n₁n₀).
     */
   def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
-    df.select(col(scoreCol).cast("double").as("s"),
-        col(labelCol).cast("boolean").as("y"))
+    graft.plans.Bounded.guard(
+        df.select(col(scoreCol).cast("double").as("s"),
+          col(labelCol).cast("boolean").as("y")),
+        "RankEval.auc")
       .withColumn("r2", midRank2("s"))
       .agg(
         sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
@@ -56,14 +66,83 @@ object RankEval {
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
           .as("auc"))
 
+  /** Corpus-scale ROC AUC on a FIXED score grid — the scale-safe
+    * default for auditing a scorer over a full corpus, where [[auc]]'s
+    * exact mid-rank form is refused by its [[graft.plans.Bounded]]
+    * guard (the global rank window funnels the input through one
+    * task). Scores are binned into `buckets` equal-width cells of
+    * [lo, hi] (out-of-range scores clamp to the edge cells), every
+    * in-cell score is treated as tied at the cell, and the Mann–Whitney
+    * probability is read off the binned ranking:
+    *
+    *   AUC_b = Σ_cells (neg_below·pos_c + ½·pos_c·neg_c) / (P·N)
+    *
+    * — exactly the trapezoid rule over the ROC curve sampled at the
+    * cell boundaries. AUC_b → [[auc]] as the grid refines; on scores
+    * that never split a cell (e.g. values ON the grid) it equals the
+    * exact statistic (spec-pinned).
+    *
+    * Scale shape: one map-combinable groupBy over ≤ `buckets` cells —
+    * NO global window over the input; the only total-order window runs
+    * on the cell table, statically bounded by an upstream limit (≤
+    * `buckets` rows by construction, so the limit never drops a row —
+    * it exists to hand Catalyst the bound). This is the q169
+    * sampled-CCNet discipline applied to AUC: fix the grid, not the
+    * sort.
+    *
+    * Determinism: the cell index is one IEEE expression evaluated in
+    * the same order both engines (`floor(((s−lo)·B)/(hi−lo))`,
+    * clamped); counts and the pair-sum are exact integers (decimal —
+    * neg_below·pos_c overflows a long past ~10⁹ rows); auc is one
+    * division of exact values → RAW compare.
+    *
+    * Output, one row: (n_pos, n_neg, n_cells, auc).
+    */
+  def aucBucketed(df: DataFrame, scoreCol: String, labelCol: String,
+                  lo: Double = 0.0, hi: Double = 1.0,
+                  buckets: Int = 256): DataFrame = {
+    require(hi > lo, "need hi > lo")
+    require(buckets >= 2 && buckets <= (1 << 20), "need 2 <= buckets <= 2^20")
+    val s = col(scoreCol).cast("double")
+    val cell = least(greatest(
+      floor(((s - lit(lo)) * lit(buckets.toDouble)) / lit(hi - lo)),
+      lit(0L)), lit(buckets - 1L))
+    val perCell = df
+      .where(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(cell.as("bk"))
+      .agg(
+        sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("np"),
+        sum(when(col(labelCol).cast("boolean"), 0L).otherwise(1L)).as("nn"))
+      // ≤ `buckets` groups by construction — the limit never drops a
+      // row; it sets LogicalPlan.maxRows so the cell window below is
+      // STATICALLY bounded (Bounded.guard's free path, no count job)
+      .limit(buckets)
+    val w = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    graft.plans.Bounded.guard(perCell, "RankEval.aucBucketed cells")
+      .withColumn("below", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(
+        sum(col("np")).as("n_pos"),
+        sum(col("nn")).as("n_neg"),
+        count(lit(1)).as("n_cells"),
+        sum(col("below").cast("decimal(38,0)") * col("np") * lit(2) +
+          col("np").cast("decimal(38,0)") * col("nn")).as("num2"))
+      .select(col("n_pos"), col("n_neg"), col("n_cells"),
+        (col("num2").cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double"))).as("auc"))
+  }
+
   /** One row: (n, rho). Spearman ρ = Pearson on doubled mid-ranks; the
     * five sums are exact decimals, the combination is done in double
     * (exactly-rounded from exact inputs, identical across engines).
     */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val dec = "decimal(38,0)"
-    df.select(col(xCol).cast("double").as("x"),
-        col(yCol).cast("double").as("y"))
+    graft.plans.Bounded.guard(
+        df.select(col(xCol).cast("double").as("x"),
+          col(yCol).cast("double").as("y")),
+        "RankEval.spearman")
       .withColumn("rx", midRank2("x"))
       .withColumn("ry", midRank2("y"))
       .agg(

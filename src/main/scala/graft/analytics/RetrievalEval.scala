@@ -162,7 +162,13 @@ object RetrievalEval {
           s => s.getField("m")),
         lit(0.0), (acc, x) => acc + x) / max(col("qn"))).as("bmean"))
     val mw = org.apache.spark.sql.expressions.Window.orderBy("bmean", "rb")
-    val ranked = means.withColumn("rn", row_number().over(mw))
+    // `means` has ≤ b rows by construction (groupBy on rb ∈ 1..b), so
+    // limit(b) never drops a row — it hands Catalyst the static bound
+    // and the guard takes its FREE path (no count job re-running the
+    // resample pipeline)
+    val ranked = graft.plans.Bounded.guard(means.limit(b),
+        "RetrievalEval.bootstrapCi resample means")
+      .withColumn("rn", row_number().over(mw))
     val lo = ranked.where(col("rn") === loRank)
       .select(col("bmean").as("ci_lo"))
     val hi = ranked.where(col("rn") === hiRank)

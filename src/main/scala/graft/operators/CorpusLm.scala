@@ -151,8 +151,13 @@ object CorpusLm {
             / (col("n") + lit(k) * (col("v") + 1))))
           / sum(col("c"))).as("ce"))
     if (exactTerciles) {
+      // Opt-in EXACT branch: ntile is a total-order window over every
+      // scored doc — legitimate only on a bounded eval frame; the
+      // guard raises on corpus-scale misuse (the default approx-
+      // percentile path below is the scale-safe corpus variant)
       val terciles = Window.orderBy(round(col("ce"), 6), col("doc_id"))
-      ce.withColumn("b3", ntile(3).over(terciles))
+      graft.plans.Bounded.guard(ce, "CorpusLm.crossEntropySelect " +
+          "exactTerciles").withColumn("b3", ntile(3).over(terciles))
         .select(col("doc_id"), col("n_tokens"),
           round(col("ce"), 6).as("ce_bits"),
           round(pow(lit(2.0), col("ce")), 4).as("ppl"),

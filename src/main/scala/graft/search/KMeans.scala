@@ -47,7 +47,10 @@ object KMeans {
       "graft.dedup.checkpoint")
 
     val seedRank = Window.orderBy("id")
-    val seeds = v.orderBy("id").limit(k)
+    // limit(k) sets LogicalPlan.maxRows, so the guard is the FREE
+    // static path — it pins the seed window's bound structurally
+    val seeds = graft.plans.Bounded.guard(v.orderBy("id").limit(k),
+        "KMeans.fit seeds")
       .withColumn("cluster_id", row_number().over(seedRank) - 1)
       .select(col("id"), col("cluster_id"))
     var cent = ex.join(seeds, Seq("id"))

@@ -58,7 +58,10 @@ object Pq {
         (col("pos") % col("sd")).as("subpos"), col("x"))
 
     val seedRank = Window.orderBy("id")
-    val seeds = v.orderBy("id").limit(k)
+    // limit(k) sets LogicalPlan.maxRows, so the guard is the FREE
+    // static path — it pins the seed window's bound structurally
+    val seeds = graft.plans.Bounded.guard(v.orderBy("id").limit(k),
+        "Pq.fit seeds")
       .withColumn("code", row_number().over(seedRank) - 1)
       .select(col("id"), col("code"))
     var cent = exSub.join(broadcast(seeds), Seq("id"))

@@ -47,4 +47,18 @@ class BootstrapCiSpec extends SparkSpec {
       RetrievalEval.bootstrapCi(varied, "qid", "m", alpha = 0.6)
     }
   }
+
+  test("resample-means window carries the STATIC b-bound: the guard's " +
+      "free path accepts it with the bound set exactly at b") {
+    // means has ≤ b rows by construction (groupBy rb ∈ 1..b); the
+    // limit(b) hands Catalyst that bound so no count job re-runs the
+    // resample pipeline. The per-query frame (|Q| = 20 ≤ 20) passes
+    // its own guard via the count path.
+    spark.conf.set(graft.plans.Bounded.MaxRowsKey, "20")
+    try {
+      val out = RetrievalEval.bootstrapCi(varied, "qid", "m", b = 20)
+        .collect().head
+      assert(out.getAs[Int]("n_resamples") == 20)
+    } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
+  }
 }

@@ -47,4 +47,27 @@ class DistTestSpec extends SparkSpec {
     val p = panel(Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 6L)))
     assert(p("a") == ((2L, 2L, 2L, 0.5)))
   }
+
+  test("wilcoxonSignedRank / adjustPvalues: Bounded guard raises " +
+      "loudly on an over-bound frame") {
+    import org.apache.spark.sql.functions._
+    // groupBy kills the static maxRows, forcing the guard's count path
+    val big = spark.range(100)
+      .groupBy(col("id")).agg(
+        (col("id") + 1).cast("double").as("a"),
+        lit(0.5).as("b"),
+        concat(lit("h"), col("id")).as("k"),
+        (col("id").cast("double") / 100).as("p"))
+    spark.conf.set(graft.plans.Bounded.MaxRowsKey, "10")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        DistTest.wilcoxonSignedRank(big, "a", "b")
+      }
+      assert(e1.getMessage.contains("wilcoxonSignedRank"))
+      val e2 = intercept[IllegalArgumentException] {
+        DistTest.adjustPvalues(big, "k", "p")
+      }
+      assert(e2.getMessage.contains("adjustPvalues"))
+    } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
+  }
 }

@@ -141,4 +141,20 @@ class EventsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1.0, false), (0.0, false), (4.0, false),
       (8.0, true), (2.0, false)))
   }
+
+  test("kaplanMeier: time-axis Bounded guard raises when the distinct " +
+      "lifetime-hour axis exceeds the window bound") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val df = (1 to 50).flatMap { i =>
+      Seq((s"u$i", new java.sql.Timestamp(t0)),
+        (s"u$i", new java.sql.Timestamp(t0 + i * 3600L * 1000L)))
+    }.toDF("user_id", "ts")
+    spark.conf.set(graft.plans.Bounded.MaxRowsKey, "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Events.kaplanMeier(df, "user_id", "ts")
+      }
+      assert(e.getMessage.contains("kaplanMeier time axis"))
+    } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
+  }
 }

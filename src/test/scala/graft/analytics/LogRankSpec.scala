@@ -134,4 +134,16 @@ class LogRankSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("exactly 2 groups"))
   }
+
+  test("coxBinary: zero uncensored events reads the defined " +
+      "degenerate (theta 1, U(1) 0), not a silent NULL row") {
+    val censored = Seq(("a", 5L, false), ("a", 9L, false),
+      ("b", 3L, false), ("b", 7L, false)).toDF("g", "t", "e")
+    val r = Events.coxBinary(censored, "g", "t", "e").collect().head
+    assert(r.getAs[Long]("n_events") == 0L)
+    assert(r.getAs[Long]("o2") == 0L)
+    assert(r.getAs[Double]("score_u1") == 0.0)
+    assert(r.getAs[Double]("theta") == 1.0)
+    assert(r.getAs[Double]("beta") == 0.0)
+  }
 }

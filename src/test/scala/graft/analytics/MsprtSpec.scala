@@ -98,4 +98,18 @@ class MsprtSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("msprt: arm must be 0 or 1"))
   }
+
+  test("bucket-axis Bounded guard raises on a degenerate bucket column") {
+    // a per-unit id mistakenly passed as the bucket column would make
+    // the always-valid cumsum a corpus-sized total-order window
+    val perUnit = (1 to 50).map(i => (i, i % 2, 1.0 + i))
+      .toDF("day", "arm", "x")
+    spark.conf.set(graft.plans.Bounded.MaxRowsKey, "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Experiments.msprt(perUnit, "day", "arm", "x")
+      }
+      assert(e.getMessage.contains("msprt bucket axis"))
+    } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
+  }
 }

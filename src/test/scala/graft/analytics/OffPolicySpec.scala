@@ -92,4 +92,38 @@ class OffPolicySpec extends SparkSpec {
     assert(r.getAs[Double]("v_ips") == 0.0 &&
       r.getAs[Double]("v_snips") == 0.0 && r.getAs[Double]("ess") == 0.0)
   }
+
+  test("duplicate target contexts raise loudly (both estimators)") {
+    // a target mapping u1 to two actions would duplicate u1's log rows
+    // through the join, inflating n/sum_w/sum_wr without a trace
+    val dup = Seq(("u1", "a"), ("u1", "b"), ("u2", "b"))
+      .toDF("ctx", "act")
+    val e1 = intercept[Exception] {
+      OffPolicy.ipsSnips(logs, "ctx", "act", "w0", "r", dup).collect()
+    }
+    assert(e1.getMessage.contains("multiple actions") &&
+      e1.getMessage.contains("u1"))
+    val e2 = intercept[Exception] {
+      OffPolicy.doublyRobust(logs, "ctx", "act", "w0", "r", dup).collect()
+    }
+    assert(e2.getMessage.contains("multiple actions"))
+  }
+
+  test("NULL reward raises loudly (both estimators)") {
+    // SUM would silently skip the NULL w·r while the row kept its
+    // weight in sum_w — numerator and denominator would disagree
+    val withNull = Seq(("u1", "a", 4.0, Option(2.0)),
+      ("u2", "b", 4.0, Option.empty[Double]))
+      .toDF("ctx", "act", "w0", "r")
+    val t = Seq(("u1", "a"), ("u2", "b")).toDF("ctx", "act")
+    val e1 = intercept[Exception] {
+      OffPolicy.ipsSnips(withNull, "ctx", "act", "w0", "r", t).collect()
+    }
+    assert(e1.getMessage.contains("NULL reward"))
+    val e2 = intercept[Exception] {
+      OffPolicy.doublyRobust(withNull, "ctx", "act", "w0", "r", t)
+        .collect()
+    }
+    assert(e2.getMessage.contains("NULL reward"))
+  }
 }

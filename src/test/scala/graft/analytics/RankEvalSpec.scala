@@ -58,4 +58,88 @@ class RankEvalSpec extends SparkSpec {
     assert(r.getAs[Double]("po") == 0.7 && r.getAs[Double]("pe") == 0.5)
     assert(math.abs(r.getAs[Double]("kappa") - 0.4) < 1e-15)
   }
+
+  test("auc/spearman: Bounded guard raises loudly on over-bound input") {
+    // groupBy kills the static maxRows, forcing the guard's count path
+    val big = spark.range(100)
+      .selectExpr("CAST(id AS DOUBLE) AS s", "id % 2 = 0 AS y",
+        "CAST(id AS DOUBLE) AS x")
+      .groupBy("s").agg(
+        org.apache.spark.sql.functions.first("y").as("y"),
+        org.apache.spark.sql.functions.first("x").as("x"))
+    spark.conf.set(graft.plans.Bounded.MaxRowsKey, "10")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        RankEval.auc(big, "s", "y")
+      }
+      assert(e1.getMessage.contains("RankEval.auc"))
+      val e2 = intercept[IllegalArgumentException] {
+        RankEval.spearman(big, "s", "x")
+      }
+      assert(e2.getMessage.contains("RankEval.spearman"))
+    } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
+  }
+
+  test("aucBucketed: equals exact auc when no cell mixes distinct scores") {
+    // scores sit on distinct cells (B=4 over [0,1]) with exact
+    // duplicates only — binning introduces no new ties, so the binned
+    // Mann-Whitney equals the exact one bit-for-bit
+    val df = Seq((0.125, false), (0.125, false), (0.125, true),
+      (0.375, true), (0.875, true)).toDF("s", "y")
+    val exact = RankEval.auc(df, "s", "y").collect()(0)
+      .getAs[Double]("auc")
+    val binned = RankEval.aucBucketed(df, "s", "y", 0.0, 1.0, 4)
+      .collect()(0)
+    assert(binned.getAs[Double]("auc") == exact)
+    assert(binned.getAs[Long]("n_pos") == 3 &&
+      binned.getAs[Long]("n_neg") == 2 &&
+      binned.getAs[Long]("n_cells") == 3)
+  }
+
+  test("aucBucketed: hand-computed coarse grid + clamping") {
+    // B=2 over [0,1]: cell 0 = {neg 0.1, pos 0.3}, cell 1 =
+    // {neg 0.6, pos 0.9} → num2 = (2·0·1 + 1) + (2·1·1 + 1) = 4,
+    // auc = 4/(2·2·2) = 0.5 (the exact statistic is 3/4 — the coarse
+    // grid forfeits within-cell order by design)
+    val df = Seq((0.1, false), (0.3, true), (0.6, false), (0.9, true))
+      .toDF("s", "y")
+    val r = RankEval.aucBucketed(df, "s", "y", 0.0, 1.0, 2).collect()(0)
+    assert(r.getAs[Double]("auc") == 0.5)
+    // out-of-range scores clamp to the edge cells: a score at 1.0 (and
+    // past it) lands in the top cell, below lo in the bottom cell
+    val edges = Seq((-0.5, false), (0.0, false), (1.0, true), (1.7, true))
+      .toDF("s", "y")
+    val e = RankEval.aucBucketed(edges, "s", "y", 0.0, 1.0, 2).collect()(0)
+    assert(e.getAs[Long]("n_cells") == 2 && e.getAs[Double]("auc") == 1.0)
+  }
+
+  test("aucBucketed: converges to exact auc as the grid refines") {
+    val df = (1 to 200).map { i =>
+      val s = i / 201.0
+      (s, (i * 7) % 3 != 0 && s > 0.3)
+    }.toDF("s", "y")
+    val exact = RankEval.auc(df, "s", "y").collect()(0)
+      .getAs[Double]("auc")
+    val coarse = RankEval.aucBucketed(df, "s", "y", 0.0, 1.0, 8)
+      .collect()(0).getAs[Double]("auc")
+    val fine = RankEval.aucBucketed(df, "s", "y", 0.0, 1.0, 4096)
+      .collect()(0).getAs[Double]("auc")
+    assert(math.abs(fine - exact) <= math.abs(coarse - exact))
+    assert(fine == exact) // 200 distinct scores, 4096 cells: no mixing
+  }
+
+  test("aucBucketed: scale shape has no window over the input rows") {
+    // the only Window runs on the ≤B cell table, statically bounded by
+    // the upstream limit — an over-guard-bound INPUT must still pass
+    val big = spark.range(100)
+      .selectExpr("CAST(id AS DOUBLE) / 100 AS s", "id % 2 = 0 AS y")
+      .groupBy("s").agg(
+        org.apache.spark.sql.functions.first("y").as("y"))
+    spark.conf.set(graft.plans.Bounded.MaxRowsKey, "10")
+    try {
+      val r = RankEval.aucBucketed(big, "s", "y", 0.0, 1.0, 4)
+        .collect()(0)
+      assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == 100L)
+    } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
+  }
 }

@@ -231,4 +231,23 @@ class CorpusLmSpec extends SparkSpec {
     // every trigram is unique, every bigram count is 1 → S = 1, log 0
     assert(math.abs(r.getAs[Double]("mean_log")) < 1e-15)
   }
+
+  test("unigramPerplexity exactTerciles: Bounded guard raises on an " +
+      "over-bound corpus (the approx default stays scale-safe)") {
+    val docs = (1 to 50)
+      .map(i => (i.toLong, s"alpha beta gamma delta doc$i"))
+      .toDF("doc_id", "text")
+    spark.conf.set(graft.plans.Bounded.MaxRowsKey, "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        CorpusLm.unigramPerplexity(docs, "doc_id", "text",
+          exactTerciles = true)
+      }
+      assert(e.getMessage.contains("exactTerciles"))
+      // the default approx-percentile path has no total-order window
+      // over the corpus — same bound, no raise
+      assert(CorpusLm.unigramPerplexity(docs, "doc_id", "text")
+        .count() == 50L)
+    } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
+  }
 }

@@ -65,4 +65,19 @@ class KMeansSpec extends SparkSpec {
     val hits = IvfIndex.search(idx, q, k = 5, nprobe = 2).collect()
     assert(hits.length == 5)
   }
+
+  test("seed window is guarded by the STATIC k-bound, not the corpus " +
+      "size: fit succeeds with the guard bound at k on a larger corpus") {
+    // the only total-order window in fit ranks the limit(k) seed frame;
+    // with graft.window.boundedMaxRows = k the guard's free static path
+    // must accept it even though the corpus itself exceeds the bound
+    val vecs = (1 to 40)
+      .map(i => (i.toLong, Seq(i.toFloat, (i % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    spark.conf.set(graft.plans.Bounded.MaxRowsKey, "2")
+    try {
+      val m = KMeans.fit(vecs, "vec_id", "embedding", k = 2, iters = 1)
+      assert(m.assignments.count() == 40L)
+    } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
+  }
 }

@@ -108,4 +108,17 @@ class PqSpec extends SparkSpec {
     assert(top.take(2).map(_.getLong(0)).toSet == Set(1L, 3L))
     assert(top.take(2).forall(_.getDouble(1) == 0.0))
   }
+
+  test("seed window is guarded by the STATIC k-bound, not the corpus " +
+      "size: fit succeeds with the guard bound at k on a larger corpus") {
+    val vecs = (1 to 40)
+      .map(i => (i.toLong, Seq(i.toFloat, (i % 5).toFloat,
+        (i % 3).toFloat, 1.0f)))
+      .toDF("vec_id", "embedding")
+    spark.conf.set(graft.plans.Bounded.MaxRowsKey, "2")
+    try {
+      val m = Pq.fit(vecs, "vec_id", "embedding", m = 2, k = 2)
+      assert(m.codes.count() == 40L)
+    } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
+  }
 }
