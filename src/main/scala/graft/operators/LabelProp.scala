@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * corpus pipeline uses the communities for domain grouping and
   * leakage-safe splitting coarser than connected components (q95's
   * union-find gives connectivity; LPA splits dense regions within it).
+  * The modularity-OBJECTIVE sibling in the community-detection family
+  * is [[Louvain.sweeps]] (exact integer gain argmax per sweep, with
+  * [[Louvain.modularity]] as the partition audit); LPA here optimizes
+  * nothing — plurality labels diffuse.
   *
   * Deterministic by construction so a SQL oracle can unroll it: every
   * node starts labeled with its own id, and each synchronous round

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Louvain-style modularity communities (Blondel et al. 2008, the
+  * local-moving phase), made DETERMINISTIC and synchronous so a SQL
+  * oracle can unroll it — the modularity-objective member of the
+  * community family next to [[LabelProp]] (which optimizes nothing:
+  * plurality labels). Same entity/link graphs [[PageRank]] ranks
+  * (reference substrate: the entity-relationship edges of
+  * `/root/reference/db/migrations/051_entity_relationships.sql:5-27`);
+  * a curation pipeline uses the communities for domain grouping and
+  * leakage-safe splits that respect DENSITY, not just connectivity.
+  *
+  * Each synchronous sweep moves every node to the candidate community
+  * (a neighbor's community or its own) with the maximal exact
+  * modularity gain. For unweighted edges the gain of ending in c is
+  * monotone in the INTEGER score
+  *
+  *   score2(v, c) = 2m·k_vc − deg_v · (tot_c − deg_v·1[c = own_v])
+  *
+  * (k_vc = edges v→c, tot_c = degree mass of c, the −deg_v term
+  * removes v's own mass when scoring a stay) — ΔQ·(2m)² differs from
+  * score2 only by a per-node constant, so the argmax is EXACT: longs
+  * compared through decimal products, ties broken by community id
+  * ascending. No float enters the sweep; classic Louvain's
+  * sequential-scan order dependence (and its float gains) are
+  * replaced by the fixed-sweep synchronous update, the
+  * [[LabelProp.run]] discipline.
+  *
+  * Scale shape per sweep: one dst-keyed join to land communities on
+  * edges, two hash aggregations (k_vc, tot), one per-NODE-partitioned
+  * row_number — all key-partitioned shuffles, no global window, no
+  * driver state; every round's frame is staged through the
+  * Materialize policy gate (iterative-lineage discipline, q154's
+  * fix). The 2m scalar rides in as a 1-row broadcast.
+  *
+  * Determinism: integer counts and exact decimal products end to end;
+  * the returned assignment and [[modularity]]'s q_num are exact, q is
+  * ONE division of exact integers → RAW compare.
+  */
+object Louvain {
+
+  /** `nodes`: (node); `edges`: (src, dst), BOTH directions per
+    * undirected edge, no self-loops. Returns (node, community) after
+    * `iters` synchronous sweeps; every node starts in its own
+    * community, isolated nodes never move.
+    */
+  def sweeps(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 32, "iters must be in [1, 32]")
+    val e = graft.plans.Materialize.stage(
+      edges.select(col("src"), col("dst")), "graft.dedup.checkpoint")
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val m2 = e.agg(count(lit(1)).as("m2")) // = 2m directed rows
+    var assign = nodes.select(col("node"), col("node").as("community"))
+    val byNode = Window.partitionBy("src")
+      .orderBy(desc("score2"), col("cand"))
+    for (_ <- 1 to iters) {
+      val tot = assign.join(deg, Seq("node"), "left")
+        .na.fill(0L, Seq("deg"))
+        .groupBy("community").agg(sum(col("deg")).as("tot"))
+      val kvc = e
+        .join(assign.select(col("node").as("dst"),
+          col("community").as("cand")), Seq("dst"))
+        .groupBy("src", "cand").agg(count(lit(1)).as("kvc"))
+      val cands = kvc.select("src", "cand")
+        .unionByName(assign.select(col("node").as("src"),
+          col("community").as("cand")))
+        .distinct()
+      val scored = cands
+        .join(kvc, Seq("src", "cand"), "left")
+        .na.fill(0L, Seq("kvc"))
+        .join(assign.select(col("node").as("src"),
+          col("community").as("own")), Seq("src"))
+        .join(tot.withColumnRenamed("community", "cand"), Seq("cand"))
+        .join(deg.withColumnRenamed("node", "src"), Seq("src"), "left")
+        .na.fill(0L, Seq("deg"))
+        .crossJoin(broadcast(m2))
+        .withColumn("score2",
+          col("m2").cast("decimal(38,0)") * col("kvc") -
+            col("deg").cast("decimal(38,0)") *
+              (col("tot") - when(col("cand") === col("own"), col("deg"))
+                .otherwise(lit(0L))))
+      val picked = scored
+        .withColumn("rn", row_number().over(byNode))
+        .where(col("rn") === 1)
+        .select(col("src").as("node"), col("cand").as("community"))
+      assign = graft.plans.Materialize.stage(picked,
+        "graft.dedup.checkpoint")
+    }
+    assign
+  }
+
+  /** Exact modularity of an assignment over the same edge convention
+    * (both directions, no self-loops). One row:
+    * (m2, intra2, sum_tot2, q_num, q) with m2 = 2m, intra2 = directed
+    * intra-community rows (= 2·Σ in_c), sum_tot2 = Σ_c tot_c², and
+    *
+    *   Q = Σ_c [in_c/m − (tot_c/2m)²] = (m2·intra2 − sum_tot2) / m2²
+    *
+    * q_num/sum_tot2 exact (decimal, surfaced as double); q is ONE
+    * division of exact integers → RAW.
+    */
+  def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val aS = assign.select(col("node").as("src"), col("community").as("cs"))
+    val aD = assign.select(col("node").as("dst"), col("community").as("cd"))
+    val counts = e.join(aS, Seq("src")).join(aD, Seq("dst"))
+      .agg(count(lit(1)).as("m2"),
+        sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("intra2"))
+    val tots = e.join(aS, Seq("src"))
+      .groupBy("cs").agg(count(lit(1)).as("tot"))
+      .agg(sum((col("tot") * col("tot")).cast("decimal(38,0)"))
+        .as("sum_tot2"))
+    counts.crossJoin(broadcast(tots))
+      .select(col("m2"), col("intra2"),
+        col("sum_tot2").cast("double").as("sum_tot2"),
+        (col("m2").cast("decimal(38,0)") * col("intra2") -
+          col("sum_tot2")).cast("double").as("q_num"),
+        ((col("m2").cast("decimal(38,0)") * col("intra2") -
+          col("sum_tot2")).cast("double") /
+          (col("m2").cast("double") * col("m2").cast("double"))).as("q"))
+  }
+}

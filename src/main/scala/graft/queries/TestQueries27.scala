@@ -83,5 +83,134 @@ object TestQueries27 {
                AS auc
       FROM agg"""))
 
-  val all: Seq[QueryCase] = Seq(q375AucBucketed)
+  /** The q154/q176 customer↔supplier bipartite graph — reused so the
+    * community family (LabelProp q176, Louvain here) grades on the
+    * identical substrate.
+    */
+  private def graph(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val cust = Tables.table(s, dir, "customer")
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    val supp = Tables.table(s, dir, "supplier")
+      .select(concat(lit("s"), col("s_suppkey")).as("node"))
+    val pairs = Tables.table(s, dir, "orders")
+      .join(Tables.table(s, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("sn"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("sn").as("dst"))
+      .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
+    (cust.unionByName(supp), edges)
+  }
+
+  private val GraphSql = """
+      nodes AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+        UNION ALL
+        SELECT 's' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+      pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+               's' || CAST(l_suppkey AS VARCHAR) AS sn
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      edges AS (
+        SELECT c AS src, sn AS dst FROM pairs
+        UNION ALL
+        SELECT sn AS src, c AS dst FROM pairs),
+      deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+              FROM edges GROUP BY src),
+      m2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM edges),
+      a0 AS (SELECT node, node AS community FROM nodes)"""
+
+  /** One unrolled synchronous Louvain sweep a{i-1} → a{i} — the exact
+    * integer score2 = 2m·k_vc − deg_v·(tot_c − deg_v·[c=own]) argmax,
+    * ties by community id.
+    */
+  private def louvIterSql(i: Int): String = s"""
+      tot$i AS (
+        SELECT a.community, CAST(SUM(COALESCE(d.deg, 0)) AS BIGINT) AS tot
+        FROM a${i - 1} a LEFT JOIN deg d ON d.node = a.node
+        GROUP BY a.community),
+      kvc$i AS (
+        SELECT e.src, a.community AS cand, CAST(COUNT(*) AS BIGINT) AS kvc
+        FROM edges e JOIN a${i - 1} a ON a.node = e.dst
+        GROUP BY e.src, a.community),
+      cand$i AS (
+        SELECT src, cand FROM kvc$i
+        UNION
+        SELECT node AS src, community AS cand FROM a${i - 1}),
+      sc$i AS (
+        SELECT c.src, c.cand,
+               CAST(m2.m2 AS HUGEINT) * COALESCE(k.kvc, 0)
+                 - CAST(COALESCE(d.deg, 0) AS HUGEINT)
+                   * (t.tot - CASE WHEN c.cand = o.community
+                        THEN COALESCE(d.deg, 0) ELSE 0 END) AS score2
+        FROM cand$i c
+        JOIN a${i - 1} o ON o.node = c.src
+        JOIN tot$i t ON t.community = c.cand
+        LEFT JOIN kvc$i k ON k.src = c.src AND k.cand = c.cand
+        LEFT JOIN deg d ON d.node = c.src
+        CROSS JOIN m2),
+      a$i AS (
+        SELECT src AS node, cand AS community FROM (
+          SELECT src, cand,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                   ORDER BY score2 DESC, cand) AS rn
+          FROM sc$i) WHERE rn = 1)"""
+
+  /** Louvain-style modularity communities, 2 synchronous sweeps over
+    * the q176 graph — [[graft.operators.Louvain.sweeps]]: exact
+    * integer modularity-gain argmax per node per sweep, ties by
+    * community id. All-integer/string math → RAW.
+    */
+  val q376Louvain: QueryCase = QueryCase(
+    "q376_louvain",
+    (s, dir) => {
+      val (nodes, edges) = graph(s, dir)
+      graft.operators.Louvain.sweeps(nodes, edges, iters = 2)
+        .orderBy("node")
+    },
+    Some(s"""
+      WITH $GraphSql,
+      ${louvIterSql(1)},
+      ${louvIterSql(2)}
+      SELECT node, community FROM a2 ORDER BY node"""))
+
+  /** Exact modularity of the q376 assignment —
+    * [[graft.operators.Louvain.modularity]]: Q = (m2·intra2 −
+    * Σtot²)/m2² from exact integer counts; q is one division → RAW.
+    */
+  val q377Modularity: QueryCase = QueryCase(
+    "q377_modularity",
+    (s, dir) => {
+      val (nodes, edges) = graph(s, dir)
+      graft.operators.Louvain.modularity(edges,
+        graft.operators.Louvain.sweeps(nodes, edges, iters = 2))
+    },
+    Some(s"""
+      WITH $GraphSql,
+      ${louvIterSql(1)},
+      ${louvIterSql(2)},
+      cnts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+               CAST(SUM(CASE WHEN s.community = t.community
+                 THEN 1 ELSE 0 END) AS BIGINT) AS intra2
+        FROM edges e
+        JOIN a2 s ON s.node = e.src
+        JOIN a2 t ON t.node = e.dst),
+      tots AS (
+        SELECT SUM(CAST(tot AS HUGEINT) * tot) AS sum_tot2
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS tot
+              FROM edges e JOIN a2 a ON a.node = e.src
+              GROUP BY a.community))
+      SELECT m2, intra2,
+             CAST(sum_tot2 AS DOUBLE) AS sum_tot2,
+             CAST(CAST(m2 AS HUGEINT) * intra2 - sum_tot2 AS DOUBLE)
+               AS q_num,
+             CAST(CAST(m2 AS HUGEINT) * intra2 - sum_tot2 AS DOUBLE)
+               / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) AS q
+      FROM cnts CROSS JOIN tots"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q375AucBucketed, q376Louvain, q377Modularity)
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** [[Louvain]] — deterministic fixed-sweep modularity communities:
+  * hand-traced sweeps on planted triangles, exact modularity values,
+  * isolated-node and tie-break behavior.
+  */
+class LouvainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def undirected(pairs: (String, String)*): DataFrame =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  private def nodesDf(ns: String*): DataFrame = ns.toDF("node")
+
+  // two disjoint triangles: 2 sweeps recover them exactly (hand trace:
+  // sweep 1 from singletons moves every node to its smallest-id
+  // neighbor; sweep 2 collapses each triangle onto community a / d)
+  private val triNodes = nodesDf("a", "b", "c", "d", "e", "f")
+  private val triEdges = undirected(("a", "b"), ("a", "c"), ("b", "c"),
+    ("d", "e"), ("d", "f"), ("e", "f"))
+
+  test("two sweeps recover planted disjoint triangles") {
+    val got = Louvain.sweeps(triNodes, triEdges, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a") == "a" && got("b") == "a" && got("c") == "a")
+    assert(got("d") == "d" && got("e") == "d" && got("f") == "d")
+  }
+
+  test("sweep 1 from singletons: argmax score2 with id tie-break " +
+      "(hand-traced)") {
+    // node a (deg 2): own 0; b: 12·1−2·2 = 8; c: 8 → tie, 'b' < 'c'
+    val got = Louvain.sweeps(triNodes, triEdges, iters = 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("a" -> "b", "b" -> "a", "c" -> "a",
+      "d" -> "e", "e" -> "d", "f" -> "d"))
+  }
+
+  test("modularity: exact Q for the recovered partition and the " +
+      "singleton baseline") {
+    val part = Louvain.sweeps(triNodes, triEdges, iters = 2)
+    val r = Louvain.modularity(triEdges, part).collect().head
+    // all 12 directed rows intra; tot = 6 per community →
+    // q = (12·12 − 2·36) / 144 = 72/144 = 0.5
+    assert(r.getAs[Long]("m2") == 12L && r.getAs[Long]("intra2") == 12L)
+    assert(r.getAs[Double]("sum_tot2") == 72.0)
+    assert(r.getAs[Double]("q") == 0.5)
+    val singletons = triNodes.selectExpr("node", "node AS community")
+    val s = Louvain.modularity(triEdges, singletons).collect().head
+    // intra2 = 0, sum_tot2 = 6·4 = 24 → q = −24/144 = −1/6
+    assert(s.getAs[Long]("intra2") == 0L)
+    assert(s.getAs[Double]("q") == -24.0 / 144.0)
+  }
+
+  test("isolated node keeps its own community through every sweep") {
+    val nodes = nodesDf("a", "b", "c", "d", "e", "f", "zz")
+    val got = Louvain.sweeps(nodes, triEdges, iters = 2).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("zz") == "zz")
+    assert(got("a") == "a" && got("d") == "d")
+  }
+
+  test("sweeps never lower modularity below the singleton baseline " +
+      "on a bridged graph, and the result is run-to-run identical") {
+    val nodes = triNodes
+    val edges = undirected(("a", "b"), ("a", "c"), ("b", "c"),
+      ("d", "e"), ("d", "f"), ("e", "f"), ("c", "d"))
+    val p1 = Louvain.sweeps(nodes, edges, iters = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val p2 = Louvain.sweeps(nodes, edges, iters = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(p1 == p2)
+    val q2 = Louvain.modularity(edges,
+      Louvain.sweeps(nodes, edges, iters = 2)).collect().head
+      .getAs[Double]("q")
+    val q0 = Louvain.modularity(edges,
+      nodes.selectExpr("node", "node AS community")).collect().head
+      .getAs[Double]("q")
+    assert(q2 > q0)
+  }
+}
