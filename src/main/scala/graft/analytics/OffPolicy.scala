@@ -120,6 +120,98 @@ object OffPolicy {
           .as("ess"))
   }
 
+  /** Slate off-policy value via the pseudoinverse estimator
+    * (Swaminathan et al., NIPS 2017, "Off-policy evaluation for slate
+    * recommendation"), in its SLOT-FACTORED form — the ranked-list
+    * shape [[graft.search.Interleave]] evaluates online, estimated
+    * offline: when the logging policy draws each of the k slots
+    * independently, Γ is block-diagonal and the PI weight for a
+    * logged slate s against a deterministic target slate t collapses
+    * to
+    *
+    *   w_i = Σ_{slot} 1[s_slot = t_slot] · w0_slot − (k − 1),
+    *   V̂_PI = (1/n) Σ_i r_i · w_i
+    *
+    * with w0_slot the slot's exact inverse propensity (the
+    * [[ipsSnips]] input spelling). Per-slate weights can be NEGATIVE
+    * (the −(k−1) correction is what makes PI unbiased under the
+    * additive-reward assumption where whole-slate IPS needs an
+    * astronomically larger weight), so there is no SNIPS/ess variant
+    * here.
+    *
+    * Input: one row per (slate, ctx, slot, action, w0) with the
+    * SLATE-level reward repeated on each row; `target` maps
+    * (ctx, slot) → action. Loud contracts (the msprt discipline):
+    * ragged slates (≠ k rows), inconsistent per-slate rewards, NULL
+    * rewards, non-positive w0, and duplicate (ctx, slot) targets all
+    * raise.
+    *
+    * Scale shape: one broadcast-eligible (ctx, slot) join + one
+    * map-combinable slate aggregation + one final aggregate — no
+    * windows, no collect. Determinism: exact decimal sums end to end;
+    * v_pi is ONE exactly-rounded division → RAW.
+    *
+    * Output (one row): n_slates, k, sum_w, sum_wr, v_pi.
+    */
+  def slatePi(logs: DataFrame, slateCol: String, ctxCol: String,
+              slotCol: String, actionCol: String, invPropCol: String,
+              rewardCol: String, target: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, "slate size k must be in [1, 1000]")
+    val l = logs.select(col(slateCol).cast("string").as("slate"),
+      col(ctxCol).cast("string").as("ctx"),
+      col(slotCol).cast("int").as("slot"),
+      col(actionCol).cast("string").as("act"),
+      col(invPropCol).cast("decimal(18,6)").as("w0"),
+      rewardChecked(rewardCol, "slatePi"))
+    val t = target.select(col(ctxCol).cast("string").as("ctx"),
+        col(slotCol).cast("int").as("slot"),
+        col(actionCol).cast("string").as("tact"))
+      .groupBy("ctx", "slot")
+      .agg(count(lit(1)).as("tc"), max(col("tact")).as("ta"))
+      .select(col("ctx"), col("slot"),
+        when(col("tc") > 1, raise_error(concat(
+          lit("slatePi: target policy maps (context '"), col("ctx"),
+          lit("', slot "), col("slot").cast("string"),
+          lit(") to multiple actions — the deterministic-target " +
+            "contract is violated"))))
+          .otherwise(col("ta")).as("tact"))
+    val perSlate = l.join(t, Seq("ctx", "slot"), "left")
+      .select(col("slate"), col("r"),
+        when(col("w0") <= 0,
+          raise_error(lit("slatePi: inverse propensity must be " +
+            "positive")))
+          .when(col("tact").isNotNull && col("act") === col("tact"),
+            col("w0"))
+          .otherwise(lit(0).cast("decimal(18,6)")).as("w"))
+      .groupBy("slate")
+      .agg(count(lit(1)).as("n_slots"),
+        min(col("r")).as("rmin"), max(col("r")).as("rmax"),
+        sum(col("w")).as("sw0"))
+      .select(col("slate"),
+        when(col("n_slots") =!= k,
+          raise_error(concat(lit("slatePi: slate '"), col("slate"),
+            lit(s"' has "), col("n_slots").cast("string"),
+            lit(s" rows, expected k=$k — ragged slates corrupt the " +
+              "−(k−1) correction"))))
+          .when(col("rmin") =!= col("rmax"),
+            raise_error(concat(lit("slatePi: slate '"), col("slate"),
+              lit("' carries inconsistent rewards — the reward is " +
+                "SLATE-level by contract"))))
+          .otherwise(col("rmin")).as("r"),
+        (col("sw0") - lit(k - 1)).as("wi"))
+    perSlate.agg(
+      count(lit(1)).as("n_slates"),
+      sum(col("wi")).as("sw"),
+      sum((col("wi").cast("decimal(25,6)") * col("r").cast("decimal(12,6)"))
+        .cast("decimal(38,12)")).as("swr"))
+      .select(col("n_slates"), lit(k).cast("long").as("k"),
+        col("sw").cast("double").as("sum_w"),
+        col("swr").cast("double").as("sum_wr"),
+        when(col("n_slates") === 0, lit(0.0))
+          .otherwise(col("swr").cast("double") /
+            col("n_slates").cast("double")).as("v_pi"))
+  }
+
   /** Doubly-robust off-policy estimate (Dudík, Langford & Li, ICML
     * 2011): the direct-method baseline plus an importance-weighted
     * correction —

@@ -211,6 +211,94 @@ object TestQueries27 {
                / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) AS q
       FROM cnts CROSS JOIN tots"""))
 
+  /** Slate off-policy pseudoinverse estimate —
+    * [[graft.analytics.OffPolicy.slatePi]] (Swaminathan et al. 2017,
+    * slot-factored form): 3-slot slates from each user's first three
+    * events, slate reward = min event value, target = per-(ctx, slot)
+    * modal action, uniform-logging inverse propensity. Exact decimal
+    * sums; v_pi one division → RAW (decimals surfaced through the
+    * VARCHAR cast path).
+    */
+  val q378SlatePi: QueryCase = QueryCase(
+    "q378_slate_pi",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).where(col("user_id") < 200)
+        .select(col("user_id"), col("event_id"),
+          col("event_type").as("act"),
+          col("value").cast("decimal(18,2)").as("v"))
+      val slotted = ev.withColumn("slot", row_number().over(
+          Window.partitionBy("user_id").orderBy("event_id")))
+        .where(col("slot") <= 3)
+      val keep = slotted.groupBy("user_id")
+        .agg(count(lit(1)).as("ns"), min(col("v")).as("r"))
+        .where(col("ns") === 3).select(col("user_id"), col("r"))
+      val kk = ev.agg(count_distinct(col("act")).as("kk"))
+      val logs = slotted.join(keep, Seq("user_id"))
+        .crossJoin(broadcast(kk))
+        .select(col("user_id").as("slate"),
+          (col("user_id") % 10).cast("string").as("ctx"),
+          col("slot"), col("act"),
+          col("kk").cast("decimal(18,6)").as("w0"), col("r"))
+      val tcnt = logs.groupBy("ctx", "slot", "act")
+        .agg(count(lit(1)).as("n"))
+      val target = tcnt.withColumn("rn", row_number().over(
+          Window.partitionBy("ctx", "slot").orderBy(desc("n"), col("act"))))
+        .where(col("rn") === 1).select(col("ctx"), col("slot"), col("act"))
+      graft.analytics.OffPolicy.slatePi(logs, "slate", "ctx", "slot",
+        "act", "w0", "r", target, k = 3)
+    },
+    Some {
+      def v(c: String) = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      s"""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type AS act,
+               CAST(value AS DECIMAL(18,2)) AS v
+        FROM events WHERE user_id < 200),
+      sl AS (
+        SELECT user_id, act, v, slot FROM (
+          SELECT user_id, act, v,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY event_id) AS slot
+          FROM ev) WHERE slot <= 3),
+      keep AS (
+        SELECT user_id, MIN(v) AS r
+        FROM sl GROUP BY user_id HAVING COUNT(*) = 3),
+      kk AS (SELECT CAST(COUNT(DISTINCT act) AS BIGINT) AS kk FROM ev),
+      logs AS (
+        SELECT s.user_id AS slate, CAST(s.user_id % 10 AS VARCHAR) AS ctx,
+               s.slot, s.act, CAST(kk.kk AS DECIMAL(18,6)) AS w0, k2.r
+        FROM sl s JOIN keep k2 USING (user_id) CROSS JOIN kk),
+      tc AS (
+        SELECT ctx, slot, act, CAST(COUNT(*) AS BIGINT) AS n
+        FROM logs GROUP BY ctx, slot, act),
+      tgt AS (
+        SELECT ctx, slot, act AS tact FROM (
+          SELECT ctx, slot, act,
+                 ROW_NUMBER() OVER (PARTITION BY ctx, slot
+                   ORDER BY n DESC, act) AS rn
+          FROM tc) WHERE rn = 1),
+      per AS (
+        SELECT l.slate, MIN(l.r) AS r,
+               SUM(CASE WHEN t.tact IS NOT NULL AND l.act = t.tact
+                 THEN l.w0 ELSE CAST(0 AS DECIMAL(18,6)) END) AS sw0
+        FROM logs l
+        LEFT JOIN tgt t ON t.ctx = l.ctx AND t.slot = l.slot
+        GROUP BY l.slate),
+      wi AS (SELECT slate, r, sw0 - 2 AS wi FROM per),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_slates,
+               SUM(wi) AS sw,
+               SUM(CAST(CAST(wi AS DECIMAL(25,6))
+                 * CAST(r AS DECIMAL(12,6)) AS DECIMAL(38,12))) AS swr
+        FROM wi)
+      SELECT n_slates, CAST(3 AS BIGINT) AS k,
+             ${v("sw")} AS sum_w, ${v("swr")} AS sum_wr,
+             CASE WHEN n_slates = 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE ${v("swr")} / CAST(n_slates AS DOUBLE) END AS v_pi
+      FROM agg"""
+    })
+
   val all: Seq[QueryCase] =
-    Seq(q375AucBucketed, q376Louvain, q377Modularity)
+    Seq(q375AucBucketed, q376Louvain, q377Modularity, q378SlatePi)
 }

@@ -126,4 +126,64 @@ class OffPolicySpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("NULL reward"))
   }
+
+  // 2-slot slates, uniform-over-2 logging (w0 = 2):
+  // s1 matches slot 1 (wi = 2−1 = 1, r 1.0), s2 matches slot 2
+  // (wi 1, r 0.5), s3 matches slot 2 (wi 1, r 2.0), s4 matches
+  // nothing (wi = 0−1 = −1, r 1.0)
+  private val slateLogs = Seq(
+    ("s1", "c1", 1, "x", 2.0, 1.0), ("s1", "c1", 2, "y", 2.0, 1.0),
+    ("s2", "c1", 1, "y", 2.0, 0.5), ("s2", "c1", 2, "x", 2.0, 0.5),
+    ("s3", "c2", 1, "x", 2.0, 2.0), ("s3", "c2", 2, "y", 2.0, 2.0),
+    ("s4", "c2", 1, "x", 2.0, 1.0), ("s4", "c2", 2, "x", 2.0, 1.0))
+    .toDF("slate", "ctx", "slot", "act", "w0", "r")
+  private val slateTarget = Seq(
+    ("c1", 1, "x"), ("c1", 2, "x"), ("c2", 1, "y"), ("c2", 2, "y"))
+    .toDF("ctx", "slot", "act")
+
+  test("slatePi: hand panel — per-slot matches minus the (k−1) " +
+      "correction, negative weights allowed") {
+    val r = OffPolicy.slatePi(slateLogs, "slate", "ctx", "slot", "act",
+      "w0", "r", slateTarget, k = 2).collect().head
+    assert(r.getAs[Long]("n_slates") == 4L && r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Double]("sum_w") == 2.0)  // 1 + 1 + 1 − 1
+    assert(r.getAs[Double]("sum_wr") == 2.5) // 1 + 0.5 + 2 − 1
+    assert(r.getAs[Double]("v_pi") == 2.5 / 4.0)
+  }
+
+  test("slatePi: ragged slates, inconsistent rewards, and duplicate " +
+      "(ctx, slot) targets raise loudly") {
+    val ragged = slateLogs.where($"slate" =!= "s1" || $"slot" === 1)
+    val e1 = intercept[Exception] {
+      OffPolicy.slatePi(ragged, "slate", "ctx", "slot", "act",
+        "w0", "r", slateTarget, k = 2).collect()
+    }
+    assert(e1.getMessage.contains("ragged"))
+    val inconsistent = slateLogs.withColumn("r",
+      org.apache.spark.sql.functions.when(
+        $"slate" === "s1" && $"slot" === 2, 9.0).otherwise($"r"))
+    val e2 = intercept[Exception] {
+      OffPolicy.slatePi(inconsistent, "slate", "ctx", "slot", "act",
+        "w0", "r", slateTarget, k = 2).collect()
+    }
+    assert(e2.getMessage.contains("SLATE-level"))
+    val dupTarget = slateTarget
+      .unionByName(Seq(("c1", 1, "y")).toDF("ctx", "slot", "act"))
+    val e3 = intercept[Exception] {
+      OffPolicy.slatePi(slateLogs, "slate", "ctx", "slot", "act",
+        "w0", "r", dupTarget, k = 2).collect()
+    }
+    assert(e3.getMessage.contains("multiple actions"))
+  }
+
+  test("slatePi: k = 1 degenerates to per-context IPS (no correction)") {
+    val logs1 = Seq(("s1", "c1", 1, "x", 2.0, 1.0),
+      ("s2", "c1", 1, "y", 2.0, 3.0)).toDF(
+      "slate", "ctx", "slot", "act", "w0", "r")
+    val t1 = Seq(("c1", 1, "x")).toDF("ctx", "slot", "act")
+    val r = OffPolicy.slatePi(logs1, "slate", "ctx", "slot", "act",
+      "w0", "r", t1, k = 1).collect().head
+    // s1: wi = 2, r 1.0; s2: wi = 0, r 3.0 → v = 2/2 = 1.0
+    assert(r.getAs[Double]("v_pi") == 1.0)
+  }
 }
