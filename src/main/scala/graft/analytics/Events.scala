@@ -1209,4 +1209,120 @@ object Events {
       }
       .toDF(keyCol, "period", "n", "c", "s", "power")
   }
+
+  /** Matrix profile per key (Yeh et al., ICDM 2016; the STOMP
+    * running-sum recurrence of Zhu et al. 2016) — motif/anomaly
+    * discovery completing the time-series family next to [[pelt]]
+    * (changepoints) and [[periodogram]] (seasonality): for every
+    * length-`window` subsequence, the distance to its nearest
+    * non-trivial neighbor in the SAME series. A near-zero profile
+    * value is a repeated motif (template/duplicate behavior); the
+    * profile's maximum is the series' most anomalous window (the
+    * discord).
+    *
+    * This is the NON-NORMALIZED (plain Euclidean) profile on an exact
+    * integer grid: values land on the 1/`scale` grid (raises loudly
+    * off-grid — the ≤6dp metric convention at the default micro
+    * scale; pass scale=100 for 2dp metrics), so every squared
+    * distance is an exact integer, the argmin is platform-stable
+    * (ties → smallest neighbor position), and the gate compares RAW
+    * with a brute-force SQL oracle. The z-normalized variant's
+    * per-window mean/std divisions would put every cell in float
+    * territory; the exact profile is the deterministic member, and
+    * callers wanting scale invariance can pre-normalize the series.
+    *
+    * Scale shape: one bounded per-key walk inside `flatMapGroups`
+    * (the [[cusum]]/[[pelt]] contract) — keys partition the work; the
+    * in-key recurrence d²(i+1, j+1) = d²(i, j) − Δhead² + Δtail² makes
+    * the walk O(T²) total (O(1) per cell, not O(m)). Per-key length
+    * is contract-BOUNDED by `maxPoints` (loud raise — the knnShapley
+    * discipline: profile a rollup series, never a raw event stream),
+    * and every addition/multiplication is overflow-CHECKED
+    * (Math.addExact), so a scale/magnitude combination that would
+    * wrap raises instead of corrupting.
+    *
+    * Exclusion zone: neighbors with |i − j| < `exclusion` are ignored
+    * (default = window, so overlapping trivial matches never win);
+    * subsequences with no admissible neighbor emit no row.
+    *
+    * Output per (key, pos): (key, pos, nn_pos, d2_units) — pos/nn_pos
+    * 1-based positions in ord order, d2_units the exact squared
+    * distance in 1/scale² units (LONG) → RAW.
+    */
+  def matrixProfile(df: DataFrame, keyCol: String, orderCol: String,
+                    valueCol: String, window: Int,
+                    exclusion: Int = 0, scale: Long = 1000000L,
+                    maxPoints: Int = 4096): DataFrame = {
+    require(window >= 2 && window <= 4096, "window must be in [2, 4096]")
+    require(exclusion >= 0, "exclusion must be >= 0")
+    require(scale >= 1 && scale <= 1000000L, "scale must be in [1, 1e6]")
+    require(maxPoints >= window && maxPoints <= 65536,
+      "maxPoints must be in [window, 65536]")
+    val excl = if (exclusion == 0) window else exclusion
+    val spark = df.sparkSession
+    import spark.implicits._
+    val units = col(valueCol).cast("decimal(18,6)") * lit(scale)
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("ord"),
+        when(units =!= units.cast("long").cast("decimal(38,6)"),
+          raise_error(concat(
+            lit(s"matrixProfile: value off the 1/$scale grid (saw "),
+            col(valueCol).cast("string"),
+            lit(") — exact integer distances need on-grid values; " +
+              "lower `scale` to the metric's decimal places"))))
+          .otherwise(units.cast("long")).as("xs"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.map { case (_, ord, xs) => (ord, xs) }.toArray
+        require(rows.length <= maxPoints,
+          s"matrixProfile: key '$k' has ${rows.length} points, over " +
+            s"maxPoints=$maxPoints — the per-key walk is quadratic by " +
+            "contract; profile a rollup series or raise the bound")
+        java.util.Arrays.sort(rows, Ordering.by((r: (Long, Long)) => r._1))
+        val x = rows.map(_._2)
+        val nsub = x.length - window + 1
+        if (nsub < 1) Iterator.empty
+        else {
+          val best = Array.fill(nsub)(Long.MaxValue)
+          val bestJ = Array.fill(nsub)(-1)
+          def sq(a: Long, b: Long): Long = {
+            val d = Math.subtractExact(a, b)
+            Math.multiplyExact(d, d)
+          }
+          def update(i: Int, j: Int, d2: Long): Unit = {
+            if (d2 < best(i) || (d2 == best(i) && j < bestJ(i))) {
+              best(i) = d2; bestJ(i) = j
+            }
+            if (d2 < best(j) || (d2 == best(j) && i < bestJ(j))) {
+              best(j) = d2; bestJ(j) = i
+            }
+          }
+          var d = excl
+          while (d < nsub) {
+            var acc = 0L
+            var t = 0
+            while (t < window) {
+              acc = Math.addExact(acc, sq(x(t), x(d + t)))
+              t += 1
+            }
+            update(0, d, acc)
+            var i = 1
+            while (i < nsub - d) {
+              acc = Math.subtractExact(
+                Math.addExact(acc,
+                  sq(x(i + window - 1), x(i + d + window - 1))),
+                sq(x(i - 1), x(i + d - 1)))
+              update(i, i + d, acc)
+              i += 1
+            }
+            d += 1
+          }
+          (0 until nsub).iterator
+            .filter(i => bestJ(i) >= 0)
+            .map(i => (k, (i + 1).toLong, (bestJ(i) + 1).toLong, best(i)))
+        }
+      }
+      .toDF(keyCol, "pos", "nn_pos", "d2_units")
+  }
 }

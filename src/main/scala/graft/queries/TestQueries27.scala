@@ -299,6 +299,62 @@ object TestQueries27 {
       FROM agg"""
     })
 
+  /** Matrix profile per user series —
+    * [[graft.analytics.Events.matrixProfile]] (Yeh 2016 / STOMP
+    * recurrence, exact-integer non-normalized variant): window 4,
+    * default exclusion, centi-unit grid (2dp event values). The
+    * oracle recomputes every admissible pair brute-force and argmins
+    * by (d2, neighbor) — the recurrence vs brute-force equality IS
+    * the claim. All-integer → RAW.
+    */
+  val q379MatrixProfile: QueryCase = QueryCase(
+    "q379_matrix_profile",
+    (s, dir) => graft.analytics.Events.matrixProfile(
+      Tables.events(s, dir).where(col("user_id") < 50)
+        .select(col("user_id").cast("string").as("k"),
+          col("event_id"), col("value")),
+      "k", "event_id", "value", window = 4, scale = 100L)
+      .orderBy("k", "pos"),
+    Some("""
+      WITH ev AS (
+        SELECT CAST(user_id AS VARCHAR) AS k, event_id,
+               CAST(value AS DECIMAL(18,6)) AS v
+        FROM events WHERE user_id < 50),
+      ser AS (
+        SELECT k,
+               ROW_NUMBER() OVER (PARTITION BY k ORDER BY event_id)
+                 AS pos,
+               CAST(v * 100 AS BIGINT) AS xs
+        FROM ev),
+      n AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS t FROM ser GROUP BY k),
+      subs AS (
+        SELECT s.k, s.pos
+        FROM ser s JOIN n USING (k) WHERE s.pos <= n.t - 3),
+      pairs AS (
+        SELECT a.k, a.pos AS i, b.pos AS j
+        FROM subs a JOIN subs b
+          ON a.k = b.k AND b.pos >= a.pos + 4),
+      dd AS (
+        SELECT p.k, p.i, p.j,
+               SUM(CAST(sa.xs - sb.xs AS HUGEINT) * (sa.xs - sb.xs))
+                 AS d2
+        FROM pairs p
+        JOIN ser sa ON sa.k = p.k AND sa.pos BETWEEN p.i AND p.i + 3
+        JOIN ser sb ON sb.k = p.k AND sb.pos = sa.pos - p.i + p.j
+        GROUP BY p.k, p.i, p.j),
+      sym AS (
+        SELECT k, i AS pos, j AS nn, d2 FROM dd
+        UNION ALL
+        SELECT k, j AS pos, i AS nn, d2 FROM dd)
+      SELECT k, pos, nn AS nn_pos, CAST(d2 AS BIGINT) AS d2_units
+      FROM (
+        SELECT k, pos, nn, d2,
+               ROW_NUMBER() OVER (PARTITION BY k, pos
+                 ORDER BY d2, nn) AS rn
+        FROM sym) WHERE rn = 1
+      ORDER BY k, pos"""))
+
   val all: Seq[QueryCase] =
-    Seq(q375AucBucketed, q376Louvain, q377Modularity, q378SlatePi)
+    Seq(q375AucBucketed, q376Louvain, q377Modularity, q378SlatePi,
+      q379MatrixProfile)
 }

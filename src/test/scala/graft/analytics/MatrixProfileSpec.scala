@@ -1,0 +1,90 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+/** [[Events.matrixProfile]] — exact-integer non-normalized matrix
+  * profile: planted motifs, brute-force equality, exclusion-zone and
+  * grid/bound contracts.
+  */
+class MatrixProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(xs: Seq[Double], key: String = "a") =
+    xs.zipWithIndex.map { case (x, i) => (key, (i + 1).toLong, x) }
+      .toDF("k", "ord", "x")
+
+  test("planted motif: identical windows find each other at d2 = 0") {
+    // windows at pos 1 and pos 7 are both (1,2,3); window 3, excl 3
+    val df = series(Seq(1, 2, 3, 9, 5, 4, 1, 2, 3).map(_.toDouble))
+    val got = Events.matrixProfile(df, "k", "ord", "x",
+      window = 3, exclusion = 3, scale = 1L).collect()
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((7L, 0L)))
+    assert(got(7L) == ((1L, 0L)))
+    // every admissible pair respects the exclusion zone
+    assert(got.forall { case (p, (nn, _)) => math.abs(p - nn) >= 3 })
+  }
+
+  test("matches a brute-force recomputation (tie-break: smallest " +
+      "neighbor position)") {
+    val xs = Seq(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0,
+      5.0, 8.0, 9.0, 7.0, 9.0, 3.0)
+    val m = 4; val excl = 4
+    val df = series(xs)
+    val got = Events.matrixProfile(df, "k", "ord", "x",
+      window = m, exclusion = excl, scale = 1L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val x = xs.map(_.toLong).toArray
+    val nsub = x.length - m + 1
+    val brute = (0 until nsub).flatMap { i =>
+      val cands = (0 until nsub).filter(j => math.abs(i - j) >= excl)
+        .map { j =>
+          val d2 = (0 until m).map(t => (x(i + t) - x(j + t)) *
+            (x(i + t) - x(j + t))).sum
+          (d2, j)
+        }
+      if (cands.isEmpty) None
+      else {
+        val (d2, j) = cands.min
+        Some(((i + 1).toLong, (j + 1).toLong, d2))
+      }
+    }.sorted
+    assert(got == brute)
+  }
+
+  test("constant series: default exclusion (= window) keeps trivial " +
+      "overlaps out; nearest neighbor is exactly window away, d2 0") {
+    val df = series(Seq.fill(10)(2.5))
+    val got = Events.matrixProfile(df, "k", "ord", "x", window = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (p, nn, d2) =>
+      d2 == 0L && math.abs(p - nn) >= 3 })
+  }
+
+  test("series shorter than window + exclusion emits nothing; " +
+      "multiple keys stay independent") {
+    val df = series(Seq(1.0, 2.0, 3.0), "short")
+      .unionByName(series(Seq(1, 2, 3, 9, 5, 4, 1, 2, 3)
+        .map(_.toDouble), "long"))
+    val got = Events.matrixProfile(df, "k", "ord", "x",
+      window = 3, exclusion = 3, scale = 1L).collect()
+    assert(got.forall(_.getString(0) == "long"))
+    assert(got.nonEmpty)
+  }
+
+  test("off-grid values and over-bound keys raise loudly") {
+    val offGrid = series(Seq(1.0, 2.0, 0.123, 4.0, 5.0, 6.0, 7.0))
+    val e1 = intercept[Exception] {
+      Events.matrixProfile(offGrid, "k", "ord", "x",
+        window = 2, scale = 100L).collect()
+    }
+    assert(e1.getMessage.contains("grid"))
+    val big = series((1 to 50).map(_.toDouble))
+    val e2 = intercept[Exception] {
+      Events.matrixProfile(big, "k", "ord", "x",
+        window = 2, scale = 1L, maxPoints = 10).collect()
+    }
+    assert(e2.getMessage.contains("maxPoints"))
+  }
+}
