@@ -354,7 +354,84 @@ object TestQueries27 {
         FROM sym) WHERE rn = 1
       ORDER BY k, pos"""))
 
+  /** Greedy MAP-DPP diverse selection — [[graft.search.Dpp.select]]
+    * (k=5) over the IDENTICAL top-20 cosine page q254's MMR selects
+    * from (query vector 0, quality = cosine relevance), so the two
+    * diverse-selection family members grade like-for-like. The oracle
+    * replays the pool build and all five Cholesky-fold rounds with
+    * the same IEEE sequence → selection order AND gains RAW.
+    */
+  val q380DppSelect: QueryCase = QueryCase(
+    "q380_dpp_select",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val e = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val withN = e.withColumn("nv", VectorFunctions.norm2(col("v")))
+      val q = withN.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("nv").as("nq"))
+      val pool = withN.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"), col("v"),
+          VectorFunctions.cosineFromParts(col("v"), col("qv"),
+            col("nv"), col("nq")).as("rel"))
+        .orderBy(desc("rel"), col("id")).limit(20)
+      graft.search.Dpp.select(pool, "id", "v", "rel", k = 5)
+    },
+    Some {
+      def fold(body: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $body),
+             (acc, t) -> acc + t)"""
+      def dot(a: String, b: String) =
+        fold(s"list_transform(range(1, 65), ii -> $a[ii] * $b[ii])")
+      def nrm(a: String) =
+        s"sqrt(${fold(s"list_transform(range(1, 65), ii -> $a[ii] * $a[ii])")})"
+      def round(r: Int): String = {
+        val prev = if (r == 1) "dpp0" else s"dst${r - 1}"
+        val pick = s"""pk$r AS (
+          SELECT * FROM $prev ORDER BY d2 DESC, id LIMIT 1)"""
+        val step = if (r == 5) "" else s""",
+          dst$r AS (
+            SELECT id, v, q, nv, list_append(cvec, e) AS cvec,
+                   d2 - e * e AS d2
+            FROM (
+              SELECT s.id, s.v, s.q, s.nv, s.cvec, s.d2,
+                ((p.q * s.q)
+                  * (${dot("s.v", "p.v")} / (s.nv * p.nv))
+                 - ${fold("list_transform(s.cvec, (ce, jj) -> ce * p.cvec[jj])")})
+                / sqrt(p.d2) AS e
+              FROM $prev s CROSS JOIN pk$r p
+              WHERE s.id <> p.id))"""
+        pick + step
+      }
+      s"""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      nn AS (SELECT vec_id, v, ${nrm("v")} AS nv FROM e),
+      qv AS (SELECT v AS qq, nv AS nq FROM nn WHERE vec_id = 0),
+      scored AS (
+        SELECT n.vec_id AS id, n.v, n.nv,
+               ${dot("n.v", "qv.qq")} / (n.nv * qv.nq) AS rel
+        FROM nn n, qv WHERE n.vec_id <> 0),
+      pool AS (
+        SELECT id, v, nv, rel FROM (
+          SELECT *, ROW_NUMBER() OVER (ORDER BY rel DESC, id) AS rk
+          FROM scored) WHERE rk <= 20),
+      dpp0 AS (
+        SELECT id, v, rel AS q, ${nrm("v")} AS nv,
+               CAST([] AS DOUBLE[]) AS cvec, rel * rel AS d2
+        FROM pool),
+      ${(1 to 5).map(round).mkString(",\n      ")}
+      ${(1 to 5).map(r =>
+          s"""SELECT CAST($r AS INT) AS sel_order, id, q AS quality,
+              d2 AS gain FROM pk$r""")
+        .mkString("\n      UNION ALL\n      ")}
+      ORDER BY sel_order"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q375AucBucketed, q376Louvain, q377Modularity, q378SlatePi,
-      q379MatrixProfile)
+      q379MatrixProfile, q380DppSelect)
 }

@@ -1,0 +1,88 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Greedy MAP inference for a determinantal point process (the fast
+  * incremental-Cholesky greedy of Chen, Zhang & Zhou, NeurIPS 2018)
+  * over the quality×similarity kernel L_ij = q_i·q_j·cos(v_i, v_j) —
+  * the SET-diversity member of the diverse-selection family next to
+  * [[Mmr.select]] (which penalizes only the max pairwise similarity;
+  * the DPP marginal gain log det charges EVERY selected direction, so
+  * a candidate collinear with the selected SPAN scores zero even when
+  * no single selected item is close).
+  *
+  * Greedy step r: pick argmax dᵢ² (the marginal det gain of item i
+  * given the selected set), then for every remaining candidate fold
+  * one Cholesky column in:
+  *
+  *   eᵢ = (L_{j*,i} − ⟨c_{j*}, cᵢ⟩) / √d_{j*}²,   dᵢ² ← dᵢ² − eᵢ²
+  *
+  * Contract: candidates are a BOUNDED retrieval page (the [[Reranker]]
+  * discipline — rerank a page, never a table); each of the k rounds is
+  * one narrow distributed pass whose argmax is a TakeOrdered top-1 and
+  * whose selected row rides into the next plan as literals (the
+  * [[Mmr.select]] loop shape). The per-candidate Cholesky row cᵢ grows
+  * to length k−1 — O(k) state per candidate, never a k×k matrix on the
+  * driver.
+  *
+  * Determinism: cosines and ⟨c, c⟩ are sequential left folds, √ and ÷
+  * are correctly rounded, and the oracle replays the identical IEEE
+  * sequence (the Bradley–Terry whole-fit-RAW precedent) — selection
+  * order AND gains compare RAW. A kernel numerically exhausted before
+  * k picks (best gain ≤ 0: duplicates/rank deficiency) raises loudly
+  * rather than emitting garbage directions.
+  *
+  * Output: (sel_order, id, quality, gain) — gain = dᵢ² at selection
+  * (the item's det-gain factor; Π gains = det of the selected kernel).
+  */
+object Dpp {
+
+  def select(cands: DataFrame, idCol: String, vecCol: String,
+             qualCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 256, "k must be in [1, 256]")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, t) => acc + t)
+    var base = cands.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        col(qualCol).cast("double").as("q"))
+      .where(col("v").isNotNull)
+      .withColumn("nv", sqrt(fold(transform(col("v"), x => x * x))))
+      .withColumn("cvec", array().cast("array<double>"))
+      .withColumn("d2", col("q") * col("q"))
+    var selected = List.empty[(Int, Long, Double, Double)]
+    var round = 1
+    while (round <= k) {
+      val pick = base.orderBy(desc("d2"), col("id")).limit(1).head()
+      val (pid, pv, pq, pnv, pc, pd2) = (pick.getAs[Long]("id"),
+        pick.getAs[Seq[Double]]("v").toArray, pick.getAs[Double]("q"),
+        pick.getAs[Double]("nv"),
+        pick.getAs[Seq[Double]]("cvec").toArray, pick.getAs[Double]("d2"))
+      require(pd2 > 0.0,
+        s"Dpp.select: kernel exhausted at pick $round (best gain $pd2" +
+          " <= 0) — duplicate/collinear candidates or k over the" +
+          " kernel rank; lower k or dedup the page")
+      selected = (round, pid, pq, pd2) :: selected
+      if (round < k) {
+        val vj = array(pv.map(lit(_)).toIndexedSeq: _*)
+        val cj = array(pc.map(lit(_)).toIndexedSeq: _*)
+        val dotV = fold(zip_with(col("v"), vj, (x, y) => x * y))
+        val dotC = fold(zip_with(col("cvec"), cj, (x, y) => x * y))
+        base = graft.plans.Materialize.stage(
+          base.where(col("id") =!= pid)
+            .withColumn("e",
+              ((lit(pq) * col("q")) * (dotV / (col("nv") * lit(pnv)))
+                - dotC) / lit(math.sqrt(pd2)))
+            .withColumn("cvec", concat(col("cvec"), array(col("e"))))
+            .withColumn("d2", col("d2") - col("e") * col("e"))
+            .drop("e"),
+          "graft.dedup.checkpoint")
+      }
+      round += 1
+    }
+    selected.reverse
+      .toDF("sel_order", "id", "quality", "gain")
+  }
+}

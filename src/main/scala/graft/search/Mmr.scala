@@ -8,7 +8,11 @@ import org.apache.spark.sql.functions._
   * the most relevant candidate, then k−1 times the one maximizing
   * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), so near-duplicate hits don't
   * crowd out coverage. The RAG cousin of [[graft.operators.Coreset]]'s
-  * farthest-first loop (MMR at λ=0 IS k-center on similarities).
+  * farthest-first loop (MMR at λ=0 IS k-center on similarities). The
+  * SET-diversity member of the same diverse-selection family is
+  * [[Dpp.select]] (greedy MAP-DPP): MMR penalizes only the MAX
+  * pairwise similarity, DPP's log-det gain charges the whole selected
+  * span.
   *
   * Contract: candidates are a BOUNDED retrieval page (the
   * [[Reranker]] discipline — rerank a page, never a table); selected

@@ -1,0 +1,61 @@
+package graft.search
+
+import graft.SparkSpec
+
+/** [[Dpp.select]] — greedy MAP-DPP over the quality×similarity
+  * kernel: orthogonal/diagonal exactness, span-diversity behavior vs
+  * MMR's pairwise penalty, exhausted-kernel raise.
+  */
+class DppSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("orthogonal candidates: diagonal kernel, picks in quality " +
+      "order with gains exactly q^2") {
+    val cands = Seq(
+      (1L, Seq(1.0, 0.0, 0.0), 3.0),
+      (2L, Seq(0.0, 1.0, 0.0), 2.0),
+      (3L, Seq(0.0, 0.0, 1.0), 1.0)).toDF("id", "v", "q")
+    val got = Dpp.select(cands, "id", "v", "q", k = 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((1, 1L, 9.0), (2, 2L, 4.0), (3, 3L, 1.0)))
+  }
+
+  test("span diversity: the orthogonal low-quality candidate beats " +
+      "the collinear higher-quality duplicate") {
+    val cands = Seq(
+      (1L, Seq(1.0, 0.0), 2.0),
+      (2L, Seq(1.0, 0.0), 1.9), // same direction as the seed
+      (3L, Seq(0.0, 1.0), 1.0)).toDF("id", "v", "q")
+    val got = Dpp.select(cands, "id", "v", "q", k = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    // pick 1: id 1 (gain 4); pick 2: id 2's gain collapses to
+    // 1.9^2 − 1.9^2 = 0, id 3 keeps 1.0 → id 3 wins
+    assert(got.toSeq == Seq((1, 1L, 4.0), (2, 3L, 1.0)))
+  }
+
+  test("gains multiply to the selected kernel's determinant " +
+      "(2x2 hand case)") {
+    // v1·v2 cosine = 0.6 (3-4-5), qualities 2 and 1:
+    // L = [[4, 1.2], [1.2, 1]] → det = 4 − 1.44 = 2.56;
+    // greedy gains: 4, then 1 − (1.2/2)^2 = 0.64 → product 2.56
+    val cands = Seq(
+      (1L, Seq(3.0, 4.0), 2.0),
+      (2L, Seq(1.0, 0.0), 1.0)).toDF("id", "v", "q")
+    val got = Dpp.select(cands, "id", "v", "q", k = 2).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got(1L) == 4.0)
+    assert(math.abs(got(2L) - 0.64) < 1e-12)
+    assert(math.abs(got(1L) * got(2L) - 2.56) < 1e-12)
+  }
+
+  test("exhausted kernel (collinear page, k past the rank) raises " +
+      "loudly instead of emitting garbage directions") {
+    val cands = Seq(
+      (1L, Seq(1.0, 0.0), 2.0),
+      (2L, Seq(2.0, 0.0), 1.0)).toDF("id", "v", "q")
+    val e = intercept[IllegalArgumentException] {
+      Dpp.select(cands, "id", "v", "q", k = 2)
+    }
+    assert(e.getMessage.contains("kernel exhausted"))
+  }
+}
