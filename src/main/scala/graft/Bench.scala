@@ -424,7 +424,7 @@ object Bench {
     Thread.sleep(200)
     val steadyLoad0 = loadAvg; val steadyGc0 = gcMs; val steadyJan0 = janinoUnits
     var steadyReruns = 0
-    val worstSteady = worstPairs.map { case (name, cold) =>
+    def steadyRun(name: String, cold: Double, verbose: Boolean): Double = {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
         // same staging mode as this query's cold run — a lazy cold vs
@@ -440,8 +440,9 @@ object Bench {
             fn(spark, sfDir).queryExecution.toRdd.count()
             (System.nanoTime() - t0) / 1e9
           } catch { case _: Throwable => -1.0 }
-        System.err.println(s"[bench] steady $name: ${fmt(dt, 2)}s" +
-          s" janino_delta=${janinoUnits - jan0q} gc_delta_ms=${gcMs - gc0q}")
+        if (verbose)
+          System.err.println(s"[bench] steady $name: ${fmt(dt, 2)}s" +
+            s" janino_delta=${janinoUnits - jan0q} gc_delta_ms=${gcMs - gc0q}")
         if (lazyStaged(name)) spark.conf.unset("graft.dedup.checkpoint")
         releaseCaches()
         dt
@@ -460,8 +461,24 @@ object Bench {
         val dt2 = once()
         if (dt2 >= 0 && dt2 < dt) dt = dt2
       }
-      name -> dt
+      dt
     }
+    val worstSteady = worstPairs.map { case (name, cold) =>
+      name -> steadyRun(name, cold, verbose = true)
+    }
+    // FULL steady pass (round-16 verdict ask #6): the cold total is the
+    // JIT-noisy column (396→467 s between two idle runs with identical
+    // steady legs), so the compact record carries the summed steady —
+    // every query rerun once compile-free — as the run-to-run-comparable
+    // headline. The worst set keeps its verbose per-query attribution
+    // above; the rest run quiet under the same inversion guard.
+    val steadyRest = results.filter(_._2 >= 0)
+      .filterNot(r => worstPairs.exists(_._1 == r._1))
+      .map { case (name, cold) =>
+        name -> steadyRun(name, cold, verbose = false)
+      }
+    val steadyAll = (worstSteady ++ steadyRest).map(_._2).filter(_ >= 0)
+    val totalSteady = steadyAll.sum
     val worstSteadyJson = worstSteady
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
     // build attribution for the worst set IN THE COMPACT LINE (round-16
@@ -489,7 +506,7 @@ object Bench {
     val indexedP95Compact = indexedDist
       .map { case (k, (_, p95)) => "\"" + k + "\":" + fmt(p95, 3) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"worst_build":$worstBuildJson,"steady_env":$steadyEnv,"warm_serving":$warmServing,"warm_p95":$warmP95Compact,"indexed_p95":$indexedP95Compact,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"indexed_websearch_sec":${fmt(indexedWebsearch, 3)},"indexed_ivfsq8_sec":${fmt(indexedIvfSq8, 3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","total_steady":${fmt(totalSteady, 1)},"n_steady":${steadyAll.size},"n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"worst_build":$worstBuildJson,"steady_env":$steadyEnv,"warm_serving":$warmServing,"warm_p95":$warmP95Compact,"indexed_p95":$indexedP95Compact,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"indexed_websearch_sec":${fmt(indexedWebsearch, 3)},"indexed_ivfsq8_sec":${fmt(indexedIvfSq8, 3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -32,8 +32,11 @@ object TestQueries3 {
       // with q67; identical rows — `graft.serving.useStore=off` restores
       // tokenize-per-query
       val toks = graft.search.TextIndex.fts(s, dir)
-      val q = terms.map(lit)
-      def cnt(c: String) = size(filter(col(c), x => x.isin(q: _*)))
+      // native codegen term counter (round-17: the filter+isin HOF ran
+      // INTERPRETED per element and was the q38 warm leg's hot loop —
+      // the round-1 langId lesson applied to the serving path)
+      def cnt(c: String) =
+        TextFunctions.tokensInSetCount(col(c), terms)
       toks.select(col("doc_id"),
           (cnt("ct").cast("double") * 1.0 + cnt("ht").cast("double") * 0.4)
             .as("score"))
@@ -79,7 +82,7 @@ object TestQueries3 {
       val lex = toks.select(col("doc_id"),
         Fts.lexemesOfTokens(col("tk"), p2).as("lex"))
       lex.select(col("doc_id"),
-          size(filter(col("lex"), x => x.isin(qLex.map(lit): _*)))
+          TextFunctions.tokensInSetCount(col("lex"), qLex)
             .cast("double").as("score"))
         .where(col("score") > 0)
         .orderBy(desc("score"), col("doc_id"))

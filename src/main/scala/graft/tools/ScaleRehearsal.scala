@@ -104,6 +104,15 @@ object ScaleRehearsal {
         val names =
           if (args.length > 1) args(1).split(",").toSeq else LadderQueries
         names.foreach { name =>
+          // SAME-WARMTH protocol (round-16 weak-scaling finding, codified
+          // as round-17 verdict ask #5): one discarded full pass at the
+          // smallest rung first, so every MEASURED rung — including the
+          // first — runs in an equally code/JIT-warm JVM. Decade ratios
+          // from mixed-warmth rungs are protocol artifacts, not plan
+          // properties (same query/data/cores read 186 s fresh-JVM vs
+          // 132 s warm); every row records the warmth so a table can
+          // never silently mix protocols.
+          steady(name, s"/root/testdata/sf${sfs.head}")
           val times = sfs.map { sf =>
             val (c, w) = steady(name, s"/root/testdata/sf$sf")
             sf -> (c, w)
@@ -115,7 +124,8 @@ object ScaleRehearsal {
           val cs = times.map { case (sf, (c, _)) => f"$c%.2f" }.mkString("/")
           val ws = w.map(t => f"$t%.2f").mkString("/")
           println(f"[ladder] $name%-24s cold=$cs steady=$ws " +
-            f"exp(0.001→0.01)=$e1%.2f exp(0.01→0.1)=$e2%.2f")
+            f"exp(0.001→0.01)=$e1%.2f exp(0.01→0.1)=$e2%.2f " +
+            "warmth=same(post-first)")
         }
 
       case "build" =>
@@ -219,6 +229,28 @@ object ScaleRehearsal {
       // Cold/steady at ONE directory for a query list — the building
       // block of the weak-scaling rehearsal (run once per (dir, cpus)
       // pair; the caller sets SPARK_GRAFT_CPUS). Args: dir queries-csv.
+      // Warm-p95 BAND for a serving leg (round-17 verdict ask #7): the
+      // Bench warm-dist measurement (20 reps of the finalized RDD, p50 =
+      // 10th / p95 = 19th order statistic) repeated R times in one JVM,
+      // one band row per repetition — pins whether a thin-margin leg's
+      // run-to-run movement is variance or a real regression.
+      case "warmband" =>
+        val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+        val name = args.lift(2).getOrElse("q38_fts_rank")
+        val reps = args.lift(3).map(_.toInt).getOrElse(5)
+        val fn = graft.SparkEntry.queries(name)
+        val rdd = fn(spark, dir).queryExecution.toRdd
+        rdd.count() // finalize AQE + codegen, untimed
+        (1 to reps).foreach { b =>
+          val ts = (1 to 20).map { _ =>
+            val t0 = System.nanoTime()
+            rdd.count()
+            (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"[warmband] $name run=$b p50=${ts(9)}%.3f " +
+            f"p95=${ts(18)}%.3f max=${ts(19)}%.3f")
+        }
+
       case "steadyat" =>
         // dir may be a CSV of dirs — they run ASCENDING in this one
         // JVM (code-warm at the later dirs, the ladder10 protocol),
@@ -242,12 +274,15 @@ object ScaleRehearsal {
         val names =
           if (args.length > 2) args(2).split(",").toSeq else LadderQueries
         names.foreach { name =>
+          // same-warmth protocol: discarded JIT-warmup pass at the small
+          // rung before either measured rung (see `ladder`)
+          steady(name, "/root/testdata/sf0.1")
           val (c01, w01) = steady(name, "/root/testdata/sf0.1")
           val (c1, w1) = steady(name, sf1)
           val e = math.log10(w1 / w01)
           println(f"[ladder10] $name%-24s sf0.1 cold=$c01%.2f " +
             f"steady=$w01%.2f | sf1 cold=$c1%.2f steady=$w1%.2f " +
-            f"exp(0.1→1.0)=$e%.2f")
+            f"exp(0.1→1.0)=$e%.2f warmth=same(post-first)")
         }
 
       // SemDeDup's scale lever: with k FIXED the within-cluster pair count
