@@ -1325,4 +1325,109 @@ object Events {
       }
       .toDF(keyCol, "pos", "nn_pos", "d2_units")
   }
+
+  /** Banned-cell sentinel for [[dtw]]: far above any reachable path
+    * cost (≤ maxPoints·scale·|range| ≈ 10¹³) yet far below Long
+    * overflow even after min/CASE propagation — both engines carry the
+    * IDENTICAL literal, so masked cells compare exactly.
+    */
+  val DtwBig: Long = 1000000000000000L // 1e15
+
+  /** Dynamic time warping distance to a reference series (Sakoe &
+    * Chiba 1978's banded DP) — the alignment-distance member of the
+    * time-series family next to [[matrixProfile]] (which finds
+    * *within*-series structure; DTW scores *across*-series shape
+    * similarity under local time stretching): per key,
+    *
+    *   dp(i,j) = |a_i − b_j| + min(dp(i−1,j), dp(i,j−1), dp(i−1,j−1)),
+    *   cells with |i − j| > band masked to [[DtwBig]]
+    *
+    * over the key's series a (ord order) and the designated reference
+    * key's series b. L1 cost on the exact 1/`scale` integer grid (the
+    * [[matrixProfile]] discipline — off-grid raises loudly), so the
+    * whole DP is exact LONG arithmetic and compares RAW with an oracle
+    * that replays the DP by ANTI-DIAGONALS (diagonal k depends only on
+    * k−1 and k−2 — no intra-row recurrence, so a recursive CTE carries
+    * two lists and fills each diagonal with one independent transform).
+    *
+    * Scale shape: the reference series is collected through the loud
+    * [[graft.plans.Bounded.collectBounded]] contract and broadcast by
+    * capture; every other key is one bounded `flatMapGroups` walk
+    * (maxPoints contract) doing the O(n·band) banded DP. Keys
+    * partition the work; 100 TB of keys stream through.
+    *
+    * A band narrower than a key's length difference |n − m| leaves no
+    * admissible path — that key raises loudly (a silent [[DtwBig]]
+    * would read as a gigantic-but-real distance).
+    *
+    * Output per non-reference key: (key, n, m, dtw_units), n/m the
+    * series lengths, dtw_units the exact path cost in 1/scale units.
+    */
+  def dtw(df: DataFrame, keyCol: String, orderCol: String,
+          valueCol: String, refKey: String, band: Int,
+          scale: Long = 1000000L, maxPoints: Int = 4096): DataFrame = {
+    require(band >= 0 && band <= 65536, "band must be in [0, 65536]")
+    require(scale >= 1 && scale <= 1000000L, "scale must be in [1, 1e6]")
+    require(maxPoints >= 1 && maxPoints <= 65536,
+      "maxPoints must be in [1, 65536]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val units = col(valueCol).cast("decimal(18,6)") * lit(scale)
+    val base = df.select(col(keyCol).cast("string").as("k"),
+      col(orderCol).cast("long").as("ord"),
+      when(units =!= units.cast("long").cast("decimal(38,6)"),
+        raise_error(concat(
+          lit(s"dtw: value off the 1/$scale grid (saw "),
+          col(valueCol).cast("string"),
+          lit(") — exact integer costs need on-grid values; lower " +
+            "`scale` to the metric's decimal places"))))
+        .otherwise(units.cast("long")).as("xs"))
+    val ref = graft.plans.Bounded.collectBounded(
+      base.where(col("k") === refKey).orderBy("ord").select("xs"),
+      "Events.dtw reference series").map(_.getLong(0))
+    require(ref.length >= 1, s"dtw: reference key '$refKey' has no rows")
+    require(ref.length <= maxPoints,
+      s"dtw: reference series has ${ref.length} points, over " +
+        s"maxPoints=$maxPoints")
+    val b = ref
+    base.where(col("k") =!= refKey)
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val rows = it.map { case (_, ord, xs) => (ord, xs) }.toArray
+        require(rows.length <= maxPoints,
+          s"dtw: key '$k' has ${rows.length} points, over " +
+            s"maxPoints=$maxPoints — the banded DP is O(n·band) by " +
+            "contract; roll the series up or raise the bound")
+        java.util.Arrays.sort(rows, Ordering.by((r: (Long, Long)) => r._1))
+        val a = rows.map(_._2)
+        val n = a.length; val m = b.length
+        require(math.abs(n - m) <= band,
+          s"dtw: key '$k' length $n vs reference $m exceeds band=$band" +
+            " — no admissible warping path; widen the band")
+        // dp over b-index j (1..m), two rolling rows; banded: only
+        // |i - j| <= band cells are real, others DtwBig
+        var prev = Array.fill(m + 1)(DtwBig)
+        var cur = Array.fill(m + 1)(DtwBig)
+        var i = 1
+        while (i <= n) {
+          java.util.Arrays.fill(cur, DtwBig)
+          val lo = math.max(1, i - band)
+          val hi = math.min(m, i + band)
+          var j = lo
+          while (j <= hi) {
+            val cost = math.abs(a(i - 1) - b(j - 1))
+            val best =
+              if (i == 1 && j == 1) 0L
+              else math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+            cur(j) = cost + best
+            j += 1
+          }
+          val t = prev; prev = cur; cur = t
+          i += 1
+        }
+        (k, n.toLong, m.toLong, prev(m))
+      }
+      .toDF(keyCol, "n", "m", "dtw_units")
+  }
 }

@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
 
 /** RAKE keyword extraction (Rose et al. 2010) — unsupervised corpus
   * keyphrase mining, the degree/frequency complement to the c-TF-IDF
-  * distinctive-vocabulary and PMI collocation miners.
+  * distinctive-vocabulary and PMI collocation miners. The
+  * GRAPH-centrality member of the same keyword-extraction family is
+  * [[TextRank.keywords]] (PageRank over the co-occurrence graph —
+  * importance by association rather than RAKE's degree/frequency
+  * counting).
   *
   * Candidate phrases are maximal runs of content tokens: a run breaks
   * AT a stopword or a token with no alphanumeric core, and AFTER a

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) — the
+  * GRAPH-centrality member of the keyword-extraction family next to
+  * [[Rake]] (whose degree/frequency score is one pass over per-doc
+  * phrase runs; TextRank instead ranks the corpus co-occurrence graph
+  * with [[PageRank]], so a term is important because IMPORTANT terms
+  * co-occur with it, not merely frequent ones).
+  *
+  * Pipeline: tokens → stopword-filtered candidate sequence (order
+  * kept) → undirected co-occurrence edges within `coocWindow`
+  * positions → fixed-iteration [[PageRank.run]] over the distinct
+  * vocabulary → top-k by ROUND(pr, 9) with token tie-break (the
+  * rounded-sort-key discipline: the contribution sums are float and
+  * shuffle-order wobbly at 1 ulp, so ranking on the rounded score is
+  * what makes the selection platform-stable — the ntile lesson).
+  *
+  * Scale shape: one posexplode + one bounded-offset self-join per
+  * window offset (positions are doc-local, the join is doc-keyed), a
+  * distinct over edges, then PageRank's per-iteration join+agg pair —
+  * all key-partitioned; the top-k is a TakeOrdered, not a global
+  * window.
+  *
+  * Output: (rank, token, pr) — pr rounded to 9, rank 1-based.
+  */
+object TextRank {
+
+  def keywords(docs: DataFrame, idCol: String, textCol: String,
+               coocWindow: Int = 2, iters: Int = 3, k: Int = 20,
+               stopwords: Seq[String] =
+                 graft.functions.TextFunctions.StopwordsEn): DataFrame = {
+    require(coocWindow >= 1 && coocWindow <= 16,
+      "coocWindow must be in [1, 16]")
+    require(iters >= 1 && iters <= 16, "iters must be in [1, 16]")
+    require(k >= 1 && k <= 10000, "k must be in [1, 10000]")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"),
+        filter(col("tk"), t => !t.isin(stopwords.map(lit(_)): _*))
+          .as("cand"))
+      .select(col("doc_id"), posexplode(col("cand")).as(Seq("pos", "t")))
+    val a = toks.select(col("doc_id"), col("pos"), col("t").as("ta"))
+    val bdf = toks.select(col("doc_id"), col("pos").as("posb"),
+      col("t").as("tb"))
+    val pairs = a.join(bdf,
+        a("doc_id") === bdf("doc_id") &&
+          col("posb") > col("pos") &&
+          col("posb") <= col("pos") + coocWindow &&
+          col("ta") =!= col("tb"))
+      .select(col("ta"), col("tb")).distinct()
+    val edges = pairs.select(col("ta").as("src"), col("tb").as("dst"))
+      .unionByName(pairs.select(col("tb").as("src"), col("ta").as("dst")))
+      .distinct()
+    val nodes = toks.select(col("t").as("node")).distinct()
+    val pr = PageRank.run(nodes, edges, iters)
+    // limit(k) sets the static bound, so the rank window's guard is
+    // the free path (the KMeans/Pq seed-window discipline)
+    graft.plans.Bounded.guard(
+        pr.select(col("node").as("token"), round(col("pr"), 9).as("pr"))
+          .orderBy(desc("pr"), col("token")).limit(k),
+        "TextRank.keywords top-k")
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("pr"), col("token"))))
+      .select(col("rank"), col("token"), col("pr"))
+  }
+}

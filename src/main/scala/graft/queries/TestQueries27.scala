@@ -431,7 +431,136 @@ object TestQueries27 {
       ORDER BY sel_order"""
     })
 
+  /** Banded DTW distance of every user's event-value series to user
+    * 1's — [[graft.analytics.Events.dtw]] (Sakoe–Chiba band 64,
+    * centi-unit grid). The oracle replays the DP by ANTI-DIAGONALS
+    * (diagonal k depends only on k−1/k−2 — no intra-row recurrence) in
+    * a recursive CTE carrying two diagonal lists per key. All-integer
+    * → RAW.
+    */
+  val q381Dtw: QueryCase = QueryCase(
+    "q381_dtw",
+    (s, dir) => graft.analytics.Events.dtw(
+      Tables.events(s, dir).where(col("user_id") < 30)
+        .select(col("user_id").cast("string").as("k"),
+          col("event_id"), col("value")),
+      "k", "event_id", "value", refKey = "1", band = 64, scale = 100L)
+      .orderBy("k"),
+    Some(s"""
+      WITH RECURSIVE ev AS (
+        SELECT CAST(user_id AS VARCHAR) AS k, event_id,
+               CAST(CAST(value AS DECIMAL(18,6)) * 100 AS BIGINT) AS xs
+        FROM events WHERE user_id < 30),
+      ser AS (
+        SELECT k, list(xs ORDER BY event_id) AS a,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ev GROUP BY k),
+      rf AS (SELECT a AS bb, n AS m FROM ser WHERE k = '1'),
+      init AS (
+        SELECT s.k, s.a, s.n, rf.bb, rf.m, CAST(1 AS BIGINT) AS kk,
+               list_transform(range(1, CAST(s.n AS INTEGER) + 1),
+                 zz -> 1000000000000000) AS prev,
+               list_transform(range(1, CAST(s.n AS INTEGER) + 1),
+                 zz -> 1000000000000000) AS prev2
+        FROM ser s, rf WHERE s.k <> '1'),
+      dp AS (
+        SELECT * FROM init
+        UNION ALL
+        SELECT k, a, n, bb, m, kk + 1,
+          list_transform(range(1, CAST(n AS INTEGER) + 1), ii ->
+            CASE
+              WHEN (kk + 1) - ii < 1 OR (kk + 1) - ii > m
+                   OR abs(ii - ((kk + 1) - ii)) > 64
+                THEN 1000000000000000
+              WHEN ii = 1 AND (kk + 1) - ii = 1
+                THEN abs(a[ii] - bb[CAST((kk + 1) - ii AS INTEGER)])
+              ELSE abs(a[ii] - bb[CAST((kk + 1) - ii AS INTEGER)])
+                + LEAST(
+                    COALESCE(prev[ii - 1], 1000000000000000),
+                    prev[ii],
+                    COALESCE(prev2[ii - 1], 1000000000000000))
+            END) AS prev,
+          prev AS prev2
+        FROM dp WHERE kk < n + m)
+      SELECT k, n, m, prev[CAST(n AS INTEGER)] AS dtw_units
+      FROM dp WHERE kk = n + m
+      ORDER BY k"""))
+
+  /** TextRank corpus keywords — [[graft.operators.TextRank.keywords]]
+    * (window-2 co-occurrence graph, 3 PageRank iterations, top-20):
+    * the graph-centrality keyword miner next to q269's RAKE. The
+    * oracle rebuilds the candidate sequence, the undirected edge set,
+    * and unrolls the three PageRank iterations (the q154 pattern);
+    * ranking is on ROUND(pr, 9) with token tie-break, so the float
+    * contribution sums' 1-ulp shuffle wobble never moves the list.
+    */
+  val q382Textrank: QueryCase = QueryCase(
+    "q382_textrank",
+    (s, dir) => graft.operators.TextRank.keywords(
+      Tables.documents(s, dir), "doc_id", "text",
+      coocWindow = 2, iters = 3, k = 20),
+    Some {
+      val stops = graft.functions.TextFunctions.StopwordsEn
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      def iter(i: Int): String = s"""
+      dang$i AS (
+        SELECT COALESCE(SUM(p.pr), CAST(0.0 AS DOUBLE)) AS dm
+        FROM pr${i - 1} p LEFT JOIN outdeg o ON o.src = p.node
+        WHERE o.src IS NULL),
+      contrib$i AS (
+        SELECT e.dst, SUM(p.pr / o.outdeg) AS cin
+        FROM edges e JOIN pr${i - 1} p ON p.node = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst),
+      pr$i AS (
+        SELECT n.node,
+               CAST(0.15 AS DOUBLE) / nc.n
+                 + CAST(0.85 AS DOUBLE)
+                   * (COALESCE(c.cin, CAST(0.0 AS DOUBLE)) + d.dm / nc.n)
+                 AS pr
+        FROM nodes n LEFT JOIN contrib$i c ON c.dst = n.node
+        CROSS JOIN ncount nc CROSS JOIN dang$i d)"""
+      s"""
+      WITH cands AS (
+        SELECT doc_id,
+               list_filter($TokensSql,
+                 tt -> NOT list_contains($stops, tt)) AS cand
+        FROM documents),
+      pos AS (
+        SELECT doc_id, u.pp AS pos, u.tt AS t
+        FROM cands, UNNEST(list_transform(cand,
+          (ww, ix) -> struct_pack(pp := ix, tt := ww))) AS z(u)),
+      rawpairs AS (
+        SELECT DISTINCT a.t AS ta, b.t AS tb
+        FROM pos a JOIN pos b
+          ON a.doc_id = b.doc_id AND b.pos > a.pos
+          AND b.pos <= a.pos + 2 AND a.t <> b.t),
+      edges AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT ta AS src, tb AS dst FROM rawpairs
+          UNION ALL
+          SELECT tb, ta FROM rawpairs)),
+      nodes AS (SELECT DISTINCT t AS node FROM pos),
+      ncount AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      outdeg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src),
+      pr0 AS (
+        SELECT node, CAST(1.0 AS DOUBLE) / nc.n AS pr
+        FROM nodes CROSS JOIN ncount nc),
+      ${iter(1)},
+      ${iter(2)},
+      ${iter(3)},
+      top AS (
+        SELECT node AS token, ROUND(pr, 9) AS pr
+        FROM pr3 ORDER BY ROUND(pr, 9) DESC, node LIMIT 20)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY pr DESC, token) AS INT)
+               AS rank,
+             token, pr
+      FROM top ORDER BY rank"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q375AucBucketed, q376Louvain, q377Modularity, q378SlatePi,
-      q379MatrixProfile, q380DppSelect)
+      q379MatrixProfile, q380DppSelect, q381Dtw, q382Textrank)
 }

@@ -1,0 +1,80 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** [[Events.dtw]] — banded dynamic time warping on the exact integer
+  * grid: hand-traced DP, time-stretch alignment, band semantics, and
+  * the loud contracts.
+  */
+class DtwSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(pairs: (String, Seq[Double])*): DataFrame =
+    pairs.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (x, i) => (k, (i + 1).toLong, x) }
+    }.toDF("k", "ord", "x")
+
+  test("identical series warp at cost 0; hand-traced DP for a " +
+      "permuted one") {
+    val df = series("ref" -> Seq(1.0, 2.0, 3.0),
+      "same" -> Seq(1.0, 2.0, 3.0), "perm" -> Seq(1.0, 3.0, 2.0))
+    val got = Events.dtw(df, "k", "ord", "x", refKey = "ref",
+      band = 10, scale = 1L).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("same") == 0L)
+    // dp over |a_i - b_j| for a=(1,3,2), b=(1,2,3): dp33 = 2
+    assert(got("perm") == 2L)
+  }
+
+  test("local time stretching aligns free: (1,1,2,3) vs (1,2,3) " +
+      "warps at 0") {
+    val df = series("ref" -> Seq(1.0, 2.0, 3.0),
+      "stretch" -> Seq(1.0, 1.0, 2.0, 3.0))
+    val got = Events.dtw(df, "k", "ord", "x", refKey = "ref",
+      band = 10, scale = 1L).collect().head
+    assert(got.getLong(1) == 4L && got.getLong(2) == 3L)
+    assert(got.getLong(3) == 0L)
+  }
+
+  test("the band binds: band 0 forces the diagonal path") {
+    val df = series("ref" -> Seq(1.0, 2.0, 2.0),
+      "a" -> Seq(1.0, 1.0, 2.0))
+    val free = Events.dtw(df, "k", "ord", "x", "ref",
+      band = 1, scale = 1L).collect().head.getLong(3)
+    val diag = Events.dtw(df, "k", "ord", "x", "ref",
+      band = 0, scale = 1L).collect().head.getLong(3)
+    assert(free == 0L) // (1,1)(1,2? ...) warped path reaches 0
+    assert(diag == 1L) // |1-1| + |1-2| + |2-2|
+  }
+
+  test("loud contracts: band narrower than the length difference, " +
+      "off-grid values, and a missing reference all raise") {
+    val ragged = series("ref" -> Seq(1.0, 2.0),
+      "long" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    val e1 = intercept[Exception] {
+      Events.dtw(ragged, "k", "ord", "x", "ref", band = 1, scale = 1L)
+        .collect()
+    }
+    assert(e1.getMessage.contains("widen the band"))
+    val offGrid = series("ref" -> Seq(1.0), "a" -> Seq(0.123))
+    val e2 = intercept[Exception] {
+      Events.dtw(offGrid, "k", "ord", "x", "ref", band = 5, scale = 100L)
+        .collect()
+    }
+    assert(e2.getMessage.contains("grid"))
+    val e3 = intercept[IllegalArgumentException] {
+      Events.dtw(series("a" -> Seq(1.0)), "k", "ord", "x", "nope",
+        band = 5, scale = 1L)
+    }
+    assert(e3.getMessage.contains("no rows"))
+  }
+
+  test("scaled grid: 2dp metrics at scale 100 cost in centi-units") {
+    val df = series("ref" -> Seq(1.25, 2.5), "a" -> Seq(1.0, 2.5))
+    val got = Events.dtw(df, "k", "ord", "x", "ref",
+      band = 2, scale = 100L).collect().head
+    // best path: (1,1) cost 25, (2,2) cost 0 -> 25 centi-units
+    assert(got.getLong(3) == 25L)
+  }
+}

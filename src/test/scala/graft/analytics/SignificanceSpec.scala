@@ -49,17 +49,28 @@ class SignificanceSpec extends SparkSpec {
     assert(z == 0.0)
   }
 
-  test("wilcoxon: an oversized panel raises the DOCUMENTED bound " +
-    "message, not a generic ANSI overflow") {
-    // the n <= 1.3e6 gate must wrap the cubic 2n(n+1)(2n+1) product
-    // itself (it wraps int64 at n ~ 1.32e6) — a guard only on the z
-    // output would let the product overflow first
+  test("wilcoxon: an oversized panel raises loudly at BOTH layers — " +
+    "the Bounded window guard first, the documented cubic-overflow " +
+    "gate when the guard is lifted") {
+    // round 17: the total-order rank window now carries Bounded.guard
+    // (default 2^20), which fires before the cubic gate; the n <= 1.3e6
+    // gate must still wrap the 2n(n+1)(2n+1) product itself (it wraps
+    // int64 at n ~ 1.32e6) for callers running with the guard off —
+    // a guard only on the z output would let the product overflow first
     val big = spark.range(1300001L)
       .selectExpr("CAST(id + 1 AS DOUBLE) AS a", "CAST(0.0 AS DOUBLE) AS b")
     val e = intercept[Exception] {
-      DistTest.wilcoxonSignedRank(big, "a", "b").collect()
+      DistTest.wilcoxonSignedRank(big, "a", "b")
     }
-    assert(e.getMessage.contains("n > 1.3e6"), e.getMessage)
+    assert(e.getMessage.contains("wilcoxonSignedRank"), e.getMessage)
+    assert(e.getMessage.contains("one partition"), e.getMessage)
+    spark.conf.set(graft.plans.Bounded.ModeKey, "off")
+    try {
+      val e2 = intercept[Exception] {
+        DistTest.wilcoxonSignedRank(big, "a", "b").collect()
+      }
+      assert(e2.getMessage.contains("n > 1.3e6"), e2.getMessage)
+    } finally spark.conf.unset(graft.plans.Bounded.ModeKey)
   }
 
   private def mcn(rows: Seq[(Boolean, Boolean)]) = {

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[TextRank.keywords]] — graph-centrality keyword extraction: hub
+  * dominance, stopword filtering, deterministic ranked output.
+  */
+class TextRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("the co-occurrence hub outranks peripheral words; stopwords " +
+      "never appear") {
+    val docs = Seq(
+      (1L, "the hub beta the hub gamma"),
+      (2L, "hub delta for hub epsilon"),
+      (3L, "beta zeta of gamma")).toDF("doc_id", "text")
+    val got = TextRank.keywords(docs, "doc_id", "text",
+      coocWindow = 2, iters = 3, k = 10).collect()
+    val ranked = got.map(r => (r.getInt(0), r.getString(1)))
+    assert(ranked.head._2 == "hub")
+    assert(ranked.map(_._1).toSeq == (1 to ranked.length))
+    val words = ranked.map(_._2).toSet
+    assert(!words.contains("the") && !words.contains("for") &&
+      !words.contains("of"))
+  }
+
+  test("ranked list is deterministic run-to-run and honors k") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta"),
+      (2L, "gamma delta epsilon zeta alpha")).toDF("doc_id", "text")
+    val a = TextRank.keywords(docs, "doc_id", "text", k = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    val b = TextRank.keywords(docs, "doc_id", "text", k = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(a == b)
+    assert(a.length == 3)
+  }
+
+  test("isolated candidates (no co-occurrence partner) still score " +
+      "the dangling-base rank, never vanish") {
+    // one-word doc: 'solo' has no in-window partner
+    val docs = Seq((1L, "alpha beta"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextRank.keywords(docs, "doc_id", "text", k = 10).collect()
+      .map(r => r.getString(1)).toSet
+    assert(got.contains("solo"))
+  }
+}
