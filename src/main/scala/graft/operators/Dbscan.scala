@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DBSCAN density clustering (Ester, Kriegel, Sander & Xu, KDD 1996)
+  * over a PRECOMPUTED eps-neighbor pair table — the density member of
+  * the pair-graph-clustering family next to
+  * [[Dedup.nearDupClusters]] (pure connected components: one stray
+  * edge fuses two clusters; DBSCAN's minPts core condition keeps
+  * chains of sparse bridges from doing that, and labels the bridge
+  * points border/noise instead).
+  *
+  * The eps-neighborhood is whatever pair generator the caller ran —
+  * the dedup family's blocked/bucketed joins ([[Dedup
+  * .ngramJaccardPairs]], [[Dedup.embeddingNearDupPairs]], MinHash-LSH
+  * verified pairs) are exactly eps-neighbor tables, so density
+  * clustering composes with every similarity the engine already
+  * measures, and the quadratic part stays inside those operators'
+  * existing blocking contracts.
+  *
+  * Semantics (classic, with the neighborhood including the point
+  * itself): a node with ≥ minPts−1 distinct neighbors is CORE;
+  * clusters are connected components of the core-core subgraph
+  * (component-min canonical id, via [[graft.entities.Entities
+  * .mergeChains]] union-find — the [[Dedup.nearDupClusters]]
+  * machinery); a non-core node adjacent to ≥1 core joins the MINIMUM
+  * adjacent core cluster as BORDER (the deterministic tie-break for
+  * the classic algorithm's assignment-order ambiguity); everything
+  * else in the pair table is NOISE with cluster_id −1. Points with no
+  * pairs at all never reach the operator — by definition they are
+  * noise for any minPts ≥ 2; callers union them in if they need the
+  * full roster.
+  *
+  * Scale shape: one distinct over directed edges, one degree
+  * aggregation, two semi-joins to cut the core subgraph, the
+  * union-find's keyed iterations, one border min-aggregation — all
+  * key-partitioned; no global windows, no collect.
+  *
+  * Output: (id, role ∈ {core, border, noise}, cluster_id) — all
+  * integer/string exact → RAW.
+  */
+object Dbscan {
+
+  def fromPairs(pairs: DataFrame, id1Col: String, id2Col: String,
+                minPts: Int): DataFrame = {
+    require(minPts >= 2 && minPts <= 1000000,
+      "minPts must be in [2, 1e6]")
+    val p0 = pairs.select(col(id1Col).as("a"), col(id2Col).as("b"))
+      .where(col("a") =!= col("b"))
+    // directed both ways, deduplicated; consumed by degree, the core
+    // subgraph cut, and the border assignment — materialize once
+    val und = graft.plans.Materialize.stage(
+      p0.unionByName(p0.select(col("b").as("a"), col("a").as("b")))
+        .distinct(),
+      "graft.dedup.checkpoint")
+    val core = graft.plans.Materialize.stage(
+      und.groupBy("a").agg(count(lit(1)).as("nn"))
+        .where(col("nn") + 1 >= minPts)
+        .select(col("a").as("id")),
+      "graft.dedup.checkpoint")
+    val coreEdges = und
+      .join(core.select(col("id").as("a")), Seq("a"))
+      .join(core.select(col("id").as("b")), Seq("b"))
+      .where(col("a") < col("b"))
+      .select(greatest(col("a"), col("b")).as("merged_id"),
+        least(col("a"), col("b")).as("canonical_id"))
+    val mapping = graft.entities.Entities.mergeChains(coreEdges)
+    val coreAssign = graft.plans.Materialize.stage(
+      core.join(mapping, core("id") === mapping("merged_id"), "left")
+        .select(col("id"),
+          coalesce(col("canonical_id"), col("id")).as("cluster_id")),
+      "graft.dedup.checkpoint")
+    val border = und
+      .join(core.select(col("id").as("a")), Seq("a"), "left_anti")
+      .join(coreAssign.select(col("id").as("b"),
+        col("cluster_id")), Seq("b"))
+      .groupBy(col("a").as("id"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+    val nodes = und.select(col("a").as("id")).distinct()
+    nodes
+      .join(coreAssign.withColumnRenamed("cluster_id", "core_c"),
+        Seq("id"), "left")
+      .join(border.withColumnRenamed("cluster_id", "border_c"),
+        Seq("id"), "left")
+      .select(col("id"),
+        when(col("core_c").isNotNull, "core")
+          .when(col("border_c").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_c"), col("border_c"), lit(-1L))
+          .as("cluster_id"))
+  }
+}

@@ -708,6 +708,12 @@ object Dedup {
         col("dup_windows").cast("double") / col("n_windows"))
   }
 
+  /** Connected components over a near-dup pair table, every member
+    * labeled with the component-min canonical id. The DENSITY member
+    * of the same pair-graph-clustering family is [[Dbscan.fromPairs]]
+    * (minPts core condition + border/noise roles — one stray bridge
+    * edge fuses components here but not there).
+    */
   def nearDupClusters(pairs: DataFrame, id1Col: String,
                       id2Col: String): DataFrame = {
     val a = col(id1Col)

@@ -560,7 +560,83 @@ object TestQueries27 {
       FROM top ORDER BY rank"""
     })
 
+  /** DBSCAN over the q95 near-dup pair graph —
+    * [[graft.operators.Dbscan.fromPairs]] (minPts 3): 5-gram Jaccard
+    * ≥ 0.2 pairs as the eps-neighborhood, core/border/noise roles,
+    * component-min cluster ids. The oracle recomputes the pairs
+    * (q95's SQL) and mirrors degree → core → recursive core-core
+    * closure → border-min. All integer/string → RAW.
+    */
+  val q383Dbscan: QueryCase = QueryCase(
+    "q383_dbscan",
+    (s, dir) => graft.operators.Dbscan.fromPairs(
+      graft.operators.Dedup.ngramJaccardPairs(
+        Tables.documents(s, dir), "doc_id", "text", 5, 0.2),
+      "id1", "id2", minPts = 3)
+      .orderBy("id"),
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'), x -> x <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ') for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 128),
+      kx AS (SELECT e.doc_id, e.g FROM ex e JOIN keep USING (g)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM kx GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM kx a JOIN kx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2 FROM inter
+        JOIN sz s1 ON s1.doc_id = id1
+        JOIN sz s2 ON s2.doc_id = id2
+        WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2),
+      edges AS (
+        SELECT id1 AS a, id2 AS b FROM pairs WHERE id1 <> id2
+        UNION
+        SELECT id2, id1 FROM pairs WHERE id1 <> id2),
+      deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS nn
+              FROM edges GROUP BY a),
+      core AS (SELECT a AS id FROM deg WHERE nn + 1 >= 3),
+      ce AS (
+        SELECT e.a, e.b FROM edges e
+        JOIN core c1 ON c1.id = e.a
+        JOIN core c2 ON c2.id = e.b),
+      reach AS (
+        SELECT DISTINCT a AS id, a AS peer FROM ce
+        UNION
+        SELECT r.id, e.b FROM reach r JOIN ce e ON e.a = r.peer),
+      comp AS (SELECT id, MIN(peer) AS cl FROM reach GROUP BY id),
+      coreassign AS (
+        SELECT c.id, COALESCE(m.cl, c.id) AS cluster_id
+        FROM core c LEFT JOIN comp m ON m.id = c.id),
+      border AS (
+        SELECT e.a AS id, MIN(ca.cluster_id) AS cluster_id
+        FROM edges e
+        JOIN coreassign ca ON ca.id = e.b
+        LEFT JOIN core c ON c.id = e.a
+        WHERE c.id IS NULL
+        GROUP BY e.a),
+      nodes AS (SELECT DISTINCT a AS id FROM edges)
+      SELECT n.id,
+             CASE WHEN ca.id IS NOT NULL THEN 'core'
+                  WHEN b.id IS NOT NULL THEN 'border'
+                  ELSE 'noise' END AS role,
+             COALESCE(ca.cluster_id, b.cluster_id, -1) AS cluster_id
+      FROM nodes n
+      LEFT JOIN coreassign ca ON ca.id = n.id
+      LEFT JOIN border b ON b.id = n.id
+      ORDER BY n.id"""))
+
   val all: Seq[QueryCase] =
     Seq(q375AucBucketed, q376Louvain, q377Modularity, q378SlatePi,
-      q379MatrixProfile, q380DppSelect, q381Dtw, q382Textrank)
+      q379MatrixProfile, q380DppSelect, q381Dtw, q382Textrank,
+      q383Dbscan)
 }

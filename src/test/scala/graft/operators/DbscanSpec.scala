@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Dbscan.fromPairs]] — density clustering over an eps-neighbor
+  * pair table: core/border/noise roles, the minPts bridge-resistance
+  * that distinguishes it from pure connected components.
+  */
+class DbscanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(pairs: (Long, Long)*) = pairs.toDF("id1", "id2")
+
+  test("triangle + pendant + isolated pair: core/border/noise roles " +
+      "and component-min cluster ids (hand-traced, minPts 3)") {
+    // triangle {1,2,3}, pendant 4-3, isolated pair 5-6
+    val pairs = df((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (5L, 6L))
+    val got = Dbscan.fromPairs(pairs, "id1", "id2", minPts = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getLong(2)))).toMap
+    assert(got(1L) == (("core", 1L)))
+    assert(got(2L) == (("core", 1L)))
+    assert(got(3L) == (("core", 1L)))
+    assert(got(4L) == (("border", 1L)))
+    assert(got(5L) == (("noise", -1L)))
+    assert(got(6L) == (("noise", -1L)))
+  }
+
+  test("a sparse bridge does NOT fuse dense clusters (the density " +
+      "semantics components lack)") {
+    // two K4 cliques bridged through non-core node 9; minPts 4
+    def clique(ids: Seq[Long]) =
+      for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield (ids(i), ids(j))
+    val pairs = df(clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(5L, 6L, 7L, 8L)) ++ Seq((4L, 9L), (9L, 5L)): _*)
+    val got = Dbscan.fromPairs(pairs, "id1", "id2", minPts = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getLong(2)))).toMap
+    assert(got(1L) == (("core", 1L)) && got(4L) == (("core", 1L)))
+    assert(got(5L) == (("core", 5L)) && got(8L) == (("core", 5L)))
+    // the bridge is border of the MIN adjacent core cluster
+    assert(got(9L) == (("border", 1L)))
+    // pure components WOULD fuse everything through the bridge
+    val comp = Dedup.nearDupClusters(pairs, "id1", "id2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(8L) == 1L)
+  }
+
+  test("minPts 2 makes every paired node core (degenerates to " +
+      "components with roles)") {
+    val pairs = df((1L, 2L), (3L, 4L))
+    val got = Dbscan.fromPairs(pairs, "id1", "id2", minPts = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getLong(2)))).toMap
+    assert(got == Map(1L -> (("core", 1L)), 2L -> (("core", 1L)),
+      3L -> (("core", 3L)), 4L -> (("core", 3L))))
+  }
+
+  test("self-pairs are ignored; duplicate pairs count once toward " +
+      "the degree") {
+    val pairs = df((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L))
+    // neighbors: 1->{2}, 2->{1,3}, 3->{2}; minPts 3: only 2 is core
+    val got = Dbscan.fromPairs(pairs, "id1", "id2", minPts = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1),
+        r.getLong(2)))).toMap
+    assert(got(2L) == (("core", 2L)))
+    assert(got(1L) == (("border", 2L)) && got(3L) == (("border", 2L)))
+  }
+}
