@@ -70,4 +70,59 @@ object MarkovChain {
     probs.join(broadcast(piDf), Seq("src_state"), "left")
       .na.fill(0.0d, Seq("pi_src"))
   }
+
+  /** Per-key sequence surprise under a fitted chain — the SCORING
+    * companion to [[fit]] (fit answers "what follows what"; this
+    * answers "which keys' sequences does the model find surprising",
+    * the session-anomaly read): for each key, the summed negative
+    * log-likelihood of its observed transitions,
+    *
+    *   nll2_fp = Σ_t [L(n_src) − L(c)],   L = fixed-point log2
+    *
+    * with c/n_src the model's exact transition counts and L the
+    * [[UnigramLm.fixedLog2Col]] 2⁻¹⁶-grid log (the q325-family
+    * discipline: −log2(c/n_src) as an exact INTEGER, so the per-key
+    * sum is order-free and map-combinable and the gate compares RAW).
+    * surprise_bits = nll2_fp/65536/n is the per-transition
+    * cross-entropy in bits — ONE double combination of exact values.
+    *
+    * A transition absent from the model raises loudly (silently
+    * dropping it would deflate exactly the anomalous keys this exists
+    * to surface): score the training frame, or smooth the model
+    * upstream before scoring held-out data.
+    *
+    * Scale shape: one key-partitioned lead() pass + one
+    * broadcast-eligible (src,dst) join + one key aggregation — no
+    * global windows, no collect. Output per key:
+    * (key, n_transitions, nll2_fp, surprise_bits).
+    */
+  def sequenceScore(df: DataFrame, keyCol: String, stateCol: String,
+                    orderCols: Seq[String],
+                    model: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+    val trans = df
+      .withColumn("_nxt", lead(col(stateCol), 1).over(w))
+      .where(col("_nxt").isNotNull)
+      .select(col(keyCol).as("k"), col(stateCol).as("src_state"),
+        col("_nxt").as("dst_state"))
+    val scored = model.select(col("src_state"), col("dst_state"),
+      (UnigramLm.fixedLog2Col(col("n_src")) -
+        UnigramLm.fixedLog2Col(col("c"))).as("nll2_t"))
+    trans.join(scored, Seq("src_state", "dst_state"), "left")
+      .select(col("k"),
+        when(col("nll2_t").isNull,
+          raise_error(concat(
+            lit("sequenceScore: transition '"), col("src_state"),
+            lit("' -> '"), col("dst_state"),
+            lit("' is absent from the model — score the training " +
+              "frame or smooth the model before scoring held-out " +
+              "sequences"))))
+          .otherwise(col("nll2_t")).as("nll2_t"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("nll2_t")).as("nll2_fp"))
+      .select(col("k").as(keyCol), col("n_transitions"), col("nll2_fp"),
+        (col("nll2_fp").cast("double") / lit(65536.0) /
+          col("n_transitions").cast("double")).as("surprise_bits"))
+  }
 }

@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   */
 object TestQueries27 {
 
+  import TestQueries25.lSql
+
   private val TokensSql =
     "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
 
@@ -635,8 +637,56 @@ object TestQueries27 {
       LEFT JOIN border b ON b.id = n.id
       ORDER BY n.id"""))
 
+  /** Per-user sequence surprise under the fitted Markov chain —
+    * [[graft.operators.MarkovChain.sequenceScore]]: Σ −log2(c/n_src)
+    * over each user's observed transitions, on the exact 2⁻¹⁶
+    * fixed-point grid (the q325 lSql discipline). nll2_fp exact
+    * integer, surprise one double combination → RAW.
+    */
+  val q384SequenceScore: QueryCase = QueryCase(
+    "q384_sequence_score",
+    (s, dir) => {
+      val ev = Tables.events(s, dir).where(col("user_id") < 100)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      val model = graft.operators.MarkovChain.fit(
+        ev, "user_id", "event_type", Seq("event_id"))
+      graft.operators.MarkovChain.sequenceScore(
+        ev, "user_id", "event_type", Seq("event_id"), model)
+        .orderBy("user_id")
+    },
+    Some(s"""
+      WITH ev AS (
+        SELECT user_id, event_id, event_type
+        FROM events WHERE user_id < 100),
+      tr AS (
+        SELECT user_id, event_type AS src_state,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY event_id) AS dst_state
+        FROM ev),
+      tr2 AS (SELECT * FROM tr WHERE dst_state IS NOT NULL),
+      cnt AS (
+        SELECT src_state, dst_state, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tr2 GROUP BY 1, 2),
+      nsrc AS (
+        SELECT src_state, CAST(SUM(c) AS BIGINT) AS n_src
+        FROM cnt GROUP BY 1),
+      mdl AS (
+        SELECT c.src_state, c.dst_state,
+               ${lSql("n_src")} - ${lSql("c")} AS nll2_t
+        FROM cnt c JOIN nsrc USING (src_state)),
+      per AS (
+        SELECT t.user_id, CAST(COUNT(*) AS BIGINT) AS n_transitions,
+               CAST(SUM(m.nll2_t) AS BIGINT) AS nll2_fp
+        FROM tr2 t JOIN mdl m
+          ON m.src_state = t.src_state AND m.dst_state = t.dst_state
+        GROUP BY t.user_id)
+      SELECT user_id, n_transitions, nll2_fp,
+             CAST(nll2_fp AS DOUBLE) / 65536.0
+               / CAST(n_transitions AS DOUBLE) AS surprise_bits
+      FROM per ORDER BY user_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q375AucBucketed, q376Louvain, q377Modularity, q378SlatePi,
       q379MatrixProfile, q380DppSelect, q381Dtw, q382Textrank,
-      q383Dbscan)
+      q383Dbscan, q384SequenceScore)
 }

@@ -51,4 +51,46 @@ class MarkovChainSpec extends SparkSpec {
     val m = fit(Seq((1L, 2L, "A"), (1L, 3L, "B"), (1L, 1L, "C")))
     assert(m.keySet == Set(("C", "A"), ("A", "B")))
   }
+
+  test("sequenceScore: deterministic sequences score 0 surprise; " +
+      "mixed transitions score the exact fixed-point -log2(p)") {
+    import graft.operators.UnigramLm.fixedLog2
+    // k1 = a,b,a ; k2 = a,a,b → counts a→b:2, a→a:1 (n_a=3), b→a:1
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"),
+      (2L, 1L, "a"), (2L, 2L, "a"), (2L, 3L, "b"))
+      .toDF("uid", "seq", "state")
+    val model = MarkovChain.fit(df, "uid", "state", Seq("seq"))
+    val got = MarkovChain.sequenceScore(df, "uid", "state", Seq("seq"),
+      model).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // k1: a→b (L3−L2) + b→a (L1−L1 = 0)
+    val l3 = fixedLog2(3); val l2 = fixedLog2(2)
+    assert(got(1L)._1 == 2L)
+    assert(got(1L)._2 == l3 - l2)
+    // k2: a→a (L3−L1) + a→b (L3−L2)
+    assert(got(2L)._2 == (l3 - 0L) + (l3 - l2))
+    assert(got(2L)._3 ==
+      ((l3 + l3 - l2).toDouble / 65536.0) / 2.0)
+    // an all-deterministic chain scores exactly 0
+    val det = Seq((9L, 1L, "x"), (9L, 2L, "y"), (9L, 3L, "x"),
+      (9L, 4L, "y")).toDF("uid", "seq", "state")
+    val dm = MarkovChain.fit(det, "uid", "state", Seq("seq"))
+    val dz = MarkovChain.sequenceScore(det, "uid", "state", Seq("seq"),
+      dm).collect().head
+    assert(dz.getLong(2) == 0L && dz.getDouble(3) == 0.0)
+  }
+
+  test("sequenceScore: a transition absent from the model raises " +
+      "loudly instead of silently deflating the surprise") {
+    val train = Seq((1L, 1L, "a"), (1L, 2L, "b")).toDF("uid", "seq", "state")
+    val model = MarkovChain.fit(train, "uid", "state", Seq("seq"))
+    val heldOut = Seq((7L, 1L, "b"), (7L, 2L, "a"))
+      .toDF("uid", "seq", "state")
+    val e = intercept[Exception] {
+      MarkovChain.sequenceScore(heldOut, "uid", "state", Seq("seq"),
+        model).collect()
+    }
+    assert(e.getMessage.contains("absent from the model"))
+  }
 }
