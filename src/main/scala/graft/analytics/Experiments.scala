@@ -258,6 +258,75 @@ object Experiments {
               / (col("n_b") - 1))).as("df"))
   }
 
+  /** Two-arm sample-size planner (fixed-horizon z-approximation,
+    * the standard power formula; e.g. van Belle 2008 §2.5) — the
+    * DESIGN-side completer for the A/B stack: [[welch]]/[[cuped]]
+    * analyze a finished experiment, [[msprt]] monitors a running one,
+    * this answers "how many units per arm BEFORE launch":
+    *
+    *   n/arm = ⌈ 2σ²(z_{1−α/2} + z_{power})² / δ² ⌉,  δ = mde·μ
+    *
+    * with μ/σ² estimated from a historical metric frame via the house
+    * exact-decimal moment sums. The normal quantiles are PRECOMPUTED
+    * literals for the standard (α, power) grid (the round-7
+    * libm-of-integers rule: no libm runs in-plan, both engines carry
+    * the identical doubles) — unsupported levels raise rather than
+    * silently approximating.
+    *
+    * Determinism: moments are exact decimal sums; every surfaced
+    * number is one fixed double tree over them; ⌈·⌉ of the identical
+    * double is engine-identical → RAW. A non-positive historical mean
+    * raises (relative MDEs are meaningless there — rescale upstream).
+    *
+    * Scale shape: ONE map-combinable aggregate over history + a
+    * broadcast cross join against the literal MDE grid. Output per
+    * mde: (mde, n_hist, mean, s2, delta_abs, n_per_arm).
+    */
+  def sampleSize(units: DataFrame, yCol: String,
+                 mdes: Seq[Double] = Seq(0.01, 0.02, 0.05, 0.10),
+                 alpha: Double = 0.05, power: Double = 0.8): DataFrame = {
+    val zAlpha = alpha match {
+      case 0.05 => 1.9599639845400545
+      case 0.01 => 2.5758293035489004
+      case _ => throw new IllegalArgumentException(
+        "sampleSize: alpha must be 0.05 or 0.01 (precomputed " +
+          "two-sided normal quantiles — no libm runs in-plan)")
+    }
+    val zPower = power match {
+      case 0.8 => 0.8416212335729143
+      case 0.9 => 1.2815515655446004
+      case _ => throw new IllegalArgumentException(
+        "sampleSize: power must be 0.8 or 0.9 (precomputed normal " +
+          "quantiles — no libm runs in-plan)")
+    }
+    require(mdes.nonEmpty && mdes.forall(m => m > 0.0 && m <= 1.0),
+      "mdes must be relative effects in (0, 1]")
+    val zsum = zAlpha + zPower
+    val z2 = zsum * zsum
+    val spark = units.sparkSession
+    import spark.implicits._
+    val m = momentSums(units, None, col(yCol).cast("double"), lit(0.0))
+      .select(col("n").as("n_hist"),
+        (col("sx") / col("n")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n"))
+          / (col("n") - 1)).as("s2"))
+      .select(col("n_hist"),
+        when(col("mean") <= 0.0,
+          raise_error(lit("sampleSize: historical mean must be " +
+            "positive for relative MDEs — shift or rescale the " +
+            "metric upstream")))
+          .otherwise(col("mean")).as("mean"),
+        col("s2"))
+    val grid = mdes.toDF("mde")
+    m.crossJoin(broadcast(grid))
+      .withColumn("delta_abs", col("mde") * col("mean"))
+      .withColumn("n_per_arm",
+        ceil(lit(2.0) * col("s2") * lit(z2)
+          / (col("delta_abs") * col("delta_abs"))).cast("long"))
+      .select(col("mde"), col("n_hist"), col("mean"), col("s2"),
+        col("delta_abs"), col("n_per_arm"))
+  }
+
   /** Mixture sequential probability ratio test (mSPRT) — the
     * always-valid p-value stream of Johari, Koomen, Pekelis & Walsh
     * (KDD 2017, "Peeking at A/B Tests"): a fixed-horizon t/Welch panel

@@ -685,8 +685,47 @@ object TestQueries27 {
                / CAST(n_transitions AS DOUBLE) AS surprise_bits
       FROM per ORDER BY user_id"""))
 
+  /** Pre-launch sample-size panel over the event-value metric —
+    * [[graft.analytics.Experiments.sampleSize]] (α=0.05, power=0.8,
+    * MDE grid 1/2/5/10%): exact-decimal moments, precomputed normal
+    * quantiles as shared literals, one fixed double tree + ceil →
+    * RAW.
+    */
+  val q385SampleSize: QueryCase = QueryCase(
+    "q385_sample_size",
+    (s, dir) => graft.analytics.Experiments.sampleSize(
+      Tables.events(s, dir).where(col("user_id") < 500)
+        .select(col("value").as("y")),
+      "y").orderBy("mde"),
+    Some {
+      val zsum = 1.9599639845400545 + 0.8416212335729143
+      val z2 = zsum * zsum
+      val d = "DECIMAL(19,6)"
+      def dbl(e: String) = s"CAST(CAST($e AS VARCHAR) AS DOUBLE)"
+      s"""
+      WITH units AS (
+        SELECT value AS x FROM events WHERE user_id < 500),
+      mm AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ${dbl(s"SUM(CAST(x AS $d))")} AS sx,
+               ${dbl(s"SUM(CAST(x AS $d) * CAST(x AS $d))")} AS sxx
+        FROM units),
+      stats AS (
+        SELECT n AS n_hist, sx / n AS mean,
+               (sxx - sx * sx / n) / (n - 1) AS s2
+        FROM mm),
+      grid AS (
+        SELECT CAST(v AS DOUBLE) AS mde
+        FROM (VALUES (0.01), (0.02), (0.05), (0.10)) g(v))
+      SELECT mde, n_hist, mean, s2,
+             mde * mean AS delta_abs,
+             CAST(ceil(2.0 * s2 * CAST('${z2.toString}' AS DOUBLE)
+               / ((mde * mean) * (mde * mean))) AS BIGINT) AS n_per_arm
+      FROM stats CROSS JOIN grid ORDER BY mde"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q375AucBucketed, q376Louvain, q377Modularity, q378SlatePi,
       q379MatrixProfile, q380DppSelect, q381Dtw, q382Textrank,
-      q383Dbscan, q384SequenceScore)
+      q383Dbscan, q384SequenceScore, q385SampleSize)
 }

@@ -103,4 +103,35 @@ class ExperimentsSpec extends SparkSpec {
         .count() == 2L)
     } finally spark.conf.unset(Experiments.MaxFoldUnitsKey)
   }
+
+  test("sampleSize: hand panel — mean 2, s2 1, the textbook " +
+      "2*(z_a+z_b)^2*sigma^2/delta^2 ceiling") {
+    val hist = Seq(1.0, 2.0, 3.0).toDF("y")
+    val r = Experiments.sampleSize(hist, "y", mdes = Seq(0.5))
+      .collect().head
+    assert(r.getAs[Long]("n_hist") == 3L)
+    assert(r.getAs[Double]("mean") == 2.0)
+    assert(r.getAs[Double]("s2") == 1.0)
+    assert(r.getAs[Double]("delta_abs") == 1.0)
+    val z2 = math.pow(1.9599639845400545 + 0.8416212335729143, 2)
+    assert(r.getAs[Long]("n_per_arm") == math.ceil(2.0 * z2).toLong) // 16
+    // higher power, smaller mde → strictly more units
+    val r9 = Experiments.sampleSize(hist, "y", mdes = Seq(0.25),
+      power = 0.9).collect().head
+    assert(r9.getAs[Long]("n_per_arm") > r.getAs[Long]("n_per_arm"))
+  }
+
+  test("sampleSize: unsupported quantile levels and a non-positive " +
+      "historical mean raise loudly") {
+    val hist = Seq(1.0, 2.0, 3.0).toDF("y")
+    val e1 = intercept[IllegalArgumentException] {
+      Experiments.sampleSize(hist, "y", alpha = 0.1)
+    }
+    assert(e1.getMessage.contains("precomputed"))
+    val zeroMean = Seq(-1.0, 1.0).toDF("y")
+    val e2 = intercept[Exception] {
+      Experiments.sampleSize(zeroMean, "y").collect()
+    }
+    assert(e2.getMessage.contains("mean must be positive"))
+  }
 }
