@@ -1326,6 +1326,110 @@ object Events {
       .toDF(keyCol, "pos", "nn_pos", "d2_units")
   }
 
+  /** Kleinberg two-state burst detection (Kleinberg, KDD 2002, the
+    * batched/enumerating automaton) over per-period relevance counts —
+    * the burst labeler completing the change family next to [[cusum]]
+    * (drift alarms) and [[pelt]] (retrospective segmentation): state
+    * 0 emits at the base rate p₀ = Σk/Σn, state 1 at p₁ = s·p₀, each
+    * period t costs −log2 P(k_t | n_t, p_q) (binomial coefficient
+    * dropped — identical in both states), and entering the burst
+    * state pays γ·log2(T). The Viterbi path labels each period.
+    *
+    * Determinism (the q325/q384 fixed-point discipline): p₀/p₁ are
+    * exact RATIONALS, so every per-period cost is an integer on the
+    * 2⁻¹⁶ log2 grid —
+    *
+    *   cost_q(t) = k_t·(L(nn) − L(num_q)) + (n_t − k_t)·(L(nn) − L(nn − num_q))
+    *
+    * with L = [[graft.operators.UnigramLm.fixedLog2]] and num₀ = Σk,
+    * num₁ = s·Σk — the whole DP is exact LONG arithmetic
+    * (overflow-checked) with pinned tie rules (state 0 preferred on
+    * equal prefix cost; a burst entry must be STRICTLY cheaper than
+    * staying), and the oracle replays it in a recursive CTE carrying
+    * the two per-state path lists. s·Σk ≥ Σn (burst rate ≥ 1) and
+    * Σk ∈ {0, Σn} (degenerate rates) raise loudly.
+    *
+    * Input: ONE row per (key, period) with the period's relevant
+    * count k and total n — the aggregation is the caller's groupBy,
+    * so any relevance predicate composes. Scale shape: one bounded
+    * per-key walk in `flatMapGroups` (the [[cusum]]/[[pelt]]/[[dtw]]
+    * contract); keys partition the work.
+    *
+    * Output per (key, period): (key, period, k, n, state, is_burst).
+    */
+  def bursts(df: DataFrame, keyCol: String, periodCol: String,
+             kCol: String, nCol: String, s: Int = 2, gamma: Int = 1,
+             maxPoints: Int = 65536): DataFrame = {
+    require(s >= 2 && s <= 1000, "burst multiplier s must be in [2, 1000]")
+    require(gamma >= 1 && gamma <= 1000, "gamma must be in [1, 1000]")
+    require(maxPoints >= 1 && maxPoints <= (1 << 20),
+      "maxPoints must be in [1, 2^20]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.operators.UnigramLm.fixedLog2
+    df.select(col(keyCol).cast("string").as("key"),
+        col(periodCol).cast("long").as("t"),
+        col(kCol).cast("long").as("k"), col(nCol).cast("long").as("n"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.map { case (_, t, k, n) => (t, k, n) }.toArray
+        require(rows.length <= maxPoints,
+          s"bursts: key '$key' has ${rows.length} periods, over " +
+            s"maxPoints=$maxPoints — coarsen the period rollup")
+        java.util.Arrays.sort(rows,
+          Ordering.by((r: (Long, Long, Long)) => r._1))
+        rows.foreach { case (t, k, n) =>
+          require(n >= 1 && k >= 0 && k <= n,
+            s"bursts: key '$key' period $t needs 0 <= k <= n, n >= 1 " +
+              s"(saw k=$k, n=$n)") }
+        val tt = rows.length
+        val kk = rows.map(_._2).sum
+        val nn = rows.map(_._3).sum
+        require(kk >= 1 && kk < nn,
+          s"bursts: key '$key' has degenerate base rate k_total=$kk " +
+            s"of n_total=$nn — rates 0 and 1 have infinite costs")
+        val sk = Math.multiplyExact(kk, s.toLong)
+        require(sk < nn,
+          s"bursts: key '$key' burst rate s*k/n >= 1 " +
+            s"($s*$kk/$nn) — lower s or the relevance predicate")
+        val lnn = fixedLog2(nn)
+        val a0 = lnn - fixedLog2(kk)
+        val b0 = lnn - fixedLog2(nn - kk)
+        val a1 = lnn - fixedLog2(sk)
+        val b1 = lnn - fixedLog2(nn - sk)
+        val tr = Math.multiplyExact(gamma.toLong, fixedLog2(tt.toLong))
+        def cost(k: Long, n: Long, a: Long, b: Long): Long =
+          Math.addExact(Math.multiplyExact(k, a),
+            Math.multiplyExact(n - k, b))
+        var d0 = cost(rows(0)._2, rows(0)._3, a0, b0)
+        var d1 = Math.addExact(tr, cost(rows(0)._2, rows(0)._3, a1, b1))
+        var p0 = List(0); var p1 = List(1)
+        var i = 1
+        while (i < tt) {
+          val c0 = cost(rows(i)._2, rows(i)._3, a0, b0)
+          val c1 = cost(rows(i)._2, rows(i)._3, a1, b1)
+          // pinned tie rules (oracle-mirrored): dropping to state 0
+          // prefers the state-0 prefix on ties; ENTERING the burst
+          // must be strictly cheaper than staying in it
+          val (nd0, np0) =
+            if (d0 <= d1) (Math.addExact(c0, d0), 0 :: p0)
+            else (Math.addExact(c0, d1), 0 :: p1)
+          val enter = Math.addExact(d0, tr)
+          val (nd1, np1) =
+            if (enter < d1) (Math.addExact(c1, enter), 1 :: p0)
+            else (Math.addExact(c1, d1), 1 :: p1)
+          d0 = nd0; p0 = np0; d1 = nd1; p1 = np1
+          i += 1
+        }
+        val path = (if (d0 <= d1) p0 else p1).reverse.toArray
+        rows.iterator.zipWithIndex.map { case ((t, k, n), j) =>
+          (key, t, k, n, path(j), path(j) == 1)
+        }
+      }
+      .toDF(keyCol, periodCol, kCol, nCol, "state", "is_burst")
+  }
+
   /** Banned-cell sentinel for [[dtw]]: far above any reachable path
     * cost (≤ maxPoints·scale·|range| ≈ 10¹³) yet far below Long
     * overflow even after min/CASE propagation — both engines carry the

@@ -724,8 +724,81 @@ object TestQueries27 {
       FROM stats CROSS JOIN grid ORDER BY mde"""
     })
 
+  /** Kleinberg burst labeling of the daily error-rate series —
+    * [[graft.analytics.Events.bursts]] (s=2, γ=1): per-day k = error
+    * events, n = all events, one global series. The oracle replays
+    * the exact fixed-point Viterbi in a recursive CTE carrying both
+    * per-state path lists. All-integer DP → RAW.
+    */
+  val q386Bursts: QueryCase = QueryCase(
+    "q386_bursts",
+    (sp, dir) => {
+      val per = Tables.events(sp, dir)
+        .select(floor(unix_timestamp(col("ts")) / lit(86400)).as("day"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("isk"))
+        .groupBy("day")
+        .agg(sum(col("isk")).as("k"), count(lit(1)).as("n"))
+        .select(lit("all").as("series"), col("day"), col("k"), col("n"))
+      graft.analytics.Events.bursts(per, "series", "day", "k", "n")
+        .orderBy("day")
+    },
+    Some(s"""
+      WITH RECURSIVE ev AS (
+        SELECT CAST(floor(epoch(date_trunc('second', ts)) / 86400)
+                 AS BIGINT) AS t,
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS isk
+        FROM events),
+      per AS (
+        SELECT t, CAST(SUM(isk) AS BIGINT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM ev GROUP BY t),
+      tot AS (
+        SELECT CAST(SUM(k) AS BIGINT) AS kk, CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS tt
+        FROM per),
+      cons AS (
+        SELECT tt,
+               ${lSql("nn")} - ${lSql("kk")} AS a0,
+               ${lSql("nn")} - ${lSql("(nn - kk)")} AS b0,
+               ${lSql("nn")} - ${lSql("(2 * kk)")} AS a1,
+               ${lSql("nn")} - ${lSql("(nn - 2 * kk)")} AS b1,
+               ${lSql("tt")} AS tr
+        FROM tot),
+      arr AS (
+        SELECT list(t ORDER BY t) AS ts, list(k ORDER BY t) AS ks,
+               list(n ORDER BY t) AS ns
+        FROM per),
+      dp AS (
+        SELECT 1 AS i,
+               ks[1] * a0 + (ns[1] - ks[1]) * b0 AS d0,
+               tr + ks[1] * a1 + (ns[1] - ks[1]) * b1 AS d1,
+               [0] AS p0, [1] AS p1,
+               ts, ks, ns, a0, b0, a1, b1, tr, tt
+        FROM arr, cons
+        UNION ALL
+        SELECT i + 1,
+               (ks[i + 1] * a0 + (ns[i + 1] - ks[i + 1]) * b0)
+                 + CASE WHEN d0 <= d1 THEN d0 ELSE d1 END,
+               (ks[i + 1] * a1 + (ns[i + 1] - ks[i + 1]) * b1)
+                 + CASE WHEN d0 + tr < d1 THEN d0 + tr ELSE d1 END,
+               list_append(CASE WHEN d0 <= d1 THEN p0 ELSE p1 END, 0),
+               list_append(CASE WHEN d0 + tr < d1 THEN p0 ELSE p1 END, 1),
+               ts, ks, ns, a0, b0, a1, b1, tr, tt
+        FROM dp WHERE i < tt),
+      fin AS (
+        SELECT CASE WHEN d0 <= d1 THEN p0 ELSE p1 END AS path,
+               ts, ks, ns
+        FROM dp WHERE i = tt)
+      SELECT 'all' AS series, u.t AS day, u.k, u.n,
+             u.st AS state, u.st = 1 AS is_burst
+      FROM fin, UNNEST(list_transform(
+        range(1, CAST(len(path) AS INTEGER) + 1),
+        ii -> struct_pack(t := ts[ii], k := ks[ii], n := ns[ii],
+          st := path[ii]))) AS z(u)
+      ORDER BY day"""))
+
   val all: Seq[QueryCase] =
     Seq(q375AucBucketed, q376Louvain, q377Modularity, q378SlatePi,
       q379MatrixProfile, q380DppSelect, q381Dtw, q382Textrank,
-      q383Dbscan, q384SequenceScore, q385SampleSize)
+      q383Dbscan, q384SequenceScore, q385SampleSize, q386Bursts)
 }

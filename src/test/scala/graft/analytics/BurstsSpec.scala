@@ -1,0 +1,67 @@
+package graft.analytics
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** [[Events.bursts]] — Kleinberg two-state burst labeling on the
+  * exact fixed-point cost grid: planted bursts, quiet series, loud
+  * degenerate-rate contracts, multi-key independence.
+  */
+class BurstsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def panel(key: String, kn: Seq[(Long, Long)]): DataFrame =
+    kn.zipWithIndex.map { case ((k, n), i) =>
+      (key, (i + 1).toLong, k, n)
+    }.toDF("series", "period", "k", "n")
+
+  test("a planted mid-series burst is labeled 1, the flanks 0") {
+    // base rate 20/60 = 1/3, burst rate 2/3: periods at k=8/10 cost
+    // ~6 bits/period less in state 1, far over the log2(6) entry toll
+    val df = panel("a", Seq((1L, 10L), (1L, 10L), (8L, 10L),
+      (8L, 10L), (1L, 10L), (1L, 10L)))
+    val got = Events.bursts(df, "series", "period", "k", "n")
+      .orderBy("period").collect().map(_.getAs[Int]("state")).toSeq
+    assert(got == Seq(0, 0, 1, 1, 0, 0))
+  }
+
+  test("a flat series never enters the burst state") {
+    val df = panel("a", Seq.fill(8)((2L, 10L)))
+    val got = Events.bursts(df, "series", "period", "k", "n")
+      .collect().map(_.getAs[Boolean]("is_burst"))
+    assert(got.forall(_ == false))
+  }
+
+  test("keys are independent: a bursty and a quiet series in one " +
+      "frame keep their own rates and labels") {
+    val df = panel("bursty", Seq((1L, 10L), (8L, 10L), (8L, 10L),
+      (1L, 10L)))
+      .unionByName(panel("quiet", Seq.fill(4)((3L, 10L))))
+    val got = Events.bursts(df, "series", "period", "k", "n")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Int]("state"))
+      .toMap
+    assert(got(("bursty", 2L)) == 1 && got(("bursty", 3L)) == 1)
+    assert(got(("bursty", 1L)) == 0 && got(("bursty", 4L)) == 0)
+    assert((1L to 4L).forall(t => got(("quiet", t)) == 0))
+  }
+
+  test("degenerate rates raise loudly: k_total 0, k_total = n_total, " +
+      "and a burst rate past 1") {
+    val zero = panel("a", Seq((0L, 5L), (0L, 5L)))
+    val e1 = intercept[Exception] {
+      Events.bursts(zero, "series", "period", "k", "n").collect()
+    }
+    assert(e1.getMessage.contains("degenerate base rate"))
+    val all = panel("a", Seq((5L, 5L), (5L, 5L)))
+    val e2 = intercept[Exception] {
+      Events.bursts(all, "series", "period", "k", "n").collect()
+    }
+    assert(e2.getMessage.contains("degenerate base rate"))
+    val hot = panel("a", Seq((4L, 10L), (4L, 10L))) // 2*8/20 splits over
+    val e3 = intercept[Exception] {
+      Events.bursts(hot, "series", "period", "k", "n", s = 3).collect()
+    }
+    assert(e3.getMessage.contains("burst rate"))
+  }
+}
