@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy maximum-coverage selection (the classic (1−1/e) greedy for
+  * the submodular coverage objective; Nemhauser, Wolsey & Fisher
+  * 1978) over a generic (id, feature) incidence table — the
+  * facility-location-style data-selection member next to
+  * [[Curation.budgetSubset]] (density knapsack: quality per token,
+  * no interaction between picks) and [[graft.search.Mmr]]/[[
+  * graft.search.Dpp]] (embedding-space diversity): each round picks
+  * the id covering the most NOT-YET-COVERED features, so the k-th
+  * pick is valued by what it adds, not what it is — the "cover the
+  * vocabulary / cover the domains" selection a training-data budget
+  * actually wants.
+  *
+  * Features are whatever the caller's incidence table says — distinct
+  * tokens, domains, n-grams, detected languages, rubric tags — so the
+  * operator composes with every extractor in the engine.
+  *
+  * Determinism: gains are exact integer counts; argmax ties break on
+  * id ascending. Selection stops EARLY when no id adds a new feature
+  * (coverage saturated) — ids whose features are all covered simply
+  * vanish from the gain frame, so duplicates of an earlier pick are
+  * never selected.
+  *
+  * Scale shape: k rounds of [anti-join against the covered-feature
+  * frame → one map-combinable gain aggregation → TakeOrdered top-1]
+  * (the [[graft.search.Mmr.select]] loop shape); the covered frame is
+  * materialized per round and grows by one pick's features. No global
+  * windows, no driver-side feature sets.
+  *
+  * Output per pick: (sel_order, id, new_feats, covered_total).
+  */
+object Coverage {
+
+  def greedySelect(pairs: DataFrame, idCol: String, featCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1 && k <= 1024, "k must be in [1, 1024]")
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val p = graft.plans.Materialize.stage(
+      pairs.select(col(idCol).cast("long").as("id"),
+        col(featCol).as("feat")).distinct(),
+      "graft.dedup.checkpoint")
+    var covered = p.select(col("feat")).limit(0)
+    var selected = List.empty[(Int, Long, Long, Long)]
+    var total = 0L
+    var round = 1
+    var saturated = false
+    while (round <= k && !saturated) {
+      val gains = p.join(covered, Seq("feat"), "left_anti")
+        .groupBy("id").agg(count(lit(1)).as("g"))
+        .orderBy(desc("g"), col("id")).limit(1).collect()
+      if (gains.isEmpty) saturated = true
+      else {
+        val pick = gains.head
+        val pid = pick.getAs[Long]("id")
+        val g = pick.getAs[Long]("g")
+        total += g
+        selected = (round, pid, g, total) :: selected
+        covered = graft.plans.Materialize.stage(
+          covered.unionByName(
+            p.where(col("id") === pid).select(col("feat"))).distinct(),
+          "graft.dedup.checkpoint")
+        round += 1
+      }
+    }
+    selected.reverse
+      .toDF("sel_order", "id", "new_feats", "covered_total")
+  }
+}

@@ -797,8 +797,60 @@ object TestQueries27 {
           st := path[ii]))) AS z(u)
       ORDER BY day"""))
 
+  /** Greedy max-coverage selection of 10 documents over the word
+    * BIGRAM universe — [[graft.operators.Coverage.greedySelect]]
+    * (unigrams saturate after one pick here: the synthetic corpus
+    * vocabulary is 31 tokens; bigrams give a real coverage frontier):
+    * each pick maximizes NEW bigrams covered (ties doc_id). The
+    * oracle unrolls all 10 rounds with NOT-EXISTS covered sets.
+    * All-integer → RAW.
+    */
+  val q387GreedyCoverage: QueryCase = QueryCase(
+    "q387_greedy_coverage",
+    (s, dir) => graft.operators.Coverage.greedySelect(
+      Tables.documents(s, dir).select(col("doc_id"),
+        explode(TextFunctions.ngramsOfTokens(
+          TextFunctions.tokens(col("text")), 2)).as("tok")),
+      "doc_id", "tok", k = 10),
+    Some {
+      // AS MATERIALIZED: DuckDB inlines plain CTEs, so the cov-chain
+      // would re-expand EXPONENTIALLY across the 10 rounds (the sf0.1
+      // oracle spilled the disk before this)
+      def round(r: Int): String = s"""
+      pk$r AS MATERIALIZED (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS g
+        FROM px p
+        WHERE NOT EXISTS (SELECT 1 FROM cov${r - 1} c
+                          WHERE c.feat = p.feat)
+        GROUP BY id ORDER BY g DESC, id LIMIT 1),
+      cov$r AS MATERIALIZED (
+        SELECT feat FROM cov${r - 1}
+        UNION
+        SELECT p.feat FROM px p JOIN pk$r k2 ON p.id = k2.id)"""
+      s"""
+      WITH px AS (
+        SELECT DISTINCT doc_id AS id, u.t AS feat
+        FROM (SELECT doc_id, $TokensSql AS tk FROM documents),
+             UNNEST(CASE WHEN LEN(tk) >= 2
+               THEN [array_to_string(tk[i:i+1], ' ')
+                     for i in range(1, LEN(tk))]
+               ELSE CAST([] AS VARCHAR[]) END) AS u(t)),
+      cov0 AS (SELECT CAST(NULL AS VARCHAR) AS feat WHERE 1 = 0),
+      ${(1 to 10).map(round).mkString(",\n      ")},
+      sel AS (
+        ${(1 to 10).map(r =>
+          s"SELECT CAST($r AS INT) AS sel_order, id, g FROM pk$r")
+          .mkString("\n        UNION ALL\n        ")})
+      SELECT sel_order, id, g AS new_feats,
+             CAST(SUM(g) OVER (ORDER BY sel_order
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS covered_total
+      FROM sel ORDER BY sel_order"""
+    })
+
   val all: Seq[QueryCase] =
     Seq(q375AucBucketed, q376Louvain, q377Modularity, q378SlatePi,
       q379MatrixProfile, q380DppSelect, q381Dtw, q382Textrank,
-      q383Dbscan, q384SequenceScore, q385SampleSize, q386Bursts)
+      q383Dbscan, q384SequenceScore, q385SampleSize, q386Bursts,
+      q387GreedyCoverage)
 }

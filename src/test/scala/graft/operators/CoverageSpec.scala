@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[Coverage.greedySelect]] — greedy max-coverage: marginal-gain
+  * picks, duplicate suppression, saturation stop, tie-break.
+  */
+class CoverageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("greedy picks by MARGINAL gain, not raw size (hand-traced)") {
+    // doc 1 covers {a,b,c,d}; doc 2 covers {a,b,c}; doc 3 covers
+    // {e,f}: after picking 1, doc 2 adds NOTHING new while doc 3
+    // adds 2 — greedy must take 3, a frequency-ranked list would
+    // take 2
+    val pairs = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "e"), (3L, "f")).toDF("id", "feat")
+    val got = Coverage.greedySelect(pairs, "id", "feat", k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // doc 2 never adds a new feature -> saturated after 2 picks
+    assert(got == Seq((1, 1L, 4L, 4L), (2, 3L, 2L, 6L)))
+  }
+
+  test("gain ties break on id ascending; duplicates suppressed") {
+    val pairs = Seq((5L, "x"), (5L, "y"), (7L, "p"), (7L, "q"),
+      (9L, "x"), (9L, "y")).toDF("id", "feat")
+    val got = Coverage.greedySelect(pairs, "id", "feat", k = 5)
+      .collect().map(r => r.getLong(1)).toSeq
+    // 5 and 7 tie at gain 2 -> 5 first; 9 duplicates 5 -> never picked
+    assert(got == Seq(5L, 7L))
+  }
+
+  test("k truncates before saturation") {
+    val pairs = (1L to 6L).map(i => (i, s"f$i")).toDF("id", "feat")
+    val got = Coverage.greedySelect(pairs, "id", "feat", k = 2)
+      .collect()
+    assert(got.length == 2)
+    assert(got.map(_.getLong(3)).toSeq == Seq(1L, 2L))
+  }
+}
