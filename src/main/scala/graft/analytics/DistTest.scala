@@ -198,6 +198,69 @@ object DistTest {
     *
     * Output (one row): n, sum_r2_pos, var48, z.
     */
+  /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) — the
+    * UNPAIRED two-sample companion to [[wilcoxonSignedRank]] (which
+    * tests paired differences) and the TEST reading of the statistic
+    * whose probabilistic reading is [[RankEval.auc]] (AUC = U/(n₁n₂);
+    * same doubled mid-ranks, same gates' eval frames — curated
+    * `rank-sum` family): z of group 1's rank sum against the
+    * null of exchangeable groups, tie-corrected,
+    *
+    *   σ² = n₁n₂/12 · [(n+1) − Σ(t³−t)/(n(n−1))],
+    *   z = (U₁ − n₁n₂/2 ∓ ½) / σ  (continuity-corrected)
+    *
+    * Exactness: doubled mid-ranks keep U₁ integral (u1_2 = 2U₁,
+    * num2 = 2(U₁ − mean)); the tie sum and the ×12n(n−1)-scaled
+    * variance v12 are exact decimals; z takes one sqrt → gates ROUND
+    * z, everything else RAW. The total-order rank window carries
+    * [[graft.plans.Bounded.guard]] (eval-frame contract; the default
+    * 2²⁰ bound also keeps every long intermediate far from overflow).
+    *
+    * Output (one row): n1, n2, u1_2, num2, v12, z — z = 0 on a
+    * degenerate input (either group empty, all values tied).
+    */
+  def mannWhitney(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val base = graft.plans.Bounded.guard(
+      df.select(col(valueCol).cast("double").as("x"),
+          col(groupCol).cast("boolean").as("g"))
+        .where(col("x").isNotNull && col("g").isNotNull),
+      "DistTest.mannWhitney")
+    val w = Window.orderBy(col("x"))
+    val tw = Window.partitionBy(col("x"))
+    val dec = "decimal(38,0)"
+    base
+      .withColumn("r2",
+        lit(2L) * rank().over(w) + count(lit(1)).over(tw) - lit(1L))
+      .withColumn("t", count(lit(1)).over(tw))
+      .agg(
+        sum(when(col("g"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("g"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("g"), col("r2")).otherwise(0L)).as("r1_2"),
+        // per row of a t-group: t² − 1; summed over the group = t³ − t
+        sum((col("t") * col("t") - 1).cast(dec)).as("tie48"))
+      .withColumn("n", col("n1") + col("n2"))
+      .select(col("n1"), col("n2"),
+        (col("r1_2") - col("n1") * (col("n1") + 1)).as("u1_2"),
+        (col("r1_2") - col("n1") * (col("n1") + 1)
+          - col("n1") * col("n2")).as("num2"),
+        ((col("n1") * col("n2")).cast(dec) *
+          ((col("n") + 1).cast(dec) * col("n") * (col("n") - 1)
+            - coalesce(col("tie48"), lit(0).cast(dec))))
+          .cast("double").as("v12"),
+        col("n"))
+      .withColumn("z",
+        when(col("n1") === 0 || col("n2") === 0 || col("v12") <= 0.0 ||
+            col("num2") === 0, lit(0.0))
+          .otherwise(((col("num2") - signum(col("num2"))).cast("double")
+            / lit(2.0))
+            / sqrt(col("v12") /
+              (lit(12.0) * col("n").cast("double") *
+                (col("n") - 1).cast("double")))))
+      .select(col("n1"), col("n2"), col("u1_2"), col("num2"),
+        col("v12"), col("z"))
+  }
+
   def wilcoxonSignedRank(df: DataFrame, aCol: String,
                          bCol: String): DataFrame = {
     // Paired-eval-panel contract, enforced: the signed-rank sort is a

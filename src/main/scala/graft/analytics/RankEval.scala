@@ -48,7 +48,10 @@ object RankEval {
 
   /** One row: (n_pos, n_neg, sum_r2_pos, auc). AUC via rank-sum:
     * (Σ_pos r − n₁(n₁+1)/2) / (n₁n₀) on mid-ranks, computed on the
-    * doubled integers as (Σ_pos 2r − n₁(n₁+1)) / (2n₁n₀).
+    * doubled integers as (Σ_pos 2r − n₁(n₁+1)) / (2n₁n₀). The TEST
+    * reading of the same statistic (tie-corrected z against the
+    * exchangeability null) is [[DistTest.mannWhitney]] — the curated
+    * `rank-sum` family's other member.
     */
   def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
     graft.plans.Bounded.guard(

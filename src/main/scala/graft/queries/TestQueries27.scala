@@ -848,9 +848,57 @@ object TestQueries27 {
       FROM sel ORDER BY sel_order"""
     })
 
+  /** Mann–Whitney U test of the TTR scorer between lang='en' and the
+    * rest — [[graft.analytics.DistTest.mannWhitney]] on the IDENTICAL
+    * frame q231's AUC reads (the rank-sum family's two readings
+    * graded like-for-like): doubled mid-ranks, exact tie sum,
+    * continuity-corrected z. Everything RAW except z (one sqrt →
+    * ROUND 6).
+    */
+  val q388MannWhitney: QueryCase = QueryCase(
+    "q388_mann_whitney",
+    (s, dir) => graft.analytics.DistTest.mannWhitney(
+      scored(s, dir).select(col("ttr"), (col("lang") === "en").as("y")),
+      "y", "ttr")
+      .select(col("n1"), col("n2"), col("u1_2"), col("num2"),
+        col("v12"), round(col("z"), 6).as("z")),
+    Some(s"""
+      WITH $ScoredSql,
+      r AS (
+        SELECT (lang = 'en') AS g,
+               2 * RANK() OVER (ORDER BY ttr)
+                 + COUNT(*) OVER (PARTITION BY ttr) - 1 AS r2,
+               COUNT(*) OVER (PARTITION BY ttr) AS t
+        FROM sc),
+      agg AS (
+        SELECT CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN g THEN r2 ELSE 0 END) AS BIGINT)
+                 AS r1_2,
+               SUM(CAST(t * t - 1 AS HUGEINT)) AS tie48
+        FROM r),
+      st AS (
+        SELECT n1, n2,
+               r1_2 - n1 * (n1 + 1) AS u1_2,
+               r1_2 - n1 * (n1 + 1) - n1 * n2 AS num2,
+               CAST(CAST(n1 AS HUGEINT) * n2 *
+                 (CAST(n1 + n2 + 1 AS HUGEINT) * (n1 + n2)
+                   * (n1 + n2 - 1) - COALESCE(tie48, 0)) AS DOUBLE)
+                 AS v12,
+               n1 + n2 AS n
+        FROM agg)
+      SELECT n1, n2, u1_2, num2, v12,
+             CASE WHEN n1 = 0 OR n2 = 0 OR v12 <= 0.0 OR num2 = 0
+               THEN CAST(0.0 AS DOUBLE)
+               ELSE ROUND((CAST(num2 - CASE WHEN num2 > 0 THEN 1
+                      WHEN num2 < 0 THEN -1 ELSE 0 END AS DOUBLE) / 2.0)
+                 / sqrt(v12 / (12.0 * CAST(n AS DOUBLE)
+                   * CAST(n - 1 AS DOUBLE))), 6) END AS z
+      FROM st"""))
+
   val all: Seq[QueryCase] =
     Seq(q375AucBucketed, q376Louvain, q377Modularity, q378SlatePi,
       q379MatrixProfile, q380DppSelect, q381Dtw, q382Textrank,
       q383Dbscan, q384SequenceScore, q385SampleSize, q386Bursts,
-      q387GreedyCoverage)
+      q387GreedyCoverage, q388MannWhitney)
 }

@@ -48,6 +48,32 @@ class DistTestSpec extends SparkSpec {
     assert(p("a") == ((2L, 2L, 2L, 0.5)))
   }
 
+  test("mannWhitney: hand panels — no ties, tie-corrected, and the " +
+      "num2 = 0 degenerate") {
+    import org.apache.spark.sql.functions.col
+    // A = {1,2}, B = {3,4}: U1 = 0, z = -(2-0.5)/sqrt(5/3)
+    val clean = Seq((true, 1.0), (true, 2.0), (false, 3.0),
+      (false, 4.0)).toDF("g", "x")
+    val r = DistTest.mannWhitney(clean, "g", "x").collect().head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Long]("u1_2") == 0L && r.getAs[Long]("num2") == -4L)
+    assert(r.getAs[Double]("v12") == 240.0)
+    assert(math.abs(r.getAs[Double]("z") + 1.161895003862225) < 1e-12)
+    // A = {1,2,2}, B = {2,3}: midrank R1 = 7, U1 = 1, tie sum 24,
+    // v12 = 6*(120-24) = 576, z = -1.5/sqrt(2.4)
+    val tied = Seq((true, 1.0), (true, 2.0), (true, 2.0),
+      (false, 2.0), (false, 3.0)).toDF("g", "x")
+    val t = DistTest.mannWhitney(tied, "g", "x").collect().head
+    assert(t.getAs[Long]("u1_2") == 2L && t.getAs[Long]("num2") == -4L)
+    assert(t.getAs[Double]("v12") == 576.0)
+    assert(math.abs(t.getAs[Double]("z") + 0.968245836551854) < 1e-12)
+    // interleaved groups: num2 = 0 -> z = 0 exactly
+    val sym = Seq((true, 1.0), (false, 2.0), (false, 3.0), (true, 4.0))
+      .toDF("g", "x")
+    val s = DistTest.mannWhitney(sym, "g", "x").collect().head
+    assert(s.getAs[Long]("num2") == 0L && s.getAs[Double]("z") == 0.0)
+  }
+
   test("wilcoxonSignedRank / adjustPvalues: Bounded guard raises " +
       "loudly on an over-bound frame") {
     import org.apache.spark.sql.functions._
@@ -68,6 +94,11 @@ class DistTestSpec extends SparkSpec {
         DistTest.adjustPvalues(big, "k", "p")
       }
       assert(e2.getMessage.contains("adjustPvalues"))
+      val e3 = intercept[IllegalArgumentException] {
+        DistTest.mannWhitney(big.selectExpr("a AS x", "a > 50 AS g"),
+          "g", "x")
+      }
+      assert(e3.getMessage.contains("mannWhitney"))
     } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
   }
 }
