@@ -168,36 +168,6 @@ object DistTest {
       .select(col("k"), col("n_pairs"), col("slope"))
   }
 
-  /** Wilcoxon signed-rank test (Wilcoxon 1945) on paired columns — the
-    * nonparametric paired-sample complement to
-    * [[graft.analytics.Experiments.welch]] (which compares independent
-    * arms): did the per-unit metric SHIFT between two paired
-    * measurements, with no normality assumption. Zero differences are
-    * discarded (the `wilcox` convention); |d| is mid-ranked with the
-    * doubled-rank trick ([[graft.analytics.RankEval]]'s r2 = 2·rank +
-    * ties − 1, an integer), so with W⁺ = Σ_{d>0} midrank:
-    *
-    *   sum_r2_pos = 2·W⁺            (exact integer)
-    *   var48 = 2n(n+1)(2n+1) − Σ_t (t³−t)   (= 48·Var(W⁺), exact)
-    *   z = (num4 − 2·sgn(num4)) / (4·√(var48/48)),
-    *       num4 = 2·sum_r2_pos − n(n+1)     (= 4·(W⁺ − n(n+1)/4))
-    *
-    * with the ±0.5 continuity correction (the [[mannKendall]]
-    * discipline). Safe bound: var48 ≈ 4n³ < 2⁶³ → n ≤ 1.3·10⁶ nonzero
-    * pairs; raises above it instead of wrapping. n = 0 (all pairs
-    * tied) → z = 0.
-    *
-    * Scale shape: one global mid-rank window over the nonzero pairs +
-    * one aggregate — a bounded EVAL statistic (per-query metric deltas,
-    * per-unit pre/post), never a corpus-wide transform.
-    *
-    * Determinism: callers pass exact-decimal-derived doubles (the gate
-    * convention), so d and |d| are bit-identical cross-engine; n,
-    * sum_r2_pos, var48 exact integers; z takes one libm sqrt → the
-    * gate ROUNDs z, everything else RAW.
-    *
-    * Output (one row): n, sum_r2_pos, var48, z.
-    */
   /** Mann–Whitney U rank-sum test (Mann & Whitney 1947) — the
     * UNPAIRED two-sample companion to [[wilcoxonSignedRank]] (which
     * tests paired differences) and the TEST reading of the statistic
@@ -261,6 +231,36 @@ object DistTest {
         col("v12"), col("z"))
   }
 
+  /** Wilcoxon signed-rank test (Wilcoxon 1945) on paired columns — the
+    * nonparametric paired-sample complement to
+    * [[graft.analytics.Experiments.welch]] (which compares independent
+    * arms): did the per-unit metric SHIFT between two paired
+    * measurements, with no normality assumption. Zero differences are
+    * discarded (the `wilcox` convention); |d| is mid-ranked with the
+    * doubled-rank trick ([[graft.analytics.RankEval]]'s r2 = 2·rank +
+    * ties − 1, an integer), so with W⁺ = Σ_{d>0} midrank:
+    *
+    *   sum_r2_pos = 2·W⁺            (exact integer)
+    *   var48 = 2n(n+1)(2n+1) − Σ_t (t³−t)   (= 48·Var(W⁺), exact)
+    *   z = (num4 − 2·sgn(num4)) / (4·√(var48/48)),
+    *       num4 = 2·sum_r2_pos − n(n+1)     (= 4·(W⁺ − n(n+1)/4))
+    *
+    * with the ±0.5 continuity correction (the [[mannKendall]]
+    * discipline). Safe bound: var48 ≈ 4n³ < 2⁶³ → n ≤ 1.3·10⁶ nonzero
+    * pairs; raises above it instead of wrapping. n = 0 (all pairs
+    * tied) → z = 0.
+    *
+    * Scale shape: one global mid-rank window over the nonzero pairs +
+    * one aggregate — a bounded EVAL statistic (per-query metric deltas,
+    * per-unit pre/post), never a corpus-wide transform.
+    *
+    * Determinism: callers pass exact-decimal-derived doubles (the gate
+    * convention), so d and |d| are bit-identical cross-engine; n,
+    * sum_r2_pos, var48 exact integers; z takes one libm sqrt → the
+    * gate ROUNDs z, everything else RAW.
+    *
+    * Output (one row): n, sum_r2_pos, var48, z.
+    */
   def wilcoxonSignedRank(df: DataFrame, aCol: String,
                          bCol: String): DataFrame = {
     // Paired-eval-panel contract, enforced: the signed-rank sort is a

@@ -1249,6 +1249,33 @@ object Events {
     * 1-based positions in ord order, d2_units the exact squared
     * distance in 1/scale² units (LONG) → RAW.
     */
+  /** On-grid intake shared by [[matrixProfile]] and [[dtw]]:
+    * value·scale as an exact LONG, raising loudly off-grid. The raw
+    * value is widened to decimal(20,12) BEFORE scaling — casting
+    * straight to decimal(18,6) silently HALF_UP-rounds sub-1e-6
+    * digits, which made the grid check DEAD at the default scale=1e6
+    * (r17 advice). decimal(20,12) × decimal(7,0) → decimal(28,12),
+    * within 38 digits, so the product is exact and any sub-grid digit
+    * survives to fail the integrality compare (a rounded integer can
+    * never equal a non-integer, so the compare is rounding-mode
+    * agnostic). Doubles convert via shortest-repr, so every value that
+    * PRINTS on-grid is on-grid. |value| ≥ 1e8 overflows the
+    * decimal(20,12) cast and raises (ANSI) — far above the magnitude
+    * at which the checked-long DP sums downstream stay exact.
+    */
+  private def gridUnits(valueCol: String, scale: Long,
+                        op: String): Column = {
+    val units = col(valueCol).cast("decimal(20,12)") *
+      lit(scale).cast("decimal(7,0)")
+    when(units =!= units.cast("decimal(28,0)").cast("decimal(28,12)"),
+      raise_error(concat(
+        lit(s"$op: value off the 1/$scale grid (saw "),
+        col(valueCol).cast("string"),
+        lit(") — exact integer arithmetic needs on-grid values; " +
+          "lower `scale` to the metric's decimal places"))))
+      .otherwise(units.cast("long"))
+  }
+
   def matrixProfile(df: DataFrame, keyCol: String, orderCol: String,
                     valueCol: String, window: Int,
                     exclusion: Int = 0, scale: Long = 1000000L,
@@ -1261,16 +1288,9 @@ object Events {
     val excl = if (exclusion == 0) window else exclusion
     val spark = df.sparkSession
     import spark.implicits._
-    val units = col(valueCol).cast("decimal(18,6)") * lit(scale)
     df.select(col(keyCol).cast("string").as("k"),
         col(orderCol).cast("long").as("ord"),
-        when(units =!= units.cast("long").cast("decimal(38,6)"),
-          raise_error(concat(
-            lit(s"matrixProfile: value off the 1/$scale grid (saw "),
-            col(valueCol).cast("string"),
-            lit(") — exact integer distances need on-grid values; " +
-              "lower `scale` to the metric's decimal places"))))
-          .otherwise(units.cast("long")).as("xs"))
+        gridUnits(valueCol, scale, "matrixProfile").as("xs"))
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (k, it) =>
@@ -1476,16 +1496,9 @@ object Events {
       "maxPoints must be in [1, 65536]")
     val spark = df.sparkSession
     import spark.implicits._
-    val units = col(valueCol).cast("decimal(18,6)") * lit(scale)
     val base = df.select(col(keyCol).cast("string").as("k"),
       col(orderCol).cast("long").as("ord"),
-      when(units =!= units.cast("long").cast("decimal(38,6)"),
-        raise_error(concat(
-          lit(s"dtw: value off the 1/$scale grid (saw "),
-          col(valueCol).cast("string"),
-          lit(") — exact integer costs need on-grid values; lower " +
-            "`scale` to the metric's decimal places"))))
-        .otherwise(units.cast("long")).as("xs"))
+      gridUnits(valueCol, scale, "dtw").as("xs"))
     val ref = graft.plans.Bounded.collectBounded(
       base.where(col("k") === refKey).orderBy("ord").select("xs"),
       "Events.dtw reference series").map(_.getLong(0))
@@ -1520,11 +1533,14 @@ object Events {
           val hi = math.min(m, i + band)
           var j = lo
           while (j <= hi) {
-            val cost = math.abs(a(i - 1) - b(j - 1))
+            // overflow-CHECKED like matrixProfile (r17 advice): the
+            // scaladoc promises exact LONG arithmetic, so a magnitude
+            // that would wrap raises instead of corrupting the min
+            val cost = Math.absExact(Math.subtractExact(a(i - 1), b(j - 1)))
             val best =
               if (i == 1 && j == 1) 0L
               else math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
-            cur(j) = cost + best
+            cur(j) = Math.addExact(cost, best)
             j += 1
           }
           val t = prev; prev = cur; cur = t

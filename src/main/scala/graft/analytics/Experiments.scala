@@ -305,10 +305,21 @@ object Experiments {
     val z2 = zsum * zsum
     val spark = units.sparkSession
     import spark.implicits._
+    // with 0/1 rows mean/s2 divide by n / n−1 = 0 — the house
+    // loud-degenerate convention raises THIS message, not a generic
+    // ANSI DIVIDE_BY_ZERO; the CaseWhen guards the divisions
+    // themselves (branch laziness), since projection field order does
+    // NOT pin evaluation order under codegen
+    def fewGuard(value: org.apache.spark.sql.Column) =
+      when(col("n") < 2,
+        raise_error(lit("sampleSize: need >= 2 historical rows to " +
+          "estimate the variance (s2 divides by n-1) — pass a " +
+          "real metric panel")))
+        .otherwise(value)
     val m = momentSums(units, None, col(yCol).cast("double"), lit(0.0))
       .select(col("n").as("n_hist"),
-        (col("sx") / col("n")).as("mean"),
-        ((col("sxx") - col("sx") * col("sx") / col("n"))
+        fewGuard(col("sx") / col("n")).as("mean"),
+        fewGuard((col("sxx") - col("sx") * col("sx") / col("n"))
           / (col("n") - 1)).as("s2"))
       .select(col("n_hist"),
         when(col("mean") <= 0.0,

@@ -21,15 +21,27 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: gains are exact integer counts; argmax ties break on
   * id ascending. Selection stops EARLY when no id adds a new feature
-  * (coverage saturated) — ids whose features are all covered simply
-  * vanish from the gain frame, so duplicates of an earlier pick are
-  * never selected.
+  * (coverage saturated) — a fully-covered id's gain decrements to 0
+  * and it leaves the gain table, so duplicates of an earlier pick are
+  * never selected. NULL id/feat raise loudly at intake (the
+  * [[graft.analytics.Events.matrixProfile]] loud-contract idiom): a
+  * NULL never matches a join key, so it would otherwise ride every
+  * anti-join as a phantom permanent gain.
   *
-  * Scale shape: k rounds of [anti-join against the covered-feature
-  * frame → one map-combinable gain aggregation → TakeOrdered top-1]
-  * (the [[graft.search.Mmr.select]] loop shape); the covered frame is
-  * materialized per round and grows by one pick's features. No global
-  * windows, no driver-side feature sets.
+  * Scale shape (round 18 — the CELF observation taken one step
+  * further): CELF (Leskovec 2007) tolerates STALE gains because
+  * submodularity makes them upper bounds; here the decrement is so
+  * cheap the table never goes stale at all. The exact gain table
+  * gains(id) = |feats(id) ∩ uncovered| is maintained DECREMENTALLY:
+  * after a pick covers feature set S, gain'(id) = gain(id) −
+  * |uncov_rows(id) ⋈ S|, computed by ONE broadcast semi-pass of the
+  * uncovered incidence against the pick's own features (small — one
+  * id's rows) + a groupBy over only the MATCHED rows. No per-round
+  * full anti-join against a growing covered frame, no per-round full
+  * re-aggregation; the uncovered frame only shrinks. Per-round
+  * argmax is a TakeOrdered top-1 (one-row collect, the
+  * [[graft.search.Mmr.select]] loop shape); both rolling frames are
+  * [[graft.plans.Materialize]]-staged per round.
   *
   * Output per pick: (sel_order, id, new_feats, covered_total).
   */
@@ -42,28 +54,51 @@ object Coverage {
     import spark.implicits._
     val p = graft.plans.Materialize.stage(
       pairs.select(col(idCol).cast("long").as("id"),
-        col(featCol).as("feat")).distinct(),
+          col(featCol).as("feat"))
+        .select(
+          when(col("id").isNull || col("feat").isNull,
+            raise_error(lit("greedySelect: NULL id/feat in the " +
+              "incidence table — a NULL never join-matches the " +
+              "covered features, so it would count as a phantom " +
+              "permanent gain; filter or fix upstream")))
+            .otherwise(col("id")).as("id"),
+          col("feat")).distinct(),
       "graft.dedup.checkpoint")
-    var covered = p.select(col("feat")).limit(0)
+    // exact marginal-gain table, maintained by per-pick decrements —
+    // round 1's value is just the id's distinct-feature count
+    var gains = graft.plans.Materialize.stage(
+      p.groupBy("id").agg(count(lit(1)).as("g")),
+      "graft.dedup.checkpoint")
+    var uncov = p
     var selected = List.empty[(Int, Long, Long, Long)]
     var total = 0L
     var round = 1
     var saturated = false
     while (round <= k && !saturated) {
-      val gains = p.join(covered, Seq("feat"), "left_anti")
-        .groupBy("id").agg(count(lit(1)).as("g"))
-        .orderBy(desc("g"), col("id")).limit(1).collect()
-      if (gains.isEmpty) saturated = true
+      val top = gains.orderBy(desc("g"), col("id")).limit(1).collect()
+      if (top.isEmpty) saturated = true
       else {
-        val pick = gains.head
-        val pid = pick.getAs[Long]("id")
-        val g = pick.getAs[Long]("g")
+        val pid = top.head.getAs[Long]("id")
+        val g = top.head.getAs[Long]("g")
         total += g
         selected = (round, pid, g, total) :: selected
-        covered = graft.plans.Materialize.stage(
-          covered.unionByName(
-            p.where(col("id") === pid).select(col("feat"))).distinct(),
-          "graft.dedup.checkpoint")
+        if (round < k) {
+          val pickFeats = uncov.where(col("id") === pid).select("feat")
+          val dec = uncov.join(broadcast(pickFeats), Seq("feat"))
+            .groupBy("id").agg(count(lit(1)).as("d"))
+          gains = graft.plans.Materialize.stage(
+            gains.join(dec, Seq("id"), "left")
+              .select(col("id"),
+                (col("g") - coalesce(col("d"), lit(0L))).as("g"))
+              // the pick itself decrements to exactly 0 (its uncovered
+              // rows ARE the broadcast set), as does any id it fully
+              // covers — leaving the table IS the duplicate suppression
+              .where(col("g") > 0),
+            "graft.dedup.checkpoint")
+          uncov = graft.plans.Materialize.stage(
+            uncov.join(broadcast(pickFeats), Seq("feat"), "left_anti"),
+            "graft.dedup.checkpoint")
+        }
         round += 1
       }
     }

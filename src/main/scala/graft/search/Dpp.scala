@@ -35,6 +35,17 @@ import org.apache.spark.sql.functions._
   *
   * Output: (sel_order, id, quality, gain) — gain = dᵢ² at selection
   * (the item's det-gain factor; Π gains = det of the selected kernel).
+  *
+  * Why no CELF-style lazy gains here (considered, round 18): CELF's
+  * stale-bound trick saves RECOMPUTATION when a gain evaluation is
+  * expensive and most candidates' gains rarely change. The DPP
+  * marginal gain dᵢ² changes for EVERY candidate EVERY round, and the
+  * O(1)-per-candidate Cholesky fold-in above IS the incremental
+  * update — deferring it would only postpone work the next round
+  * needs anyway (and exact log-det gains are not upper-boundable by
+  * their stale values the way coverage gains are without it).
+  * Contrast [[graft.operators.Coverage.greedySelect]], where the
+  * decremental table does pay off.
   */
 object Dpp {
 

@@ -133,5 +133,14 @@ class ExperimentsSpec extends SparkSpec {
       Experiments.sampleSize(zeroMean, "y").collect()
     }
     assert(e2.getMessage.contains("mean must be positive"))
+    // 0/1 historical rows: s2 would be 0/0 — the loud-degenerate
+    // convention raises instead of emitting NULL/Infinity plans
+    for (few <- Seq(Seq.empty[Double], Seq(2.0))) {
+      val e3 = intercept[Exception] {
+        Experiments.sampleSize(few.toDF("y"), "y").collect()
+      }
+      assert(e3.getMessage.contains(">= 2 historical rows"),
+        s"n=${few.size}: ${e3.getMessage}")
+    }
   }
 }

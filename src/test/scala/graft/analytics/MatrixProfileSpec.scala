@@ -86,5 +86,20 @@ class MatrixProfileSpec extends SparkSpec {
         window = 2, scale = 1L, maxPoints = 10).collect()
     }
     assert(e2.getMessage.contains("maxPoints"))
+    // sub-1e-6 digits at the DEFAULT scale=1e6: the r17-advice dead
+    // spot — a straight decimal(18,6) cast silently HALF_UP-rounded
+    // 0.1234567 onto the grid; the widened decimal(20,12) intake
+    // keeps the 7th digit alive so the integrality check fires
+    val fine = series(Seq(1.0, 0.1234567, 3.0))
+    val e3 = intercept[Exception] {
+      Events.matrixProfile(fine, "k", "ord", "x", window = 2).collect()
+    }
+    assert(e3.getMessage.contains("grid"))
+    // on-grid at 1e-6 still passes through exactly (units 1,3,2,4)
+    val ok = series(Seq(0.000001, 0.000003, 0.000002, 0.000004))
+    val rows = Events.matrixProfile(ok, "k", "ord", "x", window = 2,
+        exclusion = 1)
+      .orderBy("pos").collect()
+    assert(rows.map(_.getAs[Long]("d2_units")).toSeq == Seq(2L, 5L, 2L))
   }
 }

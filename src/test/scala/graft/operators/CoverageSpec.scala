@@ -33,6 +33,53 @@ class CoverageSpec extends SparkSpec {
     assert(got == Seq(5L, 7L))
   }
 
+  test("NULL id/feat raises loudly (phantom-gain contract)") {
+    val bad = spark.sql(
+      "SELECT * FROM VALUES (1, 'a'), (NULL, 'b') AS t(id, feat)")
+    val e = intercept[Exception] {
+      Coverage.greedySelect(bad, "id", "feat", k = 2).collect()
+    }
+    assert(e.getMessage.contains("greedySelect: NULL id/feat"))
+    val bad2 = spark.sql(
+      "SELECT * FROM VALUES (1, 'a'), (2, NULL) AS t(id, feat)")
+    val e2 = intercept[Exception] {
+      Coverage.greedySelect(bad2, "id", "feat", k = 2).collect()
+    }
+    assert(e2.getMessage.contains("greedySelect: NULL id/feat"))
+  }
+
+  test("decremental gain maintenance ≡ recompute-from-scratch greedy " +
+    "(40-doc overlapping fixture)") {
+    val rows = for {
+      i <- 1L to 40L
+      j <- 0 until (3 + (i % 5)).toInt
+    } yield (i, s"f${(i * 7 + j * 11) % 29}")
+    val pairs = rows.toDF("id", "feat")
+    // reference: every round recomputes every id's gain from scratch
+    val sets = rows.groupBy(_._1).map { case (id, ps) =>
+      id -> ps.map(_._2).toSet }
+    var covered = Set.empty[String]
+    val expect =
+      scala.collection.mutable.ListBuffer.empty[(Int, Long, Long, Long)]
+    var r = 1
+    var done = false
+    while (r <= 10 && !done) {
+      val cands = sets.view.mapValues(s => (s -- covered).size)
+        .filter(_._2 > 0).toSeq
+      if (cands.isEmpty) done = true
+      else {
+        val (pid, g) = cands.sortBy { case (id, g) => (-g, id) }.head
+        covered = covered ++ sets(pid)
+        expect += ((r, pid, g.toLong, covered.size.toLong))
+        r += 1
+      }
+    }
+    val got = Coverage.greedySelect(pairs, "id", "feat", k = 10)
+      .collect().map(x =>
+        (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3))).toSeq
+    assert(got == expect.toList)
+  }
+
   test("k truncates before saturation") {
     val pairs = (1L to 6L).map(i => (i, s"f$i")).toDF("id", "feat")
     val got = Coverage.greedySelect(pairs, "id", "feat", k = 2)
