@@ -188,6 +188,11 @@ object DistTest {
     *
     * Output (one row): n1, n2, u1_2, num2, v12, z — z = 0 on a
     * degenerate input (either group empty, all values tied).
+    *
+    * CORPUS-SCALE DEFAULT: [[mannWhitneyBucketed]] — same statistic
+    * computed exactly on a fixed score grid from one groupBy, no
+    * global rank window; this exact form is the bounded-eval-frame
+    * member and refuses loudly past its guard.
     */
   def mannWhitney(df: DataFrame, groupCol: String,
                   valueCol: String): DataFrame = {
@@ -229,6 +234,250 @@ object DistTest {
                 (col("n") - 1).cast("double")))))
       .select(col("n1"), col("n2"), col("u1_2"), col("num2"),
         col("v12"), col("z"))
+  }
+
+  /** Corpus-scale Mann–Whitney U on a FIXED score grid — the
+    * scale-safe DEFAULT for rank-sum scorer audits, the
+    * [[RankEval.aucBucketed]] discipline applied to the TEST reading
+    * (round-18; [[mannWhitney]] above is the exact form whose
+    * total-order rank window correctly REFUSES past its
+    * [[graft.plans.Bounded]] contract — use this one on full
+    * corpora). Scores land in `buckets` equal cells of [lo, hi]
+    * (clamped), every row in a cell is TIED at the cell, and on a
+    * fixed grid the tie structure is per-cell — so U₁, the tie
+    * correction and z are EXACTLY computable from one
+    * `groupBy(cell, group).count()`:
+    *
+    *   r2_c = 2·below_c + t_c + 1      (doubled cell mid-rank)
+    *   2U₁ = Σ_c np_c·r2_c − n₁(n₁+1)
+    *   tie48 = Σ_c (t_c³ − t_c),  σ² as in [[mannWhitney]]
+    *
+    * MW_b → exact MW as the grid refines; on scores that never split
+    * a cell (values ON the grid) it EQUALS the exact statistic
+    * (spec-pinned). Scale shape: one map-combinable groupBy over ≤
+    * `buckets` cells — NO global window over the input; the only
+    * total-order window runs on the cell table, statically bounded by
+    * an upstream limit (≤ `buckets` rows by construction).
+    *
+    * Determinism: the cell index is one IEEE expression evaluated the
+    * same way both engines; counts, rank sums and the tie sum are
+    * exact decimals (2U₁ ≈ 2n² and Σt³ ≈ n³ wrap a long past ~10⁶
+    * rows — the whole point of the bucketed form is corpora far
+    * beyond that); v12 is the double product of two exact ≤10³⁸
+    * factors (their exact decimal product can exceed 38 digits at
+    * corpus scale); z takes one sqrt → gates ROUND z, everything else
+    * RAW.
+    *
+    * Output, one row: (n1, n2, n_cells, u1_2, num2, v12, z) — u1_2 /
+    * num2 are exact-integer-valued doubles; z = 0 on a degenerate
+    * input (either group empty, all values in one cell).
+    */
+  def mannWhitneyBucketed(df: DataFrame, groupCol: String,
+                          valueCol: String,
+                          lo: Double = 0.0, hi: Double = 1.0,
+                          buckets: Int = 256): DataFrame = {
+    require(hi > lo, "need hi > lo")
+    require(buckets >= 2 && buckets <= (1 << 20),
+      "need 2 <= buckets <= 2^20")
+    val s = col(valueCol).cast("double")
+    val cell = least(greatest(
+      floor(((s - lit(lo)) * lit(buckets.toDouble)) / lit(hi - lo)),
+      lit(0L)), lit(buckets - 1L))
+    val dec = "decimal(38,0)"
+    val perCell = df
+      .where(s.isNotNull && col(groupCol).isNotNull)
+      .groupBy(cell.as("bk"))
+      .agg(
+        sum(when(col(groupCol).cast("boolean"), 1L).otherwise(0L))
+          .as("np"),
+        sum(when(col(groupCol).cast("boolean"), 0L).otherwise(1L))
+          .as("nn"))
+      // ≤ `buckets` groups by construction — the limit never drops a
+      // row; it sets maxRows so the cell window below is STATICALLY
+      // bounded (Bounded.guard's free path, no count job)
+      .limit(buckets)
+    val w = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    graft.plans.Bounded.guard(perCell, "DistTest.mannWhitneyBucketed cells")
+      .withColumn("t", col("np") + col("nn"))
+      .withColumn("below",
+        coalesce(sum(col("t")).over(w), lit(0L)).cast(dec))
+      .agg(
+        sum(col("np")).as("n1"),
+        sum(col("nn")).as("n2"),
+        count(lit(1)).as("n_cells"),
+        sum(col("np").cast(dec) *
+          (lit(2).cast(dec) * col("below") + col("t") + 1)).as("r1_2"),
+        sum(col("t").cast(dec) *
+          (col("t").cast(dec) * col("t") - 1)).as("tie48"))
+      .withColumn("n", col("n1") + col("n2"))
+      .select(col("n1"), col("n2"), col("n_cells"),
+        (col("r1_2") - col("n1").cast(dec) * (col("n1") + 1))
+          .as("u1_2d"),
+        (col("r1_2") - col("n1").cast(dec) * (col("n1") + 1)
+          - col("n1").cast(dec) * col("n2")).as("num2d"),
+        // two exact ≤1e38 decimal factors multiplied in DOUBLE — the
+        // exact decimal product would overflow precision 38 at scale
+        ((col("n1").cast(dec) * col("n2")).cast("double") *
+          ((col("n") + 1).cast(dec) * col("n") * (col("n") - 1)
+            - coalesce(col("tie48"), lit(0).cast(dec))).cast("double"))
+          .as("v12"),
+        col("n"))
+      .withColumn("z",
+        when(col("n1") === 0 || col("n2") === 0 || col("v12") <= 0.0 ||
+            col("num2d") === 0, lit(0.0))
+          .otherwise(((col("num2d").cast("double")
+            - signum(col("num2d").cast("double"))) / lit(2.0))
+            / sqrt(col("v12") /
+              (lit(12.0) * col("n").cast("double") *
+                (col("n") - 1).cast("double")))))
+      .select(col("n1"), col("n2"), col("n_cells"),
+        col("u1_2d").cast("double").as("u1_2"),
+        col("num2d").cast("double").as("num2"),
+        col("v12"), col("z"))
+  }
+
+  /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-GROUP
+    * member of the rank-sum family: [[mannWhitney]] compares two
+    * groups, this tests whether ANY of k groups stochastically
+    * dominates, the way Cochran's Q is the k-policy analogue of
+    * McNemar. Doubled mid-ranks keep every rank sum integral
+    * (s_j = 2·R_j, an exact long under the guard):
+    *
+    *   H₀ = 3·Σ_j s_j²/n_j / (n(n+1)) − 3(n+1)
+    *   C  = 1 − Σ(t³−t) / (n³−n),   H = H₀ / C
+    *
+    * (12·R_j² = 3·s_j²). H ~ χ²(k−1) under exchangeability.
+    *
+    * Determinism: n_j / s_j / tie48 are exact integers; Σ s_j²/n_j is
+    * a SORTED sequential double fold over the per-group array
+    * (group-key ascending — the Bradley–Terry whole-fit-RAW
+    * discipline), so both engines replay the identical IEEE sequence;
+    * gates ROUND h only as a courtesy against future libm, everything
+    * else RAW. All-tied input → C = 0 → h = 0 (no evidence, the
+    * [[mannWhitney]] degenerate convention); a single group scores
+    * H₀ = 0 identically (Σ mid-ranks = n(n+1)/2).
+    *
+    * Scale shape: one global mid-rank window (eval-frame contract —
+    * [[graft.plans.Bounded.guard]]; the guard also keeps s_j², Σ(t²−1)
+    * far from the decimal/long edges) + one per-group aggregate.
+    * CORPUS-SCALE DEFAULT: [[kruskalWallisBucketed]].
+    *
+    * Output (one row): k_groups, n, tie48, h.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    val base = graft.plans.Bounded.guard(
+      df.select(col(groupCol).cast("string").as("g"),
+          col(valueCol).cast("double").as("x"))
+        .where(col("x").isNotNull && col("g").isNotNull),
+      "DistTest.kruskalWallis")
+    val w = Window.orderBy(col("x"))
+    val tw = Window.partitionBy(col("x"))
+    val dec = "decimal(38,0)"
+    val perG = base
+      .withColumn("r2",
+        lit(2L) * rank().over(w) + count(lit(1)).over(tw) - lit(1L))
+      .withColumn("t", count(lit(1)).over(tw))
+      .groupBy("g")
+      .agg(count(lit(1)).as("nj"), sum(col("r2")).as("sj"),
+        sum((col("t") * col("t") - 1).cast(dec)).as("tiej"))
+    kwCombine(perG, nCells = None)
+  }
+
+  /** Corpus-scale Kruskal–Wallis on a FIXED score grid — the
+    * [[mannWhitneyBucketed]] discipline for k groups: every row in a
+    * cell is tied at the cell, so the doubled cell mid-rank
+    * r2_c = 2·below_c + t_c + 1 (from the ≤-`buckets` cell marginal)
+    * makes s_j = Σ_c cnt_{c,j}·r2_c and the tie sum EXACT from one
+    * `groupBy(cell, group).count()` — no global rank window. KW_b →
+    * exact KW as the grid refines; EQUAL on grid-valued scores
+    * (spec-pinned). Rank sums are exact decimals (s_j ≈ 2n·n_j wraps
+    * a long at corpus scale); the Σ s_j²/n_j fold runs in double over
+    * the group-sorted array exactly like the exact form.
+    *
+    * Output (one row): k_groups, n, n_cells, tie48, h.
+    */
+  def kruskalWallisBucketed(df: DataFrame, groupCol: String,
+                            valueCol: String,
+                            lo: Double = 0.0, hi: Double = 1.0,
+                            buckets: Int = 256): DataFrame = {
+    require(hi > lo, "need hi > lo")
+    require(buckets >= 2 && buckets <= (1 << 20),
+      "need 2 <= buckets <= 2^20")
+    val s = col(valueCol).cast("double")
+    val cell = least(greatest(
+      floor(((s - lit(lo)) * lit(buckets.toDouble)) / lit(hi - lo)),
+      lit(0L)), lit(buckets - 1L))
+    val dec = "decimal(38,0)"
+    val cg = df
+      .where(s.isNotNull && col(groupCol).isNotNull)
+      .groupBy(cell.as("bk"), col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val marg = cg.groupBy("bk").agg(sum(col("c")).as("t"))
+      .limit(buckets) // static bound — see mannWhitneyBucketed
+    val w = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = graft.plans.Bounded
+      .guard(marg, "DistTest.kruskalWallisBucketed cells")
+      .withColumn("below",
+        coalesce(sum(col("t")).over(w), lit(0L)).cast(dec))
+      .select(col("bk"),
+        (lit(2).cast(dec) * col("below") + col("t") + 1).as("r2"),
+        col("t"))
+    val nCells = ranked.groupBy().agg(
+      count(lit(1)).as("n_cells"),
+      sum(col("t").cast(dec) * (col("t").cast(dec) * col("t") - 1))
+        .as("tie48"))
+    val perG = cg.join(ranked.select(col("bk"), col("r2")), Seq("bk"))
+      .groupBy("g")
+      .agg(sum(col("c")).as("nj"),
+        sum(col("c").cast(dec) * col("r2")).as("sj"))
+    kwCombine(perG, nCells = Some(nCells))
+  }
+
+  /** Shared H combination for [[kruskalWallis]] (tiej per group, longs)
+    * and [[kruskalWallisBucketed]] (tie48/n_cells passed as a one-row
+    * frame, decimal rank sums): group-sorted double fold of Σ s_j²/n_j,
+    * then H = (3·Σ/(n(n+1)) − 3(n+1)) / C with C = 1 − tie48/(n³−n).
+    */
+  private def kwCombine(perG: DataFrame,
+                        nCells: Option[DataFrame]): DataFrame = {
+    val aggs = Seq(
+      coalesce(sum(col("nj")), lit(0L)).as("n"),
+      sort_array(collect_list(struct(col("g"),
+        col("nj").cast("double").as("njd"),
+        col("sj").cast("double").as("sjd")))).as("arr")) ++
+      // exact path: the tie sum rides the SAME aggregate (one pass);
+      // bucketed path gets it from the cell-marginal frame instead
+      (if (nCells.isEmpty)
+        Seq(coalesce(sum(col("tiej")), lit(0).cast("decimal(38,0)"))
+          .as("tie48"))
+      else Nil)
+    val gs = perG.groupBy()
+      .agg(count(lit(1)).as("k_groups"), aggs: _*)
+    val withTie = nCells match {
+      case Some(nc) => gs.crossJoin(nc) // one row × one row
+      case None => gs
+    }
+    val nd = col("n").cast("double")
+    withTie
+      .withColumn("ssum",
+        aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + (x("sjd") * x("sjd")) / x("njd")))
+      .withColumn("h0",
+        lit(3.0) * col("ssum") / (nd * (nd + 1)) - lit(3.0) * (nd + 1))
+      .withColumn("corr",
+        lit(1.0) - col("tie48").cast("double") / (nd * (nd + 1) * (nd - 1)))
+      .withColumn("h",
+        when(col("k_groups") === 0 || col("n") <= 1 ||
+          col("corr") <= 0.0, lit(0.0))
+          .otherwise(col("h0") / col("corr")))
+      .select((Seq(col("k_groups"), col("n")) ++
+        nCells.map(_ => col("n_cells")).toSeq ++
+        Seq(col("tie48").cast(
+          if (nCells.isEmpty) "long" else "double").as("tie48"),
+          col("h"))): _*)
   }
 
   /** Wilcoxon signed-rank test (Wilcoxon 1945) on paired columns — the

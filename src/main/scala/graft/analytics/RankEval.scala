@@ -50,8 +50,11 @@ object RankEval {
     * (Σ_pos r − n₁(n₁+1)/2) / (n₁n₀) on mid-ranks, computed on the
     * doubled integers as (Σ_pos 2r − n₁(n₁+1)) / (2n₁n₀). The TEST
     * reading of the same statistic (tie-corrected z against the
-    * exchangeability null) is [[DistTest.mannWhitney]] — the curated
-    * `rank-sum` family's other member.
+    * exchangeability null) is [[DistTest.mannWhitney]] (corpus-scale
+    * sibling [[DistTest.mannWhitneyBucketed]]), and the k-group
+    * generalization is [[DistTest.kruskalWallis]] (corpus-scale
+    * sibling [[DistTest.kruskalWallisBucketed]]) — the curated
+    * `rank-sum` family's other members.
     */
   def auc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame =
     graft.plans.Bounded.guard(
@@ -139,6 +142,9 @@ object RankEval {
   /** One row: (n, rho). Spearman ρ = Pearson on doubled mid-ranks; the
     * five sums are exact decimals, the combination is done in double
     * (exactly-rounded from exact inputs, identical across engines).
+    * CORPUS-SCALE DEFAULT: [[spearmanBucketed]] — this exact form's
+    * two total-order rank windows refuse loudly past their
+    * [[graft.plans.Bounded]] contract.
     */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val dec = "decimal(38,0)"
@@ -156,6 +162,80 @@ object RankEval {
         sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
         sum((col("ry") * col("ry")).cast(dec)).as("syy"))
       .select(col("n"),
+        ((col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+           sqrt(col("n").cast("double") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))))
+          .as("rho"))
+  }
+
+  /** Corpus-scale Spearman ρ on a FIXED 2-D score grid — the
+    * [[aucBucketed]] discipline for rank correlation (round-18, with
+    * [[graft.analytics.DistTest.mannWhitneyBucketed]]): bucket both
+    * scores onto fixed grids, mid-rank each axis from its ≤-`buckets`
+    * MARGINAL cell table (every row in a cell is tied at the cell:
+    * doubled mid-rank r2_c = 2·below_c + t_c + 1), and read the five
+    * Pearson sums off the ≤ buckets² JOINT histogram — one
+    * `groupBy(cellx, celly).count()`, NO global rank window over the
+    * input. ρ_b → exact [[spearman]] as the grids refine; EQUAL on
+    * grid-valued scores (spec-pinned).
+    *
+    * Determinism: cell indices are one IEEE expression each; counts,
+    * mid-ranks and the five sums are exact decimals (Σ cnt·rx·ry ≈
+    * 4n³ stays within decimal(38,0) to n ≈ 2.9·10¹², raising loudly
+    * past it); the final combination is the exact form's double
+    * expression. The only total-order windows run on the two marginal
+    * tables, statically bounded by upstream limits.
+    *
+    * Output, one row: (n, n_cells, rho) — n_cells the occupied joint
+    * cells.
+    */
+  def spearmanBucketed(df: DataFrame, xCol: String, yCol: String,
+                       loX: Double = 0.0, hiX: Double = 1.0,
+                       loY: Double = 0.0, hiY: Double = 1.0,
+                       buckets: Int = 256): DataFrame = {
+    require(hiX > loX && hiY > loY, "need hi > lo on both axes")
+    require(buckets >= 2 && buckets <= 1024,
+      "need 2 <= buckets <= 1024 (joint histogram is buckets^2)")
+    def cellOf(c: org.apache.spark.sql.Column, lo: Double,
+               hi: Double): org.apache.spark.sql.Column =
+      least(greatest(
+        floor(((c - lit(lo)) * lit(buckets.toDouble)) / lit(hi - lo)),
+        lit(0L)), lit(buckets - 1L))
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val cells = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(cellOf(x, loX, hiX).as("bx"),
+        cellOf(y, loY, hiY).as("by"))
+      .agg(count(lit(1)).as("c"))
+    def ranked(axis: String): DataFrame = {
+      val marg = cells.groupBy(axis).agg(sum(col("c")).as("t"))
+        .limit(buckets) // static bound — see mannWhitneyBucketed
+      val w = Window.orderBy(axis)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      graft.plans.Bounded
+        .guard(marg, s"RankEval.spearmanBucketed $axis marginal")
+        .withColumn("below",
+          coalesce(sum(col("t")).over(w), lit(0L)).cast(dec))
+        .select(col(axis),
+          (lit(2).cast(dec) * col("below") + col("t") + 1)
+            .as(s"r$axis"))
+    }
+    cells
+      .join(ranked("bx"), Seq("bx"))
+      .join(ranked("by"), Seq("by"))
+      .agg(
+        sum(col("c")).as("n"),
+        count(lit(1)).as("n_cells"),
+        sum(col("c").cast(dec) * col("rbx")).as("sx"),
+        sum(col("c").cast(dec) * col("rby")).as("sy"),
+        sum(col("c").cast(dec) * col("rbx") * col("rby")).as("sxy"),
+        sum(col("c").cast(dec) * col("rbx") * col("rbx")).as("sxx"),
+        sum(col("c").cast(dec) * col("rby") * col("rby")).as("syy"))
+      .select(col("n"), col("n_cells"),
         ((col("n").cast("double") * col("sxy").cast("double") -
           col("sx").cast("double") * col("sy").cast("double")) /
           (sqrt(col("n").cast("double") * col("sxx").cast("double") -

@@ -1,0 +1,286 @@
+package graft.queries
+
+import graft.functions.TextFunctions
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-18 additions: the bucketed scale-safe siblings that finish
+  * what q375's aucBucketed started (Mann–Whitney U and Spearman ρ on
+  * fixed grids — no global rank window, the corpus-scale defaults for
+  * the scorer audits whose exact forms correctly refuse past their
+  * Bounded guards), plus the k-group rank-sum member (Kruskal–Wallis,
+  * exact + bucketed) the q388/q343 pairing opened.
+  */
+object TestQueries28 {
+
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+  /** The q231/q233/q375/q388 scorer frame — per-doc TTR + n_chars —
+    * reused verbatim so the bucketed statistics grade on the IDENTICAL
+    * inputs as the exact ones they approximate.
+    */
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        TextFunctions.tokens(col("text")).as("tk"))
+      .where(size(col("tk")) > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (size(array_distinct(col("tk"))).cast("double") /
+          size(col("tk")).cast("double")).as("ttr"))
+
+  private val ScoredSql =
+    s"""sc AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(len(list_distinct(tk)) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) AS ttr
+        FROM (SELECT doc_id, lang, n_chars, $TokensSql AS tk
+              FROM documents)
+        WHERE len(tk) > 0)"""
+
+  /** The shared fixed-grid cell index, oracle side (mirrors the
+    * operators' one-IEEE-expression floor+clamp).
+    */
+  private def gridSql(v: String, lo: Double, hi: Double,
+                      buckets: Int): String =
+    s"""LEAST(GREATEST(CAST(FLOOR(
+       (($v - CAST($lo AS DOUBLE)) * CAST($buckets.0 AS DOUBLE))
+         / CAST(${hi - lo} AS DOUBLE)) AS BIGINT), 0), ${buckets - 1})"""
+
+  /** Corpus-scale bucketed Mann–Whitney U of the TTR scorer between
+    * lang='en' and the rest — [[graft.analytics.DistTest
+    * .mannWhitneyBucketed]] on the 256-cell [0,1] grid, the SAME frame
+    * as exact q388 (rank-sum family, test reading) and bucketed q375
+    * (probability reading): per-cell tie structure makes U₁/tie48/z
+    * exact from one groupBy, no global rank window. Everything RAW
+    * except z (one sqrt → ROUND 6).
+    */
+  val q389MwBucketed: QueryCase = QueryCase(
+    "q389_mw_bucketed",
+    (s, dir) => graft.analytics.DistTest.mannWhitneyBucketed(
+      scored(s, dir).select(col("ttr"), (col("lang") === "en").as("y")),
+      "y", "ttr", lo = 0.0, hi = 1.0, buckets = 256)
+      .select(col("n1"), col("n2"), col("n_cells"), col("u1_2"),
+        col("num2"), col("v12"), round(col("z"), 6).as("z")),
+    Some(s"""
+      WITH $ScoredSql,
+      b AS (
+        SELECT ${gridSql("ttr", 0.0, 1.0, 256)} AS bk,
+               (lang = 'en') AS g
+        FROM sc WHERE ttr IS NOT NULL AND lang IS NOT NULL),
+      pb AS (
+        SELECT bk,
+          CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        FROM b GROUP BY bk),
+      cum AS (
+        SELECT np, nn, np + nn AS t,
+          CAST(COALESCE(SUM(np + nn) OVER (ORDER BY bk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS below
+        FROM pb),
+      agg AS (
+        SELECT CAST(SUM(np) AS BIGINT) AS n1,
+               CAST(SUM(nn) AS BIGINT) AS n2,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               SUM(CAST(np AS HUGEINT)
+                 * (2 * CAST(below AS HUGEINT) + t + 1)) AS r1_2,
+               SUM(CAST(t AS HUGEINT)
+                 * (CAST(t AS HUGEINT) * t - 1)) AS tie48
+        FROM cum),
+      st AS (
+        SELECT n1, n2, n_cells,
+               r1_2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1_2h,
+               r1_2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                 - CAST(n1 AS HUGEINT) * n2 AS num2h,
+               CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+                 * CAST(CAST(n1 + n2 + 1 AS HUGEINT) * (n1 + n2)
+                     * (n1 + n2 - 1) - COALESCE(tie48, 0) AS DOUBLE)
+                 AS v12,
+               n1 + n2 AS n
+        FROM agg)
+      SELECT n1, n2, n_cells,
+             CAST(u1_2h AS DOUBLE) AS u1_2,
+             CAST(num2h AS DOUBLE) AS num2, v12,
+             CASE WHEN n1 = 0 OR n2 = 0 OR v12 <= 0.0 OR num2h = 0
+               THEN CAST(0.0 AS DOUBLE)
+               ELSE ROUND(((CAST(num2h AS DOUBLE)
+                      - CASE WHEN num2h > 0 THEN 1.0
+                             WHEN num2h < 0 THEN -1.0
+                             ELSE 0.0 END) / 2.0)
+                 / sqrt(v12 / (12.0 * CAST(n AS DOUBLE)
+                   * CAST(n - 1 AS DOUBLE))), 6) END AS z
+      FROM st"""))
+
+  /** Corpus-scale bucketed Spearman ρ between TTR ([0,1] grid) and
+    * document length (n_chars, [0,5000] grid, outliers clamped to the
+    * top cell by the operator's contract) —
+    * [[graft.analytics.RankEval.spearmanBucketed]]: mid-ranks off the
+    * two ≤256-cell marginals, five exact sums off the joint histogram.
+    * rho is the exact form's double combination of exact integers
+    * (q233 discipline) → RAW throughout.
+    */
+  val q390SpearmanBucketed: QueryCase = QueryCase(
+    "q390_spearman_bucketed",
+    (s, dir) => graft.analytics.RankEval.spearmanBucketed(
+      scored(s, dir).select(col("ttr"),
+        col("n_chars").cast("double").as("nc")),
+      "ttr", "nc", loX = 0.0, hiX = 1.0, loY = 0.0, hiY = 5000.0,
+      buckets = 256),
+    Some(s"""
+      WITH $ScoredSql,
+      b AS (
+        SELECT ${gridSql("ttr", 0.0, 1.0, 256)} AS bx,
+               ${gridSql("CAST(n_chars AS DOUBLE)", 0.0, 5000.0, 256)}
+                 AS by
+        FROM sc
+        WHERE ttr IS NOT NULL AND n_chars IS NOT NULL),
+      c AS (
+        SELECT bx, by, CAST(COUNT(*) AS BIGINT) AS c
+        FROM b GROUP BY bx, by),
+      mx AS (SELECT bx, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY bx),
+      cx AS (
+        SELECT bx,
+          2 * CAST(COALESCE(SUM(t) OVER (ORDER BY bx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS HUGEINT) + t + 1 AS rx
+        FROM mx),
+      my AS (SELECT by, CAST(SUM(c) AS BIGINT) AS t FROM c GROUP BY by),
+      cy AS (
+        SELECT by,
+          2 * CAST(COALESCE(SUM(t) OVER (ORDER BY by
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS HUGEINT) + t + 1 AS ry
+        FROM my),
+      agg AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(CAST(c AS HUGEINT) * rx) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(c AS HUGEINT) * ry) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(c AS HUGEINT) * rx * ry) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(c AS HUGEINT) * rx * rx) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(c AS HUGEINT) * ry * ry) AS DOUBLE) AS syy
+        FROM c JOIN cx USING (bx) JOIN cy USING (by))
+      SELECT n, n_cells,
+        (CAST(n AS DOUBLE) * sxy - sx * sy)
+          / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+             * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)) AS rho
+      FROM agg"""))
+
+  private val KwSelectSql =
+    """SELECT k_groups, n%s, tie48,
+             CASE WHEN k_groups = 0 OR n <= 1 OR corr <= 0.0
+               THEN CAST(0.0 AS DOUBLE)
+               ELSE h0 / corr END AS h"""
+
+  /** Kruskal–Wallis H of the TTR scorer across ALL language groups —
+    * [[graft.analytics.DistTest.kruskalWallis]], the k-group member
+    * next to two-group q388 (and to Cochran's Q q343 for binary
+    * panels): doubled mid-ranks, exact rank sums, group-sorted double
+    * fold of Σ s_j²/n_j. No libm → RAW throughout.
+    */
+  val q391KruskalWallis: QueryCase = QueryCase(
+    "q391_kruskal_wallis",
+    (s, dir) => graft.analytics.DistTest.kruskalWallis(
+      scored(s, dir).select(col("lang"), col("ttr")), "lang", "ttr"),
+    Some(s"""
+      WITH $ScoredSql,
+      r AS (
+        SELECT lang AS g,
+               2 * RANK() OVER (ORDER BY ttr)
+                 + COUNT(*) OVER (PARTITION BY ttr) - 1 AS r2,
+               COUNT(*) OVER (PARTITION BY ttr) AS t
+        FROM sc WHERE ttr IS NOT NULL AND lang IS NOT NULL),
+      pg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+               CAST(SUM(r2) AS BIGINT) AS sj,
+               SUM(CAST(t * t - 1 AS HUGEINT)) AS tiej
+        FROM r GROUP BY g),
+      pq AS (
+        SELECT g, nj, sj, tiej,
+               CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                 / CAST(nj AS DOUBLE) AS qj
+        FROM pg),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM(nj) AS BIGINT) AS n,
+               CAST(SUM(tiej) AS BIGINT) AS tie48,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(qj ORDER BY g)), (a, v) -> a + v) AS ssum
+        FROM pq),
+      f AS (
+        SELECT k_groups, n, tie48,
+               3.0 * ssum / (CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) + 1))
+                 - 3.0 * (CAST(n AS DOUBLE) + 1) AS h0,
+               1.0 - CAST(tie48 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                    * (CAST(n AS DOUBLE) - 1)) AS corr
+        FROM agg)
+      ${KwSelectSql.format("")}
+      FROM f"""))
+
+  /** Corpus-scale bucketed Kruskal–Wallis on the same frame —
+    * [[graft.analytics.DistTest.kruskalWallisBucketed]], the fixed
+    * 256-cell [0,1] grid: per-(cell, lang) counts, mid-ranks off the
+    * cell marginal, same group-sorted fold. RAW throughout.
+    */
+  val q392KwBucketed: QueryCase = QueryCase(
+    "q392_kw_bucketed",
+    (s, dir) => graft.analytics.DistTest.kruskalWallisBucketed(
+      scored(s, dir).select(col("lang"), col("ttr")), "lang", "ttr",
+      lo = 0.0, hi = 1.0, buckets = 256),
+    Some(s"""
+      WITH $ScoredSql,
+      b AS (
+        SELECT ${gridSql("ttr", 0.0, 1.0, 256)} AS bk, lang AS g
+        FROM sc WHERE ttr IS NOT NULL AND lang IS NOT NULL),
+      cg AS (
+        SELECT bk, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM b GROUP BY bk, g),
+      marg AS (SELECT bk, CAST(SUM(c) AS BIGINT) AS t
+               FROM cg GROUP BY bk),
+      rk AS (
+        SELECT bk, t,
+          2 * CAST(COALESCE(SUM(t) OVER (ORDER BY bk
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS HUGEINT) + t + 1 AS r2
+        FROM marg),
+      tie AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               SUM(CAST(t AS HUGEINT)
+                 * (CAST(t AS HUGEINT) * t - 1)) AS tie48h
+        FROM rk),
+      pg AS (
+        SELECT g, CAST(SUM(c) AS BIGINT) AS nj,
+               SUM(CAST(c AS HUGEINT) * r2) AS sj
+        FROM cg JOIN rk USING (bk) GROUP BY g),
+      pq AS (
+        SELECT g, nj,
+               CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+                 / CAST(nj AS DOUBLE) AS qj
+        FROM pg),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM(nj) AS BIGINT) AS n,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(qj ORDER BY g)), (a, v) -> a + v) AS ssum
+        FROM pq),
+      f AS (
+        SELECT k_groups, n, n_cells,
+               CAST(tie48h AS DOUBLE) AS tie48,
+               3.0 * ssum / (CAST(n AS DOUBLE)
+                 * (CAST(n AS DOUBLE) + 1))
+                 - 3.0 * (CAST(n AS DOUBLE) + 1) AS h0,
+               1.0 - CAST(tie48h AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+                    * (CAST(n AS DOUBLE) - 1)) AS corr
+        FROM agg, tie)
+      ${KwSelectSql.format(", n_cells")}
+      FROM f"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q389MwBucketed, q390SpearmanBucketed, q391KruskalWallis,
+      q392KwBucketed)
+}

@@ -74,6 +74,79 @@ class DistTestSpec extends SparkSpec {
     assert(s.getAs[Long]("num2") == 0L && s.getAs[Double]("z") == 0.0)
   }
 
+  test("mannWhitneyBucketed: equals exact on grid-valued scores " +
+      "(tied panel), and over-guard-bound INPUTS still pass") {
+    import org.apache.spark.sql.functions._
+    // the exact test's tied panel on the B=8 [0,4] grid — 0.5-wide
+    // cells, values 1/2/3 land in cells 2/4/6, no cell mixes scores
+    val tied = Seq((true, 1.0), (true, 2.0), (true, 2.0),
+      (false, 2.0), (false, 3.0)).toDF("g", "x")
+    val b = DistTest.mannWhitneyBucketed(tied, "g", "x", 0.0, 4.0, 8)
+      .collect().head
+    assert(b.getAs[Long]("n1") == 3L && b.getAs[Long]("n2") == 2L)
+    assert(b.getAs[Long]("n_cells") == 3L)
+    assert(b.getAs[Double]("u1_2") == 2.0 &&
+      b.getAs[Double]("num2") == -4.0)
+    assert(b.getAs[Double]("v12") == 576.0)
+    assert(math.abs(b.getAs[Double]("z") + 0.968245836551854) < 1e-12)
+    // scale shape: the only window runs on the ≤B cell table — an
+    // input far over the guard bound must pass untouched
+    val big = spark.range(100)
+      .groupBy(col("id")).agg(first(col("id")).as("v"))
+      .selectExpr("CAST(v AS DOUBLE) / 100 AS x", "v % 2 = 0 AS g")
+    spark.conf.set(graft.plans.Bounded.MaxRowsKey, "10")
+    try {
+      val r = DistTest.mannWhitneyBucketed(big, "g", "x", 0.0, 1.0, 4)
+        .collect().head
+      assert(r.getAs[Long]("n1") + r.getAs[Long]("n2") == 100L)
+      val kw = DistTest.kruskalWallisBucketed(
+        big.selectExpr("x", "CAST(g AS STRING) AS g"), "g", "x",
+        0.0, 1.0, 4).collect().head
+      assert(kw.getAs[Long]("n") == 100L)
+    } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
+  }
+
+  test("kruskalWallis: hand panels — no ties (H = 7.2), " +
+      "tie-corrected, single group, all-tied degenerate") {
+    val clean = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0),
+      ("b", 5.0), ("b", 6.0), ("c", 7.0), ("c", 8.0), ("c", 9.0))
+      .toDF("g", "x")
+    val r = DistTest.kruskalWallis(clean, "g", "x").collect().head
+    assert(r.getAs[Long]("k_groups") == 3L && r.getAs[Long]("n") == 9L)
+    assert(r.getAs[Long]("tie48") == 0L)
+    // R = (6, 15, 24): H = 12/90·(12+75+192) − 30 = 7.2, C = 1
+    assert(math.abs(r.getAs[Double]("h") - 7.2) < 1e-9)
+    // ties: a={1,2,2}, b={2,3,4} — s=(14,28), tie48=24,
+    // H0 = 3·(196+784)/3/42 − 21 = 7/3, C = 1 − 24/210
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0),
+      ("b", 3.0), ("b", 4.0)).toDF("g", "x")
+    val t = DistTest.kruskalWallis(tied, "g", "x").collect().head
+    assert(t.getAs[Long]("tie48") == 24L)
+    assert(math.abs(t.getAs[Double]("h") - 2.634408602150538) < 1e-9)
+    // single group: Σ mid-ranks = n(n+1)/2 → H0 = 0 identically
+    val solo = Seq(("a", 1.0), ("a", 5.0), ("a", 9.0)).toDF("g", "x")
+    assert(DistTest.kruskalWallis(solo, "g", "x").collect()
+      .head.getAs[Double]("h") == 0.0)
+    // every observation tied: C = 0 → defined degenerate h = 0
+    val allTied = Seq(("a", 2.0), ("b", 2.0), ("b", 2.0)).toDF("g", "x")
+    assert(DistTest.kruskalWallis(allTied, "g", "x").collect()
+      .head.getAs[Double]("h") == 0.0)
+  }
+
+  test("kruskalWallisBucketed: equals exact bit-for-bit on " +
+      "grid-valued scores") {
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("b", 2.0),
+      ("b", 3.0), ("b", 4.0)).toDF("g", "x")
+    val exact = DistTest.kruskalWallis(tied, "g", "x").collect().head
+    // B=8 over [0,4]: 1→cell 2, 2→4, 3→6, 4→clamped 7 — no mixing
+    val b = DistTest.kruskalWallisBucketed(tied, "g", "x", 0.0, 4.0, 8)
+      .collect().head
+    assert(b.getAs[Long]("k_groups") == 2L && b.getAs[Long]("n") == 6L)
+    assert(b.getAs[Long]("n_cells") == 4L)
+    assert(b.getAs[Double]("tie48") == 24.0)
+    assert(b.getAs[Double]("h") == exact.getAs[Double]("h"))
+  }
+
   test("wilcoxonSignedRank / adjustPvalues: Bounded guard raises " +
       "loudly on an over-bound frame") {
     import org.apache.spark.sql.functions._
@@ -99,6 +172,12 @@ class DistTestSpec extends SparkSpec {
           "g", "x")
       }
       assert(e3.getMessage.contains("mannWhitney"))
+      val e4 = intercept[IllegalArgumentException] {
+        DistTest.kruskalWallis(
+          big.selectExpr("a AS x", "CAST(a > 50 AS STRING) AS g"),
+          "g", "x")
+      }
+      assert(e4.getMessage.contains("kruskalWallis"))
     } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
   }
 }

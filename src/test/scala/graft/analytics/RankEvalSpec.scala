@@ -128,6 +128,42 @@ class RankEvalSpec extends SparkSpec {
     assert(fine == exact) // 200 distinct scores, 4096 cells: no mixing
   }
 
+  test("spearmanBucketed: equals exact spearman bit-for-bit on " +
+      "grid-valued pairs; monotone grid → rho ≈ 1") {
+    // B=8 over [0,1] on both axes: values k/8+1/16 land in distinct
+    // cells; duplicates (x=0.625 twice, y=0.875 twice) keep the tie
+    // structure non-trivial
+    val df = Seq((0.125, 0.375), (0.375, 0.125), (0.625, 0.625),
+      (0.625, 0.875), (0.875, 0.875)).toDF("x", "y")
+    val exact = RankEval.spearman(df, "x", "y").collect().head
+      .getAs[Double]("rho")
+    val b = RankEval.spearmanBucketed(df, "x", "y",
+      0.0, 1.0, 0.0, 1.0, 8).collect().head
+    assert(b.getAs[Long]("n") == 5L)
+    assert(b.getAs[Double]("rho") == exact)
+    val mono = (1 to 20).map(i => (i / 32.0, (i + 5) / 32.0))
+      .toDF("x", "y")
+    val m = RankEval.spearmanBucketed(mono, "x", "y",
+      0.0, 1.0, 0.0, 1.0, 32).collect().head
+    assert(m.getAs[Long]("n_cells") == 20L)
+    assert(math.abs(m.getAs[Double]("rho") - 1.0) < 1e-12)
+  }
+
+  test("spearmanBucketed: over-guard-bound INPUT passes — windows " +
+      "only on the two marginal tables") {
+    import org.apache.spark.sql.functions.{col, first}
+    val big = spark.range(100)
+      .groupBy(col("id")).agg(first(col("id")).as("v"))
+      .selectExpr("CAST(v AS DOUBLE) / 100 AS x",
+        "CAST((v * 37) % 100 AS DOUBLE) / 100 AS y")
+    spark.conf.set(graft.plans.Bounded.MaxRowsKey, "10")
+    try {
+      val r = RankEval.spearmanBucketed(big, "x", "y",
+        0.0, 1.0, 0.0, 1.0, 4).collect().head
+      assert(r.getAs[Long]("n") == 100L)
+    } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
+  }
+
   test("aucBucketed: scale shape has no window over the input rows") {
     // the only Window runs on the ≤B cell table, statically bounded by
     // the upstream limit — an over-guard-bound INPUT must still pass
