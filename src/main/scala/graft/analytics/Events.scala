@@ -82,6 +82,68 @@ object Events {
       .toDF(keyCol, orderCol, valueCol, "ewma")
   }
 
+  /** EWMA control chart (Roberts 1959) per key — the SMOOTHED drift
+    * monitor between [[cusum]] (cumulative-sum alarms with hard
+    * resets) and [[bursts]] (discrete two-state labeling): the chart
+    * statistic z_t = λ·x_t + (1−λ)·z_{t−1} starts AT the target
+    * (z_0 = μ₀ — the chart convention, unlike [[ewma]]'s z_1 = x_1
+    * smoother seed) and alarms when it leaves the variance-corrected
+    * control band
+    *
+    *   hw_t = L·σ₀·√( λ/(2−λ) · (1 − (1−λ)^{2t}) )
+    *   ucl/lcl = μ₀ ± hw_t,   alarm_t = z_t ∉ [lcl, ucl]
+    *
+    * (the exact time-varying limits — the asymptotic band only as
+    * t → ∞). μ₀/σ₀ are the caller's in-control baseline (historical
+    * mean/sd), λ the memory (small λ = long memory, catches small
+    * sustained shifts CUSUM-style; λ = 1 degenerates to the Shewhart
+    * chart: z = x, hw = L·σ₀), L the width in sigmas.
+    *
+    * Same shape and determinism contract as [[ewma]]/[[holtLinear]]:
+    * a per-key ordered walk inside `flatMapGroups` — multiply/add
+    * plus ONE correctly-rounded sqrt per row, (1−λ)^{2t} maintained
+    * by incremental multiplication — and the oracle replays the
+    * identical IEEE sequence as a recursive CTE carrying (z, pw), so
+    * every column compares RAW (pick λ with exactly representable
+    * 1−λ, e.g. 0.25, and the literal coefficients mirror
+    * bit-for-bit).
+    *
+    * Output per row: (key, ord, x, z, ucl, lcl, alarm).
+    */
+  def ewmaChart(df: DataFrame, keyCol: String, orderCol: String,
+                valueCol: String, target: Double, sigma: Double,
+                lambda: Double = 0.25, l: Double = 3.0): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, "lambda must be in (0, 1]")
+    require(sigma > 0.0, "sigma must be positive")
+    require(l > 0.0, "l must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(valueCol).cast("double").as("x"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.map { case (_, ord, x) => (ord, x) }.toArray
+        java.util.Arrays.sort(rows, Ordering.by((r: (Long, Double)) => r._1))
+        val om = 1.0 - lambda
+        val om2 = om * om
+        val c = lambda / (2.0 - lambda)
+        val ls = l * sigma
+        var z = target
+        var pw = 1.0
+        rows.iterator.map { case (ord, x) =>
+          z = lambda * x + om * z
+          pw = pw * om2
+          val hw = ls * math.sqrt(c * (1.0 - pw))
+          val ucl = target + hw
+          val lcl = target - hw
+          (k, ord, x, z, ucl, lcl, z > ucl || z < lcl)
+        }
+      }
+      .toDF(keyCol, orderCol, valueCol, "z", "ucl", "lcl", "alarm")
+  }
+
   /** Holt linear-trend (double exponential) smoothing per key — the
     * trend-aware member of the sequential-smoother family next to
     * [[ewma]] (level only) and [[cusum]] (drift alarms):

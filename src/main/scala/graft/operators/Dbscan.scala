@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * [[Dedup.nearDupClusters]] (pure connected components: one stray
   * edge fuses two clusters; DBSCAN's minPts core condition keeps
   * chains of sparse bridges from doing that, and labels the bridge
-  * points border/noise instead).
+  * points border/noise instead) and [[SingleLink.cutLevels]] (the
+  * agglomerative member: the same components swept over a distance
+  * threshold list).
   *
   * The eps-neighborhood is whatever pair generator the caller ran —
   * the dedup family's blocked/bucketed joins ([[Dedup

@@ -712,7 +712,10 @@ object Dedup {
     * labeled with the component-min canonical id. The DENSITY member
     * of the same pair-graph-clustering family is [[Dbscan.fromPairs]]
     * (minPts core condition + border/noise roles — one stray bridge
-    * edge fuses components here but not there).
+    * edge fuses components here but not there); the AGGLOMERATIVE
+    * member is [[SingleLink.cutLevels]] (the same components swept
+    * over an ascending distance-threshold list — this operator is its
+    * single-cut special case at the pair generator's own threshold).
     */
   def nearDupClusters(pairs: DataFrame, id1Col: String,
                       id2Col: String): DataFrame = {

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Single-link agglomerative clustering (the SLINK/Kruskal reading:
+  * Gower & Ross 1969 — single-link components below a distance
+  * threshold are exactly the connected components of the
+  * distance-filtered graph, i.e. a prefix of Kruskal's MST) over a
+  * PRECOMPUTED distance pair table, cut at a caller-supplied
+  * ascending threshold list — the agglomerative member of the
+  * pair-graph-clustering family next to [[Dedup.nearDupClusters]]
+  * (one fixed implicit threshold: the pair generator's own) and
+  * [[Dbscan.fromPairs]] (adds the minPts density condition). The τ
+  * SWEEP is what the others don't give: a dendrogram sampled at the
+  * cut levels, so a dedup owner can read how clusters grow as the
+  * similarity bar drops and pick the level before the chain-collapse.
+  *
+  * The pair table is whatever generator the caller ran
+  * ([[Dedup.ngramJaccardPairs]] with dist = 1 − jaccard, embedding
+  * near-dup pairs with cosine distance, …), so the quadratic part
+  * stays inside those operators' blocking contracts.
+  *
+  * Incremental Kruskal prefix (round-18): levels are processed
+  * ascending and each level's union-find runs on the QUOTIENT graph —
+  * only the edges in (τ_{i−1}, τ_i] with endpoints already replaced
+  * by their level-(i−1) cluster ids — so an edge is processed ONCE
+  * across the sweep, not once per level it survives into
+  * (the [[Coverage.greedySelect]] decremental-maintenance idiom).
+  * Cluster ids are component-min canonical at every level (the house
+  * union-find convention), and single-link monotonicity (level-i
+  * clusters only MERGE at level i+1, never split) holds by
+  * construction.
+  *
+  * Loud contract: NULL ids/distances raise at intake (a NULL edge
+  * silently vanishes from every cut — the [[Coverage.greedySelect]]
+  * phantom-row lesson).
+  *
+  * Scale shape: one intake pass + per level one filtered-edge
+  * quotient map, the [[graft.entities.Entities.mergeChains]]
+  * union-find's keyed iterations, and one mapping composition — all
+  * key-partitioned joins, no global windows, no collect; ≤ 16 levels
+  * by contract.
+  *
+  * Output per (cut level, node): (tau, id, cluster_id) — ids exact →
+  * RAW.
+  */
+object SingleLink {
+
+  def cutLevels(pairs: DataFrame, id1Col: String, id2Col: String,
+                distCol: String, taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty && taus.length <= 16,
+      "need 1..16 cut levels — each level is one quotient union-find")
+    require(taus.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "taus must be strictly ascending")
+    def mat(df: DataFrame): DataFrame =
+      graft.plans.Materialize.stage(df, "graft.dedup.checkpoint")
+    val p = mat(pairs
+      .select(col(id1Col).as("a"), col(id2Col).as("b"),
+        col(distCol).cast("double").as("d"))
+      .select(
+        when(col("a").isNull || col("b").isNull || col("d").isNull,
+          raise_error(lit("singleLink: NULL id/dist in the pair " +
+            "table — a NULL edge silently vanishes from every cut; " +
+            "filter or fix upstream")))
+          .otherwise(col("a")).as("a"),
+        col("b"), col("d"))
+      .where(col("a") =!= col("b")))
+    // every endpoint is a node at every level (singletons cluster as
+    // themselves until an edge reaches them)
+    var cur = mat(p.select(col("a").as("id"))
+      .unionByName(p.select(col("b").as("id"))).distinct()
+      .select(col("id"), col("id").as("cluster_id")))
+    var lastTau = Double.NegativeInfinity
+    val levels = taus.map { tau =>
+      // quotient edges: only the NEW band, endpoints mapped to their
+      // previous clusters — the Kruskal prefix processed incrementally
+      val band = p.where(col("d") <= tau && col("d") > lastTau)
+      val q = band
+        .join(cur.select(col("id").as("a"),
+          col("cluster_id").as("ca")), Seq("a"))
+        .join(cur.select(col("id").as("b"),
+          col("cluster_id").as("cb")), Seq("b"))
+        .where(col("ca") =!= col("cb"))
+        .select(greatest(col("ca"), col("cb")).as("merged_id"),
+          least(col("ca"), col("cb")).as("canonical_id"))
+      val delta = graft.entities.Entities.mergeChains(q)
+      cur = mat(cur.join(delta,
+          cur("cluster_id") === delta("merged_id"), "left")
+        .select(col("id"),
+          coalesce(col("canonical_id"), col("cluster_id"))
+            .as("cluster_id")))
+      lastTau = tau
+      cur.select(lit(tau).as("tau"), col("id"), col("cluster_id"))
+    }
+    levels.reduce(_ unionByName _)
+  }
+}

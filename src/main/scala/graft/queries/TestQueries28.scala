@@ -280,7 +280,123 @@ object TestQueries28 {
       ${KwSelectSql.format(", n_cells")}
       FROM f"""))
 
+  /** Single-link dendrogram cuts over the q95 near-dup pair graph —
+    * [[graft.operators.SingleLink.cutLevels]] on dist = 1 − jaccard
+    * (5-gram, threshold 0.2 → d ≤ 0.8) at τ ∈ {0.3, 0.6, 0.8}: the
+    * agglomerative member of the pair-graph-clustering family, graded
+    * on the IDENTICAL pair generator as nearDupClusters (q95) and
+    * DBSCAN (q383). Component-min ids at every level; the oracle
+    * recomputes the pairs and closes each level with one tau-keyed
+    * recursive CTE. All ids exact → RAW.
+    */
+  val q393SingleLink: QueryCase = QueryCase(
+    "q393_single_link",
+    (s, dir) => {
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        Tables.table(s, dir, "documents"), "doc_id", "text", 5, 0.2)
+        .withColumn("d", lit(1.0) - col("jaccard"))
+      graft.operators.SingleLink
+        .cutLevels(pairs, "id1", "id2", "d", Seq(0.3, 0.6, 0.8))
+        .select(col("tau"), col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("tau", "doc_id")
+    },
+    Some("""
+      WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(TRIM(text)), '\s+'),
+                 x -> x <> '') AS tk
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN LEN(tk) >= 5
+                 THEN [array_to_string(tk[i:i+4], ' ')
+                       for i in range(1, LEN(tk) - 3)]
+                 ELSE CAST([] AS VARCHAR[]) END) AS s
+        FROM toks),
+      ex AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+      keep AS (SELECT g FROM ex GROUP BY g HAVING COUNT(*) <= 128),
+      kx AS (SELECT e.doc_id, e.g FROM ex e JOIN keep USING (g)),
+      sz AS (SELECT doc_id, COUNT(*) AS sz FROM kx GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+        FROM kx a JOIN kx b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT id1, id2,
+               1.0 - CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS d
+        FROM inter
+        JOIN sz s1 ON s1.doc_id = id1
+        JOIN sz s2 ON s2.doc_id = id2
+        WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2),
+      taus AS (SELECT UNNEST([CAST(0.3 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                 CAST(0.8 AS DOUBLE)]) AS tau),
+      nodes AS (
+        SELECT DISTINCT id FROM (
+          SELECT id1 AS id FROM pairs
+          UNION ALL SELECT id2 FROM pairs)),
+      edges AS (
+        SELECT t.tau, p.id1 AS a, p.id2 AS b
+        FROM taus t JOIN pairs p ON p.d <= t.tau
+        UNION ALL
+        SELECT t.tau, p.id2, p.id1
+        FROM taus t JOIN pairs p ON p.d <= t.tau),
+      reach AS (
+        SELECT t.tau, n.id, n.id AS peer FROM taus t, nodes n
+        UNION
+        SELECT r.tau, r.id, e.b
+        FROM reach r JOIN edges e ON e.tau = r.tau AND e.a = r.peer)
+      SELECT tau, id AS doc_id, MIN(peer) AS cluster_id
+      FROM reach GROUP BY tau, id ORDER BY tau, doc_id"""))
+
+  /** EWMA control chart per user over event values —
+    * [[graft.analytics.Events.ewmaChart]] (Roberts 1959): target 20,
+    * σ 5, λ = 0.25 (1−λ exactly representable), L = 3 — the smoothed
+    * drift monitor between CUSUM's resets and Kleinberg's state
+    * machine. The oracle's recursive CTE carries (z, pw) and replays
+    * the identical IEEE sequence (q309 holt discipline); the one sqrt
+    * per row is correctly rounded in both engines → fully RAW.
+    */
+  val q394EwmaChart: QueryCase = QueryCase(
+    "q394_ewma_chart",
+    (s, dir) => graft.analytics.Events.ewmaChart(
+      Tables.events(s, dir).where(col("user_id") < 20),
+      "user_id", "event_id", "value",
+      target = 20.0, sigma = 5.0, lambda = 0.25, l = 3.0)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_id"), col("value"), col("z"), col("ucl"),
+        col("lcl"), col("alarm"))
+      .orderBy("user_id", "event_id"),
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS x,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                 AS ord
+        FROM events WHERE user_id < 20),
+      rec AS (
+        SELECT user_id, event_id, x, ord,
+               CAST(0.25 AS DOUBLE) * x
+                 + CAST(0.75 AS DOUBLE) * CAST(20.0 AS DOUBLE) AS z,
+               CAST(1.0 AS DOUBLE) * CAST(0.5625 AS DOUBLE) AS pw
+        FROM d WHERE ord = 1
+        UNION ALL
+        SELECT d.user_id, d.event_id, d.x, d.ord,
+               CAST(0.25 AS DOUBLE) * d.x + CAST(0.75 AS DOUBLE) * r.z,
+               r.pw * CAST(0.5625 AS DOUBLE)
+        FROM rec r JOIN d ON d.user_id = r.user_id AND d.ord = r.ord + 1),
+      lim AS (
+        SELECT user_id, event_id, x, z,
+               (CAST(3.0 AS DOUBLE) * CAST(5.0 AS DOUBLE))
+                 * sqrt((CAST(0.25 AS DOUBLE) / CAST(1.75 AS DOUBLE))
+                     * (CAST(1.0 AS DOUBLE) - pw)) AS hw
+        FROM rec)
+      SELECT user_id, event_id, x AS value, z,
+             CAST(20.0 AS DOUBLE) + hw AS ucl,
+             CAST(20.0 AS DOUBLE) - hw AS lcl,
+             (z > CAST(20.0 AS DOUBLE) + hw
+               OR z < CAST(20.0 AS DOUBLE) - hw) AS alarm
+      FROM lim ORDER BY user_id, event_id"""))
+
   val all: Seq[QueryCase] =
     Seq(q389MwBucketed, q390SpearmanBucketed, q391KruskalWallis,
-      q392KwBucketed)
+      q392KwBucketed, q393SingleLink, q394EwmaChart)
 }

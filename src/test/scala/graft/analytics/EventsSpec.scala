@@ -63,6 +63,45 @@ class EventsSpec extends SparkSpec {
     assert(out === Seq(2.0, 4.0, 2.0))
   }
 
+  test("ewmaChart: hand-walked chart — target seed, widening limits, " +
+      "alarm semantics, λ=1 Shewhart reduction") {
+    // target 0, σ 1, λ 0.5, L 3; xs = (4, 0, 0) fed out of order
+    val df = Seq(("u", 3L, 0.0), ("u", 1L, 4.0), ("u", 2L, 0.0))
+      .toDF("k", "ord", "v")
+    val rows = Events.ewmaChart(df, "k", "ord", "v",
+        target = 0.0, sigma = 1.0, lambda = 0.5, l = 3.0)
+      .orderBy("ord").collect()
+    // replica of the kernel's exact IEEE sequence
+    val (om, om2, c, ls) = (0.5, 0.25, 0.5 / 1.5, 3.0)
+    var (z, pw) = (0.0, 1.0)
+    val expect = Seq(4.0, 0.0, 0.0).map { x =>
+      z = 0.5 * x + om * z
+      pw = pw * om2
+      val hw = ls * math.sqrt(c * (1.0 - pw))
+      (z, hw)
+    }
+    rows.zip(expect).foreach { case (r, (ez, ehw)) =>
+      assert(r.getAs[Double]("z") == ez)
+      assert(r.getAs[Double]("ucl") == 0.0 + ehw)
+      assert(r.getAs[Double]("lcl") == 0.0 - ehw)
+      assert(r.getAs[Boolean]("alarm") == (ez > ehw || ez < -ehw))
+    }
+    // row 1: z = 2 over ucl ≈ 1.5 → alarm; rows 2-3 decay back inside
+    assert(rows.map(_.getAs[Boolean]("alarm")).toSeq ===
+      Seq(true, false, false))
+    // limits widen monotonically toward the asymptote
+    val hws = rows.map(r => r.getAs[Double]("ucl"))
+    assert(hws(0) < hws(1) && hws(1) < hws(2))
+    // λ = 1: z = x, pw = 0 from t=1 → hw = L·σ exactly (Shewhart)
+    val sh = Events.ewmaChart(df, "k", "ord", "v",
+        target = 0.0, sigma = 2.0, lambda = 1.0, l = 3.0)
+      .orderBy("ord").collect()
+    assert(sh.map(_.getAs[Double]("z")).toSeq === Seq(4.0, 0.0, 0.0))
+    assert(sh.forall(_.getAs[Double]("ucl") == 6.0))
+    assert(sh.map(_.getAs[Boolean]("alarm")).toSeq ===
+      Seq(false, false, false))
+  }
+
   test("funnel requires strict temporal order, not mere presence") {
     val df = Seq(
       // u1: A then B then C — full funnel

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** [[SingleLink.cutLevels]] — threshold-sweep single-link clustering:
+  * hand-traced dendrogram cuts, incremental-quotient ≡ from-scratch
+  * components, loud contracts.
+  */
+class SingleLinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-traced dendrogram: merges are monotone, ids component-min") {
+    // 1-2 @0.1, 4-5 @0.2, 2-3 @0.3, 3-4 @0.6
+    val pairs = Seq((1L, 2L, 0.1), (2L, 3L, 0.3), (4L, 5L, 0.2),
+      (3L, 4L, 0.6)).toDF("id1", "id2", "d")
+    val got = SingleLink
+      .cutLevels(pairs, "id1", "id2", "d", Seq(0.15, 0.35, 0.7))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (0.15, 1L, 1L), (0.15, 2L, 1L), (0.15, 3L, 3L), (0.15, 4L, 4L),
+      (0.15, 5L, 5L),
+      (0.35, 1L, 1L), (0.35, 2L, 1L), (0.35, 3L, 1L), (0.35, 4L, 4L),
+      (0.35, 5L, 4L),
+      (0.7, 1L, 1L), (0.7, 2L, 1L), (0.7, 3L, 1L), (0.7, 4L, 1L),
+      (0.7, 5L, 1L)))
+  }
+
+  test("incremental quotient sweep ≡ per-level from-scratch " +
+      "union-find (overlapping fixture)") {
+    val edges = (1 to 40).map(i =>
+      ((i * 7 % 19).toLong, (i * 11 % 19).toLong, (i % 10) / 10.0 + 0.05))
+    val real = edges.filter(e => e._1 != e._2)
+    val df = edges.toDF("id1", "id2", "d")
+    val taus = Seq(0.2, 0.5, 0.9)
+    val got = SingleLink.cutLevels(df, "id1", "id2", "d", taus)
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val nodes = real.flatMap(e => Seq(e._1, e._2)).distinct
+    for (tau <- taus) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      // union-by-min keeps every root the component minimum
+      for ((a, b, d) <- real if d <= tau) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      for (n <- nodes)
+        assert(got((tau, n)) == find(n), s"tau=$tau node=$n")
+    }
+    assert(got.size == taus.size * nodes.size)
+  }
+
+  test("loud contracts: NULL id/dist raises; non-ascending taus and " +
+      "oversized level lists refused") {
+    val bad = spark.sql(
+      "SELECT * FROM VALUES (1, 2, 0.5), (2, NULL, 0.1) AS t(id1, id2, d)")
+    val e = intercept[Exception] {
+      SingleLink.cutLevels(bad, "id1", "id2", "d", Seq(0.5)).collect()
+    }
+    assert(e.getMessage.contains("singleLink: NULL id/dist"))
+    val ok = Seq((1L, 2L, 0.5)).toDF("id1", "id2", "d")
+    val e2 = intercept[IllegalArgumentException] {
+      SingleLink.cutLevels(ok, "id1", "id2", "d", Seq(0.5, 0.4))
+    }
+    assert(e2.getMessage.contains("ascending"))
+    val e3 = intercept[IllegalArgumentException] {
+      SingleLink.cutLevels(ok, "id1", "id2", "d",
+        (1 to 17).map(_ / 20.0))
+    }
+    assert(e3.getMessage.contains("16"))
+  }
+}
