@@ -141,9 +141,10 @@ object Bench {
       // would leave their CacheManager entries live and the re-warm check
       // blind (Serving.releaseAll scaladoc)
       graft.search.Serving.releaseAll(spark)
-      val rdds = spark.sparkContext.getPersistentRDDs.values
-      releasedRdds += rdds.size
-      rdds.foreach(_.unpersist(blocking = false))
+      // r18: routed through Materialize.releaseAll — same unpersist
+      // loop, with the benign cannot-recompute WARN category silenced
+      // in scope (it buried real WARNs in the r17 driver bench tail)
+      releasedRdds += graft.plans.Materialize.releaseAll(spark)
     }
     val load0 = loadAvg; val gc0 = gcMs; val jit0 = jitMs; val cpu0 = cpuMs
     val jan0 = janinoUnits
@@ -463,24 +464,46 @@ object Bench {
       }
       dt
     }
+    // n-run steady protocol (round-17 verdict ask #7): PERF.md's
+    // two-run band lived only in the builder's idle reruns — the
+    // compact record now carries it itself. Each query's steady leg
+    // runs `steadyRuns` times back-to-back (same warmth: all
+    // post-cold, compile-free); run r's legs sum to an independent
+    // pass total and total_steady_band = [min, max] over pass totals.
+    // total_steady stays the FIRST pass (comparable with r16/r17).
+    val steadyRuns = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_STEADY_RUNS", "2").toInt)
     val worstSteady = worstPairs.map { case (name, cold) =>
-      name -> steadyRun(name, cold, verbose = true)
+      name -> Vector.fill(steadyRuns)(steadyRun(name, cold, verbose = true))
     }
     // FULL steady pass (round-16 verdict ask #6): the cold total is the
     // JIT-noisy column (396→467 s between two idle runs with identical
     // steady legs), so the compact record carries the summed steady —
-    // every query rerun once compile-free — as the run-to-run-comparable
+    // every query rerun compile-free — as the run-to-run-comparable
     // headline. The worst set keeps its verbose per-query attribution
     // above; the rest run quiet under the same inversion guard.
     val steadyRest = results.filter(_._2 >= 0)
       .filterNot(r => worstPairs.exists(_._1 == r._1))
       .map { case (name, cold) =>
-        name -> steadyRun(name, cold, verbose = false)
+        name -> Vector.fill(steadyRuns)(steadyRun(name, cold, verbose = false))
       }
-    val steadyAll = (worstSteady ++ steadyRest).map(_._2).filter(_ >= 0)
+    val steadyByQuery = worstSteady ++ steadyRest
+    val steadyAll = steadyByQuery.map(_._2.head).filter(_ >= 0)
     val totalSteady = steadyAll.sum
+    val passTotals = (0 until steadyRuns).map(r =>
+      steadyByQuery.map(_._2(r)).filter(_ >= 0).sum)
+    val steadyBandJson =
+      s"[${fmt(passTotals.min, 1)},${fmt(passTotals.max, 1)}]"
     val worstSteadyJson = worstSteady
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v.head, 2) }
+      .mkString("{", ",", "}")
+    val worstSteadyBandJson = worstSteady
+      .map { case (k, v) =>
+        val ok = v.filter(_ >= 0)
+        val (lo, hi) =
+          if (ok.isEmpty) (-1.0, -1.0) else (ok.min, ok.max)
+        "\"" + k + "\":[" + fmt(lo, 2) + "," + fmt(hi, 2) + "]" }
+      .mkString("{", ",", "}")
     // build attribution for the worst set IN THE COMPACT LINE (round-16
     // verdict ask #6): the harness stores only the output tail, which
     // truncates the full line's per-query "build" object — without it
@@ -506,7 +529,7 @@ object Bench {
     val indexedP95Compact = indexedDist
       .map { case (k, (_, p95)) => "\"" + k + "\":" + fmt(p95, 3) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","total_steady":${fmt(totalSteady, 1)},"n_steady":${steadyAll.size},"n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"worst_build":$worstBuildJson,"steady_env":$steadyEnv,"warm_serving":$warmServing,"warm_p95":$warmP95Compact,"indexed_p95":$indexedP95Compact,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"indexed_websearch_sec":${fmt(indexedWebsearch, 3)},"indexed_ivfsq8_sec":${fmt(indexedIvfSq8, 3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","total_steady":${fmt(totalSteady, 1)},"total_steady_band":$steadyBandJson,"steady_passes":$steadyRuns,"n_steady":${steadyAll.size},"n_queries":${results.count(_._2 >= 0)},"worst":$worst,"worst_steady":$worstSteadyJson,"worst_steady_band":$worstSteadyBandJson,"worst_build":$worstBuildJson,"steady_env":$steadyEnv,"warm_serving":$warmServing,"warm_p95":$warmP95Compact,"indexed_p95":$indexedP95Compact,"env":$env,"indexed_hybrid_sec":${fmt(indexedHybrid, 3)},"indexed_keyword_sec":${fmt(indexedKeyword, 3)},"indexed_phrase_sec":${fmt(indexedPhrase, 3)},"indexed_semantic_sec":${fmt(indexedSemantic, 3)},"indexed_semantic_ann_sec":${fmt(indexedSemanticAnn, 3)},"indexed_websearch_sec":${fmt(indexedWebsearch, 3)},"indexed_ivfsq8_sec":${fmt(indexedIvfSq8, 3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

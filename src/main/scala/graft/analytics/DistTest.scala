@@ -480,6 +480,92 @@ object DistTest {
           col("h"))): _*)
   }
 
+  /** Friedman test (Friedman 1937, Conover's tie-general form) — the
+    * k-treatment BLOCKED rank test completing the square the round's
+    * rank-sum work opened: [[kruskalWallis]] compares k independent
+    * groups the way [[mannWhitney]] compares two; Friedman compares k
+    * treatments measured on the SAME blocks the way
+    * [[wilcoxonSignedRank]] compares two paired columns (and
+    * [[cochranQ]] the binary analogue). Ranks are within-block
+    * doubled mid-ranks (r2 = 2·rank + ties − 1, exact integers on a
+    * k-element panel), so with R2_j = Σ_blocks r2 and A2 = Σ r2²:
+    *
+    *   χ²_F = (k−1) · Σ_j (R2_j − n(k+1))² / (A2 − n·k·(k+1)²)
+    *
+    * (the doubled-rank form of Conover's (k−1)Σ(R_j − n(k+1)/2)² /
+    * (A − nk(k+1)²/4) — every quantity integral). χ² ~ χ²(k−1) under
+    * the null of exchangeable treatments within blocks.
+    *
+    * Loud contracts: duplicate (block, treatment) rows raise (the
+    * statistic needs ONE value per cell), and an incomplete block
+    * (missing treatments) raises — the [[graft.analytics
+    * .Agreement]] fleissKappa ragged-panel convention.
+    * All ranks tied in every block → denominator 0 → defined
+    * degenerate χ² = 0.
+    *
+    * Scale shape: NO global window — ranks partition BY BLOCK (the
+    * per-key contract; blocks are the corpus axis and stream through),
+    * then one treatment-keyed aggregate (k rows) and three one-row
+    * aggregates cross-joined (the house moment-passing idiom). Exact
+    * decimals end-to-end; χ² is one exactly-rounded division → RAW.
+    *
+    * Output (one row): k_treat, n_blocks, num2, den2, chi2.
+    */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+               valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(col(blockCol).cast("string").as("blk"),
+        col(treatCol).cast("string").as("trt"),
+        col(valueCol).cast("double").as("x"))
+      .where(col("blk").isNotNull && col("trt").isNotNull &&
+        col("x").isNotNull)
+    val perCell = base.groupBy("blk", "trt")
+      .agg(count(lit(1)).as("m"), max(col("x")).as("x"))
+      .select(col("blk"), col("trt"),
+        when(col("m") > 1,
+          raise_error(lit("friedman: duplicate (block, treatment) " +
+            "rows — the blocked rank test needs exactly ONE value " +
+            "per cell; aggregate upstream")))
+          .otherwise(col("x")).as("x"))
+    val wb = Window.partitionBy("blk").orderBy(col("x"))
+    val tb = Window.partitionBy("blk", "x")
+    val ranked = perCell
+      .withColumn("r2",
+        lit(2L) * rank().over(wb) + count(lit(1)).over(tb) - lit(1L))
+    val kRow = ranked.agg(count_distinct(col("trt")).as("k"))
+    val bAgg = ranked.groupBy("blk").agg(count(lit(1)).as("nb"))
+      .agg(count(lit(1)).as("n_blocks"), min(col("nb")).as("min_nb"),
+        max(col("nb")).as("max_nb"))
+    val a2 = ranked.agg(
+      sum((col("r2") * col("r2")).cast(dec)).as("a2"))
+    val perTrt = ranked.groupBy("trt")
+      .agg(sum(col("r2")).cast(dec).as("r2j"))
+    val num = perTrt
+      .crossJoin(broadcast(kRow)).crossJoin(broadcast(bAgg))
+      .agg(sum(
+        (col("r2j") - col("n_blocks").cast(dec) * (col("k") + 1)) *
+        (col("r2j") - col("n_blocks").cast(dec) * (col("k") + 1)))
+        .as("num2"))
+    num.crossJoin(broadcast(kRow)).crossJoin(broadcast(bAgg))
+      .crossJoin(broadcast(a2))
+      .withColumn("den2dec",
+        col("a2") - col("n_blocks").cast(dec) * col("k") *
+          ((col("k") + 1) * (col("k") + 1)))
+      .select(
+        when(col("min_nb") =!= col("k") || col("max_nb") =!= col("k"),
+          raise_error(lit("friedman: incomplete block — every block " +
+            "must contain every treatment exactly once (ragged " +
+            "panels bias the rank sums); complete or drop the block")))
+          .otherwise(col("k")).as("k_treat"),
+        col("n_blocks"),
+        col("num2").cast("double").as("num2"),
+        col("den2dec").cast("double").as("den2"),
+        when(col("den2dec") <= 0, lit(0.0))
+          .otherwise(((col("k") - 1).cast(dec) * col("num2"))
+            .cast("double") / col("den2dec").cast("double"))
+          .as("chi2"))
+  }
+
   /** Wilcoxon signed-rank test (Wilcoxon 1945) on paired columns — the
     * nonparametric paired-sample complement to
     * [[graft.analytics.Experiments.welch]] (which compares independent

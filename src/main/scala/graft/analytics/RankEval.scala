@@ -39,6 +39,17 @@ import org.apache.spark.sql.functions._
   */
 object RankEval {
 
+  /** The fixed-grid cell index shared by the bucketed statistics
+    * ([[aucBucketed]]-style): one IEEE floor expression, clamped to
+    * [0, buckets).
+    */
+  private def gridCell(c: org.apache.spark.sql.Column, lo: Double,
+                       hi: Double, buckets: Int)
+      : org.apache.spark.sql.Column =
+    least(greatest(
+      floor(((c - lit(lo)) * lit(buckets.toDouble)) / lit(hi - lo)),
+      lit(0L)), lit(buckets - 1L))
+
   /** Doubled mid-rank (an integer): 2·rank + ties − 1. Mid-rank is the
     * average position of a tie group; doubling keeps it integral.
     */
@@ -199,17 +210,12 @@ object RankEval {
     require(hiX > loX && hiY > loY, "need hi > lo on both axes")
     require(buckets >= 2 && buckets <= 1024,
       "need 2 <= buckets <= 1024 (joint histogram is buckets^2)")
-    def cellOf(c: org.apache.spark.sql.Column, lo: Double,
-               hi: Double): org.apache.spark.sql.Column =
-      least(greatest(
-        floor(((c - lit(lo)) * lit(buckets.toDouble)) / lit(hi - lo)),
-        lit(0L)), lit(buckets - 1L))
     val dec = "decimal(38,0)"
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
     val cells = df.where(x.isNotNull && y.isNotNull)
-      .groupBy(cellOf(x, loX, hiX).as("bx"),
-        cellOf(y, loY, hiY).as("by"))
+      .groupBy(gridCell(x, loX, hiX, buckets).as("bx"),
+        gridCell(y, loY, hiY, buckets).as("by"))
       .agg(count(lit(1)).as("c"))
     def ranked(axis: String): DataFrame = {
       val marg = cells.groupBy(axis).agg(sum(col("c")).as("t"))
@@ -327,6 +333,8 @@ object RankEval {
     * else RAW.
     *
     * Output, one row: (n, concordant, discordant, n1, n2, tau_b).
+    * CORPUS-SCALE DEFAULT: [[kendallTauBucketed]] — the same statistic
+    * off the 2-D cell histogram, no input self-join.
     */
   def kendallTau(df: DataFrame, idCol: String, xCol: String,
                  yCol: String): DataFrame = {
@@ -357,6 +365,96 @@ object RankEval {
         ((col("concordant") - col("discordant")).cast("double")
           / sqrt(((col("n0") - col("n1")) * (col("n0") - col("n2")))
             .cast("double"))).as("tau_b"))
+  }
+
+  /** Corpus-scale Kendall τ-b on a FIXED 2-D score grid — the
+    * bucketed sibling completing the rank-correlation pair next to
+    * [[spearmanBucketed]] (round-18; exact [[kendallTau]] is a
+    * deliberate pair self-join under the bounded-eval contract — this
+    * is the form that runs on a full corpus). Bucket both scores; all
+    * pairwise order information then lives in the ≤ B² joint
+    * histogram:
+    *
+    *   C = Σ cell pairs (bx↑, by↑) of c·c',  D = the (bx↑, by↓) sum,
+    *   n₁/n₂ = Σ t(t−1)/2 over the x/y marginals,
+    *   τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)),  n₀ = n(n−1)/2
+    *
+    * EQUAL to the exact statistic on grid-valued scores (spec-pinned);
+    * within-cell pairs become ties by design as the grid coarsens.
+    *
+    * Scale shape: one groupBy to the histogram, then ONE bounded
+    * cell-pair join (≤ B⁴/2 combinations — hence `buckets` ≤ 64, a
+    * COARSER grid than [[spearmanBucketed]]'s 2²⁰-cap by design) and
+    * two marginal aggregates; no window at all, nothing touches the
+    * input twice.
+    *
+    * Determinism: counts and the doubled tie/pair sums are exact
+    * decimals; τ-b is 2(C−D)/√(d₁·d₂) with d = doubled deficits — the
+    * √ operand is the product of two exact-integer-valued DOUBLES
+    * (their exact product can exceed decimal(38) at corpus scale);
+    * gates ROUND τ (one sqrt), everything else RAW. Degenerate (all
+    * mass on one x- or y-cell) → τ = 0 defined.
+    *
+    * Output, one row: (n, n_cells, concordant, discordant, n1, n2,
+    * tau_b) — the count columns exact-integer-valued doubles.
+    */
+  def kendallTauBucketed(df: DataFrame, xCol: String, yCol: String,
+                         loX: Double = 0.0, hiX: Double = 1.0,
+                         loY: Double = 0.0, hiY: Double = 1.0,
+                         buckets: Int = 64): DataFrame = {
+    require(hiX > loX && hiY > loY, "need hi > lo on both axes")
+    require(buckets >= 2 && buckets <= 64,
+      "need 2 <= buckets <= 64 — concordance compares cell PAIRS " +
+        "(<= B^4/2 combinations)")
+    val dec = "decimal(38,0)"
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val cells = graft.plans.Materialize.stage(
+      df.where(x.isNotNull && y.isNotNull)
+        .groupBy(gridCell(x, loX, hiX, buckets).as("bx"),
+          gridCell(y, loY, hiY, buckets).as("by"))
+        .agg(count(lit(1)).as("c")),
+      "graft.dedup.checkpoint") // four consumers: pair sides, marginals
+    val a = cells.select(col("bx").as("ax"), col("by").as("ay"),
+      col("c").as("ca"))
+    val b = cells.select(col("bx").as("bx2"), col("by").as("by2"),
+      col("c").as("cb"))
+    val zero = lit(0).cast(dec)
+    val cd = a.join(b, col("ax") < col("bx2"))
+      .agg(
+        coalesce(sum(when(col("ay") < col("by2"),
+          col("ca").cast(dec) * col("cb")).otherwise(zero)), zero)
+          .as("concordant"),
+        coalesce(sum(when(col("ay") > col("by2"),
+          col("ca").cast(dec) * col("cb")).otherwise(zero)), zero)
+          .as("discordant"))
+    // doubled tie sums: Σ t(t−1) over a marginal (t(t−1) is even, so
+    // the halved report column divides exactly)
+    def tie2(axis: String, out: String) = cells.groupBy(axis)
+      .agg(sum(col("c")).as("t"))
+      .agg(coalesce(sum(col("t").cast(dec) * (col("t") - 1)), zero)
+        .as(out))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      count(lit(1)).as("n_cells"))
+    cd.crossJoin(broadcast(tot))
+      .crossJoin(broadcast(tie2("bx", "n1_2")))
+      .crossJoin(broadcast(tie2("by", "n2_2")))
+      .withColumn("d1",
+        (col("n").cast(dec) * (col("n") - 1) - col("n1_2"))
+          .cast("double"))
+      .withColumn("d2",
+        (col("n").cast(dec) * (col("n") - 1) - col("n2_2"))
+          .cast("double"))
+      .select(col("n"), col("n_cells"),
+        col("concordant").cast("double").as("concordant"),
+        col("discordant").cast("double").as("discordant"),
+        (col("n1_2").cast("double") / 2.0).as("n1"),
+        (col("n2_2").cast("double") / 2.0).as("n2"),
+        when(col("d1") <= 0.0 || col("d2") <= 0.0, lit(0.0))
+          .otherwise(
+            ((col("concordant") - col("discordant")).cast("double")
+              * lit(2.0)) / sqrt(col("d1") * col("d2")))
+          .as("tau_b"))
   }
 
   /** Rank-biased overlap at finite depth (Webber, Moffat & Zobel 2010

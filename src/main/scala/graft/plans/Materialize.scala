@@ -46,6 +46,49 @@ object Materialize {
   val SizeThresholdKey = "graft.materialize.localMaxBytes"
   private val DefaultLocalMaxBytes: Long = 32L << 30
 
+  /** Scoped silencer for the ONE benign WARN the release path emits:
+    * `RDD.unpersist` on a locally-checkpointed RDD warns that its
+    * truncated lineage "cannot be recomputed after unpersisting" —
+    * true, and exactly the contract (a staged frame must not be
+    * reused after release; blocks are released only AFTER their last
+    * consumer). A 387-query bench releasing per query emits hundreds
+    * of these (r17 verdict: they bury real WARNs), so the release
+    * helpers run under `org.apache.spark.rdd` at ERROR and restore
+    * the previous configuration on exit. Scoped — a real recompute
+    * attempt outside the release call still warns/fails loudly.
+    */
+  def withRddWarnSuppressed[T](body: => T): T = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.config.Configurator
+    val name = "org.apache.spark.rdd"
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val cfg = ctx.getConfiguration
+    val existing = cfg.getLoggerConfig(name)
+    val hadExplicit = existing.getName == name
+    val prev: Level = if (hadExplicit) existing.getLevel else null
+    Configurator.setLevel(name, Level.ERROR)
+    try body
+    finally {
+      if (hadExplicit && prev != null) Configurator.setLevel(name, prev)
+      else { cfg.removeLogger(name); ctx.updateLoggers() }
+    }
+  }
+
+  /** Release every persistent RDD (staged localCheckpoint blocks
+    * included) between independent queries — the multi-query-driver
+    * lifecycle duty from the scaladoc above, with the benign
+    * cannot-recompute WARN suppressed. Returns the released count
+    * (the bench evidence column). Dataset-level caches (serving
+    * substrates) must be dropped FIRST by their owners — an RDD-level
+    * unpersist leaves CacheManager entries live.
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Long = {
+    val rdds = spark.sparkContext.getPersistentRDDs.values
+    withRddWarnSuppressed { rdds.foreach(_.unpersist(blocking = false)) }
+    rdds.size.toLong
+  }
+
   /** Materialize `df` per the mode under `confKey` (`auto` when
     * unset). All modes except `lazy` are EAGER (the fixpoint contract,
     * API.md); `lazy` (round 14) defers ALL execution to the first

@@ -396,7 +396,127 @@ object TestQueries28 {
                OR z < CAST(20.0 AS DOUBLE) - hw) AS alarm
       FROM lim ORDER BY user_id, event_id"""))
 
+  /** Corpus-scale bucketed Kendall τ-b on the q390 frame (TTR vs
+    * n_chars) — [[graft.analytics.RankEval.kendallTauBucketed]], 64
+    * cells per axis: concordant/discordant pair mass off ONE bounded
+    * cell-pair join, tie sums off the marginals, no window and no
+    * input self-join. τ takes the one sqrt → ROUND 6; everything else
+    * RAW.
+    */
+  val q395KendallBucketed: QueryCase = QueryCase(
+    "q395_kendall_bucketed",
+    (s, dir) => graft.analytics.RankEval.kendallTauBucketed(
+      scored(s, dir).select(col("ttr"),
+        col("n_chars").cast("double").as("nc")),
+      "ttr", "nc", loX = 0.0, hiX = 1.0, loY = 0.0, hiY = 5000.0,
+      buckets = 64)
+      .select(col("n"), col("n_cells"), col("concordant"),
+        col("discordant"), col("n1"), col("n2"),
+        round(col("tau_b"), 6).as("tau_b")),
+    Some(s"""
+      WITH $ScoredSql,
+      b AS (
+        SELECT ${gridSql("ttr", 0.0, 1.0, 64)} AS bx,
+               ${gridSql("CAST(n_chars AS DOUBLE)", 0.0, 5000.0, 64)}
+                 AS by
+        FROM sc
+        WHERE ttr IS NOT NULL AND n_chars IS NOT NULL),
+      c AS (
+        SELECT bx, by, CAST(COUNT(*) AS BIGINT) AS c
+        FROM b GROUP BY bx, by),
+      cd AS (
+        SELECT
+          COALESCE(SUM(CASE WHEN a.by < b2.by
+            THEN CAST(a.c AS HUGEINT) * b2.c END), 0) AS conc,
+          COALESCE(SUM(CASE WHEN a.by > b2.by
+            THEN CAST(a.c AS HUGEINT) * b2.c END), 0) AS disc
+        FROM c a JOIN c b2 ON a.bx < b2.bx),
+      tx AS (
+        SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)), 0) AS n1_2
+        FROM (SELECT SUM(c) AS t FROM c GROUP BY bx)),
+      ty AS (
+        SELECT COALESCE(SUM(CAST(t AS HUGEINT) * (t - 1)), 0) AS n2_2
+        FROM (SELECT SUM(c) AS t FROM c GROUP BY by)),
+      tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM c),
+      f AS (
+        SELECT n, n_cells, conc, disc, n1_2, n2_2,
+          CAST(CAST(n AS HUGEINT) * (n - 1) - n1_2 AS DOUBLE) AS d1,
+          CAST(CAST(n AS HUGEINT) * (n - 1) - n2_2 AS DOUBLE) AS d2
+        FROM cd, tx, ty, tot)
+      SELECT n, n_cells,
+             CAST(conc AS DOUBLE) AS concordant,
+             CAST(disc AS DOUBLE) AS discordant,
+             CAST(n1_2 AS DOUBLE) / 2.0 AS n1,
+             CAST(n2_2 AS DOUBLE) / 2.0 AS n2,
+             CASE WHEN d1 <= 0.0 OR d2 <= 0.0 THEN CAST(0.0 AS DOUBLE)
+               ELSE ROUND((CAST(conc - disc AS DOUBLE) * 2.0)
+                 / sqrt(d1 * d2), 6) END AS tau_b
+      FROM f"""))
+
+  /** Friedman test of event-type activity across complete user panels
+    * — [[graft.analytics.DistTest.friedman]]: blocks = users observed
+    * in EVERY event type, treatments = event types, value = the
+    * user's event count of that type. Within-block doubled mid-ranks;
+    * χ² is one exactly-rounded division of exact integers → fully
+    * RAW.
+    */
+  val q396Friedman: QueryCase = QueryCase(
+    "q396_friedman",
+    (s, dir) => {
+      val cnt = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_ev"))
+      val types = cnt.agg(count_distinct(col("event_type")).as("k"))
+      val full = cnt.groupBy("user_id").agg(count(lit(1)).as("nb"))
+        .crossJoin(broadcast(types)).where(col("nb") === col("k"))
+        .select("user_id")
+      graft.analytics.DistTest.friedman(
+        cnt.join(full, Seq("user_id"), "left_semi"),
+        "user_id", "event_type", "n_ev")
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM events GROUP BY 1, 2),
+      kg AS (SELECT COUNT(DISTINCT event_type) AS k FROM cnt),
+      fullp AS (
+        SELECT user_id FROM cnt GROUP BY user_id
+        HAVING COUNT(*) = (SELECT k FROM kg)),
+      p AS (SELECT c.* FROM cnt c JOIN fullp USING (user_id)),
+      r AS (
+        SELECT user_id, event_type,
+               2 * RANK() OVER (PARTITION BY user_id ORDER BY n_ev)
+                 + COUNT(*) OVER (PARTITION BY user_id, n_ev) - 1 AS r2
+        FROM p),
+      kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+             FROM r),
+      bb AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_blocks
+             FROM r),
+      a2 AS (SELECT SUM(CAST(r2 AS HUGEINT) * r2) AS a2 FROM r),
+      pt AS (SELECT event_type, CAST(SUM(r2) AS HUGEINT) AS r2j
+             FROM r GROUP BY event_type),
+      num AS (
+        SELECT SUM((r2j - CAST(n_blocks AS HUGEINT) * (k + 1))
+                 * (r2j - CAST(n_blocks AS HUGEINT) * (k + 1))) AS num2
+        FROM pt, kk, bb),
+      f AS (
+        SELECT k, n_blocks,
+               CAST(num2 AS DOUBLE) AS num2,
+               CAST(a2 - CAST(n_blocks AS HUGEINT) * k
+                 * ((k + 1) * (k + 1)) AS DOUBLE) AS den2,
+               num2 AS num2h
+        FROM num, kk, bb, a2)
+      SELECT k AS k_treat, n_blocks, num2, den2,
+             CASE WHEN den2 <= 0 THEN CAST(0.0 AS DOUBLE)
+               ELSE CAST(CAST(k - 1 AS HUGEINT) * num2h AS DOUBLE)
+                 / den2 END AS chi2
+      FROM f"""))
+
   val all: Seq[QueryCase] =
     Seq(q389MwBucketed, q390SpearmanBucketed, q391KruskalWallis,
-      q392KwBucketed, q393SingleLink, q394EwmaChart)
+      q392KwBucketed, q393SingleLink, q394EwmaChart,
+      q395KendallBucketed, q396Friedman)
 }

@@ -82,8 +82,7 @@ object ScaleRehearsal {
     // on q155_refinery: 13.8 cold / 26.0 steady before this release).
     def release(): Unit = {
       graft.search.Serving.releaseAll(spark)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      graft.plans.Materialize.releaseAll(spark)
     }
     def steady(name: String, dir: String): (Double, Double) = {
       val fn = graft.SparkEntry.queries(name)

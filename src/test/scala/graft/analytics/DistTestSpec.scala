@@ -147,6 +147,50 @@ class DistTestSpec extends SparkSpec {
     assert(b.getAs[Double]("h") == exact.getAs[Double]("h"))
   }
 
+  test("friedman: textbook panel (χ² = 14/3), tie-corrected panel, " +
+      "all-tied degenerate, loud contracts") {
+    // 3 blocks × 3 treatments, no ties: R = (3, 7, 8) → χ² = 2·14/6
+    val clean = Seq(
+      ("b1", "A", 1.0), ("b1", "B", 2.0), ("b1", "C", 3.0),
+      ("b2", "A", 1.0), ("b2", "B", 3.0), ("b2", "C", 2.0),
+      ("b3", "A", 1.0), ("b3", "B", 2.0), ("b3", "C", 3.0))
+      .toDF("blk", "trt", "v")
+    val r = DistTest.friedman(clean, "blk", "trt", "v").collect().head
+    assert(r.getAs[Long]("k_treat") == 3L &&
+      r.getAs[Long]("n_blocks") == 3L)
+    assert(r.getAs[Double]("num2") == 56.0 &&
+      r.getAs[Double]("den2") == 24.0)
+    assert(r.getAs[Double]("chi2") == 2.0 * 56.0 / 24.0)
+    // within-block ties: hand-traced Conover form gives exactly 1.0
+    val tied = Seq(
+      ("b1", "A", 1.0), ("b1", "B", 1.0), ("b1", "C", 2.0),
+      ("b2", "A", 2.0), ("b2", "B", 1.0), ("b2", "C", 1.0))
+      .toDF("blk", "trt", "v")
+    val t = DistTest.friedman(tied, "blk", "trt", "v").collect().head
+    assert(t.getAs[Double]("num2") == 6.0 &&
+      t.getAs[Double]("den2") == 12.0)
+    assert(t.getAs[Double]("chi2") == 1.0)
+    // every block fully tied: den2 = 0 → defined degenerate χ² = 0
+    val flat = Seq(("b1", "A", 5.0), ("b1", "B", 5.0),
+      ("b2", "A", 7.0), ("b2", "B", 7.0)).toDF("blk", "trt", "v")
+    assert(DistTest.friedman(flat, "blk", "trt", "v").collect()
+      .head.getAs[Double]("chi2") == 0.0)
+    // duplicate (block, treatment) raises
+    val dup = Seq(("b1", "A", 1.0), ("b1", "A", 2.0),
+      ("b1", "B", 3.0)).toDF("blk", "trt", "v")
+    val e1 = intercept[Exception] {
+      DistTest.friedman(dup, "blk", "trt", "v").collect()
+    }
+    assert(e1.getMessage.contains("duplicate (block, treatment)"))
+    // incomplete block raises (ragged-panel convention)
+    val ragged = Seq(("b1", "A", 1.0), ("b1", "B", 2.0),
+      ("b2", "A", 1.0)).toDF("blk", "trt", "v")
+    val e2 = intercept[Exception] {
+      DistTest.friedman(ragged, "blk", "trt", "v").collect()
+    }
+    assert(e2.getMessage.contains("incomplete block"))
+  }
+
   test("wilcoxonSignedRank / adjustPvalues: Bounded guard raises " +
       "loudly on an over-bound frame") {
     import org.apache.spark.sql.functions._

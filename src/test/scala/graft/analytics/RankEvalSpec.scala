@@ -164,6 +164,32 @@ class RankEvalSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
   }
 
+  test("kendallTauBucketed: equals exact kendallTau bit-for-bit on " +
+      "grid-valued pairs; one-cell degenerate → 0") {
+    val df = Seq((1L, 0.125, 0.375), (2L, 0.375, 0.125),
+      (3L, 0.625, 0.625), (4L, 0.625, 0.875), (5L, 0.875, 0.875))
+      .toDF("id", "x", "y")
+    val exact = RankEval.kendallTau(df, "id", "x", "y").collect().head
+    val b = RankEval.kendallTauBucketed(df, "x", "y",
+      0.0, 1.0, 0.0, 1.0, 8).collect().head
+    assert(b.getAs[Long]("n") == 5L)
+    assert(b.getAs[Double]("concordant") ==
+      exact.getAs[Long]("concordant").toDouble)
+    assert(b.getAs[Double]("discordant") ==
+      exact.getAs[Long]("discordant").toDouble)
+    assert(b.getAs[Double]("n1") == exact.getAs[Long]("n1").toDouble)
+    assert(b.getAs[Double]("n2") == exact.getAs[Long]("n2").toDouble)
+    // 2(C−D)/√(d1·d2) with doubled deficits ≡ (C−D)/√((n0−n1)(n0−n2))
+    // exactly in IEEE (both scalings are powers of two)
+    assert(b.getAs[Double]("tau_b") == exact.getAs[Double]("tau_b"))
+    // all x-mass in one cell: d1 = 0 → defined τ = 0
+    val degen = Seq((1L, 0.01, 0.1), (2L, 0.02, 0.9))
+      .toDF("id", "x", "y")
+    val d = RankEval.kendallTauBucketed(degen, "x", "y",
+      0.0, 1.0, 0.0, 1.0, 8).collect().head
+    assert(d.getAs[Double]("tau_b") == 0.0)
+  }
+
   test("aucBucketed: scale shape has no window over the input rows") {
     // the only Window runs on the ≤B cell table, statically bounded by
     // the upstream limit — an over-guard-bound INPUT must still pass

@@ -89,4 +89,36 @@ class MaterializeSpec extends SparkSpec {
       assert(out.count() == 100)
     }
   }
+
+  test("withRddWarnSuppressed silences org.apache.spark.rdd WARNs in " +
+      "scope and restores the previous configuration after") {
+    val lg = org.apache.logging.log4j.LogManager
+      .getLogger("org.apache.spark.rdd.MapPartitionsRDD")
+    val before = lg.isWarnEnabled()
+    var inside = true
+    Materialize.withRddWarnSuppressed { inside = lg.isWarnEnabled() }
+    assert(!inside, "WARN category must be off inside the scope")
+    assert(lg.isWarnEnabled() == before,
+      "previous log configuration must be restored")
+    assert(lg.isErrorEnabled(), "real errors stay visible even in scope")
+  }
+
+  test("releaseAll: post-release the session runs fresh queries " +
+      "cleanly and no released block is ever recomputed (the WARN's " +
+      "scenario is structurally absent)") {
+    withConf("graft.test.checkpoint" -> "local") {
+      val staged = Materialize.stage(
+        spark.range(50).selectExpr("id", "id * 3 AS y"),
+        "graft.test.checkpoint")
+      assert(staged.count() == 50) // last consumer done
+      val released = Materialize.releaseAll(spark)
+      assert(released >= 1L)
+      // independent new work is unaffected — release poisons nothing
+      assert(spark.range(10).count() == 10L)
+      val again = Materialize.stage(
+        spark.range(20).selectExpr("id"), "graft.test.checkpoint")
+      assert(again.count() == 20L)
+      Materialize.releaseAll(spark)
+    }
+  }
 }
