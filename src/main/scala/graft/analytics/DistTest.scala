@@ -595,6 +595,9 @@ object DistTest {
     * gate ROUNDs z, everything else RAW.
     *
     * Output (one row): n, sum_r2_pos, var48, z.
+    * CORPUS-SCALE DEFAULT: [[wilcoxonSignedRankBucketed]] — same
+    * statistic exactly on a fixed |d| grid from one groupBy, no
+    * global rank window and no 1.3·10⁶ ceiling.
     */
   def wilcoxonSignedRank(df: DataFrame, aCol: String,
                          bCol: String): DataFrame = {
@@ -644,6 +647,77 @@ object DistTest {
             .cast("long")).cast("double") /
             (lit(4.0) * sqrt(col("var48").cast("double") / 48.0))))
       .select(col("n"), col("sum_r2_pos"), col("var48"), col("z"))
+  }
+
+  /** Corpus-scale Wilcoxon signed-rank on a FIXED |d| grid — the last
+    * bucketed sibling of the round-18 family ([[mannWhitneyBucketed]]
+    * / [[kruskalWallisBucketed]] discipline, PAIRED edition): nonzero
+    * differences land in `buckets` equal cells of [0, hi] by |d|
+    * (clamped), the per-cell tie structure makes W⁺, the tie sum and
+    * z EXACT from one `groupBy(cell, sign).count()` — no global rank
+    * window, and no n ≤ 1.3·10⁶ overflow ceiling (every cubic term is
+    * an exact decimal):
+    *
+    *   r2_c = 2·below_c + t_c + 1,  sum_r2_pos = Σ_c np_c·r2_c
+    *   var48 = 2n(n+1)(2n+1) − Σ(t³−t),  z as in
+    *   [[wilcoxonSignedRank]]
+    *
+    * Equals the exact statistic on grid-valued |d| (spec-pinned).
+    * Output, one row: (n, n_cells, sum_r2_pos, var48, z) — the count
+    * columns exact-integer-valued doubles; z = 0 degenerates as the
+    * exact form.
+    */
+  def wilcoxonSignedRankBucketed(df: DataFrame, aCol: String,
+                                 bCol: String, hi: Double,
+                                 buckets: Int = 256): DataFrame = {
+    require(hi > 0.0, "need hi > 0 (the |d| grid upper edge)")
+    require(buckets >= 2 && buckets <= (1 << 20),
+      "need 2 <= buckets <= 2^20")
+    val dec = "decimal(38,0)"
+    val d = col(aCol).cast("double") - col(bCol).cast("double")
+    val perCell = df
+      .select(d.as("d"))
+      .where(col("d").isNotNull && col("d") =!= 0.0)
+      .groupBy(least(greatest(
+        floor((abs(col("d")) * lit(buckets.toDouble)) / lit(hi)),
+        lit(0L)), lit(buckets - 1L)).as("bk"))
+      .agg(
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("np"),
+        sum(when(col("d") < 0, 1L).otherwise(0L)).as("nn"))
+      .limit(buckets) // static bound — see mannWhitneyBucketed
+    val w = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    graft.plans.Bounded
+      .guard(perCell, "DistTest.wilcoxonSignedRankBucketed cells")
+      .withColumn("t", col("np") + col("nn"))
+      .withColumn("below",
+        coalesce(sum(col("t")).over(w), lit(0L)).cast(dec))
+      .agg(
+        sum(col("t")).as("n"),
+        count(lit(1)).as("n_cells"),
+        coalesce(sum(col("np").cast(dec) *
+          (lit(2).cast(dec) * col("below") + col("t") + 1)),
+          lit(0).cast(dec)).as("sum_r2_pos"),
+        coalesce(sum(col("t").cast(dec) *
+          (col("t").cast(dec) * col("t") - 1)), lit(0).cast(dec))
+          .as("tie48"))
+      .select(coalesce(col("n"), lit(0L)).as("n"), col("n_cells"),
+        col("sum_r2_pos"),
+        (lit(2).cast(dec) * col("n") * (col("n") + 1)
+          * (lit(2).cast(dec) * col("n") + 1) - col("tie48"))
+          .as("var48"))
+      .withColumn("num4",
+        lit(2).cast(dec) * col("sum_r2_pos")
+          - col("n").cast(dec) * (col("n") + 1))
+      .select(col("n"), col("n_cells"),
+        col("sum_r2_pos").cast("double").as("sum_r2_pos"),
+        col("var48").cast("double").as("var48"),
+        when(col("n") === 0 || col("var48") <= 0 || col("num4") === 0,
+          lit(0.0))
+          .otherwise((col("num4").cast("double")
+            - lit(2.0) * signum(col("num4").cast("double"))) /
+            (lit(4.0) * sqrt(col("var48").cast("double") / 48.0)))
+          .as("z"))
   }
 
   /** McNemar's test (McNemar 1947) for paired boolean decisions — do

@@ -258,6 +258,113 @@ object Experiments {
               / (col("n_b") - 1))).as("df"))
   }
 
+  /** One-way ANOVA F (Fisher) over k arms — the PARAMETRIC k-group
+    * mean test completing the grid [[welch]]/[[welchSums]] (2 arms)
+    * and [[graft.analytics.DistTest.kruskalWallis]] (the rank
+    * alternative) span:
+    *
+    *   SSB = Σ_g (Σx_g)²/n_g − (Σx)²/n,  SSW = Σx² − Σ_g (Σx_g)²/n_g
+    *   F = (SSB/(k−1)) / (SSW/(n−k))   ~ F(k−1, n−k) under H₀
+    *
+    * Fixed-decimal-metric contract (object scaladoc): per-arm moments
+    * are exact decimal sums cast to double once (map-side combinable,
+    * order-free — the [[welchSums]] engine generalized to k arms);
+    * the cross-arm Σ(Σx_g)²/n_g folds in double over the ARM-SORTED
+    * array, so both engines replay the identical IEEE sequence. No
+    * libm → fully RAW. Scale shape: ONE groupBy over units, one
+    * k-row aggregate — no window, no join.
+    *
+    * Degenerates: k < 2, n ≤ k, or SSW ≤ 0 (all arms internally
+    * constant) → f = 0 defined. Output (one row): k_groups, n, ssb,
+    * ssw, f.
+    */
+  def anovaF(units: DataFrame, groupCol: String,
+             yCol: String): DataFrame = {
+    val xd = col(yCol).cast("double").cast(Dec)
+    val perG = units
+      .where(col(groupCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("nj"),
+        sum(xd).as("sxd"), sum(xd * xd).as("sxxd"))
+      .select(col("g"), col("nj"),
+        col("sxd").cast("double").as("sxj"),
+        col("sxxd").cast("double").as("sxxj"))
+    anovaCombine(perG, "f")
+  }
+
+  /** Levene's variance-homogeneity test (Levene 1960, mean-centered
+    * form): do the k arms have EQUAL SPREAD — the assumption check
+    * behind [[anovaF]]'s pooled variance (and the welch-vs-pooled
+    * decision), and a drift probe in its own right (an arm whose
+    * variance exploded is a telemetry bug even when its mean held).
+    * W = the [[anovaF]] statistic computed on z = |x − x̄_g|.
+    *
+    * Determinism: group means are exact-decimal sums cast to double
+    * once then one division (the [[welchSums]] path); z is one
+    * abs/sub per row (exactly rounded); the z-moments go through the
+    * SORTED per-unit fold ([[cuped]]'s momentFold, bounded by
+    * `graft.experiments.maxFoldUnits`) because z is NOT
+    * decimal-representable — the fold replays identically in DuckDB
+    * ordered-list reductions. Output (one row): k_groups, n, ssb,
+    * ssw, w.
+    */
+  def levene(units: DataFrame, unitCol: String, groupCol: String,
+             yCol: String): DataFrame = {
+    val maxN = units.sparkSession.conf
+      .get(MaxFoldUnitsKey, DefaultMaxFoldUnits.toString).toLong
+    val xd = col(yCol).cast("double").cast(Dec)
+    val means = units
+      .where(col(groupCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("nm"), sum(xd).as("sxd"))
+      .select(col("g"),
+        (col("sxd").cast("double") / col("nm").cast("double"))
+          .as("mu"))
+    val z = units
+      .where(col(groupCol).isNotNull && col(yCol).isNotNull)
+      .select(col(unitCol).as("u"),
+        col(groupCol).cast("string").as("g"),
+        col(yCol).cast("double").as("x"))
+      .join(broadcast(means), Seq("g"))
+      .select(col("u"), col("g"), abs(col("x") - col("mu")).as("z"))
+    val perG = z.groupBy("g")
+      .agg(momentFold(col("u"), col("z"), lit(0.0), maxN).as("m"))
+      .select(col("g"), col("m.n").as("nj"), col("m.sx").as("sxj"),
+        col("m.sxx").as("sxxj"))
+    anovaCombine(perG, "w")
+  }
+
+  /** Shared F-form combination for [[anovaF]]/[[levene]]: arm-sorted
+    * double fold of Σ(Σx_g)²/n_g plus plain double sums of the
+    * per-arm totals (same order), then the F ratio.
+    */
+  private def anovaCombine(perG: DataFrame,
+                           statName: String): DataFrame = {
+    val gs = perG.groupBy().agg(
+      count(lit(1)).as("k_groups"),
+      coalesce(sum(col("nj")), lit(0L)).as("n"),
+      sort_array(collect_list(struct(col("g"),
+        col("nj").cast("double").as("njd"), col("sxj"),
+        col("sxxj")))).as("arr"))
+    gs
+      .withColumn("q", aggregate(col("arr"), lit(0.0),
+        (a, e) => a + (e("sxj") * e("sxj")) / e("njd")))
+      .withColumn("sx", aggregate(col("arr"), lit(0.0),
+        (a, e) => a + e("sxj")))
+      .withColumn("sxx", aggregate(col("arr"), lit(0.0),
+        (a, e) => a + e("sxxj")))
+      .withColumn("ssb",
+        col("q") - col("sx") * col("sx") / col("n").cast("double"))
+      .withColumn("ssw", col("sxx") - col("q"))
+      .select(col("k_groups"), col("n"), col("ssb"), col("ssw"),
+        when(col("k_groups") < 2 || col("n") <= col("k_groups") ||
+            col("ssw") <= 0.0, lit(0.0))
+          .otherwise(
+            (col("ssb") / (col("k_groups") - 1).cast("double")) /
+            (col("ssw") / (col("n") - col("k_groups")).cast("double")))
+          .as(statName))
+  }
+
   /** Two-arm sample-size planner (fixed-horizon z-approximation,
     * the standard power formula; e.g. van Belle 2008 §2.5) — the
     * DESIGN-side completer for the A/B stack: [[welch]]/[[cuped]]

@@ -515,8 +515,199 @@ object TestQueries28 {
                  / den2 END AS chi2
       FROM f"""))
 
+  /** The q316/q334 experiment-units frame, replicated verbatim so the
+    * bucketed signed-rank grades on the IDENTICAL pre→post panel as
+    * exact q334.
+    */
+  private def experimentUnits(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).where(col("user_id") < 100)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < lit("2024-01-15").cast("timestamp"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          .as("pre_x"),
+        sum(when(col("ts") >= lit("2024-01-15").cast("timestamp"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          .as("post_y"))
+      .select(col("user_id").as("unit"), col("pre_x"), col("post_y"))
+
+  private val UnitsSql = """
+      units AS (
+        SELECT user_id AS u,
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+            THEN CAST(value AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS x,
+          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+            THEN CAST(value AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS y
+        FROM events WHERE user_id < 100 GROUP BY user_id)"""
+
+  /** Corpus-scale bucketed Wilcoxon signed-rank on the q334 pre→post
+    * panel — [[graft.analytics.DistTest.wilcoxonSignedRankBucketed]]
+    * on a 256-cell [0, 1000] |d| grid: per-cell sign counts make
+    * W⁺/tie48/z exact from one groupBy — no global rank window, no
+    * n ≤ 1.3e6 ceiling. RAW except z (ROUND 6).
+    */
+  val q397WilcoxonBucketed: QueryCase = QueryCase(
+    "q397_wilcoxon_bucketed",
+    (s, dir) => graft.analytics.DistTest.wilcoxonSignedRankBucketed(
+      experimentUnits(s, dir), "post_y", "pre_x",
+      hi = 1000.0, buckets = 256)
+      .select(col("n"), col("n_cells"), col("sum_r2_pos"),
+        col("var48"), round(col("z"), 6).as("z")),
+    Some(s"""
+      WITH $UnitsSql,
+      d AS (SELECT y - x AS d FROM units WHERE y - x <> 0),
+      b AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(
+                 (ABS(d) * CAST(256.0 AS DOUBLE))
+                   / CAST(1000.0 AS DOUBLE)) AS BIGINT), 0), 255)
+                 AS bk,
+               d
+        FROM d),
+      pb AS (
+        SELECT bk,
+          CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nn
+        FROM b GROUP BY bk),
+      cum AS (
+        SELECT np, nn, np + nn AS t,
+          CAST(COALESCE(SUM(np + nn) OVER (ORDER BY bk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS below
+        FROM pb),
+      agg AS (
+        SELECT CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               COALESCE(SUM(CAST(np AS HUGEINT)
+                 * (2 * CAST(below AS HUGEINT) + t + 1)), 0)
+                 AS sum_r2_pos,
+               COALESCE(SUM(CAST(t AS HUGEINT)
+                 * (CAST(t AS HUGEINT) * t - 1)), 0) AS tie48
+        FROM cum),
+      v AS (
+        SELECT n, n_cells, sum_r2_pos,
+          2 * CAST(n AS HUGEINT) * (n + 1) * (2 * CAST(n AS HUGEINT)
+            + 1) - tie48 AS var48,
+          2 * sum_r2_pos - CAST(n AS HUGEINT) * (n + 1) AS num4
+        FROM agg)
+      SELECT n, n_cells,
+        CAST(sum_r2_pos AS DOUBLE) AS sum_r2_pos,
+        CAST(var48 AS DOUBLE) AS var48,
+        ROUND(CASE WHEN n = 0 OR var48 <= 0 OR num4 = 0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE (CAST(num4 AS DOUBLE)
+              - 2.0 * CASE WHEN num4 > 0 THEN 1.0
+                  WHEN num4 < 0 THEN -1.0 ELSE 0.0 END)
+              / (CAST(4.0 AS DOUBLE)
+                 * SQRT(CAST(var48 AS DOUBLE) / CAST(48.0 AS DOUBLE)))
+            END, 6) AS z
+      FROM v"""))
+
+  private def foldSql(lst: String, expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform($lst, e -> $expr)), (acc, tv) -> acc + tv)"""
+
+  /** One-way ANOVA F of event value across ALL event types —
+    * [[graft.analytics.Experiments.anovaF]]: the parametric k-group
+    * sibling of q391's Kruskal–Wallis (identical question, mean vs
+    * rank reading). Per-type exact decimal moments (map-side
+    * combinable, the welchSums engine), cross-type Σ(Σx)²/n folded in
+    * type order. No libm → fully RAW; the DECIMAL(38,12) Σx² mirrors
+    * through the VARCHAR cast path (the r15 scaled-int lesson).
+    */
+  val q398AnovaF: QueryCase = QueryCase(
+    "q398_anova_f",
+    (s, dir) => graft.analytics.Experiments.anovaF(
+      Tables.events(s, dir), "event_type", "value"),
+    Some(s"""
+      WITH pg AS (
+        SELECT CAST(event_type AS VARCHAR) AS g,
+               CAST(COUNT(*) AS BIGINT) AS nj,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                 AS DOUBLE) AS sxj,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(19,6))
+                   * CAST(value AS DECIMAL(19,6))) AS VARCHAR)
+                 AS DOUBLE) AS sxxj
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM(nj) AS BIGINT) AS n,
+               ${foldSql("list(sxj * sxj / CAST(nj AS DOUBLE) ORDER BY g)",
+                 "e")} AS q,
+               ${foldSql("list(sxj ORDER BY g)", "e")} AS sx,
+               ${foldSql("list(sxxj ORDER BY g)", "e")} AS sxx
+        FROM pg),
+      f AS (
+        SELECT k_groups, n,
+               q - sx * sx / CAST(n AS DOUBLE) AS ssb,
+               sxx - q AS ssw
+        FROM agg)
+      SELECT k_groups, n, ssb, ssw,
+        CASE WHEN k_groups < 2 OR n <= k_groups OR ssw <= 0.0
+          THEN CAST(0.0 AS DOUBLE)
+          ELSE (ssb / CAST(k_groups - 1 AS DOUBLE))
+            / (ssw / CAST(n - k_groups AS DOUBLE)) END AS f
+      FROM f"""))
+
+  /** Levene variance-homogeneity across three synthetic arms of the
+    * q334 units panel — [[graft.analytics.Experiments.levene]]:
+    * z = |post_y − mean_arm| through the bounded sorted per-unit
+    * fold, then the same F form. Fold sums replay identically in
+    * DuckDB ordered-list reductions → fully RAW.
+    */
+  val q399Levene: QueryCase = QueryCase(
+    "q399_levene",
+    (s, dir) => graft.analytics.Experiments.levene(
+      experimentUnits(s, dir)
+        .withColumn("arm", (col("unit") % 3).cast("string")),
+      "unit", "arm", "post_y"),
+    Some(s"""
+      WITH $UnitsSql,
+      ua AS (SELECT u, CAST(u % 3 AS VARCHAR) AS g, y FROM units),
+      mg AS (
+        SELECT g,
+          CAST(CAST(SUM(CAST(y AS DECIMAL(18,6))) AS VARCHAR)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+        FROM ua GROUP BY g),
+      z AS (
+        SELECT ua.u, ua.g, ABS(ua.y - mg.mu) AS z
+        FROM ua JOIN mg USING (g)),
+      pl AS (
+        SELECT g, list(struct_pack(u := u, z := z) ORDER BY u) AS l
+        FROM z GROUP BY g),
+      pg AS (
+        SELECT g, CAST(len(l) AS BIGINT) AS nj,
+               ${foldSql("l", "e.z")} AS sxj,
+               ${foldSql("l", "e.z * e.z")} AS sxxj
+        FROM pl),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(SUM(nj) AS BIGINT) AS n,
+               ${foldSql("list(sxj * sxj / CAST(nj AS DOUBLE) ORDER BY g)",
+                 "e")} AS q,
+               ${foldSql("list(sxj ORDER BY g)", "e")} AS sx,
+               ${foldSql("list(sxxj ORDER BY g)", "e")} AS sxx
+        FROM pg),
+      f AS (
+        SELECT k_groups, n,
+               q - sx * sx / CAST(n AS DOUBLE) AS ssb,
+               sxx - q AS ssw
+        FROM agg)
+      SELECT k_groups, n, ssb, ssw,
+        CASE WHEN k_groups < 2 OR n <= k_groups OR ssw <= 0.0
+          THEN CAST(0.0 AS DOUBLE)
+          ELSE (ssb / CAST(k_groups - 1 AS DOUBLE))
+            / (ssw / CAST(n - k_groups AS DOUBLE)) END AS w
+      FROM f"""))
+
   val all: Seq[QueryCase] =
     Seq(q389MwBucketed, q390SpearmanBucketed, q391KruskalWallis,
       q392KwBucketed, q393SingleLink, q394EwmaChart,
-      q395KendallBucketed, q396Friedman)
+      q395KendallBucketed, q396Friedman, q397WilcoxonBucketed,
+      q398AnovaF, q399Levene)
 }

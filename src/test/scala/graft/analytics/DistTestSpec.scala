@@ -191,6 +191,30 @@ class DistTestSpec extends SparkSpec {
     assert(e2.getMessage.contains("incomplete block"))
   }
 
+  test("wilcoxonSignedRankBucketed: equals exact on grid-valued " +
+      "diffs (tie panel), zero diffs discarded") {
+    // d = (2, −1, 2, 0): the 0 drops; |d| ties at 2 → mid-ranks
+    val df = Seq((3.0, 1.0), (1.0, 2.0), (4.0, 2.0), (2.0, 2.0))
+      .toDF("a", "b")
+    val exact = DistTest.wilcoxonSignedRank(df, "a", "b")
+      .collect().head
+    // hi=4, B=8 → cell floor(2|d|): |1|→2, |2|→4, no mixing
+    val bk = DistTest.wilcoxonSignedRankBucketed(df, "a", "b",
+      hi = 4.0, buckets = 8).collect().head
+    assert(bk.getAs[Long]("n") == exact.getAs[Long]("n"))
+    assert(bk.getAs[Long]("n_cells") == 2L)
+    assert(bk.getAs[Double]("sum_r2_pos") ==
+      exact.getAs[Long]("sum_r2_pos").toDouble)
+    assert(bk.getAs[Double]("var48") ==
+      exact.getAs[Long]("var48").toDouble)
+    assert(bk.getAs[Double]("z") == exact.getAs[Double]("z"))
+    // all pairs tied → n = 0 → z = 0 defined
+    val flat = Seq((1.0, 1.0), (2.0, 2.0)).toDF("a", "b")
+    val z0 = DistTest.wilcoxonSignedRankBucketed(flat, "a", "b",
+      hi = 1.0).collect().head
+    assert(z0.getAs[Long]("n") == 0L && z0.getAs[Double]("z") == 0.0)
+  }
+
   test("wilcoxonSignedRank / adjustPvalues: Bounded guard raises " +
       "loudly on an over-bound frame") {
     import org.apache.spark.sql.functions._

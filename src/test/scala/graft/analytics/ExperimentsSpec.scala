@@ -121,6 +121,44 @@ class ExperimentsSpec extends SparkSpec {
     assert(r9.getAs[Long]("n_per_arm") > r.getAs[Long]("n_per_arm"))
   }
 
+  test("anovaF: textbook panel F = 27 exactly; degenerates defined") {
+    val clean = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0),
+      ("b", 5.0), ("b", 6.0), ("c", 7.0), ("c", 8.0), ("c", 9.0))
+      .toDF("g", "y")
+    val r = Experiments.anovaF(clean, "g", "y").collect().head
+    assert(r.getAs[Long]("k_groups") == 3L && r.getAs[Long]("n") == 9L)
+    // means (2,5,8), grand 5: SSB = 54, SSW = 6, F = (54/2)/(6/6)
+    assert(r.getAs[Double]("ssb") == 54.0)
+    assert(r.getAs[Double]("ssw") == 6.0)
+    assert(r.getAs[Double]("f") == 27.0)
+    // one group → f = 0; internally-constant arms (ssw = 0) → f = 0
+    val solo = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "y")
+    assert(Experiments.anovaF(solo, "g", "y").collect()
+      .head.getAs[Double]("f") == 0.0)
+    val const = Seq(("a", 2.0), ("a", 2.0), ("b", 5.0), ("b", 5.0))
+      .toDF("g", "y")
+    val c = Experiments.anovaF(const, "g", "y").collect().head
+    assert(c.getAs[Double]("ssw") == 0.0 && c.getAs[Double]("f") == 0.0)
+  }
+
+  test("levene: hand-walked W on |x − mean_g| via the sorted fold") {
+    val df = Seq((1L, "a", 0.0), (2L, "a", 4.0), (3L, "a", 2.0),
+      (4L, "b", 1.0), (5L, "b", 1.0), (6L, "b", 1.0), (7L, "b", 1.0))
+      .toDF("u", "g", "y")
+    val r = Experiments.levene(df, "u", "g", "y").collect().head
+    // mu_a = 2, mu_b = 1 → z_a = (2,2,0), z_b = (0,0,0,0); replica of
+    // the exact IEEE combination (groups fold in g order)
+    val q = 0.0 + (4.0 * 4.0) / 3.0 + (0.0 * 0.0) / 4.0
+    val sx = 0.0 + 4.0 + 0.0
+    val sxx = 0.0 + 8.0 + 0.0
+    val ssb = q - sx * sx / 7.0
+    val ssw = sxx - q
+    assert(r.getAs[Long]("k_groups") == 2L && r.getAs[Long]("n") == 7L)
+    assert(r.getAs[Double]("ssb") == ssb)
+    assert(r.getAs[Double]("ssw") == ssw)
+    assert(r.getAs[Double]("w") == (ssb / 1.0) / (ssw / 5.0))
+  }
+
   test("sampleSize: unsupported quantile levels and a non-positive " +
       "historical mean raise loudly") {
     val hist = Seq(1.0, 2.0, 3.0).toDF("y")
