@@ -6,7 +6,7 @@ import graft.queries.{TestQueries, TestQueries2, TestQueries3, TestQueries4,
   TestQueries15, TestQueries16, TestQueries17, TestQueries18,
   TestQueries19, TestQueries20, TestQueries21, TestQueries22,
   TestQueries23, TestQueries24, TestQueries25, TestQueries26,
-  TestQueries27, TestQueries28}
+  TestQueries27, TestQueries28, TestQueries29}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -33,7 +33,7 @@ object SparkEntry {
       TestQueries19.all ++ TestQueries20.all ++ TestQueries21.all ++
       TestQueries22.all ++ TestQueries23.all ++ TestQueries24.all ++
       TestQueries25.all ++ TestQueries26.all ++ TestQueries27.all ++
-      TestQueries28.all
+      TestQueries28.all ++ TestQueries29.all
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -480,6 +480,225 @@ object DistTest {
           col("h"))): _*)
   }
 
+  /** Jonckheere–Terpstra trend test (Jonckheere 1954, Terpstra 1952)
+    * on a FIXED score grid — the ORDERED-alternative member of the
+    * k-group rank family: [[kruskalWallisBucketed]] asks "do the k
+    * dose groups differ at all"; this asks the sharper monotone
+    * question "does the response INCREASE with dose" (the question a
+    * curriculum/quality-tier owner actually has), with power
+    * concentrated on the ordered alternative. J = Σ_{i<j} U_ij over
+    * dose-ordered group pairs, each U_ij the [[mannWhitney]] count
+    * with ties at ½. On the grid, per-(dose, cell) counts carry ALL
+    * the pairwise order information:
+    *
+    *   2J = Σ_{i<j} Σ_c ( 2·n_{j,c}·cum_{i,<c} + n_{i,c}·n_{j,c} )
+    *   4·E[J] = N² − Σ_g n_g²
+    *   σ²_J = A/72 + B/(36·N(N−1)(N−2)) + C/(8·N(N−1))   (ties;
+    *     Hollander & Wolfe 1999 §6.2), with exact-integer
+    *   A = N(N−1)(2N+5) − Σ_g f(n_g) − Σ_c f(t_c),  f(x)=x(x−1)(2x+5)
+    *   B = [Σ_g n_g(n_g−1)(n_g−2)]·[Σ_c t_c(t_c−1)(t_c−2)]
+    *   C = [Σ_g n_g(n_g−1)]·[Σ_c t_c(t_c−1)]
+    *
+    * Scale shape: one `groupBy(cell, dose).count()` over the corpus —
+    * NO global window; everything after runs on the ≤ maxGroups ×
+    * buckets densified skeleton (cum windows partition BY DOSE over ≤
+    * `buckets` rows; the cell-equijoined dose-pair frame is ≤
+    * buckets·k²/2 rows by construction). More than `maxGroups`
+    * distinct doses raises loudly — a dose axis is a design grid, not
+    * a corpus axis. A/num stay exact decimal(38,0) (safe to ~10¹²
+    * rows); B and C multiply two exact decimals in DOUBLE (their
+    * exact products can exceed 38 digits), mirroring engine-for-engine.
+    *
+    * z gets the house ±0.5 continuity correction on J (the
+    * [[wilcoxonSignedRank]] shape): z = (num4 − 2·sgn(num4))/(4σ).
+    * Degenerates defined: k < 2, N = 0, σ² ≤ 0 or num4 = 0 → z = 0.
+    *
+    * Output (one row): n, k_groups, n_cells, j2, num4, var_j, z —
+    * j2 = 2J and num4 = 4(J − E[J]) as exact-integer-valued doubles.
+    */
+  def jonckheereBucketed(df: DataFrame, doseCol: String,
+                         valueCol: String,
+                         lo: Double = 0.0, hi: Double = 1.0,
+                         buckets: Int = 256,
+                         maxGroups: Int = 64): DataFrame = {
+    require(hi > lo, "need hi > lo")
+    require(buckets >= 2 && buckets <= (1 << 20),
+      "need 2 <= buckets <= 2^20")
+    require(maxGroups >= 2 && maxGroups <= 1024,
+      "need 2 <= maxGroups <= 1024")
+    val dec = "decimal(38,0)"
+    val s = col(valueCol).cast("double")
+    val cell = least(greatest(
+      floor(((s - lit(lo)) * lit(buckets.toDouble)) / lit(hi - lo)),
+      lit(0L)), lit(buckets - 1L))
+    val base = df
+      .where(s.isNotNull && col(doseCol).cast("double").isNotNull)
+      .select(col(doseCol).cast("double").as("d"), cell.as("bk"))
+    val cg = base.groupBy(col("d"), col("bk")).agg(count(lit(1)).as("c"))
+    // loud design-grid contract: evaluated on every output row below
+    val kRow = base.agg(count_distinct(col("d")).as("k_groups"))
+    // densified skeleton: every (dose, cell) — cum must see cells the
+    // dose never hit (group i mass below a cell only group j occupies)
+    val skel = cg.select(col("d")).distinct().limit(maxGroups)
+      .crossJoin(
+        cg.sparkSession.range(0, buckets).select(col("id").as("bk")))
+      .join(cg, Seq("d", "bk"), "left")
+      .select(col("d"), col("bk"), coalesce(col("c"), lit(0L)).as("c"))
+    val wcum = Window.partitionBy("d").orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sk = skel.withColumn("cum",
+      coalesce(sum(col("c")).over(wcum), lit(0L)).cast(dec))
+    val pairs = sk.select(col("d").as("dl"), col("bk"),
+        col("c").as("cl"), col("cum").as("cuml"))
+      .join(sk.select(col("d").as("du"), col("bk"),
+        col("c").as("cu")), Seq("bk"))
+      .where(col("dl") < col("du"))
+    val j2Row = pairs.agg(
+      coalesce(sum(lit(2).cast(dec) * col("cu") * col("cuml") +
+        col("cu").cast(dec) * col("cl")), lit(0).cast(dec)).as("j2"))
+    val gRow = cg.groupBy("d").agg(sum(col("c")).cast(dec).as("ng"))
+      .agg(
+        coalesce(sum(col("ng")), lit(0).cast(dec)).as("n"),
+        coalesce(sum(col("ng") * col("ng")), lit(0).cast(dec))
+          .as("sum_g2"),
+        coalesce(sum(col("ng") * (col("ng") - 1)
+          * (lit(2).cast(dec) * col("ng") + 5)), lit(0).cast(dec))
+          .as("g1"),
+        coalesce(sum(col("ng") * (col("ng") - 1) * (col("ng") - 2)),
+          lit(0).cast(dec)).as("g2"),
+        coalesce(sum(col("ng") * (col("ng") - 1)), lit(0).cast(dec))
+          .as("g3"))
+    val cRow = cg.groupBy("bk").agg(sum(col("c")).cast(dec).as("t"))
+      .agg(
+        count(lit(1)).as("n_cells"),
+        coalesce(sum(col("t") * (col("t") - 1)
+          * (lit(2).cast(dec) * col("t") + 5)), lit(0).cast(dec))
+          .as("u1"),
+        coalesce(sum(col("t") * (col("t") - 1) * (col("t") - 2)),
+          lit(0).cast(dec)).as("u2"),
+        coalesce(sum(col("t") * (col("t") - 1)), lit(0).cast(dec))
+          .as("u3"))
+    val nd = col("n").cast("double")
+    j2Row.crossJoin(broadcast(kRow)).crossJoin(broadcast(gRow))
+      .crossJoin(broadcast(cRow))
+      .withColumn("kg",
+        when(col("k_groups") > maxGroups,
+          raise_error(lit(s"jonckheereBucketed: more than $maxGroups " +
+            "distinct doses — the dose axis is a DESIGN grid; bucket " +
+            "or discretize it upstream (raise maxGroups only for a " +
+            "genuine wider grid)")))
+          .otherwise(col("k_groups")))
+      .withColumn("num4d",
+        lit(2).cast(dec) * col("j2") - (col("n") * col("n")
+          - col("sum_g2")))
+      .withColumn("a_dec",
+        col("n") * (col("n") - 1) * (lit(2).cast(dec) * col("n") + 5)
+          - col("g1") - col("u1"))
+      .withColumn("var_j",
+        col("a_dec").cast("double") / lit(72.0) +
+        (col("g2").cast("double") * col("u2").cast("double")) /
+          (lit(36.0) * nd * (nd - lit(1.0)) * (nd - lit(2.0))) +
+        (col("g3").cast("double") * col("u3").cast("double")) /
+          (lit(8.0) * nd * (nd - lit(1.0))))
+      .select(col("n").cast("long").as("n"), col("kg").as("k_groups"),
+        col("n_cells"), col("j2").cast("double").as("j2"),
+        col("num4d").cast("double").as("num4"),
+        when(col("kg") < 2 || col("n") < 3, lit(0.0))
+          .otherwise(col("var_j")).as("var_j"),
+        when(col("kg") < 2 || col("n") < 3 || col("var_j") <= 0.0 ||
+            col("num4d") === 0, lit(0.0))
+          .otherwise((col("num4d").cast("double")
+            - lit(2.0) * signum(col("num4d").cast("double"))) /
+            (lit(4.0) * sqrt(col("var_j")))).as("z"))
+  }
+
+  /** Page's trend test (Page 1963) — the ORDERED-alternative member
+    * of the BLOCKED rank family, completing the 3×2 the round's rank
+    * work built: (2-group, k-group unordered, k-group ordered) ×
+    * (independent, blocked) = ([[mannWhitney]], [[kruskalWallis]],
+    * [[jonckheereBucketed]]) unpaired and ([[wilcoxonSignedRank]],
+    * [[friedman]], this) blocked. Treatments carry a NUMERIC dose;
+    * with within-block doubled mid-ranks r2 ([[friedman]]'s
+    * machinery) and j = the dose's 1-based order among the k
+    * treatments:
+    *
+    *   L2 = Σ_j j·R2_j   (= 2L, exact integer)
+    *   num2 = 2·L2 − n·k·(k+1)²    (= 4(L − E[L]), exact integer)
+    *   Var(L2) = 4·Var(L) = n·k²·(k+1)·(k²−1)/36
+    *   z = num2 / (2·√Var(L2))
+    *
+    * Ties take mid-ranks; the variance is Page's classical no-tie
+    * form (the standard practical reading — ties make z slightly
+    * conservative). Same loud contracts as [[friedman]]: duplicate
+    * (block, dose) cells and ragged blocks raise; a NULL dose raises
+    * (order is the point of the test). Scale shape: ranks partition
+    * BY BLOCK, one k-row treatment aggregate whose order window is
+    * [[graft.plans.Bounded]]-guarded, one-row cross-joins after.
+    *
+    * Output (one row): k_treat, n_blocks, l2, num2, z.
+    */
+  def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
+                valueCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(col(blockCol).cast("string").as("blk"),
+        expr(s"try_cast(`$treatCol` as double)").as("trt"),
+        col(valueCol).cast("double").as("x"))
+      .where(col("blk").isNotNull && col("x").isNotNull)
+      .select(col("blk"),
+        when(col("trt").isNull,
+          raise_error(lit("pageTrend: non-numeric or NULL treatment " +
+            "dose — the ordered trend needs a numeric dose axis")))
+          .otherwise(col("trt")).as("trt"),
+        col("x"))
+    val perCell = base.groupBy("blk", "trt")
+      .agg(count(lit(1)).as("m"), max(col("x")).as("x"))
+      .select(col("blk"), col("trt"),
+        when(col("m") > 1,
+          raise_error(lit("pageTrend: duplicate (block, dose) rows — " +
+            "the blocked trend needs exactly ONE value per cell; " +
+            "aggregate upstream")))
+          .otherwise(col("x")).as("x"))
+    val wb = Window.partitionBy("blk").orderBy(col("x"))
+    val tb = Window.partitionBy("blk", "x")
+    val ranked = perCell
+      .withColumn("r2",
+        lit(2L) * rank().over(wb) + count(lit(1)).over(tb) - lit(1L))
+    val kRow = ranked.agg(count_distinct(col("trt")).as("k"))
+    val bAgg = ranked.groupBy("blk").agg(count(lit(1)).as("nb"))
+      .agg(count(lit(1)).as("n_blocks"), min(col("nb")).as("min_nb"),
+        max(col("nb")).as("max_nb"))
+    val perTrt = ranked.groupBy("trt")
+      .agg(sum(col("r2")).cast(dec).as("r2j"))
+    val wj = Window.orderBy("trt")
+    val l2Row = graft.plans.Bounded
+      .guard(perTrt, "DistTest.pageTrend treatments")
+      .withColumn("j", row_number().over(wj).cast(dec))
+      .agg(coalesce(sum(col("j") * col("r2j")), lit(0).cast(dec))
+        .as("l2"))
+    l2Row.crossJoin(broadcast(kRow)).crossJoin(broadcast(bAgg))
+      .withColumn("kd", col("k").cast(dec))
+      .withColumn("num2d",
+        lit(2).cast(dec) * col("l2") - col("n_blocks").cast(dec)
+          * col("kd") * (col("kd") + 1) * (col("kd") + 1))
+      .withColumn("var_l2",
+        (col("n_blocks").cast(dec) * col("kd") * col("kd")
+          * (col("kd") + 1) * (col("kd") * col("kd") - 1))
+          .cast("double") / lit(36.0))
+      .select(
+        when(col("min_nb") =!= col("k") || col("max_nb") =!= col("k"),
+          raise_error(lit("pageTrend: incomplete block — every block " +
+            "must contain every dose exactly once (ragged panels " +
+            "bias the rank sums); complete or drop the block")))
+          .otherwise(col("k")).as("k_treat"),
+        col("n_blocks"),
+        col("l2").cast("double").as("l2"),
+        col("num2d").cast("double").as("num2"),
+        when(col("k") < 2 || col("n_blocks") === 0 ||
+            col("var_l2") <= 0.0 || col("num2d") === 0, lit(0.0))
+          .otherwise(col("num2d").cast("double") /
+            (lit(2.0) * sqrt(col("var_l2")))).as("z"))
+  }
+
   /** Friedman test (Friedman 1937, Conover's tie-general form) — the
     * k-treatment BLOCKED rank test completing the square the round's
     * rank-sum work opened: [[kruskalWallis]] compares k independent

@@ -365,6 +365,80 @@ object Experiments {
           .as(statName))
   }
 
+  /** Cochran–Armitage trend test (Cochran 1954, Armitage 1955) — does
+    * a BINARY outcome trend monotonically with an ordered numeric
+    * dose: the proportions member of the ordered-alternative family
+    * ([[graft.analytics.DistTest.jonckheereBucketed]] continuous
+    * response, [[graft.analytics.DistTest.pageTrend]] blocked; this
+    * is the k×2 contingency case that [[proportionPanel]]'s pairwise
+    * reading can't answer in one test). With per-dose counts n_i and
+    * successes r_i at scores s_i (the dose values themselves):
+    *
+    *   T = Σ s_i·r_i − (R/N)·Σ s_i·n_i
+    *   Var(T) = (R/N)(1 − R/N)·(Σ s_i²·n_i − (Σ s_i·n_i)²/N)
+    *   z = T/√Var(T)   ~ N(0,1) under no-trend
+    *
+    * Scale shape: one map-combinable `groupBy(dose)` over units, one
+    * k-row aggregate — no window, no join. More than `maxDoses`
+    * distinct doses raises loudly (a dose axis is a design grid).
+    * Determinism: counts are exact longs; the dose-weighted sums fold
+    * in DOSE ORDER over the sorted per-dose array, so both engines
+    * replay the identical IEEE sequence — no libm beyond one sqrt →
+    * gates ROUND z only. Degenerates defined: k < 2, N = 0, all-
+    * success/all-failure or zero score spread → z = 0.
+    *
+    * Output (one row): k_doses, n, r, t, var_t, z.
+    */
+  def cochranArmitage(units: DataFrame, doseCol: String,
+                      successCol: String,
+                      maxDoses: Int = 4096): DataFrame = {
+    require(maxDoses >= 2 && maxDoses <= (1 << 20),
+      "need 2 <= maxDoses <= 2^20")
+    val d = col(doseCol).cast("double")
+    val y = col(successCol).cast("boolean")
+    val perDose = units
+      .where(d.isNotNull && y.isNotNull)
+      .groupBy(d.as("s"))
+      .agg(count(lit(1)).as("nj"),
+        sum(when(y, 1L).otherwise(0L)).as("rj"))
+    perDose.groupBy()
+      .agg(
+        count(lit(1)).as("k_doses"),
+        coalesce(sum(col("nj")), lit(0L)).as("n"),
+        coalesce(sum(col("rj")), lit(0L)).as("r"),
+        sort_array(collect_list(struct(col("s"),
+          col("nj").cast("double").as("njd"),
+          col("rj").cast("double").as("rjd")))).as("arr"))
+      .select(
+        when(col("k_doses") > maxDoses,
+          raise_error(lit(s"cochranArmitage: more than $maxDoses " +
+            "distinct doses — the dose axis is a DESIGN grid; " +
+            "discretize upstream (raise maxDoses only for a genuine " +
+            "wider grid)")))
+          .otherwise(col("k_doses")).as("k_doses"),
+        col("n"), col("r"), col("arr"))
+      .withColumn("sr", aggregate(col("arr"), lit(0.0),
+        (a, e) => a + e("s") * e("rjd")))
+      .withColumn("sn", aggregate(col("arr"), lit(0.0),
+        (a, e) => a + e("s") * e("njd")))
+      .withColumn("s2n", aggregate(col("arr"), lit(0.0),
+        (a, e) => a + e("s") * e("s") * e("njd")))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("pbar", col("r").cast("double") / col("nd"))
+      .withColumn("t",
+        col("sr") - col("pbar") * col("sn"))
+      .withColumn("var_t",
+        col("pbar") * (lit(1.0) - col("pbar")) *
+          (col("s2n") - col("sn") * col("sn") / col("nd")))
+      .select(col("k_doses"), col("n"), col("r"),
+        when(col("n") === 0, lit(0.0)).otherwise(col("t")).as("t"),
+        when(col("n") === 0, lit(0.0)).otherwise(col("var_t"))
+          .as("var_t"),
+        when(col("k_doses") < 2 || col("n") === 0 ||
+            col("var_t") <= 0.0 || col("t") === 0.0, lit(0.0))
+          .otherwise(col("t") / sqrt(col("var_t"))).as("z"))
+  }
+
   /** Two-arm sample-size planner (fixed-horizon z-approximation,
     * the standard power formula; e.g. van Belle 2008 §2.5) — the
     * DESIGN-side completer for the A/B stack: [[welch]]/[[cuped]]

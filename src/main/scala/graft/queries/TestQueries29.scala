@@ -1,0 +1,233 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-18 continuation: the ORDERED-alternative trend family —
+  * Jonckheere–Terpstra (independent dose groups, bucketed
+  * corpus-scale), Page's L (blocked doses) and Cochran–Armitage
+  * (binary outcome × dose) — the third axis on the rank-test grid the
+  * q388–q396 work built (2-group / k-group unordered / k-group
+  * ordered) × (independent / blocked / binary).
+  */
+object TestQueries29 {
+
+  /** Jonckheere–Terpstra ordered trend of quantity across line
+    * numbers — [[graft.analytics.DistTest.jonckheereBucketed]] on
+    * lineitem: dose = l_linenumber (1..7), value = l_quantity on the
+    * integer grid [0, 50] with 50 cells (values land ON the grid —
+    * the statistic is exact there). One groupBy(cell, dose) over the
+    * corpus; ROUND(6) on z only.
+    */
+  val q400Jonckheere: QueryCase = QueryCase(
+    "q400_jonckheere",
+    (s, dir) => graft.analytics.DistTest.jonckheereBucketed(
+      Tables.lineitem(s, dir), "l_linenumber", "l_quantity",
+      lo = 0.0, hi = 50.0, buckets = 50)
+      .select(col("n"), col("k_groups"), col("n_cells"), col("j2"),
+        col("num4"), col("var_j"), round(col("z"), 6).as("z")),
+    Some("""
+      WITH base AS (
+        SELECT CAST(l_linenumber AS DOUBLE) AS d,
+               LEAST(GREATEST(CAST(FLOOR(
+                 (CAST(l_quantity AS DOUBLE) - 0.0) * 50.0 / 50.0)
+                 AS BIGINT), 0), 49) AS bk
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_linenumber IS NOT NULL),
+      cg AS (
+        SELECT d, bk, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY d, bk),
+      doses AS (SELECT DISTINCT d FROM cg),
+      skel AS (
+        SELECT doses.d, g.bk, COALESCE(cg.c, 0) AS c
+        FROM doses
+        CROSS JOIN (SELECT UNNEST(generate_series(0, 49)) AS bk) g
+        LEFT JOIN cg ON cg.d = doses.d AND cg.bk = g.bk),
+      sk AS (
+        SELECT d, bk, c,
+          CAST(COALESCE(SUM(c) OVER (PARTITION BY d ORDER BY bk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS HUGEINT) AS cum
+        FROM skel),
+      j2r AS (
+        SELECT COALESCE(SUM(2 * CAST(u.c AS HUGEINT) * l.cum
+                 + CAST(u.c AS HUGEINT) * l.c), 0) AS j2
+        FROM sk l JOIN sk u ON l.bk = u.bk AND l.d < u.d),
+      ng AS (
+        SELECT d, CAST(SUM(c) AS HUGEINT) AS ng
+        FROM cg GROUP BY d),
+      gr AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               COALESCE(SUM(ng), 0) AS n,
+               COALESCE(SUM(ng * ng), 0) AS sum_g2,
+               COALESCE(SUM(ng * (ng - 1) * (2 * ng + 5)), 0) AS g1,
+               COALESCE(SUM(ng * (ng - 1) * (ng - 2)), 0) AS g2,
+               COALESCE(SUM(ng * (ng - 1)), 0) AS g3
+        FROM ng),
+      tc AS (
+        SELECT bk, CAST(SUM(c) AS HUGEINT) AS t
+        FROM cg GROUP BY bk),
+      cr AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS u1,
+               COALESCE(SUM(t * (t - 1) * (t - 2)), 0) AS u2,
+               COALESCE(SUM(t * (t - 1)), 0) AS u3
+        FROM tc),
+      f AS (
+        SELECT j2, k_groups, n, n_cells,
+          2 * j2 - (n * n - sum_g2) AS num4,
+          n * (n - 1) * (2 * n + 5) - g1 - u1 AS a_dec,
+          CAST(n AS DOUBLE) AS nd, g2, g3, u2, u3
+        FROM j2r, gr, cr),
+      v AS (
+        SELECT j2, k_groups, n, n_cells, num4,
+          CAST(a_dec AS DOUBLE) / 72.0
+            + (CAST(g2 AS DOUBLE) * CAST(u2 AS DOUBLE))
+              / (36.0 * nd * (nd - 1.0) * (nd - 2.0))
+            + (CAST(g3 AS DOUBLE) * CAST(u3 AS DOUBLE))
+              / (8.0 * nd * (nd - 1.0)) AS var_j
+        FROM f)
+      SELECT CAST(n AS BIGINT) AS n, k_groups, n_cells,
+        CAST(j2 AS DOUBLE) AS j2,
+        CAST(num4 AS DOUBLE) AS num4,
+        CASE WHEN k_groups < 2 OR n < 3 THEN CAST(0.0 AS DOUBLE)
+          ELSE var_j END AS var_j,
+        ROUND(CASE WHEN k_groups < 2 OR n < 3 OR var_j <= 0.0
+            OR num4 = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE (CAST(num4 AS DOUBLE)
+            - 2.0 * CASE WHEN num4 > 0 THEN 1.0
+                WHEN num4 < 0 THEN -1.0 ELSE 0.0 END)
+            / (4.0 * SQRT(var_j)) END, 6) AS z
+      FROM v"""))
+
+  /** Page's trend test of activity across day quarters —
+    * [[graft.analytics.DistTest.pageTrend]]: blocks = users observed
+    * in EVERY quarter of the day, dose = hour/6 (0..3), value = the
+    * user's event count in that quarter ("does activity rise across
+    * the day?" — the ordered question q396's Friedman can't sharpen).
+    * ROUND(6) on z; l2/num2 exact integers → RAW.
+    */
+  val q401PageTrend: QueryCase = QueryCase(
+    "q401_page_trend",
+    (s, dir) => {
+      val cnt = Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          floor(hour(col("ts")) / lit(6)).cast("int").as("dq"))
+        .agg(count(lit(1)).as("n_ev"))
+      val quarters = cnt.agg(count_distinct(col("dq")).as("k"))
+      val full = cnt.groupBy("user_id").agg(count(lit(1)).as("nb"))
+        .crossJoin(broadcast(quarters)).where(col("nb") === col("k"))
+        .select("user_id")
+      graft.analytics.DistTest.pageTrend(
+        cnt.join(full, Seq("user_id"), "left_semi"),
+        "user_id", "dq", "n_ev")
+        .select(col("k_treat"), col("n_blocks"), col("l2"),
+          col("num2"), round(col("z"), 6).as("z"))
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT user_id, hour(ts) // 6 AS dq,
+               CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM events GROUP BY 1, 2),
+      kg AS (SELECT COUNT(DISTINCT dq) AS k FROM cnt),
+      fullp AS (
+        SELECT user_id FROM cnt GROUP BY user_id
+        HAVING COUNT(*) = (SELECT k FROM kg)),
+      p AS (SELECT c.* FROM cnt c JOIN fullp USING (user_id)),
+      r AS (
+        SELECT user_id, dq,
+               2 * RANK() OVER (PARTITION BY user_id ORDER BY n_ev)
+                 + COUNT(*) OVER (PARTITION BY user_id, n_ev) - 1 AS r2
+        FROM p),
+      kk AS (SELECT CAST(COUNT(DISTINCT dq) AS BIGINT) AS k FROM r),
+      bb AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_blocks
+             FROM r),
+      pt AS (SELECT dq, CAST(SUM(r2) AS HUGEINT) AS r2j
+             FROM r GROUP BY dq),
+      jr AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY dq) AS HUGEINT) AS j,
+               r2j
+        FROM pt),
+      l2r AS (SELECT COALESCE(SUM(j * r2j), 0) AS l2 FROM jr),
+      f AS (
+        SELECT k, n_blocks, l2,
+          2 * l2 - CAST(n_blocks AS HUGEINT) * k * (k + 1) * (k + 1)
+            AS num2,
+          CAST(CAST(n_blocks AS HUGEINT) * k * k * (k + 1)
+            * (k * k - 1) AS DOUBLE) / 36.0 AS var_l2
+        FROM l2r, kk, bb)
+      SELECT k AS k_treat, n_blocks,
+        CAST(l2 AS DOUBLE) AS l2,
+        CAST(num2 AS DOUBLE) AS num2,
+        ROUND(CASE WHEN k < 2 OR n_blocks = 0 OR var_l2 <= 0.0
+            OR num2 = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(num2 AS DOUBLE) / (2.0 * SQRT(var_l2)) END, 6)
+          AS z
+      FROM f"""))
+
+  /** Cochran–Armitage trend of fulfillment across order priorities —
+    * [[graft.analytics.Experiments.cochranArmitage]]: dose = the
+    * priority's leading digit (1-URGENT..5-LOW), success =
+    * o_orderstatus = 'F' ("does fulfillment fall as priority
+    * drops?"). Per-dose exact counts; dose-ordered folds; RAW except
+    * ROUND(6) z.
+    */
+  val q402CochranArmitage: QueryCase = QueryCase(
+    "q402_cochran_armitage",
+    (s, dir) => graft.analytics.Experiments.cochranArmitage(
+      Tables.orders(s, dir)
+        .select(substring(col("o_orderpriority"), 1, 1).cast("int")
+          .as("dose"),
+          (col("o_orderstatus") === "F").as("ok")),
+      "dose", "ok")
+      .select(col("k_doses"), col("n"), col("r"), col("t"),
+        col("var_t"), round(col("z"), 6).as("z")),
+    Some("""
+      WITH u AS (
+        SELECT CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) AS dose,
+               (o_orderstatus = 'F') AS ok
+        FROM orders),
+      pd AS (
+        SELECT CAST(dose AS DOUBLE) AS s,
+               CAST(COUNT(*) AS BIGINT) AS nj,
+               CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+                 AS rj
+        FROM u WHERE dose IS NOT NULL AND ok IS NOT NULL
+        GROUP BY 1),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_doses,
+               COALESCE(CAST(SUM(nj) AS BIGINT), 0) AS n,
+               COALESCE(CAST(SUM(rj) AS BIGINT), 0) AS r,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(s * CAST(rj AS DOUBLE) ORDER BY s)),
+                 (a, e) -> a + e) AS sr,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(s * CAST(nj AS DOUBLE) ORDER BY s)),
+                 (a, e) -> a + e) AS sn,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(s * s * CAST(nj AS DOUBLE) ORDER BY s)),
+                 (a, e) -> a + e) AS s2n
+        FROM pd),
+      f AS (
+        SELECT k_doses, n, r,
+          CAST(n AS DOUBLE) AS nd,
+          CAST(r AS DOUBLE) / CAST(n AS DOUBLE) AS pbar,
+          sr, sn, s2n
+        FROM agg),
+      g AS (
+        SELECT k_doses, n, r,
+          sr - pbar * sn AS t,
+          pbar * (1.0 - pbar) * (s2n - sn * sn / nd) AS var_t
+        FROM f)
+      SELECT k_doses, n, r,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE t END AS t,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE) ELSE var_t END
+          AS var_t,
+        ROUND(CASE WHEN k_doses < 2 OR n = 0 OR var_t <= 0.0
+            OR t = 0.0 THEN CAST(0.0 AS DOUBLE)
+          ELSE t / SQRT(var_t) END, 6) AS z
+      FROM g"""))
+
+  val all: Seq[QueryCase] =
+    Seq(q400Jonckheere, q401PageTrend, q402CochranArmitage)
+}

@@ -191,6 +191,83 @@ class DistTestSpec extends SparkSpec {
     assert(e2.getMessage.contains("incomplete block"))
   }
 
+  test("jonckheereBucketed: hand-computed tie panel; single dose and " +
+      "over-grid dose axis degenerate/raise") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // doses 1/2/3, values on the integer grid [0,10), B=10 → cell = v
+    // brute 2J: g1×g2 = 14, g1×g3 = 18, g2×g3 = 17 → j2 = 49
+    val df = Seq((1, 1.0), (1, 2.0), (1, 3.0), (2, 2.0), (2, 3.0),
+      (2, 4.0), (3, 4.0), (3, 5.0), (3, 6.0)).toDF("dose", "v")
+    val r = DistTest.jonckheereBucketed(df, "dose", "v",
+      lo = 0.0, hi = 10.0, buckets = 10).collect().head
+    assert(r.getAs[Long]("n") == 9L && r.getAs[Long]("k_groups") == 3L)
+    assert(r.getAs[Double]("j2") == 49.0)
+    // 4E[J] = 81 − 27 = 54 → num4 = 98 − 54 = 44
+    assert(r.getAs[Double]("num4") == 44.0)
+    // A = 1656 − 198 − 54 = 1404; B = 0; C = 18·6 →
+    // var = 1404/72 + 108/(8·9·8) = 19.6875
+    assert(r.getAs[Double]("var_j") == 19.6875)
+    assert(r.getAs[Double]("z") ==
+      (44.0 - 2.0) / (4.0 * math.sqrt(19.6875)))
+    // reversed dose order flips the sign exactly
+    val rev = DistTest.jonckheereBucketed(
+      df.withColumn("dose", -col("dose")), "dose", "v",
+      lo = 0.0, hi = 10.0, buckets = 10).collect().head
+    assert(rev.getAs[Double]("num4") == -44.0)
+    assert(rev.getAs[Double]("z") == -r.getAs[Double]("z"))
+    // one dose → k_groups = 1, z = 0 defined
+    val solo = DistTest.jonckheereBucketed(
+      df.withColumn("dose", lit(1)), "dose", "v",
+      lo = 0.0, hi = 10.0, buckets = 10).collect().head
+    assert(solo.getAs[Long]("k_groups") == 1L &&
+      solo.getAs[Double]("z") == 0.0)
+    // dose axis wider than maxGroups raises loudly
+    val e = intercept[Exception] {
+      DistTest.jonckheereBucketed(df, "dose", "v",
+        lo = 0.0, hi = 10.0, buckets = 10, maxGroups = 2).collect()
+    }
+    assert(e.getMessage.contains("distinct doses"))
+  }
+
+  test("pageTrend: perfect monotone panel z = 3; loud contracts on " +
+      "duplicate cells, ragged blocks and NULL doses") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // 3 blocks × 4 doses, response strictly increasing with dose:
+    // L2 = 180, num2 = 60, Var(L2) = 100 → z = 3
+    val rows = for (b <- 1 to 3; j <- 1 to 4)
+      yield (s"b$b", j, j * 10.0 + b)
+    val df = rows.toDF("blk", "dose", "y")
+    val r = DistTest.pageTrend(df, "blk", "dose", "y").collect().head
+    assert(r.getAs[Long]("k_treat") == 4L &&
+      r.getAs[Long]("n_blocks") == 3L)
+    assert(r.getAs[Double]("l2") == 180.0)
+    assert(r.getAs[Double]("num2") == 60.0)
+    assert(r.getAs[Double]("z") == 3.0)
+    // anti-monotone flips the sign
+    val anti = DistTest.pageTrend(
+      df.withColumn("y", -col("y")), "blk", "dose", "y")
+      .collect().head
+    assert(anti.getAs[Double]("num2") == -60.0 &&
+      anti.getAs[Double]("z") == -3.0)
+    val dup = intercept[Exception] {
+      DistTest.pageTrend(df.union(df.limit(1)), "blk", "dose", "y")
+        .collect()
+    }
+    assert(dup.getMessage.contains("duplicate (block, dose)"))
+    val rag = intercept[Exception] {
+      DistTest.pageTrend(df.limit(11), "blk", "dose", "y").collect()
+    }
+    assert(rag.getMessage.contains("incomplete block"))
+    val nul = intercept[Exception] {
+      DistTest.pageTrend(
+        df.withColumn("dose",
+          when(col("dose") === 4, lit("x"))
+            .otherwise(col("dose").cast("string"))),
+        "blk", "dose", "y").collect()
+    }
+    assert(nul.getMessage.contains("NULL treatment"))
+  }
+
   test("wilcoxonSignedRankBucketed: equals exact on grid-valued " +
       "diffs (tie panel), zero diffs discarded") {
     // d = (2, −1, 2, 0): the 0 drops; |d| ties at 2 → mid-ranks

@@ -159,6 +159,39 @@ class ExperimentsSpec extends SparkSpec {
     assert(r.getAs[Double]("w") == (ssb / 1.0) / (ssw / 5.0))
   }
 
+  test("cochranArmitage: textbook dose panel z = 8/sqrt(5); " +
+      "degenerates defined; over-grid dose axis raises") {
+    import org.apache.spark.sql.functions.lit
+    // doses 0/1/2 with (n, r) = (10,1)/(10,5)/(10,9):
+    // T = 23 − .5·30 = 8, Var = .25·(50 − 30) = 5
+    val rows =
+      (1 to 10).map(i => (0, i <= 1)) ++
+      (1 to 10).map(i => (1, i <= 5)) ++
+      (1 to 10).map(i => (2, i <= 9))
+    val df = rows.toDF("dose", "ok")
+    val r = Experiments.cochranArmitage(df, "dose", "ok")
+      .collect().head
+    assert(r.getAs[Long]("k_doses") == 3L && r.getAs[Long]("n") == 30L
+      && r.getAs[Long]("r") == 15L)
+    assert(r.getAs[Double]("t") == 8.0)
+    assert(r.getAs[Double]("var_t") == 5.0)
+    assert(r.getAs[Double]("z") == 8.0 / math.sqrt(5.0))
+    // all-success → var_t = 0 → z = 0; one dose → z = 0
+    val const = Experiments.cochranArmitage(
+      df.withColumn("ok", lit(true)), "dose", "ok").collect().head
+    assert(const.getAs[Double]("var_t") == 0.0 &&
+      const.getAs[Double]("z") == 0.0)
+    val solo = Experiments.cochranArmitage(
+      df.withColumn("dose", lit(7)), "dose", "ok").collect().head
+    assert(solo.getAs[Long]("k_doses") == 1L &&
+      solo.getAs[Double]("z") == 0.0)
+    val e = intercept[Exception] {
+      Experiments.cochranArmitage(df, "dose", "ok", maxDoses = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("distinct doses"))
+  }
+
   test("sampleSize: unsupported quantile levels and a non-positive " +
       "historical mean raise loudly") {
     val hist = Seq(1.0, 2.0, 3.0).toDF("y")
