@@ -161,4 +161,153 @@ object Agreement {
             ((col("n_ratings") - 1) * col("do_num")).cast("double") /
               (lit(f) * col("de_num")).cast("double")))
   }
+
+  private val Dec = "decimal(18,6)"
+
+  /** Lin's concordance correlation coefficient (Lin 1989) over PAIRED
+    * continuous scores — the CONTINUOUS member of the
+    * inter-rater-agreement family: [[RankEval.cohenKappa]] /
+    * [[fleissKappa]] / [[krippendorffAlpha]] chance-correct
+    * CATEGORICAL labels; CCC asks how well two continuous scorers
+    * (two model versions, a metric across two periods, human vs
+    * policy score) agree on the IDENTITY line — Pearson r penalized
+    * by location and scale shift:
+    *
+    *   ρ_c = 2·s_xy / (s_x² + s_y² + (x̄ − ȳ)²)     (biased 1/n moments)
+    *
+    * Determinism: Σx, Σy, Σx², Σy², Σxy are exact decimal sums
+    * (order-free, map-side combinable; products at (37,12)) cast to
+    * double once; everything after is a fixed tree of exactly-rounded
+    * double ops → fully RAW (the [[graft.analytics.Experiments]]
+    * welchSums discipline). One aggregate over pairs — no window, no
+    * join. Degenerates: n = 0 or both scorers constant-and-equal
+    * (denominator 0) → ccc = 0 defined.
+    *
+    * Output (one row): n, mean_x, mean_y, vx, vy, cxy, ccc.
+    */
+  def ccc(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val xd = col(xCol).cast("double").cast(Dec)
+    val yd = col(yCol).cast("double").cast(Dec)
+    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xd).as("sxd"), sum(yd).as("syd"),
+        sum(xd * xd).as("sxxd"), sum(yd * yd).as("syyd"),
+        sum(xd * yd).as("sxyd"))
+      .select(col("n"),
+        col("sxd").cast("double").as("sx"),
+        col("syd").cast("double").as("sy"),
+        col("sxxd").cast("double").as("sxx"),
+        col("syyd").cast("double").as("syy"),
+        col("sxyd").cast("double").as("sxy"))
+      .withColumn("nd", col("n").cast("double"))
+      // ANSI: every division sits in a lazy CaseWhen branch (the
+      // sampleSize discipline) — n = 0 short-circuits to the defined 0s
+      .withColumn("mean_x",
+        when(col("n") === 0, lit(0.0)).otherwise(col("sx") / col("nd")))
+      .withColumn("mean_y",
+        when(col("n") === 0, lit(0.0)).otherwise(col("sy") / col("nd")))
+      .withColumn("vx",
+        when(col("n") === 0, lit(0.0)).otherwise(
+          col("sxx") / col("nd") - col("mean_x") * col("mean_x")))
+      .withColumn("vy",
+        when(col("n") === 0, lit(0.0)).otherwise(
+          col("syy") / col("nd") - col("mean_y") * col("mean_y")))
+      .withColumn("cxy",
+        when(col("n") === 0, lit(0.0)).otherwise(
+          col("sxy") / col("nd") - col("mean_x") * col("mean_y")))
+      .withColumn("den",
+        col("vx") + col("vy") +
+          (col("mean_x") - col("mean_y")) *
+          (col("mean_x") - col("mean_y")))
+      .select(col("n"), col("mean_x"), col("mean_y"),
+        col("vx"), col("vy"), col("cxy"),
+        when(col("n") === 0 || col("den") <= 0.0, lit(0.0))
+          .otherwise(lit(2.0) * col("cxy") / col("den")).as("ccc"))
+  }
+
+  /** One-way random-effects intraclass correlation ICC(1,1)
+    * (Shrout & Fleiss 1979, unbalanced-design k₀ of McGraw & Wong
+    * 1996) — what fraction of score variance is attributable to the
+    * SUBJECT rather than the draw: the variance-decomposition
+    * agreement reading next to [[ccc]]'s paired one, and the
+    * reliability check behind treating a per-user/per-document metric
+    * as a stable trait. From the one-way ANOVA decomposition
+    * ([[graft.analytics.Experiments]] anovaF's engine — per-subject
+    * exact decimal moments, subject-sorted cross folds):
+    *
+    *   MSB = SSB/(m−1),  MSW = SSW/(N−m)
+    *   k₀ = (N − Σn_i²/N)/(m−1)        (mean ratings per subject,
+    *                                    group-size-bias corrected)
+    *   ICC(1) = (MSB − MSW)/(MSB + (k₀−1)·MSW)
+    *
+    * Scale shape: one map-combinable `groupBy(subject)`, one m-row
+    * aggregate whose subject-sorted fold carries the
+    * `graft.experiments.maxFoldUnits` bounded-cardinality contract
+    * (the [[graft.analytics.Experiments]] momentFold discipline) —
+    * more subjects than the bound raises LOUDLY; pre-aggregate or
+    * sample the subject axis upstream. Degenerates defined: m < 2,
+    * N ≤ m, or a non-positive denominator → icc1 = 0.
+    *
+    * Output (one row): m_subjects, n, msb, msw, k0, icc1.
+    */
+  def icc1(df: DataFrame, subjectCol: String,
+           yCol: String): DataFrame = {
+    val maxN = df.sparkSession.conf.get(Experiments.MaxFoldUnitsKey,
+      Experiments.DefaultMaxFoldUnits.toString).toLong
+    val xd = col(yCol).cast("double").cast(Dec)
+    val perG = df
+      .where(col(subjectCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(subjectCol).cast("string").as("g"))
+      .agg(count(lit(1)).as("nj"),
+        sum(xd).as("sxd"), sum(xd * xd).as("sxxd"))
+      .select(col("g"), col("nj"),
+        col("sxd").cast("double").as("sxj"),
+        col("sxxd").cast("double").as("sxxj"))
+    perG.groupBy()
+      .agg(
+        count(lit(1)).as("m_subjects"),
+        coalesce(sum(col("nj")), lit(0L)).as("n"),
+        coalesce(sum(col("nj") * col("nj")), lit(0L)).as("sn2"),
+        sort_array(collect_list(struct(col("g"),
+          col("nj").cast("double").as("njd"), col("sxj"),
+          col("sxxj")))).as("arr0"))
+      .withColumn("arr",
+        when(size(col("arr0")) > lit(maxN),
+          raise_error(lit("Agreement.icc1: more subjects than " +
+            s"${Experiments.MaxFoldUnitsKey}=$maxN in the fold — " +
+            "pre-aggregate or sample the subject axis upstream")))
+          .otherwise(col("arr0")))
+      .withColumn("q", aggregate(col("arr"), lit(0.0),
+        (a, e) => a + (e("sxj") * e("sxj")) / e("njd")))
+      .withColumn("sx", aggregate(col("arr"), lit(0.0),
+        (a, e) => a + e("sxj")))
+      .withColumn("sxx", aggregate(col("arr"), lit(0.0),
+        (a, e) => a + e("sxxj")))
+      .withColumn("nd", col("n").cast("double"))
+      // ANSI: divisions in lazy CaseWhen branches (sampleSize
+      // discipline) — degenerate designs short-circuit to defined 0s
+      .withColumn("ssb",
+        when(col("n") === 0, lit(0.0)).otherwise(
+          col("q") - col("sx") * col("sx") / col("nd")))
+      .withColumn("ssw", col("sxx") - col("q"))
+      .withColumn("msb",
+        when(col("m_subjects") < 2, lit(0.0)).otherwise(
+          col("ssb") / (col("m_subjects") - 1).cast("double")))
+      .withColumn("msw",
+        when(col("n") <= col("m_subjects"), lit(0.0)).otherwise(
+          col("ssw") / (col("n") - col("m_subjects")).cast("double")))
+      .withColumn("k0",
+        when(col("m_subjects") < 2, lit(0.0)).otherwise(
+          (col("nd") - col("sn2").cast("double") / col("nd")) /
+            (col("m_subjects") - 1).cast("double")))
+      .withColumn("den",
+        col("msb") + (col("k0") - 1.0) * col("msw"))
+      .select(col("m_subjects"), col("n"), col("msb"), col("msw"),
+        col("k0"),
+        when(col("m_subjects") < 2 || col("n") <= col("m_subjects") ||
+            col("den") <= 0.0, lit(0.0))
+          .otherwise((col("msb") - col("msw")) / col("den"))
+          .as("icc1"))
+  }
 }

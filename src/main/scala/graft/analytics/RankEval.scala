@@ -295,7 +295,10 @@ object RankEval {
     * generalizations are [[graft.analytics.Agreement.fleissKappa]]
     * (fixed rater count) and
     * [[graft.analytics.Agreement.krippendorffAlpha]] (the canonical
-    * member: tolerates missing ratings); the marginal-homogeneity
+    * member: tolerates missing ratings); the CONTINUOUS-score members
+    * are [[graft.analytics.Agreement.ccc]] (Lin's concordance on
+    * paired scores) and [[graft.analytics.Agreement.icc1]] (one-way
+    * intraclass correlation); the marginal-homogeneity
     * companion for the same paired-boolean shape is
     * [[graft.analytics.DistTest.mcnemar]].
     */

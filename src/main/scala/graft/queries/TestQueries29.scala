@@ -228,6 +228,150 @@ object TestQueries29 {
           ELSE t / SQRT(var_t) END, 6) AS z
       FROM g"""))
 
+  /** The q316/q334/q397 experiment-units frame, replicated so the
+    * agreement statistics grade on the IDENTICAL pre→post panel.
+    */
+  private def experimentUnits(s: org.apache.spark.sql.SparkSession,
+                              dir: String) =
+    Tables.events(s, dir).where(col("user_id") < 100)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("ts") < lit("2024-01-15").cast("timestamp"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          .as("pre_x"),
+        sum(when(col("ts") >= lit("2024-01-15").cast("timestamp"),
+          col("value").cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double")
+          .as("post_y"))
+      .select(col("user_id").as("unit"), col("pre_x"), col("post_y"))
+
+  private val UnitsSql = """
+      units AS (
+        SELECT user_id AS u,
+          CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+            THEN CAST(value AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS x,
+          CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+            THEN CAST(value AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS y
+        FROM events WHERE user_id < 100 GROUP BY user_id)"""
+
+  /** Lin's concordance of the per-unit metric across periods —
+    * [[graft.analytics.Agreement.ccc]] on the q334 pre→post panel:
+    * how reproducible is the unit-level metric period-over-period on
+    * the identity line (r penalized by location/scale shift). Exact
+    * decimal moments → fixed double tree → fully RAW.
+    */
+  val q403Ccc: QueryCase = QueryCase(
+    "q403_ccc",
+    (s, dir) => graft.analytics.Agreement.ccc(
+      experimentUnits(s, dir), "pre_x", "post_y"),
+    Some(s"""
+      WITH $UnitsSql,
+      p AS (
+        SELECT CAST(x AS DECIMAL(19,6)) AS xd,
+               CAST(y AS DECIMAL(19,6)) AS yd
+        FROM units WHERE x IS NOT NULL AND y IS NOT NULL),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(CAST(SUM(xd) AS VARCHAR) AS DOUBLE) AS sx,
+          CAST(CAST(SUM(yd) AS VARCHAR) AS DOUBLE) AS sy,
+          CAST(CAST(SUM(xd * xd) AS VARCHAR) AS DOUBLE) AS sxx,
+          CAST(CAST(SUM(yd * yd) AS VARCHAR) AS DOUBLE) AS syy,
+          CAST(CAST(SUM(xd * yd) AS VARCHAR) AS DOUBLE) AS sxy
+        FROM p),
+      m AS (
+        SELECT n, CAST(n AS DOUBLE) AS nd, sx, sy, sxx, syy, sxy,
+          CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE sx / CAST(n AS DOUBLE) END AS mean_x,
+          CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE sy / CAST(n AS DOUBLE) END AS mean_y
+        FROM agg),
+      v AS (
+        SELECT n, mean_x, mean_y,
+          CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE sxx / nd - mean_x * mean_x END AS vx,
+          CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE syy / nd - mean_y * mean_y END AS vy,
+          CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE sxy / nd - mean_x * mean_y END AS cxy
+        FROM m),
+      d AS (
+        SELECT n, mean_x, mean_y, vx, vy, cxy,
+          vx + vy + (mean_x - mean_y) * (mean_x - mean_y) AS den
+        FROM v)
+      SELECT n, mean_x, mean_y, vx, vy, cxy,
+        CASE WHEN n = 0 OR den <= 0.0 THEN CAST(0.0 AS DOUBLE)
+          ELSE 2.0 * cxy / den END AS ccc
+      FROM d"""))
+
+  /** One-way ICC(1) of event value by user —
+    * [[graft.analytics.Agreement.icc1]]: what fraction of the value
+    * variance is a USER trait rather than draw noise (the
+    * reliability check behind treating per-user metrics as stable).
+    * Subjects bounded (user_id < 100 — the maxFoldUnits contract);
+    * per-subject exact decimal moments, subject-sorted folds. RAW.
+    */
+  val q404Icc1: QueryCase = QueryCase(
+    "q404_icc1",
+    (s, dir) => graft.analytics.Agreement.icc1(
+      Tables.events(s, dir).where(col("user_id") < 100),
+      "user_id", "value"),
+    Some("""
+      WITH base AS (
+        SELECT CAST(user_id AS VARCHAR) AS g,
+               CAST(CAST(value AS DOUBLE) AS DECIMAL(19,6)) AS xd
+        FROM events
+        WHERE user_id < 100 AND user_id IS NOT NULL
+          AND value IS NOT NULL),
+      pg AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS nj,
+          CAST(CAST(SUM(xd) AS VARCHAR) AS DOUBLE) AS sxj,
+          CAST(CAST(SUM(xd * xd) AS VARCHAR) AS DOUBLE) AS sxxj
+        FROM base GROUP BY g),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+          COALESCE(CAST(SUM(nj) AS BIGINT), 0) AS n,
+          COALESCE(CAST(SUM(nj * nj) AS BIGINT), 0) AS sn2,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(sxj * sxj / CAST(nj AS DOUBLE) ORDER BY g)),
+            (a, e) -> a + e) AS q,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(sxj ORDER BY g)), (a, e) -> a + e) AS sx,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list(sxxj ORDER BY g)), (a, e) -> a + e) AS sxx
+        FROM pg),
+      f AS (
+        SELECT m, n, sn2, q, sx, sxx, CAST(n AS DOUBLE) AS nd
+        FROM agg),
+      g1 AS (
+        SELECT m, n, sn2, nd, sxx, q,
+          CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE q - sx * sx / nd END AS ssb,
+          sxx - q AS ssw
+        FROM f),
+      g2 AS (
+        SELECT m, n, sn2, nd, ssb, ssw,
+          CASE WHEN m < 2 THEN CAST(0.0 AS DOUBLE)
+            ELSE ssb / CAST(m - 1 AS DOUBLE) END AS msb,
+          CASE WHEN n <= m THEN CAST(0.0 AS DOUBLE)
+            ELSE ssw / CAST(n - m AS DOUBLE) END AS msw,
+          CASE WHEN m < 2 THEN CAST(0.0 AS DOUBLE)
+            ELSE (nd - CAST(sn2 AS DOUBLE) / nd)
+              / CAST(m - 1 AS DOUBLE) END AS k0
+        FROM g1),
+      g3 AS (
+        SELECT m, n, msb, msw, k0,
+          msb + (k0 - 1.0) * msw AS den
+        FROM g2)
+      SELECT m AS m_subjects, n, msb, msw, k0,
+        CASE WHEN m < 2 OR n <= m OR den <= 0.0
+          THEN CAST(0.0 AS DOUBLE)
+          ELSE (msb - msw) / den END AS icc1
+      FROM g3"""))
+
   val all: Seq[QueryCase] =
-    Seq(q400Jonckheere, q401PageTrend, q402CochranArmitage)
+    Seq(q400Jonckheere, q401PageTrend, q402CochranArmitage,
+      q403Ccc, q404Icc1)
 }

@@ -120,4 +120,63 @@ class AgreementSpec extends SparkSpec {
     val e = intercept[Exception] { kripp(rows, maxRaters = 4) }
     assert(e.getMessage.contains("maxRaters"))
   }
+
+  test("ccc: hand panel 4/11; identity = 1 exactly; constant-equal " +
+      "and empty degenerate to 0") {
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    val r = Agreement.ccc(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("mean_x") == 2.0 &&
+      r.getAs[Double]("mean_y") == 4.0)
+    val vx = 14.0 / 3.0 - 4.0
+    val vy = 56.0 / 3.0 - 16.0
+    val cxy = 28.0 / 3.0 - 8.0
+    assert(r.getAs[Double]("vx") == vx && r.getAs[Double]("vy") == vy)
+    assert(r.getAs[Double]("cxy") == cxy)
+    assert(r.getAs[Double]("ccc") == 2.0 * cxy / (vx + vy + 4.0))
+    val id = Agreement.ccc(
+      Seq((1.0, 1.0), (2.0, 2.0), (3.0, 3.0)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(id.getAs[Double]("ccc") == 1.0)
+    val const = Agreement.ccc(
+      Seq((5.0, 5.0), (5.0, 5.0)).toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(const.getAs[Double]("ccc") == 0.0)
+    val empty = Agreement.ccc(
+      Seq.empty[(Double, Double)].toDF("x", "y"), "x", "y")
+      .collect().head
+    assert(empty.getAs[Long]("n") == 0L &&
+      empty.getAs[Double]("ccc") == 0.0)
+  }
+
+  test("icc1: balanced hand panel (msb 18, msw 0.5, k0 2, " +
+      "icc 17.5/18.5); degenerates defined") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 4.0), ("b", 5.0),
+      ("c", 7.0), ("c", 8.0)).toDF("g", "y")
+    val r = Agreement.icc1(df, "g", "y").collect().head
+    assert(r.getAs[Long]("m_subjects") == 3L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Double]("msb") == 18.0)
+    assert(r.getAs[Double]("msw") == 0.5)
+    assert(r.getAs[Double]("k0") == 2.0)
+    assert(r.getAs[Double]("icc1") == 17.5 / 18.5)
+    // one subject → 0; one rating per subject (n = m) → 0
+    val solo = Agreement.icc1(
+      df.where(col("g") === "a"), "g", "y").collect().head
+    assert(solo.getAs[Double]("icc1") == 0.0 &&
+      solo.getAs[Double]("msb") == 0.0)
+    val ones = Agreement.icc1(
+      Seq(("a", 1.0), ("b", 2.0)).toDF("g", "y"), "g", "y")
+      .collect().head
+    assert(ones.getAs[Double]("msw") == 0.0 &&
+      ones.getAs[Double]("icc1") == 0.0)
+    // more subjects than the fold bound raises loudly
+    spark.conf.set(Experiments.MaxFoldUnitsKey, "2")
+    try {
+      val e = intercept[Exception] {
+        Agreement.icc1(df, "g", "y").collect()
+      }
+      assert(e.getMessage.contains("maxFoldUnits"))
+    } finally spark.conf.unset(Experiments.MaxFoldUnitsKey)
+  }
 }
