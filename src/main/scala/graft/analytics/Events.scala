@@ -1612,4 +1612,79 @@ object Events {
       }
       .toDF(keyCol, "n", "m", "dtw_units")
   }
+
+  /** Wald–Wolfowitz runs test (1940) per key — is a BINARY sequence
+    * serially random, or does it clump (fewer runs than chance) /
+    * alternate (more)? The distribution-free randomness diagnostic
+    * beside [[acf]]'s correlation reading and [[cusum]]/[[ewmaChart]]'s
+    * drift monitors: a queue whose failures arrive in bursts, a
+    * filter whose accepts streak, a label column with residual
+    * ordering all fail it. With n₁ trues, n₀ falses, N = n₁+n₀ and
+    * R = observed runs (maximal same-value blocks):
+    *
+    *   E[R] = 1 + 2n₁n₀/N
+    *   Var[R] = 2n₁n₀(2n₁n₀ − N) / (N²(N−1))
+    *   z = (R − E[R])/√Var[R]   (no continuity correction; Wald &
+    *                             Wolfowitz's classical form)
+    *
+    * Scale shape: ONE per-key ordered lag window (keys are the corpus
+    * axis and stream through — no global window), then a per-key
+    * aggregate; counts and run transitions are exact integers, the
+    * 2n₁n₀ products exact decimal(38,0), E/Var/z a fixed tree of
+    * exactly-rounded double ops → gates ROUND z (one sqrt),
+    * everything else RAW.
+    *
+    * Loud contract: duplicate (key, order) rows raise — run counting
+    * needs a total order per key (the [[friedman]]-style one-value-
+    * per-cell discipline); NULL booleans are dropped. Degenerates
+    * defined: one-sided series (n₁ = 0 or n₀ = 0) → R ≤ 1, Var = 0,
+    * z = 0; N < 2 → z = 0.
+    *
+    * Output per key: (key, n, n1, n0, runs, e_r, var_r, z), ordered.
+    */
+  def runsTest(df: DataFrame, keyCol: String, orderCol: String,
+               boolCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(boolCol).cast("boolean").as("b"))
+      .where(col("b").isNotNull)
+    val wk = Window.partitionBy("k").orderBy("ord")
+    val dupw = Window.partitionBy("k", "ord")
+    val flagged = base
+      .withColumn("dup", count(lit(1)).over(dupw))
+      .withColumn("b",
+        when(col("dup") > 1,
+          raise_error(lit("runsTest: duplicate (key, order) rows — " +
+            "run counting needs a total order per key; aggregate " +
+            "upstream")))
+          .otherwise(col("b")))
+      .withColumn("prev", lag(col("b"), 1).over(wk))
+      .withColumn("newrun",
+        when(col("prev").isNull || col("prev") =!= col("b"), 1L)
+          .otherwise(0L))
+    val per = flagged.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("b"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("b"), 0L).otherwise(1L)).as("n0"),
+      sum(col("newrun")).as("runs"))
+    val nd = col("n").cast("double")
+    val p2 = (lit(2).cast(dec) * col("n1") * col("n0"))
+    per
+      .withColumn("p2d", p2.cast("double"))
+      .withColumn("e_r",
+        when(col("n") === 0, lit(0.0))
+          .otherwise(lit(1.0) + col("p2d") / nd))
+      .withColumn("var_r",
+        when(col("n") < 2, lit(0.0))
+          .otherwise((p2.cast("double") *
+            (p2 - col("n")).cast("double")) /
+            (nd * nd * (nd - lit(1.0)))))
+      .select(col("k").as(keyCol), col("n"), col("n1"), col("n0"),
+        col("runs"), col("e_r"), col("var_r"),
+        when(col("var_r") <= 0.0, lit(0.0))
+          .otherwise((col("runs").cast("double") - col("e_r")) /
+            sqrt(col("var_r"))).as("z"))
+      .orderBy(keyCol)
+  }
 }

@@ -371,7 +371,65 @@ object TestQueries29 {
           ELSE (msb - msw) / den END AS icc1
       FROM g3"""))
 
+  /** Wald–Wolfowitz runs test of per-user high-value streaks —
+    * [[graft.analytics.Events.runsTest]]: per (user, ts) value sums
+    * (unique order by construction), binary = sum > 50; do high
+    * periods clump or alternate beyond chance? One per-key lag
+    * window; z ROUND(6), counts/moments RAW.
+    */
+  val q405RunsTest: QueryCase = QueryCase(
+    "q405_runs_test",
+    (s, dir) => {
+      val per = Tables.events(s, dir).where(col("user_id") < 100)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(sum(col("value").cast("decimal(18,2)")).as("sv"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ord"),
+          (col("sv") > 50).as("b"))
+      graft.analytics.Events.runsTest(per, "user_id", "ord", "b")
+        .select(col("user_id"), col("n"), col("n1"), col("n0"),
+          col("runs"), col("e_r"), col("var_r"),
+          round(col("z"), 6).as("z"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT CAST(user_id AS VARCHAR) AS k,
+               epoch_us(ts) AS ord,
+               (SUM(CAST(value AS DECIMAL(18,2))) > 50) AS b
+        FROM events WHERE user_id < 100
+        GROUP BY user_id, ts),
+      lagd AS (
+        SELECT k, b,
+          LAG(b) OVER (PARTITION BY k ORDER BY ord) AS prev
+        FROM per WHERE b IS NOT NULL),
+      agg AS (
+        SELECT k,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(SUM(CASE WHEN b THEN 0 ELSE 1 END) AS BIGINT) AS n0,
+          CAST(SUM(CASE WHEN prev IS NULL OR prev <> b THEN 1
+            ELSE 0 END) AS BIGINT) AS runs
+        FROM lagd GROUP BY k),
+      f AS (
+        SELECT k, n, n1, n0, runs,
+          CAST(n AS DOUBLE) AS nd,
+          CAST(2 * CAST(n1 AS HUGEINT) * n0 AS DOUBLE) AS p2d,
+          2 * CAST(n1 AS HUGEINT) * n0 - n AS p2mn
+        FROM agg),
+      g AS (
+        SELECT k, n, n1, n0, runs,
+          CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE 1.0 + p2d / nd END AS e_r,
+          CASE WHEN n < 2 THEN CAST(0.0 AS DOUBLE)
+            ELSE (p2d * CAST(p2mn AS DOUBLE))
+              / (nd * nd * (nd - 1.0)) END AS var_r
+        FROM f)
+      SELECT k AS user_id, n, n1, n0, runs, e_r, var_r,
+        ROUND(CASE WHEN var_r <= 0.0 THEN CAST(0.0 AS DOUBLE)
+          ELSE (CAST(runs AS DOUBLE) - e_r) / SQRT(var_r) END, 6)
+          AS z
+      FROM g"""))
+
   val all: Seq[QueryCase] =
     Seq(q400Jonckheere, q401PageTrend, q402CochranArmitage,
-      q403Ccc, q404Icc1)
+      q403Ccc, q404Icc1, q405RunsTest)
 }

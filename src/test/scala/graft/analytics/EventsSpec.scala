@@ -196,4 +196,37 @@ class EventsSpec extends SparkSpec {
       assert(e.getMessage.contains("kaplanMeier time axis"))
     } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
   }
+
+  test("runsTest: alternating panel z = 2/sqrt(1.2); balanced-runs " +
+      "z = 0; one-sided and duplicate-order contracts") {
+    // T F T F T F → R = 6, n1 = n0 = 3, E[R] = 4, Var = 1.2
+    val alt = (1 to 6).map(i => ("a", i.toLong, i % 2 == 1))
+      .toDF("k", "ord", "b")
+    val r = Events.runsTest(alt, "k", "ord", "b").collect().head
+    assert(r.getAs[Long]("n") == 6L && r.getAs[Long]("n1") == 3L &&
+      r.getAs[Long]("n0") == 3L && r.getAs[Long]("runs") == 6L)
+    assert(r.getAs[Double]("e_r") == 4.0)
+    assert(r.getAs[Double]("var_r") ==
+      (18.0 * 12.0) / (6.0 * 6.0 * 5.0))
+    assert(r.getAs[Double]("z") ==
+      2.0 / math.sqrt((18.0 * 12.0) / (6.0 * 6.0 * 5.0)))
+    // T T F T F F → R = 4 = E[R] → z = 0
+    val bal = Seq(("a", 1L, true), ("a", 2L, true), ("a", 3L, false),
+      ("a", 4L, true), ("a", 5L, false), ("a", 6L, false))
+      .toDF("k", "ord", "b")
+    val rb = Events.runsTest(bal, "k", "ord", "b").collect().head
+    assert(rb.getAs[Long]("runs") == 4L && rb.getAs[Double]("z") == 0.0)
+    // all-true → runs = 1, var = 0, z = 0 defined
+    val one = Events.runsTest(
+      alt.withColumn("b", lit(true)), "k", "ord", "b").collect().head
+    assert(one.getAs[Long]("runs") == 1L &&
+      one.getAs[Double]("var_r") == 0.0 &&
+      one.getAs[Double]("z") == 0.0)
+    // duplicate (key, order) raises loudly
+    val e = intercept[Exception] {
+      Events.runsTest(alt.union(alt.limit(1)), "k", "ord", "b")
+        .collect()
+    }
+    assert(e.getMessage.contains("duplicate (key, order)"))
+  }
 }
