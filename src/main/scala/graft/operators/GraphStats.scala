@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph summary statistics over an undirected edge table — the
+  * one-row audits that tell a similarity/link-graph owner what SHAPE
+  * the graph has before the per-node and community layers
+  * ([[TriangleCount]] local clustering, [[KCore]] coreness,
+  * [[Louvain]]/[[LabelProp]] communities) are worth running.
+  *
+  * Scale shape: a degree aggregate, two edge-degree equijoins, one
+  * 1-row aggregate — the [[TriangleCount]] join pattern without the
+  * wedge step. No windows, no driver state; everything map-side
+  * combinable and key-partitioned.
+  */
+object GraphStats {
+
+  /** Degree assortativity coefficient (Newman 2002, Phys. Rev. Lett.
+    * 89.208701) — do high-degree nodes attach to other high-degree
+    * nodes (r > 0, social-network-like) or to low-degree ones
+    * (r < 0, hub-and-spoke / star-like)? The Pearson correlation of
+    * endpoint degrees over edges, in the exact-integer form: with M
+    * undirected edges and per-edge endpoint degrees (j, k),
+    *
+    *   S1 = Σ(j+k),  S2 = Σ(j²+k²),  S3 = Σ j·k
+    *   r = (4M·S3 − S1²) / (2M·S2 − S1²)
+    *
+    * (the standard r = [S3/M − (S1/2M)²]/[S2/2M − (S1/2M)²] cleared
+    * of denominators — every quantity an exact decimal(38,0), r ONE
+    * exactly-rounded division → fully RAW).
+    *
+    * Input contract mirrors [[TriangleCount.triangles]]: edges are
+    * undirected (canonicalized + deduped here), self-loops dropped.
+    * Degenerate: a regular graph (all degrees equal → den = 0) or an
+    * empty graph → r = 0 defined.
+    *
+    * Output (one row): m_edges, n_nodes, num, den, r — num/den as
+    * exact-integer-valued doubles.
+    */
+  def degreeAssortativity(edges: DataFrame, aCol: String,
+                          bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("u"),
+        greatest(col(aCol), col(bCol)).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull)
+      .distinct()
+    val deg = und.select(col("u").as("n"))
+      .unionByName(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("degree"))
+    val nRow = deg.agg(count(lit(1)).as("n_nodes"))
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("degree").as("ju")),
+        Seq("u"))
+      .join(deg.select(col("n").as("v"), col("degree").as("jv")),
+        Seq("v"))
+    withDeg.agg(
+        count(lit(1)).as("m_edges"),
+        coalesce(sum((col("ju") + col("jv")).cast(dec)),
+          lit(0).cast(dec)).as("s1"),
+        coalesce(sum(col("ju").cast(dec) * col("ju")
+          + col("jv").cast(dec) * col("jv")), lit(0).cast(dec))
+          .as("s2"),
+        coalesce(sum(col("ju").cast(dec) * col("jv")),
+          lit(0).cast(dec)).as("s3"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("numd",
+        lit(4).cast(dec) * col("m_edges") * col("s3")
+          - col("s1") * col("s1"))
+      .withColumn("dend",
+        lit(2).cast(dec) * col("m_edges") * col("s2")
+          - col("s1") * col("s1"))
+      .select(col("m_edges"), col("n_nodes"),
+        col("numd").cast("double").as("num"),
+        col("dend").cast("double").as("den"),
+        when(col("m_edges") === 0 || col("dend") === 0, lit(0.0))
+          .otherwise(col("numd").cast("double") /
+            col("dend").cast("double")).as("r"))
+  }
+}

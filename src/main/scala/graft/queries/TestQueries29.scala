@@ -429,7 +429,71 @@ object TestQueries29 {
           AS z
       FROM g"""))
 
+  /** Degree assortativity of the q255 doc-id graph —
+    * [[graft.operators.GraphStats.degreeAssortativity]] over the same
+    * deterministic ring+chord edges the triangle gate audits: do
+    * high-degree docs link to high-degree docs? Exact-integer
+    * Newman form (4M·S3 − S1²)/(2M·S2 − S1²); one exactly-rounded
+    * division → fully RAW.
+    */
+  val q406Assortativity: QueryCase = QueryCase(
+    "q406_assortativity",
+    (s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      val mx = ids.agg(max(col("i")).as("m"))
+      val e = ids.crossJoin(broadcast(mx))
+      val edges = e.where(col("i") + 1 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 1).as("b"))
+        .unionByName(e.where(col("i") + 2 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 2).as("b")))
+        .unionByName(e.where(col("i") % 3 === 0 && col("i") + 5 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 5).as("b")))
+      graft.operators.GraphStats.degreeAssortativity(edges, "a", "b")
+    },
+    Some("""
+      WITH ids AS (SELECT doc_id AS i FROM documents),
+      mx AS (SELECT MAX(i) AS m FROM ids),
+      edges AS (
+        SELECT i AS a, i + 1 AS b FROM ids, mx WHERE i + 1 <= m
+        UNION ALL
+        SELECT i, i + 2 FROM ids, mx WHERE i + 2 <= m
+        UNION ALL
+        SELECT i, i + 5 FROM ids, mx WHERE i % 3 = 0 AND i + 5 <= m),
+      und AS (
+        SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        FROM edges WHERE a <> b AND a IS NOT NULL),
+      deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+          SELECT u AS n FROM und
+          UNION ALL
+          SELECT v FROM und)
+        GROUP BY n),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+      wd AS (
+        SELECT CAST(du.degree AS HUGEINT) AS ju,
+               CAST(dv.degree AS HUGEINT) AS jv
+        FROM und
+        JOIN deg du ON du.n = und.u
+        JOIN deg dv ON dv.n = und.v),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+               COALESCE(SUM(ju + jv), 0) AS s1,
+               COALESCE(SUM(ju * ju + jv * jv), 0) AS s2,
+               COALESCE(SUM(ju * jv), 0) AS s3
+        FROM wd),
+      f AS (
+        SELECT m_edges, n_nodes,
+          4 * CAST(m_edges AS HUGEINT) * s3 - s1 * s1 AS numd,
+          2 * CAST(m_edges AS HUGEINT) * s2 - s1 * s1 AS dend
+        FROM agg, nn)
+      SELECT m_edges, n_nodes,
+        CAST(numd AS DOUBLE) AS num,
+        CAST(dend AS DOUBLE) AS den,
+        CASE WHEN m_edges = 0 OR dend = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(numd AS DOUBLE) / CAST(dend AS DOUBLE) END AS r
+      FROM f"""))
+
   val all: Seq[QueryCase] =
     Seq(q400Jonckheere, q401PageTrend, q402CochranArmitage,
-      q403Ccc, q404Icc1, q405RunsTest)
+      q403Ccc, q404Icc1, q405RunsTest, q406Assortativity)
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assort(edges: Seq[(Long, Long)]) =
+    GraphStats.degreeAssortativity(edges.toDF("a", "b"), "a", "b")
+      .collect().head
+
+  test("star K1,3 is perfectly disassortative: r = -1") {
+    val r = assort(Seq((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(r.getAs[Long]("m_edges") == 3L &&
+      r.getAs[Long]("n_nodes") == 4L)
+    // S1 = 12, S2 = 30, S3 = 9 → num = -36, den = 36
+    assert(r.getAs[Double]("num") == -36.0)
+    assert(r.getAs[Double]("den") == 36.0)
+    assert(r.getAs[Double]("r") == -1.0)
+  }
+
+  test("triangle + pendant: r = -5/7 exactly; duplicate/reversed/self " +
+      "edges canonicalize away") {
+    val base = Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L))
+    val r = assort(base)
+    assert(r.getAs[Double]("num") == -20.0)
+    assert(r.getAs[Double]("den") == 28.0)
+    assert(r.getAs[Double]("r") == -20.0 / 28.0)
+    // reversed duplicates and self-loops change nothing
+    val noisy = assort(base ++ Seq((1L, 0L), (2L, 0L), (3L, 3L)))
+    assert(noisy.getAs[Long]("m_edges") == 4L &&
+      noisy.getAs[Double]("r") == -20.0 / 28.0)
+  }
+
+  test("regular graph (C4) and empty graph degenerate to r = 0") {
+    val c4 = assort(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
+    assert(c4.getAs[Double]("den") == 0.0 &&
+      c4.getAs[Double]("r") == 0.0)
+    val e = assort(Seq.empty[(Long, Long)])
+    assert(e.getAs[Long]("m_edges") == 0L &&
+      e.getAs[Double]("r") == 0.0)
+  }
+}
