@@ -439,6 +439,156 @@ object Experiments {
           .otherwise(col("t") / sqrt(col("var_t"))).as("z"))
   }
 
+  /** Mantel–Haenszel pooled odds ratio + Cochran–Mantel–Haenszel χ²
+    * (Mantel & Haenszel 1959, Cochran 1954) over STRATIFIED 2×2
+    * tables — the confounder-adjusted reading of an exposure→outcome
+    * association that [[proportionPanel]]'s marginal table gets wrong
+    * under Simpson reversal: pool the per-stratum tables instead of
+    * collapsing them. Per stratum with cells (a, b; c, d), n = a+b+c+d:
+    *
+    *   OR_MH = Σ a·d/n / Σ b·c/n
+    *   χ²_CMH = (Σa − ΣE)² / ΣV,   E = r1·c1/n,
+    *   V = r1·r0·c1·c0/(n²(n−1))   (no continuity correction)
+    *
+    * Scale shape: ONE map-combinable groupBy(stratum) over units, one
+    * k-row aggregate — no window, no join. More than `maxStrata`
+    * strata raises loudly (a stratification axis is a design grid).
+    * Determinism: cells are exact longs; the per-stratum rationals
+    * fold in STRATUM ORDER over the sorted array (both engines replay
+    * the identical IEEE sequence); no libm → fully RAW. Degenerates
+    * defined: Σb·c/n = 0 → or_mh = 0, ΣV ≤ 0 or zero numerator →
+    * chi2 = 0; single-row strata contribute E but V = 0 (guarded /0).
+    *
+    * Output (one row): k_strata, n, sum_a, or_mh, chi2.
+    */
+  def mantelHaenszel(units: DataFrame, stratumCol: String,
+                     exposedCol: String, outcomeCol: String,
+                     maxStrata: Int = 4096): DataFrame = {
+    require(maxStrata >= 1 && maxStrata <= (1 << 20),
+      "need 1 <= maxStrata <= 2^20")
+    val ex = col(exposedCol).cast("boolean")
+    val oc = col(outcomeCol).cast("boolean")
+    val perS = units
+      .where(col(stratumCol).isNotNull && ex.isNotNull && oc.isNotNull)
+      .groupBy(col(stratumCol).cast("string").as("st"))
+      .agg(
+        sum(when(ex && oc, 1L).otherwise(0L)).as("a"),
+        sum(when(ex && !oc, 1L).otherwise(0L)).as("b"),
+        sum(when(!ex && oc, 1L).otherwise(0L)).as("c"),
+        sum(when(!ex && !oc, 1L).otherwise(0L)).as("d"))
+      .withColumn("nn", col("a") + col("b") + col("c") + col("d"))
+    perS.groupBy()
+      .agg(
+        count(lit(1)).as("k_strata"),
+        coalesce(sum(col("nn")), lit(0L)).as("n"),
+        coalesce(sum(col("a")), lit(0L)).as("sum_a"),
+        sort_array(collect_list(struct(col("st"),
+          col("a").cast("double").as("ad"),
+          col("b").cast("double").as("bd"),
+          col("c").cast("double").as("cd"),
+          col("d").cast("double").as("dd"),
+          col("nn").cast("double").as("nd")))).as("arr"))
+      .select(
+        when(col("k_strata") > maxStrata,
+          raise_error(lit(s"mantelHaenszel: more than $maxStrata " +
+            "strata — a stratification axis is a DESIGN grid; " +
+            "coarsen it upstream (raise maxStrata only for a genuine " +
+            "wider design)")))
+          .otherwise(col("k_strata")).as("k_strata"),
+        col("n"), col("sum_a"), col("arr"))
+      .withColumn("s_adn", aggregate(col("arr"), lit(0.0),
+        (acc, e) => acc + e("ad") * e("dd") / e("nd")))
+      .withColumn("s_bcn", aggregate(col("arr"), lit(0.0),
+        (acc, e) => acc + e("bd") * e("cd") / e("nd")))
+      .withColumn("s_e", aggregate(col("arr"), lit(0.0),
+        (acc, e) => acc +
+          (e("ad") + e("bd")) * (e("ad") + e("cd")) / e("nd")))
+      .withColumn("s_v", aggregate(col("arr"), lit(0.0),
+        (acc, e) => acc + (
+          when(e("nd") <= 1.0, lit(0.0)).otherwise(
+            (e("ad") + e("bd")) * (e("cd") + e("dd")) *
+            (e("ad") + e("cd")) * (e("bd") + e("dd")) /
+            (e("nd") * e("nd") * (e("nd") - 1.0))))))
+      .withColumn("num", col("sum_a").cast("double") - col("s_e"))
+      .select(col("k_strata"), col("n"), col("sum_a"),
+        when(col("s_bcn") <= 0.0, lit(0.0))
+          .otherwise(col("s_adn") / col("s_bcn")).as("or_mh"),
+        when(col("s_v") <= 0.0 || col("num") === 0.0, lit(0.0))
+          .otherwise(col("num") * col("num") / col("s_v")).as("chi2"))
+  }
+
+  /** Fixed-effect inverse-variance meta-analysis + Cochran's Q
+    * heterogeneity and Higgins' I² (the standard pooling stack;
+    * Higgins & Thompson 2002) over per-study (effect, variance) rows
+    * — the "fleet of A/B tests" combiner: each segment/site/period
+    * runs its own [[welch]]-style comparison, this pools them and
+    * says whether one number is even a fair summary (I²). With
+    * w = 1/v:
+    *
+    *   pooled = Σw·e / Σw,   z = pooled·√Σw
+    *   Q = Σw·e² − (Σw·e)²/Σw   (~χ²(k−1) under homogeneity)
+    *   I² = max(0, (Q − (k−1))/Q)
+    *
+    * Loud contracts: a NULL or non-positive variance raises (an
+    * invalid study weight silently dominates otherwise — the
+    * [[OffPolicy]] rewardChecked discipline); more than `maxStudies`
+    * rows raises (a study axis is a design grid). Folds run in
+    * STUDY ORDER over the sorted array → both engines replay the
+    * identical IEEE sequence; one sqrt in z → gates ROUND z,
+    * everything else RAW. Degenerates: k < 2 → q_het = i2 = 0.
+    *
+    * Output (one row): k_studies, w_sum, pooled, q_het, i2, z.
+    */
+  def metaFixed(studies: DataFrame, studyCol: String,
+                effectCol: String, varCol: String,
+                maxStudies: Int = 4096): DataFrame = {
+    require(maxStudies >= 1 && maxStudies <= (1 << 20),
+      "need 1 <= maxStudies <= 2^20")
+    val e = col(effectCol).cast("double")
+    val v0 = col(varCol).cast("double")
+    val checked = studies
+      .where(col(studyCol).isNotNull && e.isNotNull)
+      .select(col(studyCol).cast("string").as("st"), e.as("e"),
+        when(v0.isNull || v0 <= 0.0,
+          raise_error(lit("metaFixed: NULL or non-positive study " +
+            "variance — an invalid weight would silently dominate " +
+            "the pool; fix or drop the study upstream")))
+          .otherwise(v0).as("v"))
+    checked.groupBy()
+      .agg(
+        count(lit(1)).as("k_studies"),
+        sort_array(collect_list(struct(col("st"), col("e"),
+          col("v")))).as("arr"))
+      .select(
+        when(col("k_studies") > maxStudies,
+          raise_error(lit(s"metaFixed: more than $maxStudies " +
+            "studies — a study axis is a DESIGN grid; pool " +
+            "hierarchically or raise maxStudies for a genuine " +
+            "wider design")))
+          .otherwise(col("k_studies")).as("k_studies"),
+        col("arr"))
+      .withColumn("sw", aggregate(col("arr"), lit(0.0),
+        (acc, s) => acc + lit(1.0) / s("v")))
+      .withColumn("swe", aggregate(col("arr"), lit(0.0),
+        (acc, s) => acc + s("e") / s("v")))
+      .withColumn("swe2", aggregate(col("arr"), lit(0.0),
+        (acc, s) => acc + s("e") * s("e") / s("v")))
+      .withColumn("pooled",
+        when(col("sw") <= 0.0, lit(0.0))
+          .otherwise(col("swe") / col("sw")))
+      .withColumn("q_het",
+        when(col("k_studies") < 2 || col("sw") <= 0.0, lit(0.0))
+          .otherwise(col("swe2") - col("swe") * col("swe") / col("sw")))
+      .select(col("k_studies"), col("sw").as("w_sum"), col("pooled"),
+        col("q_het"),
+        when(col("q_het") <= 0.0, lit(0.0))
+          .otherwise(greatest(lit(0.0),
+            (col("q_het") - (col("k_studies") - 1).cast("double")) /
+              col("q_het"))).as("i2"),
+        when(col("sw") <= 0.0 || col("pooled") === 0.0, lit(0.0))
+          .otherwise(col("pooled") * sqrt(col("sw"))).as("z"))
+  }
+
   /** Two-arm sample-size planner (fixed-horizon z-approximation,
     * the standard power formula; e.g. van Belle 2008 §2.5) — the
     * DESIGN-side completer for the A/B stack: [[welch]]/[[cuped]]

@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   */
 object TestQueries29 {
 
+  /** Ordered-list left fold (the TestQueries28 idiom) with a lambda
+    * parameter name no CTE column uses (the round-11 shadowing
+    * lesson).
+    */
+  private def foldSql(lst: String, expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform($lst, tvx -> $expr)), (acc, tv) -> acc + tv)"""
+
   /** Jonckheere–Terpstra ordered trend of quantity across line
     * numbers — [[graft.analytics.DistTest.jonckheereBucketed]] on
     * lineitem: dose = l_linenumber (1..7), value = l_quantity on the
@@ -493,7 +501,176 @@ object TestQueries29 {
           ELSE CAST(numd AS DOUBLE) / CAST(dend AS DOUBLE) END AS r
       FROM f"""))
 
+  /** Mantel–Haenszel pooled odds ratio + CMH χ² of priority→
+    * fulfillment stratified by customer region —
+    * [[graft.analytics.Experiments.mantelHaenszel]]: does high
+    * priority associate with fulfillment AFTER pooling out the
+    * region mix (the Simpson-safe reading q402's marginal trend
+    * can't give). Exact per-stratum cells, stratum-ordered IEEE
+    * folds → fully RAW.
+    */
+  val q407MantelHaenszel: QueryCase = QueryCase(
+    "q407_mantel_haenszel",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_custkey"),
+          (substring(col("o_orderpriority"), 1, 1).cast("int") <= 2)
+            .as("ex"),
+          (col("o_orderstatus") === "F").as("oc"))
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nt = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val u = o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nt), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_regionkey").as("st"), col("ex"), col("oc"))
+      graft.analytics.Experiments.mantelHaenszel(u, "st", "ex", "oc")
+    },
+    Some(s"""
+      WITH u AS (
+        SELECT CAST(n_regionkey AS VARCHAR) AS st,
+               (CAST(SUBSTRING(o_orderpriority, 1, 1) AS INT) <= 2)
+                 AS ex,
+               (o_orderstatus = 'F') AS oc
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey),
+      ps AS (
+        SELECT st,
+          CAST(SUM(CASE WHEN ex AND oc THEN 1 ELSE 0 END) AS BIGINT)
+            AS a,
+          CAST(SUM(CASE WHEN ex AND NOT oc THEN 1 ELSE 0 END)
+            AS BIGINT) AS b,
+          CAST(SUM(CASE WHEN NOT ex AND oc THEN 1 ELSE 0 END)
+            AS BIGINT) AS c,
+          CAST(SUM(CASE WHEN NOT ex AND NOT oc THEN 1 ELSE 0 END)
+            AS BIGINT) AS d
+        FROM u GROUP BY st),
+      pe AS (
+        SELECT st, CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+               CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd,
+               CAST(a + b + c + d AS DOUBLE) AS nd,
+               a + b + c + d AS nn, a
+        FROM ps),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_strata,
+          COALESCE(CAST(SUM(nn) AS BIGINT), 0) AS n,
+          COALESCE(CAST(SUM(a) AS BIGINT), 0) AS sum_a,
+          ${foldSql("list(ad * dd / nd ORDER BY st)", "tvx")} AS s_adn,
+          ${foldSql("list(bd * cd / nd ORDER BY st)", "tvx")} AS s_bcn,
+          ${foldSql("list((ad + bd) * (ad + cd) / nd ORDER BY st)",
+            "tvx")} AS s_e,
+          ${foldSql("""list(CASE WHEN nd <= 1.0 THEN 0.0
+              ELSE (ad + bd) * (cd + dd) * (ad + cd) * (bd + dd)
+                / (nd * nd * (nd - 1.0)) END ORDER BY st)""", "tvx")}
+            AS s_v
+        FROM pe),
+      f AS (
+        SELECT k_strata, n, sum_a, s_adn, s_bcn, s_v,
+               CAST(sum_a AS DOUBLE) - s_e AS num
+        FROM agg)
+      SELECT k_strata, n, sum_a,
+        CASE WHEN s_bcn <= 0.0 THEN CAST(0.0 AS DOUBLE)
+          ELSE s_adn / s_bcn END AS or_mh,
+        CASE WHEN s_v <= 0.0 OR num = 0.0 THEN CAST(0.0 AS DOUBLE)
+          ELSE num * num / s_v END AS chi2
+      FROM f"""))
+
+  /** Fixed-effect meta-analysis of the per-event-type even-vs-odd
+    * user value gap — [[graft.analytics.Experiments.metaFixed]]:
+    * each event type is a "study" with a welch-style effect (mean
+    * difference) and variance; the pool says whether one number
+    * summarizes them (I² heterogeneity). Study-ordered IEEE folds;
+    * z ROUND(6), rest RAW.
+    */
+  val q408MetaFixed: QueryCase = QueryCase(
+    "q408_meta_fixed",
+    (s, dir) => {
+      val xd = col("value").cast("double").cast("decimal(18,6)")
+      val per = Tables.events(s, dir)
+        .where(col("event_type").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type").as("study"),
+          (col("user_id") % 2 === 0).as("arm0"))
+        .agg(count(lit(1)).as("n"), sum(xd).as("sxd"),
+          sum(xd * xd).as("sxxd"))
+        .where(col("n") >= 2)
+        .select(col("study"), col("arm0"), col("n"),
+          col("sxd").cast("double").as("sx"),
+          col("sxxd").cast("double").as("sxx"))
+        .withColumn("nd", col("n").cast("double"))
+        .withColumn("mean", col("sx") / col("nd"))
+        .withColumn("s2",
+          (col("sxx") - col("sx") * col("sx") / col("nd")) /
+            (col("nd") - lit(1.0)))
+      val a0 = per.where(col("arm0"))
+        .select(col("study"), col("mean").as("m0"),
+          (col("s2") / col("nd")).as("vc0"))
+      val a1 = per.where(!col("arm0"))
+        .select(col("study"), col("mean").as("m1"),
+          (col("s2") / col("nd")).as("vc1"))
+      val st = a0.join(a1, Seq("study"))
+        .select(col("study"), (col("m0") - col("m1")).as("eff"),
+          (col("vc0") + col("vc1")).as("v"))
+      graft.analytics.Experiments.metaFixed(st, "study", "eff", "v")
+        .select(col("k_studies"), col("w_sum"), col("pooled"),
+          col("q_het"), col("i2"), round(col("z"), 6).as("z"))
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT CAST(event_type AS VARCHAR) AS study,
+               (user_id % 2 = 0) AS arm0,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(CAST(value AS DOUBLE)
+                 AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(CAST(value AS DOUBLE)
+                   AS DECIMAL(19,6))
+                 * CAST(CAST(value AS DOUBLE) AS DECIMAL(19,6)))
+                 AS VARCHAR) AS DOUBLE) AS sxx
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+      pm AS (
+        SELECT study, arm0, CAST(n AS DOUBLE) AS nd, sx, sxx,
+               sx / CAST(n AS DOUBLE) AS mean
+        FROM per),
+      pv AS (
+        SELECT study, arm0, nd, mean,
+               (sxx - sx * sx / nd) / (nd - 1.0) AS s2
+        FROM pm),
+      st AS (
+        SELECT a0.study,
+               a0.mean - a1.mean AS eff,
+               a0.s2 / a0.nd + a1.s2 / a1.nd AS v
+        FROM (SELECT * FROM pv WHERE arm0) a0
+        JOIN (SELECT * FROM pv WHERE NOT arm0) a1
+          ON a0.study = a1.study),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_studies,
+          ${foldSql("list(1.0 / v ORDER BY study)", "tvx")} AS sw,
+          ${foldSql("list(eff / v ORDER BY study)", "tvx")} AS swe,
+          ${foldSql("list(eff * eff / v ORDER BY study)", "tvx")} AS swe2
+        FROM st),
+      f AS (
+        SELECT k_studies, sw, swe, swe2,
+          CASE WHEN sw <= 0.0 THEN CAST(0.0 AS DOUBLE)
+            ELSE swe / sw END AS pooled,
+          CASE WHEN k_studies < 2 OR sw <= 0.0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE swe2 - swe * swe / sw END AS q_het
+        FROM agg)
+      SELECT k_studies, sw AS w_sum, pooled, q_het,
+        CASE WHEN q_het <= 0.0 THEN CAST(0.0 AS DOUBLE)
+          ELSE GREATEST(0.0,
+            (q_het - CAST(k_studies - 1 AS DOUBLE)) / q_het) END
+          AS i2,
+        ROUND(CASE WHEN sw <= 0.0 OR pooled = 0.0
+          THEN CAST(0.0 AS DOUBLE)
+          ELSE pooled * SQRT(sw) END, 6) AS z
+      FROM f"""))
+
   val all: Seq[QueryCase] =
     Seq(q400Jonckheere, q401PageTrend, q402CochranArmitage,
-      q403Ccc, q404Icc1, q405RunsTest, q406Assortativity)
+      q403Ccc, q404Icc1, q405RunsTest, q406Assortativity,
+      q407MantelHaenszel, q408MetaFixed)
 }

@@ -192,6 +192,81 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("distinct doses"))
   }
 
+  test("mantelHaenszel: two-stratum hand panel (OR 6, chi2 3); " +
+      "degenerate and over-grid contracts") {
+    import org.apache.spark.sql.functions.lit
+    def cells(st: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((st, true, true)) ++ Seq.fill(b)((st, true, false)) ++
+      Seq.fill(c)((st, false, true)) ++ Seq.fill(d)((st, false, false))
+    val df = (cells("s1", 4, 1, 2, 3) ++ cells("s2", 3, 2, 1, 4))
+      .toDF("st", "ex", "oc")
+    val r = Experiments.mantelHaenszel(df, "st", "ex", "oc")
+      .collect().head
+    assert(r.getAs[Long]("k_strata") == 2L && r.getAs[Long]("n") == 20L
+      && r.getAs[Long]("sum_a") == 7L)
+    // replicate the stratum-ordered IEEE folds
+    val adn = (0.0 + 4.0 * 3.0 / 10.0) + 3.0 * 4.0 / 10.0
+    val bcn = (0.0 + 1.0 * 2.0 / 10.0) + 2.0 * 1.0 / 10.0
+    val e1 = (4.0 + 1.0) * (4.0 + 2.0) / 10.0
+    val e2 = (3.0 + 2.0) * (3.0 + 1.0) / 10.0
+    val v1 = (4.0 + 1.0) * (2.0 + 3.0) * (4.0 + 2.0) * (1.0 + 3.0) /
+      (10.0 * 10.0 * (10.0 - 1.0))
+    val v2 = (3.0 + 2.0) * (1.0 + 4.0) * (3.0 + 1.0) * (2.0 + 4.0) /
+      (10.0 * 10.0 * (10.0 - 1.0))
+    val num = 7.0 - ((0.0 + e1) + e2)
+    assert(r.getAs[Double]("or_mh") == adn / bcn)
+    assert(r.getAs[Double]("chi2") == num * num / ((0.0 + v1) + v2))
+    // all-concordant single stratum: bc sum 0 → or_mh = 0 defined
+    val conc = Experiments.mantelHaenszel(
+      cells("s", 5, 0, 0, 5).toDF("st", "ex", "oc"), "st", "ex", "oc")
+      .collect().head
+    assert(conc.getAs[Double]("or_mh") == 0.0)
+    // exposure constant → numerator 0 → chi2 = 0 defined
+    val const = Experiments.mantelHaenszel(
+      df.withColumn("ex", lit(true)), "st", "ex", "oc").collect().head
+    assert(const.getAs[Double]("chi2") == 0.0)
+    val e = intercept[Exception] {
+      Experiments.mantelHaenszel(df, "st", "ex", "oc", maxStrata = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("strata"))
+  }
+
+  test("metaFixed: three-study hand pool (sw 7, pooled 16/7); " +
+      "invalid variance and over-grid raise loudly") {
+    val df = Seq(("a", 1.0, 0.5), ("b", 2.0, 1.0), ("c", 3.0, 0.25))
+      .toDF("study", "e", "v")
+    val r = Experiments.metaFixed(df, "study", "e", "v")
+      .collect().head
+    val sw = ((0.0 + 1.0 / 0.5) + 1.0 / 1.0) + 1.0 / 0.25
+    val swe = ((0.0 + 1.0 / 0.5) + 2.0 / 1.0) + 3.0 / 0.25
+    val swe2 = ((0.0 + 1.0 * 1.0 / 0.5) + 2.0 * 2.0 / 1.0) +
+      3.0 * 3.0 / 0.25
+    val q = swe2 - swe * swe / sw
+    assert(r.getAs[Long]("k_studies") == 3L)
+    assert(r.getAs[Double]("w_sum") == sw)
+    assert(r.getAs[Double]("pooled") == swe / sw)
+    assert(r.getAs[Double]("q_het") == q)
+    assert(r.getAs[Double]("i2") == (q - 2.0) / q)
+    assert(r.getAs[Double]("z") == (swe / sw) * math.sqrt(sw))
+    // single study: q_het = i2 = 0 defined
+    val solo = Experiments.metaFixed(df.limit(1), "study", "e", "v")
+      .collect().head
+    assert(solo.getAs[Double]("q_het") == 0.0 &&
+      solo.getAs[Double]("i2") == 0.0)
+    val bad = intercept[Exception] {
+      Experiments.metaFixed(
+        Seq(("a", 1.0, 0.0)).toDF("study", "e", "v"), "study", "e", "v")
+        .collect()
+    }
+    assert(bad.getMessage.contains("non-positive study variance"))
+    val over = intercept[Exception] {
+      Experiments.metaFixed(df, "study", "e", "v", maxStudies = 2)
+        .collect()
+    }
+    assert(over.getMessage.contains("studies"))
+  }
+
   test("sampleSize: unsupported quantile levels and a non-positive " +
       "historical mean raise loudly") {
     val hist = Seq(1.0, 2.0, 3.0).toDF("y")
