@@ -164,6 +164,37 @@ object Agreement {
 
   private val Dec = "decimal(18,6)"
 
+  /** Kendall's coefficient of concordance W (Kendall & Babington
+    * Smith 1939) — the ORDINAL member of the inter-rater-agreement
+    * family: m raters each score the same k items; W ∈ [0, 1] reads
+    * how concordant their within-rater RANKINGS are ([[fleissKappa]]
+    * / [[krippendorffAlpha]] ignore order, [[ccc]]/[[icc1]] need a
+    * shared continuous scale — W needs only each rater's own
+    * ordering, the right audit when raters score on different
+    * personal scales). Tie-corrected via the identity
+    *
+    *   W = χ²_F / (m·(k−1))
+    *
+    * with χ²_F the tie-general Friedman statistic over blocks =
+    * raters, treatments = items
+    * ([[graft.analytics.DistTest.friedman]] — within-rater doubled
+    * mid-ranks, exact integers; this delegates and inherits its loud
+    * contracts: duplicate (rater, item) cells and ragged panels
+    * raise). One exactly-rounded division past χ² → fully RAW.
+    * Degenerates: m = 0 or k < 2 → w = 0 defined.
+    *
+    * Output (one row): k_items, m_raters, chi2, w.
+    */
+  def kendallW(df: DataFrame, raterCol: String, itemCol: String,
+               scoreCol: String): DataFrame =
+    DistTest.friedman(df, raterCol, itemCol, scoreCol)
+      .select(col("k_treat").as("k_items"),
+        col("n_blocks").as("m_raters"), col("chi2"),
+        when(col("n_blocks") === 0 || col("k_treat") < 2, lit(0.0))
+          .otherwise(col("chi2") /
+            (col("n_blocks") * (col("k_treat") - 1)).cast("double"))
+          .as("w"))
+
   /** Lin's concordance correlation coefficient (Lin 1989) over PAIRED
     * continuous scores — the CONTINUOUS member of the
     * inter-rater-agreement family: [[RankEval.cohenKappa]] /

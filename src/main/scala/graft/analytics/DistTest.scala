@@ -337,6 +337,38 @@ object DistTest {
         col("v12"), col("z"))
   }
 
+  /** Cliff's delta on a FIXED score grid (Cliff 1993) — the ORDINAL
+    * effect size paired with [[mannWhitneyBucketed]] the way
+    * [[graft.analytics.Experiments]] cohensD pairs with welch: δ =
+    * P(X₁ > X₂) − P(X₁ < X₂) ∈ [−1, 1], the probability-of-
+    * superiority reading a corpus-scale scorer audit can rank by
+    * (any difference is "significant" at 10¹² rows; δ says how OFTEN
+    * group 1 actually wins). Pure algebra over the
+    * [[mannWhitneyBucketed]] machinery:
+    *
+    *   δ = (U₁ − U₂)/(n₁n₂) = (2U₁ − n₁n₂)/(n₁n₂) = num2/(n₁·n₂)
+    *
+    * — one exactly-rounded division of the doubled-U numerator by
+    * the pair count (both cast from exact decimals) → fully RAW.
+    * Same grid-exactness contract: on scores that never split a cell
+    * δ EQUALS the exact statistic. Degenerates: either group empty →
+    * delta = 0 defined.
+    *
+    * Output (one row): n1, n2, n_cells, num2, delta.
+    */
+  def cliffsDeltaBucketed(df: DataFrame, groupCol: String,
+                          valueCol: String,
+                          lo: Double = 0.0, hi: Double = 1.0,
+                          buckets: Int = 256): DataFrame = {
+    val dec = "decimal(38,0)"
+    mannWhitneyBucketed(df, groupCol, valueCol, lo, hi, buckets)
+      .select(col("n1"), col("n2"), col("n_cells"), col("num2"),
+        when(col("n1") === 0 || col("n2") === 0, lit(0.0))
+          .otherwise(col("num2") /
+            (col("n1").cast(dec) * col("n2")).cast("double"))
+          .as("delta"))
+  }
+
   /** Kruskal–Wallis H test (Kruskal & Wallis 1952) — the k-GROUP
     * member of the rank-sum family: [[mannWhitney]] compares two
     * groups, this tests whether ANY of k groups stochastically
@@ -478,6 +510,137 @@ object DistTest {
         Seq(col("tie48").cast(
           if (nCells.isEmpty) "long" else "double").as("tie48"),
           col("h"))): _*)
+  }
+
+  /** Pearson χ² test of independence over an r×c contingency table
+    * (Pearson 1900) with Cramér's V effect size (Cramér 1946) — are
+    * two CATEGORICAL columns associated at all: the categorical
+    * member of the dependence-audit family ([[ksPanel]] continuous ×
+    * group, [[mutualInformation]] the information reading of this
+    * same table, [[graft.operators.Monitor]] chiSquareDrift the
+    * one-way goodness-of-fit sibling). In the cleared form
+    *
+    *   χ² = N·Σ_ij O_ij²/(r_i·c_j) − N,
+    *   V = √(χ² / (N·min(R−1, C−1)))
+    *
+    * Scale shape: ONE map-combinable groupBy(a, b) over rows, two
+    * marginal rollups, one k-cell aggregate — no window. The
+    * OBSERVED cell table is the design grid: more than `maxCells`
+    * distinct (a, b) pairs raises loudly (bucket a high-cardinality
+    * axis upstream). Determinism: counts exact longs; the per-cell
+    * rationals fold in CELL ORDER over the sorted array (both
+    * engines replay the identical IEEE sequence); χ² is libm-free →
+    * RAW; V takes one sqrt → gates ROUND v. Degenerates defined:
+    * R < 2 or C < 2 or N = 0 → chi2 = v = 0.
+    *
+    * Output (one row): n, r_levels, c_levels, n_cells, chi2, dof, v.
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: String, bCol: String,
+                            maxCells: Int = 65536): DataFrame = {
+    require(maxCells >= 1 && maxCells <= (1 << 20),
+      "need 1 <= maxCells <= 2^20")
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy("b").agg(sum(col("o")).as("c"))
+    val joined = cells.join(rows, Seq("a")).join(cols, Seq("b"))
+    joined.groupBy()
+      .agg(
+        count(lit(1)).as("n_cells"),
+        coalesce(sum(col("o")), lit(0L)).as("n"),
+        count_distinct(col("a")).as("r_levels"),
+        count_distinct(col("b")).as("c_levels"),
+        sort_array(collect_list(struct(col("a"), col("b"),
+          col("o").cast("double").as("od"),
+          col("r").cast("double").as("rd"),
+          col("c").cast("double").as("cd")))).as("arr"))
+      .select(
+        when(col("n_cells") > maxCells,
+          raise_error(lit(s"chiSquareIndependence: more than " +
+            s"$maxCells observed cells — a contingency table is a " +
+            "DESIGN grid; bucket a high-cardinality axis upstream")))
+          .otherwise(col("n_cells")).as("n_cells"),
+        col("n"), col("r_levels"), col("c_levels"), col("arr"))
+      .withColumn("s_oorc", aggregate(col("arr"), lit(0.0),
+        (acc, e) => acc + e("od") * e("od") / (e("rd") * e("cd"))))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("chi2",
+        when(col("n") === 0 || col("r_levels") < 2 ||
+          col("c_levels") < 2, lit(0.0))
+          .otherwise(col("nd") * col("s_oorc") - col("nd")))
+      .withColumn("dof",
+        (col("r_levels") - 1) * (col("c_levels") - 1))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        col("n_cells"), col("chi2"), col("dof"),
+        when(col("chi2") <= 0.0, lit(0.0))
+          .otherwise(sqrt(col("chi2") / (col("nd") *
+            least(col("r_levels") - 1, col("c_levels") - 1)
+              .cast("double")))).as("v"))
+  }
+
+  /** Mutual information between two categorical columns on the
+    * 2⁻¹⁶ fixed-point log₂ grid — how many BITS does knowing one
+    * column give about the other: the information reading of
+    * [[chiSquareIndependence]]'s contingency table (χ² asks "is
+    * there dependence", MI says how much, in units a feature-
+    * selection / leakage audit can rank by). Libm-free via
+    * [[graft.operators.UnigramLm.fixedLog2Col]] (exact integer
+    * shift-and-square, the q325/q326 discipline):
+    *
+    *   mi_fp = Σ_ij O_ij·( L(O_ij) + L(N) − L(r_i) − L(c_j) ),
+    *   L = floor(2¹⁶·log₂·),  mi_bits = mi_fp / (N·2¹⁶)
+    *
+    * Every term is an exact integer (decimal(38,0) products), so the
+    * statistic is bit-reproducible and the oracle replays it in
+    * HUGEINT — fully RAW. The per-term floors quantize: mi_bits
+    * carries O(cells/N·2⁻¹⁶) grid error vs real MI and can dip
+    * marginally below 0 on independent columns — a DEFINED
+    * fixed-point statistic, not an approximation contract.
+    *
+    * Same scale shape and `maxCells` design-grid contract as
+    * [[chiSquareIndependence]]; counts must stay under fixedLog2's
+    * 2⁵⁵ bound (≫ any corpus). Degenerates: N = 0 → 0 defined.
+    *
+    * Output (one row): n, n_cells, mi_fp, mi_bits.
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String,
+                        maxCells: Int = 65536): DataFrame = {
+    require(maxCells >= 1 && maxCells <= (1 << 20),
+      "need 1 <= maxCells <= 2^20")
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy("b").agg(sum(col("o")).as("c"))
+    val nRow = cells.agg(coalesce(sum(col("o")), lit(0L)).as("n"))
+    val cGuard = cells.agg(count(lit(1)).as("n_cells"))
+    import graft.operators.UnigramLm.fixedLog2Col
+    val joined = cells.join(rows, Seq("a")).join(cols, Seq("b"))
+      .crossJoin(broadcast(nRow))
+      .select(col("o"),
+        (fixedLog2Col(col("o")) + fixedLog2Col(col("n"))
+          - fixedLog2Col(col("r")) - fixedLog2Col(col("c")))
+          .as("lterm"))
+    joined.groupBy()
+      .agg(coalesce(sum(col("o").cast(dec) * col("lterm")),
+        lit(0).cast(dec)).as("mi_fp"))
+      .crossJoin(broadcast(nRow)).crossJoin(broadcast(cGuard))
+      .select(col("n"),
+        when(col("n_cells") > maxCells,
+          raise_error(lit(s"mutualInformation: more than $maxCells " +
+            "observed cells — a contingency table is a DESIGN grid; " +
+            "bucket a high-cardinality axis upstream")))
+          .otherwise(col("n_cells")).as("n_cells"),
+        col("mi_fp").cast("double").as("mi_fp"),
+        when(col("n") === 0, lit(0.0))
+          .otherwise(col("mi_fp").cast("double") /
+            (col("n").cast("double") * lit(65536.0))).as("mi_bits"))
   }
 
   /** Jonckheere–Terpstra trend test (Jonckheere 1954, Terpstra 1952)

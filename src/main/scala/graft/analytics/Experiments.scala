@@ -439,6 +439,70 @@ object Experiments {
           .otherwise(col("t") / sqrt(col("var_t"))).as("z"))
   }
 
+  /** Cohen's d with Hedges' g small-sample correction (Cohen 1988;
+    * Hedges 1981) — the standardized EFFECT SIZE the significance
+    * stack ([[welch]]/[[msprt]]/[[sampleSize]]) deliberately doesn't
+    * report: a 100 TB corpus makes any difference "significant"; d
+    * says whether it is LARGE. Two arms (raises otherwise, the
+    * [[welch]] contract):
+    *
+    *   s²_p = ((n₁−1)s₁² + (n₂−1)s₂²)/(n₁+n₂−2)
+    *   d = (x̄₁ − x̄₂)/s_p,   g = J·d,  J = 1 − 3/(4·df − 1)
+    *
+    * (x̄₁ = the FIRST arm in name order — fix arm labels so the sign
+    * reads as intended). Per-arm exact decimal moments cast once
+    * (map-side combinable, the [[welchSums]] engine); one sqrt →
+    * gates ROUND d and g, the moments RAW. Degenerates defined:
+    * either arm < 2 rows or s²_p ≤ 0 → d = g = 0.
+    *
+    * Output (one row): n1, n2, mean_diff, sp2, d, g.
+    */
+  def cohensD(units: DataFrame, armCol: String,
+              yCol: String): DataFrame = {
+    val xd = col(yCol).cast("double").cast(Dec)
+    val perArm = units
+      .where(col(armCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("arm"))
+      .agg(count(lit(1)).as("nj"),
+        sum(xd).as("sxd"), sum(xd * xd).as("sxxd"))
+      .select(col("arm"), col("nj"),
+        col("sxd").cast("double").as("sxj"),
+        col("sxxd").cast("double").as("sxxj"))
+    perArm.groupBy()
+      .agg(count(lit(1)).as("k_arms"),
+        sort_array(collect_list(struct(col("arm"), col("nj"),
+          col("sxj"), col("sxxj")))).as("arr"))
+      .select(
+        when(col("k_arms") =!= 2,
+          raise_error(lit("cohensD: need exactly TWO arms — a " +
+            "standardized mean difference is a two-group reading; " +
+            "use anovaF for k groups")))
+          .otherwise(col("arr")).as("arr"))
+      .select(
+        col("arr")(0)("nj").as("n1"), col("arr")(1)("nj").as("n2"),
+        col("arr")(0)("sxj").as("sx1"), col("arr")(1)("sxj").as("sx2"),
+        col("arr")(0)("sxxj").as("sxx1"),
+        col("arr")(1)("sxxj").as("sxx2"))
+      .withColumn("n1d", col("n1").cast("double"))
+      .withColumn("n2d", col("n2").cast("double"))
+      .withColumn("mean_diff",
+        col("sx1") / col("n1d") - col("sx2") / col("n2d"))
+      .withColumn("sp2",
+        when(col("n1") < 2 || col("n2") < 2, lit(0.0)).otherwise(
+          ((col("sxx1") - col("sx1") * col("sx1") / col("n1d")) +
+           (col("sxx2") - col("sx2") * col("sx2") / col("n2d"))) /
+          (col("n1d") + col("n2d") - 2.0)))
+      .select(col("n1"), col("n2"), col("mean_diff"), col("sp2"),
+        when(col("n1") < 2 || col("n2") < 2 || col("sp2") <= 0.0,
+          lit(0.0))
+          .otherwise(col("mean_diff") / sqrt(col("sp2"))).as("d"))
+      .withColumn("g",
+        when(col("d") === 0.0, lit(0.0))
+          .otherwise(col("d") * (lit(1.0) - lit(3.0) /
+            (lit(4.0) * (col("n1") + col("n2") - 2).cast("double")
+              - lit(1.0)))))
+  }
+
   /** Mantel–Haenszel pooled odds ratio + Cochran–Mantel–Haenszel χ²
     * (Mantel & Haenszel 1959, Cochran 1954) over STRATIFIED 2×2
     * tables — the confounder-adjusted reading of an exposure→outcome

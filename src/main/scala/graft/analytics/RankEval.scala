@@ -298,7 +298,9 @@ object RankEval {
     * member: tolerates missing ratings); the CONTINUOUS-score members
     * are [[graft.analytics.Agreement.ccc]] (Lin's concordance on
     * paired scores) and [[graft.analytics.Agreement.icc1]] (one-way
-    * intraclass correlation); the marginal-homogeneity
+    * intraclass correlation); the ORDINAL member is
+    * [[graft.analytics.Agreement.kendallW]] (concordance of
+    * within-rater rankings); the marginal-homogeneity
     * companion for the same paired-boolean shape is
     * [[graft.analytics.DistTest.mcnemar]].
     */

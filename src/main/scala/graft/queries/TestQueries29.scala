@@ -669,8 +669,311 @@ object TestQueries29 {
           ELSE pooled * SQRT(sw) END, 6) AS z
       FROM f"""))
 
+  /** floor(2¹⁶·log₂ c) in HUGEINT — the TestQueries24 lSql mirror of
+    * [[graft.operators.UnigramLm.fixedLog2Col]], replicated verbatim
+    * (plain 2-element list accumulator; DuckDB struct accumulators
+    * corrupt).
+    */
+  private def lSql(c: String): String =
+    s"""((length(bin($c)) - CAST(1 AS BIGINT)) * 65536 + CAST(list_reduce(
+      list_prepend([CAST($c AS HUGEINT)
+          * (CAST(1 AS HUGEINT) << (55 - (length(bin($c)) - 1))),
+          CAST(0 AS HUGEINT)],
+        list_transform(range(0, 16), qq ->
+          [CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)])),
+      (la, lt) -> CASE WHEN la[1] * la[1] >= (CAST(1 AS HUGEINT) << 111)
+        THEN [(la[1] * la[1]) // (CAST(1 AS HUGEINT) << 56),
+              la[2] * 2 + 1]
+        ELSE [(la[1] * la[1]) // (CAST(1 AS HUGEINT) << 55),
+              la[2] * 2] END)[2] AS BIGINT))"""
+
+  /** Pearson χ² of independence + Cramér's V for order priority ×
+    * status — [[graft.analytics.DistTest.chiSquareIndependence]]:
+    * is fulfillment status associated with priority at all, and how
+    * strongly (V). Cell-ordered IEEE folds; chi2 RAW, v ROUND(6).
+    */
+  val q409ChiSquare: QueryCase = QueryCase(
+    "q409_chi_square",
+    (s, dir) => graft.analytics.DistTest.chiSquareIndependence(
+      Tables.orders(s, dir), "o_orderpriority", "o_orderstatus")
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        col("n_cells"), col("chi2"), col("dof"),
+        round(col("v"), 6).as("v")),
+    Some(s"""
+      WITH cells AS (
+        SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+               CAST(o_orderstatus AS VARCHAR) AS b,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders
+        WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+        GROUP BY 1, 2),
+      rm AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells
+             GROUP BY a),
+      cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells
+             GROUP BY b),
+      j AS (
+        SELECT cells.a, cells.b, CAST(o AS DOUBLE) AS od,
+               CAST(r AS DOUBLE) AS rd, CAST(c AS DOUBLE) AS cd
+        FROM cells JOIN rm USING (a) JOIN cm USING (b)),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+          (SELECT COALESCE(CAST(SUM(o) AS BIGINT), 0) FROM cells) AS n,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM rm) AS r_levels,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM cm) AS c_levels,
+          ${foldSql("list(od * od / (rd * cd) ORDER BY a, b)", "tvx")}
+            AS s_oorc
+        FROM j),
+      f AS (
+        SELECT n, r_levels, c_levels, n_cells,
+          CAST(n AS DOUBLE) AS nd,
+          CASE WHEN n = 0 OR r_levels < 2 OR c_levels < 2
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(n AS DOUBLE) * s_oorc - CAST(n AS DOUBLE) END
+            AS chi2,
+          (r_levels - 1) * (c_levels - 1) AS dof
+        FROM agg)
+      SELECT n, r_levels, c_levels, n_cells, chi2, dof,
+        ROUND(CASE WHEN chi2 <= 0.0 THEN CAST(0.0 AS DOUBLE)
+          ELSE SQRT(chi2 / (nd
+            * CAST(LEAST(r_levels - 1, c_levels - 1) AS DOUBLE))) END,
+          6) AS v
+      FROM f"""))
+
+  /** Fixed-point mutual information between event type and weekday —
+    * [[graft.analytics.DistTest.mutualInformation]]: how many BITS
+    * does the weekday carry about the event type (the information
+    * reading of q409's table, on the exact 2⁻¹⁶ log₂ grid — fully
+    * RAW, HUGEINT oracle replay).
+    */
+  val q410MutualInfo: QueryCase = QueryCase(
+    "q410_mutual_info",
+    (s, dir) => graft.analytics.DistTest.mutualInformation(
+      Tables.events(s, dir)
+        .select(col("event_type").as("a"),
+          dayofweek(col("ts")).as("b")),
+      "a", "b"),
+    Some(s"""
+      WITH cells AS (
+        SELECT CAST(event_type AS VARCHAR) AS a,
+               CAST(dayofweek(ts) + 1 AS VARCHAR) AS b,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
+      rm AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells
+             GROUP BY a),
+      cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells
+             GROUP BY b),
+      nr AS (SELECT COALESCE(CAST(SUM(o) AS BIGINT), 0) AS n
+             FROM cells),
+      ncl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+      j AS (
+        SELECT o,
+          ${lSql("o")} + ${lSql("n")} - ${lSql("r")} - ${lSql("c")}
+            AS lterm
+        FROM cells JOIN rm USING (a) JOIN cm USING (b), nr),
+      agg AS (
+        SELECT COALESCE(SUM(CAST(o AS HUGEINT) * lterm), 0) AS mi_fp
+        FROM j)
+      SELECT n, n_cells,
+        CAST(mi_fp AS DOUBLE) AS mi_fp,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(mi_fp AS DOUBLE)
+            / (CAST(n AS DOUBLE) * 65536.0) END AS mi_bits
+      FROM agg, nr, ncl"""))
+
+  /** Kendall's W over the q396 rater panel —
+    * [[graft.analytics.Agreement.kendallW]]: raters = users with
+    * complete event-type panels, items = event types, score = the
+    * user's count of that type; how concordant are users' personal
+    * activity RANKINGS (each user on their own scale — W only needs
+    * the ordering). Delegates to friedman; fully RAW.
+    */
+  val q411KendallW: QueryCase = QueryCase(
+    "q411_kendall_w",
+    (s, dir) => {
+      val cnt = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_ev"))
+      val types = cnt.agg(count_distinct(col("event_type")).as("k"))
+      val full = cnt.groupBy("user_id").agg(count(lit(1)).as("nb"))
+        .crossJoin(broadcast(types)).where(col("nb") === col("k"))
+        .select("user_id")
+      graft.analytics.Agreement.kendallW(
+        cnt.join(full, Seq("user_id"), "left_semi"),
+        "user_id", "event_type", "n_ev")
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM events GROUP BY 1, 2),
+      kg AS (SELECT COUNT(DISTINCT event_type) AS k FROM cnt),
+      fullp AS (
+        SELECT user_id FROM cnt GROUP BY user_id
+        HAVING COUNT(*) = (SELECT k FROM kg)),
+      p AS (SELECT c.* FROM cnt c JOIN fullp USING (user_id)),
+      r AS (
+        SELECT user_id, event_type,
+               2 * RANK() OVER (PARTITION BY user_id ORDER BY n_ev)
+                 + COUNT(*) OVER (PARTITION BY user_id, n_ev) - 1 AS r2
+        FROM p),
+      kk AS (SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+             FROM r),
+      bb AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_blocks
+             FROM r),
+      a2 AS (SELECT SUM(CAST(r2 AS HUGEINT) * r2) AS a2 FROM r),
+      pt AS (SELECT event_type, CAST(SUM(r2) AS HUGEINT) AS r2j
+             FROM r GROUP BY event_type),
+      num AS (
+        SELECT SUM((r2j - CAST(n_blocks AS HUGEINT) * (k + 1))
+                 * (r2j - CAST(n_blocks AS HUGEINT) * (k + 1))) AS num2
+        FROM pt, kk, bb),
+      f AS (
+        SELECT k, n_blocks,
+               CAST(a2 - CAST(n_blocks AS HUGEINT) * k
+                 * ((k + 1) * (k + 1)) AS DOUBLE) AS den2,
+               num2 AS num2h
+        FROM num, kk, bb, a2),
+      ch AS (
+        SELECT k AS k_items, n_blocks AS m_raters,
+          CASE WHEN den2 <= 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(CAST(k - 1 AS HUGEINT) * num2h AS DOUBLE)
+              / den2 END AS chi2
+        FROM f)
+      SELECT k_items, m_raters, chi2,
+        CASE WHEN m_raters = 0 OR k_items < 2 THEN CAST(0.0 AS DOUBLE)
+          ELSE chi2 / CAST(m_raters * (k_items - 1) AS DOUBLE) END
+          AS w
+      FROM ch"""))
+
+  /** Cohen's d + Hedges' g for the even-vs-odd user value gap —
+    * [[graft.analytics.Experiments.cohensD]]: the standardized
+    * effect size behind q408's per-type pooling, on the whole events
+    * table (arm "even"/"odd" sorts even first). d/g ROUND(6), rest
+    * RAW.
+    */
+  val q412CohensD: QueryCase = QueryCase(
+    "q412_cohens_d",
+    (s, dir) => graft.analytics.Experiments.cohensD(
+      Tables.events(s, dir)
+        .select(when(col("user_id") % 2 === 0, lit("even"))
+          .otherwise(lit("odd")).as("arm"), col("value")),
+      "arm", "value")
+      .select(col("n1"), col("n2"), col("mean_diff"), col("sp2"),
+        round(col("d"), 6).as("d"), round(col("g"), 6).as("g")),
+    Some("""
+      WITH pa AS (
+        SELECT CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+                 AS arm,
+               CAST(COUNT(*) AS BIGINT) AS nj,
+               CAST(CAST(SUM(CAST(CAST(value AS DOUBLE)
+                 AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE) AS sxj,
+               CAST(CAST(SUM(CAST(CAST(value AS DOUBLE)
+                   AS DECIMAL(19,6))
+                 * CAST(CAST(value AS DOUBLE) AS DECIMAL(19,6)))
+                 AS VARCHAR) AS DOUBLE) AS sxxj
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1),
+      w AS (
+        SELECT
+          (SELECT nj FROM pa WHERE arm = 'even') AS n1,
+          (SELECT nj FROM pa WHERE arm = 'odd') AS n2,
+          (SELECT sxj FROM pa WHERE arm = 'even') AS sx1,
+          (SELECT sxj FROM pa WHERE arm = 'odd') AS sx2,
+          (SELECT sxxj FROM pa WHERE arm = 'even') AS sxx1,
+          (SELECT sxxj FROM pa WHERE arm = 'odd') AS sxx2),
+      f AS (
+        SELECT n1, n2, CAST(n1 AS DOUBLE) AS n1d,
+               CAST(n2 AS DOUBLE) AS n2d,
+               sx1 / CAST(n1 AS DOUBLE) - sx2 / CAST(n2 AS DOUBLE)
+                 AS mean_diff,
+               CASE WHEN n1 < 2 OR n2 < 2 THEN CAST(0.0 AS DOUBLE)
+                 ELSE ((sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE))
+                   + (sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE)))
+                   / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0)
+                 END AS sp2
+        FROM w),
+      g1 AS (
+        SELECT n1, n2, mean_diff, sp2,
+          CASE WHEN n1 < 2 OR n2 < 2 OR sp2 <= 0.0
+            THEN CAST(0.0 AS DOUBLE)
+            ELSE mean_diff / SQRT(sp2) END AS d
+        FROM f)
+      SELECT n1, n2, mean_diff, sp2, ROUND(d, 6) AS d,
+        ROUND(CASE WHEN d = 0.0 THEN CAST(0.0 AS DOUBLE)
+          ELSE d * (1.0 - 3.0
+            / (4.0 * CAST(n1 + n2 - 2 AS DOUBLE) - 1.0)) END, 6) AS g
+      FROM g1"""))
+
+  private val TokensSql =
+    "list_filter(string_split_regex(LOWER(TRIM(text)), '\\s+'), x -> x <> '')"
+
+  /** Cliff's delta of the TTR scorer between lang='en' and the rest —
+    * [[graft.analytics.DistTest.cliffsDeltaBucketed]] on the SAME
+    * 256-cell grid and frame as q389's Mann–Whitney: how OFTEN does
+    * an English doc out-score a non-English one (the effect-size
+    * reading of q389's significance). Fully RAW.
+    */
+  val q413CliffsDelta: QueryCase = QueryCase(
+    "q413_cliffs_delta",
+    (s, dir) => {
+      val sc = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 0)
+        .select(col("lang"),
+          (size(array_distinct(col("tk"))).cast("double") /
+            size(col("tk")).cast("double")).as("ttr"))
+      graft.analytics.DistTest.cliffsDeltaBucketed(
+        sc.select(col("ttr"), (col("lang") === "en").as("y")),
+        "y", "ttr", lo = 0.0, hi = 1.0, buckets = 256)
+    },
+    Some(s"""
+      WITH sc AS (
+        SELECT lang,
+               CAST(len(list_distinct(tk)) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) AS ttr
+        FROM (SELECT lang, $TokensSql AS tk FROM documents)
+        WHERE len(tk) > 0),
+      b AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(
+                 ((ttr - CAST(0.0 AS DOUBLE)) * CAST(256.0 AS DOUBLE))
+                   / CAST(1.0 AS DOUBLE)) AS BIGINT), 0), 255) AS bk,
+               (lang = 'en') AS g
+        FROM sc WHERE ttr IS NOT NULL AND lang IS NOT NULL),
+      pb AS (
+        SELECT bk,
+          CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        FROM b GROUP BY bk),
+      cum AS (
+        SELECT np, nn, np + nn AS t,
+          CAST(COALESCE(SUM(np + nn) OVER (ORDER BY bk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS below
+        FROM pb),
+      agg AS (
+        SELECT CAST(SUM(np) AS BIGINT) AS n1,
+               CAST(SUM(nn) AS BIGINT) AS n2,
+               CAST(COUNT(*) AS BIGINT) AS n_cells,
+               SUM(CAST(np AS HUGEINT)
+                 * (2 * CAST(below AS HUGEINT) + t + 1)) AS r1_2
+        FROM cum),
+      st AS (
+        SELECT n1, n2, n_cells,
+               r1_2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                 - CAST(n1 AS HUGEINT) * n2 AS num2h
+        FROM agg)
+      SELECT n1, n2, n_cells,
+        CAST(num2h AS DOUBLE) AS num2,
+        CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(num2h AS DOUBLE)
+            / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS delta
+      FROM st"""))
+
   val all: Seq[QueryCase] =
     Seq(q400Jonckheere, q401PageTrend, q402CochranArmitage,
       q403Ccc, q404Icc1, q405RunsTest, q406Assortativity,
-      q407MantelHaenszel, q408MetaFixed)
+      q407MantelHaenszel, q408MetaFixed, q409ChiSquare,
+      q410MutualInfo, q411KendallW, q412CohensD, q413CliffsDelta)
 }

@@ -121,6 +121,31 @@ class AgreementSpec extends SparkSpec {
     assert(e.getMessage.contains("maxRaters"))
   }
 
+  test("kendallW: perfect concordance = exactly 1; one reversed " +
+      "rater = 1/9; ragged panel raises via friedman") {
+    val perfect = (for (r <- 1 to 3; i <- 1 to 4)
+      yield (s"r$r", s"i$i", i.toDouble)).toDF("rater", "item", "s")
+    val p = Agreement.kendallW(perfect, "rater", "item", "s")
+      .collect().head
+    assert(p.getAs[Long]("k_items") == 4L &&
+      p.getAs[Long]("m_raters") == 3L)
+    assert(p.getAs[Double]("chi2") == 9.0)
+    assert(p.getAs[Double]("w") == 1.0)
+    // rater 3 ranks in reverse: chi2 = 1, W = 1/9
+    val mixed = (for (r <- 1 to 3; i <- 1 to 4) yield
+      (s"r$r", s"i$i", if (r == 3) (5 - i).toDouble else i.toDouble))
+      .toDF("rater", "item", "s")
+    val m = Agreement.kendallW(mixed, "rater", "item", "s")
+      .collect().head
+    assert(m.getAs[Double]("chi2") == 1.0)
+    assert(m.getAs[Double]("w") == 1.0 / 9.0)
+    val e = intercept[Exception] {
+      Agreement.kendallW(perfect.limit(11), "rater", "item", "s")
+        .collect()
+    }
+    assert(e.getMessage.contains("incomplete block"))
+  }
+
   test("ccc: hand panel 4/11; identity = 1 exactly; constant-equal " +
       "and empty degenerate to 0") {
     val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")

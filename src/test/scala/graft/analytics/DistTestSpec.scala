@@ -191,6 +191,84 @@ class DistTestSpec extends SparkSpec {
     assert(e2.getMessage.contains("incomplete block"))
   }
 
+  test("cliffsDeltaBucketed: disjoint groups = exactly 1; " +
+      "tie-overlap panel = 0.75; one-group degenerate") {
+    import org.apache.spark.sql.functions.lit
+    // group1 values (3, 4) vs group0 (1, 2) on the integer grid
+    val win = Seq((true, 3.0), (true, 4.0), (false, 1.0),
+      (false, 2.0)).toDF("g", "v")
+    val r = DistTest.cliffsDeltaBucketed(win, "g", "v",
+      lo = 0.0, hi = 8.0, buckets = 8).collect().head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("delta") == 1.0)
+    // (2, 3) vs (2, 1): U1 = 3.5 → num2 = 3 → delta = 0.75
+    val mix = Seq((true, 2.0), (true, 3.0), (false, 2.0),
+      (false, 1.0)).toDF("g", "v")
+    val m = DistTest.cliffsDeltaBucketed(mix, "g", "v",
+      lo = 0.0, hi = 8.0, buckets = 8).collect().head
+    assert(m.getAs[Double]("num2") == 3.0)
+    assert(m.getAs[Double]("delta") == 0.75)
+    val one = DistTest.cliffsDeltaBucketed(
+      win.withColumn("g", lit(true)), "g", "v",
+      lo = 0.0, hi = 8.0, buckets = 8).collect().head
+    assert(one.getAs[Double]("delta") == 0.0)
+  }
+
+  test("chiSquareIndependence: 2x2 hand table; independence and " +
+      "degenerate levels; over-grid cell axis raises") {
+    def table(c11: Int, c12: Int, c21: Int, c22: Int) =
+      (Seq.fill(c11)(("g1", "h1")) ++ Seq.fill(c12)(("g1", "h2")) ++
+       Seq.fill(c21)(("g2", "h1")) ++ Seq.fill(c22)(("g2", "h2")))
+        .toDF("a", "b")
+    val r = DistTest.chiSquareIndependence(table(10, 20, 30, 40),
+      "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 100L &&
+      r.getAs[Long]("n_cells") == 4L &&
+      r.getAs[Long]("r_levels") == 2L && r.getAs[Long]("dof") == 1L)
+    // replicate the cell-ordered IEEE fold
+    val s = (((0.0 + 100.0 / (30.0 * 40.0)) + 400.0 / (30.0 * 60.0))
+      + 900.0 / (70.0 * 40.0)) + 1600.0 / (70.0 * 60.0)
+    assert(r.getAs[Double]("chi2") == 100.0 * s - 100.0)
+    assert(r.getAs[Double]("v") ==
+      math.sqrt((100.0 * s - 100.0) / (100.0 * 1.0)))
+    // proportional table: association within one grid step of zero
+    val ind = DistTest.chiSquareIndependence(table(10, 20, 20, 40),
+      "a", "b").collect().head
+    assert(math.abs(ind.getAs[Double]("chi2")) < 1e-9)
+    // one-level axis → chi2 = v = 0 defined
+    val solo = DistTest.chiSquareIndependence(
+      Seq(("g1", "h1"), ("g1", "h2")).toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(solo.getAs[Double]("chi2") == 0.0 &&
+      solo.getAs[Double]("v") == 0.0)
+    val e = intercept[Exception] {
+      DistTest.chiSquareIndependence(table(1, 1, 1, 1), "a", "b",
+        maxCells = 2).collect()
+    }
+    assert(e.getMessage.contains("observed cells"))
+  }
+
+  test("mutualInformation: perfectly-dependent binary pair = exactly " +
+      "1 bit on the grid; independent = exactly 0; over-grid raises") {
+    val dep = (Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y")))
+      .toDF("a", "b")
+    val r = DistTest.mutualInformation(dep, "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 10L && r.getAs[Long]("n_cells") == 2L)
+    assert(r.getAs[Double]("mi_fp") == 10.0 * 65536.0)
+    assert(r.getAs[Double]("mi_bits") == 1.0)
+    val ind = DistTest.mutualInformation(
+      Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+        .toDF("a", "b"), "a", "b").collect().head
+    assert(ind.getAs[Double]("mi_fp") == 0.0 &&
+      ind.getAs[Double]("mi_bits") == 0.0)
+    val e = intercept[Exception] {
+      DistTest.mutualInformation(
+        Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+          .toDF("a", "b"), "a", "b", maxCells = 2).collect()
+    }
+    assert(e.getMessage.contains("observed cells"))
+  }
+
   test("jonckheereBucketed: hand-computed tie panel; single dose and " +
       "over-grid dose axis degenerate/raise") {
     import org.apache.spark.sql.functions.{col, lit}

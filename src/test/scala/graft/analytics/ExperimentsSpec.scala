@@ -192,6 +192,33 @@ class ExperimentsSpec extends SparkSpec {
     assert(e.getMessage.contains("distinct doses"))
   }
 
+  test("cohensD: hand panel d = 2/sqrt(2.5), Hedges J = 0.8; " +
+      "singleton arm degenerates; arm-count contract raises") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0), ("b", 1.0),
+      ("b", 2.0), ("b", 3.0)).toDF("arm", "y")
+    val r = Experiments.cohensD(df, "arm", "y").collect().head
+    assert(r.getAs[Long]("n1") == 3L && r.getAs[Long]("n2") == 3L)
+    assert(r.getAs[Double]("mean_diff") == 2.0)
+    assert(r.getAs[Double]("sp2") == 2.5)
+    assert(r.getAs[Double]("d") == 2.0 / math.sqrt(2.5))
+    assert(r.getAs[Double]("g") ==
+      (2.0 / math.sqrt(2.5)) * (1.0 - 3.0 / (4.0 * 4.0 - 1.0)))
+    // singleton arm → sp2 = 0 → d = g = 0 defined
+    val solo = Experiments.cohensD(
+      df.where(col("arm") === "b").limit(1)
+        .union(df.where(col("arm") === "a")), "arm", "y")
+      .collect().head
+    assert(solo.getAs[Double]("d") == 0.0 &&
+      solo.getAs[Double]("g") == 0.0)
+    val e = intercept[Exception] {
+      Experiments.cohensD(
+        df.union(Seq(("c", 1.0)).toDF("arm", "y")), "arm", "y")
+        .collect()
+    }
+    assert(e.getMessage.contains("exactly TWO arms"))
+  }
+
   test("mantelHaenszel: two-stratum hand panel (OR 6, chi2 3); " +
       "degenerate and over-grid contracts") {
     import org.apache.spark.sql.functions.lit
