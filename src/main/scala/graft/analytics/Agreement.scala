@@ -195,6 +195,101 @@ object Agreement {
             (col("n_blocks") * (col("k_treat") - 1)).cast("double"))
           .as("w"))
 
+  /** Cronbach's α internal-consistency reliability (Cronbach 1951) —
+    * do k ITEMS measure one underlying trait: the scale-reliability
+    * member of the agreement family ([[kendallW]] asks whether RATERS
+    * agree across items; α asks whether ITEMS cohere across
+    * subjects — the audit before averaging k quality signals into one
+    * score, the exact shape of a Gopher/C4-style signal panel). With
+    * population variances s_i² per item and s_T² of per-subject
+    * totals:
+    *
+    *   α = k/(k−1) · (1 − Σ_i s_i² / s_T²)
+    *
+    * Complete panels required — every subject scores every item
+    * exactly once; duplicate (subject, item) cells and ragged panels
+    * raise (the [[fleissKappa]]/friedman convention). Determinism:
+    * per-item and per-subject-total moments are exact decimal sums
+    * cast to double once (map-side combinable; subject totals pass
+    * through a decimal(18,6) cast whose ANSI overflow IS the loud
+    * |total| < 10¹² contract); the item fold runs in ITEM ORDER
+    * (design grid — more than `maxItems` raises); libm-free → fully
+    * RAW. Degenerates: k < 2 or s_T² ≤ 0 → alpha = 0 defined.
+    *
+    * Output (one row): k_items, n_subjects, sum_s2_items, s2_total,
+    * alpha.
+    */
+  def cronbachAlpha(df: DataFrame, subjectCol: String, itemCol: String,
+                    scoreCol: String, maxItems: Int = 4096): DataFrame = {
+    require(maxItems >= 2 && maxItems <= (1 << 20),
+      "need 2 <= maxItems <= 2^20")
+    val base = df.select(col(subjectCol).cast("string").as("subj"),
+        col(itemCol).cast("string").as("item"),
+        col(scoreCol).cast("double").as("x"))
+      .where(col("subj").isNotNull && col("item").isNotNull &&
+        col("x").isNotNull)
+    val perCell = base.groupBy("subj", "item")
+      .agg(count(lit(1)).as("m"), max(col("x")).as("x"))
+      .select(col("subj"), col("item"),
+        when(col("m") > 1,
+          raise_error(lit("cronbachAlpha: duplicate (subject, item) " +
+            "rows — reliability needs exactly ONE score per cell; " +
+            "aggregate upstream")))
+          .otherwise(col("x")).as("x"))
+    val xd = col("x").cast(Dec)
+    val kRow = perCell.agg(count_distinct(col("item")).as("k"))
+    val subjAgg = perCell.groupBy("subj")
+      .agg(count(lit(1)).as("nb"), sum(xd).as("totw"))
+      .select(col("subj"), col("nb"),
+        // ANSI cast = the loud |subject total| < 1e12 contract
+        col("totw").cast(Dec).as("tot"))
+    val bAgg = subjAgg
+      .agg(count(lit(1)).as("n_subjects"), min(col("nb")).as("min_nb"),
+        max(col("nb")).as("max_nb"),
+        sum(col("tot")).cast("double").as("st"),
+        sum(col("tot") * col("tot")).cast("double").as("stt"))
+    val perItem = perCell.groupBy("item")
+      .agg(count(lit(1)).as("ni"), sum(xd).as("sxd"),
+        sum(xd * xd).as("sxxd"))
+      .select(col("item"), col("ni"),
+        col("sxd").cast("double").as("sxi"),
+        col("sxxd").cast("double").as("sxxi"))
+    val itemFold = perItem.groupBy()
+      .agg(count(lit(1)).as("k_items"),
+        sort_array(collect_list(struct(col("item"),
+          col("ni").cast("double").as("nid"), col("sxi"),
+          col("sxxi")))).as("arr"))
+      .select(
+        when(col("k_items") > maxItems,
+          raise_error(lit(s"cronbachAlpha: more than $maxItems " +
+            "items — an item axis is a DESIGN grid; select or bucket " +
+            "items upstream")))
+          .otherwise(col("k_items")).as("k_items"),
+        col("arr"))
+      .withColumn("sum_s2", aggregate(col("arr"), lit(0.0),
+        (acc, e) => acc + (e("sxxi") / e("nid")
+          - (e("sxi") / e("nid")) * (e("sxi") / e("nid")))))
+    itemFold.crossJoin(broadcast(kRow)).crossJoin(broadcast(bAgg))
+      .withColumn("nd", col("n_subjects").cast("double"))
+      .withColumn("s2_total",
+        when(col("n_subjects") === 0, lit(0.0)).otherwise(
+          col("stt") / col("nd")
+            - (col("st") / col("nd")) * (col("st") / col("nd"))))
+      .select(
+        when(col("min_nb") =!= col("k") || col("max_nb") =!= col("k"),
+          raise_error(lit("cronbachAlpha: incomplete panel — every " +
+            "subject must score every item exactly once (ragged " +
+            "panels bias the total variance); complete or drop the " +
+            "subject")))
+          .otherwise(col("k_items")).as("k_items"),
+        col("n_subjects"), col("sum_s2").as("sum_s2_items"),
+        col("s2_total"),
+        when(col("k_items") < 2 || col("s2_total") <= 0.0, lit(0.0))
+          .otherwise((col("k_items").cast("double") /
+            (col("k_items") - 1).cast("double")) *
+            (lit(1.0) - col("sum_s2") / col("s2_total"))).as("alpha"))
+  }
+
   /** Lin's concordance correlation coefficient (Lin 1989) over PAIRED
     * continuous scores — the CONTINUOUS member of the
     * inter-rater-agreement family: [[RankEval.cohenKappa]] /

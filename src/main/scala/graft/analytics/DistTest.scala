@@ -126,6 +126,79 @@ object DistTest {
           .otherwise(lit("none")))
   }
 
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack 1984) per key —
+    * [[mannKendall]] blinded to the SEASONAL cycle: a daily metric
+    * with a weekly rhythm reads "trend" to plain MK just from phase;
+    * the seasonal form compares only observations from the SAME
+    * season and sums the per-season statistics:
+    *
+    *   S = Σ_g S_g,   Var·18 = Σ_g [n_g(n_g−1)(2n_g+5) − ties_g]
+    *
+    * z takes the same ±1 continuity as [[mannKendall]] on the summed
+    * S. Scale shape: the pairwise join runs WITHIN (key, season) —
+    * strictly smaller groups than plain MK's per-key join — then one
+    * per-key rollup; the per-season n ≤ 1.6·10⁶ int64 contract
+    * raises per season exactly as [[mannKendall]]'s does per key.
+    *
+    * Output per key: (key, n_seasons, n, s, var18, z, trend).
+    */
+  def seasonalMannKendall(df: DataFrame, keyCol: String,
+                          seasonCol: String, orderCol: String,
+                          valueCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("k"),
+      col(seasonCol).cast("string").as("season"),
+      col(orderCol).cast("long").as("ord"),
+      col(valueCol).cast("double").as("x"))
+    val a = base.select(col("k"), col("season"), col("ord").as("oi"),
+      col("x").as("xi"))
+    val b = base.select(col("k"), col("season"), col("ord").as("oj"),
+      col("x").as("xj"))
+    val s = a.join(b, Seq("k", "season"))
+      .where(col("oi") < col("oj"))
+      .groupBy("k", "season")
+      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("sg"))
+    val n = base.groupBy("k", "season").agg(count(lit(1)).as("ng"))
+    val ties = base.groupBy("k", "season", "x")
+      .agg(count(lit(1)).as("t"))
+      .where(col("t") > 1)
+      .groupBy("k", "season")
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+        .as("tie18"))
+    val perSeason = n.join(s, Seq("k", "season"), "left")
+      .join(ties, Seq("k", "season"), "left")
+      .select(col("k"), col("season"),
+        when(col("ng") > 1600000L,
+          raise_error(concat(
+            lit("seasonalMannKendall: n > 1.6e6 for (key, season) ("),
+            col("k").cast("string"), lit(", "), col("season"),
+            lit(") — n(n-1)(2n+5) overflows int64; sample the key"))))
+          .otherwise(col("ng")).as("ng"),
+        coalesce(col("sg"), lit(0L)).as("sg"),
+        (col("ng") * (col("ng") - 1) * (lit(2L) * col("ng") + 5)
+          - coalesce(col("tie18"), lit(0L))).as("var18g"))
+    perSeason.groupBy("k")
+      .agg(count(lit(1)).as("n_seasons"),
+        sum(col("ng")).as("n"),
+        sum(col("sg")).as("s"),
+        sum(col("var18g")).as("var18"))
+      .withColumn("z",
+        when(col("var18") <= 0, lit(0.0))
+          .when(col("s") > 0,
+            (col("s") - 1).cast("double")
+              / sqrt(col("var18").cast("double") / 18.0))
+          .when(col("s") < 0,
+            (col("s") + 1).cast("double")
+              / sqrt(col("var18").cast("double") / 18.0))
+          .otherwise(lit(0.0)))
+      .withColumn("trend",
+        when(col("s") > 0, lit("increasing"))
+          .when(col("s") < 0, lit("decreasing"))
+          .otherwise(lit("none")))
+      .select(col("k").as(keyCol), col("n_seasons"), col("n"),
+        col("s"), col("var18"), col("z"), col("trend"))
+      .orderBy(keyCol)
+  }
+
   /** Theil–Sen robust slope per key (Theil 1950; Sen 1968) — the
     * MAGNITUDE companion to [[mannKendall]]'s significance: the median
     * of all pairwise slopes (x_j − x_i)/(ord_j − ord_i), i < j —

@@ -1613,6 +1613,61 @@ object Events {
       .toDF(keyCol, "n", "m", "dtw_units")
   }
 
+  /** Nelson–Aalen cumulative-hazard estimator (Nelson 1972, Aalen
+    * 1978) — the hazard-domain reading of the retention curve
+    * [[kaplanMeier]] gives in the survival domain (and the libm-FREE
+    * member of the survival family: KM's product becomes a log-sum;
+    * NA is a plain rational sum, so the whole panel hash-compares
+    * RAW): over the same lifetime construction (first→last event per
+    * user, deaths = users whose last event predates the observation
+    * edge by `horizonHours`),
+    *
+    *   H(t) = Σ_{tᵢ ≤ t} d_i/n_i,   Var[H(t)] = Σ_{tᵢ ≤ t} d_i/n_i²
+    *
+    * with n_i the risk set entering lifetime-hour tᵢ. Scale shape:
+    * identical to [[kaplanMeier]] — per-user span aggregate, a
+    * [[graft.plans.Bounded]]-guarded DISTINCT-lifetime-hour axis
+    * (bounded by the observation span, never the event count), two
+    * cumulative windows on that axis. Cumulative double sums run in
+    * axis order in both engines (identical IEEE sequence).
+    *
+    * Output per lifetime hour: (t, n_risk, d, h, var_h), ordered.
+    */
+  def nelsonAalen(df: DataFrame, userCol: String, tsCol: String,
+                  horizonHours: Long = 24L): DataFrame = {
+    val spans = df.groupBy(col(userCol).as("u"))
+      .agg(min(col(tsCol)).as("first_ts"), max(col(tsCol)).as("last_ts"))
+    val edge = df.agg(max(col(tsCol)).as("edge"))
+    val lives = spans.crossJoin(broadcast(edge))
+      .select(col("u"),
+        floor((unix_timestamp(col("last_ts")) -
+          unix_timestamp(col("first_ts"))) / 3600).as("t"),
+        (unix_timestamp(col("last_ts")) <
+          unix_timestamp(col("edge")) - horizonHours * 3600L).as("death"))
+    val byT = graft.plans.Bounded.guard(
+      lives.groupBy("t")
+        .agg(count(lit(1)).as("n_at"),
+          sum(when(col("death"), 1L).otherwise(0L)).as("d")),
+      "Events.nelsonAalen time axis")
+    val total = lives.agg(count(lit(1)).as("n"))
+    val wBefore = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wUpTo = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n") - coalesce(sum(col("n_at")).over(wBefore), lit(0L)))
+      .withColumn("h_step",
+        col("d").cast("double") / col("n_risk").cast("double"))
+      .withColumn("v_step",
+        col("d").cast("double") /
+          (col("n_risk").cast("double") * col("n_risk").cast("double")))
+      .select(col("t"), col("n_risk"), col("d"),
+        sum(col("h_step")).over(wUpTo).as("h"),
+        sum(col("v_step")).over(wUpTo).as("var_h"))
+      .orderBy("t")
+  }
+
   /** Wald–Wolfowitz runs test (1940) per key — is a BINARY sequence
     * serially random, or does it clump (fewer runs than chance) /
     * alternate (more)? The distribution-free randomness diagnostic

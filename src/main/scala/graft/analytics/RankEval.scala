@@ -300,7 +300,9 @@ object RankEval {
     * paired scores) and [[graft.analytics.Agreement.icc1]] (one-way
     * intraclass correlation); the ORDINAL member is
     * [[graft.analytics.Agreement.kendallW]] (concordance of
-    * within-rater rankings); the marginal-homogeneity
+    * within-rater rankings); the SCALE-reliability member is
+    * [[graft.analytics.Agreement.cronbachAlpha]] (do k items cohere
+    * as one trait); the marginal-homogeneity
     * companion for the same paired-boolean shape is
     * [[graft.analytics.DistTest.mcnemar]].
     */

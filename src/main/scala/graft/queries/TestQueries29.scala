@@ -971,9 +971,212 @@ object TestQueries29 {
             / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS delta
       FROM st"""))
 
+  /** Cronbach's α of the per-type activity "scale" —
+    * [[graft.analytics.Agreement.cronbachAlpha]] on the q396/q411
+    * complete panels: do per-event-type counts cohere as ONE
+    * engagement trait (the audit before averaging k signals into one
+    * score). Exact decimal moments, item-ordered folds; fully RAW.
+    */
+  val q414Cronbach: QueryCase = QueryCase(
+    "q414_cronbach_alpha",
+    (s, dir) => {
+      val cnt = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_ev"))
+      val types = cnt.agg(count_distinct(col("event_type")).as("k"))
+      val full = cnt.groupBy("user_id").agg(count(lit(1)).as("nb"))
+        .crossJoin(broadcast(types)).where(col("nb") === col("k"))
+        .select("user_id")
+      graft.analytics.Agreement.cronbachAlpha(
+        cnt.join(full, Seq("user_id"), "left_semi"),
+        "user_id", "event_type", "n_ev")
+    },
+    Some(s"""
+      WITH cnt AS (
+        SELECT CAST(user_id AS VARCHAR) AS subj, event_type AS item,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      kg AS (SELECT COUNT(DISTINCT item) AS k FROM cnt),
+      fullp AS (
+        SELECT subj FROM cnt GROUP BY subj
+        HAVING COUNT(*) = (SELECT k FROM kg)),
+      pd AS (
+        SELECT c.subj, c.item,
+               CAST(CAST(c.x AS DOUBLE) AS DECIMAL(18,6)) AS xd
+        FROM cnt c JOIN fullp USING (subj)),
+      sub AS (
+        SELECT subj, CAST(SUM(xd) AS DECIMAL(18,6)) AS tot
+        FROM pd GROUP BY subj),
+      bagg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+          CAST(CAST(SUM(tot) AS VARCHAR) AS DOUBLE) AS st,
+          CAST(CAST(SUM(CAST(tot AS DECIMAL(19,6))
+            * CAST(tot AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE)
+            AS stt
+        FROM sub),
+      pi AS (
+        SELECT item, CAST(COUNT(*) AS BIGINT) AS ni,
+          CAST(CAST(SUM(xd) AS VARCHAR) AS DOUBLE) AS sxi,
+          CAST(CAST(SUM(CAST(xd AS DECIMAL(19,6))
+            * CAST(xd AS DECIMAL(19,6))) AS VARCHAR) AS DOUBLE)
+            AS sxxi
+        FROM pd GROUP BY item),
+      fold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_items,
+          ${foldSql(
+            """list(sxxi / CAST(ni AS DOUBLE)
+                 - (sxi / CAST(ni AS DOUBLE))
+                   * (sxi / CAST(ni AS DOUBLE)) ORDER BY item)""",
+            "tvx")} AS sum_s2
+        FROM pi),
+      f AS (
+        SELECT k_items, n_subjects, sum_s2,
+          CASE WHEN n_subjects = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE stt / CAST(n_subjects AS DOUBLE)
+              - (st / CAST(n_subjects AS DOUBLE))
+                * (st / CAST(n_subjects AS DOUBLE)) END AS s2_total
+        FROM fold, bagg)
+      SELECT k_items, n_subjects, sum_s2 AS sum_s2_items, s2_total,
+        CASE WHEN k_items < 2 OR s2_total <= 0.0
+          THEN CAST(0.0 AS DOUBLE)
+          ELSE (CAST(k_items AS DOUBLE) / CAST(k_items - 1 AS DOUBLE))
+            * (1.0 - sum_s2 / s2_total) END AS alpha
+      FROM f"""))
+
+  /** Nelson–Aalen cumulative hazard over per-user activity lifetimes
+    * — [[graft.analytics.Events.nelsonAalen]] (24h churn horizon):
+    * the hazard-domain companion of q266's Kaplan–Meier, and the
+    * libm-free one — the whole panel (H, Var[H]) is rational
+    * cumulative sums → fully RAW.
+    */
+  val q415NelsonAalen: QueryCase = QueryCase(
+    "q415_nelson_aalen",
+    (s, dir) => graft.analytics.Events
+      .nelsonAalen(Tables.events(s, dir), "user_id", "ts"),
+    Some("""
+      WITH e AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(date_trunc('microseconds', ts)))
+                 AS BIGINT) AS sec
+        FROM events),
+      spans AS (
+        SELECT user_id, MIN(sec) AS f, MAX(sec) AS l
+        FROM e GROUP BY 1),
+      edge AS (SELECT MAX(sec) AS edge FROM e),
+      lives AS (
+        SELECT user_id,
+          CAST(FLOOR(CAST(l - f AS DOUBLE) / 3600) AS BIGINT) AS t,
+          (l < edge.edge - 24 * 3600) AS death
+        FROM spans, edge),
+      byt AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_at,
+               CAST(SUM(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT)
+                 AS d
+        FROM lives GROUP BY t),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lives),
+      r AS (
+        SELECT byt.t, byt.d,
+          CAST(tot.n - COALESCE(SUM(byt.n_at) OVER (ORDER BY byt.t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS n_risk
+        FROM byt CROSS JOIN tot),
+      na AS (
+        -- windowed SUM associates via a segment tree in DuckDB (1-ulp
+        -- drift vs Spark's sequential running sum); collect the frame
+        -- and left-fold it instead (the house sequential idiom)
+        SELECT t, n_risk, d,
+          list(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+            OVER cum AS hl,
+          list(CAST(d AS DOUBLE)
+              / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+            OVER cum AS vl
+        FROM r
+        WINDOW cum AS (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT t, n_risk, d,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), hl),
+          (acc, tv) -> acc + tv) AS h,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vl),
+          (acc, tv) -> acc + tv) AS var_h
+      FROM na ORDER BY t"""))
+
+  /** Seasonal Mann–Kendall trend of daily activity, seasons =
+    * weekdays — [[graft.analytics.DistTest.seasonalMannKendall]]:
+    * is per-user daily event volume trending once the weekly rhythm
+    * is blinded out (plain MK reads phase as trend). z ROUND(6).
+    */
+  val q416SeasonalMk: QueryCase = QueryCase(
+    "q416_seasonal_mk",
+    (s, dir) => {
+      val daily = Tables.events(s, dir).where(col("user_id") < 40)
+        .groupBy(col("user_id"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_ev"))
+        .select(col("user_id"), col("day"),
+          dayofweek(col("day")).as("season"),
+          datediff(col("day"), lit("2024-01-01").cast("date"))
+            .cast("long").as("ord"),
+          col("n_ev"))
+      graft.analytics.DistTest.seasonalMannKendall(
+        daily, "user_id", "season", "ord", "n_ev")
+        .select(col("user_id"), col("n_seasons"), col("n"), col("s"),
+          col("var18"), round(col("z"), 6).as("z"), col("trend"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(user_id AS VARCHAR) AS k,
+               CAST(dayofweek(CAST(ts AS DATE)) + 1 AS VARCHAR)
+                 AS season,
+               CAST(date_diff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS BIGINT) AS ord,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE user_id < 40
+        GROUP BY user_id, CAST(ts AS DATE)),
+      pairs AS (
+        SELECT a.k, a.season,
+               CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS sg
+        FROM daily a JOIN daily b
+          ON a.k = b.k AND a.season = b.season AND a.ord < b.ord
+        GROUP BY a.k, a.season),
+      ns AS (
+        SELECT k, season, CAST(COUNT(*) AS BIGINT) AS ng
+        FROM daily GROUP BY k, season),
+      ties AS (
+        SELECT k, season,
+               CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        FROM (SELECT k, season, x, CAST(COUNT(*) AS BIGINT) AS t
+              FROM daily GROUP BY k, season, x)
+        WHERE t > 1 GROUP BY k, season),
+      ps AS (
+        SELECT ns.k, ns.season, ns.ng,
+               COALESCE(pairs.sg, 0) AS sg,
+               ns.ng * (ns.ng - 1) * (2 * ns.ng + 5)
+                 - COALESCE(ties.tie18, 0) AS var18g
+        FROM ns
+        LEFT JOIN pairs ON pairs.k = ns.k AND pairs.season = ns.season
+        LEFT JOIN ties ON ties.k = ns.k AND ties.season = ns.season),
+      agg AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n_seasons,
+               CAST(SUM(ng) AS BIGINT) AS n,
+               CAST(SUM(sg) AS BIGINT) AS s,
+               CAST(SUM(var18g) AS BIGINT) AS var18
+        FROM ps GROUP BY k)
+      SELECT k AS user_id, n_seasons, n, s, var18,
+        ROUND(CASE WHEN var18 <= 0 THEN CAST(0.0 AS DOUBLE)
+          WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+            / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+          WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+            / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+          ELSE CAST(0.0 AS DOUBLE) END, 6) AS z,
+        CASE WHEN s > 0 THEN 'increasing' WHEN s < 0 THEN 'decreasing'
+          ELSE 'none' END AS trend
+      FROM agg"""))
+
   val all: Seq[QueryCase] =
     Seq(q400Jonckheere, q401PageTrend, q402CochranArmitage,
       q403Ccc, q404Icc1, q405RunsTest, q406Assortativity,
       q407MantelHaenszel, q408MetaFixed, q409ChiSquare,
-      q410MutualInfo, q411KendallW, q412CohensD, q413CliffsDelta)
+      q410MutualInfo, q411KendallW, q412CohensD, q413CliffsDelta,
+      q414Cronbach, q415NelsonAalen, q416SeasonalMk)
 }

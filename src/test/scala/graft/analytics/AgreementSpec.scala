@@ -121,6 +121,39 @@ class AgreementSpec extends SparkSpec {
     assert(e.getMessage.contains("maxRaters"))
   }
 
+  test("cronbachAlpha: hand panel alpha = 8/9; one item degenerates; " +
+      "duplicate-cell and ragged-panel contracts raise") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("s1", "A", 1.0), ("s2", "A", 2.0), ("s3", "A", 3.0),
+      ("s1", "B", 2.0), ("s2", "B", 4.0), ("s3", "B", 6.0))
+      .toDF("subj", "item", "x")
+    val r = Agreement.cronbachAlpha(df, "subj", "item", "x")
+      .collect().head
+    assert(r.getAs[Long]("k_items") == 2L &&
+      r.getAs[Long]("n_subjects") == 3L)
+    val sA2 = 14.0 / 3.0 - (6.0 / 3.0) * (6.0 / 3.0)
+    val sB2 = 56.0 / 3.0 - (12.0 / 3.0) * (12.0 / 3.0)
+    val sum = (0.0 + sA2) + sB2
+    assert(r.getAs[Double]("sum_s2_items") == sum)
+    assert(r.getAs[Double]("s2_total") == 6.0)
+    assert(r.getAs[Double]("alpha") == (2.0 / 1.0) * (1.0 - sum / 6.0))
+    // one item → alpha = 0 defined
+    val one = Agreement.cronbachAlpha(
+      df.where(col("item") === "A"), "subj", "item", "x")
+      .collect().head
+    assert(one.getAs[Double]("alpha") == 0.0)
+    val dup = intercept[Exception] {
+      Agreement.cronbachAlpha(df.union(df.limit(1)), "subj", "item",
+        "x").collect()
+    }
+    assert(dup.getMessage.contains("duplicate (subject, item)"))
+    val rag = intercept[Exception] {
+      Agreement.cronbachAlpha(df.limit(5), "subj", "item", "x")
+        .collect()
+    }
+    assert(rag.getMessage.contains("incomplete panel"))
+  }
+
   test("kendallW: perfect concordance = exactly 1; one reversed " +
       "rater = 1/9; ragged panel raises via friedman") {
     val perfect = (for (r <- 1 to 3; i <- 1 to 4)

@@ -191,6 +191,28 @@ class DistTestSpec extends SparkSpec {
     assert(e2.getMessage.contains("incomplete block"))
   }
 
+  test("seasonalMannKendall: opposed seasons cancel to S = 0; " +
+      "aligned seasons sum (z with continuity); variance adds") {
+    val opposed = Seq(("k", "A", 1L, 1.0), ("k", "A", 2L, 2.0),
+      ("k", "A", 3L, 3.0), ("k", "B", 1L, 6.0), ("k", "B", 2L, 5.0),
+      ("k", "B", 3L, 4.0)).toDF("key", "season", "ord", "x")
+    val r = DistTest.seasonalMannKendall(opposed, "key", "season",
+      "ord", "x").collect().head
+    assert(r.getAs[Long]("n_seasons") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("s") == 0L)
+    assert(r.getAs[Long]("var18") == 132L)
+    assert(r.getAs[Double]("z") == 0.0 &&
+      r.getAs[String]("trend") == "none")
+    val aligned = Seq(("k", "A", 1L, 1.0), ("k", "A", 2L, 2.0),
+      ("k", "A", 3L, 3.0), ("k", "B", 1L, 4.0), ("k", "B", 2L, 5.0),
+      ("k", "B", 3L, 6.0)).toDF("key", "season", "ord", "x")
+    val a = DistTest.seasonalMannKendall(aligned, "key", "season",
+      "ord", "x").collect().head
+    assert(a.getAs[Long]("s") == 6L)
+    assert(a.getAs[Double]("z") == 5.0 / math.sqrt(132.0 / 18.0))
+    assert(a.getAs[String]("trend") == "increasing")
+  }
+
   test("cliffsDeltaBucketed: disjoint groups = exactly 1; " +
       "tie-overlap panel = 0.75; one-group degenerate") {
     import org.apache.spark.sql.functions.lit

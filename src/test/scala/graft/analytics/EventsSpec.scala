@@ -197,6 +197,24 @@ class EventsSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
   }
 
+  test("nelsonAalen: hand-walked cumulative hazard over three " +
+      "lifetimes with one censored user") {
+    def ts(h: Long) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + h * 3600_000L)
+    val df = Seq(("u1", ts(0)), ("u1", ts(1)), ("u2", ts(0)),
+      ("u2", ts(2)), ("u3", ts(0)), ("u3", ts(50)))
+      .toDF("user_id", "ts")
+    val rows = Events.nelsonAalen(df, "user_id", "ts").collect()
+    assert(rows.map(_.getAs[Long]("t")).toSeq == Seq(1L, 2L, 50L))
+    assert(rows.map(_.getAs[Long]("n_risk")).toSeq == Seq(3L, 2L, 1L))
+    assert(rows.map(_.getAs[Long]("d")).toSeq == Seq(1L, 1L, 0L))
+    assert(rows(0).getAs[Double]("h") == 1.0 / 3.0)
+    assert(rows(1).getAs[Double]("h") == 1.0 / 3.0 + 1.0 / 2.0)
+    assert(rows(2).getAs[Double]("h") == rows(1).getAs[Double]("h"))
+    assert(rows(0).getAs[Double]("var_h") == 1.0 / 9.0)
+    assert(rows(1).getAs[Double]("var_h") == 1.0 / 9.0 + 1.0 / 4.0)
+  }
+
   test("runsTest: alternating panel z = 2/sqrt(1.2); balanced-runs " +
       "z = 0; one-sided and duplicate-order contracts") {
     // T F T F T F → R = 6, n1 = n0 = 3, E[R] = 4, Var = 1.2
