@@ -195,6 +195,71 @@ object Agreement {
             (col("n_blocks") * (col("k_treat") - 1)).cast("double"))
           .as("w"))
 
+  /** Multi-class Cohen's κ over paired labels (Cohen 1960) — the
+    * k-category generalization of [[RankEval.cohenKappa]]'s binary
+    * 2×2: two raters (or a model vs gold) label the same rows from a
+    * shared k-class catalog; chance-corrected agreement from the
+    * full confusion table:
+    *
+    *   p_o = Σ_l O_ll / N,   p_e = Σ_l r_l·c_l / N²
+    *   κ = (p_o − p_e)/(1 − p_e)
+    *
+    * Determinism: cell counts and the Σ r·c products are exact
+    * integers (decimal(38,0)); p_o, p_e, κ a fixed tree of
+    * exactly-rounded double divisions → fully RAW. Scale shape: ONE
+    * map-combinable groupBy over pairs + two marginal rollups; the
+    * observed label pairs are a design grid — more than `maxCells`
+    * raises loudly. Degenerates: p_e = 1 (both raters constant on
+    * the same label) → κ = 1 (the [[RankEval.cohenKappa]]
+    * convention); N = 0 → 0 defined.
+    *
+    * Output (one row): n, k_levels, n_cells, po, pe, kappa.
+    */
+  def multiclassKappa(df: DataFrame, aCol: String, bCol: String,
+                      maxCells: Int = 65536): DataFrame = {
+    require(maxCells >= 1 && maxCells <= (1 << 20),
+      "need 1 <= maxCells <= 2^20")
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy("b").agg(sum(col("o")).as("c"))
+    val levels = rows.select(col("a").as("l"))
+      .unionByName(cols.select(col("b").as("l"))).distinct()
+      .agg(count(lit(1)).as("k_levels"))
+    val diag = cells.where(col("a") === col("b"))
+      .agg(coalesce(sum(col("o")), lit(0L)).as("agree"))
+    val rc = rows.join(cols, col("a") === col("b"))
+      .agg(coalesce(sum(col("r").cast(dec) * col("c")),
+        lit(0).cast(dec)).as("src"))
+    val tot = cells.agg(coalesce(sum(col("o")), lit(0L)).as("n"),
+      count(lit(1)).as("n_cells"))
+    tot.crossJoin(broadcast(levels)).crossJoin(broadcast(diag))
+      .crossJoin(broadcast(rc))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("po",
+        when(col("n") === 0, lit(0.0))
+          .otherwise(col("agree").cast("double") / col("nd")))
+      .withColumn("pe",
+        when(col("n") === 0, lit(0.0))
+          .otherwise(col("src").cast("double") /
+            (col("nd") * col("nd"))))
+      .select(col("n"), col("k_levels"),
+        when(col("n_cells") > maxCells,
+          raise_error(lit(s"multiclassKappa: more than $maxCells " +
+            "observed label pairs — a confusion table is a DESIGN " +
+            "grid; consolidate the label catalog upstream")))
+          .otherwise(col("n_cells")).as("n_cells"),
+        col("po"), col("pe"),
+        when(col("n") === 0, lit(0.0))
+          .when(col("pe") >= 1.0, lit(1.0))
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .as("kappa"))
+  }
+
   /** Cronbach's α internal-consistency reliability (Cronbach 1951) —
     * do k ITEMS measure one underlying trait: the scale-reliability
     * member of the agreement family ([[kendallW]] asks whether RATERS

@@ -716,6 +716,161 @@ object DistTest {
             (col("n").cast("double") * lit(65536.0))).as("mi_bits"))
   }
 
+  /** Two-sample Cramér–von Mises T and Kolmogorov–Smirnov D on a
+    * FIXED score grid — the full-distribution sensitivity the
+    * location tests miss ([[mannWhitneyBucketed]] sees shifts; CvM
+    * integrates the WHOLE squared CDF gap, KS its sup — a scorer
+    * whose two cohorts differ in spread or tails but not median
+    * fails these first). With per-cell group counts and cumulative
+    * counts ca_c (group 1), cb_c (group 2), t_c = cell total:
+    *
+    *   T = Σ_c t_c·(ca_c·n₂ − cb_c·n₁)² / (N²·n₁·n₂)
+    *   D = max_c |ca_c·n₂ − cb_c·n₁| / (n₁·n₂)
+    *
+    * (the empirical-CDF forms cleared to exact integers — every
+    * numerator is decimal(38,0); the max is taken over exact
+    * integers, so the argmax never flips on float drift; one
+    * exactly-rounded division each → fully RAW). T's cubic-in-N
+    * integer term caps the exact form at N ≲ 3·10⁹ rows per
+    * comparison — past that the ANSI decimal overflow raises LOUDLY
+    * (the [[Agreement.fleissKappa]] bound convention; sample or
+    * shard cohorts above it). Grid semantics as
+    * the family: on scores that never split a cell these EQUAL the
+    * exact tie-respecting statistics. One groupBy over the corpus;
+    * the only window runs on the ≤ `buckets` cell table (statically
+    * bounded). Degenerates: either group empty → t = d = 0 defined.
+    *
+    * Output (one row): n1, n2, n_cells, cvm_t, ks_d.
+    */
+  def cvmBucketed(df: DataFrame, groupCol: String, valueCol: String,
+                  lo: Double = 0.0, hi: Double = 1.0,
+                  buckets: Int = 256): DataFrame = {
+    require(hi > lo, "need hi > lo")
+    require(buckets >= 2 && buckets <= (1 << 20),
+      "need 2 <= buckets <= 2^20")
+    val s = col(valueCol).cast("double")
+    val cell = least(greatest(
+      floor(((s - lit(lo)) * lit(buckets.toDouble)) / lit(hi - lo)),
+      lit(0L)), lit(buckets - 1L))
+    val dec = "decimal(38,0)"
+    val perCell = df
+      .where(s.isNotNull && col(groupCol).isNotNull)
+      .groupBy(cell.as("bk"))
+      .agg(
+        sum(when(col(groupCol).cast("boolean"), 1L).otherwise(0L))
+          .as("np"),
+        sum(when(col(groupCol).cast("boolean"), 0L).otherwise(1L))
+          .as("nn"))
+      .limit(buckets) // static bound — see mannWhitneyBucketed
+    val w = Window.orderBy("bk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.plans.Bounded.guard(perCell, "DistTest.cvmBucketed cells")
+      .withColumn("ca", sum(col("np")).over(w).cast(dec))
+      .withColumn("cb", sum(col("nn")).over(w).cast(dec))
+      .agg(
+        coalesce(sum(col("np")), lit(0L)).as("n1"),
+        coalesce(sum(col("nn")), lit(0L)).as("n2"),
+        count(lit(1)).as("n_cells"),
+        max(col("ca")).as("n1d_"), max(col("cb")).as("n2d_"),
+        sort_array(collect_list(struct(col("bk"),
+          (col("np") + col("nn")).cast(dec).as("t"),
+          col("ca"), col("cb")))).as("arr"))
+      .withColumn("num_t",
+        aggregate(col("arr"),
+          lit(0).cast(dec),
+          (acc, e) => acc + e("t") *
+            (e("ca") * col("n2d_") - e("cb") * col("n1d_")) *
+            (e("ca") * col("n2d_") - e("cb") * col("n1d_"))))
+      .withColumn("num_d",
+        aggregate(col("arr"), lit(0).cast(dec),
+          (acc, e) => greatest(acc,
+            abs(e("ca") * col("n2d_") - e("cb") * col("n1d_")))))
+      .withColumn("nd", (col("n1") + col("n2")).cast("double"))
+      .withColumn("p12",
+        (col("n1").cast(dec) * col("n2")).cast("double"))
+      .select(col("n1"), col("n2"), col("n_cells"),
+        when(col("n1") === 0 || col("n2") === 0, lit(0.0))
+          .otherwise(col("num_t").cast("double") /
+            (col("nd") * col("nd") * col("p12"))).as("cvm_t"),
+        when(col("n1") === 0 || col("n2") === 0, lit(0.0))
+          .otherwise(col("num_d").cast("double") / col("p12"))
+          .as("ks_d"))
+  }
+
+  /** Marginal-entropy / mutual-information panel on the 2⁻¹⁶
+    * fixed-point log₂ grid — [[mutualInformation]] completed with
+    * the quantities that make it COMPARABLE: H(A), H(B) and the
+    * normalized mutual information NMI = MI/min(H(A), H(B)) ∈ [0,1]
+    * (the scale-free dependence score a feature-selection or
+    * leakage audit actually ranks by). All on the exact integer
+    * grid ([[graft.operators.UnigramLm.fixedLog2Col]]):
+    *
+    *   h_fp(A) = N·L(N) − Σ_a r_a·L(r_a)   (= N·2¹⁶·H(A) exactly)
+    *   mi_fp as in [[mutualInformation]];  nmi = mi_fp/min(h_fp)
+    *
+    * Same scale shape and `maxCells` design-grid contract.
+    * Degenerates: N = 0 → all 0; a constant column (min marginal
+    * entropy 0) → nmi = 0 defined.
+    *
+    * Output (one row): n, n_cells, h_a_bits, h_b_bits, mi_bits, nmi.
+    */
+  def entropyPanel(df: DataFrame, aCol: String, bCol: String,
+                   maxCells: Int = 65536): DataFrame = {
+    require(maxCells >= 1 && maxCells <= (1 << 20),
+      "need 1 <= maxCells <= 2^20")
+    val dec = "decimal(38,0)"
+    import graft.operators.UnigramLm.fixedLog2Col
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val nRow = cells.agg(coalesce(sum(col("o")), lit(0L)).as("n"))
+    val cGuard = cells.agg(count(lit(1)).as("n_cells"))
+    val rows = cells.groupBy("a").agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy("b").agg(sum(col("o")).as("c"))
+    val hA = rows.agg(coalesce(sum(col("r").cast(dec) *
+      fixedLog2Col(col("r"))), lit(0).cast(dec)).as("srl"))
+    val hB = cols.agg(coalesce(sum(col("c").cast(dec) *
+      fixedLog2Col(col("c"))), lit(0).cast(dec)).as("scl"))
+    val mi = cells.join(rows, Seq("a")).join(cols, Seq("b"))
+      .crossJoin(broadcast(nRow))
+      .select(col("o"),
+        (fixedLog2Col(col("o")) + fixedLog2Col(col("n"))
+          - fixedLog2Col(col("r")) - fixedLog2Col(col("c")))
+          .as("lterm"))
+      .agg(coalesce(sum(col("o").cast(dec) * col("lterm")),
+        lit(0).cast(dec)).as("mi_fp"))
+    mi.crossJoin(broadcast(nRow)).crossJoin(broadcast(cGuard))
+      .crossJoin(broadcast(hA)).crossJoin(broadcast(hB))
+      .withColumn("ln_fp",
+        when(col("n") === 0, lit(0).cast(dec))
+          .otherwise(col("n").cast(dec) * fixedLog2Col(col("n"))))
+      .withColumn("ha_fp", col("ln_fp") - col("srl"))
+      .withColumn("hb_fp", col("ln_fp") - col("scl"))
+      .withColumn("hmin_fp", least(col("ha_fp"), col("hb_fp")))
+      .withColumn("scale",
+        col("n").cast("double") * lit(65536.0))
+      .select(col("n"),
+        when(col("n_cells") > maxCells,
+          raise_error(lit(s"entropyPanel: more than $maxCells " +
+            "observed cells — a contingency table is a DESIGN grid; " +
+            "bucket a high-cardinality axis upstream")))
+          .otherwise(col("n_cells")).as("n_cells"),
+        when(col("n") === 0, lit(0.0))
+          .otherwise(col("ha_fp").cast("double") / col("scale"))
+          .as("h_a_bits"),
+        when(col("n") === 0, lit(0.0))
+          .otherwise(col("hb_fp").cast("double") / col("scale"))
+          .as("h_b_bits"),
+        when(col("n") === 0, lit(0.0))
+          .otherwise(col("mi_fp").cast("double") / col("scale"))
+          .as("mi_bits"),
+        when(col("n") === 0 || col("hmin_fp") <= 0, lit(0.0))
+          .otherwise(col("mi_fp").cast("double") /
+            col("hmin_fp").cast("double")).as("nmi"))
+  }
+
   /** Jonckheere–Terpstra trend test (Jonckheere 1954, Terpstra 1952)
     * on a FIXED score grid — the ORDERED-alternative member of the
     * k-group rank family: [[kruskalWallisBucketed]] asks "do the k

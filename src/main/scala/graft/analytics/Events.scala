@@ -1613,6 +1613,65 @@ object Events {
       .toDF(keyCol, "n", "m", "dtw_units")
   }
 
+  /** Durbin–Watson statistic per key (Durbin & Watson 1950) — is
+    * there FIRST-ORDER serial correlation left in a residual/metric
+    * series: DW ≈ 2 means none, → 0 positive, → 4 negative. The
+    * numeric companion to [[runsTest]]'s sign reading and [[acf]]'s
+    * full panel (DW ≈ 2(1 − r₁) — one number, no lag grid):
+    *
+    *   DW = Σ_{t≥2} (x_t − x_{t−1})² / Σ_t x_t²
+    *
+    * Determinism: values quantize to decimal(18,6) at intake (the
+    * fixed-decimal-metric contract); successive differences and both
+    * squared sums are EXACT decimals (order-free, map-side
+    * combinable), cast to double once for the single division →
+    * fully RAW. Scale shape: one per-key ordered lag window (keys
+    * stream through), one per-key aggregate. Loud contract:
+    * duplicate (key, order) rows raise (the [[runsTest]] total-order
+    * discipline). Degenerates: Σx² = 0 or n < 2 → dw = 0 defined.
+    *
+    * Output per key: (key, n, sum_d2, sum_x2, dw), ordered.
+    */
+  def durbinWatson(df: DataFrame, keyCol: String, orderCol: String,
+                   valueCol: String): DataFrame = {
+    val dec6 = "decimal(18,6)"
+    val base = df.select(col(keyCol).cast("string").as("k"),
+        col(orderCol).cast("long").as("ord"),
+        col(valueCol).cast("double").cast(dec6).as("x"))
+      .where(col("x").isNotNull)
+    val wk = Window.partitionBy("k").orderBy("ord")
+    val dupw = Window.partitionBy("k", "ord")
+    base
+      .withColumn("dup", count(lit(1)).over(dupw))
+      .withColumn("x",
+        when(col("dup") > 1,
+          raise_error(lit("durbinWatson: duplicate (key, order) " +
+            "rows — the lag needs a total order per key; aggregate " +
+            "upstream")))
+          .otherwise(col("x")))
+      .withColumn("prev", lag(col("x"), 1).over(wk))
+      // difference re-cast to (18,6): exact (the subtraction is on
+      // the shared 1e-6 grid), ANSI-loud if |diff| ever hits 1e12;
+      // its square then stays within decimal(37,12) — never a
+      // silently-rounding >38-precision product
+      .withColumn("dprev",
+        (col("x").cast("decimal(19,6)") - col("prev"))
+          .cast("decimal(18,6)"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("dprev") * col("dprev")),
+          lit(0).cast("decimal(38,12)")).as("d2"),
+        sum(col("x").cast("decimal(19,6)") * col("x")).as("x2"))
+      .select(col("k").as(keyCol), col("n"),
+        col("d2").cast("double").as("sum_d2"),
+        col("x2").cast("double").as("sum_x2"))
+      .withColumn("dw",
+        when(col("n") < 2 || col("sum_x2") <= 0.0, lit(0.0))
+          .otherwise(col("sum_d2") / col("sum_x2")))
+      .orderBy(keyCol)
+  }
+
   /** Nelson–Aalen cumulative-hazard estimator (Nelson 1972, Aalen
     * 1978) — the hazard-domain reading of the retention curve
     * [[kaplanMeier]] gives in the survival domain (and the libm-FREE

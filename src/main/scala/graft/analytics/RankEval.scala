@@ -295,8 +295,11 @@ object RankEval {
     * generalizations are [[graft.analytics.Agreement.fleissKappa]]
     * (fixed rater count) and
     * [[graft.analytics.Agreement.krippendorffAlpha]] (the canonical
-    * member: tolerates missing ratings); the CONTINUOUS-score members
-    * are [[graft.analytics.Agreement.ccc]] (Lin's concordance on
+    * member: tolerates missing ratings); the k-CATEGORY
+    * confusion-table generalization of this binary κ is
+    * [[graft.analytics.Agreement.multiclassKappa]]; the
+    * CONTINUOUS-score members are
+    * [[graft.analytics.Agreement.ccc]] (Lin's concordance on
     * paired scores) and [[graft.analytics.Agreement.icc1]] (one-way
     * intraclass correlation); the ORDINAL member is
     * [[graft.analytics.Agreement.kendallW]] (concordance of

@@ -1173,10 +1173,246 @@ object TestQueries29 {
           ELSE 'none' END AS trend
       FROM agg"""))
 
+  /** Durbin–Watson serial-correlation statistic of per-user daily
+    * volume — [[graft.analytics.Events.durbinWatson]] on the q416
+    * daily frame: one number per user (≈2 none, →0 positive, →4
+    * negative). Integer counts → everything exact; fully RAW.
+    */
+  val q417DurbinWatson: QueryCase = QueryCase(
+    "q417_durbin_watson",
+    (s, dir) => {
+      val daily = Tables.events(s, dir).where(col("user_id") < 40)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_ev"))
+        .select(col("user_id"),
+          datediff(col("day"), lit("2024-01-01").cast("date"))
+            .cast("long").as("ord"),
+          col("n_ev"))
+      graft.analytics.Events.durbinWatson(daily, "user_id", "ord",
+        "n_ev")
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(user_id AS VARCHAR) AS k,
+               CAST(date_diff('day', DATE '2024-01-01',
+                 CAST(ts AS DATE)) AS BIGINT) AS ord,
+               CAST(COUNT(*) AS HUGEINT) AS x
+        FROM events WHERE user_id < 40
+        GROUP BY user_id, CAST(ts AS DATE)),
+      lagd AS (
+        SELECT k, x,
+          LAG(x) OVER (PARTITION BY k ORDER BY ord) AS prev
+        FROM daily),
+      agg AS (
+        SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+          COALESCE(SUM((x - prev) * (x - prev)), 0) AS d2,
+          SUM(x * x) AS x2
+        FROM lagd GROUP BY k)
+      SELECT k AS user_id, n,
+        CAST(d2 AS DOUBLE) AS sum_d2,
+        CAST(x2 AS DOUBLE) AS sum_x2,
+        CASE WHEN n < 2 OR CAST(x2 AS DOUBLE) <= 0.0
+          THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(d2 AS DOUBLE) / CAST(x2 AS DOUBLE) END AS dw
+      FROM agg"""))
+
+  /** Entropy/NMI panel for event type × weekday —
+    * [[graft.analytics.DistTest.entropyPanel]]: q410's MI made
+    * comparable — marginal entropies and NMI = MI/min(H) ∈ [0,1] on
+    * the exact 2⁻¹⁶ grid. Fully RAW, HUGEINT oracle replay.
+    */
+  val q418EntropyPanel: QueryCase = QueryCase(
+    "q418_entropy_panel",
+    (s, dir) => graft.analytics.DistTest.entropyPanel(
+      Tables.events(s, dir)
+        .select(col("event_type").as("a"),
+          dayofweek(col("ts")).as("b")),
+      "a", "b"),
+    Some(s"""
+      WITH cells AS (
+        SELECT CAST(event_type AS VARCHAR) AS a,
+               CAST(dayofweek(ts) + 1 AS VARCHAR) AS b,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
+      rm AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells
+             GROUP BY a),
+      cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells
+             GROUP BY b),
+      nr AS (SELECT COALESCE(CAST(SUM(o) AS BIGINT), 0) AS n
+             FROM cells),
+      ncl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells),
+      ha AS (
+        SELECT COALESCE(SUM(CAST(r AS HUGEINT) * ${lSql("r")}), 0)
+          AS srl
+        FROM rm),
+      hb AS (
+        SELECT COALESCE(SUM(CAST(c AS HUGEINT) * ${lSql("c")}), 0)
+          AS scl
+        FROM cm),
+      mi AS (
+        SELECT COALESCE(SUM(CAST(o AS HUGEINT)
+          * (${lSql("o")} + ${lSql("n")} - ${lSql("r")}
+             - ${lSql("c")})), 0) AS mi_fp
+        FROM cells JOIN rm USING (a) JOIN cm USING (b), nr),
+      f AS (
+        SELECT n, n_cells, mi_fp,
+          CASE WHEN n = 0 THEN CAST(0 AS HUGEINT)
+            ELSE CAST(n AS HUGEINT) * ${lSql("n")} END AS ln_fp,
+          srl, scl,
+          CAST(n AS DOUBLE) * 65536.0 AS scale
+        FROM nr, ncl, ha, hb, mi),
+      g AS (
+        SELECT n, n_cells, mi_fp, scale,
+          ln_fp - srl AS ha_fp, ln_fp - scl AS hb_fp,
+          LEAST(ln_fp - srl, ln_fp - scl) AS hmin_fp
+        FROM f)
+      SELECT n, n_cells,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(ha_fp AS DOUBLE) / scale END AS h_a_bits,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(hb_fp AS DOUBLE) / scale END AS h_b_bits,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(mi_fp AS DOUBLE) / scale END AS mi_bits,
+        CASE WHEN n = 0 OR hmin_fp <= 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(mi_fp AS DOUBLE) / CAST(hmin_fp AS DOUBLE) END
+          AS nmi
+      FROM g"""))
+
+  /** Multi-class Cohen's κ between the event-type label and a noisy
+    * relabeler (high-value events collapsed to 'view') —
+    * [[graft.analytics.Agreement.multiclassKappa]]: chance-corrected
+    * agreement over the full k-class confusion table, the k-ary
+    * sibling of q63's binary kappa. Fully RAW.
+    */
+  val q419MulticlassKappa: QueryCase = QueryCase(
+    "q419_multiclass_kappa",
+    (s, dir) => graft.analytics.Agreement.multiclassKappa(
+      Tables.events(s, dir)
+        .select(col("event_type").as("a"),
+          when(col("value").cast("double") > 90.0, lit("view"))
+            .otherwise(col("event_type")).as("b")),
+      "a", "b"),
+    Some("""
+      WITH pairs AS (
+        SELECT CAST(event_type AS VARCHAR) AS a,
+               CASE WHEN CAST(value AS DOUBLE) > 90.0 THEN 'view'
+                 ELSE CAST(event_type AS VARCHAR) END AS b
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      cells AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM pairs WHERE a IS NOT NULL AND b IS NOT NULL
+        GROUP BY a, b),
+      rm AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM cells
+             GROUP BY a),
+      cm AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM cells
+             GROUP BY b),
+      lv AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_levels FROM (
+          SELECT a AS l FROM rm UNION SELECT b FROM cm)),
+      dg AS (
+        SELECT COALESCE(CAST(SUM(o) AS BIGINT), 0) AS agree
+        FROM cells WHERE a = b),
+      rc AS (
+        SELECT COALESCE(SUM(CAST(r AS HUGEINT) * c), 0) AS src
+        FROM rm JOIN cm ON rm.a = cm.b),
+      tot AS (
+        SELECT COALESCE(CAST(SUM(o) AS BIGINT), 0) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM cells),
+      f AS (
+        SELECT n, k_levels, n_cells,
+          CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) END AS po,
+          CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+            ELSE CAST(src AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) END AS pe
+        FROM tot, lv, dg, rc)
+      SELECT n, k_levels, n_cells, po, pe,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+          WHEN pe >= 1.0 THEN CAST(1.0 AS DOUBLE)
+          ELSE (po - pe) / (1.0 - pe) END AS kappa
+      FROM f"""))
+
+  /** Two-sample Cramér–von Mises + KS of the TTR scorer between
+    * lang='en' and the rest — [[graft.analytics.DistTest
+    * .cvmBucketed]] on the q389/q413 grid: the full-distribution
+    * reading (spread/tail shifts) beside their location/effect ones.
+    * Exact-integer numerators → fully RAW.
+    */
+  val q420Cvm: QueryCase = QueryCase(
+    "q420_cvm",
+    (s, dir) => {
+      val sc = Tables.documents(s, dir)
+        .select(col("lang"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 0)
+        .select(col("lang"),
+          (size(array_distinct(col("tk"))).cast("double") /
+            size(col("tk")).cast("double")).as("ttr"))
+      graft.analytics.DistTest.cvmBucketed(
+        sc.select(col("ttr"), (col("lang") === "en").as("y")),
+        "y", "ttr", lo = 0.0, hi = 1.0, buckets = 256)
+    },
+    Some(s"""
+      WITH sc AS (
+        SELECT lang,
+               CAST(len(list_distinct(tk)) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) AS ttr
+        FROM (SELECT lang, $TokensSql AS tk FROM documents)
+        WHERE len(tk) > 0),
+      b AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(
+                 ((ttr - CAST(0.0 AS DOUBLE)) * CAST(256.0 AS DOUBLE))
+                   / CAST(1.0 AS DOUBLE)) AS BIGINT), 0), 255) AS bk,
+               (lang = 'en') AS g
+        FROM sc WHERE ttr IS NOT NULL AND lang IS NOT NULL),
+      pb AS (
+        SELECT bk,
+          CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS np,
+          CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        FROM b GROUP BY bk),
+      cum AS (
+        SELECT bk, np, nn, np + nn AS t,
+          CAST(SUM(np) OVER (ORDER BY bk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS HUGEINT) AS ca,
+          CAST(SUM(nn) OVER (ORDER BY bk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS HUGEINT) AS cb
+        FROM pb),
+      tots AS (
+        SELECT COALESCE(CAST(SUM(np) AS BIGINT), 0) AS n1,
+               COALESCE(CAST(SUM(nn) AS BIGINT), 0) AS n2,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM pb),
+      agg AS (
+        SELECT
+          COALESCE(SUM(CAST(t AS HUGEINT)
+            * (ca * n2 - cb * n1) * (ca * n2 - cb * n1)), 0)
+            AS num_t,
+          COALESCE(MAX(ABS(ca * n2 - cb * n1)), 0) AS num_d
+        FROM cum, tots),
+      f AS (
+        SELECT n1, n2, n_cells, num_t, num_d,
+          CAST(n1 + n2 AS DOUBLE) AS nd,
+          CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) AS p12
+        FROM tots, agg)
+      SELECT n1, n2, n_cells,
+        CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(num_t AS DOUBLE) / (nd * nd * p12) END AS cvm_t,
+        CASE WHEN n1 = 0 OR n2 = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(num_d AS DOUBLE) / p12 END AS ks_d
+      FROM f"""))
+
   val all: Seq[QueryCase] =
     Seq(q400Jonckheere, q401PageTrend, q402CochranArmitage,
       q403Ccc, q404Icc1, q405RunsTest, q406Assortativity,
       q407MantelHaenszel, q408MetaFixed, q409ChiSquare,
       q410MutualInfo, q411KendallW, q412CohensD, q413CliffsDelta,
-      q414Cronbach, q415NelsonAalen, q416SeasonalMk)
+      q414Cronbach, q415NelsonAalen, q416SeasonalMk,
+      q417DurbinWatson, q418EntropyPanel, q419MulticlassKappa,
+      q420Cvm)
 }

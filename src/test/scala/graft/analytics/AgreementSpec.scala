@@ -121,6 +121,35 @@ class AgreementSpec extends SparkSpec {
     assert(e.getMessage.contains("maxRaters"))
   }
 
+  test("multiclassKappa: 2x2 hand confusion (po .75, pe .53); " +
+      "perfect and constant tables pin kappa = 1; over-grid raises") {
+    def table(c: Seq[((String, String), Int)]) =
+      c.flatMap { case (p, n) => Seq.fill(n)(p) }.toDF("a", "b")
+    val df = table(Seq((("x", "x"), 10), (("x", "y"), 2),
+      (("y", "x"), 3), (("y", "y"), 5)))
+    val r = Agreement.multiclassKappa(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 20L &&
+      r.getAs[Long]("k_levels") == 2L)
+    val po = 15.0 / 20.0
+    val pe = 212.0 / 400.0
+    assert(r.getAs[Double]("po") == po)
+    assert(r.getAs[Double]("pe") == pe)
+    assert(r.getAs[Double]("kappa") == (po - pe) / (1.0 - pe))
+    // perfect diagonal → kappa = 1; both constant → pe = 1 → kappa 1
+    val perfect = table(Seq((("x", "x"), 3), (("y", "y"), 2),
+      (("z", "z"), 1)))
+    assert(Agreement.multiclassKappa(perfect, "a", "b").collect()
+      .head.getAs[Double]("kappa") == 1.0)
+    val const = table(Seq((("x", "x"), 4)))
+    val c = Agreement.multiclassKappa(const, "a", "b").collect().head
+    assert(c.getAs[Double]("pe") == 1.0 &&
+      c.getAs[Double]("kappa") == 1.0)
+    val e = intercept[Exception] {
+      Agreement.multiclassKappa(df, "a", "b", maxCells = 2).collect()
+    }
+    assert(e.getMessage.contains("observed label pairs"))
+  }
+
   test("cronbachAlpha: hand panel alpha = 8/9; one item degenerates; " +
       "duplicate-cell and ragged-panel contracts raise") {
     import org.apache.spark.sql.functions.col

@@ -270,6 +270,51 @@ class DistTestSpec extends SparkSpec {
     assert(e.getMessage.contains("observed cells"))
   }
 
+  test("entropyPanel: dependent pair H = MI = NMI = 1 exactly; " +
+      "independent NMI = 0; constant axis NMI = 0 defined") {
+    val dep = (Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y")))
+      .toDF("a", "b")
+    val r = DistTest.entropyPanel(dep, "a", "b").collect().head
+    assert(r.getAs[Double]("h_a_bits") == 1.0 &&
+      r.getAs[Double]("h_b_bits") == 1.0)
+    assert(r.getAs[Double]("mi_bits") == 1.0 &&
+      r.getAs[Double]("nmi") == 1.0)
+    val ind = DistTest.entropyPanel(
+      Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+        .toDF("a", "b"), "a", "b").collect().head
+    assert(ind.getAs[Double]("mi_bits") == 0.0 &&
+      ind.getAs[Double]("nmi") == 0.0)
+    assert(ind.getAs[Double]("h_a_bits") == 1.0)
+    val const = DistTest.entropyPanel(
+      Seq(("x", "p"), ("y", "p")).toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(const.getAs[Double]("h_b_bits") == 0.0 &&
+      const.getAs[Double]("nmi") == 0.0)
+  }
+
+  test("cvmBucketed: disjoint groups (T = 0.375, D = 1); identical " +
+      "groups = 0; one-group degenerate") {
+    import org.apache.spark.sql.functions.lit
+    val win = Seq((true, 3.0), (true, 4.0), (false, 1.0),
+      (false, 2.0)).toDF("g", "v")
+    val r = DistTest.cvmBucketed(win, "g", "v",
+      lo = 0.0, hi = 8.0, buckets = 8).collect().head
+    assert(r.getAs[Long]("n1") == 2L && r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Double]("cvm_t") == 24.0 / 64.0)
+    assert(r.getAs[Double]("ks_d") == 1.0)
+    val same = Seq((true, 1.0), (true, 2.0), (false, 1.0),
+      (false, 2.0)).toDF("g", "v")
+    val s = DistTest.cvmBucketed(same, "g", "v",
+      lo = 0.0, hi = 8.0, buckets = 8).collect().head
+    assert(s.getAs[Double]("cvm_t") == 0.0 &&
+      s.getAs[Double]("ks_d") == 0.0)
+    val one = DistTest.cvmBucketed(
+      win.withColumn("g", lit(true)), "g", "v",
+      lo = 0.0, hi = 8.0, buckets = 8).collect().head
+    assert(one.getAs[Double]("cvm_t") == 0.0 &&
+      one.getAs[Double]("ks_d") == 0.0)
+  }
+
   test("mutualInformation: perfectly-dependent binary pair = exactly " +
       "1 bit on the grid; independent = exactly 0; over-grid raises") {
     val dep = (Seq.fill(5)(("x", "x")) ++ Seq.fill(5)(("y", "y")))

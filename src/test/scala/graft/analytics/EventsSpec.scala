@@ -197,6 +197,33 @@ class EventsSpec extends SparkSpec {
     } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
   }
 
+  test("durbinWatson: hand panels (5/21 trend, 3 alternating); " +
+      "constants and singletons degenerate; duplicate order raises") {
+    val df = Seq(("k", 1L, 1.0), ("k", 2L, 2.0), ("k", 3L, 4.0))
+      .toDF("key", "ord", "x")
+    val r = Events.durbinWatson(df, "key", "ord", "x").collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Double]("sum_d2") == 5.0)
+    assert(r.getAs[Double]("sum_x2") == 21.0)
+    assert(r.getAs[Double]("dw") == 5.0 / 21.0)
+    val alt = Seq(("k", 1L, 1.0), ("k", 2L, -1.0), ("k", 3L, 1.0),
+      ("k", 4L, -1.0)).toDF("key", "ord", "x")
+    val a = Events.durbinWatson(alt, "key", "ord", "x").collect().head
+    assert(a.getAs[Double]("dw") == 3.0)
+    val const = Events.durbinWatson(
+      df.withColumn("x", lit(2.0)), "key", "ord", "x").collect().head
+    assert(const.getAs[Double]("sum_d2") == 0.0 &&
+      const.getAs[Double]("dw") == 0.0)
+    val solo = Events.durbinWatson(df.limit(1), "key", "ord", "x")
+      .collect().head
+    assert(solo.getAs[Double]("dw") == 0.0)
+    val e = intercept[Exception] {
+      Events.durbinWatson(df.union(df.limit(1)), "key", "ord", "x")
+        .collect()
+    }
+    assert(e.getMessage.contains("duplicate (key, order)"))
+  }
+
   test("nelsonAalen: hand-walked cumulative hazard over three " +
       "lifetimes with one censored user") {
     def ts(h: Long) = new Timestamp(
