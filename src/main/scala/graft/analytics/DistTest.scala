@@ -716,6 +716,79 @@ object DistTest {
             (col("n").cast("double") * lit(65536.0))).as("mi_bits"))
   }
 
+  /** Categorical distribution distances between two cohorts — total
+    * variation, Hellinger and the Bhattacharyya coefficient over a
+    * shared category axis: the CATEGORICAL drift panel beside
+    * [[graft.analytics.CorpusStats]] distributionShift's numeric
+    * PSI/EMD (source-mix drift, label-distribution shift, a language
+    * mix that moved between snapshots). With per-category counts
+    * a_c (cohort A, total n_a) and b_c (cohort B, total n_b):
+    *
+    *   TV = Σ_c |a_c·n_b − b_c·n_a| / (2·n_a·n_b)   ∈ [0, 1]
+    *   BC = Σ_c √(a_c/n_a)·√(b_c/n_b),  H = √(1 − BC)  ∈ [0, 1]
+    *
+    * Determinism: TV's numerator is an EXACT decimal(38,0) integer
+    * (one exactly-rounded division); BC's per-cell terms are
+    * products of exactly-rounded sqrt's of exact rationals, folded
+    * in CATEGORY ORDER (IEEE sqrt is correctly rounded — both
+    * engines replay the identical sequence); H is one more sqrt →
+    * fully RAW. Scale shape: one groupBy per cohort on the category
+    * axis, one full-outer union — the category axis is a design
+    * grid: more than `maxCells` raises loudly. Degenerates: either
+    * cohort empty → tv = 1, bc = 0, hellinger = 1 (maximal
+    * separation) unless BOTH empty → all 0 defined.
+    *
+    * Output (one row): n_a, n_b, n_cells, tv, bc, hellinger.
+    */
+  def categoricalDistance(a: DataFrame, b: DataFrame, catCol: String,
+                          maxCells: Int = 65536): DataFrame = {
+    require(maxCells >= 1 && maxCells <= (1 << 20),
+      "need 1 <= maxCells <= 2^20")
+    val dec = "decimal(38,0)"
+    def counts(df: DataFrame, out: String) = df
+      .where(col(catCol).isNotNull)
+      .groupBy(col(catCol).cast("string").as("cat"))
+      .agg(count(lit(1)).as(out))
+    val merged = counts(a, "ca").join(counts(b, "cb"), Seq("cat"),
+        "full_outer")
+      .select(col("cat"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    merged.groupBy()
+      .agg(
+        count(lit(1)).as("n_cells"),
+        coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+        coalesce(sum(col("cb")), lit(0L)).as("n_b"),
+        sort_array(collect_list(struct(col("cat"),
+          col("ca").cast("double").as("cad"),
+          col("cb").cast("double").as("cbd")))).as("arr"))
+      .withColumn("tv_num",
+        aggregate(col("arr"), lit(0).cast(dec),
+          (acc, e) => acc + abs(e("cad").cast(dec) * col("n_b")
+            - e("cbd").cast(dec) * col("n_a"))))
+      .withColumn("bc",
+        when(col("n_a") === 0 || col("n_b") === 0, lit(0.0))
+          .otherwise(aggregate(col("arr"), lit(0.0),
+            (acc, e) => acc +
+              sqrt(e("cad") / col("n_a").cast("double")) *
+              sqrt(e("cbd") / col("n_b").cast("double")))))
+      .select(
+        col("n_a"), col("n_b"),
+        when(col("n_cells") > maxCells,
+          raise_error(lit(s"categoricalDistance: more than " +
+            s"$maxCells categories — the category axis is a DESIGN " +
+            "grid; bucket a high-cardinality axis upstream")))
+          .otherwise(col("n_cells")).as("n_cells"),
+        when(col("n_a") === 0 && col("n_b") === 0, lit(0.0))
+          .when(col("n_a") === 0 || col("n_b") === 0, lit(1.0))
+          .otherwise(col("tv_num").cast("double") /
+            (lit(2.0) * col("n_a").cast("double") *
+              col("n_b").cast("double"))).as("tv"),
+        col("bc"),
+        when(col("n_a") === 0 && col("n_b") === 0, lit(0.0))
+          .otherwise(sqrt(greatest(lit(0.0), lit(1.0) - col("bc"))))
+          .as("hellinger"))
+  }
+
   /** Two-sample Cramér–von Mises T and Kolmogorov–Smirnov D on a
     * FIXED score grid — the full-distribution sensitivity the
     * location tests miss ([[mannWhitneyBucketed]] sees shifts; CvM

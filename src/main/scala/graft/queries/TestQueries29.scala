@@ -1407,6 +1407,69 @@ object TestQueries29 {
           ELSE CAST(num_d AS DOUBLE) / p12 END AS ks_d
       FROM f"""))
 
+  /** Categorical drift of the event-type mix across the q334 period
+    * split — [[graft.analytics.DistTest.categoricalDistance]]: total
+    * variation (exact-integer cleared) + Hellinger/Bhattacharyya
+    * (exactly-rounded sqrts, category-ordered folds) between the
+    * pre and post cohorts. Fully RAW.
+    */
+  val q421CatDistance: QueryCase = QueryCase(
+    "q421_cat_distance",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = lit("2024-01-15").cast("timestamp")
+      graft.analytics.DistTest.categoricalDistance(
+        ev.where(col("ts") < cut).select(col("event_type")),
+        ev.where(col("ts") >= cut).select(col("event_type")),
+        "event_type")
+    },
+    Some(s"""
+      WITH ca_ AS (
+        SELECT CAST(event_type AS VARCHAR) AS cat,
+               CAST(COUNT(*) AS BIGINT) AS ca
+        FROM events
+        WHERE ts < TIMESTAMP '2024-01-15' AND event_type IS NOT NULL
+        GROUP BY 1),
+      cb_ AS (
+        SELECT CAST(event_type AS VARCHAR) AS cat,
+               CAST(COUNT(*) AS BIGINT) AS cb
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15' AND event_type IS NOT NULL
+        GROUP BY 1),
+      m AS (
+        SELECT COALESCE(ca_.cat, cb_.cat) AS cat,
+               COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM ca_ FULL OUTER JOIN cb_ ON ca_.cat = cb_.cat),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+          COALESCE(CAST(SUM(ca) AS BIGINT), 0) AS n_a,
+          COALESCE(CAST(SUM(cb) AS BIGINT), 0) AS n_b
+        FROM m),
+      tv_ AS (
+        SELECT COALESCE(SUM(ABS(CAST(ca AS HUGEINT) * n_b
+          - CAST(cb AS HUGEINT) * n_a)), 0) AS tv_num
+        FROM m, agg),
+      bc_ AS (
+        SELECT CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE (SELECT ${foldSql(
+            """list(SQRT(CAST(ca AS DOUBLE) / CAST(agg.n_a AS DOUBLE))
+                 * SQRT(CAST(cb AS DOUBLE) / CAST(agg.n_b AS DOUBLE))
+               ORDER BY cat)""", "tvx")} FROM m) END AS bc
+        FROM agg),
+      f AS (
+        SELECT n_a, n_b, n_cells, tv_num, bc
+        FROM agg, tv_, bc_)
+      SELECT n_a, n_b, n_cells,
+        CASE WHEN n_a = 0 AND n_b = 0 THEN CAST(0.0 AS DOUBLE)
+          WHEN n_a = 0 OR n_b = 0 THEN CAST(1.0 AS DOUBLE)
+          ELSE CAST(tv_num AS DOUBLE)
+            / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END
+          AS tv,
+        bc,
+        CASE WHEN n_a = 0 AND n_b = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE SQRT(GREATEST(0.0, 1.0 - bc)) END AS hellinger
+      FROM f"""))
+
   val all: Seq[QueryCase] =
     Seq(q400Jonckheere, q401PageTrend, q402CochranArmitage,
       q403Ccc, q404Icc1, q405RunsTest, q406Assortativity,
@@ -1414,5 +1477,5 @@ object TestQueries29 {
       q410MutualInfo, q411KendallW, q412CohensD, q413CliffsDelta,
       q414Cronbach, q415NelsonAalen, q416SeasonalMk,
       q417DurbinWatson, q418EntropyPanel, q419MulticlassKappa,
-      q420Cvm)
+      q420Cvm, q421CatDistance)
 }

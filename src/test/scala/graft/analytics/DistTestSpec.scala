@@ -292,6 +292,46 @@ class DistTestSpec extends SparkSpec {
       const.getAs[Double]("nmi") == 0.0)
   }
 
+  test("categoricalDistance: mirrored 3:1 panel (TV = 0.5); disjoint " +
+      "supports pin tv = hellinger = 1; empty-cohort degenerates") {
+    val a = (Seq.fill(3)("x") ++ Seq.fill(1)("y")).toDF("cat")
+    val bb = (Seq.fill(1)("x") ++ Seq.fill(3)("y")).toDF("cat")
+    val r = DistTest.categoricalDistance(a, bb, "cat").collect().head
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L &&
+      r.getAs[Long]("n_cells") == 2L)
+    assert(r.getAs[Double]("tv") == 0.5)
+    val bc = (0.0 + math.sqrt(3.0 / 4.0) * math.sqrt(1.0 / 4.0)) +
+      math.sqrt(1.0 / 4.0) * math.sqrt(3.0 / 4.0)
+    assert(r.getAs[Double]("bc") == bc)
+    assert(r.getAs[Double]("hellinger") == math.sqrt(1.0 - bc))
+    // identical distributions → tv = 0
+    val same = DistTest.categoricalDistance(a, a, "cat")
+      .collect().head
+    assert(same.getAs[Double]("tv") == 0.0)
+    // disjoint supports → maximal separation, exactly
+    val dis = DistTest.categoricalDistance(
+      Seq("x", "x").toDF("cat"), Seq("y").toDF("cat"), "cat")
+      .collect().head
+    assert(dis.getAs[Double]("tv") == 1.0 &&
+      dis.getAs[Double]("bc") == 0.0 &&
+      dis.getAs[Double]("hellinger") == 1.0)
+    // one cohort empty → maximal; both empty → all 0
+    val oneEmpty = DistTest.categoricalDistance(a,
+      Seq.empty[String].toDF("cat"), "cat").collect().head
+    assert(oneEmpty.getAs[Double]("tv") == 1.0 &&
+      oneEmpty.getAs[Double]("hellinger") == 1.0)
+    val bothEmpty = DistTest.categoricalDistance(
+      Seq.empty[String].toDF("cat"), Seq.empty[String].toDF("cat"),
+      "cat").collect().head
+    assert(bothEmpty.getAs[Double]("tv") == 0.0 &&
+      bothEmpty.getAs[Double]("hellinger") == 0.0)
+    val e = intercept[Exception] {
+      DistTest.categoricalDistance(a, bb, "cat", maxCells = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("categories"))
+  }
+
   test("cvmBucketed: disjoint groups (T = 0.375, D = 1); identical " +
       "groups = 0; one-group degenerate") {
     import org.apache.spark.sql.functions.lit
