@@ -260,6 +260,71 @@ object Agreement {
           .as("kappa"))
   }
 
+  /** Quadratic-weighted Cohen's κ over paired ORDINAL labels (Cohen
+    * 1968) — [[multiclassKappa]] treats a 1-step and a 4-step
+    * disagreement identically; on an ordered severity/quality scale
+    * the weighted form charges disagreement by (i−j)²:
+    *
+    *   κ_w = 1 − N·Σ_ij (i−j)²·O_ij / Σ_ij (i−j)²·r_i·c_j
+    *
+    * (quadratic weights — the standard for ordinal scales, and the
+    * form that equals ICC on large samples). Labels must carry their
+    * ORDER as integers (try_cast long): a NULL or unparsable label
+    * raises loudly (the ordinal contract — string categories belong
+    * in [[multiclassKappa]]; fractional doubles truncate to their
+    * integer grade). Every sum is an exact decimal(38,0) off
+    * one groupBy + marginal rollups + the bounded level-pair grid;
+    * κ is ONE exactly-rounded division → fully RAW. Degenerates:
+    * N = 0 → 0; chance weighted disagreement 0 (a constant rater
+    * pair) → κ = 1 (the [[multiclassKappa]] p_e = 1 convention).
+    *
+    * Output (one row): n, k_levels, num_w, den_w, kappa_w.
+    */
+  def weightedKappa(df: DataFrame, aCol: String, bCol: String,
+                    maxCells: Int = 65536): DataFrame = {
+    require(maxCells >= 1 && maxCells <= (1 << 20),
+      "need 1 <= maxCells <= 2^20")
+    val dec = "decimal(38,0)"
+    def lbl(c: String) =
+      when(expr(s"try_cast(`$c` as long)").isNull,
+        raise_error(lit("weightedKappa: NULL or non-integer label — " +
+          "the weighted form needs an ORDERED integer scale; use " +
+          "multiclassKappa for nominal categories")))
+        .otherwise(expr(s"try_cast(`$c` as long)"))
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(lbl(aCol).as("i"), lbl(bCol).as("j"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy("i").agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy("j").agg(sum(col("o")).as("c"))
+    val levels = rows.select(col("i").as("l"))
+      .unionByName(cols.select(col("j").as("l"))).distinct()
+      .agg(count(lit(1)).as("k_levels"))
+    val tot = cells.agg(coalesce(sum(col("o")), lit(0L)).as("n"),
+      count(lit(1)).as("n_cells"))
+    val numW = cells.agg(coalesce(sum(
+      ((col("i") - col("j")) * (col("i") - col("j"))).cast(dec)
+        * col("o")), lit(0).cast(dec)).as("swo"))
+    val denW = rows.crossJoin(cols)
+      .agg(coalesce(sum(
+        ((col("i") - col("j")) * (col("i") - col("j"))).cast(dec)
+          * col("r") * col("c")), lit(0).cast(dec)).as("swrc"))
+    tot.crossJoin(broadcast(levels)).crossJoin(broadcast(numW))
+      .crossJoin(broadcast(denW))
+      .withColumn("num_w_dec", col("n").cast(dec) * col("swo"))
+      .select(col("n"), col("k_levels"),
+        when(col("n_cells") > maxCells,
+          raise_error(lit(s"weightedKappa: more than $maxCells " +
+            "observed label pairs — a confusion table is a DESIGN " +
+            "grid; consolidate the scale upstream")))
+          .otherwise(col("num_w_dec").cast("double")).as("num_w"),
+        col("swrc").cast("double").as("den_w"),
+        when(col("n") === 0, lit(0.0))
+          .when(col("swrc") === 0, lit(1.0))
+          .otherwise(lit(1.0) - col("num_w_dec").cast("double") /
+            col("swrc").cast("double")).as("kappa_w"))
+  }
+
   /** Cronbach's α internal-consistency reliability (Cronbach 1951) —
     * do k ITEMS measure one underlying trait: the scale-reliability
     * member of the agreement family ([[kendallW]] asks whether RATERS

@@ -297,7 +297,8 @@ object RankEval {
     * [[graft.analytics.Agreement.krippendorffAlpha]] (the canonical
     * member: tolerates missing ratings); the k-CATEGORY
     * confusion-table generalization of this binary κ is
-    * [[graft.analytics.Agreement.multiclassKappa]]; the
+    * [[graft.analytics.Agreement.multiclassKappa]] (ordinal scales:
+    * [[graft.analytics.Agreement.weightedKappa]]); the
     * CONTINUOUS-score members are
     * [[graft.analytics.Agreement.ccc]] (Lin's concordance on
     * paired scores) and [[graft.analytics.Agreement.icc1]] (one-way

@@ -38,6 +38,43 @@ object GraphStats {
     * Output (one row): m_edges, n_nodes, num, den, r — num/den as
     * exact-integer-valued doubles.
     */
+  /** Global transitivity (Newman 2003 §III.B; "fraction of closed
+    * wedges") — the ONE-NUMBER clustering summary beside
+    * [[TriangleCount.triangles]]'s per-node coefficients: with Δ the
+    * triangle count and W = Σ_v d_v(d_v−1)/2 the wedge count,
+    *
+    *   C = 3Δ/W = Σ_v tri_v / W = 2·Σ_v tri_v / Σ_v d_v(d_v−1)
+    *
+    * (delegates the triangle layer to [[TriangleCount.triangles]] —
+    * degree-ordered orientation, wedge fan-out ≤ oriented
+    * out-degree — then ONE aggregate; all counts exact
+    * decimal(38,0), C a single exactly-rounded division → fully
+    * RAW). Distinct from the MEAN of per-node clustering (that
+    * average weights every node equally; transitivity weights by
+    * wedge count — hubs dominate, which is the corpus-shape
+    * question). Degenerate: no wedges (all degrees ≤ 1) → c = 0.
+    *
+    * Output (one row): n_nodes, sum_tri, wedges2, transitivity.
+    */
+  def transitivity(edges: DataFrame, aCol: String,
+                   bCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    TriangleCount.triangles(edges, aCol, bCol)
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("triangles").cast(dec)), lit(0).cast(dec))
+          .as("sum_tri"),
+        coalesce(sum(col("degree").cast(dec) * (col("degree") - 1)),
+          lit(0).cast(dec)).as("wedges2"))
+      .select(col("n_nodes"),
+        col("sum_tri").cast("double").as("sum_tri"),
+        col("wedges2").cast("double").as("wedges2"),
+        when(col("wedges2") <= 0, lit(0.0))
+          .otherwise((lit(2).cast(dec) * col("sum_tri"))
+            .cast("double") / col("wedges2").cast("double"))
+          .as("transitivity"))
+  }
+
   def degreeAssortativity(edges: DataFrame, aCol: String,
                           bCol: String): DataFrame = {
     val dec = "decimal(38,0)"

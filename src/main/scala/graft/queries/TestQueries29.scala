@@ -1470,6 +1470,114 @@ object TestQueries29 {
           ELSE SQRT(GREATEST(0.0, 1.0 - bc)) END AS hellinger
       FROM f"""))
 
+  /** Global transitivity of the q255/q406 doc graph —
+    * [[graft.operators.GraphStats.transitivity]]: fraction of closed
+    * wedges (3Δ/W), the hub-weighted one-number clustering summary
+    * beside the per-node coefficients. Oracle counts triangles by
+    * the canonical a<b<c triple join. Fully RAW.
+    */
+  val q422Transitivity: QueryCase = QueryCase(
+    "q422_transitivity",
+    (s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      val mx = ids.agg(max(col("i")).as("m"))
+      val e = ids.crossJoin(broadcast(mx))
+      val edges = e.where(col("i") + 1 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 1).as("b"))
+        .unionByName(e.where(col("i") + 2 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 2).as("b")))
+        .unionByName(e.where(col("i") % 3 === 0 && col("i") + 5 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 5).as("b")))
+      graft.operators.GraphStats.transitivity(edges, "a", "b")
+    },
+    Some("""
+      WITH ids AS (SELECT doc_id AS i FROM documents),
+      mx AS (SELECT MAX(i) AS m FROM ids),
+      edges AS (
+        SELECT i AS a, i + 1 AS b FROM ids, mx WHERE i + 1 <= m
+        UNION ALL
+        SELECT i, i + 2 FROM ids, mx WHERE i + 2 <= m
+        UNION ALL
+        SELECT i, i + 5 FROM ids, mx WHERE i % 3 = 0 AND i + 5 <= m),
+      und AS (
+        SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        FROM edges WHERE a <> b AND a IS NOT NULL),
+      deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+          SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+        GROUP BY n),
+      tri AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS delta
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+          COALESCE(SUM(CAST(degree AS HUGEINT) * (degree - 1)), 0)
+            AS wedges2
+        FROM deg)
+      SELECT n_nodes,
+        CAST(3 * delta AS DOUBLE) AS sum_tri,
+        CAST(wedges2 AS DOUBLE) AS wedges2,
+        CASE WHEN wedges2 <= 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(2 * (3 * delta) AS DOUBLE)
+            / CAST(wedges2 AS DOUBLE) END AS transitivity
+      FROM tri, agg"""))
+
+  /** Quadratic-weighted κ between two value graders —
+    * [[graft.analytics.Agreement.weightedKappa]]: grade 1..4 from
+    * value quartile vs the same grader reading value+10 (a scorer
+    * with a systematic offset) — near-diagonal disagreement charged
+    * (i−j)². Fully RAW.
+    */
+  val q423WeightedKappa: QueryCase = QueryCase(
+    "q423_weighted_kappa",
+    (s, dir) => {
+      def grade(c: org.apache.spark.sql.Column) =
+        lit(1L) + least(lit(3L),
+          floor(c / lit(25.0)).cast("long"))
+      val v = col("value").cast("double")
+      graft.analytics.Agreement.weightedKappa(
+        Tables.events(s, dir).where(v.isNotNull)
+          .select(grade(v).as("a"), grade(v + lit(10.0)).as("b")),
+        "a", "b")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT 1 + LEAST(3, CAST(FLOOR(CAST(value AS DOUBLE) / 25.0)
+                 AS BIGINT)) AS i,
+               1 + LEAST(3, CAST(FLOOR((CAST(value AS DOUBLE) + 10.0)
+                 / 25.0) AS BIGINT)) AS j
+        FROM events WHERE value IS NOT NULL),
+      cells AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS o
+        FROM pairs GROUP BY i, j),
+      rm AS (SELECT i, CAST(SUM(o) AS BIGINT) AS r FROM cells
+             GROUP BY i),
+      cm AS (SELECT j, CAST(SUM(o) AS BIGINT) AS c FROM cells
+             GROUP BY j),
+      lv AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_levels FROM (
+          SELECT i AS l FROM rm UNION SELECT j FROM cm)),
+      tot AS (
+        SELECT COALESCE(CAST(SUM(o) AS BIGINT), 0) AS n FROM cells),
+      nw AS (
+        SELECT COALESCE(SUM(CAST((i - j) * (i - j) AS HUGEINT) * o),
+          0) AS swo
+        FROM cells),
+      dw AS (
+        SELECT COALESCE(SUM(CAST((rm.i - cm.j) * (rm.i - cm.j)
+          AS HUGEINT) * r * c), 0) AS swrc
+        FROM rm CROSS JOIN cm)
+      SELECT n, k_levels,
+        CAST(CAST(n AS HUGEINT) * swo AS DOUBLE) AS num_w,
+        CAST(swrc AS DOUBLE) AS den_w,
+        CASE WHEN n = 0 THEN CAST(0.0 AS DOUBLE)
+          WHEN swrc = 0 THEN CAST(1.0 AS DOUBLE)
+          ELSE 1.0 - CAST(CAST(n AS HUGEINT) * swo AS DOUBLE)
+            / CAST(swrc AS DOUBLE) END AS kappa_w
+      FROM tot, lv, nw, dw"""))
+
   val all: Seq[QueryCase] =
     Seq(q400Jonckheere, q401PageTrend, q402CochranArmitage,
       q403Ccc, q404Icc1, q405RunsTest, q406Assortativity,
@@ -1477,5 +1585,5 @@ object TestQueries29 {
       q410MutualInfo, q411KendallW, q412CohensD, q413CliffsDelta,
       q414Cronbach, q415NelsonAalen, q416SeasonalMk,
       q417DurbinWatson, q418EntropyPanel, q419MulticlassKappa,
-      q420Cvm, q421CatDistance)
+      q420Cvm, q421CatDistance, q422Transitivity, q423WeightedKappa)
 }

@@ -150,6 +150,31 @@ class AgreementSpec extends SparkSpec {
     assert(e.getMessage.contains("observed label pairs"))
   }
 
+  test("weightedKappa: binary table matches plain kappa " +
+      "(1 - 100/188); perfect and constant pin 1; unparsable raises") {
+    def table(c: Seq[((Int, Int), Int)]) =
+      c.flatMap { case (p, n) => Seq.fill(n)(p) }.toDF("a", "b")
+    val df = table(Seq(((1, 1), 10), ((1, 2), 2), ((2, 1), 3),
+      ((2, 2), 5)))
+    val r = Agreement.weightedKappa(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 20L && r.getAs[Long]("k_levels") == 2L)
+    assert(r.getAs[Double]("num_w") == 100.0)
+    assert(r.getAs[Double]("den_w") == 188.0)
+    assert(r.getAs[Double]("kappa_w") == 1.0 - 100.0 / 188.0)
+    val perfect = table(Seq(((1, 1), 3), ((2, 2), 2), ((3, 3), 1)))
+    assert(Agreement.weightedKappa(perfect, "a", "b").collect()
+      .head.getAs[Double]("kappa_w") == 1.0)
+    val const = table(Seq(((2, 2), 4)))
+    assert(Agreement.weightedKappa(const, "a", "b").collect()
+      .head.getAs[Double]("kappa_w") == 1.0)
+    val e = intercept[Exception] {
+      Agreement.weightedKappa(
+        Seq(("x", "1"), ("2", "2")).toDF("a", "b"), "a", "b")
+        .collect()
+    }
+    assert(e.getMessage.contains("ORDERED integer scale"))
+  }
+
   test("cronbachAlpha: hand panel alpha = 8/9; one item degenerates; " +
       "duplicate-cell and ragged-panel contracts raise") {
     import org.apache.spark.sql.functions.col

@@ -32,6 +32,25 @@ class GraphStatsSpec extends SparkSpec {
       noisy.getAs[Double]("r") == -20.0 / 28.0)
   }
 
+  test("transitivity: triangle+pendant = 3/5; K3 = 1; star = 0") {
+    val tp = GraphStats.transitivity(
+      Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L)).toDF("a", "b"),
+      "a", "b").collect().head
+    assert(tp.getAs[Long]("n_nodes") == 4L)
+    assert(tp.getAs[Double]("sum_tri") == 3.0)
+    assert(tp.getAs[Double]("wedges2") == 10.0)
+    assert(tp.getAs[Double]("transitivity") == 6.0 / 10.0)
+    val k3 = GraphStats.transitivity(
+      Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(k3.getAs[Double]("transitivity") == 1.0)
+    val star = GraphStats.transitivity(
+      Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(star.getAs[Double]("sum_tri") == 0.0 &&
+      star.getAs[Double]("transitivity") == 0.0)
+  }
+
   test("regular graph (C4) and empty graph degenerate to r = 0") {
     val c4 = assort(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
     assert(c4.getAs[Double]("den") == 0.0 &&
