@@ -716,6 +716,74 @@ object DistTest {
             (col("n").cast("double") * lit(65536.0))).as("mi_bits"))
   }
 
+  /** Bowker's test of symmetry / marginal homogeneity (Bowker 1948)
+    * — the k-CLASS generalization of [[mcnemar]] exactly the way
+    * [[Agreement.multiclassKappa]] generalizes the binary κ: did
+    * two labelers (two model versions on the same rows) disagree
+    * SYMMETRICALLY, or does one systematically shift mass toward
+    * some classes? Over the off-diagonal confusion cells, per
+    * unordered class pair (i < j):
+    *
+    *   χ² = Σ_{i<j} (O_ij − O_ji)² / (O_ij + O_ji)   ~ χ²(dof)
+    *
+    * with dof = the number of pairs whose total is positive (the
+    * standard zero-cell convention — an unobserved pair carries no
+    * information and no degree of freedom). Determinism: cell
+    * counts exact longs; the per-pair rationals fold in PAIR ORDER
+    * over the sorted bounded grid — libm-free → fully RAW. Same
+    * `maxCells` design-grid contract as [[Agreement
+    * .multiclassKappa]]. Degenerates: a perfectly symmetric (or
+    * diagonal-only) table → chi2 = 0, dof = 0.
+    *
+    * Output (one row): n, n_pairs, chi2, dof.
+    */
+  def bowker(df: DataFrame, aCol: String, bCol: String,
+             maxCells: Int = 65536): DataFrame = {
+    require(maxCells >= 1 && maxCells <= (1 << 20),
+      "need 1 <= maxCells <= 2^20")
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("a"),
+        col(bCol).cast("string").as("b"))
+      .agg(count(lit(1)).as("o"))
+    val off = cells.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"),
+        when(col("a") < col("b"), col("o")).otherwise(lit(0L))
+          .as("fwd"),
+        when(col("a") > col("b"), col("o")).otherwise(lit(0L))
+          .as("rev"))
+      .groupBy("lo", "hi")
+      .agg(sum(col("fwd")).as("oij"), sum(col("rev")).as("oji"))
+    val tot = cells.agg(coalesce(sum(col("o")), lit(0L)).as("n"),
+      count(lit(1)).as("n_cells"))
+    off.groupBy()
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sort_array(collect_list(struct(col("lo"), col("hi"),
+          col("oij").cast("double").as("fij"),
+          col("oji").cast("double").as("fji")))).as("arr"))
+      .crossJoin(broadcast(tot))
+      .withColumn("chi2",
+        aggregate(col("arr"), lit(0.0),
+          (acc, e) => acc + (
+            when(e("fij") + e("fji") <= 0.0, lit(0.0))
+              .otherwise((e("fij") - e("fji")) * (e("fij") - e("fji"))
+                / (e("fij") + e("fji"))))))
+      .withColumn("dof",
+        aggregate(col("arr"), lit(0L),
+          (acc, e) => acc +
+            when(e("fij") + e("fji") > 0.0, 1L).otherwise(0L)))
+      .select(col("n"),
+        when(col("n_cells") > maxCells,
+          raise_error(lit(s"bowker: more than $maxCells observed " +
+            "label pairs — a confusion table is a DESIGN grid; " +
+            "consolidate the label catalog upstream")))
+          .otherwise(coalesce(col("n_pairs"), lit(0L))).as("n_pairs"),
+        coalesce(col("chi2"), lit(0.0)).as("chi2"),
+        coalesce(col("dof"), lit(0L)).as("dof"))
+  }
+
   /** Categorical distribution distances between two cohorts — total
     * variation, Hellinger and the Bhattacharyya coefficient over a
     * shared category axis: the CATEGORICAL drift panel beside

@@ -468,6 +468,30 @@ object RankEval {
           .as("tau_b"))
   }
 
+  /** Goodman–Kruskal γ on the fixed 2-D grid (Goodman & Kruskal
+    * 1954) — the TIE-BLIND ordinal association beside
+    * [[kendallTauBucketed]]'s tie-penalizing τ-b: γ = (C−D)/(C+D)
+    * reads "of the pairs that ORDER at all, what share agree" —
+    * on coarse ordinal axes (grades, star ratings) where most pairs
+    * tie on one axis, τ-b is dragged toward 0 by construction and γ
+    * is the interpretable number. Pure algebra over the SAME
+    * bounded cell-pair machinery (delegates; one extra
+    * exactly-rounded division) → fully RAW. Degenerate: C + D = 0
+    * (everything ties) → gamma = 0 defined.
+    *
+    * Output (one row): n, n_cells, concordant, discordant, gamma.
+    */
+  def gammaBucketed(df: DataFrame, xCol: String, yCol: String,
+                    loX: Double = 0.0, hiX: Double = 1.0,
+                    loY: Double = 0.0, hiY: Double = 1.0,
+                    buckets: Int = 64): DataFrame =
+    kendallTauBucketed(df, xCol, yCol, loX, hiX, loY, hiY, buckets)
+      .select(col("n"), col("n_cells"), col("concordant"),
+        col("discordant"),
+        when(col("concordant") + col("discordant") <= 0.0, lit(0.0))
+          .otherwise((col("concordant") - col("discordant")) /
+            (col("concordant") + col("discordant"))).as("gamma"))
+
   /** Rank-biased overlap at finite depth (Webber, Moffat & Zobel 2010
     * §4.1, the prefix form): for two top-k rankings of the same item
     * universe,

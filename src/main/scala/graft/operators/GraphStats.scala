@@ -38,6 +38,38 @@ object GraphStats {
     * Output (one row): m_edges, n_nodes, num, den, r — num/den as
     * exact-integer-valued doubles.
     */
+  /** Edge reciprocity of a DIRECTED graph (Wasserman & Faust 1994
+    * §13.3) — what share of directed links are returned: near 1 a
+    * mutual-reference graph (conversation threads, co-citation),
+    * near 0 a broadcast/hierarchy (redirects, parent links). With
+    * distinct non-loop ordered edges E:
+    *
+    *   r = |{(u,v) ∈ E : (v,u) ∈ E}| / |E|
+    *
+    * (exact integer counts off one self-semi-join on the reversed
+    * key; ONE exactly-rounded division → fully RAW). Degenerate:
+    * empty graph → r = 0.
+    *
+    * Output (one row): m_edges, n_recip, reciprocity.
+    */
+  def reciprocity(edges: DataFrame, aCol: String,
+                  bCol: String): DataFrame = {
+    val dir = edges
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .where(col("u") =!= col("v") && col("u").isNotNull &&
+        col("v").isNotNull)
+      .distinct()
+    val recip = dir.join(
+      dir.select(col("v").as("u"), col("u").as("v")),
+      Seq("u", "v"), "left_semi")
+    dir.agg(count(lit(1)).as("m_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+      .select(col("m_edges"), col("n_recip"),
+        when(col("m_edges") === 0, lit(0.0))
+          .otherwise(col("n_recip").cast("double") /
+            col("m_edges").cast("double")).as("reciprocity"))
+  }
+
   /** Global transitivity (Newman 2003 §III.B; "fraction of closed
     * wedges") — the ONE-NUMBER clustering summary beside
     * [[TriangleCount.triangles]]'s per-node coefficients: with Δ the

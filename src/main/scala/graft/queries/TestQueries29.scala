@@ -1578,6 +1578,162 @@ object TestQueries29 {
             / CAST(swrc AS DOUBLE) END AS kappa_w
       FROM tot, lv, nw, dw"""))
 
+  /** Bowker symmetry test on the q419 confusion table —
+    * [[graft.analytics.DistTest.bowker]]: the noisy relabeler moves
+    * mass ONLY toward 'view', so the marginal shift is systematic —
+    * exactly what the k-class McNemar generalization detects.
+    * Pair-ordered rational folds; fully RAW.
+    */
+  val q424Bowker: QueryCase = QueryCase(
+    "q424_bowker",
+    (s, dir) => graft.analytics.DistTest.bowker(
+      Tables.events(s, dir)
+        .select(col("event_type").as("a"),
+          when(col("value").cast("double") > 90.0, lit("view"))
+            .otherwise(col("event_type")).as("b")),
+      "a", "b"),
+    Some(s"""
+      WITH pairs AS (
+        SELECT CAST(event_type AS VARCHAR) AS a,
+               CASE WHEN CAST(value AS DOUBLE) > 90.0 THEN 'view'
+                 ELSE CAST(event_type AS VARCHAR) END AS b
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      cells AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+        FROM pairs GROUP BY a, b),
+      tot AS (
+        SELECT COALESCE(CAST(SUM(o) AS BIGINT), 0) AS n FROM cells),
+      offd AS (
+        SELECT LEAST(a, b) AS lo, GREATEST(a, b) AS hi,
+          CAST(SUM(CASE WHEN a < b THEN o ELSE 0 END) AS BIGINT)
+            AS oij,
+          CAST(SUM(CASE WHEN a > b THEN o ELSE 0 END) AS BIGINT)
+            AS oji
+        FROM cells WHERE a <> b GROUP BY 1, 2),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+          ${foldSql(
+            """list(CASE WHEN CAST(oij + oji AS DOUBLE) <= 0.0
+                 THEN 0.0
+                 ELSE (CAST(oij AS DOUBLE) - CAST(oji AS DOUBLE))
+                   * (CAST(oij AS DOUBLE) - CAST(oji AS DOUBLE))
+                   / (CAST(oij AS DOUBLE) + CAST(oji AS DOUBLE)) END
+               ORDER BY lo, hi)""", "tvx")} AS chi2,
+          COALESCE(CAST(SUM(CASE WHEN oij + oji > 0 THEN 1 ELSE 0
+            END) AS BIGINT), 0) AS dof
+        FROM offd)
+      SELECT n, COALESCE(n_pairs, 0) AS n_pairs,
+        COALESCE(chi2, 0.0) AS chi2, dof
+      FROM tot, agg"""))
+
+  /** Edge reciprocity of a directed doc-reference graph —
+    * [[graft.operators.GraphStats.reciprocity]]: forward chain
+    * i→i+1 plus sparse back-references (i→i−1 at i%5=0, i→i+3 at
+    * i%7=0); what share of links are returned. Exact counts, one
+    * division; fully RAW.
+    */
+  val q425Reciprocity: QueryCase = QueryCase(
+    "q425_reciprocity",
+    (s, dir) => {
+      val ids = Tables.documents(s, dir).select(col("doc_id").as("i"))
+      val mx = ids.agg(max(col("i")).as("m"))
+      val e = ids.crossJoin(broadcast(mx))
+      val edges = e.where(col("i") + 1 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 1).as("b"))
+        .unionByName(e.where(col("i") % 5 === 0 && col("i") >= 1)
+          .select(col("i").as("a"), (col("i") - 1).as("b")))
+        .unionByName(e.where(col("i") % 7 === 0 && col("i") + 3 <= col("m"))
+          .select(col("i").as("a"), (col("i") + 3).as("b")))
+      graft.operators.GraphStats.reciprocity(edges, "a", "b")
+    },
+    Some("""
+      WITH ids AS (SELECT doc_id AS i FROM documents),
+      mx AS (SELECT MAX(i) AS m FROM ids),
+      edges AS (
+        SELECT i AS a, i + 1 AS b FROM ids, mx WHERE i + 1 <= m
+        UNION ALL
+        SELECT i, i - 1 FROM ids, mx WHERE i % 5 = 0 AND i >= 1
+        UNION ALL
+        SELECT i, i + 3 FROM ids, mx WHERE i % 7 = 0 AND i + 3 <= m),
+      dir AS (
+        SELECT DISTINCT a AS u, b AS v FROM edges
+        WHERE a <> b AND a IS NOT NULL AND b IS NOT NULL),
+      rec AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+        FROM dir d1 WHERE EXISTS (
+          SELECT 1 FROM dir d2 WHERE d2.u = d1.v AND d2.v = d1.u)),
+      m_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM dir)
+      SELECT m_edges, n_recip,
+        CASE WHEN m_edges = 0 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(n_recip AS DOUBLE) / CAST(m_edges AS DOUBLE) END
+          AS reciprocity
+      FROM m_, rec"""))
+
+  /** Goodman–Kruskal γ of TTR vs doc length on the q395 grid —
+    * [[graft.analytics.RankEval.gammaBucketed]]: the tie-blind
+    * ordinal association (of the pairs that order, what share
+    * agree) beside q395's tie-penalizing τ-b. Single exact-integer
+    * division → fully RAW.
+    */
+  val q426Gamma: QueryCase = QueryCase(
+    "q426_gamma",
+    (s, dir) => {
+      val sc = Tables.documents(s, dir)
+        .select(col("n_chars"),
+          graft.functions.TextFunctions.tokens(col("text")).as("tk"))
+        .where(size(col("tk")) > 0)
+        .select(col("n_chars"),
+          (size(array_distinct(col("tk"))).cast("double") /
+            size(col("tk")).cast("double")).as("ttr"))
+      graft.analytics.RankEval.gammaBucketed(
+        sc.select(col("ttr"), col("n_chars").cast("double").as("nc")),
+        "ttr", "nc", loX = 0.0, hiX = 1.0, loY = 0.0, hiY = 5000.0,
+        buckets = 64)
+        .select(col("n"), col("n_cells"), col("concordant"),
+          col("discordant"), col("gamma"))
+    },
+    Some(s"""
+      WITH sc AS (
+        SELECT n_chars,
+               CAST(len(list_distinct(tk)) AS DOUBLE)
+                 / CAST(len(tk) AS DOUBLE) AS ttr
+        FROM (SELECT n_chars, $TokensSql AS tk FROM documents)
+        WHERE len(tk) > 0),
+      b AS (
+        SELECT LEAST(GREATEST(CAST(FLOOR(
+                 ((ttr - CAST(0.0 AS DOUBLE)) * CAST(64.0 AS DOUBLE))
+                   / CAST(1.0 AS DOUBLE)) AS BIGINT), 0), 63) AS bx,
+               LEAST(GREATEST(CAST(FLOOR(
+                 ((CAST(n_chars AS DOUBLE) - CAST(0.0 AS DOUBLE))
+                   * CAST(64.0 AS DOUBLE))
+                   / CAST(5000.0 AS DOUBLE)) AS BIGINT), 0), 63) AS by
+        FROM sc
+        WHERE ttr IS NOT NULL AND n_chars IS NOT NULL),
+      c AS (
+        SELECT bx, by, CAST(COUNT(*) AS BIGINT) AS c
+        FROM b GROUP BY bx, by),
+      cd AS (
+        SELECT
+          COALESCE(SUM(CASE WHEN a.by < b2.by
+            THEN CAST(a.c AS HUGEINT) * b2.c END), 0) AS conc,
+          COALESCE(SUM(CASE WHEN a.by > b2.by
+            THEN CAST(a.c AS HUGEINT) * b2.c END), 0) AS disc
+        FROM c a JOIN c b2 ON a.bx < b2.bx),
+      tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM c)
+      SELECT n, n_cells,
+        CAST(conc AS DOUBLE) AS concordant,
+        CAST(disc AS DOUBLE) AS discordant,
+        CASE WHEN CAST(conc AS DOUBLE) + CAST(disc AS DOUBLE)
+            <= 0.0 THEN CAST(0.0 AS DOUBLE)
+          ELSE (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+            / (CAST(conc AS DOUBLE) + CAST(disc AS DOUBLE)) END
+          AS gamma
+      FROM cd, tot"""))
+
   val all: Seq[QueryCase] =
     Seq(q400Jonckheere, q401PageTrend, q402CochranArmitage,
       q403Ccc, q404Icc1, q405RunsTest, q406Assortativity,
@@ -1585,5 +1741,6 @@ object TestQueries29 {
       q410MutualInfo, q411KendallW, q412CohensD, q413CliffsDelta,
       q414Cronbach, q415NelsonAalen, q416SeasonalMk,
       q417DurbinWatson, q418EntropyPanel, q419MulticlassKappa,
-      q420Cvm, q421CatDistance, q422Transitivity, q423WeightedKappa)
+      q420Cvm, q421CatDistance, q422Transitivity, q423WeightedKappa,
+      q424Bowker, q425Reciprocity, q426Gamma)
 }

@@ -292,6 +292,35 @@ class DistTestSpec extends SparkSpec {
       const.getAs[Double]("nmi") == 0.0)
   }
 
+  test("bowker: 3-class hand table chi2 = 4.5, dof = 3; zero pairs " +
+      "drop a dof; symmetric and diagonal tables degenerate") {
+    def table(c: Seq[((String, String), Int)]) =
+      c.flatMap { case (p, n) => Seq.fill(n)(p) }.toDF("a", "b")
+    val df = table(Seq((("1", "1"), 1), (("1", "2"), 5),
+      (("2", "1"), 3), (("1", "3"), 2), (("3", "1"), 2),
+      (("3", "2"), 4)))
+    val r = DistTest.bowker(df, "a", "b").collect().head
+    assert(r.getAs[Long]("n") == 17L && r.getAs[Long]("n_pairs") == 3L)
+    assert(r.getAs[Double]("chi2") == 4.5)
+    assert(r.getAs[Long]("dof") == 3L)
+    // drop the (2,3) pair entirely → one fewer pair and dof
+    val drop = DistTest.bowker(table(Seq((("1", "2"), 5),
+      (("2", "1"), 3), (("1", "3"), 2), (("3", "1"), 2))), "a", "b")
+      .collect().head
+    assert(drop.getAs[Long]("n_pairs") == 2L &&
+      drop.getAs[Long]("dof") == 2L)
+    // symmetric table → chi2 = 0; diagonal-only → no pairs at all
+    val sym = DistTest.bowker(table(Seq((("1", "2"), 4),
+      (("2", "1"), 4))), "a", "b").collect().head
+    assert(sym.getAs[Double]("chi2") == 0.0 &&
+      sym.getAs[Long]("dof") == 1L)
+    val diag = DistTest.bowker(table(Seq((("1", "1"), 3),
+      (("2", "2"), 2))), "a", "b").collect().head
+    assert(diag.getAs[Long]("n_pairs") == 0L &&
+      diag.getAs[Double]("chi2") == 0.0 &&
+      diag.getAs[Long]("dof") == 0L)
+  }
+
   test("categoricalDistance: mirrored 3:1 panel (TV = 0.5); disjoint " +
       "supports pin tv = hellinger = 1; empty-cohort degenerates") {
     val a = (Seq.fill(3)("x") ++ Seq.fill(1)("y")).toDF("cat")

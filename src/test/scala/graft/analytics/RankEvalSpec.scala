@@ -204,4 +204,20 @@ class RankEvalSpec extends SparkSpec {
       assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") == 100L)
     } finally spark.conf.unset(graft.plans.Bounded.MaxRowsKey)
   }
+
+  test("gammaBucketed: perfect monotone = 1 exactly, reversed = -1, " +
+      "all-tied = 0 defined") {
+    val up = Seq((0.1, 0.1), (0.5, 0.5), (0.9, 0.9)).toDF("x", "y")
+    val g = RankEval.gammaBucketed(up, "x", "y", buckets = 8)
+      .collect().head
+    assert(g.getAs[Double]("concordant") == 3.0 &&
+      g.getAs[Double]("discordant") == 0.0)
+    assert(g.getAs[Double]("gamma") == 1.0)
+    val down = Seq((0.1, 0.9), (0.5, 0.5), (0.9, 0.1)).toDF("x", "y")
+    assert(RankEval.gammaBucketed(down, "x", "y", buckets = 8)
+      .collect().head.getAs[Double]("gamma") == -1.0)
+    val tied = Seq((0.5, 0.5), (0.5, 0.5)).toDF("x", "y")
+    assert(RankEval.gammaBucketed(tied, "x", "y", buckets = 8)
+      .collect().head.getAs[Double]("gamma") == 0.0)
+  }
 }

@@ -51,6 +51,26 @@ class GraphStatsSpec extends SparkSpec {
       star.getAs[Double]("transitivity") == 0.0)
   }
 
+  test("reciprocity: one returned link of three = 2/3; dups/loops " +
+      "canonicalize; empty graph = 0") {
+    val r = GraphStats.reciprocity(
+      Seq((0L, 1L), (1L, 0L), (1L, 2L)).toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(r.getAs[Long]("m_edges") == 3L &&
+      r.getAs[Long]("n_recip") == 2L)
+    assert(r.getAs[Double]("reciprocity") == 2.0 / 3.0)
+    val noisy = GraphStats.reciprocity(
+      Seq((0L, 1L), (1L, 0L), (1L, 2L), (0L, 1L), (2L, 2L))
+        .toDF("a", "b"), "a", "b").collect().head
+    assert(noisy.getAs[Long]("m_edges") == 3L &&
+      noisy.getAs[Double]("reciprocity") == 2.0 / 3.0)
+    val empty = GraphStats.reciprocity(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(empty.getAs[Long]("m_edges") == 0L &&
+      empty.getAs[Double]("reciprocity") == 0.0)
+  }
+
   test("regular graph (C4) and empty graph degenerate to r = 0") {
     val c4 = assort(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)))
     assert(c4.getAs[Double]("den") == 0.0 &&
