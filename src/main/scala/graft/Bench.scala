@@ -68,10 +68,17 @@ object Bench {
       // 100-entry generated-class cache thrashes (q131 alone unions 32
       // subplans ≈ a full cache of stage texts), forcing janino recompiles
       // of shapes the suite reuses (scan/agg/exchange stages). 2000 was
-      // enough for 132 queries; at 2400+ units the steady phase re-ran
-      // into evictions (q131's steady janino_delta ≈ its full 190 units
-      // every round-10 run) — 5000 keeps the whole suite resident
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // enough for 132 queries; 5000 for 387. At 425 gates the cold pass
+      // compiles ~8.8k units and the r18 BEFORE record shows the steady
+      // phase recompiling ~8.7k of them (steady_env.janino_units=8672):
+      // 8.8k texts cycling through a 5000-entry LRU is a ~0% hit rate, so
+      // every steady/warm rep paid janino + fresh-class JIT again. 20000
+      // keeps the whole suite resident with headroom (capacity bound, not
+      // a tuning constant: sized to the suite's distinct stage texts, the
+      // same rule a long-running service applies to its query templates).
+      // Memory: ~8.8k classes fit in <200 MB of the 1 GiB reserved code
+      // cache (env line logs codecache_used_mb per run).
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session bootstrap (executor spin-up, first parquet footer

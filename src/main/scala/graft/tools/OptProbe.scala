@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-18 optimization probe: per-query steady timing + formatted-plan
+  * dump under BENCH-equivalent session config. Usage:
+  *
+  *   runMain graft.tools.OptProbe <outDir> <suffix> <q1,q2,...> [reps]
+  *
+  * For each named gate query: build once, one untimed warm execution
+  * (AQE finalize + codegen), then `reps` timed executions of the SAME
+  * physical plan (`queryExecution.toRdd` — the Bench action) plus one
+  * timed rebuild+execute (the cold-ish shape). Writes
+  * `<outDir>/<name>_<suffix>.txt` with the formatted plan, and prints
+  * one line per query: name, build s, warm-exec s, steady min/median,
+  * rebuild+exec s, #exchanges, #subqueries-ish. Session config matches
+  * graft.Bench (local[$SPARK_GRAFT_CPUS], shuffle.partitions=cpus, AQE
+  * on, big codegen cache) so numbers are bench-comparable.
+  */
+object OptProbe {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val suffix = args(1)
+    val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
+    val reps = if (args.length > 3) args(3).toInt else 5
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    // bootstrap absorb, as in Bench
+    spark.range(1000).selectExpr("sum(id)").collect()
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+      val rdd = df.queryExecution.toRdd
+      val tw = System.nanoTime()
+      rdd.count()
+      val warmS = (System.nanoTime() - tw) / 1e9
+      val ts = (1 to reps).map { _ =>
+        val t = System.nanoTime(); rdd.count(); (System.nanoTime() - t) / 1e9
+      }.sorted
+      // rebuild+execute: what the bench steady pass actually times
+      def janino: Long = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+      val jan0 = janino
+      val rebuilds = (1 to math.max(3, reps / 2)).map { _ =>
+        graft.plans.Materialize.releaseAll(spark)
+        val t = System.nanoTime()
+        fn(spark, sfDir).queryExecution.toRdd.count()
+        (System.nanoTime() - t) / 1e9
+      }.sorted
+      val janPerRebuild = (janino - jan0).toDouble / math.max(3, reps / 2)
+      graft.plans.Materialize.releaseAll(spark)
+      val nExch = "Exchange".r.findAllIn(plan).length
+      println(f"[opt] $name%-28s build=$buildS%6.2f warm=$warmS%6.2f " +
+        f"steady_min=${ts.head}%6.3f steady_med=${ts(ts.size / 2)}%6.3f " +
+        f"rebuild_med=${rebuilds(rebuilds.size / 2)}%6.2f " +
+        f"rebuild_min=${rebuilds.head}%6.2f exchanges=$nExch " +
+        f"janino_per_rebuild=$janPerRebuild%.1f")
+    }
+    spark.stop()
+  }
+}
