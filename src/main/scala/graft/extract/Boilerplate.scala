@@ -51,7 +51,6 @@ object Boilerplate {
                maxLinkDensity: Double = 0.4,
                minWords: Int = 8,
                minStopDensity: Double = 0.2): DataFrame = {
-    val stoplist = array(stopwords.map(s => lit(s.toLowerCase)): _*)
     val blocks = docs
       .select(col(idCol).as("id"),
         posexplode(split(col(htmlCol), BlockTagRegex))
@@ -71,9 +70,14 @@ object Boilerplate {
         least(lit(1.0), length(trim(regexp_replace(col("anchor_text"),
             "\\s+", " "))).cast("double") /
           length(col("text")).cast("double")))
+      // r18 opt: native set-membership kernel instead of the interpreted
+      // filter(...array_contains) HOF — same count (tokens are never
+      // null; each occurrence of a stopword counts once in both forms),
+      // whole-stage codegen instead of a per-element interpreted lambda
+      // over a 30-entry array (the q38 TokensInSetCount lesson).
       .withColumn("stop_density",
-        size(filter(col("toks"),
-          (t: Column) => array_contains(stoplist, t))).cast("double") /
+        TextFunctions.tokensInSetCount(col("toks"),
+          stopwords.map(_.toLowerCase)).cast("double") /
           col("n_words").cast("double"))
     scored.select(col("id"), col("block_index"), col("text"),
       col("n_words"),

@@ -147,6 +147,22 @@ object TextKernels {
     s
   }
 
+  /** Sum of per-token character counts (Spark `length` = code points) —
+    * semantics of `aggregate(tk, 0L, (acc, t) => acc + length(t))` over
+    * a no-null token array (the only producers are [[tokenize]]-family
+    * expressions, whose element type is containsNull = false).
+    */
+  def tokenCharCount(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var sum = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) sum += arr.getUTF8String(i).numChars()
+      i += 1
+    }
+    sum
+  }
+
   /** Per-field enum table for [[enumResolve]]: original-case values plus
     * their precomputed lowercase forms.
     */
@@ -348,6 +364,22 @@ case class TokensNotInSet(child: Expression, words: Seq[String])
     val ref = ctx.addReferenceObj("wordSet", set, "java.util.HashSet")
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.filterOut($c, $ref)")
   }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Σ length(token) over a token array, as LONG — native stand-in for the
+  * interpreted `aggregate(tk, 0L, (acc, t) => acc + length(t))` HOF fold
+  * (the r18 meanTokenLen/qualityScore scan hotspot: ArrayAggregate is
+  * CodegenFallback, so the fold ran interpreted per element AND broke the
+  * surrounding whole-stage span).
+  */
+case class TokenCharCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.tokenCharCount(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenCharCount($c)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

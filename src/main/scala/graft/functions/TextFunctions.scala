@@ -121,10 +121,18 @@ object TextFunctions {
       size(regexp_extract_all(c, lit("[0-9]"), lit(0))).cast("double") / n)
   }
 
+  /** Σ length(token) as LONG — native kernel; identical to the
+    * interpreted `aggregate(tk, 0L, (acc, t) => acc + length(t))` fold on
+    * token arrays (which never hold nulls).
+    */
+  def tokenCharCount(tk: Column): Column =
+    org.apache.spark.sql.graftshim.column(
+      TokenCharCount(org.apache.spark.sql.graftshim.expression(tk)))
+
   def meanTokenLen(c: Column): Column = {
     val ts = tokens(c)
     when(size(ts) === 0, lit(0.0)).otherwise(
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+      tokenCharCount(ts).cast("double") / size(ts))
   }
 
   /** Composite quality score in [0,1]: rewards mid-length docs with low

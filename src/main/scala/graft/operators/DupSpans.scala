@@ -144,10 +144,12 @@ object DupSpans {
     * merged cut intervals, rejoined with single spaces — for uncut
     * documents too, so the output column is uniformly normalized.
     *
-    * Scale shape: tokens ⋈ merged-intervals is an equi-join on doc_id
-    * with a disjoint-interval filter (≤ 1 match per position), and the
-    * per-doc rebuild is bounded by document length — the same bound the
-    * tokenize stage already pays.
+    * Scale shape (r18): docs ⋈ per-doc merged-interval arrays is the one
+    * doc_id-keyed exchange; the rebuild slices the token array between
+    * consecutive cut intervals per row, bounded by document length — the
+    * same bound the tokenize stage already pays. (Pre-r18 this exploded
+    * every token and anti-joined the token stream: three stream-wide
+    * exchanges for the same output.)
     *
     * @return one row per input document: (doc_id, n_tokens, cut_tokens,
     *         kept_tokens, kept_text)
@@ -157,29 +159,43 @@ object DupSpans {
     val cut = mergeIntervals(spans.select(col("doc_b").as("doc_id"),
       col("b_start").as("s"),
       (col("b_start") + col("span_tokens")).as("e")))
-    val tok = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(TextFunctions.tokens(col(textCol)))
-          .as(Seq("pos0", "token")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-        col("token"))
-    val kept = tok
-      .join(cut, tok("doc_id") === cut("doc_id") &&
-        tok("pos") >= cut("s") && tok("pos") < cut("e"), "left_anti")
-      .groupBy("doc_id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("token")))),
-        x => x.getField("token")), " ").as("kept_text"),
-        count(lit(1)).as("kept_tokens"))
+    // r18 opt: the old form exploded EVERY token, anti-joined the full
+    // token stream against the cut intervals and rebuilt documents with a
+    // collect_list+sort aggregation — three token-stream-wide exchanges.
+    // The merged intervals are disjoint, sorted and few per document, so
+    // collecting THEM per doc (tiny rows) and slicing the token array
+    // between consecutive intervals per row is exact and leaves one
+    // doc-keyed join as the only exchange (guide §8: move the heavy rows
+    // once, decide on the lightweight proxy). The per-interval aggregate
+    // fold is interpreted, but runs per interval, not per token; slice
+    // lengths are provably ≥ 0 (merged intervals: 1 ≤ s, e_prev < s_next,
+    // e ≤ n_tokens + 1).
+    val ivs = cut.groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("s").cast("int").as("s"),
+        col("e").cast("int").as("e")))).as("ivs"))
     docs
       .select(col(idCol).as("doc_id"),
-        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .join(ivs, Seq("doc_id"), "left")
+      .withColumn("kept", aggregate(
+        coalesce(col("ivs"),
+          array().cast("array<struct<s:int,e:int>>")),
+        struct(array().cast("array<string>").as("acc"), lit(1).as("p")),
+        (acc, iv) => struct(
+          concat(acc.getField("acc"),
+            slice(col("tk"), acc.getField("p"),
+              iv.getField("s") - acc.getField("p"))).as("acc"),
+          iv.getField("e").as("p")),
+        acc => concat(acc.getField("acc"),
+          slice(col("tk"), acc.getField("p"),
+            size(col("tk")) + 1 - acc.getField("p")))))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        (size(col("tk")).cast("long") -
+          coalesce(size(col("kept")).cast("long"), lit(0L)))
           .as("cut_tokens"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+        coalesce(size(col("kept")).cast("long"), lit(0L)).as("kept_tokens"),
+        coalesce(array_join(col("kept"), " "), lit("")).as("kept_text"))
   }
 
   /** Group-level dedup ledger: connected components over the span graph
@@ -229,22 +245,26 @@ object DupSpans {
       .select("doc_id", "s", "e")
   }
 
-  /** (doc_id, pos 1-based, gram) — k-token grams via one per-doc window
-    * (codegen-friendly; no interpreted HOF fold per the round-5/7
-    * lesson).
+  /** (doc_id, pos 1-based, gram) — k-token grams.
+    *
+    * r18 opt: the native [[graft.functions.NgramShingles]] kernel emits
+    * every gram per ROW in one codegen pass, so the old
+    * explode-every-token → per-doc-window → collect_list(k) chain (one
+    * full shuffle of the token stream by doc_id + a k-array allocation
+    * per token) collapses to a shuffle-free posexplode: gram i (0-based)
+    * is exactly the window that started at pos0 = i, and NgramShingles
+    * space-joins precisely like the old array_join(win, " "); documents
+    * shorter than k tokens emit nothing in both forms (guide §2.4:
+    * remove shuffles outright).
     */
   private def kgrams(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val tok = docs
+      k: Int): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"),
-        posexplode(TextFunctions.tokens(col(textCol)))
-          .as(Seq("pos0", "token")))
-    val w = Window.partitionBy("doc_id").orderBy("pos0")
-      .rowsBetween(Window.currentRow, k - 1)
-    tok
-      .withColumn("win", collect_list(col("token")).over(w))
-      .where(size(col("win")) === k)
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"),
+        posexplode(TextFunctions.ngramsOfTokens(col("tk"), k))
+          .as(Seq("pos0", "gram")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-        array_join(col("win"), " ").as("gram"))
-  }
+        col("gram"))
 }

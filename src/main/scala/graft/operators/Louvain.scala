@@ -50,11 +50,23 @@ object Louvain {
     */
   def sweeps(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1 && iters <= 32, "iters must be in [1, 32]")
+    // r18 opt: stage e PRE-PARTITIONED on dst — the per-sweep kvc join is
+    // dst-keyed, and a checkpointed frame keeps its outputPartitioning,
+    // so every sweep's biggest exchange (the edge table) is paid once at
+    // stage time instead of once per sweep (guide §2.4: two operations
+    // keyed the same way share one exchange).
     val e = graft.plans.Materialize.stage(
-      edges.select(col("src"), col("dst")), "graft.dedup.checkpoint")
-    val deg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
-    val m2 = e.agg(count(lit(1)).as("m2")) // = 2m directed rows
+      edges.select(col("src"), col("dst")).repartition(col("dst")),
+      "graft.dedup.checkpoint")
+    // r18 opt: deg staged — it is consumed twice per sweep (tot, scored);
+    // unstaged it re-aggregated the full edge table 2·iters times.
+    val deg = graft.plans.Materialize.stage(
+      e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")),
+      "graft.dedup.checkpoint")
+    // m2 = 2m directed rows = Σ deg — |V|-row aggregate on the staged deg
+    // instead of an |E|-row count per sweep (coalesce: empty edge set
+    // must still read 0, the old count(*) semantics).
+    val m2 = deg.agg(coalesce(sum(col("deg")), lit(0L)).as("m2"))
     var assign = nodes.select(col("node"), col("node").as("community"))
     val byNode = Window.partitionBy("src")
       .orderBy(desc("score2"), col("cand"))
@@ -66,16 +78,27 @@ object Louvain {
         .join(assign.select(col("node").as("dst"),
           col("community").as("cand")), Seq("dst"))
         .groupBy("src", "cand").agg(count(lit(1)).as("kvc"))
+      // r18 opt: no `.distinct()` — when (src, own) is also a kvc pair the
+      // union carries the row twice, but both copies join to the same kvc/
+      // own/tot/deg rows and score identically, so the row_number argmax
+      // (ties broken by cand) picks the same (node, community) either way;
+      // the distinct only removed rows that cannot change the argmax, at
+      // the price of a full extra exchange per sweep (guide §2.4: a
+      // `distinct` on data whose duplicates are harmless).
       val cands = kvc.select("src", "cand")
         .unionByName(assign.select(col("node").as("src"),
           col("community").as("cand")))
-        .distinct()
+      // r18 opt: join order puts the cand-keyed tot join BEFORE the
+      // src-keyed own/deg joins, so the src hash partitioning established
+      // by the own join is reused by the deg join AND the final
+      // per-src window — one src exchange instead of three (guide §2.4:
+      // window partitioned like the preceding join needs no new shuffle).
       val scored = cands
         .join(kvc, Seq("src", "cand"), "left")
         .na.fill(0L, Seq("kvc"))
+        .join(tot.withColumnRenamed("community", "cand"), Seq("cand"))
         .join(assign.select(col("node").as("src"),
           col("community").as("own")), Seq("src"))
-        .join(tot.withColumnRenamed("community", "cand"), Seq("cand"))
         .join(deg.withColumnRenamed("node", "src"), Seq("src"), "left")
         .na.fill(0L, Seq("deg"))
         .crossJoin(broadcast(m2))
@@ -105,17 +128,33 @@ object Louvain {
     * division of exact integers → RAW.
     */
   def modularity(edges: DataFrame, assign: DataFrame): DataFrame = {
+    // r18 opt: ONE pass over the edge table instead of two. The old form
+    // scanned+joined edges twice (counts: e⋈aS⋈aD; tots: e⋈aS) — here the
+    // dst-side join is LEFT so the single joined frame carries both
+    // statistics exactly: per community, tot = count(*) (the e⋈aS row
+    // count, dst assignment irrelevant — identical to the old tots),
+    // m2c = count(cd) (non-null cd = the old inner-join row count) and
+    // intra = Σ[cs = cd] (null cd ≠ cs, contributing 0, as the old inner
+    // join's dropped rows did). Guide §2.3/§2.4: aggregate before the
+    // shuffle, one community-keyed exchange instead of two edge-wide
+    // passes + a crossJoin.
     val e = edges.select(col("src"), col("dst"))
     val aS = assign.select(col("node").as("src"), col("community").as("cs"))
     val aD = assign.select(col("node").as("dst"), col("community").as("cd"))
-    val counts = e.join(aS, Seq("src")).join(aD, Seq("dst"))
-      .agg(count(lit(1)).as("m2"),
-        sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("intra2"))
-    val tots = e.join(aS, Seq("src"))
-      .groupBy("cs").agg(count(lit(1)).as("tot"))
-      .agg(sum((col("tot") * col("tot")).cast("decimal(38,0)"))
+    val perC = e.join(aS, Seq("src")).join(aD, Seq("dst"), "left")
+      .groupBy("cs").agg(
+        count(col("cd")).as("m2c"),
+        sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("intra"),
+        count(lit(1)).as("tot"))
+    val row = perC.agg(
+      // empty edge/assignment sets must read m2 = 0 (the old count(*)
+      // over zero rows), not NULL; intra2/sum_tot2 stay NULL like the old
+      // sums over zero rows.
+      coalesce(sum(col("m2c")), lit(0L)).as("m2"),
+      sum(col("intra")).as("intra2"),
+      sum((col("tot") * col("tot")).cast("decimal(38,0)"))
         .as("sum_tot2"))
-    counts.crossJoin(broadcast(tots))
+    row
       .select(col("m2"), col("intra2"),
         col("sum_tot2").cast("double").as("sum_tot2"),
         (col("m2").cast("decimal(38,0)") * col("intra2") -
