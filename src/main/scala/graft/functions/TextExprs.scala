@@ -163,6 +163,59 @@ object TextKernels {
     sum
   }
 
+  /** Count of non-null tokens containing at least one ASCII lowercase
+    * letter — semantics of `sum(when(t.rlike("[a-z]"), 1) otherwise 0)`
+    * over exploded tokens (UTF-8 multibyte sequences never contain
+    * ASCII bytes, so a byte scan is exact).
+    */
+  def countWithAsciiAlpha(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val b = arr.getUTF8String(i).getBytes
+        var j = 0
+        var found = false
+        while (!found && j < b.length) {
+          if (b(j) >= 'a' && b(j) <= 'z') found = true
+          j += 1
+        }
+        if (found) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Index table for [[countDistinctIn]]: word → bit position. */
+  def toIndex(words: Seq[String]): java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](words.size * 2)
+    words.zipWithIndex.foreach { case (w, i) =>
+      m.put(UTF8String.fromString(w), Integer.valueOf(i))
+    }
+    m
+  }
+
+  /** Number of DISTINCT `words` present in the token array — semantics
+    * of summing per-word `max(when(t === w, 1) otherwise 0)` flags over
+    * exploded tokens (≤ 64 words: one long bitmask).
+    */
+  def countDistinctIn(arr: ArrayData,
+                      idx: java.util.HashMap[UTF8String, Integer]): Int = {
+    val n = arr.numElements()
+    var mask = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val p = idx.get(arr.getUTF8String(i))
+        if (p != null) mask |= 1L << p.intValue()
+      }
+      i += 1
+    }
+    java.lang.Long.bitCount(mask)
+  }
+
   /** Per-field enum table for [[enumResolve]]: original-case values plus
     * their precomputed lowercase forms.
     */
@@ -380,6 +433,40 @@ case class TokenCharCount(child: Expression) extends UnaryExpression {
     TextKernels.tokenCharCount(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenCharCount($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Count of tokens containing an ASCII letter — native stand-in for
+  * exploding every token to evaluate `rlike("[a-z]")` row-by-row.
+  */
+case class TokensWithAlphaCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.countWithAsciiAlpha(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.countWithAsciiAlpha($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Number of distinct `words` present in the token array (one-pass
+  * bitmask; ≤ 64 words) — native stand-in for the per-word
+  * max-flag-sum aggregation over exploded tokens.
+  */
+case class TokensDistinctInSetCount(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  require(words.size <= 64, "bitmask form supports at most 64 words")
+  @transient private lazy val idx = TextKernels.toIndex(words)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.countDistinctIn(v.asInstanceOf[ArrayData], idx)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordIdx", idx, "java.util.HashMap")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.countDistinctIn($c, $ref)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

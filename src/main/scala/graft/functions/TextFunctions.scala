@@ -82,6 +82,21 @@ object TextFunctions {
     org.apache.spark.sql.graftshim.column(
       TokensInSetCount(org.apache.spark.sql.graftshim.expression(tk), stops))
 
+  /** Count of tokens containing an ASCII letter — native kernel,
+    * semantics of per-token `rlike("[a-z]")` summed.
+    */
+  def tokensWithAlphaCount(tk: Column): Column =
+    org.apache.spark.sql.graftshim.column(
+      TokensWithAlphaCount(org.apache.spark.sql.graftshim.expression(tk)))
+
+  /** Number of DISTINCT `words` present in the token array — native
+    * one-pass bitmask (≤ 64 words).
+    */
+  def tokensDistinctInSetCount(tk: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graftshim.column(
+      TokensDistinctInSetCount(
+        org.apache.spark.sql.graftshim.expression(tk), words))
+
   def stopwordCount(c: Column, stops: Seq[String]): Column =
     tokensInSetCount(tokens(c), stops)
 

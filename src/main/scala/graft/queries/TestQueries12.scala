@@ -268,7 +268,7 @@ object TestQueries12 {
         .select(col("doc_id"), posexplode(col("v")).as(Seq("pos", "val")))
         .select(col("doc_id"), col("pos"),
           col("val").cast("double").as("val"))
-        .orderBy("doc_id", "pos")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some {
       val dim = 32

@@ -87,7 +87,7 @@ object TestQueries13 {
         .admissionReplay(emails, maxPerWindow = 100, windowSec = 3600)
         .withColumn("sender_hash", graft.functions.ConfigCrypto.hashEmail(
           concat(col("sender"), lit("@example.com"))))
-        .orderBy("email_id")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some("""
       WITH RECURSIVE em AS (

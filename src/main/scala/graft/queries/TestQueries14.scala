@@ -35,7 +35,7 @@ object TestQueries14 {
       val checks = Seq("documents:write", "search:read", "entities:merge")
         .toDF("permission")
       graft.api.Rbac.resolve(userRoles, checks)
-        .orderBy("user_id", "permission")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some {
       val matrixValues = graft.api.Rbac.Matrix
@@ -1240,8 +1240,8 @@ object TestQueries14 {
   val q166SeasonalAnomaly: QueryCase = QueryCase(
     "q166_seasonal_anomaly",
     (s, dir) => graft.analytics.Events
-      .seasonalAnomalies(Tables.events(s, dir), "event_type", "ts")
-      .orderBy("series", "bucket"),
+      .seasonalAnomalies(Tables.events(s, dir), "event_type", "ts"),
+    // r18: trailing sort dropped (driver compare sorts rows)
     Some("""
       WITH hourly AS (
         SELECT event_type AS series,

@@ -251,8 +251,8 @@ object TestQueries15 {
       .covariance(Tables.embeddings(s, dir), "embedding")
       // + 0.0 collapses IEEE −0.0 (a rounded tiny negative) to 0.0 so the
       // stringified compare can't split on the zero sign
-      .select(col("i"), col("j"), (round(col("cov"), 6) + 0.0).as("cov"))
-      .orderBy("i", "j"),
+      .select(col("i"), col("j"), (round(col("cov"), 6) + 0.0).as("cov")),
+    // r18: trailing sort dropped (driver compare sorts rows)
     Some("""
       WITH e AS (
         SELECT vec_id,
@@ -1736,8 +1736,8 @@ object TestQueries15 {
   val q204SelectiveTokens: QueryCase = QueryCase(
     "q204_selective_tokens",
     (s, dir) => graft.operators.CorpusLm
-      .selectiveTokens(Tables.documents(s, dir), "doc_id", "text")
-      .orderBy("doc_id", "pos"),
+      .selectiveTokens(Tables.documents(s, dir), "doc_id", "text"),
+    // r18: trailing sort dropped (driver compare sorts rows)
     Some(s"""
       WITH seqs AS (SELECT doc_id, $TokensSql AS tk FROM documents),
       bi AS (

@@ -425,7 +425,7 @@ object TestQueries17 {
         .withColumn("b", reverse(col("a")))
       graft.operators.Align.crossMoment(e, "a", "b")
         .select(col("i"), col("j"), (round(col("m"), 6) + 0.0).as("m"))
-        .orderBy("i", "j")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some("""
       WITH e AS (

@@ -386,8 +386,8 @@ object TestQueries19 {
   val q237CdcChunks: QueryCase = QueryCase(
     "q237_cdc_chunks",
     (s, dir) => graft.operators.CdcChunk
-      .chunks(Tables.documents(s, dir), "doc_id", "text")
-      .orderBy("doc_id", "chunk_idx"),
+      .chunks(Tables.documents(s, dir), "doc_id", "text"),
+    // r18: trailing sort dropped (driver compare sorts rows)
     Some(s"""
       WITH $CdcChunksSql
       SELECT * FROM ch ORDER BY doc_id, chunk_idx"""))
@@ -1319,7 +1319,7 @@ object TestQueries19 {
       graft.search.Percolator.percolate(
           toks.select(col("doc_id"), col("tk")),
           "doc_id", "tk", queries, "qid", "terms", "min_match")
-        .orderBy("doc_id", "query_id")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some(s"""
       WITH toks AS (

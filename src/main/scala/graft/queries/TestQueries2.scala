@@ -315,8 +315,8 @@ object TestQueries2 {
                CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
         FROM events_v
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        ORDER BY event_id""")
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+      // r18: trailing ORDER BY dropped (driver compare sorts rows)
     },
     Some("""
       SELECT event_id, user_id,
@@ -339,7 +339,7 @@ object TestQueries2 {
         .withColumn("is_current",
           col("version") === max(col("version")).over(Window.partitionBy("o_custkey")))
         .select("o_custkey", "o_orderkey", "version", "is_current")
-        .orderBy("o_custkey", "version")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some("""
       SELECT o_custkey, o_orderkey,

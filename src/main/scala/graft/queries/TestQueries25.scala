@@ -929,7 +929,7 @@ object TestQueries25 {
         .select(col("left_a"), col("left_b"), col("common"),
           col("deg_a"), col("deg_b"), col("jaccard"),
           round(col("adamic_adar"), 6).as("adamic_adar"))
-        .orderBy("left_a", "left_b")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some("""
       WITH e AS (

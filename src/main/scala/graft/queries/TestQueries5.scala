@@ -424,8 +424,8 @@ object TestQueries5 {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         FROM events_v
-        GROUP BY user_id, session_window(ts, '30 minutes')
-        ORDER BY user_id, session_start""")
+        GROUP BY user_id, session_window(ts, '30 minutes')""")
+      // r18: trailing ORDER BY dropped (driver compare sorts rows)
     },
     Some("""
       WITH e AS (

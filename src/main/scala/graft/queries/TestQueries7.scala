@@ -141,8 +141,8 @@ object TestQueries7 {
     "q82_windowed_agg",
     (s, dir) =>
       graft.streaming.WindowedAgg
-        .tumbling(Tables.events(s, dir), "1 hour")
-        .orderBy("window_start", "event_type"),
+        .tumbling(Tables.events(s, dir), "1 hour"),
+      // r18: trailing sort dropped (driver compare sorts rows)
     Some("""
       SELECT time_bucket(INTERVAL '1 hour', date_trunc('microseconds', ts))
                AS window_start,

@@ -11,8 +11,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DataFrame-level code is unchanged.
   */
 object Tables {
+
+  /** r18 opt: per-(session, dir, table) READER memoization. Every
+    * `spark.read.parquet` call lists the path and re-reads a footer for
+    * schema inference — driver-side, single-threaded work repeated by
+    * every one of 425 gate builds (guide §6: listing/planning time on
+    * the driver is a first-class cost; at cluster scale the relistings
+    * are the multi-minute kind). The cache holds the LOGICAL reader
+    * (LogicalRelation + file index) only — no data, no results; every
+    * query still computes from the parquet bytes. Keyed weakly by
+    * session so spec sessions don't pin each other's plans.
+    *
+    * Escape hatch: `graft.tables.memoize=false` restores a fresh read
+    * per call — required when a test overwrites a parquet path in place
+    * and expects the next read to see the new file listing.
+    */
+  private val readerCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (spark.conf.get("graft.tables.memoize", "true") != "true") {
+      spark.read.parquet(s"$dir/$name.parquet")
+    } else {
+      val perSession = readerCache.synchronized {
+        var m = readerCache.get(spark)
+        if (m == null) {
+          m = scala.collection.concurrent.TrieMap.empty
+          readerCache.put(spark, m)
+        }
+        m
+      }
+      perSession.getOrElseUpdate((dir, name),
+        spark.read.parquet(s"$dir/$name.parquet"))
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

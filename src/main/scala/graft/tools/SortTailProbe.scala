@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Quantify the trailing-ORDER-BY tax on gate-shaped queries at bench
+  * config: rebuild+execute medians for the same computation with and
+  * without a final global sort (the driver's hash-compare sorts rows
+  * itself, so a trailing sort with no LIMIT below it is thrown-away
+  * work in both the bench timing and the correctness pipeline).
+  */
+object SortTailProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    import graft.sources.Tables
+    // three gate-shaped bodies: narrow filter+project, groupBy agg,
+    // window latest-per-group — the dominant tail shapes
+    def filterProject(s: SparkSession): DataFrame =
+      Tables.lineitem(s, sfDir)
+        .where(col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_shipdate")
+    def joinAgg(s: SparkSession): DataFrame =
+      Tables.orders(s, sfDir)
+        .join(Tables.customer(s, sfDir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n"), sum("o_totalprice").as("tp"))
+    def latest(s: SparkSession): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_orderkey").orderBy(desc("l_shipdate"), col("l_linenumber"))
+      Tables.lineitem(s, sfDir)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("l_orderkey", "l_partkey", "l_shipdate")
+    }
+    val shapes = Seq(
+      "filter_project" -> (filterProject _),
+      "join_agg" -> (joinAgg _),
+      "latest_per_group" -> (latest _))
+    for ((name, fn) <- shapes; sorted <- Seq(false, true)) {
+      def build(): DataFrame = {
+        val df = fn(spark)
+        if (sorted) df.orderBy(df.columns.map(col).toIndexedSeq: _*) else df
+      }
+      build().queryExecution.toRdd.count() // warm codegen
+      val ts = (1 to 7).map { _ =>
+        val t0 = System.nanoTime()
+        build().queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      println(f"[sorttail] $name%-18s sorted=$sorted%-5s " +
+        f"rebuild_med=${ts(3)}%.3f rebuild_min=${ts.head}%.3f")
+    }
+    spark.stop()
+  }
+}

@@ -53,4 +53,39 @@ class GopherQualitySpec extends SparkSpec {
     assert(out(1L)._3 == 2L)
     assert(out(2L)._1 == 0L && !out(2L)._6)
   }
+
+  test("r18 kernel form ≡ the explode-aggregate definition: counts, " +
+    "distinct-stopword semantics, non-ASCII tokens") {
+    import org.apache.spark.sql.functions._
+    // repeated stopwords must count ONCE in n_stop; 'Bür' lowercases to
+    // 'bür' (no ASCII letter? ü is non-ASCII but b/r are ASCII → alpha);
+    // '日本語' and '123' carry no ASCII letter → not alpha
+    val rows = Seq((1L, "the THE the be 日本語 123 Bür x"))
+    val df = rows.toDF("doc_id", "text")
+    val out = GopherFilters.qualitySignals(df, "doc_id", "text")
+      .collect().head
+    // tokens: the, the, the, be, 日本語, 123, bür, x → 8 words
+    assert(out.getLong(1) == 8L, s"n_words: $out")
+    // chars: 3+3+3+2+3+3+3+1 = 21 (code points, not UTF-16 units)
+    assert(out.getLong(2) == 21L, s"n_chars: $out")
+    // alpha: the×3, be, bür, x = 6 (日本語, 123 excluded)
+    assert(out.getLong(5) == 6L, s"n_alpha: $out")
+    // distinct stopwords present: {the, be} = 2, repeats not re-counted
+    assert(out.getLong(6) == 2L, s"n_stop: $out")
+    // cross-check vs the original explode-aggregate spelling
+    val tok = df.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+    val stopFlags = GopherFilters.StopWords
+      .map(w => max(when(col("t") === w, 1L).otherwise(0L))).reduce(_ + _)
+    val old = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("n_words"),
+      sum(length(col("t")).cast("long")).as("n_chars"),
+      sum(when(col("t").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha"),
+      stopFlags.as("n_stop")).collect().head
+    assert(out.getLong(1) == old.getLong(1) &&
+      out.getLong(2) == old.getLong(2) &&
+      out.getLong(5) == old.getLong(3) &&
+      out.getLong(6) == old.getLong(4),
+      s"kernel form diverged from aggregate form: $out vs $old")
+  }
 }
