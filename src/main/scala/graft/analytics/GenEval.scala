@@ -12,11 +12,13 @@ import graft.functions.TextFunctions
   * The evaluation loop a generation-model change needs before shipping:
   * score a candidate column against a reference column at corpus scale.
   *
-  * Shape: n-gram counts via explode + groupBy (codegen'd, map-side
-  * combinable) — one shuffle on (id, n, gram), one on id; no windows, no
-  * driver collection. Clipping joins candidate and reference gram counts
-  * per (id, n, gram) and takes `least` — an inner join, since a gram
-  * absent on either side clips to zero.
+  * Shape (r18): the clipped match count m_n is a pure function of ONE
+  * (candidate, reference) pair, so it is computed per ROW by the native
+  * [[graft.functions.ClippedNgramMatches]] kernel — zero shuffles, no
+  * explode, no join (pre-r18 this exploded every gram of both sides and
+  * shuffled (id, n, gram) corpus-wide for the same integers). Single-
+  * reference only; the multi-reference sibling ([[selfBleu]]) keeps its
+  * global top-2 pass, where cross-document state is genuinely needed.
   *
   * Determinism: every count is an exact integer; precisions/recalls are
   * single integer divisions (bit-identical cross-engine); F1 uses one
@@ -41,28 +43,17 @@ object GenEval {
     val maxN = 4
     val base = pairs.select(col(idCol).as("id"), col(candCol).as("c"),
       col(refCol).as("r"))
-    // (id, n, gram) counts for one side
-    def gramCounts(side: String, out: String): DataFrame =
-      (1 to maxN).map { n =>
-        base.select(col("id"),
-            explode(TextFunctions.ngramsOfTokens(col(side), n)).as("g"))
-          .groupBy("id", "g").agg(count(lit(1)).as(out))
-          .withColumn("n", lit(n))
-      }.reduce(_ unionByName _)
-    val cc = gramCounts("c", "cc")
-    val rc = gramCounts("r", "rc")
-    val matched = cc.join(rc, Seq("id", "n", "g"))
-      .groupBy("id", "n")
-      .agg(sum(least(col("cc"), col("rc"))).as("m"))
-    val totals = base.select(col("id"), size(col("c")).as("clen"),
-      size(col("r")).as("rlen"))
-    // one row per (id, n) with match count; totals give the denominators
-    val byN = totals.join(matched, Seq("id"), "left")
-      .na.fill(0L, Seq("m"))
-    val mCols = (1 to maxN).map(n =>
-      coalesce(max(when(col("n") === n, col("m"))), lit(0L)).as(s"m$n"))
-    val agg = byN.groupBy("id", "clen", "rlen")
-      .agg(mCols.head, mCols.tail: _*)
+    // r18: per-row clipped matches (coalesce mirrors the old na.fill(0)
+    // for a NULL side, which the old explode simply dropped)
+    def matches(n: Int) = coalesce(
+      org.apache.spark.sql.graftshim.column(
+        graft.functions.ClippedNgramMatches(
+          org.apache.spark.sql.graftshim.expression(col("c")),
+          org.apache.spark.sql.graftshim.expression(col("r")), n)),
+      lit(0L)).as(s"m$n")
+    val agg = base.select(
+      Seq(col("id"), size(col("c")).as("clen"),
+        size(col("r")).as("rlen")) ++ (1 to maxN).map(matches): _*)
     def prec(n: Int) = {
       val denom = greatest(col("clen") - (n - 1), lit(0))
       when(denom === 0, 0.0)

@@ -188,6 +188,40 @@ object TextKernels {
     c
   }
 
+  /** BLEU-style clipped n-gram matches between a candidate and ONE
+    * reference token array: Σ_g min(count_cand(g), count_ref(g)) over
+    * the n-grams of both sides — the per-pair integer the old
+    * explode → per-(id, gram) groupBy → join → least/sum chain
+    * computed corpus-wide. Either side shorter than n → 0.
+    */
+  def clippedNgramMatches(c: ArrayData, r: ArrayData, n: Int): Long = {
+    val cg = ngrams(c, n)
+    val rg = ngrams(r, n)
+    val nc = cg.numElements()
+    val nr = rg.numElements()
+    if (nc == 0 || nr == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Integer](nr * 2)
+    var i = 0
+    while (i < nr) {
+      val g = rg.getUTF8String(i)
+      val prev = counts.get(g)
+      counts.put(g, Integer.valueOf(if (prev == null) 1 else prev.intValue() + 1))
+      i += 1
+    }
+    var m = 0L
+    i = 0
+    while (i < nc) {
+      val g = cg.getUTF8String(i)
+      val left = counts.get(g)
+      if (left != null && left.intValue() > 0) {
+        m += 1
+        counts.put(g, Integer.valueOf(left.intValue() - 1))
+      }
+      i += 1
+    }
+    m
+  }
+
   /** Index table for [[countDistinctIn]]: word → bit position. */
   def toIndex(words: Seq[String]): java.util.HashMap[UTF8String, Integer] = {
     val m = new java.util.HashMap[UTF8String, Integer](words.size * 2)
@@ -469,6 +503,23 @@ case class TokensDistinctInSetCount(child: Expression, words: Seq[String])
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Clipped n-gram match count between candidate and reference token
+  * arrays (BLEU per-pair kernel) — one per-row pass instead of a
+  * corpus-wide explode/groupBy/join of every gram.
+  */
+case class ClippedNgramMatches(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.clippedNgramMatches(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextKernels.clippedNgramMatches($a, $b, $n)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
 }
 
 /** text → lowercase whitespace tokens. */
