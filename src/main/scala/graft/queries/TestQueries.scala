@@ -128,7 +128,8 @@ object TestQueries {
       val f = t(s, dir, "orders").where(col("o_orderstatus") === "F")
         .select(col("o_custkey").as("c_custkey"))
       c.join(f, Seq("c_custkey"), "left_semi")
-        .select("c_custkey", "c_name").orderBy("c_custkey")
+        .select("c_custkey", "c_name")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some("""
       SELECT c_custkey, c_name FROM customer
@@ -175,7 +176,7 @@ object TestQueries {
         .where(col("rn") === 1)
         .select(col("o_custkey"), col("o_orderkey"),
           col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"))
-        .orderBy("o_custkey")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some("""
       SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_totalprice

@@ -582,7 +582,7 @@ object TestQueries14 {
       graft.operators.PageRank
         .run(cust.unionByName(supp), edges, iters = 3)
         .select(col("node"), round(col("pr"), 9).as("pr"))
-        .orderBy("node")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some {
       def iter(i: Int): String = s"""

@@ -296,7 +296,7 @@ object TestQueries15 {
         .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
       graft.operators.LabelProp
         .run(cust.unionByName(supp), edges, iters = 3)
-        .orderBy("node")
+      // r18: trailing sort dropped (driver compare sorts rows)
     },
     Some {
       def iter(i: Int): String = s"""
