@@ -222,6 +222,64 @@ object TextKernels {
     m
   }
 
+  /** RAKE candidate phrases from a lowercase token array: maximal runs
+    * of content tokens, where a run breaks AT a token whose
+    * alphanumeric core (leading/trailing non-[a-z0-9] stripped) is
+    * empty or a stopword, and AFTER a token ending in phrase
+    * punctuation `[.!?,;:]`. Exactly the per-doc windowed form
+    * (brk = breaker || lag(punct_after); run = cumsum; members exclude
+    * breakers): consecutive non-breakers share a run iff nothing broke
+    * between them. Returns array<array<string>> of normalized members
+    * per phrase, in token order.
+    */
+  def rakePhrases(tokens: ArrayData,
+                  stop: java.util.HashSet[UTF8String]): ArrayData = {
+    val n = tokens.numElements()
+    val phrases = new scala.collection.mutable.ArrayBuffer[Any]()
+    val cur = new scala.collection.mutable.ArrayBuffer[Any]()
+    def close(): Unit = {
+      if (cur.nonEmpty) {
+        phrases += new GenericArrayData(cur.toArray)
+        cur.clear()
+      }
+    }
+    var prevPunct = false
+    var i = 0
+    while (i < n) {
+      val tok =
+        if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8
+        else tokens.getUTF8String(i)
+      val b = tok.getBytes
+      // alphanumeric core: strip leading/trailing bytes outside
+      // [a-z0-9] (ASCII-only classes — UTF-8 multibyte bytes are never
+      // ASCII alnum, so byte stripping ≡ the char regex)
+      def alnum(x: Byte): Boolean =
+        (x >= 'a' && x <= 'z') || (x >= '0' && x <= '9')
+      var s = 0
+      while (s < b.length && !alnum(b(s))) s += 1
+      var e = b.length - 1
+      while (e >= s && !alnum(b(e))) e -= 1
+      val norm =
+        if (s > e) UTF8String.EMPTY_UTF8
+        else UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, s, e + 1))
+      val breaker = norm.numBytes() == 0 || stop.contains(norm)
+      val punctAfter = b.length > 0 && {
+        val last = b(b.length - 1)
+        last == '.' || last == '!' || last == '?' ||
+          last == ',' || last == ';' || last == ':'
+      }
+      if (breaker) close()
+      else {
+        if (prevPunct) close()
+        cur += norm
+      }
+      prevPunct = punctAfter
+      i += 1
+    }
+    close()
+    new GenericArrayData(phrases.toArray)
+  }
+
   /** Index table for [[countDistinctIn]]: word → bit position. */
   def toIndex(words: Seq[String]): java.util.HashMap[UTF8String, Integer] = {
     val m = new java.util.HashMap[UTF8String, Integer](words.size * 2)
@@ -520,6 +578,27 @@ case class ClippedNgramMatches(left: Expression, right: Expression, n: Int)
       (a, b) => s"graft.functions.TextKernels.clippedNgramMatches($a, $b, $n)")
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+/** token array → RAKE candidate phrases (array of normalized-member
+  * arrays) — native stand-in for the explode-every-token + two per-doc
+  * windows + run-length groupBy chain.
+  */
+case class RakePhraseRuns(child: Expression, stop: Seq[String])
+    extends UnaryExpression {
+  @transient private lazy val set = TextKernels.toSet(stop)
+  override def dataType: DataType =
+    ArrayType(ArrayType(StringType, containsNull = false),
+      containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.rakePhrases(v.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("stopSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.rakePhrases($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** text → lowercase whitespace tokens. */

@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   * position order so the double sequence is engine-identical (the
   * sorted-fold discipline) → the gate hash-compares RAW.
   *
-  * Scale shape: one positional explode, two window passes per doc,
-  * one word-level aggregate joined back by word — no pair joins, no
-  * driver state. Reference analogue: the keyword side of
+  * Scale shape (r18): phrase mining is per-row (native kernel), so
+  * only phrase members explode; one word-level aggregate joined back
+  * by word — no windows, no pair joins, no driver state. (Pre-r18:
+  * every token exploded through two per-doc windows.) Reference
+  * analogue: the keyword side of
   * /root/reference/src/search/keyword_search.py (tsvector terms);
   * RAKE adds the multi-word candidate mining layer.
   */
@@ -37,31 +39,33 @@ object Rake {
     */
   def keywords(df: DataFrame, idCol: String, textCol: String,
       stop: Set[String] = Fts.Stopwords, topK: Int = 50): DataFrame = {
-    val toks = df
+    // r18 opt: candidate-phrase mining is a per-row sequential rule, so
+    // the native RakePhraseRuns kernel emits each document's phrase
+    // member arrays directly — the pre-r18 form exploded EVERY token
+    // (breakers included) through two per-doc windows and a run-length
+    // groupBy + join-back, shuffling the full token stream three times
+    // for the same runs (guide §2.4). Only phrase MEMBERS explode now,
+    // and plen rides along as size(ms) — window-free. The corpus-level
+    // word-score aggregate and its join back are unchanged (they are
+    // genuinely cross-document); within-phrase member order (the
+    // sorted-fold discipline) uses the in-phrase index, which orders
+    // identically to the old global token position.
+    val phr = df
       .select(col(idCol).as("id"), TextFunctions.tokens(col(textCol)).as("tk"))
-      .select(col("id"), posexplode(col("tk")).as(Seq("pos", "tok")))
-    val flagged = toks.select(col("id"), col("pos"),
-      regexp_replace(col("tok"), "^[^a-z0-9]+|[^a-z0-9]+$", "").as("norm"),
-      col("tok").rlike("[.!?,;:]$").as("punct_after"))
-      .withColumn("breaker",
-        col("norm") === "" || col("norm").isInCollection(stop))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val members = flagged
-      .withColumn("brk", (col("breaker") ||
-        coalesce(lag(col("punct_after"), 1).over(w), lit(false))).cast("int"))
-      .withColumn("run", sum(col("brk"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .where(!col("breaker"))
-      .select(col("id"), col("run"), col("pos"), col("norm"))
-    val withLen = members.join(
-      members.groupBy("id", "run").agg(count(lit(1)).as("plen")),
-      Seq("id", "run"))
-    val wordScore = withLen.groupBy("norm")
+      .select(col("id"), posexplode(
+        org.apache.spark.sql.graftshim.column(
+          graft.functions.RakePhraseRuns(
+            org.apache.spark.sql.graftshim.expression(col("tk")),
+            stop.toSeq.sorted))).as(Seq("run", "ms")))
+    val members = phr
+      .select(col("id"), col("run"), size(col("ms")).as("plen"),
+        posexplode(col("ms")).as(Seq("pos", "norm")))
+    val wordScore = members.groupBy("norm")
       .agg(count(lit(1)).as("freq"), sum(col("plen") - 1).as("deg"))
       .select(col("norm"),
         ((col("deg") + col("freq")).cast("double") /
           col("freq").cast("double")).as("wscore"))
-    val phrases = withLen.join(wordScore, Seq("norm"))
+    val phrases = members.join(wordScore, Seq("norm"))
       .groupBy("id", "run")
       .agg(array_sort(collect_list(
         struct(col("pos"), col("norm"), col("wscore")))).as("ms"))
