@@ -432,6 +432,13 @@ object Bench {
     Thread.sleep(200)
     val steadyLoad0 = loadAvg; val steadyGc0 = gcMs; val steadyJan0 = janinoUnits
     var steadyReruns = 0
+    // r19 diagnostics: per-query janino-unit deltas summed over this
+    // query's steady runs — the codegen-text-instability census (a
+    // steady rerun of an unchanged query should hit the generated-class
+    // cache; every unit here is a plan text that changed between
+    // rebuilds). stderr only.
+    val steadyJanByQuery =
+      scala.collection.mutable.LinkedHashMap[String, Long]()
     def steadyRun(name: String, cold: Double, verbose: Boolean): Double = {
       val fn = SparkEntry.queries(name)
       def once(): Double = {
@@ -448,6 +455,8 @@ object Bench {
             fn(spark, sfDir).queryExecution.toRdd.count()
             (System.nanoTime() - t0) / 1e9
           } catch { case _: Throwable => -1.0 }
+        steadyJanByQuery(name) =
+          steadyJanByQuery.getOrElse(name, 0L) + (janinoUnits - jan0q)
         if (verbose)
           System.err.println(s"[bench] steady $name: ${fmt(dt, 2)}s" +
             s" janino_delta=${janinoUnits - jan0q} gc_delta_ms=${gcMs - gc0q}")
@@ -495,6 +504,17 @@ object Bench {
         name -> Vector.fill(steadyRuns)(steadyRun(name, cold, verbose = false))
       }
     val steadyByQuery = worstSteady ++ steadyRest
+    // r19: per-query steady attribution to STDERR (the log), so steady
+    // regressions in the long tail are targetable without a separate
+    // probe run. stderr only — the stdout contract (full JSON line +
+    // compact tail line) is unchanged, and the harness's ~2k-char tail
+    // window must keep the compact line intact.
+    System.err.println("[bench] queries_steady " + steadyByQuery
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v.head, 3) }
+      .mkString("{", ",", "}"))
+    System.err.println("[bench] queries_steady_janino " + steadyJanByQuery
+      .toSeq.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}"))
     val steadyAll = steadyByQuery.map(_._2.head).filter(_ >= 0)
     val totalSteady = steadyAll.sum
     val passTotals = (0 until steadyRuns).map(r =>

@@ -280,6 +280,46 @@ object TextKernels {
     new GenericArrayData(phrases.toArray)
   }
 
+  /** Content-defined chunking of one token array (the
+    * [[graft.operators.CdcChunk]] per-document walk): a token ends a
+    * chunk when the low `maskBits` bits of its
+    * [[CrossHash.md5Hash64Jvm]] hash are zero. Emits one
+    * (chunk_idx, n_tokens, chunk_hash) struct per chunk, chunk_hash =
+    * md5Hash64 of the space-rejoined run — identical values to the
+    * posexplode → per-doc window cumsum → (doc, chunk) groupBy chain
+    * it replaces (CdcKernelSpec pins the equivalence), with zero
+    * shuffles: the boundary test and the rejoin hash are pure per-row
+    * functions of the token array.
+    */
+  def cdcChunks(tokens: ArrayData, maskBits: Int): ArrayData = {
+    val mask = (1L << maskBits) - 1
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val sb = new java.lang.StringBuilder()
+    var chunkIdx = 0L
+    var count = 0L
+    def close(): Unit = {
+      out += new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](chunkIdx, count,
+          CrossHash.md5Hash64Jvm(sb.toString)))
+      chunkIdx += 1
+      count = 0L
+      sb.setLength(0)
+    }
+    var i = 0
+    while (i < n) {
+      val tok = if (tokens.isNullAt(i)) "" else tokens.getUTF8String(i).toString
+      if (count > 0) sb.append(' ')
+      sb.append(tok)
+      count += 1
+      if ((CrossHash.md5Hash64Jvm(tok) & mask) == 0L) close()
+      i += 1
+    }
+    if (count > 0) close()
+    new GenericArrayData(out.toArray)
+  }
+
   /** Index table for [[countDistinctIn]]: word → bit position. */
   def toIndex(words: Seq[String]): java.util.HashMap[UTF8String, Integer] = {
     val m = new java.util.HashMap[UTF8String, Integer](words.size * 2)
@@ -597,6 +637,31 @@ case class RakePhraseRuns(child: Expression, stop: Seq[String])
     defineCodeGen(ctx, ev,
       c => s"graft.functions.TextKernels.rakePhrases($c, $ref)")
   }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** token array → CDC chunk inventory structs
+  * (chunk_idx, n_tokens, chunk_hash) — native stand-in for the
+  * posexplode + per-doc window cumsum + (doc, chunk) groupBy chain
+  * ([[TextKernels.cdcChunks]]).
+  */
+case class CdcChunkRuns(child: Expression, maskBits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("chunk_idx",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("chunk_hash",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TextKernels.cdcChunks(v.asInstanceOf[ArrayData], maskBits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.cdcChunks($c, $maskBits)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

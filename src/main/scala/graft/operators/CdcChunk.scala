@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CrossHash, TextFunctions}
+import graft.functions.TextFunctions
 
 /** Content-defined chunking (the rsync/LBFS/gear-hash family — Muthitacharoen
   * et al. 2001): cut a document into variable-size chunks at positions
@@ -22,11 +21,16 @@ import graft.functions.{CrossHash, TextFunctions}
   * invariant by construction ([[CdcChunkSpec]] pins the re-alignment
   * property).
   *
-  * Scale shape: one narrow posexplode, one PER-DOCUMENT window cumsum
-  * (partitioned, never global), one (doc, chunk) groupBy with ordered
-  * reassembly (array_sort over collect_list — the order-contract rule).
-  * Chunk sharing joins on the chunk hash — bucketed by construction,
-  * never all-pairs.
+  * Scale shape (r19): the boundary test and the chunk rejoin hash are
+  * pure per-row functions of the token array, so the whole inventory is
+  * ONE narrow projection — the native [[graft.functions.CdcChunkRuns]]
+  * kernel walks each document once and emits its
+  * (chunk_idx, n_tokens, chunk_hash) structs; only finished chunk rows
+  * explode. The posexplode → per-document window cumsum → (doc, chunk)
+  * groupBy chain this replaces shuffled the full token stream twice
+  * (guide §2.4: remove shuffles outright); CdcKernelSpec pins the
+  * kernel ≡ window-chain equivalence. Chunk sharing joins on the chunk
+  * hash — bucketed by construction, never all-pairs.
   */
 object CdcChunk {
 
@@ -37,23 +41,16 @@ object CdcChunk {
   def chunks(docs: DataFrame, idCol: String, textCol: String,
              maskBits: Int = 3): DataFrame = {
     require(maskBits >= 1 && maskBits <= 20, "maskBits must be in [1, 20]")
-    val mask = (1L << maskBits) - 1
-    val pos = docs
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("tk"))
-      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    pos
-      .withColumn("b",
-        (CrossHash.md5Hash64(col("t")).bitwiseAND(lit(mask)) === 0)
-          .cast("long"))
-      .withColumn("chunk_idx", coalesce(sum(col("b")).over(w), lit(0L)))
-      .groupBy("doc_id", "chunk_idx")
-      .agg(count(lit(1)).as("n_tokens"),
-        CrossHash.md5Hash64(array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
-            s => s.getField("t")), " ")).as("chunk_hash"))
+    val runs = org.apache.spark.sql.graftshim.column(
+      graft.functions.CdcChunkRuns(
+        org.apache.spark.sql.graftshim.expression(
+          TextFunctions.tokens(col(textCol))), maskBits))
+    docs
+      .select(col(idCol).as("doc_id"), explode(runs).as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_idx").as("chunk_idx"),
+        col("c.n_tokens").as("n_tokens"),
+        col("c.chunk_hash").as("chunk_hash"))
   }
 
   /** Cross-document chunk sharing: (doc_a, doc_b, shared) pairs with

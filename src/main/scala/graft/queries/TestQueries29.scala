@@ -1103,7 +1103,12 @@ object TestQueries29 {
   /** Seasonal Mann–Kendall trend of daily activity, seasons =
     * weekdays — [[graft.analytics.DistTest.seasonalMannKendall]]:
     * is per-user daily event volume trending once the weekly rhythm
-    * is blinded out (plain MK reads phase as trend). z ROUND(6).
+    * is blinded out (plain MK reads phase as trend). z is rounded to
+    * 6 dp via the explicit FLOOR(z*1e6+0.5)/1e6 form on BOTH sides:
+    * engine-native ROUND(double, 6) is implementation-defined at the
+    * last ulp (DuckDB builds differ on multiply-vs-divide by 1e6,
+    * Spark goes through BigDecimal HALF_UP), whereas the spelled-out
+    * form is the same four IEEE-exact ops everywhere.
     */
   val q416SeasonalMk: QueryCase = QueryCase(
     "q416_seasonal_mk",
@@ -1120,7 +1125,10 @@ object TestQueries29 {
       graft.analytics.DistTest.seasonalMannKendall(
         daily, "user_id", "season", "ord", "n_ev")
         .select(col("user_id"), col("n_seasons"), col("n"), col("s"),
-          col("var18"), round(col("z"), 6).as("z"), col("trend"))
+          col("var18"),
+          (floor(col("z") * lit(1000000.0) + lit(0.5)) / lit(1000000.0))
+            .as("z"),
+          col("trend"))
     },
     Some("""
       WITH daily AS (
@@ -1163,12 +1171,13 @@ object TestQueries29 {
                CAST(SUM(var18g) AS BIGINT) AS var18
         FROM ps GROUP BY k)
       SELECT k AS user_id, n_seasons, n, s, var18,
-        ROUND(CASE WHEN var18 <= 0 THEN CAST(0.0 AS DOUBLE)
+        FLOOR((CASE WHEN var18 <= 0 THEN CAST(0.0 AS DOUBLE)
           WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
             / SQRT(CAST(var18 AS DOUBLE) / 18.0)
           WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
             / SQRT(CAST(var18 AS DOUBLE) / 18.0)
-          ELSE CAST(0.0 AS DOUBLE) END, 6) AS z,
+          ELSE CAST(0.0 AS DOUBLE) END) * 1000000.0 + 0.5)
+          / 1000000.0 AS z,
         CASE WHEN s > 0 THEN 'increasing' WHEN s < 0 THEN 'decreasing'
           ELSE 'none' END AS trend
       FROM agg"""))

@@ -25,20 +25,49 @@ object Tables {
     * Escape hatch: `graft.tables.memoize=false` restores a fresh read
     * per call — required when a test overwrites a parquet path in place
     * and expects the next read to see the new file listing.
+    *
+    * Retention (r19, ADVICE): the main map is keyed by a per-session
+    * id STRING — a DataFrame strongly references its SparkSession, so
+    * a weak-keyed map whose values hold DataFrames pins its own keys
+    * and never evicts. The id is minted in a side
+    * WeakHashMap[SparkSession, String] (string values don't reference
+    * the key, so that map DOES evict), and the main map is a small
+    * access-order LRU (4 sessions) bounding retained plans: spec
+    * suites create sessions sequentially, so stale sessions' plans
+    * are dropped as new sessions enter.
     */
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
+  private val sessionSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.synchronized {
+      var id = sessionIds.get(spark)
+      if (id == null) {
+        id = "s" + sessionSeq.incrementAndGet()
+        sessionIds.put(spark, id)
+      }
+      id
+    }
   private val readerCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+    new java.util.LinkedHashMap[String,
+        scala.collection.concurrent.TrieMap[(String, String), DataFrame]](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            scala.collection.concurrent.TrieMap[(String, String), DataFrame]])
+        : Boolean = size() > 4
+    }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (spark.conf.get("graft.tables.memoize", "true") != "true") {
       spark.read.parquet(s"$dir/$name.parquet")
     } else {
+      val sid = sessionId(spark)
       val perSession = readerCache.synchronized {
-        var m = readerCache.get(spark)
+        var m = readerCache.get(sid)
         if (m == null) {
           m = scala.collection.concurrent.TrieMap.empty
-          readerCache.put(spark, m)
+          readerCache.put(sid, m)
         }
         m
       }

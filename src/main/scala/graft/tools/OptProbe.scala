@@ -32,9 +32,13 @@ object OptProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries",
-        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // r19: optional staging-mode override (e.g. SPARK_GRAFT_STAGING=lazy)
+    // for lazy-vs-eager attribution experiments on iterative operators.
+    sys.env.get("SPARK_GRAFT_STAGING")
+      .foreach(m => spark.conf.set("graft.dedup.checkpoint", m))
     new java.io.File(outDir).mkdirs()
     // bootstrap absorb, as in Bench
     spark.range(1000).selectExpr("sum(id)").collect()

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{CrossHash, TextFunctions}
+
+/** Pins the r19 [[graft.functions.CdcChunkRuns]] kernel ≡ the
+  * posexplode + per-doc window cumsum + (doc, chunk) groupBy chain it
+  * replaced inside [[CdcChunk.chunks]] — same rows, same hashes, on a
+  * fixture covering boundary-at-end, boundary-at-start, no-boundary,
+  * empty and repeated-token documents.
+  */
+class CdcKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The pre-r19 formulation, verbatim. */
+  private def chunksViaWindows(docs: org.apache.spark.sql.DataFrame,
+                               maskBits: Int) = {
+    val mask = (1L << maskBits) - 1
+    val pos = docs
+      .select(col("id").as("doc_id"),
+        TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pos
+      .withColumn("b",
+        (CrossHash.md5Hash64(col("t")).bitwiseAND(lit(mask)) === 0)
+          .cast("long"))
+      .withColumn("chunk_idx", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(count(lit(1)).as("n_tokens"),
+        CrossHash.md5Hash64(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+            s => s.getField("t")), " ")).as("chunk_hash"))
+  }
+
+  private val fixture = Seq(
+    1L -> ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+    2L -> "alpha alpha alpha alpha alpha alpha alpha alpha",
+    3L -> "single",
+    4L -> "   ", // zero tokens → zero rows
+    5L -> ("the quick brown fox jumps over the lazy dog the quick " +
+      "brown fox jumps over the lazy dog again and again and again")
+  ).toDF("id", "text")
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+
+  test("kernel rows ≡ window-chain rows at several mask widths") {
+    for (maskBits <- Seq(1, 2, 3, 5)) {
+      val kern = CdcChunk.chunks(fixture, "id", "text", maskBits)
+        .collect().map(key).sortBy(identity).toSeq
+      val win = chunksViaWindows(fixture, maskBits)
+        .collect().map(key).sortBy(identity).toSeq
+      assert(kern == win, s"maskBits=$maskBits: kernel ≠ window chain")
+      assert(kern.nonEmpty)
+    }
+  }
+
+  test("zero-token documents emit zero chunk rows; chunk indexes are " +
+    "dense from 0 and token counts sum to the doc length") {
+    val out = CdcChunk.chunks(fixture, "id", "text", 3).collect()
+    assert(!out.exists(_.getLong(0) == 4L))
+    val byDoc = out.groupBy(_.getLong(0))
+    byDoc.foreach { case (_, rows) =>
+      val idxs = rows.map(_.getLong(1)).sorted.toSeq
+      assert(idxs == (0L until rows.length).toSeq)
+    }
+    val tok5 = TextFunctions.tokens(lit("the quick brown fox jumps over " +
+      "the lazy dog the quick brown fox jumps over the lazy dog again " +
+      "and again and again"))
+    val n5 = fixture.sparkSession.range(1).select(size(tok5)).head.getInt(0)
+    assert(byDoc(5L).map(_.getLong(2)).sum == n5)
+  }
+
+  test("the kernel runs under whole-stage codegen through a " +
+    "repartitioned input (non-local plan, null-path safety)") {
+    val out = CdcChunk.chunks(fixture.repartition(3), "id", "text", 3)
+      .collect().map(key).sortBy(identity).toSeq
+    val win = chunksViaWindows(fixture, 3)
+      .collect().map(key).sortBy(identity).toSeq
+    assert(out == win)
+  }
+}
