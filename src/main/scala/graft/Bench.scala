@@ -79,6 +79,18 @@ object Bench {
       // Memory: ~8.8k classes fit in <200 MB of the 1 GiB reserved code
       // cache (env line logs codecache_used_mb per run).
       .config("spark.sql.codegen.cache.maxEntries", "20000")
+      // r19: the generated class name embeds `codegenStageId`, and AQE's
+      // ASYNC query-stage materialization assigns those ids
+      // nondeterministically across rebuilds of the same query — so a
+      // steady rerun recompiled identical code under a fresh name
+      // (CodegenDiff on q321: 31 of 55 units fresh per rebuild with the
+      // id, 0 without; the census charged ~1.9k janino units per steady
+      // phase to this). The id is diagnostic only (SPARK-23032 added it
+      // for profiler readability, with this conf as the off switch);
+      // semantics and plan shape are untouched. A long-running
+      // multi-query service wants the same setting for the same reason —
+      // this is a codegen-cache hit-rate bound, not a local[32] tuning.
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session bootstrap (executor spin-up, first parquet footer
@@ -166,8 +178,19 @@ object Bench {
     // under lazy; nothing in the suite is a true unbounded-depth
     // convergence loop, so the eager default remains only the
     // general-API safety posture.
+    // r19 additions, each OptProbe-measured at sf0.1/local[32] and
+    // identity-pinned in LazyStagingSpec: Louvain sweeps+modularity and
+    // TextRank are fixed-iteration with no convergence reads, and their
+    // eager per-sweep checkpoint jobs were 70–90% of their steady time
+    // (q376 rebuild 5.57→0.52 s, q377 6.59→1.87, q382 2.31→0.53).
+    // NOT added despite being iterative: greedyDecode (3-consumer
+    // per-step fan-out makes the un-truncated lazy plan exponential —
+    // measured 17.6 s rebuild vs 1.7 eager) and singleLink/driver-loop
+    // operators (same blow-up, OOMs the probe session); lazy staging is
+    // a per-operator measured decision, not a default.
     val lazyStaged = Set("q305_hits", "q313_salsa", "q154_pagerank",
-      "q176_label_prop")
+      "q176_label_prop", "q376_louvain", "q377_modularity",
+      "q382_textrank")
     // Per-query build-vs-execute attribution (emitted as "build" in the
     // JSON): build = DataFrame construction (plan assembly; for eager
     // fixpoint operators this also executes every staged iteration),

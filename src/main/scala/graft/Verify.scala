@@ -22,6 +22,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev-only staging-mode override (SPARK_GRAFT_STAGING=lazy): lets the
+    // oracle compare run against the SAME staging mode the bench applies
+    // to its lazyStaged queries, proving lazy ≡ eager on real data (the
+    // driver always invokes without it = the eager default).
+    sys.env.get("SPARK_GRAFT_STAGING")
+      .foreach(m => spark.conf.set("graft.dedup.checkpoint", m))
     new java.io.File(outDir).mkdirs()
     // A query that throws must surface as an `err` row in the driver's
     // CORRECTNESS ledger, never silently vanish from it (round-8 lesson:

@@ -858,6 +858,11 @@ object CorpusLm {
       array().cast("array<string>").as("gen"))
     var i = 0
     while (i < steps) {
+      // r19 note: deriving the frozen set from the HIT rows (one
+      // bestNext scan per step instead of two) was tried and REVERTED —
+      // the extra per-step staging job it needs costs more at bench
+      // scale than the saved scan (OptProbe: rebuild 1.67 → 3.73 s);
+      // the two probes below share one broadcast of the tiny state.
       val hit = broadcast(state).join(bestNext, Seq("w1", "w2"))
         .select(col("seed_rank"), col("seed_w1"), col("seed_w2"),
           col("n_bigram"), col("w2").as("w1"), col("w3").as("w2"),
@@ -937,6 +942,12 @@ object CorpusLm {
         .cast("long").as("seed_rank"),
         col("w1").as("seed_w1"), col("w2").as("seed_w2"))
 
+    // r19: the anti-join's probe table — the distinct successor-context
+    // keys — is staged ONCE before the loop instead of recomputed as a
+    // corpus-wide `succ.distinct()` key shuffle inside every step
+    // (guide §2.4: a distinct per iteration on unchanged data).
+    val succKeys = graft.plans.Materialize.stage(
+      succ.select("w1", "w2").distinct(), "graft.dedup.checkpoint")
     var state = seeds.select(col("seed_rank"), col("seed_w1"),
       col("seed_w2"), col("seed_w1").as("w1"), col("seed_w2").as("w2"),
       array().cast("array<string>").as("gen"), lit(1.0).as("score"))
@@ -953,8 +964,7 @@ object CorpusLm {
           concat(col("gen"), array(col("w3"))).as("gen"),
           (col("score") * col("p")).as("score"))
       val miss = broadcast(state)
-        .join(succ.select("w1", "w2").distinct(), Seq("w1", "w2"),
-          "left_anti")
+        .join(succKeys, Seq("w1", "w2"), "left_anti")
         .select(col("seed_rank"), col("seed_w1"), col("seed_w2"),
           col("w1"), col("w2"), col("gen"), col("score"))
       val expanded = hit.unionByName(miss)

@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** r19 diagnostic: build a gate query twice and report which
+  * whole-stage codegen sources changed text between builds — the
+  * generated-class cache misses (janino recompiles) a bench steady
+  * rerun pays. Usage:
+  *
+  *   runMain graft.tools.CodegenDiff <queryName> [outDir]
+  *
+  * Prints one line per generated unit: `STABLE` (text identical across
+  * builds) or `UNSTABLE` with the first differing line, and writes the
+  * full sources of unstable units to <outDir> for inspection.
+  */
+object CodegenDiff {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val outDir = args.lift(1).getOrElse("/tmp/codegen_diff")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.useIdInClassName",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_ID", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    def sources(): Seq[String] = {
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      df.queryExecution.toRdd.count() // AQE-finalized plan
+      val codegen = org.apache.spark.sql.execution.debug
+        .codegenStringSeq(df.queryExecution.executedPlan)
+      graft.plans.Materialize.releaseAll(spark)
+      codegen.map(_._2)
+    }
+    // The compile cache keys on the source BODY (comments excluded) and
+    // units arrive in AQE-materialization order — compare as a multiset
+    // of comment-stripped texts, not positionally.
+    def strip(src: String): String = src.linesIterator
+      .filterNot { l =>
+        val t = l.dropWhile(_.isWhitespace)
+        // the line-number gutter `/* 012 */` prefixes every line; real
+        // comment CONTENT starts after it
+        val body = if (t.startsWith("/*")) t.drop(t.indexOf("*/") + 2) else t
+        val b = body.dropWhile(_.isWhitespace)
+        b.startsWith("//") || b.startsWith("/*")
+      }
+      .mkString("\n")
+    val s1 = sources()
+    val s2 = sources()
+    println(s"[cgdiff] $name units: build1=${s1.size} build2=${s2.size}")
+    val set1 = s1.map(strip).groupBy(identity).view.mapValues(_.size).toMap
+    val fresh = s2.filter(s => !set1.contains(strip(s)))
+    fresh.zipWithIndex.foreach { case (s, i) =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/${name}_fresh$i.java"), s)
+    }
+    println(s"[cgdiff] $name fresh_in_build2=${fresh.size} of ${s2.size}" +
+      s" (cache-miss proxy; sources in $outDir)")
+    spark.stop()
+  }
+}

@@ -33,6 +33,10 @@ object OptProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
+      // matches Bench (r19): stage ids out of generated class names, so
+      // rebuilds hit the generated-class cache like the bench does
+      .config("spark.sql.codegen.useIdInClassName",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_ID", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // r19: optional staging-mode override (e.g. SPARK_GRAFT_STAGING=lazy)

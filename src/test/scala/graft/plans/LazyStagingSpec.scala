@@ -51,6 +51,44 @@ class LazyStagingSpec extends SparkSpec {
     } finally spark.conf.unset("graft.dedup.checkpoint")
   }
 
+  test("Louvain sweeps + modularity (fixed sweeps, no convergence " +
+    "reads) emit identically under lazy staging") {
+    val n = Seq("a", "b", "c", "d", "e", "f").toDF("node")
+    val e0 = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("d", "e"),
+      ("e", "f"), ("d", "f"), ("c", "d")).toDF("src", "dst")
+    val e = e0.unionByName(
+      e0.select(col("dst").as("src"), col("src").as("dst")))
+    def run() = {
+      val assign = graft.operators.Louvain.sweeps(n, e, iters = 3)
+      val q = graft.operators.Louvain.modularity(e, assign)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+      val a = assign.collect().map(r => (r.getString(0), r.getString(1)))
+        .sortBy(_._1).toSeq
+      (a, q.toSeq)
+    }
+    val eager = run()
+    spark.conf.set("graft.dedup.checkpoint", "lazy")
+    val lazily = try run() finally
+      spark.conf.unset("graft.dedup.checkpoint")
+    assert(lazily == eager)
+  }
+
+  test("TextRank keywords (fixed-iteration PageRank over co-occurrence)" +
+    " emit identically under lazy staging") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta delta epsilon beta gamma"),
+      (2L, "the gamma delta gamma epsilon of alpha delta")
+    ).toDF("doc_id", "text")
+    def run() = graft.operators.TextRank
+      .keywords(docs, "doc_id", "text", iters = 3, k = 5)
+      .collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val eager = run()
+    spark.conf.set("graft.dedup.checkpoint", "lazy")
+    val lazily = try run() finally
+      spark.conf.unset("graft.dedup.checkpoint")
+    assert(lazily == eager)
+  }
+
   test("lazy-staged Hits construction runs no Spark jobs; the eager " +
     "default runs the fixpoint at construction") {
     // count ONLY this thread's jobs via a dedicated job group — the
