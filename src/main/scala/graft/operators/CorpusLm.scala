@@ -489,17 +489,19 @@ object CorpusLm {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       "buckets must be a power of two (low-bits hash masking)")
 
-    // (doc_id, bucket, c): hashed uni+bigram counts per document — the
-    // bigram comes from one lead() over the same (id, pos) window pass.
+    // (doc_id, bucket, c): hashed uni+bigram counts per document. r19:
+    // bigrams come from the per-row NgramShingles kernel — the old
+    // posexplode + per-doc lead() WINDOW shuffled and sorted the whole
+    // token stream by doc just to pair adjacent tokens, a pure per-row
+    // function of the token array (guide §2.4: remove shuffles
+    // outright; same strings, same counts — the space-joined 2-window).
     def feats(docs: DataFrame): DataFrame = {
       val toks = docs.select(col(idCol).as("doc_id"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val withBigram = toks.withColumn("t2", lead(col("t"), 1).over(byDoc))
-      val grams = withBigram.select(col("doc_id"), col("t").as("g"))
-        .unionByName(withBigram.where(col("t2").isNotNull)
-          .select(col("doc_id"),
-            concat_ws(" ", col("t"), col("t2")).as("g")))
+        TextFunctions.tokens(col(textCol)).as("tk"))
+      val grams = toks
+        .select(col("doc_id"), explode(col("tk")).as("g"))
+        .unionByName(toks.select(col("doc_id"),
+          explode(TextFunctions.ngramsOfTokens(col("tk"), 2)).as("g")))
       grams
         .select(col("doc_id"),
           (CrossHash.md5Hash64(col("g"))
@@ -806,6 +808,32 @@ object CorpusLm {
         col("cross_entropy"), exp(col("cross_entropy")).as("ppl"))
   }
 
+  /** Corpus bigram/trigram count tables with word columns
+    * (w1[, w2[, w3]], c), built from the per-row [[graft.functions
+    * .TextKernels.ngrams]] kernel instead of a posexplode + per-doc
+    * lead() window — the adjacent-token pairing is a pure function of
+    * each document's token array, so the only shuffle left is the
+    * count groupBy itself. Tokens are whitespace-split, making the
+    * space-joined gram ↔ word-columns mapping exact.
+    */
+  private def ngramCountTables(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val toks = docs.select(
+      TextFunctions.tokens(col(textCol)).as("tk"))
+    val bigrams = toks
+      .select(explode(TextFunctions.ngramsOfTokens(col("tk"), 2)).as("g"))
+      .select(split(col("g"), " ").as("p"))
+      .groupBy(col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val trigrams = toks
+      .select(explode(TextFunctions.ngramsOfTokens(col("tk"), 3)).as("g"))
+      .select(split(col("g"), " ").as("p"))
+      .groupBy(col("p").getItem(0).as("w1"), col("p").getItem(1).as("w2"),
+        col("p").getItem(2).as("w3"))
+      .agg(count(lit(1)).as("c"))
+    (bigrams, trigrams)
+  }
+
   /** Greedy decoding from the corpus trigram LM: train (one windowed
     * pass), pick the `nSeeds` most frequent bigram contexts, and walk
     * `steps` greedy continuations — the end-to-end "the engine
@@ -826,19 +854,12 @@ object CorpusLm {
     */
   def greedyDecode(docs: DataFrame, idCol: String, textCol: String,
       nSeeds: Int = 10, steps: Int = 10): DataFrame = {
-    val w = Window.partitionBy("doc").orderBy("pos")
-    val toks = docs
-      .select(col(idCol).as("doc"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
-      .select(col("doc"), col("pos"), col("t"),
-        lead(col("t"), 1).over(w).as("t2"),
-        lead(col("t"), 2).over(w).as("t3"))
-    val bigrams = toks.where(col("t2").isNotNull)
-      .groupBy(col("t").as("w1"), col("t2").as("w2"))
-      .agg(count(lit(1)).as("c"))
-    val trigrams = toks.where(col("t3").isNotNull)
-      .groupBy(col("t").as("w1"), col("t2").as("w2"), col("t3").as("w3"))
-      .agg(count(lit(1)).as("c"))
+    // r19: n-gram tables from the per-row NgramShingles kernel — the
+    // old posexplode + per-doc lead() WINDOW shuffled and sorted the
+    // whole token stream by doc to pair adjacent tokens (guide §2.4).
+    // Tokens are whitespace-split, so splitting the space-joined gram
+    // back into its words is exact.
+    val (bigrams, trigrams) = ngramCountTables(docs, idCol, textCol)
     val bw = Window.partitionBy("w1", "w2")
       .orderBy(col("c").desc, col("w3"))
     val bestNext = graft.plans.Materialize.stage(
@@ -910,19 +931,8 @@ object CorpusLm {
       expand: Int = 3): DataFrame = {
     require(steps >= 1 && beam >= 1 && expand >= 1,
       "need steps/beam/expand >= 1")
-    val w = Window.partitionBy("doc").orderBy("pos")
-    val toks = docs
-      .select(col(idCol).as("doc"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
-      .select(col("doc"), col("pos"), col("t"),
-        lead(col("t"), 1).over(w).as("t2"),
-        lead(col("t"), 2).over(w).as("t3"))
-    val bigrams = toks.where(col("t2").isNotNull)
-      .groupBy(col("t").as("w1"), col("t2").as("w2"))
-      .agg(count(lit(1)).as("c"))
-    val trigrams = toks.where(col("t3").isNotNull)
-      .groupBy(col("t").as("w1"), col("t2").as("w2"), col("t3").as("w3"))
-      .agg(count(lit(1)).as("c"))
+    // r19: kernel-built n-gram tables (see greedyDecode)
+    val (bigrams, trigrams) = ngramCountTables(docs, idCol, textCol)
     val ctx = trigrams.groupBy("w1", "w2")
       .agg(sum(col("c")).as("ctx_total"))
     val sw = Window.partitionBy("w1", "w2")

@@ -239,6 +239,18 @@ object Dedup {
     * no cap, no recall loss; worst-case candidate volume is inherent to
     * the data (identical-corpus inputs are quadratic in OUTPUT, which no
     * exact algorithm avoids).
+    *
+    * r19: the df/rank/bucket stages run on `xxhash64(t)` instead of the
+    * n-gram STRING — the three token-stream exchanges move 8-byte keys
+    * instead of ~20-byte trigrams. Correctness is order-agnostic: the
+    * prefix-filter completeness theorem holds for ANY global element
+    * order applied consistently to both sets (rare-first is only the
+    * bucket-size heuristic, which hashed df preserves), candidates are
+    * a superset property, and the final pair set comes from the EXACT
+    * string-set intersect verify — so the emitted pairs are identical
+    * to the string-keyed form (the oracle replays the string-keyed
+    * order and hash-matches). A 64-bit collision merely merges two
+    * bucket lists (more candidates, same verified output).
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, n: Int = 3): DataFrame = {
@@ -256,17 +268,18 @@ object Dedup {
     // sz rides the explode as size(tk) — a window-free set size (the
     // per-doc COUNT window this replaces was half the rank stage's cost)
     val ex = toks.select(col("id"), size(col("tk")).as("sz"),
-      explode(col("tk")).as("t"))
+        explode(col("tk")).as("t"))
+      .select(col("id"), col("sz"), xxhash64(col("t")).as("th"))
     // document frequency as a count window over the SAME exploded frame:
     // one shuffle on the token, where a groupBy + join-back costs the
     // groupBy shuffle AND a second shuffle of the big frame for the join
     val pos = ex
-      .withColumn("tdf", count(lit(1)).over(Window.partitionBy("t")))
+      .withColumn("tdf", count(lit(1)).over(Window.partitionBy("th")))
       .withColumn("pos", row_number().over(
-        Window.partitionBy("id").orderBy(col("tdf"), col("t"))))
+        Window.partitionBy("id").orderBy(col("tdf"), col("th"))))
     val prefix = pos.where(col("pos") <=
       col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-    val cand = pairsWithinBuckets(prefix, Seq(col("t")),
+    val cand = pairsWithinBuckets(prefix, Seq(col("th")),
         struct(col("id"), col("sz")), maxBucket = Int.MaxValue)
       .select(col("p1.id").as("id1"), col("p1.sz").as("sz1"),
         col("p2.id").as("id2"), col("p2.sz").as("sz2"))

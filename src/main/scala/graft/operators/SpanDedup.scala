@@ -40,22 +40,17 @@ object SpanDedup {
   def spanKeys(docs: DataFrame, idCol: String, textCol: String,
                w: Int): DataFrame = {
     require(w >= 2, "window width must be ≥ 2 tokens")
-    val toks = docs
+    // r19: gram i of the NgramShingles kernel output IS the w-token
+    // window at position i (the DupSpans kgrams identity), so the span
+    // text is a per-row function of the token array — the old
+    // posexplode + per-doc lead()×w WINDOW shuffled and sorted the
+    // whole token stream by doc to pair adjacent tokens (guide §2.4).
+    // Same (doc_id, pos, k) rows: n−w+1 full windows per doc, space-
+    // joined, md5-keyed.
+    docs
       .select(col(idCol).as("doc_id"),
-        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "t")))
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    // w-token window text from one window spec: t ‖ lead(t,1) ‖ … — rows
-    // within w−1 of the document tail have a null lead and are dropped,
-    // leaving exactly n−w+1 windows per doc.
-    val spanCols = (0 until w).map(i =>
-      if (i == 0) col("t") else lead(col("t"), i).over(byDoc))
-    toks
-      // bind the window expressions first: a window function cannot sit in
-      // WHERE, and the tail check needs the LAST lead as a real column
-      .select(col("doc_id"), col("pos"),
-        concat_ws(" ", spanCols: _*).as("span"),
-        spanCols.last.isNotNull.as("full"))
-      .where(col("full"))
+        posexplode(TextFunctions.ngramsOfTokens(
+          TextFunctions.tokens(col(textCol)), w)).as(Seq("pos", "span")))
       .select(col("doc_id"), col("pos"),
         CrossHash.md5Hash64(col("span")).as("k"))
   }
