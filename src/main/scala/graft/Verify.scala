@@ -15,9 +15,12 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // 140+ queries in one session blow the default 100-entry generated-
-      // class cache and recompile shared fragments; match Bench's setting
-      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // 425 queries in one session blow the default 100-entry generated-
+      // class cache and recompile shared fragments; match Bench's sizing
+      // (r19 — was 2000, thrashing at 425 gates × ~20 texts each) and its
+      // stage-id-free class names so shared fragments actually hit.
+      .config("spark.sql.codegen.cache.maxEntries", "20000")
+      .config("spark.sql.codegen.useIdInClassName", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -49,17 +49,20 @@ object Dsir {
       s"buckets must be a power of two (signed/unsigned hash views " +
         s"only agree on low-bit moduli), got $b")
 
-  /** Hashed-bigram bucket counts per document: (id, bucket, cnt). */
+  /** Hashed-bigram bucket counts per document: (id, bucket, cnt).
+    * r19: bigrams via the codegen [[graft.functions.TextKernels.ngrams]]
+    * kernel (space-joined 2-windows — the identical strings) instead of
+    * the interpreted `zip_with(slice, slice, concat)` HOF chain, which
+    * evaluated three lambda passes per row.
+    */
   def bucketCounts(docs: DataFrame, idCol: String, textCol: String,
                    buckets: Int): DataFrame = {
     requirePow2(buckets)
     val toks = TextFunctions.tokens(col(textCol))
     docs.select(col(idCol).as("id"), toks.as("tk"))
       .where(size(col("tk")) >= 2)
-      .select(col("id"), explode(
-        zip_with(slice(col("tk"), lit(1), size(col("tk")) - 1),
-          slice(col("tk"), lit(2), size(col("tk")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+      .select(col("id"),
+        explode(TextFunctions.ngramsOfTokens(col("tk"), 2)).as("bigram"))
       .select(col("id"),
         pmod(CrossHash.md5Hash64(col("bigram")), lit(buckets.toLong))
           .cast("int").as("bucket"))
